@@ -1,0 +1,284 @@
+package graft
+
+/** DuckDB oracle SQL — the driver runs each statement on the same parquet
+  * tables and hash-compares against the Spark result (SURVEY §2.11).
+  *
+  * Conventions keeping the compare deterministic:
+  *  - every statement ends with a total ORDER BY;
+  *  - computed floats are ROUND(x, k) on both sides;
+  *  - timestamps are canonicalized to epoch microseconds (epoch_us ≡ Spark
+  *    unix_micros after parquet ns→µs truncation);
+  *  - counts/lengths are BIGINT on both sides (Spark side casts size() to
+  *    long where needed);
+  *  - md5-derived hashes use ('0x'||substr(md5(x),1,15))::BIGINT ≡ Spark
+  *    conv(substring(md5(x),1,15),16,10)::long (15 hex chars < 2^63).
+  */
+object OracleSql {
+
+  /** DuckDB 60-bit hash from md5 — must stay in lockstep with
+    * graft.functions.TextFunctions.seededHash. */
+  private def ddbHash(expr: String): String =
+    s"('0x'||substr(md5($expr),1,15))::BIGINT"
+
+  private val minhashSig: String = {
+    val mins = (0 until 4).map(j =>
+      s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM documents),
+       |sh AS (
+       |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |m AS (
+       |  SELECT doc_id,
+       |   $mins
+       |  FROM sh GROUP BY doc_id)
+       |SELECT d.doc_id, m.s0, m.s1, m.s2, m.s3
+       |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+       |ORDER BY d.doc_id LIMIT 300""".stripMargin
+  }
+
+  private val simhash: String = {
+    val bits = (0 until 16).map(b =>
+      s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN (1 << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${ddbHash("w")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |        FROM documents) t)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS sh
+       |FROM tok GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
+  }
+
+  private val langId: String = {
+    val markers = graft.functions.TextFunctions.langMarkers
+    val hitCols = markers.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text,' '), t -> list_contains([$lst], t))) AS h_$lang"
+    }.mkString(",\n  ")
+    val greatest = markers.map { case (l, _) => s"h_$l" }.mkString(", ")
+    val firstMax = markers.map { case (l, _) =>
+      s"WHEN h_$l = m THEN '$l'" }.mkString(" ")
+    s"""WITH s AS (SELECT lang,
+       |  $hitCols
+       |  FROM documents),
+       |p AS (SELECT lang,
+       |  CASE WHEN m = 0 THEN 'und' $firstMax ELSE 'und' END AS lang_pred
+       |  FROM (SELECT *, GREATEST($greatest) AS m FROM s) t)
+       |SELECT lang, lang_pred, COUNT(*) AS n FROM p
+       |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  private val cosineKnn: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+      |         generate_subscripts(embedding,1) AS i
+      |  FROM embeddings),
+      |q AS (SELECT i, x FROM ex WHERE vec_id = 1),
+      |d AS (
+      |  SELECT e.vec_id, SUM(e.x * q.x) AS dp,
+      |         SQRT(SUM(e.x * e.x)) AS ne, SQRT(SUM(q.x * q.x)) AS nq
+      |  FROM ex e JOIN q ON q.i = e.i
+      |  WHERE e.vec_id <> 1 GROUP BY e.vec_id)
+      |SELECT vec_id, ROUND(dp / (ne * nq), 4) AS sim
+      |FROM d ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  private val embCosPairs: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+      |         generate_subscripts(embedding,1) AS i
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+      |dt AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS d
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, ROUND(d / (na.nrm * nb.nrm), 4) AS sim
+      |FROM dt JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
+      |WHERE ROUND(d / (na.nrm * nb.nrm), 4) >= 0.4
+      |ORDER BY a, b""".stripMargin
+
+  private val ngramJaccard: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+      |  FROM toks a
+      |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+      |shl AS (SELECT doc_id, list_distinct(list(sh)) AS shs
+      |        FROM sh GROUP BY doc_id),
+      |d AS (
+      |  SELECT dd.doc_id, dd.lang,
+      |         len(string_split(dd.text,' ')) // 32 AS bucket, shl.shs
+      |  FROM documents dd JOIN shl ON shl.doc_id = dd.doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |         ROUND(len(list_intersect(a.shs, b.shs))::DOUBLE /
+      |               len(list_distinct(list_concat(a.shs, b.shs))), 4)
+      |           AS jaccard
+      |  FROM d a JOIN d b
+      |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q1_event_scan" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id > 100 AND event_type <> 'error'
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+    "q2_latest_state" ->
+      """SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q3_filter_combo" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (c_acctbal >= 1000 OR c_mktsegment = 'BUILDING')
+        |  AND c_name LIKE '%5%'
+        |ORDER BY c_custkey LIMIT 50 OFFSET 10""".stripMargin,
+    "q4_join_agg" ->
+      """SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+        |       ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT DISTINCT o.o_custkey FROM orders o
+        |LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE c.c_custkey IS NULL ORDER BY o.o_custkey""".stripMargin,
+    "q6_doc_latest" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY n_chars DESC, lang) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id LIMIT 200""".stripMargin,
+    "q7_except" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT
+        |SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber LIMIT 300""".stripMargin,
+    "q8_revenue" ->
+      """SELECT n.n_name,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q9_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         RANK() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
+    "q10_counter" ->
+      """SELECT event_type, CAST(value >= 0.5 AS INT) AS accepted,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type, CAST(value >= 0.5 AS INT)
+        |ORDER BY event_type, accepted""".stripMargin,
+    "q11_stalest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT event_id, ts FROM events ORDER BY ts ASC, event_id
+        |  LIMIT (SELECT CAST(COUNT(*) * 20 / 100 AS BIGINT) FROM events)) t
+        |ORDER BY ts_us, event_id""".stripMargin,
+    "q12_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS d
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_hash_dedup" ->
+      """SELECT cnt, COUNT(*) AS n_groups FROM (
+        |  SELECT MD5(CONCAT(CAST(l_partkey AS VARCHAR), '_',
+        |                    CAST(l_suppkey AS VARCHAR))) AS h,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1) t
+        |GROUP BY cnt ORDER BY cnt""".stripMargin,
+    "q14_coalesce" ->
+      """SELECT p_partkey, COALESCE(NULLIF(p_brand, ''), p_type) AS label
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+    "q15_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       ROUND(SUM(o_totalprice), 2) AS s
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
+    "q16_union_priority" ->
+      """SELECT * FROM (
+        |  SELECT event_id AS id, 3 AS priority FROM events
+        |  WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, 1 FROM events WHERE event_type = 'view') t
+        |ORDER BY priority DESC, id LIMIT 200""".stripMargin,
+    "q17_running" ->
+      """SELECT user_id, event_id,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |         AS running
+        |FROM events WHERE user_id <= 25
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q18_json" ->
+      """SELECT json_extract_string(props, '$.k') AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1
+        |ORDER BY n DESC, k ASC NULLS LAST""".stripMargin,
+    "q19_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS w, event_type,
+        |       COUNT(*) AS n, ROUND(SUM(value), 4) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    "q20_sessions" ->
+      """SELECT user_id, COUNT(*) AS n_sessions FROM (
+        |  SELECT user_id,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, epoch_us(ts) AS us,
+        |               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS prev_us
+        |        FROM events) a) t
+        |WHERE new_s = 1 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q21_text_stats" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |       COUNT(DISTINCT source) AS srcs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q22_exact_dedup" ->
+      """SELECT n_dups, COUNT(*) AS groups FROM (
+        |  SELECT MD5(text) AS h, COUNT(*) AS n_dups
+        |  FROM documents GROUP BY 1) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_cosine_knn" -> cosineKnn,
+    "q24_snapshot" ->
+      """SELECT COUNT(*) AS n, MIN(user_id) AS mn, MAX(user_id) AS mx FROM (
+        |  SELECT user_id FROM (
+        |    SELECT user_id,
+        |           ROW_NUMBER() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1) s""".stripMargin,
+    "q25_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q26_lang_id" -> langId,
+    "q27_quality" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |       ROUND(n_chars::DOUBLE / len(string_split(text, ' ')), 4)
+        |         AS avg_wlen,
+        |       ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE /
+        |             len(string_split(text, ' ')), 4) AS uniq_ratio
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q29_minhash_sig" -> minhashSig,
+    "q31_simhash" -> simhash,
+    "q32_ngram_jaccard" -> ngramJaccard,
+    "q33_emb_cos_pairs" -> embCosPairs,
+  )
+}

@@ -1,13 +1,64 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{RelationalQueries => R, SimilarityQueries => S,
+  TextQueries => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] is an implemented operator family from
+  * SURVEY §2; keys present in [[oracleSql]] are hash-checked against DuckDB
+  * on the same parquet tables, the rest get rows-only checks (they use
+  * engine-specific hashes or plans DuckDB cannot replicate).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q5-shaped multi-join aggregate (SURVEY §7.2 step 2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    R.q8Revenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_event_scan" -> (R.q1EventScan(_, _)),
+    "q2_latest_state" -> (R.q2LatestState(_, _)),
+    "q3_filter_combo" -> (R.q3FilterCombo(_, _)),
+    "q4_join_agg" -> (R.q4JoinAgg(_, _)),
+    "q5_anti_join" -> (R.q5AntiJoin(_, _)),
+    "q6_doc_latest" -> (R.q6DocLatest(_, _)),
+    "q7_except" -> (R.q7Except(_, _)),
+    "q8_revenue" -> (R.q8Revenue(_, _)),
+    "q9_top_order" -> (R.q9TopOrder(_, _)),
+    "q10_counter" -> (R.q10Counter(_, _)),
+    "q11_stalest" -> (R.q11Stalest(_, _)),
+    "q12_distinct" -> (R.q12Distinct(_, _)),
+    "q13_hash_dedup" -> (R.q13HashDedup(_, _)),
+    "q14_coalesce" -> (R.q14Coalesce(_, _)),
+    "q15_rollup" -> (R.q15Rollup(_, _)),
+    "q16_union_priority" -> (R.q16UnionPriority(_, _)),
+    "q17_running" -> (R.q17Running(_, _)),
+    "q18_json" -> (R.q18Json(_, _)),
+    "q19_hourly" -> (R.q19Hourly(_, _)),
+    "q20_sessions" -> (R.q20Sessions(_, _)),
+    "q21_text_stats" -> (T.q21TextStats(_, _)),
+    "q22_exact_dedup" -> (T.q22ExactDedup(_, _)),
+    "q23_cosine_knn" -> (S.q23CosineKnn(_, _)),
+    "q24_snapshot" -> (R.q24Snapshot(_, _)),
+    "q25_token_count" -> (T.q25TokenCount(_, _)),
+    "q26_lang_id" -> (T.q26LangId(_, _)),
+    "q27_quality" -> (T.q27Quality(_, _)),
+    "q28_fingerprint" -> (T.q28Fingerprint(_, _)),
+    "q29_minhash_sig" -> (T.q29MinhashSig(_, _)),
+    "q30_minhash_pairs" -> (T.q30MinhashPairs(_, _)),
+    "q31_simhash" -> (T.q31Simhash(_, _)),
+    "q32_ngram_jaccard" -> (T.q32NgramJaccard(_, _)),
+    "q33_emb_cos_pairs" -> (S.q33EmbCosPairs(_, _)),
+    "q34_ann_ivf" -> (S.q34AnnIvf(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (q30 LSH pairs, q34 IVF) use
+    * engine-side plans DuckDB cannot cheaply replicate → rows-only check;
+    * they are covered by ScalaTest specs instead. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Catalog of the driver-generated test tables (TESTDATA.md / FIXTURES.md §A).
+  *
+  * These tables model the reference's data shapes (SURVEY §1.1):
+  * `events` is the append-only event log (reference `x/common/types.go:133-195`
+  * txes/messages analog), the TPC-H-ish star tables are the snapshot/relational
+  * surface Hasura exposes (reference `README.md:89-155`), and
+  * `documents`/`embeddings` back the north-star text/similarity operators.
+  *
+  * Scale posture: readers are plain parquet scans so Catalyst's vectorized
+  * reader, predicate pushdown and column pruning all apply. At 100 TB these
+  * paths become partitioned directories; nothing here assumes a single file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to always broadcast in joins. */
+  val broadcastable: Set[String] = Set("region", "nation", "supplier", "part")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
+    // configure()) so it arrives as Long nanos, converted here to a µs
+    // timestamp by truncation — exactly DuckDB's ns→µs conversion.
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Session configuration every entry point (Verify/Bench/tests) applies. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+
+  /** Register every table as a temp view so `spark.sql` surfaces work too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup primitives for the LLM-data-pipeline surface
+  * (north star in BASELINE.json; SURVEY §2.10).
+  *
+  * Everything here is built from org.apache.spark.sql.functions (including
+  * higher-order array functions) — no Scala UDFs — so the expressions stay
+  * inside Catalyst, serialize into the plan, and never force a JVM round-trip
+  * per row. Hashes are derived from md5 (a cross-engine primitive) so every
+  * operator has an exactly-reproducible DuckDB oracle; at 100 TB the same
+  * expressions run unchanged because they are per-row/narrow (no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the reference's signer split analog,
+    * x/common/types.go:181-190 uses comma-join/split). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint = md5 of normalized text (content-addressed
+    * identity, reference x/imgstorage/storage.go:37-62). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Empty array when the
+    * document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Seeded 60-bit hash from md5 — deterministic and reproducible in any
+    * engine with md5 (first 15 hex chars < 2^60, fits a signed long). */
+  def seededHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Null when the shingle set is empty. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(j => array_min(transform(sh, seededHash(_, j)))): _*)
+
+  /** Estimated Jaccard similarity from two equal-length signatures:
+    * fraction of agreeing positions. */
+  def minhashJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(
+      zip_with(sigA, sigB, (a, b) => (a === b).cast("int")),
+      lit(0), (acc, x) => acc + x).cast("double") / k
+
+  /** LSH band keys: md5 over each contiguous slice of the signature.
+    * Docs sharing any band key are candidate duplicates. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws(",",
+        slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** SimHash (16-bit, md5-derived so the oracle can replicate it):
+    * per-bit majority vote over the token hash set. */
+  def simhash16(text: Column): Column = {
+    val hashes = transform(tokens(text), tok =>
+      conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until 16).map { b =>
+      val vote = aggregate(
+        transform(hashes, h => (shiftright(h, b) % 2) * 2 - 1),
+        lit(0L), (acc, x) => acc + x)
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (bit-population of XOR). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Stopword hit count for a language's marker list. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t =>
+      stopwords.map(t === _).reduce(_ || _)))
+
+  /** Language marker lists for the n-gram/stopword language-ID heuristic.
+    * Order matters: ties resolve to the first language in this list. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有"))
+
+  /** Predicted language: argmax of marker hits, 'und' when no marker hits;
+    * ties break in langMarkers order (first wins, strictly-greater compare). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (lang, words) =>
+      (lang, stopwordHits(toks, words))
+    }
+    val best = scored.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl),
+          when(sc > bs, sc).otherwise(bs))
+    }
+    best._1
+  }
+}

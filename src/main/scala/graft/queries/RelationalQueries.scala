@@ -1,0 +1,262 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational query inventory (SURVEY §2.11, Q1–Q20 + Q24).
+  *
+  * Each builder is the Spark-first expression of an operator family the
+  * reference exposes either in Go code or through its Hasura/Postgres query
+  * layer (citations per query). All queries end in a total ORDER BY and round
+  * computed floats so the DuckDB oracle hash-compare is deterministic.
+  * Timestamps are canonicalized to epoch microseconds (`unix_micros`) before
+  * leaving the engine — parquet ns→µs truncation then matches DuckDB exactly.
+  *
+  * Scale notes: every query is a pure declarative plan — Catalyst pushes
+  * filters/projections into the parquet scan, chooses broadcast joins for the
+  * hinted dimension tables, and runs two-phase hash aggregation. Nothing
+  * collects to the driver except scalar subquery results (Q11's count).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Q1 — event-log scan + monotonic cursor filter.
+    * Reference: x/indexer/indexer.go:217-231 (skip failed/old txs). */
+  def q1EventScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") > 100 && col("event_type") =!= "error")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+      .limit(500)
+
+  /** Q2 — latest-state-per-key fold: the core event-sourcing operator.
+    * Reference: every UpdateColumns-by-token_id arm,
+    * x/indexer/handlers/marketplace.go:114-423. */
+  def q2LatestState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** Q3 — boolean combinators + LIKE + order/limit/offset (Hasura whereexp,
+    * reference README.md:121-155). */
+  def q3FilterCombo(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter((col("c_acctbal") >= 1000 || col("c_mktsegment") === "BUILDING")
+        && col("c_name").like("%5%"))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .offset(10)
+      .limit(50)
+
+  /** Q4 — nested relationship join, the Hasura users→nfts analog
+    * (reference README.md:89-120, FK edge types.go:118). */
+  def q4JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, o("o_custkey") === c("c_custkey"), "left")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(
+        count(o("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q5 — find-or-create missing-key probe as an anti join
+    * (reference marketplace.go:49-89 findOrCreateUser). */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_custkey")
+      .join(t(s, dir, "customer").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .distinct()
+      .orderBy("o_custkey")
+
+  /** Q6 — upsert/latest-wins over a keyed document set
+    * (reference Mongo upsert, x/tokenMetadataService/service.go:177-210). */
+  def q6DocLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_chars").desc, col("lang"))
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Q7 — change detection as EXCEPT (reference reflect.DeepEqual change
+    * check, service.go:192). */
+  def q7Except(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber")
+      .except(li.filter(col("l_linestatus") === "F")
+        .select("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(300)
+  }
+
+  /** Q8 — multi-way join + grouped aggregate (TPC-H Q5 shape; the analytics
+    * surface Hasura exposes as *_aggregate). Region/nation are broadcast. */
+  def q8Revenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    c.join(o, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(n, n("n_nationkey") === c("c_nationkey"))
+      .join(r, r("r_regionkey") === n("n_regionkey"))
+      .filter(r("r_name") === "ASIA")
+      .groupBy(n("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q9 — top-bid-per-token analog: rank with deterministic tie-break
+    * (reference auction winner, marketplace.go:232-317). */
+  def q9TopOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** Q10 — counter matrix by two labels (reference Prometheus CounterVec,
+    * x/common/metrics.go:7-49). */
+  def q10Counter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        (col("value") >= 0.5).cast("int").as("accepted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "accepted")
+
+  /** Q11 — stalest-k selection: sort by staleness, limit 20% of count
+    * (reference x/mongoDaemon/service.go:100-103). The count is the only
+    * driver-side scalar in the inventory — same shape as the reference's
+    * EstimatedDocumentCount. */
+  def q11Stalest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = (ev.count() * 20) / 100
+    ev.orderBy(col("ts").asc, col("event_id"))
+      .limit(k.toInt)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+  }
+
+  /** Q12 — exact distinct per group (reference md5 content identity,
+    * storage.go:37-62). */
+  def q12Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("d"))
+      .orderBy("l_returnflag")
+
+  /** Q13 — content-hash dedup histogram (reference content-addressed store,
+    * storage.go:37-62; key format imgstorage/service.go:7). */
+  def q13HashDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(md5(concat(col("l_partkey").cast("string"), lit("_"),
+        col("l_suppkey").cast("string"))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("n_groups"))
+      .orderBy("cnt")
+
+  /** Q14 — resolution-fallback as COALESCE (reference file load fallback,
+    * storage.go:86-125). */
+  def q14Coalesce(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        coalesce(nullif(col("p_brand"), lit("")), col("p_type")).as("label"))
+      .orderBy("p_partkey")
+      .limit(100)
+
+  /** Q15 — rollup subtotals (Hasura-style dashboard aggregates, SURVEY A6). */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      .orderBy(col("o_orderstatus").asc_nulls_last,
+        col("o_orderpriority").asc_nulls_last)
+
+  /** Q16 — union of task streams + within-batch priority ordering
+    * (reference RabbitMQ producers merging into dwh_uri_tasks,
+    * marketplace.go:123 + mongoDaemon/receiver_sender.go:182-208). */
+  def q16UnionPriority(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id"), lit(3).as("priority"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("id"), lit(1).as("priority"))
+    purchases.unionAll(views)
+      .orderBy(col("priority").desc, col("id"))
+      .limit(200)
+  }
+
+  /** Q17 — running balance over a ledger (reference
+    * fungible_token_transfers, types.go:103-109). */
+  def q17Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .filter(col("user_id") <= 25)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 4).as("running"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q18 — JSON extraction + grouped fold (reference JSONB columns +
+    * dynamic metadata access, types.go:140,165 / service.go:138-150). */
+  def q18Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("k").asc_nulls_last)
+
+  /** Q19 — tumbling hourly window (SURVEY P6; hour-aligned tumbling ≡
+    * date_trunc('hour')). Output canonicalized to epoch micros. */
+  def q19Hourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .orderBy("w", "event_type")
+
+  /** Q20 — session windows via gaps-and-islands (SURVEY P6; expressed so
+    * DuckDB can verify; streaming twin uses session_window). */
+  def q20Sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    t(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .filter(col("new_s") === 1)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
+    * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
+  def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/root/repo/target/tmp/q24_snapshot"
+    q2LatestState(s, dir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .agg(count(lit(1)).as("n"),
+        min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+  }
+}

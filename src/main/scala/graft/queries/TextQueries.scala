@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + document-dedup query surface over the `documents` table
+  * (north-star operators; SURVEY §2.10/§2.11 Q21–Q22 plus the dedup /
+  * text-quality inventory from the project brief).
+  *
+  * Scale posture: every per-document computation is narrow (no shuffle);
+  * the only shuffles are the final groupBy/join on hash keys, which
+  * partition evenly because the keys are uniform md5-derived hashes. LSH
+  * banding turns the O(n²) near-dup join into an equi-join on band keys —
+  * the standard 100 TB-safe plan (band key is the shuffle key; bucket sizes
+  * stay bounded because banding is selective).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Q21 — per-language corpus stats. */
+  def q21TextStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"),
+        countDistinct(col("source")).as("srcs"))
+      .orderBy("lang")
+
+  /** Q22 — exact-duplicate histogram via content hash. */
+  def q22ExactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_dups"))
+      .groupBy("n_dups").agg(count(lit(1)).as("groups"))
+      .orderBy("n_dups")
+
+  /** Token counting (whitespace tokenizer). */
+  def q25TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** Language-ID heuristic: stopword-marker argmax, aggregated to a
+    * (predicted, actual) confusion-style matrix. */
+  def q26LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  /** Quality scoring: avg word length + vocabulary-uniqueness ratio. */
+  def q27Quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(col("n_chars").cast("double") / size(toks), 4)
+          .as("avg_wlen"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("uniq_ratio"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** Document fingerprinting: md5 over canonicalized text. */
+  def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** MinHash signatures (k=4, word-3-gram shingles) — the per-document half
+    * of MinHash/LSH dedup, oracle-checkable because hashes are md5-derived. */
+  def q29MinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignature(shingles(col("text"), 3), 4)
+    docs(s, dir)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("s0"), element_at(col("sig"), 2).as("s1"),
+        element_at(col("sig"), 3).as("s2"), element_at(col("sig"), 4).as("s3"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** MinHash + LSH near-duplicate pairs: signature (k=16) → 8 bands × 2 rows
+    * → candidate pairs via band-key equi-join → estimated-Jaccard filter.
+    * This is the 100 TB dedup plan: no cross join, shuffle only on band key. */
+  def q30MinhashPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val k = 16
+    val signed = docs(s, dir)
+      .select(col("doc_id"),
+        minhashSignature(shingles(col("text"), 3), k).as("sig"))
+      .filter(!col("sig").getItem(0).isNull)
+      .withColumn("band", explode(lshBands(col("sig"), 8, 2)))
+    val a = signed.select(col("doc_id").as("a"), col("sig").as("sig_a"),
+      col("band"))
+    val b = signed.select(col("doc_id").as("b"), col("sig").as("sig_b"),
+      col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        minhashJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** SimHash values (16-bit md5-derived) per document. */
+  def q31Simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), simhash16(col("text")).as("sh"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share a
+    * cheap blocking key (same lang + same token-count bucket), so the
+    * pair space stays linear-ish instead of O(n²). */
+  def q32NgramJaccard(s: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      array_distinct(shingles(col("text"), 3)).as("sh"),
+      floor(size(tokens(col("text"))) / 32).cast("int").as("bucket"))
+      .filter(size(col("sh")) > 0)
+    val a = d.select(col("doc_id").as("a"), col("lang"), col("bucket"),
+      col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("b"), col("lang"), col("bucket"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+}
