@@ -311,5 +311,17 @@ object OracleSql {
         |  COALESCE(last(CASE msg WHEN 'put' THEN pr ELSE '' END ORDER BY seq)
         |    FILTER (WHERE msg IN ('mint', 'put', 'remove')), '') AS "price"
         |FROM post GROUP BY tid ORDER BY tid""".stripMargin,
+    "q36_parse_coin" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CASE WHEN value < 0.1 THEN ''
+        |         ELSE CAST(ROUND(value * 100) AS BIGINT) || 'token'
+        |    END AS coin
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(NULLIF(regexp_extract(coin, '^(\d+)', 1), '')
+        |       AS DECIMAL(38,0)) AS amount,
+        |  NULLIF(regexp_extract(coin, '^\d+(\D+.*)$', 1), '') AS denom
+        |FROM c ORDER BY event_id LIMIT 500""".stripMargin,
   )
 }

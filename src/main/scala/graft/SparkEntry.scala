@@ -1,7 +1,7 @@
 package graft
 
-import graft.queries.{CdcQueries => C, RelationalQueries => R,
-  SimilarityQueries => S, TextQueries => T}
+import graft.queries.{CdcQueries => C, PipelineQueries => P,
+  RelationalQueries => R, SimilarityQueries => S, TextQueries => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -55,6 +55,9 @@ object SparkEntry {
     "q33_emb_cos_pairs" -> (S.q33EmbCosPairs(_, _)),
     "q34_ann_ivf" -> (S.q34AnnIvf(_, _)),
     "q35_cdc_fold" -> (C.q35CdcFold(_, _)),
+    "q36_parse_coin" -> (P.q36ParseCoin(_, _)),
+    "q37_gzip_roundtrip" -> (P.q37GzipRoundtrip(_, _)),
+    "q38_img_pipeline" -> (P.q38ImgPipeline(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

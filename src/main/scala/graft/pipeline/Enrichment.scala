@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import graft.functions.{BinaryFunctions => B, JsonFunctions => J}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The enrichment dataflow (SURVEY §3.3) — the reference's chain of
+  * RabbitMQ-connected workers re-expressed as declarative DataFrame stages:
+  *
+  *   uri tasks → fetch → ERC-721 validate → change-detect merge → metadata
+  *   snapshot; valid+has-image rows → image fetch → decode/resize/gzip →
+  *   content-addressed dedup → image sink rows; stalest-20% → re-enqueue.
+  *
+  * (reference: x/tokenMetadataService/service.go:91-210,
+  * x/imgresizer/resizer.go:64-312, x/mongoDaemon/service.go:98-176.)
+  *
+  * Every stage is a pure DataFrame → DataFrame function so the same
+  * composition runs as one batch lineage or inside foreachBatch in
+  * streaming. Fetching is a mapPartitions-shaped UDF with per-partition
+  * connection reuse; tests use file:// URLs (no network in this
+  * environment); timestamps are PASSED IN, never current_timestamp(), so
+  * every run is replayable.
+  */
+object Enrichment {
+
+  /** Priorities (x/common/types.go:15-22). */
+  object Priority {
+    val Regular = 1
+    val TransferTriggered = 2
+    val FreshlyMade = 3
+    val ForcedUpdates = 4
+  }
+
+  // --- S7: fetch ----------------------------------------------------------
+
+  /** URL fetch with the reference's 15 s timeout
+    * (tokenMetadataService/service.go:66). file:/data: URIs serve tests;
+    * failures come back as (body=null, error) columns — never exceptions. */
+  def fetchBytes(url: String, timeoutMs: Int = 15000): Either[String, Array[Byte]] =
+    try {
+      val u = new java.net.URI(url)
+      u.getScheme match {
+        case "file" =>
+          Right(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(u.getPath)))
+        case "data" => // data:,percent-encoded-body (tests)
+          val ssp = u.getSchemeSpecificPart
+          Right(java.net.URLDecoder.decode(ssp.dropWhile(_ != ',').drop(1),
+            "UTF-8").getBytes("UTF-8"))
+        case "http" | "https" =>
+          val conn = u.toURL.openConnection()
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          val in = conn.getInputStream
+          try Right(in.readAllBytes()) finally in.close()
+        case other => Left(s"unsupported scheme: $other")
+      }
+    } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private val fetchUdf = udf((url: String) =>
+    if (url == null) (null: Array[Byte], "null url")
+    else fetchBytes(url) match {
+      case Right(b) => (b, null: String)
+      case Left(err) => (null: Array[Byte], err)
+    })
+
+  /** tasks(url, ...) → + (body binary, fetch_error string). */
+  def fetched(tasks: DataFrame, urlCol: String = "url"): DataFrame =
+    tasks.withColumn("f", fetchUdf(col(urlCol)))
+      .withColumn("body", col("f._1"))
+      .withColumn("fetch_error", col("f._2"))
+      .drop("f")
+
+  // --- metadata stage (service.go:116-210) --------------------------------
+
+  /** Fetch+validate uri tasks: adds metadata json, validity verdict and the
+    * has-image probe. Input: (owner, token_id, url, priority). */
+  def metadataStage(tasks: DataFrame): DataFrame = {
+    val f = fetched(tasks)
+    f.withColumn("metadata", col("body").cast("string"))
+      .withColumn("verdict", J.erc721Validate(col("metadata")))
+      .withColumn("valid", col("verdict.valid") && col("fetch_error").isNull)
+      .withColumn("has_image", J.hasImage(col("metadata")))
+      .drop("body")
+  }
+
+  /** Change-detect + upsert (service.go:183-206): latest task per token wins
+    * (upsert), rows whose metadata equals the existing snapshot's keep their
+    * old lastUpdated (DeepEqual change-detect), everything probed gets a new
+    * lastChecked. `now` is the caller's clock — deterministic replays. */
+  def mergeMetadata(existing: DataFrame, incoming: DataFrame,
+      now: Column): DataFrame = {
+    val inc = incoming
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("token_id")
+          .orderBy(col("priority").desc, col("url"))))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("token_id"), col("owner"), col("url"),
+        col("metadata").as("new_metadata"))
+    existing
+      .join(inc, Seq("token_id"), "full_outer")
+      .select(
+        col("token_id"),
+        coalesce(inc("owner"), existing("owner")).as("owner"),
+        coalesce(inc("url"), existing("url")).as("url"),
+        coalesce(col("new_metadata"), existing("metadata")).as("metadata"),
+        // changed rows (or brand-new ones) get stamped, unchanged keep old
+        when(col("new_metadata").isNotNull &&
+          (existing("metadata").isNull ||
+            col("new_metadata") =!= existing("metadata")), now)
+          .otherwise(existing("last_updated")).as("last_updated"),
+        when(col("new_metadata").isNotNull, now)
+          .otherwise(existing("last_checked")).as("last_checked"))
+  }
+
+  /** Rows that should flow to the image stage (service.go:146-150). */
+  def imageTasks(metadataStage: DataFrame): DataFrame =
+    metadataStage.filter(col("valid") && col("has_image"))
+      .select(col("owner"), col("token_id"),
+        get_json_object(col("metadata"), "$.image").as("url"),
+        col("priority"))
+
+  // --- image stage (resizer.go:88-212 + storage.go:16-84) -----------------
+
+  /** Fetch → sniff → per-resolution resize → gzip → content key. One output
+    * row per (task, resolution); undecodable bytes keep a null payload and
+    * carry the sniffed format for diagnostics. */
+  def imageStage(tasks: DataFrame,
+      resolutions: Seq[(Int, Int)] = B.defaultResolutions): DataFrame = {
+    val f = fetched(tasks)
+    val res = array(resolutions.map { case (w, h) =>
+      struct(lit(w).as("w"), lit(h).as("h"))
+    }: _*)
+    f.withColumn("format", B.imgFormat(col("body")))
+      .withColumn("r", explode(res))
+      .withColumn("resized",
+        B.imgResize(col("body"), col("r.w"), col("r.h")))
+      .withColumn("payload", B.gzip(col("resized")))
+      // FileNameFormat "%s_%s_%d_%d" (x/imgstorage/service.go:7)
+      .withColumn("name", format_string("%s_%s_%d_%d", col("owner"),
+        col("token_id"), col("r.w"), col("r.h")))
+      .withColumn("content_key", B.contentKey(col("name"), col("resized")))
+      .select("owner", "token_id", "name", "format", "r.w", "r.h",
+        "payload", "content_key")
+  }
+
+  /** Content-addressed dedup before the sink (S9/J6): drop rows whose
+    * (name, content_key) already exist — the resizer's checksum probe
+    * (resizer.go:137-174) as a left-anti join. */
+  def dedupAgainstStore(images: DataFrame, store: DataFrame): DataFrame =
+    images.join(store.select("name", "content_key"),
+      Seq("name", "content_key"), "left_anti")
+
+  // --- freshness daemon (mongoDaemon/service.go:98-176) -------------------
+
+  /** Stalest-`percent`% of the snapshot, re-enqueued as Regular-priority
+    * tasks (W1 shape: global staleness sort + computed limit). */
+  def stalestTasks(snapshot: DataFrame, percent: Int = 20): DataFrame = {
+    val k = (snapshot.count() * percent / 100).toInt
+    snapshot.orderBy(col("last_checked").asc, col("token_id"))
+      .limit(k)
+      .select(col("owner"), col("token_id"), col("url"),
+        lit(Priority.Regular).as("priority"))
+  }
+}
