@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -70,6 +70,62 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** L2-normalize — also a native codegen Expression rather than
+    * `transform(a, x => x / norm)`: higher-order functions are
+    * CodegenFallback, and ONE fallback expression evicts its whole operator
+    * (and everything fused with it) from whole-stage codegen. Zero vectors
+    * pass through unchanged. */
+  case class NormalizeL2(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.sql}")
+    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_normalize"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+      val inv = if (s == 0.0) 1.0 else 1.0 / math.sqrt(s)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getDouble(i) * inv; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val inv = ctx.freshName("inv")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $x.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double v = $x.getDouble($i);
+           |  $s += v * v;
+           |}
+           |double $inv = $s == 0.0 ? 1.0 : 1.0 / Math.sqrt($s);
+           |double[] $out = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = $x.getDouble($i) * $inv;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NormalizeL2 =
+      copy(child = newChild)
+  }
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
@@ -80,8 +136,6 @@ object VectorFunctions {
   /** L2-normalize once so downstream pair scoring is a single dot product
     * instead of dot + two norms per pair (the norms are loop-invariant —
     * hoist them out of the O(n²) pair loop). */
-  def normalized(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => x / n)
-  }
+  def normalized(a: Column): Column =
+    Bridge.column(NormalizeL2(Bridge.expression(a)))
 }

@@ -24,13 +24,21 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
 
-  /** Normalized + cached: the shared input of every pair scan. */
-  private def embNorm(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"), normalized(col("emb")).as("nemb")).cache()
+  /** Normalized embeddings; `cached=true` for self-join queries (both join
+    * sides reuse the same normalization), false for single-pass scans where
+    * an InMemoryRelation would only break whole-stage codegen. */
+  private def embNorm(s: SparkSession, dir: String,
+      cached: Boolean = true): DataFrame = {
+    val n = emb(s, dir)
+      .select(col("vec_id"), normalized(col("emb")).as("nemb"))
+    if (cached) n.cache() else n
+  }
 
-  /** Q23 — brute-force exact cosine top-5 neighbors of vec_id=1. */
+  /** Q23 — brute-force exact cosine top-5 neighbors of vec_id=1. Uncached:
+    * one codegen'd pass over the scan, broadcast query vector,
+    * TakeOrderedAndProject gather. */
   def q23CosineKnn(s: SparkSession, dir: String): DataFrame = {
-    val e = embNorm(s, dir)
+    val e = embNorm(s, dir, cached = false)
     val target = broadcast(e.filter(col("vec_id") === 1)
       .select(col("nemb").as("q")))
     e.filter(col("vec_id") =!= 1)

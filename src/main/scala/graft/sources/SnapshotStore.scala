@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The snapshot sink/source layer (SURVEY §2.1 S4/S8) — the Postgres/Mongo
+  * "current state" tables re-expressed as parquet snapshot stores with an
+  * incremental latest-wins merge.
+  *
+  * 100 TB posture:
+  *  - snapshots are written `partitionBy` a low-cardinality column (ingest
+  *    date, region, status...) so readers prune partitions, and bucketed
+  *    variants co-locate the join key so snapshot⋈snapshot joins shuffle
+  *    nothing;
+  *  - the merge is one full-outer-join-free pass: union(existing, delta) →
+  *    latest-per-key window — O(|existing| + |delta|) with a single shuffle
+  *    on the key, the same shape foreachBatch uses in streaming (S8);
+  *  - deletes are tombstone rows (deleted=true), dropped after the window —
+  *    the GORM soft-delete analog (x/common/types.go gorm.Model).
+  */
+object SnapshotStore {
+
+  /** Write a snapshot partitioned by `partitionCols` (prunable reads). */
+  def write(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Write bucketed by the join key: repartition on the key so each output
+    * file covers one hash bucket — downstream joins on the same layout can
+    * skip the exchange (with AQE + bucketed tables, or by re-reading with
+    * the same partitioning). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", s"spark-warehouse/$table")
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Latest-wins merge of a delta into the current snapshot (the upsert
+    * S4/S8 analog). Both inputs need (keyCol, seqCol); rows with
+    * deleted=true act as tombstones. Exactly-once under replay: merging the
+    * same delta twice is idempotent (same key+seq wins once). */
+  def merge(existing: DataFrame, delta: DataFrame, keyCol: String,
+      seqCol: String): DataFrame = {
+    val withDel = (df: DataFrame) =>
+      if (df.columns.contains("deleted")) df
+      else df.withColumn("deleted", lit(false))
+    val all = withDel(existing).unionByName(withDel(delta))
+    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("deleted"))
+      .drop("rn")
+  }
+
+  /** Idempotent event-log append (S3/P5 exactly-once resume): drop delta
+    * rows whose event id already exists downstream — dedup-on-id, the
+    * batch analog of the cursor skip (x/indexer/indexer.go:228-231). */
+  def appendLog(existing: DataFrame, delta: DataFrame,
+      idCol: String): DataFrame =
+    existing.unionByName(
+      delta.join(existing.select(idCol), Seq(idCol), "left_anti"))
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge is latest-wins, tombstone-aware, and idempotent") {
+    val existing = Seq(("k1", 1L, "a", false), ("k2", 1L, "b", false))
+      .toDF("key", "seq", "v", "deleted")
+    val delta = Seq(("k1", 2L, "a2", false), ("k2", 2L, "b", true),
+      ("k3", 2L, "c", false))
+      .toDF("key", "seq", "v", "deleted")
+    val once = SnapshotStore.merge(existing, delta, "key", "seq")
+    val got = once.select("key", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("k1" -> "a2", "k3" -> "c")) // k2 tombstoned
+    // replaying the same delta changes nothing
+    val twice = SnapshotStore.merge(once, delta, "key", "seq")
+      .select("key", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(twice === got)
+  }
+
+  test("appendLog dedups on id (cursor-resume analog)") {
+    val log = Seq((1L, "x"), (2L, "y")).toDF("id", "p")
+    val delta = Seq((2L, "y"), (3L, "z")).toDF("id", "p")
+    val appended = SnapshotStore.appendLog(log, delta, "id")
+    assert(appended.count() === 3)
+    assert(SnapshotStore.appendLog(appended, delta, "id").count() === 3)
+  }
+
+  test("partitioned write round-trips and prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val df = Seq(("2026-01-01", "k1", 1), ("2026-01-02", "k2", 2))
+      .toDF("dt", "key", "v")
+    SnapshotStore.write(df, dir, Seq("dt"))
+    val pruned = SnapshotStore.read(spark, dir).filter(col("dt") === "2026-01-02")
+    assert(pruned.collect().map(_.getAs[String]("key")).toSeq === Seq("k2"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must appear as a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("dt"), s"no partition pruning:\n$plan")
+  }
+}
