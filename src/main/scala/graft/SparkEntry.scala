@@ -58,6 +58,7 @@ object SparkEntry {
     "q36_parse_coin" -> (P.q36ParseCoin(_, _)),
     "q37_gzip_roundtrip" -> (P.q37GzipRoundtrip(_, _)),
     "q38_img_pipeline" -> (P.q38ImgPipeline(_, _)),
+    "q39_approx_distinct" -> (R.q39ApproxDistinct(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

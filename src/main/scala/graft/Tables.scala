@@ -41,6 +41,7 @@ object Tables {
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
 
   /** Register every table as a temp view so `spark.sql` surfaces work too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -250,6 +250,20 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Q39 — sketch-based distinct (A5's scale path): HLL++ next to the exact
+    * count so the smoke check shows the approximation error. At 100 TB the
+    * sketch is the only affordable distinct — mergeable across partitions
+    * and tables. Rows-only check (sketch internals are engine-specific). */
+  def q39ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("d_approx"),
+        countDistinct(col("l_orderkey")).as("d_exact"))
+      .withColumn("rel_err",
+        round(abs(col("d_approx") - col("d_exact")) /
+          col("d_exact"), 4))
+      .orderBy("l_returnflag")
+
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
