@@ -90,27 +90,34 @@ object Enrichment {
     * lastChecked. `now` is the caller's clock — deterministic replays. */
   def mergeMetadata(existing: DataFrame, incoming: DataFrame,
       now: Column): DataFrame = {
+    // columns renamed (not DataFrame-reference-disambiguated): existing and
+    // incoming share lineage when merges chain batch-over-batch, and
+    // df("col") resolution is ambiguous on self-referential joins
+    val ex = existing.select(col("token_id"),
+      col("owner").as("ex_owner"), col("url").as("ex_url"),
+      col("metadata").as("ex_metadata"),
+      col("last_updated").as("ex_last_updated"),
+      col("last_checked").as("ex_last_checked"))
     val inc = incoming
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("token_id")
           .orderBy(col("priority").desc, col("url"))))
-      .filter(col("rn") === 1).drop("rn")
-      .select(col("token_id"), col("owner"), col("url"),
-        col("metadata").as("new_metadata"))
-    existing
-      .join(inc, Seq("token_id"), "full_outer")
+      .filter(col("rn") === 1)
+      .select(col("token_id"), col("owner").as("in_owner"),
+        col("url").as("in_url"), col("metadata").as("new_metadata"))
+    ex.join(inc, Seq("token_id"), "full_outer")
       .select(
         col("token_id"),
-        coalesce(inc("owner"), existing("owner")).as("owner"),
-        coalesce(inc("url"), existing("url")).as("url"),
-        coalesce(col("new_metadata"), existing("metadata")).as("metadata"),
+        coalesce(col("in_owner"), col("ex_owner")).as("owner"),
+        coalesce(col("in_url"), col("ex_url")).as("url"),
+        coalesce(col("new_metadata"), col("ex_metadata")).as("metadata"),
         // changed rows (or brand-new ones) get stamped, unchanged keep old
         when(col("new_metadata").isNotNull &&
-          (existing("metadata").isNull ||
-            col("new_metadata") =!= existing("metadata")), now)
-          .otherwise(existing("last_updated")).as("last_updated"),
+          (col("ex_metadata").isNull ||
+            col("new_metadata") =!= col("ex_metadata")), now)
+          .otherwise(col("ex_last_updated")).as("last_updated"),
         when(col("new_metadata").isNotNull, now)
-          .otherwise(existing("last_checked")).as("last_checked"))
+          .otherwise(col("ex_last_checked")).as("last_checked"))
   }
 
   /** Rows that should flow to the image stage (service.go:146-150). */
