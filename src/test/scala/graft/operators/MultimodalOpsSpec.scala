@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.BinaryFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media(rows: (String, Array[Byte])*) =
+    rows.toSeq.toDF("key", "bytes")
+
+  test("imageFeatures decodes real PNGs per-partition, nulls the rest") {
+    val png = BinaryFunctions.syntheticPng(3, 8, 6)
+    val df = MultimodalOps.imageFeatures(media(
+      "a" -> png, "b" -> "not an image".getBytes, "c" -> null))
+    val byKey = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byKey("a").getString(1) === "png")
+    assert(byKey("a").getInt(2) === 8 && byKey("a").getInt(3) === 6)
+    val luma = byKey("a").getDouble(4)
+    assert(luma > 0.0 && luma < 255.0)
+    assert(byKey("b").isNullAt(2) && byKey("c").isNullAt(2))
+  }
+
+  test("imageFeatures is deterministic across partitionings") {
+    val rows = (1 to 20).map(i =>
+      s"k$i" -> BinaryFunctions.syntheticPng(i.toLong, 8, 6))
+    val one = MultimodalOps.imageFeatures(media(rows: _*).repartition(1))
+      .orderBy("key").collect().map(_.toString)
+    val many = MultimodalOps.imageFeatures(media(rows: _*).repartition(7))
+      .orderBy("key").collect().map(_.toString)
+    assert(one.toSeq === many.toSeq)
+  }
+
+  test("sampleFrames fans out one row per frame with the declared schema") {
+    val df = MultimodalOps.sampleFrames(
+      media("v1" -> "fakevideo".getBytes), everyNth = 5, maxFrames = 3)
+    val rows = df.collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 5, 10))
+    // stub frames are themselves valid PNGs (plumbing is real)
+    rows.foreach(r =>
+      assert(BinaryFunctions.sniffFormat(r.getAs[Array[Byte]](2)) === "png"))
+  }
+
+  test("fakeEmbedding composes with the similarity kernel") {
+    import graft.functions.VectorFunctions
+    val df = MultimodalOps.fakeEmbedding(media(
+      "a" -> "xx".getBytes, "b" -> "xx".getBytes, "c" -> "yy".getBytes))
+    val sims = df.as("x").crossJoin(df.as("y"))
+      .select(col("x.key").as("a"), col("y.key").as("b"),
+        VectorFunctions.dot(
+          VectorFunctions.normalized(col("x.emb")),
+          VectorFunctions.normalized(col("y.emb"))).as("sim"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(sims(("a", "b")) - 1.0) < 1e-9) // same bytes → same emb
+    assert(sims(("a", "c")) < 1.0)
+  }
+}

@@ -76,6 +76,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("near-dup joins never degrade to a cartesian product") {
+    import graft.queries.TextQueries
+    Seq(TextQueries.q30MinhashPairs(spark, dir),
+      TextQueries.q32NgramJaccard(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    }
+  }
+
   test("aggregations are two-phase (partial before the exchange)") {
     val p = plan(R.q10Counter(spark, dir))
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
