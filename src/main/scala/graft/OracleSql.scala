@@ -323,5 +323,12 @@ object OracleSql {
         |       AS DECIMAL(38,0)) AS amount,
         |  NULLIF(regexp_extract(coin, '^\d+(\D+.*)$', 1), '') AS denom
         |FROM c ORDER BY event_id LIMIT 500""".stripMargin,
+    "q40_nested" ->
+      """SELECT c.c_custkey,
+        |       list_sort(list({'k': o.o_orderkey,
+        |                       'p': ROUND(o.o_totalprice, 2)})) AS orders
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 50
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
   )
 }

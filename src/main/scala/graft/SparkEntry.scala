@@ -59,6 +59,7 @@ object SparkEntry {
     "q37_gzip_roundtrip" -> (P.q37GzipRoundtrip(_, _)),
     "q38_img_pipeline" -> (P.q38ImgPipeline(_, _)),
     "q39_approx_distinct" -> (R.q39ApproxDistinct(_, _)),
+    "q40_nested" -> (R.q40Nested(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

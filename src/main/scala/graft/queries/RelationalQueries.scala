@@ -264,6 +264,22 @@ object RelationalQueries {
           col("d_exact"), 4))
       .orderBy("l_returnflag")
 
+  /** Q40 — the Hasura nested-response shape (J1: users{nfts{...}} from
+    * reference README.md:89-120): parent rows with their children embedded
+    * as a sorted array of structs — `collect_list(struct(...))` + sort for
+    * determinism. One shuffle on the parent key. */
+  def q40Nested(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, o("o_custkey") === c("c_custkey"))
+      .filter(c("c_custkey") <= 50)
+      .groupBy(c("c_custkey"))
+      .agg(sort_array(collect_list(struct(
+        o("o_orderkey").as("k"),
+        round(o("o_totalprice"), 2).as("p")))).as("orders"))
+      .orderBy("c_custkey")
+  }
+
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
