@@ -113,6 +113,80 @@ object MarketplaceFold {
   def replay(events: Iterable[MarketplaceEvent]): TokenState =
     events.foldLeft(TokenState.empty)(step)
 
+  /** `step` plus the reference's error verdict: which arms would have
+    * returned a handler error (x/indexer/indexer.go:264-298 records the
+    * message with failed=true and the error text; state is unchanged for
+    * those arms, matching the per-message transaction). GORM's
+    * zero-rows-matched updates are NOT errors — only the explicitly
+    * error-returning paths are. */
+  def stepWithError(st: TokenState, e: MarketplaceEvent)
+      : (TokenState, Option[String]) = e.msgType match {
+    case MsgType.FinishAuction if !e.attrs.contains(AttrKey.Owner) =>
+      (st, Some("failed to find new owner")) // marketplace.go:295-297
+    case MsgType.MakeOffer if !e.attrs.contains(AttrKey.OfferId) =>
+      (st, Some(s"failed to find offer for token ${e.tokenId}")) // :323-325
+    case MsgType.AcceptOffer if !st.offers.contains(offerId(e)) =>
+      (st, Some(s"unknown offer ID: ${offerId(e)}")) // :346-348
+    case t if !handledTypes.contains(t) =>
+      (st, Some(s"no handler for route: $t")) // indexer.go:288-291
+    case _ => (step(st, e), None)
+  }
+
+  private val handledTypes: Set[String] = Set(
+    MsgType.MintNFT, MsgType.BurnNFT, MsgType.EditNFTMetadata,
+    MsgType.TransferNFT, MsgType.PutNFTOnMarket, MsgType.RemoveNFTFromMarket,
+    MsgType.BuyNFT, MsgType.PutNFTOnAuction, MsgType.RemoveNFTFromAuction,
+    MsgType.MakeBidOnAuction, MsgType.BuyoutOnAuction, MsgType.FinishAuction,
+    MsgType.MakeOffer, MsgType.AcceptOffer, MsgType.RemoveOffer,
+    MsgType.CreateFungibleToken, MsgType.TransferFungibleTokens)
+
+  /** Per-message verdict row — the `messages` table analog
+    * (x/common/types.go:161-195: every message recorded, success or not). */
+  case class MessageRow(seq: Long, msgType: String, tokenId: String,
+      denom: String, failed: Boolean, error: String)
+
+  /** The messages table: every event, with failed/error computed by the
+    * stateful replay (token-keyed arms) plus the denom-keyed FT check
+    * (transfer against a never-created denom, marketplace.go:410-413).
+    * Same single shuffle as the fold. */
+  def messages(events: Dataset[MarketplaceEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    val tokenVerdicts = events
+      .filter(_.tokenId.nonEmpty)
+      .groupByKey(_.tokenId)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toVector.sortBy(_.seq)
+        var st = TokenState.empty
+        sorted.map { e =>
+          val (st1, err) = stepWithError(st, e)
+          st = st1
+          MessageRow(e.seq, e.msgType, e.tokenId, e.denom,
+            err.isDefined, err.orNull)
+        }
+      }
+    val ftEvents = events.filter(e => e.tokenId.isEmpty)
+    val ftVerdicts = ftEvents
+      .groupByKey(_.denom)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toVector.sortBy(_.seq)
+        var created = false
+        sorted.map { e =>
+          val err = e.msgType match {
+            case MsgType.CreateFungibleToken => created = true; None
+            case MsgType.TransferFungibleTokens if !created =>
+              Some("failed to transfer fungible token: unknown denom")
+            case MsgType.TransferFungibleTokens => None
+            case t if !handledTypes.contains(t) =>
+              Some(s"no handler for route: $t")
+            case _ => None
+          }
+          MessageRow(e.seq, e.msgType, e.tokenId, e.denom,
+            err.isDefined, err.orNull)
+        }
+      }
+    tokenVerdicts.unionByName(ftVerdicts).toDF()
+  }
+
   /** Batch fold: event log → one TokenSnapshot per token. The shuffle key is
     * tokenId; events are sorted per group by seq (the cursor order the
     * reference's serialized loop guarantees, SURVEY §7.4.1). */

@@ -101,6 +101,18 @@ class FoldPropertySpec extends SparkSpec {
     }
   }
 
+  test("an erroring arm never mutates state (per-message transaction)") {
+    seeds.foreach { s =>
+      val events = sample(40, s)
+      var st = TokenState.empty
+      events.foreach { e =>
+        val (st1, err) = MarketplaceFold.stepWithError(st, e)
+        if (err.isDefined) assert(st1 === st, s"seed=$s event=$e")
+        st = st1
+      }
+    }
+  }
+
   test("step is a total function — no event sequence throws") {
     (1L to 500L).foreach { s =>
       val events = sample(60, s)

@@ -250,6 +250,31 @@ class MarketplaceFoldSpec extends SparkSpec {
     assert(a("offers").keySet === b("offers").keySet)
   }
 
+  test("messages table records every event with the reference's error arms") {
+    seq = 0L
+    val events = Seq(
+      mint("T", u1),                                    // ok
+      finishAuction("T", winner = None),                // missing owner attr
+      MarketplaceEvent(next(), MsgType.MakeOffer)
+        .copy(tokenId = "T", sender = u2),              // missing offer id
+      acceptOffer("T", u1, "nope"),                     // unknown offer
+      MarketplaceEvent(next(), "exotic_msg")
+        .copy(tokenId = "T", sender = u1),              // unknown route
+      transferFT("ghostcoin", u1, u2, 5L),              // unknown denom
+      createFT("realcoin", u1, 10L),                    // ok
+      transferFT("realcoin", u1, u2, 5L))               // ok
+    import spark.implicits._
+    val msgs = MarketplaceFold.messages(spark.createDataset(events))
+      .orderBy("seq").collect()
+    assert(msgs.length === events.length) // every message recorded
+    val failed = msgs.filter(_.getAs[Boolean]("failed"))
+      .map(r => r.getAs[Long]("seq") -> r.getAs[String]("error")).toMap
+    assert(failed.keySet === Set(2L, 3L, 4L, 5L, 6L))
+    assert(failed(2L) === "failed to find new owner")
+    assert(failed(5L) === "no handler for route: exotic_msg")
+    assert(failed(6L).contains("unknown denom"))
+  }
+
   test("users fold creates every mentioned address with signed-msg counts") {
     seq = 0L
     val events = Seq(mint("T", u1), transfer("T", u1, u2),
