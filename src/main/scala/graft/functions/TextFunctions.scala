@@ -85,7 +85,11 @@ object TextFunctions {
     }: _*)
 
   /** Shingle set hashed to longs: set-similarity math (intersect/union)
-    * then compares 8-byte values instead of full strings. */
+    * then compares 8-byte values instead of full strings. (Measured note:
+    * hashing token triples via 3×element_at per shingle is SLOWER than
+    * building the shingle string with one slice+concat_ws pass — in
+    * interpreted HOF evaluation, expression-node count dominates, so the
+    * fewer-nodes form wins.) */
   def hashedShingles(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), s => xxhash64(s)))
 
