@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused minhash/shingle kernel: tokenize → shingle → k seeded hashes →
+  * per-seed min, in ONE compiled loop over the UTF8 bytes of the document.
+  *
+  * Replaces the declarative
+  * `array((0..k).map(j => array_min(transform(shingles, s =>
+  * xxhash64(lit(j), s)))))` stack, which pays interpreted-HOF dispatch per
+  * shingle per seed and materializes every shingle string. Bit-for-bit
+  * equivalent (verified by spec): a word-n-gram's joined string is exactly
+  * the byte range of the original text from token i's first byte to token
+  * i+n-1's last byte (split-on-space/join-with-space identity), so the
+  * kernel hashes byte ranges in place — zero shingle allocation; and the
+  * seed chain matches Spark's XxHash64 semantics
+  * (`xxhash64(lit(j), s)` = hash bytes of s with seed `hashInt(j, 42)`).
+  */
+object MinhashKernel {
+
+  private val DefaultSeed = 42L
+
+  /** seed_j as Spark computes it for xxhash64(lit(j), s). */
+  def seed(j: Int): Long = XXH64.hashInt(j, DefaultSeed)
+
+  private def tokenStarts(s: UTF8String): (Array[Int], Int) = {
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var m = 1
+    var i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') m += 1
+      i += 1
+    }
+    val starts = new Array[Int](m + 1)
+    var t = 1
+    i = 0
+    while (i < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(m) = nb + 1 // sentinel: token end = starts(i+1) - 1
+    (starts, m)
+  }
+
+  /** MinHash signature (length k) over word-n-gram shingles; null when the
+    * document has fewer than n tokens. */
+  def signature(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val (starts, m) = tokenStarts(text)
+    if (m < n) return null
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) { seeds(j) = seed(j); j += 1 }
+    var i = 0
+    val nShingles = m - n + 1
+    while (i < nShingles) {
+      val s0 = starts(i)
+      val len = (starts(i + n) - 1) - s0
+      j = 0
+      while (j < k) {
+        val h = XXH64.hashUnsafeBytes(base, off + s0, len, seeds(j))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct shingle hashes (xxhash64 with Spark's default seed) — the
+    * fused form of `array_distinct(transform(shingles(text,n), xxhash64))`.
+    * Empty array when fewer than n tokens. */
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    val (starts, m) = tokenStarts(text)
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nShingles = m - n + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nShingles * 2)
+    var i = 0
+    while (i < nShingles) {
+      val s0 = starts(i)
+      val len = (starts(i + n) - 1) - s0
+      seen.add(XXH64.hashUnsafeBytes(base, off + s0, len, DefaultSeed))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}

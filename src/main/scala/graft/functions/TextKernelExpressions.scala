@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Expression wrappers for [[MinhashKernel]] — codegen-compatible (the
+  * generated code calls the compiled kernel once per row; no interpreted
+  * HOF dispatch, no fallback eviction of the surrounding operator). */
+object TextKernelExpressions {
+
+  private def checkString(e: Expression, name: String): TypeCheckResult =
+    if (e.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires a string argument, got ${e.dataType.sql}")
+
+  /** minhash_sig(text, k, n): array<bigint> length k, null if < n tokens. */
+  case class MinhashSig(child: Expression, k: Int, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_sig"
+
+    override protected def nullSafeEval(t: Any): Any =
+      MinhashKernel.signature(t.asInstanceOf[UTF8String], k, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        s"""
+           |${ev.value} = graft.functions.MinhashKernel.signature($t, $k, $n);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+      copy(child = newChild)
+  }
+
+  /** hashed_shingles(text, n): distinct xxhash64 of word-n-grams. */
+  case class HashedShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hashed_shingles"
+
+    override protected def nullSafeEval(t: Any): Any =
+      MinhashKernel.hashedShingles(t.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinhashKernel.hashedShingles($t, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+      copy(child = newChild)
+  }
+
+  def minhashSig(text: Column, k: Int, n: Int): Column =
+    Bridge.column(MinhashSig(Bridge.expression(text), k, n))
+
+  def hashedShinglesFast(text: Column, n: Int): Column =
+    Bridge.column(HashedShingles(Bridge.expression(text), n))
+}

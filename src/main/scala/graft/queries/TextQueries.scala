@@ -92,20 +92,16 @@ object TextQueries {
   def q30MinhashPairs(s: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val k = 16
-    // Each stage is materialized (cache) before the next references its
-    // column several times — otherwise Catalyst inlines the signature
-    // expression into every band slice and the shingle transform gets
-    // re-evaluated ~k×bands times per row. Materializing the signature
-    // table before the LSH join is also the production shape at scale.
-    val based = docs(s, dir)
+    // Signature computed by the fused codegen kernel (one compiled loop per
+    // document — graft.functions.MinhashKernel), then materialized (cache)
+    // before the band explode references it 8× — Catalyst would otherwise
+    // inline the signature expression into every band slice. Materializing
+    // the signature table before the LSH join is also the production shape.
+    val sigd = docs(s, dir)
       .select(col("doc_id"),
-        transform(shingles(col("text"), 3), sh => xxhash64(sh)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
-    val sigd = based
-      .select(col("doc_id"), array((0 until k).map(j =>
-        array_min(transform(col("hs"), h => xxhash64(lit(j), h)))): _*)
-        .as("sig"))
+        graft.functions.TextKernelExpressions
+          .minhashSig(col("text"), k, 3).as("sig"))
+      .filter(col("sig").isNotNull)
       .cache()
     val signed = sigd
       .withColumn("band", explode(fastLshBands(col("sig"), 8, 2)))
@@ -143,7 +139,8 @@ object TextQueries {
     // (lang, bucket) block. Shingles hashed to longs (collision odds ~2^-64
     // per in-bucket pair, so Jaccard VALUES match the string-set oracle).
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-      hashedShingles(col("text"), 3).as("sh"),
+      graft.functions.TextKernelExpressions
+        .hashedShinglesFast(col("text"), 3).as("sh"),
       floor(size(tokens(col("text"))) / 32).cast("int").as("bucket"))
       .filter(size(col("sh")) > 0)
       .cache()

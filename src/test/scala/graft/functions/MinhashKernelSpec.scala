@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.functions.TextKernelExpressions._
+import org.apache.spark.sql.functions._
+
+/** The fused kernel must be bit-for-bit equivalent to the declarative
+  * expression stack it replaces — including the Spark xxhash64 seed chain
+  * and the split/join byte-range identity (multi-space, empty-token and
+  * short-doc edges). */
+class MinhashKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c",
+    "a b",                      // fewer than 3 tokens → null / empty
+    "",
+    "one",
+    "double  space between",    // empty token from consecutive spaces
+    " leading and trailing ",
+    "dup dup dup dup dup",      // identical shingles → distinct collapses
+    "unicode ñ tokens é here 中文 ok")
+
+  test("kernel signature == declarative fastMinhashSignature") {
+    val k = 8
+    val df = texts.toDF("t").select(
+      minhashSig(col("t"), k, 3).as("fast"),
+      when(size(tokens(col("t"))) < 3, lit(null))
+        .otherwise(fastMinhashSignature(shingles(col("t"), 3), k))
+        .as("slow"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"sig mismatch: $r")
+    }
+  }
+
+  test("kernel hashed shingles == declarative hashedShingles") {
+    val df = texts.toDF("t").select(
+      hashedShinglesFast(col("t"), 3).as("fast"),
+      hashedShingles(col("t"), 3).as("slow"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"mismatch: $r")
+    }
+  }
+
+  test("kernel expressions run inside whole-stage codegen") {
+    // parquet-backed (a local Seq would be constant-folded to a
+    // LocalTableScan with the project evaluated at plan time)
+    val df = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(minhashSig(col("text"), 4, 3).as("sig"))
+      .filter(col("sig").isNotNull)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("minhash_sig")),
+      s"minhash_sig not inside a codegen region:\n$p")
+  }
+}
