@@ -76,6 +76,50 @@ object MinhashKernel {
     new GenericArrayData(mins)
   }
 
+  /** Marker-hit counting for language ID — the fused form of
+    * `TextFunctions.langId` (stopwordHits argmax, first-lang-wins on ties,
+    * "und" when nothing hits): one pass over the token byte ranges, each
+    * token compared against the marker table. */
+  def langId(text: UTF8String,
+      markers: Array[Array[Array[Byte]]],
+      langs: Array[UTF8String]): UTF8String = {
+    val (starts, m) = tokenStarts(text)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val hits = new Array[Int](langs.length)
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      val len = (starts(i + 1) - 1) - s0
+      var l = 0
+      while (l < markers.length) {
+        val words = markers(l)
+        var w = 0
+        while (w < words.length) {
+          val word = words(w)
+          if (word.length == len && org.apache.spark.unsafe.array
+            .ByteArrayMethods.arrayEquals(base, off + s0, word,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)) {
+            hits(l) += 1
+          }
+          w += 1
+        }
+        l += 1
+      }
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0
+    var l = 0
+    while (l < hits.length) {
+      if (hits(l) > bestScore) { bestScore = hits(l); best = l }
+      l += 1
+    }
+    if (best < 0) MinhashKernel.und else langs(best)
+  }
+
+  private val und = UTF8String.fromString("und")
+
   /** Distinct shingle hashes (xxhash64 with Spark's default seed) — the
     * fused form of `array_distinct(transform(shingles(text,n), xxhash64))`.
     * Empty array when fewer than n tokens. */

@@ -62,8 +62,41 @@ object TextKernelExpressions {
       copy(child = newChild)
   }
 
+  /** lang_id(text): marker-argmax language guess (see TextFunctions
+    * .langMarkers); fused single-pass form of TextFunctions.langId. */
+  case class LangId(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "lang_id"
+
+    @transient private lazy val markerBytes: Array[Array[Array[Byte]]] =
+      TextFunctions.langMarkers
+        .map(_._2.map(_.getBytes("UTF-8")).toArray).toArray
+    @transient private lazy val langNames: Array[UTF8String] =
+      TextFunctions.langMarkers.map(p => UTF8String.fromString(p._1)).toArray
+
+    override protected def nullSafeEval(t: Any): Any =
+      MinhashKernel.langId(t.asInstanceOf[UTF8String], markerBytes, langNames)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("langMarkers", markerBytes, "byte[][][]")
+      val lRef = ctx.addReferenceObj("langNames", langNames,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinhashKernel.langId($t, $mRef, $lRef);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+  }
+
   def minhashSig(text: Column, k: Int, n: Int): Column =
     Bridge.column(MinhashSig(Bridge.expression(text), k, n))
+
+  def langIdFast(text: Column): Column =
+    Bridge.column(LangId(Bridge.expression(text)))
 
   def hashedShinglesFast(text: Column, n: Int): Column =
     Bridge.column(HashedShingles(Bridge.expression(text), n))

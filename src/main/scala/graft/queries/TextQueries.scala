@@ -48,7 +48,8 @@ object TextQueries {
     * (predicted, actual) confusion-style matrix. */
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .select(col("lang"), graft.functions.TextKernelExpressions
+        .langIdFast(col("text")).as("lang_pred"))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 

@@ -28,16 +28,16 @@ object SnapshotStore {
       .parquet(path)
   }
 
-  /** Write bucketed by the join key: repartition on the key so each output
-    * file covers one hash bucket — downstream joins on the same layout can
-    * skip the exchange (with AQE + bucketed tables, or by re-reading with
-    * the same partitioning). */
-  def writeBucketed(df: DataFrame, table: String, key: String,
+  /** Write bucketed by the join key: each output file covers one hash
+    * bucket of the key, so joins between tables bucketed the same way read
+    * co-located data and skip the shuffle exchange entirely — the
+    * co-location analog of the reference's FK-indexed Postgres joins. */
+  def writeBucketed(df: DataFrame, table: String, path: String, key: String,
       buckets: Int): Unit =
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .option("path", s"spark-warehouse/$table")
+      .option("path", path)
       .saveAsTable(table)
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -46,6 +46,18 @@ class MinhashKernelSpec extends SparkSpec {
     }
   }
 
+  test("kernel langId == declarative langId on real docs + edges") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("text"))
+      .unionAll(texts.toDF("text"))
+    val df = docs.select(
+      langIdFast(col("text")).as("fast"),
+      langId(col("text")).as("slow"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) === r.getString(1), s"mismatch: $r")
+    }
+  }
+
   test("kernel expressions run inside whole-stage codegen") {
     // parquet-backed (a local Seq would be constant-folded to a
     // LocalTableScan with the project evaluated at plan time)

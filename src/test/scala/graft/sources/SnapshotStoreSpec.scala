@@ -31,6 +31,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.appendLog(appended, delta, "id").count() === 3)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i"))
+      .toDF("key", "payload")
+    val dims = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("key", "attr")
+    SnapshotStore.writeBucketed(facts, "bkt_facts", s"$base/facts", "key", 8)
+    SnapshotStore.writeBucketed(dims, "bkt_dims", s"$base/dims", "key", 8)
+    try {
+      // disable broadcast so the join would otherwise need a shuffle
+      val joined = spark.table("bkt_facts").hint("merge")
+        .join(spark.table("bkt_dims"), "key")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() === 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
+
   test("partitioned write round-trips and prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
     val df = Seq(("2026-01-01", "k1", 1), ("2026-01-02", "k2", 2))
