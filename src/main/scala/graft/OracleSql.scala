@@ -330,5 +330,16 @@ object OracleSql {
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey <= 50
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q41_quality_ratios" -> {
+      val en = graft.functions.TextFunctions.langMarkers.head._2
+        .map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  ROUND(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+         |        / length(text), 4) AS punct_ratio,
+         |  ROUND(len(list_filter(string_split(text, ' '),
+         |        t -> list_contains([$en], t)))::DOUBLE
+         |        / len(string_split(text, ' ')), 4) AS stop_ratio
+         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
+    },
   )
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     "q38_img_pipeline" -> (P.q38ImgPipeline(_, _)),
     "q39_approx_distinct" -> (R.q39ApproxDistinct(_, _)),
     "q40_nested" -> (R.q40Nested(_, _)),
+    "q41_quality_ratios" -> (T.q41QualityRatios(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -67,6 +67,22 @@ object TextQueries {
       .limit(300)
   }
 
+  /** Q41 — full quality-ratio scoring (north-star quality filters:
+    * punctuation density + stopword density, the classic heuristic pair for
+    * corpus filtering). Oracle-checked. */
+  def q41QualityRatios(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = graft.functions.TextFunctions.langMarkers.head._2
+    docs(s, dir)
+      .select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(stopwordHits(toks, en).cast("double") / size(toks), 4)
+          .as("stop_ratio"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** Document fingerprinting: md5 over canonicalized text. */
   def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+
+  test("build + probe: pruned search finds true neighbors of a stored vec") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.build(emb, path, nCells = 16)
+
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val got = IvfIndex.search(spark, path, query, nProbe = 4, k = 5)
+    val rows = got.collect()
+    assert(rows.length === 5)
+    // the query vector itself is in the index → must be its own top hit
+    assert(rows.head.getAs[Long]("vec_id") === 1L)
+    assert(math.abs(rows.head.getAs[Double]("sim") - 1.0) < 1e-3)
+    // sims are sorted descending
+    val sims = rows.map(_.getAs[Double]("sim")).toSeq
+    assert(sims === sims.sorted.reverse)
+
+    // recall vs brute force over the probed fraction: every probed-cell
+    // result the exact scan also ranks in its top-5 must match by id
+    val exact = emb
+      .select(col("vec_id"), VectorFunctions.normalized(
+        col("embedding").cast("array<double>")).as("nemb"))
+      .select(col("vec_id"),
+        round(VectorFunctions.dot(col("nemb"),
+          typedlit({
+            val n = math.sqrt(query.map(x => x * x).sum)
+            query.map(_ / n).toSeq
+          })), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val gotIds = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(gotIds.intersect(exact).nonEmpty)
+
+    // the probe is partition-pruned: the scan reads nProbe cell dirs, not all
+    val probed = IvfIndex.search(spark, path, query, nProbe = 4, k = 5)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in:\n$plan")
+  }
+}
