@@ -341,5 +341,12 @@ object OracleSql {
          |        / len(string_split(text, ' ')), 4) AS stop_ratio
          |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
     },
+    "q42_bpe_tokens" -> {
+      // single-quote escaping: ' → '' inside the SQL literal
+      val pat = graft.queries.TextQueries.bpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$pat')) AS n_bpe
+         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
+    },
   )
 }

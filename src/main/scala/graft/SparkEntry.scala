@@ -61,6 +61,9 @@ object SparkEntry {
     "q39_approx_distinct" -> (R.q39ApproxDistinct(_, _)),
     "q40_nested" -> (R.q40Nested(_, _)),
     "q41_quality_ratios" -> (T.q41QualityRatios(_, _)),
+    "q42_bpe_tokens" -> (T.q42BpeTokens(_, _)),
+    "q43_winnowing" -> (T.q43Winnowing(_, _)),
+    "q44_emb_lsh_pairs" -> (S.q44EmbLshPairs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -120,6 +120,45 @@ object MinhashKernel {
 
   private val und = UTF8String.fromString("und")
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every k-byte gram, slide a window of w hashes, keep
+    * the RIGHTMOST minimum per window, dedup consecutive picks. Guarantees:
+    * any shared substring of length ≥ w+k-1 yields at least one shared
+    * fingerprint, and local edits only perturb nearby windows — the
+    * rolling-hash fingerprint the north star asks for. Returns sorted
+    * distinct fingerprints; empty for docs shorter than k+w-1 bytes. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nGrams = nb - k + 1
+    if (nGrams < w) return new GenericArrayData(Array.emptyLongArray)
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      grams(i) = XXH64.hashUnsafeBytes(base, off + i, k, DefaultSeed)
+      i += 1
+    }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    var lastPick = -1
+    i = 0
+    while (i + w <= nGrams) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) {
+        if (grams(j) <= grams(minIdx)) minIdx = j // rightmost minimum
+        j += 1
+      }
+      if (minIdx != lastPick) { picked.add(grams(minIdx)); lastPick = minIdx }
+      i += 1
+    }
+    val out = new Array[Long](picked.size)
+    val it = picked.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct shingle hashes (xxhash64 with Spark's default seed) — the
     * fused form of `array_distinct(transform(shingles(text,n), xxhash64))`.
     * Empty array when fewer than n tokens. */

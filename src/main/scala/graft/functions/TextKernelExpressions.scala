@@ -98,6 +98,29 @@ object TextKernelExpressions {
   def langIdFast(text: Column): Column =
     Bridge.column(LangId(Bridge.expression(text)))
 
+  /** winnow(text, k, w): MOSS winnowing fingerprints (see MinhashKernel). */
+  case class Winnow(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "winnow"
+
+    override protected def nullSafeEval(t: Any): Any =
+      MinhashKernel.winnow(t.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinhashKernel.winnow($t, $k, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): Winnow =
+      copy(child = newChild)
+  }
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    Bridge.column(Winnow(Bridge.expression(text), k, w))
+
   def hashedShinglesFast(text: Column, n: Int): Column =
     Bridge.column(HashedShingles(Bridge.expression(text), n))
 }

@@ -101,4 +101,49 @@ object SimilarityQueries {
   def cosineRaw(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     cosine(a, b)
+
+  /** Deterministic ±1 random-hyperplane set for sign-LSH. */
+  def hyperplanes(bits: Int, dim: Int): IndexedSeq[Seq[Double]] =
+    (0 until bits).map { b =>
+      (0 until dim).map { d =>
+        val h = (b * 1315423911L + d * 2654435761L) ^ 0x9e3779b97f4a7c15L
+        if (((h >>> 17) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Q44 — embedding near-dup via random-hyperplane LSH: 16 sign bits per
+    * vector (16 codegen dot products), banded into 2×8-bit keys; candidate
+    * pairs come from the band equi-join and only candidates pay the exact
+    * cosine — the scale path that replaces q33's O(n²) scan. Rows-only
+    * (recall-vs-exact is spec-tested; LSH misses are by design). */
+  def q44EmbLshPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame =
+    embLshPairs(embNorm(s, dir), threshold)
+
+  /** LSH pair pipeline over a (vec_id, nemb) frame (reused by specs). */
+  def embLshPairs(e: DataFrame, threshold: Double): DataFrame = {
+    val bits = 16
+    val dim = e.select(size(col("nemb"))).head().getInt(0)
+    val planes = hyperplanes(bits, dim)
+    val sig = (0 until bits).map(b =>
+      when(dot(col("nemb"), typedlit(planes(b))) > 0, lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val signed = e.withColumn("sig", sig)
+      .withColumn("band", explode(array((0 until 2).map(bd =>
+        struct(lit(bd).as("b"),
+          shiftright(col("sig"), bd * 8).bitwiseAND(lit(255L)).as("v"))
+      ): _*)))
+      .cache()
+    val a = signed.select(col("vec_id").as("a"), col("nemb").as("ea"),
+      col("band"))
+    val b = signed.select(col("vec_id").as("b"), col("nemb").as("eb"),
+      col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("ea"), col("eb")), 4).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+      .orderBy("a", "b")
+  }
 }

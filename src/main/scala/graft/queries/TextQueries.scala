@@ -83,6 +83,36 @@ object TextQueries {
       .limit(300)
   }
 
+  /** Q42 — BPE-ish subword token counting (north-star token counting:
+    * whitespace q25 + this regex variant). The pattern is the classic
+    * GPT-2-style pre-tokenizer shape — contraction suffixes, letter runs,
+    * digit runs, punctuation runs, each with optional leading space —
+    * RE2-safe so DuckDB replays it exactly. */
+  val bpePattern = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def q42BpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** Q43 — winnowing (rolling-hash) fingerprints, the MOSS substring-
+    * robust document identity (north-star "document fingerprinting
+    * (rolling hash)"). Rows-only: the window-min selection has no cheap
+    * SQL replay; the algorithm's guarantees are spec-tested. */
+  def q43Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.functions.TextKernelExpressions
+      .winnow(col("text"), 8, 16)
+    docs(s, dir)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("min_fp"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** Document fingerprinting: md5 over canonicalized text. */
   def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

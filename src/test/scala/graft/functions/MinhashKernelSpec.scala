@@ -58,6 +58,24 @@ class MinhashKernelSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: substring guarantee, edit locality, short-doc empty") {
+    import graft.functions.TextKernelExpressions.winnow
+    val doc = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val shifted = "PREFIX PAD " + doc
+    val edited = doc.replace("lazy", "hazy")
+    val df = Seq(doc, shifted, edited, "tiny").toDF("t")
+      .select(winnow(col("t"), 8, 16).as("f"))
+    val Seq(a, b, c, tiny) = df.collect().toSeq.map(_.getSeq[Long](0).toSet)
+    // substring guarantee: the original doc is inside `shifted`, so every
+    // window of it still contributes — overlap must be near-total
+    assert(a.intersect(b).size.toDouble / a.size > 0.9,
+      s"shift overlap ${a.intersect(b).size}/${a.size}")
+    // a local edit only perturbs nearby windows
+    assert(a.intersect(c).size.toDouble / a.size > 0.5,
+      s"edit overlap ${a.intersect(c).size}/${a.size}")
+    assert(tiny.isEmpty) // shorter than k+w-1 bytes
+  }
+
   test("kernel expressions run inside whole-stage codegen") {
     // parquet-backed (a local Seq would be constant-folded to a
     // LocalTableScan with the project evaluated at plan time)
