@@ -187,18 +187,37 @@ object MarketplaceFold {
     tokenVerdicts.unionByName(ftVerdicts).toDF()
   }
 
-  /** Batch fold: event log → one TokenSnapshot per token. The shuffle key is
-    * tokenId; events are sorted per group by seq (the cursor order the
-    * reference's serialized loop guarantees, SURVEY §7.4.1). */
+  /** Batch fold: event log → one TokenSnapshot per token.
+    *
+    * Secondary-sort shape: ONE hash shuffle on tokenId, then a spillable
+    * partition sort by (tokenId, seq) — the cursor order the reference's
+    * serialized loop guarantees (SURVEY §7.4.1) — and a streaming iterator
+    * that folds consecutive same-token runs. Memory per token is O(state),
+    * NOT O(events): a hot token with millions of events (the realistic
+    * auction skew) never needs its event list in memory, unlike a
+    * groupByKey+sort-in-group formulation. */
   def foldTokens(events: Dataset[MarketplaceEvent]): Dataset[TokenSnapshot] = {
     import events.sparkSession.implicits._
     events
       .filter(col("tokenId") =!= "")
-      .groupByKey(_.tokenId)
-      .mapGroups { (tokenId, it) =>
-        val st = replay(it.toVector.sortBy(_.seq))
-        TokenSnapshot(tokenId, st.nft, st.offers.values.toSeq.sortBy(_.offerId),
-          st.bids.reverse)
+      .repartition(col("tokenId"))
+      .sortWithinPartitions(col("tokenId"), col("seq"))
+      .mapPartitions { it =>
+        new Iterator[TokenSnapshot] {
+          private var cur: MarketplaceEvent =
+            if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = cur != null
+          override def next(): TokenSnapshot = {
+            val tid = cur.tokenId
+            var st = TokenState.empty
+            while (cur != null && cur.tokenId == tid) {
+              st = step(st, cur)
+              cur = if (it.hasNext) it.next() else null
+            }
+            TokenSnapshot(tid, st.nft,
+              st.offers.values.toSeq.sortBy(_.offerId), st.bids.reverse)
+          }
+        }
       }
   }
 
