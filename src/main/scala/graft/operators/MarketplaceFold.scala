@@ -152,12 +152,15 @@ object MarketplaceFold {
   def messages(events: Dataset[MarketplaceEvent]): DataFrame = {
     import events.sparkSession.implicits._
     val tokenVerdicts = events
-      .filter(_.tokenId.nonEmpty)
-      .groupByKey(_.tokenId)
-      .flatMapGroups { (_, it) =>
-        val sorted = it.toVector.sortBy(_.seq)
+      .filter(col("tokenId") =!= "")
+      .repartition(col("tokenId"))
+      .sortWithinPartitions(col("tokenId"), col("seq"))
+      .mapPartitions { it =>
+        // secondary-sort shape (see foldTokens): O(state) memory per token
+        var curToken: String = null
         var st = TokenState.empty
-        sorted.map { e =>
+        it.map { e =>
+          if (e.tokenId != curToken) { curToken = e.tokenId; st = TokenState.empty }
           val (st1, err) = stepWithError(st, e)
           st = st1
           MessageRow(e.seq, e.msgType, e.tokenId, e.denom,

@@ -92,6 +92,81 @@ object MultimodalOps {
     }(enc).toDF()
   }
 
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("rms", DoubleType)))
+
+  /** Audio feature extraction — REAL for PCM WAV (RIFF header parse +
+    * 16-bit sample RMS, pure JVM); compressed formats (mp3/ogg/flac) have
+    * no codec here and yield null features — same contract as images. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        parseWav(b) match {
+          case Some((rate, ch, bits, n, rms)) => Row(key, rate, ch, bits, n, rms)
+          case None => Row(key, null, null, null, null, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Minimal RIFF/WAVE PCM parser: fmt + data chunks, 16-bit PCM RMS. */
+  private[operators] def parseWav(b: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] = {
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+      && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var pos = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val len = u32(pos + 4)
+      if (id == "fmt ") {
+        ch = u16(pos + 10); rate = u32(pos + 12).toInt; bits = u16(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+      pos += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (rate == 0 || dataOff < 0 || bits != 16) return None
+    val n = math.min(dataLen, (b.length - dataOff).toLong) / 2
+    var sum = 0.0
+    var i = 0L
+    while (i < n) {
+      val off = dataOff + (i * 2).toInt
+      val s = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort / 32768.0
+      sum += s * s
+      i += 1
+    }
+    Some((rate, ch, bits, n / ch, if (n == 0) 0.0 else math.sqrt(sum / n)))
+  }
+
+  /** Deterministic 16-bit PCM WAV for tests (sine wave). */
+  def syntheticWav(freqHz: Double, seconds: Double, rate: Int = 8000): Array[Byte] = {
+    val n = (seconds * rate).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt) }
+    bos.write("RIFF".getBytes); le32(36L + n * 2); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+    le32(rate.toLong); le32(rate.toLong * 2); le16(2); le16(16)
+    bos.write("data".getBytes); le32(n.toLong * 2)
+    var i = 0
+    while (i < n) {
+      le16((math.sin(2 * math.Pi * freqHz * i / rate) * 16384).toInt & 0xffff)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
   /** Embedding stub for media rows (the decode→embed path of a training
     * pipeline): a deterministic D-dim vector from the content hash, so the
     * similarity-search operators (SimilarityQueries) compose with media

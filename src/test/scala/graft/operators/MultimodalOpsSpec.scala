@@ -44,6 +44,19 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(BinaryFunctions.sniffFormat(r.getAs[Array[Byte]](2)) === "png"))
   }
 
+  test("audioFeatures parses real PCM WAV; rejects non-audio") {
+    val wav = MultimodalOps.syntheticWav(freqHz = 440, seconds = 0.25)
+    val df = MultimodalOps.audioFeatures(media(
+      "a" -> wav, "b" -> "mp3-ish garbage".getBytes))
+    val byKey = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byKey("a").getInt(1) === 8000)   // sample rate
+    assert(byKey("a").getInt(2) === 1)      // mono
+    assert(byKey("a").getLong(4) === 2000L) // 0.25s × 8000
+    // full-scale/√2 sine at half amplitude → RMS ≈ 0.5/√2 ≈ 0.3536
+    assert(math.abs(byKey("a").getDouble(5) - 0.3536) < 0.01)
+    assert(byKey("b").isNullAt(1))
+  }
+
   test("fakeEmbedding composes with the similarity kernel") {
     import graft.functions.VectorFunctions
     val df = MultimodalOps.fakeEmbedding(media(
