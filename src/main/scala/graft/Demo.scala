@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{MarketplaceFold, MultimodalOps}
+import graft.pipeline.Enrichment
+import graft.queries.CdcQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end walkthrough of the whole engine in one batch run — the
+  * reference's indexer + enrichment chain (SURVEY §3) on the driver
+  * testdata. Not part of the driver contract; exists so a new user can see
+  * the full dataflow in one `runMain graft.Demo [sfDir] [outDir]`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/root/repo/target/demo_out")
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+
+    // 1. Ingest: event log → typed marketplace messages (S1/S2).
+    val events = CdcQueries.mapToMarketplace(spark, sfDir)
+
+    // 2. CDC fold → all snapshot tables + the messages audit log (§2.8).
+    val snapshots = MarketplaceFold.foldAll(events)
+    snapshots.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    MarketplaceFold.messages(events)
+      .write.mode("overwrite").parquet(s"$outDir/messages")
+
+    // 3. Enrichment: stalest-k of a metadata snapshot → fetch → validate →
+    //    merge (§3.3); fetch uses data: URLs here (no network).
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val metaSnapshot = (1 to 100).map(i => (s"tok$i", s"o$i",
+      "data:," + java.net.URLEncoder.encode(
+        s"""{"name":"n$i","description":"d","image":"i$i"}""", "UTF-8"),
+      s"""{"name":"old$i"}""", t0, t0))
+      .toDF("token_id", "owner", "url", "metadata", "last_updated",
+        "last_checked")
+    val tasks = Enrichment.stalestTasks(metaSnapshot,
+      GraftConfig.default.daemonUpdatePercent)
+    val staged = Enrichment.metadataStage(tasks)
+    val merged = Enrichment.mergeMetadata(metaSnapshot,
+      staged.filter(col("valid")),
+      lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+    merged.write.mode("overwrite").parquet(s"$outDir/token_metadata")
+
+    // 4. Multimodal: synthetic images through the batch feature extractor.
+    val media = (1 to 50).map(i => (s"img$i",
+      graft.functions.BinaryFunctions.syntheticPng(i.toLong, 32, 24)))
+      .toDF("key", "bytes")
+    MultimodalOps.imageFeatures(media)
+      .write.mode("overwrite").parquet(s"$outDir/image_features")
+
+    val counts = (snapshots.keys.toSeq :+ "messages" :+ "token_metadata"
+      :+ "image_features").sorted.map { t =>
+      t -> spark.read.parquet(s"$outDir/$t").count()
+    }
+    counts.foreach { case (t, n) => println(f"$t%-26s $n%6d rows") }
+    spark.stop()
+  }
+}

@@ -85,6 +85,34 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q35 fold: one hash exchange + partition sort, no global sort") {
+    import graft.queries.CdcQueries
+    val df = CdcQueries.q35CdcFold(spark, dir)
+    df.collect()
+    // AQE toString prints Final AND Initial plans — audit only the final
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"$hashEx hash exchanges in fold:\n$p")
+    // only the final ORDER BY sorts globally; the fold's secondary sort is
+    // per-partition (the *(n) Sort ... false lines)
+    val globalSorts = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true,")).size
+    assert(globalSorts <= 1, s"unexpected global sorts:\n$p")
+  }
+
+  test("LSH band joins use a hash/merge strategy, not nested loops") {
+    import graft.queries.TextQueries
+    val df = TextQueries.q30MinhashPairs(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"band join strategy degraded:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in LSH band join:\n$p")
+  }
+
   test("aggregations are two-phase (partial before the exchange)") {
     val p = plan(R.q10Counter(spark, dir))
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
