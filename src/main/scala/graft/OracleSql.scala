@@ -348,5 +348,13 @@ object OracleSql {
          |  len(regexp_extract_all(text, '$pat')) AS n_bpe
          |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin
     },
+    "q45_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, MAX(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, p.p_event_id AS last_purchase
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id LIMIT 500""".stripMargin,
   )
 }

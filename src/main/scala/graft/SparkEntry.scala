@@ -64,6 +64,7 @@ object SparkEntry {
     "q42_bpe_tokens" -> (T.q42BpeTokens(_, _)),
     "q43_winnowing" -> (T.q43Winnowing(_, _)),
     "q44_emb_lsh_pairs" -> (S.q44EmbLshPairs(_, _)),
+    "q45_asof_join" -> (R.q45AsofJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -280,6 +280,24 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** Q45 — as-of join (point-in-time lookup, the training-data feature-at-
+    * label-time operator): for every event, the id of the user's latest
+    * purchase at-or-before it. Oracle: DuckDB's native ASOF LEFT JOIN.
+    * Spark lacks the operator — graft.operators.AsOfJoin supplies the
+    * one-shuffle union+window plan. */
+  def q45AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    graft.operators.AsOfJoin.asof(
+      ev.select("event_id", "user_id", "ts"), purchases,
+      key = "user_id", leftTime = "ts", rightTime = "ts",
+      tieBreak = "p_event_id")
+      .select(col("event_id"), col("r_p_event_id").as("last_purchase"))
+      .orderBy("event_id")
+      .limit(500)
+  }
+
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {

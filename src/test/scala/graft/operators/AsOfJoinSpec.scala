@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      ("u1", 5L, "l_a"), ("u1", 10L, "l_b"), ("u1", 20L, "l_c"),
+      ("u2", 7L, "l_d"),   // u2 has no right rows at all → null
+      ("u1", 2L, "l_e"))   // before any right row → null
+      .toDF("key", "t", "tag")
+    val right = Seq(
+      ("u1", 5L, 100L, "v5"),   // equal ts: inclusive (<=)
+      ("u1", 8L, 101L, "v8"),
+      ("u1", 8L, 102L, "v8b"),  // tie on ts → higher tieBreak wins
+      ("u1", 15L, 103L, "v15"))
+      .toDF("key", "t", "rid", "payload")
+
+    val got = AsOfJoin.asof(left, right, "key", "t", "t", tieBreak = "rid")
+      .select("tag", "r_rid", "r_payload").collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.getString(2)))).toMap
+
+    assert(got("l_e") === (None, None))
+    assert(got("l_a") === (Some("100"), Some("v5")))   // inclusive equal ts
+    assert(got("l_b") === (Some("102"), Some("v8b")))  // tie → rid 102
+    assert(got("l_c") === (Some("103"), Some("v15")))
+    assert(got("l_d") === (None, None))
+  }
+
+  test("asof plan: one hash exchange, no range-join explosion") {
+    val ev = graft.Tables.load(spark, sf("sf0.001"), "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val df = AsOfJoin.asof(ev.select("event_id", "user_id", "ts"),
+      purchases, "user_id", "ts", "ts", "p_event_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degraded to a product join:\n$p")
+  }
+}
