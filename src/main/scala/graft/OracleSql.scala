@@ -356,5 +356,12 @@ object OracleSql {
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY e.event_id LIMIT 500""".stripMargin,
+    "q46_range_join" ->
+      """SELECT p.event_id AS p_id, COUNT(*) AS n_in_window
+        |FROM events p
+        |JOIN events e ON e.user_id = p.user_id
+        |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p_id LIMIT 500""".stripMargin,
   )
 }

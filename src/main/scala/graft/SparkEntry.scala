@@ -65,6 +65,7 @@ object SparkEntry {
     "q43_winnowing" -> (T.q43Winnowing(_, _)),
     "q44_emb_lsh_pairs" -> (S.q44EmbLshPairs(_, _)),
     "q45_asof_join" -> (R.q45AsofJoin(_, _)),
+    "q46_range_join" -> (R.q46RangeJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

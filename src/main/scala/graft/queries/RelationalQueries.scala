@@ -298,6 +298,25 @@ object RelationalQueries {
       .limit(500)
   }
 
+  /** Q46 — range join: events inside each purchase's 30-minute follow-up
+    * window, per user — binned equi-join (graft.operators.RangeJoin)
+    * instead of the nested-loop plan Spark gives a raw BETWEEN join.
+    * Oracle: DuckDB inequality join. */
+  def q46RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      ev.select(col("user_id"), col("ts"), col("event_id")),
+      windows, key = "user_id", t = "ts", start = "w_start", end = "w_end")
+      .groupBy("p_id")
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy("p_id")
+      .limit(500)
+  }
+
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
