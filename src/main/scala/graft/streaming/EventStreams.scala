@@ -42,6 +42,17 @@ object EventStreams {
   def prioritized(tasks: DataFrame): DataFrame =
     tasks.sortWithinPartitions(col("priority").desc)
 
+  /** P5 streaming exact-dedup: drop events whose id was already seen,
+    * bounding state with the watermark (dedup state for ids older than the
+    * watermark is dropped — the streaming form of the cursor's
+    * skip-already-processed, x/indexer/indexer.go:228-231, and of exact
+    * content dedup on an unbounded training stream). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** P4 freshness predicate: rows stale relative to `now` minus the TTL
     * (the 6 h daemon cycle, config.toml:46) — `now` passed in for
     * deterministic tests. */

@@ -138,6 +138,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupStream(
+      input.toDF().selectExpr("_1 AS event_id", "CAST(_2 AS TIMESTAMP) AS ts"),
+      Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq((1L, "2026-01-01 10:00:00"), (2L, "2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      // replay id 1 (at-least-once delivery) + one new id
+      input.addData(Seq((1L, "2026-01-01 10:00:00"), (3L, "2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L)) // each exactly once
+    } finally q.stop()
+  }
+
   test("session_window splits on the 30-minute gap like the batch query") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
