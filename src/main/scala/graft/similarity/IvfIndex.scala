@@ -25,19 +25,46 @@ object IvfIndex {
     emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("nemb").as("cent"))
 
-  /** emb: (vec_id long, embedding array<float|double>). */
-  def build(emb: DataFrame, path: String, nCells: Int): Unit = {
+  /** Lloyd's k-means over the normalized vectors (cosine ≈ spherical
+    * k-means): deterministic init from the first nCells ids, `iters`
+    * assign→mean rounds, centroids re-normalized each round. Elementwise
+    * means via posexplode+groupBy — one shuffle per iteration, any dim. */
+  def trainCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    var cents = codebook(emb, nCells)
+    for (_ <- 0 until iters) {
+      val assigned = emb.crossJoin(broadcast(cents))
+        .groupBy("vec_id", "nemb")
+        .agg(max_by(col("cent_id"), dot(col("nemb"), col("cent"))).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("nemb")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          normalized(transform(col("pm"), p => p.getField("m"))).as("cent"))
+      cents = broadcast(means.cache())
+      cents.count()
+    }
+    cents
+  }
+
+  /** emb: (vec_id long, embedding array<float|double>). kmeansIters = 0
+    * uses the deterministic first-k codebook; > 0 trains real centroids. */
+  def build(emb: DataFrame, path: String, nCells: Int,
+      kmeansIters: Int = 0): Unit = {
     val n = emb.select(col("vec_id"),
       normalized(col("embedding").cast("array<double>")).as("nemb"))
       .cache()
-    val cents = broadcast(codebook(n, nCells))
+    val cb =
+      if (kmeansIters > 0) trainCentroids(n, nCells, kmeansIters)
+      else codebook(n, nCells)
+    val cents = broadcast(cb)
     val assigned = n.crossJoin(cents)
       .groupBy("vec_id")
       .agg(max_by(col("cent_id"), dot(col("nemb"), col("cent"))).as("cell"))
     n.join(assigned, "vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    codebook(n, nCells)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
+    cb.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
   /** Top-k by cosine for `query`, probing the nProbe best cells only. */

@@ -47,4 +47,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"no partition pruning in:\n$plan")
   }
+
+  test("k-means-trained index still finds the stored query vector") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
+    IvfIndex.build(emb, path, nCells = 8, kmeansIters = 2)
+    val query = emb.filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val rows = IvfIndex.search(spark, path, query, nProbe = 2, k = 3).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("vec_id") === 5L)
+    // trained centroids are normalized and nCells-bounded
+    val cents = spark.read.parquet(s"$path/_centroids").collect()
+    assert(cents.length <= 8 && cents.nonEmpty)
+  }
 }
