@@ -18,10 +18,18 @@ object Demo {
     val spark = Tables.configure(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // the production registration path: extensions applied at build time
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GraftFunctions.register(spark)
+
+    // sanity: the injected SQL functions resolve through pure SQL
+    val sanity = spark.sql(
+      "SELECT vec_dot(vec_normalize(array(3D,4D)), array(3D,4D)) AS n")
+      .head().getDouble(0)
+    require(math.abs(sanity - 5.0) < 1e-9,
+      s"extensions not applied: vec_dot sanity = $sanity")
 
     // 1. Ingest: event log → typed marketplace messages (S1/S2).
     val events = CdcQueries.mapToMarketplace(spark, sfDir)
