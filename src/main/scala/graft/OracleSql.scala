@@ -363,5 +363,10 @@ object OracleSql {
         |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY p_id LIMIT 500""".stripMargin,
+    "q47_stats" ->
+      """SELECT event_type, ROUND(STDDEV_SAMP(value), 4) AS sd,
+        |       ROUND(VAR_SAMP(value), 4) AS vr,
+        |       ROUND(MEDIAN(value), 4) AS med
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -66,6 +66,7 @@ object SparkEntry {
     "q44_emb_lsh_pairs" -> (S.q44EmbLshPairs(_, _)),
     "q45_asof_join" -> (R.q45AsofJoin(_, _)),
     "q46_range_join" -> (R.q46RangeJoin(_, _)),
+    "q47_stats" -> (R.q47Stats(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

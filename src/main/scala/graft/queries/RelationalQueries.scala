@@ -323,6 +323,17 @@ object RelationalQueries {
       .limit(500)
   }
 
+  /** Q47 — statistical aggregates (the *_aggregate surface Hasura exposes
+    * beyond count/sum/avg: stddev, variance, exact median). */
+  def q47Stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("vr"),
+        round(percentile(col("value"), lit(0.5)), 4).as("med"))
+      .orderBy("event_type")
+
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
