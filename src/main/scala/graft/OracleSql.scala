@@ -368,5 +368,22 @@ object OracleSql {
         |       ROUND(VAR_SAMP(value), 4) AS vr,
         |       ROUND(MEDIAN(value), 4) AS med
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q48_simhash_pairs" -> {
+      val bits = (0 until 32).map(b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${ddbHash("w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents) t),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
+         |      FROM tok GROUP BY doc_id)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |       bit_count(xor(a.sh, b.sh)) AS d
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
   )
 }

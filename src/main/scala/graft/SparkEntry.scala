@@ -67,6 +67,7 @@ object SparkEntry {
     "q45_asof_join" -> (R.q45AsofJoin(_, _)),
     "q46_range_join" -> (R.q46RangeJoin(_, _)),
     "q47_stats" -> (R.q47Stats(_, _)),
+    "q48_simhash_pairs" -> (T.q48SimhashPairs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -120,6 +120,43 @@ object MinhashKernel {
 
   private val und = UTF8String.fromString("und")
 
+  /** md5-derived SimHash — the fused form of TextFunctions.simhashBits
+    * (bit-for-bit: token hash = first 15 hex digits of md5 = the top 60
+    * bits of the digest's first 8 bytes, exactly what
+    * conv(substring(md5(tok),1,15),16,10) yields). MessageDigest per token
+    * replaces bits× interpreted HOF passes. */
+  def simhashMd5(text: UTF8String, bits: Int): Long = {
+    val (starts, m) = tokenStarts(text)
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val votes = new Array[Int](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < m) {
+      val s0 = starts(i)
+      val len = starts(i + 1) - 1 - s0
+      val tok = new Array[Byte](len)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + s0, tok,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len.toLong)
+      md.reset()
+      val d = md.digest(tok)
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = h >>> 4 // 15 hex digits = top 60 bits
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): hash every k-byte gram, slide a window of w hashes, keep
     * the RIGHTMOST minimum per window, dedup consecutive picks. Guarantees:

@@ -93,12 +93,12 @@ object TextFunctions {
   def hashedShingles(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), s => xxhash64(s)))
 
-  /** SimHash (16-bit, md5-derived so the oracle can replicate it):
-    * per-bit majority vote over the token hash set. */
-  def simhash16(text: Column): Column = {
+  /** SimHash (md5-derived so the oracle can replicate it): per-bit
+    * majority vote over the token hash set. `bits` ≤ 60 (the hash width). */
+  def simhashBits(text: Column, bits: Int): Column = {
     val hashes = transform(tokens(text), tok =>
       conv(substring(md5(tok), 1, 15), 16, 10).cast("long"))
-    val bitCols = (0 until 16).map { b =>
+    val bitCols = (0 until bits).map { b =>
       val vote = aggregate(
         transform(hashes, h => (shiftright(h, b) % 2) * 2 - 1),
         lit(0L), (acc, x) => acc + x)
@@ -106,6 +106,8 @@ object TextFunctions {
     }
     bitCols.reduce(_ + _)
   }
+
+  def simhash16(text: Column): Column = simhashBits(text, 16)
 
   /** Hamming distance between two simhash values (bit-population of XOR). */
   def hammingDistance(a: Column, b: Column): Column =

@@ -98,6 +98,29 @@ object TextKernelExpressions {
   def langIdFast(text: Column): Column =
     Bridge.column(LangId(Bridge.expression(text)))
 
+  /** simhash_md5(text, bits): fused md5 simhash (see MinhashKernel). */
+  case class SimhashMd5(child: Expression, bits: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "simhash_md5"
+
+    override protected def nullSafeEval(t: Any): Any =
+      MinhashKernel.simhashMd5(t.asInstanceOf[UTF8String], bits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinhashKernel.simhashMd5($t, $bits);")
+
+    override protected def withNewChildInternal(newChild: Expression): SimhashMd5 =
+      copy(child = newChild)
+  }
+
+  def simhashMd5(text: Column, bits: Int): Column =
+    Bridge.column(SimhashMd5(Bridge.expression(text), bits))
+
   /** winnow(text, k, w): MOSS winnowing fingerprints (see MinhashKernel). */
   case class Winnow(child: Expression, k: Int, w: Int)
       extends UnaryExpression {

@@ -165,12 +165,42 @@ object TextQueries {
       .orderBy("a", "b")
   }
 
-  /** SimHash values (16-bit md5-derived) per document. */
+  /** SimHash values (16-bit md5-derived) per document (fused kernel;
+    * bit-equivalent to the declarative simhash16 — spec-verified). */
   def q31Simhash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), simhash16(col("text")).as("sh"))
+      .select(col("doc_id"), graft.functions.TextKernelExpressions
+        .simhashMd5(col("text"), 16).as("sh"))
       .orderBy("doc_id")
       .limit(300)
+
+  /** Q48 — SimHash near-duplicate pairs within Hamming distance 3 over a
+    * 32-bit simhash (16 bits is too coarse to discriminate beyond ~1k
+    * docs): 8-bit band keys (pigeonhole: distance ≤ 3 over 4 bands forces
+    * ≥ 1 identical band, so banding is LOSSLESS here) turn the pair scan
+    * into an equi-join; candidates pay one bit_count. Oracle: DuckDB
+    * recomputes the md5-derived simhash and brute-forces the predicate. */
+  def q48SimhashPairs(s: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), graft.functions.TextKernelExpressions
+        .simhashMd5(col("text"), 32).as("sh"))
+      .cache()
+    val banded = sh.withColumn("band", explode(array((0 until 4).map(b =>
+      struct(lit(b).as("b"),
+        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*)))
+    val a = banded.select(col("doc_id").as("a"), col("sh").as("sh_a"),
+      col("band"))
+    val b = banded.select(col("doc_id").as("b"), col("sh").as("sh_b"),
+      col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("d"))
+      .distinct()
+      .filter(col("d") <= maxDist)
+      .orderBy("a", "b")
+  }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * cheap blocking key (same lang + same token-count bucket), so the

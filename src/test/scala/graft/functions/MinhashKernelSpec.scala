@@ -58,6 +58,20 @@ class MinhashKernelSpec extends SparkSpec {
     }
   }
 
+  test("kernel simhash == declarative simhash (16 and 32 bit)") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("text")).limit(100)
+      .unionAll(texts.toDF("text"))
+    Seq(16, 32).foreach { bits =>
+      val df = docs.select(
+        simhashMd5(col("text"), bits).as("fast"),
+        simhashBits(col("text"), bits).as("slow"))
+      df.collect().foreach { r =>
+        assert(r.getLong(0) === r.getLong(1), s"bits=$bits mismatch: $r")
+      }
+    }
+  }
+
   test("winnowing: substring guarantee, edit locality, short-doc empty") {
     import graft.functions.TextKernelExpressions.winnow
     val doc = "the quick brown fox jumps over the lazy dog again and again " * 3
