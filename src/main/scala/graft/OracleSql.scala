@@ -292,7 +292,7 @@ object OracleSql {
         |         ELSE 'burn' END AS msg,
         |    'T' || (event_id % 1000) AS tid,
         |    'u' || ((user_id + 7) % 200) AS rcpt,
-        |    CAST(ROUND(value * 100) AS BIGINT) || 'token' AS pr
+        |    CAST(FLOOR(value * 100) AS BIGINT) || 'token' AS pr
         |  FROM events),
         |tok AS (
         |  SELECT tid, MAX(CASE WHEN msg = 'mint' THEN seq END) AS m_seq,
@@ -315,7 +315,7 @@ object OracleSql {
       """WITH c AS (
         |  SELECT event_id,
         |    CASE WHEN value < 0.1 THEN ''
-        |         ELSE CAST(ROUND(value * 100) AS BIGINT) || 'token'
+        |         ELSE CAST(FLOOR(value * 100) AS BIGINT) || 'token'
         |    END AS coin
         |  FROM events)
         |SELECT event_id,
@@ -325,10 +325,25 @@ object OracleSql {
         |FROM c ORDER BY event_id LIMIT 500""".stripMargin,
     "q40_nested" ->
       """SELECT c.c_custkey,
-        |       list_sort(list({'k': o.o_orderkey,
-        |                       'p': ROUND(o.o_totalprice, 2)})) AS orders
+        |       to_json(list_sort(list({'k': o.o_orderkey,
+        |                'p': printf('%.2f', ROUND(o.o_totalprice, 2))})))
+        |         AS orders
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey <= 50
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q49_nested_deep" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |         list_sort(list({'ln': CAST(l_linenumber AS BIGINT),
+        |                         'q': CAST(l_quantity AS BIGINT)})) AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c.c_custkey,
+        |       to_json(list_sort(list({'k': o.o_orderkey,
+        |                               'items': li.items}))) AS orders
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN li ON li.l_orderkey = o.o_orderkey
+        |WHERE c.c_custkey <= 20
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2

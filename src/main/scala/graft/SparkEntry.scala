@@ -68,6 +68,7 @@ object SparkEntry {
     "q46_range_join" -> (R.q46RangeJoin(_, _)),
     "q47_stats" -> (R.q47Stats(_, _)),
     "q48_simhash_pairs" -> (T.q48SimhashPairs(_, _)),
+    "q49_nested_deep" -> (R.q49NestedDeep(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

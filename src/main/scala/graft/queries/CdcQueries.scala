@@ -34,7 +34,8 @@ object CdcQueries {
         concat(lit("u"), col("user_id")).as("sender"),
         concat(lit("u"), pmod(col("user_id") + 7, lit(200))).as("recipient"),
         concat(lit("uri://"), col("event_id")).as("tokenUri"),
-        concat(round(col("value") * 100).cast("long"), lit("token"))
+        // floor, not round: tie-free across engines (see q36ParseCoin)
+        concat(floor(col("value") * 100).cast("long"), lit("token"))
           .as("price"),
         lit("").as("buyoutPrice"),
         lit("").as("openingPrice"),

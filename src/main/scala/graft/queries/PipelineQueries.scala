@@ -12,12 +12,16 @@ object PipelineQueries {
 
   /** q36 — the canonical money parser (C5): synthesize reference-style coin
     * strings from event values (empty string for the sub-10-cent rows, the
-    * sdk.Coins{}.String() analog), parse back to (amount, denom). */
+    * sdk.Coins{}.String() analog), parse back to (amount, denom).
+    * The cents construction is floor(value*100), not round(...): floor over
+    * an IEEE double is pure and engine-independent, while round's
+    * decimal-rendering resolves .5 ties differently in Spark (HALF_UP on
+    * BigDecimal) vs DuckDB (binary-double rounding). */
   def q36ParseCoin(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .select(col("event_id"),
         when(col("value") < 0.1, lit(""))
-          .otherwise(concat(round(col("value") * 100).cast("long"),
+          .otherwise(concat(floor(col("value") * 100).cast("long"),
             lit("token"))).as("coin"))
       .select(col("event_id"), C.coinAmount(col("coin")).as("amount"),
         C.coinDenom(col("coin")).as("denom"))

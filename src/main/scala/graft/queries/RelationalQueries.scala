@@ -273,16 +273,47 @@ object RelationalQueries {
   /** Q40 — the Hasura nested-response shape (J1: users{nfts{...}} from
     * reference README.md:89-120): parent rows with their children embedded
     * as a sorted array of structs — `collect_list(struct(...))` + sort for
-    * determinism. One shuffle on the parent key. */
+    * determinism. One shuffle on the parent key.
+    *
+    * The nested array leaves the engine as a JSON STRING (`to_json`): the
+    * oracle compare canonicalizes scalar columns only, and a string is the
+    * cross-engine-stable encoding. Prices are rendered `%.2f` AFTER
+    * round(x,2) — the already-rounded double is never a formatting tie, so
+    * Java (HALF_UP) and C (half-even) emit identical digits. */
   def q40Nested(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
     c.join(o, o("o_custkey") === c("c_custkey"))
       .filter(c("c_custkey") <= 50)
       .groupBy(c("c_custkey"))
-      .agg(sort_array(collect_list(struct(
+      .agg(to_json(sort_array(collect_list(struct(
         o("o_orderkey").as("k"),
-        round(o("o_totalprice"), 2).as("p")))).as("orders"))
+        format_string("%.2f", round(o("o_totalprice"), 2)).as("p")))))
+        .as("orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q49 — TWO-level nested response, the full Hasura depth
+    * (users{nfts{offers,bids}} analog, reference README.md:89-120):
+    * customer{orders{lineitems}}. Children aggregate bottom-up — lineitems
+    * fold to per-order arrays first, then orders (with their embedded item
+    * arrays) fold to per-customer arrays — so each level is one shuffle on
+    * its own parent key and the fan-out never materializes as a flat
+    * cross-product row set. Same JSON-string canonicalization as q40. */
+  def q49NestedDeep(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").cast("long").as("ln"),
+        col("l_quantity").cast("long").as("q")))).as("items"))
+    c.join(o, o("o_custkey") === c("c_custkey"))
+      .filter(c("c_custkey") <= 20)
+      .join(li, col("l_orderkey") === o("o_orderkey"))
+      .groupBy(c("c_custkey"))
+      .agg(to_json(sort_array(collect_list(struct(
+        o("o_orderkey").as("k"), col("items"))))).as("orders"))
       .orderBy("c_custkey")
   }
 
