@@ -101,6 +101,41 @@ object OracleSql {
       |WHERE ROUND(d / (na.nrm * nb.nrm), 4) >= 0.4
       |ORDER BY a, b""".stripMargin
 
+  /** Exact replay of q34's deterministic IVF path (queryId=1, 16 centroids
+    * = vec_id < 16, nProbe=4, k=5). Normalized dots are d/(norm·norm);
+    * argmax rankings drop the constant per-vector norm factor. Ties break
+    * on the lower cent_id exactly like NearestCentroid's lowest-ordinal
+    * rule over the cent_id-sorted codebook. */
+  private val annIvf: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+      |         generate_subscripts(embedding,1) AS i
+      |  FROM embeddings),
+      |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS v, b.vec_id AS c, SUM(a.x * b.x) AS d
+      |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id < 16
+      |  GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT v AS vec_id, c AS cell FROM (
+      |    SELECT dt.v, dt.c,
+      |           ROW_NUMBER() OVER (PARTITION BY dt.v
+      |             ORDER BY dt.d / nc.nrm DESC, dt.c ASC) AS rn
+      |    FROM dots dt JOIN nr nc ON nc.vec_id = dt.c) t
+      |  WHERE rn = 1),
+      |pr AS (
+      |  SELECT dt.c AS cell FROM dots dt JOIN nr nc ON nc.vec_id = dt.c
+      |  WHERE dt.v = 1
+      |  ORDER BY dt.d / nc.nrm DESC, dt.c ASC LIMIT 4)
+      |SELECT dt.v AS vec_id, ROUND(dt.d / (nv.nrm * nq.nrm), 4) AS sim
+      |FROM dots dt
+      |JOIN asg ON asg.vec_id = dt.v
+      |JOIN pr ON pr.cell = asg.cell
+      |JOIN nr nv ON nv.vec_id = dt.v
+      |JOIN nr nq ON nq.vec_id = 1
+      |WHERE dt.c = 1 AND dt.v <> 1
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
   private val ngramJaccard: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -280,6 +315,7 @@ object OracleSql {
     "q31_simhash" -> simhash,
     "q32_ngram_jaccard" -> ngramJaccard,
     "q33_emb_cos_pairs" -> embCosPairs,
+    "q34_ann_ivf" -> annIvf,
     // The CDC fold (SURVEY §2.8) over the mapped events log: a row is alive
     // iff its last mint outlives its last burn; field values are the last
     // applying setter at-or-after that mint — DuckDB's ordered last() FILTER

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Embedding/vector primitives for the similarity-search surface
   * (north-star ANN; reference analog is the content-similarity identity
@@ -126,8 +126,80 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** Map-side coarse-quantizer assignment: the 0-based index of the codebook
+    * row with the highest dot product against the input vector (ties → the
+    * lowest index, so assignment is deterministic and oracle-replayable).
+    *
+    * The codebook rides along as a plain `double[][]` reference object — it
+    * is driver-small by construction (nCells rows), so the argmax is a pure
+    * projection: no crossJoin row inflation, no groupBy shuffle of the
+    * corpus. At 100 TB this is the difference between an IVF build that
+    * re-shuffles the full dataset ×nCells and one that streams it once. */
+  case class NearestCentroid(child: Expression, cells: Array[Array[Double]])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) if cells.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> and a non-empty codebook, " +
+          s"got ${other.sql}")
+    }
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_nearest_centroid"
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < cells.length) {
+        val cent = cells(c)
+        val n = math.min(x.numElements(), cent.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getDouble(i) * cent(i); i += 1 }
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val cb = ctx.addReferenceObj("cells", cells, "double[][]")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val best = ctx.freshName("best")
+        val bestS = ctx.freshName("bestS")
+        s"""
+           |int $best = 0;
+           |double $bestS = Double.NEGATIVE_INFINITY;
+           |for (int $c = 0; $c < $cb.length; $c++) {
+           |  int $n = Math.min($x.numElements(), $cb[$c].length);
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $s += $x.getDouble($i) * $cb[$c][$i];
+           |  }
+           |  if ($s > $bestS) { $bestS = $s; $best = $c; }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+      copy(child = newChild)
+  }
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** 0-based ordinal of the nearest codebook row (highest dot product). */
+  def nearestCell(vec: Column, cells: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec),
+      cells.map(_.toArray).toArray))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

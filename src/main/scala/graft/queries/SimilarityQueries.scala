@@ -66,33 +66,39 @@ object SimilarityQueries {
   /** IVF-style ANN: coarse centroids = the vectors with vec_id < nCentroids
     * (deterministic codebook — no training pass needed for the fixture).
     * Every vector is assigned to its nearest centroid cell; the query probes
-    * the nProbe nearest cells and scores only those candidates. */
+    * the nProbe nearest cells and scores only those candidates.
+    *
+    * The codebook and query vector are driver-small, so both the assignment
+    * (codegen argmax over the collected codebook — see
+    * [[graft.functions.VectorFunctions.NearestCentroid]]) and the probe-cell
+    * choice happen map-side/driver-side: the corpus streams through ONE scan
+    * with zero joins — filter to probed cells, one dot per survivor,
+    * TakeOrderedAndProject. Fully deterministic (ties → lowest cent_id), so
+    * the DuckDB oracle replays it exactly. */
   def q34AnnIvf(s: SparkSession, dir: String, queryId: Long = 1,
       nCentroids: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
-    val e = embNorm(s, dir)
-    val cents = broadcast(e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("nemb").as("cent")))
+    val e = embNorm(s, dir, cached = false)
+    // tiny pushed-down lookups (vec_id < nCentroids / = queryId)
+    val book = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("nemb")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq)
+      .sortBy(_._1).toSeq
+    val qn = e.filter(col("vec_id") === queryId)
+      .select(col("nemb")).head()
+      .getAs[scala.collection.Seq[Double]](0).toSeq
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val probes = book.map { case (id, c) => id -> dotL(c, qn) }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(nProbe).map(_._1)
 
-    // Assign each vector to its best cell: argmax dot over the broadcast
-    // codebook (max_by keeps it one pass; everything is pre-normalized).
-    val assigned = e.crossJoin(cents)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), dot(col("nemb"), col("cent"))).as("cell"))
-    val cells = e.join(assigned, "vec_id")
-
-    // Probe cells = the nProbe centroids closest to the query vector.
-    val q = broadcast(e.filter(col("vec_id") === queryId)
-      .select(col("nemb").as("q")))
-    val probes = broadcast(cents.crossJoin(q)
-      .select(col("cent_id"), dot(col("cent"), col("q")).as("csim"))
-      .orderBy(col("csim").desc, col("cent_id"))
-      .limit(nProbe)
-      .select(col("cent_id").as("cell")))
-
-    cells.join(probes, "cell")
-      .filter(col("vec_id") =!= queryId)
-      .crossJoin(q)
-      .select(col("vec_id"), round(dot(col("nemb"), col("q")), 4).as("sim"))
+    e.withColumn("cell",
+      element_at(typedlit(book.map(_._1)),
+        graft.functions.VectorFunctions.nearestCell(
+          col("nemb"), book.map(_._2)) + 1))
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(dot(col("nemb"), typedlit(qn)), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

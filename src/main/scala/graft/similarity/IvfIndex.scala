@@ -1,6 +1,7 @@
 package graft.similarity
 
-import graft.functions.VectorFunctions.{dot, normalized}
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.{dot, nearestCell, normalized}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,9 +16,16 @@ import org.apache.spark.sql.functions._
   *    file listing, verified by spec) — at 100 TB a probe touches
   *    nProbe/nCells of the data instead of all of it.
   *
+  * The codebook is always driver-small (nCells rows), so cell assignment is
+  * a MAP-SIDE argmax over a collected codebook
+  * ([[VectorFunctions.NearestCentroid]], a codegen projection): the corpus
+  * streams through exactly once with zero joins and zero shuffles. (Round-1
+  * shape — crossJoin(broadcast) ×nCells then groupBy/max_by — inflated and
+  * re-shuffled the full corpus per build/train pass.)
+  *
   * The codebook is deterministic for the fixture (vectors with
-  * vec_id < nCells); swap `codebook` for k-means centroids in production —
-  * every other part is unchanged.
+  * vec_id < nCells); `kmeansIters > 0` trains real centroids — every other
+  * part is unchanged.
   */
 object IvfIndex {
 
@@ -25,46 +33,65 @@ object IvfIndex {
     emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("nemb").as("cent"))
 
+  /** Driver-side codebook: (cent_id, centroid) sorted by cent_id so the
+    * NearestCentroid tie-break (lowest ordinal) is also lowest cent_id. */
+  private def collectCodebook(cb: DataFrame): Seq[(Long, Seq[Double])] =
+    cb.collect()
+      .map(r => r.getAs[Long]("cent_id") ->
+        r.getAs[scala.collection.Seq[Double]]("cent").toSeq)
+      .sortBy(_._1).toSeq
+
+  private def toCodebookDf(s: SparkSession,
+      book: Seq[(Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    book.toDF("cent_id", "cent")
+  }
+
+  /** Map-side cell assignment: one codegen'd projection, no shuffle. */
+  private def withCell(n: DataFrame, book: Seq[(Long, Seq[Double])]): DataFrame =
+    n.withColumn("cell",
+      element_at(typedlit(book.map(_._1)),
+        nearestCell(col("nemb"), book.map(_._2)) + 1))
+
   /** Lloyd's k-means over the normalized vectors (cosine ≈ spherical
     * k-means): deterministic init from the first nCells ids, `iters`
-    * assign→mean rounds, centroids re-normalized each round. Elementwise
-    * means via posexplode+groupBy — one shuffle per iteration, any dim. */
+    * assign→mean rounds, centroids re-normalized each round. Assignment is
+    * map-side; elementwise means via posexplode+groupBy — partial (map-side)
+    * aggregation means the only shuffle per iteration carries
+    * nCells×dim×partitions partial sums, not the corpus. */
   def trainCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
-    var cents = codebook(emb, nCells)
+    var book = collectCodebook(codebook(emb, nCells))
     for (_ <- 0 until iters) {
-      val assigned = emb.crossJoin(broadcast(cents))
-        .groupBy("vec_id", "nemb")
-        .agg(max_by(col("cent_id"), dot(col("nemb"), col("cent"))).as("cell"))
-      val means = assigned
+      val means = withCell(emb, book)
         .select(col("cell"), posexplode(col("nemb")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"),
           normalized(transform(col("pm"), p => p.getField("m"))).as("cent"))
-      cents = broadcast(means.cache())
-      cents.count()
+      book = collectCodebook(means)
     }
-    cents
+    toCodebookDf(emb.sparkSession, book)
   }
 
   /** emb: (vec_id long, embedding array<float|double>). kmeansIters = 0
     * uses the deterministic first-k codebook; > 0 trains real centroids. */
   def build(emb: DataFrame, path: String, nCells: Int,
       kmeansIters: Int = 0): Unit = {
-    val n = emb.select(col("vec_id"),
+    val n0 = emb.select(col("vec_id"),
       normalized(col("embedding").cast("array<double>")).as("nemb"))
-      .cache()
-    val cb =
-      if (kmeansIters > 0) trainCentroids(n, nCells, kmeansIters)
-      else codebook(n, nCells)
-    val cents = broadcast(cb)
-    val assigned = n.crossJoin(cents)
-      .groupBy("vec_id")
-      .agg(max_by(col("cent_id"), dot(col("nemb"), col("cent"))).as("cell"))
-    n.join(assigned, "vec_id")
+    // cache only when training re-scans the corpus per iteration; the
+    // plain build streams it exactly once
+    val n = if (kmeansIters > 0) n0.cache() else n0
+    val book =
+      if (kmeansIters > 0)
+        collectCodebook(trainCentroids(n, nCells, kmeansIters))
+      else collectCodebook(codebook(n, nCells))
+    withCell(n, book)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    cb.write.mode("overwrite").parquet(s"$path/_centroids")
+    toCodebookDf(emb.sparkSession, book).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    if (kmeansIters > 0) n.unpersist()
   }
 
   /** Top-k by cosine for `query`, probing the nProbe best cells only. */

@@ -113,6 +113,18 @@ class PlanQualitySpec extends SparkSpec {
       s"nested-loop join in LSH band join:\n$p")
   }
 
+  test("q34 IVF assignment is map-side: zero Exchange before the top-k") {
+    val df = S.q34AnnIvf(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"),
+      s"IVF assignment shuffles (should be a pure projection):\n$p")
+    assert(p.contains("vec_nearest_centroid"),
+      s"map-side argmax expression missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
+  }
+
   test("aggregations are two-phase (partial before the exchange)") {
     val p = plan(R.q10Counter(spark, dir))
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq

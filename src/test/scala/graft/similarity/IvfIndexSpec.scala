@@ -48,6 +48,27 @@ class IvfIndexSpec extends SparkSpec {
       s"no partition pruning in:\n$plan")
   }
 
+  test("NearestCentroid matches a driver-side brute-force argmax") {
+    import spark.implicits._
+    val vecs = Seq(
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0),
+      3L -> Seq(0.6, 0.8, 0.0),
+      4L -> Seq(-1.0, 0.0, 0.0))
+    val cells = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val got = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"),
+        VectorFunctions.nearestCell(col("v"), cells).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4L=(-1,0,0): dot cell0 = -1 < dot cell1 = 0 → cell1
+    assert(got(1L) === 0 && got(2L) === 1 && got(3L) === 1 && got(4L) === 1)
+    // tie (equidistant) → lowest ordinal
+    val tie = Seq(Seq(1.0, 1.0, 0.0)).toDF("v")
+      .select(VectorFunctions.nearestCell(col("v"), cells).as("c"))
+      .head().getInt(0)
+    assert(tie === 0)
+  }
+
   test("k-means-trained index still finds the stored query vector") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
