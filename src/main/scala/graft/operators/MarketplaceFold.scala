@@ -148,7 +148,10 @@ object MarketplaceFold {
   /** The messages table: every event, with failed/error computed by the
     * stateful replay (token-keyed arms) plus the denom-keyed FT check
     * (transfer against a never-created denom, marketplace.go:410-413).
-    * Same single shuffle as the fold. */
+    * Two disjoint slices, one hash shuffle each (token-keyed and
+    * denom-keyed); both use the streaming secondary-sort shape, so memory
+    * is O(state) per key on either path — a hot denom's history never
+    * materializes in one heap. */
   def messages(events: Dataset[MarketplaceEvent]): DataFrame = {
     import events.sparkSession.implicits._
     val tokenVerdicts = events
@@ -167,13 +170,16 @@ object MarketplaceFold {
             err.isDefined, err.orNull)
         }
       }
-    val ftEvents = events.filter(e => e.tokenId.isEmpty)
-    val ftVerdicts = ftEvents
-      .groupByKey(_.denom)
-      .flatMapGroups { (_, it) =>
-        val sorted = it.toVector.sortBy(_.seq)
+    val ftVerdicts = events.filter(e => e.tokenId.isEmpty)
+      .repartition(col("denom"))
+      .sortWithinPartitions(col("denom"), col("seq"))
+      .mapPartitions { it =>
+        // same streaming secondary-sort as the token path: per-denom state
+        // is one 'created' flag, never the group's event vector
+        var curDenom: String = null
         var created = false
-        sorted.map { e =>
+        it.map { e =>
+          if (e.denom != curDenom) { curDenom = e.denom; created = false }
           val err = e.msgType match {
             case MsgType.CreateFungibleToken => created = true; None
             case MsgType.TransferFungibleTokens if !created =>

@@ -368,7 +368,9 @@ object RelationalQueries {
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/root/repo/target/tmp/q24_snapshot"
+    // applicationId-scoped so concurrent sessions never clobber each other
+    val path =
+      s"/root/repo/target/tmp/q24_snapshot_${s.sparkContext.applicationId}"
     q2LatestState(s, dir).write.mode("overwrite").parquet(path)
     s.read.parquet(path)
       .agg(count(lit(1)).as("n"),

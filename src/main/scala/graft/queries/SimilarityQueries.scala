@@ -49,7 +49,11 @@ object SimilarityQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs (all pairs above threshold).
-    * Kept brute-force as the exactness baseline; q34 is the scale path. */
+    *
+    * NON-PRODUCTION: O(n²) crossJoin kept ONLY as the oracle-checkable
+    * exactness baseline that q44 (hyperplane LSH) and q34/IvfIndex (IVF)
+    * are measured against. Never run this beyond fixture scale — at 100 TB
+    * the crossJoin is unbounded; reach for q44/IvfIndex instead. */
   def q33EmbCosPairs(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     val e = embNorm(s, dir)

@@ -4,7 +4,12 @@ import org.apache.spark.sql.functions._
 
 /** The pure-SQL entry path (the reference's Hasura analog, SURVEY §3.2):
   * tables registered as views + spark.sql must agree with the DataFrame
-  * builders. */
+  * builders.
+  *
+  * Surface note: q33_emb_cos_pairs is NOT part of the production surface —
+  * it is the O(n²) exactness baseline for the ANN paths (q44 LSH, q34/
+  * IvfIndex); a user wanting near-dup pairs at scale gets the banded/
+  * bucketed variants. */
 class SqlSurfaceSpec extends SparkSpec {
 
   test("registered views answer SQL identically to the DataFrame builders") {
