@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *    codegen Expression) is the right tier here: the cost is the codec
   *    itself, not the dispatch.
   *  - Decode/resize is REAL for the JDK-native rasters (png/jpeg/gif/bmp)
-  *    via javax.imageio. webp/tiff decode and svg rasterization need codecs
-  *    this environment doesn't ship — those return null (documented stub),
-  *    while format *sniffing* still works for all seven reference formats.
+  *    via javax.imageio, and for uncompressed baseline TIFF via a pure-JVM
+  *    IFD parser ([[decodeTiff]]). webp decode and svg rasterization need
+  *    codecs this environment doesn't ship — those return null (documented
+  *    stub), while format *sniffing* works for all seven reference formats.
   *  - Deterministic: same bytes → same output bytes (PNG encode).
   */
 object BinaryFunctions {
@@ -93,8 +94,149 @@ object BinaryFunctions {
     sniffFormat(b) match {
       case "png" | "jpeg" | "gif" | "bmp" =>
         Option(ImageIO.read(new ByteArrayInputStream(b)))
-      case _ => None // webp/tiff/svg: codec not shipped here — stubbed
+      case "tiff" => decodeTiff(b)
+      case _ => None // webp/svg: codec not shipped here — stubbed
     }
+
+  // --- TIFF (baseline, uncompressed) — pure-JVM codec ---------------------
+
+  /** Decode an UNCOMPRESSED baseline TIFF — Compression=1, 8 bits/sample,
+    * grayscale (PhotometricInterpretation=1) or RGB/RGBA (PI=2), strip
+    * organization, both II and MM byte orders — with no native codec,
+    * closing the tiff arm of the reference's format table
+    * (x/imgresizer/resizer.go:248-249). Compressed TIFFs (LZW/JPEG/...)
+    * still return None: those codecs aren't shipped in this environment. */
+  def decodeTiff(b: Array[Byte]): Option[BufferedImage] = try {
+    if (b == null || b.length < 8) return None
+    val le = b(0) == 'I'.toByte && b(1) == 'I'.toByte
+    if (!le && !(b(0) == 'M'.toByte && b(1) == 'M'.toByte)) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (u16(2) != 42) return None
+
+    val ifd = u32(4).toInt
+    val nEntries = u16(ifd)
+    // entry value(s): SHORT(3)/LONG(4), inline when they fit in 4 bytes,
+    // else stored at the offset the value field points to
+    def vals(entryPos: Int): Seq[Long] = {
+      val typ = u16(entryPos + 2)
+      val cnt = u32(entryPos + 4).toInt
+      val elemSize = if (typ == 3) 2 else 4
+      val pos =
+        if (elemSize * cnt <= 4) entryPos + 8 else u32(entryPos + 8).toInt
+      (0 until cnt).map(i =>
+        if (typ == 3) u16(pos + i * elemSize).toLong else u32(pos + i * elemSize))
+    }
+    var width, height, spp = 0
+    var compression, photometric = -1
+    var bits: Seq[Long] = Seq(8L)
+    var stripOffsets, stripCounts: Seq[Long] = Nil
+    for (e <- 0 until nEntries) {
+      val pos = ifd + 2 + e * 12
+      u16(pos) match {
+        case 256 => width = vals(pos).head.toInt
+        case 257 => height = vals(pos).head.toInt
+        case 258 => bits = vals(pos)
+        case 259 => compression = vals(pos).head.toInt
+        case 262 => photometric = vals(pos).head.toInt
+        case 273 => stripOffsets = vals(pos)
+        case 277 => spp = vals(pos).head.toInt
+        case 279 => stripCounts = vals(pos)
+        case _ => ()
+      }
+    }
+    if (spp == 0) spp = 1
+    if (compression != 1 || !Set(1, 2).contains(photometric)) return None
+    if (width <= 0 || height <= 0 || !bits.forall(_ == 8L)) return None
+    if (!Set(1, 3, 4).contains(spp)) return None
+
+    // strips concatenate to exactly width*height*spp sample bytes
+    val data = new Array[Byte](width * height * spp)
+    var off = 0
+    stripOffsets.zip(stripCounts).foreach { case (so, sc) =>
+      val n = math.min(sc.toInt, data.length - off)
+      System.arraycopy(b, so.toInt, data, off, n)
+      off += n
+    }
+    if (off < data.length) return None
+
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * spp
+        val rgb =
+          if (spp == 1) { val g = data(p) & 0xff; (g << 16) | (g << 8) | g }
+          else ((data(p) & 0xff) << 16) | ((data(p + 1) & 0xff) << 8) |
+            (data(p + 2) & 0xff)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    Some(img)
+  } catch { case _: Exception => None }
+
+  /** Minimal uncompressed RGB TIFF writer (one strip, 8 bits/sample) —
+    * synthesizes fixture bytes for specs/bench in either byte order. */
+  def encodeTiffRgb(img: BufferedImage, littleEndian: Boolean = true): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val dataLen = w * h * 3
+    val dataEnd = 8 + dataLen + (dataLen & 1) // pad strip to even
+    val nEntries = 9
+    val bpsOffset = dataEnd + 2 + nEntries * 12 + 4
+    val out = new Array[Byte](bpsOffset + 6)
+    def put16(i: Int, v: Int): Unit =
+      if (littleEndian) { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+      else { out(i) = (v >> 8).toByte; out(i + 1) = v.toByte }
+    def put32(i: Int, v: Int): Unit =
+      if (littleEndian) {
+        out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+        out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+      } else {
+        out(i) = (v >> 24).toByte; out(i + 1) = (v >> 16).toByte
+        out(i + 2) = (v >> 8).toByte; out(i + 3) = v.toByte
+      }
+    out(0) = (if (littleEndian) 'I' else 'M').toByte
+    out(1) = out(0)
+    put16(2, 42)
+    put32(4, dataEnd) // IFD follows the (padded) strip
+    var p = 8
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      out(p) = ((rgb >> 16) & 0xff).toByte
+      out(p + 1) = ((rgb >> 8) & 0xff).toByte
+      out(p + 2) = (rgb & 0xff).toByte
+      p += 3
+    }
+    put16(dataEnd, nEntries)
+    def entry(idx: Int, tag: Int, typ: Int, cnt: Int)(writeVal: Int => Unit): Unit = {
+      val e = dataEnd + 2 + idx * 12
+      put16(e, tag); put16(e + 2, typ); put32(e + 4, cnt); writeVal(e + 8)
+    }
+    entry(0, 256, 4, 1)(put32(_, w)) // ImageWidth
+    entry(1, 257, 4, 1)(put32(_, h)) // ImageLength
+    entry(2, 258, 3, 3)(put32(_, bpsOffset)) // BitsPerSample → external
+    entry(3, 259, 3, 1)(put16(_, 1)) // Compression: none
+    entry(4, 262, 3, 1)(put16(_, 2)) // Photometric: RGB
+    entry(5, 273, 4, 1)(put32(_, 8)) // StripOffsets: data at 8
+    entry(6, 277, 3, 1)(put16(_, 3)) // SamplesPerPixel
+    entry(7, 278, 4, 1)(put32(_, h)) // RowsPerStrip: one strip
+    entry(8, 279, 4, 1)(put32(_, dataLen)) // StripByteCounts
+    put32(dataEnd + 2 + nEntries * 12, 0) // next IFD: none
+    Seq(8, 8, 8).zipWithIndex.foreach { case (v, i) =>
+      put16(bpsOffset + i * 2, v)
+    }
+    out
+  }
 
   private def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -6,17 +6,156 @@ import org.apache.spark.sql.types._
 
 /** JSON validation for the metadata pipeline (SURVEY §2.10 / C7-C8).
   *
-  * The reference validates fetched token metadata against the ERC-721 JSON
-  * Schema — name/description/image, all strings
-  * (x/tokenMetadataService/types.go:3-21, service.go:168-175) — and only
-  * then upserts + forwards the image task. Here validation is a pure
-  * Column expression stack (from_json + type probes), not a UDF: it stays
-  * inside codegen and the errors come back as data, never exceptions
-  * (bad-record-quarantine posture, SURVEY §2.8 failure semantics).
+  * The reference validates fetched token metadata against a real JSON-Schema
+  * DOCUMENT via gojsonschema (x/tokenMetadataService/service.go:168-175,
+  * schema types.go:3-21) — so the capability here is schema-DRIVEN: any
+  * schema in the supported subset (type / properties / required / items,
+  * nested to any depth) compiles ONCE driver-side into a pure Column
+  * expression stack over Spark 4's VARIANT. The ERC-721 check is just one
+  * schema instance of it.
+  *
+  * Why VARIANT, not from_json: from_json COERCES mismatched types
+  * ({"name":1} parses to name="1"), which would hide exactly the wrong-type
+  * errors the reference reports. schema_of_variant gives per-field type
+  * introspection, so "present but not a string" is detectable. Validation
+  * errors come back as data (struct(valid, errors)), never exceptions —
+  * bad-record-quarantine posture (SURVEY §2.8 failure semantics).
   */
 object JsonFunctions {
 
-  /** ERC-721 metadata schema (types.go:3-21). */
+  /** JSON-Schema subset: type + properties + required + items, recursive. */
+  sealed trait JsonSchema
+  object JsonSchema {
+    case class JsObject(properties: Seq[(String, JsonSchema)],
+        required: Set[String]) extends JsonSchema
+    case class JsArray(items: Option[JsonSchema]) extends JsonSchema
+    /** "string" | "number" | "integer" | "boolean" */
+    case class JsPrim(tpe: String) extends JsonSchema
+    case object JsAny extends JsonSchema
+
+    /** Parse a JSON-Schema document (driver-side, once per plan; Jackson is
+      * already on Spark's classpath). Unknown/absent `type` → JsAny, i.e.
+      * "any value accepted" — matching JSON-Schema's permissive default. */
+    def parse(doc: String): JsonSchema = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      fromNode(mapper.readTree(doc))
+    }
+
+    private def fromNode(
+        n: com.fasterxml.jackson.databind.JsonNode): JsonSchema = {
+      import scala.jdk.CollectionConverters._
+      n.path("type").asText("") match {
+        case "object" =>
+          val props = Option(n.get("properties")).toSeq.flatMap(p =>
+            p.fields().asScala.map(e => e.getKey -> fromNode(e.getValue)))
+          val req = Option(n.get("required")).toSeq.flatMap(r =>
+            r.elements().asScala.map(_.asText()))
+          JsObject(props, req.toSet)
+        case "array" => JsArray(Option(n.get("items")).map(fromNode))
+        case t @ ("string" | "number" | "integer" | "boolean") => JsPrim(t)
+        case _ => JsAny
+      }
+    }
+  }
+
+  import JsonSchema._
+
+  private def noErrors: Column = array().cast("array<string>")
+
+  private def display(path: String): String = if (path.isEmpty) "$" else path
+
+  /** variant type names that satisfy each primitive schema type. */
+  private def primOk(v: Column, tpe: String): Column = {
+    val t = schema_of_variant(v)
+    tpe match {
+      case "string" => t === "STRING"
+      case "boolean" => t === "BOOLEAN"
+      case "integer" => t.isin("BIGINT", "INT", "SMALLINT", "TINYINT")
+      case "number" => t.isin("DOUBLE", "FLOAT", "BIGINT", "INT",
+        "SMALLINT", "TINYINT") || t.startsWith("DECIMAL")
+    }
+  }
+
+  /** Recursive error builder for one schema node over one variant value. */
+  private def nodeErrors(v: Column, schema: JsonSchema,
+      path: String): Column = schema match {
+    case JsAny => noErrors
+    case JsPrim(t) =>
+      when(primOk(v, t), noErrors)
+        .otherwise(array(lit(s"field is not a $t: ${display(path)}")))
+    case JsArray(items) =>
+      val t = schema_of_variant(v)
+      val elemOk = items match {
+        // merged element type from schema_of_variant: exact for uniform
+        // arrays; VOID covers the empty array
+        case Some(JsPrim(p)) =>
+          val allowed = p match {
+            case "string" => Seq("ARRAY<STRING>")
+            case "boolean" => Seq("ARRAY<BOOLEAN>")
+            case "integer" => Seq("ARRAY<BIGINT>", "ARRAY<INT>",
+              "ARRAY<SMALLINT>", "ARRAY<TINYINT>")
+            case "number" => Seq("ARRAY<DOUBLE>", "ARRAY<FLOAT>",
+              "ARRAY<BIGINT>", "ARRAY<INT>", "ARRAY<SMALLINT>",
+              "ARRAY<TINYINT>")
+          }
+          t.isin(allowed :+ "ARRAY<VOID>": _*) ||
+            (if (p == "number") t.startsWith("ARRAY<DECIMAL")
+             else lit(false))
+        case _ => lit(true)
+      }
+      when(!t.startsWith("ARRAY"),
+        array(lit(s"field is not an array: ${display(path)}")))
+        .when(!elemOk,
+          array(lit(
+            s"array items are not ${itemsName(items)}: ${display(path)}")))
+        .otherwise(noErrors)
+    case JsObject(props, required) =>
+      val perProp = props.map { case (name, child) =>
+        val fv = variant_get(v, s"$$.$name", "variant")
+        val childPath = if (path.isEmpty) name else s"$path.$name"
+        when(fv.isNull,
+          if (required.contains(name))
+            array(lit(s"missing required field: $childPath"))
+          else noErrors)
+          .otherwise(nodeErrors(fv, child, childPath))
+      }
+      val propErrs =
+        if (perProp.isEmpty) noErrors else concat(perProp: _*)
+      when(!schema_of_variant(v).startsWith("OBJECT"),
+        array(lit(s"field is not an object: ${display(path)}")))
+        .otherwise(propErrs)
+  }
+
+  private def itemsName(items: Option[JsonSchema]): String = items match {
+    case Some(JsPrim(t)) => t
+    case _ => "any"
+  }
+
+  /** Schema-driven validation verdict: struct(valid boolean,
+    * errors array<string>). The schema value compiles to a pure expression
+    * stack — codegen-friendly, no UDF, errors in property order. */
+  def validateJson(json: Column, schema: JsonSchema): Column = {
+    val v = try_parse_json(json)
+    val errs = when(v.isNull, array(lit("invalid json")))
+      .otherwise(nodeErrors(v, schema, path = ""))
+    struct((size(errs) === 0).as("valid"), errs.as("errors"))
+  }
+
+  /** Convenience: validate against a JSON-Schema document string. */
+  def validateJsonSchema(json: Column, schemaDoc: String): Column =
+    validateJson(json, JsonSchema.parse(schemaDoc))
+
+  /** The ERC-721 metadata JSON-Schema (types.go:3-21) — one instance of the
+    * generic validator. */
+  val erc721SchemaDoc: String =
+    """{"type": "object",
+      | "properties": {
+      |   "name": {"type": "string"},
+      |   "description": {"type": "string"},
+      |   "image": {"type": "string"}},
+      | "required": ["name", "description", "image"]}""".stripMargin
+
+  /** ERC-721 metadata shape for from_json consumers. */
   val erc721Schema: StructType = StructType(Seq(
     StructField("name", StringType),
     StructField("description", StringType),
@@ -26,28 +165,9 @@ object JsonFunctions {
   def erc721Parse(json: Column): Column =
     from_json(json, erc721Schema)
 
-  /** Validation verdict: struct(valid boolean, errors array<string>).
-    *
-    * Built on Spark 4's VARIANT type because from_json COERCES mismatched
-    * types ({"name":1} parses to name="1"), which would hide exactly the
-    * wrong-type errors the reference's JSON-Schema check reports
-    * (service.go:168-175). schema_of_variant gives per-field type
-    * introspection, so "present but not a string" is detectable. */
-  def erc721Validate(json: Column): Column = {
-    val v = try_parse_json(json)
-    def fieldErr(name: String): Column = {
-      val fv = variant_get(v, s"$$.$name", "variant")
-      val tpe = schema_of_variant(fv)
-      when(fv.isNull, lit(s"missing required field: $name"))
-        .when(tpe =!= "STRING", lit(s"field is not a string: $name"))
-        .otherwise(lit(null).cast("string"))
-    }
-    val fieldErrs =
-      array(Seq("name", "description", "image").map(fieldErr): _*)
-    val errs = when(v.isNull, array(lit("invalid json")))
-      .otherwise(filter(fieldErrs, e => e.isNotNull))
-    struct((size(errs) === 0).as("valid"), errs.as("errors"))
-  }
+  /** ERC-721 validation = the generic validator applied to its schema. */
+  def erc721Validate(json: Column): Column =
+    validateJson(json, JsonSchema.parse(erc721SchemaDoc))
 
   /** has-image probe used to decide whether to enqueue an image task
     * (service.go:146-150: `_, ok := metadata["image"]`). */
