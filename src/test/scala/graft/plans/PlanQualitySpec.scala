@@ -125,6 +125,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
   }
 
+  test("bucketed q8 chain: co-located joins skip the shuffle exchange") {
+    import graft.queries.BucketedQueries
+    BucketedQueries.ensureTables(spark, dir)
+    val c = spark.table(BucketedQueries.tableName("customer"))
+    val o = spark.table(BucketedQueries.tableName("orders"))
+    val l = spark.table(BucketedQueries.tableName("lineitem"))
+    // force the sort-merge path (broadcast would hide the bucket effect on
+    // the tiny fixture); at bench scale the planner chooses freely
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val co = c.join(o, o("o_custkey") === c("c_custkey"))
+      co.collect()
+      val pCo = co.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!pCo.contains("Exchange"),
+        s"bucketed customer⋈orders still shuffles:\n$pCo")
+
+      // full chain: lineitem's scan side must not shuffle (its buckets are
+      // the join partitioning); only the c⋈o intermediate re-keys
+      val full = co.join(l, l("l_orderkey") === o("o_orderkey"))
+      full.collect()
+      val pFull = full.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = pFull.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"$exchanges exchanges in bucketed chain (want <=1, the co→orderkey re-key):\n$pFull")
+      assert(!pFull.linesIterator.exists(lx =>
+        lx.contains("Exchange hashpartitioning(l_orderkey")),
+        s"lineitem side shuffles despite bucketing:\n$pFull")
+    }
+  }
+
   test("aggregations are two-phase (partial before the exchange)") {
     val p = plan(R.q10Counter(spark, dir))
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
