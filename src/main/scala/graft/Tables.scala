@@ -24,17 +24,28 @@ object Tables {
   /** Dimension tables small enough to always broadcast in joins. */
   val broadcastable: Set[String] = Set("region", "nation", "supplier", "part")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
-    // configure()) so it arrives as Long nanos, converted here to a µs
-    // timestamp by truncation — exactly DuckDB's ns→µs conversion.
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
-  }
+  // Memoized per (session, dir, name): spark.read.parquet re-lists files
+  // and re-reads footers for the schema on EVERY call, and the query
+  // surface loads the same ten tables hundreds of times per run. The cached
+  // value is an immutable logical plan — sharing it is free.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name), _ => {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
+        // =true (see configure()) so it arrives as Long nanos, converted
+        // here to a µs timestamp by truncation — exactly DuckDB's ns→µs
+        // conversion.
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+          case Some(_) =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case None => df
+        }
+      })
 
   /** Session configuration every entry point (Verify/Bench/tests) applies. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =

@@ -28,17 +28,21 @@ object AsOfJoin {
       prefix: String = "r_"): DataFrame = {
     val rightPayloadCols =
       right.columns.filter(c => c != key && c != rightTime).toSeq
+    // the right payload rides the union as a typed STRUCT column — no
+    // serialization codec in the per-row path (a JSON round-trip here would
+    // pay encode+decode on every row of both inputs)
+    val rightSchema = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filter(f => f.name != key && f.name != rightTime))
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1)) // left sorts AFTER right on equal ts
       .withColumn("_tb", lit(null).cast(right.schema(tieBreak).dataType))
-      .withColumn("_payload", lit(null).cast("string"))
-    val payloadStruct = to_json(struct(rightPayloadCols.map(col): _*))
+      .withColumn("_payload", lit(null).cast(rightSchema))
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .withColumn("_tb", col(tieBreak))
-      .withColumn("_payload", payloadStruct)
+      .withColumn("_payload", struct(rightPayloadCols.map(col): _*))
       .select((Seq(key, "_t", "_side", "_tb", "_payload").map(col)): _*)
     val leftCols = left.columns.toSeq
     val unioned = l.select(
@@ -53,13 +57,8 @@ object AsOfJoin {
       .withColumn("_r", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
-    // unpack the carried JSON payload back into typed columns
-    val rightSchema = org.apache.spark.sql.types.StructType(
-      right.schema.fields.filter(f => f.name != key && f.name != rightTime))
-    val unpacked = carried.withColumn("_rs",
-      from_json(col("_r"), rightSchema))
-    rightPayloadCols.foldLeft(unpacked) { (df, c) =>
-      df.withColumn(prefix + c, col(s"_rs.$c"))
+    rightPayloadCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(prefix + c, col(s"_r.$c"))
     }.select((leftCols.map(col) ++
       rightPayloadCols.map(c => col(prefix + c))): _*)
   }

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.{BinaryFunctions => B, JsonFunctions => J}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The enrichment dataflow (SURVEY §3.3) — the reference's chain of
@@ -196,6 +196,37 @@ object Enrichment {
   def dedupAgainstStore(images: DataFrame, store: DataFrame): DataFrame =
     images.join(store.select("name", "content_key"),
       Seq("name", "content_key"), "left_anti")
+
+  /** Superseded-version GC (x/imgstorage/storage.go:76-81): the reference
+    * glob-deletes every `name_*` object except the newly-written content.
+    * Batch analog over the row store: keep ONLY the winning version per
+    * logical name — highest `seqCol`, ties broken on content_key so replays
+    * are deterministic. Latest-per-key window, one shuffle on name. */
+  def gcSuperseded(store: DataFrame, seqCol: String = "seq"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("name")
+      .orderBy(col(seqCol).desc, col("content_key").desc)
+    store.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Physical compaction of a parquet image store: rewrite `path` with only
+    * current versions (gcSuperseded), swap directories via the filesystem
+    * API. Returns (rowsBefore, rowsAfter). Run as the store's periodic
+    * maintenance job — reclaims the space the reference reclaims inline at
+    * write time. */
+  def compactStore(spark: SparkSession, path: String,
+      seqCol: String = "seq"): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = spark.read.parquet(path)
+    val nBefore = before.count()
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    gcSuperseded(before, seqCol).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    val nAfter = spark.read.parquet(path).count()
+    (nBefore, nAfter)
+  }
 
   // --- freshness daemon (mongoDaemon/service.go:98-176) -------------------
 

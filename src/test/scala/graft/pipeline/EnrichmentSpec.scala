@@ -90,6 +90,26 @@ class EnrichmentSpec extends SparkSpec {
     assert(a.intersect(bKeys).isEmpty)
   }
 
+  test("superseded-version GC keeps only the current content per name") {
+    val store = Seq(
+      ("o1_tokA_200_150", "k1", 1L), // superseded by k2
+      ("o1_tokA_200_150", "k2", 2L),
+      ("o2_tokB_200_150", "k3", 1L), // only version → kept
+      ("o2_tokB_120_90", "k4", 1L))
+      .toDF("name", "content_key", "seq")
+    val kept = Enrichment.gcSuperseded(store)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kept === Map("o1_tokA_200_150" -> "k2",
+      "o2_tokB_200_150" -> "k3", "o2_tokB_120_90" -> "k4"))
+
+    // physical compaction rewrites the parquet store in place
+    val dir = java.nio.file.Files.createTempDirectory("graft_gc").toString + "/store"
+    store.write.parquet(dir)
+    val (before, after) = Enrichment.compactStore(spark, dir)
+    assert(before === 4 && after === 3)
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("stalest-20% picks the oldest last_checked rows") {
     val rows = (1 to 10).map(i =>
       (s"tok$i", s"o$i", s"u$i",
