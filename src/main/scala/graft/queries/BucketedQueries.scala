@@ -48,7 +48,13 @@ object BucketedQueries {
 
   /** Q50 — q8's exact join chain over the bucketed tables (identical
     * result, shared oracle). The customer⋈orders exchange disappears; the
-    * lineitem side reads its buckets in place. */
+    * lineitem side reads its buckets in place.
+    *
+    * Honest bench note: at sf0.1 the whole chain fits under the broadcast
+    * threshold, so plain q8 broadcasts and q50's extra bucket files make it
+    * SLOWER there — the win is the eliminated Exchange (PlanQualitySpec),
+    * which pays off precisely when the tables outgrow broadcast, i.e. the
+    * 100 TB regime this path exists for. */
   def q50RevenueBucketed(s: SparkSession, dir: String): DataFrame = {
     ensureTables(s, dir)
     val c = s.table(tableName("customer"))
