@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *    codegen Expression) is the right tier here: the cost is the codec
   *    itself, not the dispatch.
   *  - Decode/resize is REAL for the JDK-native rasters (png/jpeg/gif/bmp)
-  *    via javax.imageio, and for uncompressed baseline TIFF via a pure-JVM
-  *    IFD parser ([[decodeTiff]]). webp decode and svg rasterization need
-  *    codecs this environment doesn't ship — those return null (documented
-  *    stub), while format *sniffing* works for all seven reference formats.
+  *    via javax.imageio, for uncompressed baseline TIFF via a pure-JVM IFD
+  *    parser ([[decodeTiff]]), and for an SVG shape subset via a pure-JVM
+  *    rasterizer ([[rasterizeSvg]]). webp decode needs a codec this
+  *    environment doesn't ship — it returns null (documented stub), while
+  *    format *sniffing* works for all seven reference formats.
   *  - Deterministic: same bytes → same output bytes (PNG encode).
   */
 object BinaryFunctions {
@@ -95,8 +96,125 @@ object BinaryFunctions {
       case "png" | "jpeg" | "gif" | "bmp" =>
         Option(ImageIO.read(new ByteArrayInputStream(b)))
       case "tiff" => decodeTiff(b)
-      case _ => None // webp/svg: codec not shipped here — stubbed
+      case "svg" => rasterizeSvg(b)
+      case _ => None // webp: codec not shipped here — stubbed
     }
+
+  // --- SVG (shape subset) — pure-JVM rasterizer ---------------------------
+
+  /** Rasterize an SVG SUBSET with the JDK only (XML parse + Graphics2D):
+    * rect / circle / ellipse / line / polygon / polyline with fill/stroke
+    * (named or #hex colors), honoring width/height/viewBox. Covers the
+    * common icon/placeholder SVGs of an NFT metadata pipeline; full
+    * path/curve/text/CSS support is what a real library (the reference's
+    * oksvg, resizer.go:251-264) adds. Unsupported content renders as the
+    * background — never an exception. */
+  def rasterizeSvg(b: Array[Byte]): Option[BufferedImage] = try {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // no external entity resolution (untrusted bytes)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new ByteArrayInputStream(b))
+    val svg = doc.getDocumentElement
+    if (svg.getTagName != "svg") return None
+
+    def numAttr(e: org.w3c.dom.Element, a: String, dflt: Double): Double = {
+      val v = e.getAttribute(a)
+      if (v.isEmpty) dflt
+      else try v.replaceAll("[a-z%]+$", "").toDouble catch {
+        case _: NumberFormatException => dflt
+      }
+    }
+    val viewBox = svg.getAttribute("viewBox").trim
+      .split("[ ,]+").filter(_.nonEmpty).flatMap(s =>
+        try Some(s.toDouble) catch { case _: NumberFormatException => None })
+    val (vbW, vbH) =
+      if (viewBox.length == 4) (viewBox(2), viewBox(3)) else (0.0, 0.0)
+    val w = math.max(1, numAttr(svg, "width", if (vbW > 0) vbW else 64).toInt)
+    val h = math.max(1, numAttr(svg, "height", if (vbH > 0) vbH else 64).toInt)
+
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_ANTIALIASING,
+      java.awt.RenderingHints.VALUE_ANTIALIAS_OFF)
+    g.setColor(java.awt.Color.WHITE)
+    g.fillRect(0, 0, w, h)
+    if (vbW > 0 && vbH > 0) {
+      g.scale(w / vbW, h / vbH)
+      if (viewBox.length == 4) g.translate(-viewBox(0), -viewBox(1))
+    }
+
+    def color(spec: String): Option[java.awt.Color] = spec.trim match {
+      case "" | "none" => None
+      case s if s.startsWith("#") && s.length == 7 =>
+        Some(new java.awt.Color(Integer.parseInt(s.substring(1), 16)))
+      case s if s.startsWith("#") && s.length == 4 =>
+        val r = s(1).asDigit * 17; val gg = s(2).asDigit * 17
+        val bb = s(3).asDigit * 17
+        Some(new java.awt.Color(r, gg, bb))
+      case named => namedColors.get(named.toLowerCase)
+    }
+
+    def render(n: org.w3c.dom.Node): Unit = n match {
+      case e: org.w3c.dom.Element =>
+        def na(a: String, d: Double = 0.0) = numAttr(e, a, d)
+        val shape: Option[java.awt.Shape] = e.getTagName match {
+          case "rect" => Some(new java.awt.geom.Rectangle2D.Double(
+            na("x"), na("y"), na("width"), na("height")))
+          case "circle" =>
+            val r = na("r")
+            Some(new java.awt.geom.Ellipse2D.Double(
+              na("cx") - r, na("cy") - r, 2 * r, 2 * r))
+          case "ellipse" =>
+            val (rx, ry) = (na("rx"), na("ry"))
+            Some(new java.awt.geom.Ellipse2D.Double(
+              na("cx") - rx, na("cy") - ry, 2 * rx, 2 * ry))
+          case "line" => Some(new java.awt.geom.Line2D.Double(
+            na("x1"), na("y1"), na("x2"), na("y2")))
+          case "polygon" | "polyline" =>
+            val pts = e.getAttribute("points").trim
+              .split("[ ,]+").filter(_.nonEmpty)
+              .flatMap(s => try Some(s.toDouble)
+                catch { case _: NumberFormatException => None })
+            if (pts.length >= 4) {
+              val p = new java.awt.geom.Path2D.Double()
+              p.moveTo(pts(0), pts(1))
+              (1 until pts.length / 2).foreach(i =>
+                p.lineTo(pts(2 * i), pts(2 * i + 1)))
+              if (e.getTagName == "polygon") p.closePath()
+              Some(p)
+            } else None
+          case _ => None // g/path/text/...: recurse only
+        }
+        shape.foreach { s =>
+          color(e.getAttribute("fill"))
+            .orElse(if (e.hasAttribute("fill")) None
+              else Some(java.awt.Color.BLACK)) // SVG default fill
+            .filter(_ => e.getTagName != "line" && e.getTagName != "polyline")
+            .foreach { c => g.setColor(c); g.fill(s) }
+          color(e.getAttribute("stroke")).foreach { c =>
+            g.setStroke(new java.awt.BasicStroke(
+              math.max(1.0, na("stroke-width", 1.0)).toFloat))
+            g.setColor(c); g.draw(s)
+          }
+        }
+        val kids = e.getChildNodes
+        (0 until kids.getLength).foreach(i => render(kids.item(i)))
+      case _ => ()
+    }
+    render(svg)
+    g.dispose()
+    Some(img)
+  } catch { case _: Exception => None }
+
+  private val namedColors: Map[String, java.awt.Color] = Map(
+    "black" -> java.awt.Color.BLACK, "white" -> java.awt.Color.WHITE,
+    "red" -> java.awt.Color.RED, "green" -> new java.awt.Color(0, 128, 0),
+    "blue" -> java.awt.Color.BLUE, "yellow" -> java.awt.Color.YELLOW,
+    "gray" -> java.awt.Color.GRAY, "grey" -> java.awt.Color.GRAY,
+    "orange" -> java.awt.Color.ORANGE, "purple" -> new java.awt.Color(128, 0, 128),
+    "cyan" -> java.awt.Color.CYAN, "magenta" -> java.awt.Color.MAGENTA)
 
   // --- TIFF (baseline, uncompressed) — pure-JVM codec ---------------------
 
@@ -238,7 +356,7 @@ object BinaryFunctions {
     out
   }
 
-  private def encodePng(img: BufferedImage): Array[Byte] = {
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray

@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   * (codec tables, buffers), then a tight loop over rows, instead of
   * per-row UDF dispatch.
   *
-  * Decode/feature-extract is REAL for JDK rasters (javax.imageio);
-  * video/audio frame-sampling is a STUB — this environment ships no
-  * av codecs — but the Spark-side plumbing (schema, partitioning, batch
-  * shape, null-for-undecodable contract) is the production shape and is
-  * what the tests pin down.
+  * Decode/feature-extract is REAL for JDK rasters (javax.imageio), PCM WAV
+  * audio (RIFF parse + RMS) and uncompressed-DIB AVI video frames (RIFF
+  * parse + DIB decode) — all pure JVM. Compressed av codecs don't ship in
+  * this environment; those inputs take the documented stub path, and the
+  * Spark-side plumbing (schema, partitioning, batch shape,
+  * null-for-undecodable contract) is the production shape either way.
   */
 object MultimodalOps {
 
@@ -77,19 +78,139 @@ object MultimodalOps {
     StructField("frame_idx", IntegerType),
     StructField("frame", BinaryType)))
 
-  /** Video frame sampling — STUB: no av codec ships in this environment, so
-    * frames are deterministic synthetic PNGs derived from (key, index).
-    * The real implementation swaps ONLY the body of `fakeFrame`; schema,
-    * fan-out shape (one row per sampled frame) and partitioning are final. */
+  /** Video frame sampling — REAL for the codec-free container: uncompressed
+    * DIB frames inside a RIFF AVI ([[parseAviFrames]], pure JVM) decode to
+    * PNG rows. Compressed codecs (h264/vp9/...) have no decoder in this
+    * environment; those inputs fall back to deterministic synthetic frames
+    * (documented stub) so the fan-out plumbing — schema, one row per
+    * sampled frame, partitioning — exercises end to end either way. */
   def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     def fakeFrame(key: String, idx: Int): Array[Byte] =
       BinaryFunctions.syntheticPng(key.hashCode.toLong * 31 + idx, 16, 12)
     media.select("key", "bytes").flatMap { r =>
       val key = r.getString(0)
-      (0 until maxFrames).map(i => Row(key, i * everyNth,
-        fakeFrame(key, i * everyNth)))
+      val bytes = r.getAs[Array[Byte]](1)
+      parseAviFrames(bytes, everyNth, maxFrames) match {
+        case Some(frames) =>
+          frames.map { case (idx, png) => Row(key, idx, png) }
+        case None =>
+          (0 until maxFrames).map(i => Row(key, i * everyNth,
+            fakeFrame(key, i * everyNth)))
+      }
     }(enc).toDF()
+  }
+
+  // --- RIFF AVI (uncompressed DIB) — pure-JVM frame extraction ------------
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (u16le(b, i).toLong | (u16le(b, i + 2).toLong << 16)) & 0xffffffffL
+
+  /** Extract every `everyNth`-th video frame (up to `maxFrames`) from an
+    * uncompressed-DIB AVI (BI_RGB, 24-bit) as PNG bytes. Returns None for
+    * anything that isn't such an AVI — compressed streams included. */
+  private[operators] def parseAviFrames(b: Array[Byte], everyNth: Int,
+      maxFrames: Int): Option[Seq[(Int, Array[Byte])]] = try {
+    if (b == null || b.length < 12) return None
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var w = 0; var h = 0; var bitCount = 0; var compression = -1L
+    val raw = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end && pos + 8 <= b.length) {
+        val id = tag(pos)
+        val len = u32le(b, pos + 4).toInt
+        if (id == "LIST") walk(pos + 12, math.min(pos + 8 + len, b.length))
+        else if (id == "strf" && compression == -1L && len >= 40
+          && u32le(b, pos + 8) == 40L) {
+          // BITMAPINFOHEADER (the video stream's format block)
+          w = u32le(b, pos + 12).toInt
+          h = u32le(b, pos + 16).toInt
+          bitCount = u16le(b, pos + 22)
+          compression = u32le(b, pos + 24)
+        } else if ((id == "00db" || id == "00dc") && len > 0
+          && pos + 8 + len <= b.length) {
+          raw += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
+        }
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walk(12, b.length)
+    if (compression != 0L || bitCount != 24 || w <= 0 || h <= 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val picked = Range(0, raw.length, math.max(1, everyNth)).take(maxFrames)
+    val out = picked.flatMap { fi =>
+      val d = raw(fi)
+      if (d.length < stride * h) None
+      else {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val row = (h - 1 - y) * stride // DIB rows are bottom-up, BGR
+          var x = 0
+          while (x < w) {
+            val p = row + x * 3
+            img.setRGB(x, y, ((d(p + 2) & 0xff) << 16) |
+              ((d(p + 1) & 0xff) << 8) | (d(p) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        Some(fi -> BinaryFunctions.encodePng(img))
+      }
+    }
+    if (out.isEmpty) None else Some(out)
+  } catch { case _: Exception => None }
+
+  /** Minimal uncompressed-DIB AVI writer (one 24-bit video stream) —
+    * deterministic fixture bytes for specs; frame pixels derive from
+    * (seed, frame, x, y). */
+  def syntheticAvi(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameLen = stride * h
+    val moviLen = 4 + nFrames * (8 + frameLen + (frameLen & 1))
+    val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    fcc("RIFF"); le32(4 + (8 + hdrlLen) + (8 + moviLen)); fcc("AVI ")
+    fcc("LIST"); le32(hdrlLen); fcc("hdrl")
+    fcc("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0) // µs/frame, maxBps, pad, flags
+    le32(nFrames); le32(0); le32(1); le32(frameLen) // frames, init, streams, buf
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(4 + (8 + 56) + (8 + 40)); fcc("strl")
+    fcc("strh"); le32(56); fcc("vids"); fcc("DIB ")
+    le32(0); le16(0); le16(0); le32(0) // flags, prio, lang, initFrames
+    le32(1); le32(25); le32(0); le32(nFrames) // scale, rate, start, length
+    le32(frameLen); le32(0); le32(0) // bufSize, quality, sampleSize
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    fcc("strf"); le32(40)
+    le32(40); le32(w); le32(h); le16(1); le16(24) // BITMAPINFOHEADER
+    le32(0); le32(frameLen); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(moviLen); fcc("movi")
+    for (f <- 0 until nFrames) {
+      fcc("00db"); le32(frameLen)
+      for (row <- 0 until h) {
+        val y = h - 1 - row // DIB stores the bottom row first
+        for (x <- 0 until w) {
+          val v = (seed * 2654435761L + f * 101 + x * 31 + y * 17) & 0xffffff
+          bos.write((v & 0xff).toInt) // B
+          bos.write(((v >> 8) & 0xff).toInt) // G
+          bos.write(((v >> 16) & 0xff).toInt) // R
+        }
+        for (_ <- w * 3 until stride) bos.write(0) // pad row to 4 bytes
+      }
+      if ((frameLen & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
   }
 
   val audioFeatureSchema: StructType = StructType(Seq(

@@ -44,6 +44,28 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(BinaryFunctions.sniffFormat(r.getAs[Array[Byte]](2)) === "png"))
   }
 
+  test("sampleFrames decodes real uncompressed-DIB AVI frames") {
+    val avi = MultimodalOps.syntheticAvi(seed = 9, w = 10, h = 6, nFrames = 7)
+    val rows = MultimodalOps.sampleFrames(
+      media("v" -> avi), everyNth = 3, maxFrames = 2)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 3))
+    rows.foreach { r =>
+      val png = r.getAs[Array[Byte]](2)
+      assert(BinaryFunctions.sniffFormat(png) === "png")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth === 10 && img.getHeight === 6)
+      val f = r.getInt(1)
+      // pixel-exact vs the writer's seeded formula
+      for (y <- 0 until 6; x <- 0 until 10) {
+        val v = (9L * 2654435761L + f * 101 + x * 31 + y * 17) & 0xffffff
+        assert((img.getRGB(x, y) & 0xffffff) === v.toInt,
+          s"pixel ($x,$y) of frame $f")
+      }
+    }
+  }
+
   test("audioFeatures parses real PCM WAV; rejects non-audio") {
     val wav = MultimodalOps.syntheticWav(freqHz = 440, seconds = 0.25)
     val df = MultimodalOps.audioFeatures(media(
