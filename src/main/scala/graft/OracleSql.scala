@@ -136,6 +136,65 @@ object OracleSql {
       |WHERE dt.c = 1 AND dt.v <> 1
       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Exact replay of q51's md5 MinHash+LSH pair pipeline: k=8 signature,
+    * candidate pairs = any of the 4 bands (2 rows each) fully equal,
+    * est_jaccard = agreeing positions / 8. */
+  private val minhashPairsMd5: String = {
+    val mins = (0 until 8).map(j =>
+      s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
+    val agree = (0 until 8)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandEq = (0 until 4).map(bq =>
+      s"(a.s${2 * bq} = b.s${2 * bq} AND a.s${2 * bq + 1} = b.s${2 * bq + 1})")
+      .mkString(" OR ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM documents),
+       |sh AS (
+       |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |m AS (
+       |  SELECT doc_id,
+       |   $mins
+       |  FROM sh GROUP BY doc_id)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       ($agree) / 8.0 AS est_jaccard
+       |FROM m a JOIN m b ON a.doc_id < b.doc_id AND ($bandEq)
+       |WHERE ($agree) / 8.0 >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Exact replay of q52's md5 winnowing: the fingerprint set is the
+    * distinct minima of every 16-wide sliding window over char-8-gram
+    * hashes (rightmost-min tie-break never changes the VALUE picked). */
+  private val winnowMd5: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           ORDER BY doc_id LIMIT 300),
+       |pos AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(1, GREATEST(length(text) - 8 + 1, 0) + 1)) AS i
+       |  FROM d),
+       |g AS (
+       |  SELECT doc_id, i,
+       |         ${ddbHash("substr(text, i::INT, 8)")} AS h
+       |  FROM pos),
+       |wm AS (
+       |  SELECT doc_id, i,
+       |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS vm,
+       |         MAX(i) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g),
+       |f AS (SELECT DISTINCT doc_id, vm FROM wm WHERE i <= ng - 16 + 1),
+       |agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_fp, MIN(vm) AS min_fp
+       |        FROM f GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.n_fp, 0)::BIGINT AS n_fp, agg.min_fp
+       |FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private val q8Sql: String =
     """SELECT n.n_name,
       |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -371,6 +430,8 @@ object OracleSql {
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey <= 50
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q51_minhash_pairs_md5" -> minhashPairsMd5,
+    "q52_winnow_md5" -> winnowMd5,
     "q49_nested_deep" ->
       """WITH li AS (
         |  SELECT l_orderkey,

@@ -71,6 +71,8 @@ object SparkEntry {
     "q48_simhash_pairs" -> (T.q48SimhashPairs(_, _)),
     "q49_nested_deep" -> (R.q49NestedDeep(_, _)),
     "q50_revenue_bucketed" -> (B.q50RevenueBucketed(_, _)),
+    "q51_minhash_pairs_md5" -> (T.q51MinhashPairsMd5(_, _)),
+    "q52_winnow_md5" -> (T.q52WinnowMd5(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

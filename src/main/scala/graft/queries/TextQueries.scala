@@ -165,6 +165,68 @@ object TextQueries {
       .orderBy("a", "b")
   }
 
+  /** Q51 — MinHash+LSH near-dup pairs, md5-derived twin of q30: same
+    * banding algorithm (k=8 signature, 4 bands × 2 rows, est-Jaccard
+    * filter) over the engine-portable md5 hashes, so DuckDB replays the
+    * WHOLE pair pipeline — this is the oracle anchor for the LSH-pair
+    * algorithm, with q30 as the xxhash64 fast path (same plan shape).
+    * The shingle set and signature are each materialized (.cache) before
+    * fan-out — Catalyst re-inlines non-cheap array expressions into every
+    * consumer, which would recompute shingles k× and the signature 4×. */
+  def q51MinhashPairsMd5(s: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val k = 8
+    val shd = docs(s, dir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val sigd = shd
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+      .cache()
+    val signed = sigd.withColumn("band",
+      explode(lshBands(col("sig"), 4, 2)))
+    val a = signed.select(col("doc_id").as("a"), col("sig").as("sig_a"),
+      col("band"))
+    val b = signed.select(col("doc_id").as("b"), col("sig").as("sig_b"),
+      col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        minhashJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Q52 — winnowing fingerprints, md5/char-gram twin of q43: the
+    * fingerprint SET equals the distinct sliding-window minima (the
+    * rightmost-min tie rule only picks WHICH index, never a different
+    * VALUE), so both engines compute: char-8-gram md5 hashes → min over
+    * each 16-window → distinct. q43 stays the byte-gram xxhash fast path.
+    * Docs are pre-limited (orderBy+limit 300) BEFORE the per-char hashing
+    * so the expensive stage runs on exactly the output rows; the hash
+    * array is materialized (.cache) before the window-min pass for the
+    * same inlining reason as q51. */
+  def q52WinnowMd5(s: SparkSession, dir: String,
+      k: Int = 8, w: Int = 16): DataFrame = {
+    val top = docs(s, dir).select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(300)
+    val hs = when(length(col("text")) < k, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => conv(substring(md5(col("text").substr(i, lit(k))
+          .cast("binary")), 1, 15), 16, 10).cast("long")))
+    val withHs = top.select(col("doc_id"), hs.as("hs")).cache()
+    val fps = when(size(col("hs")) < w, array().cast("array<long>"))
+      .otherwise(array_sort(array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - (w - 1)),
+        i => array_min(slice(col("hs"), i, lit(w)))))))
+    withHs.select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        try_element_at(col("fps"), lit(1)).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash values (16-bit md5-derived) per document (fused kernel;
     * bit-equivalent to the declarative simhash16 — spec-verified). */
   def q31Simhash(s: SparkSession, dir: String): DataFrame =
