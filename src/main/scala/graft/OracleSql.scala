@@ -136,6 +136,45 @@ object OracleSql {
       |WHERE dt.c = 1 AND dt.v <> 1
       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Exact replay of q44's hyperplane-LSH pair pipeline: the ±1 plane set
+    * is deterministic (SimilarityQueries.hyperplanes), so it rides into the
+    * SQL as a VALUES table; signature bit b = dot(normalized emb,
+    * plane_b) > 0, candidates share either 8-bit band, survivors pay the
+    * exact cosine (same d/(nrm·nrm) form the green q33 oracle uses). */
+  private val embLshPairsSql: String = {
+    val planes = graft.queries.SimilarityQueries.hyperplanes(16, 64)
+    val vals = (for (b <- 0 until 16; i <- 0 until 64)
+      yield s"($b,${i + 1},${planes(b)(i)})").mkString(",")
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |         generate_subscripts(embedding,1) AS i
+       |  FROM embeddings),
+       |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+       |nx AS (SELECT e.vec_id, e.i, e.x / NULLIF(nr.nrm, 0) AS x
+       |       FROM ex e JOIN nr ON nr.vec_id = e.vec_id),
+       |pl(plane, i, s) AS (VALUES $vals),
+       |pb AS (SELECT nx.vec_id, pl.plane, SUM(nx.x * pl.s) AS d
+       |       FROM nx JOIN pl ON pl.i = nx.i GROUP BY 1, 2),
+       |sig AS (SELECT vec_id,
+       |          CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << plane)
+       |                        ELSE 0 END) AS BIGINT) AS sg
+       |        FROM pb GROUP BY 1),
+       |dt AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS d
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT dt.a, dt.b, ROUND(dt.d / (na.nrm * nb.nrm), 4) AS sim
+       |FROM dt
+       |JOIN sig sa ON sa.vec_id = dt.a
+       |JOIN sig sb ON sb.vec_id = dt.b
+       |JOIN nr na ON na.vec_id = dt.a
+       |JOIN nr nb ON nb.vec_id = dt.b
+       |WHERE ((sa.sg & 255) = (sb.sg & 255)
+       |   OR ((sa.sg >> 8) & 255) = ((sb.sg >> 8) & 255))
+       |  AND ROUND(dt.d / (na.nrm * nb.nrm), 4) >= 0.4
+       |ORDER BY dt.a, dt.b""".stripMargin
+  }
+
   /** Exact replay of q51's md5 MinHash+LSH pair pipeline: k=8 signature,
     * candidate pairs = any of the 4 bands (2 rows each) fully equal,
     * est_jaccard = agreeing positions / 8. */
@@ -430,6 +469,7 @@ object OracleSql {
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |WHERE c.c_custkey <= 50
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q44_emb_lsh_pairs" -> embLshPairsSql,
     "q51_minhash_pairs_md5" -> minhashPairsMd5,
     "q52_winnow_md5" -> winnowMd5,
     "q49_nested_deep" ->

@@ -124,8 +124,10 @@ object SimilarityQueries {
   /** Q44 — embedding near-dup via random-hyperplane LSH: 16 sign bits per
     * vector (16 codegen dot products), banded into 2×8-bit keys; candidate
     * pairs come from the band equi-join and only candidates pay the exact
-    * cosine — the scale path that replaces q33's O(n²) scan. Rows-only
-    * (recall-vs-exact is spec-tested; LSH misses are by design). */
+    * cosine — the scale path that replaces q33's O(n²) scan. The plane set
+    * is deterministic, so the whole pipeline is DuckDB-replayed (planes as
+    * a VALUES table in the oracle); recall-vs-exact is additionally
+    * spec-tested. */
   def q44EmbLshPairs(s: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame =
     embLshPairs(embNorm(s, dir), threshold)

@@ -31,6 +31,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("l_d") === (None, None))
   }
 
+  test("asof matches a brute-force oracle on randomized data") {
+    // 100 independent random key-scenarios in ONE Spark job; keys 5,10,...
+    // have no right rows at all (left rows must come back null)
+    val rnd = new scala.util.Random(42)
+    val leftRows = for (k <- 1 to 100; i <- 1 to rnd.nextInt(8) + 1)
+      yield (s"k$k", rnd.nextInt(50).toLong, s"L$k-$i")
+    val rightRows = for (k <- 1 to 100 if k % 5 != 0; _ <- 1 to rnd.nextInt(6) + 1)
+      yield (s"k$k", rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong)
+    val got = AsOfJoin.asof(
+      leftRows.toDF("key", "t", "tag"),
+      rightRows.toDF("key", "t", "rid"), "key", "t", "t", tieBreak = "rid")
+      .collect()
+      .map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    val rightByKey = rightRows.groupBy(_._1)
+    leftRows.foreach { case (k, t, tag) =>
+      val expect = rightByKey.getOrElse(k, Nil)
+        .filter(_._2 <= t)
+        .sortBy(r => (r._2, r._3))
+        .lastOption.map(_._3) // latest t at-or-before; tie → max rid
+      assert(got(tag) === expect, s"key=$k t=$t")
+    }
+  }
+
   test("asof plan: one hash exchange, no range-join explosion") {
     val ev = graft.Tables.load(spark, sf("sf0.001"), "events")
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -69,6 +69,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(tie === 0)
   }
 
+  test("NearestCentroid matches brute-force argmax on randomized inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cells = Seq.fill(9)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val vecs = (1L to 200L).map(i =>
+      i -> Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), VectorFunctions.nearestCell(col("v"), cells).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      // same sequential multiply-add order as the kernel → identical FP
+      val dots = cells.map(c => c.lazyZip(v).map(_ * _).sum)
+      assert(got(id) === dots.indexOf(dots.max), s"vec $id")
+    }
+  }
+
   test("k-means-trained index still finds the stored query vector") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
