@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.VectorFunctions.{DotProduct, NormalizeL2}
+import graft.functions.TextKernelExpressions.{HashedShingles, LangId, MinhashSig, SimhashMd5, Winnow}
+import graft.functions.VectorFunctions.{DotProduct, NearestCentroid, NormalizeL2}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,13 +24,56 @@ object GraftFunctions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
 
+  /** Extract a foldable int argument (k/n/bits parameters in SQL calls). */
+  private def litInt(e: Expression): Int = {
+    require(e.foldable, s"literal int expected, got $e")
+    e.eval(null) match {
+      case i: Int => i
+      case other => other.toString.toInt
+    }
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("vec_normalize"),
       info("vec_normalize", "vec_normalize(a) - L2-normalize an array<double>"),
-      (args: Seq[Expression]) => NormalizeL2(args.head)))
+      (args: Seq[Expression]) => NormalizeL2(args.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(text, k, n) - k-row MinHash over word-n-gram shingles"),
+      (args: Seq[Expression]) =>
+        MinhashSig(args(0), litInt(args(1)), litInt(args(2)))),
+    (FunctionIdentifier("simhash_md5"),
+      info("simhash_md5",
+        "simhash_md5(text, bits) - md5-derived SimHash of the token set"),
+      (args: Seq[Expression]) => SimhashMd5(args(0), litInt(args(1)))),
+    (FunctionIdentifier("winnow"),
+      info("winnow",
+        "winnow(text, k, w) - winnowing fingerprint set (k-grams, window w)"),
+      (args: Seq[Expression]) =>
+        Winnow(args(0), litInt(args(1)), litInt(args(2)))),
+    (FunctionIdentifier("hashed_shingles"),
+      info("hashed_shingles",
+        "hashed_shingles(text, n) - distinct xxhash64 of word-n-grams"),
+      (args: Seq[Expression]) => HashedShingles(args(0), litInt(args(1)))),
+    (FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(text) - stopword-marker language guess"),
+      (args: Seq[Expression]) => LangId(args.head)),
+    (FunctionIdentifier("vec_nearest_centroid"),
+      info("vec_nearest_centroid",
+        "vec_nearest_centroid(v, codebook_array_literal) - 0-based argmax-" +
+          "dot cell over a literal array<array<double>> codebook"),
+      (args: Seq[Expression]) => {
+        require(args(1).foldable, "codebook must be a literal")
+        val cb = args(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cells = (0 until cb.numElements()).map { c =>
+          cb.getArray(c).toDoubleArray()
+        }.toArray
+        NearestCentroid(args(0), cells)
+      }))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

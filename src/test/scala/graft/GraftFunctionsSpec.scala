@@ -23,10 +23,38 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect().head.getDouble(0) === 2.0)
   }
 
+  test("text kernels and the argmax cell are SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  minhash_sig('a b c d e', 4, 3) AS sig,
+        |  simhash_md5('hello world', 16) AS sh,
+        |  winnow('abcdefghij abcdefghij abcdefghij', 4, 4) AS fps,
+        |  hashed_shingles('a b c d', 2) AS hs,
+        |  lang_id('the of and to hello') AS lang,
+        |  vec_nearest_centroid(array(0D, 1D),
+        |    array(array(1D, 0D), array(0D, 1D))) AS cell""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0).length === 4)
+    assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 16))
+    assert(r.getSeq[Long](2).nonEmpty)
+    assert(r.getSeq[Long](3).length === 3)
+    assert(r.getString(4) === "en")
+    assert(r.getInt(5) === 1)
+    // the SQL route agrees with the Column-API route
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaCol = Seq("hello world").toDF("t")
+      .select(graft.functions.TextKernelExpressions
+        .simhashMd5(col("t"), 16)).head().getLong(0)
+    assert(r.getLong(1) === viaCol)
+  }
+
   test("the extensions class injects every function") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders are wired
     assert(GraftFunctions.all.map(_._1.funcName).toSet
-      === Set("vec_dot", "vec_normalize"))
+      === Set("vec_dot", "vec_normalize", "minhash_sig", "simhash_md5",
+        "winnow", "hashed_shingles", "lang_id", "vec_nearest_centroid"))
   }
 }
