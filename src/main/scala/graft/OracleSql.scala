@@ -187,10 +187,12 @@ object OracleSql {
     val bandEq = (0 until 4).map(bq =>
       s"(a.s${2 * bq} = b.s${2 * bq} AND a.s${2 * bq + 1} = b.s${2 * bq + 1})")
       .mkString(" OR ")
-    s"""WITH toks AS (
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           ORDER BY doc_id LIMIT 1000),
+       |toks AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
        |         generate_subscripts(string_split(text,' '),1) AS i
-       |  FROM documents),
+       |  FROM d),
        |sh AS (
        |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
        |  FROM toks a

@@ -172,11 +172,16 @@ object TextQueries {
     * algorithm, with q30 as the xxhash64 fast path (same plan shape).
     * The shingle set and signature are each materialized (.cache) before
     * fan-out — Catalyst re-inlines non-cheap array expressions into every
-    * consumer, which would recompute shingles k× and the signature 4×. */
+    * consumer, which would recompute shingles k× and the signature 4×.
+    * Docs are pre-limited (first 1000 by id) because the md5→hex→conv
+    * chain is interpreted-expression-expensive — the algorithm anchor only
+    * needs a fixed slice; q30's xxhash kernel is the full-corpus path. */
   def q51MinhashPairsMd5(s: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val k = 8
     val shd = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(1000)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
