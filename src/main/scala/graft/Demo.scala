@@ -60,15 +60,32 @@ object Demo {
       lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
     merged.write.mode("overwrite").parquet(s"$outDir/token_metadata")
 
-    // 4. Multimodal: synthetic images through the batch feature extractor.
+    // 4. Multimodal: synthetic images/audio/video through the batch feature
+    //    extractors (png via ImageIO; AVI frames via the pure-JVM parser).
     val media = (1 to 50).map(i => (s"img$i",
       graft.functions.BinaryFunctions.syntheticPng(i.toLong, 32, 24)))
       .toDF("key", "bytes")
     MultimodalOps.imageFeatures(media)
       .write.mode("overwrite").parquet(s"$outDir/image_features")
+    val videos = (1 to 5).map(i => (s"vid$i",
+      MultimodalOps.syntheticAvi(i.toLong, 16, 12, nFrames = 6)))
+      .toDF("key", "bytes")
+    MultimodalOps.sampleFrames(videos, everyNth = 2, maxFrames = 3)
+      .write.mode("overwrite").parquet(s"$outDir/video_frames")
+
+    // 5. Store maintenance: content-addressed GC keeps only the current
+    //    version per logical name (the reference's glob-delete analog).
+    val store = (1 to 20).flatMap(i => Seq(
+      (s"o${i}_t${i}_200_150", s"k${i}a", 1L),
+      (s"o${i}_t${i}_200_150", s"k${i}b", 2L))) // b supersedes a
+      .toDF("name", "content_key", "seq")
+    store.write.mode("overwrite").parquet(s"$outDir/image_store")
+    val (gcBefore, gcAfter) =
+      Enrichment.compactStore(spark, s"$outDir/image_store")
+    println(s"image_store GC: $gcBefore -> $gcAfter rows")
 
     val counts = (snapshots.keys.toSeq :+ "messages" :+ "token_metadata"
-      :+ "image_features").sorted.map { t =>
+      :+ "image_features" :+ "video_frames" :+ "image_store").sorted.map { t =>
       t -> spark.read.parquet(s"$outDir/$t").count()
     }
     counts.foreach { case (t, n) => println(f"$t%-26s $n%6d rows") }

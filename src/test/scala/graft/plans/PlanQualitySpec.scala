@@ -79,10 +79,21 @@ class PlanQualitySpec extends SparkSpec {
   test("near-dup joins never degrade to a cartesian product") {
     import graft.queries.TextQueries
     Seq(TextQueries.q30MinhashPairs(spark, dir),
-      TextQueries.q32NgramJaccard(spark, dir)).foreach { df =>
+      TextQueries.q32NgramJaccard(spark, dir),
+      TextQueries.q51MinhashPairsMd5(spark, dir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     }
+  }
+
+  test("q49 two-level nesting: bottom-up aggregation, no cartesian") {
+    val df = R.q49NestedDeep(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // two collect_list aggregations (per-order items, per-customer orders)
+    val objAggs = p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+    assert(objAggs >= 2, s"missing bottom-up aggregation stages:\n$p")
   }
 
   test("q35 fold: one hash exchange + partition sort, no global sort") {
