@@ -472,6 +472,46 @@ object OracleSql {
         |WHERE c.c_custkey <= 50
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
     "q44_emb_lsh_pairs" -> embLshPairsSql,
+    // int8 quantization: unrounded scale drives the error; outputs floored
+    // (tie-free). The squared-error sum stays a LIST fold (list_sum), not
+    // SUM over unnest — element order then matches Spark's sequential
+    // aggregate() bit-for-bit, so flooring is safe at any granularity.
+    "q53_quantize_i8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding AS v,
+        |         127.0 / GREATEST(
+        |           list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+        |           1e-12) AS scale
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, scale,
+        |         list_sum(list_transform(v, x ->
+        |           POW(x::DOUBLE - GREATEST(-127.0, LEAST(127.0,
+        |                 FLOOR(x::DOUBLE * scale + 0.5))) / scale, 2)))
+        |           AS sse,
+        |         len(v) AS n
+        |  FROM s)
+        |SELECT vec_id, FLOOR(scale * 1e4) / 1e4 AS scale,
+        |       FLOOR(COALESCE(sse, 0) / n * 1e10) / 1e4 AS mse_ppm
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q54_hash_split" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    ${ddbHash("CAST(doc_id AS VARCHAR) || '#0'")} % 10 AS b
+         |  FROM documents)
+         |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n, COUNT(DISTINCT lang) AS langs
+         |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "q55_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    CASE WHEN ${ddbHash("CAST(doc_id AS VARCHAR) || '#1'")} % 100 < 10
+         |         THEN 1 ELSE 0 END AS sel
+         |  FROM documents)
+         |SELECT lang, SUM(sel)::BIGINT AS n_sampled, COUNT(*) AS n_total,
+         |       ROUND(SUM(sel)::DOUBLE / COUNT(*), 4) AS rate
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "q51_minhash_pairs_md5" -> minhashPairsMd5,
     "q52_winnow_md5" -> winnowMd5,
     "q49_nested_deep" ->

@@ -73,6 +73,9 @@ object SparkEntry {
     "q50_revenue_bucketed" -> (B.q50RevenueBucketed(_, _)),
     "q51_minhash_pairs_md5" -> (T.q51MinhashPairsMd5(_, _)),
     "q52_winnow_md5" -> (T.q52WinnowMd5(_, _)),
+    "q53_quantize_i8" -> (S.q53QuantizeI8(_, _)),
+    "q54_hash_split" -> (T.q54HashSplit(_, _)),
+    "q55_stratified_sample" -> (T.q55StratifiedSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

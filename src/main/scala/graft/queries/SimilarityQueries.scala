@@ -107,6 +107,41 @@ object SimilarityQueries {
       .limit(k)
   }
 
+  /** Q53 — int8 embedding quantization (the storage form at 100 TB: 4×
+    * smaller than float32, 8× smaller than float64): per-vector max-abs
+    * scale, symmetric round-half-up to [-127,127], plus the reconstruction
+    * error so the quality loss is measurable. Every step is elementary
+    * float math (floor, not round — tie-free across engines), so DuckDB
+    * replays it exactly; error is reported in ppm so ROUND(x,4) keeps
+    * signal. */
+  def q53QuantizeI8(s: SparkSession, dir: String): DataFrame = {
+    val v = col("emb")
+    val scale = lit(127.0) /
+      greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
+    // outputs truncated (floor), not round()ed: the generator's quantized
+    // values land scale exactly on .00005 ties, where Spark's HALF_UP and
+    // DuckDB's binary rounding disagree — floor over a double is pure.
+    // Full-precision scale rides as "_scale": an output alias "scale" in
+    // the same SELECT would hijack col("scale") inside the lambda via
+    // lateral-column-alias resolution (Spark 3.4+) and quantize against
+    // the TRUNCATED scale.
+    emb(s, dir)
+      .select(col("vec_id"), col("emb"), scale.as("_scale"))
+      .select(col("vec_id"),
+        (floor(col("_scale") * 1e4) / 1e4).as("scale"),
+        (floor(
+          aggregate(
+            transform(col("emb"), x => {
+              val q = greatest(lit(-127.0),
+                least(lit(127.0), floor(x * col("_scale") + 0.5)))
+              val e = x - q / col("_scale")
+              e * e
+            }),
+            lit(0.0), (acc, e) => acc + e) / size(col("emb")) * 1e10) / 1e4)
+          .as("mse_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** Un-normalized cosine kept for spec cross-checks. */
   def cosineRaw(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -269,6 +269,39 @@ object TextQueries {
       .orderBy("a", "b")
   }
 
+  /** Q54 — deterministic hash-based dataset split (train/val/test), the
+    * backbone of any training pipeline: assignment = content-stable hash of
+    * the document id mod 10 (8/1/1), so the split is reproducible across
+    * runs, engines and re-partitions — never rand(). md5-derived hash so
+    * DuckDB replays it; a map-side projection + one count shuffle. */
+  def q54HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = seededHash(col("doc_id").cast("string"), 0)
+    docs(s, dir)
+      .select(col("lang"),
+        when(pmod(h, lit(10)) < 8, "train")
+          .when(pmod(h, lit(10)) === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("langs"))
+      .orderBy("split")
+  }
+
+  /** Q55 — stratified deterministic sampling: a fixed-rate (10%) sample
+    * per language stratum selected by hash threshold (pmod(h,100) < 10) —
+    * the reproducible alternative to rand()-sampling for corpus
+    * subsetting. Reports per-stratum sampled/total/rate. */
+  def q55StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = seededHash(col("doc_id").cast("string"), 1)
+    docs(s, dir)
+      .select(col("lang"), (pmod(h, lit(100)) < 10).as("sel"))
+      .groupBy("lang")
+      .agg(sum(col("sel").cast("long")).as("n_sampled"),
+        count(lit(1)).as("n_total"))
+      .withColumn("rate",
+        round(col("n_sampled").cast("double") / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * cheap blocking key (same lang + same token-count bucket), so the
     * pair space stays linear-ish instead of O(n²). */
