@@ -503,6 +503,15 @@ object OracleSql {
          |            ELSE 'test' END AS split,
          |       COUNT(*) AS n, COUNT(DISTINCT lang) AS langs
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "q56_top_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name, n.n_name,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |         AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, s.s_suppkey LIMIT 100""".stripMargin,
     "q55_stratified_sample" ->
       s"""WITH h AS (
          |  SELECT lang,

@@ -76,6 +76,7 @@ object SparkEntry {
     "q53_quantize_i8" -> (S.q53QuantizeI8(_, _)),
     "q54_hash_split" -> (T.q54HashSplit(_, _)),
     "q55_stratified_sample" -> (T.q55StratifiedSample(_, _)),
+    "q56_top_suppliers" -> (R.q56TopSuppliers(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -365,6 +365,24 @@ object RelationalQueries {
         round(percentile(col("value"), lit(0.5)), 4).as("med"))
       .orderBy("event_type")
 
+  /** Q56 — supplier-side revenue (TPC-H Q15 shape): lineitem's SECOND FK
+    * edge (l_suppkey→supplier, J2) with the supplier/nation dimensions
+    * broadcast; per-supplier revenue, top-100 with deterministic
+    * tie-break. Completes the star: every fixture table is now exercised
+    * by at least one oracle-checked query. */
+  def q56TopSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val sup = broadcast(t(s, dir, "supplier"))
+    val n = broadcast(t(s, dir, "nation"))
+    l.join(sup, sup("s_suppkey") === l("l_suppkey"))
+      .join(n, n("n_nationkey") === sup("s_nationkey"))
+      .groupBy(sup("s_suppkey"), sup("s_name"), n("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
