@@ -40,6 +40,28 @@ object SnapshotStore {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Write Z-ordered on two range-predicate dimensions: each output file
+    * covers a small RECTANGLE of the (d1, d2) key space, so parquet
+    * min/max statistics prune scans filtering on either or both columns —
+    * a plain sort clusters only its leading column. Quantile boundaries
+    * come from approxQuantile (driver-side sketch — no extra shuffle);
+    * the Morton code adds one range repartition + partition sort, i.e.
+    * exactly what any clustered write pays. */
+  def writeZOrdered(df: DataFrame, path: String, d1: String, d2: String,
+      numFiles: Int, buckets: Int = 4096): Unit = {
+    import graft.functions.ZOrderFunctions.{bucketize, morton}
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val b1 = df.stat.approxQuantile(d1, probes, 0.001)
+    val b2 = df.stat.approxQuantile(d2, probes, 0.001)
+    df.withColumn("_z",
+      morton(bucketize(col(d1).cast("double"), b1).cast("long"),
+        bucketize(col(d2).cast("double"), b2).cast("long")))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
