@@ -503,6 +503,12 @@ object OracleSql {
          |            ELSE 'test' END AS split,
          |       COUNT(*) AS n, COUNT(DISTINCT lang) AS langs
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "q57_zorder_scan" ->
+      """SELECT COUNT(*) AS n, ROUND(SUM(value), 4) AS sv,
+        |       MIN(event_id) AS mn, MAX(event_id) AS mx
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80
+        |  AND event_id BETWEEN 1000 AND 3000""".stripMargin,
     "q56_top_suppliers" ->
       """SELECT s.s_suppkey, s.s_name, n.n_name,
         |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)

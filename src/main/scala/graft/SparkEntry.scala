@@ -77,6 +77,7 @@ object SparkEntry {
     "q54_hash_split" -> (T.q54HashSplit(_, _)),
     "q55_stratified_sample" -> (T.q55StratifiedSample(_, _)),
     "q56_top_suppliers" -> (R.q56TopSuppliers(_, _)),
+    "q57_zorder_scan" -> (R.q57ZorderScan(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

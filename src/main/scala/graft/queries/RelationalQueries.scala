@@ -383,6 +383,25 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** Q57 — Z-order layout round-trip: write events clustered on
+    * (user_id, event_id), re-read with a two-dimensional range predicate,
+    * aggregate. Results are layout-invariant (the oracle runs the same
+    * predicate on the raw table); what the layout buys — per-file
+    * rectangle coverage, so this scan prunes on BOTH dimensions — is
+    * asserted in ZOrderSpec. */
+  def q57ZorderScan(s: SparkSession, dir: String): DataFrame = {
+    val path =
+      s"/root/repo/target/tmp/q57_zorder_${s.sparkContext.applicationId}"
+    graft.sources.SnapshotStore.writeZOrdered(
+      t(s, dir, "events").select("user_id", "event_id", "value"),
+      path, "user_id", "event_id", numFiles = 8, buckets = 256)
+    s.read.parquet(path)
+      .filter(col("user_id").between(40, 80) &&
+        col("event_id").between(1000, 3000))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"),
+        min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+  }
+
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */
   def q24Snapshot(s: SparkSession, dir: String): DataFrame = {
