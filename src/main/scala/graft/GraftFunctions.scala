@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextKernelExpressions.{HashedShingles, LangId, MinhashSig, SimhashMd5, Winnow}
-import graft.functions.VectorFunctions.{DotProduct, NearestCentroid, NormalizeL2}
+import graft.functions.VectorFunctions.{DotProduct, NearestCentroid, NormalizeL2, QuantizeI8}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -61,6 +61,10 @@ object GraftFunctions {
     (FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(text) - stopword-marker language guess"),
       (args: Seq[Expression]) => LangId(args.head)),
+    (FunctionIdentifier("vec_quantize_i8"),
+      info("vec_quantize_i8",
+        "vec_quantize_i8(v) - int8 quantization: struct(scale, mse, q)"),
+      (args: Seq[Expression]) => QuantizeI8(args.head)),
     (FunctionIdentifier("vec_nearest_centroid"),
       info("vec_nearest_centroid",
         "vec_nearest_centroid(v, codebook_array_literal) - 0-based argmax-" +

@@ -193,6 +193,64 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** Fused int8 quantization kernel (the production form of q53's
+    * declarative/oracle twin): one pass computes the max-abs scale, the
+    * clamped round-half-up int8 codes and the reconstruction MSE —
+    * struct(scale double, mse double, q array<tinyint>). Embeddings stored
+    * int8 are 8× smaller than float64 at 100 TB; the kernel is a codegen
+    * Expression so the quantizing scan stays inside whole-stage codegen. */
+  def quantizeKernel(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i)); if (a > amax) amax = a; i += 1
+    }
+    val scale = 127.0 / math.max(amax, 1e-12)
+    val q = new Array[Byte](n)
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val c = math.max(-127.0, math.min(127.0, math.floor(x * scale + 0.5)))
+      q(i) = c.toByte
+      val e = x - c / scale
+      sse += e * e
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, if (n == 0) 0.0 else sse / n,
+        UnsafeArrayData.fromPrimitiveArray(q)))
+  }
+
+  case class QuantizeI8(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.sql}")
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("mse", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("q",
+        ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false),
+        nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_quantize_i8"
+    override protected def nullSafeEval(a: Any): Any =
+      quantizeKernel(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+           |  graft.functions.VectorFunctions.quantizeKernel($v);""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+      copy(child = newChild)
+  }
+
+  def quantizeI8(v: Column): Column =
+    Bridge.column(QuantizeI8(Bridge.expression(v)))
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 

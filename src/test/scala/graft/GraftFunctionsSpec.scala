@@ -55,6 +55,7 @@ class GraftFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw; builders are wired
     assert(GraftFunctions.all.map(_._1.funcName).toSet
       === Set("vec_dot", "vec_normalize", "minhash_sig", "simhash_md5",
-        "winnow", "hashed_shingles", "lang_id", "vec_nearest_centroid"))
+        "winnow", "hashed_shingles", "lang_id", "vec_nearest_centroid",
+        "vec_quantize_i8"))
   }
 }

@@ -124,6 +124,28 @@ class PlanQualitySpec extends SparkSpec {
       s"nested-loop join in LSH band join:\n$p")
   }
 
+  test("fused text/vector kernels stay inside whole-stage codegen") {
+    import graft.queries.TextQueries
+    import graft.functions.VectorFunctions
+    // q31's fused simhash projection must carry the codegen marker
+    val sh = TextQueries.q31Simhash(spark, dir)
+    sh.collect()
+    val pSh = sh.queryExecution.executedPlan.toString
+    assert(pSh.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("simhash_md5")),
+      s"simhash kernel outside codegen:\n$pSh")
+    // the int8 quantization kernel likewise
+    val e = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+      .select(VectorFunctions.quantizeI8(
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>")).as("z"))
+    e.collect()
+    val pQ = e.queryExecution.executedPlan.toString
+    assert(pQ.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("vec_quantize_i8")),
+      s"quantize kernel outside codegen:\n$pQ")
+  }
+
   test("q34 IVF assignment is map-side: zero Exchange before the top-k") {
     val df = S.q34AnnIvf(spark, dir)
     df.collect()
