@@ -251,6 +251,59 @@ object VectorFunctions {
   def quantizeI8(v: Column): Column =
     Bridge.column(QuantizeI8(Bridge.expression(v)))
 
+  /** Score int8-quantized codes directly against a float query vector:
+    * (Σ codes_i · query_i) / scale ≈ dot(original, query) — the IVF-SQ8
+    * probe kernel. The query rides as a double[] reference object; codes
+    * are never dequantized into a float array (one fused loop, codegen). */
+  case class DotDequantI8(codes: Expression, scale: Expression,
+      query: Array[Double]) extends BinaryExpression {
+    override def left: Expression = codes
+    override def right: Expression = scale
+    override def checkInputDataTypes(): TypeCheckResult =
+      (codes.dataType, scale.dataType) match {
+        case (ArrayType(org.apache.spark.sql.types.ByteType, _), DoubleType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<tinyint>, double), got ${l.sql}, ${r.sql}")
+      }
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_dot_dequant_i8"
+
+    override protected def nullSafeEval(c: Any, s: Any): Any = {
+      val q = c.asInstanceOf[ArrayData]
+      val n = math.min(q.numElements(), query.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += q.getByte(i) * query(i); i += 1 }
+      acc / s.asInstanceOf[Double]
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, s) => {
+        val qv = ctx.addReferenceObj("query", query, "double[]")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = Math.min($c.numElements(), $qv.length);
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $c.getByte($i) * $qv[$i];
+           |}
+           |${ev.value} = $acc / $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotDequantI8 =
+      copy(codes = newLeft, scale = newRight)
+  }
+
+  def dotDequantI8(codes: Column, scale: Column, query: Array[Double]): Column =
+    Bridge.column(DotDequantI8(Bridge.expression(codes),
+      Bridge.expression(scale), query))
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 

@@ -2,6 +2,7 @@ package graft.similarity
 
 import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions.{dot, nearestCell, normalized}
+// (VectorFunctions also supplies quantizeI8 / dotDequantI8 for the SQ8 path)
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,9 +76,12 @@ object IvfIndex {
   }
 
   /** emb: (vec_id long, embedding array<float|double>). kmeansIters = 0
-    * uses the deterministic first-k codebook; > 0 trains real centroids. */
+    * uses the deterministic first-k codebook; > 0 trains real centroids.
+    * sq8 = true stores int8-quantized vectors (scale + codes — 8× smaller
+    * than float64 at 100 TB, the FAISS IVF-SQ8 layout); search scores the
+    * codes directly with the fused dequantizing-dot kernel. */
   def build(emb: DataFrame, path: String, nCells: Int,
-      kmeansIters: Int = 0): Unit = {
+      kmeansIters: Int = 0, sq8: Boolean = false): Unit = {
     val n0 = emb.select(col("vec_id"),
       normalized(col("embedding").cast("array<double>")).as("nemb"))
     // cache only when training re-scans the corpus per iteration; the
@@ -87,8 +91,14 @@ object IvfIndex {
       if (kmeansIters > 0)
         collectCodebook(trainCentroids(n, nCells, kmeansIters))
       else collectCodebook(codebook(n, nCells))
-    withCell(n, book)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val assigned = withCell(n, book)
+    val stored =
+      if (sq8) assigned
+        .withColumn("_z", VectorFunctions.quantizeI8(col("nemb")))
+        .select(col("vec_id"), col("_z.scale").as("scale"),
+          col("_z.q").as("q"), col("cell"))
+      else assigned
+    stored.write.mode("overwrite").partitionBy("cell").parquet(path)
     toCodebookDf(emb.sparkSession, book).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
     if (kmeansIters > 0) n.unpersist()
@@ -109,10 +119,13 @@ object IvfIndex {
         dotLocal(r.getAs[scala.collection.Seq[Double]]("cent").toSeq, qn))
       .sortBy { case (id, sim) => (-sim, id) }
       .take(nProbe).map(_._1)
-    spark.read.parquet(path)
+    val idx = spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*)) // partition-pruned scan
-      .select(col("vec_id"),
-        round(dot(col("nemb"), typedlit(qn.toSeq)), 4).as("sim"))
+    val score =
+      if (idx.columns.contains("q")) // SQ8 layout: score codes in place
+        VectorFunctions.dotDequantI8(col("q"), col("scale"), qn)
+      else dot(col("nemb"), typedlit(qn.toSeq))
+    idx.select(col("vec_id"), round(score, 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

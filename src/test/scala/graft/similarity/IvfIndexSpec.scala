@@ -85,6 +85,38 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 index: 8x-smaller storage, same probe path, recall parity") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    IvfIndex.build(emb, s"$base/f64", nCells = 16)
+    IvfIndex.build(emb, s"$base/sq8", nCells = 16, sq8 = true)
+
+    def dataBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p)) -
+        walk(new java.io.File(s"$p/_centroids"))
+    }
+    assert(dataBytes(s"$base/sq8") < dataBytes(s"$base/f64") / 2,
+      s"sq8=${dataBytes(s"$base/sq8")} f64=${dataBytes(s"$base/f64")}")
+
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val f64Ids = IvfIndex.search(spark, s"$base/f64", query, nProbe = 4, k = 5)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val sq8Rows = IvfIndex.search(spark, s"$base/sq8", query, nProbe = 4, k = 5)
+      .collect()
+    val sq8Ids = sq8Rows.map(_.getAs[Long]("vec_id"))
+    // the stored query vector is still its own top hit after quantization
+    assert(sq8Ids.head === 1L)
+    assert(math.abs(sq8Rows.head.getAs[Double]("sim") - 1.0) < 0.02)
+    // quantization keeps the neighbor set (allow one rank swap)
+    assert(f64Ids.toSet.intersect(sq8Ids.toSet).size >= 4,
+      s"f64=${f64Ids.toSeq} sq8=${sq8Ids.toSeq}")
+  }
+
   test("k-means-trained index still finds the stored query vector") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
