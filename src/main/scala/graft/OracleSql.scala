@@ -420,6 +420,11 @@ object OracleSql {
     "q32_ngram_jaccard" -> ngramJaccard,
     "q33_emb_cos_pairs" -> embCosPairs,
     "q34_ann_ivf" -> annIvf,
+    "q58_ann_recall" ->
+      s"""SELECT COUNT(*)::DOUBLE / 5 AS recall_at_5
+         |FROM (SELECT vec_id FROM ($annIvf) ivf
+         |      INTERSECT
+         |      SELECT vec_id FROM ($cosineKnn) ex) t""".stripMargin,
     // The CDC fold (SURVEY §2.8) over the mapped events log: a row is alive
     // iff its last mint outlives its last burn; field values are the last
     // applying setter at-or-after that mint — DuckDB's ordered last() FILTER

@@ -78,6 +78,7 @@ object SparkEntry {
     "q55_stratified_sample" -> (T.q55StratifiedSample(_, _)),
     "q56_top_suppliers" -> (R.q56TopSuppliers(_, _)),
     "q57_zorder_scan" -> (R.q57ZorderScan(_, _)),
+    "q58_ann_recall" -> (S.q58AnnRecall(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -142,6 +142,17 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Q58 — ANN quality evaluation: recall@5 of the IVF probe (q34)
+    * against the exact top-5 (q23) for the same query vector. The number a
+    * pipeline owner actually watches when tuning nProbe/nCells — and fully
+    * deterministic, so the oracle composes the two replayed subqueries. */
+  def q58AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = q34AnnIvf(s, dir).select(col("vec_id"))
+    val exact = q23CosineKnn(s, dir).select(col("vec_id"))
+    ivf.join(exact, "vec_id")
+      .agg((count(lit(1)).cast("double") / 5).as("recall_at_5"))
+  }
+
   /** Un-normalized cosine kept for spec cross-checks. */
   def cosineRaw(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
