@@ -122,7 +122,10 @@ object MultimodalOps {
       var pos = start
       while (pos + 8 <= end && pos + 8 <= b.length) {
         val id = tag(pos)
-        val len = u32le(b, pos + 4).toInt
+        // untrusted bytes: a 2^31+ chunk length would wrap negative and
+        // stall the walk (try/catch can't save an infinite loop)
+        val len = math.min(u32le(b, pos + 4), (b.length - pos - 8).toLong).toInt
+        if (len < 0) return
         if (id == "LIST") walk(pos + 12, math.min(pos + 8 + len, b.length))
         else if (id == "strf" && compression == -1L && len >= 40
           && u32le(b, pos + 8) == 40L) {
@@ -249,13 +252,19 @@ object MultimodalOps {
     var pos = 12
     var rate = 0; var ch = 0; var bits = 0
     var dataOff = -1; var dataLen = 0L
-    while (pos + 8 <= b.length) {
+    var ok = true
+    while (ok && pos + 8 <= b.length) {
       val id = new String(b, pos, 4, "US-ASCII")
-      val len = u32(pos + 4)
-      if (id == "fmt ") {
-        ch = u16(pos + 10); rate = u32(pos + 12).toInt; bits = u16(pos + 22)
-      } else if (id == "data") { dataOff = pos + 8; dataLen = len }
-      pos += 8 + len.toInt + (len.toInt & 1)
+      // clamp untrusted chunk length: 2^31+ would wrap negative on toInt
+      // and walk pos backwards forever
+      val len = math.min(u32(pos + 4), (b.length - pos - 8).toLong)
+      if (len < 0) ok = false
+      else {
+        if (id == "fmt ") {
+          ch = u16(pos + 10); rate = u32(pos + 12).toInt; bits = u16(pos + 22)
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len.toInt + (len.toInt & 1)
+      }
     }
     if (rate == 0 || dataOff < 0 || bits != 16) return None
     val n = math.min(dataLen, (b.length - dataOff).toLong) / 2

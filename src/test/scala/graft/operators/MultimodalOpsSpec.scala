@@ -66,6 +66,22 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("malicious RIFF chunk lengths terminate, not hang") {
+    // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
+    // clamp and exit, not loop forever
+    def evil(kind: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes); bos.write(Array[Byte](-1, -1, -1, -1))
+      bos.write(kind.getBytes)
+      bos.write("JUNK".getBytes); bos.write(Array[Byte](-1, -1, -1, -1))
+      bos.write(new Array[Byte](32))
+      bos.toByteArray
+    }
+    assert(MultimodalOps.parseAviFrames(evil("AVI "), 1, 3) === None)
+    assert(MultimodalOps.audioFeatures(media("x" -> evil("WAVE")))
+      .collect().head.isNullAt(1))
+  }
+
   test("audioFeatures parses real PCM WAV; rejects non-audio") {
     val wav = MultimodalOps.syntheticWav(freqHz = 440, seconds = 0.25)
     val df = MultimodalOps.audioFeatures(media(
