@@ -156,7 +156,10 @@ object BinaryFunctions {
       case named => namedColors.get(named.toLowerCase)
     }
 
-    def render(n: org.w3c.dom.Node): Unit = n match {
+    // depth-capped: StackOverflowError from adversarially nested XML is an
+    // Error the Exception catch below would never reach
+    def render(n: org.w3c.dom.Node, depth: Int = 0): Unit = n match {
+      case _ if depth > 128 => ()
       case e: org.w3c.dom.Element =>
         def na(a: String, d: Double = 0.0) = numAttr(e, a, d)
         val shape: Option[java.awt.Shape] = e.getTagName match {
@@ -200,7 +203,7 @@ object BinaryFunctions {
           }
         }
         val kids = e.getChildNodes
-        (0 until kids.getLength).foreach(i => render(kids.item(i)))
+        (0 until kids.getLength).foreach(i => render(kids.item(i), depth + 1))
       case _ => ()
     }
     render(svg)
