@@ -61,9 +61,55 @@ class StreamingEnrichmentSpec extends SparkSpec {
       assert(StreamingEnrichmentSpec.imageTaskCount === 3L) // t1, t1', t3
     } finally q.stop()
   }
+
+  test("streamed image tasks resize+gzip and dedup against the growing store") {
+    implicit val sqlCtx = spark.sqlContext
+    StreamingEnrichmentSpec.store =
+      Seq.empty[(String, String)].toDF("name", "content_key")
+    StreamingEnrichmentSpec.sunk = 0L
+    val dir = java.nio.file.Files.createTempDirectory("graft_simg")
+    def fileUrl(name: String, seed: Long): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p,
+        graft.functions.BinaryFunctions.syntheticPng(seed, 24, 18))
+      "file://" + p
+    }
+    val input = MemoryStream[(String, String, String, Int)]
+    val q = input.toDF().toDF("owner", "token_id", "url", "priority")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the imgresizer→imgstorage chain per micro-batch: resize+gzip,
+        // then content-dedup against everything already stored (S9/J6)
+        val imgs = Enrichment.imageStage(batch)
+        val fresh =
+          Enrichment.dedupAgainstStore(imgs, StreamingEnrichmentSpec.store)
+            .cache()
+        StreamingEnrichmentSpec.sunk += fresh.count()
+        StreamingEnrichmentSpec.store = StreamingEnrichmentSpec.store
+          .unionByName(fresh.select("name", "content_key")).cache()
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(("o1", "tokA", fileUrl("a.png", 1), 1)))
+      q.processAllAvailable()
+      assert(StreamingEnrichmentSpec.sunk === 2L) // 2 resolutions stored
+      // batch 2: tokA unchanged (same bytes → same content keys, deduped)
+      // + tokB new
+      input.addData(Seq(
+        ("o1", "tokA", fileUrl("a2.png", 1), 1),
+        ("o2", "tokB", fileUrl("b.png", 2), 1)))
+      q.processAllAvailable()
+      assert(StreamingEnrichmentSpec.sunk === 4L,
+        "unchanged tokA re-stored or tokB missed")
+      assert(StreamingEnrichmentSpec.store.count() === 4L)
+    } finally q.stop()
+  }
 }
 
 object StreamingEnrichmentSpec {
   @volatile var snapshot: org.apache.spark.sql.DataFrame = _
   @volatile var imageTaskCount: Long = 0L
+  @volatile var store: org.apache.spark.sql.DataFrame = _
+  @volatile var sunk: Long = 0L
 }
