@@ -16,8 +16,9 @@ object Bench {
     val files = Option(dir.listFiles((_, n: String) =>
       n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
     if (files.isEmpty) return Map.empty
+    // numeric round ordering — lexicographic would put r100 before r99
     val txt = new String(java.nio.file.Files.readAllBytes(
-      files.maxBy(_.getName).toPath), "UTF-8")
+      files.maxBy(_.getName.replaceAll("\\D", "").toInt).toPath), "UTF-8")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(txt)
     val metric =

@@ -27,13 +27,18 @@ object Tables {
   // Memoized per (session, dir, name): spark.read.parquet re-lists files
   // and re-reads footers for the schema on EVERY call, and the query
   // surface loads the same ten tables hundreds of times per run. The cached
-  // value is an immutable logical plan — sharing it is free.
-  private val loaded =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // value is an immutable logical plan — sharing it is free. Keyed WEAKLY
+  // on the session object: a stopped session's entries become collectable
+  // (no leak across session churn) and identity equality can't collide the
+  // way identityHashCode keys could.
+  private val loaded = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loaded.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name), _ => {
+    loaded.computeIfAbsent(spark, _ =>
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name), _ => {
         // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
         // =true (see configure()) so it arrives as Long nanos, converted

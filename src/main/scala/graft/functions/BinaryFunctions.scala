@@ -191,10 +191,13 @@ object BinaryFunctions {
           case _ => None // g/path/text/...: recurse only
         }
         shape.foreach { s =>
+          // explicit fill always honored (polyline IS fillable in SVG);
+          // only the DEFAULT black fill is suppressed for line/polyline
+          val unfilledByDefault =
+            e.getTagName == "line" || e.getTagName == "polyline"
           color(e.getAttribute("fill"))
-            .orElse(if (e.hasAttribute("fill")) None
+            .orElse(if (e.hasAttribute("fill") || unfilledByDefault) None
               else Some(java.awt.Color.BLACK)) // SVG default fill
-            .filter(_ => e.getTagName != "line" && e.getTagName != "polyline")
             .foreach { c => g.setColor(c); g.fill(s) }
           color(e.getAttribute("stroke")).foreach { c =>
             g.setStroke(new java.awt.BasicStroke(
@@ -276,9 +279,15 @@ object BinaryFunctions {
     if (compression != 1 || !Set(1, 2).contains(photometric)) return None
     if (width <= 0 || height <= 0 || !bits.forall(_ == 8L)) return None
     if (!Set(1, 3, 4).contains(spp)) return None
+    // validate BEFORE allocating: header-declared dimensions from untrusted
+    // bytes must be backed by actual strip data, or a 200-byte file
+    // declaring 20000x20000 OOMs the task past the Exception catch
+    val needed = width.toLong * height * spp
+    if (needed > b.length.toLong ||
+      stripOffsets.zip(stripCounts).map(_._2).sum < needed) return None
 
     // strips concatenate to exactly width*height*spp sample bytes
-    val data = new Array[Byte](width * height * spp)
+    val data = new Array[Byte](needed.toInt)
     var off = 0
     stripOffsets.zip(stripCounts).foreach { case (so, sc) =>
       val n = math.min(sc.toInt, data.length - off)

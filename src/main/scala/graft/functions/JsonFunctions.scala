@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * The reference validates fetched token metadata against a real JSON-Schema
   * DOCUMENT via gojsonschema (x/tokenMetadataService/service.go:168-175,
   * schema types.go:3-21) — so the capability here is schema-DRIVEN: any
-  * schema in the supported subset (type / properties / required / items,
-  * nested to any depth) compiles ONCE driver-side into a pure Column
-  * expression stack over Spark 4's VARIANT. The ERC-721 check is just one
-  * schema instance of it.
+  * schema in the supported subset (type / properties / required / items)
+  * compiles ONCE driver-side into a pure Column expression stack over
+  * Spark 4's VARIANT. Object properties recurse to any depth; array items
+  * are checked via the MERGED element type (per-element fan-out is not
+  * expressible over VARIANT arrays at the expression layer), so an
+  * array-of-object item schema verifies element type, not inner fields.
+  * The ERC-721 check is just one schema instance of it.
   *
   * Why VARIANT, not from_json: from_json COERCES mismatched types
   * ({"name":1} parses to name="1"), which would hide exactly the wrong-type
@@ -101,6 +104,15 @@ object JsonFunctions {
           t.isin(allowed :+ "ARRAY<VOID>": _*) ||
             (if (p == "number") t.startsWith("ARRAY<DECIMAL")
              else lit(false))
+        // object/array item schemas: per-element recursion is not
+        // expressible over VARIANT arrays (no element fan-out at the
+        // expression layer), so the check is the MERGED element type —
+        // catches [1,2] against items:object, not a missing field inside
+        // one element. Documented subset boundary.
+        case Some(JsObject(_, _)) =>
+          t.startsWith("ARRAY<OBJECT") || t === "ARRAY<VOID>"
+        case Some(JsArray(_)) =>
+          t.startsWith("ARRAY<ARRAY") || t === "ARRAY<VOID>"
         case _ => lit(true)
       }
       when(!t.startsWith("ARRAY"),
@@ -119,8 +131,18 @@ object JsonFunctions {
           else noErrors)
           .otherwise(nodeErrors(fv, child, childPath))
       }
+      // required names with no properties entry (legal JSON Schema) still
+      // get their presence check — JsAny for the value
+      val bareRequired = (required -- props.map(_._1).toSet).toSeq.sorted
+        .map { name =>
+          val childPath = if (path.isEmpty) name else s"$path.$name"
+          when(variant_get(v, s"$$.$name", "variant").isNull,
+            array(lit(s"missing required field: $childPath")))
+            .otherwise(noErrors)
+        }
+      val allChecks = perProp ++ bareRequired
       val propErrs =
-        if (perProp.isEmpty) noErrors else concat(perProp: _*)
+        if (allChecks.isEmpty) noErrors else concat(allChecks: _*)
       when(!schema_of_variant(v).startsWith("OBJECT"),
         array(lit(s"field is not an object: ${display(path)}")))
         .otherwise(propErrs)
@@ -128,6 +150,8 @@ object JsonFunctions {
 
   private def itemsName(items: Option[JsonSchema]): String = items match {
     case Some(JsPrim(t)) => t
+    case Some(JsObject(_, _)) => "object"
+    case Some(JsArray(_)) => "array"
     case _ => "any"
   }
 

@@ -118,7 +118,11 @@ object MultimodalOps {
     if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
     var w = 0; var h = 0; var bitCount = 0; var compression = -1L
     val raw = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // depth-capped: unbounded LIST nesting in a crafted file would
+      // StackOverflowError past the Exception catch (same hazard class as
+      // the SVG renderer's recursion)
+      if (depth > 32) return
       var pos = start
       while (pos + 8 <= end && pos + 8 <= b.length) {
         val id = tag(pos)
@@ -126,7 +130,8 @@ object MultimodalOps {
         // stall the walk (try/catch can't save an infinite loop)
         val len = math.min(u32le(b, pos + 4), (b.length - pos - 8).toLong).toInt
         if (len < 0) return
-        if (id == "LIST") walk(pos + 12, math.min(pos + 8 + len, b.length))
+        if (id == "LIST")
+          walk(pos + 12, math.min(pos + 8 + len, b.length), depth + 1)
         else if (id == "strf" && compression == -1L && len >= 40
           && u32le(b, pos + 8) == 40L) {
           // BITMAPINFOHEADER (the video stream's format block)
@@ -141,8 +146,11 @@ object MultimodalOps {
         pos += 8 + len + (len & 1)
       }
     }
-    walk(12, b.length)
+    walk(12, b.length, depth = 0)
     if (compression != 0L || bitCount != 24 || w <= 0 || h <= 0) return None
+    // header-declared dimensions bounded by what the file can actually
+    // hold — a tiny file declaring a huge frame must not allocate
+    if (w.toLong * h * 3 > b.length.toLong) return None
     val stride = ((w * 3 + 3) / 4) * 4
     val picked = Range(0, raw.length, math.max(1, everyNth)).take(maxFrames)
     val out = picked.flatMap { fi =>

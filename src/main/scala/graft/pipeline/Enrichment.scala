@@ -218,12 +218,20 @@ object Enrichment {
       seqCol: String = "seq"): (Long, Long) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
+    // leftovers from a previous crash never block a new run
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     val before = spark.read.parquet(path)
     val nBefore = before.count()
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     gcSuperseded(before, seqCol).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
+    // swap via two renames, never a delete-then-rename: a crash between
+    // steps leaves the data under exactly one of the names, recoverable —
+    // the live path is never the missing one with the data already gone
+    fs.rename(hPath, old)
     fs.rename(tmp, hPath)
+    fs.delete(old, true)
     val nAfter = spark.read.parquet(path).count()
     (nBefore, nAfter)
   }
