@@ -514,6 +514,33 @@ object OracleSql {
         |FROM events
         |WHERE user_id BETWEEN 40 AND 80
         |  AND event_id BETWEEN 1000 AND 3000""".stripMargin,
+    "q59_pii_redact" -> {
+      val pat = graft.queries.TextQueries.emailPattern.replace("'", "''")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         'contact u' || doc_id ||
+         |         '@example.com or admin@test.org ' || text AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(raw, '$pat')) AS n_redacted,
+         |       md5(regexp_replace(raw, '$pat', '[EMAIL]', 'g'))
+         |         AS redacted_md5
+         |FROM d ORDER BY doc_id LIMIT 300""".stripMargin
+    },
+    "q60_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '),1) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM toks a
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+        |       ROUND(1.0 - COUNT(DISTINCT sh)::DOUBLE / COUNT(*), 4)
+        |         AS dup_frac
+        |FROM sh GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin,
     "q56_top_suppliers" ->
       """SELECT s.s_suppkey, s.s_name, n.n_name,
         |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)

@@ -79,6 +79,8 @@ object SparkEntry {
     "q56_top_suppliers" -> (R.q56TopSuppliers(_, _)),
     "q57_zorder_scan" -> (R.q57ZorderScan(_, _)),
     "q58_ann_recall" -> (S.q58AnnRecall(_, _)),
+    "q59_pii_redact" -> (T.q59PiiRedact(_, _)),
+    "q60_dup_ngrams" -> (T.q60DupNgrams(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -302,6 +302,43 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Q59 — PII redaction (corpus-prep sanitization): RE2-safe email
+    * pattern replaced with a fixed token, with a per-doc redaction count
+    * and the redacted content hash as the audit trail. The fixture text
+    * has no addresses, so a deterministic synthetic contact line is
+    * prepended — both engines construct the identical input. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(lit("contact u"), col("doc_id"),
+      lit("@example.com or admin@test.org "), col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), synth.as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailPattern), lit(0)))
+          .cast("long").as("n_redacted"),
+        md5(regexp_replace(col("raw"), emailPattern, "[EMAIL]"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** Q60 — duplicate n-gram fraction (the Gopher-style repetition signal
+    * for corpus filtering): 1 − distinct/total word-3-grams per doc. The
+    * WITHIN-document counterpart of the cross-document dedup operators. */
+  def q60DupNgrams(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(col("text"), 3)
+    docs(s, dir)
+      .select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_grams"),
+        round(lit(1.0) - size(array_distinct(col("sh"))).cast("double") /
+          size(col("sh")), 4).as("dup_frac"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * cheap blocking key (same lang + same token-count bucket), so the
     * pair space stays linear-ish instead of O(n²). */
