@@ -528,10 +528,12 @@ object OracleSql {
          |FROM d ORDER BY doc_id LIMIT 300""".stripMargin
     },
     "q60_dup_ngrams" ->
-      """WITH toks AS (
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           ORDER BY doc_id LIMIT 400),
+        |toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
         |         generate_subscripts(string_split(text,' '),1) AS i
-        |  FROM documents),
+        |  FROM d),
         |sh AS (
         |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
         |  FROM toks a

@@ -328,7 +328,11 @@ object TextQueries {
     * WITHIN-document counterpart of the cross-document dedup operators. */
   def q60DupNgrams(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(col("text"), 3)
+    // pre-limit BEFORE the shingle projection: orderBy+limit after it
+    // would shingle the whole corpus for a 300-row answer (cf. q52)
     docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(400)
       .select(col("doc_id"), sh.as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
