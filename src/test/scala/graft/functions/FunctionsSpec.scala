@@ -119,6 +119,20 @@ class FunctionsSpec extends SparkSpec {
     }
     // compressed/invalid tiffs still refuse politely
     assert(B.decodeTiff("II*\u0000garbage".getBytes("ISO-8859-1")) === None)
+    // randomized dims (odd widths exercise row padding) both endians
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 10) {
+      val (w, h) = (rnd.nextInt(30) + 1, rnd.nextInt(20) + 1)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val dec = B.decodeTiff(B.encodeTiffRgb(img, rnd.nextBoolean()))
+      assert(dec.isDefined, s"${w}x$h failed")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((dec.get.getRGB(x, y) & 0xffffff) ===
+          (img.getRGB(x, y) & 0xffffff), s"pixel ($x,$y) of ${w}x$h")
+    }
   }
 
   test("erc721 validation: valid, missing field, wrong type, bad json") {

@@ -22,6 +22,20 @@ class ZOrderSpec extends SparkSpec {
     assert(viaExpr === ZOrderFunctions.mortonCode(3, 5))
   }
 
+  test("morton order preserves quadrant locality") {
+    // all points of a 2^k-aligned quadrant occupy one contiguous morton
+    // range — the property that makes file-level min/max stats selective
+    val pts = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val coded = pts.map { case (a, b) =>
+      (a, b, ZOrderFunctions.mortonCode(a, b))
+    }.sortBy(_._3)
+    // quadrant = (a/8, b/8); each of the 4 quadrants must be contiguous
+    val quadrantsInOrder = coded.map { case (a, b, _) => (a / 8, b / 8) }
+    val changes = quadrantsInOrder.zip(quadrantsInOrder.tail)
+      .count { case (x, y) => x != y }
+    assert(changes === 3, s"quadrants interleave in morton order: $changes")
+  }
+
   test("z-ordered files cover rectangles: BOTH dims stay narrow per file") {
     val ev = graft.Tables.load(spark, sf("sf0.001"), "events")
       .select("user_id", "event_id", "event_type")
