@@ -514,6 +514,13 @@ object OracleSql {
         |FROM events
         |WHERE user_id BETWEEN 40 AND 80
         |  AND event_id BETWEEN 1000 AND 3000""".stripMargin,
+    "q61_variant_agg" ->
+      """SELECT event_type,
+        |       COUNT(json_extract(props, '$.k')) AS n,
+        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sk,
+        |       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS mn,
+        |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS mx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q59_pii_redact" -> {
       val pat = graft.queries.TextQueries.emailPattern.replace("'", "''")
       s"""WITH d AS (

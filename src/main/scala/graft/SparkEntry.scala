@@ -81,6 +81,7 @@ object SparkEntry {
     "q58_ann_recall" -> (S.q58AnnRecall(_, _)),
     "q59_pii_redact" -> (T.q59PiiRedact(_, _)),
     "q60_dup_ngrams" -> (T.q60DupNgrams(_, _)),
+    "q61_variant_agg" -> (R.q61VariantAgg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

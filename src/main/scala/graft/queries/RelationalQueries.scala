@@ -365,6 +365,21 @@ object RelationalQueries {
         round(percentile(col("value"), lit(0.5)), 4).as("med"))
       .orderBy("event_type")
 
+  /** Q61 — the VARIANT path for semi-structured columns (C7 at 100 TB):
+    * parse once to Spark 4's VARIANT (shredded binary encoding — no
+    * per-access string re-parse like get_json_object), extract typed
+    * fields, aggregate. q18 is the string-path twin; this is the layout a
+    * large JSON corpus should use. */
+  def q61VariantAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("sk"),
+        min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .orderBy("event_type")
+
   /** Q56 — supplier-side revenue (TPC-H Q15 shape): lineitem's SECOND FK
     * edge (l_suppkey→supplier, J2) with the supplier/nation dimensions
     * broadcast; per-supplier revenue, top-100 with deterministic
