@@ -312,7 +312,11 @@ object TextQueries {
   def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val synth = concat(lit("contact u"), col("doc_id"),
       lit("@example.com or admin@test.org "), col("text"))
+    // pre-limit before the regex/md5 projection (cf. q60): the sort+limit
+    // commutes with a per-row projection keyed on doc_id
     docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(300)
       .select(col("doc_id"), synth.as("raw"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("raw"), lit(emailPattern), lit(0)))

@@ -38,26 +38,39 @@ object StreamingAsOf {
   /** Right history per key: (ts, tieBreak, payload), newest-first. */
   case class KeyState(rights: List[(Long, Long, String)])
 
+  /** Ordered insert into the newest-first history — O(h) per event, no
+    * re-sort, and no negated-key ordering (negation overflows on
+    * Long.MinValue and would corrupt the order). */
+  private def insert(rights: List[(Long, Long, String)],
+      e: (Long, Long, String), cap: Int): List[(Long, Long, String)] = {
+    val (newer, older) = rights.span(r =>
+      r._1 > e._1 || (r._1 == e._1 && r._2 > e._2))
+    (newer ::: e :: older).take(cap)
+  }
+
   private def step(maxHistory: Int)(
       key: String, it: Iterator[In],
       state: GroupState[KeyState]): Iterator[Out] = {
-    var rights = state.getOption.map(_.rights).getOrElse(Nil)
+    val before = state.getOption.map(_.rights).getOrElse(Nil)
+    var rights = before
     val out = List.newBuilder[Out]
     // replay the batch in the batch operator's order: right sorts before
     // left on equal ts (side 0 < 1), ties resolve to the highest tieBreak
     it.toVector.sortBy(e => (e.tsMicros, e.side, e.tieBreak)).foreach { e =>
-      if (e.side == 0) {
-        rights = ((e.tsMicros, e.tieBreak, e.payload) :: rights)
-          .sortBy { case (ts, tb, _) => (-ts, -tb) }
-          .take(maxHistory)
-      } else {
+      if (e.side == 0)
+        rights = insert(rights, (e.tsMicros, e.tieBreak, e.payload),
+          maxHistory)
+      else {
         // newest-first: the first entry with ts <= probe IS the floor with
         // the highest (ts, tieBreak)
         val hit = rights.find(_._1 <= e.tsMicros)
         out += Out(key, e.leftId, e.tsMicros, hit.map(_._3))
       }
     }
-    state.update(KeyState(rights))
+    // probe-only keys must not pin empty state forever (unbounded growth
+    // across high-cardinality probe keys); only right-bearing keys persist
+    if (rights.nonEmpty) state.update(KeyState(rights))
+    else if (before.nonEmpty) state.remove()
     out.result().iterator
   }
 
