@@ -15,6 +15,14 @@ run / fork := true
 // prefixes every line with "[info] ", which breaks machine parsing of
 // Bench's JSON line (round 1's driver recorded parsed: null).
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and without these, sbt appends "[success] Total time: ..." AFTER the
+// JSON line, so a parse-the-last-line driver still records parsed: null
+// (round 2 did, even with raw stdout). Suppress the epilogue entirely:
+// Bench's JSON must be the final line on stdout.
+Global / showSuccess := false
+Global / showTiming := false
+// (read by sbt's command engine, not by tasks — lint can't see that)
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

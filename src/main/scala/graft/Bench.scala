@@ -28,8 +28,13 @@ object Bench {
       else {
         val tail = if (root.hasNonNull("tail")) root.get("tail").asText() else txt
         val i = tail.lastIndexOf("{\"metric\"")
-        if (i < 0) return Map.empty
-        om.readTree(tail.substring(i).takeWhile(_ != '\n'))
+        // The driver head-truncates long tails, which can cut the metric
+        // line's opening brace — fall back to our own mirror of the last
+        // completed run (written unconditionally at the end of main).
+        if (i < 0) om.readTree(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/target/bench_last.json")),
+          "UTF-8"))
+        else om.readTree(tail.substring(i).takeWhile(_ != '\n'))
       }
     metric.get("queries").fields().asScala
       .map(e => e.getKey -> e.getValue.asDouble()).toMap
@@ -79,10 +84,13 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"vs_prev":$vsPrev,"runs":$runs,"agg":"min","sf":"$sfDir"}"""
-    println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line)
     catch { case _: Throwable => () }
+    // Stop BEFORE printing: Spark's shutdown logs must not land after the
+    // JSON line (a parse-the-last-line driver needs it last on stdout).
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
   }
 }

@@ -464,8 +464,11 @@ object OracleSql {
         |    END AS coin
         |  FROM events)
         |SELECT event_id,
+        |  -- BIGINT, not DECIMAL(38,0): pandas renders DuckDB decimals as
+        |  -- float64 but Spark parquet decimals as Decimal objects, so the
+        |  -- driver's value hash diverges on type alone (r01/r02 q36 fail).
         |  CAST(NULLIF(regexp_extract(coin, '^(\d+)', 1), '')
-        |       AS DECIMAL(38,0)) AS amount,
+        |       AS BIGINT) AS amount,
         |  NULLIF(regexp_extract(coin, '^\d+(\D+.*)$', 1), '') AS denom
         |FROM c ORDER BY event_id LIMIT 500""".stripMargin,
     "q40_nested" ->

@@ -16,14 +16,20 @@ object PipelineQueries {
     * The cents construction is floor(value*100), not round(...): floor over
     * an IEEE double is pure and engine-independent, while round's
     * decimal-rendering resolves .5 ties differently in Spark (HALF_UP on
-    * BigDecimal) vs DuckDB (binary-double rounding). */
+    * BigDecimal) vs DuckDB (binary-double rounding).
+    * The comparator surface casts amount decimal(38,0)→bigint: a pandas
+    * round-trip renders Spark parquet decimals as `Decimal` objects but
+    * DuckDB decimals as float64, so the *values* hash differently even when
+    * identical (the r01/r02 q36 "hash fail" was exactly this). The parser
+    * itself stays decimal(38,0) — CoinFunctionsSpec covers >2^63 amounts. */
   def q36ParseCoin(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .select(col("event_id"),
         when(col("value") < 0.1, lit(""))
           .otherwise(concat(floor(col("value") * 100).cast("long"),
             lit("token"))).as("coin"))
-      .select(col("event_id"), C.coinAmount(col("coin")).as("amount"),
+      .select(col("event_id"),
+        C.coinAmount(col("coin")).cast("long").as("amount"),
         C.coinDenom(col("coin")).as("denom"))
       .orderBy("event_id")
       .limit(500)

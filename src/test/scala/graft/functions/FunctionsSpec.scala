@@ -11,7 +11,8 @@ class FunctionsSpec extends SparkSpec {
 
   test("parse_coin round-trips reference coin strings") {
     import spark.implicits._
-    val df = Seq("100token", "9999tugrik", "", "notacoin", "42a1")
+    val df = Seq("100token", "9999tugrik", "", "notacoin", "42a1",
+      "18446744073709551616atto") // 2^64: sdk.Int is arbitrary-precision
       .toDF("s")
       .select(C.coinAmount(col("s")).as("a"), C.coinDenom(col("s")).as("d"))
     val got = df.collect().map(r => (Option(r.get(0)).map(_.toString),
@@ -21,6 +22,7 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) === (None, None)) // sdk.Coins{}.String() == ""
     assert(got(3) === (None, None))
     assert(got(4) === (Some("42"), Some("a1")))
+    assert(got(5) === (Some("18446744073709551616"), Some("atto")))
   }
 
   test("parse_coin/format_coin round-trip property") {
