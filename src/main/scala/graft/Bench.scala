@@ -1,44 +1,72 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round throughput harness: one JSON line with total + per-query
-  * seconds, plus `vs_prev` — each query's ratio against the latest recorded
-  * BENCH_r*.json — so a per-query regression is visible in the round diff,
-  * not just the total. The line is also mirrored to target/bench_last.json
-  * (forked-run stdout goes through sbt, which has eaten it before). */
+/** Per-round throughput harness.
+  *
+  * Methodology (hardened in round 4 after an unexplained 3-10× regression
+  * cluster in the LAST-executed queries of round 3 — the signature of
+  * position-dependent JVM/GC/heap pressure, not plan changes):
+  *  - N runs per query (default 3, `SPARK_GRAFT_BENCH_RUNS`), per-query MIN:
+  *    the steady-state number a long-running engine sees, immune to one-off
+  *    codegen/file-cache costs and scheduler noise.
+  *  - Execution order VARIES per run — alphabetical, reversed, then
+  *    seeded-shuffled — so no query is always last: a late-run slowdown
+  *    inflates a query in one order but not the others, and min() erases it.
+  *  - A GC-seconds column per query (delta of collector time around the
+  *    winning run) so memory pressure is visible in the data, not guessed.
+  *
+  * Output: ONE compact JSON line on stdout (3-decimal seconds, no vs_prev —
+  * full-precision lines overflowed the driver's head-truncated tail buffer
+  * and recorded parsed:null). The full record — per-run times, GC by query,
+  * vs_prev and which baseline produced it — goes to target/bench_last.json.
+  */
 object Bench {
 
-  /** Per-query seconds from the newest BENCH_r*.json, tolerating both the
-    * raw metric line and the driver's wrapper (metric line inside "tail"). */
-  private def prevQueries(): Map[String, Double] = try {
+  private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000.0
+
+  /** Per-query seconds from the newest BENCH_r*.json (the recorded round
+    * baseline), tolerating both the raw metric line and the driver's wrapper
+    * (metric line inside "tail"). Falls back to target/bench_last.json — the
+    * previous LOCAL run — when no recorded round parses; the returned label
+    * says which source was used so a run-over-run fallback can't silently
+    * pose as a round baseline. */
+  private def prevQueries(): (String, Map[String, Double]) = try {
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def queriesOf(node: com.fasterxml.jackson.databind.JsonNode) =
+      node.get("queries").fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
     val dir = new java.io.File("/root/repo")
     val files = Option(dir.listFiles((_, n: String) =>
       n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
-    if (files.isEmpty) return Map.empty
+    if (files.isEmpty) return ("none", Map.empty)
     // numeric round ordering — lexicographic would put r100 before r99
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      files.maxBy(_.getName.replaceAll("\\D", "").toInt).toPath), "UTF-8")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val newest = files.maxBy(_.getName.replaceAll("\\D", "").toInt)
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
     val root = om.readTree(txt)
-    val metric =
-      if (root.has("queries")) root
-      else if (root.hasNonNull("parsed") && root.get("parsed").has("queries"))
-        root.get("parsed")
-      else {
-        val tail = if (root.hasNonNull("tail")) root.get("tail").asText() else txt
-        val i = tail.lastIndexOf("{\"metric\"")
-        // The driver head-truncates long tails, which can cut the metric
-        // line's opening brace — fall back to our own mirror of the last
-        // completed run (written unconditionally at the end of main).
-        if (i < 0) om.readTree(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/root/repo/target/bench_last.json")),
-          "UTF-8"))
-        else om.readTree(tail.substring(i).takeWhile(_ != '\n'))
-      }
-    metric.get("queries").fields().asScala
-      .map(e => e.getKey -> e.getValue.asDouble()).toMap
-  } catch { case _: Throwable => Map.empty }
+    if (root.has("queries")) (newest.getName, queriesOf(root))
+    else if (root.hasNonNull("parsed") && root.get("parsed").has("queries"))
+      (newest.getName, queriesOf(root.get("parsed")))
+    else {
+      val tail = if (root.hasNonNull("tail")) root.get("tail").asText() else txt
+      val i = tail.lastIndexOf("{\"metric\"")
+      if (i >= 0)
+        (newest.getName,
+          queriesOf(om.readTree(tail.substring(i).takeWhile(_ != '\n'))))
+      else // head-truncated tail cut the metric line: local-run fallback
+        ("target/bench_last.json (LOCAL fallback, not a round baseline)",
+          queriesOf(om.readTree(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("/root/repo/target/bench_last.json")),
+            "UTF-8"))))
+    }
+  } catch { case _: Throwable => ("none", Map.empty) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,47 +78,95 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed region: JIT/codegen bootstrap + one read per
-    // table so the first measured query isn't charged for session startup,
-    // and the one-time bucketed-snapshot write (a real deployment writes it
-    // once per snapshot cycle) so q50 times the co-located JOIN, not the
-    // write.
+    // table so the first measured query isn't charged for session startup;
+    // the one-time bucketed-snapshot and z-order layout writes (a real
+    // deployment writes those once per snapshot cycle) so q50/q57_scan time
+    // the read path, not the write.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     try queries.BucketedQueries.ensureTables(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed setup failed: ${e.getMessage}")
     }
-    // Best-of-2 per query: the first pass pays one-off costs (file-cache
-    // population, codegen compilation, AQE statistics) that a long-running
-    // engine amortizes; min-of-runs is the steady-state number and kills
-    // run-to-run scheduler noise. Methodology recorded in the JSON.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    val appId = spark.sparkContext.applicationId
+    val zPath = s"/root/repo/target/tmp/bench_zorder_$appId"
+    val uPath = s"/root/repo/target/tmp/bench_unclustered_$appId"
+    try {
+      queries.RelationalQueries.q57WriteLayout(spark, sfDir, zPath)
+      queries.RelationalQueries.q57WriteUnclustered(spark, sfDir, uPath)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] zorder setup failed: ${e.getMessage}")
     }
-    val prev = prevQueries()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val vsPrev = results.flatMap { case (k, v) =>
-      prev.get(k).filter(_ > 0).map(p =>
-        s"\"" + k + "\":" + math.rint(v / p * 1000) / 1000.0)
-    }.mkString("{", ",", "}")
+
+    // q57 split: the layout WRITE (maintenance cost, timed to a throwaway
+    // path), the clustered SCAN (the repeated win), and the same predicate
+    // over an unclustered same-file-count copy (the bar the clustered scan
+    // must beat — the fixture's own events.parquet is incidentally sorted
+    // by event_id, so it is a one-dimension-clustered layout, not a fair
+    // baseline). The combined round-trip stays in SparkEntry.queries for
+    // correctness but is not bench-timed — it double-counts the write.
+    val entries: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(_._1 == "q57_zorder_scan")
+        .map { case (n, fn) => n -> (() => { fn(spark, sfDir).count(); () }) } ++
+      Seq[(String, () => Unit)](
+        "q57_write" -> (() => queries.RelationalQueries.q57WriteLayout(
+          spark, sfDir, zPath + "_w")),
+        "q57_scan" -> (() =>
+          { queries.RelationalQueries.q57Scan(spark, zPath).count(); () }),
+        "q57_scan_unclustered" -> (() =>
+          { queries.RelationalQueries.q57Scan(spark, uPath).count(); () }))
+
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val gcStart = gcMillis()
+    // name -> list of (seconds, gcSeconds) in run order
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]()
+    for (r <- 0 until runs) {
+      val order =
+        if (r == 0) entries
+        else if (r == 1) entries.reverse
+        else new scala.util.Random(1000 + r).shuffle(entries)
+      order.foreach { case (name, thunk) =>
+        val g0 = gcMillis()
+        val t0 = System.nanoTime()
+        try thunk() catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        val gc = (gcMillis() - g0) / 1e3
+        samples(name) = (t, gc) :: samples.getOrElse(name, Nil)
+      }
+    }
+    val results = entries.map { case (name, _) =>
+      val runsFor = samples(name).reverse
+      val (tMin, gcAtMin) = runsFor.minBy(_._1)
+      (name, tMin, gcAtMin, runsFor.map(_._1))
+    }
+    val gcTotal = (gcMillis() - gcStart) / 1e3
     val total = results.map(_._2).sum
+    val (baselineSrc, prev) = prevQueries()
+
+    def jmap(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._2))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"vs_prev":$vsPrev,"runs":$runs,"agg":"min","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"}"""
+
+    val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
+      prev.get(name).filter(_ > 0).map(p => name -> t / p)
+    })
+    val gcByQ = jmap(results.map(r => r._1 -> r._3))
+    val allRuns = results.map { case (name, _, _, ts) =>
+      s"\"" + name + "\":" + ts.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir","vs_prev":$vsPrev,"baseline_source":"$baselineSrc","gc_by_query":$gcByQ,"all_runs":$allRuns}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line)
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), full)
     catch { case _: Throwable => () }
-    // Stop BEFORE printing: Spark's shutdown logs must not land after the
-    // JSON line (a parse-the-last-line driver needs it last on stdout).
+    // Stop BEFORE printing so Spark's shutdown logs can't land after the
+    // JSON line — but never let a failing stop() eat the line itself.
     spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
   }
 }

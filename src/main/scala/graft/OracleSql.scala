@@ -86,11 +86,13 @@ object OracleSql {
       |SELECT vec_id, ROUND(dp / (ne * nq), 4) AS sim
       |FROM d ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
+  // vec_id < 500 mirrors q33's in-code fixture cap (covers every row at
+  // sf<=0.01, bounds the O(n²) baseline at any larger scale)
   private val embCosPairs: String =
     """WITH ex AS (
       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
       |         generate_subscripts(embedding,1) AS i
-      |  FROM embeddings),
+      |  FROM embeddings WHERE vec_id < 500),
       |n AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
       |dt AS (
       |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS d

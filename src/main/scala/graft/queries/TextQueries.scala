@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -140,16 +141,17 @@ object TextQueries {
       threshold: Double = 0.5): DataFrame = {
     val k = 16
     // Signature computed by the fused codegen kernel (one compiled loop per
-    // document — graft.functions.MinhashKernel), then materialized (cache)
-    // before the band explode references it 8× — Catalyst would otherwise
-    // inline the signature expression into every band slice. Materializing
-    // the signature table before the LSH join is also the production shape.
+    // document — graft.functions.MinhashKernel), then pinned
+    // (Materialize.pin: MEMORY_AND_DISK, checkpoint-able) before the band
+    // explode references it 8× — Catalyst would otherwise inline the
+    // signature expression into every band slice. Materializing the
+    // signature table before the LSH join is also the production shape.
     val sigd = docs(s, dir)
       .select(col("doc_id"),
         graft.functions.TextKernelExpressions
           .minhashSig(col("text"), k, 3).as("sig"))
       .filter(col("sig").isNotNull)
-      .cache()
+      .transform(Materialize.pin)
     val signed = sigd
       .withColumn("band", explode(fastLshBands(col("sig"), 8, 2)))
     val a = signed.select(col("doc_id").as("a"), col("sig").as("sig_a"),
@@ -170,7 +172,7 @@ object TextQueries {
     * filter) over the engine-portable md5 hashes, so DuckDB replays the
     * WHOLE pair pipeline — this is the oracle anchor for the LSH-pair
     * algorithm, with q30 as the xxhash64 fast path (same plan shape).
-    * The shingle set and signature are each materialized (.cache) before
+    * The shingle set and signature are each pinned (Materialize.pin) before
     * fan-out — Catalyst re-inlines non-cheap array expressions into every
     * consumer, which would recompute shingles k× and the signature 4×.
     * Docs are pre-limited (first 1000 by id) because the md5→hex→conv
@@ -184,10 +186,10 @@ object TextQueries {
       .orderBy("doc_id").limit(1000)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
+      .transform(Materialize.pin)
     val sigd = shd
       .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
-      .cache()
+      .transform(Materialize.pin)
     val signed = sigd.withColumn("band",
       explode(lshBands(col("sig"), 4, 2)))
     val a = signed.select(col("doc_id").as("a"), col("sig").as("sig_a"),
@@ -210,7 +212,7 @@ object TextQueries {
     * each 16-window → distinct. q43 stays the byte-gram xxhash fast path.
     * Docs are pre-limited (orderBy+limit 300) BEFORE the per-char hashing
     * so the expensive stage runs on exactly the output rows; the hash
-    * array is materialized (.cache) before the window-min pass for the
+    * array is pinned (Materialize.pin) before the window-min pass for the
     * same inlining reason as q51. */
   def q52WinnowMd5(s: SparkSession, dir: String,
       k: Int = 8, w: Int = 16): DataFrame = {
@@ -221,7 +223,8 @@ object TextQueries {
         sequence(lit(1), length(col("text")) - (k - 1)),
         i => conv(substring(md5(col("text").substr(i, lit(k))
           .cast("binary")), 1, 15), 16, 10).cast("long")))
-    val withHs = top.select(col("doc_id"), hs.as("hs")).cache()
+    val withHs = top.select(col("doc_id"), hs.as("hs"))
+      .transform(Materialize.pin)
     val fps = when(size(col("hs")) < w, array().cast("array<long>"))
       .otherwise(array_sort(array_distinct(transform(
         sequence(lit(1), size(col("hs")) - (w - 1)),
@@ -252,7 +255,7 @@ object TextQueries {
     val sh = docs(s, dir)
       .select(col("doc_id"), graft.functions.TextKernelExpressions
         .simhashMd5(col("text"), 32).as("sh"))
-      .cache()
+      .transform(Materialize.pin)
     val banded = sh.withColumn("band", explode(array((0 until 4).map(b =>
       struct(lit(b).as("b"),
         shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*)))
@@ -365,7 +368,7 @@ object TextQueries {
         .hashedShinglesFast(col("text"), 3).as("sh"),
       floor(size(tokens(col("text"))) / 32).cast("int").as("bucket"))
       .filter(size(col("sh")) > 0)
-      .cache()
+      .transform(Materialize.pin)
     val sizes = d.select(col("doc_id"), col("sh"))
       .select(col("doc_id"), size(col("sh")).as("n"))
     val ex = d.select(col("doc_id"), col("lang"), col("bucket"),

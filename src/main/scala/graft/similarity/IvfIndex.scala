@@ -84,9 +84,10 @@ object IvfIndex {
       kmeansIters: Int = 0, sq8: Boolean = false): Unit = {
     val n0 = emb.select(col("vec_id"),
       normalized(col("embedding").cast("array<double>")).as("nemb"))
-    // cache only when training re-scans the corpus per iteration; the
+    // pin only when training re-scans the corpus per iteration; the
     // plain build streams it exactly once
-    val n = if (kmeansIters > 0) n0.cache() else n0
+    val n =
+      if (kmeansIters > 0) graft.operators.Materialize.pin(n0) else n0
     val book =
       if (kmeansIters > 0)
         collectCodebook(trainCentroids(n, nCells, kmeansIters))
