@@ -374,13 +374,60 @@ object BinaryFunctions {
     bos.toByteArray
   }
 
+  // --- WebP header parse (dimensions without a codec) ---------------------
+
+  /** WebP dimensions from the container/bitstream headers alone — covers
+    * all three WebP flavors per the public container spec (the reference
+    * decodes webp fully, resizer.go:214-264; full pixel decode needs a
+    * VP8 codec this environment doesn't ship, but width/height live in
+    * fixed-layout headers):
+    *  - VP8X (extended): canvas (width-1, height-1) as 24-bit LE fields;
+    *  - VP8L (lossless): 0x2f signature, then 14+14 bits of (w-1, h-1);
+    *  - "VP8 " (lossy): keyframe start code 0x9d012a, then 14-bit w/h.
+    * Chunk walk is length-clamped — untrusted bytes never index out. */
+  def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 20 || sniffFormat(b) != "webp") return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def u24(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    def u32(i: Int): Long = u24(i).toLong | (u8(i + 3).toLong << 24)
+    var off = 12 // first chunk after RIFF size + "WEBP"
+    while (off + 8 <= b.length) {
+      val fourCC = new String(b, off, 4, "US-ASCII")
+      val size = u32(off + 4)
+      val p = off + 8 // payload start
+      fourCC match {
+        case "VP8X" if size >= 10 && p + 10 <= b.length =>
+          return Some((u24(p + 4) + 1, u24(p + 7) + 1))
+        case "VP8L" if size >= 5 && p + 5 <= b.length && u8(p) == 0x2f =>
+          val bits = u32(p + 1)
+          return Some(((bits & 0x3fff).toInt + 1,
+            ((bits >> 14) & 0x3fff).toInt + 1))
+        case "VP8 " if size >= 10 && p + 10 <= b.length =>
+          // lossy dims only live in a keyframe (bit 0 of the frame tag is
+          // 0) behind the 0x9d012a start code
+          if ((u8(p) & 1) == 0 && u8(p + 3) == 0x9d && u8(p + 4) == 0x01 &&
+            u8(p + 5) == 0x2a)
+            return Some(((u8(p + 6) | (u8(p + 7) << 8)) & 0x3fff,
+              (u8(p + 8) | (u8(p + 9) << 8)) & 0x3fff))
+          return None
+        case _ => ()
+      }
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      off = p + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    None
+  }
+
   case class ImgMeta(width: Int, height: Int, format: String)
 
   private val metaUdf = udf((b: Array[Byte]) =>
     if (b == null) None
-    else decode(b).map(i => ImgMeta(i.getWidth, i.getHeight, sniffFormat(b))))
+    else decode(b).map(i => ImgMeta(i.getWidth, i.getHeight, sniffFormat(b)))
+      // webp: no pixel codec shipped, but dimensions come from the header
+      .orElse(webpDims(b).map { case (w, h) => ImgMeta(w, h, "webp") }))
 
-  /** Decode → struct(width, height, format); null when no codec. */
+  /** Decode → struct(width, height, format); null when no codec (webp
+    * still reports real header-parsed dimensions). */
   def imgMeta(c: Column): Column = metaUdf(c)
 
   def resizeImage(b: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =

@@ -73,6 +73,51 @@ class FunctionsSpec extends SparkSpec {
     assert(B.resizeImage("RIFF0000WEBPVP8 ".getBytes, 10, 10) === None)
   }
 
+  test("webp dimensions parse from VP8/VP8L/VP8X headers (no codec)") {
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def webp(fourCC: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes("US-ASCII"))
+      bos.write(le32(4 + 8 + payload.length + (payload.length & 1)))
+      bos.write("WEBP".getBytes("US-ASCII"))
+      bos.write(fourCC.getBytes("US-ASCII"))
+      bos.write(le32(payload.length))
+      bos.write(payload)
+      if ((payload.length & 1) == 1) bos.write(0)
+      bos.toByteArray
+    }
+    // VP8L (lossless): 0x2f signature, then (w-1) in 14 bits | (h-1) << 14
+    val lossless = {
+      val bits = (100 - 1) | ((60 - 1) << 14)
+      webp("VP8L", Array[Byte](0x2f) ++ le32(bits))
+    }
+    assert(B.sniffFormat(lossless) === "webp")
+    assert(B.webpDims(lossless) === Some((100, 60)))
+    // VP8X (extended): flags + 3 reserved, then 24-bit LE (w-1), (h-1)
+    val extended = webp("VP8X", Array[Byte](0x10, 0, 0, 0,
+      ((320 - 1) & 0xff).toByte, ((320 - 1) >> 8).toByte, 0,
+      ((240 - 1) & 0xff).toByte, 0, 0))
+    assert(B.webpDims(extended) === Some((320, 240)))
+    // "VP8 " (lossy): keyframe tag, 0x9d012a start code, 14-bit w/h
+    val lossy = webp("VP8 ", Array[Byte](0, 0, 0,
+      0x9d.toByte, 0x01, 0x2a,
+      200.toByte, 0, 150.toByte, 0))
+    assert(B.webpDims(lossy) === Some((200, 150)))
+    // truncated / non-keyframe / garbage chunks never throw, just None
+    assert(B.webpDims(lossless.take(16)) === None)
+    assert(B.webpDims(webp("VP8 ", Array[Byte](1, 0, 0,
+      0x9d.toByte, 0x01, 0x2a, 1, 0, 1, 0))) === None)
+    assert(B.webpDims("RIFF0000WEBPVP8 ".getBytes) === None)
+    // imgMeta surfaces header dims even though pixel decode is stubbed
+    import spark.implicits._
+    val row = Seq(Tuple1(lossless)).toDF("body")
+      .select(B.imgMeta(org.apache.spark.sql.functions.col("body")).as("m"))
+      .selectExpr("m.width", "m.height", "m.format").head()
+    assert((row.getInt(0), row.getInt(1), row.getString(2)) ===
+      ((100, 60, "webp")))
+  }
+
   test("SVG shape subset rasterizes with the pure-JVM renderer") {
     val svg =
       """<svg xmlns="http://www.w3.org/2000/svg" width="40" height="30">
