@@ -55,6 +55,45 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("asofSkewed equals asof under a 90%-hot-key skew, " +
+      "with bounded sub-partitions") {
+    val rnd = new scala.util.Random(7)
+    // one key holds 90% of the left rows — the popular-NFT shape
+    val hotLeft = (1 to 4500).map(i =>
+      ("hot", rnd.nextInt(10000).toLong, s"H$i"))
+    val coldLeft = for (k <- 1 to 50; i <- 1 to 10)
+      yield (s"k$k", rnd.nextInt(10000).toLong, s"C$k-$i")
+    val left = (hotLeft ++ coldLeft).toDF("key", "t", "tag")
+    val hotRight = (1 to 300).map(i =>
+      ("hot", rnd.nextInt(10000).toLong, i.toLong))
+    val coldRight = for (k <- 1 to 50; i <- 1 to 3)
+      yield (s"k$k", rnd.nextInt(10000).toLong, (1000 + k * 10 + i).toLong)
+    val right = (hotRight ++ coldRight).toDF("key", "t", "rid")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("key", "t", "tag", "r_rid").collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val plain = canon(AsOfJoin.asof(left, right, "key", "t", "t", "rid"))
+    val skewed = canon(AsOfJoin.asofSkewed(
+      left, right, "key", "t", "t", "rid", nBuckets = 16))
+    assert(plain.length === 5000)
+    assert(skewed === plain)
+
+    // bounded per-task input: the hot key's largest (key, bucket) group
+    // holds a bucket-sized share of its rows, not all 4500 (plain asof
+    // puts the whole key in ONE window partition)
+    val probes = (1 until 16).map(_.toDouble / 16).toArray
+    val bounds = left.select(col("t").cast("double").as("_d"))
+      .stat.approxQuantile("_d", probes, 0.001)
+    val maxGroup = left
+      .withColumn("_bkt", graft.functions.ZOrderFunctions
+        .bucketize(col("t").cast("double"), bounds))
+      .groupBy("key", "_bkt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxGroup < hotLeft.size / 4,
+      s"hot key not sub-partitioned: max group $maxGroup")
+  }
+
   test("asof plan: one hash exchange, no range-join explosion") {
     val ev = graft.Tables.load(spark, sf("sf0.001"), "events")
     val purchases = ev.filter(col("event_type") === "purchase")
