@@ -65,6 +65,40 @@ object SnapshotStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JDBC sink option (S4): the reference writes its current-state tables
+    * to Postgres (x/indexer/handlers/marketplace.go:100-426, DDL
+    * :432-510); the parquet snapshot is this library's default, and this
+    * is the drop-in relational alternative — same latest-wins [[merge]]
+    * upstream, `.write.format("jdbc")` downstream.
+    *
+    * Scale posture: each input partition opens one connection and writes
+    * batched INSERTs, so write parallelism = `numPartitions` (pass it in
+    * `options` to cap connections; `batchsize` tunes rows per round-trip).
+    * `overwrite` + truncate=true replaces the data but keeps the DDL
+    * (indexes, grants) — the analog of the reference's migrate-once,
+    * rewrite-rows cycle. Works against any driver on the executor
+    * classpath (Postgres in production; embedded Derby in the spec). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("truncate", "true")
+      .options(options)
+      .mode(mode)
+      .save()
+
+  /** JDBC read-back of a snapshot table (parallelize with
+    * partitionColumn/lowerBound/upperBound/numPartitions in `options`). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .load()
+
   /** Latest-wins merge of a delta into the current snapshot (the upsert
     * S4/S8 analog). Both inputs need (keyCol, seqCol); rows with
     * deleted=true act as tombstones. Exactly-once under replay: merging the
