@@ -644,5 +644,38 @@ object OracleSql {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY a, b""".stripMargin
     },
+    // Connected components over the q48 pair graph: the recursive CTE
+    // computes, for every node, the set of nodes that can reach it; the
+    // component canonical is the minimum reacher — exactly the fixpoint
+    // min-label propagation converges to.
+    "q62_dup_clusters" -> {
+      val bits = (0 until 32).map(b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, ${ddbHash("w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents) t),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
+         |      FROM tok GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |e AS (SELECT a AS id, b AS nb FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |       COALESCE(c.canonical, d.doc_id) AS canonical,
+         |       COUNT(*) OVER (
+         |         PARTITION BY COALESCE(c.canonical, d.doc_id))
+         |         AS cluster_size
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
   )
 }

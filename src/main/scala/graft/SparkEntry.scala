@@ -82,6 +82,7 @@ object SparkEntry {
     "q59_pii_redact" -> (T.q59PiiRedact(_, _)),
     "q60_dup_ngrams" -> (T.q60DupNgrams(_, _)),
     "q61_variant_agg" -> (R.q61VariantAgg(_, _)),
+    "q62_dup_clusters" -> (T.q62DupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

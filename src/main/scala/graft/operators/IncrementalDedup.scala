@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{fastLshBands, minhashJaccard}
+import graft.functions.TextKernelExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate dedup against a persisted signature store —
+  * the form corpus dedup actually takes at 100 TB: nobody re-mines pairs
+  * over the whole corpus when a batch arrives; the corpus keeps a
+  * signature index and each incoming batch probes it.
+  *
+  *  1. batch → minhash signatures + LSH band keys (narrow, per-doc — the
+  *     same q30 kernel, so incremental and batch dedup agree exactly);
+  *  2. candidates = equi-join on the band key against the store; the
+  *     batch side is tiny relative to the corpus, so with the store
+  *     bucketed on the band key ([[graft.sources.SnapshotStore
+  *     .writeBucketed]]) the probe shuffles ONLY the batch;
+  *  3. candidates verify on full-signature estimated Jaccard (bands gate,
+  *     signatures decide — LSH false positives die here);
+  *  4. fresh docs' signature rows APPEND to the store; the store only
+  *     ever grows by appends, never rewrites.
+  *
+  * Matches the batch pipeline by construction: same kernel, same band
+  * layout, same threshold → findDups(new | old) equals the cross-split
+  * subset of q30MinhashPairs(old ∪ new) (spec-asserted).
+  */
+object IncrementalDedup {
+  /** q30's exact parameters — one shared shape for batch + incremental. */
+  val K = 16
+  val ShingleLen = 3
+  val Bands = 8
+  val RowsPerBand = 2
+
+  /** (doc_id, sig, band) — one row per band per doc; the band hash value
+    * already encodes the band index (hash(b, slice)), so one column is
+    * both the blocking key and the shuffle key. */
+  def signatureRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TextKernelExpressions.minhashSig(col("text"), K, ShingleLen)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .transform(Materialize.pin)
+      .select(col("doc_id"), col("sig"),
+        explode(fastLshBands(col("sig"), Bands, RowsPerBand)).as("band"))
+
+  /** Build the store from the existing corpus (one-time; production
+    * bucketed on the band key so probes read it in place). */
+  def initStore(docs: DataFrame, path: String): Unit =
+    signatureRows(docs).write.mode("overwrite").parquet(path)
+
+  def loadStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe: batch docs that near-duplicate a stored doc at ≥ threshold →
+    * (doc_id, dup_of, est_jaccard), earliest (min id) store match wins. */
+  def findDups(batch: DataFrame, store: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    signatureRows(batch)
+      .join(store.select(col("doc_id").as("s_id"), col("sig").as("s_sig"),
+        col("band")), Seq("band"))
+      .select(col("doc_id"), col("s_id"), col("sig"), col("s_sig"))
+      .distinct() // many shared bands → one candidate pair
+      .withColumn("est_jaccard", minhashJaccard(col("sig"), col("s_sig"), K))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("s_id"), col("est_jaccard")), col("s_id"))
+        .as("m"))
+      .select(col("doc_id"), col("m.s_id").as("dup_of"),
+        col("m.est_jaccard").as("est_jaccard"))
+
+  /** Append the non-duplicate batch docs' signature rows to the store.
+    * Returns the fresh-doc frame (the rows a pipeline keeps). */
+  def appendFresh(batch: DataFrame, dups: DataFrame,
+      storePath: String): DataFrame = {
+    val fresh = batch.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+    signatureRows(fresh).write.mode("append").parquet(storePath)
+    fresh
+  }
+}

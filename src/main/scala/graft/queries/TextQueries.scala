@@ -350,6 +350,57 @@ object TextQueries {
       .limit(300)
   }
 
+  /** Q62 — near-duplicate CLUSTERS: connected components over the q48
+    * simhash pair graph, every document labeled with its cluster's
+    * canonical (minimum) doc_id plus the cluster size. This is the step a
+    * dedup pipeline actually acts on: pairs alone over-remove (for a~b,
+    * b~c the pair list names b AND c as duplicates, but the cluster
+    * {a,b,c} keeps exactly one canonical survivor).
+    *
+    * Distributed min-label propagation: label(v) ← min(label over v's
+    * neighborhood), iterated to fixpoint — O(cluster diameter) rounds
+    * (near-dup clusters are shallow; a 20-round guard bounds pathologies),
+    * each round one shuffle-on-doc-id join + groupBy. Each round's result
+    * is EAGERLY localCheckpoint-ed: the next plan references the previous
+    * labels twice, so without lineage truncation the logical plan doubles
+    * per round (2^rounds — persist alone does not truncate it). No
+    * driver-side graph: at 100 TB the edge list and labels stay
+    * distributed; only the per-round convergence COUNT comes back.
+    * Oracle: DuckDB recursive-CTE transitive closure over the same pair
+    * set. */
+  def q62DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q48SimhashPairs(s, dir).select(col("a"), col("b"))
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+      .toDF("id", "nb").localCheckpoint()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges
+        .join(labels.select(col("id").as("nb"), col("label").as("nl")), "nb")
+        .groupBy("id").agg(min("nl").as("nl"))
+      // carry the previous label inside the round's frame: convergence is
+      // a filter over the checkpointed result, not another join
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("label").as("_old"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("label")).localCheckpoint()
+      changed = next.filter(col("label") < col("_old")).count()
+      labels = next.drop("_old")
+      rounds += 1
+    }
+    val out = docs(s, dir).select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"),
+        col("label").as("_canon")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_canon"), col("doc_id")).as("canonical"))
+    out.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical"))))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * cheap blocking key (same lang + same token-count bucket), so the
     * pair space stays linear-ish instead of O(n²). */

@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** q62 invariants beyond the DuckDB replay: canonical really is the
+  * component minimum, pair-connected docs always share a cluster, and
+  * cluster sizes are consistent. */
+class DupClusterSpec extends SparkSpec {
+
+  test("q62 clusters: canonical is the component minimum, pairs agree") {
+    val dir = sf("sf0.001")
+    val rows = TextQueries.q62DupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    // canonical ≤ member, and the canonical doc is its own canonical
+    rows.foreach { case (id, (canon, _)) =>
+      assert(canon <= id, s"canonical above member: $id -> $canon")
+      assert(rows(canon)._1 === canon, s"canonical $canon not a fixpoint")
+    }
+    // every near-dup pair landed in one cluster
+    TextQueries.q48SimhashPairs(spark, dir).select("a", "b").collect()
+      .foreach { r =>
+        assert(rows(r.getLong(0))._1 === rows(r.getLong(1))._1,
+          s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+      }
+    // cluster_size equals the actual member count of its canonical
+    val counts = rows.values.groupBy(_._1).view.mapValues(_.size).toMap
+    rows.foreach { case (id, (canon, size)) =>
+      assert(size === counts(canon), s"size mismatch at $id")
+    }
+  }
+}
