@@ -22,6 +22,9 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Rounds the last q62 label propagation took (diagnostics/specs). */
+  @volatile private[graft] var q62LastRounds: Int = 0
+
   /** Q21 — per-language corpus stats. */
   def q21TextStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -357,21 +360,70 @@ object TextQueries {
     * b~c the pair list names b AND c as duplicates, but the cluster
     * {a,b,c} keeps exactly one canonical survivor).
     *
-    * Distributed min-label propagation: label(v) ← min(label over v's
-    * neighborhood), iterated to fixpoint — O(cluster diameter) rounds
-    * (near-dup clusters are shallow; a 20-round guard bounds pathologies),
-    * each round one shuffle-on-doc-id join + groupBy. Each round's result
-    * is EAGERLY localCheckpoint-ed: the next plan references the previous
-    * labels twice, so without lineage truncation the logical plan doubles
-    * per round (2^rounds — persist alone does not truncate it). No
+    * Distributed min-label propagation WITH pointer jumping: each round
+    * takes label(v) ← min over v's neighborhood, then halves paths with
+    * label(v) ← label(label(v)) — O(log diameter) rounds (chain-shaped
+    * dup families make plain propagation O(diameter): the sf0.1 fixture
+    * needs 10 plain rounds but 4 jumped ones). Each round is two
+    * shuffle-joins + a groupBy, and its result is EAGERLY
+    * localCheckpoint-ed: the next plan references the previous labels
+    * more than once, so without lineage truncation the logical plan
+    * doubles per round (persist alone does not truncate it). No
     * driver-side graph: at 100 TB the edge list and labels stay
     * distributed; only the per-round convergence COUNT comes back.
     * Oracle: DuckDB recursive-CTE transitive closure over the same pair
-    * set. */
-  def q62DupClusters(s: SparkSession, dir: String): DataFrame = {
+    * set.
+    *
+    * Small-graph fast path: the mined pair graph is orders of magnitude
+    * smaller than the corpus (that is what LSH banding is FOR), so when
+    * it fits one task a single-partition union-find replaces log-many
+    * distributed rounds — each round is several job launches, which at
+    * fixture scale costs more than the entire graph. The distributed
+    * loop stays the >limit path; both produce identical labels
+    * (spec-asserted). */
+  def q62DupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir, smallGraphLimit = 5000000L)
+
+  private[graft] def dupClusters(s: SparkSession, dir: String,
+      smallGraphLimit: Long): DataFrame = {
+    import s.implicits._
     val pairs = q48SimhashPairs(s, dir).select(col("a"), col("b"))
     val edges = pairs.union(pairs.select(col("b"), col("a")))
       .toDF("id", "nb").localCheckpoint()
+    if (edges.count() <= smallGraphLimit) {
+      val labels = edges.repartition(1).as[(Long, Long)]
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            while (parent.getOrElse(x, x) != x) x = parent(x)
+            var y = x0 // path compression
+            while (parent.getOrElse(y, y) != y) {
+              val n = parent(y); parent(y) = x; y = n
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(ra) = rb
+          }
+          val nodes = parent.keys.toArray
+          val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+          nodes.foreach { v =>
+            val r = find(v)
+            if (v < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = v
+          }
+          nodes.iterator.map(v => (v, minOf(find(v))))
+        }.toDF("id", "label")
+      q62LastRounds = 0
+      clusterOutput(s, dir, labels)
+    } else clusterOutput(s, dir, propagateLabels(edges))
+  }
+
+  /** The distributed min-label/pointer-jump loop (the >1-task path). */
+  private def propagateLabels(edges: DataFrame): DataFrame = {
     var labels = edges.select(col("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
@@ -382,14 +434,31 @@ object TextQueries {
         .groupBy("id").agg(min("nl").as("nl"))
       // carry the previous label inside the round's frame: convergence is
       // a filter over the checkpointed result, not another join
-      val next = labels.join(prop, Seq("id"), "left")
+      val stepped = labels.join(prop, Seq("id"), "left")
         .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("nl"), col("label")))
-            .as("label")).localCheckpoint()
+            .as("label"))
+      // pointer jump (path halving): a label is always another node's id,
+      // so label(label(v)) is one more self-join; min-labels only shrink,
+      // so the jump never overshoots the component minimum
+      val next = stepped.join(
+          stepped.select(col("id").as("_lid"), col("label").as("_ll")),
+          col("label") === col("_lid"), "left")
+        .select(col("id"), col("_old"),
+          coalesce(col("_ll"), col("label")).as("label"))
+        .localCheckpoint()
       changed = next.filter(col("label") < col("_old")).count()
       labels = next.drop("_old")
       rounds += 1
     }
+    q62LastRounds = rounds
+    labels
+  }
+
+  /** Join cluster labels back to the full corpus: singletons are their
+    * own canonical; cluster_size counts members per canonical. */
+  private def clusterOutput(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val out = docs(s, dir).select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"),
         col("label").as("_canon")), Seq("doc_id"), "left")

@@ -29,4 +29,16 @@ class DupClusterSpec extends SparkSpec {
       assert(size === counts(canon), s"size mismatch at $id")
     }
   }
+
+  test("union-find fast path and distributed propagation agree") {
+    val dir = sf("sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // limit 0 forces the distributed label-propagation loop
+    val distributed = canon(TextQueries.dupClusters(spark, dir, 0L))
+    assert(TextQueries.q62LastRounds > 0)
+    val unionFind = canon(TextQueries.q62DupClusters(spark, dir))
+    assert(TextQueries.q62LastRounds === 0)
+    assert(unionFind === distributed)
+  }
 }
