@@ -677,5 +677,31 @@ object OracleSql {
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    // per-lang deterministic-hash admission until the token budget; the
+    // unique (h, doc_id) ordering makes RANGE and ROWS frames identical,
+    // so both engines' default window frames agree
+    "q63_corpus_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#1'")} AS h
+         |  FROM documents),
+         |c AS (SELECT lang, ntok,
+         |        SUM(ntok) OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |          AS cum
+         |      FROM d)
+         |SELECT lang, COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens
+         |FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q64_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |             array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |            FROM t) x),
+        |e AS (SELECT DISTINCT sh FROM g WHERE doc_id < 10),
+        |c AS (SELECT doc_id, sh FROM g WHERE doc_id >= 10)
+        |SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_shared
+        |FROM c JOIN e USING (sh)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
   )
 }

@@ -83,6 +83,8 @@ object SparkEntry {
     "q60_dup_ngrams" -> (T.q60DupNgrams(_, _)),
     "q61_variant_agg" -> (R.q61VariantAgg(_, _)),
     "q62_dup_clusters" -> (T.q62DupClusters(_, _)),
+    "q63_corpus_mix" -> (T.q63CorpusMix(_, _)),
+    "q64_decontaminate" -> (T.q64Decontaminate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -470,6 +470,45 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q63 — corpus mixing to a per-language token budget: the data-mixing
+    * step of a training pipeline (rebalance languages/domains before
+    * training). Docs are admitted per language in DETERMINISTIC hash
+    * order (content-stable like q54/q55 — never rand()) until the
+    * language's cumulative token count hits the budget; output is the
+    * realized mix. One window + one aggregate, partitioned by lang — at
+    * 100 TB the per-lang window sort is the only shuffle, and the hash
+    * order means re-runs and engines agree row-for-row. */
+  def q63CorpusMix(s: SparkSession, dir: String,
+      budget: Long = 3000): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("ntok"),
+      seededHash(col("doc_id").cast("string"), 1).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    d.withColumn("cum", sum(col("ntok")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Q64 — benchmark decontamination: flag corpus docs sharing ANY word
+    * 5-gram with the eval set (stand-in: doc_id < 10) — the standard
+    * leakage guard before training. Inverted-index shape: explode both
+    * sides to (doc, shingle), broadcast the tiny distinct eval-shingle
+    * set, count distinct shared shingles per corpus doc. Never a
+    * corpus×eval scan; the only shuffle is the final per-doc groupBy. */
+  def q64Decontaminate(s: SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
+    val evalSh = docs(s, dir).filter(col("doc_id") < 10)
+      .select(explode(shingles(col("text"), n)).as("sh")).distinct()
+    val corpus = docs(s, dir).filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    corpus.join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * cheap blocking key (same lang + same token-count bucket), so the
     * pair space stays linear-ish instead of O(n²). */
