@@ -50,4 +50,54 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(redup.head.getLong(0) === 999999L)
     assert(redup.head.getDouble(2) === 1.0) // identical text → est 1.0
   }
+
+  test("streaming ingest dedups each micro-batch against the growing store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stream").toString
+    def txt(seed: Int): String =
+      (0 until 25).map(i => s"s${seed}w$i").mkString(" ")
+    // seed the store with doc 1 (also gives the store files a schema)
+    IncrementalDedup.initStore(Seq((1L, txt(1))).toDF("doc_id", "text"), store)
+
+    // companion-object state survives whatever closure handling the
+    // streaming machinery applies (same pattern as StreamingEnrichmentSpec)
+    IncrementalDedupSpec.kept = Vector.empty
+    IncrementalDedupSpec.dupOf = Map.empty
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b0: org.apache.spark.sql.DataFrame, _: Long) =>
+        // pin the micro-batch: the probe, the store append and the
+        // report below each re-evaluate their input, and a re-planned
+        // micro-batch frame is not guaranteed to replay its rows
+        val batch = b0.localCheckpoint()
+        val dups = IncrementalDedup.findDups(batch,
+          IncrementalDedup.loadStore(batch.sparkSession, store), 0.5)
+          .localCheckpoint()
+        IncrementalDedupSpec.dupOf ++= dups.collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+        IncrementalDedupSpec.kept ++= IncrementalDedup
+          .appendFresh(batch, dups, store)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      // batch 1: doc 2 duplicates stored doc 1; doc 3 is fresh
+      input.addData(Seq((2L, txt(1)), (3L, txt(3))))
+      q.processAllAvailable()
+      // batch 2: doc 4 duplicates doc 3 — which entered the store in the
+      // PREVIOUS micro-batch (the store grows between batches)
+      input.addData(Seq((4L, txt(3)), (5L, txt(5))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(IncrementalDedupSpec.kept.sorted === Seq(3L, 5L))
+    assert(IncrementalDedupSpec.dupOf === Map(2L -> 1L, 4L -> 3L))
+  }
+}
+
+object IncrementalDedupSpec {
+  @volatile var kept: Vector[Long] = Vector.empty
+  @volatile var dupOf: Map[Long, Long] = Map.empty
 }
