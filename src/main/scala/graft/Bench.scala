@@ -121,6 +121,10 @@ object Bench {
     val gcStart = gcMillis()
     // name -> list of (seconds, gcSeconds) in run order
     val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]()
+    // a failed run must surface as a failure, not as a suspiciously fast
+    // time — min() would otherwise report a crash as the round's best
+    // improvement
+    val errors = scala.collection.mutable.Map[String, Int]()
     for (r <- 0 until runs) {
       val order =
         if (r == 0) entries
@@ -129,16 +133,23 @@ object Bench {
       order.foreach { case (name, thunk) =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
-        try thunk() catch { case _: Throwable => () }
+        val ok = try { thunk(); true } catch {
+          case e: Throwable =>
+            errors(name) = errors.getOrElse(name, 0) + 1
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
         val t = (System.nanoTime() - t0) / 1e9
         val gc = (gcMillis() - g0) / 1e3
-        samples(name) = (t, gc) :: samples.getOrElse(name, Nil)
+        if (ok) samples(name) = (t, gc) :: samples.getOrElse(name, Nil)
       }
     }
-    val results = entries.map { case (name, _) =>
-      val runsFor = samples(name).reverse
-      val (tMin, gcAtMin) = runsFor.minBy(_._1)
-      (name, tMin, gcAtMin, runsFor.map(_._1))
+    val results = entries.flatMap { case (name, _) =>
+      samples.get(name).map { s =>
+        val runsFor = s.reverse
+        val (tMin, gcAtMin) = runsFor.minBy(_._1)
+        (name, tMin, gcAtMin, runsFor.map(_._1))
+      } // a query with zero successful runs appears only under "errors"
     }
     val gcTotal = (gcMillis() - gcStart) / 1e3
     val total = results.map(_._2).sum
@@ -148,8 +159,11 @@ object Bench {
       pairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"$errField}"""
 
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
       prev.get(name).filter(_ > 0).map(p => name -> t / p)
@@ -159,7 +173,7 @@ object Bench {
       s"\"" + name + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir","vs_prev":$vsPrev,"baseline_source":"$baselineSrc","gc_by_query":$gcByQ,"all_runs":$allRuns}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"$errField,"vs_prev":$vsPrev,"baseline_source":"$baselineSrc","gc_by_query":$gcByQ,"all_runs":$allRuns}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/target/bench_last.json"), full)
     catch { case _: Throwable => () }

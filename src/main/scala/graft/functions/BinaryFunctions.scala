@@ -412,7 +412,9 @@ object BinaryFunctions {
           return None
         case _ => ()
       }
-      if (size < 0 || size > Int.MaxValue - 9) return None
+      // a chunk can never extend past the buffer — also stops Int
+      // overflow of the cursor on crafted 2 GB-scale size fields
+      if (size < 0 || size > b.length.toLong) return None
       off = p + size.toInt + (size.toInt & 1) // chunks pad to even
     }
     None

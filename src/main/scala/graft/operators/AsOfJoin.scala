@@ -94,6 +94,10 @@ object AsOfJoin {
     val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds = left.select(col(leftTime).cast("double").as("_d"))
       .stat.approxQuantile("_d", probes, 0.001)
+    // no boundaries (empty left, or nBuckets=1) → nothing to sub-split;
+    // plain asof is the same semantics and never fails analysis
+    if (bounds.isEmpty)
+      return asof(left, right, key, leftTime, rightTime, tieBreak, prefix)
     // same boundary expression on both sides → equal times always share a
     // bucket, so the inclusive (<=) tie handling is preserved
     def bkt(c: Column): Column = bucketize(c.cast("double"), bounds)

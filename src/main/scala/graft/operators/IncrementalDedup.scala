@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * Matches the batch pipeline by construction: same kernel, same band
   * layout, same threshold → findDups(new | old) equals the cross-split
   * subset of q30MinhashPairs(old ∪ new) (spec-asserted).
+  *
+  * Scope: this is BATCH-vs-STORE dedup. Docs within one batch are not
+  * compared against each other — run the within-batch pair pipeline
+  * (q30 shape) or exact dedup on the batch first if intra-batch
+  * duplicates are possible; [[processBatch]] only guarantees that
+  * nothing entering the store duplicates what was already there.
   */
 object IncrementalDedup {
   /** q30's exact parameters — one shared shape for batch + incremental. */
@@ -34,13 +40,20 @@ object IncrementalDedup {
 
   /** (doc_id, sig, band) — one row per band per doc; the band hash value
     * already encodes the band index (hash(b, slice)), so one column is
-    * both the blocking key and the shuffle key. */
+    * both the blocking key and the shuffle key.
+    *
+    * localCheckpoint (not persist): the signature must materialize once
+    * before the band explode references it (projection collapse would run
+    * the kernel per consumer), but this runs once per micro-batch in
+    * streaming ingest — checkpointed blocks are reclaimed by the
+    * ContextCleaner when the frame goes out of scope, while persisted
+    * plans would accumulate in the CacheManager forever. */
   def signatureRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         TextKernelExpressions.minhashSig(col("text"), K, ShingleLen)
           .as("sig"))
       .filter(col("sig").isNotNull)
-      .transform(Materialize.pin)
+      .localCheckpoint(eager = false)
       .select(col("doc_id"), col("sig"),
         explode(fastLshBands(col("sig"), Bands, RowsPerBand)).as("band"))
 
@@ -56,7 +69,13 @@ object IncrementalDedup {
     * (doc_id, dup_of, est_jaccard), earliest (min id) store match wins. */
   def findDups(batch: DataFrame, store: DataFrame,
       threshold: Double = 0.5): DataFrame =
-    signatureRows(batch)
+    findDupsFromSigs(signatureRows(batch), store, threshold)
+
+  /** Probe from precomputed signature rows (shared with [[processBatch]]
+    * so the minhash kernel — the dominant per-batch cost — runs once). */
+  def findDupsFromSigs(sigs: DataFrame, store: DataFrame,
+      threshold: Double): DataFrame =
+    sigs
       .join(store.select(col("doc_id").as("s_id"), col("sig").as("s_sig"),
         col("band")), Seq("band"))
       .select(col("doc_id"), col("s_id"), col("sig"), col("s_sig"))
@@ -76,5 +95,24 @@ object IncrementalDedup {
     val fresh = batch.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
     signatureRows(fresh).write.mode("append").parquet(storePath)
     fresh
+  }
+
+  /** One ingest cycle — probe, append, report — with ONE signature pass
+    * over the batch (findDups + appendFresh as separate calls each
+    * recompute the kernel). Returns (dups, fresh); `dups` is
+    * materialized (it gates the append). */
+  def processBatch(batch: DataFrame, store: DataFrame, storePath: String,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    // pin the batch: it feeds both the signature pass and the fresh
+    // anti-join, and a streaming micro-batch frame is not guaranteed to
+    // replay its rows on re-evaluation
+    val b = batch.localCheckpoint(eager = false)
+    val sigs = signatureRows(b).localCheckpoint(eager = false)
+    val dups = findDupsFromSigs(sigs, store, threshold)
+      .localCheckpoint(eager = false)
+    sigs.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(storePath)
+    val fresh = b.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+    (dups, fresh)
   }
 }

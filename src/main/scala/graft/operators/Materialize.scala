@@ -18,10 +18,13 @@ import org.apache.spark.storage.StorageLevel
   *  - default `persist(MEMORY_AND_DISK)` — evicted blocks SPILL, never
   *    recompute (this is also Dataset.cache()'s level, but stated, not
   *    implied);
-  *  - `spark.graft.materialize=checkpoint` switches to `localCheckpoint` —
-  *    lineage is truncated and blocks are written eagerly to executor-local
-  *    storage, the right call when the upstream fan-out is expensive enough
-  *    that even a rare recompute (executor loss) is worse than the write.
+  *  - `spark.graft.materialize=checkpoint` switches to a (lazy)
+  *    `localCheckpoint` — lineage is truncated and blocks land in
+  *    executor-local storage on first materialization, the right call when
+  *    the plan itself is the problem (iterative growth, analysis cost) or
+  *    when blocks should be GC-reclaimable: checkpointed RDD blocks are
+  *    dropped by the ContextCleaner once unreferenced, while persisted
+  *    plans stay registered in the CacheManager until unpersist.
   */
 object Materialize {
 

@@ -451,6 +451,11 @@ object TextQueries {
       labels = next.drop("_old")
       rounds += 1
     }
+    if (changed > 0)
+      // never silent: unconverged labels would split connected components
+      throw new IllegalStateException(
+        s"label propagation did not converge in $rounds rounds " +
+          s"($changed labels still moving)")
     q62LastRounds = rounds
     labels
   }

@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   * once); downstream idempotence comes from the same merge/dedup sinks the
   * rest of the library uses (S8/S9). Per-queue consumption is always an
   * offset PREFIX of the backlog, so a cursor is one long per queue.
+  * Producer contract: offsets must be UNIQUE and increasing per queue
+  * (Kafka's own invariant — MessageBus.envelope takes a sequence column);
+  * a duplicated offset would be half-consumed and then skipped by the
+  * strict `> cursor` filter. Queues that do not exist yet (consumer up
+  * before its producer) read as empty, like a declared-but-idle queue.
   */
 object PriorityConsumer {
 
@@ -60,7 +65,12 @@ object PriorityConsumer {
       cursorPath: String, batchSize: Int)
       (process: DataFrame => Unit): Long = {
     val cursor = loadCursor(cursorPath)
-    val backlogs = queues.map { q =>
+    // not-yet-created queue dirs read as empty instead of failing the
+    // whole cycle (consumer may start before its producer ever sends)
+    val live = queues.filter(q =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(q.path)))
+    if (live.isEmpty) return 0L
+    val backlogs = live.map { q =>
       MessageBus.read(spark, "files", Map("path" -> q.path))
         .filter(col("offset") > lit(cursor.getOrElse(q.path, -1L)))
         .withColumn("q_priority", lit(q.priority))

@@ -68,19 +68,15 @@ class IncrementalDedupSpec extends SparkSpec {
       .MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch { (b0: org.apache.spark.sql.DataFrame, _: Long) =>
-        // pin the micro-batch: the probe, the store append and the
-        // report below each re-evaluate their input, and a re-planned
-        // micro-batch frame is not guaranteed to replay its rows
-        val batch = b0.localCheckpoint()
-        val dups = IncrementalDedup.findDups(batch,
-          IncrementalDedup.loadStore(batch.sparkSession, store), 0.5)
-          .localCheckpoint()
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // one ingest cycle: probe + append + report, single kernel pass
+        // (processBatch pins the micro-batch internally)
+        val (dups, fresh) = IncrementalDedup.processBatch(batch,
+          IncrementalDedup.loadStore(batch.sparkSession, store), store, 0.5)
         IncrementalDedupSpec.dupOf ++= dups.collect()
           .map(r => r.getLong(0) -> r.getLong(1))
-        IncrementalDedupSpec.kept ++= IncrementalDedup
-          .appendFresh(batch, dups, store)
-          .select("doc_id").collect().map(_.getLong(0))
+        IncrementalDedupSpec.kept ++=
+          fresh.select("doc_id").collect().map(_.getLong(0))
         ()
       }.start()
     try {
