@@ -703,5 +703,18 @@ object OracleSql {
         |SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_shared
         |FROM c JOIN e USING (sh)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q65_seq_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#5'")} AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, ntok, h, (h % 8)::INT AS shard FROM d),
+         |c AS (SELECT shard, ntok,
+         |        SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |          - ntok AS strt
+         |      FROM s)
+         |SELECT shard, (strt // 2048)::BIGINT AS pack_id,
+         |       COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens
+         |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
   )
 }

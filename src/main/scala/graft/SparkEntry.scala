@@ -85,6 +85,7 @@ object SparkEntry {
     "q62_dup_clusters" -> (T.q62DupClusters(_, _)),
     "q63_corpus_mix" -> (T.q63CorpusMix(_, _)),
     "q64_decontaminate" -> (T.q64Decontaminate(_, _)),
+    "q65_seq_pack" -> ((s, d) => T.q65SeqPack(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -514,6 +514,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q65 — sequence packing: lay documents out into fixed-budget context
+    * windows ("packs") for training, the concat-and-chunk step that
+    * follows corpus mixing (q63). The corpus is sharded by a
+    * content-stable hash; within a shard docs are placed in deterministic
+    * hash order and a doc belongs to the pack where it STARTS (greedy
+    * boundary packing — docs straddle pack boundaries and are split at
+    * tokenization time, the standard dense layout: zero padding waste,
+    * unlike first-fit whole-doc packing). Output: per-pack doc/token
+    * counts.
+    *
+    * Scale posture: the only shuffle is the per-shard window sort, and
+    * shards are the parallelism unit — at 100 TB raise `shards` to a
+    * multiple of the cluster's cores and each shard sorts independently;
+    * there is no global order and no driver state. Hash sharding/order
+    * makes the layout reproducible across engines and re-runs (never
+    * rand(), like q54/q55). */
+  def q65SeqPack(s: SparkSession, dir: String, budget: Long = 2048,
+      shards: Int = 8): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntok"),
+        seededHash(col("doc_id").cast("string"), 5).as("h"))
+      // seededHash is a 60-bit non-negative long, so % is already pmod
+      .withColumn("shard", (col("h") % shards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    d.withColumn("strt", sum(col("ntok")).over(w) - col("ntok"))
+      .withColumn("pack_id", floor(col("strt") / budget))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .orderBy("shard", "pack_id")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * cheap blocking key (same lang + same token-count bucket), so the
     * pair space stays linear-ish instead of O(n²). */
