@@ -195,4 +195,31 @@ class PlanQualitySpec extends SparkSpec {
     val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
     assert(aggLines.size >= 2, s"no partial aggregation in:\n$p")
   }
+
+  test("q65 packing: shard-local window (no global sort) + mass conserved") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q65SeqPack(spark, dir)
+    val rows = df.collect()
+    // the window sorts per shard — a global (true) sort of the corpus
+    // would serialize packing on one partition at 100 TB; only the final
+    // presentation ORDER BY may sort globally
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val globalSorts = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true,")).size
+    assert(globalSorts <= 1, s"packing sorts globally:\n$p")
+    // packing is a layout, not a filter: every doc and every token lands
+    // in exactly one pack
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val expDocs = docs.count()
+    val expToks = docs.select(sum(size(split(col("text"), " "))))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === expDocs)
+    assert(rows.map(_.getLong(3)).sum === expToks)
+    // every shard starts at pack 0 (first doc starts at offset 0)
+    rows.groupBy(_.getInt(0)).foreach { case (sh, rs) =>
+      assert(rs.map(_.getLong(1)).min === 0L, s"shard $sh missing pack 0")
+    }
+  }
 }
