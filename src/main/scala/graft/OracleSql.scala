@@ -716,5 +716,81 @@ object OracleSql {
          |SELECT shard, (strt // 2048)::BIGINT AS pack_id,
          |       COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens
          |FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+    // Laplace-smoothed bigram LM: corpus-level unigram/bigram counts,
+    // per-doc mean -ln p(w2|w1); the %.3f render after round() keeps the
+    // FP summation-order difference between engines out of the hash.
+    "q66_lm_xent" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |             FROM t) x),
+        |un AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM
+        |       (SELECT unnest(w) AS w1 FROM t) u GROUP BY 1),
+        |bgc AS (SELECT bg, COUNT(*)::BIGINT AS c12 FROM bg GROUP BY 1)
+        |SELECT g.doc_id, COUNT(*) AS n_bigrams,
+        |       printf('%.3f', ROUND(AVG(-ln((c.c12 + 1.0) /
+        |         (u.c1 + (SELECT COUNT(*) FROM un)))), 3)) AS xent
+        |FROM bg g JOIN bgc c USING (bg) JOIN un u USING (w1)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // q44's LSH pair mining replayed, then the same recursive-CTE closure
+    // q62 uses, then one representative (min id) kept per component.
+    "q67_semantic_dedup" ->
+      s"""WITH RECURSIVE p AS ($embLshPairsSql),
+         |e AS (SELECT a AS id, b AS nb FROM p UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id),
+         |lab AS (SELECT v.vec_id, COALESCE(c.canonical, v.vec_id)
+         |          AS canonical
+         |        FROM embeddings v LEFT JOIN comp c ON c.id = v.vec_id)
+         |SELECT canonical AS vec_id, COUNT(*)::BIGINT AS cluster_size
+         |FROM lab GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    "q68_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*)::BIGINT AS tf
+        |       FROM t GROUP BY 1, 2),
+        |dfc AS (SELECT w, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.w,
+        |         tf.tf * ln((SELECT nd FROM n) / dfc.df) AS s
+        |       FROM tf JOIN dfc USING (w)),
+        |r AS (SELECT doc_id, w, s, ROW_NUMBER() OVER (
+        |        PARTITION BY doc_id ORDER BY s DESC, w) AS rk
+        |      FROM sc)
+        |SELECT doc_id, rk, w AS term, printf('%.3f', ROUND(s, 3)) AS score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // cumulative rule cascade; every predicate is an exact integer-ratio
+    // comparison both engines compute identically
+    "q69_filter_funnel" ->
+      """WITH d AS (
+        |  SELECT len(string_split(text,' '))::DOUBLE AS nt,
+        |         n_chars::DOUBLE AS nc,
+        |         len(list_distinct(string_split(text,' ')))::DOUBLE AS uq,
+        |         lower(text) AS lt
+        |  FROM documents),
+        |f AS (SELECT nt >= 20 AND nt <= 5000 AS s1,
+        |             nc / nt >= 2.0 AND nc / nt <= 6.0 AS s2,
+        |             lt LIKE '% the %' AS s3,
+        |             uq / nt >= 0.4 AS s4
+        |      FROM d),
+        |a AS (SELECT COUNT(*)::BIGINT AS n0,
+        |        SUM(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |        SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |        SUM(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END)::BIGINT
+        |          AS n3,
+        |        SUM(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END)
+        |          ::BIGINT AS n4
+        |      FROM f)
+        |SELECT * FROM (
+        |  SELECT 0::INT AS stage_id, 'input' AS stage, n0 AS n_kept FROM a
+        |  UNION ALL SELECT 1::INT, 'length', n1 FROM a
+        |  UNION ALL SELECT 2::INT, 'word_len', n2 FROM a
+        |  UNION ALL SELECT 3::INT, 'stopword_en', n3 FROM a
+        |  UNION ALL SELECT 4::INT, 'uniq_ratio', n4 FROM a) t
+        |ORDER BY stage_id""".stripMargin,
   )
 }

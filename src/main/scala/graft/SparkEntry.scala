@@ -86,6 +86,10 @@ object SparkEntry {
     "q63_corpus_mix" -> (T.q63CorpusMix(_, _)),
     "q64_decontaminate" -> (T.q64Decontaminate(_, _)),
     "q65_seq_pack" -> ((s, d) => T.q65SeqPack(s, d)),
+    "q66_lm_xent" -> (T.q66LmXent(_, _)),
+    "q67_semantic_dedup" -> (S.q67SemanticDedup(_, _)),
+    "q68_tfidf_topk" -> ((s, d) => T.q68TfidfTopk(s, d)),
+    "q69_filter_funnel" -> (T.q69FilterFunnel(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

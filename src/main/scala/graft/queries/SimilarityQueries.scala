@@ -212,4 +212,27 @@ object SimilarityQueries {
       .filter(col("sim") >= threshold)
       .orderBy("a", "b")
   }
+
+  /** Q67 — semantic dedup, end to end (SemDeDup-shaped): hyperplane-LSH
+    * near-dup pairs over the embedding space (q44's banded equi-join,
+    * never all-pairs) → connected components (q62's union-find fast path
+    * / pointer-jump loop) → keep ONE representative (minimum vec_id) per
+    * cluster. Output is the deduplicated corpus: one row per kept
+    * representative with the cluster mass it absorbs (singletons keep
+    * themselves with mass 1).
+    *
+    * Scale posture: the pair graph LSH mines is orders of magnitude
+    * smaller than the corpus, components cost log-many rounds on it, and
+    * the final keep-join is one shuffle on vec_id — no stage ever holds
+    * more than (pairs + corpus keys). */
+  def q67SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q44EmbLshPairs(s, dir).select(col("a"), col("b"))
+    val labels = TextQueries.componentLabels(s, pairs)
+    Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      .join(labels.select(col("id").as("vec_id"), col("label").as("_c")),
+        Seq("vec_id"), "left")
+      .select(coalesce(col("_c"), col("vec_id")).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("cluster_size"))
+      .orderBy("vec_id")
+  }
 }

@@ -385,10 +385,20 @@ object TextQueries {
     dupClusters(s, dir, smallGraphLimit = 5000000L)
 
   private[graft] def dupClusters(s: SparkSession, dir: String,
-      smallGraphLimit: Long): DataFrame = {
+      smallGraphLimit: Long): DataFrame =
+    clusterOutput(s, dir,
+      componentLabels(s, q48SimhashPairs(s, dir).select(col("a"), col("b")),
+        smallGraphLimit))
+
+  /** Connected-component labels over an undirected pair graph: one row
+    * per node that appears in a pair, `label` = minimum id reachable from
+    * it (the component canonical). Generic over any (a, b) pair source —
+    * simhash pairs for q62, embedding-LSH pairs for q67. */
+  private[graft] def componentLabels(s: SparkSession, pairs: DataFrame,
+      smallGraphLimit: Long = 5000000L): DataFrame = {
     import s.implicits._
-    val pairs = q48SimhashPairs(s, dir).select(col("a"), col("b"))
-    val edges = pairs.union(pairs.select(col("b"), col("a")))
+    val ab = pairs.toDF("a", "b")
+    val edges = ab.union(ab.select(col("b"), col("a")))
       .toDF("id", "nb").localCheckpoint()
     if (edges.count() <= smallGraphLimit) {
       val labels = edges.repartition(1).as[(Long, Long)]
@@ -418,8 +428,8 @@ object TextQueries {
           nodes.iterator.map(v => (v, minOf(find(v))))
         }.toDF("id", "label")
       q62LastRounds = 0
-      clusterOutput(s, dir, labels)
-    } else clusterOutput(s, dir, propagateLabels(edges))
+      labels
+    } else propagateLabels(edges)
   }
 
   /** The distributed min-label/pointer-jump loop (the >1-task path). */
@@ -585,5 +595,99 @@ object TextQueries {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("a", "b")
+  }
+
+  /** Q66 — count-based bigram-LM quality score: train a corpus-level
+    * Laplace-smoothed bigram model in one pass (unigram + bigram count
+    * tables), then score every document by its cross-entropy under that
+    * model — the perplexity-style quality filter of a training-data
+    * pipeline (very low probability = gibberish, very high =
+    * boilerplate), expressed entirely in count joins so any engine
+    * reproduces it bit-for-bit.
+    *
+    * Scale posture: the model IS a DataFrame (vocab-sized, distributed —
+    * never a driver-side dictionary), so scoring is two shuffle joins on
+    * word keys plus one per-doc aggregate. Stopword-grade hot keys skew
+    * the probe side, but the count side is unique per key, so AQE's
+    * skew-join split applies cleanly; the top-k hottest words could also
+    * ride a broadcast side-table (SkewJoin's hot/cold split) at 100 TB.
+    * |V| is the one scalar (a count, like q11's). */
+  def q66LmXent(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val uni = d.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // |V| for the Laplace denominator
+    val bg = d.select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+    val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    bg.join(bgc, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("c12") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))))
+          .as("_x"))
+      .select(col("doc_id"), col("n_bigrams"),
+        format_string("%.3f", round(col("_x"), 3)).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  /** Q68 — tf-idf top-k terms per document (domain/topic signal for
+    * corpus analysis and mixing decisions). The document-frequency table
+    * is derived from the tf table (one extra aggregate, no second scan);
+    * scoring joins on the term key and ranks per doc. Ties (score 0 when
+    * a term is in every doc, or equal tf/df) break on the term string,
+    * so the ranking is engine-stable.
+    *
+    * Scale posture: two-phase aggregates + one vocab-keyed shuffle join
+    * (same skew story as q66) + a per-doc window over ≤vocab rows. N is
+    * a count scalar. */
+  def q68TfidfTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.count()
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("_score").desc, col("w"))
+    tf.join(dfc, "w")
+      .withColumn("_score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("w").as("term"),
+        format_string("%.3f", round(col("_score"), 3)).as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Q69 — quality-filter funnel with audit counts: the Gopher-style
+    * rule cascade (length bounds → mean word length → English stopword
+    * presence → vocabulary-uniqueness ratio) applied cumulatively, with
+    * the survivor count after each stage — the per-stage audit a
+    * production filtering pipeline publishes so a rule that nukes the
+    * corpus is visible immediately.
+    *
+    * Scale posture: ONE scan; every stage predicate is a narrow
+    * projection and the funnel is a single partial-aggregated fold to
+    * one row (then stack()ed into presentation rows) — no shuffle of
+    * document data at any width, so it runs at scan speed at 100 TB. */
+  def q69FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(
+      size(tokens(col("text"))).cast("double").as("nt"),
+      col("n_chars").cast("double").as("nc"),
+      size(array_distinct(tokens(col("text")))).cast("double").as("uq"),
+      lower(col("text")).as("lt"))
+    val s1 = col("nt") >= 20 && col("nt") <= 5000
+    val s2 = col("nc") / col("nt") >= 2.0 && col("nc") / col("nt") <= 6.0
+    val s3 = col("lt").contains(" the ")
+    val s4 = col("uq") / col("nt") >= 0.4
+    def kept(c: org.apache.spark.sql.Column) =
+      sum(when(c, lit(1L)).otherwise(lit(0L)))
+    d.agg(
+        count(lit(1)).as("n0"), kept(s1).as("n1"), kept(s1 && s2).as("n2"),
+        kept(s1 && s2 && s3).as("n3"), kept(s1 && s2 && s3 && s4).as("n4"))
+      .select(expr(
+        "stack(5, 0, 'input', n0, 1, 'length', n1, 2, 'word_len', n2, " +
+          "3, 'stopword_en', n3, 4, 'uniq_ratio', n4) " +
+          "AS (stage_id, stage, n_kept)"))
+      .orderBy("stage_id")
   }
 }

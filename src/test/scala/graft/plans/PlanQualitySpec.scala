@@ -222,4 +222,33 @@ class PlanQualitySpec extends SparkSpec {
       assert(rs.map(_.getLong(1)).min === 0L, s"shard $sh missing pack 0")
     }
   }
+
+  test("q66 LM scoring: model joins are hash/merge, aggs are two-phase") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q66LmXent(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the count-model joins must never degrade to a nested loop — that
+    // is the difference between vocab-keyed shuffles and O(n·V) at scale
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+    // count tables fold map-side before their exchange
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.size >= 4, s"no partial aggregation in:\n$p")
+  }
+
+  test("q69 funnel: one scan, one fold — no per-stage re-read") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q69FilterFunnel(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // all five audit counters ride ONE pass over the corpus; a funnel
+    // that re-scans per stage would read 100 TB five times
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"funnel scans the corpus $scans times:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no partial aggregation in:\n$p")
+  }
 }

@@ -41,4 +41,44 @@ class DupClusterSpec extends SparkSpec {
     assert(TextQueries.q62LastRounds === 0)
     assert(unionFind === distributed)
   }
+
+  test("q67 semantic dedup: mass conserved, reps minimal, pairs merged") {
+    val dir = sf("sf0.001")
+    val kept = SimilarityQueries.q67SemanticDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = graft.Tables.load(spark, dir, "embeddings").count()
+    // every vector lands in exactly one kept representative's cluster
+    assert(kept.values.map(_.toLong).sum === total)
+    // a representative is never an absorbed member of another cluster
+    val pairs = SimilarityQueries.q44EmbLshPairs(spark, dir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      // near-dup pair ⇒ same cluster ⇒ at most one of the two is kept
+      assert(!(kept.contains(a) && kept.contains(b)),
+        s"near-dup pair ($a, $b) both kept")
+    }
+    // golden replay: a local union-find over the same pairs must produce
+    // exactly the same (representative -> cluster_size) map
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val ids = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { v =>
+      val r = find(v); if (v < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = v
+    }
+    val expected = ids.groupBy(v =>
+        if (parent.contains(v)) minOf(find(v)) else v)
+      .view.mapValues(_.length.toLong).toMap
+    assert(kept === expected)
+  }
 }
