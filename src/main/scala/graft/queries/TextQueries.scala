@@ -606,26 +606,30 @@ object TextQueries {
     * reproduces it bit-for-bit.
     *
     * Scale posture: the model IS a DataFrame (vocab-sized, distributed —
-    * never a driver-side dictionary), so scoring is two shuffle joins on
-    * word keys plus one per-doc aggregate. Stopword-grade hot keys skew
-    * the probe side, but the count side is unique per key, so AQE's
-    * skew-join split applies cleanly; the top-k hottest words could also
-    * ride a broadcast side-table (SkewJoin's hot/cold split) at 100 TB.
-    * |V| is the one scalar (a count, like q11's). */
+    * never a driver-side dictionary). The per-bigram negative log-prob is
+    * a function of the bigram alone, so it is FOLDED INTO THE MODEL
+    * first (distinct-bigram-sized joins between the two count tables);
+    * the full probe stream then pays exactly ONE shuffle join on the
+    * bigram key plus the per-doc aggregate. Stopword-grade hot keys skew
+    * the probe side, but the model side is unique per key, so AQE's
+    * skew-join split applies cleanly; the top-k hottest bigrams could
+    * also ride a broadcast side-table (SkewJoin's hot/cold split) at
+    * 100 TB. |V| is the one scalar (a count, like q11's). */
   def q66LmXent(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val uni = d.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = uni.count() // |V| for the Laplace denominator
     val bg = d.select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
-    val bgc = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-    bg.join(bgc, "bg")
+    val model = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .select(col("bg"),
+        (-log((col("c12") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))))
+          .as("_nll"))
+    bg.join(model, "bg")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        avg(-log((col("c12") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))))
-          .as("_x"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_nll")).as("_x"))
       .select(col("doc_id"), col("n_bigrams"),
         format_string("%.3f", round(col("_x"), 3)).as("xent"))
       .orderBy("doc_id")
