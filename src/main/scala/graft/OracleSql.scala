@@ -792,5 +792,37 @@ object OracleSql {
         |  UNION ALL SELECT 3::INT, 'stopword_en', n3 FROM a
         |  UNION ALL SELECT 4::INT, 'uniq_ratio', n4 FROM a) t
         |ORDER BY stage_id""".stripMargin,
+    // q48's simhash pair mining replayed, pairs attributed to their
+    // documents' sources
+    "q70_dup_sources" -> {
+      val bits = (0 until 32).map(b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${ddbHash("w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents) t),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
+         |      FROM tok GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |j AS (SELECT least(da.source, db.source) AS source_a,
+         |             greatest(da.source, db.source) AS source_b
+         |      FROM p JOIN documents da ON da.doc_id = p.a
+         |             JOIN documents db ON db.doc_id = p.b)
+         |SELECT source_a, source_b, COUNT(*)::BIGINT AS n_pairs
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q71_len_profile" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  printf('%.2f', ROUND(quantile_cont(
+        |    len(string_split(text,' '))::DOUBLE, 0.5), 2)) AS p50,
+        |  printf('%.2f', ROUND(quantile_cont(
+        |    len(string_split(text,' '))::DOUBLE, 0.9), 2)) AS p90,
+        |  printf('%.2f', ROUND(quantile_cont(
+        |    len(string_split(text,' '))::DOUBLE, 0.99), 2)) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -90,6 +90,8 @@ object SparkEntry {
     "q67_semantic_dedup" -> (S.q67SemanticDedup(_, _)),
     "q68_tfidf_topk" -> ((s, d) => T.q68TfidfTopk(s, d)),
     "q69_filter_funnel" -> (T.q69FilterFunnel(_, _)),
+    "q70_dup_sources" -> (T.q70DupSources(_, _)),
+    "q71_len_profile" -> (T.q71LenProfile(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -694,4 +694,62 @@ object TextQueries {
           "AS (stage_id, stage, n_kept)"))
       .orderBy("stage_id")
   }
+
+  /** Q70 — duplication ATTRIBUTION: fold the mined near-dup pair graph
+    * (q48's simhash pairs) back onto document provenance, counting pairs
+    * per unordered source pair — the diagnostic that tells a corpus
+    * owner WHICH feeds copy from each other (mirror sites, scraper
+    * overlap) and therefore which source-level dedup rules to add
+    * upstream.
+    *
+    * Scale posture: the pair graph is LSH-mined (orders of magnitude
+    * smaller than the corpus), so both provenance joins shuffle only
+    * pair rows against the (doc_id, source) projection; the final
+    * aggregate is source-cardinality-sized. */
+  def q70DupSources(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q48SimhashPairs(s, dir).select(col("a"), col("b"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Q71 — per-language document-length profile: exact interpolated
+    * percentiles (p50/p90/p99) of the token count per language — the
+    * corpus-profiling step that drives packing budgets (q65) and length
+    * filters (q69).
+    *
+    * Scale posture: exact percentile sorts each group's values, which is
+    * the right tool only while groups fit a partition; the 100 TB path
+    * is `approx_percentile` (a mergeable t-digest-style sketch, pure
+    * map-side + one tiny merge) — Q71Profile's spec pins the sketch to
+    * within 5% of these exact values so the swap is a one-liner. The
+    * %.2f render keeps interpolation FP out of the comparison hash. */
+  def q71LenProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("double").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        format_string("%.2f",
+          round(expr("percentile(nt, 0.5)"), 2)).as("p50"),
+        format_string("%.2f",
+          round(expr("percentile(nt, 0.9)"), 2)).as("p90"),
+        format_string("%.2f",
+          round(expr("percentile(nt, 0.99)"), 2)).as("p99"))
+      .orderBy("lang")
+
+  /** The sketch twin of [[q71LenProfile]] (the actual 100 TB plan). */
+  def q71Approx(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("double").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(nt, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(nt, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(nt, 0.99, 10000)").as("p99"))
+      .orderBy("lang")
 }

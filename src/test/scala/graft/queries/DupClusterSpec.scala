@@ -81,4 +81,23 @@ class DupClusterSpec extends SparkSpec {
       .view.mapValues(_.length.toLong).toMap
     assert(kept === expected)
   }
+
+  test("q71 sketch twin tracks the exact length profile within 5%") {
+    val dir = sf("sf0.001")
+    def byLang(rows: Array[org.apache.spark.sql.Row],
+        get: (org.apache.spark.sql.Row, Int) => Double) =
+      rows.map(r => r.getString(0) ->
+        Seq(get(r, 2), get(r, 3), get(r, 4))).toMap
+    val exact = byLang(TextQueries.q71LenProfile(spark, dir).collect(),
+      (r, i) => r.getString(i).toDouble)
+    val approx = byLang(TextQueries.q71Approx(spark, dir).collect(),
+      (r, i) => r.getDouble(i))
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (lang, ps) =>
+      ps.zip(approx(lang)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= math.max(1.0, 0.05 * e),
+          s"$lang: sketch $a vs exact $e")
+      }
+    }
+  }
 }
