@@ -824,5 +824,19 @@ object OracleSql {
         |  printf('%.2f', ROUND(quantile_cont(
         |    len(string_split(text,' '))::DOUBLE, 0.99), 2)) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // first BPE merge iteration: adjacent char pairs over the word-count
+    // table, weighted by word frequency
+    "q72_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS w
+        |           FROM documents),
+        |wc AS (SELECT w, COUNT(*)::BIGINT AS c FROM w GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, c
+        |      FROM (SELECT w, c, unnest(range(1, len(w))) AS i
+        |            FROM wc) t),
+        |a AS (SELECT pair, SUM(c)::BIGINT AS cnt FROM p GROUP BY 1),
+        |r AS (SELECT pair, cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
+        |      FROM a)
+        |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
   )
 }

@@ -752,4 +752,35 @@ object TextQueries {
         expr("approx_percentile(nt, 0.9, 10000)").as("p90"),
         expr("approx_percentile(nt, 0.99, 10000)").as("p99"))
       .orderBy("lang")
+
+  /** Q72 — BPE merge-candidate mining (the first merge iteration of
+    * byte-pair-encoding vocabulary induction): the top-k most frequent
+    * adjacent character pairs across the corpus, each occurrence
+    * weighted by how often its word occurs.
+    *
+    * Scale posture: pair counting runs over the DISTINCT-WORD frequency
+    * table, not the raw corpus — exactly how production BPE trainers
+    * scale (corpus → word-count table once, then every merge iteration
+    * is vocab-sized). Two two-phase aggregates; the final ranked top-k
+    * windows over the aggregated pair table, whose cardinality is
+    * bounded by alphabet² — tiny by construction at any corpus size.
+    * The corpus is scanned once. */
+  def q72BpePairs(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val wc = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = wc
+      .select(col("c"), explode(
+        when(length(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))))
+        .as("pair"))
+    pairs.groupBy("pair").agg(sum(col("c")).as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy("rank")
+  }
 }
