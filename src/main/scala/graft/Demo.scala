@@ -84,6 +84,26 @@ object Demo {
       Enrichment.compactStore(spark, s"$outDir/image_store")
     println(s"image_store GC: $gcBefore -> $gcAfter rows")
 
+    // 6. Training-data pipeline (north star): mixing → decontamination →
+    //    near-dup clustering → semantic dedup → quality funnel → sequence
+    //    packing — the q62-q69 surface over the documents/embeddings
+    //    tables, each step printing its realized size.
+    import graft.queries.{SimilarityQueries, TextQueries}
+    println("quality funnel (cumulative survivors):")
+    TextQueries.q69FilterFunnel(spark, sfDir).collect().foreach(r =>
+      println(f"  ${r.getString(1)}%-14s ${r.getLong(2)}%6d docs"))
+    val pipeline = Seq(
+      "mixed langs (q63)" -> TextQueries.q63CorpusMix(spark, sfDir).count(),
+      "contaminated docs (q64)" ->
+        TextQueries.q64Decontaminate(spark, sfDir).count(),
+      "near-dup clusters (q62)" ->
+        TextQueries.q62DupClusters(spark, sfDir)
+          .filter(col("cluster_size") > 1).count(),
+      "semantic reps kept (q67)" ->
+        SimilarityQueries.q67SemanticDedup(spark, sfDir).count(),
+      "context packs (q65)" -> TextQueries.q65SeqPack(spark, sfDir).count())
+    pipeline.foreach { case (t, n) => println(f"$t%-26s $n%6d") }
+
     val counts = (snapshots.keys.toSeq :+ "messages" :+ "token_metadata"
       :+ "image_features" :+ "video_frames" :+ "image_store").sorted.map { t =>
       t -> spark.read.parquet(s"$outDir/$t").count()

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-analysis operators beyond their DuckDB
+  * replays: conservation laws that must hold for ANY corpus, so they
+  * guard refactors the fixture-pinned oracle could miss. */
+class TrainingOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q72 pair mass: weighted pair count equals sum of c*(len-1)") {
+    val all = TextQueries.q72BpePairs(spark, dir, k = Int.MaxValue).collect()
+    // every candidate really is an adjacent pair
+    all.foreach(r => assert(r.getString(1).length === 2, r.toString))
+    // ranks are 1..n with no gaps and counts are non-increasing
+    assert(all.map(_.getLong(0)).toSeq === (1L to all.length))
+    assert(all.map(_.getLong(2)).toSeq === all.map(_.getLong(2)).toSeq
+      .sorted(Ordering[Long].reverse))
+    val expected = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(greatest(length(col("w")) - 1, lit(0)).cast("long").as("m"))
+      .agg(sum("m")).head.getLong(0)
+    assert(all.map(_.getLong(2)).sum === expected)
+  }
+
+  test("q66 scoring covers every multi-token doc with tokens-1 bigrams") {
+    val rows = TextQueries.q66LmXent(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.foreach { case (id, nt) =>
+      if (nt >= 2) {
+        val (nbg, xent) = rows(id)
+        assert(nbg === (nt - 1).toLong, s"doc $id")
+        // Laplace probabilities are strictly < 1, so -ln p > 0
+        assert(xent.toDouble > 0.0, s"doc $id xent $xent")
+      } else assert(!rows.contains(id), s"doc $id should have no bigrams")
+    }
+  }
+
+  test("q70 attribution conserves the pair graph") {
+    val nPairs = TextQueries.q48SimhashPairs(spark, dir).count()
+    val attributed = TextQueries.q70DupSources(spark, dir).collect()
+    assert(attributed.map(_.getLong(2)).sum === nPairs)
+    // unordered source pairs are canonically ordered
+    attributed.foreach(r =>
+      assert(r.getString(0) <= r.getString(1), r.toString))
+  }
+}
