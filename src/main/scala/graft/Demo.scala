@@ -98,7 +98,8 @@ object Demo {
         TextQueries.q64Decontaminate(spark, sfDir).count(),
       "near-dup clusters (q62)" ->
         TextQueries.q62DupClusters(spark, sfDir)
-          .filter(col("cluster_size") > 1).count(),
+          .filter(col("cluster_size") > 1)
+          .agg(countDistinct(col("canonical"))).head.getLong(0),
       "semantic reps kept (q67)" ->
         SimilarityQueries.q67SemanticDedup(spark, sfDir).count(),
       "context packs (q65)" -> TextQueries.q65SeqPack(spark, sfDir).count())

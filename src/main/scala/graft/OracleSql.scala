@@ -756,7 +756,7 @@ object OracleSql {
         |dfc AS (SELECT w, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
         |sc AS (SELECT tf.doc_id, tf.w,
-        |         tf.tf * ln((SELECT nd FROM n) / dfc.df) AS s
+        |         ROUND(tf.tf * ln((SELECT nd FROM n) / dfc.df), 6) AS s
         |       FROM tf JOIN dfc USING (w)),
         |r AS (SELECT doc_id, w, s, ROW_NUMBER() OVER (
         |        PARTITION BY doc_id ORDER BY s DESC, w) AS rk

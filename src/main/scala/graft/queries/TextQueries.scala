@@ -617,10 +617,16 @@ object TextQueries {
     * 100 TB. |V| is the one scalar (a count, like q11's). */
   def q66LmXent(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // pinned: uni feeds the |V| count AND the model join; bg feeds the
+    // model aggregate AND the probe — without materialization each
+    // consumer re-scans and re-tokenizes the corpus (the exchanges
+    // differ, so ReuseExchange cannot dedupe them)
     val uni = d.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .transform(Materialize.pin)
     val vocab = uni.count() // |V| for the Laplace denominator
     val bg = d.select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .transform(Materialize.pin)
     val model = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(uni.withColumnRenamed("w", "w1"), "w1")
@@ -638,9 +644,12 @@ object TextQueries {
   /** Q68 — tf-idf top-k terms per document (domain/topic signal for
     * corpus analysis and mixing decisions). The document-frequency table
     * is derived from the tf table (one extra aggregate, no second scan);
-    * scoring joins on the term key and ranks per doc. Ties (score 0 when
-    * a term is in every doc, or equal tf/df) break on the term string,
-    * so the ranking is engine-stable.
+    * scoring joins on the term key and ranks per doc. The ranking key is
+    * the score ROUNDED to 6 decimals: mathematically equal scores from
+    * different (tf, df) pairs — e.g. 1·ln(2500) vs 2·ln(50) — can differ
+    * by an ulp between engines' ln implementations, and rounding
+    * collapses that before the term-string tiebreak, so the ranking is
+    * engine-stable.
     *
     * Scale posture: two-phase aggregates + one vocab-keyed shuffle join
     * (same skew story as q66) + a per-doc window over ≤vocab rows. N is
@@ -654,7 +663,8 @@ object TextQueries {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("_score").desc, col("w"))
     tf.join(dfc, "w")
-      .withColumn("_score", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("_score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
       .withColumn("rk", row_number().over(win).cast("long"))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("w").as("term"),
@@ -726,9 +736,11 @@ object TextQueries {
     * Scale posture: exact percentile sorts each group's values, which is
     * the right tool only while groups fit a partition; the 100 TB path
     * is `approx_percentile` (a mergeable t-digest-style sketch, pure
-    * map-side + one tiny merge) — Q71Profile's spec pins the sketch to
-    * within 5% of these exact values so the swap is a one-liner. The
-    * %.2f render keeps interpolation FP out of the comparison hash. */
+    * map-side + one tiny merge) — the spec pins the sketch to within 5%
+    * of these exact values, with a 1-token floor because the sketch
+    * returns actual elements while the exact form interpolates between
+    * them, so the swap is a one-liner. The %.2f render keeps
+    * interpolation FP out of the comparison hash. */
   def q71LenProfile(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("lang"), size(tokens(col("text"))).cast("double").as("nt"))

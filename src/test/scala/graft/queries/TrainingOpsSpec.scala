@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * guard refactors the fixture-pinned oracle could miss. */
 class TrainingOpsSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = sf("sf0.001")
 
   test("q72 pair mass: weighted pair count equals sum of c*(len-1)") {
     val all = TextQueries.q72BpePairs(spark, dir, k = Int.MaxValue).collect()
