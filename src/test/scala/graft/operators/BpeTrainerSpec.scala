@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Golden replay of the BPE trainer against a plain-Scala reference
+  * implementation of the public algorithm (leftmost non-overlapping
+  * merge, count-then-lexicographic pair selection) — on the classic
+  * low/lower/newest/widest example and on real fixture words. */
+class BpeTrainerSpec extends SparkSpec {
+
+  /** Reference BPE: (merge list, final segmentation by word). */
+  private def refBpe(words: Map[String, Long],
+      n: Int): (Seq[(String, String)], Map[String, Vector[String]]) = {
+    var segs: Map[String, Vector[String]] =
+      words.map { case (w, _) => w -> w.split("").filter(_.nonEmpty).toVector }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var it = 0
+    while (it < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (w, syms) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + words(w)
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, _) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        merges += pair
+        segs = segs.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size
+                && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+              out += (pair._1 + pair._2); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+      it += 1
+    }
+    (merges.toSeq, segs)
+  }
+
+  private def wordsOf(docs: Seq[String]): Map[String, Long] =
+    docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def check(docs: Seq[String], nMerges: Int): Unit = {
+    import spark.implicits._
+    val df = docs.toDF("text")
+    val (merges, vocab) = BpeTrainer.train(spark, df, nMerges)
+    val words = wordsOf(docs)
+    val (expMerges, expSegs) = refBpe(words, nMerges)
+    assert(merges === expMerges)
+    // final segmentations agree word-for-word: rebuild the word from its
+    // symbols to key the comparison, then compare symbol sequences
+    val got = vocab.collect().map { r =>
+      val syms = r.getSeq[String](0).toVector
+      (syms.mkString, (syms, r.getLong(1)))
+    }.toMap
+    assert(got.keySet === expSegs.keySet)
+    expSegs.foreach { case (w, syms) =>
+      assert(got(w)._1 === syms, s"word $w")
+      assert(got(w)._2 === words(w), s"count of $w")
+    }
+  }
+
+  test("classic low/lower/newest/widest corpus learns the known merges") {
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    check(docs, 8)
+  }
+
+  test("fixture documents: 5 merges match the reference exactly") {
+    val texts = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select("text").limit(60).collect().map(_.getString(0)).toSeq
+    check(texts, 5)
+  }
+
+  test("merging stops when the vocabulary is fully fused") {
+    // single repeated word: after len-1 merges every word is one symbol
+    check(Seq.fill(4)("abc"), 10)
+  }
+}
