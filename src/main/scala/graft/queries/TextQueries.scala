@@ -683,8 +683,19 @@ object TextQueries {
     * projection and the funnel is a single partial-aggregated fold to
     * one row (then stack()ed into presentation rows) — no shuffle of
     * document data at any width, so it runs at scan speed at 100 TB. */
-  def q69FilterFunnel(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(
+  def q69FilterFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelCounts(docs(s, dir))
+      .select(expr(
+        "stack(5, 0, 'input', n0, 1, 'length', n1, 2, 'word_len', n2, " +
+          "3, 'stopword_en', n3, 4, 'uniq_ratio', n4) " +
+          "AS (stage_id, stage, n_kept)"))
+      .orderBy("stage_id")
+
+  /** The funnel's one-row cumulative survivor counts (n0..n4) — shared
+    * by q69 and its streaming twin (the sums are trivially mergeable, so
+    * the same fold runs as a complete-mode streaming aggregate). */
+  private[graft] def funnelCounts(d0: DataFrame): DataFrame = {
+    val d = d0.select(
       size(tokens(col("text"))).cast("double").as("nt"),
       col("n_chars").cast("double").as("nc"),
       size(array_distinct(tokens(col("text")))).cast("double").as("uq"),
@@ -696,13 +707,8 @@ object TextQueries {
     def kept(c: org.apache.spark.sql.Column) =
       sum(when(c, lit(1L)).otherwise(lit(0L)))
     d.agg(
-        count(lit(1)).as("n0"), kept(s1).as("n1"), kept(s1 && s2).as("n2"),
-        kept(s1 && s2 && s3).as("n3"), kept(s1 && s2 && s3 && s4).as("n4"))
-      .select(expr(
-        "stack(5, 0, 'input', n0, 1, 'length', n1, 2, 'word_len', n2, " +
-          "3, 'stopword_en', n3, 4, 'uniq_ratio', n4) " +
-          "AS (stage_id, stage, n_kept)"))
-      .orderBy("stage_id")
+      count(lit(1)).as("n0"), kept(s1).as("n1"), kept(s1 && s2).as("n2"),
+      kept(s1 && s2 && s3).as("n3"), kept(s1 && s2 && s3 && s4).as("n4"))
   }
 
   /** Q70 — duplication ATTRIBUTION: fold the mined near-dup pair graph
