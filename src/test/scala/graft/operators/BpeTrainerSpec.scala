@@ -85,4 +85,18 @@ class BpeTrainerSpec extends SparkSpec {
     // single repeated word: after len-1 merges every word is one symbol
     check(Seq.fill(4)("abc"), 10)
   }
+
+  test("randomized corpora over a tiny alphabet match the reference") {
+    // tiny alphabet forces heavy pair collisions, overlap runs (aaa...)
+    // and count ties — the adversarial cases for leftmost-merge and
+    // lexicographic tie-breaking
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val docs = Seq.fill(30)(
+        Seq.fill(rnd.nextInt(4) + 1)(
+          Seq.fill(rnd.nextInt(6) + 1)("ab" (rnd.nextInt(2))).mkString)
+          .mkString(" "))
+      check(docs, 4)
+    }
+  }
 }
