@@ -223,6 +223,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("composed pair pipelines: the inner orderBy is optimized away") {
+    import graft.queries.{TextQueries => T}
+    // q62/q70 consume q48's ordered pairs, q67 consumes q44's — the
+    // component/attribution aggregates make the inner global sort
+    // irrelevant, and EliminateSorts must actually drop it (a leftover
+    // range-exchange+sort would serialize the pair stream at scale)
+    Seq(
+      "q62" -> T.q62DupClusters(spark, dir),
+      "q70" -> T.q70DupSources(spark, dir)).foreach { case (n, df) =>
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val globalSorts = p.linesIterator
+        .filter(l => l.contains("Sort [") && l.contains("], true,")).size
+      assert(globalSorts <= 1, s"$n keeps the inner global sort:\n$p")
+    }
+  }
+
   test("q66 LM scoring: model joins are hash/merge, aggs are two-phase") {
     import graft.queries.{TextQueries => T}
     val df = T.q66LmXent(spark, dir)
