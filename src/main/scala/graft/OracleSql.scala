@@ -838,5 +838,19 @@ object OracleSql {
         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
         |      FROM a)
         |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // stride-overlapped token windows; md5 of the joined window is the
+    // content-addressed chunk identity
+    "q73_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, len(tk) AS nt, tk,
+        |        unnest(range(0, greatest(len(tk), 1), 25)) AS st
+        |      FROM t)
+        |SELECT doc_id, (st // 25)::BIGINT AS chunk_id,
+        |       least(50, nt - st)::BIGINT AS n_tokens,
+        |       md5(array_to_string(
+        |         list_slice(tk, st + 1, least(st + 50, nt)), ' '))
+        |         AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

@@ -93,6 +93,7 @@ object SparkEntry {
     "q70_dup_sources" -> (T.q70DupSources(_, _)),
     "q71_len_profile" -> (T.q71LenProfile(_, _)),
     "q72_bpe_pairs" -> ((s, d) => T.q72BpePairs(s, d)),
+    "q73_chunks" -> ((s, d) => T.q73Chunks(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -771,6 +771,31 @@ object TextQueries {
         expr("approx_percentile(nt, 0.99, 10000)").as("p99"))
       .orderBy("lang")
 
+  /** Q73 — document chunking: fixed-size token windows with stride
+    * overlap (the retrieval/embedding prep step that follows cleaning),
+    * each chunk carrying a content-addressed md5 fingerprint so
+    * downstream chunk-level dedup and stable chunk identity come free.
+    * Every doc yields ceil(nt/stride) chunks; the last window truncates.
+    *
+    * Scale posture: narrow per-doc projection (window starts come from a
+    * bounded `sequence`, chunks from `slice`) — zero shuffle before the
+    * presentation sort; fingerprints are uniform hash keys for any
+    * downstream chunk-dedup groupBy. */
+  def q73Chunks(s: SparkSession, dir: String, win: Int = 50,
+      stride: Int = 25): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("nt"), col("tk"))
+      .select(col("doc_id"), col("nt"), col("tk"),
+        explode(sequence(lit(0), greatest(col("nt") - 1, lit(0)),
+          lit(stride))).as("st"))
+      .select(col("doc_id"),
+        (col("st") / stride).cast("long").as("chunk_id"),
+        least(lit(win), col("nt") - col("st")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("tk"), col("st") + 1, lit(win))))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Q72 — BPE merge-candidate mining (the first merge iteration of
     * byte-pair-encoding vocabulary induction): the top-k most frequent
     * adjacent character pairs across the corpus, each occurrence
