@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Iterative byte-pair-encoding vocabulary induction — the training loop
@@ -70,8 +70,11 @@ object BpeTrainer {
 
   /** Run `nMerges` iterations; returns the learned merge list in order
     * and the final segmentation table. Stops early when no pair is left
-    * (fully merged vocabulary). */
-  def train(spark: SparkSession, docs: DataFrame, nMerges: Int,
+    * (fully merged vocabulary). Each superseded checkpoint is
+    * unpersisted once its successor has materialized (localCheckpoint is
+    * eager), so live vocab copies stay at 2 regardless of nMerges —
+    * production merge counts run to tens of thousands. */
+  def train(docs: DataFrame, nMerges: Int,
       textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
     var vocab = initVocab(docs, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -84,7 +87,9 @@ object BpeTrainer {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        vocab = applyMerge(vocab, a, b).localCheckpoint()
+        val next = applyMerge(vocab, a, b).localCheckpoint()
+        vocab.unpersist()
+        vocab = next
       }
       i += 1
     }

@@ -187,7 +187,14 @@ object SimilarityQueries {
     embLshPairs(embNorm(s, dir), threshold)
 
   /** LSH pair pipeline over a (vec_id, nemb) frame (reused by specs). */
-  def embLshPairs(e: DataFrame, threshold: Double): DataFrame = {
+  def embLshPairs(e: DataFrame, threshold: Double): DataFrame =
+    embLshPairsRaw(e, threshold).orderBy("a", "b")
+
+  /** [[embLshPairs]] without the presentation sort — compositions (q67)
+    * consume this so the sort cannot survive under componentLabels'
+    * union (EliminateSorts has no Union case). */
+  private[graft] def embLshPairsRaw(e: DataFrame,
+      threshold: Double): DataFrame = {
     val bits = 16
     val dim = e.select(size(col("nemb"))).head().getInt(0)
     val planes = hyperplanes(bits, dim)
@@ -210,7 +217,6 @@ object SimilarityQueries {
         round(dot(col("ea"), col("eb")), 4).as("sim"))
       .distinct()
       .filter(col("sim") >= threshold)
-      .orderBy("a", "b")
   }
 
   /** Q67 — semantic dedup, end to end (SemDeDup-shaped): hyperplane-LSH
@@ -226,7 +232,7 @@ object SimilarityQueries {
     * the final keep-join is one shuffle on vec_id — no stage ever holds
     * more than (pairs + corpus keys). */
   def q67SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q44EmbLshPairs(s, dir).select(col("a"), col("b"))
+    val pairs = embLshPairsRaw(embNorm(s, dir), 0.4).select(col("a"), col("b"))
     val labels = TextQueries.componentLabels(s, pairs)
     Tables.load(s, dir, "embeddings").select(col("vec_id"))
       .join(labels.select(col("id").as("vec_id"), col("label").as("_c")),

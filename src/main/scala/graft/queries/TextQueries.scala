@@ -254,6 +254,14 @@ object TextQueries {
     * into an equi-join; candidates pay one bit_count. Oracle: DuckDB
     * recomputes the md5-derived simhash and brute-forces the predicate. */
   def q48SimhashPairs(s: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame =
+    simhashPairsRaw(s, dir, maxDist).orderBy("a", "b")
+
+  /** q48 without the presentation sort — the form compositions (q62,
+    * q70) consume. EliminateSorts has no case for a Sort under the Union
+    * that componentLabels builds, so feeding the SORTED variant into a
+    * composition would really pay the range-exchange + global sort. */
+  private[graft] def simhashPairsRaw(s: SparkSession, dir: String,
       maxDist: Int = 3): DataFrame = {
     val sh = docs(s, dir)
       .select(col("doc_id"), graft.functions.TextKernelExpressions
@@ -272,7 +280,6 @@ object TextQueries {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("d"))
       .distinct()
       .filter(col("d") <= maxDist)
-      .orderBy("a", "b")
   }
 
   /** Q54 — deterministic hash-based dataset split (train/val/test), the
@@ -387,7 +394,7 @@ object TextQueries {
   private[graft] def dupClusters(s: SparkSession, dir: String,
       smallGraphLimit: Long): DataFrame =
     clusterOutput(s, dir,
-      componentLabels(s, q48SimhashPairs(s, dir).select(col("a"), col("b")),
+      componentLabels(s, simhashPairsRaw(s, dir).select(col("a"), col("b")),
         smallGraphLimit))
 
   /** Connected-component labels over an undirected pair graph: one row
@@ -723,7 +730,7 @@ object TextQueries {
     * pair rows against the (doc_id, source) projection; the final
     * aggregate is source-cardinality-sized. */
   def q70DupSources(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q48SimhashPairs(s, dir).select(col("a"), col("b"))
+    val pairs = simhashPairsRaw(s, dir).select(col("a"), col("b"))
     val src = docs(s, dir).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
@@ -785,6 +792,11 @@ object TextQueries {
       stride: Int = 25): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
+      // a null-text doc yields no chunks (matches the oracle, where the
+      // null propagates into range() and unnests to zero rows); without
+      // this, Spark's null-skipping least/greatest would fabricate a
+      // phantom 50-token chunk of md5("")
+      .filter(col("tk").isNotNull)
       .select(col("doc_id"), size(col("tk")).as("nt"), col("tk"))
       .select(col("doc_id"), col("nt"), col("tk"),
         explode(sequence(lit(0), greatest(col("nt") - 1, lit(0)),

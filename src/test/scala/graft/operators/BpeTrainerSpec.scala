@@ -8,7 +8,10 @@ import graft.SparkSpec
   * low/lower/newest/widest example and on real fixture words. */
 class BpeTrainerSpec extends SparkSpec {
 
-  /** Reference BPE: (merge list, final segmentation by word). */
+  /** Reference BPE: (merge list, final segmentation by word). Tie-break
+    * uses Scala String ordering (UTF-16 code units), which agrees with
+    * the trainer's Spark UTF8 binary order for BMP text — corpora here
+    * stay ASCII; supplementary-plane symbols would order differently. */
   private def refBpe(words: Map[String, Long],
       n: Int): (Seq[(String, String)], Map[String, Vector[String]]) = {
     var segs: Map[String, Vector[String]] =
@@ -52,7 +55,7 @@ class BpeTrainerSpec extends SparkSpec {
   private def check(docs: Seq[String], nMerges: Int): Unit = {
     import spark.implicits._
     val df = docs.toDF("text")
-    val (merges, vocab) = BpeTrainer.train(spark, df, nMerges)
+    val (merges, vocab) = BpeTrainer.train(df, nMerges)
     val words = wordsOf(docs)
     val (expMerges, expSegs) = refBpe(words, nMerges)
     assert(merges === expMerges)

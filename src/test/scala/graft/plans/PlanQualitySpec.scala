@@ -223,22 +223,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("composed pair pipelines: the inner orderBy is optimized away") {
+  test("composed pair pipelines never pay a hidden global sort") {
     import graft.queries.{TextQueries => T}
-    // q62/q70 consume q48's ordered pairs, q67 consumes q44's — the
-    // component/attribution aggregates make the inner global sort
-    // irrelevant, and EliminateSorts must actually drop it (a leftover
-    // range-exchange+sort would serialize the pair stream at scale)
-    Seq(
-      "q62" -> T.q62DupClusters(spark, dir),
-      "q70" -> T.q70DupSources(spark, dir)).foreach { case (n, df) =>
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      val globalSorts = p.linesIterator
-        .filter(l => l.contains("Sort [") && l.contains("], true,")).size
-      assert(globalSorts <= 1, s"$n keeps the inner global sort:\n$p")
-    }
+    import org.apache.spark.sql.functions.col
+    // Compositions must consume the RAW (unsorted) pair variants:
+    // EliminateSorts strips a sort under q70's join/aggregate, but has NO
+    // case for the Union that componentLabels checkpoints for q62/q67 —
+    // a sorted input there would really execute its range-exchange+sort
+    // during checkpoint materialization, invisibly to the final plan.
+    // So assert the edge-union plan (what the checkpoint materializes)
+    // and q70's executed plan are both sort-free.
+    val ab = T.simhashPairsRaw(spark, dir).select(col("a"), col("b"))
+    val edges = ab.union(ab.select(col("b"), col("a")))
+    edges.collect()
+    val pe = edges.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!pe.contains("], true,"), s"edge union pays a global sort:\n$pe")
+    val q70 = T.q70DupSources(spark, dir)
+    q70.collect()
+    val p70 = q70.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val globalSorts = p70.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true,")).size
+    assert(globalSorts <= 1, s"q70 keeps an inner global sort:\n$p70")
   }
 
   test("q66 LM scoring: model joins are hash/merge, aggs are two-phase") {
