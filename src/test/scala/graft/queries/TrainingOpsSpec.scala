@@ -41,6 +41,24 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q73 chunking tiles every doc: ceil(nt/stride) chunks, exact tails") {
+    val chunks = TextQueries.q73Chunks(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet === docs.keySet)
+    docs.foreach { case (id, nt) =>
+      val cs = chunks(id).sortBy(_.getLong(1))
+      assert(cs.length === (nt + 24) / 25, s"doc $id chunk count")
+      cs.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong, s"doc $id chunk ids")
+        assert(r.getLong(2) === math.min(50, nt - 25 * i).toLong,
+          s"doc $id chunk $i token count")
+      }
+    }
+  }
+
   test("q70 attribution conserves the pair graph") {
     val nPairs = TextQueries.q48SimhashPairs(spark, dir).count()
     val attributed = TextQueries.q70DupSources(spark, dir).collect()
