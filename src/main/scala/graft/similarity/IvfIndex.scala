@@ -93,16 +93,38 @@ object IvfIndex {
         collectCodebook(trainCentroids(n, nCells, kmeansIters))
       else collectCodebook(codebook(n, nCells))
     val assigned = withCell(n, book)
-    val stored =
-      if (sq8) assigned
-        .withColumn("_z", VectorFunctions.quantizeI8(col("nemb")))
-        .select(col("vec_id"), col("_z.scale").as("scale"),
-          col("_z.q").as("q"), col("cell"))
-      else assigned
-    stored.write.mode("overwrite").partitionBy("cell").parquet(path)
+    storedForm(assigned, sq8).write.mode("overwrite")
+      .partitionBy("cell").parquet(path)
     toCodebookDf(emb.sparkSession, book).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
     if (kmeansIters > 0) n.unpersist()
+  }
+
+  private def storedForm(assigned: DataFrame, sq8: Boolean): DataFrame =
+    if (sq8) assigned
+      .withColumn("_z", VectorFunctions.quantizeI8(col("nemb")))
+      .select(col("vec_id"), col("_z.scale").as("scale"),
+        col("_z.q").as("q"), col("cell"))
+    else assigned
+
+  /** Incremental ADD: assign a new batch against the EXISTING codebook
+    * and append it to the cell partitions — no rebuild, and the resident
+    * data is never rewritten or reshuffled (the production maintenance
+    * path: an ANN index grows per ingest batch; re-clustering is a rare
+    * offline event, after which drift is absorbed by a full [[build]]).
+    * The batch streams through the same map-side codegen assignment as
+    * build, and the dynamic-partition append touches only the cell
+    * directories the batch lands in. The stored layout (float vs SQ8) is
+    * sniffed from the index so mixed layouts cannot be created. */
+  def append(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val book = collectCodebook(spark.read.parquet(s"$path/_centroids")
+      .select(col("cent_id"), col("cent")))
+    val sq8 = spark.read.parquet(path).columns.contains("q")
+    val n = emb.select(col("vec_id"),
+      normalized(col("embedding").cast("array<double>")).as("nemb"))
+    storedForm(withCell(n, book), sq8).write.mode("append")
+      .partitionBy("cell").parquet(path)
   }
 
   /** Top-k by cosine for `query`, probing the nProbe best cells only. */

@@ -131,4 +131,32 @@ class IvfIndexSpec extends SparkSpec {
     val cents = spark.read.parquet(s"$path/_centroids").collect()
     assert(cents.length <= 8 && cents.nonEmpty)
   }
+
+  test("incremental append equals a full rebuild over the same codebook") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    // base holds the codebook ids (vec_id < nCells), so the rebuilt
+    // index derives the identical deterministic codebook
+    val base = emb.filter(col("vec_id") < 300)
+    val batch = emb.filter(col("vec_id") >= 300)
+    val incr = java.nio.file.Files.createTempDirectory("graft_ivf_i").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString
+    IvfIndex.build(base, incr, nCells = 16)
+    IvfIndex.append(batch, incr)
+    IvfIndex.build(emb, full, nCells = 16)
+
+    // identical storage: every vector in the same cell in both indexes
+    def cells(p: String) = spark.read.parquet(p)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("cell").longValue()).toMap
+    assert(cells(incr) === cells(full))
+    // identical probes: search results match row-for-row, including for
+    // a query vector that arrived via append
+    val query = emb.filter(col("vec_id") === 450)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def hits(p: String) = IvfIndex.search(spark, p, query, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(incr) === hits(full))
+    assert(hits(incr).head._1 === 450L)
+  }
 }
