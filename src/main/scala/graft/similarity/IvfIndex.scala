@@ -127,6 +127,41 @@ object IvfIndex {
       .partitionBy("cell").parquet(path)
   }
 
+  /** Compact the cell partitions after many [[append]] batches — every
+    * append adds task-count files per landed cell, and at 100 TB the
+    * accumulated small files dominate probe latency (file-listing and
+    * open costs, not bytes). Rewrites each cell into task-bounded files
+    * and swaps via two renames (never delete-then-rename — a crash
+    * leaves the data under exactly one name; same discipline as the
+    * enrichment store's compaction). Returns (files before, after). */
+  def compact(spark: SparkSession, path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && !f.contains("_centroids")) n += 1
+      }
+      n
+    }
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val before = dataFiles(hPath)
+    val idx = spark.read.parquet(path)
+    val nCells = math.max(idx.select("cell").distinct().count().toInt, 1)
+    idx.repartition(nCells, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    spark.read.parquet(s"$path/_centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/_centroids")
+    fs.rename(hPath, old)
+    fs.rename(tmp, hPath)
+    fs.delete(old, true)
+    (before, dataFiles(hPath))
+  }
+
   /** Top-k by cosine for `query`, probing the nProbe best cells only. */
   def search(spark: SparkSession, path: String, query: Array[Double],
       nProbe: Int, k: Int): DataFrame = {

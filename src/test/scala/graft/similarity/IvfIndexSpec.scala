@@ -159,4 +159,26 @@ class IvfIndexSpec extends SparkSpec {
     assert(hits(incr) === hits(full))
     assert(hits(incr).head._1 === 450L)
   }
+
+  test("compaction collapses append small files; probes are unchanged") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_c").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 200), path, nCells = 16)
+    Seq((200, 300), (300, 400), (400, 500)).foreach { case (lo, hi) =>
+      IvfIndex.append(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi), path)
+    }
+    val query = emb.filter(col("vec_id") === 450)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def hits() = IvfIndex.search(spark, path, query, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def rows() = spark.read.parquet(path).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val (hitsBefore, rowsBefore) = (hits(), rows())
+    val (nBefore, nAfter) = IvfIndex.compact(spark, path)
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter files")
+    assert(hits() === hitsBefore)
+    assert(rows() === rowsBefore)
+  }
 }
