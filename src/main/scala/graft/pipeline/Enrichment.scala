@@ -218,20 +218,14 @@ object Enrichment {
       seqCol: String = "seq"): (Long, Long) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
-    // leftovers from a previous crash never block a new run
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    val before = spark.read.parquet(path)
-    val nBefore = before.count()
-    gcSuperseded(before, seqCol).write.mode("overwrite").parquet(tmp.toString)
-    // swap via two renames, never a delete-then-rename: a crash between
-    // steps leaves the data under exactly one of the names, recoverable —
-    // the live path is never the missing one with the data already gone
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
-    fs.delete(old, true)
+    var nBefore = 0L
+    // shared crash-recovering two-rename swap (see AtomicSwap's
+    // invariant and single-writer contract)
+    graft.sources.AtomicSwap.rewrite(fs, path) { tmp =>
+      val before = spark.read.parquet(path)
+      nBefore = before.count()
+      gcSuperseded(before, seqCol).write.mode("overwrite").parquet(tmp)
+    }
     val nAfter = spark.read.parquet(path).count()
     (nBefore, nAfter)
   }

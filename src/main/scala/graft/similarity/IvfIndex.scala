@@ -95,8 +95,10 @@ object IvfIndex {
     val assigned = withCell(n, book)
     storedForm(assigned, sq8).write.mode("overwrite")
       .partitionBy("cell").parquet(path)
-    toCodebookDf(emb.sparkSession, book).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_centroids")
+    // the sidecar carries the layout flag so append never has to
+    // file-list the whole index just to learn the storage form
+    toCodebookDf(emb.sparkSession, book).withColumn("sq8", lit(sq8))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
     if (kmeansIters > 0) n.unpersist()
   }
 
@@ -118,9 +120,13 @@ object IvfIndex {
     * sniffed from the index so mixed layouts cannot be created. */
   def append(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
-    val book = collectCodebook(spark.read.parquet(s"$path/_centroids")
-      .select(col("cent_id"), col("cent")))
-    val sq8 = spark.read.parquet(path).columns.contains("q")
+    val cdf = spark.read.parquet(s"$path/_centroids")
+    val book = collectCodebook(cdf.select(col("cent_id"), col("cent")))
+    // layout from the driver-small sidecar; the root-listing sniff is
+    // only a fallback for indexes built before the flag existed
+    val sq8 =
+      if (cdf.columns.contains("sq8")) cdf.select("sq8").head.getBoolean(0)
+      else spark.read.parquet(path).columns.contains("q")
     val n = emb.select(col("vec_id"),
       normalized(col("embedding").cast("array<double>")).as("nemb"))
     storedForm(withCell(n, book), sq8).write.mode("append")
@@ -131,9 +137,10 @@ object IvfIndex {
     * append adds task-count files per landed cell, and at 100 TB the
     * accumulated small files dominate probe latency (file-listing and
     * open costs, not bytes). Rewrites each cell into task-bounded files
-    * and swaps via two renames (never delete-then-rename — a crash
-    * leaves the data under exactly one name; same discipline as the
-    * enrichment store's compaction). Returns (files before, after). */
+    * behind [[graft.sources.AtomicSwap]] (crash-recovering two-rename
+    * swap; single-writer — see its concurrency contract). The cell
+    * count comes from the driver-small `_centroids` sidecar, never a
+    * distinct-scan of the index. Returns (files before, after). */
   def compact(spark: SparkSession, path: String): (Long, Long) = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -146,19 +153,15 @@ object IvfIndex {
       }
       n
     }
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    val old = new org.apache.hadoop.fs.Path(path + "_precompact")
-    fs.delete(tmp, true); fs.delete(old, true)
     val before = dataFiles(hPath)
-    val idx = spark.read.parquet(path)
-    val nCells = math.max(idx.select("cell").distinct().count().toInt, 1)
-    idx.repartition(nCells, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    spark.read.parquet(s"$path/_centroids").coalesce(1)
-      .write.mode("overwrite").parquet(s"$tmp/_centroids")
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
-    fs.delete(old, true)
+    val nCells =
+      math.max(spark.read.parquet(s"$path/_centroids").count().toInt, 1)
+    graft.sources.AtomicSwap.rewrite(fs, path) { tmp =>
+      spark.read.parquet(path).repartition(nCells, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      spark.read.parquet(s"$path/_centroids").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/_centroids")
+    }
     (before, dataFiles(hPath))
   }
 
