@@ -181,4 +181,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(hits() === hitsBefore)
     assert(rows() === rowsBefore)
   }
+
+  test("streaming ingest: per-batch append converges to the full index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_s").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 100), path, nCells = 16)
+
+    val rest = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfIndex.append(batch, path)
+      }.start()
+    try {
+      rest.grouped(150).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_sf").toString
+    IvfIndex.build(emb, full, nCells = 16)
+    val query = emb.filter(col("vec_id") === 450)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def hits(p: String) = IvfIndex.search(spark, p, query, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(path) === hits(full))
+  }
 }
