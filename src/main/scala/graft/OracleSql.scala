@@ -852,5 +852,50 @@ object OracleSql {
         |         list_slice(tk, st + 1, least(st + 50, nt)), ' '))
         |         AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // asymmetric containment over trigram shingle sets with the same
+    // stop-shingle cap (df <= 100) the engine applies; set sizes stay
+    // uncapped
+    "q74_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '),1) AS i
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM toks a
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh
+        |                         GROUP BY sh) t WHERE df <= 100),
+        |lng AS (SELECT doc_id, lang FROM documents),
+        |c AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        |  FROM sh x JOIN kept USING (sh)
+        |       JOIN sh y ON y.sh = x.sh AND x.doc_id < y.doc_id
+        |       JOIN lng lx ON lx.doc_id = x.doc_id
+        |       JOIN lng ly ON ly.doc_id = y.doc_id AND lx.lang = ly.lang
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |       ROUND(c.c::DOUBLE / least(na.n, nb.n), 4) AS containment
+        |FROM c JOIN sizes na ON na.doc_id = a
+        |       JOIN sizes nb ON nb.doc_id = b
+        |WHERE c.c::DOUBLE / least(na.n, nb.n) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "q75_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, len(tk) AS nt, tk,
+        |        unnest(range(0, greatest(len(tk), 1), 25)) AS st
+        |      FROM t),
+        |ch AS (SELECT doc_id,
+        |         md5(array_to_string(
+        |           list_slice(tk, st + 1, least(st + 50, nt)), ' '))
+        |           AS chunk_fp
+        |       FROM c)
+        |SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs,
+        |       COUNT(*) AS n_occ
+        |FROM ch GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, chunk_fp""".stripMargin,
   )
 }

@@ -94,6 +94,8 @@ object SparkEntry {
     "q71_len_profile" -> (T.q71LenProfile(_, _)),
     "q72_bpe_pairs" -> ((s, d) => T.q72BpePairs(s, d)),
     "q73_chunks" -> ((s, d) => T.q73Chunks(s, d)),
+    "q74_containment" -> ((s, d) => T.q74Containment(s, d)),
+    "q75_boilerplate" -> (T.q75Boilerplate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -563,6 +563,64 @@ object TextQueries {
       .orderBy("shard", "pack_id")
   }
 
+  /** Q74 — CONTAINMENT detection (asymmetric near-dup): score
+    * |A∩B| / min(|A|,|B|) over trigram shingle sets — the doc-inside-doc
+    * signal (quotes, supersets, partial mirrors) that symmetric Jaccard
+    * under-scores, so a length-bucketed blocking key (q32's) cannot be
+    * used: containment pairs differ in length by construction.
+    *
+    * Scale posture: same sparse inverted-index join as q32 (only pairs
+    * sharing a shingle are scored), blocked by language. The hot-key
+    * guard is a STOP-SHINGLE cap (document frequency ≤ maxDf): the
+    * postings lists that explode quadratically at scale are exactly the
+    * boilerplate shingles that carry no discriminating signal, so they
+    * are dropped from the intersection (set sizes stay uncapped; the
+    * oracle applies the identical cap). */
+  def q74Containment(s: SparkSession, dir: String, threshold: Double = 0.8,
+      maxDf: Int = 100): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        graft.functions.TextKernelExpressions
+          .hashedShinglesFast(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .transform(Materialize.pin)
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = d.select(col("doc_id"), col("lang"), explode(col("sh")).as("h"))
+    val kept = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val exk = ex.join(kept, "h")
+    val shared = exk.as("x").join(exk.as("y"),
+        col("x.lang") === col("y.lang") && col("x.h") === col("y.h")
+          && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("n", "nb"), "b")
+      .select(col("a"), col("b"),
+        round(col("c").cast("double") / least(col("na"), col("nb")), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Q75 — boilerplate detection: the 50-token windows (q73's chunks)
+    * whose content fingerprint recurs across ≥ 2 documents — the
+    * repeated-header/footer/mirror signal a cleaning pipeline strips
+    * corpus-wide (the chunk-level complement of doc-level dedup).
+    *
+    * Scale posture: one groupBy on the uniform md5 fingerprint over
+    * q73's zero-shuffle chunk stream (EliminateSorts drops q73's
+    * presentation sort under the aggregate — spec-pinned pattern). */
+  def q75Boilerplate(s: SparkSession, dir: String): DataFrame =
+    q73Chunks(s, dir)
+      .groupBy("chunk_fp")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk_fp"))
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * cheap blocking key (same lang + same token-count bucket), so the
     * pair space stays linear-ish instead of O(n²). */
