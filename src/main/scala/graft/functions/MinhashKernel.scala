@@ -219,4 +219,32 @@ object MinhashKernel {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Word-n-gram shingles as STRINGS — the fused form of
+    * `transform(sequence(1, m-n+1), i -> concat_ws(" ", slice(toks, i, n)))`
+    * over `split(text, " ")`. Because the separators are single spaces,
+    * each shingle is exactly the original byte span from the start of
+    * token i to the end of token i+n-1, so the kernel copies byte ranges
+    * instead of re-joining token objects (and stays inside whole-stage
+    * codegen, unlike the HOF form). One entry per position, duplicates
+    * kept — identical to TextFunctions.shingles. */
+  def stringShingles(text: UTF8String, n: Int): ArrayData = {
+    val (starts, m) = tokenStarts(text)
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nSh = m - n + 1
+    val out = new Array[Any](nSh)
+    var i = 0
+    while (i < nSh) {
+      val s0 = starts(i)
+      val len = (starts(i + n) - 1) - s0
+      val bytes = new Array[Byte](len)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + s0, bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      out(i) = UTF8String.fromBytes(bytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

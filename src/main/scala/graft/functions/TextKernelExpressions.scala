@@ -146,4 +146,30 @@ object TextKernelExpressions {
 
   def hashedShinglesFast(text: Column, n: Int): Column =
     Bridge.column(HashedShingles(Bridge.expression(text), n))
+
+  /** word_shingles(text, n): word-n-gram strings, codegen'd (the HOF
+    * `TextFunctions.shingles` is CodegenFallback and evicts its whole
+    * operator from codegen — this kernel keeps hot shingle projections
+    * fused; byte-exact same output). */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_shingles"
+
+    override protected def nullSafeEval(t: Any): Any =
+      MinhashKernel.stringShingles(t.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinhashKernel.stringShingles($t, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  def wordShinglesFast(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
 }

@@ -522,10 +522,11 @@ object TextQueries {
     * corpus×eval scan; the only shuffle is the final per-doc groupBy. */
   def q64Decontaminate(s: SparkSession, dir: String,
       n: Int = 5): DataFrame = {
+    import graft.functions.TextKernelExpressions.wordShinglesFast
     val evalSh = docs(s, dir).filter(col("doc_id") < 10)
-      .select(explode(shingles(col("text"), n)).as("sh")).distinct()
+      .select(explode(wordShinglesFast(col("text"), n)).as("sh")).distinct()
     val corpus = docs(s, dir).filter(col("doc_id") >= 10)
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), explode(wordShinglesFast(col("text"), n)).as("sh"))
     corpus.join(broadcast(evalSh), Seq("sh"))
       .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_shared"))
       .orderBy("doc_id")
@@ -690,7 +691,8 @@ object TextQueries {
       .groupBy("w").agg(count(lit(1)).as("c1"))
       .transform(Materialize.pin)
     val vocab = uni.count() // |V| for the Laplace denominator
-    val bg = d.select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+    val bg = d.select(col("doc_id"), explode(graft.functions
+        .TextKernelExpressions.wordShinglesFast(col("text"), 2)).as("bg"))
       .transform(Materialize.pin)
     val model = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
