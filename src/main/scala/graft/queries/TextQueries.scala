@@ -127,7 +127,8 @@ object TextQueries {
   /** MinHash signatures (k=4, word-3-gram shingles) — the per-document half
     * of MinHash/LSH dedup, oracle-checkable because hashes are md5-derived. */
   def q29MinhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignature(shingles(col("text"), 3), 4)
+    val sig = minhashSignature(graft.functions.TextKernelExpressions
+      .wordShinglesFast(col("text"), 3), 4)
     docs(s, dir)
       .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"),
@@ -187,7 +188,8 @@ object TextQueries {
     val shd = docs(s, dir)
       .select(col("doc_id"), col("text"))
       .orderBy("doc_id").limit(1000)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), graft.functions.TextKernelExpressions
+        .wordShinglesFast(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .transform(Materialize.pin)
     val sigd = shd
@@ -344,7 +346,8 @@ object TextQueries {
     * for corpus filtering): 1 − distinct/total word-3-grams per doc. The
     * WITHIN-document counterpart of the cross-document dedup operators. */
   def q60DupNgrams(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(col("text"), 3)
+    val sh = graft.functions.TextKernelExpressions
+      .wordShinglesFast(col("text"), 3)
     // pre-limit BEFORE the shingle projection: orderBy+limit after it
     // would shingle the whole corpus for a 300-row answer (cf. q52)
     docs(s, dir)
