@@ -77,7 +77,21 @@ object GraftFunctions {
           cb.getArray(c).toDoubleArray()
         }.toArray
         NearestCentroid(args(0), cells)
-      }))
+      }),
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(hash_long, expected_items) - serialized Bloom filter " +
+          "built by a distributed two-phase aggregate"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), litInt(args(1)).toLong)),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(filter_binary, hash_long) - membership probe " +
+          "(false = definitely absent)"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

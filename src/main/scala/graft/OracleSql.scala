@@ -897,5 +897,19 @@ object OracleSql {
         |       COUNT(*) AS n_occ
         |FROM ch GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, chunk_fp""".stripMargin,
+    // the bloom build+probe+confirm pipeline is exact by construction
+    // (FPs removed by the confirm join), so q76 shares q64's oracle
+    "q76_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |             array_to_string(list_slice(w, i, i + 4), ' ') AS sh
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |            FROM t) x),
+        |e AS (SELECT DISTINCT sh FROM g WHERE doc_id < 10),
+        |c AS (SELECT doc_id, sh FROM g WHERE doc_id >= 10)
+        |SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_shared
+        |FROM c JOIN e USING (sh)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
   )
 }

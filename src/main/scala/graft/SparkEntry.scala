@@ -96,6 +96,7 @@ object SparkEntry {
     "q73_chunks" -> ((s, d) => T.q73Chunks(s, d)),
     "q74_containment" -> ((s, d) => T.q74Containment(s, d)),
     "q75_boilerplate" -> (T.q75Boilerplate(_, _)),
+    "q76_decontaminate_bloom" -> ((s, d) => T.q76DecontaminateBloom(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -901,4 +901,39 @@ object TextQueries {
       .select(col("rank"), col("pair"), col("cnt"))
       .orderBy("rank")
   }
+
+  /** Q76 — decontamination via a distributed Bloom filter: q64's exact
+    * semantics, restructured for an eval/blocklist set too large to
+    * broadcast as rows. The eval shingle set is folded into a Bloom
+    * filter by a distributed two-phase aggregate (partial filters
+    * OR-merged; only the serialized filter reaches the driver), the
+    * corpus scan is pruned by the codegen'd `might_contain` predicate
+    * BEFORE any shuffle, and the survivors — true hits plus a bounded
+    * false-positive trickle — are exact-confirmed with the equi-join,
+    * so the result is identical to q64 and shares its oracle.
+    *
+    * Scale posture: at 100 TB the corpus side sheds ~everything at the
+    * scan (filter FPP ~3%), so the confirm join shuffles survivors
+    * only; the filter is MBs regardless of corpus size. This is the
+    * same build/probe pair Catalyst injects for runtime bloom-filter
+    * joins, applied where the optimizer can't see the opportunity
+    * (the probe key is a computed shingle, not a scan column). */
+  def q76DecontaminateBloom(s: SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions.{bloomAgg, mightContain}
+    import graft.functions.TextKernelExpressions.wordShinglesFast
+    // pinned: feeds the filter build AND the exact-confirm join
+    val evalSh = docs(s, dir).filter(col("doc_id") < 10)
+      .select(explode(wordShinglesFast(col("text"), n)).as("sh")).distinct()
+      .transform(Materialize.pin)
+    val bf = evalSh
+      .agg(bloomAgg(xxhash64(col("sh")), 100000L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    docs(s, dir).filter(col("doc_id") >= 10)
+      .select(col("doc_id"), explode(wordShinglesFast(col("text"), n)).as("sh"))
+      .filter(mightContain(lit(bf), xxhash64(col("sh"))))
+      .join(evalSh, Seq("sh"))
+      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_shared"))
+      .orderBy("doc_id")
+  }
 }

@@ -56,6 +56,6 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1.funcName).toSet
       === Set("vec_dot", "vec_normalize", "minhash_sig", "simhash_md5",
         "winnow", "hashed_shingles", "lang_id", "vec_nearest_centroid",
-        "vec_quantize_i8"))
+        "vec_quantize_i8", "bloom_agg", "bloom_might_contain"))
   }
 }
