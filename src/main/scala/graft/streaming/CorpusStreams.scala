@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Streaming twins of the corpus-quality surface: a training-data intake
   * runs continuously, and the audit counters that gate it (q69's filter
@@ -21,4 +22,31 @@ object CorpusStreams {
     * query. */
   def funnelStream(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.funnelCounts(docs)
+
+  /** Per-document contamination guard for a document stream: q76's
+    * bloom-probe + exact-confirm pipeline as a PER-TRIGGER batch map —
+    * apply inside `foreachBatch`. Each arriving doc is shingled,
+    * pre-pruned by the serialized Bloom filter of the eval/blocklist
+    * set, and the survivors exact-confirmed against the (small,
+    * pre-distinct'd) confirm set. Decontamination is per-document, so
+    * the guard needs NO stream state: a doc's verdict is complete in
+    * the trigger that carries it — which is exactly why this is a
+    * foreachBatch map and not a stateful streaming aggregate (a
+    * dropDuplicates/agg formulation would retain every (doc, shingle)
+    * pair forever). The filter and confirm set are built once and
+    * captured by the closure; swapping a refreshed blocklist is a
+    * query restart.
+    *
+    * Output: (doc_id, n_shared) for contaminated docs in the batch —
+    * the stream analog of q76's rows. */
+  def decontaminateBatch(batch: DataFrame, bloom: Array[Byte],
+      confirmSet: DataFrame, n: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions.mightContain
+    import graft.functions.TextKernelExpressions.wordShinglesFast
+    val sh: Column = explode(wordShinglesFast(col("text"), n)).as("sh")
+    batch.select(col("doc_id"), sh)
+      .filter(mightContain(lit(bloom), xxhash64(col("sh"))))
+      .join(confirmSet.hint("broadcast"), Seq("sh"))
+      .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_shared"))
+  }
 }

@@ -276,4 +276,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"no partial aggregation in:\n$p")
   }
+
+  test("q76 bloom probe prunes the corpus side BELOW the confirm join") {
+    import graft.queries.{TextQueries => T}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = T.q76DecontaminateBloom(spark, dir)
+    df.collect()
+    // flatten the adaptive tree (stages hide their subtrees from children)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def hasProbe(p: SparkPlan): Boolean = p.expressions.exists(_.exists {
+      case _: BloomFilterMightContain => true
+      case _ => false
+    })
+    val all = nodes(df.queryExecution.executedPlan)
+    val join = all.find(_.nodeName.contains("Join")).getOrElse(
+      fail(s"no confirm join in:\n${df.queryExecution.executedPlan}"))
+    // the probe must sit in the join's INPUT subtree — pruning the scan
+    // before rows move — never as a post-join residual; at 100 TB the
+    // difference is shuffling survivors vs shuffling the whole corpus
+    val belowJoin = join.children.flatMap(nodes)
+    assert(belowJoin.exists(hasProbe),
+      s"bloom probe not below the join:\n${df.queryExecution.executedPlan}")
+    val joinIdx = all.indexOf(join)
+    assert(!all.take(joinIdx).exists(hasProbe),
+      s"bloom probe floated above the join:\n${df.queryExecution.executedPlan}")
+  }
 }

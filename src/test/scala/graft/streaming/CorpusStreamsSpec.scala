@@ -39,4 +39,46 @@ class CorpusStreamsSpec extends SparkSpec {
       assert(fin.getLong(0) === withNull.size.toLong)
     } finally q.stop()
   }
+
+  test("streamed decontamination guard equals batch q76 over all triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.functions.BloomFunctions.bloomAgg
+    import graft.functions.TextKernelExpressions.wordShinglesFast
+
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // blocklist side, built once (as a production guard would at start)
+    val evalSh = docs.filter(col("doc_id") < 10)
+      .select(explode(wordShinglesFast(col("text"), 5)).as("sh")).distinct()
+      .cache()
+    val bloom = evalSh.agg(bloomAgg(xxhash64(col("sh")), 100000L))
+      .head.getAs[Array[Byte]](0)
+
+    val corpus = docs.filter(col("doc_id") >= 10)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val flagged = scala.collection.mutable.Map.empty[Long, Long]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        CorpusStreams.decontaminateBatch(batch, bloom, evalSh)
+          .collect().foreach(r =>
+            flagged(r.getLong(0)) = r.getLong(1))
+      }
+      .start()
+    try {
+      // uneven triggers; every doc arrives whole in exactly one of them
+      Seq(corpus.take(30), corpus.slice(30, 31), corpus.drop(31))
+        .foreach { part => input.addData(part); q.processAllAvailable() }
+      val batchRows = graft.queries.TextQueries
+        .q76DecontaminateBloom(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flagged.toMap === batchRows)
+      assert(batchRows.nonEmpty) // the fixture must exercise the overlap
+    } finally { q.stop(); evalSh.unpersist() }
+  }
 }
