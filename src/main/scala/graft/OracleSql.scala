@@ -911,5 +911,43 @@ object OracleSql {
         |SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_shared
         |FROM c JOIN e USING (sh)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // BM25 (k1=1.2, b=0.75) for the fixed query-term set; float constants
+    // are the same decimal literals as the Spark plan, the rank key is the
+    // 6-decimal-rounded score (absorbs ln/÷ ulp skew), display is %.3f
+    "q77_bm25_topk" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w
+        |         FROM tk),
+        |tf AS (SELECT doc_id, dl, w, COUNT(*)::DOUBLE AS tf FROM base
+        |       WHERE w IN ('join', 'hash', 'window') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        |ad AS (SELECT AVG(len(string_split(text, ' ')))::DOUBLE AS avgdl
+        |       FROM documents),
+        |sc AS (SELECT tf.doc_id,
+        |         ln(((SELECT nd FROM n) - dfc.df + 0.5) / (dfc.df + 0.5)
+        |            + 1.0) *
+        |         (tf.tf * 2.2) /
+        |         (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+        |            (SELECT avgdl FROM ad))) AS c
+        |       FROM tf JOIN dfc USING (w)),
+        |agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS s FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, s, ROW_NUMBER() OVER (
+        |        ORDER BY s DESC, doc_id)::BIGINT AS rank
+        |      FROM agg)
+        |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // the sketch pass only PRUNES candidates (exactness restored by the
+    // re-count), so the oracle is the plain exact top-k
+    "q78_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |c AS (SELECT w, COUNT(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT w, cnt, ROW_NUMBER() OVER (
+        |        ORDER BY cnt DESC, w)::BIGINT AS rank
+        |      FROM c)
+        |SELECT rank, w, cnt FROM r WHERE rank <= 20 ORDER BY rank"""
+        .stripMargin,
   )
 }

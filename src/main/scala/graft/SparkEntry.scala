@@ -97,6 +97,8 @@ object SparkEntry {
     "q74_containment" -> ((s, d) => T.q74Containment(s, d)),
     "q75_boilerplate" -> (T.q75Boilerplate(_, _)),
     "q76_decontaminate_bloom" -> ((s, d) => T.q76DecontaminateBloom(s, d)),
+    "q77_bm25_topk" -> ((s, d) => T.q77Bm25Topk(s, d)),
+    "q78_heavy_hitters" -> ((s, d) => T.q78HeavyHitters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

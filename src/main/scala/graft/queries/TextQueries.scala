@@ -902,6 +902,96 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Q77 — Okapi BM25 top-k retrieval (k1=1.2, b=0.75) for a fixed query
+    * term set — the lexical-retrieval primitive a training-data pipeline
+    * uses for targeted corpus search and RAG-style evidence pull, one
+    * step up from q68's tf-idf (BM25 adds document-length normalization
+    * and the saturating tf term).
+    *
+    * Engine stability: like q68, the ranking key is the score rounded to
+    * 6 decimals (ln/÷ can differ by an ulp across engines) and every
+    * float constant is written as the same decimal literal both here and
+    * in the oracle SQL, so both engines parse the identical double.
+    *
+    * Scale posture: the corpus is scanned once, projected to
+    * (doc_id, dl, token) and FILTERED to the query terms before any
+    * shuffle — the aggregate and join see query-term postings only (the
+    * inverted-index access pattern, without materializing an index).
+    * The per-term df table is query-term-sized and broadcast; avgdl and
+    * N are driver scalars from a narrow second scan (two column-pruned
+    * reads beat shuffling doc lengths for all docs). Top-k is a sort of
+    * the per-doc aggregate, which TakeOrderedAndProject bounds. */
+  def q77Bm25Topk(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val qTerms = Seq("join", "hash", "window")
+    val d = docs(s, dir)
+    // two driver scalars over one narrow pass (no token row explosion)
+    val stats = d
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(size(tokens(col("text")))).as("avgdl"))
+      .head
+    val nDocs = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val tf = d
+      .select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"),
+        explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, never a global sort); the rank window then runs over k rows,
+    // not a single-partition shuffle of every scored document
+    val topk = tf.join(broadcast(dfc), "w")
+      .withColumn("_idf",
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("_c",
+        col("_idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id").agg(round(sum(col("_c")), 6).as("_score"))
+      .orderBy(col("_score").desc, col("doc_id")).limit(k)
+    topk
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("_score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        format_string("%.3f", round(col("_score"), 3)).as("bm25"))
+      .orderBy("rank")
+  }
+
+  /** Q78 — top-k most frequent tokens via Misra-Gries candidate pruning:
+    * the sketch pass folds every partition into a capacity-bounded
+    * counter map ([[graft.functions.FrequencyFunctions]]) so only
+    * capacity-sized summaries cross the wire; the exact pass re-counts
+    * ONLY the survivors (broadcast semi-join — survivors ≤ capacity
+    * rows) and ranks them. Same prune-then-confirm shape as q76's
+    * bloom: the sketch sheds the vocabulary tail before any shuffle,
+    * the exact pass makes the answer exact.
+    *
+    * Exactness: every token with frequency > n/(capacity+1) is in the
+    * sketch (MG bound), so with capacity chosen s.t. the k-th most
+    * frequent token clears that threshold, survivors ⊇ true top-k and
+    * the re-count ranks them exactly — FrequencyFunctionsSpec checks
+    * the bound holds adversarially and that this query matches a full
+    * exact group-by. At 100 TB a full `groupBy(token)` shuffles the
+    * billions-of-distinct-tokens vocabulary; this plan shuffles ≤
+    * capacity summaries plus ≤ capacity re-count groups. */
+  def q78HeavyHitters(s: SparkSession, dir: String, k: Int = 20,
+      capacity: Int = 256): DataFrame = {
+    import graft.functions.FrequencyFunctions.misraGries
+    val toks = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
+    val cand = toks.agg(misraGries(col("w"), capacity).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e").getField("w").as("w"))
+    val topk = toks.join(broadcast(cand), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(k)
+    topk.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .select(col("rank"), col("w"), col("cnt"))
+      .orderBy("rank")
+  }
+
   /** Q76 — decontamination via a distributed Bloom filter: q64's exact
     * semantics, restructured for an eval/blocklist set too large to
     * broadcast as rows. The eval shingle set is folded into a Bloom

@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.FrequencyFunctions.misraGries
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class FrequencyFunctionsSpec extends SparkSpec {
+
+  private def summary(rows: Seq[String], capacity: Int,
+      partitions: Int = 4): Map[String, Long] = {
+    import spark.implicits._
+    rows.toDF("w").repartition(partitions)
+      .agg(misraGries(col("w"), capacity).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.w"), col("e.c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("exact when vocabulary fits the capacity") {
+    val data = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(5)("c")
+    val got = summary(scala.util.Random.shuffle(data.toList), capacity = 8)
+    assert(got === Map("a" -> 30L, "b" -> 20L, "c" -> 5L))
+  }
+
+  test("MG bound: heavy items survive any arrival order, counts are " +
+    "lower bounds within n/(capacity+1)") {
+    val cap = 8
+    // one heavy key + a long distinct tail that forces constant evictions
+    val heavy = Seq.fill(400)("HOT")
+    val tail = (1 to 600).map(i => s"t$i")
+    val n = heavy.size + tail.size
+    val maxErr = n / (cap + 1) // 1000/9 = 111 < 400 → HOT must survive
+    for (seed <- Seq(1, 2, 3)) {
+      val order = new scala.util.Random(seed).shuffle(heavy ++ tail)
+      val got = summary(order, cap)
+      assert(got.contains("HOT"), s"seed $seed lost the heavy hitter")
+      val est = got("HOT")
+      assert(est <= 400L, "MG counts must never exceed the true count")
+      assert(400L - est <= maxErr,
+        s"seed $seed: estimate $est underestimates 400 beyond $maxErr")
+      // every surviving counter respects the summary size
+      assert(got.size <= cap)
+    }
+  }
+
+  test("single-partition stream matches the textbook sequential fold") {
+    // reference fold computed in plain Scala (the Misra-Gries textbook
+    // algorithm) — the distributed single-partition run must agree exactly
+    val data = Seq("a", "b", "a", "c", "d", "a", "b", "e", "a", "f",
+      "b", "a", "g", "a", "b")
+    val cap = 3
+    val ref = scala.collection.mutable.HashMap[String, Long]()
+    data.foreach { w =>
+      if (ref.contains(w)) ref(w) += 1
+      else if (ref.size < cap) ref(w) = 1
+      else {
+        ref.keys.toSeq.foreach { k =>
+          ref(k) -= 1; if (ref(k) == 0) ref.remove(k)
+        }
+      }
+    }
+    val got = summary(data, cap, partitions = 1)
+    assert(got === ref.toMap)
+  }
+
+  test("q78 equals the exact full group-by top-k on the fixture") {
+    val dir = sf("sf0.001")
+    val got = graft.queries.TextQueries.q78HeavyHitters(spark, dir)
+      .collect().map { case Row(rk: Long, w: String, c: Long) => (rk, w, c) }
+    val exact = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(20)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+    assert(got.toSeq === exact.toSeq)
+  }
+
+  test("q78's guarantee precondition holds on the fixture: the k-th " +
+    "frequency clears the MG survival threshold") {
+    val dir = sf("sf0.001")
+    val d = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val n = d.count()
+    val kth = d.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(20)
+      .collect().last.getLong(1)
+    assert(kth > n / (256 + 1),
+      "fixture no longer satisfies the documented exactness precondition")
+  }
+}
