@@ -158,12 +158,24 @@ object Bench {
     def jmap(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-    val qs = jmap(results.map(r => r._1 -> r._2))
+    // stdout-line values: 2 decimals, trailing zeros stripped — the driver
+    // records only the LAST 2000 chars of output, and with 80+ queries a
+    // full-precision map overflows that window (r03 recorded parsed:null
+    // exactly this way). Full precision lives in target/bench_last.json.
+    def short(v: Double): String = {
+      val s = f"${math.rint(v * 100) / 100.0}%.2f"
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
+    val qs = results.map(r => s"\"" + r._1 + "\":" + short(r._2))
+      .mkString("{", ",", "}")
+    val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"$errField}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfShort$errField}"""
 
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
       prev.get(name).filter(_ > 0).map(p => name -> t / p)
@@ -173,7 +185,7 @@ object Bench {
       s"\"" + name + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"$errField,"vs_prev":$vsPrev,"baseline_source":"$baselineSrc","gc_by_query":$gcByQ,"all_runs":$allRuns}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"$errField,"vs_prev":$vsPrev,"baseline_source":"$baselineSrc","gc_by_query":$gcByQ,"all_runs":$allRuns}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/target/bench_last.json"), full)
     catch { case _: Throwable => () }
