@@ -304,6 +304,142 @@ object VectorFunctions {
     Bridge.column(DotDequantI8(Bridge.expression(codes),
       Bridge.expression(scale), query))
 
+  /** Product-quantization encoder (the FAISS IVF-PQ storage kernel): the
+    * RESIDUAL vec−cent is split into m subvectors of dsub dims; each is
+    * replaced by the index of its nearest subspace centroid (L2, ties →
+    * lowest code). Output is m bytes — at 100 TB the difference between
+    * storing embeddings and not being able to. The residual is never
+    * materialized: the kernel folds the subtraction into the distance
+    * loop. `codebook` is flat [m][ksub][dsub] and rides as a codegen
+    * reference object. */
+  case class PqEncode(vec: Expression, cent: Expression,
+      codebook: Array[Double], m: Int, ksub: Int) extends BinaryExpression {
+    override def left: Expression = vec
+    override def right: Expression = cent
+    private val dsub = codebook.length / (m * ksub)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (vec.dataType, cent.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(DoubleType, _))
+          if codebook.length == m * ksub * dsub && codebook.nonEmpty =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<double> and a [m][ksub][dsub] " +
+            s"codebook, got ${l.sql}, ${r.sql}, len=${codebook.length}")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_pq_encode"
+
+    override protected def nullSafeEval(v: Any, c: Any): Any =
+      pqEncodeKernel(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+        codebook, m, ksub, dsub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (v, c) => {
+        val cb = ctx.addReferenceObj("pqcb", codebook, "double[]")
+        s"""${ev.value} = graft.functions.VectorFunctions.pqEncodeKernel(
+           |  $v, $c, $cb, $m, $ksub, $dsub);""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqEncode =
+      copy(vec = newLeft, cent = newRight)
+  }
+
+  /** Shared eval/codegen body for [[PqEncode]] (same pattern as
+    * [[quantizeKernel]]: one JIT-compiled method, no per-row closure). */
+  def pqEncodeKernel(v: ArrayData, c: ArrayData, cb: Array[Double],
+      m: Int, ksub: Int, dsub: Int): Array[Byte] = {
+    val out = new Array[Byte](m)
+    val dim = math.min(v.numElements(), c.numElements())
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var code = 0
+      while (code < ksub) {
+        var d = 0
+        var acc = 0.0
+        while (d < dsub) {
+          val i = j * dsub + d
+          val r = if (i < dim) v.getDouble(i) - c.getDouble(i) else 0.0
+          val diff = r - cb((j * ksub + code) * dsub + d)
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < bestD) { bestD = acc; best = code }
+        code += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance scoring for PQ codes: cellDot + Σ_j lut[j][code_j]
+    * where lut[j][c] = dot(query_subspace_j, codebook[j][c]) is
+    * driver-precomputed per query (m·ksub doubles) — the probe never
+    * reconstructs a vector; scoring is m table lookups per row. */
+  case class PqAdcDot(codes: Expression, cellDot: Expression,
+      lut: Array[Double], ksub: Int) extends BinaryExpression {
+    override def left: Expression = codes
+    override def right: Expression = cellDot
+    override def checkInputDataTypes(): TypeCheckResult =
+      (codes.dataType, cellDot.dataType) match {
+        case (org.apache.spark.sql.types.BinaryType, DoubleType)
+          if lut.nonEmpty && lut.length % ksub == 0 =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (binary, double) and a [m][ksub] LUT, " +
+            s"got ${l.sql}, ${r.sql}")
+      }
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "vec_pq_adc_dot"
+
+    override protected def nullSafeEval(c: Any, s: Any): Any = {
+      val codes = c.asInstanceOf[Array[Byte]]
+      var acc = s.asInstanceOf[Double]
+      val m = math.min(codes.length, lut.length / ksub)
+      var j = 0
+      while (j < m) {
+        acc += lut(j * ksub + (codes(j) & 0xFF))
+        j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, s) => {
+        val lt = ctx.addReferenceObj("pqlut", lut, "double[]")
+        val j = ctx.freshName("j")
+        val m = ctx.freshName("m")
+        val acc = ctx.freshName("acc")
+        s"""
+           |double $acc = $s;
+           |int $m = Math.min($c.length, $lt.length / $ksub);
+           |for (int $j = 0; $j < $m; $j++) {
+           |  $acc += $lt[$j * $ksub + ($c[$j] & 0xFF)];
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcDot =
+      copy(codes = newLeft, cellDot = newRight)
+  }
+
+  def pqEncode(vec: Column, cent: Column, codebook: Array[Double],
+      m: Int, ksub: Int): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), Bridge.expression(cent),
+      codebook, m, ksub))
+
+  def pqAdcDot(codes: Column, cellDot: Column, lut: Array[Double],
+      ksub: Int): Column =
+    Bridge.column(PqAdcDot(Bridge.expression(codes),
+      Bridge.expression(cellDot), lut, ksub))
+
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 

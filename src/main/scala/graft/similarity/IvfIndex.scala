@@ -102,6 +102,111 @@ object IvfIndex {
     if (kmeansIters > 0) n.unpersist()
   }
 
+  /** IVF-PQ build (the FAISS layout for embeddings at storage scale):
+    * coarse assignment as [[build]], then each vector's RESIDUAL from its
+    * cell centroid is product-quantized — m subspace codes of log2(ksub)
+    * bits each, m bytes/vector here vs 8·dim for float64 (32× smaller at
+    * dim=64 with the default m=16). Codebooks are trained driver-side on a deterministic
+    * residual sample (`orderBy(vec_id).limit(sampleN)` — PQ training on a
+    * bounded sample is standard FAISS practice; the sample is the only
+    * data that ever reaches the driver). Encoding is one map-side codegen
+    * projection ([[VectorFunctions.PqEncode]]) — the corpus streams
+    * through once, zero joins, zero shuffles, like the float build.
+    *
+    * Search scores codes in place by asymmetric distance: per query the
+    * driver precomputes dot(q, cell_centroid) per probed cell and the
+    * m·ksub subspace LUT, and dot(q, vec) ≈ dot(q, cent) + Σ_j
+    * lut[j][code_j] ([[VectorFunctions.PqAdcDot]]) — no vector is ever
+    * reconstructed. Same partition-pruned probe as the other layouts. */
+  def buildPq(emb: DataFrame, path: String, nCells: Int,
+      m: Int = 16, ksub: Int = 256, sampleN: Int = 2048,
+      pqIters: Int = 5, kmeansIters: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    val n0 = emb.select(col("vec_id"),
+      normalized(col("embedding").cast("array<double>")).as("nemb"))
+    // pinned: feeds the (optional) k-means passes, the PQ training
+    // sample, and the encode pass
+    val n = graft.operators.Materialize.pin(n0)
+    val book =
+      if (kmeansIters > 0)
+        collectCodebook(trainCentroids(n, nCells, kmeansIters))
+      else collectCodebook(codebook(n, nCells))
+    val cents = book.map(_._2)
+    val withOrd = n
+      .withColumn("_ord", nearestCell(col("nemb"), cents))
+      .withColumn("cell",
+        element_at(typedlit(book.map(_._1)), col("_ord") + 1))
+      .withColumn("_cent", element_at(typedlit(cents), col("_ord") + 1))
+    val sample = withOrd.orderBy("vec_id").limit(sampleN)
+      .select(col("nemb"), col("_cent")).collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Double]](0)
+        val c = r.getAs[scala.collection.Seq[Double]](1)
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val cb = trainPqCodebooks(sample, m, ksub, pqIters)
+    withOrd.select(col("vec_id"),
+        VectorFunctions.pqEncode(col("nemb"), col("_cent"), cb, m, ksub)
+          .as("codes"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    toCodebookDf(spark, book).withColumn("sq8", lit(false))
+      .withColumn("layout", lit("pq"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    import spark.implicits._
+    // flat [m][ksub][dsub] codebook + shape, driver-small like _centroids
+    Seq((cb.toSeq, m, ksub)).toDF("cb", "m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pq")
+    n.unpersist()
+  }
+
+  /** Driver-side per-subspace Lloyd's k-means over the residual sample:
+    * deterministic init (first ksub sample rows), L2 assignment with
+    * ties → lowest code, empty clusters keep their previous centroid.
+    * Returns the flat [m][ksub][dsub] codebook. */
+  private[similarity] def trainPqCodebooks(sample: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int): Array[Double] = {
+    require(sample.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = sample.head.length
+    val dsub = dim / m
+    require(dsub * m == dim, s"dim $dim not divisible by m=$m")
+    val cb = new Array[Double](m * ksub * dsub)
+    for (j <- 0 until m) {
+      def subOf(r: Array[Double]): Array[Double] =
+        java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)
+      var cents = Array.tabulate(ksub)(c =>
+        subOf(sample(c % sample.length)))
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val cnts = new Array[Long](ksub)
+        sample.foreach { r =>
+          val x = subOf(r)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ksub) {
+            var acc = 0.0
+            var d = 0
+            while (d < dsub) {
+              val diff = x(d) - cents(c)(d); acc += diff * diff; d += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < dsub) { sums(best)(d) += x(d); d += 1 }
+          cnts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (cnts(c) == 0) cents(c)
+          else sums(c).map(_ / cnts(c)))
+      }
+      for (c <- 0 until ksub; d <- 0 until dsub)
+        cb((j * ksub + c) * dsub + d) = cents(c)(d)
+    }
+    cb
+  }
+
   private def storedForm(assigned: DataFrame, sq8: Boolean): DataFrame =
     if (sq8) assigned
       .withColumn("_z", VectorFunctions.quantizeI8(col("nemb")))
@@ -124,13 +229,38 @@ object IvfIndex {
     val book = collectCodebook(cdf.select(col("cent_id"), col("cent")))
     // layout from the driver-small sidecar; the root-listing sniff is
     // only a fallback for indexes built before the flag existed
-    val sq8 =
+    val pq = cdf.columns.contains("layout") &&
+      cdf.select("layout").head.getString(0) == "pq"
+    val sq8 = !pq && {
       if (cdf.columns.contains("sq8")) cdf.select("sq8").head.getBoolean(0)
       else spark.read.parquet(path).columns.contains("q")
+    }
     val n = emb.select(col("vec_id"),
       normalized(col("embedding").cast("array<double>")).as("nemb"))
-    storedForm(withCell(n, book), sq8).write.mode("append")
-      .partitionBy("cell").parquet(path)
+    if (pq) {
+      // encode the batch against the EXISTING codebooks (coarse + PQ) —
+      // append never retrains, mirroring the float/SQ8 contract
+      val (cb, m, ksub) = readPqSidecar(spark, path)
+      val cents = book.map(_._2)
+      n.withColumn("_ord", nearestCell(col("nemb"), cents))
+        .withColumn("cell",
+          element_at(typedlit(book.map(_._1)), col("_ord") + 1))
+        .withColumn("_cent", element_at(typedlit(cents), col("_ord") + 1))
+        .select(col("vec_id"),
+          VectorFunctions.pqEncode(col("nemb"), col("_cent"), cb, m, ksub)
+            .as("codes"),
+          col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(path)
+    } else
+      storedForm(withCell(n, book), sq8).write.mode("append")
+        .partitionBy("cell").parquet(path)
+  }
+
+  private def readPqSidecar(spark: SparkSession,
+      path: String): (Array[Double], Int, Int) = {
+    val r = spark.read.parquet(s"$path/_pq").head
+    (r.getAs[scala.collection.Seq[Double]]("cb").toArray,
+      r.getAs[Int]("m"), r.getAs[Int]("ksub"))
   }
 
   /** Compact the cell partitions after many [[append]] batches — every
@@ -161,6 +291,11 @@ object IvfIndex {
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       spark.read.parquet(s"$path/_centroids").coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/_centroids")
+      // PQ indexes carry a second sidecar; dropping it on compaction
+      // would orphan the codes
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_pq")))
+        spark.read.parquet(s"$path/_pq").coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/_pq")
     }
     (before, dataFiles(hPath))
   }
@@ -183,7 +318,26 @@ object IvfIndex {
     val idx = spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*)) // partition-pruned scan
     val score =
-      if (idx.columns.contains("q")) // SQ8 layout: score codes in place
+      if (idx.columns.contains("codes")) { // PQ: asymmetric-distance scan
+        val (cb, m, ksub) = readPqSidecar(spark, path)
+        val dsub = cb.length / (m * ksub)
+        // per-query driver precompute: the m·ksub subspace LUT and the
+        // per-cell centroid dot — scoring is then m lookups per row
+        val lut = Array.tabulate(m * ksub) { i =>
+          val j = i / ksub; val c = i % ksub
+          var acc = 0.0
+          var d = 0
+          while (d < dsub) {
+            acc += qn(j * dsub + d) * cb((j * ksub + c) * dsub + d); d += 1
+          }
+          acc
+        }
+        val cellDot = cents.map(r => r.getAs[Long]("cent_id") ->
+          dotLocal(r.getAs[scala.collection.Seq[Double]]("cent").toSeq, qn))
+          .toMap
+        VectorFunctions.pqAdcDot(col("codes"),
+          element_at(typedlit(cellDot), col("cell")), lut, ksub)
+      } else if (idx.columns.contains("q")) // SQ8: score codes in place
         VectorFunctions.dotDequantI8(col("q"), col("scale"), qn)
       else dot(col("nemb"), typedlit(qn.toSeq))
     idx.select(col("vec_id"), round(score, 4).as("sim"))

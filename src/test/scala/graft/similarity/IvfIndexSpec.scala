@@ -117,6 +117,64 @@ class IvfIndexSpec extends SparkSpec {
       s"f64=${f64Ids.toSeq} sq8=${sq8Ids.toSeq}")
   }
 
+  test("IVF-PQ index: order-of-magnitude smaller storage, ADC probe " +
+    "keeps the neighbor set") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    IvfIndex.build(emb, s"$base/f64", nCells = 16)
+    IvfIndex.buildPq(emb, s"$base/pq", nCells = 16)
+
+    def dataBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p)) -
+        walk(new java.io.File(s"$p/_centroids")) -
+        walk(new java.io.File(s"$p/_pq"))
+    }
+    // 16 code bytes vs 512 float64 bytes per vector (parquet framing
+    // keeps the on-disk ratio below 32x, but it must still be drastic)
+    assert(dataBytes(s"$base/pq") < dataBytes(s"$base/f64") / 4,
+      s"pq=${dataBytes(s"$base/pq")} f64=${dataBytes(s"$base/f64")}")
+
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val f64Ids = IvfIndex.search(spark, s"$base/f64", query, nProbe = 4, k = 5)
+      .collect().map(_.getAs[Long]("vec_id"))
+    val pqRows = IvfIndex.search(spark, s"$base/pq", query, nProbe = 4, k = 5)
+      .collect()
+    val pqIds = pqRows.map(_.getAs[Long]("vec_id"))
+    // the stored query vector survives residual quantization as its own
+    // top hit, with its score near 1
+    assert(pqIds.head === 1L, s"pq=${pqIds.toSeq}")
+    assert(math.abs(pqRows.head.getAs[Double]("sim") - 1.0) < 0.1)
+    // ADC keeps most of the exact neighbor set
+    assert(f64Ids.toSet.intersect(pqIds.toSet).size >= 3,
+      s"f64=${f64Ids.toSeq} pq=${pqIds.toSeq}")
+  }
+
+  test("IVF-PQ append encodes against stored codebooks; compaction " +
+    "preserves the _pq sidecar") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_a").toString
+    IvfIndex.buildPq(emb.filter(col("vec_id") < 300), path,
+      nCells = 16, m = 8, ksub = 16)
+    IvfIndex.append(emb.filter(col("vec_id") >= 300), path)
+    val query = emb.filter(col("vec_id") === 450)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def hits() = IvfIndex.search(spark, path, query, 4, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = hits()
+    // the appended vector finds itself through the ADC probe
+    assert(before.head._1 === 450L, s"got $before")
+    val (nBefore, nAfter) = IvfIndex.compact(spark, path)
+    assert(nAfter <= nBefore)
+    assert(hits() === before)
+    assert(spark.read.parquet(s"$path/_pq").count() === 1L)
+  }
+
   test("k-means-trained index still finds the stored query vector") {
     val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString
