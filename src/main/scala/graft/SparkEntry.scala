@@ -100,6 +100,7 @@ object SparkEntry {
     "q77_bm25_topk" -> ((s, d) => T.q77Bm25Topk(s, d)),
     "q78_heavy_hitters" -> ((s, d) => T.q78HeavyHitters(s, d)),
     "q79_ann_pq" -> ((s, d) => S.q79AnnPq(s, d)),
+    "q80_bpe_encode" -> ((s, d) => T.q80BpeEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

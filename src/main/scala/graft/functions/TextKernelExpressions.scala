@@ -172,4 +172,72 @@ object TextKernelExpressions {
 
   def wordShinglesFast(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** bpe_encode(text, merges): tokenize with a TRAINED BPE vocabulary —
+    * the apply side of [[graft.operators.BpeTrainer]] (q72/BpeTrainer
+    * mine and learn the merges; this kernel runs them over the corpus).
+    * Each whitespace word is char-split and every merge is applied in
+    * LEARNED ORDER with the same leftmost-non-overlapping fuse as the
+    * trainer's fold, so a word from the training corpus reproduces its
+    * trained segmentation exactly (BpeTrainerSpec pins the equivalence).
+    * The merge list rides as a codegen reference object; the scan stays
+    * inside whole-stage codegen (one kernel call per row). */
+  case class BpeEncode(child: Expression, merges: Array[Array[String]])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bpe_encode"
+
+    override protected def nullSafeEval(t: Any): Any =
+      TextKernelExpressions.bpeEncodeKernel(t.asInstanceOf[UTF8String], merges)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val m = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+        s"""${ev.value} = graft.functions.TextKernelExpressions
+           |  .bpeEncodeKernel($t, $m);""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+      copy(child = newChild)
+  }
+
+  /** Shared eval/codegen body for [[BpeEncode]]: greedy left-to-right
+    * fuse per merge, merges applied in learned order per word. Char
+    * segmentation matches the trainer's `split(w, "")` (UTF-16 units —
+    * the corpus contract is space-separated ASCII-ish text). */
+  def bpeEncodeKernel(text: UTF8String,
+      merges: Array[Array[String]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    text.toString.split(" ", -1).foreach { w =>
+      if (w.nonEmpty) {
+        var syms = new Array[String](w.length)
+        var i = 0
+        while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+        var mi = 0
+        while (mi < merges.length) {
+          val a = merges(mi)(0); val b = merges(mi)(1)
+          if (syms.length >= 2) {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+                buf += a + b; j += 2
+              } else { buf += syms(j); j += 1 }
+            }
+            if (buf.length != syms.length) syms = buf.toArray
+          }
+          mi += 1
+        }
+        syms.foreach(s => out += UTF8String.fromString(s))
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(text),
+      merges.map(m => Array(m._1, m._2)).toArray))
 }

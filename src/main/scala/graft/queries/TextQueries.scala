@@ -992,6 +992,37 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  // learned merge lists are deterministic per (dir, nMerges): train once
+  // per JVM, reuse across Verify/Bench calls (a deployment trains the
+  // tokenizer offline and applies it to every corpus pass)
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** Q80 — BPE tokenization with a TRAINED vocabulary: the apply side of
+    * the tokenizer story (q72 mines merge candidates, `BpeTrainer` learns
+    * the ordered merge list, this query runs it over the corpus and
+    * reports real-vocab token counts next to the whitespace count — the
+    * numbers a training pipeline budgets context windows and compute
+    * with).
+    *
+    * Scale posture: training is vocab-sized (never re-reads the corpus)
+    * and cached per JVM; the encode pass is ONE narrow scan through the
+    * codegen'd [[graft.functions.TextKernelExpressions.BpeEncode]]
+    * kernel (merge list rides as a codegen reference object), no
+    * shuffle before the final doc_id sort. Not SQL-replicable (the
+    * training loop) → rows-only driver check; BpeTrainerSpec pins the
+    * kernel's equivalence with the trained segmentation. */
+  def q80BpeEncode(s: SparkSession, dir: String,
+      nMerges: Int = 30): DataFrame = {
+    val merges = bpeMergeCache.computeIfAbsent(s"$dir#$nMerges",
+      _ => graft.operators.BpeTrainer.train(docs(s, dir), nMerges)._1)
+    docs(s, dir).select(col("doc_id"),
+        size(graft.functions.TextKernelExpressions
+          .bpeEncode(col("text"), merges)).cast("long").as("n_bpe_tokens"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Q76 — decontamination via a distributed Bloom filter: q64's exact
     * semantics, restructured for an eval/blocklist set too large to
     * broadcast as rows. The eval shingle set is folded into a Bloom

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Golden replay of the BPE trainer against a plain-Scala reference
   * implementation of the public algorithm (leftmost non-overlapping
@@ -87,6 +88,37 @@ class BpeTrainerSpec extends SparkSpec {
   test("merging stops when the vocabulary is fully fused") {
     // single repeated word: after len-1 merges every word is one symbol
     check(Seq.fill(4)("abc"), 10)
+  }
+
+  test("BpeEncode kernel reproduces the trained segmentation for every " +
+    "vocabulary word") {
+    import spark.implicits._
+    val docsDf = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .limit(100)
+    val (merges, seg) = BpeTrainer.train(docsDf, nMerges = 12)
+    // trained segmentation: word (reconstructed) -> symbol list
+    val trained = seg.collect().map { r =>
+      val syms = r.getSeq[String](0)
+      syms.mkString -> syms
+    }.toMap
+    // the kernel, applied to the bare words, must reproduce it exactly
+    val got = trained.keySet.toSeq.sorted.toDF("w")
+      .select(col("w"), graft.functions.TextKernelExpressions
+        .bpeEncode(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got.keySet === trained.keySet)
+    trained.foreach { case (w, syms) =>
+      assert(got(w) === syms, s"word $w")
+    }
+    // multi-word text concatenates per-word encodings in order
+    val two = trained.keySet.toSeq.sorted.take(2)
+    if (two.size == 2) {
+      val joined = Seq(two.mkString(" ")).toDF("t")
+        .select(graft.functions.TextKernelExpressions
+          .bpeEncode(col("t"), merges).as("toks"))
+        .head().getSeq[String](0)
+      assert(joined === trained(two(0)) ++ trained(two(1)))
+    }
   }
 
   test("randomized corpora over a tiny alphabet match the reference") {
