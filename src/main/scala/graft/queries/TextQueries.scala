@@ -727,8 +727,13 @@ object TextQueries {
   def q68TfidfTopk(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val d = docs(s, dir)
     val nDocs = d.count()
+    // pinned: tf feeds BOTH the df aggregate and the scoring join, and
+    // the two consumers shuffle on different keys ((doc_id,w) vs w), so
+    // ReuseExchange cannot dedupe them — without the pin the corpus is
+    // scanned and tokenized twice (same reasoning as q66's model pin)
     val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .transform(Materialize.pin)
     val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("_score").desc, col("w"))

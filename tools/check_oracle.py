@@ -6,6 +6,7 @@ import json, math, sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -15,6 +16,8 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         spark_rel = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -66,5 +69,6 @@ for name, sql in sorted(oracle.items()):
                     shown += 1
         continue
     print(f"ok   {name} ({len(sr)} rows)")
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass; fails: {fails}")
+checked = len(oracle) if only is None else len([n for n in oracle if n in only])
+print(f"\n{checked - len(fails)}/{checked} pass; fails: {fails}")
 sys.exit(1 if fails else 0)
