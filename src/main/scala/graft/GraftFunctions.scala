@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextKernelExpressions.{HashedShingles, LangId, MinhashSig, SimhashMd5, Winnow}
+import graft.functions.TextKernelExpressions.{BpeEncode, HashedShingles, LangId, MinhashSig, SimhashMd5, Winnow}
 import graft.functions.VectorFunctions.{DotProduct, NearestCentroid, NormalizeL2, QuantizeI8}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -91,7 +91,28 @@ object GraftFunctions {
           "(false = definitely absent)"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(args(0), args(1))))
+          .BloomFilterMightContain(args(0), args(1))),
+    (FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(w, capacity) - heavy-hitter summary aggregate: " +
+          "array<struct<w,c>> of capacity-bounded lower-bound counts"),
+      (args: Seq[Expression]) =>
+        graft.functions.FrequencyFunctions
+          .MisraGriesAgg(args(0), litInt(args(1)))),
+    (FunctionIdentifier("bpe_encode"),
+      info("bpe_encode",
+        "bpe_encode(text, merges_array_literal) - tokenize with a " +
+          "trained BPE merge list (array<array<string>> of [a,b] pairs)"),
+      (args: Seq[Expression]) => {
+        require(args(1).foldable, "merge list must be a literal")
+        val m = args(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until m.numElements()).map { i =>
+          val p = m.getArray(i)
+          Array(p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }.toArray
+        BpeEncode(args(0), merges)
+      }))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

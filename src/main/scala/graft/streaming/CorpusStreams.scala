@@ -23,6 +23,21 @@ object CorpusStreams {
   def funnelStream(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.funnelCounts(docs)
 
+  /** Running heavy-hitter summary over a document stream: q78's
+    * Misra-Gries aggregate as a complete-mode streaming aggregate. The
+    * MG counter map IS the aggregation state — O(capacity) forever, no
+    * per-token state — and the mergeable-summaries combine is exactly
+    * the partial→state merge Spark performs per trigger, so every
+    * trigger emits the corpus-so-far survivor summary with the standard
+    * MG guarantee over everything fed so far (every token with running
+    * frequency > n/(capacity+1) is present). The exact re-count of
+    * survivors stays a batch job (q78): it needs a second pass over
+    * history, which a stream by definition cannot replay. */
+  def heavyHitterStream(docs: DataFrame, capacity: Int = 256): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.FrequencyFunctions
+        .misraGries(col("w"), capacity).as("mg"))
+
   /** Per-document contamination guard for a document stream: q76's
     * bloom-probe + exact-confirm pipeline as a PER-TRIGGER batch map —
     * apply inside `foreachBatch`. Each arriving doc is shingled,

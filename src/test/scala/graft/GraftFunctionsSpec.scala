@@ -56,6 +56,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(GraftFunctions.all.map(_._1.funcName).toSet
       === Set("vec_dot", "vec_normalize", "minhash_sig", "simhash_md5",
         "winnow", "hashed_shingles", "lang_id", "vec_nearest_centroid",
-        "vec_quantize_i8", "bloom_agg", "bloom_might_contain"))
+        "vec_quantize_i8", "bloom_agg", "bloom_might_contain",
+        "misra_gries", "bpe_encode"))
+  }
+
+  test("misra_gries and bpe_encode are SQL-callable") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a b a c a b", "a b").toDF("t").createOrReplaceTempView("mg_docs")
+    // aggregate: exact at capacity >= vocab
+    val mg = spark.sql(
+      """SELECT e.w, e.c FROM (
+        |  SELECT explode(misra_gries(w, 8)) AS e FROM (
+        |    SELECT explode(split(t, ' ')) AS w FROM mg_docs))
+        |ORDER BY e.c DESC, e.w""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(mg === Seq(("a", 4L), ("b", 3L), ("c", 1L)))
+    // scalar: literal merge list applied in order
+    val toks = spark.sql(
+      "SELECT bpe_encode('aab ab', array(array('a','b'))) AS t")
+      .head().getSeq[String](0)
+    assert(toks === Seq("a", "ab", "ab"))
   }
 }

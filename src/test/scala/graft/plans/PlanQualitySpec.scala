@@ -307,4 +307,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!all.take(joinIdx).exists(hasProbe),
       s"bloom probe floated above the join:\n${df.queryExecution.executedPlan}")
   }
+
+  test("q77 BM25: df broadcast, query-term filter below the aggregate, " +
+    "top-k via TakeOrderedAndProject") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q77Bm25Topk(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the tiny per-term df table joins broadcast — the postings never
+    // shuffle against it
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    // top-k is a bounded per-partition heap, not a global sort of every
+    // scored document
+    assert(p.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$p")
+    // the query-term IN filter runs in the scan-side projection, below
+    // the first exchange (postings are pruned before any shuffle)
+    val lines = p.linesIterator.toSeq
+    val firstExchange = lines.indexWhere(_.contains("Exchange"))
+    val filterIdx = lines.lastIndexWhere(_.contains("Filter"))
+    assert(filterIdx > firstExchange,
+      s"query-term filter not below the exchange:\n$p")
+  }
+
+  test("q78 heavy hitters: sketch aggregate is two-phase (partial " +
+    "summaries cross the wire, not tokens)") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q78HeavyHitters(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // TypedImperativeAggregate plans as ObjectHashAggregate; two
+    // occurrences = partial (per partition) + final (after exchange)
+    val objAgg = p.linesIterator
+      .count(_.contains("ObjectHashAggregate"))
+    assert(objAgg >= 2, s"MG sketch not two-phase:\n$p")
+    // the survivor re-count joins broadcast (survivors <= capacity)
+    assert(p.contains("BroadcastHashJoin"), s"re-count not broadcast:\n$p")
+  }
 }

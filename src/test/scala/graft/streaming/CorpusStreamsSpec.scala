@@ -81,4 +81,46 @@ class CorpusStreamsSpec extends SparkSpec {
       assert(batchRows.nonEmpty) // the fixture must exercise the overlap
     } finally { q.stop(); evalSh.unpersist() }
   }
+
+  test("streamed Misra-Gries summary: exact at capacity >= vocab, MG " +
+    "bound under pressure, O(capacity) state per trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+
+    def run(capacity: Int): Map[String, Long] = {
+      val input = MemoryStream[String]
+      val name = s"hh_stream_$capacity"
+      val q = CorpusStreams.heavyHitterStream(
+          input.toDS().toDF("text"), capacity)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+      try {
+        Seq(fixture.take(20), fixture.slice(20, 45), fixture.drop(45))
+          .foreach { part => input.addData(part); q.processAllAvailable() }
+        import org.apache.spark.sql.functions._
+        spark.table(name)
+          .select(explode(col("mg")).as("e"))
+          .select(col("e.w"), col("e.c")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+
+    val exact = fixture.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // fixture vocab fits capacity=256 → the running summary IS exact
+    assert(run(256) === exact)
+    // under pressure (capacity 8 << vocab) the MG bound still holds:
+    // counts are lower bounds within n/(cap+1), heavy items survive
+    val n = exact.values.sum
+    val got = run(8)
+    assert(got.size <= 8)
+    got.foreach { case (w, c) =>
+      assert(c <= exact(w), s"$w overcounted")
+      assert(exact(w) - c <= n / 9, s"$w beyond the MG bound")
+    }
+    exact.filter(_._2 > n / 9).keys.foreach(w =>
+      assert(got.contains(w), s"heavy $w lost"))
+  }
 }
