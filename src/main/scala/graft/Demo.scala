@@ -102,7 +102,15 @@ object Demo {
           .agg(countDistinct(col("canonical"))).head.getLong(0),
       "semantic reps kept (q67)" ->
         SimilarityQueries.q67SemanticDedup(spark, sfDir).count(),
-      "context packs (q65)" -> TextQueries.q65SeqPack(spark, sfDir).count())
+      "context packs (q65)" -> TextQueries.q65SeqPack(spark, sfDir).count(),
+      // tokenizer: train BPE on the corpus, tokenize with it (q72/q80)
+      "bpe tokens (q80)" -> TextQueries.q80BpeEncode(spark, sfDir)
+        .agg(sum(col("n_bpe_tokens"))).head.getLong(0),
+      // retrieval over the kept corpus: BM25 hits + heavy-hitter vocab
+      "bm25 top hits (q77)" -> TextQueries.q77Bm25Topk(spark, sfDir).count(),
+      "heavy hitters (q78)" -> TextQueries.q78HeavyHitters(spark, sfDir).count(),
+      // embedding storage: PQ probe over the 32x-compressed index (q79)
+      "pq ann hits (q79)" -> SimilarityQueries.q79AnnPq(spark, sfDir).count())
     pipeline.foreach { case (t, n) => println(f"$t%-26s $n%6d") }
 
     val counts = (snapshots.keys.toSeq :+ "messages" :+ "token_metadata"
