@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextKernelExpressions.{BpeEncode, HashedShingles, LangId, MinhashSig, SimhashMd5, Winnow}
-import graft.functions.VectorFunctions.{DotProduct, NearestCentroid, NormalizeL2, QuantizeI8}
+import graft.functions.VectorFunctions.{DotProduct, NearestCentroid, NormalizeL2, QuantizeI8, RandomProject}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -92,6 +92,12 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(args(0), args(1))),
+    (FunctionIdentifier("vec_random_project"),
+      info("vec_random_project",
+        "vec_random_project(v, k, seed) - seeded sparse JL projection " +
+          "to k dims (matrix-free, reproducible)"),
+      (args: Seq[Expression]) =>
+        RandomProject(args(0), litInt(args(1)), litInt(args(2)).toLong)),
     (FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "misra_gries(w, capacity) - heavy-hitter summary aggregate: " +

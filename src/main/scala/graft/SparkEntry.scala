@@ -101,6 +101,7 @@ object SparkEntry {
     "q78_heavy_hitters" -> ((s, d) => T.q78HeavyHitters(s, d)),
     "q79_ann_pq" -> ((s, d) => S.q79AnnPq(s, d)),
     "q80_bpe_encode" -> ((s, d) => T.q80BpeEncode(s, d)),
+    "q81_jl_audit" -> ((s, d) => S.q81JlAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

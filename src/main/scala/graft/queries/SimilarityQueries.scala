@@ -248,6 +248,42 @@ object SimilarityQueries {
   // would repeat q57's write/read double-count mistake
   private val pqBuilt = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
+  /** Q81 — Johnson-Lindenstrauss projection audit: project the embedding
+    * corpus 64→16 dims with the seeded sparse random projection
+    * ([[graft.functions.VectorFunctions.RandomProject]] — matrix-free,
+    * reproducible across engines/runs) and report the similarity
+    * distortion over the exact high-similarity pair set (q33's capped
+    * baseline): pair count, mean/max absolute cosine error. This is the
+    * audit a pipeline runs BEFORE switching its LSH/ANN stages to the
+    * compressed vectors — 4× less shuffle width only matters if the
+    * distortion is tolerable.
+    *
+    * Scale posture: the projection is a stateless map-side kernel; the
+    * pair set is the (already capped) q33 baseline; the audit aggregate
+    * is one row. Rows-only driver check (splitmix64 signs are not
+    * SQL-replicable); FunctionsSpec pins determinism + the JL property
+    * on clustered synthetic data. */
+  def q81JlAudit(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.randomProject
+    val e = emb(s, dir)
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), normalized(col("emb")).as("nemb"))
+      .withColumn("proj", normalized(randomProject(col("nemb"), k)))
+      .transform(Materialize.pin)
+    val a = e.select(col("vec_id").as("a"), col("nemb").as("ea"),
+      col("proj").as("pa"))
+    val b = e.select(col("vec_id").as("b"), col("nemb").as("eb"),
+      col("proj").as("pb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .select(dot(col("ea"), col("eb")).as("sim"),
+        dot(col("pa"), col("pb")).as("psim"))
+      .filter(col("sim") >= 0.4)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(abs(col("sim") - col("psim"))), 3).as("mean_abs_err"),
+        round(max(abs(col("sim") - col("psim"))), 3).as("max_abs_err"))
+  }
+
   /** Q79 — ANN probe over a persisted IVF-PQ index
     * ([[graft.similarity.IvfIndex.buildPq]]): residual product
     * quantization (m=16 subspace bytes per vector, 32× smaller than

@@ -57,7 +57,7 @@ class GraftFunctionsSpec extends SparkSpec {
       === Set("vec_dot", "vec_normalize", "minhash_sig", "simhash_md5",
         "winnow", "hashed_shingles", "lang_id", "vec_nearest_centroid",
         "vec_quantize_i8", "bloom_agg", "bloom_might_contain",
-        "misra_gries", "bpe_encode"))
+        "misra_gries", "bpe_encode", "vec_random_project"))
   }
 
   test("misra_gries and bpe_encode are SQL-callable") {

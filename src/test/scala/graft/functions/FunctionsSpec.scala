@@ -354,6 +354,42 @@ class FunctionsSpec extends SparkSpec {
     assert(viaCodegen.toSeq === viaKernel)
   }
 
+  test("random projection: deterministic, and preserves cluster " +
+    "structure (JL property) on synthetic data") {
+    import spark.implicits._
+    // two orthogonal clusters in 32 dims with small deterministic noise
+    val rnd = new scala.util.Random(11)
+    def noisy(base: Int) = Seq.tabulate(32)(j =>
+      (if (j / 16 == base) 1.0 else 0.0) + rnd.nextGaussian() * 0.05)
+    val vecs = (1 to 40).map(i => (i.toLong, i % 2, noisy(i % 2)))
+    val df = vecs.toDF("id", "cl", "v")
+      .select(col("id"), col("cl"),
+        V.normalized(V.randomProject(V.normalized(col("v")), 8)).as("p"))
+    val run1 = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val run2 = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(run1 === run2, "projection must be reproducible")
+    run1.values.foreach { p =>
+      assert(p.length === 8)
+      assert(math.abs(p.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    // mean within-cluster projected sim must dominate cross-cluster
+    val byCl = vecs.map { case (id, cl, _) => id -> cl }.toMap
+    def sim(a: Long, b: Long) =
+      run1(a).lazyZip(run1(b)).map(_ * _).sum
+    val pairs = for {
+      a <- vecs.map(_._1); b <- vecs.map(_._1) if a < b
+    } yield (byCl(a) == byCl(b), sim(a, b))
+    val within = pairs.filter(_._1).map(_._2)
+    val cross = pairs.filterNot(_._1).map(_._2)
+    val wMean = within.sum / within.size
+    val cMean = cross.sum / cross.size
+    assert(wMean > 0.7, s"within-cluster sim collapsed: $wMean")
+    assert(wMean - cMean > 0.4,
+      s"projection lost cluster separation: within=$wMean cross=$cMean")
+  }
+
   test("vec_dot codegen and interpreted paths agree") {
     import spark.implicits._
     val vecs = (1 to 50).map(i =>
