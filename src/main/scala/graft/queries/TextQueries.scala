@@ -926,8 +926,8 @@ object TextQueries {
     * N are driver scalars from a narrow second scan (two column-pruned
     * reads beat shuffling doc lengths for all docs). Top-k is a sort of
     * the per-doc aggregate, which TakeOrderedAndProject bounds. */
-  def q77Bm25Topk(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val qTerms = Seq("join", "hash", "window")
+  def q77Bm25Topk(s: SparkSession, dir: String, k: Int = 20,
+      qTerms: Seq[String] = Seq("join", "hash", "window")): DataFrame = {
     val d = docs(s, dir)
     // two driver scalars over one narrow pass (no token row explosion)
     val stats = d

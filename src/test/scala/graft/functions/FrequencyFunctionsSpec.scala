@@ -44,6 +44,44 @@ class FrequencyFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("property sweep: the MG bound holds for random streams, " +
+    "capacities and partitionings") {
+    // scalacheck as a generator (no scalatestplus bridge in this cache):
+    // each trial draws a Zipf-ish stream, a capacity and a partition
+    // count; the bound must hold for every (item, estimate)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (trial <- 1 to 12) {
+      val p = Gen.Parameters.default
+      def draw[A](g: Gen[A], salt: Int): A =
+        g.apply(p, Seed(trial.toLong * 1000 + salt)).get
+      val vocabSize = draw(Gen.chooseNum(5, 60), 1)
+      val streamLen = draw(Gen.chooseNum(100, 1500), 2)
+      val cap = draw(Gen.chooseNum(2, 24), 3)
+      val parts = draw(Gen.chooseNum(1, 8), 4)
+      val rnd = new scala.util.Random(trial)
+      // Zipf-ish: item i drawn with weight 1/(i+1)
+      val weights = (0 until vocabSize).map(i => 1.0 / (i + 1))
+      val total = weights.sum
+      val stream = Seq.fill(streamLen) {
+        var x = rnd.nextDouble() * total; var i = 0
+        while (x > weights(i) && i < vocabSize - 1) { x -= weights(i); i += 1 }
+        s"w$i"
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = summary(stream, cap, parts)
+      val err = streamLen.toLong / (cap + 1)
+      assert(got.size <= cap, s"trial $trial: size ${got.size} > cap $cap")
+      got.foreach { case (w, c) =>
+        assert(c <= exact(w), s"trial $trial: $w overcounted ($c > ${exact(w)})")
+        assert(exact(w) - c <= err,
+          s"trial $trial: $w est $c vs ${exact(w)}, bound $err")
+      }
+      exact.filter(_._2 > err).keys.foreach(w =>
+        assert(got.contains(w), s"trial $trial: heavy $w lost (bound $err)"))
+    }
+  }
+
   test("single-partition stream matches the textbook sequential fold") {
     // reference fold computed in plain Scala (the Misra-Gries textbook
     // algorithm) — the distributed single-partition run must agree exactly
