@@ -102,6 +102,7 @@ object SparkEntry {
     "q79_ann_pq" -> ((s, d) => S.q79AnnPq(s, d)),
     "q80_bpe_encode" -> ((s, d) => T.q80BpeEncode(s, d)),
     "q81_jl_audit" -> ((s, d) => S.q81JlAudit(s, d)),
+    "q82_bm25_indexed" -> ((s, d) => T.q82Bm25Indexed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

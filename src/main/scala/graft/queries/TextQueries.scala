@@ -1028,6 +1028,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // one inverted-index build per (JVM, dir) — a deployment builds the
+  // index offline and probes it many times (same policy as q79's PQ index)
+  private val invBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Q82 — BM25 over the PERSISTED inverted index
+    * ([[graft.search.InvertedIndex]]): identical rows to q77 (same
+    * constants, rank key and tie-break — they share the DuckDB oracle),
+    * but served from the bucket-partitioned postings layout: the probe
+    * reads only the query terms' term-hash buckets (file-listing
+    * pruning) with the term IN-filter pushed into the parquet scan, and
+    * document length rides denormalized in each posting so scoring
+    * never joins a doc-length table. At 100 TB q77 re-scans the corpus
+    * per query; this touches |terms|/nBuckets of an index that is a
+    * fraction of corpus size. */
+  def q82Bm25Indexed(s: SparkSession, dir: String, k: Int = 20,
+      qTerms: Seq[String] = Seq("join", "hash", "window")): DataFrame = {
+    val path = "/root/repo/target/tmp/inv_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    invBuilt.computeIfAbsent(path, _ => {
+      graft.search.InvertedIndex.build(docs(s, dir), path)
+      true
+    })
+    graft.search.InvertedIndex.search(s, path, qTerms, k)
+  }
+
   /** Q76 — decontamination via a distributed Bloom filter: q64's exact
     * semantics, restructured for an eval/blocklist set too large to
     * broadcast as rows. The eval shingle set is folded into a Bloom

@@ -1,0 +1,52 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class InvertedIndexSpec extends SparkSpec {
+
+  test("index probe returns exactly q77's BM25 rows; the probe is " +
+    "bucket-pruned with the term filter pushed to the scan") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_inv").toString
+    InvertedIndex.build(docs, path, nBuckets = 64)
+
+    val terms = Seq("join", "hash", "window")
+    val probe = InvertedIndex.search(spark, path, terms)
+    val got = probe.collect()
+      .map { case Row(r: Long, d: Long, s: String) => (r, d, s) }.toSeq
+    val viaScan = graft.queries.TextQueries.q77Bm25Topk(spark, dir)
+      .collect()
+      .map { case Row(r: Long, d: Long, s: String) => (r, d, s) }.toSeq
+    assert(got === viaScan)
+    assert(got.nonEmpty)
+
+    // the probe reads only the query terms' buckets (file-listing
+    // pruning) and pushes the term IN-filter into the parquet scan
+    val p = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"no bucket pruning in:\n$p")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("In(w,") || pushed.contains("In(w "),
+      s"term filter not pushed: $pushed")
+  }
+
+  test("different term sets hit different bucket subsets") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_inv2").toString
+    InvertedIndex.build(docs, path, nBuckets = 64)
+    // a probe for one term must not read the whole index: count the
+    // bucket dirs on disk vs what one term can touch (exactly 1)
+    val dirs = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(dirs > 8, s"fixture vocab spread over only $dirs buckets")
+    val one = InvertedIndex.search(spark, path, Seq("join"), k = 5)
+    val p = one.queryExecution.executedPlan.toString
+    one.collect()
+    // partition filter present; a single term hashes to a single bucket
+    assert(p.contains("PartitionFilters"), s"no pruning:\n$p")
+  }
+}
