@@ -162,20 +162,29 @@ object Bench {
     // records only the LAST 2000 chars of output, and with 80+ queries a
     // full-precision map overflows that window (r03 recorded parsed:null
     // exactly this way). Full precision lives in target/bench_last.json.
-    def short(v: Double): String = {
-      val s = f"${math.rint(v * 100) / 100.0}%.2f"
+    def short(v: Double, decimals: Int): String = {
+      val p = math.pow(10, decimals)
+      val s = s"%.${decimals}f".format(math.rint(v * p) / p)
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
-    val qs = results.map(r => s"\"" + r._1 + "\":" + short(r._2))
-      .mkString("{", ",", "}")
     val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
-    val line =
+    // adaptive precision: 2-decimal seconds normally; if the line would
+    // crowd the driver's 2000-char tail window, drop to 1 decimal rather
+    // than ever recording parsed:null again
+    def lineAt(decimals: Int): String = {
+      val qs = results.map(r => s"\"" + r._1 + "\":" + short(r._2, decimals))
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfShort$errField}"""
+    }
+    val line = {
+      val l2 = lineAt(2)
+      if (l2.length <= 1950) l2 else lineAt(1)
+    }
 
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
       prev.get(name).filter(_ > 0).map(p => name -> t / p)
