@@ -29,20 +29,82 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
-  /** docs: needs (doc_id, text). One scan; two small sidecar jobs. */
-  def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
-    val postings = docs
+  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("double").as("dl"),
         explode(tokens(col("text"))).as("w"))
       .groupBy("doc_id", "dl", "w")
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets.toLong)))
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    docs.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(tokens(col("text")))).as("avgdl"))
-      .withColumn("n_buckets", lit(nBuckets))
+
+  /** Corpus stats kept ADDITIVE — (n_docs, total_tokens) merge by plain
+    * addition on append, so index growth never rescans the resident
+    * corpus; avgdl is derived at search time (sum/count — the identical
+    * division `avg` performs, so q77 parity is exact). */
+  private def statsOf(docs: DataFrame): (Double, Double) = {
+    val r = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(size(tokens(col("text")))).cast("double").as("total_tokens")).head
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  private def writeStats(spark: SparkSession, path: String,
+      nDocs: Double, totalTokens: Double, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, totalTokens, nBuckets))
+      .toDF("n_docs", "total_tokens", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** docs: needs (doc_id, text). One scan; one small sidecar job. */
+  def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    postingsOf(docs, nBuckets).write.mode("overwrite")
+      .partitionBy("bucket").parquet(path)
+    val (n, tot) = statsOf(docs)
+    writeStats(docs.sparkSession, path, n, tot, nBuckets)
+  }
+
+  /** Incremental ADD: the batch's postings append into their buckets and
+    * the additive stats merge — resident postings are never rewritten or
+    * re-read (the IvfIndex.append contract for text). Batch doc_ids must
+    * be new; postings are per-(doc, term), so a re-sent doc would double
+    * its tf — dedup upstream, as the snapshot pipeline does. */
+  def append(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val st = spark.read.parquet(s"$path/_stats").head
+    val nBuckets = st.getAs[Int]("n_buckets")
+    postingsOf(docs, nBuckets).write.mode("append")
+      .partitionBy("bucket").parquet(path)
+    val (n, tot) = statsOf(docs)
+    writeStats(spark, path, st.getAs[Double]("n_docs") + n,
+      st.getAs[Double]("total_tokens") + tot, nBuckets)
+  }
+
+  /** Collapse append small files per bucket behind the crash-recovering
+    * two-rename swap (single-writer — AtomicSwap's contract). Returns
+    * (files before, after). */
+  def compact(spark: SparkSession, path: String): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Long = {
+      val it = fs.listFiles(hPath, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && !f.contains("_stats")) n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    val nBuckets = spark.read.parquet(s"$path/_stats")
+      .head.getAs[Int]("n_buckets")
+    graft.sources.AtomicSwap.rewrite(fs, path) { tmp =>
+      spark.read.parquet(path).repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      spark.read.parquet(s"$path/_stats").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/_stats")
+    }
+    (before, dataFiles())
   }
 
   /** BM25 (k1=1.2, b=0.75) top-k over the index for `terms`. */
@@ -50,7 +112,7 @@ object InvertedIndex {
       k: Int = 20): DataFrame = {
     val st = spark.read.parquet(s"$path/_stats").head
     val nDocs = st.getAs[Double]("n_docs")
-    val avgdl = st.getAs[Double]("avgdl")
+    val avgdl = st.getAs[Double]("total_tokens") / nDocs
     val nBuckets = st.getAs[Int]("n_buckets")
     import spark.implicits._
     // bucket ids via the engine's own xxhash64 — never a re-implementation

@@ -33,6 +33,34 @@ class InvertedIndexSpec extends SparkSpec {
       s"term filter not pushed: $pushed")
   }
 
+  test("incremental append equals a full rebuild: identical probes and " +
+    "additive stats; compaction collapses small files") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val incr = java.nio.file.Files.createTempDirectory("graft_inv_i").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_inv_f").toString
+    InvertedIndex.build(docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") < 200), incr, nBuckets = 32)
+    Seq((200, 350), (350, 500)).foreach { case (lo, hi) =>
+      InvertedIndex.append(docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") >= lo &&
+          org.apache.spark.sql.functions.col("doc_id") < hi), incr)
+    }
+    InvertedIndex.build(docs, full, nBuckets = 32)
+
+    def stats(p: String) = spark.read.parquet(s"$p/_stats")
+      .select("n_docs", "total_tokens").head
+    assert(stats(incr) === stats(full))
+    def hits(p: String) = InvertedIndex
+      .search(spark, p, Seq("join", "hash", "window")).collect()
+      .map { case Row(r: Long, d: Long, s: String) => (r, d, s) }.toSeq
+    val before = hits(incr)
+    assert(before === hits(full))
+    val (nb, na) = InvertedIndex.compact(spark, incr)
+    assert(na < nb, s"$nb -> $na files")
+    assert(hits(incr) === before)
+  }
+
   test("different term sets hit different bucket subsets") {
     val dir = sf("sf0.001")
     val docs = graft.Tables.load(spark, dir, "documents")
