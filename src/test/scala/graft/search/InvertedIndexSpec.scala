@@ -61,6 +61,38 @@ class InvertedIndexSpec extends SparkSpec {
     assert(hits(incr) === before)
   }
 
+  test("streaming ingest: per-batch append converges to the full index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_inv_s").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 100), path, nBuckets = 32)
+
+    val rest = docs.filter(col("doc_id") >= 100)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        InvertedIndex.append(batch, path)
+      }.start()
+    try {
+      rest.grouped(150).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val full = java.nio.file.Files.createTempDirectory("graft_inv_sf").toString
+    InvertedIndex.build(docs, full, nBuckets = 32)
+    def hits(p: String) = InvertedIndex
+      .search(spark, p, Seq("join", "hash", "window")).collect()
+      .map { case Row(r: Long, d: Long, s: String) => (r, d, s) }.toSeq
+    assert(hits(path) === hits(full))
+  }
+
   test("different term sets hit different bucket subsets") {
     val dir = sf("sf0.001")
     val docs = graft.Tables.load(spark, dir, "documents")
