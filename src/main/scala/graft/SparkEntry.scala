@@ -103,6 +103,7 @@ object SparkEntry {
     "q80_bpe_encode" -> ((s, d) => T.q80BpeEncode(s, d)),
     "q81_jl_audit" -> ((s, d) => S.q81JlAudit(s, d)),
     "q82_bm25_indexed" -> ((s, d) => T.q82Bm25Indexed(s, d)),
+    "q83_split_leakage" -> ((s, d) => T.q83SplitLeakage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1054,6 +1054,34 @@ object TextQueries {
     graft.search.InvertedIndex.search(s, path, qTerms, k)
   }
 
+  /** Q83 — split-leakage audit: near-duplicate pairs (q48's simhash
+    * mining) that CROSS the deterministic train/val/test boundary (q54's
+    * hash split) — the eval-integrity check a pipeline must run after
+    * splitting, because a near-dup of a test doc inside train leaks the
+    * benchmark even when exact dedup is clean. Composes the two audited
+    * primitives; output is pair counts per unordered split pair, so
+    * off-diagonal rows ARE the leak.
+    *
+    * Scale posture: q70's shape — the LSH-mined pair graph is orders of
+    * magnitude smaller than the corpus, so both provenance joins shuffle
+    * pair rows against a narrow (doc_id, split) projection; the final
+    * aggregate is 6 rows max. */
+  def q83SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairsRaw(s, dir).select(col("a"), col("b"))
+    val h = seededHash(col("doc_id").cast("string"), 0)
+    val splits = docs(s, dir).select(col("doc_id"),
+      when(pmod(h, lit(10)) < 8, "train")
+        .when(pmod(h, lit(10)) === 8, "val")
+        .otherwise("test").as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** Q76 — decontamination via a distributed Bloom filter: q64's exact
     * semantics, restructured for an eval/blocklist set too large to
     * broadcast as rows. The eval shingle set is folded into a Bloom
