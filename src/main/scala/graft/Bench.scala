@@ -162,29 +162,45 @@ object Bench {
     // records only the LAST 2000 chars of output, and with 80+ queries a
     // full-precision map overflows that window (r03 recorded parsed:null
     // exactly this way). Full precision lives in target/bench_last.json.
+    // Locale.ROOT: a comma-decimal default locale ("%.2f" -> "1,50")
+    // would make the line unparseable JSON — the exact parsed:null
+    // failure this formatting exists to prevent
     def short(v: Double, decimals: Int): String = {
       val p = math.pow(10, decimals)
-      val s = s"%.${decimals}f".format(math.rint(v * p) / p)
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        Double.box(math.rint(v * p) / p))
       val t = s.reverse.dropWhile(_ == '0').reverse
       if (t.endsWith(".")) t + "0" else t
     }
-    val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    // a bare number only for a well-formed scale factor; anything else
+    // rides as an escaped JSON string
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val sfShort = "sf(\\d+(?:\\.\\d+)?)(?:/|$)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse(jstr(sfDir))
     val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
-    // adaptive precision: 2-decimal seconds normally; if the line would
-    // crowd the driver's 2000-char tail window, drop to 1 decimal rather
-    // than ever recording parsed:null again
-    def lineAt(decimals: Int): String = {
+      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // adaptive precision: 2-decimal seconds normally; 1 decimal if the
+    // line would crowd the driver's 2000-char tail window; and when a
+    // broad failure bloats the errors map, collapse it to a count — the
+    // line must NEVER record parsed:null again
+    def lineAt(decimals: Int, fullErrors: Boolean): String = {
+      val errField =
+        if (errors.isEmpty) ""
+        else if (fullErrors) s""","errors":$errJson"""
+        else s""","errors_n":${errors.values.sum}"""
       val qs = results.map(r => s"\"" + r._1 + "\":" + short(r._2, decimals))
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfShort$errField}"""
     }
-    val line = {
-      val l2 = lineAt(2)
-      if (l2.length <= 1950) l2 else lineAt(1)
-    }
+    val line = Seq(lineAt(2, fullErrors = true), lineAt(1, fullErrors = true),
+        lineAt(1, fullErrors = false))
+      .find(_.length <= 1950).getOrElse(lineAt(1, fullErrors = false))
 
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
       prev.get(name).filter(_ > 0).map(p => name -> t / p)
@@ -193,8 +209,10 @@ object Bench {
     val allRuns = results.map { case (name, _, _, ts) =>
       s"\"" + name + "\":" + ts.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val fullErrField =
+      if (errors.isEmpty) "" else s""","errors":$errJson"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":"$sfDir"$errField,"vs_prev":$vsPrev,"baseline_source":"$baselineSrc","gc_by_query":$gcByQ,"all_runs":$allRuns}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results.map(r => r._1 -> r._2))},"runs":$runs,"agg":"min","order":"varied","gc_sec":${r3(gcTotal)},"sf":${jstr(sfDir)}$fullErrField,"vs_prev":$vsPrev,"baseline_source":"$baselineSrc","gc_by_query":$gcByQ,"all_runs":$allRuns}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/target/bench_last.json"), full)
     catch { case _: Throwable => () }

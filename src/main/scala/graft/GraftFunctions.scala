@@ -33,6 +33,17 @@ object GraftFunctions {
     }
   }
 
+  /** Extract a foldable long argument (seeds — the full 64-bit domain;
+    * forcing these through litInt would reject any seed past 2^31). */
+  private def litLong(e: Expression): Long = {
+    require(e.foldable, s"literal long expected, got $e")
+    e.eval(null) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => other.toString.toLong
+    }
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<double>"),
@@ -97,7 +108,7 @@ object GraftFunctions {
         "vec_random_project(v, k, seed) - seeded sparse JL projection " +
           "to k dims (matrix-free, reproducible)"),
       (args: Seq[Expression]) =>
-        RandomProject(args(0), litInt(args(1)), litInt(args(2)).toLong)),
+        RandomProject(args(0), litInt(args(1)), litLong(args(2)))),
     (FunctionIdentifier("misra_gries"),
       info("misra_gries",
         "misra_gries(w, capacity) - heavy-hitter summary aggregate: " +

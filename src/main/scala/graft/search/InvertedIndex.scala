@@ -41,43 +41,83 @@ object InvertedIndex {
   /** Corpus stats kept ADDITIVE — (n_docs, total_tokens) merge by plain
     * addition on append, so index growth never rescans the resident
     * corpus; avgdl is derived at search time (sum/count — the identical
-    * division `avg` performs, so q77 parity is exact). */
-  private def statsOf(docs: DataFrame): (Double, Double) = {
-    val r = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      sum(size(tokens(col("text")))).cast("double").as("total_tokens")).head
+    * division `avg` performs, so q77 parity is exact). Derived from the
+    * (pinned) postings themselves — `tokens` keeps empty strings, so
+    * every doc has ≥ 1 posting row and countDistinct(doc_id) is exact —
+    * the corpus is never tokenized a second time. */
+  private def statsFromPostings(postings: DataFrame): (Double, Double) = {
+    val r = postings.agg(
+      countDistinct(col("doc_id")).cast("double").as("n_docs"),
+      sum(col("tf")).as("total_tokens")).head
     (r.getDouble(0), r.getDouble(1))
   }
 
+  /** One-row sidecar rewrite. First write is plain (no readers yet);
+    * every later rewrite goes through [[graft.sources.AtomicSwap]] — a
+    * bare mode("overwrite") deletes before it writes, and a crash in
+    * that window would leave the whole index unreadable. */
   private def writeStats(spark: SparkSession, path: String,
-      nDocs: Double, totalTokens: Double, nBuckets: Int): Unit = {
+      nDocs: Double, totalTokens: Double, nBuckets: Int,
+      lastBatch: Long): Unit = {
     import spark.implicits._
-    Seq((nDocs, totalTokens, nBuckets))
-      .toDF("n_docs", "total_tokens", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    def out(dir: String): Unit =
+      Seq((nDocs, totalTokens, nBuckets, lastBatch))
+        .toDF("n_docs", "total_tokens", "n_buckets", "last_batch")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(statsPath))
+      graft.sources.AtomicSwap.rewrite(fs, statsPath.toString)(out)
+    else out(statsPath.toString)
   }
 
-  /** docs: needs (doc_id, text). One scan; one small sidecar job. */
+  private def lastBatchOf(st: org.apache.spark.sql.Row): Long =
+    if (st.schema.fieldNames.contains("last_batch"))
+      st.getAs[Long]("last_batch")
+    else -1L
+
+  /** docs: needs (doc_id, text). ONE corpus scan (the postings are
+    * pinned and feed both the bucket write and the stats fold). */
   def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
-    postingsOf(docs, nBuckets).write.mode("overwrite")
-      .partitionBy("bucket").parquet(path)
-    val (n, tot) = statsOf(docs)
-    writeStats(docs.sparkSession, path, n, tot, nBuckets)
+    val postings = graft.operators.Materialize.pin(postingsOf(docs, nBuckets))
+    try {
+      postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      val (n, tot) = statsFromPostings(postings)
+      writeStats(docs.sparkSession, path, n, tot, nBuckets, -1L)
+    } finally postings.unpersist()
   }
 
   /** Incremental ADD: the batch's postings append into their buckets and
     * the additive stats merge — resident postings are never rewritten or
     * re-read (the IvfIndex.append contract for text). Batch doc_ids must
     * be new; postings are per-(doc, term), so a re-sent doc would double
-    * its tf — dedup upstream, as the snapshot pipeline does. */
-  def append(docs: DataFrame, path: String): Unit = {
+    * its tf — dedup upstream, as the snapshot pipeline does.
+    *
+    * `batchId` is the replay guard for streaming `foreachBatch` callers
+    * (Spark re-runs a failed batch on restart — that is its delivery
+    * contract): pass the foreachBatch batch id and a replayed batch is
+    * skipped against the persisted high-watermark. Batch ids must be
+    * monotonic, as foreachBatch's are. The postings append and the stats
+    * rewrite are two commits; a crash BETWEEN them loses only the stats
+    * of the in-flight batch, and because the watermark rides in _stats
+    * the same batch replays whole on restart — the orphaned postings
+    * from the half-applied attempt are the one divergence (single-writer
+    * maintenance, same contract as AtomicSwap). */
+  def append(docs: DataFrame, path: String, batchId: Long = -1L): Unit = {
     val spark = docs.sparkSession
     val st = spark.read.parquet(s"$path/_stats").head
+    val watermark = lastBatchOf(st)
+    if (batchId >= 0 && batchId <= watermark) return // replayed batch
     val nBuckets = st.getAs[Int]("n_buckets")
-    postingsOf(docs, nBuckets).write.mode("append")
-      .partitionBy("bucket").parquet(path)
-    val (n, tot) = statsOf(docs)
-    writeStats(spark, path, st.getAs[Double]("n_docs") + n,
-      st.getAs[Double]("total_tokens") + tot, nBuckets)
+    val postings = graft.operators.Materialize.pin(
+      postingsOf(docs, nBuckets))
+    try {
+      postings.write.mode("append").partitionBy("bucket").parquet(path)
+      val (n, tot) = statsFromPostings(postings)
+      writeStats(spark, path, st.getAs[Double]("n_docs") + n,
+        st.getAs[Double]("total_tokens") + tot, nBuckets,
+        math.max(batchId, watermark))
+    } finally postings.unpersist()
   }
 
   /** Collapse append small files per bucket behind the crash-recovering

@@ -132,12 +132,17 @@ object IvfIndex {
         collectCodebook(trainCentroids(n, nCells, kmeansIters))
       else collectCodebook(codebook(n, nCells))
     val cents = book.map(_._2)
-    val withOrd = n
+    def assigned(df: DataFrame): DataFrame = df
       .withColumn("_ord", nearestCell(col("nemb"), cents))
       .withColumn("cell",
         element_at(typedlit(book.map(_._1)), col("_ord") + 1))
       .withColumn("_cent", element_at(typedlit(cents), col("_ord") + 1))
-    val sample = withOrd.orderBy("vec_id").limit(sampleN)
+    val withOrd = assigned(n)
+    // sample selection runs on the NARROW frame (TakeOrdered over
+    // vec_id); the O(nCells·dim) argmax runs on the sampleN survivors
+    // only — assigning the whole corpus here would be a second full
+    // assignment pass just to discard all but the sample
+    val sample = assigned(n.orderBy("vec_id").limit(sampleN))
       .select(col("nemb"), col("_cent")).collect()
       .map { r =>
         val v = r.getAs[scala.collection.Seq[Double]](0)

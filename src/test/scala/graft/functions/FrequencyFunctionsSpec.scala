@@ -10,8 +10,14 @@ class FrequencyFunctionsSpec extends SparkSpec {
   private def summary(rows: Seq[String], capacity: Int,
       partitions: Int = 4): Map[String, Long] = {
     import spark.implicits._
-    rows.toDF("w").repartition(partitions)
-      .agg(misraGries(col("w"), capacity).as("mg"))
+    // partitions=1 uses coalesce (shuffle-free, preserves input order) —
+    // MG is arrival-order-sensitive, and repartition(1)'s round-robin
+    // shuffle does not guarantee arrival order, which would make the
+    // textbook-fold equality test flaky
+    val df0 = rows.toDF("w")
+    val df = if (partitions == 1) df0.coalesce(1)
+      else df0.repartition(partitions)
+    df.agg(misraGries(col("w"), capacity).as("mg"))
       .select(explode(col("mg")).as("e"))
       .select(col("e.w"), col("e.c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

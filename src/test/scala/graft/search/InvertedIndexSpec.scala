@@ -76,8 +76,8 @@ class InvertedIndexSpec extends SparkSpec {
       .MemoryStream[(Long, String)]
     val q = input.toDS().toDF("doc_id", "text")
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        InvertedIndex.append(batch, path)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        InvertedIndex.append(batch, path, id)
       }.start()
     try {
       rest.grouped(150).foreach { g =>
@@ -91,6 +91,29 @@ class InvertedIndexSpec extends SparkSpec {
       .search(spark, p, Seq("join", "hash", "window")).collect()
       .map { case Row(r: Long, d: Long, s: String) => (r, d, s) }.toSeq
     assert(hits(path) === hits(full))
+  }
+
+  test("append replay guard: a re-delivered foreachBatch id is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_inv_r").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 300), path, nBuckets = 32)
+    val batch = docs.filter(col("doc_id") >= 300)
+    InvertedIndex.append(batch, path, batchId = 0L)
+    def state() = (
+      spark.read.parquet(s"$path/_stats")
+        .select("n_docs", "total_tokens", "last_batch").head,
+      InvertedIndex.search(spark, path, Seq("join", "hash", "window"))
+        .collect().map(_.toSeq).toSeq)
+    val once = state()
+    // Spark's foreachBatch contract: a failed batch is re-run with the
+    // SAME id — the watermark must make the replay a no-op, not a
+    // double-count of every tf in the batch
+    InvertedIndex.append(batch, path, batchId = 0L)
+    assert(state() === once)
+    // the next id still appends (watermark advanced, not frozen)
+    assert(once._1.getLong(2) === 0L)
   }
 
   test("different term sets hit different bucket subsets") {

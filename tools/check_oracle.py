@@ -14,6 +14,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: filter names not in oracle_sql.json: {sorted(unknown)}")
+        sys.exit(2)
 fails = []
 for name, sql in sorted(oracle.items()):
     if only is not None and name not in only:
