@@ -185,10 +185,11 @@ object Bench {
       .map(_.group(1)).getOrElse(jstr(sfDir))
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    // adaptive precision: 2-decimal seconds normally; 1 decimal if the
-    // line would crowd the driver's 2000-char tail window; and when a
-    // broad failure bloats the errors map, collapse it to a count — the
-    // line must NEVER record parsed:null again
+    // adaptive degradation, in order: 2-decimal seconds; 1 decimal; 1
+    // decimal with the errors map collapsed to a count; and as the
+    // guaranteed-bounded terminal form, the totals WITHOUT the per-query
+    // map (queries_in_file points at the full record) — the line must
+    // NEVER record parsed:null again, least of all on failure-heavy runs
     def lineAt(decimals: Int, fullErrors: Boolean): String = {
       val errField =
         if (errors.isEmpty) ""
@@ -198,9 +199,11 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfShort$errField}"""
     }
+    val terminal =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_in_file":"target/bench_last.json","n_queries":${results.size},"sf":$sfShort${if (errors.isEmpty) "" else s""","errors_n":${errors.values.sum}"""}}"""
     val line = Seq(lineAt(2, fullErrors = true), lineAt(1, fullErrors = true),
-        lineAt(1, fullErrors = false))
-      .find(_.length <= 1950).getOrElse(lineAt(1, fullErrors = false))
+        lineAt(1, fullErrors = false), terminal)
+      .find(_.length <= 1950).getOrElse(terminal)
 
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
       prev.get(name).filter(_ > 0).map(p => name -> t / p)

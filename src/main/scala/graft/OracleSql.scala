@@ -20,6 +20,34 @@ object OracleSql {
   private def ddbHash(expr: String): String =
     s"('0x'||substr(md5($expr),1,15))::BIGINT"
 
+  /** One BM25 oracle, bound to BOTH q77 (scan path) and q82 (indexed
+    * path): the two queries are row-identical by construction, and a
+    * single SQL string makes the shared-oracle intent literal.  */
+  private val bm25Oracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w
+        |         FROM tk),
+        |tf AS (SELECT doc_id, dl, w, COUNT(*)::DOUBLE AS tf FROM base
+        |       WHERE w IN ('join', 'hash', 'window') GROUP BY 1, 2, 3),
+        |dfc AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        |ad AS (SELECT AVG(len(string_split(text, ' ')))::DOUBLE AS avgdl
+        |       FROM documents),
+        |sc AS (SELECT tf.doc_id,
+        |         ln(((SELECT nd FROM n) - dfc.df + 0.5) / (dfc.df + 0.5)
+        |            + 1.0) *
+        |         (tf.tf * 2.2) /
+        |         (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+        |            (SELECT avgdl FROM ad))) AS c
+        |       FROM tf JOIN dfc USING (w)),
+        |agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS s FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, s, ROW_NUMBER() OVER (
+        |        ORDER BY s DESC, doc_id)::BIGINT AS rank
+        |      FROM agg)
+        |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   private val minhashSig: String = {
     val mins = (0 until 4).map(j =>
       s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
@@ -915,29 +943,7 @@ object OracleSql {
     // are the same decimal literals as the Spark plan, the rank key is the
     // 6-decimal-rounded score (absorbs ln/÷ ulp skew), display is %.3f
     "q77_bm25_topk" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |            FROM documents),
-        |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w
-        |         FROM tk),
-        |tf AS (SELECT doc_id, dl, w, COUNT(*)::DOUBLE AS tf FROM base
-        |       WHERE w IN ('join', 'hash', 'window') GROUP BY 1, 2, 3),
-        |dfc AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
-        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
-        |ad AS (SELECT AVG(len(string_split(text, ' ')))::DOUBLE AS avgdl
-        |       FROM documents),
-        |sc AS (SELECT tf.doc_id,
-        |         ln(((SELECT nd FROM n) - dfc.df + 0.5) / (dfc.df + 0.5)
-        |            + 1.0) *
-        |         (tf.tf * 2.2) /
-        |         (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
-        |            (SELECT avgdl FROM ad))) AS c
-        |       FROM tf JOIN dfc USING (w)),
-        |agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS s FROM sc GROUP BY 1),
-        |r AS (SELECT doc_id, s, ROW_NUMBER() OVER (
-        |        ORDER BY s DESC, doc_id)::BIGINT AS rank
-        |      FROM agg)
-        |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
-        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+      bm25Oracle,
     // composes q48's pair CTE with q54's split assignment verbatim —
     // off-diagonal rows are cross-split near-dup leakage
     "q83_split_leakage" -> {
@@ -971,29 +977,7 @@ object OracleSql {
     // the indexed probe returns exactly q77's rows (same constants, rank
     // key and tie-break), so it replays q77's oracle verbatim
     "q82_bm25_indexed" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |            FROM documents),
-        |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w
-        |         FROM tk),
-        |tf AS (SELECT doc_id, dl, w, COUNT(*)::DOUBLE AS tf FROM base
-        |       WHERE w IN ('join', 'hash', 'window') GROUP BY 1, 2, 3),
-        |dfc AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
-        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
-        |ad AS (SELECT AVG(len(string_split(text, ' ')))::DOUBLE AS avgdl
-        |       FROM documents),
-        |sc AS (SELECT tf.doc_id,
-        |         ln(((SELECT nd FROM n) - dfc.df + 0.5) / (dfc.df + 0.5)
-        |            + 1.0) *
-        |         (tf.tf * 2.2) /
-        |         (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
-        |            (SELECT avgdl FROM ad))) AS c
-        |       FROM tf JOIN dfc USING (w)),
-        |agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS s FROM sc GROUP BY 1),
-        |r AS (SELECT doc_id, s, ROW_NUMBER() OVER (
-        |        ORDER BY s DESC, doc_id)::BIGINT AS rank
-        |      FROM agg)
-        |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
-        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+      bm25Oracle,
     // the sketch pass only PRUNES candidates (exactness restored by the
     // re-count), so the oracle is the plain exact top-k
     "q78_heavy_hitters" ->

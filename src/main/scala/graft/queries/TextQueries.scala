@@ -941,11 +941,24 @@ object TextQueries {
         explode(tokens(col("text"))).as("w"))
       .filter(col("w").isin(qTerms: _*))
       .groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
-    val dfc = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
-    // heaps, never a global sort); the rank window then runs over k rows,
-    // not a single-partition shuffle of every scored document
-    val topk = tf.join(broadcast(dfc), "w")
+    bm25Rank(tf, nDocs, avgdl, k)
+  }
+
+  /** THE BM25 scorer/ranker — q77's scan path and
+    * `graft.search.InvertedIndex.search` both rank through this single
+    * definition, so their spec-pinned row-identity (and the shared
+    * DuckDB oracle) hold by construction instead of by hand-synchronized
+    * copies. `postings`: (doc_id, dl double, w, tf double).
+    *
+    * Top-k FIRST via orderBy+limit (TakeOrderedAndProject —
+    * per-partition heaps, never a global sort); the rank window then
+    * runs over k rows, not a single-partition shuffle of every scored
+    * document. */
+  private[graft] def bm25Rank(postings: DataFrame, nDocs: Double,
+      avgdl: Double, k: Int): DataFrame = {
+    val dfc = postings.groupBy("w")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val topk = postings.join(broadcast(dfc), "w")
       .withColumn("_idf",
         log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
           + lit(1.0)))

@@ -38,18 +38,23 @@ object InvertedIndex {
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets.toLong)))
 
-  /** Corpus stats kept ADDITIVE — (n_docs, total_tokens) merge by plain
-    * addition on append, so index growth never rescans the resident
-    * corpus; avgdl is derived at search time (sum/count — the identical
-    * division `avg` performs, so q77 parity is exact). Derived from the
-    * (pinned) postings themselves — `tokens` keeps empty strings, so
-    * every doc has ≥ 1 posting row and countDistinct(doc_id) is exact —
-    * the corpus is never tokenized a second time. */
-  private def statsFromPostings(postings: DataFrame): (Double, Double) = {
-    val r = postings.agg(
-      countDistinct(col("doc_id")).cast("double").as("n_docs"),
-      sum(col("tf")).as("total_tokens")).head
-    (r.getDouble(0), r.getDouble(1))
+  /** Corpus stats kept ADDITIVE — every field merges by plain addition
+    * on append, so index growth never rescans resident data. Three
+    * counters, not two, for exact q77 parity in the presence of
+    * null-text documents (which produce NO postings but DO count toward
+    * idf's N): n_docs = count(*) over the batch (narrow column-pruned
+    * scan, no tokenize), n_tok_docs = docs with non-null text (avg()'s
+    * denominator in q77), total_tokens = sum(tf) over the pinned
+    * postings (avg()'s numerator — `tokens` maps "" to [""], so empty
+    * and null text diverge exactly as they do in q77). avgdl derives at
+    * search as total/n_tok_docs — the identical division avg performs. */
+  private def statsOf(docs: DataFrame,
+      postings: DataFrame): (Double, Double, Double) = {
+    val d = docs.agg(count(lit(1)).cast("double").as("n"),
+      count(col("text")).cast("double").as("nt")).head
+    val t = postings.agg(
+      coalesce(sum(col("tf")), lit(0.0)).as("tot")).head // null on 0 rows
+    (d.getDouble(0), d.getDouble(1), t.getDouble(0))
   }
 
   /** One-row sidecar rewrite. First write is plain (no readers yet);
@@ -57,12 +62,13 @@ object InvertedIndex {
     * bare mode("overwrite") deletes before it writes, and a crash in
     * that window would leave the whole index unreadable. */
   private def writeStats(spark: SparkSession, path: String,
-      nDocs: Double, totalTokens: Double, nBuckets: Int,
+      nDocs: Double, nTokDocs: Double, totalTokens: Double, nBuckets: Int,
       lastBatch: Long): Unit = {
     import spark.implicits._
     def out(dir: String): Unit =
-      Seq((nDocs, totalTokens, nBuckets, lastBatch))
-        .toDF("n_docs", "total_tokens", "n_buckets", "last_batch")
+      Seq((nDocs, nTokDocs, totalTokens, nBuckets, lastBatch))
+        .toDF("n_docs", "n_tok_docs", "total_tokens", "n_buckets",
+          "last_batch")
         .coalesce(1).write.mode("overwrite").parquet(dir)
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -71,19 +77,33 @@ object InvertedIndex {
     else out(statsPath.toString)
   }
 
+  /** Readers MUST come through here: completes any interrupted swap of
+    * the index or its sidecar before the first read — the recovery in
+    * AtomicSwap.rewrite alone is unreachable for a reader that throws
+    * on the missing path first. */
+  private def readStats(spark: SparkSession,
+      path: String): org.apache.spark.sql.Row = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AtomicSwap.recover(fs, path)
+    graft.sources.AtomicSwap.recover(fs, s"$path/_stats")
+    spark.read.parquet(s"$path/_stats").head
+  }
+
   private def lastBatchOf(st: org.apache.spark.sql.Row): Long =
     if (st.schema.fieldNames.contains("last_batch"))
       st.getAs[Long]("last_batch")
     else -1L
 
-  /** docs: needs (doc_id, text). ONE corpus scan (the postings are
-    * pinned and feed both the bucket write and the stats fold). */
+  /** docs: needs (doc_id, text). ONE tokenizing corpus scan (the pinned
+    * postings feed both the bucket write and the token-count fold; the
+    * doc counters are a narrow no-tokenize aggregate). */
   def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     val postings = graft.operators.Materialize.pin(postingsOf(docs, nBuckets))
     try {
       postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-      val (n, tot) = statsFromPostings(postings)
-      writeStats(docs.sparkSession, path, n, tot, nBuckets, -1L)
+      val (n, nt, tot) = statsOf(docs, postings)
+      writeStats(docs.sparkSession, path, n, nt, tot, nBuckets, -1L)
     } finally postings.unpersist()
   }
 
@@ -105,7 +125,7 @@ object InvertedIndex {
     * maintenance, same contract as AtomicSwap). */
   def append(docs: DataFrame, path: String, batchId: Long = -1L): Unit = {
     val spark = docs.sparkSession
-    val st = spark.read.parquet(s"$path/_stats").head
+    val st = readStats(spark, path)
     val watermark = lastBatchOf(st)
     if (batchId >= 0 && batchId <= watermark) return // replayed batch
     val nBuckets = st.getAs[Int]("n_buckets")
@@ -113,8 +133,9 @@ object InvertedIndex {
       postingsOf(docs, nBuckets))
     try {
       postings.write.mode("append").partitionBy("bucket").parquet(path)
-      val (n, tot) = statsFromPostings(postings)
+      val (n, nt, tot) = statsOf(docs, postings)
       writeStats(spark, path, st.getAs[Double]("n_docs") + n,
+        st.getAs[Double]("n_tok_docs") + nt,
         st.getAs[Double]("total_tokens") + tot, nBuckets,
         math.max(batchId, watermark))
     } finally postings.unpersist()
@@ -135,9 +156,9 @@ object InvertedIndex {
       }
       n
     }
+    // recovery first: dataFiles() itself lists the live path
+    val nBuckets = readStats(spark, path).getAs[Int]("n_buckets")
     val before = dataFiles()
-    val nBuckets = spark.read.parquet(s"$path/_stats")
-      .head.getAs[Int]("n_buckets")
     graft.sources.AtomicSwap.rewrite(fs, path) { tmp =>
       spark.read.parquet(path).repartition(nBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
@@ -147,12 +168,18 @@ object InvertedIndex {
     (before, dataFiles())
   }
 
-  /** BM25 (k1=1.2, b=0.75) top-k over the index for `terms`. */
+  /** BM25 (k1=1.2, b=0.75) top-k over the index for `terms` — scoring
+    * and ranking delegate to [[graft.queries.TextQueries.bm25Rank]], the
+    * single definition q77 also ranks through. */
   def search(spark: SparkSession, path: String, terms: Seq[String],
       k: Int = 20): DataFrame = {
-    val st = spark.read.parquet(s"$path/_stats").head
+    val st = readStats(spark, path)
     val nDocs = st.getAs[Double]("n_docs")
-    val avgdl = st.getAs[Double]("total_tokens") / nDocs
+    val nTokDocs =
+      if (st.schema.fieldNames.contains("n_tok_docs"))
+        st.getAs[Double]("n_tok_docs")
+      else nDocs // pre-n_tok_docs index: no null-text docs existed
+    val avgdl = st.getAs[Double]("total_tokens") / nTokDocs
     val nBuckets = st.getAs[Int]("n_buckets")
     import spark.implicits._
     // bucket ids via the engine's own xxhash64 — never a re-implementation
@@ -163,22 +190,6 @@ object InvertedIndex {
     val postings = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*)) // partition-pruned listing
       .filter(col("w").isin(terms: _*)) // pushed into the parquet scan
-    val dfc = postings.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-    val topk = postings.join(broadcast(dfc), "w")
-      .withColumn("_idf",
-        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)))
-      .withColumn("_c",
-        col("_idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-      .groupBy("doc_id").agg(round(sum(col("_c")), 6).as("_score"))
-      .orderBy(col("_score").desc, col("doc_id")).limit(k)
-    topk
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("_score").desc, col("doc_id"))).cast("long"))
-      .select(col("rank"), col("doc_id"),
-        format_string("%.3f", round(col("_score"), 3)).as("bm25"))
-      .orderBy("rank")
+    graft.queries.TextQueries.bm25Rank(postings, nDocs, avgdl, k)
   }
 }

@@ -230,6 +230,7 @@ object IvfIndex {
     * sniffed from the index so mixed layouts cannot be created. */
   def append(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
+    recoverIndex(spark, path)
     val cdf = spark.read.parquet(s"$path/_centroids")
     val book = collectCodebook(cdf.select(col("cent_id"), col("cent")))
     // layout from the driver-small sidecar; the root-listing sniff is
@@ -276,7 +277,17 @@ object IvfIndex {
     * swap; single-writer — see its concurrency contract). The cell
     * count comes from the driver-small `_centroids` sidecar, never a
     * distinct-scan of the index. Returns (files before, after). */
+  /** Complete any interrupted compaction swap before reading — the
+    * recovery inside AtomicSwap.rewrite is unreachable for a reader
+    * that throws on the missing live path first. */
+  private def recoverIndex(spark: SparkSession, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    graft.sources.AtomicSwap.recover(
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
   def compact(spark: SparkSession, path: String): (Long, Long) = {
+    recoverIndex(spark, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
@@ -308,6 +319,7 @@ object IvfIndex {
   /** Top-k by cosine for `query`, probing the nProbe best cells only. */
   def search(spark: SparkSession, path: String, query: Array[Double],
       nProbe: Int, k: Int): DataFrame = {
+    recoverIndex(spark, path)
     val cents = spark.read.parquet(s"$path/_centroids").collect()
     def dotLocal(a: Seq[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum

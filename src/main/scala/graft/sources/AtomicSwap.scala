@@ -21,16 +21,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object AtomicSwap {
 
-  /** Rewrite `path` by having `write` produce the replacement at the tmp
-    * location, then swap it live. `write` reads the live path freely —
-    * nothing moves until it returns. */
-  def rewrite(fs: FileSystem, path: String)(write: String => Unit): Unit = {
+  /** Recover an interrupted swap at `path`, if any: restore the original
+    * if it was moved aside (preferred — it is always complete), else
+    * promote the finished replacement. MUST be called by READERS of a
+    * swap-managed path before their first read — the recovery logic
+    * living only inside [[rewrite]] would be unreachable exactly when
+    * it is needed (every entry point reads the path before it ever
+    * rewrites it, so a mid-swap crash would wedge the dataset until the
+    * next rewrite that never comes). No-op when the path is live. */
+  def recover(fs: FileSystem, path: String): Unit = {
     val live = new Path(path)
     val tmp = new Path(path + "_compacting")
     val old = new Path(path + "_precompact")
-    // recover an interrupted previous swap: restore the original if it
-    // was moved aside (preferred — it is always complete), else promote
-    // the finished replacement; only then is deleting leftovers safe
     if (!fs.exists(live)) {
       if (fs.exists(old))
         require(fs.rename(old, live), s"swap recovery: cannot restore $old")
@@ -38,6 +40,16 @@ object AtomicSwap {
         require(fs.rename(tmp, live), s"swap recovery: cannot promote $tmp")
       else throw new java.io.FileNotFoundException(path)
     }
+  }
+
+  /** Rewrite `path` by having `write` produce the replacement at the tmp
+    * location, then swap it live. `write` reads the live path freely —
+    * nothing moves until it returns. */
+  def rewrite(fs: FileSystem, path: String)(write: String => Unit): Unit = {
+    val live = new Path(path)
+    val tmp = new Path(path + "_compacting")
+    val old = new Path(path + "_precompact")
+    recover(fs, path)
     fs.delete(tmp, true); fs.delete(old, true)
     write(tmp.toString)
     require(fs.rename(live, old), s"swap: cannot move $path aside")
