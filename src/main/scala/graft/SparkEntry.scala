@@ -104,6 +104,7 @@ object SparkEntry {
     "q81_jl_audit" -> ((s, d) => S.q81JlAudit(s, d)),
     "q82_bm25_indexed" -> ((s, d) => T.q82Bm25Indexed(s, d)),
     "q83_split_leakage" -> ((s, d) => T.q83SplitLeakage(s, d)),
+    "q84_pq_recall" -> ((s, d) => S.q84PqRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -284,6 +284,21 @@ object SimilarityQueries {
         round(max(abs(col("sim") - col("psim"))), 3).as("max_abs_err"))
   }
 
+  /** Q84 — recall@5 of the IVF-PQ probe (q79) vs the exact scan (q23) —
+    * q58's evaluation harness applied to the compressed layout, so the
+    * quality cost of 32× smaller storage is a measured number, not a
+    * claim. The PQ probe includes the stored query vector (its natural
+    * top hit); it is excluded here so both sides rank the same
+    * candidate universe. Rows-only driver check (PQ training is not
+    * SQL-replicable); IvfIndexSpec pins the index-level recall floor. */
+  def q84PqRecall(s: SparkSession, dir: String): DataFrame = {
+    val pq = q79AnnPq(s, dir, queryId = 1, nProbe = 4, k = 6)
+      .filter(col("vec_id") =!= 1).limit(5).select(col("vec_id"))
+    val exact = q23CosineKnn(s, dir).select(col("vec_id"))
+    pq.join(exact, "vec_id")
+      .agg((count(lit(1)).cast("double") / 5).as("recall_at_5"))
+  }
+
   /** Q79 — ANN probe over a persisted IVF-PQ index
     * ([[graft.similarity.IvfIndex.buildPq]]): residual product
     * quantization (m=16 subspace bytes per vector, 32× smaller than
