@@ -974,6 +974,39 @@ object OracleSql {
          |SELECT split_a, split_b, COUNT(*)::BIGINT AS n_pairs
          |FROM j GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
     },
+    // q83's composition with both pair orientations kept: train docs
+    // with >= 1 near-dup partner in val/test
+    "q85_train_quarantine" -> {
+      val bits = (0 until 32).map(b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${ddbHash("w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents) t),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
+         |      FROM tok GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |               ${ddbHash("CAST(doc_id AS VARCHAR) || '#0'")} % 10
+         |                 AS m
+         |             FROM documents) x),
+         |t AS (SELECT p.a, p.b, pa.split AS sa, pb.split AS sb
+         |      FROM p JOIN sp pa ON pa.doc_id = p.a
+         |             JOIN sp pb ON pb.doc_id = p.b),
+         |l AS (SELECT a AS doc_id FROM t
+         |      WHERE sa = 'train' AND sb <> 'train'
+         |      UNION ALL
+         |      SELECT b FROM t WHERE sb = 'train' AND sa <> 'train')
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_eval_partners
+         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // the indexed probe returns exactly q77's rows (same constants, rank
     // key and tie-break), so it replays q77's oracle verbatim
     "q82_bm25_indexed" ->

@@ -105,6 +105,7 @@ object SparkEntry {
     "q82_bm25_indexed" -> ((s, d) => T.q82Bm25Indexed(s, d)),
     "q83_split_leakage" -> ((s, d) => T.q83SplitLeakage(s, d)),
     "q84_pq_recall" -> ((s, d) => S.q84PqRecall(s, d)),
+    "q85_train_quarantine" -> ((s, d) => T.q85TrainQuarantine(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1095,6 +1095,36 @@ object TextQueries {
       .orderBy("split_a", "split_b")
   }
 
+  /** Q85 — train-set quarantine list: the actionable half of q83's
+    * audit. Every TRAIN document with a near-dup partner (q48 pairs) in
+    * val/test is listed with its eval-partner count — the rows a
+    * pipeline drops (or reassigns) from train to restore benchmark
+    * integrity after the leak is found.
+    *
+    * Scale posture: identical join shape to q83 (pair graph × narrow
+    * split projection); the quarantine list is bounded by the pair
+    * count. */
+  def q85TrainQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairsRaw(s, dir).select(col("a"), col("b"))
+    val h = seededHash(col("doc_id").cast("string"), 0)
+    val splits = docs(s, dir).select(col("doc_id"),
+      when(pmod(h, lit(10)) < 8, "train")
+        .when(pmod(h, lit(10)) === 8, "val")
+        .otherwise("test").as("split"))
+    val tagged = pairs
+      .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+    // both orientations: the train doc may sit on either pair side
+    val leaks = tagged
+      .filter(col("sa") === "train" && col("sb") =!= "train")
+      .select(col("a").as("doc_id"))
+      .unionAll(tagged
+        .filter(col("sb") === "train" && col("sa") =!= "train")
+        .select(col("b").as("doc_id")))
+    leaks.groupBy("doc_id").agg(count(lit(1)).as("n_eval_partners"))
+      .orderBy("doc_id")
+  }
+
   /** Q76 — decontamination via a distributed Bloom filter: q64's exact
     * semantics, restructured for an eval/blocklist set too large to
     * broadcast as rows. The eval shingle set is folded into a Bloom
