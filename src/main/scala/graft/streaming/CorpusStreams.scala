@@ -38,6 +38,51 @@ object CorpusStreams {
       .agg(graft.functions.FrequencyFunctions
         .misraGries(col("w"), capacity).as("mg"))
 
+  /** Streaming corpus mixing (q63's twin): admit documents per language
+    * until the token budget closes, as a stateful stream — state per
+    * language is two scalars (tokens admitted, closed flag), O(1)
+    * forever. Within a trigger the group sorts by the SAME content-
+    * stable hash order as q63, so a single-trigger run reproduces the
+    * batch admission exactly (spec-pinned); across triggers admission
+    * is arrival-prefix order — the documented divergence (a stream
+    * cannot sort documents it has not seen, the same contract as the
+    * P1 cross-batch priority note), and q63's budget invariant (never
+    * exceed, closed stays closed) holds regardless of split.
+    *
+    * Emits admitted (doc_id, lang, ntok) rows per trigger (append
+    * mode). */
+  def mixStream(docs: DataFrame, budget: Long = 3000)
+      : org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(col("doc_id").cast("long"), col("lang"),
+        size(split(col("text"), " ")).cast("long"),
+        graft.functions.TextFunctions
+          .seededHash(col("doc_id").cast("string"), 1))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(Long, String, Long, Long)],
+            state: GroupState[(Long, Boolean)]) =>
+          var (used, closed) = state.getOption.getOrElse((0L, false))
+          val admitted = Seq.newBuilder[(Long, String, Long)]
+          // q63's prefix semantics: the FIRST overflow closes the
+          // language for good (not skip-and-keep-trying)
+          it.toSeq.sortBy(r => (r._4, r._1)).foreach {
+            case (id, lang, ntok, _) =>
+              if (!closed) {
+                if (used + ntok <= budget) {
+                  used += ntok; admitted += ((id, lang, ntok))
+                } else closed = true
+              }
+          }
+          state.update((used, closed))
+          admitted.result().iterator
+      }
+  }
+
   /** Per-document contamination guard for a document stream: q76's
     * bloom-probe + exact-confirm pipeline as a PER-TRIGGER batch map —
     * apply inside `foreachBatch`. Each arriving doc is shingled,

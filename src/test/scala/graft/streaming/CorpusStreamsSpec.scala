@@ -82,6 +82,49 @@ class CorpusStreamsSpec extends SparkSpec {
     } finally { q.stop(); evalSh.unpersist() }
   }
 
+  test("streamed corpus mixing: single trigger reproduces q63 exactly; " +
+    "multi-trigger never exceeds the budget and closed stays closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val fixture = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val batchTotals = graft.queries.TextQueries.q63CorpusMix(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    def run(parts: Seq[Seq[(Long, String, String)]],
+        name: String): Map[String, (Long, Long)] = {
+      val input = MemoryStream[(Long, String, String)]
+      val q = CorpusStreams.mixStream(
+          input.toDS().toDF("doc_id", "lang", "text"))
+        .toDF("doc_id", "lang", "ntok")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try parts.foreach { p => input.addData(p); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).groupBy("lang")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("ntok").as("t"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+
+    // all docs in one trigger: the in-group hash sort makes admission
+    // identical to the batch window
+    assert(run(Seq(fixture), "mix_one") === batchTotals)
+    // uneven triggers: arrival-prefix admission differs from the batch
+    // hash order (documented), but the budget invariant must hold
+    val multi = run(Seq(fixture.take(100), fixture.slice(100, 101),
+      fixture.drop(101)), "mix_many")
+    multi.foreach { case (lang, (_, toks)) =>
+      assert(toks <= 3000, s"$lang exceeded the budget: $toks")
+    }
+    assert(multi.nonEmpty)
+  }
+
   test("streamed Misra-Gries summary: exact at capacity >= vocab, MG " +
     "bound under pressure, O(capacity) state per trigger") {
     import spark.implicits._
