@@ -48,6 +48,40 @@ object OracleSql {
         |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /** Shared simhash CTE chain (tok -> per-doc 32-bit signature -> d<=3
+    * pairs with their hamming distance) — q48, q62, q83 and q85 all
+    * compose THIS string, so a change to the hash width, sign-sum or
+    * banding threshold cannot silently diverge between the pair miner
+    * and the audits built on it. No leading WITH (q62 needs RECURSIVE). */
+  private val simhashPairCtes: String = {
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, ${ddbHash("w")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |        FROM documents) t),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
+       |      FROM tok GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |             bit_count(xor(a.sh, b.sh)) AS d
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.sh, b.sh)) <= 3)""".stripMargin
+  }
+
+  /** Shared train/val/test assignment CTE (q54's split), composed by the
+    * q83/q85 audits — one definition, like the Spark side's
+    * TextQueries.splitAssignments. */
+  private val splitCte: String =
+    s"""sp AS (SELECT doc_id,
+       |         CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM (SELECT doc_id,
+       |               ${ddbHash("CAST(doc_id AS VARCHAR) || '#0'")} % 10
+       |                 AS m
+       |             FROM documents) x)""".stripMargin
+
   private val minhashSig: String = {
     val mins = (0 until 4).map(j =>
       s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
@@ -655,41 +689,15 @@ object OracleSql {
         |       ROUND(VAR_SAMP(value), 4) AS vr,
         |       ROUND(MEDIAN(value), 4) AS med
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q48_simhash_pairs" -> {
-      val bits = (0 until 32).map(b =>
-        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
-          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, ${ddbHash("w")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-         |        FROM documents) t),
-         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
-         |      FROM tok GROUP BY doc_id)
-         |SELECT a.doc_id AS a, b.doc_id AS b,
-         |       bit_count(xor(a.sh, b.sh)) AS d
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         |ORDER BY a, b""".stripMargin
-    },
+    "q48_simhash_pairs" ->
+      s"""WITH $simhashPairCtes
+         |SELECT a, b, d FROM p ORDER BY a, b""".stripMargin,
     // Connected components over the q48 pair graph: the recursive CTE
     // computes, for every node, the set of nodes that can reach it; the
     // component canonical is the minimum reacher — exactly the fixpoint
     // min-label propagation converges to.
-    "q62_dup_clusters" -> {
-      val bits = (0 until 32).map(b =>
-        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
-          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH RECURSIVE tok AS (
-         |  SELECT doc_id, ${ddbHash("w")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-         |        FROM documents) t),
-         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
-         |      FROM tok GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |      WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+    "q62_dup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
          |e AS (SELECT a AS id, b AS nb FROM p
          |      UNION ALL SELECT b, a FROM p),
          |reach(id, r) AS (
@@ -703,8 +711,7 @@ object OracleSql {
          |         PARTITION BY COALESCE(c.canonical, d.doc_id))
          |         AS cluster_size
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     // per-lang deterministic-hash admission until the token budget; the
     // unique (h, doc_id) ordering makes RANGE and ROWS frames identical,
     // so both engines' default window frames agree
@@ -946,57 +953,20 @@ object OracleSql {
       bm25Oracle,
     // composes q48's pair CTE with q54's split assignment verbatim —
     // off-diagonal rows are cross-split near-dup leakage
-    "q83_split_leakage" -> {
-      val bits = (0 until 32).map(b =>
-        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
-          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, ${ddbHash("w")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-         |        FROM documents) t),
-         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
-         |      FROM tok GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |      WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-         |sp AS (SELECT doc_id,
-         |         CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
-         |              ELSE 'test' END AS split
-         |       FROM (SELECT doc_id,
-         |               ${ddbHash("CAST(doc_id AS VARCHAR) || '#0'")} % 10
-         |                 AS m
-         |             FROM documents) x),
+    "q83_split_leakage" ->
+      s"""WITH $simhashPairCtes,
+         |$splitCte,
          |j AS (SELECT least(pa.split, pb.split) AS split_a,
          |             greatest(pa.split, pb.split) AS split_b
          |      FROM p JOIN sp pa ON pa.doc_id = p.a
          |             JOIN sp pb ON pb.doc_id = p.b)
          |SELECT split_a, split_b, COUNT(*)::BIGINT AS n_pairs
-         |FROM j GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
-    },
+         |FROM j GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
     // q83's composition with both pair orientations kept: train docs
     // with >= 1 near-dup partner in val/test
-    "q85_train_quarantine" -> {
-      val bits = (0 until 32).map(b =>
-        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
-          s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, ${ddbHash("w")} AS h
-         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
-         |        FROM documents) t),
-         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
-         |      FROM tok GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |      WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-         |sp AS (SELECT doc_id,
-         |         CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
-         |              ELSE 'test' END AS split
-         |       FROM (SELECT doc_id,
-         |               ${ddbHash("CAST(doc_id AS VARCHAR) || '#0'")} % 10
-         |                 AS m
-         |             FROM documents) x),
+    "q85_train_quarantine" ->
+      s"""WITH $simhashPairCtes,
+         |$splitCte,
          |t AS (SELECT p.a, p.b, pa.split AS sa, pb.split AS sb
          |      FROM p JOIN sp pa ON pa.doc_id = p.a
          |             JOIN sp pb ON pb.doc_id = p.b),
@@ -1005,8 +975,7 @@ object OracleSql {
          |      UNION ALL
          |      SELECT b FROM t WHERE sb = 'train' AND sa <> 'train')
          |SELECT doc_id, COUNT(*)::BIGINT AS n_eval_partners
-         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the indexed probe returns exactly q77's rows (same constants, rank
     // key and tie-break), so it replays q77's oracle verbatim
     "q82_bm25_indexed" ->

@@ -289,17 +289,11 @@ object TextQueries {
     * the document id mod 10 (8/1/1), so the split is reproducible across
     * runs, engines and re-partitions — never rand(). md5-derived hash so
     * DuckDB replays it; a map-side projection + one count shuffle. */
-  def q54HashSplit(s: SparkSession, dir: String): DataFrame = {
-    val h = seededHash(col("doc_id").cast("string"), 0)
-    docs(s, dir)
-      .select(col("lang"),
-        when(pmod(h, lit(10)) < 8, "train")
-          .when(pmod(h, lit(10)) === 8, "val")
-          .otherwise("test").as("split"))
+  def q54HashSplit(s: SparkSession, dir: String): DataFrame =
+    splitAssignments(s, dir)
       .groupBy("split")
       .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("langs"))
       .orderBy("split")
-  }
 
   /** Q55 — stratified deterministic sampling: a fixed-rate (10%) sample
     * per language stratum selected by hash threshold (pmod(h,100) < 10) —
@@ -1079,13 +1073,21 @@ object TextQueries {
     * magnitude smaller than the corpus, so both provenance joins shuffle
     * pair rows against a narrow (doc_id, split) projection; the final
     * aggregate is 6 rows max. */
-  def q83SplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val pairs = simhashPairsRaw(s, dir).select(col("a"), col("b"))
+  /** The deterministic (doc_id, split) assignment — ONE definition for
+    * q54 (aggregated report), q83 (leakage audit) and q85 (quarantine
+    * list): a ratio/seed change propagates to every consumer, or the
+    * audits silently disagree with the split they claim to check. */
+  private[graft] def splitAssignments(s: SparkSession, dir: String): DataFrame = {
     val h = seededHash(col("doc_id").cast("string"), 0)
-    val splits = docs(s, dir).select(col("doc_id"),
+    docs(s, dir).select(col("doc_id"), col("lang"),
       when(pmod(h, lit(10)) < 8, "train")
         .when(pmod(h, lit(10)) === 8, "val")
         .otherwise("test").as("split"))
+  }
+
+  def q83SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairsRaw(s, dir).select(col("a"), col("b"))
+    val splits = splitAssignments(s, dir).select("doc_id", "split")
     pairs
       .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
       .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
@@ -1106,22 +1108,19 @@ object TextQueries {
     * count. */
   def q85TrainQuarantine(s: SparkSession, dir: String): DataFrame = {
     val pairs = simhashPairsRaw(s, dir).select(col("a"), col("b"))
-    val h = seededHash(col("doc_id").cast("string"), 0)
-    val splits = docs(s, dir).select(col("doc_id"),
-      when(pmod(h, lit(10)) < 8, "train")
-        .when(pmod(h, lit(10)) === 8, "val")
-        .otherwise("test").as("split"))
+    val splits = splitAssignments(s, dir).select("doc_id", "split")
     val tagged = pairs
       .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), "a")
       .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), "b")
-    // both orientations: the train doc may sit on either pair side
-    val leaks = tagged
-      .filter(col("sa") === "train" && col("sb") =!= "train")
-      .select(col("a").as("doc_id"))
-      .unionAll(tagged
-        .filter(col("sb") === "train" && col("sa") =!= "train")
-        .select(col("b").as("doc_id")))
-    leaks.groupBy("doc_id").agg(count(lit(1)).as("n_eval_partners"))
+    // both orientations in ONE pass over the tagged pairs — a unionAll
+    // of two filters would execute the whole pair-mining subtree twice
+    tagged
+      .select(
+        when(col("sa") === "train" && col("sb") =!= "train", col("a"))
+          .when(col("sb") === "train" && col("sa") =!= "train", col("b"))
+          .as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_eval_partners"))
       .orderBy("doc_id")
   }
 

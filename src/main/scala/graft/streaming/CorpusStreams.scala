@@ -58,7 +58,11 @@ object CorpusStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     docs
       .select(col("doc_id").cast("long"), col("lang"),
-        size(split(col("text"), " ")).cast("long"),
+        // null text must DEGRADE, not crash: q63's window sum ignores
+        // the null token count (the doc rides free), and a null here
+        // would throw deserializing into the primitive tuple field —
+        // killing the stream its batch twin survives
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)),
         graft.functions.TextFunctions
           .seededHash(col("doc_id").cast("string"), 1))
       .as[(Long, String, Long, Long)]
