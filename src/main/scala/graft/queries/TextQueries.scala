@@ -585,7 +585,12 @@ object TextQueries {
     val ex = d.select(col("doc_id"), col("lang"), explode(col("sh")).as("h"))
     val kept = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
-    val exk = ex.join(kept, "h")
+    // pinned: both sides of the self-join consume exk; without the pin
+    // the explode+df-join subtree executes once per side (the two
+    // aliases shuffle on different key sets — (lang,h) vs the join's
+    // build side — so ReuseExchange does not fire; the probe showed 6
+    // scans / 0 reuses)
+    val exk = Materialize.pin(ex.join(kept, "h"))
     val shared = exk.as("x").join(exk.as("y"),
         col("x.lang") === col("y.lang") && col("x.h") === col("y.h")
           && col("x.doc_id") < col("y.doc_id"))
