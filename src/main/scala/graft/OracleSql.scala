@@ -239,6 +239,123 @@ object OracleSql {
        |ORDER BY dt.a, dt.b""".stripMargin
   }
 
+  /** Exact replay of q81's JL projection audit: the ±1 sign matrix is
+    * deterministic for fixed (dim, k, seed), so it rides in as a VALUES
+    * table built from the SAME
+    * [[graft.functions.VectorFunctions.projectionSigns]] the kernel
+    * derives its signs from (q44's hyperplane pattern — one definition,
+    * no drift). The projection's 1/√k factor is dropped: both engines
+    * L2-normalize the projected vector, which cancels any global scale.
+    * Pair membership keys on ROUND(sim,4) — q33's proven cross-engine
+    * boundary convention. */
+  private val jlAudit: String = {
+    val signs = graft.functions.VectorFunctions.projectionSigns(64, 16, 42L)
+    val vals = (for (j <- 0 until 16; i <- 0 until 64)
+      yield s"($j,${i + 1},${signs(j)(i)})").mkString(",")
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |         generate_subscripts(embedding,1) AS i
+       |  FROM embeddings WHERE vec_id < 500),
+       |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+       |nx AS (SELECT e.vec_id, e.i, e.x / NULLIF(nr.nrm, 0) AS x
+       |       FROM ex e JOIN nr ON nr.vec_id = e.vec_id),
+       |sg(j, i, s) AS (VALUES $vals),
+       |pj AS (SELECT nx.vec_id, sg.j, SUM(nx.x * sg.s) AS p
+       |       FROM nx JOIN sg ON sg.i = nx.i GROUP BY 1, 2),
+       |pn AS (SELECT vec_id, j,
+       |         p / NULLIF(SQRT(SUM(p * p) OVER (PARTITION BY vec_id)), 0)
+       |           AS p
+       |       FROM pj),
+       |sims AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.x * b.x) AS sim
+       |  FROM nx a JOIN nx b ON a.i = b.i AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |ps AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.p * b.p) AS psim
+       |  FROM pn a JOIN pn b ON a.j = b.j AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT COUNT(*)::BIGINT AS n_pairs,
+       |       ROUND(AVG(ABS(sim - psim)), 3) AS mean_abs_err,
+       |       ROUND(MAX(ABS(sim - psim)), 3) AS max_abs_err
+       |FROM sims JOIN ps ON ps.a = sims.a AND ps.b = sims.b
+       |WHERE ROUND(sim, 4) >= 0.4""".stripMargin
+  }
+
+  /** Exact replay of q86's pinned-codebook IVF-PQ probe: coarse
+    * assignment and probe-cell choice replay q34's deterministic path
+    * over NORMALIZED vectors, the PQ codebook rides in as a VALUES table
+    * (built from [[graft.queries.SimilarityQueries.pinnedPqCodebook]] —
+    * the same values the Spark-side kernels receive), encode is the
+    * per-(vector, subspace) L2 argmin over the residual (ties → lowest
+    * code, PqEncode's rule), and the ADC score is the probed cell's
+    * centroid dot plus the m LUT lookups — PqAdcDot's exact arithmetic.
+    * The VALUES literals round-trip: Double.toString emits the shortest
+    * decimal that parses back to the identical double, and the ::DOUBLE
+    * cast keeps DuckDB from routing them through DECIMAL. */
+  private def pqAdcSql(k: Int): String = {
+    val m = 8; val ksub = 4; val dsub = 8
+    val cb = graft.queries.SimilarityQueries.pinnedPqCodebook(m, ksub, dsub)
+    val vals = (for (j <- 0 until m; c <- 0 until ksub; d <- 0 until dsub)
+      yield s"($j,$c,${d + 1},${cb((j * ksub + c) * dsub + d)})").mkString(",")
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |         generate_subscripts(embedding,1) AS i
+       |  FROM embeddings),
+       |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+       |nx AS (SELECT e.vec_id, e.i, e.x / NULLIF(nr.nrm, 0) AS x
+       |       FROM ex e JOIN nr ON nr.vec_id = e.vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS v, b.vec_id AS c, SUM(a.x * b.x) AS d
+       |  FROM nx a JOIN nx b ON a.i = b.i AND b.vec_id < 16
+       |  GROUP BY 1, 2),
+       |asg AS (
+       |  SELECT v AS vec_id, c AS cell FROM (
+       |    SELECT v, c, ROW_NUMBER() OVER (PARTITION BY v
+       |             ORDER BY d DESC, c ASC) AS rn
+       |    FROM dots) t
+       |  WHERE rn = 1),
+       |pr AS (SELECT c AS cell FROM dots WHERE v = 1
+       |       ORDER BY d DESC, c ASC LIMIT 4),
+       |cb AS (SELECT j, c, d, v::DOUBLE AS v
+       |       FROM (VALUES $vals) t(j, c, d, v)),
+       |res AS (
+       |  SELECT n.vec_id, n.i, n.x - cx.x AS r
+       |  FROM nx n
+       |  JOIN asg ON asg.vec_id = n.vec_id
+       |  JOIN nx cx ON cx.vec_id = asg.cell AND cx.i = n.i),
+       |dist AS (
+       |  SELECT res.vec_id, cb.j, cb.c,
+       |         SUM((res.r - cb.v) * (res.r - cb.v)) AS dd
+       |  FROM res JOIN cb ON cb.j = (res.i - 1) // $dsub
+       |                  AND cb.d = (res.i - 1) % $dsub + 1
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |             ORDER BY dd ASC, c ASC) AS rn
+       |    FROM dist) t
+       |  WHERE rn = 1),
+       |q AS (SELECT i, x FROM nx WHERE vec_id = 1),
+       |lut AS (
+       |  SELECT cb.j, cb.c, SUM(q.x * cb.v) AS l
+       |  FROM q JOIN cb ON cb.j = (q.i - 1) // $dsub
+       |                AND cb.d = (q.i - 1) % $dsub + 1
+       |  GROUP BY 1, 2),
+       |score AS (
+       |  SELECT e.vec_id, MAX(dt.d) + SUM(l.l) AS adc
+       |  FROM enc e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  JOIN dots dt ON dt.v = 1 AND dt.c = asg.cell
+       |  JOIN lut l ON l.j = e.j AND l.c = e.code
+       |  GROUP BY e.vec_id)
+       |SELECT sc.vec_id, ROUND(sc.adc, 4) AS adc
+       |FROM score sc
+       |JOIN asg ON asg.vec_id = sc.vec_id
+       |JOIN pr ON pr.cell = asg.cell
+       |WHERE sc.vec_id <> 1
+       |ORDER BY adc DESC, sc.vec_id LIMIT $k""".stripMargin
+  }
+
   /** Exact replay of q51's md5 MinHash+LSH pair pipeline: k=8 signature,
     * candidate pairs = any of the 4 bands (2 rows each) fully equal,
     * est_jaccard = agreeing positions / 8. */
@@ -980,6 +1097,14 @@ object OracleSql {
     // key and tie-break), so it replays q77's oracle verbatim
     "q82_bm25_indexed" ->
       bm25Oracle,
+    "q81_jl_audit" -> jlAudit,
+    "q86_pq_adc" -> pqAdcSql(10),
+    // q58's recall harness over the pinned-codebook ADC probe
+    "q87_pq_recall_pinned" ->
+      s"""SELECT COUNT(*)::DOUBLE / 5 AS recall_at_5
+         |FROM (SELECT vec_id FROM (${pqAdcSql(5)}) pq
+         |      INTERSECT
+         |      SELECT vec_id FROM ($cosineKnn) ex) t""".stripMargin,
     // the sketch pass only PRUNES candidates (exactness restored by the
     // re-count), so the oracle is the plain exact top-k
     "q78_heavy_hitters" ->

@@ -106,11 +106,16 @@ object SparkEntry {
     "q83_split_leakage" -> ((s, d) => T.q83SplitLeakage(s, d)),
     "q84_pq_recall" -> ((s, d) => S.q84PqRecall(s, d)),
     "q85_train_quarantine" -> ((s, d) => T.q85TrainQuarantine(s, d)),
+    "q86_pq_adc" -> ((s, d) => S.q86PqAdc(s, d)),
+    "q87_pq_recall_pinned" -> ((s, d) => S.q87PqAdcRecall(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (q30 LSH pairs, q34 IVF) use
-    * engine-side plans DuckDB cannot cheaply replicate → rows-only check;
-    * they are covered by ScalaTest specs instead. */
+    * the same parquet tables. Omitted keys use engine-specific hashes or
+    * driver-trained state DuckDB cannot replicate (q30/q43 xxhash fast
+    * paths — md5 twins q51/q52 replay the full pipelines; q37 gzip, q38
+    * imageio, q39 HLL; q79/q84 trained-PQ — pinned-codebook twins
+    * q86/q87 replay encode+ADC; q80 trained-BPE encode) → rows-only
+    * check, covered by ScalaTest specs instead. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -477,6 +477,22 @@ object VectorFunctions {
     z ^ (z >>> 31)
   }
 
+  /** splitmix64 mapped to [0,1) — the deterministic value source for
+    * fixture-pinned codebooks (q86's PQ VALUES table). */
+  def mix01(z: Long): Double = (mix64(z) >>> 11) * (1.0 / (1L << 53))
+
+  /** The ±1 sign matrix [[RandomProject]] derives cell-by-cell — exposed
+    * so the DuckDB oracle can carry the IDENTICAL matrix as a VALUES
+    * table (q44's hyperplane pattern): signs(j)(i) multiplies input dim i
+    * into output dim j. One definition; the kernel and the oracle cannot
+    * drift. */
+  def projectionSigns(n: Int, k: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] =
+    (0 until k).map { j =>
+      (0 until n).map { i =>
+        if ((mix64(seed ^ (j.toLong * n + i)) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
   /** Shared eval/codegen body for [[RandomProject]]. */
   def randomProjectKernel(v: ArrayData, k: Int, seed: Long): ArrayData = {
     val n = v.numElements()

@@ -260,9 +260,14 @@ object SimilarityQueries {
     *
     * Scale posture: the projection is a stateless map-side kernel; the
     * pair set is the (already capped) q33 baseline; the audit aggregate
-    * is one row. Rows-only driver check (splitmix64 signs are not
-    * SQL-replicable); FunctionsSpec pins determinism + the JL property
-    * on clustered synthetic data. */
+    * is one row. ORACLE-CHECKED: the splitmix64 sign matrix is
+    * deterministic for fixed (dim, k, seed), so it rides into the DuckDB
+    * SQL as a VALUES table built from the SAME
+    * [[graft.functions.VectorFunctions.projectionSigns]] definition the
+    * kernel uses (q44's hyperplane pattern); the pair filter keys on the
+    * 4-decimal-rounded sim, q33's proven cross-engine boundary
+    * convention. FunctionsSpec additionally pins determinism + the JL
+    * property on clustered synthetic data. */
   def q81JlAudit(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
     import graft.functions.VectorFunctions.randomProject
     val e = emb(s, dir)
@@ -278,7 +283,7 @@ object SimilarityQueries {
       .filter(col("a") < col("b"))
       .select(dot(col("ea"), col("eb")).as("sim"),
         dot(col("pa"), col("pb")).as("psim"))
-      .filter(col("sim") >= 0.4)
+      .filter(round(col("sim"), 4) >= 0.4)
       .agg(count(lit(1)).as("n_pairs"),
         round(avg(abs(col("sim") - col("psim"))), 3).as("mean_abs_err"),
         round(max(abs(col("sim") - col("psim"))), 3).as("max_abs_err"))
@@ -325,5 +330,82 @@ object SimilarityQueries {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     IvfIndex.search(s, path, query, nProbe, k)
+  }
+
+  /** Fixture-pinned PQ codebook — NOT trained: every entry derives from
+    * splitmix64, uniform in [-0.25, 0.25) (the residual range of
+    * normalized 64-dim vectors), so the DuckDB oracle carries the
+    * IDENTICAL values as a VALUES table. q86/q87 run the REAL
+    * PqEncode/PqAdcDot kernels against it, which makes the encode+ADC
+    * arithmetic oracle-PROVEN; q79/q84 keep the trained codebook (the
+    * Lloyd's loop itself is the only part an oracle cannot replay).
+    * Flat [m][ksub][dsub] layout, same as trainPqCodebooks. */
+  def pinnedPqCodebook(m: Int = 8, ksub: Int = 4, dsub: Int = 8): Array[Double] =
+    Array.tabulate(m * ksub * dsub) { idx =>
+      (graft.functions.VectorFunctions.mix01(0x9c0deb00cL ^ idx) - 0.5) * 0.5
+    }
+
+  /** Q86 — oracle-checked twin of q79's IVF-PQ probe: same coarse
+    * assignment as q34 (first-16 codebook, map-side codegen argmax), the
+    * residual encoded by [[graft.functions.VectorFunctions.PqEncode]]
+    * and scored by [[graft.functions.VectorFunctions.PqAdcDot]] — the
+    * exact kernels q79's persisted index uses — but against the
+    * [[pinnedPqCodebook]], so DuckDB replays encode and asymmetric
+    * distance end to end (codebook as a 256-row VALUES table). Same
+    * partition-prunable probe shape: only the nProbe best cells are
+    * scored. m=8/ksub=4 keeps the VALUES table small; the kernel paths
+    * are shape-independent. */
+  def q86PqAdc(s: SparkSession, dir: String, queryId: Long = 1,
+      nCells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions
+    val m = 8; val ksub = 4; val dsub = 8
+    val cb = pinnedPqCodebook(m, ksub, dsub)
+    val e = embNorm(s, dir, cached = false)
+    val book = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("nemb")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq)
+      .sortBy(_._1).toSeq
+    val qn = e.filter(col("vec_id") === queryId)
+      .select(col("nemb")).head()
+      .getAs[scala.collection.Seq[Double]](0).toSeq
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val cellDot = book.map { case (id, c) => id -> dotL(c, qn) }.toMap
+    val probes = cellDot.toSeq
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(nProbe).map(_._1)
+    val lut = Array.tabulate(m * ksub) { i =>
+      val j = i / ksub; val c = i % ksub
+      var acc = 0.0
+      var d = 0
+      while (d < dsub) {
+        acc += qn(j * dsub + d) * cb((j * ksub + c) * dsub + d); d += 1
+      }
+      acc
+    }
+    val cents = book.map(_._2)
+    e.withColumn("_ord",
+        graft.functions.VectorFunctions.nearestCell(col("nemb"), cents))
+      .withColumn("cell", element_at(typedlit(book.map(_._1)), col("_ord") + 1))
+      .withColumn("_cent", element_at(typedlit(cents), col("_ord") + 1))
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(VectorFunctions.pqAdcDot(
+          VectorFunctions.pqEncode(col("nemb"), col("_cent"), cb, m, ksub),
+          element_at(typedlit(cellDot), col("cell")), lut, ksub), 4).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Q87 — oracle-checked twin of q84: recall@5 of the pinned-codebook
+    * ADC probe (q86) against the exact scan (q23). Where q84's number
+    * rests on IvfIndexSpec, this one is DuckDB-replayed end to end —
+    * the compression-quality measurement itself is oracle-proven. */
+  def q87PqAdcRecall(s: SparkSession, dir: String): DataFrame = {
+    val pq = q86PqAdc(s, dir, k = 5).select(col("vec_id"))
+    val exact = q23CosineKnn(s, dir).select(col("vec_id"))
+    pq.join(exact, "vec_id")
+      .agg((count(lit(1)).cast("double") / 5).as("recall_at_5"))
   }
 }
