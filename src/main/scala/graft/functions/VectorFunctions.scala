@@ -319,12 +319,16 @@ object VectorFunctions {
     private val dsub = codebook.length / (m * ksub)
     override def checkInputDataTypes(): TypeCheckResult =
       (vec.dataType, cent.dataType) match {
+        // ksub > 256 would silently wrap in the byte codes (and overrun
+        // PqAdcDot's `& 0xFF` LUT indexing) — reject at analysis time
         case (ArrayType(DoubleType, _), ArrayType(DoubleType, _))
-          if codebook.length == m * ksub * dsub && codebook.nonEmpty =>
+          if codebook.length == m * ksub * dsub && codebook.nonEmpty &&
+            ksub >= 1 && ksub <= 256 =>
           TypeCheckResult.TypeCheckSuccess
         case (l, r) => TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires two array<double> and a [m][ksub][dsub] " +
-            s"codebook, got ${l.sql}, ${r.sql}, len=${codebook.length}")
+          s"$prettyName requires two array<double>, a [m][ksub][dsub] " +
+            s"codebook and 1 <= ksub <= 256 (byte codes), " +
+            s"got ${l.sql}, ${r.sql}, len=${codebook.length}, ksub=$ksub")
       }
     override def dataType: DataType = org.apache.spark.sql.types.BinaryType
     override def nullIntolerant: Boolean = true
@@ -347,11 +351,19 @@ object VectorFunctions {
   }
 
   /** Shared eval/codegen body for [[PqEncode]] (same pattern as
-    * [[quantizeKernel]]: one JIT-compiled method, no per-row closure). */
+    * [[quantizeKernel]]: one JIT-compiled method, no per-row closure).
+    * A vector/centroid shorter than the codebook's m·dsub dims FAILS
+    * loudly — zero-padding the residual would silently encode (and
+    * later score) garbage for the missing subspaces, corrupting every
+    * probe that touches the row. */
   def pqEncodeKernel(v: ArrayData, c: ArrayData, cb: Array[Double],
       m: Int, ksub: Int, dsub: Int): Array[Byte] = {
     val out = new Array[Byte](m)
     val dim = math.min(v.numElements(), c.numElements())
+    if (dim < m * dsub)
+      throw new IllegalArgumentException(
+        s"vec_pq_encode: input has $dim dims but the codebook expects " +
+          s"${m * dsub} (m=$m × dsub=$dsub) — refusing to zero-pad")
     var j = 0
     while (j < m) {
       var best = 0

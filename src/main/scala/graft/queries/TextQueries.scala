@@ -985,28 +985,69 @@ object TextQueries {
     * the exact pass makes the answer exact.
     *
     * Exactness: every token with frequency > n/(capacity+1) is in the
-    * sketch (MG bound), so with capacity chosen s.t. the k-th most
-    * frequent token clears that threshold, survivors ⊇ true top-k and
-    * the re-count ranks them exactly — FrequencyFunctionsSpec checks
-    * the bound holds adversarially and that this query matches a full
-    * exact group-by. At 100 TB a full `groupBy(token)` shuffles the
+    * sketch (MG bound), so when the k-th ranked SURVIVOR's exact count
+    * clears that threshold, survivors ⊇ true top-k and the re-count
+    * ranks them exactly — any non-survivor sits at-or-under the
+    * threshold, strictly below the k-th survivor. That precondition is
+    * VALIDATED AT RUNTIME here (n rides out of the same sketch pass as
+    * one extra count column): if data drift ever pushes the k-th count
+    * to the bound — or fewer than k survivors remain — the query falls
+    * back to the exact full group-by instead of silently returning a
+    * wrong top-k. FrequencyFunctionsSpec checks the bound adversarially;
+    * the fixture never triggers the fallback, so the benched plan is
+    * the sketch one. At 100 TB a full `groupBy(token)` shuffles the
     * billions-of-distinct-tokens vocabulary; this plan shuffles ≤
-    * capacity summaries plus ≤ capacity re-count groups. */
+    * capacity summaries plus ≤ capacity re-count groups (the survivor
+    * re-count filter is an IN over ≤ capacity literals applied before
+    * the re-count's shuffle). */
   def q78HeavyHitters(s: SparkSession, dir: String, k: Int = 20,
       capacity: Int = 256): DataFrame = {
+    val sket = q78Sketch(s, dir, capacity).head
+    val n = sket.getLong(1)
+    val cand = sket.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getAs[String]("w")).toSeq
+    val survivors = q78Recount(s, dir, cand, k)
+      .collect() // ≤ k rows — the query's whole result, driver-small
+    val exact = survivors.length == k &&
+      survivors.last.getLong(1).toDouble > n.toDouble / (capacity + 1)
+    if (exact) {
+      import s.implicits._
+      survivors.toSeq.zipWithIndex
+        .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+        .toDF("rank", "w", "cnt")
+    } else { // bound not met: the sketch may have shed a true top-k token
+      val full = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(k)
+      full.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("w"))).cast("long"))
+        .select(col("rank"), col("w"), col("cnt"))
+        .orderBy("rank")
+    }
+  }
+
+  /** q78's first distributed stage (exposed for plan audits): ONE sketch
+    * pass carrying both the MG summary and the stream length n the
+    * exactness bound needs. */
+  private[graft] def q78Sketch(s: SparkSession, dir: String,
+      capacity: Int): DataFrame = {
     import graft.functions.FrequencyFunctions.misraGries
-    val toks = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
-    val cand = toks.agg(misraGries(col("w"), capacity).as("mg"))
-      .select(explode(col("mg")).as("e"))
-      .select(col("e").getField("w").as("w"))
-    val topk = toks.join(broadcast(cand), Seq("w"), "left_semi")
+    docs(s, dir).select(explode(tokens(col("text"))).as("w"))
+      .agg(misraGries(col("w"), capacity).as("mg"), count(lit(1)).as("n"))
+  }
+
+  /** q78's second distributed stage (exposed for plan audits): exact
+    * re-count of the ≤ capacity sketch survivors — a broadcast semi-join
+    * prunes the token stream before its only shuffle. */
+  private[graft] def q78Recount(s: SparkSession, dir: String,
+      cand: Seq[String], k: Int): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(explode(tokens(col("text"))).as("w"))
+      .join(broadcast(cand.toDF("w")), Seq("w"), "left_semi")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(k)
-    topk.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("w"))).cast("long"))
-      .select(col("rank"), col("w"), col("cnt"))
-      .orderBy("rank")
   }
 
   // learned merge lists are deterministic per (dir, nMerges): train once

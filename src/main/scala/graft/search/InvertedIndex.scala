@@ -60,15 +60,17 @@ object InvertedIndex {
   /** One-row sidecar rewrite. First write is plain (no readers yet);
     * every later rewrite goes through [[graft.sources.AtomicSwap]] — a
     * bare mode("overwrite") deletes before it writes, and a crash in
-    * that window would leave the whole index unreadable. */
+    * that window would leave the whole index unreadable. `lastStage`
+    * records the most recent applied staging id so [[recoverStaged]]
+    * can tell a crash-after-stats leftover from an unapplied batch. */
   private def writeStats(spark: SparkSession, path: String,
       nDocs: Double, nTokDocs: Double, totalTokens: Double, nBuckets: Int,
-      lastBatch: Long): Unit = {
+      lastBatch: Long, lastStage: String): Unit = {
     import spark.implicits._
     def out(dir: String): Unit =
-      Seq((nDocs, nTokDocs, totalTokens, nBuckets, lastBatch))
+      Seq((nDocs, nTokDocs, totalTokens, nBuckets, lastBatch, lastStage))
         .toDF("n_docs", "n_tok_docs", "total_tokens", "n_buckets",
-          "last_batch")
+          "last_batch", "last_stage")
         .coalesce(1).write.mode("overwrite").parquet(dir)
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -95,6 +97,125 @@ object InvertedIndex {
       st.getAs[Long]("last_batch")
     else -1L
 
+  private def lastStageOf(st: org.apache.spark.sql.Row): String =
+    if (st.schema.fieldNames.contains("last_stage"))
+      st.getAs[String]("last_stage")
+    else ""
+
+  /** Test-only failpoint: specs simulate a writer crash at a named
+    * protocol step (a unit test cannot kill the JVM mid-append).
+    * Production never sets it. */
+  @volatile private[search] var failpoint: String => Unit = _ => ()
+
+  private def fsOf(spark: SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stagingRoot(path: String): String = s"$path/_staging"
+
+  /** The per-batch sentinel: written into the staging dir AFTER the
+    * staged postings land and BEFORE any file moves into the live
+    * buckets. Its presence means "this batch's postings and stats delta
+    * are fully described here" — recovery can finish the apply without
+    * re-reading the source docs; its absence means the stage itself
+    * crashed mid-write and the whole dir is garbage. */
+  private case class StageDelta(stage: String, batchId: Long,
+      n: Double, nt: Double, tot: Double)
+
+  private def writeDelta(spark: SparkSession, stageDir: String,
+      d: StageDelta): Unit = {
+    import spark.implicits._
+    Seq((d.stage, d.batchId, d.n, d.nt, d.tot))
+      .toDF("stage", "batch_id", "n", "nt", "tot")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stageDir/_delta")
+  }
+
+  private def readDelta(spark: SparkSession,
+      stageDir: String): Option[StageDelta] =
+    try {
+      val r = spark.read.parquet(s"$stageDir/_delta").head
+      Some(StageDelta(r.getAs[String]("stage"), r.getAs[Long]("batch_id"),
+        r.getAs[Double]("n"), r.getAs[Double]("nt"), r.getAs[Double]("tot")))
+    } catch { case _: Throwable => None }
+
+  /** Move every staged data file into its live bucket directory. Files
+    * LEAVE the staging dir as they move (rename, not copy), so a replay
+    * after a mid-move crash simply moves whatever remains — each file
+    * lands in the live index exactly once, no name bookkeeping. */
+  private def moveDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      stageDir: String, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stageDir)
+    fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket=")
+    ).foreach { b =>
+      val dest = new org.apache.hadoop.fs.Path(path, b.getPath.getName)
+      fs.mkdirs(dest)
+      fs.listStatus(b.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val to = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+          require(fs.rename(f.getPath, to),
+            s"staged append: cannot move ${f.getPath} to $to")
+        }
+    }
+  }
+
+  /** Finish a fully-staged batch: move its files into the live buckets,
+    * fold its delta into `_stats` (advancing the batch watermark and
+    * recording the stage id), then drop the staging dir. Idempotent
+    * across crashes at any point: moved files leave staging, the stats
+    * rewrite is guarded by the stage id, and the final delete is pure
+    * cleanup. */
+  private def applyStage(spark: SparkSession, path: String,
+      stageDir: String, d: StageDelta): Unit = {
+    val fs = fsOf(spark, path)
+    moveDataFiles(fs, stageDir, path)
+    failpoint("moved")
+    val st = readStats(spark, path)
+    writeStats(spark, path, st.getAs[Double]("n_docs") + d.n,
+      st.getAs[Double]("n_tok_docs") + d.nt,
+      st.getAs[Double]("total_tokens") + d.tot,
+      st.getAs[Int]("n_buckets"),
+      math.max(d.batchId, lastBatchOf(st)), d.stage)
+    failpoint("stats")
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+  }
+
+  /** Writer-entry recovery for the staged-append protocol: complete or
+    * discard any staging dir a crashed append left behind, BEFORE new
+    * work begins. Only writers call this ([[append]], [[compact]]) — a
+    * reader completing a stage would race the live writer mid-move, the
+    * same reader-vs-writer hazard AtomicSwap.recover guards against.
+    * Single-writer discipline means at most one staging dir can exist.
+    *
+    *  - no `_delta` sentinel → the stage write itself crashed; the live
+    *    index was never touched → delete, the batch replays whole.
+    *  - sentinel present but already applied (batch id at-or-under the
+    *    watermark, or stage id == `_stats.last_stage`) → crash landed
+    *    between the stats rewrite and the cleanup → just delete.
+    *  - sentinel present, not applied → finish the apply (moves are
+    *    remaining-files-only, so this never duplicates a posting). */
+  private def recoverStaged(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(stagingRoot(path))
+    if (!fs.exists(root)) return
+    val st = readStats(spark, path)
+    val watermark = lastBatchOf(st)
+    val lastStage = lastStageOf(st)
+    fs.listStatus(root).foreach { s =>
+      readDelta(spark, s.getPath.toString) match {
+        case None => fs.delete(s.getPath, true)
+        case Some(d)
+          if (d.batchId >= 0 && d.batchId <= watermark) ||
+            (d.stage.nonEmpty && d.stage == lastStage) =>
+          fs.delete(s.getPath, true)
+        case Some(d) => applyStage(spark, path, s.getPath.toString, d)
+      }
+    }
+    fs.delete(root, true)
+  }
+
   /** docs: needs (doc_id, text). ONE tokenizing corpus scan (the pinned
     * postings feed both the bucket write and the token-count fold; the
     * doc counters are a narrow no-tokenize aggregate). */
@@ -103,7 +224,7 @@ object InvertedIndex {
     try {
       postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
       val (n, nt, tot) = statsOf(docs, postings)
-      writeStats(docs.sparkSession, path, n, nt, tot, nBuckets, -1L)
+      writeStats(docs.sparkSession, path, n, nt, tot, nBuckets, -1L, "")
     } finally postings.unpersist()
   }
 
@@ -117,27 +238,39 @@ object InvertedIndex {
     * (Spark re-runs a failed batch on restart — that is its delivery
     * contract): pass the foreachBatch batch id and a replayed batch is
     * skipped against the persisted high-watermark. Batch ids must be
-    * monotonic, as foreachBatch's are. The postings append and the stats
-    * rewrite are two commits; a crash BETWEEN them loses only the stats
-    * of the in-flight batch, and because the watermark rides in _stats
-    * the same batch replays whole on restart — the orphaned postings
-    * from the half-applied attempt are the one divergence (single-writer
-    * maintenance, same contract as AtomicSwap). */
+    * monotonic, as foreachBatch's are.
+    *
+    * CRASH-IDEMPOTENT via staging: the batch's postings land in
+    * `_staging/<id>` (invisible to readers — Spark skips
+    * underscore-prefixed dirs) together with a `_delta` sentinel
+    * carrying the stats delta, and only then move file-by-file into the
+    * live buckets before the `_stats` rewrite. A crash at ANY point
+    * replays safely: before the sentinel the stage is discarded whole;
+    * after it, [[recoverStaged]] finishes the apply from the sentinel —
+    * moved files have already left staging, so nothing lands twice, and
+    * the stage id recorded in `_stats` makes the stats fold
+    * exactly-once. (Single-writer maintenance, AtomicSwap's contract.) */
   def append(docs: DataFrame, path: String, batchId: Long = -1L): Unit = {
     val spark = docs.sparkSession
-    val st = readStats(spark, path)
+    readStats(spark, path) // completes interrupted swaps first
+    recoverStaged(spark, path)
+    val st = readStats(spark, path) // recovery may have advanced the stats
     val watermark = lastBatchOf(st)
     if (batchId >= 0 && batchId <= watermark) return // replayed batch
     val nBuckets = st.getAs[Int]("n_buckets")
+    val stage =
+      if (batchId >= 0) s"b$batchId"
+      else "adhoc-" + java.util.UUID.randomUUID().toString.take(8)
+    val stageDir = s"${stagingRoot(path)}/$stage"
     val postings = graft.operators.Materialize.pin(
       postingsOf(docs, nBuckets))
     try {
-      postings.write.mode("append").partitionBy("bucket").parquet(path)
+      postings.write.mode("overwrite").partitionBy("bucket").parquet(stageDir)
       val (n, nt, tot) = statsOf(docs, postings)
-      writeStats(spark, path, st.getAs[Double]("n_docs") + n,
-        st.getAs[Double]("n_tok_docs") + nt,
-        st.getAs[Double]("total_tokens") + tot, nBuckets,
-        math.max(batchId, watermark))
+      val d = StageDelta(stage, batchId, n, nt, tot)
+      writeDelta(spark, stageDir, d)
+      failpoint("staged")
+      applyStage(spark, path, stageDir, d)
     } finally postings.unpersist()
   }
 
@@ -156,8 +289,12 @@ object InvertedIndex {
       }
       n
     }
-    // recovery first: dataFiles() itself lists the live path
+    // recovery first: dataFiles() itself lists the live path, and a
+    // crashed append's staged batch must be applied (or discarded)
+    // before the rewrite snapshots the live postings — compacting OVER
+    // a half-moved stage would otherwise strand its unmoved files
     val nBuckets = readStats(spark, path).getAs[Int]("n_buckets")
+    recoverStaged(spark, path)
     val before = dataFiles()
     graft.sources.AtomicSwap.rewrite(fs, path) { tmp =>
       spark.read.parquet(path).repartition(nBuckets, col("bucket"))

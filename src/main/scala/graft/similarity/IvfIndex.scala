@@ -121,6 +121,10 @@ object IvfIndex {
   def buildPq(emb: DataFrame, path: String, nCells: Int,
       m: Int = 16, ksub: Int = 256, sampleN: Int = 2048,
       pqIters: Int = 5, kmeansIters: Int = 0): Unit = {
+    // codes are stored as single bytes and PqAdcDot indexes its LUT with
+    // `code & 0xFF`: ksub past 256 would silently wrap every encoding
+    require(ksub >= 1 && ksub <= 256,
+      s"IVF-PQ stores byte codes: ksub must be in [1, 256], got $ksub")
     val spark = emb.sparkSession
     val n0 = emb.select(col("vec_id"),
       normalized(col("embedding").cast("array<double>")).as("nemb"))

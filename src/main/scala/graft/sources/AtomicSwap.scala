@@ -14,12 +14,30 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * failures by returning false, not throwing); a failed promotion
   * restores the original before aborting.
   *
-  * Concurrency contract: rewrite is a single-writer maintenance
+  * Reader-vs-writer: the live path legitimately vanishes only inside
+  * the writer's two-rename window, which the writer brackets with a
+  * `path_swapping` liveness marker. [[recover]] treats a FRESH marker
+  * as "a live writer is mid-swap" and waits it out instead of renaming
+  * `_precompact` back over the live name — which would silently roll
+  * the compaction back and fail the writer's promotion. Only a STALE
+  * marker (the writer crashed inside the window) falls through to
+  * actual recovery.
+  *
+  * Concurrency contract: rewrite is a single-WRITER maintenance
   * operation — callers must not append to `path` while it runs (a
   * filesystem layout has no lock to offer; writes landing between the
   * snapshot read and the swap would be lost with the superseded copy).
+  * Concurrent READERS are safe: they go through [[recover]].
   */
 object AtomicSwap {
+
+  /** How long [[recover]] believes a `_swapping` marker means a LIVE
+    * writer before treating it as a crash leftover. The gated window is
+    * two renames (milliseconds on any real FileSystem); the grace only
+    * delays readers once after a genuine writer crash. Test-tunable. */
+  @volatile private[sources] var livenessGraceMs: Long = 10000L
+
+  private def lockOf(path: String) = new Path(path + "_swapping")
 
   /** Recover an interrupted swap at `path`, if any: restore the original
     * if it was moved aside (preferred — it is always complete), else
@@ -28,17 +46,29 @@ object AtomicSwap {
     * living only inside [[rewrite]] would be unreachable exactly when
     * it is needed (every entry point reads the path before it ever
     * rewrites it, so a mid-swap crash would wedge the dataset until the
-    * next rewrite that never comes). No-op when the path is live. */
+    * next rewrite that never comes). No-op when the path is live; waits
+    * out a FRESH liveness marker (live writer mid-swap) rather than
+    * racing it. */
   def recover(fs: FileSystem, path: String): Unit = {
     val live = new Path(path)
     val tmp = new Path(path + "_compacting")
     val old = new Path(path + "_precompact")
-    if (!fs.exists(live)) {
-      if (fs.exists(old))
-        require(fs.rename(old, live), s"swap recovery: cannot restore $old")
-      else if (fs.exists(tmp))
-        require(fs.rename(tmp, live), s"swap recovery: cannot promote $tmp")
-      else throw new java.io.FileNotFoundException(path)
+    val lock = lockOf(path)
+    while (!fs.exists(live)) {
+      val writerAlive = try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime <= livenessGraceMs
+      } catch { case _: java.io.FileNotFoundException => false }
+      if (writerAlive) Thread.sleep(25) // about to finish its swap
+      else {
+        if (fs.exists(old))
+          require(fs.rename(old, live), s"swap recovery: cannot restore $old")
+        else if (fs.exists(tmp))
+          require(fs.rename(tmp, live), s"swap recovery: cannot promote $tmp")
+        else throw new java.io.FileNotFoundException(path)
+        fs.delete(lock, false)
+        return
+      }
     }
   }
 
@@ -49,19 +79,25 @@ object AtomicSwap {
     val live = new Path(path)
     val tmp = new Path(path + "_compacting")
     val old = new Path(path + "_precompact")
+    val lock = lockOf(path)
     recover(fs, path)
     fs.delete(tmp, true); fs.delete(old, true)
     write(tmp.toString)
-    require(fs.rename(live, old), s"swap: cannot move $path aside")
-    if (!fs.rename(tmp, live)) {
-      // promotion failed (dest recreated, object-store quirk, ...):
-      // put the original back so the live path never stays empty
-      require(fs.rename(old, live), s"swap: promotion AND restore failed " +
-        s"for $path — data is at $old")
-      throw new java.io.IOException(
-        s"swap: cannot promote $tmp over $path; original restored")
-    }
-    fs.delete(old, true)
+    // liveness marker brackets the swap window: while it is fresh,
+    // concurrent readers' recover() waits instead of rolling us back
+    fs.create(lock, true).close()
+    try {
+      require(fs.rename(live, old), s"swap: cannot move $path aside")
+      if (!fs.rename(tmp, live)) {
+        // promotion failed (dest recreated, object-store quirk, ...):
+        // put the original back so the live path never stays empty
+        require(fs.rename(old, live), s"swap: promotion AND restore failed " +
+          s"for $path — data is at $old")
+        throw new java.io.IOException(
+          s"swap: cannot promote $tmp over $path; original restored")
+      }
+      fs.delete(old, true)
+    } finally fs.delete(lock, false)
     ()
   }
 }

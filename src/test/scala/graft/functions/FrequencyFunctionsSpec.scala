@@ -121,6 +121,30 @@ class FrequencyFunctionsSpec extends SparkSpec {
     assert(got.toSeq === exact.toSeq)
   }
 
+  test("adversarial capacity: when the k-th count cannot clear the MG " +
+    "bound, q78 falls back to the exact group-by instead of lying") {
+    val dir = sf("sf0.001")
+    def exactTop(k: Int) = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }.toSeq
+    // capacity=2 over the ~31-token near-uniform fixture vocabulary: the
+    // sketch's two survivors are arrival-order artifacts, NOT the true
+    // top-2 (the 2nd-ranked count sits far below n/3). The runtime
+    // validation must detect the miss and answer from the exact plan.
+    val tight = graft.queries.TextQueries
+      .q78HeavyHitters(spark, dir, k = 2, capacity = 2)
+      .collect().map { case Row(rk: Long, w: String, c: Long) => (rk, w, c) }
+    assert(tight.toSeq === exactTop(2))
+    // fewer survivors than k (capacity < k): same fallback, same answer
+    val few = graft.queries.TextQueries
+      .q78HeavyHitters(spark, dir, k = 20, capacity = 4)
+      .collect().map { case Row(rk: Long, w: String, c: Long) => (rk, w, c) }
+    assert(few.toSeq === exactTop(20))
+  }
+
   test("q78's guarantee precondition holds on the fixture: the k-th " +
     "frequency clears the MG survival threshold") {
     val dir = sf("sf0.001")

@@ -333,9 +333,12 @@ class PlanQualitySpec extends SparkSpec {
   test("q78 heavy hitters: sketch aggregate is two-phase (partial " +
     "summaries cross the wire, not tokens)") {
     import graft.queries.{TextQueries => T}
-    val df = T.q78HeavyHitters(spark, dir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // q78 executes eagerly (its runtime exactness validation needs the
+    // survivor counts on the driver), so the plan audit targets the two
+    // distributed stages it runs
+    val sk = T.q78Sketch(spark, dir, capacity = 256)
+    val skRow = sk.head
+    val p = sk.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     // TypedImperativeAggregate plans as ObjectHashAggregate; two
     // occurrences = partial (per partition) + final (after exchange)
@@ -343,6 +346,12 @@ class PlanQualitySpec extends SparkSpec {
       .count(_.contains("ObjectHashAggregate"))
     assert(objAgg >= 2, s"MG sketch not two-phase:\n$p")
     // the survivor re-count joins broadcast (survivors <= capacity)
-    assert(p.contains("BroadcastHashJoin"), s"re-count not broadcast:\n$p")
+    val cand = skRow.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getAs[String]("w")).toSeq
+    val rc = T.q78Recount(spark, dir, cand, k = 20)
+    rc.collect()
+    val rp = rc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(rp.contains("BroadcastHashJoin"), s"re-count not broadcast:\n$rp")
   }
 }

@@ -67,6 +67,36 @@ class PqTwinSpec extends SparkSpec {
     }
   }
 
+  test("buildPq rejects ksub > 256: byte codes would silently wrap") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+      .filter(col("vec_id") < 32)
+    val p = java.nio.file.Files.createTempDirectory("pq_ksub").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.similarity.IvfIndex.buildPq(emb, p, nCells = 4, ksub = 512)
+    }
+    assert(e.getMessage.contains("256"))
+  }
+
+  test("pqEncodeKernel fails on a dimension mismatch instead of " +
+    "zero-padding the residual") {
+    val m = 8; val ksub = 4; val dsub = 8
+    val cb = SimilarityQueries.pinnedPqCodebook(m, ksub, dsub)
+    val short = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.fill(40)(0.1)) // codebook expects 64
+    val cent = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.fill(64)(0.0))
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.pqEncodeKernel(short, cent, cb, m, ksub, dsub)
+    }
+    assert(e.getMessage.contains("zero-pad"))
+    // the matching-dims path still encodes
+    val full = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.tabulate(64)(i => math.sin(i + 1.0)))
+    assert(VectorFunctions.pqEncodeKernel(full, cent, cb, m, ksub, dsub)
+      .length === m)
+  }
+
   test("q87 recall is a fraction of fifths in [0, 1]") {
     val r = SimilarityQueries.q87PqAdcRecall(spark, sf("sf0.001"))
       .head().getDouble(0)

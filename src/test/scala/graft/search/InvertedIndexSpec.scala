@@ -116,6 +116,104 @@ class InvertedIndexSpec extends SparkSpec {
     assert(once._1.getLong(2) === 0L)
   }
 
+  // --- staged-append crash idempotency -------------------------------
+  // The protocol's invariant: replaying a batch after a crash at ANY
+  // point yields byte-identical stats and probe rows to a clean append.
+  // A unit test cannot kill the JVM, so the failpoint hook throws at the
+  // exact protocol steps a crash would interrupt.
+
+  private def crashState(p: String) = (
+    spark.read.parquet(s"$p/_stats")
+      .select("n_docs", "n_tok_docs", "total_tokens", "last_batch").head,
+    InvertedIndex.search(spark, p, Seq("join", "hash", "window"))
+      .collect().map(_.toSeq).toSeq)
+
+  private def withCrashAt[T](point: String)(f: => T): Unit = {
+    InvertedIndex.failpoint =
+      name => if (name == point) throw new RuntimeException(s"crash@$point")
+    try intercept[RuntimeException](f)
+    finally InvertedIndex.failpoint = _ => ()
+  }
+
+  test("a crash between the postings move and the stats rewrite " +
+    "replays without duplicating postings") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+
+    val clean = java.nio.file.Files.createTempDirectory("graft_inv_c").toString
+    InvertedIndex.build(base, clean, nBuckets = 32)
+    InvertedIndex.append(batch, clean, batchId = 0L)
+    val expected = crashState(clean)
+
+    for (point <- Seq("staged", "moved")) {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_inv_$point")
+        .toString
+      InvertedIndex.build(base, p, nBuckets = 32)
+      withCrashAt(point)(InvertedIndex.append(batch, p, batchId = 0L))
+      // the crashed attempt left a staging dir; the live stats must not
+      // have been advanced past the watermark
+      assert(spark.read.parquet(s"$p/_stats").head
+        .getAs[Long]("last_batch") === -1L, s"stats leaked at $point")
+      // foreachBatch's contract: the failed batch is re-run with the
+      // same id — the replay must complete the batch exactly once
+      InvertedIndex.append(batch, p, batchId = 0L)
+      assert(crashState(p) === expected, s"crash at $point diverged")
+      // and a SECOND replay of the now-applied id is a no-op
+      InvertedIndex.append(batch, p, batchId = 0L)
+      assert(crashState(p) === expected, s"re-replay after $point diverged")
+    }
+  }
+
+  test("a crash after the stats rewrite but before staging cleanup " +
+    "does not double-count the batch on the next append") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 200)
+    val b0 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    val b1 = docs.filter(col("doc_id") >= 350)
+
+    val clean = java.nio.file.Files.createTempDirectory("graft_inv_c2").toString
+    InvertedIndex.build(base, clean, nBuckets = 32)
+    InvertedIndex.append(b0, clean, batchId = 0L)
+    InvertedIndex.append(b1, clean, batchId = 1L)
+    val expected = crashState(clean)
+
+    val p = java.nio.file.Files.createTempDirectory("graft_inv_c3").toString
+    InvertedIndex.build(base, p, nBuckets = 32)
+    withCrashAt("stats")(InvertedIndex.append(b0, p, batchId = 0L))
+    // batch 0 IS applied (stats wrote before the crash); only the
+    // staging dir lingers — the next append must discard it, not
+    // re-apply its delta
+    InvertedIndex.append(b1, p, batchId = 1L)
+    assert(crashState(p) === expected)
+  }
+
+  test("ad-hoc (batchId-less) appends recover exactly once too") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+
+    val clean = java.nio.file.Files.createTempDirectory("graft_inv_a0").toString
+    InvertedIndex.build(base, clean, nBuckets = 32)
+    InvertedIndex.append(batch, clean)
+    val expected = crashState(clean)
+
+    val p = java.nio.file.Files.createTempDirectory("graft_inv_a1").toString
+    InvertedIndex.build(base, p, nBuckets = 32)
+    withCrashAt("moved")(InvertedIndex.append(batch, p))
+    // no batch id to replay against: the next WRITER operation (here a
+    // compact) completes the stage from its sentinel instead
+    InvertedIndex.compact(spark, p)
+    assert(crashState(p)._1 === expected._1)
+    assert(crashState(p)._2 === expected._2)
+  }
+
   test("different term sets hit different bucket subsets") {
     val dir = sf("sf0.001")
     val docs = graft.Tables.load(spark, dir, "documents")

@@ -61,4 +61,55 @@ class AtomicSwapSpec extends SparkSpec {
     val p = java.nio.file.Files.createTempDirectory("swap_m").toString + "/d"
     intercept[java.io.FileNotFoundException] { rewriteDouble(p) }
   }
+
+  test("a reader inside a LIVE compaction's swap window waits for the " +
+    "writer instead of rolling the compaction back") {
+    val p = java.nio.file.Files.createTempDirectory("swap_race").toString + "/d"
+    val live = new org.apache.hadoop.fs.Path(p)
+    val old = new org.apache.hadoop.fs.Path(p + "_precompact")
+    val tmp = new org.apache.hadoop.fs.Path(p + "_compacting")
+    val lock = new org.apache.hadoop.fs.Path(p + "_swapping")
+    // freeze the exact mid-swap instant: original moved aside, the
+    // replacement still at the tmp name, liveness marker FRESH
+    mkData(p, 10)
+    mkData(p + "_compacting", 7)
+    fs.create(lock, true).close()
+    assert(fs.rename(live, old))
+    // the "writer" finishes its swap 200 ms later, on another thread
+    val writer = new Thread(() => {
+      Thread.sleep(200)
+      assert(fs.rename(tmp, live))
+      fs.delete(old, true)
+      fs.delete(lock, false)
+    })
+    writer.start()
+    // the reader arrives inside the window: recover() must NOT rename
+    // _precompact back over the live name (that would roll back the
+    // compaction and fail the writer's promotion) — it waits
+    AtomicSwap.recover(fs, p)
+    writer.join()
+    assert(rows(p) === 7, "reader rolled back the live compaction")
+    assert(!fs.exists(old) && !fs.exists(tmp) && !fs.exists(lock))
+  }
+
+  test("a STALE liveness marker (crashed writer) does not wedge readers: " +
+    "recovery restores the original and clears the marker") {
+    val p = java.nio.file.Files.createTempDirectory("swap_stale").toString + "/d"
+    val live = new org.apache.hadoop.fs.Path(p)
+    val old = new org.apache.hadoop.fs.Path(p + "_precompact")
+    val lock = new org.apache.hadoop.fs.Path(p + "_swapping")
+    mkData(p, 10)
+    mkData(p + "_compacting", 99)
+    fs.create(lock, true).close()
+    assert(fs.rename(live, old))
+    // age the marker past the grace window instead of sleeping 10 s
+    val prev = AtomicSwap.livenessGraceMs
+    AtomicSwap.livenessGraceMs = 50L
+    try {
+      Thread.sleep(120)
+      AtomicSwap.recover(fs, p)
+    } finally AtomicSwap.livenessGraceMs = prev
+    assert(rows(p) === 10, "original not restored after writer crash")
+    assert(!fs.exists(lock), "stale marker not cleared")
+  }
 }
