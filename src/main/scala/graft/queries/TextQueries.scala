@@ -975,6 +975,59 @@ object TextQueries {
       .orderBy("rank")
   }
 
+  /** Conjunctive (AND) BM25 ranker — q88's scan path and
+    * `graft.search.InvertedIndex.searchConjunctive` both rank through
+    * this single definition (the [[bm25Rank]] sharing pattern). Only
+    * documents matching ALL `nTerms` distinct query terms survive into
+    * scoring; df is therefore the per-term document frequency within
+    * the conjunctive candidate set — self-consistent and
+    * oracle-replayable. The membership check is one window over the
+    * (already query-term-pruned) postings slice: no second corpus scan,
+    * no join. */
+  private[graft] def bm25AndRank(postings: DataFrame, nTerms: Int,
+      nDocs: Double, avgdl: Double, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val conj = postings
+      .withColumn("_nw", size(collect_set(col("w")).over(w)))
+      .filter(col("_nw") === nTerms)
+      .drop("_nw")
+    bm25Rank(conj, nDocs, avgdl, k)
+  }
+
+  /** Phrase BM25 ranker — q89's index probe and the scan twin rank
+    * through this single definition. `postings` must carry the sorted
+    * position list per (doc, term) (the format-v2 positional layout);
+    * the phrase's in-order adjacent occurrence count becomes the tf of
+    * ONE virtual term (w = the phrase string), which then scores
+    * through the unchanged [[bm25Rank]] — df is the number of documents
+    * containing the phrase at least once. The adjacency fold runs
+    * entirely inside the query-term-pruned slice: per doc it is
+    * |positions(t0)| membership probes per extra term, never a token
+    * re-scan. */
+  private[graft] def bm25PhraseRank(postings: DataFrame,
+      terms: Seq[String], nDocs: Double, avgdl: Double,
+      k: Int): DataFrame = {
+    val n = terms.size
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      first(when(col("w") === t, col("pos")), ignoreNulls = true)
+        .as(s"_p$i")
+    }
+    val byDoc = postings.filter(col("w").isin(terms.distinct: _*))
+      .groupBy("doc_id", "dl")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .filter(terms.indices.map(i => col(s"_p$i").isNotNull)
+        .reduce(_ && _))
+    val matches = (1 until n).foldLeft(col("_p0")) { (acc, i) =>
+      filter(acc, p => array_contains(col(s"_p$i"), p + i))
+    }
+    val virtual = byDoc
+      .select(col("doc_id"), col("dl"),
+        lit(terms.mkString(" ")).as("w"),
+        size(matches).cast("double").as("tf"))
+      .filter(col("tf") > 0)
+    bm25Rank(virtual, nDocs, avgdl, k)
+  }
+
   /** Q78 — top-k most frequent tokens via Misra-Gries candidate pruning:
     * the sketch pass folds every partition into a capacity-bounded
     * counter map ([[graft.functions.FrequencyFunctions]]) so only
@@ -1105,6 +1158,76 @@ object TextQueries {
       true
     })
     graft.search.InvertedIndex.search(s, path, qTerms, k)
+  }
+
+  /** The per-JVM shared index q82/q89 probe (built once per dir). */
+  private def sharedIndex(s: SparkSession, dir: String): String = {
+    val path = "/root/repo/target/tmp/inv_index_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    invBuilt.computeIfAbsent(path, _ => {
+      graft.search.InvertedIndex.build(docs(s, dir), path)
+      true
+    })
+    path
+  }
+
+  /** Q88 — conjunctive (AND) BM25: q77's corpus, constants and ranking,
+    * restricted to documents containing EVERY query term — the
+    * retrieval semantics users actually type (all words must appear),
+    * where q77/q82 score any-term bag matches. Ranks through
+    * [[bm25AndRank]], the definition the index probe
+    * (`InvertedIndex.searchConjunctive`) also uses — spec-pinned
+    * row-identical. Scale posture is q77's: the corpus scan projects
+    * and filters to query-term postings before any shuffle; the AND
+    * membership check is one window over that slice. */
+  def q88Bm25And(s: SparkSession, dir: String, k: Int = 20,
+      qTerms: Seq[String] = Seq("join", "hash", "window")): DataFrame = {
+    val d = docs(s, dir)
+    val stats = d
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(size(tokens(col("text")))).as("avgdl"))
+      .head
+    val tf = d
+      .select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"),
+        explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isin(qTerms.distinct: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
+    bm25AndRank(tf, qTerms.distinct.size, stats.getDouble(0),
+      stats.getDouble(1), k)
+  }
+
+  /** Q89 — phrase BM25 over the PERSISTED positional index: the exact
+    * in-order adjacent occurrences of the phrase become one virtual
+    * term's tf, scored with q77's constants ([[bm25PhraseRank]]). The
+    * probe is the same |terms|/nBuckets pruned read as q82 — positions
+    * ride inside the pruned postings, so adjacency never re-touches the
+    * corpus (the reason the v2 index stores them). The scan twin
+    * [[q89ScanTwin]] computes the identical rows from raw documents —
+    * spec-pinned, and the DuckDB oracle replays the scan formulation. */
+  def q89Bm25Phrase(s: SparkSession, dir: String, k: Int = 20,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame =
+    graft.search.InvertedIndex.searchPhrase(s, sharedIndex(s, dir),
+      phrase, k)
+
+  /** q89's scan-path twin (no index): positional postings built inline
+    * from the corpus, same [[bm25PhraseRank]]. */
+  private[graft] def q89ScanTwin(s: SparkSession, dir: String,
+      k: Int = 20,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame = {
+    val d = docs(s, dir)
+    val stats = d
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(size(tokens(col("text")))).as("avgdl"))
+      .head
+    val postings = d
+      .select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+      .groupBy("doc_id", "dl", "w")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("pos"))
+    bm25PhraseRank(postings, phrase, stats.getDouble(0),
+      stats.getDouble(1), k)
   }
 
   /** Q83 — split-leakage audit: near-duplicate pairs (q48's simhash

@@ -29,13 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
+  /** Current index layout version. v2 postings carry the term's sorted
+    * position list (the classic positional-postings layout) so phrase
+    * queries can check adjacency inside the pruned slice; v1 indexes
+    * (no `pos` column) keep working for bag-of-words probes and
+    * appends, and [[searchPhrase]] refuses them loudly. */
+  val FormatVersion: Int = 2
+
   private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
     docs
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("double").as("dl"),
-        explode(tokens(col("text"))).as("w"))
+        posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .groupBy("doc_id", "dl", "w")
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("pos"))
       .withColumn("bucket", pmod(xxhash64(col("w")), lit(nBuckets.toLong)))
 
   /** Corpus stats kept ADDITIVE — every field merges by plain addition
@@ -65,12 +73,14 @@ object InvertedIndex {
     * can tell a crash-after-stats leftover from an unapplied batch. */
   private def writeStats(spark: SparkSession, path: String,
       nDocs: Double, nTokDocs: Double, totalTokens: Double, nBuckets: Int,
-      lastBatch: Long, lastStage: String): Unit = {
+      lastBatch: Long, lastStage: String,
+      format: Int = FormatVersion): Unit = {
     import spark.implicits._
     def out(dir: String): Unit =
-      Seq((nDocs, nTokDocs, totalTokens, nBuckets, lastBatch, lastStage))
+      Seq((nDocs, nTokDocs, totalTokens, nBuckets, lastBatch, lastStage,
+          format))
         .toDF("n_docs", "n_tok_docs", "total_tokens", "n_buckets",
-          "last_batch", "last_stage")
+          "last_batch", "last_stage", "format")
         .coalesce(1).write.mode("overwrite").parquet(dir)
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/_stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -101,6 +111,10 @@ object InvertedIndex {
     if (st.schema.fieldNames.contains("last_stage"))
       st.getAs[String]("last_stage")
     else ""
+
+  private def formatOf(st: org.apache.spark.sql.Row): Int =
+    if (st.schema.fieldNames.contains("format")) st.getAs[Int]("format")
+    else 1 // pre-positions index
 
   /** Test-only failpoint: specs simulate a writer crash at a named
     * protocol step (a unit test cannot kill the JVM mid-append).
@@ -177,7 +191,7 @@ object InvertedIndex {
       st.getAs[Double]("n_tok_docs") + d.nt,
       st.getAs[Double]("total_tokens") + d.tot,
       st.getAs[Int]("n_buckets"),
-      math.max(d.batchId, lastBatchOf(st)), d.stage)
+      math.max(d.batchId, lastBatchOf(st)), d.stage, formatOf(st))
     failpoint("stats")
     fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
   }
@@ -262,8 +276,11 @@ object InvertedIndex {
       if (batchId >= 0) s"b$batchId"
       else "adhoc-" + java.util.UUID.randomUUID().toString.take(8)
     val stageDir = s"${stagingRoot(path)}/$stage"
+    // match the RESIDENT layout: appending positional postings into a
+    // v1 index would fork the file schema mid-directory
+    val raw = postingsOf(docs, nBuckets)
     val postings = graft.operators.Materialize.pin(
-      postingsOf(docs, nBuckets))
+      if (formatOf(st) >= 2) raw else raw.drop("pos"))
     try {
       postings.write.mode("overwrite").partitionBy("bucket").parquet(stageDir)
       val (n, nt, tot) = statsOf(docs, postings)
@@ -305,11 +322,13 @@ object InvertedIndex {
     (before, dataFiles())
   }
 
-  /** BM25 (k1=1.2, b=0.75) top-k over the index for `terms` — scoring
-    * and ranking delegate to [[graft.queries.TextQueries.bm25Rank]], the
-    * single definition q77 also ranks through. */
-  def search(spark: SparkSession, path: String, terms: Seq[String],
-      k: Int = 20): DataFrame = {
+  /** The shared probe prefix: read `_stats`, hash the query terms to
+    * their buckets (via the engine's own xxhash64 — never a
+    * re-implementation that could drift from the build-side hash), and
+    * return the partition-pruned, term-filtered postings slice plus the
+    * corpus scalars every BM25 variant scores with. */
+  private def probe(spark: SparkSession, path: String,
+      terms: Seq[String]): (DataFrame, Double, Double, Int) = {
     val st = readStats(spark, path)
     val nDocs = st.getAs[Double]("n_docs")
     val nTokDocs =
@@ -319,14 +338,52 @@ object InvertedIndex {
     val avgdl = st.getAs[Double]("total_tokens") / nTokDocs
     val nBuckets = st.getAs[Int]("n_buckets")
     import spark.implicits._
-    // bucket ids via the engine's own xxhash64 — never a re-implementation
-    // that could drift from the build-side hash
-    val buckets = terms.toDF("w")
+    val uniq = terms.distinct
+    val buckets = uniq.toDF("w")
       .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).as("b"))
       .collect().map(_.getLong(0)).distinct.toSeq
     val postings = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*)) // partition-pruned listing
-      .filter(col("w").isin(terms: _*)) // pushed into the parquet scan
-    graft.queries.TextQueries.bm25Rank(postings, nDocs, avgdl, k)
+      .filter(col("w").isin(uniq: _*)) // pushed into the parquet scan
+    (postings, nDocs, avgdl, formatOf(st))
+  }
+
+  /** BM25 (k1=1.2, b=0.75) top-k over the index for `terms` — scoring
+    * and ranking delegate to [[graft.queries.TextQueries.bm25Rank]], the
+    * single definition q77 also ranks through. The projection drops the
+    * positional column so a bag-of-words probe never reads the position
+    * pages a v2 index stores. */
+  def search(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    val (postings, nDocs, avgdl, _) = probe(spark, path, terms)
+    graft.queries.TextQueries.bm25Rank(
+      postings.select("doc_id", "dl", "w", "tf"), nDocs, avgdl, k)
+  }
+
+  /** Conjunctive (AND) BM25: only documents containing EVERY query term
+    * are scored — [[graft.queries.TextQueries.bm25AndRank]], the same
+    * definition the scan path (q88) ranks through. Works on any index
+    * format (no positions needed). */
+  def searchConjunctive(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    val (postings, nDocs, avgdl, _) = probe(spark, path, terms)
+    graft.queries.TextQueries.bm25AndRank(
+      postings.select("doc_id", "dl", "w", "tf"),
+      terms.distinct.size, nDocs, avgdl, k)
+  }
+
+  /** Phrase BM25: the exact in-order adjacent occurrence count of
+    * `terms` becomes the virtual term's tf —
+    * [[graft.queries.TextQueries.bm25PhraseRank]], shared with the scan
+    * twin. Requires a positional (format ≥ 2) index. */
+  def searchPhrase(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.size >= 2, s"a phrase needs >= 2 terms, got $terms")
+    val (postings, nDocs, avgdl, fmt) = probe(spark, path, terms)
+    require(fmt >= 2,
+      s"phrase search needs a positional index (format >= 2, found " +
+        s"$fmt): rebuild with InvertedIndex.build")
+    graft.queries.TextQueries.bm25PhraseRank(postings, terms, nDocs,
+      avgdl, k)
   }
 }
