@@ -30,6 +30,21 @@ object Bench {
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000.0
 
+  /** Metric-line key compression: "q50_revenue_bucketed" -> "50rb"
+    * (numeric id + word initials — unique across the inventory, and the
+    * id alone identifies the query). The driver records only the LAST
+    * 2000 chars of stdout; at 91 queries the full-name map no longer
+    * fits even at 1 decimal (r7), so the stdout line uses short keys
+    * while target/bench_last.json keeps full names and full precision.
+    * Applied to BOTH sides of the vs_prev join so rounds recorded under
+    * either style keep comparing. */
+  private def shortKey(name: String): String =
+    if (name.matches("q\\d+(_.*)?")) {
+      val digits = name.drop(1).takeWhile(_.isDigit)
+      val rest = name.drop(1 + digits.length)
+      digits + rest.split("_").filter(_.nonEmpty).map(_.head).mkString
+    } else name
+
   /** Per-query seconds from the newest BENCH_r*.json (the recorded round
     * baseline), tolerating both the raw metric line and the driver's wrapper
     * (metric line inside "tail"). Falls back to target/bench_last.json — the
@@ -184,20 +199,23 @@ object Bench {
     val sfShort = "sf(\\d+(?:\\.\\d+)?)(?:/|$)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse(jstr(sfDir))
     val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+      .map { case (k, v) => jstr(shortKey(k)) + ":" + v }
+      .mkString("{", ",", "}")
     // adaptive degradation, in order: 2-decimal seconds; 1 decimal; 1
     // decimal with the errors map collapsed to a count; and as the
     // guaranteed-bounded terminal form, the totals WITHOUT the per-query
     // map (queries_in_file points at the full record) — the line must
-    // NEVER record parsed:null again, least of all on failure-heavy runs
+    // NEVER record parsed:null again, least of all on failure-heavy runs.
+    // Keys are shortKey-compressed ("50rb"); full names in the file.
     def lineAt(decimals: Int, fullErrors: Boolean): String = {
       val errField =
         if (errors.isEmpty) ""
         else if (fullErrors) s""","errors":$errJson"""
         else s""","errors_n":${errors.values.sum}"""
-      val qs = results.map(r => s"\"" + r._1 + "\":" + short(r._2, decimals))
+      val qs = results
+        .map(r => s"\"" + shortKey(r._1) + "\":" + short(r._2, decimals))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfShort$errField}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"keys":"qid+initials","queries_in_file":"target/bench_last.json","sf":$sfShort$errField}"""
     }
     val terminal =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_in_file":"target/bench_last.json","n_queries":${results.size},"sf":$sfShort${if (errors.isEmpty) "" else s""","errors_n":${errors.values.sum}"""}}"""
@@ -205,8 +223,11 @@ object Bench {
         lineAt(1, fullErrors = false), terminal)
       .find(_.length <= 1950).getOrElse(terminal)
 
+    // prev rounds may be recorded under either key style: join on the
+    // short form, report under the full name
+    val prevN = prev.map { case (k, v) => shortKey(k) -> v }
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
-      prev.get(name).filter(_ > 0).map(p => name -> t / p)
+      prevN.get(shortKey(name)).filter(_ > 0).map(p => name -> t / p)
     })
     val gcByQ = jmap(results.map(r => r._1 -> r._3))
     val allRuns = results.map { case (name, _, _, ts) =>

@@ -1105,6 +1105,68 @@ object OracleSql {
          |FROM (SELECT vec_id FROM (${pqAdcSql(5)}) pq
          |      INTERSECT
          |      SELECT vec_id FROM ($cosineKnn) ex) t""".stripMargin,
+    // conjunctive BM25: q77's scoring restricted to docs containing ALL
+    // three terms; df is per-term WITHIN the conjunctive candidate set
+    // (bm25AndRank's declared semantics — self-consistent and replayable)
+    "q88_bm25_and" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w
+        |         FROM tk),
+        |tf AS (SELECT doc_id, dl, w, COUNT(*)::DOUBLE AS tf FROM base
+        |       WHERE w IN ('join', 'hash', 'window') GROUP BY 1, 2, 3),
+        |conj AS (SELECT * FROM tf WHERE doc_id IN (
+        |          SELECT doc_id FROM tf
+        |          GROUP BY 1 HAVING COUNT(DISTINCT w) = 3)),
+        |dfc AS (SELECT w, COUNT(*)::DOUBLE AS df FROM conj GROUP BY 1),
+        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        |ad AS (SELECT AVG(len(string_split(text, ' ')))::DOUBLE AS avgdl
+        |       FROM documents),
+        |sc AS (SELECT conj.doc_id,
+        |         ln(((SELECT nd FROM n) - dfc.df + 0.5) / (dfc.df + 0.5)
+        |            + 1.0) *
+        |         (conj.tf * 2.2) /
+        |         (conj.tf + 1.2 * (0.25 + 0.75 * conj.dl /
+        |            (SELECT avgdl FROM ad))) AS c
+        |       FROM conj JOIN dfc USING (w)),
+        |agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS s FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, s, ROW_NUMBER() OVER (
+        |        ORDER BY s DESC, doc_id)::BIGINT AS rank
+        |      FROM agg)
+        |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // phrase BM25 ("hash join"): the scan-twin formulation — zipped
+    // unnest gives 0-based token positions (Spark's posexplode), the
+    // self-join counts in-order adjacent occurrences (tf of the one
+    // virtual term), df = docs containing the phrase; scoring constants,
+    // 6-decimal rank key and %.3f display are q77's verbatim
+    "q89_bm25_phrase" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents),
+        |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w,
+        |                unnest(range(len(tk))) AS pos FROM tk),
+        |a AS (SELECT doc_id, dl, pos FROM base WHERE w = 'hash'),
+        |b AS (SELECT doc_id, pos FROM base WHERE w = 'join'),
+        |m AS (SELECT a.doc_id, a.dl, COUNT(*)::DOUBLE AS tf
+        |      FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |      GROUP BY 1, 2),
+        |dfc AS (SELECT COUNT(*)::DOUBLE AS df FROM m),
+        |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        |ad AS (SELECT AVG(len(string_split(text, ' ')))::DOUBLE AS avgdl
+        |       FROM documents),
+        |sc AS (SELECT doc_id,
+        |         ln(((SELECT nd FROM n) - (SELECT df FROM dfc) + 0.5) /
+        |            ((SELECT df FROM dfc) + 0.5) + 1.0) *
+        |         (tf * 2.2) /
+        |         (tf + 1.2 * (0.25 + 0.75 * dl /
+        |            (SELECT avgdl FROM ad))) AS c
+        |       FROM m),
+        |agg AS (SELECT doc_id, ROUND(SUM(c), 6) AS s FROM sc GROUP BY 1),
+        |r AS (SELECT doc_id, s, ROW_NUMBER() OVER (
+        |        ORDER BY s DESC, doc_id)::BIGINT AS rank
+        |      FROM agg)
+        |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // the sketch pass only PRUNES candidates (exactness restored by the
     // re-count), so the oracle is the plain exact top-k
     "q78_heavy_hitters" ->

@@ -108,6 +108,8 @@ object SparkEntry {
     "q85_train_quarantine" -> ((s, d) => T.q85TrainQuarantine(s, d)),
     "q86_pq_adc" -> ((s, d) => S.q86PqAdc(s, d)),
     "q87_pq_recall_pinned" -> ((s, d) => S.q87PqAdcRecall(s, d)),
+    "q88_bm25_and" -> ((s, d) => T.q88Bm25And(s, d)),
+    "q89_bm25_phrase" -> ((s, d) => T.q89Bm25Phrase(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

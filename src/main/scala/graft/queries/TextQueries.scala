@@ -1150,19 +1150,16 @@ object TextQueries {
     * per query; this touches |terms|/nBuckets of an index that is a
     * fraction of corpus size. */
   def q82Bm25Indexed(s: SparkSession, dir: String, k: Int = 20,
-      qTerms: Seq[String] = Seq("join", "hash", "window")): DataFrame = {
-    val path = "/root/repo/target/tmp/inv_index_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
-    invBuilt.computeIfAbsent(path, _ => {
-      graft.search.InvertedIndex.build(docs(s, dir), path)
-      true
-    })
-    graft.search.InvertedIndex.search(s, path, qTerms, k)
-  }
+      qTerms: Seq[String] = Seq("join", "hash", "window")): DataFrame =
+    graft.search.InvertedIndex.search(s, sharedIndex(s, dir), qTerms, k)
 
-  /** The per-JVM shared index q82/q89 probe (built once per dir). */
+  /** The per-JVM shared index q82/q89 probe (built once per dir). The
+    * index root derives from the `graft.index.dir` session conf,
+    * falling back to the JVM temp dir — never a hardcoded repo path. */
   private def sharedIndex(s: SparkSession, dir: String): String = {
-    val path = "/root/repo/target/tmp/inv_index_" +
+    val root = s.conf.get("graft.index.dir",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp")).stripSuffix("/")
+    val path = s"$root/graft_inv_index_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     invBuilt.computeIfAbsent(path, _ => {
       graft.search.InvertedIndex.build(docs(s, dir), path)

@@ -32,8 +32,18 @@ object InvertedIndex {
   /** Current index layout version. v2 postings carry the term's sorted
     * position list (the classic positional-postings layout) so phrase
     * queries can check adjacency inside the pruned slice; v1 indexes
-    * (no `pos` column) keep working for bag-of-words probes and
-    * appends, and [[searchPhrase]] refuses them loudly. */
+    * (no `pos` column) keep working for bag-of-words and conjunctive
+    * probes AND for appends — [[append]] matches the resident format,
+    * dropping `pos` from new batches so the directory's file schema
+    * never forks — and [[searchPhrase]] refuses them loudly.
+    *
+    * v1 → v2 migration is REBUILD-ONLY: positions are not recoverable
+    * from v1 postings (tf alone says nothing about where the term
+    * occurred), so no compact/append path can upgrade in place —
+    * re-run [[build]] over the corpus at the same path (it overwrites
+    * atomically). InvertedIndexSpec pins the whole matrix: v1 probe
+    * parity, mixed-append schema stability, phrase refusal wording and
+    * the rebuild path restoring phrase service. */
   val FormatVersion: Int = 2
 
   private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
@@ -145,13 +155,26 @@ object InvertedIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$stageDir/_delta")
   }
 
+  /** None ONLY when the sentinel was never committed (absent `_delta`,
+    * or a dir holding no committed part-file — a crash mid-sentinel
+    * leaves files under `_temporary` only; they surface at top level
+    * exactly at job commit): that is [[recoverStaged]]'s license to
+    * discard the staging dir. A read failure on a COMMITTED sentinel is
+    * a transient FS/parquet error and PROPAGATES — swallowing it would
+    * make recovery silently delete a fully staged, unapplied batch
+    * (unrecoverable for ad-hoc appends, which have no batch id to
+    * replay). */
   private def readDelta(spark: SparkSession,
-      stageDir: String): Option[StageDelta] =
-    try {
-      val r = spark.read.parquet(s"$stageDir/_delta").head
-      Some(StageDelta(r.getAs[String]("stage"), r.getAs[Long]("batch_id"),
-        r.getAs[Double]("n"), r.getAs[Double]("nt"), r.getAs[Double]("tot")))
-    } catch { case _: Throwable => None }
+      stageDir: String): Option[StageDelta] = {
+    val delta = new org.apache.hadoop.fs.Path(s"$stageDir/_delta")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delta) || !fs.listStatus(delta)
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      return None
+    val r = spark.read.parquet(s"$stageDir/_delta").head
+    Some(StageDelta(r.getAs[String]("stage"), r.getAs[Long]("batch_id"),
+      r.getAs[Double]("n"), r.getAs[Double]("nt"), r.getAs[Double]("tot")))
+  }
 
   /** Move every staged data file into its live bucket directory. Files
     * LEAVE the staging dir as they move (rename, not copy), so a replay

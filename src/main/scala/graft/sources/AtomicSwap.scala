@@ -39,6 +39,11 @@ object AtomicSwap {
 
   private def lockOf(path: String) = new Path(path + "_swapping")
 
+  /** Test-only failpoint: specs inject a concurrent reader at a named
+    * protocol step (a unit test cannot GC-pause the JVM mid-swap).
+    * Production never sets it. */
+  @volatile private[sources] var failpoint: String => Unit = _ => ()
+
   /** Recover an interrupted swap at `path`, if any: restore the original
     * if it was moved aside (preferred — it is always complete), else
     * promote the finished replacement. MUST be called by READERS of a
@@ -54,6 +59,16 @@ object AtomicSwap {
     val tmp = new Path(path + "_compacting")
     val old = new Path(path + "_precompact")
     val lock = lockOf(path)
+    // TWO recovering readers can reach the stale-marker branch together:
+    // whoever renames first wins, and the loser must treat its lost race
+    // as "already recovered" — a blind rename would nest the source
+    // inside the now-restored live dir (Hadoop rename-into-existing-dir
+    // semantics) or fail spuriously. So: re-check live immediately
+    // before every rename, never assert a rename that can legitimately
+    // lose, and LOOP — the next iteration observes the winner's result.
+    // The attempt cap turns a persistent FS fault (nothing racing,
+    // rename still failing) back into a loud error instead of a hang.
+    var attempts = 0
     while (!fs.exists(live)) {
       val writerAlive = try {
         System.currentTimeMillis() -
@@ -61,13 +76,19 @@ object AtomicSwap {
       } catch { case _: java.io.FileNotFoundException => false }
       if (writerAlive) Thread.sleep(25) // about to finish its swap
       else {
-        if (fs.exists(old))
-          require(fs.rename(old, live), s"swap recovery: cannot restore $old")
-        else if (fs.exists(tmp))
-          require(fs.rename(tmp, live), s"swap recovery: cannot promote $tmp")
-        else throw new java.io.FileNotFoundException(path)
-        fs.delete(lock, false)
-        return
+        attempts += 1
+        if (attempts > 20)
+          throw new java.io.IOException(
+            s"swap recovery: $path still missing after $attempts attempts")
+        val recovered =
+          if (fs.exists(old)) !fs.exists(live) && fs.rename(old, live)
+          else if (fs.exists(tmp)) !fs.exists(live) && fs.rename(tmp, live)
+          else if (fs.exists(live)) true // a racing recoverer just won
+          else throw new java.io.FileNotFoundException(path)
+        if (recovered) {
+          fs.delete(lock, false)
+          return
+        } // else: lost the race or transient failure — loop re-checks
       }
     }
   }
@@ -88,7 +109,24 @@ object AtomicSwap {
     fs.create(lock, true).close()
     try {
       require(fs.rename(live, old), s"swap: cannot move $path aside")
-      if (!fs.rename(tmp, live)) {
+      failpoint("aside")
+      // re-check live IMMEDIATELY before promoting: if a reader's
+      // stale-marker recovery restored the original while this writer
+      // was paused, renaming onto the existing dir would NEST the
+      // replacement inside it (Hadoop's rename-into-existing-dir
+      // fallback), silently corrupting the dataset instead of failing
+      if (fs.exists(live) || !fs.rename(tmp, live)) {
+        if (fs.exists(live)) {
+          // a reader's stale-marker recovery rolled us back mid-window
+          // (this writer paused past the liveness grace — GC, swap-out):
+          // the ORIGINAL is live again and our replacement still sits at
+          // tmp. Data is safe; report the rollback, not a bogus
+          // "restore failed".
+          throw new java.io.IOException(
+            s"swap: rolled back by concurrent recovery at $path " +
+              s"(writer exceeded the liveness grace); replacement left " +
+              s"at $tmp — retry the rewrite")
+        }
         // promotion failed (dest recreated, object-store quirk, ...):
         // put the original back so the live path never stays empty
         require(fs.rename(old, live), s"swap: promotion AND restore failed " +

@@ -92,6 +92,65 @@ class AtomicSwapSpec extends SparkSpec {
     assert(!fs.exists(old) && !fs.exists(tmp) && !fs.exists(lock))
   }
 
+  test("TWO readers recovering the same stale crash do not destroy data: " +
+    "the loser treats its lost race as already-recovered") {
+    val p = java.nio.file.Files.createTempDirectory("swap_race2").toString + "/d"
+    val live = new org.apache.hadoop.fs.Path(p)
+    val old = new org.apache.hadoop.fs.Path(p + "_precompact")
+    val lock = new org.apache.hadoop.fs.Path(p + "_swapping")
+    val prev = AtomicSwap.livenessGraceMs
+    AtomicSwap.livenessGraceMs = 0L
+    try {
+      for (round <- 1 to 5) { // the race is timing-dependent: hammer it
+        mkData(p, 10)
+        mkData(p + "_compacting", 99)
+        fs.create(lock, true).close()
+        assert(fs.rename(live, old))
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val readers = (1 to 2).map(_ => new Thread(() =>
+          try AtomicSwap.recover(fs, p)
+          catch { case t: Throwable => errs.add(t) }))
+        readers.foreach(_.start()); readers.foreach(_.join())
+        assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+        // the original is live, once, not nested inside itself
+        assert(rows(p) === 10, s"round $round: data lost")
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(live, "d")) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(live, "d_precompact")),
+          s"round $round: loser's rename nested a copy inside the live dir")
+        fs.delete(live, true)
+        fs.delete(new org.apache.hadoop.fs.Path(p + "_compacting"), true)
+        fs.delete(lock, false)
+      }
+    } finally AtomicSwap.livenessGraceMs = prev
+  }
+
+  test("a writer rolled back mid-swap by stale-marker recovery reports " +
+    "the rollback (data stays live) instead of a bogus restore failure") {
+    val p = java.nio.file.Files.createTempDirectory("swap_rb").toString + "/d"
+    mkData(p, 10)
+    // simulate the writer GC-pausing past the liveness grace right after
+    // it moved the live data aside: a reader then treats the marker as
+    // stale and recovers (rolling the swap back) before the writer wakes
+    val prev = AtomicSwap.livenessGraceMs
+    AtomicSwap.livenessGraceMs = 0L
+    AtomicSwap.failpoint = step =>
+      if (step == "aside") AtomicSwap.recover(fs, p)
+    val e = try intercept[java.io.IOException](rewriteDouble(p))
+    finally {
+      AtomicSwap.failpoint = _ => ()
+      AtomicSwap.livenessGraceMs = prev
+    }
+    // the woken writer's promotion failed: it must say "rolled back",
+    // not "promotion AND restore failed", and leave the live data alone
+    assert(e.getMessage.contains("rolled back"), e.getMessage)
+    assert(rows(p) === 10, "rollback lost the original data")
+    assert(spark.read.parquet(p).collect().map(_.getInt(0)).sum === 55,
+      "live data is not the original")
+    // and the writer's retry (the error message's advice) succeeds
+    rewriteDouble(p)
+    assert(spark.read.parquet(p).collect().map(_.getInt(0)).sum === 110)
+  }
+
   test("a STALE liveness marker (crashed writer) does not wedge readers: " +
     "recovery restores the original and clears the marker") {
     val p = java.nio.file.Files.createTempDirectory("swap_stale").toString + "/d"
