@@ -20,6 +20,23 @@ object OracleSql {
   private def ddbHash(expr: String): String =
     s"('0x'||substr(md5($expr),1,15))::BIGINT"
 
+  /** q3's oracle, bound to BOTH q3 and the QueryBuilder replay q90. */
+  private val filterComboSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE (c_acctbal >= 1000 OR c_mktsegment = 'BUILDING')
+      |  AND c_name LIKE '%5%'
+      |ORDER BY c_custkey LIMIT 50 OFFSET 10""".stripMargin
+
+  /** q40's oracle, bound to BOTH q40 and the QueryBuilder replay q91. */
+  private val nestedSql: String =
+    """SELECT c.c_custkey,
+      |       to_json(list_sort(list({'k': o.o_orderkey,
+      |                'p': printf('%.2f', ROUND(o.o_totalprice, 2))})))
+      |         AS orders
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |WHERE c.c_custkey <= 50
+      |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin
+
   /** One BM25 oracle, bound to BOTH q77 (scan path) and q82 (indexed
     * path): the two queries are row-identical by construction, and a
     * single SQL string makes the shared-oracle intent literal.  */
@@ -465,11 +482,7 @@ object OracleSql {
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "q3_filter_combo" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE (c_acctbal >= 1000 OR c_mktsegment = 'BUILDING')
-        |  AND c_name LIKE '%5%'
-        |ORDER BY c_custkey LIMIT 50 OFFSET 10""".stripMargin,
+    "q3_filter_combo" -> filterComboSql,
     "q4_join_agg" ->
       """SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
         |       ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total
@@ -652,14 +665,13 @@ object OracleSql {
         |       AS BIGINT) AS amount,
         |  NULLIF(regexp_extract(coin, '^\d+(\D+.*)$', 1), '') AS denom
         |FROM c ORDER BY event_id LIMIT 500""".stripMargin,
-    "q40_nested" ->
-      """SELECT c.c_custkey,
-        |       to_json(list_sort(list({'k': o.o_orderkey,
-        |                'p': printf('%.2f', ROUND(o.o_totalprice, 2))})))
-        |         AS orders
-        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-        |WHERE c.c_custkey <= 50
-        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q40_nested" -> nestedSql,
+    // the QueryBuilder-served requests are row-identical to q3/q40 by
+    // construction (one compiled plan, QueryBuilderSpec pins it), so
+    // they replay those oracles verbatim — the bm25Oracle sharing
+    // pattern for the Hasura-analog front end
+    "q90_qb_filter" -> filterComboSql,
+    "q91_qb_nested" -> nestedSql,
     "q44_emb_lsh_pairs" -> embLshPairsSql,
     // int8 quantization: unrounded scale drives the error; outputs floored
     // (tie-free). The squared-error sum stays a LIST fold (list_sum), not

@@ -110,6 +110,8 @@ object SparkEntry {
     "q87_pq_recall_pinned" -> ((s, d) => S.q87PqAdcRecall(s, d)),
     "q88_bm25_and" -> ((s, d) => T.q88Bm25And(s, d)),
     "q89_bm25_phrase" -> ((s, d) => T.q89Bm25Phrase(s, d)),
+    "q90_qb_filter" -> (graft.api.QueryBuilder.q90QbFilter(_, _)),
+    "q91_qb_nested" -> (graft.api.QueryBuilder.q91QbNested(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

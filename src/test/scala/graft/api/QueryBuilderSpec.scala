@@ -1,0 +1,106 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.api.QueryBuilder._
+import org.apache.spark.sql.DataFrame
+
+/** The Hasura-analog front end: builder-compiled requests must be
+  * row-identical to the handwritten operator compositions they model
+  * (q3 filter surface, q4 aggregate relationship, q40 nested response)
+  * — and the compiled plan must keep the handwritten plans' scale
+  * properties (filter pushdown). */
+class QueryBuilderSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case null => null
+      case x => x
+    }).toSeq
+
+  test("filter request (booleans + like + order/offset/limit) is " +
+    "row-identical to the handwritten q3, and the predicate pushes " +
+    "to the scan") {
+    val dir = sf("sf0.001")
+    val built = QueryBuilder.q90QbFilter(spark, dir)
+    assert(rows(built) ===
+      rows(graft.queries.RelationalQueries.q3FilterCombo(spark, dir)))
+    built.collect()
+    val plan = built.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString
+    assert(pushed.contains("c_acctbal") || pushed.contains("Or("),
+      s"where-tree not pushed to the scan: $pushed")
+  }
+
+  test("aggregate relationship request is row-identical to the " +
+    "handwritten q4 (left join keeps customers without orders)") {
+    val dir = sf("sf0.001")
+    val built = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey", "c_name"),
+      orderBy = Seq(Order("c_custkey")),
+      aggRel = Some(AggRel(
+        table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+        aggs = Seq(CountOf("o_orderkey", "n_orders"),
+          SumOf("o_totalprice", "total"))))))
+    assert(rows(built) ===
+      rows(graft.queries.RelationalQueries.q4JoinAgg(spark, dir)))
+  }
+
+  test("nested relationship request is row-identical to the " +
+    "handwritten q40 (sorted JSON child arrays)") {
+    val dir = sf("sf0.001")
+    assert(rows(QueryBuilder.q91QbNested(spark, dir)) ===
+      rows(graft.queries.RelationalQueries.q40Nested(spark, dir)))
+  }
+
+  test("remaining operator surface: neq/gt/lt/in/not filters and " +
+    "min/max/avg aggregates compose correctly") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val built = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(And(
+        Not(Eq("c_mktsegment", "BUILDING")),
+        In("c_mktsegment", Seq("AUTOMOBILE", "MACHINERY", "FURNITURE")),
+        Gt("c_acctbal", 0), Lt("c_custkey", 100),
+        Neq("c_name", ""))),
+      orderBy = Seq(Order("c_custkey", desc = true)),
+      limit = Some(10)))
+    val hand = graft.Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" =!= "BUILDING" &&
+        $"c_mktsegment".isin("AUTOMOBILE", "MACHINERY", "FURNITURE") &&
+        $"c_acctbal" > 0 && $"c_custkey" < 100 && $"c_name" =!= "")
+      .select("c_custkey").orderBy($"c_custkey".desc).limit(10)
+    assert(rows(built) === rows(hand))
+    assert(built.count() > 0, "fixture filter selected nothing")
+
+    val aggs = QueryBuilder.run(spark, dir, Request(
+      table = "nation",
+      fields = Seq("n_regionkey"),
+      orderBy = Seq(Order("n_regionkey")),
+      aggRel = Some(AggRel(
+        table = "supplier", childKey = "s_nationkey",
+        parentKey = "n_nationkey",
+        aggs = Seq(MinOf("s_acctbal", "lo"), MaxOf("s_acctbal", "hi"),
+          AvgOf("s_acctbal", "mean"))))))
+    assert(aggs.columns.toSeq === Seq("n_regionkey", "lo", "hi", "mean"))
+    assert(aggs.count() > 0)
+  }
+
+  test("request validation fails loudly, not at execution time") {
+    intercept[IllegalArgumentException](
+      Request("customer", fields = Nil))
+    intercept[IllegalArgumentException](
+      Request("customer", fields = Seq("c_custkey"),
+        nested = Some(Nested("x", "orders", "o_custkey", "c_custkey",
+          fields = Seq(NestedField("k", "o_orderkey")))),
+        aggRel = Some(AggRel("orders", "o_custkey", "c_custkey",
+          aggs = Seq(CountOf("o_orderkey", "n"))))))
+    intercept[IllegalArgumentException](And())
+    intercept[IllegalArgumentException](
+      Nested("x", "orders", "o_custkey", "c_custkey", fields = Nil))
+  }
+}
