@@ -1179,6 +1179,29 @@ object OracleSql {
         |      FROM agg)
         |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // the Prometheus NumMsgs{status,msg_type} matrix over q92's mapped
+    // log: every message counts Received/Common; known routes count
+    // Received/MsgX; non-failed ones Accepted/MsgX. q92's failure arms
+    // are stateless by construction (unknown route; purchase with
+    // value<0.25 = offer without offer_id), so the oracle replays them
+    // exactly — the stateful verdicts are MsgMetricsSpec's job
+    "q92_msg_counters" ->
+      """WITH m AS (SELECT CASE event_type
+        |      WHEN 'signup' THEN 'MsgMintNFT'
+        |      WHEN 'click' THEN 'MsgTransferNFT'
+        |      WHEN 'purchase' THEN 'MsgMakeOffer'
+        |      WHEN 'view' THEN 'MsgRemoveNFTFromMarket'
+        |      ELSE NULL END AS msg_type,
+        |    (event_type = 'purchase' AND value < 0.25) AS failed
+        |  FROM events),
+        |u AS (SELECT 'Received' AS status, 'Common' AS msg_type FROM m
+        |      UNION ALL
+        |      SELECT 'Received', msg_type FROM m WHERE msg_type IS NOT NULL
+        |      UNION ALL
+        |      SELECT 'Accepted', msg_type FROM m
+        |      WHERE msg_type IS NOT NULL AND NOT failed)
+        |SELECT status, msg_type, COUNT(*)::BIGINT AS n
+        |FROM u GROUP BY 1, 2 ORDER BY status, msg_type""".stripMargin,
     // the sketch pass only PRUNES candidates (exactness restored by the
     // re-count), so the oracle is the plain exact top-k
     "q78_heavy_hitters" ->

@@ -112,6 +112,7 @@ object SparkEntry {
     "q89_bm25_phrase" -> ((s, d) => T.q89Bm25Phrase(s, d)),
     "q90_qb_filter" -> (graft.api.QueryBuilder.q90QbFilter(_, _)),
     "q91_qb_nested" -> (graft.api.QueryBuilder.q91QbNested(_, _)),
+    "q92_msg_counters" -> (C.q92MsgCounters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

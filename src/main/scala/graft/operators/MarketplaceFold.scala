@@ -132,7 +132,7 @@ object MarketplaceFold {
     case _ => (step(st, e), None)
   }
 
-  private val handledTypes: Set[String] = Set(
+  private[graft] val handledTypes: Set[String] = Set(
     MsgType.MintNFT, MsgType.BurnNFT, MsgType.EditNFTMetadata,
     MsgType.TransferNFT, MsgType.PutNFTOnMarket, MsgType.RemoveNFTFromMarket,
     MsgType.BuyNFT, MsgType.PutNFTOnAuction, MsgType.RemoveNFTFromAuction,
@@ -144,6 +144,22 @@ object MarketplaceFold {
     * (x/common/types.go:161-195: every message recorded, success or not). */
   case class MessageRow(seq: Long, msgType: String, tokenId: String,
       denom: String, failed: Boolean, error: String)
+
+  /** Denom-keyed verdict step (the FT arms of the messages table) —
+    * ONE definition for the batch [[messages]] path and the streaming
+    * metrics path (graft.streaming.MsgMetrics.messageStream), so the
+    * unknown-denom rule cannot drift between them. State is the
+    * created flag (marketplace.go:386-413). */
+  private[graft] def ftVerdictStep(created: Boolean, e: MarketplaceEvent)
+      : (Boolean, Option[String]) = e.msgType match {
+    case MsgType.CreateFungibleToken => (true, None)
+    case MsgType.TransferFungibleTokens if !created =>
+      (created, Some("failed to transfer fungible token: unknown denom"))
+    case MsgType.TransferFungibleTokens => (created, None)
+    case t if !handledTypes.contains(t) =>
+      (created, Some(s"no handler for route: $t"))
+    case _ => (created, None)
+  }
 
   /** The messages table: every event, with failed/error computed by the
     * stateful replay (token-keyed arms) plus the denom-keyed FT check
@@ -180,15 +196,8 @@ object MarketplaceFold {
         var created = false
         it.map { e =>
           if (e.denom != curDenom) { curDenom = e.denom; created = false }
-          val err = e.msgType match {
-            case MsgType.CreateFungibleToken => created = true; None
-            case MsgType.TransferFungibleTokens if !created =>
-              Some("failed to transfer fungible token: unknown denom")
-            case MsgType.TransferFungibleTokens => None
-            case t if !handledTypes.contains(t) =>
-              Some(s"no handler for route: $t")
-            case _ => None
-          }
+          val (created1, err) = ftVerdictStep(created, e)
+          created = created1
           MessageRow(e.seq, e.msgType, e.tokenId, e.denom,
             err.isDefined, err.orNull)
         }

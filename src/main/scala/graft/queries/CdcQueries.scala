@@ -19,16 +19,46 @@ object CdcQueries {
     * event_id mod 1000 (so every token sees a lifecycle of ~N/1000 events),
     * and the five generic event types map onto five fold arms. */
   def mapToMarketplace(s: SparkSession, dir: String)
-      : Dataset[MarketplaceEvent] = {
+      : Dataset[MarketplaceEvent] =
+    mappedEvents(s, dir,
+      when(col("event_type") === "signup", MsgType.MintNFT)
+        .when(col("event_type") === "click", MsgType.TransferNFT)
+        .when(col("event_type") === "purchase", MsgType.PutNFTOnMarket)
+        .when(col("event_type") === "view", MsgType.RemoveNFTFromMarket)
+        .otherwise(MsgType.BurnNFT),
+      map().cast("map<string,string>"))
+
+  /** q92's mapping: like [[mapToMarketplace]] but exercising the
+    * counter matrix's FAILURE arms — 'error' events carry an unknown
+    * route (Received/Common only, no per-type series) and low-value
+    * purchases make offers WITHOUT the offer_id attr (the handler error
+    * at marketplace.go:323-325: Received but never Accepted). Both
+    * verdicts are stateless, so the DuckDB oracle replays them exactly;
+    * the state-dependent verdicts (AcceptOffer against the live offers
+    * map) are pinned by MsgMetricsSpec's golden scenario instead. */
+  def mapToMessages(s: SparkSession, dir: String)
+      : Dataset[MarketplaceEvent] =
+    mappedEvents(s, dir,
+      when(col("event_type") === "signup", MsgType.MintNFT)
+        .when(col("event_type") === "click", MsgType.TransferNFT)
+        .when(col("event_type") === "purchase", MsgType.MakeOffer)
+        .when(col("event_type") === "view", MsgType.RemoveNFTFromMarket)
+        .otherwise(lit("unknown_route")),
+      when(col("event_type") === "purchase" && col("value") >= 0.25,
+        map(lit(MarketplaceModel.AttrKey.OfferId),
+          concat(lit("o"), col("event_id"))))
+        .otherwise(map().cast("map<string,string>")))
+
+  /** The shared events→MarketplaceEvent projection; callers inject the
+    * route mapping and the emitted-event attrs. */
+  private def mappedEvents(s: SparkSession, dir: String,
+      msgType: org.apache.spark.sql.Column,
+      attrs: org.apache.spark.sql.Column): Dataset[MarketplaceEvent] = {
     import s.implicits._
     Tables.load(s, dir, "events")
       .select(
         col("event_id").as("seq"),
-        when(col("event_type") === "signup", MsgType.MintNFT)
-          .when(col("event_type") === "click", MsgType.TransferNFT)
-          .when(col("event_type") === "purchase", MsgType.PutNFTOnMarket)
-          .when(col("event_type") === "view", MsgType.RemoveNFTFromMarket)
-          .otherwise(MsgType.BurnNFT).as("msgType"),
+        msgType.as("msgType"),
         concat(lit("T"), pmod(col("event_id"), lit(1000))).as("tokenId"),
         lit("d").as("denom"),
         concat(lit("u"), col("user_id")).as("sender"),
@@ -44,9 +74,18 @@ object CdcQueries {
         lit("").as("beneficiaryCommission"),
         lit(null).cast("timestamp").as("timeToSell"),
         lit(0L).as("amount"),
-        map().cast("map<string,string>").as("attrs"))
+        attrs.as("attrs"))
       .as[MarketplaceEvent]
   }
+
+  /** q92 — the NumMsgs{status, msg_type} counter matrix over the mapped
+    * log (the reference's Prometheus surface, x/common/metrics.go:7-49),
+    * with real failure arms in the data (see [[mapToMessages]]). One
+    * verdict pass + one ≤35-cell aggregate
+    * ([[graft.streaming.MsgMetrics.counters]]). */
+  def q92MsgCounters(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.MsgMetrics.counters(mapToMessages(s, dir))
+      .orderBy("status", "msg_type")
 
   /** q35 — fold the mapped log to the nfts snapshot (latest state per token
     * with tombstones; the scale-shaped version of the golden-scenario spec). */
