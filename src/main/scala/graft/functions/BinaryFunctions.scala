@@ -97,7 +97,9 @@ object BinaryFunctions {
         Option(ImageIO.read(new ByteArrayInputStream(b)))
       case "tiff" => decodeTiff(b)
       case "svg" => rasterizeSvg(b)
-      case _ => None // webp: codec not shipped here — stubbed
+      case "webp" => Vp8l.decode(b) // lossless (VP8L) decoded in-JVM;
+      // lossy "VP8 " needs a DCT codec this environment doesn't ship
+      case _ => None
     }
 
   // --- SVG (shape subset) — pure-JVM rasterizer ---------------------------
@@ -378,8 +380,9 @@ object BinaryFunctions {
 
   /** WebP dimensions from the container/bitstream headers alone — covers
     * all three WebP flavors per the public container spec (the reference
-    * decodes webp fully, resizer.go:214-264; full pixel decode needs a
-    * VP8 codec this environment doesn't ship, but width/height live in
+    * decodes webp fully, resizer.go:214-264; LOSSLESS payloads decode
+    * through [[Vp8l]] now — this header path serves lossy "VP8 " files
+    * (DCT codec not shipped) and metadata-only calls: width/height live in
     * fixed-layout headers):
     *  - VP8X (extended): canvas (width-1, height-1) as 24-bit LE fields;
     *  - VP8L (lossless): 0x2f signature, then 14+14 bits of (w-1, h-1);

@@ -69,8 +69,52 @@ class FunctionsSpec extends SparkSpec {
     val meta = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(out.get))
     assert(meta.getWidth === 200 && meta.getHeight === 150)
-    // webp bytes: sniffed but decode is stubbed (no codec shipped)
+    // lossy webp ("VP8 ") stays undecoded (DCT codec not shipped)
     assert(B.resizeImage("RIFF0000WEBPVP8 ".getBytes, 10, 10) === None)
+  }
+
+  /** Minimal VP8L: one solid color — every prefix code is single-symbol
+    * (zero bits per pixel), so the whole stream is header + code
+    * definitions. Bitstream details in graft.functions.Vp8l. */
+  private def solidVp8l(w: Int, h: Int, argb: Int): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def put(v: Int, n: Int): Unit = (0 until n).foreach(i => bits += ((v >> i) & 1))
+    put(w - 1, 14); put(h - 1, 14); put(0, 1); put(0, 3) // header
+    put(0, 1) // no transforms
+    put(0, 1) // no color cache
+    put(0, 1) // no meta-prefix image
+    Seq((argb >> 8) & 0xff, (argb >> 16) & 0xff, argb & 0xff,
+      (argb >>> 24) & 0xff, 0).foreach { sym => // g, r, b, a, dist
+      put(1, 1); put(0, 1); put(1, 1); put(sym, 8) // simple, 1 symbol
+    }
+    val payload = 0x2f.toByte +: bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(4 + 8 + payload.length + (payload.length & 1)))
+    bos.write("WEBP".getBytes("US-ASCII"))
+    bos.write("VP8L".getBytes("US-ASCII"))
+    bos.write(le32(payload.length))
+    bos.write(payload)
+    if ((payload.length & 1) == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  test("webp VP8L pixels decode and resize end-to-end (C11 full)") {
+    val red = 0xffcc2010
+    val webp = solidVp8l(8, 6, red)
+    assert(B.sniffFormat(webp) === "webp")
+    assert(B.webpDims(webp) === Some((8, 6)))
+    val out = B.resizeImage(webp, 4, 3)
+    assert(out.isDefined, "VP8L did not decode")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.get))
+    assert(img.getWidth === 4 && img.getHeight === 3)
+    // a solid image resizes to the same solid color
+    val px = img.getRGB(0, 0, 4, 3, null, 0, 4)
+    assert(px.forall(_ == red), f"expected $red%08x, got ${px.head}%08x")
   }
 
   test("webp dimensions parse from VP8/VP8L/VP8X headers (no codec)") {
