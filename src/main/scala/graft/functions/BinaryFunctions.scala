@@ -105,11 +105,13 @@ object BinaryFunctions {
   // --- SVG (shape subset) — pure-JVM rasterizer ---------------------------
 
   /** Rasterize an SVG SUBSET with the JDK only (XML parse + Graphics2D):
-    * rect / circle / ellipse / line / polygon / polyline with fill/stroke
-    * (named or #hex colors), honoring width/height/viewBox. Covers the
-    * common icon/placeholder SVGs of an NFT metadata pipeline; full
-    * path/curve/text/CSS support is what a real library (the reference's
-    * oksvg, resizer.go:251-264) adds. Unsupported content renders as the
+    * rect / circle / ellipse / line / polygon / polyline / path (full
+    * M/L/H/V/C/S/Q/T/A/Z command set, [[parseSvgPath]]) with fill/stroke
+    * (named or #hex colors), `transform` on elements and groups
+    * ([[parseSvgTransform]]), honoring width/height/viewBox. Covers the
+    * icon/placeholder/path SVGs of an NFT metadata pipeline; text/CSS/
+    * gradients are what a real library (the reference's oksvg,
+    * resizer.go:251-264) adds. Unsupported content renders as the
     * background — never an exception. */
   def rasterizeSvg(b: Array[Byte]): Option[BufferedImage] = try {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -164,6 +166,17 @@ object BinaryFunctions {
       case _ if depth > 128 => ()
       case e: org.w3c.dom.Element =>
         def na(a: String, d: Double = 0.0) = numAttr(e, a, d)
+        // transform applies to the element AND its children (g groups);
+        // restored after the subtree renders
+        val savedTf = {
+          val tf = e.getAttribute("transform")
+          if (tf.isEmpty) None
+          else {
+            val t = g.getTransform
+            g.transform(parseSvgTransform(tf))
+            Some(t)
+          }
+        }
         val shape: Option[java.awt.Shape] = e.getTagName match {
           case "rect" => Some(new java.awt.geom.Rectangle2D.Double(
             na("x"), na("y"), na("width"), na("height")))
@@ -190,7 +203,8 @@ object BinaryFunctions {
               if (e.getTagName == "polygon") p.closePath()
               Some(p)
             } else None
-          case _ => None // g/path/text/...: recurse only
+          case "path" => parseSvgPath(e.getAttribute("d"))
+          case _ => None // g/text/...: recurse only
         }
         shape.foreach { s =>
           // explicit fill always honored (polyline IS fillable in SVG);
@@ -209,12 +223,180 @@ object BinaryFunctions {
         }
         val kids = e.getChildNodes
         (0 until kids.getLength).foreach(i => render(kids.item(i), depth + 1))
+        savedTf.foreach(g.setTransform)
       case _ => ()
     }
     render(svg)
     g.dispose()
     Some(img)
   } catch { case _: Exception => None }
+
+  /** SVG `transform` list → AffineTransform: translate / scale / rotate
+    * (with optional center) / skewX / skewY / matrix, applied in source
+    * order (each concatenates on the right, the SVG composition rule). */
+  private[functions] def parseSvgTransform(s: String)
+      : java.awt.geom.AffineTransform = {
+    val at = new java.awt.geom.AffineTransform()
+    val m = java.util.regex.Pattern
+      .compile("(matrix|translate|scale|rotate|skewX|skewY)\\s*\\(([^)]*)\\)")
+      .matcher(s)
+    while (m.find()) {
+      val a = m.group(2).split("[ ,]+").filter(_.nonEmpty).flatMap(v =>
+        try Some(v.toDouble) catch { case _: NumberFormatException => None })
+      (m.group(1), a.length) match {
+        case ("matrix", 6) => at.concatenate(new java.awt.geom.AffineTransform(
+          a(0), a(1), a(2), a(3), a(4), a(5)))
+        case ("translate", l) if l >= 1 =>
+          at.translate(a(0), if (l > 1) a(1) else 0.0)
+        case ("scale", l) if l >= 1 =>
+          at.scale(a(0), if (l > 1) a(1) else a(0))
+        case ("rotate", l) if l >= 3 =>
+          at.rotate(math.toRadians(a(0)), a(1), a(2))
+        case ("rotate", l) if l >= 1 => at.rotate(math.toRadians(a(0)))
+        case ("skewX", l) if l >= 1 =>
+          at.concatenate(new java.awt.geom.AffineTransform(
+            1, 0, math.tan(math.toRadians(a(0))), 1, 0, 0))
+        case ("skewY", l) if l >= 1 =>
+          at.concatenate(new java.awt.geom.AffineTransform(
+            1, math.tan(math.toRadians(a(0))), 0, 1, 0, 0))
+        case _ => ()
+      }
+    }
+    at
+  }
+
+  /** SVG path `d` parser: M/L/H/V/C/S/Q/T/A/Z, absolute and relative,
+    * implicit command repetition, smooth-control reflection, and
+    * elliptical arcs via the spec's endpoint→center conversion. Flags in
+    * arc commands must be whitespace/comma-separated (the common
+    * serialization); a malformed d renders nothing rather than throwing. */
+  private[functions] def parseSvgPath(d: String)
+      : Option[java.awt.geom.Path2D.Double] = try {
+    if (d == null || d.trim.isEmpty) return None
+    val tok = java.util.regex.Pattern.compile(
+      "([MmLlHhVvCcSsQqTtAaZz])|(-?(?:\\d*\\.\\d+|\\d+\\.?)(?:[eE][-+]?\\d+)?)")
+      .matcher(d)
+    val toks = scala.collection.mutable.ArrayBuffer[Either[Char, Double]]()
+    while (tok.find())
+      toks += (if (tok.group(1) != null) Left(tok.group(1).head)
+               else Right(tok.group(2).toDouble))
+    val p = new java.awt.geom.Path2D.Double()
+    var i = 0
+    var cmd = ' '
+    var cx = 0.0; var cy = 0.0 // current point
+    var sx = 0.0; var sy = 0.0 // subpath start
+    var pcx = 0.0; var pcy = 0.0 // previous control point (for S/T)
+    var prevCmd = ' '
+    def num(): Double = toks(i) match {
+      case Right(v) => i += 1; v
+      case Left(c) => throw new IllegalArgumentException(s"number, got $c")
+    }
+    def hasNum: Boolean = i < toks.length && toks(i).isRight
+    while (i < toks.length) {
+      toks(i) match {
+        case Left(c) => cmd = c; i += 1
+        case Right(_) => // implicit repeat; M/m repeats as L/l
+          if (cmd == ' ' || cmd == 'Z' || cmd == 'z')
+            throw new IllegalArgumentException("orphan number in d")
+          cmd = if (cmd == 'M') 'L' else if (cmd == 'm') 'l' else cmd
+      }
+      val rel = cmd.isLower
+      def rx0 = if (rel) cx else 0.0
+      def ry0 = if (rel) cy else 0.0
+      cmd.toUpper match {
+        case 'M' =>
+          cx = rx0 + num(); cy = ry0 + num()
+          p.moveTo(cx, cy); sx = cx; sy = cy
+        case 'L' =>
+          cx = rx0 + num(); cy = ry0 + num(); p.lineTo(cx, cy)
+        case 'H' => cx = rx0 + num(); p.lineTo(cx, cy)
+        case 'V' => cy = ry0 + num(); p.lineTo(cx, cy)
+        case 'C' =>
+          val x1 = rx0 + num(); val y1 = ry0 + num()
+          val x2 = rx0 + num(); val y2 = ry0 + num()
+          cx = rx0 + num(); cy = ry0 + num()
+          p.curveTo(x1, y1, x2, y2, cx, cy); pcx = x2; pcy = y2
+        case 'S' =>
+          val (x1, y1) =
+            if ("CcSs".indexOf(prevCmd) >= 0) (2 * cx - pcx, 2 * cy - pcy)
+            else (cx, cy)
+          val x2 = rx0 + num(); val y2 = ry0 + num()
+          cx = rx0 + num(); cy = ry0 + num()
+          p.curveTo(x1, y1, x2, y2, cx, cy); pcx = x2; pcy = y2
+        case 'Q' =>
+          val x1 = rx0 + num(); val y1 = ry0 + num()
+          cx = rx0 + num(); cy = ry0 + num()
+          p.quadTo(x1, y1, cx, cy); pcx = x1; pcy = y1
+        case 'T' =>
+          val (x1, y1) =
+            if ("QqTt".indexOf(prevCmd) >= 0) (2 * cx - pcx, 2 * cy - pcy)
+            else (cx, cy)
+          cx = rx0 + num(); cy = ry0 + num()
+          p.quadTo(x1, y1, cx, cy); pcx = x1; pcy = y1
+        case 'A' =>
+          val arx = math.abs(num()); val ary = math.abs(num())
+          val phi = math.toRadians(num())
+          val largeArc = num() != 0; val sweep = num() != 0
+          val x0 = cx; val y0 = cy
+          cx = rx0 + num(); cy = ry0 + num()
+          appendArc(p, x0, y0, arx, ary, phi, largeArc, sweep, cx, cy)
+        case 'Z' =>
+          p.closePath(); cx = sx; cy = sy
+        case _ => ()
+      }
+      prevCmd = cmd
+    }
+    Some(p)
+  } catch { case _: Exception => None }
+
+  /** SVG elliptical arc, endpoint parameterization → center form
+    * (SVG spec appendix F.6.5), appended as a rotated Arc2D. Java2D
+    * measures angles counterclockwise with y UP, SVG has y DOWN, so the
+    * angles negate. */
+  private def appendArc(p: java.awt.geom.Path2D.Double,
+      x0: Double, y0: Double, rxIn: Double, ryIn: Double, phi: Double,
+      largeArc: Boolean, sweep: Boolean, x1: Double, y1: Double): Unit = {
+    if (rxIn == 0 || ryIn == 0 || (x0 == x1 && y0 == y1)) {
+      p.lineTo(x1, y1); return
+    }
+    val cosP = math.cos(phi); val sinP = math.sin(phi)
+    val dx2 = (x0 - x1) / 2; val dy2 = (y0 - y1) / 2
+    val x1p = cosP * dx2 + sinP * dy2
+    val y1p = -sinP * dx2 + cosP * dy2
+    // scale radii up if the endpoints cannot be connected (F.6.6)
+    var rx = rxIn; var ry = ryIn
+    val lambda = (x1p * x1p) / (rx * rx) + (y1p * y1p) / (ry * ry)
+    if (lambda > 1) { val s = math.sqrt(lambda); rx *= s; ry *= s }
+    val num0 = rx * rx * ry * ry - rx * rx * y1p * y1p - ry * ry * x1p * x1p
+    val den = rx * rx * y1p * y1p + ry * ry * x1p * x1p
+    val co = (if (largeArc != sweep) 1 else -1) *
+      math.sqrt(math.max(0, num0 / den))
+    val cxp = co * rx * y1p / ry
+    val cyp = -co * ry * x1p / rx
+    val ccx = cosP * cxp - sinP * cyp + (x0 + x1) / 2
+    val ccy = sinP * cxp + cosP * cyp + (y0 + y1) / 2
+    def angle(ux: Double, uy: Double, vx: Double, vy: Double): Double = {
+      val dot = ux * vx + uy * vy
+      val len = math.sqrt((ux * ux + uy * uy) * (vx * vx + vy * vy))
+      val a = math.acos(math.max(-1, math.min(1, dot / len)))
+      if (ux * vy - uy * vx < 0) -a else a
+    }
+    val theta1 = angle(1, 0, (x1p - cxp) / rx, (y1p - cyp) / ry)
+    var dTheta = angle((x1p - cxp) / rx, (y1p - cyp) / ry,
+      (-x1p - cxp) / rx, (-y1p - cyp) / ry)
+    if (!sweep && dTheta > 0) dTheta -= 2 * math.Pi
+    if (sweep && dTheta < 0) dTheta += 2 * math.Pi
+    val arc = new java.awt.geom.Arc2D.Double(
+      ccx - rx, ccy - ry, 2 * rx, 2 * ry,
+      -math.toDegrees(theta1), -math.toDegrees(dTheta),
+      java.awt.geom.Arc2D.OPEN)
+    val shape =
+      if (phi != 0)
+        java.awt.geom.AffineTransform.getRotateInstance(phi, ccx, ccy)
+          .createTransformedShape(arc)
+      else arc
+    p.append(shape, true) // connect: keeps the subpath continuous
+  }
 
   private val namedColors: Map[String, java.awt.Color] = Map(
     "black" -> java.awt.Color.BLACK, "white" -> java.awt.Color.WHITE,

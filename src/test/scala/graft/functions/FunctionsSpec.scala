@@ -191,6 +191,80 @@ class FunctionsSpec extends SparkSpec {
     assert(B.rasterizeSvg("<svg><rect".getBytes) === None)
   }
 
+  test("SVG paths render: lines, curves, arcs, smooth segments") {
+    def px(svg: String, x: Int, y: Int): Int =
+      (B.rasterizeSvg(svg.getBytes("UTF-8")).get.getRGB(x, y)) & 0xffffff
+    // triangle via M/L/Z (absolute + relative mix)
+    val tri =
+      """<svg width="40" height="40">
+        |<path d="M 5 5 L 35 5 l -15 30 Z" fill="red"/></svg>""".stripMargin
+    assert(px(tri, 20, 10) === 0xff0000) // inside
+    assert(px(tri, 2, 38) === 0xffffff) // outside
+    // H/V shorthand rectangle
+    val hv =
+      """<svg width="20" height="20">
+        |<path d="M2 2 H 18 V 18 H 2 Z" fill="blue"/></svg>""".stripMargin
+    assert(px(hv, 10, 10) === 0x0000ff)
+    // cubic + smooth continuation: a filled wave region
+    val cubic =
+      """<svg width="60" height="40">
+        |<path d="M0 20 C 10 0, 20 0, 30 20 S 50 40, 60 20 L 60 40 L 0 40 Z"
+        |  fill="#0f0"/></svg>""".stripMargin
+    assert(px(cubic, 30, 30) === 0x00ff00) // well under the wave
+    assert(px(cubic, 30, 2) === 0xffffff) // above it
+    // quadratic + T reflection
+    val quad =
+      """<svg width="40" height="20">
+        |<path d="M0 10 Q 10 0 20 10 T 40 10 L 40 20 L 0 20 Z"
+        |  fill="black"/></svg>""".stripMargin
+    assert(px(quad, 20, 15) === 0x000000)
+    // arc: upper semicircle closed over its chord (a filled D)
+    val arc =
+      """<svg width="64" height="64">
+        |<path d="M 10 32 A 22 22 0 0 1 54 32 Z" fill="purple"/>
+        |</svg>""".stripMargin
+    assert(px(arc, 32, 15) === 0x800080) // inside the dome
+    assert(px(arc, 32, 45) === 0xffffff) // below the chord
+    assert(px(arc, 12, 12) === 0xffffff) // outside the arc's corner
+    // malformed d renders nothing, never throws
+    assert(B.parseSvgPath("Z 5 5") === None)
+    assert(B.parseSvgPath("M 1") === None)
+  }
+
+  test("SVG transforms apply to elements and groups") {
+    def px(svg: String, x: Int, y: Int): Int =
+      (B.rasterizeSvg(svg.getBytes("UTF-8")).get.getRGB(x, y)) & 0xffffff
+    // translate + scale: 5x5 rect at origin lands at (20..40, 10..30)
+    val ts =
+      """<svg width="50" height="40">
+        |<rect width="10" height="10" fill="red"
+        |  transform="translate(20,10) scale(2)"/></svg>""".stripMargin
+    assert(px(ts, 30, 20) === 0xff0000)
+    assert(px(ts, 10, 20) === 0xffffff)
+    // rotate about a center: rect rotated 90 degrees around (20,20)
+    val rot =
+      """<svg width="40" height="40">
+        |<rect x="20" y="18" width="16" height="4" fill="blue"
+        |  transform="rotate(90,20,20)"/></svg>""".stripMargin
+    assert(px(rot, 20, 30) === 0x0000ff) // now vertical, below center
+    assert(px(rot, 30, 20) === 0xffffff) // original spot is empty
+    // group transform reaches children; child transform composes
+    val grp =
+      """<svg width="60" height="60">
+        |<g transform="translate(20,20)">
+        |  <rect width="5" height="5" fill="green" transform="scale(2)"/>
+        |</g></svg>""".stripMargin
+    assert(px(grp, 25, 25) === 0x008000)
+    assert(px(grp, 5, 5) === 0xffffff)
+    // matrix form: pure translation matrix(1,0,0,1,30,0)
+    val mat =
+      """<svg width="50" height="20">
+        |<rect width="8" height="8" fill="black"
+        |  transform="matrix(1,0,0,1,30,0)"/></svg>""".stripMargin
+    assert(px(mat, 34, 4) === 0x000000)
+    assert(px(mat, 4, 4) === 0xffffff)
+  }
+
   test("uncompressed TIFF round-trips through the pure-JVM codec") {
     for (le <- Seq(true, false)) {
       val img = new java.awt.image.BufferedImage(17, 11,
