@@ -372,6 +372,64 @@ class Vp8lSpec extends AnyFunSuite {
     assert(decodePixels(bytes, w, h) === px)
   }
 
+  test("meta-prefix image selects per-tile prefix groups") {
+    val w = 8; val h = 4
+    val metaBits = 2 // 4x4 tiles -> 2x1 tile grid
+    // left tile pixels come from group 0 (solid C1), right from group 1
+    // (solid C2) — each group's codes are single-symbol, so a group mixup
+    // decodes to the wrong color rather than failing
+    val px = Array.tabulate(w * h)(i => if (i % w < 4) C1 else C2)
+    val bw = new BitWriter
+    bw.writeBits(w - 1, 14); bw.writeBits(h - 1, 14)
+    bw.writeBit(0); bw.writeBits(0, 3)
+    bw.writeBit(0) // no transforms
+    bw.writeBit(0) // no color cache
+    bw.writeBit(1) // meta-prefix image present
+    bw.writeBits(metaBits - 2, 3)
+    // the 2x1 meta image: group index rides (red<<8 | green)
+    writeBody(bw, Seq(Literal(0xff000000), Literal(0xff000100)),
+      cacheBits = 0)
+    // group 0: all codes single-symbol for C1; group 1: for C2; both
+    // written in green/red/blue/alpha/distance order
+    Seq(C1, C2).foreach { c =>
+      Seq((c >> 8) & 0xff, (c >> 16) & 0xff, c & 0xff, (c >>> 24) & 0xff, 0)
+        .foreach { sym =>
+          bw.writeBit(1); bw.writeBits(0, 1); bw.writeBits(1, 1)
+          bw.writeBits(sym, 8)
+        }
+    }
+    // zero bits per pixel: both groups are fully single-symbol
+    val body = 0x2f.toByte +: bw.bytes
+    val chunk = body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + chunk.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(4 + 8 + chunk.length)
+    out.put("WEBP".getBytes); out.put("VP8L".getBytes)
+    out.putInt(body.length); out.put(chunk)
+    assert(decodePixels(out.array(), w, h) === px)
+  }
+
+  test("VP8X-wrapped lossless files decode (chunk walk)") {
+    val w = 5; val h = 3
+    val px = Array.tabulate(w * h)(i => if (i % 2 == 0) C1 else C2)
+    val bare = container(w, h) { bw =>
+      bw.writeBit(0)
+      writeBody(bw, px.map(Literal(_)).toSeq, cacheBits = 0, level0 = true)
+    }
+    // splice a VP8X chunk between "WEBP" and the VP8L chunk
+    val vp8x = "VP8X".getBytes ++
+      Array[Byte](10, 0, 0, 0) ++ // chunk size 10 LE
+      Array[Byte](0, 0, 0, 0,
+        (w - 1).toByte, 0, 0, (h - 1).toByte, 0, 0)
+    val riffBody = bare.slice(8, 12) ++ vp8x ++ bare.drop(12)
+    val out = java.nio.ByteBuffer.allocate(8 + riffBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(riffBody.length)
+    out.put(riffBody)
+    assert(decodePixels(out.array(), w, h) === px)
+  }
+
   test("lossy (VP8 ) and malformed payloads return None, never throw") {
     val junk = "RIFF0000WEBPVP8 ".getBytes ++ Array.fill(32)(0x5a.toByte)
     assert(Vp8l.decode(junk).isEmpty)

@@ -277,6 +277,42 @@ class PlanQualitySpec extends SparkSpec {
       s"no partial aggregation in:\n$p")
   }
 
+  test("q92 counter matrix: the three increment candidates ride ONE " +
+    "verdict pass (array-explode), not three scans of it") {
+    import graft.queries.{CdcQueries => C}
+    val df = C.q92MsgCounters(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the events source feeds two verdict slices (token-keyed +
+    // denom-keyed, a genuine semantic split) and NOTHING else — the
+    // Received/Common + Received/MsgX + Accepted/MsgX emission is one
+    // generator over the verdicts, so no third read appears
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 2, s"counter matrix scans events $scans times:\n$p")
+    assert(p.contains("Generate explode"), s"no array-explode emission:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"cell counts not two-phase:\n$p")
+  }
+
+  test("q90/q91 builder-compiled requests keep the handwritten plans' " +
+    "shape: pushdown + TakeOrderedAndProject / single parent shuffle") {
+    val p90 = plan(graft.api.QueryBuilder.q90QbFilter(spark, dir))
+    assert(p90.contains("TakeOrderedAndProject"), s"global sort in:\n$p90")
+    val pushed = p90.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString
+    assert(pushed.contains("c_acctbal") || pushed.contains("Or("),
+      s"where-tree not pushed:\n$pushed")
+    val p91 = plan(graft.api.QueryBuilder.q91QbNested(spark, dir))
+    // one shuffle keys the parent aggregate; the child join must not
+    // introduce a nested loop
+    assert(!p91.contains("BroadcastNestedLoopJoin")
+      && !p91.contains("CartesianProduct"), s"nested loop in:\n$p91")
+    assert(p91.contains("c_custkey <= 50")
+      || p91.contains("LessThanOrEqual(c_custkey,50)"),
+      s"parent filter not pushed:\n$p91")
+  }
+
   test("q76 bloom probe prunes the corpus side BELOW the confirm join") {
     import graft.queries.{TextQueries => T}
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
