@@ -39,9 +39,11 @@ object OracleSql {
 
   /** One BM25 oracle, bound to BOTH q77 (scan path) and q82 (indexed
     * path): the two queries are row-identical by construction, and a
-    * single SQL string makes the shared-oracle intent literal.  */
-  private val bm25Oracle: String =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+    * single SQL string makes the shared-oracle intent literal. The
+    * depth parameter lets q93's fusion leg reuse the identical chain
+    * at its candidate depth. */
+  private def bm25Sql(k: Int): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |            FROM documents),
         |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w
         |         FROM tk),
@@ -63,7 +65,9 @@ object OracleSql {
         |        ORDER BY s DESC, doc_id)::BIGINT AS rank
         |      FROM agg)
         |SELECT rank, doc_id, printf('%.3f', ROUND(s, 3)) AS bm25
-        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+        |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  private val bm25Oracle: String = bm25Sql(20)
 
   /** Shared simhash CTE chain (tok -> per-doc 32-bit signature -> d<=3
     * pairs with their hamming distance) — q48, q62, q83 and q85 all
@@ -151,8 +155,8 @@ object OracleSql {
        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
   }
 
-  private val cosineKnn: String =
-    """WITH ex AS (
+  private def cosineKnnSql(k: Int): String =
+    s"""WITH ex AS (
       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
       |         generate_subscripts(embedding,1) AS i
       |  FROM embeddings),
@@ -163,7 +167,9 @@ object OracleSql {
       |  FROM ex e JOIN q ON q.i = e.i
       |  WHERE e.vec_id <> 1 GROUP BY e.vec_id)
       |SELECT vec_id, ROUND(dp / (ne * nq), 4) AS sim
-      |FROM d ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+      |FROM d ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+
+  private val cosineKnn: String = cosineKnnSql(5)
 
   // vec_id < 500 mirrors q33's in-code fixture cap (covers every row at
   // sf<=0.01, bounds the O(n²) baseline at any larger scale)
@@ -1202,6 +1208,26 @@ object OracleSql {
         |      WHERE msg_type IS NOT NULL AND NOT failed)
         |SELECT status, msg_type, COUNT(*)::BIGINT AS n
         |FROM u GROUP BY 1, 2 ORDER BY status, msg_type""".stripMargin,
+    // hybrid retrieval: Reciprocal Rank Fusion of the two PROVEN legs —
+    // the BM25 chain (q77/q82's oracle at depth 50) and the cosine-kNN
+    // chain (q23's oracle at depth 50). score = sum over lists of
+    // 1/(60 + rank); integer ranks make the doubles engine-identical,
+    // the 6-decimal round is the rank key (the q77 stability pattern)
+    "q93_hybrid_rrf" ->
+      s"""WITH bm AS (SELECT rank, doc_id FROM (${bm25Sql(50)}) b),
+         |vr AS (SELECT ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+         |         AS rank, vec_id AS doc_id
+         |       FROM (${cosineKnnSql(50)}) v),
+         |fused AS (
+         |  SELECT COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+         |         ROUND(COALESCE(1.0 / (60 + bm.rank), 0) +
+         |               COALESCE(1.0 / (60 + vr.rank), 0), 6) AS s
+         |  FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id),
+         |r AS (SELECT doc_id, s, ROW_NUMBER() OVER (
+         |        ORDER BY s DESC, doc_id)::BIGINT AS rank
+         |      FROM fused)
+         |SELECT rank, doc_id, printf('%.6f', s) AS rrf
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // the sketch pass only PRUNES candidates (exactness restored by the
     // re-count), so the oracle is the plain exact top-k
     "q78_heavy_hitters" ->

@@ -113,6 +113,7 @@ object SparkEntry {
     "q90_qb_filter" -> (graft.api.QueryBuilder.q90QbFilter(_, _)),
     "q91_qb_nested" -> (graft.api.QueryBuilder.q91QbNested(_, _)),
     "q92_msg_counters" -> (C.q92MsgCounters(_, _)),
+    "q93_hybrid_rrf" -> ((s, d) => T.q93HybridRrf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

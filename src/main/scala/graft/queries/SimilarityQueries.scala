@@ -51,6 +51,26 @@ object SimilarityQueries {
       .limit(5)
   }
 
+  /** q23's ranked list at arbitrary depth — the VECTOR leg of hybrid
+    * fusion (q93): (rank, doc_id) with the rank key the 4-decimal
+    * rounded cosine (q23's cross-engine tie-break). Same plan shape as
+    * q23: broadcast query vector, one codegen pass, TakeOrdered. */
+  private[graft] def cosineRanked(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val e = embNorm(s, dir, cached = false)
+    val target = broadcast(e.filter(col("vec_id") === 1)
+      .select(col("nemb").as("q")))
+    e.filter(col("vec_id") =!= 1)
+      .crossJoin(target)
+      .select(col("vec_id"), round(dot(col("nemb"), col("q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id").as("doc_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (all pairs above threshold).
     *
     * NON-PRODUCTION: O(n²) crossJoin kept ONLY as the oracle-checkable

@@ -1206,6 +1206,51 @@ object TextQueries {
     graft.search.InvertedIndex.searchPhrase(s, sharedIndex(s, dir),
       phrase, k)
 
+  /** THE rank-fusion core — Reciprocal Rank Fusion over any number of
+    * ranked lists, each (doc_id, rank): score = Σ 1/(rrfK + rank), a
+    * doc absent from a list contributes nothing there. Integer ranks
+    * make the fused doubles engine-identical; the 6-decimal round is
+    * the rank key (the engine-stability pattern every retrieval query
+    * here uses). Exposed for q93 and spec-testable on toy lists. */
+  private[graft] def rrfFuse(lists: Seq[DataFrame], k: Int,
+      rrfK: Int): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    val legs = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("doc_id"), col("rank").as(s"_r$i"))
+    }
+    val joined = legs.reduce(_.join(_, Seq("doc_id"), "full_outer"))
+    val score = legs.indices.map(i =>
+      coalesce(lit(1.0) / (lit(rrfK) + col(s"_r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col("doc_id"), round(score, 6).as("_s"))
+      .orderBy(col("_s").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("_s").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        format_string("%.6f", col("_s")).as("rrf"))
+      .orderBy("rank")
+  }
+
+  /** Q93 — HYBRID retrieval: Reciprocal Rank Fusion of the lexical leg
+    * (q82's persisted-index BM25 probe at candidate depth 50) and the
+    * vector leg (q23's cosine kNN at the same depth), the
+    * sparse+dense fusion every RAG stack runs. Both legs are
+    * independently oracle-proven; the fusion itself is pure rank
+    * arithmetic ([[rrfFuse]]), so the whole query DuckDB-replays.
+    * Scale posture: each leg is its own bounded top-k (index probe /
+    * broadcast-scan TakeOrdered); the fusion joins two ≤depth-row
+    * lists — the expensive parts stay in the legs, which already have
+    * scale paths (inverted index, IVF). */
+  def q93HybridRrf(s: SparkSession, dir: String, k: Int = 20,
+      depth: Int = 50, rrfK: Int = 60): DataFrame = {
+    val lex = graft.search.InvertedIndex.search(s, sharedIndex(s, dir),
+        Seq("join", "hash", "window"), depth)
+      .select(col("doc_id"), col("rank"))
+    val vec = SimilarityQueries.cosineRanked(s, dir, depth)
+    rrfFuse(Seq(lex, vec), k, rrfK)
+  }
+
   /** q89's scan-path twin (no index): positional postings built inline
     * from the corpus, same [[bm25PhraseRank]]. */
   private[graft] def q89ScanTwin(s: SparkSession, dir: String,
