@@ -1208,6 +1208,31 @@ object OracleSql {
         |      WHERE msg_type IS NOT NULL AND NOT failed)
         |SELECT status, msg_type, COUNT(*)::BIGINT AS n
         |FROM u GROUP BY 1, 2 ORDER BY status, msg_type""".stripMargin,
+    // model-based scoring with the PINNED logistic weights (VALUES
+    // table, Double.toString round-trips) — normalization, dot, bias,
+    // sigmoid and the keep threshold all replayed; 4-decimal round is
+    // the comparison key (exp/sum ulp absorber)
+    "q94_classifier_score" -> {
+      val (w, b) = graft.queries.SimilarityQueries.pinnedLogisticWeights()
+      val vals = w.zipWithIndex
+        .map { case (v, i) => s"(${i + 1},$v)" }.mkString(",")
+      s"""WITH ex AS (
+         |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         |         generate_subscripts(embedding,1) AS i
+         |  FROM embeddings),
+         |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+         |w AS (SELECT i, v::DOUBLE AS v FROM (VALUES $vals) t(i, v)),
+         |z AS (SELECT e.vec_id,
+         |         SUM((e.x / NULLIF(nr.nrm, 0)) * w.v) + $b AS z
+         |      FROM ex e JOIN nr ON nr.vec_id = e.vec_id
+         |                JOIN w ON w.i = e.i
+         |      GROUP BY e.vec_id),
+         |sc AS (SELECT vec_id, ROUND(1.0 / (1.0 + EXP(-z)), 4) AS score
+         |       FROM z)
+         |SELECT vec_id, score,
+         |       CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+         |FROM sc ORDER BY vec_id""".stripMargin
+    },
     // hybrid retrieval: Reciprocal Rank Fusion of the two PROVEN legs —
     // the BM25 chain (q77/q82's oracle at depth 50) and the cosine-kNN
     // chain (q23's oracle at depth 50). score = sum over lists of

@@ -114,6 +114,7 @@ object SparkEntry {
     "q91_qb_nested" -> (graft.api.QueryBuilder.q91QbNested(_, _)),
     "q92_msg_counters" -> (C.q92MsgCounters(_, _)),
     "q93_hybrid_rrf" -> ((s, d) => T.q93HybridRrf(s, d)),
+    "q94_classifier_score" -> (S.q94ClassifierScore(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

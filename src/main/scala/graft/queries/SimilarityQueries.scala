@@ -365,6 +365,38 @@ object SimilarityQueries {
       (graft.functions.VectorFunctions.mix01(0x9c0deb00cL ^ idx) - 0.5) * 0.5
     }
 
+  /** Fixture-pinned logistic weights — NOT trained: splitmix64-uniform
+    * in [-0.5, 0.5), the [[pinnedPqCodebook]] pattern for model-based
+    * SCORING, so the DuckDB oracle carries the identical weights as a
+    * VALUES table and replays the whole score arithmetic. Training
+    * itself (spark.ml multinomial LR on the labeled embeddings) is
+    * ClassifierSpec's job — the Lloyd's-loop split q79/q86 use. */
+  def pinnedLogisticWeights(dims: Int = 64): (Array[Double], Double) = {
+    val w = Array.tabulate(dims)(i =>
+      graft.functions.VectorFunctions.mix01(0x10c157a11L ^ i.toLong) - 0.5)
+    val b = graft.functions.VectorFunctions.mix01(0x10c157a11L ^ 0xb1a5L) - 0.5
+    (w, b)
+  }
+
+  /** Q94 — model-based quality scoring, the classifier-filter stage of
+    * a training-data pipeline (score every document's embedding with a
+    * logistic model, keep above threshold): sigmoid(w·x̂ + b) over the
+    * L2-normalized embeddings with the PINNED weights, 4-decimal
+    * rounded (absorbs exp/Σ ulp skew — the q23 stability pattern), and
+    * the keep flag derived from the ROUNDED score so both engines
+    * compare the same decimal. One codegen scan ([[dot]] against a
+    * literal weight array), no shuffle before the vec_id sort — at
+    * 100 TB the scoring rides the corpus scan like q80's tokenizer. */
+  def q94ClassifierScore(s: SparkSession, dir: String): DataFrame = {
+    val (w, b) = pinnedLogisticWeights()
+    val e = embNorm(s, dir, cached = false)
+    val z = dot(col("nemb"), typedLit(w.toSeq)) + lit(b)
+    e.select(col("vec_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"))
+      .withColumn("keep", (col("score") >= lit(0.5)).cast("int"))
+      .orderBy("vec_id")
+  }
+
   /** Q86 — oracle-checked twin of q79's IVF-PQ probe: same coarse
     * assignment as q34 (first-16 codebook, map-side codegen argmax), the
     * residual encoded by [[graft.functions.VectorFunctions.PqEncode]]
