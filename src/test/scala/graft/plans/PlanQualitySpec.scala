@@ -313,6 +313,42 @@ class PlanQualitySpec extends SparkSpec {
       s"parent filter not pushed:\n$p91")
   }
 
+  test("q94 scoring rides one scan: codegen dot against the literal " +
+    "weights, no exchange before the output sort") {
+    val df = S.q94ClassifierScore(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"classifier scoring re-scans:\n$p")
+    assert(p.contains("vec_dot"), s"dot kernel missing:\n$p")
+    // the only exchange allowed is the final single-partition sort (or
+    // none at all under TakeOrdered-style planning)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"$exchanges exchanges in a scoring scan:\n$p")
+  }
+
+  test("q93 fusion: both legs stay bounded top-k (TakeOrdered), the " +
+    "full-outer join never degrades to a nested loop") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q93HybridRrf(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fusion legs pay a global sort:\n$p")
+    // the vector leg broadcasts its 1-ROW query vector (that nested
+    // loop is the documented q23 shape and costs one row per probe);
+    // the FUSION join itself must be keyed — FullOuter on a hash/merge
+    // join operator, never a nested loop over the lists
+    val fullOuterLine = p.linesIterator
+      .find(l => l.contains("FullOuter")).getOrElse("")
+    assert(fullOuterLine.contains("SortMergeJoin")
+      || fullOuterLine.contains("ShuffledHashJoin"),
+      s"fusion join not keyed: '$fullOuterLine'\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in fusion:\n$p")
+  }
+
   test("q76 bloom probe prunes the corpus side BELOW the confirm join") {
     import graft.queries.{TextQueries => T}
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
