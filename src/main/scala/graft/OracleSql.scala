@@ -1253,6 +1253,64 @@ object OracleSql {
          |      FROM fused)
          |SELECT rank, doc_id, printf('%.6f', s) AS rrf
          |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // repeated-span detection: flagged anchors = positions whose 5-gram
+    // md5 appears in >= 2 distinct docs; [p, p+4] intervals merge via
+    // gaps-and-islands (all-integer arithmetic, layered because window
+    // functions cannot nest). Spark's posexplode is 0-based -> i - 1
+    "q95_repeated_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS gh
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(range(1, len(tk) - 5 + 2)) AS i FROM d) x),
+        |dup AS (SELECT gh FROM g GROUP BY gh
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |pe AS (SELECT doc_id, pos,
+        |         MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_end
+        |       FROM f),
+        |ni AS (SELECT doc_id, pos,
+        |         CASE WHEN pos > COALESCE(prev_end, -1) + 1
+        |              THEN 1 ELSE 0 END AS nw
+        |       FROM pe),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |        FROM ni)
+        |SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+        |       (MAX(pos) + 4)::BIGINT AS span_end,
+        |       (MAX(pos) + 4 - MIN(pos) + 1)::BIGINT AS span_len
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // span redaction: q95's flagged anchors expanded to covered token
+    // positions; kept = anti-join, rebuilt in position order and md5'd.
+    // Fully-covered docs keep md5('') (string_agg over 0 rows is NULL)
+    "q96_span_redact" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS gh
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(range(1, len(tk) - 5 + 2)) AS i FROM d) x),
+        |dup AS (SELECT gh FROM g GROUP BY gh
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |f AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |cov AS (SELECT DISTINCT doc_id,
+        |          pos + unnest(range(0, 5)) AS pos FROM f),
+        |toks AS (SELECT doc_id, unnest(tk) AS w,
+        |           generate_subscripts(tk, 1) - 1 AS pos FROM d),
+        |kept AS (SELECT t.doc_id, t.pos, t.w FROM toks t
+        |         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |         WHERE c.doc_id IS NULL),
+        |k2 AS (SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+        |         md5(string_agg(w, ' ' ORDER BY pos)) AS kept_md5
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.tk)::BIGINT AS n_total,
+        |       COALESCE(k2.n_kept, 0) AS n_kept,
+        |       COALESCE(k2.kept_md5, md5('')) AS kept_md5
+        |FROM d LEFT JOIN k2 USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     // the sketch pass only PRUNES candidates (exactness restored by the
     // re-count), so the oracle is the plain exact top-k
     "q78_heavy_hitters" ->

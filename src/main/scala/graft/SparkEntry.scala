@@ -115,6 +115,8 @@ object SparkEntry {
     "q92_msg_counters" -> (C.q92MsgCounters(_, _)),
     "q93_hybrid_rrf" -> ((s, d) => T.q93HybridRrf(s, d)),
     "q94_classifier_score" -> (S.q94ClassifierScore(_, _)),
+    "q95_repeated_spans" -> ((s, d) => T.q95RepeatedSpans(s, d)),
+    "q96_span_redact" -> ((s, d) => T.q96SpanRedact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

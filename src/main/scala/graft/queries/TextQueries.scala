@@ -1369,4 +1369,103 @@ object TextQueries {
       .groupBy("doc_id").agg(count_distinct(col("sh")).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** Token positions whose length-`l` gram (shingle starting there)
+    * appears in at least `minDf` DISTINCT documents — the flagged-anchor
+    * set both q95 (maximal spans) and q96 (redaction) consume. ONE
+    * definition so the report and the filter can never disagree about
+    * what counts as repeated.
+    *
+    * Scale posture: grams are keyed by md5 (bounded key width, uniform
+    * shuffle distribution regardless of token skew); the df aggregate
+    * and the flag-back join shuffle on that SAME key, so Catalyst's
+    * ReuseExchange serves both from one gram shuffle. Hot boilerplate
+    * grams (huge df) cost the aggregate nothing — count_distinct
+    * partial-aggregates map-side — and the join back is a semi-join
+    * against a df-filtered key set, which AQE skew-splits if one gram
+    * dominates. */
+  private[graft] def dupGramPositions(s: SparkSession, dir: String,
+      l: Int, minDf: Int): DataFrame = {
+    val grams = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(graft.functions
+        .TextKernelExpressions.wordShinglesFast(col("text"), l))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gh")
+    grams.join(dup, Seq("gh")).select("doc_id", "pos")
+  }
+
+  /** Q95 — repeated-span detection (the exact-substring dedup report of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, re-expressed for Spark): every MAXIMAL
+    * token interval per document that is fully covered by length-`l`
+    * grams occurring in ≥ `minDf` distinct documents. The paper builds a
+    * corpus suffix array; the distributed equivalent is gram-anchor
+    * flagging + interval merge — overlapping flagged anchors [p, p+l-1]
+    * coalesce into maximal spans via gaps-and-islands, all integer
+    * arithmetic, so the DuckDB oracle replays it exactly.
+    *
+    * Scale posture: [[dupGramPositions]]'s one-shuffle-key design; the
+    * island merge is a per-document window over FLAGGED positions only
+    * (a small fraction of the corpus — and a document's flagged set is
+    * bounded by its own length, so no partition hot-spots beyond the
+    * longest document). */
+  def q95RepeatedSpans(s: SparkSession, dir: String, l: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(l - 1))
+      .over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    dupGramPositions(s, dir, l, minDf)
+      .withColumn("_new",
+        when(col("pos") > coalesce(prevEnd, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(w))
+      .groupBy("doc_id", "_isl")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(l - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Q96 — span REDACTION: the filter q95's report drives. Tokens
+    * covered by any flagged anchor are dropped; the output is the
+    * per-document retention accounting (total tokens, kept tokens, md5
+    * of the redacted text) — the actual corpus-rewrite step of
+    * exact-substring dedup, hashed so the gate compares full redacted
+    * texts without hauling them.
+    *
+    * Scale posture: covered positions explode l rows per flagged anchor
+    * (bounded by l × flagged, itself ≪ corpus); the kept-token
+    * reconstruction is an anti-join on (doc_id, pos) — uniform composite
+    * key — and one per-document sort-free aggregate (sort_array runs
+    * inside the aggregate buffer, not as a shuffle sort). */
+  def q96SpanRedact(s: SparkSession, dir: String, l: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    val covered = dupGramPositions(s, dir, l, minDf)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("pos"))
+      .distinct()
+    val kept = d
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "w")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ")).as("kept_md5"))
+    d.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
 }
