@@ -491,12 +491,20 @@ object Vp8l {
     def u32le(i: Int): Long =
       (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
         ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    var off = 12
+    // Chunk sizes are attacker-controlled: arithmetic stays in Long and a
+    // size that would step backwards or past the buffer returns None
+    // (malformed bytes must never hang or throw).
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
+      return None
+    var off = 12L
     while (off + 8 <= b.length) {
-      val tag = new String(b, off, 4, "ISO-8859-1")
-      val size = u32le(off + 4)
-      if (tag == "VP8L") return decodeStream(b, off + 8)
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
+      val i = off.toInt
+      val tag = new String(b, i, 4, "ISO-8859-1")
+      val size = u32le(i + 4)
+      if (tag == "VP8L") return decodeStream(b, i + 8)
+      if (size < 0 || off + 8 + size > b.length) return None
+      off += 8 + size + (size & 1) // chunks are even-padded
     }
     None
   }

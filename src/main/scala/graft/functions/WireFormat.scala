@@ -133,6 +133,11 @@ object WireFormat {
     * message's fields. Output carries the resolved route as `_type`. */
   def decodeAmino(b: Array[Byte], off: Int, len: Int,
       registry: Registry): String = {
+    // The 4-byte prefix must live inside THIS field's slice — bounding
+    // the read by the whole buffer would let a truncated field borrow
+    // its prefix from the next field's bytes and decode to an empty
+    // body instead of failing (txDecode turns the failure into null).
+    require(len >= 4, s"amino field truncated: $len bytes")
     val (route, schema) = registry.lookup(b, off).getOrElse(
       throw new IllegalArgumentException("unregistered amino prefix"))
     val body = decodeMessage(b, off + 4, len - 4, schema, registry)

@@ -80,9 +80,16 @@ object AtomicSwap {
         if (attempts > 20)
           throw new java.io.IOException(
             s"swap recovery: $path still missing after $attempts attempts")
+        // a rename whose SOURCE a racing recoverer just took can THROW
+        // FileNotFoundException (RawLocalFileSystem's copy fallback
+        // stats the source) rather than return false — same lost race,
+        // same treatment: loop and observe the winner's result
+        def promote(src: Path): Boolean =
+          try !fs.exists(live) && fs.rename(src, live)
+          catch { case _: java.io.FileNotFoundException => false }
         val recovered =
-          if (fs.exists(old)) !fs.exists(live) && fs.rename(old, live)
-          else if (fs.exists(tmp)) !fs.exists(live) && fs.rename(tmp, live)
+          if (fs.exists(old)) promote(old)
+          else if (fs.exists(tmp)) promote(tmp)
           else if (fs.exists(live)) true // a racing recoverer just won
           else throw new java.io.FileNotFoundException(path)
         if (recovered) {
@@ -110,12 +117,19 @@ object AtomicSwap {
     try {
       require(fs.rename(live, old), s"swap: cannot move $path aside")
       failpoint("aside")
-      // re-check live IMMEDIATELY before promoting: if a reader's
-      // stale-marker recovery restored the original while this writer
-      // was paused, renaming onto the existing dir would NEST the
-      // replacement inside it (Hadoop's rename-into-existing-dir
-      // fallback), silently corrupting the dataset instead of failing
-      if (fs.exists(live) || !fs.rename(tmp, live)) {
+      // refresh the liveness marker IMMEDIATELY before promoting: a
+      // reader's recovery that samples the mtime from here on sees a
+      // fresh writer and waits, shrinking the exists-check→rename race
+      // to the promotion itself (covered by the post-rename audit below)
+      fs.create(lock, true).close()
+      // re-check live before promoting: if a reader's stale-marker
+      // recovery restored the original while this writer was paused,
+      // renaming onto the existing dir would NEST the replacement
+      // inside it (Hadoop's rename-into-existing-dir fallback),
+      // silently corrupting the dataset instead of failing
+      val liveRestored = fs.exists(live)
+      failpoint("promote")
+      if (liveRestored || !fs.rename(tmp, live)) {
         if (fs.exists(live)) {
           // a reader's stale-marker recovery rolled us back mid-window
           // (this writer paused past the liveness grace — GC, swap-out):
@@ -133,6 +147,18 @@ object AtomicSwap {
           s"for $path — data is at $old")
         throw new java.io.IOException(
           s"swap: cannot promote $tmp over $path; original restored")
+      }
+      // post-promotion audit closes the residual exists-check→rename
+      // window: if a recovery restored the original in that gap, our
+      // rename nested the replacement at live/<tmp-basename>. Un-nest
+      // it back to tmp and report the rollback loudly — the restored
+      // ORIGINAL stays live, nothing is silently corrupted.
+      val nested = new Path(live, tmp.getName)
+      if (fs.exists(nested)) {
+        fs.rename(nested, tmp)
+        throw new java.io.IOException(
+          s"swap: rolled back by concurrent recovery at $path (nested " +
+            s"promotion repaired); replacement left at $tmp — retry")
       }
       fs.delete(old, true)
     } finally fs.delete(lock, false)

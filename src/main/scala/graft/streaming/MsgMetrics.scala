@@ -131,18 +131,29 @@ object MsgMetrics {
   /** Driver-side counter registry for the streaming path: per-batch
     * verdict deltas merge additively; a re-delivered foreachBatch id is
     * a no-op (Spark re-runs failed batches — its delivery contract).
-    * In-memory like a Prometheus registry; the matrix is ≤ 35 cells. */
+    * Batch ids are monotonic per query, so the replay guard is a single
+    * high-water mark, not a set — state stays O(1) on an infinite
+    * stream. In-memory like a Prometheus registry; ≤ 35 cells. */
   final class CounterAccumulator {
     private val cells =
       new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
-    private val applied =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    private val maxApplied =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
 
-    /** Merge one micro-batch of [[messageStream]] output. */
+    /** Merge one micro-batch of [[messageStream]] output. A batch id is
+      * marked applied only AFTER its deltas merge: if the collect
+      * throws, Spark's retry of the same id must still count (marking
+      * first would turn the retry into a skipped "replay" and drop the
+      * batch's counters permanently). */
     def update(messages: DataFrame, batchId: Long): Unit = {
-      if (batchId >= 0 && !applied.add(batchId)) return // replayed batch
-      countersFromMessages(messages).collect().foreach { r =>
-        cells.merge((r.getString(0), r.getString(1)), r.getLong(2), _ + _)
+      if (batchId <= maxApplied.get()) return // replayed batch
+      val deltas = countersFromMessages(messages).collect() // may throw
+      synchronized {
+        if (batchId <= maxApplied.get()) return
+        deltas.foreach { r =>
+          cells.merge((r.getString(0), r.getString(1)), r.getLong(2), _ + _)
+        }
+        maxApplied.updateAndGet(math.max(_, batchId))
       }
     }
 

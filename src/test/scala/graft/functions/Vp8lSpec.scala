@@ -443,4 +443,25 @@ class Vp8lSpec extends AnyFunSuite {
     }
     assert(Vp8l.decode(truncated).isEmpty)
   }
+
+  test("hostile chunk sizes and bad magic return None (no hang, no " +
+    "backward walk)") {
+    // chunk size 0xFFFFFFFF: as a signed Int the even-pad arithmetic
+    // would step the walker BACKWARDS and loop forever
+    val huge = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put("RIFF".getBytes); huge.putInt(24); huge.put("WEBP".getBytes)
+    huge.put("JUNK".getBytes); huge.putInt(0xffffffff)
+    huge.put(Array.fill(8)(0.toByte))
+    assert(Vp8l.decode(huge.array()).isEmpty)
+    // a size that points past the buffer must bail, not scan on
+    val over = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    over.put("RIFF".getBytes); over.putInt(24); over.put("WEBP".getBytes)
+    over.put("JUNK".getBytes); over.putInt(1 << 20)
+    over.put(Array.fill(8)(0.toByte))
+    assert(Vp8l.decode(over.array()).isEmpty)
+    // 20+ bytes but not a RIFF/WEBP container at all
+    assert(Vp8l.decode(Array.fill(64)(0x41.toByte)).isEmpty)
+  }
 }

@@ -107,6 +107,23 @@ class WireFormatSpec extends SparkSpec {
     assert(got === Seq(true, false, false, false, false))
   }
 
+  test("a TRUNCATED amino field (len < 4) fails instead of borrowing " +
+    "its prefix from the next field's bytes") {
+    // field 1 (msgs, amino) claims 2 bytes, immediately followed by
+    // field 4 (memo) whose first bytes happen to form a registered
+    // prefix continuation — an unbounded prefix read would decode an
+    // empty {"_type":...} body instead of failing
+    val bad = lenDelim(1, mintPrefix.toArray.take(2)) ++ str(4, "memo")
+    intercept[IllegalArgumentException] {
+      WireFormat.decodeMessage(bad, 0, bad.length,
+        WireFormat.stdTxSchema, registry)
+    }
+    import spark.implicits._
+    val decode = WireFormat.txDecode(registry)
+    val out = Seq(bad).toDF("tx").select(decode($"tx").as("j")).collect()
+    assert(out.head.isNullAt(0), "truncated amino must decode to null")
+  }
+
   test("binary txs fold end-to-end: decode -> MarketplaceEvent -> " +
     "snapshot state") {
     import graft.operators.MarketplaceModel._

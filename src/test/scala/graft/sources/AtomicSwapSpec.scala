@@ -171,4 +171,34 @@ class AtomicSwapSpec extends SparkSpec {
     assert(rows(p) === 10, "original not restored after writer crash")
     assert(!fs.exists(lock), "stale marker not cleared")
   }
+
+  test("recovery landing BETWEEN the writer's live-check and its " +
+    "promotion is audited and repaired: the nested replacement is " +
+    "un-nested, the original stays live, the retry succeeds") {
+    val p = java.nio.file.Files.createTempDirectory("swap_nest")
+      .toString + "/d"
+    mkData(p, 10)
+    // worst-case interleaving: the writer passes its exists(live) check
+    // (false — data is aside), THEN a reader's stale-marker recovery
+    // restores the original, THEN the writer's rename(tmp, live) runs —
+    // Hadoop nests tmp inside the restored dir instead of failing
+    val prev = AtomicSwap.livenessGraceMs
+    AtomicSwap.livenessGraceMs = 0L
+    AtomicSwap.failpoint = step =>
+      if (step == "promote") AtomicSwap.recover(fs, p)
+    val e = try intercept[java.io.IOException](rewriteDouble(p))
+    finally {
+      AtomicSwap.failpoint = _ => ()
+      AtomicSwap.livenessGraceMs = prev
+    }
+    assert(e.getMessage.contains("rolled back"), e.getMessage)
+    // the live dataset is the ORIGINAL, with no nested _compacting dir
+    assert(rows(p) === 10, "nested promotion corrupted the live data")
+    assert(spark.read.parquet(p).collect().map(_.getInt(0)).sum === 55)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "/d_compacting")),
+      "replacement left nested inside the live dataset")
+    // the replacement was put back at tmp; the advised retry works
+    rewriteDouble(p)
+    assert(spark.read.parquet(p).collect().map(_.getInt(0)).sum === 110)
+  }
 }

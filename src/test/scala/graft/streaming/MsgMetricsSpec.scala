@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.operators.MarketplaceFold
 import graft.operators.MarketplaceModel._
 import org.apache.spark.sql.DataFrame
 
@@ -111,6 +112,30 @@ class MsgMetricsSpec extends SparkSpec {
     // foreachBatch redelivers a failed batch with the SAME id: no-op
     acc.update(lastBatch._1, lastBatch._2)
     assert(matrix(acc.snapshot(spark)) === batch)
+  }
+
+  test("a batch whose merge FAILS is not marked applied: Spark's retry " +
+    "of the same id still counts (mark-after-merge, not before)") {
+    import spark.implicits._
+    val acc = new MsgMetrics.CounterAccumulator
+    val good = MarketplaceFold.messages(spark.createDataset(scenario()))
+      .toDF()
+    // a malformed batch (missing the verdict columns) blows up inside
+    // update, BEFORE anything merges
+    intercept[Exception] {
+      acc.update(Seq(1).toDF("not_a_message"), 0L)
+    }
+    assert(acc.snapshot(spark).count() === 0)
+    // the retry with the SAME id must apply — a mark-before-merge
+    // guard would call it a replay and drop the batch forever
+    acc.update(good, 0L)
+    val after = matrix(acc.snapshot(spark))
+    assert(after.nonEmpty)
+    // and the genuine replay of the now-applied id is a no-op, as is
+    // any EARLIER id (the guard is a high-water mark, O(1) state)
+    acc.update(good, 0L)
+    acc.update(good, -5L)
+    assert(matrix(acc.snapshot(spark)) === after)
   }
 
   test("the engine listener exports per-batch progress rows (the " +
