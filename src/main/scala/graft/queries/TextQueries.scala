@@ -1377,13 +1377,20 @@ object TextQueries {
     * what counts as repeated.
     *
     * Scale posture: grams are keyed by md5 (bounded key width, uniform
-    * shuffle distribution regardless of token skew); the df aggregate
-    * and the flag-back join shuffle on that SAME key, so Catalyst's
-    * ReuseExchange serves both from one gram shuffle. Hot boilerplate
-    * grams (huge df) cost the aggregate nothing — count_distinct
-    * partial-aggregates map-side — and the join back is a semi-join
-    * against a df-filtered key set, which AQE skew-splits if one gram
-    * dominates. */
+    * shuffle distribution regardless of token skew). The df side is a
+    * TWO-PHASE distinct — map-side (gh, doc_id) dedup before its
+    * exchange — so a hot boilerplate gram never concentrates: its
+    * distinct pairs spread across reducers by doc_id, and the per-gh
+    * count arrives as one partial row per partition. The flag-back is
+    * an equi-join on gh whose build side is the df-FILTERED key set
+    * (tiny relative to the corpus — AQE broadcasts it when it fits,
+    * falls back to a skew-splittable SMJ otherwise). The corpus is
+    * scanned once per consumer (aggregate + probe) — deliberately
+    * recomputed rather than pinned, because the exploded gram set is
+    * ~l× the corpus, far larger than the rescan it saves.
+    * (PlanQualitySpec audits this shape; an earlier claim that
+    * ReuseExchange merges the two paths was wrong — their exchanges
+    * carry different partial-aggregate schemas and cannot unify.) */
   private[graft] def dupGramPositions(s: SparkSession, dir: String,
       l: Int, minDf: Int): DataFrame = {
     val grams = docs(s, dir).filter(col("text").isNotNull)

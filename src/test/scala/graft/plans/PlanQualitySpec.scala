@@ -426,4 +426,58 @@ class PlanQualitySpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(rp.contains("BroadcastHashJoin"), s"re-count not broadcast:\n$rp")
   }
+
+  test("q95 anchor flagging: two-phase distinct dedups (gh, doc_id) " +
+    "map-side, the flag-back joins hash-wise on gh, the corpus is " +
+    "scanned once per consumer") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q95RepeatedSpans(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = p.linesIterator.toSeq
+    // aggregate + probe each read the corpus once; NOT pinned on
+    // purpose (the exploded gram set is ~l x the corpus)
+    assert(lines.count(_.contains("FileScan parquet")) === 2,
+      s"gram flagging re-scans the corpus:\n$p")
+    // the df distinct is TWO-PHASE: a map-side (gh, doc_id) dedup runs
+    // BELOW its exchange, so a hot boilerplate gram's pairs spread
+    // across reducers by doc_id instead of concentrating
+    val mapDedup = lines.lastIndexWhere(l =>
+      l.contains("HashAggregate(keys=[gh") && l.contains("doc_id"))
+    val dedupExchange = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(gh") && l.contains("doc_id"))
+    assert(mapDedup >= 0 && dedupExchange >= 0 && dedupExchange < mapDedup,
+      s"(gh, doc_id) dedup is not map-side partial:\n$p")
+    // the flag-back is a hash equi-join on gh — broadcast of the
+    // df-filtered key set at this scale, never a nested loop
+    assert(lines.exists(l => l.contains("Join [gh")
+      || l.contains("Join [coalesce(gh")),
+      s"flag-back not an equi-join on gh:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+    // island merge runs per document AFTER flagging: exactly one
+    // doc_id exchange feeds the windows
+    assert(lines.count(_.contains(
+      "Exchange hashpartitioning(doc_id")) === 1,
+      s"island merge should shuffle flagged anchors once:\n$p")
+  }
+
+  test("q96 redaction: covered-position anti-join stays hash-based " +
+    "and the kept-token rebuild aggregates without a global sort") {
+    import graft.queries.{TextQueries => T}
+    val df = T.q96SpanRedact(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("LeftAnti"), s"kept tokens not an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+    // sort_array runs inside the aggregate buffer; the only Sort nodes
+    // allowed are SMJ children and the final output ordering
+    val sorts = p.linesIterator.count(l =>
+      l.contains(" Sort ") && l.contains("global=true")
+        || l.trim.startsWith("Sort ["))
+    assert(sorts <= 3, s"redaction pays extra global sorts:\n$p")
+  }
 }
