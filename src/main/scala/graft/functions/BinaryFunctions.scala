@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   *    codegen Expression) is the right tier here: the cost is the codec
   *    itself, not the dispatch.
   *  - Decode/resize is REAL for the JDK-native rasters (png/jpeg/gif/bmp)
-  *    via javax.imageio, for uncompressed baseline TIFF via a pure-JVM IFD
-  *    parser ([[decodeTiff]]), and for an SVG shape subset via a pure-JVM
-  *    rasterizer ([[rasterizeSvg]]). webp decode needs a codec this
-  *    environment doesn't ship — it returns null (documented stub), while
-  *    format *sniffing* works for all seven reference formats.
+  *    via javax.imageio, for baseline TIFF (none/LZW/Deflate strips,
+  *    Predictor=2) via a pure-JVM IFD parser ([[decodeTiff]]), for SVG via
+  *    a pure-JVM rasterizer ([[rasterizeSvg]]), and for lossless webp via
+  *    the pure-JVM VP8L decoder ([[graft.functions.Vp8l]]). Lossy "VP8 "
+  *    webp still reports header dimensions only (the one remaining codec
+  *    gap); format *sniffing* works for all seven reference formats.
   *  - Deterministic: same bytes → same output bytes (PNG encode).
   */
 object BinaryFunctions {
@@ -408,12 +409,90 @@ object BinaryFunctions {
 
   // --- TIFF (baseline, uncompressed) — pure-JVM codec ---------------------
 
-  /** Decode an UNCOMPRESSED baseline TIFF — Compression=1, 8 bits/sample,
-    * grayscale (PhotometricInterpretation=1) or RGB/RGBA (PI=2), strip
+  /** TIFF LZW strip decompression (TIFF 6 §13, the variant
+    * `x/image/tiff` decodes): MSB-first bit packing, ClearCode 256,
+    * EOI 257, 9→12 bit codes with the spec's EARLY code-width change
+    * (the width bumps one code before the table actually fills).
+    * Returns bytes written, or -1 on malformed input. The dictionary is
+    * prefix-linked arrays (no per-entry strings): an entry's bytes are
+    * materialized by walking the chain backwards into `dst`. */
+  private def lzwDecode(src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Int = {
+    val Clear = 256; val Eoi = 257; val MaxCode = 4096
+    val prefix = new Array[Int](MaxCode)
+    val suffix = new Array[Byte](MaxCode)
+    val length = new Array[Int](MaxCode)
+    var i = 0
+    while (i < 256) { prefix(i) = -1; suffix(i) = i.toByte; length(i) = 1; i += 1 }
+    var next = 258; var width = 9
+    var acc = 0L; var nBits = 0; var pos = srcOff
+    val end = srcOff + srcLen
+    def read(): Int = {
+      while (nBits < width) {
+        if (pos >= end) return Eoi // truncated stream: stop cleanly
+        acc = (acc << 8) | (src(pos) & 0xffL); pos += 1; nBits += 8
+      }
+      nBits -= width
+      ((acc >>> nBits) & ((1 << width) - 1)).toInt
+    }
+    // write table entry `c`'s bytes at out; returns new out or -1
+    def emit(c: Int, out: Int): Int = {
+      val n = length(c)
+      if (out + n > dstLen) return -1
+      var k = out + n - 1; var e = c
+      while (e >= 0) { dst(dstOff + k) = suffix(e); k -= 1; e = prefix(e) }
+      out + n
+    }
+    var out = 0; var old = -1
+    var code = read()
+    while (code != Eoi && out < dstLen) {
+      if (code == Clear) {
+        next = 258; width = 9; old = -1
+        code = read()
+        if (code == Eoi) return out
+        if (code > 255) return -1 // first code after Clear must be a root
+        out = emit(code, out); if (out < 0) return -1
+        old = code
+      } else {
+        if (old < 0) return -1
+        if (code < next) {
+          val start = out
+          out = emit(code, out); if (out < 0) return -1
+          if (next < MaxCode) {
+            prefix(next) = old; suffix(next) = dst(dstOff + start)
+            length(next) = length(old) + 1; next += 1
+          }
+        } else if (code == next && next < MaxCode) {
+          // KwKwK: entry = string(old) + first byte of string(old)
+          val start = out
+          out = emit(old, out); if (out < 0) return -1
+          if (out + 1 > dstLen) return -1
+          dst(dstOff + out) = dst(dstOff + start); out += 1
+          prefix(next) = old; suffix(next) = dst(dstOff + start)
+          length(next) = length(old) + 1; next += 1
+        } else return -1 // code beyond the table: corrupt
+        old = code
+        // EARLY change, decoder side: the decoder's table lags the
+        // writer's by one entry (it adds an entry only after seeing the
+        // NEXT code), so it widens one entry before the writer's
+        // 511/1023/2047 switch points
+        if (next == 510 || next == 1022 || next == 2046) width += 1
+      }
+      if (out >= dstLen) return out
+      code = read()
+    }
+    out
+  }
+
+  /** Decode a baseline TIFF — 8 bits/sample, grayscale
+    * (PhotometricInterpretation=1) or RGB/RGBA (PI=2), strip
     * organization, both II and MM byte orders — with no native codec,
     * closing the tiff arm of the reference's format table
-    * (x/imgresizer/resizer.go:248-249). Compressed TIFFs (LZW/JPEG/...)
-    * still return None: those codecs aren't shipped in this environment. */
+    * (x/imgresizer/resizer.go:248-249, backed by `x/image/tiff`).
+    * Compression: 1 (none), 5 (LZW, [[lzwDecode]]) and 8 (Deflate, via
+    * java.util.zip) — `x/image/tiff`'s codec set minus the PackBits
+    * legacy arm; horizontal-differencing Predictor=2 (the usual LZW
+    * companion) is inverted per row. Other compressions return None. */
   def decodeTiff(b: Array[Byte]): Option[BufferedImage] = try {
     if (b == null || b.length < 8) return None
     val le = b(0) == 'I'.toByte && b(1) == 'I'.toByte
@@ -443,6 +522,8 @@ object BinaryFunctions {
     }
     var width, height, spp = 0
     var compression, photometric = -1
+    var predictor = 1
+    var rowsPerStrip = Int.MaxValue
     var bits: Seq[Long] = Seq(8L)
     var stripOffsets, stripCounts: Seq[Long] = Nil
     for (e <- 0 until nEntries) {
@@ -455,28 +536,81 @@ object BinaryFunctions {
         case 262 => photometric = vals(pos).head.toInt
         case 273 => stripOffsets = vals(pos)
         case 277 => spp = vals(pos).head.toInt
+        case 278 => rowsPerStrip = vals(pos).head.toInt
         case 279 => stripCounts = vals(pos)
+        case 317 => predictor = vals(pos).head.toInt
         case _ => ()
       }
     }
     if (spp == 0) spp = 1
-    if (compression != 1 || !Set(1, 2).contains(photometric)) return None
+    if (!Set(1, 5, 8).contains(compression)) return None
+    if (!Set(1, 2).contains(photometric)) return None
     if (width <= 0 || height <= 0 || !bits.forall(_ == 8L)) return None
     if (!Set(1, 3, 4).contains(spp)) return None
+    if (!Set(1, 2).contains(predictor)) return None
+    if (rowsPerStrip <= 0) return None
     // validate BEFORE allocating: header-declared dimensions from untrusted
     // bytes must be backed by actual strip data, or a 200-byte file
-    // declaring 20000x20000 OOMs the task past the Exception catch
+    // declaring 20000x20000 OOMs the task past the Exception catch.
+    // Compressed strips can legitimately be smaller than their output,
+    // so those get a hard output cap instead of the byte-sum check.
     val needed = width.toLong * height * spp
-    if (needed > b.length.toLong ||
-      stripOffsets.zip(stripCounts).map(_._2).sum < needed) return None
+    if (compression == 1) {
+      if (needed > b.length.toLong ||
+        stripOffsets.zip(stripCounts).map(_._2).sum < needed) return None
+    } else if (needed > (64L << 20)) return None
+    if (stripOffsets.length != stripCounts.length ||
+      stripOffsets.isEmpty) return None
 
-    // strips concatenate to exactly width*height*spp sample bytes
+    // strips concatenate to exactly width*height*spp sample bytes; each
+    // strip covers rowsPerStrip rows (the last one possibly fewer)
     val data = new Array[Byte](needed.toInt)
+    val rowBytes = width * spp
     var off = 0
-    stripOffsets.zip(stripCounts).foreach { case (so, sc) =>
-      val n = math.min(sc.toInt, data.length - off)
-      System.arraycopy(b, so.toInt, data, off, n)
-      off += n
+    var si = 0
+    while (si < stripOffsets.length) {
+      val so = stripOffsets(si); val sc = stripCounts(si)
+      if (so < 0 || sc < 0 || so + sc > b.length) return None
+      val stripRows = math.min(rowsPerStrip.toLong,
+        height.toLong - si.toLong * rowsPerStrip)
+      if (stripRows <= 0) return None
+      val outLen = math.min(stripRows * rowBytes, needed - off).toInt
+      compression match {
+        case 1 =>
+          val n = math.min(sc.toInt, data.length - off)
+          System.arraycopy(b, so.toInt, data, off, n)
+          if (n < outLen) return None
+        case 5 =>
+          if (lzwDecode(b, so.toInt, sc.toInt, data, off, outLen) != outLen)
+            return None
+        case 8 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(b, so.toInt, sc.toInt)
+          var got = 0
+          while (got < outLen && !inf.finished()) {
+            val n = inf.inflate(data, off + got, outLen - got)
+            if (n == 0 && inf.needsInput()) return None // truncated
+            got += n
+          }
+          inf.end()
+          if (got < outLen) return None
+      }
+      // Predictor=2: each sample is stored as a delta vs the same
+      // sample one pixel to the left; integrate per row, per strip
+      if (predictor == 2) {
+        var r = 0
+        while (r * rowBytes < outLen) {
+          val rs = off + r * rowBytes
+          var x = spp
+          while (x < rowBytes) {
+            data(rs + x) = (data(rs + x) + data(rs + x - spp)).toByte
+            x += 1
+          }
+          r += 1
+        }
+      }
+      off += outLen
+      si += 1
     }
     if (off < data.length) return None
 

@@ -300,6 +300,179 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  // --- mini TIFF writer for the compressed-codec tests: raw samples →
+  // strips → per-strip LZW (TIFF variant, MSB-first, early width change)
+  // or Deflate, optional Predictor=2 differencing, little-endian IFD.
+  // An independent implementation of the PUBLIC TIFF 6 spec, so the
+  // decoder is checked against the format, not against itself.
+  private def lzwCompress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0; var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nBits += width
+      while (nBits >= 8) {
+        nBits -= 8; out.write(((acc >>> nBits) & 0xff).toInt)
+      }
+    }
+    var dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+    def reset(): Unit = {
+      dict = scala.collection.mutable.HashMap((0 until 256)
+        .map(i => Seq(i.toByte) -> i): _*)
+    }
+    reset(); put(256) // ClearCode first, per spec
+    var next = 258
+    var omega = Vector.empty[Byte]
+    for (k <- data) {
+      val cand = omega :+ k
+      if (dict.contains(cand)) omega = cand
+      else {
+        put(dict(omega))
+        dict(cand) = next; next += 1
+        if (next == 511 || next == 1023 || next == 2047) width += 1
+        if (next == 4094) { // table nearly full: flush and restart
+          put(256); reset(); next = 258; width = 9
+        }
+        omega = Vector(k)
+      }
+    }
+    if (omega.nonEmpty) put(dict(omega))
+    put(257) // EOI
+    if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def deflateCompress(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  /** Assemble a little-endian TIFF from raw 8-bit samples. */
+  private def tiffContainer(w: Int, h: Int, spp: Int, compression: Int,
+      predictor: Int, rowsPerStrip: Int, samples: Array[Byte]): Array[Byte] = {
+    val rowBytes = w * spp
+    val strips = (0 until h by rowsPerStrip).map { r0 =>
+      val rows = math.min(rowsPerStrip, h - r0)
+      val raw = java.util.Arrays.copyOfRange(samples, r0 * rowBytes,
+        (r0 + rows) * rowBytes)
+      if (predictor == 2) { // horizontal differencing, per row
+        for (r <- rows - 1 to 0 by -1; x <- rowBytes - 1 to spp by -1)
+          raw(r * rowBytes + x) =
+            (raw(r * rowBytes + x) - raw(r * rowBytes + x - spp)).toByte
+      }
+      compression match {
+        case 1 => raw
+        case 5 => lzwCompress(raw)
+        case 8 => deflateCompress(raw)
+      }
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    def p16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def p32(v: Int): Unit = { p16(v & 0xffff); p16((v >> 16) & 0xffff) }
+    o.write('I'); o.write('I'); p16(42)
+    val stripBytes = strips.map(_.length)
+    val dataStart = 8
+    val dataEnd = dataStart + stripBytes.sum
+    p32(dataEnd + (dataEnd & 1)) // IFD after (even-aligned) strip data
+    strips.foreach(s => o.write(s, 0, s.length))
+    if (dataEnd % 2 == 1) o.write(0)
+    val tags = scala.collection.mutable.ArrayBuffer[(Int, Int, Seq[Long])]()
+    tags += ((256, 4, Seq(w.toLong))); tags += ((257, 4, Seq(h.toLong)))
+    tags += ((258, 3, Seq.fill(spp)(8L)))
+    tags += ((259, 3, Seq(compression.toLong)))
+    tags += ((262, 3, Seq(if (spp == 1) 1L else 2L)))
+    val offsets = stripBytes.scanLeft(dataStart)(_ + _).init.map(_.toLong)
+    tags += ((273, 4, offsets))
+    tags += ((277, 3, Seq(spp.toLong)))
+    tags += ((278, 4, Seq(rowsPerStrip.toLong)))
+    tags += ((279, 4, stripBytes.map(_.toLong)))
+    if (predictor != 1) tags += ((317, 3, Seq(predictor.toLong)))
+    val ifdStart = dataEnd + (dataEnd & 1)
+    var extra = ifdStart + 2 + tags.length * 12 + 4
+    val extraBuf = new java.io.ByteArrayOutputStream()
+    p16(tags.length)
+    for ((tag, typ, vs) <- tags.sortBy(_._1)) {
+      p16(tag); p16(typ); p32(vs.length)
+      val elem = if (typ == 3) 2 else 4
+      if (elem * vs.length <= 4) {
+        var written = 0
+        vs.foreach { v =>
+          if (typ == 3) { p16(v.toInt); written += 2 }
+          else { p32(v.toInt); written += 4 }
+        }
+        while (written < 4) { o.write(0); written += 1 }
+      } else {
+        p32(extra)
+        vs.foreach { v =>
+          if (typ == 3) { extraBuf.write((v & 0xff).toInt)
+            extraBuf.write(((v >> 8) & 0xff).toInt) }
+          else { var i = 0; while (i < 4) {
+            extraBuf.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+        }
+        extra += elem * vs.length
+      }
+    }
+    p32(0) // no next IFD
+    val eb = extraBuf.toByteArray
+    o.write(eb, 0, eb.length)
+    o.toByteArray
+  }
+
+  test("LZW and Deflate TIFFs decode: multi-strip, predictor 2, gray " +
+    "and RGB, dictionary growth past the 9->10->11 bit boundaries") {
+    val rnd = new scala.util.Random(7)
+    for {
+      compression <- Seq(5, 8)
+      predictor <- Seq(1, 2)
+      spp <- Seq(1, 3)
+    } {
+      val (w, h) = (41, 23) // 41*23*3=2829 raw bytes/case
+      val samples = new Array[Byte](w * h * spp)
+      // half-random, half-runs: runs grow long dictionary chains (KwKwK),
+      // random spans force many fresh entries (code-width bumps)
+      rnd.nextBytes(samples)
+      java.util.Arrays.fill(samples, 0, samples.length / 2, 42.toByte)
+      val tiff = tiffContainer(w, h, spp, compression, predictor,
+        rowsPerStrip = 7, samples)
+      val dec = B.decodeTiff(tiff)
+      assert(dec.isDefined,
+        s"decode failed (c=$compression p=$predictor spp=$spp)")
+      assert(dec.get.getWidth === w && dec.get.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (y * w + x) * spp
+        val expected =
+          if (spp == 1) { val g = samples(base) & 0xff; (g << 16) | (g << 8) | g }
+          else ((samples(base) & 0xff) << 16) |
+            ((samples(base + 1) & 0xff) << 8) | (samples(base + 2) & 0xff)
+        assert((dec.get.getRGB(x, y) & 0xffffff) === expected,
+          s"pixel ($x,$y) c=$compression p=$predictor spp=$spp")
+      }
+    }
+    // a big uniform image crosses 511/1023/2047 in ONE strip and forces
+    // the encoder's table-full flush — the decoder must track both
+    val big = new Array[Byte](120 * 90 * 3)
+    val r2 = new scala.util.Random(13)
+    r2.nextBytes(big)
+    val bigTiff = tiffContainer(120, 90, 3, 5, 2, 90, big)
+    val bigDec = B.decodeTiff(bigTiff)
+    assert(bigDec.isDefined, "single-strip 32k-byte LZW failed")
+    assert((bigDec.get.getRGB(119, 89) & 0xffffff) ===
+      (((big(big.length - 3) & 0xff) << 16) |
+        ((big(big.length - 2) & 0xff) << 8) | (big(big.length - 1) & 0xff)))
+    // hostile inputs refuse politely: truncated container, and a
+    // compression the codec set doesn't cover (JPEG=7)
+    val ok = tiffContainer(10, 10, 3, 5, 1, 10, Array.fill(300)(9.toByte))
+    assert(B.decodeTiff(ok.take(8)) === None)
+    val jpeg = tiffContainer(4, 4, 3, 1, 1, 4, new Array[Byte](48))
+    val cTag = jpeg.indexOfSlice(Seq[Byte](3, 1, 3, 0)) // tag 259, SHORT
+    assert(cTag > 0, "compression tag not found in fixture")
+    jpeg(cTag + 8) = 7 // rewrite Compression=1 -> 7 (JPEG)
+    assert(B.decodeTiff(jpeg) === None)
+  }
+
   test("erc721 validation: valid, missing field, wrong type, bad json") {
     import spark.implicits._
     val df = Seq(
