@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
   * The reference validates fetched token metadata against a real JSON-Schema
   * DOCUMENT via gojsonschema (x/tokenMetadataService/service.go:168-175,
   * schema types.go:3-21) — so the capability here is schema-DRIVEN: any
-  * schema in the supported subset (type / properties / required / items)
-  * compiles ONCE driver-side into a pure Column expression stack over
-  * Spark 4's VARIANT. Object properties recurse to any depth; array items
+  * schema in the supported subset (type / properties / required / items /
+  * enum / pattern / minLength / maxLength / minimum / maximum /
+  * exclusiveMinimum / exclusiveMaximum) compiles ONCE driver-side into a
+  * pure Column expression stack over Spark 4's VARIANT. Object properties recurse to any depth; array items
   * are checked via the MERGED element type (per-element fan-out is not
   * expressible over VARIANT arrays at the expression layer), so an
   * array-of-object item schema verifies element type, not inner fields.
@@ -26,7 +27,10 @@ import org.apache.spark.sql.types._
   */
 object JsonFunctions {
 
-  /** JSON-Schema subset: type + properties + required + items, recursive. */
+  /** JSON-Schema subset: type + properties + required + items, plus the
+    * value-constraint keywords enum / pattern / minLength / maxLength /
+    * minimum / maximum (exclusiveMinimum/Maximum in their draft-4 numeric
+    * form), recursive. */
   sealed trait JsonSchema
   object JsonSchema {
     case class JsObject(properties: Seq[(String, JsonSchema)],
@@ -35,6 +39,31 @@ object JsonFunctions {
     /** "string" | "number" | "integer" | "boolean" */
     case class JsPrim(tpe: String) extends JsonSchema
     case object JsAny extends JsonSchema
+    /** A schema node with value constraints layered over its base check.
+      * Per the spec, string keywords ignore non-strings and numeric
+      * keywords ignore non-numbers — the `type` keyword (the base) is
+      * what reports a wrong type. */
+    case class JsConstrained(base: JsonSchema,
+        cs: Constraints) extends JsonSchema
+
+    /** Enum members carry their JSON kind so equality compares typed
+      * values (1 != "1"), the way gojsonschema deep-compares. */
+    sealed trait EnumVal
+    case class EnumStr(v: String) extends EnumVal
+    case class EnumNum(v: Double) extends EnumVal
+    case class EnumBool(v: Boolean) extends EnumVal
+    /** null / object / array members: canonical-JSON comparison. */
+    case class EnumJson(v: String) extends EnumVal
+
+    case class Constraints(
+        enumVals: Option[Seq[EnumVal]] = None,
+        pattern: Option[String] = None,
+        minLength: Option[Int] = None, maxLength: Option[Int] = None,
+        minimum: Option[Double] = None, maximum: Option[Double] = None,
+        exclusiveMinimum: Option[Double] = None,
+        exclusiveMaximum: Option[Double] = None) {
+      def isEmpty: Boolean = this == Constraints()
+    }
 
     /** Parse a JSON-Schema document (driver-side, once per plan; Jackson is
       * already on Spark's classpath). Unknown/absent `type` → JsAny, i.e.
@@ -47,7 +76,7 @@ object JsonFunctions {
     private def fromNode(
         n: com.fasterxml.jackson.databind.JsonNode): JsonSchema = {
       import scala.jdk.CollectionConverters._
-      n.path("type").asText("") match {
+      val base = n.path("type").asText("") match {
         case "object" =>
           val props = Option(n.get("properties")).toSeq.flatMap(p =>
             p.fields().asScala.map(e => e.getKey -> fromNode(e.getValue)))
@@ -58,6 +87,25 @@ object JsonFunctions {
         case t @ ("string" | "number" | "integer" | "boolean") => JsPrim(t)
         case _ => JsAny
       }
+      def num(k: String): Option[Double] =
+        Option(n.get(k)).filter(_.isNumber).map(_.asDouble())
+      def int(k: String): Option[Int] =
+        Option(n.get(k)).filter(_.isNumber).map(_.asInt())
+      val cs = Constraints(
+        enumVals = Option(n.get("enum")).filter(_.isArray).map(
+          _.elements().asScala.toSeq.map {
+            case e if e.isTextual => EnumStr(e.asText())
+            case e if e.isNumber => EnumNum(e.asDouble())
+            case e if e.isBoolean => EnumBool(e.asBoolean())
+            case e => EnumJson(e.toString)
+          }),
+        pattern = Option(n.get("pattern")).filter(_.isTextual)
+          .map(_.asText()),
+        minLength = int("minLength"), maxLength = int("maxLength"),
+        minimum = num("minimum"), maximum = num("maximum"),
+        exclusiveMinimum = num("exclusiveMinimum"),
+        exclusiveMaximum = num("exclusiveMaximum"))
+      if (cs.isEmpty) base else JsConstrained(base, cs)
     }
   }
 
@@ -79,10 +127,56 @@ object JsonFunctions {
     }
   }
 
+  /** Constraint-keyword errors for one variant value. String keywords
+    * apply only to strings and numeric keywords only to numbers (the
+    * spec's "keywords ignore instances of other types"); enum compares
+    * typed values, so 1 never equals "1". */
+  private def constraintErrors(v: Column, cs: Constraints,
+      path: String): Seq[Column] = {
+    val t = schema_of_variant(v)
+    val isStr = t === "STRING"
+    val isNum = t.isin("DOUBLE", "FLOAT", "BIGINT", "INT", "SMALLINT",
+      "TINYINT") || t.startsWith("DECIMAL")
+    // try_variant_get: the type guards make a failed cast unreachable
+    // logically, but Catalyst may evaluate both sides of a conjunction —
+    // a throwing cast would break the errors-as-data contract
+    val asStr = try_variant_get(v, "$", "string")
+    val asNum = try_variant_get(v, "$", "double")
+    val p = display(path)
+    def check(bad: Column, msg: String): Column =
+      when(bad, array(lit(msg))).otherwise(noErrors)
+    cs.enumVals.toSeq.map { vals =>
+      val hit = vals.map {
+        case EnumStr(s) => isStr && asStr === lit(s)
+        case EnumNum(d) => isNum && asNum === lit(d)
+        case EnumBool(b) =>
+          t === "BOOLEAN" && try_variant_get(v, "$", "boolean") === lit(b)
+        case EnumJson(j) => to_json(v) === lit(j)
+      }.reduce(_ || _)
+      check(!hit, s"value not in enum: $p")
+    } ++
+      cs.pattern.toSeq.map(re =>
+        check(isStr && !asStr.rlike(re), s"string does not match pattern($re): $p")) ++
+      cs.minLength.toSeq.map(n =>
+        check(isStr && length(asStr) < n, s"string shorter than minLength($n): $p")) ++
+      cs.maxLength.toSeq.map(n =>
+        check(isStr && length(asStr) > n, s"string longer than maxLength($n): $p")) ++
+      cs.minimum.toSeq.map(m =>
+        check(isNum && asNum < m, s"number below minimum($m): $p")) ++
+      cs.maximum.toSeq.map(m =>
+        check(isNum && asNum > m, s"number above maximum($m): $p")) ++
+      cs.exclusiveMinimum.toSeq.map(m =>
+        check(isNum && asNum <= m, s"number not above exclusiveMinimum($m): $p")) ++
+      cs.exclusiveMaximum.toSeq.map(m =>
+        check(isNum && asNum >= m, s"number not below exclusiveMaximum($m): $p"))
+  }
+
   /** Recursive error builder for one schema node over one variant value. */
   private def nodeErrors(v: Column, schema: JsonSchema,
       path: String): Column = schema match {
     case JsAny => noErrors
+    case JsConstrained(base, cs) =>
+      concat(nodeErrors(v, base, path) +: constraintErrors(v, cs, path): _*)
     case JsPrim(t) =>
       when(primOk(v, t), noErrors)
         .otherwise(array(lit(s"field is not a $t: ${display(path)}")))

@@ -558,6 +558,81 @@ class FunctionsSpec extends SparkSpec {
     assert(r2(1).getSeq[String](1) === Seq("array items are not object: xs"))
   }
 
+  test("schema validation: enum, pattern, length and numeric bounds " +
+    "(the gojsonschema keyword set beyond type/required)") {
+    import spark.implicits._
+    def run(schema: String, jsons: String*): Seq[(Boolean, Seq[String])] =
+      jsons.toDF("j")
+        .select(J.validateJsonSchema(col("j"), schema).as("v"))
+        .select("v.valid", "v.errors").collect().toSeq
+        .map(r => (r.getBoolean(0), r.getSeq[String](1)))
+
+    // enum compares TYPED values: 1 (number) never matches "1" (string)
+    val en = """{"type":"object","properties":{
+               |  "state": {"enum": ["active", "paused", 3, true]}}}"""
+      .stripMargin
+    val r1 = run(en, """{"state":"active"}""", """{"state":3}""",
+      """{"state":true}""", """{"state":"3"}""", """{"state":"gone"}""")
+    assert(r1.map(_._1) === Seq(true, true, true, false, false))
+    assert(r1(4)._2 === Seq("value not in enum: state"))
+
+    // pattern is an unanchored regex match, strings only
+    val pat = """{"type":"object","properties":{
+                |  "id": {"type":"string","pattern":"^0x[0-9a-f]+$"}}}"""
+      .stripMargin
+    val r2 = run(pat, """{"id":"0xdeadbeef"}""", """{"id":"0xZZ"}""")
+    assert(r2.map(_._1) === Seq(true, false))
+    assert(r2(1)._2.head.startsWith("string does not match pattern"))
+
+    // minLength/maxLength count characters, apply to strings only
+    val len = """{"type":"object","properties":{
+                |  "name": {"type":"string","minLength":2,"maxLength":4}}}"""
+      .stripMargin
+    val r3 = run(len, """{"name":"ab"}""", """{"name":"a"}""",
+      """{"name":"abcde"}""")
+    assert(r3.map(_._1) === Seq(true, false, false))
+    assert(r3(1)._2 === Seq("string shorter than minLength(2): name"))
+    assert(r3(2)._2 === Seq("string longer than maxLength(4): name"))
+
+    // minimum/maximum are inclusive; the exclusive draft-4 forms are not
+    val num = """{"type":"object","properties":{
+                |  "n": {"type":"number","minimum":0,"maximum":10},
+                |  "x": {"type":"number","exclusiveMinimum":0}}}"""
+      .stripMargin
+    val r4 = run(num, """{"n":0,"x":1}""", """{"n":-1}""",
+      """{"n":10.5}""", """{"x":0}""")
+    assert(r4.map(_._1) === Seq(true, false, false, false))
+    assert(r4(1)._2 === Seq("number below minimum(0.0): n"))
+    assert(r4(2)._2 === Seq("number above maximum(10.0): n"))
+    assert(r4(3)._2 === Seq("number not above exclusiveMinimum(0.0): x"))
+
+    // constraints layer on top of the type check, not instead of it;
+    // a wrong-typed value reports the type error (string keywords
+    // ignore non-strings, per the spec)
+    val r5 = run(pat, """{"id":7}""")
+    assert(r5 === Seq((false, Seq("field is not a string: id"))))
+
+    // the ERC-721 schema extended with an image-protocol enum + bounds —
+    // the reference's gojsonschema would validate the same document set
+    val erc = """{"type":"object",
+                | "properties": {
+                |   "name": {"type":"string","minLength":1},
+                |   "description": {"type":"string"},
+                |   "image": {"type":"string",
+                |             "pattern":"^(https?|ipfs)://"},
+                |   "decimals": {"type":"integer","minimum":0,"maximum":18}},
+                | "required": ["name","description","image"]}""".stripMargin
+    val r6 = run(erc,
+      """{"name":"T","description":"d","image":"ipfs://x","decimals":6}""",
+      """{"name":"","description":"d","image":"ftp://x","decimals":19}""")
+    assert(r6(0) === ((true, Nil)))
+    assert(r6(1)._1 === false)
+    assert(r6(1)._2 === Seq(
+      "string shorter than minLength(1): name",
+      "string does not match pattern(^(https?|ipfs)://): image",
+      "number above maximum(18.0): decimals"))
+  }
+
   test("vec_dot matches a hand computation and handles length mismatch") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
