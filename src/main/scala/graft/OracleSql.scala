@@ -28,6 +28,21 @@ object OracleSql {
       |ORDER BY c_custkey LIMIT 50 OFFSET 10""".stripMargin
 
   /** q40's oracle, bound to BOTH q40 and the QueryBuilder replay q91. */
+  private val nestedDeepSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey,
+      |         list_sort(list({'ln': CAST(l_linenumber AS BIGINT),
+      |                         'q': CAST(l_quantity AS BIGINT)})) AS items
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT c.c_custkey,
+      |       to_json(list_sort(list({'k': o.o_orderkey,
+      |                               'items': li.items}))) AS orders
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN li ON li.l_orderkey = o.o_orderkey
+      |WHERE c.c_custkey <= 20
+      |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin
+
   private val nestedSql: String =
     """SELECT c.c_custkey,
       |       to_json(list_sort(list({'k': o.o_orderkey,
@@ -772,20 +787,10 @@ object OracleSql {
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "q51_minhash_pairs_md5" -> minhashPairsMd5,
     "q52_winnow_md5" -> winnowMd5,
-    "q49_nested_deep" ->
-      """WITH li AS (
-        |  SELECT l_orderkey,
-        |         list_sort(list({'ln': CAST(l_linenumber AS BIGINT),
-        |                         'q': CAST(l_quantity AS BIGINT)})) AS items
-        |  FROM lineitem GROUP BY l_orderkey)
-        |SELECT c.c_custkey,
-        |       to_json(list_sort(list({'k': o.o_orderkey,
-        |                               'items': li.items}))) AS orders
-        |FROM customer c
-        |JOIN orders o ON o.o_custkey = c.c_custkey
-        |JOIN li ON li.l_orderkey = o.o_orderkey
-        |WHERE c.c_custkey <= 20
-        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "q49_nested_deep" -> nestedDeepSql,
+    // q97 = q49's request compiled by the query-builder front end —
+    // same answer contract, same oracle
+    "q97_qb_nested_deep" -> nestedDeepSql,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

@@ -117,6 +117,7 @@ object SparkEntry {
     "q94_classifier_score" -> (S.q94ClassifierScore(_, _)),
     "q95_repeated_spans" -> ((s, d) => T.q95RepeatedSpans(s, d)),
     "q96_span_redact" -> ((s, d) => T.q96SpanRedact(s, d)),
+    "q97_qb_nested_deep" -> (graft.api.QueryBuilder.q97QbNestedDeep(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

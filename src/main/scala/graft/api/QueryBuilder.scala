@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * /root/reference/README.md:89-155): a request names a root table, a
   * boolean where-tree (the `_eq/_gte/_in/_like/_and/_or/_not` operator
   * surface from README.md:121-155), order/limit/offset, scalar fields,
-  * and at most one child relationship — either a nested object array
-  * (`users{nfts{token_id}}`, README.md:92-99) or an aggregate
-  * (Hasura's `*_aggregate`).
+  * and any number of child relationships — nested object arrays
+  * (`users{nfts{token_id}}`, README.md:92-99), recursively nestable
+  * (`users{nfts{bids{...}}}`), and aggregates (Hasura's
+  * `*_aggregate`). Every relationship compiles independently to one
+  * pre-aggregated row per parent key and joins back, so fan-outs never
+  * cross-multiply.
   *
   * `run` assembles the SAME DataFrame operators the handwritten
   * queries use, so the optimizer sees an identical declarative plan:
@@ -80,42 +83,54 @@ object QueryBuilder {
 
   /** One field of a nested object: `as` is the response key; an
     * optional (roundTo, printf) rendering matches q40's
-    * cross-engine-stable price formatting. */
+    * cross-engine-stable price formatting; `cast` coerces the field
+    * (e.g. to "long") for cross-engine-stable JSON rendering. */
   final case class NestedField(as: String, field: String,
-      format: Option[(Int, String)] = None)
+      format: Option[(Int, String)] = None, cast: Option[String] = None)
 
   /** Child-array relationship (users{nfts{...}}): children fold to ONE
-    * sorted JSON array column per parent — one shuffle on the parent
-    * key, never a flat fan-out row set (q40's shape). */
+    * sorted array column per parent — one shuffle on the parent key,
+    * never a flat fan-out row set (q40's shape). `sub` nests a further
+    * relationship INSIDE each child object (users{nfts{bids{...}}}),
+    * compiled bottom-up exactly like the handwritten q49: the deepest
+    * level aggregates first, each level joins its children pre-folded,
+    * so fan-out never multiplies across levels. Top-level arrays render
+    * `to_json`; inner arrays stay structured inside the parent struct. */
   final case class Nested(as: String, table: String,
-      childKey: String, parentKey: String, fields: Seq[NestedField]) {
+      childKey: String, parentKey: String, fields: Seq[NestedField],
+      sub: Option[Nested] = None) {
     require(fields.nonEmpty, s"nested '$as' selects no fields")
   }
 
   /** One aggregate over a child relationship (the *_aggregate surface).
-    * `SumOf` renders q4's NULL-absorbing rounded total so a parent with
-    * no children reads 0, not null. */
-  sealed trait AggField { private[api] def toColumn(child: DataFrame): Column }
+    * Each field has two halves: `agg` runs inside the child's
+    * per-parent-key fold, `post` repairs the left-join null for parents
+    * with no children (count reads 0 and sum reads 0.0, as a flat
+    * left-join + groupBy would produce; min/max/avg stay null, matching
+    * Hasura). */
+  sealed trait AggField {
+    def as: String
+    private[api] def agg(child: DataFrame): Column
+    private[api] def post(c: Column): Column = c
+  }
   final case class CountOf(field: String, as: String) extends AggField {
-    private[api] def toColumn(child: DataFrame): Column =
-      count(child(field)).as(as)
+    private[api] def agg(child: DataFrame): Column = count(child(field)).as(as)
+    override private[api] def post(c: Column): Column = coalesce(c, lit(0L))
   }
   final case class SumOf(field: String, as: String, roundTo: Int = 2)
       extends AggField {
-    private[api] def toColumn(child: DataFrame): Column =
-      round(coalesce(sum(child(field)), lit(0.0)), roundTo).as(as)
+    private[api] def agg(child: DataFrame): Column = sum(child(field)).as(as)
+    override private[api] def post(c: Column): Column =
+      round(coalesce(c, lit(0.0)), roundTo)
   }
   final case class MinOf(field: String, as: String) extends AggField {
-    private[api] def toColumn(child: DataFrame): Column =
-      min(child(field)).as(as)
+    private[api] def agg(child: DataFrame): Column = min(child(field)).as(as)
   }
   final case class MaxOf(field: String, as: String) extends AggField {
-    private[api] def toColumn(child: DataFrame): Column =
-      max(child(field)).as(as)
+    private[api] def agg(child: DataFrame): Column = max(child(field)).as(as)
   }
   final case class AvgOf(field: String, as: String) extends AggField {
-    private[api] def toColumn(child: DataFrame): Column =
-      avg(child(field)).as(as)
+    private[api] def agg(child: DataFrame): Column = avg(child(field)).as(as)
   }
 
   /** Aggregate relationship: left join so parents without children
@@ -127,10 +142,13 @@ object QueryBuilder {
 
   // ---- the request ---------------------------------------------------
 
-  /** One read request. `fields` are the parent's scalar selections —
-    * with a relationship present they are also the groupBy keys, so
-    * they must functionally determine the parent row (its key columns),
-    * exactly as Hasura groups a nested response by the parent row. */
+  /** One read request. `fields` are the parent's scalar selections;
+    * with relationships present they must identify the parent row (its
+    * key columns), exactly as Hasura keys a nested response by the
+    * parent row. Any number of relationships may be attached — each
+    * compiles INDEPENDENTLY to one pre-aggregated row per parent key
+    * and joins back, so two array relationships never cross-multiply
+    * (the fan-out × fan-out bug a single flat join would produce). */
   final case class Request(
       table: String,
       fields: Seq[String],
@@ -138,38 +156,68 @@ object QueryBuilder {
       orderBy: Seq[Order] = Nil,
       offset: Int = 0,
       limit: Option[Int] = None,
-      nested: Option[Nested] = None,
-      aggRel: Option[AggRel] = None) {
+      nested: Seq[Nested] = Nil,
+      aggRels: Seq[AggRel] = Nil) {
     require(fields.nonEmpty, s"request on '$table' selects no fields")
-    require(nested.isEmpty || aggRel.isEmpty,
-      "one relationship per request (compose requests for more)")
+  }
+
+  /** Compile one nested relationship bottom-up: one row per child-key
+    * value, carrying the sorted struct array. A `sub` relationship is
+    * compiled first and its array joins INTO this level's struct —
+    * q49's lineitem-before-orders aggregation order, recursively. */
+  private def compileNested(s: SparkSession, dir: String,
+      n: Nested): DataFrame = {
+    val child0 = graft.Tables.load(s, dir, n.table)
+    val keyAlias = s"__key_${n.as}"
+    val child = n.sub match {
+      case Some(m) =>
+        val subAgg = compileNested(s, dir, m)
+        child0.join(subAgg,
+          child0(m.parentKey) === subAgg(s"__key_${m.as}"))
+      case None => child0
+    }
+    val fs = n.fields.map { f =>
+      val c0 = child0(f.field)
+      val c1 = f.cast.map(c0.cast).getOrElse(c0)
+      f.format match {
+        case Some((r, fmt)) => format_string(fmt, round(c1, r)).as(f.as)
+        case None => c1.as(f.as)
+      }
+    } ++ n.sub.map(m => col(m.as))
+    child.groupBy(child0(n.childKey).as(keyAlias))
+      .agg(sort_array(collect_list(struct(fs: _*))).as(n.as))
   }
 
   /** Compile + run a request against the parquet tables in `dir`. */
   def run(s: SparkSession, dir: String, req: Request): DataFrame = {
     val base0 = graft.Tables.load(s, dir, req.table)
     val base = req.where.map(w => base0.filter(w.toColumn)).getOrElse(base0)
-    val shaped = (req.nested, req.aggRel) match {
-      case (Some(n), _) =>
-        val child = graft.Tables.load(s, dir, n.table)
-        val fs = n.fields.map { f =>
-          f.format match {
-            case Some((r, fmt)) =>
-              format_string(fmt, round(child(f.field), r)).as(f.as)
-            case None => child(f.field).as(f.as)
-          }
-        }
-        base.join(child, child(n.childKey) === base(n.parentKey))
-          .groupBy(req.fields.map(base(_)): _*)
-          .agg(to_json(sort_array(collect_list(struct(fs: _*)))).as(n.as))
-      case (_, Some(a)) =>
-        val child = graft.Tables.load(s, dir, a.table)
-        val aggCols = a.aggs.map(_.toColumn(child))
-        base.join(child, child(a.childKey) === base(a.parentKey), a.joinType)
-          .groupBy(req.fields.map(base(_)): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-      case _ => base.select(req.fields.map(col): _*)
+    // every relationship pre-aggregates to one row per parent key and
+    // joins back on it — never a flat multi-child join
+    val withNested = req.nested.foldLeft(base) { (acc, n) =>
+      val rel = compileNested(s, dir, n)
+      acc.join(rel, base0(n.parentKey) === rel(s"__key_${n.as}"))
+        // the TOP level renders to_json (cross-engine-stable wire
+        // shape); inner levels stay structured inside their parent
+        .withColumn(n.as, to_json(col(n.as)))
     }
+    // aggregate relationships pre-fold the same way: one aggregate row
+    // per child key, joined back — so any mix of array and aggregate
+    // relationships composes without cross-multiplying fan-outs (the
+    // defect a single flat multi-child join + groupBy would have)
+    val withAggs = req.aggRels.zipWithIndex.foldLeft(withNested) {
+      case (acc, (a, i)) =>
+        val child = graft.Tables.load(s, dir, a.table)
+        val keyAlias = s"__aggkey_$i"
+        val aggCols = a.aggs.map(_.agg(child))
+        val rel = child.groupBy(child(a.childKey).as(keyAlias))
+          .agg(aggCols.head, aggCols.tail: _*)
+        acc.join(rel, base0(a.parentKey) === rel(keyAlias), a.joinType)
+    }
+    val outCols = req.fields.map(base0(_)) ++
+      req.nested.map(n => col(n.as)) ++
+      req.aggRels.flatMap(_.aggs.map(f => f.post(col(f.as)).as(f.as)))
+    val shaped = withAggs.select(outCols: _*)
     val ordered =
       if (req.orderBy.isEmpty) shaped
       else shaped.orderBy(req.orderBy.map(_.toColumn): _*)
@@ -200,10 +248,31 @@ object QueryBuilder {
       fields = Seq("c_custkey"),
       where = Some(Lte("c_custkey", 50)),
       orderBy = Seq(Order("c_custkey")),
-      nested = Some(Nested(
+      nested = Seq(Nested(
         as = "orders", table = "orders",
         childKey = "o_custkey", parentKey = "c_custkey",
         fields = Seq(
           NestedField("k", "o_orderkey"),
           NestedField("p", "o_totalprice", format = Some((2, "%.2f"))))))))
+
+  /** q97 — the builder replaying q49's TWO-LEVEL nesting
+    * (customer{orders{lineitems{...}}}); shares q49's oracle. The
+    * handwritten q49 proved the bottom-up plan shape; this proves the
+    * front end can compose it from a declarative request. */
+  def q97QbNestedDeep(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 20)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey")),
+        sub = Some(Nested(
+          as = "items", table = "lineitem",
+          childKey = "l_orderkey", parentKey = "o_orderkey",
+          fields = Seq(
+            NestedField("ln", "l_linenumber", cast = Some("long")),
+            NestedField("q", "l_quantity", cast = Some("long")))))))))
 }

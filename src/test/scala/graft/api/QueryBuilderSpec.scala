@@ -40,7 +40,7 @@ class QueryBuilderSpec extends SparkSpec {
       table = "customer",
       fields = Seq("c_custkey", "c_name"),
       orderBy = Seq(Order("c_custkey")),
-      aggRel = Some(AggRel(
+      aggRels = Seq(AggRel(
         table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
         aggs = Seq(CountOf("o_orderkey", "n_orders"),
           SumOf("o_totalprice", "total"))))))
@@ -79,26 +79,70 @@ class QueryBuilderSpec extends SparkSpec {
 
     val aggs = QueryBuilder.run(spark, dir, Request(
       table = "nation",
-      fields = Seq("n_regionkey"),
-      orderBy = Seq(Order("n_regionkey")),
-      aggRel = Some(AggRel(
+      fields = Seq("n_nationkey"),
+      orderBy = Seq(Order("n_nationkey")),
+      aggRels = Seq(AggRel(
         table = "supplier", childKey = "s_nationkey",
         parentKey = "n_nationkey",
         aggs = Seq(MinOf("s_acctbal", "lo"), MaxOf("s_acctbal", "hi"),
           AvgOf("s_acctbal", "mean"))))))
-    assert(aggs.columns.toSeq === Seq("n_regionkey", "lo", "hi", "mean"))
+    assert(aggs.columns.toSeq === Seq("n_nationkey", "lo", "hi", "mean"))
     assert(aggs.count() > 0)
+  }
+
+  test("two-level nesting request is row-identical to the handwritten " +
+    "q49 (customer{orders{lineitems}} compiled bottom-up)") {
+    val dir = sf("sf0.001")
+    assert(rows(QueryBuilder.q97QbNestedDeep(spark, dir)) ===
+      rows(graft.queries.RelationalQueries.q49NestedDeep(spark, dir)))
+  }
+
+  test("multiple relationships on one root compose without " +
+    "cross-multiplying fan-outs") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    // nation has BOTH suppliers and customers: a flat two-child join
+    // would count |suppliers| x |customers| rows per nation; the
+    // pre-aggregated compile must report each child's true count
+    val built = QueryBuilder.run(spark, dir, Request(
+      table = "nation",
+      fields = Seq("n_nationkey"),
+      orderBy = Seq(Order("n_nationkey")),
+      nested = Seq(Nested(
+        as = "suppliers", table = "supplier",
+        childKey = "s_nationkey", parentKey = "n_nationkey",
+        fields = Seq(NestedField("s", "s_suppkey")))),
+      aggRels = Seq(AggRel(
+        table = "customer", childKey = "c_nationkey",
+        parentKey = "n_nationkey",
+        aggs = Seq(CountOf("c_custkey", "n_cust"))))))
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val supCounts = graft.Tables.load(spark, dir, "supplier")
+      .groupBy($"s_nationkey").count()
+      .collect().map(r => lv(r, 0) -> r.getLong(1)).toMap
+    val custCounts = graft.Tables.load(spark, dir, "customer")
+      .groupBy($"c_nationkey").count()
+      .collect().map(r => lv(r, 0) -> r.getLong(1)).toMap
+    val got = built.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val nk = lv(r, 0)
+      // the suppliers array holds exactly this nation's suppliers...
+      val nSup = "\\{".r.findAllIn(r.getString(1)).length
+      assert(nSup === supCounts(nk).toInt, s"nation $nk supplier array")
+      // ...and the customer count is the true count, not count x |sup|
+      assert(r.getLong(2) === custCounts.getOrElse(nk, 0L),
+        s"nation $nk customer count")
+    }
+    // the nested join is inner (q40/q49's shape), the aggregate join is
+    // left: exactly the supplier-bearing nations answer
+    assert(got.map(lv(_, 0)).toSet === supCounts.keySet)
   }
 
   test("request validation fails loudly, not at execution time") {
     intercept[IllegalArgumentException](
       Request("customer", fields = Nil))
-    intercept[IllegalArgumentException](
-      Request("customer", fields = Seq("c_custkey"),
-        nested = Some(Nested("x", "orders", "o_custkey", "c_custkey",
-          fields = Seq(NestedField("k", "o_orderkey")))),
-        aggRel = Some(AggRel("orders", "o_custkey", "c_custkey",
-          aggs = Seq(CountOf("o_orderkey", "n"))))))
     intercept[IllegalArgumentException](And())
     intercept[IllegalArgumentException](
       Nested("x", "orders", "o_custkey", "c_custkey", fields = Nil))

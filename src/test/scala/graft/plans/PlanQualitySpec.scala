@@ -311,6 +311,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p91.contains("c_custkey <= 50")
       || p91.contains("LessThanOrEqual(c_custkey,50)"),
       s"parent filter not pushed:\n$p91")
+    // the builder-compiled TWO-LEVEL nesting keeps q49's bottom-up
+    // shape: each level folds before joining upward, no nested loop
+    val p97 = plan(graft.api.QueryBuilder.q97QbNestedDeep(spark, dir))
+    assert(!p97.contains("BroadcastNestedLoopJoin")
+      && !p97.contains("CartesianProduct"), s"nested loop in:\n$p97")
+    // formatted explain lists the fold functions in the detail section:
+    // one collect_list per nesting level (orders, items)
+    assert("collect_list\\(".r.findAllIn(p97).length >= 2,
+      s"two-level nesting should fold per level (bottom-up):\n$p97")
   }
 
   test("q94 scoring rides one scan: codegen dot against the literal " +
