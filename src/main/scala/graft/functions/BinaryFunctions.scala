@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   *  - Decode/resize is REAL for the JDK-native rasters (png/jpeg/gif/bmp)
   *    via javax.imageio, for baseline TIFF (none/LZW/Deflate strips,
   *    Predictor=2) via a pure-JVM IFD parser ([[decodeTiff]]), for SVG via
-  *    a pure-JVM rasterizer ([[rasterizeSvg]]), and for lossless webp via
-  *    the pure-JVM VP8L decoder ([[graft.functions.Vp8l]]). Lossy "VP8 "
-  *    webp still reports header dimensions only (the one remaining codec
-  *    gap); format *sniffing* works for all seven reference formats.
+  *    a pure-JVM rasterizer ([[rasterizeSvg]]), and for webp — BOTH
+  *    codings — via the pure-JVM VP8L decoder ([[graft.functions.Vp8l]])
+  *    and the VP8 keyframe decoder ([[graft.functions.Vp8]], bit-exact
+  *    with libwebp at the YUV level). All seven reference formats sniff
+  *    AND decode.
   *  - Deterministic: same bytes → same output bytes (PNG encode).
   */
 object BinaryFunctions {
@@ -98,8 +99,8 @@ object BinaryFunctions {
         Option(ImageIO.read(new ByteArrayInputStream(b)))
       case "tiff" => decodeTiff(b)
       case "svg" => rasterizeSvg(b)
-      case "webp" => Vp8l.decode(b) // lossless (VP8L) decoded in-JVM;
-      // lossy "VP8 " needs a DCT codec this environment doesn't ship
+      case "webp" => Vp8l.decode(b) // VP8L (lossless) + "VP8 " (lossy
+      // keyframe, graft.functions.Vp8) both decode pure-JVM
       case _ => None
     }
 

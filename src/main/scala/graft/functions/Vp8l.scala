@@ -483,9 +483,9 @@ object Vp8l {
     Some(img)
   } catch { case _: Exception => None }
 
-  /** Decode a RIFF-contained webp if its payload is lossless: walks the
-    * chunks (VP8X-wrapped files included) to a "VP8L" chunk. Lossy
-    * ("VP8 ") payloads return None — no DCT codec here. */
+  /** Decode a RIFF-contained webp: walks the chunks (VP8X-wrapped files
+    * included) to a "VP8L" (lossless, this object) or "VP8 " (lossy
+    * keyframe, [[Vp8]]) payload — both decode pure-JVM. */
   def decode(b: Array[Byte]): Option[BufferedImage] = {
     if (b == null || b.length < 20) return None
     def u32le(i: Int): Long =
@@ -504,6 +504,8 @@ object Vp8l {
       val size = u32le(i + 4)
       if (tag == "VP8L") return decodeStream(b, i + 8)
       if (size < 0 || off + 8 + size > b.length) return None
+      if (tag == "VP8 ") // lossy still: keyframe decode ([[Vp8]])
+        return Vp8.decodeFrame(b, i + 8, size.toInt)
       off += 8 + size + (size & 1) // chunks are even-padded
     }
     None

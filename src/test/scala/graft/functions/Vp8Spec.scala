@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lossy-WebP decoder against REAL encoder output: each fixture
+  * pair is a lossy webp produced by libwebp (the VP8 reference
+  * implementation) plus the YUV planes libwebp itself decodes from it
+  * (tools/gen_vp8_fixtures.py). The Scala decoder must reproduce those
+  * planes BIT-EXACTLY — one wrong probability-table entry, predictor
+  * pixel, dequant factor, or loop-filter tap desynchronizes the
+  * arithmetic decoder or shifts pixels, so exact equality here is an
+  * end-to-end proof of the whole keyframe path. */
+class Vp8Spec extends AnyFunSuite {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/vp8/$name")
+    require(in != null, s"missing test resource /vp8/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** (w, h, y, u, v) from the fixture's expected-plane dump. */
+  private def expected(name: String)
+      : (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+    val b = resource(s"$name.yuv")
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val w = bb.getInt(); val h = bb.getInt()
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val y = new Array[Byte](w * h)
+    val u = new Array[Byte](cw * ch)
+    val v = new Array[Byte](cw * ch)
+    bb.get(y); bb.get(u); bb.get(v)
+    (w, h, y, u, v)
+  }
+
+  /** Extract the "VP8 " chunk payload from a webp container. */
+  private def vp8Chunk(b: Array[Byte]): (Int, Int) = {
+    var off = 12
+    while (off + 8 <= b.length) {
+      val tag = new String(b, off, 4, "ISO-8859-1")
+      val size = (b(off + 4) & 0xff) | ((b(off + 5) & 0xff) << 8) |
+        ((b(off + 6) & 0xff) << 16) | ((b(off + 7) & 0xff) << 24)
+      if (tag == "VP8 ") return (off + 8, size)
+      off += 8 + size + (size & 1)
+    }
+    fail("no VP8 chunk in fixture")
+  }
+
+  private val fixtures = Seq(
+    "flat32", // DC-only macroblocks
+    "hgrad48x32", // directional 16x16 predictors
+    "color64x48", // chroma residuals
+    "noise35x19", // B_PRED subblock modes + odd-size cropping
+    "check32q25", // coarse quantizers + strong loop filter
+    "mixed80x64", // high quality, all token categories
+    "dbg16", // single-MB B_PRED (caught the B-mode numbering mismatch)
+    "photo144x96") // smooth+edge+texture blend, 54 macroblocks
+
+  for (name <- fixtures)
+    test(s"$name decodes bit-exactly to libwebp's YUV planes") {
+      val webp = resource(s"$name.webp")
+      val (off, len) = vp8Chunk(webp)
+      val (w, h, ey, eu, ev) = expected(name)
+      val got = Vp8.decodePlanes(webp, off, len)
+      assert(got.isDefined, "decodePlanes returned None")
+      val (y, u, v, dw, dh, ys, uvs) = got.get
+      assert(dw === w && dh === h)
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      var bad = 0
+      var firstMsg = ""
+      for (j <- 0 until h; i <- 0 until w) {
+        val g = y(j * ys + i); val e = ey(j * w + i) & 0xff
+        if (g != e) {
+          bad += 1
+          if (firstMsg.isEmpty) firstMsg = s"Y($i,$j): got $g want $e"
+        }
+      }
+      for (j <- 0 until ch; i <- 0 until cw) {
+        val gu = u(j * uvs + i); val euv = eu(j * cw + i) & 0xff
+        val gv = v(j * uvs + i); val evv = ev(j * cw + i) & 0xff
+        if (gu != euv) {
+          bad += 1
+          if (firstMsg.isEmpty) firstMsg = s"U($i,$j): got $gu want $euv"
+        }
+        if (gv != evv) {
+          bad += 1
+          if (firstMsg.isEmpty) firstMsg = s"V($i,$j): got $gv want $evv"
+        }
+      }
+      assert(bad === 0, s"$bad mismatched samples; first: $firstMsg")
+    }
+
+  test("the RGB surface decodes every fixture with plausible colors") {
+    for (name <- fixtures) {
+      val webp = resource(s"$name.webp")
+      val (off, len) = vp8Chunk(webp)
+      val (w, h, _, _, _) = expected(name)
+      val img = Vp8.decodeFrame(webp, off, len)
+      assert(img.isDefined, s"$name RGB decode failed")
+      assert(img.get.getWidth === w && img.get.getHeight === h)
+    }
+    // flat gray fixture must come back gray everywhere
+    val webp = resource("flat32.webp")
+    val (off, len) = vp8Chunk(webp)
+    val img = Vp8.decodeFrame(webp, off, len).get
+    val px = img.getRGB(16, 16)
+    val (r, g, b) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+    assert(Math.abs(r - 128) < 6 && Math.abs(g - 128) < 6 &&
+      Math.abs(b - 128) < 6, f"flat fixture not gray: $px%06x")
+  }
+
+  test("lossy webp decodes through the container surface (sniff -> " +
+    "Vp8l.decode -> Vp8) and resizes end-to-end") {
+    val webp = resource("photo144x96.webp")
+    assert(BinaryFunctions.sniffFormat(webp) === "webp")
+    val img = Vp8l.decode(webp)
+    assert(img.isDefined && img.get.getWidth === 144 &&
+      img.get.getHeight === 96)
+    assert(BinaryFunctions.resizeImage(webp, 36, 24).isDefined)
+  }
+
+  test("malformed VP8 payloads return None, never throw") {
+    val webp = resource("flat32.webp")
+    val (off, len) = vp8Chunk(webp)
+    assert(Vp8.decodePlanes(webp, off, 5).isEmpty) // truncated header
+    val noMagic = webp.clone(); noMagic(off + 3) = 0x00
+    assert(Vp8.decodePlanes(noMagic, off, len).isEmpty)
+    val interframe = webp.clone(); interframe(off) = (webp(off) | 1).toByte
+    assert(Vp8.decodePlanes(interframe, off, len).isEmpty)
+    assert(Vp8.decodePlanes(Array.fill(64)(0x55.toByte), 0, 64).isEmpty)
+  }
+}

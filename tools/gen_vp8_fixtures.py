@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Generate lossy-WebP test fixtures for Vp8Spec.
+
+Uses the system libwebp (the de-facto VP8 reference implementation) to
+ENCODE deterministic synthetic images as lossy webp, and to DECODE them
+back to YUV planes — the expected output the Scala decoder must
+reproduce bit-exactly. Each fixture pair is checked in:
+
+  src/test/resources/vp8/<name>.webp   the lossy container bytes
+  src/test/resources/vp8/<name>.yuv    i32-BE w, h, then Y (w*h),
+                                       U, V (ceil(w/2)*ceil(h/2)) bytes
+
+Run offline; deterministic given the libwebp version that produced the
+checked-in files (the spec compares against the files, not the lib).
+"""
+import ctypes
+import os
+import struct
+
+lib = ctypes.CDLL("libwebp.so.7")
+lib.WebPEncodeRGB.restype = ctypes.c_size_t
+lib.WebPEncodeRGB.argtypes = [
+    ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+lib.WebPDecodeYUV.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+
+OUT = "src/test/resources/vp8"
+os.makedirs(OUT, exist_ok=True)
+
+
+def encode(rgb, w, h, q):
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGB(bytes(rgb), w, h, w * 3, float(q),
+                          ctypes.byref(out))
+    assert n > 0, "encode failed"
+    data = bytes(out[i] for i in range(n))
+    assert data[12:16] == b"VP8 ", f"not lossy: {data[12:16]}"
+    return data
+
+
+def decode_yuv(data):
+    w = ctypes.c_int(); h = ctypes.c_int()
+    u = ctypes.POINTER(ctypes.c_uint8)()
+    v = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int(); uv_stride = ctypes.c_int()
+    y = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                          ctypes.byref(u), ctypes.byref(v),
+                          ctypes.byref(stride), ctypes.byref(uv_stride))
+    assert y, "decode failed"
+    W, H = w.value, h.value
+    cw, ch = (W + 1) // 2, (H + 1) // 2
+    yp = bytes(y[r * stride.value + c] for r in range(H) for c in range(W))
+    up = bytes(u[r * uv_stride.value + c]
+               for r in range(ch) for c in range(cw))
+    vp = bytes(v[r * uv_stride.value + c]
+               for r in range(ch) for c in range(cw))
+    return W, H, yp, up, vp
+
+
+def emit(name, rgb, w, h, q):
+    data = encode(rgb, w, h, q)
+    W, H, yp, up, vp = decode_yuv(data)
+    assert (W, H) == (w, h)
+    open(f"{OUT}/{name}.webp", "wb").write(data)
+    with open(f"{OUT}/{name}.yuv", "wb") as f:
+        f.write(struct.pack(">ii", W, H))
+        f.write(yp); f.write(up); f.write(vp)
+    print(f"{name}: {w}x{h} q={q} webp={len(data)}B")
+
+
+def rng(seed):
+    s = seed
+    while True:
+        s = (s * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        yield (s >> 33) & 0xff
+
+
+# 1. flat gray — DC-only blocks, minimal stream
+emit("flat32", [128] * (32 * 32 * 3), 32, 32, 75)
+
+# 2. horizontal gradient — V/H/TM predictors, small residuals
+g = []
+for y in range(32):
+    for x in range(48):
+        g += [x * 5 % 256, x * 5 % 256, x * 5 % 256]
+emit("hgrad48x32", g, 48, 32, 75)
+
+# 3. color blocks + vertical gradient — chroma coefficients
+g = []
+for y in range(48):
+    for x in range(64):
+        if x < 32:
+            g += [y * 5 % 256, 40, 200 - (y * 4) % 200]
+        else:
+            g += [30, (x * 7) % 256, y % 256]
+emit("color64x48", g, 64, 48, 80)
+
+# 4. deterministic noise, odd dims — B_PRED-heavy, crop path
+r = rng(42)
+g = [next(r) for _ in range(36 * 3 * 20)][: 35 * 19 * 3]
+emit("noise35x19", g, 35, 19, 60)
+
+# 5. checkerboard at low quality — coarse quantizers, strong loop filter
+g = []
+for y in range(32):
+    for x in range(32):
+        v = 255 if ((x // 4) + (y // 4)) % 2 == 0 else 0
+        g += [v, v, 255 - v]
+emit("check32q25", g, 32, 32, 25)
+
+# 6. mixed content, larger, high quality — many token categories
+r = rng(7)
+g = []
+for y in range(64):
+    for x in range(80):
+        base = (x * 3 + y * 2) % 256
+        n = next(r) % 32
+        g += [(base + n) % 256, (base * 2 + n) % 256, (255 - base + n) % 256]
+emit("mixed80x64", g, 80, 64, 92)
+
+# 7. single-MB noise — the minimal B_PRED/4x4-mode exercise (this one
+# caught the libwebp-vs-RFC B-mode numbering mismatch)
+r = rng(99)
+emit("dbg16", [next(r) for _ in range(16 * 16 * 3)], 16, 16, 60)
+
+# 8. photo-ish blend, larger, mid quality — smooth + edges + texture
+r = rng(1234)
+g = []
+for y in range(96):
+    for x in range(144):
+        smooth = (x + y * 2) % 256
+        edge = 200 if (x // 24) % 2 == 0 else 60
+        tex = next(r) % 24
+        g += [(smooth + tex) % 256, (edge + tex) % 256,
+              ((smooth + edge) // 2 + tex) % 256]
+emit("photo144x96", g, 144, 96, 55)
