@@ -1391,18 +1391,71 @@ object TextQueries {
     * (PlanQualitySpec audits this shape; an earlier claim that
     * ReuseExchange merges the two paths was wrong — their exchanges
     * carry different partial-aggregate schemas and cannot unify.) */
-  private[graft] def dupGramPositions(s: SparkSession, dir: String,
-      l: Int, minDf: Int): DataFrame = {
-    val grams = docs(s, dir).filter(col("text").isNotNull)
+  /** (doc_id, pos, gh) — every length-`l` gram anchor, md5-keyed. ONE
+    * definition shared by the batch report/filter and the incremental
+    * store ([[graft.operators.IncrementalSpans]]). */
+  private[graft] def gramPositions(d: DataFrame, l: Int): DataFrame =
+    d.filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(graft.functions
         .TextKernelExpressions.wordShinglesFast(col("text"), l))
         .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+
+  private[graft] def dupGramPositions(s: SparkSession, dir: String,
+      l: Int, minDf: Int): DataFrame = {
+    val grams = gramPositions(docs(s, dir), l)
     val dup = grams.groupBy("gh")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select("gh")
     grams.join(dup, Seq("gh")).select("doc_id", "pos")
+  }
+
+  /** Gaps-and-islands merge of flagged anchors [p, p+l-1] into maximal
+    * spans — q95's core, shared with the incremental twin. */
+  private[graft] def mergeIslands(flagged: DataFrame, l: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(l - 1))
+      .over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("_new",
+        when(col("pos") > coalesce(prevEnd, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("_isl", sum(col("_new")).over(w))
+      .groupBy("doc_id", "_isl")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(l - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Redaction accounting for a doc set given its flagged anchors —
+    * q96's core, shared with the incremental twin. */
+  private[graft] def redactWithFlags(d: DataFrame, flagged: DataFrame,
+      l: Int): DataFrame = {
+    val base = d.filter(col("text").isNotNull)
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "w")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ")).as("kept_md5"))
+    base.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
   }
 
   /** Q95 — repeated-span detection (the exact-substring dedup report of
@@ -1421,23 +1474,8 @@ object TextQueries {
     * bounded by its own length, so no partition hot-spots beyond the
     * longest document). */
   def q95RepeatedSpans(s: SparkSession, dir: String, l: Int = 5,
-      minDf: Int = 2): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    val prevEnd = max(col("pos") + lit(l - 1))
-      .over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    dupGramPositions(s, dir, l, minDf)
-      .withColumn("_new",
-        when(col("pos") > coalesce(prevEnd, lit(-1)) + 1, 1).otherwise(0))
-      .withColumn("_isl", sum(col("_new")).over(w))
-      .groupBy("doc_id", "_isl")
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + lit(l - 1)).cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_len"))
-      .orderBy("doc_id", "span_start")
-  }
+      minDf: Int = 2): DataFrame =
+    mergeIslands(dupGramPositions(s, dir, l, minDf), l)
 
   /** Q96 — span REDACTION: the filter q95's report drives. Tokens
     * covered by any flagged anchor are dropped; the output is the
@@ -1452,27 +1490,6 @@ object TextQueries {
     * key — and one per-document sort-free aggregate (sort_array runs
     * inside the aggregate buffer, not as a shuffle sort). */
   def q96SpanRedact(s: SparkSession, dir: String, l: Int = 5,
-      minDf: Int = 2): DataFrame = {
-    val d = docs(s, dir).filter(col("text").isNotNull)
-    val covered = dupGramPositions(s, dir, l, minDf)
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("pos"))
-      .distinct()
-    val kept = d
-      .select(col("doc_id"), posexplode(tokens(col("text")))
-        .as(Seq("pos", "w")))
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(transform(
-          sort_array(collect_list(struct(col("pos"), col("w")))),
-          x => x("w")), " ")).as("kept_md5"))
-    d.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_total"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_total"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
-      .orderBy("doc_id")
-  }
+      minDf: Int = 2): DataFrame =
+    redactWithFlags(docs(s, dir), dupGramPositions(s, dir, l, minDf), l)
 }
