@@ -483,9 +483,100 @@ object Vp8l {
     Some(img)
   } catch { case _: Exception => None }
 
+  /** Decode a HEADERLESS VP8L substream — the ALPH chunk's lossless
+    * coding: dimensions come from the carrier frame, the stream starts
+    * directly at the level-0 image data (transforms allowed), and the
+    * GREEN channel carries the plane values. */
+  private def decodeHeadlessGreen(b: Array[Byte], off: Int, w: Int,
+      h: Int): Option[Array[Int]] = try {
+    val br = new BitReader(b, off)
+    val (decoded, decodedW, transforms) = decodeImage(br, w, h, level0 = true)
+    var px = decoded
+    var curW = decodedW
+    transforms.foreach {
+      case ColorIndex(wb, palette) =>
+        px = applyColorIndexInverse(px, curW, h, w, wb, palette)
+        curW = w
+      case Predictor(sb, data) => applyPredictorInverse(px, curW, h, sb, data)
+      case CrossColor(sb, data) => applyCrossColorInverse(px, curW, h, sb, data)
+      case SubtractGreen => applySubtractGreenInverse(px)
+    }
+    if (curW != w) return None
+    Some(px.map(p => (p >> 8) & 0xff))
+  } catch { case _: Exception => None }
+
+  /** Decode a webp ALPH chunk to the w*h alpha plane (container spec:
+    * header byte = reserved[7:6] preprocessing[5:4] filter[3:2]
+    * compression[1:0]; compression 0 = raw bytes, 1 = headerless VP8L;
+    * filters 1-3 are the horizontal/vertical/gradient per-row
+    * predictors, inverted here with the reference decoder's border
+    * rules). Pre-processing 1 (lossy level reduction) is refused — the
+    * plane would need the smoothing reconstruction, and stills encoded
+    * with lossless alpha (the default) never set it. */
+  private[functions] def decodeAlph(b: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Option[Array[Int]] = {
+    if (len < 1 || off + len > b.length) return None
+    val hdr = b(off) & 0xff
+    val compression = hdr & 3
+    val filter = (hdr >> 2) & 3
+    val pre = (hdr >> 4) & 3
+    if (pre != 0) return None
+    val raw: Array[Int] = compression match {
+      case 0 =>
+        if (len - 1 < w * h) return None
+        Array.tabulate(w * h)(i => b(off + 1 + i) & 0xff)
+      case 1 =>
+        decodeHeadlessGreen(b, off + 1, w, h) match {
+          case Some(p) => p
+          case None => return None
+        }
+      case _ => return None
+    }
+    // unfilter in place, row-major; first row has no `prev`
+    if (filter != 0) {
+      var j = 0
+      while (j < h) {
+        val row = j * w
+        val prev = row - w
+        if (j == 0 || filter == 1) { // horizontal (row 0 of v/gradient too)
+          var pred = if (j == 0) 0 else raw(prev)
+          var i = 0
+          while (i < w) {
+            pred = (pred + raw(row + i)) & 0xff
+            raw(row + i) = pred
+            i += 1
+          }
+        } else if (filter == 2) { // vertical
+          var i = 0
+          while (i < w) {
+            raw(row + i) = (raw(prev + i) + raw(row + i)) & 0xff
+            i += 1
+          }
+        } else { // gradient
+          var left = raw(prev)
+          var topLeft = raw(prev)
+          var i = 0
+          while (i < w) {
+            val top = raw(prev + i)
+            val g = left + top - topLeft
+            val p = if (g < 0) 0 else if (g > 255) 255 else g
+            left = (raw(row + i) + p) & 0xff
+            raw(row + i) = left
+            topLeft = top
+            i += 1
+          }
+        }
+        j += 1
+      }
+    }
+    Some(raw)
+  }
+
   /** Decode a RIFF-contained webp: walks the chunks (VP8X-wrapped files
     * included) to a "VP8L" (lossless, this object) or "VP8 " (lossy
-    * keyframe, [[Vp8]]) payload — both decode pure-JVM. */
+    * keyframe, [[Vp8]]) payload — both decode pure-JVM. A preceding
+    * "ALPH" chunk (lossy + alpha) decodes through [[decodeAlph]] and
+    * merges into the frame's alpha channel. */
   def decode(b: Array[Byte]): Option[BufferedImage] = {
     if (b == null || b.length < 20) return None
     def u32le(i: Int): Long =
@@ -498,14 +589,37 @@ object Vp8l {
           b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
       return None
     var off = 12L
+    var alphaAt = -1
+    var alphaLen = -1
     while (off + 8 <= b.length) {
       val i = off.toInt
       val tag = new String(b, i, 4, "ISO-8859-1")
       val size = u32le(i + 4)
       if (tag == "VP8L") return decodeStream(b, i + 8)
       if (size < 0 || off + 8 + size > b.length) return None
-      if (tag == "VP8 ") // lossy still: keyframe decode ([[Vp8]])
-        return Vp8.decodeFrame(b, i + 8, size.toInt)
+      if (tag == "ALPH") { alphaAt = i + 8; alphaLen = size.toInt }
+      if (tag == "VP8 ") { // lossy still: keyframe decode ([[Vp8]])
+        val frame = Vp8.decodeFrame(b, i + 8, size.toInt)
+        if (alphaAt < 0) return frame
+        return frame.flatMap { img =>
+          decodeAlph(b, alphaAt, alphaLen, img.getWidth, img.getHeight)
+            .map { plane =>
+              val out = new BufferedImage(img.getWidth, img.getHeight,
+                BufferedImage.TYPE_INT_ARGB)
+              var j = 0
+              while (j < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  out.setRGB(x, j, (plane(j * img.getWidth + x) << 24) |
+                    (img.getRGB(x, j) & 0xffffff))
+                  x += 1
+                }
+                j += 1
+              }
+              out
+            } // undecodable alpha on a well-formed frame: malformed file
+        }
+      }
       off += 8 + size + (size & 1) // chunks are even-padded
     }
     None

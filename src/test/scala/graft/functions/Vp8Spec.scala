@@ -108,6 +108,30 @@ class Vp8Spec extends AnyFunSuite {
       Math.abs(b - 128) < 6, f"flat fixture not gray: $px%06x")
   }
 
+  for (name <- Seq("alpha64x48", "alphashape32"))
+    test(s"$name (lossy + ALPH): color planes AND alpha channel decode " +
+      "bit-exactly") {
+      val webp = resource(s"$name.webp")
+      val (off, len) = vp8Chunk(webp)
+      val (w, h, ey, _, _) = expected(name)
+      // color part: YUV planes, same gate as the opaque fixtures
+      val (y, _, _, dw, dh, ys, _) = Vp8.decodePlanes(webp, off, len).get
+      assert(dw === w && dh === h)
+      for (j <- 0 until h; i <- 0 until w)
+        assert(y(j * ys + i) === (ey(j * w + i) & 0xff), s"Y($i,$j)")
+      // alpha: the .yuv dump carries libwebp's straight alpha bytes
+      // after the planes; the container decode must reproduce them
+      val yuv = resource(s"$name.yuv")
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val alphaOff = 8 + w * h + 2 * cw * ch
+      assert(yuv.length === alphaOff + w * h, "fixture has no alpha dump")
+      val img = Vp8l.decode(webp).getOrElse(fail("container decode failed"))
+      assert(img.getWidth === w && img.getHeight === h)
+      for (j <- 0 until h; i <- 0 until w)
+        assert(((img.getRGB(i, j) >>> 24) & 0xff) ===
+          (yuv(alphaOff + j * w + i) & 0xff), s"alpha($i,$j)")
+    }
+
   test("lossy webp decodes through the container surface (sniff -> " +
     "Vp8l.decode -> Vp8) and resizes end-to-end") {
     val webp = resource("photo144x96.webp")

@@ -22,6 +22,12 @@ lib.WebPEncodeRGB.restype = ctypes.c_size_t
 lib.WebPEncodeRGB.argtypes = [
     ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+lib.WebPEncodeRGBA.argtypes = lib.WebPEncodeRGB.argtypes
+lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+lib.WebPDecodeRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
 lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
 lib.WebPDecodeYUV.argtypes = [
     ctypes.c_char_p, ctypes.c_size_t,
@@ -128,6 +134,44 @@ emit("mixed80x64", g, 80, 64, 92)
 # caught the libwebp-vs-RFC B-mode numbering mismatch)
 r = rng(99)
 emit("dbg16", [next(r) for _ in range(16 * 16 * 3)], 16, 16, 60)
+
+def emit_alpha(name, rgba, w, h, q):
+    """Lossy + alpha fixture (VP8X + ALPH + VP8 chunks): expected YUV
+    from WebPDecodeYUV (color) plus the straight alpha bytes from
+    WebPDecodeRGBA, appended to the .yuv dump."""
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(bytes(rgba), w, h, w * 4, float(q),
+                           ctypes.byref(out))
+    assert n > 0
+    data = bytes(out[i] for i in range(n))
+    assert b"ALPH" in data[:64], "no alpha chunk emitted"
+    W, H, yp, up, vp = decode_yuv(data)
+    assert (W, H) == (w, h)
+    dw = ctypes.c_int(); dh = ctypes.c_int()
+    rp = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(dw),
+                            ctypes.byref(dh))
+    alpha = bytes(rp[i * 4 + 3] for i in range(w * h))
+    open(f"{OUT}/{name}.webp", "wb").write(data)
+    with open(f"{OUT}/{name}.yuv", "wb") as f:
+        f.write(struct.pack(">ii", W, H))
+        f.write(yp); f.write(up); f.write(vp); f.write(alpha)
+    print(f"{name}: {w}x{h} q={q} webp={len(data)}B (alpha)")
+
+
+# A1. smooth alpha gradient over colored content
+g = []
+for y in range(48):
+    for x in range(64):
+        g += [(x * 4) % 256, (y * 5) % 256, 160, (x * 255 // 63)]
+emit_alpha("alpha64x48", g, 64, 48, 75)
+
+# A2. hard-edged alpha shapes (binary transparency, filter stress)
+g = []
+for y in range(32):
+    for x in range(32):
+        inside = (8 <= x < 24 and 8 <= y < 24) and not (14 <= x < 18)
+        g += [200, 60, 90, 255 if inside else 0]
+emit_alpha("alphashape32", g, 32, 32, 80)
 
 # 8. photo-ish blend, larger, mid quality — smooth + edges + texture
 r = rng(1234)
