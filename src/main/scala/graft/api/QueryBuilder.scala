@@ -95,11 +95,19 @@ object QueryBuilder {
     * compiled bottom-up exactly like the handwritten q49: the deepest
     * level aggregates first, each level joins its children pre-folded,
     * so fan-out never multiplies across levels. Top-level arrays render
-    * `to_json`; inner arrays stay structured inside the parent struct. */
+    * `to_json`; inner arrays stay structured inside the parent struct.
+    *
+    * `joinType` governs how THIS relationship attaches to its parent:
+    * "inner" (default — q40/q49's shape) drops parents with no
+    * children; "left" keeps them, rendering an EMPTY array — Hasura's
+    * semantics, and the only way a middle level with zero grandchildren
+    * stays visible inside its own parent's array. */
   final case class Nested(as: String, table: String,
       childKey: String, parentKey: String, fields: Seq[NestedField],
-      sub: Option[Nested] = None) {
+      sub: Option[Nested] = None, joinType: String = "inner") {
     require(fields.nonEmpty, s"nested '$as' selects no fields")
+    require(joinType == "inner" || joinType == "left",
+      s"nested '$as': joinType must be inner or left")
   }
 
   /** One aggregate over a child relationship (the *_aggregate surface).
@@ -173,7 +181,7 @@ object QueryBuilder {
       case Some(m) =>
         val subAgg = compileNested(s, dir, m)
         child0.join(subAgg,
-          child0(m.parentKey) === subAgg(s"__key_${m.as}"))
+          child0(m.parentKey) === subAgg(s"__key_${m.as}"), m.joinType)
       case None => child0
     }
     val fs = n.fields.map { f =>
@@ -183,7 +191,13 @@ object QueryBuilder {
         case Some((r, fmt)) => format_string(fmt, round(c1, r)).as(f.as)
         case None => c1.as(f.as)
       }
-    } ++ n.sub.map(m => col(m.as))
+    } ++ n.sub.map { m =>
+      // under a left attach, a child with zero grandchildren carries an
+      // EMPTY inner array, not a null (Hasura renders items: []) — the
+      // void-typed empty literal coerces to the array's struct type
+      if (m.joinType == "left") coalesce(col(m.as), array()).as(m.as)
+      else col(m.as)
+    }
     child.groupBy(child0(n.childKey).as(keyAlias))
       .agg(sort_array(collect_list(struct(fs: _*))).as(n.as))
   }
@@ -196,10 +210,15 @@ object QueryBuilder {
     // joins back on it — never a flat multi-child join
     val withNested = req.nested.foldLeft(base) { (acc, n) =>
       val rel = compileNested(s, dir, n)
-      acc.join(rel, base0(n.parentKey) === rel(s"__key_${n.as}"))
+      acc.join(rel, base0(n.parentKey) === rel(s"__key_${n.as}"),
+          n.joinType)
         // the TOP level renders to_json (cross-engine-stable wire
-        // shape); inner levels stay structured inside their parent
-        .withColumn(n.as, to_json(col(n.as)))
+        // shape); inner levels stay structured inside their parent;
+        // a left attach renders childless parents as "[]", not null
+        .withColumn(n.as,
+          if (n.joinType == "left")
+            to_json(coalesce(col(n.as), array()))
+          else to_json(col(n.as)))
     }
     // aggregate relationships pre-fold the same way: one aggregate row
     // per child key, joined back — so any mix of array and aggregate

@@ -524,7 +524,7 @@ object BinaryFunctions {
     var width, height, spp = 0
     var compression, photometric = -1
     var predictor = 1
-    var rowsPerStrip = Int.MaxValue
+    var rowsPerStripRaw = Long.MaxValue
     var bits: Seq[Long] = Seq(8L)
     var stripOffsets, stripCounts: Seq[Long] = Nil
     for (e <- 0 until nEntries) {
@@ -537,7 +537,7 @@ object BinaryFunctions {
         case 262 => photometric = vals(pos).head.toInt
         case 273 => stripOffsets = vals(pos)
         case 277 => spp = vals(pos).head.toInt
-        case 278 => rowsPerStrip = vals(pos).head.toInt
+        case 278 => rowsPerStripRaw = vals(pos).head
         case 279 => stripCounts = vals(pos)
         case 317 => predictor = vals(pos).head.toInt
         case _ => ()
@@ -549,7 +549,12 @@ object BinaryFunctions {
     if (width <= 0 || height <= 0 || !bits.forall(_ == 8L)) return None
     if (!Set(1, 3, 4).contains(spp)) return None
     if (!Set(1, 2).contains(predictor)) return None
-    if (rowsPerStrip <= 0) return None
+    // absent tag or the spec's 0xFFFFFFFF default both mean "one strip";
+    // clamp to the image height so overflowed values cannot reject or
+    // mis-size conforming files
+    val rowsPerStrip: Int =
+      if (rowsPerStripRaw <= 0 || rowsPerStripRaw > height) height
+      else rowsPerStripRaw.toInt
     // validate BEFORE allocating: header-declared dimensions from untrusted
     // bytes must be backed by actual strip data, or a 200-byte file
     // declaring 20000x20000 OOMs the task past the Exception catch.
@@ -563,8 +568,11 @@ object BinaryFunctions {
     if (stripOffsets.length != stripCounts.length ||
       stripOffsets.isEmpty) return None
 
-    // strips concatenate to exactly width*height*spp sample bytes; each
-    // strip covers rowsPerStrip rows (the last one possibly fewer)
+    // strips concatenate to exactly width*height*spp sample bytes.
+    // Uncompressed strips concatenate by BYTE COUNT (RowsPerStrip is
+    // advisory there — some writers omit or mis-state it); compressed
+    // strips each decompress to rowsPerStrip rows (the last possibly
+    // fewer), which the tag must size correctly.
     val data = new Array[Byte](needed.toInt)
     val rowBytes = width * spp
     var off = 0
@@ -574,46 +582,52 @@ object BinaryFunctions {
       if (so < 0 || sc < 0 || so + sc > b.length) return None
       val stripRows = math.min(rowsPerStrip.toLong,
         height.toLong - si.toLong * rowsPerStrip)
-      if (stripRows <= 0) return None
-      val outLen = math.min(stripRows * rowBytes, needed - off).toInt
+      if (stripRows <= 0 && compression != 1) return None
+      val outLen =
+        if (compression == 1) math.min(sc, needed - off).toInt
+        else math.min(stripRows * rowBytes, needed - off).toInt
       compression match {
         case 1 =>
-          val n = math.min(sc.toInt, data.length - off)
-          System.arraycopy(b, so.toInt, data, off, n)
-          if (n < outLen) return None
+          System.arraycopy(b, so.toInt, data, off, outLen)
         case 5 =>
           if (lzwDecode(b, so.toInt, sc.toInt, data, off, outLen) != outLen)
             return None
         case 8 =>
           val inf = new java.util.zip.Inflater()
-          inf.setInput(b, so.toInt, sc.toInt)
-          var got = 0
-          while (got < outLen && !inf.finished()) {
-            val n = inf.inflate(data, off + got, outLen - got)
-            if (n == 0 && inf.needsInput()) return None // truncated
-            got += n
-          }
-          inf.end()
-          if (got < outLen) return None
-      }
-      // Predictor=2: each sample is stored as a delta vs the same
-      // sample one pixel to the left; integrate per row, per strip
-      if (predictor == 2) {
-        var r = 0
-        while (r * rowBytes < outLen) {
-          val rs = off + r * rowBytes
-          var x = spp
-          while (x < rowBytes) {
-            data(rs + x) = (data(rs + x) + data(rs + x - spp)).toByte
-            x += 1
-          }
-          r += 1
-        }
+          try {
+            inf.setInput(b, so.toInt, sc.toInt)
+            var got = 0
+            while (got < outLen && !inf.finished()) {
+              val n = inf.inflate(data, off + got, outLen - got)
+              // zero progress = truncated input OR a preset-dictionary
+              // request (FDICT) — either way hostile/unsupported; a
+              // needsDictionary stream would otherwise spin forever
+              if (n == 0 &&
+                (inf.needsInput() || inf.needsDictionary())) return None
+              got += n
+            }
+            if (got < outLen) return None
+          } finally inf.end() // native zlib buffers, freed on EVERY path
       }
       off += outLen
       si += 1
     }
     if (off < data.length) return None
+    // Predictor=2: each sample is stored as a delta vs the same sample
+    // one pixel to the left; integration is per ROW, so it runs over
+    // the assembled image regardless of strip boundaries
+    if (predictor == 2) {
+      var r = 0
+      while (r < height) {
+        val rs = r * rowBytes
+        var x = spp
+        while (x < rowBytes) {
+          data(rs + x) = (data(rs + x) + data(rs + x - spp)).toByte
+          x += 1
+        }
+        r += 1
+      }
+    }
 
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     var y = 0

@@ -52,7 +52,11 @@ object JsonFunctions {
     case class EnumStr(v: String) extends EnumVal
     case class EnumNum(v: Double) extends EnumVal
     case class EnumBool(v: Boolean) extends EnumVal
-    /** null / object / array members: canonical-JSON comparison. */
+    /** null / object / array members: both sides render through
+      * Spark's variant JSON writer, so number formatting normalizes;
+      * KEY ORDER still distinguishes (a documented subset boundary —
+      * full structural equality for composite enum members is not
+      * expressible at the expression layer). */
     case class EnumJson(v: String) extends EnumVal
 
     case class Constraints(
@@ -151,7 +155,7 @@ object JsonFunctions {
         case EnumNum(d) => isNum && asNum === lit(d)
         case EnumBool(b) =>
           t === "BOOLEAN" && try_variant_get(v, "$", "boolean") === lit(b)
-        case EnumJson(j) => to_json(v) === lit(j)
+        case EnumJson(j) => to_json(v) === to_json(try_parse_json(lit(j)))
       }.reduce(_ || _)
       check(!hit, s"value not in enum: $p")
     } ++

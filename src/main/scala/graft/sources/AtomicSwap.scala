@@ -83,10 +83,20 @@ object AtomicSwap {
         // a rename whose SOURCE a racing recoverer just took can THROW
         // FileNotFoundException (RawLocalFileSystem's copy fallback
         // stats the source) rather than return false — same lost race,
-        // same treatment: loop and observe the winner's result
+        // same treatment: loop and observe the winner's result. And a
+        // rename whose DESTINATION appeared in the exists-check→rename
+        // gap (the writer's own promotion racing this recovery) NESTS
+        // the source inside it — audit and un-nest, then treat as a
+        // lost race: the destination that appeared is the live data.
         def promote(src: Path): Boolean =
-          try !fs.exists(live) && fs.rename(src, live)
-          catch { case _: java.io.FileNotFoundException => false }
+          try {
+            if (fs.exists(live) || !fs.rename(src, live)) false
+            else {
+              val nested = new Path(live, src.getName)
+              if (fs.exists(nested)) { fs.rename(nested, src); false }
+              else true
+            }
+          } catch { case _: java.io.FileNotFoundException => false }
         val recovered =
           if (fs.exists(old)) promote(old)
           else if (fs.exists(tmp)) promote(tmp)

@@ -140,6 +140,46 @@ class QueryBuilderSpec extends SparkSpec {
     assert(got.map(lv(_, 0)).toSet === supCounts.keySet)
   }
 
+  test("left-attached relationships keep childless rows with EMPTY " +
+    "arrays at every level (Hasura semantics; inner drops them)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    def req(jt: String) = Request(
+      table = "region",
+      fields = Seq("r_regionkey"),
+      orderBy = Seq(Order("r_regionkey")),
+      nested = Seq(Nested(
+        as = "nations", table = "nation",
+        childKey = "n_regionkey", parentKey = "r_regionkey",
+        fields = Seq(NestedField("nk", "n_nationkey")),
+        joinType = jt,
+        sub = Some(Nested(
+          as = "sups", table = "supplier",
+          childKey = "s_nationkey", parentKey = "n_nationkey",
+          fields = Seq(NestedField("sk", "s_suppkey")),
+          joinType = jt)))))
+    // sf0.001 has 10 suppliers across 25 nations: many nations have none
+    val supNations = graft.Tables.load(spark, dir, "supplier")
+      .select($"s_nationkey").distinct().count()
+    assert(supNations < 25, "fixture grew suppliers everywhere")
+    // inner: only supplier-bearing nations survive into the arrays
+    val inner = QueryBuilder.run(spark, dir, req("inner")).collect()
+    val innerNations = inner.map(r =>
+      "\"nk\"".r.findAllIn(r.getString(1)).length).sum
+    assert(innerNations === supNations,
+      "inner attach should keep only nations WITH suppliers")
+    // left: all 5 regions, all 25 nations; supplier-less nations carry
+    // an empty sups array instead of vanishing
+    val left = QueryBuilder.run(spark, dir, req("left")).collect()
+    assert(left.length === 5)
+    val leftNations = left.map(r =>
+      "\"nk\"".r.findAllIn(r.getString(1)).length).sum
+    assert(leftNations === 25,
+      "left attach must keep nations with zero suppliers")
+    assert(left.exists(_.getString(1).contains("\"sups\":[]")),
+      "childless middle level should render an empty array")
+  }
+
   test("request validation fails loudly, not at execution time") {
     intercept[IllegalArgumentException](
       Request("customer", fields = Nil))

@@ -473,6 +473,29 @@ class FunctionsSpec extends SparkSpec {
     assert(B.decodeTiff(jpeg) === None)
   }
 
+  test("TIFF edge tags: RowsPerStrip=0xFFFFFFFF (the spec's one-strip " +
+    "default) decodes; an FDICT zlib strip refuses instead of hanging") {
+    val samples = Array.tabulate(10 * 6 * 3)(i => (i * 7).toByte)
+    val t = tiffContainer(10, 6, 3, 1, 1, rowsPerStrip = 6, samples)
+    val rTag = t.indexOfSlice(Seq[Byte](22, 1, 4, 0)) // tag 278, LONG
+    assert(rTag > 0, "RowsPerStrip tag not found")
+    for (k <- 0 until 4) t(rTag + 8 + k) = 0xff.toByte
+    val dec = B.decodeTiff(t)
+    assert(dec.isDefined, "spec-default RowsPerStrip rejected")
+    assert((dec.get.getRGB(9, 5) & 0xffffff) ===
+      (((samples(177) & 0xff) << 16) | ((samples(178) & 0xff) << 8) |
+        (samples(179) & 0xff)))
+    // a zlib stream requesting a preset dictionary (FDICT) makes
+    // Inflater return 0 without needing input — must bail, not spin
+    val raw = new Array[Byte](4 * 4 * 3)
+    raw(0) = 0x78; raw(1) = 0xbb.toByte // valid zlib header, FDICT set
+    raw(5) = 1 // dictionary adler
+    val fd = tiffContainer(4, 4, 3, 1, 1, 4, raw)
+    val cT = fd.indexOfSlice(Seq[Byte](3, 1, 3, 0))
+    fd(cT + 8) = 8 // claim Deflate over the raw bytes
+    assert(B.decodeTiff(fd) === None)
+  }
+
   test("erc721 validation: valid, missing field, wrong type, bad json") {
     import spark.implicits._
     val df = Seq(
