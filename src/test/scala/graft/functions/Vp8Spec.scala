@@ -53,6 +53,7 @@ class Vp8Spec extends AnyFunSuite {
     "check32q25", // coarse quantizers + strong loop filter
     "mixed80x64", // high quality, all token categories
     "dbg16", // single-MB B_PRED (caught the B-mode numbering mismatch)
+    "parts8_96x80", // EIGHT token partitions (advanced-API encode)
     "photo144x96") // smooth+edge+texture blend, 54 macroblocks
 
   for (name <- fixtures)

@@ -80,6 +80,94 @@ def emit(name, rgb, w, h, q):
     print(f"{name}: {w}x{h} q={q} webp={len(data)}B")
 
 
+ABI = 0x020f  # libwebp 1.2.x encoder ABI
+
+
+class WebPConfig(ctypes.Structure):
+    _fields_ = [
+        ("lossless", ctypes.c_int), ("quality", ctypes.c_float),
+        ("method", ctypes.c_int), ("image_hint", ctypes.c_int),
+        ("target_size", ctypes.c_int), ("target_PSNR", ctypes.c_float),
+        ("segments", ctypes.c_int), ("sns_strength", ctypes.c_int),
+        ("filter_strength", ctypes.c_int), ("filter_sharpness", ctypes.c_int),
+        ("filter_type", ctypes.c_int), ("autofilter", ctypes.c_int),
+        ("alpha_compression", ctypes.c_int), ("alpha_filtering", ctypes.c_int),
+        ("alpha_quality", ctypes.c_int), ("pass_", ctypes.c_int),
+        ("show_compressed", ctypes.c_int), ("preprocessing", ctypes.c_int),
+        ("partitions", ctypes.c_int), ("partition_limit", ctypes.c_int),
+        ("emulate_jpeg_size", ctypes.c_int), ("thread_level", ctypes.c_int),
+        ("low_memory", ctypes.c_int), ("near_lossless", ctypes.c_int),
+        ("exact", ctypes.c_int), ("use_delta_palette", ctypes.c_int),
+        ("use_sharp_yuv", ctypes.c_int), ("qmin", ctypes.c_int),
+        ("qmax", ctypes.c_int)]
+
+
+WriterFunc = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+                              ctypes.c_size_t, ctypes.c_void_p)
+
+
+class WebPPicture(ctypes.Structure):
+    _fields_ = [
+        ("use_argb", ctypes.c_int), ("colorspace", ctypes.c_int),
+        ("width", ctypes.c_int), ("height", ctypes.c_int),
+        ("y", ctypes.c_void_p), ("u", ctypes.c_void_p), ("v", ctypes.c_void_p),
+        ("y_stride", ctypes.c_int), ("uv_stride", ctypes.c_int),
+        ("a", ctypes.c_void_p), ("a_stride", ctypes.c_int),
+        ("pad1", ctypes.c_uint32 * 2),
+        ("argb", ctypes.c_void_p), ("argb_stride", ctypes.c_int),
+        ("pad2", ctypes.c_uint32 * 3),
+        ("writer", WriterFunc), ("custom_ptr", ctypes.c_void_p),
+        ("extra_info_type", ctypes.c_int), ("extra_info", ctypes.c_void_p),
+        ("stats", ctypes.c_void_p), ("error_code", ctypes.c_int),
+        ("progress_hook", ctypes.c_void_p), ("user_data", ctypes.c_void_p),
+        ("pad3", ctypes.c_uint32 * 3),
+        ("pad4", ctypes.c_void_p), ("pad5", ctypes.c_void_p),
+        ("pad6", ctypes.c_uint32 * 8),
+        ("memory_", ctypes.c_void_p), ("memory_argb_", ctypes.c_void_p),
+        ("pad7", ctypes.c_void_p * 2)]
+
+
+def encode_advanced(rgb, w, h, q, partitions):
+    """Advanced-API encode: the simple API always writes ONE token
+    partition; config.partitions=N exercises the 2^N-partition layout
+    (per-MB-row interleave) the decoder must also parse."""
+    out = bytearray()
+
+    def _write(data, size, _ptr):
+        out.extend(bytes(ctypes.cast(
+            data, ctypes.POINTER(ctypes.c_uint8 * size)).contents))
+        return 1
+    writer = WriterFunc(_write)
+    cfg = WebPConfig()
+    assert lib.WebPConfigInitInternal(ctypes.byref(cfg), 0,
+                                      ctypes.c_float(q), ABI)
+    cfg.partitions = partitions
+    assert lib.WebPValidateConfig(ctypes.byref(cfg))
+    pic = WebPPicture()
+    assert lib.WebPPictureInitInternal(ctypes.byref(pic), ABI)
+    pic.width, pic.height = w, h
+    pic.use_argb = 0
+    pic.writer = writer
+    assert lib.WebPPictureImportRGB(ctypes.byref(pic), bytes(rgb), w * 3)
+    assert lib.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic)), \
+        pic.error_code
+    lib.WebPPictureFree(ctypes.byref(pic))
+    data = bytes(out)
+    assert data[12:16] == b"VP8 "
+    return data
+
+
+def emit_advanced(name, rgb, w, h, q, partitions):
+    data = encode_advanced(rgb, w, h, q, partitions)
+    W, H, yp, up, vp = decode_yuv(data)
+    assert (W, H) == (w, h)
+    open(f"{OUT}/{name}.webp", "wb").write(data)
+    with open(f"{OUT}/{name}.yuv", "wb") as f:
+        f.write(struct.pack(">ii", W, H))
+        f.write(yp); f.write(up); f.write(vp)
+    print(f"{name}: {w}x{h} q={q} parts=2^{partitions} webp={len(data)}B")
+
+
 def rng(seed):
     s = seed
     while True:
@@ -172,6 +260,16 @@ for y in range(32):
         inside = (8 <= x < 24 and 8 <= y < 24) and not (14 <= x < 18)
         g += [200, 60, 90, 255 if inside else 0]
 emit_alpha("alphashape32", g, 32, 32, 80)
+
+# M1. EIGHT token partitions (advanced API) — rows interleave across
+# all partition bool-decoders
+r = rng(5)
+g = []
+for y in range(80):
+    for x in range(96):
+        n = next(r)
+        g += [(x * 3 + n) % 256, (y * 2 + n // 3) % 256, (x + y + n) % 256]
+emit_advanced("parts8_96x80", g, 96, 80, 70, partitions=3)
 
 # 8. photo-ish blend, larger, mid quality — smooth + edges + texture
 r = rng(1234)
