@@ -813,4 +813,39 @@ object BinaryFunctions {
 
   def syntheticImage(seed: Column, w: Column, h: Column): Column =
     synthUdf(seed, w, h)
+
+  /** Deterministic synthetic image in a seed-chosen FORMAT (png, tiff,
+    * or svg), so a pipeline over mixed fetched bytes exercises the
+    * whole decode fan-in, not just the ImageIO arm. TIFF bytes come
+    * from [[encodeTiffRgb]] over the same pixel recipe as the PNG; the
+    * SVG is a seed-colored shape card the pure-JVM rasterizer covers. */
+  def syntheticMedia(seed: Long, w: Int, h: Int): Array[Byte] =
+    (seed % 3) match {
+      case 0 => syntheticPng(seed, w, h)
+      case 1 =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((seed * 2654435761L + x * 31 + y * 17) & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        encodeTiffRgb(img, littleEndian = seed % 2 == 1)
+      case _ =>
+        val c = ((seed * 2654435761L) & 0xffffff).toInt
+        (s"""<svg width="$w" height="$h">""" +
+          f"""<rect x="0" y="0" width="$w" height="$h" fill="#$c%06x"/>""" +
+          s"""<circle cx="${w / 2}" cy="${h / 2}" r="${h / 3}" """ +
+          """fill="white"/></svg>""").getBytes("UTF-8")
+    }
+
+  private val synthMediaUdf = udf((seed: Long, w: Int, h: Int) =>
+    syntheticMedia(seed, w, h))
+
+  def syntheticMediaCol(seed: Column, w: Column, h: Column): Column =
+    synthMediaUdf(seed, w, h)
 }

@@ -50,10 +50,14 @@ object PipelineQueries {
         sum(when(col("rt") === col("raw"), 1L).otherwise(0L)).as("rt_ok"))
       .orderBy("lang")
 
-  /** q38 — multimodal pipeline (C11): deterministic synthetic PNGs keyed by
-    * part rows → resize to the reference's two resolutions → format sniff →
-    * content-key dedup histogram. Rows-only check; decode/resize correctness
-    * is unit-tested (FunctionsSpec / EnrichmentSpec). */
+  /** q38 — multimodal pipeline (C11): deterministic synthetic media in a
+    * seed-chosen FORMAT (png via ImageIO, tiff via the pure-JVM IFD
+    * codec, svg via the pure-JVM rasterizer) keyed by part rows →
+    * resize to the reference's two resolutions → format sniff →
+    * content-key dedup histogram — the decode fan-in runs inside the
+    * query, not just in unit tests. Rows-only check; per-codec
+    * correctness is unit-tested (FunctionsSpec / Vp8Spec /
+    * EnrichmentSpec). */
   def q38ImgPipeline(s: SparkSession, dir: String): DataFrame = {
     val res = array(B.defaultResolutions.map { case (w, h) =>
       struct(lit(w).as("w"), lit(h).as("h"))
@@ -62,16 +66,19 @@ object PipelineQueries {
       .limit(200)
       // seed mod 50 → deliberate duplicate images across parts
       .select(col("p_partkey"),
-        B.syntheticImage(pmod(col("p_partkey"), lit(50)), lit(32), lit(24))
-          .as("img"))
+        B.syntheticMediaCol(pmod(col("p_partkey"), lit(50)), lit(32),
+          lit(24)).as("img"))
       .withColumn("r", explode(res))
       .withColumn("resized", B.imgResize(col("img"), col("r.w"), col("r.h")))
       .select(col("p_partkey"), col("r.w").as("w"), col("r.h").as("h"),
+        // src_format proves the fan-in (png/tiff/svg all decoded);
+        // resized output re-encodes PNG, like the reference's resizer
+        B.imgFormat(col("img")).as("src_format"),
         B.imgFormat(col("resized")).as("format"),
         md5(col("resized")).as("content_md5"))
-      .groupBy("format", "w", "h")
+      .groupBy("src_format", "format", "w", "h")
       .agg(count(lit(1)).as("n_images"),
         countDistinct(col("content_md5")).as("n_distinct"))
-      .orderBy("format", "w", "h")
+      .orderBy("src_format", "format", "w", "h")
   }
 }
