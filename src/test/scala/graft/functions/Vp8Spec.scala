@@ -143,6 +143,26 @@ class Vp8Spec extends AnyFunSuite {
     assert(BinaryFunctions.resizeImage(webp, 36, 24).isDefined)
   }
 
+  test("mutation fuzz: corrupted streams decode to None or pixels, " +
+    "never an exception or a hang") {
+    val webp = resource("mixed80x64.webp")
+    val (off, len) = vp8Chunk(webp)
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 300) {
+      val mutated = webp.clone()
+      // corrupt 1-4 bytes anywhere in the VP8 payload (headers,
+      // partition table, token data)
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val at = off + rnd.nextInt(len)
+        mutated(at) = rnd.nextInt(256).toByte
+      }
+      val t0 = System.nanoTime()
+      Vp8.decodePlanes(mutated, off, len) // Option either way — no throw
+      assert(System.nanoTime() - t0 < 5_000_000_000L,
+        s"trial $trial: decode took >5s on corrupt input")
+    }
+  }
+
   test("malformed VP8 payloads return None, never throw") {
     val webp = resource("flat32.webp")
     val (off, len) = vp8Chunk(webp)
