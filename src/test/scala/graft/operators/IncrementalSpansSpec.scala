@@ -53,6 +53,32 @@ class IncrementalSpansSpec extends SparkSpec {
       === before, "replay double-counted a batch")
   }
 
+  test("streaming ingest end-to-end: foreachBatch appends per trigger " +
+    "and the final store answers like the batch queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = freshStore()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        IncrementalSpans.append(batch, store, id)
+      }.start()
+    try {
+      val all = docs.select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      all.grouped(120).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val merged = IncrementalSpans.dfTable(spark, store)
+    assert(rows(IncrementalSpans.spansFor(docs, merged)) ===
+      rows(graft.queries.TextQueries.q95RepeatedSpans(spark, dir)))
+    assert(rows(IncrementalSpans.redactFor(docs, merged)) ===
+      rows(graft.queries.TextQueries.q96SpanRedact(spark, dir)))
+  }
+
   test("compact folds deltas without changing answers; appends " +
     "continue afterwards") {
     val store = freshStore()
