@@ -109,12 +109,14 @@ object BinaryFunctions {
   /** Rasterize an SVG SUBSET with the JDK only (XML parse + Graphics2D):
     * rect / circle / ellipse / line / polygon / polyline / path (full
     * M/L/H/V/C/S/Q/T/A/Z command set, [[parseSvgPath]]) with fill/stroke
-    * (named or #hex colors), `transform` on elements and groups
-    * ([[parseSvgTransform]]), honoring width/height/viewBox. Covers the
-    * icon/placeholder/path SVGs of an NFT metadata pipeline; text/CSS/
-    * gradients are what a real library (the reference's oksvg,
-    * resizer.go:251-264) adds. Unsupported content renders as the
-    * background — never an exception. */
+    * (named or #hex colors, and `url(#id)` linearGradient references —
+    * objectBoundingBox or userSpaceOnUse units, %/fraction offsets),
+    * `transform` on elements and groups ([[parseSvgTransform]]),
+    * honoring width/height/viewBox. Covers the icon/placeholder/path
+    * SVGs of an NFT metadata pipeline; text/CSS/radial gradients are
+    * what a real library (the reference's oksvg, resizer.go:251-264)
+    * adds. Unsupported content renders as the background — never an
+    * exception. */
   def rasterizeSvg(b: Array[Byte]): Option[BufferedImage] = try {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     // no external entity resolution (untrusted bytes)
@@ -160,6 +162,80 @@ object BinaryFunctions {
         val bb = s(3).asDigit * 17
         Some(new java.awt.Color(r, gg, bb))
       case named => namedColors.get(named.toLowerCase)
+    }
+
+    // <linearGradient> defs, collected up front so fill="url(#id)"
+    // resolves regardless of document order. Fractional coordinate
+    // ("0.3"/"30%") pairs map onto the SHAPE's bounding box
+    // (objectBoundingBox, the SVG default); gradientUnits=
+    // "userSpaceOnUse" takes them as absolute user coordinates.
+    case class Grad(x1: Double, y1: Double, x2: Double, y2: Double,
+        userSpace: Boolean, fracs: Array[Float],
+        colors: Array[java.awt.Color])
+    val gradients: Map[String, Grad] = {
+      val out = scala.collection.mutable.Map[String, Grad]()
+      val gs = doc.getElementsByTagName("linearGradient")
+      for (gi <- 0 until gs.getLength) {
+        val e = gs.item(gi).asInstanceOf[org.w3c.dom.Element]
+        def frac(a: String, d: Double): Double = {
+          val v = e.getAttribute(a)
+          if (v.isEmpty) d
+          else if (v.endsWith("%"))
+            try v.dropRight(1).toDouble / 100 catch {
+              case _: NumberFormatException => d
+            }
+          else try v.toDouble catch { case _: NumberFormatException => d }
+        }
+        val stopsN = e.getElementsByTagName("stop")
+        val stops = (0 until stopsN.getLength).flatMap { si =>
+          val st = stopsN.item(si).asInstanceOf[org.w3c.dom.Element]
+          val off = {
+            val o = st.getAttribute("offset")
+            if (o.endsWith("%"))
+              try o.dropRight(1).toDouble / 100 catch {
+                case _: NumberFormatException => 0.0
+              }
+            else try o.toDouble catch { case _: NumberFormatException => 0.0 }
+          }
+          color(st.getAttribute("stop-color"))
+            .map(c => (math.max(0.0, math.min(1.0, off)).toFloat, c))
+        }
+        if (e.getAttribute("id").nonEmpty && stops.nonEmpty) {
+          // Java requires strictly increasing fractions: sort and nudge
+          val sorted = stops.sortBy(_._1)
+          val fr = new Array[Float](sorted.length)
+          val co = new Array[java.awt.Color](sorted.length)
+          var prev = -1.0f
+          for (k <- sorted.indices) {
+            var f = sorted(k)._1
+            if (f <= prev) f = math.min(1.0f, prev + 1e-4f)
+            fr(k) = f; co(k) = sorted(k)._2; prev = f
+          }
+          out(e.getAttribute("id")) = Grad(
+            frac("x1", 0), frac("y1", 0), frac("x2", 1), frac("y2", 0),
+            e.getAttribute("gradientUnits") == "userSpaceOnUse", fr, co)
+        }
+      }
+      out.toMap
+    }
+
+    val urlRef = "url\\(#([^)]+)\\)".r
+    def paintFor(spec: String, s: java.awt.Shape)
+        : Option[java.awt.Paint] = spec.trim match {
+      case urlRef(id) => gradients.get(id).map { gr =>
+        val b = s.getBounds2D
+        def pt(fx: Double, fy: Double) =
+          if (gr.userSpace) new java.awt.geom.Point2D.Double(fx, fy)
+          else new java.awt.geom.Point2D.Double(
+            b.getX + fx * b.getWidth, b.getY + fy * b.getHeight)
+        val p1 = pt(gr.x1, gr.y1)
+        var p2 = pt(gr.x2, gr.y2)
+        if (p1.equals(p2)) // degenerate axis: Java refuses, SVG says
+          p2 = new java.awt.geom.Point2D.Double(p2.getX + 1e-3, p2.getY)
+        if (gr.fracs.length == 1) gr.colors(0)
+        else new java.awt.LinearGradientPaint(p1, p2, gr.fracs, gr.colors)
+      }
+      case other => color(other)
     }
 
     // depth-capped: StackOverflowError from adversarially nested XML is an
@@ -213,14 +289,14 @@ object BinaryFunctions {
           // only the DEFAULT black fill is suppressed for line/polyline
           val unfilledByDefault =
             e.getTagName == "line" || e.getTagName == "polyline"
-          color(e.getAttribute("fill"))
+          paintFor(e.getAttribute("fill"), s)
             .orElse(if (e.hasAttribute("fill") || unfilledByDefault) None
               else Some(java.awt.Color.BLACK)) // SVG default fill
-            .foreach { c => g.setColor(c); g.fill(s) }
-          color(e.getAttribute("stroke")).foreach { c =>
+            .foreach { c => g.setPaint(c); g.fill(s) }
+          paintFor(e.getAttribute("stroke"), s).foreach { c =>
             g.setStroke(new java.awt.BasicStroke(
               math.max(1.0, na("stroke-width", 1.0)).toFloat))
-            g.setColor(c); g.draw(s)
+            g.setPaint(c); g.draw(s)
           }
         }
         val kids = e.getChildNodes

@@ -231,6 +231,49 @@ class FunctionsSpec extends SparkSpec {
     assert(B.parseSvgPath("M 1") === None)
   }
 
+  test("SVG linear gradients fill via url(#id): bounding-box and " +
+    "user-space units, percent offsets, degenerate stops") {
+    def px(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      img.getRGB(x, y) & 0xffffff
+    val svg =
+      """<svg width="64" height="32">
+        |<defs><linearGradient id="lr">
+        |  <stop offset="0%" stop-color="black"/>
+        |  <stop offset="100%" stop-color="white"/>
+        |</linearGradient>
+        |<linearGradient id="us" x1="0" y1="0" x2="0" y2="32"
+        |    gradientUnits="userSpaceOnUse">
+        |  <stop offset="0" stop-color="#ff0000"/>
+        |  <stop offset="1" stop-color="#0000ff"/>
+        |</linearGradient></defs>
+        |<rect x="0" y="0" width="32" height="32" fill="url(#lr)"/>
+        |<rect x="32" y="0" width="32" height="32" fill="url(#us)"/>
+        |</svg>""".stripMargin
+    val img = B.rasterizeSvg(svg.getBytes("UTF-8"))
+      .getOrElse(fail("gradient svg did not rasterize"))
+    // left rect: horizontal black->white over ITS bounding box
+    assert((px(img, 1, 16) & 0xff) < 40, "gradient start not dark")
+    assert((px(img, 30, 16) & 0xff) > 215, "gradient end not bright")
+    val mid = px(img, 16, 16) & 0xff
+    assert(mid > 90 && mid < 170, s"gradient midpoint off: $mid")
+    // right rect: vertical red->blue in user-space coordinates
+    assert((px(img, 48, 1) >> 16) > 200, "user-space gradient top not red")
+    assert((px(img, 48, 30) & 0xff) > 200,
+      "user-space gradient bottom not blue")
+    // unknown reference: no fill (not a crash, not black)
+    val bad = B.rasterizeSvg(
+      """<svg width="8" height="8"><rect width="8" height="8"
+        | fill="url(#nope)"/></svg>""".stripMargin.getBytes("UTF-8"))
+    assert(bad.isDefined && (bad.get.getRGB(4, 4) & 0xffffff) === 0xffffff)
+    // single-stop gradient degrades to a solid fill
+    val solid = B.rasterizeSvg(
+      """<svg width="8" height="8"><defs><linearGradient id="s">
+        |<stop offset="0" stop-color="#00ff00"/></linearGradient></defs>
+        |<rect width="8" height="8" fill="url(#s)"/></svg>"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(solid.isDefined && (solid.get.getRGB(4, 4) & 0xffffff) === 0xff00)
+  }
+
   test("SVG transforms apply to elements and groups") {
     def px(svg: String, x: Int, y: Int): Int =
       (B.rasterizeSvg(svg.getBytes("UTF-8")).get.getRGB(x, y)) & 0xffffff
