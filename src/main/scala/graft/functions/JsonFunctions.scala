@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * schema types.go:3-21) — so the capability here is schema-DRIVEN: any
   * schema in the supported subset (type / properties / required / items /
   * enum / pattern / minLength / maxLength / minimum / maximum /
-  * exclusiveMinimum / exclusiveMaximum) compiles ONCE driver-side into a
+  * exclusiveMinimum / exclusiveMaximum / multipleOf) compiles ONCE driver-side into a
   * pure Column expression stack over Spark 4's VARIANT. Object properties recurse to any depth; array items
   * are checked via the MERGED element type (per-element fan-out is not
   * expressible over VARIANT arrays at the expression layer), so an
@@ -65,7 +65,8 @@ object JsonFunctions {
         minLength: Option[Int] = None, maxLength: Option[Int] = None,
         minimum: Option[Double] = None, maximum: Option[Double] = None,
         exclusiveMinimum: Option[Double] = None,
-        exclusiveMaximum: Option[Double] = None) {
+        exclusiveMaximum: Option[Double] = None,
+        multipleOf: Option[Double] = None) {
       def isEmpty: Boolean = this == Constraints()
     }
 
@@ -108,7 +109,8 @@ object JsonFunctions {
         minLength = int("minLength"), maxLength = int("maxLength"),
         minimum = num("minimum"), maximum = num("maximum"),
         exclusiveMinimum = num("exclusiveMinimum"),
-        exclusiveMaximum = num("exclusiveMaximum"))
+        exclusiveMaximum = num("exclusiveMaximum"),
+        multipleOf = num("multipleOf").filter(_ > 0))
       if (cs.isEmpty) base else JsConstrained(base, cs)
     }
   }
@@ -172,7 +174,12 @@ object JsonFunctions {
       cs.exclusiveMinimum.toSeq.map(m =>
         check(isNum && asNum <= m, s"number not above exclusiveMinimum($m): $p")) ++
       cs.exclusiveMaximum.toSeq.map(m =>
-        check(isNum && asNum >= m, s"number not below exclusiveMaximum($m): $p"))
+        check(isNum && asNum >= m, s"number not below exclusiveMaximum($m): $p")) ++
+      cs.multipleOf.toSeq.map(m =>
+        // division-based remainder: (x/m) must be integral — robust for
+        // the fractional divisors a direct % would misjudge (0.3 % 0.1)
+        check(isNum && abs(asNum / m - round(asNum / m)) > lit(1e-9),
+          s"number not a multipleOf($m): $p"))
   }
 
   /** Recursive error builder for one schema node over one variant value. */

@@ -672,6 +672,14 @@ class FunctionsSpec extends SparkSpec {
     assert(r4(2)._2 === Seq("number above maximum(10.0): n"))
     assert(r4(3)._2 === Seq("number not above exclusiveMinimum(0.0): x"))
 
+    // multipleOf divides exactly, including fractional divisors (the
+    // 0.3 % 0.1 float trap a remainder-based check would misjudge)
+    val mo = """{"type":"object","properties":{
+               |  "n": {"type":"number","multipleOf":0.1}}}""".stripMargin
+    val rMo = run(mo, """{"n":0.3}""", """{"n":2}""", """{"n":0.25}""")
+    assert(rMo.map(_._1) === Seq(true, true, false))
+    assert(rMo(2)._2 === Seq("number not a multipleOf(0.1): n"))
+
     // constraints layer on top of the type check, not instead of it;
     // a wrong-typed value reports the type error (string keywords
     // ignore non-strings, per the spec)
