@@ -133,6 +133,58 @@ class Vp8Spec extends AnyFunSuite {
           (yuv(alphaOff + j * w + i) & 0xff), s"alpha($i,$j)")
     }
 
+  test("ALPH raw coding inverts all four filters (libwebp's encoder " +
+    "only emitted filter=0, so the unfilters need their own proof)") {
+    // carrier frame: reuse a real lossy fixture's VP8 chunk
+    val base = resource("flat32.webp")
+    val (voff, vlen) = vp8Chunk(base)
+    val vp8ChunkBytes = java.util.Arrays.copyOfRange(
+      base, voff - 8, voff + vlen + (vlen & 1))
+    val w = 32; val h = 32
+    // a plane with gradients AND hard edges so every filter's
+    // prediction actually varies
+    val plane = Array.tabulate(h, w)((j, i) =>
+      if (i > 20 && j > 20) 17 else (i * 7 + j * 3) % 256)
+    def clip(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    // FORWARD filtering per the container spec (independent test-side
+    // implementation; the decoder must invert it exactly)
+    def forward(method: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      for (j <- 0 until h; i <- 0 until w) {
+        val p = plane(j)(i)
+        val pred =
+          if (method == 0) 0
+          else if (j == 0) { if (i == 0) 0 else plane(0)(i - 1) }
+          else method match {
+            case 1 => if (i == 0) plane(j - 1)(0) else plane(j)(i - 1)
+            case 2 => plane(j - 1)(i)
+            case _ =>
+              val left = if (i == 0) plane(j - 1)(0) else plane(j)(i - 1)
+              val tl = if (i == 0) plane(j - 1)(0) else plane(j - 1)(i - 1)
+              clip(left + plane(j - 1)(i) - tl)
+          }
+        out(j * w + i) = (p - pred).toByte
+      }
+      out
+    }
+    for (method <- 0 to 3) {
+      val alph = Array[Byte]((method << 2).toByte) ++ forward(method)
+      val chunk = "ALPH".getBytes ++ Array[Byte](
+        (alph.length & 0xff).toByte, ((alph.length >> 8) & 0xff).toByte,
+        ((alph.length >> 16) & 0xff).toByte, 0) ++ alph ++
+        (if (alph.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+      val body = "WEBP".getBytes ++ chunk ++ vp8ChunkBytes
+      val file = java.nio.ByteBuffer.allocate(8 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      file.put("RIFF".getBytes); file.putInt(body.length); file.put(body)
+      val img = Vp8l.decode(file.array())
+        .getOrElse(fail(s"filter $method did not decode"))
+      for (j <- 0 until h; i <- 0 until w)
+        assert(((img.getRGB(i, j) >>> 24) & 0xff) === plane(j)(i),
+          s"filter $method alpha($i,$j)")
+    }
+  }
+
   test("lossy webp decodes through the container surface (sniff -> " +
     "Vp8l.decode -> Vp8) and resizes end-to-end") {
     val webp = resource("photo144x96.webp")
