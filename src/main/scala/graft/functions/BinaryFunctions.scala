@@ -201,19 +201,33 @@ object BinaryFunctions {
             .map(c => (math.max(0.0, math.min(1.0, off)).toFloat, c))
         }
         if (e.getAttribute("id").nonEmpty && stops.nonEmpty) {
-          // Java requires strictly increasing fractions: sort and nudge
+          // Java requires strictly increasing fractions in [0,1]. Nudge
+          // duplicates forward, then cap from the back so trailing
+          // duplicates at 1.0 push EARLIER stops downward (the common
+          // hard-stop pattern offsets 0,1,1 stays renderable) instead of
+          // clamping into a non-increasing run that would make
+          // LinearGradientPaint throw and blank the whole document.
           val sorted = stops.sortBy(_._1)
           val fr = new Array[Float](sorted.length)
           val co = new Array[java.awt.Color](sorted.length)
           var prev = -1.0f
           for (k <- sorted.indices) {
             var f = sorted(k)._1
-            if (f <= prev) f = math.min(1.0f, prev + 1e-4f)
+            if (f <= prev) f = prev + 1e-4f
             fr(k) = f; co(k) = sorted(k)._2; prev = f
           }
+          var cap = 1.0f
+          for (k <- sorted.indices.reverse) {
+            if (fr(k) > cap) fr(k) = cap
+            cap = fr(k) - 1e-4f
+          }
+          // a pile-up of >10k duplicate offsets can push head stops below
+          // 0: drop those, keep the tail (later stops win in SVG)
+          val keep = fr.indices.filter(fr(_) >= 0.0f)
           out(e.getAttribute("id")) = Grad(
             frac("x1", 0), frac("y1", 0), frac("x2", 1), frac("y2", 0),
-            e.getAttribute("gradientUnits") == "userSpaceOnUse", fr, co)
+            e.getAttribute("gradientUnits") == "userSpaceOnUse",
+            keep.map(fr).toArray, keep.map(co).toArray)
         }
       }
       out.toMap

@@ -175,11 +175,16 @@ object JsonFunctions {
         check(isNum && asNum <= m, s"number not above exclusiveMinimum($m): $p")) ++
       cs.exclusiveMaximum.toSeq.map(m =>
         check(isNum && asNum >= m, s"number not below exclusiveMaximum($m): $p")) ++
-      cs.multipleOf.toSeq.map(m =>
+      cs.multipleOf.toSeq.map { m =>
         // division-based remainder: (x/m) must be integral — robust for
-        // the fractional divisors a direct % would misjudge (0.3 % 0.1)
-        check(isNum && abs(asNum / m - round(asNum / m)) > lit(1e-9),
-          s"number not a multipleOf($m): $p"))
+        // the fractional divisors a direct % would misjudge (0.3 % 0.1).
+        // Tolerance is RELATIVE to the quotient: a fixed 1e-9 rejects
+        // genuine multiples once float error scales past it (e.g.
+        // 12345678.9 / 0.1 carries ~1e-8 of error).
+        val q = asNum / m
+        check(isNum && abs(q - round(q)) > lit(1e-9) * greatest(lit(1.0), abs(q)),
+          s"number not a multipleOf($m): $p")
+      }
   }
 
   /** Recursive error builder for one schema node over one variant value. */

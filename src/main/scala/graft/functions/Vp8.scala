@@ -160,6 +160,15 @@ object Vp8 {
       val w = ((b(off + 6) & 0xff) | ((b(off + 7) & 0xff) << 8)) & 0x3fff
       val h = ((b(off + 8) & 0xff) | ((b(off + 9) & 0xff) << 8)) & 0x3fff
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+      // Allocation guard for hostile headers: planes cost ~6 bytes per
+      // pixel (Int Y + half-res U/V), so a ~30-byte payload declaring
+      // 4096x4096 would allocate ~96 MB before any bitstream check.
+      // Even the most degenerate REAL encodes (solid color, quality 10)
+      // measure ~0.54 bytes per macroblock; require 1/8 byte per MB —
+      // 4x margin under that floor — which bounds allocation to ~12 KB
+      // per payload byte and rejects tiny payloads with huge dims.
+      val numMbs = ((w + 15) / 16).toLong * ((h + 15) / 16)
+      if (len < numMbs / 8) return None
       val part0Start = off + 10
       if (part0Start + part0Len > end) return None
       val bd = new BoolDec(b, part0Start, part0Start + part0Len)

@@ -1370,6 +1370,16 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, pos, gh) — every length-`l` gram anchor, md5-keyed. ONE
+    * definition shared by the batch report/filter and the incremental
+    * store ([[graft.operators.IncrementalSpans]]). */
+  private[graft] def gramPositions(d: DataFrame, l: Int): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(graft.functions
+        .TextKernelExpressions.wordShinglesFast(col("text"), l))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+
   /** Token positions whose length-`l` gram (shingle starting there)
     * appears in at least `minDf` DISTINCT documents — the flagged-anchor
     * set both q95 (maximal spans) and q96 (redaction) consume. ONE
@@ -1391,16 +1401,6 @@ object TextQueries {
     * (PlanQualitySpec audits this shape; an earlier claim that
     * ReuseExchange merges the two paths was wrong — their exchanges
     * carry different partial-aggregate schemas and cannot unify.) */
-  /** (doc_id, pos, gh) — every length-`l` gram anchor, md5-keyed. ONE
-    * definition shared by the batch report/filter and the incremental
-    * store ([[graft.operators.IncrementalSpans]]). */
-  private[graft] def gramPositions(d: DataFrame, l: Int): DataFrame =
-    d.filter(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(graft.functions
-        .TextKernelExpressions.wordShinglesFast(col("text"), l))
-        .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
-
   private[graft] def dupGramPositions(s: SparkSession, dir: String,
       l: Int, minDf: Int): DataFrame = {
     val grams = gramPositions(docs(s, dir), l)

@@ -272,6 +272,21 @@ class FunctionsSpec extends SparkSpec {
         |<rect width="8" height="8" fill="url(#s)"/></svg>"""
         .stripMargin.getBytes("UTF-8"))
     assert(solid.isDefined && (solid.get.getRGB(4, 4) & 0xffffff) === 0xff00)
+    // duplicate trailing stops at 1.0 (hard-stop pattern 0,1,1): earlier
+    // stops nudge DOWN from 1.0 so the document still renders — a
+    // forward-nudge clamp would feed LinearGradientPaint equal fractions
+    // and blank the whole document
+    val hard = B.rasterizeSvg(
+      """<svg width="32" height="8"><defs><linearGradient id="h">
+        |<stop offset="0" stop-color="black"/>
+        |<stop offset="1" stop-color="white"/>
+        |<stop offset="1" stop-color="#ff0000"/></linearGradient></defs>
+        |<rect width="32" height="8" fill="url(#h)"/></svg>"""
+        .stripMargin.getBytes("UTF-8"))
+    assert(hard.isDefined, "hard-stop gradient did not rasterize")
+    assert((hard.get.getRGB(1, 4) & 0xff) < 40, "hard-stop start not dark")
+    assert((hard.get.getRGB(29, 4) & 0xffffff & 0xff00ff) > 0xf000,
+      "hard-stop end neither white nor red")
   }
 
   test("SVG transforms apply to elements and groups") {
@@ -676,8 +691,11 @@ class FunctionsSpec extends SparkSpec {
     // 0.3 % 0.1 float trap a remainder-based check would misjudge)
     val mo = """{"type":"object","properties":{
                |  "n": {"type":"number","multipleOf":0.1}}}""".stripMargin
-    val rMo = run(mo, """{"n":0.3}""", """{"n":2}""", """{"n":0.25}""")
-    assert(rMo.map(_._1) === Seq(true, true, false))
+    val rMo = run(mo, """{"n":0.3}""", """{"n":2}""", """{"n":0.25}""",
+      """{"n":12345678.9}""")
+    // the last case needs a RELATIVE tolerance: 12345678.9/0.1 carries
+    // ~1e-8 of float error, past any fixed 1e-9 epsilon
+    assert(rMo.map(_._1) === Seq(true, true, false, true))
     assert(rMo(2)._2 === Seq("number not a multipleOf(0.1): n"))
 
     // constraints layer on top of the type check, not instead of it;

@@ -224,5 +224,12 @@ class Vp8Spec extends AnyFunSuite {
     val interframe = webp.clone(); interframe(off) = (webp(off) | 1).toByte
     assert(Vp8.decodePlanes(interframe, off, len).isEmpty)
     assert(Vp8.decodePlanes(Array.fill(64)(0x55.toByte), 0, 64).isEmpty)
+    // allocation guard: a ~30-byte payload declaring 4096x4096 must be
+    // rejected BEFORE the ~96 MB of plane allocations (memory
+    // amplification over untrusted bytes across concurrent tasks)
+    val hostile = webp.slice(off, off + 30)
+    hostile(6) = 0x00; hostile(7) = 0x10 // w = 4096
+    hostile(8) = 0x00; hostile(9) = 0x10 // h = 4096
+    assert(Vp8.decodePlanes(hostile, 0, hostile.length).isEmpty)
   }
 }
