@@ -43,6 +43,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort in:\n$p")
   }
 
+  test("q11 stalest-k: rank-boundary FILTER, not a corpus-sized " +
+    "TakeOrdered heap — k is O(corpus), so limit(k) is a scale-killer") {
+    val df = R.q11Stalest(spark, dir)
+    val p = plan(df)
+    // the selection must be a boundary filter over the scan: no
+    // TakeOrderedAndProject (per-task heap of k rows + single-point
+    // gather), no CollectLimit/GlobalLimit (Int-sized k, driver gather)
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"corpus-sized TakeOrdered heap in q11:\n$p")
+    assert(!p.contains("CollectLimit") && !p.contains("GlobalLimit"),
+      s"driver-sized limit in q11:\n$p")
+    assert(p.contains("Filter"), s"no boundary filter in q11:\n$p")
+    // the trailing deterministic-output sort must be the distributed
+    // range-partitioned kind, not a single-partition gather
+    assert(p.contains("rangepartitioning"),
+      s"output sort is not range-partitioned in q11:\n$p")
+  }
+
   test("q23: codegen dot-product stays inside WholeStageCodegen") {
     // AQE inserts codegen stages at runtime — execute, then inspect the
     // final adaptive plan.
