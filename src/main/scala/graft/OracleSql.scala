@@ -791,6 +791,24 @@ object OracleSql {
     // q97 = q49's request compiled by the query-builder front end —
     // same answer contract, same oracle
     "q97_qb_nested_deep" -> nestedDeepSql,
+    // q40's nested shape composed with PER-RELATIONSHIP arguments: the
+    // child carries its own where (status = open), order_by (price
+    // desc, key) and limit (top 3 per parent) — the windowed top-n is
+    // the SQL spelling of Hasura's nfts(where/order_by/limit) args
+    "q98_qb_child_args" ->
+      """SELECT c.c_custkey,
+        |       to_json(list({'k': x.o_orderkey,
+        |                'p': printf('%.2f', ROUND(x.o_totalprice, 2))}
+        |               ORDER BY x.o_totalprice DESC, x.o_orderkey))
+        |         AS orders
+        |FROM customer c
+        |JOIN (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders WHERE o_orderstatus = 'O') x
+        |  ON x.o_custkey = c.c_custkey AND x.rn <= 3
+        |WHERE c.c_custkey <= 50
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

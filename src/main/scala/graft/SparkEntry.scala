@@ -118,6 +118,7 @@ object SparkEntry {
     "q95_repeated_spans" -> ((s, d) => T.q95RepeatedSpans(s, d)),
     "q96_span_redact" -> ((s, d) => T.q96SpanRedact(s, d)),
     "q97_qb_nested_deep" -> (graft.api.QueryBuilder.q97QbNestedDeep(_, _)),
+    "q98_qb_child_args" -> (graft.api.QueryBuilder.q98QbChildArgs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -101,13 +101,29 @@ object QueryBuilder {
     * "inner" (default — q40/q49's shape) drops parents with no
     * children; "left" keeps them, rendering an EMPTY array — Hasura's
     * semantics, and the only way a middle level with zero grandchildren
-    * stays visible inside its own parent's array. */
+    * stays visible inside its own parent's array.
+    *
+    * Per-relationship arguments (Hasura lets EVERY nested selection
+    * carry its own `nfts(where: ..., order_by: ..., limit: n)`,
+    * README.md:92-155): `where` filters the children before the fold
+    * (it reaches the child's parquet scan), `orderBy` orders each
+    * parent's array, and `limit` keeps the top-n children PER PARENT —
+    * compiled as a `row_number() <= n` window on the child key before
+    * the fold, so the cut happens inside the child's one shuffle, never
+    * as a global sort or a post-array slice of unbounded fan-out.
+    * `limit` requires `orderBy` (a nondeterministic top-n can never
+    * hash-match an oracle), and `orderBy` should reach a total order
+    * (include a unique tie-break field) for the same reason. */
   final case class Nested(as: String, table: String,
       childKey: String, parentKey: String, fields: Seq[NestedField],
-      sub: Option[Nested] = None, joinType: String = "inner") {
+      sub: Option[Nested] = None, joinType: String = "inner",
+      where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
+      limit: Option[Int] = None) {
     require(fields.nonEmpty, s"nested '$as' selects no fields")
     require(joinType == "inner" || joinType == "left",
       s"nested '$as': joinType must be inner or left")
+    require(limit.isEmpty || orderBy.nonEmpty,
+      s"nested '$as': limit needs orderBy for a deterministic top-n")
   }
 
   /** One aggregate over a child relationship (the *_aggregate surface).
@@ -142,10 +158,17 @@ object QueryBuilder {
   }
 
   /** Aggregate relationship: left join so parents without children
-    * still answer (Hasura returns them with count 0). */
+    * still answer (Hasura returns them with count 0). `where` filters
+    * the children before aggregation (the `nfts_aggregate(where: ...)`
+    * surface); `orderBy`+`limit` aggregate only each parent's top-n
+    * children, via the same pre-fold row_number window as [[Nested]]. */
   final case class AggRel(table: String, childKey: String,
-      parentKey: String, aggs: Seq[AggField], joinType: String = "left") {
+      parentKey: String, aggs: Seq[AggField], joinType: String = "left",
+      where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
+      limit: Option[Int] = None) {
     require(aggs.nonEmpty, "aggregate relationship selects no aggregates")
+    require(limit.isEmpty || orderBy.nonEmpty,
+      "aggregate relationship: limit needs orderBy for a deterministic top-n")
   }
 
   // ---- the request ---------------------------------------------------
@@ -169,20 +192,39 @@ object QueryBuilder {
     require(fields.nonEmpty, s"request on '$table' selects no fields")
   }
 
+  /** Keep each parent's top-`k` children by `order` — a
+    * `row_number() <= k` window on the child key, so the cut rides the
+    * same hash partitioning the fold right after it reuses: one
+    * shuffle for filter+fold, never a global sort (per-parent fan-out
+    * bounds the heap, not the corpus). */
+  private def topNPerParent(child: DataFrame, key: Column,
+      order: Seq[Order], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order.map(_.toColumn): _*)
+    child.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Compile one nested relationship bottom-up: one row per child-key
     * value, carrying the sorted struct array. A `sub` relationship is
     * compiled first and its array joins INTO this level's struct —
     * q49's lineitem-before-orders aggregation order, recursively. */
   private def compileNested(s: SparkSession, dir: String,
       n: Nested): DataFrame = {
-    val child0 = graft.Tables.load(s, dir, n.table)
+    val loaded = graft.Tables.load(s, dir, n.table)
+    // the child's own where: applied at the leaf so it reaches the scan
+    val child0 = n.where.map(w => loaded.filter(w.toColumn)).getOrElse(loaded)
     val keyAlias = s"__key_${n.as}"
-    val child = n.sub match {
+    val joined = n.sub match {
       case Some(m) =>
         val subAgg = compileNested(s, dir, m)
         child0.join(subAgg,
           child0(m.parentKey) === subAgg(s"__key_${m.as}"), m.joinType)
       case None => child0
+    }
+    val child = n.limit match {
+      case Some(k) => topNPerParent(joined, child0(n.childKey), n.orderBy, k)
+      case None => joined
     }
     val fs = n.fields.map { f =>
       val c0 = child0(f.field)
@@ -198,8 +240,27 @@ object QueryBuilder {
       if (m.joinType == "left") coalesce(col(m.as), array()).as(m.as)
       else col(m.as)
     }
-    child.groupBy(child0(n.childKey).as(keyAlias))
-      .agg(sort_array(collect_list(struct(fs: _*))).as(n.as))
+    val grouped = child.groupBy(child0(n.childKey).as(keyAlias))
+    if (n.orderBy.isEmpty)
+      grouped.agg(sort_array(collect_list(struct(fs: _*))).as(n.as))
+    else {
+      // the child's own order_by: collect with hidden sort keys, sort
+      // the ARRAY by them (collect_list order is nondeterministic),
+      // then strip the keys back out of each struct
+      val ordFs = n.orderBy.zipWithIndex.map { case (o, i) =>
+        child0(o.field).as(s"__ord_$i") }
+      val cmp = (l: Column, r: Column) =>
+        n.orderBy.zipWithIndex.foldRight(lit(0)) { case ((o, i), acc) =>
+          val a = l.getField(s"__ord_$i")
+          val b = r.getField(s"__ord_$i")
+          val (x, y) = if (o.desc) (b, a) else (a, b)
+          when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(acc)
+        }
+      val outNames = n.fields.map(_.as) ++ n.sub.map(_.as)
+      grouped.agg(transform(
+        array_sort(collect_list(struct(ordFs ++ fs: _*)), cmp),
+        x => struct(outNames.map(nm => x.getField(nm).as(nm)): _*)).as(n.as))
+    }
   }
 
   /** Compile + run a request against the parquet tables in `dir`. */
@@ -226,10 +287,17 @@ object QueryBuilder {
     // defect a single flat multi-child join + groupBy would have)
     val withAggs = req.aggRels.zipWithIndex.foldLeft(withNested) {
       case (acc, (a, i)) =>
-        val child = graft.Tables.load(s, dir, a.table)
+        val loaded = graft.Tables.load(s, dir, a.table)
+        val filtered =
+          a.where.map(w => loaded.filter(w.toColumn)).getOrElse(loaded)
+        val child = a.limit match {
+          case Some(k) =>
+            topNPerParent(filtered, loaded(a.childKey), a.orderBy, k)
+          case None => filtered
+        }
         val keyAlias = s"__aggkey_$i"
-        val aggCols = a.aggs.map(_.agg(child))
-        val rel = child.groupBy(child(a.childKey).as(keyAlias))
+        val aggCols = a.aggs.map(_.agg(loaded))
+        val rel = child.groupBy(loaded(a.childKey).as(keyAlias))
           .agg(aggCols.head, aggCols.tail: _*)
         acc.join(rel, base0(a.parentKey) === rel(keyAlias), a.joinType)
     }
@@ -278,6 +346,30 @@ object QueryBuilder {
     * (customer{orders{lineitems{...}}}); shares q49's oracle. The
     * handwritten q49 proved the bottom-up plan shape; this proves the
     * front end can compose it from a declarative request. */
+  /** q98 — per-relationship arguments: the child selection carries its
+    * OWN where + order_by + limit (Hasura's
+    * `nfts(where: {status: {_eq: "onMarket"}}, limit: 5)` shape,
+    * README.md:92-155): each customer's top-3 OPEN orders by price.
+    * The oracle composes q40's SQL with the child predicate and a
+    * row_number-windowed top-n — the most common real-user query shape
+    * after plain nesting. */
+  def q98QbChildArgs(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 50)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(
+          NestedField("k", "o_orderkey"),
+          NestedField("p", "o_totalprice", format = Some((2, "%.2f")))),
+        where = Some(Eq("o_orderstatus", "O")),
+        orderBy = Seq(Order("o_totalprice", desc = true),
+          Order("o_orderkey")),
+        limit = Some(3)))))
+
   def q97QbNestedDeep(s: SparkSession, dir: String): DataFrame =
     run(s, dir, Request(
       table = "customer",

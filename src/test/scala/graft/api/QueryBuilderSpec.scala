@@ -186,5 +186,74 @@ class QueryBuilderSpec extends SparkSpec {
     intercept[IllegalArgumentException](And())
     intercept[IllegalArgumentException](
       Nested("x", "orders", "o_custkey", "c_custkey", fields = Nil))
+    // a limited child without an order is nondeterministic — rejected
+    intercept[IllegalArgumentException](
+      Nested("x", "orders", "o_custkey", "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey")), limit = Some(3)))
+    intercept[IllegalArgumentException](
+      AggRel("orders", "o_custkey", "c_custkey",
+        aggs = Seq(CountOf("o_orderkey", "n")), limit = Some(3)))
+  }
+
+  test("per-relationship where/order_by/limit: the child's own filter " +
+    "prunes before the fold, arrays come back in the child's order, " +
+    "and the top-n cut is per parent — verified against a local replay") {
+    val dir = sf("sf0.001")
+    import org.apache.spark.sql.functions.col
+    val built = QueryBuilder.q98QbChildArgs(spark, dir)
+    val got = built.collect().map(r => r.getLong(0) -> r.getString(1))
+    // local replay of the Hasura semantics: filter children, order,
+    // take 3 per parent, render like q40's wire shape
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = orders.groupBy(_._1).map { case (ck, os) =>
+      val top = os.sortBy(o => (-o._3, o._2)).take(3)
+      ck -> top.map(o =>
+        s"""{"k":${o._2},"p":"${"%.2f".formatLocal(java.util.Locale.ROOT,
+          BigDecimal(o._3).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)}"}""")
+        .mkString("[", ",", "]")
+    }.filter(_._1 <= 50)
+    assert(got.length === expect.size)
+    got.foreach { case (ck, js) =>
+      assert(expect(ck) === js, s"customer $ck")
+    }
+    // every array is capped at 3
+    assert(got.forall(_._2.count(_ == '{') <= 3))
+  }
+
+  test("aggregate relationship with its own where + top-n: aggregates " +
+    "see only the filtered top children per parent") {
+    val dir = sf("sf0.001")
+    val built = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 30)),
+      orderBy = Seq(Order("c_custkey")),
+      aggRels = Seq(AggRel(
+        table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+        aggs = Seq(CountOf("o_orderkey", "n_open"),
+          SumOf("o_totalprice", "top2_sum")),
+        where = Some(Eq("o_orderstatus", "O")),
+        orderBy = Seq(Order("o_totalprice", desc = true),
+          Order("o_orderkey")),
+        limit = Some(2)))))
+    import org.apache.spark.sql.functions.col
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    built.collect().foreach { r =>
+      val ck = r.getLong(0)
+      val top2 = orders.getOrElse(ck, Array.empty[(Long, Long, Double)])
+        .sortBy(o => (-o._3, o._2)).take(2)
+      assert(r.getLong(1) === top2.length.toLong, s"count for $ck")
+      val want = BigDecimal(top2.map(_._3).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - want) < 1e-6, s"sum for $ck")
+    }
   }
 }
