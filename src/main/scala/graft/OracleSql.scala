@@ -43,6 +43,21 @@ object OracleSql {
       |WHERE c.c_custkey <= 20
       |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin
 
+  private val childArgsSql: String =
+    """SELECT c.c_custkey,
+      |       to_json(list({'k': x.o_orderkey,
+      |                'p': printf('%.2f', ROUND(x.o_totalprice, 2))}
+      |               ORDER BY x.o_totalprice DESC, x.o_orderkey))
+      |         AS orders
+      |FROM customer c
+      |JOIN (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders WHERE o_orderstatus = 'O') x
+      |  ON x.o_custkey = c.c_custkey AND x.rn <= 3
+      |WHERE c.c_custkey <= 50
+      |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin
+
   private val nestedSql: String =
     """SELECT c.c_custkey,
       |       to_json(list_sort(list({'k': o.o_orderkey,
@@ -794,21 +809,12 @@ object OracleSql {
     // q40's nested shape composed with PER-RELATIONSHIP arguments: the
     // child carries its own where (status = open), order_by (price
     // desc, key) and limit (top 3 per parent) — the windowed top-n is
-    // the SQL spelling of Hasura's nfts(where/order_by/limit) args
-    "q98_qb_child_args" ->
-      """SELECT c.c_custkey,
-        |       to_json(list({'k': x.o_orderkey,
-        |                'p': printf('%.2f', ROUND(x.o_totalprice, 2))}
-        |               ORDER BY x.o_totalprice DESC, x.o_orderkey))
-        |         AS orders
-        |FROM customer c
-        |JOIN (SELECT o_custkey, o_orderkey, o_totalprice,
-        |             row_number() OVER (PARTITION BY o_custkey
-        |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |      FROM orders WHERE o_orderstatus = 'O') x
-        |  ON x.o_custkey = c.c_custkey AND x.rn <= 3
-        |WHERE c.c_custkey <= 50
-        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    // the SQL spelling of Hasura's nfts(where/order_by/limit) args.
+    // q99 is the SAME request arriving as wire JSON through
+    // RequestCodec.parse — one oracle string, so the codec cannot
+    // drift from the DSL unnoticed.
+    "q98_qb_child_args" -> childArgsSql,
+    "q99_qb_wire" -> childArgsSql,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

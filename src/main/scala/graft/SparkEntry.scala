@@ -119,6 +119,7 @@ object SparkEntry {
     "q96_span_redact" -> ((s, d) => T.q96SpanRedact(s, d)),
     "q97_qb_nested_deep" -> (graft.api.QueryBuilder.q97QbNestedDeep(_, _)),
     "q98_qb_child_args" -> (graft.api.QueryBuilder.q98QbChildArgs(_, _)),
+    "q99_qb_wire" -> (graft.api.RequestCodec.q99QbWire(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
