@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   * The reference validates fetched token metadata against a real JSON-Schema
   * DOCUMENT via gojsonschema (x/tokenMetadataService/service.go:168-175,
   * schema types.go:3-21) — so the capability here is schema-DRIVEN: any
-  * schema in the supported subset (type / properties / required / items /
-  * enum / pattern / minLength / maxLength / minimum / maximum /
-  * exclusiveMinimum / exclusiveMaximum / multipleOf) compiles ONCE driver-side into a
-  * pure Column expression stack over Spark 4's VARIANT. Object properties recurse to any depth; array items
-  * are checked via the MERGED element type (per-element fan-out is not
-  * expressible over VARIANT arrays at the expression layer), so an
-  * array-of-object item schema verifies element type, not inner fields.
-  * The ERC-721 check is just one schema instance of it.
+  * schema in the supported subset (type / properties / required /
+  * additionalProperties:false / items / enum / pattern / minLength /
+  * maxLength / minimum / maximum / exclusiveMinimum / exclusiveMaximum /
+  * multipleOf / minItems / maxItems / uniqueItems / anyOf / allOf /
+  * oneOf / not) compiles ONCE driver-side into a pure Column expression
+  * stack over Spark 4's VARIANT. Object properties recurse to any
+  * depth; array `items` validate PER ELEMENT (the variant array fans
+  * out through `transform`), so the in-the-wild ERC-721 `attributes`
+  * array — objects with their own required fields and anyOf-typed
+  * values — validates all the way down. The ERC-721 check is just one
+  * schema instance of it.
   *
   * Why VARIANT, not from_json: from_json COERCES mismatched types
   * ({"name":1} parses to name="1"), which would hide exactly the wrong-type
@@ -27,15 +30,26 @@ import org.apache.spark.sql.types._
   */
 object JsonFunctions {
 
-  /** JSON-Schema subset: type + properties + required + items, plus the
-    * value-constraint keywords enum / pattern / minLength / maxLength /
-    * minimum / maximum (exclusiveMinimum/Maximum in their draft-4 numeric
-    * form), recursive. */
+  /** JSON-Schema subset: type + properties + required + items +
+    * additionalProperties:false, the value-constraint keywords enum /
+    * pattern / minLength / maxLength / minimum / maximum
+    * (exclusiveMinimum/Maximum in their draft-4 numeric form) /
+    * multipleOf / minItems / maxItems / uniqueItems, and the
+    * composition keywords anyOf / allOf / oneOf / not — all recursive,
+    * including PER-ELEMENT `items` validation (each element of a
+    * variant array fans out through `transform`). */
   sealed trait JsonSchema
   object JsonSchema {
+    /** `typed=false` marks a schema node that carries object keywords
+      * but no `"type": "object"` — per the spec those keywords apply
+      * only WHEN the instance is an object and pass otherwise (the
+      * shape anyOf/oneOf branches routinely use). `closed` is
+      * `additionalProperties: false`. */
     case class JsObject(properties: Seq[(String, JsonSchema)],
-        required: Set[String]) extends JsonSchema
-    case class JsArray(items: Option[JsonSchema]) extends JsonSchema
+        required: Set[String], closed: Boolean = false,
+        typed: Boolean = true) extends JsonSchema
+    case class JsArray(items: Option[JsonSchema],
+        typed: Boolean = true) extends JsonSchema
     /** "string" | "number" | "integer" | "boolean" */
     case class JsPrim(tpe: String) extends JsonSchema
     case object JsAny extends JsonSchema
@@ -66,7 +80,13 @@ object JsonFunctions {
         minimum: Option[Double] = None, maximum: Option[Double] = None,
         exclusiveMinimum: Option[Double] = None,
         exclusiveMaximum: Option[Double] = None,
-        multipleOf: Option[Double] = None) {
+        multipleOf: Option[Double] = None,
+        minItems: Option[Int] = None, maxItems: Option[Int] = None,
+        uniqueItems: Boolean = false,
+        anyOf: Option[Seq[JsonSchema]] = None,
+        allOf: Option[Seq[JsonSchema]] = None,
+        oneOf: Option[Seq[JsonSchema]] = None,
+        not: Option[JsonSchema] = None) {
       def isEmpty: Boolean = this == Constraints()
     }
 
@@ -81,21 +101,38 @@ object JsonFunctions {
     private def fromNode(
         n: com.fasterxml.jackson.databind.JsonNode): JsonSchema = {
       import scala.jdk.CollectionConverters._
+      def mkObj(typed: Boolean): JsObject = {
+        val props = Option(n.get("properties")).toSeq.flatMap(p =>
+          p.fields().asScala.map(e => e.getKey -> fromNode(e.getValue)))
+        val req = Option(n.get("required")).toSeq.flatMap(r =>
+          r.elements().asScala.map(_.asText()))
+        val ap = n.path("additionalProperties")
+        JsObject(props, req.toSet,
+          closed = ap.isBoolean && !ap.asBoolean(true), typed = typed)
+      }
+      def mkArr(typed: Boolean): JsArray =
+        JsArray(Option(n.get("items")).map(fromNode), typed = typed)
       val base = n.path("type").asText("") match {
-        case "object" =>
-          val props = Option(n.get("properties")).toSeq.flatMap(p =>
-            p.fields().asScala.map(e => e.getKey -> fromNode(e.getValue)))
-          val req = Option(n.get("required")).toSeq.flatMap(r =>
-            r.elements().asScala.map(_.asText()))
-          JsObject(props, req.toSet)
-        case "array" => JsArray(Option(n.get("items")).map(fromNode))
+        case "object" => mkObj(typed = true)
+        case "array" => mkArr(typed = true)
         case t @ ("string" | "number" | "integer" | "boolean") => JsPrim(t)
-        case _ => JsAny
+        case _ =>
+          // object/array keywords with no `type`: per the spec they
+          // apply only when the instance HAS that shape (the form
+          // anyOf/oneOf branches routinely take)
+          if (n.has("properties") || n.has("required") ||
+              n.has("additionalProperties")) mkObj(typed = false)
+          else if (n.has("items")) mkArr(typed = false)
+          else JsAny
       }
       def num(k: String): Option[Double] =
         Option(n.get(k)).filter(_.isNumber).map(_.asDouble())
       def int(k: String): Option[Int] =
         Option(n.get(k)).filter(_.isNumber).map(_.asInt())
+      def schemas(k: String): Option[Seq[JsonSchema]] =
+        Option(n.get(k)).filter(_.isArray)
+          .map(_.elements().asScala.toSeq.map(fromNode))
+          .filter(_.nonEmpty)
       val cs = Constraints(
         enumVals = Option(n.get("enum")).filter(_.isArray).map(
           _.elements().asScala.toSeq.map {
@@ -110,7 +147,12 @@ object JsonFunctions {
         minimum = num("minimum"), maximum = num("maximum"),
         exclusiveMinimum = num("exclusiveMinimum"),
         exclusiveMaximum = num("exclusiveMaximum"),
-        multipleOf = num("multipleOf").filter(_ > 0))
+        multipleOf = num("multipleOf").filter(_ > 0),
+        minItems = int("minItems"), maxItems = int("maxItems"),
+        uniqueItems = n.path("uniqueItems").asBoolean(false),
+        anyOf = schemas("anyOf"), allOf = schemas("allOf"),
+        oneOf = schemas("oneOf"),
+        not = Option(n.get("not")).filter(_.isObject).map(fromNode))
       if (cs.isEmpty) base else JsConstrained(base, cs)
     }
   }
@@ -184,7 +226,62 @@ object JsonFunctions {
         val q = asNum / m
         check(isNum && abs(q - round(q)) > lit(1e-9) * greatest(lit(1.0), abs(q)),
           s"number not a multipleOf($m): $p")
-      }
+      } ++
+      arrayConstraintErrors(v, cs, path) ++
+      compositionErrors(v, cs, path)
+  }
+
+  /** minItems / maxItems / uniqueItems — apply only to arrays, like the
+    * string/number keywords ignore other types. Uniqueness compares the
+    * JSON rendering of each element (deep equality through the variant
+    * writer; the spec's 1 == 1.0 numeric-equality nuance renders as
+    * distinct text — documented subset boundary). */
+  private def arrayConstraintErrors(v: Column, cs: Constraints,
+      path: String): Seq[Column] = {
+    val isArr = schema_of_variant(v).startsWith("ARRAY")
+    val asArr = try_variant_get(v, "$", "array<variant>")
+    val p = display(path)
+    def check(bad: Column, msg: String): Column =
+      when(bad, array(lit(msg))).otherwise(noErrors)
+    cs.minItems.toSeq.map(n =>
+      check(isArr && size(asArr) < n,
+        s"array shorter than minItems($n): $p")) ++
+      cs.maxItems.toSeq.map(n =>
+        check(isArr && size(asArr) > n,
+          s"array longer than maxItems($n): $p")) ++
+      (if (cs.uniqueItems)
+        Seq(check(isArr &&
+          size(array_distinct(transform(asArr, x => to_json(x)))) <
+            size(asArr),
+          s"array items are not unique: $p"))
+      else Nil)
+  }
+
+  /** anyOf / allOf / oneOf / not — each branch recurses through the
+    * full validator, so branches nest arbitrarily (constraints,
+    * objects, arrays, further combinators). allOf surfaces every
+    * branch's own errors; the others report a single verdict line
+    * (branch errors of a FAILED alternative are not "the" errors — the
+    * instance only had to match one). */
+  private def compositionErrors(v: Column, cs: Constraints,
+      path: String): Seq[Column] = {
+    val p = display(path)
+    def passes(s: JsonSchema): Column = size(nodeErrors(v, s, path)) === 0
+    def check(bad: Column, msg: String): Column =
+      when(bad, array(lit(msg))).otherwise(noErrors)
+    cs.allOf.toSeq.map(ss =>
+      concat(ss.map(s0 => nodeErrors(v, s0, path)): _*)) ++
+      cs.anyOf.toSeq.map(ss =>
+        check(!ss.map(passes).reduce(_ || _),
+          s"value matches none of anyOf: $p")) ++
+      cs.oneOf.toSeq.map { ss =>
+        val cnt = ss.map(passes(_).cast("int")).reduce(_ + _)
+        when(cnt === 1, noErrors).otherwise(array(concat(
+          lit("value matches "), cnt.cast("string"),
+          lit(s" oneOf branches (want exactly one): $p"))))
+      } ++
+      cs.not.toSeq.map(s0 =>
+        check(passes(s0), s"value matches the 'not' schema: $p"))
   }
 
   /** Recursive error builder for one schema node over one variant value. */
@@ -196,42 +293,23 @@ object JsonFunctions {
     case JsPrim(t) =>
       when(primOk(v, t), noErrors)
         .otherwise(array(lit(s"field is not a $t: ${display(path)}")))
-    case JsArray(items) =>
+    case JsArray(items, typed) =>
+      // PER-ELEMENT recursion: the variant array fans out through
+      // `transform`, so every element runs the full item schema —
+      // wrong-typed elements, missing inner fields, nested combinators
+      // all report, with "[]" marking the array hop in the path
       val t = schema_of_variant(v)
-      val elemOk = items match {
-        // merged element type from schema_of_variant: exact for uniform
-        // arrays; VOID covers the empty array
-        case Some(JsPrim(p)) =>
-          val allowed = p match {
-            case "string" => Seq("ARRAY<STRING>")
-            case "boolean" => Seq("ARRAY<BOOLEAN>")
-            case "integer" => Seq("ARRAY<BIGINT>", "ARRAY<INT>",
-              "ARRAY<SMALLINT>", "ARRAY<TINYINT>")
-            case "number" => Seq("ARRAY<DOUBLE>", "ARRAY<FLOAT>",
-              "ARRAY<BIGINT>", "ARRAY<INT>", "ARRAY<SMALLINT>",
-              "ARRAY<TINYINT>")
-          }
-          t.isin(allowed :+ "ARRAY<VOID>": _*) ||
-            (if (p == "number") t.startsWith("ARRAY<DECIMAL")
-             else lit(false))
-        // object/array item schemas: per-element recursion is not
-        // expressible over VARIANT arrays (no element fan-out at the
-        // expression layer), so the check is the MERGED element type —
-        // catches [1,2] against items:object, not a missing field inside
-        // one element. Documented subset boundary.
-        case Some(JsObject(_, _)) =>
-          t.startsWith("ARRAY<OBJECT") || t === "ARRAY<VOID>"
-        case Some(JsArray(_)) =>
-          t.startsWith("ARRAY<ARRAY") || t === "ARRAY<VOID>"
-        case _ => lit(true)
+      val elemErrs = items match {
+        case Some(sub) =>
+          flatten(transform(try_variant_get(v, "$", "array<variant>"),
+            x => nodeErrors(x, sub, path + "[]")))
+        case None => noErrors
       }
       when(!t.startsWith("ARRAY"),
-        array(lit(s"field is not an array: ${display(path)}")))
-        .when(!elemOk,
-          array(lit(
-            s"array items are not ${itemsName(items)}: ${display(path)}")))
-        .otherwise(noErrors)
-    case JsObject(props, required) =>
+        if (typed) array(lit(s"field is not an array: ${display(path)}"))
+        else noErrors)
+        .otherwise(elemErrs)
+    case JsObject(props, required, closed, typed) =>
       val perProp = props.map { case (name, child) =>
         val fv = variant_get(v, s"$$.$name", "variant")
         val childPath = if (path.isEmpty) name else s"$path.$name"
@@ -250,19 +328,26 @@ object JsonFunctions {
             array(lit(s"missing required field: $childPath")))
             .otherwise(noErrors)
         }
-      val allChecks = perProp ++ bareRequired
+      // additionalProperties: false — every ACTUAL key must be declared;
+      // each trespasser reports by name
+      val extraErrs =
+        if (!closed) Nil
+        else {
+          val declared = props.map(_._1)
+          val extras = array_except(json_object_keys(to_json(v)),
+            if (declared.isEmpty) array().cast("array<string>")
+            else array(declared.map(lit): _*))
+          Seq(transform(extras, k => concat(
+            lit("unexpected additional property '"), k,
+            lit(s"': ${display(path)}"))))
+        }
+      val allChecks = perProp ++ bareRequired ++ extraErrs
       val propErrs =
         if (allChecks.isEmpty) noErrors else concat(allChecks: _*)
       when(!schema_of_variant(v).startsWith("OBJECT"),
-        array(lit(s"field is not an object: ${display(path)}")))
+        if (typed) array(lit(s"field is not an object: ${display(path)}"))
+        else noErrors)
         .otherwise(propErrs)
-  }
-
-  private def itemsName(items: Option[JsonSchema]): String = items match {
-    case Some(JsPrim(t)) => t
-    case Some(JsObject(_, _)) => "object"
-    case Some(JsArray(_)) => "array"
-    case _ => "any"
   }
 
   /** Schema-driven validation verdict: struct(valid boolean,

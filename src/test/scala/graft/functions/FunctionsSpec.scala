@@ -606,8 +606,11 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).getSeq[String](1) === Seq(
       "field is not a integer: id", "missing required field: meta.lang"))
     assert(rows(2).getBoolean(0) === false)
+    // items validate PER ELEMENT: both offenders report, "[]" marks
+    // the array hop
     assert(rows(2).getSeq[String](1) === Seq(
-      "missing required field: id", "array items are not string: tags"))
+      "missing required field: id",
+      "field is not a string: tags[]", "field is not a string: tags[]"))
     assert(rows(3).getBoolean(0) === false)
     assert(rows(3).getSeq[String](1) === Seq("field is not an object: meta"))
     assert(rows(4).getBoolean(0) === true)
@@ -626,7 +629,7 @@ class FunctionsSpec extends SparkSpec {
     assert(r1(0).getBoolean(0) === false)
     assert(r1(0).getSeq[String](1) === Seq("missing required field: image"))
     assert(r1(1).getBoolean(0) === true) // present, any type accepted
-    // array-of-object items: merged element type is checked
+    // array-of-object items validate each element in place
     val arr = """{"type": "object",
                  | "properties": {"xs": {"type": "array",
                  |                       "items": {"type": "object"}}}}"""
@@ -636,7 +639,8 @@ class FunctionsSpec extends SparkSpec {
       .select("v.valid", "v.errors").collect()
     assert(r2(0).getBoolean(0) === true)
     assert(r2(1).getBoolean(0) === false)
-    assert(r2(1).getSeq[String](1) === Seq("array items are not object: xs"))
+    assert(r2(1).getSeq[String](1) === Seq(
+      "field is not an object: xs[]", "field is not an object: xs[]"))
   }
 
   test("schema validation: enum, pattern, length and numeric bounds " +
@@ -723,6 +727,129 @@ class FunctionsSpec extends SparkSpec {
       "string shorter than minLength(1): name",
       "string does not match pattern(^(https?|ipfs)://): image",
       "number above maximum(18.0): decimals"))
+  }
+
+  test("schema validation: composition keywords (anyOf/allOf/oneOf/not), " +
+    "closed objects, and the array-cardinality keywords") {
+    import spark.implicits._
+    def run(schema: String, jsons: String*): Seq[(Boolean, Seq[String])] =
+      jsons.toDF("j")
+        .select(J.validateJsonSchema(col("j"), schema).as("v"))
+        .select("v.valid", "v.errors").collect().toSeq
+        .map(r => (r.getBoolean(0), r.getSeq[String](1)))
+
+    // anyOf: at least one branch; branches may omit "type" (object
+    // keywords then apply only when the instance is an object)
+    val any = """{"type":"object","properties":{
+                |  "v": {"anyOf": [{"type":"string"},
+                |                  {"type":"number","minimum":0}]}}}"""
+      .stripMargin
+    val rA = run(any, """{"v":"x"}""", """{"v":3}""", """{"v":-1}""",
+      """{"v":true}""")
+    assert(rA.map(_._1) === Seq(true, true, false, false))
+    assert(rA(2)._2 === Seq("value matches none of anyOf: v"))
+
+    // allOf: every branch, and each failed branch reports its OWN error
+    val all = """{"type":"object","properties":{
+                |  "s": {"allOf": [{"type":"string","minLength":3},
+                |                  {"pattern":"^a"}]}}}""".stripMargin
+    val rAll = run(all, """{"s":"abc"}""", """{"s":"ab"}""",
+      """{"s":"xyz"}""")
+    assert(rAll.map(_._1) === Seq(true, false, false))
+    assert(rAll(1)._2 === Seq("string shorter than minLength(3): s"))
+    assert(rAll(2)._2 === Seq("string does not match pattern(^a): s"))
+
+    // oneOf: exactly one — matching two is as invalid as matching none
+    val one = """{"type":"object","properties":{
+                |  "n": {"oneOf": [{"type":"number","minimum":0},
+                |                  {"type":"number","maximum":10}]}}}"""
+      .stripMargin
+    val rOne = run(one, """{"n":-5}""", """{"n":50}""", """{"n":5}""")
+    assert(rOne.map(_._1) === Seq(true, true, false))
+    assert(rOne(2)._2 ===
+      Seq("value matches 2 oneOf branches (want exactly one): n"))
+
+    // not: inverted match
+    val nn = """{"type":"object","properties":{
+               |  "v": {"not": {"type":"string"}}}}""".stripMargin
+    val rN = run(nn, """{"v":1}""", """{"v":"s"}""")
+    assert(rN.map(_._1) === Seq(true, false))
+    assert(rN(1)._2 === Seq("value matches the 'not' schema: v"))
+
+    // additionalProperties: false — each trespasser reports by name
+    val closed = """{"type":"object",
+                   | "properties": {"a": {"type":"integer"}},
+                   | "additionalProperties": false}""".stripMargin
+    val rC = run(closed, """{"a":1}""", """{"a":1,"b":2,"c":3}""")
+    assert(rC.map(_._1) === Seq(true, false))
+    assert(rC(1)._2 === Seq("unexpected additional property 'b': $",
+      "unexpected additional property 'c': $"))
+
+    // minItems / maxItems / uniqueItems
+    val card = """{"type":"object","properties":{
+                 |  "xs": {"type":"array","minItems":2,"maxItems":3,
+                 |         "uniqueItems":true}}}""".stripMargin
+    val rK = run(card, """{"xs":[1,2]}""", """{"xs":[1]}""",
+      """{"xs":[1,2,3,4]}""", """{"xs":[1,2,1]}""")
+    assert(rK.map(_._1) === Seq(true, false, false, false))
+    assert(rK(1)._2 === Seq("array shorter than minItems(2): xs"))
+    assert(rK(2)._2 === Seq("array longer than maxItems(3): xs"))
+    assert(rK(3)._2 === Seq("array items are not unique: xs"))
+  }
+
+  test("schema validation end-to-end: the in-the-wild ERC-721 schema " +
+    "with an attributes array — per-element objects, anyOf-typed " +
+    "values, closed trait objects") {
+    import spark.implicits._
+    // the shape OpenSea metadata actually takes: attributes is an array
+    // of {trait_type, value} objects where value is string-or-number —
+    // the reference's gojsonschema handles this via full generality;
+    // per-element items recursion is what matches it here
+    val erc = """{"type":"object",
+                | "properties": {
+                |   "name": {"type":"string","minLength":1},
+                |   "description": {"type":"string"},
+                |   "image": {"type":"string","pattern":"^(https?|ipfs)://"},
+                |   "attributes": {
+                |     "type":"array",
+                |     "maxItems": 50,
+                |     "items": {
+                |       "type":"object",
+                |       "properties": {
+                |         "trait_type": {"type":"string"},
+                |         "value": {"anyOf":[{"type":"string"},
+                |                            {"type":"number"}]},
+                |         "display_type": {"type":"string"}},
+                |       "required": ["trait_type","value"],
+                |       "additionalProperties": false}}},
+                | "required": ["name","image"]}""".stripMargin
+    val docs = Seq(
+      // valid: mixed string/number values, optional display_type
+      """{"name":"Ape #1","image":"ipfs://Qm1","attributes":[
+        |{"trait_type":"Fur","value":"Golden"},
+        |{"trait_type":"Level","value":7,"display_type":"number"}]}"""
+        .stripMargin.replace("\n", ""),
+      // element 0 misses value; element 1 has a boolean value (neither
+      // string nor number); element 2 smuggles an undeclared key
+      """{"name":"Ape #2","image":"https://x/2","attributes":[
+        |{"trait_type":"Fur"},
+        |{"trait_type":"Flag","value":true},
+        |{"trait_type":"Eye","value":"Blue","rarity":0.01}]}"""
+        .stripMargin.replace("\n", ""),
+      // attributes as a bare string: the array type reports
+      """{"name":"Ape #3","image":"ipfs://Qm3","attributes":"rare"}""")
+    val rows = docs.toDF("j")
+      .select(J.validateJsonSchema(col("j"), erc).as("v"))
+      .select("v.valid", "v.errors").collect().toSeq
+      .map(r => (r.getBoolean(0), r.getSeq[String](1)))
+    assert(rows(0) === ((true, Nil)))
+    assert(rows(1)._1 === false)
+    assert(rows(1)._2 === Seq(
+      "missing required field: attributes[].value",
+      "value matches none of anyOf: attributes[].value",
+      "unexpected additional property 'rarity': attributes[]"))
+    assert(rows(2)._1 === false)
+    assert(rows(2)._2 === Seq("field is not an array: attributes"))
   }
 
   test("vec_dot matches a hand computation and handles length mismatch") {
