@@ -78,12 +78,14 @@ object MultimodalOps {
     StructField("frame_idx", IntegerType),
     StructField("frame", BinaryType)))
 
-  /** Video frame sampling — REAL for the codec-free container: uncompressed
-    * DIB frames inside a RIFF AVI ([[parseAviFrames]], pure JVM) decode to
-    * PNG rows. Compressed codecs (h264/vp9/...) have no decoder in this
-    * environment; those inputs fall back to deterministic synthetic frames
-    * (documented stub) so the fan-out plumbing — schema, one row per
-    * sampled frame, partitioning — exercises end to end either way. */
+  /** Video frame sampling — REAL for uncompressed DIB frames inside a
+    * RIFF AVI ([[parseAviFrames]], pure JVM) and for MJPEG (each frame
+    * chunk is a plain JPEG — the most common compressed-AVI case, and
+    * the engine already decodes JPEG). Other compressed codecs
+    * (h264/vp9/...) have no decoder in this environment; those inputs
+    * fall back to deterministic synthetic frames (documented stub) so
+    * the fan-out plumbing — schema, one row per sampled frame,
+    * partitioning — exercises end to end either way. */
   def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     def fakeFrame(key: String, idx: Int): Array[Byte] =
@@ -109,8 +111,10 @@ object MultimodalOps {
     (u16le(b, i).toLong | (u16le(b, i + 2).toLong << 16)) & 0xffffffffL
 
   /** Extract every `everyNth`-th video frame (up to `maxFrames`) from an
-    * uncompressed-DIB AVI (BI_RGB, 24-bit) as PNG bytes. Returns None for
-    * anything that isn't such an AVI — compressed streams included. */
+    * AVI as PNG bytes: BI_RGB 24-bit DIB frames decode directly; frames
+    * whose payload sniffs as JPEG (MJPEG) route through ImageIO's JPEG
+    * decoder. Returns None when no frame decodes — other compressed
+    * codecs included. */
   private[operators] def parseAviFrames(b: Array[Byte], everyNth: Int,
       maxFrames: Int): Option[Seq[(Int, Array[Byte])]] = try {
     if (b == null || b.length < 12) return None
@@ -147,33 +151,50 @@ object MultimodalOps {
       }
     }
     walk(12, b.length, depth = 0)
-    if (compression != 0L || bitCount != 24 || w <= 0 || h <= 0) return None
-    // header-declared dimensions bounded by what the file can actually
-    // hold — a tiny file declaring a huge frame must not allocate
-    if (w.toLong * h * 3 > b.length.toLong) return None
-    val stride = ((w * 3 + 3) / 4) * 4
     val picked = Range(0, raw.length, math.max(1, everyNth)).take(maxFrames)
-    val out = picked.flatMap { fi =>
-      val d = raw(fi)
-      if (d.length < stride * h) None
-      else {
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          val row = (h - 1 - y) * stride // DIB rows are bottom-up, BGR
-          var x = 0
-          while (x < w) {
-            val p = row + x * 3
-            img.setRGB(x, y, ((d(p + 2) & 0xff) << 16) |
-              ((d(p + 1) & 0xff) << 8) | (d(p) & 0xff))
-            x += 1
+    val out =
+      if (compression == 0L && bitCount == 24 && w > 0 && h > 0) {
+        // header-declared dimensions bounded by what the file can
+        // actually hold — a tiny file declaring a huge frame must not
+        // allocate
+        if (w.toLong * h * 3 > b.length.toLong) return None
+        val stride = ((w * 3 + 3) / 4) * 4
+        picked.flatMap { fi =>
+          val d = raw(fi)
+          if (d.length < stride * h) None
+          else {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              val row = (h - 1 - y) * stride // DIB rows are bottom-up, BGR
+              var x = 0
+              while (x < w) {
+                val p = row + x * 3
+                img.setRGB(x, y, ((d(p + 2) & 0xff) << 16) |
+                  ((d(p + 1) & 0xff) << 8) | (d(p) & 0xff))
+                x += 1
+              }
+              y += 1
+            }
+            Some(fi -> BinaryFunctions.encodePng(img))
           }
-          y += 1
         }
-        Some(fi -> BinaryFunctions.encodePng(img))
+      } else {
+        // MJPEG (and any codec whose chunk payloads are plain JPEGs —
+        // fourcc 'MJPG' or otherwise): each sampled frame that sniffs
+        // as JPEG routes through the JPEG decode the engine already
+        // has. Frames that don't decode are skipped, not fatal; other
+        // compressed codecs yield no frames and fall to the stub path.
+        picked.flatMap { fi =>
+          val d = raw(fi)
+          if (d.length >= 3 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8)
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(d)))
+              .map(img => fi -> BinaryFunctions.encodePng(img))
+          else None
+        }
       }
-    }
     if (out.isEmpty) None else Some(out)
   } catch { case _: Exception => None }
 
@@ -220,6 +241,53 @@ object MultimodalOps {
         for (_ <- w * 3 until stride) bos.write(0) // pad row to 4 bytes
       }
       if ((frameLen & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI writer (one 'MJPG' video stream whose frame
+    * chunks are real ImageIO-encoded JPEGs) — deterministic fixture
+    * bytes for specs; same container skeleton as [[syntheticAvi]]. */
+  def syntheticMjpegAvi(seed: Long, w: Int, h: Int,
+      nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y,
+          ((seed * 2654435761L + f * 101 + x * 31 + y * 17) & 0xffffff).toInt)
+      val jb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", jb)
+      jb.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val moviLen = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlLen = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    fcc("RIFF"); le32(4 + (8 + hdrlLen) + (8 + moviLen)); fcc("AVI ")
+    fcc("LIST"); le32(hdrlLen); fcc("hdrl")
+    fcc("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0)
+    le32(nFrames); le32(0); le32(1); le32(frames.map(_.length).max.toLong)
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(4 + (8 + 56) + (8 + 40)); fcc("strl")
+    fcc("strh"); le32(56); fcc("vids"); fcc("MJPG")
+    le32(0); le16(0); le16(0); le32(0)
+    le32(1); le32(25); le32(0); le32(nFrames)
+    le32(frames.map(_.length).max.toLong); le32(0); le32(0)
+    le16(0); le16(0); le16(w); le16(h)
+    fcc("strf"); le32(40)
+    le32(40); le32(w); le32(h); le16(1); le16(24)
+    fcc("MJPG"); le32(w.toLong * h * 3); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(moviLen); fcc("movi")
+    frames.foreach { f =>
+      fcc("00dc"); le32(f.length.toLong)
+      bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0)
     }
     bos.toByteArray
   }

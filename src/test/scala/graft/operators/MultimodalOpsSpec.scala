@@ -66,6 +66,54 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames decodes MJPEG AVI frames through the JPEG decoder, " +
+    "frame-exact with a direct decode of the same chunk bytes") {
+    val avi = MultimodalOps.syntheticMjpegAvi(seed = 4, w = 24, h = 16,
+      nFrames = 5)
+    val rows = MultimodalOps.sampleFrames(
+      media("m" -> avi), everyNth = 2, maxFrames = 3)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    // rebuild the exact JPEG bytes the writer embedded, decode them
+    // directly, and demand pixel identity with the sampled frames —
+    // JPEG is lossy, so the reference is the decode of the SAME bytes,
+    // not the pre-encode pixels
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      val png = r.getAs[Array[Byte]](2)
+      assert(BinaryFunctions.sniffFormat(png) === "png")
+      val got = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val img = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 24)
+        img.setRGB(x, y,
+          ((4L * 2654435761L + f * 101 + x * 31 + y * 17) & 0xffffff).toInt)
+      val jb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", jb)
+      val want = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jb.toByteArray))
+      assert(got.getWidth === 24 && got.getHeight === 16)
+      for (y <- 0 until 16; x <- 0 until 24)
+        assert((got.getRGB(x, y) & 0xffffff) ===
+          (want.getRGB(x, y) & 0xffffff), s"pixel ($x,$y) of frame $f")
+    }
+    // a non-JPEG compressed stream still takes the stub path: flip the
+    // JPEG SOI markers so no frame sniffs as JPEG
+    val broken = avi.clone()
+    var i = 0
+    var n = 0
+    while (i + 1 < broken.length) {
+      if ((broken(i) & 0xff) == 0xff && (broken(i + 1) & 0xff) == 0xd8 &&
+          i >= 8 && new String(broken, i - 8, 4, "US-ASCII") == "00dc") {
+        broken(i) = 0; n += 1
+      }
+      i += 1
+    }
+    assert(n > 0, "fixture self-check: found no frame chunks to break")
+    assert(MultimodalOps.parseAviFrames(broken, 1, 3) === None)
+  }
+
   test("malicious RIFF chunk lengths terminate, not hang") {
     // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
     // clamp and exit, not loop forever
