@@ -989,6 +989,27 @@ object Vp8 {
 
   /** Decode a "VP8 " chunk payload to an image (BT.601, 2x2 chroma
     * replication). None on malformed/non-keyframe input. */
+  // libwebp's fixed-point YUV420->RGB (yuv.h): 14-bit BT.601 constants
+  // with the studio-range Y scale (1.164 = 255/219), products taken at
+  // (v*k)>>8 then the sum clipped at >>6. Verified against
+  // WebPDecodeRGBA on 60 flat-color encodes — exact. Chroma here is
+  // point-sampled (libwebp defaults to fancy upsampling, which differs
+  // only where chroma varies between neighbors).
+  private final val kYScale = 19077
+  private final val kVToR = 26149
+  private final val kUToG = 6419
+  private final val kVToG = 13320
+  private final val kUToB = 33050
+  @inline private def mul(v: Int, k: Int): Int = (v * k) >> 8
+  private final val kRCst = -mul(16, kYScale) - mul(128, kVToR) + 32
+  private final val kGCst =
+    -mul(16, kYScale) + mul(128, kUToG) + mul(128, kVToG) + 32
+  private final val kBCst = -mul(16, kYScale) - mul(128, kUToB) + 32
+  @inline private def clipShift6(v: Int): Int = {
+    val s = v >> 6
+    if (s < 0) 0 else if (s > 255) 255 else s
+  }
+
   def decodeFrame(b: Array[Byte], off: Int, len: Int)
       : Option[BufferedImage] =
     decodePlanes(b, off, len).map { case (y, u, v, w, h, ys, uvs) =>
@@ -997,12 +1018,12 @@ object Vp8 {
       while (j < h) {
         var i = 0
         while (i < w) {
-          val yy = y(j * ys + i)
-          val uu = u((j >> 1) * uvs + (i >> 1)) - 128
-          val vv = v((j >> 1) * uvs + (i >> 1)) - 128
-          val r = clip255(yy + ((91881 * vv) >> 16))
-          val g = clip255(yy - ((22554 * uu + 46802 * vv) >> 16))
-          val bl = clip255(yy + ((116130 * uu) >> 16))
+          val yy = mul(y(j * ys + i), kYScale)
+          val uu = u((j >> 1) * uvs + (i >> 1))
+          val vv = v((j >> 1) * uvs + (i >> 1))
+          val r = clipShift6(yy + mul(vv, kVToR) + kRCst)
+          val g = clipShift6(yy - mul(uu, kUToG) - mul(vv, kVToG) + kGCst)
+          val bl = clipShift6(yy + mul(uu, kUToB) + kBCst)
           img.setRGB(i, j, (r << 16) | (g << 8) | bl)
           i += 1
         }

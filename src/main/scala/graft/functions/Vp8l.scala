@@ -597,6 +597,12 @@ object Vp8l {
       val size = u32le(i + 4)
       if (tag == "VP8L") return decodeStream(b, i + 8)
       if (size < 0 || off + 8 + size > b.length) return None
+      if (tag == "ANMF" && size >= 16) {
+        // animation frame: descend past the 16-byte ANMF header so the
+        // FIRST frame's ALPH/VP8/VP8L subchunks decode as the still
+        // ([[WebpAnim.decode]] reassembles the full sequence)
+        off += 8 + 16
+      } else {
       if (tag == "ALPH") { alphaAt = i + 8; alphaLen = size.toInt }
       if (tag == "VP8 ") { // lossy still: keyframe decode ([[Vp8]])
         val frame = Vp8.decodeFrame(b, i + 8, size.toInt)
@@ -621,6 +627,7 @@ object Vp8l {
         }
       }
       off += 8 + size + (size & 1) // chunks are even-padded
+      }
     }
     None
   }

@@ -97,8 +97,18 @@ object MultimodalOps {
         case Some(frames) =>
           frames.map { case (idx, png) => Row(key, idx, png) }
         case None =>
-          (0 until maxFrames).map(i => Row(key, i * everyNth,
-            fakeFrame(key, i * everyNth)))
+          // animated WebP is the other pure-JVM frame source
+          // ([[graft.functions.WebpAnim]]: VP8X/ANIM/ANMF reassembly
+          // over the VP8+VP8L decoders)
+          graft.functions.WebpAnim.decode(bytes) match {
+            case Some(frames) =>
+              Range(0, frames.length, math.max(1, everyNth))
+                .take(maxFrames).map(i => Row(key, i,
+                  BinaryFunctions.encodePng(frames(i).image)))
+            case None =>
+              (0 until maxFrames).map(i => Row(key, i * everyNth,
+                fakeFrame(key, i * everyNth)))
+          }
       }
     }(enc).toDF()
   }

@@ -114,6 +114,24 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.parseAviFrames(broken, 1, 3) === None)
   }
 
+  test("sampleFrames reassembles animated WebP through WebpAnim") {
+    val anim = {
+      val in = getClass.getResourceAsStream("/vp8/anim_replace.webp")
+      try in.readAllBytes() finally in.close()
+    }
+    val rows = MultimodalOps.sampleFrames(
+      media("w" -> anim), everyNth = 2, maxFrames = 2)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 2))
+    rows.foreach { r =>
+      val png = r.getAs[Array[Byte]](2)
+      assert(BinaryFunctions.sniffFormat(png) === "png")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth === 40 && img.getHeight === 24)
+    }
+  }
+
   test("malicious RIFF chunk lengths terminate, not hang") {
     // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
     // clamp and exit, not loop forever
