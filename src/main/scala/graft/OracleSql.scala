@@ -815,6 +815,10 @@ object OracleSql {
     // drift from the DSL unnoticed.
     "q98_qb_child_args" -> childArgsSql,
     "q99_qb_wire" -> childArgsSql,
+    // q100 is the SAME request arriving as GRAPHQL TEXT — the
+    // reference endpoint's own query language — through GraphQl.parse;
+    // one oracle string across DSL/JSON/GraphQL front ends.
+    "q100_qb_graphql" -> childArgsSql,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

@@ -120,6 +120,7 @@ object SparkEntry {
     "q97_qb_nested_deep" -> (graft.api.QueryBuilder.q97QbNestedDeep(_, _)),
     "q98_qb_child_args" -> (graft.api.QueryBuilder.q98QbChildArgs(_, _)),
     "q99_qb_wire" -> (graft.api.RequestCodec.q99QbWire(_, _)),
+    "q100_qb_graphql" -> (graft.api.GraphQl.q100QbGraphql(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,528 @@
+package graft.api
+
+import graft.api.QueryBuilder._
+
+/** GraphQL front end — the reference's ACTUAL wire format: its read
+  * path is Hasura serving GraphQL text over HTTP
+  * (/root/reference/README.md:89-155, e.g.
+  * `{ users(where: {_or: {id: {_gte: 1}}}) { nfts { token_id } id } }`).
+  * This parser accepts that query language (the read-relevant subset)
+  * and compiles it to the same [[QueryBuilder.Request]] the Scala DSL
+  * and the JSON codec ([[RequestCodec]]) build — so all three front
+  * ends share one compiled plan and one correctness story.
+  *
+  * Like Hasura, relationships are RESOLVED FROM METADATA, not from the
+  * query text: a selection that is an object (`orders { ... }`) must
+  * name a tracked relationship of the parent table in the supplied
+  * [[Schema]] (Hasura's "track relationship" step), which carries the
+  * join keys. Scalar selections become projected fields; a tracked
+  * name + `_aggregate` (Hasura's `orders_aggregate`) becomes an
+  * aggregate relationship with `aggregate { count sum { field } }`
+  * selections.
+  *
+  * Supported per GraphQL syntax: field aliases (`k: o_orderkey`),
+  * arguments on any relationship or the root (`where`, `order_by` in
+  * Hasura's `{field: asc|desc}` spelling — object or list form —
+  * `limit`, `offset`), boolean operators `_and/_or/_not` (object OR
+  * array operands — the reference's own example uses the object form)
+  * and comparisons `_eq/_neq/_gt/_gte/_lt/_lte/_in/_like`, block
+  * strings, `#` comments, and an optional leading `query [Name]`.
+  * Two engine-specific field directives carry what Hasura expresses
+  * elsewhere: `@fmt(round: n, printf: "…")` (q40's cross-engine price
+  * rendering) and `@cast(to: "long")`; `@join(type: "left")` on a
+  * relationship selects the attach mode.
+  *
+  * Contracts match [[RequestCodec]]: errors are `Left` values with a
+  * position, never exceptions; the parse of a query is the SAME
+  * `Request` value the DSL would build (spec-pinned), so q100 can
+  * serve q98's request arriving as GraphQL text under q98's oracle.
+  */
+object GraphQl {
+
+  /** One tracked relationship: `parent.field` joins `childTable` on
+    * `childKey = parentKey` (Hasura metadata's array relationship). */
+  final case class Rel(childTable: String, childKey: String,
+      parentKey: String)
+
+  /** Tracked relationships, keyed by (parentTable, fieldName). */
+  final case class Schema(rels: Map[(String, String), Rel])
+
+  /** The fixture tables' FK edges (SURVEY §3) — what "tracking" every
+    * relationship in the reference's schema would produce. */
+  val fixtureSchema: Schema = Schema(Map(
+    ("customer", "orders") -> Rel("orders", "o_custkey", "c_custkey"),
+    ("orders", "items") -> Rel("lineitem", "l_orderkey", "o_orderkey"),
+    ("nation", "suppliers") -> Rel("supplier", "s_nationkey", "n_nationkey"),
+    ("nation", "customers") -> Rel("customer", "c_nationkey", "n_nationkey"),
+    ("supplier", "parts") -> Rel("part", "p_partkey", "s_suppkey")))
+
+  // ---- tokenizer -----------------------------------------------------
+
+  private final case class Bad(msg: String) extends RuntimeException(msg)
+  private def bad(msg: String): Nothing = throw Bad(msg)
+
+  private sealed trait Tok { def pos: Int }
+  private final case class Punct(c: Char, pos: Int) extends Tok
+  private final case class Name(s: String, pos: Int) extends Tok
+  private final case class Str(s: String, pos: Int) extends Tok
+  private final case class IntLit(v: Long, pos: Int) extends Tok
+  private final case class FloatLit(v: Double, pos: Int) extends Tok
+  private final case class Eof(pos: Int) extends Tok
+
+  /** GraphQL lexical grammar (the spec's ignored tokens include commas
+    * and comments); names are [_A-Za-z][_0-9A-Za-z]*. */
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace || c == ',') i += 1
+      else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
+      else if ("{}()[]:@!".indexOf(c) >= 0) { out += Punct(c, i); i += 1 }
+      else if (c == '"') {
+        val start = i
+        if (i + 2 < n && q.charAt(i + 1) == '"' && q.charAt(i + 2) == '"') {
+          // block string: raw until the closing triple quote
+          val end = q.indexOf("\"\"\"", i + 3)
+          if (end < 0) bad(s"unterminated block string at $start")
+          out += Str(q.substring(i + 3, end), start)
+          i = end + 3
+        } else {
+          val sb = new StringBuilder
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            q.charAt(i) match {
+              case '"' => closed = true; i += 1
+              case '\\' =>
+                if (i + 1 >= n) bad(s"dangling escape at $i")
+                q.charAt(i + 1) match {
+                  case '"' => sb += '"'
+                  case '\\' => sb += '\\'
+                  case '/' => sb += '/'
+                  case 'n' => sb += '\n'
+                  case 't' => sb += '\t'
+                  case 'r' => sb += '\r'
+                  case 'b' => sb += '\b'
+                  case 'f' => sb += '\f'
+                  case 'u' =>
+                    if (i + 5 >= n) bad(s"bad \\u escape at $i")
+                    sb += Integer.parseInt(q.substring(i + 2, i + 6), 16)
+                      .toChar
+                    i += 4
+                  case other => bad(s"unknown escape \\$other at $i")
+                }
+                i += 2
+              case ch => sb += ch; i += 1
+            }
+          }
+          if (!closed) bad(s"unterminated string at $start")
+          out += Str(sb.toString, start)
+        }
+      } else if (c == '-' || c.isDigit) {
+        val start = i
+        i += 1
+        while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.' ||
+          q.charAt(i) == 'e' || q.charAt(i) == 'E' ||
+          q.charAt(i) == '+' || q.charAt(i) == '-')) i += 1
+        val s = q.substring(start, i)
+        if (s.contains('.') || s.exists(ch => ch == 'e' || ch == 'E'))
+          out += FloatLit(s.toDouble, start)
+        else out += IntLit(s.toLong, start)
+      } else if (c == '_' || c.isLetter) {
+        val start = i
+        i += 1
+        while (i < n && (q.charAt(i) == '_' || q.charAt(i).isLetterOrDigit))
+          i += 1
+        out += Name(q.substring(start, i), start)
+      } else bad(s"unexpected character '$c' at $i")
+    }
+    out += Eof(n)
+    out.result()
+  }
+
+  // ---- parser --------------------------------------------------------
+
+  private final class P(toks: Vector[Tok]) {
+    private var at = 0
+    def peek: Tok = toks(at)
+    def next(): Tok = { val t = toks(at); at += 1; t }
+    def expect(c: Char): Unit = next() match {
+      case Punct(`c`, _) => ()
+      case t => bad(s"expected '$c' at ${t.pos}")
+    }
+    def name(what: String): String = next() match {
+      case Name(s, _) => s
+      case t => bad(s"expected $what at ${t.pos}")
+    }
+    def isPunct(c: Char): Boolean = peek match {
+      case Punct(`c`, _) => true
+      case _ => false
+    }
+  }
+
+  /** A parsed GraphQL value: literals, lists, or input objects (field
+    * order preserved — `_and`'s object form is order-sensitive). */
+  private sealed trait V
+  private final case class VLit(v: Any) extends V
+  private final case class VEnum(name: String) extends V
+  private final case class VList(vs: Seq[V]) extends V
+  private final case class VObj(fields: Seq[(String, V)]) extends V
+
+  private def parseValue(p: P): V = p.next() match {
+    case Str(s, _) => VLit(s)
+    case IntLit(v, _) => VLit(v)
+    case FloatLit(v, _) => VLit(v)
+    case Name("true", _) => VLit(true)
+    case Name("false", _) => VLit(false)
+    case Name(s, _) => VEnum(s) // enum value, e.g. asc / desc
+    case Punct('[', _) =>
+      val vs = Seq.newBuilder[V]
+      while (!p.isPunct(']')) vs += parseValue(p)
+      p.expect(']')
+      VList(vs.result())
+    case Punct('{', _) =>
+      val fs = Seq.newBuilder[(String, V)]
+      while (!p.isPunct('}')) {
+        val k = p.name("input field name")
+        p.expect(':')
+        fs += k -> parseValue(p)
+      }
+      p.expect('}')
+      VObj(fs.result())
+    case t => bad(s"expected a value at ${t.pos}")
+  }
+
+  /** `(name: value, ...)` if present. */
+  private def parseArgs(p: P): Map[String, V] =
+    if (!p.isPunct('(')) Map.empty
+    else {
+      p.expect('(')
+      val m = Map.newBuilder[String, V]
+      while (!p.isPunct(')')) {
+        val k = p.name("argument name")
+        p.expect(':')
+        m += k -> parseValue(p)
+      }
+      p.expect(')')
+      m.result()
+    }
+
+  /** `@name(args)*` if present. */
+  private def parseDirectives(p: P): Map[String, Map[String, V]] = {
+    val m = Map.newBuilder[String, Map[String, V]]
+    while (p.isPunct('@')) {
+      p.expect('@')
+      val nm = p.name("directive name")
+      m += nm -> parseArgs(p)
+    }
+    m.result()
+  }
+
+  // ---- where / order_by compilation ----------------------------------
+
+  private def literal(v: V, at: String): Any = v match {
+    case VLit(x) => x
+    case VEnum(e) => e // bare enum used as a string literal
+    case _ => bad(s"$at: expected a literal value")
+  }
+
+  private def compileCmp(field: String, op: String, v: V): BoolExp =
+    op match {
+      case "_eq" => Eq(field, literal(v, s"$field._eq"))
+      case "_neq" => Neq(field, literal(v, s"$field._neq"))
+      case "_gt" => Gt(field, literal(v, s"$field._gt"))
+      case "_gte" => Gte(field, literal(v, s"$field._gte"))
+      case "_lt" => Lt(field, literal(v, s"$field._lt"))
+      case "_lte" => Lte(field, literal(v, s"$field._lte"))
+      case "_like" => literal(v, s"$field._like") match {
+        case s: String => Like(field, s)
+        case _ => bad(s"$field._like: pattern must be a string")
+      }
+      case "_in" => v match {
+        case VList(vs) =>
+          In(field, vs.map(literal(_, s"$field._in")))
+        case _ => bad(s"$field._in: expected a list")
+      }
+      case other => bad(s"$field: unknown operator '$other'")
+    }
+
+  /** `_and/_or` accept BOTH spellings: a list of condition objects, or
+    * one object whose entries are the operands (the reference's own
+    * README example uses `_or: {id: {...}, address: {...}}`). */
+  private def boolOperands(v: V, at: String): Seq[BoolExp] = v match {
+    case VList(vs) => vs.map(compileBool(_, at))
+    case VObj(fs) => fs.map { case (k, sub) => compileBoolField(k, sub, at) }
+    case _ => bad(s"$at: expected an object or a list")
+  }
+
+  private def compileBoolField(k: String, v: V, at: String): BoolExp =
+    k match {
+      case "_and" => And(boolOperands(v, s"$at._and"): _*)
+      case "_or" => Or(boolOperands(v, s"$at._or"): _*)
+      case "_not" => Not(compileBool(v, s"$at._not"))
+      case field => v match {
+        case VObj(Seq((op, ov))) => compileCmp(field, op, ov)
+        case VObj(_) =>
+          bad(s"$at.$field: exactly one comparison operator expected")
+        case _ => bad(s"$at.$field: expected {_op: value}")
+      }
+    }
+
+  /** A where object with several entries is an implicit AND (Hasura's
+    * semantics for `where: {a: {...}, b: {...}}`). */
+  private def compileBool(v: V, at: String): BoolExp = v match {
+    case VObj(Seq((k, sub))) => compileBoolField(k, sub, at)
+    case VObj(fs) if fs.nonEmpty =>
+      And(fs.map { case (k, sub) => compileBoolField(k, sub, at) }: _*)
+    case _ => bad(s"$at: expected a non-empty object")
+  }
+
+  /** Hasura's `order_by: {field: asc}` / `[{f1: desc}, {f2: asc}]`. */
+  private def compileOrders(v: V, at: String): Seq[Order] = {
+    def one(o: V): Seq[Order] = o match {
+      case VObj(fs) => fs.map {
+        case (f, VEnum("asc")) => Order(f)
+        case (f, VEnum("desc")) => Order(f, desc = true)
+        case (f, _) => bad(s"$at.$f: expected asc or desc")
+      }
+      case _ => bad(s"$at: expected {field: asc|desc}")
+    }
+    v match {
+      case VList(vs) => vs.flatMap(one)
+      case o => one(o)
+    }
+  }
+
+  private def intArg(args: Map[String, V], k: String,
+      at: String): Option[Int] =
+    args.get(k).map {
+      case VLit(l: Long) => l.toInt
+      case _ => bad(s"$at.$k: expected an integer")
+    }
+
+  // ---- selection compilation -----------------------------------------
+
+  private def strDirArg(d: Map[String, V], dir: String, k: String,
+      at: String): String =
+    d.get(k) match {
+      case Some(VLit(s: String)) => s
+      case _ => bad(s"$at: @$dir needs $k: \"…\"")
+    }
+
+  /** One scalar selection inside a relationship: alias + field +
+    * optional @fmt/@cast. */
+  private def compileNestedField(alias: Option[String], field: String,
+      dirs: Map[String, Map[String, V]], at: String): NestedField = {
+    val fmt = dirs.get("fmt").map { d =>
+      (d.get("round") match {
+        case Some(VLit(l: Long)) => l.toInt
+        case _ => bad(s"$at: @fmt needs round: n")
+      }, strDirArg(d, "fmt", "printf", at))
+    }
+    val cast = dirs.get("cast").map(d => strDirArg(d, "cast", "to", at))
+    (dirs.keySet -- Set("fmt", "cast")).foreach(d =>
+      bad(s"$at: unknown directive @$d"))
+    NestedField(alias.getOrElse(field), field, fmt, cast)
+  }
+
+  /** `aggregate { count sum { f } min { f } ... }` inside an
+    * `*_aggregate` selection. Output naming follows Hasura's response
+    * shape flattened: `count`, `sum_f`, `min_f`, … unless aliased.
+    * `count` counts the child KEY — within a per-parent group the key
+    * is never null, so it equals Hasura's row count. */
+  private def compileAggFields(p: P, childKey: String,
+      at: String): Seq[AggField] = {
+    p.expect('{')
+    val aggs = Seq.newBuilder[AggField]
+    while (!p.isPunct('}')) {
+      val first = p.name("aggregate function")
+      val (alias, fn) =
+        if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("fn")) }
+        else (None, first)
+      fn match {
+        case "count" => aggs += CountOf(childKey, alias.getOrElse("count"))
+        case "sum" | "min" | "max" | "avg" =>
+          p.expect('{')
+          while (!p.isPunct('}')) {
+            val f = p.name("aggregated field")
+            val as = alias.getOrElse(s"${fn}_$f")
+            aggs += (fn match {
+              case "sum" => SumOf(f, as)
+              case "min" => MinOf(f, as)
+              case "max" => MaxOf(f, as)
+              case _ => AvgOf(f, as)
+            })
+          }
+          p.expect('}')
+        case other => bad(s"$at: unknown aggregate '$other'")
+      }
+    }
+    p.expect('}')
+    aggs.result()
+  }
+
+  private final case class RelParts(nested: Seq[Nested], aggs: Seq[AggRel])
+
+  /** A relationship's selection set: scalars + at most one sub-level. */
+  private def compileRelBody(p: P, schema: Schema, table: String,
+      args: Map[String, V], dirs: Map[String, Map[String, V]],
+      alias: Option[String], relName: String, rel: Rel): Nested = {
+    val at = alias.getOrElse(relName)
+    val joinType = dirs.get("join")
+      .map(d => strDirArg(d, "join", "type", at)).getOrElse("inner")
+    (dirs.keySet - "join").foreach(d => bad(s"$at: unknown directive @$d"))
+    p.expect('{')
+    val fields = Seq.newBuilder[NestedField]
+    var sub: Option[Nested] = None
+    while (!p.isPunct('}')) {
+      val first = p.name("selection")
+      val (a2, f2) =
+        if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
+        else (None, first)
+      val subArgs = parseArgs(p)
+      val subDirs = parseDirectives(p)
+      if (p.isPunct('{')) {
+        val r2 = schema.rels.getOrElse((rel.childTable, f2), bad(
+          s"$at.$f2: no tracked relationship on '${rel.childTable}'"))
+        if (sub.isDefined)
+          bad(s"$at: at most one nested relationship per level")
+        sub = Some(compileRelBody(p, schema, rel.childTable, subArgs,
+          subDirs, a2, f2, r2))
+      } else {
+        if (subArgs.nonEmpty) bad(s"$at.$f2: scalar fields take no arguments")
+        fields += compileNestedField(a2, f2, subDirs, s"$at.$f2")
+      }
+    }
+    p.expect('}')
+    Nested(
+      as = at, table = rel.childTable,
+      childKey = rel.childKey, parentKey = rel.parentKey,
+      fields = fields.result(), sub = sub, joinType = joinType,
+      where = args.get("where").map(compileBool(_, s"$at.where")),
+      orderBy = args.get("order_by")
+        .map(compileOrders(_, s"$at.order_by")).getOrElse(Nil),
+      limit = intArg(args, "limit", at))
+  }
+
+  /** Parse one GraphQL read query against `schema` → the same
+    * [[Request]] the DSL builds. Never throws. */
+  def parse(query: String,
+      schema: Schema = fixtureSchema): Either[String, Request] =
+    try {
+      val p = new P(tokenize(query))
+      // optional operation header: `query [Name]`
+      p.peek match {
+        case Name("query", _) =>
+          p.next()
+          p.peek match { case Name(_, _) => p.next(); case _ => () }
+        case _ => ()
+      }
+      p.expect('{')
+      val table = p.name("root table")
+      val args = parseArgs(p)
+      p.expect('{')
+      val fields = Seq.newBuilder[String]
+      val nested = Seq.newBuilder[Nested]
+      val aggRels = Seq.newBuilder[AggRel]
+      while (!p.isPunct('}')) {
+        val first = p.name("selection")
+        val (alias, fname) =
+          if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
+          else (None, first)
+        val fargs = parseArgs(p)
+        val fdirs = parseDirectives(p)
+        if (p.isPunct('{')) {
+          if (fname.endsWith("_aggregate")) {
+            val relName = fname.stripSuffix("_aggregate")
+            val rel = schema.rels.getOrElse((table, relName), bad(
+              s"$fname: no tracked relationship '$relName' on '$table'"))
+            p.expect('{')
+            var aggs: Seq[AggField] = Nil
+            while (!p.isPunct('}')) {
+              p.name("aggregate body") match {
+                case "aggregate" => aggs = compileAggFields(p, rel.childKey,
+                  fname)
+                case other => bad(s"$fname: expected 'aggregate', got '$other'")
+              }
+            }
+            p.expect('}')
+            val joinType = fdirs.get("join")
+              .map(d => strDirArg(d, "join", "type", fname))
+              .getOrElse("left")
+            aggRels += AggRel(rel.childTable, rel.childKey, rel.parentKey,
+              aggs, joinType = joinType,
+              where = fargs.get("where")
+                .map(compileBool(_, s"$fname.where")),
+              orderBy = fargs.get("order_by")
+                .map(compileOrders(_, s"$fname.order_by")).getOrElse(Nil),
+              limit = intArg(fargs, "limit", fname))
+          } else {
+            val rel = schema.rels.getOrElse((table, fname), bad(
+              s"$fname: no tracked relationship on '$table'"))
+            nested += compileRelBody(p, schema, table, fargs, fdirs,
+              alias, fname, rel)
+          }
+        } else {
+          if (fargs.nonEmpty || fdirs.nonEmpty)
+            bad(s"$fname: root scalar fields take no arguments/directives")
+          if (alias.isDefined)
+            bad(s"$fname: root scalar aliases are not supported " +
+              "(the oracle compares by column name)")
+          fields += fname
+        }
+      }
+      p.expect('}')
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      Right(Request(
+        table = table,
+        fields = fields.result(),
+        where = args.get("where").map(compileBool(_, "where")),
+        orderBy = args.get("order_by")
+          .map(compileOrders(_, "order_by")).getOrElse(Nil),
+        offset = intArg(args, "offset", table).getOrElse(0),
+        limit = intArg(args, "limit", table),
+        nested = nested.result(),
+        aggRels = aggRels.result()))
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+    }
+
+  // ---- wire-served correctness entry ---------------------------------
+
+  /** q98's request as GRAPHQL TEXT — the reference endpoint's own
+    * query language (README.md:92-155): each customer's top-3 open
+    * orders by price, child args and all. */
+  val q100Query: String =
+    """query TopOpenOrders {
+      |  customer(where: {c_custkey: {_lte: 50}},
+      |           order_by: {c_custkey: asc}) {
+      |    c_custkey
+      |    orders(where: {o_orderstatus: {_eq: "O"}},
+      |           order_by: [{o_totalprice: desc}, {o_orderkey: asc}],
+      |           limit: 3) {
+      |      k: o_orderkey
+      |      p: o_totalprice @fmt(round: 2, printf: "%.2f")
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q100 — q98 arriving as GraphQL text. Shares q98's oracle: the
+    * parsed query must produce hash-identical rows, so neither the
+    * tokenizer nor the relationship resolution can drift from the DSL
+    * semantics unnoticed. */
+  def q100QbGraphql(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q100Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q100 GraphQL query failed to parse: $m")
+    }
+}

@@ -1,0 +1,187 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.api.QueryBuilder._
+
+/** GraphQL front-end laws: a query parses to EXACTLY the `Request` the
+  * DSL builds (so all three front ends — DSL, JSON wire, GraphQL text —
+  * compile one plan), the reference README's own example shapes parse,
+  * parse errors are `Left` values with positions, and the canned q100
+  * runs row-identically to its DSL twin q98. */
+class GraphQlSpec extends SparkSpec {
+
+  private def parsed(q: String): Request =
+    GraphQl.parse(q) match {
+      case Right(r) => r
+      case Left(m) => fail(s"did not parse: $m\n$q")
+    }
+
+  private def err(q: String): String =
+    GraphQl.parse(q) match {
+      case Left(m) => m
+      case Right(r) => fail(s"accepted bad query as $r")
+    }
+
+  test("the reference README's simple nested query parses (users{nfts}" +
+    " shape on the fixture schema)") {
+    val r = parsed("""
+      {
+        customer {
+          orders { k: o_orderkey }
+          c_custkey
+        }
+      }""")
+    assert(r === Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey"))))))
+  }
+
+  test("the reference README's _or example parses — OBJECT-form " +
+    "operands, _gte and _eq (README.md:125-133)") {
+    val r = parsed("""
+      {
+        customer(where: {_or: {c_custkey: {_gte: 1},
+                               c_name: {_eq: "Customer#000000002"}}}) {
+          orders { k: o_orderkey }
+          c_custkey
+          c_name
+        }
+      }""")
+    assert(r.where === Some(Or(
+      Gte("c_custkey", 1L), Eq("c_name", "Customer#000000002"))))
+    assert(r.fields === Seq("c_custkey", "c_name"))
+  }
+
+  test("q100's GraphQL text parses to EXACTLY the q98 DSL request " +
+    "(args, aliases, @fmt directive, multi-key order_by)") {
+    assert(parsed(GraphQl.q100Query) === Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 50L)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(
+          NestedField("k", "o_orderkey"),
+          NestedField("p", "o_totalprice", format = Some((2, "%.2f")))),
+        where = Some(Eq("o_orderstatus", "O")),
+        orderBy = Seq(Order("o_totalprice", desc = true),
+          Order("o_orderkey")),
+        limit = Some(3)))))
+  }
+
+  test("q100 runs row-identically to the DSL twin q98") {
+    val dir = sf("sf0.001")
+    val gql = GraphQl.q100QbGraphql(spark, dir).collect().toSeq
+    val dsl = QueryBuilder.q98QbChildArgs(spark, dir).collect().toSeq
+    assert(gql.nonEmpty && gql === dsl)
+  }
+
+  test("deep nesting + @cast + @join(left) + comments + block strings") {
+    val r = parsed("""
+      query Deep { # q49's three-level shape
+        customer(where: {c_name: {_like: \"\"\"%5%\"\"\"}},
+                 limit: 10, offset: 2) {
+          c_custkey
+          orders {
+            k: o_orderkey
+            items @join(type: "left") {
+              q: l_quantity @cast(to: "long")
+            }
+          }
+        }
+      }""".replace("\\\"", "\""))
+    assert(r.offset === 2 && r.limit === Some(10))
+    assert(r.where === Some(Like("c_name", "%5%")))
+    val sub = r.nested.head.sub.get
+    assert(sub.joinType === "left")
+    assert(sub.fields === Seq(
+      NestedField("q", "l_quantity", cast = Some("long"))))
+  }
+
+  test("aggregate relationships: *_aggregate with count/sum/min/max/avg" +
+    ", args, and aliases") {
+    val r = parsed("""
+      {
+        customer(order_by: {c_custkey: asc}) {
+          c_custkey
+          orders_aggregate(where: {o_totalprice: {_gt: 0.5}},
+                           order_by: [{o_totalprice: desc},
+                                      {o_orderkey: asc}],
+                           limit: 2) {
+            aggregate {
+              n: count
+              sum { o_totalprice }
+              lo: min { o_totalprice }
+              avg { o_totalprice }
+            }
+          }
+        }
+      }""")
+    assert(r.aggRels === Seq(AggRel(
+      table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+      aggs = Seq(CountOf("o_custkey", "n"),
+        SumOf("o_totalprice", "sum_o_totalprice"),
+        MinOf("o_totalprice", "lo"),
+        AvgOf("o_totalprice", "avg_o_totalprice")),
+      where = Some(Gt("o_totalprice", 0.5)),
+      orderBy = Seq(Order("o_totalprice", desc = true),
+        Order("o_orderkey")),
+      limit = Some(2))))
+  }
+
+  test("where-tree spellings: implicit AND, array-form _and, _in/_neq" +
+    "/_not, boolean and negative literals") {
+    val r = parsed("""
+      {
+        customer(where: {
+          _and: [{c_acctbal: {_gt: -100.5}},
+                 {_not: {c_mktsegment: {_in: ["MACHINERY", "BUILDING"]}}}]
+          c_custkey: {_neq: 7}
+        }) { c_custkey }
+      }""")
+    assert(r.where === Some(And(
+      And(Gt("c_acctbal", -100.5),
+        Not(In("c_mktsegment", Seq("MACHINERY", "BUILDING")))),
+      Neq("c_custkey", 7L))))
+  }
+
+  test("malformed queries are Left values with positions, never " +
+    "exceptions") {
+    assert(err("{ customer { unknown_rel { x } } }")
+      .contains("no tracked relationship"))
+    assert(err("{ customer(where: {c: {_zap: 1}}) { c_custkey } }")
+      .contains("unknown operator '_zap'"))
+    assert(err("{ customer(where: {c: {_eq: 1, _lt: 2}}) { c_custkey } }")
+      .contains("exactly one comparison operator"))
+    assert(err("{ customer(order_by: {c_custkey: sideways}) { c } }")
+      .contains("expected asc or desc"))
+    assert(err("{ customer { c_custkey }") .contains("expected"))
+    assert(err("{ customer { orders { k: o_orderkey } " +
+      "items { x } } }").contains("no tracked relationship"))
+    assert(err("""{ customer { c_custkey @fmt(round: 2) } }""")
+      .contains("take no arguments/directives"))
+    assert(err("{ customer { orders(limit: 3) { k: o_orderkey } } }")
+      .contains("limit needs orderBy"))
+    assert(err("{ customer {} }").contains("selects no fields"))
+    assert(err("x") .nonEmpty)
+    assert(err("{ customer(limit: \"five\") { c_custkey } }")
+      .contains("expected an integer"))
+    assert(err("{ customer { c_custkey } } trailing")
+      .contains("trailing content"))
+  }
+
+  test("tokenizer details: commas optional, # comments, escapes, " +
+    "unicode escapes, operation names") {
+    val r = parsed("query Named # a comment\n" +
+      "{ customer(where: {c_name: {_eq: \"a\\u0041\\n\\\"b\\\"\"}}) " +
+      "{ c_custkey, c_name } }")
+    assert(r.where === Some(Eq("c_name", "aA\n\"b\"")))
+    assert(r.fields === Seq("c_custkey", "c_name"))
+  }
+}
