@@ -819,6 +819,14 @@ object OracleSql {
     // reference endpoint's own query language — through GraphQl.parse;
     // one oracle string across DSL/JSON/GraphQL front ends.
     "q100_qb_graphql" -> childArgsSql,
+    // the rest of Hasura's comparison operators, spelled natively in
+    // DuckDB so the three-valued-logic semantics are pinned too
+    "q101_qb_ops" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE text IS NOT NULL AND lang NOT IN ('zh', 'es')
+        |  AND (source IS NULL OR source ILIKE 'SRC1%')
+        |  AND source NOT LIKE '%8'
+        |ORDER BY doc_id LIMIT 400""".stripMargin,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

@@ -121,6 +121,7 @@ object SparkEntry {
     "q98_qb_child_args" -> (graft.api.QueryBuilder.q98QbChildArgs(_, _)),
     "q99_qb_wire" -> (graft.api.RequestCodec.q99QbWire(_, _)),
     "q100_qb_graphql" -> (graft.api.GraphQl.q100QbGraphql(_, _)),
+    "q101_qb_ops" -> (graft.api.QueryBuilder.q101QbOps(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -236,14 +236,24 @@ object GraphQl {
       case "_gte" => Gte(field, literal(v, s"$field._gte"))
       case "_lt" => Lt(field, literal(v, s"$field._lt"))
       case "_lte" => Lte(field, literal(v, s"$field._lte"))
-      case "_like" => literal(v, s"$field._like") match {
-        case s: String => Like(field, s)
-        case _ => bad(s"$field._like: pattern must be a string")
+      case "_like" | "_nlike" | "_ilike" =>
+        literal(v, s"$field.$op") match {
+          case s: String => op match {
+            case "_like" => Like(field, s)
+            case "_nlike" => Nlike(field, s)
+            case _ => Ilike(field, s)
+          }
+          case _ => bad(s"$field.$op: pattern must be a string")
+        }
+      case "_is_null" => v match {
+        case VLit(b: Boolean) => IsNull(field, b)
+        case _ => bad(s"$field._is_null: expected a boolean")
       }
-      case "_in" => v match {
+      case "_in" | "_nin" => v match {
         case VList(vs) =>
-          In(field, vs.map(literal(_, s"$field._in")))
-        case _ => bad(s"$field._in: expected a list")
+          val lits = vs.map(literal(_, s"$field.$op"))
+          if (op == "_in") In(field, lits) else Nin(field, lits)
+        case _ => bad(s"$field.$op: expected a list")
       }
       case other => bad(s"$field: unknown operator '$other'")
     }

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Composable read-request front end — the engine's analog of the
   * reference's GraphQL read path (Hasura over Postgres,
   * /root/reference/README.md:89-155): a request names a root table, a
-  * boolean where-tree (the `_eq/_gte/_in/_like/_and/_or/_not` operator
-  * surface from README.md:121-155), order/limit/offset, scalar fields,
+  * boolean where-tree (the full `_eq/_neq/_gt/_gte/_lt/_lte/_in/_nin/
+  * _like/_nlike/_ilike/_is_null/_and/_or/_not` operator surface from
+  * README.md:121-155), order/limit/offset, scalar fields,
   * and any number of child relationships — nested object arrays
   * (`users{nfts{token_id}}`, README.md:92-99), recursively nestable
   * (`users{nfts{bids{...}}}`), and aggregates (Hasura's
@@ -57,8 +58,25 @@ object QueryBuilder {
   final case class In(field: String, vs: Seq[Any]) extends BoolExp {
     private[api] def toColumn: Column = col(field).isin(vs: _*)
   }
+  /** Hasura `_nin`. Same three-valued logic as SQL NOT IN: a null
+    * field never matches. */
+  final case class Nin(field: String, vs: Seq[Any]) extends BoolExp {
+    private[api] def toColumn: Column = !col(field).isin(vs: _*)
+  }
   final case class Like(field: String, pattern: String) extends BoolExp {
     private[api] def toColumn: Column = col(field).like(pattern)
+  }
+  final case class Nlike(field: String, pattern: String) extends BoolExp {
+    private[api] def toColumn: Column = !col(field).like(pattern)
+  }
+  final case class Ilike(field: String, pattern: String) extends BoolExp {
+    private[api] def toColumn: Column = col(field).ilike(pattern)
+  }
+  /** Hasura `_is_null: true|false`. */
+  final case class IsNull(field: String, isNull: Boolean = true)
+      extends BoolExp {
+    private[api] def toColumn: Column =
+      if (isNull) col(field).isNull else col(field).isNotNull
   }
   final case class And(es: BoolExp*) extends BoolExp {
     require(es.nonEmpty, "_and needs at least one operand")
@@ -369,6 +387,24 @@ object QueryBuilder {
         orderBy = Seq(Order("o_totalprice", desc = true),
           Order("o_orderkey")),
         limit = Some(3)))))
+
+  /** q101 — the REST of Hasura's comparison surface in one request
+    * (README.md:121-155's operator table): `_is_null` both polarities,
+    * `_nin`, `_ilike` (case-insensitive against upper-cased pattern),
+    * `_nlike`. DuckDB spells each natively (IS [NOT] NULL, NOT IN,
+    * ILIKE, NOT LIKE), so the oracle pins the three-valued-logic
+    * semantics too. */
+  def q101QbOps(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Request(
+      table = "documents",
+      fields = Seq("doc_id", "lang", "source"),
+      where = Some(And(
+        IsNull("text", isNull = false),
+        Nin("lang", Seq("zh", "es")),
+        Or(IsNull("source"), Ilike("source", "SRC1%")),
+        Nlike("source", "%8"))),
+      orderBy = Seq(Order("doc_id")),
+      limit = Some(400)))
 
   def q97QbNestedDeep(s: SparkSession, dir: String): DataFrame =
     run(s, dir, Request(

@@ -109,7 +109,13 @@ object RequestCodec {
               case "_lt" => Lt(field, value(v, at))
               case "_lte" => Lte(field, value(v, at))
               case "_like" => Like(field, str(v, at))
+              case "_nlike" => Nlike(field, str(v, at))
+              case "_ilike" => Ilike(field, str(v, at))
               case "_in" => In(field, arr(v, at).map(value(_, at)))
+              case "_nin" => Nin(field, arr(v, at).map(value(_, at)))
+              case "_is_null" =>
+                if (v.isBoolean) IsNull(field, v.asBoolean)
+                else bad(s"$at: expected a boolean")
               case other => bad(s"$where.$field: unknown operator '$other'")
             }
           case _ => bad(
@@ -269,6 +275,21 @@ object RequestCodec {
       o.set[ObjectNode](field, inner)
       o
     }
+    def inList(f: String, op: String, vs: Seq[Any]): ObjectNode = {
+      val inner = mapper.createObjectNode()
+      val a = inner.putArray(op)
+      vs.foreach {
+        case s: String => a.add(s)
+        case b: Boolean => a.add(b)
+        case l: Long => a.add(l)
+        case i: Int => a.add(i.toLong)
+        case d: Double => a.add(d)
+        case other => throw new IllegalArgumentException(
+          s"literal of ${other.getClass.getName} has no wire form")
+      }
+      o.set[ObjectNode](f, inner)
+      o
+    }
     e match {
       case Eq(f, v) => cmp(f, "_eq", v)
       case Neq(f, v) => cmp(f, "_neq", v)
@@ -277,20 +298,11 @@ object RequestCodec {
       case Lt(f, v) => cmp(f, "_lt", v)
       case Lte(f, v) => cmp(f, "_lte", v)
       case Like(f, p) => cmp(f, "_like", p)
-      case In(f, vs) =>
-        val inner = mapper.createObjectNode()
-        val a = inner.putArray("_in")
-        vs.foreach {
-          case s: String => a.add(s)
-          case b: Boolean => a.add(b)
-          case l: Long => a.add(l)
-          case i: Int => a.add(i.toLong)
-          case d: Double => a.add(d)
-          case other => throw new IllegalArgumentException(
-            s"literal of ${other.getClass.getName} has no wire form")
-        }
-        o.set[ObjectNode](f, inner)
-        o
+      case Nlike(f, p) => cmp(f, "_nlike", p)
+      case Ilike(f, p) => cmp(f, "_ilike", p)
+      case IsNull(f, b) => cmp(f, "_is_null", b)
+      case In(f, vs) => inList(f, "_in", vs)
+      case Nin(f, vs) => inList(f, "_nin", vs)
       case And(es @ _*) =>
         val a = o.putArray("_and"); es.foreach(x => a.add(renderBool(x))); o
       case Or(es @ _*) =>

@@ -151,6 +151,26 @@ class GraphQlSpec extends SparkSpec {
       Neq("c_custkey", 7L))))
   }
 
+  test("the rest of Hasura's comparison surface: _is_null/_nin/_ilike" +
+    "/_nlike parse and reject bad operand types") {
+    val r = parsed("""
+      { documents(where: {
+          text: {_is_null: false}
+          lang: {_nin: ["zh", "es"]}
+          source: {_ilike: "SRC1%"}
+          doc_id: {_is_null: true}
+        }) { doc_id } }""")
+    assert(r.where === Some(And(
+      IsNull("text", isNull = false), Nin("lang", Seq("zh", "es")),
+      Ilike("source", "SRC1%"), IsNull("doc_id"))))
+    assert(err("{ documents(where: {t: {_is_null: 1}}) { doc_id } }")
+      .contains("expected a boolean"))
+    assert(err("{ documents(where: {t: {_nin: 3}}) { doc_id } }")
+      .contains("expected a list"))
+    assert(err("{ documents(where: {t: {_nlike: 3}}) { doc_id } }")
+      .contains("pattern must be a string"))
+  }
+
   test("malformed queries are Left values with positions, never " +
     "exceptions") {
     assert(err("{ customer { unknown_rel { x } } }")

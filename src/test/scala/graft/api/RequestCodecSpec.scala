@@ -34,6 +34,17 @@ class RequestCodecSpec extends SparkSpec {
         orderBy = Seq(Order("o_totalprice", desc = true),
           Order("o_orderkey")),
         limit = Some(3)))),
+    "ops" -> Request(
+      table = "documents",
+      fields = Seq("doc_id"),
+      where = Some(And(
+        IsNull("text", isNull = false),
+        IsNull("source"),
+        Nin("lang", Seq("zh", "es")),
+        Ilike("source", "SRC1%"),
+        Nlike("source", "%8"))),
+      orderBy = Seq(Order("doc_id")),
+      limit = Some(10)),
     "deep+aggs" -> Request(
       table = "customer",
       fields = Seq("c_custkey"),
