@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import javax.imageio.metadata.IIOMetadataNode
+
+/** Animated GIF (GIF89a) — full-canvas frame reassembly. ImageIO's GIF
+  * reader decodes each data frame as its OWN sub-image (its rectangle,
+  * its palette) and does NOT composite; this walks the reader's frames
+  * with their per-frame metadata (offsets, delay, disposal) and applies
+  * the GIF89a compositing model: frames draw src-over with binary
+  * transparency (a transparent index leaves the canvas pixel), disposal
+  * `restoreToBackgroundColor` clears the frame rectangle to transparent
+  * after display (the practical background for GIFs with a transparent
+  * color), `restoreToPrevious` restores the canvas as it was before the
+  * frame. The symmetric surface to [[WebpAnim]], so the multimodal
+  * frame sampler treats both animation formats alike.
+  *
+  * Hostile-input posture: canvas validated against a 2^24-pixel cap and
+  * frame rectangles against the canvas before allocation; a frame-count
+  * cap bounds work; any reader exception returns None.
+  *
+  * Reference behavior: x/imgresizer/resizer.go:214-264 accepts gif via
+  * its linked codec (stills); animation sampling is the training-data
+  * extension the reference's pipeline doesn't cover. */
+object GifAnim {
+
+  /** One reassembled canvas frame + its display duration. */
+  final case class Frame(image: BufferedImage, durationMs: Int)
+
+  private val maxFrames = 1024
+
+  /** Decode a whole animation: full-canvas frames in display order.
+    * None for stills (fewer than 2 frames), non-GIF, or malformed
+    * bytes. */
+  def decode(b: Array[Byte]): Option[Seq[Frame]] = {
+    if (b == null || b.length < 13) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
+      return None
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    val in = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      reader.setInput(in, false, false)
+      val n = reader.getNumImages(true)
+      if (n < 2 || n > maxFrames) return None
+      // logical screen: GIF header bytes 6-9 (LE u16 w, h) — present in
+      // every GIF; ImageIO's stream metadata mirrors the same values
+      val cw = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+      val ch = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+      if (cw == 0 || ch == 0 || cw.toLong * ch > (1L << 24)) return None
+      val canvas =
+        new BufferedImage(cw, ch, BufferedImage.TYPE_INT_ARGB)
+      val g = canvas.createGraphics()
+      val out = Seq.newBuilder[Frame]
+      var i = 0
+      while (i < n) {
+        val frame = reader.read(i)
+        val meta = gifImageMeta(reader.getImageMetadata(i))
+        if (meta.x + frame.getWidth > cw || meta.y + frame.getHeight > ch)
+          return None
+        val before =
+          if (meta.disposal == "restoreToPrevious") copy(canvas) else null
+        // GIF transparency is binary: SRC_OVER with the reader's
+        // IndexColorModel alpha (0 or 255) is exactly the spec's
+        // "transparent pixels leave the canvas"
+        g.drawImage(frame, meta.x, meta.y, null)
+        out += Frame(copy(canvas), meta.delayMs)
+        meta.disposal match {
+          case "restoreToBackgroundColor" =>
+            // the practical background: transparent (browsers render
+            // the background color only where no transparency exists)
+            val comp = g.getComposite
+            g.setComposite(java.awt.AlphaComposite.Clear)
+            g.fillRect(meta.x, meta.y, frame.getWidth, frame.getHeight)
+            g.setComposite(comp)
+          case "restoreToPrevious" =>
+            val comp = g.getComposite
+            g.setComposite(java.awt.AlphaComposite.Src)
+            g.drawImage(before, 0, 0, null)
+            g.setComposite(comp)
+          case _ => () // none / doNotDispose: leave the canvas
+        }
+        i += 1
+      }
+      g.dispose()
+      Some(out.result())
+    } catch {
+      case _: Exception => None
+    } finally {
+      reader.dispose()
+      in.close()
+    }
+  }
+
+  private def copy(img: BufferedImage): BufferedImage = {
+    val o = new BufferedImage(img.getWidth, img.getHeight,
+      BufferedImage.TYPE_INT_ARGB)
+    val g = o.createGraphics()
+    g.setComposite(java.awt.AlphaComposite.Src)
+    g.drawImage(img, 0, 0, null)
+    g.dispose()
+    o
+  }
+
+  private final case class Meta(x: Int, y: Int, delayMs: Int,
+      disposal: String)
+
+  /** Per-frame GIF metadata from ImageIO's native tree
+    * (`javax_imageio_gif_image_1.0`): ImageDescriptor carries the
+    * frame rectangle's offsets, GraphicControlExtension the delay (in
+    * centiseconds) and disposal method. */
+  private def gifImageMeta(
+      m: javax.imageio.metadata.IIOMetadata): Meta = {
+    val root = m.getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[IIOMetadataNode]
+    var x = 0; var y = 0; var delay = 0
+    var disposal = "none"
+    val kids = root.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      kids.item(i) match {
+        case e: IIOMetadataNode if e.getNodeName == "ImageDescriptor" =>
+          x = e.getAttribute("imageLeftPosition").toInt
+          y = e.getAttribute("imageTopPosition").toInt
+        case e: IIOMetadataNode
+            if e.getNodeName == "GraphicControlExtension" =>
+          delay = e.getAttribute("delayTime").toInt * 10
+          disposal = e.getAttribute("disposalMethod")
+        case _ => ()
+      }
+      i += 1
+    }
+    Meta(x, y, delay, disposal)
+  }
+}

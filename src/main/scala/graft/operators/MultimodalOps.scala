@@ -93,18 +93,22 @@ object MultimodalOps {
     media.select("key", "bytes").flatMap { r =>
       val key = r.getString(0)
       val bytes = r.getAs[Array[Byte]](1)
+      // animated WebP and GIF are the other pure-JVM frame sources:
+      // [[graft.functions.WebpAnim]] (VP8X/ANIM/ANMF reassembly over
+      // the VP8+VP8L decoders) and [[graft.functions.GifAnim]] (GIF89a
+      // compositing over ImageIO's per-frame sub-images)
+      def animFrames: Option[Seq[java.awt.image.BufferedImage]] =
+        graft.functions.WebpAnim.decode(bytes).map(_.map(_.image))
+          .orElse(graft.functions.GifAnim.decode(bytes).map(_.map(_.image)))
       parseAviFrames(bytes, everyNth, maxFrames) match {
         case Some(frames) =>
           frames.map { case (idx, png) => Row(key, idx, png) }
         case None =>
-          // animated WebP is the other pure-JVM frame source
-          // ([[graft.functions.WebpAnim]]: VP8X/ANIM/ANMF reassembly
-          // over the VP8+VP8L decoders)
-          graft.functions.WebpAnim.decode(bytes) match {
+          animFrames match {
             case Some(frames) =>
               Range(0, frames.length, math.max(1, everyNth))
                 .take(maxFrames).map(i => Row(key, i,
-                  BinaryFunctions.encodePng(frames(i).image)))
+                  BinaryFunctions.encodePng(frames(i))))
             case None =>
               (0 until maxFrames).map(i => Row(key, i * everyNth,
                 fakeFrame(key, i * everyNth)))

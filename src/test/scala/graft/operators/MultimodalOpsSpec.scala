@@ -132,6 +132,40 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames reassembles animated GIF through GifAnim") {
+    // two 6x4 full-canvas frames via the JDK GIF writer (fixture
+    // recipe proven in GifAnimSpec)
+    val cmapA = Array(0xffff0000, 0xff00ff00).map(_.toInt)
+    val icm = new java.awt.image.IndexColorModel(8, 2, cmapA, 0, false,
+      -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    def f(idx: Int) = {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until 4; x <- 0 until 6)
+        img.getRaster.setSample(x, y, 0, idx)
+      img
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(f(0), f(1)).foreach { img =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val rows = MultimodalOps.sampleFrames(
+      media("g" -> baos.toByteArray), everyNth = 1, maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 2)
+    val img1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(1).getAs[Array[Byte]](2)))
+    assert(img1.getWidth === 6 && img1.getHeight === 4)
+    assert((img1.getRGB(3, 2) & 0xffffff) === 0x00ff00)
+  }
+
   test("malicious RIFF chunk lengths terminate, not hang") {
     // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
     // clamp and exit, not loop forever
