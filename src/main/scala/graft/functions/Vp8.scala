@@ -987,48 +987,112 @@ object Vp8 {
 
   // ---- public surface ------------------------------------------------
 
-  /** Decode a "VP8 " chunk payload to an image (BT.601, 2x2 chroma
-    * replication). None on malformed/non-keyframe input. */
+  /** Decode a "VP8 " chunk payload to an image. None on malformed /
+    * non-keyframe input. */
   // libwebp's fixed-point YUV420->RGB (yuv.h): 14-bit BT.601 constants
   // with the studio-range Y scale (1.164 = 255/219), products taken at
-  // (v*k)>>8 then the sum clipped at >>6. Verified against
-  // WebPDecodeRGBA on 60 flat-color encodes — exact. Chroma here is
-  // point-sampled (libwebp defaults to fancy upsampling, which differs
-  // only where chroma varies between neighbors).
+  // (v*k)>>8 then the sum clipped at >>6. Combined with the fancy
+  // upsampler below, Vp8RgbSpec proves the RGB output BYTE-EXACT
+  // against WebPDecodeRGBA on every still fixture.
   private final val kYScale = 19077
   private final val kVToR = 26149
   private final val kUToG = 6419
   private final val kVToG = 13320
   private final val kUToB = 33050
   @inline private def mul(v: Int, k: Int): Int = (v * k) >> 8
-  private final val kRCst = -mul(16, kYScale) - mul(128, kVToR) + 32
-  private final val kGCst =
-    -mul(16, kYScale) + mul(128, kUToG) + mul(128, kVToG) + 32
-  private final val kBCst = -mul(16, kYScale) - mul(128, kUToB) + 32
+  // yuv.h spells these out: R = (Y*19077/256 + V*26149/256 - 14234)>>6
+  // etc. Note kGCst is 8708, ONE LESS than re-deriving it as
+  // -(16*kY>>8) + (128*kUToG>>8) + (128*kVToG>>8) + 32 would give
+  // (the 128*6419 product halves to x.5 and their derivation truncates
+  // the other way) — Vp8RgbSpec catches the difference on ~1/64 of
+  // pixels, so the literals are pinned, not derived.
+  private final val kRCst = -14234
+  private final val kGCst = 8708
+  private final val kBCst = -17685
   @inline private def clipShift6(v: Int): Int = {
     val s = v >> 6
     if (s < 0) 0 else if (s > 255) 255 else s
+  }
+
+  @inline private def toRgb(y8: Int, uu: Int, vv: Int): Int = {
+    val yy = mul(y8, kYScale)
+    val r = clipShift6(yy + mul(vv, kVToR) + kRCst)
+    val g = clipShift6(yy - mul(uu, kUToG) - mul(vv, kVToG) + kGCst)
+    val bl = clipShift6(yy + mul(uu, kUToB) + kBCst)
+    (r << 16) | (g << 8) | bl
+  }
+
+  /** libwebp's FANCY UPSAMPLER (upsampling.c UPSAMPLE_FUNC — the
+    * library default): chroma is bilinearly interpolated on the 2x
+    * grid with 9/3/3/1 weights, computed in the same staged integer
+    * arithmetic (diagonal averages then per-pixel halving) so the
+    * rounding matches bit for bit. One call emits one luma row pair
+    * ((2r-1, 2r) against chroma rows (r-1, r)); the first and — for
+    * even heights — last rows pass jBot < 0 and duplicate their
+    * nearest chroma row, exactly as io.c EmitFancyRGB drives it. */
+  private def upsamplePair(img: BufferedImage, y: Array[Int],
+      u: Array[Int], v: Array[Int], ys: Int, uvs: Int, w: Int,
+      jTop: Int, jBot: Int, cjTop: Int, cjBot: Int): Unit = {
+    val lastPair = (w - 1) >> 1
+    val t0 = cjTop * uvs
+    val c0 = cjBot * uvs
+    var tlU = u(t0); var tlV = v(t0) // top-left chroma sample
+    var lU = u(c0); var lV = v(c0) // left chroma sample (bottom row)
+    img.setRGB(0, jTop, toRgb(y(jTop * ys),
+      (3 * tlU + lU + 2) >> 2, (3 * tlV + lV + 2) >> 2))
+    if (jBot >= 0)
+      img.setRGB(0, jBot, toRgb(y(jBot * ys),
+        (3 * lU + tlU + 2) >> 2, (3 * lV + tlV + 2) >> 2))
+    var x = 1
+    while (x <= lastPair) {
+      val tU = u(t0 + x); val tV = v(t0 + x)
+      val cU = u(c0 + x); val cV = v(c0 + x)
+      val avgU = tlU + tU + lU + cU + 8
+      val avgV = tlV + tV + lV + cV + 8
+      val d12U = (avgU + 2 * (tU + lU)) >> 3
+      val d12V = (avgV + 2 * (tV + lV)) >> 3
+      val d03U = (avgU + 2 * (tlU + cU)) >> 3
+      val d03V = (avgV + 2 * (tlV + cV)) >> 3
+      img.setRGB(2 * x - 1, jTop, toRgb(y(jTop * ys + 2 * x - 1),
+        (d12U + tlU) >> 1, (d12V + tlV) >> 1))
+      if (2 * x < w)
+        img.setRGB(2 * x, jTop, toRgb(y(jTop * ys + 2 * x),
+          (d03U + tU) >> 1, (d03V + tV) >> 1))
+      if (jBot >= 0) {
+        img.setRGB(2 * x - 1, jBot, toRgb(y(jBot * ys + 2 * x - 1),
+          (d03U + lU) >> 1, (d03V + lV) >> 1))
+        if (2 * x < w)
+          img.setRGB(2 * x, jBot, toRgb(y(jBot * ys + 2 * x),
+            (d12U + cU) >> 1, (d12V + cV) >> 1))
+      }
+      tlU = tU; tlV = tV; lU = cU; lV = cV
+      x += 1
+    }
+    if ((w & 1) == 0 && w > 1) {
+      img.setRGB(w - 1, jTop, toRgb(y(jTop * ys + w - 1),
+        (3 * tlU + lU + 2) >> 2, (3 * tlV + lV + 2) >> 2))
+      if (jBot >= 0)
+        img.setRGB(w - 1, jBot, toRgb(y(jBot * ys + w - 1),
+          (3 * lU + tlU + 2) >> 2, (3 * lV + tlV + 2) >> 2))
+    }
   }
 
   def decodeFrame(b: Array[Byte], off: Int, len: Int)
       : Option[BufferedImage] =
     decodePlanes(b, off, len).map { case (y, u, v, w, h, ys, uvs) =>
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-      var j = 0
-      while (j < h) {
-        var i = 0
-        while (i < w) {
-          val yy = mul(y(j * ys + i), kYScale)
-          val uu = u((j >> 1) * uvs + (i >> 1))
-          val vv = v((j >> 1) * uvs + (i >> 1))
-          val r = clipShift6(yy + mul(vv, kVToR) + kRCst)
-          val g = clipShift6(yy - mul(uu, kUToG) - mul(vv, kVToG) + kGCst)
-          val bl = clipShift6(yy + mul(uu, kUToB) + kBCst)
-          img.setRGB(i, j, (r << 16) | (g << 8) | bl)
-          i += 1
-        }
-        j += 1
+      // row driver (io.c EmitFancyRGB): row 0 alone with chroma row 0
+      // duplicated; pairs (2r-1, 2r) with chroma (r-1, r); for even
+      // heights, the last row alone with the last chroma row duplicated
+      upsamplePair(img, y, u, v, ys, uvs, w, 0, -1, 0, 0)
+      var r = 1
+      while (2 * r < h) {
+        upsamplePair(img, y, u, v, ys, uvs, w, 2 * r - 1, 2 * r, r - 1, r)
+        r += 1
       }
+      if ((h & 1) == 0 && h > 1)
+        upsamplePair(img, y, u, v, ys, uvs, w, h - 1, -1,
+          (h - 1) >> 1, (h - 1) >> 1)
       img
     }
 }

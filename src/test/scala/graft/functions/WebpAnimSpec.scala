@@ -34,10 +34,10 @@ class WebpAnimSpec extends AnyFunSuite {
     (w, h, frames)
   }
 
-  /** tol = max per-channel delta: 0 for lossless fixtures; small and
-    * nonzero for lossy ones, whose flat chroma removes upsampler
-    * differences but not YUV->RGB rounding (the YUV level itself is
-    * proven bit-exact in Vp8Spec). Alpha is always exact. */
+  /** tol = max per-channel delta. 0 everywhere since the fancy
+    * upsampler + pinned YUV->RGB constants landed (Vp8RgbSpec proves
+    * stills byte-exact); the parameter stays for fixtures whose
+    * encoder may legitimately rewrite RGB under alpha=0. */
   private def checkFixture(name: String, tol: Int = 0): Unit = {
     val (w, h, want) = expected(name)
     val got = WebpAnim.decode(resource(s"$name.webp"))
@@ -78,9 +78,9 @@ class WebpAnimSpec extends AnyFunSuite {
     checkFixture("anim_blend")
   }
 
-  test("lossy frames inside ANMF (VP8 color + lossless ALPH): flat " +
-    "chroma, small YUV->RGB rounding tolerance, alpha exact") {
-    checkFixture("anim_lossy", tol = 1)
+  test("lossy frames inside ANMF (VP8 color + lossless ALPH): " +
+    "byte-exact incl. alpha (fancy upsampler + pinned constants)") {
+    checkFixture("anim_lossy")
   }
 
   test("the still surface decodes an animation's FIRST frame (ANMF " +
