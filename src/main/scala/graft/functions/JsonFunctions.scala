@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * schema in the supported subset (type / properties / required /
   * additionalProperties:false / items / enum / pattern / minLength /
   * maxLength / minimum / maximum / exclusiveMinimum / exclusiveMaximum /
-  * multipleOf / minItems / maxItems / uniqueItems / anyOf / allOf /
+  * multipleOf / minItems / maxItems / uniqueItems / const / contains /
+  * minProperties / maxProperties / propertyNames / anyOf / allOf /
   * oneOf / not) compiles ONCE driver-side into a pure Column expression
   * stack over Spark 4's VARIANT. Object properties recurse to any
   * depth; array `items` validate PER ELEMENT (the variant array fans
@@ -34,7 +35,8 @@ object JsonFunctions {
     * additionalProperties:false, the value-constraint keywords enum /
     * pattern / minLength / maxLength / minimum / maximum
     * (exclusiveMinimum/Maximum in their draft-4 numeric form) /
-    * multipleOf / minItems / maxItems / uniqueItems, and the
+    * multipleOf / minItems / maxItems / uniqueItems / const / contains /
+    * minProperties / maxProperties / propertyNames, and the
     * composition keywords anyOf / allOf / oneOf / not — all recursive,
     * including PER-ELEMENT `items` validation (each element of a
     * variant array fans out through `transform`). */
@@ -75,6 +77,7 @@ object JsonFunctions {
 
     case class Constraints(
         enumVals: Option[Seq[EnumVal]] = None,
+        constVal: Option[EnumVal] = None,
         pattern: Option[String] = None,
         minLength: Option[Int] = None, maxLength: Option[Int] = None,
         minimum: Option[Double] = None, maximum: Option[Double] = None,
@@ -83,6 +86,10 @@ object JsonFunctions {
         multipleOf: Option[Double] = None,
         minItems: Option[Int] = None, maxItems: Option[Int] = None,
         uniqueItems: Boolean = false,
+        contains: Option[JsonSchema] = None,
+        minProperties: Option[Int] = None,
+        maxProperties: Option[Int] = None,
+        propertyNames: Option[JsonSchema] = None,
         anyOf: Option[Seq[JsonSchema]] = None,
         allOf: Option[Seq[JsonSchema]] = None,
         oneOf: Option[Seq[JsonSchema]] = None,
@@ -133,14 +140,17 @@ object JsonFunctions {
         Option(n.get(k)).filter(_.isArray)
           .map(_.elements().asScala.toSeq.map(fromNode))
           .filter(_.nonEmpty)
+      def enumVal(e: com.fasterxml.jackson.databind.JsonNode): EnumVal =
+        e match {
+          case e if e.isTextual => EnumStr(e.asText())
+          case e if e.isNumber => EnumNum(e.asDouble())
+          case e if e.isBoolean => EnumBool(e.asBoolean())
+          case e => EnumJson(e.toString)
+        }
       val cs = Constraints(
         enumVals = Option(n.get("enum")).filter(_.isArray).map(
-          _.elements().asScala.toSeq.map {
-            case e if e.isTextual => EnumStr(e.asText())
-            case e if e.isNumber => EnumNum(e.asDouble())
-            case e if e.isBoolean => EnumBool(e.asBoolean())
-            case e => EnumJson(e.toString)
-          }),
+          _.elements().asScala.toSeq.map(enumVal)),
+        constVal = Option(n.get("const")).map(enumVal),
         pattern = Option(n.get("pattern")).filter(_.isTextual)
           .map(_.asText()),
         minLength = int("minLength"), maxLength = int("maxLength"),
@@ -150,6 +160,12 @@ object JsonFunctions {
         multipleOf = num("multipleOf").filter(_ > 0),
         minItems = int("minItems"), maxItems = int("maxItems"),
         uniqueItems = n.path("uniqueItems").asBoolean(false),
+        contains = Option(n.get("contains")).filter(_.isObject)
+          .map(fromNode),
+        minProperties = int("minProperties"),
+        maxProperties = int("maxProperties"),
+        propertyNames = Option(n.get("propertyNames")).filter(_.isObject)
+          .map(fromNode),
         anyOf = schemas("anyOf"), allOf = schemas("allOf"),
         oneOf = schemas("oneOf"),
         not = Option(n.get("not")).filter(_.isObject).map(fromNode))
@@ -193,16 +209,18 @@ object JsonFunctions {
     val p = display(path)
     def check(bad: Column, msg: String): Column =
       when(bad, array(lit(msg))).otherwise(noErrors)
+    def enumHit(e: EnumVal): Column = e match {
+      case EnumStr(s) => isStr && asStr === lit(s)
+      case EnumNum(d) => isNum && asNum === lit(d)
+      case EnumBool(b) =>
+        t === "BOOLEAN" && try_variant_get(v, "$", "boolean") === lit(b)
+      case EnumJson(j) => to_json(v) === to_json(try_parse_json(lit(j)))
+    }
     cs.enumVals.toSeq.map { vals =>
-      val hit = vals.map {
-        case EnumStr(s) => isStr && asStr === lit(s)
-        case EnumNum(d) => isNum && asNum === lit(d)
-        case EnumBool(b) =>
-          t === "BOOLEAN" && try_variant_get(v, "$", "boolean") === lit(b)
-        case EnumJson(j) => to_json(v) === to_json(try_parse_json(lit(j)))
-      }.reduce(_ || _)
-      check(!hit, s"value not in enum: $p")
+      check(!vals.map(enumHit).reduce(_ || _), s"value not in enum: $p")
     } ++
+      cs.constVal.toSeq.map(c =>
+        check(!enumHit(c), s"value does not equal const: $p")) ++
       cs.pattern.toSeq.map(re =>
         check(isStr && !asStr.rlike(re), s"string does not match pattern($re): $p")) ++
       cs.minLength.toSeq.map(n =>
@@ -228,6 +246,7 @@ object JsonFunctions {
           s"number not a multipleOf($m): $p")
       } ++
       arrayConstraintErrors(v, cs, path) ++
+      objectConstraintErrors(v, cs, path) ++
       compositionErrors(v, cs, path)
   }
 
@@ -254,7 +273,42 @@ object JsonFunctions {
           size(array_distinct(transform(asArr, x => to_json(x)))) <
             size(asArr),
           s"array items are not unique: $p"))
-      else Nil)
+      else Nil) ++
+      cs.contains.toSeq.map(sub =>
+        check(isArr && !exists(asArr,
+          x => size(nodeErrors(x, sub, path + "[]")) === 0),
+          s"no array item matches 'contains': $p"))
+  }
+
+  /** minProperties / maxProperties / propertyNames — apply only to
+    * objects. Each key name round-trips through Spark's own JSON
+    * writer (`to_json(struct(k))` then a variant get), so escaping is
+    * exact and the name validates as an ordinary string instance. */
+  private def objectConstraintErrors(v: Column, cs: Constraints,
+      path: String): Seq[Column] = {
+    if (cs.minProperties.isEmpty && cs.maxProperties.isEmpty &&
+      cs.propertyNames.isEmpty) return Nil
+    val isObj = schema_of_variant(v).startsWith("OBJECT")
+    val keys = json_object_keys(to_json(v))
+    val p = display(path)
+    def check(bad: Column, msg: String): Column =
+      when(bad, array(lit(msg))).otherwise(noErrors)
+    cs.minProperties.toSeq.map(n =>
+      check(isObj && size(keys) < n,
+        s"object has fewer than minProperties($n): $p")) ++
+      cs.maxProperties.toSeq.map(n =>
+        check(isObj && size(keys) > n,
+          s"object has more than maxProperties($n): $p")) ++
+      cs.propertyNames.toSeq.map { sub =>
+        def keyVariant(k: Column): Column =
+          variant_get(try_parse_json(to_json(struct(k.as("k")))),
+            "$.k", "variant")
+        when(!isObj, noErrors).otherwise(
+          flatten(transform(keys, k =>
+            when(size(nodeErrors(keyVariant(k), sub, path)) === 0, noErrors)
+              .otherwise(array(concat(lit("property name '"), k,
+                lit(s"' violates propertyNames: $p")))))))
+      }
   }
 
   /** anyOf / allOf / oneOf / not — each branch recurses through the

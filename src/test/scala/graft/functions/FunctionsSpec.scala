@@ -795,6 +795,38 @@ class FunctionsSpec extends SparkSpec {
     assert(rK(1)._2 === Seq("array shorter than minItems(2): xs"))
     assert(rK(2)._2 === Seq("array longer than maxItems(3): xs"))
     assert(rK(3)._2 === Seq("array items are not unique: xs"))
+
+    // const: a one-value enum with typed equality (1 never equals "1")
+    val cst = """{"type":"object","properties":{
+                |  "k": {"const": 1}, "s": {"const": "x"}}}""".stripMargin
+    val rCst = run(cst, """{"k":1,"s":"x"}""", """{"k":"1","s":"x"}""",
+      """{"k":1,"s":"y"}""")
+    assert(rCst.map(_._1) === Seq(true, false, false))
+    assert(rCst(1)._2 === Seq("value does not equal const: k"))
+    assert(rCst(2)._2 === Seq("value does not equal const: s"))
+
+    // contains: at least one element matches the sub-schema (which
+    // recurses — here a constrained number)
+    val cont = """{"type":"object","properties":{
+                 |  "xs": {"type":"array",
+                 |         "contains": {"type":"number","minimum":10}}}}"""
+      .stripMargin
+    val rCt = run(cont, """{"xs":[1,"a",12]}""", """{"xs":[1,2]}""",
+      """{"xs":[]}""")
+    assert(rCt.map(_._1) === Seq(true, false, false))
+    assert(rCt(1)._2 === Seq("no array item matches 'contains': xs"))
+
+    // minProperties / maxProperties / propertyNames (pattern over each
+    // key, exact through Spark's own JSON escaping)
+    val objc = """{"type":"object","minProperties":1,"maxProperties":2,
+                 | "propertyNames": {"pattern": "^[a-z]+$"}}""".stripMargin
+    val rO = run(objc, """{"ab":1}""", """{}""", """{"a":1,"b":2,"c":3}""",
+      """{"UPPER":1}""")
+    assert(rO.map(_._1) === Seq(true, false, false, false))
+    assert(rO(1)._2 === Seq("object has fewer than minProperties(1): $"))
+    assert(rO(2)._2 === Seq("object has more than maxProperties(2): $"))
+    assert(rO(3)._2 ===
+      Seq("property name 'UPPER' violates propertyNames: $"))
   }
 
   test("schema validation end-to-end: the in-the-wild ERC-721 schema " +
