@@ -62,4 +62,38 @@ class Vp8RgbSpec extends AnyFunSuite {
       assert(bad === 0, s"$bad mismatched pixels; $firstMsg")
     }
   }
+
+  // the lossy-with-alpha stills go through the FULL container walker
+  // (VP8X → ALPH merge → VP8 color): RGBA must match byte for byte,
+  // alpha included — except where alpha is 0, where the encoder is
+  // free to rewrite color (WebPDecodeRGBA itself reports the coded
+  // values, which the pipeline preserves, so in practice these match
+  // too; the carve-out documents the semantics, not a slack)
+  Seq("alpha64x48", "alphashape32").foreach { name =>
+    test(s"$name (VP8X+ALPH) decodes RGBA byte-exact through the " +
+      "container walker") {
+      val exp = resource(s"$name.rgba")
+      val w = i32be(exp, 0); val h = i32be(exp, 4)
+      val img = Vp8l.decode(resource(s"$name.webp"))
+        .getOrElse(fail(s"$name did not decode"))
+      assert(img.getWidth === w && img.getHeight === h)
+      var bad = 0
+      var firstMsg = ""
+      for (y <- 0 until h; x <- 0 until w) {
+        val got = img.getRGB(x, y)
+        val at4 = 8 + (y * w + x) * 4
+        val want = ((exp(at4 + 3) & 0xff) << 24) |
+          ((exp(at4) & 0xff) << 16) | ((exp(at4 + 1) & 0xff) << 8) |
+          (exp(at4 + 2) & 0xff)
+        val ok = got == want ||
+          ((want >>> 24) == 0 && (got >>> 24) == 0)
+        if (!ok) {
+          if (bad == 0) firstMsg =
+            f"first mismatch at ($x,$y): got $got%08x want $want%08x"
+          bad += 1
+        }
+      }
+      assert(bad === 0, s"$bad mismatched pixels; $firstMsg")
+    }
+  }
 }
