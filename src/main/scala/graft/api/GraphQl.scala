@@ -312,6 +312,16 @@ object GraphQl {
       case _ => bad(s"$at.$k: expected an integer")
     }
 
+  /** Hasura rejects arguments it doesn't know; silently dropping one
+    * (a typo'd `wher:`, an unsupported `distinct_on:`) would parse
+    * fine and return WRONG rows — the worst failure mode a front end
+    * can have. */
+  private def checkArgs(args: Map[String, V], allowed: Set[String],
+      at: String): Unit =
+    (args.keySet -- allowed).toSeq.sorted.headOption.foreach(k =>
+      bad(s"$at: unknown argument '$k' " +
+        s"(supported: ${allowed.toSeq.sorted.mkString(", ")})"))
+
   // ---- selection compilation -----------------------------------------
 
   private def strDirArg(d: Map[String, V], dir: String, k: String,
@@ -355,8 +365,16 @@ object GraphQl {
         case "count" => aggs += CountOf(childKey, alias.getOrElse("count"))
         case "sum" | "min" | "max" | "avg" =>
           p.expect('{')
+          var inBlock = 0
           while (!p.isPunct('}')) {
             val f = p.name("aggregated field")
+            inBlock += 1
+            // an alias names ONE output column — applying it to every
+            // field in the braces would emit duplicate column names
+            // that only fail later, at analysis time
+            if (inBlock > 1 && alias.isDefined)
+              bad(s"$at: alias on $fn covers one field; " +
+                "split multi-field aggregates")
             val as = alias.getOrElse(s"${fn}_$f")
             aggs += (fn match {
               case "sum" => SumOf(f, as)
@@ -380,6 +398,7 @@ object GraphQl {
       args: Map[String, V], dirs: Map[String, Map[String, V]],
       alias: Option[String], relName: String, rel: Rel): Nested = {
     val at = alias.getOrElse(relName)
+    checkArgs(args, Set("where", "order_by", "limit"), at)
     val joinType = dirs.get("join")
       .map(d => strDirArg(d, "join", "type", at)).getOrElse("inner")
     (dirs.keySet - "join").foreach(d => bad(s"$at: unknown directive @$d"))
@@ -432,6 +451,7 @@ object GraphQl {
       p.expect('{')
       val table = p.name("root table")
       val args = parseArgs(p)
+      checkArgs(args, Set("where", "order_by", "limit", "offset"), table)
       p.expect('{')
       val fields = Seq.newBuilder[String]
       val nested = Seq.newBuilder[Nested]
@@ -448,6 +468,12 @@ object GraphQl {
             val relName = fname.stripSuffix("_aggregate")
             val rel = schema.rels.getOrElse((table, relName), bad(
               s"$fname: no tracked relationship '$relName' on '$table'"))
+            if (alias.isDefined)
+              bad(s"$fname: aliases on aggregate relationships are not " +
+                "supported (output columns are named by the aggregates)")
+            checkArgs(fargs, Set("where", "order_by", "limit"), fname)
+            (fdirs.keySet - "join").foreach(d =>
+              bad(s"$fname: unknown directive @$d"))
             p.expect('{')
             var aggs: Seq[AggField] = Nil
             while (!p.isPunct('}')) {

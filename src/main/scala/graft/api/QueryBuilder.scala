@@ -92,9 +92,14 @@ object QueryBuilder {
 
   // ---- ordering ------------------------------------------------------
 
+  /** Null placement follows the reference's engine (Hasura/Postgres):
+    * asc puts nulls LAST, desc puts nulls FIRST — i.e. null sorts as
+    * larger than every value. Spark's bare asc/desc defaults are the
+    * OPPOSITE (nulls first on asc), which would silently diverge for
+    * nullable order columns. */
   final case class Order(field: String, desc: Boolean = false) {
     private[api] def toColumn: Column =
-      if (desc) col(field).desc else col(field).asc
+      if (desc) col(field).desc_nulls_first else col(field).asc_nulls_last
   }
 
   // ---- relationships -------------------------------------------------
@@ -267,12 +272,20 @@ object QueryBuilder {
       // then strip the keys back out of each struct
       val ordFs = n.orderBy.zipWithIndex.map { case (o, i) =>
         child0(o.field).as(s"__ord_$i") }
+      // null-AWARE comparator: `when(x < y)` is null (not false) for a
+      // null operand, which would fall through to the tie-break and
+      // make the comparator intransitive — array_sort order undefined.
+      // Null compares as larger than everything (the [[Order]] rule),
+      // checked before the value comparisons.
       val cmp = (l: Column, r: Column) =>
         n.orderBy.zipWithIndex.foldRight(lit(0)) { case ((o, i), acc) =>
           val a = l.getField(s"__ord_$i")
           val b = r.getField(s"__ord_$i")
           val (x, y) = if (o.desc) (b, a) else (a, b)
-          when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(acc)
+          when(x.isNull && y.isNull, acc)
+            .when(x.isNull, lit(1))
+            .when(y.isNull, lit(-1))
+            .when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(acc)
         }
       val outNames = n.fields.map(_.as) ++ n.sub.map(_.as)
       grouped.agg(transform(

@@ -30,10 +30,17 @@ object GifAnim {
 
   private val maxFrames = 1024
 
+  /** Cap on TOTAL retained canvas pixels (frames x canvas) — each
+    * emitted frame is a full-canvas ARGB snapshot, so the product is
+    * what bounds memory, not either factor alone (same reasoning as
+    * [[WebpAnim.maxTotalPixels]]). 2^26 px = 256 MB. */
+  private val maxTotalPixels = 1L << 26
+
   /** Decode a whole animation: full-canvas frames in display order.
-    * None for stills (fewer than 2 frames), non-GIF, or malformed
-    * bytes. */
-  def decode(b: Array[Byte]): Option[Seq[Frame]] = {
+    * None for stills (fewer than 2 frames), non-GIF, malformed bytes,
+    * or animations whose retained size exceeds `pixelBudget`. */
+  def decode(b: Array[Byte],
+      pixelBudget: Long = maxTotalPixels): Option[Seq[Frame]] = {
     if (b == null || b.length < 13) return None
     if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
       return None
@@ -51,15 +58,21 @@ object GifAnim {
       val cw = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
       val ch = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
       if (cw == 0 || ch == 0 || cw.toLong * ch > (1L << 24)) return None
+      if (n.toLong * cw * ch > pixelBudget) return None
       val canvas =
         new BufferedImage(cw, ch, BufferedImage.TYPE_INT_ARGB)
       val g = canvas.createGraphics()
       val out = Seq.newBuilder[Frame]
       var i = 0
       while (i < n) {
-        val frame = reader.read(i)
+        // metadata FIRST: the descriptor declares the frame rectangle,
+        // and reader.read allocates whatever it declares — validate
+        // against the (capped) canvas before any frame allocation
         val meta = gifImageMeta(reader.getImageMetadata(i))
-        if (meta.x + frame.getWidth > cw || meta.y + frame.getHeight > ch)
+        if (meta.w <= 0 || meta.h <= 0 ||
+          meta.x + meta.w > cw || meta.y + meta.h > ch) return None
+        val frame = reader.read(i)
+        if (frame.getWidth != meta.w || frame.getHeight != meta.h)
           return None
         val before =
           if (meta.disposal == "restoreToPrevious") copy(canvas) else null
@@ -105,18 +118,19 @@ object GifAnim {
     o
   }
 
-  private final case class Meta(x: Int, y: Int, delayMs: Int,
-      disposal: String)
+  private final case class Meta(x: Int, y: Int, w: Int, h: Int,
+      delayMs: Int, disposal: String)
 
   /** Per-frame GIF metadata from ImageIO's native tree
     * (`javax_imageio_gif_image_1.0`): ImageDescriptor carries the
-    * frame rectangle's offsets, GraphicControlExtension the delay (in
-    * centiseconds) and disposal method. */
+    * frame rectangle (offsets AND size — read before decoding, so
+    * hostile rectangles reject pre-allocation), GraphicControlExtension
+    * the delay (in centiseconds) and disposal method. */
   private def gifImageMeta(
       m: javax.imageio.metadata.IIOMetadata): Meta = {
     val root = m.getAsTree("javax_imageio_gif_image_1.0")
       .asInstanceOf[IIOMetadataNode]
-    var x = 0; var y = 0; var delay = 0
+    var x = 0; var y = 0; var w = 0; var h = 0; var delay = 0
     var disposal = "none"
     val kids = root.getChildNodes
     var i = 0
@@ -125,6 +139,8 @@ object GifAnim {
         case e: IIOMetadataNode if e.getNodeName == "ImageDescriptor" =>
           x = e.getAttribute("imageLeftPosition").toInt
           y = e.getAttribute("imageTopPosition").toInt
+          w = e.getAttribute("imageWidth").toInt
+          h = e.getAttribute("imageHeight").toInt
         case e: IIOMetadataNode
             if e.getNodeName == "GraphicControlExtension" =>
           delay = e.getAttribute("delayTime").toInt * 10
@@ -133,6 +149,6 @@ object GifAnim {
       }
       i += 1
     }
-    Meta(x, y, delay, disposal)
+    Meta(x, y, w, h, delay, disposal)
   }
 }

@@ -609,25 +609,63 @@ object Vp8l {
         if (alphaAt < 0) return frame
         return frame.flatMap { img =>
           decodeAlph(b, alphaAt, alphaLen, img.getWidth, img.getHeight)
-            .map { plane =>
-              val out = new BufferedImage(img.getWidth, img.getHeight,
-                BufferedImage.TYPE_INT_ARGB)
-              var j = 0
-              while (j < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  out.setRGB(x, j, (plane(j * img.getWidth + x) << 24) |
-                    (img.getRGB(x, j) & 0xffffff))
-                  x += 1
-                }
-                j += 1
-              }
-              out
-            } // undecodable alpha on a well-formed frame: malformed file
+            .map(mergeAlpha(img, _))
+          // undecodable alpha on a well-formed frame: malformed file
         }
       }
       off += 8 + size + (size & 1) // chunks are even-padded
       }
+    }
+    None
+  }
+
+  /** Merge an 8-bit alpha plane into a frame's color pixels. ONE
+    * definition shared by the still walker above and the animation
+    * reassembly ([[WebpAnim]]), so alpha semantics cannot diverge. */
+  private[functions] def mergeAlpha(img: BufferedImage,
+      plane: Array[Int]): BufferedImage = {
+    val out = new BufferedImage(img.getWidth, img.getHeight,
+      BufferedImage.TYPE_INT_ARGB)
+    var j = 0
+    while (j < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        out.setRGB(x, j, (plane(j * img.getWidth + x) << 24) |
+          (img.getRGB(x, j) & 0xffffff))
+        x += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Walk an `ALPH? + ("VP8 " | "VP8L")` chunk sequence within
+    * `[start, end)` — the payload shape an ANMF animation frame
+    * carries (container spec: a frame body is an ordinary still). */
+  private[functions] def decodeStillChunks(b: Array[Byte], start: Long,
+      end: Long): Option[BufferedImage] = {
+    def u32le(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    var off = start
+    var alphaAt = -1
+    var alphaLen = -1
+    while (off + 8 <= end) {
+      val i = off.toInt
+      val tag = new String(b, i, 4, "ISO-8859-1")
+      val size = u32le(i + 4)
+      if (size < 0 || off + 8 + size > end) return None
+      if (tag == "VP8L") return decodeStream(b, i + 8)
+      if (tag == "ALPH") { alphaAt = i + 8; alphaLen = size.toInt }
+      if (tag == "VP8 ") {
+        val frame = Vp8.decodeFrame(b, i + 8, size.toInt)
+        if (alphaAt < 0) return frame
+        return frame.flatMap { img =>
+          decodeAlph(b, alphaAt, alphaLen, img.getWidth, img.getHeight)
+            .map(mergeAlpha(img, _))
+        }
+      }
+      off += 8 + size + (size & 1)
     }
     None
   }

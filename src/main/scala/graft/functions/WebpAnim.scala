@@ -32,10 +32,20 @@ object WebpAnim {
 
   private val maxFrames = 1024
 
+  /** Cap on TOTAL retained canvas pixels (frames x canvas): each
+    * emitted frame is a full-canvas ARGB snapshot (4 bytes/px), so
+    * without a product cap a ~50 KB hostile file declaring a 4096x4096
+    * canvas with 1024 one-pixel ANMF frames would demand ~69 GB — an
+    * OutOfMemoryError no `catch Exception` sees. 2^26 px = 256 MB. */
+  private val maxTotalPixels = 1L << 26
+
   /** Decode a whole animation: full-canvas frames in display order.
-    * None for stills (no ANIM/ANMF), malformed bytes, or any frame
-    * whose payload fails to decode. */
-  def decode(b: Array[Byte]): Option[Seq[Frame]] = try {
+    * None for stills (no ANIM/ANMF), malformed bytes, any frame whose
+    * payload fails to decode, or an animation whose total retained
+    * size would exceed `pixelBudget` (parameterized so the spec can
+    * exercise the guard without allocating hundreds of MB). */
+  def decode(b: Array[Byte],
+      pixelBudget: Long = maxTotalPixels): Option[Seq[Frame]] = try {
     if (b == null || b.length < 30) return None
     def u32le(i: Int): Long =
       (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
@@ -46,8 +56,9 @@ object WebpAnim {
           b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'))
       return None
     // VP8X must come first with the animation flag set
-    if (new String(b, 12, 4, "ISO-8859-1") != "VP8X" || u32le(16) < 10)
-      return None
+    val vp8xSize = u32le(16)
+    if (new String(b, 12, 4, "ISO-8859-1") != "VP8X" || vp8xSize < 10 ||
+      20L + vp8xSize > b.length) return None
     if ((b(20) & 0x02) == 0) return None // not an animation
     val cw = u24le(24) + 1
     val ch = u24le(27) + 1
@@ -55,7 +66,8 @@ object WebpAnim {
     val canvas = new Array[Int](cw * ch) // ARGB, starts transparent
     val out = Seq.newBuilder[Frame]
     var n = 0
-    var off = 12L + 18 // past the 8+10-byte VP8X chunk
+    // past the VP8X chunk, whatever size it declares (padded to even)
+    var off = 12L + 8 + vp8xSize + (vp8xSize & 1)
     while (off + 8 <= b.length) {
       val i = off.toInt
       val tag = new String(b, i, 4, "ISO-8859-1")
@@ -64,7 +76,8 @@ object WebpAnim {
       if (tag == "ANMF") {
         if (size < 16) return None
         n += 1
-        if (n > maxFrames) return None
+        if (n > maxFrames || n.toLong * cw * ch > pixelBudget)
+          return None
         val fx = u24le(i + 8) * 2
         val fy = u24le(i + 11) * 2
         val fw = u24le(i + 14) + 1
@@ -108,50 +121,12 @@ object WebpAnim {
   } catch { case _: Exception => None }
 
   /** An ANMF payload is a regular still stream: optional ALPH, then
-    * "VP8 " or "VP8L" — decoded by the same walkers the still path
-    * uses. */
+    * "VP8 " or "VP8L" — ONE walker shared with the still container
+    * path ([[Vp8l.decodeStillChunks]]), so bounds handling and alpha
+    * merging cannot diverge between the two. */
   private def decodeFramePayload(b: Array[Byte], start: Int,
-      len: Int): Option[BufferedImage] = {
-    def u32le(i: Int): Long =
-      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    val end = start.toLong + len
-    var off = start.toLong
-    var alphaAt = -1
-    var alphaLen = -1
-    while (off + 8 <= end) {
-      val i = off.toInt
-      val tag = new String(b, i, 4, "ISO-8859-1")
-      val size = u32le(i + 4)
-      if (size < 0 || off + 8 + size > end) return None
-      if (tag == "VP8L") return Vp8l.decodeStream(b, i + 8)
-      if (tag == "ALPH") { alphaAt = i + 8; alphaLen = size.toInt }
-      if (tag == "VP8 ") {
-        val frame = Vp8.decodeFrame(b, i + 8, size.toInt)
-        if (alphaAt < 0) return frame
-        return frame.flatMap { img =>
-          Vp8l.decodeAlph(b, alphaAt, alphaLen, img.getWidth, img.getHeight)
-            .map { plane =>
-              val o = new BufferedImage(img.getWidth, img.getHeight,
-                BufferedImage.TYPE_INT_ARGB)
-              var j = 0
-              while (j < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  o.setRGB(x, j, (plane(j * img.getWidth + x) << 24) |
-                    (img.getRGB(x, j) & 0xffffff))
-                  x += 1
-                }
-                j += 1
-              }
-              o
-            }
-        }
-      }
-      off += 8 + size + (size & 1)
-    }
-    None
-  }
+      len: Int): Option[BufferedImage] =
+    Vp8l.decodeStillChunks(b, start.toLong, start.toLong + len)
 
   /** The spec's non-premultiplied src-over, in 8-bit integer rounding:
     * transparent src keeps dst; otherwise alpha accumulates and

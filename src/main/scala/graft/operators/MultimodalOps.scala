@@ -202,7 +202,14 @@ object MultimodalOps {
         // compressed codecs yield no frames and fall to the stub path.
         picked.flatMap { fi =>
           val d = raw(fi)
-          if (d.length >= 3 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8)
+          // header-declared dims bounded BEFORE ImageIO.read — same
+          // posture as the DIB branch: the JPEG reader allocates the
+          // raster from the SOF header, so a tiny chunk declaring a
+          // huge frame must reject pre-allocation
+          if (d.length >= 3 && (d(0) & 0xff) == 0xff &&
+            (d(1) & 0xff) == 0xd8 &&
+            jpegDims(d).exists { case (jw, jh) =>
+              jw > 0 && jh > 0 && jw.toLong * jh <= (1L << 24) })
             Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(d)))
               .map(img => fi -> BinaryFunctions.encodePng(img))
@@ -211,6 +218,30 @@ object MultimodalOps {
       }
     if (out.isEmpty) None else Some(out)
   } catch { case _: Exception => None }
+
+  /** JPEG dimensions from the first SOFn marker (frame header: u16be
+    * height then width) — the allocation guard for the MJPEG branch. */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+          m != 0xcc) {
+          if (i + 9 > b.length) return None
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
 
   /** Minimal uncompressed-DIB AVI writer (one 24-bit video stream) —
     * deterministic fixture bytes for specs; frame pixels derive from

@@ -196,6 +196,29 @@ class GraphQlSpec extends SparkSpec {
       .contains("trailing content"))
   }
 
+  test("unknown or unsupported arguments are rejected, not silently " +
+    "dropped (the wrong-rows failure mode)") {
+    // offset is root-only: Nested has no offset, so accepting it here
+    // would return rows 1-3 as if it were honored
+    assert(err("{ customer { c_custkey orders(offset: 5, " +
+      "order_by: {o_orderkey: asc}, limit: 3) { k: o_orderkey } } }")
+      .contains("unknown argument 'offset'"))
+    assert(err("{ customer(wher: {c_custkey: {_lte: 5}}) { c_custkey } }")
+      .contains("unknown argument 'wher'"))
+    assert(err("{ customer { c_custkey orders_aggregate(distinct_on: x)" +
+      " { aggregate { count } } } }")
+      .contains("unknown argument 'distinct_on'"))
+    assert(err("{ customer { c_custkey orders_aggregate @fmt(round: 1) " +
+      "{ aggregate { count } } } }").contains("unknown directive @fmt"))
+    assert(err("{ customer { c_custkey o: orders_aggregate " +
+      "{ aggregate { count } } } }")
+      .contains("aliases on aggregate relationships"))
+    // an alias names ONE column — two fields under it would collide
+    assert(err("{ customer { c_custkey orders_aggregate { aggregate " +
+      "{ lo: min { o_totalprice o_orderkey } } } } }")
+      .contains("alias on min covers one field"))
+  }
+
   test("tokenizer details: commas optional, # comments, escapes, " +
     "unicode escapes, operation names") {
     val r = parsed("query Named # a comment\n" +

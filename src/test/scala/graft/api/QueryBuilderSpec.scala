@@ -256,4 +256,60 @@ class QueryBuilderSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - want) < 1e-6, s"sum for $ck")
     }
   }
+
+  test("null order keys: Hasura/Postgres placement (asc last, desc " +
+    "first) and a transitive array comparator — deterministic arrays") {
+    // the fixture tables have no nulls, so build a tiny table dir
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("qb_nulls")
+      .toString
+    val parent = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L), Row(2L)),
+      StructType(Seq(StructField("c_custkey", LongType))))
+    val child = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 10L, java.lang.Double.valueOf(5.0)),
+        Row(1L, 11L, null.asInstanceOf[java.lang.Double]),
+        Row(1L, 12L, java.lang.Double.valueOf(7.0)),
+        Row(1L, 13L, null.asInstanceOf[java.lang.Double]),
+        Row(2L, 20L, java.lang.Double.valueOf(1.0))),
+      StructType(Seq(StructField("o_custkey", LongType),
+        StructField("o_orderkey", LongType),
+        StructField("price", DoubleType))))
+    parent.write.parquet(s"$dir/customer.parquet")
+    child.write.parquet(s"$dir/orders.parquet")
+    def arrays(desc: Boolean): Map[Long, String] =
+      QueryBuilder.run(spark, dir, Request(
+        table = "customer",
+        fields = Seq("c_custkey"),
+        orderBy = Seq(Order("c_custkey")),
+        nested = Seq(Nested(
+          as = "orders", table = "orders",
+          childKey = "o_custkey", parentKey = "c_custkey",
+          fields = Seq(NestedField("k", "o_orderkey")),
+          orderBy = Seq(Order("price", desc = desc), Order("o_orderkey"))))))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // desc: nulls FIRST (11 then 13 by tie-break), then 7.0, 5.0
+    assert(arrays(desc = true)(1L) ===
+      """[{"k":11},{"k":13},{"k":12},{"k":10}]""")
+    // asc: values first, nulls LAST
+    assert(arrays(desc = false)(1L) ===
+      """[{"k":10},{"k":12},{"k":11},{"k":13}]""")
+    // top-n membership follows the same placement: desc limit 2 keeps
+    // the two null rows (nulls first), asc limit 2 keeps the values
+    def topn(desc: Boolean): String =
+      QueryBuilder.run(spark, dir, Request(
+        table = "customer",
+        fields = Seq("c_custkey"),
+        where = Some(Eq("c_custkey", 1L)),
+        nested = Seq(Nested(
+          as = "orders", table = "orders",
+          childKey = "o_custkey", parentKey = "c_custkey",
+          fields = Seq(NestedField("k", "o_orderkey")),
+          orderBy = Seq(Order("price", desc = desc), Order("o_orderkey")),
+          limit = Some(2))))).collect().head.getString(1)
+    assert(topn(desc = true) === """[{"k":11},{"k":13}]""")
+    assert(topn(desc = false) === """[{"k":10},{"k":12}]""")
+  }
 }

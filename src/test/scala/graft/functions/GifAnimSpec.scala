@@ -180,5 +180,23 @@ class GifAnimSpec extends AnyFunSuite {
     assert(GifAnim.decode(huge) === None)
     // truncated mid-stream: reader throws → None
     assert(GifAnim.decode(anim.take(anim.length / 2)) === None)
+    // frames x canvas product cap (injected budget — see WebpAnim)
+    assert(GifAnim.decode(anim, pixelBudget = 4 * 4 * 2 - 1) === None)
+    assert(GifAnim.decode(anim, pixelBudget = 4 * 4 * 2).isDefined)
+    // hostile image descriptor: frame 2 declaring 65535x65535 must
+    // reject from METADATA, before reader.read allocates the raster
+    val desc2 = {
+      // second 0x2C image-separator block
+      var i = 13; var seen = 0; var at = -1
+      while (at < 0 && i < anim.length) {
+        if ((anim(i) & 0xff) == 0x2c) { seen += 1; if (seen == 2) at = i }
+        i += 1
+      }
+      assert(at > 0, "no second image descriptor"); at
+    }
+    val fat = anim.clone()
+    fat(desc2 + 5) = -1; fat(desc2 + 6) = -1 // width = 0xffff
+    fat(desc2 + 7) = -1; fat(desc2 + 8) = -1 // height = 0xffff
+    assert(GifAnim.decode(fat) === None)
   }
 }

@@ -144,6 +144,32 @@ class WebpAnimSpec extends AnyFunSuite {
     huge(24) = -1; huge(25) = -1; huge(26) = 0 // cw-1 = 0xffff
     huge(27) = -1; huge(28) = -1; huge(29) = 0 // ch-1 = 0xffff
     assert(WebpAnim.decode(huge) === None)
+    // the frames x canvas PRODUCT is capped too: each emitted frame
+    // retains a full canvas, so a small file with many frames on a
+    // large (individually-legal) canvas is a memory bomb. Injected
+    // budget exercises the guard cheaply.
+    assert(WebpAnim.decode(good, pixelBudget = 40 * 24 * 3 - 1) === None)
+    assert(WebpAnim.decode(good, pixelBudget = 40 * 24 * 3).isDefined)
+  }
+
+  test("a VP8X chunk larger than the minimal 10 bytes still walks to " +
+    "the following chunks (size honored, not assumed)") {
+    val good = resource("anim_replace.webp")
+    // grow VP8X 10 -> 12: splice two zero bytes after its payload and
+    // fix the RIFF size
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 16)
+    out.write(Array[Byte](12, 0, 0, 0)) // new VP8X size
+    out.write(good, 20, 10) // original VP8X payload
+    out.write(Array[Byte](0, 0)) // extension bytes
+    out.write(good, 30, good.length - 30)
+    val b = out.toByteArray
+    val riff = b.length - 8
+    b(4) = riff.toByte; b(5) = (riff >> 8).toByte
+    b(6) = (riff >> 16).toByte; b(7) = (riff >> 24).toByte
+    val got = WebpAnim.decode(b).getOrElse(fail("padded VP8X rejected"))
+    assert(got.length ===
+      WebpAnim.decode(good).getOrElse(fail("good")).length)
   }
 
   private def indexOfTag(b: Array[Byte], tag: String): Int = {
