@@ -338,6 +338,20 @@ class PlanQualitySpec extends SparkSpec {
     // one collect_list per nesting level (orders, items)
     assert("collect_list\\(".r.findAllIn(p97).length >= 2,
       s"two-level nesting should fold per level (bottom-up):\n$p97")
+    // q98's per-relationship args: the child's own where reaches the
+    // child's parquet scan, and the per-parent limit is a row_number
+    // window riding the fold's hash partitioning — the ONLY range
+    // exchange is the root order_by's output sort, never a global sort
+    // of the child fan-out
+    val p98 = plan(graft.api.QueryBuilder.q98QbChildArgs(spark, dir))
+    val pushed98 = p98.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString
+    assert(pushed98.contains("o_orderstatus"),
+      s"child where not pushed to the orders scan:\n$pushed98")
+    assert(p98.contains("row_number"), s"no windowed top-n:\n$p98")
+    assert(p98.linesIterator
+      .count(_.contains("Exchange rangepartitioning")) <= 1,
+      s"child top-n must not global-sort:\n$p98")
   }
 
   test("q94 scoring rides one scan: codegen dot against the literal " +
