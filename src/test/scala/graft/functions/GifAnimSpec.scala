@@ -199,4 +199,24 @@ class GifAnimSpec extends AnyFunSuite {
     fat(desc2 + 7) = -1; fat(desc2 + 8) = -1 // height = 0xffff
     assert(GifAnim.decode(fat) === None)
   }
+
+  test("mutation fuzz: corrupted GIFs decode to None or frames, " +
+    "never an exception or a hang") {
+    val good = writeGif(Seq(
+      (frame(fill(10, 8, 4)), 0, 0, 1, "doNotDispose"),
+      (frame(fill(4, 3, 3)), 5, 2, 1, "restoreToBackgroundColor"),
+      (frame(fill(2, 2, 2)), 0, 0, 1, "doNotDispose")))
+    val rnd = new scala.util.Random(0x61F)
+    for (trial <- 1 to 150) {
+      val mutated = good.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val at = 6 + rnd.nextInt(mutated.length - 6)
+        mutated(at) = rnd.nextInt(256).toByte
+      }
+      val t0 = System.nanoTime()
+      GifAnim.decode(mutated) // Option either way — no throw
+      assert(System.nanoTime() - t0 < 5_000_000_000L,
+        s"trial $trial: decode took >5s on corrupt input")
+    }
+  }
 }

@@ -172,6 +172,27 @@ class WebpAnimSpec extends AnyFunSuite {
       WebpAnim.decode(good).getOrElse(fail("good")).length)
   }
 
+  test("mutation fuzz: corrupted animations decode to None or frames, " +
+    "never an exception or a hang") {
+    Seq("anim_replace", "anim_blend", "anim_lossy").foreach { name =>
+      val good = resource(s"$name.webp")
+      val rnd = new scala.util.Random(0xA211)
+      for (trial <- 1 to 150) {
+        val mutated = good.clone()
+        // corrupt 1-4 bytes anywhere: container walk, ANMF headers,
+        // frame payloads — every layer must fail closed
+        for (_ <- 0 to rnd.nextInt(4)) {
+          val at = 12 + rnd.nextInt(mutated.length - 12)
+          mutated(at) = rnd.nextInt(256).toByte
+        }
+        val t0 = System.nanoTime()
+        WebpAnim.decode(mutated) // Option either way — no throw
+        assert(System.nanoTime() - t0 < 5_000_000_000L,
+          s"$name trial $trial: decode took >5s on corrupt input")
+      }
+    }
+  }
+
   private def indexOfTag(b: Array[Byte], tag: String): Int = {
     val t = tag.getBytes("US-ASCII")
     var i = 12
