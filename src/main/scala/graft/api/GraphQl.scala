@@ -25,8 +25,12 @@ import graft.api.QueryBuilder._
   * Hasura's `{field: asc|desc}` spelling — object or list form —
   * `limit`, `offset`), boolean operators `_and/_or/_not` (object OR
   * array operands — the reference's own example uses the object form)
-  * and comparisons `_eq/_neq/_gt/_gte/_lt/_lte/_in/_like`, block
-  * strings, `#` comments, and an optional leading `query [Name]`.
+  * and the full comparison surface (`_eq/_neq/_gt/_gte/_lt/_lte/_in/
+  * _nin/_like/_nlike/_ilike/_is_null`), block strings, `#` comments,
+  * an optional leading `query [Name]`, and OPERATION VARIABLES
+  * (`query ($k: bigint!) {...}` + a JSON variables map — the shape
+  * every Hasura client actually sends; `$name` resolves at any value
+  * position, and declared/bound/used must agree or the parse fails).
   * Two engine-specific field directives carry what Hasura expresses
   * elsewhere: `@fmt(round: n, printf: "…")` (q40's cross-engine price
   * rendering) and `@cast(to: "long")`; `@join(type: "left")` on a
@@ -79,7 +83,7 @@ object GraphQl {
       val c = q.charAt(i)
       if (c.isWhitespace || c == ',') i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
-      else if ("{}()[]:@!".indexOf(c) >= 0) { out += Punct(c, i); i += 1 }
+      else if ("{}()[]:@!$".indexOf(c) >= 0) { out += Punct(c, i); i += 1 }
       else if (c == '"') {
         val start = i
         if (i + 2 < n && q.charAt(i + 1) == '"' && q.charAt(i + 2) == '"') {
@@ -145,6 +149,9 @@ object GraphQl {
   // ---- parser --------------------------------------------------------
 
   private final class P(toks: Vector[Tok]) {
+    /** Declared-and-bound operation variables, resolvable at any value
+      * position (`$name`). */
+    var variables: Map[String, V] = Map.empty
     private var at = 0
     def peek: Tok = toks(at)
     def next(): Tok = { val t = toks(at); at += 1; t }
@@ -171,6 +178,10 @@ object GraphQl {
   private final case class VObj(fields: Seq[(String, V)]) extends V
 
   private def parseValue(p: P): V = p.next() match {
+    case Punct('$', pos) =>
+      val vn = p.name("variable name")
+      p.variables.getOrElse(vn,
+        bad(s"undeclared variable $$$vn at $pos"))
     case Str(s, _) => VLit(s)
     case IntLit(v, _) => VLit(v)
     case FloatLit(v, _) => VLit(v)
@@ -436,18 +447,70 @@ object GraphQl {
   }
 
   /** Parse one GraphQL read query against `schema` → the same
-    * [[Request]] the DSL builds. Never throws. */
-  def parse(query: String,
-      schema: Schema = fixtureSchema): Either[String, Request] =
+    * [[Request]] the DSL builds. Never throws.
+    *
+    * `variables` is the request's JSON variables map (the way every
+    * Hasura client ships literals): `query ($k: bigint!) { ... }` with
+    * `{"k": 50}`. Declared variables substitute at `$name` value
+    * positions; an undeclared `$name`, an unbound declared variable,
+    * or an unused binding is an error — silent nulls would be the
+    * wrong-rows failure mode. */
+  def parse(query: String, schema: Schema = fixtureSchema,
+      variables: String = "{}"): Either[String, Request] =
     try {
+      val vars: Map[String, V] = {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(
+          if (variables == null || variables.isEmpty) "{}" else variables)
+        if (!root.isObject) bad("variables: expected a JSON object")
+        import scala.jdk.CollectionConverters._
+        root.fields().asScala.map { e =>
+          def conv(n: com.fasterxml.jackson.databind.JsonNode): V =
+            if (n.isTextual) VLit(n.asText)
+            else if (n.isBoolean) VLit(n.asBoolean)
+            else if (n.isIntegralNumber) VLit(n.asLong)
+            else if (n.isNumber) VLit(n.asDouble)
+            else if (n.isArray) VList(n.elements().asScala.toSeq.map(conv))
+            else if (n.isObject) VObj(n.fields().asScala.toSeq
+              .map(f => f.getKey -> conv(f.getValue)))
+            else bad(s"variables.${e.getKey}: unsupported JSON value")
+          e.getKey -> conv(e.getValue)
+        }.toMap
+      }
       val p = new P(tokenize(query))
-      // optional operation header: `query [Name]`
+      // optional operation header: `query [Name] [($var: type, ...)]`
+      val declared = Set.newBuilder[String]
       p.peek match {
         case Name("query", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
+          if (p.isPunct('(')) {
+            p.expect('(')
+            while (!p.isPunct(')')) {
+              p.expect('$')
+              val vn = p.name("variable name")
+              declared += vn
+              if (!vars.contains(vn))
+                bad(s"variable $$$vn declared but not bound in variables")
+              p.expect(':')
+              // type reference, client documentation only: Name or
+              // [Name[!]] with optional non-null markers
+              if (p.isPunct('[')) {
+                p.expect('[')
+                p.name("variable type")
+                if (p.isPunct('!')) p.expect('!')
+                p.expect(']')
+              } else p.name("variable type")
+              if (p.isPunct('!')) p.expect('!')
+            }
+            p.expect(')')
+          }
         case _ => ()
       }
+      val declaredSet = declared.result()
+      (vars.keySet -- declaredSet).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variables.$k bound but not declared by the operation"))
+      p.variables = declaredSet.map(k => k -> vars(k)).toMap
       p.expect('{')
       val table = p.name("root table")
       val args = parseArgs(p)

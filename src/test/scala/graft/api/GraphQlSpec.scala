@@ -196,6 +196,46 @@ class GraphQlSpec extends SparkSpec {
       .contains("trailing content"))
   }
 
+  test("operation variables: the client wire shape — declared in the " +
+    "header, bound in the JSON map, resolved at value positions") {
+    val q = """query Top($k: bigint!, $st: String!, $langs: [String!]) {
+              |  customer(where: {_and: [{c_custkey: {_lte: $k}},
+              |                          {c_mktsegment: {_nin: $langs}}]}) {
+              |    c_custkey
+              |    orders(where: {o_orderstatus: {_eq: $st}},
+              |           order_by: {o_orderkey: asc}, limit: 2) {
+              |      k: o_orderkey
+              |    }
+              |  }
+              |}""".stripMargin
+    val vars = """{"k": 50, "st": "O", "langs": ["MACHINERY"]}"""
+    val r = GraphQl.parse(q, variables = vars)
+      .getOrElse(fail("did not parse"))
+    assert(r.where === Some(And(Lte("c_custkey", 50L),
+      Nin("c_mktsegment", Seq("MACHINERY")))))
+    assert(r.nested.head.where === Some(Eq("o_orderstatus", "O")))
+    // a whole where-tree can arrive as an object variable
+    val rw = GraphQl.parse(
+      "query ($w: customer_bool_exp) { customer(where: $w) { c_custkey } }",
+      variables = """{"w": {"c_custkey": {"_gte": 3}}}""")
+      .getOrElse(fail("object variable did not parse"))
+    assert(rw.where === Some(Gte("c_custkey", 3L)))
+    def errV(q: String, vars: String): String =
+      GraphQl.parse(q, variables = vars) match {
+        case Left(m) => m
+        case Right(r0) => fail(s"accepted as $r0")
+      }
+    assert(errV("query ($k: Int!) { customer { c_custkey } }", "{}")
+      .contains("declared but not bound"))
+    assert(errV("{ customer { c_custkey } }", """{"k": 1}""")
+      .contains("bound but not declared"))
+    assert(errV(
+      "{ customer(where: {c_custkey: {_lte: $k}}) { c_custkey } }",
+      """{}""").contains("undeclared variable $k"))
+    assert(errV("{ customer { c_custkey } }", "[1]")
+      .contains("variables: expected a JSON object"))
+  }
+
   test("unknown or unsupported arguments are rejected, not silently " +
     "dropped (the wrong-rows failure mode)") {
     // offset is root-only: Nested has no offset, so accepting it here
