@@ -93,7 +93,7 @@ object BinaryFunctions {
 
   // --- decode / meta / resize (real for JDK rasters) ----------------------
 
-  private def decode(b: Array[Byte]): Option[BufferedImage] =
+  private[graft] def decode(b: Array[Byte]): Option[BufferedImage] =
     sniffFormat(b) match {
       case "png" | "jpeg" | "gif" | "bmp" =>
         Option(ImageIO.read(new ByteArrayInputStream(b)))

@@ -337,6 +337,108 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  // --- perceptual image dedup (dHash) -------------------------------------
+
+  /** 64-bit DIFFERENCE HASH: average-pool the image to a 9x8 grayscale
+    * grid with deterministic integer box sampling (no Graphics2D
+    * scaling — platform-independent, unlike SCALE_SMOOTH), then set one
+    * bit per horizontal neighbor pair (left > right). Near-duplicate
+    * images — re-encodes, mild resizes, small crops/edits — land within
+    * a few bits of hamming distance; the multimodal counterpart of the
+    * text pipeline's SimHash. */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val grid = new Array[Double](9 * 8)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = (cy.toLong * h / 8).toInt
+      val y1 = math.max(y0 + 1, ((cy + 1).toLong * h / 8).toInt)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = (cx.toLong * w / 9).toInt
+        val x1 = math.max(x0 + 1, ((cx + 1).toLong * w / 9).toInt)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = img.getRGB(x, y)
+            sum += 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        grid(cy * 9 + cx) = if (n <= 0) 0.0 else sum.toDouble / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val row = i / 8; val colIdx = i % 8
+      if (grid(row * 9 + colIdx) > grid(row * 9 + colIdx + 1))
+        bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("dhash", LongType)))
+
+  /** (key, dhash) per media row — any of the engine's 7 decodable
+    * formats; undecodable bytes yield null (errors are data). One
+    * map-side pass, no shuffle. */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = if (bytes == null) None
+          else graft.functions.BinaryFunctions.decode(bytes)
+        img match {
+          case Some(i) => Row(key, dHash(i))
+          case None => Row(key, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Near-duplicate image pairs within hamming distance `maxDist` —
+    * the banded equi-join shape the text SimHash pairs use
+    * (TextQueries.simhashPairsRaw): the 64-bit hash splits into
+    * `maxDist + 1` bands, any pair within maxDist agrees on at least
+    * one band (pigeonhole — LOSSLESS, not approximate), candidates
+    * meet on the band key and the exact popcount filters. No cross
+    * join at any scale; band fan-out is (maxDist+1) x rows. */
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7, "bands are 8/16-bit: maxDist 0-7")
+    val nBands = maxDist + 1
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val hs = hashes.filter(col("dhash").isNotNull)
+    val banded = hs.withColumn("band",
+      explode(array((0 until nBands).map(b0 =>
+        struct(lit(b0).as("b"),
+          shiftright(col("dhash"), b0 * bandBits).bitwiseAND(lit(mask))
+            .as("v"))): _*)))
+    val a = banded.select(col("key").as("a"), col("dhash").as("ha"),
+      col("band"))
+    val b = banded.select(col("key").as("b"), col("dhash").as("hb"),
+      col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
+      .distinct()
+      .filter(col("d") <= maxDist)
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("sample_rate", IntegerType),

@@ -166,6 +166,61 @@ class MultimodalOpsSpec extends SparkSpec {
     assert((img1.getRGB(3, 2) & 0xffffff) === 0x00ff00)
   }
 
+  test("dHash: re-encode-invariant, locality under small edits, " +
+    "distance under different content") {
+    def img(seed: Long) = {
+      val png = BinaryFunctions.syntheticPng(seed, 64, 48)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    }
+    val base = img(7)
+    // identical pixels, different container: png vs bmp encode
+    val bmp = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(base, "bmp", bos)
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+    }
+    assert(MultimodalOps.dHash(base) === MultimodalOps.dHash(bmp))
+    // a small local edit moves few bits; different content moves many
+    val edited = {
+      val c = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = c.createGraphics(); g.drawImage(base, 0, 0, null)
+      g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 6, 5)
+      g.dispose(); c
+    }
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(MultimodalOps.dHash(base), MultimodalOps.dHash(edited)) <= 6)
+    assert(dist(MultimodalOps.dHash(base), MultimodalOps.dHash(img(99))) > 10)
+  }
+
+  test("imageDHashes + banded near-dup pairs: finds the re-encoded " +
+    "twin without a cross join, exact popcount distances") {
+    val png = BinaryFunctions.syntheticPng(7, 64, 48)
+    val bmp = {
+      val i = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "bmp", bos)
+      bos.toByteArray
+    }
+    val far = BinaryFunctions.syntheticPng(99, 64, 48)
+    val hashes = MultimodalOps.imageDHashes(media(
+      "p" -> png, "q" -> bmp, "z" -> far, "bad" -> "nope".getBytes))
+    val hs = hashes.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(hs("bad") === null)
+    assert(hs("p") === hs("q"))
+    val pairs = MultimodalOps.dhashNearDupPairs(hashes, maxDist = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded pairs must not cross-join:\n$plan")
+    val got = pairs.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("p", "q", 0L)))
+  }
+
   test("malicious RIFF chunk lengths terminate, not hang") {
     // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
     // clamp and exit, not loop forever
