@@ -827,6 +827,12 @@ object OracleSql {
         |  AND (source IS NULL OR source ILIKE 'SRC1%')
         |  AND source NOT LIKE '%8'
         |ORDER BY doc_id LIMIT 400""".stripMargin,
+    // Hasura's distinct_on, spelled natively: first row per lang by the
+    // (lang, n_chars DESC, doc_id) order — the longest doc per language
+    "q102_qb_distinct_on" ->
+      """SELECT DISTINCT ON (lang) doc_id, lang, n_chars
+        |FROM documents
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

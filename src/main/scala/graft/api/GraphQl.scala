@@ -514,7 +514,19 @@ object GraphQl {
       p.expect('{')
       val table = p.name("root table")
       val args = parseArgs(p)
-      checkArgs(args, Set("where", "order_by", "limit", "offset"), table)
+      checkArgs(args,
+        Set("where", "order_by", "limit", "offset", "distinct_on"), table)
+      // Hasura's distinct_on: a column enum or a list of them
+      val distinctOn = args.get("distinct_on").map {
+        case VEnum(c) => Seq(c)
+        case VList(vs) => vs.map {
+          case VEnum(c) => c
+          case VLit(s: String) => s
+          case _ => bad(s"$table.distinct_on: expected column names")
+        }
+        case VLit(s: String) => Seq(s)
+        case _ => bad(s"$table.distinct_on: expected column names")
+      }.getOrElse(Nil)
       p.expect('{')
       val fields = Seq.newBuilder[String]
       val nested = Seq.newBuilder[Nested]
@@ -587,7 +599,8 @@ object GraphQl {
         offset = intArg(args, "offset", table).getOrElse(0),
         limit = intArg(args, "limit", table),
         nested = nested.result(),
-        aggRels = aggRels.result()))
+        aggRels = aggRels.result(),
+        distinctOn = distinctOn))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")

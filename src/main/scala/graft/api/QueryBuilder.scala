@@ -211,8 +211,19 @@ object QueryBuilder {
       offset: Int = 0,
       limit: Option[Int] = None,
       nested: Seq[Nested] = Nil,
-      aggRels: Seq[AggRel] = Nil) {
+      aggRels: Seq[AggRel] = Nil,
+      distinctOn: Seq[String] = Nil) {
     require(fields.nonEmpty, s"request on '$table' selects no fields")
+    // Hasura's rule: order_by must lead with the distinct_on columns,
+    // otherwise "first row per group" is undefined. The STRICT form
+    // here also demands a tie-breaking tail (same reasoning as
+    // limit-needs-orderBy on [[Nested]]: a nondeterministic first-row
+    // can never hash-match an oracle).
+    require(distinctOn.isEmpty ||
+      (orderBy.length > distinctOn.length &&
+        orderBy.take(distinctOn.length).map(_.field) == distinctOn),
+      s"request on '$table': order_by must lead with the distinct_on " +
+        "columns and add a tie-breaking tail")
   }
 
   /** Keep each parent's top-`k` children by `order` — a
@@ -297,7 +308,19 @@ object QueryBuilder {
   /** Compile + run a request against the parquet tables in `dir`. */
   def run(s: SparkSession, dir: String, req: Request): DataFrame = {
     val base0 = graft.Tables.load(s, dir, req.table)
-    val base = req.where.map(w => base0.filter(w.toColumn)).getOrElse(base0)
+    val based = req.where.map(w => base0.filter(w.toColumn)).getOrElse(base0)
+    // distinct_on (Hasura/Postgres DISTINCT ON): first row per group by
+    // the order_by TAIL — a row_number window on the group key, so the
+    // cut rides one hash shuffle on the distinct columns, never a
+    // global sort or a driver-side pass
+    val base = if (req.distinctOn.isEmpty) based else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(req.distinctOn.map(based(_)): _*)
+        .orderBy(req.orderBy.drop(req.distinctOn.length)
+          .map(_.toColumn): _*)
+      based.withColumn("__don", row_number().over(w))
+        .filter(col("__don") === 1).drop("__don")
+    }
     // every relationship pre-aggregates to one row per parent key and
     // joins back on it — never a flat multi-child join
     val withNested = req.nested.foldLeft(base) { (acc, n) =>
@@ -418,6 +441,17 @@ object QueryBuilder {
         Nlike("source", "%8"))),
       orderBy = Seq(Order("doc_id")),
       limit = Some(400)))
+
+  /** q102 — Hasura's `distinct_on`: the longest document per language
+    * (distinct_on: lang, ordered lang asc, n_chars desc, doc_id asc).
+    * DuckDB spells the same semantics natively as DISTINCT ON. */
+  def q102QbDistinctOn(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Request(
+      table = "documents",
+      fields = Seq("doc_id", "lang", "n_chars"),
+      orderBy = Seq(Order("lang"), Order("n_chars", desc = true),
+        Order("doc_id")),
+      distinctOn = Seq("lang")))
 
   def q97QbNestedDeep(s: SparkSession, dir: String): DataFrame =
     run(s, dir, Request(

@@ -211,6 +211,10 @@ object RequestCodec {
       aggRels = Option(o.get("agg_rels"))
         .map(arr(_, "request.agg_rels")
           .map(parseAggRel(_, "request.agg_rels[]")))
+        .getOrElse(Nil),
+      distinctOn = Option(o.get("distinct_on"))
+        .map(arr(_, "request.distinct_on")
+          .map(str(_, "request.distinct_on[]")))
         .getOrElse(Nil))
 
   // ---- wire-served correctness entry ---------------------------------
@@ -346,6 +350,10 @@ object RequestCodec {
     o.put("table", r.table)
     val fa = o.putArray("fields")
     r.fields.foreach(fa.add)
+    if (r.distinctOn.nonEmpty) {
+      val da = o.putArray("distinct_on")
+      r.distinctOn.foreach(da.add)
+    }
     r.where.foreach(w => o.set[ObjectNode]("where", renderBool(w)))
     renderOrders(o, r.orderBy)
     if (r.offset != 0) o.put("offset", r.offset)

@@ -236,6 +236,24 @@ class GraphQlSpec extends SparkSpec {
       .contains("variables: expected a JSON object"))
   }
 
+  test("distinct_on parses (enum or list form) and runs identically " +
+    "to the DSL q102") {
+    val r = parsed("""
+      { documents(distinct_on: lang,
+                  order_by: [{lang: asc}, {n_chars: desc},
+                             {doc_id: asc}]) {
+          doc_id lang n_chars } }""")
+    assert(r.distinctOn === Seq("lang"))
+    val dir = sf("sf0.001")
+    val viaGql = QueryBuilder.run(spark, dir, r).collect().toSeq
+    val dsl = QueryBuilder.q102QbDistinctOn(spark, dir).collect().toSeq
+    assert(viaGql.nonEmpty && viaGql === dsl)
+    // order_by must lead with the distinct_on columns + tie tail
+    assert(err("{ documents(distinct_on: lang, " +
+      "order_by: {doc_id: asc}) { doc_id } }")
+      .contains("must lead with the distinct_on"))
+  }
+
   test("unknown or unsupported arguments are rejected, not silently " +
     "dropped (the wrong-rows failure mode)") {
     // offset is root-only: Nested has no offset, so accepting it here

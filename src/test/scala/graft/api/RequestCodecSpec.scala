@@ -45,6 +45,12 @@ class RequestCodecSpec extends SparkSpec {
         Nlike("source", "%8"))),
       orderBy = Seq(Order("doc_id")),
       limit = Some(10)),
+    "distinct-on" -> Request(
+      table = "documents",
+      fields = Seq("doc_id", "lang"),
+      orderBy = Seq(Order("lang"), Order("n_chars", desc = true),
+        Order("doc_id")),
+      distinctOn = Seq("lang")),
     "deep+aggs" -> Request(
       table = "customer",
       fields = Seq("c_custkey"),
