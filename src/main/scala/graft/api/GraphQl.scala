@@ -65,6 +65,10 @@ object GraphQl {
   private final case class Bad(msg: String) extends RuntimeException(msg)
   private def bad(msg: String): Nothing = throw Bad(msg)
 
+  // shared, thread-safe (the RequestCodec pattern) — constructing one
+  // per parse would pay Jackson's registry setup on every request
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private sealed trait Tok { def pos: Int }
   private final case class Punct(c: Char, pos: Int) extends Tok
   private final case class Name(s: String, pos: Int) extends Tok
@@ -152,6 +156,9 @@ object GraphQl {
     /** Declared-and-bound operation variables, resolvable at any value
       * position (`$name`). */
     var variables: Map[String, V] = Map.empty
+    /** Names actually referenced — the spec's All-Variables-Used rule:
+      * a bound-but-unused variable usually means a dropped filter. */
+    val used = scala.collection.mutable.Set.empty[String]
     private var at = 0
     def peek: Tok = toks(at)
     def next(): Tok = { val t = toks(at); at += 1; t }
@@ -180,6 +187,7 @@ object GraphQl {
   private def parseValue(p: P): V = p.next() match {
     case Punct('$', pos) =>
       val vn = p.name("variable name")
+      p.used += vn
       p.variables.getOrElse(vn,
         bad(s"undeclared variable $$$vn at $pos"))
     case Str(s, _) => VLit(s)
@@ -300,13 +308,21 @@ object GraphQl {
     case _ => bad(s"$at: expected a non-empty object")
   }
 
-  /** Hasura's `order_by: {field: asc}` / `[{f1: desc}, {f2: asc}]`. */
+  /** Hasura's `order_by: {field: asc}` / `[{f1: desc}, {f2: asc}]`.
+    * Directions accept the enum form AND the string form — a variable-
+    * supplied order_by arrives from JSON as `{"f": "asc"}`. */
   private def compileOrders(v: V, at: String): Seq[Order] = {
     def one(o: V): Seq[Order] = o match {
-      case VObj(fs) => fs.map {
-        case (f, VEnum("asc")) => Order(f)
-        case (f, VEnum("desc")) => Order(f, desc = true)
-        case (f, _) => bad(s"$at.$f: expected asc or desc")
+      case VObj(fs) => fs.map { case (f, d) =>
+        (d match {
+          case VEnum(s) => s
+          case VLit(s: String) => s
+          case _ => ""
+        }) match {
+          case "asc" => Order(f)
+          case "desc" => Order(f, desc = true)
+          case _ => bad(s"$at.$f: expected asc or desc")
+        }
       }
       case _ => bad(s"$at: expected {field: asc|desc}")
     }
@@ -459,7 +475,6 @@ object GraphQl {
       variables: String = "{}"): Either[String, Request] =
     try {
       val vars: Map[String, V] = {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = mapper.readTree(
           if (variables == null || variables.isEmpty) "{}" else variables)
         if (!root.isObject) bad("variables: expected a JSON object")
@@ -590,6 +605,9 @@ object GraphQl {
         case Eof(_) => ()
         case t => bad(s"trailing content at ${t.pos}")
       }
+      (declaredSet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped filter returns wrong rows silently"))
       Right(Request(
         table = table,
         fields = fields.result(),
@@ -605,6 +623,8 @@ object GraphQl {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
       case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
     }
 
   // ---- wire-served correctness entry ---------------------------------

@@ -96,7 +96,11 @@ object BinaryFunctions {
   private[graft] def decode(b: Array[Byte]): Option[BufferedImage] =
     sniffFormat(b) match {
       case "png" | "jpeg" | "gif" | "bmp" =>
-        Option(ImageIO.read(new ByteArrayInputStream(b)))
+        // corrupt-but-sniffable bytes (a PNG magic on garbage) make
+        // ImageIO.read THROW, not return null — errors are data here,
+        // same contract as the tiff/svg/webp branches
+        try Option(ImageIO.read(new ByteArrayInputStream(b)))
+        catch { case _: Exception => None }
       case "tiff" => decodeTiff(b)
       case "svg" => rasterizeSvg(b)
       case "webp" => Vp8l.decode(b) // VP8L (lossless) + "VP8 " (lossy

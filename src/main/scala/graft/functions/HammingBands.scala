@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded hamming-distance pairing — ONE definition of the pigeonhole
+  * shape used by text SimHash (32-bit) and image dHash (64-bit)
+  * near-dup detection: split each hash into `nBands` contiguous
+  * `bandBits`-bit bands; any two hashes within hamming distance
+  * `maxDist < nBands` must agree on at least one band (pigeonhole —
+  * LOSSLESS, not approximate), so candidates meet on an equi-join of
+  * the (band index, band value) key and the exact popcount filters.
+  * No cross join at any scale; fan-out is nBands x rows, and the join
+  * shuffles on a short band key.
+  *
+  * Bits above `nBands * bandBits` (when the bands don't cover the full
+  * width) never make band keys DISAGREE for a within-distance pair, so
+  * losslessness holds; they still count in the exact distance. */
+object HammingBands {
+
+  /** (a, b, d): unordered id pairs (a < b) within `maxDist`, with the
+    * exact hamming distance. `hashed` must carry `idCol` and a LongType
+    * `hashCol`; null hashes are dropped. */
+  def pairs(hashed: DataFrame, idCol: String, hashCol: String,
+      nBands: Int, bandBits: Int, maxDist: Int): DataFrame = {
+    require(nBands > maxDist,
+      s"pigeonhole needs nBands ($nBands) > maxDist ($maxDist)")
+    require(nBands * bandBits <= 64, "bands exceed 64 bits")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val hs = hashed.filter(col(hashCol).isNotNull)
+    val banded = hs.withColumn("band",
+      explode(array((0 until nBands).map(b0 =>
+        struct(lit(b0).as("b"),
+          shiftright(col(hashCol), b0 * bandBits).bitwiseAND(lit(mask))
+            .as("v"))): _*)))
+    val a = banded.select(col(idCol).as("a"), col(hashCol).as("ha"),
+      col("band"))
+    val b = banded.select(col(idCol).as("b"), col(hashCol).as("hb"),
+      col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
+      .distinct()
+      .filter(col("d") <= maxDist)
+  }
+}

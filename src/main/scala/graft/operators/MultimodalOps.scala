@@ -410,33 +410,14 @@ object MultimodalOps {
   }
 
   /** Near-duplicate image pairs within hamming distance `maxDist` —
-    * the banded equi-join shape the text SimHash pairs use
-    * (TextQueries.simhashPairsRaw): the 64-bit hash splits into
-    * `maxDist + 1` bands, any pair within maxDist agrees on at least
-    * one band (pigeonhole — LOSSLESS, not approximate), candidates
-    * meet on the band key and the exact popcount filters. No cross
-    * join at any scale; band fan-out is (maxDist+1) x rows. */
+    * the shared pigeonhole banding ([[graft.functions.HammingBands]],
+    * also the text SimHash pairs' shape): `maxDist + 1` bands over the
+    * 64-bit hash, lossless within the bound, no cross join. */
   def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 7, "bands are 8/16-bit: maxDist 0-7")
+    require(maxDist >= 0 && maxDist <= 7, "bands are >=8-bit: maxDist 0-7")
     val nBands = maxDist + 1
-    val bandBits = 64 / nBands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val hs = hashes.filter(col("dhash").isNotNull)
-    val banded = hs.withColumn("band",
-      explode(array((0 until nBands).map(b0 =>
-        struct(lit(b0).as("b"),
-          shiftright(col("dhash"), b0 * bandBits).bitwiseAND(lit(mask))
-            .as("v"))): _*)))
-    val a = banded.select(col("key").as("a"), col("dhash").as("ha"),
-      col("band"))
-    val b = banded.select(col("key").as("b"), col("dhash").as("hb"),
-      col("band"))
-    a.join(b, Seq("band"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
-      .distinct()
-      .filter(col("d") <= maxDist)
+    graft.functions.HammingBands.pairs(hashes, "key", "dhash",
+      nBands, 64 / nBands, maxDist)
   }
 
   val audioFeatureSchema: StructType = StructType(Seq(

@@ -269,19 +269,11 @@ object TextQueries {
       .select(col("doc_id"), graft.functions.TextKernelExpressions
         .simhashMd5(col("text"), 32).as("sh"))
       .transform(Materialize.pin)
-    val banded = sh.withColumn("band", explode(array((0 until 4).map(b =>
-      struct(lit(b).as("b"),
-        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("v"))): _*)))
-    val a = banded.select(col("doc_id").as("a"), col("sh").as("sh_a"),
-      col("band"))
-    val b = banded.select(col("doc_id").as("b"), col("sh").as("sh_b"),
-      col("band"))
-    a.join(b, Seq("band"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("d"))
-      .distinct()
-      .filter(col("d") <= maxDist)
+    // shared pigeonhole banding (graft.functions.HammingBands — also
+    // the image dHash pairs' shape): 4 x 8-bit bands over the 32-bit
+    // simhash, lossless for maxDist <= 3
+    graft.functions.HammingBands.pairs(sh, "doc_id", "sh",
+      nBands = 4, bandBits = 8, maxDist = maxDist)
   }
 
   /** Q54 — deterministic hash-based dataset split (train/val/test), the

@@ -234,6 +234,20 @@ class GraphQlSpec extends SparkSpec {
       """{}""").contains("undeclared variable $k"))
     assert(errV("{ customer { c_custkey } }", "[1]")
       .contains("variables: expected a JSON object"))
+    // All-Variables-Used: a bound-but-unused variable is a dropped
+    // filter waiting to return wrong rows
+    assert(errV("query ($k: bigint!) { customer { c_custkey } }",
+      """{"k": 50}""").contains("never used"))
+    // malformed variables JSON is a Left, not a throw
+    assert(errV("{ customer { c_custkey } }", "{oops")
+      .contains("not valid JSON"))
+    // order_by arriving AS a variable (JSON strings, not enums)
+    val ro = GraphQl.parse(
+      "query ($o: [customer_order_by!]) " +
+        "{ customer(order_by: $o) { c_custkey } }",
+      variables = """{"o": [{"c_custkey": "desc"}]}""")
+      .getOrElse(fail("order_by variable did not parse"))
+    assert(ro.orderBy === Seq(Order("c_custkey", desc = true)))
   }
 
   test("distinct_on parses (enum or list form) and runs identically " +

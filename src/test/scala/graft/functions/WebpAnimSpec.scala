@@ -185,10 +185,12 @@ class WebpAnimSpec extends AnyFunSuite {
           val at = 12 + rnd.nextInt(mutated.length - 12)
           mutated(at) = rnd.nextInt(256).toByte
         }
-        val t0 = System.nanoTime()
-        WebpAnim.decode(mutated) // Option either way — no throw
-        assert(System.nanoTime() - t0 < 5_000_000_000L,
-          s"$name trial $trial: decode took >5s on corrupt input")
+        // bounded await so a non-terminating decode FAILS the trial
+        // instead of wedging the suite
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Await.result(
+          scala.concurrent.Future(WebpAnim.decode(mutated)),
+          scala.concurrent.duration.Duration(5, "s"))
       }
     }
   }
