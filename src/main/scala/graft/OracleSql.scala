@@ -833,6 +833,34 @@ object OracleSql {
       """SELECT DISTINCT ON (lang) doc_id, lang, n_chars
         |FROM documents
         |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
+    // per-relationship distinct_on + offset/limit composed: per
+    // customer the best order PER STATUS (window 1, the DISTINCT ON),
+    // then a page of the representatives skipping the first (window 2,
+    // the offset/limit) — two stacked per-parent row_number windows,
+    // exactly how the engine compiles the child slice
+    "q103_qb_child_page" ->
+      """WITH reps AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS dn
+        |  FROM orders),
+        |page AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey)
+        |           AS rn
+        |  FROM reps WHERE dn = 1)
+        |SELECT c.c_custkey,
+        |       to_json(list({'k': x.o_orderkey, 'st': x.o_orderstatus,
+        |                'p': printf('%.2f', ROUND(x.o_totalprice, 2))}
+        |               ORDER BY x.o_orderstatus, x.o_totalprice DESC,
+        |                        x.o_orderkey))
+        |         AS orders
+        |FROM customer c
+        |JOIN page x ON x.o_custkey = c.c_custkey
+        |           AND x.rn > 1 AND x.rn <= 3
+        |WHERE c.c_custkey <= 80
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

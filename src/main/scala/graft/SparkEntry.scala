@@ -123,6 +123,7 @@ object SparkEntry {
     "q100_qb_graphql" -> (graft.api.GraphQl.q100QbGraphql(_, _)),
     "q101_qb_ops" -> (graft.api.QueryBuilder.q101QbOps(_, _)),
     "q102_qb_distinct_on" -> (graft.api.QueryBuilder.q102QbDistinctOn(_, _)),
+    "q103_qb_child_page" -> (graft.api.QueryBuilder.q103QbChildPage(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -27,10 +27,18 @@ import graft.api.QueryBuilder._
   * array operands — the reference's own example uses the object form)
   * and the full comparison surface (`_eq/_neq/_gt/_gte/_lt/_lte/_in/
   * _nin/_like/_nlike/_ilike/_is_null`), block strings, `#` comments,
-  * an optional leading `query [Name]`, and OPERATION VARIABLES
+  * an optional leading `query [Name]`, OPERATION VARIABLES
   * (`query ($k: bigint!) {...}` + a JSON variables map — the shape
   * every Hasura client actually sends; `$name` resolves at any value
-  * position, and declared/bound/used must agree or the parse fails).
+  * position, and declared/bound/used must agree or the parse fails),
+  * and FRAGMENTS: named definitions (`fragment F on customer {...}`,
+  * before or after the operation) with `...F` spreads, plus inline
+  * `... on customer {...}` — resolved by token splicing at the spread
+  * site, so fragment text parses exactly as if written inline. The
+  * type condition must name the enclosing table (no polymorphism in a
+  * relational schema — a mismatch is a wrong-table field bug, not a
+  * skip signal); undefined, unused, duplicate, and cyclically-
+  * spreading fragments are all parse errors.
   * Two engine-specific field directives carry what Hasura expresses
   * elsewhere: `@fmt(round: n, printf: "…")` (q40's cross-engine price
   * rendering) and `@cast(to: "long")`; `@join(type: "left")` on a
@@ -75,6 +83,7 @@ object GraphQl {
   private final case class Str(s: String, pos: Int) extends Tok
   private final case class IntLit(v: Long, pos: Int) extends Tok
   private final case class FloatLit(v: Double, pos: Int) extends Tok
+  private final case class Spread(pos: Int) extends Tok
   private final case class Eof(pos: Int) extends Tok
 
   /** GraphQL lexical grammar (the spec's ignored tokens include commas
@@ -88,6 +97,11 @@ object GraphQl {
       if (c.isWhitespace || c == ',') i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
       else if ("{}()[]:@!$".indexOf(c) >= 0) { out += Punct(c, i); i += 1 }
+      else if (c == '.') {
+        if (i + 2 < n && q.charAt(i + 1) == '.' && q.charAt(i + 2) == '.') {
+          out += Spread(i); i += 3
+        } else bad(s"expected '...' at $i ('.' alone is not a token)")
+      }
       else if (c == '"') {
         val start = i
         if (i + 2 < n && q.charAt(i + 1) == '"' && q.charAt(i + 2) == '"') {
@@ -152,13 +166,21 @@ object GraphQl {
 
   // ---- parser --------------------------------------------------------
 
-  private final class P(toks: Vector[Tok]) {
+  private final class P(private var toks: Vector[Tok]) {
     /** Declared-and-bound operation variables, resolvable at any value
       * position (`$name`). */
     var variables: Map[String, V] = Map.empty
     /** Names actually referenced — the spec's All-Variables-Used rule:
       * a bound-but-unused variable usually means a dropped filter. */
     val used = scala.collection.mutable.Set.empty[String]
+    /** Fragment definitions (name → type condition + selection-set body
+      * tokens, outer braces stripped), harvested before the operation
+      * parses. */
+    var fragments: Map[String, (String, Vector[Tok])] = Map.empty
+    /** Fragment names actually spread — the spec's All-Fragments-Used
+      * rule, same posture as unused variables. */
+    val usedFrags = scala.collection.mutable.Set.empty[String]
+    private var splices = 0
     private var at = 0
     def peek: Tok = toks(at)
     def next(): Tok = { val t = toks(at); at += 1; t }
@@ -174,6 +196,138 @@ object GraphQl {
       case Punct(`c`, _) => true
       case _ => false
     }
+    def isSpread: Boolean = peek match {
+      case Spread(_) => true
+      case _ => false
+    }
+    /** Insert `body` at the cursor, so the selection loop reads the
+      * fragment's fields as if written inline. The splice cap bounds
+      * mutually-recursive fragments (the spec forbids cycles; without
+      * the cap an A→B→A pair would expand forever). */
+    def splice(body: Vector[Tok], pos: Int): Unit = {
+      splices += 1
+      if (splices > 256)
+        bad(s"fragment expansion exceeded 256 splices at $pos — " +
+          "cyclic fragment spreads?")
+      toks = toks.patch(at, body, 0)
+    }
+    /** Capture the tokens of a brace-balanced `{ ... }` block starting
+      * at the cursor, returning the contents (outer braces stripped). */
+    def captureBlock(what: String): Vector[Tok] = {
+      val open = next()
+      open match {
+        case Punct('{', _) => ()
+        case t => bad(s"expected '{' for $what at ${t.pos}")
+      }
+      val body = Vector.newBuilder[Tok]
+      var depth = 1
+      while (depth > 0) {
+        next() match {
+          case Eof(pp) => bad(s"unterminated $what at $pp")
+          case t @ Punct('{', _) => depth += 1; body += t
+          case t @ Punct('}', _) =>
+            depth -= 1; if (depth > 0) body += t
+          case t => body += t
+        }
+      }
+      body.result()
+    }
+  }
+
+  /** Resolve one `...` at the cursor inside a selection set over
+    * `table`: a named spread (`...Frag`) or an inline fragment
+    * (`... on table { ... }`). Either way the body tokens splice at
+    * the cursor and the caller's loop keeps parsing — fragments are
+    * pure selection-text reuse, exactly the GraphQL semantics for a
+    * single-table type condition. The type condition must name the
+    * enclosing table: these fragments carry no polymorphism, so a
+    * mismatch is a query bug (fields of the wrong table), not a
+    * skip-this-branch signal. */
+  private def resolveSpread(p: P, table: String, at: String): Unit = {
+    val pos = p.next().pos // the Spread token
+    p.peek match {
+      case Name("on", _) => // inline fragment
+        p.next()
+        val cond = p.name("type condition")
+        if (cond != table)
+          bad(s"$at: inline fragment on '$cond' inside a '$table' " +
+            "selection — type condition must match the enclosing table")
+        val body = p.captureBlock("inline fragment")
+        p.splice(body, pos)
+      case Name(fname, fpos) =>
+        p.next()
+        val (cond, body) = p.fragments.getOrElse(fname,
+          bad(s"$at: spread of undefined fragment '$fname' at $fpos"))
+        if (cond != table)
+          bad(s"$at: fragment '$fname' is on '$cond' but is spread " +
+            s"inside a '$table' selection")
+        p.usedFrags += fname
+        p.splice(body, pos)
+      case t => bad(s"$at: expected a fragment name or 'on' after " +
+        s"'...' at ${t.pos}")
+    }
+  }
+
+  /** Split a document into its operation tokens and its `fragment Name
+    * on Table { ... }` definitions (which may appear before or after
+    * the operation, per the spec's ExecutableDocument grammar). Runs
+    * over the raw token stream so the operation parser never sees a
+    * definition mid-selection. */
+  private def extractFragments(
+      toks: Vector[Tok]): (Vector[Tok], Map[String, (String, Vector[Tok])]) = {
+    val op = Vector.newBuilder[Tok]
+    val frags = Map.newBuilder[String, (String, Vector[Tok])]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Name("fragment", fpos) if depth == 0 =>
+          i += 1
+          val fname = toks(i) match {
+            case Name(s, _) =>
+              if (s == "on") bad(s"fragment at $fpos: 'on' cannot name " +
+                "a fragment")
+              i += 1; s
+            case t => bad(s"expected a fragment name at ${t.pos}")
+          }
+          toks(i) match {
+            case Name("on", _) => i += 1
+            case t => bad(s"fragment '$fname': expected 'on' at ${t.pos}")
+          }
+          val cond = toks(i) match {
+            case Name(s, _) => i += 1; s
+            case t => bad(s"fragment '$fname': expected a type at ${t.pos}")
+          }
+          toks(i) match {
+            case Punct('{', _) => i += 1
+            case t => bad(s"fragment '$fname': expected '{' at ${t.pos}")
+          }
+          val body = Vector.newBuilder[Tok]
+          var d = 1
+          while (d > 0) {
+            toks(i) match {
+              case Eof(pp) => bad(s"fragment '$fname': unterminated at $pp")
+              case t @ Punct('{', _) => d += 1; body += t; i += 1
+              case t @ Punct('}', _) =>
+                d -= 1; if (d > 0) body += t; i += 1
+              case t => body += t; i += 1
+            }
+          }
+          if (!seen.add(fname))
+            bad(s"fragment '$fname' defined twice")
+          frags += fname -> (cond, body.result())
+        case t =>
+          t match {
+            case Punct('{', _) => depth += 1
+            case Punct('}', _) => depth -= 1
+            case _ => ()
+          }
+          op += t
+          i += 1
+      }
+    }
+    (op.result(), frags.result())
   }
 
   /** A parsed GraphQL value: literals, lists, or input objects (field
@@ -339,6 +493,20 @@ object GraphQl {
       case _ => bad(s"$at.$k: expected an integer")
     }
 
+  /** Hasura's `distinct_on`: a column enum, a string (the variable-
+    * supplied JSON form), or a list of either. */
+  private def distinctOnArg(args: Map[String, V], at: String): Seq[String] =
+    args.get("distinct_on").map {
+      case VEnum(c) => Seq(c)
+      case VLit(s: String) => Seq(s)
+      case VList(vs) => vs.map {
+        case VEnum(c) => c
+        case VLit(s: String) => s
+        case _ => bad(s"$at.distinct_on: expected column names")
+      }
+      case _ => bad(s"$at.distinct_on: expected column names")
+    }.getOrElse(Nil)
+
   /** Hasura rejects arguments it doesn't know; silently dropping one
     * (a typo'd `wher:`, an unsupported `distinct_on:`) would parse
     * fine and return WRONG rows — the worst failure mode a front end
@@ -425,7 +593,8 @@ object GraphQl {
       args: Map[String, V], dirs: Map[String, Map[String, V]],
       alias: Option[String], relName: String, rel: Rel): Nested = {
     val at = alias.getOrElse(relName)
-    checkArgs(args, Set("where", "order_by", "limit"), at)
+    checkArgs(args,
+      Set("where", "order_by", "limit", "offset", "distinct_on"), at)
     val joinType = dirs.get("join")
       .map(d => strDirArg(d, "join", "type", at)).getOrElse("inner")
     (dirs.keySet - "join").foreach(d => bad(s"$at: unknown directive @$d"))
@@ -433,6 +602,8 @@ object GraphQl {
     val fields = Seq.newBuilder[NestedField]
     var sub: Option[Nested] = None
     while (!p.isPunct('}')) {
+      if (p.isSpread) { resolveSpread(p, rel.childTable, at) }
+      else {
       val first = p.name("selection")
       val (a2, f2) =
         if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
@@ -450,6 +621,7 @@ object GraphQl {
         if (subArgs.nonEmpty) bad(s"$at.$f2: scalar fields take no arguments")
         fields += compileNestedField(a2, f2, subDirs, s"$at.$f2")
       }
+      }
     }
     p.expect('}')
     Nested(
@@ -459,7 +631,9 @@ object GraphQl {
       where = args.get("where").map(compileBool(_, s"$at.where")),
       orderBy = args.get("order_by")
         .map(compileOrders(_, s"$at.order_by")).getOrElse(Nil),
-      limit = intArg(args, "limit", at))
+      limit = intArg(args, "limit", at),
+      offset = intArg(args, "offset", at).getOrElse(0),
+      distinctOn = distinctOnArg(args, at))
   }
 
   /** Parse one GraphQL read query against `schema` → the same
@@ -492,7 +666,9 @@ object GraphQl {
           e.getKey -> conv(e.getValue)
         }.toMap
       }
-      val p = new P(tokenize(query))
+      val (opToks, frags) = extractFragments(tokenize(query))
+      val p = new P(opToks)
+      p.fragments = frags
       // optional operation header: `query [Name] [($var: type, ...)]`
       val declared = Set.newBuilder[String]
       p.peek match {
@@ -531,22 +707,14 @@ object GraphQl {
       val args = parseArgs(p)
       checkArgs(args,
         Set("where", "order_by", "limit", "offset", "distinct_on"), table)
-      // Hasura's distinct_on: a column enum or a list of them
-      val distinctOn = args.get("distinct_on").map {
-        case VEnum(c) => Seq(c)
-        case VList(vs) => vs.map {
-          case VEnum(c) => c
-          case VLit(s: String) => s
-          case _ => bad(s"$table.distinct_on: expected column names")
-        }
-        case VLit(s: String) => Seq(s)
-        case _ => bad(s"$table.distinct_on: expected column names")
-      }.getOrElse(Nil)
+      val distinctOn = distinctOnArg(args, table)
       p.expect('{')
       val fields = Seq.newBuilder[String]
       val nested = Seq.newBuilder[Nested]
       val aggRels = Seq.newBuilder[AggRel]
       while (!p.isPunct('}')) {
+        if (p.isSpread) { resolveSpread(p, table, table) }
+        else {
         val first = p.name("selection")
         val (alias, fname) =
           if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
@@ -561,7 +729,9 @@ object GraphQl {
             if (alias.isDefined)
               bad(s"$fname: aliases on aggregate relationships are not " +
                 "supported (output columns are named by the aggregates)")
-            checkArgs(fargs, Set("where", "order_by", "limit"), fname)
+            checkArgs(fargs,
+              Set("where", "order_by", "limit", "offset", "distinct_on"),
+              fname)
             (fdirs.keySet - "join").foreach(d =>
               bad(s"$fname: unknown directive @$d"))
             p.expect('{')
@@ -583,7 +753,9 @@ object GraphQl {
                 .map(compileBool(_, s"$fname.where")),
               orderBy = fargs.get("order_by")
                 .map(compileOrders(_, s"$fname.order_by")).getOrElse(Nil),
-              limit = intArg(fargs, "limit", fname))
+              limit = intArg(fargs, "limit", fname),
+              offset = intArg(fargs, "offset", fname).getOrElse(0),
+              distinctOn = distinctOnArg(fargs, fname))
           } else {
             val rel = schema.rels.getOrElse((table, fname), bad(
               s"$fname: no tracked relationship on '$table'"))
@@ -598,6 +770,7 @@ object GraphQl {
               "(the oracle compares by column name)")
           fields += fname
         }
+        }
       }
       p.expect('}')
       p.expect('}')
@@ -608,6 +781,9 @@ object GraphQl {
       (declaredSet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
+      (p.fragments.keySet -- p.usedFrags).toSeq.sorted.headOption
+        .foreach(f => bad(s"fragment '$f' defined but never spread — " +
+          "dead selection text usually means a typo'd spread"))
       Right(Request(
         table = table,
         fields = fields.result(),

@@ -141,12 +141,21 @@ object QueryBuilder {
       childKey: String, parentKey: String, fields: Seq[NestedField],
       sub: Option[Nested] = None, joinType: String = "inner",
       where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
-      limit: Option[Int] = None) {
+      limit: Option[Int] = None, offset: Int = 0,
+      distinctOn: Seq[String] = Nil) {
     require(fields.nonEmpty, s"nested '$as' selects no fields")
     require(joinType == "inner" || joinType == "left",
       s"nested '$as': joinType must be inner or left")
     require(limit.isEmpty || orderBy.nonEmpty,
       s"nested '$as': limit needs orderBy for a deterministic top-n")
+    require(offset == 0 || orderBy.nonEmpty,
+      s"nested '$as': offset needs orderBy for a deterministic skip")
+    require(offset >= 0, s"nested '$as': offset must be >= 0")
+    require(distinctOn.isEmpty ||
+      (orderBy.length > distinctOn.length &&
+        orderBy.take(distinctOn.length).map(_.field) == distinctOn),
+      s"nested '$as': distinct_on columns must LEAD order_by (the " +
+        "Hasura/Postgres rule) and leave a tie-breaking tail")
   }
 
   /** One aggregate over a child relationship (the *_aggregate surface).
@@ -188,10 +197,19 @@ object QueryBuilder {
   final case class AggRel(table: String, childKey: String,
       parentKey: String, aggs: Seq[AggField], joinType: String = "left",
       where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
-      limit: Option[Int] = None) {
+      limit: Option[Int] = None, offset: Int = 0,
+      distinctOn: Seq[String] = Nil) {
     require(aggs.nonEmpty, "aggregate relationship selects no aggregates")
     require(limit.isEmpty || orderBy.nonEmpty,
       "aggregate relationship: limit needs orderBy for a deterministic top-n")
+    require(offset == 0 || orderBy.nonEmpty,
+      "aggregate relationship: offset needs orderBy for a deterministic skip")
+    require(offset >= 0, "aggregate relationship: offset must be >= 0")
+    require(distinctOn.isEmpty ||
+      (orderBy.length > distinctOn.length &&
+        orderBy.take(distinctOn.length).map(_.field) == distinctOn),
+      "aggregate relationship: distinct_on columns must LEAD order_by " +
+        "(the Hasura/Postgres rule) and leave a tie-breaking tail")
   }
 
   // ---- the request ---------------------------------------------------
@@ -226,17 +244,39 @@ object QueryBuilder {
         "columns and add a tie-breaking tail")
   }
 
-  /** Keep each parent's top-`k` children by `order` — a
-    * `row_number() <= k` window on the child key, so the cut rides the
+  /** Apply a relationship's per-parent row slice: `distinct_on`
+    * (first child per distinct-group, Postgres DISTINCT ON order), then
+    * `offset`/`limit` (skip m, keep the next k, per parent). Both are
+    * `row_number()` windows keyed on the child key — the cut rides the
     * same hash partitioning the fold right after it reuses: one
-    * shuffle for filter+fold, never a global sort (per-parent fan-out
-    * bounds the heap, not the corpus). */
-  private def topNPerParent(child: DataFrame, key: Column,
-      order: Seq[Order], k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(key).orderBy(order.map(_.toColumn): _*)
-    child.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+    * shuffle for filter+slice+fold, never a global sort (per-parent
+    * fan-out bounds the heap, not the corpus). `resolve` maps a field
+    * name to its column in the PRE-JOIN child (sub-relationship joins
+    * can shadow names). */
+  private def childSlice(child: DataFrame, key: Column,
+      order: Seq[Order], resolve: String => Column,
+      distinctOn: Seq[String], offset: Int,
+      limit: Option[Int]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val distincted =
+      if (distinctOn.isEmpty) child
+      else {
+        // first row per (parent, group) by the order tail — DISTINCT ON
+        // applies BEFORE offset/limit, as in Postgres
+        val w = W.partitionBy(key +: distinctOn.map(resolve): _*)
+          .orderBy(order.drop(distinctOn.length).map(_.toColumn): _*)
+        child.withColumn("__don", row_number().over(w))
+          .filter(col("__don") === 1).drop("__don")
+      }
+    if (offset == 0 && limit.isEmpty) distincted
+    else {
+      val w = W.partitionBy(key).orderBy(order.map(_.toColumn): _*)
+      val hi = limit.map(k => offset.toLong + k)
+      distincted.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > offset &&
+          hi.map(col("__rn") <= _).getOrElse(lit(true)))
+        .drop("__rn")
+    }
   }
 
   /** Compile one nested relationship bottom-up: one row per child-key
@@ -256,10 +296,8 @@ object QueryBuilder {
           child0(m.parentKey) === subAgg(s"__key_${m.as}"), m.joinType)
       case None => child0
     }
-    val child = n.limit match {
-      case Some(k) => topNPerParent(joined, child0(n.childKey), n.orderBy, k)
-      case None => joined
-    }
+    val child = childSlice(joined, child0(n.childKey), n.orderBy,
+      child0(_), n.distinctOn, n.offset, n.limit)
     val fs = n.fields.map { f =>
       val c0 = child0(f.field)
       val c1 = f.cast.map(c0.cast).getOrElse(c0)
@@ -344,11 +382,8 @@ object QueryBuilder {
         val loaded = graft.Tables.load(s, dir, a.table)
         val filtered =
           a.where.map(w => loaded.filter(w.toColumn)).getOrElse(loaded)
-        val child = a.limit match {
-          case Some(k) =>
-            topNPerParent(filtered, loaded(a.childKey), a.orderBy, k)
-          case None => filtered
-        }
+        val child = childSlice(filtered, loaded(a.childKey), a.orderBy,
+          loaded(_), a.distinctOn, a.offset, a.limit)
         val keyAlias = s"__aggkey_$i"
         val aggCols = a.aggs.map(_.agg(loaded))
         val rel = child.groupBy(loaded(a.childKey).as(keyAlias))
@@ -452,6 +487,33 @@ object QueryBuilder {
       orderBy = Seq(Order("lang"), Order("n_chars", desc = true),
         Order("doc_id")),
       distinctOn = Seq("lang")))
+
+  /** q103 — per-relationship `distinct_on` + `offset` composing with
+    * `limit` (the full Hasura child-argument surface in one request):
+    * for each customer, the best order PER STATUS (distinct_on:
+    * o_orderstatus, best = highest price, key tie-break), then a PAGE
+    * of those representatives — skip the first, keep the next two.
+    * Both cuts are per-parent row_number windows riding the child's
+    * one hash shuffle; the oracle spells them as two stacked windows
+    * in DuckDB. */
+  def q103QbChildPage(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 80)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(
+          NestedField("k", "o_orderkey"),
+          NestedField("st", "o_orderstatus"),
+          NestedField("p", "o_totalprice", format = Some((2, "%.2f")))),
+        orderBy = Seq(Order("o_orderstatus"),
+          Order("o_totalprice", desc = true), Order("o_orderkey")),
+        distinctOn = Seq("o_orderstatus"),
+        offset = 1,
+        limit = Some(2)))))
 
   def q97QbNestedDeep(s: SparkSession, dir: String): DataFrame =
     run(s, dir, Request(

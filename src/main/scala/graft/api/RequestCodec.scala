@@ -161,8 +161,17 @@ object RequestCodec {
         .getOrElse("inner"),
       where = Option(o.get("where")).map(parseBool(_, s"$where.where")),
       orderBy = parseOrders(o, where),
-      limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")))
+      limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")),
+      offset = Option(o.get("offset"))
+        .map(intOf(_, s"$where.offset")).getOrElse(0),
+      distinctOn = parseDistinctOn(o, where))
   }
+
+  private def parseDistinctOn(o: ObjectNode, where: String): Seq[String] =
+    Option(o.get("distinct_on"))
+      .map(arr(_, s"$where.distinct_on")
+        .map(str(_, s"$where.distinct_on[]")))
+      .getOrElse(Nil)
 
   private def parseAgg(n: JsonNode, where: String): AggField = {
     val o = obj(n, where)
@@ -192,7 +201,10 @@ object RequestCodec {
         .getOrElse("left"),
       where = Option(o.get("where")).map(parseBool(_, s"$where.where")),
       orderBy = parseOrders(o, where),
-      limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")))
+      limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")),
+      offset = Option(o.get("offset"))
+        .map(intOf(_, s"$where.offset")).getOrElse(0),
+      distinctOn = parseDistinctOn(o, where))
   }
 
   private def parseRequest(o: ObjectNode): Request =
@@ -342,6 +354,11 @@ object RequestCodec {
     n.where.foreach(w => o.set[ObjectNode]("where", renderBool(w)))
     renderOrders(o, n.orderBy)
     n.limit.foreach(o.put("limit", _))
+    if (n.offset != 0) o.put("offset", n.offset)
+    if (n.distinctOn.nonEmpty) {
+      val da = o.putArray("distinct_on")
+      n.distinctOn.foreach(da.add)
+    }
     o
   }
 
@@ -396,6 +413,11 @@ object RequestCodec {
         ar.where.foreach(w => ao.set[ObjectNode]("where", renderBool(w)))
         renderOrders(ao, ar.orderBy)
         ar.limit.foreach(ao.put("limit", _))
+        if (ar.offset != 0) ao.put("offset", ar.offset)
+        if (ar.distinctOn.nonEmpty) {
+          val da = ao.putArray("distinct_on")
+          ar.distinctOn.foreach(da.add)
+        }
       }
     }
     o

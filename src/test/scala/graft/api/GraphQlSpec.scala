@@ -270,16 +270,20 @@ class GraphQlSpec extends SparkSpec {
 
   test("unknown or unsupported arguments are rejected, not silently " +
     "dropped (the wrong-rows failure mode)") {
-    // offset is root-only: Nested has no offset, so accepting it here
-    // would return rows 1-3 as if it were honored
-    assert(err("{ customer { c_custkey orders(offset: 5, " +
+    // per-relationship offset parses and lands on the Nested (a page
+    // of each parent's children)
+    val ro = parsed("{ customer { c_custkey orders(offset: 5, " +
       "order_by: {o_orderkey: asc}, limit: 3) { k: o_orderkey } } }")
-      .contains("unknown argument 'offset'"))
+    assert(ro.nested.head.offset === 5)
+    assert(ro.nested.head.limit === Some(3))
     assert(err("{ customer(wher: {c_custkey: {_lte: 5}}) { c_custkey } }")
       .contains("unknown argument 'wher'"))
+    // distinct_on without a leading order_by violates the Postgres
+    // lead-the-order rule — rejected by the Request invariant, not
+    // silently dropped
     assert(err("{ customer { c_custkey orders_aggregate(distinct_on: x)" +
       " { aggregate { count } } } }")
-      .contains("unknown argument 'distinct_on'"))
+      .contains("must LEAD order_by"))
     assert(err("{ customer { c_custkey orders_aggregate @fmt(round: 1) " +
       "{ aggregate { count } } } }").contains("unknown directive @fmt"))
     assert(err("{ customer { c_custkey o: orders_aggregate " +
@@ -298,5 +302,108 @@ class GraphQlSpec extends SparkSpec {
       "{ c_custkey, c_name } }")
     assert(r.where === Some(Eq("c_name", "aA\n\"b\"")))
     assert(r.fields === Seq("c_custkey", "c_name"))
+  }
+
+  // ---- fragments -----------------------------------------------------
+
+  test("a named fragment spread compiles to EXACTLY the inline request" +
+    " — definition before or after the operation") {
+    val inline = parsed("""
+      {
+        customer(where: {c_custkey: {_lte: 50}}) {
+          c_custkey
+          orders(order_by: {o_orderkey: asc}, limit: 2) {
+            k: o_orderkey
+            p: o_totalprice @fmt(round: 2, printf: "%.2f")
+          }
+        }
+      }""")
+    val before = parsed("""
+      fragment OrderCols on orders {
+        k: o_orderkey
+        p: o_totalprice @fmt(round: 2, printf: "%.2f")
+      }
+      {
+        customer(where: {c_custkey: {_lte: 50}}) {
+          c_custkey
+          orders(order_by: {o_orderkey: asc}, limit: 2) { ...OrderCols }
+        }
+      }""")
+    val after = parsed("""
+      {
+        customer(where: {c_custkey: {_lte: 50}}) {
+          c_custkey
+          orders(order_by: {o_orderkey: asc}, limit: 2) { ...OrderCols }
+        }
+      }
+      fragment OrderCols on orders {
+        k: o_orderkey
+        p: o_totalprice @fmt(round: 2, printf: "%.2f")
+      }""")
+    assert(before === inline)
+    assert(after === inline)
+  }
+
+  test("fragments work at the root level, mix with inline selections, " +
+    "and may spread other fragments") {
+    val r = parsed("""
+      fragment Keys on customer { c_custkey ...Name }
+      fragment Name on customer { c_name }
+      { customer { ...Keys orders { k: o_orderkey } } }""")
+    assert(r.fields === Seq("c_custkey", "c_name"))
+    assert(r.nested.map(_.as) === Seq("orders"))
+  }
+
+  test("an inline fragment on the enclosing table splices its " +
+    "selections; a relationship inside an inline fragment still " +
+    "resolves from the schema") {
+    val r = parsed("""
+      { customer {
+          c_custkey
+          ... on customer { c_name orders { k: o_orderkey } }
+      } }""")
+    assert(r.fields === Seq("c_custkey", "c_name"))
+    assert(r.nested.map(_.table) === Seq("orders"))
+  }
+
+  test("fragment error surface: undefined, unused, duplicate, " +
+    "wrong type condition, cycles, stray dots") {
+    assert(err("{ customer { c_custkey ...Nope } }")
+      .contains("undefined fragment 'Nope'"))
+    assert(err("fragment F on customer { c_name } " +
+      "{ customer { c_custkey } }")
+      .contains("defined but never spread"))
+    assert(err("fragment F on customer { c_name } " +
+      "fragment F on customer { c_custkey } " +
+      "{ customer { ...F } }").contains("defined twice"))
+    assert(err("fragment F on orders { o_orderkey } " +
+      "{ customer { ...F } }")
+      .contains("is on 'orders' but is spread inside a 'customer'"))
+    assert(err("{ customer { ... on orders { o_orderkey } } }")
+      .contains("type condition must match"))
+    // A→B→A: the splice cap turns the cycle into a parse error, not a
+    // hang (fragment bodies are captured textually, so the cycle only
+    // surfaces at expansion)
+    assert(err("fragment A on customer { ...B } " +
+      "fragment B on customer { ...A } " +
+      "{ customer { ...A } }").contains("cyclic"))
+    assert(err("{ customer { c_custkey .. } }").contains("'...'"))
+    assert(err("fragment on on customer { c_name } " +
+      "{ customer { ...on } }").contains("'on' cannot name"))
+  }
+
+  test("a fragment body participates in variable use-tracking (a " +
+    "variable used only inside a fragment is 'used')") {
+    val r = GraphQl.parse(
+      """query ($cap: bigint!) {
+        |  customer { c_custkey ...F }
+        |}
+        |fragment F on customer {
+        |  orders(where: {o_orderkey: {_lte: $cap}},
+        |         order_by: {o_orderkey: asc}) { k: o_orderkey }
+        |}""".stripMargin,
+      variables = """{"cap": 99}""")
+    assert(r.isRight, r)
+    assert(r.toOption.get.nested.head.where === Some(Lte("o_orderkey", 99L)))
   }
 }

@@ -193,6 +193,71 @@ class QueryBuilderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AggRel("orders", "o_custkey", "c_custkey",
         aggs = Seq(CountOf("o_orderkey", "n")), limit = Some(3)))
+    // an offset child without an order is the same nondeterminism
+    intercept[IllegalArgumentException](
+      Nested("x", "orders", "o_custkey", "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey")), offset = 2))
+    // distinct_on must LEAD order_by and leave a tie-break tail
+    intercept[IllegalArgumentException](
+      Nested("x", "orders", "o_custkey", "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey")),
+        orderBy = Seq(Order("o_orderkey")),
+        distinctOn = Seq("o_orderstatus")))
+    intercept[IllegalArgumentException](
+      AggRel("orders", "o_custkey", "c_custkey",
+        aggs = Seq(CountOf("o_orderkey", "n")),
+        orderBy = Seq(Order("o_orderstatus")),
+        distinctOn = Seq("o_orderstatus")))
+  }
+
+  test("per-relationship distinct_on + offset/limit (q103's shape): " +
+    "one representative per (parent, group), then a per-parent page — " +
+    "verified against a local replay") {
+    val dir = sf("sf0.001")
+    import org.apache.spark.sql.functions.col
+    val built = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 80)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey"),
+          NestedField("st", "o_orderstatus")),
+        orderBy = Seq(Order("o_orderstatus"),
+          Order("o_totalprice", desc = true), Order("o_orderkey")),
+        distinctOn = Seq("o_orderstatus"),
+        offset = 1, limit = Some(2)))))
+    val got = built.collect().map(r => r.getLong(0) -> r.getString(1))
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val expect = orders.groupBy(_._1).flatMap { case (ck, os) =>
+      // DISTINCT ON: best (price desc, key) per status…
+      val reps = os.groupBy(_._3).values
+        .map(_.minBy(o => (-o._4, o._2))).toSeq
+      // …then the page: order by (status, price desc, key), skip 1 take 2
+      val page = reps.sortBy(o => (o._3, -o._4, o._2)).slice(1, 3)
+      if (page.isEmpty) None // inner attach drops parents left empty
+      else Some(ck -> page.map(o => s"""{"k":${o._2},"st":"${o._3}"}""")
+        .mkString("[", ",", "]"))
+    }.filter(_._1 <= 80)
+    assert(got.length === expect.size)
+    got.foreach { case (ck, js) => assert(expect(ck) === js,
+      s"customer $ck") }
+    // pages really skipped a representative: no parent shows its
+    // alphabetically-first status when it has >1 distinct status
+    val multi = orders.filter(_._1 <= 80).groupBy(_._1)
+      .filter(_._2.map(_._3).distinct.length > 1)
+    multi.foreach { case (ck, os) =>
+      val first = os.map(_._3).distinct.sorted.head
+      got.find(_._1 == ck).foreach { case (_, js) =>
+        assert(!js.contains(s""""st":"$first""""), s"customer $ck kept " +
+          "its first status — offset did not skip the first rep")
+      }
+    }
   }
 
   test("per-relationship where/order_by/limit: the child's own filter " +

@@ -34,6 +34,25 @@ class RequestCodecSpec extends SparkSpec {
         orderBy = Seq(Order("o_totalprice", desc = true),
           Order("o_orderkey")),
         limit = Some(3)))),
+    "child-page" -> Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 80L)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey"),
+          NestedField("st", "o_orderstatus")),
+        orderBy = Seq(Order("o_orderstatus"),
+          Order("o_totalprice", desc = true), Order("o_orderkey")),
+        distinctOn = Seq("o_orderstatus"),
+        offset = 1, limit = Some(2))),
+      aggRels = Seq(AggRel(
+        table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+        aggs = Seq(CountOf("o_orderkey", "n")),
+        orderBy = Seq(Order("o_orderstatus"), Order("o_orderkey")),
+        distinctOn = Seq("o_orderstatus"), offset = 1))),
     "ops" -> Request(
       table = "documents",
       fields = Seq("doc_id"),
