@@ -41,7 +41,7 @@ object HammingBands {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
-      .distinct()
       .filter(col("d") <= maxDist)
+      .distinct()
   }
 }

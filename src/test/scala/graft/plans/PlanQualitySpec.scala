@@ -354,6 +354,29 @@ class PlanQualitySpec extends SparkSpec {
       s"child top-n must not global-sort:\n$p98")
   }
 
+  test("banded hamming pairs: distance filter runs BELOW the dedup " +
+    "exchange — band-collision false candidates die before the shuffle") {
+    import spark.implicits._
+    val hs = Seq(("a", 0x0L), ("b", 0x1L), ("c", 0xffffL))
+      .toDF("id", "h")
+    val df = graft.functions.HammingBands.pairs(hs, "id", "h",
+      nBands = 4, bandBits = 8, maxDist = 3)
+    val p = plan(df)
+    // with the filter written BEFORE the distinct, Catalyst pushes the
+    // distance bound all the way into the band-join condition — false
+    // candidates die at the join, never reaching the dedup exchange.
+    // (Written after the distinct, the bound is stuck above the final
+    // aggregate and every collision pays the shuffle.)
+    val joinCond = p.linesIterator
+      .find(_.trim.startsWith("Join condition:")).getOrElse("")
+    assert(joinCond.contains("bit_count") && joinCond.contains("<= 3"),
+      s"distance bound not pushed into the band join: '$joinCond'\n$p")
+    // and nothing filters above the dedup aggregate
+    val compact = p.split("\\(1\\) ").head
+    assert(!compact.contains("Filter"),
+      s"distance filter floated above the dedup:\n$compact")
+  }
+
   test("q94 scoring rides one scan: codegen dot against the literal " +
     "weights, no exchange before the output sort") {
     val df = S.q94ClassifierScore(spark, dir)
