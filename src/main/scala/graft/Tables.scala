@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog of the driver-generated test tables (TESTDATA.md / FIXTURES.md §A).
   *
@@ -39,16 +39,24 @@ object Tables {
     loaded.computeIfAbsent(spark, _ =>
       new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       .computeIfAbsent((dir, name), _ => {
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-        // =true (see configure()) so it arrives as Long nanos, converted
-        // here to a µs timestamp by truncation — exactly DuckDB's ns→µs
-        // conversion.
+        // events.ts has shipped as parquet TIMESTAMP(NANOS) (vectorized
+        // reader rejects it; sessions set spark.sql.legacy.parquet
+        // .nanosAsLong=true — see configure() — so it arrives as Long
+        // nanos, truncated here to µs exactly like DuckDB's ns→µs) and
+        // as TIMESTAMP(MICROS) without UTC adjustment (arrives as
+        // TIMESTAMP_NTZ, which unix_micros/date arithmetic reject).
+        // Normalize BOTH to a session-UTC TimestampType so every
+        // downstream query sees one type regardless of generator
+        // vintage; with the session pinned to UTC the NTZ→LTZ cast is
+        // the same wall-clock=UTC reading DuckDB applies to naive
+        // timestamps.
         val df = spark.read.parquet(s"$dir/$name.parquet")
-        df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-          case Some(_) =>
+        df.schema.find(_.name == "ts").map(_.dataType) match {
+          case Some(LongType) =>
             df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case None => df
+          case Some(TimestampNTZType) =>
+            df.withColumn("ts", col("ts").cast(TimestampType))
+          case _ => df
         }
       })
 

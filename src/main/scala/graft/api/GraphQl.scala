@@ -334,6 +334,7 @@ object GraphQl {
     * order preserved — `_and`'s object form is order-sensitive). */
   private sealed trait V
   private final case class VLit(v: Any) extends V
+  private case object VNull extends V
   private final case class VEnum(name: String) extends V
   private final case class VList(vs: Seq[V]) extends V
   private final case class VObj(fields: Seq[(String, V)]) extends V
@@ -349,6 +350,7 @@ object GraphQl {
     case FloatLit(v, _) => VLit(v)
     case Name("true", _) => VLit(true)
     case Name("false", _) => VLit(false)
+    case Name("null", _) => VNull
     case Name(s, _) => VEnum(s) // enum value, e.g. asc / desc
     case Punct('[', _) =>
       val vs = Seq.newBuilder[V]
@@ -398,11 +400,18 @@ object GraphQl {
   private def literal(v: V, at: String): Any = v match {
     case VLit(x) => x
     case VEnum(e) => e // bare enum used as a string literal
+    case VNull => bad(s"$at: null is not a comparable literal here " +
+      "(only _eq/_neq accept null, as IS [NOT] NULL)")
     case _ => bad(s"$at: expected a literal value")
   }
 
   private def compileCmp(field: String, op: String, v: V): BoolExp =
     op match {
+      // Hasura null-comparison semantics: `_eq: null` answers the
+      // IS NULL question, never a value comparison — a VEnum("null")
+      // here would silently compare against the STRING "null".
+      case "_eq" if v == VNull => IsNull(field, isNull = true)
+      case "_neq" if v == VNull => IsNull(field, isNull = false)
       case "_eq" => Eq(field, literal(v, s"$field._eq"))
       case "_neq" => Neq(field, literal(v, s"$field._neq"))
       case "_gt" => Gt(field, literal(v, s"$field._gt"))
@@ -655,7 +664,8 @@ object GraphQl {
         import scala.jdk.CollectionConverters._
         root.fields().asScala.map { e =>
           def conv(n: com.fasterxml.jackson.databind.JsonNode): V =
-            if (n.isTextual) VLit(n.asText)
+            if (n.isNull) VNull
+            else if (n.isTextual) VLit(n.asText)
             else if (n.isBoolean) VLit(n.asBoolean)
             else if (n.isIntegralNumber) VLit(n.asLong)
             else if (n.isNumber) VLit(n.asDouble)

@@ -171,6 +171,30 @@ class GraphQlSpec extends SparkSpec {
       .contains("pattern must be a string"))
   }
 
+  test("null literals: _eq/_neq null compile to IS [NOT] NULL (never " +
+    "a comparison against the STRING \"null\"); null anywhere else is " +
+    "a loud error; a JSON null variable behaves identically") {
+    val r = parsed("""
+      { documents(where: {
+          text: {_eq: null}
+          lang: {_neq: null}
+        }) { doc_id } }""")
+    assert(r.where === Some(And(
+      IsNull("text", isNull = true), IsNull("lang", isNull = false))))
+    assert(err("{ documents(where: {t: {_gt: null}}) { doc_id } }")
+      .contains("null"))
+    assert(err("{ documents(where: {t: {_in: [1, null]}}) { doc_id } }")
+      .contains("null"))
+    assert(err("{ documents(where: {t: {_like: null}}) { doc_id } }")
+      .contains("null"))
+    val viaVar = GraphQl.parse(
+      "query ($v: String) { documents(where: {text: {_eq: $v}}) " +
+        "{ doc_id } }",
+      variables = """{"v": null}""")
+    assert(viaVar.map(_.where) ===
+      Right(Some(IsNull("text", isNull = true))))
+  }
+
   test("malformed queries are Left values with positions, never " +
     "exceptions") {
     assert(err("{ customer { unknown_rel { x } } }")
