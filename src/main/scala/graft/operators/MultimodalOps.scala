@@ -409,6 +409,33 @@ object MultimodalOps {
     }(enc).toDF()
   }
 
+  /** Deterministic NEAR-DUPLICATE of the seed's synthetic media
+    * ([[graft.functions.BinaryFunctions.syntheticMedia]] — png/tiff/svg
+    * by seed, the q38 decode fan-in): decode, whiten the given
+    * [[dHash]] grid cells (the 9x8 average-pool boxes, cell = row*9 +
+    * col), re-encode PNG. Whitening cell (r,c) can only move the two
+    * horizontal-neighbor comparison bits that read it — (r,c-1) vs
+    * (r,c) and (r,c) vs (r,c+1) — so |cells| bounds the hamming
+    * distance from the unperturbed image at 2*|cells|. The controlled
+    * fixture generator behind q104's oracle-pinned pairing. */
+  def perturbedMedia(seed: Long, w: Int, h: Int, cells: Seq[Int]): Array[Byte] = {
+    import graft.functions.{BinaryFunctions => B}
+    // synthetic media always decodes; a None here is a broken build,
+    // not data — fail loudly rather than hash a fake
+    val img = B.decode(B.syntheticMedia(seed, w, h)).getOrElse(
+      sys.error(s"syntheticMedia($seed) failed to decode"))
+    cells.foreach { c =>
+      val row = c / 9; val cx = c % 9
+      var y = row * h / 8
+      while (y < (row + 1) * h / 8) {
+        var x = cx * w / 9
+        while (x < (cx + 1) * w / 9) { img.setRGB(x, y, 0xffffff); x += 1 }
+        y += 1
+      }
+    }
+    B.encodePng(img)
+  }
+
   /** Near-duplicate image pairs within hamming distance `maxDist` —
     * the shared pigeonhole banding ([[graft.functions.HammingBands]],
     * also the text SimHash pairs' shape): `maxDist + 1` bands over the
