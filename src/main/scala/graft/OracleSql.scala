@@ -861,6 +861,23 @@ object OracleSql {
         |           AND x.rn > 1 AND x.rn <= 3
         |WHERE c.c_custkey <= 80
         |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    // perceptual image dedup, PINNED: ground-truth ALL-PAIRS hamming
+    // distances over the pinned fixture hashes (engine hash == literal
+    // is MultimodalOpsSpec's assertion), vs the engine's banded
+    // pigeonhole join — equality proves the banding lossless within
+    // maxDist, with the d=5/6 decoys exercising the band-collision
+    // filter
+    "q104_dhash_pairs" -> {
+      val vals = graft.queries.PipelineQueries.pinnedDhashes
+        .map { case (k, h) => s"('$k', ($h)::BIGINT)" }.mkString(",\n  ")
+      s"""WITH t(key, dhash) AS (VALUES
+         |  $vals)
+         |SELECT a.key AS a, b.key AS b,
+         |       bit_count(xor(a.dhash, b.dhash))::BIGINT AS d
+         |FROM t a JOIN t b ON a.key < b.key
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

@@ -81,4 +81,83 @@ object PipelineQueries {
         countDistinct(col("content_md5")).as("n_distinct"))
       .orderBy("src_format", "format", "w", "h")
   }
+
+  /** q104's pinned fixture set: (key, seed, perturbed cells). Bases are
+    * [[graft.functions.BinaryFunctions.syntheticMedia]] (seed mod 3 picks
+    * png/tiff/svg, so the pairing pipeline decodes through the whole
+    * fan-in); `Some(cells)` rows are
+    * [[graft.operators.MultimodalOps.perturbedMedia]] variants — PNG
+    * re-encodes with the given dHash grid cells whitened. `Some(Nil)` is a
+    * byte-different exact duplicate (cross-FORMAT: tiff base vs png
+    * re-encode, distance 0); single cells make near-dups within the
+    * banding bound; whole whitened rows make beyond-bound decoys whose
+    * band-collision candidates the exact distance filter must drop.
+    * 72x48 divides the 9x8 dHash grid exactly, so whitened cells align
+    * with pooling boxes and 2*|cells| bounds the hamming distance. */
+  private[graft] val dhashFixtures: Seq[(String, Long, Option[Seq[Int]])] =
+    // seeds 5/8/11 are omitted: dHash is grayscale-comparison-only, so
+    // the color-varied, shape-identical SVG seeds land on ONE hash —
+    // m02 keeps the svg decode arm without degenerate base collisions
+    Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 9L, 10L)
+      .map(s0 => (f"m$s0%02d", s0, None)) ++ Seq(
+      ("m01_dup", 1L, Some(Nil)),
+      ("m02_near", 2L, Some(Seq(12))),
+      ("m07_near", 7L, Some(Seq(31))),
+      ("m09_near", 9L, Some(Seq(40))),
+      ("m03_far", 3L, Some(Seq(2, 13, 24, 35, 46, 57))),
+      ("m04_far", 4L, Some(Seq(0, 9, 18, 27, 30))))
+
+  /** The PINNED hashes of [[dhashFixtures]] — the oracle's VALUES table
+    * and MultimodalOpsSpec's equality target: engine-computed dHash over
+    * the fixture bytes must equal these literals exactly, which makes
+    * q104's DuckDB replay a proof about [[graft.operators.MultimodalOps
+    * .dHash]] + the decode fan-in, not just the pairing join. Pairs
+    * within maxDist=3: (m01,m01_dup,0) (m02,m02_near,1) (m07,m07_near,1)
+    * (m09,m09_near,2); the far decoys sit at d=5/6 — close enough to
+    * collide on a 16-bit band, so the exact-distance filter is what
+    * keeps them out; all other pairs are d>=12. */
+  private[graft] val pinnedDhashes: Seq[(String, Long)] = Seq(
+    ("m00", 4972542436132856320L),
+    ("m01", 119908340784499200L),
+    ("m02", 13616765933203456L),
+    ("m03", 108086685295706272L),
+    ("m04", 4612286356104675360L),
+    ("m06", 175924018955434L),
+    ("m07", 274880151808L),
+    ("m09", -6336379923394330624L),
+    ("m10", -8627770984792833964L),
+    ("m01_dup", 119908340784499200L),
+    ("m02_near", 13616765933205504L),
+    ("m07_near", 275148587264L),
+    ("m09_near", -6336379889034592256L),
+    ("m03_far", 110340681989361828L),
+    ("m04_far", 4612286356255736097L))
+
+  private[graft] def dhashFixtureBytes: Seq[(String, Array[Byte])] =
+    dhashFixtures.map { case (k, seed, cells) =>
+      k -> (cells match {
+        case None => B.syntheticMedia(seed, 72, 48)
+        case Some(cs) =>
+          graft.operators.MultimodalOps.perturbedMedia(seed, 72, 48, cs)
+      })
+    }
+
+  /** q104 — perceptual image dedup, oracle-PINNED (the q86/q87 pinned-twin
+    * pattern): decode the [[dhashFixtures]] media through the engine's own
+    * codecs, dHash each
+    * ([[graft.operators.MultimodalOps.imageDHashes]]), pair via the
+    * pigeonhole-banded equi-join
+    * ([[graft.operators.MultimodalOps.dhashNearDupPairs]], the shared
+    * SimHash shape — no cross join). The oracle carries the IDENTICAL
+    * hashes as a VALUES table (MultimodalOpsSpec pins engine hash ==
+    * literal) and computes ground-truth ALL-PAIRS distances in DuckDB
+    * (xor + bit_count), so a green q104 proves the banding lossless
+    * within maxDist, not just self-consistent. */
+  def q104DhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = dhashFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.imageDHashes(media)
+    graft.operators.MultimodalOps.dhashNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b")
+  }
 }

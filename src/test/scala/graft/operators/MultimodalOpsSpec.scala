@@ -221,6 +221,25 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === Set(("p", "q", 0L)))
   }
 
+  test("q104 pinned fixtures: engine dHash equals the oracle's literal " +
+    "hashes; banded pairs equal ground-truth all-pairs") {
+    import graft.queries.PipelineQueries
+    // the hard link behind q104: hash(bytes) == the VALUES literal the
+    // DuckDB oracle carries, for every fixture (png, tiff AND svg arms)
+    val got = PipelineQueries.dhashFixtureBytes.map { case (k, b) =>
+      val img = BinaryFunctions.decode(b).getOrElse(fail(s"$k undecodable"))
+      k -> MultimodalOps.dHash(img)
+    }
+    assert(got === PipelineQueries.pinnedDhashes)
+    // the banded join returns exactly the ground-truth <=3 pairs — the
+    // d=5/6 decoys collide on a band but must not survive the filter
+    val pairs = PipelineQueries.q104DhashPairs(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq(
+      ("m01", "m01_dup", 0L), ("m02", "m02_near", 1L),
+      ("m07", "m07_near", 1L), ("m09", "m09_near", 2L)))
+  }
+
   test("malicious RIFF chunk lengths terminate, not hang") {
     // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
     // clamp and exit, not loop forever
