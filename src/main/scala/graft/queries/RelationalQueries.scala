@@ -187,9 +187,32 @@ object RelationalQueries {
     * Bucket shrinks ~100x per round, so passes are O(log n) with ~3
     * bucket scans each. Doubles represent the quantile probe only; the
     * Long bounds used for filtering are widened by 1 so 2^53+ keys
-    * cannot round the true boundary out of the bucket. */
+    * cannot round the true boundary out of the bucket.
+    *
+    * The input is PINNED (Materialize.pin) for the duration: each round
+    * issues several actions (count, min/max, quantile, 1-3 filter-count
+    * probes) over buckets that are filters of the same frame, and an
+    * unpinned lineage would re-run the upstream scan for every one —
+    * ~5-7 full-table passes in round 1 alone. Pinning makes that one
+    * materialization plus cheap cached re-reads; unpersisted on exit.
+    *
+    * Endgame bound: the single-partition window normally sees ≤`cap`
+    * rows (the loop stops early only once count ≤ cap). The exception is
+    * the DEGENERATE fallback — widen attempts exhausted, or the
+    * candidate range covering the whole bucket — reachable only when
+    * approxQuantile's Long-rounded bounds stay useless across
+    * exponential widening (adversarial >2^53 key distributions; never
+    * unix-micros timestamps). Correctness holds there but the endgame
+    * window is UNBOUNDED, so it's logged loudly, not silently absorbed. */
   private[queries] def rankBoundary(df: DataFrame, key: String, tie: String,
       rank: Long, cap: Long = rankCap): (Long, Long) = {
+    val pinned = graft.operators.Materialize.pin(df)
+    try rankBoundaryPinned(pinned, key, tie, rank, cap)
+    finally { pinned.unpersist(); () }
+  }
+
+  private def rankBoundaryPinned(df: DataFrame, key: String, tie: String,
+      rank: Long, cap: Long): (Long, Long) = {
     var bucket = df
     var r = rank
     var rounds = 12 // ~100x shrink per round: 12 covers any Long-sized n
@@ -229,7 +252,14 @@ object RelationalQueries {
             lo -= widen; hi += widen; widen *= 4096
           }
         }
-        if (!shrunk) rounds = 0 // bounded fallback, correctness intact
+        if (!shrunk) {
+          // degenerate fallback: correctness intact, endgame UNBOUNDED —
+          // say so loudly instead of absorbing an un-narrowed window
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"rankBoundary: narrowing failed with $cnt rows left " +
+              s"(> cap $cap); endgame window is unbounded this call")
+          rounds = 0
+        }
       }
     }
     val w = Window.orderBy(col(key), col(tie))
