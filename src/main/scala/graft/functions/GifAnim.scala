@@ -37,8 +37,13 @@ object GifAnim {
   private val maxTotalPixels = 1L << 26
 
   /** Decode a whole animation: full-canvas frames in display order.
-    * None for stills (fewer than 2 frames), non-GIF, malformed bytes,
-    * or animations whose retained size exceeds `pixelBudget`. */
+    * None for stills (fewer than 2 frames), non-GIF, or malformed
+    * bytes. Animations LONGER than the frame/pixel budget are TRUNCATED
+    * to the budget-fitting prefix, not rejected: a 2000-frame GIF is
+    * real decodable media, and rejecting it wholesale would make the
+    * frame sampler fall through to its undecodable-input path for bytes
+    * the engine can in fact decode. The canvas cap (2^24 px) and budget
+    * (≥4 canvases by construction) still bound every allocation. */
   def decode(b: Array[Byte],
       pixelBudget: Long = maxTotalPixels): Option[Seq[Frame]] = {
     if (b == null || b.length < 13) return None
@@ -52,54 +57,57 @@ object GifAnim {
     try {
       reader.setInput(in, false, false)
       val n = reader.getNumImages(true)
-      if (n < 2 || n > maxFrames) return None
+      if (n < 2) return None
       // logical screen: GIF header bytes 6-9 (LE u16 w, h) — present in
       // every GIF; ImageIO's stream metadata mirrors the same values
       val cw = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
       val ch = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
       if (cw == 0 || ch == 0 || cw.toLong * ch > (1L << 24)) return None
-      if (n.toLong * cw * ch > pixelBudget) return None
+      val keep = Seq(n.toLong, maxFrames.toLong,
+        pixelBudget / (cw.toLong * ch)).min.toInt
+      if (keep < 2) return None
       val canvas =
         new BufferedImage(cw, ch, BufferedImage.TYPE_INT_ARGB)
       val g = canvas.createGraphics()
-      val out = Seq.newBuilder[Frame]
-      var i = 0
-      while (i < n) {
-        // metadata FIRST: the descriptor declares the frame rectangle,
-        // and reader.read allocates whatever it declares — validate
-        // against the (capped) canvas before any frame allocation
-        val meta = gifImageMeta(reader.getImageMetadata(i))
-        if (meta.w <= 0 || meta.h <= 0 ||
-          meta.x + meta.w > cw || meta.y + meta.h > ch) return None
-        val frame = reader.read(i)
-        if (frame.getWidth != meta.w || frame.getHeight != meta.h)
-          return None
-        val before =
-          if (meta.disposal == "restoreToPrevious") copy(canvas) else null
-        // GIF transparency is binary: SRC_OVER with the reader's
-        // IndexColorModel alpha (0 or 255) is exactly the spec's
-        // "transparent pixels leave the canvas"
-        g.drawImage(frame, meta.x, meta.y, null)
-        out += Frame(copy(canvas), meta.delayMs)
-        meta.disposal match {
-          case "restoreToBackgroundColor" =>
-            // the practical background: transparent (browsers render
-            // the background color only where no transparency exists)
-            val comp = g.getComposite
-            g.setComposite(java.awt.AlphaComposite.Clear)
-            g.fillRect(meta.x, meta.y, frame.getWidth, frame.getHeight)
-            g.setComposite(comp)
-          case "restoreToPrevious" =>
-            val comp = g.getComposite
-            g.setComposite(java.awt.AlphaComposite.Src)
-            g.drawImage(before, 0, 0, null)
-            g.setComposite(comp)
-          case _ => () // none / doNotDispose: leave the canvas
+      try {
+        val out = Seq.newBuilder[Frame]
+        var i = 0
+        while (i < keep) {
+          // metadata FIRST: the descriptor declares the frame rectangle,
+          // and reader.read allocates whatever it declares — validate
+          // against the (capped) canvas before any frame allocation
+          val meta = gifImageMeta(reader.getImageMetadata(i))
+          if (meta.w <= 0 || meta.h <= 0 ||
+            meta.x + meta.w > cw || meta.y + meta.h > ch) return None
+          val frame = reader.read(i)
+          if (frame.getWidth != meta.w || frame.getHeight != meta.h)
+            return None
+          val before =
+            if (meta.disposal == "restoreToPrevious") copy(canvas) else null
+          // GIF transparency is binary: SRC_OVER with the reader's
+          // IndexColorModel alpha (0 or 255) is exactly the spec's
+          // "transparent pixels leave the canvas"
+          g.drawImage(frame, meta.x, meta.y, null)
+          out += Frame(copy(canvas), meta.delayMs)
+          meta.disposal match {
+            case "restoreToBackgroundColor" =>
+              // the practical background: transparent (browsers render
+              // the background color only where no transparency exists)
+              val comp = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(meta.x, meta.y, frame.getWidth, frame.getHeight)
+              g.setComposite(comp)
+            case "restoreToPrevious" =>
+              val comp = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Src)
+              g.drawImage(before, 0, 0, null)
+              g.setComposite(comp)
+            case _ => () // none / doNotDispose: leave the canvas
+          }
+          i += 1
         }
-        i += 1
-      }
-      g.dispose()
-      Some(out.result())
+        Some(out.result())
+      } finally g.dispose()
     } catch {
       case _: Exception => None
     } finally {

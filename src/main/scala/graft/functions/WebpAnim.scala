@@ -40,10 +40,12 @@ object WebpAnim {
   private val maxTotalPixels = 1L << 26
 
   /** Decode a whole animation: full-canvas frames in display order.
-    * None for stills (no ANIM/ANMF), malformed bytes, any frame whose
-    * payload fails to decode, or an animation whose total retained
-    * size would exceed `pixelBudget` (parameterized so the spec can
-    * exercise the guard without allocating hundreds of MB). */
+    * None for stills (no ANIM/ANMF), malformed bytes, or any frame
+    * whose payload fails to decode. Animations LONGER than the
+    * frame/pixel budget are TRUNCATED to the budget-fitting prefix
+    * ([[GifAnim.decode]]'s contract — long real media stays decodable,
+    * allocations stay bounded); `pixelBudget` is parameterized so the
+    * spec can exercise the guard without allocating hundreds of MB. */
   def decode(b: Array[Byte],
       pixelBudget: Long = maxTotalPixels): Option[Seq[Frame]] = try {
     if (b == null || b.length < 30) return None
@@ -77,7 +79,7 @@ object WebpAnim {
         if (size < 16) return None
         n += 1
         if (n > maxFrames || n.toLong * cw * ch > pixelBudget)
-          return None
+          return Some(out.result()).filter(_.length >= 2)
         val fx = u24le(i + 8) * 2
         val fy = u24le(i + 11) * 2
         val fw = u24le(i + 14) + 1

@@ -180,9 +180,22 @@ class GifAnimSpec extends AnyFunSuite {
     assert(GifAnim.decode(huge) === None)
     // truncated mid-stream: reader throws → None
     assert(GifAnim.decode(anim.take(anim.length / 2)) === None)
-    // frames x canvas product cap (injected budget — see WebpAnim)
+    // frames x canvas product cap (injected budget — see WebpAnim):
+    // over-budget animations truncate to the budget-fitting prefix,
+    // below two frames they stop being an animation
     assert(GifAnim.decode(anim, pixelBudget = 4 * 4 * 2 - 1) === None)
     assert(GifAnim.decode(anim, pixelBudget = 4 * 4 * 2).isDefined)
+    val anim3 = writeGif(Seq(
+      (frame(fill(4, 4, 1)), 0, 0, 1, "none"),
+      (frame(fill(4, 4, 2)), 0, 0, 1, "none"),
+      (frame(fill(4, 4, 3)), 0, 0, 1, "none")))
+    val cut = GifAnim.decode(anim3, pixelBudget = 4 * 4 * 3 - 1)
+    assert(cut.map(_.length) === Some(2))
+    val full = GifAnim.decode(anim3).get
+    cut.get.zip(full).foreach { case (c, f) =>
+      assert((0 until 4).forall(y => (0 until 4).forall(x =>
+        c.image.getRGB(x, y) === f.image.getRGB(x, y))))
+    }
     // hostile image descriptor: frame 2 declaring 65535x65535 must
     // reject from METADATA, before reader.read allocates the raster
     val desc2 = {

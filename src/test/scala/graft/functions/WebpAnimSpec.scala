@@ -146,10 +146,24 @@ class WebpAnimSpec extends AnyFunSuite {
     assert(WebpAnim.decode(huge) === None)
     // the frames x canvas PRODUCT is capped too: each emitted frame
     // retains a full canvas, so a small file with many frames on a
-    // large (individually-legal) canvas is a memory bomb. Injected
-    // budget exercises the guard cheaply.
-    assert(WebpAnim.decode(good, pixelBudget = 40 * 24 * 3 - 1) === None)
-    assert(WebpAnim.decode(good, pixelBudget = 40 * 24 * 3).isDefined)
+    // large (individually-legal) canvas is a memory bomb. Over-budget
+    // animations TRUNCATE to the budget-fitting prefix (real media
+    // stays decodable); below two frames they stop being an animation
+    assert(WebpAnim.decode(good, pixelBudget = 40 * 24 * 3 - 1)
+      .map(_.length) === Some(2))
+    assert(WebpAnim.decode(good, pixelBudget = 40 * 24 * 3)
+      .map(_.length) === Some(3))
+    assert(WebpAnim.decode(good, pixelBudget = 40 * 24 * 2 - 1) === None)
+    // the truncated prefix is frame-exact: same canvases as the full
+    // decode's first two frames
+    val full = WebpAnim.decode(good).get
+    val cut = WebpAnim.decode(good, pixelBudget = 40 * 24 * 3 - 1).get
+    cut.zip(full).foreach { case (c, f) =>
+      assert(c.durationMs === f.durationMs)
+      assert((0 until c.image.getHeight).forall(y =>
+        (0 until c.image.getWidth).forall(x =>
+          c.image.getRGB(x, y) === f.image.getRGB(x, y))))
+    }
   }
 
   test("a VP8X chunk larger than the minimal 10 bytes still walks to " +
