@@ -878,6 +878,24 @@ object OracleSql {
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
          |ORDER BY a, b""".stripMargin
     },
+    // Hasura's statistical aggregate family, spelled natively: DuckDB's
+    // own stddev_samp/stddev_pop/var_samp/var_pop over the same left
+    // join. Magnitude-aware rounding (see q105's scaladoc): stddev 2
+    // decimals, variance to hundreds
+    "q105_qb_stat_aggs" ->
+      """WITH a AS (
+        |  SELECT o_custkey,
+        |         COUNT(o_orderkey)::BIGINT AS n,
+        |         ROUND(stddev_samp(o_totalprice), 2) AS sd,
+        |         ROUND(stddev_pop(o_totalprice), 2) AS sd_pop,
+        |         ROUND(var_samp(o_totalprice), -2) AS vr,
+        |         ROUND(var_pop(o_totalprice), -2) AS vr_pop
+        |  FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, COALESCE(a.n, 0) AS n,
+        |       a.sd, a.sd_pop, a.vr, a.vr_pop
+        |FROM customer c LEFT JOIN a ON a.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 60
+        |ORDER BY c.c_custkey""".stripMargin,
     "q41_quality_ratios" -> {
       val en = graft.functions.TextFunctions.langMarkers.head._2
         .map(w => s"'$w'").mkString(", ")

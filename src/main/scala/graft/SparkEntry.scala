@@ -125,6 +125,7 @@ object SparkEntry {
     "q102_qb_distinct_on" -> (graft.api.QueryBuilder.q102QbDistinctOn(_, _)),
     "q103_qb_child_page" -> (graft.api.QueryBuilder.q103QbChildPage(_, _)),
     "q104_dhash_pairs" -> (P.q104DhashPairs(_, _)),
+    "q105_qb_stat_aggs" -> (graft.api.QueryBuilder.q105QbStatAggs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

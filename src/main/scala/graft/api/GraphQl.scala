@@ -567,7 +567,8 @@ object GraphQl {
         else (None, first)
       fn match {
         case "count" => aggs += CountOf(childKey, alias.getOrElse("count"))
-        case "sum" | "min" | "max" | "avg" =>
+        case "sum" | "min" | "max" | "avg" | "stddev" | "stddev_samp" |
+            "stddev_pop" | "variance" | "var_samp" | "var_pop" =>
           p.expect('{')
           var inBlock = 0
           while (!p.isPunct('}')) {
@@ -584,7 +585,13 @@ object GraphQl {
               case "sum" => SumOf(f, as)
               case "min" => MinOf(f, as)
               case "max" => MaxOf(f, as)
-              case _ => AvgOf(f, as)
+              case "avg" => AvgOf(f, as)
+              // Hasura's statistical family: bare stddev/variance are
+              // the sample variants (the Postgres defaults)
+              case "stddev" | "stddev_samp" => StddevOf(f, as)
+              case "stddev_pop" => StddevOf(f, as, pop = true)
+              case "variance" | "var_samp" => VarianceOf(f, as)
+              case "var_pop" => VarianceOf(f, as, pop = true)
             })
           }
           p.expect('}')

@@ -189,6 +189,27 @@ object QueryBuilder {
     private[api] def agg(child: DataFrame): Column = avg(child(field)).as(as)
   }
 
+  /** Hasura's extended statistical aggregates (auto-generated for every
+    * numeric column): `stddev`/`variance` are the SAMPLE variants (the
+    * Postgres defaults Hasura inherits), `*_pop` the population ones.
+    * Null semantics ride the built-ins: sample variants are null for
+    * n<2, population for n=0 — no left-join repair, matching Hasura's
+    * null for childless parents (the min/max/avg posture). Rounded for
+    * a stable comparison surface (sqrt/sum-of-squares ulp skew). */
+  final case class StddevOf(field: String, as: String,
+      pop: Boolean = false, roundTo: Int = 4) extends AggField {
+    private[api] def agg(child: DataFrame): Column =
+      (if (pop) stddev_pop(child(field))
+       else stddev_samp(child(field))).as(as)
+    override private[api] def post(c: Column): Column = round(c, roundTo)
+  }
+  final case class VarianceOf(field: String, as: String,
+      pop: Boolean = false, roundTo: Int = 4) extends AggField {
+    private[api] def agg(child: DataFrame): Column =
+      (if (pop) var_pop(child(field)) else var_samp(child(field))).as(as)
+    override private[api] def post(c: Column): Column = round(c, roundTo)
+  }
+
   /** Aggregate relationship: left join so parents without children
     * still answer (Hasura returns them with count 0). `where` filters
     * the children before aggregation (the `nfts_aggregate(where: ...)`
@@ -514,6 +535,34 @@ object QueryBuilder {
         distinctOn = Seq("o_orderstatus"),
         offset = 1,
         limit = Some(2)))))
+
+  /** q105 — Hasura's extended statistical aggregates (the `*_aggregate`
+    * stddev/variance family its Postgres layer auto-generates for
+    * numeric columns, README.md:89-155 surface): per customer, the
+    * spread of their order prices — count, stddev_samp/pop,
+    * var_samp/pop — vs DuckDB's native functions. Null semantics are
+    * the built-ins' (one order → samp variants null, var_pop 0.0;
+    * childless parents null via the left join, count repaired to 0).
+    * Rounding is magnitude-aware: stddev (~1e5) keeps 2 decimals;
+    * variance (~1e10) rounds to HUNDREDS — a double carries ~16
+    * significant digits, so at 1e10 the engines' merge-order ulp skew
+    * (~1e-5 abs) sits too close to a 4-decimal boundary to hash
+    * stably, while a 100-granular boundary is 6 orders away. */
+  def q105QbStatAggs(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 60)),
+      orderBy = Seq(Order("c_custkey")),
+      aggRels = Seq(AggRel(
+        table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+        aggs = Seq(
+          CountOf("o_orderkey", "n"),
+          StddevOf("o_totalprice", "sd", pop = false, roundTo = 2),
+          StddevOf("o_totalprice", "sd_pop", pop = true, roundTo = 2),
+          VarianceOf("o_totalprice", "vr", pop = false, roundTo = -2),
+          VarianceOf("o_totalprice", "vr_pop", pop = true,
+            roundTo = -2))))))
 
   def q97QbNestedDeep(s: SparkSession, dir: String): DataFrame =
     run(s, dir, Request(

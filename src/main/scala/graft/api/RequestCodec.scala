@@ -178,13 +178,20 @@ object RequestCodec {
     val fn = str(req(o, "fn", where), s"$where.fn")
     val f = str(req(o, "field", where), s"$where.field")
     val as = str(req(o, "as", where), s"$where.as")
+    def rnd(dflt: Int) =
+      Option(o.get("round")).map(intOf(_, s"$where.round")).getOrElse(dflt)
     fn match {
       case "count" => CountOf(f, as)
-      case "sum" => SumOf(f, as,
-        Option(o.get("round")).map(intOf(_, s"$where.round")).getOrElse(2))
+      case "sum" => SumOf(f, as, rnd(2))
       case "min" => MinOf(f, as)
       case "max" => MaxOf(f, as)
       case "avg" => AvgOf(f, as)
+      // Hasura's statistical family: bare stddev/variance are the
+      // SAMPLE variants (the Postgres defaults it inherits)
+      case "stddev" | "stddev_samp" => StddevOf(f, as, pop = false, rnd(4))
+      case "stddev_pop" => StddevOf(f, as, pop = true, rnd(4))
+      case "variance" | "var_samp" => VarianceOf(f, as, pop = false, rnd(4))
+      case "var_pop" => VarianceOf(f, as, pop = true, rnd(4))
       case other => bad(s"$where: unknown aggregate '$other'")
     }
   }
@@ -394,6 +401,13 @@ object RequestCodec {
             case _: MinOf => "min"
             case _: MaxOf => "max"
             case _: AvgOf => "avg"
+            // render the canonical *_samp/_pop spellings — parse maps
+            // the bare Hasura aliases onto the same constructors, so
+            // parse∘render stays the identity
+            case StddevOf(_, _, pop, _) =>
+              if (pop) "stddev_pop" else "stddev_samp"
+            case VarianceOf(_, _, pop, _) =>
+              if (pop) "var_pop" else "var_samp"
           }
           fo.put("fn", fn)
           val field = f match {
@@ -402,10 +416,14 @@ object RequestCodec {
             case MinOf(x, _) => x
             case MaxOf(x, _) => x
             case AvgOf(x, _) => x
+            case StddevOf(x, _, _, _) => x
+            case VarianceOf(x, _, _, _) => x
           }
           fo.put("field", field); fo.put("as", f.as)
           f match {
             case SumOf(_, _, r0) if r0 != 2 => fo.put("round", r0)
+            case StddevOf(_, _, _, r0) if r0 != 4 => fo.put("round", r0)
+            case VarianceOf(_, _, _, r0) if r0 != 4 => fo.put("round", r0)
             case _ => ()
           }
         }

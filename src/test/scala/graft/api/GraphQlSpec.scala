@@ -135,6 +135,35 @@ class GraphQlSpec extends SparkSpec {
       limit = Some(2))))
   }
 
+  test("aggregate relationships: the statistical family (stddev/" +
+    "variance, samp/pop) — bare spellings are the sample variants") {
+    val r = parsed("""
+      {
+        customer(order_by: {c_custkey: asc}) {
+          c_custkey
+          orders_aggregate {
+            aggregate {
+              stddev { o_totalprice }
+              sdp: stddev_pop { o_totalprice }
+              s2: stddev_samp { o_totalprice }
+              variance { o_totalprice }
+              vs: var_samp { o_totalprice }
+              var_pop { o_totalprice }
+            }
+          }
+        }
+      }""")
+    assert(r.aggRels === Seq(AggRel(
+      table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+      aggs = Seq(
+        StddevOf("o_totalprice", "stddev_o_totalprice"),
+        StddevOf("o_totalprice", "sdp", pop = true),
+        StddevOf("o_totalprice", "s2"),
+        VarianceOf("o_totalprice", "variance_o_totalprice"),
+        VarianceOf("o_totalprice", "vs"),
+        VarianceOf("o_totalprice", "var_pop_o_totalprice", pop = true)))))
+  }
+
   test("where-tree spellings: implicit AND, array-form _and, _in/_neq" +
     "/_not, boolean and negative literals") {
     val r = parsed("""

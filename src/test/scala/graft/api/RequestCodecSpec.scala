@@ -93,7 +93,18 @@ class RequestCodecSpec extends SparkSpec {
         where = Some(Gt("o_totalprice", 0.5)),
         orderBy = Seq(Order("o_totalprice", desc = true),
           Order("o_orderkey")),
-        limit = Some(2))))
+        limit = Some(2)))),
+    "stat-aggs" -> Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      orderBy = Seq(Order("c_custkey")),
+      aggRels = Seq(AggRel(
+        table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+        aggs = Seq(
+          StddevOf("o_totalprice", "sd"),
+          StddevOf("o_totalprice", "sdp", pop = true, roundTo = 2),
+          VarianceOf("o_totalprice", "vr", pop = false, roundTo = -2),
+          VarianceOf("o_totalprice", "vrp", pop = true)))))
   )
 
   test("parse(render(r)) == Right(r) on canonically-typed requests, " +
