@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * DOCUMENT via gojsonschema (x/tokenMetadataService/service.go:168-175,
   * schema types.go:3-21) — so the capability here is schema-DRIVEN: any
   * schema in the supported subset (type / properties / required /
-  * additionalProperties:false / items / enum / pattern / minLength /
-  * maxLength / minimum / maximum / exclusiveMinimum / exclusiveMaximum /
-  * multipleOf / minItems / maxItems / uniqueItems / const / contains /
-  * minProperties / maxProperties / propertyNames / anyOf / allOf /
-  * oneOf / not) compiles ONCE driver-side into a pure Column expression
-  * stack over Spark 4's VARIANT. Object properties recurse to any
+  * additionalProperties:false / patternProperties / items / enum /
+  * pattern / minLength / maxLength / minimum / maximum /
+  * exclusiveMinimum / exclusiveMaximum / multipleOf / minItems /
+  * maxItems / uniqueItems / const / contains / minProperties /
+  * maxProperties / propertyNames / anyOf / allOf / oneOf / not, with
+  * internal `$ref`s into `definitions`/`$defs` inlined at parse time —
+  * cyclic or external refs reject loudly) compiles ONCE driver-side
+  * into a pure Column expression stack over Spark 4's VARIANT. Object properties recurse to any
   * depth; array `items` validate PER ELEMENT (the variant array fans
   * out through `transform`), so the in-the-wild ERC-721 `attributes`
   * array — objects with their own required fields and anyOf-typed
@@ -32,24 +34,31 @@ import org.apache.spark.sql.types._
 object JsonFunctions {
 
   /** JSON-Schema subset: type + properties + required + items +
-    * additionalProperties:false, the value-constraint keywords enum /
-    * pattern / minLength / maxLength / minimum / maximum
-    * (exclusiveMinimum/Maximum in their draft-4 numeric form) /
-    * multipleOf / minItems / maxItems / uniqueItems / const / contains /
-    * minProperties / maxProperties / propertyNames, and the
-    * composition keywords anyOf / allOf / oneOf / not — all recursive,
-    * including PER-ELEMENT `items` validation (each element of a
-    * variant array fans out through `transform`). */
+    * additionalProperties:false + patternProperties, the
+    * value-constraint keywords enum / pattern / minLength / maxLength /
+    * minimum / maximum (exclusiveMinimum/Maximum in their draft-4
+    * numeric form) / multipleOf / minItems / maxItems / uniqueItems /
+    * const / contains / minProperties / maxProperties / propertyNames,
+    * and the composition keywords anyOf / allOf / oneOf / not — all
+    * recursive, including PER-ELEMENT `items` validation (each element
+    * of a variant array fans out through `transform`). Internal `$ref`s
+    * (definitions/$defs or any `#/...` pointer) inline at parse time;
+    * cycles reject loudly. */
   sealed trait JsonSchema
   object JsonSchema {
     /** `typed=false` marks a schema node that carries object keywords
       * but no `"type": "object"` — per the spec those keywords apply
       * only WHEN the instance is an object and pass otherwise (the
       * shape anyOf/oneOf branches routinely use). `closed` is
-      * `additionalProperties: false`. */
+      * `additionalProperties: false`. `patternProps` are
+      * `patternProperties`: every instance key matching a pattern
+      * validates its value against that pattern's schema (declared
+      * `properties` keys included — both apply, per the spec), and
+      * pattern-matched keys are NOT "additional" for `closed`. */
     case class JsObject(properties: Seq[(String, JsonSchema)],
         required: Set[String], closed: Boolean = false,
-        typed: Boolean = true) extends JsonSchema
+        typed: Boolean = true,
+        patternProps: Seq[(String, JsonSchema)] = Nil) extends JsonSchema
     case class JsArray(items: Option[JsonSchema],
         typed: Boolean = true) extends JsonSchema
     /** "string" | "number" | "integer" | "boolean" */
@@ -99,26 +108,60 @@ object JsonFunctions {
 
     /** Parse a JSON-Schema document (driver-side, once per plan; Jackson is
       * already on Spark's classpath). Unknown/absent `type` → JsAny, i.e.
-      * "any value accepted" — matching JSON-Schema's permissive default. */
+      * "any value accepted" — matching JSON-Schema's permissive default.
+      *
+      * `$ref` resolves at PARSE time: any internal JSON-Pointer ref
+      * (`#/definitions/Name`, `#/$defs/Name`, or any other `#/...`
+      * path) inlines its target, so the compiled expression stack never
+      * sees refs — schemas factored through `definitions` (the
+      * in-the-wild ERC-721/metadata shape) cost nothing at runtime.
+      * Cyclic and unresolvable refs are rejected LOUDLY
+      * (IllegalArgumentException naming the cycle/pointer) — a cyclic
+      * schema cannot compile to a finite expression, and a silently
+      * dropped ref would accept documents the schema forbids. External
+      * (non-`#`) refs are out of scope and also reject loudly. Sibling
+      * keywords next to `$ref` are ignored (draft-7 semantics, what
+      * gojsonschema applies). */
     def parse(doc: String): JsonSchema = {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      fromNode(mapper.readTree(doc))
+      val root = mapper.readTree(doc)
+      fromNode(root, root, Nil)
     }
 
-    private def fromNode(
-        n: com.fasterxml.jackson.databind.JsonNode): JsonSchema = {
+    private def fromNode(n: com.fasterxml.jackson.databind.JsonNode,
+        root: com.fasterxml.jackson.databind.JsonNode,
+        seen: List[String]): JsonSchema = {
       import scala.jdk.CollectionConverters._
+      val refNode = n.get("$ref")
+      if (refNode != null && refNode.isTextual) {
+        val ref = refNode.asText()
+        if (!ref.startsWith("#"))
+          throw new IllegalArgumentException(
+            s"unsupported external $$ref '$ref' (only internal '#/...')")
+        if (seen.contains(ref))
+          throw new IllegalArgumentException("cyclic $ref: " +
+            (ref :: seen).reverse.mkString(" -> "))
+        val target = root.at(ref.substring(1))
+        if (target.isMissingNode)
+          throw new IllegalArgumentException(s"unresolvable $$ref '$ref'")
+        return fromNode(target, root, ref :: seen)
+      }
+      def rec(m: com.fasterxml.jackson.databind.JsonNode): JsonSchema =
+        fromNode(m, root, seen)
       def mkObj(typed: Boolean): JsObject = {
         val props = Option(n.get("properties")).toSeq.flatMap(p =>
-          p.fields().asScala.map(e => e.getKey -> fromNode(e.getValue)))
+          p.fields().asScala.map(e => e.getKey -> rec(e.getValue)))
         val req = Option(n.get("required")).toSeq.flatMap(r =>
           r.elements().asScala.map(_.asText()))
+        val patProps = Option(n.get("patternProperties")).toSeq.flatMap(p =>
+          p.fields().asScala.map(e => e.getKey -> rec(e.getValue)))
         val ap = n.path("additionalProperties")
         JsObject(props, req.toSet,
-          closed = ap.isBoolean && !ap.asBoolean(true), typed = typed)
+          closed = ap.isBoolean && !ap.asBoolean(true), typed = typed,
+          patternProps = patProps)
       }
       def mkArr(typed: Boolean): JsArray =
-        JsArray(Option(n.get("items")).map(fromNode), typed = typed)
+        JsArray(Option(n.get("items")).map(rec), typed = typed)
       val base = n.path("type").asText("") match {
         case "object" => mkObj(typed = true)
         case "array" => mkArr(typed = true)
@@ -128,7 +171,8 @@ object JsonFunctions {
           // apply only when the instance HAS that shape (the form
           // anyOf/oneOf branches routinely take)
           if (n.has("properties") || n.has("required") ||
-              n.has("additionalProperties")) mkObj(typed = false)
+              n.has("additionalProperties") ||
+              n.has("patternProperties")) mkObj(typed = false)
           else if (n.has("items")) mkArr(typed = false)
           else JsAny
       }
@@ -138,7 +182,7 @@ object JsonFunctions {
         Option(n.get(k)).filter(_.isNumber).map(_.asInt())
       def schemas(k: String): Option[Seq[JsonSchema]] =
         Option(n.get(k)).filter(_.isArray)
-          .map(_.elements().asScala.toSeq.map(fromNode))
+          .map(_.elements().asScala.toSeq.map(rec))
           .filter(_.nonEmpty)
       def enumVal(e: com.fasterxml.jackson.databind.JsonNode): EnumVal =
         e match {
@@ -161,14 +205,14 @@ object JsonFunctions {
         minItems = int("minItems"), maxItems = int("maxItems"),
         uniqueItems = n.path("uniqueItems").asBoolean(false),
         contains = Option(n.get("contains")).filter(_.isObject)
-          .map(fromNode),
+          .map(rec),
         minProperties = int("minProperties"),
         maxProperties = int("maxProperties"),
         propertyNames = Option(n.get("propertyNames")).filter(_.isObject)
-          .map(fromNode),
+          .map(rec),
         anyOf = schemas("anyOf"), allOf = schemas("allOf"),
         oneOf = schemas("oneOf"),
-        not = Option(n.get("not")).filter(_.isObject).map(fromNode))
+        not = Option(n.get("not")).filter(_.isObject).map(rec))
       if (cs.isEmpty) base else JsConstrained(base, cs)
     }
   }
@@ -363,7 +407,7 @@ object JsonFunctions {
         if (typed) array(lit(s"field is not an array: ${display(path)}"))
         else noErrors)
         .otherwise(elemErrs)
-    case JsObject(props, required, closed, typed) =>
+    case JsObject(props, required, closed, typed, patternProps) =>
       val perProp = props.map { case (name, child) =>
         val fv = variant_get(v, s"$$.$name", "variant")
         val childPath = if (path.isEmpty) name else s"$path.$name"
@@ -382,20 +426,39 @@ object JsonFunctions {
             array(lit(s"missing required field: $childPath")))
             .otherwise(noErrors)
         }
-      // additionalProperties: false — every ACTUAL key must be declared;
-      // each trespasser reports by name
+      // patternProperties: every instance entry whose KEY matches a
+      // pattern validates its value against that pattern's schema —
+      // keys are dynamic, so the object fans out as map entries (the
+      // array-items shape for objects). Declared properties keys that
+      // also match run BOTH checks, per the spec.
+      val patErrs = patternProps.map { case (re, sub) =>
+        val entries = map_entries(
+          try_variant_get(v, "$", "map<string, variant>"))
+        flatten(transform(entries, e =>
+          when(e.getField("key").rlike(re),
+            nodeErrors(e.getField("value"), sub,
+              path + s".<patternProperties:$re>"))
+            .otherwise(noErrors)))
+      }
+      // additionalProperties: false — every ACTUAL key must be declared
+      // (or matched by a patternProperties pattern, which makes it
+      // non-additional per the spec); each trespasser reports by name
       val extraErrs =
         if (!closed) Nil
         else {
           val declared = props.map(_._1)
-          val extras = array_except(json_object_keys(to_json(v)),
+          val extras0 = array_except(json_object_keys(to_json(v)),
             if (declared.isEmpty) array().cast("array<string>")
             else array(declared.map(lit): _*))
+          val extras =
+            if (patternProps.isEmpty) extras0
+            else filter(extras0, k =>
+              !patternProps.map(p => k.rlike(p._1)).reduce(_ || _))
           Seq(transform(extras, k => concat(
             lit("unexpected additional property '"), k,
             lit(s"': ${display(path)}"))))
         }
-      val allChecks = perProp ++ bareRequired ++ extraErrs
+      val allChecks = perProp ++ bareRequired ++ patErrs ++ extraErrs
       val propErrs =
         if (allChecks.isEmpty) noErrors else concat(allChecks: _*)
       when(!schema_of_variant(v).startsWith("OBJECT"),

@@ -884,6 +884,135 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2)._2 === Seq("field is not an array: attributes"))
   }
 
+  test("schema validation: $ref into definitions/$defs inlines at parse " +
+    "time; cyclic, external and unresolvable refs reject loudly") {
+    import spark.implicits._
+    def run(schema: String, jsons: String*): Seq[(Boolean, Seq[String])] =
+      jsons.toDF("j")
+        .select(J.validateJsonSchema(col("j"), schema).as("v"))
+        .select("v.valid", "v.errors").collect().toSeq
+        .map(r => (r.getBoolean(0), r.getSeq[String](1)))
+
+    // a realistic definitions-factored metadata schema: the shared
+    // `uri` and `trait` shapes referenced twice each — the form
+    // real-world ERC-721/1155 schema documents actually take, and the
+    // reason $ref is the generality bar (gojsonschema resolves it)
+    val factored =
+      """{"type":"object",
+        | "definitions": {
+        |   "uri": {"type":"string","pattern":"^(https?|ipfs)://"},
+        |   "trait": {
+        |     "type":"object",
+        |     "properties": {
+        |       "trait_type": {"type":"string"},
+        |       "value": {"anyOf":[{"type":"string"},{"type":"number"}]}},
+        |     "required": ["trait_type","value"],
+        |     "additionalProperties": false}},
+        | "properties": {
+        |   "name": {"type":"string","minLength":1},
+        |   "image": {"$ref": "#/definitions/uri"},
+        |   "animation_url": {"$ref": "#/definitions/uri"},
+        |   "attributes": {"type":"array",
+        |                  "items": {"$ref": "#/definitions/trait"}}},
+        | "required": ["name","image"]}""".stripMargin
+    val r = run(factored,
+      """{"name":"T","image":"ipfs://a","animation_url":"https://b",
+        |"attributes":[{"trait_type":"Fur","value":"Gold"}]}"""
+        .stripMargin.replace("\n", ""),
+      """{"name":"T","image":"ftp://a",
+        |"attributes":[{"trait_type":"Fur"}]}"""
+        .stripMargin.replace("\n", ""))
+    assert(r(0) === ((true, Nil)))
+    assert(r(1)._1 === false)
+    assert(r(1)._2 === Seq(
+      "string does not match pattern(^(https?|ipfs)://): image",
+      "missing required field: attributes[].value"))
+
+    // $defs (2019-09 spelling) and refs INSIDE definitions resolve too
+    val defs =
+      """{"$defs": {
+        |   "name": {"type":"string","minLength":2},
+        |   "named": {"type":"object",
+        |             "properties": {"n": {"$ref": "#/$defs/name"}},
+        |             "required": ["n"]}},
+        | "type":"object",
+        | "properties": {"who": {"$ref": "#/$defs/named"}}}""".stripMargin
+    val r2 = run(defs, """{"who":{"n":"ab"}}""", """{"who":{"n":"a"}}""")
+    assert(r2.map(_._1) === Seq(true, false))
+    assert(r2(1)._2 === Seq("string shorter than minLength(2): who.n"))
+
+    // cyclic: a -> b -> a cannot compile to a finite expression — loud
+    val cyc =
+      """{"definitions": {
+        |   "a": {"properties": {"x": {"$ref": "#/definitions/b"}}},
+        |   "b": {"properties": {"y": {"$ref": "#/definitions/a"}}}},
+        | "$ref": "#/definitions/a"}""".stripMargin
+    val eCyc = intercept[IllegalArgumentException](J.JsonSchema.parse(cyc))
+    assert(eCyc.getMessage.contains("cyclic $ref"))
+    // self-ref through the root is the same cycle
+    val eSelf = intercept[IllegalArgumentException](J.JsonSchema.parse(
+      """{"properties": {"child": {"$ref": "#"}}}"""))
+    assert(eSelf.getMessage.contains("cyclic $ref"))
+    // external and unresolvable refs: out of scope, loudly
+    assert(intercept[IllegalArgumentException](J.JsonSchema.parse(
+      """{"$ref": "https://example.com/s.json"}"""))
+      .getMessage.contains("external"))
+    assert(intercept[IllegalArgumentException](J.JsonSchema.parse(
+      """{"$ref": "#/definitions/nope"}"""))
+      .getMessage.contains("unresolvable"))
+  }
+
+  test("schema validation: patternProperties validates matching keys' " +
+    "values and exempts them from additionalProperties:false") {
+    import spark.implicits._
+    def run(schema: String, jsons: String*): Seq[(Boolean, Seq[String])] =
+      jsons.toDF("j")
+        .select(J.validateJsonSchema(col("j"), schema).as("v"))
+        .select("v.valid", "v.errors").collect().toSeq
+        .map(r => (r.getBoolean(0), r.getSeq[String](1)))
+
+    // keys like attr_* carry numbers; declared key "id" is a string;
+    // anything else is additional (and the object is closed)
+    val pp = """{"type":"object",
+               | "properties": {"id": {"type":"string"}},
+               | "patternProperties": {"^attr_": {"type":"number"}},
+               | "additionalProperties": false}""".stripMargin
+    val r = run(pp,
+      """{"id":"x","attr_a":1,"attr_b":2.5}""",
+      """{"id":"x","attr_a":"not a number"}""",
+      """{"id":"x","rogue":1}""")
+    assert(r(0) === ((true, Nil)))
+    assert(r(1)._1 === false)
+    assert(r(1)._2 ===
+      Seq("field is not a number: .<patternProperties:^attr_>"))
+    assert(r(2)._1 === false)
+    assert(r(2)._2 === Seq("unexpected additional property 'rogue': $"))
+
+    // a declared key that ALSO matches a pattern runs both checks
+    val both = """{"type":"object",
+                 | "properties": {"attr_x": {"type":"number"}},
+                 | "patternProperties": {"^attr_": {"maximum": 10}}}"""
+      .stripMargin
+    val r2 = run(both, """{"attr_x":5}""", """{"attr_x":50}""")
+    assert(r2.map(_._1) === Seq(true, false))
+    assert(r2(1)._2 ===
+      Seq("number above maximum(10.0): .<patternProperties:^attr_>"))
+
+    // patternProperties recurse: object-valued patterns, and they work
+    // through $ref like everything else
+    val nested = """{"type":"object",
+                   | "definitions": {"pt": {"type":"object",
+                   |   "properties": {"v": {"type":"integer"}},
+                   |   "required": ["v"]}},
+                   | "patternProperties": {"^p[0-9]$":
+                   |   {"$ref": "#/definitions/pt"}}}""".stripMargin
+    val r3 = run(nested, """{"p1":{"v":1},"p2":{"v":2}}""",
+      """{"p1":{}}""")
+    assert(r3.map(_._1) === Seq(true, false))
+    assert(r3(1)._2 === Seq(
+      "missing required field: .<patternProperties:^p[0-9]$>.v"))
+  }
+
   test("vec_dot matches a hand computation and handles length mismatch") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
