@@ -820,6 +820,199 @@ object GraphQl {
         Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
     }
 
+  // ---- printer (render a Request back to query text) -----------------
+
+  /** Render a [[Request]] to GraphQL query text such that
+    * `parse(render(r), schema) == Right(r)` — the same parse∘render
+    * identity [[RequestCodec]] carries for the wire JSON, and the
+    * hardening lever for the parser: a property test over generated
+    * requests walks far more of the grammar than example queries can.
+    *
+    * Loud on unrenderable shapes (IllegalArgumentException): a
+    * relationship the schema doesn't track (the printer inverts the
+    * metadata resolution parse does), a non-default rounding the query
+    * language has no spelling for, or a literal type outside the
+    * GraphQL value grammar. The identity holds for canonically-typed
+    * requests (Long/Double/String/Boolean literals — the same caveat
+    * as the wire codec: DSL Int literals parse back as Long). */
+  def render(r: Request, schema: Schema = fixtureSchema): String = {
+    val sb = new StringBuilder
+    sb ++= "{\n  " ++= r.table
+    sb ++= renderArgs(r.where, r.orderBy, r.limit, r.offset, r.distinctOn)
+    sb ++= " {\n"
+    r.fields.foreach(f => sb ++= "    " ++= f ++= "\n")
+    r.nested.foreach(n => renderNested(sb, schema, r.table, n, indent = 4))
+    r.aggRels.foreach(ar => renderAggRel(sb, schema, r.table, ar))
+    sb ++= "  }\n}"
+    sb.toString
+  }
+
+  private def relNameOf(schema: Schema, parentTable: String,
+      childTable: String, childKey: String, parentKey: String): String =
+    schema.rels.collectFirst {
+      case ((pt, name), rel)
+          if pt == parentTable && rel.childTable == childTable &&
+            rel.childKey == childKey && rel.parentKey == parentKey => name
+    }.getOrElse(throw new IllegalArgumentException(
+      s"render: no tracked relationship on '$parentTable' joining " +
+        s"'$childTable' on $childKey = $parentKey"))
+
+  private def renderNested(sb: StringBuilder, schema: Schema,
+      parentTable: String, n: Nested, indent: Int): Unit = {
+    val pad = " " * indent
+    val relName = relNameOf(schema, parentTable, n.table, n.childKey,
+      n.parentKey)
+    sb ++= pad
+    if (n.as != relName) sb ++= n.as ++= ": "
+    sb ++= relName
+    sb ++= renderArgs(n.where, n.orderBy, n.limit, n.offset, n.distinctOn)
+    if (n.joinType != "inner") sb ++= s""" @join(type: "${n.joinType}")"""
+    sb ++= " {\n"
+    n.fields.foreach { f =>
+      sb ++= pad ++= "  "
+      if (f.as != f.field) sb ++= f.as ++= ": "
+      sb ++= f.field
+      f.format.foreach { case (round, printf) =>
+        sb ++= s""" @fmt(round: $round, printf: ${quote(printf)})"""
+      }
+      f.cast.foreach(t => sb ++= s" @cast(to: ${quote(t)})")
+      sb ++= "\n"
+    }
+    n.sub.foreach(m => renderNested(sb, schema, n.table, m, indent + 2))
+    sb ++= pad ++= "}\n"
+  }
+
+  private def renderAggRel(sb: StringBuilder, schema: Schema,
+      parentTable: String, ar: AggRel): Unit = {
+    val relName = relNameOf(schema, parentTable, ar.table, ar.childKey,
+      ar.parentKey)
+    sb ++= "    " ++= relName ++= "_aggregate"
+    sb ++= renderArgs(ar.where, ar.orderBy, ar.limit, ar.offset,
+      ar.distinctOn)
+    if (ar.joinType != "left") sb ++= s""" @join(type: "${ar.joinType}")"""
+    sb ++= " {\n      aggregate {\n"
+    ar.aggs.foreach { a =>
+      sb ++= "        "
+      sb ++= renderAggField(a, ar.childKey)
+      sb ++= "\n"
+    }
+    sb ++= "      }\n    }\n"
+  }
+
+  /** One aggregate selection. Parse always counts the child key, and
+    * the query language has no spelling for non-default rounding — both
+    * reject loudly rather than render text that parses to a different
+    * request. */
+  private def renderAggField(a: AggField, childKey: String): String = {
+    def unrenderable(what: String): Nothing =
+      throw new IllegalArgumentException(s"render: $what has no GraphQL " +
+        "spelling (the parse would not round-trip)")
+    def fieldFn(fn: String, dfltSpellings: Seq[String], f: String,
+        as: String): String = {
+      // default output names follow the SPELLING used (`stddev_samp_f`
+      // vs `stddev_f`); pick the spelling the name implies, else alias
+      // with the canonical one
+      dfltSpellings.find(sp => as == s"${sp}_$f") match {
+        case Some(sp) => s"$sp { $f }"
+        case None => s"$as: $fn { $f }"
+      }
+    }
+    a match {
+      case CountOf(f, as) =>
+        if (f != childKey)
+          unrenderable(s"count of non-key field '$f'")
+        if (as == "count") "count" else s"$as: count"
+      case SumOf(f, as, roundTo) =>
+        if (roundTo != 2) unrenderable(s"sum round=$roundTo")
+        fieldFn("sum", Seq("sum"), f, as)
+      case MinOf(f, as) => fieldFn("min", Seq("min"), f, as)
+      case MaxOf(f, as) => fieldFn("max", Seq("max"), f, as)
+      case AvgOf(f, as) => fieldFn("avg", Seq("avg"), f, as)
+      case StddevOf(f, as, pop, roundTo) =>
+        if (roundTo != 4) unrenderable(s"stddev round=$roundTo")
+        if (pop) fieldFn("stddev_pop", Seq("stddev_pop"), f, as)
+        else fieldFn("stddev_samp", Seq("stddev_samp", "stddev"), f, as)
+      case VarianceOf(f, as, pop, roundTo) =>
+        if (roundTo != 4) unrenderable(s"variance round=$roundTo")
+        if (pop) fieldFn("var_pop", Seq("var_pop"), f, as)
+        else fieldFn("var_samp", Seq("var_samp", "variance"), f, as)
+    }
+  }
+
+  private def renderArgs(where: Option[BoolExp], orderBy: Seq[Order],
+      limit: Option[Int], offset: Int, distinctOn: Seq[String]): String = {
+    val args = Seq.newBuilder[String]
+    where.foreach(w => args += s"where: ${renderBoolExp(w)}")
+    if (orderBy.nonEmpty)
+      args += "order_by: [" + orderBy.map(o =>
+        s"{${o.field}: ${if (o.desc) "desc" else "asc"}}").mkString(", ") +
+        "]"
+    if (distinctOn.nonEmpty)
+      args += "distinct_on: [" + distinctOn.mkString(", ") + "]"
+    limit.foreach(l => args += s"limit: $l")
+    if (offset != 0) args += s"offset: $offset"
+    val rendered = args.result()
+    if (rendered.isEmpty) "" else rendered.mkString("(", ", ", ")")
+  }
+
+  /** The where-tree in Hasura's object spelling — combinators render
+    * their canonical list form (`_and: [...]`), which the parser maps
+    * back to the same [[BoolExp]] tree. */
+  private def renderBoolExp(e: BoolExp): String = e match {
+    case And(es @ _*) =>
+      "{_and: [" + es.map(renderBoolExp).mkString(", ") + "]}"
+    case Or(es @ _*) =>
+      "{_or: [" + es.map(renderBoolExp).mkString(", ") + "]}"
+    case Not(x) => s"{_not: ${renderBoolExp(x)}}"
+    case Eq(f, v) => s"{$f: {_eq: ${renderLit(v)}}}"
+    case Neq(f, v) => s"{$f: {_neq: ${renderLit(v)}}}"
+    case Gt(f, v) => s"{$f: {_gt: ${renderLit(v)}}}"
+    case Gte(f, v) => s"{$f: {_gte: ${renderLit(v)}}}"
+    case Lt(f, v) => s"{$f: {_lt: ${renderLit(v)}}}"
+    case Lte(f, v) => s"{$f: {_lte: ${renderLit(v)}}}"
+    case In(f, vs) =>
+      s"{$f: {_in: [${vs.map(renderLit).mkString(", ")}]}}"
+    case Nin(f, vs) =>
+      s"{$f: {_nin: [${vs.map(renderLit).mkString(", ")}]}}"
+    case Like(f, p) => s"{$f: {_like: ${quote(p)}}}"
+    case Nlike(f, p) => s"{$f: {_nlike: ${quote(p)}}}"
+    case Ilike(f, p) => s"{$f: {_ilike: ${quote(p)}}}"
+    case IsNull(f, isNull) => s"{$f: {_is_null: $isNull}}"
+  }
+
+  private def renderLit(v: Any): String = v match {
+    case null => "null"
+    case s: String => quote(s)
+    case b: Boolean => b.toString
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case d: Double =>
+      // Double.toString always carries '.' or 'E', so the lexer reads
+      // it back as a FloatLit of the identical double
+      if (d.isNaN || d.isInfinite)
+        throw new IllegalArgumentException(
+          s"render: $d has no GraphQL literal")
+      d.toString
+    case other => throw new IllegalArgumentException(
+      s"render: unsupported literal type ${other.getClass.getName}")
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\t' => sb ++= "\\t"
+      case '\r' => sb ++= "\\r"
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').toString
+  }
+
   // ---- wire-served correctness entry ---------------------------------
 
   /** q98's request as GRAPHQL TEXT — the reference endpoint's own

@@ -463,22 +463,24 @@ object QueryBuilder {
     * The oracle composes q40's SQL with the child predicate and a
     * row_number-windowed top-n — the most common real-user query shape
     * after plain nesting. */
+  val q98Request: Request = Request(
+    table = "customer",
+    fields = Seq("c_custkey"),
+    where = Some(Lte("c_custkey", 50L)),
+    orderBy = Seq(Order("c_custkey")),
+    nested = Seq(Nested(
+      as = "orders", table = "orders",
+      childKey = "o_custkey", parentKey = "c_custkey",
+      fields = Seq(
+        NestedField("k", "o_orderkey"),
+        NestedField("p", "o_totalprice", format = Some((2, "%.2f")))),
+      where = Some(Eq("o_orderstatus", "O")),
+      orderBy = Seq(Order("o_totalprice", desc = true),
+        Order("o_orderkey")),
+      limit = Some(3))))
+
   def q98QbChildArgs(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, Request(
-      table = "customer",
-      fields = Seq("c_custkey"),
-      where = Some(Lte("c_custkey", 50)),
-      orderBy = Seq(Order("c_custkey")),
-      nested = Seq(Nested(
-        as = "orders", table = "orders",
-        childKey = "o_custkey", parentKey = "c_custkey",
-        fields = Seq(
-          NestedField("k", "o_orderkey"),
-          NestedField("p", "o_totalprice", format = Some((2, "%.2f")))),
-        where = Some(Eq("o_orderstatus", "O")),
-        orderBy = Seq(Order("o_totalprice", desc = true),
-          Order("o_orderkey")),
-        limit = Some(3)))))
+    run(s, dir, q98Request)
 
   /** q101 — the REST of Hasura's comparison surface in one request
     * (README.md:121-155's operator table): `_is_null` both polarities,
@@ -486,28 +488,32 @@ object QueryBuilder {
     * `_nlike`. DuckDB spells each natively (IS [NOT] NULL, NOT IN,
     * ILIKE, NOT LIKE), so the oracle pins the three-valued-logic
     * semantics too. */
+  val q101Request: Request = Request(
+    table = "documents",
+    fields = Seq("doc_id", "lang", "source"),
+    where = Some(And(
+      IsNull("text", isNull = false),
+      Nin("lang", Seq("zh", "es")),
+      Or(IsNull("source"), Ilike("source", "SRC1%")),
+      Nlike("source", "%8"))),
+    orderBy = Seq(Order("doc_id")),
+    limit = Some(400))
+
   def q101QbOps(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, Request(
-      table = "documents",
-      fields = Seq("doc_id", "lang", "source"),
-      where = Some(And(
-        IsNull("text", isNull = false),
-        Nin("lang", Seq("zh", "es")),
-        Or(IsNull("source"), Ilike("source", "SRC1%")),
-        Nlike("source", "%8"))),
-      orderBy = Seq(Order("doc_id")),
-      limit = Some(400)))
+    run(s, dir, q101Request)
 
   /** q102 — Hasura's `distinct_on`: the longest document per language
     * (distinct_on: lang, ordered lang asc, n_chars desc, doc_id asc).
     * DuckDB spells the same semantics natively as DISTINCT ON. */
+  val q102Request: Request = Request(
+    table = "documents",
+    fields = Seq("doc_id", "lang", "n_chars"),
+    orderBy = Seq(Order("lang"), Order("n_chars", desc = true),
+      Order("doc_id")),
+    distinctOn = Seq("lang"))
+
   def q102QbDistinctOn(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, Request(
-      table = "documents",
-      fields = Seq("doc_id", "lang", "n_chars"),
-      orderBy = Seq(Order("lang"), Order("n_chars", desc = true),
-        Order("doc_id")),
-      distinctOn = Seq("lang")))
+    run(s, dir, q102Request)
 
   /** q103 — per-relationship `distinct_on` + `offset` composing with
     * `limit` (the full Hasura child-argument surface in one request):
@@ -517,24 +523,26 @@ object QueryBuilder {
     * Both cuts are per-parent row_number windows riding the child's
     * one hash shuffle; the oracle spells them as two stacked windows
     * in DuckDB. */
+  val q103Request: Request = Request(
+    table = "customer",
+    fields = Seq("c_custkey"),
+    where = Some(Lte("c_custkey", 80L)),
+    orderBy = Seq(Order("c_custkey")),
+    nested = Seq(Nested(
+      as = "orders", table = "orders",
+      childKey = "o_custkey", parentKey = "c_custkey",
+      fields = Seq(
+        NestedField("k", "o_orderkey"),
+        NestedField("st", "o_orderstatus"),
+        NestedField("p", "o_totalprice", format = Some((2, "%.2f")))),
+      orderBy = Seq(Order("o_orderstatus"),
+        Order("o_totalprice", desc = true), Order("o_orderkey")),
+      distinctOn = Seq("o_orderstatus"),
+      offset = 1,
+      limit = Some(2))))
+
   def q103QbChildPage(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, Request(
-      table = "customer",
-      fields = Seq("c_custkey"),
-      where = Some(Lte("c_custkey", 80)),
-      orderBy = Seq(Order("c_custkey")),
-      nested = Seq(Nested(
-        as = "orders", table = "orders",
-        childKey = "o_custkey", parentKey = "c_custkey",
-        fields = Seq(
-          NestedField("k", "o_orderkey"),
-          NestedField("st", "o_orderstatus"),
-          NestedField("p", "o_totalprice", format = Some((2, "%.2f")))),
-        orderBy = Seq(Order("o_orderstatus"),
-          Order("o_totalprice", desc = true), Order("o_orderkey")),
-        distinctOn = Seq("o_orderstatus"),
-        offset = 1,
-        limit = Some(2)))))
+    run(s, dir, q103Request)
 
   /** q105 — Hasura's extended statistical aggregates (the `*_aggregate`
     * stddev/variance family its Postgres layer auto-generates for
@@ -548,21 +556,23 @@ object QueryBuilder {
     * significant digits, so at 1e10 the engines' merge-order ulp skew
     * (~1e-5 abs) sits too close to a 4-decimal boundary to hash
     * stably, while a 100-granular boundary is 6 orders away. */
+  val q105Request: Request = Request(
+    table = "customer",
+    fields = Seq("c_custkey"),
+    where = Some(Lte("c_custkey", 60L)),
+    orderBy = Seq(Order("c_custkey")),
+    aggRels = Seq(AggRel(
+      table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
+      aggs = Seq(
+        CountOf("o_orderkey", "n"),
+        StddevOf("o_totalprice", "sd", pop = false, roundTo = 2),
+        StddevOf("o_totalprice", "sd_pop", pop = true, roundTo = 2),
+        VarianceOf("o_totalprice", "vr", pop = false, roundTo = -2),
+        VarianceOf("o_totalprice", "vr_pop", pop = true,
+          roundTo = -2)))))
+
   def q105QbStatAggs(s: SparkSession, dir: String): DataFrame =
-    run(s, dir, Request(
-      table = "customer",
-      fields = Seq("c_custkey"),
-      where = Some(Lte("c_custkey", 60)),
-      orderBy = Seq(Order("c_custkey")),
-      aggRels = Seq(AggRel(
-        table = "orders", childKey = "o_custkey", parentKey = "c_custkey",
-        aggs = Seq(
-          CountOf("o_orderkey", "n"),
-          StddevOf("o_totalprice", "sd", pop = false, roundTo = 2),
-          StddevOf("o_totalprice", "sd_pop", pop = true, roundTo = 2),
-          VarianceOf("o_totalprice", "vr", pop = false, roundTo = -2),
-          VarianceOf("o_totalprice", "vr_pop", pop = true,
-            roundTo = -2))))))
+    run(s, dir, q105Request)
 
   def q97QbNestedDeep(s: SparkSession, dir: String): DataFrame =
     run(s, dir, Request(

@@ -445,6 +445,177 @@ class GraphQlSpec extends SparkSpec {
       "{ customer { ...on } }").contains("'on' cannot name"))
   }
 
+  // ---- printer: parse ∘ render == id ---------------------------------
+
+  test("printer: canned requests round-trip (q98/q101/q102/q103 and " +
+    "the q100 query's own parse)") {
+    val canned = Seq(
+      "q98" -> QueryBuilder.q98Request, "q101" -> QueryBuilder.q101Request,
+      "q102" -> QueryBuilder.q102Request,
+      "q103" -> QueryBuilder.q103Request)
+    canned.foreach { case (name, r) =>
+      val text = GraphQl.render(r)
+      assert(GraphQl.parse(text) === Right(r),
+        s"$name did not round-trip:\n$text")
+    }
+    // the canned q100 GraphQL text: parse, render, re-parse — fixpoint
+    val r0 = parsed(GraphQl.q100Query)
+    assert(GraphQl.parse(GraphQl.render(r0)) === Right(r0))
+    // q105 carries magnitude-aware roundings the query language cannot
+    // spell — the printer must refuse, not drift
+    assertThrows[IllegalArgumentException](
+      GraphQl.render(QueryBuilder.q105Request))
+  }
+
+  test("printer: parse(render(r)) == Right(r) over generated requests " +
+    "(deterministic property sweep)") {
+    import org.scalacheck.{Gen, rng}
+    val custFields = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val ordFields = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+    def genLit: Gen[Any] = Gen.oneOf(
+      Gen.choose(-100000L, 100000L),
+      Gen.oneOf("A", "x%", "O'hare \"q\"", "tab\there", "", "line\nbreak"),
+      Gen.choose(-1.0e6, 1.0e6),
+      Gen.oneOf(true, false))
+    def genLeaf(fields: Seq[String]): Gen[BoolExp] = for {
+      f <- Gen.oneOf(fields)
+      leaf <- Gen.oneOf[Gen[BoolExp]](
+        genLit.map(Eq(f, _)), genLit.map(Neq(f, _)),
+        genLit.map(Gt(f, _)), genLit.map(Gte(f, _)),
+        genLit.map(Lt(f, _)), genLit.map(Lte(f, _)),
+        Gen.listOfN(2, genLit).map(In(f, _)),
+        Gen.listOfN(3, genLit).map(Nin(f, _)),
+        Gen.const(In(f, Nil)),
+        Gen.oneOf("%x%", "a_b", "").map(Like(f, _)),
+        Gen.oneOf("%8", "S_").map(Nlike(f, _)),
+        Gen.oneOf("SRC%", "%Q%").map(Ilike(f, _)),
+        Gen.oneOf(true, false).map(IsNull(f, _))).flatMap(identity)
+    } yield leaf
+    def genTree(fields: Seq[String], depth: Int): Gen[BoolExp] =
+      if (depth <= 0) genLeaf(fields)
+      else Gen.frequency(
+        3 -> genLeaf(fields),
+        1 -> Gen.choose(1, 3).flatMap(n => Gen.listOfN(n,
+          genTree(fields, depth - 1)).map(es => And(es: _*))),
+        1 -> Gen.choose(1, 3).flatMap(n => Gen.listOfN(n,
+          genTree(fields, depth - 1)).map(es => Or(es: _*))),
+        1 -> genTree(fields, depth - 1).map(Not(_)))
+    def genOrders(fields: Seq[String]): Gen[Seq[Order]] = for {
+      n <- Gen.choose(1, fields.length)
+      fs <- Gen.pick(n, fields)
+      descs <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield fs.toSeq.zip(descs).map { case (f, d) => Order(f, d) }
+    val genNestedField: Gen[NestedField] = for {
+      f <- Gen.oneOf(ordFields)
+      alias <- Gen.oneOf(Some("k"), Some("val_x"), None)
+      fmt <- Gen.oneOf(None, Some((2, "%.2f")))
+      cast <- Gen.oneOf(None, Some("long"), None)
+    } yield NestedField(alias.getOrElse(f), f,
+      if (cast.isEmpty) fmt else None, cast)
+    val genNested: Gen[Nested] = for {
+      as <- Gen.oneOf("orders", "os")
+      nf <- Gen.choose(1, 3)
+      fields0 <- Gen.listOfN(nf, genNestedField)
+      fields = fields0.zipWithIndex.map { case (f, i) =>
+        if (fields0.map(_.as).distinct.length == nf) f
+        else f.copy(as = s"${f.as}_$i") // output names must be unique
+      }
+      where <- Gen.option(genTree(ordFields, 1))
+      hasOrder <- Gen.oneOf(true, false)
+      orders <- if (hasOrder) genOrders(ordFields) else Gen.const(Nil)
+      limit <- if (orders.nonEmpty) Gen.option(Gen.choose(1, 5))
+        else Gen.const(None)
+      offset <- if (orders.nonEmpty) Gen.oneOf(0, 0, 2)
+        else Gen.const(0)
+      join <- Gen.oneOf("inner", "left")
+      sub <- Gen.oneOf(true, false).map(b =>
+        if (b) Some(Nested(as = "items", table = "lineitem",
+          childKey = "l_orderkey", parentKey = "o_orderkey",
+          fields = Seq(NestedField("q", "l_quantity",
+            cast = Some("long")))))
+        else None)
+    } yield Nested(as = as, table = "orders", childKey = "o_custkey",
+      parentKey = "c_custkey", fields = fields, sub = sub,
+      joinType = join, where = where, orderBy = orders, limit = limit,
+      offset = offset)
+    val genAggField: Gen[AggField] = Gen.oneOf[AggField](
+      CountOf("o_custkey", "count"), CountOf("o_custkey", "n"),
+      SumOf("o_totalprice", "sum_o_totalprice"),
+      SumOf("o_totalprice", "s"),
+      MinOf("o_totalprice", "min_o_totalprice"),
+      MaxOf("o_totalprice", "hi"), AvgOf("o_totalprice", "mean"),
+      StddevOf("o_totalprice", "stddev_o_totalprice"),
+      StddevOf("o_totalprice", "stddev_samp_o_totalprice"),
+      StddevOf("o_totalprice", "sd"),
+      StddevOf("o_totalprice", "stddev_pop_o_totalprice", pop = true),
+      VarianceOf("o_totalprice", "variance_o_totalprice"),
+      VarianceOf("o_totalprice", "vx"),
+      VarianceOf("o_totalprice", "var_pop_o_totalprice", pop = true))
+    val genAggRel: Gen[AggRel] = for {
+      nf <- Gen.choose(1, 4)
+      aggs0 <- Gen.listOfN(nf, genAggField)
+      aggs = aggs0.zipWithIndex.map { case (a, i) =>
+        if (aggs0.map(_.as).distinct.length == nf) a
+        else (a match { // unique output names, keeping default-name forms
+          case c: CountOf => c.copy(as = s"n_$i")
+          case s0: SumOf => s0.copy(as = s"s_$i")
+          case m: MinOf => m.copy(as = s"lo_$i")
+          case m: MaxOf => m.copy(as = s"hi_$i")
+          case a0: AvgOf => a0.copy(as = s"m_$i")
+          case s0: StddevOf => s0.copy(as = s"sd_$i")
+          case v: VarianceOf => v.copy(as = s"v_$i")
+        }): AggField
+      }
+      where <- Gen.option(genTree(ordFields, 1))
+    } yield AggRel(table = "orders", childKey = "o_custkey",
+      parentKey = "c_custkey", aggs = aggs, where = where)
+    val genRequest: Gen[Request] = for {
+      nf <- Gen.choose(1, custFields.length)
+      fields <- Gen.pick(nf, custFields)
+      where <- Gen.option(genTree(custFields, 2))
+      hasOrder <- Gen.oneOf(true, false)
+      orders <- if (hasOrder) genOrders(custFields) else Gen.const(Nil)
+      limit <- Gen.option(Gen.choose(1, 100))
+      offset <- Gen.oneOf(0, 0, 0, 7)
+      nested <- Gen.oneOf(true, false).flatMap(b =>
+        if (b) genNested.map(Seq(_)) else Gen.const(Nil))
+      aggs <- Gen.oneOf(true, false).flatMap(b =>
+        if (b) genAggRel.map(Seq(_)) else Gen.const(Nil))
+    } yield Request(table = "customer", fields = fields.toSeq,
+      where = where, orderBy = orders, offset = offset, limit = limit,
+      nested = nested, aggRels = aggs)
+    var checked = 0
+    (1 to 400).foreach { seed =>
+      genRequest.apply(Gen.Parameters.default, rng.Seed(seed.toLong))
+        .foreach { r =>
+          checked += 1
+          val text = GraphQl.render(r)
+          assert(GraphQl.parse(text) === Right(r),
+            s"seed $seed did not round-trip:\n$text\n$r")
+        }
+    }
+    assert(checked > 300, s"generator drought: only $checked samples")
+  }
+
+  test("printer: unrenderable shapes reject loudly, not silently drift") {
+    // non-default rounding has no GraphQL spelling
+    assertThrows[IllegalArgumentException](GraphQl.render(Request(
+      table = "customer", fields = Seq("c_custkey"),
+      aggRels = Seq(AggRel("orders", "o_custkey", "c_custkey",
+        Seq(SumOf("o_totalprice", "s", roundTo = 3)))))))
+    // count of a non-key field cannot be spelled (parse counts the key)
+    assertThrows[IllegalArgumentException](GraphQl.render(Request(
+      table = "customer", fields = Seq("c_custkey"),
+      aggRels = Seq(AggRel("orders", "o_custkey", "c_custkey",
+        Seq(CountOf("o_orderkey", "n")))))))
+    // an untracked relationship cannot be named in query text
+    assertThrows[IllegalArgumentException](GraphQl.render(Request(
+      table = "customer", fields = Seq("c_custkey"),
+      nested = Seq(Nested(as = "x", table = "nation",
+        childKey = "n_nationkey", parentKey = "c_nationkey",
+        fields = Seq(NestedField("n", "n_name")))))))
+  }
+
   test("a fragment body participates in variable use-tracking (a " +
     "variable used only inside a fragment is 'used')") {
     val r = GraphQl.parse(
