@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   * losslessness holds; they still count in the exact distance. */
 object HammingBands {
 
+  /** The band-key array for one hash: `nBands` structs of (band index,
+    * band value) — ONE definition shared by the all-pairs join and the
+    * incremental store probe, so the two can never band differently. */
+  def bandKeys(hash: org.apache.spark.sql.Column, nBands: Int,
+      bandBits: Int): org.apache.spark.sql.Column = {
+    require(nBands * bandBits <= 64, "bands exceed 64 bits")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    array((0 until nBands).map(b0 =>
+      struct(lit(b0).as("b"),
+        shiftright(hash, b0 * bandBits).bitwiseAND(lit(mask))
+          .as("v"))): _*)
+  }
+
   /** (a, b, d): unordered id pairs (a < b) within `maxDist`, with the
     * exact hamming distance. `hashed` must carry `idCol` and a LongType
     * `hashCol`; null hashes are dropped. */
@@ -25,14 +38,9 @@ object HammingBands {
       nBands: Int, bandBits: Int, maxDist: Int): DataFrame = {
     require(nBands > maxDist,
       s"pigeonhole needs nBands ($nBands) > maxDist ($maxDist)")
-    require(nBands * bandBits <= 64, "bands exceed 64 bits")
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val hs = hashed.filter(col(hashCol).isNotNull)
     val banded = hs.withColumn("band",
-      explode(array((0 until nBands).map(b0 =>
-        struct(lit(b0).as("b"),
-          shiftright(col(hashCol), b0 * bandBits).bitwiseAND(lit(mask))
-            .as("v"))): _*)))
+      explode(bandKeys(col(hashCol), nBands, bandBits)))
     val a = banded.select(col(idCol).as("a"), col(hashCol).as("ha"),
       col("band"))
     val b = banded.select(col(idCol).as("b"), col(hashCol).as("hb"),

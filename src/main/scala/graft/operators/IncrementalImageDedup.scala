@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.HammingBands
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental PERCEPTUAL image dedup against a persisted dHash store —
+  * [[IncrementalDedup]]'s contract for the multimodal column: at 100 TB
+  * nobody re-pairs the whole image corpus per arriving batch; the
+  * corpus keeps (key, dhash, band) rows and each batch probes them.
+  *
+  *  1. batch media → 64-bit dHash ([[MultimodalOps.imageDHashes]], one
+  *     map-side pass) → one row per pigeonhole band
+  *     ([[HammingBands.bandKeys]] — the SAME banding the all-pairs join
+  *     uses, one definition, so incremental and batch dedup cannot band
+  *     differently);
+  *  2. candidates = equi-join on the band key against the store — the
+  *     batch side is tiny relative to the corpus, so with the store
+  *     bucketed on the band key the probe shuffles only the batch;
+  *  3. candidates verify on the EXACT popcount distance (pigeonhole
+  *     banding is lossless within maxDist, so band agreement gates and
+  *     the distance decides — no false negatives, no false positives);
+  *  4. fresh keys' band rows APPEND to the store; append-only growth.
+  *
+  * Matches the batch pipeline by construction: same hash, same bands,
+  * same bound → findDups(batch | store) equals the cross-split subset
+  * of [[MultimodalOps.dhashNearDupPairs]](store ∪ batch)
+  * (spec-asserted), with the earliest (min key) store match reported.
+  *
+  * Scope: batch-vs-store, like the text operator — intra-batch
+  * duplicates are the all-pairs pipeline's job.
+  */
+object IncrementalImageDedup {
+
+  /** q104's exact parameters — pigeonhole-lossless for maxDist 3. */
+  val MaxDist = 3
+  val NBands: Int = MaxDist + 1
+  val BandBits: Int = 64 / NBands
+
+  /** (key, dhash, band) — one row per band per image; undecodable rows
+    * (null dhash) are dropped, never stored. */
+  def signatureRows(hashes: DataFrame): DataFrame =
+    hashes.filter(col("dhash").isNotNull)
+      .select(col("key"), col("dhash"),
+        explode(HammingBands.bandKeys(col("dhash"), NBands, BandBits))
+          .as("band"))
+
+  /** Build the store from the existing corpus (one-time; production
+    * bucketed on the band key so probes read it in place). */
+  def initStore(hashes: DataFrame, path: String): Unit =
+    signatureRows(hashes).write.mode("overwrite").parquet(path)
+
+  def loadStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Probe: batch images within `maxDist` of a stored image →
+    * (key, dup_of, dist), earliest (min key) store match wins. */
+  def findDups(batchHashes: DataFrame, store: DataFrame,
+      maxDist: Int = MaxDist): DataFrame = {
+    require(maxDist < NBands, s"banding is lossless only to ${NBands - 1}")
+    signatureRows(batchHashes)
+      .join(store.select(col("key").as("s_key"),
+        col("dhash").as("s_dhash"), col("band")), Seq("band"))
+      .select(col("key"), col("s_key"), col("dhash"), col("s_dhash"))
+      .withColumn("dist",
+        bit_count(col("dhash").bitwiseXOR(col("s_dhash"))).cast("long"))
+      .filter(col("dist") <= maxDist) // before distinct: shrink the shuffle
+      .distinct()
+      .groupBy("key")
+      .agg(min_by(struct(col("s_key"), col("dist")), col("s_key")).as("m"))
+      .select(col("key"), col("m.s_key").as("dup_of"),
+        col("m.dist").as("dist"))
+  }
+
+  /** One ingest cycle — probe, append fresh, report — hashing the batch
+    * ONCE (the decode+hash pass dominates per-batch cost). Returns
+    * (dups, freshHashes). */
+  def processBatch(batchMedia: DataFrame, store: DataFrame,
+      storePath: String, maxDist: Int = MaxDist): (DataFrame, DataFrame) = {
+    val hashes = MultimodalOps.imageDHashes(batchMedia)
+      .localCheckpoint(eager = false)
+    val dups = findDups(hashes, store, maxDist)
+      .localCheckpoint(eager = false)
+    val fresh = hashes.join(dups.select("key"), Seq("key"), "left_anti")
+    signatureRows(fresh).write.mode("append").parquet(storePath)
+    (dups, fresh)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Incremental-vs-batch equivalence for PERCEPTUAL image dedup: probing
+  * a media batch against the dHash store of the old corpus must flag
+  * exactly the cross-split subset of what the all-pairs pipeline (q104)
+  * finds on the union — same hash, same pigeonhole bands, same bound,
+  * equal by construction; this spec holds the construction to it. */
+class IncrementalImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // q104's pinned fixtures split on ownership: bases are the corpus,
+  // variants (the _dup/_near/_far rows) arrive as the batch
+  private def split(): (Seq[(String, Array[Byte])], Seq[(String, Array[Byte])]) =
+    PipelineQueries.dhashFixtureBytes.partition(f => !f._1.contains("_"))
+
+  test("incremental probe equals the cross-split slice of q104's " +
+    "all-pairs dedup; far decoys band-collide but do not match") {
+    val (bases, variants) = split()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_imgdedup_store").toString
+    IncrementalImageDedup.initStore(
+      MultimodalOps.imageDHashes(bases.toDF("key", "bytes")), store)
+
+    val batchHashes = MultimodalOps.imageDHashes(
+      variants.toDF("key", "bytes"))
+    val got = IncrementalImageDedup.findDups(batchHashes,
+      IncrementalImageDedup.loadStore(spark, store))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    // ground truth: the all-pairs pipeline over the union, restricted
+    // to cross-split pairs (base keys carry no '_', so base < variant
+    // lexically is not guaranteed — normalize by membership), earliest
+    // base match per variant
+    val baseKeys = bases.map(_._1).toSet
+    val all = MultimodalOps.dhashNearDupPairs(
+      MultimodalOps.imageDHashes(
+        PipelineQueries.dhashFixtureBytes.toDF("key", "bytes")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = all.flatMap { case (a, b, d) =>
+      if (baseKeys.contains(a) && !baseKeys.contains(b)) Some((b, a, d))
+      else if (baseKeys.contains(b) && !baseKeys.contains(a)) Some((a, b, d))
+      else None
+    }.groupBy(_._1).map { case (_, ms) => ms.minBy(_._2) }.toSet
+    assert(got === expected)
+    // the designed pairs, explicitly — and the d=5/6 decoys absent
+    assert(got === Set(("m01_dup", "m01", 0L), ("m02_near", "m02", 1L),
+      ("m07_near", "m07", 1L), ("m09_near", "m09", 2L)))
+
+    // one ingest cycle: fresh (= the far decoys) append; re-probing an
+    // exact byte-copy of a decoy then matches it in the GROWN store
+    val (dups, fresh) = IncrementalImageDedup.processBatch(
+      variants.toDF("key", "bytes"),
+      IncrementalImageDedup.loadStore(spark, store), store)
+    assert(dups.count() === 4)
+    assert(fresh.select("key").as[String].collect().sorted ===
+      Array("m03_far", "m04_far"))
+    val probe = MultimodalOps.imageDHashes(
+      variants.filter(_._1 == "m03_far")
+        .map { case (_, b) => ("m03_far_again", b) }.toDF("key", "bytes"))
+    val redup = IncrementalImageDedup.findDups(probe,
+      IncrementalImageDedup.loadStore(spark, store)).collect()
+    assert(redup.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq(("m03_far_again", "m03_far", 0L)))
+  }
+
+  test("streaming ingest dedups each media micro-batch against the " +
+    "growing store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_imgdedup_stream").toString
+    import graft.functions.{BinaryFunctions => B}
+    def png(seed: Long) = B.syntheticMedia(seed * 3, 72, 48) // all-png seeds
+    // seed the store with image a1 (also gives the store files a schema)
+    IncrementalImageDedup.initStore(
+      MultimodalOps.imageDHashes(Seq(("a1", png(1))).toDF("key", "bytes")),
+      store)
+
+    IncrementalImageDedupSpec.kept = Vector.empty
+    IncrementalImageDedupSpec.dupOf = Map.empty
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Array[Byte])]
+    val q = input.toDF().toDF("key", "bytes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (dups, fresh) = IncrementalImageDedup.processBatch(batch,
+          IncrementalImageDedup.loadStore(batch.sparkSession, store), store)
+        IncrementalImageDedupSpec.dupOf ++= dups.collect()
+          .map(r => r.getString(0) -> r.getString(1))
+        IncrementalImageDedupSpec.kept ++=
+          fresh.select("key").collect().map(_.getString(0))
+        ()
+      }.start()
+    try {
+      // batch 1: b1 duplicates stored a1 (same pixels, fresh bytes);
+      // b2 is fresh
+      input.addData(Seq(("b1", png(1)), ("b2", png(2))))
+      q.processAllAvailable()
+      // batch 2: c1 duplicates b2 — which entered the store in the
+      // PREVIOUS micro-batch (the store grows between batches)
+      input.addData(Seq(("c1", png(2)), ("c2", png(3))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(IncrementalImageDedupSpec.kept.sorted === Seq("b2", "c2"))
+    assert(IncrementalImageDedupSpec.dupOf === Map("b1" -> "a1",
+      "c1" -> "b2"))
+  }
+
+  test("probe plan: no cross join, candidate gate is the band equi-join") {
+    val (bases, variants) = split()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_imgdedup_plan").toString
+    IncrementalImageDedup.initStore(
+      MultimodalOps.imageDHashes(bases.toDF("key", "bytes")), store)
+    val plan = IncrementalImageDedup.findDups(
+      MultimodalOps.imageDHashes(variants.toDF("key", "bytes")),
+      IncrementalImageDedup.loadStore(spark, store))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"store probe must stay a banded equi-join:\n$plan")
+  }
+}
+
+object IncrementalImageDedupSpec {
+  @volatile var kept: Vector[String] = Vector.empty
+  @volatile var dupOf: Map[String, String] = Map.empty
+}
