@@ -506,6 +506,22 @@ object OracleSql {
       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
       |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.2 ORDER BY a, b""".stripMargin
 
+  /** Ground-truth ALL-PAIRS hamming distances over a pinned (key, hash)
+    * VALUES table — the q104/q106 oracle shape: the engine's banded
+    * pigeonhole join must return exactly these pairs, proving the
+    * banding lossless within the bound. */
+  private def dhashPairsSql(pinned: Seq[(String, Long)]): String = {
+    val vals = pinned.map { case (k, h) => s"('$k', ($h)::BIGINT)" }
+      .mkString(",\n  ")
+    s"""WITH t(key, dhash) AS (VALUES
+       |  $vals)
+       |SELECT a.key AS a, b.key AS b,
+       |       bit_count(xor(a.dhash, b.dhash))::BIGINT AS d
+       |FROM t a JOIN t b ON a.key < b.key
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY a, b""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_event_scan" ->
       """SELECT event_id, user_id, event_type FROM events
@@ -867,17 +883,19 @@ object OracleSql {
     // pigeonhole join — equality proves the banding lossless within
     // maxDist, with the d=5/6 decoys exercising the band-collision
     // filter
-    "q104_dhash_pairs" -> {
-      val vals = graft.queries.PipelineQueries.pinnedDhashes
-        .map { case (k, h) => s"('$k', ($h)::BIGINT)" }.mkString(",\n  ")
-      s"""WITH t(key, dhash) AS (VALUES
-         |  $vals)
-         |SELECT a.key AS a, b.key AS b,
-         |       bit_count(xor(a.dhash, b.dhash))::BIGINT AS d
-         |FROM t a JOIN t b ON a.key < b.key
-         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-         |ORDER BY a, b""".stripMargin
-    },
+    "q104_dhash_pairs" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedDhashes),
+    // q106: the same ground-truth replay over the PER-FRAME video
+    // hashes — the only <=3 pairs are the shifted-copy frames
+    // (vidA#f+1 == vidB#f); vidC's d=4-8 frames band-collide but must
+    // not survive the exact-distance filter
+    "q106_video_frame_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedVideoDhashes),
+    // q107: the audio leg of the triad — ground truth over the pinned
+    // energy-envelope fingerprints; the d=0 pair is the half-volume
+    // copy (gain invariance), the d=9 decoy must be filtered
+    "q107_audio_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedAudioDhashes),
     // Hasura's statistical aggregate family, spelled natively: DuckDB's
     // own stddev_samp/stddev_pop/var_samp/var_pop over the same left
     // join. Magnitude-aware rounding (see q105's scaladoc): stddev 2

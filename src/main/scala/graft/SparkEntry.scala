@@ -126,6 +126,8 @@ object SparkEntry {
     "q103_qb_child_page" -> (graft.api.QueryBuilder.q103QbChildPage(_, _)),
     "q104_dhash_pairs" -> (P.q104DhashPairs(_, _)),
     "q105_qb_stat_aggs" -> (graft.api.QueryBuilder.q105QbStatAggs(_, _)),
+    "q106_video_frame_dedup" -> (P.q106VideoFrameDedup(_, _)),
+    "q107_audio_dedup" -> (P.q107AudioDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -447,6 +447,22 @@ object MultimodalOps {
       nBands, 64 / nBands, maxDist)
   }
 
+  /** Per-frame perceptual hashes for VIDEO near-dup detection — the
+    * composition the training-data pipeline needs (find re-posted /
+    * trimmed / re-encoded videos): [[sampleFrames]] fans each video out
+    * to PNG frames through the container decoders, then every frame
+    * rides the image [[dHash]] kernel under a composite
+    * `videoKey#frameIdx` key. One map-side pass end to end — container
+    * parse, frame decode, hash — no shuffle; pairing afterwards is the
+    * same banded equi-join as stills ([[dhashNearDupPairs]]), so a
+    * video that shares frames with another meets it on band keys
+    * without any cross join. */
+  def videoFrameDHashes(media: DataFrame, everyNth: Int = 1,
+      maxFrames: Int = 32): DataFrame =
+    imageDHashes(sampleFrames(media, everyNth, maxFrames)
+      .select(concat_ws("#", col("key"), col("frame_idx")).as("key"),
+        col("frame").as("bytes")))
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("sample_rate", IntegerType),
@@ -472,9 +488,12 @@ object MultimodalOps {
     }(enc).toDF()
   }
 
-  /** Minimal RIFF/WAVE PCM parser: fmt + data chunks, 16-bit PCM RMS. */
-  private[operators] def parseWav(b: Array[Byte])
-      : Option[(Int, Int, Int, Long, Double)] = {
+  /** RIFF/WAVE header walk → (rate, channels, bits, dataOff, nSamples16)
+    * — the shared base of [[parseWav]] and [[audioDHash]]. nSamples16
+    * counts 16-bit sample units across channels, clamped to what the
+    * file actually holds. */
+  private def wavRegion(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Long)] = {
     def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     def u32(i: Int): Long = (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
     if (b == null || b.length < 44) return None
@@ -497,8 +516,15 @@ object MultimodalOps {
         pos += 8 + len.toInt + (len.toInt & 1)
       }
     }
-    if (rate == 0 || dataOff < 0 || bits != 16) return None
-    val n = math.min(dataLen, (b.length - dataOff).toLong) / 2
+    if (rate == 0 || ch == 0 || dataOff < 0 || bits != 16) return None
+    Some((rate, ch, bits,
+      dataOff, math.min(dataLen, (b.length - dataOff).toLong) / 2))
+  }
+
+  /** Minimal RIFF/WAVE PCM parser: fmt + data chunks, 16-bit PCM RMS. */
+  private[operators] def parseWav(b: Array[Byte])
+      : Option[(Int, Int, Int, Long, Double)] = {
+    val (rate, ch, bits, dataOff, n) = wavRegion(b).getOrElse(return None)
     var sum = 0.0
     var i = 0L
     while (i < n) {
@@ -508,6 +534,106 @@ object MultimodalOps {
       i += 1
     }
     Some((rate, ch, bits, n / ch, if (n == 0) 0.0 else math.sqrt(sum / n)))
+  }
+
+  // --- perceptual audio dedup (energy-envelope dHash) ---------------------
+
+  /** 64-bit audio DIFFERENCE FINGERPRINT over 16-bit PCM WAV: mean-pool
+    * the per-sample energy into 65 equal time windows, set bit i when
+    * window i's energy exceeds window i+1's — the image [[dHash]] idea
+    * on the time axis, completing the perceptual-dedup triad (image
+    * q104, video q106, audio here). GAIN-INVARIANT by construction:
+    * uniform amplitude scaling multiplies every window energy by the
+    * same factor, so no comparison flips — a re-mastered louder copy
+    * hashes identically. Deterministic integer windowing, pure JVM; the
+    * banded pairing is the shared [[graft.functions.HammingBands]]
+    * shape. None for non-WAV / non-16-bit bytes (errors are data). */
+  def audioDHash(b: Array[Byte]): Option[Long] = {
+    val (_, _, _, dataOff, n) = wavRegion(b).getOrElse(return None)
+    if (n < 65) return None
+    val energy = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      val s0 = w * n / 65
+      val s1 = math.max(s0 + 1, (w + 1) * n / 65)
+      var sum = 0.0
+      var i = s0
+      while (i < math.min(s1, n)) {
+        val off = dataOff + (i * 2).toInt
+        val s = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort / 32768.0
+        sum += s * s
+        i += 1
+      }
+      energy(w) = sum / (math.min(s1, n) - s0)
+      w += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (energy(i) > energy(i + 1)) bits |= 1L << i
+      i += 1
+    }
+    Some(bits)
+  }
+
+  val audioDhashSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("ahash", LongType)))
+
+  /** (key, ahash) per audio row — one map-side pass, nulls for
+    * undecodable bytes, the [[imageDHashes]] contract. */
+  def audioDHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioDhashSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        audioDHash(bytes) match {
+          case Some(h) => Row(key, h)
+          case None => Row(key, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Near-duplicate audio pairs within hamming distance `maxDist` —
+    * the shared pigeonhole banding, lossless within the bound. */
+  def audioNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7, "bands are >=8-bit: maxDist 0-7")
+    val nBands = maxDist + 1
+    graft.functions.HammingBands.pairs(hashes, "key", "ahash",
+      nBands, 64 / nBands, maxDist)
+  }
+
+  /** Deterministic AMPLITUDE-MODULATED PCM WAV: a 440 Hz carrier under
+    * a seed-derived 65-segment envelope (0.2..1.0, splitmix-uniform),
+    * segments aligned with [[audioDHash]]'s energy windows so `cells`
+    * (segments forced to full scale — the audio [[perturbedMedia]])
+    * move at most 2 fingerprint bits each. `gain` scales every sample
+    * uniformly — the fingerprint must not care. The controlled fixture
+    * generator behind q107's oracle-pinned pairing. */
+  def syntheticAmWav(seed: Long, cells: Seq[Int] = Nil, gain: Double = 1.0,
+      seconds: Double = 1.0, rate: Int = 8000): Array[Byte] = {
+    val n = (seconds * rate).toInt
+    val env = Array.tabulate(65) { k =>
+      if (cells.contains(k)) 1.0
+      else 0.2 + 0.8 * graft.functions.VectorFunctions.mix01(seed ^ (k * 0x9e37L))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt) }
+    bos.write("RIFF".getBytes); le32(36L + n * 2); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+    le32(rate.toLong); le32(rate.toLong * 2); le16(2); le16(16)
+    bos.write("data".getBytes); le32(n.toLong * 2)
+    var i = 0
+    while (i < n) {
+      val seg = (i.toLong * 65 / n).toInt
+      le16((math.sin(2 * math.Pi * 440 * i / rate) * env(seg) * gain
+        * 16384).toInt & 0xffff)
+      i += 1
+    }
+    bos.toByteArray
   }
 
   /** Deterministic 16-bit PCM WAV for tests (sine wave). */

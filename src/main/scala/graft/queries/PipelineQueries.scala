@@ -142,6 +142,118 @@ object PipelineQueries {
       })
     }
 
+  /** q106's fixture videos: three 6-frame uncompressed-DIB AVIs
+    * ([[graft.operators.MultimodalOps.syntheticAvi]] — fully
+    * deterministic bytes, pure-JVM decode). `vidB`'s seed offset is
+    * solved so that seedB*2654435761 + f*101 ≡ seedA*2654435761 +
+    * (f+1)*101 (mod 2^24) — every `vidB` frame f carries EXACTLY
+    * `vidA`'s frame f+1 pixels: a one-frame-trimmed repost, the
+    * canonical video near-dup. `vidC` is unrelated. */
+  private[graft] val videoFixtures: Seq[(String, Long)] = Seq(
+    // 15313653 = inv(2654435761 mod 2^24) * 101 mod 2^24
+    ("vidA", 7L), ("vidB", 7L + 15313653L), ("vidC", 99L))
+
+  private[graft] def videoFixtureBytes: Seq[(String, Array[Byte])] =
+    videoFixtures.map { case (k, seed) =>
+      k -> graft.operators.MultimodalOps.syntheticAvi(seed, 72, 48, 6)
+    }
+
+  /** The PINNED per-frame hashes of [[videoFixtures]] — q106's oracle
+    * VALUES table, engine == literal asserted in spec (the q104
+    * contract). The d=0 pairs are exactly vidA#f+1 == vidB#f (the
+    * shifted copy); every other pair is far. */
+  private[graft] val pinnedVideoDhashes: Seq[(String, Long)] = Seq(
+    ("vidA#0", 274880151808L),
+    ("vidA#1", 720576499865879040L),
+    ("vidA#2", 11821951341560320L),
+    ("vidA#3", 186917119984650L),
+    ("vidA#4", -6917528305807128576L),
+    ("vidA#5", 108086393742403584L),
+    ("vidB#0", 720576499865879040L),
+    ("vidB#1", 11821951341560320L),
+    ("vidB#2", 186917119984650L),
+    ("vidB#3", -6917528305807128576L),
+    ("vidB#4", 108086393742403584L),
+    ("vidB#5", 72057594574803360L),
+    ("vidC#0", 4683743956604882944L),
+    ("vidC#1", 144115189151846656L),
+    ("vidC#2", 144115189149606465L),
+    ("vidC#3", 291045128104312834L),
+    ("vidC#4", 576506931800851458L),
+    ("vidC#5", -6341067545192658428L))
+
+  /** q106 — VIDEO near-dup detection, oracle-PINNED: containers decode
+    * through the engine's own AVI walker, frames hash with the image
+    * dHash kernel under composite video#frame keys
+    * ([[graft.operators.MultimodalOps.videoFrameDHashes]], one map-side
+    * pass), and frame pairs within hamming distance 3 surface through
+    * the shared banded equi-join. The oracle replays ground-truth
+    * all-pairs distances over the pinned hashes in DuckDB, so a green
+    * q106 proves the whole chain — container parse, frame decode, hash,
+    * lossless banding — finds exactly the shifted-copy frames. */
+  def q106VideoFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = videoFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.videoFrameDHashes(media)
+    graft.operators.MultimodalOps.dhashNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b")
+  }
+
+  /** q107's fixture audio: (key, seed, forced cells, gain) over
+    * [[graft.operators.MultimodalOps.syntheticAmWav]] — a 440 Hz
+    * carrier under seed-derived 65-segment amplitude envelopes aligned
+    * with the fingerprint's energy windows. `a1_gain` is the SAME
+    * recording at half volume (the re-mastered-louder/quieter case —
+    * the fingerprint is gain-invariant, d must be 0); `_near` rows
+    * force one envelope segment to full scale (≤2 bits); `a4_far`
+    * forces six spread segments (beyond the bound — a band-collision
+    * decoy for the exact-distance filter). */
+  private[graft] val audioFixtures: Seq[(String, Long, Seq[Int], Double)] =
+    Seq(
+      ("a1", 1L, Nil, 1.0), ("a2", 2L, Nil, 1.0), ("a3", 3L, Nil, 1.0),
+      ("a4", 4L, Nil, 1.0), ("a5", 5L, Nil, 1.0), ("a6", 6L, Nil, 1.0),
+      ("a1_gain", 1L, Nil, 0.5),
+      ("a2_near", 2L, Seq(20), 1.0),
+      ("a3_near", 3L, Seq(40), 1.0),
+      ("a4_far", 4L, Seq(5, 15, 25, 35, 45, 55), 1.0))
+
+  private[graft] def audioFixtureBytes: Seq[(String, Array[Byte])] =
+    audioFixtures.map { case (k, seed, cells, gain) =>
+      k -> graft.operators.MultimodalOps.syntheticAmWav(seed, cells, gain)
+    }
+
+  /** The PINNED fingerprints of [[audioFixtures]] — q107's oracle
+    * VALUES table, engine == literal asserted in spec. Pairs within
+    * maxDist=3: (a1,a1_gain,0) — gain invariance proven by identity —
+    * (a2,a2_near,2), (a3,a3_near,1); a4_far sits at d=9; every other
+    * pair is d>10. */
+  private[graft] val pinnedAudioDhashes: Seq[(String, Long)] = Seq(
+    ("a1", 8258640091479224756L),
+    ("a2", 5956182740055005925L),
+    ("a3", 7698742834364201779L),
+    ("a4", 7882879724947073493L),
+    ("a5", 6726576402148543305L),
+    ("a6", -8348920910290002525L),
+    ("a1_gain", 8258640091479224756L),
+    ("a2_near", 5956182740055530213L),
+    ("a3_near", 7698742284608387891L),
+    ("a4_far", 7900911715676170725L))
+
+  /** q107 — perceptual AUDIO dedup, oracle-PINNED: the fixture WAVs
+    * fingerprint through the engine's energy-envelope dHash
+    * ([[graft.operators.MultimodalOps.audioDHashes]], one map-side
+    * pass) and pair through the shared pigeonhole banding; the oracle
+    * replays ground-truth all-pairs distances over the pinned hashes.
+    * Completes the perceptual-dedup triad: image q104, video q106,
+    * audio q107 — one banding definition, three modalities. */
+  def q107AudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = audioFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.audioDHashes(media)
+    graft.operators.MultimodalOps.audioNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b")
+  }
+
   /** q104 — perceptual image dedup, oracle-PINNED (the q86/q87 pinned-twin
     * pattern): decode the [[dhashFixtures]] media through the engine's own
     * codecs, dHash each

@@ -240,6 +240,53 @@ class MultimodalOpsSpec extends SparkSpec {
       ("m07", "m07_near", 1L), ("m09", "m09_near", 2L)))
   }
 
+  test("q106 pinned videos: per-frame engine dHash equals the oracle's " +
+    "literals; banded pairs find exactly the shifted-copy frames") {
+    import graft.queries.PipelineQueries
+    // engine hash == VALUES literal for every sampled frame (container
+    // walk + DIB decode + PNG round-trip + dHash, all pure JVM)
+    val got = PipelineQueries.q106VideoFrameDedup(spark, "unused")
+    // the fixture's one-frame-shifted copy: vidB frame f IS vidA frame
+    // f+1, so exactly five d=0 pairs; vidC's d=4-8 frames band-collide
+    // with vidA/vidB but must die at the exact-distance filter
+    assert(got.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq === Seq(
+      ("vidA#1", "vidB#0", 0L), ("vidA#2", "vidB#1", 0L),
+      ("vidA#3", "vidB#2", 0L), ("vidA#4", "vidB#3", 0L),
+      ("vidA#5", "vidB#4", 0L)))
+    val hashes = MultimodalOps.videoFrameDHashes(
+      media(PipelineQueries.videoFixtureBytes.map {
+        case (k, b) => k -> b }: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    assert(hashes.toSeq === PipelineQueries.pinnedVideoDhashes)
+  }
+
+  test("q107 pinned audio: engine fingerprint equals the oracle's " +
+    "literals; gain invariance is exact; pairs find the designed set") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.audioFixtureBytes.map { case (k, b) =>
+      k -> MultimodalOps.audioDHash(b).getOrElse(fail(s"$k no fingerprint"))
+    }
+    assert(got === PipelineQueries.pinnedAudioDhashes)
+    // the half-volume copy hashes IDENTICALLY — gain invariance is an
+    // equality, not a tolerance
+    val byKey = got.toMap
+    assert(byKey("a1_gain") === byKey("a1"))
+    val pairs = PipelineQueries.q107AudioDedup(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq(("a1", "a1_gain", 0L),
+      ("a2", "a2_near", 2L), ("a3", "a3_near", 1L)))
+    // non-WAV bytes fingerprint to null through the frame, not a throw
+    import spark.implicits._
+    val withBad = MultimodalOps.audioDHashes(
+      Seq(("ok", PipelineQueries.audioFixtureBytes.head._2),
+        ("bad", "not audio".getBytes)).toDF("key", "bytes"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(withBad("bad") === null)
+    assert(withBad("ok") === byKey("a1"))
+  }
+
   test("malicious RIFF chunk lengths terminate, not hang") {
     // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
     // clamp and exit, not loop forever
