@@ -285,6 +285,13 @@ class MultimodalOpsSpec extends SparkSpec {
         (if (r.isNullAt(1)) null else r.getLong(1))).toMap
     assert(withBad("bad") === null)
     assert(withBad("ok") === byKey("a1"))
+    // same scale posture as the image pairs: banded equi-join, never a
+    // cross join
+    val plan = PipelineQueries.q107AudioDedup(spark, "unused")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"audio pairs must not cross-join:\n$plan")
   }
 
   test("malicious RIFF chunk lengths terminate, not hang") {
