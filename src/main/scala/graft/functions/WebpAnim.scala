@@ -118,8 +118,10 @@ object WebpAnim {
       }
       off += 8 + size + (size & 1)
     }
-    val frames = out.result()
-    if (frames.isEmpty) None else Some(frames)
+    // fewer than 2 frames is a still wearing an ANIM chunk, not an
+    // animation — the same bar GifAnim's n < 2 check and the truncation
+    // path's filter apply, so all three exits agree
+    Some(out.result()).filter(_.length >= 2)
   } catch { case _: Exception => None }
 
   /** An ANMF payload is a regular still stream: optional ALPH, then

@@ -58,15 +58,20 @@ object IncrementalDedup {
         explode(fastLshBands(col("sig"), Bands, RowsPerBand)).as("band"))
 
   /** Build the store from the existing corpus (one-time; production
-    * bucketed on the band key so probes read it in place). */
+    * bucketed on the band key so probes read it in place). The corpus
+    * rows land in the `batch=-1` partition — every write carries a
+    * batch id so replayed ingests are idempotent (see [[processBatch]]). */
   def initStore(docs: DataFrame, path: String): Unit =
-    signatureRows(docs).write.mode("overwrite").parquet(path)
+    signatureRows(docs).withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").mode("overwrite").parquet(path)
 
   def loadStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   /** Probe: batch docs that near-duplicate a stored doc at ≥ threshold →
-    * (doc_id, dup_of, est_jaccard), earliest (min id) store match wins. */
+    * (doc_id, dup_of, est_jaccard), earliest (min id) store match wins.
+    * A store row under the SAME id never matches (a replayed batch must
+    * not classify its own first-attempt append as a duplicate). */
   def findDups(batch: DataFrame, store: DataFrame,
       threshold: Double = 0.5): DataFrame =
     findDupsFromSigs(signatureRows(batch), store, threshold)
@@ -78,8 +83,12 @@ object IncrementalDedup {
     sigs
       .join(store.select(col("doc_id").as("s_id"), col("sig").as("s_sig"),
         col("band")), Seq("band"))
+      .filter(col("doc_id") =!= col("s_id"))
       .select(col("doc_id"), col("s_id"), col("sig"), col("s_sig"))
-      .distinct() // many shared bands → one candidate pair
+      // no distinct: multi-band candidate duplicates compute the same
+      // estimate and cannot change the min_by answer — dropping the
+      // dedup saves a full shuffle; the groupBy's map-side partial
+      // aggregation absorbs the ≤Bands-fold fan-in
       .withColumn("est_jaccard", minhashJaccard(col("sig"), col("s_sig"), K))
       .filter(col("est_jaccard") >= threshold)
       .groupBy("doc_id")
@@ -88,30 +97,60 @@ object IncrementalDedup {
       .select(col("doc_id"), col("m.s_id").as("dup_of"),
         col("m.est_jaccard").as("est_jaccard"))
 
-  /** Append the non-duplicate batch docs' signature rows to the store.
-    * Returns the fresh-doc frame (the rows a pipeline keeps). */
+  /** Append the non-duplicate batch docs' signature rows to the store,
+    * into the `batch=<batchId>` partition (replaying the same id
+    * overwrites its own partition — idempotent). Returns the fresh-doc
+    * frame (the rows a pipeline keeps). */
   def appendFresh(batch: DataFrame, dups: DataFrame,
-      storePath: String): DataFrame = {
+      storePath: String, batchId: Long): DataFrame = {
     val fresh = batch.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
-    signatureRows(fresh).write.mode("append").parquet(storePath)
+    writeBatchPartition(signatureRows(fresh), storePath, batchId)
     fresh
+  }
+
+  private def writeBatchPartition(sigs: DataFrame, storePath: String,
+      batchId: Long): Unit = {
+    val spark = sigs.sparkSession
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      sigs.withColumn("batch", lit(batchId))
+        .write.partitionBy("batch").mode("overwrite").parquet(storePath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** One ingest cycle — probe, append, report — with ONE signature pass
     * over the batch (findDups + appendFresh as separate calls each
     * recompute the kernel). Returns (dups, fresh); `dups` is
-    * materialized (it gates the append). */
+    * materialized (it gates the append).
+    *
+    * REPLAY-IDEMPOTENT, the [[IncrementalSpans.append]] contract:
+    * `batchId` names the store partition (dynamic partition overwrite —
+    * a foreachBatch redelivery overwrites its own rows instead of
+    * double-appending), and the probe EXCLUDES the current batch's
+    * partition so first-attempt appends cannot shadow the replay. */
   def processBatch(batch: DataFrame, store: DataFrame, storePath: String,
-      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+      batchId: Long, threshold: Double = 0.5): (DataFrame, DataFrame) = {
     // pin the batch: it feeds both the signature pass and the fresh
     // anti-join, and a streaming micro-batch frame is not guaranteed to
     // replay its rows on re-evaluation
     val b = batch.localCheckpoint(eager = false)
     val sigs = signatureRows(b).localCheckpoint(eager = false)
-    val dups = findDupsFromSigs(sigs, store, threshold)
+    val probeStore =
+      if (store.columns.contains("batch"))
+        store.filter(col("batch") =!= lit(batchId))
+      else store
+    val dups = findDupsFromSigs(sigs, probeStore, threshold)
       .localCheckpoint(eager = false)
-    sigs.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(storePath)
+    writeBatchPartition(
+      sigs.join(dups.select("doc_id"), Seq("doc_id"), "left_anti"),
+      storePath, batchId)
     val fresh = b.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
     (dups, fresh)
   }

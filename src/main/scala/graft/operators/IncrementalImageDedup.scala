@@ -46,26 +46,34 @@ object IncrementalImageDedup {
           .as("band"))
 
   /** Build the store from the existing corpus (one-time; production
-    * bucketed on the band key so probes read it in place). */
+    * bucketed on the band key so probes read it in place). The corpus
+    * rows land in the `batch=-1` partition — every write carries a
+    * batch id so replayed ingests are idempotent (see [[processBatch]]). */
   def initStore(hashes: DataFrame, path: String): Unit =
-    signatureRows(hashes).write.mode("overwrite").parquet(path)
+    signatureRows(hashes).withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").mode("overwrite").parquet(path)
 
   def loadStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   /** Probe: batch images within `maxDist` of a stored image →
-    * (key, dup_of, dist), earliest (min key) store match wins. */
+    * (key, dup_of, dist), earliest (min key) store match wins. A store
+    * row under the SAME key never matches (a replayed batch must not
+    * classify its own first-attempt append as a duplicate). */
   def findDups(batchHashes: DataFrame, store: DataFrame,
       maxDist: Int = MaxDist): DataFrame = {
     require(maxDist < NBands, s"banding is lossless only to ${NBands - 1}")
     signatureRows(batchHashes)
       .join(store.select(col("key").as("s_key"),
         col("dhash").as("s_dhash"), col("band")), Seq("band"))
+      .filter(col("key") =!= col("s_key"))
       .select(col("key"), col("s_key"), col("dhash"), col("s_dhash"))
       .withColumn("dist",
         bit_count(col("dhash").bitwiseXOR(col("s_dhash"))).cast("long"))
-      .filter(col("dist") <= maxDist) // before distinct: shrink the shuffle
-      .distinct()
+      .filter(col("dist") <= maxDist)
+      // no distinct: multi-band candidate duplicates cannot change the
+      // min_by answer, and dropping it saves a full shuffle — the
+      // groupBy's map-side partial aggregation absorbs the fan-in
       .groupBy("key")
       .agg(min_by(struct(col("s_key"), col("dist")), col("s_key")).as("m"))
       .select(col("key"), col("m.s_key").as("dup_of"),
@@ -74,15 +82,40 @@ object IncrementalImageDedup {
 
   /** One ingest cycle — probe, append fresh, report — hashing the batch
     * ONCE (the decode+hash pass dominates per-batch cost). Returns
-    * (dups, freshHashes). */
+    * (dups, freshHashes).
+    *
+    * REPLAY-IDEMPOTENT, the [[IncrementalSpans.append]] contract:
+    * `batchId` names the store partition the fresh rows land in via
+    * dynamic partition overwrite, so a foreachBatch redelivery (crash
+    * between the parquet append and the sink commit) overwrites its own
+    * partition instead of double-appending; the probe EXCLUDES the
+    * current batch's partition, so the first attempt's rows cannot
+    * shadow the replay's answers either. */
   def processBatch(batchMedia: DataFrame, store: DataFrame,
-      storePath: String, maxDist: Int = MaxDist): (DataFrame, DataFrame) = {
+      storePath: String, batchId: Long,
+      maxDist: Int = MaxDist): (DataFrame, DataFrame) = {
+    val spark = batchMedia.sparkSession
     val hashes = MultimodalOps.imageDHashes(batchMedia)
       .localCheckpoint(eager = false)
-    val dups = findDups(hashes, store, maxDist)
+    val probeStore =
+      if (store.columns.contains("batch"))
+        store.filter(col("batch") =!= lit(batchId))
+      else store
+    val dups = findDups(hashes, probeStore, maxDist)
       .localCheckpoint(eager = false)
     val fresh = hashes.join(dups.select("key"), Seq("key"), "left_anti")
-    signatureRows(fresh).write.mode("append").parquet(storePath)
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      signatureRows(fresh).withColumn("batch", lit(batchId))
+        .write.partitionBy("batch").mode("overwrite").parquet(storePath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
     (dups, fresh)
   }
 }

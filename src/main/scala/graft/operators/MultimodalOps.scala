@@ -82,11 +82,18 @@ object MultimodalOps {
     * RIFF AVI ([[parseAviFrames]], pure JVM) and for MJPEG (each frame
     * chunk is a plain JPEG — the most common compressed-AVI case, and
     * the engine already decodes JPEG). Other compressed codecs
-    * (h264/vp9/...) have no decoder in this environment; those inputs
-    * fall back to deterministic synthetic frames (documented stub) so
-    * the fan-out plumbing — schema, one row per sampled frame,
-    * partitioning — exercises end to end either way. */
-  def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int): DataFrame = {
+    * (h264/vp9/...) have no decoder in this environment; with
+    * `stubUndecodable=true` (the default) those inputs fall back to
+    * deterministic synthetic frames (documented stub) so the fan-out
+    * plumbing — schema, one row per sampled frame, partitioning —
+    * exercises end to end either way. Pass `stubUndecodable=false` when
+    * downstream consumes frame CONTENT (perceptual dedup, features):
+    * undecodable videos then yield NO rows — stub frames derive from
+    * the key, not the content, so hashing them would fabricate
+    * duplicates between unrelated undecodable videos and miss real
+    * ones ([[videoFrameDHashes]] relies on this). */
+  def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int,
+      stubUndecodable: Boolean = true): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     def fakeFrame(key: String, idx: Int): Array[Byte] =
       BinaryFunctions.syntheticPng(key.hashCode.toLong * 31 + idx, 16, 12)
@@ -109,9 +116,10 @@ object MultimodalOps {
               Range(0, frames.length, math.max(1, everyNth))
                 .take(maxFrames).map(i => Row(key, i,
                   BinaryFunctions.encodePng(frames(i))))
-            case None =>
+            case None if stubUndecodable =>
               (0 until maxFrames).map(i => Row(key, i * everyNth,
                 fakeFrame(key, i * everyNth)))
+            case None => Nil
           }
       }
     }(enc).toDF()
@@ -459,7 +467,12 @@ object MultimodalOps {
     * without any cross join. */
   def videoFrameDHashes(media: DataFrame, everyNth: Int = 1,
       maxFrames: Int = 32): DataFrame =
-    imageDHashes(sampleFrames(media, everyNth, maxFrames)
+    // stubUndecodable=false: stub frames derive from the KEY, so hashing
+    // them would fabricate d=0 pairs between unrelated undecodable
+    // videos (and never match the same content under two keys) —
+    // errors must stay ABSENT here, not become synthetic content
+    imageDHashes(sampleFrames(media, everyNth, maxFrames,
+      stubUndecodable = false)
       .select(concat_ws("#", col("key"), col("frame_idx")).as("key"),
         col("frame").as("bytes")))
 
@@ -542,12 +555,18 @@ object MultimodalOps {
     * the per-sample energy into 65 equal time windows, set bit i when
     * window i's energy exceeds window i+1's — the image [[dHash]] idea
     * on the time axis, completing the perceptual-dedup triad (image
-    * q104, video q106, audio here). GAIN-INVARIANT by construction:
-    * uniform amplitude scaling multiplies every window energy by the
-    * same factor, so no comparison flips — a re-mastered louder copy
-    * hashes identically. Deterministic integer windowing, pure JVM; the
-    * banded pairing is the shared [[graft.functions.HammingBands]]
-    * shape. None for non-WAV / non-16-bit bytes (errors are data). */
+    * q104, video q106, audio here). GAIN-ROBUST: exact amplitude
+    * scaling multiplies every window energy by one factor, so no
+    * comparison flips; a REAL re-master (scaled then re-quantized to
+    * 16-bit) additionally perturbs each window by quantization noise,
+    * which can flip a bit only where adjacent windows hold near-equal
+    * energy — so loud/quiet copies land at d=0 or within a few bits,
+    * inside the banding bound, not necessarily at exact identity (the
+    * fixture's stepped envelopes DO hash identically at half volume;
+    * that is the fixture's margin, not a universal guarantee).
+    * Deterministic integer windowing, pure JVM; the banded pairing is
+    * the shared [[graft.functions.HammingBands]] shape. None for
+    * non-WAV / non-16-bit bytes (errors are data). */
   def audioDHash(b: Array[Byte]): Option[Long] = {
     val (_, _, _, dataOff, n) = wavRegion(b).getOrElse(return None)
     if (n < 65) return None

@@ -203,8 +203,9 @@ object PipelineQueries {
     * [[graft.operators.MultimodalOps.syntheticAmWav]] — a 440 Hz
     * carrier under seed-derived 65-segment amplitude envelopes aligned
     * with the fingerprint's energy windows. `a1_gain` is the SAME
-    * recording at half volume (the re-mastered-louder/quieter case —
-    * the fingerprint is gain-invariant, d must be 0); `_near` rows
+    * recording at half volume, re-quantized to 16-bit like a real
+    * re-master — its stepped envelope's margins absorb the
+    * quantization noise, so it hashes identically (d=0); `_near` rows
     * force one envelope segment to full scale (≤2 bits); `a4_far`
     * forces six spread segments (beyond the bound — a band-collision
     * decoy for the exact-distance filter). */

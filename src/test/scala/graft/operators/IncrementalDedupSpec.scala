@@ -39,7 +39,7 @@ class IncrementalDedupSpec extends SparkSpec {
     // it must match its original in the GROWN store
     IncrementalDedup.appendFresh(fresh, IncrementalDedup
       .findDups(fresh, IncrementalDedup.loadStore(spark, store), 0.5),
-      store)
+      store, batchId = 1L)
     val sampleId = fresh.select(min("doc_id")).head().getLong(0)
     val copy = fresh.filter(col("doc_id") === sampleId)
       .select(lit(999999L).as("doc_id"), col("text"))
@@ -68,11 +68,13 @@ class IncrementalDedupSpec extends SparkSpec {
       .MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         // one ingest cycle: probe + append + report, single kernel pass
-        // (processBatch pins the micro-batch internally)
+        // (processBatch pins the micro-batch internally); the batch id
+        // keys the store partition so redelivery is idempotent
         val (dups, fresh) = IncrementalDedup.processBatch(batch,
-          IncrementalDedup.loadStore(batch.sparkSession, store), store, 0.5)
+          IncrementalDedup.loadStore(batch.sparkSession, store), store,
+          bid, 0.5)
         IncrementalDedupSpec.dupOf ++= dups.collect()
           .map(r => r.getLong(0) -> r.getLong(1))
         IncrementalDedupSpec.kept ++=

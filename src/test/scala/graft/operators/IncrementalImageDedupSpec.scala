@@ -55,10 +55,25 @@ class IncrementalImageDedupSpec extends SparkSpec {
     // exact byte-copy of a decoy then matches it in the GROWN store
     val (dups, fresh) = IncrementalImageDedup.processBatch(
       variants.toDF("key", "bytes"),
-      IncrementalImageDedup.loadStore(spark, store), store)
+      IncrementalImageDedup.loadStore(spark, store), store, batchId = 1L)
     assert(dups.count() === 4)
     assert(fresh.select("key").as[String].collect().sorted ===
       Array("m03_far", "m04_far"))
+    // REPLAY the same batch id (the foreachBatch redelivery case): the
+    // answers must not change — first-attempt appends neither become
+    // self-duplicates (key guard) nor shadow batch-mates (own-partition
+    // exclusion) — and the store must not double its rows
+    val rowsAfterFirst = IncrementalImageDedup.loadStore(spark, store).count()
+    val (dups2, fresh2) = IncrementalImageDedup.processBatch(
+      variants.toDF("key", "bytes"),
+      IncrementalImageDedup.loadStore(spark, store), store, batchId = 1L)
+    assert(dups2.collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap === dups.collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap)
+    assert(fresh2.select("key").as[String].collect().sorted ===
+      Array("m03_far", "m04_far"))
+    assert(IncrementalImageDedup.loadStore(spark, store).count() ===
+      rowsAfterFirst)
     val probe = MultimodalOps.imageDHashes(
       variants.filter(_._1 == "m03_far")
         .map { case (_, b) => ("m03_far_again", b) }.toDF("key", "bytes"))
@@ -86,9 +101,10 @@ class IncrementalImageDedupSpec extends SparkSpec {
       .MemoryStream[(String, Array[Byte])]
     val q = input.toDF().toDF("key", "bytes")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val (dups, fresh) = IncrementalImageDedup.processBatch(batch,
-          IncrementalImageDedup.loadStore(batch.sparkSession, store), store)
+          IncrementalImageDedup.loadStore(batch.sparkSession, store), store,
+          bid)
         IncrementalImageDedupSpec.dupOf ++= dups.collect()
           .map(r => r.getString(0) -> r.getString(1))
         IncrementalImageDedupSpec.kept ++=

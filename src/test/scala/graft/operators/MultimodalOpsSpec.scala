@@ -259,6 +259,16 @@ class MultimodalOpsSpec extends SparkSpec {
         case (k, b) => k -> b }: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     assert(hashes.toSeq === PipelineQueries.pinnedVideoDhashes)
+    // undecodable videos yield NO frame hashes: stub frames derive from
+    // the key, so hashing them would fabricate duplicates between
+    // unrelated undecodable videos — errors stay absent, never content
+    assert(MultimodalOps.videoFrameDHashes(
+      media("h264ish" -> "not a decodable container".getBytes)).count()
+      === 0)
+    // ...while the default sampleFrames path still stubs for plumbing
+    assert(MultimodalOps.sampleFrames(
+      media("h264ish" -> "not a decodable container".getBytes),
+      everyNth = 1, maxFrames = 2).count() === 2)
   }
 
   test("q107 pinned audio: engine fingerprint equals the oracle's " +
