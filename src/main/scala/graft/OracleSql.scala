@@ -896,6 +896,24 @@ object OracleSql {
     // copy (gain invariance), the d=9 decoy must be filtered
     "q107_audio_dedup" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedAudioDhashes),
+    // q108: the incremental batch-vs-store probe — ground truth is the
+    // cross-split all-pairs restricted join with earliest-store-match
+    // (min key) and its distance (arg_min); base keys carry no '_'
+    "q108_incr_dhash_probe" -> {
+      val vals = graft.queries.PipelineQueries.pinnedDhashes
+        .map { case (k, h) => s"('$k', ($h)::BIGINT)" }.mkString(",\n  ")
+      s"""WITH t(key, dhash) AS (VALUES
+         |  $vals),
+         |base AS (SELECT * FROM t WHERE key NOT LIKE '%\\_%' ESCAPE '\\'),
+         |batch AS (SELECT * FROM t WHERE key LIKE '%\\_%' ESCAPE '\\'),
+         |m AS (SELECT b.key, s.key AS s_key,
+         |        bit_count(xor(b.dhash, s.dhash))::BIGINT AS d
+         |      FROM batch b JOIN base s
+         |        ON bit_count(xor(b.dhash, s.dhash)) <= 3)
+         |SELECT key, min(s_key) AS dup_of,
+         |       arg_min(d, s_key)::BIGINT AS dist
+         |FROM m GROUP BY 1 ORDER BY key""".stripMargin
+    },
     // Hasura's statistical aggregate family, spelled natively: DuckDB's
     // own stddev_samp/stddev_pop/var_samp/var_pop over the same left
     // join. Magnitude-aware rounding (see q105's scaladoc): stddev 2

@@ -128,6 +128,7 @@ object SparkEntry {
     "q105_qb_stat_aggs" -> (graft.api.QueryBuilder.q105QbStatAggs(_, _)),
     "q106_video_frame_dedup" -> (P.q106VideoFrameDedup(_, _)),
     "q107_audio_dedup" -> (P.q107AudioDedup(_, _)),
+    "q108_incr_dhash_probe" -> (P.q108IncrDhashProbe(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

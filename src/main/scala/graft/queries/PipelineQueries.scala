@@ -255,6 +255,24 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
+  /** q108 — the INCREMENTAL store probe itself under the oracle gate:
+    * q104's fixtures split on ownership (bases = the stored corpus,
+    * variants = the arriving batch), the batch probing the store
+    * through [[graft.operators.IncrementalImageDedup.findDups]] — band
+    * equi-join, exact distance, earliest-store-match-wins — while
+    * DuckDB replays ground truth from the pinned hashes (cross-split
+    * all-pairs + arg_min). The batch-vs-store shape every 100 TB
+    * ingest actually runs, previously spec-only. */
+  def q108IncrDhashProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
+    val (bases, variants) =
+      dhashFixtureBytes.partition(f => !f._1.contains("_"))
+    val store = I.signatureRows(M.imageDHashes(bases.toDF("key", "bytes")))
+    I.findDups(M.imageDHashes(variants.toDF("key", "bytes")), store)
+      .orderBy("key")
+  }
+
   /** q104 — perceptual image dedup, oracle-PINNED (the q86/q87 pinned-twin
     * pattern): decode the [[dhashFixtures]] media through the engine's own
     * codecs, dHash each

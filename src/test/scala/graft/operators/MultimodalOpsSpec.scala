@@ -304,6 +304,30 @@ class MultimodalOpsSpec extends SparkSpec {
       s"audio pairs must not cross-join:\n$plan")
   }
 
+  test("mutation fuzz: corrupted WAVs and AVIs parse to None or data, " +
+    "never an exception or a hang (the animation-decoder harness " +
+    "extended to the audio/video kernels)") {
+    val wav = MultimodalOps.syntheticAmWav(3, seconds = 0.25)
+    val avi = MultimodalOps.syntheticAvi(5, 24, 16, 3)
+    val rnd = new scala.util.Random(0xA0D10)
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def bounded[T](f: => T): T = scala.concurrent.Await.result(
+      scala.concurrent.Future(f),
+      scala.concurrent.duration.Duration(5, "s"))
+    for (_ <- 1 to 150) {
+      val m = wav.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      bounded(MultimodalOps.audioDHash(m)) // Option either way, no throw
+    }
+    for (_ <- 1 to 150) {
+      val m = avi.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      bounded(MultimodalOps.parseAviFrames(m, 1, 4))
+    }
+  }
+
   test("malicious RIFF chunk lengths terminate, not hang") {
     // 0xFFFFFFFF chunk length wraps negative on toInt — the walk must
     // clamp and exit, not loop forever
