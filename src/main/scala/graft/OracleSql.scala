@@ -896,6 +896,11 @@ object OracleSql {
     // copy (gain invariance), the d=9 decoy must be filtered
     "q107_audio_dedup" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedAudioDhashes),
+    // q109: soundtrack dedup — ground truth over the pinned in-container
+    // fingerprints (byte-identical to the q107 WAV values by
+    // construction, spec-asserted); av1/av1_re meet at d=0
+    "q109_av_soundtrack_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedAvAudioDhashes),
     // q108: the incremental batch-vs-store probe — ground truth is the
     // cross-split all-pairs restricted join with earliest-store-match
     // (min key) and its distance (arg_min); base keys carry no '_'

@@ -129,6 +129,7 @@ object SparkEntry {
     "q106_video_frame_dedup" -> (P.q106VideoFrameDedup(_, _)),
     "q107_audio_dedup" -> (P.q107AudioDedup(_, _)),
     "q108_incr_dhash_probe" -> (P.q108IncrDhashProbe(_, _)),
+    "q109_av_soundtrack_dedup" -> (P.q109AvSoundtrackDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -298,6 +298,79 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** [[syntheticAvi]] plus a SOUNDTRACK: a second (auds) stream whose
+    * `01wb` chunks carry 16-bit PCM from [[amPcm]] — byte-identical to
+    * the data section of `syntheticAmWav(audioSeed)`, so the extracted
+    * soundtrack's fingerprint provably equals the standalone WAV's.
+    * Audio is interleaved one chunk per video frame, the layout real
+    * muxers produce. */
+  def syntheticAviWithAudio(videoSeed: Long, audioSeed: Long, w: Int,
+      h: Int, nFrames: Int, audioCells: Seq[Int] = Nil,
+      rate: Int = 8000): Array[Byte] = {
+    val pcm = amPcm(audioSeed, audioCells, 1.0, 1.0, rate)
+    val nSamples = pcm.length / 2
+    // per-frame audio slice boundaries (byte offsets, sample-aligned)
+    val cuts = (0 to nFrames).map(f => (f.toLong * nSamples / nFrames).toInt * 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameLen = stride * h
+    val audLens = (0 until nFrames).map(f => cuts(f + 1) - cuts(f))
+    val moviLen = 4 +
+      (0 until nFrames).map(f => (8 + frameLen + (frameLen & 1)) +
+        (8 + audLens(f) + (audLens(f) & 1))).sum
+    val strlVidsLen = 4 + (8 + 56) + (8 + 40)
+    val strlAudsLen = 4 + (8 + 56) + (8 + 16)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlVidsLen) + (8 + strlAudsLen)
+    fcc("RIFF"); le32(4 + (8 + hdrlLen) + (8 + moviLen)); fcc("AVI ")
+    fcc("LIST"); le32(hdrlLen); fcc("hdrl")
+    fcc("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0)
+    le32(nFrames); le32(0); le32(2); le32(frameLen)
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(strlVidsLen); fcc("strl")
+    fcc("strh"); le32(56); fcc("vids"); fcc("DIB ")
+    le32(0); le16(0); le16(0); le32(0)
+    le32(1); le32(25); le32(0); le32(nFrames)
+    le32(frameLen); le32(0); le32(0)
+    le16(0); le16(0); le16(w); le16(h)
+    fcc("strf"); le32(40)
+    le32(40); le32(w); le32(h); le16(1); le16(24)
+    le32(0); le32(frameLen); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(strlAudsLen); fcc("strl")
+    fcc("strh"); le32(56); fcc("auds"); le32(0) // auds, no handler fourcc
+    le32(0); le16(0); le16(0); le32(0)
+    le32(1); le32(rate.toLong); le32(0); le32(nSamples.toLong)
+    le32(rate.toLong * 2); le32(0); le32(2) // bufSize, quality, sampleSize
+    le16(0); le16(0); le16(0); le16(0)
+    fcc("strf"); le32(16) // PCMWAVEFORMAT
+    le16(1); le16(1); le32(rate.toLong); le32(rate.toLong * 2)
+    le16(2); le16(16)
+    fcc("LIST"); le32(moviLen); fcc("movi")
+    for (f <- 0 until nFrames) {
+      fcc("00db"); le32(frameLen)
+      for (row <- 0 until h) {
+        val y = h - 1 - row
+        for (x <- 0 until w) {
+          val v = (videoSeed * 2654435761L + f * 101 + x * 31 + y * 17) & 0xffffff
+          bos.write((v & 0xff).toInt)
+          bos.write(((v >> 8) & 0xff).toInt)
+          bos.write(((v >> 16) & 0xff).toInt)
+        }
+        for (_ <- w * 3 until stride) bos.write(0)
+      }
+      if ((frameLen & 1) == 1) bos.write(0)
+      fcc("01wb"); le32(audLens(f).toLong)
+      bos.write(pcm, cuts(f), audLens(f))
+      if ((audLens(f) & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
   /** Minimal MJPEG AVI writer (one 'MJPG' video stream whose frame
     * chunks are real ImageIO-encoded JPEGs) — deterministic fixture
     * bytes for specs; same container skeleton as [[syntheticAvi]]. */
@@ -569,6 +642,14 @@ object MultimodalOps {
     * non-WAV / non-16-bit bytes (errors are data). */
   def audioDHash(b: Array[Byte]): Option[Long] = {
     val (_, _, _, dataOff, n) = wavRegion(b).getOrElse(return None)
+    pcm16Fingerprint(b, dataOff, n)
+  }
+
+  /** The fingerprint core over a raw 16-bit-LE PCM region — shared by
+    * the WAV path and the in-container AVI soundtrack path, so the two
+    * cannot drift. */
+  private def pcm16Fingerprint(b: Array[Byte], dataOff: Int,
+      n: Long): Option[Long] = {
     if (n < 65) return None
     val energy = new Array[Double](65)
     var w = 0
@@ -593,6 +674,89 @@ object MultimodalOps {
       i += 1
     }
     Some(bits)
+  }
+
+  /** Fingerprint the SOUNDTRACK inside a RIFF AVI: walk the container
+    * for the audio stream's `NNwb` chunks (NN = the stream's hdrl
+    * index; video-then-audio layouts make it `01wb`), require 16-bit
+    * PCM in its WAVEFORMAT block, reassemble the chunk payloads in file
+    * order and run the SAME [[pcm16Fingerprint]] the WAV path uses — so
+    * a video's soundtrack and the standalone recording it came from
+    * hash identically, and "find re-posted videos by identical
+    * soundtrack" is one banded join between [[videoAudioDHashes]] and
+    * [[audioDHashes]] outputs. None for non-AVI bytes, AVIs without a
+    * PCM audio stream, or fewer than 65 samples (errors are data). */
+  def videoAudioDHash(b: Array[Byte]): Option[Long] = try {
+    if (b == null || b.length < 12) return None
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (u16(i).toLong | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    // pass 1: find the audio stream's index and verify 16-bit PCM
+    var streamIdx = -1
+    var audioIdx = -1
+    var pcm16 = false
+    var inAuds = false
+    def walkHdr(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 32) return
+      var pos = start
+      while (pos + 8 <= end && pos + 8 <= b.length) {
+        val id = tag(pos)
+        val len = math.min(u32(pos + 4), (b.length - pos - 8).toLong).toInt
+        if (len < 0) return
+        if (id == "LIST") {
+          if (pos + 12 <= b.length && tag(pos + 8) == "strl") streamIdx += 1
+          walkHdr(pos + 12, math.min(pos + 8 + len, b.length), depth + 1)
+        } else if (id == "strh" && len >= 4) {
+          inAuds = tag(pos + 8) == "auds"
+          if (inAuds && audioIdx < 0) audioIdx = streamIdx
+        } else if (id == "strf" && inAuds && len >= 16 &&
+          audioIdx == streamIdx) {
+          // WAVEFORMAT: wFormatTag(1=PCM) ... wBitsPerSample at +14
+          pcm16 = u16(pos + 8) == 1 && u16(pos + 8 + 14) == 16
+        }
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walkHdr(12, b.length, 0)
+    if (audioIdx < 0 || !pcm16) return None
+    val chunkId = f"$audioIdx%02dwb"
+    // pass 2: reassemble the audio chunks in file order
+    val pcm = new java.io.ByteArrayOutputStream()
+    def walkData(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 32) return
+      var pos = start
+      while (pos + 8 <= end && pos + 8 <= b.length) {
+        val id = tag(pos)
+        val len = math.min(u32(pos + 4), (b.length - pos - 8).toLong).toInt
+        if (len < 0) return
+        if (id == "LIST")
+          walkData(pos + 12, math.min(pos + 8 + len, b.length), depth + 1)
+        else if (id == chunkId && len > 0)
+          pcm.write(b, pos + 8, len)
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walkData(12, b.length, 0)
+    val data = pcm.toByteArray
+    pcm16Fingerprint(data, 0, data.length / 2)
+  } catch { case _: Exception => None }
+
+  /** (key, ahash) for the soundtrack of each video row — one map-side
+    * pass, nulls for undecodable/soundtrack-less bytes. */
+  def videoAudioDHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioDhashSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        videoAudioDHash(bytes) match {
+          case Some(h) => Row(key, h)
+          case None => Row(key, null)
+        }
+      }
+    }(enc).toDF()
   }
 
   val audioDhashSchema: StructType = StructType(Seq(
@@ -631,27 +795,41 @@ object MultimodalOps {
     * move at most 2 fingerprint bits each. `gain` scales every sample
     * uniformly — the fingerprint must not care. The controlled fixture
     * generator behind q107's oracle-pinned pairing. */
-  def syntheticAmWav(seed: Long, cells: Seq[Int] = Nil, gain: Double = 1.0,
-      seconds: Double = 1.0, rate: Int = 8000): Array[Byte] = {
+  /** The raw little-endian 16-bit PCM data of [[syntheticAmWav]] —
+    * shared with [[syntheticAviWithAudio]] so an AVI's soundtrack is
+    * byte-identical to the standalone WAV's data section (and their
+    * fingerprints provably agree). */
+  private def amPcm(seed: Long, cells: Seq[Int], gain: Double,
+      seconds: Double, rate: Int): Array[Byte] = {
     val n = (seconds * rate).toInt
     val env = Array.tabulate(65) { k =>
       if (cells.contains(k)) 1.0
       else 0.2 + 0.8 * graft.functions.VectorFunctions.mix01(seed ^ (k * 0x9e37L))
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
-    def le32(v: Long): Unit = { le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt) }
-    bos.write("RIFF".getBytes); le32(36L + n * 2); bos.write("WAVE".getBytes)
-    bos.write("fmt ".getBytes); le32(16); le16(1); le16(1)
-    le32(rate.toLong); le32(rate.toLong * 2); le16(2); le16(16)
-    bos.write("data".getBytes); le32(n.toLong * 2)
+    val out = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
       val seg = (i.toLong * 65 / n).toInt
-      le16((math.sin(2 * math.Pi * 440 * i / rate) * env(seg) * gain
-        * 16384).toInt & 0xffff)
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * env(seg) * gain
+        * 16384).toInt
+      out(i * 2) = (v & 0xff).toByte
+      out(i * 2 + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
+    out
+  }
+
+  def syntheticAmWav(seed: Long, cells: Seq[Int] = Nil, gain: Double = 1.0,
+      seconds: Double = 1.0, rate: Int = 8000): Array[Byte] = {
+    val pcm = amPcm(seed, cells, gain, seconds, rate)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt) }
+    bos.write("RIFF".getBytes); le32(36L + pcm.length); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+    le32(rate.toLong); le32(rate.toLong * 2); le16(2); le16(16)
+    bos.write("data".getBytes); le32(pcm.length.toLong)
+    bos.write(pcm)
     bos.toByteArray
   }
 

@@ -255,6 +255,53 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
+  /** q109's fixtures: (key, videoSeed, audioSeed, audioCells) —
+    * two-stream AVIs from [[graft.operators.MultimodalOps
+    * .syntheticAviWithAudio]]. `av1_re` carries DIFFERENT footage over
+    * av1's EXACT soundtrack (the re-rendered/re-posted case the
+    * soundtrack join exists for); `av2_near` lightly edits av2's
+    * envelope (one segment). */
+  private[graft] val avFixtures: Seq[(String, Long, Long, Seq[Int])] = Seq(
+    ("av1", 11L, 1L, Nil),
+    ("av2", 12L, 2L, Nil),
+    ("av3", 13L, 3L, Nil),
+    ("av1_re", 21L, 1L, Nil),
+    ("av2_near", 22L, 2L, Seq(20)))
+
+  private[graft] def avFixtureBytes: Seq[(String, Array[Byte])] =
+    avFixtures.map { case (k, vs, as0, cells) =>
+      k -> graft.operators.MultimodalOps.syntheticAviWithAudio(
+        vs, as0, 72, 48, 6, cells)
+    }
+
+  /** q109's pinned soundtrack fingerprints — NOT independently
+    * computed: the AVI audio chunks are byte-identical to the
+    * [[audioFixtures]] WAV data sections with the same (seed, cells),
+    * so these are [[pinnedAudioDhashes]] values reused — and the spec
+    * asserts the container-extracted hash EQUALS the standalone WAV's,
+    * which is the whole point of sharing one fingerprint core. */
+  private[graft] val pinnedAvAudioDhashes: Seq[(String, Long)] = Seq(
+    ("av1", 8258640091479224756L),
+    ("av2", 5956182740055005925L),
+    ("av3", 7698742834364201779L),
+    ("av1_re", 8258640091479224756L),
+    ("av2_near", 5956182740055530213L))
+
+  /** q109 — find re-posted videos by SOUNDTRACK: each AVI's audio
+    * stream reassembles in-container
+    * ([[graft.operators.MultimodalOps.videoAudioDHashes]] — RIFF walk,
+    * `01wb` chunk reassembly, the WAV path's own fingerprint core) and
+    * near-identical soundtracks pair through the shared banding. The
+    * oracle replays ground truth over the pinned hashes; av1/av1_re
+    * (same soundtrack under different footage) must meet at d=0. */
+  def q109AvSoundtrackDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = avFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.videoAudioDHashes(media)
+    graft.operators.MultimodalOps.audioNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b")
+  }
+
   /** q108 — the INCREMENTAL store probe itself under the oracle gate:
     * q104's fixtures split on ownership (bases = the stored corpus,
     * variants = the arriving batch), the batch probing the store

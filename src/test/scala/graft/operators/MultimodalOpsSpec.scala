@@ -304,6 +304,39 @@ class MultimodalOpsSpec extends SparkSpec {
       s"audio pairs must not cross-join:\n$plan")
   }
 
+  test("q109 in-container soundtrack: extraction equals the standalone " +
+    "WAV fingerprint; video frames still decode; pairs find the " +
+    "re-posted copy") {
+    import graft.queries.PipelineQueries
+    // the container-extracted fingerprint EQUALS the standalone WAV's
+    // for the same (seed, cells) — one fingerprint core, provably
+    val avi = MultimodalOps.syntheticAviWithAudio(11L, 1L, 72, 48, 6)
+    val wav = MultimodalOps.syntheticAmWav(1L)
+    assert(MultimodalOps.videoAudioDHash(avi) ===
+      MultimodalOps.audioDHash(wav))
+    // engine hashes equal the oracle's literals for every fixture
+    val got = PipelineQueries.avFixtureBytes.map { case (k, b) =>
+      k -> MultimodalOps.videoAudioDHash(b).getOrElse(
+        fail(s"$k: no soundtrack fingerprint"))
+    }
+    assert(got === PipelineQueries.pinnedAvAudioDhashes)
+    // the two-stream layout still serves the VIDEO path: frame 0 of
+    // the same file decodes through parseAviFrames (audio chunks are
+    // walked over, not tripped over)
+    assert(MultimodalOps.parseAviFrames(avi, 1, 6).map(_.length) ===
+      Some(6))
+    // soundtrack-less and non-AVI bytes: None, never a throw
+    assert(MultimodalOps.videoAudioDHash(
+      MultimodalOps.syntheticAvi(11L, 24, 16, 2)) === None)
+    assert(MultimodalOps.videoAudioDHash("nope".getBytes) === None)
+    // pairing: the re-posted copy at d=0, the envelope edit at d=2,
+    // nothing else
+    val pairs = PipelineQueries.q109AvSoundtrackDedup(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq(("av1", "av1_re", 0L),
+      ("av2", "av2_near", 2L)))
+  }
+
   test("mutation fuzz: corrupted WAVs and AVIs parse to None or data, " +
     "never an exception or a hang (the animation-decoder harness " +
     "extended to the audio/video kernels)") {
@@ -325,6 +358,13 @@ class MultimodalOpsSpec extends SparkSpec {
       for (_ <- 0 to rnd.nextInt(4))
         m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       bounded(MultimodalOps.parseAviFrames(m, 1, 4))
+    }
+    val avAvi = MultimodalOps.syntheticAviWithAudio(5, 3, 24, 16, 3)
+    for (_ <- 1 to 150) {
+      val m = avAvi.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      bounded(MultimodalOps.videoAudioDHash(m))
     }
   }
 
