@@ -901,6 +901,21 @@ object OracleSql {
     // construction, spec-asserted); av1/av1_re meet at d=0
     "q109_av_soundtrack_dedup" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedAvAudioDhashes),
+    // q110: cross-modal soundtrack match — ground truth over the UNION
+    // of the recording and video pinned sets, side-split (recording
+    // keys never start with 'av')
+    "q110_soundtrack_match" -> {
+      val vals = (graft.queries.PipelineQueries.pinnedAudioDhashes ++
+        graft.queries.PipelineQueries.pinnedAvAudioDhashes)
+        .map { case (k, h) => s"('$k', ($h)::BIGINT)" }.mkString(",\n  ")
+      s"""WITH t(key, dhash) AS (VALUES
+         |  $vals)
+         |SELECT r.key AS a, v.key AS b,
+         |       bit_count(xor(r.dhash, v.dhash))::BIGINT AS d
+         |FROM t r JOIN t v ON r.key NOT LIKE 'av%' AND v.key LIKE 'av%'
+         |WHERE bit_count(xor(r.dhash, v.dhash)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
     // q108: the incremental batch-vs-store probe — ground truth is the
     // cross-split all-pairs restricted join with earliest-store-match
     // (min key) and its distance (arg_min); base keys carry no '_'

@@ -130,6 +130,7 @@ object SparkEntry {
     "q107_audio_dedup" -> (P.q107AudioDedup(_, _)),
     "q108_incr_dhash_probe" -> (P.q108IncrDhashProbe(_, _)),
     "q109_av_soundtrack_dedup" -> (P.q109AvSoundtrackDedup(_, _)),
+    "q110_soundtrack_match" -> (P.q110SoundtrackMatch(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

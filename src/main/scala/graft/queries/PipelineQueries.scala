@@ -302,6 +302,25 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
+  /** q110 — the CROSS-MODAL soundtrack match: which corpus RECORDINGS
+    * (the q107 WAV fixtures) appear as SOUNDTRACKS of which videos
+    * (the q109 AVI fixtures). Both sides fingerprint through their own
+    * extractors — WAV header walk vs in-container chunk reassembly —
+    * into ONE hash space, so the match is a single banded equi-join
+    * over the union (recording keys sort before `av*` keys, so the
+    * unordered pairs land recording-first and a side filter keeps
+    * exactly the cross-modal ones). The oracle replays ground truth
+    * over the UNION of both pinned sets with the same side split. */
+  def q110SoundtrackMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{MultimodalOps => M}
+    val recs = M.audioDHashes(audioFixtureBytes.toDF("key", "bytes"))
+    val vids = M.videoAudioDHashes(avFixtureBytes.toDF("key", "bytes"))
+    M.audioNearDupPairs(recs.union(vids), maxDist = 3)
+      .filter(!col("a").startsWith("av") && col("b").startsWith("av"))
+      .orderBy("a", "b")
+  }
+
   /** q108 — the INCREMENTAL store probe itself under the oracle gate:
     * q104's fixtures split on ownership (bases = the stored corpus,
     * variants = the arriving batch), the batch probing the store
