@@ -510,9 +510,15 @@ object OracleSql {
     * VALUES table — the q104/q106 oracle shape: the engine's banded
     * pigeonhole join must return exactly these pairs, proving the
     * banding lossless within the bound. */
-  private def dhashPairsSql(pinned: Seq[(String, Long)]): String = {
-    val vals = pinned.map { case (k, h) => s"('$k', ($h)::BIGINT)" }
+  /** One pinned (key, hash) pair as a VALUES row — the single
+    * definition every pinned-hash oracle (q104/q106-q110) renders
+    * through. */
+  private def hashValuesOf(pinned: Seq[(String, Long)]): String =
+    pinned.map { case (k, h) => s"('$k', ($h)::BIGINT)" }
       .mkString(",\n  ")
+
+  private def dhashPairsSql(pinned: Seq[(String, Long)]): String = {
+    val vals = hashValuesOf(pinned)
     s"""WITH t(key, dhash) AS (VALUES
        |  $vals)
        |SELECT a.key AS a, b.key AS b,
@@ -905,9 +911,9 @@ object OracleSql {
     // of the recording and video pinned sets, side-split (recording
     // keys never start with 'av')
     "q110_soundtrack_match" -> {
-      val vals = (graft.queries.PipelineQueries.pinnedAudioDhashes ++
-        graft.queries.PipelineQueries.pinnedAvAudioDhashes)
-        .map { case (k, h) => s"('$k', ($h)::BIGINT)" }.mkString(",\n  ")
+      val vals = hashValuesOf(
+        graft.queries.PipelineQueries.pinnedAudioDhashes ++
+          graft.queries.PipelineQueries.pinnedAvAudioDhashes)
       s"""WITH t(key, dhash) AS (VALUES
          |  $vals)
          |SELECT r.key AS a, v.key AS b,
@@ -920,8 +926,7 @@ object OracleSql {
     // cross-split all-pairs restricted join with earliest-store-match
     // (min key) and its distance (arg_min); base keys carry no '_'
     "q108_incr_dhash_probe" -> {
-      val vals = graft.queries.PipelineQueries.pinnedDhashes
-        .map { case (k, h) => s"('$k', ($h)::BIGINT)" }.mkString(",\n  ")
+      val vals = hashValuesOf(graft.queries.PipelineQueries.pinnedDhashes)
       s"""WITH t(key, dhash) AS (VALUES
          |  $vals),
          |base AS (SELECT * FROM t WHERE key NOT LIKE '%\\_%' ESCAPE '\\'),

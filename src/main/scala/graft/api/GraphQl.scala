@@ -981,7 +981,13 @@ object GraphQl {
   }
 
   private def renderLit(v: Any): String = v match {
-    case null => "null"
+    // no spelling round-trips: `_eq: null` PARSES as IS NULL (Hasura's
+    // null-comparison semantics), while the DSL's Eq(f, null) is a
+    // never-true SQL comparison — rendering it would silently change
+    // the request. Null-answering requests must use IsNull.
+    case null => throw new IllegalArgumentException(
+      "render: null literal has no round-tripping GraphQL spelling " +
+        "(_eq: null parses as IS NULL) — use IsNull(field) instead")
     case s: String => quote(s)
     case b: Boolean => b.toString
     case l: Long => l.toString

@@ -104,12 +104,24 @@ object IncrementalDedup {
   def appendFresh(batch: DataFrame, dups: DataFrame,
       storePath: String, batchId: Long): DataFrame = {
     val fresh = batch.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
-    writeBatchPartition(signatureRows(fresh), storePath, batchId)
+    writeBatchPartition(signatureRows(fresh),
+      loadStore(batch.sparkSession, storePath), storePath, batchId)
     fresh
   }
 
-  private def writeBatchPartition(sigs: DataFrame, storePath: String,
-      batchId: Long): Unit = {
+  /** One batch partition written via dynamic partition overwrite —
+    * shared with [[IncrementalImageDedup]] so the idempotence ritual
+    * (conf flip, partitioned overwrite, conf restore) has exactly one
+    * definition. Refuses a LEGACY batch-less store loudly: writing
+    * `batch=<id>` directories next to root-level parquet files would
+    * make the whole store unreadable (conflicting partition depths) —
+    * rebuild flat stores with initStore before incremental ingest. */
+  private[operators] def writeBatchPartition(sigs: DataFrame,
+      store: DataFrame, storePath: String, batchId: Long): Unit = {
+    require(store.columns.contains("batch"),
+      s"store at $storePath has the legacy flat layout (no batch " +
+        "column); a partitioned write would corrupt it — rebuild the " +
+        "store with initStore first")
     val spark = sigs.sparkSession
     val prev = spark.conf.getOption(
       "spark.sql.sources.partitionOverwriteMode")
@@ -150,7 +162,7 @@ object IncrementalDedup {
       .localCheckpoint(eager = false)
     writeBatchPartition(
       sigs.join(dups.select("doc_id"), Seq("doc_id"), "left_anti"),
-      storePath, batchId)
+      store, storePath, batchId)
     val fresh = b.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
     (dups, fresh)
   }

@@ -94,7 +94,6 @@ object IncrementalImageDedup {
   def processBatch(batchMedia: DataFrame, store: DataFrame,
       storePath: String, batchId: Long,
       maxDist: Int = MaxDist): (DataFrame, DataFrame) = {
-    val spark = batchMedia.sparkSession
     val hashes = MultimodalOps.imageDHashes(batchMedia)
       .localCheckpoint(eager = false)
     val probeStore =
@@ -104,18 +103,10 @@ object IncrementalImageDedup {
     val dups = findDups(hashes, probeStore, maxDist)
       .localCheckpoint(eager = false)
     val fresh = hashes.join(dups.select("key"), Seq("key"), "left_anti")
-    val prev = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      signatureRows(fresh).withColumn("batch", lit(batchId))
-        .write.partitionBy("batch").mode("overwrite").parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // the text operator's write helper: one definition of the conf-flip
+    // + partitioned-overwrite ritual, one legacy-store guard
+    IncrementalDedup.writeBatchPartition(signatureRows(fresh), store,
+      storePath, batchId)
     (dups, fresh)
   }
 }

@@ -116,10 +116,21 @@ object MultimodalOps {
               Range(0, frames.length, math.max(1, everyNth))
                 .take(maxFrames).map(i => Row(key, i,
                   BinaryFunctions.encodePng(frames(i))))
-            case None if stubUndecodable =>
-              (0 until maxFrames).map(i => Row(key, i * everyNth,
-                fakeFrame(key, i * everyNth)))
-            case None => Nil
+            case None =>
+              // a decodable STILL is a 1-frame video, not undecodable
+              // content: 1-frame "animations" (one-ANMF WebP, 1-frame
+              // GIF — the animation decoders call those stills) and
+              // plain images sample as their single frame, so byte-
+              // identical stills still meet in frame-hash dedup
+              (if (bytes == null) None else BinaryFunctions.decode(bytes))
+                match {
+                case Some(img) =>
+                  Seq(Row(key, 0, BinaryFunctions.encodePng(img)))
+                case None if stubUndecodable =>
+                  (0 until maxFrames).map(i => Row(key, i * everyNth,
+                    fakeFrame(key, i * everyNth)))
+                case None => Nil
+              }
           }
       }
     }(enc).toDF()
@@ -788,13 +799,6 @@ object MultimodalOps {
       nBands, 64 / nBands, maxDist)
   }
 
-  /** Deterministic AMPLITUDE-MODULATED PCM WAV: a 440 Hz carrier under
-    * a seed-derived 65-segment envelope (0.2..1.0, splitmix-uniform),
-    * segments aligned with [[audioDHash]]'s energy windows so `cells`
-    * (segments forced to full scale — the audio [[perturbedMedia]])
-    * move at most 2 fingerprint bits each. `gain` scales every sample
-    * uniformly — the fingerprint must not care. The controlled fixture
-    * generator behind q107's oracle-pinned pairing. */
   /** The raw little-endian 16-bit PCM data of [[syntheticAmWav]] —
     * shared with [[syntheticAviWithAudio]] so an AVI's soundtrack is
     * byte-identical to the standalone WAV's data section (and their
@@ -819,6 +823,13 @@ object MultimodalOps {
     out
   }
 
+  /** Deterministic AMPLITUDE-MODULATED PCM WAV: a 440 Hz carrier under
+    * a seed-derived 65-segment envelope (0.2..1.0, splitmix-uniform),
+    * segments aligned with [[audioDHash]]'s energy windows so `cells`
+    * (segments forced to full scale — the audio [[perturbedMedia]])
+    * move at most 2 fingerprint bits each. `gain` scales every sample
+    * uniformly — the fingerprint must not care. The controlled fixture
+    * generator behind q107's oracle-pinned pairing. */
   def syntheticAmWav(seed: Long, cells: Seq[Int] = Nil, gain: Double = 1.0,
       seconds: Double = 1.0, rate: Int = 8000): Array[Byte] = {
     val pcm = amPcm(seed, cells, gain, seconds, rate)

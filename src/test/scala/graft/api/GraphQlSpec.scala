@@ -614,6 +614,16 @@ class GraphQlSpec extends SparkSpec {
       nested = Seq(Nested(as = "x", table = "nation",
         childKey = "n_nationkey", parentKey = "c_nationkey",
         fields = Seq(NestedField("n", "n_name")))))))
+    // null literals: `_eq: null` PARSES as IS NULL, so rendering the
+    // DSL's never-true Eq(f, null) would silently change the request —
+    // must throw, not drift (and Gt(f, null) must not render text the
+    // parser then rejects)
+    assertThrows[IllegalArgumentException](GraphQl.render(Request(
+      table = "documents", fields = Seq("doc_id"),
+      where = Some(Eq("source", null)))))
+    assertThrows[IllegalArgumentException](GraphQl.render(Request(
+      table = "documents", fields = Seq("doc_id"),
+      where = Some(In("lang", Seq("en", null))))))
   }
 
   test("a fragment body participates in variable use-tracking (a " +

@@ -126,6 +126,24 @@ class IncrementalImageDedupSpec extends SparkSpec {
       "c1" -> "b2"))
   }
 
+  test("a legacy flat (batch-less) store refuses incremental writes " +
+    "loudly instead of being corrupted by partitioned appends") {
+    val (bases, variants) = split()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_imgdedup_legacy").toString
+    // the OLD layout: root-level parquet, no batch column
+    IncrementalImageDedup.signatureRows(
+      MultimodalOps.imageDHashes(bases.toDF("key", "bytes")))
+      .write.mode("overwrite").parquet(store)
+    val e = intercept[IllegalArgumentException](
+      IncrementalImageDedup.processBatch(variants.toDF("key", "bytes"),
+        IncrementalImageDedup.loadStore(spark, store), store, batchId = 1L))
+    assert(e.getMessage.contains("legacy flat layout"))
+    // and the store is still readable — the write was refused BEFORE
+    // any partition directory landed
+    assert(IncrementalImageDedup.loadStore(spark, store).count() > 0)
+  }
+
   test("probe plan: no cross join, candidate gate is the band equi-join") {
     val (bases, variants) = split()
     val store = java.nio.file.Files

@@ -44,6 +44,21 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(BinaryFunctions.sniffFormat(r.getAs[Array[Byte]](2)) === "png"))
   }
 
+  test("sampleFrames treats a decodable STILL as a 1-frame video " +
+    "(stills are content, not stub fodder)") {
+    val png = BinaryFunctions.syntheticPng(5, 16, 12)
+    val rows = MultimodalOps.sampleFrames(
+      media("img" -> png), everyNth = 2, maxFrames = 4).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getInt(1) === 0)
+    // and so byte-identical stills under different keys MEET in
+    // frame-hash dedup instead of diverging through keyed stubs
+    val hs = MultimodalOps.videoFrameDHashes(
+      media("s1" -> png, "s2" -> png.clone()))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hs("s1#0") === hs("s2#0"))
+  }
+
   test("sampleFrames decodes real uncompressed-DIB AVI frames") {
     val avi = MultimodalOps.syntheticAvi(seed = 9, w = 10, h = 6, nFrames = 7)
     val rows = MultimodalOps.sampleFrames(
