@@ -907,6 +907,16 @@ object OracleSql {
     // construction, spec-asserted); av1/av1_re meet at d=0
     "q109_av_soundtrack_dedup" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedAvAudioDhashes),
+    // q111: hamming kNN — exact top-5 by xor/bit_count over the pinned
+    // corpus, query literal shared with the engine
+    "q111_hamming_knn" -> {
+      val vals = hashValuesOf(graft.queries.PipelineQueries.pinnedDhashes)
+      s"""WITH t(key, dhash) AS (VALUES
+         |  $vals)
+         |SELECT key,
+         |       bit_count(xor(dhash, (275148587264)::BIGINT))::BIGINT AS d
+         |FROM t ORDER BY d, key LIMIT 5""".stripMargin
+    },
     // q110: cross-modal soundtrack match — ground truth over the UNION
     // of the recording and video pinned sets, side-split (recording
     // keys never start with 'av')

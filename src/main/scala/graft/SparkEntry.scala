@@ -131,6 +131,7 @@ object SparkEntry {
     "q108_incr_dhash_probe" -> (P.q108IncrDhashProbe(_, _)),
     "q109_av_soundtrack_dedup" -> (P.q109AvSoundtrackDedup(_, _)),
     "q110_soundtrack_match" -> (P.q110SoundtrackMatch(_, _)),
+    "q111_hamming_knn" -> (P.q111HammingKnn(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -31,6 +31,21 @@ object HammingBands {
           .as("v"))): _*)
   }
 
+  /** Top-k nearest hashes to `query` by exact hamming distance —
+    * SIMILARITY SEARCH over the same hash space the dedup pairs use
+    * (dHash/SimHash/audio fingerprints): one codegen scan computing
+    * bit_count(xor), then a k-bounded TakeOrdered (a per-task heap of
+    * k rows — the right plan when k is small and fixed, unlike the
+    * corpus-sized cuts rankBoundary exists for). Ties break on id for
+    * a deterministic, oracle-comparable order. */
+  def knn(hashed: DataFrame, idCol: String, hashCol: String,
+      query: Long, k: Int): DataFrame =
+    hashed.filter(col(hashCol).isNotNull)
+      .select(col(idCol),
+        bit_count(col(hashCol).bitwiseXOR(lit(query))).cast("long").as("d"))
+      .orderBy(col("d"), col(idCol))
+      .limit(k)
+
   /** (a, b, d): unordered id pairs (a < b) within `maxDist`, with the
     * exact hamming distance. `hashed` must carry `idCol` and a LongType
     * `hashCol`; null hashes are dropped. */

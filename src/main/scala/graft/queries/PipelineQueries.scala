@@ -302,6 +302,22 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
+  /** q111 — hamming kNN over the perceptual hash space: the top-5
+    * nearest fixture images to a PINNED query hash (m07_near's — a
+    * known member, so rank 1 is its d=0 self and rank 2 its d=1
+    * original). Corpus hashes compute in-engine from bytes (the real
+    * decode+hash pipeline); the query rides as a literal, exactly how
+    * a find-similar-image request arrives. One codegen scan + k-heap
+    * TakeOrdered — similarity SEARCH over the same space the dedup
+    * family pairs on. */
+  def q111HammingKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = graft.operators.MultimodalOps.imageDHashes(
+      dhashFixtureBytes.toDF("key", "bytes"))
+    graft.functions.HammingBands.knn(hashes, "key", "dhash",
+      query = 275148587264L, k = 5) // pinned m07_near
+  }
+
   /** q110 — the CROSS-MODAL soundtrack match: which corpus RECORDINGS
     * (the q107 WAV fixtures) appear as SOUNDTRACKS of which videos
     * (the q109 AVI fixtures). Both sides fingerprint through their own
