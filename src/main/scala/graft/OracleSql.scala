@@ -907,6 +907,29 @@ object OracleSql {
     // construction, spec-asserted); av1/av1_re meet at d=0
     "q109_av_soundtrack_dedup" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedAvAudioDhashes),
+    // q112: image dup clusters — q62's recursive-CTE reachability over
+    // the pinned hashes' <=3 pair graph, canonical = MIN key, so the
+    // engine's id-mapped component labels are checked id-scheme-free
+    "q112_image_dup_clusters" -> {
+      val vals = hashValuesOf(graft.queries.PipelineQueries.pinnedDhashes)
+      s"""WITH RECURSIVE t(key, dhash) AS (VALUES
+         |  $vals),
+         |p AS (SELECT a.key AS a, b.key AS b
+         |      FROM t a JOIN t b ON a.key < b.key
+         |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e AS (SELECT a AS id, b AS nb FROM p UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+         |SELECT t.key, COALESCE(c.canonical, t.key) AS canonical,
+         |       COUNT(*) OVER (
+         |         PARTITION BY COALESCE(c.canonical, t.key))::BIGINT
+         |         AS cluster_size
+         |FROM t LEFT JOIN comp c ON c.id = t.key
+         |ORDER BY key""".stripMargin
+    },
     // q111: hamming kNN — exact top-5 by xor/bit_count over the pinned
     // corpus, query literal shared with the engine
     "q111_hamming_knn" -> {

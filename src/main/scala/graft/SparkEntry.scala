@@ -132,6 +132,7 @@ object SparkEntry {
     "q109_av_soundtrack_dedup" -> (P.q109AvSoundtrackDedup(_, _)),
     "q110_soundtrack_match" -> (P.q110SoundtrackMatch(_, _)),
     "q111_hamming_knn" -> (P.q111HammingKnn(_, _)),
+    "q112_image_dup_clusters" -> (P.q112ImageDupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -302,6 +302,39 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
+  /** q112 — perceptual image dedup CLUSTERS: connected components over
+    * the banded near-dup pair graph — [[graft.queries.TextQueries
+    * .componentLabels]]'s engine (the q62/q67 distributed label
+    * propagation + pointer jumping, or single-task union-find under the
+    * small-graph cut) reused for the multimodal column. String keys map
+    * to Long ids (xxhash64) ONLY to drive the component engine; the
+    * reported canonical is the MIN KEY of each component, so the answer
+    * is id-scheme-independent and DuckDB replays it with q62's
+    * recursive-CTE reachability over the pinned hashes. Singletons are
+    * their own canonical, like q62. */
+  def q112ImageDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hs = graft.operators.MultimodalOps.imageDHashes(
+        dhashFixtureBytes.toDF("key", "bytes"))
+      .filter(col("dhash").isNotNull)
+    val pairs = graft.operators.MultimodalOps.dhashNearDupPairs(hs, 3)
+    val ids = hs.select(col("key")).distinct()
+      .withColumn("id", xxhash64(col("key")))
+    val pa = pairs
+      .join(ids.select(col("key").as("a"), col("id").as("ia")), "a")
+      .join(ids.select(col("key").as("b"), col("id").as("ib")), "b")
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val labels = TextQueries.componentLabels(s, pa)
+    val withLabel = ids.join(labels, Seq("id"), "left")
+      .select(col("key"), coalesce(col("label"), col("id")).as("label"))
+    val canon = withLabel.groupBy("label")
+      .agg(min(col("key")).as("canonical"),
+        count(lit(1)).as("cluster_size"))
+    withLabel.join(canon, "label")
+      .select(col("key"), col("canonical"), col("cluster_size"))
+      .orderBy("key")
+  }
+
   /** q111 — hamming kNN over the perceptual hash space: the top-5
     * nearest fixture images to a PINNED query hash (m07_near's — a
     * known member, so rank 1 is its d=0 self and rank 2 its d=1
