@@ -46,6 +46,30 @@ object HammingBands {
       .orderBy(col("d"), col(idCol))
       .limit(k)
 
+  /** (a, b, d): all LEFT × RIGHT pairs within `maxDist` — the
+    * TWO-SIDED banding for matches across distinct collections sharing
+    * one hash space (cross-modal soundtrack↔video, probe-vs-corpus).
+    * The side is carried STRUCTURALLY (a is always a left id, b always
+    * a right id), so callers never encode it in key naming conventions;
+    * unlike [[pairs]] there is no a<b cut — left and right are
+    * different populations, not halves of one. Same banded equi-join,
+    * no cross join; null hashes dropped on both sides. */
+  def crossPairs(left: DataFrame, right: DataFrame, idCol: String,
+      hashCol: String, nBands: Int, bandBits: Int,
+      maxDist: Int): DataFrame = {
+    require(nBands > maxDist,
+      s"pigeonhole needs nBands ($nBands) > maxDist ($maxDist)")
+    def banded(df: DataFrame, as: String, has: String) =
+      df.filter(col(hashCol).isNotNull)
+        .withColumn("band", explode(bandKeys(col(hashCol), nBands, bandBits)))
+        .select(col(idCol).as(as), col(hashCol).as(has), col("band"))
+    banded(left, "a", "ha").join(banded(right, "b", "hb"), Seq("band"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
+      .filter(col("d") <= maxDist)
+      .distinct()
+  }
+
   /** (a, b, d): unordered id pairs (a < b) within `maxDist`, with the
     * exact hamming distance. `hashed` must carry `idCol` and a LongType
     * `hashCol`; null hashes are dropped. */

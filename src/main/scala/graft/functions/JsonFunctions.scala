@@ -154,7 +154,22 @@ object JsonFunctions {
         val req = Option(n.get("required")).toSeq.flatMap(r =>
           r.elements().asScala.map(_.asText()))
         val patProps = Option(n.get("patternProperties")).toSeq.flatMap(p =>
-          p.fields().asScala.map(e => e.getKey -> rec(e.getValue)))
+          p.fields().asScala.map { e =>
+            // the patterns execute via rlike (JAVA regex) executor-side;
+            // a malformed one must reject loudly HERE, driver-side, like
+            // a bad $ref — not as a mid-job task failure. (JSON Schema
+            // specifies ECMA-262 regexes; the supported surface is the
+            // Java-regex subset, which covers the common anchored/char-
+            // class patterns schemas actually use.)
+            try java.util.regex.Pattern.compile(e.getKey)
+            catch {
+              case ex: java.util.regex.PatternSyntaxException =>
+                throw new IllegalArgumentException(
+                  s"patternProperties pattern '${e.getKey}' is not a " +
+                    s"valid regex: ${ex.getMessage}")
+            }
+            e.getKey -> rec(e.getValue)
+          })
         val ap = n.path("additionalProperties")
         JsObject(props, req.toSet,
           closed = ap.isBoolean && !ap.asBoolean(true), typed = typed,

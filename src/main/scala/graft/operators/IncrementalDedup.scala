@@ -111,30 +111,25 @@ object IncrementalDedup {
 
   /** One batch partition written via dynamic partition overwrite —
     * shared with [[IncrementalImageDedup]] so the idempotence ritual
-    * (conf flip, partitioned overwrite, conf restore) has exactly one
-    * definition. Refuses a LEGACY batch-less store loudly: writing
-    * `batch=<id>` directories next to root-level parquet files would
-    * make the whole store unreadable (conflicting partition depths) —
-    * rebuild flat stores with initStore before incremental ingest. */
+    * has exactly one definition. The overwrite mode rides a PER-WRITE
+    * DataFrameWriter option, not a session-conf flip: mutating the
+    * session conf around the write would race a concurrent writer on
+    * the same session (its overwrite silently turning dynamic, or the
+    * conf restored mid-write). Refuses a LEGACY batch-less store
+    * loudly: writing `batch=<id>` directories next to root-level
+    * parquet files would make the whole store unreadable (conflicting
+    * partition depths) — rebuild flat stores with initStore before
+    * incremental ingest. */
   private[operators] def writeBatchPartition(sigs: DataFrame,
       store: DataFrame, storePath: String, batchId: Long): Unit = {
     require(store.columns.contains("batch"),
       s"store at $storePath has the legacy flat layout (no batch " +
         "column); a partitioned write would corrupt it — rebuild the " +
         "store with initStore first")
-    val spark = sigs.sparkSession
-    val prev = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      sigs.withColumn("batch", lit(batchId))
-        .write.partitionBy("batch").mode("overwrite").parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    sigs.withColumn("batch", lit(batchId))
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(storePath)
   }
 
   /** One ingest cycle — probe, append, report — with ONE signature pass

@@ -651,10 +651,10 @@ object MultimodalOps {
     * Deterministic integer windowing, pure JVM; the banded pairing is
     * the shared [[graft.functions.HammingBands]] shape. None for
     * non-WAV / non-16-bit bytes (errors are data). */
-  def audioDHash(b: Array[Byte]): Option[Long] = {
+  def audioDHash(b: Array[Byte]): Option[Long] = try {
     val (_, _, _, dataOff, n) = wavRegion(b).getOrElse(return None)
     pcm16Fingerprint(b, dataOff, n)
-  }
+  } catch { case _: Exception => None }
 
   /** The fingerprint core over a raw 16-bit-LE PCM region — shared by
     * the WAV path and the in-container AVI soundtrack path, so the two
@@ -662,6 +662,10 @@ object MultimodalOps {
   private def pcm16Fingerprint(b: Array[Byte], dataOff: Int,
       n: Long): Option[Long] = {
     if (n < 65) return None
+    // byte offsets below are Int arithmetic: a ~1 GiB+ PCM region would
+    // wrap dataOff + i*2 negative and throw mid-task instead of
+    // yielding null ("errors are data") — reject oversize regions here
+    if (dataOff.toLong + n * 2 > Int.MaxValue) return None
     val energy = new Array[Double](65)
     var w = 0
     while (w < 65) {
@@ -797,6 +801,19 @@ object MultimodalOps {
     val nBands = maxDist + 1
     graft.functions.HammingBands.pairs(hashes, "key", "ahash",
       nBands, 64 / nBands, maxDist)
+  }
+
+  /** CROSS-MODAL matches: which recordings ([[audioDHashes]] output)
+    * appear as soundtracks of which videos ([[videoAudioDHashes]]
+    * output) — a two-sided banded join over the shared fingerprint
+    * space, the side carried structurally (a = recording, b = video),
+    * never by key naming conventions. */
+  def audioCrossModalMatches(recordings: DataFrame, videos: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7, "bands are >=8-bit: maxDist 0-7")
+    val nBands = maxDist + 1
+    graft.functions.HammingBands.crossPairs(recordings, videos,
+      "key", "ahash", nBands, 64 / nBands, maxDist)
   }
 
   /** The raw little-endian 16-bit PCM data of [[syntheticAmWav]] —

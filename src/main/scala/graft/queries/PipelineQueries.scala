@@ -355,18 +355,18 @@ object PipelineQueries {
     * (the q107 WAV fixtures) appear as SOUNDTRACKS of which videos
     * (the q109 AVI fixtures). Both sides fingerprint through their own
     * extractors — WAV header walk vs in-container chunk reassembly —
-    * into ONE hash space, so the match is a single banded equi-join
-    * over the union (recording keys sort before `av*` keys, so the
-    * unordered pairs land recording-first and a side filter keeps
-    * exactly the cross-modal ones). The oracle replays ground truth
-    * over the UNION of both pinned sets with the same side split. */
+    * into ONE hash space; the match is the TWO-SIDED banded join
+    * ([[graft.functions.HammingBands.crossPairs]]), which carries the
+    * side structurally (a = recording, b = video) instead of encoding
+    * it in key naming conventions — any corpus pairs correctly
+    * whatever its keys look like. The oracle replays ground truth over
+    * the two pinned sets with the same side split. */
   def q110SoundtrackMatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{MultimodalOps => M}
     val recs = M.audioDHashes(audioFixtureBytes.toDF("key", "bytes"))
     val vids = M.videoAudioDHashes(avFixtureBytes.toDF("key", "bytes"))
-    M.audioNearDupPairs(recs.union(vids), maxDist = 3)
-      .filter(!col("a").startsWith("av") && col("b").startsWith("av"))
+    M.audioCrossModalMatches(recs, vids, maxDist = 3)
       .orderBy("a", "b")
   }
 
