@@ -528,6 +528,71 @@ object OracleSql {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Ground-truth CONTAINER-LEVEL repost verdict over pinned composite
+    * `container#index` hashes — the q113/q115 oracle shape: all-pairs
+    * ≤3 unit matches, split on '#', canonicalized per container pair,
+    * aggregated to (n_matches, n_offsets, min shift) with the engine's
+    * minMatches=2 cut. */
+  private def repostVerdictSql(pinned: Seq[(String, Long)]): String = {
+    val vals = hashValuesOf(pinned)
+    s"""WITH t(key, dhash) AS (VALUES
+       |  $vals),
+       |p AS (SELECT a.key AS ka, b.key AS kb
+       |      FROM t a JOIN t b ON a.key < b.key
+       |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |e AS (SELECT split_part(ka, '#', 1) AS va,
+       |             split_part(ka, '#', 2)::INT AS fa,
+       |             split_part(kb, '#', 1) AS vb,
+       |             split_part(kb, '#', 2)::INT AS fb
+       |      FROM p),
+       |c AS (SELECT CASE WHEN va < vb THEN va ELSE vb END AS a,
+       |             CASE WHEN va < vb THEN vb ELSE va END AS b,
+       |             (CASE WHEN va < vb THEN fa - fb
+       |                   ELSE fb - fa END)::BIGINT AS shift
+       |      FROM e WHERE va <> vb)
+       |SELECT a, b, COUNT(*)::BIGINT AS n_matches,
+       |       COUNT(DISTINCT shift)::BIGINT AS n_offsets,
+       |       MIN(shift) AS shift
+       |FROM c GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Ground-truth connected-component clusters over a pinned hash
+    * set's ≤3 pair graph (recursive-CTE reachability, canonical = MIN
+    * key) — the q112/q117 oracle shape. */
+  private def dupClustersSql(pinned: Seq[(String, Long)]): String = {
+    val vals = hashValuesOf(pinned)
+    s"""WITH RECURSIVE t(key, dhash) AS (VALUES
+       |  $vals),
+       |p AS (SELECT a.key AS a, b.key AS b
+       |      FROM t a JOIN t b ON a.key < b.key
+       |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |e AS (SELECT a AS id, b AS nb FROM p UNION ALL SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+       |  UNION
+       |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+       |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+       |SELECT t.key, COALESCE(c.canonical, t.key) AS canonical,
+       |       COUNT(*) OVER (
+       |         PARTITION BY COALESCE(c.canonical, t.key))::BIGINT
+       |         AS cluster_size
+       |FROM t LEFT JOIN comp c ON c.id = t.key
+       |ORDER BY key""".stripMargin
+  }
+
+  /** Ground-truth exact hamming top-k over a pinned hash set — the
+    * q111/q116 oracle shape; `query` is the literal the engine uses. */
+  private def hammingKnnSql(pinned: Seq[(String, Long)], query: Long,
+      k: Int): String = {
+    val vals = hashValuesOf(pinned)
+    s"""WITH t(key, dhash) AS (VALUES
+       |  $vals)
+       |SELECT key,
+       |       bit_count(xor(dhash, ($query)::BIGINT))::BIGINT AS d
+       |FROM t ORDER BY d, key LIMIT $k""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_event_scan" ->
       """SELECT event_id, user_id, event_type FROM events
@@ -910,36 +975,38 @@ object OracleSql {
     // q112: image dup clusters — q62's recursive-CTE reachability over
     // the pinned hashes' <=3 pair graph, canonical = MIN key, so the
     // engine's id-mapped component labels are checked id-scheme-free
-    "q112_image_dup_clusters" -> {
-      val vals = hashValuesOf(graft.queries.PipelineQueries.pinnedDhashes)
-      s"""WITH RECURSIVE t(key, dhash) AS (VALUES
-         |  $vals),
-         |p AS (SELECT a.key AS a, b.key AS b
-         |      FROM t a JOIN t b ON a.key < b.key
-         |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
-         |e AS (SELECT a AS id, b AS nb FROM p UNION ALL SELECT b, a FROM p),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
-         |  UNION
-         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
-         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
-         |SELECT t.key, COALESCE(c.canonical, t.key) AS canonical,
-         |       COUNT(*) OVER (
-         |         PARTITION BY COALESCE(c.canonical, t.key))::BIGINT
-         |         AS cluster_size
-         |FROM t LEFT JOIN comp c ON c.id = t.key
-         |ORDER BY key""".stripMargin
-    },
+    "q112_image_dup_clusters" ->
+      dupClustersSql(graft.queries.PipelineQueries.pinnedDhashes),
+    // q117: the same reachability over the pinned AUDIO fingerprints —
+    // expected components {a1,a1_gain} {a2,a2_near} {a3,a3_near} + 4
+    // singletons
+    "q117_audio_dup_clusters" ->
+      dupClustersSql(graft.queries.PipelineQueries.pinnedAudioDhashes),
     // q111: hamming kNN — exact top-5 by xor/bit_count over the pinned
     // corpus, query literal shared with the engine
-    "q111_hamming_knn" -> {
-      val vals = hashValuesOf(graft.queries.PipelineQueries.pinnedDhashes)
-      s"""WITH t(key, dhash) AS (VALUES
-         |  $vals)
-         |SELECT key,
-         |       bit_count(xor(dhash, (275148587264)::BIGINT))::BIGINT AS d
-         |FROM t ORDER BY d, key LIMIT 5""".stripMargin
-    },
+    "q111_hamming_knn" -> hammingKnnSql(
+      graft.queries.PipelineQueries.pinnedDhashes, 275148587264L, 5),
+    // q116: the same top-5 over the pinned audio fingerprint space
+    // (query = a2_near's pinned hash: rank 1 its d=0 self, rank 2 the
+    // d=2 original)
+    "q116_audio_knn" -> hammingKnnSql(
+      graft.queries.PipelineQueries.pinnedAudioDhashes,
+      5956182740055530213L, 5),
+    // q113: VIDEO-LEVEL repost verdict — the frame-pair aggregation
+    // replayed over the pinned per-frame hashes; expected exactly
+    // (vidA, vidB, 5 frames, 1 offset, shift +1)
+    "q113_video_repost" ->
+      repostVerdictSql(graft.queries.PipelineQueries.pinnedVideoDhashes),
+    // q114: trim-robust audio dedup — ground-truth all-pairs over the
+    // pinned per-segment fingerprints; the only <=3 pairs are the trim
+    // alignment (s1#i+1 == s1_trim#i at d=0), decoys at d=7-10 band-
+    // collide but must not survive the exact filter
+    "q114_audio_trim_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedSegmentAhashes),
+    // q115: the recording-level trim verdict over the same pinned
+    // segment hashes; expected exactly (s1, s1_trim, 3, 1, 1)
+    "q115_audio_trim_verdict" ->
+      repostVerdictSql(graft.queries.PipelineQueries.pinnedSegmentAhashes),
     // q110: cross-modal soundtrack match — ground truth over the UNION
     // of the recording and video pinned sets, side-split (recording
     // keys never start with 'av')

@@ -133,6 +133,11 @@ object SparkEntry {
     "q110_soundtrack_match" -> (P.q110SoundtrackMatch(_, _)),
     "q111_hamming_knn" -> (P.q111HammingKnn(_, _)),
     "q112_image_dup_clusters" -> (P.q112ImageDupClusters(_, _)),
+    "q113_video_repost" -> (P.q113VideoRepost(_, _)),
+    "q114_audio_trim_dedup" -> (P.q114AudioTrimDedup(_, _)),
+    "q115_audio_trim_verdict" -> (P.q115AudioTrimVerdict(_, _)),
+    "q116_audio_knn" -> (P.q116AudioKnn(_, _)),
+    "q117_audio_dup_clusters" -> (P.q117AudioDupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -560,6 +560,45 @@ object MultimodalOps {
       .select(concat_ws("#", col("key"), col("frame_idx")).as("key"),
         col("frame").as("bytes")))
 
+  /** Aggregate COMPOSITE-KEY near-dup pairs (`container#index` — video
+    * frames from [[videoFrameDHashes]], audio segments from
+    * [[audioSegmentDHashes]]) to a CONTAINER-LEVEL repost verdict: the
+    * user-facing answer to "which videos are reposts of each other",
+    * not just which frames collide. Per unordered container pair
+    * (a < b): `n_matches` matching units, `n_offsets` distinct index
+    * shifts among them, and `shift` the smallest shift (index in a
+    * minus index in b) — a true trimmed/shifted repost matches many
+    * units under ONE consistent shift (n_offsets = 1), while
+    * coincidental single-unit collisions are cut by `minMatches`.
+    *
+    * Scale: input is the banded pair output (never a cross join); this
+    * adds one map-side key parse + one groupBy on the container pair —
+    * map-side partial aggregation absorbs the per-frame fan-in, so the
+    * shuffle carries container pairs, not frame pairs. */
+  def repostVerdicts(pairs: DataFrame, minMatches: Int = 2): DataFrame = {
+    // composite keys split on the LAST '#' (container keys may carry
+    // '#' themselves; the index never does — it's a rendered int)
+    def container(k: org.apache.spark.sql.Column) =
+      k.substr(lit(1), length(k) - length(substring_index(k, "#", -1)) - 1)
+    def idx(k: org.apache.spark.sql.Column) =
+      substring_index(k, "#", -1).cast("int")
+    val p = pairs.select(
+      container(col("a")).as("va"), idx(col("a")).as("fa"),
+      container(col("b")).as("vb"), idx(col("b")).as("fb"))
+      .filter(col("va") =!= col("vb"))
+    val sw = col("va") > col("vb")
+    p.select(
+      when(sw, col("vb")).otherwise(col("va")).as("a"),
+      when(sw, col("va")).otherwise(col("vb")).as("b"),
+      when(sw, col("fb") - col("fa")).otherwise(col("fa") - col("fb"))
+        .cast("long").as("shift"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("shift")).as("n_offsets"),
+        min(col("shift")).as("shift"))
+      .filter(col("n_matches") >= minMatches)
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("sample_rate", IntegerType),
@@ -689,6 +728,74 @@ object MultimodalOps {
       i += 1
     }
     Some(bits)
+  }
+
+  /** Per-SEGMENT fingerprints for TRIM-ROBUST audio dedup: the
+    * whole-file [[audioDHash]] survives gain changes but dies on a cut
+    * intro (every energy window shifts); slicing the recording into
+    * fixed-duration segments and fingerprinting each one is the video-
+    * frame pattern applied to the time axis — a copy trimmed by a
+    * whole number of segments still carries byte-identical PCM for the
+    * surviving segments, which meet the original's at d=0 under
+    * shifted indices, and [[repostVerdicts]] turns those segment pairs
+    * into the recording-level answer. Returns (segIdx, hash) per FULL
+    * segment (a short tail is dropped — its windows would average over
+    * different support and never match anything); None for non-WAV /
+    * non-16-bit bytes or when no full segment fits. */
+  def audioSegmentDHash(b: Array[Byte],
+      segSeconds: Double = 0.5): Option[Seq[(Int, Long)]] = try {
+    val (rate, _, _, dataOff, n) = wavRegion(b).getOrElse(return None)
+    val segSamples = (segSeconds * rate).toLong
+    if (segSamples < 65) return None
+    val nSegs = (n / segSamples).toInt
+    if (nSegs == 0) return None
+    val out = (0 until nSegs).flatMap { i =>
+      pcm16Fingerprint(b, dataOff + (i * segSamples * 2).toInt, segSamples)
+        .map(i -> _)
+    }
+    if (out.isEmpty) None else Some(out)
+  } catch { case _: Exception => None }
+
+  /** (key#segIdx, ahash) per full segment per audio row — one map-side
+    * pass; undecodable rows yield NO rows (the [[videoFrameDHashes]]
+    * posture: absent, not fabricated). Pairs through the same
+    * [[audioNearDupPairs]] banding; [[repostVerdicts]] aggregates to
+    * recordings. */
+  def audioSegmentDHashes(media: DataFrame,
+      segSeconds: Double = 0.5): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioDhashSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        audioSegmentDHash(bytes, segSeconds).getOrElse(Nil).map {
+          case (i, h) => Row(s"$key#$i", h)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Drop the first `skipSeconds` from a 16-bit PCM WAV, rebuilding a
+    * minimal mono-layout header over the surviving samples — the
+    * trimmed-repost fixture generator (and a real corpus-prep op:
+    * cutting a known intro/jingle before fingerprinting). None for
+    * non-WAV bytes or when nothing survives the cut. */
+  def trimWav(b: Array[Byte], skipSeconds: Double): Option[Array[Byte]] = {
+    val (rate, ch, _, dataOff, n) = wavRegion(b).getOrElse(return None)
+    val skip = (skipSeconds * rate).toLong * ch
+    if (skip <= 0 || skip >= n) return None
+    val remain = ((n - skip) * 2).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    bos.write("RIFF".getBytes); le32(36L + remain); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); le32(16); le16(1); le16(ch)
+    le32(rate.toLong); le32(rate.toLong * 2 * ch); le16(2 * ch); le16(16)
+    bos.write("data".getBytes); le32(remain.toLong)
+    bos.write(b, dataOff + (skip * 2).toInt, remain)
+    Some(bos.toByteArray)
   }
 
   /** Fingerprint the SOUNDTRACK inside a RIFF AVI: walk the container

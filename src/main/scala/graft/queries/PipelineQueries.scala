@@ -317,22 +317,8 @@ object PipelineQueries {
     val hs = graft.operators.MultimodalOps.imageDHashes(
         dhashFixtureBytes.toDF("key", "bytes"))
       .filter(col("dhash").isNotNull)
-    val pairs = graft.operators.MultimodalOps.dhashNearDupPairs(hs, 3)
-    val ids = hs.select(col("key")).distinct()
-      .withColumn("id", xxhash64(col("key")))
-    val pa = pairs
-      .join(ids.select(col("key").as("a"), col("id").as("ia")), "a")
-      .join(ids.select(col("key").as("b"), col("id").as("ib")), "b")
-      .select(col("ia").as("a"), col("ib").as("b"))
-    val labels = TextQueries.componentLabels(s, pa)
-    val withLabel = ids.join(labels, Seq("id"), "left")
-      .select(col("key"), coalesce(col("label"), col("id")).as("label"))
-    val canon = withLabel.groupBy("label")
-      .agg(min(col("key")).as("canonical"),
-        count(lit(1)).as("cluster_size"))
-    withLabel.join(canon, "label")
-      .select(col("key"), col("canonical"), col("cluster_size"))
-      .orderBy("key")
+    hashDupClusters(s, hs,
+      graft.operators.MultimodalOps.dhashNearDupPairs(hs, 3))
   }
 
   /** q111 — hamming kNN over the perceptual hash space: the top-5
@@ -385,6 +371,144 @@ object PipelineQueries {
       dhashFixtureBytes.partition(f => !f._1.contains("_"))
     val store = I.signatureRows(M.imageDHashes(bases.toDF("key", "bytes")))
     I.findDups(M.imageDHashes(variants.toDF("key", "bytes")), store)
+      .orderBy("key")
+  }
+
+  /** q113 — the VIDEO-LEVEL repost verdict: q106 reports which frames
+    * collide; the user's question is "which VIDEOS are reposts". One
+    * groupBy over the frame pairs ([[graft.operators.MultimodalOps
+    * .repostVerdicts]]): matching-frame count + offset consistency per
+    * video pair. The fixture's answer is exactly one row — (vidA,
+    * vidB, 5 matching frames, 1 distinct offset, shift +1): vidB is
+    * vidA trimmed by one frame, recovered from content alone. The
+    * oracle replays the aggregation over the pinned per-frame hashes. */
+  def q113VideoRepost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = videoFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.videoFrameDHashes(media)
+    val pairs = graft.operators.MultimodalOps.dhashNearDupPairs(hashes, 3)
+    graft.operators.MultimodalOps.repostVerdicts(pairs, minMatches = 2)
+      .orderBy("a", "b")
+  }
+
+  /** q114's fixture recordings: `s1_trim` is `s1` with its FIRST HALF-
+    * SECOND cut ([[graft.operators.MultimodalOps.trimWav]] — byte-
+    * identical PCM after the cut), `s2`/`s3` unrelated. The trim is a
+    * whole number of 0.5 s segments, so the survivors align on segment
+    * boundaries and hash identically under shifted indices. */
+  private[graft] val segAudioFixtures: Seq[(String, Long, Option[Double])] =
+    Seq(("s1", 31L, None), ("s1_trim", 31L, Some(0.5)),
+      ("s2", 32L, None), ("s3", 33L, None))
+
+  private[graft] def segAudioFixtureBytes: Seq[(String, Array[Byte])] =
+    segAudioFixtures.map { case (k, seed, trim) =>
+      val full = graft.operators.MultimodalOps
+        .syntheticAmWav(seed, Nil, 1.0, seconds = 2.0)
+      k -> trim.map(t => graft.operators.MultimodalOps.trimWav(full, t)
+        .getOrElse(sys.error(s"trimWav($k) produced nothing")))
+        .getOrElse(full)
+    }
+
+  /** The PINNED per-segment fingerprints of [[segAudioFixtures]] —
+    * q114's oracle VALUES table, engine == literal asserted in spec.
+    * The only ≤3 pairs are the trim alignment at d=0 (s1#i+1 ==
+    * s1_trim#i); the closest decoys sit at d=7-10 — inside band-
+    * collision range for 16-bit bands, so the exact filter is load-
+    * bearing, like q104's. */
+  private[graft] val pinnedSegmentAhashes: Seq[(String, Long)] = Seq(
+    ("s1#0", -4931017402612829383L),
+    ("s1#1", 3736259862119481141L),
+    ("s1#2", 1233908150537949971L),
+    ("s1#3", 3610647737712190257L),
+    ("s1_trim#0", 3736259862119481141L),
+    ("s1_trim#1", 1233908150537949971L),
+    ("s1_trim#2", 3610647737712190257L),
+    ("s2#0", 3682116891174222777L),
+    ("s2#1", 4547959202843079669L),
+    ("s2#2", 3538132678637531923L),
+    ("s2#3", 2466153852293227267L),
+    ("s3#0", -5541239208801750095L),
+    ("s3#1", 4547959202838148925L),
+    ("s3#2", 8158726811390711575L),
+    ("s3#3", 3618810306684662320L))
+
+  /** q114 — TRIM-ROBUST audio dedup, oracle-PINNED: the whole-file
+    * fingerprint (q107) survives gain but dies on a cut intro; per-
+    * segment fingerprints ([[graft.operators.MultimodalOps
+    * .audioSegmentDHashes]] — the video-frame pattern on the time
+    * axis) recover a trimmed repost as shifted d=0 segment pairs
+    * through the same banding. The oracle replays ground-truth
+    * all-pairs distances over the pinned segment hashes. */
+  def q114AudioTrimDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = segAudioFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.audioSegmentDHashes(media)
+    graft.operators.MultimodalOps.audioNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b")
+  }
+
+  /** q115 — the RECORDING-LEVEL trim verdict: [[q114AudioTrimDedup]]'s
+    * segment pairs aggregated by the SAME [[graft.operators
+    * .MultimodalOps.repostVerdicts]] that answers q113 for videos —
+    * one verdict operator, two modal axes. Expected: exactly (s1,
+    * s1_trim, 3 matching segments, 1 offset, shift +1). */
+  def q115AudioTrimVerdict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = segAudioFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.audioSegmentDHashes(media)
+    val pairs = graft.operators.MultimodalOps.audioNearDupPairs(hashes, 3)
+    graft.operators.MultimodalOps.repostVerdicts(pairs, minMatches = 2)
+      .orderBy("a", "b")
+  }
+
+  /** q116 — hamming kNN over the AUDIO fingerprint space (q111's
+    * search shape on the q107 corpus): top-5 nearest recordings to a
+    * pinned query fingerprint (a2_near's — rank 1 its d=0 self, then
+    * its d=2 original). Corpus hashes compute in-engine from bytes. */
+  def q116AudioKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = graft.operators.MultimodalOps.audioDHashes(
+      audioFixtureBytes.toDF("key", "bytes"))
+    graft.functions.HammingBands.knn(hashes, "key", "ahash",
+      query = 5956182740055530213L, k = 5) // pinned a2_near
+  }
+
+  /** q117 — AUDIO dup clusters: q112's component composition over the
+    * q107 pair graph — connected components of the banded near-dup
+    * pairs, canonical = min key. Expected clusters: {a1, a1_gain},
+    * {a2, a2_near}, {a3, a3_near}, and four singletons. */
+  def q117AudioDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hs = graft.operators.MultimodalOps.audioDHashes(
+        audioFixtureBytes.toDF("key", "bytes"))
+      .filter(col("ahash").isNotNull)
+    hashDupClusters(s, hs,
+      graft.operators.MultimodalOps.audioNearDupPairs(hs, 3))
+  }
+
+  /** Connected-component clusters over any (key) corpus + (a, b) pair
+    * graph — the shared composition behind q112 (images) and q117
+    * (audio): string keys map to Long ids (xxhash64) ONLY to drive
+    * [[graft.queries.TextQueries.componentLabels]]'s engine (q62's
+    * distributed label propagation + pointer jumping); the reported
+    * canonical is the MIN KEY per component, so the answer is
+    * id-scheme-independent. Singletons are their own canonical. */
+  private def hashDupClusters(s: SparkSession, hs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val ids = hs.select(col("key")).distinct()
+      .withColumn("id", xxhash64(col("key")))
+    val pa = pairs
+      .join(ids.select(col("key").as("a"), col("id").as("ia")), "a")
+      .join(ids.select(col("key").as("b"), col("id").as("ib")), "b")
+      .select(col("ia").as("a"), col("ib").as("b"))
+    val labels = TextQueries.componentLabels(s, pa)
+    val withLabel = ids.join(labels, Seq("id"), "left")
+      .select(col("key"), coalesce(col("label"), col("id")).as("label"))
+    val canon = withLabel.groupBy("label")
+      .agg(min(col("key")).as("canonical"),
+        count(lit(1)).as("cluster_size"))
+    withLabel.join(canon, "label")
+      .select(col("key"), col("canonical"), col("cluster_size"))
       .orderBy("key")
   }
 

@@ -352,6 +352,93 @@ class MultimodalOpsSpec extends SparkSpec {
       ("av2", "av2_near", 2L)))
   }
 
+  test("q113 video repost verdict: frame pairs aggregate to exactly " +
+    "(vidA, vidB, 5 frames, 1 offset, shift +1)") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.q113VideoRepost(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("vidA", "vidB", 5L, 1L, 1L)))
+    // the verdict is order-insensitive: feeding the pairs SWAPPED
+    // (b, a, d) canonicalizes to the same answer — the composite-key
+    // parse does not depend on which side sorted first
+    val pairs = MultimodalOps.dhashNearDupPairs(
+      MultimodalOps.videoFrameDHashes(media(
+        PipelineQueries.videoFixtureBytes.map { case (k, b) => k -> b }: _*)),
+      3)
+    val swapped = pairs.select(col("b").as("a"), col("a").as("b"), col("d"))
+    val got2 = MultimodalOps.repostVerdicts(swapped, minMatches = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got2.toSeq === Seq(("vidA", "vidB", 5L, 1L, 1L)))
+    // minMatches cuts coincidental single-unit collisions
+    assert(MultimodalOps.repostVerdicts(pairs, minMatches = 6).count() === 0)
+  }
+
+  test("q114/q115 pinned segments: engine fingerprints equal the " +
+    "oracle's literals; a trimmed copy meets its original at d=0 on " +
+    "shifted segments; the verdict names the recording pair") {
+    import graft.queries.PipelineQueries
+    // engine hash == VALUES literal for every (key#segment)
+    val got = PipelineQueries.segAudioFixtureBytes.flatMap { case (k, b) =>
+      MultimodalOps.audioSegmentDHash(b).getOrElse(
+        fail(s"$k: no segments")).map { case (i, h) => (s"$k#$i", h) }
+    }
+    assert(got === PipelineQueries.pinnedSegmentAhashes)
+    // trim semantics: byte-identical PCM after the cut, so the
+    // surviving segments hash EQUAL (not near) under shifted indices
+    val byKey = got.toMap
+    (0 until 3).foreach(i =>
+      assert(byKey(s"s1_trim#$i") === byKey(s"s1#${i + 1}")))
+    val pairs = PipelineQueries.q114AudioTrimDedup(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq(("s1#1", "s1_trim#0", 0L),
+      ("s1#2", "s1_trim#1", 0L), ("s1#3", "s1_trim#2", 0L)))
+    val verdict = PipelineQueries.q115AudioTrimVerdict(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(verdict.toSeq === Seq(("s1", "s1_trim", 3L, 1L, 1L)))
+  }
+
+  test("trimWav: header rebuilt over the surviving samples; whole-file " +
+    "cut and non-WAV bytes are None, never a throw") {
+    val wav = MultimodalOps.syntheticAmWav(31L, Nil, 1.0, seconds = 2.0)
+    val trimmed = MultimodalOps.trimWav(wav, 0.5).getOrElse(fail("no trim"))
+    // the trimmed bytes are a VALID Wav: features parse, 1.5 s remain
+    val feats = MultimodalOps.audioFeatures(media("t" -> trimmed))
+      .collect().head
+    assert(feats.getInt(1) === 8000) // rate survives
+    assert(feats.getLong(4) === 12000L) // 1.5 s * 8000
+    assert(MultimodalOps.trimWav(wav, 2.5) === None) // nothing survives
+    assert(MultimodalOps.trimWav(wav, 0.0) === None) // no-op cut
+    assert(MultimodalOps.trimWav("nope".getBytes, 0.5) === None)
+    // segment hashing drops the short tail instead of hashing a
+    // different-support window: a 1.3 s file at 0.5 s segments → 2
+    assert(MultimodalOps.audioSegmentDHash(
+      MultimodalOps.syntheticAmWav(7L, Nil, 1.0, seconds = 1.3))
+      .map(_.length) === Some(2))
+  }
+
+  test("q116/q117: audio kNN ranks the query's own recording first; " +
+    "clusters recover the designed components") {
+    import graft.queries.PipelineQueries
+    val knn = PipelineQueries.q116AudioKnn(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(knn.take(2).toSeq === Seq(("a2_near", 0L), ("a2", 2L)))
+    assert(knn.length === 5)
+    val clusters = PipelineQueries.q117AudioDupClusters(spark, "unused")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(clusters("a1") === ("a1", 2L))
+    assert(clusters("a1_gain") === ("a1", 2L))
+    assert(clusters("a2_near") === ("a2", 2L))
+    assert(clusters("a3_near") === ("a3", 2L))
+    // the far decoy stays OUT of a2's cluster — banding candidates
+    // beyond the bound must not merge components
+    assert(clusters("a4_far") === ("a4_far", 1L))
+    assert(clusters("a5") === ("a5", 1L))
+  }
+
   test("mutation fuzz: corrupted WAVs and AVIs parse to None or data, " +
     "never an exception or a hang (the animation-decoder harness " +
     "extended to the audio/video kernels)") {
