@@ -1007,6 +1007,24 @@ object OracleSql {
     // segment hashes; expected exactly (s1, s1_trim, 3, 1, 1)
     "q115_audio_trim_verdict" ->
       repostVerdictSql(graft.queries.PipelineQueries.pinnedSegmentAhashes),
+    // q118: the GraphQL mutation round-trip — insert/update/delete
+    // replayed as pure SQL over the same parquet (CASE for _set/_inc,
+    // WHERE NOT for the tombstoned delete, UNION ALL for the insert),
+    // aggregated per segment exactly like the engine's read-back
+    "q118_mutation_roundtrip" ->
+      """WITH mutated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey <= 10 THEN 'MUTATED'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN c_custkey <= 10 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  WHERE NOT (c_custkey > 1490 AND c_custkey <= 1499)
+        |  UNION ALL
+        |  SELECT 99901, 'BUILDING', 1234.56)
+        |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
     // q110: cross-modal soundtrack match — ground truth over the UNION
     // of the recording and video pinned sets, side-split (recording
     // keys never start with 'av')

@@ -138,6 +138,7 @@ object SparkEntry {
     "q115_audio_trim_verdict" -> (P.q115AudioTrimVerdict(_, _)),
     "q116_audio_knn" -> (P.q116AudioKnn(_, _)),
     "q117_audio_dup_clusters" -> (P.q117AudioDupClusters(_, _)),
+    "q118_mutation_roundtrip" -> (graft.api.GraphQl.q118MutationRoundTrip(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

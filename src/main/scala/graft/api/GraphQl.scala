@@ -661,64 +661,79 @@ object GraphQl {
     * positions; an undeclared `$name`, an unbound declared variable,
     * or an unused binding is an error — silent nulls would be the
     * wrong-rows failure mode. */
+  /** The request's JSON variables map → parsed values. */
+  private def jsonVars(variables: String): Map[String, V] = {
+    val root = mapper.readTree(
+      if (variables == null || variables.isEmpty) "{}" else variables)
+    if (!root.isObject) bad("variables: expected a JSON object")
+    import scala.jdk.CollectionConverters._
+    root.fields().asScala.map { e =>
+      def conv(n: com.fasterxml.jackson.databind.JsonNode): V =
+        if (n.isNull) VNull
+        else if (n.isTextual) VLit(n.asText)
+        else if (n.isBoolean) VLit(n.asBoolean)
+        else if (n.isIntegralNumber) VLit(n.asLong)
+        else if (n.isNumber) VLit(n.asDouble)
+        else if (n.isArray) VList(n.elements().asScala.toSeq.map(conv))
+        else if (n.isObject) VObj(n.fields().asScala.toSeq
+          .map(f => f.getKey -> conv(f.getValue)))
+        else bad(s"variables.${e.getKey}: unsupported JSON value")
+      e.getKey -> conv(e.getValue)
+    }.toMap
+  }
+
+  /** Parse the optional `($var: Type!, ...)` declarations after an
+    * operation keyword, validate declared↔bound agreement, and arm the
+    * parser's variable table — shared by the query and mutation
+    * operation headers. */
+  private def parseOpVariables(p: P, vars: Map[String, V]): Unit = {
+    val declared = Set.newBuilder[String]
+    if (p.isPunct('(')) {
+      p.expect('(')
+      while (!p.isPunct(')')) {
+        p.expect('$')
+        val vn = p.name("variable name")
+        declared += vn
+        if (!vars.contains(vn))
+          bad(s"variable $$$vn declared but not bound in variables")
+        p.expect(':')
+        // type reference, client documentation only: Name or
+        // [Name[!]] with optional non-null markers
+        if (p.isPunct('[')) {
+          p.expect('[')
+          p.name("variable type")
+          if (p.isPunct('!')) p.expect('!')
+          p.expect(']')
+        } else p.name("variable type")
+        if (p.isPunct('!')) p.expect('!')
+      }
+      p.expect(')')
+    }
+    val declaredSet = declared.result()
+    (vars.keySet -- declaredSet).toSeq.sorted.headOption.foreach(k =>
+      bad(s"variables.$k bound but not declared by the operation"))
+    p.variables = declaredSet.map(k => k -> vars(k)).toMap
+  }
+
   def parse(query: String, schema: Schema = fixtureSchema,
       variables: String = "{}"): Either[String, Request] =
     try {
-      val vars: Map[String, V] = {
-        val root = mapper.readTree(
-          if (variables == null || variables.isEmpty) "{}" else variables)
-        if (!root.isObject) bad("variables: expected a JSON object")
-        import scala.jdk.CollectionConverters._
-        root.fields().asScala.map { e =>
-          def conv(n: com.fasterxml.jackson.databind.JsonNode): V =
-            if (n.isNull) VNull
-            else if (n.isTextual) VLit(n.asText)
-            else if (n.isBoolean) VLit(n.asBoolean)
-            else if (n.isIntegralNumber) VLit(n.asLong)
-            else if (n.isNumber) VLit(n.asDouble)
-            else if (n.isArray) VList(n.elements().asScala.toSeq.map(conv))
-            else if (n.isObject) VObj(n.fields().asScala.toSeq
-              .map(f => f.getKey -> conv(f.getValue)))
-            else bad(s"variables.${e.getKey}: unsupported JSON value")
-          e.getKey -> conv(e.getValue)
-        }.toMap
-      }
+      val vars = jsonVars(variables)
       val (opToks, frags) = extractFragments(tokenize(query))
       val p = new P(opToks)
       p.fragments = frags
       // optional operation header: `query [Name] [($var: type, ...)]`
-      val declared = Set.newBuilder[String]
       p.peek match {
         case Name("query", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
-          if (p.isPunct('(')) {
-            p.expect('(')
-            while (!p.isPunct(')')) {
-              p.expect('$')
-              val vn = p.name("variable name")
-              declared += vn
-              if (!vars.contains(vn))
-                bad(s"variable $$$vn declared but not bound in variables")
-              p.expect(':')
-              // type reference, client documentation only: Name or
-              // [Name[!]] with optional non-null markers
-              if (p.isPunct('[')) {
-                p.expect('[')
-                p.name("variable type")
-                if (p.isPunct('!')) p.expect('!')
-                p.expect(']')
-              } else p.name("variable type")
-              if (p.isPunct('!')) p.expect('!')
-            }
-            p.expect(')')
-          }
-        case _ => ()
+          parseOpVariables(p, vars)
+        case _ =>
+          // the bare `{...}` shorthand declares nothing, so any bound
+          // variable is an error (same rule as an explicit header)
+          vars.keySet.toSeq.sorted.headOption.foreach(k =>
+            bad(s"variables.$k bound but not declared by the operation"))
       }
-      val declaredSet = declared.result()
-      (vars.keySet -- declaredSet).toSeq.sorted.headOption.foreach(k =>
-        bad(s"variables.$k bound but not declared by the operation"))
-      p.variables = declaredSet.map(k => k -> vars(k)).toMap
       p.expect('{')
       val table = p.name("root table")
       val args = parseArgs(p)
@@ -795,7 +810,7 @@ object GraphQl {
         case Eof(_) => ()
         case t => bad(s"trailing content at ${t.pos}")
       }
-      (declaredSet -- p.used).toSeq.sorted.headOption.foreach(k =>
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
       (p.fragments.keySet -- p.usedFrags).toSeq.sorted.headOption
@@ -812,6 +827,125 @@ object GraphQl {
         nested = nested.result(),
         aggRels = aggRels.result(),
         distinctOn = distinctOn))
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
+    }
+
+  // ---- mutations -----------------------------------------------------
+
+  private def litValue(v: V, at: String): Any = v match {
+    case VLit(x) => x
+    case VNull => null
+    case _ => bad(s"$at: expected a literal value")
+  }
+
+  private def objEntries(v: V, at: String): Seq[(String, Any)] = v match {
+    case VObj(fs) => fs.map { case (k, sub) => k -> litValue(sub, s"$at.$k") }
+    case _ => bad(s"$at: expected an object")
+  }
+
+  private def compileMutation(fname: String,
+      args: Map[String, V]): Mutations.Mutation =
+    if (fname.startsWith("insert_") && fname.endsWith("_one")) {
+      // Hasura's single-object spelling: insert_<t>_one(object: {...})
+      val table = fname.stripPrefix("insert_").stripSuffix("_one")
+      checkArgs(args, Set("object"), fname)
+      val row = objEntries(args.getOrElse("object",
+        bad(s"$fname: object is required")), s"$fname.object")
+      Mutations.Insert(table, Seq(row))
+    } else if (fname.startsWith("insert_")) {
+      val table = fname.stripPrefix("insert_")
+      // on_conflict is NOT accepted: this engine's insert rejects
+      // existing keys loudly (Hasura's unique-violation error); the
+      // Scala DSL's Insert(upsert = true) is the on-conflict path
+      checkArgs(args, Set("objects"), fname)
+      val rows = args.getOrElse("objects",
+        bad(s"$fname: objects is required")) match {
+        case VList(vs) => vs.map(objEntries(_, s"$fname.objects"))
+        case o @ VObj(_) => Seq(objEntries(o, s"$fname.objects"))
+        case _ => bad(s"$fname.objects: expected a list of objects")
+      }
+      Mutations.Insert(table, rows)
+    } else if (fname.startsWith("update_")) {
+      val table = fname.stripPrefix("update_")
+      checkArgs(args, Set("where", "_set", "_inc"), fname)
+      val where = compileBool(args.getOrElse("where",
+        bad(s"$fname: where is required — Hasura's own rule; an " +
+          "unfiltered update needs an explicit always-true predicate")),
+        s"$fname.where")
+      val set = args.get("_set").map(objEntries(_, s"$fname._set"))
+        .getOrElse(Nil)
+      val inc = args.get("_inc").map(objEntries(_, s"$fname._inc"))
+        .getOrElse(Nil)
+      if (set.isEmpty && inc.isEmpty)
+        bad(s"$fname: needs _set and/or _inc")
+      Mutations.Update(table, where, set, inc)
+    } else if (fname.startsWith("delete_")) {
+      val table = fname.stripPrefix("delete_")
+      checkArgs(args, Set("where"), fname)
+      Mutations.Delete(table, compileBool(args.getOrElse("where",
+        bad(s"$fname: where is required — Hasura's own rule")),
+        s"$fname.where"))
+    } else bad(s"unknown mutation field '$fname' " +
+      "(insert_/update_/delete_<table>, insert_<table>_one)")
+
+  /** Parse a GraphQL MUTATION document — Hasura's auto-generated write
+    * surface over the tracked tables (`insert_<t>(objects: [...])`,
+    * `insert_<t>_one(object: {...})`, `update_<t>(where, _set, _inc)`,
+    * `delete_<t>(where)`; the reference's README discusses granting
+    * exactly these, /root/reference/README.md:68-70) → the ordered
+    * [[Mutations.Mutation]] list [[Mutations.applyAll]] executes.
+    * Each field's selection set must be `{ affected_rows }`: that is
+    * the response this engine serves; `returning` would re-read
+    * mid-document state and is rejected loudly, like every unsupported
+    * argument (a silently-dropped `_set` key writing nothing is the
+    * mutation analog of the dropped-filter failure mode). Operation
+    * variables work exactly as in [[parse]]. Never throws. */
+  def parseMutations(doc: String, variables: String = "{}")
+      : Either[String, Seq[Mutations.Mutation]] =
+    try {
+      val vars = jsonVars(variables)
+      val (opToks, frags) = extractFragments(tokenize(doc))
+      if (frags.nonEmpty)
+        bad("fragments are not supported in mutation documents")
+      val p = new P(opToks)
+      p.peek match {
+        case Name("mutation", _) =>
+          p.next()
+          p.peek match { case Name(_, _) => p.next(); case _ => () }
+          parseOpVariables(p, vars)
+        case t => bad(s"expected 'mutation' at ${t.pos} (read queries " +
+          "go through parse)")
+      }
+      p.expect('{')
+      val out = Seq.newBuilder[Mutations.Mutation]
+      while (!p.isPunct('}')) {
+        val fname = p.name("mutation field")
+        val args = parseArgs(p)
+        p.expect('{')
+        p.name("selection") match {
+          case "affected_rows" => ()
+          case other => bad(s"$fname: only affected_rows is served " +
+            s"(got '$other'; returning would re-read mid-document state)")
+        }
+        p.expect('}')
+        out += compileMutation(fname, args)
+      }
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped predicate writes the wrong rows silently"))
+      val ms = out.result()
+      if (ms.isEmpty) bad("mutation document has no mutation fields")
+      Right(ms)
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1049,4 +1183,49 @@ object GraphQl {
       case Left(m) => throw new IllegalStateException(
         s"canned q100 GraphQL query failed to parse: $m")
     }
+
+  /** q118's mutation document — the WRITE surface arriving as GraphQL
+    * text, all three verbs in Hasura's auto-generated shapes, with an
+    * operation variable bound the way clients ship them. */
+  val q118Mutation: String =
+    """mutation Touch($cap: bigint!) {
+      |  insert_customer(objects: [{c_custkey: 99901,
+      |                             c_mktsegment: "BUILDING",
+      |                             c_acctbal: 1234.56}]) { affected_rows }
+      |  update_customer(where: {c_custkey: {_lte: $cap}},
+      |                  _set: {c_mktsegment: "MUTATED"},
+      |                  _inc: {c_acctbal: 100.0}) { affected_rows }
+      |  delete_customer(where: {_and: [{c_custkey: {_gt: 1490}},
+      |                                 {c_custkey: {_lte: 1499}}]}) {
+      |    affected_rows }
+      |}""".stripMargin
+
+  /** q118 — the mutation ROUND-TRIP under the q24 snapshot pattern:
+    * seed a customer snapshot store from the parquet table, apply
+    * [[q118Mutation]] through the full chain (GraphQL text → parse →
+    * [[Mutations.applyToStore]]'s merge/tombstone compilation →
+    * AtomicSwap rewrite), then READ BACK and aggregate per segment.
+    * The oracle replays insert/update/delete as pure SQL over the same
+    * parquet, so a green q118 proves the parse, the merge semantics
+    * (latest-wins upserts, tombstone drops), and the store round-trip
+    * in one entry. */
+  def q118MutationRoundTrip(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path =
+      s"/root/repo/target/tmp/q118_store_${s.sparkContext.applicationId}"
+    val base = graft.Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    graft.sources.SnapshotStore.write(base, path)
+    val muts = parseMutations(q118Mutation, """{"cap": 10}""") match {
+      case Right(ms) => ms
+      case Left(m) => throw new IllegalStateException(
+        s"canned q118 mutation failed to parse: $m")
+    }
+    Mutations.applyToStore(s, path, "customer", "c_custkey", muts)
+    graft.sources.SnapshotStore.read(s, path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -1,0 +1,175 @@
+package graft.api
+
+import graft.api.QueryBuilder.BoolExp
+import graft.sources.{AtomicSwap, SnapshotStore}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The WRITE half of the query front end — the reference's mutation
+  * surface: Hasura auto-generates `insert_<table>` / `update_<table>` /
+  * `delete_<table>` mutations over the same tracked tables
+  * (/root/reference/README.md:68-70 discusses granting exactly these),
+  * and the reference grants them to its indexer role. Here a mutation
+  * compiles to the engine's existing snapshot machinery — each one is a
+  * latest-wins [[graft.sources.SnapshotStore.merge]] delta (upserts for
+  * insert/update, tombstones for delete), so the write path exercises
+  * the SAME merge the CDC fold and streaming sinks use, not a parallel
+  * code path.
+  *
+  * Execution is per-mutation-field, in document order (Hasura's
+  * sequential semantics), and each returns its `affected_rows`.
+  * Returning the count is inherently an action, so mutation execution
+  * is eager — the read path stays fully lazy, and a mutation request
+  * (a handful of fields, Hasura's shape) pays one bounded merge +
+  * count per field.
+  *
+  * Scale posture: a merge is one union + one window shuffle on the key
+  * — O(|snapshot| + |delta|), the documented S4/S8 shape; the delta is
+  * built from a FILTER of the snapshot (update/delete) or literal rows
+  * (insert), so nothing here adds an operator the streaming upsert
+  * path doesn't already have. Store-level application rewrites through
+  * [[graft.sources.AtomicSwap]], so readers never see a half-written
+  * snapshot and a crash mid-write is recoverable.
+  */
+object Mutations {
+
+  sealed trait Mutation { def table: String }
+
+  /** `insert_<table>(objects: [...])`. Literal rows; columns absent
+    * from an object land as null (Hasura's column-default behavior for
+    * a store with no DDL defaults). `upsert` is the `on_conflict`
+    * posture: false (plain insert) REJECTS rows whose key already
+    * exists, loudly — Hasura's unique-violation error; true overwrites
+    * (on_conflict: update everything). */
+  final case class Insert(table: String, rows: Seq[Seq[(String, Any)]],
+      upsert: Boolean = false) extends Mutation {
+    require(rows.nonEmpty, s"insert_$table: objects is empty")
+  }
+
+  /** `update_<table>(where: ..., _set: {...}, _inc: {...})`. */
+  final case class Update(table: String, where: BoolExp,
+      set: Seq[(String, Any)], inc: Seq[(String, Any)] = Nil)
+      extends Mutation {
+    require(set.nonEmpty || inc.nonEmpty,
+      s"update_$table: needs _set and/or _inc")
+  }
+
+  /** `delete_<table>(where: ...)` — compiled to tombstone rows. */
+  final case class Delete(table: String, where: BoolExp) extends Mutation
+
+  /** One latest-wins merge step: current rows at seq 0, the delta at
+    * seq 1 — the delta wins per key without computing a global max
+    * sequence. `deleted` is consumed by the merge (tombstones drop). */
+  private def mergeDelta(cur: DataFrame, delta: DataFrame,
+      keyCol: String): DataFrame =
+    SnapshotStore.merge(
+      cur.withColumn("_mseq", lit(0L)),
+      delta.withColumn("_mseq", lit(1L)),
+      keyCol, "_mseq")
+      .drop("_mseq", "deleted")
+
+  /** GraphQL literals (Long/Double/String/Boolean/null) coerced to the
+    * snapshot column's type — loud on anything unrepresentable. */
+  private def coerce(v: Any, dt: DataType, at: String): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: Long, LongType) => l
+    case (l: Long, IntegerType) =>
+      require(l.isValidInt, s"$at: $l overflows an int column"); l.toInt
+    case (l: Long, ShortType) => l.toShort
+    case (l: Long, DoubleType) => l.toDouble
+    case (l: Long, FloatType) => l.toFloat
+    case (d: Double, DoubleType) => d
+    case (d: Double, FloatType) => d.toFloat
+    case (s: String, StringType) => s
+    case (b: Boolean, BooleanType) => b
+    case (other, t) => throw new IllegalArgumentException(
+      s"$at: cannot coerce ${other.getClass.getSimpleName} to $t")
+  }
+
+  private def literalRows(snapshot: DataFrame,
+      rows: Seq[Seq[(String, Any)]], table: String): DataFrame = {
+    // all-nullable: absent columns land null regardless of what the
+    // snapshot's schema claims (a non-nullable field over a null value
+    // reads back garbage through codegen, not an error)
+    val schema = StructType(snapshot.schema.fields.filterNot(
+      _.name == "deleted").map(_.copy(nullable = true)))
+    val known = schema.fieldNames.toSet
+    val data = rows.map { r =>
+      val m = r.toMap
+      val unknown = (m.keySet -- known).toSeq.sorted
+      require(unknown.isEmpty,
+        s"insert_$table: unknown column(s) ${unknown.mkString(", ")}")
+      Row.fromSeq(schema.fields.toSeq.map(f =>
+        m.get(f.name)
+          .map(coerce(_, f.dataType, s"insert_$table.${f.name}"))
+          .orNull))
+    }
+    import scala.jdk.CollectionConverters._
+    snapshot.sparkSession.createDataFrame(data.asJava, schema)
+  }
+
+  /** Apply one mutation to the current snapshot → (next snapshot,
+    * affected_rows). Eager: the count is the mutation's response. */
+  def applyMutation(snapshot: DataFrame, m: Mutation,
+      keyCol: String): (DataFrame, Long) = m match {
+    case Insert(table, rows, upsert) =>
+      val delta = literalRows(snapshot, rows, table)
+      if (!upsert) {
+        val clash = delta.select(keyCol)
+          .join(snapshot.select(keyCol), Seq(keyCol), "left_semi").count()
+        require(clash == 0, s"insert_$table: $clash key(s) already exist " +
+          "(use an upsert insert for on-conflict overwrite)")
+      }
+      (mergeDelta(snapshot, delta, keyCol), delta.count())
+    case Update(table, where, set, inc) =>
+      val sch = snapshot.schema
+      def typed(c: String, v: Any, what: String): org.apache.spark.sql.Column = {
+        require(sch.fieldNames.contains(c),
+          s"update_$table.$what: unknown column '$c'")
+        require(c != keyCol,
+          s"update_$table.$what: the key column cannot be updated " +
+            "(delete + insert expresses a re-key)")
+        lit(v).cast(sch(c).dataType)
+      }
+      val changed = snapshot.filter(where.toColumn)
+      val withSet = set.foldLeft(changed) { case (df, (c, v)) =>
+        df.withColumn(c, typed(c, v, "_set")) }
+      val delta = inc.foldLeft(withSet) { case (df, (c, v)) =>
+        df.withColumn(c, (col(c) + typed(c, v, "_inc")).cast(sch(c).dataType)) }
+      (mergeDelta(snapshot, delta, keyCol), delta.count())
+    case Delete(table, where) =>
+      val doomed = snapshot.filter(where.toColumn)
+        .withColumn("deleted", lit(true))
+      (mergeDelta(snapshot, doomed, keyCol), doomed.count())
+  }
+
+  /** Apply a mutation document in order → (final snapshot, per-field
+    * affected_rows). */
+  def applyAll(snapshot: DataFrame, ms: Seq[Mutation],
+      keyCol: String): (DataFrame, Seq[Long]) =
+    ms.foldLeft((snapshot, Seq.empty[Long])) { case ((cur, counts), m) =>
+      val (next, n) = applyMutation(cur, m, keyCol)
+      (next, counts :+ n)
+    }
+
+  /** Apply a mutation document against a PERSISTED snapshot store:
+    * read, fold the mutations, rewrite in place through the
+    * [[graft.sources.AtomicSwap]] discipline (the replacement builds at
+    * the tmp path while the live one keeps serving readers; the swap is
+    * two renames). `table` is the store's table name — every mutation
+    * must target it (a multi-table document routed to one store would
+    * silently write the wrong rows). Returns per-field affected_rows. */
+  def applyToStore(spark: SparkSession, path: String, table: String,
+      keyCol: String, ms: Seq[Mutation]): Seq[Long] = {
+    val stray = ms.map(_.table).filterNot(_ == table).distinct
+    require(stray.isEmpty, s"store at $path holds '$table' but the " +
+      s"document mutates ${stray.mkString(", ")}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.recover(fs, path)
+    val (next, counts) = applyAll(SnapshotStore.read(spark, path), ms, keyCol)
+    AtomicSwap.rewrite(fs, path)(tmp => SnapshotStore.write(next, tmp))
+    counts
+  }
+}

@@ -1,0 +1,166 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.api.QueryBuilder._
+import graft.sources.SnapshotStore
+import org.apache.spark.sql.functions._
+
+/** The GraphQL write surface: Hasura-shaped mutation documents parse to
+  * the [[Mutations]] ADT and execute as latest-wins merge deltas
+  * against the snapshot machinery. */
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "C", 40.0))
+    .toDF("k", "seg", "bal")
+
+  test("parseMutations: all three verbs + _one, variables, document order") {
+    val doc =
+      """mutation M($cap: bigint!) {
+        |  insert_t(objects: [{k: 9, seg: "Z"}, {k: 10, seg: null}]) {
+        |    affected_rows }
+        |  insert_t_one(object: {k: 11, bal: 1.5}) { affected_rows }
+        |  update_t(where: {k: {_lte: $cap}}, _set: {seg: "M"},
+        |           _inc: {bal: 5.0}) { affected_rows }
+        |  delete_t(where: {seg: {_eq: "C"}}) { affected_rows }
+        |}""".stripMargin
+    val ms = GraphQl.parseMutations(doc, """{"cap": 2}""")
+      .fold(m => fail(m), identity)
+    assert(ms === Seq(
+      Mutations.Insert("t", Seq(Seq("k" -> 9L, "seg" -> "Z"),
+        Seq("k" -> 10L, "seg" -> null))),
+      Mutations.Insert("t", Seq(Seq("k" -> 11L, "bal" -> 1.5))),
+      Mutations.Update("t", Lte("k", 2L), Seq("seg" -> "M"),
+        Seq("bal" -> 5.0)),
+      Mutations.Delete("t", Eq("seg", "C"))))
+  }
+
+  test("parseMutations rejects the silent-wrong-write shapes loudly") {
+    def err(doc: String, frag: String, vars: String = "{}"): Unit =
+      GraphQl.parseMutations(doc, vars) match {
+        case Left(m) => assert(m.contains(frag), s"got: $m")
+        case Right(r) => fail(s"parsed: $r")
+      }
+    // a read query is not a mutation
+    err("{ customer { c_custkey } }", "expected 'mutation'")
+    // returning would re-read mid-document state
+    err("mutation { delete_t(where: {k: {_eq: 1}}) { returning } }",
+      "affected_rows")
+    // on_conflict is not served (the DSL's upsert flag is)
+    err("""mutation { insert_t(objects: [{k: 1}],
+          |  on_conflict: {constraint: pk}) { affected_rows } }""".stripMargin,
+      "unknown argument")
+    // unfiltered update/delete need an explicit predicate
+    err("mutation { update_t(_set: {seg: \"X\"}) { affected_rows } }",
+      "where is required")
+    err("mutation { delete_t { affected_rows } }", "where is required")
+    // an update writing nothing is a typo'd document
+    err("mutation { update_t(where: {k: {_eq: 1}}) { affected_rows } }",
+      "_set and/or _inc")
+    // unused variable = dropped predicate
+    err("mutation M($cap: bigint!) { delete_t(where: {k: {_eq: 1}}) " +
+      "{ affected_rows } }", "never used", """{"cap": 2}""")
+    // empty document
+    err("mutation { }", "no mutation fields")
+    // unknown verb
+    err("mutation { upsert_t(where: {k: {_eq: 1}}) { affected_rows } }",
+      "unknown mutation field")
+  }
+
+  test("applyMutation: insert rejects existing keys, upsert overwrites, " +
+    "absent columns land null, coercion is typed and loud") {
+    val (next, n) = Mutations.applyMutation(snap,
+      Mutations.Insert("t", Seq(Seq("k" -> 9L, "seg" -> "Z"))), "k")
+    assert(n === 1L)
+    val got = next.filter(col("k") === 9).collect().head
+    assert(got.getString(1) === "Z")
+    assert(got.isNullAt(2)) // bal absent -> null
+    // duplicate key: loud unless upsert
+    val dupErr = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap,
+        Mutations.Insert("t", Seq(Seq("k" -> 1L))), "k")
+    }
+    assert(dupErr.getMessage.contains("already exist"))
+    val (up, _) = Mutations.applyMutation(snap,
+      Mutations.Insert("t", Seq(Seq("k" -> 1L, "seg" -> "NEW")),
+        upsert = true), "k")
+    assert(up.filter(col("k") === 1).collect().head.getString(1) === "NEW")
+    assert(up.count() === 4)
+    // unknown column is loud, not dropped
+    val colErr = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap,
+        Mutations.Insert("t", Seq(Seq("k" -> 9L, "nope" -> 1L))), "k")
+    }
+    assert(colErr.getMessage.contains("unknown column"))
+    // a long into an int column checks the range (snap's k is long;
+    // build an int-typed frame for the overflow check)
+    val intSnap = Seq((1, "A")).toDF("k", "seg")
+    val ovErr = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(intSnap,
+        Mutations.Insert("t", Seq(Seq("k" -> (Long.MaxValue: Any)))), "k")
+    }
+    assert(ovErr.getMessage.contains("overflows"))
+  }
+
+  test("applyMutation: update _set/_inc typed per column; key column " +
+    "is immutable; delete tombstones drop rows") {
+    val (next, n) = Mutations.applyMutation(snap,
+      Mutations.Update("t", Eq("seg", "A"), Seq("seg" -> "M"),
+        Seq("bal" -> 5.0)), "k")
+    assert(n === 2L)
+    val rows = next.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, "M", 15.0), (2L, "M", 25.0),
+      (3L, "B", 30.0), (4L, "C", 40.0)))
+    val keyErr = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap,
+        Mutations.Update("t", Eq("seg", "A"), Seq("k" -> 99L)), "k")
+    }
+    assert(keyErr.getMessage.contains("key column"))
+    val (afterDel, d) = Mutations.applyMutation(snap,
+      Mutations.Delete("t", Gt("bal", 25.0)), "k")
+    assert(d === 2L)
+    assert(afterDel.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+    assert(!afterDel.columns.contains("deleted"))
+  }
+
+  test("applyToStore: document folds in order against a persisted " +
+    "snapshot, atomically rewritten; a stray table is refused") {
+    val path = s"target/tmp/mutspec_${java.util.UUID.randomUUID()}"
+    SnapshotStore.write(snap, path)
+    val doc =
+      """mutation {
+        |  insert_t(objects: [{k: 9, seg: "Z", bal: 1.0}]) { affected_rows }
+        |  update_t(where: {seg: {_eq: "Z"}}, _inc: {bal: 2.0}) {
+        |    affected_rows }
+        |  delete_t(where: {k: {_lte: 2}}) { affected_rows }
+        |}""".stripMargin
+    val ms = GraphQl.parseMutations(doc).fold(m => fail(m), identity)
+    val counts = Mutations.applyToStore(spark, path, "t", "k", ms)
+    assert(counts === Seq(1L, 1L, 2L))
+    val got = SnapshotStore.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // the update saw the just-inserted row (document order), the
+    // delete removed k=1,2
+    assert(got.toSeq === Seq((3L, "B", 30.0), (4L, "C", 40.0),
+      (9L, "Z", 3.0)))
+    val stray = intercept[IllegalArgumentException] {
+      Mutations.applyToStore(spark, path, "t", "k",
+        Seq(Mutations.Delete("other", Eq("k", 1L))))
+    }
+    assert(stray.getMessage.contains("mutates other"))
+  }
+
+  test("q118 round-trip matches the SQL replay shape locally") {
+    val out = GraphQl.q118MutationRoundTrip(spark, "/root/testdata/sf0.001")
+    val bySeg = out.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // sf0.001 customer: 150 rows keyed 0..149; update touches 0..10
+    // (11 rows), delete >1490 touches nothing, insert adds one
+    // BUILDING row
+    assert(bySeg("MUTATED")._1 === 11L)
+    assert(bySeg.values.map(_._1).sum === 151L)
+  }
+}
