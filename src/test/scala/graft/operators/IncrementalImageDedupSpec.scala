@@ -126,6 +126,79 @@ class IncrementalImageDedupSpec extends SparkSpec {
       "c1" -> "b2"))
   }
 
+  test("kill/resume: a crash between the store append and the sink " +
+    "commit redelivers the batch on restart — same batch id, same " +
+    "answers, store rows not doubled") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_imgdedup_killresume").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_imgdedup_ckpt").toString
+    import graft.functions.{BinaryFunctions => B}
+    def png(seed: Long) = B.syntheticMedia(seed * 3, 72, 48)
+    IncrementalImageDedup.initStore(
+      MultimodalOps.imageDHashes(Seq(("a1", png(1))).toDF("key", "bytes")),
+      store)
+    IncrementalImageDedupSpec.attempts = Vector.empty
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Array[Byte])]
+    def start() = input.toDF().toDF("key", "bytes")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val (dups, fresh) = IncrementalImageDedup.processBatch(batch,
+          IncrementalImageDedup.loadStore(batch.sparkSession, store), store,
+          bid)
+        IncrementalImageDedupSpec.attempts :+= ((bid,
+          dups.collect().map(r => r.getString(0) -> r.getString(1)).toMap,
+          fresh.select("key").collect().map(_.getString(0)).sorted.toSeq))
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      // batch 0: b1 duplicates stored a1; b2 is fresh (appends)
+      input.addData(Seq(("b1", png(1)), ("b2", png(2))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate the crash window processBatch documents (store append
+    // done, sink commit lost): drop batch 0's commit marker — the
+    // restarted query MUST redeliver batch 0 under the same id
+    assert(new java.io.File(s"$ckpt/commits/0").delete(),
+      "expected a commit marker for batch 0")
+    // the local FS keeps a checksum sibling; leaving it would make the
+    // redelivered commit's re-create fail as a spurious concurrent-
+    // writer error
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    val storeRowsAfterCrash =
+      IncrementalImageDedup.loadStore(spark, store).count()
+    val q2 = start()
+    try {
+      // the restart first re-runs batch 0 (redelivery), then batch 1:
+      // c1 duplicates b2 — whose rows entered the store during the
+      // FIRST delivery and must be there exactly once
+      input.addData(Seq(("c1", png(2)), ("c2", png(3))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val attempts = IncrementalImageDedupSpec.attempts
+    assert(attempts.map(_._1) === Vector(0L, 0L, 1L),
+      s"expected batch 0 redelivered then batch 1, got $attempts")
+    // the redelivery reproduced the first attempt's answers exactly:
+    // first-attempt appends neither self-duplicate nor shadow
+    assert(attempts(1) === attempts(0))
+    assert(attempts(0)._2 === Map("b1" -> "a1"))
+    assert(attempts(0)._3 === Seq("b2"))
+    // batch 1 probes the redelivered store state correctly
+    assert(attempts(2)._2 === Map("c1" -> "b2"))
+    assert(attempts(2)._3 === Seq("c2"))
+    // the store holds each key's bands ONCE: a1 + b2 after the crash,
+    // + c2 after batch 1 — the replayed partition overwrote itself
+    val fin = IncrementalImageDedup.loadStore(spark, store)
+    assert(fin.count() === storeRowsAfterCrash +
+      IncrementalImageDedup.NBands)
+    assert(fin.select("key").distinct().as[String].collect().sorted
+      === Array("a1", "b2", "c2"))
+  }
+
   test("a legacy flat (batch-less) store refuses incremental writes " +
     "loudly instead of being corrupted by partitioned appends") {
     val (bases, variants) = split()
@@ -163,4 +236,6 @@ class IncrementalImageDedupSpec extends SparkSpec {
 object IncrementalImageDedupSpec {
   @volatile var kept: Vector[String] = Vector.empty
   @volatile var dupOf: Map[String, String] = Map.empty
+  @volatile var attempts
+      : Vector[(Long, Map[String, String], Seq[String])] = Vector.empty
 }
