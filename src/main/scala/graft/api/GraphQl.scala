@@ -722,9 +722,12 @@ object GraphQl {
       val (opToks, frags) = extractFragments(tokenize(query))
       val p = new P(opToks)
       p.fragments = frags
-      // optional operation header: `query [Name] [($var: type, ...)]`
+      // optional operation header: `query [Name] [($var: type, ...)]`;
+      // `subscription` parses IDENTICALLY — a subscription document is
+      // a read query served continuously (graft.api.Subscriptions
+      // routes the parsed Request to the streaming twins)
       p.peek match {
-        case Name("query", _) =>
+        case Name("query" | "subscription", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
           parseOpVariables(p, vars)

@@ -364,15 +364,34 @@ object QueryBuilder {
     }
   }
 
-  /** Compile + run a request against the parquet tables in `dir`. */
-  def run(s: SparkSession, dir: String, req: Request): DataFrame = {
-    val base0 = graft.Tables.load(s, dir, req.table)
+  /** The ROOT-TABLE slice of [[run]] over an ALREADY-LOADED DataFrame —
+    * the entry the SUBSCRIPTION path uses (its snapshot lives in the
+    * stream's state, not in a directory): where → distinct_on →
+    * fields → order/offset/limit, relationship-free. [[run]] delegates
+    * its relationship-free case here, so batch and subscription serve
+    * one compiled shape. */
+  def runRoot(base0: DataFrame, req: Request): DataFrame = {
+    require(req.nested.isEmpty && req.aggRels.isEmpty,
+      s"runRoot on '${req.table}': relationship selections need the " +
+        "table directory (use run)")
+    val base = rootSlice(base0, req)
+    val shaped = base.select(req.fields.map(base0(_)): _*)
+    val ordered =
+      if (req.orderBy.isEmpty) shaped
+      else shaped.orderBy(req.orderBy.map(_.toColumn): _*)
+    val off = if (req.offset > 0) ordered.offset(req.offset) else ordered
+    req.limit.map(off.limit).getOrElse(off)
+  }
+
+  /** where + distinct_on over the loaded root table — shared by [[run]]
+    * and [[runRoot]]. */
+  private def rootSlice(base0: DataFrame, req: Request): DataFrame = {
     val based = req.where.map(w => base0.filter(w.toColumn)).getOrElse(base0)
     // distinct_on (Hasura/Postgres DISTINCT ON): first row per group by
     // the order_by TAIL — a row_number window on the group key, so the
     // cut rides one hash shuffle on the distinct columns, never a
     // global sort or a driver-side pass
-    val base = if (req.distinctOn.isEmpty) based else {
+    if (req.distinctOn.isEmpty) based else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(req.distinctOn.map(based(_)): _*)
         .orderBy(req.orderBy.drop(req.distinctOn.length)
@@ -380,6 +399,14 @@ object QueryBuilder {
       based.withColumn("__don", row_number().over(w))
         .filter(col("__don") === 1).drop("__don")
     }
+  }
+
+  /** Compile + run a request against the parquet tables in `dir`. */
+  def run(s: SparkSession, dir: String, req: Request): DataFrame = {
+    val base0 = graft.Tables.load(s, dir, req.table)
+    if (req.nested.isEmpty && req.aggRels.isEmpty)
+      return runRoot(base0, req)
+    val base = rootSlice(base0, req)
     // every relationship pre-aggregates to one row per parent key and
     // joins back on it — never a flat multi-child join
     val withNested = req.nested.foldLeft(base) { (acc, n) =>

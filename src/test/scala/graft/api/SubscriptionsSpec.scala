@@ -1,0 +1,157 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.api.QueryBuilder._
+import graft.operators.MarketplaceModel._
+import graft.sources.SnapshotStore
+import graft.streaming.MarketplaceStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Subscriptions = the batch request, continuously: after EVERY
+  * trigger the served result must equal [[QueryBuilder.runRoot]] over
+  * the batch latest-state of all data seen so far (the CorpusStreams
+  * batch-equivalence pattern applied to the front end). */
+class SubscriptionsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx = spark.sqlContext
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("append-shape subscription: each trigger emits exactly the new " +
+    "matching rows; the accumulated set equals the batch query") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val req = Request("t", fields = Seq("k", "seg"),
+      where = Some(Gte("bal", 20.0)))
+    assert(Subscriptions.isAppendShape(req))
+    val q = Subscriptions.appendStream(
+        input.toDF().toDF("k", "seg", "bal"), req)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sub_append").start()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    try {
+      Seq(
+        Seq((1L, "A", 10.0), (2L, "B", 25.0)),
+        Seq((3L, "C", 30.0), (4L, "A", 5.0)),
+        Seq((5L, "B", 20.0))).foreach { batch =>
+        input.addData(batch); q.processAllAvailable()
+        seen ++= batch
+        // batch equivalence at THIS trigger
+        assert(rows(spark.table("sub_append").orderBy("k")) ===
+          rows(QueryBuilder.runRoot(seen.toSeq.toDF("k", "seg", "bal"),
+            req.copy(orderBy = Seq(Order("k"))))))
+      }
+    } finally q.stop()
+    // an order_by/limit shape must refuse the append route loudly
+    val ranked = req.copy(orderBy = Seq(Order("bal", desc = true)),
+      limit = Some(1))
+    assert(!Subscriptions.isAppendShape(ranked))
+    val e = intercept[IllegalArgumentException](
+      Subscriptions.appendStream(input.toDF().toDF("k", "seg", "bal"),
+        ranked))
+    assert(e.getMessage.contains("live-query"))
+  }
+
+  test("live-query subscription: upserts re-rank the COMPLETE result " +
+    "per trigger, equal to the batch request over latest state") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    // a top-3 leaderboard — the shape an append stream can never
+    // serve: new data displaces OLD rows from the answer
+    val req = Request("t", fields = Seq("k", "seg", "bal"),
+      orderBy = Seq(Order("bal", desc = true), Order("k")),
+      limit = Some(3))
+    var pushed = Vector.empty[(Long, Seq[Seq[Any]])]
+    val q = Subscriptions.liveQuery(
+      input.toDF().toDF("k", "seg", "bal", "seq"), req,
+      keyCol = "k", seqCol = Some("seq")) { (bid, df) =>
+      pushed :+= ((bid, rows(df)))
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Long)]
+    def batchReference: Seq[Seq[Any]] = {
+      val all = seen.toSeq.toDF("k", "seg", "bal", "seq")
+      rows(QueryBuilder.runRoot(
+        SnapshotStore.merge(all.limit(0), all, "k", "seq")
+          .drop("deleted", "seq"), req))
+    }
+    try {
+      // trigger 1: initial leaderboard k=1,2,3
+      input.addData(Seq((1L, "A", 50.0, 1L), (2L, "B", 40.0, 2L),
+        (3L, "C", 30.0, 3L), (4L, "D", 10.0, 4L)))
+      q.processAllAvailable()
+      seen ++= Seq((1L, "A", 50.0, 1L), (2L, "B", 40.0, 2L),
+        (3L, "C", 30.0, 3L), (4L, "D", 10.0, 4L))
+      assert(pushed.last._2 === batchReference)
+      assert(pushed.last._2.map(_.head) === Seq(1L, 2L, 3L))
+      // trigger 2: the leader is re-priced DOWN (upsert of k=1) and a
+      // dark horse overtakes (upsert of k=4) — both displace rows the
+      // append mode would have frozen
+      input.addData(Seq((1L, "A", 5.0, 5L), (4L, "D", 60.0, 6L)))
+      q.processAllAvailable()
+      seen ++= Seq((1L, "A", 5.0, 5L), (4L, "D", 60.0, 6L))
+      assert(pushed.last._2 === batchReference)
+      assert(pushed.last._2.map(_.head) === Seq(4L, 2L, 3L))
+      // a LATE event (lower seq than the stored state) must lose
+      input.addData(Seq((4L, "D", 1.0, 0L)))
+      q.processAllAvailable()
+      seen += ((4L, "D", 1.0, 0L))
+      assert(pushed.last._2 === batchReference)
+      assert(pushed.last._2.map(_.head) === Seq(4L, 2L, 3L))
+    } finally q.stop()
+    assert(pushed.map(_._1) === Vector(0L, 1L, 2L))
+  }
+
+  test("a GraphQL subscription document over the marketplace snapshot " +
+    "stream answers per trigger like the batch fold") {
+    // the document is a read query under the subscription keyword —
+    // no new grammar; the parsed Request routes to the streaming twin
+    val doc =
+      """subscription AliceTokens {
+        |  tokens(where: {owner: {_eq: "alice"}},
+        |         order_by: {tokenId: asc}) {
+        |    tokenId
+        |    owner
+        |  }
+        |}""".stripMargin
+    val req = GraphQl.parse(doc).fold(m => fail(m), identity)
+    assert(!Subscriptions.isAppendShape(req)) // ordered -> live query
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MarketplaceEvent]
+    // snapshotStream's update-mode output: one row per CHANGED token
+    // per trigger — seqCol=None (the batch id sequences the upserts)
+    val updates = MarketplaceStream.snapshotStream(input.toDS()).toDF()
+      .select(col("tokenId"), col("nft.ownerAddress").as("owner"))
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.liveQuery(updates, req,
+      keyCol = "tokenId", seqCol = None) { (_, df) =>
+      pushed :+= rows(df)
+    }
+    def ev(seq: Long, msgType: String, tokenId: String,
+        recipient: String = ""): MarketplaceEvent =
+      MarketplaceEvent(seq, msgType).copy(tokenId = tokenId,
+        sender = "alice", recipient = recipient)
+    val fed = scala.collection.mutable.ArrayBuffer.empty[MarketplaceEvent]
+    def batchReference: Seq[Seq[Any]] =
+      MarketplaceStream.batchReference(spark, fed.toSeq).toSeq
+        .collect { case (id, snap)
+          if snap.nft.exists(_.ownerAddress == "alice") => Seq[Any](id,
+            "alice") }
+        .sortBy(_.head.asInstanceOf[String])
+    try {
+      // trigger 1: alice mints T1 and T2
+      val b1 = Seq(ev(1, MsgType.MintNFT, "T1", recipient = "alice"),
+        ev(2, MsgType.MintNFT, "T2", recipient = "alice"))
+      input.addData(b1); q.processAllAvailable(); fed ++= b1
+      assert(pushed.last === batchReference)
+      assert(pushed.last.map(_.head) === Seq("T1", "T2"))
+      // trigger 2: T1 leaves alice (transfer), T3 arrives
+      val b2 = Seq(ev(3, MsgType.TransferNFT, "T1", recipient = "bob"),
+        ev(4, MsgType.MintNFT, "T3", recipient = "alice"))
+      input.addData(b2); q.processAllAvailable(); fed ++= b2
+      assert(pushed.last === batchReference)
+      assert(pushed.last.map(_.head) === Seq("T2", "T3"))
+    } finally q.stop()
+  }
+}
