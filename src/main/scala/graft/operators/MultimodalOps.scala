@@ -314,25 +314,54 @@ object MultimodalOps {
     * the data section of `syntheticAmWav(audioSeed)`, so the extracted
     * soundtrack's fingerprint provably equals the standalone WAV's.
     * Audio is interleaved one chunk per video frame, the layout real
-    * muxers produce. */
+    * muxers produce. `mjpeg = true` writes the video stream as MJPEG
+    * (`00dc` chunks of real ImageIO JPEGs, `MJPG` fourcc) instead of
+    * uncompressed DIB — the COMPRESSED-video-next-to-PCM-audio
+    * combination, so soundtrack extraction is proven independent of the
+    * video codec sharing the container. */
   def syntheticAviWithAudio(videoSeed: Long, audioSeed: Long, w: Int,
       h: Int, nFrames: Int, audioCells: Seq[Int] = Nil,
-      rate: Int = 8000): Array[Byte] = {
+      rate: Int = 8000, mjpeg: Boolean = false): Array[Byte] = {
     val pcm = amPcm(audioSeed, audioCells, 1.0, 1.0, rate)
     val nSamples = pcm.length / 2
     // per-frame audio slice boundaries (byte offsets, sample-aligned)
     val cuts = (0 to nFrames).map(f => (f.toLong * nSamples / nFrames).toInt * 2)
+    val stride = ((w * 3 + 3) / 4) * 4
+    def pix(f: Int, x: Int, y: Int): Int =
+      ((videoSeed * 2654435761L + f * 101 + x * 31 + y * 17) & 0xffffff).toInt
+    // per-frame video payloads: DIB rows (bottom-up BGR) or real JPEGs
+    val frames: IndexedSeq[Array[Byte]] = (0 until nFrames).map { f =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(f, x, y))
+        val jb = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpeg", jb)
+        jb.toByteArray
+      } else {
+        val d = new Array[Byte](stride * h)
+        for (row <- 0 until h) {
+          val y = h - 1 - row
+          for (x <- 0 until w) {
+            val v = pix(f, x, y)
+            d(row * stride + x * 3) = (v & 0xff).toByte
+            d(row * stride + x * 3 + 1) = ((v >> 8) & 0xff).toByte
+            d(row * stride + x * 3 + 2) = ((v >> 16) & 0xff).toByte
+          }
+        }
+        d
+      }
+    }
+    val bufSize = frames.map(_.length).max
     val bos = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def le32(v: Long): Unit = {
       le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
     }
     def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
-    val stride = ((w * 3 + 3) / 4) * 4
-    val frameLen = stride * h
     val audLens = (0 until nFrames).map(f => cuts(f + 1) - cuts(f))
     val moviLen = 4 +
-      (0 until nFrames).map(f => (8 + frameLen + (frameLen & 1)) +
+      (0 until nFrames).map(f => (8 + frames(f).length + (frames(f).length & 1)) +
         (8 + audLens(f) + (audLens(f) & 1))).sum
     val strlVidsLen = 4 + (8 + 56) + (8 + 40)
     val strlAudsLen = 4 + (8 + 56) + (8 + 16)
@@ -341,17 +370,19 @@ object MultimodalOps {
     fcc("LIST"); le32(hdrlLen); fcc("hdrl")
     fcc("avih"); le32(56)
     le32(40000); le32(0); le32(0); le32(0)
-    le32(nFrames); le32(0); le32(2); le32(frameLen)
+    le32(nFrames); le32(0); le32(2); le32(bufSize.toLong)
     le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
     fcc("LIST"); le32(strlVidsLen); fcc("strl")
-    fcc("strh"); le32(56); fcc("vids"); fcc("DIB ")
+    fcc("strh"); le32(56); fcc("vids"); fcc(if (mjpeg) "MJPG" else "DIB ")
     le32(0); le16(0); le16(0); le32(0)
     le32(1); le32(25); le32(0); le32(nFrames)
-    le32(frameLen); le32(0); le32(0)
+    le32(bufSize.toLong); le32(0); le32(0)
     le16(0); le16(0); le16(w); le16(h)
     fcc("strf"); le32(40)
     le32(40); le32(w); le32(h); le16(1); le16(24)
-    le32(0); le32(frameLen); le32(0); le32(0); le32(0); le32(0)
+    if (mjpeg) fcc("MJPG") else le32(0) // biCompression
+    le32(if (mjpeg) w.toLong * h * 3 else stride.toLong * h) // biSizeImage
+    le32(0); le32(0); le32(0); le32(0)
     fcc("LIST"); le32(strlAudsLen); fcc("strl")
     fcc("strh"); le32(56); fcc("auds"); le32(0) // auds, no handler fourcc
     le32(0); le16(0); le16(0); le32(0)
@@ -363,18 +394,9 @@ object MultimodalOps {
     le16(2); le16(16)
     fcc("LIST"); le32(moviLen); fcc("movi")
     for (f <- 0 until nFrames) {
-      fcc("00db"); le32(frameLen)
-      for (row <- 0 until h) {
-        val y = h - 1 - row
-        for (x <- 0 until w) {
-          val v = (videoSeed * 2654435761L + f * 101 + x * 31 + y * 17) & 0xffffff
-          bos.write((v & 0xff).toInt)
-          bos.write(((v >> 8) & 0xff).toInt)
-          bos.write(((v >> 16) & 0xff).toInt)
-        }
-        for (_ <- w * 3 until stride) bos.write(0)
-      }
-      if ((frameLen & 1) == 1) bos.write(0)
+      fcc(if (mjpeg) "00dc" else "00db"); le32(frames(f).length.toLong)
+      bos.write(frames(f))
+      if ((frames(f).length & 1) == 1) bos.write(0)
       fcc("01wb"); le32(audLens(f).toLong)
       bos.write(pcm, cuts(f), audLens(f))
       if ((audLens(f) & 1) == 1) bos.write(0)

@@ -352,6 +352,52 @@ class MultimodalOpsSpec extends SparkSpec {
       ("av2", "av2_near", 2L)))
   }
 
+  test("MJPEG video + PCM audio in ONE two-stream container: soundtrack " +
+    "extraction equals the standalone WAV hash AND the compressed " +
+    "frames still decode — codec independence proven in combination") {
+    val avi = MultimodalOps.syntheticAviWithAudio(11L, 1L, 72, 48, 6,
+      mjpeg = true)
+    val wav = MultimodalOps.syntheticAmWav(1L)
+    // the audio chunks are byte-identical to the WAV data section, so
+    // extraction through the MJPEG container is an EQUALITY
+    assert(MultimodalOps.videoAudioDHash(avi) ===
+      MultimodalOps.audioDHash(wav))
+    // the video stream is genuinely compressed (JPEG payloads), and
+    // all 6 frames route through the JPEG decoder with audio chunks
+    // interleaved between them
+    val frames = MultimodalOps.parseAviFrames(avi, 1, 6)
+      .getOrElse(fail("no frames decoded"))
+    assert(frames.length === 6)
+    // MJPEG is lossy and the synthetic pattern is per-pixel noise (the
+    // worst case for JPEG), so the decoded content check is RELATIVE:
+    // each MJPEG frame must be closer to ITS DIB twin than to the next
+    // frame — the decoder is reading the right chunks in the right
+    // order, not just producing plausible images
+    val dib = MultimodalOps.syntheticAviWithAudio(11L, 1L, 72, 48, 6)
+    val dibFrames = MultimodalOps.parseAviFrames(dib, 1, 6).get
+    def mae(a: Array[Byte], b: Array[Byte]): Double = {
+      val (ia, ib) = (BinaryFunctions.decode(a).get,
+        BinaryFunctions.decode(b).get)
+      var sum = 0L
+      for (y <- 0 until ia.getHeight; x <- 0 until ia.getWidth) {
+        val (p, q) = (ia.getRGB(x, y), ib.getRGB(x, y))
+        sum += math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+          math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+          math.abs((p & 0xff) - (q & 0xff))
+      }
+      sum.toDouble / (ia.getWidth * ia.getHeight * 3)
+    }
+    (0 until 5).foreach { f =>
+      val same = mae(frames(f)._2, dibFrames(f)._2)
+      val cross = mae(frames(f)._2, dibFrames(f + 1)._2)
+      assert(same < cross,
+        s"frame $f: same-twin MAE $same !< cross-frame MAE $cross")
+    }
+    // the container stays well-formed for the feature path too
+    assert(MultimodalOps.imageDHashes(
+      media("f0" -> frames.head._2)).collect().head.get(1) !== null)
+  }
+
   test("q113 video repost verdict: frame pairs aggregate to exactly " +
     "(vidA, vidB, 5 frames, 1 offset, shift +1)") {
     import graft.queries.PipelineQueries
