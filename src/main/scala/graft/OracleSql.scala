@@ -530,7 +530,9 @@ object OracleSql {
 
   /** Ground-truth CONTAINER-LEVEL repost verdict over pinned composite
     * `container#index` hashes — the q113/q115 oracle shape: all-pairs
-    * ≤3 unit matches, split on '#', canonicalized per container pair,
+    * ≤3 unit matches, split on the LAST '#' (greedy regex — the
+    * engine's rule, so a container key carrying '#' itself parses
+    * identically on both sides), canonicalized per container pair,
     * aggregated to (n_matches, n_offsets, min shift) with the engine's
     * minMatches=2 cut. */
   private def repostVerdictSql(pinned: Seq[(String, Long)]): String = {
@@ -540,10 +542,10 @@ object OracleSql {
        |p AS (SELECT a.key AS ka, b.key AS kb
        |      FROM t a JOIN t b ON a.key < b.key
        |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
-       |e AS (SELECT split_part(ka, '#', 1) AS va,
-       |             split_part(ka, '#', 2)::INT AS fa,
-       |             split_part(kb, '#', 1) AS vb,
-       |             split_part(kb, '#', 2)::INT AS fb
+       |e AS (SELECT regexp_extract(ka, '^(.*)#', 1) AS va,
+       |             regexp_extract(ka, '#([0-9]+)$$', 1)::INT AS fa,
+       |             regexp_extract(kb, '^(.*)#', 1) AS vb,
+       |             regexp_extract(kb, '#([0-9]+)$$', 1)::INT AS fb
        |      FROM p),
        |c AS (SELECT CASE WHEN va < vb THEN va ELSE vb END AS a,
        |             CASE WHEN va < vb THEN vb ELSE va END AS b,

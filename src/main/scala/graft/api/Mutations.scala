@@ -76,7 +76,9 @@ object Mutations {
     case (l: Long, LongType) => l
     case (l: Long, IntegerType) =>
       require(l.isValidInt, s"$at: $l overflows an int column"); l.toInt
-    case (l: Long, ShortType) => l.toShort
+    case (l: Long, ShortType) =>
+      require(l >= Short.MinValue && l <= Short.MaxValue,
+        s"$at: $l overflows a short column"); l.toShort
     case (l: Long, DoubleType) => l.toDouble
     case (l: Long, FloatType) => l.toFloat
     case (d: Double, DoubleType) => d
@@ -114,6 +116,18 @@ object Mutations {
   def applyMutation(snapshot: DataFrame, m: Mutation,
       keyCol: String): (DataFrame, Long) = m match {
     case Insert(table, rows, upsert) =>
+      // every object must carry a non-null key (a null-key row would
+      // slide past the equi-join clash check and tie nondeterministic-
+      // ally in the merge window), and keys must be unique WITHIN the
+      // list (two rows under one key would collapse to an arbitrary
+      // winner while affected_rows reports both) — Hasura errors on
+      // both; so do we, driver-side, before anything runs
+      val keys = rows.map(_.toMap.get(keyCol))
+      require(keys.forall(_.exists(_ != null)),
+        s"insert_$table: every object must carry a non-null $keyCol")
+      val dupKeys = keys.flatten.groupBy(identity).filter(_._2.size > 1).keys
+      require(dupKeys.isEmpty, s"insert_$table: duplicate key(s) in one " +
+        s"objects list: ${dupKeys.mkString(", ")}")
       val delta = literalRows(snapshot, rows, table)
       if (!upsert) {
         val clash = delta.select(keyCol)
@@ -121,7 +135,7 @@ object Mutations {
         require(clash == 0, s"insert_$table: $clash key(s) already exist " +
           "(use an upsert insert for on-conflict overwrite)")
       }
-      (mergeDelta(snapshot, delta, keyCol), delta.count())
+      (mergeDelta(snapshot, delta, keyCol), rows.length.toLong)
     case Update(table, where, set, inc) =>
       val sch = snapshot.schema
       def typed(c: String, v: Any, what: String): org.apache.spark.sql.Column = {
@@ -130,7 +144,10 @@ object Mutations {
         require(c != keyCol,
           s"update_$table.$what: the key column cannot be updated " +
             "(delete + insert expresses a re-key)")
-        lit(v).cast(sch(c).dataType)
+        // the same loud driver-side coercion the insert path uses — a
+        // bare cast would turn a type-mismatched literal into NULLs
+        // across every matched row with affected_rows reporting success
+        lit(coerce(v, sch(c).dataType, s"update_$table.$what"))
       }
       val changed = snapshot.filter(where.toColumn)
       val withSet = set.foldLeft(changed) { case (df, (c, v)) =>
@@ -145,12 +162,16 @@ object Mutations {
   }
 
   /** Apply a mutation document in order → (final snapshot, per-field
-    * affected_rows). */
+    * affected_rows). Each step's result is materialized
+    * (localCheckpoint) before the next folds on top: the per-field
+    * counts are eager anyway, and without the cut mutation k's count
+    * would re-execute all k-1 prior merges — and the final store write
+    * the whole chain again (quadratic scans of the base snapshot). */
   def applyAll(snapshot: DataFrame, ms: Seq[Mutation],
       keyCol: String): (DataFrame, Seq[Long]) =
     ms.foldLeft((snapshot, Seq.empty[Long])) { case ((cur, counts), m) =>
       val (next, n) = applyMutation(cur, m, keyCol)
-      (next, counts :+ n)
+      (next.localCheckpoint(true), counts :+ n)
     }
 
   /** Apply a mutation document against a PERSISTED snapshot store:

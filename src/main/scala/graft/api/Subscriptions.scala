@@ -65,7 +65,17 @@ object Subscriptions {
     * carry one row per changed key per trigger (e.g.
     * `MarketplaceStream.snapshotStream` output) — the batch id then
     * serves as the sequence, later triggers winning. `push` receives
-    * (batchId, full result) after each trigger. */
+    * (batchId, full result) after each trigger.
+    *
+    * Lifetime: CONNECTION-SCOPED, like a Hasura subscription (it dies
+    * with its WebSocket and the client re-subscribes). The state var
+    * lives in this session and the started query uses a session-temp
+    * checkpoint by design — this method never accepts a
+    * checkpointLocation, because resuming from committed offsets with
+    * an empty state var would silently serve results missing every
+    * pre-restart key. A DURABLE subscription is the composition of a
+    * persisted snapshot ([[graft.sources.SnapshotStore]] via
+    * foreachBatch) with a fresh liveQuery over it. */
   def liveQuery(stream: DataFrame, req: Request, keyCol: String,
       seqCol: Option[String] = None)
       (push: (Long, DataFrame) => Unit): StreamingQuery = {

@@ -766,8 +766,11 @@ object MultimodalOps {
     * non-16-bit bytes or when no full segment fits. */
   def audioSegmentDHash(b: Array[Byte],
       segSeconds: Double = 0.5): Option[Seq[(Int, Long)]] = try {
-    val (rate, _, _, dataOff, n) = wavRegion(b).getOrElse(return None)
-    val segSamples = (segSeconds * rate).toLong
+    val (rate, ch, _, dataOff, n) = wavRegion(b).getOrElse(return None)
+    // n counts interleaved all-channel 16-bit units, so a fixed-DURATION
+    // segment spans rate*ch of them (mono-blind math would halve a
+    // stereo file's segment duration and break trim alignment)
+    val segSamples = (segSeconds * rate).toLong * ch
     if (segSamples < 65) return None
     val nSegs = (n / segSamples).toInt
     if (nSegs == 0) return None
@@ -802,7 +805,7 @@ object MultimodalOps {
     * trimmed-repost fixture generator (and a real corpus-prep op:
     * cutting a known intro/jingle before fingerprinting). None for
     * non-WAV bytes or when nothing survives the cut. */
-  def trimWav(b: Array[Byte], skipSeconds: Double): Option[Array[Byte]] = {
+  def trimWav(b: Array[Byte], skipSeconds: Double): Option[Array[Byte]] = try {
     val (rate, ch, _, dataOff, n) = wavRegion(b).getOrElse(return None)
     val skip = (skipSeconds * rate).toLong * ch
     if (skip <= 0 || skip >= n) return None
@@ -818,7 +821,7 @@ object MultimodalOps {
     bos.write("data".getBytes); le32(remain.toLong)
     bos.write(b, dataOff + (skip * 2).toInt, remain)
     Some(bos.toByteArray)
-  }
+  } catch { case _: Exception => None }
 
   /** Fingerprint the SOUNDTRACK inside a RIFF AVI: walk the container
     * for the audio stream's `NNwb` chunks (NN = the stream's hdrl

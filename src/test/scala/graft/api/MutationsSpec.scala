@@ -101,6 +101,36 @@ class MutationsSpec extends SparkSpec {
         Mutations.Insert("t", Seq(Seq("k" -> (Long.MaxValue: Any)))), "k")
     }
     assert(ovErr.getMessage.contains("overflows"))
+    // duplicate keys WITHIN one objects list would collapse to an
+    // arbitrary winner in the merge — Hasura errors; so do we
+    val dupList = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap, Mutations.Insert("t",
+        Seq(Seq("k" -> 9L, "seg" -> "X"), Seq("k" -> 9L, "seg" -> "Y"))),
+        "k")
+    }
+    assert(dupList.getMessage.contains("duplicate key"))
+    // a missing/null key would slide past the equi-join clash check
+    val noKey = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap,
+        Mutations.Insert("t", Seq(Seq("seg" -> "Z"))), "k")
+    }
+    assert(noKey.getMessage.contains("non-null k"))
+  }
+
+  test("update coercion is loud driver-side: a type-mismatched _set/_inc " +
+    "literal rejects instead of NULLing every matched row") {
+    val setErr = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap,
+        Mutations.Update("t", Eq("seg", "A"),
+          Seq("bal" -> ("abc": Any))), "k")
+    }
+    assert(setErr.getMessage.contains("cannot coerce"))
+    val incErr = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap,
+        Mutations.Update("t", Eq("seg", "A"), Nil,
+          Seq("seg" -> (1L: Any))), "k")
+    }
+    assert(incErr.getMessage.contains("cannot coerce"))
   }
 
   test("applyMutation: update _set/_inc typed per column; key column " +

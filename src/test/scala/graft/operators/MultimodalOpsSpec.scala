@@ -458,6 +458,10 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.trimWav(wav, 2.5) === None) // nothing survives
     assert(MultimodalOps.trimWav(wav, 0.0) === None) // no-op cut
     assert(MultimodalOps.trimWav("nope".getBytes, 0.5) === None)
+    // a truncated fmt chunk at the buffer edge: None, never a throw
+    // (the errors-are-data catch the fingerprint paths already carry)
+    assert(MultimodalOps.trimWav(
+      java.util.Arrays.copyOfRange(wav, 0, 30), 0.1) === None)
     // segment hashing drops the short tail instead of hashing a
     // different-support window: a 1.3 s file at 0.5 s segments → 2
     assert(MultimodalOps.audioSegmentDHash(
