@@ -377,6 +377,31 @@ class PlanQualitySpec extends SparkSpec {
       s"distance filter floated above the dedup:\n$compact")
   }
 
+  test("crossPairs + repostVerdicts: two-sided banded join pushes the " +
+    "distance bound into the join; the verdict aggregate is two-phase " +
+    "(container pairs shuffle, not frame pairs) with no cartesian") {
+    import spark.implicits._
+    val left = Seq(("v1#0", 0x0L), ("v1#1", 0x1L)).toDF("key", "h")
+    val right = Seq(("w1#0", 0x1L), ("w2#0", 0xffffL)).toDF("key", "h")
+    val cp = graft.functions.HammingBands.crossPairs(left, right,
+      "key", "h", nBands = 4, bandBits = 8, maxDist = 3)
+    val pcp = plan(cp)
+    assert(!pcp.contains("CartesianProduct")
+      && !pcp.contains("BroadcastNestedLoopJoin"),
+      s"cross-modal match must stay a banded equi-join:\n$pcp")
+    val joinCond = pcp.linesIterator
+      .find(_.trim.startsWith("Join condition:")).getOrElse("")
+    assert(joinCond.contains("bit_count") && joinCond.contains("<= 3"),
+      s"distance bound not pushed into the cross band join: '$joinCond'")
+    // the verdict over a pair stream: partial aggregation below the
+    // exchange, so the shuffle carries container pairs only
+    val pairs = Seq(("v1#0", "w1#0", 0L), ("v1#1", "w1#1", 0L))
+      .toDF("a", "b", "d")
+    val pv = plan(graft.operators.MultimodalOps.repostVerdicts(pairs))
+    assert(pv.contains("partial_count") || pv.contains("partial count"),
+      s"verdict aggregate is not two-phase:\n$pv")
+  }
+
   test("q94 scoring rides one scan: codegen dot against the literal " +
     "weights, no exchange before the output sort") {
     val df = S.q94ClassifierScore(spark, dir)
