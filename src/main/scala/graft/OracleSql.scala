@@ -1009,6 +1009,37 @@ object OracleSql {
     // segment hashes; expected exactly (s1, s1_trim, 3, 1, 1)
     "q115_audio_trim_verdict" ->
       repostVerdictSql(graft.queries.PipelineQueries.pinnedSegmentAhashes),
+    // q119: VIDEO-level dup clusters — the q113 verdict replay feeding
+    // recursive reachability over whole-video nodes; expected
+    // {vidA, vidB} under canonical vidA, vidC a singleton
+    "q119_video_dup_clusters" -> {
+      val vals = hashValuesOf(graft.queries.PipelineQueries.pinnedVideoDhashes)
+      s"""WITH RECURSIVE t(key, dhash) AS (VALUES
+         |  $vals),
+         |p0 AS (SELECT a.key AS ka, b.key AS kb
+         |       FROM t a JOIN t b ON a.key < b.key
+         |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e0 AS (SELECT regexp_extract(ka, '^(.*)#', 1) AS va,
+         |              regexp_extract(kb, '^(.*)#', 1) AS vb
+         |       FROM p0),
+         |v AS (SELECT LEAST(va, vb) AS a, GREATEST(va, vb) AS b
+         |      FROM e0 WHERE va <> vb
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |vids AS (SELECT DISTINCT regexp_extract(key, '^(.*)#', 1) AS id
+         |         FROM t),
+         |e AS (SELECT a AS id, b AS nb FROM v UNION ALL SELECT b, a FROM v),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+         |SELECT vids.id AS key, COALESCE(c.canonical, vids.id) AS canonical,
+         |       COUNT(*) OVER (
+         |         PARTITION BY COALESCE(c.canonical, vids.id))::BIGINT
+         |         AS cluster_size
+         |FROM vids LEFT JOIN comp c ON c.id = vids.id
+         |ORDER BY key""".stripMargin
+    },
     // q118: the GraphQL mutation round-trip — insert/update/delete
     // replayed as pure SQL over the same parquet (CASE for _set/_inc,
     // WHERE NOT for the tombstoned delete, UNION ALL for the insert),
@@ -1024,6 +1055,22 @@ object OracleSql {
         |  WHERE NOT (c_custkey > 1490 AND c_custkey <= 1499)
         |  UNION ALL
         |  SELECT 99901, 'BUILDING', 1234.56)
+        |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q120: the on_conflict upsert — key 3's segment updates but its
+    // BALANCE keeps the stored value (the replay reads the original
+    // c_acctbal, so an engine overwriting it with the incoming 500.0
+    // hash-fails); 99902 inserts whole
+    "q120_upsert_roundtrip" ->
+      """WITH mutated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey = 3 THEN 'UPSERTED'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         c_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 99902, 'FRESH', 77.5)
         |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
         |       ROUND(SUM(c_acctbal), 2) AS bal
         |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,

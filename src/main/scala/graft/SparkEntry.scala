@@ -139,6 +139,8 @@ object SparkEntry {
     "q116_audio_knn" -> (P.q116AudioKnn(_, _)),
     "q117_audio_dup_clusters" -> (P.q117AudioDupClusters(_, _)),
     "q118_mutation_roundtrip" -> (graft.api.GraphQl.q118MutationRoundTrip(_, _)),
+    "q119_video_dup_clusters" -> (P.q119VideoDupClusters(_, _)),
+    "q120_upsert_roundtrip" -> (graft.api.GraphQl.q120UpsertRoundTrip(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -851,28 +851,56 @@ object GraphQl {
     case _ => bad(s"$at: expected an object")
   }
 
+  /** Hasura's `on_conflict: {constraint: ..., update_columns: [...]}`.
+    * The constraint NAMES a Postgres unique constraint there; this
+    * engine's store has exactly one key, so the name is accepted and
+    * unused — `update_columns` is what selects the conflict policy
+    * (listed columns update; `[]` is DO NOTHING). */
+  private def onConflictArg(args: Map[String, V],
+      at: String): Option[Seq[String]] =
+    args.get("on_conflict").map {
+      case VObj(fs) =>
+        val m = fs.toMap
+        (m.keySet -- Set("constraint", "update_columns")).toSeq.sorted
+          .headOption.foreach(k =>
+            bad(s"$at.on_conflict: unknown field '$k'"))
+        m.getOrElse("update_columns",
+          bad(s"$at.on_conflict: update_columns is required " +
+            "([] for do-nothing)")) match {
+          case VList(vs) => vs.map {
+            case VEnum(c) => c
+            case VLit(s: String) => s
+            case _ =>
+              bad(s"$at.on_conflict.update_columns: expected column names")
+          }
+          case VEnum(c) => Seq(c)
+          case _ =>
+            bad(s"$at.on_conflict.update_columns: expected column names")
+        }
+      case _ => bad(s"$at.on_conflict: expected an object")
+    }
+
   private def compileMutation(fname: String,
       args: Map[String, V]): Mutations.Mutation =
     if (fname.startsWith("insert_") && fname.endsWith("_one")) {
       // Hasura's single-object spelling: insert_<t>_one(object: {...})
       val table = fname.stripPrefix("insert_").stripSuffix("_one")
-      checkArgs(args, Set("object"), fname)
+      checkArgs(args, Set("object", "on_conflict"), fname)
       val row = objEntries(args.getOrElse("object",
         bad(s"$fname: object is required")), s"$fname.object")
-      Mutations.Insert(table, Seq(row))
+      Mutations.Insert(table, Seq(row),
+        updateColumns = onConflictArg(args, fname))
     } else if (fname.startsWith("insert_")) {
       val table = fname.stripPrefix("insert_")
-      // on_conflict is NOT accepted: this engine's insert rejects
-      // existing keys loudly (Hasura's unique-violation error); the
-      // Scala DSL's Insert(upsert = true) is the on-conflict path
-      checkArgs(args, Set("objects"), fname)
+      checkArgs(args, Set("objects", "on_conflict"), fname)
       val rows = args.getOrElse("objects",
         bad(s"$fname: objects is required")) match {
         case VList(vs) => vs.map(objEntries(_, s"$fname.objects"))
         case o @ VObj(_) => Seq(objEntries(o, s"$fname.objects"))
         case _ => bad(s"$fname.objects: expected a list of objects")
       }
-      Mutations.Insert(table, rows)
+      Mutations.Insert(table, rows,
+        updateColumns = onConflictArg(args, fname))
     } else if (fname.startsWith("update_")) {
       val table = fname.stripPrefix("update_")
       checkArgs(args, Set("where", "_set", "_inc"), fname)
@@ -1212,18 +1240,22 @@ object GraphQl {
     * parquet, so a green q118 proves the parse, the merge semantics
     * (latest-wins upserts, tombstone drops), and the store round-trip
     * in one entry. */
-  def q118MutationRoundTrip(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  /** Shared engine of q118/q120: seed a customer snapshot store from
+    * the parquet table, run a canned mutation document through the
+    * full chain, read back and aggregate per segment. */
+  private def mutationRoundTrip(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String, doc: String,
+      variables: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val path =
-      s"/root/repo/target/tmp/q118_store_${s.sparkContext.applicationId}"
+      s"/root/repo/target/tmp/${tag}_store_${s.sparkContext.applicationId}"
     val base = graft.Tables.load(s, dir, "customer")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
     graft.sources.SnapshotStore.write(base, path)
-    val muts = parseMutations(q118Mutation, """{"cap": 10}""") match {
+    val muts = parseMutations(doc, variables) match {
       case Right(ms) => ms
       case Left(m) => throw new IllegalStateException(
-        s"canned q118 mutation failed to parse: $m")
+        s"canned $tag mutation failed to parse: $m")
     }
     Mutations.applyToStore(s, path, "customer", "c_custkey", muts)
     graft.sources.SnapshotStore.read(s, path)
@@ -1231,4 +1263,35 @@ object GraphQl {
       .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
       .orderBy("c_mktsegment")
   }
+
+  def q118MutationRoundTrip(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mutationRoundTrip(s, dir, "q118", q118Mutation, """{"cap": 10}""")
+
+  /** q120's document — the ON_CONFLICT upsert: one existing key whose
+    * listed column updates (its OTHER incoming value must be IGNORED —
+    * the oracle's acctbal proves it), one fresh key inserting whole. */
+  val q120Mutation: String =
+    """mutation Upsert {
+      |  insert_customer(objects: [{c_custkey: 3,
+      |                             c_mktsegment: "UPSERTED",
+      |                             c_acctbal: 500.0},
+      |                            {c_custkey: 99902,
+      |                             c_mktsegment: "FRESH",
+      |                             c_acctbal: 77.5}],
+      |                  on_conflict: {constraint: customer_pkey,
+      |                                update_columns: [c_mktsegment]}) {
+      |    affected_rows }
+      |}""".stripMargin
+
+  /** q120 — the on_conflict round-trip under the oracle gate: key 3
+    * exists, so ONLY c_mktsegment takes the incoming value while its
+    * c_acctbal keeps the STORED value (the incoming 500.0 must be
+    * ignored — DuckDB's replay carries the original balance, so an
+    * engine that overwrote it hash-fails); key 99902 is fresh and
+    * inserts whole. Proves Hasura's partial-update conflict policy
+    * through the same parse → merge → store → read chain as q118. */
+  def q120UpsertRoundTrip(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mutationRoundTrip(s, dir, "q120", q120Mutation, "{}")
 }

@@ -38,13 +38,22 @@ object Mutations {
 
   /** `insert_<table>(objects: [...])`. Literal rows; columns absent
     * from an object land as null (Hasura's column-default behavior for
-    * a store with no DDL defaults). `upsert` is the `on_conflict`
-    * posture: false (plain insert) REJECTS rows whose key already
-    * exists, loudly — Hasura's unique-violation error; true overwrites
-    * (on_conflict: update everything). */
+    * a store with no DDL defaults). Conflict policy, one of:
+    *  - default: plain insert — rows whose key already exists REJECT
+    *    loudly (Hasura's unique-violation error);
+    *  - `upsert = true`: whole-row overwrite on conflict;
+    *  - `updateColumns = Some(cols)`: Hasura's `on_conflict:
+    *    {update_columns: [...]}` — on conflict, ONLY the listed
+    *    columns take the incoming object's values, the rest keep their
+    *    stored values; `Some(Nil)` is DO NOTHING (conflicts skipped,
+    *    not counted in affected_rows, per Hasura). */
   final case class Insert(table: String, rows: Seq[Seq[(String, Any)]],
-      upsert: Boolean = false) extends Mutation {
+      upsert: Boolean = false,
+      updateColumns: Option[Seq[String]] = None) extends Mutation {
     require(rows.nonEmpty, s"insert_$table: objects is empty")
+    require(!(upsert && updateColumns.isDefined),
+      s"insert_$table: upsert and update_columns are alternative " +
+        "conflict policies — pick one")
   }
 
   /** `update_<table>(where: ..., _set: {...}, _inc: {...})`. */
@@ -115,7 +124,7 @@ object Mutations {
     * affected_rows). Eager: the count is the mutation's response. */
   def applyMutation(snapshot: DataFrame, m: Mutation,
       keyCol: String): (DataFrame, Long) = m match {
-    case Insert(table, rows, upsert) =>
+    case Insert(table, rows, upsert, updateCols) =>
       // every object must carry a non-null key (a null-key row would
       // slide past the equi-join clash check and tie nondeterministic-
       // ally in the merge window), and keys must be unique WITHIN the
@@ -129,13 +138,50 @@ object Mutations {
       require(dupKeys.isEmpty, s"insert_$table: duplicate key(s) in one " +
         s"objects list: ${dupKeys.mkString(", ")}")
       val delta = literalRows(snapshot, rows, table)
-      if (!upsert) {
-        val clash = delta.select(keyCol)
-          .join(snapshot.select(keyCol), Seq(keyCol), "left_semi").count()
-        require(clash == 0, s"insert_$table: $clash key(s) already exist " +
-          "(use an upsert insert for on-conflict overwrite)")
+      updateCols match {
+        case None =>
+          if (!upsert) {
+            val clash = delta.select(keyCol)
+              .join(snapshot.select(keyCol), Seq(keyCol), "left_semi").count()
+            require(clash == 0, s"insert_$table: $clash key(s) already " +
+              "exist (use an upsert insert for on-conflict overwrite)")
+          }
+          (mergeDelta(snapshot, delta, keyCol), rows.length.toLong)
+        case Some(cols) =>
+          val sch = snapshot.schema
+          cols.foreach { c =>
+            require(sch.fieldNames.contains(c),
+              s"insert_$table.on_conflict: unknown column '$c'")
+            require(c != keyCol, s"insert_$table.on_conflict: the key " +
+              "column cannot be an update_column")
+          }
+          // every object must carry every update column — an absent one
+          // would silently NULL the stored value, the wrong-write shape
+          // this module rejects everywhere else
+          rows.foreach(r => cols.foreach(c =>
+            require(r.toMap.contains(c), s"insert_$table.on_conflict: " +
+              s"an object omits update_column '$c'")))
+          val fresh = delta.join(snapshot.select(keyCol), Seq(keyCol),
+            "left_anti")
+          val nFresh = fresh.count()
+          if (cols.isEmpty)
+            // DO NOTHING: conflicts skip and do not count (Hasura)
+            (mergeDelta(snapshot, fresh, keyCol), nFresh)
+          else {
+            // on conflict: the listed columns take the incoming values,
+            // the rest keep their stored ones — built as stored-row ⋈
+            // incoming-values so the merge delta carries full rows
+            val d2 = delta.select(col(keyCol).as("__ck") +:
+              cols.map(c => col(c).as(s"__u_$c")): _*)
+            val updated = snapshot
+              .join(d2, snapshot(keyCol) === col("__ck"))
+              .select(snapshot.columns.toSeq.map(c =>
+                if (cols.contains(c)) col(s"__u_$c").as(c)
+                else snapshot(c)): _*)
+            (mergeDelta(snapshot, fresh.unionByName(updated), keyCol),
+              nFresh + updated.count())
+          }
       }
-      (mergeDelta(snapshot, delta, keyCol), rows.length.toLong)
     case Update(table, where, set, inc) =>
       val sch = snapshot.schema
       def typed(c: String, v: Any, what: String): org.apache.spark.sql.Column = {

@@ -486,6 +486,25 @@ object PipelineQueries {
       graft.operators.MultimodalOps.audioNearDupPairs(hs, 3))
   }
 
+  /** q119 — VIDEO-level dup clusters: the component composition one
+    * level up from q112/q117 — nodes are whole VIDEOS, edges are q113's
+    * repost VERDICTS (frame pairs already aggregated to container
+    * pairs), so transitively-connected repost chains (A trimmed to B,
+    * B re-posted as C) collapse to one canonical video. The fixture's
+    * answer: {vidA, vidB} under canonical vidA, vidC its own. The
+    * oracle composes the verdict replay with recursive reachability
+    * over the pinned per-frame hashes. */
+  def q119VideoDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = videoFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.videoFrameDHashes(media)
+    val pairs = graft.operators.MultimodalOps.dhashNearDupPairs(hashes, 3)
+    val verdicts =
+      graft.operators.MultimodalOps.repostVerdicts(pairs, minMatches = 2)
+    val vids = videoFixtureBytes.map(_._1).toDF("key")
+    hashDupClusters(s, vids, verdicts.select("a", "b"))
+  }
+
   /** Connected-component clusters over any (key) corpus + (a, b) pair
     * graph — the shared composition behind q112 (images) and q117
     * (audio): string keys map to Long ids (xxhash64) ONLY to drive

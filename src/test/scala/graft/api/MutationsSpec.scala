@@ -47,10 +47,14 @@ class MutationsSpec extends SparkSpec {
     // returning would re-read mid-document state
     err("mutation { delete_t(where: {k: {_eq: 1}}) { returning } }",
       "affected_rows")
-    // on_conflict is not served (the DSL's upsert flag is)
+    // on_conflict without update_columns has no defined policy
     err("""mutation { insert_t(objects: [{k: 1}],
           |  on_conflict: {constraint: pk}) { affected_rows } }""".stripMargin,
-      "unknown argument")
+      "update_columns is required")
+    err("""mutation { insert_t(objects: [{k: 1}],
+          |  on_conflict: {update_columns: [], nope: 1}) {
+          |  affected_rows } }""".stripMargin,
+      "unknown field")
     // unfiltered update/delete need an explicit predicate
     err("mutation { update_t(_set: {seg: \"X\"}) { affected_rows } }",
       "where is required")
@@ -131,6 +135,68 @@ class MutationsSpec extends SparkSpec {
           Seq("seg" -> (1L: Any))), "k")
     }
     assert(incErr.getMessage.contains("cannot coerce"))
+  }
+
+  test("on_conflict update_columns: listed columns take incoming " +
+    "values, the REST keep stored ones; [] is do-nothing; omissions " +
+    "and key updates are loud") {
+    // parse side: constraint accepted (and unused), update_columns
+    // drives the policy
+    val doc =
+      """mutation { insert_t(objects: [{k: 1, seg: "U", bal: 500.0}],
+        |  on_conflict: {constraint: t_pkey, update_columns: [seg]}) {
+        |  affected_rows } }""".stripMargin
+    val ms = GraphQl.parseMutations(doc).fold(m => fail(m), identity)
+    assert(ms === Seq(Mutations.Insert("t",
+      Seq(Seq("k" -> 1L, "seg" -> "U", "bal" -> 500.0)),
+      updateColumns = Some(Seq("seg")))))
+    // execution: k=1 exists (A, 10.0) — seg updates, bal KEEPS 10.0
+    // (the incoming 500.0 is not an update_column); k=9 inserts whole
+    val (next, n) = Mutations.applyMutation(snap, Mutations.Insert("t",
+      Seq(Seq("k" -> 1L, "seg" -> "U", "bal" -> 500.0),
+        Seq("k" -> 9L, "seg" -> "F", "bal" -> 7.5)),
+      updateColumns = Some(Seq("seg"))), "k")
+    assert(n === 2L)
+    val rows = next.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq((1L, "U", 10.0), (2L, "A", 20.0),
+      (3L, "B", 30.0), (4L, "C", 40.0), (9L, "F", 7.5)))
+    // [] = DO NOTHING: the conflict row is skipped and NOT counted
+    val (next2, n2) = Mutations.applyMutation(snap, Mutations.Insert("t",
+      Seq(Seq("k" -> 1L, "seg" -> "X"), Seq("k" -> 9L, "seg" -> "F")),
+      updateColumns = Some(Nil)), "k")
+    assert(n2 === 1L)
+    assert(next2.filter(col("k") === 1).collect().head.getString(1) === "A")
+    assert(next2.count() === 5)
+    // an object omitting an update_column would silently NULL the
+    // stored value — loud instead
+    val omit = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap, Mutations.Insert("t",
+        Seq(Seq("k" -> 1L, "bal" -> 1.0)),
+        updateColumns = Some(Seq("seg"))), "k")
+    }
+    assert(omit.getMessage.contains("omits update_column"))
+    // the key is never an update_column; policies are exclusive
+    val keyUp = intercept[IllegalArgumentException] {
+      Mutations.applyMutation(snap, Mutations.Insert("t",
+        Seq(Seq("k" -> 1L)), updateColumns = Some(Seq("k"))), "k")
+    }
+    assert(keyUp.getMessage.contains("key"))
+    val both = intercept[IllegalArgumentException] {
+      Mutations.Insert("t", Seq(Seq("k" -> 1L)), upsert = true,
+        updateColumns = Some(Seq("seg")))
+    }
+    assert(both.getMessage.contains("alternative"))
+  }
+
+  test("q120 upsert round-trip: the non-listed column provably keeps " +
+    "its stored value") {
+    val out = GraphQl.q120UpsertRoundTrip(spark, "/root/testdata/sf0.001")
+    val bySeg = out.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bySeg("UPSERTED")._1 === 1L)
+    assert(bySeg("FRESH") === ((1L, 77.5)))
+    assert(bySeg.values.map(_._1).sum === 151L) // 150 + 1 fresh
   }
 
   test("applyMutation: update _set/_inc typed per column; key column " +

@@ -419,6 +419,14 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got2.toSeq === Seq(("vidA", "vidB", 5L, 1L, 1L)))
     // minMatches cuts coincidental single-unit collisions
     assert(MultimodalOps.repostVerdicts(pairs, minMatches = 6).count() === 0)
+    // q119: the verdict edges cluster whole VIDEOS — {vidA, vidB}
+    // under canonical vidA, vidC its own singleton
+    val clusters = graft.queries.PipelineQueries
+      .q119VideoDupClusters(spark, "unused")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    assert(clusters === Map("vidA" -> ("vidA", 2L),
+      "vidB" -> ("vidA", 2L), "vidC" -> ("vidC", 1L)))
   }
 
   test("q114/q115 pinned segments: engine fingerprints equal the " +
