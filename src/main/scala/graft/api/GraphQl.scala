@@ -985,6 +985,56 @@ object GraphQl {
         Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
     }
 
+  // ---- mutation printer ----------------------------------------------
+
+  /** Render a mutation list back to document text such that
+    * `parseMutations(renderMutations(ms)) == Right(ms)` — the same
+    * parse∘render identity the read path carries, and the same
+    * hardening lever: a property sweep over generated mutations walks
+    * far more of the grammar than canned documents. Loud on
+    * unrenderable shapes (`upsert = true` has no GraphQL spelling —
+    * on_conflict update_columns is the query language's conflict
+    * policy). Object values follow the GraphQL literal grammar; null
+    * renders as `null` (legal in objects, unlike `_eq` comparisons). */
+  def renderMutations(ms: Seq[Mutations.Mutation]): String = {
+    require(ms.nonEmpty, "render: empty mutation document")
+    def mutLit(v: Any): String = v match {
+      case null => "null"
+      case other => renderLit(other)
+    }
+    def obj(entries: Seq[(String, Any)]): String =
+      entries.map { case (k, v) => s"$k: ${mutLit(v)}" }
+        .mkString("{", ", ", "}")
+    val sb = new StringBuilder("mutation {\n")
+    ms.foreach {
+      case Mutations.Insert(table, rows, upsert, updateCols) =>
+        if (upsert)
+          throw new IllegalArgumentException(
+            "render: upsert=true has no GraphQL spelling — use " +
+              "updateColumns (on_conflict) for a renderable policy")
+        if (table.endsWith("_one"))
+          throw new IllegalArgumentException(
+            s"render: table '$table' collides with the insert_<t>_one " +
+              "spelling — the rendered field name would parse as a " +
+              "single-object insert on a different table")
+        sb ++= s"  insert_$table(objects: ["
+        sb ++= rows.map(obj).mkString(", ")
+        sb ++= "]"
+        updateCols.foreach(cols => sb ++=
+          s", on_conflict: {update_columns: [${cols.mkString(", ")}]}")
+        sb ++= ") { affected_rows }\n"
+      case Mutations.Update(table, where, set, inc) =>
+        sb ++= s"  update_$table(where: ${renderBoolExp(where)}"
+        if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
+        if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
+        sb ++= ") { affected_rows }\n"
+      case Mutations.Delete(table, where) =>
+        sb ++= s"  delete_$table(where: ${renderBoolExp(where)})"
+        sb ++= " { affected_rows }\n"
+    }
+    (sb ++= "}").toString
+  }
+
   // ---- printer (render a Request back to query text) -----------------
 
   /** Render a [[Request]] to GraphQL query text such that

@@ -249,6 +249,96 @@ class MutationsSpec extends SparkSpec {
     assert(stray.getMessage.contains("mutates other"))
   }
 
+  test("printer: parseMutations(renderMutations(ms)) == Right(ms) over " +
+    "generated documents (deterministic property sweep)") {
+    import org.scalacheck.{Gen, rng}
+    val cols = Seq("k", "seg", "bal", "note")
+    val tables = Seq("t", "docs", "events")
+    // object values may be null (a legal GraphQL object literal);
+    // where-tree literals may not (the _eq: null ambiguity the read
+    // printer documents)
+    def genObjLit: Gen[Any] = Gen.oneOf(
+      Gen.choose(-100000L, 100000L),
+      Gen.oneOf("A", "x%", "O'hare \"q\"", "", "line\nbreak", "tab\there"),
+      Gen.choose(-1.0e6, 1.0e6),
+      Gen.oneOf(true, false),
+      Gen.const(null))
+    def genWhereLit: Gen[Any] = Gen.oneOf(
+      Gen.choose(-100000L, 100000L),
+      Gen.oneOf("A", "%x", "O'hare \"q\""),
+      Gen.choose(-1.0e6, 1.0e6))
+    def genLeaf: Gen[BoolExp] = for {
+      f <- Gen.oneOf(cols)
+      leaf <- Gen.oneOf[Gen[BoolExp]](
+        genWhereLit.map(Eq(f, _)), genWhereLit.map(Gt(f, _)),
+        genWhereLit.map(Lte(f, _)),
+        Gen.listOfN(2, genWhereLit).map(In(f, _)),
+        Gen.oneOf("%x%", "a_b").map(Like(f, _)),
+        Gen.oneOf(true, false).map(IsNull(f, _))).flatMap(identity)
+    } yield leaf
+    def genTree(depth: Int): Gen[BoolExp] =
+      if (depth <= 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        1 -> Gen.choose(1, 3).flatMap(n =>
+          Gen.listOfN(n, genTree(depth - 1)).map(es => And(es: _*))),
+        1 -> Gen.choose(1, 3).flatMap(n =>
+          Gen.listOfN(n, genTree(depth - 1)).map(es => Or(es: _*))),
+        1 -> genTree(depth - 1).map(Not(_)))
+    def genEntries: Gen[Seq[(String, Any)]] = for {
+      n <- Gen.choose(1, cols.length)
+      ks <- Gen.pick(n, cols)
+      vs <- Gen.listOfN(n, genObjLit)
+    } yield ks.toSeq.zip(vs)
+    val genInsert: Gen[Mutations.Mutation] = for {
+      t <- Gen.oneOf(tables)
+      nr <- Gen.choose(1, 3)
+      rows <- Gen.listOfN(nr, genEntries)
+      oc <- Gen.oneOf[Gen[Option[Seq[String]]]](
+        Gen.const(None), Gen.const(Some(Nil)),
+        Gen.choose(1, 2).flatMap(n =>
+          Gen.pick(n, Seq("seg", "bal")).map(ps => Some(ps.toSeq))))
+        .flatMap(identity)
+    } yield Mutations.Insert(t, rows, updateColumns = oc)
+    val genUpdate: Gen[Mutations.Mutation] = for {
+      t <- Gen.oneOf(tables)
+      w <- genTree(2)
+      hasSet <- Gen.oneOf(true, false)
+      set <- if (hasSet) genEntries else Gen.const(Nil)
+      inc <- if (hasSet)
+        Gen.oneOf[Gen[Seq[(String, Any)]]](Gen.const(Nil), genEntries)
+          .flatMap(identity)
+      else genEntries
+    } yield Mutations.Update(t, w, set, inc)
+    val genDelete: Gen[Mutations.Mutation] =
+      for { t <- Gen.oneOf(tables); w <- genTree(2) }
+        yield Mutations.Delete(t, w)
+    val genDoc: Gen[Seq[Mutations.Mutation]] = for {
+      n <- Gen.choose(1, 4)
+      ms <- Gen.listOfN(n,
+        Gen.oneOf[Gen[Mutations.Mutation]](genInsert, genUpdate, genDelete)
+          .flatMap(identity))
+    } yield ms
+    var checked = 0
+    (1 to 400).foreach { seed =>
+      genDoc.apply(Gen.Parameters.default, rng.Seed(seed.toLong))
+        .foreach { ms =>
+          checked += 1
+          val text = GraphQl.renderMutations(ms)
+          assert(GraphQl.parseMutations(text) === Right(ms),
+            s"seed $seed did not round-trip:\n$text\n$ms")
+        }
+    }
+    assert(checked > 300, s"generator drought: only $checked samples")
+    // unrenderable shapes reject loudly, not drift
+    assertThrows[IllegalArgumentException](GraphQl.renderMutations(Seq(
+      Mutations.Insert("t", Seq(Seq("k" -> 1L)), upsert = true))))
+    assertThrows[IllegalArgumentException](GraphQl.renderMutations(Seq(
+      Mutations.Insert("t_one", Seq(Seq("k" -> 1L))))))
+    assertThrows[IllegalArgumentException](
+      GraphQl.renderMutations(Nil))
+  }
+
   test("q118 round-trip matches the SQL replay shape locally") {
     val out = GraphQl.q118MutationRoundTrip(spark, "/root/testdata/sf0.001")
     val bySeg = out.collect().map(r =>
