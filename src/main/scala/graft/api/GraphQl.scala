@@ -860,6 +860,11 @@ object GraphQl {
       at: String): Option[Seq[String]] =
     args.get("on_conflict").map {
       case VObj(fs) =>
+        // duplicate input-object fields are a GraphQL error; toMap's
+        // last-wins would silently drop an earlier update_columns list
+        val dups = fs.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+        if (dups.nonEmpty)
+          bad(s"$at.on_conflict: duplicate field(s) ${dups.mkString(", ")}")
         val m = fs.toMap
         (m.keySet -- Set("constraint", "update_columns")).toSeq.sorted
           .headOption.foreach(k =>
@@ -998,12 +1003,23 @@ object GraphQl {
     * renders as `null` (legal in objects, unlike `_eq` comparisons). */
   def renderMutations(ms: Seq[Mutations.Mutation]): String = {
     require(ms.nonEmpty, "render: empty mutation document")
+    // every bare identifier in the rendered text must BE a GraphQL
+    // name, or the output parses differently (an 'a b' column reads
+    // back as two enum values) — loud here, never drift
+    def gqlName(s: String, what: String): String = {
+      if (!s.matches("[_A-Za-z][_0-9A-Za-z]*"))
+        throw new IllegalArgumentException(
+          s"render: $what '$s' is not a GraphQL name — the rendered " +
+            "text would not parse back to this mutation")
+      s
+    }
     def mutLit(v: Any): String = v match {
       case null => "null"
       case other => renderLit(other)
     }
     def obj(entries: Seq[(String, Any)]): String =
-      entries.map { case (k, v) => s"$k: ${mutLit(v)}" }
+      entries.map { case (k, v) =>
+        s"${gqlName(k, "object field")}: ${mutLit(v)}" }
         .mkString("{", ", ", "}")
     val sb = new StringBuilder("mutation {\n")
     ms.foreach {
@@ -1017,19 +1033,22 @@ object GraphQl {
             s"render: table '$table' collides with the insert_<t>_one " +
               "spelling — the rendered field name would parse as a " +
               "single-object insert on a different table")
-        sb ++= s"  insert_$table(objects: ["
+        sb ++= s"  insert_${gqlName(table, "table")}(objects: ["
         sb ++= rows.map(obj).mkString(", ")
         sb ++= "]"
         updateCols.foreach(cols => sb ++=
-          s", on_conflict: {update_columns: [${cols.mkString(", ")}]}")
+          s", on_conflict: {update_columns: [${cols.map(
+            gqlName(_, "update_column")).mkString(", ")}]}")
         sb ++= ") { affected_rows }\n"
       case Mutations.Update(table, where, set, inc) =>
-        sb ++= s"  update_$table(where: ${renderBoolExp(where)}"
+        sb ++= s"  update_${gqlName(table, "table")}" +
+          s"(where: ${renderBoolExp(where)}"
         if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
         if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
         sb ++= ") { affected_rows }\n"
       case Mutations.Delete(table, where) =>
-        sb ++= s"  delete_$table(where: ${renderBoolExp(where)})"
+        sb ++= s"  delete_${gqlName(table, "table")}" +
+          s"(where: ${renderBoolExp(where)})"
         sb ++= " { affected_rows }\n"
     }
     (sb ++= "}").toString

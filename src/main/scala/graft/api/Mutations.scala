@@ -147,7 +147,10 @@ object Mutations {
               "exist (use an upsert insert for on-conflict overwrite)")
           }
           (mergeDelta(snapshot, delta, keyCol), rows.length.toLong)
-        case Some(cols) =>
+        case Some(cols0) =>
+          // a duplicated update_column is harmless semantically but
+          // would alias two __u_ columns into an ambiguous reference
+          val cols = cols0.distinct
           val sch = snapshot.schema
           cols.foreach { c =>
             require(sch.fieldNames.contains(c),
@@ -155,22 +158,37 @@ object Mutations {
             require(c != keyCol, s"insert_$table.on_conflict: the key " +
               "column cannot be an update_column")
           }
-          // every object must carry every update column — an absent one
-          // would silently NULL the stored value, the wrong-write shape
-          // this module rejects everywhere else
-          rows.foreach(r => cols.foreach(c =>
-            require(r.toMap.contains(c), s"insert_$table.on_conflict: " +
-              s"an object omits update_column '$c'")))
+          // which incoming keys clash is knowable cheaply — the objects
+          // list is a request payload, so collecting ITS clashing keys
+          // is bounded by the document, never the store
+          val clashKeys = delta.select(keyCol)
+            .join(snapshot.select(keyCol), Seq(keyCol), "left_semi")
+            .collect().map(_.get(0)).toSet
+          // only CONFLICTING rows must carry every update column (a
+          // fresh row legitimately omits one — it inserts with null,
+          // the documented absent-column behavior); for a clashing row
+          // an absent update column would silently NULL stored data
+          rows.foreach { r =>
+            val m = r.toMap
+            val ck = coerce(m(keyCol), sch(keyCol).dataType,
+              s"insert_$table.$keyCol")
+            if (clashKeys.contains(ck))
+              cols.foreach(c => require(m.contains(c),
+                s"insert_$table.on_conflict: the object for existing " +
+                  s"key $ck omits update_column '$c'"))
+          }
           val fresh = delta.join(snapshot.select(keyCol), Seq(keyCol),
             "left_anti")
-          val nFresh = fresh.count()
+          val nFresh = (rows.length - clashKeys.size).toLong
           if (cols.isEmpty)
             // DO NOTHING: conflicts skip and do not count (Hasura)
             (mergeDelta(snapshot, fresh, keyCol), nFresh)
           else {
             // on conflict: the listed columns take the incoming values,
             // the rest keep their stored ones — built as stored-row ⋈
-            // incoming-values so the merge delta carries full rows
+            // incoming-values so the merge delta carries full rows;
+            // unique keys on both sides make every row fresh XOR
+            // updated, so affected = the whole list, no extra action
             val d2 = delta.select(col(keyCol).as("__ck") +:
               cols.map(c => col(c).as(s"__u_$c")): _*)
             val updated = snapshot
@@ -179,7 +197,7 @@ object Mutations {
                 if (cols.contains(c)) col(s"__u_$c").as(c)
                 else snapshot(c)): _*)
             (mergeDelta(snapshot, fresh.unionByName(updated), keyCol),
-              nFresh + updated.count())
+              rows.length.toLong)
           }
       }
     case Update(table, where, set, inc) =>

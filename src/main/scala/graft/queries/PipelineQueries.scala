@@ -501,7 +501,7 @@ object PipelineQueries {
     val pairs = graft.operators.MultimodalOps.dhashNearDupPairs(hashes, 3)
     val verdicts =
       graft.operators.MultimodalOps.repostVerdicts(pairs, minMatches = 2)
-    val vids = videoFixtureBytes.map(_._1).toDF("key")
+    val vids = videoFixtures.map(_._1).toDF("key")
     hashDupClusters(s, vids, verdicts.select("a", "b"))
   }
 

@@ -168,14 +168,37 @@ class MutationsSpec extends SparkSpec {
     assert(n2 === 1L)
     assert(next2.filter(col("k") === 1).collect().head.getString(1) === "A")
     assert(next2.count() === 5)
-    // an object omitting an update_column would silently NULL the
-    // stored value — loud instead
+    // a CONFLICTING object omitting an update_column would silently
+    // NULL the stored value — loud instead
     val omit = intercept[IllegalArgumentException] {
       Mutations.applyMutation(snap, Mutations.Insert("t",
         Seq(Seq("k" -> 1L, "bal" -> 1.0)),
         updateColumns = Some(Seq("seg"))), "k")
     }
     assert(omit.getMessage.contains("omits update_column"))
+    // ...but a FRESH row may omit it: no stored value exists to lose,
+    // so it inserts with null (the documented absent-column behavior,
+    // and what Hasura does)
+    val (freshNext, nf) = Mutations.applyMutation(snap,
+      Mutations.Insert("t", Seq(Seq("k" -> 9L, "bal" -> 1.0)),
+        updateColumns = Some(Seq("seg"))), "k")
+    assert(nf === 1L)
+    assert(freshNext.filter(col("k") === 9).collect().head.isNullAt(1))
+    // duplicated update_columns collapse instead of aliasing into an
+    // ambiguous reference
+    val (_, nDup) = Mutations.applyMutation(snap,
+      Mutations.Insert("t", Seq(Seq("k" -> 1L, "seg" -> "D")),
+        updateColumns = Some(Seq("seg", "seg"))), "k")
+    assert(nDup === 1L)
+    // duplicate fields inside the on_conflict object are a parse
+    // error, not a silent last-wins policy swap
+    GraphQl.parseMutations(
+      """mutation { insert_t(objects: [{k: 1}],
+        |  on_conflict: {update_columns: [seg], update_columns: []}) {
+        |  affected_rows } }""".stripMargin) match {
+      case Left(m) => assert(m.contains("duplicate field"))
+      case Right(r) => fail(s"parsed: $r")
+    }
     // the key is never an update_column; policies are exclusive
     val keyUp = intercept[IllegalArgumentException] {
       Mutations.applyMutation(snap, Mutations.Insert("t",
@@ -337,6 +360,15 @@ class MutationsSpec extends SparkSpec {
       Mutations.Insert("t_one", Seq(Seq("k" -> 1L))))))
     assertThrows[IllegalArgumentException](
       GraphQl.renderMutations(Nil))
+    // a non-Name identifier would parse back DIFFERENTLY (an 'a b'
+    // column reads as two enums) — loud, never a drifted Right
+    assertThrows[IllegalArgumentException](GraphQl.renderMutations(Seq(
+      Mutations.Insert("t", Seq(Seq("k" -> 1L)),
+        updateColumns = Some(Seq("a b"))))))
+    assertThrows[IllegalArgumentException](GraphQl.renderMutations(Seq(
+      Mutations.Insert("t", Seq(Seq("bad key" -> 1L))))))
+    assertThrows[IllegalArgumentException](GraphQl.renderMutations(Seq(
+      Mutations.Delete("no-table", Eq("k", 1L)))))
   }
 
   test("q118 round-trip matches the SQL replay shape locally") {
