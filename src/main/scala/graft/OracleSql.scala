@@ -1058,6 +1058,15 @@ object OracleSql {
         |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
         |       ROUND(SUM(c_acctbal), 2) AS bal
         |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q121: the root <table>_aggregate read — Hasura's whole-table
+    // aggregate, all three count forms + sum/min/max, spelled natively
+    "q121_root_aggregate" ->
+      """SELECT COUNT(*)::BIGINT AS count,
+        |       COUNT(DISTINCT o_custkey)::BIGINT AS n_cust,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+        |       MIN(o_totalprice) AS min_o_totalprice,
+        |       MAX(o_totalprice) AS max_o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     // q120: the on_conflict upsert — key 3's segment updates but its
     // BALANCE keeps the stored value (the replay reads the original
     // c_acctbal, so an engine overwriting it with the incoming 500.0

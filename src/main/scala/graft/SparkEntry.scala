@@ -141,6 +141,7 @@ object SparkEntry {
     "q118_mutation_roundtrip" -> (graft.api.GraphQl.q118MutationRoundTrip(_, _)),
     "q119_video_dup_clusters" -> (P.q119VideoDupClusters(_, _)),
     "q120_upsert_roundtrip" -> (graft.api.GraphQl.q120UpsertRoundTrip(_, _)),
+    "q121_root_aggregate" -> (graft.api.GraphQl.q121RootAggregate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

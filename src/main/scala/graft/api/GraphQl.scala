@@ -551,13 +551,48 @@ object GraphQl {
     NestedField(alias.getOrElse(field), field, fmt, cast)
   }
 
+  /** The RELATIONSHIP count arm: bare `count`, counting the child KEY —
+    * within a per-parent group the key is never null, so it equals
+    * Hasura's row count. Takes no arguments. */
+  private def relCount(childKey: String, at: String)
+      (alias: Option[String], cargs: Map[String, V]): AggField = {
+    checkArgs(cargs, Set.empty, s"$at.count")
+    CountOf(childKey, alias.getOrElse("count"))
+  }
+
+  /** The ROOT count arm: `count`, `count(columns: c)`,
+    * `count(columns: c, distinct: true)` — Hasura's root-aggregate
+    * count forms. */
+  private def rootCount(at: String)
+      (alias: Option[String], cargs: Map[String, V]): AggField = {
+    checkArgs(cargs, Set("columns", "distinct"), s"$at.count")
+    val column = cargs.get("columns").map {
+      case VEnum(c) => c
+      case VLit(s: String) => s
+      case _ => bad(s"$at.count.columns: expected a column name")
+    }
+    val distinct = cargs.get("distinct") match {
+      case Some(VLit(b: Boolean)) => b
+      case None => false
+      case _ => bad(s"$at.count.distinct: expected a boolean")
+    }
+    (column, distinct) match {
+      case (None, false) => CountAll(alias.getOrElse("count"))
+      case (None, true) =>
+        bad(s"$at.count: distinct needs columns")
+      case (Some(c), false) => CountOf(c, alias.getOrElse("count"))
+      case (Some(c), true) => CountDistinctOf(c, alias.getOrElse("count"))
+    }
+  }
+
   /** `aggregate { count sum { f } min { f } ... }` inside an
     * `*_aggregate` selection. Output naming follows Hasura's response
     * shape flattened: `count`, `sum_f`, `min_f`, … unless aliased.
-    * `count` counts the child KEY — within a per-parent group the key
-    * is never null, so it equals Hasura's row count. */
-  private def compileAggFields(p: P, childKey: String,
-      at: String): Seq[AggField] = {
+    * The count arm is the caller's — relationships count the child
+    * key, the root serves Hasura's columns/distinct forms. */
+  private def compileAggFields(p: P, at: String,
+      countArm: (Option[String], Map[String, V]) => AggField)
+      : Seq[AggField] = {
     p.expect('{')
     val aggs = Seq.newBuilder[AggField]
     while (!p.isPunct('}')) {
@@ -566,7 +601,7 @@ object GraphQl {
         if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("fn")) }
         else (None, first)
       fn match {
-        case "count" => aggs += CountOf(childKey, alias.getOrElse("count"))
+        case "count" => aggs += countArm(alias, parseArgs(p))
         case "sum" | "min" | "max" | "avg" | "stddev" | "stddev_samp" |
             "stddev_pop" | "variance" | "var_samp" | "var_pop" =>
           p.expect('{')
@@ -773,8 +808,8 @@ object GraphQl {
             var aggs: Seq[AggField] = Nil
             while (!p.isPunct('}')) {
               p.name("aggregate body") match {
-                case "aggregate" => aggs = compileAggFields(p, rel.childKey,
-                  fname)
+                case "aggregate" => aggs = compileAggFields(p, fname,
+                  relCount(rel.childKey, fname))
                 case other => bad(s"$fname: expected 'aggregate', got '$other'")
               }
             }
@@ -830,6 +865,73 @@ object GraphQl {
         nested = nested.result(),
         aggRels = aggRels.result(),
         distinctOn = distinctOn))
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
+    }
+
+  // ---- root aggregates -----------------------------------------------
+
+  /** Parse a ROOT `<table>_aggregate` document — Hasura's
+    * whole-table-aggregate query (`{ orders_aggregate(where: ...) {
+    * aggregate { count sum { f } } } }`), the read surface its
+    * relationship twin doesn't cover: aggregates over the filtered
+    * table itself. The count arm serves Hasura's argument forms
+    * (`count`, `count(columns: c)`, `count(columns: c, distinct:
+    * true)`); the field family (sum/min/max/avg/stddev/variance) is
+    * the shared relationship grammar. Operation variables work as in
+    * [[parse]]; the `subscription` keyword is accepted (a live
+    * aggregate re-evaluates per trigger). Never throws. */
+  def parseRootAggregate(query: String, variables: String = "{}")
+      : Either[String, QueryBuilder.AggRequest] =
+    try {
+      val vars = jsonVars(variables)
+      val (opToks, frags) = extractFragments(tokenize(query))
+      if (frags.nonEmpty)
+        bad("fragments are not supported in aggregate documents")
+      val p = new P(opToks)
+      p.peek match {
+        case Name("query" | "subscription", _) =>
+          p.next()
+          p.peek match { case Name(_, _) => p.next(); case _ => () }
+          parseOpVariables(p, vars)
+        case _ =>
+          vars.keySet.toSeq.sorted.headOption.foreach(k =>
+            bad(s"variables.$k bound but not declared by the operation"))
+      }
+      p.expect('{')
+      val root = p.name("root aggregate field")
+      if (!root.endsWith("_aggregate"))
+        bad(s"$root: expected <table>_aggregate " +
+          "(plain reads go through parse)")
+      val table = root.stripSuffix("_aggregate")
+      val args = parseArgs(p)
+      checkArgs(args, Set("where"), root)
+      val where = args.get("where").map(compileBool(_, s"$root.where"))
+      p.expect('{')
+      var aggs: Seq[AggField] = Nil
+      while (!p.isPunct('}')) {
+        p.name("aggregate body") match {
+          case "aggregate" =>
+            aggs = compileAggFields(p, root, rootCount(root))
+          case other =>
+            bad(s"$root: expected 'aggregate', got '$other' " +
+              "(nodes are the plain read's job)")
+        }
+      }
+      p.expect('}')
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped filter returns wrong rows silently"))
+      Right(QueryBuilder.AggRequest(table, where, aggs))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1170,6 +1272,10 @@ object GraphQl {
         if (roundTo != 4) unrenderable(s"variance round=$roundTo")
         if (pop) fieldFn("var_pop", Seq("var_pop"), f, as)
         else fieldFn("var_samp", Seq("var_samp", "variance"), f, as)
+      case CountAll(_) | CountDistinctOf(_, _) =>
+        // relationship count parses to CountOf(childKey); these forms
+        // exist only at the root (parseRootAggregate)
+        unrenderable("root-aggregate count form inside a relationship")
     }
   }
 
@@ -1282,6 +1388,34 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q100 GraphQL query failed to parse: $m")
+    }
+
+  /** q121's document — the root-aggregate read surface: all three
+    * count forms + the field family over a variable-filtered table. */
+  val q121Query: String =
+    """query OrdersRollup($st: String!) {
+      |  orders_aggregate(where: {o_orderstatus: {_eq: $st}}) {
+      |    aggregate {
+      |      count
+      |      n_cust: count(columns: o_custkey, distinct: true)
+      |      sum { o_totalprice }
+      |      min { o_totalprice }
+      |      max { o_totalprice }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q121 — Hasura's root `<table>_aggregate` query under the oracle
+    * gate: one filtered scan + one two-phase global aggregate (the
+    * partials run map-side; the exchange carries a row per partition).
+    * count / count(columns, distinct) / sum / min / max replayed
+    * natively in DuckDB. */
+  def q121RootAggregate(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseRootAggregate(q121Query, """{"st": "O"}""") match {
+      case Right(r) => QueryBuilder.runAggregate(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q121 aggregate failed to parse: $m")
     }
 
   /** q118's mutation document — the WRITE surface arriving as GraphQL

@@ -173,6 +173,19 @@ object QueryBuilder {
     private[api] def agg(child: DataFrame): Column = count(child(field)).as(as)
     override private[api] def post(c: Column): Column = coalesce(c, lit(0L))
   }
+  /** Plain row count — Hasura's root-aggregate `count` (COUNT(*)); at
+    * the root there is no child key to stand in for it. */
+  final case class CountAll(as: String = "count") extends AggField {
+    private[api] def agg(child: DataFrame): Column = count(lit(1)).as(as)
+    override private[api] def post(c: Column): Column = coalesce(c, lit(0L))
+  }
+  /** Hasura's `count(columns: c, distinct: true)`. */
+  final case class CountDistinctOf(field: String, as: String)
+      extends AggField {
+    private[api] def agg(child: DataFrame): Column =
+      countDistinct(child(field)).as(as)
+    override private[api] def post(c: Column): Column = coalesce(c, lit(0L))
+  }
   final case class SumOf(field: String, as: String, roundTo: Int = 2)
       extends AggField {
     private[api] def agg(child: DataFrame): Column = sum(child(field)).as(as)
@@ -263,6 +276,33 @@ object QueryBuilder {
         orderBy.take(distinctOn.length).map(_.field) == distinctOn),
       s"request on '$table': order_by must lead with the distinct_on " +
         "columns and add a tie-breaking tail")
+  }
+
+  /** Hasura's ROOT-level `<table>_aggregate` query: aggregates over
+    * the (filtered) table itself, not over a child relationship —
+    * `{ orders_aggregate(where: ...) { aggregate { count sum {...} } } }`.
+    * Answers as ONE row of named aggregate columns (the response
+    * object flattened, the relationship-aggregate naming). */
+  final case class AggRequest(table: String,
+      where: Option[BoolExp] = None, aggs: Seq[AggField]) {
+    require(aggs.nonEmpty, s"aggregate request on '$table' selects " +
+      "no aggregates")
+    require(aggs.map(_.as).distinct.length == aggs.length,
+      s"aggregate request on '$table': duplicate output name(s) " +
+        aggs.map(_.as).groupBy(identity).filter(_._2.size > 1)
+          .keys.mkString(", "))
+  }
+
+  /** Compile + run a root aggregate request: one filter (predicates
+    * push to the scan) + one two-phase global aggregate — the partial
+    * side runs map-side, so the exchange carries one row per
+    * partition, the cheapest query shape there is at any scale. */
+  def runAggregate(s: SparkSession, dir: String, r: AggRequest): DataFrame = {
+    val base = graft.Tables.load(s, dir, r.table)
+    val f = r.where.map(w => base.filter(w.toColumn)).getOrElse(base)
+    val cols = r.aggs.map(_.agg(f))
+    f.agg(cols.head, cols.tail: _*)
+      .select(r.aggs.map(a => a.post(col(a.as)).as(a.as)): _*)
   }
 
   /** Apply a relationship's per-parent row slice: `distinct_on`
