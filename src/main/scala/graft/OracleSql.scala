@@ -1083,6 +1083,31 @@ object OracleSql {
         |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
         |       ROUND(SUM(c_acctbal), 2) AS bal
         |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q122: the by_pk point lookup — one key, the same columns
+    "q122_by_pk_read" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey = 7""".stripMargin,
+    // q123: by_pk mutations — pk_columns update (CASE) + by_pk delete
+    // (WHERE NOT), read back per segment like q118
+    "q123_by_pk_mutations" ->
+      """WITH mutated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey = 3 THEN 'VIP'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN c_custkey = 3 THEN c_acctbal + 50.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey <> 5)
+        |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q124: the returning rows themselves — every negative-balance
+    // customer INCLUDING the row the same document inserted (mid-
+    // document visibility), at the post-_inc balance
+    "q124_mutation_returning" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer
+        |              UNION ALL SELECT 99903, -10.0)
+        |SELECT c_custkey, ROUND(c_acctbal + 1000.0, 2) AS bal
+        |FROM base WHERE c_acctbal < 0.0 ORDER BY c_custkey""".stripMargin,
     // q110: cross-modal soundtrack match — ground truth over the UNION
     // of the recording and video pinned sets, side-split (recording
     // keys never start with 'av')

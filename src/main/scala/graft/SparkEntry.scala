@@ -142,6 +142,10 @@ object SparkEntry {
     "q119_video_dup_clusters" -> (P.q119VideoDupClusters(_, _)),
     "q120_upsert_roundtrip" -> (graft.api.GraphQl.q120UpsertRoundTrip(_, _)),
     "q121_root_aggregate" -> (graft.api.GraphQl.q121RootAggregate(_, _)),
+    "q122_by_pk_read" -> (graft.api.GraphQl.q122ByPkRead(_, _)),
+    "q123_by_pk_mutations" -> (graft.api.GraphQl.q123ByPkMutations(_, _)),
+    "q124_mutation_returning" ->
+      (graft.api.GraphQl.q124MutationReturning(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -56,8 +56,13 @@ object GraphQl {
   final case class Rel(childTable: String, childKey: String,
       parentKey: String)
 
-  /** Tracked relationships, keyed by (parentTable, fieldName). */
-  final case class Schema(rels: Map[(String, String), Rel])
+  /** Tracked relationships, keyed by (parentTable, fieldName), plus the
+    * tracked PRIMARY KEY per table — what Hasura reads from Postgres
+    * metadata to generate each table's `<table>_by_pk` field (the
+    * argument is named after the key column). A table absent from
+    * `keys` has no by_pk field, exactly like an untracked PK there. */
+  final case class Schema(rels: Map[(String, String), Rel],
+      keys: Map[String, String] = Map.empty)
 
   /** The fixture tables' FK edges (SURVEY §3) — what "tracking" every
     * relationship in the reference's schema would produce. */
@@ -66,7 +71,11 @@ object GraphQl {
     ("orders", "items") -> Rel("lineitem", "l_orderkey", "o_orderkey"),
     ("nation", "suppliers") -> Rel("supplier", "s_nationkey", "n_nationkey"),
     ("nation", "customers") -> Rel("customer", "c_nationkey", "n_nationkey"),
-    ("supplier", "parts") -> Rel("part", "p_partkey", "s_suppkey")))
+    ("supplier", "parts") -> Rel("part", "p_partkey", "s_suppkey")),
+    keys = Map(
+      "customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "nation" -> "n_nationkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "region" -> "r_regionkey"))
 
   // ---- tokenizer -----------------------------------------------------
 
@@ -773,11 +782,31 @@ object GraphQl {
             bad(s"variables.$k bound but not declared by the operation"))
       }
       p.expect('{')
-      val table = p.name("root table")
+      val rootName = p.name("root table")
+      // Hasura's `<table>_by_pk(<pkcol>: v)` single-object field: one
+      // argument named after the TRACKED key column, compiling to an
+      // equality filter (a true key yields at most one row, so no
+      // limit is needed — the plan stays a pushed-down point lookup)
+      val isByPk = rootName.endsWith("_by_pk")
+      val table = if (isByPk) rootName.stripSuffix("_by_pk") else rootName
       val args = parseArgs(p)
-      checkArgs(args,
-        Set("where", "order_by", "limit", "offset", "distinct_on"), table)
-      val distinctOn = distinctOnArg(args, table)
+      val byPkWhere: Option[BoolExp] =
+        if (isByPk) {
+          val pk = schema.keys.getOrElse(table,
+            bad(s"$rootName: no tracked primary key for '$table'"))
+          checkArgs(args, Set(pk), rootName)
+          val v = args.getOrElse(pk,
+            bad(s"$rootName: argument $pk is required"))
+          Some(compileBool(VObj(Seq(pk -> VObj(Seq("_eq" -> v)))),
+            rootName))
+        } else {
+          checkArgs(args,
+            Set("where", "order_by", "limit", "offset", "distinct_on"),
+            table)
+          None
+        }
+      val distinctOn =
+        if (isByPk) Seq.empty[String] else distinctOnArg(args, table)
       p.expect('{')
       val fields = Seq.newBuilder[String]
       val nested = Seq.newBuilder[Nested]
@@ -857,7 +886,7 @@ object GraphQl {
       Right(Request(
         table = table,
         fields = fields.result(),
-        where = args.get("where").map(compileBool(_, "where")),
+        where = byPkWhere.orElse(args.get("where").map(compileBool(_, "where"))),
         orderBy = args.get("order_by")
           .map(compileOrders(_, "order_by")).getOrElse(Nil),
         offset = intArg(args, "offset", table).getOrElse(0),
@@ -987,16 +1016,56 @@ object GraphQl {
       case _ => bad(s"$at.on_conflict: expected an object")
     }
 
+  /** One pk_columns-style equality: the argument object names the key
+    * column explicitly (Hasura's by_pk shape), so no schema is needed
+    * on the write path. */
+  private def byPkWhere(v: V, at: String): QueryBuilder.BoolExp = {
+    val pairs = objEntries(v, at)
+    if (pairs.length != 1)
+      bad(s"$at: exactly one key column (this engine's stores are " +
+        "single-key)")
+    val (pkCol, pkVal) = pairs.head
+    if (pkVal == null) bad(s"$at.$pkCol: the key cannot be null")
+    QueryBuilder.Eq(pkCol, pkVal)
+  }
+
+  /** → (mutation, single): `single` marks the by_pk verbs, whose
+    * response is the row object rather than `{ affected_rows }`. */
   private def compileMutation(fname: String,
-      args: Map[String, V]): Mutations.Mutation =
+      args: Map[String, V]): (Mutations.Mutation, Boolean) =
     if (fname.startsWith("insert_") && fname.endsWith("_one")) {
       // Hasura's single-object spelling: insert_<t>_one(object: {...})
       val table = fname.stripPrefix("insert_").stripSuffix("_one")
       checkArgs(args, Set("object", "on_conflict"), fname)
       val row = objEntries(args.getOrElse("object",
         bad(s"$fname: object is required")), s"$fname.object")
-      Mutations.Insert(table, Seq(row),
-        updateColumns = onConflictArg(args, fname))
+      (Mutations.Insert(table, Seq(row),
+        updateColumns = onConflictArg(args, fname)), false)
+    } else if (fname.startsWith("update_") && fname.endsWith("_by_pk")) {
+      // update_<t>_by_pk(pk_columns: {<pk>: v}, _set/_inc) → one-row
+      // update; the response is the post-update row (or null)
+      val table = fname.stripPrefix("update_").stripSuffix("_by_pk")
+      checkArgs(args, Set("pk_columns", "_set", "_inc"), fname)
+      val where = byPkWhere(args.getOrElse("pk_columns",
+        bad(s"$fname: pk_columns is required")), s"$fname.pk_columns")
+      val set = args.get("_set").map(objEntries(_, s"$fname._set"))
+        .getOrElse(Nil)
+      val inc = args.get("_inc").map(objEntries(_, s"$fname._inc"))
+        .getOrElse(Nil)
+      if (set.isEmpty && inc.isEmpty) bad(s"$fname: needs _set and/or _inc")
+      (Mutations.Update(table, where, set, inc), true)
+    } else if (fname.startsWith("delete_") && fname.endsWith("_by_pk")) {
+      // delete_<t>_by_pk(<pk>: v) — the single argument IS the key
+      // column (Hasura names it after the PK); response = the deleted
+      // row's prior values (or null)
+      val table = fname.stripPrefix("delete_").stripSuffix("_by_pk")
+      args.toSeq match {
+        case Seq((pkCol, v)) =>
+          val pkVal = litValue(v, s"$fname.$pkCol")
+          if (pkVal == null) bad(s"$fname.$pkCol: the key cannot be null")
+          (Mutations.Delete(table, QueryBuilder.Eq(pkCol, pkVal)), true)
+        case _ => bad(s"$fname: exactly one argument — the key column")
+      }
     } else if (fname.startsWith("insert_")) {
       val table = fname.stripPrefix("insert_")
       checkArgs(args, Set("objects", "on_conflict"), fname)
@@ -1006,8 +1075,8 @@ object GraphQl {
         case o @ VObj(_) => Seq(objEntries(o, s"$fname.objects"))
         case _ => bad(s"$fname.objects: expected a list of objects")
       }
-      Mutations.Insert(table, rows,
-        updateColumns = onConflictArg(args, fname))
+      (Mutations.Insert(table, rows,
+        updateColumns = onConflictArg(args, fname)), false)
     } else if (fname.startsWith("update_")) {
       val table = fname.stripPrefix("update_")
       checkArgs(args, Set("where", "_set", "_inc"), fname)
@@ -1021,15 +1090,15 @@ object GraphQl {
         .getOrElse(Nil)
       if (set.isEmpty && inc.isEmpty)
         bad(s"$fname: needs _set and/or _inc")
-      Mutations.Update(table, where, set, inc)
+      (Mutations.Update(table, where, set, inc), false)
     } else if (fname.startsWith("delete_")) {
       val table = fname.stripPrefix("delete_")
       checkArgs(args, Set("where"), fname)
-      Mutations.Delete(table, compileBool(args.getOrElse("where",
+      (Mutations.Delete(table, compileBool(args.getOrElse("where",
         bad(s"$fname: where is required — Hasura's own rule")),
-        s"$fname.where"))
+        s"$fname.where")), false)
     } else bad(s"unknown mutation field '$fname' " +
-      "(insert_/update_/delete_<table>, insert_<table>_one)")
+      "(insert_/update_/delete_<table>[_by_pk], insert_<table>_one)")
 
   /** Parse a GraphQL MUTATION document — Hasura's auto-generated write
     * surface over the tracked tables (`insert_<t>(objects: [...])`,
@@ -1045,6 +1114,27 @@ object GraphQl {
     * variables work exactly as in [[parse]]. Never throws. */
   def parseMutations(doc: String, variables: String = "{}")
       : Either[String, Seq[Mutations.Mutation]] =
+    parseMutationFields(doc, variables).flatMap { fields =>
+      fields.find(f => f.returning.isDefined) match {
+        case Some(f) => Left(s"mutation on '${f.m.table}': this entry " +
+          "point serves affected_rows-only documents — parse " +
+          "returning/by_pk responses with parseMutationFields")
+        case None => Right(fields.map(_.m))
+      }
+    }
+
+  /** The FULL mutation grammar → [[Mutations.Field]]s: every verb
+    * [[parseMutations]] serves plus Hasura's response shapes —
+    * `returning { cols }` next to `affected_rows` on the plain verbs
+    * (the rows as written; delete returns the removed rows' prior
+    * values), `update_<t>_by_pk(pk_columns: {<pk>: v}, _set/_inc)` and
+    * `delete_<t>_by_pk(<pk>: v)` whose selection is the row's columns
+    * directly (one nullable object), and `insert_<t>_one` selecting
+    * either shape. Mid-document visibility is Hasura's: each returning
+    * materializes at its step ([[Mutations.applyFields]]). Never
+    * throws. */
+  def parseMutationFields(doc: String, variables: String = "{}")
+      : Either[String, Seq[Mutations.Field]] =
     try {
       val vars = jsonVars(variables)
       val (opToks, frags) = extractFragments(tokenize(doc))
@@ -1060,18 +1150,54 @@ object GraphQl {
           "go through parse)")
       }
       p.expect('{')
-      val out = Seq.newBuilder[Mutations.Mutation]
+      val out = Seq.newBuilder[Mutations.Field]
       while (!p.isPunct('}')) {
         val fname = p.name("mutation field")
         val args = parseArgs(p)
+        val (m, byPk) = compileMutation(fname, args)
+        val isOne = fname.startsWith("insert_") && fname.endsWith("_one")
         p.expect('{')
-        p.name("selection") match {
-          case "affected_rows" => ()
-          case other => bad(s"$fname: only affected_rows is served " +
-            s"(got '$other'; returning would re-read mid-document state)")
+        var sawAffected = false
+        var returning: Option[Seq[String]] = None
+        var single = byPk
+        if (byPk) {
+          // the by_pk response IS the row (no affected_rows field in
+          // Hasura's by_pk types): scalar column selections only
+          val cols = Seq.newBuilder[String]
+          while (!p.isPunct('}')) cols += p.name(s"$fname column")
+          val cs = cols.result()
+          if (cs.isEmpty) bad(s"$fname: empty selection set")
+          returning = Some(cs)
+        } else {
+          while (!p.isPunct('}')) {
+            p.name("selection") match {
+              case "affected_rows" => sawAffected = true
+              case "returning" =>
+                if (returning.isDefined) bad(s"$fname: duplicate returning")
+                p.expect('{')
+                val cols = Seq.newBuilder[String]
+                while (!p.isPunct('}')) cols += p.name("returning column")
+                p.expect('}')
+                val cs = cols.result()
+                if (cs.isEmpty)
+                  bad(s"$fname.returning: empty selection set")
+                returning = Some(cs)
+              case other if isOne && !sawAffected && returning.isEmpty =>
+                // Hasura's faithful insert_<t>_one response: the
+                // inserted row's columns directly
+                val cols = Seq.newBuilder[String]
+                cols += other
+                while (!p.isPunct('}')) cols += p.name(s"$fname column")
+                returning = Some(cols.result()); single = true
+              case other => bad(s"$fname: unknown selection '$other' " +
+                "(affected_rows / returning { cols })")
+            }
+          }
+          if (!sawAffected && returning.isEmpty)
+            bad(s"$fname: empty selection set")
         }
         p.expect('}')
-        out += compileMutation(fname, args)
+        out += Mutations.Field(m, returning, single)
       }
       p.expect('}')
       p.peek match {
@@ -1446,21 +1572,33 @@ object GraphQl {
   /** Shared engine of q118/q120: seed a customer snapshot store from
     * the parquet table, run a canned mutation document through the
     * full chain, read back and aggregate per segment. */
-  private def mutationRoundTrip(s: org.apache.spark.sql.SparkSession,
-      dir: String, tag: String, doc: String,
-      variables: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** Fresh per-tag snapshot store seeded from the customer table —
+    * the shared setup of every mutation round-trip query. */
+  private def freshStore(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String): String = {
     val path =
       s"/root/repo/target/tmp/${tag}_store_${s.sparkContext.applicationId}"
     val base = graft.Tables.load(s, dir, "customer")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
     graft.sources.SnapshotStore.write(base, path)
-    val muts = parseMutations(doc, variables) match {
-      case Right(ms) => ms
+    path
+  }
+
+  private def parsedFields(tag: String, doc: String,
+      variables: String): Seq[Mutations.Field] =
+    parseMutationFields(doc, variables) match {
+      case Right(fs) => fs
       case Left(m) => throw new IllegalStateException(
         s"canned $tag mutation failed to parse: $m")
     }
-    Mutations.applyToStore(s, path, "customer", "c_custkey", muts)
+
+  private def mutationRoundTrip(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String, doc: String,
+      variables: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = freshStore(s, dir, tag)
+    Mutations.applyFieldsToStore(s, path, "customer", "c_custkey",
+      parsedFields(tag, doc, variables))
     graft.sources.SnapshotStore.read(s, path)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
@@ -1497,4 +1635,81 @@ object GraphQl {
   def q120UpsertRoundTrip(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     mutationRoundTrip(s, dir, "q120", q120Mutation, "{}")
+
+  /** q122's document — Hasura's `<table>_by_pk(<pk>: v)` single-object
+    * read, with the key arriving as an operation variable the way
+    * clients ship it. */
+  val q122Query: String =
+    """query ($k: bigint!) {
+      |  customer_by_pk(c_custkey: $k) {
+      |    c_custkey c_name c_mktsegment c_acctbal
+      |  }
+      |}""".stripMargin
+
+  /** q122 — the by_pk point lookup: compiles to an equality filter on
+    * the TRACKED key column (argument name validated against the
+    * schema's key map), served through the same [[QueryBuilder.run]]
+    * plan as every read, so the filter reaches the parquet scan — at
+    * scale this is a pushed-down point lookup, not a table pass. */
+  def q122ByPkRead(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q122Query, variables = """{"k": 7}""") match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q122 GraphQL query failed to parse: $m")
+    }
+
+  /** q123's document — the by_pk WRITE verbs: a pk_columns update whose
+    * response selects the post-update row, and a delete_by_pk whose
+    * response selects the removed row's prior values. */
+  val q123Mutation: String =
+    """mutation {
+      |  update_customer_by_pk(pk_columns: {c_custkey: 3},
+      |                        _set: {c_mktsegment: "VIP"},
+      |                        _inc: {c_acctbal: 50.0}) {
+      |    c_custkey c_mktsegment c_acctbal
+      |  }
+      |  delete_customer_by_pk(c_custkey: 5) { c_custkey c_acctbal }
+      |}""".stripMargin
+
+  /** q123 — by_pk mutations under the oracle gate: key 3 re-segments
+    * and gains 50.0, key 5 tombstones; the read-back aggregate replays
+    * in DuckDB as CASE + WHERE NOT, exactly the q118 contract over the
+    * by_pk spellings. */
+  def q123ByPkMutations(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mutationRoundTrip(s, dir, "q123", q123Mutation, "{}")
+
+  /** q124's document — `returning` with MID-DOCUMENT visibility: the
+    * update's returning must include the row the SAME document just
+    * inserted (Hasura's in-transaction semantics), post-_inc. */
+  val q124Mutation: String =
+    """mutation {
+      |  insert_customer(objects: [{c_custkey: 99903,
+      |                             c_mktsegment: "RETFIX",
+      |                             c_acctbal: -10.0}]) { affected_rows }
+      |  update_customer(where: {c_acctbal: {_lt: 0.0}},
+      |                  _inc: {c_acctbal: 1000.0}) {
+      |    affected_rows
+      |    returning { c_custkey c_acctbal }
+      |  }
+      |}""".stripMargin
+
+  /** q124 — the returning surface itself is the query result: every
+    * negative-balance customer INCLUDING the freshly inserted 99903
+    * (an engine evaluating returning against pre-document state
+    * drops that row and hash-fails), each at its post-increment
+    * balance. Returned rows materialize at their step, before the
+    * store swap. */
+  def q124MutationReturning(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = freshStore(s, dir, "q124")
+    val results = Mutations.applyFieldsToStore(s, path, "customer",
+      "c_custkey", parsedFields("q124", q124Mutation, "{}"))
+    results(1).returning.getOrElse(throw new IllegalStateException(
+        "q124: the update field declared returning"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
 }

@@ -67,6 +67,23 @@ object Mutations {
   /** `delete_<table>(where: ...)` — compiled to tombstone rows. */
   final case class Delete(table: String, where: BoolExp) extends Mutation
 
+  /** One mutation FIELD of a document: the mutation plus its response
+    * shape. `returning = None` serves `{ affected_rows }` only;
+    * `Some(cols)` is Hasura's `returning { cols }` — for insert/update
+    * the written rows AS WRITTEN (post-set/inc, post-conflict-policy),
+    * for delete the removed rows' PRIOR values (Hasura returns what it
+    * deleted). `single = true` marks the `*_by_pk` spelling, whose
+    * response is one nullable object rather than a list — engine-side
+    * the rows are the same, the flag preserves the wire shape. */
+  final case class Field(m: Mutation,
+      returning: Option[Seq[String]] = None, single: Boolean = false)
+
+  /** One field's response: the count, plus the returned rows when the
+    * field selected `returning` (already materialized — the rows
+    * reflect THIS step's state even after later mutations fold on). */
+  final case class FieldResult(affected: Long,
+      returning: Option[DataFrame])
+
   /** One latest-wins merge step: current rows at seq 0, the delta at
     * seq 1 — the delta wins per key without computing a global max
     * sequence. `deleted` is consumed by the merge (tombstones drop). */
@@ -123,7 +140,16 @@ object Mutations {
   /** Apply one mutation to the current snapshot → (next snapshot,
     * affected_rows). Eager: the count is the mutation's response. */
   def applyMutation(snapshot: DataFrame, m: Mutation,
-      keyCol: String): (DataFrame, Long) = m match {
+      keyCol: String): (DataFrame, Long) = {
+    val (next, n, _) = applyMutationFull(snapshot, m, keyCol)
+    (next, n)
+  }
+
+  /** [[applyMutation]] plus the AFFECTED ROWS themselves — what a
+    * `returning` selection serves: insert/update rows as written,
+    * delete rows' prior values. */
+  private def applyMutationFull(snapshot: DataFrame, m: Mutation,
+      keyCol: String): (DataFrame, Long, DataFrame) = m match {
     case Insert(table, rows, upsert, updateCols) =>
       // every object must carry a non-null key (a null-key row would
       // slide past the equi-join clash check and tie nondeterministic-
@@ -146,7 +172,7 @@ object Mutations {
             require(clash == 0, s"insert_$table: $clash key(s) already " +
               "exist (use an upsert insert for on-conflict overwrite)")
           }
-          (mergeDelta(snapshot, delta, keyCol), rows.length.toLong)
+          (mergeDelta(snapshot, delta, keyCol), rows.length.toLong, delta)
         case Some(cols0) =>
           // a duplicated update_column is harmless semantically but
           // would alias two __u_ columns into an ambiguous reference
@@ -182,7 +208,7 @@ object Mutations {
           val nFresh = (rows.length - clashKeys.size).toLong
           if (cols.isEmpty)
             // DO NOTHING: conflicts skip and do not count (Hasura)
-            (mergeDelta(snapshot, fresh, keyCol), nFresh)
+            (mergeDelta(snapshot, fresh, keyCol), nFresh, fresh)
           else {
             // on conflict: the listed columns take the incoming values,
             // the rest keep their stored ones — built as stored-row ⋈
@@ -196,8 +222,9 @@ object Mutations {
               .select(snapshot.columns.toSeq.map(c =>
                 if (cols.contains(c)) col(s"__u_$c").as(c)
                 else snapshot(c)): _*)
-            (mergeDelta(snapshot, fresh.unionByName(updated), keyCol),
-              rows.length.toLong)
+            val written = fresh.unionByName(updated)
+            (mergeDelta(snapshot, written, keyCol), rows.length.toLong,
+              written)
           }
       }
     case Update(table, where, set, inc) =>
@@ -218,11 +245,11 @@ object Mutations {
         df.withColumn(c, typed(c, v, "_set")) }
       val delta = inc.foldLeft(withSet) { case (df, (c, v)) =>
         df.withColumn(c, (col(c) + typed(c, v, "_inc")).cast(sch(c).dataType)) }
-      (mergeDelta(snapshot, delta, keyCol), delta.count())
+      (mergeDelta(snapshot, delta, keyCol), delta.count(), delta)
     case Delete(table, where) =>
-      val doomed = snapshot.filter(where.toColumn)
-        .withColumn("deleted", lit(true))
-      (mergeDelta(snapshot, doomed, keyCol), doomed.count())
+      val victims = snapshot.filter(where.toColumn)
+      val doomed = victims.withColumn("deleted", lit(true))
+      (mergeDelta(snapshot, doomed, keyCol), doomed.count(), victims)
   }
 
   /** Apply a mutation document in order → (final snapshot, per-field
@@ -232,10 +259,31 @@ object Mutations {
     * would re-execute all k-1 prior merges — and the final store write
     * the whole chain again (quadratic scans of the base snapshot). */
   def applyAll(snapshot: DataFrame, ms: Seq[Mutation],
-      keyCol: String): (DataFrame, Seq[Long]) =
-    ms.foldLeft((snapshot, Seq.empty[Long])) { case ((cur, counts), m) =>
-      val (next, n) = applyMutation(cur, m, keyCol)
-      (next.localCheckpoint(true), counts :+ n)
+      keyCol: String): (DataFrame, Seq[Long]) = {
+    val (next, rs) = applyFields(snapshot, ms.map(Field(_)), keyCol)
+    (next, rs.map(_.affected))
+  }
+
+  /** Apply a mutation document of [[Field]]s in order → (final
+    * snapshot, per-field results). `returning` selections are
+    * materialized AT THEIR STEP (each sees every prior mutation's
+    * writes and none of the later ones — Hasura's in-transaction
+    * visibility), so the caller can consume them after the fold.
+    * Returned rows are bounded by each mutation's affected set, the
+    * same cost Hasura's `returning` pays. */
+  def applyFields(snapshot: DataFrame, fields: Seq[Field],
+      keyCol: String): (DataFrame, Seq[FieldResult]) =
+    fields.foldLeft((snapshot, Seq.empty[FieldResult])) {
+      case ((cur, rs), f) =>
+        val (next, n, rows) = applyMutationFull(cur, f.m, keyCol)
+        val ret = f.returning.map { cols =>
+          val have = rows.columns.toSet
+          val missing = cols.filterNot(have)
+          require(missing.isEmpty, s"returning: unknown column(s) " +
+            missing.mkString(", "))
+          rows.select(cols.map(col): _*).localCheckpoint(true)
+        }
+        (next.localCheckpoint(true), rs :+ FieldResult(n, ret))
     }
 
   /** Apply a mutation document against a PERSISTED snapshot store:
@@ -246,15 +294,26 @@ object Mutations {
     * must target it (a multi-table document routed to one store would
     * silently write the wrong rows). Returns per-field affected_rows. */
   def applyToStore(spark: SparkSession, path: String, table: String,
-      keyCol: String, ms: Seq[Mutation]): Seq[Long] = {
-    val stray = ms.map(_.table).filterNot(_ == table).distinct
+      keyCol: String, ms: Seq[Mutation]): Seq[Long] =
+    applyFieldsToStore(spark, path, table, keyCol, ms.map(Field(_)))
+      .map(_.affected)
+
+  /** [[applyToStore]] for a document of [[Field]]s — the returning
+    * DataFrames are localCheckpoint-materialized BEFORE the store
+    * rewrite, so they stay valid after the swap replaces the files
+    * they were computed from. */
+  def applyFieldsToStore(spark: SparkSession, path: String,
+      table: String, keyCol: String,
+      fields: Seq[Field]): Seq[FieldResult] = {
+    val stray = fields.map(_.m.table).filterNot(_ == table).distinct
     require(stray.isEmpty, s"store at $path holds '$table' but the " +
       s"document mutates ${stray.mkString(", ")}")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    AtomicSwap.recover(fs, path)
-    val (next, counts) = applyAll(SnapshotStore.read(spark, path), ms, keyCol)
-    AtomicSwap.rewrite(fs, path)(tmp => SnapshotStore.write(next, tmp))
-    counts
+    AtomicSwap.recover(hfs, path)
+    val (next, results) =
+      applyFields(SnapshotStore.read(spark, path), fields, keyCol)
+    AtomicSwap.rewrite(hfs, path)(tmp => SnapshotStore.write(next, tmp))
+    results
   }
 }

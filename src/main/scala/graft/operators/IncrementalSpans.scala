@@ -51,22 +51,14 @@ object IncrementalSpans {
     * re-appending a document would double-count its grams; replaying
     * the same `batchId` is safe and idempotent). */
   def append(docs: DataFrame, path: String, batchId: Long,
-      l: Int = DefaultL): Unit = {
-    val spark = docs.sparkSession
-    val prev = spark.conf.getOption(
-      "spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      gramDfDelta(docs, l)
-        .withColumn("batch", lit(batchId))
-        .write.partitionBy("batch").mode("overwrite").parquet(path)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+      l: Int = DefaultL): Unit =
+    // per-write option, not a session-conf flip: a concurrent write on
+    // the same session must never observe dynamic-overwrite mode
+    gramDfDelta(docs, l)
+      .withColumn("batch", lit(batchId))
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
 
   /** The merged corpus-wide gram-df table: sum of every delta. */
   def dfTable(spark: SparkSession, path: String): DataFrame = {

@@ -154,6 +154,7 @@ object MultimodalOps {
     def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
     var w = 0; var h = 0; var bitCount = 0; var compression = -1L
+    var palette: Array[Int] = null
     val raw = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     def walk(start: Int, end: Int, depth: Int): Unit = {
       // depth-capped: unbounded LIST nesting in a crafted file would
@@ -176,6 +177,21 @@ object MultimodalOps {
           h = u32le(b, pos + 16).toInt
           bitCount = u16le(b, pos + 22)
           compression = u32le(b, pos + 24)
+          if (bitCount == 8) {
+            // palettized stream: RGBQUAD table follows the 40-byte
+            // BITMAPINFOHEADER; biClrUsed==0 means "all 256", bounded
+            // by what the chunk actually holds
+            val declared = u32le(b, pos + 8 + 32).toInt
+            val n = math.min(math.min(
+              if (declared <= 0) 256 else declared, 256), (len - 40) / 4)
+            palette = Array.tabulate(256) { k =>
+              if (k < n) {
+                val p = pos + 8 + 40 + 4 * k
+                ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) |
+                  (b(p) & 0xff) // RGBQUAD is B,G,R,reserved
+              } else 0
+            }
+          }
         } else if ((id == "00db" || id == "00dc") && len > 0
           && pos + 8 + len <= b.length) {
           raw += java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
@@ -213,6 +229,14 @@ object MultimodalOps {
             Some(fi -> BinaryFunctions.encodePng(img))
           }
         }
+      } else if (compression == 1L && bitCount == 8 && w > 0 && h > 0 &&
+        palette != null) {
+        // BI_RLE8 (Microsoft RLE, the AVI 'mrle'/'MRLE' handler): 8-bit
+        // palettized with run-length frames that may be DELTAS painting
+        // onto the previous frame's canvas — decode sequentially with a
+        // persistent canvas, snapshot only the sampled indices
+        if (w.toLong * h > (1L << 24)) return None
+        decodeRle8Frames(raw.toSeq, picked, w, h, palette)
       } else {
         // MJPEG (and any codec whose chunk payloads are plain JPEGs —
         // fourcc 'MJPG' or otherwise): each sampled frame that sniffs
@@ -237,6 +261,68 @@ object MultimodalOps {
       }
     if (out.isEmpty) None else Some(out)
   } catch { case _: Exception => None }
+
+  /** BI_RLE8 frame-sequence decode (public Windows BMP/AVI RLE8 wire
+    * format): byte pairs `(count, index)` paint runs; `count == 0`
+    * escapes to `0`=end-of-line, `1`=end-of-bitmap, `2`=delta (skip
+    * `(dx, dy)` — the mechanism delta frames use to leave pixels from
+    * the PREVIOUS frame in place), `n>=3`=absolute mode (n literal
+    * indices, word-aligned). Rows are bottom-up like every DIB. The
+    * canvas persists across frames, so a frame that only encodes its
+    * changed region composites correctly; out-of-bounds paints are
+    * clipped (untrusted bytes must not throw past the walk). */
+  private def decodeRle8Frames(frames: Seq[Array[Byte]], picked: Seq[Int],
+      w: Int, h: Int, pal: Array[Int]): Seq[(Int, Array[Byte])] = {
+    val canvas = new Array[Byte](w * h) // palette indices; row 0 = bottom
+    val wanted = picked.toSet
+    val last = picked.foldLeft(-1)(math.max)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    var fi = 0
+    while (fi <= last && fi < frames.length) {
+      val d = frames(fi)
+      var x = 0; var y = 0; var i = 0; var done = false
+      while (!done && i + 2 <= d.length) {
+        val c = d(i) & 0xff; val v = d(i + 1) & 0xff; i += 2
+        if (c > 0) {
+          var k = 0
+          while (k < c) {
+            if (x < w && y < h) canvas(y * w + x) = v.toByte
+            x += 1; k += 1
+          }
+        } else v match {
+          case 0 => x = 0; y += 1
+          case 1 => done = true
+          case 2 =>
+            if (i + 2 <= d.length) {
+              x += d(i) & 0xff; y += d(i + 1) & 0xff; i += 2
+            } else done = true
+          case n =>
+            var k = 0
+            while (k < n && i < d.length) {
+              if (x < w && y < h) canvas(y * w + x) = d(i)
+              x += 1; i += 1; k += 1
+            }
+            i += (n & 1) // absolute runs pad to a word boundary
+        }
+      }
+      if (wanted(fi)) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            img.setRGB(xx, yy, pal(canvas((h - 1 - yy) * w + xx) & 0xff))
+            xx += 1
+          }
+          yy += 1
+        }
+        out += fi -> BinaryFunctions.encodePng(img)
+      }
+      fi += 1
+    }
+    out.toSeq
+  }
 
   /** JPEG dimensions from the first SOFn marker (frame header: u16be
     * height then width) — the allocation guard for the MJPEG branch. */
@@ -305,6 +391,100 @@ object MultimodalOps {
         for (_ <- w * 3 until stride) bos.write(0) // pad row to 4 bytes
       }
       if ((frameLen & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
+  /** Minimal BI_RLE8 AVI writer: one 8-bit palettized video stream whose
+    * frames are Microsoft-RLE encoded — frame 0 as a run-length KEYFRAME
+    * (encoded mode + end-of-line), later frames as DELTAS that re-encode
+    * only the rows differing from the previous frame (delta-skip escape
+    * + absolute mode), exactly the layout the `mrle` handler produces.
+    * `frames` are full logical index canvases (top-down, w*h entries
+    * into `palette`); requires 3 <= w <= 255 so one absolute run covers
+    * a row. Deterministic fixture bytes for specs. */
+  def syntheticAviRle8(palette: Array[Int], frames: Seq[Array[Byte]],
+      w: Int, h: Int): Array[Byte] = {
+    require(w >= 3 && w <= 255 && h >= 1 && h <= 255, "fixture-sized only")
+    require(palette.length <= 256)
+    // encode one frame; prev == null → keyframe
+    def encode(cur: Array[Byte], prev: Array[Byte]): Array[Byte] = {
+      val eb = new java.io.ByteArrayOutputStream()
+      def rowAt(yb: Int): Int = (h - 1 - yb) * w // bottom-up row → canvas
+      if (prev == null) {
+        for (yb <- 0 until h) {
+          val r = rowAt(yb)
+          var x = 0
+          while (x < w) { // encoded mode: (runLen, index)
+            var run = 1
+            while (x + run < w && cur(r + x + run) == cur(r + x) &&
+              run < 255) run += 1
+            eb.write(run); eb.write(cur(r + x) & 0xff)
+            x += run
+          }
+          if (yb < h - 1) { eb.write(0); eb.write(0) } // EOL
+        }
+      } else {
+        val changed = (0 until h).filter { yb =>
+          val r = rowAt(yb)
+          !java.util.Arrays.equals(cur, r, r + w, prev, r, r + w)
+        }
+        var atY = 0 // decoder position after the previous op (x always 0)
+        for (yb <- changed) {
+          if (yb > atY) { // delta escape: skip untouched rows
+            eb.write(0); eb.write(2); eb.write(0); eb.write(yb - atY)
+          }
+          eb.write(0); eb.write(w) // absolute mode: the whole row
+          val r = rowAt(yb)
+          for (x <- 0 until w) eb.write(cur(r + x) & 0xff)
+          if ((w & 1) == 1) eb.write(0) // word-align
+          eb.write(0); eb.write(0) // EOL → (0, yb+1)
+          atY = yb + 1
+        }
+      }
+      eb.write(0); eb.write(1) // end of bitmap
+      eb.toByteArray
+    }
+    val payloads = frames.zipWithIndex.map { case (f, i) =>
+      encode(f, if (i == 0) null else frames(i - 1))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strfLen = 40 + 4 * 256
+    val moviLen = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
+    val strlLen = 4 + (8 + 56) + (8 + strfLen)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val bufSize = payloads.map(_.length).max
+    fcc("RIFF"); le32(4 + (8 + hdrlLen) + (8 + moviLen)); fcc("AVI ")
+    fcc("LIST"); le32(hdrlLen); fcc("hdrl")
+    fcc("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0)
+    le32(frames.length.toLong); le32(0); le32(1); le32(bufSize.toLong)
+    le32(w.toLong); le32(h.toLong); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(strlLen); fcc("strl")
+    fcc("strh"); le32(56); fcc("vids"); fcc("MRLE")
+    le32(0); le16(0); le16(0); le32(0)
+    le32(1); le32(25); le32(0); le32(frames.length.toLong)
+    le32(bufSize.toLong); le32(0); le32(0)
+    le16(0); le16(0); le16(w); le16(h)
+    fcc("strf"); le32(strfLen.toLong)
+    le32(40); le32(w.toLong); le32(h.toLong); le16(1); le16(8)
+    le32(1) // biCompression = BI_RLE8
+    le32(bufSize.toLong); le32(0); le32(0); le32(256); le32(0)
+    for (k <- 0 until 256) { // RGBQUAD palette: B, G, R, reserved
+      val c = if (k < palette.length) palette(k) else 0
+      bos.write(c & 0xff); bos.write((c >> 8) & 0xff)
+      bos.write((c >> 16) & 0xff); bos.write(0)
+    }
+    fcc("LIST"); le32(moviLen); fcc("movi")
+    for (p <- payloads) {
+      fcc("00dc"); le32(p.length.toLong)
+      bos.write(p)
+      if ((p.length & 1) == 1) bos.write(0)
     }
     bos.toByteArray
   }

@@ -44,8 +44,9 @@ class MutationsSpec extends SparkSpec {
       }
     // a read query is not a mutation
     err("{ customer { c_custkey } }", "expected 'mutation'")
-    // returning would re-read mid-document state
-    err("mutation { delete_t(where: {k: {_eq: 1}}) { returning } }",
+    // the affected_rows-only entry point refuses returning documents
+    // (parseMutationFields serves them) instead of dropping the shape
+    err("mutation { delete_t(where: {k: {_eq: 1}}) { returning { k } } }",
       "affected_rows")
     // on_conflict without update_columns has no defined policy
     err("""mutation { insert_t(objects: [{k: 1}],
@@ -70,6 +71,137 @@ class MutationsSpec extends SparkSpec {
     // unknown verb
     err("mutation { upsert_t(where: {k: {_eq: 1}}) { affected_rows } }",
       "unknown mutation field")
+  }
+
+  test("parseMutationFields: by_pk verbs, returning blocks, insert_one's " +
+    "faithful row-shaped response") {
+    val doc =
+      """mutation {
+        |  update_t_by_pk(pk_columns: {k: 3}, _set: {seg: "VIP"}) {
+        |    k seg bal }
+        |  delete_t_by_pk(k: 4) { k bal }
+        |  insert_t_one(object: {k: 11, bal: 1.5}) { k bal }
+        |  update_t(where: {seg: {_eq: "A"}}, _inc: {bal: 2.0}) {
+        |    affected_rows
+        |    returning { k bal } }
+        |}""".stripMargin
+    val fs = GraphQl.parseMutationFields(doc).fold(m => fail(m), identity)
+    assert(fs === Seq(
+      Mutations.Field(Mutations.Update("t", Eq("k", 3L),
+        Seq("seg" -> "VIP")), Some(Seq("k", "seg", "bal")), single = true),
+      Mutations.Field(Mutations.Delete("t", Eq("k", 4L)),
+        Some(Seq("k", "bal")), single = true),
+      Mutations.Field(Mutations.Insert("t", Seq(Seq("k" -> 11L,
+        "bal" -> 1.5))), Some(Seq("k", "bal")), single = true),
+      Mutations.Field(Mutations.Update("t", Eq("seg", "A"), Nil,
+        Seq("bal" -> 2.0)), Some(Seq("k", "bal")))))
+    // ...and the legacy affected_rows shape still parses for _one
+    val legacy = GraphQl.parseMutationFields(
+      "mutation { insert_t_one(object: {k: 11}) { affected_rows } }")
+      .fold(m => fail(m), identity)
+    assert(legacy === Seq(Mutations.Field(
+      Mutations.Insert("t", Seq(Seq("k" -> 11L))))))
+  }
+
+  test("parseMutationFields rejects the silent-wrong-shape by_pk and " +
+    "returning spellings loudly") {
+    def err(doc: String, frag: String): Unit =
+      GraphQl.parseMutationFields(doc) match {
+        case Left(m) => assert(m.contains(frag), s"got: $m")
+        case Right(r) => fail(s"parsed: $r")
+      }
+    // two pk columns: this engine's stores are single-key
+    err("""mutation { update_t_by_pk(pk_columns: {k: 1, k2: 2},
+          |  _set: {seg: "X"}) { k } }""".stripMargin,
+      "exactly one key column")
+    // a null key would tie nondeterministically in the merge window
+    err("mutation { delete_t_by_pk(k: null) { k } }", "cannot be null")
+    err("""mutation { update_t_by_pk(pk_columns: {k: null},
+          |  _set: {seg: "X"}) { k } }""".stripMargin, "cannot be null")
+    // delete_by_pk takes exactly the key argument
+    err("mutation { delete_t_by_pk(k: 1, j: 2) { k } }",
+      "exactly one argument")
+    err("mutation { delete_t_by_pk { k } }", "exactly one argument")
+    // by_pk updates still need something to write
+    err("mutation { update_t_by_pk(pk_columns: {k: 1}) { k } }",
+      "_set and/or _inc")
+    // empty selections serve nothing
+    err("mutation { delete_t_by_pk(k: 1) { } }", "empty selection")
+    err("""mutation { delete_t(where: {k: {_eq: 1}}) {
+          |  affected_rows returning { } } }""".stripMargin,
+      "empty selection")
+    // duplicate returning blocks would silently shadow one another
+    err("""mutation { delete_t(where: {k: {_eq: 1}}) {
+          |  returning { k } returning { bal } } }""".stripMargin,
+      "duplicate returning")
+    // a non-_one plain verb cannot select row columns directly
+    err("mutation { delete_t(where: {k: {_eq: 1}}) { k } }",
+      "unknown selection")
+  }
+
+  test("applyFields: returning sees THIS step's state — insert visible " +
+    "to a later update's returning, delete returns prior values") {
+    val doc =
+      """mutation {
+        |  insert_t(objects: [{k: 9, seg: "A", bal: -5.0}]) {
+        |    affected_rows }
+        |  update_t(where: {seg: {_eq: "A"}}, _inc: {bal: 100.0}) {
+        |    affected_rows
+        |    returning { k bal } }
+        |  delete_t_by_pk(k: 2) { k bal }
+        |}""".stripMargin
+    val fs = GraphQl.parseMutationFields(doc).fold(m => fail(m), identity)
+    val (next, rs) = Mutations.applyFields(snap, fs, "k")
+    assert(rs.map(_.affected) === Seq(1L, 3L, 1L))
+    // the update's returning includes the just-inserted k=9, post-inc
+    val ret = rs(1).returning.get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ret === Seq((1L, 110.0), (2L, 120.0), (9L, 95.0)))
+    // the delete returns the row AS IT WAS (post-update balance),
+    // even though the final snapshot no longer holds it
+    val del = rs(2).returning.get.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(del === Seq((2L, 120.0)))
+    assert(next.filter(col("k") === 2L).count() === 0L)
+    // returning frames stay valid after later steps fold on (they
+    // materialized at their step)
+    assert(rs(1).returning.get.count() === 3L)
+    // unknown returning columns reject loudly
+    val bad = Seq(Mutations.Field(Mutations.Delete("t", Eq("k", 1L)),
+      Some(Seq("nope"))))
+    val e = intercept[IllegalArgumentException](
+      Mutations.applyFields(snap, bad, "k"))
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("parse serves <table>_by_pk reads as a tracked-key point lookup") {
+    val r = GraphQl.parse(
+      "{ customer_by_pk(c_custkey: 7) { c_custkey c_name } }")
+      .fold(m => fail(m), identity)
+    assert(r === Request("customer", Seq("c_custkey", "c_name"),
+      where = Some(Eq("c_custkey", 7L))))
+    // variables resolve at the key position
+    val rv = GraphQl.parse(
+      "query ($k: bigint!) { customer_by_pk(c_custkey: $k) { c_name } }",
+      variables = """{"k": 3}""").fold(m => fail(m), identity)
+    assert(rv.where === Some(Eq("c_custkey", 3L)))
+    def err(doc: String, frag: String): Unit =
+      GraphQl.parse(doc) match {
+        case Left(m) => assert(m.contains(frag), s"got: $m")
+        case Right(x) => fail(s"parsed: $x")
+      }
+    // the argument must be the TRACKED key column, not any column
+    err("{ customer_by_pk(c_name: \"x\") { c_custkey } }",
+      "unknown argument")
+    err("{ customer_by_pk { c_custkey } }", "is required")
+    // a table with no tracked PK has no by_pk field (lineitem's key
+    // is composite — untracked here, like Hasura without a PK)
+    err("{ lineitem_by_pk(l_orderkey: 1) { l_orderkey } }",
+      "no tracked primary key")
+    // by_pk takes no list arguments (where/limit belong to the list
+    // field)
+    err("{ customer_by_pk(c_custkey: 1, limit: 5) { c_custkey } }",
+      "unknown argument")
   }
 
   test("applyMutation: insert rejects existing keys, upsert overwrites, " +

@@ -129,6 +129,57 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(MultimodalOps.parseAviFrames(broken, 1, 3) === None)
   }
 
+  test("sampleFrames decodes BI_RLE8 AVI frames — keyframe runs, delta " +
+    "frames compositing onto the previous frame's canvas") {
+    val w = 11; val h = 3 // odd width exercises absolute-mode word padding
+    val palette = Array.tabulate(16)(k =>
+      (((k * 2654435761L) >>> 4) & 0xffffff).toInt)
+    // logical index canvases (top-down): a run-friendly keyframe, then
+    // each frame rewrites image row f % h — f=2 hits row h-1 (the
+    // bottom DIB row, where the delta encoding needs NO skip escape)
+    val canvases = scala.collection.mutable.ArrayBuffer(
+      Array.tabulate(w * h)(i => (((i / w) * 3 + (i % w) / 4) % 16).toByte))
+    for (f <- 1 until 5) {
+      val cur = canvases.last.clone()
+      val r = f % h
+      for (x <- 0 until w)
+        cur(r * w + x) = (((cur(r * w + x) & 0xff) + 1 + f) % 16).toByte
+      canvases += cur
+    }
+    val avi = MultimodalOps.syntheticAviRle8(palette, canvases.toSeq, w, h)
+    val rows = MultimodalOps.sampleFrames(
+      media("r" -> avi), everyNth = 1, maxFrames = 5)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3, 4))
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      val png = r.getAs[Array[Byte]](2)
+      assert(BinaryFunctions.sniffFormat(png) === "png")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) ===
+          palette(canvases(f)(y * w + x) & 0xff),
+          s"pixel ($x,$y) of frame $f")
+    }
+    // sub-sampling must still composite the SKIPPED frames' deltas:
+    // sampled frame 2 carries frame 1's row rewrite
+    val sub = MultimodalOps.sampleFrames(
+      media("r" -> avi), everyNth = 2, maxFrames = 2)
+      .orderBy("frame_idx").collect()
+    assert(sub.map(_.getInt(1)).toSeq === Seq(0, 2))
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sub(1).getAs[Array[Byte]](2)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img2.getRGB(x, y) & 0xffffff) ===
+        palette(canvases(2)(y * w + x) & 0xff), s"subsampled pixel ($x,$y)")
+    // truncated untrusted bytes must not throw (frames or None, never
+    // an exception past the walk)
+    MultimodalOps.parseAviFrames(
+      java.util.Arrays.copyOf(avi, avi.length - 10), 1, 5)
+  }
+
   test("sampleFrames reassembles animated WebP through WebpAnim") {
     val anim = {
       val in = getClass.getResourceAsStream("/vp8/anim_replace.webp")
