@@ -443,6 +443,44 @@ object OracleSql {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** q125: the q51 pair machinery restricted to CROSS-SPLIT pairs —
+    * train side as `a`, eval (val+test) side as `b`, the q54 split CTE
+    * deciding sides. Same shingles, same 8-slot minhash, same 4×2
+    * banding, same est-Jaccard bound. */
+  private val crossDecontam: String = {
+    val mins = (0 until 8).map(j =>
+      s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
+    val agree = (0 until 8)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandEq = (0 until 4).map(bq =>
+      s"(a.s${2 * bq} = b.s${2 * bq} AND a.s${2 * bq + 1} = b.s${2 * bq + 1})")
+      .mkString(" OR ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           ORDER BY doc_id LIMIT 1000),
+       |$splitCte,
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM d),
+       |sh AS (
+       |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |m AS (
+       |  SELECT doc_id,
+       |   $mins
+       |  FROM sh GROUP BY doc_id),
+       |ms AS (SELECT m.*, sp.split FROM m JOIN sp USING (doc_id))
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       ($agree) / 8.0 AS est_jaccard
+       |FROM ms a JOIN ms b
+       |  ON a.split = 'train' AND b.split <> 'train' AND ($bandEq)
+       |WHERE ($agree) / 8.0 >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Exact replay of q52's md5 winnowing: the fingerprint set is the
     * distinct minima of every 16-wide sliding window over char-8-gram
     * hashes (rightmost-min tie-break never changes the VALUE picked). */
@@ -890,6 +928,7 @@ object OracleSql {
          |       ROUND(SUM(sel)::DOUBLE / COUNT(*), 4) AS rate
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "q51_minhash_pairs_md5" -> minhashPairsMd5,
+    "q125_cross_decontam" -> crossDecontam,
     "q52_winnow_md5" -> winnowMd5,
     "q49_nested_deep" -> nestedDeepSql,
     // q97 = q49's request compiled by the query-builder front end —

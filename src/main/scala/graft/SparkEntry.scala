@@ -146,6 +146,7 @@ object SparkEntry {
     "q123_by_pk_mutations" -> (graft.api.GraphQl.q123ByPkMutations(_, _)),
     "q124_mutation_returning" ->
       (graft.api.GraphQl.q124MutationReturning(_, _)),
+    "q125_cross_decontam" -> (T.q125CrossDecontam(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -210,6 +210,64 @@ object TextQueries {
       .orderBy("a", "b")
   }
 
+  /** Cross-corpus MinHash near-dup pairs — the FUZZY decontamination
+    * primitive: candidate pairs BETWEEN two corpora (train vs eval,
+    * crawl vs golden set), never within one side. The side is carried
+    * STRUCTURALLY (left rows come back as `a`, right rows as `b`) —
+    * no key-naming conventions to silently break, the
+    * [[graft.functions.HammingBands.crossPairs]] posture applied to
+    * the MinHash space. md5-derived hashes so DuckDB replays the whole
+    * pipeline (q51's contract); q30's xxhash64 kernel drops in for the
+    * full-corpus fast path with the identical plan shape.
+    *
+    * Scale posture: two signature scans + ONE equi-join on the band
+    * key — no cross join, and no within-side candidate blowup (a
+    * self-join over train would dominate every decontamination run:
+    * |train| >> |eval|); the est-Jaccard bound filters BELOW the
+    * pair-dedup exchange (the HammingBands lesson), and exactness is
+    * restored by the agreement count after the probabilistic banding
+    * recall. */
+  def minhashCrossPairsMd5(left: DataFrame, right: DataFrame,
+      k: Int = 8, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    def sigs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), graft.functions.TextKernelExpressions
+        .wordShinglesFast(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+      .transform(Materialize.pin)
+    val l = sigs(left)
+      .withColumn("band", explode(lshBands(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id").as("a"), col("sig").as("sig_a"), col("band"))
+    val r = sigs(right)
+      .withColumn("band", explode(lshBands(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id").as("b"), col("sig").as("sig_b"), col("band"))
+    l.join(r, Seq("band"))
+      .select(col("a"), col("b"),
+        minhashJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Q125 — fuzzy decontamination: the train split probed against its
+    * OWN eval (val+test) splits through [[minhashCrossPairsMd5]] —
+    * near-matches exact decontamination (q64's 5-gram overlap) misses:
+    * light rewrites, truncation, whitespace drift. Composes q54's
+    * deterministic split with q51's oracle-replayable pair pipeline;
+    * the answer is the (train_doc, eval_doc, est_jaccard) pairs a
+    * pipeline would quarantine. Docs pre-limited like q51 (the md5
+    * chain is the algorithm anchor; the xxhash kernel is the
+    * full-corpus path). */
+  def q125CrossDecontam(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(1000)
+      .withColumn("split", splitCol)
+    minhashCrossPairsMd5(
+      base.filter(col("split") === "train").select("doc_id", "text"),
+      base.filter(col("split") =!= "train").select("doc_id", "text"))
+      .orderBy("a", "b")
+  }
+
   /** Q52 — winnowing fingerprints, md5/char-gram twin of q43: the
     * fingerprint SET equals the distinct sliding-window minima (the
     * rightmost-min tie rule only picks WHICH index, never a different
@@ -1280,13 +1338,18 @@ object TextQueries {
     * q54 (aggregated report), q83 (leakage audit) and q85 (quarantine
     * list): a ratio/seed change propagates to every consumer, or the
     * audits silently disagree with the split they claim to check. */
-  private[graft] def splitAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** The q54 split assignment as a column — ONE definition for every
+    * consumer (q54/q83/q85/q125), so the split can never drift between
+    * the audit queries and the decontamination probes. */
+  private[graft] def splitCol: org.apache.spark.sql.Column = {
     val h = seededHash(col("doc_id").cast("string"), 0)
-    docs(s, dir).select(col("doc_id"), col("lang"),
-      when(pmod(h, lit(10)) < 8, "train")
-        .when(pmod(h, lit(10)) === 8, "val")
-        .otherwise("test").as("split"))
+    when(pmod(h, lit(10)) < 8, "train")
+      .when(pmod(h, lit(10)) === 8, "val")
+      .otherwise("test")
   }
+
+  private[graft] def splitAssignments(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"), splitCol.as("split"))
 
   def q83SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val pairs = simhashPairsRaw(s, dir).select(col("a"), col("b"))

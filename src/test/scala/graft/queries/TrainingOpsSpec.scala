@@ -25,6 +25,34 @@ class TrainingOpsSpec extends SparkSpec {
     assert(all.map(_.getLong(2)).sum === expected)
   }
 
+  test("minhashCrossPairsMd5: sides are structural — never within-side " +
+    "pairs, symmetric inputs swap columns, plan is cross-join-free") {
+    import spark.implicits._
+    // two exact dups ACROSS sides, one exact dup WITHIN the left side
+    // (must NOT pair), one unrelated doc per side
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val left = Seq(1L -> txt, 2L -> txt,
+      3L -> "one two three four five six").toDF("doc_id", "text")
+    val right = Seq(10L -> txt,
+      11L -> "seven eight nine ten eleven twelve").toDF("doc_id", "text")
+    val pairs = TextQueries.minhashCrossPairsMd5(left, right)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // 1-10 and 2-10 meet at est=1.0; the within-left 1-2 dup never
+    // appears, and nothing pairs the unrelated docs
+    assert(pairs === Seq((1L, 10L, 1.0), (2L, 10L, 1.0)))
+    // symmetric call: the same pairs with the sides swapped — the side
+    // lives in the column, not in id conventions
+    val swapped = TextQueries.minhashCrossPairsMd5(right, left)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(swapped === Seq((10L, 1L), (10L, 2L)))
+    val p = TextQueries.minhashCrossPairsMd5(left, right)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+  }
+
   test("q66 scoring covers every multi-token doc with tokens-1 bigrams") {
     val rows = TextQueries.q66LmXent(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
