@@ -777,6 +777,32 @@ object OracleSql {
     "q32_ngram_jaccard" -> ngramJaccard,
     "q33_emb_cos_pairs" -> embCosPairs,
     "q34_ann_ivf" -> annIvf,
+    // q126: the kNN JOIN — per-query exact top-3 replayed as a
+    // row_number window over the all-pairs cosine (the ORACLE may pay
+    // the window; the engine's TopKAgg pre-reduces map-side)
+    "q126_knn_join" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         generate_subscripts(embedding,1) AS i
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+        |dt AS (
+        |  SELECT a.vec_id AS v, b.vec_id AS qv, SUM(a.x * b.x) AS d
+        |  FROM ex a JOIN ex b
+        |    ON a.i = b.i AND b.vec_id >= 100 AND b.vec_id < 108
+        |       AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT qv AS q_id, v AS vec_id,
+        |         ROUND(d / (nv.nrm * nq.nrm), 4) AS sim
+        |  FROM dt JOIN nr nv ON nv.vec_id = v
+        |          JOIN nr nq ON nq.vec_id = qv),
+        |r AS (SELECT q_id, vec_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY sim DESC, vec_id)::BIGINT AS rank
+        |      FROM sims)
+        |SELECT q_id, rank, vec_id, sim FROM r WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
     "q58_ann_recall" ->
       s"""SELECT COUNT(*)::DOUBLE / 5 AS recall_at_5
          |FROM (SELECT vec_id FROM ($annIvf) ivf

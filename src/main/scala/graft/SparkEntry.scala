@@ -147,6 +147,7 @@ object SparkEntry {
     "q124_mutation_returning" ->
       (graft.api.GraphQl.q124MutationReturning(_, _)),
     "q125_cross_decontam" -> (T.q125CrossDecontam(_, _)),
+    "q126_knn_join" -> (S.q126KnnJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -108,6 +108,41 @@ object SimilarityQueries {
     * with zero joins — filter to probed cells, one dot per survivor,
     * TakeOrderedAndProject. Fully deterministic (ties → lowest cent_id), so
     * the DuckDB oracle replays it exactly. */
+  /** Q126 — cosine kNN JOIN: top-k neighbors for EVERY query in a
+    * query set (vec_id 100..107 here), the batch shape embedding
+    * dedup / retrieval eval actually runs — q23 answers one query,
+    * this answers a table of them in one pass.
+    *
+    * Scale posture: the query set broadcasts (it is the small side by
+    * definition), the corpus scan scores |Q| candidates per row
+    * map-side, and the per-query top-k is
+    * [[graft.functions.TopKFunctions.topK]] — a mergeable bounded
+    * aggregate, so Spark's partial-aggregation phase reduces every
+    * input partition to k rows per query BEFORE the exchange; the
+    * shuffle carries O(partitions × |Q| × k) summary rows, never the
+    * |corpus| × |Q| scored candidates a row_number window would ship.
+    * Scores are rounded BEFORE the aggregate so the rank order and the
+    * displayed value can never disagree (the q23 tie rule: score desc,
+    * vec_id asc). */
+  def q126KnnJoin(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = embNorm(s, dir, cached = false)
+    val queries = broadcast(
+      embNorm(s, dir, cached = false)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+        .select(col("vec_id").as("q_id"), col("nemb").as("q")))
+    e.crossJoin(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("nemb"), col("q")), 4).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions.topK(
+        col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   def q34AnnIvf(s: SparkSession, dir: String, queryId: Long = 1,
       nCentroids: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
     val e = embNorm(s, dir, cached = false)
