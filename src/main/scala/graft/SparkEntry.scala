@@ -148,6 +148,8 @@ object SparkEntry {
       (graft.api.GraphQl.q124MutationReturning(_, _)),
     "q125_cross_decontam" -> (T.q125CrossDecontam(_, _)),
     "q126_knn_join" -> (S.q126KnnJoin(_, _)),
+    "q127_ivf_knn_join" -> (S.q127IvfKnnJoin(_, _)),
+    "q128_knn_join_recall" -> (S.q128KnnJoinRecall(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

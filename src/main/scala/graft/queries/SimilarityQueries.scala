@@ -143,6 +143,74 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Q127 — IVF kNN JOIN, the scale path of [[q126KnnJoin]]: the
+    * corpus computes its coarse cell MAP-SIDE (the [[q34AnnIvf]]
+    * codegen argmax — zero shuffle), the query set's probe cells
+    * (top-nProbe centroids per query) are computed driver-side from
+    * the collected codebook — bounded by the REQUEST (|Q| × nCells
+    * dots), never the corpus — and broadcast as a (cell, query)
+    * table, so the candidate set is an EQUI-join on cell: each corpus
+    * row is scored only against queries probing its cell (~nProbe /
+    * nCells of the q126 work), then the same mergeable
+    * [[graft.functions.TopKFunctions.topK]] pre-reduces per query.
+    * Deterministic (first-nCentroids codebook, the q34 contract) so
+    * DuckDB replays cell assignment, probe selection, and ranking
+    * end to end. */
+  def q127IvfKnnJoin(s: SparkSession, dir: String,
+      nCentroids: Int = 16, nProbe: Int = 4, k: Int = 3): DataFrame = {
+    val e = embNorm(s, dir, cached = false)
+    val book = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("nemb")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq)
+      .sortBy(_._1).toSeq
+    def dotL(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val qs = e.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .select(col("vec_id"), col("nemb")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]](1).toSeq)
+      .sortBy(_._1).toSeq
+    // (cell, q_id, qvec): nProbe rows per query — the request-bounded
+    // probe plan, broadcast to every corpus partition
+    val probeRows = qs.flatMap { case (qid, qv) =>
+      book.map { case (cid, c) => (cid, dotL(c, qv)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(nProbe)
+        .map { case (cid, _) => (cid, qid, qv) }
+    }
+    import s.implicits._
+    val probeDf = broadcast(
+      probeRows.toDF("cell", "q_id", "q"))
+    e.withColumn("cell",
+      element_at(typedlit(book.map(_._1)),
+        graft.functions.VectorFunctions.nearestCell(
+          col("nemb"), book.map(_._2)) + 1))
+      .join(probeDf, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("nemb"), col("q")), 4).as("sim"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKFunctions.topK(
+        col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Q128 — recall@3 of the IVF kNN join against the exact one: the
+    * q58 evaluation harness applied to the JOIN shape, so the
+    * cell-pruning's quality cost on a BATCH of queries is a measured
+    * number (24 = 8 queries × k). Deterministic, both legs
+    * oracle-proven. */
+  def q128KnnJoinRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = q127IvfKnnJoin(s, dir).select("q_id", "vec_id")
+    val exact = q126KnnJoin(s, dir).select("q_id", "vec_id")
+    ivf.intersect(exact)
+      .agg((count(lit(1)) / 24.0).as("recall_at_3"))
+  }
+
   def q34AnnIvf(s: SparkSession, dir: String, queryId: Long = 1,
       nCentroids: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
     val e = embNorm(s, dir, cached = false)
