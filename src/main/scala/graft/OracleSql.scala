@@ -858,6 +858,27 @@ object OracleSql {
     // row_number window over the all-pairs cosine (the ORACLE may pay
     // the window; the engine's TopKAgg pre-reduces map-side)
     "q126_knn_join" -> knnJoinSql,
+    // q129: filtered kNN — the label predicate applies BEFORE the
+    // top-k cut, exactly like the engine's filtered scan
+    "q129_filtered_knn" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         generate_subscripts(embedding,1) AS i
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+        |dt AS (
+        |  SELECT a.vec_id AS v, SUM(a.x * b.x) AS d
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id = 1
+        |  WHERE a.vec_id <> 1
+        |  GROUP BY 1)
+        |SELECT dt.v AS vec_id, l.label,
+        |       ROUND(dt.d / (nv.nrm * nq.nrm), 4) AS sim
+        |FROM dt
+        |JOIN embeddings l ON l.vec_id = dt.v
+        |JOIN nr nv ON nv.vec_id = dt.v
+        |JOIN nr nq ON nq.vec_id = 1
+        |WHERE l.label = 3
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
     "q127_ivf_knn_join" -> ivfKnnJoinSql,
     // q128: recall@3 of the IVF kNN join vs the exact one — the q58
     // eval harness applied to the JOIN shape (24 = 8 queries x k=3)

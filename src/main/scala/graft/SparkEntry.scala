@@ -150,6 +150,7 @@ object SparkEntry {
     "q126_knn_join" -> (S.q126KnnJoin(_, _)),
     "q127_ivf_knn_join" -> (S.q127IvfKnnJoin(_, _)),
     "q128_knn_join_recall" -> (S.q128KnnJoinRecall(_, _)),
+    "q129_filtered_knn" -> (S.q129FilteredKnn(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -199,6 +199,29 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Q129 — FILTERED kNN: top-5 neighbors of vec_id=1 AMONG label=3
+    * vectors only — the "similar docs in this collection" shape every
+    * vector store serves. The predicate applies BEFORE the top-k cut
+    * (filtering after would return fewer than k rows — the classic
+    * filtered-ANN bug), and it reaches the parquet scan as a pushed
+    * filter next to the column pruning; the persisted-index twin is
+    * [[graft.similarity.IvfIndex.search]]'s `filter` argument
+    * (metadata columns ride the index rows via `build(metaCols=...)`),
+    * spec-pinned equal to this shape over the probed cells. */
+  def q129FilteredKnn(s: SparkSession, dir: String, label: Int = 3,
+      k: Int = 5): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), normalized(col("emb")).as("nemb"))
+    val target = broadcast(e.filter(col("vec_id") === 1)
+      .select(col("nemb").as("q")))
+    e.filter(col("label") === label && col("vec_id") =!= 1)
+      .crossJoin(target)
+      .select(col("vec_id"), col("label"),
+        round(dot(col("nemb"), col("q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Q128 — recall@3 of the IVF kNN join against the exact one: the
     * q58 evaluation harness applied to the JOIN shape, so the
     * cell-pruning's quality cost on a BATCH of queries is a measured

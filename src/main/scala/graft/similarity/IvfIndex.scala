@@ -81,9 +81,14 @@ object IvfIndex {
     * than float64 at 100 TB, the FAISS IVF-SQ8 layout); search scores the
     * codes directly with the fused dequantizing-dot kernel. */
   def build(emb: DataFrame, path: String, nCells: Int,
-      kmeansIters: Int = 0, sq8: Boolean = false): Unit = {
-    val n0 = emb.select(col("vec_id"),
-      normalized(col("embedding").cast("array<double>")).as("nemb"))
+      kmeansIters: Int = 0, sq8: Boolean = false,
+      metaCols: Seq[String] = Nil): Unit = {
+    // filterable METADATA rides the index rows (the vector-DB design:
+    // a filtered probe must prune inside the index scan, not join back
+    // to the source table after top-k already cut the candidates)
+    val n0 = emb.select(col("vec_id") +:
+      normalized(col("embedding").cast("array<double>")).as("nemb") +:
+      metaCols.map(col): _*)
     // pin only when training re-scans the corpus per iteration; the
     // plain build streams it exactly once
     val n =
@@ -217,11 +222,14 @@ object IvfIndex {
   }
 
   private def storedForm(assigned: DataFrame, sq8: Boolean): DataFrame =
-    if (sq8) assigned
-      .withColumn("_z", VectorFunctions.quantizeI8(col("nemb")))
-      .select(col("vec_id"), col("_z.scale").as("scale"),
-        col("_z.q").as("q"), col("cell"))
-    else assigned
+    if (sq8) {
+      val extras = assigned.columns.toSeq
+        .filterNot(Set("vec_id", "nemb", "cell"))
+      assigned
+        .withColumn("_z", VectorFunctions.quantizeI8(col("nemb")))
+        .select(Seq(col("vec_id"), col("_z.scale").as("scale"),
+          col("_z.q").as("q")) ++ extras.map(col) :+ col("cell"): _*)
+    } else assigned
 
   /** Incremental ADD: assign a new batch against the EXISTING codebook
     * and append it to the cell partitions — no rebuild, and the resident
@@ -245,8 +253,17 @@ object IvfIndex {
       if (cdf.columns.contains("sq8")) cdf.select("sq8").head.getBoolean(0)
       else spark.read.parquet(path).columns.contains("q")
     }
-    val n = emb.select(col("vec_id"),
-      normalized(col("embedding").cast("array<double>")).as("nemb"))
+    // carry whatever metadata columns the resident index holds — an
+    // append that silently dropped them would leave filtered probes
+    // blind to the new rows (schema read is driver-side, no scan)
+    val extras = spark.read.parquet(path).columns.toSeq
+      .filterNot(Set("vec_id", "cell", "nemb", "q", "scale", "codes"))
+    val missing = extras.filterNot(emb.columns.contains)
+    require(missing.isEmpty, s"index at $path stores metadata column(s) " +
+      s"${missing.mkString(", ")} the batch does not carry")
+    val n = emb.select(col("vec_id") +:
+      normalized(col("embedding").cast("array<double>")).as("nemb") +:
+      extras.map(col): _*)
     if (pq) {
       // encode the batch against the EXISTING codebooks (coarse + PQ) —
       // append never retrains, mirroring the float/SQ8 contract
@@ -256,10 +273,9 @@ object IvfIndex {
         .withColumn("cell",
           element_at(typedlit(book.map(_._1)), col("_ord") + 1))
         .withColumn("_cent", element_at(typedlit(cents), col("_ord") + 1))
-        .select(col("vec_id"),
+        .select(Seq(col("vec_id"),
           VectorFunctions.pqEncode(col("nemb"), col("_cent"), cb, m, ksub)
-            .as("codes"),
-          col("cell"))
+            .as("codes")) ++ extras.map(col) :+ col("cell"): _*)
         .write.mode("append").partitionBy("cell").parquet(path)
     } else
       storedForm(withCell(n, book), sq8).write.mode("append")
@@ -322,7 +338,8 @@ object IvfIndex {
 
   /** Top-k by cosine for `query`, probing the nProbe best cells only. */
   def search(spark: SparkSession, path: String, query: Array[Double],
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     recoverIndex(spark, path)
     val cents = spark.read.parquet(s"$path/_centroids").collect()
     def dotLocal(a: Seq[Double], b: Array[Double]): Double =
@@ -336,8 +353,14 @@ object IvfIndex {
         dotLocal(r.getAs[scala.collection.Seq[Double]]("cent").toSeq, qn))
       .sortBy { case (id, sim) => (-sim, id) }
       .take(nProbe).map(_._1)
-    val idx = spark.read.parquet(path)
-      .filter(col("cell").isin(probes: _*)) // partition-pruned scan
+    // metadata predicate INSIDE the pruned scan: Catalyst pushes it to
+    // the parquet reader next to the cell pruning, so a filtered probe
+    // reads only matching row groups — filtering after top-k would
+    // return fewer than k rows (the classic filtered-ANN bug)
+    val idx = filter.foldLeft(
+      spark.read.parquet(path)
+        .filter(col("cell").isin(probes: _*)))( // partition-pruned scan
+      (df, f) => df.filter(f))
     val score =
       if (idx.columns.contains("codes")) { // PQ: asymmetric-distance scan
         val (cb, m, ksub) = readPqSidecar(spark, path)

@@ -48,6 +48,58 @@ class IvfIndexSpec extends SparkSpec {
       s"no partition pruning in:\n$plan")
   }
 
+  test("filtered probe: metadata rides the index, the predicate applies " +
+    "before the top-k cut, appends must carry the columns") {
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivff").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 400), path, nCells = 16,
+      metaCols = Seq("label"))
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // append the tail WITH the metadata column — and refuse it without
+    IvfIndex.append(emb.filter(col("vec_id") >= 400), path)
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.append(emb.filter(col("vec_id") >= 400)
+        .drop("label"), path))
+    assert(e.getMessage.contains("label"))
+
+    val got = IvfIndex.search(spark, path, query, nProbe = 4, k = 5,
+      filter = Some(col("label") === 3))
+    val rows = got.collect()
+    assert(rows.length === 5)
+    // every hit satisfies the predicate (it applied pre-cut: 5 rows
+    // came back even though the unfiltered top-5 is mostly label<>3)
+    val labels = spark.read.parquet(path)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r =>
+      assert(labels(r.getAs[Long]("vec_id")) === 3, r.toString))
+    // equals the independently recomputed filtered top-k over exactly
+    // the probed cells (probe selection replicated from the sidecar),
+    // so the equivalence pins the whole probe path
+    val qn = { val n = math.sqrt(query.map(x => x * x).sum)
+      query.map(_ / n).toSeq }
+    val probes = spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => r.getAs[Long]("cent_id") ->
+        r.getAs[scala.collection.Seq[Double]]("cent")
+          .lazyZip(qn).map(_ * _).sum)
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(4).map(_._1).toSet
+    val want = spark.read.parquet(path)
+      .filter(col("cell").isin(probes.toSeq: _*) && col("label") === 3)
+      .select(col("vec_id"),
+        round(VectorFunctions.dot(col("nemb"), typedlit(qn)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Double]("sim"))).toSeq === want)
+    // self-check that the filter actually changed the answer
+    val unfiltered = IvfIndex.search(spark, path, query, 4, 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet !== unfiltered)
+  }
+
   test("NearestCentroid matches a driver-side brute-force argmax") {
     import spark.implicits._
     val vecs = Seq(
