@@ -103,6 +103,38 @@ class SubscriptionsSpec extends SparkSpec {
     assert(pushed.map(_._1) === Vector(0L, 1L, 2L))
   }
 
+  test("by_pk subscription: a GraphQL watch-one-row document serves " +
+    "the key's latest state per trigger, absent before it exists") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    val req = GraphQl.parse(
+      "subscription { t_by_pk(k: 2) { k seg bal } }",
+      schema = GraphQl.Schema(Map.empty, keys = Map("t" -> "k")))
+      .fold(m => fail(m), identity)
+    assert(req.where === Some(Eq("k", 2L)))
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.liveQuery(
+      input.toDF().toDF("k", "seg", "bal", "seq"), req,
+      keyCol = "k", seqCol = Some("seq")) { (_, df) =>
+      pushed :+= rows(df)
+    }
+    try {
+      // trigger 1: other keys only — the watched row does not exist
+      input.addData(Seq((1L, "A", 10.0, 1L))); q.processAllAvailable()
+      assert(pushed.last === Seq())
+      // trigger 2: the watched key appears
+      input.addData(Seq((2L, "B", 25.0, 2L), (3L, "C", 1.0, 2L)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(2L, "B", 25.0)))
+      // trigger 3: the watched key is UPDATED — latest state wins
+      input.addData(Seq((2L, "B2", 99.0, 3L))); q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(2L, "B2", 99.0)))
+      // trigger 4: unrelated update leaves the watched row unchanged
+      input.addData(Seq((1L, "A9", 0.0, 4L))); q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(2L, "B2", 99.0)))
+    } finally q.stop()
+  }
+
   test("a GraphQL subscription document over the marketplace snapshot " +
     "stream answers per trigger like the batch fold") {
     // the document is a read query under the subscription keyword —
