@@ -854,6 +854,386 @@ object OracleSql {
     "q32_ngram_jaccard" -> ngramJaccard,
     "q33_emb_cos_pairs" -> embCosPairs,
     "q34_ann_ivf" -> annIvf,
+    "q58_ann_recall" ->
+      s"""SELECT COUNT(*)::DOUBLE / 5 AS recall_at_5
+         |FROM (SELECT vec_id FROM ($annIvf) ivf
+         |      INTERSECT
+         |      SELECT vec_id FROM ($cosineKnn) ex) t""".stripMargin,
+    // The CDC fold (SURVEY §2.8) over the mapped events log: a row is alive
+    // iff its last mint outlives its last burn; field values are the last
+    // applying setter at-or-after that mint — DuckDB's ordered last() FILTER
+    // replays exactly what the per-token state machine computes.
+    "q35_cdc_fold" ->
+      """WITH m AS (
+        |  SELECT event_id AS seq,
+        |    CASE event_type WHEN 'signup' THEN 'mint' WHEN 'click' THEN 'transfer'
+        |         WHEN 'purchase' THEN 'put' WHEN 'view' THEN 'remove'
+        |         ELSE 'burn' END AS msg,
+        |    'T' || (event_id % 1000) AS tid,
+        |    'u' || ((user_id + 7) % 200) AS rcpt,
+        |    CAST(FLOOR(value * 100) AS BIGINT) || 'token' AS pr
+        |  FROM events),
+        |tok AS (
+        |  SELECT tid, MAX(CASE WHEN msg = 'mint' THEN seq END) AS m_seq,
+        |         MAX(CASE WHEN msg = 'burn' THEN seq END) AS b_seq
+        |  FROM m GROUP BY tid),
+        |alive AS (
+        |  SELECT tid, m_seq FROM tok
+        |  WHERE m_seq IS NOT NULL AND (b_seq IS NULL OR m_seq > b_seq)),
+        |post AS (
+        |  SELECT m.* FROM m JOIN alive a USING (tid) WHERE m.seq >= a.m_seq)
+        |SELECT tid AS "tokenId",
+        |  last(rcpt ORDER BY seq) FILTER (WHERE msg IN ('mint', 'transfer'))
+        |    AS "ownerAddress",
+        |  COALESCE(last(CASE msg WHEN 'put' THEN 1 ELSE 0 END ORDER BY seq)
+        |    FILTER (WHERE msg IN ('mint', 'put', 'remove')), 0) AS "status",
+        |  COALESCE(last(CASE msg WHEN 'put' THEN pr ELSE '' END ORDER BY seq)
+        |    FILTER (WHERE msg IN ('mint', 'put', 'remove')), '') AS "price"
+        |FROM post GROUP BY tid ORDER BY tid""".stripMargin,
+    "q36_parse_coin" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CASE WHEN value < 0.1 THEN ''
+        |         ELSE CAST(FLOOR(value * 100) AS BIGINT) || 'token'
+        |    END AS coin
+        |  FROM events)
+        |SELECT event_id,
+        |  -- BIGINT, not DECIMAL(38,0): pandas renders DuckDB decimals as
+        |  -- float64 but Spark parquet decimals as Decimal objects, so the
+        |  -- driver's value hash diverges on type alone (r01/r02 q36 fail).
+        |  CAST(NULLIF(regexp_extract(coin, '^(\d+)', 1), '')
+        |       AS BIGINT) AS amount,
+        |  NULLIF(regexp_extract(coin, '^\d+(\D+.*)$', 1), '') AS denom
+        |FROM c ORDER BY event_id LIMIT 500""".stripMargin,
+    "q40_nested" -> nestedSql,
+    // the QueryBuilder-served requests are row-identical to q3/q40 by
+    // construction (one compiled plan, QueryBuilderSpec pins it), so
+    // they replay those oracles verbatim — the bm25Oracle sharing
+    // pattern for the Hasura-analog front end
+    "q90_qb_filter" -> filterComboSql,
+    "q91_qb_nested" -> nestedSql,
+    "q44_emb_lsh_pairs" -> embLshPairsSql,
+    // int8 quantization: unrounded scale drives the error; outputs floored
+    // (tie-free). The squared-error sum stays a LIST fold (list_sum), not
+    // SUM over unnest — element order then matches Spark's sequential
+    // aggregate() bit-for-bit, so flooring is safe at any granularity.
+    "q53_quantize_i8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding AS v,
+        |         127.0 / GREATEST(
+        |           list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+        |           1e-12) AS scale
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, scale,
+        |         list_sum(list_transform(v, x ->
+        |           POW(x::DOUBLE - GREATEST(-127.0, LEAST(127.0,
+        |                 FLOOR(x::DOUBLE * scale + 0.5))) / scale, 2)))
+        |           AS sse,
+        |         len(v) AS n
+        |  FROM s)
+        |SELECT vec_id, FLOOR(scale * 1e4) / 1e4 AS scale,
+        |       FLOOR(COALESCE(sse, 0) / n * 1e10) / 1e4 AS mse_ppm
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q54_hash_split" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    ${ddbHash("CAST(doc_id AS VARCHAR) || '#0'")} % 10 AS b
+         |  FROM documents)
+         |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n, COUNT(DISTINCT lang) AS langs
+         |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "q57_zorder_scan" ->
+      """SELECT COUNT(*) AS n, ROUND(SUM(value), 4) AS sv,
+        |       MIN(event_id) AS mn, MAX(event_id) AS mx
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80
+        |  AND event_id BETWEEN 1000 AND 3000""".stripMargin,
+    "q61_variant_agg" ->
+      """SELECT event_type,
+        |       COUNT(json_extract(props, '$.k')) AS n,
+        |       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sk,
+        |       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS mn,
+        |       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS mx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q59_pii_redact" -> {
+      val pat = graft.queries.TextQueries.emailPattern.replace("'", "''")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         'contact u' || doc_id ||
+         |         '@example.com or admin@test.org ' || text AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(raw, '$pat')) AS n_redacted,
+         |       md5(regexp_replace(raw, '$pat', '[EMAIL]', 'g'))
+         |         AS redacted_md5
+         |FROM d ORDER BY doc_id LIMIT 300""".stripMargin
+    },
+    "q60_dup_ngrams" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           ORDER BY doc_id LIMIT 400),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '),1) AS i
+        |  FROM d),
+        |sh AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM toks a
+        |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+        |       ROUND(1.0 - COUNT(DISTINCT sh)::DOUBLE / COUNT(*), 4)
+        |         AS dup_frac
+        |FROM sh GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q56_top_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name, n.n_name,
+        |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |         AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, s.s_suppkey LIMIT 100""".stripMargin,
+    "q55_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    CASE WHEN ${ddbHash("CAST(doc_id AS VARCHAR) || '#1'")} % 100 < 10
+         |         THEN 1 ELSE 0 END AS sel
+         |  FROM documents)
+         |SELECT lang, SUM(sel)::BIGINT AS n_sampled, COUNT(*) AS n_total,
+         |       ROUND(SUM(sel)::DOUBLE / COUNT(*), 4) AS rate
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "q51_minhash_pairs_md5" -> minhashPairsMd5,
+    "q125_cross_decontam" -> crossDecontam,
+    "q52_winnow_md5" -> winnowMd5,
+    "q49_nested_deep" -> nestedDeepSql,
+    // q97 = q49's request compiled by the query-builder front end —
+    // same answer contract, same oracle
+    "q97_qb_nested_deep" -> nestedDeepSql,
+    // q40's nested shape composed with PER-RELATIONSHIP arguments: the
+    // child carries its own where (status = open), order_by (price
+    // desc, key) and limit (top 3 per parent) — the windowed top-n is
+    // the SQL spelling of Hasura's nfts(where/order_by/limit) args.
+    // q99 is the SAME request arriving as wire JSON through
+    // RequestCodec.parse — one oracle string, so the codec cannot
+    // drift from the DSL unnoticed.
+    "q98_qb_child_args" -> childArgsSql,
+    "q99_qb_wire" -> childArgsSql,
+    // q100 is the SAME request arriving as GRAPHQL TEXT — the
+    // reference endpoint's own query language — through GraphQl.parse;
+    // one oracle string across DSL/JSON/GraphQL front ends.
+    "q100_qb_graphql" -> childArgsSql,
+    // the rest of Hasura's comparison operators, spelled natively in
+    // DuckDB so the three-valued-logic semantics are pinned too
+    "q101_qb_ops" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE text IS NOT NULL AND lang NOT IN ('zh', 'es')
+        |  AND (source IS NULL OR source ILIKE 'SRC1%')
+        |  AND source NOT LIKE '%8'
+        |ORDER BY doc_id LIMIT 400""".stripMargin,
+    // Hasura's distinct_on, spelled natively: first row per lang by the
+    // (lang, n_chars DESC, doc_id) order — the longest doc per language
+    "q102_qb_distinct_on" ->
+      """SELECT DISTINCT ON (lang) doc_id, lang, n_chars
+        |FROM documents
+        |ORDER BY lang, n_chars DESC, doc_id""".stripMargin,
+    // per-relationship distinct_on + offset/limit composed: per
+    // customer the best order PER STATUS (window 1, the DISTINCT ON),
+    // then a page of the representatives skipping the first (window 2,
+    // the offset/limit) — two stacked per-parent row_number windows,
+    // exactly how the engine compiles the child slice
+    "q103_qb_child_page" ->
+      """WITH reps AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS dn
+        |  FROM orders),
+        |page AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey)
+        |           AS rn
+        |  FROM reps WHERE dn = 1)
+        |SELECT c.c_custkey,
+        |       to_json(list({'k': x.o_orderkey, 'st': x.o_orderstatus,
+        |                'p': printf('%.2f', ROUND(x.o_totalprice, 2))}
+        |               ORDER BY x.o_orderstatus, x.o_totalprice DESC,
+        |                        x.o_orderkey))
+        |         AS orders
+        |FROM customer c
+        |JOIN page x ON x.o_custkey = c.c_custkey
+        |           AND x.rn > 1 AND x.rn <= 3
+        |WHERE c.c_custkey <= 80
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    // perceptual image dedup, PINNED: ground-truth ALL-PAIRS hamming
+    // distances over the pinned fixture hashes (engine hash == literal
+    // is MultimodalOpsSpec's assertion), vs the engine's banded
+    // pigeonhole join — equality proves the banding lossless within
+    // maxDist, with the d=5/6 decoys exercising the band-collision
+    // filter
+    "q104_dhash_pairs" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedDhashes),
+    // q106: the same ground-truth replay over the PER-FRAME video
+    // hashes — the only <=3 pairs are the shifted-copy frames
+    // (vidA#f+1 == vidB#f); vidC's d=4-8 frames band-collide but must
+    // not survive the exact-distance filter
+    "q106_video_frame_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedVideoDhashes),
+    // q107: the audio leg of the triad — ground truth over the pinned
+    // energy-envelope fingerprints; the d=0 pair is the half-volume
+    // copy (gain invariance), the d=9 decoy must be filtered
+    "q107_audio_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedAudioDhashes),
+    // q109: soundtrack dedup — ground truth over the pinned in-container
+    // fingerprints (byte-identical to the q107 WAV values by
+    // construction, spec-asserted); av1/av1_re meet at d=0
+    "q109_av_soundtrack_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedAvAudioDhashes),
+    // q112: image dup clusters — q62's recursive-CTE reachability over
+    // the pinned hashes' <=3 pair graph, canonical = MIN key, so the
+    // engine's id-mapped component labels are checked id-scheme-free
+    "q112_image_dup_clusters" ->
+      dupClustersSql(graft.queries.PipelineQueries.pinnedDhashes),
+    // q117: the same reachability over the pinned AUDIO fingerprints —
+    // expected components {a1,a1_gain} {a2,a2_near} {a3,a3_near} + 4
+    // singletons
+    "q117_audio_dup_clusters" ->
+      dupClustersSql(graft.queries.PipelineQueries.pinnedAudioDhashes),
+    // q111: hamming kNN — exact top-5 by xor/bit_count over the pinned
+    // corpus, query literal shared with the engine
+    "q111_hamming_knn" -> hammingKnnSql(
+      graft.queries.PipelineQueries.pinnedDhashes, 275148587264L, 5),
+    // q116: the same top-5 over the pinned audio fingerprint space
+    // (query = a2_near's pinned hash: rank 1 its d=0 self, rank 2 the
+    // d=2 original)
+    "q116_audio_knn" -> hammingKnnSql(
+      graft.queries.PipelineQueries.pinnedAudioDhashes,
+      5956182740055530213L, 5),
+    // q113: VIDEO-LEVEL repost verdict — the frame-pair aggregation
+    // replayed over the pinned per-frame hashes; expected exactly
+    // (vidA, vidB, 5 frames, 1 offset, shift +1)
+    "q113_video_repost" ->
+      repostVerdictSql(graft.queries.PipelineQueries.pinnedVideoDhashes),
+    // q114: trim-robust audio dedup — ground-truth all-pairs over the
+    // pinned per-segment fingerprints; the only <=3 pairs are the trim
+    // alignment (s1#i+1 == s1_trim#i at d=0), decoys at d=7-10 band-
+    // collide but must not survive the exact filter
+    "q114_audio_trim_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedSegmentAhashes),
+    // q115: the recording-level trim verdict over the same pinned
+    // segment hashes; expected exactly (s1, s1_trim, 3, 1, 1)
+    "q115_audio_trim_verdict" ->
+      repostVerdictSql(graft.queries.PipelineQueries.pinnedSegmentAhashes),
+    // q119: VIDEO-level dup clusters — the q113 verdict replay feeding
+    // recursive reachability over whole-video nodes; expected
+    // {vidA, vidB} under canonical vidA, vidC a singleton
+    "q119_video_dup_clusters" -> {
+      val vals = hashValuesOf(graft.queries.PipelineQueries.pinnedVideoDhashes)
+      s"""WITH RECURSIVE t(key, dhash) AS (VALUES
+         |  $vals),
+         |p0 AS (SELECT a.key AS ka, b.key AS kb
+         |       FROM t a JOIN t b ON a.key < b.key
+         |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e0 AS (SELECT regexp_extract(ka, '^(.*)#', 1) AS va,
+         |              regexp_extract(kb, '^(.*)#', 1) AS vb
+         |       FROM p0),
+         |v AS (SELECT LEAST(va, vb) AS a, GREATEST(va, vb) AS b
+         |      FROM e0 WHERE va <> vb
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |vids AS (SELECT DISTINCT regexp_extract(key, '^(.*)#', 1) AS id
+         |         FROM t),
+         |e AS (SELECT a AS id, b AS nb FROM v UNION ALL SELECT b, a FROM v),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+         |SELECT vids.id AS key, COALESCE(c.canonical, vids.id) AS canonical,
+         |       COUNT(*) OVER (
+         |         PARTITION BY COALESCE(c.canonical, vids.id))::BIGINT
+         |         AS cluster_size
+         |FROM vids LEFT JOIN comp c ON c.id = vids.id
+         |ORDER BY key""".stripMargin
+    },
+    // q118: the GraphQL mutation round-trip — insert/update/delete
+    // replayed as pure SQL over the same parquet (CASE for _set/_inc,
+    // WHERE NOT for the tombstoned delete, UNION ALL for the insert),
+    // aggregated per segment exactly like the engine's read-back
+    "q118_mutation_roundtrip" ->
+      """WITH mutated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey <= 10 THEN 'MUTATED'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN c_custkey <= 10 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  WHERE NOT (c_custkey > 1490 AND c_custkey <= 1499)
+        |  UNION ALL
+        |  SELECT 99901, 'BUILDING', 1234.56)
+        |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q121: the root <table>_aggregate read — Hasura's whole-table
+    // aggregate, all three count forms + sum/min/max, spelled natively
+    "q121_root_aggregate" ->
+      """SELECT COUNT(*)::BIGINT AS count,
+        |       COUNT(DISTINCT o_custkey)::BIGINT AS n_cust,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+        |       MIN(o_totalprice) AS min_o_totalprice,
+        |       MAX(o_totalprice) AS max_o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    // q120: the on_conflict upsert — key 3's segment updates but its
+    // BALANCE keeps the stored value (the replay reads the original
+    // c_acctbal, so an engine overwriting it with the incoming 500.0
+    // hash-fails); 99902 inserts whole
+    "q120_upsert_roundtrip" ->
+      """WITH mutated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey = 3 THEN 'UPSERTED'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         c_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 99902, 'FRESH', 77.5)
+        |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q122: the by_pk point lookup — one key, the same columns
+    // q130: the regex comparison family, spelled natively in DuckDB
+    // (regexp_matches is partial-match like Postgres ~; SIMILAR TO is
+    // native) — pins case-insensitivity and NOT-regex null semantics
+    "q130_regex_ops" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang SIMILAR TO 'e(n|s)'
+        |  AND regexp_matches(lang, '^e')
+        |  AND regexp_matches(source, '^SRC[0-9]', 'i')
+        |  AND NOT regexp_matches(source, '8$')
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+    "q122_by_pk_read" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer WHERE c_custkey = 7""".stripMargin,
+    // q123: by_pk mutations — pk_columns update (CASE) + by_pk delete
+    // (WHERE NOT), read back per segment like q118
+    "q123_by_pk_mutations" ->
+      """WITH mutated AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey = 3 THEN 'VIP'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN c_custkey = 3 THEN c_acctbal + 50.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey <> 5)
+        |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM mutated GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q124: the returning rows themselves — every negative-balance
+    // customer INCLUDING the row the same document inserted (mid-
+    // document visibility), at the post-_inc balance
+    "q124_mutation_returning" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer
+        |              UNION ALL SELECT 99903, -10.0)
+        |SELECT c_custkey, ROUND(c_acctbal + 1000.0, 2) AS bal
+        |FROM base WHERE c_acctbal < 0.0 ORDER BY c_custkey""".stripMargin,
     // q126: the kNN JOIN — per-query exact top-3 replayed as a
     // row_number window over the all-pairs cosine (the ORACLE may pay
     // the window; the engine's TopKAgg pre-reduces map-side)

@@ -151,6 +151,7 @@ object SparkEntry {
     "q127_ivf_knn_join" -> (S.q127IvfKnnJoin(_, _)),
     "q128_knn_join_recall" -> (S.q128KnnJoinRecall(_, _)),
     "q129_filtered_knn" -> (S.q129FilteredKnn(_, _)),
+    "q130_regex_ops" -> (graft.api.GraphQl.q130RegexOps(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -427,12 +427,19 @@ object GraphQl {
       case "_gte" => Gte(field, literal(v, s"$field._gte"))
       case "_lt" => Lt(field, literal(v, s"$field._lt"))
       case "_lte" => Lte(field, literal(v, s"$field._lte"))
-      case "_like" | "_nlike" | "_ilike" =>
+      case "_like" | "_nlike" | "_ilike" | "_regex" | "_iregex" |
+          "_nregex" | "_niregex" | "_similar" | "_nsimilar" =>
         literal(v, s"$field.$op") match {
           case s: String => op match {
             case "_like" => Like(field, s)
             case "_nlike" => Nlike(field, s)
-            case _ => Ilike(field, s)
+            case "_ilike" => Ilike(field, s)
+            case "_regex" => Regex(field, s)
+            case "_iregex" => Regex(field, s, caseInsensitive = true)
+            case "_nregex" => Nregex(field, s)
+            case "_niregex" => Nregex(field, s, caseInsensitive = true)
+            case "_similar" => Similar(field, s)
+            case _ => Nsimilar(field, s)
           }
           case _ => bad(s"$field.$op: pattern must be a string")
         }
@@ -1443,6 +1450,12 @@ object GraphQl {
     case Like(f, p) => s"{$f: {_like: ${quote(p)}}}"
     case Nlike(f, p) => s"{$f: {_nlike: ${quote(p)}}}"
     case Ilike(f, p) => s"{$f: {_ilike: ${quote(p)}}}"
+    case Regex(f, p, ci) =>
+      s"{$f: {${if (ci) "_iregex" else "_regex"}: ${quote(p)}}}"
+    case Nregex(f, p, ci) =>
+      s"{$f: {${if (ci) "_niregex" else "_nregex"}: ${quote(p)}}}"
+    case Similar(f, p) => s"{$f: {_similar: ${quote(p)}}}"
+    case Nsimilar(f, p) => s"{$f: {_nsimilar: ${quote(p)}}}"
     case IsNull(f, isNull) => s"{$f: {_is_null: $isNull}}"
   }
 
@@ -1657,6 +1670,37 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q122 GraphQL query failed to parse: $m")
+    }
+
+  /** q130's document — Hasura's REGEX comparison family
+    * (`_regex`/`_iregex`/`_nregex`/`_similar`, Postgres `~`/`~*`/
+    * `!~`/SIMILAR TO): partial-match regexes, a case-insensitive
+    * pattern against lower-case data (the `~*` semantics), a negation
+    * whose three-valued logic keeps null sources out, and a SIMILAR TO
+    * full-match with alternation. */
+  val q130Query: String =
+    """{
+      |  documents(where: {_and: [
+      |      {lang: {_similar: "e(n|s)"}},
+      |      {lang: {_regex: "^e"}},
+      |      {source: {_iregex: "^SRC[0-9]"}},
+      |      {source: {_nregex: "8$"}}]},
+      |    order_by: [{doc_id: asc}], limit: 300) {
+      |    doc_id lang source
+      |  }
+      |}""".stripMargin
+
+  /** q130 — the regex operator family end to end: GraphQL text →
+    * [[QueryBuilder.Regex]]/[[QueryBuilder.Similar]] → `rlike` in the
+    * scan, against DuckDB's native `regexp_matches`/`SIMILAR TO`
+    * spellings — so the Java-regex/RE2 common-subset contract and the
+    * SIMILAR TO translation are both oracle-pinned. */
+  def q130RegexOps(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q130Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q130 GraphQL query failed to parse: $m")
     }
 
   /** q123's document — the by_pk WRITE verbs: a pk_columns update whose

@@ -72,6 +72,60 @@ object QueryBuilder {
   final case class Ilike(field: String, pattern: String) extends BoolExp {
     private[api] def toColumn: Column = col(field).ilike(pattern)
   }
+  /** Hasura `_regex` / `_iregex` (Postgres `~` / `~*`): PARTIAL-match
+    * regex. Spark executes Java regex, DuckDB/Postgres POSIX/RE2 — the
+    * contract covers their common subset (character classes,
+    * alternation, repetition, anchors); lookaround/backreferences are
+    * out of scope. A null field never matches (SQL three-valued
+    * logic), so `Nregex` keeps nulls out exactly like `_nlike`. */
+  final case class Regex(field: String, pattern: String,
+      caseInsensitive: Boolean = false) extends BoolExp {
+    private[api] def toColumn: Column = col(field).rlike(
+      if (caseInsensitive) "(?i)" + pattern else pattern)
+  }
+  final case class Nregex(field: String, pattern: String,
+      caseInsensitive: Boolean = false) extends BoolExp {
+    private[api] def toColumn: Column = !col(field).rlike(
+      if (caseInsensitive) "(?i)" + pattern else pattern)
+  }
+  /** Hasura `_similar` (SQL SIMILAR TO): FULL-match pattern where `%`
+    * and `_` are the LIKE wildcards and `|`, `*`, `+`, `?`, `()`,
+    * `[]`, `{}` keep their regex meanings, while `.` is a LITERAL —
+    * translated to an anchored Java regex ([[similarToRegex]]). */
+  final case class Similar(field: String, pattern: String)
+      extends BoolExp {
+    private[api] def toColumn: Column =
+      col(field).rlike(similarToRegex(pattern))
+  }
+  final case class Nsimilar(field: String, pattern: String)
+      extends BoolExp {
+    private[api] def toColumn: Column =
+      !col(field).rlike(similarToRegex(pattern))
+  }
+
+  /** SQL SIMILAR TO → anchored Java regex: `%` → `.*`, `_` → `.`,
+    * literal `.` escaped (SIMILAR TO does not treat it as a
+    * metacharacter); the regex-shared metacharacters and backslash
+    * escapes pass through with their common meaning. `\A...\z` anchors
+    * implement the full-match semantics without multiline surprises. */
+  private[api] def similarToRegex(p: String): String = {
+    val sb = new StringBuilder("\\A(?:")
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' if i + 1 < p.length =>
+          sb += '\\' += p.charAt(i + 1); i += 1
+        case '%' => sb ++= ".*"
+        case '_' => sb += '.'
+        case '.' => sb ++= "\\."
+        case c => sb += c
+      }
+      i += 1
+    }
+    sb ++= ")\\z"
+    sb.toString
+  }
+
   /** Hasura `_is_null: true|false`. */
   final case class IsNull(field: String, isNull: Boolean = true)
       extends BoolExp {

@@ -111,6 +111,14 @@ object RequestCodec {
               case "_like" => Like(field, str(v, at))
               case "_nlike" => Nlike(field, str(v, at))
               case "_ilike" => Ilike(field, str(v, at))
+              case "_regex" => Regex(field, str(v, at))
+              case "_iregex" =>
+                Regex(field, str(v, at), caseInsensitive = true)
+              case "_nregex" => Nregex(field, str(v, at))
+              case "_niregex" =>
+                Nregex(field, str(v, at), caseInsensitive = true)
+              case "_similar" => Similar(field, str(v, at))
+              case "_nsimilar" => Nsimilar(field, str(v, at))
               case "_in" => In(field, arr(v, at).map(value(_, at)))
               case "_nin" => Nin(field, arr(v, at).map(value(_, at)))
               case "_is_null" =>
@@ -323,6 +331,11 @@ object RequestCodec {
       case Like(f, p) => cmp(f, "_like", p)
       case Nlike(f, p) => cmp(f, "_nlike", p)
       case Ilike(f, p) => cmp(f, "_ilike", p)
+      case Regex(f, p, ci) => cmp(f, if (ci) "_iregex" else "_regex", p)
+      case Nregex(f, p, ci) =>
+        cmp(f, if (ci) "_niregex" else "_nregex", p)
+      case Similar(f, p) => cmp(f, "_similar", p)
+      case Nsimilar(f, p) => cmp(f, "_nsimilar", p)
       case IsNull(f, b) => cmp(f, "_is_null", b)
       case In(f, vs) => inList(f, "_in", vs)
       case Nin(f, vs) => inList(f, "_nin", vs)
