@@ -489,6 +489,13 @@ class GraphQlSpec extends SparkSpec {
         Gen.oneOf("%x%", "a_b", "").map(Like(f, _)),
         Gen.oneOf("%8", "S_").map(Nlike(f, _)),
         Gen.oneOf("SRC%", "%Q%").map(Ilike(f, _)),
+        Gen.oneOf("^e", "[0-9]+$", "a.b\\d").map(Regex(f, _)),
+        Gen.zip(Gen.oneOf("^SRC", "x|y"), Gen.oneOf(true, false))
+          .map { case (p, ci) => Regex(f, p, ci) },
+        Gen.zip(Gen.oneOf("8$", "\"esc\""), Gen.oneOf(true, false))
+          .map { case (p, ci) => Nregex(f, p, ci) },
+        Gen.oneOf("e(n|s)", "%src_", "a.c%").map(Similar(f, _)),
+        Gen.oneOf("z%", "_\\%lit").map(Nsimilar(f, _)),
         Gen.oneOf(true, false).map(IsNull(f, _))).flatMap(identity)
     } yield leaf
     def genTree(fields: Seq[String], depth: Int): Gen[BoolExp] =

@@ -55,6 +55,44 @@ class QueryBuilderSpec extends SparkSpec {
       rows(graft.queries.RelationalQueries.q40Nested(spark, dir)))
   }
 
+  test("similarToRegex: % and _ translate, '.' stays literal, escapes " +
+    "and regex metas pass through, matches are FULL-length") {
+    import java.util.regex.Pattern
+    def m(pat: String, s: String): Boolean =
+      Pattern.compile(QueryBuilder.similarToRegex(pat)).matcher(s).find()
+    // alternation (a regex meta SIMILAR TO shares)
+    assert(m("e(n|s)", "en") && m("e(n|s)", "es"))
+    // full-match semantics: no partial hits
+    assert(!m("e(n|s)", "xen") && !m("e(n|s)", "ens"))
+    // LIKE wildcards
+    assert(m("%a_b%", "xxacbyy") && !m("%a_b%", "ab"))
+    // '.' is a LITERAL in SIMILAR TO (unlike regex)
+    assert(m("a.b", "a.b") && !m("a.b", "axb"))
+    // backslash escapes a wildcard to its literal
+    assert(m("100\\%", "100%") && !m("100\\%", "1000"))
+    // character class + repetition pass through
+    assert(m("src[0-9]+", "src42") && !m("src[0-9]+", "src"))
+  }
+
+  test("regex/similar filters run through the three-front-end compile " +
+    "path with SQL three-valued logic on nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "src1"), (2L, "es", "src8"), (3L, "zh", "src2"),
+      (4L, "en", null)).toDF("doc_id", "lang", "source")
+    def ids(w: BoolExp): Seq[Long] =
+      QueryBuilder.runRoot(df, Request("t", Seq("doc_id"),
+        where = Some(w), orderBy = Seq(Order("doc_id"))))
+        .collect().map(_.getLong(0)).toSeq
+    assert(ids(Regex("lang", "^e")) === Seq(1L, 2L, 4L))
+    assert(ids(Regex("source", "^SRC[0-9]", caseInsensitive = true)) ===
+      Seq(1L, 2L, 3L))
+    // a null source is neither matched nor NOT-matched (three-valued)
+    assert(ids(Nregex("source", "8$")) === Seq(1L, 3L))
+    assert(ids(Similar("lang", "e(n|s)")) === Seq(1L, 2L, 4L))
+    assert(ids(Nsimilar("source", "src[18]")) === Seq(3L))
+  }
+
   test("remaining operator surface: neq/gt/lt/in/not filters and " +
     "min/max/avg aggregates compose correctly") {
     import spark.implicits._

@@ -64,6 +64,17 @@ class RequestCodecSpec extends SparkSpec {
         Nlike("source", "%8"))),
       orderBy = Seq(Order("doc_id")),
       limit = Some(10)),
+    "regex-ops" -> Request(
+      table = "documents",
+      fields = Seq("doc_id"),
+      where = Some(And(
+        Regex("lang", "^e"),
+        Regex("source", "^SRC[0-9]", caseInsensitive = true),
+        Nregex("source", "8$"),
+        Nregex("lang", "Z", caseInsensitive = true),
+        Similar("lang", "e(n|s)"),
+        Nsimilar("source", "z%"))),
+      limit = Some(10)),
     "distinct-on" -> Request(
       table = "documents",
       fields = Seq("doc_id", "lang"),
