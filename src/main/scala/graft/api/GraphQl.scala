@@ -1236,8 +1236,20 @@ object GraphQl {
     * on_conflict update_columns is the query language's conflict
     * policy). Object values follow the GraphQL literal grammar; null
     * renders as `null` (legal in objects, unlike `_eq` comparisons). */
-  def renderMutations(ms: Seq[Mutations.Mutation]): String = {
-    require(ms.nonEmpty, "render: empty mutation document")
+  def renderMutations(ms: Seq[Mutations.Mutation]): String =
+    renderMutationFields(ms.map(Mutations.Field(_)))
+
+  /** [[renderMutations]] over the FULL grammar:
+    * `parseMutationFields(renderMutationFields(fs)) == Right(fs)` —
+    * by_pk verbs render to their pk_columns / key-argument spellings
+    * (requiring an `Eq(pk, literal)` where — any other by_pk where has
+    * no spelling and rejects loudly), `returning` renders next to
+    * `affected_rows`, and single-object inserts render as
+    * `insert_<t>_one` with the row-shaped selection. Tables whose
+    * names would COLLIDE with a verb suffix (`_one`, `_by_pk`) reject
+    * instead of parsing back as a different verb. */
+  def renderMutationFields(fs: Seq[Mutations.Field]): String = {
+    require(fs.nonEmpty, "render: empty mutation document")
     // every bare identifier in the rendered text must BE a GraphQL
     // name, or the output parses differently (an 'a b' column reads
     // back as two enum values) — loud here, never drift
@@ -1256,35 +1268,98 @@ object GraphQl {
       entries.map { case (k, v) =>
         s"${gqlName(k, "object field")}: ${mutLit(v)}" }
         .mkString("{", ", ", "}")
+    def pkPair(where: QueryBuilder.BoolExp,
+        at: String): (String, String) = where match {
+      case QueryBuilder.Eq(f, v) if v != null =>
+        (gqlName(f, "key column"), mutLit(v))
+      case other => throw new IllegalArgumentException(
+        s"render: $at requires an Eq(pk, literal) where — " +
+          s"$other has no by_pk spelling")
+    }
+    def noSuffix(table: String, what: String): String = {
+      if (table.endsWith("_by_pk") || table.endsWith("_one"))
+        throw new IllegalArgumentException(
+          s"render: table '$table' collides with the $what verb " +
+            "suffix — the rendered field name would parse as a " +
+            "different mutation")
+      gqlName(table, "table")
+    }
+    def retCols(f: Mutations.Field): Seq[String] =
+      f.returning.getOrElse(throw new IllegalArgumentException(
+        "render: a by_pk/single field needs returning columns " +
+          "(its response IS the row)")).map(gqlName(_, "column"))
+    def selection(f: Mutations.Field): String = f.returning match {
+      case Some(cols) if f.single =>
+        cols.map(gqlName(_, "column")).mkString(" { ", " ", " }\n")
+      case Some(cols) =>
+        " { affected_rows returning { " +
+          cols.map(gqlName(_, "column")).mkString(" ") + " } }\n"
+      case None => " { affected_rows }\n"
+    }
     val sb = new StringBuilder("mutation {\n")
-    ms.foreach {
-      case Mutations.Insert(table, rows, upsert, updateCols) =>
-        if (upsert)
-          throw new IllegalArgumentException(
-            "render: upsert=true has no GraphQL spelling — use " +
-              "updateColumns (on_conflict) for a renderable policy")
-        if (table.endsWith("_one"))
-          throw new IllegalArgumentException(
-            s"render: table '$table' collides with the insert_<t>_one " +
-              "spelling — the rendered field name would parse as a " +
-              "single-object insert on a different table")
-        sb ++= s"  insert_${gqlName(table, "table")}(objects: ["
-        sb ++= rows.map(obj).mkString(", ")
-        sb ++= "]"
-        updateCols.foreach(cols => sb ++=
-          s", on_conflict: {update_columns: [${cols.map(
-            gqlName(_, "update_column")).mkString(", ")}]}")
-        sb ++= ") { affected_rows }\n"
-      case Mutations.Update(table, where, set, inc) =>
-        sb ++= s"  update_${gqlName(table, "table")}" +
-          s"(where: ${renderBoolExp(where)}"
-        if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
-        if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
-        sb ++= ") { affected_rows }\n"
-      case Mutations.Delete(table, where) =>
-        sb ++= s"  delete_${gqlName(table, "table")}" +
-          s"(where: ${renderBoolExp(where)})"
-        sb ++= " { affected_rows }\n"
+    fs.foreach { field =>
+      field.m match {
+        case Mutations.Insert(table, rows, upsert, updateCols) =>
+          if (upsert)
+            throw new IllegalArgumentException(
+              "render: upsert=true has no GraphQL spelling — use " +
+                "updateColumns (on_conflict) for a renderable policy")
+          val oneShaped = field.single
+          if (oneShaped && rows.length != 1)
+            throw new IllegalArgumentException(
+              "render: a single-shaped insert carries exactly one row")
+          if (oneShaped) {
+            sb ++= s"  insert_${noSuffix(table, "insert_<t>_one")}_one" +
+              s"(object: ${obj(rows.head)}"
+            updateCols.foreach(cols => sb ++=
+              s", on_conflict: {update_columns: [${cols.map(
+                gqlName(_, "update_column")).mkString(", ")}]}")
+            sb ++= ")"
+            sb ++= retCols(field).mkString(" { ", " ", " }\n")
+          } else {
+            if (table.endsWith("_one"))
+              throw new IllegalArgumentException(
+                s"render: table '$table' collides with the " +
+                  "insert_<t>_one spelling — the rendered field name " +
+                  "would parse as a single-object insert on a " +
+                  "different table")
+            sb ++= s"  insert_${gqlName(table, "table")}(objects: ["
+            sb ++= rows.map(obj).mkString(", ")
+            sb ++= "]"
+            updateCols.foreach(cols => sb ++=
+              s", on_conflict: {update_columns: [${cols.map(
+                gqlName(_, "update_column")).mkString(", ")}]}")
+            sb ++= ")"
+            sb ++= selection(field)
+          }
+        case Mutations.Update(table, where, set, inc) =>
+          if (field.single) {
+            val (pk, v) = pkPair(where, "update_<t>_by_pk")
+            sb ++= s"  update_${noSuffix(table, "by_pk")}_by_pk" +
+              s"(pk_columns: {$pk: $v}"
+            if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
+            if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
+            sb ++= ")"
+            sb ++= retCols(field).mkString(" { ", " ", " }\n")
+          } else {
+            sb ++= s"  update_${noSuffix(table, "by_pk")}" +
+              s"(where: ${renderBoolExp(where)}"
+            if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
+            if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
+            sb ++= ")"
+            sb ++= selection(field)
+          }
+        case Mutations.Delete(table, where) =>
+          if (field.single) {
+            val (pk, v) = pkPair(where, "delete_<t>_by_pk")
+            sb ++= s"  delete_${noSuffix(table, "by_pk")}_by_pk($pk: $v)"
+            sb ++= retCols(field).mkString(" { ", " ", " }\n")
+          } else {
+            sb ++= s"  delete_${noSuffix(table, "by_pk")}" +
+              s"(where: ${renderBoolExp(where)})"
+            sb ++= selection(field)
+          }
+      }
     }
     (sb ++= "}").toString
   }

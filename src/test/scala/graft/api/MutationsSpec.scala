@@ -503,6 +503,95 @@ class MutationsSpec extends SparkSpec {
       Mutations.Delete("no-table", Eq("k", 1L)))))
   }
 
+  test("printer: parseMutationFields(renderMutationFields(fs)) == " +
+    "Right(fs) over the FULL grammar (by_pk, returning, insert_one)") {
+    import org.scalacheck.{Gen, rng}
+    val cols = Seq("k", "seg", "bal", "note")
+    val tables = Seq("t", "docs", "events")
+    def genObjLit: Gen[Any] = Gen.oneOf(
+      Gen.choose(-100000L, 100000L),
+      Gen.oneOf("A", "x%", "O'hare \"q\"", "", "line\nbreak"),
+      Gen.choose(-1.0e6, 1.0e6),
+      Gen.oneOf(true, false),
+      Gen.const(null))
+    def genEntries: Gen[Seq[(String, Any)]] = for {
+      n <- Gen.choose(1, cols.length)
+      ks <- Gen.pick(n, cols)
+      vs <- Gen.listOfN(n, genObjLit)
+    } yield ks.toSeq.zip(vs)
+    def genPk: Gen[BoolExp] = for {
+      f <- Gen.oneOf("k", "id")
+      v <- Gen.oneOf[Gen[Any]](Gen.choose(-9999L, 9999L),
+        Gen.oneOf("a", "O'k")).flatMap(identity)
+    } yield Eq(f, v)
+    def genRet: Gen[Seq[String]] =
+      Gen.choose(1, 3).flatMap(n => Gen.pick(n, cols)).map(_.toSeq)
+    val genByPkUpdate: Gen[Mutations.Field] = for {
+      t <- Gen.oneOf(tables); w <- genPk
+      set <- genEntries; ret <- genRet
+    } yield Mutations.Field(Mutations.Update(t, w, set), Some(ret),
+      single = true)
+    val genByPkDelete: Gen[Mutations.Field] = for {
+      t <- Gen.oneOf(tables); w <- genPk; ret <- genRet
+    } yield Mutations.Field(Mutations.Delete(t, w), Some(ret),
+      single = true)
+    val genInsertOne: Gen[Mutations.Field] = for {
+      t <- Gen.oneOf(tables); row <- genEntries; ret <- genRet
+      oc <- Gen.oneOf[Option[Seq[String]]](None, Some(Nil),
+        Some(Seq("seg")))
+    } yield Mutations.Field(
+      Mutations.Insert(t, Seq(row), updateColumns = oc), Some(ret),
+      single = true)
+    val genPlainRet: Gen[Mutations.Field] = for {
+      t <- Gen.oneOf(tables)
+      w <- genPk
+      ret <- Gen.oneOf[Option[Seq[String]]](None, None).flatMap(_ =>
+        Gen.option(genRet))
+      verb <- Gen.oneOf(0, 1, 2)
+      set <- genEntries
+      rows <- Gen.listOfN(2, genEntries)
+    } yield verb match {
+      case 0 => Mutations.Field(Mutations.Insert(t, rows), ret)
+      case 1 => Mutations.Field(Mutations.Update(t, w, set), ret)
+      case _ => Mutations.Field(Mutations.Delete(t, w), ret)
+    }
+    val genDoc: Gen[Seq[Mutations.Field]] = for {
+      n <- Gen.choose(1, 4)
+      fs <- Gen.listOfN(n, Gen.oneOf[Gen[Mutations.Field]](
+        genByPkUpdate, genByPkDelete, genInsertOne, genPlainRet)
+        .flatMap(identity))
+    } yield fs
+    var checked = 0
+    (1 to 400).foreach { seed =>
+      genDoc.apply(Gen.Parameters.default, rng.Seed(seed.toLong))
+        .foreach { fs =>
+          checked += 1
+          val text = GraphQl.renderMutationFields(fs)
+          assert(GraphQl.parseMutationFields(text) === Right(fs),
+            s"seed $seed did not round-trip:\n$text\n$fs")
+        }
+    }
+    assert(checked > 300, s"generator drought: only $checked samples")
+    // unrenderable shapes reject loudly
+    // by_pk with a non-Eq where has no spelling
+    assertThrows[IllegalArgumentException](GraphQl.renderMutationFields(
+      Seq(Mutations.Field(Mutations.Delete("t", Gt("k", 1L)),
+        Some(Seq("k")), single = true))))
+    // a by_pk response IS the row — no returning columns, no spelling
+    assertThrows[IllegalArgumentException](GraphQl.renderMutationFields(
+      Seq(Mutations.Field(Mutations.Delete("t", Eq("k", 1L)), None,
+        single = true))))
+    // a table named like the verb suffix would parse as by_pk
+    assertThrows[IllegalArgumentException](GraphQl.renderMutationFields(
+      Seq(Mutations.Field(Mutations.Update("x_by_pk", Eq("k", 1L),
+        Seq("seg" -> "A")), None))))
+    // single insert with two rows has no _one spelling
+    assertThrows[IllegalArgumentException](GraphQl.renderMutationFields(
+      Seq(Mutations.Field(Mutations.Insert("t",
+        Seq(Seq("k" -> 1L), Seq("k" -> 2L))), Some(Seq("k")),
+        single = true))))
+  }
+
   test("q118 round-trip matches the SQL replay shape locally") {
     val out = GraphQl.q118MutationRoundTrip(spark, "/root/testdata/sf0.001")
     val bySeg = out.collect().map(r =>
