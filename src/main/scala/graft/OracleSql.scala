@@ -1210,6 +1210,31 @@ object OracleSql {
         |  AND regexp_matches(source, '^SRC[0-9]', 'i')
         |  AND NOT regexp_matches(source, '8$')
         |ORDER BY doc_id LIMIT 300""".stripMargin,
+    // q131: the two-table document — each table's mutations replay
+    // independently (CASE + WHERE NOT + UNION ALL per table), read
+    // back as one summary row per table
+    "q131_multi_table" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey <= 5 THEN 'XTBL'
+        |              ELSE c_mktsegment END AS seg,
+        |         CASE WHEN c_custkey = 7 THEN 0.0
+        |              ELSE c_acctbal END AS bal
+        |  FROM customer),
+        |o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey > 100
+        |  UNION ALL SELECT 999991, 'X', 10.0)
+        |SELECT 'customer' AS tbl, COUNT(*)::BIGINT AS n,
+        |       COUNT(DISTINCT seg)::BIGINT AS n_cat,
+        |       ROUND(SUM(bal), 2) AS chk
+        |FROM c
+        |UNION ALL
+        |SELECT 'orders', COUNT(*)::BIGINT,
+        |       COUNT(DISTINCT o_orderstatus)::BIGINT,
+        |       ROUND(SUM(o_totalprice), 2)
+        |FROM o
+        |ORDER BY tbl""".stripMargin,
     "q122_by_pk_read" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 7""".stripMargin,

@@ -152,6 +152,7 @@ object SparkEntry {
     "q128_knn_join_recall" -> (S.q128KnnJoinRecall(_, _)),
     "q129_filtered_knn" -> (S.q129FilteredKnn(_, _)),
     "q130_regex_ops" -> (graft.api.GraphQl.q130RegexOps(_, _)),
+    "q131_multi_table" -> (graft.api.GraphQl.q131MultiTable(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

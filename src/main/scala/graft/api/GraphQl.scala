@@ -1778,6 +1778,56 @@ object GraphQl {
         s"canned q130 GraphQL query failed to parse: $m")
     }
 
+  /** q131's document — one document, TWO tables, interleaved: plain
+    * and by_pk verbs against customer next to delete/insert against
+    * orders, exactly how Hasura clients batch related writes. */
+  val q131Mutation: String =
+    """mutation {
+      |  update_customer(where: {c_custkey: {_lte: 5}},
+      |                  _set: {c_mktsegment: "XTBL"}) { affected_rows }
+      |  delete_orders(where: {o_orderkey: {_lte: 100}}) { affected_rows }
+      |  insert_orders(objects: [{o_orderkey: 999991,
+      |                           o_orderstatus: "X",
+      |                           o_totalprice: 10.0}]) { affected_rows }
+      |  update_customer_by_pk(pk_columns: {c_custkey: 7},
+      |                        _set: {c_acctbal: 0.0}) { c_custkey }
+      |}""".stripMargin
+
+  /** q131 — the multi-table mutation round-trip: the document routes
+    * through [[Mutations.applyFieldsToStores]] (a store registry,
+    * per-table atomic swaps after the whole document folds), then both
+    * stores read back as one (tbl, n, n_cat, chk) row each — DuckDB
+    * replays each table's mutations independently, so cross-table
+    * routing errors (a write landing on the wrong store) hash-fail. */
+  def q131MultiTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val app = s.sparkContext.applicationId
+    val cPath = s"/root/repo/target/tmp/q131c_store_$app"
+    val oPath = s"/root/repo/target/tmp/q131o_store_$app"
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal"), cPath)
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"), oPath)
+    Mutations.applyFieldsToStores(s, Map(
+      "customer" -> ((cPath, "c_custkey")),
+      "orders" -> ((oPath, "o_orderkey"))),
+      parsedFields("q131", q131Mutation, "{}"))
+    val c = graft.sources.SnapshotStore.read(s, cPath)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("n_cat"),
+        round(sum(col("c_acctbal")), 2).as("chk"))
+      .select(lit("customer").as("tbl"), col("n"), col("n_cat"), col("chk"))
+    val o = graft.sources.SnapshotStore.read(s, oPath)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderstatus")).as("n_cat"),
+        round(sum(col("o_totalprice")), 2).as("chk"))
+      .select(lit("orders").as("tbl"), col("n"), col("n_cat"), col("chk"))
+    c.unionByName(o).orderBy("tbl")
+  }
+
   /** q123's document — the by_pk WRITE verbs: a pk_columns update whose
     * response selects the post-update row, and a delete_by_pk whose
     * response selects the removed row's prior values. */

@@ -308,12 +308,49 @@ object Mutations {
     val stray = fields.map(_.m.table).filterNot(_ == table).distinct
     require(stray.isEmpty, s"store at $path holds '$table' but the " +
       s"document mutates ${stray.mkString(", ")}")
-    val hfs = org.apache.hadoop.fs.FileSystem.get(
+    applyFieldsToStores(spark, Map(table -> (path, keyCol)), fields)
+  }
+
+  /** Apply one document across a REGISTRY of persisted stores (table →
+    * (path, keyCol)) — Hasura documents freely mix tables, and its
+    * sequential semantics carry over: fields execute in document
+    * order, each against its table's folded state, so a later field
+    * sees every earlier write to ITS table (and tables never interact
+    * — there are no cross-table constraints in this engine).
+    *
+    * Durability contract: each store rewrites through [[AtomicSwap]]
+    * (readers of one table never see a half-write), stores are
+    * rewritten only if the document touched them, and the swaps run
+    * sequentially AFTER the whole document folds — so a crash
+    * mid-apply leaves every store untouched, and a crash mid-swap
+    * leaves each table either fully old or fully new (per-table
+    * atomicity; cross-table atomicity would need a transaction log
+    * the reference's store does not have either). */
+  def applyFieldsToStores(spark: SparkSession,
+      stores: Map[String, (String, String)],
+      fields: Seq[Field]): Seq[FieldResult] = {
+    val unknown = fields.map(_.m.table).distinct.filterNot(stores.contains)
+    require(unknown.isEmpty,
+      s"no registered store for table(s): ${unknown.mkString(", ")}")
+    def fsOf(path: String) = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    AtomicSwap.recover(hfs, path)
-    val (next, results) =
-      applyFields(SnapshotStore.read(spark, path), fields, keyCol)
-    AtomicSwap.rewrite(hfs, path)(tmp => SnapshotStore.write(next, tmp))
+    val touched = fields.map(_.m.table).distinct
+    var snaps: Map[String, DataFrame] = touched.map { t =>
+      val (path, _) = stores(t)
+      AtomicSwap.recover(fsOf(path), path)
+      t -> SnapshotStore.read(spark, path)
+    }.toMap
+    val results = fields.map { f =>
+      val t = f.m.table
+      val (next, rs) = applyFields(snaps(t), Seq(f), stores(t)._2)
+      snaps += t -> next
+      rs.head
+    }
+    touched.foreach { t =>
+      val (path, _) = stores(t)
+      AtomicSwap.rewrite(fsOf(path), path)(tmp =>
+        SnapshotStore.write(snaps(t), tmp))
+    }
     results
   }
 }

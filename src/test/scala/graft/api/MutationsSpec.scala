@@ -404,6 +404,50 @@ class MutationsSpec extends SparkSpec {
     assert(stray.getMessage.contains("mutates other"))
   }
 
+  test("applyFieldsToStores: one document over a store registry — " +
+    "in-order per table, cross-table routing, per-table rewrites") {
+    import java.nio.file.Files
+    val tPath = Files.createTempDirectory("graft_mt_t").toString
+    val uPath = Files.createTempDirectory("graft_mt_u").toString
+    SnapshotStore.write(snap, tPath)
+    SnapshotStore.write(Seq((10L, "open", 5.0), (11L, "done", 7.0))
+      .toDF("id", "st", "amt"), uPath)
+    val doc =
+      """mutation {
+        |  update_t(where: {seg: {_eq: "A"}}, _inc: {bal: 1.0}) {
+        |    affected_rows }
+        |  insert_u_one(object: {id: 12, st: "open", amt: 2.0}) {
+        |    affected_rows }
+        |  update_t(where: {seg: {_eq: "A"}}, _inc: {bal: 1.0}) {
+        |    affected_rows
+        |    returning { k bal } }
+        |  delete_u_by_pk(id: 10) { id amt }
+        |}""".stripMargin
+    val fields = GraphQl.parseMutationFields(doc).fold(m => fail(m), identity)
+    val reg = Map("t" -> ((tPath, "k")), "u" -> ((uPath, "id")))
+    val rs = Mutations.applyFieldsToStores(spark, reg, fields)
+    assert(rs.map(_.affected) === Seq(2L, 1L, 2L, 1L))
+    // the second t-update folded on the first (in-order per table):
+    // k=1 bal 10 -> 12, k=2 bal 20 -> 22
+    assert(rs(2).returning.get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 12.0), (2L, 22.0)))
+    // the by_pk delete returned u's row untouched by t's writes
+    assert(rs(3).returning.get.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((10L, 5.0)))
+    // both stores persisted their final states
+    assert(SnapshotStore.read(spark, tPath)
+      .agg(org.apache.spark.sql.functions.sum("bal")).head.getDouble(0)
+      === 12.0 + 22.0 + 30.0 + 40.0)
+    assert(SnapshotStore.read(spark, uPath).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(11L, 12L))
+    // a table with no registered store rejects loudly BEFORE any write
+    val e = intercept[IllegalArgumentException](
+      Mutations.applyFieldsToStores(spark, reg,
+        Seq(Mutations.Field(Mutations.Delete("nope", Eq("k", 1L))))))
+    assert(e.getMessage.contains("no registered store"))
+  }
+
   test("printer: parseMutations(renderMutations(ms)) == Right(ms) over " +
     "generated documents (deterministic property sweep)") {
     import org.scalacheck.{Gen, rng}
