@@ -1235,6 +1235,16 @@ object OracleSql {
         |       ROUND(SUM(o_totalprice), 2)
         |FROM o
         |ORDER BY tbl""".stripMargin,
+    // q132: aggregate + nodes in one response — the JSON array is
+    // sorted by the leading field on both engines (list_sort /
+    // sort_array), so the wire shape compares byte-exact
+    "q132_agg_nodes" ->
+      """SELECT COUNT(*)::BIGINT AS count,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+        |       to_json(list_sort(list({'o_orderkey': o_orderkey,
+        |                'o_custkey': o_custkey}))) AS nodes
+        |FROM orders
+        |WHERE o_orderstatus = 'P' AND o_totalprice > 485000""".stripMargin,
     "q122_by_pk_read" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 7""".stripMargin,

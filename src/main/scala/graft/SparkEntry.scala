@@ -153,6 +153,7 @@ object SparkEntry {
     "q129_filtered_knn" -> (S.q129FilteredKnn(_, _)),
     "q130_regex_ops" -> (graft.api.GraphQl.q130RegexOps(_, _)),
     "q131_multi_table" -> (graft.api.GraphQl.q131MultiTable(_, _)),
+    "q132_agg_nodes" -> (graft.api.GraphQl.q132AggregateNodes(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -949,13 +949,24 @@ object GraphQl {
       val where = args.get("where").map(compileBool(_, s"$root.where"))
       p.expect('{')
       var aggs: Seq[AggField] = Nil
+      var nodes: Seq[String] = Nil
       while (!p.isPunct('}')) {
         p.name("aggregate body") match {
           case "aggregate" =>
             aggs = compileAggFields(p, root, rootCount(root))
+          case "nodes" =>
+            // Hasura's nodes arm: the filtered rows themselves, next
+            // to their aggregates — served as one deterministic JSON
+            // array column (sorted by the first selected field)
+            if (nodes.nonEmpty) bad(s"$root: duplicate nodes")
+            p.expect('{')
+            val fs = Seq.newBuilder[String]
+            while (!p.isPunct('}')) fs += p.name("nodes field")
+            p.expect('}')
+            nodes = fs.result()
+            if (nodes.isEmpty) bad(s"$root.nodes: empty selection set")
           case other =>
-            bad(s"$root: expected 'aggregate', got '$other' " +
-              "(nodes are the plain read's job)")
+            bad(s"$root: expected 'aggregate' or 'nodes', got '$other'")
         }
       }
       p.expect('}')
@@ -967,7 +978,7 @@ object GraphQl {
       (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
-      Right(QueryBuilder.AggRequest(table, where, aggs))
+      Right(QueryBuilder.AggRequest(table, where, aggs, nodes))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1630,6 +1641,32 @@ object GraphQl {
       case Right(r) => QueryBuilder.runAggregate(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q121 aggregate failed to parse: $m")
+    }
+
+  /** q132's document — the aggregate's NODES arm: Hasura returns the
+    * filtered rows themselves next to their aggregates in one
+    * response; here the nodes render as one deterministic JSON array
+    * column (sorted by the leading field), the q40 wire-shape
+    * contract applied to the root aggregate. */
+  val q132Query: String =
+    """{
+      |  orders_aggregate(where: {_and: [
+      |      {o_orderstatus: {_eq: "P"}},
+      |      {o_totalprice: {_gt: 485000.0}}]}) {
+      |    aggregate {
+      |      count
+      |      sum { o_totalprice }
+      |    }
+      |    nodes { o_orderkey o_custkey }
+      |  }
+      |}""".stripMargin
+
+  def q132AggregateNodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseRootAggregate(q132Query) match {
+      case Right(r) => QueryBuilder.runAggregate(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q132 aggregate failed to parse: $m")
     }
 
   /** q118's mutation document — the WRITE surface arriving as GraphQL

@@ -337,14 +337,23 @@ object QueryBuilder {
     * `{ orders_aggregate(where: ...) { aggregate { count sum {...} } } }`.
     * Answers as ONE row of named aggregate columns (the response
     * object flattened, the relationship-aggregate naming). */
+  /** `nodes`: Hasura's rows-next-to-their-aggregates arm — the
+    * selected fields of every row the where admitted, rendered as ONE
+    * deterministic JSON array column (`sort_array` by the first
+    * selected field; pick a unique leading field for a total order).
+    * Empty = no nodes arm. */
   final case class AggRequest(table: String,
-      where: Option[BoolExp] = None, aggs: Seq[AggField]) {
+      where: Option[BoolExp] = None, aggs: Seq[AggField],
+      nodes: Seq[String] = Nil) {
     require(aggs.nonEmpty, s"aggregate request on '$table' selects " +
       "no aggregates")
     require(aggs.map(_.as).distinct.length == aggs.length,
       s"aggregate request on '$table': duplicate output name(s) " +
         aggs.map(_.as).groupBy(identity).filter(_._2.size > 1)
           .keys.mkString(", "))
+    require(!aggs.exists(_.as == "nodes") || nodes.isEmpty,
+      s"aggregate request on '$table': an aggregate named 'nodes' " +
+        "collides with the nodes arm")
   }
 
   /** Compile + run a root aggregate request: one filter (predicates
@@ -354,9 +363,13 @@ object QueryBuilder {
   def runAggregate(s: SparkSession, dir: String, r: AggRequest): DataFrame = {
     val base = graft.Tables.load(s, dir, r.table)
     val f = r.where.map(w => base.filter(w.toColumn)).getOrElse(base)
-    val cols = r.aggs.map(_.agg(f))
-    f.agg(cols.head, cols.tail: _*)
-      .select(r.aggs.map(a => a.post(col(a.as)).as(a.as)): _*)
+    val cols = r.aggs.map(_.agg(f)) ++
+      (if (r.nodes.isEmpty) Nil
+       else Seq(to_json(sort_array(collect_list(
+         struct(r.nodes.map(col): _*)))).as("nodes")))
+    val outs = r.aggs.map(a => a.post(col(a.as)).as(a.as)) ++
+      (if (r.nodes.isEmpty) Nil else Seq(col("nodes")))
+    f.agg(cols.head, cols.tail: _*).select(outs: _*)
   }
 
   /** Apply a relationship's per-parent row slice: `distinct_on`

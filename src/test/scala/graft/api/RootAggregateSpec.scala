@@ -33,8 +33,16 @@ class RootAggregateSpec extends SparkSpec {
         case Right(r) => fail(s"parsed: $r")
       }
     err("{ orders { o_orderkey } }", "expected <table>_aggregate")
+    // nodes WITHOUT aggregates is the plain read's job
     err("{ orders_aggregate { nodes { o_orderkey } } }",
-      "expected 'aggregate'")
+      "no aggregates")
+    err("""{ orders_aggregate { aggregate { count }
+          |  nodes { o_orderkey } nodes { o_custkey } } }""".stripMargin,
+      "duplicate nodes")
+    err("{ orders_aggregate { aggregate { count } nodes { } } }",
+      "empty selection")
+    err("{ orders_aggregate { aggregate { count } rows { a } } }",
+      "expected 'aggregate' or 'nodes'")
     err("{ orders_aggregate { aggregate { count(distinct: true) } } }",
       "distinct needs columns")
     err("{ orders_aggregate { aggregate { count(nope: 1) } } }",
