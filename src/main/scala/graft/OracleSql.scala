@@ -1245,6 +1245,25 @@ object OracleSql {
         |                'o_custkey': o_custkey}))) AS nodes
         |FROM orders
         |WHERE o_orderstatus = 'P' AND o_totalprice > 485000""".stripMargin,
+    // q133: the relationship predicate — native EXISTS
+    "q133_rel_pred" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O'
+        |                AND o.o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    // q134: NOT EXISTS OR nested EXISTS-inside-EXISTS
+    "q134_rel_pred_algebra" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |   OR EXISTS (SELECT 1 FROM orders o
+        |              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND l.l_quantity >= 49)
+        |ORDER BY c_custkey LIMIT 400""".stripMargin,
     "q122_by_pk_read" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 7""".stripMargin,

@@ -154,6 +154,9 @@ object SparkEntry {
     "q130_regex_ops" -> (graft.api.GraphQl.q130RegexOps(_, _)),
     "q131_multi_table" -> (graft.api.GraphQl.q131MultiTable(_, _)),
     "q132_agg_nodes" -> (graft.api.GraphQl.q132AggregateNodes(_, _)),
+    "q133_rel_pred" -> (graft.api.GraphQl.q133RelPred(_, _)),
+    "q134_rel_pred_algebra" ->
+      (graft.api.GraphQl.q134RelPredAlgebra(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -459,31 +459,50 @@ object GraphQl {
   /** `_and/_or` accept BOTH spellings: a list of condition objects, or
     * one object whose entries are the operands (the reference's own
     * README example uses `_or: {id: {...}, address: {...}}`). */
-  private def boolOperands(v: V, at: String): Seq[BoolExp] = v match {
-    case VList(vs) => vs.map(compileBool(_, at))
-    case VObj(fs) => fs.map { case (k, sub) => compileBoolField(k, sub, at) }
+  private def boolOperands(v: V, at: String,
+      ctx: Option[(Schema, String)]): Seq[BoolExp] = v match {
+    case VList(vs) => vs.map(compileBool(_, at, ctx))
+    case VObj(fs) =>
+      fs.map { case (k, sub) => compileBoolField(k, sub, at, ctx) }
     case _ => bad(s"$at: expected an object or a list")
   }
 
-  private def compileBoolField(k: String, v: V, at: String): BoolExp =
+  private def compileBoolField(k: String, v: V, at: String,
+      ctx: Option[(Schema, String)]): BoolExp =
     k match {
-      case "_and" => And(boolOperands(v, s"$at._and"): _*)
-      case "_or" => Or(boolOperands(v, s"$at._or"): _*)
-      case "_not" => Not(compileBool(v, s"$at._not"))
-      case field => v match {
-        case VObj(Seq((op, ov))) => compileCmp(field, op, ov)
-        case VObj(_) =>
-          bad(s"$at.$field: exactly one comparison operator expected")
-        case _ => bad(s"$at.$field: expected {_op: value}")
-      }
+      case "_and" => And(boolOperands(v, s"$at._and", ctx): _*)
+      case "_or" => Or(boolOperands(v, s"$at._or", ctx): _*)
+      case "_not" => Not(compileBool(v, s"$at._not", ctx))
+      case field =>
+        // a TRACKED relationship name in a where-tree is Hasura's
+        // EXISTS predicate: the inner object compiles against the
+        // CHILD table (nested relationships recurse), and the leaf
+        // becomes a RelPred run() decorrelates to a semi-join flag
+        ctx.flatMap { case (sc, t) => sc.rels.get((t, field)) } match {
+          case Some(rel) =>
+            QueryBuilder.RelPred(rel.childTable, rel.childKey,
+              rel.parentKey,
+              compileBool(v, s"$at.$field",
+                ctx.map { case (sc, _) => (sc, rel.childTable) }))
+          case None => v match {
+            case VObj(Seq((op, ov))) => compileCmp(field, op, ov)
+            case VObj(_) =>
+              bad(s"$at.$field: exactly one comparison operator expected")
+            case _ => bad(s"$at.$field: expected {_op: value}")
+          }
+        }
     }
 
   /** A where object with several entries is an implicit AND (Hasura's
-    * semantics for `where: {a: {...}, b: {...}}`). */
-  private def compileBool(v: V, at: String): BoolExp = v match {
-    case VObj(Seq((k, sub))) => compileBoolField(k, sub, at)
+    * semantics for `where: {a: {...}, b: {...}}`). `ctx` carries the
+    * tracked schema + the table this tree filters, enabling
+    * relationship predicates; None (mutations, root aggregates,
+    * wire-JSON trees) keeps the tree column-only. */
+  private def compileBool(v: V, at: String,
+      ctx: Option[(Schema, String)] = None): BoolExp = v match {
+    case VObj(Seq((k, sub))) => compileBoolField(k, sub, at, ctx)
     case VObj(fs) if fs.nonEmpty =>
-      And(fs.map { case (k, sub) => compileBoolField(k, sub, at) }: _*)
+      And(fs.map { case (k, sub) => compileBoolField(k, sub, at, ctx) }: _*)
     case _ => bad(s"$at: expected a non-empty object")
   }
 
@@ -695,7 +714,8 @@ object GraphQl {
       as = at, table = rel.childTable,
       childKey = rel.childKey, parentKey = rel.parentKey,
       fields = fields.result(), sub = sub, joinType = joinType,
-      where = args.get("where").map(compileBool(_, s"$at.where")),
+      where = args.get("where").map(compileBool(_, s"$at.where",
+        Some((schema, rel.childTable)))),
       orderBy = args.get("order_by")
         .map(compileOrders(_, s"$at.order_by")).getOrElse(Nil),
       limit = intArg(args, "limit", at),
@@ -856,7 +876,8 @@ object GraphQl {
             aggRels += AggRel(rel.childTable, rel.childKey, rel.parentKey,
               aggs, joinType = joinType,
               where = fargs.get("where")
-                .map(compileBool(_, s"$fname.where")),
+                .map(compileBool(_, s"$fname.where",
+                  Some((schema, rel.childTable)))),
               orderBy = fargs.get("order_by")
                 .map(compileOrders(_, s"$fname.order_by")).getOrElse(Nil),
               limit = intArg(fargs, "limit", fname),
@@ -893,7 +914,8 @@ object GraphQl {
       Right(Request(
         table = table,
         fields = fields.result(),
-        where = byPkWhere.orElse(args.get("where").map(compileBool(_, "where"))),
+        where = byPkWhere.orElse(args.get("where")
+          .map(compileBool(_, "where", Some((schema, table))))),
         orderBy = args.get("order_by")
           .map(compileOrders(_, "order_by")).getOrElse(Nil),
         offset = intArg(args, "offset", table).getOrElse(0),
@@ -1393,7 +1415,8 @@ object GraphQl {
   def render(r: Request, schema: Schema = fixtureSchema): String = {
     val sb = new StringBuilder
     sb ++= "{\n  " ++= r.table
-    sb ++= renderArgs(r.where, r.orderBy, r.limit, r.offset, r.distinctOn)
+    sb ++= renderArgs(r.where, r.orderBy, r.limit, r.offset,
+      r.distinctOn, Some((schema, r.table)))
     sb ++= " {\n"
     r.fields.foreach(f => sb ++= "    " ++= f ++= "\n")
     r.nested.foreach(n => renderNested(sb, schema, r.table, n, indent = 4))
@@ -1420,7 +1443,8 @@ object GraphQl {
     sb ++= pad
     if (n.as != relName) sb ++= n.as ++= ": "
     sb ++= relName
-    sb ++= renderArgs(n.where, n.orderBy, n.limit, n.offset, n.distinctOn)
+    sb ++= renderArgs(n.where, n.orderBy, n.limit, n.offset,
+      n.distinctOn, Some((schema, n.table)))
     if (n.joinType != "inner") sb ++= s""" @join(type: "${n.joinType}")"""
     sb ++= " {\n"
     n.fields.foreach { f =>
@@ -1443,7 +1467,7 @@ object GraphQl {
       ar.parentKey)
     sb ++= "    " ++= relName ++= "_aggregate"
     sb ++= renderArgs(ar.where, ar.orderBy, ar.limit, ar.offset,
-      ar.distinctOn)
+      ar.distinctOn, Some((schema, ar.table)))
     if (ar.joinType != "left") sb ++= s""" @join(type: "${ar.joinType}")"""
     sb ++= " {\n      aggregate {\n"
     ar.aggs.foreach { a =>
@@ -1499,9 +1523,10 @@ object GraphQl {
   }
 
   private def renderArgs(where: Option[BoolExp], orderBy: Seq[Order],
-      limit: Option[Int], offset: Int, distinctOn: Seq[String]): String = {
+      limit: Option[Int], offset: Int, distinctOn: Seq[String],
+      ctx: Option[(Schema, String)] = None): String = {
     val args = Seq.newBuilder[String]
-    where.foreach(w => args += s"where: ${renderBoolExp(w)}")
+    where.foreach(w => args += s"where: ${renderBoolExp(w, ctx)}")
     if (orderBy.nonEmpty)
       args += "order_by: [" + orderBy.map(o =>
         s"{${o.field}: ${if (o.desc) "desc" else "asc"}}").mkString(", ") +
@@ -1517,12 +1542,22 @@ object GraphQl {
   /** The where-tree in Hasura's object spelling — combinators render
     * their canonical list form (`_and: [...]`), which the parser maps
     * back to the same [[BoolExp]] tree. */
-  private def renderBoolExp(e: BoolExp): String = e match {
+  private def renderBoolExp(e: BoolExp,
+      ctx: Option[(Schema, String)] = None): String = e match {
     case And(es @ _*) =>
-      "{_and: [" + es.map(renderBoolExp).mkString(", ") + "]}"
+      "{_and: [" + es.map(renderBoolExp(_, ctx)).mkString(", ") + "]}"
     case Or(es @ _*) =>
-      "{_or: [" + es.map(renderBoolExp).mkString(", ") + "]}"
-    case Not(x) => s"{_not: ${renderBoolExp(x)}}"
+      "{_or: [" + es.map(renderBoolExp(_, ctx)).mkString(", ") + "]}"
+    case Not(x) => s"{_not: ${renderBoolExp(x, ctx)}}"
+    case QueryBuilder.RelPred(table, ck, pk, pred) =>
+      val (schema, t) = ctx.getOrElse(throw new IllegalArgumentException(
+        "render: a relationship predicate needs the tracked schema " +
+          "(mutation where-trees are column-only)"))
+      val name = relNameOf(schema, t, table, ck, pk)
+      s"{$name: ${renderBoolExp(pred, Some((schema, table)))}}"
+    case QueryBuilder.FlagRef(_) => throw new IllegalArgumentException(
+      "render: a decorrelated flag is internal to run() — not a " +
+        "request shape")
     case Eq(f, v) => s"{$f: {_eq: ${renderLit(v)}}}"
     case Neq(f, v) => s"{$f: {_neq: ${renderLit(v)}}}"
     case Gt(f, v) => s"{$f: {_gt: ${renderLit(v)}}}"
@@ -1667,6 +1702,52 @@ object GraphQl {
       case Right(r) => QueryBuilder.runAggregate(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q132 aggregate failed to parse: $m")
+    }
+
+  /** q133's document — a RELATIONSHIP predicate in the where tree:
+    * Hasura's `where: {orders: {...}}` EXISTS semantics (the row
+    * qualifies when at least one related row matches), ANDed with a
+    * plain column predicate. */
+  val q133Query: String =
+    """{
+      |  customer(where: {_and: [
+      |      {c_mktsegment: {_eq: "BUILDING"}},
+      |      {orders: {_and: [{o_orderstatus: {_eq: "O"}},
+      |                       {o_totalprice: {_gt: 250000.0}}]}}]},
+      |    order_by: [{c_custkey: asc}]) {
+      |    c_custkey c_name c_acctbal
+      |  }
+      |}""".stripMargin
+
+  def q133RelPred(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q133Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q133 GraphQL query failed to parse: $m")
+    }
+
+  /** q134's document — the relationship predicate's full algebra:
+    * NOT EXISTS (`_not` over a relationship — customers with no
+    * orders at all) OR-combined with a NESTED relationship predicate
+    * (an order containing a high-quantity lineitem: EXISTS inside
+    * EXISTS, two levels of decorrelation). */
+  val q134Query: String =
+    """{
+      |  customer(where: {_or: [
+      |      {_not: {orders: {o_orderkey: {_is_null: false}}}},
+      |      {orders: {items: {l_quantity: {_gte: 49.0}}}}]},
+      |    order_by: [{c_custkey: asc}], limit: 400) {
+      |    c_custkey c_mktsegment
+      |  }
+      |}""".stripMargin
+
+  def q134RelPredAlgebra(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q134Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q134 GraphQL query failed to parse: $m")
     }
 
   /** q118's mutation document — the WRITE surface arriving as GraphQL

@@ -132,6 +132,38 @@ object QueryBuilder {
     private[api] def toColumn: Column =
       if (isNull) col(field).isNull else col(field).isNotNull
   }
+  /** RELATIONSHIP predicate — Hasura's `where: {orders: {...}}`:
+    * the row qualifies when AT LEAST ONE related child row satisfies
+    * `pred` (SQL EXISTS). Composes freely under `_and`/`_or`/`_not`
+    * (`Not(RelPred(...))` is NOT EXISTS — the anti-join), and `pred`
+    * may itself contain relationship predicates (nested EXISTS).
+    * Compiled by [[run]]: each predicate decorrelates to a
+    * distinct-child-keys build + one left join flag on the parent key,
+    * so the whole where-tree stays one row-local boolean over flag
+    * columns — the standard decorrelation, and the reason this cannot
+    * be a bare Column (toColumn rejects loudly). */
+  final case class RelPred(table: String, childKey: String,
+      parentKey: String, pred: BoolExp) extends BoolExp {
+    private[api] def toColumn: Column =
+      throw new IllegalArgumentException(
+        s"relationship predicate on '$table' has no row-local column " +
+          "form — run() compiles it (runRoot cannot load child tables)")
+  }
+
+  /** A decorrelated [[RelPred]]'s flag column — internal to [[run]]'s
+    * rewrite; absent (null) flags read as false. */
+  private[api] final case class FlagRef(name: String) extends BoolExp {
+    private[api] def toColumn: Column = coalesce(col(name), lit(false))
+  }
+
+  private[api] def hasRelPred(e: BoolExp): Boolean = e match {
+    case RelPred(_, _, _, _) => true
+    case And(es @ _*) => es.exists(hasRelPred)
+    case Or(es @ _*) => es.exists(hasRelPred)
+    case Not(x) => hasRelPred(x)
+    case _ => false
+  }
+
   final case class And(es: BoolExp*) extends BoolExp {
     require(es.nonEmpty, "_and needs at least one operand")
     private[api] def toColumn: Column = es.map(_.toColumn).reduce(_ && _)
@@ -481,6 +513,9 @@ object QueryBuilder {
     require(req.nested.isEmpty && req.aggRels.isEmpty,
       s"runRoot on '${req.table}': relationship selections need the " +
         "table directory (use run)")
+    require(!req.where.exists(hasRelPred),
+      s"runRoot on '${req.table}': relationship predicates need the " +
+        "table directory (use run)")
     val base = rootSlice(base0, req)
     val shaped = base.select(req.fields.map(base0(_)): _*)
     val ordered =
@@ -509,8 +544,47 @@ object QueryBuilder {
   }
 
   /** Compile + run a request against the parquet tables in `dir`. */
-  def run(s: SparkSession, dir: String, req: Request): DataFrame = {
-    val base0 = graft.Tables.load(s, dir, req.table)
+  /** Decorrelate every [[RelPred]] in `w` against `base`: per
+    * predicate, build the DISTINCT satisfying child keys (recursing
+    * for nested relationship predicates), left-join them onto the
+    * parent as a flag column, and rewrite the leaf to [[FlagRef]] —
+    * after which the whole tree is one row-local boolean. Scale: one
+    * distinct-key aggregation (map-side partial) + one key join per
+    * predicate; AQE broadcasts selective key sets. */
+  private def decorrelate(s: SparkSession, dir: String, base: DataFrame,
+      w: BoolExp, ctr: java.util.concurrent.atomic.AtomicInteger)
+      : (DataFrame, BoolExp) = {
+    var df = base
+    def walk(e: BoolExp): BoolExp = e match {
+      case RelPred(table, childKey, parentKey, pred) =>
+        val child0 = graft.Tables.load(s, dir, table)
+        val (child, p2) =
+          if (hasRelPred(pred)) decorrelate(s, dir, child0, pred, ctr)
+          else (child0, pred)
+        val flag = s"__rp_${ctr.getAndIncrement()}"
+        val keys = child.filter(p2.toColumn)
+          .select(col(childKey).as(parentKey)).distinct()
+          .withColumn(flag, lit(true))
+        df = df.join(keys, Seq(parentKey), "left")
+        FlagRef(flag)
+      case And(es @ _*) => And(es.map(walk): _*)
+      case Or(es @ _*) => Or(es.map(walk): _*)
+      case Not(x) => Not(walk(x))
+      case leaf => leaf
+    }
+    val w2 = walk(w)
+    (df, w2)
+  }
+
+  def run(s: SparkSession, dir: String, req0: Request): DataFrame = {
+    val load0 = graft.Tables.load(s, dir, req0.table)
+    val (base0, req) = req0.where match {
+      case Some(w) if hasRelPred(w) =>
+        val (df, w2) = decorrelate(s, dir, load0, w,
+          new java.util.concurrent.atomic.AtomicInteger())
+        (df, req0.copy(where = Some(w2)))
+      case _ => (load0, req0)
+    }
     if (req.nested.isEmpty && req.aggRels.isEmpty)
       return runRoot(base0, req)
     val base = rootSlice(base0, req)

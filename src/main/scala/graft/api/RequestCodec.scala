@@ -95,6 +95,21 @@ object RequestCodec {
         Or(arr(o.get("_or"), s"$where._or")
           .map(parseBool(_, s"$where._or")): _*)
       case Seq("_not") => Not(parseBool(o.get("_not"), s"$where._not"))
+      case Seq("_exists") =>
+        // the wire spelling of a relationship predicate is EXPLICIT
+        // (table + join keys + where) — the codec has no tracked
+        // schema to resolve relationship names against
+        val e = obj(o.get("_exists"), s"$where._exists")
+        val extra = fieldNames(e).toSet --
+          Set("table", "child_key", "parent_key", "where")
+        if (extra.nonEmpty)
+          bad(s"$where._exists: unknown field(s) ${extra.mkString(", ")}")
+        def need(k: String): JsonNode = Option(e.get(k)).getOrElse(
+          bad(s"$where._exists: $k is required"))
+        RelPred(str(need("table"), s"$where._exists.table"),
+          str(need("child_key"), s"$where._exists.child_key"),
+          str(need("parent_key"), s"$where._exists.parent_key"),
+          parseBool(need("where"), s"$where._exists.where"))
       case Seq(field) =>
         val cmp = obj(o.get(field), s"$where.$field")
         fieldNames(cmp) match {
@@ -339,6 +354,14 @@ object RequestCodec {
       case IsNull(f, b) => cmp(f, "_is_null", b)
       case In(f, vs) => inList(f, "_in", vs)
       case Nin(f, vs) => inList(f, "_nin", vs)
+      case RelPred(table, ck, pk, pred) =>
+        val e = o.putObject("_exists")
+        e.put("table", table); e.put("child_key", ck)
+        e.put("parent_key", pk)
+        e.set[ObjectNode]("where", renderBool(pred)); o
+      case FlagRef(_) => throw new IllegalArgumentException(
+        "render: a decorrelated flag is internal to run() — not a " +
+          "request shape")
       case And(es @ _*) =>
         val a = o.putArray("_and"); es.foreach(x => a.add(renderBool(x))); o
       case Or(es @ _*) =>

@@ -461,6 +461,16 @@ class GraphQlSpec extends SparkSpec {
     // the canned q100 GraphQL text: parse, render, re-parse — fixpoint
     val r0 = parsed(GraphQl.q100Query)
     assert(GraphQl.parse(GraphQl.render(r0)) === Right(r0))
+    // relationship predicates render back to their tracked names —
+    // incl. the nested EXISTS and the _not/_or algebra (q133/q134)
+    Seq(GraphQl.q133Query, GraphQl.q134Query).foreach { q =>
+      val r = parsed(q)
+      assert(
+        r.where.exists(QueryBuilder.hasRelPred),
+        s"fixture self-check: no RelPred parsed from\n$q")
+      assert(GraphQl.parse(GraphQl.render(r)) === Right(r),
+        s"rel-pred request did not round-trip:\n${GraphQl.render(r)}")
+    }
     // q105 carries magnitude-aware roundings the query language cannot
     // spell — the printer must refuse, not drift
     assertThrows[IllegalArgumentException](

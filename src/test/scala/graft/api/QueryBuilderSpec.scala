@@ -93,6 +93,63 @@ class QueryBuilderSpec extends SparkSpec {
     assert(ids(Nsimilar("source", "src[18]")) === Seq(3L))
   }
 
+  test("relationship predicates: EXISTS / NOT EXISTS / OR-mixed " +
+    "decorrelation equals handwritten semi/anti joins") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val cust = graft.Tables.load(spark, dir, "customer")
+    val ords = graft.Tables.load(spark, dir, "orders")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    val exists = RelPred("orders", "o_custkey", "c_custkey",
+      Gt("o_totalprice", 300000.0))
+    // EXISTS ≡ left_semi
+    val got = ids(QueryBuilder.run(spark, dir, Request("customer",
+      Seq("c_custkey"), where = Some(exists),
+      orderBy = Seq(Order("c_custkey")))))
+    val want = ids(cust.join(
+      ords.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey"))
+    assert(got === want && got.nonEmpty)
+    // NOT EXISTS ≡ left_anti
+    val gotNot = ids(QueryBuilder.run(spark, dir, Request("customer",
+      Seq("c_custkey"), where = Some(Not(exists)),
+      orderBy = Seq(Order("c_custkey")))))
+    val wantNot = ids(cust.join(
+      ords.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey"))
+    assert(gotNot === wantNot && gotNot.nonEmpty)
+    assert((got.toSet & gotNot.toSet).isEmpty &&
+      got.length + gotNot.length === cust.count())
+    // OR with a column predicate — inexpressible as one join type
+    val gotOr = ids(QueryBuilder.run(spark, dir, Request("customer",
+      Seq("c_custkey"),
+      where = Some(Or(exists, Eq("c_mktsegment", "MACHINERY"))),
+      orderBy = Seq(Order("c_custkey")))))
+    val machinery = ids(cust.filter(col("c_mktsegment") === "MACHINERY")
+      .select("c_custkey"))
+    assert(gotOr.toSet === (got.toSet ++ machinery))
+    // a relationship predicate composes with relationship SELECTIONS
+    val withNested = QueryBuilder.run(spark, dir, Request("customer",
+      Seq("c_custkey"), where = Some(exists),
+      orderBy = Seq(Order("c_custkey")),
+      aggRels = Seq(AggRel("orders", "o_custkey", "c_custkey",
+        Seq(CountOf("o_orderkey", "n_orders"))))))
+    assert(ids(withNested) === want)
+    // runRoot cannot load child tables — loud, not wrong rows
+    val e = intercept[IllegalArgumentException](
+      QueryBuilder.runRoot(cust, Request("customer", Seq("c_custkey"),
+        where = Some(exists))))
+    assert(e.getMessage.contains("relationship predicates"))
+    // and the leaf itself has no row-local column form
+    assert(intercept[IllegalArgumentException](
+      cust.filter(exists.toColumn)).getMessage.contains("row-local"))
+  }
+
   test("remaining operator surface: neq/gt/lt/in/not filters and " +
     "min/max/avg aggregates compose correctly") {
     import spark.implicits._

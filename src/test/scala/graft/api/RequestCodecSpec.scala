@@ -64,6 +64,16 @@ class RequestCodecSpec extends SparkSpec {
         Nlike("source", "%8"))),
       orderBy = Seq(Order("doc_id")),
       limit = Some(10)),
+    "rel-pred" -> Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Or(
+        Not(RelPred("orders", "o_custkey", "c_custkey",
+          IsNull("o_orderkey", isNull = false))),
+        RelPred("orders", "o_custkey", "c_custkey",
+          RelPred("lineitem", "l_orderkey", "o_orderkey",
+            Gte("l_quantity", 49.0))))),
+      limit = Some(10)),
     "regex-ops" -> Request(
       table = "documents",
       fields = Seq("doc_id"),
