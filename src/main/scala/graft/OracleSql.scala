@@ -1264,6 +1264,19 @@ object OracleSql {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND l.l_quantity >= 49)
         |ORDER BY c_custkey LIMIT 400""".stripMargin,
+    // q135: aggregate ordering — the engine joins post-repaired child
+    // aggregates (childless count/sum order as 0, sum rounded to 2)
+    // and sorts; the replay spells the same values as subqueries
+    "q135_agg_order" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY
+        |  (SELECT COUNT(o.o_custkey) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) DESC,
+        |  ROUND(COALESCE((SELECT SUM(o.o_totalprice) FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey), 0), 2) DESC,
+        |  c_custkey
+        |LIMIT 25""".stripMargin,
     "q122_by_pk_read" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 7""".stripMargin,

@@ -157,6 +157,7 @@ object SparkEntry {
     "q133_rel_pred" -> (graft.api.GraphQl.q133RelPred(_, _)),
     "q134_rel_pred_algebra" ->
       (graft.api.GraphQl.q134RelPredAlgebra(_, _)),
+    "q135_agg_order" -> (graft.api.GraphQl.q135AggOrder(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

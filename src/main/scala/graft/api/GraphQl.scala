@@ -509,6 +509,76 @@ object GraphQl {
   /** Hasura's `order_by: {field: asc}` / `[{f1: desc}, {f2: asc}]`.
     * Directions accept the enum form AND the string form — a variable-
     * supplied order_by arrives from JSON as `{"f": "asc"}`. */
+  /** Root order_by with Hasura's AGGREGATE ordering entries
+    * (`{<rel>_aggregate: {count: desc}}`, `{<rel>_aggregate: {sum:
+    * {col: asc}}}`) next to plain column entries — aggregate entries
+    * compile to hidden [[QueryBuilder.OrderAgg]]s referenced by
+    * generated order names, preserving list position. */
+  private def compileOrdersRoot(v: V, at: String, schema: Schema,
+      table: String): (Seq[Order], Seq[QueryBuilder.OrderAgg]) = {
+    val aggs = Seq.newBuilder[QueryBuilder.OrderAgg]
+    var idx = 0
+    def dirOf(d: V, a: String): Boolean = d match {
+      case VEnum("asc") | VLit("asc") => false
+      case VEnum("desc") | VLit("desc") => true
+      case _ => bad(s"$a: expected asc or desc")
+    }
+    def aggEntry(f: String, d: V, rel: Rel): Order = {
+      val as = s"__oa_$idx"; idx += 1
+      val name = s"${as}_v"
+      val (aggField, desc) = d match {
+        case VObj(Seq((kind, sub))) => kind match {
+          case "count" =>
+            (QueryBuilder.CountOf(rel.childKey, name),
+              dirOf(sub, s"$at.$f.count"))
+          case "sum" | "min" | "max" | "avg" => sub match {
+            case VObj(Seq((c, dv))) =>
+              val fld = kind match {
+                case "sum" => QueryBuilder.SumOf(c, name)
+                case "min" => QueryBuilder.MinOf(c, name)
+                case "max" => QueryBuilder.MaxOf(c, name)
+                case _ => QueryBuilder.AvgOf(c, name)
+              }
+              (fld, dirOf(dv, s"$at.$f.$kind.$c"))
+            case _ => bad(s"$at.$f.$kind: expected {column: asc|desc}")
+          }
+          case other => bad(s"$at.$f: unknown ordering aggregate " +
+            s"'$other' (count/sum/min/max/avg)")
+        }
+        case _ => bad(s"$at.$f: expected {count|sum|min|max|avg: ...}")
+      }
+      aggs += QueryBuilder.OrderAgg(as, rel.childTable, rel.childKey,
+        rel.parentKey, aggField)
+      Order(as, desc = desc)
+    }
+    def one(o: V): Seq[Order] = o match {
+      case VObj(fs) => fs.map { case (f, d) =>
+        val rel =
+          if (f.endsWith("_aggregate"))
+            schema.rels.get((table, f.stripSuffix("_aggregate")))
+          else None
+        rel match {
+          case Some(r) => aggEntry(f, d, r)
+          case None => (d match {
+            case VEnum(x) => x
+            case VLit(x: String) => x
+            case _ => ""
+          }) match {
+            case "asc" => Order(f)
+            case "desc" => Order(f, desc = true)
+            case _ => bad(s"$at.$f: expected asc or desc")
+          }
+        }
+      }
+      case _ => bad(s"$at: expected {field: asc|desc}")
+    }
+    val orders = v match {
+      case VList(vs) => vs.flatMap(one)
+      case o => one(o)
+    }
+    (orders, aggs.result())
+  }
+
   private def compileOrders(v: V, at: String): Seq[Order] = {
     def one(o: V): Seq[Order] = o match {
       case VObj(fs) => fs.map { case (f, d) =>
@@ -911,18 +981,21 @@ object GraphQl {
       (p.fragments.keySet -- p.usedFrags).toSeq.sorted.headOption
         .foreach(f => bad(s"fragment '$f' defined but never spread — " +
           "dead selection text usually means a typo'd spread"))
+      val (rootOrders, rootOrderAggs) = args.get("order_by")
+        .map(compileOrdersRoot(_, "order_by", schema, table))
+        .getOrElse((Nil, Nil))
       Right(Request(
         table = table,
         fields = fields.result(),
         where = byPkWhere.orElse(args.get("where")
           .map(compileBool(_, "where", Some((schema, table))))),
-        orderBy = args.get("order_by")
-          .map(compileOrders(_, "order_by")).getOrElse(Nil),
+        orderBy = rootOrders,
         offset = intArg(args, "offset", table).getOrElse(0),
         limit = intArg(args, "limit", table),
         nested = nested.result(),
         aggRels = aggRels.result(),
-        distinctOn = distinctOn))
+        distinctOn = distinctOn,
+        orderAggs = rootOrderAggs))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1416,7 +1489,7 @@ object GraphQl {
     val sb = new StringBuilder
     sb ++= "{\n  " ++= r.table
     sb ++= renderArgs(r.where, r.orderBy, r.limit, r.offset,
-      r.distinctOn, Some((schema, r.table)))
+      r.distinctOn, Some((schema, r.table)), r.orderAggs)
     sb ++= " {\n"
     r.fields.foreach(f => sb ++= "    " ++= f ++= "\n")
     r.nested.foreach(n => renderNested(sb, schema, r.table, n, indent = 4))
@@ -1524,12 +1597,38 @@ object GraphQl {
 
   private def renderArgs(where: Option[BoolExp], orderBy: Seq[Order],
       limit: Option[Int], offset: Int, distinctOn: Seq[String],
-      ctx: Option[(Schema, String)] = None): String = {
+      ctx: Option[(Schema, String)] = None,
+      orderAggs: Seq[QueryBuilder.OrderAgg] = Nil): String = {
     val args = Seq.newBuilder[String]
     where.foreach(w => args += s"where: ${renderBoolExp(w, ctx)}")
+    def orderEntry(o: Order): String = {
+      val d = if (o.desc) "desc" else "asc"
+      orderAggs.find(_.as == o.field) match {
+        case None => s"{${o.field}: $d}"
+        case Some(oa) =>
+          val (schema, t) = ctx.getOrElse(
+            throw new IllegalArgumentException("render: an ordering " +
+              "aggregate needs the tracked schema"))
+          val rn = relNameOf(schema, t, oa.table, oa.childKey,
+            oa.parentKey)
+          oa.agg match {
+            case QueryBuilder.CountOf(f, _) if f == oa.childKey =>
+              s"{${rn}_aggregate: {count: $d}}"
+            case QueryBuilder.SumOf(f, _, 2) =>
+              s"{${rn}_aggregate: {sum: {$f: $d}}}"
+            case QueryBuilder.MinOf(f, _) =>
+              s"{${rn}_aggregate: {min: {$f: $d}}}"
+            case QueryBuilder.MaxOf(f, _) =>
+              s"{${rn}_aggregate: {max: {$f: $d}}}"
+            case QueryBuilder.AvgOf(f, _) =>
+              s"{${rn}_aggregate: {avg: {$f: $d}}}"
+            case other => throw new IllegalArgumentException(
+              s"render: ordering aggregate has no spelling: $other")
+          }
+      }
+    }
     if (orderBy.nonEmpty)
-      args += "order_by: [" + orderBy.map(o =>
-        s"{${o.field}: ${if (o.desc) "desc" else "asc"}}").mkString(", ") +
+      args += "order_by: [" + orderBy.map(orderEntry).mkString(", ") +
         "]"
     if (distinctOn.nonEmpty)
       args += "distinct_on: [" + distinctOn.mkString(", ") + "]"
@@ -1748,6 +1847,29 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q134 GraphQL query failed to parse: $m")
+    }
+
+  /** q135's document — AGGREGATE ordering: Hasura's `order_by:
+    * {<rel>_aggregate: ...}` (order parents by a child aggregate),
+    * two aggregate entries (count desc, then sum desc) with a unique
+    * column tie-break tail. */
+  val q135Query: String =
+    """{
+      |  customer(where: {c_mktsegment: {_eq: "MACHINERY"}},
+      |    order_by: [{orders_aggregate: {count: desc}},
+      |               {orders_aggregate: {sum: {o_totalprice: desc}}},
+      |               {c_custkey: asc}],
+      |    limit: 25) {
+      |    c_custkey c_name
+      |  }
+      |}""".stripMargin
+
+  def q135AggOrder(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q135Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q135 GraphQL query failed to parse: $m")
     }
 
   /** q118's mutation document — the WRITE surface arriving as GraphQL

@@ -341,6 +341,19 @@ object QueryBuilder {
     * compiles INDEPENDENTLY to one pre-aggregated row per parent key
     * and joins back, so two array relationships never cross-multiply
     * (the fan-out × fan-out bug a single flat join would produce). */
+  /** A hidden ORDERING aggregate — Hasura's `order_by:
+    * {<rel>_aggregate: {count: desc}}` (order parents by a child
+    * aggregate): `as` is the hidden column name `orderBy` entries
+    * reference; the aggregate value (post-repaired: counts/sums of
+    * childless parents order as 0) joins onto the parent per key and
+    * is dropped after ordering. */
+  final case class OrderAgg(as: String, table: String, childKey: String,
+      parentKey: String, agg: AggField) {
+    require(as != agg.as,
+      s"orderAgg '$as': the hidden name must differ from the " +
+        "aggregate's internal name")
+  }
+
   final case class Request(
       table: String,
       fields: Seq[String],
@@ -350,8 +363,12 @@ object QueryBuilder {
       limit: Option[Int] = None,
       nested: Seq[Nested] = Nil,
       aggRels: Seq[AggRel] = Nil,
-      distinctOn: Seq[String] = Nil) {
+      distinctOn: Seq[String] = Nil,
+      orderAggs: Seq[OrderAgg] = Nil) {
     require(fields.nonEmpty, s"request on '$table' selects no fields")
+    require(orderAggs.map(_.as).forall(a => orderBy.exists(_.field == a)),
+      s"request on '$table': every orderAgg must be referenced by an " +
+        "order_by entry (an unreferenced join is a silent no-op)")
     // Hasura's rule: order_by must lead with the distinct_on columns,
     // otherwise "first row per group" is undefined. The STRICT form
     // here also demands a tie-breaking tail (same reasoning as
@@ -516,6 +533,9 @@ object QueryBuilder {
     require(!req.where.exists(hasRelPred),
       s"runRoot on '${req.table}': relationship predicates need the " +
         "table directory (use run)")
+    require(req.orderAggs.isEmpty,
+      s"runRoot on '${req.table}': ordering aggregates need the " +
+        "table directory (use run)")
     val base = rootSlice(base0, req)
     val shaped = base.select(req.fields.map(base0(_)): _*)
     val ordered =
@@ -578,13 +598,28 @@ object QueryBuilder {
 
   def run(s: SparkSession, dir: String, req0: Request): DataFrame = {
     val load0 = graft.Tables.load(s, dir, req0.table)
-    val (base0, req) = req0.where match {
+    val (baseDec, reqDec) = req0.where match {
       case Some(w) if hasRelPred(w) =>
         val (df, w2) = decorrelate(s, dir, load0, w,
           new java.util.concurrent.atomic.AtomicInteger())
         (df, req0.copy(where = Some(w2)))
       case _ => (load0, req0)
     }
+    // ordering aggregates: join each per-parent-key child aggregate as
+    // a hidden post-repaired column; the final select drops it (Spark
+    // re-attaches missing sort references), so the order rides one
+    // pre-aggregated key join per entry — the AggRel shape
+    val base0 = reqDec.orderAggs.zipWithIndex.foldLeft(baseDec) {
+      case (df, (oa, i)) =>
+        val loaded = graft.Tables.load(s, dir, oa.table)
+        val keyAlias = s"__oakey_$i"
+        val rel = loaded.groupBy(loaded(oa.childKey).as(keyAlias))
+          .agg(oa.agg.agg(loaded))
+        df.join(rel, df(oa.parentKey) === rel(keyAlias), "left")
+          .withColumn(oa.as, oa.agg.post(col(oa.agg.as)))
+          .drop(keyAlias, oa.agg.as)
+    }
+    val req = reqDec.copy(orderAggs = Nil)
     if (req.nested.isEmpty && req.aggRels.isEmpty)
       return runRoot(base0, req)
     val base = rootSlice(base0, req)

@@ -406,6 +406,10 @@ object RequestCodec {
   }
 
   private def renderRequest(r: Request): ObjectNode = {
+    if (r.orderAggs.nonEmpty)
+      throw new IllegalArgumentException(
+        "render: ordering aggregates have no wire-JSON spelling yet — " +
+          "serve the request through the GraphQL printer instead")
     val o = mapper.createObjectNode()
     o.put("table", r.table)
     val fa = o.putArray("fields")

@@ -461,8 +461,17 @@ class GraphQlSpec extends SparkSpec {
     // the canned q100 GraphQL text: parse, render, re-parse — fixpoint
     val r0 = parsed(GraphQl.q100Query)
     assert(GraphQl.parse(GraphQl.render(r0)) === Right(r0))
-    // relationship predicates render back to their tracked names —
-    // incl. the nested EXISTS and the _not/_or algebra (q133/q134)
+    // relationship predicates + aggregate ordering render back to
+    // their tracked spellings (q133/q134/q135)
+    locally {
+      val r135 = parsed(GraphQl.q135Query)
+      assert(r135.orderAggs.length === 2 &&
+        r135.orderBy.map(_.field) === Seq("__oa_0", "__oa_1", "c_custkey"))
+      assert(GraphQl.parse(GraphQl.render(r135)) === Right(r135),
+        s"agg-order request did not round-trip:\n${GraphQl.render(r135)}")
+      // the wire codec has no spelling — loud, never a silent drop
+      assertThrows[IllegalArgumentException](RequestCodec.render(r135))
+    }
     Seq(GraphQl.q133Query, GraphQl.q134Query).foreach { q =>
       val r = parsed(q)
       assert(
