@@ -579,26 +579,11 @@ object GraphQl {
     (orders, aggs.result())
   }
 
-  private def compileOrders(v: V, at: String): Seq[Order] = {
-    def one(o: V): Seq[Order] = o match {
-      case VObj(fs) => fs.map { case (f, d) =>
-        (d match {
-          case VEnum(s) => s
-          case VLit(s: String) => s
-          case _ => ""
-        }) match {
-          case "asc" => Order(f)
-          case "desc" => Order(f, desc = true)
-          case _ => bad(s"$at.$f: expected asc or desc")
-        }
-      }
-      case _ => bad(s"$at: expected {field: asc|desc}")
-    }
-    v match {
-      case VList(vs) => vs.flatMap(one)
-      case o => one(o)
-    }
-  }
+  /** Column-only order_by (relationship-level order arguments): one
+    * shared walker with [[compileOrdersRoot]] — an empty schema makes
+    * every aggregate spelling fall to the plain-entry error. */
+  private def compileOrders(v: V, at: String): Seq[Order] =
+    compileOrdersRoot(v, at, Schema(Map.empty), "")._1
 
   private def intArg(args: Map[String, V], k: String,
       at: String): Option[Int] =

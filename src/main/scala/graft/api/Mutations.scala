@@ -62,6 +62,11 @@ object Mutations {
       extends Mutation {
     require(set.nonEmpty || inc.nonEmpty,
       s"update_$table: needs _set and/or _inc")
+    // Hasura rejects a column in BOTH operators — a silent
+    // set-then-increment would write an order-dependent value
+    private val both = set.map(_._1).toSet & inc.map(_._1).toSet
+    require(both.isEmpty, s"update_$table: column(s) " +
+      s"${both.mkString(", ")} appear in both _set and _inc")
   }
 
   /** `delete_<table>(where: ...)` — compiled to tombstone rows. */
@@ -275,6 +280,26 @@ object Mutations {
       keyCol: String): (DataFrame, Seq[FieldResult]) =
     fields.foldLeft((snapshot, Seq.empty[FieldResult])) {
       case ((cur, rs), f) =>
+        // a *_by_pk verb must really address the store's key: Hasura
+        // rejects a non-PK pk_columns, and a typo'd column here would
+        // turn a "single-object" update into a silent mass write (the
+        // parser has no schema; the store knows its key — so the check
+        // lives at the layer that knows)
+        f.m match {
+          case Update(table, w, _, _) if f.single =>
+            require(w match {
+              case QueryBuilder.Eq(c, _) => c == keyCol
+              case _ => false
+            }, s"update_${table}_by_pk: pk_columns must name the key " +
+              s"column '$keyCol'")
+          case Delete(table, w) if f.single =>
+            require(w match {
+              case QueryBuilder.Eq(c, _) => c == keyCol
+              case _ => false
+            }, s"delete_${table}_by_pk: the argument must name the " +
+              s"key column '$keyCol'")
+          case _ => ()
+        }
         val (next, n, rows) = applyMutationFull(cur, f.m, keyCol)
         val ret = f.returning.map { cols =>
           val have = rows.columns.toSet

@@ -80,11 +80,13 @@ object QueryBuilder {
     * logic), so `Nregex` keeps nulls out exactly like `_nlike`. */
   final case class Regex(field: String, pattern: String,
       caseInsensitive: Boolean = false) extends BoolExp {
+    compilePattern(pattern, s"_regex on '$field'")
     private[api] def toColumn: Column = col(field).rlike(
       if (caseInsensitive) "(?i)" + pattern else pattern)
   }
   final case class Nregex(field: String, pattern: String,
       caseInsensitive: Boolean = false) extends BoolExp {
+    compilePattern(pattern, s"_nregex on '$field'")
     private[api] def toColumn: Column = !col(field).rlike(
       if (caseInsensitive) "(?i)" + pattern else pattern)
   }
@@ -94,14 +96,28 @@ object QueryBuilder {
     * translated to an anchored Java regex ([[similarToRegex]]). */
   final case class Similar(field: String, pattern: String)
       extends BoolExp {
+    compilePattern(similarToRegex(pattern), s"_similar on '$field'")
     private[api] def toColumn: Column =
       col(field).rlike(similarToRegex(pattern))
   }
   final case class Nsimilar(field: String, pattern: String)
       extends BoolExp {
+    compilePattern(similarToRegex(pattern), s"_nsimilar on '$field'")
     private[api] def toColumn: Column =
       !col(field).rlike(similarToRegex(pattern))
   }
+
+  /** Malformed patterns reject DRIVER-SIDE at construction (parse
+    * time for the front ends) — the JsonFunctions patternProperties
+    * rule: an invalid regex must not surface as mid-job executor task
+    * failures. */
+  private def compilePattern(p: String, at: String): Unit =
+    try java.util.regex.Pattern.compile(p)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(
+          s"$at: pattern is not a valid regex: ${e.getMessage}")
+    }
 
   /** SQL SIMILAR TO → anchored Java regex: `%` → `.*`, `_` → `.`,
     * literal `.` escaped (SIMILAR TO does not treat it as a
@@ -111,10 +127,15 @@ object QueryBuilder {
   private[api] def similarToRegex(p: String): String = {
     val sb = new StringBuilder("\\A(?:")
     var i = 0
+    var inBracket = false // inside [...] every SIMILAR TO metachar is
+    // LITERAL (Postgres semantics) and Java agrees, so copy verbatim
     while (i < p.length) {
       p.charAt(i) match {
         case '\\' if i + 1 < p.length =>
           sb += '\\' += p.charAt(i + 1); i += 1
+        case c if inBracket =>
+          sb += c; if (c == ']') inBracket = false
+        case '[' => sb += '['; inBracket = true
         case '%' => sb ++= ".*"
         case '_' => sb += '.'
         case '.' => sb ++= "\\."
@@ -460,11 +481,26 @@ object QueryBuilder {
     * value, carrying the sorted struct array. A `sub` relationship is
     * compiled first and its array joins INTO this level's struct —
     * q49's lineitem-before-orders aggregation order, recursively. */
+  /** Filter `df` by `w`, decorrelating any relationship predicates
+    * first (the root-where machinery applied at a relationship level —
+    * Hasura allows `orders(where: {items: {...}})`); the helper flag
+    * columns are dropped after the filter so child shapes stay
+    * unpolluted. */
+  private def filterRel(spk: SparkSession, dir: String, df: DataFrame,
+      w: BoolExp): DataFrame =
+    if (!hasRelPred(w)) df.filter(w.toColumn)
+    else {
+      val (d2, w2) = decorrelate(spk, dir, df, w,
+        new java.util.concurrent.atomic.AtomicInteger())
+      val flags = d2.columns.filter(_.startsWith("__rp_")).toSeq
+      d2.filter(w2.toColumn).drop(flags: _*)
+    }
+
   private def compileNested(s: SparkSession, dir: String,
       n: Nested): DataFrame = {
     val loaded = graft.Tables.load(s, dir, n.table)
     // the child's own where: applied at the leaf so it reaches the scan
-    val child0 = n.where.map(w => loaded.filter(w.toColumn)).getOrElse(loaded)
+    val child0 = n.where.map(filterRel(s, dir, loaded, _)).getOrElse(loaded)
     val keyAlias = s"__key_${n.as}"
     val joined = n.sub match {
       case Some(m) =>
@@ -609,16 +645,23 @@ object QueryBuilder {
     // a hidden post-repaired column; the final select drops it (Spark
     // re-attaches missing sort references), so the order rides one
     // pre-aggregated key join per entry — the AggRel shape
-    val base0 = reqDec.orderAggs.zipWithIndex.foldLeft(baseDec) {
-      case (df, (oa, i)) =>
-        val loaded = graft.Tables.load(s, dir, oa.table)
-        val keyAlias = s"__oakey_$i"
-        val rel = loaded.groupBy(loaded(oa.childKey).as(keyAlias))
-          .agg(oa.agg.agg(loaded))
-        df.join(rel, df(oa.parentKey) === rel(keyAlias), "left")
-          .withColumn(oa.as, oa.agg.post(col(oa.agg.as)))
-          .drop(keyAlias, oa.agg.as)
-    }
+    val base0 = reqDec.orderAggs
+      .groupBy(oa => (oa.table, oa.childKey, oa.parentKey)).toSeq
+      .sortBy(_._2.head.as) // deterministic join order
+      .zipWithIndex.foldLeft(baseDec) {
+        // all ordering aggregates over ONE relationship share a single
+        // child scan + groupBy + join (the AggRel multi-aggregate shape)
+        case (df, (((table, childKey, parentKey), oas), i)) =>
+          val loaded = graft.Tables.load(s, dir, table)
+          val keyAlias = s"__oakey_$i"
+          val aggCols = oas.map(_.agg.agg(loaded))
+          val rel = loaded.groupBy(loaded(childKey).as(keyAlias))
+            .agg(aggCols.head, aggCols.tail: _*)
+          val joined = df.join(rel, df(parentKey) === rel(keyAlias), "left")
+          oas.foldLeft(joined)((d, oa) =>
+            d.withColumn(oa.as, oa.agg.post(col(oa.agg.as))))
+            .drop(keyAlias +: oas.map(_.agg.as): _*)
+      }
     val req = reqDec.copy(orderAggs = Nil)
     if (req.nested.isEmpty && req.aggRels.isEmpty)
       return runRoot(base0, req)
@@ -645,7 +688,7 @@ object QueryBuilder {
       case (acc, (a, i)) =>
         val loaded = graft.Tables.load(s, dir, a.table)
         val filtered =
-          a.where.map(w => loaded.filter(w.toColumn)).getOrElse(loaded)
+          a.where.map(filterRel(s, dir, loaded, _)).getOrElse(loaded)
         val child = childSlice(filtered, loaded(a.childKey), a.orderBy,
           loaded(_), a.distinctOn, a.offset, a.limit)
         val keyAlias = s"__aggkey_$i"

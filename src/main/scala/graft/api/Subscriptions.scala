@@ -89,7 +89,20 @@ object Subscriptions {
         val sc = seqCol.getOrElse("_sub_seq")
         val delta =
           if (seqCol.isDefined) batch
-          else batch.withColumn(sc, lit(bid))
+          else {
+            // batch-id sequencing is only sound when the input is
+            // update-mode (one row per changed key per trigger) — two
+            // same-key rows would TIE in the merge window and an
+            // arbitrary one would win; loud, never a silent wrong row
+            val dup = batch.groupBy(keyCol)
+              .count().filter(col("count") > 1).limit(1).collect()
+            require(dup.isEmpty, "liveQuery(seqCol = None): the " +
+              s"micro-batch carries ${dup.headOption.map(_.get(0))
+                .getOrElse("?")} more than once — batch-id sequencing " +
+              "needs one row per key per trigger (pass a real seqCol " +
+              "for append-mode inputs)")
+            batch.withColumn(sc, lit(bid))
+          }
         val cur = snap.getOrElse(delta.limit(0))
         // latest-wins per key — exactly the S8 snapshot upsert; the
         // eager localCheckpoint materializes this trigger's state and

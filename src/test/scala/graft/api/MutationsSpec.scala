@@ -172,6 +172,23 @@ class MutationsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Mutations.applyFields(snap, bad, "k"))
     assert(e.getMessage.contains("unknown column"))
+    // a by_pk verb addressing a NON-key column is a typo'd mass write
+    // — the store knows its key and rejects before anything runs
+    val e2 = intercept[IllegalArgumentException](
+      Mutations.applyFields(snap, Seq(Mutations.Field(
+        Mutations.Update("t", Eq("seg", "A"), Seq("bal" -> 0.0)),
+        Some(Seq("k")), single = true)), "k"))
+    assert(e2.getMessage.contains("key column 'k'"))
+    val e3 = intercept[IllegalArgumentException](
+      Mutations.applyFields(snap, Seq(Mutations.Field(
+        Mutations.Delete("t", Gt("k", 0L)),
+        Some(Seq("k")), single = true)), "k"))
+    assert(e3.getMessage.contains("key column 'k'"))
+    // a column in BOTH _set and _inc is Hasura's operator conflict
+    val e4 = intercept[IllegalArgumentException](
+      Mutations.Update("t", Eq("k", 1L),
+        Seq("bal" -> 1.0), Seq("bal" -> 2.0)))
+    assert(e4.getMessage.contains("both _set and _inc"))
   }
 
   test("parse serves <table>_by_pk reads as a tracked-key point lookup") {
@@ -508,7 +525,10 @@ class MutationsSpec extends SparkSpec {
         Gen.oneOf[Gen[Seq[(String, Any)]]](Gen.const(Nil), genEntries)
           .flatMap(identity)
       else genEntries
-    } yield Mutations.Update(t, w, set, inc)
+    } yield Mutations.Update(t, w, set,
+      // a column in both operators is Hasura's operator conflict —
+      // rejected at construction, so the generator avoids it
+      inc.filterNot(e => set.exists(_._1 == e._1)))
     val genDelete: Gen[Mutations.Mutation] =
       for { t <- Gen.oneOf(tables); w <- genTree(2) }
         yield Mutations.Delete(t, w)

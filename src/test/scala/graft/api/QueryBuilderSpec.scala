@@ -72,6 +72,11 @@ class QueryBuilderSpec extends SparkSpec {
     assert(m("100\\%", "100%") && !m("100\\%", "1000"))
     // character class + repetition pass through
     assert(m("src[0-9]+", "src42") && !m("src[0-9]+", "src"))
+    // inside a bracket expression, SIMILAR TO metachars are LITERAL
+    // (Postgres): [a_] matches '_' (not 'any char'), [%] matches '%'
+    assert(m("[a_]", "_") && m("[a_]", "a") && !m("[a_]", "."))
+    assert(m("[%]", "%") && !m("[%]", "x"))
+    assert(m("a[.]b", "a.b") && !m("a[.]b", "axb"))
   }
 
   test("regex/similar filters run through the three-front-end compile " +
@@ -91,6 +96,51 @@ class QueryBuilderSpec extends SparkSpec {
     assert(ids(Nregex("source", "8$")) === Seq(1L, 3L))
     assert(ids(Similar("lang", "e(n|s)")) === Seq(1L, 2L, 4L))
     assert(ids(Nsimilar("source", "src[18]")) === Seq(3L))
+  }
+
+  test("malformed regex patterns reject at construction, driver-side") {
+    val e = intercept[IllegalArgumentException](Regex("lang", "["))
+    assert(e.getMessage.contains("not a valid regex"))
+    intercept[IllegalArgumentException](Nregex("lang", "(unclosed"))
+    intercept[IllegalArgumentException](Similar("lang", "a{2,1}"))
+    // ...and through the GraphQL front end the reject is a parse error
+    GraphQl.parse("{ documents(where: {lang: {_regex: \"[\"}}) { doc_id } }")
+      match {
+      case Left(m) => assert(m.contains("not a valid regex"))
+      case Right(r) => fail(s"parsed: $r")
+    }
+  }
+
+  test("relationship predicates inside RELATIONSHIP where arguments " +
+    "decorrelate too (orders filtered by their items)") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    // customers with their count of orders CONTAINING a q>=49 item
+    val got = QueryBuilder.run(spark, dir, Request("customer",
+      Seq("c_custkey"),
+      orderBy = Seq(Order("c_custkey")), limit = Some(50),
+      aggRels = Seq(AggRel("orders", "o_custkey", "c_custkey",
+        Seq(CountOf("o_orderkey", "n_hot")),
+        where = Some(RelPred("lineitem", "l_orderkey", "o_orderkey",
+          Gte("l_quantity", 49.0)))))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val items = graft.Tables.load(spark, dir, "lineitem")
+    val hot = orders.join(
+      items.filter(col("l_quantity") >= 49.0)
+        .select(col("l_orderkey").as("o_orderkey")),
+      Seq("o_orderkey"), "left_semi")
+    val want = graft.Tables.load(spark, dir, "customer")
+      .join(hot.groupBy(col("o_custkey").as("c_custkey"))
+        .agg(org.apache.spark.sql.functions.count("o_orderkey")
+          .as("n_hot")), Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        org.apache.spark.sql.functions.coalesce(col("n_hot"),
+          org.apache.spark.sql.functions.lit(0L)).as("n_hot"))
+      .orderBy("c_custkey").limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    assert(got.exists(_._2 > 0L), "fixture self-check: no hot orders")
   }
 
   test("relationship predicates: EXISTS / NOT EXISTS / OR-mixed " +

@@ -103,6 +103,25 @@ class SubscriptionsSpec extends SparkSpec {
     assert(pushed.map(_._1) === Vector(0L, 1L, 2L))
   }
 
+  test("liveQuery with batch-id sequencing refuses a batch carrying " +
+    "one key twice (the tie would pick an arbitrary winner)") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val req = Request("t", fields = Seq("k", "bal"),
+      orderBy = Seq(Order("k")), limit = Some(5))
+    @volatile var err: Throwable = null
+    val q = Subscriptions.liveQuery(
+      input.toDF().toDF("k", "seg", "bal"), req,
+      keyCol = "k", seqCol = None) { (_, _) => () }
+    try {
+      input.addData(Seq((1L, "A", 1.0), (1L, "A", 2.0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getMessage.contains("more than once") ||
+        Option(e.getCause).exists(_.getMessage.contains("more than once")))
+    } finally q.stop()
+  }
+
   test("by_pk subscription: a GraphQL watch-one-row document serves " +
     "the key's latest state per trigger, absent before it exists") {
     val input = org.apache.spark.sql.execution.streaming.runtime
