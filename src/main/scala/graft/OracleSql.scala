@@ -1223,7 +1223,7 @@ object OracleSql {
         |  FROM customer),
         |o AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-        |  WHERE o_orderkey > 100
+        |  WHERE o_orderkey <= 200000 AND o_orderkey > 100
         |  UNION ALL SELECT 999991, 'X', 10.0)
         |SELECT 'customer' AS tbl, COUNT(*)::BIGINT AS n,
         |       COUNT(DISTINCT seg)::BIGINT AS n_cat,

@@ -2033,8 +2033,14 @@ object GraphQl {
     graft.sources.SnapshotStore.write(
       graft.Tables.load(s, dir, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal"), cPath)
+    // the orders store is a SLICE (o_orderkey <= 200000): the query
+    // proves multi-table routing + per-table swaps, which does not need
+    // the full fact table rewritten per run — the oracle mirrors the
+    // slice, and both mutated key ranges (<=100 delete, 999991 insert)
+    // stay inside/outside it consistently at every SF
     graft.sources.SnapshotStore.write(
       graft.Tables.load(s, dir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 200000L)
         .select("o_orderkey", "o_orderstatus", "o_totalprice"), oPath)
     Mutations.applyFieldsToStores(s, Map(
       "customer" -> ((cPath, "c_custkey")),
