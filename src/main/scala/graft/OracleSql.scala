@@ -970,6 +970,44 @@ object OracleSql {
          |         AS redacted_md5
          |FROM d ORDER BY doc_id LIMIT 300""".stripMargin
     },
+    // q136: the multi-class PII pass — same synthesized PII, same
+    // patterns (the engine constants ride in verbatim), same
+    // email → IP → phone redaction order; 'g' for global replace
+    "q136_pii_classes" -> {
+      val em = graft.queries.TextQueries.emailPattern.replace("'", "''")
+      val ph = graft.queries.TextQueries.phonePattern.replace("'", "''")
+      val ip = graft.queries.TextQueries.ipPattern.replace("'", "''")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         'call 555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |         ' or ping 10.1.2.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |         ' mail u' || doc_id || '@example.com ' || text AS raw
+         |  FROM documents ORDER BY doc_id LIMIT 300)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(raw, '$em'))::BIGINT AS n_email,
+         |       len(regexp_extract_all(raw, '$ph'))::BIGINT AS n_phone,
+         |       len(regexp_extract_all(raw, '$ip'))::BIGINT AS n_ip,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |         '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+         |         '$ph', '[PHONE]', 'g')) AS redacted_md5
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    // q137: NFC canonicalization — DuckDB's nfc_normalize implements
+    // the same Unicode algorithm as java.text.Normalizer; the
+    // decomposed fixture (chr(769)/chr(776) combining marks) must
+    // compose identically or the md5 hash-fails
+    "q137_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'Cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+        |           text AS raw
+        |  FROM documents ORDER BY doc_id LIMIT 300)
+        |SELECT doc_id,
+        |       length(raw)::BIGINT AS len_raw,
+        |       length(nfc_normalize(raw))::BIGINT AS len_nfc,
+        |       md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q60_dup_ngrams" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           ORDER BY doc_id LIMIT 400),

@@ -158,6 +158,8 @@ object SparkEntry {
     "q134_rel_pred_algebra" ->
       (graft.api.GraphQl.q134RelPredAlgebra(_, _)),
     "q135_agg_order" -> (graft.api.GraphQl.q135AggOrder(_, _)),
+    "q136_pii_classes" -> (T.q136PiiClasses(_, _)),
+    "q137_nfc_normalize" -> (T.q137NfcNormalize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

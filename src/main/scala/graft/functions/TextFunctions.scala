@@ -1,7 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis / dedup primitives for the LLM-data-pipeline surface
   * (north star in BASELINE.json; SURVEY §2.10).
@@ -37,6 +43,48 @@ object TextFunctions {
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Unicode NFC normalization as a native codegen [[Expression]] —
+    * the canonicalization step every multilingual corpus needs before
+    * hashing/dedup: the SAME text arriving precomposed ("é", U+00E9)
+    * and decomposed ("e" + U+0301) hashes identically only after a
+    * canonical form is fixed. NFC is the W3C-recommended interchange
+    * form; `java.text.Normalizer` implements the Unicode algorithm and
+    * DuckDB's `nfc_normalize` replays it exactly, so the operator is
+    * oracle-checkable. Per-row, no shuffle — rides the corpus scan at
+    * any scale. */
+  def nfc(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string column, got ${other.sql}")
+      }
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "nfc_normalize"
+
+    override protected def nullSafeEval(a: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        a.asInstanceOf[UTF8String].toString,
+        java.text.Normalizer.Form.NFC))
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        s"""
+           |${ev.value} = org.apache.spark.unsafe.types.UTF8String
+           |  .fromString(java.text.Normalizer.normalize($x.toString(),
+           |    java.text.Normalizer.Form.NFC));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): NfcNormalize = copy(child = newChild)
   }
 
   /** Seeded 60-bit hash from md5 — deterministic and reproducible in any

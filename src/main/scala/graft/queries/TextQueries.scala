@@ -368,6 +368,61 @@ object TextQueries {
     * prepended — both engines construct the identical input. */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  private[graft] val phonePattern = "\\b\\d{3}-\\d{4}\\b"
+  private[graft] val ipPattern =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Q136 — MULTI-CLASS PII scan + redaction: emails, phone-shaped
+    * numbers and IPv4 literals counted per class and redacted in one
+    * deterministic order (email → IP → phone, so a class's replacement
+    * token can never feed a later pattern). PII is synthesized from
+    * doc_id (the q59 posture) so every class provably fires; patterns
+    * stay inside the Java-regex/RE2 common subset and ride into the
+    * DuckDB oracle verbatim. Per-row projection, no shuffle. */
+  def q136PiiClasses(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(lit("call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" or ping 10.1.2."), (col("doc_id") % 256).cast("string"),
+      lit(" mail u"), col("doc_id"), lit("@example.com "), col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(300)
+      .select(col("doc_id"), synth.as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailPattern), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(phonePattern), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(col("raw"), lit(ipPattern), lit(0)))
+          .cast("long").as("n_ip"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          emailPattern, "[EMAIL]"), ipPattern, "[IP]"),
+          phonePattern, "[PHONE]")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Q137 — Unicode NFC canonicalization through the codegen
+    * [[graft.functions.TextFunctions.NfcNormalize]] expression: a
+    * decomposed accent sequence (e + COMBINING ACUTE) is prepended per
+    * document, and the query reports pre/post lengths plus the md5 of
+    * the NORMALIZED text — proving the engine's normal form matches
+    * DuckDB's `nfc_normalize` byte-for-byte (the precondition for any
+    * cross-engine dedup over multilingual text). */
+  def q137NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(lit("Cafe\u0301 nai\u0308ve "), col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(300)
+      .select(col("doc_id"), synth.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(graft.functions.TextFunctions.nfc(col("raw")))
+          .cast("long").as("len_nfc"),
+        md5(graft.functions.TextFunctions.nfc(col("raw")))
+          .as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val synth = concat(lit("contact u"), col("doc_id"),
       lit("@example.com or admin@test.org "), col("text"))

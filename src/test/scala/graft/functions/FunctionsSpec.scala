@@ -9,6 +9,35 @@ class FunctionsSpec extends SparkSpec {
   import graft.functions.{BinaryFunctions => B, CoinFunctions => C,
     JsonFunctions => J, VectorFunctions => V}
 
+  test("nfc normalization: decomposed sequences compose, idempotent, " +
+    "null-safe, codegen == interpreted") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.nfc
+    val rows = Seq(
+      "Cafe\u0301",   // e + combining acute -> \u00e9
+      "nai\u0308ve",  // i + combining diaeresis -> \u00ef
+      "Caf\u00e9",    // already composed: unchanged
+      "d\u0307\u0323", // dot-above + dot-below: canonical reordering
+      "plain ascii", "").toDF("s")
+    val got = rows.select(nfc($"s").as("n"), length($"s").as("lr"),
+      length(nfc($"s")).as("ln")).collect()
+    def j(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    rows.collect().map(_.getString(0)).zip(got).foreach { case (s, r) =>
+      assert(r.getString(0) === j(s), s"nfc of ${s.codePoints.toArray.toSeq}")
+    }
+    // the decomposed forms really shortened
+    assert(got(0).getInt(2) < got(0).getInt(1))
+    assert(j("Cafe\u0301") === "Caf\u00e9")
+    // null-safe through the expression
+    assert(Seq[String](null).toDF("s").select(nfc($"s")).head.isNullAt(0))
+    // interpreted path (eval) agrees with the codegen path above
+    val expr = graft.functions.TextFunctions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "Cafe\u0301", org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null).toString === "Caf\u00e9")
+  }
+
   test("parse_coin round-trips reference coin strings") {
     import spark.implicits._
     val df = Seq("100token", "9999tugrik", "", "notacoin", "42a1",
