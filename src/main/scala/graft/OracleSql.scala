@@ -1008,6 +1008,17 @@ object OracleSql {
         |       length(nfc_normalize(raw))::BIGINT AS len_nfc,
         |       md5(nfc_normalize(raw)) AS nfc_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q138: the fuzzy-match ground truth pays the cross join the
+    // engine's deletion-neighborhood equi-join avoids — agreement
+    // proves the neighborhood is lossless for distance <= 1
+    "q138_fuzzy_terms" ->
+      """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |q(term) AS (VALUES ('joinn'), ('windo'), ('hash'))
+        |SELECT q.term, v.w AS word,
+        |       levenshtein(q.term, v.w)::BIGINT AS dist
+        |FROM q JOIN v ON levenshtein(q.term, v.w) <= 1 AND len(v.w) > 0
+        |ORDER BY term, word""".stripMargin,
     "q60_dup_ngrams" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           ORDER BY doc_id LIMIT 400),

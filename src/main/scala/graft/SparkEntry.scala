@@ -160,6 +160,7 @@ object SparkEntry {
     "q135_agg_order" -> (graft.api.GraphQl.q135AggOrder(_, _)),
     "q136_pii_classes" -> (T.q136PiiClasses(_, _)),
     "q137_nfc_normalize" -> (T.q137NfcNormalize(_, _)),
+    "q138_fuzzy_terms" -> (T.q138FuzzyTerms(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -423,6 +423,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q138 — FUZZY term matching (edit distance <= 1) against the
+    * corpus vocabulary: the typo-tolerant lookup a retrieval stack
+    * bolts onto BM25 (q77/q82) when queries carry misspellings.
+    *
+    * Scale path is the SymSpell deletion neighborhood: every word maps
+    * to {itself} ∪ {itself minus one character}; two words are within
+    * edit distance 1 ONLY IF they share a key (substitutions meet at
+    * the common deletion, insert/delete pairs at the shorter word), so
+    * candidates come from one EQUI-join on the key — never a
+    * |vocab| × |terms| cross product — and the exact codegen
+    * `levenshtein` confirm restores precision, the
+    * bloom-then-confirm/band-then-verify posture this repo uses
+    * everywhere. The oracle MAY pay the cross join (DuckDB's native
+    * levenshtein over the full vocabulary), which independently proves
+    * the neighborhood lost nothing. */
+  def q138FuzzyTerms(s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("joinn", "windo", "hash")): DataFrame = {
+    def delKeys(w: org.apache.spark.sql.Column) =
+      array_union(array(w), transform(
+        sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1),
+          w.substr(i + 1, length(w)))))
+    val vocab = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .select(col("word"), explode(delKeys(col("word"))).as("k"))
+    import s.implicits._
+    val q = terms.toDF("term")
+      .select(col("term"), explode(delKeys(col("term"))).as("k"))
+    q.join(vocab, Seq("k"))
+      .select(col("term"), col("word"))
+      .distinct() // many shared keys per near-pair
+      .filter(levenshtein(col("term"), col("word")) <= 1)
+      .select(col("term"), col("word"),
+        levenshtein(col("term"), col("word")).cast("long").as("dist"))
+      .orderBy("term", "word")
+  }
+
   def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val synth = concat(lit("contact u"), col("doc_id"),
       lit("@example.com or admin@test.org "), col("text"))

@@ -53,6 +53,42 @@ class TrainingOpsSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
   }
 
+  test("q138 fuzzy matching: deletion neighborhood is lossless for " +
+    "edit distance <= 1 and the plan is cross-join-free") {
+    // brute-force ground truth over random word pairs: every ed<=1
+    // pair must share a deletion key (the SymSpell completeness law)
+    val rnd = new scala.util.Random(11)
+    def word(): String =
+      (0 until 3 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+    def delKeys(w: String): Set[String] =
+      Set(w) ++ w.indices.map(i => w.take(i) + w.drop(i + 1))
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ws = Seq.fill(300)(word()).distinct
+    var near = 0
+    for (a <- ws; b <- ws if a < b && ed(a, b) <= 1) {
+      near += 1
+      assert(delKeys(a).intersect(delKeys(b)).nonEmpty,
+        s"ed<=1 pair ($a, $b) shares no deletion key")
+    }
+    assert(near > 10, s"fixture self-check: only $near near pairs")
+    val df = TextQueries.q138FuzzyTerms(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= 1L, r.toString))
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+  }
+
   test("q66 scoring covers every multi-token doc with tokens-1 bigrams") {
     val rows = TextQueries.q66LmXent(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
