@@ -1019,6 +1019,12 @@ object OracleSql {
         |       levenshtein(q.term, v.w)::BIGINT AS dist
         |FROM q JOIN v ON levenshtein(q.term, v.w) <= 1 AND len(v.w) > 0
         |ORDER BY term, word""".stripMargin,
+    // q139: explicit NULLS FIRST under a cutting limit — placement
+    // decides the row set, not just the order
+    "q139_nulls_order" ->
+      """SELECT doc_id, nullif(source, 'src3') AS src_n
+        |FROM documents
+        |ORDER BY src_n ASC NULLS FIRST, doc_id LIMIT 350""".stripMargin,
     "q60_dup_ngrams" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           ORDER BY doc_id LIMIT 400),

@@ -566,7 +566,17 @@ object GraphQl {
           }) match {
             case "asc" => Order(f)
             case "desc" => Order(f, desc = true)
-            case _ => bad(s"$at.$f: expected asc or desc")
+            // Hasura's explicit null-placement family
+            case "asc_nulls_first" =>
+              Order(f, nullsFirst = Some(true))
+            case "asc_nulls_last" =>
+              Order(f, nullsFirst = Some(false))
+            case "desc_nulls_first" =>
+              Order(f, desc = true, nullsFirst = Some(true))
+            case "desc_nulls_last" =>
+              Order(f, desc = true, nullsFirst = Some(false))
+            case _ => bad(s"$at.$f: expected asc[_nulls_first|_nulls_" +
+              "last] or desc[_nulls_first|_nulls_last]")
           }
         }
       }
@@ -1587,7 +1597,11 @@ object GraphQl {
     val args = Seq.newBuilder[String]
     where.foreach(w => args += s"where: ${renderBoolExp(w, ctx)}")
     def orderEntry(o: Order): String = {
-      val d = if (o.desc) "desc" else "asc"
+      val d = (if (o.desc) "desc" else "asc") + (o.nullsFirst match {
+        case None => ""
+        case Some(true) => "_nulls_first"
+        case Some(false) => "_nulls_last"
+      })
       orderAggs.find(_.as == o.field) match {
         case None => s"{${o.field}: $d}"
         case Some(oa) =>

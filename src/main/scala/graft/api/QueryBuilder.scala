@@ -203,10 +203,16 @@ object QueryBuilder {
     * asc puts nulls LAST, desc puts nulls FIRST — i.e. null sorts as
     * larger than every value. Spark's bare asc/desc defaults are the
     * OPPOSITE (nulls first on asc), which would silently diverge for
-    * nullable order columns. */
-  final case class Order(field: String, desc: Boolean = false) {
-    private[api] def toColumn: Column =
-      if (desc) col(field).desc_nulls_first else col(field).asc_nulls_last
+    * nullable order columns. `nullsFirst` overrides the default with
+    * Hasura's explicit `asc_nulls_first` / `desc_nulls_last` family. */
+  final case class Order(field: String, desc: Boolean = false,
+      nullsFirst: Option[Boolean] = None) {
+    private[api] def toColumn: Column = (desc, nullsFirst) match {
+      case (false, None | Some(false)) => col(field).asc_nulls_last
+      case (false, Some(true)) => col(field).asc_nulls_first
+      case (true, None | Some(true)) => col(field).desc_nulls_first
+      case (true, Some(false)) => col(field).desc_nulls_last
+    }
   }
 
   // ---- relationships -------------------------------------------------
@@ -539,6 +545,12 @@ object QueryBuilder {
       // make the comparator intransitive — array_sort order undefined.
       // Null compares as larger than everything (the [[Order]] rule),
       // checked before the value comparisons.
+      // the in-array comparator implements only the DEFAULT null rule;
+      // explicit nulls placement inside a nested array sort would
+      // silently sort wrong — loud instead
+      n.orderBy.foreach(o => require(o.nullsFirst.isEmpty,
+        s"nested '${n.as}': explicit nulls placement is not supported " +
+          "inside array sorts"))
       val cmp = (l: Column, r: Column) =>
         n.orderBy.zipWithIndex.foldRight(lit(0)) { case ((o, i), acc) =>
           val a = l.getField(s"__ord_$i")

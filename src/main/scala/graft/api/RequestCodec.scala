@@ -152,7 +152,11 @@ object RequestCodec {
     Option(o.get("order_by")).map(arr(_, s"$where.order_by").map { n =>
       val oo = obj(n, s"$where.order_by[]")
       Order(str(req(oo, "field", s"$where.order_by[]"), s"$where.order_by[]"),
-        desc = Option(oo.get("desc")).exists(_.asBoolean(false)))
+        desc = Option(oo.get("desc")).exists(_.asBoolean(false)),
+        nullsFirst = Option(oo.get("nulls_first")).map { v =>
+          if (v.isBoolean) v.asBoolean
+          else bad(s"$where.order_by[].nulls_first: expected a boolean")
+        })
     }).getOrElse(Nil)
 
   private def parseNestedField(n: JsonNode, where: String): NestedField = {
@@ -377,6 +381,7 @@ object RequestCodec {
         val oo = a.addObject()
         oo.put("field", ord.field)
         if (ord.desc) oo.put("desc", true)
+        ord.nullsFirst.foreach(oo.put("nulls_first", _))
       }
     }
 

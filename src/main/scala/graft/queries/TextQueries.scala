@@ -461,6 +461,26 @@ object TextQueries {
       .orderBy("term", "word")
   }
 
+  /** Q139 — EXPLICIT null placement (Hasura's `asc_nulls_first` /
+    * `desc_nulls_last` order_by family): a synthesized nullable column
+    * (src3 sources nulled) ordered nulls-FIRST under a limit that cuts
+    * before the non-null tail — an engine on the default asc-nulls-LAST
+    * rule returns a different row SET, so the oracle catches placement,
+    * not just order. Served through [[graft.api.QueryBuilder.runRoot]]
+    * so the Order(nullsFirst) compilation is what executes. */
+  def q139NullsOrder(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.QueryBuilder
+    val base = docs(s, dir)
+      .select(col("doc_id"),
+        nullif(col("source"), lit("src3")).as("src_n"))
+    QueryBuilder.runRoot(base, QueryBuilder.Request(
+      "documents", Seq("doc_id", "src_n"),
+      orderBy = Seq(
+        QueryBuilder.Order("src_n", nullsFirst = Some(true)),
+        QueryBuilder.Order("doc_id")),
+      limit = Some(350)))
+  }
+
   def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val synth = concat(lit("contact u"), col("doc_id"),
       lit("@example.com or admin@test.org "), col("text"))

@@ -233,7 +233,7 @@ class GraphQlSpec extends SparkSpec {
     assert(err("{ customer(where: {c: {_eq: 1, _lt: 2}}) { c_custkey } }")
       .contains("exactly one comparison operator"))
     assert(err("{ customer(order_by: {c_custkey: sideways}) { c } }")
-      .contains("expected asc or desc"))
+      .contains("expected asc"))
     assert(err("{ customer { c_custkey }") .contains("expected"))
     assert(err("{ customer { orders { k: o_orderkey } " +
       "items { x } } }").contains("no tracked relationship"))
@@ -461,6 +461,26 @@ class GraphQlSpec extends SparkSpec {
     // the canned q100 GraphQL text: parse, render, re-parse — fixpoint
     val r0 = parsed(GraphQl.q100Query)
     assert(GraphQl.parse(GraphQl.render(r0)) === Right(r0))
+    // the explicit null-placement family parses and round-trips
+    locally {
+      val r = parsed(
+        """{ documents(order_by: [{source: asc_nulls_first},
+          |  {lang: desc_nulls_last}, {doc_id: asc}], limit: 5) {
+          |  doc_id } }""".stripMargin)
+      assert(r.orderBy === Seq(
+        Order("source", nullsFirst = Some(true)),
+        Order("lang", desc = true, nullsFirst = Some(false)),
+        Order("doc_id")))
+      assert(GraphQl.parse(GraphQl.render(r)) === Right(r),
+        s"nulls-order request did not round-trip:\n${GraphQl.render(r)}")
+      assert(RequestCodec.parse(RequestCodec.render(r)) === Right(r))
+      // a typo'd direction is loud
+      GraphQl.parse(
+        "{ documents(order_by: {doc_id: asc_nulls}) { doc_id } }") match {
+        case Left(m) => assert(m.contains("expected asc"))
+        case Right(x) => fail(s"parsed: $x")
+      }
+    }
     // relationship predicates + aggregate ordering render back to
     // their tracked spellings (q133/q134/q135)
     locally {

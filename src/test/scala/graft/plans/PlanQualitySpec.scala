@@ -569,4 +569,38 @@ class PlanQualitySpec extends SparkSpec {
         || l.trim.startsWith("Sort ["))
     assert(sorts <= 3, s"redaction pays extra global sorts:\n$p")
   }
+  test("q133/q134 relationship predicates: decorrelated flag joins " +
+    "stay hash/broadcast equi-joins, no cartesian, two-phase distinct") {
+    import graft.api.GraphQl
+    for (q <- Seq(GraphQl.q133RelPred(spark, dir),
+        GraphQl.q134RelPredAlgebra(spark, dir))) {
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+      // the satisfying-child-keys build dedups via aggregate, which
+      // must be two-phase (partial below its exchange)
+      assert(p.linesIterator.count(l =>
+        l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+        >= 2, s"child-key distinct not two-phase:\n$p")
+    }
+  }
+
+  test("q135 aggregate ordering: one shared child aggregate join per " +
+    "relationship, ordering without a partition-less window") {
+    import graft.api.GraphQl
+    val df = GraphQl.q135AggOrder(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("WindowExec"), s"window in agg-order plan:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+    // both ordering aggregates (count + sum) ride ONE orders scan:
+    // exactly one aggregate subtree over the orders table
+    val ordersScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("o_totalprice"))
+    assert(ordersScans <= 1, s"orders scanned $ordersScans times:\n$p")
+  }
 }
