@@ -1332,6 +1332,18 @@ object OracleSql {
         |                  WHERE o.o_custkey = c.c_custkey), 0), 2) DESC,
         |  c_custkey
         |LIMIT 25""".stripMargin,
+    // q140: the role-scoped read — the grant's row filters inlined at
+    // both levels (segment on the root, open-status inside the
+    // aggregate relationship), count null-repaired to 0
+    "q140_role_scoped" ->
+      """SELECT c.c_custkey, c.c_name,
+        |       COALESCE(o.n_open, 0)::BIGINT AS n_open
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, COUNT(o_orderkey) AS n_open
+        |           FROM orders WHERE o_orderstatus = 'O'
+        |           GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 0
+        |ORDER BY c.c_custkey LIMIT 200""".stripMargin,
     "q122_by_pk_read" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer WHERE c_custkey = 7""".stripMargin,

@@ -162,6 +162,8 @@ object SparkEntry {
     "q137_nfc_normalize" -> (T.q137NfcNormalize(_, _)),
     "q138_fuzzy_terms" -> (T.q138FuzzyTerms(_, _)),
     "q139_nulls_order" -> (T.q139NullsOrder(_, _)),
+    "q140_role_scoped" ->
+      (graft.api.Permissions.q140RoleScopedRead(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

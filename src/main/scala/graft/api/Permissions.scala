@@ -1,0 +1,269 @@
+package graft.api
+
+import graft.api.QueryBuilder._
+
+/** ROLE-BASED access control over the query front ends — the engine's
+  * analog of the permission layer the reference configures around its
+  * endpoint (/root/reference/README.md:56-80 walks through granting and
+  * restricting table access per role; Hasura turns those grants into
+  * per-role ROW filters and COLUMN allowlists evaluated on every
+  * request).
+  *
+  * The model mirrors Hasura metadata:
+  *  - per (role, table): an optional row FILTER (a [[BoolExp]], the
+  *    same where-tree language requests use — relationship predicates
+  *    included) and a COLUMN allowlist per operation class;
+  *  - `secure` rewrites a [[Request]] for a role: the role filter ANDs
+  *    into the request's where at EVERY level (root, nested
+  *    relationships, aggregate relationships, ordering aggregates, and
+  *    inside relationship predicates' child tables), and any selected
+  *    column outside the allowlist REJECTS loudly (Hasura's "field not
+  *    found in type" — never silent column dropping, which would
+  *    change answers);
+  *  - `secureFields` guards a mutation document the same way: the
+  *    where of update/delete gains the role filter (a row the role
+  *    cannot see cannot be written — Hasura's update/delete
+  *    permission filter), inserts must stay inside the column
+  *    allowlist, and returning selections are column-checked.
+  *
+  * Scale posture: a row filter is just more predicate — it pushes into
+  * the same scans the request already pays; the column check is
+  * driver-side request validation. Filters compose with decorrelation
+  * (a role filter containing a relationship predicate rides [[run]]'s
+  * machinery unchanged).
+  */
+object Permissions {
+
+  /** One role's access to one table. `filter = None` means
+    * unrestricted rows; `columns = None` means all columns. */
+  final case class TablePerm(filter: Option[BoolExp] = None,
+      columns: Option[Set[String]] = None)
+
+  /** Role → table → permission; an ABSENT entry means NO access (the
+    * Hasura default: nothing is granted until metadata says so). */
+  final case class Policy(grants: Map[(String, String), TablePerm]) {
+    def get(role: String, table: String): Either[String, TablePerm] =
+      grants.get((role, table)).toRight(
+        s"role '$role' has no access to table '$table'")
+  }
+
+  private def checkCols(cols: Seq[String], perm: TablePerm, role: String,
+      table: String, what: String): Either[String, Unit] =
+    perm.columns match {
+      case None => Right(())
+      case Some(allowed) =>
+        val bad = cols.filterNot(allowed)
+        if (bad.isEmpty) Right(())
+        else Left(s"role '$role' cannot access column(s) " +
+          s"${bad.mkString(", ")} of '$table' ($what)")
+    }
+
+  private def andWith(filter: Option[BoolExp],
+      where: Option[BoolExp]): Option[BoolExp] = (filter, where) match {
+    case (None, w) => w
+    case (f @ Some(_), None) => f
+    case (Some(f), Some(w)) => Some(And(f, w))
+  }
+
+  /** Columns a where-tree reads on ITS OWN table (relationship
+    * predicates recurse separately against the child's grant). */
+  private def whereCols(e: BoolExp): Seq[String] = e match {
+    case Eq(f, _) => Seq(f)
+    case Neq(f, _) => Seq(f)
+    case Gt(f, _) => Seq(f)
+    case Gte(f, _) => Seq(f)
+    case Lt(f, _) => Seq(f)
+    case Lte(f, _) => Seq(f)
+    case In(f, _) => Seq(f)
+    case Nin(f, _) => Seq(f)
+    case Like(f, _) => Seq(f)
+    case Nlike(f, _) => Seq(f)
+    case Ilike(f, _) => Seq(f)
+    case Regex(f, _, _) => Seq(f)
+    case Nregex(f, _, _) => Seq(f)
+    case Similar(f, _) => Seq(f)
+    case Nsimilar(f, _) => Seq(f)
+    case IsNull(f, _) => Seq(f)
+    case And(es @ _*) => es.flatMap(whereCols)
+    case Or(es @ _*) => es.flatMap(whereCols)
+    case Not(x) => whereCols(x)
+    case RelPred(_, _, _, _) => Nil // child columns checked by secureRel
+    case FlagRef(_) => Nil
+  }
+
+  /** Apply the role's grants INSIDE a where-tree: every relationship
+    * predicate's child table needs a grant, its child filter ANDs into
+    * the predicate, and the predicate's own columns are checked
+    * against the child allowlist. */
+  private def secureWhere(w: BoolExp, role: String,
+      policy: Policy): Either[String, BoolExp] = w match {
+    case RelPred(table, ck, pk, pred) =>
+      for {
+        perm <- policy.get(role, table)
+        _ <- checkCols(whereCols(pred), perm, role, table,
+          "relationship predicate")
+        p2 <- secureWhere(pred, role, policy)
+      } yield RelPred(table, ck, pk, andWith(perm.filter, Some(p2)).get)
+    case And(es @ _*) =>
+      sequence(es.map(secureWhere(_, role, policy))).map(And(_: _*))
+    case Or(es @ _*) =>
+      sequence(es.map(secureWhere(_, role, policy))).map(Or(_: _*))
+    case Not(x) => secureWhere(x, role, policy).map(Not(_))
+    case leaf => Right(leaf)
+  }
+
+  private def sequence[A](xs: Seq[Either[String, A]])
+      : Either[String, Seq[A]] =
+    xs.foldRight(Right(Nil): Either[String, List[A]]) { (e, acc) =>
+      for (a <- e; t <- acc) yield a :: t
+    }
+
+  /** Rewrite `req` for `role`: row filters AND in at every level,
+    * selections outside the column allowlists reject loudly. */
+  def secure(req: Request, role: String,
+      policy: Policy): Either[String, Request] =
+    for {
+      perm <- policy.get(role, req.table)
+      _ <- checkCols(req.fields ++ req.distinctOn ++
+        req.orderBy.map(_.field)
+          .filterNot(f => req.orderAggs.exists(_.as == f)) ++
+        req.where.toSeq.flatMap(whereCols),
+        perm, role, req.table, "select")
+      where2 <- req.where match {
+        case Some(w) => secureWhere(w, role, policy).map(Some(_))
+        case None => Right(None)
+      }
+      nested2 <- sequence(req.nested.map(secureNested(_, role, policy)))
+      aggRels2 <- sequence(req.aggRels.map(secureAggRel(_, role, policy)))
+      orderAggs2 <- sequence(req.orderAggs.map { oa =>
+        policy.get(role, oa.table).flatMap { p =>
+          checkCols(aggCols(oa.agg), p, role, oa.table,
+            "ordering aggregate").flatMap { _ =>
+            // the ordering value must aggregate only VISIBLE child
+            // rows; run() aggregates the raw child table, so a
+            // row-filtered grant rejects rather than order by rows
+            // the role cannot see
+            if (p.filter.isEmpty) Right(oa)
+            else Left(s"role '$role': ordering by an aggregate of " +
+              s"row-filtered table '${oa.table}' is not supported — " +
+              "select the aggregate relationship explicitly instead")
+          }
+        }
+      })
+    } yield req.copy(where = andWith(perm.filter, where2),
+      nested = nested2, aggRels = aggRels2, orderAggs = orderAggs2)
+
+  private def aggCols(a: AggField): Seq[String] = a match {
+    case CountOf(f, _) => Seq(f)
+    case CountAll(_) => Nil
+    case CountDistinctOf(f, _) => Seq(f)
+    case SumOf(f, _, _) => Seq(f)
+    case MinOf(f, _) => Seq(f)
+    case MaxOf(f, _) => Seq(f)
+    case AvgOf(f, _) => Seq(f)
+    case StddevOf(f, _, _, _) => Seq(f)
+    case VarianceOf(f, _, _, _) => Seq(f)
+  }
+
+  private def secureNested(n: Nested, role: String,
+      policy: Policy): Either[String, Nested] =
+    for {
+      perm <- policy.get(role, n.table)
+      _ <- checkCols(n.fields.map(_.field) ++ n.distinctOn ++
+        n.orderBy.map(_.field) ++ n.where.toSeq.flatMap(whereCols) :+
+        n.childKey,
+        perm, role, n.table, "relationship select")
+      where2 <- n.where match {
+        case Some(w) => secureWhere(w, role, policy).map(Some(_))
+        case None => Right(None)
+      }
+      sub2 <- n.sub match {
+        case Some(m) => secureNested(m, role, policy).map(Some(_))
+        case None => Right(None)
+      }
+    } yield n.copy(where = andWith(perm.filter, where2), sub = sub2)
+
+  private def secureAggRel(a: AggRel, role: String,
+      policy: Policy): Either[String, AggRel] =
+    for {
+      perm <- policy.get(role, a.table)
+      _ <- checkCols(a.aggs.flatMap(aggCols) ++ a.distinctOn ++
+        a.orderBy.map(_.field) ++ a.where.toSeq.flatMap(whereCols) :+
+        a.childKey,
+        perm, role, a.table, "aggregate relationship")
+      where2 <- a.where match {
+        case Some(w) => secureWhere(w, role, policy).map(Some(_))
+        case None => Right(None)
+      }
+    } yield a.copy(where = andWith(perm.filter, where2))
+
+  /** q140's policy — the README's "grant select on part of the
+    * schema" scenario as metadata: the analyst sees only BUILDING
+    * customers (row filter), a restricted column set, and only OPEN
+    * orders through any relationship. */
+  val q140Policy: Policy = Policy(Map(
+    ("analyst", "customer") -> TablePerm(
+      filter = Some(Eq("c_mktsegment", "BUILDING")),
+      columns = Some(Set("c_custkey", "c_name", "c_acctbal",
+        "c_mktsegment"))),
+    ("analyst", "orders") -> TablePerm(
+      filter = Some(Eq("o_orderstatus", "O")))))
+
+  /** q140 — the role-scoped read: the request asks for positive-balance
+    * customers with their order counts; the ANALYST role's grants AND
+    * the segment filter into the root and the open-status filter into
+    * the aggregate relationship, so the served answer is the
+    * INTERSECTION of request and grant — exactly what the oracle
+    * replays with both predicates inlined. */
+  def q140RoleScopedRead(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val req = Request(
+      table = "customer",
+      fields = Seq("c_custkey", "c_name"),
+      where = Some(Gt("c_acctbal", 0.0)),
+      orderBy = Seq(Order("c_custkey")),
+      limit = Some(200),
+      aggRels = Seq(AggRel("orders", "o_custkey", "c_custkey",
+        Seq(CountOf("o_orderkey", "n_open")))))
+    secure(req, "analyst", q140Policy) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q140 request failed the policy: $m")
+    }
+  }
+
+  /** Guard a mutation document for `role`: updates/deletes gain the
+    * role's row filter (rows outside it are INVISIBLE to the write,
+    * Hasura's permission-filter semantics — affected_rows shrinks
+    * accordingly, no error), inserts and returning selections are
+    * column-checked. */
+  def secureFields(fields: Seq[Mutations.Field], role: String,
+      policy: Policy): Either[String, Seq[Mutations.Field]] =
+    sequence(fields.map { f =>
+      for {
+        perm <- policy.get(role, f.m.table)
+        _ <- f.returning match {
+          case Some(cols) =>
+            checkCols(cols, perm, role, f.m.table, "returning")
+          case None => Right(())
+        }
+        m2 <- f.m match {
+          case Mutations.Insert(t, rows, up, uc) =>
+            checkCols(rows.flatMap(_.map(_._1)).distinct ++
+              uc.getOrElse(Nil), perm, role, t, "insert")
+              .map(_ => Mutations.Insert(t, rows, up, uc))
+          case Mutations.Update(t, w, set, inc) =>
+            checkCols(set.map(_._1) ++ inc.map(_._1) ++ whereCols(w),
+              perm, role, t, "update")
+              .flatMap(_ => secureWhere(w, role, policy))
+              .map(w2 => Mutations.Update(t,
+                andWith(perm.filter, Some(w2)).get, set, inc))
+          case Mutations.Delete(t, w) =>
+            checkCols(whereCols(w), perm, role, t, "delete")
+              .flatMap(_ => secureWhere(w, role, policy))
+              .map(w2 => Mutations.Delete(t,
+                andWith(perm.filter, Some(w2)).get))
+        }
+      } yield f.copy(m = m2)
+    })
+}

@@ -1,0 +1,131 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.api.Permissions._
+import graft.api.QueryBuilder._
+
+/** Role-based access: grants AND row filters into every level of a
+  * request, column allowlists reject loudly (never silent dropping),
+  * and mutation write scopes shrink to the visible rows. */
+class PermissionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val policy = Policy(Map(
+    ("analyst", "customer") -> TablePerm(
+      filter = Some(Eq("c_mktsegment", "BUILDING")),
+      columns = Some(Set("c_custkey", "c_name", "c_acctbal",
+        "c_mktsegment"))),
+    ("analyst", "orders") -> TablePerm(
+      filter = Some(Eq("o_orderstatus", "O"))),
+    ("admin", "customer") -> TablePerm(),
+    ("writer", "t") -> TablePerm(
+      filter = Some(Eq("seg", "A")),
+      columns = Some(Set("k", "seg", "bal")))))
+
+  test("secure ANDs the role filter at root + relationship levels and " +
+    "keeps the request's own predicates") {
+    val req = Request("customer", Seq("c_custkey"),
+      where = Some(Gt("c_acctbal", 0.0)),
+      nested = Seq(Nested("orders", "orders", "o_custkey", "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey")))))
+    val sec = secure(req, "analyst", policy).fold(m => fail(m), identity)
+    assert(sec.where === Some(And(Eq("c_mktsegment", "BUILDING"),
+      Gt("c_acctbal", 0.0))))
+    assert(sec.nested.head.where === Some(Eq("o_orderstatus", "O")))
+    // an unrestricted role passes the request through unchanged
+    val admin = secure(Request("customer", Seq("c_comment")), "admin",
+      policy).fold(m => fail(m), identity)
+    assert(admin === Request("customer", Seq("c_comment")))
+  }
+
+  test("column allowlists reject loudly at every selection site") {
+    def rej(req: Request, frag: String): Unit =
+      secure(req, "analyst", policy) match {
+        case Left(m) => assert(m.contains(frag), s"got: $m")
+        case Right(r) => fail(s"allowed: $r")
+      }
+    rej(Request("customer", Seq("c_comment")), "c_comment")
+    rej(Request("customer", Seq("c_custkey"),
+      where = Some(Like("c_phone", "%1%"))), "c_phone")
+    rej(Request("customer", Seq("c_custkey"),
+      orderBy = Seq(Order("c_nationkey"))), "c_nationkey")
+    // no grant at all → no access, before any column logic
+    secure(Request("lineitem", Seq("l_orderkey")), "analyst", policy)
+      match {
+      case Left(m) => assert(m.contains("no access"))
+      case Right(r) => fail(s"allowed: $r")
+    }
+  }
+
+  test("relationship predicates in the request gain the child grant's " +
+    "filter (EXISTS only over visible child rows)") {
+    val req = Request("customer", Seq("c_custkey"),
+      where = Some(RelPred("orders", "o_custkey", "c_custkey",
+        Gt("o_totalprice", 1000.0))))
+    val sec = secure(req, "analyst", policy).fold(m => fail(m), identity)
+    assert(sec.where === Some(And(Eq("c_mktsegment", "BUILDING"),
+      RelPred("orders", "o_custkey", "c_custkey",
+        And(Eq("o_orderstatus", "O"), Gt("o_totalprice", 1000.0))))))
+  }
+
+  test("ordering by an aggregate of a row-filtered table rejects " +
+    "instead of ordering by rows the role cannot see") {
+    val req = Request("customer", Seq("c_custkey"),
+      orderBy = Seq(Order("__oa_0", desc = true), Order("c_custkey")),
+      orderAggs = Seq(OrderAgg("__oa_0", "orders", "o_custkey",
+        "c_custkey", CountOf("o_custkey", "__oa_0_v"))))
+    secure(req, "analyst", policy) match {
+      case Left(m) => assert(m.contains("row-filtered"))
+      case Right(r) => fail(s"allowed: $r")
+    }
+  }
+
+  test("secureFields: update/delete scopes shrink to visible rows " +
+    "(affected_rows counts only them); inserts are column-checked") {
+    val snap = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
+      .toDF("k", "seg", "bal")
+    val doc = Seq(
+      Mutations.Field(Mutations.Update("t", Gt("bal", 0.0),
+        Seq("bal" -> 0.0))),
+      Mutations.Field(Mutations.Delete("t", Eq("k", 2L))))
+    val sec = secureFields(doc, "writer", policy)
+      .fold(m => fail(m), identity)
+    val (next, rs) = Mutations.applyFields(snap, sec, "k")
+    // the update touches only seg=A rows; the delete targets k=2
+    // (seg B) which the writer cannot see → affected 0, row survives
+    assert(rs.map(_.affected) === Seq(2L, 0L))
+    assert(next.filter(org.apache.spark.sql.functions.col("k") === 2L)
+      .count() === 1L)
+    // insert outside the allowlist rejects before anything runs
+    secureFields(Seq(Mutations.Field(Mutations.Insert("t",
+      Seq(Seq("k" -> 9L, "secret" -> 1L))))), "writer", policy) match {
+      case Left(m) => assert(m.contains("secret"))
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // returning outside the allowlist rejects too
+    secureFields(Seq(Mutations.Field(Mutations.Delete("t", Eq("k", 1L)),
+      Some(Seq("hidden")))), "writer", policy) match {
+      case Left(m) => assert(m.contains("hidden"))
+      case Right(r) => fail(s"allowed: $r")
+    }
+  }
+
+  test("q140 role-scoped read equals the request with both grants " +
+    "inlined by hand") {
+    val dir = sf("sf0.001")
+    val got = Permissions.q140RoleScopedRead(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val want = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey", "c_name"),
+      where = Some(And(Eq("c_mktsegment", "BUILDING"),
+        Gt("c_acctbal", 0.0))),
+      orderBy = Seq(Order("c_custkey")),
+      limit = Some(200),
+      aggRels = Seq(AggRel("orders", "o_custkey", "c_custkey",
+        Seq(CountOf("o_orderkey", "n_open")),
+        where = Some(Eq("o_orderstatus", "O"))))))
+      .collect().map(_.toSeq).toSeq
+    assert(got === want && got.nonEmpty)
+  }
+}
