@@ -73,12 +73,19 @@ object OracleSql {
     * depth parameter lets q93's fusion leg reuse the identical chain
     * at its candidate depth. */
   private def bm25Sql(k: Int): String =
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+    bm25SqlCore(k, "", "w IN ('join', 'hash', 'window')")
+
+  /** The BM25 chain with a pluggable term filter (and optional leading
+    * CTEs the filter references) — q77/q82/q93 use the literal list,
+    * q141 a fuzzy-corrected term CTE. */
+  private def bm25SqlCore(k: Int, preCtes: String,
+      termsFilter: String): String =
+    s"""WITH ${preCtes}tk AS (SELECT doc_id, string_split(text, ' ') AS tk
         |            FROM documents),
         |base AS (SELECT doc_id, len(tk)::DOUBLE AS dl, unnest(tk) AS w
         |         FROM tk),
         |tf AS (SELECT doc_id, dl, w, COUNT(*)::DOUBLE AS tf FROM base
-        |       WHERE w IN ('join', 'hash', 'window') GROUP BY 1, 2, 3),
+        |       WHERE $termsFilter GROUP BY 1, 2, 3),
         |dfc AS (SELECT w, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
         |ad AS (SELECT AVG(len(string_split(text, ' ')))::DOUBLE AS avgdl
@@ -98,6 +105,27 @@ object OracleSql {
         |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
 
   private val bm25Oracle: String = bm25Sql(20)
+
+  /** q141: fuzzy-corrected BM25 — each typo resolves to its best
+    * vocabulary word (min edit distance, then alphabetical; distinct),
+    * and the standard chain scores the corrected set. */
+  private val fuzzyBm25: String = {
+    val pre =
+      """v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS vw
+        |       FROM documents),
+        |q(term) AS (VALUES ('joinn'), ('windo'), ('hash')),
+        |cand AS (SELECT q.term, v.vw,
+        |           levenshtein(q.term, v.vw)::BIGINT AS dist
+        |         FROM q JOIN v
+        |           ON levenshtein(q.term, v.vw) <= 1 AND len(v.vw) > 0),
+        |corr AS (SELECT DISTINCT vw AS cw FROM (
+        |           SELECT term, vw, ROW_NUMBER() OVER (
+        |             PARTITION BY term ORDER BY dist, vw) AS rn
+        |           FROM cand) x
+        |         WHERE rn = 1),
+        |""".stripMargin
+    bm25SqlCore(20, pre, "w IN (SELECT cw FROM corr)")
+  }
 
   /** Shared simhash CTE chain (tok -> per-doc 32-bit signature -> d<=3
     * pairs with their hamming distance) — q48, q62, q83 and q85 all
@@ -1011,6 +1039,7 @@ object OracleSql {
     // q138: the fuzzy-match ground truth pays the cross join the
     // engine's deletion-neighborhood equi-join avoids — agreement
     // proves the neighborhood is lossless for distance <= 1
+    "q141_fuzzy_bm25" -> fuzzyBm25,
     "q138_fuzzy_terms" ->
       """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
         |           FROM documents),

@@ -164,6 +164,7 @@ object SparkEntry {
     "q139_nulls_order" -> (T.q139NullsOrder(_, _)),
     "q140_role_scoped" ->
       (graft.api.Permissions.q140RoleScopedRead(_, _)),
+    "q141_fuzzy_bm25" -> (T.q141FuzzyBm25(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

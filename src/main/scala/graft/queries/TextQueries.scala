@@ -481,6 +481,27 @@ object TextQueries {
       limit = Some(350)))
   }
 
+  /** Q141 — TYPO-TOLERANT retrieval: [[q138FuzzyTerms]]'s candidates
+    * collapse to one best correction per query term (min edit
+    * distance, then alphabetical — deterministic), and the corrected
+    * set scores through the UNCHANGED q77 BM25 chain. Uncorrectable
+    * terms drop (no match within distance 1 — Hasura-style loudness is
+    * wrong here: search engines degrade, they don't error). The
+    * correction collect is bounded by the REQUEST's term count, never
+    * the corpus. */
+  def q141FuzzyBm25(s: SparkSession, dir: String,
+      typos: Seq[String] = Seq("joinn", "windo", "hash"),
+      k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("dist"), col("word"))
+    val corrected = q138FuzzyTerms(s, dir, typos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("word").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    q77Bm25Topk(s, dir, k, corrected)
+  }
+
   def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val synth = concat(lit("contact u"), col("doc_id"),
       lit("@example.com or admin@test.org "), col("text"))
