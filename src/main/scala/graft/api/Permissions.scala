@@ -232,6 +232,21 @@ object Permissions {
     }
   }
 
+  /** Serve GraphQL text AS a role — the full Hasura request path:
+    * parse against the tracked schema, rewrite through the role's
+    * grants, run. Parse errors and permission denials both come back
+    * as Left values (the endpoint's error payload, never an
+    * exception). */
+  def serveAs(s: org.apache.spark.sql.SparkSession, dir: String,
+      role: String, policy: Policy, query: String,
+      schema: GraphQl.Schema = GraphQl.fixtureSchema,
+      variables: String = "{}")
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    for {
+      req <- GraphQl.parse(query, schema, variables)
+      sec <- secure(req, role, policy)
+    } yield QueryBuilder.run(s, dir, sec)
+
   /** Guard a mutation document for `role`: updates/deletes gain the
     * role's row filter (rows outside it are INVISIBLE to the write,
     * Hasura's permission-filter semantics — affected_rows shrinks

@@ -110,6 +110,33 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("serveAs: GraphQL text through parse -> secure -> run; denials " +
+    "and parse errors are Left values") {
+    val dir = sf("sf0.001")
+    val ok = Permissions.serveAs(spark, dir, "analyst", policy,
+      "{ customer(order_by: {c_custkey: asc}, limit: 5) { c_custkey } }")
+      .fold(m => fail(m), identity).collect()
+    // only BUILDING customers can appear
+    val building = graft.Tables.load(spark, dir, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") ===
+        "BUILDING")
+      .orderBy("c_custkey").limit(5)
+      .collect().map(_.getAs[Long]("c_custkey")).toSeq
+    assert(ok.map(_.getLong(0)).toSeq === building)
+    // out-of-grant column: permission denial as a value
+    Permissions.serveAs(spark, dir, "analyst", policy,
+      "{ customer { c_phone } }") match {
+      case Left(m) => assert(m.contains("c_phone"))
+      case Right(df) => fail(s"allowed: ${df.columns.toSeq}")
+    }
+    // parse error: same channel
+    Permissions.serveAs(spark, dir, "analyst", policy,
+      "{ customer { ") match {
+      case Left(m) => assert(m.nonEmpty)
+      case Right(df) => fail("parsed garbage")
+    }
+  }
+
   test("q140 role-scoped read equals the request with both grants " +
     "inlined by hand") {
     val dir = sf("sf0.001")
