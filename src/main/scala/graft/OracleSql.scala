@@ -1040,6 +1040,55 @@ object OracleSql {
     // engine's deletion-neighborhood equi-join avoids — agreement
     // proves the neighborhood is lossless for distance <= 1
     "q141_fuzzy_bm25" -> fuzzyBm25,
+    // q142: script-class counts via length-minus-stripped over the
+    // SAME literal-range classes (chr() spells the prefix and ranges
+    // so the SQL file stays ASCII)
+    // q143: bottom-k similarity to the own-label centroid — centroid
+    // dims rounded to 8 so the replay is summation-order-insensitive
+    "q143_label_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+        |         generate_subscripts(embedding,1) AS i
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+        |nx AS (SELECT e.vec_id, e.label, e.i,
+        |         e.x / NULLIF(nr.nrm, 0) AS x
+        |       FROM ex e JOIN nr ON nr.vec_id = e.vec_id),
+        |cent AS (SELECT label, i, ROUND(AVG(x), 8) AS m
+        |         FROM nx GROUP BY 1, 2),
+        |sim AS (SELECT nx.vec_id, nx.label,
+        |          ROUND(SUM(nx.x * cent.m), 4) AS centroid_sim
+        |        FROM nx JOIN cent ON cent.label = nx.label
+        |                         AND cent.i = nx.i
+        |        GROUP BY 1, 2)
+        |SELECT vec_id, label, centroid_sim
+        |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    "q142_script_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         chr(25968) || chr(25454) || chr(22788) || chr(29702) ||
+        |         ' ' || chr(1087) || chr(1088) || chr(1080) ||
+        |         chr(1084) || chr(1077) || chr(1088) || ' ' || text
+        |           AS raw
+        |  FROM documents ORDER BY doc_id LIMIT 300),
+        |cls AS (
+        |  SELECT doc_id, raw,
+        |    length(raw)::BIGINT AS n_chars,
+        |    (length(raw) - length(regexp_replace(raw,
+        |      '[A-Za-z]', '', 'g')))::BIGINT AS n_latin,
+        |    (length(raw) - length(regexp_replace(raw,
+        |      '[' || chr(19968) || '-' || chr(40959) || ']', '', 'g')))
+        |      ::BIGINT AS n_cjk,
+        |    (length(raw) - length(regexp_replace(raw,
+        |      '[' || chr(1072) || '-' || chr(1103) || chr(1040) || '-' ||
+        |      chr(1071) || chr(1105) || chr(1025) || ']', '', 'g')))
+        |      ::BIGINT AS n_cyrillic,
+        |    (length(raw) - length(regexp_replace(raw,
+        |      '[0-9]', '', 'g')))::BIGINT AS n_digit
+        |  FROM d)
+        |SELECT doc_id, n_chars, n_latin, n_cjk, n_cyrillic, n_digit,
+        |       ROUND(n_latin::DOUBLE / n_chars, 4) AS latin_ratio
+        |FROM cls ORDER BY doc_id""".stripMargin,
     "q138_fuzzy_terms" ->
       """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
         |           FROM documents),

@@ -96,18 +96,6 @@ object SimilarityQueries {
       .orderBy("a", "b")
   }
 
-  /** IVF-style ANN: coarse centroids = the vectors with vec_id < nCentroids
-    * (deterministic codebook — no training pass needed for the fixture).
-    * Every vector is assigned to its nearest centroid cell; the query probes
-    * the nProbe nearest cells and scores only those candidates.
-    *
-    * The codebook and query vector are driver-small, so both the assignment
-    * (codegen argmax over the collected codebook — see
-    * [[graft.functions.VectorFunctions.NearestCentroid]]) and the probe-cell
-    * choice happen map-side/driver-side: the corpus streams through ONE scan
-    * with zero joins — filter to probed cells, one dot per survivor,
-    * TakeOrderedAndProject. Fully deterministic (ties → lowest cent_id), so
-    * the DuckDB oracle replays it exactly. */
   /** Q126 — cosine kNN JOIN: top-k neighbors for EVERY query in a
     * query set (vec_id 100..107 here), the batch shape embedding
     * dedup / retrieval eval actually runs — q23 answers one query,
@@ -222,6 +210,33 @@ object SimilarityQueries {
       .limit(k)
   }
 
+  /** Q143 — LABEL-OUTLIER audit: each vector's cosine similarity to
+    * its OWN label's centroid, bottom-k reported — the
+    * "probably mislabeled / junk embedding" list every curation pass
+    * wants. Centroid = per-dimension mean of the label's normalized
+    * vectors (rounded to 8 decimals so the replay is
+    * summation-order-insensitive), similarity = one codegen dot.
+    * Scale: the centroid build shuffles nLabels×dim partial sums
+    * (map-side combine), the scoring pass is map-side against the
+    * broadcast centroid table. */
+  def q143LabelOutliers(s: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), normalized(col("emb")).as("nemb"))
+    val cent = e
+      .select(col("label"), posexplode(col("nemb")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(round(avg("x"), 8).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"),
+        transform(col("pm"), p => p.getField("m")).as("cvec"))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("nemb"), col("cvec")), 4).as("centroid_sim"))
+      .orderBy(col("centroid_sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Q128 — recall@3 of the IVF kNN join against the exact one: the
     * q58 evaluation harness applied to the JOIN shape, so the
     * cell-pruning's quality cost on a BATCH of queries is a measured
@@ -234,6 +249,18 @@ object SimilarityQueries {
       .agg((count(lit(1)) / 24.0).as("recall_at_3"))
   }
 
+  /** IVF-style ANN: coarse centroids = the vectors with vec_id < nCentroids
+    * (deterministic codebook — no training pass needed for the fixture).
+    * Every vector is assigned to its nearest centroid cell; the query probes
+    * the nProbe nearest cells and scores only those candidates.
+    *
+    * The codebook and query vector are driver-small, so both the assignment
+    * (codegen argmax over the collected codebook — see
+    * [[graft.functions.VectorFunctions.NearestCentroid]]) and the probe-cell
+    * choice happen map-side/driver-side: the corpus streams through ONE scan
+    * with zero joins — filter to probed cells, one dot per survivor,
+    * TakeOrderedAndProject. Fully deterministic (ties → lowest cent_id), so
+    * the DuckDB oracle replays it exactly. */
   def q34AnnIvf(s: SparkSession, dir: String, queryId: Long = 1,
       nCentroids: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
     val e = embNorm(s, dir, cached = false)

@@ -502,6 +502,35 @@ object TextQueries {
     q77Bm25Topk(s, dir, k, corrected)
   }
 
+  /** Q142 — SCRIPT-CLASS histogram: per-document counts of Latin /
+    * CJK / Cyrillic / digit characters and the Latin ratio — the
+    * script-mix signal multilingual pipelines use next to lang-id
+    * (q26) to catch mixed-script spam and mislabeled documents. A
+    * multiscript prefix is synthesized so every class provably fires;
+    * counts via the length-minus-stripped trick, which both engines
+    * spell identically over literal-range character classes. Per-row,
+    * no shuffle. */
+  def q142ScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(lit("\u6570\u636e\u5904\u7406 " +
+      "\u043f\u0440\u0438\u043c\u0435\u0440 "), col("text"))
+    def cnt(c: org.apache.spark.sql.Column, cls: String) =
+      (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").limit(300)
+      .select(col("doc_id"), synth.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_chars"),
+        cnt(col("raw"), "[A-Za-z]").as("n_latin"),
+        cnt(col("raw"), "[\u4e00-\u9fff]").as("n_cjk"),
+        cnt(col("raw"), "[\u0430-\u044f\u0410-\u042f\u0451\u0401]")
+          .as("n_cyrillic"),
+        cnt(col("raw"), "[0-9]").as("n_digit"),
+        round(cnt(col("raw"), "[A-Za-z]").cast("double") /
+          length(col("raw")), 4).as("latin_ratio"))
+      .orderBy("doc_id")
+  }
+
   def q59PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val synth = concat(lit("contact u"), col("doc_id"),
       lit("@example.com or admin@test.org "), col("text"))
