@@ -116,6 +116,19 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         graft.functions.FrequencyFunctions
           .MisraGriesAgg(args(0), litInt(args(1)))),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonical form (matches " +
+          "DuckDB/Postgres normalization)"),
+      (args: Seq[Expression]) =>
+        graft.functions.TextFunctions.NfcNormalize(args.head)),
+    (FunctionIdentifier("top_k"),
+      info("top_k",
+        "top_k(score_double, id_long, k) - exact bounded top-k " +
+          "aggregate: array<struct<id,score>> sorted (score desc, id)"),
+      (args: Seq[Expression]) =>
+        graft.functions.TopKFunctions
+          .TopKAgg(args(0), args(1), litInt(args(2)))),
     (FunctionIdentifier("bpe_encode"),
       info("bpe_encode",
         "bpe_encode(text, merges_array_literal) - tokenize with a " +

@@ -16,6 +16,21 @@ class GraftFunctionsSpec extends SparkSpec {
       math.abs(a - b) < 1e-12 })
   }
 
+  test("nfc_normalize and top_k are SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('Cafe\\u0301') AS n").collect().head
+    assert(r.getString(0) === "Caf\u00e9")
+    val tk = spark.sql(
+      """SELECT top_k(s, i, 2) AS t FROM VALUES
+        |  (1.0D, 10L), (3.0D, 30L), (2.0D, 20L), (3.0D, 7L) AS v(s, i)"""
+        .stripMargin).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    // (score desc, id asc): the tied 3.0s pick the smaller id first
+    assert(tk === Seq((7L, 3.0), (30L, 3.0)))
+  }
+
   test("registration is idempotent") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
@@ -57,7 +72,8 @@ class GraftFunctionsSpec extends SparkSpec {
       === Set("vec_dot", "vec_normalize", "minhash_sig", "simhash_md5",
         "winnow", "hashed_shingles", "lang_id", "vec_nearest_centroid",
         "vec_quantize_i8", "bloom_agg", "bloom_might_contain",
-        "misra_gries", "bpe_encode", "vec_random_project"))
+        "misra_gries", "bpe_encode", "vec_random_project",
+        "nfc_normalize", "top_k"))
   }
 
   test("misra_gries and bpe_encode are SQL-callable") {
