@@ -137,6 +137,31 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("a secured request drives a live-query subscription: the role " +
+    "filter holds at every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    val req = secure(Request("t", Seq("k", "seg", "bal"),
+      orderBy = Seq(Order("bal", desc = true), Order("k")),
+      limit = Some(2)), "writer", policy).fold(m => fail(m), identity)
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.liveQuery(
+      input.toDF().toDF("k", "seg", "bal", "seq"), req,
+      keyCol = "k", seqCol = Some("seq")) { (_, df) =>
+      pushed :+= df.collect().toSeq.map(_.toSeq)
+    }
+    try {
+      input.addData(Seq((1L, "A", 10.0, 1L), (2L, "B", 99.0, 1L)))
+      q.processAllAvailable()
+      // the seg=B row is invisible to the writer despite topping bal
+      assert(pushed.last === Seq(Seq(1L, "A", 10.0)))
+      input.addData(Seq((3L, "A", 50.0, 2L), (4L, "A", 5.0, 2L)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(3L, "A", 50.0), Seq(1L, "A", 10.0)))
+    } finally q.stop()
+  }
+
   test("q140 role-scoped read equals the request with both grants " +
     "inlined by hand") {
     val dir = sf("sf0.001")
