@@ -1036,13 +1036,7 @@ object OracleSql {
         |       length(nfc_normalize(raw))::BIGINT AS len_nfc,
         |       md5(nfc_normalize(raw)) AS nfc_md5
         |FROM d ORDER BY doc_id""".stripMargin,
-    // q138: the fuzzy-match ground truth pays the cross join the
-    // engine's deletion-neighborhood equi-join avoids — agreement
-    // proves the neighborhood is lossless for distance <= 1
     "q141_fuzzy_bm25" -> fuzzyBm25,
-    // q142: script-class counts via length-minus-stripped over the
-    // SAME literal-range classes (chr() spells the prefix and ranges
-    // so the SQL file stays ASCII)
     // q143: bottom-k similarity to the own-label centroid — centroid
     // dims rounded to 8 so the replay is summation-order-insensitive
     "q143_label_outliers" ->
@@ -1063,6 +1057,9 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q142: script-class counts via length-minus-stripped over the
+    // SAME literal-range classes (chr() spells the prefix and ranges
+    // so the SQL file stays ASCII)
     "q142_script_mix" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1089,6 +1086,9 @@ object OracleSql {
         |SELECT doc_id, n_chars, n_latin, n_cjk, n_cyrillic, n_digit,
         |       ROUND(n_latin::DOUBLE / n_chars, 4) AS latin_ratio
         |FROM cls ORDER BY doc_id""".stripMargin,
+    // q138: the fuzzy-match ground truth pays the cross join the
+    // engine's deletion-neighborhood equi-join avoids — agreement
+    // proves the neighborhood is lossless for distance <= 1
     "q138_fuzzy_terms" ->
       """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
         |           FROM documents),

@@ -591,9 +591,17 @@ object GraphQl {
 
   /** Column-only order_by (relationship-level order arguments): one
     * shared walker with [[compileOrdersRoot]] — an empty schema makes
-    * every aggregate spelling fall to the plain-entry error. */
-  private def compileOrders(v: V, at: String): Seq[Order] =
-    compileOrdersRoot(v, at, Schema(Map.empty), "")._1
+    * every aggregate spelling fall to the plain-entry error, and
+    * explicit nulls placement REJECTS here (the nested in-array sort
+    * implements only the default rule; accepting the spelling would
+    * throw later instead of returning Left). */
+  private def compileOrders(v: V, at: String): Seq[Order] = {
+    val orders = compileOrdersRoot(v, at, Schema(Map.empty), "")._1
+    orders.find(_.nullsFirst.isDefined).foreach(o =>
+      bad(s"$at.${o.field}: explicit nulls placement is not supported " +
+        "on relationship order_by"))
+    orders
+  }
 
   private def intArg(args: Map[String, V], k: String,
       at: String): Option[Int] =
@@ -1604,6 +1612,10 @@ object GraphQl {
       })
       orderAggs.find(_.as == o.field) match {
         case None => s"{${o.field}: $d}"
+        case Some(_) if o.nullsFirst.isDefined =>
+          throw new IllegalArgumentException(
+            "render: explicit nulls placement on an ordering " +
+              "aggregate has no parseable spelling")
         case Some(oa) =>
           val (schema, t) = ctx.getOrElse(
             throw new IllegalArgumentException("render: an ordering " +

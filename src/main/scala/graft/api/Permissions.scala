@@ -95,21 +95,71 @@ object Permissions {
     * predicate's child table needs a grant, its child filter ANDs into
     * the predicate, and the predicate's own columns are checked
     * against the child allowlist. */
-  private def secureWhere(w: BoolExp, role: String,
-      policy: Policy): Either[String, BoolExp] = w match {
+  private def secureWhere(w: BoolExp, role: String, policy: Policy,
+      enclosing: TablePerm, enclosingTable: String)
+      : Either[String, BoolExp] = w match {
     case RelPred(table, ck, pk, pred) =>
       for {
+        // the PARENT-side join key is a column of the enclosing table
+        // — an out-of-grant column here would become an equality
+        // oracle (the wire codec lets callers pick parent_key freely)
+        _ <- checkCols(Seq(pk), enclosing, role, enclosingTable,
+          "relationship predicate join key")
         perm <- policy.get(role, table)
-        _ <- checkCols(whereCols(pred), perm, role, table,
+        _ <- checkCols(whereCols(pred) :+ ck, perm, role, table,
           "relationship predicate")
-        p2 <- secureWhere(pred, role, policy)
+        p2 <- secureWhere(pred, role, policy, perm, table)
       } yield RelPred(table, ck, pk, andWith(perm.filter, Some(p2)).get)
     case And(es @ _*) =>
-      sequence(es.map(secureWhere(_, role, policy))).map(And(_: _*))
+      sequence(es.map(secureWhere(_, role, policy, enclosing,
+        enclosingTable))).map(And(_: _*))
     case Or(es @ _*) =>
-      sequence(es.map(secureWhere(_, role, policy))).map(Or(_: _*))
-    case Not(x) => secureWhere(x, role, policy).map(Not(_))
+      sequence(es.map(secureWhere(_, role, policy, enclosing,
+        enclosingTable))).map(Or(_: _*))
+    case Not(x) =>
+      secureWhere(x, role, policy, enclosing, enclosingTable).map(Not(_))
     case leaf => Right(leaf)
+  }
+
+  /** Evaluate a filter against a LITERAL row (the insert check
+    * clause): SQL three-valued logic collapses unknown to false (an
+    * absent or null column never passes a comparison), and operators
+    * with no driver-side literal semantics (patterns, relationship
+    * predicates) reject loudly rather than guess. */
+  private[api] def evalLiteral(e: BoolExp,
+      row: Map[String, Any]): Either[String, Boolean] = {
+    def cmp(f: String, v: Any, op: Int => Boolean): Boolean =
+      (row.get(f).flatMap(Option(_)), v) match {
+        case (Some(a: Long), b: Long) => op(a.compareTo(b))
+        case (Some(a: Long), b: Int) => op(a.compareTo(b.toLong))
+        case (Some(a: Double), b: Double) => op(a.compareTo(b))
+        case (Some(a: Long), b: Double) => op(a.toDouble.compareTo(b))
+        case (Some(a: Double), b: Long) => op(a.compareTo(b.toDouble))
+        case (Some(a: String), b: String) => op(a.compareTo(b))
+        case (Some(a: Boolean), b: Boolean) => op(a.compareTo(b))
+        case _ => false // null/absent/mistyped: unknown → false
+      }
+    e match {
+      case Eq(f, v) => Right(cmp(f, v, _ == 0))
+      case Neq(f, v) => Right(row.get(f).flatMap(Option(_)).isDefined &&
+        !cmp(f, v, _ == 0))
+      case Gt(f, v) => Right(cmp(f, v, _ > 0))
+      case Gte(f, v) => Right(cmp(f, v, _ >= 0))
+      case Lt(f, v) => Right(cmp(f, v, _ < 0))
+      case Lte(f, v) => Right(cmp(f, v, _ <= 0))
+      case In(f, vs) => Right(vs.exists(v => cmp(f, v, _ == 0)))
+      case Nin(f, vs) => Right(row.get(f).flatMap(Option(_)).isDefined &&
+        !vs.exists(v => cmp(f, v, _ == 0)))
+      case IsNull(f, want) =>
+        Right(row.get(f).flatMap(Option(_)).isEmpty == want)
+      case And(es @ _*) =>
+        sequence(es.map(evalLiteral(_, row))).map(_.forall(identity))
+      case Or(es @ _*) =>
+        sequence(es.map(evalLiteral(_, row))).map(_.exists(identity))
+      case Not(x) => evalLiteral(x, row).map(!_)
+      case other => Left(s"insert check clause cannot evaluate " +
+        s"$other against a literal row")
+    }
   }
 
   private def sequence[A](xs: Seq[Either[String, A]])
@@ -127,10 +177,14 @@ object Permissions {
       _ <- checkCols(req.fields ++ req.distinctOn ++
         req.orderBy.map(_.field)
           .filterNot(f => req.orderAggs.exists(_.as == f)) ++
-        req.where.toSeq.flatMap(whereCols),
+        req.where.toSeq.flatMap(whereCols) ++
+        // every parent-side join key is a column of THIS table
+        req.nested.map(_.parentKey) ++ req.aggRels.map(_.parentKey) ++
+        req.orderAggs.map(_.parentKey),
         perm, role, req.table, "select")
       where2 <- req.where match {
-        case Some(w) => secureWhere(w, role, policy).map(Some(_))
+        case Some(w) =>
+          secureWhere(w, role, policy, perm, req.table).map(Some(_))
         case None => Right(None)
       }
       nested2 <- sequence(req.nested.map(secureNested(_, role, policy)))
@@ -170,11 +224,12 @@ object Permissions {
     for {
       perm <- policy.get(role, n.table)
       _ <- checkCols(n.fields.map(_.field) ++ n.distinctOn ++
-        n.orderBy.map(_.field) ++ n.where.toSeq.flatMap(whereCols) :+
-        n.childKey,
+        n.orderBy.map(_.field) ++ n.where.toSeq.flatMap(whereCols) ++
+        n.sub.toSeq.map(_.parentKey) :+ n.childKey,
         perm, role, n.table, "relationship select")
       where2 <- n.where match {
-        case Some(w) => secureWhere(w, role, policy).map(Some(_))
+        case Some(w) =>
+          secureWhere(w, role, policy, perm, n.table).map(Some(_))
         case None => Right(None)
       }
       sub2 <- n.sub match {
@@ -192,7 +247,8 @@ object Permissions {
         a.childKey,
         perm, role, a.table, "aggregate relationship")
       where2 <- a.where match {
-        case Some(w) => secureWhere(w, role, policy).map(Some(_))
+        case Some(w) =>
+          secureWhere(w, role, policy, perm, a.table).map(Some(_))
         case None => Right(None)
       }
     } yield a.copy(where = andWith(perm.filter, where2))
@@ -264,18 +320,45 @@ object Permissions {
         }
         m2 <- f.m match {
           case Mutations.Insert(t, rows, up, uc) =>
-            checkCols(rows.flatMap(_.map(_._1)).distinct ++
-              uc.getOrElse(Nil), perm, role, t, "insert")
-              .map(_ => Mutations.Insert(t, rows, up, uc))
+            for {
+              _ <- checkCols(rows.flatMap(_.map(_._1)).distinct ++
+                uc.getOrElse(Nil), perm, role, t, "insert")
+              // Hasura's insert CHECK clause: every inserted row must
+              // satisfy the role's row filter — otherwise a role could
+              // create rows it can never see (or, worse, that other
+              // roles' filters were counting on)
+              _ <- perm.filter match {
+                case None => Right(())
+                case Some(flt) => sequence(rows.map { r =>
+                  evalLiteral(flt, r.toMap).flatMap {
+                    case true => Right(())
+                    case false => Left(s"role '$role': inserted row " +
+                      s"violates the '$t' row filter (check clause)")
+                  }
+                }).map(_ => ())
+              }
+              // an upsert/on_conflict may OVERWRITE a stored row, which
+              // needs the update scope; that scope is the row filter,
+              // and whether the STORED row satisfies it is unknowable
+              // here — reject rather than let an invisible row be
+              // rewritten (plain inserts still clash loudly on existing
+              // keys, so nothing is silently lost)
+              _ <-
+                if ((up || uc.isDefined) && perm.filter.isDefined)
+                  Left(s"role '$role': upsert/on_conflict on " +
+                    s"row-filtered table '$t' could overwrite rows " +
+                    "outside the filter — use update for visible rows")
+                else Right(())
+            } yield Mutations.Insert(t, rows, up, uc)
           case Mutations.Update(t, w, set, inc) =>
             checkCols(set.map(_._1) ++ inc.map(_._1) ++ whereCols(w),
               perm, role, t, "update")
-              .flatMap(_ => secureWhere(w, role, policy))
+              .flatMap(_ => secureWhere(w, role, policy, perm, t))
               .map(w2 => Mutations.Update(t,
                 andWith(perm.filter, Some(w2)).get, set, inc))
           case Mutations.Delete(t, w) =>
             checkCols(whereCols(w), perm, role, t, "delete")
-              .flatMap(_ => secureWhere(w, role, policy))
+              .flatMap(_ => secureWhere(w, role, policy, perm, t))
               .map(w2 => Mutations.Delete(t,
                 andWith(perm.filter, Some(w2)).get))
         }

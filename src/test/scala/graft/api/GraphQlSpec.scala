@@ -480,6 +480,24 @@ class GraphQlSpec extends SparkSpec {
         case Left(m) => assert(m.contains("expected asc"))
         case Right(x) => fail(s"parsed: $x")
       }
+      // relationship-level order_by rejects the nulls family at PARSE
+      // time (the nested in-array sort implements only the default
+      // rule — accepting it would throw later instead of Left)
+      GraphQl.parse(
+        """{ customer { c_custkey
+          |  orders(order_by: {o_orderkey: asc_nulls_first}, limit: 2) {
+          |    o_orderkey } } }""".stripMargin) match {
+        case Left(m) => assert(m.contains("nulls placement"), m)
+        case Right(x) => fail(s"parsed: $x")
+      }
+      // the printer refuses nulls placement on ordering aggregates
+      // (no parseable spelling) instead of drifting
+      assertThrows[IllegalArgumentException](GraphQl.render(
+        Request("customer", Seq("c_custkey"),
+          orderBy = Seq(Order("__oa_0", desc = true,
+            nullsFirst = Some(false)), Order("c_custkey")),
+          orderAggs = Seq(OrderAgg("__oa_0", "orders", "o_custkey",
+            "c_custkey", CountOf("o_custkey", "__oa_0_v"))))))
     }
     // relationship predicates + aggregate ordering render back to
     // their tracked spellings (q133/q134/q135)

@@ -110,6 +110,59 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("insert check clause: inserted rows must satisfy the row " +
+    "filter; upserts on row-filtered tables reject") {
+    // a check-passing insert goes through
+    assert(secureFields(Seq(Mutations.Field(Mutations.Insert("t",
+      Seq(Seq("k" -> 9L, "seg" -> "A"))))), "writer", policy).isRight)
+    // creating a row the role could never see is Hasura's check
+    // violation
+    secureFields(Seq(Mutations.Field(Mutations.Insert("t",
+      Seq(Seq("k" -> 9L, "seg" -> "B"))))), "writer", policy) match {
+      case Left(m) => assert(m.contains("check clause"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // absent filter column = unknown = fails the check
+    secureFields(Seq(Mutations.Field(Mutations.Insert("t",
+      Seq(Seq("k" -> 9L))))), "writer", policy) match {
+      case Left(m) => assert(m.contains("check clause"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // an upsert could overwrite an INVISIBLE stored row — rejected on
+    // row-filtered tables (both spellings)
+    for (ins <- Seq(
+        Mutations.Insert("t", Seq(Seq("k" -> 1L, "seg" -> "A")),
+          upsert = true),
+        Mutations.Insert("t", Seq(Seq("k" -> 1L, "seg" -> "A")),
+          updateColumns = Some(Seq("bal")))))
+      secureFields(Seq(Mutations.Field(ins)), "writer", policy) match {
+        case Left(m) => assert(m.contains("upsert/on_conflict"), m)
+        case Right(r) => fail(s"allowed: $r")
+      }
+  }
+
+  test("parent-side join keys are grant-checked: an _exists predicate " +
+    "cannot probe a denied column through parent_key") {
+    // c_nationkey is outside the analyst's customer allowlist; the
+    // wire codec lets callers pick parent_key freely, so secure must
+    // refuse the equality oracle
+    secure(Request("customer", Seq("c_custkey"),
+      where = Some(RelPred("orders", "o_custkey", "c_nationkey",
+        Eq("o_orderkey", 42L)))), "analyst", policy) match {
+      case Left(m) => assert(m.contains("c_nationkey"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // same for a relationship selection's parent key
+    secure(Request("customer", Seq("c_custkey"),
+      nested = Seq(Nested("orders", "orders", "o_custkey",
+        "c_nationkey",
+        fields = Seq(NestedField("k", "o_orderkey"))))),
+      "analyst", policy) match {
+      case Left(m) => assert(m.contains("c_nationkey"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+  }
+
   test("serveAs: GraphQL text through parse -> secure -> run; denials " +
     "and parse errors are Left values") {
     val dir = sf("sf0.001")
