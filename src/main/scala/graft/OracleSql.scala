@@ -1057,6 +1057,16 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q144: the SLICED root aggregate — stats over exactly the
+    // ordered top-50, not the whole filtered table
+    "q144_sliced_aggregate" ->
+      """WITH s AS (SELECT o_totalprice FROM orders
+        |           WHERE o_orderstatus = 'P'
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+        |SELECT COUNT(*)::BIGINT AS count,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+        |       MIN(o_totalprice) AS min_o_totalprice
+        |FROM s""".stripMargin,
     // q142: script-class counts via length-minus-stripped over the
     // SAME literal-range classes (chr() spells the prefix and ranges
     // so the SQL file stays ASCII)

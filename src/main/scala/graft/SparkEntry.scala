@@ -167,6 +167,8 @@ object SparkEntry {
     "q141_fuzzy_bm25" -> (T.q141FuzzyBm25(_, _)),
     "q142_script_mix" -> (T.q142ScriptMix(_, _)),
     "q143_label_outliers" -> (S.q143LabelOutliers(_, _)),
+    "q144_sliced_aggregate" ->
+      (graft.api.GraphQl.q144SlicedAggregate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

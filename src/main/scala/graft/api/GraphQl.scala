@@ -1043,8 +1043,18 @@ object GraphQl {
           "(plain reads go through parse)")
       val table = root.stripSuffix("_aggregate")
       val args = parseArgs(p)
-      checkArgs(args, Set("where"), root)
+      checkArgs(args, Set("where", "order_by", "limit", "offset"), root)
       val where = args.get("where").map(compileBool(_, s"$root.where"))
+      // Hasura aggregates the SLICED set: order_by/limit/offset bound
+      // the rows the aggregates (and nodes) see, so
+      // "stats of the top-100 orders" is one request
+      val slice = args.get("order_by")
+        .map(compileOrders(_, s"$root.order_by")).getOrElse(Nil)
+      val limit = intArg(args, "limit", root)
+      val offset = intArg(args, "offset", root).getOrElse(0)
+      if ((limit.isDefined || offset > 0) && slice.isEmpty)
+        bad(s"$root: limit/offset without order_by aggregates an " +
+          "UNDEFINED subset — order the slice")
       p.expect('{')
       var aggs: Seq[AggField] = Nil
       var nodes: Seq[String] = Nil
@@ -1076,7 +1086,8 @@ object GraphQl {
       (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
-      Right(QueryBuilder.AggRequest(table, where, aggs, nodes))
+      Right(QueryBuilder.AggRequest(table, where, aggs, nodes,
+        orderBy = slice, limit = limit, offset = offset))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1805,6 +1816,32 @@ object GraphQl {
       |    nodes { o_orderkey o_custkey }
       |  }
       |}""".stripMargin
+
+  /** q144's document — the SLICED root aggregate: Hasura's
+    * `<t>_aggregate(order_by, limit)` aggregates (and lists) only the
+    * slice, so "stats of the top-50 priciest pending orders" is one
+    * request. */
+  val q144Query: String =
+    """{
+      |  orders_aggregate(where: {o_orderstatus: {_eq: "P"}},
+      |                   order_by: [{o_totalprice: desc},
+      |                              {o_orderkey: asc}],
+      |                   limit: 50) {
+      |    aggregate {
+      |      count
+      |      sum { o_totalprice }
+      |      min { o_totalprice }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  def q144SlicedAggregate(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseRootAggregate(q144Query) match {
+      case Right(r) => QueryBuilder.runAggregate(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q144 aggregate failed to parse: $m")
+    }
 
   def q132AggregateNodes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =

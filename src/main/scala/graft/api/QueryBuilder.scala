@@ -420,7 +420,11 @@ object QueryBuilder {
     * Empty = no nodes arm. */
   final case class AggRequest(table: String,
       where: Option[BoolExp] = None, aggs: Seq[AggField],
-      nodes: Seq[String] = Nil) {
+      nodes: Seq[String] = Nil, orderBy: Seq[Order] = Nil,
+      limit: Option[Int] = None, offset: Int = 0) {
+    require((limit.isEmpty && offset == 0) || orderBy.nonEmpty,
+      s"aggregate request on '$table': limit/offset without order_by " +
+        "aggregates an undefined subset")
     require(aggs.nonEmpty, s"aggregate request on '$table' selects " +
       "no aggregates")
     require(aggs.map(_.as).distinct.length == aggs.length,
@@ -438,7 +442,16 @@ object QueryBuilder {
     * partition, the cheapest query shape there is at any scale. */
   def runAggregate(s: SparkSession, dir: String, r: AggRequest): DataFrame = {
     val base = graft.Tables.load(s, dir, r.table)
-    val f = r.where.map(w => base.filter(w.toColumn)).getOrElse(base)
+    val f0 = r.where.map(w => base.filter(w.toColumn)).getOrElse(base)
+    // Hasura aggregates the SLICED set when order_by/limit are given
+    // — a TakeOrdered cut feeding the aggregate, not a full-table pass
+    val f =
+      if (r.orderBy.isEmpty) f0
+      else {
+        val ord = f0.orderBy(r.orderBy.map(_.toColumn): _*)
+        val off = if (r.offset > 0) ord.offset(r.offset) else ord
+        r.limit.map(off.limit).getOrElse(off)
+      }
     val cols = r.aggs.map(_.agg(f)) ++
       (if (r.nodes.isEmpty) Nil
        else Seq(to_json(sort_array(collect_list(

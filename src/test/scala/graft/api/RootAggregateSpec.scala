@@ -47,8 +47,11 @@ class RootAggregateSpec extends SparkSpec {
       "distinct needs columns")
     err("{ orders_aggregate { aggregate { count(nope: 1) } } }",
       "unknown argument")
+    // limit/offset without order_by = an undefined subset
     err("{ orders_aggregate(limit: 5) { aggregate { count } } }",
-      "unknown argument")
+      "order the slice")
+    err("{ orders_aggregate(offset: 5) { aggregate { count } } }",
+      "order the slice")
     err("{ orders_aggregate { aggregate { } } }", "no aggregates")
     // the RELATIONSHIP grammar still refuses count arguments — its
     // count is the child key by construction
