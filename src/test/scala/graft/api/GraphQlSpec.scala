@@ -445,6 +445,42 @@ class GraphQlSpec extends SparkSpec {
       "{ customer { ...on } }").contains("'on' cannot name"))
   }
 
+  test("fuzz: every parser returns Either on garbage — random soup, " +
+    "truncations, and mutations of valid documents never throw") {
+    val seeds = Seq(GraphQl.q100Query, GraphQl.q118Mutation,
+      GraphQl.q121Query, GraphQl.q130Query, GraphQl.q133Query,
+      GraphQl.q135Query, GraphQl.q144Query,
+      """{"table":"documents","fields":["doc_id"],"limit":3}""")
+    val alphabet =
+      "{}()[]:@!$,\"\\'#. \n\t_abz019\u2026\u00e9 \u202e" + "aggregate"
+    val rnd = new scala.util.Random(42)
+    def soup(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    def mutate(q: String): String = rnd.nextInt(4) match {
+      case 0 => q.take(rnd.nextInt(q.length + 1)) // truncation
+      case 1 => // splice soup into the middle
+        val i = rnd.nextInt(q.length + 1)
+        q.take(i) + soup(1 + rnd.nextInt(8)) + q.drop(i)
+      case 2 => // delete a span
+        val i = rnd.nextInt(q.length)
+        q.take(i) + q.drop(math.min(q.length, i + 1 + rnd.nextInt(10)))
+      case _ => soup(1 + rnd.nextInt(60))
+    }
+    var checked = 0
+    for (_ <- 0 until 400; base <- seeds) {
+      val doc = mutate(base)
+      checked += 1
+      // each parser must produce a VALUE (either side), never throw
+      GraphQl.parse(doc)
+      GraphQl.parseMutations(doc)
+      GraphQl.parseMutationFields(doc)
+      GraphQl.parseRootAggregate(doc)
+      RequestCodec.parse(doc)
+    }
+    assert(checked === 400 * seeds.length)
+  }
+
   // ---- printer: parse ∘ render == id ---------------------------------
 
   test("printer: canned requests round-trip (q98/q101/q102/q103 and " +
