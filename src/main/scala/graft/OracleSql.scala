@@ -1057,6 +1057,40 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q146: nested insert replay — parents and FK-stitched children
+    // appended as literal rows, then the same join/aggregate readback
+    "q146_nested_insert" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  UNION ALL
+        |  VALUES (999001, 'NEST', 10.0), (999002, 'NEST', 20.0)),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey <= 200000
+        |  UNION ALL
+        |  VALUES (999101, 999001, 11.0), (999102, 999001, 12.0),
+        |         (999103, 999002, 13.0)),
+        |tot AS (SELECT (SELECT COUNT(*) FROM c)::BIGINT AS n_cust_total,
+        |               (SELECT COUNT(*) FROM o)::BIGINT AS n_ord_total)
+        |SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS n_orders,
+        |       ROUND(SUM(o.o_totalprice), 2) AS tot,
+        |       n_cust_total, n_ord_total
+        |FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey CROSS JOIN tot
+        |WHERE c_mktsegment = 'NEST'
+        |GROUP BY 1, 4, 5
+        |ORDER BY 1""".stripMargin,
+    // q145: Hasura `_stream` cursor paging — rows strictly past the
+    // cursor in cursor order, page index = (rank-1)/batch_size over
+    // the first 3 pages of 7
+    "q145_stream_pages" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events
+        |  WHERE event_id > 3000 AND event_type = 'click')
+        |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
+        |       event_id, user_id, event_type, value
+        |FROM f WHERE rn <= 21""".stripMargin,
     // q144: the SLICED root aggregate — stats over exactly the
     // ordered top-50, not the whole filtered table
     "q144_sliced_aggregate" ->

@@ -169,6 +169,8 @@ object SparkEntry {
     "q143_label_outliers" -> (S.q143LabelOutliers(_, _)),
     "q144_sliced_aggregate" ->
       (graft.api.GraphQl.q144SlicedAggregate(_, _)),
+    "q145_stream_pages" -> (graft.api.GraphQl.q145StreamPages(_, _)),
+    "q146_nested_insert" -> (graft.api.GraphQl.q146NestedInsert(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

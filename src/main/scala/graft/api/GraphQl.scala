@@ -1096,6 +1096,168 @@ object GraphQl {
         Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
     }
 
+  // ---- streaming subscriptions (`<table>_stream`) --------------------
+
+  /** Parse a Hasura STREAMING subscription — `subscription {
+    * <table>_stream(cursor: {initial_value: {<col>: v}, ordering:
+    * ASC}, batch_size: n, where: {...}) { fields } }` — to a
+    * [[Subscriptions.StreamRequest]]. Hasura's argument type is a
+    * one-element LIST of cursor inputs; both the bare-object and
+    * one-element-list spellings are accepted, multi-cursor rejects
+    * loudly (the engine, like Hasura, streams on one cursor column).
+    * `initial_value: null` streams from the beginning; `ordering`
+    * defaults ASC. The surface is subscription-only (Hasura serves
+    * `_stream` on no other operation type), scalar selections only —
+    * a relationship under a cursor scan would re-rank, which is the
+    * live-query mode's job. Operation variables work as in [[parse]]
+    * ($v at any value position). Never throws. */
+  def parseStream(query: String, schema: Schema = fixtureSchema,
+      variables: String = "{}")
+      : Either[String, Subscriptions.StreamRequest] =
+    try {
+      val vars = jsonVars(variables)
+      val (opToks, frags) = extractFragments(tokenize(query))
+      if (frags.nonEmpty)
+        bad("fragments are not supported in stream documents")
+      val p = new P(opToks)
+      p.peek match {
+        case Name("subscription", _) =>
+          p.next()
+          p.peek match { case Name(_, _) => p.next(); case _ => () }
+          parseOpVariables(p, vars)
+        case Name("query", _) =>
+          bad("<table>_stream is a subscription-only surface " +
+            "(Hasura serves it over no other operation type)")
+        case t =>
+          bad(s"${t.pos}: expected 'subscription'")
+      }
+      p.expect('{')
+      val root = p.name("root stream field")
+      if (!root.endsWith("_stream"))
+        bad(s"$root: expected <table>_stream (plain reads go " +
+          "through parse)")
+      val table = root.stripSuffix("_stream")
+      val args = parseArgs(p)
+      checkArgs(args, Set("cursor", "batch_size", "where"), root)
+      val cursorObj = args.getOrElse("cursor",
+        bad(s"$root: cursor is required")) match {
+        case VList(Seq(o: VObj)) => o
+        case VList(vs) => bad(s"$root.cursor: exactly one cursor " +
+          s"input expected, got ${vs.size}")
+        case o: VObj => o
+        case _ => bad(s"$root.cursor: expected a cursor input object")
+      }
+      val dups = cursorObj.fields.map(_._1).groupBy(identity)
+        .filter(_._2.size > 1).keys
+      if (dups.nonEmpty)
+        bad(s"$root.cursor: duplicate field(s) ${dups.mkString(", ")}")
+      val cm = cursorObj.fields.toMap
+      (cm.keySet -- Set("initial_value", "ordering")).toSeq.sorted
+        .headOption.foreach(k => bad(s"$root.cursor: unknown field '$k'"))
+      val (cursorField, initial) = cm.getOrElse("initial_value",
+        bad(s"$root.cursor: initial_value is required " +
+          "(null to stream from the beginning)")) match {
+        case VObj(Seq((c, VNull))) => (c, None)
+        case VObj(Seq((c, VLit(v)))) => (c, Some(v))
+        case VObj(fs) if fs.size != 1 =>
+          bad(s"$root.cursor.initial_value: exactly one cursor " +
+            s"column expected, got ${fs.size}")
+        case _ => bad(s"$root.cursor.initial_value: expected " +
+          "{<column>: <literal|null>}")
+      }
+      val ascending = cm.get("ordering") match {
+        case None => true
+        case Some(VEnum("ASC")) | Some(VLit("ASC")) => true
+        case Some(VEnum("DESC")) | Some(VLit("DESC")) => false
+        case Some(_) => bad(s"$root.cursor.ordering: expected ASC or DESC")
+      }
+      val batchSize = intArg(args, "batch_size", root).getOrElse(
+        bad(s"$root: batch_size is required"))
+      if (batchSize <= 0) bad(s"$root: batch_size must be positive")
+      val where = args.get("where")
+        .map(compileBool(_, s"$root.where", Some((schema, table))))
+      p.expect('{')
+      val fields = Seq.newBuilder[String]
+      while (!p.isPunct('}')) {
+        val f = p.name("stream selection")
+        if (p.isPunct(':'))
+          bad(s"$f: aliases are not supported on stream fields " +
+            "(the oracle compares by column name)")
+        if (p.isPunct('{'))
+          bad(s"$f: relationships are not served under a cursor " +
+            "scan (use the live-query mode)")
+        fields += f
+      }
+      p.expect('}')
+      val fs = fields.result()
+      if (fs.isEmpty) bad(s"$root: empty selection set")
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped filter returns wrong rows silently"))
+      Right(Subscriptions.StreamRequest(table, cursorField, initial,
+        ascending = ascending, batchSize = batchSize, where = where,
+        fields = fs))
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
+    }
+
+  /** Print a [[Subscriptions.StreamRequest]] back to subscription
+    * text — `parseStream(renderStream(sr)) == Right(sr)`, the house
+    * printer contract. */
+  def renderStream(sr: Subscriptions.StreamRequest,
+      schema: Schema = fixtureSchema): String = {
+    val sb = new StringBuilder
+    sb ++= "subscription {\n  " ++= sr.table ++= "_stream(cursor: " ++=
+      "{initial_value: {" ++= sr.cursorField ++= ": " ++=
+      sr.initial.map(renderLit).getOrElse("null") ++= "}, ordering: " ++=
+      (if (sr.ascending) "ASC" else "DESC") ++=
+      s"}, batch_size: ${sr.batchSize}"
+    sr.where.foreach(w =>
+      sb ++= ", where: " ++= renderBoolExp(w, Some((schema, sr.table))))
+    sb ++= ") {\n"
+    sr.fields.foreach(f => sb ++= "    " ++= f ++= "\n")
+    sb ++= "  }\n}"
+    sb.toString
+  }
+
+  /** q145's document — the streaming-subscription read surface: a
+    * cursor past event 3000 over the filtered click stream, seven
+    * rows per page. */
+  val q145Query: String =
+    """subscription {
+      |  events_stream(
+      |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+      |    batch_size: 7,
+      |    where: {event_type: {_eq: "click"}}) {
+      |    event_id user_id event_type value
+      |  }
+      |}""".stripMargin
+
+  /** q145 — Hasura's `<table>_stream` surface end to end on the BATCH
+    * replay contract: subscription text → [[parseStream]] →
+    * [[Subscriptions.streamPages]] (first 3 pages), against a DuckDB
+    * row_number replay of the same cursor paging. The LIVE path
+    * ([[Subscriptions.streamServe]]) is pinned to this same answer by
+    * SubscriptionsSpec (page-aligned triggers ≡ streamPages; cursor
+    * redelivery and late-row drop semantics spec'd). */
+  def q145StreamPages(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseStream(q145Query) match {
+      case Right(sr) => Subscriptions.streamPages(
+        graft.Tables.load(s, dir, sr.table), sr, nPages = 3)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q145 stream subscription failed to parse: $m")
+    }
+
   // ---- mutations -----------------------------------------------------
 
   private def litValue(v: V, at: String): Any = v match {
@@ -1143,6 +1305,69 @@ object GraphQl {
       case _ => bad(s"$at.on_conflict: expected an object")
     }
 
+  /** One INSERT object: literal columns plus Hasura's NESTED-insert
+    * entries — a value that is an OBJECT must be a tracked ARRAY
+    * relationship's `{data: [...], on_conflict: ...}` (columns hold
+    * literals only in this engine, so the shapes cannot collide).
+    * Children come back as their own [[Mutations.Insert]]s with the
+    * foreign key STITCHED from the parent object's key — which the
+    * parent must therefore carry literally (no read-back; the whole
+    * tree stays a driver-side request payload). A child object
+    * spelling the FK itself is rejected (a mismatch with the stitched
+    * value would silently detach the child). */
+  private def insertObject(table: String, v: V, at: String,
+      schema: Schema): (Seq[(String, Any)], Seq[Mutations.Insert]) =
+    v match {
+      case VObj(fs) =>
+        val row = Seq.newBuilder[(String, Any)]
+        val relEntries = Seq.newBuilder[(String, Seq[(String, V)])]
+        fs.foreach {
+          case (k, VObj(ofs)) =>
+            if (!schema.rels.contains((table, k)))
+              bad(s"$at.$k: an object value must be a tracked array " +
+                s"relationship on '$table' (columns take literals)")
+            relEntries += ((k, ofs))
+          case (k, sub) => row += k -> litValue(sub, s"$at.$k")
+        }
+        val rowSeq = row.result()
+        val rowMap = rowSeq.toMap
+        val kids = relEntries.result().map { case (k, ofs) =>
+          val rel = schema.rels((table, k))
+          val dups = ofs.map(_._1).groupBy(identity)
+            .filter(_._2.size > 1).keys
+          if (dups.nonEmpty)
+            bad(s"$at.$k: duplicate field(s) ${dups.mkString(", ")}")
+          val m = ofs.toMap
+          (m.keySet -- Set("data", "on_conflict")).toSeq.sorted
+            .headOption.foreach(x => bad(s"$at.$k: unknown field '$x' " +
+              "(a nested insert is {data: [...], on_conflict: ...})"))
+          val dataRows = m.getOrElse("data",
+            bad(s"$at.$k: data is required")) match {
+            case VList(vs) => vs.map(objEntries(_, s"$at.$k.data"))
+            case o @ VObj(_) => Seq(objEntries(o, s"$at.$k.data"))
+            case _ => bad(s"$at.$k.data: expected a list of objects")
+          }
+          if (dataRows.isEmpty) bad(s"$at.$k.data: empty objects list")
+          val fkVal = rowMap.getOrElse(rel.parentKey,
+            bad(s"$at.$k: the parent object must carry " +
+              s"${rel.parentKey} literally to stitch the child " +
+              "foreign key"))
+          if (fkVal == null)
+            bad(s"$at.$k: ${rel.parentKey} cannot be null on a parent " +
+              "with nested rows")
+          dataRows.zipWithIndex.foreach { case (r, i) =>
+            if (r.exists(_._1 == rel.childKey))
+              bad(s"$at.$k.data[$i]: do not set ${rel.childKey} — it " +
+                s"is stitched from the parent's ${rel.parentKey}")
+          }
+          Mutations.Insert(rel.childTable,
+            dataRows.map(_ :+ (rel.childKey -> fkVal)),
+            updateColumns = onConflictArg(m, s"$at.$k"))
+        }
+        (rowSeq, kids)
+      case _ => bad(s"$at: expected an object")
+    }
+
   /** One pk_columns-style equality: the argument object names the key
     * column explicitly (Hasura's by_pk shape), so no schema is needed
     * on the write path. */
@@ -1158,16 +1383,17 @@ object GraphQl {
 
   /** → (mutation, single): `single` marks the by_pk verbs, whose
     * response is the row object rather than `{ affected_rows }`. */
-  private def compileMutation(fname: String,
-      args: Map[String, V]): (Mutations.Mutation, Boolean) =
+  private def compileMutation(fname: String, args: Map[String, V],
+      schema: Schema): (Mutations.Mutation, Boolean) =
     if (fname.startsWith("insert_") && fname.endsWith("_one")) {
       // Hasura's single-object spelling: insert_<t>_one(object: {...})
       val table = fname.stripPrefix("insert_").stripSuffix("_one")
       checkArgs(args, Set("object", "on_conflict"), fname)
-      val row = objEntries(args.getOrElse("object",
-        bad(s"$fname: object is required")), s"$fname.object")
-      (Mutations.Insert(table, Seq(row),
-        updateColumns = onConflictArg(args, fname)), false)
+      val (row, kids) = insertObject(table, args.getOrElse("object",
+        bad(s"$fname: object is required")), s"$fname.object", schema)
+      val ins = Mutations.Insert(table, Seq(row),
+        updateColumns = onConflictArg(args, fname))
+      (if (kids.isEmpty) ins else Mutations.InsertTree(ins, kids), false)
     } else if (fname.startsWith("update_") && fname.endsWith("_by_pk")) {
       // update_<t>_by_pk(pk_columns: {<pk>: v}, _set/_inc) → one-row
       // update; the response is the post-update row (or null)
@@ -1196,14 +1422,16 @@ object GraphQl {
     } else if (fname.startsWith("insert_")) {
       val table = fname.stripPrefix("insert_")
       checkArgs(args, Set("objects", "on_conflict"), fname)
-      val rows = args.getOrElse("objects",
+      val parsed = (args.getOrElse("objects",
         bad(s"$fname: objects is required")) match {
-        case VList(vs) => vs.map(objEntries(_, s"$fname.objects"))
-        case o @ VObj(_) => Seq(objEntries(o, s"$fname.objects"))
+        case VList(vs) => vs
+        case o @ VObj(_) => Seq(o)
         case _ => bad(s"$fname.objects: expected a list of objects")
-      }
-      (Mutations.Insert(table, rows,
-        updateColumns = onConflictArg(args, fname)), false)
+      }).map(insertObject(table, _, s"$fname.objects", schema))
+      val ins = Mutations.Insert(table, parsed.map(_._1),
+        updateColumns = onConflictArg(args, fname))
+      val kids = parsed.flatMap(_._2)
+      (if (kids.isEmpty) ins else Mutations.InsertTree(ins, kids), false)
     } else if (fname.startsWith("update_")) {
       val table = fname.stripPrefix("update_")
       checkArgs(args, Set("where", "_set", "_inc"), fname)
@@ -1239,9 +1467,10 @@ object GraphQl {
     * argument (a silently-dropped `_set` key writing nothing is the
     * mutation analog of the dropped-filter failure mode). Operation
     * variables work exactly as in [[parse]]. Never throws. */
-  def parseMutations(doc: String, variables: String = "{}")
+  def parseMutations(doc: String, variables: String = "{}",
+      schema: Schema = fixtureSchema)
       : Either[String, Seq[Mutations.Mutation]] =
-    parseMutationFields(doc, variables).flatMap { fields =>
+    parseMutationFields(doc, variables, schema).flatMap { fields =>
       fields.find(f => f.returning.isDefined) match {
         case Some(f) => Left(s"mutation on '${f.m.table}': this entry " +
           "point serves affected_rows-only documents — parse " +
@@ -1260,7 +1489,8 @@ object GraphQl {
     * either shape. Mid-document visibility is Hasura's: each returning
     * materializes at its step ([[Mutations.applyFields]]). Never
     * throws. */
-  def parseMutationFields(doc: String, variables: String = "{}")
+  def parseMutationFields(doc: String, variables: String = "{}",
+      schema: Schema = fixtureSchema)
       : Either[String, Seq[Mutations.Field]] =
     try {
       val vars = jsonVars(variables)
@@ -1281,7 +1511,7 @@ object GraphQl {
       while (!p.isPunct('}')) {
         val fname = p.name("mutation field")
         val args = parseArgs(p)
-        val (m, byPk) = compileMutation(fname, args)
+        val (m, byPk) = compileMutation(fname, args, schema)
         val isOne = fname.startsWith("insert_") && fname.endsWith("_one")
         p.expect('{')
         var sawAffected = false
@@ -1479,6 +1709,13 @@ object GraphQl {
               s"(where: ${renderBoolExp(where)})"
             sb ++= selection(field)
           }
+        case _: Mutations.InsertTree =>
+          // parse stitches children flat (FK already applied), losing
+          // which parent OBJECT carried which nested rows — rendering
+          // a guess would parse back to a different tree
+          throw new IllegalArgumentException(
+            "render: a nested insert does not round-trip — render " +
+              "the parent and child inserts as separate fields")
       }
     }
     (sb ++= "}").toString
@@ -2120,6 +2357,67 @@ object GraphQl {
         round(sum(col("o_totalprice")), 2).as("chk"))
       .select(lit("orders").as("tbl"), col("n"), col("n_cat"), col("chk"))
     c.unionByName(o).orderBy("tbl")
+  }
+
+  /** q146's document — Hasura's NESTED insert over the tracked
+    * customer→orders relationship: two parent objects, each carrying
+    * child rows under the relationship name; the FK (`o_custkey`)
+    * never appears in the text — it stitches from each parent's key. */
+  val q146Mutation: String =
+    """mutation {
+      |  insert_customer(objects: [
+      |    {c_custkey: 999001, c_mktsegment: "NEST", c_acctbal: 10.0,
+      |     orders: {data: [
+      |       {o_orderkey: 999101, o_orderstatus: "N", o_totalprice: 11.0},
+      |       {o_orderkey: 999102, o_orderstatus: "N", o_totalprice: 12.0}]}},
+      |    {c_custkey: 999002, c_mktsegment: "NEST", c_acctbal: 20.0,
+      |     orders: {data: {o_orderkey: 999103, o_orderstatus: "N",
+      |                     o_totalprice: 13.0}}}
+      |  ]) { affected_rows }
+      |}""".stripMargin
+
+  /** q146 — nested object inserts under the oracle gate: the document
+    * writes two customers and three FK-stitched orders through the
+    * store registry in one mutation field (affected_rows = 5, checked
+    * engine-side), and the read-back JOINS the stores on the stitched
+    * key — a mis-stitched child detaches from its parent and the
+    * per-customer counts hash-fail. Store totals ride along to prove
+    * untouched rows survived both AtomicSwap rewrites. */
+  def q146NestedInsert(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val app = s.sparkContext.applicationId
+    val cPath = s"/root/repo/target/tmp/q146c_store_$app"
+    val oPath = s"/root/repo/target/tmp/q146o_store_$app"
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal"), cPath)
+    // the q131 slice discipline: the orders store is o_orderkey <=
+    // 200000 so the rewrite stays bounded; inserted keys 9991xx are
+    // new at every SF
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 200000L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice"), oPath)
+    val rs = Mutations.applyFieldsToStores(s, Map(
+      "customer" -> ((cPath, "c_custkey")),
+      "orders" -> ((oPath, "o_orderkey"))),
+      parsedFields("q146", q146Mutation, "{}"))
+    require(rs.map(_.affected) == Seq(5L),
+      s"q146: affected_rows should be 5 (2 parents + 3 children), " +
+        s"got ${rs.map(_.affected)}")
+    val c = graft.sources.SnapshotStore.read(s, cPath)
+    val o = graft.sources.SnapshotStore.read(s, oPath)
+    val totals = c.agg(count(lit(1)).as("n_cust_total"))
+      .crossJoin(o.agg(count(lit(1)).as("n_ord_total")))
+    c.filter(col("c_mktsegment") === "NEST")
+      .join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        round(sum(o("o_totalprice")), 2).as("tot"))
+      .crossJoin(totals)
+      .orderBy("c_custkey")
   }
 
   /** q123's document — the by_pk WRITE verbs: a pk_columns update whose

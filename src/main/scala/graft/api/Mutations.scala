@@ -56,6 +56,26 @@ object Mutations {
         "conflict policies — pick one")
   }
 
+  /** Hasura's NESTED insert (`objects: [{..., <rel>: {data: [...]}}]`,
+    * an ARRAY relationship): the parent rows insert first, then each
+    * relationship's child rows with the foreign key already stitched
+    * from their parent object (done at parse time — the parent object
+    * must carry its key literally, so no read-back is needed and the
+    * whole tree stays one request payload). One GraphQL field, one
+    * `affected_rows` counting parents AND children (Hasura's own
+    * accounting); `returning` serves the PARENT rows. Spans tables, so
+    * it executes only through the store REGISTRY
+    * ([[applyFieldsToStores]]) — the single-snapshot path rejects it
+    * loudly. Children keep their own conflict policies (Hasura nests
+    * `on_conflict` per relationship object). */
+  final case class InsertTree(parent: Insert,
+      children: Seq[Insert]) extends Mutation {
+    def table: String = parent.table
+    require(children.nonEmpty,
+      s"insert_${parent.table}: a nested insert with no child rows " +
+        "should be a plain Insert")
+  }
+
   /** `update_<table>(where: ..., _set: {...}, _inc: {...})`. */
   final case class Update(table: String, where: BoolExp,
       set: Seq[(String, Any)], inc: Seq[(String, Any)] = Nil)
@@ -255,6 +275,9 @@ object Mutations {
       val victims = snapshot.filter(where.toColumn)
       val doomed = victims.withColumn("deleted", lit(true))
       (mergeDelta(snapshot, doomed, keyCol), doomed.count(), victims)
+    case t: InsertTree => throw new IllegalArgumentException(
+      s"insert_${t.table}: a nested insert spans tables — apply it " +
+        "through the store registry (applyFieldsToStores)")
   }
 
   /** Apply a mutation document in order → (final snapshot, per-field
@@ -354,22 +377,41 @@ object Mutations {
   def applyFieldsToStores(spark: SparkSession,
       stores: Map[String, (String, String)],
       fields: Seq[Field]): Seq[FieldResult] = {
-    val unknown = fields.map(_.m.table).distinct.filterNot(stores.contains)
+    def tablesOf(f: Field): Seq[String] = f.m match {
+      case InsertTree(p, cs) => p.table +: cs.map(_.table)
+      case m => Seq(m.table)
+    }
+    val unknown = fields.flatMap(tablesOf).distinct
+      .filterNot(stores.contains)
     require(unknown.isEmpty,
       s"no registered store for table(s): ${unknown.mkString(", ")}")
     def fsOf(path: String) = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val touched = fields.map(_.m.table).distinct
+    val touched = fields.flatMap(tablesOf).distinct
     var snaps: Map[String, DataFrame] = touched.map { t =>
       val (path, _) = stores(t)
       AtomicSwap.recover(fsOf(path), path)
       t -> SnapshotStore.read(spark, path)
     }.toMap
-    val results = fields.map { f =>
+    def step(f: Field): FieldResult = {
       val t = f.m.table
       val (next, rs) = applyFields(snaps(t), Seq(f), stores(t)._2)
       snaps += t -> next
       rs.head
+    }
+    val results = fields.map { f =>
+      f.m match {
+        case InsertTree(parent, children) =>
+          // parent first (Hasura's array-relationship order: the FK
+          // lives on the children), then each child insert against
+          // ITS table's folded state; one affected_rows for the whole
+          // tree, returning = the parent rows (Hasura's response)
+          val pr = step(Field(parent, f.returning, f.single))
+          val crs = children.map(c => step(Field(c)))
+          FieldResult(pr.affected + crs.map(_.affected).sum,
+            pr.returning)
+        case _ => step(f)
+      }
     }
     touched.foreach { t =>
       val (path, _) = stores(t)

@@ -1,8 +1,9 @@
 package graft.api
 
-import graft.api.QueryBuilder.Request
+import graft.api.QueryBuilder.{BoolExp, Request}
 import graft.sources.SnapshotStore
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -111,6 +112,99 @@ object Subscriptions {
           .localCheckpoint(true)
         snap = Some(merged)
         push(bid, QueryBuilder.runRoot(merged.drop(sc), req))
+        ()
+      }
+      .start()
+  }
+
+  // ---- Hasura streaming subscriptions (`<table>_stream`) -------------
+
+  /** A parsed `<table>_stream` subscription — Hasura's CURSOR-PAGED
+    * streaming surface (the non-append twin of [[appendStream]]):
+    * rows strictly past `initial` in `cursorField` order, delivered in
+    * pages of `batchSize`, the cursor advancing to the last delivered
+    * value. The cursor column must be UNIQUE (Hasura's own documented
+    * requirement — ties at a page boundary would be silently skipped
+    * by the strictly-greater advance, so [[streamServe]] also dedups
+    * on it against at-least-once redelivery). `initial = None` streams
+    * from the beginning (Hasura's `initial_value: null`). */
+  final case class StreamRequest(table: String, cursorField: String,
+      initial: Option[Any], ascending: Boolean = true, batchSize: Int,
+      where: Option[BoolExp] = None, fields: Seq[String]) {
+    require(batchSize > 0, s"$table: batch_size must be positive")
+    require(fields.nonEmpty, s"$table: empty selection set")
+  }
+
+  private def pastCursor(sr: StreamRequest, c: Any) =
+    if (sr.ascending) col(sr.cursorField) > lit(c)
+    else col(sr.cursorField) < lit(c)
+
+  private def cursorOrder(sr: StreamRequest) =
+    if (sr.ascending) col(sr.cursorField).asc else col(sr.cursorField).desc
+
+  /** BATCH REPLAY of the first `nPages` pages — the oracle-checkable
+    * contract ([[streamServe]] must deliver exactly these rows in
+    * exactly these pages when the data is all present). One
+    * TakeOrdered of `nPages * batchSize` rows (never a global sort),
+    * the page index attached by a window over the already-limited
+    * set (the W5 post-limit presentation pattern — bounded by
+    * construction). Filters — the where tree AND the cursor lower
+    * bound — sit below the limit, so both push into the scan. */
+  def streamPages(base: DataFrame, sr: StreamRequest,
+      nPages: Int): DataFrame = {
+    require(nPages > 0, "nPages must be positive")
+    val bounded = Seq(sr.where.map(_.toColumn),
+        sr.initial.map(pastCursor(sr, _)))
+      .flatten.foldLeft(base)(_.filter(_))
+      .orderBy(cursorOrder(sr)).limit(nPages * sr.batchSize)
+    bounded
+      .withColumn("batch_idx",
+        ((row_number().over(Window.orderBy(cursorOrder(sr))) - 1)
+          / sr.batchSize).cast("long"))
+      .select(col("batch_idx") +: sr.fields.map(col): _*)
+  }
+
+  /** LIVE serve of a `_stream` subscription: per trigger, the new rows
+    * past the cursor are delivered in `batchSize` pages (`batch_idx`
+    * numbers pages GLOBALLY across triggers) and the cursor advances
+    * to the last delivered value. Matches [[streamPages]] exactly when
+    * triggers align to page boundaries (spec-pinned); a partial last
+    * page per trigger is Hasura's own behavior (page composition
+    * depends on arrival, row ORDER does not).
+    *
+    * At-least-once inputs are safe: rows at-or-below the cursor are
+    * dropped (redelivery of anything already served), and within a
+    * trigger the pool dedups on the cursor column. The documented
+    * Hasura caveat carries over: a LATE row arriving below the
+    * already-advanced cursor is never delivered — `_stream` is a
+    * cursor scan, not a retraction stream. State is one scalar (the
+    * cursor) — nothing snapshot-sized lives across triggers. */
+  def streamServe(stream: DataFrame, sr: StreamRequest)
+      (push: (Long, DataFrame) => Unit): StreamingQuery = {
+    var cursor: Option[Any] = sr.initial
+    var pagesDone: Long = 0L
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val arrived = Seq(sr.where.map(_.toColumn),
+            cursor.map(pastCursor(sr, _)))
+          .flatten.foldLeft(batch)(_.filter(_))
+          .dropDuplicates(Seq(sr.cursorField))
+          .localCheckpoint(true)
+        val n = arrived.count()
+        if (n > 0) {
+          val paged = arrived.orderBy(cursorOrder(sr))
+            .withColumn("batch_idx", lit(pagesDone) +
+              ((row_number().over(Window.orderBy(cursorOrder(sr))) - 1)
+                / sr.batchSize).cast("long"))
+            .select(col("batch_idx") +: sr.fields.map(col): _*)
+          val last = arrived
+            .agg(if (sr.ascending) max(col(sr.cursorField))
+                 else min(col(sr.cursorField))).head.get(0)
+          push(pagesDone, paged)
+          pagesDone += (n + sr.batchSize - 1) / sr.batchSize
+          cursor = Some(last)
+        }
         ()
       }
       .start()

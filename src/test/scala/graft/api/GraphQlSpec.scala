@@ -740,4 +740,135 @@ class GraphQlSpec extends SparkSpec {
     assert(r.isRight, r)
     assert(r.toOption.get.nested.head.where === Some(Lte("o_orderkey", 99L)))
   }
+
+  test("_stream: the canned q145 document parses to the cursor request") {
+    val sr = GraphQl.parseStream(GraphQl.q145Query)
+      .fold(m => fail(m), identity)
+    assert(sr === Subscriptions.StreamRequest("events", "event_id",
+      Some(3000L), batchSize = 7,
+      where = Some(Eq("event_type", "click")),
+      fields = Seq("event_id", "user_id", "event_type", "value")))
+  }
+
+  test("_stream: Hasura spellings — list-form cursor, null " +
+    "initial_value, DESC, operation variables at value positions") {
+    // Hasura's declared argument type is [<t>_stream_cursor_input]!
+    val listForm = GraphQl.parseStream(
+      """subscription ($after: bigint!, $n: Int!) {
+        |  events_stream(
+        |    cursor: [{initial_value: {event_id: $after}}],
+        |    batch_size: $n) {
+        |    event_id
+        |  }
+        |}""".stripMargin,
+      variables = """{"after": 42, "n": 5}""")
+    assert(listForm === Right(Subscriptions.StreamRequest("events",
+      "event_id", Some(42L), batchSize = 5, fields = Seq("event_id"))))
+    val fromStart = GraphQl.parseStream(
+      """subscription {
+        |  events_stream(
+        |    cursor: {initial_value: {ts: null}, ordering: DESC},
+        |    batch_size: 3) { event_id ts }
+        |}""".stripMargin)
+    assert(fromStart === Right(Subscriptions.StreamRequest("events",
+      "ts", None, ascending = false, batchSize = 3,
+      fields = Seq("event_id", "ts"))))
+  }
+
+  test("_stream: silent-wrong-stream shapes reject loudly") {
+    def left(doc: String, vars: String = "{}"): String =
+      GraphQl.parseStream(doc, variables = vars)
+        .fold(identity, r => fail(s"parsed: $r"))
+    // query header: the surface is subscription-only
+    assert(left("query { events_stream(cursor: {initial_value: " +
+      "{event_id: 1}}, batch_size: 2) { event_id } }")
+      .contains("subscription-only"))
+    // multi-cursor list
+    assert(left("subscription { events_stream(cursor: [" +
+      "{initial_value: {event_id: 1}}, {initial_value: {ts: null}}], " +
+      "batch_size: 2) { event_id } }").contains("exactly one cursor"))
+    // two cursor columns in one initial_value
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1, ts: null}}, batch_size: 2) " +
+      "{ event_id } }").contains("exactly one cursor column"))
+    // missing batch_size / non-positive batch_size
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}}) { event_id } }")
+      .contains("batch_size is required"))
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}}, batch_size: 0) { event_id } }")
+      .contains("must be positive"))
+    // unknown argument / unknown cursor field / bad ordering
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}}, batch_size: 2, limit: 5) " +
+      "{ event_id } }").contains("unknown argument"))
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}, order: ASC}, batch_size: 2) " +
+      "{ event_id } }").contains("unknown field 'order'"))
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}, ordering: UP}, batch_size: 2) " +
+      "{ event_id } }").contains("ASC or DESC"))
+    // relationship / alias selections have no cursor-scan semantics
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}}, batch_size: 2) " +
+      "{ event_id user { name } } }").contains("relationships"))
+    assert(left("subscription { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}}, batch_size: 2) " +
+      "{ id: event_id } }").contains("aliases"))
+    // a bound-but-unused variable is a dropped filter
+    assert(left("subscription ($x: bigint!) { events_stream(cursor: " +
+      "{initial_value: {event_id: 1}}, batch_size: 2) { event_id } }",
+      vars = """{"x": 9}""").contains("never used"))
+    // a non-_stream root belongs to parse
+    assert(left("subscription { events(cursor: {initial_value: " +
+      "{event_id: 1}}, batch_size: 2) { event_id } }")
+      .contains("expected <table>_stream"))
+  }
+
+  test("_stream printer: parseStream(renderStream(sr)) == Right(sr) " +
+    "over a seeded sweep") {
+    import org.scalacheck.{Gen, rng}
+    val fields = Seq("event_id", "user_id", "event_type", "value")
+    val genLeaf: Gen[BoolExp] = for {
+      f <- Gen.oneOf(fields)
+      leaf <- Gen.oneOf(
+        Gen.oneOf[Any](1L, 2.5, "cl\"ick\n").map(Eq(f, _): BoolExp),
+        Gen.choose(0L, 99L).map(Gt(f, _): BoolExp),
+        Gen.listOfN(2, Gen.choose(0L, 9L))
+          .map(vs => In(f, vs.map(x => x: Any)): BoolExp),
+        Gen.oneOf("cl%", "%k").map(Ilike(f, _): BoolExp),
+        Gen.oneOf(true, false).map(IsNull(f, _): BoolExp))
+    } yield leaf
+    def genTree(depth: Int): Gen[BoolExp] =
+      if (depth <= 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        1 -> Gen.choose(1, 3).flatMap(n =>
+          Gen.listOfN(n, genTree(depth - 1)).map(es => And(es: _*))),
+        1 -> Gen.choose(1, 2).flatMap(n =>
+          Gen.listOfN(n, genTree(depth - 1)).map(es => Or(es: _*))),
+        1 -> genTree(depth - 1).map(Not(_)))
+    val genSr: Gen[Subscriptions.StreamRequest] = for {
+      cursor <- Gen.oneOf(fields)
+      initial <- Gen.oneOf[Option[Any]](None, Some(7L), Some("k\"x"),
+        Some(1.25))
+      asc <- Gen.oneOf(true, false)
+      bs <- Gen.choose(1, 9)
+      where <- Gen.option(genTree(2))
+      nf <- Gen.choose(1, fields.length)
+      fs <- Gen.pick(nf, fields)
+    } yield Subscriptions.StreamRequest("events", cursor, initial,
+      ascending = asc, batchSize = bs, where = where, fields = fs.toSeq)
+    var checked = 0
+    (1 to 200).foreach { seed =>
+      genSr.apply(Gen.Parameters.default, rng.Seed(seed.toLong))
+        .foreach { sr =>
+          checked += 1
+          val text = GraphQl.renderStream(sr)
+          assert(GraphQl.parseStream(text) === Right(sr),
+            s"seed $seed did not round-trip:\n$text\n$sr")
+        }
+    }
+    assert(checked > 150, s"generator drought: only $checked samples")
+  }
 }

@@ -465,6 +465,113 @@ class MutationsSpec extends SparkSpec {
     assert(e.getMessage.contains("no registered store"))
   }
 
+  private val nestedSchema = GraphQl.Schema(
+    Map(("t", "kids") -> GraphQl.Rel("u", "fk", "k")), keys = Map.empty)
+
+  test("nested insert: objects carrying {rel: {data: [...]}} parse to " +
+    "an InsertTree with FK-stitched children and per-child conflict " +
+    "policies; one field, one affected_rows over the registry") {
+    val doc =
+      """mutation {
+        |  insert_t(objects: [
+        |    {k: 5, seg: "N", bal: 1.0, kids: {data: [
+        |      {id: 100, amt: 1.5}, {id: 101, amt: 2.5}]}},
+        |    {k: 6, seg: "N", bal: 2.0, kids: {
+        |      data: {id: 102, amt: 3.5},
+        |      on_conflict: {constraint: u_pkey, update_columns: [amt]}}}
+        |  ]) { affected_rows returning { k bal } }
+        |}""".stripMargin
+    val fields = GraphQl.parseMutationFields(doc, schema = nestedSchema)
+      .fold(m => fail(m), identity)
+    assert(fields.map(_.m) === Seq(Mutations.InsertTree(
+      Mutations.Insert("t", Seq(
+        Seq("k" -> 5L, "seg" -> "N", "bal" -> 1.0),
+        Seq("k" -> 6L, "seg" -> "N", "bal" -> 2.0))),
+      Seq(
+        Mutations.Insert("u", Seq(
+          Seq("id" -> 100L, "amt" -> 1.5, "fk" -> 5L),
+          Seq("id" -> 101L, "amt" -> 2.5, "fk" -> 5L))),
+        Mutations.Insert("u", Seq(
+          Seq("id" -> 102L, "amt" -> 3.5, "fk" -> 6L)),
+          updateColumns = Some(Seq("amt")))))))
+    // execute over a registry: parent rows + child rows in one count,
+    // returning = the parent rows; the stitched FK lands in the store
+    import java.nio.file.Files
+    val tPath = Files.createTempDirectory("graft_nt_t").toString
+    val uPath = Files.createTempDirectory("graft_nt_u").toString
+    SnapshotStore.write(snap, tPath)
+    SnapshotStore.write(Seq((102L, 0L, 9.0)).toDF("id", "fk", "amt"),
+      uPath)
+    val rs = Mutations.applyFieldsToStores(spark,
+      Map("t" -> ((tPath, "k")), "u" -> ((uPath, "id"))), fields)
+    assert(rs.map(_.affected) === Seq(5L)) // 2 parents + 3 children
+    assert(rs.head.returning.get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((5L, 1.0), (6L, 2.0)))
+    // child 102 clashed: on_conflict took the incoming amt AND the
+    // stitched fk... fk is not an update_column, so it keeps 0L —
+    // the policy applies to children exactly as to top-level inserts
+    assert(SnapshotStore.read(spark, uPath).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((100L, 5L, 1.5), (101L, 5L, 2.5), (102L, 0L, 3.5)))
+    // insert_<t>_one carries nested data the same way
+    val one = GraphQl.parseMutationFields(
+      """mutation { insert_t_one(object: {k: 9, seg: "N", bal: 0.5,
+        |  kids: {data: [{id: 200, amt: 1.0}]}}) { affected_rows }
+        |}""".stripMargin, schema = nestedSchema)
+      .fold(m => fail(m), identity)
+    assert(one.head.m === Mutations.InsertTree(
+      Mutations.Insert("t", Seq(Seq("k" -> 9L, "seg" -> "N",
+        "bal" -> 0.5))),
+      Seq(Mutations.Insert("u",
+        Seq(Seq("id" -> 200L, "amt" -> 1.0, "fk" -> 9L))))))
+  }
+
+  test("nested insert: silent-detach shapes reject loudly; the " +
+    "single-snapshot path and the printer refuse an InsertTree") {
+    def err(doc: String, frag: String): Unit = {
+      val r = GraphQl.parseMutationFields(doc, schema = nestedSchema)
+      assert(r.isLeft && r.left.exists(_.contains(frag)),
+        s"wanted '$frag' in: $r")
+    }
+    // an object value that is not a tracked relationship
+    err("""mutation { insert_t(objects: [{k: 1, nope: {data: [{id: 1}]}}])
+          | { affected_rows } }""".stripMargin,
+      "tracked array relationship")
+    // the parent must carry its key literally for the stitch
+    err("""mutation { insert_t(objects: [{seg: "N", kids:
+          | {data: [{id: 1}]}}]) { affected_rows } }""".stripMargin,
+      "must carry k")
+    // a child spelling the FK could contradict the stitch
+    err("""mutation { insert_t(objects: [{k: 1, kids:
+          | {data: [{id: 1, fk: 9}]}}]) { affected_rows } }""".stripMargin,
+      "stitched from the parent")
+    // empty / missing data, unknown nested fields
+    err("""mutation { insert_t(objects: [{k: 1, kids: {data: []}}])
+          | { affected_rows } }""".stripMargin, "empty objects list")
+    err("""mutation { insert_t(objects: [{k: 1, kids:
+          | {on_conflict: {constraint: c, update_columns: []}}}])
+          | { affected_rows } }""".stripMargin, "data is required")
+    err("""mutation { insert_t(objects: [{k: 1, kids: {data: [{id: 1}],
+          | returning: true}}]) { affected_rows } }""".stripMargin,
+      "unknown field 'returning'")
+    // a null parent key cannot stitch
+    err("""mutation { insert_t(objects: [{k: null, kids:
+          | {data: [{id: 1}]}}]) { affected_rows } }""".stripMargin,
+      "cannot be null")
+    val tree = Mutations.InsertTree(
+      Mutations.Insert("t", Seq(Seq("k" -> 1L))),
+      Seq(Mutations.Insert("u", Seq(Seq("id" -> 1L, "fk" -> 1L)))))
+    // the single-snapshot path spans one table only
+    val e1 = intercept[IllegalArgumentException](
+      Mutations.applyFields(snap, Seq(Mutations.Field(tree)), "k"))
+    assert(e1.getMessage.contains("store registry"))
+    // the printer refuses (children are stitched flat — no round-trip)
+    val e2 = intercept[IllegalArgumentException](
+      GraphQl.renderMutationFields(Seq(Mutations.Field(tree))))
+    assert(e2.getMessage.contains("does not round-trip"))
+  }
+
   test("printer: parseMutations(renderMutations(ms)) == Right(ms) over " +
     "generated documents (deterministic property sweep)") {
     import org.scalacheck.{Gen, rng}

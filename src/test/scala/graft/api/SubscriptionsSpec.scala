@@ -205,4 +205,77 @@ class SubscriptionsSpec extends SparkSpec {
       assert(pushed.last.map(_.head) === Seq("T2", "T3"))
     } finally q.stop()
   }
+
+  test("_stream subscription: page-aligned triggers reproduce " +
+    "streamPages exactly, page numbering global across triggers") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val sr = Subscriptions.StreamRequest("t", "id", Some(10L),
+      batchSize = 2, where = Some(Eq("typ", "x")),
+      fields = Seq("id", "v"))
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.streamServe(
+      input.toDF().toDF("id", "typ", "v"), sr) { (_, df) =>
+      pushed :+= rows(df.orderBy("batch_idx", "id"))
+    }
+    val delivered =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    try {
+      // trigger 1: 4 matching rows = 2 full pages (5 filtered by
+      // where, 9 filtered by the initial cursor)
+      val b1 = Seq((9L, "x", 1.0), (11L, "x", 2.0), (12L, "y", 3.0),
+        (13L, "x", 4.0), (15L, "x", 5.0), (16L, "x", 6.0))
+      input.addData(b1); q.processAllAvailable(); delivered ++= b1
+      assert(pushed.last === Seq(Seq(0L, 11L, 2.0), Seq(0L, 13L, 4.0),
+        Seq(1L, 15L, 5.0), Seq(1L, 16L, 6.0)))
+      // trigger 2: one full page; page numbering continues at 2
+      val b2 = Seq((20L, "x", 7.0), (21L, "x", 8.0), (22L, "y", 9.0))
+      input.addData(b2); q.processAllAvailable(); delivered ++= b2
+      assert(pushed.last === Seq(Seq(2L, 20L, 7.0), Seq(2L, 21L, 8.0)))
+      // page-aligned triggers ≡ the BATCH replay contract
+      val replay = Subscriptions.streamPages(
+        delivered.toSeq.toDF("id", "typ", "v"), sr, nPages = 3)
+      assert(pushed.flatten === rows(replay.orderBy("batch_idx", "id")))
+    } finally q.stop()
+  }
+
+  test("_stream subscription: redelivery and late-below-cursor rows " +
+    "never re-emit; partial pages advance the cursor; DESC streams") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val sr = Subscriptions.StreamRequest("t", "id", None,
+      batchSize = 2, fields = Seq("id"))
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.streamServe(
+      input.toDF().toDF("id", "typ", "v"), sr) { (_, df) =>
+      pushed :+= rows(df.orderBy("batch_idx", "id"))
+    }
+    try {
+      // initial_value: null streams from the beginning; 3 rows (one
+      // delivered twice in-trigger — the cursor-column dedup) = a
+      // full page + a PARTIAL page, cursor advances past all three
+      input.addData(Seq((3L, "x", 1.0), (1L, "x", 1.0), (5L, "x", 1.0),
+        (5L, "x", 1.0)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(0L, 1L), Seq(0L, 3L), Seq(1L, 5L)))
+      // redelivery of served rows + a LATE row below the advanced
+      // cursor: nothing to serve, no push (the documented Hasura
+      // caveat — a cursor scan never retracts)
+      input.addData(Seq((3L, "x", 1.0), (4L, "x", 1.0)))
+      q.processAllAvailable()
+      assert(pushed.size === 1)
+      // genuinely new rows resume at the NEXT page index (the partial
+      // page counted as one page)
+      input.addData(Seq((7L, "x", 1.0))); q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(2L, 7L)))
+    } finally q.stop()
+    // DESC: the cursor descends from the initial value
+    val desc = Subscriptions.StreamRequest("t", "id", Some(100L),
+      ascending = false, batchSize = 2, fields = Seq("id"))
+    val base = Seq((101L, "x", 1.0), (99L, "x", 1.0), (42L, "x", 1.0),
+      (7L, "x", 1.0)).toDF("id", "typ", "v")
+    assert(rows(Subscriptions.streamPages(base, desc, nPages = 2)
+      .orderBy(col("batch_idx"), col("id").desc)) ===
+      Seq(Seq(0L, 99L), Seq(0L, 42L), Seq(1L, 7L)))
+  }
 }
