@@ -1057,6 +1057,42 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q148: the JSONB family in DuckDB's native spellings —
+    // json_keys for key existence, json_extract_string for scalar
+    // containment, a list_filter emptiness check for subset
+    // containment
+    "q148_jsonb_ops" ->
+      """SELECT event_id, event_type, props FROM events
+        |WHERE list_contains(json_keys(props), 'k')
+        |  AND (list_contains(json_keys(props), 'k')
+        |       OR list_contains(json_keys(props), 'zz'))
+        |  AND json_extract_string(props, '$.k') = '69'
+        |  AND len(list_filter(json_keys(props),
+        |        x -> x NOT IN ('k', 'extra'))) = 0
+        |  AND (json_extract_string(props, '$.k') IS NULL
+        |       OR json_extract_string(props, '$.k') = '69')
+        |  AND (json_extract_string(props, '$.extra') IS NULL
+        |       OR json_extract_string(props, '$.extra') = '1')
+        |  AND NOT list_contains(json_keys(props), 'zz')
+        |ORDER BY event_id LIMIT 50""".stripMargin,
+    // q147: update_many replay — the two updates chain as CTEs in
+    // list order (step 2's predicate sees step 1's writes)
+    "q147_update_many" ->
+      """WITH s1 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_acctbal < 0.0 THEN 'NEG'
+        |              ELSE c_mktsegment END AS c_mktsegment,
+        |         c_acctbal
+        |  FROM customer),
+        |s2 AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_mktsegment = 'NEG'
+        |              THEN c_acctbal + 10000.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM s1)
+        |SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q146: nested insert replay — parents and FK-stitched children
     // appended as literal rows, then the same join/aggregate readback
     "q146_nested_insert" ->

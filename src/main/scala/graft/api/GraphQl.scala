@@ -453,6 +453,31 @@ object GraphQl {
           if (op == "_in") In(field, lits) else Nin(field, lits)
         case _ => bad(s"$field.$op: expected a list")
       }
+      // Hasura's JSONB family over JSON-text columns (flat-object
+      // subset — QueryBuilder documents the scope)
+      case "_has_key" => literal(v, s"$field._has_key") match {
+        case s: String => HasKey(field, s)
+        case _ => bad(s"$field._has_key: expected a string key")
+      }
+      case "_has_keys_any" | "_has_keys_all" => v match {
+        case VList(vs) =>
+          val keys = vs.map(literal(_, s"$field.$op")).map {
+            case s: String => s
+            case _ => bad(s"$field.$op: expected string keys")
+          }
+          if (op == "_has_keys_any") HasKeysAny(field, keys)
+          else HasKeysAll(field, keys)
+        case _ => bad(s"$field.$op: expected a list of keys")
+      }
+      case "_contains" | "_contained_in" => v match {
+        case VObj(fs) =>
+          val pairs = fs.map { case (k, sub) =>
+            k -> litValue(sub, s"$field.$op.$k")
+          }
+          if (op == "_contains") JsonContains(field, pairs)
+          else JsonContainedIn(field, pairs)
+        case _ => bad(s"$field.$op: expected an object literal")
+      }
       case other => bad(s"$field: unknown operator '$other'")
     }
 
@@ -1229,6 +1254,35 @@ object GraphQl {
     sb.toString
   }
 
+  /** q148's document — Hasura's JSONB comparison family over the
+    * events `props` JSON-text column: key-existence in all three
+    * spellings, containment, subset containment, and a negated
+    * existence proving the three-valued logic composes. */
+  val q148Query: String =
+    """{
+      |  events(where: {_and: [
+      |      {props: {_has_keys_all: ["k"]}},
+      |      {props: {_has_keys_any: ["k", "zz"]}},
+      |      {props: {_contains: {k: 69}}},
+      |      {props: {_contained_in: {k: 69, extra: 1}}},
+      |      {_not: {props: {_has_key: "zz"}}}]},
+      |    order_by: [{event_id: asc}], limit: 50) {
+      |    event_id event_type props
+      |  }
+      |}""".stripMargin
+
+  /** q148 — the JSONB operator family end to end: GraphQL text →
+    * HasKey/HasKeysAny/HasKeysAll/JsonContains/JsonContainedIn leaves
+    * → json_object_keys / get_json_object over the scan, against
+    * DuckDB's native json_keys/json_extract_string spellings. */
+  def q148JsonbOps(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q148Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q148 GraphQL query failed to parse: $m")
+    }
+
   /** q145's document — the streaming-subscription read surface: a
     * cursor past event 3000 over the filtered click stream, seven
     * rows per page. */
@@ -1419,6 +1473,41 @@ object GraphQl {
           (Mutations.Delete(table, QueryBuilder.Eq(pkCol, pkVal)), true)
         case _ => bad(s"$fname: exactly one argument — the key column")
       }
+    } else if (fname.startsWith("update_") && fname.endsWith("_many")) {
+      // Hasura's multi-update verb: updates apply in LIST order, each
+      // seeing the previous ones' writes; the response is per update
+      val table = fname.stripPrefix("update_").stripSuffix("_many")
+      checkArgs(args, Set("updates"), fname)
+      val steps = args.getOrElse("updates",
+        bad(s"$fname: updates is required")) match {
+        case VList(vs) => vs.zipWithIndex.map { case (v, i) =>
+          val at = s"$fname.updates[$i]"
+          val fs = v match {
+            case VObj(f) => f
+            case _ => bad(s"$at: expected {where, _set, _inc}")
+          }
+          val dups = fs.map(_._1).groupBy(identity)
+            .filter(_._2.size > 1).keys
+          if (dups.nonEmpty)
+            bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
+          val m = fs.toMap
+          (m.keySet -- Set("where", "_set", "_inc")).toSeq.sorted
+            .headOption.foreach(k => bad(s"$at: unknown field '$k'"))
+          val where = compileBool(m.getOrElse("where",
+            bad(s"$at: where is required — Hasura's own rule")),
+            s"$at.where")
+          val set = m.get("_set").map(objEntries(_, s"$at._set"))
+            .getOrElse(Nil)
+          val inc = m.get("_inc").map(objEntries(_, s"$at._inc"))
+            .getOrElse(Nil)
+          if (set.isEmpty && inc.isEmpty)
+            bad(s"$at: needs _set and/or _inc")
+          Mutations.Update(table, where, set, inc)
+        }
+        case _ => bad(s"$fname.updates: expected a list of updates")
+      }
+      if (steps.isEmpty) bad(s"$fname.updates: empty list")
+      (Mutations.UpdateMany(table, steps), false)
     } else if (fname.startsWith("insert_")) {
       val table = fname.stripPrefix("insert_")
       checkArgs(args, Set("objects", "on_conflict"), fname)
@@ -1627,7 +1716,8 @@ object GraphQl {
           s"$other has no by_pk spelling")
     }
     def noSuffix(table: String, what: String): String = {
-      if (table.endsWith("_by_pk") || table.endsWith("_one"))
+      if (table.endsWith("_by_pk") || table.endsWith("_one") ||
+          table.endsWith("_many"))
         throw new IllegalArgumentException(
           s"render: table '$table' collides with the $what verb " +
             "suffix — the rendered field name would parse as a " +
@@ -1699,6 +1789,19 @@ object GraphQl {
             sb ++= ")"
             sb ++= selection(field)
           }
+        case Mutations.UpdateMany(table, steps) =>
+          if (field.single)
+            throw new IllegalArgumentException(
+              "render: update_<t>_many has no by_pk spelling")
+          sb ++= s"  update_${noSuffix(table, "_many")}_many(updates: ["
+          sb ++= steps.map { u =>
+            val parts = Seq(s"where: ${renderBoolExp(u.where)}") ++
+              (if (u.set.nonEmpty) Seq(s"_set: ${obj(u.set)}") else Nil) ++
+              (if (u.inc.nonEmpty) Seq(s"_inc: ${obj(u.inc)}") else Nil)
+            parts.mkString("{", ", ", "}")
+          }.mkString(", ")
+          sb ++= "])"
+          sb ++= selection(field)
         case Mutations.Delete(table, where) =>
           if (field.single) {
             val (pk, v) = pkPair(where, "delete_<t>_by_pk")
@@ -1936,6 +2039,19 @@ object GraphQl {
     case Similar(f, p) => s"{$f: {_similar: ${quote(p)}}}"
     case Nsimilar(f, p) => s"{$f: {_nsimilar: ${quote(p)}}}"
     case IsNull(f, isNull) => s"{$f: {_is_null: $isNull}}"
+    case HasKey(f, k) => s"{$f: {_has_key: ${quote(k)}}}"
+    case HasKeysAny(f, ks) =>
+      s"{$f: {_has_keys_any: [${ks.map(quote).mkString(", ")}]}}"
+    case HasKeysAll(f, ks) =>
+      s"{$f: {_has_keys_all: [${ks.map(quote).mkString(", ")}]}}"
+    case JsonContains(f, ps) =>
+      // keys are GraphQL-name-shaped by construction (QueryBuilder
+      // rejects others), so they render bare
+      s"{$f: {_contains: ${ps.map { case (k, v) =>
+        s"$k: ${renderLit(v)}" }.mkString("{", ", ", "}")}}}"
+    case JsonContainedIn(f, ps) =>
+      s"{$f: {_contained_in: ${ps.map { case (k, v) =>
+        s"$k: ${renderLit(v)}" }.mkString("{", ", ", "}")}}}"
   }
 
   private def renderLit(v: Any): String = v match {
@@ -2419,6 +2535,28 @@ object GraphQl {
       .crossJoin(totals)
       .orderBy("c_custkey")
   }
+
+  /** q147's document — `update_<t>_many`: the SECOND update's where
+    * matches rows the FIRST one just re-segmented, so any engine
+    * applying the list non-sequentially (or against pre-document
+    * state) increments the wrong rows and hash-fails. */
+  val q147Mutation: String =
+    """mutation {
+      |  update_customer_many(updates: [
+      |    {where: {c_acctbal: {_lt: 0.0}}, _set: {c_mktsegment: "NEG"}},
+      |    {where: {c_mktsegment: {_eq: "NEG"}},
+      |     _inc: {c_acctbal: 10000.0}}
+      |  ]) { affected_rows }
+      |}""".stripMargin
+
+  /** q147 — Hasura's multi-update verb under the oracle gate:
+    * negative balances re-segment to NEG, then every NEG row (exactly
+    * the set the first step wrote) gains 10000; the read-back is the
+    * q118 segment aggregate, replayed in DuckDB as two chained CASE
+    * CTEs in the same order. */
+  def q147UpdateMany(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    mutationRoundTrip(s, dir, "q147", q147Mutation, "{}")
 
   /** q123's document — the by_pk WRITE verbs: a pk_columns update whose
     * response selects the post-update row, and a delete_by_pk whose

@@ -89,6 +89,21 @@ object Mutations {
       s"${both.mkString(", ")} appear in both _set and _inc")
   }
 
+  /** Hasura's `update_<table>_many(updates: [{where, _set, _inc},
+    * ...])` — several updates against ONE table in ONE field, applied
+    * SEQUENTIALLY (a later update sees every earlier one's writes —
+    * Hasura's own in-transaction order; two updates matching the same
+    * row compose, last writer per column). The response is per-update
+    * ([[FieldResult.perStep]], mirroring Hasura's list of
+    * mutation_response objects); `affected` totals them. */
+  final case class UpdateMany(table: String,
+      steps: Seq[Update]) extends Mutation {
+    require(steps.nonEmpty, s"update_${table}_many: updates is empty")
+    private val stray = steps.map(_.table).filterNot(_ == table).distinct
+    require(stray.isEmpty, s"update_${table}_many: steps target " +
+      s"${stray.mkString(", ")}")
+  }
+
   /** `delete_<table>(where: ...)` — compiled to tombstone rows. */
   final case class Delete(table: String, where: BoolExp) extends Mutation
 
@@ -105,9 +120,13 @@ object Mutations {
 
   /** One field's response: the count, plus the returned rows when the
     * field selected `returning` (already materialized — the rows
-    * reflect THIS step's state even after later mutations fold on). */
+    * reflect THIS step's state even after later mutations fold on).
+    * For an [[UpdateMany]] field, `perStep` carries the per-update
+    * responses (Hasura returns a LIST of mutation_response objects
+    * for `_many`); `affected`/`returning` then aggregate them. */
   final case class FieldResult(affected: Long,
-      returning: Option[DataFrame])
+      returning: Option[DataFrame],
+      perStep: Option[Seq[FieldResult]] = None)
 
   /** One latest-wins merge step: current rows at seq 0, the delta at
     * seq 1 — the delta wins per key without computing a global max
@@ -278,6 +297,9 @@ object Mutations {
     case t: InsertTree => throw new IllegalArgumentException(
       s"insert_${t.table}: a nested insert spans tables — apply it " +
         "through the store registry (applyFieldsToStores)")
+    case u: UpdateMany => throw new IllegalArgumentException(
+      s"update_${u.table}_many: per-step responses live in " +
+        "applyFields — apply the document there")
   }
 
   /** Apply a mutation document in order → (final snapshot, per-field
@@ -323,15 +345,32 @@ object Mutations {
               s"key column '$keyCol'")
           case _ => ()
         }
-        val (next, n, rows) = applyMutationFull(cur, f.m, keyCol)
-        val ret = f.returning.map { cols =>
-          val have = rows.columns.toSet
-          val missing = cols.filterNot(have)
-          require(missing.isEmpty, s"returning: unknown column(s) " +
-            missing.mkString(", "))
-          rows.select(cols.map(col): _*).localCheckpoint(true)
+        def retOf(rows: DataFrame): Option[DataFrame] =
+          f.returning.map { cols =>
+            val have = rows.columns.toSet
+            val missing = cols.filterNot(have)
+            require(missing.isEmpty, s"returning: unknown column(s) " +
+              missing.mkString(", "))
+            rows.select(cols.map(col): _*).localCheckpoint(true)
+          }
+        f.m match {
+          case UpdateMany(_, steps) =>
+            // sequential per-step fold: each update sees the previous
+            // ones' writes; each step materializes (the counts are
+            // eager anyway), and each gets its own response — Hasura's
+            // returning on _many is per update
+            var c = cur
+            val sub = steps.map { u =>
+              val (n2, n, rows) = applyMutationFull(c, u, keyCol)
+              c = n2.localCheckpoint(true)
+              FieldResult(n, retOf(rows))
+            }
+            (c, rs :+ FieldResult(sub.map(_.affected).sum, None,
+              Some(sub)))
+          case _ =>
+            val (next, n, rows) = applyMutationFull(cur, f.m, keyCol)
+            (next.localCheckpoint(true), rs :+ FieldResult(n, retOf(rows)))
         }
-        (next.localCheckpoint(true), rs :+ FieldResult(n, ret))
     }
 
   /** Apply a mutation document against a PERSISTED snapshot store:

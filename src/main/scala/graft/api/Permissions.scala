@@ -84,6 +84,11 @@ object Permissions {
     case Similar(f, _) => Seq(f)
     case Nsimilar(f, _) => Seq(f)
     case IsNull(f, _) => Seq(f)
+    case HasKey(f, _) => Seq(f)
+    case HasKeysAny(f, _) => Seq(f)
+    case HasKeysAll(f, _) => Seq(f)
+    case JsonContains(f, _) => Seq(f)
+    case JsonContainedIn(f, _) => Seq(f)
     case And(es @ _*) => es.flatMap(whereCols)
     case Or(es @ _*) => es.flatMap(whereCols)
     case Not(x) => whereCols(x)

@@ -153,6 +153,98 @@ object QueryBuilder {
     private[api] def toColumn: Column =
       if (isNull) col(field).isNull else col(field).isNotNull
   }
+
+  // ---- JSONB comparison family (Hasura _contains/_has_key/...) -------
+  // The engine stores jsonb as JSON TEXT (the C7 surface), so the
+  // family compiles to json_object_keys/get_json_object over the
+  // string column. Scope is the FLAT-OBJECT subset: top-level keys
+  // (GraphQL-name-shaped — anything else rejects loudly driver-side)
+  // and SCALAR values; nested containment has no spelling here.
+  // Non-object / malformed JSON rows answer NULL (filtered), matching
+  // jsonb's never-match-on-garbage behavior for a text store.
+
+  private def jsonKeyName(k: String, at: String): Unit =
+    require(k.matches("[_A-Za-z][_0-9A-Za-z]*"),
+      s"$at: key '$k' is not a GraphQL-name-shaped JSON key (the " +
+        "get_json_object path subset this engine compiles)")
+
+  /** One scalar of a `_contains` literal, as the string
+    * `get_json_object` extracts for it. Integer-valued numbers must be
+    * spelled as integers (JSON `69` extracts as "69", never "69.0"). */
+  private def jsonScalar(v: Any, at: String): String = v match {
+    case null => throw new IllegalArgumentException(
+      s"$at: null has no containment semantics over a text store " +
+        "(extraction cannot tell JSON null from an absent key) — " +
+        "use _has_key")
+    case s: String => s
+    case b: Boolean => b.toString
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case d: Double => d.toString
+    case other => throw new IllegalArgumentException(
+      s"$at: ${other.getClass.getSimpleName} is not a JSON scalar " +
+        "(nested containment has no spelling here)")
+  }
+
+  /** Hasura `_has_key`: the column's top-level object has the key. */
+  final case class HasKey(field: String, key: String) extends BoolExp {
+    jsonKeyName(key, s"_has_key on '$field'")
+    private[api] def toColumn: Column =
+      array_contains(json_object_keys(col(field)), key)
+  }
+  /** Hasura `_has_keys_any` / `_has_keys_all`. */
+  final case class HasKeysAny(field: String, keys: Seq[String])
+      extends BoolExp {
+    require(keys.nonEmpty, s"_has_keys_any on '$field': empty key list")
+    keys.foreach(jsonKeyName(_, s"_has_keys_any on '$field'"))
+    private[api] def toColumn: Column = keys.map(k =>
+      array_contains(json_object_keys(col(field)), k)).reduce(_ || _)
+  }
+  final case class HasKeysAll(field: String, keys: Seq[String])
+      extends BoolExp {
+    require(keys.nonEmpty, s"_has_keys_all on '$field': empty key list")
+    keys.foreach(jsonKeyName(_, s"_has_keys_all on '$field'"))
+    private[api] def toColumn: Column = keys.map(k =>
+      array_contains(json_object_keys(col(field)), k)).reduce(_ && _)
+  }
+  /** Hasura `_contains` (jsonb `@>`) over the flat-object subset:
+    * every (key, scalar) of the literal appears top-level with the
+    * same value. */
+  final case class JsonContains(field: String,
+      pairs: Seq[(String, Any)]) extends BoolExp {
+    require(pairs.nonEmpty, s"_contains on '$field': an empty object " +
+      "matches every row — spell the predicate you mean")
+    pairs.foreach { case (k, v) =>
+      jsonKeyName(k, s"_contains on '$field'")
+      jsonScalar(v, s"_contains on '$field'.$k")
+    }
+    private[api] def toColumn: Column = pairs.map { case (k, v) =>
+      get_json_object(col(field), s"$$.$k") ===
+        lit(jsonScalar(v, s"_contains on '$field'.$k"))
+    }.reduce(_ && _)
+  }
+  /** Hasura `_contained_in` (jsonb `<@`): the column's top-level
+    * object is a subset of the literal — every column key appears in
+    * the literal, and where both carry a value they agree. */
+  final case class JsonContainedIn(field: String,
+      pairs: Seq[(String, Any)]) extends BoolExp {
+    pairs.foreach { case (k, v) =>
+      jsonKeyName(k, s"_contained_in on '$field'")
+      jsonScalar(v, s"_contained_in on '$field'.$k")
+    }
+    private[api] def toColumn: Column = {
+      val litKeys = array(pairs.map(p => lit(p._1)): _*)
+      val keySubset =
+        if (pairs.isEmpty) size(json_object_keys(col(field))) === 0
+        else forall(json_object_keys(col(field)),
+          k => array_contains(litKeys, k))
+      pairs.foldLeft(keySubset) { case (acc, (k, v)) =>
+        val e = get_json_object(col(field), s"$$.$k")
+        acc && (e.isNull || e ===
+          lit(jsonScalar(v, s"_contained_in on '$field'.$k")))
+      }
+    }
+  }
   /** RELATIONSHIP predicate — Hasura's `where: {orders: {...}}`:
     * the row qualifies when AT LEAST ONE related child row satisfies
     * `pred` (SQL EXISTS). Composes freely under `_and`/`_or`/`_not`

@@ -139,6 +139,17 @@ object RequestCodec {
               case "_is_null" =>
                 if (v.isBoolean) IsNull(field, v.asBoolean)
                 else bad(s"$at: expected a boolean")
+              case "_has_key" => HasKey(field, str(v, at))
+              case "_has_keys_any" =>
+                HasKeysAny(field, arr(v, at).map(str(_, at)))
+              case "_has_keys_all" =>
+                HasKeysAll(field, arr(v, at).map(str(_, at)))
+              case "_contains" | "_contained_in" =>
+                val oo = obj(v, at)
+                val pairs = fieldNames(oo).map(k =>
+                  k -> value(oo.get(k), s"$at.$k"))
+                if (op == "_contains") JsonContains(field, pairs)
+                else JsonContainedIn(field, pairs)
               case other => bad(s"$where.$field: unknown operator '$other'")
             }
           case _ => bad(
@@ -332,6 +343,14 @@ object RequestCodec {
       o.set[ObjectNode](field, inner)
       o
     }
+    def jsonObj(f: String, op: String,
+        ps: Seq[(String, Any)]): ObjectNode = {
+      val inner = mapper.createObjectNode()
+      val body = inner.putObject(op)
+      ps.foreach { case (k, v) => putValue(body, k, v) }
+      o.set[ObjectNode](f, inner)
+      o
+    }
     def inList(f: String, op: String, vs: Seq[Any]): ObjectNode = {
       val inner = mapper.createObjectNode()
       val a = inner.putArray(op)
@@ -365,6 +384,11 @@ object RequestCodec {
       case IsNull(f, b) => cmp(f, "_is_null", b)
       case In(f, vs) => inList(f, "_in", vs)
       case Nin(f, vs) => inList(f, "_nin", vs)
+      case HasKey(f, k) => cmp(f, "_has_key", k)
+      case HasKeysAny(f, ks) => inList(f, "_has_keys_any", ks)
+      case HasKeysAll(f, ks) => inList(f, "_has_keys_all", ks)
+      case JsonContains(f, ps) => jsonObj(f, "_contains", ps)
+      case JsonContainedIn(f, ps) => jsonObj(f, "_contained_in", ps)
       case RelPred(table, ck, pk, pred) =>
         val e = o.putObject("_exists")
         e.put("table", table); e.put("child_key", ck)

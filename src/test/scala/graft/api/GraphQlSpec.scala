@@ -741,6 +741,32 @@ class GraphQlSpec extends SparkSpec {
     assert(r.toOption.get.nested.head.where === Some(Lte("o_orderkey", 99L)))
   }
 
+  test("JSONB operators round-trip through the GraphQL printer and " +
+    "the wire codec; unknown keys reject in both") {
+    val w = And(
+      HasKey("props", "k"),
+      HasKeysAny("props", Seq("a", "b")),
+      HasKeysAll("props", Seq("a")),
+      JsonContains("props",
+        Seq("k" -> 69L, "m" -> "x", "b" -> true, "d" -> 1.5)),
+      JsonContainedIn("props", Seq("k" -> 69L)),
+      Not(JsonContainedIn("props", Nil)))
+    val r = Request("events", fields = Seq("event_id"), where = Some(w),
+      orderBy = Seq(Order("event_id")), limit = Some(5))
+    assert(GraphQl.parse(GraphQl.render(r)) === Right(r))
+    assert(RequestCodec.parse(RequestCodec.render(r)) === Right(r))
+    // a non-name key has no renderable spelling and no parse
+    assert(GraphQl.parse(
+      """{ events(where: {props: {_contains: {k: null}}}) {
+        | event_id } }""".stripMargin).isLeft)
+    assert(GraphQl.parse(
+      """{ events(where: {props: {_has_key: 5}}) { event_id } }""")
+      .isLeft)
+    assert(GraphQl.parse(
+      """{ events(where: {props: {_has_keys_any: "k"}}) {
+        | event_id } }""".stripMargin).isLeft)
+  }
+
   test("_stream: the canned q145 document parses to the cursor request") {
     val sr = GraphQl.parseStream(GraphQl.q145Query)
       .fold(m => fail(m), identity)

@@ -572,6 +572,62 @@ class MutationsSpec extends SparkSpec {
     assert(e2.getMessage.contains("does not round-trip"))
   }
 
+  test("update_many: updates apply sequentially (later steps see " +
+    "earlier writes), per-step responses, printer round-trip") {
+    val doc =
+      """mutation {
+        |  update_t_many(updates: [
+        |    {where: {bal: {_lt: 25.0}}, _set: {seg: "LOW"}},
+        |    {where: {seg: {_eq: "LOW"}}, _inc: {bal: 100.0}}
+        |  ]) { affected_rows returning { k bal } }
+        |}""".stripMargin
+    val fields = GraphQl.parseMutationFields(doc).fold(m => fail(m),
+      identity)
+    assert(fields.map(_.m) === Seq(Mutations.UpdateMany("t", Seq(
+      Mutations.Update("t", Lt("bal", 25.0), Seq("seg" -> "LOW")),
+      Mutations.Update("t", Eq("seg", "LOW"), Nil,
+        Seq("bal" -> 100.0))))))
+    // snap: k=1 bal 10 seg A, k=2 bal 20 seg A, k=3 bal 30, k=4 bal 40
+    // step 1 re-segments k=1,2 to LOW; step 2 increments EXACTLY those
+    val (next, rs) = Mutations.applyFields(snap, fields, "k")
+    val fr = rs.head
+    assert(fr.affected === 4L) // 2 + 2
+    assert(fr.perStep.get.map(_.affected) === Seq(2L, 2L))
+    // per-step returning: step 1's rows at their pre-inc balances,
+    // step 2's after the increment
+    assert(fr.perStep.get.head.returning.get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 10.0), (2L, 20.0)))
+    assert(fr.perStep.get(1).returning.get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 110.0), (2L, 120.0)))
+    assert(next.orderBy("k").collect().map(_.getDouble(2)).toSeq ===
+      Seq(110.0, 120.0, 30.0, 40.0))
+    // printer round-trip (the perStep selection renders as returning)
+    assert(GraphQl.parseMutationFields(
+      GraphQl.renderMutationFields(fields)) === Right(fields))
+    // rejections: empty list, unknown step field, missing where,
+    // steps with neither _set nor _inc
+    def err(d: String, frag: String): Unit = {
+      val r = GraphQl.parseMutationFields(d)
+      assert(r.isLeft && r.left.exists(_.contains(frag)),
+        s"wanted '$frag' in: $r")
+    }
+    err("mutation { update_t_many(updates: []) { affected_rows } }",
+      "empty list")
+    err("mutation { update_t_many(updates: [{where: {k: {_eq: 1}}, " +
+      "limit: 2}]) { affected_rows } }", "unknown field 'limit'")
+    err("mutation { update_t_many(updates: [{_set: {seg: \"X\"}}]) " +
+      "{ affected_rows } }", "where is required")
+    err("mutation { update_t_many(updates: [{where: {k: {_eq: 1}}}]) " +
+      "{ affected_rows } }", "needs _set and/or _inc")
+    // the single-mutation path refuses (per-step results live in
+    // applyFields)
+    val e = intercept[IllegalArgumentException](
+      Mutations.applyMutation(snap, fields.head.m, "k"))
+    assert(e.getMessage.contains("applyFields"))
+  }
+
   test("printer: parseMutations(renderMutations(ms)) == Right(ms) over " +
     "generated documents (deterministic property sweep)") {
     import org.scalacheck.{Gen, rng}

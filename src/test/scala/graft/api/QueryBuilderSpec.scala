@@ -522,4 +522,44 @@ class QueryBuilderSpec extends SparkSpec {
     assert(topn(desc = true) === """[{"k":11},{"k":13}]""")
     assert(topn(desc = false) === """[{"k":10},{"k":12}]""")
   }
+
+  test("JSONB family: key existence and flat containment over JSON " +
+    "text; garbage rows answer NULL (filtered) and never match " +
+    "negations either") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 69, "m": "x"}"""),
+      (2L, """{"k": 70}"""),
+      (3L, """{"m": "x"}"""),
+      (4L, "not json"),
+      (5L, "[1,2]"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "{}")
+    ).toDF("id", "props")
+    def ids(e: BoolExp): Seq[Long] =
+      df.filter(e.toColumn).select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    assert(ids(HasKey("props", "k")) === Seq(1L, 2L))
+    // three-valued: garbage/null/array rows are NULL under the key
+    // check, so NOT keeps them out too — only real objects negate
+    assert(ids(Not(HasKey("props", "k"))) === Seq(3L, 7L))
+    assert(ids(HasKeysAny("props", Seq("k", "m"))) === Seq(1L, 2L, 3L))
+    assert(ids(HasKeysAll("props", Seq("k", "m"))) === Seq(1L))
+    assert(ids(JsonContains("props", Seq("k" -> 69L))) === Seq(1L))
+    assert(ids(JsonContains("props",
+      Seq("k" -> 69L, "m" -> "x"))) === Seq(1L))
+    // contained_in: absent keys pass, value mismatches (k=70) fail,
+    // the empty object is a subset of anything
+    assert(ids(JsonContainedIn("props",
+      Seq("k" -> 69L, "m" -> "x", "z" -> 1L))) === Seq(1L, 3L, 7L))
+    assert(ids(JsonContainedIn("props", Nil)) === Seq(7L))
+    // loud constructions: non-name keys, empty/null containment
+    intercept[IllegalArgumentException](HasKey("props", "a b"))
+    intercept[IllegalArgumentException](JsonContains("props", Nil))
+    intercept[IllegalArgumentException](
+      JsonContains("props", Seq("k" -> null)))
+    intercept[IllegalArgumentException](HasKeysAny("props", Nil))
+    intercept[IllegalArgumentException](
+      JsonContains("props", Seq("k" -> Seq(1, 2))))
+  }
 }
