@@ -1057,6 +1057,76 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q150: retrieval eval — the q126 ranking replay, then MRR and
+    // binary nDCG@10 per query with IDCG from a generate_series fold
+    "q150_retrieval_eval" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         generate_subscripts(embedding,1) AS i
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+        |dt AS (
+        |  SELECT a.vec_id AS v, b.vec_id AS qv, SUM(a.x * b.x) AS d
+        |  FROM ex a JOIN ex b
+        |    ON a.i = b.i AND b.vec_id < 16 AND a.vec_id >= 16
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT qv AS q_id, v AS vec_id,
+        |         ROUND(d / (nv.nrm * nq.nrm), 4) AS sim
+        |  FROM dt JOIN nr nv ON nv.vec_id = v
+        |          JOIN nr nq ON nq.vec_id = qv),
+        |r AS (SELECT q_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY sim DESC, vec_id)::BIGINT AS rank
+        |      FROM sims),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |rels AS (
+        |  SELECT t.q_id, ql.label AS q_label, t.rank,
+        |         CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+        |  FROM r t JOIN lab nl ON nl.vec_id = t.vec_id
+        |           JOIN lab ql ON ql.vec_id = t.q_id
+        |  WHERE t.rank <= 10),
+        |perq AS (
+        |  SELECT q_id, q_label,
+        |         ROUND(COALESCE(MAX(CASE WHEN rel = 1
+        |             THEN 1.0 / rank END), 0), 4) AS mrr,
+        |         SUM(CASE WHEN rel = 1
+        |             THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg
+        |  FROM rels GROUP BY 1, 2),
+        |rc AS (SELECT label, COUNT(*)::BIGINT AS r_total
+        |       FROM embeddings WHERE vec_id >= 16 GROUP BY 1),
+        |idcg AS (
+        |  SELECT m.m, SUM(1.0 / log2(i.i + 1)) AS idcg
+        |  FROM generate_series(1, 10) AS m(m)
+        |  JOIN generate_series(1, 10) AS i(i) ON i.i <= m.m
+        |  GROUP BY 1)
+        |SELECT p.q_id, p.q_label AS label, p.mrr,
+        |       ROUND(p.dcg / g.idcg, 4) AS ndcg
+        |FROM perq p JOIN rc ON rc.label = p.q_label
+        |JOIN idcg g ON g.m = LEAST(rc.r_total, 10)
+        |ORDER BY p.q_id""".stripMargin,
+    // q149: relationship-aggregate nodes — the windowed top-2 slice
+    // feeds count/sum AND the sorted JSON array; childless parents
+    // repair to 0 / '[]'
+    "q149_aggrel_nodes" ->
+      """WITH sel AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_totalprice > 200000.0),
+        |agg AS (
+        |  SELECT o_custkey, COUNT(*)::BIGINT AS count,
+        |         ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+        |         to_json(list_sort(list({'o_orderkey': o_orderkey})))
+        |           AS nodes
+        |  FROM sel WHERE rn <= 2 GROUP BY 1)
+        |SELECT c.c_custkey,
+        |       COALESCE(a.count, 0) AS count,
+        |       COALESCE(a.sum_o_totalprice, 0) AS sum_o_totalprice,
+        |       COALESCE(a.nodes, '[]') AS nodes
+        |FROM customer c LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 20
+        |ORDER BY c.c_custkey""".stripMargin,
     // q148: the JSONB family in DuckDB's native spellings —
     // json_keys for key existence, json_extract_string for scalar
     // containment, a list_filter emptiness check for subset

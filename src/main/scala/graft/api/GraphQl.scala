@@ -960,11 +960,27 @@ object GraphQl {
               bad(s"$fname: unknown directive @$d"))
             p.expect('{')
             var aggs: Seq[AggField] = Nil
+            var aggNodes: Seq[String] = Nil
             while (!p.isPunct('}')) {
               p.name("aggregate body") match {
                 case "aggregate" => aggs = compileAggFields(p, fname,
                   relCount(rel.childKey, fname))
-                case other => bad(s"$fname: expected 'aggregate', got '$other'")
+                case "nodes" =>
+                  // Hasura's nodes arm inside a relationship
+                  // aggregate: the (sliced) child rows themselves,
+                  // next to their aggregates — one sorted JSON array
+                  // column per parent (the root-aggregate discipline)
+                  if (aggNodes.nonEmpty) bad(s"$fname: duplicate nodes")
+                  p.expect('{')
+                  val ns = Seq.newBuilder[String]
+                  while (!p.isPunct('}')) ns += p.name("nodes field")
+                  p.expect('}')
+                  aggNodes = ns.result()
+                  if (aggNodes.isEmpty)
+                    bad(s"$fname.nodes: empty selection set")
+                case other => bad(
+                  s"$fname: expected 'aggregate' or 'nodes', " +
+                    s"got '$other'")
               }
             }
             p.expect('}')
@@ -980,7 +996,8 @@ object GraphQl {
                 .map(compileOrders(_, s"$fname.order_by")).getOrElse(Nil),
               limit = intArg(fargs, "limit", fname),
               offset = intArg(fargs, "offset", fname).getOrElse(0),
-              distinctOn = distinctOnArg(fargs, fname))
+              distinctOn = distinctOnArg(fargs, fname),
+              nodes = aggNodes)
           } else {
             val rel = schema.rels.getOrElse((table, fname), bad(
               s"$fname: no tracked relationship on '$table'"))
@@ -1281,6 +1298,37 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q148 GraphQL query failed to parse: $m")
+    }
+
+  /** q149's document — Hasura's `nodes` arm INSIDE a relationship
+    * aggregate: the sliced child rows (top-2 by price) next to their
+    * aggregates, per parent, childless parents answering count 0 and
+    * `[]`. */
+  val q149Query: String =
+    """{
+      |  customer(where: {c_custkey: {_lte: 20}},
+      |           order_by: [{c_custkey: asc}]) {
+      |    c_custkey
+      |    orders_aggregate(where: {o_totalprice: {_gt: 200000.0}},
+      |        order_by: [{o_totalprice: desc}, {o_orderkey: asc}],
+      |        limit: 2) {
+      |      aggregate { count sum { o_totalprice } }
+      |      nodes { o_orderkey }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q149 — relationship-aggregate `nodes` under the oracle gate: the
+    * JSON array rides the SAME per-parent pre-aggregation as the
+    * aggregates (one extra collect_list column, no second child
+    * scan), byte-exact vs DuckDB's to_json(list_sort) over the same
+    * windowed top-2 slice. */
+  def q149AggRelNodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q149Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q149 GraphQL query failed to parse: $m")
     }
 
   /** q145's document — the streaming-subscription read surface: a
@@ -1896,13 +1944,19 @@ object GraphQl {
     sb ++= renderArgs(ar.where, ar.orderBy, ar.limit, ar.offset,
       ar.distinctOn, Some((schema, ar.table)))
     if (ar.joinType != "left") sb ++= s""" @join(type: "${ar.joinType}")"""
-    sb ++= " {\n      aggregate {\n"
-    ar.aggs.foreach { a =>
-      sb ++= "        "
-      sb ++= renderAggField(a, ar.childKey)
-      sb ++= "\n"
+    sb ++= " {\n"
+    if (ar.aggs.nonEmpty) {
+      sb ++= "      aggregate {\n"
+      ar.aggs.foreach { a =>
+        sb ++= "        "
+        sb ++= renderAggField(a, ar.childKey)
+        sb ++= "\n"
+      }
+      sb ++= "      }\n"
     }
-    sb ++= "      }\n    }\n"
+    if (ar.nodes.nonEmpty)
+      sb ++= ar.nodes.mkString("      nodes { ", " ", " }\n")
+    sb ++= "    }\n"
   }
 
   /** One aggregate selection. Parse always counts the child key, and

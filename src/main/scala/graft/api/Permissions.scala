@@ -247,7 +247,8 @@ object Permissions {
       policy: Policy): Either[String, AggRel] =
     for {
       perm <- policy.get(role, a.table)
-      _ <- checkCols(a.aggs.flatMap(aggCols) ++ a.distinctOn ++
+      _ <- checkCols(a.aggs.flatMap(aggCols) ++ a.nodes ++
+        a.distinctOn ++
         a.orderBy.map(_.field) ++ a.where.toSeq.flatMap(whereCols) :+
         a.childKey,
         perm, role, a.table, "aggregate relationship")

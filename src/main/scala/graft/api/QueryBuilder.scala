@@ -437,8 +437,13 @@ object QueryBuilder {
       parentKey: String, aggs: Seq[AggField], joinType: String = "left",
       where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
       limit: Option[Int] = None, offset: Int = 0,
-      distinctOn: Seq[String] = Nil) {
-    require(aggs.nonEmpty, "aggregate relationship selects no aggregates")
+      distinctOn: Seq[String] = Nil,
+      nodes: Seq[String] = Nil) {
+    require(aggs.nonEmpty || nodes.nonEmpty,
+      "aggregate relationship selects no aggregates")
+    require(!aggs.exists(_.as == "nodes") || nodes.isEmpty,
+      "aggregate relationship: an aggregate named 'nodes' collides " +
+        "with the nodes arm")
     require(limit.isEmpty || orderBy.nonEmpty,
       "aggregate relationship: limit needs orderBy for a deterministic top-n")
     require(offset == 0 || orderBy.nonEmpty,
@@ -809,14 +814,27 @@ object QueryBuilder {
         val child = childSlice(filtered, loaded(a.childKey), a.orderBy,
           loaded(_), a.distinctOn, a.offset, a.limit)
         val keyAlias = s"__aggkey_$i"
-        val aggCols = a.aggs.map(_.agg(loaded))
+        // the nodes arm (Hasura's rows-next-to-their-aggregates inside
+        // a relationship aggregate): the sliced child rows as one
+        // sorted struct array, riding the SAME pre-aggregation — the
+        // root-aggregate nodes discipline applied per parent key
+        val aggCols = a.aggs.map(_.agg(loaded)) ++
+          (if (a.nodes.isEmpty) Nil
+           else Seq(sort_array(collect_list(
+             struct(a.nodes.map(loaded(_)): _*))).as("nodes")))
         val rel = child.groupBy(loaded(a.childKey).as(keyAlias))
           .agg(aggCols.head, aggCols.tail: _*)
         acc.join(rel, base0(a.parentKey) === rel(keyAlias), a.joinType)
     }
     val outCols = req.fields.map(base0(_)) ++
       req.nested.map(n => col(n.as)) ++
-      req.aggRels.flatMap(_.aggs.map(f => f.post(col(f.as)).as(f.as)))
+      req.aggRels.flatMap(a =>
+        a.aggs.map(f => f.post(col(f.as)).as(f.as)) ++
+          // childless parents render "[]" like the Nested arm, never
+          // null — to_json here keeps the wire shape engine-stable
+          (if (a.nodes.isEmpty) Nil
+           else Seq(to_json(coalesce(col("nodes"), array()))
+             .as("nodes"))))
     val shaped = withAggs.select(outCols: _*)
     val ordered =
       if (req.orderBy.isEmpty) shaped

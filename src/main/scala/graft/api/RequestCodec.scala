@@ -256,7 +256,10 @@ object RequestCodec {
       limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")),
       offset = Option(o.get("offset"))
         .map(intOf(_, s"$where.offset")).getOrElse(0),
-      distinctOn = parseDistinctOn(o, where))
+      distinctOn = parseDistinctOn(o, where),
+      nodes = Option(o.get("nodes"))
+        .map(arr(_, s"$where.nodes").map(str(_, s"$where.nodes[]")))
+        .getOrElse(Nil))
   }
 
   private def parseRequest(o: ObjectNode): Request =
@@ -511,6 +514,10 @@ object RequestCodec {
         if (ar.distinctOn.nonEmpty) {
           val da = ao.putArray("distinct_on")
           ar.distinctOn.foreach(da.add)
+        }
+        if (ar.nodes.nonEmpty) {
+          val na = ao.putArray("nodes")
+          ar.nodes.foreach(na.add)
         }
       }
     }

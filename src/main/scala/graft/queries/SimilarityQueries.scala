@@ -613,4 +613,60 @@ object SimilarityQueries {
     pq.join(exact, "vec_id")
       .agg((count(lit(1)).cast("double") / 5).as("recall_at_5"))
   }
+
+  /** Q150 — retrieval-quality EVALUATION over the labeled corpus: per
+    * held-out query (vec_id < 16), MRR and binary nDCG@k of the
+    * brute-force cosine top-k against the rest, relevance = same
+    * label. The metrics a pipeline tracks when it swaps retrievers
+    * (IVF/PQ vs exact, q127/q79's trade-off made measurable beyond
+    * recall). Plan shape: the q126 kNN join (broadcast query set, one
+    * codegen scan, mergeable bounded top-k — map-side partial, no
+    * global sort), then per-query metric folds over k rows each and
+    * one broadcast join against the k-row IDCG table; ideal DCG
+    * normalizes by min(k, corpus rows sharing the query's label).
+    * Rounded-4 sims with vec_id tie-breaks keep ranks (and so both
+    * metrics) cross-engine deterministic. */
+  def q150RetrievalEval(s: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), normalized(col("emb")).as("nemb"))
+    val queries = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("nemb").as("q"),
+        col("label").as("q_label")))
+    val corpus = e.filter(col("vec_id") >= 16)
+    val labels = corpus.select(col("vec_id"), col("label").as("n_label"))
+    val ranked = corpus.crossJoin(queries)
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        round(dot(col("nemb"), col("q")), 4).as("sim"))
+      .groupBy("q_id", "q_label")
+      .agg(graft.functions.TopKFunctions.topK(
+        col("sim"), col("vec_id"), k).as("nn"))
+      .select(col("q_id"), col("q_label"), posexplode(col("nn")))
+      .select(col("q_id"), col("q_label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"))
+      .join(labels, "vec_id")
+    val perQ = ranked
+      .withColumn("rel", (col("n_label") === col("q_label")).cast("int"))
+      .groupBy("q_id", "q_label")
+      .agg(
+        round(coalesce(max(when(col("rel") === 1,
+          lit(1.0) / col("rank"))), lit(0.0)), 4).as("mrr"),
+        sum(when(col("rel") === 1, lit(1.0) / log2(col("rank") + 1))
+          .otherwise(0.0)).as("dcg"))
+    // R per label (relevant rows IN THE CORPUS) and the k-row ideal-
+    // DCG lookup — both broadcast-sized by construction
+    val labCounts = corpus.groupBy(col("label"))
+      .agg(count(lit(1)).as("r_total"))
+    val idcgTable = broadcast((1 to k).map(m =>
+      (m.toLong, (1 to m).map(i => 1.0 / (math.log(i + 1.0) /
+        math.log(2.0))).sum)).toDF("m", "idcg"))
+    perQ.join(labCounts, perQ("q_label") === labCounts("label"))
+      .withColumn("m", least(col("r_total"), lit(k.toLong)))
+      .join(idcgTable, "m")
+      .select(col("q_id"), col("q_label").as("label"), col("mrr"),
+        round(col("dcg") / col("idcg"), 4).as("ndcg"))
+      .orderBy("q_id")
+  }
 }

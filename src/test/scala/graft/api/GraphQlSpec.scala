@@ -667,8 +667,11 @@ class GraphQlSpec extends SparkSpec {
         }): AggField
       }
       where <- Gen.option(genTree(ordFields, 1))
+      nodes <- Gen.oneOf(Nil, Seq("o_orderkey"),
+        Seq("o_orderkey", "price"))
     } yield AggRel(table = "orders", childKey = "o_custkey",
-      parentKey = "c_custkey", aggs = aggs, where = where)
+      parentKey = "c_custkey", aggs = aggs, where = where,
+      nodes = nodes)
     val genRequest: Gen[Request] = for {
       nf <- Gen.choose(1, custFields.length)
       fields <- Gen.pick(nf, custFields)
@@ -765,6 +768,28 @@ class GraphQlSpec extends SparkSpec {
     assert(GraphQl.parse(
       """{ events(where: {props: {_has_keys_any: "k"}}) {
         | event_id } }""".stripMargin).isLeft)
+  }
+
+  test("relationship-aggregate nodes arm parses, round-trips through " +
+    "printer and codec; degenerate bodies reject") {
+    val r = GraphQl.parse(GraphQl.q149Query).fold(m => fail(m), identity)
+    assert(r.aggRels.head.nodes === Seq("o_orderkey"))
+    assert(GraphQl.parse(GraphQl.render(r)) === Right(r))
+    assert(RequestCodec.parse(RequestCodec.render(r)) === Right(r))
+    // a nodes-only body (no aggregate arm) is legal Hasura
+    val r2 = GraphQl.parse(
+      """{ customer { c_custkey
+        |  orders_aggregate { nodes { o_orderkey } } } }""".stripMargin)
+      .fold(m => fail(m), identity)
+    assert(r2.aggRels.head.aggs.isEmpty &&
+      r2.aggRels.head.nodes === Seq("o_orderkey"))
+    assert(GraphQl.parse(GraphQl.render(r2)) === Right(r2))
+    // empty nodes selection and empty body reject loudly
+    assert(GraphQl.parse(
+      "{ customer { c_custkey orders_aggregate { nodes { } } } }")
+      .isLeft)
+    assert(GraphQl.parse(
+      "{ customer { c_custkey orders_aggregate { } } }").isLeft)
   }
 
   test("_stream: the canned q145 document parses to the cursor request") {

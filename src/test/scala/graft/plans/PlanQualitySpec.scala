@@ -603,4 +603,48 @@ class PlanQualitySpec extends SparkSpec {
       l.contains("FileScan parquet") && l.contains("o_totalprice"))
     assert(ordersScans <= 1, s"orders scanned $ordersScans times:\n$p")
   }
+
+  test("q145 stream pages: cursor bound and where push into the scan, " +
+    "the page cut is a TakeOrdered (never a global sort)") {
+    import graft.api.GraphQl
+    val p = plan(GraphQl.q145StreamPages(spark, dir))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThan(event_id,3000)") &&
+      pushed.contains("EqualTo(event_type,click)"),
+      s"cursor/where not pushed: $pushed\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"page cut is not a bounded top-k:\n$p")
+  }
+
+  test("q149 aggregate nodes: the nodes array rides the SAME child " +
+    "pre-aggregation as count/sum — one orders scan, no cross join") {
+    import graft.api.GraphQl
+    val df = GraphQl.q149AggRelNodes(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+    val ordersScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("o_totalprice"))
+    assert(ordersScans <= 1, s"orders scanned $ordersScans times:\n$p")
+  }
+
+  test("q150 retrieval eval: broadcast query set over ONE corpus " +
+    "scan, top-k is a partial (map-side) object-hash aggregate") {
+    val df = graft.queries.SimilarityQueries
+      .q150RetrievalEval(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the ONLY nested-loop is the intended broadcast of the 16-query
+    // side; the corpus is never self-crossed
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the bounded top-k pre-reduces map-side: a partial_topk before
+    // the per-query exchange
+    assert(p.contains("partial_topk") || p.contains("partial_top_k") ||
+      p.toLowerCase.contains("objecthashaggregate"),
+      s"top-k not a mergeable aggregate:\n$p")
+  }
 }
