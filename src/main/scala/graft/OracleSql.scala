@@ -1057,6 +1057,38 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q152: incremental view replay — the one-shot aggregate over
+    // base + both deltas (redelivered b1 must not appear twice)
+    "q152_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*)::BIGINT AS n,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+        |       MAX(o_totalprice) AS max_o_totalprice
+        |FROM orders WHERE o_orderkey <= 220000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q151: dedup retention — q62's recursive-CTE components, the
+    // q27 unique-ratio score, argmax per cluster via row_number
+    "q151_dedup_retention" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |e AS (SELECT a AS id, b AS nb FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id),
+         |sc AS (SELECT doc_id,
+         |         ROUND(len(list_distinct(string_split(text, ' ')))
+         |           ::DOUBLE / len(string_split(text, ' ')), 4) AS score
+         |       FROM documents),
+         |m AS (SELECT comp.canonical, comp.id AS doc_id, sc.score,
+         |        ROW_NUMBER() OVER (PARTITION BY comp.canonical
+         |          ORDER BY sc.score DESC, comp.id) AS rn
+         |      FROM comp JOIN sc ON sc.doc_id = comp.id)
+         |SELECT canonical,
+         |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+         |       MAX(CASE WHEN rn = 1 THEN score END) AS kept_score,
+         |       (COUNT(*) - 1)::BIGINT AS n_dropped
+         |FROM m GROUP BY canonical ORDER BY canonical""".stripMargin,
     // q150: retrieval eval — the q126 ranking replay, then MRR and
     // binary nDCG@10 per query with IDCG from a generate_series fold
     "q150_retrieval_eval" ->

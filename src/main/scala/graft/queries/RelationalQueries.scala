@@ -573,4 +573,40 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"),
         min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
   }
+
+  /** Q152 — INCREMENTAL AGGREGATE VIEW maintenance end to end: a
+    * persisted per-customer orders view (count / revenue sum / max
+    * price) builds from a base slice, then refreshes from two delta
+    * slices WITHOUT rescanning the base — and a redelivery of the
+    * first batch is a checked no-op (the exactly-once contract,
+    * asserted engine-side). The read-back equals the one-shot
+    * aggregate over base+deltas, which is exactly what DuckDB
+    * replays. See [[graft.operators.IncrementalAgg]] for the merge
+    * algebra and the single-swap durability story. */
+  def q152IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val spec = IncrementalAgg.Spec("o_custkey",
+      sums = Seq("o_totalprice"), maxs = Seq("o_totalprice"))
+    val orders = graft.Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val root =
+      s"/root/repo/target/tmp/q152_view_${s.sparkContext.applicationId}"
+    IncrementalAgg.initStore(s, root,
+      orders.filter(col("o_orderkey") <= 200000L), spec)
+    def slice(lo: Long, hi: Long) =
+      orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+    require(IncrementalAgg.refreshStore(s, root, "b1",
+      slice(200000L, 210000L), spec), "q152: batch b1 should apply")
+    require(IncrementalAgg.refreshStore(s, root, "b2",
+      slice(210000L, 220000L), spec), "q152: batch b2 should apply")
+    // at-least-once redelivery: already-applied id is a no-op
+    require(!IncrementalAgg.refreshStore(s, root, "b1",
+      slice(200000L, 210000L), spec),
+      "q152: redelivered batch b1 must not double-count")
+    IncrementalAgg.readStore(s, root)
+      .select(col("o_custkey"), col("n"),
+        round(col("sum_o_totalprice"), 2).as("sum_o_totalprice"),
+        col("max_o_totalprice"))
+      .orderBy("o_custkey")
+  }
 }

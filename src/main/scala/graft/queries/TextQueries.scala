@@ -607,6 +607,41 @@ object TextQueries {
       componentLabels(s, simhashPairsRaw(s, dir).select(col("a"), col("b")),
         smallGraphLimit))
 
+  /** Q151 — dedup RETENTION policy: inside every near-dup cluster
+    * (q62's components over the SimHash pair graph), keep the
+    * highest-quality member — score = q27's unique-token ratio,
+    * doc_id breaking ties — and report what was dropped. The step
+    * between detecting duplicates and actually shrinking the corpus:
+    * "fuzzy dedup, keep best" rather than keep-first. Covers only
+    * clusters (docs appearing in a pair); singletons are trivially
+    * kept and stay out of the report.
+    *
+    * Scale posture: component labels are the audited q62 engine; the
+    * keep decision is one row_number window + fold on the SAME
+    * cluster key (the window's hash shuffle is reused by the
+    * groupBy), nothing corpus-squared. */
+  def q151DedupRetention(s: SparkSession, dir: String): DataFrame = {
+    val labels = componentLabels(s,
+      simhashPairsRaw(s, dir).select(col("a"), col("b")))
+    val toks = tokens(col("text"))
+    val scored = docs(s, dir).select(col("doc_id"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("score"))
+    val member = labels
+      .select(col("id").as("doc_id"), col("label").as("canonical"))
+      .join(scored, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical")
+      .orderBy(col("score").desc, col("doc_id"))
+    member.withColumn("rn", row_number().over(w))
+      .groupBy("canonical")
+      .agg(
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rn") === 1, col("score"))).as("kept_score"),
+        (count(lit(1)) - 1).cast("long").as("n_dropped"))
+      .orderBy("canonical")
+  }
+
   /** Connected-component labels over an undirected pair graph: one row
     * per node that appears in a pair, `label` = minimum id reachable from
     * it (the component canonical). Generic over any (a, b) pair source —
