@@ -315,7 +315,71 @@ object Permissions {
     * accordingly, no error), inserts and returning selections are
     * column-checked. */
   def secureFields(fields: Seq[Mutations.Field], role: String,
-      policy: Policy): Either[String, Seq[Mutations.Field]] =
+      policy: Policy): Either[String, Seq[Mutations.Field]] = {
+    def secureMutation(m: Mutations.Mutation)
+        : Either[String, Mutations.Mutation] = m match {
+      case Mutations.Insert(t, rows, up, uc) =>
+        for {
+          perm <- policy.get(role, t)
+          _ <- checkCols(rows.flatMap(_.map(_._1)).distinct ++
+            uc.getOrElse(Nil), perm, role, t, "insert")
+          // Hasura's insert CHECK clause: every inserted row must
+          // satisfy the role's row filter — otherwise a role could
+          // create rows it can never see (or, worse, that other
+          // roles' filters were counting on)
+          _ <- perm.filter match {
+            case None => Right(())
+            case Some(flt) => sequence(rows.map { r =>
+              evalLiteral(flt, r.toMap).flatMap {
+                case true => Right(())
+                case false => Left(s"role '$role': inserted row " +
+                  s"violates the '$t' row filter (check clause)")
+              }
+            }).map(_ => ())
+          }
+          // an upsert/on_conflict may OVERWRITE a stored row, which
+          // needs the update scope; that scope is the row filter,
+          // and whether the STORED row satisfies it is unknowable
+          // here — reject rather than let an invisible row be
+          // rewritten (plain inserts still clash loudly on existing
+          // keys, so nothing is silently lost)
+          _ <-
+            if ((up || uc.isDefined) && perm.filter.isDefined)
+              Left(s"role '$role': upsert/on_conflict on " +
+                s"row-filtered table '$t' could overwrite rows " +
+                "outside the filter — use update for visible rows")
+            else Right(())
+        } yield Mutations.Insert(t, rows, up, uc)
+      case Mutations.Update(t, w, set, inc) =>
+        for {
+          perm <- policy.get(role, t)
+          _ <- checkCols(set.map(_._1) ++ inc.map(_._1) ++ whereCols(w),
+            perm, role, t, "update")
+          w2 <- secureWhere(w, role, policy, perm, t)
+        } yield Mutations.Update(t,
+          andWith(perm.filter, Some(w2)).get, set, inc)
+      case Mutations.Delete(t, w) =>
+        for {
+          perm <- policy.get(role, t)
+          _ <- checkCols(whereCols(w), perm, role, t, "delete")
+          w2 <- secureWhere(w, role, policy, perm, t)
+        } yield Mutations.Delete(t,
+          andWith(perm.filter, Some(w2)).get)
+      // the composite verbs secure member-wise: every step/child is
+      // its own grant check against ITS table (an InsertTree's
+      // children target the CHILD table's scope)
+      case Mutations.UpdateMany(t, steps) =>
+        sequence(steps.map(secureMutation)).map(ss =>
+          Mutations.UpdateMany(t,
+            ss.map(_.asInstanceOf[Mutations.Update])))
+      case Mutations.InsertTree(p, cs) =>
+        for {
+          p2 <- secureMutation(p)
+          cs2 <- sequence(cs.map(secureMutation))
+        } yield Mutations.InsertTree(
+          p2.asInstanceOf[Mutations.Insert],
+          cs2.map(_.asInstanceOf[Mutations.Insert]))
+    }
     sequence(fields.map { f =>
       for {
         perm <- policy.get(role, f.m.table)
@@ -324,50 +388,8 @@ object Permissions {
             checkCols(cols, perm, role, f.m.table, "returning")
           case None => Right(())
         }
-        m2 <- f.m match {
-          case Mutations.Insert(t, rows, up, uc) =>
-            for {
-              _ <- checkCols(rows.flatMap(_.map(_._1)).distinct ++
-                uc.getOrElse(Nil), perm, role, t, "insert")
-              // Hasura's insert CHECK clause: every inserted row must
-              // satisfy the role's row filter — otherwise a role could
-              // create rows it can never see (or, worse, that other
-              // roles' filters were counting on)
-              _ <- perm.filter match {
-                case None => Right(())
-                case Some(flt) => sequence(rows.map { r =>
-                  evalLiteral(flt, r.toMap).flatMap {
-                    case true => Right(())
-                    case false => Left(s"role '$role': inserted row " +
-                      s"violates the '$t' row filter (check clause)")
-                  }
-                }).map(_ => ())
-              }
-              // an upsert/on_conflict may OVERWRITE a stored row, which
-              // needs the update scope; that scope is the row filter,
-              // and whether the STORED row satisfies it is unknowable
-              // here — reject rather than let an invisible row be
-              // rewritten (plain inserts still clash loudly on existing
-              // keys, so nothing is silently lost)
-              _ <-
-                if ((up || uc.isDefined) && perm.filter.isDefined)
-                  Left(s"role '$role': upsert/on_conflict on " +
-                    s"row-filtered table '$t' could overwrite rows " +
-                    "outside the filter — use update for visible rows")
-                else Right(())
-            } yield Mutations.Insert(t, rows, up, uc)
-          case Mutations.Update(t, w, set, inc) =>
-            checkCols(set.map(_._1) ++ inc.map(_._1) ++ whereCols(w),
-              perm, role, t, "update")
-              .flatMap(_ => secureWhere(w, role, policy, perm, t))
-              .map(w2 => Mutations.Update(t,
-                andWith(perm.filter, Some(w2)).get, set, inc))
-          case Mutations.Delete(t, w) =>
-            checkCols(whereCols(w), perm, role, t, "delete")
-              .flatMap(_ => secureWhere(w, role, policy, perm, t))
-              .map(w2 => Mutations.Delete(t,
-                andWith(perm.filter, Some(w2)).get))
-        }
+        m2 <- secureMutation(f.m)
       } yield f.copy(m = m2)
     })
+  }
 }

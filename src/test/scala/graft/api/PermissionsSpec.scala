@@ -110,6 +110,47 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("secureFields covers the composite verbs: update_many steps " +
+    "each gain the filter; an InsertTree child needs ITS table's grant") {
+    // update_many: BOTH steps' wheres AND the writer's seg=A filter
+    val um = secureFields(Seq(Mutations.Field(Mutations.UpdateMany("t",
+      Seq(Mutations.Update("t", Gt("bal", 0.0), Seq("bal" -> 1.0)),
+        Mutations.Update("t", Eq("k", 2L), Nil, Seq("bal" -> 5.0)))))),
+      "writer", policy).fold(m => fail(m), identity)
+    um.head.m match {
+      case Mutations.UpdateMany(_, steps) =>
+        steps.foreach(u => assert(
+          u.where === And(Eq("seg", "A"), u.where match {
+            case And(_, orig) => orig
+            case other => fail(s"unexpected where: $other")
+          }), s"filter not ANDed into $u"))
+      case other => fail(s"not an UpdateMany: $other")
+    }
+    // a column outside the allowlist inside a STEP still rejects
+    secureFields(Seq(Mutations.Field(Mutations.UpdateMany("t",
+      Seq(Mutations.Update("t", Eq("k", 1L), Seq("secret" -> 1L)))))),
+      "writer", policy) match {
+      case Left(m) => assert(m.contains("secret"))
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // InsertTree: the writer has no grant on the CHILD table 'u'
+    val tree = Mutations.InsertTree(
+      Mutations.Insert("t", Seq(Seq("k" -> 9L, "seg" -> "A"))),
+      Seq(Mutations.Insert("u", Seq(Seq("id" -> 1L, "fk" -> 9L)))))
+    secureFields(Seq(Mutations.Field(tree)), "writer", policy) match {
+      case Left(m) => assert(m.contains("u"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // a parent row violating the check clause rejects the whole tree
+    secureFields(Seq(Mutations.Field(Mutations.InsertTree(
+      Mutations.Insert("t", Seq(Seq("k" -> 9L, "seg" -> "B"))),
+      Seq(Mutations.Insert("t", Seq(Seq("k" -> 10L, "seg" -> "A"))))))),
+      "writer", policy) match {
+      case Left(m) => assert(m.contains("check clause"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+  }
+
   test("insert check clause: inserted rows must satisfy the row " +
     "filter; upserts on row-filtered tables reject") {
     // a check-passing insert goes through

@@ -72,10 +72,59 @@ class IncrementalAggSpec extends SparkSpec {
       Set((5L, 2L, 6.0, 1.0, 5.0)))
   }
 
+  test("streaming materialized view: foreachBatch refreshes survive a " +
+    "kill between store swap and sink commit — redelivery is a no-op, " +
+    "view equals the batch aggregate over everything delivered") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_iagg_stream").toString + "/store"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_iagg_ckpt").toString
+    IncrementalAgg.initStore(spark, root, facts((1L, 1.0)), spec)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    IncrementalAggSpec.applied = Vector.empty
+    def start() = input.toDF().toDF("k", "v")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        IncrementalAggSpec.applied :+= ((bid,
+          IncrementalAgg.refreshStore(batch.sparkSession, root,
+            s"b$bid", batch, spec)))
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      input.addData(Seq((1L, 2.0), (2L, 9.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the crash window: the view swapped but the sink commit was lost
+    // — drop batch 0's commit marker so the restart redelivers it
+    assert(new java.io.File(s"$ckpt/commits/0").delete(),
+      "expected a commit marker for batch 0")
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try {
+      input.addData(Seq((2L, 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // batch 0 was attempted twice; the SECOND attempt refused (the
+    // applied-id log), batch 1 applied once
+    assert(IncrementalAggSpec.applied ===
+      Vector((0L, true), (0L, false), (1L, true)))
+    assert(rows(IncrementalAgg.readStore(spark, root)) ===
+      rows(IncrementalAgg.partial(
+        facts((1L, 1.0), (1L, 2.0), (2L, 9.0), (2L, 1.0)), spec)))
+  }
+
   test("spec rejects aggregating the key or duplicate columns") {
     intercept[IllegalArgumentException](
       IncrementalAgg.Spec("k", sums = Seq("k")))
     intercept[IllegalArgumentException](
       IncrementalAgg.Spec("k", sums = Seq("v", "v")))
   }
+}
+
+object IncrementalAggSpec {
+  @volatile var applied: Vector[(Long, Boolean)] = Vector.empty
 }
