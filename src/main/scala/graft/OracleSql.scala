@@ -1057,6 +1057,17 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q153: object relationship replay — a plain join; the object
+    // column is the struct JSON, ordering via the joined name
+    "q153_object_rel" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |       to_json({'c_name': c.c_name,
+        |                'c_mktsegment': c.c_mktsegment}) AS customer
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_totalprice > 450000.0
+        |  AND c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_name DESC, o.o_orderkey
+        |LIMIT 40""".stripMargin,
     // q152: incremental view replay — the one-shot aggregate over
     // base + both deltas (redelivered b1 must not appear twice)
     "q152_incremental_agg" ->

@@ -62,10 +62,20 @@ object GraphQl {
     * argument is named after the key column). A table absent from
     * `keys` has no by_pk field, exactly like an untracked PK there. */
   final case class Schema(rels: Map[(String, String), Rel],
-      keys: Map[String, String] = Map.empty)
+      keys: Map[String, String] = Map.empty,
+      objRels: Map[(String, String), Rel] = Map.empty) {
+    // one field name cannot be both shapes — Hasura's metadata forbids
+    // the collision too, and resolution order would silently pick one
+    private val both = rels.keySet & objRels.keySet
+    require(both.isEmpty, s"relationship name(s) tracked as BOTH " +
+      s"array and object: ${both.mkString(", ")}")
+  }
 
   /** The fixture tables' FK edges (SURVEY §3) — what "tracking" every
-    * relationship in the reference's schema would produce. */
+    * relationship in the reference's schema would produce. `objRels`
+    * are the MANY-TO-ONE inverses (Hasura object relationships): the
+    * same Rel shape, with `childKey` the related table's KEY, so the
+    * "child group" is at most one row. */
   val fixtureSchema: Schema = Schema(Map(
     ("customer", "orders") -> Rel("orders", "o_custkey", "c_custkey"),
     ("orders", "items") -> Rel("lineitem", "l_orderkey", "o_orderkey"),
@@ -75,7 +85,12 @@ object GraphQl {
     keys = Map(
       "customer" -> "c_custkey", "orders" -> "o_orderkey",
       "nation" -> "n_nationkey", "supplier" -> "s_suppkey",
-      "part" -> "p_partkey", "region" -> "r_regionkey"))
+      "part" -> "p_partkey", "region" -> "r_regionkey"),
+    objRels = Map(
+      ("orders", "customer") -> Rel("customer", "c_custkey", "o_custkey"),
+      ("customer", "nation") -> Rel("nation", "n_nationkey", "c_nationkey"),
+      ("supplier", "nation") -> Rel("nation", "n_nationkey", "s_nationkey"),
+      ("nation", "region") -> Rel("region", "r_regionkey", "n_regionkey")))
 
   // ---- tokenizer -----------------------------------------------------
 
@@ -502,8 +517,12 @@ object GraphQl {
         // a TRACKED relationship name in a where-tree is Hasura's
         // EXISTS predicate: the inner object compiles against the
         // CHILD table (nested relationships recurse), and the leaf
-        // becomes a RelPred run() decorrelates to a semi-join flag
-        ctx.flatMap { case (sc, t) => sc.rels.get((t, field)) } match {
+        // becomes a RelPred run() decorrelates to a semi-join flag.
+        // An OBJECT relationship filters identically — EXISTS over an
+        // at-most-one-row group is just "the referenced row matches"
+        ctx.flatMap { case (sc, t) =>
+          sc.rels.get((t, field)).orElse(sc.objRels.get((t, field)))
+        } match {
           case Some(rel) =>
             QueryBuilder.RelPred(rel.childTable, rel.childKey,
               rel.parentKey,
@@ -582,9 +601,25 @@ object GraphQl {
           if (f.endsWith("_aggregate"))
             schema.rels.get((table, f.stripSuffix("_aggregate")))
           else None
-        rel match {
-          case Some(r) => aggEntry(f, d, r)
-          case None => (d match {
+        // ordering BY AN OBJECT RELATIONSHIP'S COLUMN (Hasura's
+        // `order_by: {customer: {c_name: asc}}`): the related group is
+        // at most one row, so max(column) IS the column — the hidden
+        // OrderAgg join machinery serves it unchanged (missing
+        // referenced rows order as null, Hasura's behavior)
+        val objRel = schema.objRels.get((table, f))
+        (rel, objRel) match {
+          case (Some(r), _) => aggEntry(f, d, r)
+          case (None, Some(r)) =>
+            val as = s"__oa_$idx"; idx += 1
+            d match {
+              case VObj(Seq((c, dv))) =>
+                aggs += QueryBuilder.OrderAgg(as, r.childTable,
+                  r.childKey, r.parentKey,
+                  QueryBuilder.MaxOf(c, s"${as}_v"))
+                Order(as, desc = dirOf(dv, s"$at.$f.$c"))
+              case _ => bad(s"$at.$f: expected {column: asc|desc}")
+            }
+          case _ => (d match {
             case VEnum(x) => x
             case VLit(x: String) => x
             case _ => ""
@@ -775,12 +810,20 @@ object GraphQl {
   /** A relationship's selection set: scalars + at most one sub-level. */
   private def compileRelBody(p: P, schema: Schema, table: String,
       args: Map[String, V], dirs: Map[String, Map[String, V]],
-      alias: Option[String], relName: String, rel: Rel): Nested = {
+      alias: Option[String], relName: String, rel: Rel,
+      single: Boolean = false): Nested = {
     val at = alias.getOrElse(relName)
+    // an object relationship has no one-row slicing semantics — the
+    // arguments reject at parse (Hasura's schema omits them there too)
     checkArgs(args,
-      Set("where", "order_by", "limit", "offset", "distinct_on"), at)
+      if (single) Set("where")
+      else Set("where", "order_by", "limit", "offset", "distinct_on"),
+      at)
+    // object relationships default LEFT (Hasura answers null for a
+    // missing referenced row, never drops the parent)
     val joinType = dirs.get("join")
-      .map(d => strDirArg(d, "join", "type", at)).getOrElse("inner")
+      .map(d => strDirArg(d, "join", "type", at))
+      .getOrElse(if (single) "left" else "inner")
     (dirs.keySet - "join").foreach(d => bad(s"$at: unknown directive @$d"))
     p.expect('{')
     val fields = Seq.newBuilder[NestedField]
@@ -795,8 +838,12 @@ object GraphQl {
       val subArgs = parseArgs(p)
       val subDirs = parseDirectives(p)
       if (p.isPunct('{')) {
-        val r2 = schema.rels.getOrElse((rel.childTable, f2), bad(
-          s"$at.$f2: no tracked relationship on '${rel.childTable}'"))
+        val r2 = schema.rels.getOrElse((rel.childTable, f2),
+          if (schema.objRels.contains((rel.childTable, f2)))
+            bad(s"$at.$f2: object relationships serve at the ROOT " +
+              "level only (this engine)")
+          else bad(
+            s"$at.$f2: no tracked relationship on '${rel.childTable}'"))
         if (sub.isDefined)
           bad(s"$at: at most one nested relationship per level")
         sub = Some(compileRelBody(p, schema, rel.childTable, subArgs,
@@ -818,7 +865,8 @@ object GraphQl {
         .map(compileOrders(_, s"$at.order_by")).getOrElse(Nil),
       limit = intArg(args, "limit", at),
       offset = intArg(args, "offset", at).getOrElse(0),
-      distinctOn = distinctOnArg(args, at))
+      distinctOn = distinctOnArg(args, at),
+      single = single)
   }
 
   /** Parse one GraphQL read query against `schema` → the same
@@ -999,10 +1047,18 @@ object GraphQl {
               distinctOn = distinctOnArg(fargs, fname),
               nodes = aggNodes)
           } else {
-            val rel = schema.rels.getOrElse((table, fname), bad(
-              s"$fname: no tracked relationship on '$table'"))
-            nested += compileRelBody(p, schema, table, fargs, fdirs,
-              alias, fname, rel)
+            schema.rels.get((table, fname)) match {
+              case Some(rel) =>
+                nested += compileRelBody(p, schema, table, fargs,
+                  fdirs, alias, fname, rel)
+              case None =>
+                // Hasura OBJECT relationship (many-to-one): the same
+                // compile, `single` marks the one-object response
+                val rel = schema.objRels.getOrElse((table, fname), bad(
+                  s"$fname: no tracked relationship on '$table'"))
+                nested += compileRelBody(p, schema, table, fargs,
+                  fdirs, alias, fname, rel, single = true)
+            }
           }
         } else {
           if (fargs.nonEmpty || fdirs.nonEmpty)
@@ -1329,6 +1385,37 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q149 GraphQL query failed to parse: $m")
+    }
+
+  /** q153's document — Hasura OBJECT relationships (many-to-one): the
+    * `customer` object selected per order, filtered THROUGH the
+    * relationship in the where tree, and ordered by the related row's
+    * column. */
+  val q153Query: String =
+    """{
+      |  orders(where: {_and: [
+      |      {o_totalprice: {_gt: 450000.0}},
+      |      {customer: {c_mktsegment: {_eq: "BUILDING"}}}]},
+      |    order_by: [{customer: {c_name: desc}}, {o_orderkey: asc}],
+      |    limit: 40) {
+      |    o_orderkey o_totalprice
+      |    customer { c_name c_mktsegment }
+      |  }
+      |}""".stripMargin
+
+  /** q153 — object relationships end to end: the one-row "group"
+    * rides the SAME pre-aggregate-and-join machinery as array
+    * relationships (single flag → the struct itself, null when
+    * absent), the where-tree predicate decorrelates like any EXISTS,
+    * and the order_by column joins through the hidden OrderAgg
+    * (max of a one-row group = the value). DuckDB replays it as a
+    * plain join. */
+  def q153ObjectRel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q153Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q153 GraphQL query failed to parse: $m")
     }
 
   /** q145's document — the streaming-subscription read surface: a
@@ -1901,26 +1988,31 @@ object GraphQl {
   }
 
   private def relNameOf(schema: Schema, parentTable: String,
-      childTable: String, childKey: String, parentKey: String): String =
-    schema.rels.collectFirst {
+      childTable: String, childKey: String, parentKey: String,
+      single: Boolean = false): String =
+    (if (single) schema.objRels else schema.rels).collectFirst {
       case ((pt, name), rel)
           if pt == parentTable && rel.childTable == childTable &&
             rel.childKey == childKey && rel.parentKey == parentKey => name
     }.getOrElse(throw new IllegalArgumentException(
-      s"render: no tracked relationship on '$parentTable' joining " +
+      s"render: no tracked ${if (single) "object " else ""}" +
+        s"relationship on '$parentTable' joining " +
         s"'$childTable' on $childKey = $parentKey"))
 
   private def renderNested(sb: StringBuilder, schema: Schema,
       parentTable: String, n: Nested, indent: Int): Unit = {
     val pad = " " * indent
     val relName = relNameOf(schema, parentTable, n.table, n.childKey,
-      n.parentKey)
+      n.parentKey, n.single)
     sb ++= pad
     if (n.as != relName) sb ++= n.as ++= ": "
     sb ++= relName
     sb ++= renderArgs(n.where, n.orderBy, n.limit, n.offset,
       n.distinctOn, Some((schema, n.table)))
-    if (n.joinType != "inner") sb ++= s""" @join(type: "${n.joinType}")"""
+    // an object relationship's left default round-trips bare; the
+    // non-default inner spelling renders explicitly either way
+    if (n.joinType != (if (n.single) "left" else "inner"))
+      sb ++= s""" @join(type: "${n.joinType}")"""
     sb ++= " {\n"
     n.fields.foreach { f =>
       sb ++= pad ++= "  "
@@ -2025,8 +2117,24 @@ object GraphQl {
           val (schema, t) = ctx.getOrElse(
             throw new IllegalArgumentException("render: an ordering " +
               "aggregate needs the tracked schema"))
-          val rn = relNameOf(schema, t, oa.table, oa.childKey,
-            oa.parentKey)
+          // an OBJECT-relationship ordering (max of the one-row group
+          // = the related column) spells as {rel: {col: dir}} — try
+          // the array-rel aggregate spelling first, else the obj form
+          val arrayName =
+            try Some(relNameOf(schema, t, oa.table, oa.childKey,
+              oa.parentKey))
+            catch { case _: IllegalArgumentException => None }
+          arrayName match {
+            case None =>
+              val objName = relNameOf(schema, t, oa.table,
+                oa.childKey, oa.parentKey, single = true)
+              oa.agg match {
+                case QueryBuilder.MaxOf(f, _) => s"{$objName: {$f: $d}}"
+                case other => throw new IllegalArgumentException(
+                  "render: an object-relationship ordering carries " +
+                    s"MaxOf only, got $other")
+              }
+            case Some(rn) =>
           oa.agg match {
             case QueryBuilder.CountOf(f, _) if f == oa.childKey =>
               s"{${rn}_aggregate: {count: $d}}"
@@ -2040,6 +2148,7 @@ object GraphQl {
               s"{${rn}_aggregate: {avg: {$f: $d}}}"
             case other => throw new IllegalArgumentException(
               s"render: ordering aggregate has no spelling: $other")
+          }
           }
       }
     }
@@ -2068,7 +2177,12 @@ object GraphQl {
       val (schema, t) = ctx.getOrElse(throw new IllegalArgumentException(
         "render: a relationship predicate needs the tracked schema " +
           "(mutation where-trees are column-only)"))
-      val name = relNameOf(schema, t, table, ck, pk)
+      // a predicate through an ARRAY or OBJECT relationship spells
+      // identically (both are the tracked name) — resolve either
+      val name =
+        try relNameOf(schema, t, table, ck, pk)
+        catch { case _: IllegalArgumentException =>
+          relNameOf(schema, t, table, ck, pk, single = true) }
       s"{$name: ${renderBoolExp(pred, Some((schema, table)))}}"
     case QueryBuilder.FlagRef(_) => throw new IllegalArgumentException(
       "render: a decorrelated flag is internal to run() — not a " +

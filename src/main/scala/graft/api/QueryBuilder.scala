@@ -347,10 +347,19 @@ object QueryBuilder {
       sub: Option[Nested] = None, joinType: String = "inner",
       where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
       limit: Option[Int] = None, offset: Int = 0,
-      distinctOn: Seq[String] = Nil) {
+      distinctOn: Seq[String] = Nil,
+      single: Boolean = false) {
     require(fields.nonEmpty, s"nested '$as' selects no fields")
     require(joinType == "inner" || joinType == "left",
       s"nested '$as': joinType must be inner or left")
+    // an OBJECT relationship (Hasura many-to-one): `childKey` is the
+    // related table's KEY, so the "group" is at most one row and the
+    // response is that object (or null) — slicing/ordering arguments
+    // have no one-row semantics and reject rather than silently no-op
+    require(!single || (orderBy.isEmpty && limit.isEmpty &&
+      offset == 0 && distinctOn.isEmpty),
+      s"object relationship '$as': order_by/limit/offset/distinct_on " +
+        "have no single-object semantics")
     require(limit.isEmpty || orderBy.nonEmpty,
       s"nested '$as': limit needs orderBy for a deterministic top-n")
     require(offset == 0 || orderBy.nonEmpty,
@@ -796,9 +805,12 @@ object QueryBuilder {
           n.joinType)
         // the TOP level renders to_json (cross-engine-stable wire
         // shape); inner levels stay structured inside their parent;
-        // a left attach renders childless parents as "[]", not null
+        // a left attach renders childless parents as "[]", not null —
+        // except an OBJECT relationship, whose response is the single
+        // struct itself (null when absent, Hasura's object-rel shape)
         .withColumn(n.as,
-          if (n.joinType == "left")
+          if (n.single) to_json(element_at(col(n.as), 1))
+          else if (n.joinType == "left")
             to_json(coalesce(col(n.as), array()))
           else to_json(col(n.as)))
     }

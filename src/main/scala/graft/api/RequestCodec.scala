@@ -209,7 +209,11 @@ object RequestCodec {
       limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")),
       offset = Option(o.get("offset"))
         .map(intOf(_, s"$where.offset")).getOrElse(0),
-      distinctOn = parseDistinctOn(o, where))
+      distinctOn = parseDistinctOn(o, where),
+      single = Option(o.get("single")).exists { v =>
+        if (!v.isBoolean) bad(s"$where.single: expected a boolean")
+        v.asBoolean
+      })
   }
 
   private def parseDistinctOn(o: ObjectNode, where: String): Seq[String] =
@@ -432,6 +436,7 @@ object RequestCodec {
       f.cast.foreach(fo.put("cast", _))
     }
     n.sub.foreach(m => o.set[ObjectNode]("sub", renderNested(m)))
+    if (n.single) o.put("single", true)
     if (n.joinType != "inner") o.put("join", n.joinType)
     n.where.foreach(w => o.set[ObjectNode]("where", renderBool(w)))
     renderOrders(o, n.orderBy)
@@ -487,6 +492,10 @@ object RequestCodec {
               if (pop) "stddev_pop" else "stddev_samp"
             case VarianceOf(_, _, pop, _) =>
               if (pop) "var_pop" else "var_samp"
+            case other => throw new IllegalArgumentException(
+              s"render: relationship aggregate ${other.getClass
+                .getSimpleName} has no wire form (root-aggregate-only " +
+                "arm) — a MatchError here would be a silent drift")
           }
           fo.put("fn", fn)
           val field = f match {
@@ -497,6 +506,9 @@ object RequestCodec {
             case AvgOf(x, _) => x
             case StddevOf(x, _, _, _) => x
             case VarianceOf(x, _, _, _) => x
+            case other => throw new IllegalArgumentException(
+              s"render: relationship aggregate ${other.getClass
+                .getSimpleName} has no wire form")
           }
           fo.put("field", field); fo.put("as", f.as)
           f match {

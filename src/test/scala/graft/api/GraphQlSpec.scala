@@ -792,6 +792,47 @@ class GraphQlSpec extends SparkSpec {
       "{ customer { c_custkey orders_aggregate { } } }").isLeft)
   }
 
+  test("object relationships: q153 parses to a single-flagged Nested " +
+    "with RelPred filter and OrderAgg ordering; round-trips; " +
+    "one-row-meaningless args reject") {
+    val r = GraphQl.parse(GraphQl.q153Query).fold(m => fail(m), identity)
+    val n = r.nested.head
+    assert(n.single && n.table === "customer" &&
+      n.childKey === "c_custkey" && n.parentKey === "o_custkey" &&
+      n.joinType === "left")
+    // the where-tree predicate through the object rel is a RelPred
+    assert(r.where === Some(And(
+      Gt("o_totalprice", 450000.0),
+      RelPred("customer", "c_custkey", "o_custkey",
+        Eq("c_mktsegment", "BUILDING")))))
+    // ordering by the related row's column = a hidden MaxOf OrderAgg
+    assert(r.orderAggs.map(oa => (oa.table, oa.childKey, oa.parentKey))
+      === Seq(("customer", "c_custkey", "o_custkey")))
+    assert(r.orderAggs.head.agg.isInstanceOf[MaxOf])
+    // printer + codec round-trips (codec: single flag; printer: the
+    // object-rel name resolves from objRels, left default bare)
+    assert(GraphQl.parse(GraphQl.render(r)) === Right(r))
+    val rNoOrder = r.copy(orderBy = r.orderBy.filterNot(
+      _.field.startsWith("__oa")), orderAggs = Nil)
+    assert(RequestCodec.parse(RequestCodec.render(rNoOrder))
+      === Right(rNoOrder))
+    // slicing args have no one-object semantics
+    assert(GraphQl.parse(
+      "{ orders { o_orderkey customer(limit: 1) { c_name } } }")
+      .isLeft)
+    assert(GraphQl.parse(
+      "{ orders { o_orderkey customer(order_by: {c_name: asc}) " +
+        "{ c_name } } }").isLeft)
+    // object rels serve at the root level only (documented scope)
+    assert(GraphQl.parse(
+      "{ customer { c_custkey orders { o_orderkey customer " +
+        "{ c_name } } } }").fold(identity, x => fail(s"parsed: $x"))
+      .contains("ROOT level only"))
+    // a name tracked as NEITHER shape still rejects
+    assert(GraphQl.parse(
+      "{ orders { o_orderkey supplier { s_name } } }").isLeft)
+  }
+
   test("_stream: the canned q145 document parses to the cursor request") {
     val sr = GraphQl.parseStream(GraphQl.q145Query)
       .fold(m => fail(m), identity)
