@@ -1057,6 +1057,51 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q154: cohort retention — distinct (user, week) activity joined
+    // to each user's first week; offsets are exact multiples of 7
+    "q154_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events),
+        |fu AS (SELECT user_id, MIN(w) AS cw FROM e GROUP BY 1)
+        |SELECT epoch_us(cw) AS cohort,
+        |       (date_diff('day', cw::DATE, w::DATE) // 7)::BIGINT
+        |         AS week_offset,
+        |       COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM e JOIN fu USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q155: the funnel's chained window minima replay verbatim — a
+    // later step's gate reads the earlier step's window column
+    "q155_event_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type, ts,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |y AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+        |                     THEN ts END)
+        |              OVER (PARTITION BY user_id) AS t2
+        |  FROM x),
+        |z AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+        |                     THEN ts END)
+        |              OVER (PARTITION BY user_id) AS t3
+        |  FROM y),
+        |agg AS (
+        |  SELECT
+        |    COUNT(DISTINCT CASE WHEN t1 IS NOT NULL
+        |                        THEN user_id END)::BIGINT AS n_view,
+        |    COUNT(DISTINCT CASE WHEN t2 IS NOT NULL
+        |                        THEN user_id END)::BIGINT AS n_click,
+        |    COUNT(DISTINCT CASE WHEN t3 IS NOT NULL
+        |                        THEN user_id END)::BIGINT AS n_purchase
+        |  FROM z)
+        |SELECT n_view, n_click, n_purchase,
+        |       ROUND(n_click::DOUBLE / n_view, 4) AS r_view_click,
+        |       ROUND(n_purchase::DOUBLE / n_click, 4)
+        |         AS r_click_purchase
+        |FROM agg""".stripMargin,
     // q153: object relationship replay — a plain join; the object
     // column is the struct JSON, ordering via the joined name
     "q153_object_rel" ->

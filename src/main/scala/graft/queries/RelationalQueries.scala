@@ -574,6 +574,59 @@ object RelationalQueries {
         min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
   }
 
+  /** Q154 — COHORT RETENTION: users grouped by first-seen week, the
+    * classic warehouse activity matrix (cohort week × week offset →
+    * distinct active users) a product dashboard draws. Two folds on
+    * user_id — first-seen week, then the distinct (user, week)
+    * activity — joined and re-grouped; every shuffle keys on user_id
+    * or the small (cohort, offset) output space, nothing quadratic.
+    * Week keys serialize as epoch micros (the q19 cross-engine date
+    * discipline); both engines truncate weeks to Monday. */
+  def q154CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val fu = e.groupBy("user_id").agg(min(col("w")).as("cw"))
+    e.join(fu, "user_id")
+      .groupBy(unix_micros(col("cw")).as("cohort"),
+        (datediff(col("w"), col("cw")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** Q155 — ORDERED EVENT FUNNEL: per user, the strictly-increasing
+    * view → click → purchase timestamp chain (a later step counts
+    * only AFTER the earlier one happened — the sequencing that
+    * separates a funnel from three independent counts), reported as
+    * step reach + conversion rates. Three chained whole-partition
+    * window minima over ONE user_id exchange (each step's gate
+    * reads the previous window's column), then a single global fold
+    * — no self-joins, no per-user collect. */
+  def q155EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+    staged.agg(
+        countDistinct(when(col("t1").isNotNull, col("user_id")))
+          .as("n_view"),
+        countDistinct(when(col("t2").isNotNull, col("user_id")))
+          .as("n_click"),
+        countDistinct(when(col("t3").isNotNull, col("user_id")))
+          .as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view"), 4)
+          .as("r_view_click"),
+        round(col("n_purchase").cast("double") / col("n_click"), 4)
+          .as("r_click_purchase"))
+  }
+
   /** Q152 — INCREMENTAL AGGREGATE VIEW maintenance end to end: a
     * persisted per-customer orders view (count / revenue sum / max
     * price) builds from a base slice, then refreshes from two delta
