@@ -207,27 +207,53 @@ object Bench {
     // map (queries_in_file points at the full record) — the line must
     // NEVER record parsed:null again, least of all on failure-heavy runs.
     // Keys are shortKey-compressed ("50rb"); full names in the file.
-    def lineAt(decimals: Int, fullErrors: Boolean): String = {
+    // digits-only keys ("152") save ~3 chars/query over "152ia" when
+    // the map gets tight — except where two keys share the digits
+    // (q57's write/scan/unclustered triplet), which keep the initials
+    val digitCounts = results.map(r => shortKey(r._1).takeWhile(_.isDigit))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def tinyKey(name: String): String = {
+      val sk = shortKey(name)
+      val digits = sk.takeWhile(_.isDigit)
+      if (digits.nonEmpty && digitCounts.getOrElse(digits, 0) == 1)
+        digits
+      else sk
+    }
+    def lineAt(decimals: Int, fullErrors: Boolean,
+        digitsOnly: Boolean = false): String = {
       val errField =
         if (errors.isEmpty) ""
         else if (fullErrors) s""","errors":$errJson"""
         else s""","errors_n":${errors.values.sum}"""
+      val key = if (digitsOnly) tinyKey(_: String) else shortKey(_: String)
       val qs = results
-        .map(r => s"\"" + shortKey(r._1) + "\":" + short(r._2, decimals))
+        .map(r => s"\"" + key(r._1) + "\":" + short(r._2, decimals))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"keys":"qid+initials","queries_in_file":"target/bench_last.json","sf":$sfShort$errField}"""
+      val ks = if (digitsOnly) "qid" else "qid+initials"
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"keys":"$ks","queries_in_file":"target/bench_last.json","sf":$sfShort$errField}"""
     }
     val terminal =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_in_file":"target/bench_last.json","n_queries":${results.size},"sf":$sfShort${if (errors.isEmpty) "" else s""","errors_n":${errors.values.sum}"""}}"""
     val line = Seq(lineAt(2, fullErrors = true), lineAt(1, fullErrors = true),
-        lineAt(1, fullErrors = false), terminal)
+        lineAt(1, fullErrors = false),
+        lineAt(1, fullErrors = false, digitsOnly = true), terminal)
       .find(_.length <= 1950).getOrElse(terminal)
 
     // prev rounds may be recorded under either key style: join on the
     // short form, report under the full name
-    val prevN = prev.map { case (k, v) => shortKey(k) -> v }
+    // prior rounds may be keyed full-name, qid+initials, OR digits-
+    // only (the tight-line fallback): index prev under both spellings
+    // and look up likewise (digit collisions — the q57 triplet — stay
+    // resolvable through their initialed form)
+    val prevN = prev.flatMap { case (k, v) =>
+      val sk = shortKey(k)
+      val d = sk.takeWhile(_.isDigit)
+      Seq(sk -> v) ++ (if (d.nonEmpty && d != sk) Seq(d -> v) else Nil)
+    }
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
-      prevN.get(shortKey(name)).filter(_ > 0).map(p => name -> t / p)
+      val sk = shortKey(name)
+      prevN.get(sk).orElse(prevN.get(sk.takeWhile(_.isDigit)))
+        .filter(_ > 0).map(p => name -> t / p)
     })
     val gcByQ = jmap(results.map(r => r._1 -> r._3))
     val allRuns = results.map { case (name, _, _, ts) =>

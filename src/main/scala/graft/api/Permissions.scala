@@ -314,6 +314,43 @@ object Permissions {
     * Hasura's permission-filter semantics — affected_rows shrinks
     * accordingly, no error), inserts and returning selections are
     * column-checked. */
+  /** Secure a ROOT-AGGREGATE request: the role's row filter ANDs into
+    * the where (an unfiltered count/sum over invisible rows would
+    * LEAK them as numbers), and every referenced column — aggregated,
+    * nodes, ordering, filtering — must be granted. */
+  def secureAggregate(r: QueryBuilder.AggRequest, role: String,
+      policy: Policy): Either[String, QueryBuilder.AggRequest] =
+    for {
+      perm <- policy.get(role, r.table)
+      _ <- checkCols(r.aggs.flatMap(aggCols) ++ r.nodes ++
+        r.orderBy.map(_.field) ++ r.where.toSeq.flatMap(whereCols),
+        perm, role, r.table, "aggregate request")
+      w2 <- r.where match {
+        case Some(w) =>
+          secureWhere(w, role, policy, perm, r.table).map(Some(_))
+        case None => Right(None)
+      }
+    } yield r.copy(where = andWith(perm.filter, w2))
+
+  /** Secure a STREAMING subscription: the filter ANDs into the cursor
+    * scan (compiled predicates reach the streaming source), and the
+    * selected fields AND the cursor column must be granted — a
+    * cursor on an ungranted column would leak its values through
+    * page boundaries. */
+  def secureStream(sr: Subscriptions.StreamRequest, role: String,
+      policy: Policy): Either[String, Subscriptions.StreamRequest] =
+    for {
+      perm <- policy.get(role, sr.table)
+      _ <- checkCols(sr.fields ++ Seq(sr.cursorField) ++
+        sr.where.toSeq.flatMap(whereCols),
+        perm, role, sr.table, "stream subscription")
+      w2 <- sr.where match {
+        case Some(w) =>
+          secureWhere(w, role, policy, perm, sr.table).map(Some(_))
+        case None => Right(None)
+      }
+    } yield sr.copy(where = andWith(perm.filter, w2))
+
   def secureFields(fields: Seq[Mutations.Field], role: String,
       policy: Policy): Either[String, Seq[Mutations.Field]] = {
     def secureMutation(m: Mutations.Mutation)

@@ -151,6 +151,33 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("secureAggregate / secureStream: the role filter ANDs in, " +
+    "ungranted columns (incl. the cursor) reject") {
+    val ar = QueryBuilder.AggRequest("customer",
+      where = Some(Gt("c_acctbal", 0.0)),
+      aggs = Seq(CountOf("c_custkey", "count"),
+        SumOf("c_acctbal", "s")))
+    val sec = Permissions.secureAggregate(ar, "analyst", policy)
+      .fold(m => fail(m), identity)
+    assert(sec.where === Some(And(Eq("c_mktsegment", "BUILDING"),
+      Gt("c_acctbal", 0.0))))
+    // an aggregate over an ungranted column would leak it as a number
+    assert(Permissions.secureAggregate(ar.copy(aggs =
+      Seq(SumOf("c_secret", "s"))), "analyst", policy).isLeft)
+    assert(Permissions.secureAggregate(ar.copy(nodes = Seq("c_secret")),
+      "analyst", policy).isLeft)
+    val sr = Subscriptions.StreamRequest("customer", "c_custkey",
+      Some(0L), batchSize = 5, fields = Seq("c_custkey", "c_name"))
+    val ss = Permissions.secureStream(sr, "analyst", policy)
+      .fold(m => fail(m), identity)
+    assert(ss.where === Some(Eq("c_mktsegment", "BUILDING")))
+    // ungranted cursor column leaks values through page boundaries
+    assert(Permissions.secureStream(sr.copy(cursorField = "c_secret"),
+      "analyst", policy).isLeft)
+    assert(Permissions.secureStream(sr.copy(table = "nope"),
+      "analyst", policy).isLeft)
+  }
+
   test("insert check clause: inserted rows must satisfy the row " +
     "filter; upserts on row-filtered tables reject") {
     // a check-passing insert goes through
