@@ -1057,6 +1057,31 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q156: change feed replay — full outer join of the two states,
+    // op from null-sides / IS DISTINCT FROM, delete carries BEFORE
+    "q156_change_feed" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal
+        |           FROM customer),
+        |a AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_mktsegment = 'BUILDING'
+        |              THEN c_acctbal + 100.0 ELSE c_acctbal END
+        |           AS c_acctbal
+        |  FROM customer WHERE c_custkey > 10
+        |  UNION ALL VALUES (999001, 'NEW', 1.0), (999002, 'NEW', 2.0)),
+        |d AS (
+        |  SELECT CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |              WHEN a.c_custkey IS NULL THEN 'delete'
+        |              WHEN a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+        |                OR a.c_acctbal IS DISTINCT FROM b.c_acctbal
+        |              THEN 'update' END AS op,
+        |         COALESCE(a.c_custkey, b.c_custkey) AS k,
+        |         CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal
+        |              ELSE a.c_acctbal END AS bal
+        |  FROM b FULL OUTER JOIN a ON a.c_custkey = b.c_custkey)
+        |SELECT op, COUNT(*)::BIGINT AS n, SUM(k)::BIGINT AS k_sum,
+        |       ROUND(SUM(bal), 2) AS bal_sum
+        |FROM d WHERE op IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     // q154: cohort retention — distinct (user, week) activity joined
     // to each user's first week; offsets are exact multiples of 7
     "q154_cohort_retention" ->

@@ -627,6 +627,32 @@ object RelationalQueries {
           .as("r_click_purchase"))
   }
 
+  /** Q156 — snapshot CHANGE FEED: derive the CDC-out delta between
+    * two store generations ([[graft.sources.SnapshotStore.diff]]) —
+    * the "after" state drops keys ≤ 10, re-prices every BUILDING row,
+    * and adds two fresh keys, so the feed carries all three ops with
+    * delete rows showing BEFORE values and insert/update rows AFTER
+    * values. Reported as per-op counts + checksums (the feed itself
+    * is row-level; the checksums hash its images). */
+  def q156ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val before = t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val after = before.filter(col("c_custkey") > 10L)
+      .withColumn("c_acctbal",
+        when(col("c_mktsegment") === "BUILDING",
+          col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+      .unionByName(s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(999001L, "NEW", 1.0),
+        org.apache.spark.sql.Row(999002L, "NEW", 2.0)),
+        before.schema))
+    graft.sources.SnapshotStore.diff(before, after, "c_custkey")
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("k_sum"),
+        round(sum(col("c_acctbal")), 2).as("bal_sum"))
+      .orderBy("op")
+  }
+
   /** Q152 — INCREMENTAL AGGREGATE VIEW maintenance end to end: a
     * persisted per-customer orders view (count / revenue sum / max
     * price) builds from a base slice, then refreshes from two delta

@@ -122,4 +122,44 @@ object SnapshotStore {
       idCol: String): DataFrame =
     existing.unionByName(
       delta.join(existing.select(idCol), Seq(idCol), "left_anti"))
+
+  /** CHANGE FEED between two snapshot states — the CDC-OUT direction
+    * (the reference emits deltas to downstream consumers over the
+    * bus; this derives them from any two store generations, e.g.
+    * before/after an [[graft.sources.AtomicSwap]] rewrite). One row
+    * per changed key: `op` ∈ insert/update/delete, the data columns
+    * carrying the AFTER image for insert/update and the BEFORE image
+    * for delete (the prior values are what a consumer needs to
+    * retract). Unchanged keys are absent. NULL-SAFE value comparison
+    * (a value→null transition IS an update).
+    *
+    * Scale: one full-outer hash join on the key + a codegen struct
+    * comparison — O(|before| + |after|), no driver state; the output
+    * is bounded by the churn, not the store. */
+  def diff(before: DataFrame, after: DataFrame,
+      keyCol: String): DataFrame = {
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"diff: snapshot schemas differ (${before.columns.mkString(",")}" +
+        s" vs ${after.columns.mkString(",")})")
+    val dataCols = before.columns.filterNot(_ == keyCol).toSeq
+    val b = before.select(col(keyCol).as("__bk") +:
+      dataCols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(keyCol).as("__ak") +:
+      dataCols.map(c => col(c).as(s"__a_$c")): _*)
+    val valueChanged =
+      if (dataCols.isEmpty) lit(false)
+      else !(struct(dataCols.map(c => col(s"__a_$c")): _*) <=>
+        struct(dataCols.map(c => col(s"__b_$c")): _*))
+    b.join(a, col("__bk") === col("__ak"), "full_outer")
+      .withColumn("op",
+        when(col("__bk").isNull, "insert")
+          .when(col("__ak").isNull, "delete")
+          .when(valueChanged, "update"))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: coalesce(col("__ak"), col("__bk")).as(keyCol)
+        +: dataCols.map(c =>
+          // delete carries the BEFORE image; insert/update the AFTER
+          when(col("op") === "delete", col(s"__b_$c"))
+            .otherwise(col(s"__a_$c")).as(c)): _*)
+  }
 }

@@ -90,4 +90,29 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.writeJdbc(snap.filter(col("token_id") <= 2), url, "snapshot")
     assert(SnapshotStore.readJdbc(spark, url, "snapshot").count() === 2)
   }
+
+  test("diff: ops classify by side/value, delete carries the BEFORE " +
+    "image, value<->null transitions are updates, unchanged absent") {
+    val before = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, Some("a"), 1.0), // unchanged
+      (2L, None: Option[String], 2.0), // value -> null = update
+      (3L, Some("c"), 3.0), // null -> value = update
+      (5L, Some("e"), 5.0)) // fresh; k=4 deleted
+      .toDF("k", "s", "v")
+    val d = SnapshotStore.diff(before, after, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), r.getDouble(3))).sortBy(_._2)
+    assert(d === Array(
+      ("update", 2L, None, 2.0),
+      ("update", 3L, Some("c"), 3.0),
+      ("delete", 4L, Some("d"), 4.0), // BEFORE image
+      ("insert", 5L, Some("e"), 5.0)))
+    // schema drift between generations is loud, never a silent
+    // column-positional comparison
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.diff(before, after.withColumnRenamed("v", "w"), "k"))
+    assert(e.getMessage.contains("schemas differ"))
+  }
 }
