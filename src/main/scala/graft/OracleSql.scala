@@ -1252,9 +1252,9 @@ object OracleSql {
         |  AND json_extract_string(props, '$.k') = '69'
         |  AND len(list_filter(json_keys(props),
         |        x -> x NOT IN ('k', 'extra'))) = 0
-        |  AND (json_extract_string(props, '$.k') IS NULL
+        |  AND (NOT list_contains(json_keys(props), 'k')
         |       OR json_extract_string(props, '$.k') = '69')
-        |  AND (json_extract_string(props, '$.extra') IS NULL
+        |  AND (NOT list_contains(json_keys(props), 'extra')
         |       OR json_extract_string(props, '$.extra') = '1')
         |  AND NOT list_contains(json_keys(props), 'zz')
         |ORDER BY event_id LIMIT 50""".stripMargin,

@@ -1272,8 +1272,12 @@ object GraphQl {
       val batchSize = intArg(args, "batch_size", root).getOrElse(
         bad(s"$root: batch_size is required"))
       if (batchSize <= 0) bad(s"$root: batch_size must be positive")
+      // COLUMN-ONLY where (ctx = None, the mutation-tree posture): a
+      // relationship predicate would compile to a RelPred the stream
+      // executors cannot evaluate (toColumn throws) — better a parse
+      // Left than a first-trigger crash
       val where = args.get("where")
-        .map(compileBool(_, s"$root.where", Some((schema, table))))
+        .map(compileBool(_, s"$root.where"))
       p.expect('{')
       val fields = Seq.newBuilder[String]
       while (!p.isPunct('}')) {

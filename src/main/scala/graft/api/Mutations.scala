@@ -123,7 +123,9 @@ object Mutations {
     * reflect THIS step's state even after later mutations fold on).
     * For an [[UpdateMany]] field, `perStep` carries the per-update
     * responses (Hasura returns a LIST of mutation_response objects
-    * for `_many`); `affected`/`returning` then aggregate them. */
+    * for `_many`, and `returning` belongs to EACH update — so the
+    * field-level `returning` stays None by design; only `affected`
+    * aggregates, as the step-count total). */
   final case class FieldResult(affected: Long,
       returning: Option[DataFrame],
       perStep: Option[Seq[FieldResult]] = None)

@@ -330,7 +330,16 @@ object Permissions {
           secureWhere(w, role, policy, perm, r.table).map(Some(_))
         case None => Right(None)
       }
-    } yield r.copy(where = andWith(perm.filter, w2))
+      merged = andWith(perm.filter, w2)
+      // runAggregate applies the where via toColumn — a relationship
+      // predicate (legal in role filters for the run() path, which
+      // decorrelates) has no row-local form there: deny HERE, not as
+      // a first-execution crash
+      _ <- if (merged.exists(QueryBuilder.hasRelPred))
+        Left(s"role '$role': the effective aggregate filter carries " +
+          "a relationship predicate — not servable by runAggregate")
+      else Right(())
+    } yield r.copy(where = merged)
 
   /** Secure a STREAMING subscription: the filter ANDs into the cursor
     * scan (compiled predicates reach the streaming source), and the
@@ -349,7 +358,15 @@ object Permissions {
           secureWhere(w, role, policy, perm, sr.table).map(Some(_))
         case None => Right(None)
       }
-    } yield sr.copy(where = andWith(perm.filter, w2))
+      merged = andWith(perm.filter, w2)
+      // same guard as secureAggregate: the stream executors evaluate
+      // the where row-locally — a relationship predicate would kill
+      // the streaming query at its first trigger instead
+      _ <- if (merged.exists(QueryBuilder.hasRelPred))
+        Left(s"role '$role': the effective stream filter carries a " +
+          "relationship predicate — not servable over a cursor scan")
+      else Right(())
+    } yield sr.copy(where = merged)
 
   def secureFields(fields: Seq[Mutations.Field], role: String,
       policy: Policy): Either[String, Seq[Mutations.Field]] = {

@@ -225,7 +225,11 @@ object QueryBuilder {
   }
   /** Hasura `_contained_in` (jsonb `<@`): the column's top-level
     * object is a subset of the literal — every column key appears in
-    * the literal, and where both carry a value they agree. */
+    * the literal, and where the column CARRIES the key its value must
+    * equal the literal's (a column-side JSON null never equals a
+    * scalar literal, matching jsonb: `{"k": null} <@ {"k": 69}` is
+    * false; null literal VALUES are rejected at construction like
+    * `_contains`). */
   final case class JsonContainedIn(field: String,
       pairs: Seq[(String, Any)]) extends BoolExp {
     pairs.foreach { case (k, v) =>
@@ -233,15 +237,18 @@ object QueryBuilder {
       jsonScalar(v, s"_contained_in on '$field'.$k")
     }
     private[api] def toColumn: Column = {
+      val keys = json_object_keys(col(field))
       val litKeys = array(pairs.map(p => lit(p._1)): _*)
       val keySubset =
-        if (pairs.isEmpty) size(json_object_keys(col(field))) === 0
-        else forall(json_object_keys(col(field)),
-          k => array_contains(litKeys, k))
+        if (pairs.isEmpty) size(keys) === 0
+        else forall(keys, k => array_contains(litKeys, k))
       pairs.foldLeft(keySubset) { case (acc, (k, v)) =>
-        val e = get_json_object(col(field), s"$$.$k")
-        acc && (e.isNull || e ===
-          lit(jsonScalar(v, s"_contained_in on '$field'.$k")))
+        // key absent → vacuously fine; key PRESENT → extracted value
+        // must equal the literal (JSON null extracts as SQL null and
+        // equals nothing — the jsonb answer)
+        acc && (!array_contains(keys, k) ||
+          get_json_object(col(field), s"$$.$k") ===
+            lit(jsonScalar(v, s"_contained_in on '$field'.$k")))
       }
     }
   }
@@ -829,24 +836,38 @@ object QueryBuilder {
         // the nodes arm (Hasura's rows-next-to-their-aggregates inside
         // a relationship aggregate): the sliced child rows as one
         // sorted struct array, riding the SAME pre-aggregation — the
-        // root-aggregate nodes discipline applied per parent key
+        // root-aggregate nodes discipline applied per parent key.
+        // Internally aliased per aggRel (a base column named "nodes"
+        // or a second nodes arm must never resolve ambiguously)
         val aggCols = a.aggs.map(_.agg(loaded)) ++
           (if (a.nodes.isEmpty) Nil
            else Seq(sort_array(collect_list(
-             struct(a.nodes.map(loaded(_)): _*))).as("nodes")))
+             struct(a.nodes.map(loaded(_)): _*))).as(s"__nodes_$i")))
         val rel = child.groupBy(loaded(a.childKey).as(keyAlias))
           .agg(aggCols.head, aggCols.tail: _*)
         acc.join(rel, base0(a.parentKey) === rel(keyAlias), a.joinType)
     }
+    // the OUTPUT name "nodes" is single-occupancy: Hasura's response
+    // nests per relationship, but this engine's is flat — a second
+    // nodes arm (or a selected base column named "nodes") would emit
+    // duplicate columns whose hash comparison silently depends on
+    // resolution order. Loud, like every naming collision here.
+    require(req.aggRels.count(_.nodes.nonEmpty) <= 1,
+      "at most one relationship-aggregate nodes arm per request " +
+        "(the flat response has one 'nodes' column)")
+    require(req.aggRels.forall(_.nodes.isEmpty) ||
+      !req.fields.contains("nodes"),
+      "a selected column named 'nodes' collides with the nodes arm")
     val outCols = req.fields.map(base0(_)) ++
       req.nested.map(n => col(n.as)) ++
-      req.aggRels.flatMap(a =>
+      req.aggRels.zipWithIndex.flatMap { case (a, i) =>
         a.aggs.map(f => f.post(col(f.as)).as(f.as)) ++
           // childless parents render "[]" like the Nested arm, never
           // null — to_json here keeps the wire shape engine-stable
           (if (a.nodes.isEmpty) Nil
-           else Seq(to_json(coalesce(col("nodes"), array()))
-             .as("nodes"))))
+           else Seq(to_json(coalesce(col(s"__nodes_$i"), array()))
+             .as("nodes")))
+      }
     val shaped = withAggs.select(outCols: _*)
     val ordered =
       if (req.orderBy.isEmpty) shaped

@@ -915,6 +915,14 @@ class GraphQlSpec extends SparkSpec {
     assert(left("subscription { events(cursor: {initial_value: " +
       "{event_id: 1}}, batch_size: 2) { event_id } }")
       .contains("expected <table>_stream"))
+    // a relationship predicate in the stream where has no cursor-scan
+    // form: column-only compilation makes it a parse Left, never a
+    // first-trigger crash
+    assert(GraphQl.parseStream(
+      """subscription { customer_stream(cursor: {initial_value:
+        | {c_custkey: null}}, batch_size: 2,
+        | where: {orders: {o_totalprice: {_gt: 1.0}}}) {
+        | c_custkey } }""".stripMargin).isLeft)
   }
 
   test("_stream printer: parseStream(renderStream(sr)) == Right(sr) " +

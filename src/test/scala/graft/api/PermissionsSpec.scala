@@ -176,6 +176,19 @@ class PermissionsSpec extends SparkSpec {
       "analyst", policy).isLeft)
     assert(Permissions.secureStream(sr.copy(table = "nope"),
       "analyst", policy).isLeft)
+    // a role filter CARRYING a relationship predicate is legal for
+    // run() (which decorrelates) but has no row-local form for the
+    // stream/aggregate executors — denied at secure time, not a
+    // first-trigger crash
+    val relPolicy = Policy(Map(("rp", "customer") -> TablePerm(
+      filter = Some(RelPred("orders", "o_custkey", "c_custkey",
+        Gt("o_totalprice", 0.0))))))
+    val srm = Permissions.secureStream(sr, "rp", relPolicy)
+    assert(srm.isLeft && srm.left.exists(_.contains("relationship")))
+    val arm = Permissions.secureAggregate(
+      QueryBuilder.AggRequest("customer",
+        aggs = Seq(CountOf("c_custkey", "count"))), "rp", relPolicy)
+    assert(arm.isLeft && arm.left.exists(_.contains("relationship")))
   }
 
   test("insert check clause: inserted rows must satisfy the row " +

@@ -534,22 +534,27 @@ class QueryBuilderSpec extends SparkSpec {
       (4L, "not json"),
       (5L, "[1,2]"),
       (6L, null.asInstanceOf[String]),
-      (7L, "{}")
+      (7L, "{}"),
+      (8L, """{"k": null}""")
     ).toDF("id", "props")
     def ids(e: BoolExp): Seq[Long] =
       df.filter(e.toColumn).select("id").collect()
         .map(_.getLong(0)).toSeq.sorted
-    assert(ids(HasKey("props", "k")) === Seq(1L, 2L))
+    // a JSON-null value still HAS the key (jsonb ? semantics)
+    assert(ids(HasKey("props", "k")) === Seq(1L, 2L, 8L))
     // three-valued: garbage/null/array rows are NULL under the key
     // check, so NOT keeps them out too — only real objects negate
     assert(ids(Not(HasKey("props", "k"))) === Seq(3L, 7L))
-    assert(ids(HasKeysAny("props", Seq("k", "m"))) === Seq(1L, 2L, 3L))
+    assert(ids(HasKeysAny("props", Seq("k", "m"))) ===
+      Seq(1L, 2L, 3L, 8L))
     assert(ids(HasKeysAll("props", Seq("k", "m"))) === Seq(1L))
     assert(ids(JsonContains("props", Seq("k" -> 69L))) === Seq(1L))
     assert(ids(JsonContains("props",
       Seq("k" -> 69L, "m" -> "x"))) === Seq(1L))
     // contained_in: absent keys pass, value mismatches (k=70) fail,
-    // the empty object is a subset of anything
+    // the empty object is a subset of anything — and a PRESENT key
+    // holding JSON null never equals a scalar (jsonb:
+    // {"k": null} <@ {"k": 69} is false)
     assert(ids(JsonContainedIn("props",
       Seq("k" -> 69L, "m" -> "x", "z" -> 1L))) === Seq(1L, 3L, 7L))
     assert(ids(JsonContainedIn("props", Nil)) === Seq(7L))
