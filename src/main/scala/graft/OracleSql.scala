@@ -1867,6 +1867,30 @@ object OracleSql {
          |      FROM d)
          |SELECT lang, COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens
          |FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang""".stripMargin,
+    // q157: temperature mixing — budgets from the corpus's own token
+    // counts (⌊T·√n_l/Σ√n⌋, IEEE-exact both engines), then the q63
+    // hash-order admission
+    "q157_temperature_mix" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#1'")} AS h
+         |  FROM documents),
+         |lt AS (SELECT lang, SUM(ntok)::DOUBLE AS n_l
+         |       FROM d GROUP BY 1),
+         |z AS (SELECT SUM(SQRT(n_l)) AS z FROM lt),
+         |b AS (SELECT lang,
+         |        CAST(FLOOR(5000.0 * SQRT(n_l) / z) AS BIGINT)
+         |          AS budget
+         |      FROM lt, z),
+         |c AS (SELECT d.lang, ntok, budget,
+         |        SUM(ntok) OVER (PARTITION BY d.lang
+         |                        ORDER BY h, doc_id) AS cum
+         |      FROM d JOIN b USING (lang))
+         |SELECT lang, budget, COUNT(*) AS n_docs,
+         |       SUM(ntok)::BIGINT AS n_tokens
+         |FROM c WHERE cum <= budget
+         |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
     "q64_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),

@@ -759,6 +759,38 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** Q157 — TEMPERATURE-weighted corpus mixing (the multilingual-LM
+    * resampling rule: language budgets ∝ size^α, α = 0.5 — upweights
+    * low-resource languages relative to proportional sampling without
+    * q63's hand-set per-language budgets). Budgets derive from the
+    * corpus itself: budget_l = ⌊T · √n_l / Σ√n_m⌋ over token counts,
+    * then q63's deterministic hash-order admission per language up to
+    * the budget. √ (not pow(·, α)) keeps the arithmetic IEEE-exact on
+    * both engines. The budget table is languages-sized — broadcast —
+    * and the admission is the same one window per language. */
+  def q157TemperatureMix(s: SparkSession, dir: String,
+      total: Long = 5000): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("ntok"),
+      seededHash(col("doc_id").cast("string"), 1).as("h"))
+    val langTok = d.groupBy("lang")
+      .agg(sum(col("ntok")).cast("double").as("n_l"))
+      .withColumn("wr", sqrt(col("n_l")))
+    val z = langTok.agg(sum(col("wr")).as("z"))
+    val budgets = broadcast(langTok.crossJoin(z)
+      .select(col("lang"),
+        floor(lit(total.toDouble) * col("wr") / col("z"))
+          .cast("long").as("budget")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    d.join(budgets, "lang")
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .filter(col("cum") <= col("budget"))
+      .groupBy("lang", "budget")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Q64 — benchmark decontamination: flag corpus docs sharing ANY word
     * 5-gram with the eval set (stand-in: doc_id < 10) — the standard
     * leakage guard before training. Inverted-index shape: explode both

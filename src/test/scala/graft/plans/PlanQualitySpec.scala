@@ -631,6 +631,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(ordersScans <= 1, s"orders scanned $ordersScans times:\n$p")
   }
 
+  test("q155 funnel: three chained window minima share ONE user_id " +
+    "exchange, never a partition-less window") {
+    val df = R.q155EventFunnel(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every WindowExec is keyed on user_id (partitionBy present)
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition()") ||
+          (l.contains("Window") && l.contains("No Partition"))),
+      s"partition-less window in funnel plan:\n$p")
+    // the three step columns fold over one exchange on user_id
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges <= 1, s"funnel re-shuffles per step:\n$p")
+  }
+
+  test("q156 change feed: one full-outer hash join, no cartesian, " +
+    "both sides scanned once") {
+    val df = R.q156ChangeFeed(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("FullOuter"), s"diff is not a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("c_acctbal"))
+    assert(scans <= 2, s"customer scanned $scans times:\n$p")
+  }
+
   test("q150 retrieval eval: broadcast query set over ONE corpus " +
     "scan, top-k is a partial (map-side) object-hash aggregate") {
     val df = graft.queries.SimilarityQueries

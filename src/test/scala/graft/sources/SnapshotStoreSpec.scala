@@ -115,4 +115,27 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.diff(before, after.withColumnRenamed("v", "w"), "k"))
     assert(e.getMessage.contains("schemas differ"))
   }
+
+  test("diff recovers exactly a mutation document's effects: " +
+    "diff(before, applyFields(before, doc)) = the doc's writes") {
+    import graft.api.{Mutations, QueryBuilder}
+    val before = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
+      .toDF("k", "seg", "bal")
+    val doc = Seq(
+      Mutations.Field(Mutations.Insert("t",
+        Seq(Seq("k" -> 9L, "seg" -> "N", "bal" -> 1.5)))),
+      Mutations.Field(Mutations.Update("t",
+        QueryBuilder.Eq("seg", "A"), Nil, Seq("bal" -> 100.0))),
+      Mutations.Field(Mutations.Delete("t", QueryBuilder.Eq("k", 2L))))
+    val (after, _) = Mutations.applyFields(before, doc, "k")
+    val feed = SnapshotStore.diff(before,
+      after.select("k", "seg", "bal"), "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).sortBy(_._2)
+    assert(feed === Array(
+      ("update", 1L, "A", 110.0),
+      ("delete", 2L, "B", 20.0), // prior values
+      ("update", 3L, "A", 130.0),
+      ("insert", 9L, "N", 1.5)))
+  }
 }
