@@ -660,14 +660,15 @@ object OracleSql {
     pinned.map { case (k, h) => s"('$k', ($h)::BIGINT)" }
       .mkString(",\n  ")
 
-  private def dhashPairsSql(pinned: Seq[(String, Long)]): String = {
+  private def dhashPairsSql(pinned: Seq[(String, Long)],
+      maxDist: Int = 3): String = {
     val vals = hashValuesOf(pinned)
     s"""WITH t(key, dhash) AS (VALUES
        |  $vals)
        |SELECT a.key AS a, b.key AS b,
        |       bit_count(xor(a.dhash, b.dhash))::BIGINT AS d
        |FROM t a JOIN t b ON a.key < b.key
-       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxDist
        |ORDER BY a, b""".stripMargin
   }
 
@@ -1470,6 +1471,12 @@ object OracleSql {
     // filter
     "q104_dhash_pairs" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedDhashes),
+    // q158: the pHash leg — ground truth over the pinned DCT hashes
+    // at the d<=6 bound; p1<->p2 (d=8) and the heavy-noise copy
+    // (d=10) must be filtered
+    "q158_phash_pairs" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedPhashes,
+        maxDist = 6),
     // q106: the same ground-truth replay over the PER-FRAME video
     // hashes — the only <=3 pairs are the shifted-copy frames
     // (vidA#f+1 == vidB#f); vidC's d=4-8 frames band-collide but must

@@ -703,6 +703,110 @@ object MultimodalOps {
     }(enc).toDF()
   }
 
+  /** DCT perceptual hash (pHash) — the FREQUENCY-domain sibling of
+    * [[dHash]]: 32×32 box-pooled grayscale → 2-D DCT-II → the 8×8
+    * low-frequency block, bit i = coefficient_i > median of the block
+    * EXCLUDING the DC term (the standard pHash convention — the DC
+    * carries overall brightness, which the median split should not
+    * chase). Robust to exactly the transforms that move dHash bits:
+    * global brightness/contrast shifts barely touch the low-frequency
+    * RATIOS, while dHash's neighbor comparisons survive them too but
+    * lose to smooth gradients pHash keeps. Two independent kernels
+    * over one banding = a cheap precision boost (agree → dup).
+    * All-double arithmetic in fixed iteration order — deterministic
+    * across platforms, so the hashes pin as literals like dHash's. */
+  def pHash(img: java.awt.image.BufferedImage): Long = {
+    val N = 32
+    val w = img.getWidth; val h = img.getHeight
+    // 32x32 box-pooled luma (the dHash pooling at DCT resolution)
+    val g = new Array[Double](N * N)
+    var cy = 0
+    while (cy < N) {
+      val y0 = (cy.toLong * h / N).toInt
+      val y1 = math.max(y0 + 1, ((cy + 1).toLong * h / N).toInt)
+      var cx = 0
+      while (cx < N) {
+        val x0 = (cx.toLong * w / N).toInt
+        val x1 = math.max(x0 + 1, ((cx + 1).toLong * w / N).toInt)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = img.getRGB(x, y)
+            sum += 299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        g(cy * N + cx) = if (n <= 0) 0.0 else sum.toDouble / n
+        cx += 1
+      }
+      cy += 1
+    }
+    // separable DCT-II, low 8 frequencies only (all we keep)
+    val cosT = Array.tabulate(8, N)((k, n) =>
+      math.cos((2 * n + 1) * k * math.Pi / (2.0 * N)))
+    val rows8 = new Array[Double](8 * N) // DCT over x, per y
+    var y = 0
+    while (y < N) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < N) { acc += g(y * N + x) * cosT(u)(x); x += 1 }
+        rows8(u * N + y) = acc
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64) // then over y
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < N) { acc += rows8(u * N + yy) * cosT(v)(yy); yy += 1 }
+        coef(v * 8 + u) = acc
+        u += 1
+      }
+      v += 1
+    }
+    // median of the 63 non-DC coefficients (sorted copy, lower median)
+    val rest = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(rest)
+    val med = rest(31)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (coef(i) > med) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** (key, dhash) per media row under the [[pHash]] kernel — same
+    * schema/column as [[imageDHashes]] so the banding, kNN, cluster,
+    * and incremental machinery serve both hash spaces unchanged. */
+  def imagePHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = if (bytes == null) None
+          else graft.functions.BinaryFunctions.decode(bytes)
+        img match {
+          case Some(i) => Row(key, pHash(i))
+          case None => Row(key, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** Deterministic NEAR-DUPLICATE of the seed's synthetic media
     * ([[graft.functions.BinaryFunctions.syntheticMedia]] — png/tiff/svg
     * by seed, the q38 decode fan-in): decode, whiten the given
@@ -726,6 +830,34 @@ object MultimodalOps {
         while (x < (cx + 1) * w / 9) { img.setRGB(x, y, 0xffffff); x += 1 }
         y += 1
       }
+    }
+    B.encodePng(img)
+  }
+
+  /** Deterministic PIXEL-NOISE near-duplicate of the seed's synthetic
+    * media: every pixel's channels shift by a hash-derived value in
+    * [-amp, amp]. Spatially-uncorrelated noise spreads across HIGH
+    * frequencies, so the [[pHash]] 8×8 low-frequency block barely
+    * moves (small hamming distance) while per-pixel content changes
+    * everywhere — the fixture that exercises pHash's robustness axis
+    * (the [[perturbedMedia]] cell-whitening exercises dHash's). */
+  def noisyMedia(seed: Long, w: Int, h: Int, amp: Int): Array[Byte] = {
+    import graft.functions.{BinaryFunctions => B}
+    val img = B.decode(B.syntheticMedia(seed, w, h)).getOrElse(
+      sys.error(s"syntheticMedia($seed) failed to decode"))
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val n = (((seed * 1000003L + y * 131L + x) * 2654435761L >>> 40)
+          % (2L * amp + 1)).toInt - amp
+        val p = img.getRGB(x, y)
+        def ch(v: Int) = math.max(0, math.min(255, v + n))
+        img.setRGB(x, y, (ch((p >> 16) & 0xff) << 16) |
+          (ch((p >> 8) & 0xff) << 8) | ch(p & 0xff))
+        x += 1
+      }
+      y += 1
     }
     B.encodePng(img)
   }

@@ -142,6 +142,53 @@ object PipelineQueries {
       })
     }
 
+  /** q158's fixtures — the pHash robustness axis: per-pixel noise
+    * (spreads across HIGH frequencies, so the 8×8 low-frequency block
+    * barely moves), a byte-identical re-encode, and unrelated seeds
+    * whose CLOSEST cross pair (p1↔p2, d=8) sits just past the d≤6
+    * bound — the band-collision decoy proving the exact filter. */
+  private[graft] def phashFixtureBytes: Seq[(String, Array[Byte])] = {
+    import graft.functions.{BinaryFunctions => B}
+    import graft.operators.{MultimodalOps => M}
+    Seq(
+      ("p1", B.syntheticMedia(3, 72, 48)),
+      ("p1_noise", M.noisyMedia(3, 72, 48, 6)),
+      ("p1_noise9", M.noisyMedia(3, 72, 48, 12)),
+      ("p2", B.syntheticMedia(6, 72, 48)),
+      ("p2_noise", M.noisyMedia(6, 72, 48, 6)),
+      ("p3", B.syntheticMedia(9, 72, 48)),
+      ("p3_dup", B.encodePng(B.decode(B.syntheticMedia(9, 72, 48)).get)),
+      ("p4", B.syntheticMedia(12, 72, 48)))
+  }
+
+  /** The PINNED pHash values of [[phashFixtureBytes]] (engine ==
+    * literal asserted in MultimodalOpsSpec — the q104 contract):
+    * noise copies at d=6, the re-encode at d=0, the heavier noise at
+    * d=10 and p1↔p2 at d=8 both outside the bound. */
+  private[graft] val pinnedPhashes: Seq[(String, Long)] = Seq(
+    ("p1", -6340690413394594223L),
+    ("p1_noise", -6340691516647082415L),
+    ("p1_noise9", -6340690202953648303L),
+    ("p2", -6340128144061368623L),
+    ("p2_noise", -6268352849633937455L),
+    ("p3", 582044449741725185L),
+    ("p3_dup", 582044449741725185L),
+    ("p4", 96825484859889217L))
+
+  /** q158 — DCT-pHash near-dup pairs, oracle-pinned: the frequency-
+    * domain kernel over the same banded machinery (7 bands ≥ d=6+1,
+    * pigeonhole-lossless), against the DuckDB all-pairs ground truth
+    * over the pinned hashes. A second independent perceptual kernel
+    * over one pairing engine: dedup policies can demand agreement. */
+  def q158PhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = phashFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.imagePHashes(media)
+    graft.functions.HammingBands.pairs(hashes, "key", "dhash",
+      nBands = 7, bandBits = 9, maxDist = 6)
+      .orderBy("a", "b")
+  }
+
   /** q106's fixture videos: three 6-frame uncompressed-DIB AVIs
     * ([[graft.operators.MultimodalOps.syntheticAvi]] — fully
     * deterministic bytes, pure-JVM decode). `vidB`'s seed offset is

@@ -306,6 +306,40 @@ class MultimodalOpsSpec extends SparkSpec {
       ("m07", "m07_near", 1L), ("m09", "m09_near", 2L)))
   }
 
+  test("q158 pinned fixtures: engine pHash equals the oracle's " +
+    "literals; noise lands near, re-encode exact, the d=8 cross " +
+    "decoy filtered") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.phashFixtureBytes.map { case (k, b) =>
+      val img = BinaryFunctions.decode(b).getOrElse(fail(s"$k undecodable"))
+      k -> MultimodalOps.pHash(img)
+    }
+    assert(got === PipelineQueries.pinnedPhashes)
+    // per-pixel noise spreads across high frequencies: amp=6 moves 6
+    // bits of the low-frequency hash; the byte-level re-encode moves 0
+    def d(a: String, b: String): Int = {
+      val m = got.toMap
+      java.lang.Long.bitCount(m(a) ^ m(b))
+    }
+    assert(d("p1", "p1_noise") === 6)
+    assert(d("p2", "p2_noise") === 6)
+    assert(d("p3", "p3_dup") === 0)
+    assert(d("p1", "p2") === 8) // the closest UNRELATED pair
+    assert(d("p1", "p1_noise9") === 10) // heavier noise past the bound
+    // the banded join returns exactly the ground-truth <=6 pairs
+    val pairs = PipelineQueries.q158PhashPairs(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq(
+      ("p1", "p1_noise", 6L), ("p2", "p2_noise", 6L),
+      ("p3", "p3_dup", 0L)))
+    // the two kernels are INDEPENDENT evidence: the same noise copy
+    // that moves pHash 6 bits moves dHash 0 (8x9 averages absorb it)
+    val fx = PipelineQueries.phashFixtureBytes.toMap
+    def dhOf(k: String) = MultimodalOps.dHash(
+      BinaryFunctions.decode(fx(k)).get)
+    assert(dhOf("p1") === dhOf("p1_noise"))
+  }
+
   test("q106 pinned videos: per-frame engine dHash equals the oracle's " +
     "literals; banded pairs find exactly the shifted-copy frames") {
     import graft.queries.PipelineQueries
