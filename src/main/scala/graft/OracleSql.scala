@@ -194,7 +194,9 @@ object OracleSql {
        |FROM tok GROUP BY doc_id ORDER BY doc_id LIMIT 300""".stripMargin
   }
 
-  private val langId: String = {
+  /** The lang-id prediction CTEs (ending in `p(lang, lang_pred)`) —
+    * shared by q26's confusion matrix and q159's metric sheet. */
+  private val langIdCtes: String = {
     val markers = graft.functions.TextFunctions.langMarkers
     val hitCols = markers.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
@@ -208,10 +210,13 @@ object OracleSql {
        |  FROM documents),
        |p AS (SELECT lang,
        |  CASE WHEN m = 0 THEN 'und' $firstMax ELSE 'und' END AS lang_pred
-       |  FROM (SELECT *, GREATEST($greatest) AS m FROM s) t)
+       |  FROM (SELECT *, GREATEST($greatest) AS m FROM s) t)""".stripMargin
+  }
+
+  private val langId: String =
+    s"""$langIdCtes
        |SELECT lang, lang_pred, COUNT(*) AS n FROM p
        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
-  }
 
   private def cosineKnnSql(k: Int): String =
     s"""WITH ex AS (
@@ -1874,6 +1879,28 @@ object OracleSql {
          |      FROM d)
          |SELECT lang, COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens
          |FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang""".stripMargin,
+    // q159: lang-id eval — q26's confusion counts reduced to per-
+    // class precision/recall/F1 (0/0 answers NULL, never NaN)
+    "q159_langid_eval" ->
+      s"""$langIdCtes,
+         |cm AS (SELECT lang, lang_pred, COUNT(*)::BIGINT AS n
+         |       FROM p GROUP BY 1, 2),
+         |act AS (SELECT lang, SUM(n)::BIGINT AS na FROM cm GROUP BY 1),
+         |prd AS (SELECT lang_pred AS lang, SUM(n)::BIGINT AS np
+         |        FROM cm GROUP BY 1),
+         |tp AS (SELECT lang, n AS ntp FROM cm WHERE lang = lang_pred),
+         |m AS (
+         |  SELECT act.lang, act.na, COALESCE(tp.ntp, 0) AS ntp, prd.np
+         |  FROM act LEFT JOIN prd USING (lang)
+         |           LEFT JOIN tp USING (lang))
+         |SELECT lang, na AS n_true,
+         |       ROUND(ntp / np::DOUBLE, 4) AS precision,
+         |       ROUND(ntp / na::DOUBLE, 4) AS recall,
+         |       ROUND(CASE WHEN ntp / np::DOUBLE + ntp / na::DOUBLE > 0
+         |             THEN 2.0 * (ntp / np::DOUBLE) * (ntp / na::DOUBLE)
+         |                  / (ntp / np::DOUBLE + ntp / na::DOUBLE)
+         |             END, 4) AS f1
+         |FROM m ORDER BY lang""".stripMargin,
     // q157: temperature mixing — budgets from the corpus's own token
     // counts (⌊T·√n_l/Σ√n⌋, IEEE-exact both engines), then the q63
     // hash-order admission

@@ -57,6 +57,37 @@ object TextQueries {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
+  /** Q159 — CLASSIFIER EVALUATION: per-language precision / recall /
+    * F1 of the lang-id heuristic against the labeled corpus — the
+    * metric sheet a pipeline reads before trusting a filter (q26's
+    * confusion matrix, reduced to the numbers decisions use). All
+    * folds run over the class-sized confusion counts (one corpus
+    * pass, then joins of ≤|languages| rows); never-predicted classes
+    * answer null precision (0/0 stays undefined, not NaN). */
+  def q159LangIdEval(s: SparkSession, dir: String): DataFrame = {
+    val cm = docs(s, dir)
+      .select(col("lang"), graft.functions.TextKernelExpressions
+        .langIdFast(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val act = cm.groupBy("lang").agg(sum(col("n")).as("na"))
+    val prd = cm.groupBy(col("lang_pred").as("lang"))
+      .agg(sum(col("n")).as("np"))
+    val tp = cm.filter(col("lang") === col("lang_pred"))
+      .select(col("lang"), col("n").as("ntp"))
+    val m = act.join(prd, Seq("lang"), "left")
+      .join(tp, Seq("lang"), "left")
+      .withColumn("ntp", coalesce(col("ntp"), lit(0L)))
+      .withColumn("p", col("ntp") / col("np"))
+      .withColumn("r", col("ntp") / col("na"))
+    m.select(col("lang"), col("na").as("n_true"),
+        round(col("p"), 4).as("precision"),
+        round(col("r"), 4).as("recall"),
+        round(when(col("p") + col("r") > 0,
+          lit(2.0) * col("p") * col("r") / (col("p") + col("r"))), 4)
+          .as("f1"))
+      .orderBy("lang")
+  }
+
   /** Quality scoring: avg word length + vocabulary-uniqueness ratio. */
   def q27Quality(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
