@@ -553,8 +553,12 @@ object QueryBuilder {
     * push to the scan) + one two-phase global aggregate — the partial
     * side runs map-side, so the exchange carries one row per
     * partition, the cheapest query shape there is at any scale. */
-  def runAggregate(s: SparkSession, dir: String, r: AggRequest): DataFrame = {
-    val base = graft.Tables.load(s, dir, r.table)
+  def runAggregate(s: SparkSession, dir: String, r: AggRequest): DataFrame =
+    runAggregateOn(graft.Tables.load(s, dir, r.table), r)
+
+  /** [[runAggregate]] over an ALREADY-LOADED base frame — what the
+    * live-aggregate subscription re-evaluates per trigger. */
+  def runAggregateOn(base: DataFrame, r: AggRequest): DataFrame = {
     val f0 = r.where.map(w => base.filter(w.toColumn)).getOrElse(base)
     // Hasura aggregates the SLICED set when order_by/limit are given
     // — a TakeOrdered cut feeding the aggregate, not a full-table pass

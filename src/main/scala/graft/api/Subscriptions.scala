@@ -117,6 +117,44 @@ object Subscriptions {
       .start()
   }
 
+  /** LIVE ROOT AGGREGATE — `subscription { <t>_aggregate {...} }`
+    * (GraphQl.parseRootAggregate accepts the keyword): per trigger,
+    * fold the micro-batch into latest-wins per-key state exactly like
+    * [[liveQuery]], then push the COMPLETE re-evaluated aggregate
+    * ([[QueryBuilder.runAggregateOn]]) — a count/sum can retract when
+    * an upsert changes a row, which no append stream expresses. Same
+    * state posture (one latest-wins row per key, localCheckpoint
+    * lineage cut), same connection-scoped lifetime. */
+  def liveAggregate(stream: DataFrame,
+      req: QueryBuilder.AggRequest, keyCol: String,
+      seqCol: Option[String] = None)
+      (push: (Long, DataFrame) => Unit): StreamingQuery = {
+    var snap: Option[DataFrame] = None
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val sc = seqCol.getOrElse("_sub_seq")
+        val delta =
+          if (seqCol.isDefined) batch
+          else {
+            val dup = batch.groupBy(keyCol)
+              .count().filter(col("count") > 1).limit(1).collect()
+            require(dup.isEmpty, "liveAggregate(seqCol = None): the " +
+              s"micro-batch carries ${dup.headOption.map(_.get(0))
+                .getOrElse("?")} more than once — batch-id sequencing " +
+              "needs one row per key per trigger")
+            batch.withColumn(sc, lit(bid))
+          }
+        val cur = snap.getOrElse(delta.limit(0))
+        val merged = SnapshotStore.merge(cur, delta, keyCol, sc)
+          .localCheckpoint(true)
+        snap = Some(merged)
+        push(bid, QueryBuilder.runAggregateOn(merged.drop(sc), req))
+        ()
+      }
+      .start()
+  }
+
   // ---- Hasura streaming subscriptions (`<table>_stream`) -------------
 
   /** A parsed `<table>_stream` subscription — Hasura's CURSOR-PAGED

@@ -206,6 +206,39 @@ class SubscriptionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live aggregate subscription: a GraphQL <t>_aggregate document " +
+    "re-answers per trigger over latest state — upserts RETRACT") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    val req = GraphQl.parseRootAggregate(
+      """subscription {
+        |  t_aggregate(where: {seg: {_eq: "A"}}) {
+        |    aggregate { count(columns: k) sum { bal } }
+        |  }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.liveAggregate(
+      input.toDF().toDF("k", "seg", "bal", "seq"), req,
+      keyCol = "k", seqCol = Some("seq")) { (_, df) =>
+      pushed :+= rows(df)
+    }
+    try {
+      input.addData(Seq((1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L),
+        (3L, "B", 5.0, 1L)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(2L, 30.0)))
+      // k=2 LEAVES segment A (upsert) — count and sum retract, the
+      // shape no append stream can serve
+      input.addData(Seq((2L, "B", 20.0, 2L)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(1L, 10.0)))
+      // a late (lower-seq) event must not resurrect it
+      input.addData(Seq((2L, "A", 99.0, 0L)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("_stream subscription: page-aligned triggers reproduce " +
     "streamPages exactly, page numbering global across triggers") {
     val input = org.apache.spark.sql.execution.streaming.runtime
