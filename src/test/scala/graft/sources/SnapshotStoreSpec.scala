@@ -116,6 +116,25 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("schemas differ"))
   }
 
+  test("applyDiff inverts diff: applyDiff(before, diff(before, after)) " +
+    "== after, and re-applying the same feed is a no-op") {
+    val before = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (4L, Some("d"), 4.0)).toDF("k", "s", "v")
+    val after = Seq((1L, Some("a"), 1.0), (2L, None: Option[String], 9.0),
+      (5L, Some("e"), 5.0)).toDF("k", "s", "v")
+    val feed = SnapshotStore.diff(before, after, "k")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "s", "v").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          r.getDouble(2))).toSet
+    val replayed = SnapshotStore.applyDiff(before, feed, "k")
+    assert(rows(replayed) === rows(after))
+    // at-least-once: the SAME feed applied to the already-caught-up
+    // replica changes nothing
+    assert(rows(SnapshotStore.applyDiff(replayed, feed, "k")) ===
+      rows(after))
+  }
+
   test("diff recovers exactly a mutation document's effects: " +
     "diff(before, applyFields(before, doc)) = the doc's writes") {
     import graft.api.{Mutations, QueryBuilder}
