@@ -1063,6 +1063,23 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q160: cascade forget replay — parents out by predicate,
+    // children out by membership in the doomed key set
+    "q160_cascade_forget" ->
+      """WITH doomed AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'MACHINERY' AND c_custkey <= 30),
+        |c AS (SELECT c_custkey FROM customer
+        |      WHERE NOT (c_mktsegment = 'MACHINERY'
+        |                 AND c_custkey <= 30)),
+        |o AS (SELECT o_orderkey FROM orders
+        |      WHERE o_orderkey <= 50000
+        |        AND o_custkey NOT IN (SELECT c_custkey FROM doomed))
+        |SELECT 'customer' AS tbl, COUNT(*)::BIGINT AS n,
+        |       SUM(c_custkey)::BIGINT AS k_sum FROM c
+        |UNION ALL
+        |SELECT 'orders', COUNT(*)::BIGINT, SUM(o_orderkey)::BIGINT
+        |FROM o ORDER BY tbl""".stripMargin,
     // q156: change feed replay — full outer join of the two states,
     // op from null-sides / IS DISTINCT FROM, delete carries BEFORE
     "q156_change_feed" ->

@@ -2730,6 +2730,46 @@ object GraphQl {
       dir: String): org.apache.spark.sql.DataFrame =
     mutationRoundTrip(s, dir, "q147", q147Mutation, "{}")
 
+  /** q160 — CASCADE FORGET under the oracle gate
+    * ([[Mutations.cascadeForget]], the right-to-be-forgotten
+    * operation): MACHINERY customers with key ≤ 30 tombstone, and
+    * every order of a forgotten customer goes with them — the child
+    * delete keyed by the COLLECTED parent keys (bounded by the forget
+    * request). The read-back counts + key checksums over BOTH stores
+    * hash-fail if a child survives its parent or an innocent row
+    * dies. */
+  def q160CascadeForget(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val app = s.sparkContext.applicationId
+    val cPath = s"/root/repo/target/tmp/q160c_store_$app"
+    val oPath = s"/root/repo/target/tmp/q160o_store_$app"
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"), cPath)
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 50000L)
+        .select("o_orderkey", "o_custkey"), oPath)
+    val res = Mutations.cascadeForget(s, Map(
+      "customer" -> ((cPath, "c_custkey")),
+      "orders" -> ((oPath, "o_orderkey"))),
+      "customer",
+      QueryBuilder.And(QueryBuilder.Eq("c_mktsegment", "MACHINERY"),
+        QueryBuilder.Lte("c_custkey", 30L)),
+      Seq(("orders", "o_custkey")))
+    require(res.map(_._1) == Seq("customer", "orders") &&
+      res.head._2 > 0,
+      s"q160: expected a non-empty cascade, got $res")
+    val c = graft.sources.SnapshotStore.read(s, cPath)
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("k_sum"))
+      .select(lit("customer").as("tbl"), col("n"), col("k_sum"))
+    val o = graft.sources.SnapshotStore.read(s, oPath)
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("k_sum"))
+      .select(lit("orders").as("tbl"), col("n"), col("k_sum"))
+    c.unionByName(o).orderBy("tbl")
+  }
+
   /** q123's document — the by_pk WRITE verbs: a pk_columns update whose
     * response selects the post-update row, and a delete_by_pk whose
     * response selects the removed row's prior values. */

@@ -400,6 +400,42 @@ object Mutations {
     applyFieldsToStores(spark, Map(table -> (path, keyCol)), fields)
   }
 
+  /** CASCADE FORGET — the right-to-be-forgotten operation no single
+    * Hasura mutation expresses (Postgres cascades live in DDL; this
+    * engine's stores have no DDL, so the cascade is explicit): delete
+    * the parent rows matching `where`, and in every listed child
+    * table the rows whose FK matches a deleted parent key. Child
+    * deletes are keyed by the COLLECTED parent keys — bounded by the
+    * forget request (a person's keys), never a store scan on the
+    * driver — and the whole document applies through
+    * [[applyFieldsToStores]], so per-table swaps and document-order
+    * semantics carry over. Returns per-table affected counts,
+    * parent first. */
+  def cascadeForget(spark: SparkSession,
+      stores: Map[String, (String, String)], parentTable: String,
+      where: BoolExp,
+      children: Seq[(String, String)]): Seq[(String, Long)] = {
+    val (pPath, pKey) = stores.getOrElse(parentTable,
+      throw new IllegalArgumentException(
+        s"no registered store for '$parentTable'"))
+    AtomicSwap.recover(org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(pPath), spark.sparkContext.hadoopConfiguration),
+      pPath)
+    val doomedKeys = SnapshotStore.read(spark, pPath)
+      .filter(where.toColumn).select(pKey).collect().map(_.get(0))
+    val fields = Field(Delete(parentTable, where)) +:
+      children.map { case (childTable, fkCol) =>
+        // no doomed parents → a never-true predicate (Eq-null is the
+        // DSL's documented never-matching comparison), so the child
+        // store still rewrites zero rows instead of erroring
+        Field(Delete(childTable,
+          if (doomedKeys.isEmpty) QueryBuilder.Eq(fkCol, null)
+          else QueryBuilder.In(fkCol, doomedKeys.toSeq)))
+      }
+    val rs = applyFieldsToStores(spark, stores, fields)
+    (parentTable +: children.map(_._1)).zip(rs.map(_.affected))
+  }
+
   /** Apply one document across a REGISTRY of persisted stores (table →
     * (path, keyCol)) — Hasura documents freely mix tables, and its
     * sequential semantics carry over: fields execute in document

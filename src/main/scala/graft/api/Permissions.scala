@@ -309,6 +309,22 @@ object Permissions {
       sec <- secure(req, role, policy)
     } yield QueryBuilder.run(s, dir, sec)
 
+  /** [[serveAs]] for STREAMING subscription documents: parse the
+    * `<table>_stream` text, secure it for the role, and serve the
+    * BATCH-replay pages over `base` — the live path takes the same
+    * secured request into `Subscriptions.streamServe`, so one
+    * secure() covers both. Denials and parse errors are Left
+    * values. */
+  def serveStreamAs(base: org.apache.spark.sql.DataFrame, role: String,
+      policy: Policy, doc: String, nPages: Int,
+      schema: GraphQl.Schema = GraphQl.fixtureSchema,
+      variables: String = "{}")
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    for {
+      sr <- GraphQl.parseStream(doc, schema, variables)
+      sec <- secureStream(sr, role, policy)
+    } yield Subscriptions.streamPages(base, sec, nPages)
+
   /** Guard a mutation document for `role`: updates/deletes gain the
     * role's row filter (rows outside it are INVISIBLE to the write,
     * Hasura's permission-filter semantics — affected_rows shrinks

@@ -191,6 +191,30 @@ class PermissionsSpec extends SparkSpec {
     assert(arm.isLeft && arm.left.exists(_.contains("relationship")))
   }
 
+  test("serveStreamAs: stream text through parse -> secure -> pages; " +
+    "the role filter gates rows, denials are Left values") {
+    import spark.implicits._
+    val base = Seq((1L, "A", "x"), (2L, "B", "x"), (3L, "A", "y"),
+      (4L, "A", "z")).toDF("k", "seg", "c_name")
+    val pol = Policy(Map(("r1", "t") -> TablePerm(
+      filter = Some(Eq("seg", "A")), columns = Some(Set("k", "seg")))))
+    val doc =
+      """subscription {
+        |  t_stream(cursor: {initial_value: {k: 1}}, batch_size: 2) {
+        |    k seg
+        |  }
+        |}""".stripMargin
+    val pages = Permissions.serveStreamAs(base, "r1", pol, doc,
+      nPages = 2).fold(m => fail(m), identity)
+    // k=2 is seg B — invisible to r1; pages carry 3 and 4 only
+    assert(pages.select("k").collect().map(_.getLong(0)).sorted
+      === Array(3L, 4L))
+    // an ungranted selected column denies the whole subscription
+    val denied = Permissions.serveStreamAs(base, "r1", pol,
+      doc.replace("k seg", "k c_name"), nPages = 2)
+    assert(denied.isLeft && denied.left.exists(_.contains("c_name")))
+  }
+
   test("insert check clause: inserted rows must satisfy the row " +
     "filter; upserts on row-filtered tables reject") {
     // a check-passing insert goes through
