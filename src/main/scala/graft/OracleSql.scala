@@ -1931,8 +1931,8 @@ object OracleSql {
          |       FROM d GROUP BY 1),
          |z AS (SELECT SUM(SQRT(n_l)) AS z FROM lt),
          |b AS (SELECT lang,
-         |        CAST(FLOOR(5000.0 * SQRT(n_l) / z) AS BIGINT)
-         |          AS budget
+         |        CAST(FLOOR(5000.0 * ROUND(SQRT(n_l) / z, 9))
+         |             AS BIGINT) AS budget
          |      FROM lt, z),
          |c AS (SELECT d.lang, ntok, budget,
          |        SUM(ntok) OVER (PARTITION BY d.lang

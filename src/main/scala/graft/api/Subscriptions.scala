@@ -83,6 +83,19 @@ object Subscriptions {
     require(req.nested.isEmpty && req.aggRels.isEmpty,
       s"subscription on '${req.table}': relationship selections are " +
         "not served over streams")
+    liveFold(stream, keyCol, seqCol)(
+      latest => QueryBuilder.runRoot(latest, req))(push)
+  }
+
+  /** The shared live-subscription STATE FOLD ([[liveQuery]] and
+    * [[liveAggregate]] differ only in the per-trigger evaluator): per
+    * trigger, the micro-batch merges into latest-wins per-key state
+    * (the S8 snapshot upsert; eager localCheckpoint = the state-store
+    * snapshot analog, cutting lineage), and `eval` re-answers over
+    * the latest rows. */
+  private def liveFold(stream: DataFrame, keyCol: String,
+      seqCol: Option[String])(eval: DataFrame => DataFrame)
+      (push: (Long, DataFrame) => Unit): StreamingQuery = {
     var snap: Option[DataFrame] = None
     stream.writeStream
       .outputMode("update")
@@ -105,13 +118,10 @@ object Subscriptions {
             batch.withColumn(sc, lit(bid))
           }
         val cur = snap.getOrElse(delta.limit(0))
-        // latest-wins per key — exactly the S8 snapshot upsert; the
-        // eager localCheckpoint materializes this trigger's state and
-        // cuts the lineage (the state-store snapshot analog)
         val merged = SnapshotStore.merge(cur, delta, keyCol, sc)
           .localCheckpoint(true)
         snap = Some(merged)
-        push(bid, QueryBuilder.runRoot(merged.drop(sc), req))
+        push(bid, eval(merged.drop(sc)))
         ()
       }
       .start()
@@ -128,32 +138,9 @@ object Subscriptions {
   def liveAggregate(stream: DataFrame,
       req: QueryBuilder.AggRequest, keyCol: String,
       seqCol: Option[String] = None)
-      (push: (Long, DataFrame) => Unit): StreamingQuery = {
-    var snap: Option[DataFrame] = None
-    stream.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val sc = seqCol.getOrElse("_sub_seq")
-        val delta =
-          if (seqCol.isDefined) batch
-          else {
-            val dup = batch.groupBy(keyCol)
-              .count().filter(col("count") > 1).limit(1).collect()
-            require(dup.isEmpty, "liveAggregate(seqCol = None): the " +
-              s"micro-batch carries ${dup.headOption.map(_.get(0))
-                .getOrElse("?")} more than once — batch-id sequencing " +
-              "needs one row per key per trigger")
-            batch.withColumn(sc, lit(bid))
-          }
-        val cur = snap.getOrElse(delta.limit(0))
-        val merged = SnapshotStore.merge(cur, delta, keyCol, sc)
-          .localCheckpoint(true)
-        snap = Some(merged)
-        push(bid, QueryBuilder.runAggregateOn(merged.drop(sc), req))
-        ()
-      }
-      .start()
-  }
+      (push: (Long, DataFrame) => Unit): StreamingQuery =
+    liveFold(stream, keyCol, seqCol)(
+      latest => QueryBuilder.runAggregateOn(latest, req))(push)
 
   // ---- Hasura streaming subscriptions (`<table>_stream`) -------------
 

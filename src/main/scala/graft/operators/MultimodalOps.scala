@@ -687,7 +687,13 @@ object MultimodalOps {
   /** (key, dhash) per media row — any of the engine's 7 decodable
     * formats; undecodable bytes yield null (errors are data). One
     * map-side pass, no shuffle. */
-  def imageDHashes(media: DataFrame): DataFrame = {
+  def imageDHashes(media: DataFrame): DataFrame =
+    imageHashes(media, dHash)
+
+  /** One decode-and-hash pass shared by every perceptual kernel —
+    * the decode/null contract ("errors are data") lives HERE once. */
+  private def imageHashes(media: DataFrame,
+      kernel: java.awt.image.BufferedImage => Long): DataFrame = {
     val enc = RowEncoder.encoderFor(dhashSchema)
     media.select("key", "bytes").mapPartitions { rows =>
       rows.map { r =>
@@ -696,7 +702,7 @@ object MultimodalOps {
         val img = if (bytes == null) None
           else graft.functions.BinaryFunctions.decode(bytes)
         img match {
-          case Some(i) => Row(key, dHash(i))
+          case Some(i) => Row(key, kernel(i))
           case None => Row(key, null)
         }
       }
@@ -714,7 +720,14 @@ object MultimodalOps {
     * lose to smooth gradients pHash keeps. Two independent kernels
     * over one banding = a cheap precision boost (agree → dup).
     * All-double arithmetic in fixed iteration order — deterministic
-    * across platforms, so the hashes pin as literals like dHash's. */
+    * across platforms, so the hashes pin as literals like dHash's.
+    *
+    * Bit 0 (DC vs the AC median) is DELIBERATELY kept: near-constant
+    * 1 on real images, so its band discriminates on ~8 of 9 bits — a
+    * few extra candidates for the exact popcount filter to kill,
+    * never a correctness cost (pigeonhole losslessness unaffected);
+    * dropping it would move the same near-constant weakness to an
+    * unused bit 63. */
   def pHash(img: java.awt.image.BufferedImage): Long = {
     val N = 32
     val w = img.getWidth; val h = img.getHeight
@@ -747,8 +760,7 @@ object MultimodalOps {
       cy += 1
     }
     // separable DCT-II, low 8 frequencies only (all we keep)
-    val cosT = Array.tabulate(8, N)((k, n) =>
-      math.cos((2 * n + 1) * k * math.Pi / (2.0 * N)))
+    val cosT = phashCosTable
     val rows8 = new Array[Double](8 * N) // DCT over x, per y
     var y = 0
     while (y < N) {
@@ -788,24 +800,17 @@ object MultimodalOps {
     bits
   }
 
+  /** The fixed DCT cosine table (depends on nothing but the 32/8
+    * dimensions) — computed once per JVM, not per image. */
+  private lazy val phashCosTable: Array[Array[Double]] =
+    Array.tabulate(8, 32)((k, n) =>
+      math.cos((2 * n + 1) * k * math.Pi / 64.0))
+
   /** (key, dhash) per media row under the [[pHash]] kernel — same
     * schema/column as [[imageDHashes]] so the banding, kNN, cluster,
     * and incremental machinery serve both hash spaces unchanged. */
-  def imagePHashes(media: DataFrame): DataFrame = {
-    val enc = RowEncoder.encoderFor(dhashSchema)
-    media.select("key", "bytes").mapPartitions { rows =>
-      rows.map { r =>
-        val key = r.getString(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val img = if (bytes == null) None
-          else graft.functions.BinaryFunctions.decode(bytes)
-        img match {
-          case Some(i) => Row(key, pHash(i))
-          case None => Row(key, null)
-        }
-      }
-    }(enc).toDF()
-  }
+  def imagePHashes(media: DataFrame): DataFrame =
+    imageHashes(media, pHash)
 
   /** Deterministic NEAR-DUPLICATE of the seed's synthetic media
     * ([[graft.functions.BinaryFunctions.syntheticMedia]] — png/tiff/svg

@@ -796,9 +796,14 @@ object TextQueries {
     * q63's hand-set per-language budgets). Budgets derive from the
     * corpus itself: budget_l = ⌊T · √n_l / Σ√n_m⌋ over token counts,
     * then q63's deterministic hash-order admission per language up to
-    * the budget. √ (not pow(·, α)) keeps the arithmetic IEEE-exact on
-    * both engines. The budget table is languages-sized — broadcast —
-    * and the admission is the same one window per language. */
+    * the budget. √ (not pow(·, α)) keeps each weight IEEE-exact on
+    * both engines; Σ√n however SUMS in engine-dependent order, so a
+    * 1-ulp z difference could flip the floor exactly at an integer
+    * boundary — the share is therefore rounded to 9 decimals first
+    * (absorbs ulp noise; a boundary within 1e-16 of a half-1e-9 is
+    * not a real corpus). The budget table is languages-sized —
+    * broadcast — and the admission is the same one window per
+    * language. */
   def q157TemperatureMix(s: SparkSession, dir: String,
       total: Long = 5000): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
@@ -810,7 +815,7 @@ object TextQueries {
     val z = langTok.agg(sum(col("wr")).as("z"))
     val budgets = broadcast(langTok.crossJoin(z)
       .select(col("lang"),
-        floor(lit(total.toDouble) * col("wr") / col("z"))
+        floor(lit(total.toDouble) * round(col("wr") / col("z"), 9))
           .cast("long").as("budget")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("h"), col("doc_id"))

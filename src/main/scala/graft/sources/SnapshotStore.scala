@@ -136,24 +136,6 @@ object SnapshotStore {
     * Scale: one full-outer hash join on the key + a codegen struct
     * comparison — O(|before| + |after|), no driver state; the output
     * is bounded by the churn, not the store. */
-  /** Apply a [[diff]] feed to a replica — the CONSUMER half of the
-    * change-feed loop (ship `diff`'s rows over the bus, replay them
-    * here): inserts/updates upsert their AFTER image, deletes
-    * tombstone. The algebra is spec-pinned:
-    * `applyDiff(before, diff(before, after)) == after` (diff/apply
-    * are inverses), and re-applying the same feed is a no-op
-    * (at-least-once delivery safe — latest-wins merge on equal
-    * content). One merge shuffle on the key, O(replica + feed). */
-  def applyDiff(replica: DataFrame, feed: DataFrame,
-      keyCol: String): DataFrame = {
-    val delta = feed
-      .withColumn("deleted", col("op") === "delete")
-      .drop("op")
-    merge(replica.withColumn("_dseq", lit(0L)),
-      delta.withColumn("_dseq", lit(1L)), keyCol, "_dseq")
-      .drop("_dseq", "deleted")
-  }
-
   def diff(before: DataFrame, after: DataFrame,
       keyCol: String): DataFrame = {
     require(before.columns.toSeq == after.columns.toSeq,
@@ -179,5 +161,23 @@ object SnapshotStore {
           // delete carries the BEFORE image; insert/update the AFTER
           when(col("op") === "delete", col(s"__b_$c"))
             .otherwise(col(s"__a_$c")).as(c)): _*)
+  }
+
+  /** Apply a [[diff]] feed to a replica — the CONSUMER half of the
+    * change-feed loop (ship `diff`'s rows over the bus, replay them
+    * here): inserts/updates upsert their AFTER image, deletes
+    * tombstone. The algebra is spec-pinned:
+    * `applyDiff(before, diff(before, after)) == after` (diff/apply
+    * are inverses), and re-applying the same feed is a no-op
+    * (at-least-once delivery safe — latest-wins merge on equal
+    * content). One merge shuffle on the key, O(replica + feed). */
+  def applyDiff(replica: DataFrame, feed: DataFrame,
+      keyCol: String): DataFrame = {
+    val delta = feed
+      .withColumn("deleted", col("op") === "delete")
+      .drop("op")
+    merge(replica.withColumn("_dseq", lit(0L)),
+      delta.withColumn("_dseq", lit(1L)), keyCol, "_dseq")
+      .drop("_dseq", "deleted")
   }
 }

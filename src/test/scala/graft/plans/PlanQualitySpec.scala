@@ -637,15 +637,16 @@ class PlanQualitySpec extends SparkSpec {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // every WindowExec is keyed on user_id (partitionBy present)
-    assert(!p.contains("Window [") ||
-      !p.linesIterator.exists(l =>
-        l.contains("windowspecdefinition()") ||
-          (l.contains("Window") && l.contains("No Partition"))),
-      s"partition-less window in funnel plan:\n$p")
-    // the three step columns fold over one exchange on user_id
+    // every window spec is keyed on user_id (a partition-less window
+    // prints windowspecdefinition WITHOUT the key)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, s"no window in funnel plan:\n$p")
+    specs.foreach(l => assert(l.contains("user_id"),
+      s"partition-less window in funnel plan: $l\n$p"))
+    // the three step columns fold over exactly one user_id exchange
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
-    assert(exchanges <= 1, s"funnel re-shuffles per step:\n$p")
+    assert(exchanges === 1, s"funnel should shuffle ONCE on user_id:\n$p")
   }
 
   test("q156 change feed: one full-outer hash join, no cartesian, " +
