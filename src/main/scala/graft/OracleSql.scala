@@ -1063,6 +1063,35 @@ object OracleSql {
         |        GROUP BY 1, 2)
         |SELECT vec_id, label, centroid_sim
         |FROM sim ORDER BY centroid_sim, vec_id LIMIT 10""".stripMargin,
+    // q161: the salted join must answer exactly like the plain join
+    "q161_salted_skew_join" ->
+      """WITH dim AS (SELECT event_type, ROUND(AVG(value), 4)
+        |               AS type_avg
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*)::BIGINT AS n,
+        |       SUM(CASE WHEN e.value > d.type_avg THEN 1
+        |                ELSE 0 END)::BIGINT AS n_above,
+        |       MAX(d.type_avg) AS type_avg
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q162: Tukey fences — quantile_cont matches Spark's exact
+    // interpolated percentile (the q71 contract)
+    "q162_outlier_fences" ->
+      """WITH d AS (SELECT lang,
+        |             len(string_split(text, ' '))::DOUBLE AS nt
+        |           FROM documents),
+        |f AS (SELECT lang,
+        |        quantile_cont(nt, 0.25) AS q1,
+        |        quantile_cont(nt, 0.75) AS q3
+        |      FROM d GROUP BY 1),
+        |g AS (SELECT lang, q1 - 1.5 * (q3 - q1) AS lo,
+        |             q3 + 1.5 * (q3 - q1) AS hi FROM f)
+        |SELECT d.lang, COUNT(*)::BIGINT AS n,
+        |       SUM(CASE WHEN d.nt < g.lo OR d.nt > g.hi THEN 1
+        |                ELSE 0 END)::BIGINT AS n_outliers,
+        |       ROUND(MAX(g.lo), 4) AS lo, ROUND(MAX(g.hi), 4) AS hi
+        |FROM d JOIN g USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q160: cascade forget replay — parents out by predicate,
     // children out by membership in the doomed key set
     "q160_cascade_forget" ->

@@ -574,6 +574,29 @@ object RelationalQueries {
         min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
   }
 
+  /** Q161 — the SALTED skew join under the oracle gate: events are
+    * genuinely hot-keyed (5 event_type values over the whole table —
+    * each key one task under a plain hash join), so the probe side
+    * salts 8 ways on event_id and the dim side replicates per salt
+    * ([[graft.operators.SkewJoin.saltedJoin]]). The result must equal
+    * the UNSALTED join row for row — which is exactly what DuckDB
+    * replays — so the mitigation is proven answer-preserving, not
+    * just spec'd on toy rows. */
+  def q161SaltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = e.groupBy("event_type")
+      .agg(round(avg(col("value")), 4).as("type_avg"))
+    graft.operators.SkewJoin.saltedJoin(e, dim, "event_type",
+        "event_id", nSalts = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > col("type_avg"), 1L).otherwise(0L))
+          .as("n_above"),
+        max(col("type_avg")).as("type_avg"))
+      .orderBy("event_type")
+  }
+
   /** Q154 — COHORT RETENTION: users grouped by first-seen week, the
     * classic warehouse activity matrix (cohort week × week offset →
     * distinct active users) a product dashboard draws. Two folds on

@@ -1150,6 +1150,32 @@ object TextQueries {
           round(expr("percentile(nt, 0.99)"), 2)).as("p99"))
       .orderBy("lang")
 
+  /** Q162 — IQR OUTLIER FENCES per language (the Tukey rule the
+    * quality-filter stage uses to prune length outliers without
+    * hand-set thresholds): fences = Q1/Q3 ∓ 1.5·IQR over token
+    * counts, then the count of docs outside them. Exact interpolated
+    * quantiles (the q71 cross-engine percentile contract), one
+    * corpus pass for the quartiles + one for the fence counts —
+    * joined on the languages-sized fence table (broadcast). */
+  def q162OutlierFences(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).cast("double")
+        .as("nt"))
+    val fences = d.groupBy("lang")
+      .agg(expr("percentile(nt, 0.25)").as("q1"),
+        expr("percentile(nt, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    d.join(broadcast(fences), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nt") < col("lo") || col("nt") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(max(col("lo")), 4).as("lo"),
+        round(max(col("hi")), 4).as("hi"))
+      .orderBy("lang")
+  }
+
   /** The sketch twin of [[q71LenProfile]] (the actual 100 TB plan). */
   def q71Approx(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)

@@ -663,6 +663,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans <= 2, s"customer scanned $scans times:\n$p")
   }
 
+  test("q161 salted join: the join key carries the salt (no single " +
+    "hot partition), the dim side replicates via explode") {
+    val df = R.q161SaltedSkewJoin(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("_salt"), s"salt absent from the plan:\n$p")
+    assert(p.toLowerCase.contains("generate explode") ||
+      p.contains("Generate"), s"dim side not replicated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q150 retrieval eval: broadcast query set over ONE corpus " +
     "scan, top-k is a partial (map-side) object-hash aggregate") {
     val df = graft.queries.SimilarityQueries
