@@ -711,13 +711,14 @@ object OracleSql {
   /** Ground-truth connected-component clusters over a pinned hash
     * set's ≤3 pair graph (recursive-CTE reachability, canonical = MIN
     * key) — the q112/q117 oracle shape. */
-  private def dupClustersSql(pinned: Seq[(String, Long)]): String = {
+  private def dupClustersSql(pinned: Seq[(String, Long)],
+      maxDist: Int = 3): String = {
     val vals = hashValuesOf(pinned)
     s"""WITH RECURSIVE t(key, dhash) AS (VALUES
        |  $vals),
        |p AS (SELECT a.key AS a, b.key AS b
        |      FROM t a JOIN t b ON a.key < b.key
-       |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |      WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxDist),
        |e AS (SELECT a AS id, b AS nb FROM p UNION ALL SELECT b, a FROM p),
        |reach(id, r) AS (
        |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
@@ -1554,6 +1555,15 @@ object OracleSql {
     // singletons
     "q117_audio_dup_clusters" ->
       dupClustersSql(graft.queries.PipelineQueries.pinnedAudioDhashes),
+    // q164: exact hamming top-5 against p1_noise's pinned pHash
+    "q164_phash_knn" -> hammingKnnSql(
+      graft.queries.PipelineQueries.pinnedPhashes,
+      query = -6340691516647082415L, k = 5),
+    // q163: components over the pinned pHash d<=6 graph — the heavy-
+    // noise copy must stay a singleton
+    "q163_phash_dup_clusters" ->
+      dupClustersSql(graft.queries.PipelineQueries.pinnedPhashes,
+        maxDist = 6),
     // q111: hamming kNN — exact top-5 by xor/bit_count over the pinned
     // corpus, query literal shared with the engine
     "q111_hamming_knn" -> hammingKnnSql(

@@ -359,6 +359,37 @@ object PipelineQueries {
     * is id-scheme-independent and DuckDB replays it with q62's
     * recursive-CTE reachability over the pinned hashes. Singletons are
     * their own canonical, like q62. */
+  /** q163 — dup CLUSTERS over the pHash space: the q112 composition
+    * under the frequency-domain kernel (q158's d≤6 pair graph through
+    * the q62 component engine). The expected components are
+    * {p1, p1_noise} {p2, p2_noise} {p3, p3_dup} + 2 singletons — and
+    * notably p1_noise9 stays a SINGLETON (d=10 from p1): clustering
+    * inherits the pairing bound, it never transitively glues what the
+    * kernel kept apart. */
+  def q163PhashDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hs = graft.operators.MultimodalOps.imagePHashes(
+        phashFixtureBytes.toDF("key", "bytes"))
+      .filter(col("dhash").isNotNull)
+    hashDupClusters(s, hs,
+      graft.functions.HammingBands.pairs(hs, "key", "dhash",
+        nBands = 7, bandBits = 9, maxDist = 6))
+  }
+
+  /** q164 — hamming kNN over the pHash space (find-similar-image
+    * under the frequency kernel): top-5 neighbors of p1_noise's
+    * PINNED hash — rank 1 its d=0 self, rank 2 the original p1 at
+    * d=6, then the d=8/10 tail the pairing bound excludes but a
+    * search ranking legitimately surfaces. Same codegen xor/bit_count
+    * scan + k-heap as q111/q116. */
+  def q164PhashKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = graft.operators.MultimodalOps.imagePHashes(
+      phashFixtureBytes.toDF("key", "bytes"))
+    graft.functions.HammingBands.knn(hashes, "key", "dhash",
+      query = -6340691516647082415L, k = 5) // pinned p1_noise
+  }
+
   def q112ImageDupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hs = graft.operators.MultimodalOps.imageDHashes(
