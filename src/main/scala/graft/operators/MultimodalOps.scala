@@ -177,13 +177,14 @@ object MultimodalOps {
           h = u32le(b, pos + 16).toInt
           bitCount = u16le(b, pos + 22)
           compression = u32le(b, pos + 24)
-          if (bitCount == 8) {
+          if (bitCount == 8 || bitCount == 4) {
             // palettized stream: RGBQUAD table follows the 40-byte
-            // BITMAPINFOHEADER; biClrUsed==0 means "all 256", bounded
-            // by what the chunk actually holds
+            // BITMAPINFOHEADER; biClrUsed==0 means "all" (256 for
+            // 8-bit, 16 for 4-bit), bounded by what the chunk holds
+            val full = if (bitCount == 4) 16 else 256
             val declared = u32le(b, pos + 8 + 32).toInt
             val n = math.min(math.min(
-              if (declared <= 0) 256 else declared, 256), (len - 40) / 4)
+              if (declared <= 0) full else declared, full), (len - 40) / 4)
             palette = Array.tabulate(256) { k =>
               if (k < n) {
                 val p = pos + 8 + 40 + 4 * k
@@ -236,7 +237,14 @@ object MultimodalOps {
         // onto the previous frame's canvas — decode sequentially with a
         // persistent canvas, snapshot only the sampled indices
         if (w.toLong * h > (1L << 24)) return None
-        decodeRle8Frames(raw.toSeq, picked, w, h, palette)
+        decodeRleFrames(raw.toSeq, picked, w, h, palette, bits = 8)
+      } else if (compression == 2L && bitCount == 4 && w > 0 && h > 0 &&
+        palette != null) {
+        // BI_RLE4: the 4-bit sibling — runs alternate the byte's two
+        // nibbles, absolute mode packs nibbles two-per-byte; same
+        // persistent-canvas delta compositing
+        if (w.toLong * h > (1L << 24)) return None
+        decodeRleFrames(raw.toSeq, picked, w, h, palette, bits = 4)
       } else {
         // MJPEG (and any codec whose chunk payloads are plain JPEGs —
         // fourcc 'MJPG' or otherwise): each sampled frame that sniffs
@@ -262,17 +270,20 @@ object MultimodalOps {
     if (out.isEmpty) None else Some(out)
   } catch { case _: Exception => None }
 
-  /** BI_RLE8 frame-sequence decode (public Windows BMP/AVI RLE8 wire
-    * format): byte pairs `(count, index)` paint runs; `count == 0`
-    * escapes to `0`=end-of-line, `1`=end-of-bitmap, `2`=delta (skip
-    * `(dx, dy)` — the mechanism delta frames use to leave pixels from
-    * the PREVIOUS frame in place), `n>=3`=absolute mode (n literal
-    * indices, word-aligned). Rows are bottom-up like every DIB. The
+  /** BI_RLE8 / BI_RLE4 frame-sequence decode (public Windows BMP/AVI
+    * RLE wire formats): byte pairs `(count, v)` paint runs — one
+    * index for RLE8, `v`'s two nibbles ALTERNATING for RLE4;
+    * `count == 0` escapes to `0`=end-of-line, `1`=end-of-bitmap,
+    * `2`=delta (skip `(dx, dy)` — the mechanism delta frames use to
+    * leave pixels from the PREVIOUS frame in place), `n>=3`=absolute
+    * mode (n literal indices — bytes for RLE8, packed nibbles for
+    * RLE4 — word-aligned). Rows are bottom-up like every DIB. The
     * canvas persists across frames, so a frame that only encodes its
     * changed region composites correctly; out-of-bounds paints are
     * clipped (untrusted bytes must not throw past the walk). */
-  private def decodeRle8Frames(frames: Seq[Array[Byte]], picked: Seq[Int],
-      w: Int, h: Int, pal: Array[Int]): Seq[(Int, Array[Byte])] = {
+  private def decodeRleFrames(frames: Seq[Array[Byte]], picked: Seq[Int],
+      w: Int, h: Int, pal: Array[Int],
+      bits: Int): Seq[(Int, Array[Byte])] = {
     val canvas = new Array[Byte](w * h) // palette indices; row 0 = bottom
     val wanted = picked.toSet
     val last = picked.foldLeft(-1)(math.max)
@@ -284,9 +295,14 @@ object MultimodalOps {
       while (!done && i + 2 <= d.length) {
         val c = d(i) & 0xff; val v = d(i + 1) & 0xff; i += 2
         if (c > 0) {
+          // encoded run: one index for RLE8, the byte's two nibbles
+          // ALTERNATING for RLE4 (the public BMP wire rule)
           var k = 0
           while (k < c) {
-            if (x < w && y < h) canvas(y * w + x) = v.toByte
+            val idx =
+              if (bits == 8) v
+              else if ((k & 1) == 0) (v >> 4) & 0xf else v & 0xf
+            if (x < w && y < h) canvas(y * w + x) = idx.toByte
             x += 1; k += 1
           }
         } else v match {
@@ -297,12 +313,28 @@ object MultimodalOps {
               x += d(i) & 0xff; y += d(i + 1) & 0xff; i += 2
             } else done = true
           case n =>
-            var k = 0
-            while (k < n && i < d.length) {
-              if (x < w && y < h) canvas(y * w + x) = d(i)
-              x += 1; i += 1; k += 1
+            if (bits == 8) {
+              var k = 0
+              while (k < n && i < d.length) {
+                if (x < w && y < h) canvas(y * w + x) = d(i)
+                x += 1; i += 1; k += 1
+              }
+              i += (n & 1) // absolute runs pad to a word boundary
+            } else {
+              // RLE4 absolute: n nibbles packed two-per-byte (high
+              // first), total bytes consumed padded to a word
+              var k = 0
+              while (k < n && i < d.length) {
+                val byte = d(i) & 0xff
+                val idx = if ((k & 1) == 0) (byte >> 4) & 0xf
+                          else byte & 0xf
+                if (x < w && y < h) canvas(y * w + x) = idx.toByte
+                x += 1
+                if ((k & 1) == 1 || k == n - 1) i += 1
+                k += 1
+              }
+              i += (((n + 1) / 2) & 1) // pad bytes-used to a word
             }
-            i += (n & 1) // absolute runs pad to a word boundary
         }
       }
       if (wanted(fi)) {
@@ -404,9 +436,26 @@ object MultimodalOps {
     * into `palette`); requires 3 <= w <= 255 so one absolute run covers
     * a row. Deterministic fixture bytes for specs. */
   def syntheticAviRle8(palette: Array[Int], frames: Seq[Array[Byte]],
-      w: Int, h: Int): Array[Byte] = {
+      w: Int, h: Int): Array[Byte] =
+    syntheticAviRle(palette, frames, w, h, bits = 8)
+
+  /** The 4-bit sibling of [[syntheticAviRle8]] (BI_RLE4, 16-color
+    * palette): encoded runs carry the index in BOTH nibbles, absolute
+    * rows pack nibbles two-per-byte — the layout the RLE4 branch of
+    * the decoder must walk. */
+  def syntheticAviRle4(palette: Array[Int], frames: Seq[Array[Byte]],
+      w: Int, h: Int): Array[Byte] =
+    syntheticAviRle(palette, frames, w, h, bits = 4)
+
+  private def syntheticAviRle(palette: Array[Int],
+      frames: Seq[Array[Byte]], w: Int, h: Int,
+      bits: Int): Array[Byte] = {
     require(w >= 3 && w <= 255 && h >= 1 && h <= 255, "fixture-sized only")
-    require(palette.length <= 256)
+    val nPal = if (bits == 4) 16 else 256
+    require(palette.length <= nPal)
+    if (bits == 4)
+      require(frames.forall(_.forall(i => (i & 0xff) < 16)),
+        "RLE4 canvases carry 4-bit indices")
     // encode one frame; prev == null → keyframe
     def encode(cur: Array[Byte], prev: Array[Byte]): Array[Byte] = {
       val eb = new java.io.ByteArrayOutputStream()
@@ -419,7 +468,10 @@ object MultimodalOps {
             var run = 1
             while (x + run < w && cur(r + x + run) == cur(r + x) &&
               run < 255) run += 1
-            eb.write(run); eb.write(cur(r + x) & 0xff)
+            val v = cur(r + x) & 0xff
+            eb.write(run)
+            // RLE4: a uniform run repeats the index in both nibbles
+            eb.write(if (bits == 8) v else (v << 4) | v)
             x += run
           }
           if (yb < h - 1) { eb.write(0); eb.write(0) } // EOL
@@ -436,8 +488,19 @@ object MultimodalOps {
           }
           eb.write(0); eb.write(w) // absolute mode: the whole row
           val r = rowAt(yb)
-          for (x <- 0 until w) eb.write(cur(r + x) & 0xff)
-          if ((w & 1) == 1) eb.write(0) // word-align
+          if (bits == 8) {
+            for (x <- 0 until w) eb.write(cur(r + x) & 0xff)
+            if ((w & 1) == 1) eb.write(0) // word-align
+          } else {
+            var x = 0
+            while (x < w) { // nibbles packed high-first
+              val hi = cur(r + x) & 0xf
+              val lo = if (x + 1 < w) cur(r + x + 1) & 0xf else 0
+              eb.write((hi << 4) | lo)
+              x += 2
+            }
+            if ((((w + 1) / 2) & 1) == 1) eb.write(0) // word-align
+          }
           eb.write(0); eb.write(0) // EOL → (0, yb+1)
           atY = yb + 1
         }
@@ -454,7 +517,7 @@ object MultimodalOps {
       le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
     }
     def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
-    val strfLen = 40 + 4 * 256
+    val strfLen = 40 + 4 * nPal
     val moviLen = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
     val strlLen = 4 + (8 + 56) + (8 + strfLen)
     val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
@@ -472,10 +535,10 @@ object MultimodalOps {
     le32(bufSize.toLong); le32(0); le32(0)
     le16(0); le16(0); le16(w); le16(h)
     fcc("strf"); le32(strfLen.toLong)
-    le32(40); le32(w.toLong); le32(h.toLong); le16(1); le16(8)
-    le32(1) // biCompression = BI_RLE8
-    le32(bufSize.toLong); le32(0); le32(0); le32(256); le32(0)
-    for (k <- 0 until 256) { // RGBQUAD palette: B, G, R, reserved
+    le32(40); le32(w.toLong); le32(h.toLong); le16(1); le16(bits)
+    le32(if (bits == 8) 1L else 2L) // biCompression = BI_RLE8 / BI_RLE4
+    le32(bufSize.toLong); le32(0); le32(0); le32(nPal.toLong); le32(0)
+    for (k <- 0 until nPal) { // RGBQUAD palette: B, G, R, reserved
       val c = if (k < palette.length) palette(k) else 0
       bos.write(c & 0xff); bos.write((c >> 8) & 0xff)
       bos.write((c >> 16) & 0xff); bos.write(0)

@@ -180,6 +180,50 @@ class MultimodalOpsSpec extends SparkSpec {
       java.util.Arrays.copyOf(avi, avi.length - 10), 1, 5)
   }
 
+  test("sampleFrames decodes BI_RLE4 AVI frames — alternating-nibble " +
+    "runs, packed-nibble absolute rows, delta compositing") {
+    val w = 11; val h = 3 // odd width: the last absolute byte half-used
+    val palette = Array.tabulate(16)(k =>
+      (((k * 40503L) >>> 2) & 0xffffff).toInt)
+    val canvases = scala.collection.mutable.ArrayBuffer(
+      Array.tabulate(w * h)(i => (((i / w) * 5 + (i % w) / 3) % 16).toByte))
+    for (f <- 1 until 5) {
+      val cur = canvases.last.clone()
+      val r = f % h
+      for (x <- 0 until w)
+        cur(r * w + x) = (((cur(r * w + x) & 0xff) + 1 + f) % 16).toByte
+      canvases += cur
+    }
+    val avi = MultimodalOps.syntheticAviRle4(palette, canvases.toSeq, w, h)
+    val rows = MultimodalOps.sampleFrames(
+      media("r4" -> avi), everyNth = 1, maxFrames = 5)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3, 4))
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) ===
+          palette(canvases(f)(y * w + x) & 0xff),
+          s"pixel ($x,$y) of frame $f")
+    }
+    // sub-sampling still composites the SKIPPED frames' deltas
+    val sub = MultimodalOps.sampleFrames(
+      media("r4" -> avi), everyNth = 2, maxFrames = 2)
+      .orderBy("frame_idx").collect()
+    assert(sub.map(_.getInt(1)).toSeq === Seq(0, 2))
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(sub(1).getAs[Array[Byte]](2)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img2.getRGB(x, y) & 0xffffff) ===
+        palette(canvases(2)(y * w + x) & 0xff), s"subsampled ($x,$y)")
+    // truncated untrusted bytes must not throw
+    MultimodalOps.parseAviFrames(
+      java.util.Arrays.copyOf(avi, avi.length - 10), 1, 5)
+  }
+
   test("sampleFrames reassembles animated WebP through WebpAnim") {
     val anim = {
       val in = getClass.getResourceAsStream("/vp8/anim_replace.webp")
