@@ -1535,6 +1535,10 @@ object OracleSql {
     // not survive the exact-distance filter
     "q106_video_frame_dedup" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedVideoDhashes),
+    // q165: the same replay under the frequency kernel — vidC's d=4-8
+    // frames band-collide but must not survive the exact filter
+    "q165_video_phash_dedup" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedVideoPhashes),
     // q107: the audio leg of the triad — ground truth over the pinned
     // energy-envelope fingerprints; the d=0 pair is the half-volume
     // copy (gain invariance), the d=9 decoy must be filtered

@@ -962,6 +962,15 @@ object MultimodalOps {
       .select(concat_ws("#", col("key"), col("frame_idx")).as("key"),
         col("frame").as("bytes")))
 
+  /** [[videoFrameDHashes]] under the [[pHash]] kernel — the frequency
+    * leg of the kernel×modality matrix. */
+  def videoFramePHashes(media: DataFrame, everyNth: Int = 1,
+      maxFrames: Int = 32): DataFrame =
+    imagePHashes(sampleFrames(media, everyNth, maxFrames,
+      stubUndecodable = false)
+      .select(concat_ws("#", col("key"), col("frame_idx")).as("key"),
+        col("frame").as("bytes")))
+
   /** Aggregate COMPOSITE-KEY near-dup pairs (`container#index` — video
     * frames from [[videoFrameDHashes]], audio segments from
     * [[audioSegmentDHashes]]) to a CONTAINER-LEVEL repost verdict: the

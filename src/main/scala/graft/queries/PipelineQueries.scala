@@ -205,6 +205,45 @@ object PipelineQueries {
       k -> graft.operators.MultimodalOps.syntheticAvi(seed, 72, 48, 6)
     }
 
+  /** The PINNED per-frame pHashes of [[videoFixtures]] — q165's
+    * oracle VALUES (engine == literal asserted in spec): the shifted
+    * copy meets at d=0 under the FREQUENCY kernel too (identical
+    * pixels hash identically under any kernel), while vidC's noise
+    * frames sit at d=4-8 — band-collision decoys for the d≤3 bound. */
+  private[graft] val pinnedVideoPhashes: Seq[(String, Long)] = Seq(
+    ("vidA#0", -96825548709486539L),
+    ("vidA#1", 23633005974386193L),
+    ("vidA#2", 6340127740462409749L),
+    ("vidA#3", -1440774184154464767L),
+    ("vidA#4", 240938555350105089L),
+    ("vidA#5", -96825222459716959L),
+    ("vidB#0", 23633005974386193L),
+    ("vidB#1", 6340127740462409749L),
+    ("vidB#2", -1440774184154464767L),
+    ("vidB#3", 240938555350105089L),
+    ("vidB#4", -96825222459716959L),
+    ("vidB#5", -8573729769135811071L),
+    ("vidC#0", 285605252084182021L),
+    ("vidC#1", -96825222979821003L),
+    ("vidC#2", 600102537190929937L),
+    ("vidC#3", 6340690988911962133L),
+    ("vidC#4", -6052460176677831167L),
+    ("vidC#5", 240938491192982529L))
+
+  /** q165 — VIDEO near-dup under the pHash kernel (the q106
+    * composition through the frequency leg): the five shifted-copy
+    * frame pairs at d=0 are again the entire answer, with vidC's
+    * d=4-8 frames the decoys the exact filter must kill. Two
+    * independent kernels agreeing on the same repost is the
+    * two-kernel dedup policy's evidence. */
+  def q165VideoPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = videoFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.videoFramePHashes(media)
+    graft.operators.MultimodalOps.dhashNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b")
+  }
+
   /** The PINNED per-frame hashes of [[videoFixtures]] — q106's oracle
     * VALUES table, engine == literal asserted in spec (the q104
     * contract). The d=0 pairs are exactly vidA#f+1 == vidB#f (the

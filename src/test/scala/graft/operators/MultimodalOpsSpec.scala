@@ -384,6 +384,22 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(dhOf("p1") === dhOf("p1_noise"))
   }
 
+  test("q165 pinned video pHashes: engine equals the oracle's " +
+    "literals; the shifted copy meets at d=0 under the frequency " +
+    "kernel too, vidC decoys filtered") {
+    import graft.queries.PipelineQueries
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val got = MultimodalOps.videoFramePHashes(
+      PipelineQueries.videoFixtureBytes.toDF("key", "bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === PipelineQueries.pinnedVideoPhashes)
+    val pairs = PipelineQueries.q165VideoPhashDedup(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq === (0 until 5).map(f =>
+      (s"vidA#${f + 1}", s"vidB#$f", 0L)))
+  }
+
   test("q106 pinned videos: per-frame engine dHash equals the oracle's " +
     "literals; banded pairs find exactly the shifted-copy frames") {
     import graft.queries.PipelineQueries
