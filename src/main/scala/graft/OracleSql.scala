@@ -1523,6 +1523,27 @@ object OracleSql {
     // filter
     "q104_dhash_pairs" ->
       dhashPairsSql(graft.queries.PipelineQueries.pinnedDhashes),
+    // q166: two-kernel agreement — the intersection of both pinned
+    // ground truths; only the true re-encode dup survives
+    "q166_kernel_agreement" -> {
+      val dv = hashValuesOf(graft.queries.PipelineQueries.pinnedDhashes)
+      val pv = hashValuesOf(
+        graft.queries.PipelineQueries.pinnedImagePhashes)
+      s"""WITH td(key, h) AS (VALUES
+         |  $dv),
+         |tp(key, p) AS (VALUES
+         |  $pv),
+         |dp AS (SELECT a.key AS a, b.key AS b,
+         |         bit_count(xor(a.h, b.h))::BIGINT AS d_dhash
+         |       FROM td a JOIN td b ON a.key < b.key
+         |       WHERE bit_count(xor(a.h, b.h)) <= 3),
+         |pp AS (SELECT a.key AS a, b.key AS b,
+         |         bit_count(xor(a.p, b.p))::BIGINT AS d_phash
+         |       FROM tp a JOIN tp b ON a.key < b.key
+         |       WHERE bit_count(xor(a.p, b.p)) <= 6)
+         |SELECT dp.a, dp.b, d_dhash, d_phash
+         |FROM dp JOIN pp USING (a, b) ORDER BY a, b""".stripMargin
+    },
     // q158: the pHash leg — ground truth over the pinned DCT hashes
     // at the d<=6 bound; p1<->p2 (d=8) and the heavy-noise copy
     // (d=10) must be filtered

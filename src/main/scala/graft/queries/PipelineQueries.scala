@@ -142,6 +142,48 @@ object PipelineQueries {
       })
     }
 
+  /** The PINNED pHashes of the q104 dHash fixtures (engine == literal
+    * asserted in spec) — q166's second-opinion table: the
+    * whitened-cell "near" variants that sit 1-2 dHash bits away are
+    * HEAVY edits in the frequency domain (d=16+), so only the true
+    * re-encode duplicate survives a two-kernel agreement. */
+  private[graft] val pinnedImagePhashes: Seq[(String, Long)] = Seq(
+    ("m00", -4897291236098345263L),
+    ("m01", -2883384598074709947L),
+    ("m02", -7243730598000941479L),
+    ("m03", -6340690413394594223L),
+    ("m04", -95551216935860011L),
+    ("m06", -6340128144061368623L),
+    ("m07", -96825548709486539L),
+    ("m09", 582044449741725185L),
+    ("m10", -240850597641063855L),
+    ("m01_dup", -2883384598074709947L),
+    ("m02_near", -7144511330670188935L),
+    ("m07_near", 7992932322802831761L),
+    ("m09_near", -7402116119023688047L),
+    ("m03_far", -1562918582186948351L),
+    ("m04_far", -8895608303505309697L))
+
+  /** q166 — the TWO-KERNEL AGREEMENT dedup policy: a pair counts as a
+    * duplicate only when BOTH perceptual kernels agree (dHash d≤3 AND
+    * pHash d≤6). Over the q104 fixtures this keeps exactly the true
+    * byte-level re-encode (m01/m01_dup, d=0 under both) and drops the
+    * whitened-cell variants dHash alone accepts — the precision boost
+    * independent evidence buys, as one equi-join of the two banded
+    * pair sets (each already cross-join-free). */
+  def q166KernelAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = dhashFixtureBytes.toDF("key", "bytes")
+    val dPairs = graft.operators.MultimodalOps.dhashNearDupPairs(
+        graft.operators.MultimodalOps.imageDHashes(media), maxDist = 3)
+      .withColumnRenamed("d", "d_dhash")
+    val pPairs = graft.functions.HammingBands.pairs(
+        graft.operators.MultimodalOps.imagePHashes(media),
+        "key", "dhash", nBands = 7, bandBits = 9, maxDist = 6)
+      .withColumnRenamed("d", "d_phash")
+    dPairs.join(pPairs, Seq("a", "b")).orderBy("a", "b")
+  }
+
   /** q158's fixtures — the pHash robustness axis: per-pixel noise
     * (spreads across HIGH frequencies, so the 8×8 low-frequency block
     * barely moves), a byte-identical re-encode, and unrelated seeds

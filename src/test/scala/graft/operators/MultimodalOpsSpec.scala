@@ -384,6 +384,22 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(dhOf("p1") === dhOf("p1_noise"))
   }
 
+  test("q166 two-kernel agreement: engine pHashes of the q104 " +
+    "fixtures equal the pinned literals; only the re-encode dup " +
+    "survives both kernels") {
+    import graft.queries.PipelineQueries
+    val got = PipelineQueries.dhashFixtureBytes.map { case (k, b) =>
+      k -> MultimodalOps.pHash(
+        BinaryFunctions.decode(b).getOrElse(fail(s"$k undecodable")))
+    }
+    assert(got === PipelineQueries.pinnedImagePhashes)
+    val agreed = PipelineQueries.q166KernelAgreement(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // the whitened-cell variants pass dHash (d=1/2) but are HEAVY
+    // frequency-domain edits — only the true re-encode dup agrees
+    assert(agreed.toSeq === Seq(("m01", "m01_dup")))
+  }
+
   test("q165 pinned video pHashes: engine equals the oracle's " +
     "literals; the shifted copy meets at d=0 under the frequency " +
     "kernel too, vidC decoys filtered") {
