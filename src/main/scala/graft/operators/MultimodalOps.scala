@@ -753,6 +753,29 @@ object MultimodalOps {
   def imageDHashes(media: DataFrame): DataFrame =
     imageHashes(media, dHash)
 
+  /** BOTH kernels in ONE decode pass — what a two-kernel agreement
+    * policy (q166) wants at corpus scale: the decode (the dominant
+    * cost) runs once, each hash column then feeds its own banding. */
+  def imageDualHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("dhash", LongType),
+      StructField("phash", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = if (bytes == null) None
+          else graft.functions.BinaryFunctions.decode(bytes)
+        img match {
+          case Some(i) => Row(key, dHash(i), pHash(i))
+          case None => Row(key, null, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
   /** One decode-and-hash pass shared by every perceptual kernel —
     * the decode/null contract ("errors are data") lives HERE once. */
   private def imageHashes(media: DataFrame,
@@ -953,23 +976,25 @@ object MultimodalOps {
     * without any cross join. */
   def videoFrameDHashes(media: DataFrame, everyNth: Int = 1,
       maxFrames: Int = 32): DataFrame =
-    // stubUndecodable=false: stub frames derive from the KEY, so hashing
-    // them would fabricate d=0 pairs between unrelated undecodable
-    // videos (and never match the same content under two keys) —
-    // errors must stay ABSENT here, not become synthetic content
-    imageDHashes(sampleFrames(media, everyNth, maxFrames,
-      stubUndecodable = false)
-      .select(concat_ws("#", col("key"), col("frame_idx")).as("key"),
-        col("frame").as("bytes")))
+    imageDHashes(frameMedia(media, everyNth, maxFrames))
 
   /** [[videoFrameDHashes]] under the [[pHash]] kernel — the frequency
     * leg of the kernel×modality matrix. */
   def videoFramePHashes(media: DataFrame, everyNth: Int = 1,
       maxFrames: Int = 32): DataFrame =
-    imagePHashes(sampleFrames(media, everyNth, maxFrames,
-      stubUndecodable = false)
+    imagePHashes(frameMedia(media, everyNth, maxFrames))
+
+  /** Frames as (composite `video#frame` key, bytes) — the shared
+    * sampling/keying stage of both kernel legs.
+    * stubUndecodable=false: stub frames derive from the KEY, so
+    * hashing them would fabricate d=0 pairs between unrelated
+    * undecodable videos (and never match the same content under two
+    * keys) — errors must stay ABSENT here, not synthetic content. */
+  private def frameMedia(media: DataFrame, everyNth: Int,
+      maxFrames: Int): DataFrame =
+    sampleFrames(media, everyNth, maxFrames, stubUndecodable = false)
       .select(concat_ws("#", col("key"), col("frame_idx")).as("key"),
-        col("frame").as("bytes")))
+        col("frame").as("bytes"))
 
   /** Aggregate COMPOSITE-KEY near-dup pairs (`container#index` — video
     * frames from [[videoFrameDHashes]], audio segments from

@@ -174,12 +174,15 @@ object PipelineQueries {
   def q166KernelAgreement(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = dhashFixtureBytes.toDF("key", "bytes")
+    // ONE decode pass computes both kernels (decode dominates at
+    // corpus scale); each hash column then feeds the shared banding
+    val dual = graft.operators.MultimodalOps.imageDualHashes(media)
+      .localCheckpoint(true)
     val dPairs = graft.operators.MultimodalOps.dhashNearDupPairs(
-        graft.operators.MultimodalOps.imageDHashes(media), maxDist = 3)
+        dual.select(col("key"), col("dhash")), maxDist = 3)
       .withColumnRenamed("d", "d_dhash")
-    val pPairs = graft.functions.HammingBands.pairs(
-        graft.operators.MultimodalOps.imagePHashes(media),
-        "key", "dhash", nBands = 7, bandBits = 9, maxDist = 6)
+    val pPairs = graft.operators.MultimodalOps.dhashNearDupPairs(
+        dual.select(col("key"), col("phash").as("dhash")), maxDist = 6)
       .withColumnRenamed("d", "d_phash")
     dPairs.join(pPairs, Seq("a", "b")).orderBy("a", "b")
   }
@@ -226,8 +229,7 @@ object PipelineQueries {
     import s.implicits._
     val media = phashFixtureBytes.toDF("key", "bytes")
     val hashes = graft.operators.MultimodalOps.imagePHashes(media)
-    graft.functions.HammingBands.pairs(hashes, "key", "dhash",
-      nBands = 7, bandBits = 9, maxDist = 6)
+    graft.operators.MultimodalOps.dhashNearDupPairs(hashes, maxDist = 6)
       .orderBy("a", "b")
   }
 
@@ -453,8 +455,7 @@ object PipelineQueries {
         phashFixtureBytes.toDF("key", "bytes"))
       .filter(col("dhash").isNotNull)
     hashDupClusters(s, hs,
-      graft.functions.HammingBands.pairs(hs, "key", "dhash",
-        nBands = 7, bandBits = 9, maxDist = 6))
+      graft.operators.MultimodalOps.dhashNearDupPairs(hs, maxDist = 6))
   }
 
   /** q164 — hamming kNN over the pHash space (find-similar-image

@@ -670,8 +670,8 @@ class PlanQualitySpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(p.contains("_salt"), s"salt absent from the plan:\n$p")
-    assert(p.toLowerCase.contains("generate explode") ||
-      p.contains("Generate"), s"dim side not replicated:\n$p")
+    assert(p.contains("Generate explode("),
+      s"dim side not replicated via explode:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
