@@ -2224,6 +2224,9 @@ object GraphQl {
     case JsonContainedIn(f, ps) =>
       s"{$f: {_contained_in: ${ps.map { case (k, v) =>
         s"$k: ${renderLit(v)}" }.mkString("{", ", ", "}")}}}"
+    case QueryBuilder.KeySet(f, _) => throw new IllegalArgumentException(
+      s"render: KeySet($f) is internal to the mutation fold — it has " +
+        "no GraphQL spelling")
   }
 
   private def renderLit(v: Any): String = v match {
@@ -2734,8 +2737,9 @@ object GraphQl {
     * ([[Mutations.cascadeForget]], the right-to-be-forgotten
     * operation): MACHINERY customers with key ≤ 30 tombstone, and
     * every order of a forgotten customer goes with them — the child
-    * delete keyed by the COLLECTED parent keys (bounded by the forget
-    * request). The read-back counts + key checksums over BOTH stores
+    * delete keyed by the doomed parent keys (inlined below
+    * [[Mutations.CascadeInlineKeys]], a KeySet semi-join above it).
+    * The read-back counts + key checksums over BOTH stores
     * hash-fail if a child survives its parent or an innocent row
     * dies. */
   def q160CascadeForget(s: org.apache.spark.sql.SparkSession,

@@ -293,13 +293,12 @@ object Mutations {
         df.withColumn(c, (col(c) + typed(c, v, "_inc")).cast(sch(c).dataType)) }
       (mergeDelta(snapshot, delta, keyCol), delta.count(), delta)
     case Delete(table, where) =>
-      val victims = snapshot.filter(where.toColumn)
+      val victims = deleteVictims(snapshot, where)
       val doomed = victims.withColumn("deleted", lit(true))
       (mergeDelta(snapshot, doomed, keyCol), doomed.count(), victims)
     case t: InsertTree => throw new IllegalArgumentException(
       s"insert_${t.table}: a nested insert spans tables — apply it " +
-        "through the store registry (applyFieldsToStores)")
-    case u: UpdateMany => throw new IllegalArgumentException(
+        "through the store registry (applyFieldsToStores)")    case u: UpdateMany => throw new IllegalArgumentException(
       s"update_${u.table}_many: per-step responses live in " +
         "applyFields — apply the document there")
   }
@@ -400,17 +399,42 @@ object Mutations {
     applyFieldsToStores(spark, Map(table -> (path, keyCol)), fields)
   }
 
+  /** The rows a [[Delete]] removes. [[QueryBuilder.KeySet]] is the
+    * one predicate with no Column form — it compiles HERE, to a LEFT
+    * SEMI JOIN against its key DataFrame (AQE broadcasts a small key
+    * set; a big one hash-joins on the cluster), so membership in a
+    * ten-million-key set never becomes a driver-resident `isin`
+    * literal. Package-private so specs can plan-assert the join. */
+  private[api] def deleteVictims(snapshot: DataFrame,
+      where: BoolExp): DataFrame = where match {
+    case QueryBuilder.KeySet(field, keys) =>
+      val k = keys.toDF("__keyset_key")
+      snapshot.join(k, snapshot(field) === k("__keyset_key"),
+        "left_semi")
+    case _ => snapshot.filter(where.toColumn)
+  }
+
+  /** Above this many doomed parents, [[cascadeForget]] stops inlining
+    * keys as an `In` literal and switches to the [[QueryBuilder
+    * .KeySet]] semi-join. 1000 keys ≈ Hasura's practical `_in` list
+    * size and well under any plan-size or driver-memory concern. */
+  val CascadeInlineKeys = 1000
+
   /** CASCADE FORGET — the right-to-be-forgotten operation no single
     * Hasura mutation expresses (Postgres cascades live in DDL; this
     * engine's stores have no DDL, so the cascade is explicit): delete
     * the parent rows matching `where`, and in every listed child
-    * table the rows whose FK matches a deleted parent key. Child
-    * deletes are keyed by the COLLECTED parent keys — bounded by the
-    * forget request (a person's keys), never a store scan on the
-    * driver — and the whole document applies through
-    * [[applyFieldsToStores]], so per-table swaps and document-order
-    * semantics carry over. Returns per-table affected counts,
-    * parent first. */
+    * table the rows whose FK matches a deleted parent key. The doomed
+    * parent keys are probed with a `limit(guard+1)` collect: a
+    * person-sized set (the GDPR case) inlines as the `In` fast path,
+    * while a broad predicate — nothing stops `where` from matching
+    * half the store — NEVER materializes on the driver; its keys stay
+    * a localCheckpointed DataFrame (pinned BEFORE the parent swap
+    * replaces the files it was computed from) that each child delete
+    * consumes as a [[QueryBuilder.KeySet]] semi-join. The whole
+    * document applies through [[applyFieldsToStores]], so per-table
+    * swaps and document-order semantics carry over. Returns per-table
+    * affected counts, parent first. */
   def cascadeForget(spark: SparkSession,
       stores: Map[String, (String, String)], parentTable: String,
       where: BoolExp,
@@ -421,17 +445,25 @@ object Mutations {
     AtomicSwap.recover(org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(pPath), spark.sparkContext.hadoopConfiguration),
       pPath)
-    val doomedKeys = SnapshotStore.read(spark, pPath)
-      .filter(where.toColumn).select(pKey).collect().map(_.get(0))
-    val fields = Field(Delete(parentTable, where)) +:
-      children.map { case (childTable, fkCol) =>
+    val doomedDf = SnapshotStore.read(spark, pPath)
+      .filter(where.toColumn).select(pKey)
+    val probe = doomedDf.limit(CascadeInlineKeys + 1).collect()
+      .map(_.get(0))
+    val childWhere: String => BoolExp =
+      if (probe.isEmpty)
         // no doomed parents → a never-true predicate (Eq-null is the
         // DSL's documented never-matching comparison), so the child
         // store still rewrites zero rows instead of erroring
-        Field(Delete(childTable,
-          if (doomedKeys.isEmpty) QueryBuilder.Eq(fkCol, null)
-          else QueryBuilder.In(fkCol, doomedKeys.toSeq)))
+        fkCol => QueryBuilder.Eq(fkCol, null)
+      else if (probe.length <= CascadeInlineKeys)
+        fkCol => QueryBuilder.In(fkCol, probe.toSeq)
+      else {
+        val pinned = doomedDf.localCheckpoint(true)
+        fkCol => QueryBuilder.KeySet(fkCol, pinned)
       }
+    val fields = Field(Delete(parentTable, where)) +:
+      children.map { case (childTable, fkCol) =>
+        Field(Delete(childTable, childWhere(fkCol))) }
     val rs = applyFieldsToStores(spark, stores, fields)
     (parentTable +: children.map(_._1)).zip(rs.map(_.affected))
   }

@@ -94,6 +94,7 @@ object Permissions {
     case Not(x) => whereCols(x)
     case RelPred(_, _, _, _) => Nil // child columns checked by secureRel
     case FlagRef(_) => Nil
+    case KeySet(f, _) => Seq(f)
   }
 
   /** Apply the role's grants INSIDE a where-tree: every relationship

@@ -63,6 +63,26 @@ object QueryBuilder {
   final case class Nin(field: String, vs: Seq[Any]) extends BoolExp {
     private[api] def toColumn: Column = !col(field).isin(vs: _*)
   }
+  /** INTERNAL membership test against a DataFrame of keys — the
+    * scale-safe spelling of [[In]] when the key set is itself a query
+    * result (e.g. [[Mutations.cascadeForget]]'s doomed parents above
+    * its inline guard). Not a wire operator: it never parses from
+    * GraphQL, has no JSON form, and compiles to a LEFT SEMI JOIN in
+    * the mutation fold rather than to a Column (a ten-million-key
+    * `isin` literal would sit on the driver and in every task's plan).
+    * `keys` must be a single-column DataFrame; rows where `field` is
+    * null never match (SQL IN semantics, same as join-key equality). */
+  private[api] final case class KeySet(field: String,
+      keys: DataFrame) extends BoolExp {
+    require(keys.columns.length == 1,
+      s"KeySet($field): keys must be single-column, got " +
+        keys.columns.mkString(", "))
+    private[api] def toColumn: Column =
+      throw new UnsupportedOperationException(
+        s"KeySet($field) compiles to a semi-join, not a Column — it " +
+          "is only valid where the executor handles it structurally " +
+          "(the mutation Delete arm)")
+  }
   final case class Like(field: String, pattern: String) extends BoolExp {
     private[api] def toColumn: Column = col(field).like(pattern)
   }

@@ -404,6 +404,9 @@ object RequestCodec {
       case FlagRef(_) => throw new IllegalArgumentException(
         "render: a decorrelated flag is internal to run() — not a " +
           "request shape")
+      case KeySet(_, _) => throw new IllegalArgumentException(
+        "render: a KeySet is internal to the mutation fold — not a " +
+          "request shape")
       case And(es @ _*) =>
         val a = o.putArray("_and"); es.foreach(x => a.add(renderBool(x))); o
       case Or(es @ _*) =>

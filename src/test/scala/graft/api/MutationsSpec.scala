@@ -819,6 +819,54 @@ class MutationsSpec extends SparkSpec {
         single = true))))
   }
 
+  test("deleteVictims compiles KeySet to a left-semi join, never an " +
+      "In literal") {
+    val snapshot = spark.range(1000)
+      .select(col("id").as("k"), (col("id") % 7).as("seg"))
+    val keys = spark.range(400).toDF("whatever") // name is irrelevant
+    val victims = Mutations.deleteVictims(snapshot,
+      KeySet("k", keys))
+    val opt = victims.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"), s"expected a semi-join:\n$opt")
+    assert(!opt.contains(" IN "), s"keys leaked into a literal:\n$opt")
+    assert(victims.count() === 400L)
+    // the DSL leaf is structural-only: no Column form, no wire form
+    assertThrows[UnsupportedOperationException](
+      KeySet("k", keys).toColumn)
+    assertThrows[IllegalArgumentException](
+      KeySet("k", keys.withColumn("extra", lit(1))))
+  }
+
+  test("cascadeForget above the inline guard: a broad predicate " +
+      "never materializes its keys on the driver") {
+    import java.nio.file.Files
+    val pPath = Files.createTempDirectory("graft_cf_p").toString
+    val cPath = Files.createTempDirectory("graft_cf_c").toString
+    val n = 20000L // doomed set (15000) >> CascadeInlineKeys (1000)
+    SnapshotStore.write(spark.range(n).select(col("id").as("k"),
+      (col("id") % 3).cast("string").as("seg")), pPath)
+    SnapshotStore.write(spark.range(2 * n).select(col("id").as("ck"),
+      floor(col("id") / 2).as("fk")), cPath)
+    val res = Mutations.cascadeForget(spark,
+      Map("p" -> ((pPath, "k")), "c" -> ((cPath, "ck"))),
+      "p", Lt("k", 15000L), Seq(("c", "fk")))
+    assert(res === Seq(("p", 15000L), ("c", 30000L)))
+    assert(SnapshotStore.read(spark, pPath).count() === 5000L)
+    val c2 = SnapshotStore.read(spark, cPath)
+    assert(c2.count() === 10000L)
+    assert(c2.agg(min("fk")).head.getLong(0) === 15000L)
+    // the person-sized fast path still inlines (and still cascades)
+    val res2 = Mutations.cascadeForget(spark,
+      Map("p" -> ((pPath, "k")), "c" -> ((cPath, "ck"))),
+      "p", Eq("k", 17000L), Seq(("c", "fk")))
+    assert(res2 === Seq(("p", 1L), ("c", 2L)))
+    // no doomed parents → zero-row rewrites, not errors
+    val res3 = Mutations.cascadeForget(spark,
+      Map("p" -> ((pPath, "k")), "c" -> ((cPath, "ck"))),
+      "p", Eq("k", -1L), Seq(("c", "fk")))
+    assert(res3 === Seq(("p", 0L), ("c", 0L)))
+  }
+
   test("q118 round-trip matches the SQL replay shape locally") {
     val out = GraphQl.q118MutationRoundTrip(spark, "/root/testdata/sf0.001")
     val bySeg = out.collect().map(r =>
