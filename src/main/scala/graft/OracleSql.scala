@@ -1544,6 +1544,38 @@ object OracleSql {
          |SELECT dp.a, dp.b, d_dhash, d_phash
          |FROM dp JOIN pp USING (a, b) ORDER BY a, b""".stripMargin
     },
+    // q167: GraphQL introspection — the engine's advertised schema
+    // (served through the real parse→evaluate path, flattened to one
+    // row per table type) vs DuckDB's INDEPENDENT reflection of the
+    // same parquet via information_schema.columns. The CASE is the
+    // verbatim inverse of GraphQl.gqlScalar; TIMESTAMP_NS covers the
+    // nanos-vintage events fixture (Spark normalizes it to timestamp
+    // through Tables.load either way).
+    "q167_introspection" -> {
+      val tables = graft.Tables.names
+        .map(t => s"'$t'").mkString(", ")
+      s"""SELECT table_name AS type_name, 'OBJECT' AS kind,
+         |  '[' || string_agg(
+         |    '{"name":"' || column_name || '","type":"' ||
+         |    CASE data_type
+         |      WHEN 'BIGINT' THEN 'bigint'
+         |      WHEN 'INTEGER' THEN 'Int'
+         |      WHEN 'VARCHAR' THEN 'String'
+         |      WHEN 'DOUBLE' THEN 'float8'
+         |      WHEN 'FLOAT' THEN 'Float'
+         |      WHEN 'BOOLEAN' THEN 'Boolean'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp'
+         |      WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+         |      WHEN 'DATE' THEN 'date'
+         |      WHEN 'BLOB' THEN 'bytea'
+         |      WHEN 'FLOAT[]' THEN '[Float!]'
+         |    END || '"}', ',' ORDER BY ordinal_position)
+         |  || ']' AS fields
+         |FROM information_schema.columns
+         |WHERE table_name IN ($tables)
+         |GROUP BY table_name
+         |ORDER BY type_name""".stripMargin
+    },
     // q158: the pHash leg — ground truth over the pinned DCT hashes
     // at the d<=6 bound; p1<->p2 (d=8) and the heavy-noise copy
     // (d=10) must be filtered

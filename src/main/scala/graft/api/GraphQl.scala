@@ -2798,6 +2798,433 @@ object GraphQl {
   /** q124's document — `returning` with MID-DOCUMENT visibility: the
     * update's returning must include the row the SAME document just
     * inserted (Hasura's in-transaction semantics), post-_inc. */
+  // ---- introspection (__typename / __schema / __type) ----------------
+  //
+  // Every real Hasura client (GraphiQL, Apollo, graphql-codegen) opens
+  // its connection with the standard IntrospectionQuery; the reference
+  // serves it through Hasura natively (its README examples were
+  // authored in GraphiQL). This is the read-only meta-schema subset
+  // those clients need: the GraphQL-spec __Schema/__Type/__Field
+  // shapes reflected from the SAME tracked [[Schema]] the query
+  // parser resolves against, so the advertised surface and the served
+  // surface cannot drift apart. Driver-side by design — a schema is
+  // session metadata (Spark itself holds every DataFrame schema on
+  // the driver); nothing here scans data.
+  //
+  // Scope notes (deliberate, documented deviations):
+  //  - argument input-object types (<t>_bool_exp, <t>_order_by, ...)
+  //    are not modeled; field `args` render empty. Clients still
+  //    browse and query; they lose arg autocompletion only.
+  //  - <t>_aggregate fields are served by [[parseRootAggregate]] but
+  //    not advertised (this engine's aggregate RESPONSE is flat, not
+  //    Hasura's nested aggregate object, so advertising Hasura's
+  //    shape would promise the wrong thing).
+  //  - fragment type conditions inside an introspection document are
+  //    accepted unchecked: the meta model has no polymorphism, and
+  //    the standard IntrospectionQuery only spreads fragments at
+  //    sites whose static type is exactly the declared condition.
+
+  /** A GraphQL type reference: named type or the LIST/NON_NULL
+    * wrappers, the `kind/name/ofType` chain clients unwrap. */
+  private[api] sealed trait TRef
+  private[api] final case class TNamed(kind: String,
+      tname: String) extends TRef
+  private[api] final case class TList(of: TRef) extends TRef
+  private[api] final case class TNonNull(of: TRef) extends TRef
+
+  private[api] final case class MetaField(fname: String, tpe: TRef)
+  private[api] final case class MetaType(kind: String, tname: String,
+      mfields: Seq[MetaField])
+  private[api] final case class MetaSchema(types: Seq[MetaType]) {
+    val byName: Map[String, MetaType] =
+      types.map(t => t.tname -> t).toMap
+  }
+
+  /** Postgres-flavored scalar names, the Hasura convention (int8 →
+    * bigint, float8 stays float8, text → String/Int per the GraphQL
+    * builtins Hasura keeps). One spelling per Spark type, mirrored
+    * verbatim by q167's DuckDB `information_schema` CASE — the
+    * mapping IS the cross-engine contract. */
+  private def gqlScalar(dt: org.apache.spark.sql.types.DataType)
+      : String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "bigint"
+      case IntegerType => "Int"
+      case StringType => "String"
+      case DoubleType => "float8"
+      case FloatType => "Float"
+      case BooleanType => "Boolean"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case DateType => "date"
+      case BinaryType => "bytea"
+      case other => throw new IllegalArgumentException(
+        s"no GraphQL scalar for Spark type ${other.simpleString}")
+    }
+  }
+
+  private def gqlTypeRef(dt: org.apache.spark.sql.types.DataType)
+      : TRef = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      TList(TNonNull(TNamed("SCALAR", gqlScalar(et))))
+    case other => TNamed("SCALAR", gqlScalar(other))
+  }
+
+  /** Compact SDL-ish rendering of a type-ref chain (`[Float!]`,
+    * `bigint`) — q167's flat `type` column. */
+  private[api] def renderTRef(t: TRef): String = t match {
+    case TNamed(_, n) => n
+    case TList(of) => "[" + renderTRef(of) + "]"
+    case TNonNull(of) => renderTRef(of) + "!"
+  }
+
+  /** Reflect the tracked metadata into the meta-schema: one OBJECT
+    * type per table (scalar columns in parquet-ordinal order, then
+    * array relationships `rel: [child!]!`, then object relationships
+    * `rel: child`, each name-sorted), the three Hasura roots
+    * (query_root with `<t>` + `<t>_by_pk`, mutation_root with the
+    * three verbs per keyed table returning `<t>_mutation_response`,
+    * subscription_root mirroring query_root), and exactly the scalars
+    * those fields reference. Types sort by name — Hasura's own
+    * introspection order is unspecified, so deterministic-by-name is
+    * the canonical choice here. */
+  def metaSchema(s: org.apache.spark.sql.SparkSession, dir: String,
+      schema: Schema = fixtureSchema,
+      tables: Seq[String] = graft.Tables.names): MetaSchema = {
+    val objTypes = tables.map { t =>
+      val cols = graft.Tables.load(s, dir, t).schema.fields.toSeq
+        .map(f => MetaField(f.name, gqlTypeRef(f.dataType)))
+      val arrs = schema.rels.collect {
+        case ((pt, fname), r) if pt == t =>
+          MetaField(fname,
+            TNonNull(TList(TNonNull(TNamed("OBJECT", r.childTable)))))
+      }.toSeq.sortBy(_.fname)
+      val objs = schema.objRels.collect {
+        case ((pt, fname), r) if pt == t =>
+          MetaField(fname, TNamed("OBJECT", r.childTable))
+      }.toSeq.sortBy(_.fname)
+      MetaType("OBJECT", t, cols ++ arrs ++ objs)
+    }
+    val listOf = (t: String) =>
+      TNonNull(TList(TNonNull(TNamed("OBJECT", t))))
+    val queryFields = tables.flatMap { t =>
+      MetaField(t, listOf(t)) +: schema.keys.get(t).toSeq.map(_ =>
+        MetaField(s"${t}_by_pk", TNamed("OBJECT", t)))
+    }
+    val keyed = tables.filter(schema.keys.contains)
+    val mutResponses = keyed.map(t => MetaType("OBJECT",
+      s"${t}_mutation_response", Seq(
+        MetaField("affected_rows", TNonNull(TNamed("SCALAR", "Int"))),
+        MetaField("returning", listOf(t)))))
+    val mutFields = keyed.flatMap(t => Seq("insert", "update", "delete")
+      .map(v => MetaField(s"${v}_$t",
+        TNamed("OBJECT", s"${t}_mutation_response"))))
+    val roots = Seq(
+      MetaType("OBJECT", "query_root", queryFields),
+      MetaType("OBJECT", "mutation_root", mutFields),
+      MetaType("OBJECT", "subscription_root", queryFields))
+    def leafScalars(r: TRef): Seq[String] = r match {
+      case TNamed("SCALAR", n) => Seq(n)
+      case TNamed(_, _) => Nil
+      case TList(of) => leafScalars(of)
+      case TNonNull(of) => leafScalars(of)
+    }
+    val scalars = (objTypes ++ mutResponses ++ roots)
+      .flatMap(_.mfields).flatMap(f => leafScalars(f.tpe))
+      .distinct.sorted.map(n => MetaType("SCALAR", n, Nil))
+    MetaSchema((roots ++ objTypes ++ mutResponses ++ scalars)
+      .sortBy(_.tname))
+  }
+
+  /** One parsed introspection selection (generic — the meta model is
+    * small enough that the evaluator, not the parser, knows which
+    * fields exist where). */
+  private final case class ISel(alias: String, iname: String,
+      args: Map[String, V], children: Seq[ISel])
+
+  private def parseIntroSels(p: P): Seq[ISel] = {
+    p.expect('{')
+    val out = Seq.newBuilder[ISel]
+    while (!p.isPunct('}')) {
+      if (p.isSpread) {
+        val pos = p.next().pos
+        p.peek match {
+          case Name("on", _) =>
+            p.next(); p.name("type condition")
+            p.splice(p.captureBlock("inline fragment"), pos)
+          case Name(fname, fpos) =>
+            p.next()
+            val (_, body) = p.fragments.getOrElse(fname,
+              bad(s"introspection: spread of undefined fragment " +
+                s"'$fname' at $fpos"))
+            p.usedFrags += fname
+            p.splice(body, pos)
+          case t => bad("introspection: expected a fragment name or " +
+            s"'on' after '...' at ${t.pos}")
+        }
+      } else {
+        val first = p.name("selection")
+        val (alias, fname) =
+          if (p.isPunct(':')) { p.expect(':'); (first, p.name("field")) }
+          else (first, first)
+        val args = parseArgs(p)
+        // directives (@include/@skip with literal true conditions,
+        // @deprecated probes) parse and drop: the meta answer is
+        // static, and the standard IntrospectionQuery's only
+        // conditional selections gate on variables this subset
+        // declines at jsonVars time anyway
+        while (p.isPunct('@')) { p.expect('@'); p.name("directive")
+          parseArgs(p); () }
+        val kids =
+          if (p.isPunct('{')) parseIntroSels(p) else Seq.empty[ISel]
+        out += ISel(alias, fname, args, kids)
+      }
+    }
+    p.expect('}')
+    out.result()
+  }
+
+  /** Serve an introspection document against the tracked metadata →
+    * the canonical JSON response text (`{"data":{...}}`, Jackson's
+    * no-whitespace rendering, object keys in selection order — the
+    * spec's serialized-map field order). Root selections may be
+    * `__typename`, `__schema`, and `__type(name:)`, in any mix;
+    * a data field at the root is a loud error (this engine's data
+    * responses are DataFrames, not JSON — route those to [[parse]]).
+    * Unknown meta-fields error with their position's field name, so a
+    * client sees which selection the subset lacks instead of a
+    * silently absent key. */
+  def serveIntrospection(s: org.apache.spark.sql.SparkSession,
+      dir: String, query: String, schema: Schema = fixtureSchema,
+      tables: Seq[String] = graft.Tables.names)
+      : Either[String, String] =
+    try {
+      val ms = metaSchema(s, dir, schema, tables)
+      val (opToks, frags) = extractFragments(tokenize(query))
+      val p = new P(opToks)
+      p.fragments = frags
+      p.peek match {
+        case Name("query", _) =>
+          p.next()
+          p.peek match { case Name(_, _) => p.next(); case _ => () }
+          if (p.isPunct('('))
+            bad("operation variables are not supported in the " +
+              "introspection subset (the meta answer is static — " +
+              "inline the literals)")
+        case _ => ()
+      }
+      val roots = parseIntroSels(p)
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"unexpected trailing input at ${t.pos}")
+      }
+      val data = mapper.createObjectNode()
+      roots.foreach { sel =>
+        sel.iname match {
+          case "__typename" => data.put(sel.alias, "query_root")
+          case "__schema" =>
+            data.set[com.fasterxml.jackson.databind.node.ObjectNode](
+              sel.alias, evalSchema(ms, sel.children))
+          case "__type" =>
+            val tn = sel.args.get("name") match {
+              case Some(VLit(n: String)) => n
+              case _ => bad("__type: a literal `name` String argument " +
+                "is required")
+            }
+            ms.byName.get(tn) match {
+              case Some(t) => data.set[
+                com.fasterxml.jackson.databind.node.ObjectNode](
+                  sel.alias, evalMetaType(ms, t, sel.children))
+              case None => data.putNull(sel.alias)
+            }
+          case other => bad(s"'$other' is not an introspection root " +
+            "field — data queries are served by parse/run, not as " +
+            "JSON")
+        }
+      }
+      val resp = mapper.createObjectNode()
+      resp.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "data", data)
+      Right(mapper.writeValueAsString(resp))
+    } catch {
+      case Bad(m) => Left(m)
+      case e: IllegalArgumentException => Left(e.getMessage)
+    }
+
+  private type JObj = com.fasterxml.jackson.databind.node.ObjectNode
+
+  private def evalSchema(ms: MetaSchema, sels: Seq[ISel]): JObj = {
+    val o = mapper.createObjectNode()
+    sels.foreach { sel =>
+      sel.iname match {
+        case "__typename" => o.put(sel.alias, "__Schema")
+        case "description" => o.putNull(sel.alias)
+        case "queryType" => o.set[JObj](sel.alias,
+          evalMetaType(ms, ms.byName("query_root"), sel.children))
+        case "mutationType" => o.set[JObj](sel.alias,
+          evalMetaType(ms, ms.byName("mutation_root"), sel.children))
+        case "subscriptionType" => o.set[JObj](sel.alias,
+          evalMetaType(ms, ms.byName("subscription_root"), sel.children))
+        case "types" =>
+          val a = o.putArray(sel.alias)
+          ms.types.foreach(t =>
+            a.add(evalMetaType(ms, t, sel.children)))
+        case "directives" => o.putArray(sel.alias); ()
+        case other => bad(s"__Schema has no field '$other' in this " +
+          "introspection subset")
+      }
+    }
+    o
+  }
+
+  /** A NAMED type's answer — the full __Type surface. Wrapper chains
+    * route through [[evalTRef]]; here `ofType` is null (per spec for
+    * named types) and the null-for-non-applicable fields
+    * (fields/enumValues/inputFields/possibleTypes on the wrong kind)
+    * follow the spec's nullability exactly — GraphiQL's schema
+    * builder relies on them. */
+  private def evalMetaType(ms: MetaSchema, t: MetaType,
+      sels: Seq[ISel]): JObj = {
+    val o = mapper.createObjectNode()
+    sels.foreach { sel =>
+      sel.iname match {
+        case "__typename" => o.put(sel.alias, "__Type")
+        case "kind" => o.put(sel.alias, t.kind)
+        case "name" => o.put(sel.alias, t.tname)
+        case "description" | "specifiedByURL" => o.putNull(sel.alias)
+        case "fields" =>
+          if (t.kind != "OBJECT") o.putNull(sel.alias)
+          else {
+            val a = o.putArray(sel.alias)
+            t.mfields.foreach(f =>
+              a.add(evalMetaField(ms, f, sel.children)))
+          }
+        case "interfaces" =>
+          if (t.kind != "OBJECT") o.putNull(sel.alias)
+          else { o.putArray(sel.alias); () }
+        case "inputFields" | "enumValues" | "possibleTypes" =>
+          o.putNull(sel.alias)
+        case "ofType" => o.putNull(sel.alias)
+        case other => bad(s"__Type has no field '$other' in this " +
+          "introspection subset")
+      }
+    }
+    o
+  }
+
+  private def evalMetaField(ms: MetaSchema, f: MetaField,
+      sels: Seq[ISel]): JObj = {
+    val o = mapper.createObjectNode()
+    sels.foreach { sel =>
+      sel.iname match {
+        case "__typename" => o.put(sel.alias, "__Field")
+        case "name" => o.put(sel.alias, f.fname)
+        case "description" | "deprecationReason" => o.putNull(sel.alias)
+        case "args" => o.putArray(sel.alias); ()
+        case "type" => o.set[JObj](sel.alias,
+          evalTRef(ms, f.tpe, sel.children))
+        case "isDeprecated" => o.put(sel.alias, false)
+        case other => bad(s"__Field has no field '$other' in this " +
+          "introspection subset")
+      }
+    }
+    o
+  }
+
+  /** Wrapper kinds answer kind/name/ofType structurally; a named ref
+    * delegates the WHOLE selection to its [[MetaType]] — so
+    * `type { kind name ofType { ... } }` unwraps `[orders!]!` exactly
+    * as the spec's TypeRef fragment expects, and a deep selection on
+    * the leaf (fields of the related type) keeps working. */
+  private def evalTRef(ms: MetaSchema, r: TRef,
+      sels: Seq[ISel]): JObj = r match {
+    case TNamed(_, n) =>
+      evalMetaType(ms, ms.byName.getOrElse(n,
+        bad(s"dangling type reference '$n' — metaSchema emitted a " +
+          "ref it did not define")), sels)
+    case wrapper =>
+      val (kind, of) = wrapper match {
+        case TList(x) => ("LIST", x)
+        case TNonNull(x) => ("NON_NULL", x)
+        case TNamed(_, _) => throw new IllegalStateException("unreachable")
+      }
+      val o = mapper.createObjectNode()
+      sels.foreach { sel =>
+        sel.iname match {
+          case "__typename" => o.put(sel.alias, "__Type")
+          case "kind" => o.put(sel.alias, kind)
+          case "name" | "description" | "fields" | "interfaces" |
+               "inputFields" | "enumValues" | "possibleTypes" |
+               "specifiedByURL" => o.putNull(sel.alias)
+          case "ofType" => o.set[JObj](sel.alias,
+            evalTRef(ms, of, sel.children))
+          case other => bad(s"__Type has no field '$other' in this " +
+            "introspection subset")
+        }
+      }
+      o
+  }
+
+  /** q167's introspection document: the canonical "what tables and
+    * columns exist" opener, through the REAL text path. */
+  val q167Query: String =
+    """{
+      |  __schema {
+      |    types {
+      |      name kind
+      |      fields { name type { kind name ofType { kind name
+      |        ofType { kind name } } } }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q167 — GraphQL introspection under the oracle gate: serve
+    * [[q167Query]], then flatten the RESPONSE (not the model — the
+    * parser and evaluator sit inside the gated path) to one row per
+    * tracked TABLE type with its scalar columns as a canonical JSON
+    * array in parquet-ordinal order, `[{"name":"c_custkey","type":
+    * "bigint"},...]`. The DuckDB oracle rebuilds the identical rows
+    * from `information_schema.columns` over the same parquet — so the
+    * advertised schema is checked against an INDEPENDENT reflection
+    * of the data, not against this engine's own metadata. Object-
+    * typed relationship fields are present in the response but not in
+    * the flat rows (DuckDB has no tracked-relationship notion);
+    * GraphQlSpec pins those. */
+  def q167Introspection(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val resp = serveIntrospection(s, dir, q167Query).fold(
+      m => throw new IllegalStateException(s"q167 failed to parse: $m"),
+      identity)
+    val types = mapper.readTree(resp).get("data").get("__schema")
+      .get("types")
+    val tableSet = graft.Tables.names.toSet
+    import scala.jdk.CollectionConverters._
+    def flat(tref: com.fasterxml.jackson.databind.JsonNode)
+        : Option[String] = tref.get("kind").asText() match {
+      case "SCALAR" => Some(tref.get("name").asText())
+      case "OBJECT" => None // relationship leaf — not a column
+      // a wrapper whose ofType fell off the document's 3-level
+      // selection depth can only be wrapping an OBJECT (scalar chains
+      // are at most LIST→NON_NULL→SCALAR) — also not a column
+      case "LIST" =>
+        Option(tref.get("ofType")).flatMap(flat).map(i => s"[$i]")
+      case "NON_NULL" =>
+        Option(tref.get("ofType")).flatMap(flat).map(i => s"$i!")
+      case k => throw new IllegalStateException(s"q167: kind $k")
+    }
+    val rows = types.elements().asScala.collect {
+      case t if t.get("kind").asText() == "OBJECT" &&
+          tableSet(t.get("name").asText()) =>
+        val fields = t.get("fields").elements().asScala.flatMap { f =>
+          flat(f.get("type")).map(tp =>
+            s"""{"name":"${f.get("name").asText()}","type":"$tp"}""")
+        }.mkString("[", ",", "]")
+        (t.get("name").asText(), "OBJECT", fields)
+    }.toSeq
+    import s.implicits._
+    rows.toDF("type_name", "kind", "fields").orderBy("type_name")
+  }
+
   val q124Mutation: String =
     """mutation {
       |  insert_customer(objects: [{c_custkey: 99903,

@@ -52,7 +52,9 @@ object Permissions {
     perm.columns match {
       case None => Right(())
       case Some(allowed) =>
-        val bad = cols.filterNot(allowed)
+        // __typename is the spec meta-field: a constant type-name
+        // answer that reads no column, so no grant can exclude it
+        val bad = cols.filterNot(c => c == "__typename" || allowed(c))
         if (bad.isEmpty) Right(())
         else Left(s"role '$role' cannot access column(s) " +
           s"${bad.mkString(", ")} of '$table' ($what)")

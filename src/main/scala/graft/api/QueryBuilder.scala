@@ -668,7 +668,8 @@ object QueryBuilder {
     val child = childSlice(joined, child0(n.childKey), n.orderBy,
       child0(_), n.distinctOn, n.offset, n.limit)
     val fs = n.fields.map { f =>
-      val c0 = child0(f.field)
+      val c0 =
+        if (f.field == "__typename") lit(n.table) else child0(f.field)
       val c1 = f.cast.map(c0.cast).getOrElse(c0)
       f.format match {
         case Some((r, fmt)) => format_string(fmt, round(c1, r)).as(f.as)
@@ -735,13 +736,23 @@ object QueryBuilder {
       s"runRoot on '${req.table}': ordering aggregates need the " +
         "table directory (use run)")
     val base = rootSlice(base0, req)
-    val shaped = base.select(req.fields.map(base0(_)): _*)
+    val shaped =
+      base.select(req.fields.map(typenameOr(base0, req.table)): _*)
     val ordered =
       if (req.orderBy.isEmpty) shaped
       else shaped.orderBy(req.orderBy.map(_.toColumn): _*)
     val off = if (req.offset > 0) ordered.offset(req.offset) else ordered
     req.limit.map(off.limit).getOrElse(off)
   }
+
+  /** Field projection with the one meta-field every GraphQL object
+    * carries: `__typename` answers the enclosing table's type name as
+    * a constant column (Hasura's spelling of the spec meta-field) —
+    * it reads no data, so it is exempt from column allowlists
+    * ([[Permissions]]) and never reaches the scan. */
+  private def typenameOr(base0: DataFrame, table: String)(
+      f: String): Column =
+    if (f == "__typename") lit(table).as("__typename") else base0(f)
 
   /** where + distinct_on over the loaded root table — shared by [[run]]
     * and [[runRoot]]. */
@@ -882,7 +893,7 @@ object QueryBuilder {
     require(req.aggRels.forall(_.nodes.isEmpty) ||
       !req.fields.contains("nodes"),
       "a selected column named 'nodes' collides with the nodes arm")
-    val outCols = req.fields.map(base0(_)) ++
+    val outCols = req.fields.map(typenameOr(base0, req.table)) ++
       req.nested.map(n => col(n.as)) ++
       req.aggRels.zipWithIndex.flatMap { case (a, i) =>
         a.aggs.map(f => f.post(col(f.as)).as(f.as)) ++

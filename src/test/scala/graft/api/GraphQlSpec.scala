@@ -971,4 +971,175 @@ class GraphQlSpec extends SparkSpec {
     }
     assert(checked > 150, s"generator drought: only $checked samples")
   }
+
+  // ---- introspection -------------------------------------------------
+
+  private val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def introspect(doc: String)
+      : com.fasterxml.jackson.databind.JsonNode =
+    GraphQl.serveIntrospection(spark, sf("sf0.001"), doc) match {
+      case Right(json) => mapper.readTree(json)
+      case Left(m) => fail(s"introspection did not serve: $m")
+    }
+
+  test("the standard graphql-js IntrospectionQuery serves — the " +
+      "document every GraphiQL/Apollo client opens with") {
+    val doc = """
+      query IntrospectionQuery {
+        __schema {
+          queryType { name }
+          mutationType { name }
+          subscriptionType { name }
+          types { ...FullType }
+          directives { name description locations args { ...InputValue } }
+        }
+      }
+      fragment FullType on __Type {
+        kind name description
+        fields(includeDeprecated: true) {
+          name description
+          args { ...InputValue }
+          type { ...TypeRef }
+          isDeprecated deprecationReason
+        }
+        inputFields { ...InputValue }
+        interfaces { ...TypeRef }
+        enumValues(includeDeprecated: true) {
+          name description isDeprecated deprecationReason
+        }
+        possibleTypes { ...TypeRef }
+      }
+      fragment InputValue on __InputValue {
+        name description type { ...TypeRef } defaultValue
+      }
+      fragment TypeRef on __Type {
+        kind name
+        ofType { kind name
+          ofType { kind name
+            ofType { kind name
+              ofType { kind name } } } }
+      }"""
+    val schema = introspect(doc).get("data").get("__schema")
+    assert(schema.get("queryType").get("name").asText === "query_root")
+    assert(schema.get("mutationType").get("name").asText ===
+      "mutation_root")
+    assert(schema.get("subscriptionType").get("name").asText ===
+      "subscription_root")
+    assert(schema.get("directives").isArray &&
+      schema.get("directives").size === 0)
+    import scala.jdk.CollectionConverters._
+    val types = schema.get("types").elements().asScala.toSeq
+    val byName = types.map(t => t.get("name").asText -> t).toMap
+    // every tracked table is an OBJECT type; scalars are SCALARs
+    graft.Tables.names.foreach(t =>
+      assert(byName(t).get("kind").asText === "OBJECT", t))
+    Seq("bigint", "Int", "String", "float8", "timestamp", "Float")
+      .foreach(sc => assert(byName(sc).get("kind").asText === "SCALAR",
+        sc))
+    // types sort by name (the documented canonical order)
+    assert(types.map(_.get("name").asText) ===
+      types.map(_.get("name").asText).sorted)
+    val cust = byName("customer")
+    val fields = cust.get("fields").elements().asScala.toSeq
+      .map(f => f.get("name").asText -> f).toMap
+    // a scalar column: named-type leaf, parquet ordinal order first
+    assert(fields("c_custkey").get("type").get("kind").asText ===
+      "SCALAR")
+    assert(fields("c_custkey").get("type").get("name").asText ===
+      "bigint")
+    // the array relationship unwraps [orders!]! through ofType
+    val rel = fields("orders").get("type")
+    assert(rel.get("kind").asText === "NON_NULL")
+    assert(rel.get("ofType").get("kind").asText === "LIST")
+    assert(rel.get("ofType").get("ofType").get("kind").asText ===
+      "NON_NULL")
+    assert(rel.get("ofType").get("ofType").get("ofType")
+      .get("name").asText === "orders")
+    // the object relationship is the bare nullable type
+    assert(fields("nation").get("type").get("kind").asText === "OBJECT")
+    assert(fields("nation").get("type").get("name").asText === "nation")
+    // embeddings' vector column renders [Float!]
+    val emb = byName("embeddings").get("fields").elements().asScala
+      .toSeq.map(f => f.get("name").asText -> f).toMap
+    val vec = emb("embedding").get("type")
+    assert(vec.get("kind").asText === "LIST")
+    assert(vec.get("ofType").get("kind").asText === "NON_NULL")
+    assert(vec.get("ofType").get("ofType").get("name").asText ===
+      "Float")
+    // mutation_root advertises the verbs for keyed tables only
+    val mutFields = byName("mutation_root").get("fields").elements()
+      .asScala.map(_.get("name").asText).toSet
+    assert(mutFields.contains("insert_customer"))
+    assert(mutFields.contains("delete_orders"))
+    assert(!mutFields.contains("insert_lineitem")) // no tracked key
+    // by_pk fields exist exactly for keyed tables
+    val qFields = byName("query_root").get("fields").elements()
+      .asScala.map(_.get("name").asText).toSet
+    assert(qFields.contains("customer_by_pk"))
+    assert(!qFields.contains("lineitem_by_pk"))
+    // SCALAR types answer null fields/interfaces (spec nullability)
+    assert(byName("bigint").get("fields").isNull)
+    assert(byName("bigint").get("interfaces").isNull)
+  }
+
+  test("__type(name:), __typename root, and loud introspection errors") {
+    val t = introspect("""{ __type(name: "orders") {
+        name fields { name } } }""").get("data").get("__type")
+    assert(t.get("name").asText === "orders")
+    import scala.jdk.CollectionConverters._
+    val fnames = t.get("fields").elements().asScala
+      .map(_.get("name").asText).toSeq
+    // parquet-ordinal columns first, then the name-sorted rels
+    assert(fnames.take(2) === Seq("o_orderkey", "o_custkey"))
+    assert(fnames.contains("items") && fnames.contains("customer"))
+    // unknown type answers null, not an error (spec behavior)
+    assert(introspect("""{ __type(name: "nope") { name } }""")
+      .get("data").get("__type").isNull)
+    // root __typename answers the operation type
+    assert(introspect("{ __typename }").get("data")
+      .get("__typename").asText === "query_root")
+    // aliases reach the response keys
+    assert(introspect("""{ s: __schema { q: queryType { n: name } } }""")
+      .get("data").get("s").get("q").get("n").asText === "query_root")
+    // a data field at the introspection root is loud
+    GraphQl.serveIntrospection(spark, sf("sf0.001"),
+      "{ customer { c_custkey } }") match {
+      case Left(m) => assert(m.contains("not an introspection root"))
+      case Right(r) => fail(s"served: $r")
+    }
+    // an unknown meta-field is loud, naming the selection
+    GraphQl.serveIntrospection(spark, sf("sf0.001"),
+      "{ __schema { nope } }") match {
+      case Left(m) => assert(m.contains("nope"))
+      case Right(r) => fail(s"served: $r")
+    }
+    // operation variables have no meaning in the static meta answer
+    GraphQl.serveIntrospection(spark, sf("sf0.001"),
+      "query Q($x: Boolean!) { __typename }") match {
+      case Left(m) => assert(m.contains("variables"))
+      case Right(r) => fail(s"served: $r")
+    }
+  }
+
+  test("__typename serves as a constant type-name column at the root, " +
+      "in nested selections, and under by_pk") {
+    val rows = QueryBuilder.run(spark, sf("sf0.001"), parsed(
+      """{ customer(order_by: [{c_custkey: asc}], limit: 2) {
+        |    __typename c_custkey } }""".stripMargin)).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("customer", "customer"))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    val nested = QueryBuilder.run(spark, sf("sf0.001"), parsed(
+      """{ customer(where: {c_custkey: {_eq: 1}}) {
+        |    c_custkey orders { __typename k: o_orderkey } } }"""
+        .stripMargin)).collect()
+    assert(nested.length === 1)
+    assert(nested.head.getString(1).contains("\"__typename\":\"orders\""))
+    val byPk = QueryBuilder.run(spark, sf("sf0.001"), parsed(
+      """{ customer_by_pk(c_custkey: 3) { __typename c_custkey } }"""))
+      .collect()
+    assert(byPk.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("customer", 3L)))
+  }
 }

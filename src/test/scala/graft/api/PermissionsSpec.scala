@@ -55,6 +55,12 @@ class PermissionsSpec extends SparkSpec {
       case Left(m) => assert(m.contains("no access"))
       case Right(r) => fail(s"allowed: $r")
     }
+    // __typename reads no column — every allowlist serves it
+    secure(Request("customer", Seq("__typename", "c_custkey")),
+      "analyst", policy) match {
+      case Right(r) => assert(r.fields.contains("__typename"))
+      case Left(m) => fail(s"denied the meta-field: $m")
+    }
   }
 
   test("relationship predicates in the request gain the child grant's " +
