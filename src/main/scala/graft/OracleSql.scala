@@ -1576,6 +1576,32 @@ object OracleSql {
          |GROUP BY table_name
          |ORDER BY type_name""".stripMargin
     },
+    // q168: spectral audio pairs — all-pairs ground truth over the
+    // pinned frequency-kernel hashes (the q107/q158 replay shape)
+    "q168_audio_spectral_pairs" ->
+      dhashPairsSql(graft.queries.PipelineQueries.pinnedToneShashes,
+        maxDist = 3),
+    // q169: audio two-kernel agreement — the intersection of both
+    // pinned ground truths (the q166 shape); the envelope-only and
+    // spectral-only matches must both drop
+    "q169_audio_kernel_agreement" -> {
+      val ev = hashValuesOf(graft.queries.PipelineQueries.pinnedToneAhashes)
+      val sv = hashValuesOf(graft.queries.PipelineQueries.pinnedToneShashes)
+      s"""WITH te(key, h) AS (VALUES
+         |  $ev),
+         |ts(key, p) AS (VALUES
+         |  $sv),
+         |ep AS (SELECT a.key AS a, b.key AS b,
+         |         bit_count(xor(a.h, b.h))::BIGINT AS d_env
+         |       FROM te a JOIN te b ON a.key < b.key
+         |       WHERE bit_count(xor(a.h, b.h)) <= 3),
+         |sp AS (SELECT a.key AS a, b.key AS b,
+         |         bit_count(xor(a.p, b.p))::BIGINT AS d_spec
+         |       FROM ts a JOIN ts b ON a.key < b.key
+         |       WHERE bit_count(xor(a.p, b.p)) <= 3)
+         |SELECT ep.a, ep.b, d_env, d_spec
+         |FROM ep JOIN sp USING (a, b) ORDER BY a, b""".stripMargin
+    },
     // q158: the pHash leg — ground truth over the pinned DCT hashes
     // at the d<=6 bound; p1<->p2 (d=8) and the heavy-noise copy
     // (d=10) must be filtered

@@ -1340,6 +1340,145 @@ object MultimodalOps {
     }(enc).toDF()
   }
 
+  // --- spectral audio fingerprint (frequency-band energies) --------------
+
+  /** The 9 probe frequencies of [[audioSpectralHash]] (Hz) — fixed,
+    * log-spaced under the 4 kHz Nyquist of the 8 kHz fixture rate.
+    * Like the pHash DCT matrix, these are part of the kernel's
+    * definition: change them and every stored hash invalidates. */
+  val spectralProbeHz: Seq[Double] =
+    Seq(300, 450, 650, 950, 1400, 2000, 2800, 3400, 3850)
+
+  /** 64-bit SPECTRAL audio fingerprint — the frequency-domain sibling
+    * of [[audioDHash]], completing the two-kernel-agreement triad for
+    * recordings (images have dHash+pHash, video frames both; audio
+    * had only the time-domain envelope). 8 equal time windows × 9
+    * Goertzel band energies at [[spectralProbeHz]]; bit `w*8+b` set
+    * when window w's band b energy exceeds band b+1's — adjacent-band
+    * comparisons, so exact gain scaling (which multiplies every band
+    * in a window by one factor) flips nothing, while a change in
+    * FREQUENCY CONTENT moves bits the envelope kernel cannot see (and
+    * an amplitude-envelope edit moves the envelope kernel while
+    * scaling each window's bands near-uniformly — the independence
+    * axis q169 pins). All-double fixed-order arithmetic (the pHash
+    * discipline) so hashes pin as literals. Channel 0 only on
+    * multi-channel audio (interleaved-unit math would alias the probe
+    * frequencies on stereo); None for non-WAV / non-16-bit bytes,
+    * rates below 2×3850 Hz (aliased probes), or fewer than 32
+    * samples per window — errors are data. WAV-only by scope: the
+    * AVI-soundtrack path has no sample-rate-free core to share, so
+    * the envelope kernel remains the cross-modal workhorse. */
+  def audioSpectralHash(b: Array[Byte]): Option[Long] = try {
+    val (rate, ch, _, dataOff, units) = wavRegion(b).getOrElse(return None)
+    pcm16SpectralFingerprint(b, rate, ch, dataOff, units)
+  } catch { case _: Exception => None }
+
+  private def pcm16SpectralFingerprint(b: Array[Byte], rate: Int,
+      ch: Int, dataOff: Int, units: Long): Option[Long] = {
+    if (rate < 2 * 3850) return None
+    val n = units / ch // channel-0 samples
+    if (n < 8 * 32) return None
+    if (dataOff.toLong + units * 2 > Int.MaxValue) return None
+    val energies = Array.ofDim[Double](8, 9)
+    var w = 0
+    while (w < 8) {
+      val s0 = w * n / 8
+      val s1 = (w + 1) * n / 8
+      var bnd = 0
+      while (bnd < 9) {
+        // Goertzel power at the probe frequency over this window —
+        // O(len) per band, 72 passes total, still one map-side scan
+        val omega = 2.0 * math.Pi * spectralProbeHz(bnd) / rate
+        val coeff = 2.0 * math.cos(omega)
+        var sPrev = 0.0
+        var sPrev2 = 0.0
+        var i = s0
+        while (i < s1) {
+          val off = dataOff + (i * ch * 2).toInt
+          val x = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort / 32768.0
+          val sCur = x + coeff * sPrev - sPrev2
+          sPrev2 = sPrev
+          sPrev = sCur
+          i += 1
+        }
+        energies(w)(bnd) =
+          (sPrev * sPrev + sPrev2 * sPrev2 - coeff * sPrev * sPrev2) /
+            (s1 - s0)
+        bnd += 1
+      }
+      w += 1
+    }
+    var bits = 0L
+    var wb = 0
+    while (wb < 64) {
+      val win = wb / 8
+      val bd = wb % 8
+      if (energies(win)(bd) > energies(win)(bd + 1)) bits |= 1L << wb
+      wb += 1
+    }
+    Some(bits)
+  }
+
+  val audioSpectralSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("shash", LongType)))
+
+  /** (key, shash) per audio row — one map-side pass, nulls for
+    * undecodable bytes, the [[audioDHashes]] contract. */
+  def audioSpectralHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSpectralSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        audioSpectralHash(bytes) match {
+          case Some(h) => Row(key, h)
+          case None => Row(key, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  val audioDualSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("ahash", LongType),
+    StructField("shash", LongType)))
+
+  /** BOTH audio kernels in ONE container-parse pass — the
+    * [[imageDualHashes]] pattern (parsing dominates at corpus scale;
+    * a policy that decodes twice pays twice). Each null lands
+    * independently (a fingerprint needs ≥65 units, the spectral one
+    * ≥256 — a short clip can carry one hash and not the other). */
+  def audioDualHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioDualSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val region = try wavRegion(bytes) catch { case _: Exception => None }
+        region match {
+          case Some((rate, ch, _, dataOff, units)) =>
+            Row(key,
+              pcm16Fingerprint(bytes, dataOff, units).orNull,
+              pcm16SpectralFingerprint(bytes, rate, ch, dataOff, units)
+                .orNull)
+          case None => Row(key, null, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Near-duplicate pairs under the SPECTRAL kernel — the same shared
+    * banding over the `shash` column ([[audioNearDupPairs]]'s shape;
+    * one pairing engine, two audio hash spaces). */
+  def audioSpectralNearDupPairs(hashes: DataFrame,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7, "bands are >=8-bit: maxDist 0-7")
+    val nBands = maxDist + 1
+    graft.functions.HammingBands.pairs(hashes, "key", "shash",
+      nBands, 64 / nBands, maxDist)
+  }
+
   /** Near-duplicate audio pairs within hamming distance `maxDist` —
     * the shared pigeonhole banding, lossless within the bound. */
   def audioNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
@@ -1396,6 +1535,67 @@ object MultimodalOps {
   def syntheticAmWav(seed: Long, cells: Seq[Int] = Nil, gain: Double = 1.0,
       seconds: Double = 1.0, rate: Int = 8000): Array[Byte] = {
     val pcm = amPcm(seed, cells, gain, seconds, rate)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = { le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt) }
+    bos.write("RIFF".getBytes); le32(36L + pcm.length); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+    le32(rate.toLong); le32(rate.toLong * 2); le16(2); le16(16)
+    bos.write("data".getBytes); le32(pcm.length.toLong)
+    bos.write(pcm)
+    bos.toByteArray
+  }
+
+  /** Deterministic MULTI-TONE PCM WAV — the fixture generator for the
+    * spectral kernel the way [[syntheticAmWav]] is for the envelope
+    * kernel, with BOTH perturbation axes controllable independently:
+    * 8 time windows (aligned with [[audioSpectralHash]]'s) each carry
+    * a seed-derived amplitude mix over the 9 [[spectralProbeHz]]
+    * tones, all under a seed-derived 65-cell amplitude envelope
+    * (aligned with [[audioDHash]]'s windows).
+    *  - `bandSwaps`: windows whose band-2 and band-5 mix amplitudes
+    *    SWAP — frequency content moves (spectral bits flip) while the
+    *    swap preserves the mix's total power, so the energy envelope
+    *    barely notices;
+    *  - `envCells`: 65-grid cells forced to full scale — the
+    *    [[syntheticAmWav]] `cells` axis: envelope bits flip while
+    *    every band in the touched window scales near-uniformly;
+    *  - `gain`: uniform scaling + 16-bit re-quantization — BOTH
+    *    kernels must shrug. */
+  def syntheticToneWav(seed: Long, bandSwaps: Seq[Int] = Nil,
+      envCells: Seq[Int] = Nil, gain: Double = 1.0,
+      seconds: Double = 1.0, rate: Int = 8000): Array[Byte] = {
+    val n = (seconds * rate).toInt
+    val amps = Array.tabulate(8, 9) { (w, b) =>
+      0.25 + 0.75 * graft.functions.VectorFunctions.mix01(
+        seed ^ ((w * 9 + b + 1) * 0x9e3779b97f4a7c15L))
+    }
+    bandSwaps.foreach { w =>
+      val t = amps(w)(2); amps(w)(2) = amps(w)(5); amps(w)(5) = t
+    }
+    val env = Array.tabulate(65) { k =>
+      if (envCells.contains(k)) 1.0
+      else 0.2 + 0.8 * graft.functions.VectorFunctions.mix01(
+        seed ^ ((k + 65) * 0x9e37L))
+    }
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 8 / n).toInt
+      val seg = (i.toLong * 65 / n).toInt
+      var mix = 0.0
+      var b = 0
+      while (b < 9) {
+        mix += amps(w)(b) *
+          math.sin(2 * math.Pi * spectralProbeHz(b) * i / rate)
+        b += 1
+      }
+      // 9 unit tones peak at 9.0; 2000/unit keeps worst case < 32767
+      val v = (mix * env(seg) * gain * 2000).toInt
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
     val bos = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def le32(v: Long): Unit = { le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt) }

@@ -385,6 +385,116 @@ object PipelineQueries {
       .orderBy("a", "b")
   }
 
+  /** q168/q169's fixtures: (key, seed, bandSwaps, envCells, gain) over
+    * [[graft.operators.MultimodalOps.syntheticToneWav]] — multi-tone
+    * recordings with BOTH perturbation axes independently
+    * controllable. `t1_gain` is the half-volume re-quantized copy
+    * (both kernels d=0 — the true duplicate); `t2_env` edits SIX
+    * envelope cells (envelope d=7 REJECTS, spectral d=0 accepts — the
+    * loudness-profile coincidence the agreement policy must not
+    * trust); `t3_swap` swaps band amplitudes in four windows
+    * (spectral d=5 rejects, envelope d=0 accepts — the frequency edit
+    * the envelope cannot see); `t3_swap1` swaps one window (spectral
+    * d=2, within bound — the nonzero-distance survivor); `t4_both`
+    * a light edit near under both (d_env=1, d_spec=0); `t5_far`
+    * heavy on both axes (d=6/5 — near-bound decoys past BOTH d≤3
+    * bounds, proving each exact filter). */
+  private[graft] val toneFixtures
+      : Seq[(String, Long, Seq[Int], Seq[Int], Double)] = Seq(
+    ("t1", 31L, Nil, Nil, 1.0),
+    ("t2", 32L, Nil, Nil, 1.0),
+    ("t3", 33L, Nil, Nil, 1.0),
+    ("t4", 34L, Nil, Nil, 1.0),
+    ("t5", 35L, Nil, Nil, 1.0),
+    ("t1_gain", 31L, Nil, Nil, 0.5),
+    ("t2_env", 32L, Nil, Seq(8, 18, 28, 38, 48, 58), 1.0),
+    ("t3_swap", 33L, Seq(0, 2, 4, 6), Nil, 1.0),
+    ("t3_swap1", 33L, Seq(0), Nil, 1.0),
+    ("t4_both", 34L, Seq(6), Seq(12), 1.0),
+    ("t5_far", 35L, Seq(0, 2, 5, 7), Seq(5, 15, 25, 35, 45, 55), 1.0))
+
+  private[graft] def toneFixtureBytes: Seq[(String, Array[Byte])] =
+    toneFixtures.map { case (k, seed, bs, ec, g) =>
+      k -> graft.operators.MultimodalOps.syntheticToneWav(seed, bs, ec, g)
+    }
+
+  /** The PINNED ENVELOPE fingerprints of [[toneFixtures]] (engine ==
+    * literal asserted in spec). Within d≤3: (t1,t1_gain,0),
+    * (t3,t3_swap,0), (t3,t3_swap1,0), (t3_swap,t3_swap1,0),
+    * (t4,t4_both,1); t2_env sits at d=7 and t5_far at d=6 from their
+    * bases. */
+  private[graft] val pinnedToneAhashes: Seq[(String, Long)] = Seq(
+    ("t1", 7902455225772042541L),
+    ("t2", 7729923832430828677L),
+    ("t3", -3076878380022736037L),
+    ("t4", 6614568052821941557L),
+    ("t5", -3281546963567928598L),
+    ("t1_gain", 7902455225772042541L),
+    ("t2_env", 7874320495617613061L),
+    ("t3_swap", -3076878380022736037L),
+    ("t3_swap1", -3076878380022736037L),
+    ("t4_both", 6614568052821939509L),
+    ("t5_far", -7875201008479659286L))
+
+  /** The PINNED SPECTRAL fingerprints of [[toneFixtures]]. Within
+    * d≤3: (t1,t1_gain,0), (t2,t2_env,0), (t3,t3_swap1,2),
+    * (t3_swap,t3_swap1,3), (t4,t4_both,0); t3↔t3_swap sits at d=5
+    * and t5↔t5_far at d=5. */
+  private[graft] val pinnedToneShashes: Seq[(String, Long)] = Seq(
+    ("t1", 7394511150101206458L),
+    ("t2", -7596001662604585878L),
+    ("t3", 6146739910408951219L),
+    ("t4", -6220194999513803627L),
+    ("t5", 4623833604583461290L),
+    ("t1_gain", 7394511150101206458L),
+    ("t2_env", -7596001662604585878L),
+    ("t3_swap", 6146739858869343633L),
+    ("t3_swap1", 6146739910408951185L),
+    ("t4_both", -6220194999513803627L),
+    ("t5_far", 6064987684365275564L))
+
+  /** q168 — SPECTRAL audio near-dup pairs, oracle-PINNED: the
+    * frequency-domain kernel ([[graft.operators.MultimodalOps
+    * .audioSpectralHashes]] — 8 time windows × 9 Goertzel band
+    * energies, adjacent-band comparison bits) over the same banded
+    * pairing engine, against the DuckDB all-pairs ground truth over
+    * the pinned hashes. The audio counterpart of q158's pHash: a
+    * second independent kernel so recording dedup can demand
+    * two-kernel agreement (q169). */
+  def q168AudioSpectralPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = toneFixtureBytes.toDF("key", "bytes")
+    val hashes = graft.operators.MultimodalOps.audioSpectralHashes(media)
+    graft.operators.MultimodalOps
+      .audioSpectralNearDupPairs(hashes, maxDist = 3)
+      .orderBy("a", "b")
+  }
+
+  /** q169 — the AUDIO two-kernel agreement policy (q166's precision
+    * discipline for recordings): a pair is a duplicate only when the
+    * time-domain envelope AND the frequency-domain spectrum agree
+    * (both d≤3). Both hashes come from ONE container-parse pass
+    * ([[graft.operators.MultimodalOps.audioDualHashes]]); each feeds
+    * the shared banding; the policy is one equi-join of the two pair
+    * sets. Over [[toneFixtures]] the envelope-only match (t3↔t3_swap
+    * — frequency edit the envelope cannot see) and the spectral-only
+    * match (t2↔t2_env — a loudness-profile coincidence) BOTH drop;
+    * the gain copy and the light edits survive. Oracle = the
+    * intersection of the two pinned ground truths. */
+  def q169AudioKernelAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = toneFixtureBytes.toDF("key", "bytes")
+    val dual = graft.operators.MultimodalOps.audioDualHashes(media)
+      .localCheckpoint(true)
+    val ePairs = graft.operators.MultimodalOps.audioNearDupPairs(
+        dual.select(col("key"), col("ahash")), maxDist = 3)
+      .withColumnRenamed("d", "d_env")
+    val sPairs = graft.operators.MultimodalOps.audioSpectralNearDupPairs(
+        dual.select(col("key"), col("shash")), maxDist = 3)
+      .withColumnRenamed("d", "d_spec")
+    ePairs.join(sPairs, Seq("a", "b")).orderBy("a", "b")
+  }
+
   /** q109's fixtures: (key, videoSeed, audioSeed, audioCells) —
     * two-stream AVIs from [[graft.operators.MultimodalOps
     * .syntheticAviWithAudio]]. `av1_re` carries DIFFERENT footage over

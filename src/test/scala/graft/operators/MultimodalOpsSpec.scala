@@ -480,6 +480,65 @@ class MultimodalOpsSpec extends SparkSpec {
       s"audio pairs must not cross-join:\n$plan")
   }
 
+  test("q168/q169 spectral audio kernel: engine hashes equal the " +
+    "oracle literals; the independence matrix holds both ways; dual " +
+    "hashing is one parse; agreement keeps exactly the designed set") {
+    import graft.queries.PipelineQueries
+    val bytes = PipelineQueries.toneFixtureBytes.toMap
+    val gotEnv = PipelineQueries.toneFixtures.map { case (k, _, _, _, _) =>
+      k -> MultimodalOps.audioDHash(bytes(k)).getOrElse(
+        fail(s"$k no envelope fingerprint"))
+    }
+    val gotSpec = PipelineQueries.toneFixtures.map { case (k, _, _, _, _) =>
+      k -> MultimodalOps.audioSpectralHash(bytes(k)).getOrElse(
+        fail(s"$k no spectral fingerprint"))
+    }
+    assert(gotEnv === PipelineQueries.pinnedToneAhashes)
+    assert(gotSpec === PipelineQueries.pinnedToneShashes)
+    val env = gotEnv.toMap
+    val spec = gotSpec.toMap
+    def d(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // gain invariance is an exact equality under BOTH kernels
+    assert(env("t1_gain") === env("t1"))
+    assert(spec("t1_gain") === spec("t1"))
+    // INDEPENDENCE, both directions: the envelope edit moves only the
+    // envelope kernel; the band swap moves only the spectral kernel
+    assert(d(env("t2"), env("t2_env")) === 7)
+    assert(d(spec("t2"), spec("t2_env")) === 0)
+    assert(d(env("t3"), env("t3_swap")) === 0)
+    assert(d(spec("t3"), spec("t3_swap")) === 5)
+    // dual hashing agrees with the single-kernel paths (one parse,
+    // same values — the imageDualHashes contract)
+    import spark.implicits._
+    val dual = MultimodalOps.audioDualHashes(
+      PipelineQueries.toneFixtureBytes.toDF("key", "bytes"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    PipelineQueries.toneFixtures.foreach { case (k, _, _, _, _) =>
+      assert(dual(k) === ((env(k), spec(k))), k)
+    }
+    // a short clip can carry the envelope hash and not the spectral
+    // one (65 vs 256 units) — nulls land independently
+    val shortWav = MultimodalOps.syntheticToneWav(1L, seconds = 0.02)
+    assert(MultimodalOps.audioDHash(shortWav).isDefined)
+    assert(MultimodalOps.audioSpectralHash(shortWav).isEmpty)
+    val dualShort = MultimodalOps.audioDualHashes(
+      Seq(("s", shortWav)).toDF("key", "bytes")).collect().head
+    assert(!dualShort.isNullAt(1) && dualShort.isNullAt(2))
+    // the agreement policy: envelope-only and spectral-only matches
+    // both drop; the gain copy and light edits survive
+    val agree = PipelineQueries.q169AudioKernelAgreement(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(agree.toSeq === Seq(("t1", "t1_gain"), ("t3", "t3_swap1"),
+      ("t3_swap", "t3_swap1"), ("t4", "t4_both")))
+    // same scale posture: banded equi-joins only, never a cross join
+    val plan = PipelineQueries.q169AudioKernelAgreement(spark, "unused")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"agreement must not cross-join:\n$plan")
+  }
+
   test("q109 in-container soundtrack: extraction equals the standalone " +
     "WAV fingerprint; video frames still decode; pairs find the " +
     "re-posted copy") {
