@@ -745,6 +745,21 @@ object OracleSql {
        |FROM t ORDER BY d, key LIMIT $k""".stripMargin
   }
 
+  /** [[hammingKnnSql]] restricted to the banded-index radius — the
+    * q170 store-probe ground truth (a banded index answers
+    * within-radius top-k; beyond-radius rows must NOT appear). */
+  private def hammingSearchSql(pinned: Seq[(String, Long)], query: Long,
+      k: Int, maxDist: Int): String = {
+    val vals = hashValuesOf(pinned)
+    s"""WITH t(key, dhash) AS (VALUES
+       |  $vals)
+       |SELECT key,
+       |       bit_count(xor(dhash, ($query)::BIGINT))::BIGINT AS d
+       |FROM t
+       |WHERE bit_count(xor(dhash, ($query)::BIGINT)) <= $maxDist
+       |ORDER BY d, key LIMIT $k""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q1_event_scan" ->
       """SELECT event_id, user_id, event_type FROM events
@@ -1651,6 +1666,12 @@ object OracleSql {
     // corpus, query literal shared with the engine
     "q111_hamming_knn" -> hammingKnnSql(
       graft.queries.PipelineQueries.pinnedDhashes, 275148587264L, 5),
+    // q170: the PERSISTED-store banded probe — within-radius top-k
+    // over the same pinned corpus and query literal; a probe missing
+    // a within-bound neighbor or surfacing a beyond-radius row fails
+    "q170_store_search" -> hammingSearchSql(
+      graft.queries.PipelineQueries.pinnedDhashes, 275148587264L, 5,
+      maxDist = 3),
     // q116: the same top-5 over the pinned audio fingerprint space
     // (query = a2_near's pinned hash: rank 1 its d=0 self, rank 2 the
     // d=2 original)

@@ -80,6 +80,43 @@ object IncrementalImageDedup {
         col("m.dist").as("dist"))
   }
 
+  /** SIMILARITY SEARCH over the persisted store — the [[graft.search
+    * .InvertedIndex]]/[[graft.similarity.IvfIndex]] architecture for
+    * hamming space: "find images similar to THIS one" against 10^10
+    * resident hashes must probe the index, not scan the corpus
+    * ([[HammingBands.knn]] is the right plan for one ad-hoc query, not
+    * a serving path). The query hash's `nBands` band values compile to
+    * a band-key disjunction that reaches the parquet scan (plan-
+    * asserted PushedFilters; with the production store bucketed on the
+    * band key, only matching buckets read at all) — pigeonhole-
+    * LOSSLESS within `maxDist`, so the pruned candidates verify on the
+    * exact popcount and nothing within the bound is missed. Returns
+    * the top-k (key, d) by (distance, key) among rows within
+    * `maxDist`; beyond-radius neighbors are inherently outside a
+    * banded index's reach (the documented LSH-index trade — q111's
+    * full scan serves unbounded kNN). Multi-band hits collapse via
+    * one distinct on the candidate set (bounded by band selectivity,
+    * never corpus-sized). */
+  def search(store: DataFrame, query: Long, k: Int,
+      maxDist: Int = MaxDist): DataFrame = {
+    require(maxDist <= MaxDist,
+      s"the store's banding is lossless only to $MaxDist")
+    require(k > 0, "k must be positive")
+    val mask = (1L << BandBits) - 1
+    val pred = (0 until NBands).map { b =>
+      col("band.b") === b &&
+        col("band.v") === ((query >>> (b * BandBits)) & mask)
+    }.reduce(_ || _)
+    store.filter(pred)
+      .select(col("key"), col("dhash")).distinct()
+      .select(col("key"),
+        bit_count(col("dhash").bitwiseXOR(lit(query))).cast("long")
+          .as("d"))
+      .filter(col("d") <= maxDist)
+      .orderBy(col("d"), col("key"))
+      .limit(k)
+  }
+
   /** One ingest cycle — probe, append fresh, report — hashing the batch
     * ONCE (the decode+hash pass dominates per-batch cost). Returns
     * (dups, freshHashes).

@@ -644,6 +644,27 @@ object PipelineQueries {
       .orderBy("key")
   }
 
+  /** q170 — SEARCH over the PERSISTED perceptual-hash store: the q104
+    * fixture corpus hashes into an [[graft.operators
+    * .IncrementalImageDedup]] store on disk (the real (key, dhash,
+    * band) parquet layout), then a find-similar-to-THIS-image request
+    * probes it by band key — [[graft.operators.IncrementalImageDedup
+    * .search]], the InvertedIndex/IvfIndex architecture for hamming
+    * space (q111's full-scan kNN is the ad-hoc plan; a serving path
+    * reads |bands| buckets, not the corpus). Query = m07_near's
+    * pinned hash; the oracle replays the within-radius top-k over the
+    * pinned hashes, so a probe that misses a within-bound neighbor
+    * (banding losslessness) or returns one past the radius hash-fails. */
+  def q170StoreSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
+    val path = s"/root/repo/target/tmp/q170_store_" +
+      s.sparkContext.applicationId
+    I.initStore(M.imageDHashes(dhashFixtureBytes.toDF("key", "bytes")),
+      path)
+    I.search(I.loadStore(s, path), query = 275148587264L, k = 5)
+  }
+
   /** q113 — the VIDEO-LEVEL repost verdict: q106 reports which frames
     * collide; the user's question is "which VIDEOS are reposts". One
     * groupBy over the frame pairs ([[graft.operators.MultimodalOps

@@ -217,6 +217,45 @@ class IncrementalImageDedupSpec extends SparkSpec {
     assert(IncrementalImageDedup.loadStore(spark, store).count() > 0)
   }
 
+  test("q170 store search: banded probe equals the full-scan kNN " +
+    "within the radius, for EVERY fixture as the query; the band " +
+    "disjunction reaches the parquet scan") {
+    val all = PipelineQueries.dhashFixtureBytes
+    val hashes = MultimodalOps.imageDHashes(all.toDF("key", "bytes"))
+      .localCheckpoint(true)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_imgsearch_store").toString
+    IncrementalImageDedup.initStore(hashes, store)
+    val loaded = IncrementalImageDedup.loadStore(spark, store)
+    val hashByKey = hashes.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // probe ≡ full scan restricted to the banding radius — holds for
+    // every corpus member as the query, not one friendly literal
+    hashByKey.foreach { case (qKey, qHash) =>
+      val probe = IncrementalImageDedup.search(loaded, qHash, k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val full = graft.functions.HammingBands
+        .knn(hashes, "key", "dhash", qHash, k = hashByKey.size)
+        .filter(col("d") <= 3).limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(probe === full, s"query $qKey")
+    }
+    // the band-key disjunction pushes into the parquet scan: the
+    // pruned store read is the serving-path argument
+    val plan = IncrementalImageDedup.search(loaded,
+      hashByKey("m07_near"), k = 5)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters:")).getOrElse("")
+    assert(pushed.contains("EqualTo(band.b,"),
+      s"band predicate must reach the scan:\n$plan")
+    // out-of-store queries answer empty (no within-radius rows), and
+    // the radius cap rejects loudly past the banding bound
+    assert(IncrementalImageDedup.search(loaded, 0L, k = 5).count() === 0)
+    assertThrows[IllegalArgumentException](
+      IncrementalImageDedup.search(loaded, 0L, k = 5, maxDist = 4))
+  }
+
   test("probe plan: no cross join, candidate gate is the band equi-join") {
     val (bases, variants) = split()
     val store = java.nio.file.Files
