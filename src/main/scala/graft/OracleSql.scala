@@ -1881,6 +1881,14 @@ object OracleSql {
         |              UNION ALL SELECT 99903, -10.0)
         |SELECT c_custkey, ROUND(c_acctbal + 1000.0, 2) AS bal
         |FROM base WHERE c_acctbal < 0.0 ORDER BY c_custkey""".stripMargin,
+    // q171: the role-scoped write — q124's replay with the writer
+    // role's row filter ANDed into the update scope; an engine that
+    // wrote (or returned) outside the grant hash-fails
+    "q171_role_scoped_mutation" ->
+      """SELECT c_custkey, ROUND(c_acctbal + 1000.0, 2) AS bal
+        |FROM customer
+        |WHERE c_acctbal < 0.0 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
     // q126: the kNN JOIN — per-query exact top-3 replayed as a
     // row_number window over the all-pairs cosine (the ORACLE may pay
     // the window; the engine's TopKAgg pre-reduces map-side)

@@ -331,18 +331,24 @@ object Mutations {
         // turn a "single-object" update into a silent mass write (the
         // parser has no schema; the store knows its key — so the check
         // lives at the layer that knows)
+        // an ANDed tree still qualifies: Permissions.secureFields
+        // wraps the parsed Eq(pk, v) in And(roleFilter, ...) — the
+        // key equality must be PRESENT, not alone (Hasura's by_pk
+        // under a row filter answers null for filtered-out keys,
+        // which is exactly what the extra conjunct produces)
+        def namesKey(w: BoolExp): Boolean = w match {
+          case QueryBuilder.Eq(c, _) => c == keyCol
+          case QueryBuilder.And(es @ _*) => es.exists(namesKey)
+          case _ => false
+        }
         f.m match {
           case Update(table, w, _, _) if f.single =>
-            require(w match {
-              case QueryBuilder.Eq(c, _) => c == keyCol
-              case _ => false
-            }, s"update_${table}_by_pk: pk_columns must name the key " +
+            require(namesKey(w),
+              s"update_${table}_by_pk: pk_columns must name the key " +
               s"column '$keyCol'")
           case Delete(table, w) if f.single =>
-            require(w match {
-              case QueryBuilder.Eq(c, _) => c == keyCol
-              case _ => false
-            }, s"delete_${table}_by_pk: the argument must name the " +
+            require(namesKey(w),
+              s"delete_${table}_by_pk: the argument must name the " +
               s"key column '$keyCol'")
           case _ => ()
         }

@@ -297,6 +297,41 @@ object Permissions {
     }
   }
 
+  /** q171 — the role-scoped WRITE round-trip ([[serveMutationsAs]]
+    * under the oracle gate, the q124 pattern secured): mutation TEXT
+    * asks to boost every NEGATIVE balance; the writer role's row
+    * filter (`c_mktsegment = 'BUILDING'`) ANDs into the update scope,
+    * so only BUILDING rows mutate — the returning frame (the served
+    * response) is the INTERSECTION at post-increment balances, which
+    * the oracle replays with both predicates inlined. An engine that
+    * applied the request unfiltered (or filtered the returning but
+    * not the write) hash-fails on the extra/missing rows. */
+  def q171RoleScopedMutation(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"/root/repo/target/tmp/q171_store_" +
+      s.sparkContext.applicationId
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal"), path)
+    val doc =
+      """mutation {
+        |  update_customer(where: {c_acctbal: {_lt: 0.0}},
+        |                  _inc: {c_acctbal: 1000.0}) {
+        |    affected_rows
+        |    returning { c_custkey c_acctbal }
+        |  }
+        |}""".stripMargin
+    val results = serveMutationsAs(s, "analyst", q140Policy, doc,
+      Map("customer" -> ((path, "c_custkey")))).fold(
+      m => throw new IllegalStateException(s"q171 denied: $m"),
+      identity)
+    results.head.returning.getOrElse(throw new IllegalStateException(
+        "q171: the update declared returning"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+      .orderBy("c_custkey")
+  }
+
   /** Serve GraphQL text AS a role — the full Hasura request path:
     * parse against the tracked schema, rewrite through the role's
     * grants, run. Parse errors and permission denials both come back
@@ -328,11 +363,29 @@ object Permissions {
       sec <- secureStream(sr, role, policy)
     } yield Subscriptions.streamPages(base, sec, nPages)
 
-  /** Guard a mutation document for `role`: updates/deletes gain the
-    * role's row filter (rows outside it are INVISIBLE to the write,
-    * Hasura's permission-filter semantics — affected_rows shrinks
-    * accordingly, no error), inserts and returning selections are
-    * column-checked. */
+  /** Serve mutation TEXT as a role — the WRITE half of [[serveAs]],
+    * closing the last serve loop (read [[serveAs]], stream
+    * [[serveStreamAs]], write here): parse the document
+    * ([[GraphQl.parseMutationFields]] — by_pk verbs, returning,
+    * on_conflict, nested inserts, update_many), rewrite every field
+    * through the role's grants ([[secureFields]] — row filters AND
+    * into update/delete scopes incl. the by_pk spellings, inserts
+    * check-clause against the filter, out-of-grant columns reject),
+    * then apply over the store registry. Parse errors and denials are
+    * Left values; NOTHING applies on a denial (secureFields validates
+    * the WHOLE document before the first store rewrite — Hasura's
+    * request-level atomicity for permission errors). */
+  def serveMutationsAs(s: org.apache.spark.sql.SparkSession,
+      role: String, policy: Policy, doc: String,
+      stores: Map[String, (String, String)],
+      schema: GraphQl.Schema = GraphQl.fixtureSchema,
+      variables: String = "{}")
+      : Either[String, Seq[Mutations.FieldResult]] =
+    for {
+      fields <- GraphQl.parseMutationFields(doc, variables, schema)
+      sec <- secureFields(fields, role, policy)
+    } yield Mutations.applyFieldsToStores(s, stores, sec)
+
   /** Secure a ROOT-AGGREGATE request: the role's row filter ANDs into
     * the where (an unfiltered count/sum over invisible rows would
     * LEAK them as numbers), and every referenced column — aggregated,
@@ -387,6 +440,11 @@ object Permissions {
       else Right(())
     } yield sr.copy(where = merged)
 
+  /** Guard a mutation document for `role`: updates/deletes gain the
+    * role's row filter (rows outside it are INVISIBLE to the write,
+    * Hasura's permission-filter semantics — affected_rows shrinks
+    * accordingly, no error), inserts and returning selections are
+    * column-checked. */
   def secureFields(fields: Seq[Mutations.Field], role: String,
       policy: Policy): Either[String, Seq[Mutations.Field]] = {
     def secureMutation(m: Mutations.Mutation)

@@ -221,6 +221,68 @@ class PermissionsSpec extends SparkSpec {
     assert(denied.isLeft && denied.left.exists(_.contains("c_name")))
   }
 
+  test("serveMutationsAs: mutation text through parse -> secure -> " +
+    "apply; the row filter shrinks write scopes (by_pk too), denials " +
+    "leave every store untouched") {
+    import spark.implicits._
+    val tSchema = GraphQl.Schema(Map.empty, keys = Map("t" -> "k"))
+    def freshStore(): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_smas_store").toString
+      graft.sources.SnapshotStore.write(Seq(
+        (1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0),
+        (4L, "B", 40.0)).toDF("k", "seg", "bal"), p)
+      p
+    }
+    val p1 = freshStore()
+    val reg1 = Map("t" -> ((p1, "k")))
+    // the plain update writes only the role-visible rows: the request
+    // matches k∈{1,2,3,4} by bal>0 but seg=B rows are invisible
+    val doc =
+      """mutation {
+        |  update_t(where: {bal: {_gt: 0.0}}, _inc: {bal: 1.0}) {
+        |    affected_rows returning { k bal }
+        |  }
+        |  update_t_by_pk(pk_columns: {k: 2}, _set: {bal: 99.0}) {
+        |    k bal
+        |  }
+        |}""".stripMargin
+    val rs = Permissions.serveMutationsAs(spark, "writer", policy, doc,
+      reg1, tSchema).fold(m => fail(m), identity)
+    assert(rs.map(_.affected) === Seq(2L, 0L)) // seg-A rows; k=2 is B
+    assert(rs.head.returning.get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 11.0), (3L, 31.0)))
+    val after = graft.sources.SnapshotStore.read(spark, p1)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // by_pk on the INVISIBLE k=2 wrote nothing (Hasura's null answer)
+    assert(after.toSeq ===
+      Seq((1L, 11.0), (2L, 20.0), (3L, 31.0), (4L, 40.0)))
+    // a denial ANYWHERE in the document applies NOTHING: field 1 is
+    // grantable, field 2 names an ungranted column — the store stays
+    // byte-identical (secureFields validates before the first swap)
+    val p2 = freshStore()
+    val denied = Permissions.serveMutationsAs(spark, "writer", policy,
+      """mutation {
+        |  update_t(where: {bal: {_gt: 0.0}}, _inc: {bal: 1.0}) {
+        |    affected_rows }
+        |  update_t(where: {k: {_eq: 1}}, _set: {secret: "x"}) {
+        |    affected_rows }
+        |}""".stripMargin, Map("t" -> ((p2, "k"))), tSchema)
+    assert(denied.isLeft && denied.left.exists(_.contains("secret")))
+    assert(graft.sources.SnapshotStore.read(spark, p2)
+      .agg(org.apache.spark.sql.functions.sum("bal")).head.getDouble(0)
+      === 100.0)
+    // the insert check clause gates the text path too
+    val badInsert = Permissions.serveMutationsAs(spark, "writer",
+      policy,
+      """mutation { insert_t(objects: [{k: 9, seg: "B"}]) {
+        |  affected_rows } }""".stripMargin,
+      Map("t" -> ((p2, "k"))), tSchema)
+    assert(badInsert.isLeft &&
+      badInsert.left.exists(_.contains("check clause")))
+  }
+
   test("insert check clause: inserted rows must satisfy the row " +
     "filter; upserts on row-filtered tables reject") {
     // a check-passing insert goes through
