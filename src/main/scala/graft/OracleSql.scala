@@ -1591,6 +1591,76 @@ object OracleSql {
          |GROUP BY table_name
          |ORDER BY type_name""".stripMargin
     },
+    // q172: image retention — the q112 recursive-CTE clusters (with
+    // the upscaled copy at m01's pinned hash) composed with the
+    // fixture resolutions; keep = max pixels, ties min key
+    "q172_image_retention" -> {
+      val withHires = graft.queries.PipelineQueries.pinnedDhashes :+
+        ("m01_hires" -> 119908340784499200L)
+      val px = withHires.map { case (k, _) =>
+        s"('$k', ${if (k == "m01_hires") 13824 else 3456})"
+      }.mkString(",\n  ")
+      s"""WITH RECURSIVE t(key, dhash) AS (VALUES
+         |  ${hashValuesOf(withHires)}),
+         |q(key, px) AS (VALUES
+         |  $px),
+         |p AS (SELECT a.key AS a, b.key AS b
+         |      FROM t a JOIN t b ON a.key < b.key
+         |      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |e AS (SELECT a AS id, b AS nb FROM p UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id),
+         |m AS (SELECT comp.id AS key, canonical, q.px,
+         |        ROW_NUMBER() OVER (PARTITION BY canonical
+         |                           ORDER BY q.px DESC, comp.id) AS rn
+         |      FROM comp JOIN q ON q.key = comp.id)
+         |SELECT canonical,
+         |       MAX(CASE WHEN rn = 1 THEN key END) AS kept_key,
+         |       MAX(CASE WHEN rn = 1 THEN px END)::BIGINT AS kept_score,
+         |       (COUNT(*) - 1)::BIGINT AS n_dropped
+         |FROM m GROUP BY canonical ORDER BY canonical""".stripMargin
+    },
+    // q173: audio retention — the q115 verdict replay feeding the
+    // cluster + keep-longest rule over the fixture durations
+    "q173_audio_retention" -> {
+      val vals = hashValuesOf(
+        graft.queries.PipelineQueries.pinnedSegmentAhashes)
+      s"""WITH RECURSIVE t(key, dhash) AS (VALUES
+         |  $vals),
+         |q(key, n_samples) AS (VALUES
+         |  ('s1', 16000), ('s1_trim', 12000), ('s2', 16000),
+         |  ('s3', 16000)),
+         |sp AS (SELECT a.key AS ka, b.key AS kb
+         |       FROM t a JOIN t b ON a.key < b.key
+         |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |se AS (SELECT regexp_extract(ka, '^(.*)#', 1) AS va,
+         |              regexp_extract(kb, '^(.*)#', 1) AS vb
+         |       FROM sp),
+         |v AS (SELECT CASE WHEN va < vb THEN va ELSE vb END AS a,
+         |             CASE WHEN va < vb THEN vb ELSE va END AS b
+         |      FROM se WHERE va <> vb
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a AS id, b AS nb FROM v UNION ALL SELECT b, a FROM v),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id),
+         |m AS (SELECT comp.id AS key, canonical, q.n_samples,
+         |        ROW_NUMBER() OVER (PARTITION BY canonical
+         |                           ORDER BY q.n_samples DESC, comp.id)
+         |          AS rn
+         |      FROM comp JOIN q ON q.key = comp.id)
+         |SELECT canonical,
+         |       MAX(CASE WHEN rn = 1 THEN key END) AS kept_key,
+         |       MAX(CASE WHEN rn = 1 THEN n_samples END)::BIGINT
+         |         AS kept_score,
+         |       (COUNT(*) - 1)::BIGINT AS n_dropped
+         |FROM m GROUP BY canonical ORDER BY canonical""".stripMargin
+    },
     // q168: spectral audio pairs — all-pairs ground truth over the
     // pinned frequency-kernel hashes (the q107/q158 replay shape)
     "q168_audio_spectral_pairs" ->

@@ -1340,6 +1340,59 @@ object MultimodalOps {
     }(enc).toDF()
   }
 
+  val imagePixelSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("px", LongType)))
+
+  /** (key, pixel count) per media row through the ENGINE's decode
+    * fan-in (the same [[graft.functions.BinaryFunctions.decode]] the
+    * perceptual hashes ride, so every hashable image also has a
+    * resolution — [[imageFeatures]]'s ImageIO scope would blank the
+    * tiff/svg arms). The quality signal for resolution-aware
+    * retention (q172); null for undecodable bytes. */
+  def imagePixelCounts(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imagePixelSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = try graft.functions.BinaryFunctions.decode(bytes)
+          catch { case _: Exception => None }
+        img match {
+          case Some(i) => Row(key, i.getWidth.toLong * i.getHeight)
+          case None => Row(key, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
+  /** Integer nearest-neighbor UPSCALE, re-encoded PNG — a corpus-prep
+    * op (and q172's higher-resolution-copy fixture generator). Box-
+    * pooled perceptual kernels are invariant to it when the original
+    * dimensions divide the pool grid: every pool box averages the
+    * same source pixels duplicated `factor`× — so the upscaled copy
+    * lands at d=0 and clusters with its original, where a
+    * resolution-aware retention policy can prefer it. None for
+    * undecodable bytes. */
+  def upscaleNn(b: Array[Byte], factor: Int): Option[Array[Byte]] = try {
+    require(factor >= 1, "factor must be positive")
+    graft.functions.BinaryFunctions.decode(b).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(w * factor, h * factor,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h * factor) {
+        var x = 0
+        while (x < w * factor) {
+          out.setRGB(x, y, img.getRGB(x / factor, y / factor))
+          x += 1
+        }
+        y += 1
+      }
+      graft.functions.BinaryFunctions.encodePng(out)
+    }
+  } catch { case _: Exception => None }
+
   // --- spectral audio fingerprint (frequency-band energies) --------------
 
   /** The 9 probe frequencies of [[audioSpectralHash]] (Hz) — fixed,

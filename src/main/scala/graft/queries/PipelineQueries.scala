@@ -665,6 +665,71 @@ object PipelineQueries {
     I.search(I.loadStore(s, path), query = 275148587264L, k = 5)
   }
 
+  /** q172's corpus: the q104 fixtures plus `m01_hires` — m01 upscaled
+    * 2× nearest-neighbor ([[graft.operators.MultimodalOps
+    * .upscaleNn]]; 72×48 divides the 9×8 pool grid, so the copy
+    * lands at dHash d=0 and joins m01's cluster carrying 4× the
+    * pixels). */
+  private[graft] def retentionFixtureBytes: Seq[(String, Array[Byte])] = {
+    val base = dhashFixtureBytes
+    val m01 = base.find(_._1 == "m01").get._2
+    base :+ ("m01_hires" ->
+      graft.operators.MultimodalOps.upscaleNn(m01, 2).getOrElse(
+        sys.error("m01 did not upscale")))
+  }
+
+  /** q172 — RETENTION over the image dup clusters (q151's keep-best
+    * policy composed over q112's components, via the SHARED
+    * [[graft.operators.Retention]] operator): inside each cluster
+    * keep the highest-RESOLUTION member — quality = pixel count from
+    * the engine's own decode ([[graft.operators.MultimodalOps
+    * .imagePixelCounts]]) — ties keeping the canonical-most key.
+    * m01's cluster keeps the upscaled copy (13824 px beats 3456);
+    * every other cluster ties on resolution and keeps its min key.
+    * The oracle composes the q112 recursive-CTE clusters with the
+    * fixture resolutions and replays the same keep rule. */
+  def q172ImageRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = retentionFixtureBytes.toDF("key", "bytes")
+      .localCheckpoint(true) // decoded twice: hashes + pixel counts
+    val hs = graft.operators.MultimodalOps.imageDHashes(media)
+      .filter(col("dhash").isNotNull)
+    val clusters = hashDupClusters(s, hs,
+      graft.operators.MultimodalOps.dhashNearDupPairs(hs, maxDist = 3))
+    val members = clusters.filter(col("cluster_size") > 1)
+      .select(col("key"), col("canonical"))
+    val quality = graft.operators.MultimodalOps.imagePixelCounts(media)
+      .select(col("key"), col("px").as("score"))
+    graft.operators.Retention.keepBest(members, quality)
+  }
+
+  /** q173 — RETENTION over AUDIO dup clusters, quality = DURATION:
+    * the q115 trim verdicts (segment-level matches aggregated to
+    * recording pairs) cluster s1 with its trimmed repost; the shared
+    * [[graft.operators.Retention]] keeps the LONGEST recording
+    * (sample count from [[graft.operators.MultimodalOps
+    * .audioFeatures]] — real decode metadata: 16000 beats the
+    * trimmed 12000), exactly the "keep the uncut original" rule a
+    * corpus prep pipeline wants. The oracle replays verdict →
+    * cluster → keep-max-samples over the pinned segment hashes. */
+  def q173AudioRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = segAudioFixtureBytes.toDF("key", "bytes")
+      .localCheckpoint(true)
+    val hashes = graft.operators.MultimodalOps.audioSegmentDHashes(media)
+    val pairs =
+      graft.operators.MultimodalOps.audioNearDupPairs(hashes, maxDist = 3)
+    val verdicts =
+      graft.operators.MultimodalOps.repostVerdicts(pairs, minMatches = 2)
+    val keys = segAudioFixtures.map(_._1).toDF("key")
+    val clusters = hashDupClusters(s, keys, verdicts.select("a", "b"))
+    val members = clusters.filter(col("cluster_size") > 1)
+      .select(col("key"), col("canonical"))
+    val quality = graft.operators.MultimodalOps.audioFeatures(media)
+      .select(col("key"), col("n_samples").as("score"))
+    graft.operators.Retention.keepBest(members, quality)
+  }
+
   /** q113 — the VIDEO-LEVEL repost verdict: q106 reports which frames
     * collide; the user's question is "which VIDEOS are reposts". One
     * groupBy over the frame pairs ([[graft.operators.MultimodalOps

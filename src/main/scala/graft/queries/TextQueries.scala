@@ -655,22 +655,16 @@ object TextQueries {
     val labels = componentLabels(s,
       simhashPairsRaw(s, dir).select(col("a"), col("b")))
     val toks = tokens(col("text"))
-    val scored = docs(s, dir).select(col("doc_id"),
+    val scored = docs(s, dir).select(col("doc_id").as("key"),
       round(size(array_distinct(toks)).cast("double") / size(toks), 4)
         .as("score"))
-    val member = labels
-      .select(col("id").as("doc_id"), col("label").as("canonical"))
-      .join(scored, "doc_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("canonical")
-      .orderBy(col("score").desc, col("doc_id"))
-    member.withColumn("rn", row_number().over(w))
-      .groupBy("canonical")
-      .agg(
-        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
-        max(when(col("rn") === 1, col("score"))).as("kept_score"),
-        (count(lit(1)) - 1).cast("long").as("n_dropped"))
-      .orderBy("canonical")
+    // the SHARED keep-best policy (graft.operators.Retention) — one
+    // retention operator across text/image/audio clusters
+    graft.operators.Retention.keepBest(
+      labels.select(col("id").as("key"), col("label").as("canonical")),
+      scored)
+      .select(col("canonical"), col("kept_key").as("kept_doc"),
+        col("kept_score"), col("n_dropped"))
   }
 
   /** Connected-component labels over an undirected pair graph: one row

@@ -539,6 +539,34 @@ class MultimodalOpsSpec extends SparkSpec {
       s"agreement must not cross-join:\n$plan")
   }
 
+  test("q172/q173 retention: NN-upscale is dHash-invariant so the " +
+    "hires copy joins its cluster and wins on resolution; the audio " +
+    "leg keeps the uncut recording") {
+    import graft.queries.PipelineQueries
+    val m01 = PipelineQueries.dhashFixtureBytes.find(_._1 == "m01").get._2
+    val hires = MultimodalOps.upscaleNn(m01, 2).get
+    // box-pool invariance: the 2x NN upscale lands on m01's EXACT hash
+    assert(MultimodalOps.dHash(
+      graft.functions.BinaryFunctions.decode(hires).get) ===
+      PipelineQueries.pinnedDhashes.find(_._1 == "m01").get._2)
+    val img = PipelineQueries.q172ImageRetention(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // m01's cluster keeps the 4x-pixel copy and drops BOTH others;
+    // resolution-tied clusters keep their min key
+    assert(img.toSeq === Seq(
+      ("m01", "m01_hires", 13824L, 2L),
+      ("m02", "m02", 3456L, 1L),
+      ("m07", "m07", 3456L, 1L),
+      ("m09", "m09", 3456L, 1L)))
+    val aud = PipelineQueries.q173AudioRetention(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // duration decides: the uncut s1 (16000 samples) beats its
+    // trimmed repost (12000)
+    assert(aud.toSeq === Seq(("s1", "s1", 16000L, 1L)))
+  }
+
   test("q109 in-container soundtrack: extraction equals the standalone " +
     "WAV fingerprint; video frames still decode; pairs find the " +
     "re-posted copy") {
