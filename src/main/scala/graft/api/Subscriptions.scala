@@ -160,6 +160,37 @@ object Subscriptions {
     require(fields.nonEmpty, s"$table: empty selection set")
   }
 
+  /** Above this many rows in one trigger, [[streamServe]]'s page cut
+    * switches from the one-task window to the range-partitioned path
+    * — 50k rows is minutes of steady-state arrivals but sorts in
+    * milliseconds; a backfill trigger (replaying history through a
+    * subscription) blows far past it. */
+  val RangeCutRows = 50000L
+
+  /** BACKFILL-SAFE page cut: global page numbers without a global
+    * sort. Range-partition on the cursor (each task sorts ONLY its
+    * range — bounded per-task sort), then zipWithIndex assigns the
+    * global row index distributively (range partitions are emitted in
+    * cursor order, so partition-offset + local position IS the global
+    * rank — the two-pass trick a partition-less row_number window
+    * cannot do). Pages then cut by integer division. */
+  private def rangePaged(arrived: DataFrame, sr: StreamRequest,
+      pagesDone: Long): DataFrame = {
+    val sorted = arrived.repartitionByRange(cursorOrder(sr))
+      .sortWithinPartitions(cursorOrder(sr))
+    val schema = sorted.schema
+      .add("__idx", org.apache.spark.sql.types.LongType,
+        nullable = false)
+    val withIdx = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    withIdx
+      .withColumn("batch_idx",
+        lit(pagesDone) + expr(s"__idx div ${sr.batchSize}"))
+      .select(col("batch_idx") +: sr.fields.map(col): _*)
+  }
+
   private def pastCursor(sr: StreamRequest, c: Any) =
     if (sr.ascending) col(sr.cursorField) > lit(c)
     else col(sr.cursorField) < lit(c)
@@ -218,11 +249,19 @@ object Subscriptions {
           .localCheckpoint(true)
         val n = arrived.count()
         if (n > 0) {
-          val paged = arrived.orderBy(cursorOrder(sr))
-            .withColumn("batch_idx", lit(pagesDone) +
-              ((row_number().over(Window.orderBy(cursorOrder(sr))) - 1)
-                / sr.batchSize).cast("long"))
-            .select(col("batch_idx") +: sr.fields.map(col): _*)
+          // page cut: a steady-state trigger (a few pages) rides one
+          // partition-less window — one task sorting a few thousand
+          // rows is the right plan; a BACKFILL trigger must not
+          // total-order millions through one task, so past the
+          // threshold the cut goes range-partitioned (see rangePaged)
+          val paged =
+            if (n <= RangeCutRows)
+              arrived.orderBy(cursorOrder(sr))
+                .withColumn("batch_idx", lit(pagesDone) +
+                  ((row_number().over(Window.orderBy(cursorOrder(sr)))
+                    - 1) / sr.batchSize).cast("long"))
+                .select(col("batch_idx") +: sr.fields.map(col): _*)
+            else rangePaged(arrived, sr, pagesDone)
           val last = arrived
             .agg(if (sr.ascending) max(col(sr.cursorField))
                  else min(col(sr.cursorField))).head.get(0)

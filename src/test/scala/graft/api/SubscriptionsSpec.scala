@@ -311,4 +311,46 @@ class SubscriptionsSpec extends SparkSpec {
       .orderBy(col("batch_idx"), col("id").desc)) ===
       Seq(Seq(0L, 99L), Seq(0L, 42L), Seq(1L, 7L)))
   }
+
+  test("_stream backfill: a trigger past RangeCutRows pages WITHOUT a " +
+    "single-task total sort; numbering stays exact and global") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val sr = Subscriptions.StreamRequest("t", "id", None,
+      batchSize = 1000, fields = Seq("id"))
+    var plans = Vector.empty[String]
+    var badPages = -1L
+    var delivered = 0L
+    var lastPush: Seq[Seq[Any]] = Nil
+    val q = Subscriptions.streamServe(
+      input.toDF().toDF("id", "typ", "v"), sr) { (_, df) =>
+      plans :+= df.queryExecution.executedPlan.toString
+      val rs = df.select("batch_idx", "id").collect()
+      delivered = rs.length.toLong
+      // every id must land on page (id-1) div 1000 — global index
+      // correctness without collecting a comparison frame
+      badPages = rs.count(r =>
+        r.getLong(0) != (r.getLong(1) - 1) / 1000).toLong
+      lastPush = rs.sortBy(r => (r.getLong(0), r.getLong(1)))
+        .map(r => Seq(r.getLong(0), r.getLong(1))).toSeq
+    }
+    try {
+      val n = Subscriptions.RangeCutRows + 10000 // past the threshold
+      input.addData((1L to n).map(i => (i, "x", 1.0)))
+      q.processAllAvailable()
+      assert(delivered === n)
+      assert(badPages === 0L)
+      // the backfill path must not total-order through one task: no
+      // partition-less Window anywhere in the pushed plan (the range
+      // cut uses sortWithinPartitions + zipWithIndex instead)
+      assert(!plans.last.contains("Window"),
+        s"backfill trigger used a window sort:\n${plans.last}")
+      // a follow-up steady-state trigger takes the window fast path
+      // and CONTINUES the global numbering after the backfill's pages
+      input.addData(Seq((n + 5, "x", 1.0)))
+      q.processAllAvailable()
+      assert(lastPush === Seq(Seq(n / 1000, n + 5)))
+      assert(plans.last.contains("Window"))
+    } finally q.stop()
+  }
 }
