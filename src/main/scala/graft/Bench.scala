@@ -51,37 +51,47 @@ object Bench {
     * previous LOCAL run — when no recorded round parses; the returned label
     * says which source was used so a run-over-run fallback can't silently
     * pose as a round baseline. */
-  private def prevQueries(): (String, Map[String, Double]) = try {
+  private def prevQueries(): (String, String, Map[String, Double]) = try {
     import scala.jdk.CollectionConverters._
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def queriesOf(node: com.fasterxml.jackson.databind.JsonNode) =
+    // (keys style, per-query seconds): the "keys" field names the key
+    // encoding the line was printed under ("qid+initials" / "qid" /
+    // "qid36"); absent on old lines and on bench_last.json (full names)
+    def queriesOf(node: com.fasterxml.jackson.databind.JsonNode) = (
+      if (node.hasNonNull("keys")) node.get("keys").asText() else "",
       node.get("queries").fields().asScala
-        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap)
     val dir = new java.io.File("/root/repo")
     val files = Option(dir.listFiles((_, n: String) =>
       n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
-    if (files.isEmpty) return ("none", Map.empty)
+    if (files.isEmpty) return ("none", "", Map.empty)
     // numeric round ordering — lexicographic would put r100 before r99
     val newest = files.maxBy(_.getName.replaceAll("\\D", "").toInt)
     val txt = new String(
       java.nio.file.Files.readAllBytes(newest.toPath), "UTF-8")
     val root = om.readTree(txt)
-    if (root.has("queries")) (newest.getName, queriesOf(root))
-    else if (root.hasNonNull("parsed") && root.get("parsed").has("queries"))
-      (newest.getName, queriesOf(root.get("parsed")))
-    else {
+    if (root.has("queries")) {
+      val (st, qs) = queriesOf(root); (newest.getName, st, qs)
+    } else if (root.hasNonNull("parsed") &&
+        root.get("parsed").has("queries")) {
+      val (st, qs) = queriesOf(root.get("parsed"))
+      (newest.getName, st, qs)
+    } else {
       val tail = if (root.hasNonNull("tail")) root.get("tail").asText() else txt
       val i = tail.lastIndexOf("{\"metric\"")
-      if (i >= 0)
-        (newest.getName,
-          queriesOf(om.readTree(tail.substring(i).takeWhile(_ != '\n'))))
-      else // head-truncated tail cut the metric line: local-run fallback
+      if (i >= 0) {
+        val (st, qs) =
+          queriesOf(om.readTree(tail.substring(i).takeWhile(_ != '\n')))
+        (newest.getName, st, qs)
+      } else { // head-truncated tail cut the metric line: local fallback
+        val (st, qs) = queriesOf(om.readTree(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths
+            .get("/root/repo/target/bench_last.json")), "UTF-8")))
         ("target/bench_last.json (LOCAL fallback, not a round baseline)",
-          queriesOf(om.readTree(new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("/root/repo/target/bench_last.json")),
-            "UTF-8"))))
+          st, qs)
+      }
     }
-  } catch { case _: Throwable => ("none", Map.empty) }
+  } catch { case _: Throwable => ("none", "", Map.empty) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -168,7 +178,7 @@ object Bench {
     }
     val gcTotal = (gcMillis() - gcStart) / 1e3
     val total = results.map(_._2).sum
-    val (baselineSrc, prev) = prevQueries()
+    val (baselineSrc, prevKeysStyle, prev) = prevQueries()
 
     def jmap(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -219,40 +229,71 @@ object Bench {
         digits
       else sk
     }
+    // the tightest rung before the terminal: unique digit ids spelled
+    // base-36 ("167" → "4n", 1 char back per 3-digit id). Only usable
+    // when the whole emitted key set stays collision-free (a base-36
+    // string could in principle equal another query's initialed key)
+    def b36(digits: String): String =
+      java.lang.Long.toString(digits.toLong, 36)
+    def tinyKey36(name: String): String = {
+      val sk = shortKey(name)
+      val digits = sk.takeWhile(_.isDigit)
+      if (digits.nonEmpty && digitCounts.getOrElse(digits, 0) == 1)
+        b36(digits)
+      else sk
+    }
+    val keys36 = results.map(r => tinyKey36(r._1))
+    val keys36Usable = keys36.distinct.size == keys36.size
     def lineAt(decimals: Int, fullErrors: Boolean,
-        digitsOnly: Boolean = false): String = {
+        style: String = "qid+initials"): String = {
       val errField =
         if (errors.isEmpty) ""
         else if (fullErrors) s""","errors":$errJson"""
         else s""","errors_n":${errors.values.sum}"""
-      val key = if (digitsOnly) tinyKey(_: String) else shortKey(_: String)
+      val key = style match {
+        case "qid" => tinyKey(_: String)
+        case "qid36" => tinyKey36(_: String)
+        case _ => shortKey(_: String)
+      }
       val qs = results
         .map(r => s"\"" + key(r._1) + "\":" + short(r._2, decimals))
         .mkString("{", ",", "}")
-      val ks = if (digitsOnly) "qid" else "qid+initials"
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"keys":"$ks","queries_in_file":"target/bench_last.json","sf":$sfShort$errField}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"keys":"$style","queries_in_file":"target/bench_last.json","sf":$sfShort$errField}"""
     }
     val terminal =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_in_file":"target/bench_last.json","n_queries":${results.size},"sf":$sfShort${if (errors.isEmpty) "" else s""","errors_n":${errors.values.sum}"""}}"""
-    val line = Seq(lineAt(2, fullErrors = true), lineAt(1, fullErrors = true),
+    val line = (Seq(lineAt(2, fullErrors = true),
+        lineAt(1, fullErrors = true),
         lineAt(1, fullErrors = false),
-        lineAt(1, fullErrors = false, digitsOnly = true), terminal)
+        lineAt(1, fullErrors = false, style = "qid")) ++
+        (if (keys36Usable)
+          Seq(lineAt(1, fullErrors = false, style = "qid36")) else Nil) ++
+        Seq(terminal))
       .find(_.length <= 1950).getOrElse(terminal)
 
-    // prev rounds may be recorded under either key style: join on the
-    // short form, report under the full name
-    // prior rounds may be keyed full-name, qid+initials, OR digits-
-    // only (the tight-line fallback): index prev under both spellings
-    // and look up likewise (digit collisions — the q57 triplet — stay
-    // resolvable through their initialed form)
+    // prior rounds may be keyed full-name, qid+initials, digits-only,
+    // or base-36 (the tight-line rungs): index prev under its own
+    // spellings plus a digits alias — ONLY when the digit prefix is
+    // unique among prev keys (the q57 triplet all aliasing to "57"
+    // last-wins would hand a same-digit query a WRONG vs-prev ratio)
+    val prevDigitCounts = prev.keys.toSeq
+      .map(k => shortKey(k).takeWhile(_.isDigit)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size).toMap
     val prevN = prev.flatMap { case (k, v) =>
       val sk = shortKey(k)
       val d = sk.takeWhile(_.isDigit)
-      Seq(sk -> v) ++ (if (d.nonEmpty && d != sk) Seq(d -> v) else Nil)
+      Seq(sk -> v) ++ (if (d.nonEmpty && d != sk &&
+        prevDigitCounts.getOrElse(d, 0) == 1) Seq(d -> v) else Nil)
     }
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
       val sk = shortKey(name)
-      prevN.get(sk).orElse(prevN.get(sk.takeWhile(_.isDigit)))
+      val d = sk.takeWhile(_.isDigit)
+      // the base-36 spelling resolves ONLY under a declared qid36
+      // prev line — a b36 string can collide with a genuine initialed
+      // key ("4n"), so style-blind lookup could cross-match queries
+      prevN.get(sk).orElse(prevN.get(d))
+        .orElse(if (prevKeysStyle == "qid36" && d.nonEmpty)
+          prevN.get(b36(d)) else None)
         .filter(_ > 0).map(p => name -> t / p)
     })
     val gcByQ = jmap(results.map(r => r._1 -> r._3))

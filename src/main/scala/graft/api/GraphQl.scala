@@ -813,8 +813,12 @@ object GraphQl {
       alias: Option[String], relName: String, rel: Rel,
       single: Boolean = false): Nested = {
     val at = alias.getOrElse(relName)
-    // an object relationship has no one-row slicing semantics — the
-    // arguments reject at parse (Hasura's schema omits them there too)
+    // an object relationship has no one-row slicing semantics, so the
+    // slicing arguments reject at parse. `where` on an object
+    // relationship is a DELIBERATE EXTENSION beyond Hasura (whose
+    // object-relationship fields take no arguments at all): it can
+    // null out an existing referenced row the way a left-joined
+    // filter would — useful, but not a Hasura-parity surface
     checkArgs(args,
       if (single) Set("where")
       else Set("where", "order_by", "limit", "offset", "distinct_on"),

@@ -351,8 +351,16 @@ object Permissions {
     * `<table>_stream` text, secure it for the role, and serve the
     * BATCH-replay pages over `base` — the live path takes the same
     * secured request into `Subscriptions.streamServe`, so one
-    * secure() covers both. Denials and parse errors are Left
-    * values. */
+    * secure() covers both. Denials and parse errors are Left values.
+    *
+    * CAPABILITY LIMIT (deliberate, vs Hasura): a role whose row
+    * filter carries a RELATIONSHIP predicate is denied the whole
+    * stream (and aggregate — [[secureAggregate]]) surface. Hasura
+    * serves such filters; here the stream/aggregate executors
+    * evaluate the where row-locally, and run()'s decorrelation has no
+    * streaming twin — the secure-time Left beats a first-trigger
+    * crash. Grant such roles a column-local filter, or read through
+    * [[serveAs]] (which decorrelates). */
   def serveStreamAs(base: org.apache.spark.sql.DataFrame, role: String,
       policy: Policy, doc: String, nPages: Int,
       schema: GraphQl.Schema = GraphQl.fixtureSchema,

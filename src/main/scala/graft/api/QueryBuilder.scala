@@ -190,7 +190,13 @@ object QueryBuilder {
 
   /** One scalar of a `_contains` literal, as the string
     * `get_json_object` extracts for it. Integer-valued numbers must be
-    * spelled as integers (JSON `69` extracts as "69", never "69.0"). */
+    * spelled as integers (JSON `69` extracts as "69", never "69.0").
+    * The comparison is TEXTUAL, a documented deviation from jsonb's
+    * typed containment: `{"k": "69"}` (string) matches `_contains:
+    * {k: 69}` because both extract as "69", while `{"k": 69.0}` does
+    * not ("69.0" != "69") — a text store cannot recover the stored
+    * scalar's JSON type through get_json_object. Callers needing
+    * type-exact containment should store canonical spellings. */
   private def jsonScalar(v: Any, at: String): String = v match {
     case null => throw new IllegalArgumentException(
       s"$at: null has no containment semantics over a text store " +
@@ -872,6 +878,13 @@ object QueryBuilder {
         // a relationship aggregate): the sliced child rows as one
         // sorted struct array, riding the SAME pre-aggregation — the
         // root-aggregate nodes discipline applied per parent key.
+        // ORDERING DEVIATION (deliberate, oracle-matched): the array
+        // is CANONICAL-SORTED by sort_array over the selected struct
+        // fields, NOT emitted in the relationship's order_by order —
+        // Hasura's nodes honor order_by; here order_by still decides
+        // WHICH rows survive the slice (top-2 by price is top-2 by
+        // price), but the survivors render in field-sorted order so
+        // the JSON is hash-deterministic cross-engine.
         // Internally aliased per aggRel (a base column named "nodes"
         // or a second nodes arm must never resolve ambiguously)
         val aggCols = a.aggs.map(_.agg(loaded)) ++
