@@ -178,7 +178,10 @@ object Bench {
     }
     val gcTotal = (gcMillis() - gcStart) / 1e3
     val total = results.map(_._2).sum
-    val (baselineSrc, prevKeysStyle, prev) = prevQueries()
+    // the keys style rides along for future rungs; today's lookup
+    // resolves every recorded style (full, qid+initials, qid) through
+    // sk + unique-digit aliases alone
+    val (baselineSrc, _, prev) = prevQueries()
 
     def jmap(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -229,46 +232,32 @@ object Bench {
         digits
       else sk
     }
-    // the tightest rung before the terminal: unique digit ids spelled
-    // base-36 ("167" → "4n", 1 char back per 3-digit id). Only usable
-    // when the whole emitted key set stays collision-free (a base-36
-    // string could in principle equal another query's initialed key)
-    def b36(digits: String): String =
-      java.lang.Long.toString(digits.toLong, 36)
-    def tinyKey36(name: String): String = {
-      val sk = shortKey(name)
-      val digits = sk.takeWhile(_.isDigit)
-      if (digits.nonEmpty && digitCounts.getOrElse(digits, 0) == 1)
-        b36(digits)
-      else sk
-    }
-    val keys36 = results.map(r => tinyKey36(r._1))
-    val keys36Usable = keys36.distinct.size == keys36.size
+    // NOTE on headroom: r13 measured 1,770/1,950 chars at the "qid"
+    // rung with 175 queries — ~20 more fit before the terminal rung
+    // engages. A base-36 id rung was tried and REMOVED: base-36
+    // strings are ambiguous against both decimal ids ("13" = b36(39))
+    // and initialed keys ("4n"), so cross-round vs_prev joins could
+    // silently match the WRONG query — the terminal's
+    // queries-in-file pointer (bench_last.json holds the full map,
+    // and the driver archives it) is the honest degradation.
     def lineAt(decimals: Int, fullErrors: Boolean,
-        style: String = "qid+initials"): String = {
+        digitsOnly: Boolean = false): String = {
       val errField =
         if (errors.isEmpty) ""
         else if (fullErrors) s""","errors":$errJson"""
         else s""","errors_n":${errors.values.sum}"""
-      val key = style match {
-        case "qid" => tinyKey(_: String)
-        case "qid36" => tinyKey36(_: String)
-        case _ => shortKey(_: String)
-      }
+      val key = if (digitsOnly) tinyKey(_: String) else shortKey(_: String)
       val qs = results
         .map(r => s"\"" + key(r._1) + "\":" + short(r._2, decimals))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"keys":"$style","queries_in_file":"target/bench_last.json","sf":$sfShort$errField}"""
+      val ks = if (digitsOnly) "qid" else "qid+initials"
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"keys":"$ks","queries_in_file":"target/bench_last.json","sf":$sfShort$errField}"""
     }
     val terminal =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"queries_in_file":"target/bench_last.json","n_queries":${results.size},"sf":$sfShort${if (errors.isEmpty) "" else s""","errors_n":${errors.values.sum}"""}}"""
-    val line = (Seq(lineAt(2, fullErrors = true),
-        lineAt(1, fullErrors = true),
+    val line = Seq(lineAt(2, fullErrors = true), lineAt(1, fullErrors = true),
         lineAt(1, fullErrors = false),
-        lineAt(1, fullErrors = false, style = "qid")) ++
-        (if (keys36Usable)
-          Seq(lineAt(1, fullErrors = false, style = "qid36")) else Nil) ++
-        Seq(terminal))
+        lineAt(1, fullErrors = false, digitsOnly = true), terminal)
       .find(_.length <= 1950).getOrElse(terminal)
 
     // prior rounds may be keyed full-name, qid+initials, digits-only,
@@ -287,13 +276,7 @@ object Bench {
     }
     val vsPrev = jmap(results.flatMap { case (name, t, _, _) =>
       val sk = shortKey(name)
-      val d = sk.takeWhile(_.isDigit)
-      // the base-36 spelling resolves ONLY under a declared qid36
-      // prev line — a b36 string can collide with a genuine initialed
-      // key ("4n"), so style-blind lookup could cross-match queries
-      prevN.get(sk).orElse(prevN.get(d))
-        .orElse(if (prevKeysStyle == "qid36" && d.nonEmpty)
-          prevN.get(b36(d)) else None)
+      prevN.get(sk).orElse(prevN.get(sk.takeWhile(_.isDigit)))
         .filter(_ > 0).map(p => name -> t / p)
     })
     val gcByQ = jmap(results.map(r => r._1 -> r._3))

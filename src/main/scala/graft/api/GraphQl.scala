@@ -2972,13 +2972,12 @@ object GraphQl {
           if (p.isPunct(':')) { p.expect(':'); (first, p.name("field")) }
           else (first, first)
         val args = parseArgs(p)
-        // directives (@include/@skip with literal true conditions,
-        // @deprecated probes) parse and drop: the meta answer is
+        // directives (@include/@skip with literal conditions,
+        // @deprecated probes) parse and DROP: the meta answer is
         // static, and the standard IntrospectionQuery's only
         // conditional selections gate on variables this subset
-        // declines at jsonVars time anyway
-        while (p.isPunct('@')) { p.expect('@'); p.name("directive")
-          parseArgs(p); () }
+        // declines at the operation header anyway
+        parseDirectives(p)
         val kids =
           if (p.isPunct('{')) parseIntroSels(p) else Seq.empty[ISel]
         out += ISel(alias, fname, args, kids)

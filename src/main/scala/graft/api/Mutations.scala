@@ -298,7 +298,8 @@ object Mutations {
       (mergeDelta(snapshot, doomed, keyCol), doomed.count(), victims)
     case t: InsertTree => throw new IllegalArgumentException(
       s"insert_${t.table}: a nested insert spans tables — apply it " +
-        "through the store registry (applyFieldsToStores)")    case u: UpdateMany => throw new IllegalArgumentException(
+        "through the store registry (applyFieldsToStores)")
+    case u: UpdateMany => throw new IllegalArgumentException(
       s"update_${u.table}_many: per-step responses live in " +
         "applyFields — apply the document there")
   }

@@ -52,9 +52,7 @@ object Permissions {
     perm.columns match {
       case None => Right(())
       case Some(allowed) =>
-        // __typename is the spec meta-field: a constant type-name
-        // answer that reads no column, so no grant can exclude it
-        val bad = cols.filterNot(c => c == "__typename" || allowed(c))
+        val bad = cols.filterNot(allowed)
         if (bad.isEmpty) Right(())
         else Left(s"role '$role' cannot access column(s) " +
           s"${bad.mkString(", ")} of '$table' ($what)")
@@ -182,7 +180,14 @@ object Permissions {
       policy: Policy): Either[String, Request] =
     for {
       perm <- policy.get(role, req.table)
-      _ <- checkCols(req.fields ++ req.distinctOn ++
+      // __typename (a constant type-name answer, reads no column) is
+      // exempt HERE — the run/runRoot read path serves it as a
+      // literal. The exemption is deliberately scoped to the read
+      // surfaces whose executors implement it: stream/aggregate/
+      // mutation-returning checks keep denying it, a clean Left
+      // instead of an unresolved-column crash at execution
+      _ <- checkCols(req.fields.filterNot(_ == "__typename") ++
+        req.distinctOn ++
         req.orderBy.map(_.field)
           .filterNot(f => req.orderAggs.exists(_.as == f)) ++
         req.where.toSeq.flatMap(whereCols) ++
@@ -231,7 +236,11 @@ object Permissions {
       policy: Policy): Either[String, Nested] =
     for {
       perm <- policy.get(role, n.table)
-      _ <- checkCols(n.fields.map(_.field) ++ n.distinctOn ++
+      // same scoped __typename exemption as secure(): compileNested
+      // serves it as a literal
+      _ <- checkCols(
+        n.fields.map(_.field).filterNot(_ == "__typename") ++
+        n.distinctOn ++
         n.orderBy.map(_.field) ++ n.where.toSeq.flatMap(whereCols) ++
         n.sub.toSeq.map(_.parentKey) :+ n.childKey,
         perm, role, n.table, "relationship select")

@@ -219,6 +219,13 @@ class PermissionsSpec extends SparkSpec {
     val denied = Permissions.serveStreamAs(base, "r1", pol,
       doc.replace("k seg", "k c_name"), nPages = 2)
     assert(denied.isLeft && denied.left.exists(_.contains("c_name")))
+    // __typename's allowlist exemption is SCOPED to the read path:
+    // the stream executor cannot serve it, so here it denies as a
+    // clean Left — never an unresolved-column crash at execution
+    val metaDenied = Permissions.serveStreamAs(base, "r1", pol,
+      doc.replace("k seg", "k __typename"), nPages = 2)
+    assert(metaDenied.isLeft &&
+      metaDenied.left.exists(_.contains("__typename")))
   }
 
   test("serveMutationsAs: mutation text through parse -> secure -> " +
