@@ -675,6 +675,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q172 retention: the keep-best window and the drop-count fold " +
+    "share ONE cluster-key exchange, no partition-less window") {
+    val df = graft.queries.PipelineQueries.q172ImageRetention(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // every window spec keys on the cluster canonical (a partition-
+    // less window would total-order the corpus through one task)
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty, s"no window in retention plan:\n$p")
+    specs.foreach(l => assert(l.contains("canonical"),
+      s"partition-less window in retention plan: $l\n$p"))
+    // row_number and the groupBy fold reuse one canonical shuffle
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(canonical"))
+    assert(exchanges === 1,
+      s"retention should shuffle ONCE on the cluster key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q150 retrieval eval: broadcast query set over ONE corpus " +
     "scan, top-k is a partial (map-side) object-hash aggregate") {
     val df = graft.queries.SimilarityQueries
