@@ -1951,6 +1951,16 @@ object OracleSql {
         |              UNION ALL SELECT 99903, -10.0)
         |SELECT c_custkey, ROUND(c_acctbal + 1000.0, 2) AS bal
         |FROM base WHERE c_acctbal < 0.0 ORDER BY c_custkey""".stripMargin,
+    // q174: aggregate under a relationship-predicate role filter —
+    // the EXISTS grant and the request's equality both inlined
+    "q174_aggregate_rel_filter" ->
+      """SELECT COUNT(c_custkey)::BIGINT AS n_cust,
+        |       ROUND(SUM(c_acctbal), 2) AS bal_sum
+        |FROM customer c
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'O')""".stripMargin,
     // q171: the role-scoped write — q124's replay with the writer
     // role's row filter ANDed into the update scope; an engine that
     // wrote (or returned) outside the grant hash-fails

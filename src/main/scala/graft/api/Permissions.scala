@@ -306,6 +306,28 @@ object Permissions {
     }
   }
 
+  /** q174 — an aggregate served under a role whose row filter carries
+    * a RELATIONSHIP predicate ([[serveAggregateAs]] — the surface
+    * [[secureAggregate]]'s row-local guard denies): the auditor sees
+    * only customers WITH an open order, the request narrows to
+    * BUILDING, and the count/sum fold over the decorrelated visible
+    * set. The oracle inlines both as native EXISTS + equality — an
+    * engine aggregating unfiltered rows (or decorrelating wrongly)
+    * hash-fails on the numbers. */
+  def q174AggregateRelFilter(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pol = Policy(Map(("auditor", "customer") -> TablePerm(
+      filter = Some(RelPred("orders", "o_custkey", "c_custkey",
+        Eq("o_orderstatus", "O"))))))
+    val req = QueryBuilder.AggRequest("customer",
+      where = Some(Eq("c_mktsegment", "BUILDING")),
+      aggs = Seq(CountOf("c_custkey", "n_cust"),
+        SumOf("c_acctbal", "bal_sum")))
+    serveAggregateAs(s, dir, "auditor", pol, req).fold(
+      m => throw new IllegalStateException(s"q174 denied: $m"),
+      identity)
+  }
+
   /** q171 — the role-scoped WRITE round-trip ([[serveMutationsAs]]
     * under the oracle gate, the q124 pattern secured): mutation TEXT
     * asks to boost every NEGATIVE balance; the writer role's row
@@ -363,13 +385,15 @@ object Permissions {
     * secure() covers both. Denials and parse errors are Left values.
     *
     * CAPABILITY LIMIT (deliberate, vs Hasura): a role whose row
-    * filter carries a RELATIONSHIP predicate is denied the whole
-    * stream (and aggregate — [[secureAggregate]]) surface. Hasura
-    * serves such filters; here the stream/aggregate executors
-    * evaluate the where row-locally, and run()'s decorrelation has no
-    * streaming twin — the secure-time Left beats a first-trigger
-    * crash. Grant such roles a column-local filter, or read through
-    * [[serveAs]] (which decorrelates). */
+    * filter carries a RELATIONSHIP predicate is denied the STREAM
+    * surface. Hasura serves such filters; here the stream executor
+    * evaluates the where row-locally against each trigger's delta,
+    * and run()'s decorrelation has no streaming twin (the satisfying-
+    * key set would need re-materializing every trigger) — the
+    * secure-time Left beats a first-trigger crash. Grant such roles a
+    * column-local filter, or read through [[serveAs]]; AGGREGATES
+    * under such filters serve through [[serveAggregateAs]], which
+    * decorrelates per serve. */
   def serveStreamAs(base: org.apache.spark.sql.DataFrame, role: String,
       policy: Policy, doc: String, nPages: Int,
       schema: GraphQl.Schema = GraphQl.fixtureSchema,
@@ -407,7 +431,11 @@ object Permissions {
     * the where (an unfiltered count/sum over invisible rows would
     * LEAK them as numbers), and every referenced column — aggregated,
     * nodes, ordering, filtering — must be granted. */
-  def secureAggregate(r: QueryBuilder.AggRequest, role: String,
+  /** Grant checks + filter merge for an aggregate request, WITHOUT
+    * the row-local guard — shared by [[secureAggregate]] (which adds
+    * it, for runAggregate callers) and [[serveAggregateAs]] (which
+    * decorrelates relationship predicates instead). */
+  private def mergedAggregate(r: QueryBuilder.AggRequest, role: String,
       policy: Policy): Either[String, QueryBuilder.AggRequest] =
     for {
       perm <- policy.get(role, r.table)
@@ -419,16 +447,52 @@ object Permissions {
           secureWhere(w, role, policy, perm, r.table).map(Some(_))
         case None => Right(None)
       }
-      merged = andWith(perm.filter, w2)
+    } yield r.copy(where = andWith(perm.filter, w2))
+
+  def secureAggregate(r: QueryBuilder.AggRequest, role: String,
+      policy: Policy): Either[String, QueryBuilder.AggRequest] =
+    for {
+      m <- mergedAggregate(r, role, policy)
       // runAggregate applies the where via toColumn — a relationship
       // predicate (legal in role filters for the run() path, which
       // decorrelates) has no row-local form there: deny HERE, not as
-      // a first-execution crash
-      _ <- if (merged.exists(QueryBuilder.hasRelPred))
+      // a first-execution crash. [[serveAggregateAs]] serves these.
+      _ <- if (m.where.exists(QueryBuilder.hasRelPred))
         Left(s"role '$role': the effective aggregate filter carries " +
-          "a relationship predicate — not servable by runAggregate")
+          "a relationship predicate — not servable by runAggregate " +
+          "(serveAggregateAs decorrelates it)")
       else Right(())
-    } yield r.copy(where = merged)
+    } yield m
+
+  /** Serve a root-aggregate request AS a role — the [[serveAs]] loop
+    * for the `<table>_aggregate` surface, CLOSING the capability gap
+    * [[secureAggregate]]'s row-local guard left: a role filter (or
+    * request where) carrying RELATIONSHIP predicates decorrelates
+    * exactly like run() — each EXISTS becomes a distinct-satisfying-
+    * child-keys build + one left-join flag — so Hasura's
+    * filter-with-relationship grants serve aggregates here too. The
+    * visible row set materializes per serve (the key-set joins are
+    * AQE-broadcastable; nothing driver-sized), then the aggregate
+    * folds over it row-locally. */
+  def serveAggregateAs(s: org.apache.spark.sql.SparkSession,
+      dir: String, role: String, policy: Policy,
+      r: QueryBuilder.AggRequest)
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    mergedAggregate(r, role, policy).map { m =>
+      val base = graft.Tables.load(s, dir, m.table)
+      m.where match {
+        case Some(w) if QueryBuilder.hasRelPred(w) =>
+          val (df, w2) = QueryBuilder.decorrelate(s, dir, base, w,
+            new java.util.concurrent.atomic.AtomicInteger())
+          // flag columns served their filter — the aggregate sees the
+          // base schema only
+          val visible = df.filter(w2.toColumn)
+            .select(base.columns.map(org.apache.spark.sql
+              .functions.col).toSeq: _*)
+          QueryBuilder.runAggregateOn(visible, m.copy(where = None))
+        case _ => QueryBuilder.runAggregateOn(base, m)
+      }
+    }
 
   /** Secure a STREAMING subscription: the filter ANDs into the cursor
     * scan (compiled predicates reach the streaming source), and the

@@ -786,8 +786,9 @@ object QueryBuilder {
     * after which the whole tree is one row-local boolean. Scale: one
     * distinct-key aggregation (map-side partial) + one key join per
     * predicate; AQE broadcasts selective key sets. */
-  private def decorrelate(s: SparkSession, dir: String, base: DataFrame,
-      w: BoolExp, ctr: java.util.concurrent.atomic.AtomicInteger)
+  private[api] def decorrelate(s: SparkSession, dir: String,
+      base: DataFrame, w: BoolExp,
+      ctr: java.util.concurrent.atomic.AtomicInteger)
       : (DataFrame, BoolExp) = {
     var df = base
     def walk(e: BoolExp): BoolExp = e match {

@@ -197,6 +197,31 @@ class PermissionsSpec extends SparkSpec {
     assert(arm.isLeft && arm.left.exists(_.contains("relationship")))
   }
 
+  test("serveAggregateAs: a relationship-predicate role filter " +
+    "decorrelates to the semi-join answer; the row-local path still " +
+    "denies, pointing here") {
+    import org.apache.spark.sql.functions.col
+    val pol = Policy(Map(("auditor", "customer") -> TablePerm(
+      filter = Some(RelPred("orders", "o_custkey", "c_custkey",
+        Eq("o_orderstatus", "O"))))))
+    val req = QueryBuilder.AggRequest("customer",
+      where = Some(Eq("c_mktsegment", "BUILDING")),
+      aggs = Seq(CountOf("c_custkey", "n")))
+    val served = Permissions.serveAggregateAs(spark, sf("sf0.001"),
+      "auditor", pol, req).fold(m => fail(m), identity)
+      .collect().head.getLong(0)
+    // ground truth: BUILDING customers with >=1 open order
+    val c = graft.Tables.load(spark, sf("sf0.001"), "customer")
+    val o = graft.Tables.load(spark, sf("sf0.001"), "orders")
+      .filter(col("o_orderstatus") === "O")
+    val expect = c.filter(col("c_mktsegment") === "BUILDING")
+      .join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(expect > 0 && served === expect)
+    val denied = Permissions.secureAggregate(req, "auditor", pol)
+    assert(denied.isLeft &&
+      denied.left.exists(_.contains("serveAggregateAs")))
+  }
+
   test("serveStreamAs: stream text through parse -> secure -> pages; " +
     "the role filter gates rows, denials are Left values") {
     import spark.implicits._
