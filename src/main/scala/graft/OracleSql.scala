@@ -1951,6 +1951,30 @@ object OracleSql {
         |              UNION ALL SELECT 99903, -10.0)
         |SELECT c_custkey, ROUND(c_acctbal + 1000.0, 2) AS bal
         |FROM base WHERE c_acctbal < 0.0 ORDER BY c_custkey""".stripMargin,
+    // q175: role-scoped introspection — the q167 reflection with the
+    // analyst grants inlined: only customer (4-column allowlist) and
+    // orders (unrestricted) exist, in parquet-ordinal order
+    "q175_role_scoped_introspection" -> {
+      val allowed = Seq("c_custkey", "c_name", "c_acctbal",
+        "c_mktsegment").map(c => s"'$c'").mkString(", ")
+      s"""SELECT table_name AS type_name, 'OBJECT' AS kind,
+         |  '[' || string_agg(
+         |    '{"name":"' || column_name || '","type":"' ||
+         |    CASE data_type
+         |      WHEN 'BIGINT' THEN 'bigint'
+         |      WHEN 'INTEGER' THEN 'Int'
+         |      WHEN 'VARCHAR' THEN 'String'
+         |      WHEN 'DOUBLE' THEN 'float8'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp'
+         |      WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+         |    END || '"}', ',' ORDER BY ordinal_position)
+         |  || ']' AS fields
+         |FROM information_schema.columns
+         |WHERE (table_name = 'orders')
+         |   OR (table_name = 'customer' AND column_name IN ($allowed))
+         |GROUP BY table_name
+         |ORDER BY type_name""".stripMargin
+    },
     // q174: aggregate under a relationship-predicate role filter —
     // the EXISTS grant and the request's equality both inlined
     "q174_aggregate_rel_filter" ->

@@ -2894,9 +2894,17 @@ object GraphQl {
     * the canonical choice here. */
   def metaSchema(s: org.apache.spark.sql.SparkSession, dir: String,
       schema: Schema = fixtureSchema,
-      tables: Seq[String] = graft.Tables.names): MetaSchema = {
+      tables: Seq[String] = graft.Tables.names,
+      columns: Map[String, Set[String]] = Map.empty): MetaSchema = {
     val objTypes = tables.map { t =>
+      // an absent allowlist admits every parquet column — the
+      // unscoped default; Permissions.serveIntrospectionAs passes the
+      // role's grants so a client browses exactly what it can query
+      val allowed: String => Boolean =
+        columns.get(t).map(set => set.contains(_: String))
+          .getOrElse(_ => true)
       val cols = graft.Tables.load(s, dir, t).schema.fields.toSeq
+        .filter(f => allowed(f.name))
         .map(f => MetaField(f.name, gqlTypeRef(f.dataType)))
       val arrs = schema.rels.collect {
         case ((pt, fname), r) if pt == t =>
@@ -2999,10 +3007,11 @@ object GraphQl {
     * silently absent key. */
   def serveIntrospection(s: org.apache.spark.sql.SparkSession,
       dir: String, query: String, schema: Schema = fixtureSchema,
-      tables: Seq[String] = graft.Tables.names)
+      tables: Seq[String] = graft.Tables.names,
+      columns: Map[String, Set[String]] = Map.empty)
       : Either[String, String] =
     try {
-      val ms = metaSchema(s, dir, schema, tables)
+      val ms = metaSchema(s, dir, schema, tables, columns)
       val (opToks, frags) = extractFragments(tokenize(query))
       val p = new P(opToks)
       p.fragments = frags
@@ -3193,11 +3202,12 @@ object GraphQl {
     * typed relationship fields are present in the response but not in
     * the flat rows (DuckDB has no tracked-relationship notion);
     * GraphQlSpec pins those. */
-  def q167Introspection(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val resp = serveIntrospection(s, dir, q167Query).fold(
-      m => throw new IllegalStateException(s"q167 failed to parse: $m"),
-      identity)
+  /** Flatten a served [[q167Query]] response to one (type_name, kind,
+    * fields-json) row per TABLE object type, scalar columns only —
+    * the oracle-comparable shape shared by q167 (unscoped) and q175
+    * (role-scoped). */
+  private[api] def introspectionTypeRows(s: org.apache.spark.sql
+      .SparkSession, resp: String): org.apache.spark.sql.DataFrame = {
     val types = mapper.readTree(resp).get("data").get("__schema")
       .get("types")
     val tableSet = graft.Tables.names.toSet
@@ -3213,7 +3223,7 @@ object GraphQl {
         Option(tref.get("ofType")).flatMap(flat).map(i => s"[$i]")
       case "NON_NULL" =>
         Option(tref.get("ofType")).flatMap(flat).map(i => s"$i!")
-      case k => throw new IllegalStateException(s"q167: kind $k")
+      case k => throw new IllegalStateException(s"introspection: kind $k")
     }
     val rows = types.elements().asScala.collect {
       case t if t.get("kind").asText() == "OBJECT" &&
@@ -3227,6 +3237,12 @@ object GraphQl {
     import s.implicits._
     rows.toDF("type_name", "kind", "fields").orderBy("type_name")
   }
+
+  def q167Introspection(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    introspectionTypeRows(s, serveIntrospection(s, dir, q167Query).fold(
+      m => throw new IllegalStateException(s"q167 failed to parse: $m"),
+      identity))
 
   val q124Mutation: String =
     """mutation {

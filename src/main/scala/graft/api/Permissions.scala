@@ -306,6 +306,56 @@ object Permissions {
     }
   }
 
+  /** Serve an INTROSPECTION document AS a role — Hasura's per-role
+    * schema: every client browses exactly the surface its role can
+    * query, so the advertised and the servable schema cannot drift.
+    * The tracked metadata narrows BEFORE the meta model builds:
+    *  - tables without a grant vanish (their types, their query_root/
+    *    mutation_root fields, and every relationship touching them);
+    *  - columns outside the role's allowlist vanish from the type;
+    *  - `<t>_by_pk` (and the mutation verbs) vanish when the tracked
+    *    key column itself is ungranted — a by_pk argument on an
+    *    invisible column would advertise an equality oracle.
+    * Row filters do NOT alter the schema (Hasura's behavior — they
+    * gate rows, not shape). */
+  def serveIntrospectionAs(s: org.apache.spark.sql.SparkSession,
+      dir: String, role: String, policy: Policy, query: String,
+      schema: GraphQl.Schema = GraphQl.fixtureSchema,
+      tables: Seq[String] = graft.Tables.names)
+      : Either[String, String] = {
+    val granted = tables
+      .flatMap(t => policy.get(role, t).toOption.map(t -> _)).toMap
+    val tables2 = tables.filter(granted.contains)
+    def colOk(t: String, c: String): Boolean =
+      granted.get(t).exists(_.columns.forall(_.contains(c)))
+    val schema2 = GraphQl.Schema(
+      schema.rels.filter { case ((pt, _), r) =>
+        granted.contains(pt) && granted.contains(r.childTable) },
+      schema.keys.filter { case (t, k) =>
+        granted.contains(t) && colOk(t, k) },
+      schema.objRels.filter { case ((pt, _), r) =>
+        granted.contains(pt) && granted.contains(r.childTable) })
+    val columns2 = granted.collect {
+      case (t, perm) if perm.columns.isDefined => t -> perm.columns.get
+    }
+    GraphQl.serveIntrospection(s, dir, query, schema2, tables2, columns2)
+  }
+
+  /** q175 — ROLE-SCOPED introspection under the oracle gate: the
+    * analyst's view of the schema ([[serveIntrospectionAs]] with
+    * [[q140Policy]] — customer narrowed to its 4-column allowlist,
+    * orders unrestricted, every other table ungranted and absent),
+    * flattened through the q167 shape. The DuckDB oracle reflects
+    * `information_schema.columns` with the SAME grants inlined — an
+    * engine advertising an ungranted table or column hash-fails. */
+  def q175RoleScopedIntrospection(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    GraphQl.introspectionTypeRows(s,
+      serveIntrospectionAs(s, dir, "analyst", q140Policy,
+        GraphQl.q167Query).fold(
+        m => throw new IllegalStateException(s"q175 denied: $m"),
+        identity))
+
   /** q174 — an aggregate served under a role whose row filter carries
     * a RELATIONSHIP predicate ([[serveAggregateAs]] — the surface
     * [[secureAggregate]]'s row-local guard denies): the auditor sees

@@ -197,6 +197,52 @@ class PermissionsSpec extends SparkSpec {
     assert(arm.isLeft && arm.left.exists(_.contains("relationship")))
   }
 
+  test("serveIntrospectionAs: ungranted tables/columns vanish from " +
+    "the advertised schema; by_pk and the verbs vanish with an " +
+    "ungranted key; row filters do not alter shape") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = """{ __schema {
+      |  queryType { fields { name } }
+      |  mutationType { fields { name } }
+      |  types { name kind fields { name } } } }""".stripMargin
+    val resp = Permissions.serveIntrospectionAs(spark, sf("sf0.001"),
+      "analyst", Permissions.q140Policy, doc)
+      .fold(m => fail(m), identity)
+    val schema = mapper.readTree(resp).get("data").get("__schema")
+    import scala.jdk.CollectionConverters._
+    def names(n: com.fasterxml.jackson.databind.JsonNode): Set[String] =
+      n.elements().asScala.map(_.get("name").asText).toSet
+    val q = names(schema.get("queryType").get("fields"))
+    // granted tables serve (by_pk included — keys are in the
+    // allowlist); ungranted tables and their by_pk are gone
+    assert(q.contains("customer") && q.contains("customer_by_pk"))
+    assert(q.contains("orders") && q.contains("orders_by_pk"))
+    assert(!q.exists(_.startsWith("nation")))
+    assert(!q.exists(_.startsWith("supplier")))
+    val m = names(schema.get("mutationType").get("fields"))
+    assert(m.contains("update_customer") && !m.exists(_.contains("part")))
+    val types = schema.get("types").elements().asScala
+      .map(t => t.get("name").asText -> t).toMap
+    assert(!types.contains("nation") && !types.contains("part"))
+    val custFields = names(types("customer").get("fields"))
+    // exactly the allowlist + the orders relationship (both granted);
+    // the nation object relationship vanished with its table
+    assert(custFields === Set("c_custkey", "c_name", "c_acctbal",
+      "c_mktsegment", "orders"))
+    // orders keeps its customer object relationship (both granted)
+    assert(names(types("orders").get("fields")).contains("customer"))
+    // a role whose grant EXCLUDES the key column loses by_pk and the
+    // mutation verbs for that table — no equality oracle advertised
+    val noKey = Policy(Map(("narrow", "customer") -> TablePerm(
+      columns = Some(Set("c_name")))))
+    val resp2 = Permissions.serveIntrospectionAs(spark, sf("sf0.001"),
+      "narrow", noKey, doc).fold(m0 => fail(m0), identity)
+    val s2 = mapper.readTree(resp2).get("data").get("__schema")
+    val q2 = names(s2.get("queryType").get("fields"))
+    assert(q2.contains("customer") && !q2.contains("customer_by_pk"))
+    assert(names(s2.get("mutationType").get("fields")).isEmpty)
+  }
+
   test("serveAggregateAs: a relationship-predicate role filter " +
     "decorrelates to the semi-join answer; the row-local path still " +
     "denies, pointing here") {
