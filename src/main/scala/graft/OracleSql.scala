@@ -1742,6 +1742,12 @@ object OracleSql {
     "q170_store_search" -> hammingSearchSql(
       graft.queries.PipelineQueries.pinnedDhashes, 275148587264L, 5,
       maxDist = 3),
+    // q176: the persisted-store probe over the AUDIO space — q170's
+    // within-radius contract, second modality, same query literal as
+    // q116's unbounded scan
+    "q176_audio_store_search" -> hammingSearchSql(
+      graft.queries.PipelineQueries.pinnedAudioDhashes,
+      5956182740055530213L, 5, maxDist = 3),
     // q116: the same top-5 over the pinned audio fingerprint space
     // (query = a2_near's pinned hash: rank 1 its d=0 self, rank 2 the
     // d=2 original)

@@ -341,6 +341,21 @@ object Permissions {
     GraphQl.serveIntrospection(s, dir, query, schema2, tables2, columns2)
   }
 
+  /** [[serveAggregateAs]] for aggregate documents arriving as TEXT —
+    * completing the text-serving matrix (read [[serveAs]], stream
+    * [[serveStreamAs]], write [[serveMutationsAs]], aggregate here):
+    * `{ <t>_aggregate(where: ...) { aggregate { ... } } }` parses,
+    * secures for the role (relationship-predicate filters
+    * decorrelate), and serves. Parse errors and denials are Left. */
+  def serveAggregateTextAs(s: org.apache.spark.sql.SparkSession,
+      dir: String, role: String, policy: Policy, doc: String,
+      variables: String = "{}")
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    for {
+      req <- GraphQl.parseRootAggregate(doc, variables)
+      df <- serveAggregateAs(s, dir, role, policy, req)
+    } yield df
+
   /** q175 — ROLE-SCOPED introspection under the oracle gate: the
     * analyst's view of the schema ([[serveIntrospectionAs]] with
     * [[q140Policy]] — customer narrowed to its 4-column allowlist,

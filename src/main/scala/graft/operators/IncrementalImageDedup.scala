@@ -96,7 +96,10 @@ object IncrementalImageDedup {
     * banded index's reach (the documented LSH-index trade — q111's
     * full scan serves unbounded kNN). Multi-band hits collapse via
     * one distinct on the candidate set (bounded by band selectivity,
-    * never corpus-sized). */
+    * never corpus-sized). The store (and this probe) is HASH-SPACE-
+    * AGNOSTIC: any 64-bit kernel under the d≤3 banding contract —
+    * image dHash (q170), audio fingerprints (q176) — rides the same
+    * (key, dhash, band) layout. */
   def search(store: DataFrame, query: Long, k: Int,
       maxDist: Int = MaxDist): DataFrame = {
     require(maxDist <= MaxDist,

@@ -730,6 +730,25 @@ object PipelineQueries {
     graft.operators.Retention.keepBest(members, quality)
   }
 
+  /** q176 — the persisted-store search over the AUDIO fingerprint
+    * space: [[graft.operators.IncrementalImageDedup]] is hash-space-
+    * agnostic (any 64-bit kernel under the d≤3 banding contract), so
+    * the q107 recordings build the same (key, hash, band) store and
+    * a find-similar-recording request probes it by band key — q170's
+    * serving architecture, second modality. Query = a2_near's pinned
+    * fingerprint; oracle = within-radius top-k over the pinned set
+    * (rank 1 the d=0 self, rank 2 the d=2 original, nothing past the
+    * radius). */
+  def q176AudioStoreSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
+    val path = s"/root/repo/target/tmp/q176_store_" +
+      s.sparkContext.applicationId
+    I.initStore(M.audioDHashes(audioFixtureBytes.toDF("key", "bytes"))
+      .withColumnRenamed("ahash", "dhash"), path)
+    I.search(I.loadStore(s, path), query = 5956182740055530213L, k = 5)
+  }
+
   /** q113 — the VIDEO-LEVEL repost verdict: q106 reports which frames
     * collide; the user's question is "which VIDEOS are reposts". One
     * groupBy over the frame pairs ([[graft.operators.MultimodalOps

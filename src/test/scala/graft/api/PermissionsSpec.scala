@@ -266,6 +266,17 @@ class PermissionsSpec extends SparkSpec {
     val denied = Permissions.secureAggregate(req, "auditor", pol)
     assert(denied.isLeft &&
       denied.left.exists(_.contains("serveAggregateAs")))
+    // the TEXT path serves the same request to the same answer
+    val viaText = Permissions.serveAggregateTextAs(spark, sf("sf0.001"),
+      "auditor", pol,
+      """{ customer_aggregate(where: {c_mktsegment: {_eq: "BUILDING"}})
+        |  { aggregate { n: count(columns: c_custkey) } } }"""
+        .stripMargin).fold(m => fail(m), identity)
+      .collect().head.getLong(0)
+    assert(viaText === expect)
+    // parse errors stay Left through the text wrapper
+    assert(Permissions.serveAggregateTextAs(spark, sf("sf0.001"),
+      "auditor", pol, "{ nonsense }").isLeft)
   }
 
   test("serveStreamAs: stream text through parse -> secure -> pages; " +
