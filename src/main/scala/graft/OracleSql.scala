@@ -2064,6 +2064,35 @@ object OracleSql {
          |       arg_min(d, s_key)::BIGINT AS dist
          |FROM m GROUP BY 1 ORDER BY key""".stripMargin
     },
+    // q177: incremental two-kernel agreement — the q108 cross-split
+    // replay intersected across BOTH pinned hash spaces; only the
+    // true re-encode survives
+    "q177_incr_agreement_probe" -> {
+      val dv = hashValuesOf(graft.queries.PipelineQueries.pinnedDhashes)
+      val pv = hashValuesOf(
+        graft.queries.PipelineQueries.pinnedImagePhashes)
+      s"""WITH td(key, h) AS (VALUES
+         |  $dv),
+         |tp(key, p) AS (VALUES
+         |  $pv),
+         |db AS (SELECT * FROM td WHERE key NOT LIKE '%\\_%' ESCAPE '\\'),
+         |dv AS (SELECT * FROM td WHERE key LIKE '%\\_%' ESCAPE '\\'),
+         |pb AS (SELECT * FROM tp WHERE key NOT LIKE '%\\_%' ESCAPE '\\'),
+         |pv AS (SELECT * FROM tp WHERE key LIKE '%\\_%' ESCAPE '\\'),
+         |ca AS (SELECT v.key, b.key AS s_key,
+         |         bit_count(xor(v.h, b.h))::BIGINT AS da
+         |       FROM dv v JOIN db b
+         |         ON bit_count(xor(v.h, b.h)) <= 3),
+         |cb AS (SELECT v.key, b.key AS s_key,
+         |         bit_count(xor(v.p, b.p))::BIGINT AS dbv
+         |       FROM pv v JOIN pb b
+         |         ON bit_count(xor(v.p, b.p)) <= 6)
+         |SELECT key, min(s_key) AS dup_of,
+         |       arg_min(da, s_key)::BIGINT AS dist_a,
+         |       arg_min(dbv, s_key)::BIGINT AS dist_b
+         |FROM ca JOIN cb USING (key, s_key)
+         |GROUP BY key ORDER BY key""".stripMargin
+    },
     // Hasura's statistical aggregate family, spelled natively: DuckDB's
     // own stddev_samp/stddev_pop/var_samp/var_pop over the same left
     // join. Magnitude-aware rounding (see q105's scaladoc): stddev 2

@@ -38,32 +38,42 @@ object IncrementalImageDedup {
   val BandBits: Int = 64 / NBands
 
   /** (key, dhash, band) — one row per band per image; undecodable rows
-    * (null dhash) are dropped, never stored. */
-  def signatureRows(hashes: DataFrame): DataFrame =
+    * (null dhash) are dropped, never stored. Banding parameters
+    * default to the d≤3 contract; a wider-radius kernel (pHash d≤6)
+    * passes its own lossless split (7 bands × 9 bits) — pairs within
+    * `nBands - 1` still agree on a band, the pigeonhole argument
+    * unchanged. */
+  def signatureRows(hashes: DataFrame, nBands: Int = NBands,
+      bandBits: Int = BandBits): DataFrame =
     hashes.filter(col("dhash").isNotNull)
       .select(col("key"), col("dhash"),
-        explode(HammingBands.bandKeys(col("dhash"), NBands, BandBits))
+        explode(HammingBands.bandKeys(col("dhash"), nBands, bandBits))
           .as("band"))
 
   /** Build the store from the existing corpus (one-time; production
     * bucketed on the band key so probes read it in place). The corpus
     * rows land in the `batch=-1` partition — every write carries a
     * batch id so replayed ingests are idempotent (see [[processBatch]]). */
-  def initStore(hashes: DataFrame, path: String): Unit =
-    signatureRows(hashes).withColumn("batch", lit(-1L))
+  def initStore(hashes: DataFrame, path: String, nBands: Int = NBands,
+      bandBits: Int = BandBits): Unit =
+    signatureRows(hashes, nBands, bandBits).withColumn("batch", lit(-1L))
       .write.partitionBy("batch").mode("overwrite").parquet(path)
 
   def loadStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Probe: batch images within `maxDist` of a stored image →
-    * (key, dup_of, dist), earliest (min key) store match wins. A store
-    * row under the SAME key never matches (a replayed batch must not
-    * classify its own first-attempt append as a duplicate). */
-  def findDups(batchHashes: DataFrame, store: DataFrame,
-      maxDist: Int = MaxDist): DataFrame = {
-    require(maxDist < NBands, s"banding is lossless only to ${NBands - 1}")
-    signatureRows(batchHashes)
+  /** The verified candidate pairs of a probe — (key, s_key, dist),
+    * possibly several per batch key (and duplicated across agreeing
+    * bands; see [[findDups]] on why that never needs a distinct).
+    * Exposed so composite policies ([[findAgreedDups]]) can join
+    * candidate SETS before any per-key cut — joining two kernels'
+    * already-cut winners would miss a common match whenever the
+    * kernels' min-key winners differ. */
+  def dupCandidates(batchHashes: DataFrame, store: DataFrame,
+      maxDist: Int = MaxDist, nBands: Int = NBands,
+      bandBits: Int = BandBits): DataFrame = {
+    require(maxDist < nBands, s"banding is lossless only to ${nBands - 1}")
+    signatureRows(batchHashes, nBands, bandBits)
       .join(store.select(col("key").as("s_key"),
         col("dhash").as("s_dhash"), col("band")), Seq("band"))
       .filter(col("key") =!= col("s_key"))
@@ -71,6 +81,17 @@ object IncrementalImageDedup {
       .withColumn("dist",
         bit_count(col("dhash").bitwiseXOR(col("s_dhash"))).cast("long"))
       .filter(col("dist") <= maxDist)
+      .select(col("key"), col("s_key"), col("dist"))
+  }
+
+  /** Probe: batch images within `maxDist` of a stored image →
+    * (key, dup_of, dist), earliest (min key) store match wins. A store
+    * row under the SAME key never matches (a replayed batch must not
+    * classify its own first-attempt append as a duplicate). */
+  def findDups(batchHashes: DataFrame, store: DataFrame,
+      maxDist: Int = MaxDist, nBands: Int = NBands,
+      bandBits: Int = BandBits): DataFrame =
+    dupCandidates(batchHashes, store, maxDist, nBands, bandBits)
       // no distinct: multi-band candidate duplicates cannot change the
       // min_by answer, and dropping it saves a full shuffle — the
       // groupBy's map-side partial aggregation absorbs the fan-in
@@ -78,6 +99,33 @@ object IncrementalImageDedup {
       .agg(min_by(struct(col("s_key"), col("dist")), col("s_key")).as("m"))
       .select(col("key"), col("m.s_key").as("dup_of"),
         col("m.dist").as("dist"))
+
+  /** INCREMENTAL two-kernel agreement (q166's precision policy on the
+    * batch-vs-store path): a batch item is a duplicate only when BOTH
+    * kernels match the SAME stored item within their bounds. Candidate
+    * sets (not per-kernel winners) join on the (key, s_key) pair —
+    * two kernels can crown different min-key winners while agreeing
+    * on a common match, and the policy must find it. Each side needs
+    * a distinct BEFORE the join (multi-band fan-in would otherwise
+    * multiply across kernels); the per-key cut happens once, after
+    * agreement. Stores carry each kernel's own lossless banding
+    * (dHash 4×16 for d≤3, pHash 7×9 for d≤6). Returns (key, dup_of,
+    * dist_a, dist_b). */
+  def findAgreedDups(batchA: DataFrame, storeA: DataFrame,
+      batchB: DataFrame, storeB: DataFrame,
+      maxDistA: Int = MaxDist, maxDistB: Int = 6,
+      nBandsA: Int = NBands, bandBitsA: Int = BandBits,
+      nBandsB: Int = 7, bandBitsB: Int = 9): DataFrame = {
+    val a = dupCandidates(batchA, storeA, maxDistA, nBandsA, bandBitsA)
+      .withColumnRenamed("dist", "dist_a").distinct()
+    val b = dupCandidates(batchB, storeB, maxDistB, nBandsB, bandBitsB)
+      .withColumnRenamed("dist", "dist_b").distinct()
+    a.join(b, Seq("key", "s_key"))
+      .groupBy("key")
+      .agg(min_by(struct(col("s_key"), col("dist_a"), col("dist_b")),
+        col("s_key")).as("m"))
+      .select(col("key"), col("m.s_key").as("dup_of"),
+        col("m.dist_a").as("dist_a"), col("m.dist_b").as("dist_b"))
   }
 
   /** SIMILARITY SEARCH over the persisted store — the [[graft.search

@@ -730,6 +730,37 @@ object PipelineQueries {
     graft.operators.Retention.keepBest(members, quality)
   }
 
+  /** q177 — INCREMENTAL two-kernel agreement (q166's precision policy
+    * on the q108 batch-vs-store path): the variant batch probes the
+    * base corpus under BOTH perceptual kernels — each store banded
+    * losslessly for its own bound (dHash 4×16 d≤3, pHash 7×9 d≤6),
+    * both hash columns from ONE dual-decode pass — and a batch item
+    * flags only when both kernels match the SAME stored item.
+    * Candidate SETS join before the per-key cut ([[graft.operators
+    * .IncrementalImageDedup.findAgreedDups]]). Over the q104 fixtures
+    * exactly the true re-encode survives; the whitened-cell variants
+    * the dHash probe alone accepts (q108's answer) drop on pHash
+    * disagreement. Oracle = the cross-split intersection over both
+    * pinned sets. */
+  def q177IncrAgreementProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
+    val (bases, variants) =
+      dhashFixtureBytes.partition(f => !f._1.contains("_"))
+    val baseDual = M.imageDualHashes(bases.toDF("key", "bytes"))
+      .localCheckpoint(true)
+    val varDual = M.imageDualHashes(variants.toDF("key", "bytes"))
+      .localCheckpoint(true)
+    val dStore = I.signatureRows(baseDual.select(col("key"), col("dhash")))
+    val pStore = I.signatureRows(
+      baseDual.select(col("key"), col("phash").as("dhash")),
+      nBands = 7, bandBits = 9)
+    I.findAgreedDups(
+      varDual.select(col("key"), col("dhash")), dStore,
+      varDual.select(col("key"), col("phash").as("dhash")), pStore)
+      .orderBy("key")
+  }
+
   /** q176 — the persisted-store search over the AUDIO fingerprint
     * space: [[graft.operators.IncrementalImageDedup]] is hash-space-
     * agnostic (any 64-bit kernel under the d≤3 banding contract), so

@@ -256,6 +256,38 @@ class IncrementalImageDedupSpec extends SparkSpec {
       IncrementalImageDedup.search(loaded, 0L, k = 5, maxDist = 4))
   }
 
+  test("q177 agreement probe: both kernels must match the SAME stored " +
+    "item; candidate sets join before the per-key cut, so differing " +
+    "per-kernel winners still find the common match") {
+    // the fixture answer: only the true re-encode survives; the
+    // whitened-cell variants the dHash probe alone accepts drop
+    val got = PipelineQueries.q177IncrAgreementProbe(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("m01_dup", "m01", 0L, 0L)))
+    // winners-differ construction: kernel A ranks stored "a" first
+    // (min key) while kernel B only matches "b" — joining the CUT
+    // winners would find nothing, joining candidates finds (x, b)
+    import spark.implicits._
+    val storeA = IncrementalImageDedup.signatureRows(
+      Seq(("a", 0L), ("b", (1L << 40) | 1L)).toDF("key", "dhash"))
+    val batchA = Seq(("x", 1L)).toDF("key", "dhash") // d=1 to BOTH
+    val storeB = IncrementalImageDedup.signatureRows(
+      Seq(("a", 0xFF00FF00L), ("b", 7L)).toDF("key", "dhash"),
+      nBands = 7, bandBits = 9)
+    val batchB = Seq(("x", 7L)).toDF("key", "dhash") // d=0 to b only
+    val agreed = IncrementalImageDedup.findAgreedDups(
+      batchA, storeA, batchB, storeB)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(agreed.toSeq === Seq(("x", "b", 1L, 0L)))
+    // and the single-kernel winner really IS different — the case
+    // a winners-join implementation would lose
+    val aWinner = IncrementalImageDedup.findDups(batchA, storeA)
+      .collect().map(_.getString(1)).toSeq
+    assert(aWinner === Seq("a"))
+  }
+
   test("probe plan: no cross join, candidate gate is the band equi-join") {
     val (bases, variants) = split()
     val store = java.nio.file.Files
