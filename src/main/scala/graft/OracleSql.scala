@@ -1981,6 +1981,11 @@ object OracleSql {
          |GROUP BY table_name
          |ORDER BY type_name""".stripMargin
     },
+    // q178: @include/@skip conditional selections — with $all=false
+    // only the key and the skipped-over balance survive
+    "q178_conditional_fields" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey <= 40 ORDER BY c_custkey""".stripMargin,
     // q174: aggregate under a relationship-predicate role filter —
     // the EXISTS grant and the request's equality both inlined
     "q174_aggregate_rel_filter" ->

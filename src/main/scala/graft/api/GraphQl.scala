@@ -703,6 +703,29 @@ object GraphQl {
       case _ => bad(s"$at: @$dir needs $k: \"…\"")
     }
 
+  /** The spec's conditional directives — `@include(if:)` / `@skip
+    * (if:)`, which every Apollo/Relay client emits for fragment
+    * toggles: evaluate (literals or operation variables, already
+    * resolved by the value parser) and STRIP, returning whether the
+    * selection stays. The selection's body always PARSES (the token
+    * stream must stay aligned; errors inside an excluded field still
+    * surface) — only its contribution to the request drops, matching
+    * the spec's field-collection semantics. Both present = include
+    * AND NOT skip (the spec's conjunction). */
+  private def conditionalKeep(dirs: Map[String, Map[String, V]],
+      at: String): (Boolean, Map[String, Map[String, V]]) = {
+    def cond(name: String): Option[Boolean] = dirs.get(name).map { a =>
+      (a.keySet - "if").foreach(k =>
+        bad(s"$at: @$name takes only if:, got $k"))
+      a.get("if") match {
+        case Some(VLit(b: Boolean)) => b
+        case _ => bad(s"$at: @$name requires if: Boolean")
+      }
+    }
+    (cond("include").getOrElse(true) && !cond("skip").getOrElse(false),
+      dirs -- Seq("include", "skip"))
+  }
+
   /** One scalar selection inside a relationship: alias + field +
     * optional @fmt/@cast. */
   private def compileNestedField(alias: Option[String], field: String,
@@ -840,7 +863,8 @@ object GraphQl {
         if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
         else (None, first)
       val subArgs = parseArgs(p)
-      val subDirs = parseDirectives(p)
+      val (keep2, subDirs) = conditionalKeep(parseDirectives(p),
+        s"$at.$f2")
       if (p.isPunct('{')) {
         val r2 = schema.rels.getOrElse((rel.childTable, f2),
           if (schema.objRels.contains((rel.childTable, f2)))
@@ -848,13 +872,19 @@ object GraphQl {
               "level only (this engine)")
           else bad(
             s"$at.$f2: no tracked relationship on '${rel.childTable}'"))
-        if (sub.isDefined)
-          bad(s"$at: at most one nested relationship per level")
-        sub = Some(compileRelBody(p, schema, rel.childTable, subArgs,
-          subDirs, a2, f2, r2))
+        val s2 = compileRelBody(p, schema, rel.childTable, subArgs,
+          subDirs, a2, f2, r2)
+        if (keep2) {
+          // the at-most-one rule counts KEPT relationships — an
+          // excluded one never compiles, so it cannot occupy the slot
+          if (sub.isDefined)
+            bad(s"$at: at most one nested relationship per level")
+          sub = Some(s2)
+        }
       } else {
         if (subArgs.nonEmpty) bad(s"$at.$f2: scalar fields take no arguments")
-        fields += compileNestedField(a2, f2, subDirs, s"$at.$f2")
+        val nf = compileNestedField(a2, f2, subDirs, s"$at.$f2")
+        if (keep2) fields += nf
       }
       }
     }
@@ -996,7 +1026,8 @@ object GraphQl {
           if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
           else (None, first)
         val fargs = parseArgs(p)
-        val fdirs = parseDirectives(p)
+        val (keep, fdirs) = conditionalKeep(parseDirectives(p),
+          alias.getOrElse(fname))
         if (p.isPunct('{')) {
           if (fname.endsWith("_aggregate")) {
             val relName = fname.stripSuffix("_aggregate")
@@ -1039,7 +1070,8 @@ object GraphQl {
             val joinType = fdirs.get("join")
               .map(d => strDirArg(d, "join", "type", fname))
               .getOrElse("left")
-            aggRels += AggRel(rel.childTable, rel.childKey, rel.parentKey,
+            if (keep)
+              aggRels += AggRel(rel.childTable, rel.childKey, rel.parentKey,
               aggs, joinType = joinType,
               where = fargs.get("where")
                 .map(compileBool(_, s"$fname.where",
@@ -1053,15 +1085,17 @@ object GraphQl {
           } else {
             schema.rels.get((table, fname)) match {
               case Some(rel) =>
-                nested += compileRelBody(p, schema, table, fargs,
+                val n = compileRelBody(p, schema, table, fargs,
                   fdirs, alias, fname, rel)
+                if (keep) nested += n
               case None =>
                 // Hasura OBJECT relationship (many-to-one): the same
                 // compile, `single` marks the one-object response
                 val rel = schema.objRels.getOrElse((table, fname), bad(
                   s"$fname: no tracked relationship on '$table'"))
-                nested += compileRelBody(p, schema, table, fargs,
+                val n = compileRelBody(p, schema, table, fargs,
                   fdirs, alias, fname, rel, single = true)
+                if (keep) nested += n
             }
           }
         } else {
@@ -1070,7 +1104,7 @@ object GraphQl {
           if (alias.isDefined)
             bad(s"$fname: root scalar aliases are not supported " +
               "(the oracle compares by column name)")
-          fields += fname
+          if (keep) fields += fname
         }
         }
       }
@@ -3243,6 +3277,30 @@ object GraphQl {
     introspectionTypeRows(s, serveIntrospection(s, dir, q167Query).fold(
       m => throw new IllegalStateException(s"q167 failed to parse: $m"),
       identity))
+
+  /** q178's document — the spec's CONDITIONAL directives, the shape
+    * Apollo/Relay clients emit for UI-driven field toggles: with
+    * `$all = false` the `@include` selections (a scalar AND a whole
+    * relationship) drop and the `@skip` one stays, so the request
+    * compiles to exactly two columns. */
+  val q178Query: String =
+    """query Sel($all: Boolean!) {
+      |  customer(where: {c_custkey: {_lte: 40}},
+      |           order_by: [{c_custkey: asc}]) {
+      |    c_custkey
+      |    c_name @include(if: $all)
+      |    c_acctbal @skip(if: $all)
+      |    orders @include(if: $all) { k: o_orderkey }
+      |  }
+      |}""".stripMargin
+
+  def q178ConditionalFields(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q178Query, variables = """{"all": false}""") match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q178 failed to parse: $m")
+    }
 
   val q124Mutation: String =
     """mutation {

@@ -972,6 +972,51 @@ class GraphQlSpec extends SparkSpec {
     assert(checked > 150, s"generator drought: only $checked samples")
   }
 
+  test("@include/@skip: selections toggle by literal or variable at " +
+    "root and nested levels; excluded bodies still parse-check") {
+    // $all=true keeps the include'd fields and drops the skip'd one
+    val all = parsed2(GraphQl.q178Query, """{"all": true}""")
+    assert(all.fields === Seq("c_custkey", "c_name"))
+    assert(all.nested.map(_.as) === Seq("orders"))
+    // $all=false: the exact complement (q178's served shape)
+    val none = parsed2(GraphQl.q178Query, """{"all": false}""")
+    assert(none.fields === Seq("c_custkey", "c_acctbal"))
+    assert(none.nested.isEmpty)
+    // nested-level conditionals prune inside relationship bodies, and
+    // an EXCLUDED first sub-relationship frees the one-per-level slot
+    val r = parsed2("""{
+      |  customer(where: {c_custkey: {_eq: 1}}) {
+      |    c_custkey
+      |    orders {
+      |      o_orderkey
+      |      o_totalprice @skip(if: true)
+      |      items @include(if: false) { l_linenumber }
+      |      items @include(if: true) { l_quantity }
+      |    }
+      |  }
+      |}""".stripMargin, "{}")
+    val o = r.nested.head
+    assert(o.fields.map(_.field) === Seq("o_orderkey"))
+    assert(o.sub.get.fields.map(_.field) === Seq("l_quantity"))
+    // the excluded body still parses and still type-checks: a bogus
+    // relationship inside an excluded field is an error, not a skip
+    assert(GraphQl.parse("""{
+      |  customer { c_custkey
+      |    nonsense @include(if: false) { x } } }""".stripMargin)
+      .isLeft)
+    // malformed conditionals are loud
+    assert(GraphQl.parse(
+      "{ customer { c_custkey c_name @include } }").isLeft)
+    assert(GraphQl.parse(
+      "{ customer { c_custkey c_name @skip(if: 1) } }").isLeft)
+  }
+
+  private def parsed2(q: String, vars: String): Request =
+    GraphQl.parse(q, variables = vars) match {
+      case Right(r) => r
+      case Left(m) => fail(s"did not parse: $m\n$q")
+    }
+
   // ---- introspection -------------------------------------------------
 
   private val mapper =
