@@ -58,6 +58,10 @@ object OracleSql {
       |WHERE c.c_custkey <= 50
       |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin
 
+  private val condFieldsSql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_custkey <= 40 ORDER BY c_custkey""".stripMargin
+
   private val nestedSql: String =
     """SELECT c.c_custkey,
       |       to_json(list_sort(list({'k': o.o_orderkey,
@@ -1983,9 +1987,11 @@ object OracleSql {
     },
     // q178: @include/@skip conditional selections — with $all=false
     // only the key and the skipped-over balance survive
-    "q178_conditional_fields" ->
-      """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE c_custkey <= 40 ORDER BY c_custkey""".stripMargin,
+    "q178_conditional_fields" -> condFieldsSql,
+    // q179: operationName selection over a multi-operation document —
+    // the chosen operation IS q178's, so the oracle is shared (the
+    // q90/q91 shared-oracle pattern); picking the decoy hash-fails
+    "q179_operation_name" -> condFieldsSql,
     // q174: aggregate under a relationship-predicate role filter —
     // the EXISTS grant and the request's equality both inlined
     "q174_aggregate_rel_filter" ->

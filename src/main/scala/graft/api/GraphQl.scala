@@ -703,6 +703,82 @@ object GraphQl {
       case _ => bad(s"$at: @$dir needs $k: \"…\"")
     }
 
+  /** Split an operation token stream (fragments already extracted)
+    * into its top-level operation definitions — real clients
+    * (GraphiQL, Apollo codegen output) routinely POST a whole
+    * document of named operations and select one with
+    * `operationName`. Each operation is a header (`query|mutation|
+    * subscription [Name] [(varDefs)]`, or the bare `{...}` shorthand)
+    * plus its brace-balanced selection set; the slices keep their
+    * headers so the single-operation parser consumes them verbatim. */
+  private def splitOperations(toks: Vector[Tok])
+      : Seq[(Option[String], Vector[Tok])] = {
+    val out = Seq.newBuilder[(Option[String], Vector[Tok])]
+    var i = 0
+    while (!toks(i).isInstanceOf[Eof]) {
+      val start = i
+      var opName: Option[String] = None
+      toks(i) match {
+        case Name("query" | "mutation" | "subscription", _) =>
+          i += 1
+          toks(i) match {
+            case Name(n, _) => opName = Some(n); i += 1
+            case _ => ()
+          }
+          toks(i) match {
+            case Punct('(', _) => // variable definitions
+              var d = 1
+              i += 1
+              while (d > 0) toks(i) match {
+                case Eof(pp) => bad(s"unterminated variable " +
+                  s"definitions at $pp")
+                case Punct('(', _) => d += 1; i += 1
+                case Punct(')', _) => d -= 1; i += 1
+                case _ => i += 1
+              }
+            case _ => ()
+          }
+        case Punct('{', _) => () // anonymous shorthand
+        case t => bad(s"expected an operation definition at ${t.pos}")
+      }
+      toks(i) match {
+        case Punct('{', _) =>
+          var d = 1
+          i += 1
+          while (d > 0) toks(i) match {
+            case Eof(pp) => bad(s"unterminated operation at $pp")
+            case Punct('{', _) => d += 1; i += 1
+            case Punct('}', _) => d -= 1; i += 1
+            case _ => i += 1
+          }
+        case t => bad(s"expected '{' at ${t.pos}")
+      }
+      out += opName -> (toks.slice(start, i) :+ Eof(toks(i - 1).pos))
+    }
+    out.result()
+  }
+
+  /** Pick the operation a request names — the spec's rules: a named
+    * request must match exactly one definition; an anonymous request
+    * is only valid against a single-operation document. */
+  private def chooseOperation(toks: Vector[Tok],
+      operationName: Option[String]): Vector[Tok] = {
+    val ops = splitOperations(toks)
+    if (ops.isEmpty) bad("document defines no operation")
+    operationName match {
+      case Some(n) =>
+        val hits = ops.filter(_._1.contains(n))
+        if (hits.isEmpty) bad(s"no operation named '$n' in the document")
+        if (hits.length > 1) bad(s"operation name '$n' is ambiguous")
+        hits.head._2
+      case None =>
+        if (ops.length > 1)
+          bad(s"document defines ${ops.length} operations — " +
+            "operationName is required")
+        ops.head._2
+    }
+  }
+
   /** The spec's conditional directives — `@include(if:)` / `@skip
     * (if:)`, which every Apollo/Relay client emits for fragment
     * toggles: evaluate (literals or operation variables, already
@@ -967,10 +1043,15 @@ object GraphQl {
   }
 
   def parse(query: String, schema: Schema = fixtureSchema,
-      variables: String = "{}"): Either[String, Request] =
+      variables: String = "{}",
+      operationName: Option[String] = None): Either[String, Request] =
     try {
       val vars = jsonVars(variables)
-      val (opToks, frags) = extractFragments(tokenize(query))
+      val (allToks, frags) = extractFragments(tokenize(query))
+      // multi-operation documents select by operationName (the wire
+      // field every client POSTs); variable declared/bound/used
+      // checks apply to the CHOSEN operation, per the spec
+      val opToks = chooseOperation(allToks, operationName)
       val p = new P(opToks)
       p.fragments = frags
       // optional operation header: `query [Name] [($var: type, ...)]`;
@@ -3300,6 +3381,26 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q178 failed to parse: $m")
+    }
+
+  /** q179's document — a MULTI-OPERATION document (what GraphiQL
+    * POSTs from a tabbed editor): q178's operation next to a decoy,
+    * selected by `operationName`. Serving the right operation under
+    * q178's oracle proves the split + selection; picking the decoy
+    * (or ignoring the name) would change the column set and
+    * hash-fail. */
+  val q179Doc: String = q178Query + "\n" +
+    """query Other {
+      |  region(order_by: [{r_regionkey: asc}]) { r_regionkey }
+      |}""".stripMargin
+
+  def q179OperationName(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q179Doc, variables = """{"all": false}""",
+        operationName = Some("Sel")) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q179 failed to parse: $m")
     }
 
   val q124Mutation: String =

@@ -1011,6 +1011,44 @@ class GraphQlSpec extends SparkSpec {
       "{ customer { c_custkey c_name @skip(if: 1) } }").isLeft)
   }
 
+  test("multi-operation documents: operationName selects; anonymous " +
+    "requests against several operations are loud; names must exist " +
+    "and be unique; variables check against the CHOSEN operation") {
+    // selecting the decoy works too — its shape, not Sel's
+    val other = GraphQl.parse(GraphQl.q179Doc,
+      operationName = Some("Other")).fold(m => fail(m), identity)
+    assert(other.table === "region" && other.fields === Seq("r_regionkey"))
+    // the q179 canned path picks Sel (its q178 shape)
+    val sel = GraphQl.parse(GraphQl.q179Doc,
+      variables = """{"all": true}""", operationName = Some("Sel"))
+      .fold(m => fail(m), identity)
+    assert(sel.fields === Seq("c_custkey", "c_name"))
+    // anonymous against two operations: loud
+    GraphQl.parse(GraphQl.q179Doc) match {
+      case Left(m) => assert(m.contains("operationName"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // unknown and duplicate names: loud
+    GraphQl.parse(GraphQl.q179Doc, operationName = Some("Nope")) match {
+      case Left(m) => assert(m.contains("Nope"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    GraphQl.parse(GraphQl.q179Doc + "\nquery Other { region { r_name } }",
+      operationName = Some("Other")) match {
+      case Left(m) => assert(m.contains("ambiguous"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // variables belong to the chosen operation: $all is undeclared by
+    // Other, so binding it while selecting Other is an error
+    GraphQl.parse(GraphQl.q179Doc, variables = """{"all": true}""",
+      operationName = Some("Other")) match {
+      case Left(m) => assert(m.contains("all"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // single-operation documents stay anonymous-servable (regression)
+    assert(GraphQl.parse("{ region { r_regionkey } }").isRight)
+  }
+
   private def parsed2(q: String, vars: String): Request =
     GraphQl.parse(q, variables = vars) match {
       case Right(r) => r
