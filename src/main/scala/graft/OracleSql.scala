@@ -1985,6 +1985,18 @@ object OracleSql {
          |GROUP BY table_name
          |ORDER BY type_name""".stripMargin
     },
+    // q180: per-source corpus profile — every column replayed
+    // natively; SUM/COUNT spelled identically so the doubles agree
+    // bit-for-bit before rounding
+    "q180_source_profile" ->
+      """SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |       COUNT(DISTINCT lang)::BIGINT AS n_langs,
+        |       ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 4) AS mean_chars,
+        |       (COUNT(*) - COUNT(DISTINCT md5(text)))::BIGINT
+        |         AS dup_docs,
+        |       ROUND(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0
+        |         END)::DOUBLE / COUNT(*), 6) AS short_frac
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q178: @include/@skip conditional selections — with $all=false
     // only the key and the skipped-over balance survive
     "q178_conditional_fields" -> condFieldsSql,

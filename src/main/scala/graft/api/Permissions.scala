@@ -436,10 +436,11 @@ object Permissions {
   def serveAs(s: org.apache.spark.sql.SparkSession, dir: String,
       role: String, policy: Policy, query: String,
       schema: GraphQl.Schema = GraphQl.fixtureSchema,
-      variables: String = "{}")
+      variables: String = "{}",
+      operationName: Option[String] = None)
       : Either[String, org.apache.spark.sql.DataFrame] =
     for {
-      req <- GraphQl.parse(query, schema, variables)
+      req <- GraphQl.parse(query, schema, variables, operationName)
       sec <- secure(req, role, policy)
     } yield QueryBuilder.run(s, dir, sec)
 

@@ -1833,4 +1833,29 @@ object TextQueries {
   def q96SpanRedact(s: SparkSession, dir: String, l: Int = 5,
       minDf: Int = 2): DataFrame =
     redactWithFlags(docs(s, dir), dupGramPositions(s, dir, l, minDf), l)
+
+  /** Q180 — the per-SOURCE corpus profile (the dataset-card numbers a
+    * training-data pipeline reports before anyone trains on the mix):
+    * document count, language spread, mean length, exact-dup count
+    * (md5 identity — the q22 kernel folded into the profile) and the
+    * short-document fraction, one row per source. The mean and the
+    * fraction are spelled SUM/COUNT in both engines so the doubles
+    * are bit-identical before rounding.
+    *
+    * Scale posture: ONE groupBy(source) — map-side partial
+    * aggregation; the two count-distincts expand the input 3× inside
+    * the aggregate (Spark's grouping-expand), still linear and still
+    * one shuffle keyed on source. At 100 TB the md5 distinct would
+    * move to the HLL sketch (q39's path) — exactness here is what
+    * the oracle wants. */
+  def q180SourceProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+        .as("mean_chars"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"),
+      round(sum(when(col("n_chars") < 200, 1).otherwise(0))
+        .cast("double") / count(lit(1)), 6).as("short_frac"))
+      .orderBy("source")
 }
