@@ -696,6 +696,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q174 decorrelated aggregate filter: the satisfying-key build " +
+    "broadcasts, no cartesian, the fold is two-phase") {
+    val df = graft.api.Permissions.q174AggregateRelFilter(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+    // the distinct child-key set is small → AQE broadcasts the flag join
+    assert(p.contains("BroadcastHashJoin"),
+      s"satisfying-key join did not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"aggregate not two-phase:\n$p")
+  }
+
+  test("q180 source profile: the exact-distinct pair plans as ONE " +
+    "expand + the canonical two-stage distinct shuffle, all keyed " +
+    "on source") {
+    val df = graft.queries.TextQueries.q180SourceProfile(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("Expand"), s"count-distinct pair should expand:\n$p")
+    // exact multi-distinct is inherently two source-keyed stages:
+    // dedup on (source, expanded distinct key), then the final fold
+    // on source — both exchanges lead with the group key, so the
+    // profile never shuffles on anything wider (a distinct-unaware
+    // rewrite would add a per-distinct exchange each)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(")).toSeq
+    assert(exchanges.size === 2,
+      s"expected the two-stage distinct shape:\n$p")
+    exchanges.foreach(l => assert(
+      l.contains("hashpartitioning(source"),
+      s"an exchange is not keyed on source: $l\n$p"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q150 retrieval eval: broadcast query set over ONE corpus " +
     "scan, top-k is a partial (map-side) object-hash aggregate") {
     val df = graft.queries.SimilarityQueries
