@@ -1665,6 +1665,50 @@ object OracleSql {
          |       (COUNT(*) - 1)::BIGINT AS n_dropped
          |FROM m GROUP BY canonical ORDER BY canonical""".stripMargin
     },
+    // q181: video retention — the verdict→cluster→keep-longest replay
+    // over the q181 corpus's pinned per-frame hashes (vidA_cut's
+    // surviving frames are pixel-identical to vidA's, so its VALUES
+    // reuse vidA's pinned frame hashes)
+    "q181_video_retention" -> {
+      val pinned = graft.queries.PipelineQueries.pinnedVideoDhashes
+      val vidA = pinned.filter(_._1.startsWith("vidA#"))
+      val corpus = vidA ++
+        vidA.take(5).map { case (k, v) =>
+          (k.replace("vidA#", "vidA_cut#"), v) } ++
+        pinned.filter(_._1.startsWith("vidC#"))
+      val vals = hashValuesOf(corpus)
+      s"""WITH RECURSIVE t(key, dhash) AS (VALUES
+         |  $vals),
+         |q(key, quality) AS (VALUES
+         |  ('vidA', 20736), ('vidA_cut', 17280), ('vidC', 20736)),
+         |sp AS (SELECT a.key AS ka, b.key AS kb
+         |       FROM t a JOIN t b ON a.key < b.key
+         |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |se AS (SELECT regexp_extract(ka, '^(.*)#', 1) AS va,
+         |              regexp_extract(kb, '^(.*)#', 1) AS vb
+         |       FROM sp),
+         |v AS (SELECT CASE WHEN va < vb THEN va ELSE vb END AS a,
+         |             CASE WHEN va < vb THEN vb ELSE va END AS b
+         |      FROM se WHERE va <> vb
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT a AS id, b AS nb FROM v UNION ALL SELECT b, a FROM v),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id),
+         |m AS (SELECT comp.id AS key, canonical, q.quality,
+         |        ROW_NUMBER() OVER (PARTITION BY canonical
+         |                           ORDER BY q.quality DESC, comp.id)
+         |          AS rn
+         |      FROM comp JOIN q ON q.key = comp.id)
+         |SELECT canonical,
+         |       MAX(CASE WHEN rn = 1 THEN key END) AS kept_key,
+         |       MAX(CASE WHEN rn = 1 THEN quality END)::BIGINT
+         |         AS kept_score,
+         |       (COUNT(*) - 1)::BIGINT AS n_dropped
+         |FROM m GROUP BY canonical ORDER BY canonical""".stripMargin
+    },
     // q168: spectral audio pairs — all-pairs ground truth over the
     // pinned frequency-kernel hashes (the q107/q158 replay shape)
     "q168_audio_spectral_pairs" ->

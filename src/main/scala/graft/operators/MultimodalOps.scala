@@ -1340,6 +1340,34 @@ object MultimodalOps {
     }(enc).toDF()
   }
 
+  val videoStatsSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("n_frames", LongType),
+    StructField("px_per_frame", LongType)))
+
+  /** (key, frame count, pixels per frame) per video row through the
+    * engine's container walk — the duration/resolution quality signal
+    * for video retention (q181), the [[imagePixelCounts]] contract
+    * one modality up. Nulls for unparseable containers. */
+  def videoStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoStatsSchema)
+    media.select("key", "bytes").mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val frames = try parseAviFrames(bytes, 1, Int.MaxValue)
+          catch { case _: Exception => None }
+        frames match {
+          case Some(fs) if fs.nonEmpty =>
+            val px = graft.functions.BinaryFunctions.decode(fs.head._2)
+              .map(i => i.getWidth.toLong * i.getHeight)
+            Row(key, fs.length.toLong, px.orNull)
+          case _ => Row(key, null, null)
+        }
+      }
+    }(enc).toDF()
+  }
+
   val imagePixelSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("px", LongType)))

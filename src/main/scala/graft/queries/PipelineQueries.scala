@@ -761,6 +761,45 @@ object PipelineQueries {
       .orderBy("key")
   }
 
+  /** q181's corpus: vidA, its one-frame-SHORTER cut (same seed — the
+    * surviving frames carry byte-identical pixels, so their hashes
+    * equal vidA's frames 0–4 exactly, spec-pinned), and the unrelated
+    * vidC. */
+  private[graft] def videoRetentionBytes: Seq[(String, Array[Byte])] =
+    Seq(
+      "vidA" -> graft.operators.MultimodalOps.syntheticAvi(7L, 72, 48, 6),
+      "vidA_cut" ->
+        graft.operators.MultimodalOps.syntheticAvi(7L, 72, 48, 5),
+      "vidC" -> graft.operators.MultimodalOps.syntheticAvi(99L, 72, 48, 6))
+
+  /** q181 — RETENTION over VIDEO dup clusters, completing the
+    * keep-best family across all four modalities (text q151, image
+    * q172, audio q173): the q113 repost verdicts cluster vidA with
+    * its shortened cut, and the shared [[graft.operators.Retention]]
+    * keeps the LONGEST container — quality = frames × pixels from the
+    * engine's own container walk ([[graft.operators.MultimodalOps
+    * .videoStats]]): 6×3456 beats the cut's 5×3456. The oracle
+    * replays verdict → cluster → keep-max over the pinned per-frame
+    * hashes and the fixture durations. */
+  def q181VideoRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = videoRetentionBytes.toDF("key", "bytes")
+      .localCheckpoint(true)
+    val hashes = graft.operators.MultimodalOps.videoFrameDHashes(media)
+    val pairs =
+      graft.operators.MultimodalOps.dhashNearDupPairs(hashes, maxDist = 3)
+    val verdicts =
+      graft.operators.MultimodalOps.repostVerdicts(pairs, minMatches = 2)
+    val keys = videoRetentionBytes.map(_._1).toDF("key")
+    val clusters = hashDupClusters(s, keys, verdicts.select("a", "b"))
+    val members = clusters.filter(col("cluster_size") > 1)
+      .select(col("key"), col("canonical"))
+    val quality = graft.operators.MultimodalOps.videoStats(media)
+      .select(col("key"),
+        (col("n_frames") * col("px_per_frame")).as("score"))
+    graft.operators.Retention.keepBest(members, quality)
+  }
+
   /** q176 — the persisted-store search over the AUDIO fingerprint
     * space: [[graft.operators.IncrementalImageDedup]] is hash-space-
     * agnostic (any 64-bit kernel under the d≤3 banding contract), so

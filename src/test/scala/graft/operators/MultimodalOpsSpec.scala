@@ -565,6 +565,25 @@ class MultimodalOpsSpec extends SparkSpec {
     // duration decides: the uncut s1 (16000 samples) beats its
     // trimmed repost (12000)
     assert(aud.toSeq === Seq(("s1", "s1", 16000L, 1L)))
+    // the VIDEO leg completes the four-modality family: the cut's
+    // surviving frames are pixel-identical (hash-equal) to vidA's,
+    // the verdict clusters them, frames x pixels keeps the longer
+    val vid = PipelineQueries.q181VideoRetention(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(vid.toSeq === Seq(("vidA", "vidA", 20736L, 1L)))
+    import spark.implicits._
+    val stats = MultimodalOps.videoStats(
+      PipelineQueries.videoRetentionBytes.toDF("key", "bytes"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(stats("vidA") === ((6L, 3456L)))
+    assert(stats("vidA_cut") === ((5L, 3456L)))
+    // unparseable bytes carry null stats, not a throw
+    val badStats = MultimodalOps.videoStats(
+      Seq(("bad", "not a container".getBytes)).toDF("key", "bytes"))
+      .collect().head
+    assert(badStats.isNullAt(1) && badStats.isNullAt(2))
   }
 
   test("q109 in-container soundtrack: extraction equals the standalone " +
