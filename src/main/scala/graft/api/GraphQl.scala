@@ -1858,6 +1858,12 @@ object GraphQl {
       while (!p.isPunct('}')) {
         val fname = p.name("mutation field")
         val args = parseArgs(p)
+        // @include/@skip gate WRITES too (a client toggling an
+        // optional update step) — the excluded field still parses
+        // and compiles (malformed mutations stay loud), it just
+        // never executes
+        val (keep, dirs) = conditionalKeep(parseDirectives(p), fname)
+        dirs.keySet.foreach(d => bad(s"$fname: unknown directive @$d"))
         val (m, byPk) = compileMutation(fname, args, schema)
         val isOne = fname.startsWith("insert_") && fname.endsWith("_one")
         p.expect('{')
@@ -1901,7 +1907,7 @@ object GraphQl {
             bad(s"$fname: empty selection set")
         }
         p.expect('}')
-        out += Mutations.Field(m, returning, single)
+        if (keep) out += Mutations.Field(m, returning, single)
       }
       p.expect('}')
       p.peek match {

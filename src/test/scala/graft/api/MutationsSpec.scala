@@ -819,6 +819,30 @@ class MutationsSpec extends SparkSpec {
         single = true))))
   }
 
+  test("@include/@skip gate mutation fields: excluded steps parse " +
+      "and compile but never execute") {
+    val doc =
+      """mutation M($dry: Boolean!) {
+        |  update_t(where: {k: {_eq: 1}}, _set: {seg: "X"})
+        |    @skip(if: $dry) { affected_rows }
+        |  delete_t(where: {seg: {_eq: "C"}}) @include(if: false) {
+        |    affected_rows }
+        |  update_t(where: {k: {_eq: 2}}, _inc: {bal: 1.0}) {
+        |    affected_rows }
+        |}""".stripMargin
+    val dry = GraphQl.parseMutationFields(doc, """{"dry": true}""")
+      .fold(m => fail(m), identity)
+    assert(dry.map(_.m) === Seq(
+      Mutations.Update("t", Eq("k", 2L), Nil, Seq("bal" -> 1.0))))
+    val live = GraphQl.parseMutationFields(doc, """{"dry": false}""")
+      .fold(m => fail(m), identity)
+    assert(live.length === 2) // the @include(if: false) field never runs
+    // an excluded field still compiles — malformed writes stay loud
+    assert(GraphQl.parseMutationFields(
+      """mutation { update_t(_set: {seg: "X"}) @include(if: false) {
+        |  affected_rows } }""".stripMargin).isLeft)
+  }
+
   test("deleteVictims compiles KeySet to a left-semi join, never an " +
       "In literal") {
     val snapshot = spark.range(1000)
