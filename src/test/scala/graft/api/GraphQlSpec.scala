@@ -234,7 +234,7 @@ class GraphQlSpec extends SparkSpec {
       .contains("exactly one comparison operator"))
     assert(err("{ customer(order_by: {c_custkey: sideways}) { c } }")
       .contains("expected asc"))
-    assert(err("{ customer { c_custkey }") .contains("expected"))
+    assert(err("{ customer { c_custkey }").contains("unterminated"))
     assert(err("{ customer { orders { k: o_orderkey } " +
       "items { x } } }").contains("no tracked relationship"))
     assert(err("""{ customer { c_custkey @fmt(round: 2) } }""")
