@@ -245,8 +245,11 @@ class GraphQlSpec extends SparkSpec {
     assert(err("x") .nonEmpty)
     assert(err("{ customer(limit: \"five\") { c_custkey } }")
       .contains("expected an integer"))
+    // trailing garbage reads as a malformed SECOND operation since
+    // multi-operation documents became legal — still loud, still
+    // positioned
     assert(err("{ customer { c_custkey } } trailing")
-      .contains("trailing content"))
+      .contains("expected an operation definition"))
   }
 
   test("operation variables: the client wire shape — declared in the " +
