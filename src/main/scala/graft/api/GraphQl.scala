@@ -798,7 +798,12 @@ object GraphQl {
         case _ => bad(s"$at: @$name requires if: Boolean")
       }
     }
-    (cond("include").getOrElse(true) && !cond("skip").getOrElse(false),
+    // BOTH validate before the answer combines — a short-circuit would
+    // let a malformed @skip hide behind @include(if: false) until the
+    // flag flips in production
+    val inc = cond("include")
+    val skp = cond("skip")
+    (inc.getOrElse(true) && !skp.getOrElse(false),
       dirs -- Seq("include", "skip"))
   }
 
@@ -1059,6 +1064,12 @@ object GraphQl {
       // a read query served continuously (graft.api.Subscriptions
       // routes the parsed Request to the streaming twins)
       p.peek match {
+        // a mutation chosen by operationName (splitOperations accepts
+        // mutation headers) must be diagnosed AS a mutation — falling
+        // to the shorthand branch would mis-blame the variables or '{'
+        case Name("mutation", pos) =>
+          bad(s"the operation at $pos is a mutation — serve it " +
+            "through parseMutationFields, not the read path")
         case Name("query" | "subscription", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
@@ -1855,7 +1866,9 @@ object GraphQl {
       }
       p.expect('{')
       val out = Seq.newBuilder[Mutations.Field]
+      var parsedFields = 0
       while (!p.isPunct('}')) {
+        parsedFields += 1
         val fname = p.name("mutation field")
         val args = parseArgs(p)
         // @include/@skip gate WRITES too (a client toggling an
@@ -1918,7 +1931,11 @@ object GraphQl {
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped predicate writes the wrong rows silently"))
       val ms = out.result()
-      if (ms.isEmpty) bad("mutation document has no mutation fields")
+      // a document with no fields AT ALL is malformed; one whose every
+      // field was conditionally excluded is a valid NO-OP (the dry-run
+      // toggle: GraphQL's fully-skipped selection answers empty data,
+      // never an error)
+      if (parsedFields == 0) bad("mutation document has no mutation fields")
       Right(ms)
     } catch {
       case Bad(m) => Left(m)

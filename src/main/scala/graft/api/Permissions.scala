@@ -328,13 +328,20 @@ object Permissions {
     val tables2 = tables.filter(granted.contains)
     def colOk(t: String, c: String): Boolean =
       granted.get(t).exists(_.columns.forall(_.contains(c)))
+    // a relationship is advertisable only when BOTH join-key columns
+    // sit inside the allowlists — secure() checks the parent key at
+    // the parent and the child key at the child, so a relationship
+    // surviving on table grants alone would advertise a field every
+    // request through it gets denied (the drift this serve exists to
+    // prevent); same reasoning as by_pk's key-column gate
+    def relOk(pt: String, r: GraphQl.Rel): Boolean =
+      granted.contains(pt) && granted.contains(r.childTable) &&
+        colOk(pt, r.parentKey) && colOk(r.childTable, r.childKey)
     val schema2 = GraphQl.Schema(
-      schema.rels.filter { case ((pt, _), r) =>
-        granted.contains(pt) && granted.contains(r.childTable) },
+      schema.rels.filter { case ((pt, _), r) => relOk(pt, r) },
       schema.keys.filter { case (t, k) =>
         granted.contains(t) && colOk(t, k) },
-      schema.objRels.filter { case ((pt, _), r) =>
-        granted.contains(pt) && granted.contains(r.childTable) })
+      schema.objRels.filter { case ((pt, _), r) => relOk(pt, r) })
     val columns2 = granted.collect {
       case (t, perm) if perm.columns.isDefined => t -> perm.columns.get
     }

@@ -56,8 +56,25 @@ object IncrementalImageDedup {
     * batch id so replayed ingests are idempotent (see [[processBatch]]). */
   def initStore(hashes: DataFrame, path: String, nBands: Int = NBands,
       bandBits: Int = BandBits): Unit =
-    signatureRows(hashes, nBands, bandBits).withColumn("batch", lit(-1L))
+    signatureRows(hashes, nBands, bandBits)
+      // the store SELF-DESCRIBES its banding (constant columns — RLE
+      // compresses them to nothing): a probe or append under the
+      // WRONG banding would silently miss every candidate, so readers
+      // derive or verify against these instead of trusting callers
+      .withColumn("n_bands", lit(nBands))
+      .withColumn("band_bits", lit(bandBits))
+      .withColumn("batch", lit(-1L))
       .write.partitionBy("batch").mode("overwrite").parquet(path)
+
+  /** The banding a persisted store declares; None for a pre-banding-
+    * column store or a bare signature DataFrame (callers' parameters
+    * are trusted there — they built the rows themselves). */
+  private def storeBanding(store: DataFrame): Option[(Int, Int)] =
+    if (store.columns.contains("n_bands") &&
+        store.columns.contains("band_bits"))
+      store.select("n_bands", "band_bits").limit(1).collect()
+        .headOption.map(r => (r.getInt(0), r.getInt(1)))
+    else None
 
   def loadStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -73,6 +90,13 @@ object IncrementalImageDedup {
       maxDist: Int = MaxDist, nBands: Int = NBands,
       bandBits: Int = BandBits): DataFrame = {
     require(maxDist < nBands, s"banding is lossless only to ${nBands - 1}")
+    // a self-describing store must agree with the probe's banding —
+    // a mismatch would band-key-miss every candidate SILENTLY
+    storeBanding(store).foreach { case (sb, sbb) =>
+      require(sb == nBands && sbb == bandBits,
+        s"store is banded ${sb}x$sbb but the probe requested " +
+          s"${nBands}x$bandBits")
+    }
     signatureRows(batchHashes, nBands, bandBits)
       .join(store.select(col("key").as("s_key"),
         col("dhash").as("s_dhash"), col("band")), Seq("band"))
@@ -150,13 +174,18 @@ object IncrementalImageDedup {
     * (key, dhash, band) layout. */
   def search(store: DataFrame, query: Long, k: Int,
       maxDist: Int = MaxDist): DataFrame = {
-    require(maxDist <= MaxDist,
-      s"the store's banding is lossless only to $MaxDist")
+    // the probe's band predicate must be built under the STORE's
+    // banding — self-described when persisted through initStore;
+    // the d≤3 default for bare signature frames
+    val (nBands, bandBits) = storeBanding(store)
+      .getOrElse((NBands, BandBits))
+    require(maxDist < nBands,
+      s"the store's banding is lossless only to ${nBands - 1}")
     require(k > 0, "k must be positive")
-    val mask = (1L << BandBits) - 1
-    val pred = (0 until NBands).map { b =>
+    val mask = (1L << bandBits) - 1
+    val pred = (0 until nBands).map { b =>
       col("band.b") === b &&
-        col("band.v") === ((query >>> (b * BandBits)) & mask)
+        col("band.v") === ((query >>> (b * bandBits)) & mask)
     }.reduce(_ || _)
     store.filter(pred)
       .select(col("key"), col("dhash")).distinct()
@@ -184,16 +213,27 @@ object IncrementalImageDedup {
       maxDist: Int = MaxDist): (DataFrame, DataFrame) = {
     val hashes = MultimodalOps.imageDHashes(batchMedia)
       .localCheckpoint(eager = false)
+    // probe AND append under the store's own banding (self-described;
+    // d≤3 default for pre-banding-column stores) — an append under a
+    // different split would poison every later probe
+    val banding = storeBanding(store)
+    val (nb, bb) = banding.getOrElse((NBands, BandBits))
+    require(maxDist < nb, s"banding is lossless only to ${nb - 1}")
     val probeStore =
       if (store.columns.contains("batch"))
         store.filter(col("batch") =!= lit(batchId))
       else store
-    val dups = findDups(hashes, probeStore, maxDist)
+    val dups = findDups(hashes, probeStore, maxDist, nb, bb)
       .localCheckpoint(eager = false)
     val fresh = hashes.join(dups.select("key"), Seq("key"), "left_anti")
+    val freshRows0 = signatureRows(fresh, nb, bb)
+    val freshRows = banding.map { case (n0, b0) =>
+      freshRows0.withColumn("n_bands", lit(n0))
+        .withColumn("band_bits", lit(b0))
+    }.getOrElse(freshRows0)
     // the text operator's write helper: one definition of the conf-flip
     // + partitioned-overwrite ritual, one legacy-store guard
-    IncrementalDedup.writeBatchPartition(signatureRows(fresh), store,
+    IncrementalDedup.writeBatchPartition(freshRows, store,
       storePath, batchId)
     (dups, fresh)
   }

@@ -1345,24 +1345,58 @@ object MultimodalOps {
     StructField("n_frames", LongType),
     StructField("px_per_frame", LongType)))
 
-  /** (key, frame count, pixels per frame) per video row through the
-    * engine's container walk — the duration/resolution quality signal
-    * for video retention (q181), the [[imagePixelCounts]] contract
-    * one modality up. Nulls for unparseable containers. */
+  /** Frame count + header-declared dimensions from ONE metadata walk
+    * of the RIFF container — no frame decodes, no re-encodes (a stats
+    * pass that paid the full [[parseAviFrames]] decode+PNG cost per
+    * frame would multiply the corpus's dominant cost by F for a
+    * two-number answer). The dims are the same BITMAPINFOHEADER
+    * values the decoders bound their allocations by; |h| covers the
+    * top-down-DIB negative-height convention. None when no video
+    * frames or no format block parse. */
+  private[operators] def aviContainerStats(b: Array[Byte])
+      : Option[(Int, Int, Int)] = try {
+    if (b == null || b.length < 12) return None
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var w = 0; var h = 0; var n = 0; var seen = false
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 32) return
+      var pos = start
+      while (pos + 8 <= end && pos + 8 <= b.length) {
+        val id = tag(pos)
+        val len =
+          math.min(u32le(b, pos + 4), (b.length - pos - 8).toLong).toInt
+        if (len < 0) return
+        if (id == "LIST")
+          walk(pos + 12, math.min(pos + 8 + len, b.length), depth + 1)
+        else if (id == "strf" && !seen && len >= 40
+          && u32le(b, pos + 8) == 40L) {
+          w = u32le(b, pos + 12).toInt
+          h = math.abs(u32le(b, pos + 16).toInt)
+          seen = true
+        } else if ((id == "00db" || id == "00dc") && len > 0
+          && pos + 8 + len <= b.length) n += 1
+        pos += 8 + len + (len & 1)
+      }
+    }
+    walk(12, b.length, depth = 0)
+    if (n > 0 && w > 0 && h > 0) Some((n, w, h)) else None
+  } catch { case _: Exception => None }
+
+  /** (key, frame count, pixels per frame) per video row — the
+    * duration/resolution quality signal for video retention (q181),
+    * the [[imagePixelCounts]] contract one modality up, computed from
+    * [[aviContainerStats]]' metadata-only walk. Nulls for unparseable
+    * containers. */
   def videoStats(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(videoStatsSchema)
     media.select("key", "bytes").mapPartitions { rows =>
       rows.map { r =>
         val key = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val frames = try parseAviFrames(bytes, 1, Int.MaxValue)
-          catch { case _: Exception => None }
-        frames match {
-          case Some(fs) if fs.nonEmpty =>
-            val px = graft.functions.BinaryFunctions.decode(fs.head._2)
-              .map(i => i.getWidth.toLong * i.getHeight)
-            Row(key, fs.length.toLong, px.orNull)
-          case _ => Row(key, null, null)
+        aviContainerStats(bytes) match {
+          case Some((n, w, h)) => Row(key, n.toLong, w.toLong * h)
+          case None => Row(key, null, null)
         }
       }
     }(enc).toDF()

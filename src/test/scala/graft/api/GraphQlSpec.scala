@@ -1050,6 +1050,15 @@ class GraphQlSpec extends SparkSpec {
     }
     // single-operation documents stay anonymous-servable (regression)
     assert(GraphQl.parse("{ region { r_regionkey } }").isRight)
+    // selecting a MUTATION through the read path is diagnosed as such,
+    // not mis-blamed on variables or braces
+    GraphQl.parse(
+      GraphQl.q179Doc + "\nmutation M { delete_customer(" +
+        "where: {c_custkey: {_eq: 1}}) { affected_rows } }",
+      operationName = Some("M")) match {
+      case Left(m) => assert(m.contains("mutation"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
   }
 
   private def parsed2(q: String, vars: String): Request =

@@ -841,6 +841,22 @@ class MutationsSpec extends SparkSpec {
     assert(GraphQl.parseMutationFields(
       """mutation { update_t(_set: {seg: "X"}) @include(if: false) {
         |  affected_rows } }""".stripMargin).isLeft)
+    // a fully-excluded document is a valid NO-OP (the dry-run toggle),
+    // not an error; a document with no fields at all stays malformed
+    assert(GraphQl.parseMutationFields(
+      """mutation M($dry: Boolean!) {
+        |  update_t(where: {k: {_eq: 1}}, _set: {seg: "X"})
+        |    @skip(if: $dry) { affected_rows }
+        |}""".stripMargin, """{"dry": true}""") === Right(Nil))
+    assert(GraphQl.parseMutationFields("mutation { }").isLeft)
+    // a malformed @skip cannot hide behind a false @include
+    GraphQl.parseMutationFields(
+      """mutation { update_t(where: {k: {_eq: 1}}, _set: {seg: "X"})
+        |  @include(if: false) @skip(if: 1) { affected_rows } }"""
+        .stripMargin) match {
+      case Left(m) => assert(m.contains("@skip"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
   }
 
   test("deleteVictims compiles KeySet to a left-semi join, never an " +

@@ -288,6 +288,36 @@ class IncrementalImageDedupSpec extends SparkSpec {
     assert(aWinner === Seq("a"))
   }
 
+  test("self-describing banding: a 7x9 pHash store serves search " +
+    "under ITS banding; a mismatched probe rejects loudly instead of " +
+    "silently missing candidates") {
+    import spark.implicits._
+    val phashes = MultimodalOps.imagePHashes(
+      PipelineQueries.phashFixtureBytes.toDF("key", "bytes"))
+      .localCheckpoint(true)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_phash_store").toString
+    IncrementalImageDedup.initStore(phashes, store, nBands = 7,
+      bandBits = 9)
+    val loaded = IncrementalImageDedup.loadStore(spark, store)
+    // search derives the store's banding — the d<=6 radius works and
+    // the probe equals the full scan within it
+    val probe = IncrementalImageDedup.search(loaded,
+      query = -6340691516647082415L, k = 8, maxDist = 6) // p1_noise
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val full = graft.functions.HammingBands
+      .knn(phashes, "key", "dhash", -6340691516647082415L, k = 99)
+      .filter(col("d") <= 6).limit(8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(probe === full && probe.nonEmpty)
+    // past the store's lossless radius: loud
+    assertThrows[IllegalArgumentException](
+      IncrementalImageDedup.search(loaded, 0L, k = 1, maxDist = 7))
+    // a probe under the WRONG banding rejects instead of missing
+    assertThrows[IllegalArgumentException](
+      IncrementalImageDedup.dupCandidates(phashes, loaded))
+  }
+
   test("probe plan: no cross join, candidate gate is the band equi-join") {
     val (bases, variants) = split()
     val store = java.nio.file.Files
