@@ -1790,6 +1790,11 @@ object OracleSql {
     "q170_store_search" -> hammingSearchSql(
       graft.queries.PipelineQueries.pinnedDhashes, 275148587264L, 5,
       maxDist = 3),
+    // q182: the same probe over the bucket-partitioned serving layout
+    // — same corpus/query/answer, so the oracle is shared
+    "q182_partitioned_search" -> hammingSearchSql(
+      graft.queries.PipelineQueries.pinnedDhashes, 275148587264L, 5,
+      maxDist = 3),
     // q176: the persisted-store probe over the AUDIO space — q170's
     // within-radius contract, second modality, same query literal as
     // q116's unbounded scan

@@ -66,6 +66,37 @@ object IncrementalImageDedup {
       .withColumn("batch", lit(-1L))
       .write.partitionBy("batch").mode("overwrite").parquet(path)
 
+  /** The band→directory bucket of the PARTITIONED serving layout —
+    * deterministic integer math shared by the writer's column
+    * expression and the driver-side probe (Spark's own hash() of a
+    * struct is not reproducible driver-side). */
+  def bandBucket(b: Int, v: Long, nBuckets: Int): Int =
+    java.lang.Math.floorMod(v * 31 + b, nBuckets.toLong).toInt
+
+  /** The SERVING layout for a find-similar index over 10^10 resident
+    * hashes: band rows land in `band_bucket` DIRECTORIES (plus the
+    * usual batch partition), so a [[search]] probe statically prunes
+    * to at most `nBands` of `nBuckets` directories — file-LISTING
+    * pruning, before any row is read — and the pushed band predicate
+    * prunes within them. Read-mostly by design: [[processBatch]]
+    * ingests into the batch-partitioned layout and refuses this one
+    * (a batch append would have to fan its rows across bucket
+    * directories — rebuild or compact into the serving layout
+    * instead, the InvertedIndex discipline). */
+  def initStorePartitioned(hashes: DataFrame, path: String,
+      nBands: Int = NBands, bandBits: Int = BandBits,
+      nBuckets: Int = 64): Unit =
+    signatureRows(hashes, nBands, bandBits)
+      .withColumn("n_bands", lit(nBands))
+      .withColumn("band_bits", lit(bandBits))
+      .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("band_bucket",
+        pmod(col("band.v") * 31 + col("band.b"), lit(nBuckets.toLong))
+          .cast("int"))
+      .withColumn("batch", lit(-1L))
+      .write.partitionBy("batch", "band_bucket").mode("overwrite")
+      .parquet(path)
+
   /** The banding a persisted store declares; None for a pre-banding-
     * column store or a bare signature DataFrame (callers' parameters
     * are trusted there — they built the rows themselves). */
@@ -183,11 +214,27 @@ object IncrementalImageDedup {
       s"the store's banding is lossless only to ${nBands - 1}")
     require(k > 0, "k must be positive")
     val mask = (1L << bandBits) - 1
-    val pred = (0 until nBands).map { b =>
-      col("band.b") === b &&
-        col("band.v") === ((query >>> (b * bandBits)) & mask)
+    val bandVals = (0 until nBands)
+      .map(b => b -> ((query >>> (b * bandBits)) & mask))
+    val pred = bandVals.map { case (b, v) =>
+      col("band.b") === b && col("band.v") === v
     }.reduce(_ || _)
-    store.filter(pred)
+    // the partitioned serving layout prunes at the FILE LISTING: the
+    // query's nBands bucket values compile to a partition filter, so
+    // at most nBands of n_buckets directories are touched at all
+    val pruned =
+      if (store.columns.contains("band_bucket") &&
+          store.columns.contains("n_buckets"))
+        store.select("n_buckets").limit(1).collect().headOption match {
+          case Some(r) =>
+            val nB = r.getInt(0)
+            val buckets = bandVals
+              .map { case (b, v) => bandBucket(b, v, nB) }.distinct
+            store.filter(col("band_bucket").isin(buckets: _*))
+          case None => store
+        }
+      else store
+    pruned.filter(pred)
       .select(col("key"), col("dhash")).distinct()
       .select(col("key"),
         bit_count(col("dhash").bitwiseXOR(lit(query))).cast("long")
@@ -213,6 +260,12 @@ object IncrementalImageDedup {
       maxDist: Int = MaxDist): (DataFrame, DataFrame) = {
     val hashes = MultimodalOps.imageDHashes(batchMedia)
       .localCheckpoint(eager = false)
+    // the bucket-partitioned SERVING layout is read-mostly: a batch
+    // append would fan rows across bucket directories under the
+    // replay contract — rebuild via initStorePartitioned instead
+    require(!store.columns.contains("band_bucket"),
+      "this store uses the partitioned serving layout — ingest into " +
+        "the batch-partitioned store and rebuild/compact to serve")
     // probe AND append under the store's own banding (self-described;
     // d≤3 default for pre-banding-column stores) — an append under a
     // different split would poison every later probe

@@ -819,6 +819,23 @@ object PipelineQueries {
     I.search(I.loadStore(s, path), query = 5956182740055530213L, k = 5)
   }
 
+  /** q182 — the q170 probe over the PARTITIONED SERVING LAYOUT
+    * ([[graft.operators.IncrementalImageDedup.initStorePartitioned]]):
+    * band rows live in band-bucket DIRECTORIES, so the probe prunes
+    * at the file listing (at most |bands| of 64 directories touched —
+    * plan-asserted partition filters in spec) before the pushed band
+    * predicate prunes within. Same corpus, same query, same answer —
+    * q170's oracle shared — with the 10^10-resident-hash layout. */
+  def q182PartitionedSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
+    val path = s"/root/repo/target/tmp/q182_store_" +
+      s.sparkContext.applicationId
+    I.initStorePartitioned(
+      M.imageDHashes(dhashFixtureBytes.toDF("key", "bytes")), path)
+    I.search(I.loadStore(s, path), query = 275148587264L, k = 5)
+  }
+
   /** q113 — the VIDEO-LEVEL repost verdict: q106 reports which frames
     * collide; the user's question is "which VIDEOS are reposts". One
     * groupBy over the frame pairs ([[graft.operators.MultimodalOps

@@ -318,6 +318,47 @@ class IncrementalImageDedupSpec extends SparkSpec {
       IncrementalImageDedup.dupCandidates(phashes, loaded))
   }
 
+  test("q182 partitioned serving layout: the probe prunes at the FILE " +
+    "LISTING (partition filters on band_bucket), answers equal the " +
+    "flat store, appends refuse") {
+    import spark.implicits._
+    val hashes = MultimodalOps.imageDHashes(
+      PipelineQueries.dhashFixtureBytes.toDF("key", "bytes"))
+      .localCheckpoint(true)
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft_flat_store").toString
+    val part = java.nio.file.Files
+      .createTempDirectory("graft_part_store").toString
+    IncrementalImageDedup.initStore(hashes, flat)
+    IncrementalImageDedup.initStorePartitioned(hashes, part)
+    val loadedPart = IncrementalImageDedup.loadStore(spark, part)
+    val hashByKey = hashes.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // probe ≡ flat-store probe for EVERY corpus member as the query
+    hashByKey.foreach { case (qKey, qHash) =>
+      val p = IncrementalImageDedup.search(loadedPart, qHash, k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val f = IncrementalImageDedup.search(
+        IncrementalImageDedup.loadStore(spark, flat), qHash, k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(p === f, s"query $qKey")
+    }
+    // partition pruning is visible in the plan: the bucket disjunction
+    // lands in PartitionFilters, not just PushedFilters
+    val plan = IncrementalImageDedup.search(loadedPart,
+      hashByKey("m07_near"), k = 5)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("band_bucket"),
+      s"bucket filter must prune partitions:\n$plan")
+    // the serving layout is read-mostly: batch ingest refuses loudly
+    assertThrows[IllegalArgumentException](
+      IncrementalImageDedup.processBatch(
+        PipelineQueries.dhashFixtureBytes.take(1).toDF("key", "bytes"),
+        loadedPart, part, batchId = 1L))
+  }
+
   test("probe plan: no cross join, candidate gate is the band equi-join") {
     val (bases, variants) = split()
     val store = java.nio.file.Files
