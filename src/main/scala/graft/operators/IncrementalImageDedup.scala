@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.HammingBands
+import graft.sources.AtomicSwap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,6 +97,30 @@ object IncrementalImageDedup {
       .withColumn("batch", lit(-1L))
       .write.partitionBy("batch", "band_bucket").mode("overwrite")
       .parquet(path)
+
+  /** COMPACT the batch-partitioned ingest store into the partitioned
+    * SERVING layout — the promised other half of the read-mostly
+    * contract ([[processBatch]] ingests, this ships): distinct
+    * (key, dhash) pairs re-band under the store's own split and land
+    * bucket-partitioned at `servingPath`, through the [[graft.sources
+    * .AtomicSwap]] ritual so a live serving store never reads
+    * half-built (and a crash mid-compact leaves it fully old or fully
+    * new — the InvertedIndex/SnapshotStore compaction discipline).
+    * The ingest store stays untouched; run this on whatever cadence
+    * the staleness budget allows. */
+  def compactToServing(spark: SparkSession, ingestPath: String,
+      servingPath: String, nBuckets: Int = 64): Unit = {
+    val ingest = loadStore(spark, ingestPath)
+    val (nb, bb) = storeBanding(ingest).getOrElse((NBands, BandBits))
+    val hashes = ingest.select("key", "dhash").distinct()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(servingPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(servingPath)))
+      initStorePartitioned(hashes, servingPath, nb, bb, nBuckets)
+    else AtomicSwap.rewrite(fs, servingPath)(tmp =>
+      initStorePartitioned(hashes, tmp, nb, bb, nBuckets))
+  }
 
   /** The banding a persisted store declares; None for a pre-banding-
     * column store or a bare signature DataFrame (callers' parameters

@@ -357,6 +357,35 @@ class IncrementalImageDedupSpec extends SparkSpec {
       IncrementalImageDedup.processBatch(
         PipelineQueries.dhashFixtureBytes.take(1).toDF("key", "bytes"),
         loadedPart, part, batchId = 1L))
+    // COMPACTION closes the lifecycle loop: ingest store (corpus +
+    // an appended batch) compacts into the serving layout, the probe
+    // finds the appended member, and re-compaction swaps atomically
+    val (bases, variants) = PipelineQueries.dhashFixtureBytes
+      .partition(f => !f._1.contains("_"))
+    val ingest = java.nio.file.Files
+      .createTempDirectory("graft_ingest_store").toString
+    IncrementalImageDedup.initStore(
+      MultimodalOps.imageDHashes(bases.toDF("key", "bytes")), ingest)
+    IncrementalImageDedup.processBatch(
+      variants.toDF("key", "bytes"),
+      IncrementalImageDedup.loadStore(spark, ingest), ingest,
+      batchId = 1L)
+    val serving = java.nio.file.Files
+      .createTempDirectory("graft_serving_store").toString + "/s"
+    IncrementalImageDedup.compactToServing(spark, ingest, serving)
+    // m03_far is a FRESH append (no within-bound match): it reached
+    // the ingest store and must be probe-visible after compaction
+    val hit = IncrementalImageDedup.search(
+      IncrementalImageDedup.loadStore(spark, serving),
+      hashByKey("m03_far"), k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(hit === Seq("m03_far"))
+    // re-compaction over the live serving store swaps atomically
+    IncrementalImageDedup.compactToServing(spark, ingest, serving)
+    assert(IncrementalImageDedup.search(
+      IncrementalImageDedup.loadStore(spark, serving),
+      hashByKey("m03_far"), k = 1)
+      .collect().map(_.getString(0)).toSeq === Seq("m03_far"))
   }
 
   test("probe plan: no cross join, candidate gate is the band equi-join") {
