@@ -116,24 +116,70 @@ object IncrementalImageDedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(servingPath),
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(servingPath)))
-      initStorePartitioned(hashes, servingPath, nb, bb, nBuckets)
-    else AtomicSwap.rewrite(fs, servingPath)(tmp =>
+    val live = new org.apache.hadoop.fs.Path(servingPath)
+    // recover an interrupted PRIOR compaction before deciding whether
+    // this is a first build — a mid-swap crash leaves the live path
+    // missing with complete data at _precompact, and treating that as
+    // "first build" would orphan it
+    def ex(suffix: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(servingPath + suffix))
+    if (ex("") || ex("_precompact") || ex("_compacting") ||
+        ex("_swapping"))
+      AtomicSwap.recover(fs, servingPath)
+    if (!fs.exists(live)) {
+      // FIRST build is atomic too: build aside, one rename publishes —
+      // a crash mid-write must never leave a half-built directory that
+      // exists (a later probe would silently miss candidates)
+      val tmp = new org.apache.hadoop.fs.Path(servingPath + "_building")
+      fs.delete(tmp, true)
+      initStorePartitioned(hashes, tmp.toString, nb, bb, nBuckets)
+      require(fs.rename(tmp, live),
+        s"compactToServing: cannot publish $servingPath")
+    } else AtomicSwap.rewrite(fs, servingPath)(tmp =>
       initStorePartitioned(hashes, tmp, nb, bb, nBuckets))
   }
 
-  /** The banding a persisted store declares; None for a pre-banding-
-    * column store or a bare signature DataFrame (callers' parameters
-    * are trusted there — they built the rows themselves). */
-  private def storeBanding(store: DataFrame): Option[(Int, Int)] =
-    if (store.columns.contains("n_bands") &&
-        store.columns.contains("band_bits"))
-      store.select("n_bands", "band_bits").limit(1).collect()
-        .headOption.map(r => (r.getInt(0), r.getInt(1)))
-    else None
+  /** The self-described metadata of a persisted store — (banding,
+    * bucket count), in ONE limit-1 collect (the serving path pays one
+    * driver round-trip per probe, not one per field). None components
+    * for pre-metadata stores and bare signature DataFrames (callers'
+    * parameters are trusted there — they built the rows). */
+  private def storeMeta(store: DataFrame)
+      : (Option[(Int, Int)], Option[Int]) = {
+    val cols = store.columns.toSet
+    val hasB = cols("n_bands") && cols("band_bits")
+    val hasK = cols("n_buckets")
+    if (!hasB && !hasK) return (None, None)
+    val sel = (if (hasB) Seq("n_bands", "band_bits") else Nil) ++
+      (if (hasK) Seq("n_buckets") else Nil)
+    store.select(sel.head, sel.tail: _*).limit(1).collect()
+      .headOption match {
+      case Some(r) =>
+        (if (hasB) Some((r.getInt(0), r.getInt(1))) else None,
+          if (hasK) Some(r.getInt(if (hasB) 2 else 0)) else None)
+      case None => (None, None)
+    }
+  }
 
-  def loadStore(spark: SparkSession, path: String): DataFrame =
+  private def storeBanding(store: DataFrame): Option[(Int, Int)] =
+    storeMeta(store)._1
+
+  def loadStore(spark: SparkSession, path: String): DataFrame = {
+    // complete any interrupted serving-store compaction BEFORE the
+    // first read — recovery living only inside AtomicSwap.rewrite is
+    // unreachable for a reader that throws on the missing live path
+    // first (the IvfIndex/InvertedIndex discipline). Guarded: recover
+    // throws on a path that never existed, and most stores here are
+    // plain ingest paths with no swap history.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def ex(suffix: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(path + suffix))
+    if (ex("") || ex("_precompact") || ex("_compacting") ||
+        ex("_swapping"))
+      AtomicSwap.recover(fs, path)
     spark.read.parquet(path)
+  }
 
   /** The verified candidate pairs of a probe — (key, s_key, dist),
     * possibly several per batch key (and duplicated across agreeing
@@ -229,36 +275,34 @@ object IncrementalImageDedup {
     * image dHash (q170), audio fingerprints (q176) — rides the same
     * (key, dhash, band) layout. */
   def search(store: DataFrame, query: Long, k: Int,
-      maxDist: Int = MaxDist): DataFrame = {
+      maxDist: Int = MaxDist, nBands: Int = NBands,
+      bandBits: Int = BandBits): DataFrame = {
     // the probe's band predicate must be built under the STORE's
-    // banding — self-described when persisted through initStore;
-    // the d≤3 default for bare signature frames
-    val (nBands, bandBits) = storeBanding(store)
-      .getOrElse((NBands, BandBits))
-    require(maxDist < nBands,
-      s"the store's banding is lossless only to ${nBands - 1}")
+    // banding — self-described when persisted through initStore
+    // (overriding the parameters), the caller's parameters for bare
+    // signature frames (a 7x9 frame probed under the 4x16 default
+    // would silently band-miss; pass what signatureRows was given)
+    val (meta, metaBuckets) = storeMeta(store)
+    val (nb, bb) = meta.getOrElse((nBands, bandBits))
+    require(maxDist < nb,
+      s"the store's banding is lossless only to ${nb - 1}")
     require(k > 0, "k must be positive")
-    val mask = (1L << bandBits) - 1
-    val bandVals = (0 until nBands)
-      .map(b => b -> ((query >>> (b * bandBits)) & mask))
+    val mask = (1L << bb) - 1
+    val bandVals = (0 until nb)
+      .map(b => b -> ((query >>> (b * bb)) & mask))
     val pred = bandVals.map { case (b, v) =>
       col("band.b") === b && col("band.v") === v
     }.reduce(_ || _)
     // the partitioned serving layout prunes at the FILE LISTING: the
-    // query's nBands bucket values compile to a partition filter, so
+    // query's band bucket values compile to a partition filter, so
     // at most nBands of n_buckets directories are touched at all
-    val pruned =
-      if (store.columns.contains("band_bucket") &&
-          store.columns.contains("n_buckets"))
-        store.select("n_buckets").limit(1).collect().headOption match {
-          case Some(r) =>
-            val nB = r.getInt(0)
-            val buckets = bandVals
-              .map { case (b, v) => bandBucket(b, v, nB) }.distinct
-            store.filter(col("band_bucket").isin(buckets: _*))
-          case None => store
-        }
-      else store
+    val pruned = metaBuckets match {
+      case Some(nB) if store.columns.contains("band_bucket") =>
+        val buckets = bandVals
+          .map { case (b, v) => bandBucket(b, v, nB) }.distinct
+        store.filter(col("band_bucket").isin(buckets: _*))
+      case _ => store
+    }
     pruned.filter(pred)
       .select(col("key"), col("dhash")).distinct()
       .select(col("key"),

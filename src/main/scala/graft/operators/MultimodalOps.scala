@@ -1385,18 +1385,32 @@ object MultimodalOps {
 
   /** (key, frame count, pixels per frame) per video row — the
     * duration/resolution quality signal for video retention (q181),
-    * the [[imagePixelCounts]] contract one modality up, computed from
-    * [[aviContainerStats]]' metadata-only walk. Nulls for unparseable
-    * containers. */
+    * the [[imagePixelCounts]] contract one modality up. Frame COUNT
+    * comes from [[aviContainerStats]]' metadata-only walk; the
+    * DIMENSIONS come from DECODING the first frame (one decode per
+    * container, never F — but the quality signal must not trust a
+    * header: a container declaring 4096×4096 over garbage chunks
+    * would otherwise outscore every honest member of its cluster; a
+    * container whose first frame cannot decode is quality-UNKNOWN,
+    * which [[Retention.keepBest]] sorts last by design). Residual
+    * trust: the chunk COUNT (decoding all frames to verify it would
+    * multiply the dominant cost by F) — documented, bounded by the
+    * decoded-dims gate. */
   def videoStats(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(videoStatsSchema)
     media.select("key", "bytes").mapPartitions { rows =>
       rows.map { r =>
         val key = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
-        aviContainerStats(bytes) match {
-          case Some((n, w, h)) => Row(key, n.toLong, w.toLong * h)
-          case None => Row(key, null, null)
+        val stats = aviContainerStats(bytes)
+        val firstPx = try {
+          parseAviFrames(bytes, 1, 1).flatMap(_.headOption)
+            .flatMap(f => graft.functions.BinaryFunctions.decode(f._2))
+            .map(i => i.getWidth.toLong * i.getHeight)
+        } catch { case _: Exception => None }
+        (stats, firstPx) match {
+          case (Some((n, _, _)), Some(px)) => Row(key, n.toLong, px)
+          case _ => Row(key, null, null)
         }
       }
     }(enc).toDF()
