@@ -1848,13 +1848,19 @@ object GraphQl {
     * materializes at its step ([[Mutations.applyFields]]). Never
     * throws. */
   def parseMutationFields(doc: String, variables: String = "{}",
-      schema: Schema = fixtureSchema)
+      schema: Schema = fixtureSchema,
+      operationName: Option[String] = None)
       : Either[String, Seq[Mutations.Field]] =
     try {
       val vars = jsonVars(variables)
-      val (opToks, frags) = extractFragments(tokenize(doc))
+      val (allToks, frags) = extractFragments(tokenize(doc))
       if (frags.nonEmpty)
         bad("fragments are not supported in mutation documents")
+      // the mirror of parse()'s multi-operation handling: a GraphiQL
+      // tab holding queries AND mutations selects the mutation by
+      // operationName; choosing a read operation here is diagnosed as
+      // such, the way parse() diagnoses a chosen mutation
+      val opToks = chooseOperation(allToks, operationName)
       val p = new P(opToks)
       p.peek match {
         case Name("mutation", _) =>

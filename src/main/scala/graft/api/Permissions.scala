@@ -493,10 +493,12 @@ object Permissions {
       role: String, policy: Policy, doc: String,
       stores: Map[String, (String, String)],
       schema: GraphQl.Schema = GraphQl.fixtureSchema,
-      variables: String = "{}")
+      variables: String = "{}",
+      operationName: Option[String] = None)
       : Either[String, Seq[Mutations.FieldResult]] =
     for {
-      fields <- GraphQl.parseMutationFields(doc, variables, schema)
+      fields <- GraphQl.parseMutationFields(doc, variables, schema,
+        operationName)
       sec <- secureFields(fields, role, policy)
     } yield Mutations.applyFieldsToStores(s, stores, sec)
 

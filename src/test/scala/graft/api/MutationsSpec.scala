@@ -857,6 +857,20 @@ class MutationsSpec extends SparkSpec {
       case Left(m) => assert(m.contains("@skip"), m)
       case Right(r) => fail(s"parsed: $r")
     }
+    // a mixed query+mutation document selects the mutation by
+    // operationName; selecting the QUERY here is diagnosed as such
+    val mixed =
+      """query R { region { r_regionkey } }
+        |mutation W { delete_t(where: {seg: {_eq: "C"}}) {
+        |  affected_rows } }""".stripMargin
+    assert(GraphQl.parseMutationFields(mixed,
+      operationName = Some("W")) === Right(Seq(Mutations.Field(
+      Mutations.Delete("t", Eq("seg", "C"))))))
+    GraphQl.parseMutationFields(mixed, operationName = Some("R")) match {
+      case Left(m) => assert(m.contains("expected 'mutation'"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    assert(GraphQl.parseMutationFields(mixed).isLeft) // needs the name
   }
 
   test("deleteVictims compiles KeySet to a left-semi join, never an " +
