@@ -1340,20 +1340,25 @@ object GraphQl {
     * live-query mode's job. Operation variables work as in [[parse]]
     * ($v at any value position). Never throws. */
   def parseStream(query: String, schema: Schema = fixtureSchema,
-      variables: String = "{}")
+      variables: String = "{}",
+      operationName: Option[String] = None)
       : Either[String, Subscriptions.StreamRequest] =
     try {
       val vars = jsonVars(variables)
-      val (opToks, frags) = extractFragments(tokenize(query))
+      val (allToks, frags) = extractFragments(tokenize(query))
       if (frags.nonEmpty)
         bad("fragments are not supported in stream documents")
+      // the parse()/parseMutationFields multi-operation contract,
+      // completed for the third grammar: a tabbed document selects
+      // its subscription by operationName, wrong-kind picks diagnose
+      val opToks = chooseOperation(allToks, operationName)
       val p = new P(opToks)
       p.peek match {
         case Name("subscription", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
           parseOpVariables(p, vars)
-        case Name("query", _) =>
+        case Name("query" | "mutation", _) =>
           bad("<table>_stream is a subscription-only surface " +
             "(Hasura serves it over no other operation type)")
         case t =>

@@ -1059,6 +1059,22 @@ class GraphQlSpec extends SparkSpec {
       case Left(m) => assert(m.contains("mutation"), m)
       case Right(r) => fail(s"parsed: $r")
     }
+    // the stream grammar selects by operationName too; a wrong-kind
+    // pick diagnoses the subscription-only surface
+    val streamTab = GraphQl.q179Doc + "\n" +
+      """subscription S {
+        |  events_stream(cursor: {initial_value: {event_id: null}},
+        |                batch_size: 5) {
+        |    event_id
+        |  }
+        |}""".stripMargin
+    val sr = GraphQl.parseStream(streamTab, operationName = Some("S"))
+      .fold(m => fail(m), identity)
+    assert(sr.table === "events" && sr.batchSize === 5)
+    GraphQl.parseStream(streamTab, operationName = Some("Other")) match {
+      case Left(m) => assert(m.contains("subscription-only"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
   }
 
   private def parsed2(q: String, vars: String): Request =
