@@ -2049,6 +2049,19 @@ object OracleSql {
     // q178: @include/@skip conditional selections — with $all=false
     // only the key and the skipped-over balance survive
     "q178_conditional_fields" -> condFieldsSql,
+    // q183: directives + operationName on the STREAM surface — the
+    // chosen subscription's q145-style cursor replay with the
+    // @include fields dropped ($all = false keeps event_id and the
+    // @skip'd event_type only)
+    "q183_stream_directives" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events
+        |  WHERE event_id > 3000 AND event_type = 'click')
+        |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
+        |       event_id, event_type
+        |FROM f WHERE rn <= 21""".stripMargin,
     // q179: operationName selection over a multi-operation document —
     // the chosen operation IS q178's, so the oracle is shared (the
     // q90/q91 shared-oracle pattern); picking the decoy hash-fails

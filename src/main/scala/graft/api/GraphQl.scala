@@ -760,9 +760,13 @@ object GraphQl {
 
   /** Pick the operation a request names — the spec's rules: a named
     * request must match exactly one definition; an anonymous request
-    * is only valid against a single-operation document. */
+    * is only valid against a single-operation document. Returns the
+    * chosen slice AND the document's operation count — the
+    * bound-variable and fragment-use checks relax for multi-operation
+    * documents (the GraphiQL tabbed shape), where bindings and
+    * fragments may belong to a non-chosen operation. */
   private def chooseOperation(toks: Vector[Tok],
-      operationName: Option[String]): Vector[Tok] = {
+      operationName: Option[String]): (Vector[Tok], Int) = {
     val ops = splitOperations(toks)
     if (ops.isEmpty) bad("document defines no operation")
     operationName match {
@@ -770,13 +774,30 @@ object GraphQl {
         val hits = ops.filter(_._1.contains(n))
         if (hits.isEmpty) bad(s"no operation named '$n' in the document")
         if (hits.length > 1) bad(s"operation name '$n' is ambiguous")
-        hits.head._2
+        (hits.head._2, ops.length)
       case None =>
         if (ops.length > 1)
           bad(s"document defines ${ops.length} operations — " +
             "operationName is required")
-        ops.head._2
+        (ops.head._2, ops.length)
     }
+  }
+
+  /** Names spread (`...Name`) anywhere in a token stream — the
+    * document-wide half of the All-Fragments-Used rule (spec 5.5.1.4
+    * requires each fragment be spread somewhere in the DOCUMENT, not
+    * in the operation a request selects). */
+  private def spreadNames(toks: Vector[Tok]): Set[String] = {
+    val out = Set.newBuilder[String]
+    var i = 0
+    while (i + 1 < toks.length) {
+      (toks(i), toks(i + 1)) match {
+        case (Spread(_), Name(n, _)) if n != "on" => out += n
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
   }
 
   /** The spec's conditional directives — `@include(if:)` / `@skip
@@ -873,9 +894,22 @@ object GraphQl {
         if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("fn")) }
         else (None, first)
       fn match {
-        case "count" => aggs += countArm(alias, parseArgs(p))
+        case "count" =>
+          // @include/@skip on the count arm: compile-then-gate, the
+          // shared conditionalKeep contract (a malformed excluded
+          // count still errors at parse)
+          val cargs = parseArgs(p)
+          val (keepC, restC) = conditionalKeep(parseDirectives(p),
+            s"$at.count")
+          restC.keySet.foreach(d =>
+            bad(s"$at.count: unknown directive @$d"))
+          val cf = countArm(alias, cargs)
+          if (keepC) aggs += cf
         case "sum" | "min" | "max" | "avg" | "stddev" | "stddev_samp" |
             "stddev_pop" | "variance" | "var_samp" | "var_pop" =>
+          val (keepFn, restFn) = conditionalKeep(parseDirectives(p),
+            s"$at.$fn")
+          restFn.keySet.foreach(d => bad(s"$at.$fn: unknown directive @$d"))
           p.expect('{')
           var inBlock = 0
           while (!p.isPunct('}')) {
@@ -887,8 +921,12 @@ object GraphQl {
             if (inBlock > 1 && alias.isDefined)
               bad(s"$at: alias on $fn covers one field; " +
                 "split multi-field aggregates")
+            val (keepF, restF) = conditionalKeep(parseDirectives(p),
+              s"$at.$fn.$f")
+            restF.keySet.foreach(d =>
+              bad(s"$at.$fn.$f: unknown directive @$d"))
             val as = alias.getOrElse(s"${fn}_$f")
-            aggs += (fn match {
+            val af = (fn match {
               case "sum" => SumOf(f, as)
               case "min" => MinOf(f, as)
               case "max" => MaxOf(f, as)
@@ -899,7 +937,8 @@ object GraphQl {
               case "stddev_pop" => StddevOf(f, as, pop = true)
               case "variance" | "var_samp" => VarianceOf(f, as)
               case "var_pop" => VarianceOf(f, as, pop = true)
-            })
+            }): AggField
+            if (keepFn && keepF) aggs += af
           }
           p.expect('}')
         case other => bad(s"$at: unknown aggregate '$other'")
@@ -1018,7 +1057,8 @@ object GraphQl {
     * operation keyword, validate declared↔bound agreement, and arm the
     * parser's variable table — shared by the query and mutation
     * operation headers. */
-  private def parseOpVariables(p: P, vars: Map[String, V]): Unit = {
+  private def parseOpVariables(p: P, vars: Map[String, V],
+      multiOp: Boolean = false): Unit = {
     val declared = Set.newBuilder[String]
     if (p.isPunct('(')) {
       p.expect('(')
@@ -1042,8 +1082,16 @@ object GraphQl {
       p.expect(')')
     }
     val declaredSet = declared.result()
-    (vars.keySet -- declaredSet).toSeq.sorted.headOption.foreach(k =>
-      bad(s"variables.$k bound but not declared by the operation"))
+    // the strict bound↔declared agreement holds for single-operation
+    // documents; a MULTI-operation document (GraphiQL's shared
+    // variables pane) legitimately POSTs the union of every
+    // operation's bindings — the spec's CoerceVariableValues ignores
+    // extraneous variable values, so tolerate them there (only
+    // DECLARED variables resolve; an undeclared $name in the chosen
+    // operation still errors at its use site)
+    if (!multiOp)
+      (vars.keySet -- declaredSet).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variables.$k bound but not declared by the operation"))
     p.variables = declaredSet.map(k => k -> vars(k)).toMap
   }
 
@@ -1056,7 +1104,7 @@ object GraphQl {
       // multi-operation documents select by operationName (the wire
       // field every client POSTs); variable declared/bound/used
       // checks apply to the CHOSEN operation, per the spec
-      val opToks = chooseOperation(allToks, operationName)
+      val (opToks, nOps) = chooseOperation(allToks, operationName)
       val p = new P(opToks)
       p.fragments = frags
       // optional operation header: `query [Name] [($var: type, ...)]`;
@@ -1073,7 +1121,7 @@ object GraphQl {
         case Name("query" | "subscription", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
-          parseOpVariables(p, vars)
+          parseOpVariables(p, vars, multiOp = nOps > 1)
         case _ =>
           // the bare `{...}` shorthand declares nothing, so any bound
           // variable is an error (same rule as an explicit header)
@@ -1162,8 +1210,11 @@ object GraphQl {
             val joinType = fdirs.get("join")
               .map(d => strDirArg(d, "join", "type", fname))
               .getOrElse("left")
-            if (keep)
-              aggRels += AggRel(rel.childTable, rel.childKey, rel.parentKey,
+            // the conditionalKeep contract: an EXCLUDED field still
+            // fully COMPILES (malformed where/order_by/limit surface
+            // now, not when the flag flips in production) — only the
+            // append gates, the compileRelBody/compileMutation pattern
+            val a = AggRel(rel.childTable, rel.childKey, rel.parentKey,
               aggs, joinType = joinType,
               where = fargs.get("where")
                 .map(compileBool(_, s"$fname.where",
@@ -1174,6 +1225,7 @@ object GraphQl {
               offset = intArg(fargs, "offset", fname).getOrElse(0),
               distinctOn = distinctOnArg(fargs, fname),
               nodes = aggNodes)
+            if (keep) aggRels += a
           } else {
             schema.rels.get((table, fname)) match {
               case Some(rel) =>
@@ -1209,7 +1261,17 @@ object GraphQl {
       (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
-      (p.fragments.keySet -- p.usedFrags).toSeq.sorted.headOption
+      // All-Fragments-Used is a DOCUMENT-wide rule (spec 5.5.1.4):
+      // when operationName picked one of several operations, a
+      // fragment spread only by a NON-chosen operation (the GraphiQL
+      // tabbed document) is still used — scan every operation slice
+      // and fragment body, not just the chosen operation's resolves
+      val docSpreads: Set[String] =
+        if (nOps > 1)
+          spreadNames(allToks) ++
+            frags.valuesIterator.flatMap(b => spreadNames(b._2))
+        else p.usedFrags.toSet
+      (p.fragments.keySet -- docSpreads).toSeq.sorted.headOption
         .foreach(f => bad(s"fragment '$f' defined but never spread — " +
           "dead selection text usually means a typo'd spread"))
       val (rootOrders, rootOrderAggs) = args.get("order_by")
@@ -1289,18 +1351,44 @@ object GraphQl {
       while (!p.isPunct('}')) {
         p.name("aggregate body") match {
           case "aggregate" =>
-            aggs = compileAggFields(p, root, rootCount(root))
+            // @include/@skip gate the aggregate arm like every other
+            // selection (spec directives apply to all operation
+            // types) — the arm still fully compiles, only its
+            // contribution drops
+            val (keepA, restA) = conditionalKeep(parseDirectives(p),
+              s"$root.aggregate")
+            restA.keySet.foreach(d =>
+              bad(s"$root.aggregate: unknown directive @$d"))
+            val as = compileAggFields(p, root, rootCount(root))
+            if (keepA) aggs = as
           case "nodes" =>
             // Hasura's nodes arm: the filtered rows themselves, next
             // to their aggregates — served as one deterministic JSON
             // array column (sorted by the first selected field)
+            val (keepN, restN) = conditionalKeep(parseDirectives(p),
+              s"$root.nodes")
+            restN.keySet.foreach(d =>
+              bad(s"$root.nodes: unknown directive @$d"))
+            // the duplicate rule counts KEPT arms (an excluded one
+            // never contributes, so it cannot occupy the slot)
             if (nodes.nonEmpty) bad(s"$root: duplicate nodes")
             p.expect('{')
             val fs = Seq.newBuilder[String]
-            while (!p.isPunct('}')) fs += p.name("nodes field")
+            var parsedN = 0
+            while (!p.isPunct('}')) {
+              val nf = p.name("nodes field")
+              parsedN += 1
+              val (keepF, restF) = conditionalKeep(parseDirectives(p),
+                s"$root.nodes.$nf")
+              restF.keySet.foreach(d =>
+                bad(s"$root.nodes.$nf: unknown directive @$d"))
+              if (keepF) fs += nf
+            }
             p.expect('}')
-            nodes = fs.result()
-            if (nodes.isEmpty) bad(s"$root.nodes: empty selection set")
+            if (parsedN == 0) bad(s"$root.nodes: empty selection set")
+            // an all-excluded nodes arm contributes nothing — the
+            // fully-skipped-selection no-op, same as the stream path
+            if (keepN) nodes = fs.result()
           case other =>
             bad(s"$root: expected 'aggregate' or 'nodes', got '$other'")
         }
@@ -1351,13 +1439,13 @@ object GraphQl {
       // the parse()/parseMutationFields multi-operation contract,
       // completed for the third grammar: a tabbed document selects
       // its subscription by operationName, wrong-kind picks diagnose
-      val opToks = chooseOperation(allToks, operationName)
+      val (opToks, nOps) = chooseOperation(allToks, operationName)
       val p = new P(opToks)
       p.peek match {
         case Name("subscription", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
-          parseOpVariables(p, vars)
+          parseOpVariables(p, vars, multiOp = nOps > 1)
         case Name("query" | "mutation", _) =>
           bad("<table>_stream is a subscription-only surface " +
             "(Hasura serves it over no other operation type)")
@@ -1415,19 +1503,32 @@ object GraphQl {
         .map(compileBool(_, s"$root.where"))
       p.expect('{')
       val fields = Seq.newBuilder[String]
+      var parsedFields = 0
       while (!p.isPunct('}')) {
         val f = p.name("stream selection")
+        parsedFields += 1
         if (p.isPunct(':'))
           bad(s"$f: aliases are not supported on stream fields " +
             "(the oracle compares by column name)")
+        // @include/@skip gate stream fields exactly like reads and
+        // mutations (spec directives apply to EVERY operation type;
+        // Hasura serves them on subscriptions) — the field still
+        // parses, only its delivery drops
+        val (keepF, restF) = conditionalKeep(parseDirectives(p),
+          s"$root.$f")
+        restF.keySet.foreach(d => bad(s"$root.$f: unknown directive @$d"))
         if (p.isPunct('{'))
           bad(s"$f: relationships are not served under a cursor " +
             "scan (use the live-query mode)")
-        fields += f
+        if (keepF) fields += f
       }
       p.expect('}')
       val fs = fields.result()
-      if (fs.isEmpty) bad(s"$root: empty selection set")
+      // the mutation no-op contract: a selection with no fields AT ALL
+      // is malformed; one whose every field was conditionally excluded
+      // is the spec's fully-skipped selection — valid, pages still cut
+      // (rows deliver with no selected columns), never an error
+      if (parsedFields == 0) bad(s"$root: empty selection set")
       p.expect('}')
       p.peek match {
         case Eof(_) => ()
@@ -1452,6 +1553,11 @@ object GraphQl {
     * printer contract. */
   def renderStream(sr: Subscriptions.StreamRequest,
       schema: Schema = fixtureSchema): String = {
+    // an all-fields-excluded request (valid, the fully-skipped
+    // no-op) has no directive-free spelling — refuse to render an
+    // empty selection set that would not re-parse
+    require(sr.fields.nonEmpty,
+      s"${sr.table}_stream: cannot render an empty selection set")
     val sb = new StringBuilder
     sb ++= "subscription {\n  " ++= sr.table ++= "_stream(cursor: " ++=
       "{initial_value: {" ++= sr.cursorField ++= ": " ++=
@@ -1584,6 +1690,48 @@ object GraphQl {
         graft.Tables.load(s, dir, sr.table), sr, nPages = 3)
       case Left(m) => throw new IllegalStateException(
         s"canned q145 stream subscription failed to parse: $m")
+    }
+
+  /** q183's document — CONDITIONAL directives on the STREAM surface,
+    * inside a MULTI-OPERATION document (the GraphiQL tabbed shape the
+    * q178/q179 pattern pinned for reads): the chosen subscription
+    * toggles fields with `@include`/`@skip` driven by `$all`, the
+    * decoy streams a different cursor, and the POSTed variables carry
+    * an extra binding only the decoy-less strict check would reject
+    * (the spec's CoerceVariableValues ignores extraneous values on
+    * multi-operation documents). */
+  val q183Doc: String =
+    """subscription Pick($all: Boolean!) {
+      |  events_stream(
+      |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+      |    batch_size: 7,
+      |    where: {event_type: {_eq: "click"}}) {
+      |    event_id
+      |    user_id @include(if: $all)
+      |    event_type @skip(if: $all)
+      |    value @include(if: $all)
+      |  }
+      |}
+      |subscription Decoy {
+      |  events_stream(cursor: {initial_value: {event_id: null}},
+      |                batch_size: 5) { event_id }
+      |}""".stripMargin
+
+  /** q183 — `@include`/`@skip` + `operationName` on the `_stream`
+    * surface end to end (the directive-parity gap VERDICT r13 ranked
+    * first): with `$all = false` the subscription delivers exactly
+    * (event_id, event_type) pages; an engine ignoring the directives
+    * (extra columns), the operation selection (wrong cursor), or the
+    * extraneous-variable tolerance (parse Left) fails the oracle. */
+  def q183StreamDirectives(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseStream(q183Doc,
+        variables = """{"all": false, "spare": 1}""",
+        operationName = Some("Pick")) match {
+      case Right(sr) => Subscriptions.streamPages(
+        graft.Tables.load(s, dir, sr.table), sr, nPages = 3)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q183 stream subscription failed to parse: $m")
     }
 
   // ---- mutations -----------------------------------------------------
@@ -1865,13 +2013,13 @@ object GraphQl {
       // tab holding queries AND mutations selects the mutation by
       // operationName; choosing a read operation here is diagnosed as
       // such, the way parse() diagnoses a chosen mutation
-      val opToks = chooseOperation(allToks, operationName)
+      val (opToks, nOps) = chooseOperation(allToks, operationName)
       val p = new P(opToks)
       p.peek match {
         case Name("mutation", _) =>
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
-          parseOpVariables(p, vars)
+          parseOpVariables(p, vars, multiOp = nOps > 1)
         case t => bad(s"expected 'mutation' at ${t.pos} (read queries " +
           "go through parse)")
       }

@@ -157,7 +157,12 @@ object Subscriptions {
       initial: Option[Any], ascending: Boolean = true, batchSize: Int,
       where: Option[BoolExp] = None, fields: Seq[String]) {
     require(batchSize > 0, s"$table: batch_size must be positive")
-    require(fields.nonEmpty, s"$table: empty selection set")
+    // `fields` MAY be empty: a subscription whose every field was
+    // conditionally excluded (@include/@skip) is the spec's
+    // fully-skipped selection — pages still cut (batch_idx only, no
+    // selected columns), the GraphQL "empty data, never an error"
+    // contract. An empty selection SET in document text is still a
+    // parse error (GraphQl.parseStream counts parsed fields).
   }
 
   /** Above this many rows in one trigger, [[streamServe]]'s page cut

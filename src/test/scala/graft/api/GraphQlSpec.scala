@@ -1041,11 +1041,27 @@ class GraphQlSpec extends SparkSpec {
       case Left(m) => assert(m.contains("ambiguous"), m)
       case Right(r) => fail(s"parsed: $r")
     }
-    // variables belong to the chosen operation: $all is undeclared by
-    // Other, so binding it while selecting Other is an error
-    GraphQl.parse(GraphQl.q179Doc, variables = """{"all": true}""",
-      operationName = Some("Other")) match {
-      case Left(m) => assert(m.contains("all"), m)
+    // a MULTI-operation document tolerates bound-but-undeclared
+    // variables (GraphiQL's shared variables pane POSTs the union of
+    // every tab's bindings; the spec's CoerceVariableValues ignores
+    // extraneous values) — $all belongs to Sel, selecting Other works
+    val tol = GraphQl.parse(GraphQl.q179Doc,
+      variables = """{"all": true}""", operationName = Some("Other"))
+      .fold(m => fail(m), identity)
+    assert(tol.table === "region")
+    // ...but only DECLARED variables resolve: an undeclared $name at
+    // a use site inside the CHOSEN operation is still loud
+    GraphQl.parse(
+      """query A { region(limit: $n) { r_regionkey } }
+        |query B { nation { n_nationkey } }""".stripMargin,
+      variables = """{"n": 2}""", operationName = Some("A")) match {
+      case Left(m) => assert(m.toLowerCase.contains("variable"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // the strict check HOLDS for single-operation documents
+    GraphQl.parse("query Only { region { r_regionkey } }",
+      variables = """{"stray": 1}""") match {
+      case Left(m) => assert(m.contains("bound but not declared"), m)
       case Right(r) => fail(s"parsed: $r")
     }
     // single-operation documents stay anonymous-servable (regression)
@@ -1073,6 +1089,130 @@ class GraphQlSpec extends SparkSpec {
     assert(sr.table === "events" && sr.batchSize === 5)
     GraphQl.parseStream(streamTab, operationName = Some("Other")) match {
       case Left(m) => assert(m.contains("subscription-only"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+  }
+
+  test("multi-operation fragment use is DOCUMENT-wide: a fragment " +
+    "spread only by a non-chosen operation is not 'never spread'") {
+    val doc =
+      """query A { region { ...RF } }
+        |query B { nation { n_nationkey } }
+        |fragment RF on region { r_regionkey }""".stripMargin
+    // choosing B: RF is spread by A — the spec's All-Fragments-Used
+    // rule counts the whole document, so this parses
+    val b = GraphQl.parse(doc, operationName = Some("B"))
+      .fold(m => fail(m), identity)
+    assert(b.table === "nation")
+    // choosing A still resolves the spread normally
+    val a = GraphQl.parse(doc, operationName = Some("A"))
+      .fold(m => fail(m), identity)
+    assert(a.fields === Seq("r_regionkey"))
+    // a fragment spread NOWHERE in the document is still loud on a
+    // multi-operation document...
+    GraphQl.parse(
+      doc + "\nfragment Dead on region { r_name }",
+      operationName = Some("B")) match {
+      case Left(m) => assert(m.contains("Dead"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // ...and the single-operation strict check is unchanged
+    GraphQl.parse(
+      """query A { region { r_regionkey } }
+        |fragment Dead on region { r_name }""".stripMargin) match {
+      case Left(m) => assert(m.contains("Dead"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // a fragment spread only from another (used) fragment's body
+    // counts as spread too
+    val nested =
+      """query A { customer { c_custkey orders { ...OF } } }
+        |query B { nation { n_nationkey } }
+        |fragment OF on orders { ...OG }
+        |fragment OG on orders { o_orderkey }""".stripMargin
+    assert(GraphQl.parse(nested, operationName = Some("B")).isRight)
+  }
+
+  test("@include/@skip on streams and root aggregates: fields gate, " +
+    "excluded bodies still compile, fully-skipped is the no-op") {
+    // the q183 canned shape: variable-driven toggles on stream fields
+    val sr = GraphQl.parseStream(GraphQl.q183Doc,
+      variables = """{"all": false, "spare": 1}""",
+      operationName = Some("Pick")).fold(m => fail(m), identity)
+    assert(sr.fields === Seq("event_id", "event_type"))
+    assert(sr.batchSize === 7)
+    val srAll = GraphQl.parseStream(GraphQl.q183Doc,
+      variables = """{"all": true}""",
+      operationName = Some("Pick")).fold(m => fail(m), identity)
+    assert(srAll.fields === Seq("event_id", "user_id", "value"))
+    // fully-skipped stream selection: valid (the mutation no-op
+    // contract) — pages still cut, no selected columns
+    val none = GraphQl.parseStream(
+      """subscription {
+        |  events_stream(cursor: {initial_value: {event_id: null}},
+        |                batch_size: 5) {
+        |    event_id @include(if: false)
+        |  }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(none.fields.isEmpty)
+    // ...but an empty selection SET in text is still malformed
+    assert(GraphQl.parseStream(
+      """subscription {
+        |  events_stream(cursor: {initial_value: {event_id: null}},
+        |                batch_size: 5) { }
+        |}""".stripMargin).isLeft)
+    // malformed directives on stream fields are loud even when the
+    // other directive excludes (no short-circuit)
+    GraphQl.parseStream(
+      """subscription {
+        |  events_stream(cursor: {initial_value: {event_id: null}},
+        |                batch_size: 5) {
+        |    event_id @include(if: false) @skip(if: 1)
+        |  }
+        |}""".stripMargin) match {
+      case Left(m) => assert(m.contains("@skip"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // root aggregates: count toggles off, sum stays; the nodes arm
+    // and its fields gate too
+    val ar = GraphQl.parseRootAggregate(
+      """query T($all: Boolean!) {
+        |  orders_aggregate(where: {o_orderstatus: {_eq: "O"}}) {
+        |    aggregate {
+        |      count @include(if: $all)
+        |      sum { o_totalprice }
+        |    }
+        |    nodes @include(if: $all) { o_orderkey }
+        |  }
+        |}""".stripMargin,
+      variables = """{"all": false}""").fold(m => fail(m), identity)
+    assert(ar.aggs.map(_.as) === Seq("sum_o_totalprice"))
+    assert(ar.nodes.isEmpty)
+    // per-field toggles inside a sum block
+    val ar2 = GraphQl.parseRootAggregate(
+      """{
+        |  orders_aggregate {
+        |    aggregate { sum { o_totalprice @skip(if: true)
+        |                      o_shippriority } }
+        |    nodes { o_orderkey @skip(if: true) o_orderstatus }
+        |  }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(ar2.aggs.map(_.as) === Seq("sum_o_shippriority"))
+    assert(ar2.nodes === Seq("o_orderstatus"))
+    // an EXCLUDED aggregate-relationship field still compiles its
+    // arguments — malformed where/limit surface at parse, not when
+    // the flag flips (the conditionalKeep contract)
+    GraphQl.parse(
+      """{
+        |  customer {
+        |    c_custkey
+        |    orders_aggregate(where: {nope: {_bogus: 1}})
+        |        @include(if: false) {
+        |      aggregate { count }
+        |    }
+        |  }
+        |}""".stripMargin) match {
+      case Left(m) => assert(m.contains("_bogus") || m.contains("nope"), m)
       case Right(r) => fail(s"parsed: $r")
     }
   }
