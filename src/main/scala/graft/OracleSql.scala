@@ -1291,8 +1291,10 @@ object OracleSql {
         |JOIN idcg g ON g.m = LEAST(rc.r_total, 10)
         |ORDER BY p.q_id""".stripMargin,
     // q149: relationship-aggregate nodes — the windowed top-2 slice
-    // feeds count/sum AND the sorted JSON array; childless parents
-    // repair to 0 / '[]'
+    // feeds count/sum AND the JSON array, which renders in the
+    // relationship's order_by ORDER (price desc, key tiebreak —
+    // Hasura's nodes honor order_by); childless parents repair to
+    // 0 / '[]'
     "q149_aggrel_nodes" ->
       """WITH sel AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1302,7 +1304,8 @@ object OracleSql {
         |agg AS (
         |  SELECT o_custkey, COUNT(*)::BIGINT AS count,
         |         ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
-        |         to_json(list_sort(list({'o_orderkey': o_orderkey})))
+        |         to_json(list({'o_orderkey': o_orderkey}
+        |             ORDER BY o_totalprice DESC, o_orderkey))
         |           AS nodes
         |  FROM sel WHERE rn <= 2 GROUP BY 1)
         |SELECT c.c_custkey,

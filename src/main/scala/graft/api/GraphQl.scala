@@ -1191,8 +1191,9 @@ object GraphQl {
                 case "nodes" =>
                   // Hasura's nodes arm inside a relationship
                   // aggregate: the (sliced) child rows themselves,
-                  // next to their aggregates — one sorted JSON array
-                  // column per parent (the root-aggregate discipline)
+                  // next to their aggregates — one JSON array column
+                  // per parent, rendered in the relationship's
+                  // order_by order (canonical-sorted without one)
                   if (aggNodes.nonEmpty) bad(s"$fname: duplicate nodes")
                   p.expect('{')
                   val ns = Seq.newBuilder[String]
@@ -1621,8 +1622,10 @@ object GraphQl {
 
   /** q149 — relationship-aggregate `nodes` under the oracle gate: the
     * JSON array rides the SAME per-parent pre-aggregation as the
-    * aggregates (one extra collect_list column, no second child
-    * scan), byte-exact vs DuckDB's to_json(list_sort) over the same
+    * aggregates (one extra ordered collect column, no second child
+    * scan) and renders in the relationship's ORDER_BY order (price
+    * desc, key tiebreak — Hasura's nodes honor order_by), byte-exact
+    * vs DuckDB's to_json(list(... ORDER BY ...)) over the same
     * windowed top-2 slice. */
   def q149AggRelNodes(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =

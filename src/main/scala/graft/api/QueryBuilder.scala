@@ -595,10 +595,16 @@ object QueryBuilder {
         val off = if (r.offset > 0) ord.offset(r.offset) else ord
         r.limit.map(off.limit).getOrElse(off)
       }
+    // nodes render in the request's order_by order (the slice order —
+    // Hasura's behavior); without an order_by the canonical sort_array
+    // keeps the JSON hash-deterministic where Hasura's is unspecified
     val cols = r.aggs.map(_.agg(f)) ++
       (if (r.nodes.isEmpty) Nil
-       else Seq(to_json(sort_array(collect_list(
-         struct(r.nodes.map(col): _*)))).as("nodes")))
+       else if (r.orderBy.isEmpty)
+         Seq(to_json(sort_array(collect_list(
+           struct(r.nodes.map(col): _*)))).as("nodes"))
+       else Seq(to_json(orderedCollect(r.orderBy, s"${r.table}.nodes",
+         col(_), r.nodes.map(f => col(f).as(f)), r.nodes)).as("nodes")))
     val outs = r.aggs.map(a => a.post(col(a.as)).as(a.as)) ++
       (if (r.nodes.isEmpty) Nil else Seq(col("nodes")))
     f.agg(cols.head, cols.tail: _*).select(outs: _*)
@@ -692,37 +698,51 @@ object QueryBuilder {
     if (n.orderBy.isEmpty)
       grouped.agg(sort_array(collect_list(struct(fs: _*))).as(n.as))
     else {
-      // the child's own order_by: collect with hidden sort keys, sort
-      // the ARRAY by them (collect_list order is nondeterministic),
-      // then strip the keys back out of each struct
-      val ordFs = n.orderBy.zipWithIndex.map { case (o, i) =>
-        child0(o.field).as(s"__ord_$i") }
-      // null-AWARE comparator: `when(x < y)` is null (not false) for a
-      // null operand, which would fall through to the tie-break and
-      // make the comparator intransitive — array_sort order undefined.
-      // Null compares as larger than everything (the [[Order]] rule),
-      // checked before the value comparisons.
-      // the in-array comparator implements only the DEFAULT null rule;
-      // explicit nulls placement inside a nested array sort would
-      // silently sort wrong — loud instead
-      n.orderBy.foreach(o => require(o.nullsFirst.isEmpty,
-        s"nested '${n.as}': explicit nulls placement is not supported " +
-          "inside array sorts"))
-      val cmp = (l: Column, r: Column) =>
-        n.orderBy.zipWithIndex.foldRight(lit(0)) { case ((o, i), acc) =>
-          val a = l.getField(s"__ord_$i")
-          val b = r.getField(s"__ord_$i")
-          val (x, y) = if (o.desc) (b, a) else (a, b)
-          when(x.isNull && y.isNull, acc)
-            .when(x.isNull, lit(1))
-            .when(y.isNull, lit(-1))
-            .when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(acc)
-        }
       val outNames = n.fields.map(_.as) ++ n.sub.map(_.as)
-      grouped.agg(transform(
-        array_sort(collect_list(struct(ordFs ++ fs: _*)), cmp),
-        x => struct(outNames.map(nm => x.getField(nm).as(nm)): _*)).as(n.as))
+      grouped.agg(orderedCollect(n.orderBy, s"nested '${n.as}'",
+        child0(_), fs, outNames).as(n.as))
     }
+  }
+
+  /** ORDERED struct-array collect — the selection's `order_by` honored
+    * INSIDE the rendered array, the way Hasura emits relationship rows
+    * and `nodes`: collect with hidden `__ord_i` sort keys
+    * (collect_list order is nondeterministic), `array_sort` by them,
+    * then strip the keys back out of each struct.
+    *
+    * The comparator is null-AWARE: `when(x < y)` is null (not false)
+    * for a null operand, which would fall through to the tie-break and
+    * make the comparator intransitive — array_sort order undefined.
+    * Null compares as larger than everything (the [[Order]] rule),
+    * checked before the value comparisons. The in-array comparator
+    * implements only the DEFAULT null rule; explicit nulls placement
+    * inside an array sort would silently sort wrong — loud instead.
+    *
+    * `fields` are the ALREADY-ALIASED payload columns; `names` their
+    * output names (the transform re-projects by name). Scale: the
+    * sort is per-array (bounded by the relationship slice), riding
+    * the same per-key aggregation exchange as the unordered render. */
+  private def orderedCollect(orderBy: Seq[Order], at: String,
+      ordSrc: String => Column, fields: Seq[Column],
+      names: Seq[String]): Column = {
+    orderBy.foreach(o => require(o.nullsFirst.isEmpty,
+      s"$at: explicit nulls placement is not supported inside " +
+        "array sorts"))
+    val ordFs = orderBy.zipWithIndex.map { case (o, i) =>
+      ordSrc(o.field).as(s"__ord_$i") }
+    val cmp = (l: Column, r: Column) =>
+      orderBy.zipWithIndex.foldRight(lit(0)) { case ((o, i), acc) =>
+        val a = l.getField(s"__ord_$i")
+        val b = r.getField(s"__ord_$i")
+        val (x, y) = if (o.desc) (b, a) else (a, b)
+        when(x.isNull && y.isNull, acc)
+          .when(x.isNull, lit(1))
+          .when(y.isNull, lit(-1))
+          .when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(acc)
+      }
+    transform(
+      array_sort(collect_list(struct(ordFs ++ fields: _*)), cmp),
+      x => struct(names.map(nm => x.getField(nm).as(nm)): _*))
   }
 
   /** The ROOT-TABLE slice of [[run]] over an ALREADY-LOADED DataFrame —
@@ -877,21 +897,23 @@ object QueryBuilder {
         val keyAlias = s"__aggkey_$i"
         // the nodes arm (Hasura's rows-next-to-their-aggregates inside
         // a relationship aggregate): the sliced child rows as one
-        // sorted struct array, riding the SAME pre-aggregation — the
+        // struct array, riding the SAME pre-aggregation — the
         // root-aggregate nodes discipline applied per parent key.
-        // ORDERING DEVIATION (deliberate, oracle-matched): the array
-        // is CANONICAL-SORTED by sort_array over the selected struct
-        // fields, NOT emitted in the relationship's order_by order —
-        // Hasura's nodes honor order_by; here order_by still decides
-        // WHICH rows survive the slice (top-2 by price is top-2 by
-        // price), but the survivors render in field-sorted order so
-        // the JSON is hash-deterministic cross-engine.
+        // The array renders in the relationship's order_by order
+        // (Hasura's nodes honor order_by — orderedCollect carries the
+        // hidden sort keys through the collect); with NO order_by the
+        // render falls back to canonical sort_array so the JSON stays
+        // hash-deterministic where Hasura's order is unspecified.
         // Internally aliased per aggRel (a base column named "nodes"
         // or a second nodes arm must never resolve ambiguously)
         val aggCols = a.aggs.map(_.agg(loaded)) ++
           (if (a.nodes.isEmpty) Nil
-           else Seq(sort_array(collect_list(
-             struct(a.nodes.map(loaded(_)): _*))).as(s"__nodes_$i")))
+           else if (a.orderBy.isEmpty)
+             Seq(sort_array(collect_list(
+               struct(a.nodes.map(loaded(_)): _*))).as(s"__nodes_$i"))
+           else Seq(orderedCollect(a.orderBy, s"${a.table}.nodes",
+             loaded(_), a.nodes.map(f => loaded(f).as(f)), a.nodes)
+             .as(s"__nodes_$i")))
         val rel = child.groupBy(loaded(a.childKey).as(keyAlias))
           .agg(aggCols.head, aggCols.tail: _*)
         acc.join(rel, base0(a.parentKey) === rel(keyAlias), a.joinType)
