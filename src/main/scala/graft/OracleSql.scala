@@ -2069,6 +2069,22 @@ object OracleSql {
     // the chosen operation IS q178's, so the oracle is shared (the
     // q90/q91 shared-oracle pattern); picking the decoy hash-fails
     "q179_operation_name" -> condFieldsSql,
+    // q184: a _stream served under a relationship-predicate role
+    // filter — the EXISTS grant inlined INSIDE the q145-style cursor
+    // paging (filter before page cut, so row placement proves the
+    // decorrelated visibility)
+    "q184_stream_rel_filter" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events e
+        |  WHERE event_id > 3000 AND event_type = 'click'
+        |    AND EXISTS (SELECT 1 FROM customer c
+        |                WHERE c.c_custkey = e.user_id
+        |                  AND c.c_mktsegment = 'BUILDING'))
+        |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
+        |       event_id, user_id, value
+        |FROM f WHERE rn <= 21""".stripMargin,
     // q174: aggregate under a relationship-predicate role filter —
     // the EXISTS grant and the request's equality both inlined
     "q174_aggregate_rel_filter" ->

@@ -457,16 +457,12 @@ object Permissions {
     * secured request into `Subscriptions.streamServe`, so one
     * secure() covers both. Denials and parse errors are Left values.
     *
-    * CAPABILITY LIMIT (deliberate, vs Hasura): a role whose row
-    * filter carries a RELATIONSHIP predicate is denied the STREAM
-    * surface. Hasura serves such filters; here the stream executor
-    * evaluates the where row-locally against each trigger's delta,
-    * and run()'s decorrelation has no streaming twin (the satisfying-
-    * key set would need re-materializing every trigger) — the
-    * secure-time Left beats a first-trigger crash. Grant such roles a
-    * column-local filter, or read through [[serveAs]]; AGGREGATES
-    * under such filters serve through [[serveAggregateAs]], which
-    * decorrelates per serve. */
+    * This overload takes an ALREADY-LOADED base and so cannot build
+    * relationship key sets: a role whose row filter carries a
+    * RELATIONSHIP predicate is denied HERE (a clean Left, never a
+    * first-trigger crash) — the (s, dir) overload and
+    * [[serveStreamLiveAs]] SERVE such roles by decorrelating the
+    * satisfying-key set per serve, Hasura's grant surface. */
   def serveStreamAs(base: org.apache.spark.sql.DataFrame, role: String,
       policy: Policy, doc: String, nPages: Int,
       schema: GraphQl.Schema = GraphQl.fixtureSchema,
@@ -476,6 +472,37 @@ object Permissions {
       sr <- GraphQl.parseStream(doc, schema, variables)
       sec <- secureStream(sr, role, policy)
     } yield Subscriptions.streamPages(base, sec, nPages)
+
+  /** q184 — a `_stream` subscription served under a role whose row
+    * filter carries a RELATIONSHIP predicate (the surface
+    * [[secureStream]]'s row-local guard denies): the auditor sees
+    * only events whose user is a BUILDING customer, decorrelated to a
+    * pinned key set + flag join per serve, then the q145-style cursor
+    * replay pages the visible rows. The oracle inlines the grant as a
+    * native EXISTS inside the same row_number paging — an engine
+    * streaming unfiltered rows (or paging before filtering)
+    * hash-fails on row placement. */
+  def q184StreamRelFilter(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pol = Policy(Map(
+      ("auditor", "events") -> TablePerm(
+        filter = Some(RelPred("customer", "c_custkey", "user_id",
+          Eq("c_mktsegment", "BUILDING")))),
+      ("auditor", "customer") -> TablePerm()))
+    val doc =
+      """subscription {
+        |  events_stream(
+        |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+        |    batch_size: 7,
+        |    where: {event_type: {_eq: "click"}}) {
+        |    event_id user_id value
+        |  }
+        |}""".stripMargin
+    serveStreamAs(s, dir, "auditor", pol, doc, nPages = 3,
+      GraphQl.fixtureSchema, "{}", None).fold(
+      m => throw new IllegalStateException(s"q184 denied: $m"),
+      identity)
+  }
 
   /** Serve mutation TEXT as a role — the WRITE half of [[serveAs]],
     * closing the last serve loop (read [[serveAs]], stream
@@ -569,12 +596,12 @@ object Permissions {
       }
     }
 
-  /** Secure a STREAMING subscription: the filter ANDs into the cursor
-    * scan (compiled predicates reach the streaming source), and the
-    * selected fields AND the cursor column must be granted — a
-    * cursor on an ungranted column would leak its values through
-    * page boundaries. */
-  def secureStream(sr: Subscriptions.StreamRequest, role: String,
+  /** Grant checks + filter merge for a stream subscription, WITHOUT
+    * the row-local guard — shared by [[secureStream]] (which adds it,
+    * for callers driving the executors directly) and the
+    * (s, dir) [[serveStreamAs]]/[[serveStreamLiveAs]] overloads
+    * (which decorrelate relationship predicates instead). */
+  private def mergedStream(sr: Subscriptions.StreamRequest, role: String,
       policy: Policy): Either[String, Subscriptions.StreamRequest] =
     for {
       perm <- policy.get(role, sr.table)
@@ -586,15 +613,130 @@ object Permissions {
           secureWhere(w, role, policy, perm, sr.table).map(Some(_))
         case None => Right(None)
       }
-      merged = andWith(perm.filter, w2)
+    } yield sr.copy(where = andWith(perm.filter, w2))
+
+  /** Secure a STREAMING subscription: the filter ANDs into the cursor
+    * scan (compiled predicates reach the streaming source), and the
+    * selected fields AND the cursor column must be granted — a
+    * cursor on an ungranted column would leak its values through
+    * page boundaries. */
+  def secureStream(sr: Subscriptions.StreamRequest, role: String,
+      policy: Policy): Either[String, Subscriptions.StreamRequest] =
+    for {
+      m <- mergedStream(sr, role, policy)
       // same guard as secureAggregate: the stream executors evaluate
       // the where row-locally — a relationship predicate would kill
-      // the streaming query at its first trigger instead
-      _ <- if (merged.exists(QueryBuilder.hasRelPred))
+      // the streaming query at its first trigger instead. The
+      // (s, dir) serveStreamAs/serveStreamLiveAs overloads SERVE such
+      // roles by decorrelating the key set per serve.
+      _ <- if (m.where.exists(QueryBuilder.hasRelPred))
         Left(s"role '$role': the effective stream filter carries a " +
-          "relationship predicate — not servable over a cursor scan")
+          "relationship predicate — not servable row-locally over a " +
+          "cursor scan (the (s, dir) serveStreamAs overload " +
+          "decorrelates it)")
       else Right(())
-    } yield sr.copy(where = merged)
+    } yield m
+
+  /** Decorrelate a stream filter's RELATIONSHIP predicates at SERVE
+    * time — the q174 aggregate machinery applied to the stream
+    * surface: each RelPred materializes its DISTINCT satisfying
+    * parent-key set once, PINNED for the life of the serve
+    * (localCheckpoint — the documented staleness contract: child rows
+    * arriving after the serve starts do not flip visibility
+    * mid-stream, matching the cursor scan's own no-retraction
+    * semantics; re-subscribe to refresh), and the base left-joins it
+    * as a flag column the rewritten where reads row-locally — a
+    * stream-static join each trigger pays on the already-filtered
+    * delta, never a per-trigger child-table re-aggregation.
+    *
+    * Returns the flag-join transform (streaming OR batch base) and
+    * the rewritten row-local where tree. Scale: one distinct-key
+    * aggregation per predicate at serve start; the pinned key set
+    * partitions like any dimension side (AQE broadcasts selective
+    * ones). */
+  private def decorrelateStreamFilter(
+      s: org.apache.spark.sql.SparkSession, dir: String, w: BoolExp)
+      : (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+         BoolExp) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ctr = new java.util.concurrent.atomic.AtomicInteger()
+    val joins = Seq.newBuilder[(org.apache.spark.sql.DataFrame, String)]
+    def walk(e: BoolExp): BoolExp = e match {
+      case RelPred(table, childKey, parentKey, pred) =>
+        val child0 = graft.Tables.load(s, dir, table)
+        // nested relationship predicates decorrelate batch-side while
+        // BUILDING the key set (the run() machinery)
+        val (child, p2) =
+          if (QueryBuilder.hasRelPred(pred))
+            QueryBuilder.decorrelate(s, dir, child0, pred, ctr)
+          else (child0, pred)
+        val flag = s"__rp_${ctr.getAndIncrement()}"
+        val keys = child.filter(p2.toColumn)
+          .select(col(childKey).as(parentKey)).distinct()
+          .withColumn(flag, lit(true))
+          .localCheckpoint(true) // pin: per-serve staleness contract
+        joins += ((keys, parentKey))
+        FlagRef(flag)
+      case And(es @ _*) => And(es.map(walk): _*)
+      case Or(es @ _*) => Or(es.map(walk): _*)
+      case Not(x) => Not(walk(x))
+      case leaf => leaf
+    }
+    val w2 = walk(w)
+    val js = joins.result()
+    (df => js.foldLeft(df) { case (d, (keys, pk)) =>
+      d.join(keys, Seq(pk), "left") }, w2)
+  }
+
+  /** [[serveStreamAs]] WITH the table directory — closes the stream
+    * half of the capability gap [[secureStream]]'s row-local guard
+    * leaves (Hasura grants permission filters with relationship
+    * predicates on subscriptions, README.md:56-80): a RelPred role
+    * filter decorrelates per serve ([[decorrelateStreamFilter]] — the
+    * pinned-key-set contract) and the BATCH-replay pages serve over
+    * the flag-joined base. Parse errors and denials stay Left. */
+  def serveStreamAs(s: org.apache.spark.sql.SparkSession, dir: String,
+      role: String, policy: Policy, doc: String, nPages: Int,
+      schema: GraphQl.Schema, variables: String,
+      operationName: Option[String])
+      : Either[String, org.apache.spark.sql.DataFrame] =
+    for {
+      sr <- GraphQl.parseStream(doc, schema, variables, operationName)
+      m <- mergedStream(sr, role, policy)
+    } yield m.where match {
+      case Some(w) if QueryBuilder.hasRelPred(w) =>
+        val (flagJoin, w2) = decorrelateStreamFilter(s, dir, w)
+        Subscriptions.streamPages(
+          flagJoin(graft.Tables.load(s, dir, m.table)),
+          m.copy(where = Some(w2)), nPages)
+      case _ => Subscriptions.streamPages(
+        graft.Tables.load(s, dir, m.table), m, nPages)
+    }
+
+  /** The LIVE twin of the (s, dir) [[serveStreamAs]]: the secured —
+    * and, for RelPred roles, decorrelated — request drives
+    * [[Subscriptions.streamServe]] over `stream`, the key-set flags
+    * riding a stream-static join per trigger. Same pinned-key
+    * staleness contract (spec-pinned: a child row arriving after the
+    * serve starts does not flip visibility until re-subscribe). */
+  def serveStreamLiveAs(s: org.apache.spark.sql.SparkSession,
+      dir: String, stream: org.apache.spark.sql.DataFrame, role: String,
+      policy: Policy, doc: String,
+      schema: GraphQl.Schema = GraphQl.fixtureSchema,
+      variables: String = "{}",
+      operationName: Option[String] = None)
+      (push: (Long, org.apache.spark.sql.DataFrame) => Unit)
+      : Either[String, org.apache.spark.sql.streaming.StreamingQuery] =
+    for {
+      sr <- GraphQl.parseStream(doc, schema, variables, operationName)
+      m <- mergedStream(sr, role, policy)
+    } yield m.where match {
+      case Some(w) if QueryBuilder.hasRelPred(w) =>
+        val (flagJoin, w2) = decorrelateStreamFilter(s, dir, w)
+        Subscriptions.streamServe(flagJoin(stream),
+          m.copy(where = Some(w2)))(push)
+      case _ => Subscriptions.streamServe(stream, m)(push)
+    }
 
   /** Guard a mutation document for `role`: updates/deletes gain the
     * role's row filter (rows outside it are INVISIBLE to the write,

@@ -9,6 +9,7 @@ import graft.api.QueryBuilder._
   * and mutation write scopes shrink to the visible rows. */
 class PermissionsSpec extends SparkSpec {
   import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val policy = Policy(Map(
     ("analyst", "customer") -> TablePerm(
@@ -308,6 +309,77 @@ class PermissionsSpec extends SparkSpec {
       doc.replace("k seg", "k __typename"), nPages = 2)
     assert(metaDenied.isLeft &&
       metaDenied.left.exists(_.contains("__typename")))
+  }
+
+  test("serveStreamLiveAs under a RelPred role filter: the key set " +
+    "decorrelates ONCE per serve (pinned) — visibility follows the " +
+    "serve-start child state, not mid-stream child changes") {
+    import spark.implicits._
+    def childDir(rows: Seq[(Long, String)]): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_srla").toString
+      rows.toDF("c_custkey", "c_mktsegment").write.mode("overwrite")
+        .parquet(s"$d/customer.parquet")
+      d
+    }
+    val dir = childDir(Seq((1L, "BUILDING"), (2L, "OTHER")))
+    val pol = Policy(Map(
+      ("aud", "t") -> TablePerm(
+        filter = Some(RelPred("customer", "c_custkey", "user_id",
+          Eq("c_mktsegment", "BUILDING")))),
+      ("aud", "customer") -> TablePerm()))
+    val doc =
+      """subscription {
+        |  t_stream(cursor: {initial_value: {ev: null}}, batch_size: 2) {
+        |    ev user_id
+        |  }
+        |}""".stripMargin
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    @volatile var evs = Vector.empty[Long]
+    val q = Permissions.serveStreamLiveAs(spark, dir,
+      input.toDF().toDF("ev", "user_id"), "aud", pol, doc) { (_, df) =>
+      evs ++= df.select("ev").collect().map(_.getLong(0)).toVector
+    }.fold(m => fail(m), identity)
+    try {
+      // user 1 is BUILDING (visible), user 2 is not
+      input.addData(Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+      q.processAllAvailable()
+      assert(evs.sorted === Vector(1L, 3L))
+      // the child table's files are REPLACED mid-serve (an in-place
+      // rewrite deletes the listed parquet parts): the PINNED key set
+      // must neither crash (an unpinned static side would
+      // FILE_NOT_EXIST here) nor change visibility — the documented
+      // per-serve staleness contract; re-subscribe to refresh
+      Seq((1L, "OTHER"), (2L, "BUILDING"))
+        .toDF("c_custkey", "c_mktsegment").write.mode("overwrite")
+        .parquet(s"$dir/customer.parquet")
+      input.addData(Seq((4L, 1L), (5L, 2L)))
+      q.processAllAvailable()
+      assert(evs.sorted === Vector(1L, 3L, 4L),
+        "mid-serve child change leaked into stream visibility")
+    } finally q.stop()
+    // a FRESH serve against the CURRENT child state (its own dir —
+    // fixture dirs are immutable by Tables.load's memoization
+    // contract) rebuilds the key set: user 2 visible now, user 1 not
+    val dir2 = childDir(Seq((1L, "OTHER"), (2L, "BUILDING")))
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    @volatile var evs2 = Vector.empty[Long]
+    val q2 = Permissions.serveStreamLiveAs(spark, dir2,
+      input2.toDF().toDF("ev", "user_id"), "aud", pol, doc) { (_, df) =>
+      evs2 ++= df.select("ev").collect().map(_.getLong(0)).toVector
+    }.fold(m => fail(m), identity)
+    try {
+      input2.addData(Seq((6L, 1L), (7L, 2L)))
+      q2.processAllAvailable()
+      assert(evs2 === Vector(7L))
+    } finally q2.stop()
+    // the loaded-base overload still denies cleanly (no dir to build
+    // the key set from)
+    val denied = Permissions.serveStreamAs(
+      Seq((1L, 1L)).toDF("ev", "user_id"), "aud", pol, doc, nPages = 1)
+    assert(denied.isLeft && denied.left.exists(_.contains("decorrelates")))
   }
 
   test("serveMutationsAs: mutation text through parse -> secure -> " +
