@@ -557,6 +557,43 @@ object OracleSql {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** q185: the q51 md5-minhash machinery as a SEARCH — the query doc's
+    * signature against every stored one, candidates = any band fully
+    * equal, verified on agreeing positions / 8, top-5 by (similarity
+    * desc, doc_id). The division spells identically to the engine's
+    * (eighths are exact doubles — no rounding needed). */
+  private val textStoreSearchSql: String = {
+    val mins = (0 until 8).map(j =>
+      s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
+    val agree = (0 until 8)
+      .map(j => s"(CASE WHEN a.s$j = q.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandEq = (0 until 4).map(bq =>
+      s"(a.s${2 * bq} = q.s${2 * bq} AND a.s${2 * bq + 1} = q.s${2 * bq + 1})")
+      .mkString(" OR ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           ORDER BY doc_id LIMIT 1000),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM d),
+       |sh AS (
+       |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |m AS (
+       |  SELECT doc_id,
+       |   $mins
+       |  FROM sh GROUP BY doc_id),
+       |q AS (SELECT * FROM m WHERE doc_id = 45)
+       |SELECT a.doc_id, ($agree) / 8.0 AS est_jaccard
+       |FROM m a, q
+       |WHERE ($bandEq) AND ($agree) / 8.0 >= 0.5
+       |ORDER BY est_jaccard DESC, a.doc_id
+       |LIMIT 5""".stripMargin
+  }
+
   /** q125: the q51 pair machinery restricted to CROSS-SPLIT pairs —
     * train side as `a`, eval (val+test) side as `b`, the q54 split CTE
     * deciding sides. Same shingles, same 8-slot minhash, same 4×2
@@ -1476,6 +1513,7 @@ object OracleSql {
          |       ROUND(SUM(sel)::DOUBLE / COUNT(*), 4) AS rate
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "q51_minhash_pairs_md5" -> minhashPairsMd5,
+    "q185_text_store_search" -> textStoreSearchSql,
     "q125_cross_decontam" -> crossDecontam,
     "q52_winnow_md5" -> winnowMd5,
     "q49_nested_deep" -> nestedDeepSql,

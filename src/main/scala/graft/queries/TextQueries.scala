@@ -1858,4 +1858,33 @@ object TextQueries {
       round(sum(when(col("n_chars") < 200, 1).otherwise(0))
         .cast("double") / count(lit(1)), 6).as("short_frac"))
       .orderBy("source")
+
+  /** Q185 — banded `search()` over the persisted TEXT dedup store
+    * (VERDICT r13's third item — the text twin of q170/q182's
+    * hash-space serving path): the q51 corpus slice builds an
+    * md5-kernel ingest store (self-describing kernel + banding),
+    * [[graft.operators.IncrementalDedup.compactToServing]] ships it to
+    * the bucket-partitioned serving layout through the AtomicSwap
+    * ritual, and "find near-duplicates of doc 45" probes it — ≤4 of 16
+    * bucket directories at the file listing, band disjunction pushed,
+    * full-signature Jaccard verify. Doc 45 sits in a 3-member
+    * est-1.0 cluster {45, 267, 413} at sf0.01; the DuckDB oracle
+    * replays the md5 minhash for the query doc against every stored
+    * signature, so a probe that misses a banded neighbor or mis-ranks
+    * the verify hash-fails. */
+  def q185TextStoreSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IncrementalDedup => D}
+    val base = s"/root/repo/target/tmp/q185_" +
+      s.sparkContext.applicationId
+    val corpus = docs(s, dir).select("doc_id", "text")
+      .orderBy("doc_id").limit(1000)
+      .localCheckpoint(true) // feeds the store build AND the query fetch
+    D.initStore(corpus, s"$base/ingest", nBands = 4, rowsPerBand = 2,
+      shingleLen = 3, kernel = "md5")
+    D.compactToServing(s, s"$base/ingest", s"$base/serving",
+      nBuckets = 16)
+    val qText = corpus.filter(col("doc_id") === 45L)
+      .select("text").head.getString(0)
+    D.search(D.loadStore(s, s"$base/serving"), qText, k = 5)
+  }
 }

@@ -93,6 +93,100 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedupSpec.kept.sorted === Seq(3L, 5L))
     assert(IncrementalDedupSpec.dupOf === Map(2L -> 1L, 4L -> 3L))
   }
+
+  test("q185 serving layout + search: probe ≡ full-scan pairs for every " +
+    "corpus doc, file-listing pruning in the plan, serving appends " +
+    "refuse, compaction swaps atomically, kernels self-describe") {
+    val dir = sf("sf0.001")
+    val corpus = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 300)
+      .localCheckpoint(true)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_txt_search").toString
+    // ingest store (default xxhash kernel), compacted to serving
+    IncrementalDedup.initStore(corpus, s"$base/ingest")
+    IncrementalDedup.compactToServing(spark, s"$base/ingest",
+      s"$base/serving", nBuckets = 16)
+    val serving = IncrementalDedup.loadStore(spark, s"$base/serving")
+    // probe ≡ the pair pipeline: for EVERY doc, search results above
+    // threshold equal its q30-pair partners (plus itself at 1.0) —
+    // identical kernel, banding, and threshold, so equal by
+    // construction; this holds the construction to it
+    val pairs = graft.queries.TextQueries.q30MinhashPairs(spark, dir, 0.5)
+      .filter(col("a") < 300 && col("b") < 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val got = IncrementalDedup.search(serving, text, k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = pairs.collect {
+        case (a, b, e) if a == id => (b, e)
+        case (a, b, e) if b == id => (a, e)
+      }.toSet + ((id, 1.0))
+      assert(got === want, s"query doc $id")
+    }
+    // the bucket disjunction prunes at the file listing
+    val plan = IncrementalDedup.search(serving, texts.head._2, k = 5)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("band_bucket"),
+      s"bucket filter must prune partitions:\n$plan")
+    // serving stores are read-mostly: ingest refuses loudly
+    assertThrows[IllegalArgumentException](
+      IncrementalDedup.processBatch(
+        Seq((999L, "a b c d e")).toDF("doc_id", "text"), serving,
+        s"$base/serving", batchId = 1L))
+    // the flat ingest store answers the SAME probes (no bucket layout)
+    val ingest = IncrementalDedup.loadStore(spark, s"$base/ingest")
+    val (qid, qtext) = texts.head
+    assert(IncrementalDedup.search(ingest, qtext, k = 50)
+      .collect().map(_.getLong(0)).toSet ===
+      IncrementalDedup.search(serving, qtext, k = 50)
+        .collect().map(_.getLong(0)).toSet, s"flat vs serving for $qid")
+    // compaction picks up an appended batch and re-swaps atomically
+    val extra = Seq((5000L, texts.head._2)).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(extra, ingest, s"$base/ingest",
+      batchId = 7L)
+    // 5000 duplicates texts.head → NOT appended; a genuinely fresh doc:
+    val freshDoc = Seq((5001L,
+      (0 until 30).map(i => s"fresh$i word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(freshDoc,
+      IncrementalDedup.loadStore(spark, s"$base/ingest"), s"$base/ingest",
+      batchId = 8L)
+    IncrementalDedup.compactToServing(spark, s"$base/ingest",
+      s"$base/serving", nBuckets = 16)
+    val hit = IncrementalDedup.search(
+      IncrementalDedup.loadStore(spark, s"$base/serving"),
+      (0 until 30).map(i => s"fresh$i word$i").mkString(" "), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(5001L))
+    // the md5 kernel self-describes: a store built with it probes with
+    // it (est values are eighths under k=8), and search derives the
+    // kernel — no caller parameter can mis-hash the probe
+    val md5base = java.nio.file.Files
+      .createTempDirectory("graft_txt_md5").toString
+    IncrementalDedup.initStore(corpus, md5base + "/s", nBands = 4,
+      rowsPerBand = 2, shingleLen = 3, kernel = "md5")
+    val md5store = IncrementalDedup.loadStore(spark, md5base + "/s")
+    val selfHit = IncrementalDedup.search(md5store, texts.head._2, k = 1)
+      .collect()
+    assert(selfHit.head.getLong(0) === texts.head._1 &&
+      selfHit.head.getDouble(1) === 1.0)
+    // an unknown kernel string is loud
+    assertThrows[IllegalArgumentException](
+      IncrementalDedup.initStore(corpus, md5base + "/bad",
+        kernel = "sha9"))
+    // a too-short query has no shingles: loud, never empty-and-silent
+    // (fresh load — the recompaction above swapped the files under the
+    // earlier `serving` frame)
+    val e = intercept[IllegalArgumentException](
+      IncrementalDedup.search(
+        IncrementalDedup.loadStore(spark, s"$base/serving"),
+        "one two", k = 5))
+    assert(e.getMessage.contains("shingles"))
+  }
 }
 
 object IncrementalDedupSpec {
