@@ -1849,7 +1849,13 @@ object TextQueries {
     * move to the HLL sketch (q39's path) — exactness here is what
     * the oracle wants. */
   def q180SourceProfile(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).groupBy("source").agg(
+    sourceProfile(docs(s, dir)).orderBy("source")
+
+  /** The q180 aggregation over an arbitrary document frame — shared
+    * with the streaming twin's batch-equivalence spec
+    * ([[graft.streaming.CorpusStreams.profileStream]]). */
+  def sourceProfile(d: DataFrame): DataFrame =
+    d.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("lang")).as("n_langs"),
       round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
@@ -1857,7 +1863,6 @@ object TextQueries {
       (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"),
       round(sum(when(col("n_chars") < 200, 1).otherwise(0))
         .cast("double") / count(lit(1)), 6).as("short_frac"))
-      .orderBy("source")
 
   /** Q185 — banded `search()` over the persisted TEXT dedup store
     * (VERDICT r13's third item — the text twin of q170/q182's

@@ -87,6 +87,77 @@ object CorpusStreams {
       }
   }
 
+  /** Streaming PER-SOURCE corpus profile — q180's twin (dataset-card
+    * numbers maintained live as the intake runs): per trigger, each
+    * touched source re-emits its corpus-so-far row (source, n_docs,
+    * n_langs, mean_chars, dup_docs, short_frac), EXACTLY equal to
+    * [[graft.queries.TextQueries.sourceProfile]] over everything seen
+    * (spec-pinned per trigger).
+    *
+    * Spark's streaming aggregation cannot serve q180 directly —
+    * DISTINCT aggregates are unsupported over streams — so the fold is
+    * stateful per source: counters are three scalars, the language set
+    * is bounded by the language inventory (hundreds at most), and the
+    * content-identity set holds one md5 per DISTINCT document — the
+    * same per-key state Spark's own streaming dropDuplicates retains,
+    * because exact dedup IS that state. At 100 TB per source, swap the
+    * hash set for the q39 HLL sketch (approx_count_distinct's
+    * mergeable form — the documented A2-pattern divergence: dup_docs
+    * becomes an estimate); exactness here is what the batch-equivalence
+    * contract wants.
+    *
+    * Null semantics mirror batch: null lang/text never enter the
+    * distinct sets (countDistinct ignores nulls — a null-text doc
+    * counts as a duplicate), null n_chars contributes 0 to the sum and
+    * never counts short. Rounding is HALF_UP at 4/6 decimals, the
+    * round() the batch twin applies. */
+  def profileStream(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[
+        (String, Long, Long, Double, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def r(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    docs
+      .select(col("source"),
+        col("lang"),
+        coalesce(col("n_chars").cast("long"), lit(0L)).as("chars"),
+        // null-safe short flag: null n_chars is not short (batch's
+        // when(< 200) is null → otherwise 0)
+        coalesce((col("n_chars") < 200).cast("boolean"), lit(false))
+          .as("short"),
+        md5(col("text")).as("h"))
+      .as[(String, Option[String], Long, Boolean, Option[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (source: String,
+            it: Iterator[(String, Option[String], Long, Boolean,
+              Option[String])],
+            state: GroupState[(Long, Long, Long, Set[String],
+              Set[String])]) =>
+          var (n, sumChars, nShort, langs, hashes) =
+            state.getOption.getOrElse(
+              (0L, 0L, 0L, Set.empty[String], Set.empty[String]))
+          it.foreach { case (_, lang, chars, short, h) =>
+            n += 1
+            sumChars += chars
+            if (short) nShort += 1
+            lang.foreach(l => langs += l)
+            h.foreach(v => hashes += v)
+          }
+          state.update((n, sumChars, nShort, langs, hashes))
+          Iterator((source, n, langs.size.toLong,
+            r(sumChars.toDouble / n, 4), n - hashes.size,
+            r(nShort.toDouble / n, 6)))
+      }
+      .toDF("source", "n_docs", "n_langs", "mean_chars", "dup_docs",
+        "short_frac")
+      .as[(String, Long, Long, Double, Long, Double)]
+  }
+
   /** Per-document contamination guard for a document stream: q76's
     * bloom-probe + exact-confirm pipeline as a PER-TRIGGER batch map —
     * apply inside `foreachBatch`. Each arriving doc is shingled,

@@ -40,6 +40,50 @@ class CorpusStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed per-source profile equals batch q180 after each " +
+    "trigger (exact distincts via per-source state), nulls mirror " +
+    "batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val fixture = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("src?"),
+        Option(r.getString(1)), r.getLong(2), Option(r.getString(3))))
+      .toSeq
+    // a null-lang, null-text doc: never enters the distinct sets, so
+    // it counts as a duplicate (batch's countDistinct-ignores-nulls)
+    val withNull = fixture :+ (
+      (fixture.head._1, None: Option[String], 10L, None: Option[String]))
+    val input = MemoryStream[(String, Option[String], Long, Option[String])]
+    val q = CorpusStreams.profileStream(
+        input.toDS().toDF("source", "lang", "n_chars", "text"))
+      .writeStream.format("memory").queryName("profile_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val latest = scala.collection.mutable.Map.empty[String, Seq[Any]]
+      val cuts = Seq(50, 120, withNull.size)
+      var fed = 0
+      var lastSeen = 0L
+      cuts.foreach { cut =>
+        input.addData(withNull.slice(fed, cut)); fed = cut
+        q.processAllAvailable()
+        // Update mode: only touched sources re-emit — accumulate the
+        // latest row per source (memory sink keeps every update; take
+        // the newest by insertion order)
+        spark.table("profile_stream").collect().foreach { r =>
+          latest(r.getString(0)) = r.toSeq.tail
+        }
+        val expect = graft.queries.TextQueries.sourceProfile(
+          withNull.take(cut).toDF("source", "lang", "n_chars", "text"))
+          .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+        assert(latest.toMap === expect, s"after $cut docs")
+        lastSeen = cut.toLong
+      }
+      assert(lastSeen === withNull.size.toLong)
+    } finally q.stop()
+  }
+
   test("streamed decontamination guard equals batch q76 over all triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
