@@ -235,7 +235,10 @@ object QueryBuilder {
   }
   /** Hasura `_contains` (jsonb `@>`) over the flat-object subset:
     * every (key, scalar) of the literal appears top-level with the
-    * same value. */
+    * same value. KNOWN DEVIATION (documented at [[jsonScalar]]): the
+    * text store compares extracted STRINGS, so `"69"` matches `69` —
+    * jsonb's typed containment would not; store canonical spellings
+    * for type-exact matches. */
   final case class JsonContains(field: String,
       pairs: Seq[(String, Any)]) extends BoolExp {
     require(pairs.nonEmpty, s"_contains on '$field': an empty object " +
