@@ -253,9 +253,11 @@ object Bench {
         else if (fullErrors) s""","errors":$errJson"""
         else s""","errors_n":${errors.values.sum}"""
       val key = if (digitsOnly) tinyKey(_: String) else shortKey(_: String)
-      val cut = math.pow(10, -decimals) / 2 // rounds to 0.0 below this
+      // partition on the RENDERED value (short uses rint/half-even) —
+      // a numeric threshold would disagree with it exactly at the
+      // .5 boundary and keep a zero-information "0.0" entry
       val (zeroQ, liveQ) =
-        if (omitZeros) results.partition(_._2 < cut)
+        if (omitZeros) results.partition(r => short(r._2, decimals) == "0.0")
         else (Nil, results)
       val qs = liveQ
         .map(r => s"\"" + key(r._1) + "\":" + short(r._2, decimals))

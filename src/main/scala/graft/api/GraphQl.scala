@@ -1186,22 +1186,46 @@ object GraphQl {
             var aggNodes: Seq[String] = Nil
             while (!p.isPunct('}')) {
               p.name("aggregate body") match {
-                case "aggregate" => aggs = compileAggFields(p, fname,
-                  relCount(rel.childKey, fname))
+                case "aggregate" =>
+                  // same directive parity as the root-aggregate arm:
+                  // the arm still fully compiles, only its
+                  // contribution gates
+                  val (keepA, restA) = conditionalKeep(
+                    parseDirectives(p), s"$fname.aggregate")
+                  restA.keySet.foreach(d =>
+                    bad(s"$fname.aggregate: unknown directive @$d"))
+                  val as = compileAggFields(p, fname,
+                    relCount(rel.childKey, fname))
+                  if (keepA) aggs = as
                 case "nodes" =>
                   // Hasura's nodes arm inside a relationship
                   // aggregate: the (sliced) child rows themselves,
                   // next to their aggregates — one JSON array column
                   // per parent, rendered in the relationship's
                   // order_by order (canonical-sorted without one)
+                  val (keepN, restN) = conditionalKeep(
+                    parseDirectives(p), s"$fname.nodes")
+                  restN.keySet.foreach(d =>
+                    bad(s"$fname.nodes: unknown directive @$d"))
                   if (aggNodes.nonEmpty) bad(s"$fname: duplicate nodes")
                   p.expect('{')
                   val ns = Seq.newBuilder[String]
-                  while (!p.isPunct('}')) ns += p.name("nodes field")
+                  var parsedN = 0
+                  while (!p.isPunct('}')) {
+                    val nf = p.name("nodes field")
+                    parsedN += 1
+                    val (keepF, restF) = conditionalKeep(
+                      parseDirectives(p), s"$fname.nodes.$nf")
+                    restF.keySet.foreach(d =>
+                      bad(s"$fname.nodes.$nf: unknown directive @$d"))
+                    if (keepF) ns += nf
+                  }
                   p.expect('}')
-                  aggNodes = ns.result()
-                  if (aggNodes.isEmpty)
+                  if (parsedN == 0)
                     bad(s"$fname.nodes: empty selection set")
+                  // an all-excluded nodes arm contributes nothing —
+                  // the fully-skipped no-op, as at the root
+                  if (keepN) aggNodes = ns.result()
                 case other => bad(
                   s"$fname: expected 'aggregate' or 'nodes', " +
                     s"got '$other'")
@@ -1265,13 +1289,22 @@ object GraphQl {
       // All-Fragments-Used is a DOCUMENT-wide rule (spec 5.5.1.4):
       // when operationName picked one of several operations, a
       // fragment spread only by a NON-chosen operation (the GraphiQL
-      // tabbed document) is still used — scan every operation slice
-      // and fragment body, not just the chosen operation's resolves
+      // tabbed document) is still used. Used = REACHABLE from some
+      // operation (transitively through fragment bodies) — a flat
+      // scan would let two dead fragments spreading each other
+      // escape the guard, the typo'd-spread case it exists for
       val docSpreads: Set[String] =
-        if (nOps > 1)
-          spreadNames(allToks) ++
-            frags.valuesIterator.flatMap(b => spreadNames(b._2))
-        else p.usedFrags.toSet
+        if (nOps > 1) {
+          var reach = Set.empty[String]
+          var frontier = spreadNames(allToks)
+          while (frontier.nonEmpty) {
+            reach ++= frontier
+            frontier = frontier.flatMap(n =>
+              frags.get(n).map(b => spreadNames(b._2))
+                .getOrElse(Set.empty)) -- reach
+          }
+          reach
+        } else p.usedFrags.toSet
       (p.fragments.keySet -- docSpreads).toSeq.sorted.headOption
         .foreach(f => bad(s"fragment '$f' defined but never spread — " +
           "dead selection text usually means a typo'd spread"))
@@ -1309,7 +1342,14 @@ object GraphQl {
     * true)`); the field family (sum/min/max/avg/stddev/variance) is
     * the shared relationship grammar. Operation variables work as in
     * [[parse]]; the `subscription` keyword is accepted (a live
-    * aggregate re-evaluates per trigger). Never throws. */
+    * aggregate re-evaluates per trigger). Never throws.
+    *
+    * Conditional exclusion composes with the AGGREGATE surface's own
+    * shape rules: a document whose `aggregate` arm is fully excluded
+    * reduces to nodes-only (or to nothing), which this surface
+    * refuses BY DESIGN (nodes without aggregates is the plain read's
+    * job — RootAggregateSpec pins it) — that Left is the aggregate
+    * contract speaking, not a directive error. */
   def parseRootAggregate(query: String, variables: String = "{}")
       : Either[String, QueryBuilder.AggRequest] =
     try {

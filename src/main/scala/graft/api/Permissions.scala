@@ -658,33 +658,14 @@ object Permissions {
       s: org.apache.spark.sql.SparkSession, dir: String, w: BoolExp)
       : (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
          BoolExp) = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val ctr = new java.util.concurrent.atomic.AtomicInteger()
-    val joins = Seq.newBuilder[(org.apache.spark.sql.DataFrame, String)]
-    def walk(e: BoolExp): BoolExp = e match {
-      case RelPred(table, childKey, parentKey, pred) =>
-        val child0 = graft.Tables.load(s, dir, table)
-        // nested relationship predicates decorrelate batch-side while
-        // BUILDING the key set (the run() machinery)
-        val (child, p2) =
-          if (QueryBuilder.hasRelPred(pred))
-            QueryBuilder.decorrelate(s, dir, child0, pred, ctr)
-          else (child0, pred)
-        val flag = s"__rp_${ctr.getAndIncrement()}"
-        val keys = child.filter(p2.toColumn)
-          .select(col(childKey).as(parentKey)).distinct()
-          .withColumn(flag, lit(true))
-          .localCheckpoint(true) // pin: per-serve staleness contract
-        joins += ((keys, parentKey))
-        FlagRef(flag)
-      case And(es @ _*) => And(es.map(walk): _*)
-      case Or(es @ _*) => Or(es.map(walk): _*)
-      case Not(x) => Not(walk(x))
-      case leaf => leaf
-    }
-    val w2 = walk(w)
-    val js = joins.result()
-    (df => js.foldLeft(df) { case (d, (keys, pk)) =>
+    // ONE walk definition with run()'s machinery
+    // (QueryBuilder.decorrelateJoins) — only the deltas live here:
+    // key sets PIN per serve (the staleness contract) and the flag
+    // joins defer into a transform the caller applies to a batch OR
+    // streaming base
+    val (joins, w2) = QueryBuilder.decorrelateJoins(s, dir, w,
+      new java.util.concurrent.atomic.AtomicInteger(), pin = true)
+    (df => joins.foldLeft(df) { case (d, (keys, pk)) =>
       d.join(keys, Seq(pk), "left") }, w2)
   }
 

@@ -728,8 +728,13 @@ object QueryBuilder {
   private def orderedCollect(orderBy: Seq[Order], at: String,
       ordSrc: String => Column, fields: Seq[Column],
       names: Seq[String]): Column = {
-    orderBy.foreach(o => require(o.nullsFirst.isEmpty,
-      s"$at: explicit nulls placement is not supported inside " +
+    // the comparator implements the DEFAULT null rule (null largest:
+    // asc_nulls_last / desc_nulls_first) — an explicit placement that
+    // SPELLS the default is fine, only a genuinely different one
+    // would silently sort wrong, so only it is loud
+    orderBy.foreach(o => require(
+      o.nullsFirst.isEmpty || o.nullsFirst.contains(o.desc),
+      s"$at: non-default nulls placement is not supported inside " +
         "array sorts"))
     val ordFs = orderBy.zipWithIndex.map { case (o, i) =>
       ordSrc(o.field).as(s"__ord_$i") }
@@ -809,11 +814,18 @@ object QueryBuilder {
     * after which the whole tree is one row-local boolean. Scale: one
     * distinct-key aggregation (map-side partial) + one key join per
     * predicate; AQE broadcasts selective key sets. */
-  private[api] def decorrelate(s: SparkSession, dir: String,
-      base: DataFrame, w: BoolExp,
-      ctr: java.util.concurrent.atomic.AtomicInteger)
-      : (DataFrame, BoolExp) = {
-    var df = base
+  /** The RelPred walk itself — ONE definition shared by
+    * [[decorrelate]] (eager joins, run()'s path) and the stream
+    * serve's deferred variant ([[Permissions]]): per predicate, the
+    * DISTINCT satisfying child keys build (recursing for nested
+    * relationship predicates) as a flag-carrying key-set frame, and
+    * the leaf rewrites to [[FlagRef]]. `pin = true` localCheckpoints
+    * each key set eagerly — the stream serve's per-serve staleness
+    * contract (batch callers keep lazy plans so pushdown composes). */
+  private[api] def decorrelateJoins(s: SparkSession, dir: String,
+      w: BoolExp, ctr: java.util.concurrent.atomic.AtomicInteger,
+      pin: Boolean = false): (Seq[(DataFrame, String)], BoolExp) = {
+    val joins = Seq.newBuilder[(DataFrame, String)]
     def walk(e: BoolExp): BoolExp = e match {
       case RelPred(table, childKey, parentKey, pred) =>
         val child0 = graft.Tables.load(s, dir, table)
@@ -821,10 +833,11 @@ object QueryBuilder {
           if (hasRelPred(pred)) decorrelate(s, dir, child0, pred, ctr)
           else (child0, pred)
         val flag = s"__rp_${ctr.getAndIncrement()}"
-        val keys = child.filter(p2.toColumn)
+        val keys0 = child.filter(p2.toColumn)
           .select(col(childKey).as(parentKey)).distinct()
           .withColumn(flag, lit(true))
-        df = df.join(keys, Seq(parentKey), "left")
+        val keys = if (pin) keys0.localCheckpoint(true) else keys0
+        joins += ((keys, parentKey))
         FlagRef(flag)
       case And(es @ _*) => And(es.map(walk): _*)
       case Or(es @ _*) => Or(es.map(walk): _*)
@@ -832,7 +845,16 @@ object QueryBuilder {
       case leaf => leaf
     }
     val w2 = walk(w)
-    (df, w2)
+    (joins.result(), w2)
+  }
+
+  private[api] def decorrelate(s: SparkSession, dir: String,
+      base: DataFrame, w: BoolExp,
+      ctr: java.util.concurrent.atomic.AtomicInteger)
+      : (DataFrame, BoolExp) = {
+    val (joins, w2) = decorrelateJoins(s, dir, w, ctr)
+    (joins.foldLeft(base) { case (d, (keys, pk)) =>
+      d.join(keys, Seq(pk), "left") }, w2)
   }
 
   def run(s: SparkSession, dir: String, req0: Request): DataFrame = {

@@ -207,11 +207,18 @@ object IncrementalDedup {
   def appendFresh(batch: DataFrame, dups: DataFrame,
       storePath: String, batchId: Long): DataFrame = {
     val store = loadStore(batch.sparkSession, storePath)
-    val (nb, rpb, sl, kern) = effectiveMeta(store)
+    // same guard as processBatch: an append into the bucket-partitioned
+    // serving layout would land rows with null band_bucket, invisible
+    // to every pruned probe — silent candidate misses
+    require(!store.columns.contains("band_bucket"),
+      "this store uses the partitioned serving layout — ingest into " +
+        "the batch-partitioned store and rebuild/compact to serve")
+    val meta = storeMeta(store)._1 // ONE limit-1 probe per append
+    val (nb, rpb, sl, kern) = meta.getOrElse((Bands, RowsPerBand,
+      ShingleLen, "xxhash"))
     val fresh = batch.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
     writeBatchPartition(
-      withMetaColumns(signatureRowsWith(fresh, nb, rpb, sl, kern),
-        storeMeta(store)._1),
+      withMetaColumns(signatureRowsWith(fresh, nb, rpb, sl, kern), meta),
       store, storePath, batchId)
     fresh
   }

@@ -109,11 +109,13 @@ object CorpusStreams {
     * Null semantics mirror batch: null lang/text never enter the
     * distinct sets (countDistinct ignores nulls — a null-text doc
     * counts as a duplicate), null n_chars contributes 0 to the sum and
-    * never counts short. Rounding is HALF_UP at 4/6 decimals, the
-    * round() the batch twin applies. */
+    * never counts short — and a source whose EVERY n_chars is null
+    * answers a null mean, exactly as batch's sum(all-null) does.
+    * Rounding is HALF_UP at 4/6 decimals, the round() the batch twin
+    * applies. */
   def profileStream(docs: DataFrame)
       : org.apache.spark.sql.Dataset[
-        (String, Long, Long, Double, Long, Double)] = {
+        (String, Long, Long, Option[Double], Long, Double)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -123,39 +125,41 @@ object CorpusStreams {
     docs
       .select(col("source"),
         col("lang"),
-        coalesce(col("n_chars").cast("long"), lit(0L)).as("chars"),
+        col("n_chars").cast("long").as("chars"),
         // null-safe short flag: null n_chars is not short (batch's
         // when(< 200) is null → otherwise 0)
         coalesce((col("n_chars") < 200).cast("boolean"), lit(false))
           .as("short"),
         md5(col("text")).as("h"))
-      .as[(String, Option[String], Long, Boolean, Option[String])]
+      .as[(String, Option[String], Option[Long], Boolean, Option[String])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout) {
         (source: String,
-            it: Iterator[(String, Option[String], Long, Boolean,
+            it: Iterator[(String, Option[String], Option[Long], Boolean,
               Option[String])],
-            state: GroupState[(Long, Long, Long, Set[String],
+            state: GroupState[(Long, Long, Long, Long, Set[String],
               Set[String])]) =>
-          var (n, sumChars, nShort, langs, hashes) =
+          var (n, nChars, sumChars, nShort, langs, hashes) =
             state.getOption.getOrElse(
-              (0L, 0L, 0L, Set.empty[String], Set.empty[String]))
+              (0L, 0L, 0L, 0L, Set.empty[String], Set.empty[String]))
           it.foreach { case (_, lang, chars, short, h) =>
             n += 1
-            sumChars += chars
+            chars.foreach { c => nChars += 1; sumChars += c }
             if (short) nShort += 1
             lang.foreach(l => langs += l)
             h.foreach(v => hashes += v)
           }
-          state.update((n, sumChars, nShort, langs, hashes))
+          state.update((n, nChars, sumChars, nShort, langs, hashes))
           Iterator((source, n, langs.size.toLong,
-            r(sumChars.toDouble / n, 4), n - hashes.size,
-            r(nShort.toDouble / n, 6)))
+            // batch: sum(n_chars) over an all-null source is null →
+            // null mean; otherwise non-null sum / TOTAL count
+            if (nChars == 0) None else Some(r(sumChars.toDouble / n, 4)),
+            n - hashes.size, r(nShort.toDouble / n, 6)))
       }
       .toDF("source", "n_docs", "n_langs", "mean_chars", "dup_docs",
         "short_frac")
-      .as[(String, Long, Long, Double, Long, Double)]
+      .as[(String, Long, Long, Option[Double], Long, Double)]
   }
 
   /** Per-document contamination guard for a document stream: q76's

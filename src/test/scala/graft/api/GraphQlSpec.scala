@@ -1131,6 +1131,17 @@ class GraphQlSpec extends SparkSpec {
         |fragment OF on orders { ...OG }
         |fragment OG on orders { o_orderkey }""".stripMargin
     assert(GraphQl.parse(nested, operationName = Some("B")).isRight)
+    // used = REACHABLE from an operation: two dead fragments
+    // spreading each other must not keep each other alive
+    GraphQl.parse(
+      """query A { region { r_regionkey } }
+        |query B { nation { n_nationkey } }
+        |fragment DA on region { r_name ...DB }
+        |fragment DB on region { ...DA }""".stripMargin,
+      operationName = Some("B")) match {
+      case Left(m) => assert(m.contains("never spread"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
   }
 
   test("@include/@skip on streams and root aggregates: fields gate, " +
@@ -1213,6 +1224,56 @@ class GraphQlSpec extends SparkSpec {
         |  }
         |}""".stripMargin) match {
       case Left(m) => assert(m.contains("_bogus") || m.contains("nope"), m)
+      case Right(r) => fail(s"parsed: $r")
+    }
+    // RELATIONSHIP aggregates gate their arms, functions, and nodes
+    // fields the same way the root grammar does (directive parity is
+    // symmetric across the two aggregate surfaces)
+    val relAgg = GraphQl.parse(
+      """{
+        |  customer(where: {c_custkey: {_lte: 5}}) {
+        |    c_custkey
+        |    orders_aggregate {
+        |      aggregate {
+        |        count @skip(if: true)
+        |        sum @include(if: true) { o_totalprice }
+        |      }
+        |      nodes @include(if: true) {
+        |        o_orderkey
+        |        o_orderstatus @skip(if: true)
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(relAgg.aggRels.head.aggs.map(_.as) === Seq("sum_o_totalprice"))
+    assert(relAgg.aggRels.head.nodes === Seq("o_orderkey"))
+    // aggregate arm excluded, nodes kept: the legal nodes-only body
+    val relAggNodes = GraphQl.parse(
+      """{
+        |  customer(where: {c_custkey: {_lte: 5}}) {
+        |    c_custkey
+        |    orders_aggregate {
+        |      aggregate @skip(if: true) { count }
+        |      nodes { o_orderkey }
+        |    }
+        |  }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(relAggNodes.aggRels.head.aggs.isEmpty &&
+      relAggNodes.aggRels.head.nodes === Seq("o_orderkey"))
+    // BOTH arms excluded reduces to a shape the aggregate surface
+    // refuses by design — the AggRel contract speaking, not a
+    // directive error (the parseRootAggregate scaladoc's composition)
+    GraphQl.parse(
+      """{
+        |  customer(where: {c_custkey: {_lte: 5}}) {
+        |    c_custkey
+        |    orders_aggregate {
+        |      aggregate @skip(if: true) { count }
+        |      nodes @include(if: false) { o_orderkey }
+        |    }
+        |  }
+        |}""".stripMargin) match {
+      case Left(m) => assert(m.contains("no aggregates"), m)
       case Right(r) => fail(s"parsed: $r")
     }
   }

@@ -26,6 +26,30 @@ class RootAggregateSpec extends SparkSpec {
     assert(r2 === AggRequest("docs", None, Seq(CountOf("src", "count"))))
   }
 
+  test("nodes under an explicitly-spelled DEFAULT nulls placement " +
+    "serve (desc_nulls_first == the engine default, reachable via the " +
+    "DSL); only genuinely non-default placements are loud inside " +
+    "array sorts") {
+    // the TEXT grammar rejects _nulls_ spellings on aggregate
+    // order_by at parse; the DSL can still spell them — the default
+    // spelling must serve, the comparator-contradicting one is loud
+    val r = AggRequest("orders",
+      where = Some(Eq("o_orderstatus", "P")),
+      aggs = Seq(CountAll("count")),
+      nodes = Seq("o_orderkey"),
+      orderBy =
+        Seq(Order("o_totalprice", desc = true, nullsFirst = Some(true))),
+      limit = Some(3))
+    val row = QueryBuilder.runAggregate(spark, sf("sf0.001"), r).head
+    assert(row.getLong(0) === 3L)
+    // the non-default spelling would sort the array wrongly — loud
+    val bad = r.copy(orderBy =
+      Seq(Order("o_totalprice", desc = true, nullsFirst = Some(false))))
+    val e = intercept[IllegalArgumentException](
+      QueryBuilder.runAggregate(spark, sf("sf0.001"), bad).collect())
+    assert(e.getMessage.contains("nulls placement"))
+  }
+
   test("parseRootAggregate rejects the wrong-answer shapes loudly") {
     def err(doc: String, frag: String): Unit =
       GraphQl.parseRootAggregate(doc) match {

@@ -132,11 +132,17 @@ class IncrementalDedupSpec extends SparkSpec {
       .find(_.contains("PartitionFilters:")).getOrElse("")
     assert(pf.contains("band_bucket"),
       s"bucket filter must prune partitions:\n$plan")
-    // serving stores are read-mostly: ingest refuses loudly
+    // serving stores are read-mostly: ingest refuses loudly — BOTH
+    // write entry points (an appendFresh slipping through would land
+    // bucket-less rows invisible to every pruned probe)
     assertThrows[IllegalArgumentException](
       IncrementalDedup.processBatch(
         Seq((999L, "a b c d e")).toDF("doc_id", "text"), serving,
         s"$base/serving", batchId = 1L))
+    assertThrows[IllegalArgumentException](
+      IncrementalDedup.appendFresh(
+        Seq((999L, "a b c d e")).toDF("doc_id", "text"),
+        Seq.empty[Long].toDF("doc_id"), s"$base/serving", batchId = 1L))
     // the flat ingest store answers the SAME probes (no bucket layout)
     val ingest = IncrementalDedup.loadStore(spark, s"$base/ingest")
     val (qid, qtext) = texts.head

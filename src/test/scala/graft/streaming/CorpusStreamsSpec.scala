@@ -49,13 +49,22 @@ class CorpusStreamsSpec extends SparkSpec {
     val fixture = graft.Tables.load(spark, sf("sf0.001"), "documents")
       .select("source", "lang", "n_chars", "text").collect()
       .map(r => (Option(r.getString(0)).getOrElse("src?"),
-        Option(r.getString(1)), r.getLong(2), Option(r.getString(3))))
+        Option(r.getString(1)), Option(r.getLong(2)),
+        Option(r.getString(3))))
       .toSeq
     // a null-lang, null-text doc: never enters the distinct sets, so
-    // it counts as a duplicate (batch's countDistinct-ignores-nulls)
-    val withNull = fixture :+ (
-      (fixture.head._1, None: Option[String], 10L, None: Option[String]))
-    val input = MemoryStream[(String, Option[String], Long, Option[String])]
+    // it counts as a duplicate (batch's countDistinct-ignores-nulls);
+    // and a whole source of null n_chars must answer a NULL mean,
+    // exactly as batch's sum over all-nulls does
+    val withNull = fixture :+
+      ((fixture.head._1, None: Option[String], Some(10L),
+        None: Option[String])) :+
+      (("src_nullchars", Some("en"), None: Option[Long],
+        Some("solo text"))) :+
+      (("src_nullchars", Some("fr"), None: Option[Long],
+        Some("deux textes")))
+    val input =
+      MemoryStream[(String, Option[String], Option[Long], Option[String])]
     val q = CorpusStreams.profileStream(
         input.toDS().toDF("source", "lang", "n_chars", "text"))
       .writeStream.format("memory").queryName("profile_stream")
