@@ -594,6 +594,82 @@ object OracleSql {
        |LIMIT 5""".stripMargin
   }
 
+  /** q186: the 32-bit md5 simhash recomputed for every document and
+    * the within-radius top-k replayed against doc 1's hash — keys are
+    * the store's STRINGS, so ties order by the VARCHAR cast. */
+  private val simhashStoreSearchSql: String = {
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${ddbHash("w")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |        FROM documents) t),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
+       |      FROM tok GROUP BY doc_id),
+       |q AS (SELECT sh FROM s WHERE doc_id = 1)
+       |SELECT CAST(a.doc_id AS VARCHAR) AS key,
+       |       bit_count(xor(a.sh, q.sh))::BIGINT AS d
+       |FROM s a, q
+       |WHERE bit_count(xor(a.sh, q.sh)) <= 3
+       |ORDER BY d, key LIMIT 5""".stripMargin
+  }
+
+  /** q187: the q51 (md5 minhash, est ≥ 0.5) and q48 (32-bit simhash,
+    * d ≤ 3) machineries restricted to the same cross-split corpus,
+    * INTERSECTED on the (batch, stored) pair, min-s_id cut per batch
+    * doc — the two-kernel agreement's ground truth. */
+  private val textKernelAgreementSql: String = {
+    val mins = (0 until 8).map(j =>
+      s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
+    val agree = (0 until 8)
+      .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandEq = (0 until 4).map(bq =>
+      s"(a.s${2 * bq} = b.s${2 * bq} AND a.s${2 * bq + 1} = b.s${2 * bq + 1})")
+      .mkString(" OR ")
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM d),
+       |sh3 AS (
+       |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |m AS (
+       |  SELECT doc_id,
+       |   $mins
+       |  FROM sh3 GROUP BY doc_id),
+       |mh AS (SELECT a.doc_id AS s_id, b.doc_id AS doc_id,
+       |              ($agree) / 8.0 AS est
+       |       FROM m a JOIN m b
+       |         ON a.doc_id < 150 AND b.doc_id >= 150 AND ($bandEq)
+       |       WHERE ($agree) / 8.0 >= 0.5),
+       |tok AS (SELECT doc_id, ${ddbHash("w")} AS h
+       |        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |              FROM d) t),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh
+       |      FROM tok GROUP BY doc_id),
+       |sp AS (SELECT a.doc_id AS s_id, b.doc_id AS doc_id,
+       |              bit_count(xor(a.sh, b.sh))::BIGINT AS dist
+       |       FROM s a JOIN s b ON a.doc_id < 150 AND b.doc_id >= 150
+       |       WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |j AS (SELECT mh.doc_id, mh.s_id, mh.est, sp.dist
+       |      FROM mh JOIN sp
+       |        ON mh.doc_id = sp.doc_id AND mh.s_id = sp.s_id),
+       |r AS (SELECT j.*, row_number() OVER
+       |        (PARTITION BY doc_id ORDER BY s_id) AS rn FROM j)
+       |SELECT doc_id, s_id AS dup_of, est AS est_jaccard, dist
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** q125: the q51 pair machinery restricted to CROSS-SPLIT pairs —
     * train side as `a`, eval (val+test) side as `b`, the q54 split CTE
     * deciding sides. Same shingles, same 8-slot minhash, same 4×2
@@ -1514,6 +1590,8 @@ object OracleSql {
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "q51_minhash_pairs_md5" -> minhashPairsMd5,
     "q185_text_store_search" -> textStoreSearchSql,
+    "q186_simhash_store_search" -> simhashStoreSearchSql,
+    "q187_text_kernel_agreement" -> textKernelAgreementSql,
     "q125_cross_decontam" -> crossDecontam,
     "q52_winnow_md5" -> winnowMd5,
     "q49_nested_deep" -> nestedDeepSql,

@@ -178,22 +178,45 @@ object IncrementalDedup {
       threshold, nb * rpb)
   }
 
-  /** Probe from precomputed signature rows (shared with [[processBatch]]
-    * so the minhash kernel — the dominant per-batch cost — runs once).
-    * `k` is the signature length (the store's nBands * rowsPerBand). */
-  def findDupsFromSigs(sigs: DataFrame, store: DataFrame,
-      threshold: Double, k: Int = K): DataFrame =
+  /** The verified candidate pairs of a probe, BEFORE any per-key cut —
+    * (doc_id, s_id, est_jaccard), deduped across agreeing bands.
+    * Exposed so composite policies (the q187 minhash+simhash
+    * agreement — [[IncrementalImageDedup.findAgreedDups]]'s lesson for
+    * text) can join candidate SETS on the (batch, stored) pair:
+    * joining two kernels' already-cut winners would miss a common
+    * match whenever their min-key winners differ. */
+  def dupCandidates(batch: DataFrame, store: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val (nb, rpb, sl, kern) = effectiveMeta(store)
+    candidatesFromSigs(signatureRowsWith(batch, nb, rpb, sl, kern),
+      store, threshold, nb * rpb).distinct()
+  }
+
+  /** The band-join + signature-verify core shared by [[findDupsFromSigs]]
+    * (no distinct — multi-band duplicates cannot change its min_by) and
+    * [[dupCandidates]] (distinct — a composite join would multiply the
+    * fan-in across kernels). */
+  private def candidatesFromSigs(sigs: DataFrame, store: DataFrame,
+      threshold: Double, k: Int): DataFrame =
     sigs
       .join(store.select(col("doc_id").as("s_id"), col("sig").as("s_sig"),
         col("band")), Seq("band"))
       .filter(col("doc_id") =!= col("s_id"))
       .select(col("doc_id"), col("s_id"), col("sig"), col("s_sig"))
-      // no distinct: multi-band candidate duplicates compute the same
-      // estimate and cannot change the min_by answer — dropping the
-      // dedup saves a full shuffle; the groupBy's map-side partial
-      // aggregation absorbs the ≤Bands-fold fan-in
       .withColumn("est_jaccard", minhashJaccard(col("sig"), col("s_sig"), k))
       .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id"), col("s_id"), col("est_jaccard"))
+
+  /** Probe from precomputed signature rows (shared with [[processBatch]]
+    * so the minhash kernel — the dominant per-batch cost — runs once).
+    * `k` is the signature length (the store's nBands * rowsPerBand).
+    * No distinct below the cut: multi-band candidate duplicates compute
+    * the same estimate and cannot change the min_by answer — dropping
+    * the dedup saves a full shuffle; the groupBy's map-side partial
+    * aggregation absorbs the ≤Bands-fold fan-in. */
+  def findDupsFromSigs(sigs: DataFrame, store: DataFrame,
+      threshold: Double, k: Int = K): DataFrame =
+    candidatesFromSigs(sigs, store, threshold, k)
       .groupBy("doc_id")
       .agg(min_by(struct(col("s_id"), col("est_jaccard")), col("s_id"))
         .as("m"))

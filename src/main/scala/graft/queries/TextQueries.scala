@@ -1877,6 +1877,74 @@ object TextQueries {
     * replays the md5 minhash for the query doc against every stored
     * signature, so a probe that misses a banded neighbor or mis-ranks
     * the verify hash-fails. */
+  /** Q186 — the persisted hash-space index serving SIMHASH text space
+    * (the store is hash-space-agnostic — q170 image, q176 audio, here
+    * the q48 kernel): every document's 32-bit md5-simhash lands in the
+    * (key, dhash, band) store under the q48 pigeonhole banding (4×8,
+    * lossless d≤3), and "find near-duplicates of doc 1" probes it —
+    * the band disjunction pushes into the scan, candidates verify on
+    * exact popcount, top-5 by (distance, key). Keys are STRINGS in
+    * this store (the image-store schema), so ties order by the
+    * VARCHAR cast on both engines. The DuckDB oracle recomputes the
+    * md5 simhash and replays the within-radius top-k. */
+  def q186SimhashStoreSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IncrementalImageDedup => I}
+    val path = s"/root/repo/target/tmp/q186_" +
+      s.sparkContext.applicationId
+    val hashes = docs(s, dir)
+      .select(col("doc_id").cast("string").as("key"),
+        graft.functions.TextKernelExpressions
+          .simhashMd5(col("text"), 32).as("dhash"))
+      .localCheckpoint(true) // feeds the store build AND the query fetch
+    I.initStore(hashes, path, nBands = 4, bandBits = 8)
+    val q = hashes.filter(col("key") === "1").head.getLong(1)
+    I.search(I.loadStore(s, path), q, k = 5)
+  }
+
+  /** Q187 — TWO-KERNEL AGREEMENT on the text batch-vs-store path
+    * (q166/q169/q177's precision policy, completed for the text
+    * modality): a batch document is a duplicate only when the MINHASH
+    * store (md5 kernel, est ≥ 0.5) and the SIMHASH store (32-bit, d ≤
+    * 3) match it to the SAME stored document. Candidate SETS join on
+    * the (batch, stored) pair BEFORE any per-key cut — the kernels
+    * can crown different min-key winners while agreeing on a common
+    * match. Non-vacuous by construction at sf0.01: 4 of 5 minhash
+    * cross-pairs survive while 263 simhash band-space coincidences
+    * (32 bits over hundreds of docs collide freely) are rejected —
+    * the precision independent evidence buys. Oracle = the q51 and
+    * q48 machineries' cross-split intersection with the min-s_id cut
+    * replayed. */
+  def q187TextKernelAgreement(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IncrementalDedup => D, IncrementalImageDedup => I}
+    val base = s"/root/repo/target/tmp/q187_" +
+      s.sparkContext.applicationId
+    val d = docs(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") < 300).localCheckpoint(true)
+    val old = d.filter(col("doc_id") < 150)
+    val batch = d.filter(col("doc_id") >= 150)
+    D.initStore(old, s"$base/mh", nBands = 4, rowsPerBand = 2,
+      shingleLen = 3, kernel = "md5")
+    val mh = D.dupCandidates(batch, D.loadStore(s, s"$base/mh"), 0.5)
+    def simhashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id").cast("string").as("key"),
+        graft.functions.TextKernelExpressions
+          .simhashMd5(col("text"), 32).as("dhash"))
+    I.initStore(simhashes(old), s"$base/sh", nBands = 4, bandBits = 8)
+    val sh = I.dupCandidates(simhashes(batch),
+        I.loadStore(s, s"$base/sh"), maxDist = 3, nBands = 4,
+        bandBits = 8)
+      .distinct()
+    mh.join(sh.select(col("key").cast("long").as("doc_id"),
+        col("s_key").cast("long").as("s_id"), col("dist")),
+        Seq("doc_id", "s_id"))
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("s_id"), col("est_jaccard"), col("dist")),
+        col("s_id")).as("m"))
+      .select(col("doc_id"), col("m.s_id").as("dup_of"),
+        col("m.est_jaccard").as("est_jaccard"), col("m.dist").as("dist"))
+      .orderBy("doc_id")
+  }
+
   def q185TextStoreSearch(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{IncrementalDedup => D}
     val base = s"/root/repo/target/tmp/q185_" +

@@ -631,6 +631,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(ordersScans <= 1, s"orders scanned $ordersScans times:\n$p")
   }
 
+  test("q186/q187: store probes stay banded equi-joins — the simhash " +
+    "search pushes its band disjunction, the agreement joins candidate " +
+    "sets without a cartesian") {
+    import graft.queries.{TextQueries => T}
+    val p186 = T.q186SimhashStoreSearch(spark, dir)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p186.contains("CartesianProduct")
+      && !p186.contains("BroadcastNestedLoopJoin"),
+      s"q186 probe must stay a banded scan:\n$p186")
+    // the query's 4 band values reach the store scan as pushed filters
+    val pushed186 = p186.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed186.contains("EqualTo(band.b,"),
+      s"band disjunction not pushed:\n$pushed186\n$p186")
+    val p187 = T.q187TextKernelAgreement(spark, dir)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p187.contains("CartesianProduct")
+      && !p187.contains("BroadcastNestedLoopJoin"),
+      s"q187 agreement must stay banded equi-joins:\n$p187")
+  }
+
   test("q155 funnel: three chained window minima share ONE user_id " +
     "exchange, never a partition-less window") {
     val df = R.q155EventFunnel(spark, dir)
