@@ -572,7 +572,7 @@ object OracleSql {
       s"(a.s${2 * bq} = q.s${2 * bq} AND a.s${2 * bq + 1} = q.s${2 * bq + 1})")
       .mkString(" OR ")
     s"""WITH d AS (SELECT doc_id, text FROM documents
-       |           ORDER BY doc_id LIMIT 1000),
+       |           ORDER BY doc_id LIMIT 300),
        |toks AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
        |         generate_subscripts(string_split(text,' '),1) AS i
