@@ -2824,6 +2824,37 @@ object OracleSql {
          |       CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
          |FROM sc ORDER BY vec_id""".stripMargin
     },
+    // q188: the reliability table over q94's replayed scores — the
+    // 4-decimal score as an exact INTEGER drives the bin cut and the
+    // order-free integer sums, so the doubles divide once identically
+    "q188_calibration_bins" -> {
+      val (w, b) = graft.queries.SimilarityQueries.pinnedLogisticWeights()
+      val vals = w.zipWithIndex
+        .map { case (v, i) => s"(${i + 1},$v)" }.mkString(",")
+      s"""WITH ex AS (
+         |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         |         generate_subscripts(embedding,1) AS i
+         |  FROM embeddings),
+         |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+         |w AS (SELECT i, v::DOUBLE AS v FROM (VALUES $vals) t(i, v)),
+         |z AS (SELECT e.vec_id,
+         |         SUM((e.x / NULLIF(nr.nrm, 0)) * w.v) + $b AS z
+         |      FROM ex e JOIN nr ON nr.vec_id = e.vec_id
+         |                JOIN w ON w.i = e.i
+         |      GROUP BY e.vec_id),
+         |sc AS (SELECT vec_id,
+         |         CAST(ROUND(ROUND(1.0 / (1.0 + EXP(-z)), 4) * 10000)
+         |           AS BIGINT) AS si
+         |       FROM z),
+         |j AS (SELECT sc.si, LEAST(sc.si // 1000, 9) AS bin,
+         |             CASE WHEN m.label <= 4 THEN 1 ELSE 0 END AS pos
+         |      FROM sc JOIN embeddings m ON m.vec_id = sc.vec_id)
+         |SELECT bin, COUNT(*)::BIGINT AS n,
+         |       ROUND(SUM(si)::DOUBLE / COUNT(*) / 10000.0, 4)
+         |         AS mean_score,
+         |       ROUND(SUM(pos)::DOUBLE / COUNT(*), 4) AS frac_pos
+         |FROM j GROUP BY bin ORDER BY bin""".stripMargin
+    },
     // hybrid retrieval: Reciprocal Rank Fusion of the two PROVEN legs —
     // the BM25 chain (q77/q82's oracle at depth 50) and the cosine-kNN
     // chain (q23's oracle at depth 50). score = sum over lists of

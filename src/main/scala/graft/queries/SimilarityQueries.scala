@@ -550,6 +550,38 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Q188 — CALIBRATION BINS for the keep-classifier (the reliability
+    * diagram every model-based quality filter ships with: "when the
+    * model says 0.7, how often is it right?"): q94's pinned-logistic
+    * scores bucket into 10 equal-width bins and each bin reports its
+    * size, mean score, and empirical positive fraction (positive =
+    * label ≤ 4, the deterministic half-split of the 0-9 label space) —
+    * divergence between the last two columns IS the mis-calibration a
+    * pipeline thresholds around.
+    *
+    * Determinism discipline: the 4-decimal score becomes an exact
+    * INTEGER (round(score·10⁴)), so the bin cut (si div 1000 — a
+    * double floor(score·10) could flip at representation boundaries)
+    * and the bin means (integer SUM, order-free, divided once) are
+    * engine-identical. Scale: one groupBy(bin) with map-side partials
+    * over the scoring scan — nothing new materializes. */
+  def q188CalibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val lab = emb(s, dir).select(col("vec_id"), col("label"))
+    q94ClassifierScore(s, dir)
+      .join(lab, "vec_id")
+      .withColumn("si", round(col("score") * 10000).cast("long"))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+      .withColumn("bin", least(expr("si div 1000"), lit(9L)).cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("si")).cast("double") / count(lit(1)) / 10000.0, 4)
+          .as("mean_score"),
+        round(sum(when(col("label") <= 4, 1).otherwise(0))
+          .cast("double") / count(lit(1)), 4).as("frac_pos"))
+      .orderBy("bin")
+  }
+
   /** Q86 — oracle-checked twin of q79's IVF-PQ probe: same coarse
     * assignment as q34 (first-16 codebook, map-side codegen argmax), the
     * residual encoded by [[graft.functions.VectorFunctions.PqEncode]]
