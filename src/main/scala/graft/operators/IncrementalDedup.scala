@@ -179,23 +179,27 @@ object IncrementalDedup {
   }
 
   /** The verified candidate pairs of a probe, BEFORE any per-key cut —
-    * (doc_id, s_id, est_jaccard), deduped across agreeing bands.
-    * Exposed so composite policies (the q187 minhash+simhash
+    * (doc_id, s_id, est_jaccard), possibly duplicated across agreeing
+    * bands. Exposed so composite policies (the q187 minhash+simhash
     * agreement — [[IncrementalImageDedup.findAgreedDups]]'s lesson for
     * text) can join candidate SETS on the (batch, stored) pair:
     * joining two kernels' already-cut winners would miss a common
-    * match whenever their min-key winners differ. */
+    * match whenever their min-key winners differ. SAME contract as
+    * [[IncrementalImageDedup.dupCandidates]]: the caller distincts
+    * each side BEFORE a composite join (multi-band fan-in would
+    * otherwise multiply across kernels) — one contract across the
+    * twin operators, so a policy written against either API composes
+    * correctly with both. */
   def dupCandidates(batch: DataFrame, store: DataFrame,
       threshold: Double = 0.5): DataFrame = {
     val (nb, rpb, sl, kern) = effectiveMeta(store)
     candidatesFromSigs(signatureRowsWith(batch, nb, rpb, sl, kern),
-      store, threshold, nb * rpb).distinct()
+      store, threshold, nb * rpb)
   }
 
   /** The band-join + signature-verify core shared by [[findDupsFromSigs]]
-    * (no distinct — multi-band duplicates cannot change its min_by) and
-    * [[dupCandidates]] (distinct — a composite join would multiply the
-    * fan-in across kernels). */
+    * and [[dupCandidates]] — neither distincts (min_by is fan-in-proof;
+    * composite callers distinct before their join). */
   private def candidatesFromSigs(sigs: DataFrame, store: DataFrame,
       threshold: Double, k: Int): DataFrame =
     sigs

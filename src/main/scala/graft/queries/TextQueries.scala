@@ -1864,18 +1864,6 @@ object TextQueries {
       round(sum(when(col("n_chars") < 200, 1).otherwise(0))
         .cast("double") / count(lit(1)), 6).as("short_frac"))
 
-  /** Q185 — banded `search()` over the persisted TEXT dedup store
-    * (VERDICT r13's third item — the text twin of q170/q182's
-    * hash-space serving path): a 300-doc corpus slice builds an
-    * md5-kernel ingest store (self-describing kernel + banding),
-    * [[graft.operators.IncrementalDedup.compactToServing]] ships it to
-    * the bucket-partitioned serving layout through the AtomicSwap
-    * ritual, and "find near-duplicates of doc 45" probes it — ≤4 of 16
-    * bucket directories at the file listing, band disjunction pushed,
-    * full-signature Jaccard verify. Doc 45 carries the est-1.0 partner
-    * 267 in range at sf0.01; the DuckDB oracle replays the md5 minhash
-    * for the query doc against every stored signature, so a probe that
-    * misses a banded neighbor or mis-ranks the verify hash-fails. */
   /** Q186 — the persisted hash-space index serving SIMHASH text space
     * (the store is hash-space-agnostic — q170 image, q176 audio, here
     * the q48 kernel): every document's 32-bit md5-simhash lands in the
@@ -1923,7 +1911,11 @@ object TextQueries {
     val batch = d.filter(col("doc_id") >= 150)
     D.initStore(old, s"$base/mh", nBands = 4, rowsPerBand = 2,
       shingleLen = 3, kernel = "md5")
+    // each side distincts BEFORE the composite join (the shared
+    // dupCandidates contract — multi-band fan-in would otherwise
+    // multiply across kernels)
     val mh = D.dupCandidates(batch, D.loadStore(s, s"$base/mh"), 0.5)
+      .distinct()
     def simhashes(df: DataFrame): DataFrame =
       df.select(col("doc_id").cast("string").as("key"),
         graft.functions.TextKernelExpressions
@@ -1944,6 +1936,18 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Q185 — banded `search()` over the persisted TEXT dedup store
+    * (VERDICT r13's third item — the text twin of q170/q182's
+    * hash-space serving path): a 300-doc corpus slice builds an
+    * md5-kernel ingest store (self-describing kernel + banding),
+    * [[graft.operators.IncrementalDedup.compactToServing]] ships it to
+    * the bucket-partitioned serving layout through the AtomicSwap
+    * ritual, and "find near-duplicates of doc 45" probes it — ≤4 of 16
+    * bucket directories at the file listing, band disjunction pushed,
+    * full-signature Jaccard verify. Doc 45 carries the est-1.0 partner
+    * 267 in range at sf0.01; the DuckDB oracle replays the md5 minhash
+    * for the query doc against every stored signature, so a probe that
+    * misses a banded neighbor or mis-ranks the verify hash-fails. */
   def q185TextStoreSearch(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{IncrementalDedup => D}
     val base = s"/root/repo/target/tmp/q185_" +
