@@ -1592,6 +1592,21 @@ object OracleSql {
     "q185_text_store_search" -> textStoreSearchSql,
     "q186_simhash_store_search" -> simhashStoreSearchSql,
     "q187_text_kernel_agreement" -> textKernelAgreementSql,
+    // q189: the export manifest recomputed from the raw table — same
+    // seeded shard hash, same null-text skip rules (string_agg and
+    // concat_ws both skip nulls), same doc-id content ordering
+    "q189_export_manifest" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, text,
+         |    ${ddbHash("CAST(doc_id AS VARCHAR) || '#2'")} % 8 AS shard
+         |  FROM documents)
+         |SELECT shard::BIGINT AS shard, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(CASE WHEN text IS NOT NULL
+         |      THEN len(string_split(text, ' ')) END)::BIGINT
+         |    AS n_tokens,
+         |  md5(string_agg(md5(text), '|' ORDER BY doc_id))
+         |    AS content_fp
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "q125_cross_decontam" -> crossDecontam,
     "q52_winnow_md5" -> winnowMd5,
     "q49_nested_deep" -> nestedDeepSql,

@@ -1864,6 +1864,19 @@ object TextQueries {
       round(sum(when(col("n_chars") < 200, 1).otherwise(0))
         .cast("double") / count(lit(1)), 6).as("short_frac"))
 
+  /** Q189 — the corpus EXPORT MANIFEST under the oracle gate
+    * ([[graft.operators.CorpusExport]]): documents land hash-sharded
+    * (the q54 content-stable discipline, seed #2, 8 shards) and the
+    * manifest — computed from the READ-BACK shards, so the round-trip
+    * is what's checked — reports per-shard doc/token counts and the
+    * doc-id-ordered content fingerprint. DuckDB recomputes all three
+    * from the raw table with the same seeded hash: a dropped row, a
+    * reordered rewrite, or a corrupted text flips a checksum. */
+  def q189ExportManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusExport.exportShards(
+      docs(s, dir).select("doc_id", "text"),
+      s"/root/repo/target/tmp/q189_" + s.sparkContext.applicationId)
+
   /** Q186 — the persisted hash-space index serving SIMHASH text space
     * (the store is hash-space-agnostic — q170 image, q176 audio, here
     * the q48 kernel): every document's 32-bit md5-simhash lands in the

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The export manifest is a consumer-verifiable shipping contract:
+  * recomputing it over received shards must equal the producer's, and
+  * any damage — a dropped row, a corrupted text — must flip exactly
+  * the damaged shard's row. */
+class CorpusExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("manifest round-trips the export, names a damaged shard, and " +
+    "shards deterministically") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_export").toString + "/corpus"
+    val produced = CorpusExport.exportShards(docs, path).collect()
+    assert(produced.length === 8)
+    assert(produced.map(_.getLong(1)).sum === docs.count())
+    // the consumer's recompute over the received shards equals the
+    // producer's manifest byte for byte
+    val received = CorpusExport
+      .manifest(spark.read.parquet(path)).collect()
+    assert(received.map(_.toSeq).toSeq === produced.map(_.toSeq).toSeq)
+    // determinism: a rerun of the assignment (no write) shards
+    // identically
+    val again = CorpusExport.manifest(
+      docs.withColumn("shard", CorpusExport.shardOf(8))).collect()
+    assert(again.map(_.toSeq).toSeq === produced.map(_.toSeq).toSeq)
+    // tamper detection: drop one row of shard 0 → ONLY shard 0's
+    // n_docs and checksum change
+    val full = spark.read.parquet(path)
+    val victim = full.filter(col("shard") === 0)
+      .select(min("doc_id")).head.getLong(0)
+    val tampered = CorpusExport
+      .manifest(full.filter(col("doc_id") =!= victim)).collect()
+    produced.zip(tampered).foreach { case (p, t) =>
+      if (p.getLong(0) == 0L) {
+        assert(t.getLong(1) === p.getLong(1) - 1)
+        assert(t.getString(3) !== p.getString(3),
+          "a dropped row must flip the shard checksum")
+      } else assert(t.toSeq === p.toSeq,
+        s"undamaged shard ${p.getLong(0)} changed")
+    }
+    // ...and a corrupted TEXT flips the checksum with counts intact
+    val corrupted = CorpusExport.manifest(
+      full.withColumn("text",
+        when(col("doc_id") === victim, lit("tampered"))
+          .otherwise(col("text")))).collect()
+    val s0 = corrupted.find(_.getLong(0) == 0L).get
+    val p0 = produced.find(_.getLong(0) == 0L).get
+    assert(s0.getLong(1) === p0.getLong(1))
+    assert(s0.getString(3) !== p0.getString(3))
+  }
+}
