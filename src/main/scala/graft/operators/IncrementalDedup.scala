@@ -430,12 +430,19 @@ object IncrementalDedup {
     * only documents sharing ≥1 band are reachable (identical recall
     * to the pair pipeline — spec-pinned probe ≡ full-scan pairs). */
   def search(store: DataFrame, queryText: String, k: Int,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, nBands: Int = Bands,
+      rowsPerBand: Int = RowsPerBand, shingleLen: Int = ShingleLen,
+      kernel: String = "xxhash"): DataFrame = {
     require(k > 0, "k must be positive")
     val s = store.sparkSession
+    // persisted stores SELF-DESCRIBE and override the parameters; the
+    // explicit ones serve BARE signature frames (the image-twin
+    // contract: pass what signatureRowsWith was given, or a
+    // non-default frame probed under the defaults would silently
+    // band-miss)
     val (meta, nBucketsOpt) = storeMeta(store)
-    val (nb, rpb, sl, kern) = meta.getOrElse((Bands, RowsPerBand,
-      ShingleLen, "xxhash"))
+    val (nb, rpb, sl, kern) = meta.getOrElse((nBands, rowsPerBand,
+      shingleLen, kernel))
     val kk = nb * rpb
     val nB = nBucketsOpt.getOrElse(1)
     val qrows = docSigs(

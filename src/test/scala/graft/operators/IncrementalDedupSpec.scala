@@ -180,6 +180,16 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect()
     assert(selfHit.head.getLong(0) === texts.head._1 &&
       selfHit.head.getDouble(1) === 1.0)
+    // a BARE signature frame (no meta columns) probes under the
+    // CALLER's parameters — the image-twin contract (pass what
+    // signatureRowsWith was given)
+    val bare = IncrementalDedup
+      .signatureRowsWith(corpus, 4, 2, 3, "md5")
+    val bareHit = IncrementalDedup.search(bare, texts.head._2, k = 1,
+      nBands = 4, rowsPerBand = 2, shingleLen = 3, kernel = "md5")
+      .collect()
+    assert(bareHit.head.getLong(0) === texts.head._1 &&
+      bareHit.head.getDouble(1) === 1.0)
     // an unknown kernel string is loud
     assertThrows[IllegalArgumentException](
       IncrementalDedup.initStore(corpus, md5base + "/bad",
