@@ -113,6 +113,27 @@ object Demo {
       "pq ann hits (q79)" -> SimilarityQueries.q79AnnPq(spark, sfDir).count())
     pipeline.foreach { case (t, n) => println(f"$t%-26s $n%6d") }
 
+    // 7. Serving + shipping: the persisted near-dup index lifecycle —
+    //    batch-partitioned ingest build, atomic compaction into the
+    //    bucket-partitioned serving layout, a "find near-duplicates of
+    //    THIS document" probe — and the hash-sharded corpus export with
+    //    its consumer-verifiable manifest.
+    import graft.operators.{CorpusExport, IncrementalDedup}
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    IncrementalDedup.initStore(corpus, s"$outDir/dedup_ingest")
+    IncrementalDedup.compactToServing(spark, s"$outDir/dedup_ingest",
+      s"$outDir/dedup_serving", nBuckets = 16)
+    val probeText = corpus.orderBy("doc_id").select("text")
+      .head.getString(0)
+    val hits = IncrementalDedup.search(
+      IncrementalDedup.loadStore(spark, s"$outDir/dedup_serving"),
+      probeText, k = 3).count()
+    println(s"serving-store near-dup probe: $hits hit(s)")
+    val manifest =
+      CorpusExport.exportShards(corpus, s"$outDir/corpus_shards")
+    println(s"export manifest: ${manifest.count()} shards")
+
     val counts = (snapshots.keys.toSeq :+ "messages" :+ "token_metadata"
       :+ "image_features" :+ "video_frames" :+ "image_store").sorted.map { t =>
       t -> spark.read.parquet(s"$outDir/$t").count()
