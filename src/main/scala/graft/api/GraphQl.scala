@@ -651,15 +651,21 @@ object GraphQl {
 
   /** Column-only order_by (relationship-level order arguments): one
     * shared walker with [[compileOrdersRoot]] — an empty schema makes
-    * every aggregate spelling fall to the plain-entry error, and
-    * explicit nulls placement REJECTS here (the nested in-array sort
-    * implements only the default rule; accepting the spelling would
-    * throw later instead of returning Left). */
+    * every aggregate spelling fall to the plain-entry error. Explicit
+    * nulls placement is accepted when it SPELLS the engine default
+    * (asc_nulls_last / desc_nulls_first — Hasura clients emit these
+    * routinely, and the in-array sort already implements that rule);
+    * a NON-default placement rejects here, at parse (accepting it
+    * would throw inside the array sort instead of returning Left). */
   private def compileOrders(v: V, at: String): Seq[Order] = {
     val orders = compileOrdersRoot(v, at, Schema(Map.empty), "")._1
-    orders.find(_.nullsFirst.isDefined).foreach(o =>
-      bad(s"$at.${o.field}: explicit nulls placement is not supported " +
-        "on relationship order_by"))
+    orders.find(o =>
+        o.nullsFirst.isDefined && !o.nullsFirst.contains(o.desc))
+      .foreach(o =>
+        bad(s"$at.${o.field}: non-default nulls placement is not " +
+          "supported on relationship order_by (the array sort " +
+          "implements nulls-largest: asc_nulls_last / " +
+          "desc_nulls_first)"))
     orders
   }
 

@@ -1093,6 +1093,36 @@ class GraphQlSpec extends SparkSpec {
     }
   }
 
+  test("relationship order_by accepts DEFAULT-spelled nulls placement " +
+    "(asc_nulls_last / desc_nulls_first); non-default stays a parse " +
+    "Left") {
+    val r = GraphQl.parse(
+      """{
+        |  customer(where: {c_custkey: {_lte: 5}}) {
+        |    c_custkey
+        |    orders(order_by: [{o_totalprice: desc_nulls_first},
+        |                      {o_orderkey: asc_nulls_last}],
+        |           limit: 2) { o_orderkey }
+        |  }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(r.nested.head.orderBy.map(_.nullsFirst) ===
+      Seq(Some(true), Some(false)))
+    // ...and it EXECUTES (the array sort implements exactly this rule)
+    assert(QueryBuilder.run(spark, sf("sf0.001"), r).count() === 6L)
+    GraphQl.parse(
+      """{
+        |  customer {
+        |    c_custkey
+        |    orders(order_by: [{o_totalprice: desc_nulls_last}]) {
+        |      o_orderkey
+        |    }
+        |  }
+        |}""".stripMargin) match {
+      case Left(m) => assert(m.contains("non-default nulls"), m)
+      case Right(x) => fail(s"parsed: $x")
+    }
+  }
+
   test("multi-operation fragment use is DOCUMENT-wide: a fragment " +
     "spread only by a non-chosen operation is not 'never spread'") {
     val doc =
