@@ -370,6 +370,14 @@ object IncrementalDedup {
       .withColumn("band_bucket",
         pmod(xxhash64(col("band")), lit(nBuckets.toLong)).cast("int"))
       .withColumn("batch", lit(-1L))
+      // cluster rows by their bucket before the partitioned write:
+      // without it every shuffle partition fans a file into every
+      // bucket directory (tasks × buckets small files); with it each
+      // bucket's rows land from one task — one file per directory,
+      // which is exactly what a file-listing-pruned probe wants to
+      // list. (A 100-TB bucket writing one file is the documented
+      // trade — raise shuffle partitions or sub-bucket if it bites.)
+      .repartition(col("band_bucket"))
       .write.partitionBy("batch", "band_bucket").mode("overwrite")
       .parquet(path)
 

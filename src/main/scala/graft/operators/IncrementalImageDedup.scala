@@ -95,6 +95,10 @@ object IncrementalImageDedup {
         pmod(col("band.v") * 31 + col("band.b"), lit(nBuckets.toLong))
           .cast("int"))
       .withColumn("batch", lit(-1L))
+      // cluster by bucket before the partitioned write — one file per
+      // bucket directory instead of tasks × buckets small files (the
+      // IncrementalDedup.writeServing rationale)
+      .repartition(col("band_bucket"))
       .write.partitionBy("batch", "band_bucket").mode("overwrite")
       .parquet(path)
 
