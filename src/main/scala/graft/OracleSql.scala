@@ -1605,7 +1605,9 @@ object OracleSql {
          |      THEN len(string_split(text, ' ')) END)::BIGINT
          |    AS n_tokens,
          |  md5(string_agg(md5(text), '|' ORDER BY doc_id))
-         |    AS content_fp
+         |    AS content_fp,
+         |  bit_xor(${ddbHash("CAST(doc_id AS VARCHAR) || '|' || text")})
+         |    AS content_xor
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "q125_cross_decontam" -> crossDecontam,
     "q52_winnow_md5" -> winnowMd5,

@@ -41,10 +41,21 @@ object CorpusExport {
   /** The shipping manifest of a sharded corpus (needs doc_id, text,
     * shard): per shard — n_docs, n_tokens (whitespace tokens of
     * non-null texts; null text contributes no tokens on either
-    * engine), and content_fp = md5 over the doc-id-ordered per-doc
-    * md5s (null-text docs skip the concat on both engines — the
-    * string_agg/concat_ws null rule). A consumer recomputes this
-    * table over what it received; any diff names the damaged shard. */
+    * engine), content_fp = md5 over the doc-id-ordered per-doc md5s
+    * (null-text docs skip the concat on both engines — the
+    * string_agg/concat_ws null rule), and content_xor = the XOR-fold
+    * of each (doc_id, text) pair's 60-bit md5-derived hash. A consumer
+    * recomputes this table over what it received; any diff names the
+    * damaged shard.
+    *
+    * Two checksums by design: content_fp is the exact ORDERED audit —
+    * its per-shard collect is bounded by shard size (shard count
+    * scales with the corpus precisely so each stays bounded) — while
+    * content_xor is the O(1)-state order-free form (bit_xor skips
+    * nulls identically on both engines, an aggregate buffer of one
+    * long) that survives any shard size; keying the hash on
+    * (doc_id, text) makes a swap of two docs' texts visible where a
+    * text-only xor would cancel. */
   def manifest(sharded: DataFrame): DataFrame =
     sharded.groupBy(col("shard").cast("long").as("shard"))
       .agg(
@@ -54,6 +65,9 @@ object CorpusExport {
         md5(concat_ws("|", transform(
           array_sort(collect_list(
             struct(col("doc_id"), md5(col("text")).as("fp")))),
-          x => x.getField("fp")))).as("content_fp"))
+          x => x.getField("fp")))).as("content_fp"),
+        expr("bit_xor(cast(" +
+          "conv(substring(md5(concat(cast(doc_id as string), '|', " +
+          "text)), 1, 15), 16, 10) as bigint))").as("content_xor"))
       .orderBy("shard")
 }

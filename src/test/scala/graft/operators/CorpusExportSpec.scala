@@ -44,7 +44,7 @@ class CorpusExportSpec extends SparkSpec {
       } else assert(t.toSeq === p.toSeq,
         s"undamaged shard ${p.getLong(0)} changed")
     }
-    // ...and a corrupted TEXT flips the checksum with counts intact
+    // ...and a corrupted TEXT flips the checksums with counts intact
     val corrupted = CorpusExport.manifest(
       full.withColumn("text",
         when(col("doc_id") === victim, lit("tampered"))
@@ -53,5 +53,24 @@ class CorpusExportSpec extends SparkSpec {
     val p0 = produced.find(_.getLong(0) == 0L).get
     assert(s0.getLong(1) === p0.getLong(1))
     assert(s0.getString(3) !== p0.getString(3))
+    assert(s0.getLong(4) !== p0.getLong(4),
+      "the order-free xor checksum must flip on a corrupted text")
+    // a SWAP of two docs' texts cancels a text-only xor; keying the
+    // hash on (doc_id, text) keeps it visible — and the ordered fp
+    // sees the sequence change too
+    val in0 = full.filter(col("shard") === 0)
+      .select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    val texts2 = full.filter(col("doc_id").isin(in0: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val swapped2 = CorpusExport.manifest(full.withColumn("text",
+      when(col("doc_id") === in0(0), lit(texts2(in0(1))))
+        .when(col("doc_id") === in0(1), lit(texts2(in0(0))))
+        .otherwise(col("text")))).collect()
+    val w0 = swapped2.find(_.getLong(0) == 0L).get
+    assert((w0.getLong(1) === p0.getLong(1)) &&
+      (w0.getLong(4) !== p0.getLong(4)),
+      "a text swap must stay visible to the doc-id-keyed xor")
   }
 }
