@@ -87,11 +87,17 @@ object TextFunctions {
         newChild: Expression): NfcNormalize = copy(child = newChild)
   }
 
+  /** Unseeded 60-bit hash from md5 (first 15 hex chars < 2^60, fits a
+    * signed long) — THE recipe `OracleSql.ddbHash` replays; every
+    * md5-derived hash in the engine goes through here or
+    * [[seededHash]] so the cross-engine lockstep has one definition. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Seeded 60-bit hash from md5 — deterministic and reproducible in any
     * engine with md5 (first 15 hex chars < 2^60, fits a signed long). */
   def seededHash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 15), 16, 10)
-      .cast("long")
+    hash60(concat(c, lit(s"#$seed")))
 
   /** MinHash signature: k independent min-hashes over the shingle set.
     * Null when the shingle set is empty. */

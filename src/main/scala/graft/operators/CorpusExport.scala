@@ -55,19 +55,29 @@ object CorpusExport {
     * nulls identically on both engines, an aggregate buffer of one
     * long) that survives any shard size; keying the hash on
     * (doc_id, text) makes a swap of two docs' texts visible where a
-    * text-only xor would cancel. */
+    * text-only xor would cancel. A shard of ONLY null texts answers
+    * NULL for both checksums (the string_agg/bit_xor empty-input
+    * answer); dropping a null-text row is therefore caught by
+    * n_docs, not by the checksums — null texts contribute content
+    * nothing can checksum. */
   def manifest(sharded: DataFrame): DataFrame =
     sharded.groupBy(col("shard").cast("long").as("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("text").isNotNull,
           size(split(col("text"), " ")))).as("n_tokens"),
-        md5(concat_ws("|", transform(
-          array_sort(collect_list(
-            struct(col("doc_id"), md5(col("text")).as("fp")))),
-          x => x.getField("fp")))).as("content_fp"),
-        expr("bit_xor(cast(" +
-          "conv(substring(md5(concat(cast(doc_id as string), '|', " +
-          "text)), 1, 15), 16, 10) as bigint))").as("content_xor"))
+        // an ALL-null-text shard answers a NULL fp on both engines:
+        // string_agg over nulls is NULL, and concat_ws would instead
+        // hash the empty string — gate on the non-null count so the
+        // producer and a DuckDB-recomputing consumer cannot disagree
+        // on a healthy shard
+        when(count(col("text")) > 0,
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(
+              struct(col("doc_id"), md5(col("text")).as("fp")))),
+            x => x.getField("fp"))))).as("content_fp"),
+        bit_xor(graft.functions.TextFunctions.hash60(
+          concat(col("doc_id").cast("string"), lit("|"), col("text"))))
+          .as("content_xor"))
       .orderBy("shard")
 }

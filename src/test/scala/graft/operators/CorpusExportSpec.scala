@@ -73,4 +73,35 @@ class CorpusExportSpec extends SparkSpec {
       (w0.getLong(4) !== p0.getLong(4)),
       "a text swap must stay visible to the doc-id-keyed xor")
   }
+
+  test("null-text rules: null texts skip both checksums, an all-null " +
+    "shard answers NULL checksums (the string_agg/bit_xor empty-input " +
+    "answer on both engines), counts still see every row") {
+    // a synthetic corpus exercising the null region the fixture lacks
+    // — one shard (the null semantics under test are per-shard math,
+    // hash placement is the first test's business)
+    val rows = Seq[(Long, String)](
+      (1L, "alpha beta"), (2L, null), (3L, "gamma"), (4L, null))
+      .toDF("doc_id", "text")
+      .withColumn("shard", lit(0L))
+    val m0 = CorpusExport.manifest(rows).head
+    // every row counted; null texts contribute no tokens
+    assert(m0.getLong(1) === 4L)
+    assert(m0.getLong(2) === 3L)
+    // dropping a NULL-text doc: checksums unchanged (nothing to
+    // checksum), n_docs catches the drop
+    val d0 = CorpusExport.manifest(
+      rows.filter(col("doc_id") =!= 2L)).head
+    assert(d0.getLong(1) === 3L)
+    assert(Option(d0.get(3)) === Option(m0.get(3)))
+    assert(Option(d0.get(4)) === Option(m0.get(4)))
+    // an ALL-null-text shard: NULL for both checksums, never md5("")
+    val allNull = CorpusExport.manifest(
+      Seq[(Long, String)]((9L, null), (10L, null)).toDF("doc_id", "text")
+        .withColumn("shard", lit(0))).head
+    assert(allNull.getLong(1) === 2L)
+    assert(allNull.isNullAt(3), "all-null shard fp must be NULL " +
+      "(string_agg semantics), not md5 of the empty string")
+    assert(allNull.isNullAt(4))
+  }
 }
