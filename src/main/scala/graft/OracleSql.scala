@@ -594,6 +594,41 @@ object OracleSql {
        |LIMIT 5""".stripMargin
   }
 
+  /** q190: q185's machinery with doc 45 FORGOTTEN on the store side —
+    * the query signature still computes from its text, the candidate
+    * scan excludes the forgotten id. */
+  private val forgetCompactionSql: String = {
+    val mins = (0 until 8).map(j =>
+      s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
+    val agree = (0 until 8)
+      .map(j => s"(CASE WHEN a.s$j = q.s$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandEq = (0 until 4).map(bq =>
+      s"(a.s${2 * bq} = q.s${2 * bq} AND a.s${2 * bq + 1} = q.s${2 * bq + 1})")
+      .mkString(" OR ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           ORDER BY doc_id LIMIT 300),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '),1) AS i
+       |  FROM d),
+       |sh AS (
+       |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |m AS (
+       |  SELECT doc_id,
+       |   $mins
+       |  FROM sh GROUP BY doc_id),
+       |q AS (SELECT * FROM m WHERE doc_id = 45)
+       |SELECT a.doc_id, ($agree) / 8.0 AS est_jaccard
+       |FROM m a, q
+       |WHERE a.doc_id <> 45 AND ($bandEq) AND ($agree) / 8.0 >= 0.5
+       |ORDER BY est_jaccard DESC, a.doc_id
+       |LIMIT 5""".stripMargin
+  }
+
   /** q186: the 32-bit md5 simhash recomputed for every document and
     * the within-radius top-k replayed against doc 1's hash — keys are
     * the store's STRINGS, so ties order by the VARCHAR cast. */
@@ -1592,6 +1627,7 @@ object OracleSql {
     "q185_text_store_search" -> textStoreSearchSql,
     "q186_simhash_store_search" -> simhashStoreSearchSql,
     "q187_text_kernel_agreement" -> textKernelAgreementSql,
+    "q190_forget_compaction" -> forgetCompactionSql,
     // q189: the export manifest recomputed from the raw table — same
     // seeded shard hash, same null-text skip rules (string_agg and
     // concat_ws both skip nulls), same doc-id content ordering

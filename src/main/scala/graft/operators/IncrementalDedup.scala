@@ -388,12 +388,29 @@ object IncrementalDedup {
     * bucket-partitioned at `servingPath`, through the [[AtomicSwap]]
     * ritual so a live serving store never reads half-built (and a
     * crash mid-compact leaves it fully old or fully new). The ingest
-    * store stays untouched. */
+    * store stays untouched.
+    *
+    * `forget` (single-column doc_id frame) is the RIGHT-TO-BE-FORGOTTEN
+    * hook for derived indexes: an append-only signature store retains a
+    * forgotten document's fingerprints until something rewrites it —
+    * the compaction IS that rewrite, so forgotten ids anti-join out
+    * here and the published serving store never answers a probe with
+    * them (the cascadeForget discipline carried into the index
+    * family). Run the compaction on the deletion-SLA cadence; the
+    * probe-visible store is atomic either way. */
   def compactToServing(spark: SparkSession, ingestPath: String,
-      servingPath: String, nBuckets: Int = 64): Unit = {
+      servingPath: String, nBuckets: Int = 64,
+      forget: Option[DataFrame] = None): Unit = {
     val ingest = loadStore(spark, ingestPath)
     val (nb, rpb, sl, kern) = effectiveMeta(ingest)
-    val sigs = ingest.select("doc_id", "sig").distinct()
+    val sigs0 = ingest.select("doc_id", "sig").distinct()
+    val sigs = forget.map { f =>
+      require(f.columns.length == 1,
+        s"forget: expected a single-column doc_id frame, got " +
+          f.columns.mkString(", "))
+      sigs0.join(f.select(col(f.columns.head).as("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }.getOrElse(sigs0)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(servingPath),
       spark.sparkContext.hadoopConfiguration)

@@ -112,11 +112,23 @@ object IncrementalImageDedup {
     * new — the InvertedIndex/SnapshotStore compaction discipline).
     * The ingest store stays untouched; run this on whatever cadence
     * the staleness budget allows. */
+  /** `forget` (single-column key frame) anti-joins forgotten keys out
+    * of the published store — the right-to-be-forgotten rewrite for
+    * derived indexes, [[IncrementalDedup.compactToServing]]'s
+    * contract on the hamming stores. */
   def compactToServing(spark: SparkSession, ingestPath: String,
-      servingPath: String, nBuckets: Int = 64): Unit = {
+      servingPath: String, nBuckets: Int = 64,
+      forget: Option[DataFrame] = None): Unit = {
     val ingest = loadStore(spark, ingestPath)
     val (nb, bb) = storeBanding(ingest).getOrElse((NBands, BandBits))
-    val hashes = ingest.select("key", "dhash").distinct()
+    val hashes0 = ingest.select("key", "dhash").distinct()
+    val hashes = forget.map { f =>
+      require(f.columns.length == 1,
+        s"forget: expected a single-column key frame, got " +
+          f.columns.mkString(", "))
+      hashes0.join(f.select(col(f.columns.head).as("key")),
+        Seq("key"), "left_anti")
+    }.getOrElse(hashes0)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(servingPath),
       spark.sparkContext.hadoopConfiguration)

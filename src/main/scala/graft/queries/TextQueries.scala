@@ -1877,6 +1877,31 @@ object TextQueries {
       docs(s, dir).select("doc_id", "text"),
       s"/root/repo/target/tmp/q189_" + s.sparkContext.applicationId)
 
+  /** Q190 — RIGHT-TO-BE-FORGOTTEN in the derived index (the q160
+    * cascade-forget discipline carried into the dedup store family):
+    * q185's corpus compacts to serving with doc 45 FORGOTTEN, and the
+    * probe — still doc 45's own text — finds only its est-1.0 partner
+    * 267; an engine whose compaction leaked the forgotten signatures
+    * (or dropped the wrong rows) hash-fails. The oracle is q185's
+    * replay with the forgotten id excluded from the STORE side while
+    * the query signature still computes from its text. */
+  def q190ForgetCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IncrementalDedup => D}
+    val base = s"/root/repo/target/tmp/q190_" +
+      s.sparkContext.applicationId
+    val corpus = docs(s, dir).select("doc_id", "text")
+      .orderBy("doc_id").limit(300)
+      .localCheckpoint(true)
+    D.initStore(corpus, s"$base/ingest", nBands = 4, rowsPerBand = 2,
+      shingleLen = 3, kernel = "md5")
+    D.compactToServing(s, s"$base/ingest", s"$base/serving",
+      nBuckets = 16, forget = Some(Seq(45L).toDF("doc_id")))
+    val qText = corpus.filter(col("doc_id") === 45L)
+      .select("text").head.getString(0)
+    D.search(D.loadStore(s, s"$base/serving"), qText, k = 5)
+  }
+
   /** Q186 — the persisted hash-space index serving SIMHASH text space
     * (the store is hash-space-agnostic — q170 image, q176 audio, here
     * the q48 kernel): every document's 32-bit md5-simhash lands in the

@@ -168,6 +168,22 @@ class IncrementalDedupSpec extends SparkSpec {
       (0 until 30).map(i => s"fresh$i word$i").mkString(" "), k = 1)
       .collect().map(_.getLong(0)).toSeq
     assert(hit === Seq(5001L))
+    // right-to-be-forgotten: a re-compaction with a forget set drops
+    // exactly the forgotten doc from the published store — its own
+    // text no longer finds it, its partners stay findable
+    IncrementalDedup.compactToServing(spark, s"$base/ingest",
+      s"$base/serving", nBuckets = 16,
+      forget = Some(Seq(texts.head._1).toDF("doc_id")))
+    val afterForget = IncrementalDedup.search(
+      IncrementalDedup.loadStore(spark, s"$base/serving"),
+      texts.head._2, k = 50).collect().map(_.getLong(0)).toSet
+    val partners = pairs.collect {
+      case (a, b, _) if a == texts.head._1 => b
+      case (a, b, _) if b == texts.head._1 => a
+    }.toSet
+    assert(!afterForget.contains(texts.head._1),
+      "forgotten doc must not answer probes")
+    assert(afterForget === partners)
     // the md5 kernel self-describes: a store built with it probes with
     // it (est values are eighths under k=8), and search derives the
     // kernel — no caller parameter can mis-hash the probe
