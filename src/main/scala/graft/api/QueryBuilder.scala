@@ -607,7 +607,8 @@ object QueryBuilder {
          Seq(to_json(sort_array(collect_list(
            struct(r.nodes.map(col): _*)))).as("nodes"))
        else Seq(to_json(orderedCollect(r.orderBy, s"${r.table}.nodes",
-         col(_), r.nodes.map(f => col(f).as(f)), r.nodes)).as("nodes")))
+         col(_), r.nodes.map(f => col(f).as(f)), r.nodes,
+         structOrderable(f, r.nodes.map(col)))).as("nodes")))
     val outs = r.aggs.map(a => a.post(col(a.as)).as(a.as)) ++
       (if (r.nodes.isEmpty) Nil else Seq(col("nodes")))
     f.agg(cols.head, cols.tail: _*).select(outs: _*)
@@ -703,7 +704,8 @@ object QueryBuilder {
     else {
       val outNames = n.fields.map(_.as) ++ n.sub.map(_.as)
       grouped.agg(orderedCollect(n.orderBy, s"nested '${n.as}'",
-        child0(_), fs, outNames).as(n.as))
+        child0(_), fs, outNames,
+        structOrderable(child, fs)).as(n.as))
     }
   }
 
@@ -724,10 +726,29 @@ object QueryBuilder {
     * `fields` are the ALREADY-ALIASED payload columns; `names` their
     * output names (the transform re-projects by name). Scale: the
     * sort is per-array (bounded by the relationship slice), riding
-    * the same per-key aggregation exchange as the unordered render. */
+    * the same per-key aggregation exchange as the unordered render.
+    *
+    * Rows TIED under the order_by fall through to a canonical
+    * comparison over the full payload struct (the sort_array rule the
+    * no-order_by render uses) so the rendered array stays
+    * hash-deterministic even when the request doesn't spell a total
+    * order — collect_list arrival order must never leak through.
+    * `payloadOrderable` gates the fall-through: a payload carrying an
+    * unorderable type (a map column) keeps ties in arrival order, as
+    * before, instead of failing analysis. */
+  /** Whether the payload struct `fs` projects to an ORDERABLE type on
+    * `df` (driver-only analysis of one projection) — gates
+    * [[orderedCollect]]'s canonical tie fall-through: a map-typed
+    * payload column would fail analysis inside the comparator. */
+  private def structOrderable(df: DataFrame, fs: Seq[Column]): Boolean =
+    scala.util.Try(
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        df.select(struct(fs: _*).as("__p")).schema.head.dataType))
+      .getOrElse(false)
+
   private def orderedCollect(orderBy: Seq[Order], at: String,
       ordSrc: String => Column, fields: Seq[Column],
-      names: Seq[String]): Column = {
+      names: Seq[String], payloadOrderable: Boolean = true): Column = {
     // the comparator implements the DEFAULT null rule (null largest:
     // asc_nulls_last / desc_nulls_first) — an explicit placement that
     // SPELLS the default is fine, only a genuinely different one
@@ -738,8 +759,18 @@ object QueryBuilder {
         "array sorts"))
     val ordFs = orderBy.zipWithIndex.map { case (o, i) =>
       ordSrc(o.field).as(s"__ord_$i") }
-    val cmp = (l: Column, r: Column) =>
-      orderBy.zipWithIndex.foldRight(lit(0)) { case ((o, i), acc) =>
+    val cmp = (l: Column, r: Column) => {
+      // the tie base: canonical ascending comparison of the payload
+      // structs (struct `<` is Spark's interpreted field-by-field
+      // ordering — total and null-deterministic for orderable types)
+      val tie =
+        if (!payloadOrderable) lit(0)
+        else {
+          val lp = struct(names.map(l.getField): _*)
+          val rp = struct(names.map(r.getField): _*)
+          when(lp < rp, lit(-1)).when(lp > rp, lit(1)).otherwise(lit(0))
+        }
+      orderBy.zipWithIndex.foldRight(tie) { case ((o, i), acc) =>
         val a = l.getField(s"__ord_$i")
         val b = r.getField(s"__ord_$i")
         val (x, y) = if (o.desc) (b, a) else (a, b)
@@ -748,6 +779,7 @@ object QueryBuilder {
           .when(y.isNull, lit(-1))
           .when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(acc)
       }
+    }
     transform(
       array_sort(collect_list(struct(ordFs ++ fields: _*)), cmp),
       x => struct(names.map(nm => x.getField(nm).as(nm)): _*))
@@ -937,7 +969,8 @@ object QueryBuilder {
              Seq(sort_array(collect_list(
                struct(a.nodes.map(loaded(_)): _*))).as(s"__nodes_$i"))
            else Seq(orderedCollect(a.orderBy, s"${a.table}.nodes",
-             loaded(_), a.nodes.map(f => loaded(f).as(f)), a.nodes)
+             loaded(_), a.nodes.map(f => loaded(f).as(f)), a.nodes,
+             structOrderable(child, a.nodes.map(loaded(_))))
              .as(s"__nodes_$i")))
         val rel = child.groupBy(loaded(a.childKey).as(keyAlias))
           .agg(aggCols.head, aggCols.tail: _*)

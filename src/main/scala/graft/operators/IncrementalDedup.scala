@@ -162,7 +162,13 @@ object IncrementalDedup {
     if (ex("") || ex("_precompact") || ex("_compacting") ||
         ex("_swapping"))
       AtomicSwap.recover(fs, path)
-    spark.read.parquet(path)
+    // mergeSchema: a mixed store (legacy meta-less batch partitions +
+    // self-described ones) must surface the meta columns no matter
+    // which footer schema inference would otherwise sample — a
+    // meta-less pick would silently downgrade probes to the default
+    // kernel and band-miss every candidate. storeMeta's isNotNull
+    // filter then skips the legacy rows' null meta as before.
+    spark.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** Probe: batch docs that near-duplicate a stored doc at ≥ threshold →

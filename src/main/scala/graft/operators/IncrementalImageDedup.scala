@@ -168,7 +168,11 @@ object IncrementalImageDedup {
     if (!hasB && !hasK) return (None, None)
     val sel = (if (hasB) Seq("n_bands", "band_bits") else Nil) ++
       (if (hasK) Seq("n_buckets") else Nil)
-    store.select(sel.head, sel.tail: _*).limit(1).collect()
+    // a legacy batch partition appended before the store self-described
+    // carries null metadata under mergeSchema — skip those rows rather
+    // than read one (the IncrementalDedup.storeMeta discipline)
+    store.select(sel.head, sel.tail: _*)
+      .filter(col(sel.head).isNotNull).limit(1).collect()
       .headOption match {
       case Some(r) =>
         (if (hasB) Some((r.getInt(0), r.getInt(1))) else None,
@@ -194,7 +198,12 @@ object IncrementalImageDedup {
     if (ex("") || ex("_precompact") || ex("_compacting") ||
         ex("_swapping"))
       AtomicSwap.recover(fs, path)
-    spark.read.parquet(path)
+    // mergeSchema: a mixed store (legacy partitions without the
+    // banding columns + self-described ones) must surface the meta
+    // columns regardless of which footer schema inference samples —
+    // a meta-less pick would silently downgrade probes to the default
+    // banding (the IncrementalDedup.loadStore rationale).
+    spark.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** The verified candidate pairs of a probe — (key, s_key, dist),

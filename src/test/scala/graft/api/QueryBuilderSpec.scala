@@ -567,4 +567,36 @@ class QueryBuilderSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       JsonContains("props", Seq("k" -> Seq(1, 2))))
   }
+
+  test("order_by ties inside relationship arrays render in canonical " +
+    "payload order — collect_list arrival order never leaks through") {
+    val dir = sf("sf0.001")
+    // o_orderstatus is heavily non-unique: a request ordering ONLY by
+    // it leaves most of each array tied. Tied rows must fall through
+    // to the canonical ascending payload comparison (here: k asc),
+    // run-to-run deterministic without a user-spelled tie-break.
+    val built = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 40)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested("os", "orders", "o_custkey", "c_custkey",
+        Seq(NestedField("k", "o_orderkey"),
+          NestedField("s", "o_orderstatus")),
+        orderBy = Seq(Order("o_orderstatus"))))))
+    val got = built.collect().map(r => r.getLong(0) -> r.getString(1))
+    import org.apache.spark.sql.functions.col
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") <= 40)
+      .select("o_custkey", "o_orderkey", "o_orderstatus")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = orders.groupBy(_._1).map { case (ck, os) =>
+      ck -> os.sortBy(o => (o._3, o._2)).map(o =>
+        s"""{"k":${o._2},"s":"${o._3}"}""").mkString("[", ",", "]")
+    }
+    assert(got.nonEmpty && got.length === expect.size)
+    got.foreach { case (ck, js) =>
+      assert(expect(ck) === js, s"customer $ck")
+    }
+  }
 }

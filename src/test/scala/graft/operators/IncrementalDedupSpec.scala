@@ -219,6 +219,32 @@ class IncrementalDedupSpec extends SparkSpec {
         "one two", k = 5))
     assert(e.getMessage.contains("shingles"))
   }
+  test("mixed store (legacy meta-less partition) keeps the " +
+    "self-described kernel — mergeSchema surfaces the meta columns") {
+    def txt(seed: Int): String =
+      (0 until 30).map(i => s"mx${seed}a$i b$i").mkString(" ")
+    val docs = Seq((1L, txt(1)), (2L, txt(2))).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_txt_mixed").toString
+    // a NON-default kernel/banding store...
+    IncrementalDedup.initStore(docs, s"$base/s", nBands = 4,
+      rowsPerBand = 2, shingleLen = 3, kernel = "md5")
+    // ...plus a partition appended by a PRE-METADATA writer: the same
+    // signature rows without any of the self-description columns
+    IncrementalDedup.loadStore(spark, s"$base/s")
+      .select("doc_id", "sig", "band")
+      .write.mode("overwrite").parquet(s"$base/s/batch=7")
+    // loadStore must surface the meta columns no matter which footer
+    // schema inference would sample — a meta-less pick would silently
+    // downgrade the probe to the xxhash defaults and band-miss every
+    // candidate (the legacy rows' null meta is skipped by storeMeta)
+    val store = IncrementalDedup.loadStore(spark, s"$base/s")
+    assert(store.columns.contains("kernel"))
+    val hit = IncrementalDedup.findDups(
+      Seq((99L, txt(1))).toDF("doc_id", "text"), store, 0.5).collect()
+    assert(hit.length === 1 && hit.head.getLong(1) === 1L &&
+      hit.head.getDouble(2) === 1.0)
+  }
 }
 
 object IncrementalDedupSpec {
