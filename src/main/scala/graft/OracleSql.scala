@@ -1628,6 +1628,27 @@ object OracleSql {
     "q186_simhash_store_search" -> simhashStoreSearchSql,
     "q187_text_kernel_agreement" -> textKernelAgreementSql,
     "q190_forget_compaction" -> forgetCompactionSql,
+    // q191: fragments on the _stream surface — the chosen
+    // subscription's q145-style cursor replay with the fragment's
+    // @skip'd user_id dropped ($hide = true keeps event_id and value)
+    "q191_fragment_stream" ->
+      """WITH f AS (
+        |  SELECT event_id, value,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events
+        |  WHERE event_id > 3000 AND event_type = 'click')
+        |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
+        |       event_id, value
+        |FROM f WHERE rn <= 21""".stripMargin,
+    // q192: the fragment-spelled aggregate answers exactly like
+    // q132's inline document (same where, aggregates, nodes render)
+    "q192_fragment_aggregate" ->
+      """SELECT COUNT(*)::BIGINT AS count,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice,
+        |       to_json(list_sort(list({'o_orderkey': o_orderkey,
+        |                'o_custkey': o_custkey}))) AS nodes
+        |FROM orders
+        |WHERE o_orderstatus = 'P' AND o_totalprice > 485000""".stripMargin,
     // q189: the export manifest recomputed from the raw table — same
     // seeded shard hash, same null-text skip rules (string_agg and
     // concat_ws both skip nulls), same doc-id content ordering

@@ -38,7 +38,12 @@ import graft.api.QueryBuilder._
   * type condition must name the enclosing table (no polymorphism in a
   * relational schema — a mismatch is a wrong-table field bug, not a
   * skip signal); undefined, unused, duplicate, and cyclically-
-  * spreading fragments are all parse errors.
+  * spreading fragments are all parse errors. Fragments spread in
+  * EVERY operation type (spec 2.8: any selection set) — reads,
+  * mutations (row shapes on `<table>`, response wrappers on
+  * `<table>_mutation_response`), `_stream` subscriptions, and
+  * aggregate documents (`<table>_aggregate` /
+  * `<table>_aggregate_fields` / nodes rows on `<table>`).
   * Two engine-specific field directives carry what Hasura expresses
   * elsewhere: `@fmt(round: n, printf: "…")` (q40's cross-engine price
   * rendering) and `@cast(to: "long")`; `@join(type: "left")` on a
@@ -268,28 +273,68 @@ object GraphQl {
     * mismatch is a query bug (fields of the wrong table), not a
     * skip-this-branch signal. */
   private def resolveSpread(p: P, table: String, at: String): Unit = {
+    resolveSpreadIn(p, Set(table), at); ()
+  }
+
+  /** As [[resolveSpread]] but with SEVERAL legal type conditions —
+    * positions whose selection set serves more than one shape (an
+    * `insert_<t>_one` response is either the row type or the
+    * mutation-response wrapper) accept a fragment on either; the
+    * resolved condition comes back so the caller can branch on the
+    * shape the fragment committed to. */
+  private def resolveSpreadIn(p: P, conds: Set[String],
+      at: String): String = {
+    val enclosing = conds.toSeq.sorted.mkString("' / '")
     val pos = p.next().pos // the Spread token
     p.peek match {
       case Name("on", _) => // inline fragment
         p.next()
         val cond = p.name("type condition")
-        if (cond != table)
-          bad(s"$at: inline fragment on '$cond' inside a '$table' " +
+        if (!conds(cond))
+          bad(s"$at: inline fragment on '$cond' inside a '$enclosing' " +
             "selection — type condition must match the enclosing table")
         val body = p.captureBlock("inline fragment")
         p.splice(body, pos)
+        cond
       case Name(fname, fpos) =>
         p.next()
         val (cond, body) = p.fragments.getOrElse(fname,
           bad(s"$at: spread of undefined fragment '$fname' at $fpos"))
-        if (cond != table)
+        if (!conds(cond))
           bad(s"$at: fragment '$fname' is on '$cond' but is spread " +
-            s"inside a '$table' selection")
+            s"inside a '$enclosing' selection")
         p.usedFrags += fname
         p.splice(body, pos)
+        cond
       case t => bad(s"$at: expected a fragment name or 'on' after " +
         s"'...' at ${t.pos}")
     }
+  }
+
+  /** All-Fragments-Used (spec 5.5.1.4) — a DOCUMENT-wide rule shared
+    * by every grammar: when operationName picked one of several
+    * operations, a fragment spread only by a NON-chosen operation (the
+    * GraphiQL tabbed document) is still used. Used = REACHABLE from
+    * some operation (transitively through fragment bodies) — a flat
+    * scan would let two dead fragments spreading each other escape the
+    * guard, the typo'd-spread case it exists for. */
+  private def checkFragmentsUsed(p: P, allToks: Vector[Tok],
+      nOps: Int): Unit = {
+    val docSpreads: Set[String] =
+      if (nOps > 1) {
+        var reach = Set.empty[String]
+        var frontier = spreadNames(allToks)
+        while (frontier.nonEmpty) {
+          reach ++= frontier
+          frontier = frontier.flatMap(n =>
+            p.fragments.get(n).map(b => spreadNames(b._2))
+              .getOrElse(Set.empty)) -- reach
+        }
+        reach
+      } else p.usedFrags.toSet
+    (p.fragments.keySet -- docSpreads).toSeq.sorted.headOption
+      .foreach(f => bad(s"fragment '$f' defined but never spread — " +
+        "dead selection text usually means a typo'd spread"))
   }
 
   /** Split a document into its operation tokens and its `fragment Name
@@ -888,13 +933,18 @@ object GraphQl {
     * `*_aggregate` selection. Output naming follows Hasura's response
     * shape flattened: `count`, `sum_f`, `min_f`, … unless aliased.
     * The count arm is the caller's — relationships count the child
-    * key, the root serves Hasura's columns/distinct forms. */
-  private def compileAggFields(p: P, at: String,
+    * key, the root serves Hasura's columns/distinct forms.
+    * `aggType` is the selection's GraphQL type name
+    * (`<table>_aggregate_fields` — Hasura's), the type condition a
+    * fragment spread here must carry. */
+  private def compileAggFields(p: P, at: String, aggType: String,
       countArm: (Option[String], Map[String, V]) => AggField)
       : Seq[AggField] = {
     p.expect('{')
     val aggs = Seq.newBuilder[AggField]
     while (!p.isPunct('}')) {
+      if (p.isSpread) { resolveSpread(p, aggType, at) }
+      else {
       val first = p.name("aggregate function")
       val (alias, fn) =
         if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("fn")) }
@@ -948,6 +998,7 @@ object GraphQl {
           }
           p.expect('}')
         case other => bad(s"$at: unknown aggregate '$other'")
+      }
       }
     }
     p.expect('}')
@@ -1191,6 +1242,13 @@ object GraphQl {
             var aggs: Seq[AggField] = Nil
             var aggNodes: Seq[String] = Nil
             while (!p.isPunct('}')) {
+              // fragments spread at every level of the aggregate
+              // shape, with Hasura's type names: the arm wrapper is
+              // `<child>_aggregate`, nodes rows are `<child>`, the
+              // aggregate fields `<child>_aggregate_fields`
+              if (p.isSpread) {
+                resolveSpread(p, s"${rel.childTable}_aggregate", fname)
+              } else
               p.name("aggregate body") match {
                 case "aggregate" =>
                   // same directive parity as the root-aggregate arm:
@@ -1201,6 +1259,7 @@ object GraphQl {
                   restA.keySet.foreach(d =>
                     bad(s"$fname.aggregate: unknown directive @$d"))
                   val as = compileAggFields(p, fname,
+                    s"${rel.childTable}_aggregate_fields",
                     relCount(rel.childKey, fname))
                   if (keepA) aggs = as
                 case "nodes" =>
@@ -1218,6 +1277,9 @@ object GraphQl {
                   val ns = Seq.newBuilder[String]
                   var parsedN = 0
                   while (!p.isPunct('}')) {
+                    if (p.isSpread) {
+                      resolveSpread(p, rel.childTable, s"$fname.nodes")
+                    } else {
                     val nf = p.name("nodes field")
                     parsedN += 1
                     val (keepF, restF) = conditionalKeep(
@@ -1225,6 +1287,7 @@ object GraphQl {
                     restF.keySet.foreach(d =>
                       bad(s"$fname.nodes.$nf: unknown directive @$d"))
                     if (keepF) ns += nf
+                    }
                   }
                   p.expect('}')
                   if (parsedN == 0)
@@ -1292,28 +1355,7 @@ object GraphQl {
       (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
-      // All-Fragments-Used is a DOCUMENT-wide rule (spec 5.5.1.4):
-      // when operationName picked one of several operations, a
-      // fragment spread only by a NON-chosen operation (the GraphiQL
-      // tabbed document) is still used. Used = REACHABLE from some
-      // operation (transitively through fragment bodies) — a flat
-      // scan would let two dead fragments spreading each other
-      // escape the guard, the typo'd-spread case it exists for
-      val docSpreads: Set[String] =
-        if (nOps > 1) {
-          var reach = Set.empty[String]
-          var frontier = spreadNames(allToks)
-          while (frontier.nonEmpty) {
-            reach ++= frontier
-            frontier = frontier.flatMap(n =>
-              frags.get(n).map(b => spreadNames(b._2))
-                .getOrElse(Set.empty)) -- reach
-          }
-          reach
-        } else p.usedFrags.toSet
-      (p.fragments.keySet -- docSpreads).toSeq.sorted.headOption
-        .foreach(f => bad(s"fragment '$f' defined but never spread — " +
-          "dead selection text usually means a typo'd spread"))
+      checkFragmentsUsed(p, allToks, nOps)
       val (rootOrders, rootOrderAggs) = args.get("order_by")
         .map(compileOrdersRoot(_, "order_by", schema, table))
         .getOrElse((Nil, Nil))
@@ -1361,9 +1403,8 @@ object GraphQl {
     try {
       val vars = jsonVars(variables)
       val (opToks, frags) = extractFragments(tokenize(query))
-      if (frags.nonEmpty)
-        bad("fragments are not supported in aggregate documents")
       val p = new P(opToks)
+      p.fragments = frags
       p.peek match {
         case Name("query" | "subscription", _) =>
           p.next()
@@ -1396,6 +1437,13 @@ object GraphQl {
       var aggs: Seq[AggField] = Nil
       var nodes: Seq[String] = Nil
       while (!p.isPunct('}')) {
+        // fragments spread at every level of the aggregate shape,
+        // with Hasura's type names: the body is `<table>_aggregate`,
+        // nodes rows are `<table>`, the aggregate fields
+        // `<table>_aggregate_fields` (spec: spreads are legal in any
+        // selection set, in every operation type)
+        if (p.isSpread) { resolveSpread(p, root, root) }
+        else
         p.name("aggregate body") match {
           case "aggregate" =>
             // @include/@skip gate the aggregate arm like every other
@@ -1406,7 +1454,8 @@ object GraphQl {
               s"$root.aggregate")
             restA.keySet.foreach(d =>
               bad(s"$root.aggregate: unknown directive @$d"))
-            val as = compileAggFields(p, root, rootCount(root))
+            val as = compileAggFields(p, root,
+              s"${table}_aggregate_fields", rootCount(root))
             if (keepA) aggs = as
           case "nodes" =>
             // Hasura's nodes arm: the filtered rows themselves, next
@@ -1423,6 +1472,9 @@ object GraphQl {
             val fs = Seq.newBuilder[String]
             var parsedN = 0
             while (!p.isPunct('}')) {
+              if (p.isSpread) {
+                resolveSpread(p, table, s"$root.nodes")
+              } else {
               val nf = p.name("nodes field")
               parsedN += 1
               val (keepF, restF) = conditionalKeep(parseDirectives(p),
@@ -1430,6 +1482,7 @@ object GraphQl {
               restF.keySet.foreach(d =>
                 bad(s"$root.nodes.$nf: unknown directive @$d"))
               if (keepF) fs += nf
+              }
             }
             p.expect('}')
             if (parsedN == 0) bad(s"$root.nodes: empty selection set")
@@ -1449,6 +1502,7 @@ object GraphQl {
       (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
+      checkFragmentsUsed(p, opToks, nOps = 1)
       Right(QueryBuilder.AggRequest(table, where, aggs, nodes,
         orderBy = slice, limit = limit, offset = offset))
     } catch {
@@ -1481,13 +1535,12 @@ object GraphQl {
     try {
       val vars = jsonVars(variables)
       val (allToks, frags) = extractFragments(tokenize(query))
-      if (frags.nonEmpty)
-        bad("fragments are not supported in stream documents")
       // the parse()/parseMutationFields multi-operation contract,
       // completed for the third grammar: a tabbed document selects
       // its subscription by operationName, wrong-kind picks diagnose
       val (opToks, nOps) = chooseOperation(allToks, operationName)
       val p = new P(opToks)
+      p.fragments = frags
       p.peek match {
         case Name("subscription", _) =>
           p.next()
@@ -1552,6 +1605,11 @@ object GraphQl {
       val fields = Seq.newBuilder[String]
       var parsedFields = 0
       while (!p.isPunct('}')) {
+        // fragment spreads on the streamed table — the shared-fragment
+        // reuse codegen clients emit across operation types; the body
+        // splices and parses under the same scalar-only rules
+        if (p.isSpread) { resolveSpread(p, table, root) }
+        else {
         val f = p.name("stream selection")
         parsedFields += 1
         if (p.isPunct(':'))
@@ -1568,6 +1626,7 @@ object GraphQl {
           bad(s"$f: relationships are not served under a cursor " +
             "scan (use the live-query mode)")
         if (keepF) fields += f
+        }
       }
       p.expect('}')
       val fs = fields.result()
@@ -1584,6 +1643,7 @@ object GraphQl {
       (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped filter returns wrong rows silently"))
+      checkFragmentsUsed(p, allToks, nOps)
       Right(Subscriptions.StreamRequest(table, cursorField, initial,
         ascending = ascending, batchSize = batchSize, where = where,
         fields = fs))
@@ -1781,6 +1841,87 @@ object GraphQl {
         graft.Tables.load(s, dir, sr.table), sr, nPages = 3)
       case Left(m) => throw new IllegalStateException(
         s"canned q183 stream subscription failed to parse: $m")
+    }
+
+  /** q191's document — FRAGMENTS on the `_stream` surface (the
+    * operation-type parity gap VERDICT r14 ranked first): the chosen
+    * subscription's whole selection is a named spread whose body
+    * carries a variable-driven `@skip` (fragments and directives
+    * compose, the Apollo fragment-toggle idiom), inside a
+    * multi-operation document whose decoy spreads its OWN fragment —
+    * document-wide fragment-use must see through the non-chosen
+    * operation. */
+  val q191Doc: String =
+    """fragment PageCols on events {
+      |  event_id
+      |  user_id @skip(if: $hide)
+      |  value
+      |}
+      |subscription Pick($hide: Boolean!) {
+      |  events_stream(
+      |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+      |    batch_size: 7,
+      |    where: {event_type: {_eq: "click"}}) {
+      |    ...PageCols
+      |  }
+      |}
+      |subscription Decoy {
+      |  events_stream(cursor: {initial_value: {event_id: null}},
+      |                batch_size: 5) { ...DecoyCols }
+      |}
+      |fragment DecoyCols on events { event_id }""".stripMargin
+
+  /** q191 — fragment spreads on the `_stream` subscription surface
+    * end to end: with `$hide = true` the pages deliver exactly
+    * (event_id, value); an engine refusing spreads outside read
+    * documents (the pre-r15 posture), mis-resolving the directive
+    * inside the fragment body, or flagging the decoy-only fragment
+    * as unused fails the oracle. */
+  def q191FragmentStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseStream(q191Doc,
+        variables = """{"hide": true}""",
+        operationName = Some("Pick")) match {
+      case Right(sr) => Subscriptions.streamPages(
+        graft.Tables.load(s, dir, sr.table), sr, nPages = 3)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q191 stream subscription failed to parse: $m")
+    }
+
+  /** q192's document — a root aggregate spelled ENTIRELY in
+    * fragments, one per level of the shape with Hasura's type names:
+    * the body wrapper on `orders_aggregate`, the aggregate functions
+    * on `orders_aggregate_fields`, the nodes rows on `orders`. The
+    * request compiles to exactly q132's (same where, aggregates,
+    * nodes), so the fragment machinery is the only thing under
+    * test. */
+  val q192Doc: String =
+    """fragment Body on orders_aggregate {
+      |  aggregate { ...Fns }
+      |  nodes { ...Rows }
+      |}
+      |fragment Fns on orders_aggregate_fields {
+      |  count
+      |  sum { o_totalprice }
+      |}
+      |fragment Rows on orders { o_orderkey o_custkey }
+      |{
+      |  orders_aggregate(where: {_and: [
+      |      {o_orderstatus: {_eq: "P"}},
+      |      {o_totalprice: {_gt: 485000.0}}]}) {
+      |    ...Body
+      |  }
+      |}""".stripMargin
+
+  /** q192 — fragments in AGGREGATE documents under the oracle gate:
+    * the fragment-spelled document answers byte-identically to q132's
+    * inline spelling (same plan, same JSON nodes render). */
+  def q192FragmentAggregate(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseRootAggregate(q192Doc) match {
+      case Right(r) => QueryBuilder.runAggregate(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q192 aggregate failed to parse: $m")
     }
 
   // ---- mutations -----------------------------------------------------
@@ -2056,14 +2197,13 @@ object GraphQl {
     try {
       val vars = jsonVars(variables)
       val (allToks, frags) = extractFragments(tokenize(doc))
-      if (frags.nonEmpty)
-        bad("fragments are not supported in mutation documents")
       // the mirror of parse()'s multi-operation handling: a GraphiQL
       // tab holding queries AND mutations selects the mutation by
       // operationName; choosing a read operation here is diagnosed as
       // such, the way parse() diagnoses a chosen mutation
       val (opToks, nOps) = chooseOperation(allToks, operationName)
       val p = new P(opToks)
+      p.fragments = frags
       p.peek match {
         case Name("mutation", _) =>
           p.next()
@@ -2091,23 +2231,54 @@ object GraphQl {
         var sawAffected = false
         var returning: Option[Seq[String]] = None
         var single = byPk
+        // fragments spread in mutation response selections with
+        // Hasura's type names: by_pk / insert_one row shapes are the
+        // ROW type `<table>` (and `returning` columns likewise); the
+        // affected_rows/returning wrapper is
+        // `<table>_mutation_response` — the shared-fragment reuse
+        // codegen clients emit across queries AND mutations
+        val respType = s"${m.table}_mutation_response"
+        // row columns with fragment spreads on the row type — by_pk,
+        // insert_one, and `returning { ... }` all share this shape
+        def rowCols(into: scala.collection.mutable.Builder[String, Seq[String]],
+            at: String): Unit =
+          while (!p.isPunct('}')) {
+            if (p.isSpread) resolveSpread(p, m.table, at)
+            else into += p.name(s"$at column")
+          }
         if (byPk) {
           // the by_pk response IS the row (no affected_rows field in
           // Hasura's by_pk types): scalar column selections only
           val cols = Seq.newBuilder[String]
-          while (!p.isPunct('}')) cols += p.name(s"$fname column")
+          rowCols(cols, fname)
           val cs = cols.result()
           if (cs.isEmpty) bad(s"$fname: empty selection set")
           returning = Some(cs)
         } else {
           while (!p.isPunct('}')) {
+            if (p.isSpread) {
+              // an insert_one selection may still commit to EITHER
+              // shape; the fragment's own type condition decides —
+              // a row-type fragment makes it the single-row response
+              val conds =
+                if (isOne && !sawAffected && returning.isEmpty)
+                  Set(respType, m.table)
+                else Set(respType)
+              if (resolveSpreadIn(p, conds, fname) == m.table) {
+                val cols = Seq.newBuilder[String]
+                rowCols(cols, fname)
+                val cs = cols.result()
+                if (cs.isEmpty) bad(s"$fname: empty selection set")
+                returning = Some(cs); single = true
+              }
+            } else
             p.name("selection") match {
               case "affected_rows" => sawAffected = true
               case "returning" =>
                 if (returning.isDefined) bad(s"$fname: duplicate returning")
                 p.expect('{')
                 val cols = Seq.newBuilder[String]
-                while (!p.isPunct('}')) cols += p.name("returning column")
+                rowCols(cols, s"$fname.returning")
                 p.expect('}')
                 val cs = cols.result()
                 if (cs.isEmpty)
@@ -2118,7 +2289,7 @@ object GraphQl {
                 // inserted row's columns directly
                 val cols = Seq.newBuilder[String]
                 cols += other
-                while (!p.isPunct('}')) cols += p.name(s"$fname column")
+                rowCols(cols, fname)
                 returning = Some(cols.result()); single = true
               case other => bad(s"$fname: unknown selection '$other' " +
                 "(affected_rows / returning { cols })")
@@ -2138,6 +2309,7 @@ object GraphQl {
       (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
         bad(s"variable $$$k declared and bound but never used — " +
           "a dropped predicate writes the wrong rows silently"))
+      checkFragmentsUsed(p, allToks, nOps)
       val ms = out.result()
       // a document with no fields AT ALL is malformed; one whose every
       // field was conditionally excluded is a valid NO-OP (the dry-run

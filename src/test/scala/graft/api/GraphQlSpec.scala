@@ -448,6 +448,115 @@ class GraphQlSpec extends SparkSpec {
       "{ customer { ...on } }").contains("'on' cannot name"))
   }
 
+  test("fragments spread in EVERY grammar (spec 2.8): stream, root " +
+    "aggregate, and mutation documents resolve spreads like inline " +
+    "text, with Hasura's type names") {
+    // _stream: named and inline fragments on the streamed table
+    val sInline = GraphQl.parseStream(
+      "subscription { orders_stream(cursor: {initial_value: " +
+        "{o_orderkey: 10}}, batch_size: 5) { o_orderkey o_totalprice } }")
+    assert(sInline.isRight)
+    assert(GraphQl.parseStream(
+      "fragment SCols on orders { o_orderkey o_totalprice } " +
+        "subscription { orders_stream(cursor: {initial_value: " +
+        "{o_orderkey: 10}}, batch_size: 5) { ...SCols } }") === sInline)
+    assert(GraphQl.parseStream(
+      "subscription { orders_stream(cursor: {initial_value: " +
+        "{o_orderkey: 10}}, batch_size: 5) { ... on orders " +
+        "{ o_orderkey o_totalprice } } }") === sInline)
+    // root aggregate: spreads at all three levels of the shape —
+    // the body wrapper, the aggregate fields, and the nodes rows
+    val aInline = GraphQl.parseRootAggregate(
+      "{ orders_aggregate { aggregate { count sum { o_totalprice } } " +
+        "nodes { o_orderkey } } }")
+    assert(aInline.isRight)
+    assert(GraphQl.parseRootAggregate("""
+      fragment Body on orders_aggregate {
+        aggregate { ...Fns } nodes { ...Rows } }
+      fragment Fns on orders_aggregate_fields {
+        count sum { o_totalprice } }
+      fragment Rows on orders { o_orderkey }
+      { orders_aggregate { ...Body } }""") === aInline)
+    // relationship aggregates in the READ grammar take the same
+    // spreads (wrapper on <child>_aggregate, fields, nodes rows)
+    val rInline = parsed("""
+      { customer(where: {c_custkey: {_lte: 20}}) {
+          c_custkey
+          orders_aggregate { aggregate { count } nodes { o_orderkey } }
+      } }""")
+    assert(parsed("""
+      fragment AggBody on orders_aggregate {
+        aggregate { ...RFns } nodes { ...RRows } }
+      fragment RFns on orders_aggregate_fields { count }
+      fragment RRows on orders { o_orderkey }
+      { customer(where: {c_custkey: {_lte: 20}}) {
+          c_custkey
+          orders_aggregate { ...AggBody }
+      } }""") === rInline)
+    // mutations: the response wrapper and the returning row share
+    // Hasura's types (<t>_mutation_response / <t>)
+    val mInline = GraphQl.parseMutationFields(
+      """mutation { update_t(where: {k: {_lte: 5}}, _set: {seg: "X"})
+        { affected_rows returning { k seg } } }""")
+    assert(mInline.isRight)
+    assert(GraphQl.parseMutationFields("""
+      fragment Resp on t_mutation_response {
+        affected_rows returning { ...Row } }
+      fragment Row on t { k seg }
+      mutation { update_t(where: {k: {_lte: 5}}, _set: {seg: "X"})
+        { ...Resp } }""") === mInline)
+    // by_pk responses ARE the row: a row-type fragment serves them
+    assert(GraphQl.parseMutationFields(
+      "fragment Row2 on t { k bal } " +
+        "mutation { delete_t_by_pk(k: 4) { ...Row2 } }") ===
+      GraphQl.parseMutationFields(
+        "mutation { delete_t_by_pk(k: 4) { k bal } }"))
+    // insert_one commits to the ROW shape when the fragment's own
+    // type condition is the row type
+    assert(GraphQl.parseMutationFields(
+      "fragment Row3 on t { k bal } " +
+        "mutation { insert_t_one(object: {k: 11}) { ...Row3 } }") ===
+      GraphQl.parseMutationFields(
+        "mutation { insert_t_one(object: {k: 11}) { k bal } }"))
+  }
+
+  test("fragment error surface extends to the other grammars: wrong " +
+    "type conditions and dead fragments stay loud everywhere") {
+    def sErr(q: String): String =
+      GraphQl.parseStream(q).swap.getOrElse(fail("expected Left"))
+    def mErr(q: String): String =
+      GraphQl.parseMutationFields(q).swap.getOrElse(fail("expected Left"))
+    def aErr(q: String): String =
+      GraphQl.parseRootAggregate(q).swap.getOrElse(fail("expected Left"))
+    assert(sErr("fragment F on customer { c_custkey } " +
+      "subscription { orders_stream(cursor: {initial_value: " +
+      "{o_orderkey: 10}}, batch_size: 5) { ...F } }")
+      .contains("is on 'customer' but is spread inside a 'orders'"))
+    assert(sErr("fragment F on orders { o_orderkey } " +
+      "subscription { orders_stream(cursor: {initial_value: " +
+      "{o_orderkey: 10}}, batch_size: 5) { o_orderkey } }")
+      .contains("defined but never spread"))
+    // a ROW-type fragment at the response level of a plain verb (not
+    // insert_one) has no shape to commit to — the wrapper is the only
+    // legal condition there
+    assert(mErr("fragment Row on t { k } " +
+      "mutation { update_t(where: {k: {_lte: 5}}, _set: {seg: \"X\"})" +
+      " { ...Row } }").contains("t_mutation_response"))
+    assert(mErr("fragment Row on orders { o_orderkey } " +
+      "mutation { update_t(where: {k: {_lte: 5}}, _set: {seg: \"X\"})" +
+      " { affected_rows returning { ...Row } } }")
+      .contains("is on 'orders' but is spread inside a 't'"))
+    assert(mErr("fragment Dead on t { k } " +
+      "mutation { delete_t(where: {k: {_eq: 1}}) { affected_rows } }")
+      .contains("defined but never spread"))
+    assert(aErr("fragment Fns on customer_aggregate_fields { count } " +
+      "{ orders_aggregate { aggregate { ...Fns } } }")
+      .contains("is on 'customer_aggregate_fields'"))
+    assert(aErr("fragment Rows on customer { c_custkey } " +
+      "{ orders_aggregate { aggregate { count } nodes { ...Rows } } }")
+      .contains("is on 'customer'"))
+  }
+
   test("fuzz: every parser returns Either on garbage — random soup, " +
     "truncations, and mutations of valid documents never throw") {
     val seeds = Seq(GraphQl.q100Query, GraphQl.q118Mutation,
