@@ -1640,6 +1640,26 @@ object OracleSql {
         |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
         |       event_id, value
         |FROM f WHERE rn <= 21""".stripMargin,
+    // q193: q184's live twin — the RelPred role filter served
+    // through the ACTUAL streaming fold over a bounded one-trigger
+    // feed (first 200 post-cursor clicks); visibility applies before
+    // the page cut, so the flat row_number numbering replays the live
+    // pagesDone numbering exactly
+    "q193_stream_live_rel_filter" ->
+      """WITH feed AS (
+        |  SELECT event_id, user_id, value FROM events
+        |  WHERE event_id > 3000 AND event_type = 'click'
+        |  ORDER BY event_id LIMIT 200),
+        |f AS (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM feed e
+        |  WHERE EXISTS (SELECT 1 FROM customer c
+        |                WHERE c.c_custkey = e.user_id
+        |                  AND c.c_mktsegment = 'BUILDING'))
+        |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
+        |       event_id, user_id, value
+        |FROM f""".stripMargin,
     // q192: the fragment-spelled aggregate answers exactly like
     // q132's inline document (same where, aggregates, nodes render)
     "q192_fragment_aggregate" ->

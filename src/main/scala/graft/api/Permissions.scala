@@ -504,6 +504,64 @@ object Permissions {
       identity)
   }
 
+  /** q193 — q184's LIVE twin under the oracle gate: the SAME
+    * RelPred-filtered role serves through [[serveStreamLiveAs]]'s
+    * actual streaming fold ([[Subscriptions.streamServe]] — cursor
+    * advance, dedup, page cut), fed a deterministic bounded replay
+    * (the first 200 post-cursor click events, one trigger, so the
+    * live page numbering equals the oracle's flat row_number cut).
+    * q184 pins the batch-replay serve path; this pins the one serving
+    * path the gate couldn't see — an engine whose LIVE fold filters
+    * after paging, drops the key-set flag join, or mis-numbers pages
+    * hash-fails here even with q184 green. */
+  def q193StreamLiveRelFilter(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pol = Policy(Map(
+      ("auditor", "events") -> TablePerm(
+        filter = Some(RelPred("customer", "c_custkey", "user_id",
+          Eq("c_mktsegment", "BUILDING")))),
+      ("auditor", "customer") -> TablePerm()))
+    val doc =
+      """subscription {
+        |  events_stream(
+        |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+        |    batch_size: 7,
+        |    where: {event_type: {_eq: "click"}}) {
+        |    event_id user_id value
+        |  }
+        |}""".stripMargin
+    // deterministic bounded feed: the first 200 qualifying events by
+    // cursor order (event_id is unique, so the slice is exact on both
+    // engines); the serve re-applies the where and cursor itself
+    val feed = graft.Tables.load(s, dir, "events")
+      .filter(col("event_id") > 3000 && col("event_type") === "click")
+      .orderBy("event_id").limit(200)
+      .select("event_id", "user_id", "value", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double, String)]
+    val pushed = scala.collection.mutable
+      .ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val query = serveStreamLiveAs(s, dir,
+      input.toDF().toDF("event_id", "user_id", "value", "event_type"),
+      "auditor", pol, doc) { (_, df) =>
+      // materialize before the fold's state advances
+      pushed += df.localCheckpoint(true); ()
+    }.fold(m => throw new IllegalStateException(s"q193 denied: $m"),
+      identity)
+    try {
+      input.addData(feed)
+      query.processAllAvailable()
+    } finally query.stop()
+    require(pushed.nonEmpty, "q193: the live serve pushed no pages")
+    pushed.reduce(_.unionByName(_))
+  }
+
   /** Serve mutation TEXT as a role — the WRITE half of [[serveAs]],
     * closing the last serve loop (read [[serveAs]], stream
     * [[serveStreamAs]], write here): parse the document

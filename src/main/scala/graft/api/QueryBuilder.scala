@@ -889,8 +889,18 @@ object QueryBuilder {
       d.join(keys, Seq(pk), "left") }, w2)
   }
 
-  def run(s: SparkSession, dir: String, req0: Request): DataFrame = {
-    val load0 = graft.Tables.load(s, dir, req0.table)
+  def run(s: SparkSession, dir: String, req0: Request): DataFrame =
+    runOn(s, dir, graft.Tables.load(s, dir, req0.table), req0)
+
+  /** [[run]] over an ALREADY-LOADED root DataFrame — the entry the
+    * LIVE-SUBSCRIPTION path uses for relationship-bearing requests:
+    * the root rows come from the per-trigger latest snapshot (the
+    * stream's state), while CHILD tables (relationship joins,
+    * relationship predicates, ordering aggregates) still load from
+    * the table directory. [[run]] delegates here, so batch and
+    * subscription serve one compiled shape. */
+  def runOn(s: SparkSession, dir: String, load0: DataFrame,
+      req0: Request): DataFrame = {
     val (baseDec, reqDec) = req0.where match {
       case Some(w) if hasRelPred(w) =>
         val (df, w2) = decorrelate(s, dir, load0, w,

@@ -81,11 +81,31 @@ object Subscriptions {
       seqCol: Option[String] = None)
       (push: (Long, DataFrame) => Unit): StreamingQuery = {
     require(req.nested.isEmpty && req.aggRels.isEmpty,
-      s"subscription on '${req.table}': relationship selections are " +
-        "not served over streams")
+      s"subscription on '${req.table}': relationship selections " +
+        "need the table directory (use the (spark, dir) overload)")
     liveFold(stream, keyCol, seqCol)(
       latest => QueryBuilder.runRoot(latest, req))(push)
   }
+
+  /** [[liveQuery]] with the TABLE DIRECTORY — the overload serving
+    * the FULL read grammar on live subscriptions (Hasura serves
+    * nested selections on subscriptions; the directory-less overload
+    * must refuse them): per trigger, the request runs
+    * [[QueryBuilder.runOn]] with the latest root snapshot as the root
+    * table, while relationship sides (nested / aggregate
+    * relationships, relationship predicates, ordering aggregates)
+    * read the directory's stored tables — the root is the live
+    * surface, related tables answer their current stored state (the
+    * q184 serve-with-directory posture). Each trigger pays the
+    * request's own batch plan over the snapshot: per-relationship
+    * pre-aggregation and key joins, nothing a batch run doesn't
+    * pay. */
+  def liveQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+      stream: DataFrame, req: Request, keyCol: String,
+      seqCol: Option[String])
+      (push: (Long, DataFrame) => Unit): StreamingQuery =
+    liveFold(stream, keyCol, seqCol)(
+      latest => QueryBuilder.runOn(s, dir, latest, req))(push)
 
   /** The shared live-subscription STATE FOLD ([[liveQuery]] and
     * [[liveAggregate]] differ only in the per-trigger evaluator): per

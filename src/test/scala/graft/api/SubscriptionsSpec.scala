@@ -122,6 +122,79 @@ class SubscriptionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live-query with the table directory serves RELATIONSHIP " +
+    "selections: nested arrays and aggregate relationships re-answer " +
+    "per trigger over the latest root snapshot") {
+    val dir = sf("sf0.001")
+    // the full read grammar on a subscription (Hasura serves nested
+    // selections on subscriptions): live customer roots, orders
+    // relationships answered from the directory's stored table
+    val req = Request("customer",
+      fields = Seq("c_custkey", "c_name"),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested("orders", "orders", "o_custkey", "c_custkey",
+        Seq(NestedField("k", "o_orderkey")),
+        orderBy = Seq(Order("o_orderkey")), limit = Some(2),
+        joinType = "left")),
+      aggRels = Seq(AggRel("orders", "o_custkey", "c_custkey",
+        Seq(CountOf("o_orderkey", "n_orders")), joinType = "left")))
+    val parquetCusts = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") <= 8)
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(parquetCusts.size >= 8) // custkeys may start at 0 or 1
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.liveQuery(spark, dir,
+      input.toDF().toDF("c_custkey", "c_name", "seq"), req,
+      keyCol = "c_custkey", seqCol = Some("seq")) { (_, df) =>
+      pushed :+= rows(df)
+    }
+    val seen =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    // the merge+runOn replay (the liveQuery batch-equivalence pattern)
+    def stateReference: Seq[Seq[Any]] = {
+      val all = seen.toSeq.toDF("c_custkey", "c_name", "seq")
+      rows(QueryBuilder.runOn(spark, dir,
+        SnapshotStore.merge(all.limit(0), all, "c_custkey", "seq")
+          .drop("deleted", "seq"), req))
+    }
+    // the fully-independent replay: the BATCH run over the parquet
+    // table, cut to the streamed keys
+    def batchReference(keys: Seq[Long]): Seq[Seq[Any]] =
+      rows(QueryBuilder.run(spark, dir,
+        req.copy(where = Some(In("c_custkey", keys)))))
+    try {
+      // trigger 1: the first four customers arrive with their stored
+      // names — the live answer must equal the batch run exactly,
+      // nested arrays and counts included
+      val b1 = parquetCusts.take(4).zipWithIndex
+        .map { case ((k, n), i) => (k, n, i.toLong + 1) }
+      input.addData(b1); q.processAllAvailable(); seen ++= b1
+      assert(pushed.last === stateReference)
+      assert(pushed.last === batchReference(parquetCusts.take(4).map(_._1)))
+      // trigger 2: four more customers + an UPSERT renaming the first
+      // — the rename wins (latest state), relationships unchanged
+      val b2 = parquetCusts.drop(4).zipWithIndex
+        .map { case ((k, n), i) => (k, n, i.toLong + 10) } :+
+        ((parquetCusts.head._1, "LIVE-RENAMED", 99L))
+      input.addData(b2); q.processAllAvailable(); seen ++= b2
+      assert(pushed.last === stateReference)
+      val (renamed, rest) = pushed.last
+        .partition(_.head == parquetCusts.head._1)
+      assert(renamed.map(_(1)) === Seq("LIVE-RENAMED"))
+      assert(rest === batchReference(parquetCusts.tail.map(_._1)))
+      // a LATE rename (seq below the stored state) must lose
+      input.addData(Seq((parquetCusts.head._1, "STALE", 0L)))
+      q.processAllAvailable()
+      seen += ((parquetCusts.head._1, "STALE", 0L))
+      assert(pushed.last === stateReference)
+      assert(pushed.last.find(_.head == parquetCusts.head._1)
+        .map(_(1)) === Some("LIVE-RENAMED"))
+    } finally q.stop()
+  }
+
   test("by_pk subscription: a GraphQL watch-one-row document serves " +
     "the key's latest state per trigger, absent before it exists") {
     val input = org.apache.spark.sql.execution.streaming.runtime
