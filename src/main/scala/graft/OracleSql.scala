@@ -1628,6 +1628,10 @@ object OracleSql {
     "q186_simhash_store_search" -> simhashStoreSearchSql,
     "q187_text_kernel_agreement" -> textKernelAgreementSql,
     "q190_forget_compaction" -> forgetCompactionSql,
+    // q194: the bucket-pruned forget answers exactly like q190's full
+    // recompaction — one shared oracle (q90/q91's shared-oracle
+    // pattern: same semantics, different machinery under test)
+    "q194_pruned_forget" -> forgetCompactionSql,
     // q191: fragments on the _stream surface — the chosen
     // subscription's q145-style cursor replay with the fragment's
     // @skip'd user_id dropped ($hide = true keeps event_id and value)

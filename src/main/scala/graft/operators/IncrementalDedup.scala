@@ -162,6 +162,9 @@ object IncrementalDedup {
     if (ex("") || ex("_precompact") || ex("_compacting") ||
         ex("_swapping"))
       AtomicSwap.recover(fs, path)
+    // ...and any interrupted bucket-pruned forget (the finer-grained
+    // sibling ritual — see BucketForget)
+    BucketForget.recover(fs, path)
     // mergeSchema: a mixed store (legacy meta-less batch partitions +
     // self-described ones) must surface the meta columns no matter
     // which footer schema inference would otherwise sample — a
@@ -170,6 +173,18 @@ object IncrementalDedup {
     // filter then skips the legacy rows' null meta as before.
     spark.read.option("mergeSchema", "true").parquet(path)
   }
+
+  /** Bucket-pruned RIGHT-TO-BE-FORGOTTEN on the SERVING layout — the
+    * O(affected-buckets) alternative to `compactToServing(forget=)`'s
+    * O(store) recompaction (the r14 deletion-SLA contract): locate
+    * the forgotten doc_ids' bucket directories with one column-pruned
+    * scan, rewrite only those (≤ |forget| × nBands of nBuckets), swap
+    * crash-safely ([[BucketForget]]'s marker ritual — `loadStore`
+    * completes an interrupted forget before reading). Returns the
+    * affected bucket ids. */
+  def forgetFromServing(spark: SparkSession, servingPath: String,
+      forget: DataFrame): Seq[Int] =
+    BucketForget(spark, servingPath, forget)
 
   /** Probe: batch docs that near-duplicate a stored doc at ≥ threshold →
     * (doc_id, dup_of, est_jaccard), earliest (min id) store match wins.

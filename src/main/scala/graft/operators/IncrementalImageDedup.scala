@@ -198,6 +198,8 @@ object IncrementalImageDedup {
     if (ex("") || ex("_precompact") || ex("_compacting") ||
         ex("_swapping"))
       AtomicSwap.recover(fs, path)
+    // ...and any interrupted bucket-pruned forget (see BucketForget)
+    BucketForget.recover(fs, path)
     // mergeSchema: a mixed store (legacy partitions without the
     // banding columns + self-described ones) must surface the meta
     // columns regardless of which footer schema inference samples —
@@ -205,6 +207,15 @@ object IncrementalImageDedup {
     // banding (the IncrementalDedup.loadStore rationale).
     spark.read.option("mergeSchema", "true").parquet(path)
   }
+
+  /** Bucket-pruned RIGHT-TO-BE-FORGOTTEN on the SERVING layout — the
+    * hamming-store twin of [[IncrementalDedup.forgetFromServing]]:
+    * rewrite only the bucket directories holding the forgotten keys'
+    * band rows instead of recompacting the store. The `forget` frame's
+    * single column must be named `key` (this store's key column). */
+  def forgetFromServing(spark: SparkSession, servingPath: String,
+      forget: DataFrame): Seq[Int] =
+    BucketForget(spark, servingPath, forget)
 
   /** The verified candidate pairs of a probe — (key, s_key, dist),
     * possibly several per batch key (and duplicated across agreeing

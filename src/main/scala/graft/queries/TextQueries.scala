@@ -1885,21 +1885,63 @@ object TextQueries {
     * (or dropped the wrong rows) hash-fails. The oracle is q185's
     * replay with the forgotten id excluded from the STORE side while
     * the query signature still computes from its text. */
+  /** Shared fixture of the forget family (q190/q194): the q185
+    * corpus slice + its md5-kernel ingest store, built ONCE per
+    * application — store-lifecycle queries SHARE fixture stores (the
+    * r14 bench discipline) instead of each paying the build. */
+  @volatile private var forgetFx: Option[(String, (String, DataFrame))] =
+    None
+  private def forgetFixture(s: SparkSession, dir: String)
+      : (String, DataFrame) = synchronized {
+    val key = s.sparkContext.applicationId + "|" + dir
+    forgetFx match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val base = s"/root/repo/target/tmp/q190x_" +
+          s.sparkContext.applicationId
+        val corpus = docs(s, dir).select("doc_id", "text")
+          .orderBy("doc_id").limit(300)
+          .localCheckpoint(true)
+        graft.operators.IncrementalDedup.initStore(corpus,
+          s"$base/ingest", nBands = 4, rowsPerBand = 2,
+          shingleLen = 3, kernel = "md5")
+        val v = (base, corpus)
+        forgetFx = Some((key, v)); v
+    }
+  }
+
   def q190ForgetCompaction(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{IncrementalDedup => D}
-    val base = s"/root/repo/target/tmp/q190_" +
-      s.sparkContext.applicationId
-    val corpus = docs(s, dir).select("doc_id", "text")
-      .orderBy("doc_id").limit(300)
-      .localCheckpoint(true)
-    D.initStore(corpus, s"$base/ingest", nBands = 4, rowsPerBand = 2,
-      shingleLen = 3, kernel = "md5")
-    D.compactToServing(s, s"$base/ingest", s"$base/serving",
+    val (base, corpus) = forgetFixture(s, dir)
+    D.compactToServing(s, s"$base/ingest", s"$base/serving190",
       nBuckets = 16, forget = Some(Seq(45L).toDF("doc_id")))
     val qText = corpus.filter(col("doc_id") === 45L)
       .select("text").head.getString(0)
-    D.search(D.loadStore(s, s"$base/serving"), qText, k = 5)
+    D.search(D.loadStore(s, s"$base/serving190"), qText, k = 5)
+  }
+
+  /** Q194 — the BUCKET-PRUNED forget under the oracle gate
+    * ([[graft.operators.BucketForget]] — q190's semantics at
+    * O(affected-buckets) instead of O(store)): the serving store
+    * compacts WITHOUT a forget, then `forgetFromServing` rewrites
+    * only the bucket directories holding doc 45's band rows, and the
+    * probe — still doc 45's own text — answers exactly like q190's
+    * full recompaction (one shared oracle). An engine whose pruned
+    * rewrite leaks signatures in untouched buckets, drops surviving
+    * rows from rewritten ones, or forgets the wrong keys hash-fails
+    * here even with q190 green. */
+  def q194PrunedForget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{IncrementalDedup => D}
+    val (base, corpus) = forgetFixture(s, dir)
+    D.compactToServing(s, s"$base/ingest", s"$base/serving194",
+      nBuckets = 16)
+    D.forgetFromServing(s, s"$base/serving194",
+      Seq(45L).toDF("doc_id"))
+    val qText = corpus.filter(col("doc_id") === 45L)
+      .select("text").head.getString(0)
+    D.search(D.loadStore(s, s"$base/serving194"), qText, k = 5)
   }
 
   /** Q186 — the persisted hash-space index serving SIMHASH text space

@@ -219,6 +219,108 @@ class IncrementalDedupSpec extends SparkSpec {
         "one two", k = 5))
     assert(e.getMessage.contains("shingles"))
   }
+  test("bucket-pruned forget: only the forgotten doc's bucket " +
+    "directories rewrite, answers equal the full recompaction, and " +
+    "an interrupted swap recovers from the marker") {
+    val dir = sf("sf0.001")
+    val corpus = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 300)
+      .localCheckpoint(true)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_txt_forget").toString
+    IncrementalDedup.initStore(corpus, s"$base/ingest")
+    IncrementalDedup.compactToServing(spark, s"$base/ingest",
+      s"$base/serving", nBuckets = 16)
+    // a doc with at least one near-dup partner
+    val pairs = graft.queries.TextQueries.q30MinhashPairs(spark, dir, 0.5)
+      .filter(col("a") < 300 && col("b") < 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val victim = pairs.head._1
+    val partners = pairs.collect {
+      case (a, b) if a == victim => b
+      case (a, b) if b == victim => a
+    }.toSet
+    val texts = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def listing(): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(s"$base/serving")
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out += root.relativize(p).toString ->
+            ((java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+      out.toMap
+    }
+    val before = listing()
+    val affected = IncrementalDedup.forgetFromServing(spark,
+      s"$base/serving", Seq(victim).toDF("doc_id"))
+    assert(affected.nonEmpty && affected.size <= IncrementalDedup.Bands)
+    // PRUNING: every file outside the affected bucket directories is
+    // byte-identical and untouched (same path, size, mtime)
+    val after = listing()
+    val affectedDirs = affected.map(k => s"band_bucket=$k").toSet
+    val untouchedBefore = before.filter { case (p, _) =>
+      !affectedDirs.exists(p.contains) }
+    val untouchedAfter = after.filter { case (p, _) =>
+      !affectedDirs.exists(p.contains) }
+    assert(untouchedBefore === untouchedAfter)
+    assert(untouchedBefore.nonEmpty) // the prune is non-vacuous
+    // semantics: the forgotten doc no longer answers its own probe,
+    // its partners still do — exactly the full recompaction's answer
+    val served = IncrementalDedup.loadStore(spark, s"$base/serving")
+    val own = IncrementalDedup.search(served, texts(victim), k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(!own.contains(victim) && own === partners)
+    IncrementalDedup.compactToServing(spark, s"$base/ingest",
+      s"$base/full", nBuckets = 16,
+      forget = Some(Seq(victim).toDF("doc_id")))
+    val full = IncrementalDedup.loadStore(spark, s"$base/full")
+    partners.take(2).foreach { p =>
+      assert(IncrementalDedup.search(served, texts(p), k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ===
+        IncrementalDedup.search(full, texts(p), k = 50)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet,
+        s"probe parity for partner $p")
+    }
+    // an absent key touches nothing
+    assert(IncrementalDedup.forgetFromServing(spark, s"$base/serving",
+      Seq(999999L).toDF("doc_id")) === Seq.empty)
+    assert(listing() === after)
+    // recovery (a): a half-BUILT work dir (no marker) discards — the
+    // store was never touched
+    val work = java.nio.file.Paths.get(s"$base/serving_forgetting")
+    java.nio.file.Files.createDirectories(work)
+    java.nio.file.Files.write(work.resolve("junk"),
+      "x".getBytes("UTF-8"))
+    IncrementalDedup.loadStore(spark, s"$base/serving")
+    assert(!java.nio.file.Files.exists(work))
+    assert(listing() === after)
+    // recovery (b): a crash MID-SWAP (marker written, live dir
+    // deleted, replacement not yet renamed) completes from the marker
+    val unit = s"batch=-1/band_bucket=${affected.head}"
+    val liveUnit = java.nio.file.Paths.get(s"$base/serving/$unit")
+    val replUnit = work.resolve(unit)
+    java.nio.file.Files.createDirectories(replUnit.getParent)
+    java.nio.file.Files.move(liveUnit, replUnit)
+    java.nio.file.Files.write(work.resolve("_FORGET_READY"),
+      s"$unit\t1".getBytes("UTF-8"))
+    val recovered = IncrementalDedup.loadStore(spark, s"$base/serving")
+    assert(!java.nio.file.Files.exists(work))
+    assert(listing().keySet === after.keySet)
+    // the recovered store still answers the partner probe
+    assert(IncrementalDedup.search(recovered, texts(partners.head),
+      k = 50).collect().map(_.getLong(0)).toSet ===
+      IncrementalDedup.search(full, texts(partners.head), k = 50)
+        .collect().map(_.getLong(0)).toSet)
+    // refuses a non-serving (ingest) layout loudly
+    val e = intercept[IllegalArgumentException](
+      IncrementalDedup.forgetFromServing(spark, s"$base/ingest",
+        Seq(victim).toDF("doc_id")))
+    assert(e.getMessage.contains("serving layout"))
+  }
+
   test("mixed store (legacy meta-less partition) keeps the " +
     "self-described kernel — mergeSchema surfaces the meta columns") {
     def txt(seed: Int): String =
