@@ -1628,6 +1628,20 @@ object OracleSql {
     "q186_simhash_store_search" -> simhashStoreSearchSql,
     "q187_text_kernel_agreement" -> textKernelAgreementSql,
     "q190_forget_compaction" -> forgetCompactionSql,
+    // q195: ordering by an aggregate of a row-filtered table — the
+    // analyst's orders grant (status O) inlined inside the hidden
+    // ordering aggregate, count null-repaired to 0, segment filter on
+    // the root
+    "q195_filtered_order_agg" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, COUNT(o_custkey) AS n
+        |           FROM orders WHERE o_orderstatus = 'O'
+        |           GROUP BY o_custkey) o
+        |  ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY COALESCE(o.n, 0) DESC, c.c_custkey
+        |LIMIT 100""".stripMargin,
     // q194: the bucket-pruned forget answers exactly like q190's full
     // recompaction — one shared oracle (q90/q91's shared-oracle
     // pattern: same semantics, different machinery under test)

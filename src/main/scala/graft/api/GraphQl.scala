@@ -696,23 +696,13 @@ object GraphQl {
 
   /** Column-only order_by (relationship-level order arguments): one
     * shared walker with [[compileOrdersRoot]] — an empty schema makes
-    * every aggregate spelling fall to the plain-entry error. Explicit
-    * nulls placement is accepted when it SPELLS the engine default
-    * (asc_nulls_last / desc_nulls_first — Hasura clients emit these
-    * routinely, and the in-array sort already implements that rule);
-    * a NON-default placement rejects here, at parse (accepting it
-    * would throw inside the array sort instead of returning Left). */
-  private def compileOrders(v: V, at: String): Seq[Order] = {
-    val orders = compileOrdersRoot(v, at, Schema(Map.empty), "")._1
-    orders.find(o =>
-        o.nullsFirst.isDefined && !o.nullsFirst.contains(o.desc))
-      .foreach(o =>
-        bad(s"$at.${o.field}: non-default nulls placement is not " +
-          "supported on relationship order_by (the array sort " +
-          "implements nulls-largest: asc_nulls_last / " +
-          "desc_nulls_first)"))
-    orders
-  }
+    * every aggregate spelling fall to the plain-entry error. The full
+    * Hasura direction family serves, INCLUDING non-default nulls
+    * placements (asc_nulls_first / desc_nulls_last): the in-array
+    * comparator places nulls by the spelled rule, defaulting to
+    * nulls-largest (asc_nulls_last / desc_nulls_first). */
+  private def compileOrders(v: V, at: String): Seq[Order] =
+    compileOrdersRoot(v, at, Schema(Map.empty), "")._1
 
   private def intArg(args: Map[String, V], k: String,
       at: String): Option[Int] =
@@ -2640,6 +2630,11 @@ object GraphQl {
             "render: explicit nulls placement on an ordering " +
               "aggregate has no parseable spelling")
         case Some(oa) =>
+          if (oa.where.isDefined)
+            throw new IllegalArgumentException(
+              "render: a FILTERED ordering aggregate (a role-secured " +
+                "request) has no GraphQL spelling — render the " +
+                "original request, not the secured rewrite")
           val (schema, t) = ctx.getOrElse(
             throw new IllegalArgumentException("render: an ordering " +
               "aggregate needs the tracked schema"))

@@ -205,15 +205,13 @@ object Permissions {
       orderAggs2 <- sequence(req.orderAggs.map { oa =>
         policy.get(role, oa.table).flatMap { p =>
           checkCols(aggCols(oa.agg), p, role, oa.table,
-            "ordering aggregate").flatMap { _ =>
+            "ordering aggregate").map { _ =>
             // the ordering value must aggregate only VISIBLE child
-            // rows; run() aggregates the raw child table, so a
-            // row-filtered grant rejects rather than order by rows
-            // the role cannot see
-            if (p.filter.isEmpty) Right(oa)
-            else Left(s"role '$role': ordering by an aggregate of " +
-              s"row-filtered table '${oa.table}' is not supported — " +
-              "select the aggregate relationship explicitly instead")
+            // rows — a row-filtered grant threads into the hidden
+            // aggregate's child filter (Hasura computes the ordering
+            // aggregate over the rows the role can see), the q174/
+            // q184 decorrelation discipline riding OrderAgg.where
+            oa.copy(where = andWith(p.filter, oa.where))
           }
         }
       })
@@ -304,6 +302,28 @@ object Permissions {
       case Left(m) => throw new IllegalStateException(
         s"canned q140 request failed the policy: $m")
     }
+  }
+
+  /** q195 — ordering by an aggregate of a ROW-FILTERED table (the
+    * capability the r14 guard denied): the analyst's customers order
+    * by their count of orders, and the role's `o_orderstatus = 'O'`
+    * grant on orders threads into the hidden ordering aggregate —
+    * Hasura computes the ordering value over the rows the role can
+    * see. An engine counting the RAW child table (or still denying
+    * the order) fails the oracle on row placement. */
+  def q195FilteredOrderAgg(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val doc =
+      """{
+        |  customer(order_by: [{orders_aggregate: {count: desc}},
+        |                      {c_custkey: asc}],
+        |           limit: 100) {
+        |    c_custkey c_name
+        |  }
+        |}""".stripMargin
+    serveAs(s, dir, "analyst", q140Policy, doc).fold(
+      m => throw new IllegalStateException(s"q195 denied: $m"),
+      identity)
   }
 
   /** Serve an INTROSPECTION document AS a role — Hasura's per-role

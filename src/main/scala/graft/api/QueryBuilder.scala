@@ -515,9 +515,19 @@ object QueryBuilder {
     * aggregate): `as` is the hidden column name `orderBy` entries
     * reference; the aggregate value (post-repaired: counts/sums of
     * childless parents order as 0) joins onto the parent per key and
-    * is dropped after ordering. */
+    * is dropped after ordering.
+    *
+    * `where` filters the child rows BEFORE the aggregate — the hook
+    * [[graft.api.Permissions]] uses for roles whose grant on the
+    * child table is row-filtered: Hasura computes the ordering
+    * aggregate over the rows the role can see, so the grant filter
+    * threads here instead of denying the order (relationship
+    * predicates inside the filter decorrelate like any relationship
+    * where). No user-facing GraphQL spelling exists, so the printer
+    * refuses to render a filtered ordering aggregate. */
   final case class OrderAgg(as: String, table: String, childKey: String,
-      parentKey: String, agg: AggField) {
+      parentKey: String, agg: AggField,
+      where: Option[BoolExp] = None) {
     require(as != agg.as,
       s"orderAgg '$as': the hidden name must differ from the " +
         "aggregate's internal name")
@@ -749,14 +759,6 @@ object QueryBuilder {
   private def orderedCollect(orderBy: Seq[Order], at: String,
       ordSrc: String => Column, fields: Seq[Column],
       names: Seq[String], payloadOrderable: Boolean = true): Column = {
-    // the comparator implements the DEFAULT null rule (null largest:
-    // asc_nulls_last / desc_nulls_first) — an explicit placement that
-    // SPELLS the default is fine, only a genuinely different one
-    // would silently sort wrong, so only it is loud
-    orderBy.foreach(o => require(
-      o.nullsFirst.isEmpty || o.nullsFirst.contains(o.desc),
-      s"$at: non-default nulls placement is not supported inside " +
-        "array sorts"))
     val ordFs = orderBy.zipWithIndex.map { case (o, i) =>
       ordSrc(o.field).as(s"__ord_$i") }
     val cmp = (l: Column, r: Column) => {
@@ -773,10 +775,16 @@ object QueryBuilder {
       orderBy.zipWithIndex.foldRight(tie) { case ((o, i), acc) =>
         val a = l.getField(s"__ord_$i")
         val b = r.getField(s"__ord_$i")
+        // nulls place by the EFFECTIVE rule: the explicit
+        // asc_nulls_first family when spelled, else the engine
+        // default (null largest: asc_nulls_last / desc_nulls_first)
+        // — checked BEFORE the value comparison so the comparator
+        // stays transitive (`when(x < y)` is null for null operands)
+        val nullsFirst = o.nullsFirst.getOrElse(o.desc)
         val (x, y) = if (o.desc) (b, a) else (a, b)
-        when(x.isNull && y.isNull, acc)
-          .when(x.isNull, lit(1))
-          .when(y.isNull, lit(-1))
+        when(a.isNull && b.isNull, acc)
+          .when(a.isNull, lit(if (nullsFirst) -1 else 1))
+          .when(b.isNull, lit(if (nullsFirst) 1 else -1))
           .when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(acc)
       }
     }
@@ -913,13 +921,21 @@ object QueryBuilder {
     // re-attaches missing sort references), so the order rides one
     // pre-aggregated key join per entry — the AggRel shape
     val base0 = reqDec.orderAggs
-      .groupBy(oa => (oa.table, oa.childKey, oa.parentKey)).toSeq
+      .groupBy(oa => (oa.table, oa.childKey, oa.parentKey, oa.where))
+      .toSeq
       .sortBy(_._2.head.as) // deterministic join order
       .zipWithIndex.foldLeft(baseDec) {
-        // all ordering aggregates over ONE relationship share a single
-        // child scan + groupBy + join (the AggRel multi-aggregate shape)
-        case (df, (((table, childKey, parentKey), oas), i)) =>
-          val loaded = graft.Tables.load(s, dir, table)
+        // all ordering aggregates over ONE (relationship, filter)
+        // share a single child scan + groupBy + join (the AggRel
+        // multi-aggregate shape)
+        case (df, (((table, childKey, parentKey, where), oas), i)) =>
+          val loaded0 = graft.Tables.load(s, dir, table)
+          // the child filter (a role's row grant) applies BEFORE the
+          // aggregate — the ordering value sums only visible rows;
+          // relationship predicates inside it decorrelate like any
+          // relationship where
+          val loaded =
+            where.map(filterRel(s, dir, loaded0, _)).getOrElse(loaded0)
           val keyAlias = s"__oakey_$i"
           val aggCols = oas.map(_.agg.agg(loaded))
           val rel = loaded.groupBy(loaded(childKey).as(keyAlias))

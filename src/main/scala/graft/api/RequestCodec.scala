@@ -159,19 +159,16 @@ object RequestCodec {
     }
   }
 
-  /** `allowNulls = false` for relationship-level order_by: the nested
-    * in-array sort implements only the default null rule, so the wire
-    * spelling rejects as a parse error (never a later throw). */
-  private def parseOrders(o: ObjectNode, where: String,
-      allowNulls: Boolean = true): Seq[Order] =
+  /** Order entries parse identically at the root and relationship
+    * levels — the nested in-array comparator honors explicit nulls
+    * placements (asc_nulls_first / desc_nulls_last) like the root
+    * sort does. */
+  private def parseOrders(o: ObjectNode, where: String): Seq[Order] =
     Option(o.get("order_by")).map(arr(_, s"$where.order_by").map { n =>
       val oo = obj(n, s"$where.order_by[]")
       Order(str(req(oo, "field", s"$where.order_by[]"), s"$where.order_by[]"),
         desc = Option(oo.get("desc")).exists(_.asBoolean(false)),
         nullsFirst = Option(oo.get("nulls_first")).map { v =>
-          if (!allowNulls)
-            bad(s"$where.order_by[].nulls_first: explicit nulls " +
-              "placement is not supported on relationship order_by")
           if (v.isBoolean) v.asBoolean
           else bad(s"$where.order_by[].nulls_first: expected a boolean")
         })
@@ -205,7 +202,7 @@ object RequestCodec {
       joinType = Option(o.get("join")).map(str(_, s"$where.join"))
         .getOrElse("inner"),
       where = Option(o.get("where")).map(parseBool(_, s"$where.where")),
-      orderBy = parseOrders(o, where, allowNulls = false),
+      orderBy = parseOrders(o, where),
       limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")),
       offset = Option(o.get("offset"))
         .map(intOf(_, s"$where.offset")).getOrElse(0),
@@ -256,7 +253,7 @@ object RequestCodec {
       joinType = Option(o.get("join")).map(str(_, s"$where.join"))
         .getOrElse("left"),
       where = Option(o.get("where")).map(parseBool(_, s"$where.where")),
-      orderBy = parseOrders(o, where, allowNulls = false),
+      orderBy = parseOrders(o, where),
       limit = Option(o.get("limit")).map(intOf(_, s"$where.limit")),
       offset = Option(o.get("offset"))
         .map(intOf(_, s"$where.offset")).getOrElse(0),

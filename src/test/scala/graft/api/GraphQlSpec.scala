@@ -628,15 +628,19 @@ class GraphQlSpec extends SparkSpec {
         case Left(m) => assert(m.contains("expected asc"))
         case Right(x) => fail(s"parsed: $x")
       }
-      // relationship-level order_by rejects the nulls family at PARSE
-      // time (the nested in-array sort implements only the default
-      // rule — accepting it would throw later instead of Left)
+      // relationship-level order_by serves the FULL nulls family
+      // (r15 — the in-array comparator places nulls by the spelled
+      // rule) and round-trips through the printer
       GraphQl.parse(
         """{ customer { c_custkey
           |  orders(order_by: {o_orderkey: asc_nulls_first}, limit: 2) {
           |    o_orderkey } } }""".stripMargin) match {
-        case Left(m) => assert(m.contains("nulls placement"), m)
-        case Right(x) => fail(s"parsed: $x")
+        case Right(rr) =>
+          assert(rr.nested.head.orderBy ===
+            Seq(Order("o_orderkey", nullsFirst = Some(true))))
+          assert(GraphQl.parse(GraphQl.render(rr)) === Right(rr),
+            s"did not round-trip:\n${GraphQl.render(rr)}")
+        case Left(m) => fail(m)
       }
       // the printer refuses nulls placement on ordering aggregates
       // (no parseable spelling) instead of drifting
@@ -1202,9 +1206,9 @@ class GraphQlSpec extends SparkSpec {
     }
   }
 
-  test("relationship order_by accepts DEFAULT-spelled nulls placement " +
-    "(asc_nulls_last / desc_nulls_first); non-default stays a parse " +
-    "Left") {
+  test("relationship order_by accepts the FULL nulls placement " +
+    "family — default and non-default spellings both parse and " +
+    "execute (r15: the in-array comparator honors the spelled rule)") {
     val r = GraphQl.parse(
       """{
         |  customer(where: {c_custkey: {_lte: 5}}) {
@@ -1218,18 +1222,31 @@ class GraphQlSpec extends SparkSpec {
       Seq(Some(true), Some(false)))
     // ...and it EXECUTES (the array sort implements exactly this rule)
     assert(QueryBuilder.run(spark, sf("sf0.001"), r).count() === 6L)
-    GraphQl.parse(
+    // the previously-refused NON-default spelling now parses AND
+    // executes; on the null-free fixture it answers like the default
+    val nd = GraphQl.parse(
       """{
-        |  customer {
+        |  customer(where: {c_custkey: {_lte: 5}}) {
         |    c_custkey
-        |    orders(order_by: [{o_totalprice: desc_nulls_last}]) {
-        |      o_orderkey
-        |    }
+        |    orders(order_by: [{o_totalprice: desc_nulls_last},
+        |                      {o_orderkey: asc}],
+        |           limit: 2) { o_orderkey }
         |  }
-        |}""".stripMargin) match {
-      case Left(m) => assert(m.contains("non-default nulls"), m)
-      case Right(x) => fail(s"parsed: $x")
-    }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(nd.nested.head.orderBy.head.nullsFirst === Some(false))
+    val dirr = sf("sf0.001")
+    assert(QueryBuilder.run(spark, dirr, nd)
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq ===
+      QueryBuilder.run(spark, dirr, GraphQl.parse(
+        """{
+          |  customer(where: {c_custkey: {_lte: 5}}) {
+          |    c_custkey
+          |    orders(order_by: [{o_totalprice: desc},
+          |                      {o_orderkey: asc}],
+          |           limit: 2) { o_orderkey }
+          |  }
+          |}""".stripMargin).fold(m => fail(m), identity))
+        .collect().map(x => (x.getLong(0), x.getString(1))).toSeq)
   }
 
   test("multi-operation fragment use is DOCUMENT-wide: a fragment " +

@@ -75,16 +75,42 @@ class PermissionsSpec extends SparkSpec {
         And(Eq("o_orderstatus", "O"), Gt("o_totalprice", 1000.0))))))
   }
 
-  test("ordering by an aggregate of a row-filtered table rejects " +
-    "instead of ordering by rows the role cannot see") {
+  test("ordering by an aggregate of a row-filtered table SERVES: the " +
+    "grant filter threads into the hidden aggregate (Hasura orders " +
+    "by the rows the role can see), end-to-end vs a local replay") {
     val req = Request("customer", Seq("c_custkey"),
       orderBy = Seq(Order("__oa_0", desc = true), Order("c_custkey")),
       orderAggs = Seq(OrderAgg("__oa_0", "orders", "o_custkey",
         "c_custkey", CountOf("o_custkey", "__oa_0_v"))))
-    secure(req, "analyst", policy) match {
-      case Left(m) => assert(m.contains("row-filtered"))
-      case Right(r) => fail(s"allowed: $r")
-    }
+    val sec = secure(req, "analyst", policy).fold(m => fail(m), identity)
+    assert(sec.orderAggs.head.where === Some(Eq("o_orderstatus", "O")))
+    val dir = sf("sf0.001")
+    val got = QueryBuilder.run(spark, dir, sec)
+      .collect().map(_.getLong(0)).toSeq
+    import org.apache.spark.sql.functions.col
+    // replay: visible customers ordered by their count of VISIBLE
+    // (status O) orders desc, key tiebreak — a raw-child count orders
+    // differently (non-vacuity asserted below)
+    val visCount = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawCount = graft.Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custs = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+    def ordered(counts: Map[Long, Long]): Seq[Long] =
+      custs.sortBy(k => (-counts.getOrElse(k, 0L), k))
+    assert(got === ordered(visCount))
+    assert(ordered(visCount) !== ordered(rawCount),
+      "fixture must make the filter change the order")
+    // the secured rewrite has no GraphQL spelling — the printer is
+    // loud, never silently dropping the grant filter
+    val e = intercept[IllegalArgumentException](
+      GraphQl.render(sec))
+    assert(e.getMessage.contains("FILTERED ordering aggregate"))
   }
 
   test("secureFields: update/delete scopes shrink to visible rows " +

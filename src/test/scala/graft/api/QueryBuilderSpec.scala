@@ -521,6 +521,43 @@ class QueryBuilderSpec extends SparkSpec {
           limit = Some(2))))).collect().head.getString(1)
     assert(topn(desc = true) === """[{"k":11},{"k":13}]""")
     assert(topn(desc = false) === """[{"k":10},{"k":12}]""")
+    // NON-default placements (r15): the in-array comparator honors
+    // the spelled rule against real nulls — asc_nulls_first leads
+    // with the null rows, desc_nulls_last trails with them
+    def arraysN(desc: Boolean, nullsFirst: Boolean): String =
+      QueryBuilder.run(spark, dir, Request(
+        table = "customer",
+        fields = Seq("c_custkey"),
+        where = Some(Eq("c_custkey", 1L)),
+        nested = Seq(Nested(
+          as = "orders", table = "orders",
+          childKey = "o_custkey", parentKey = "c_custkey",
+          fields = Seq(NestedField("k", "o_orderkey")),
+          orderBy = Seq(Order("price", desc, Some(nullsFirst)),
+            Order("o_orderkey"))))))
+        .collect().head.getString(1)
+    assert(arraysN(desc = false, nullsFirst = true) ===
+      """[{"k":11},{"k":13},{"k":10},{"k":12}]""")
+    assert(arraysN(desc = true, nullsFirst = false) ===
+      """[{"k":12},{"k":10},{"k":11},{"k":13}]""")
+    // the per-parent top-n cut follows the same placement (the
+    // row_number window rides Order.toColumn natively)
+    def topnN(desc: Boolean, nullsFirst: Boolean): String =
+      QueryBuilder.run(spark, dir, Request(
+        table = "customer",
+        fields = Seq("c_custkey"),
+        where = Some(Eq("c_custkey", 1L)),
+        nested = Seq(Nested(
+          as = "orders", table = "orders",
+          childKey = "o_custkey", parentKey = "c_custkey",
+          fields = Seq(NestedField("k", "o_orderkey")),
+          orderBy = Seq(Order("price", desc, Some(nullsFirst)),
+            Order("o_orderkey")),
+          limit = Some(2))))).collect().head.getString(1)
+    assert(topnN(desc = false, nullsFirst = true) ===
+      """[{"k":11},{"k":13}]""")
+    assert(topnN(desc = true, nullsFirst = false) ===
+      """[{"k":12},{"k":10}]""")
   }
 
   test("JSONB family: key existence and flat containment over JSON " +

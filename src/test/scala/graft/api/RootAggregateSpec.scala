@@ -26,13 +26,9 @@ class RootAggregateSpec extends SparkSpec {
     assert(r2 === AggRequest("docs", None, Seq(CountOf("src", "count"))))
   }
 
-  test("nodes under an explicitly-spelled DEFAULT nulls placement " +
-    "serve (desc_nulls_first == the engine default, reachable via the " +
-    "DSL); only genuinely non-default placements are loud inside " +
-    "array sorts") {
-    // the TEXT grammar rejects _nulls_ spellings on aggregate
-    // order_by at parse; the DSL can still spell them — the default
-    // spelling must serve, the comparator-contradicting one is loud
+  test("nodes under explicit nulls placements serve — the in-array " +
+    "comparator honors the spelled rule (default and non-default " +
+    "alike; on a null-free fixture both orders agree)") {
     val r = AggRequest("orders",
       where = Some(Eq("o_orderstatus", "P")),
       aggs = Seq(CountAll("count")),
@@ -42,12 +38,14 @@ class RootAggregateSpec extends SparkSpec {
       limit = Some(3))
     val row = QueryBuilder.runAggregate(spark, sf("sf0.001"), r).head
     assert(row.getLong(0) === 3L)
-    // the non-default spelling would sort the array wrongly — loud
-    val bad = r.copy(orderBy =
+    // the NON-default spelling serves too (r15 — the comparator
+    // places nulls by the spelled rule); o_totalprice is null-free,
+    // so the same rows answer in the same order
+    val nd = r.copy(orderBy =
       Seq(Order("o_totalprice", desc = true, nullsFirst = Some(false))))
-    val e = intercept[IllegalArgumentException](
-      QueryBuilder.runAggregate(spark, sf("sf0.001"), bad).collect())
-    assert(e.getMessage.contains("nulls placement"))
+    val ndRow = QueryBuilder.runAggregate(spark, sf("sf0.001"), nd).head
+    assert(ndRow.getLong(0) === 3L)
+    assert(ndRow.getString(1) === row.getString(1))
   }
 
   test("parseRootAggregate rejects the wrong-answer shapes loudly") {
