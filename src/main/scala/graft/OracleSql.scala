@@ -1368,6 +1368,62 @@ object OracleSql {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q151: dedup retention — q62's recursive-CTE components, the
     // q27 unique-ratio score, argmax per cluster via row_number
+    // q196: agreement retention — q151's keep-best machinery over the
+    // AGREED pair graph (minhash md5 est>=0.5 ∩ simhash d<=3 on the
+    // pair key); both pair pipelines replay natively, the closure and
+    // keep-best are q151's
+    "q196_agreement_retention" -> {
+      val mins = (0 until 8).map(j =>
+        s"MIN(${ddbHash(s"sh||'#$j'")}) AS s$j").mkString(",\n   ")
+      val agree = (0 until 8)
+        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val bandEq = (0 until 4).map(bq =>
+        s"(a.s${2 * bq} = b.s${2 * bq} AND " +
+          s"a.s${2 * bq + 1} = b.s${2 * bq + 1})")
+        .mkString(" OR ")
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |d2 AS (SELECT doc_id, text FROM documents
+         |       ORDER BY doc_id LIMIT 1000),
+         |toks2 AS (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+         |         generate_subscripts(string_split(text,' '),1) AS i
+         |  FROM d2),
+         |sh2 AS (
+         |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+         |  FROM toks2 a
+         |  JOIN toks2 b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  JOIN toks2 c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         |m2 AS (SELECT doc_id,
+         |   $mins
+         |  FROM sh2 GROUP BY doc_id),
+         |mp AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |       FROM m2 a JOIN m2 b
+         |         ON a.doc_id < b.doc_id AND ($bandEq)
+         |       WHERE ($agree) / 8.0 >= 0.5),
+         |ag AS (SELECT mp.a, mp.b FROM mp
+         |       JOIN p ON p.a = mp.a AND p.b = mp.b),
+         |e AS (SELECT a AS id, b AS nb FROM ag
+         |      UNION ALL SELECT b, a FROM ag),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id),
+         |sc AS (SELECT doc_id,
+         |         ROUND(len(list_distinct(string_split(text, ' ')))
+         |           ::DOUBLE / len(string_split(text, ' ')), 4) AS score
+         |       FROM documents),
+         |mm AS (SELECT comp.canonical, comp.id AS doc_id, sc.score,
+         |        ROW_NUMBER() OVER (PARTITION BY comp.canonical
+         |          ORDER BY sc.score DESC, comp.id) AS rn
+         |      FROM comp JOIN sc ON sc.doc_id = comp.id)
+         |SELECT canonical,
+         |       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+         |       MAX(CASE WHEN rn = 1 THEN score END) AS kept_score,
+         |       (COUNT(*) - 1)::BIGINT AS n_dropped
+         |FROM mm GROUP BY canonical ORDER BY canonical""".stripMargin
+    },
     "q151_dedup_retention" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          |e AS (SELECT a AS id, b AS nb FROM p

@@ -1944,6 +1944,41 @@ object TextQueries {
     D.search(D.loadStore(s, s"$base/serving194"), qText, k = 5)
   }
 
+  /** Q196 — AGREEMENT RETENTION: the corpus-shrinking step driven by
+    * the TWO-KERNEL agreement verdicts (q187's precision policy
+    * feeding q151's keep-best machinery): a pair is a REAL duplicate
+    * only when the md5-minhash pipeline (est ≥ 0.5, q51's kernel) AND
+    * the simhash pipeline (d ≤ 3, q48's kernel) both flag it; agreed
+    * pairs form connected components and every cluster keeps its
+    * highest unique-token-ratio member, dropping the rest. Agreement
+    * prunes the single-kernel clusters (fewer, tighter components
+    * than q151's simhash-only graph — spec-pinned non-vacuous), so
+    * the retention report is what a pipeline would actually delete.
+    * Scale: two banded pair pipelines + one pair-key join + the q62
+    * component machinery — nothing all-pairs. */
+  def q196AgreementRetention(s: SparkSession, dir: String): DataFrame = {
+    val agreed = agreedPairs(s, dir)
+    val labels = componentLabels(s, agreed)
+    val toks = tokens(col("text"))
+    val scored = docs(s, dir).select(col("doc_id").as("key"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("score"))
+    graft.operators.Retention.keepBest(
+      labels.select(col("id").as("key"), col("label").as("canonical")),
+      scored)
+      .select(col("canonical"), col("kept_key").as("kept_doc"),
+        col("kept_score"), col("n_dropped"))
+  }
+
+  /** The corpus-wide AGREED pair set: minhash (md5, est ≥ 0.5) ∩
+    * simhash (d ≤ 3) on the (a, b) pair key — the batch twin of
+    * q187's store-probe agreement, shared by [[q196AgreementRetention]]
+    * and its spec. */
+  private[graft] def agreedPairs(s: SparkSession, dir: String)
+      : DataFrame =
+    q51MinhashPairsMd5(s, dir, 0.5).select("a", "b")
+      .join(simhashPairsRaw(s, dir).select("a", "b"), Seq("a", "b"))
+
   /** Q186 — the persisted hash-space index serving SIMHASH text space
     * (the store is hash-space-agnostic — q170 image, q176 audio, here
     * the q48 kernel): every document's 32-bit md5-simhash lands in the

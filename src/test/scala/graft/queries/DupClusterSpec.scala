@@ -100,4 +100,36 @@ class DupClusterSpec extends SparkSpec {
       }
     }
   }
+
+  test("q196 agreement retention: agreed pairs are a NON-VACUOUS " +
+    "intersection of the two kernels' pair sets, and every agreed " +
+    "pair's docs share a retention cluster") {
+    val dir = sf("sf0.001")
+    val mh = TextQueries.q51MinhashPairsMd5(spark, dir, 0.5)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = TextQueries.q48SimhashPairs(spark, dir)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agreed = TextQueries.agreedPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(agreed === (mh intersect sh))
+    assert(agreed.nonEmpty, "fixture must produce agreed pairs")
+    // NON-vacuity: each kernel flags pairs the other rejects — the
+    // agreement genuinely prunes (not a subset relation in disguise)
+    assert((sh -- mh).nonEmpty,
+      "simhash-only pairs must exist (agreement prunes them)")
+    // retention clusters cover exactly the agreed-pair docs; members
+    // of one agreed pair never land in different clusters
+    val kept = TextQueries.q196AgreementRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val clusterDocs = agreed.flatMap(p => Seq(p._1, p._2))
+    assert(kept.map(_._3 + 1).sum === clusterDocs.size,
+      "every clustered doc is kept or dropped exactly once")
+    kept.foreach { case (canon, keptDoc, _) =>
+      assert(clusterDocs.contains(keptDoc))
+      assert(canon <= keptDoc ||
+        clusterDocs.contains(canon))
+    }
+  }
 }
