@@ -773,4 +773,48 @@ class PlanQualitySpec extends SparkSpec {
       p.toLowerCase.contains("objecthashaggregate"),
       s"top-k not a mergeable aggregate:\n$p")
   }
+
+  test("q195 filtered ordering aggregate: the role's child filter " +
+    "reaches the orders scan, one child aggregate join, no window") {
+    val df = graft.api.Permissions.q195FilteredOrderAgg(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), s"cross join in:\n$p")
+    assert(!p.contains("WindowExec"), s"window in agg-order plan:\n$p")
+    // the grant filter prunes the child scan itself — the aggregate
+    // never reads invisible rows
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("EqualTo(o_orderstatus,O)"),
+      s"grant filter not pushed to the orders scan:\n$pushed\n$p")
+    assert(pushed.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"root grant filter not pushed:\n$pushed\n$p")
+    val ordersScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("o_custkey"))
+    assert(ordersScans <= 1, s"orders scanned $ordersScans times:\n$p")
+  }
+
+  test("q196 agreement retention: both pair pipelines stay banded " +
+    "equi-joins and the keep-best window shares the cluster exchange") {
+    val df = graft.queries.TextQueries.q196AgreementRetention(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"agreement must stay banded equi-joins:\n$p")
+    // the keep-best fold reuses the window's cluster-key exchange
+    // (the q172 retention contract): no exchange BETWEEN the window
+    // and the aggregate over canonical
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val aIdx = lines.lastIndexWhere(l =>
+      l.contains("HashAggregate") && l.contains("canonical"))
+    assert(wIdx >= 0, s"no keep-best window in:\n$p")
+    if (aIdx >= 0 && aIdx < wIdx)
+      assert(!lines.slice(aIdx, wIdx).exists(_.contains("Exchange")),
+        s"extra exchange between window and fold:\n$p")
+  }
 }
