@@ -1424,6 +1424,25 @@ object OracleSql {
          |       (COUNT(*) - 1)::BIGINT AS n_dropped
          |FROM mm GROUP BY canonical ORDER BY canonical""".stripMargin
     },
+    // q197: root scalar aliases — the answer carries the RESPONSE
+    // keys; the ORDER BY references the source column the alias
+    // renamed away (Hasura orders by table columns, not response keys)
+    "q197_alias_read" ->
+      """SELECT c_custkey AS id, c_acctbal AS balance, c_mktsegment,
+        |       'customer' AS t
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 25""".stripMargin,
+    // q198: aliased stream fields — q183's page-cut shape with the
+    // response keys renamed (the cursor still pages on event_id)
+    "q198_alias_stream" ->
+      """WITH f AS (
+        |  SELECT event_id, event_type, value,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events
+        |  WHERE event_id > 3000 AND event_type = 'view')
+        |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
+        |       event_id AS id, event_type AS kind, value AS v
+        |FROM f WHERE rn <= 21""".stripMargin,
     "q151_dedup_retention" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          |e AS (SELECT a AS id, b AS nb FROM p
@@ -1520,21 +1539,29 @@ object OracleSql {
         |WHERE c.c_custkey <= 20
         |ORDER BY c.c_custkey""".stripMargin,
     // q148: the JSONB family in DuckDB's native spellings —
-    // json_keys for key existence, json_extract_string for scalar
-    // containment, a list_filter emptiness check for subset
-    // containment
+    // json_keys for key existence, TYPED scalar containment (r15:
+    // json_type guards the JSON type, numbers compare numerically —
+    // the engine's variant-typed jsonb semantics), a list_filter
+    // emptiness check for subset containment
     "q148_jsonb_ops" ->
       """SELECT event_id, event_type, props FROM events
         |WHERE list_contains(json_keys(props), 'k')
         |  AND (list_contains(json_keys(props), 'k')
         |       OR list_contains(json_keys(props), 'zz'))
-        |  AND json_extract_string(props, '$.k') = '69'
+        |  AND json_type(props, '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
+        |  AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) = 69
         |  AND len(list_filter(json_keys(props),
         |        x -> x NOT IN ('k', 'extra'))) = 0
         |  AND (NOT list_contains(json_keys(props), 'k')
-        |       OR json_extract_string(props, '$.k') = '69')
+        |       OR (json_type(props, '$.k')
+        |             IN ('BIGINT','UBIGINT','DOUBLE')
+        |           AND TRY_CAST(json_extract_string(props, '$.k')
+        |             AS DOUBLE) = 69))
         |  AND (NOT list_contains(json_keys(props), 'extra')
-        |       OR json_extract_string(props, '$.extra') = '1')
+        |       OR (json_type(props, '$.extra')
+        |             IN ('BIGINT','UBIGINT','DOUBLE')
+        |           AND TRY_CAST(json_extract_string(props, '$.extra')
+        |             AS DOUBLE) = 1))
         |  AND NOT list_contains(json_keys(props), 'zz')
         |ORDER BY event_id LIMIT 50""".stripMargin,
     // q147: update_many replay — the two updates chain as CTEs in

@@ -1203,6 +1203,7 @@ object GraphQl {
         if (isByPk) Seq.empty[String] else distinctOnArg(args, table)
       p.expect('{')
       val fields = Seq.newBuilder[String]
+      val fieldAs = Map.newBuilder[String, String]
       val nested = Seq.newBuilder[Nested]
       val aggRels = Seq.newBuilder[AggRel]
       while (!p.isPunct('}')) {
@@ -1329,10 +1330,14 @@ object GraphQl {
         } else {
           if (fargs.nonEmpty || fdirs.nonEmpty)
             bad(s"$fname: root scalar fields take no arguments/directives")
-          if (alias.isDefined)
-            bad(s"$fname: root scalar aliases are not supported " +
-              "(the oracle compares by column name)")
-          if (keep) fields += fname
+          // spec field aliases (`id: c_custkey`): the response key is
+          // the alias, the source column the field — codegen clients
+          // emit them routinely; the flat-columns answer renames the
+          // output column (and the oracle aliases identically)
+          if (keep) {
+            fields += alias.getOrElse(fname)
+            alias.filter(_ != fname).foreach(a => fieldAs += a -> fname)
+          }
         }
         }
       }
@@ -1360,7 +1365,8 @@ object GraphQl {
         nested = nested.result(),
         aggRels = aggRels.result(),
         distinctOn = distinctOn,
-        orderAggs = rootOrderAggs))
+        orderAggs = rootOrderAggs,
+        fieldAs = fieldAs.result()))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1593,6 +1599,7 @@ object GraphQl {
         .map(compileBool(_, s"$root.where"))
       p.expect('{')
       val fields = Seq.newBuilder[String]
+      val fieldAs = Map.newBuilder[String, String]
       var parsedFields = 0
       while (!p.isPunct('}')) {
         // fragment spreads on the streamed table — the shared-fragment
@@ -1600,11 +1607,13 @@ object GraphQl {
         // splices and parses under the same scalar-only rules
         if (p.isSpread) { resolveSpread(p, table, root) }
         else {
-        val f = p.name("stream selection")
+        val first = p.name("stream selection")
         parsedFields += 1
-        if (p.isPunct(':'))
-          bad(s"$f: aliases are not supported on stream fields " +
-            "(the oracle compares by column name)")
+        // spec field aliases on stream fields, same as reads: the
+        // response key is the alias, the source column the field
+        val (falias, f) =
+          if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
+          else (None, first)
         // @include/@skip gate stream fields exactly like reads and
         // mutations (spec directives apply to EVERY operation type;
         // Hasura serves them on subscriptions) — the field still
@@ -1615,7 +1624,10 @@ object GraphQl {
         if (p.isPunct('{'))
           bad(s"$f: relationships are not served under a cursor " +
             "scan (use the live-query mode)")
-        if (keepF) fields += f
+        if (keepF) {
+          fields += falias.getOrElse(f)
+          falias.filter(_ != f).foreach(a => fieldAs += a -> f)
+        }
         }
       }
       p.expect('}')
@@ -1636,7 +1648,7 @@ object GraphQl {
       checkFragmentsUsed(p, allToks, nOps)
       Right(Subscriptions.StreamRequest(table, cursorField, initial,
         ascending = ascending, batchSize = batchSize, where = where,
-        fields = fs))
+        fields = fs, fieldAs = fieldAs.result()))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1664,7 +1676,11 @@ object GraphQl {
     sr.where.foreach(w =>
       sb ++= ", where: " ++= renderBoolExp(w, Some((schema, sr.table))))
     sb ++= ") {\n"
-    sr.fields.foreach(f => sb ++= "    " ++= f ++= "\n")
+    sr.fields.foreach { f =>
+      sb ++= "    "
+      sr.fieldAs.get(f).foreach(_ => sb ++= f ++= ": ")
+      sb ++= sr.fieldAs.getOrElse(f, f) ++= "\n"
+    }
     sb ++= "  }\n}"
     sb.toString
   }
@@ -1688,8 +1704,10 @@ object GraphQl {
 
   /** q148 — the JSONB operator family end to end: GraphQL text →
     * HasKey/HasKeysAny/HasKeysAll/JsonContains/JsonContainedIn leaves
-    * → json_object_keys / get_json_object over the scan, against
-    * DuckDB's native json_keys/json_extract_string spellings. */
+    * → json_object_keys / variant-typed equality over the scan,
+    * against DuckDB's native json_keys/json_type/json_extract_string
+    * spellings (both sides typed: a string "69" never matches the
+    * number literal 69). */
   def q148JsonbOps(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     parse(q148Query) match {
@@ -1912,6 +1930,65 @@ object GraphQl {
       case Right(r) => QueryBuilder.runAggregate(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q192 aggregate failed to parse: $m")
+    }
+
+  /** q197's document — FIELD ALIASES on root scalars (spec §2.7, the
+    * response-key rename every codegen client emits): the response
+    * keys are the aliases, `__typename` answers under its own alias,
+    * and the order_by references the SOURCE column (`c_acctbal`) that
+    * the alias renamed out of the projection — Hasura orders by table
+    * columns regardless of response keys, so the sort must resolve
+    * through the rename. */
+  val q197Query: String =
+    """query Rename($seg: String!) {
+      |  customer(where: {c_mktsegment: {_eq: $seg}},
+      |           order_by: [{c_acctbal: desc}, {c_custkey: asc}],
+      |           limit: 25) {
+      |    id: c_custkey
+      |    balance: c_acctbal
+      |    c_mktsegment
+      |    t: __typename
+      |  }
+      |}""".stripMargin
+
+  /** q197 — aliased root scalars end to end: the flat answer carries
+    * the ALIAS column names; an engine refusing aliases (the pre-r15
+    * posture), answering under source names, or failing to order by
+    * the renamed-away source column fails the oracle. */
+  def q197AliasRead(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q197Query, variables = """{"seg": "BUILDING"}""") match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q197 failed to parse: $m")
+    }
+
+  /** q198's document — field aliases on the `_stream` surface
+    * (aliases apply to EVERY operation type, and the cursor column
+    * itself is aliased: paging advances on the SOURCE column, the
+    * delivery renames). */
+  val q198Doc: String =
+    """subscription {
+      |  events_stream(
+      |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+      |    batch_size: 7,
+      |    where: {event_type: {_eq: "view"}}) {
+      |    id: event_id
+      |    kind: event_type
+      |    v: value
+      |  }
+      |}""".stripMargin
+
+  /** q198 — aliased stream fields through the page-cut replay: pages
+    * deliver (batch_idx, id, kind, v); the cursor still advances on
+    * `event_id` under the rename. */
+  def q198AliasStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseStream(q198Doc) match {
+      case Right(sr) => Subscriptions.streamPages(
+        graft.Tables.load(s, dir, sr.table), sr, nPages = 3)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q198 stream subscription failed to parse: $m")
     }
 
   // ---- mutations -----------------------------------------------------
@@ -2496,7 +2573,11 @@ object GraphQl {
     sb ++= renderArgs(r.where, r.orderBy, r.limit, r.offset,
       r.distinctOn, Some((schema, r.table)), r.orderAggs)
     sb ++= " {\n"
-    r.fields.foreach(f => sb ++= "    " ++= f ++= "\n")
+    r.fields.foreach { f =>
+      sb ++= "    "
+      r.fieldAs.get(f).foreach(_ => sb ++= f ++= ": ")
+      sb ++= r.fieldAs.getOrElse(f, f) ++= "\n"
+    }
     r.nested.foreach(n => renderNested(sb, schema, r.table, n, indent = 4))
     r.aggRels.foreach(ar => renderAggRel(sb, schema, r.table, ar))
     sb ++= "  }\n}"

@@ -186,7 +186,10 @@ object Permissions {
       // surfaces whose executors implement it: stream/aggregate/
       // mutation-returning checks keep denying it, a clean Left
       // instead of an unresolved-column crash at execution
-      _ <- checkCols(req.fields.filterNot(_ == "__typename") ++
+      // column grants are about SOURCE columns — an alias must not
+      // smuggle a denied column out under a permitted response key
+      _ <- checkCols(req.fields.map(f => req.fieldAs.getOrElse(f, f))
+          .filterNot(_ == "__typename") ++
         req.distinctOn ++
         req.orderBy.map(_.field)
           .filterNot(f => req.orderAggs.exists(_.as == f)) ++
@@ -578,8 +581,16 @@ object Permissions {
       input.addData(feed)
       query.processAllAvailable()
     } finally query.stop()
-    require(pushed.nonEmpty, "q193: the live serve pushed no pages")
-    pushed.reduce(_.unionByName(_))
+    // a granted serve over an EMPTY feed (sf0.001 has no events past
+    // the cursor) legitimately triggers nothing — answer the empty
+    // page set; "pushed nothing on a non-empty feed" stays loud (the
+    // broken-serve signal this require exists for)
+    require(pushed.nonEmpty || feed.isEmpty,
+      "q193: the live serve pushed no pages")
+    if (pushed.isEmpty)
+      Seq.empty[(Long, Long, Long, Double)]
+        .toDF("batch_idx", "event_id", "user_id", "value")
+    else pushed.reduce(_.unionByName(_))
   }
 
   /** Serve mutation TEXT as a role — the WRITE half of [[serveAs]],
@@ -683,7 +694,8 @@ object Permissions {
       policy: Policy): Either[String, Subscriptions.StreamRequest] =
     for {
       perm <- policy.get(role, sr.table)
-      _ <- checkCols(sr.fields ++ Seq(sr.cursorField) ++
+      _ <- checkCols(sr.fields.map(f => sr.fieldAs.getOrElse(f, f)) ++
+        Seq(sr.cursorField) ++
         sr.where.toSeq.flatMap(whereCols),
         perm, role, sr.table, "stream subscription")
       w2 <- sr.where match {

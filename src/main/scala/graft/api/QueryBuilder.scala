@@ -188,15 +188,9 @@ object QueryBuilder {
       s"$at: key '$k' is not a GraphQL-name-shaped JSON key (the " +
         "get_json_object path subset this engine compiles)")
 
-  /** One scalar of a `_contains` literal, as the string
-    * `get_json_object` extracts for it. Integer-valued numbers must be
-    * spelled as integers (JSON `69` extracts as "69", never "69.0").
-    * The comparison is TEXTUAL, a documented deviation from jsonb's
-    * typed containment: `{"k": "69"}` (string) matches `_contains:
-    * {k: 69}` because both extract as "69", while `{"k": 69.0}` does
-    * not ("69.0" != "69") — a text store cannot recover the stored
-    * scalar's JSON type through get_json_object. Callers needing
-    * type-exact containment should store canonical spellings. */
+  /** Validates one scalar of a `_contains` literal (construction-time
+    * guard: JSON null and nested values reject loudly). The runtime
+    * comparison is TYPED via [[typedJsonEq]], not this rendering. */
   private def jsonScalar(v: Any, at: String): String = v match {
     case null => throw new IllegalArgumentException(
       s"$at: null has no containment semantics over a text store " +
@@ -248,9 +242,46 @@ object QueryBuilder {
       jsonScalar(v, s"_contains on '$field'.$k")
     }
     private[api] def toColumn: Column = pairs.map { case (k, v) =>
-      get_json_object(col(field), s"$$.$k") ===
-        lit(jsonScalar(v, s"_contains on '$field'.$k"))
+      typedJsonEq(field, k, v)
     }.reduce(_ && _)
+  }
+
+  /** TYPED scalar equality for jsonb containment (`@>` / `<@`),
+    * Spark-4 variant functions doing the type recovery a bare
+    * `get_json_object` text compare cannot: a stored STRING `"69"`
+    * never matches the number literal `69` (and vice versa), while
+    * numbers compare NUMERICALLY across JSON spellings (`69`, `69.0`,
+    * `6.9e1` all match `_contains: {k: 69}` — jsonb's numeric
+    * equality). Garbage / non-object / missing-key rows answer SQL
+    * NULL (filtered either polarity, the documented text-store
+    * posture); a JSON-null value is typed VOID and matches no scalar
+    * (false, jsonb's answer). The type probe and the cast both ride
+    * codegen'd variant expressions — one parse per row, no UDF. */
+  private def typedJsonEq(field: String, k: String, v: Any): Column = {
+    val sub = try_variant_get(try_parse_json(col(field)), s"$$.$k",
+      "variant")
+    val t = schema_of_variant(sub)
+    v match {
+      case s: String =>
+        (t === lit("STRING")) &&
+          try_variant_get(sub, "$", "string") === lit(s)
+      case b: Boolean =>
+        (t === lit("BOOLEAN")) &&
+          try_variant_get(sub, "$", "boolean") === lit(b)
+      case n =>
+        // numeric literal (Int/Long/Double — jsonScalar admitted it):
+        // the type guard keeps STRING "69" and BOOLEAN true (both
+        // double-castable) out of the numeric arm
+        val d = n match {
+          case i: Int => i.toDouble
+          case l: Long => l.toDouble
+          case x: Double => x
+          case other => throw new IllegalArgumentException(
+            s"_contains on '$field'.$k: unexpected scalar $other")
+        }
+        t.rlike("^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL)") &&
+          try_variant_get(sub, "$", "double") === lit(d)
+    }
   }
   /** Hasura `_contained_in` (jsonb `<@`): the column's top-level
     * object is a subset of the literal — every column key appears in
@@ -272,12 +303,10 @@ object QueryBuilder {
         if (pairs.isEmpty) size(keys) === 0
         else forall(keys, k => array_contains(litKeys, k))
       pairs.foldLeft(keySubset) { case (acc, (k, v)) =>
-        // key absent → vacuously fine; key PRESENT → extracted value
-        // must equal the literal (JSON null extracts as SQL null and
-        // equals nothing — the jsonb answer)
-        acc && (!array_contains(keys, k) ||
-          get_json_object(col(field), s"$$.$k") ===
-            lit(jsonScalar(v, s"_contained_in on '$field'.$k")))
+        // key absent → vacuously fine; key PRESENT → the TYPED
+        // equality must hold (a JSON-null value types VOID and
+        // matches no scalar — the jsonb answer)
+        acc && (!array_contains(keys, k) || typedJsonEq(field, k, v))
       }
     }
   }
@@ -543,8 +572,19 @@ object QueryBuilder {
       nested: Seq[Nested] = Nil,
       aggRels: Seq[AggRel] = Nil,
       distinctOn: Seq[String] = Nil,
-      orderAggs: Seq[OrderAgg] = Nil) {
+      orderAggs: Seq[OrderAgg] = Nil,
+      fieldAs: Map[String, String] = Map.empty) {
     require(fields.nonEmpty, s"request on '$table' selects no fields")
+    // `fields` are RESPONSE keys (GraphQL aliases included); `fieldAs`
+    // maps an aliased response key back to its source column. Spec
+    // rule 5.3.2: response keys are unique — a duplicate would
+    // silently drop one selection in the flat-columns answer.
+    require(fields.distinct.size == fields.size,
+      s"request on '$table': duplicate response key(s) " +
+        fields.diff(fields.distinct).distinct.mkString(", "))
+    require(fieldAs.keySet.subsetOf(fields.toSet),
+      s"request on '$table': fieldAs names absent response key(s) " +
+        (fieldAs.keySet -- fields).mkString(", "))
     require(orderAggs.map(_.as).forall(a => orderBy.exists(_.field == a)),
       s"request on '$table': every orderAgg must be referenced by an " +
         "order_by entry (an unreferenced join is a silent no-op)")
@@ -811,7 +851,8 @@ object QueryBuilder {
         "table directory (use run)")
     val base = rootSlice(base0, req)
     val shaped =
-      base.select(req.fields.map(typenameOr(base0, req.table)): _*)
+      base.select(req.fields.map(
+        typenameOr(base0, req.table, req.fieldAs)): _*)
     val ordered =
       if (req.orderBy.isEmpty) shaped
       else shaped.orderBy(req.orderBy.map(_.toColumn): _*)
@@ -824,9 +865,15 @@ object QueryBuilder {
     * a constant column (Hasura's spelling of the spec meta-field) —
     * it reads no data, so it is exempt from column allowlists
     * ([[Permissions]]) and never reaches the scan. */
-  private def typenameOr(base0: DataFrame, table: String)(
-      f: String): Column =
-    if (f == "__typename") lit(table).as("__typename") else base0(f)
+  private def typenameOr(base0: DataFrame, table: String,
+      fieldAs: Map[String, String] = Map.empty)(f: String): Column = {
+    val src = fieldAs.getOrElse(f, f)
+    // an aliased __typename (`t: __typename`) is still the constant
+    // type-name answer, under the caller's response key
+    if (src == "__typename") lit(table).as(f)
+    else if (src == f) base0(f)
+    else base0(src).as(f)
+  }
 
   /** where + distinct_on over the loaded root table — shared by [[run]]
     * and [[runRoot]]. */
@@ -1013,7 +1060,8 @@ object QueryBuilder {
     require(req.aggRels.forall(_.nodes.isEmpty) ||
       !req.fields.contains("nodes"),
       "a selected column named 'nodes' collides with the nodes arm")
-    val outCols = req.fields.map(typenameOr(base0, req.table)) ++
+    val outCols = req.fields.map(
+        typenameOr(base0, req.table, req.fieldAs)) ++
       req.nested.map(n => col(n.as)) ++
       req.aggRels.zipWithIndex.flatMap { case (a, i) =>
         a.aggs.map(f => f.post(col(f.as)).as(f.as)) ++

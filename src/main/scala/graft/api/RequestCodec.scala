@@ -263,11 +263,26 @@ object RequestCodec {
         .getOrElse(Nil))
   }
 
-  private def parseRequest(o: ObjectNode): Request =
+  private def parseRequest(o: ObjectNode): Request = {
+    // a scalar selection is a bare string, or `{"as": k, "field": c}`
+    // for a GraphQL alias (response key k reading source column c) —
+    // the NestedField spelling, minus format/cast
+    val scalars = arr(req(o, "fields", "request"), "request.fields")
+      .map { n =>
+        if (n.isTextual) (n.asText, None)
+        else {
+          val fo = obj(n, "request.fields[]")
+          val as = str(req(fo, "as", "request.fields[]"),
+            "request.fields[].as")
+          val f = str(req(fo, "field", "request.fields[]"),
+            "request.fields[].field")
+          (as, if (as == f) None else Some(f))
+        }
+      }
     Request(
       table = str(req(o, "table", "request"), "request.table"),
-      fields = arr(req(o, "fields", "request"), "request.fields")
-        .map(str(_, "request.fields[]")),
+      fields = scalars.map(_._1),
+      fieldAs = scalars.collect { case (a, Some(f)) => a -> f }.toMap,
       where = Option(o.get("where")).map(parseBool(_, "request.where")),
       orderBy = parseOrders(o, "request"),
       offset = Option(o.get("offset"))
@@ -284,6 +299,7 @@ object RequestCodec {
         .map(arr(_, "request.distinct_on")
           .map(str(_, "request.distinct_on[]")))
         .getOrElse(Nil))
+  }
 
   // ---- wire-served correctness entry ---------------------------------
 
@@ -457,7 +473,13 @@ object RequestCodec {
     val o = mapper.createObjectNode()
     o.put("table", r.table)
     val fa = o.putArray("fields")
-    r.fields.foreach(fa.add)
+    r.fields.foreach { f =>
+      r.fieldAs.get(f) match {
+        case Some(src) =>
+          val fo = fa.addObject(); fo.put("as", f); fo.put("field", src)
+        case None => fa.add(f)
+      }
+    }
     if (r.distinctOn.nonEmpty) {
       val da = o.putArray("distinct_on")
       r.distinctOn.foreach(da.add)

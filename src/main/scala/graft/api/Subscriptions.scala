@@ -2,7 +2,7 @@ package graft.api
 
 import graft.api.QueryBuilder.{BoolExp, Request}
 import graft.sources.SnapshotStore
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -56,7 +56,16 @@ object Subscriptions {
       s"subscription on '${req.table}': order_by/limit/distinct_on/" +
         "relationships need the live-query mode (liveQuery)")
     val f = req.where.map(w => stream.filter(w.toColumn)).getOrElse(stream)
-    f.select(req.fields.map(col): _*)
+    f.select(req.fields.map(aliased(req.fieldAs)): _*)
+  }
+
+  /** Response-key projection: an aliased field reads its source
+    * column under the response key (the [[Request.fieldAs]] /
+    * [[StreamRequest.fieldAs]] contract); a bare field passes
+    * through. */
+  private def aliased(fieldAs: Map[String, String])(f: String): Column = {
+    val src = fieldAs.getOrElse(f, f)
+    if (src == f) col(f) else col(src).as(f)
   }
 
   /** LIVE-QUERY subscription: per trigger, fold the micro-batch into
@@ -175,8 +184,17 @@ object Subscriptions {
     * from the beginning (Hasura's `initial_value: null`). */
   final case class StreamRequest(table: String, cursorField: String,
       initial: Option[Any], ascending: Boolean = true, batchSize: Int,
-      where: Option[BoolExp] = None, fields: Seq[String]) {
+      where: Option[BoolExp] = None, fields: Seq[String],
+      fieldAs: Map[String, String] = Map.empty) {
     require(batchSize > 0, s"$table: batch_size must be positive")
+    // `fields` are RESPONSE keys; `fieldAs` maps an aliased key back
+    // to its source column (the [[Request.fieldAs]] contract).
+    require(fields.distinct.size == fields.size,
+      s"$table: duplicate response key(s) " +
+        fields.diff(fields.distinct).distinct.mkString(", "))
+    require(fieldAs.keySet.subsetOf(fields.toSet),
+      s"$table: fieldAs names absent response key(s) " +
+        (fieldAs.keySet -- fields).mkString(", "))
     // `fields` MAY be empty: a subscription whose every field was
     // conditionally excluded (@include/@skip) is the spec's
     // fully-skipped selection — pages still cut (batch_idx only, no
@@ -213,7 +231,7 @@ object Subscriptions {
     withIdx
       .withColumn("batch_idx",
         lit(pagesDone) + expr(s"__idx div ${sr.batchSize}"))
-      .select(col("batch_idx") +: sr.fields.map(col): _*)
+      .select(col("batch_idx") +: sr.fields.map(aliased(sr.fieldAs)): _*)
   }
 
   private def pastCursor(sr: StreamRequest, c: Any) =
@@ -242,7 +260,7 @@ object Subscriptions {
       .withColumn("batch_idx",
         ((row_number().over(Window.orderBy(cursorOrder(sr))) - 1)
           / sr.batchSize).cast("long"))
-      .select(col("batch_idx") +: sr.fields.map(col): _*)
+      .select(col("batch_idx") +: sr.fields.map(aliased(sr.fieldAs)): _*)
   }
 
   /** LIVE serve of a `_stream` subscription: per trigger, the new rows
@@ -285,7 +303,7 @@ object Subscriptions {
                 .withColumn("batch_idx", lit(pagesDone) +
                   ((row_number().over(Window.orderBy(cursorOrder(sr)))
                     - 1) / sr.batchSize).cast("long"))
-                .select(col("batch_idx") +: sr.fields.map(col): _*)
+                .select(col("batch_idx") +: sr.fields.map(aliased(sr.fieldAs)): _*)
             else rangePaged(arrived, sr, pagesDone)
           val last = arrived
             .agg(if (sr.ascending) max(col(sr.cursorField))

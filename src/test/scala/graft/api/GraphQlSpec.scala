@@ -1020,9 +1020,9 @@ class GraphQlSpec extends SparkSpec {
     assert(left("subscription { events_stream(cursor: " +
       "{initial_value: {event_id: 1}}, batch_size: 2) " +
       "{ event_id user { name } } }").contains("relationships"))
-    assert(left("subscription { events_stream(cursor: " +
-      "{initial_value: {event_id: 1}}, batch_size: 2) " +
-      "{ id: event_id } }").contains("aliases"))
+    // (aliases on stream fields SERVE as of r15 — the duplicate
+    // response key is the remaining loud shape, pinned in the field
+    // aliases test)
     // a bound-but-unused variable is a dropped filter
     assert(left("subscription ($x: bigint!) { events_stream(cursor: " +
       "{initial_value: {event_id: 1}}, batch_size: 2) { event_id } }",
@@ -1609,5 +1609,53 @@ class GraphQlSpec extends SparkSpec {
       .collect()
     assert(byPk.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("customer", 3L)))
+  }
+
+  test("field aliases: root scalars and stream fields answer under " +
+    "the response key; duplicates refuse; printers and codec " +
+    "round-trip") {
+    val r = parsed(
+      """{ customer(order_by: [{c_acctbal: desc}, {c_custkey: asc}],
+        |  limit: 3) { id: c_custkey balance: c_acctbal c_mktsegment
+        |  t: __typename } }""".stripMargin)
+    assert(r.fields === Seq("id", "balance", "c_mktsegment", "t"))
+    assert(r.fieldAs === Map("id" -> "c_custkey",
+      "balance" -> "c_acctbal", "t" -> "__typename"))
+    assert(GraphQl.parse(GraphQl.render(r)) === Right(r),
+      s"alias request did not round-trip:\n${GraphQl.render(r)}")
+    assert(RequestCodec.parse(RequestCodec.render(r)) === Right(r))
+    // a self-alias is the bare field (no fieldAs entry to round-trip)
+    val r2 = parsed("{ region { r_regionkey: r_regionkey } }")
+    assert(r2.fields === Seq("r_regionkey") && r2.fieldAs === Map.empty)
+    // duplicate response keys refuse loudly (spec rule 5.3.2 — the
+    // flat-columns answer would silently drop one selection)
+    GraphQl.parse("{ region { k: r_regionkey k: r_name } }") match {
+      case Left(m) => assert(m.contains("duplicate response key"))
+      case Right(x) => fail(s"parsed: $x")
+    }
+    // execution: alias names out, order_by resolving the SOURCE
+    // column the alias renamed away (Hasura orders by table columns)
+    val df = GraphQl.q197AliasRead(spark, sf("sf0.001"))
+    assert(df.columns.toSeq === Seq("id", "balance", "c_mktsegment", "t"))
+    val rows = df.collect()
+    assert(rows.map(_.getDouble(1)).toSeq ===
+      rows.map(_.getDouble(1)).sortBy(-_).toSeq,
+      "order_by on the renamed-away source column must still sort")
+    assert(rows.forall(_.getString(3) == "customer"))
+    // stream: aliases land in fieldAs (cursor column itself aliased),
+    // and the stream printer round-trips them
+    val sr = GraphQl.parseStream(GraphQl.q198Doc)
+      .fold(m => fail(s"q198 did not parse: $m"), identity)
+    assert(sr.fields === Seq("id", "kind", "v"))
+    assert(sr.fieldAs === Map("id" -> "event_id",
+      "kind" -> "event_type", "v" -> "value"))
+    assert(GraphQl.parseStream(GraphQl.renderStream(sr)) === Right(sr))
+    GraphQl.parseStream(
+      """subscription { events_stream(
+        |  cursor: {initial_value: {event_id: null}}, batch_size: 3) {
+        |  k: event_id k: user_id } }""".stripMargin) match {
+      case Left(m) => assert(m.contains("duplicate response key"))
+      case Right(x) => fail(s"parsed: $x")
+    }
   }
 }

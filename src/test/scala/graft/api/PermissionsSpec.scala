@@ -593,4 +593,28 @@ class PermissionsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got === want && got.nonEmpty)
   }
+
+  test("aliases are grant-checked by SOURCE column: a denied column " +
+    "cannot leave under a permitted response key, on reads or streams") {
+    // c_comment is outside the analyst's customer allowlist
+    secure(Request("customer", Seq("note"),
+      fieldAs = Map("note" -> "c_comment")), "analyst", policy) match {
+      case Left(m) => assert(m.contains("c_comment"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // a permitted source under an alias passes, and the role filter
+    // still ANDs in
+    val sec = secure(Request("customer", Seq("id"),
+      fieldAs = Map("id" -> "c_custkey")), "analyst", policy)
+      .fold(m => fail(m), identity)
+    assert(sec.fieldAs === Map("id" -> "c_custkey"))
+    assert(sec.where === Some(Eq("c_mktsegment", "BUILDING")))
+    // stream twin: the aliased cursor page must not smuggle either
+    secureStream(Subscriptions.StreamRequest("customer", "c_custkey",
+      None, batchSize = 5, fields = Seq("note"),
+      fieldAs = Map("note" -> "c_comment")), "analyst", policy) match {
+      case Left(m) => assert(m.contains("c_comment"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
+  }
 }

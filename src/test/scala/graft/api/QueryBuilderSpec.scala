@@ -560,8 +560,8 @@ class QueryBuilderSpec extends SparkSpec {
       """[{"k":12},{"k":10}]""")
   }
 
-  test("JSONB family: key existence and flat containment over JSON " +
-    "text; garbage rows answer NULL (filtered) and never match " +
+  test("JSONB family: key existence and TYPED flat containment over " +
+    "JSON text; garbage rows answer NULL (filtered) and never match " +
     "negations either") {
     import spark.implicits._
     val df = Seq(
@@ -572,28 +572,35 @@ class QueryBuilderSpec extends SparkSpec {
       (5L, "[1,2]"),
       (6L, null.asInstanceOf[String]),
       (7L, "{}"),
-      (8L, """{"k": null}""")
+      (8L, """{"k": null}"""),
+      (9L, """{"k": "69"}"""),
+      (10L, """{"k": 69.0}""")
     ).toDF("id", "props")
     def ids(e: BoolExp): Seq[Long] =
       df.filter(e.toColumn).select("id").collect()
         .map(_.getLong(0)).toSeq.sorted
     // a JSON-null value still HAS the key (jsonb ? semantics)
-    assert(ids(HasKey("props", "k")) === Seq(1L, 2L, 8L))
+    assert(ids(HasKey("props", "k")) === Seq(1L, 2L, 8L, 9L, 10L))
     // three-valued: garbage/null/array rows are NULL under the key
     // check, so NOT keeps them out too — only real objects negate
     assert(ids(Not(HasKey("props", "k"))) === Seq(3L, 7L))
     assert(ids(HasKeysAny("props", Seq("k", "m"))) ===
-      Seq(1L, 2L, 3L, 8L))
+      Seq(1L, 2L, 3L, 8L, 9L, 10L))
     assert(ids(HasKeysAll("props", Seq("k", "m"))) === Seq(1L))
-    assert(ids(JsonContains("props", Seq("k" -> 69L))) === Seq(1L))
+    // TYPED containment (jsonb @>): the string "69" never matches the
+    // number literal 69; numbers match NUMERICALLY across JSON
+    // spellings (69.0 does)
+    assert(ids(JsonContains("props", Seq("k" -> 69L))) === Seq(1L, 10L))
+    assert(ids(JsonContains("props", Seq("k" -> "69"))) === Seq(9L))
     assert(ids(JsonContains("props",
       Seq("k" -> 69L, "m" -> "x"))) === Seq(1L))
-    // contained_in: absent keys pass, value mismatches (k=70) fail,
-    // the empty object is a subset of anything — and a PRESENT key
-    // holding JSON null never equals a scalar (jsonb:
-    // {"k": null} <@ {"k": 69} is false)
+    // contained_in: absent keys pass, value mismatches (k=70, string
+    // "69") fail TYPED, the empty object is a subset of anything —
+    // and a PRESENT key holding JSON null never equals a scalar
+    // (jsonb: {"k": null} <@ {"k": 69} is false)
     assert(ids(JsonContainedIn("props",
-      Seq("k" -> 69L, "m" -> "x", "z" -> 1L))) === Seq(1L, 3L, 7L))
+      Seq("k" -> 69L, "m" -> "x", "z" -> 1L))) ===
+      Seq(1L, 3L, 7L, 10L))
     assert(ids(JsonContainedIn("props", Nil)) === Seq(7L))
     // loud constructions: non-name keys, empty/null containment
     intercept[IllegalArgumentException](HasKey("props", "a b"))
