@@ -2297,6 +2297,7 @@ object GraphQl {
         p.expect('{')
         var sawAffected = false
         var returning: Option[Seq[String]] = None
+        val retAs = scala.collection.mutable.Map.empty[String, String]
         var single = byPk
         // fragments spread in mutation response selections with
         // Hasura's type names: by_pk / insert_one row shapes are the
@@ -2306,12 +2307,23 @@ object GraphQl {
         // codegen clients emit across queries AND mutations
         val respType = s"${m.table}_mutation_response"
         // row columns with fragment spreads on the row type — by_pk,
-        // insert_one, and `returning { ... }` all share this shape
+        // insert_one, and `returning { ... }` all share this shape;
+        // field aliases apply (spec aliases serve on EVERY operation
+        // type — the response key is the alias, retAs maps it back)
+        def rowSel(first: String,
+            into: scala.collection.mutable.Builder[String, Seq[String]])
+            : Unit = {
+          val (a, c) =
+            if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("column")) }
+            else (None, first)
+          into += a.getOrElse(c)
+          a.filter(_ != c).foreach(x => retAs += x -> c)
+        }
         def rowCols(into: scala.collection.mutable.Builder[String, Seq[String]],
             at: String): Unit =
           while (!p.isPunct('}')) {
             if (p.isSpread) resolveSpread(p, m.table, at)
-            else into += p.name(s"$at column")
+            else rowSel(p.name(s"$at column"), into)
           }
         if (byPk) {
           // the by_pk response IS the row (no affected_rows field in
@@ -2353,9 +2365,10 @@ object GraphQl {
                 returning = Some(cs)
               case other if isOne && !sawAffected && returning.isEmpty =>
                 // Hasura's faithful insert_<t>_one response: the
-                // inserted row's columns directly
+                // inserted row's columns directly (the first name may
+                // itself be an alias — rowSel sorts it out)
                 val cols = Seq.newBuilder[String]
-                cols += other
+                rowSel(other, cols)
                 rowCols(cols, fname)
                 returning = Some(cols.result()); single = true
               case other => bad(s"$fname: unknown selection '$other' " +
@@ -2366,7 +2379,8 @@ object GraphQl {
             bad(s"$fname: empty selection set")
         }
         p.expect('}')
-        if (keep) out += Mutations.Field(m, returning, single)
+        if (keep) out += Mutations.Field(m, returning, single,
+          retAs.toMap)
       }
       p.expect('}')
       p.peek match {
@@ -2452,16 +2466,22 @@ object GraphQl {
             "different mutation")
       gqlName(table, "table")
     }
+    def retCol(f: Mutations.Field)(c: String): String =
+      f.returningAs.get(c) match {
+        case Some(src) =>
+          s"${gqlName(c, "column")}: ${gqlName(src, "column")}"
+        case None => gqlName(c, "column")
+      }
     def retCols(f: Mutations.Field): Seq[String] =
       f.returning.getOrElse(throw new IllegalArgumentException(
         "render: a by_pk/single field needs returning columns " +
-          "(its response IS the row)")).map(gqlName(_, "column"))
+          "(its response IS the row)")).map(retCol(f))
     def selection(f: Mutations.Field): String = f.returning match {
       case Some(cols) if f.single =>
-        cols.map(gqlName(_, "column")).mkString(" { ", " ", " }\n")
+        cols.map(retCol(f)).mkString(" { ", " ", " }\n")
       case Some(cols) =>
         " { affected_rows returning { " +
-          cols.map(gqlName(_, "column")).mkString(" ") + " } }\n"
+          cols.map(retCol(f)).mkString(" ") + " } }\n"
       case None => " { affected_rows }\n"
     }
     val sb = new StringBuilder("mutation {\n")
@@ -3890,7 +3910,7 @@ object GraphQl {
       |  update_customer(where: {c_acctbal: {_lt: 0.0}},
       |                  _inc: {c_acctbal: 1000.0}) {
       |    affected_rows
-      |    returning { c_custkey c_acctbal }
+      |    returning { c_custkey bal: c_acctbal }
       |  }
       |}""".stripMargin
 
@@ -3898,8 +3918,9 @@ object GraphQl {
     * negative-balance customer INCLUDING the freshly inserted 99903
     * (an engine evaluating returning against pre-document state
     * drops that row and hash-fails), each at its post-increment
-    * balance. Returned rows materialize at their step, before the
-    * store swap. */
+    * balance under the DOCUMENT's alias (`bal: c_acctbal` — r15:
+    * aliases serve on mutation returning rows too). Returned rows
+    * materialize at their step, before the store swap. */
   def q124MutationReturning(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -3908,7 +3929,7 @@ object GraphQl {
       "c_custkey", parsedFields("q124", q124Mutation, "{}"))
     results(1).returning.getOrElse(throw new IllegalStateException(
         "q124: the update field declared returning"))
-      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+      .select(col("c_custkey"), round(col("bal"), 2).as("bal"))
       .orderBy("c_custkey")
   }
 }

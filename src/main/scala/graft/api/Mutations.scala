@@ -116,7 +116,18 @@ object Mutations {
     * response is one nullable object rather than a list — engine-side
     * the rows are the same, the flag preserves the wire shape. */
   final case class Field(m: Mutation,
-      returning: Option[Seq[String]] = None, single: Boolean = false)
+      returning: Option[Seq[String]] = None, single: Boolean = false,
+      returningAs: Map[String, String] = Map.empty) {
+    // `returning` entries are RESPONSE keys (GraphQL aliases
+    // included); `returningAs` maps an aliased key back to its source
+    // column — the read surface's Request.fieldAs contract
+    require(returning.forall(cs => cs.distinct.size == cs.size),
+      s"${m.table}: duplicate response key(s) in returning")
+    require(returningAs.keySet.subsetOf(
+      returning.getOrElse(Nil).toSet),
+      s"${m.table}: returningAs names absent response key(s) " +
+        (returningAs.keySet -- returning.getOrElse(Nil)).mkString(", "))
+  }
 
   /** One field's response: the count, plus the returned rows when the
     * field selected `returning` (already materialized — the rows
@@ -356,10 +367,14 @@ object Mutations {
         def retOf(rows: DataFrame): Option[DataFrame] =
           f.returning.map { cols =>
             val have = rows.columns.toSet
-            val missing = cols.filterNot(have)
+            val srcs = cols.map(c => f.returningAs.getOrElse(c, c))
+            val missing = srcs.filterNot(have)
             require(missing.isEmpty, s"returning: unknown column(s) " +
               missing.mkString(", "))
-            rows.select(cols.map(col): _*).localCheckpoint(true)
+            rows.select(cols.map { c =>
+              val src = f.returningAs.getOrElse(c, c)
+              if (src == c) col(c) else col(src).as(c)
+            }: _*).localCheckpoint(true)
           }
         f.m match {
           case UpdateMany(_, steps) =>
@@ -522,7 +537,8 @@ object Mutations {
           // lives on the children), then each child insert against
           // ITS table's folded state; one affected_rows for the whole
           // tree, returning = the parent rows (Hasura's response)
-          val pr = step(Field(parent, f.returning, f.single))
+          val pr = step(Field(parent, f.returning, f.single,
+            f.returningAs))
           val crs = children.map(c => step(Field(c)))
           FieldResult(pr.affected + crs.map(_.affected).sum,
             pr.returning)

@@ -883,9 +883,13 @@ object Permissions {
     sequence(fields.map { f =>
       for {
         perm <- policy.get(role, f.m.table)
+        // returning entries are RESPONSE keys — grant-check the
+        // SOURCE column behind each alias (the read surface's rule:
+        // an alias must not smuggle a denied column out)
         _ <- f.returning match {
           case Some(cols) =>
-            checkCols(cols, perm, role, f.m.table, "returning")
+            checkCols(cols.map(c => f.returningAs.getOrElse(c, c)),
+              perm, role, f.m.table, "returning")
           case None => Right(())
         }
         m2 <- secureMutation(f.m)

@@ -1657,5 +1657,38 @@ class GraphQlSpec extends SparkSpec {
       case Left(m) => assert(m.contains("duplicate response key"))
       case Right(x) => fail(s"parsed: $x")
     }
+    // mutations: aliases on returning rows, by_pk rows, and the
+    // insert_one row shape (whose FIRST name may be the alias) —
+    // and the printer round-trips all three
+    val fs = GraphQl.parseMutationFields(
+      """mutation {
+        |  update_customer(where: {c_custkey: {_eq: 3}},
+        |                  _set: {c_mktsegment: "X"}) {
+        |    affected_rows
+        |    returning { id: c_custkey c_mktsegment }
+        |  }
+        |  delete_customer_by_pk(c_custkey: 3) { gone: c_custkey }
+        |  insert_customer_one(object: {c_custkey: 777}) {
+        |    id: c_custkey c_acctbal
+        |  }
+        |}""".stripMargin)
+      .fold(m => fail(s"mutation aliases did not parse: $m"), identity)
+    assert(fs(0).returning === Some(Seq("id", "c_mktsegment")))
+    assert(fs(0).returningAs === Map("id" -> "c_custkey"))
+    assert(fs(1).returning === Some(Seq("gone")) &&
+      fs(1).returningAs === Map("gone" -> "c_custkey"))
+    assert(fs(2).returning === Some(Seq("id", "c_acctbal")) &&
+      fs(2).returningAs === Map("id" -> "c_custkey") && fs(2).single)
+    assert(GraphQl.parseMutationFields(
+      GraphQl.renderMutationFields(fs)) === Right(fs),
+      s"mutation aliases did not round-trip:\n${
+        GraphQl.renderMutationFields(fs)}")
+    GraphQl.parseMutationFields(
+      """mutation { update_customer(where: {c_custkey: {_eq: 1}},
+        |  _set: {c_mktsegment: "X"}) {
+        |  returning { k: c_custkey k: c_name } } }""".stripMargin) match {
+      case Left(m) => assert(m.contains("duplicate response key"))
+      case Right(x) => fail(s"parsed: $x")
+    }
   }
 }

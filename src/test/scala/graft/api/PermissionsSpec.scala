@@ -616,5 +616,15 @@ class PermissionsSpec extends SparkSpec {
       case Left(m) => assert(m.contains("c_comment"), m)
       case Right(r) => fail(s"allowed: $r")
     }
+    // mutation twin: returning aliases grant-check their sources
+    secureFields(Seq(Mutations.Field(
+      Mutations.Update("customer", Eq("c_custkey", 1L),
+        set = Seq("c_mktsegment" -> "X")),
+      returning = Some(Seq("note")),
+      returningAs = Map("note" -> "c_comment"))),
+      "analyst", policy) match {
+      case Left(m) => assert(m.contains("c_comment"), m)
+      case Right(r) => fail(s"allowed: $r")
+    }
   }
 }
