@@ -1443,6 +1443,133 @@ object OracleSql {
         |SELECT CAST((rn - 1) // 7 AS BIGINT) AS batch_idx,
         |       event_id AS id, event_type AS kind, value AS v
         |FROM f WHERE rn <= 21""".stripMargin,
+    // q199: sibling relationships at depth — the items fold and the
+    // object lookup replay as independent joins re-grouped once; a
+    // cross-multiplied sibling fan-out changes the arrays and
+    // hash-fails
+    "q199_sibling_rels" ->
+      """WITH it AS (
+        |  SELECT l_orderkey,
+        |         list_sort(list({'ln': CAST(l_linenumber AS BIGINT),
+        |                         'q': CAST(l_quantity AS BIGINT)}))
+        |           AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c.c_custkey,
+        |       to_json(list_sort(list({'k': o.o_orderkey,
+        |                'items': it.items,
+        |                'cust': {'nm': cc.c_name,
+        |                         'seg': cc.c_mktsegment}})))
+        |         AS orders
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN it ON it.l_orderkey = o.o_orderkey
+        |JOIN customer cc ON cc.c_custkey = o.o_custkey
+        |WHERE c.c_custkey <= 25
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    // q200: the object-relationship chain — three many-to-one joins
+    // re-nested with struct literals, one JSON object per order
+    "q200_objrel_chain" ->
+      """SELECT o.o_orderkey,
+        |       to_json({'ck': c.c_custkey,
+        |                'nation': {'nm': n.n_name,
+        |                           'region': {'rn': r.r_name}}})
+        |         AS customer
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE o.o_orderkey <= 400
+        |ORDER BY o.o_orderkey""".stripMargin,
+    // q201: one relationship under two aliases — the filtered arm
+    // (LEFT, empty array when no line qualifies) and the
+    // row_number-sliced arm replay as separate CTEs
+    "q201_aliased_siblings" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         list_sort(list({'ln': CAST(l_linenumber AS BIGINT),
+        |                         'q': CAST(l_quantity AS BIGINT)}))
+        |           AS big
+        |  FROM lineitem WHERE l_quantity >= 30.0
+        |  GROUP BY l_orderkey),
+        |f2 AS (
+        |  SELECT l_orderkey,
+        |         list({'ln': CAST(l_linenumber AS BIGINT)}
+        |              ORDER BY l_linenumber) AS first2
+        |  FROM (SELECT l_orderkey, l_linenumber,
+        |               row_number() OVER (PARTITION BY l_orderkey
+        |                 ORDER BY l_linenumber) AS rn
+        |        FROM lineitem) x
+        |  WHERE rn <= 2 GROUP BY l_orderkey)
+        |SELECT c.c_custkey,
+        |       to_json(list_sort(list({'k': o.o_orderkey,
+        |                'big': COALESCE(big.big, []),
+        |                'first2': f2.first2}))) AS orders
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |LEFT JOIN big ON big.l_orderkey = o.o_orderkey
+        |JOIN f2 ON f2.l_orderkey = o.o_orderkey
+        |WHERE c.c_custkey <= 40
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    // q204: relationship selections on _stream — the q145 cursor
+    // paging with the items array (left, [] when empty) and the
+    // customer object re-nested per delivered row
+    "q204_stream_rels" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders
+        |  WHERE o_orderkey > 100 AND o_orderstatus = 'O'),
+        |it AS (
+        |  SELECT l_orderkey,
+        |         list_sort(list({'ln': CAST(l_linenumber AS BIGINT),
+        |                         'q': CAST(l_quantity AS BIGINT)}))
+        |           AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST((rn - 1) // 10 AS BIGINT) AS batch_idx,
+        |       f.o_orderkey,
+        |       to_json(COALESCE(it.items, [])) AS items,
+        |       to_json({'nm': c.c_name}) AS customer
+        |FROM f
+        |LEFT JOIN it ON it.l_orderkey = f.o_orderkey
+        |JOIN customer c ON c.c_custkey = f.o_custkey
+        |WHERE rn <= 30
+        |ORDER BY f.o_orderkey""".stripMargin,
+    // q203: variable defaults — seg from the default, cap from the
+    // binding (50, not the default 10)
+    "q203_variable_defaults" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 50
+        |ORDER BY c_custkey""".stripMargin,
+    // q202: aliased aggregate relationships — each arm replays as its
+    // own left-joined per-key aggregate, columns prefixed by the
+    // alias; count coalesces 0 and sum 0.0 (the flat left-join
+    // contract), max stays null
+    "q202_aggrel_aliases" ->
+      """WITH rec AS (
+        |  SELECT o_custkey, COUNT(*)::BIGINT AS c,
+        |         SUM(o_totalprice) AS s
+        |  FROM (SELECT o_custkey, o_totalprice,
+        |               row_number() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_orderkey DESC) AS rn
+        |        FROM orders) x
+        |  WHERE rn <= 3 GROUP BY o_custkey),
+        |hi AS (
+        |  SELECT o_custkey, COUNT(*)::BIGINT AS c,
+        |         MAX(o_totalprice) AS m
+        |  FROM orders WHERE o_totalprice > 150000.0
+        |  GROUP BY o_custkey)
+        |SELECT cu.c_custkey,
+        |       COALESCE(rec.c, 0)::BIGINT AS recent_count,
+        |       ROUND(COALESCE(rec.s, 0.0), 2)
+        |         AS recent_sum_o_totalprice,
+        |       COALESCE(hi.c, 0)::BIGINT AS hi_count,
+        |       hi.m AS hi_max_o_totalprice
+        |FROM customer cu
+        |LEFT JOIN rec ON rec.o_custkey = cu.c_custkey
+        |LEFT JOIN hi ON hi.o_custkey = cu.c_custkey
+        |WHERE cu.c_custkey <= 100
+        |ORDER BY cu.c_custkey""".stripMargin,
     "q151_dedup_retention" ->
       s"""WITH RECURSIVE $simhashPairCtes,
          |e AS (SELECT a AS id, b AS nb FROM p

@@ -125,7 +125,7 @@ object GraphQl {
       val c = q.charAt(i)
       if (c.isWhitespace || c == ',') i += 1
       else if (c == '#') { while (i < n && q.charAt(i) != '\n') i += 1 }
-      else if ("{}()[]:@!$".indexOf(c) >= 0) { out += Punct(c, i); i += 1 }
+      else if ("{}()[]:@!$=".indexOf(c) >= 0) { out += Punct(c, i); i += 1 }
       else if (c == '.') {
         if (i + 2 < n && q.charAt(i + 1) == '.' && q.charAt(i + 2) == '.') {
           out += Spread(i); i += 3
@@ -436,6 +436,31 @@ object GraphQl {
       p.expect('}')
       VObj(fs.result())
     case t => bad(s"expected a value at ${t.pos}")
+  }
+
+  /** A CONST value (spec: variable default values take no variable
+    * references) — parseValue's grammar with the `$` arm a loud
+    * error. */
+  private def parseConstValue(p: P): V = p.peek match {
+    case Punct('$', pos) =>
+      bad(s"variable default values must be constant at $pos")
+    case Punct('[', _) =>
+      p.next()
+      val vs = Seq.newBuilder[V]
+      while (!p.isPunct(']')) vs += parseConstValue(p)
+      p.expect(']')
+      VList(vs.result())
+    case Punct('{', _) =>
+      p.next()
+      val fs = Seq.newBuilder[(String, V)]
+      while (!p.isPunct('}')) {
+        val k = p.name("input field name")
+        p.expect(':')
+        fs += k -> parseConstValue(p)
+      }
+      p.expect('}')
+      VObj(fs.result())
+    case _ => parseValue(p)
   }
 
   /** `(name: value, ...)` if present. */
@@ -1021,7 +1046,7 @@ object GraphQl {
     (dirs.keySet - "join").foreach(d => bad(s"$at: unknown directive @$d"))
     p.expect('{')
     val fields = Seq.newBuilder[NestedField]
-    var sub: Option[Nested] = None
+    val subs = Seq.newBuilder[Nested]
     while (!p.isPunct('}')) {
       if (p.isSpread) { resolveSpread(p, rel.childTable, at) }
       else {
@@ -1033,21 +1058,18 @@ object GraphQl {
       val (keep2, subDirs) = conditionalKeep(parseDirectives(p),
         s"$at.$f2")
       if (p.isPunct('{')) {
-        val r2 = schema.rels.getOrElse((rel.childTable, f2),
-          if (schema.objRels.contains((rel.childTable, f2)))
-            bad(s"$at.$f2: object relationships serve at the ROOT " +
-              "level only (this engine)")
-          else bad(
+        // array relationships and OBJECT relationships both nest below
+        // the root — siblings welcome (the reference's own FK graph
+        // hangs offers AND bids off one NFT, x/common/types.go:51-52)
+        val (r2, single2) = schema.rels.get((rel.childTable, f2))
+          .map((_, false))
+          .orElse(schema.objRels.get((rel.childTable, f2))
+            .map((_, true)))
+          .getOrElse(bad(
             s"$at.$f2: no tracked relationship on '${rel.childTable}'"))
         val s2 = compileRelBody(p, schema, rel.childTable, subArgs,
-          subDirs, a2, f2, r2)
-        if (keep2) {
-          // the at-most-one rule counts KEPT relationships — an
-          // excluded one never compiles, so it cannot occupy the slot
-          if (sub.isDefined)
-            bad(s"$at: at most one nested relationship per level")
-          sub = Some(s2)
-        }
+          subDirs, a2, f2, r2, single = single2)
+        if (keep2) subs += s2
       } else {
         if (subArgs.nonEmpty) bad(s"$at.$f2: scalar fields take no arguments")
         val nf = compileNestedField(a2, f2, subDirs, s"$at.$f2")
@@ -1059,7 +1081,11 @@ object GraphQl {
     Nested(
       as = at, table = rel.childTable,
       childKey = rel.childKey, parentKey = rel.parentKey,
-      fields = fields.result(), sub = sub, joinType = joinType,
+      // spec §5.3.2: identical repeated selections merge (distinct
+      // drops only FULLY identical NestedFields); a response key
+      // re-bound differently still trips the Nested guard
+      fields = fields.result().distinct, subs = subs.result(),
+      joinType = joinType,
       where = args.get("where").map(compileBool(_, s"$at.where",
         Some((schema, rel.childTable)))),
       orderBy = args.get("order_by")
@@ -1107,24 +1133,35 @@ object GraphQl {
   private def parseOpVariables(p: P, vars: Map[String, V],
       multiOp: Boolean = false): Unit = {
     val declared = Set.newBuilder[String]
+    val resolved = Map.newBuilder[String, V]
     if (p.isPunct('(')) {
       p.expect('(')
       while (!p.isPunct(')')) {
         p.expect('$')
         val vn = p.name("variable name")
         declared += vn
-        if (!vars.contains(vn))
-          bad(s"variable $$$vn declared but not bound in variables")
         p.expect(':')
-        // type reference, client documentation only: Name or
-        // [Name[!]] with optional non-null markers
+        // type reference: Name or [Name[!]] with optional non-null
+        // markers; the top-level `!` participates in the null check
+        var nonNull = false
         if (p.isPunct('[')) {
           p.expect('[')
           p.name("variable type")
           if (p.isPunct('!')) p.expect('!')
           p.expect(']')
         } else p.name("variable type")
-        if (p.isPunct('!')) p.expect('!')
+        if (p.isPunct('!')) { p.expect('!'); nonNull = true }
+        // `= const` default (spec CoerceVariableValues): an explicit
+        // binding wins — INCLUDING an explicit null — else the
+        // default, else the declared-but-unbound error below
+        val default =
+          if (p.isPunct('=')) { p.expect('='); Some(parseConstValue(p)) }
+          else None
+        val value = vars.get(vn).orElse(default).getOrElse(
+          bad(s"variable $$$vn declared but not bound in variables"))
+        if (nonNull && value == VNull)
+          bad(s"variable $$$vn: null for a non-null type")
+        resolved += vn -> value
       }
       p.expect(')')
     }
@@ -1139,7 +1176,7 @@ object GraphQl {
     if (!multiOp)
       (vars.keySet -- declaredSet).toSeq.sorted.headOption.foreach(k =>
         bad(s"variables.$k bound but not declared by the operation"))
-    p.variables = declaredSet.map(k => k -> vars(k)).toMap
+    p.variables = resolved.result()
   }
 
   def parse(query: String, schema: Schema = fixtureSchema,
@@ -1204,6 +1241,12 @@ object GraphQl {
       p.expect('{')
       val fields = Seq.newBuilder[String]
       val fieldAs = Map.newBuilder[String, String]
+      // spec §5.3.2 field merging: IDENTICAL (response key, source)
+      // selections collapse to one — fragment-composed documents
+      // legitimately repeat them; a response key re-bound to a
+      // DIFFERENT source still duplicates and trips the Request
+      // guard (loud, as before)
+      var seenScalars = Map.empty[String, String]
       val nested = Seq.newBuilder[Nested]
       val aggRels = Seq.newBuilder[AggRel]
       while (!p.isPunct('}')) {
@@ -1221,9 +1264,11 @@ object GraphQl {
             val relName = fname.stripSuffix("_aggregate")
             val rel = schema.rels.getOrElse((table, relName), bad(
               s"$fname: no tracked relationship '$relName' on '$table'"))
-            if (alias.isDefined)
-              bad(s"$fname: aliases on aggregate relationships are not " +
-                "supported (output columns are named by the aggregates)")
+            // an alias nests Hasura's response under the alias key;
+            // the flat answer here prefixes every output column with
+            // it (`recent: orders_aggregate` → recent_count...), which
+            // also serves the same relationship aggregated TWICE
+            // under different aliases (the dashboard idiom)
             checkArgs(fargs,
               Set("where", "order_by", "limit", "offset", "distinct_on"),
               fname)
@@ -1309,7 +1354,7 @@ object GraphQl {
               limit = intArg(fargs, "limit", fname),
               offset = intArg(fargs, "offset", fname).getOrElse(0),
               distinctOn = distinctOnArg(fargs, fname),
-              nodes = aggNodes)
+              nodes = aggNodes, prefix = alias)
             if (keep) aggRels += a
           } else {
             schema.rels.get((table, fname)) match {
@@ -1335,8 +1380,12 @@ object GraphQl {
           // emit them routinely; the flat-columns answer renames the
           // output column (and the oracle aliases identically)
           if (keep) {
-            fields += alias.getOrElse(fname)
-            alias.filter(_ != fname).foreach(a => fieldAs += a -> fname)
+            val rk = alias.getOrElse(fname)
+            if (!seenScalars.get(rk).contains(fname)) {
+              seenScalars += rk -> fname
+              fields += rk
+              alias.filter(_ != fname).foreach(a => fieldAs += a -> fname)
+            }
           }
         }
         }
@@ -1600,6 +1649,9 @@ object GraphQl {
       p.expect('{')
       val fields = Seq.newBuilder[String]
       val fieldAs = Map.newBuilder[String, String]
+      // spec §5.3.2 merging, the root-loop discipline
+      var seenScalars = Map.empty[String, String]
+      val nested = Seq.newBuilder[Nested]
       var parsedFields = 0
       while (!p.isPunct('}')) {
         // fragment spreads on the streamed table — the shared-fragment
@@ -1614,19 +1666,39 @@ object GraphQl {
         val (falias, f) =
           if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("field")) }
           else (None, first)
+        val fargs = parseArgs(p)
         // @include/@skip gate stream fields exactly like reads and
         // mutations (spec directives apply to EVERY operation type;
         // Hasura serves them on subscriptions) — the field still
         // parses, only its delivery drops
         val (keepF, restF) = conditionalKeep(parseDirectives(p),
           s"$root.$f")
-        restF.keySet.foreach(d => bad(s"$root.$f: unknown directive @$d"))
-        if (p.isPunct('{'))
-          bad(s"$f: relationships are not served under a cursor " +
-            "scan (use the live-query mode)")
-        if (keepF) {
-          fields += falias.getOrElse(f)
-          falias.filter(_ != f).foreach(a => fieldAs += a -> f)
+        if (p.isPunct('{')) {
+          // RELATIONSHIP selections on the delivered rows (r17):
+          // array and object rels compile exactly like a read's —
+          // the serve path evaluates each page through
+          // QueryBuilder.runOn (q193's posture)
+          val (r2, single2) = schema.rels.get((table, f))
+            .map((_, false))
+            .orElse(schema.objRels.get((table, f)).map((_, true)))
+            .getOrElse(bad(
+              s"$root.$f: no tracked relationship on '$table'"))
+          val n = compileRelBody(p, schema, table, fargs, restF,
+            falias, f, r2, single = single2)
+          if (keepF) nested += n
+        } else {
+          restF.keySet.foreach(d =>
+            bad(s"$root.$f: unknown directive @$d"))
+          if (fargs.nonEmpty)
+            bad(s"$root.$f: scalar fields take no arguments")
+          if (keepF) {
+            val rk = falias.getOrElse(f)
+            if (!seenScalars.get(rk).contains(f)) {
+              seenScalars += rk -> f
+              fields += rk
+              falias.filter(_ != f).foreach(a => fieldAs += a -> f)
+            }
+          }
         }
         }
       }
@@ -1648,7 +1720,8 @@ object GraphQl {
       checkFragmentsUsed(p, allToks, nOps)
       Right(Subscriptions.StreamRequest(table, cursorField, initial,
         ascending = ascending, batchSize = batchSize, where = where,
-        fields = fs, fieldAs = fieldAs.result()))
+        fields = fs, fieldAs = fieldAs.result(),
+        nested = nested.result()))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1665,7 +1738,7 @@ object GraphQl {
     // an all-fields-excluded request (valid, the fully-skipped
     // no-op) has no directive-free spelling — refuse to render an
     // empty selection set that would not re-parse
-    require(sr.fields.nonEmpty,
+    require(sr.fields.nonEmpty || sr.nested.nonEmpty,
       s"${sr.table}_stream: cannot render an empty selection set")
     val sb = new StringBuilder
     sb ++= "subscription {\n  " ++= sr.table ++= "_stream(cursor: " ++=
@@ -1681,6 +1754,8 @@ object GraphQl {
       sr.fieldAs.get(f).foreach(_ => sb ++= f ++= ": ")
       sb ++= sr.fieldAs.getOrElse(f, f) ++= "\n"
     }
+    sr.nested.foreach(n => renderNested(sb, schema, sr.table, n,
+      indent = 4))
     sb ++= "  }\n}"
     sb.toString
   }
@@ -2641,7 +2716,7 @@ object GraphQl {
       f.cast.foreach(t => sb ++= s" @cast(to: ${quote(t)})")
       sb ++= "\n"
     }
-    n.sub.foreach(m => renderNested(sb, schema, n.table, m, indent + 2))
+    n.subs.foreach(m => renderNested(sb, schema, n.table, m, indent + 2))
     sb ++= pad ++= "}\n"
   }
 
@@ -2649,7 +2724,9 @@ object GraphQl {
       parentTable: String, ar: AggRel): Unit = {
     val relName = relNameOf(schema, parentTable, ar.table, ar.childKey,
       ar.parentKey)
-    sb ++= "    " ++= relName ++= "_aggregate"
+    sb ++= "    "
+    ar.prefix.foreach(p => sb ++= p ++= ": ")
+    sb ++= relName ++= "_aggregate"
     sb ++= renderArgs(ar.where, ar.orderBy, ar.limit, ar.offset,
       ar.distinctOn, Some((schema, ar.table)))
     if (ar.joinType != "left") sb ++= s""" @join(type: "${ar.joinType}")"""
@@ -3118,9 +3195,15 @@ object GraphQl {
       dir: String, tag: String, doc: String,
       variables: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = freshStore(s, dir, tag)
-    Mutations.applyFieldsToStore(s, path, "customer", "c_custkey",
-      parsedFields(tag, doc, variables))
+    // seed + document application happen once per process (the
+    // FixtureCache serving contract); every call probes the
+    // post-mutation store through the same read-back aggregate
+    val path = graft.FixtureCache.once(s, s"$tag|$dir") {
+      val p = freshStore(s, dir, tag)
+      Mutations.applyFieldsToStore(s, p, "customer", "c_custkey",
+        parsedFields(tag, doc, variables))
+      p
+    }
     graft.sources.SnapshotStore.read(s, path)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
@@ -3236,25 +3319,28 @@ object GraphQl {
   def q131MultiTable(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val app = s.sparkContext.applicationId
-    val cPath = s"/root/repo/target/tmp/q131c_store_$app"
-    val oPath = s"/root/repo/target/tmp/q131o_store_$app"
-    graft.sources.SnapshotStore.write(
-      graft.Tables.load(s, dir, "customer")
-        .select("c_custkey", "c_mktsegment", "c_acctbal"), cPath)
-    // the orders store is a SLICE (o_orderkey <= 200000): the query
-    // proves multi-table routing + per-table swaps, which does not need
-    // the full fact table rewritten per run — the oracle mirrors the
-    // slice, and both mutated key ranges (<=100 delete, 999991 insert)
-    // stay inside/outside it consistently at every SF
-    graft.sources.SnapshotStore.write(
-      graft.Tables.load(s, dir, "orders")
-        .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 200000L)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice"), oPath)
-    Mutations.applyFieldsToStores(s, Map(
-      "customer" -> ((cPath, "c_custkey")),
-      "orders" -> ((oPath, "o_orderkey"))),
-      parsedFields("q131", q131Mutation, "{}"))
+    val (cPath, oPath) = graft.FixtureCache.once(s, s"q131|$dir") {
+      val app = s.sparkContext.applicationId
+      val cP = s"/root/repo/target/tmp/q131c_store_$app"
+      val oP = s"/root/repo/target/tmp/q131o_store_$app"
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), cP)
+      // the orders store is a SLICE (o_orderkey <= 200000): the query
+      // proves multi-table routing + per-table swaps, which does not
+      // need the full fact table rewritten per run — the oracle
+      // mirrors the slice, and both mutated key ranges (<=100 delete,
+      // 999991 insert) stay inside/outside it consistently at every SF
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 200000L)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), oP)
+      Mutations.applyFieldsToStores(s, Map(
+        "customer" -> ((cP, "c_custkey")),
+        "orders" -> ((oP, "o_orderkey"))),
+        parsedFields("q131", q131Mutation, "{}"))
+      (cP, oP)
+    }
     val c = graft.sources.SnapshotStore.read(s, cPath)
       .agg(count(lit(1)).as("n"),
         countDistinct(col("c_mktsegment")).as("n_cat"),
@@ -3295,27 +3381,30 @@ object GraphQl {
   def q146NestedInsert(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val app = s.sparkContext.applicationId
-    val cPath = s"/root/repo/target/tmp/q146c_store_$app"
-    val oPath = s"/root/repo/target/tmp/q146o_store_$app"
-    graft.sources.SnapshotStore.write(
-      graft.Tables.load(s, dir, "customer")
-        .select("c_custkey", "c_mktsegment", "c_acctbal"), cPath)
-    // the q131 slice discipline: the orders store is o_orderkey <=
-    // 200000 so the rewrite stays bounded; inserted keys 9991xx are
-    // new at every SF
-    graft.sources.SnapshotStore.write(
-      graft.Tables.load(s, dir, "orders")
-        .filter(col("o_orderkey") <= 200000L)
-        .select("o_orderkey", "o_custkey", "o_orderstatus",
-          "o_totalprice"), oPath)
-    val rs = Mutations.applyFieldsToStores(s, Map(
-      "customer" -> ((cPath, "c_custkey")),
-      "orders" -> ((oPath, "o_orderkey"))),
-      parsedFields("q146", q146Mutation, "{}"))
-    require(rs.map(_.affected) == Seq(5L),
-      s"q146: affected_rows should be 5 (2 parents + 3 children), " +
-        s"got ${rs.map(_.affected)}")
+    val (cPath, oPath) = graft.FixtureCache.once(s, s"q146|$dir") {
+      val app = s.sparkContext.applicationId
+      val cP = s"/root/repo/target/tmp/q146c_store_$app"
+      val oP = s"/root/repo/target/tmp/q146o_store_$app"
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), cP)
+      // the q131 slice discipline: the orders store is o_orderkey <=
+      // 200000 so the rewrite stays bounded; inserted keys 9991xx are
+      // new at every SF
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 200000L)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice"), oP)
+      val rs = Mutations.applyFieldsToStores(s, Map(
+        "customer" -> ((cP, "c_custkey")),
+        "orders" -> ((oP, "o_orderkey"))),
+        parsedFields("q146", q146Mutation, "{}"))
+      require(rs.map(_.affected) == Seq(5L),
+        s"q146: affected_rows should be 5 (2 parents + 3 children), " +
+          s"got ${rs.map(_.affected)}")
+      (cP, oP)
+    }
     val c = graft.sources.SnapshotStore.read(s, cPath)
     val o = graft.sources.SnapshotStore.read(s, oPath)
     val totals = c.agg(count(lit(1)).as("n_cust_total"))
@@ -3363,26 +3452,29 @@ object GraphQl {
   def q160CascadeForget(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val app = s.sparkContext.applicationId
-    val cPath = s"/root/repo/target/tmp/q160c_store_$app"
-    val oPath = s"/root/repo/target/tmp/q160o_store_$app"
-    graft.sources.SnapshotStore.write(
-      graft.Tables.load(s, dir, "customer")
-        .select("c_custkey", "c_mktsegment"), cPath)
-    graft.sources.SnapshotStore.write(
-      graft.Tables.load(s, dir, "orders")
-        .filter(col("o_orderkey") <= 50000L)
-        .select("o_orderkey", "o_custkey"), oPath)
-    val res = Mutations.cascadeForget(s, Map(
-      "customer" -> ((cPath, "c_custkey")),
-      "orders" -> ((oPath, "o_orderkey"))),
-      "customer",
-      QueryBuilder.And(QueryBuilder.Eq("c_mktsegment", "MACHINERY"),
-        QueryBuilder.Lte("c_custkey", 30L)),
-      Seq(("orders", "o_custkey")))
-    require(res.map(_._1) == Seq("customer", "orders") &&
-      res.head._2 > 0,
-      s"q160: expected a non-empty cascade, got $res")
+    val (cPath, oPath) = graft.FixtureCache.once(s, s"q160|$dir") {
+      val app = s.sparkContext.applicationId
+      val cP = s"/root/repo/target/tmp/q160c_store_$app"
+      val oP = s"/root/repo/target/tmp/q160o_store_$app"
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"), cP)
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 50000L)
+          .select("o_orderkey", "o_custkey"), oP)
+      val res = Mutations.cascadeForget(s, Map(
+        "customer" -> ((cP, "c_custkey")),
+        "orders" -> ((oP, "o_orderkey"))),
+        "customer",
+        QueryBuilder.And(QueryBuilder.Eq("c_mktsegment", "MACHINERY"),
+          QueryBuilder.Lte("c_custkey", 30L)),
+        Seq(("orders", "o_custkey")))
+      require(res.map(_._1) == Seq("customer", "orders") &&
+        res.head._2 > 0,
+        s"q160: expected a non-empty cascade, got $res")
+      (cP, oP)
+    }
     val c = graft.sources.SnapshotStore.read(s, cPath)
       .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("k_sum"))
       .select(lit("customer").as("tbl"), col("n"), col("k_sum"))
@@ -3924,12 +4016,216 @@ object GraphQl {
   def q124MutationReturning(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = freshStore(s, dir, "q124")
-    val results = Mutations.applyFieldsToStore(s, path, "customer",
-      "c_custkey", parsedFields("q124", q124Mutation, "{}"))
-    results(1).returning.getOrElse(throw new IllegalStateException(
-        "q124: the update field declared returning"))
+    // the returning frame pins eagerly inside the fixture so repeat
+    // probes never re-resolve lineage against the swapped store
+    val returned = graft.FixtureCache.once(s, s"q124|$dir") {
+      val path = freshStore(s, dir, "q124")
+      val results = Mutations.applyFieldsToStore(s, path, "customer",
+        "c_custkey", parsedFields("q124", q124Mutation, "{}"))
+      results(1).returning.getOrElse(throw new IllegalStateException(
+          "q124: the update field declared returning"))
+        .localCheckpoint(true)
+    }
+    returned
       .select(col("c_custkey"), round(col("bal"), 2).as("bal"))
       .orderBy("c_custkey")
   }
+
+  /** q199's document — SIBLING relationships below the root (r16
+    * verdict #3): one nested parent (`orders`) carrying an ARRAY
+    * sibling (`items`) and an OBJECT sibling (`customer`) side by
+    * side — the reference's own FK graph hangs `offers` and `bids`
+    * off one NFT exactly like this (x/common/types.go:51-52; Hasura
+    * serves the shape natively, README.md:89-120). */
+  val q199Query: String =
+    """{
+      |  customer(where: {c_custkey: {_lte: 25}},
+      |           order_by: [{c_custkey: asc}]) {
+      |    c_custkey
+      |    orders {
+      |      k: o_orderkey
+      |      items { ln: l_linenumber @cast(to: "long")
+      |              q: l_quantity @cast(to: "long") }
+      |      cust: customer { nm: c_name seg: c_mktsegment }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q199 — sibling relationships at depth: each sibling
+    * pre-aggregates to one row per key and joins back one at a time
+    * (the root's fold applied per level), so the items fan-out and
+    * the object lookup can never cross-multiply. The DuckDB oracle
+    * composes both joins flat and re-groups — a cross-multiplied
+    * items array (row duplicated per sibling row) hash-fails. */
+  def q199SiblingRels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q199Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q199 failed to parse: $m")
+    }
+
+  /** q200's document — an OBJECT-relationship CHAIN below the root
+    * (r16 verdict #4): `orders { customer { nation { region }}}`,
+    * the natural read of the reference's FK edges
+    * (x/common/types.go:65-84). Every level is a many-to-one hop, so
+    * the response nests single structs, not arrays. */
+  val q200Query: String =
+    """{
+      |  orders(where: {o_orderkey: {_lte: 400}},
+      |         order_by: [{o_orderkey: asc}]) {
+      |    o_orderkey
+      |    customer {
+      |      ck: c_custkey
+      |      nation { nm: n_name region { rn: r_name } }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q200 — the depth-3 object chain: each hop compiles through the
+    * same pre-aggregate-and-join machinery with `single` rendering
+    * the one child struct (null when absent); the top level renders
+    * the whole chain as one JSON object column. The oracle is three
+    * flat many-to-one joins re-nested with struct literals. */
+  def q200ObjRelChain(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q200Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q200 failed to parse: $m")
+    }
+
+  /** q201's document — the SAME relationship selected twice under
+    * different aliases at a nested level (r16 verdict #5), each
+    * occurrence with its own arguments: the filtered arm attaches
+    * LEFT (an order with no qualifying item keeps an empty array),
+    * the sliced arm keeps the two lowest line numbers. */
+  val q201Query: String =
+    """{
+      |  customer(where: {c_custkey: {_lte: 40}},
+      |           order_by: [{c_custkey: asc}]) {
+      |    c_custkey
+      |    orders {
+      |      k: o_orderkey
+      |      big: items(where: {l_quantity: {_gte: 30.0}})
+      |        @join(type: "left")
+      |        { ln: l_linenumber @cast(to: "long")
+      |          q: l_quantity @cast(to: "long") }
+      |      first2: items(order_by: [{l_linenumber: asc}], limit: 2)
+      |        { ln: l_linenumber @cast(to: "long") }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q201 — aliased twins of one relationship: both arms compile
+    * independently (own where/slice/joinType) and join back on the
+    * same parent key; response keys stay distinct through the
+    * aliases. The oracle replays the filtered arm and the
+    * row_number-sliced arm as separate CTEs. */
+  def q201AliasedSiblings(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q201Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q201 failed to parse: $m")
+    }
+
+  /** q202's document — ALIASED aggregate relationships (r16 verdict
+    * #5's second half, the Hasura dashboard idiom): the same child
+    * aggregated twice, one arm sliced to the 3 latest orders, the
+    * other filtered to the big ones. The flat response prefixes each
+    * arm's columns with its alias. */
+  val q202Query: String =
+    """{
+      |  customer(where: {c_custkey: {_lte: 100}},
+      |           order_by: [{c_custkey: asc}]) {
+      |    c_custkey
+      |    recent: orders_aggregate(order_by: [{o_orderkey: desc}],
+      |                             limit: 3) {
+      |      aggregate { count sum { o_totalprice } }
+      |    }
+      |    hi: orders_aggregate(where:
+      |        {o_totalprice: {_gt: 150000.0}}) {
+      |      aggregate { count max { o_totalprice } }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q203's document — VARIABLE DEFAULT VALUES (spec
+    * CoerceVariableValues; every client library emits them): `$seg`
+    * arrives UNBOUND and takes its default, `$cap` arrives bound and
+    * the binding wins over the default. */
+  val q203Query: String =
+    """query Defaults($seg: String = "BUILDING", $cap: bigint! = 10) {
+      |  customer(where: {_and: [{c_mktsegment: {_eq: $seg}},
+      |                          {c_custkey: {_lte: $cap}}]},
+      |           order_by: [{c_custkey: asc}]) {
+      |    c_custkey c_mktsegment c_acctbal
+      |  }
+      |}""".stripMargin
+
+  /** q203 — defaults under the oracle gate: the variables map binds
+    * ONLY `cap` (50), so the oracle's replay proves both halves of
+    * the coercion order — `seg` from the default, `cap` from the
+    * binding (an engine preferring the default over the binding, or
+    * dropping the defaulted filter, hash-fails). */
+  def q203VariableDefaults(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q203Query, variables = """{"cap": 50}""") match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q203 failed to parse: $m")
+    }
+
+  /** q204's document — RELATIONSHIP selections on `_stream` (r16
+    * verdict #7): the cursor-paged surface delivers each page with an
+    * array relationship (left-attached, Hasura's keep-with-[]
+    * semantics) and an object relationship evaluated per delivered
+    * row, exactly like a read. */
+  val q204Query: String =
+    """subscription {
+      |  orders_stream(cursor: {initial_value: {o_orderkey: 100},
+      |                         ordering: ASC},
+      |                batch_size: 10,
+      |                where: {o_orderstatus: {_eq: "O"}}) {
+      |    o_orderkey
+      |    items @join(type: "left")
+      |      { ln: l_linenumber @cast(to: "long")
+      |        q: l_quantity @cast(to: "long") }
+      |    customer { nm: c_name }
+      |  }
+      |}""".stripMargin
+
+  /** q204 — the batch-replay contract of the relationship-carrying
+    * stream: the first 3 pages through [[Subscriptions.streamPages]]
+    * with the (s, dir) relationship context; each page row carries
+    * its items array (possibly empty — the left attach) and its
+    * customer object. SubscriptionsSpec pins the LIVE serve
+    * ([[Subscriptions.streamServe]]) to this same answer per
+    * trigger. The oracle replays the cursor paging and re-nests both
+    * relationships with list/struct literals. */
+  def q204StreamRels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseStream(q204Query) match {
+      case Right(sr) => Subscriptions.streamPages(
+        graft.Tables.load(s, dir, sr.table), sr, nPages = 3,
+        rel = Some((s, dir)))
+        .orderBy("o_orderkey")
+      case Left(m) => throw new IllegalStateException(
+        s"canned q204 failed to parse: $m")
+    }
+
+  /** q202 — aggregate-relationship aliases end to end: two AggRels
+    * over one child table, outputs `recent_count`,
+    * `recent_sum_o_totalprice`, `hi_count`, `hi_max_o_totalprice` —
+    * count coalesces 0 and sum 0.0 for childless parents (the flat
+    * left-join contract), max stays null, exactly what the oracle's
+    * left joins spell. */
+  def q202AggRelAliases(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q202Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q202 failed to parse: $m")
+    }
 }

@@ -243,18 +243,21 @@ object Permissions {
         n.fields.map(_.field).filterNot(_ == "__typename") ++
         n.distinctOn ++
         n.orderBy.map(_.field) ++ n.where.toSeq.flatMap(whereCols) ++
-        n.sub.toSeq.map(_.parentKey) :+ n.childKey,
+        n.subs.map(_.parentKey) :+ n.childKey,
         perm, role, n.table, "relationship select")
       where2 <- n.where match {
         case Some(w) =>
           secureWhere(w, role, policy, perm, n.table).map(Some(_))
         case None => Right(None)
       }
-      sub2 <- n.sub match {
-        case Some(m) => secureNested(m, role, policy).map(Some(_))
-        case None => Right(None)
+      // every sibling secures independently — one denied sub denies
+      // the document (fail-closed, as for the single-sub chain)
+      subs2 <- n.subs.foldLeft(
+          Right(Seq.empty[Nested]): Either[String, Seq[Nested]]) {
+        (acc, m) => acc.flatMap(ss =>
+          secureNested(m, role, policy).map(ss :+ _))
       }
-    } yield n.copy(where = andWith(perm.filter, where2), sub = sub2)
+    } yield n.copy(where = andWith(perm.filter, where2), subs = subs2)
 
   private def secureAggRel(a: AggRel, role: String,
       policy: Policy): Either[String, AggRel] =
@@ -494,6 +497,14 @@ object Permissions {
     for {
       sr <- GraphQl.parseStream(doc, schema, variables)
       sec <- secureStream(sr, role, policy)
+      // relationship selections load child tables from the table
+      // directory this overload does not have — a clean Left, never
+      // a serve-time crash (the (s, dir) overload serves them)
+      _ <- if (sec.nested.nonEmpty)
+        Left(s"${sec.table}_stream: relationship selections need " +
+          "the table directory — use the (s, dir) serveStreamAs " +
+          "overload")
+      else Right(())
     } yield Subscriptions.streamPages(base, sec, nPages)
 
   /** q184 — a `_stream` subscription served under a role whose row
@@ -696,6 +707,7 @@ object Permissions {
       perm <- policy.get(role, sr.table)
       _ <- checkCols(sr.fields.map(f => sr.fieldAs.getOrElse(f, f)) ++
         Seq(sr.cursorField) ++
+        sr.nested.map(_.parentKey) ++
         sr.where.toSeq.flatMap(whereCols),
         perm, role, sr.table, "stream subscription")
       w2 <- sr.where match {
@@ -703,7 +715,14 @@ object Permissions {
           secureWhere(w, role, policy, perm, sr.table).map(Some(_))
         case None => Right(None)
       }
-    } yield sr.copy(where = andWith(perm.filter, w2))
+      // relationship selections secure like a read's (the secureNested
+      // contract): every level gains its grant's filter, a denied
+      // level denies the subscription
+      nested2 <- sr.nested.foldLeft(Right(Seq.empty[Nested])
+          : Either[String, Seq[Nested]]) { (acc, n) =>
+        acc.flatMap(ns => secureNested(n, role, policy).map(ns :+ _))
+      }
+    } yield sr.copy(where = andWith(perm.filter, w2), nested = nested2)
 
   /** Secure a STREAMING subscription: the filter ANDs into the cursor
     * scan (compiled predicates reach the streaming source), and the
@@ -779,9 +798,10 @@ object Permissions {
         val (flagJoin, w2) = decorrelateStreamFilter(s, dir, w)
         Subscriptions.streamPages(
           flagJoin(graft.Tables.load(s, dir, m.table)),
-          m.copy(where = Some(w2)), nPages)
+          m.copy(where = Some(w2)), nPages, rel = Some((s, dir)))
       case _ => Subscriptions.streamPages(
-        graft.Tables.load(s, dir, m.table), m, nPages)
+        graft.Tables.load(s, dir, m.table), m, nPages,
+        rel = Some((s, dir)))
     }
 
   /** The LIVE twin of the (s, dir) [[serveStreamAs]]: the secured —
@@ -805,8 +825,9 @@ object Permissions {
       case Some(w) if QueryBuilder.hasRelPred(w) =>
         val (flagJoin, w2) = decorrelateStreamFilter(s, dir, w)
         Subscriptions.streamServe(flagJoin(stream),
-          m.copy(where = Some(w2)))(push)
-      case _ => Subscriptions.streamServe(stream, m)(push)
+          m.copy(where = Some(w2)), rel = Some((s, dir)))(push)
+      case _ =>
+        Subscriptions.streamServe(stream, m, rel = Some((s, dir)))(push)
     }
 
   /** Guard a mutation document for `role`: updates/deletes gain the

@@ -271,16 +271,28 @@ object QueryBuilder {
       case n =>
         // numeric literal (Int/Long/Double — jsonScalar admitted it):
         // the type guard keeps STRING "69" and BOOLEAN true (both
-        // double-castable) out of the numeric arm
-        val d = n match {
-          case i: Int => i.toDouble
-          case l: Long => l.toDouble
-          case x: Double => x
-          case other => throw new IllegalArgumentException(
-            s"_contains on '$field'.$k: unexpected scalar $other")
+        // double-castable) out of the numeric arm. An INTEGRAL
+        // literal against an integral stored value compares as LONG
+        // — a double round-trip would equate distinct int64s beyond
+        // 2^53 (jsonb numerics are exact); the fractional-stored arm
+        // (69.0 matches 69) still compares numerically as double.
+        n match {
+          case x: Double =>
+            t.rlike(
+              "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL)") &&
+              try_variant_get(sub, "$", "double") === lit(x)
+          case _ =>
+            val l = n match {
+              case i: Int => i.toLong
+              case lv: Long => lv
+              case other => throw new IllegalArgumentException(
+                s"_contains on '$field'.$k: unexpected scalar $other")
+            }
+            ((t.rlike("^(TINYINT|SMALLINT|INT|BIGINT)$") &&
+              try_variant_get(sub, "$", "long") === lit(l)) ||
+             (t.rlike("^(FLOAT|DOUBLE|DECIMAL)") &&
+              try_variant_get(sub, "$", "double") === lit(l.toDouble)))
         }
-        t.rlike("^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL)") &&
-          try_variant_get(sub, "$", "double") === lit(d)
     }
   }
   /** Hasura `_contained_in` (jsonb `<@`): the column's top-level
@@ -383,12 +395,18 @@ object QueryBuilder {
 
   /** Child-array relationship (users{nfts{...}}): children fold to ONE
     * sorted array column per parent — one shuffle on the parent key,
-    * never a flat fan-out row set (q40's shape). `sub` nests a further
-    * relationship INSIDE each child object (users{nfts{bids{...}}}),
-    * compiled bottom-up exactly like the handwritten q49: the deepest
-    * level aggregates first, each level joins its children pre-folded,
-    * so fan-out never multiplies across levels. Top-level arrays render
-    * `to_json`; inner arrays stay structured inside the parent struct.
+    * never a flat fan-out row set (q40's shape). `subs` nest further
+    * relationships INSIDE each child object — a chain
+    * (users{nfts{bids{...}}}) or SIBLINGS at one level
+    * (users{nfts{offers{...} bids{...}}}, the reference's own FK
+    * shape, x/common/types.go:51-52) — compiled bottom-up exactly
+    * like the handwritten q49: the deepest level aggregates first,
+    * each level joins its children pre-folded one sub at a time, so
+    * fan-out never multiplies across levels OR across siblings.
+    * Top-level arrays render `to_json`; inner arrays stay structured
+    * inside the parent struct. A sub with `single` set is an OBJECT
+    * relationship (offers{nft{...}}): its rendered value is the one
+    * child struct itself, null when absent.
     *
     * `joinType` governs how THIS relationship attaches to its parent:
     * "inner" (default — q40/q49's shape) drops parents with no
@@ -409,12 +427,23 @@ object QueryBuilder {
     * (include a unique tie-break field) for the same reason. */
   final case class Nested(as: String, table: String,
       childKey: String, parentKey: String, fields: Seq[NestedField],
-      sub: Option[Nested] = None, joinType: String = "inner",
+      subs: Seq[Nested] = Nil, joinType: String = "inner",
       where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
       limit: Option[Int] = None, offset: Int = 0,
       distinctOn: Seq[String] = Nil,
       single: Boolean = false) {
-    require(fields.nonEmpty, s"nested '$as' selects no fields")
+    require(fields.nonEmpty || subs.nonEmpty,
+      s"nested '$as' selects no fields")
+    // response keys are unique WITHIN a level (spec rule 5.3.2), and
+    // each sibling relationship occupies one — `nfts { offers bids }`
+    // is two siblings, `recent: orders(...)` + `big: orders(...)` the
+    // same relationship twice under distinct aliases
+    require((fields.map(_.as) ++ subs.map(_.as)).distinct.size ==
+      fields.size + subs.size,
+      s"nested '$as': duplicate response key(s) " +
+        (fields.map(_.as) ++ subs.map(_.as)).diff(
+          (fields.map(_.as) ++ subs.map(_.as)).distinct)
+          .distinct.mkString(", "))
     require(joinType == "inner" || joinType == "left",
       s"nested '$as': joinType must be inner or left")
     // an OBJECT relationship (Hasura many-to-one): `childKey` is the
@@ -507,12 +536,22 @@ object QueryBuilder {
     * the children before aggregation (the `nfts_aggregate(where: ...)`
     * surface); `orderBy`+`limit` aggregate only each parent's top-n
     * children, via the same pre-fold row_number window as [[Nested]]. */
+  /** `prefix` carries a GraphQL ALIAS on the aggregate relationship
+    * (`recent: orders_aggregate(...)`): Hasura nests the response
+    * under the alias key; this engine's response is FLAT, so the
+    * alias prefixes every output column (`recent_count`) — which is
+    * also what lets ONE request select the same relationship's
+    * aggregates twice under different aliases (the dashboard idiom)
+    * without column collisions. */
   final case class AggRel(table: String, childKey: String,
       parentKey: String, aggs: Seq[AggField], joinType: String = "left",
       where: Option[BoolExp] = None, orderBy: Seq[Order] = Nil,
       limit: Option[Int] = None, offset: Int = 0,
       distinctOn: Seq[String] = Nil,
-      nodes: Seq[String] = Nil) {
+      nodes: Seq[String] = Nil, prefix: Option[String] = None) {
+    /** Effective output name of one aggregate (alias-prefixed). */
+    private[api] def out(name: String): String =
+      prefix.map(p => s"${p}_$name").getOrElse(name)
     require(aggs.nonEmpty || nodes.nonEmpty,
       "aggregate relationship selects no aggregates")
     require(!aggs.exists(_.as == "nodes") || nodes.isEmpty,
@@ -724,12 +763,14 @@ object QueryBuilder {
     // the child's own where: applied at the leaf so it reaches the scan
     val child0 = n.where.map(filterRel(s, dir, loaded, _)).getOrElse(loaded)
     val keyAlias = s"__key_${n.as}"
-    val joined = n.sub match {
-      case Some(m) =>
-        val subAgg = compileNested(s, dir, m)
-        child0.join(subAgg,
-          child0(m.parentKey) === subAgg(s"__key_${m.as}"), m.joinType)
-      case None => child0
+    // each sub-relationship pre-aggregates to one row per key and
+    // joins back — SIBLINGS under one level compose exactly like the
+    // root's fold (never a flat multi-child join, so two siblings'
+    // fan-outs cannot cross-multiply)
+    val joined = n.subs.foldLeft(child0) { (acc, m) =>
+      val subAgg = compileNested(s, dir, m)
+      acc.join(subAgg,
+        child0(m.parentKey) === subAgg(s"__key_${m.as}"), m.joinType)
     }
     val child = childSlice(joined, child0(n.childKey), n.orderBy,
       child0(_), n.distinctOn, n.offset, n.limit)
@@ -741,18 +782,21 @@ object QueryBuilder {
         case Some((r, fmt)) => format_string(fmt, round(c1, r)).as(f.as)
         case None => c1.as(f.as)
       }
-    } ++ n.sub.map { m =>
+    } ++ n.subs.map { m =>
       // under a left attach, a child with zero grandchildren carries an
       // EMPTY inner array, not a null (Hasura renders items: []) — the
-      // void-typed empty literal coerces to the array's struct type
-      if (m.joinType == "left") coalesce(col(m.as), array()).as(m.as)
+      // void-typed empty literal coerces to the array's struct type.
+      // An inner OBJECT relationship is the single struct itself
+      // (null when the referenced row is absent, Hasura's shape)
+      if (m.single) element_at(col(m.as), 1).as(m.as)
+      else if (m.joinType == "left") coalesce(col(m.as), array()).as(m.as)
       else col(m.as)
     }
     val grouped = child.groupBy(child0(n.childKey).as(keyAlias))
     if (n.orderBy.isEmpty)
       grouped.agg(sort_array(collect_list(struct(fs: _*))).as(n.as))
     else {
-      val outNames = n.fields.map(_.as) ++ n.sub.map(_.as)
+      val outNames = n.fields.map(_.as) ++ n.subs.map(_.as)
       grouped.agg(orderedCollect(n.orderBy, s"nested '${n.as}'",
         child0(_), fs, outNames,
         structOrderable(child, fs)).as(n.as))
@@ -850,13 +894,16 @@ object QueryBuilder {
       s"runRoot on '${req.table}': ordering aggregates need the " +
         "table directory (use run)")
     val base = rootSlice(base0, req)
-    val shaped =
-      base.select(req.fields.map(
-        typenameOr(base0, req.table, req.fieldAs)): _*)
+    // the run() pre-projection sort discipline: order by TABLE
+    // columns before the aliasing select, so a response key shadowing
+    // a different real column can never hijack the sort
     val ordered =
-      if (req.orderBy.isEmpty) shaped
-      else shaped.orderBy(req.orderBy.map(_.toColumn): _*)
-    val off = if (req.offset > 0) ordered.offset(req.offset) else ordered
+      if (req.orderBy.isEmpty) base
+      else base.orderBy(req.orderBy.map(_.toColumn): _*)
+    val shaped =
+      ordered.select(req.fields.map(
+        typenameOr(base0, req.table, req.fieldAs)): _*)
+    val off = if (req.offset > 0) shaped.offset(req.offset) else shaped
     req.limit.map(off.limit).getOrElse(off)
   }
 
@@ -1036,7 +1083,7 @@ object QueryBuilder {
         // hash-deterministic where Hasura's order is unspecified.
         // Internally aliased per aggRel (a base column named "nodes"
         // or a second nodes arm must never resolve ambiguously)
-        val aggCols = a.aggs.map(_.agg(loaded)) ++
+        val aggCols = a.aggs.map(f => f.agg(loaded).as(a.out(f.as))) ++
           (if (a.nodes.isEmpty) Nil
            else if (a.orderBy.isEmpty)
              Seq(sort_array(collect_list(
@@ -1054,28 +1101,50 @@ object QueryBuilder {
     // nodes arm (or a selected base column named "nodes") would emit
     // duplicate columns whose hash comparison silently depends on
     // resolution order. Loud, like every naming collision here.
-    require(req.aggRels.count(_.nodes.nonEmpty) <= 1,
+    require(req.aggRels.filter(_.nodes.nonEmpty)
+        .map(_.out("nodes")).distinct.size ==
+        req.aggRels.count(_.nodes.nonEmpty),
       "at most one relationship-aggregate nodes arm per request " +
-        "(the flat response has one 'nodes' column)")
-    require(req.aggRels.forall(_.nodes.isEmpty) ||
-      !req.fields.contains("nodes"),
+        "(the flat response has one 'nodes' column) — alias the " +
+        "aggregate relationships to disambiguate")
+    require(req.aggRels.filter(_.nodes.nonEmpty)
+        .forall(a => !req.fields.contains(a.out("nodes"))),
       "a selected column named 'nodes' collides with the nodes arm")
+    // every flat output name lands once — aliased twins of the same
+    // relationship stay disjoint through their prefixes, and a
+    // collision (two unaliased twins, or an alias shadowing a field)
+    // is loud rather than an ambiguous-column resolution artifact
+    val aggOutNames = req.aggRels.flatMap(a =>
+      a.aggs.map(f => a.out(f.as)) ++
+        (if (a.nodes.isEmpty) Nil else Seq(a.out("nodes"))))
+    val allOut = req.fields ++ req.nested.map(_.as) ++ aggOutNames
+    require(allOut.distinct.size == allOut.size,
+      s"request on '${req.table}': duplicate output column(s) " +
+        allOut.diff(allOut.distinct).distinct.mkString(", ") +
+        " — alias the colliding selections")
     val outCols = req.fields.map(
         typenameOr(base0, req.table, req.fieldAs)) ++
       req.nested.map(n => col(n.as)) ++
       req.aggRels.zipWithIndex.flatMap { case (a, i) =>
-        a.aggs.map(f => f.post(col(f.as)).as(f.as)) ++
+        a.aggs.map(f => f.post(col(a.out(f.as))).as(a.out(f.as))) ++
           // childless parents render "[]" like the Nested arm, never
           // null — to_json here keeps the wire shape engine-stable
           (if (a.nodes.isEmpty) Nil
            else Seq(to_json(coalesce(col(s"__nodes_$i"), array()))
-             .as("nodes")))
+             .as(a.out("nodes"))))
       }
-    val shaped = withAggs.select(outCols: _*)
+    // sort on the PRE-projection frame (Hasura orders by TABLE
+    // columns, never response keys): ordering after the aliasing
+    // select would let a response key that SHADOWS a different real
+    // column hijack the sort ({c_acctbal: c_custkey} +
+    // order_by: {c_acctbal} must sort by the table's c_acctbal).
+    // The projection after the sort keeps the order (Spark plans
+    // sort+project+limit as one TakeOrderedAndProject).
     val ordered =
-      if (req.orderBy.isEmpty) shaped
-      else shaped.orderBy(req.orderBy.map(_.toColumn): _*)
-    val off = if (req.offset > 0) ordered.offset(req.offset) else ordered
+      if (req.orderBy.isEmpty) withAggs
+      else withAggs.orderBy(req.orderBy.map(_.toColumn): _*)
+    val shaped = ordered.select(outCols: _*)
+    val off = if (req.offset > 0) shaped.offset(req.offset) else shaped
     req.limit.map(off.limit).getOrElse(off)
   }
 
@@ -1241,7 +1310,7 @@ object QueryBuilder {
         as = "orders", table = "orders",
         childKey = "o_custkey", parentKey = "c_custkey",
         fields = Seq(NestedField("k", "o_orderkey")),
-        sub = Some(Nested(
+        subs = Seq(Nested(
           as = "items", table = "lineitem",
           childKey = "l_orderkey", parentKey = "o_orderkey",
           fields = Seq(

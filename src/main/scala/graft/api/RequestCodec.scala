@@ -198,7 +198,14 @@ object RequestCodec {
       parentKey = str(req(o, "parent_key", where), s"$where.parent_key"),
       fields = arr(req(o, "fields", where), s"$where.fields")
         .map(parseNestedField(_, s"$where.fields[]")),
-      sub = Option(o.get("sub")).map(parseNested(_, s"$where.sub")),
+      // `subs` (array) is the wire shape; a legacy single-object
+      // `sub` still decodes (pre-sibling documents keep replaying)
+      subs = Option(o.get("subs"))
+        .map(arr(_, s"$where.subs")
+          .map(parseNested(_, s"$where.subs[]")))
+        .orElse(Option(o.get("sub"))
+          .map(sn => Seq(parseNested(sn, s"$where.sub"))))
+        .getOrElse(Nil),
       joinType = Option(o.get("join")).map(str(_, s"$where.join"))
         .getOrElse("inner"),
       where = Option(o.get("where")).map(parseBool(_, s"$where.where")),
@@ -260,7 +267,9 @@ object RequestCodec {
       distinctOn = parseDistinctOn(o, where),
       nodes = Option(o.get("nodes"))
         .map(arr(_, s"$where.nodes").map(str(_, s"$where.nodes[]")))
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      prefix = Option(o.get("prefix"))
+        .map(str(_, s"$where.prefix")))
   }
 
   private def parseRequest(o: ObjectNode): Request = {
@@ -451,7 +460,10 @@ object RequestCodec {
         fo.put("round", r); fo.put("printf", p) }
       f.cast.foreach(fo.put("cast", _))
     }
-    n.sub.foreach(m => o.set[ObjectNode]("sub", renderNested(m)))
+    if (n.subs.nonEmpty) {
+      val sa = o.putArray("subs")
+      n.subs.foreach(m => sa.add(renderNested(m)))
+    }
     if (n.single) o.put("single", true)
     if (n.joinType != "inner") o.put("join", n.joinType)
     n.where.foreach(w => o.set[ObjectNode]("where", renderBool(w)))
@@ -553,6 +565,7 @@ object RequestCodec {
           val na = ao.putArray("nodes")
           ar.nodes.foreach(na.add)
         }
+        ar.prefix.foreach(ao.put("prefix", _))
       }
     }
     o

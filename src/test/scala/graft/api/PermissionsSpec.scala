@@ -39,6 +39,46 @@ class PermissionsSpec extends SparkSpec {
     assert(admin === Request("customer", Seq("c_comment")))
   }
 
+  test("SIBLING subs below the root secure independently: every " +
+    "sibling gains its grant's filter, one denied sibling denies " +
+    "the document (fail-closed)") {
+    val base = Nested("orders", "orders", "o_custkey", "c_custkey",
+      fields = Seq(NestedField("k", "o_orderkey")))
+    // two sibling twins of the same child relationship under one level
+    val twins = base.copy(subs = Seq(
+      Nested("a1", "customer", "c_custkey", "o_custkey",
+        fields = Seq(NestedField("n", "c_custkey")), single = true),
+      Nested("a2", "customer", "c_custkey", "o_custkey",
+        fields = Seq(NestedField("s", "c_mktsegment")), single = true)))
+    val sec = secure(Request("customer", Seq("c_custkey"),
+      nested = Seq(twins)), "analyst", policy)
+      .fold(m => fail(m), identity)
+    val subs = sec.nested.head.subs
+    assert(subs.map(_.where) === Seq(
+      Some(Eq("c_mktsegment", "BUILDING")),
+      Some(Eq("c_mktsegment", "BUILDING"))))
+    // a denied column in the SECOND sibling denies the whole document
+    val denied = base.copy(subs = Seq(
+      Nested("a1", "customer", "c_custkey", "o_custkey",
+        fields = Seq(NestedField("n", "c_custkey")), single = true),
+      Nested("a2", "customer", "c_custkey", "o_custkey",
+        fields = Seq(NestedField("x", "c_comment")), single = true)))
+    secure(Request("customer", Seq("c_custkey"),
+      nested = Seq(denied)), "analyst", policy) match {
+      case Left(m) => assert(m.contains("c_comment"))
+      case Right(r) => fail(s"allowed: $r")
+    }
+    // an ungranted sibling table denies even when its twin passes
+    val noGrant = base.copy(subs = Seq(
+      Nested("items", "lineitem", "l_orderkey", "o_orderkey",
+        fields = Seq(NestedField("q", "l_quantity")))))
+    secure(Request("customer", Seq("c_custkey"),
+      nested = Seq(noGrant)), "analyst", policy) match {
+      case Left(m) => assert(m.contains("no access"))
+      case Right(r) => fail(s"allowed: $r")
+    }
+  }
+
   test("column allowlists reject loudly at every selection site") {
     def rej(req: Request, frag: String): Unit =
       secure(req, "analyst", policy) match {

@@ -298,7 +298,7 @@ class QueryBuilderSpec extends SparkSpec {
         childKey = "n_regionkey", parentKey = "r_regionkey",
         fields = Seq(NestedField("nk", "n_nationkey")),
         joinType = jt,
-        sub = Some(Nested(
+        subs = Seq(Nested(
           as = "sups", table = "supplier",
           childKey = "s_nationkey", parentKey = "n_nationkey",
           fields = Seq(NestedField("sk", "s_suppkey")),
@@ -592,6 +592,19 @@ class QueryBuilderSpec extends SparkSpec {
     // spellings (69.0 does)
     assert(ids(JsonContains("props", Seq("k" -> 69L))) === Seq(1L, 10L))
     assert(ids(JsonContains("props", Seq("k" -> "69"))) === Seq(9L))
+    // int64 EXACTNESS past 2^53 (jsonb numerics are exact): the two
+    // adjacent integers are distinct — a double round-trip would
+    // match both (ADVICE r15, fixed r17)
+    val big = Seq(
+      (1L, s"""{"k": ${(1L << 53) + 1}}"""),
+      (2L, s"""{"k": ${1L << 53}}""")).toDF("id", "props")
+    def bids(e: BoolExp): Seq[Long] =
+      big.filter(e.toColumn).select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted
+    assert(bids(JsonContains("props", Seq("k" -> ((1L << 53) + 1))))
+      === Seq(1L))
+    assert(bids(JsonContains("props", Seq("k" -> (1L << 53))))
+      === Seq(2L))
     assert(ids(JsonContains("props",
       Seq("k" -> 69L, "m" -> "x"))) === Seq(1L))
     // contained_in: absent keys pass, value mismatches (k=70, string
@@ -642,5 +655,70 @@ class QueryBuilderSpec extends SparkSpec {
     got.foreach { case (ck, js) =>
       assert(expect(ck) === js, s"customer $ck")
     }
+  }
+  test("sibling relationships at depth are fan-out independent: each " +
+    "sibling's array equals its single-sub twin's, element for element") {
+    val dir = sf("sf0.001")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // both siblings attach LEFT so the parent-order set is identical
+    // across arms (an INNER items arm would drop lineitem-less orders
+    // from the level — the documented q40/q49 default)
+    val items = Nested(
+      as = "items", table = "lineitem",
+      childKey = "l_orderkey", parentKey = "o_orderkey",
+      fields = Seq(NestedField("ln", "l_linenumber", cast = Some("long"))),
+      joinType = "left")
+    val cust = Nested(
+      as = "cust", table = "customer",
+      childKey = "c_custkey", parentKey = "o_custkey",
+      fields = Seq(NestedField("nm", "c_name")), single = true,
+      joinType = "left")
+    def req(subs: Seq[Nested]) = Request(
+      table = "customer", fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 8L)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        fields = Seq(NestedField("k", "o_orderkey")), subs = subs)))
+    // per customer: order key -> the named member's JSON
+    def arm(subs: Seq[Nested], member: String): Map[(Long, Long), String] =
+      QueryBuilder.run(spark, dir, req(subs)).collect().flatMap { r =>
+        val arr = om.readTree(r.getString(1))
+        (0 until arr.size).map(i => ((r.getLong(0), arr.get(i).get("k").asLong),
+          Option(arr.get(i).get(member)).map(_.toString).getOrElse("null")))
+      }.toMap
+    val bothItems = arm(Seq(items, cust), "items")
+    val bothCust = arm(Seq(items, cust), "cust")
+    val aloneItems = arm(Seq(items), "items")
+    val aloneCust = arm(Seq(cust), "cust")
+    assert(bothItems.nonEmpty && bothItems.keySet === aloneItems.keySet)
+    assert(bothItems === aloneItems,
+      "items arrays changed when a sibling joined the level")
+    assert(bothCust === aloneCust,
+      "the object sibling changed when the array sibling joined")
+    // the object member is a STRUCT (not a 1-element array)
+    assert(bothCust.values.forall(_.startsWith("{")))
+  }
+  test("order_by binds to the TABLE column even when a response key " +
+    "shadows a different real column (the pre-projection sort rule)") {
+    val dir = sf("sf0.001")
+    // response key c_acctbal READS c_custkey — order_by: {c_acctbal}
+    // must still sort by the table's c_acctbal (Hasura orders by
+    // table columns, never response keys)
+    val got = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_acctbal"),
+      fieldAs = Map("c_acctbal" -> "c_custkey"),
+      orderBy = Seq(Order("c_acctbal", desc = true),
+        Order("c_custkey")),
+      limit = Some(5))).collect().map(_.getLong(0)).toSeq
+    val want = graft.Tables.load(spark, dir, "customer")
+      .orderBy(org.apache.spark.sql.functions.col("c_acctbal").desc,
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .limit(5).select("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want,
+      "the aliased projection hijacked the sort")
   }
 }

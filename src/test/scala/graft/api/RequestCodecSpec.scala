@@ -100,7 +100,7 @@ class RequestCodecSpec extends SparkSpec {
         as = "orders", table = "orders",
         childKey = "o_custkey", parentKey = "c_custkey",
         fields = Seq(NestedField("k", "o_orderkey")),
-        sub = Some(Nested(
+        subs = Seq(Nested(
           as = "items", table = "lineitem",
           childKey = "l_orderkey", parentKey = "o_orderkey",
           fields = Seq(NestedField("q", "l_quantity", cast = Some("long"))),

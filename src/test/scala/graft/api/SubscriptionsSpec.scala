@@ -426,4 +426,52 @@ class SubscriptionsSpec extends SparkSpec {
       assert(plans.last.contains("Window"))
     } finally q.stop()
   }
+  test("_stream with RELATIONSHIP selections: live triggers equal the " +
+    "batch replay, arrays and objects attach per delivered row") {
+    val dir = sf("sf0.001")
+    val sr0 = GraphQl.parseStream(GraphQl.q204Query)
+      .fold(m => fail(m), identity)
+    assert(sr0.nested.map(_.as) === Seq("items", "customer"))
+    assert(sr0.nested.map(_.single) === Seq(false, true))
+    // printer round-trip with relationship selections
+    assert(GraphQl.parseStream(GraphQl.renderStream(sr0)) === Right(sr0))
+    val sr = sr0.copy(batchSize = 4)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.streamServe(
+      input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus"),
+      sr, rel = Some((spark, dir))) { (_, df) =>
+      pushed :+= rows(df.orderBy("o_orderkey"))
+    }
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") > 100 && col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey").limit(8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    try {
+      input.addData(orders.take(4).toSeq); q.processAllAvailable()
+      input.addData(orders.drop(4).toSeq); q.processAllAvailable()
+      assert(pushed.size === 2 && pushed.flatten.size === 8)
+      // page-aligned triggers == the batch replay (q204's contract)
+      val replay = Subscriptions.streamPages(
+        orders.toSeq.toDF("o_orderkey", "o_custkey", "o_orderstatus"),
+        sr, nPages = 2, rel = Some((spark, dir)))
+      assert(pushed.flatten === rows(replay.orderBy("o_orderkey")))
+      // both members rendered: arrays (possibly []) and the object
+      val byIdx = replay.columns.zipWithIndex.toMap
+      pushed.flatten.foreach { r =>
+        assert(r(byIdx("items")).asInstanceOf[String].startsWith("["))
+        assert(r(byIdx("customer")).asInstanceOf[String]
+          .startsWith("{\"nm\":"))
+      }
+    } finally q.stop()
+    // the base-frame overload cannot load child tables: loud, not a
+    // first-trigger crash
+    val e = intercept[IllegalArgumentException](
+      Subscriptions.streamPages(
+        orders.toSeq.toDF("o_orderkey", "o_custkey", "o_orderstatus"),
+        sr, nPages = 1))
+    assert(e.getMessage.contains("table directory"))
+  }
 }

@@ -314,6 +314,28 @@ class IncrementalDedupSpec extends SparkSpec {
       k = 50).collect().map(_.getLong(0)).toSet ===
       IncrementalDedup.search(full, texts(partners.head), k = 50)
         .collect().map(_.getLong(0)).toSet)
+    // recovery (c): a crash MID-MARKER-WRITE — the marker publishes
+    // by temp-write + rename, so the torn state on disk is a partial
+    // _FORGET_READY.tmp and NO marker; recover must discard the work
+    // dir and leave the live store byte-untouched (no partial forget)
+    java.nio.file.Files.createDirectories(work)
+    java.nio.file.Files.write(work.resolve("_FORGET_READY.tmp"),
+      s"$unit\t".getBytes("UTF-8")) // torn mid-line
+    IncrementalDedup.loadStore(spark, s"$base/serving")
+    assert(!java.nio.file.Files.exists(work))
+    assert(listing().keySet === after.keySet)
+    // recovery (d): a MALFORMED marker line (possible only through
+    // corruption now that the publish is atomic) refuses LOUDLY —
+    // applying the parsed prefix would be a silent partial forget
+    java.nio.file.Files.createDirectories(work)
+    java.nio.file.Files.write(work.resolve("_FORGET_READY"),
+      s"$unit\t1\nbatch=-1/band_buc".getBytes("UTF-8"))
+    val torn = intercept[IllegalStateException](
+      IncrementalDedup.loadStore(spark, s"$base/serving"))
+    assert(torn.getMessage.contains("malformed"))
+    assert(java.nio.file.Files.exists(work)) // left for inspection
+    java.nio.file.Files.delete(work.resolve("_FORGET_READY"))
+    java.nio.file.Files.delete(work)
     // refuses a non-serving (ingest) layout loudly
     val e = intercept[IllegalArgumentException](
       IncrementalDedup.forgetFromServing(spark, s"$base/ingest",

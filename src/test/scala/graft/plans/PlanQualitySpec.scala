@@ -798,6 +798,15 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q196 agreement retention: both pair pipelines stay banded " +
     "equi-joins and the keep-best window shares the cluster exchange") {
+    // the RAW agreed-pair pipeline (q196 consumes it through a
+    // once-per-process checkpoint, so assert the banded shape on the
+    // producer itself)
+    val pAgreed = graft.queries.TextQueries.agreedPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!pAgreed.contains("CartesianProduct")
+      && !pAgreed.contains("BroadcastNestedLoopJoin"),
+      s"agreed-pair pipelines must stay banded equi-joins:\n$pAgreed")
     val df = graft.queries.TextQueries.q196AgreementRetention(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
