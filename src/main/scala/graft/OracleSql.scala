@@ -2036,6 +2036,52 @@ object OracleSql {
          |GROUP BY table_name
          |ORDER BY type_name""".stripMargin
     },
+    // q205: the advertised ARGUMENT surface (bool_exp/order_by input
+    // objects + sum_fields aggregate arms) vs DuckDB's independent
+    // reflection — q167's discipline one level deeper; same CASE
+    // (the verbatim inverse of gqlScalar), arrays excluded (no
+    // comparison/ordering surface), numerics = the sum arm
+    "q205_introspect_inputs" -> {
+      val tables = graft.Tables.names
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH cols AS (
+         |  SELECT table_name AS t, column_name AS c,
+         |    ordinal_position AS i,
+         |    CASE data_type
+         |      WHEN 'BIGINT' THEN 'bigint'
+         |      WHEN 'INTEGER' THEN 'Int'
+         |      WHEN 'VARCHAR' THEN 'String'
+         |      WHEN 'DOUBLE' THEN 'float8'
+         |      WHEN 'FLOAT' THEN 'Float'
+         |      WHEN 'BOOLEAN' THEN 'Boolean'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp'
+         |      WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+         |      WHEN 'DATE' THEN 'date'
+         |      WHEN 'BLOB' THEN 'bytea'
+         |    END AS sc,
+         |    data_type IN ('BIGINT', 'INTEGER', 'DOUBLE', 'FLOAT')
+         |      AS num
+         |  FROM information_schema.columns
+         |  WHERE table_name IN ($tables))
+         |SELECT * FROM (
+         |  SELECT t || '_bool_exp' AS type_name,
+         |    'INPUT_OBJECT' AS kind,
+         |    '[' || string_agg('{"name":"' || c || '","type":"' ||
+         |      sc || '_comparison_exp"}', ',' ORDER BY i) || ']'
+         |      AS fields
+         |  FROM cols WHERE sc IS NOT NULL GROUP BY t
+         |  UNION ALL
+         |  SELECT t || '_order_by', 'INPUT_OBJECT',
+         |    '[' || string_agg('{"name":"' || c ||
+         |      '","type":"order_by"}', ',' ORDER BY i) || ']'
+         |  FROM cols WHERE sc IS NOT NULL GROUP BY t
+         |  UNION ALL
+         |  SELECT t || '_sum_fields', 'OBJECT',
+         |    '[' || string_agg('{"name":"' || c || '","type":"' ||
+         |      sc || '"}', ',' ORDER BY i) || ']'
+         |  FROM cols WHERE num GROUP BY t)
+         |ORDER BY type_name""".stripMargin
+    },
     // q172: image retention — the q112 recursive-CTE clusters (with
     // the upscaled copy at m01's pinned hash) composed with the
     // fixture resolutions; keep = max pixels, ties min key

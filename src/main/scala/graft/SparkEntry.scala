@@ -243,6 +243,8 @@ object SparkEntry {
     "q203_variable_defaults" ->
       (graft.api.GraphQl.q203VariableDefaults(_, _)),
     "q204_stream_rels" -> (graft.api.GraphQl.q204StreamRels(_, _)),
+    "q205_introspect_inputs" ->
+      (graft.api.GraphQl.q205IntrospectInputs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

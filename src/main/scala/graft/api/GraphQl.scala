@@ -3542,9 +3542,15 @@ object GraphQl {
   private[api] final case class TList(of: TRef) extends TRef
   private[api] final case class TNonNull(of: TRef) extends TRef
 
-  private[api] final case class MetaField(fname: String, tpe: TRef)
+  /** `fargs` are the field's ARGUMENTS (__InputValue rows — the
+    * autocompletion surface clients read); empty for plain columns. */
+  private[api] final case class MetaField(fname: String, tpe: TRef,
+      fargs: Seq[MetaField] = Nil)
+  /** `mfields` double as INPUT fields when kind == INPUT_OBJECT (the
+    * evaluator serves them under `inputFields`, `fields` answering
+    * null per spec); `enumVals` serve ENUM kinds. */
   private[api] final case class MetaType(kind: String, tname: String,
-      mfields: Seq[MetaField])
+      mfields: Seq[MetaField], enumVals: Seq[String] = Nil)
   private[api] final case class MetaSchema(types: Seq[MetaType]) {
     val byName: Map[String, MetaType] =
       types.map(t => t.tname -> t).toMap
@@ -3602,32 +3608,149 @@ object GraphQl {
       schema: Schema = fixtureSchema,
       tables: Seq[String] = graft.Tables.names,
       columns: Map[String, Set[String]] = Map.empty): MetaSchema = {
-    val objTypes = tables.map { t =>
-      // an absent allowlist admits every parquet column — the
-      // unscoped default; Permissions.serveIntrospectionAs passes the
-      // role's grants so a client browses exactly what it can query
+    import org.apache.spark.sql.types.ArrayType
+    // an absent allowlist admits every parquet column — the
+    // unscoped default; Permissions.serveIntrospectionAs passes the
+    // role's grants so a client browses exactly what it can query
+    val tableCols = tables.map { t =>
       val allowed: String => Boolean =
         columns.get(t).map(set => set.contains(_: String))
           .getOrElse(_ => true)
-      val cols = graft.Tables.load(s, dir, t).schema.fields.toSeq
+      t -> graft.Tables.load(s, dir, t).schema.fields.toSeq
         .filter(f => allowed(f.name))
+    }.toMap
+    // comparison/ordering surfaces take SCALAR (non-array) columns
+    val scalarCols = (t: String) =>
+      tableCols(t).filterNot(_.dataType.isInstanceOf[ArrayType])
+    val numericScalars = Set("bigint", "Int", "float8", "Float")
+    // ---- argument input types (r17 — the surface clients
+    // autocomplete from; previously args rendered empty) ----
+    def inObj(n: String) = TNamed("INPUT_OBJECT", n)
+    val selArgs = (t: String) => Seq(
+      MetaField("where", inObj(s"${t}_bool_exp")),
+      MetaField("order_by", TList(TNonNull(inObj(s"${t}_order_by")))),
+      MetaField("limit", TNamed("SCALAR", "Int")),
+      MetaField("offset", TNamed("SCALAR", "Int")),
+      MetaField("distinct_on",
+        TList(TNonNull(TNamed("ENUM", s"${t}_select_column")))))
+    val objTypes = tables.map { t =>
+      val cols = tableCols(t)
         .map(f => MetaField(f.name, gqlTypeRef(f.dataType)))
+      // array relationships carry the child's full argument surface,
+      // and each one advertises its `<rel>_aggregate` twin (the
+      // served parseRootAggregate/AggRel shape)
       val arrs = schema.rels.collect {
         case ((pt, fname), r) if pt == t =>
-          MetaField(fname,
-            TNonNull(TList(TNonNull(TNamed("OBJECT", r.childTable)))))
-      }.toSeq.sortBy(_.fname)
+          Seq(MetaField(fname,
+            TNonNull(TList(TNonNull(TNamed("OBJECT", r.childTable)))),
+            fargs = selArgs(r.childTable)),
+          MetaField(s"${fname}_aggregate",
+            TNonNull(TNamed("OBJECT", s"${r.childTable}_aggregate")),
+            fargs = selArgs(r.childTable)))
+      }.toSeq.flatten.sortBy(_.fname)
       val objs = schema.objRels.collect {
         case ((pt, fname), r) if pt == t =>
           MetaField(fname, TNamed("OBJECT", r.childTable))
       }.toSeq.sortBy(_.fname)
       MetaType("OBJECT", t, cols ++ arrs ++ objs)
     }
+    // one comparison input per scalar in use; String adds the
+    // pattern family the where grammar serves (like/ilike/similar/
+    // regex — QueryBuilder's comparison surface)
+    val usedScalars = tables.flatMap(t => scalarCols(t))
+      .map(f => gqlScalar(f.dataType)).distinct.sorted
+    val comparisonExps = usedScalars.map { sc =>
+      val scalar = TNamed("SCALAR", sc)
+      val base = Seq("_eq", "_neq", "_gt", "_gte", "_lt", "_lte")
+        .map(MetaField(_, scalar)) ++ Seq(
+        MetaField("_in", TList(TNonNull(scalar))),
+        MetaField("_nin", TList(TNonNull(scalar))),
+        MetaField("_is_null", TNamed("SCALAR", "Boolean")))
+      val patterns =
+        if (sc != "String") Nil
+        else Seq("_like", "_nlike", "_ilike", "_nilike", "_similar",
+          "_nsimilar", "_regex", "_iregex", "_nregex")
+          .map(MetaField(_, scalar))
+      MetaType("INPUT_OBJECT", s"${sc}_comparison_exp", base ++ patterns)
+    }
+    val boolExps = tables.map { t =>
+      val self = inObj(s"${t}_bool_exp")
+      val combinators = Seq(
+        MetaField("_and", TList(TNonNull(self))),
+        MetaField("_not", self),
+        MetaField("_or", TList(TNonNull(self))))
+      val cols = scalarCols(t).map(f => MetaField(f.name,
+        inObj(s"${gqlScalar(f.dataType)}_comparison_exp")))
+      // relationship predicates (the decorrelated EXISTS family)
+      val rels = (schema.rels ++ schema.objRels).collect {
+        case ((pt, fname), r) if pt == t =>
+          MetaField(fname, inObj(s"${r.childTable}_bool_exp"))
+      }.toSeq.sortBy(_.fname)
+      MetaType("INPUT_OBJECT", s"${t}_bool_exp",
+        combinators ++ cols ++ rels)
+    }
+    val orderByEnum = MetaType("ENUM", "order_by", Nil,
+      enumVals = Seq("asc", "asc_nulls_first", "asc_nulls_last",
+        "desc", "desc_nulls_first", "desc_nulls_last"))
+    val orderBys = tables.map(t => MetaType("INPUT_OBJECT",
+      s"${t}_order_by",
+      scalarCols(t).map(f =>
+        MetaField(f.name, TNamed("ENUM", "order_by")))))
+    val selectColEnums = tables.map(t => MetaType("ENUM",
+      s"${t}_select_column", Nil,
+      enumVals = scalarCols(t).map(_.name)))
+    // ---- <t>_aggregate advertisement (r17): the parseRootAggregate
+    // document shape — aggregate { count sum {...} ... } + nodes ----
+    val aggTypes = tables.flatMap { t =>
+      val cs = scalarCols(t)
+      val nums = cs.filter(f => numericScalars(gqlScalar(f.dataType)))
+      val ownScalar = (fs: Seq[org.apache.spark.sql.types.StructField]) =>
+        fs.map(f => MetaField(f.name,
+          TNamed("SCALAR", gqlScalar(f.dataType))))
+      val float8 = (fs: Seq[org.apache.spark.sql.types.StructField]) =>
+        fs.map(f => MetaField(f.name, TNamed("SCALAR", "float8")))
+      val numericArms =
+        if (nums.isEmpty) Nil
+        else Seq(MetaType("OBJECT", s"${t}_sum_fields", ownScalar(nums)),
+          MetaType("OBJECT", s"${t}_avg_fields", float8(nums)),
+          MetaType("OBJECT", s"${t}_stddev_fields", float8(nums)),
+          MetaType("OBJECT", s"${t}_variance_fields", float8(nums)))
+      val minMaxArms = Seq(
+        MetaType("OBJECT", s"${t}_min_fields", ownScalar(cs)),
+        MetaType("OBJECT", s"${t}_max_fields", ownScalar(cs)))
+      val armFields =
+        MetaField("count", TNonNull(TNamed("SCALAR", "Int")),
+          fargs = Seq(
+            MetaField("columns", TList(TNonNull(
+              TNamed("ENUM", s"${t}_select_column")))),
+            MetaField("distinct", TNamed("SCALAR", "Boolean")))) +:
+        ((if (nums.isEmpty) Nil
+          else Seq("sum", "avg", "stddev", "variance")) ++
+          Seq("min", "max"))
+          .map(op => MetaField(op, TNamed("OBJECT", s"${t}_${op}_fields")))
+      Seq(
+        MetaType("OBJECT", s"${t}_aggregate", Seq(
+          MetaField("aggregate",
+            TNamed("OBJECT", s"${t}_aggregate_fields")),
+          MetaField("nodes", TNonNull(TList(TNonNull(
+            TNamed("OBJECT", t))))))),
+        MetaType("OBJECT", s"${t}_aggregate_fields", armFields)) ++
+        numericArms ++ minMaxArms
+    }
     val listOf = (t: String) =>
       TNonNull(TList(TNonNull(TNamed("OBJECT", t))))
     val queryFields = tables.flatMap { t =>
-      MetaField(t, listOf(t)) +: schema.keys.get(t).toSeq.map(_ =>
-        MetaField(s"${t}_by_pk", TNamed("OBJECT", t)))
+      Seq(
+        MetaField(t, listOf(t), fargs = selArgs(t)),
+        MetaField(s"${t}_aggregate",
+          TNonNull(TNamed("OBJECT", s"${t}_aggregate")),
+          fargs = selArgs(t))) ++
+      schema.keys.get(t).toSeq.flatMap { k =>
+        tableCols(t).find(_.name == k).map(kf =>
+          MetaField(s"${t}_by_pk", TNamed("OBJECT", t),
+            fargs = Seq(MetaField(k,
+              TNonNull(TNamed("SCALAR", gqlScalar(kf.dataType)))))))
+      }
     }
     val keyed = tables.filter(schema.keys.contains)
     val mutResponses = keyed.map(t => MetaType("OBJECT",
@@ -3647,11 +3770,14 @@ object GraphQl {
       case TList(of) => leafScalars(of)
       case TNonNull(of) => leafScalars(of)
     }
-    val scalars = (objTypes ++ mutResponses ++ roots)
-      .flatMap(_.mfields).flatMap(f => leafScalars(f.tpe))
+    val withInputs = roots ++ objTypes ++ mutResponses ++
+      comparisonExps ++ boolExps ++ orderBys ++ aggTypes ++
+      selectColEnums :+ orderByEnum
+    val scalars = withInputs
+      .flatMap(t => t.mfields ++ t.mfields.flatMap(_.fargs))
+      .flatMap(f => leafScalars(f.tpe))
       .distinct.sorted.map(n => MetaType("SCALAR", n, Nil))
-    MetaSchema((roots ++ objTypes ++ mutResponses ++ scalars)
-      .sortBy(_.tname))
+    MetaSchema((withInputs ++ scalars).sortBy(_.tname))
   }
 
   /** One parsed introspection selection (generic — the meta model is
@@ -3820,8 +3946,34 @@ object GraphQl {
         case "interfaces" =>
           if (t.kind != "OBJECT") o.putNull(sel.alias)
           else { o.putArray(sel.alias); () }
-        case "inputFields" | "enumValues" | "possibleTypes" =>
-          o.putNull(sel.alias)
+        case "inputFields" =>
+          if (t.kind != "INPUT_OBJECT") o.putNull(sel.alias)
+          else {
+            val a = o.putArray(sel.alias)
+            t.mfields.foreach(f =>
+              a.add(evalInputValue(ms, f, sel.children)))
+          }
+        case "enumValues" =>
+          if (t.kind != "ENUM") o.putNull(sel.alias)
+          else {
+            val a = o.putArray(sel.alias)
+            t.enumVals.foreach { v =>
+              val eo = mapper.createObjectNode()
+              sel.children.foreach { c =>
+                c.iname match {
+                  case "__typename" => eo.put(c.alias, "__EnumValue")
+                  case "name" => eo.put(c.alias, v)
+                  case "description" | "deprecationReason" =>
+                    eo.putNull(c.alias)
+                  case "isDeprecated" => eo.put(c.alias, false)
+                  case other => bad(s"__EnumValue has no field " +
+                    s"'$other' in this introspection subset")
+                }
+              }
+              a.add(eo); ()
+            }
+          }
+        case "possibleTypes" => o.putNull(sel.alias)
         case "ofType" => o.putNull(sel.alias)
         case other => bad(s"__Type has no field '$other' in this " +
           "introspection subset")
@@ -3838,12 +3990,35 @@ object GraphQl {
         case "__typename" => o.put(sel.alias, "__Field")
         case "name" => o.put(sel.alias, f.fname)
         case "description" | "deprecationReason" => o.putNull(sel.alias)
-        case "args" => o.putArray(sel.alias); ()
+        case "args" =>
+          val a = o.putArray(sel.alias)
+          f.fargs.foreach(arg =>
+            a.add(evalInputValue(ms, arg, sel.children)))
         case "type" => o.set[JObj](sel.alias,
           evalTRef(ms, f.tpe, sel.children))
         case "isDeprecated" => o.put(sel.alias, false)
         case other => bad(s"__Field has no field '$other' in this " +
           "introspection subset")
+      }
+    }
+    o
+  }
+
+  /** __InputValue — field arguments and INPUT_OBJECT fields share the
+    * shape; defaults are not modeled (null, Hasura's own posture for
+    * the generated argument surface). */
+  private def evalInputValue(ms: MetaSchema, f: MetaField,
+      sels: Seq[ISel]): JObj = {
+    val o = mapper.createObjectNode()
+    sels.foreach { sel =>
+      sel.iname match {
+        case "__typename" => o.put(sel.alias, "__InputValue")
+        case "name" => o.put(sel.alias, f.fname)
+        case "description" | "defaultValue" => o.putNull(sel.alias)
+        case "type" => o.set[JObj](sel.alias,
+          evalTRef(ms, f.tpe, sel.children))
+        case other => bad(s"__InputValue has no field '$other' in " +
+          "this introspection subset")
       }
     }
     o
@@ -3949,6 +4124,79 @@ object GraphQl {
     introspectionTypeRows(s, serveIntrospection(s, dir, q167Query).fold(
       m => throw new IllegalStateException(s"q167 failed to parse: $m"),
       identity))
+
+  /** q205's document — the ARGUMENT-surface opener (r16 verdict #8;
+    * clients autocomplete from exactly this): input objects next to
+    * the aggregate return types, through the real text path. */
+  val q205Query: String =
+    """{
+      |  __schema {
+      |    types {
+      |      name kind
+      |      fields { name type { kind name ofType { kind name } } }
+      |      inputFields { name type { kind name ofType { kind name } } }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q205 — the advertised ARGUMENT/AGGREGATE surface under the
+    * oracle gate: serve [[q205Query]], flatten the response to one
+    * row per `<t>_bool_exp` (typed column comparisons — the
+    * relationship-predicate and combinator fields are model-only,
+    * pinned by spec), `<t>_order_by` (column → order_by enum) and
+    * `<t>_sum_fields` (numeric columns) — each rebuilt independently
+    * by DuckDB from `information_schema.columns`, so the advertised
+    * argument surface is checked against the DATA's own reflection,
+    * exactly q167's discipline one level deeper. */
+  def q205IntrospectInputs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val resp = serveIntrospection(s, dir, q205Query).fold(
+      m => throw new IllegalStateException(s"q205 failed to parse: $m"),
+      identity)
+    val types = mapper.readTree(resp).get("data").get("__schema")
+      .get("types")
+    val tableSet = graft.Tables.names.toSet
+    import scala.jdk.CollectionConverters._
+    def fieldsJson(t: com.fasterxml.jackson.databind.JsonNode,
+        arm: String, keep: String => Boolean,
+        tname: String => String): Option[String] = {
+      val arr = t.get(arm)
+      if (arr == null || arr.isNull) None
+      else Some(arr.elements().asScala.flatMap { f =>
+        // unwrap NON_NULL/LIST to the named leaf
+        var tr = f.get("type")
+        while (tr.get("name").isNull && tr.get("ofType") != null &&
+          !tr.get("ofType").isNull) tr = tr.get("ofType")
+        val n = Option(tr.get("name")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("")
+        if (keep(n))
+          Some(s"""{"name":"${f.get("name").asText()}",""" +
+            s""""type":"${tname(n)}"}""")
+        else None
+      }.mkString("[", ",", "]"))
+    }
+    val rows = types.elements().asScala.flatMap { t =>
+      val nm = t.get("name").asText()
+      val kind = t.get("kind").asText()
+      if (nm.endsWith("_bool_exp") &&
+          tableSet(nm.stripSuffix("_bool_exp")))
+        fieldsJson(t, "inputFields",
+          _.endsWith("_comparison_exp"), identity)
+          .map(fs => (nm, kind, fs))
+      else if (nm.endsWith("_order_by") &&
+          tableSet(nm.stripSuffix("_order_by")))
+        fieldsJson(t, "inputFields", _ == "order_by", identity)
+          .map(fs => (nm, kind, fs))
+      else if (nm.endsWith("_sum_fields") &&
+          tableSet(nm.stripSuffix("_sum_fields")))
+        fieldsJson(t, "fields", _.nonEmpty, identity)
+          .map(fs => (nm, kind, fs))
+      else None
+    }.toSeq.sortBy(_._1)
+    import s.implicits._
+    rows.toDF("type_name", "kind", "fields")
+      .coalesce(1).orderBy("type_name")
+  }
 
   /** q178's document — the spec's CONDITIONAL directives, the shape
     * Apollo/Relay clients emit for UI-driven field toggles: with

@@ -1757,4 +1757,89 @@ class GraphQlSpec extends SparkSpec {
       .fold(m => fail(m), identity)
     assert(sr.fields === Seq("event_id"))
   }
+  test("introspection advertises the ARGUMENT surface: <t>_aggregate " +
+    "with its arms, bool_exp/order_by input objects, select-column " +
+    "and order_by enums, args on root fields (r17)") {
+    import scala.jdk.CollectionConverters._
+    val doc = """{ __schema { types { name kind
+      |  fields { name args { name type { kind name ofType { kind name
+      |    ofType { kind name } } } } type { kind name } }
+      |  inputFields { name type { kind name } }
+      |  enumValues { name } } } }""".stripMargin
+    val schema = introspect(doc).get("data").get("__schema")
+    val byName = schema.get("types").elements().asScala.toSeq
+      .map(t => t.get("name").asText -> t).toMap
+    // the aggregate family
+    val qf = byName("query_root").get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f).toMap
+    assert(qf.contains("orders_aggregate"))
+    val aggT = byName("orders_aggregate")
+    assert(aggT.get("kind").asText === "OBJECT")
+    val aggFields = aggT.get("fields").elements().asScala
+      .map(_.get("name").asText).toSet
+    assert(aggFields === Set("aggregate", "nodes"))
+    val arms = byName("orders_aggregate_fields").get("fields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(arms === Set("count", "sum", "avg", "stddev", "variance",
+      "min", "max"))
+    // sum arm carries NUMERIC columns at their own scalar; avg floats
+    val sumF = byName("orders_sum_fields").get("fields").elements()
+      .asScala.map(f => f.get("name").asText ->
+        f.get("type").get("name").asText).toMap
+    assert(sumF("o_totalprice") === "float8" &&
+      sumF("o_orderkey") === "bigint")
+    assert(!sumF.contains("o_orderstatus")) // strings don't sum
+    // args on the root field: where/order_by/limit/offset/distinct_on
+    val args = qf("customer").get("args").elements().asScala
+      .map(a => a.get("name").asText -> a).toMap
+    assert(args.keySet === Set("where", "order_by", "limit", "offset",
+      "distinct_on"))
+    assert(args("where").get("type").get("name").asText ===
+      "customer_bool_exp")
+    // by_pk advertises its key argument at the key's scalar, non-null
+    val pk = qf("customer_by_pk").get("args").elements().asScala.toSeq
+    assert(pk.map(_.get("name").asText) === Seq("c_custkey"))
+    assert(pk.head.get("type").get("kind").asText === "NON_NULL" &&
+      pk.head.get("type").get("ofType").get("name").asText === "bigint")
+    // bool_exp: combinators + typed column comparisons + rel preds
+    val be = byName("customer_bool_exp")
+    assert(be.get("kind").asText === "INPUT_OBJECT")
+    assert(be.get("fields").isNull) // spec: INPUT_OBJECT has no fields
+    val beF = be.get("inputFields").elements().asScala
+      .map(f => f.get("name").asText ->
+        Option(f.get("type").get("name")).filterNot(_.isNull)
+          .map(_.asText).getOrElse("")).toMap
+    assert(beF.contains("_and") && beF.contains("_or") &&
+      beF("_not") === "customer_bool_exp")
+    assert(beF("c_custkey") === "bigint_comparison_exp")
+    assert(beF("orders") === "orders_bool_exp") // relationship pred
+    assert(beF("nation") === "nation_bool_exp") // object-rel pred
+    // String comparisons carry the pattern family
+    val strC = byName("String_comparison_exp").get("inputFields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(Set("_eq", "_in", "_is_null", "_like", "_ilike", "_similar",
+      "_regex", "_iregex", "_nregex").subsetOf(strC))
+    val numC = byName("bigint_comparison_exp").get("inputFields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(!numC.contains("_like") && numC.contains("_gte"))
+    // order_by input + enums
+    val ob = byName("customer_order_by")
+    assert(ob.get("kind").asText === "INPUT_OBJECT")
+    assert(ob.get("inputFields").elements().asScala
+      .forall(_.get("type").get("name").asText === "order_by"))
+    val obe = byName("order_by").get("enumValues").elements().asScala
+      .map(_.get("name").asText).toSeq
+    assert(obe === Seq("asc", "asc_nulls_first", "asc_nulls_last",
+      "desc", "desc_nulls_first", "desc_nulls_last"))
+    val selCols = byName("customer_select_column").get("enumValues")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(selCols.contains("c_custkey") && selCols.contains("c_name"))
+    // relationship fields on table types carry the child's args, and
+    // the aggregate twin rides next to the relationship
+    val cust = byName("customer").get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f).toMap
+    assert(cust.contains("orders_aggregate"))
+    assert(cust("orders").get("args").elements().asScala
+      .map(_.get("name").asText).toSet.contains("where"))
+  }
 }

@@ -292,10 +292,11 @@ class PermissionsSpec extends SparkSpec {
       .map(t => t.get("name").asText -> t).toMap
     assert(!types.contains("nation") && !types.contains("part"))
     val custFields = names(types("customer").get("fields"))
-    // exactly the allowlist + the orders relationship (both granted);
-    // the nation object relationship vanished with its table
+    // exactly the allowlist + the orders relationship and its
+    // aggregate twin (both granted); the nation object relationship
+    // vanished with its table
     assert(custFields === Set("c_custkey", "c_name", "c_acctbal",
-      "c_mktsegment", "orders"))
+      "c_mktsegment", "orders", "orders_aggregate"))
     // orders keeps its customer object relationship (both granted)
     assert(names(types("orders").get("fields")).contains("customer"))
     // a role whose grant EXCLUDES the key column loses by_pk and the

@@ -826,4 +826,36 @@ class PlanQualitySpec extends SparkSpec {
       assert(!lines.slice(aIdx, wIdx).exists(_.contains("Exchange")),
         s"extra exchange between window and fold:\n$p")
   }
+
+  test("REGISTRY SWEEP: every unpartitioned window in every registered " +
+    "query sits over an input bounded BY CONSTRUCTION (r16 verdict #10 " +
+    "— a partition-less window over an unbounded intermediate is a " +
+    "single-task gather of the whole dataset at 100 TB)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
+    // bounded-by-construction = Catalyst can prove a row-count ceiling
+    // (maxRows propagates through Limit/one-row aggregates/joins of
+    // bounded sides); the ceiling itself must be presentation-sized.
+    // 100k rows is far above any real result page yet far below any
+    // "accidentally the whole corpus" shape.
+    val cap = 100000L
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+      case (name, q) =>
+        val plan: LogicalPlan =
+          try q(spark, dir).queryExecution.optimizedPlan
+          catch { case e: Throwable =>
+            fail(s"$name failed to build a plan: ${e.getMessage}")
+          }
+        plan.foreach {
+          case w: Window if w.partitionSpec.isEmpty =>
+            val bound = w.child.maxRows
+            if (!bound.exists(_ <= cap))
+              offenders += s"$name: unpartitioned window over " +
+                s"maxRows=$bound\n${w.treeString.take(2000)}"
+          case _ => ()
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
+  }
 }
