@@ -1020,6 +1020,22 @@ object GraphQl {
     aggs.result()
   }
 
+  /** Spec §5.3.2 field merging for a REPEATED `aggregate` arm (the
+    * shape two spread fragments produce): the later arm's fields
+    * append, identical (response key, spec) pairs collapse, and a
+    * response key reused for a DIFFERENT aggregate refuses loudly —
+    * overwriting would silently drop the first arm's answer. */
+  private def mergeAggArms(at: String, prev: Seq[AggField],
+      next: Seq[AggField]): Seq[AggField] =
+    next.foldLeft(prev) { (acc, f) =>
+      acc.find(_.as == f.as) match {
+        case Some(e) if e == f => acc
+        case Some(_) => bad(s"$at: response key '${f.as}' selects two " +
+          "different aggregates across repeated arms")
+        case None => acc :+ f
+      }
+    }
+
   private final case class RelParts(nested: Seq[Nested], aggs: Seq[AggRel])
 
   /** A relationship's selection set: scalars + at most one sub-level. */
@@ -1084,7 +1100,10 @@ object GraphQl {
       // spec §5.3.2: identical repeated selections merge (distinct
       // drops only FULLY identical NestedFields); a response key
       // re-bound differently still trips the Nested guard
-      fields = fields.result().distinct, subs = subs.result(),
+      // .distinct on subs = spec 5.3.2 merging for IDENTICAL repeated
+      // relationship selections (fragment composition); differing
+      // selections under one key still refuse via the duplicate guard
+      fields = fields.result().distinct, subs = subs.result().distinct,
       joinType = joinType,
       where = args.get("where").map(compileBool(_, s"$at.where",
         Some((schema, rel.childTable)))),
@@ -1297,7 +1316,8 @@ object GraphQl {
                   val as = compileAggFields(p, fname,
                     s"${rel.childTable}_aggregate_fields",
                     relCount(rel.childKey, fname))
-                  if (keepA) aggs = as
+                  if (keepA)
+                    aggs = mergeAggArms(s"$fname.aggregate", aggs, as)
                 case "nodes" =>
                   // Hasura's nodes arm inside a relationship
                   // aggregate: the (sliced) child rows themselves,
@@ -1411,8 +1431,10 @@ object GraphQl {
         orderBy = rootOrders,
         offset = intArg(args, "offset", table).getOrElse(0),
         limit = intArg(args, "limit", table),
-        nested = nested.result(),
-        aggRels = aggRels.result(),
+        // .distinct = spec 5.3.2 merging for IDENTICAL repeated
+        // relationship/aggregate selections (fragment composition)
+        nested = nested.result().distinct,
+        aggRels = aggRels.result().distinct,
         distinctOn = distinctOn,
         orderAggs = rootOrderAggs,
         fieldAs = fieldAs.result()))
@@ -1501,7 +1523,7 @@ object GraphQl {
               bad(s"$root.aggregate: unknown directive @$d"))
             val as = compileAggFields(p, root,
               s"${table}_aggregate_fields", rootCount(root))
-            if (keepA) aggs = as
+            if (keepA) aggs = mergeAggArms(s"$root.aggregate", aggs, as)
           case "nodes" =>
             // Hasura's nodes arm: the filtered rows themselves, next
             // to their aggregates — served as one deterministic JSON
@@ -1685,6 +1707,8 @@ object GraphQl {
               s"$root.$f: no tracked relationship on '$table'"))
           val n = compileRelBody(p, schema, table, fargs, restF,
             falias, f, r2, single = single2)
+          if (n.as == "batch_idx") bad(s"$root: 'batch_idx' is the " +
+            "reserved page-index column — pick another response key")
           if (keepF) nested += n
         } else {
           restF.keySet.foreach(d =>
@@ -1693,6 +1717,11 @@ object GraphQl {
             bad(s"$root.$f: scalar fields take no arguments")
           if (keepF) {
             val rk = falias.getOrElse(f)
+            // the synthesized page column owns this response key; a
+            // user column under it would fail (with relationships) or
+            // be silently overwritten (without) at first serve
+            if (rk == "batch_idx") bad(s"$root: 'batch_idx' is the " +
+              "reserved page-index column — pick another response key")
             if (!seenScalars.get(rk).contains(f)) {
               seenScalars += rk -> f
               fields += rk
@@ -1721,7 +1750,7 @@ object GraphQl {
       Right(Subscriptions.StreamRequest(table, cursorField, initial,
         ascending = ascending, batchSize = batchSize, where = where,
         fields = fs, fieldAs = fieldAs.result(),
-        nested = nested.result()))
+        nested = nested.result().distinct))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -3175,8 +3204,10 @@ object GraphQl {
     * the shared setup of every mutation round-trip query. */
   private def freshStore(s: org.apache.spark.sql.SparkSession,
       dir: String, tag: String): String = {
-    val path =
-      s"/root/repo/target/tmp/${tag}_store_${s.sparkContext.applicationId}"
+    // dirTag: the cache key varies with dir, so the path must too —
+    // else a second dir's build would squat the first dir's cached path
+    val path = s"/root/repo/target/tmp/${tag}_store_" +
+      s"${s.sparkContext.applicationId}_${graft.FixtureCache.dirTag(dir)}"
     val base = graft.Tables.load(s, dir, "customer")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
     graft.sources.SnapshotStore.write(base, path)
@@ -3320,7 +3351,8 @@ object GraphQl {
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val (cPath, oPath) = graft.FixtureCache.once(s, s"q131|$dir") {
-      val app = s.sparkContext.applicationId
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
       val cP = s"/root/repo/target/tmp/q131c_store_$app"
       val oP = s"/root/repo/target/tmp/q131o_store_$app"
       graft.sources.SnapshotStore.write(
@@ -3382,7 +3414,8 @@ object GraphQl {
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val (cPath, oPath) = graft.FixtureCache.once(s, s"q146|$dir") {
-      val app = s.sparkContext.applicationId
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
       val cP = s"/root/repo/target/tmp/q146c_store_$app"
       val oP = s"/root/repo/target/tmp/q146o_store_$app"
       graft.sources.SnapshotStore.write(
@@ -3453,7 +3486,8 @@ object GraphQl {
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val (cPath, oPath) = graft.FixtureCache.once(s, s"q160|$dir") {
-      val app = s.sparkContext.applicationId
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
       val cP = s"/root/repo/target/tmp/q160c_store_$app"
       val oP = s"/root/repo/target/tmp/q160o_store_$app"
       graft.sources.SnapshotStore.write(

@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object QueryBuilder {
 
+  /** JSON render options for every relationship/nodes wire column:
+    * Hasura emits EVERY selected key, null-valued when the data is null
+    * — Spark's to_json default (ignoreNullFields=true) would instead
+    * DROP the key, so an absent object relationship inside a nested
+    * array would vanish from the response rather than read `null`. */
+  private[api] val jsonOpts = Map("ignoreNullFields" -> "false")
+
   // ---- where tree (Hasura boolean expressions) -----------------------
 
   sealed trait BoolExp { private[api] def toColumn: Column }
@@ -376,11 +383,14 @@ object QueryBuilder {
     * Hasura's explicit `asc_nulls_first` / `desc_nulls_last` family. */
   final case class Order(field: String, desc: Boolean = false,
       nullsFirst: Option[Boolean] = None) {
-    private[api] def toColumn: Column = (desc, nullsFirst) match {
-      case (false, None | Some(false)) => col(field).asc_nulls_last
-      case (false, Some(true)) => col(field).asc_nulls_first
-      case (true, None | Some(true)) => col(field).desc_nulls_first
-      case (true, Some(false)) => col(field).desc_nulls_last
+    private[api] def toColumn: Column = toColumnOn(col(field))
+    /** The same direction/nulls rule over a stand-in column — used by
+      * the hidden pre-attach sort keys (see [[runOn]]). */
+    private[api] def toColumnOn(c: Column): Column = (desc, nullsFirst) match {
+      case (false, None | Some(false)) => c.asc_nulls_last
+      case (false, Some(true)) => c.asc_nulls_first
+      case (true, None | Some(true)) => c.desc_nulls_first
+      case (true, Some(false)) => c.desc_nulls_last
     }
   }
 
@@ -694,10 +704,10 @@ object QueryBuilder {
       (if (r.nodes.isEmpty) Nil
        else if (r.orderBy.isEmpty)
          Seq(to_json(sort_array(collect_list(
-           struct(r.nodes.map(col): _*)))).as("nodes"))
+           struct(r.nodes.map(col): _*))), jsonOpts).as("nodes"))
        else Seq(to_json(orderedCollect(r.orderBy, s"${r.table}.nodes",
          col(_), r.nodes.map(f => col(f).as(f)), r.nodes,
-         structOrderable(f, r.nodes.map(col)))).as("nodes")))
+         structOrderable(f, r.nodes.map(col))), jsonOpts).as("nodes")))
     val outs = r.aggs.map(a => a.post(col(a.as)).as(a.as)) ++
       (if (r.nodes.isEmpty) Nil else Seq(col("nodes")))
     f.agg(cols.head, cols.tail: _*).select(outs: _*)
@@ -1043,22 +1053,37 @@ object QueryBuilder {
     if (req.nested.isEmpty && req.aggRels.isEmpty)
       return runRoot(base0, req)
     val base = rootSlice(base0, req)
+    // hidden sort keys copy the TABLE columns BEFORE any relationship
+    // attach: withColumn(n.as, ...) REPLACES a same-named base column,
+    // so sorting by name after the attach would let a nested/aggregate
+    // alias that shadows a real column hijack the sort (Hasura orders
+    // by table columns; response keys live in a different namespace)
+    val sortKeyed = req.orderBy.zipWithIndex.foldLeft(base) {
+      case (d, (o, i)) => d.withColumn(s"__sort_$i", col(o.field))
+    }
     // every relationship pre-aggregates to one row per parent key and
     // joins back on it — never a flat multi-child join
-    val withNested = req.nested.foldLeft(base) { (acc, n) =>
-      val rel = compileNested(s, dir, n)
-      acc.join(rel, base0(n.parentKey) === rel(s"__key_${n.as}"),
-          n.joinType)
+    val withNested = req.nested.zipWithIndex.foldLeft(sortKeyed) {
+      case (acc, (n, i)) =>
+        val rel = compileNested(s, dir, n)
         // the TOP level renders to_json (cross-engine-stable wire
         // shape); inner levels stay structured inside their parent;
         // a left attach renders childless parents as "[]", not null —
         // except an OBJECT relationship, whose response is the single
-        // struct itself (null when absent, Hasura's object-rel shape)
-        .withColumn(n.as,
-          if (n.single) to_json(element_at(col(n.as), 1))
-          else if (n.joinType == "left")
-            to_json(coalesce(col(n.as), array()))
-          else to_json(col(n.as)))
+        // struct itself (null when absent, Hasura's object-rel shape).
+        // The render rides an INTERNAL name (`__rel_i`) until the
+        // final projection: response keys live in a different
+        // namespace than table columns, so an alias that EQUALS a
+        // base column name must neither be ambiguous here nor replace
+        // the base column other selections may still reference
+        acc.join(rel, base0(n.parentKey) === rel(s"__key_${n.as}"),
+            n.joinType)
+          .withColumn(s"__rel_$i",
+            if (n.single) to_json(element_at(rel(n.as), 1), jsonOpts)
+            else if (n.joinType == "left")
+              to_json(coalesce(rel(n.as), array()), jsonOpts)
+            else to_json(rel(n.as), jsonOpts))
+          .drop(rel(n.as))
     }
     // aggregate relationships pre-fold the same way: one aggregate row
     // per child key, joined back — so any mix of array and aggregate
@@ -1083,7 +1108,8 @@ object QueryBuilder {
         // hash-deterministic where Hasura's order is unspecified.
         // Internally aliased per aggRel (a base column named "nodes"
         // or a second nodes arm must never resolve ambiguously)
-        val aggCols = a.aggs.map(f => f.agg(loaded).as(a.out(f.as))) ++
+        val aggCols = a.aggs.zipWithIndex.map { case (f, j) =>
+          f.agg(loaded).as(s"__agg_${i}_$j") } ++
           (if (a.nodes.isEmpty) Nil
            else if (a.orderBy.isEmpty)
              Seq(sort_array(collect_list(
@@ -1124,14 +1150,18 @@ object QueryBuilder {
         " — alias the colliding selections")
     val outCols = req.fields.map(
         typenameOr(base0, req.table, req.fieldAs)) ++
-      req.nested.map(n => col(n.as)) ++
+      // response keys materialize ONLY here — the internal `__rel_i`/
+      // `__agg_i_j` names kept them from colliding with table columns
+      req.nested.zipWithIndex.map { case (n, i) =>
+        col(s"__rel_$i").as(n.as) } ++
       req.aggRels.zipWithIndex.flatMap { case (a, i) =>
-        a.aggs.map(f => f.post(col(a.out(f.as))).as(a.out(f.as))) ++
+        a.aggs.zipWithIndex.map { case (f, j) =>
+          f.post(col(s"__agg_${i}_$j")).as(a.out(f.as)) } ++
           // childless parents render "[]" like the Nested arm, never
           // null — to_json here keeps the wire shape engine-stable
           (if (a.nodes.isEmpty) Nil
-           else Seq(to_json(coalesce(col(s"__nodes_$i"), array()))
-             .as(a.out("nodes"))))
+           else Seq(to_json(coalesce(col(s"__nodes_$i"), array()),
+             jsonOpts).as(a.out("nodes"))))
       }
     // sort on the PRE-projection frame (Hasura orders by TABLE
     // columns, never response keys): ordering after the aliasing
@@ -1142,7 +1172,9 @@ object QueryBuilder {
     // sort+project+limit as one TakeOrderedAndProject).
     val ordered =
       if (req.orderBy.isEmpty) withAggs
-      else withAggs.orderBy(req.orderBy.map(_.toColumn): _*)
+      else withAggs.orderBy(req.orderBy.zipWithIndex.map {
+        case (o, i) => o.toColumnOn(col(s"__sort_$i"))
+      }: _*)
     val shaped = ordered.select(outCols: _*)
     val off = if (req.offset > 0) shaped.offset(req.offset) else shaped
     req.limit.map(off.limit).getOrElse(off)

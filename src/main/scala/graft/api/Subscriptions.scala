@@ -260,9 +260,16 @@ object Subscriptions {
       val (s, dir) = rel.getOrElse(throw new IllegalArgumentException(
         s"${sr.table}_stream: relationship selections need the table " +
           "directory — serve through the (s, dir) overloads"))
+      // the relationship joins would otherwise scramble the page sort:
+      // re-order by the cursor in the stream's direction (page index
+      // derives from that same order, so this reproduces batch_idx
+      // order AND in-page order), the way scalar-only delivery rides
+      // the pre-sorted frame
       QueryBuilder.runOn(s, dir, cut, Request(
         sr.table, fields = "batch_idx" +: sr.fields,
-        fieldAs = sr.fieldAs, nested = sr.nested))
+        fieldAs = sr.fieldAs, nested = sr.nested,
+        orderBy = Seq(QueryBuilder.Order(sr.cursorField,
+          desc = !sr.ascending))))
     }
 
   private def pastCursor(sr: StreamRequest, c: Any) =

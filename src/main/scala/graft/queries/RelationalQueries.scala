@@ -695,8 +695,8 @@ object RelationalQueries {
     // process (FixtureCache serving contract); every call reads the
     // refreshed view — the steady state an incremental view serves
     val root = graft.FixtureCache.once(s, s"q152|$dir") {
-      val r =
-        s"/root/repo/target/tmp/q152_view_${s.sparkContext.applicationId}"
+      val r = s"/root/repo/target/tmp/q152_view_" +
+        s"${s.sparkContext.applicationId}_${graft.FixtureCache.dirTag(dir)}"
       IncrementalAgg.initStore(s, r,
         orders.filter(col("o_orderkey") <= 200000L), spec)
       def slice(lo: Long, hi: Long) =

@@ -1904,7 +1904,8 @@ object TextQueries {
       case Some((k, v)) if k == key => v
       case _ =>
         val base = s"/root/repo/target/tmp/q190x_" +
-          s.sparkContext.applicationId
+          s.sparkContext.applicationId +
+          "_" + graft.FixtureCache.dirTag(dir)
         val corpus = docs(s, dir).select("doc_id", "text")
           .orderBy("doc_id").limit(300)
           .localCheckpoint(true)
@@ -2014,7 +2015,8 @@ object TextQueries {
     import graft.operators.{IncrementalImageDedup => I}
     val (path, q) = graft.FixtureCache.once(s, s"q186|$dir") {
       val p = s"/root/repo/target/tmp/q186_" +
-        s.sparkContext.applicationId
+        s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
       val hashes = docs(s, dir)
         .select(col("doc_id").cast("string").as("key"),
           graft.functions.TextKernelExpressions
@@ -2049,7 +2051,8 @@ object TextQueries {
     // the AGREEMENT probe (the operator under measure) against them
     val (base, d) = graft.FixtureCache.once(s, s"q187|$dir") {
       val b = s"/root/repo/target/tmp/q187_" +
-        s.sparkContext.applicationId
+        s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
       val dd = docs(s, dir).select("doc_id", "text")
         .filter(col("doc_id") < 300).localCheckpoint(true)
       val old = dd.filter(col("doc_id") < 150)
@@ -2098,7 +2101,8 @@ object TextQueries {
     val (servingPath, qText) =
       graft.FixtureCache.once(s, s"q185|$dir") {
         val base = s"/root/repo/target/tmp/q185_" +
-          s.sparkContext.applicationId
+          s.sparkContext.applicationId +
+          "_" + graft.FixtureCache.dirTag(dir)
         // 300 docs: doc 45's est-1.0 partner 267 is in range, and the
         // md5 kernel (8 seeded hashes per shingle, the
         // oracle-replayable path) prices the fixture build — the bench

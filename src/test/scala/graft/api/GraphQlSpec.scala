@@ -1842,4 +1842,57 @@ class GraphQlSpec extends SparkSpec {
     assert(cust("orders").get("args").elements().asScala
       .map(_.get("name").asText).toSet.contains("where"))
   }
+  test("spec 5.3.2 merging on REPEATED arms: duplicate aggregate arms " +
+    "merge their fields, identical repeated relationship selections " +
+    "collapse, a key reused for a DIFFERENT aggregate refuses loudly") {
+    // fragment composition repeats the aggregate arm — fields merge
+    val m = parsed("""
+      { customer { c_custkey
+          orders_aggregate {
+            aggregate { count }
+            aggregate { s: sum { o_totalprice } } } } }""")
+    assert(m.aggRels.size === 1)
+    assert(m.aggRels.head.aggs.map(_.as) === Seq("count", "s"))
+    // IDENTICAL repeated arms collapse (no duplicate-key refusal)
+    val m2 = parsed("""
+      { customer { c_custkey
+          orders_aggregate { aggregate { count } aggregate { count } } } }""")
+    assert(m2.aggRels.head.aggs.map(_.as) === Seq("count"))
+    // one key, two different aggregates: loud, never last-wins
+    val e = err("""
+      { customer { c_custkey
+          orders_aggregate {
+            aggregate { n: count }
+            aggregate { n: sum { o_totalprice } } } } }""")
+    assert(e.contains("two different aggregates"))
+    // the ROOT aggregate parser shares the merge discipline
+    val ra = GraphQl.parseRootAggregate(
+      "{ orders_aggregate { aggregate { count } " +
+        "aggregate { s: sum { o_totalprice } } } }")
+      .fold(m => fail(m), identity)
+    assert(ra.aggs.map(_.as) === Seq("count", "s"))
+    // identical relationship selections spread twice merge into ONE
+    // attach (5.3.2's fragment-composed read), root and stream alike
+    val r1 = parsed("""
+      fragment F on customer { orders { k: o_orderkey } }
+      { customer { c_custkey ...F ...F } }""")
+    assert(r1.nested.size === 1)
+    val sr = GraphQl.parseStream("""
+      fragment F on orders { items { ln: l_linenumber } }
+      subscription { orders_stream(cursor: {initial_value:
+        {o_orderkey: 0}}, batch_size: 5) { o_orderkey ...F ...F } }""")
+      .fold(m => fail(m), identity)
+    assert(sr.nested.size === 1)
+  }
+  test("'batch_idx' is a reserved stream response key: a scalar, " +
+    "alias, or relationship under it refuses at PARSE time") {
+    def streamErr(body: String): String =
+      GraphQl.parseStream("subscription { orders_stream(cursor: " +
+        "{initial_value: {o_orderkey: 0}}, batch_size: 5) " +
+        s"{ $body } }")
+        .fold(identity, r => fail(s"accepted reserved key as $r"))
+    assert(streamErr("batch_idx: o_orderkey").contains("reserved"))
+    assert(streamErr("o_orderkey batch_idx: items { l_linenumber }")
+      .contains("reserved"))
+  }
 }

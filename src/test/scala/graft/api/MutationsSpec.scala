@@ -931,4 +931,21 @@ class MutationsSpec extends SparkSpec {
     assert(bySeg("MUTATED")._1 === 11L)
     assert(bySeg.values.map(_._1).sum === 151L)
   }
+
+  test("memoized fixture stores are DIR-SCOPED on disk: serving a " +
+    "second table dir never silently swaps the first dir's store " +
+    "(the cache key AND the store path both vary with dir)") {
+    val dirA = sf("sf0.001")
+    val dirB = sf("sf0.01")
+    def probe(dir: String) =
+      GraphQl.q118MutationRoundTrip(spark, dir).collect()
+        .map(_.toSeq).toSeq
+    val a1 = probe(dirA)
+    val b = probe(dirB)
+    assert(a1 !== b, "two scale factors produced identical aggregates" +
+      " — the cross-dir scenario is unexercised")
+    // the dirA cache entry must still serve dirA's data after dirB's
+    // build (pre-fix, dirB's build squatted dirA's on-disk path)
+    assert(probe(dirA) === a1, "dir B's store replaced dir A's")
+  }
 }

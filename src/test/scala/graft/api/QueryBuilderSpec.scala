@@ -721,4 +721,79 @@ class QueryBuilderSpec extends SparkSpec {
     assert(got === want,
       "the aliased projection hijacked the sort")
   }
+
+  test("order_by survives a NESTED alias that shadows a real column: " +
+    "the hidden pre-attach sort keys copy the table column before " +
+    "withColumn can replace it") {
+    val dir = sf("sf0.001")
+    // the relationship renders under the response key c_name — the
+    // same name as the table column order_by references; the sort
+    // must read the TABLE's c_name, not the JSON array string
+    val got = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 50L)),
+      orderBy = Seq(Order("c_name", desc = true), Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "c_name", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        joinType = "left",
+        fields = Seq(NestedField("k", "o_orderkey")))),
+      limit = Some(10))).collect().map(_.getLong(0)).toSeq
+    val want = graft.Tables.load(spark, dir, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") <= 50L)
+      .orderBy(org.apache.spark.sql.functions.col("c_name").desc,
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .limit(10).select("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === want, "the nested alias hijacked the sort")
+  }
+
+  test("an ABSENT object relationship inside a nested array renders " +
+    "\"key\":null, never an omitted key (Hasura emits every selected " +
+    "key; Spark's to_json default would drop it)") {
+    val dir = sf("sf0.001")
+    // inner object rel customer(where: BUILDING): orders whose
+    // customer is in another segment read cust: null
+    val got = QueryBuilder.run(spark, dir, Request(
+      table = "customer",
+      fields = Seq("c_custkey"),
+      where = Some(Lte("c_custkey", 20L)),
+      orderBy = Seq(Order("c_custkey")),
+      nested = Seq(Nested(
+        as = "orders", table = "orders",
+        childKey = "o_custkey", parentKey = "c_custkey",
+        joinType = "left",
+        fields = Seq(NestedField("k", "o_orderkey")),
+        orderBy = Seq(Order("o_orderkey")),
+        subs = Seq(Nested(
+          as = "cust", table = "customer", single = true,
+          joinType = "left",
+          childKey = "c_custkey", parentKey = "o_custkey",
+          where = Some(Eq("c_mktsegment", "BUILDING")),
+          fields = Seq(NestedField("seg", "c_mktsegment"))))))))
+    val rows = got.collect()
+    val segs = graft.Tables.load(spark, dir, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_custkey") <= 20L)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val idx = got.columns.indexOf("orders")
+    var sawNull = false
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      val json = r.getString(idx)
+      if (json != "[]") {
+        if (segs(key) == "BUILDING")
+          assert(json.contains("\"cust\":{\"seg\":\"BUILDING\"}"),
+            s"$key: $json")
+        else {
+          assert(json.contains("\"cust\":null"),
+            s"$key lost its absent object key: $json")
+          sawNull = true
+        }
+      }
+    }
+    assert(sawNull, "fixture produced no absent referenced row — " +
+      "the null-render path went unexercised")
+  }
 }

@@ -442,7 +442,10 @@ class SubscriptionsSpec extends SparkSpec {
     val q = Subscriptions.streamServe(
       input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus"),
       sr, rel = Some((spark, dir))) { (_, df) =>
-      pushed :+= rows(df.orderBy("o_orderkey"))
+      // AS-PUSHED order: deliver() re-sorts by the cursor after the
+      // relationship joins, so the subscriber must see cursor order
+      // without re-sorting (the scalar-path guarantee)
+      pushed :+= rows(df)
     }
     val orders = graft.Tables.load(spark, dir, "orders")
       .filter(col("o_orderkey") > 100 && col("o_orderstatus") === "O")
@@ -457,7 +460,13 @@ class SubscriptionsSpec extends SparkSpec {
       val replay = Subscriptions.streamPages(
         orders.toSeq.toDF("o_orderkey", "o_custkey", "o_orderstatus"),
         sr, nPages = 2, rel = Some((spark, dir)))
-      assert(pushed.flatten === rows(replay.orderBy("o_orderkey")))
+      assert(pushed.flatten === rows(replay))
+      // pushed pages arrive in cursor order WITHIN each trigger
+      val kIdx = replay.columns.indexOf("o_orderkey")
+      pushed.foreach { page =>
+        val ks = page.map(_(kIdx).asInstanceOf[Long])
+        assert(ks === ks.sorted, s"page out of cursor order: $ks")
+      }
       // both members rendered: arrays (possibly []) and the object
       val byIdx = replay.columns.zipWithIndex.toMap
       pushed.flatten.foreach { r =>
