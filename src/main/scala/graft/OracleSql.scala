@@ -1447,6 +1447,58 @@ object OracleSql {
     // object lookup replay as independent joins re-grouped once; a
     // cross-multiplied sibling fan-out changes the arrays and
     // hash-fails
+    // q206: the ABSENT object relationship renders "cust":null —
+    // DuckDB's to_json includes null struct members, so a dropped key
+    // (Spark's ignoreNullFields default) or an empty object hash-fails
+    // q207: add-one bigram LM predictability — DuckDB retrains the
+    // model from the same split with the same integer-scaled smoothed
+    // probabilities (1e9*(c+1) // (cp+V), exact long arithmetic), so
+    // a drifted count, split, vocab, or smoothing denominator flips
+    // the held-out scores. Lists are 1-based; list_zip of the two
+    // offset slices pairs (w[i], w[i+1]) without a lateral.
+    "q207_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+        |      ' ') AS w
+        |  FROM documents),
+        |bgz AS (
+        |  SELECT doc_id,
+        |    unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS z
+        |  FROM t WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+        |train AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+        |cbg AS (SELECT w1, w2, count(*) AS c FROM train GROUP BY 1, 2),
+        |cpfx AS (SELECT w1, count(*) AS c FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS v FROM
+        |  (SELECT w1 AS x FROM train UNION SELECT w2 FROM train)),
+        |terms AS (
+        |  SELECT test.doc_id,
+        |    (1000000000::BIGINT * (COALESCE(cbg.c, 0) + 1))
+        |      // (COALESCE(cpfx.c, 0) + v.v) AS term
+        |  FROM test
+        |  LEFT JOIN cbg ON cbg.w1 = test.w1 AND cbg.w2 = test.w2
+        |  LEFT JOIN cpfx ON cpfx.w1 = test.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round((sum(term)::DOUBLE / count(*)) / 1e9, 9) AS score
+        |FROM terms GROUP BY doc_id
+        |ORDER BY score, doc_id LIMIT 10""".stripMargin,
+    "q206_absent_objrel" ->
+      """SELECT c.c_custkey,
+        |       to_json(list_sort(list({'k': o.o_orderkey,
+        |                'cust': CASE WHEN cc.c_custkey IS NOT NULL
+        |                          THEN {'seg': cc.c_mktsegment}
+        |                        END})))
+        |         AS orders
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |LEFT JOIN customer cc ON cc.c_custkey = o.o_custkey
+        |  AND cc.c_mktsegment = 'BUILDING'
+        |WHERE c.c_custkey <= 20
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
     "q199_sibling_rels" ->
       """WITH it AS (
         |  SELECT l_orderkey,

@@ -245,6 +245,10 @@ object SparkEntry {
     "q204_stream_rels" -> (graft.api.GraphQl.q204StreamRels(_, _)),
     "q205_introspect_inputs" ->
       (graft.api.GraphQl.q205IntrospectInputs(_, _)),
+    "q207_lm_score" ->
+      (graft.queries.TextQueries.q207LmScore(_, _)),
+    "q206_absent_objrel" ->
+      (graft.api.GraphQl.q206AbsentObjRel(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

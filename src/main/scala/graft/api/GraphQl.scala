@@ -1036,6 +1036,26 @@ object GraphQl {
       }
     }
 
+  /** Spec §5.3.2 scalar accumulator shared by the read-root and
+    * stream selection loops: identical (response key, source) pairs
+    * collapse; a re-bound key passes through to the Request's loud
+    * duplicate guard — one definition, one merge discipline. */
+  private final class ScalarMerge {
+    private var seen = Map.empty[String, String]
+    private val fieldsB = Seq.newBuilder[String]
+    private val fieldAsB = Map.newBuilder[String, String]
+    def add(alias: Option[String], source: String): Unit = {
+      val rk = alias.getOrElse(source)
+      if (!seen.get(rk).contains(source)) {
+        seen += rk -> source
+        fieldsB += rk
+        alias.filter(_ != source).foreach(a => fieldAsB += a -> source)
+      }
+    }
+    def fields: Seq[String] = fieldsB.result()
+    def fieldAs: Map[String, String] = fieldAsB.result()
+  }
+
   private final case class RelParts(nested: Seq[Nested], aggs: Seq[AggRel])
 
   /** A relationship's selection set: scalars + at most one sub-level. */
@@ -1258,14 +1278,10 @@ object GraphQl {
       val distinctOn =
         if (isByPk) Seq.empty[String] else distinctOnArg(args, table)
       p.expect('{')
-      val fields = Seq.newBuilder[String]
-      val fieldAs = Map.newBuilder[String, String]
-      // spec §5.3.2 field merging: IDENTICAL (response key, source)
-      // selections collapse to one — fragment-composed documents
-      // legitimately repeat them; a response key re-bound to a
-      // DIFFERENT source still duplicates and trips the Request
-      // guard (loud, as before)
-      var seenScalars = Map.empty[String, String]
+      // spec §5.3.2 field merging rides [[ScalarMerge]] (shared with
+      // the stream loop): identical (response key, source) selections
+      // collapse; a re-bound key still trips the Request guard
+      val scalars = new ScalarMerge
       val nested = Seq.newBuilder[Nested]
       val aggRels = Seq.newBuilder[AggRel]
       while (!p.isPunct('}')) {
@@ -1399,14 +1415,7 @@ object GraphQl {
           // the alias, the source column the field — codegen clients
           // emit them routinely; the flat-columns answer renames the
           // output column (and the oracle aliases identically)
-          if (keep) {
-            val rk = alias.getOrElse(fname)
-            if (!seenScalars.get(rk).contains(fname)) {
-              seenScalars += rk -> fname
-              fields += rk
-              alias.filter(_ != fname).foreach(a => fieldAs += a -> fname)
-            }
-          }
+          if (keep) scalars.add(alias, fname)
         }
         }
       }
@@ -1425,7 +1434,7 @@ object GraphQl {
         .getOrElse((Nil, Nil))
       Right(Request(
         table = table,
-        fields = fields.result(),
+        fields = scalars.fields,
         where = byPkWhere.orElse(args.get("where")
           .map(compileBool(_, "where", Some((schema, table))))),
         orderBy = rootOrders,
@@ -1437,7 +1446,7 @@ object GraphQl {
         aggRels = aggRels.result().distinct,
         distinctOn = distinctOn,
         orderAggs = rootOrderAggs,
-        fieldAs = fieldAs.result()))
+        fieldAs = scalars.fieldAs))
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1669,10 +1678,8 @@ object GraphQl {
       val where = args.get("where")
         .map(compileBool(_, s"$root.where"))
       p.expect('{')
-      val fields = Seq.newBuilder[String]
-      val fieldAs = Map.newBuilder[String, String]
-      // spec §5.3.2 merging, the root-loop discipline
-      var seenScalars = Map.empty[String, String]
+      // spec §5.3.2 merging rides the root loop's [[ScalarMerge]]
+      val scalars = new ScalarMerge
       val nested = Seq.newBuilder[Nested]
       var parsedFields = 0
       while (!p.isPunct('}')) {
@@ -1716,23 +1723,19 @@ object GraphQl {
           if (fargs.nonEmpty)
             bad(s"$root.$f: scalar fields take no arguments")
           if (keepF) {
-            val rk = falias.getOrElse(f)
-            // the synthesized page column owns this response key; a
+            // the synthesized page column owns this response key: a
             // user column under it would fail (with relationships) or
             // be silently overwritten (without) at first serve
-            if (rk == "batch_idx") bad(s"$root: 'batch_idx' is the " +
-              "reserved page-index column — pick another response key")
-            if (!seenScalars.get(rk).contains(f)) {
-              seenScalars += rk -> f
-              fields += rk
-              falias.filter(_ != f).foreach(a => fieldAs += a -> f)
-            }
+            if (falias.getOrElse(f) == "batch_idx")
+              bad(s"$root: 'batch_idx' is the reserved page-index " +
+                "column — pick another response key")
+            scalars.add(falias, f)
           }
         }
         }
       }
       p.expect('}')
-      val fs = fields.result()
+      val fs = scalars.fields
       // the mutation no-op contract: a selection with no fields AT ALL
       // is malformed; one whose every field was conditionally excluded
       // is the spec's fully-skipped selection — valid, pages still cut
@@ -1749,7 +1752,7 @@ object GraphQl {
       checkFragmentsUsed(p, allToks, nOps)
       Right(Subscriptions.StreamRequest(table, cursorField, initial,
         ascending = ascending, batchSize = batchSize, where = where,
-        fields = fs, fieldAs = fieldAs.result(),
+        fields = fs, fieldAs = scalars.fieldAs,
         nested = nested.result().distinct))
     } catch {
       case Bad(m) => Left(m)
@@ -3555,18 +3558,19 @@ object GraphQl {
   // session metadata (Spark itself holds every DataFrame schema on
   // the driver); nothing here scans data.
   //
-  // Scope notes (deliberate, documented deviations):
-  //  - argument input-object types (<t>_bool_exp, <t>_order_by, ...)
-  //    are not modeled; field `args` render empty. Clients still
-  //    browse and query; they lose arg autocompletion only.
-  //  - <t>_aggregate fields are served by [[parseRootAggregate]] but
-  //    not advertised (this engine's aggregate RESPONSE is flat, not
-  //    Hasura's nested aggregate object, so advertising Hasura's
-  //    shape would promise the wrong thing).
-  //  - fragment type conditions inside an introspection document are
-  //    accepted unchecked: the meta model has no polymorphism, and
-  //    the standard IntrospectionQuery only spreads fragments at
-  //    sites whose static type is exactly the declared condition.
+  // Scope notes — the r15-era deviations are CLOSED as of r17:
+  //  - argument input-object types (<t>_bool_exp, <t>_order_by,
+  //    <sc>_comparison_exp, enums) are modeled and served under
+  //    `inputFields`; field `args` carry the real argument surface
+  //    (q205 checks it against DuckDB's information_schema).
+  //  - <t>_aggregate IS advertised (aggregate_fields arms + nodes)
+  //    and rides relationships as <rel>_aggregate. NOTE the engine's
+  //    aggregate RESPONSE stays flat (column-per-arm), documented at
+  //    [[parseRootAggregate]]; the advertised shape is Hasura's.
+  //  - fragment type conditions TYPE-CHECK against the static meta
+  //    type being served ([[onType]]): matching conditions splice,
+  //    known-other-type conditions contribute nothing (the spec's
+  //    non-applicable fragment), unknown names are loud.
 
   /** A GraphQL type reference: named type or the LIST/NON_NULL
     * wrappers, the `kind/name/ofType` chain clients unwrap. */
@@ -3828,15 +3832,23 @@ object GraphQl {
         val pos = p.next().pos
         p.peek match {
           case Name("on", _) =>
-            p.next(); p.name("type condition")
-            p.splice(p.captureBlock("inline fragment"), pos)
+            p.next()
+            val cond = p.name("type condition")
+            // the condition rides the ISel tree as a '...' node — the
+            // evaluator checks it against the STATIC meta type being
+            // served (r17: conditions were previously spliced unchecked)
+            out += ISel(cond, "...", Map.empty, parseIntroSels(p))
           case Name(fname, fpos) =>
             p.next()
-            val (_, body) = p.fragments.getOrElse(fname,
+            val (cond, body) = p.fragments.getOrElse(fname,
               bad(s"introspection: spread of undefined fragment " +
                 s"'$fname' at $fpos"))
             p.usedFrags += fname
-            p.splice(body, pos)
+            // named spreads expand as inline fragments carrying the
+            // fragment's OWN type condition, so the eval-side check
+            // applies to both spread forms
+            p.splice(Punct('{', fpos) +: body :+ Punct('}', fpos), pos)
+            out += ISel(cond, "...", Map.empty, parseIntroSels(p))
           case t => bad("introspection: expected a fragment name or " +
             s"'on' after '...' at ${t.pos}")
         }
@@ -3897,7 +3909,7 @@ object GraphQl {
         case t => bad(s"unexpected trailing input at ${t.pos}")
       }
       val data = mapper.createObjectNode()
-      roots.foreach { sel =>
+      onType(ms, "query_root", roots).foreach { sel =>
         sel.iname match {
           case "__typename" => data.put(sel.alias, "query_root")
           case "__schema" =>
@@ -3931,9 +3943,31 @@ object GraphQl {
 
   private type JObj = com.fasterxml.jackson.databind.node.ObjectNode
 
+  private val metaTypeNames = Set("__Schema", "__Type", "__Field",
+    "__InputValue", "__EnumValue", "__Directive")
+
+  /** Flatten fragment type-condition nodes against the STATIC meta
+    * type being evaluated (r17 — the last documented introspection
+    * scope cut): a condition naming the current type splices its
+    * selections, a KNOWN other type contributes nothing (the spec's
+    * non-applicable fragment), an unknown name is loud — the standard
+    * IntrospectionQuery's `fragment FullType on __Type` spreads now
+    * actually type-check. */
+  private def onType(ms: MetaSchema, current: String,
+      sels: Seq[ISel]): Seq[ISel] =
+    sels.flatMap {
+      case ISel(cond, "...", _, kids) =>
+        if (!metaTypeNames(cond) && !ms.byName.contains(cond) &&
+            cond != "query_root")
+          bad(s"introspection: fragment condition on unknown type " +
+            s"'$cond'")
+        if (cond == current) onType(ms, current, kids) else Nil
+      case s => Seq(s)
+    }
+
   private def evalSchema(ms: MetaSchema, sels: Seq[ISel]): JObj = {
     val o = mapper.createObjectNode()
-    sels.foreach { sel =>
+    onType(ms, "__Schema", sels).foreach { sel =>
       sel.iname match {
         case "__typename" => o.put(sel.alias, "__Schema")
         case "description" => o.putNull(sel.alias)
@@ -3964,7 +3998,7 @@ object GraphQl {
   private def evalMetaType(ms: MetaSchema, t: MetaType,
       sels: Seq[ISel]): JObj = {
     val o = mapper.createObjectNode()
-    sels.foreach { sel =>
+    onType(ms, "__Type", sels).foreach { sel =>
       sel.iname match {
         case "__typename" => o.put(sel.alias, "__Type")
         case "kind" => o.put(sel.alias, t.kind)
@@ -3993,7 +4027,7 @@ object GraphQl {
             val a = o.putArray(sel.alias)
             t.enumVals.foreach { v =>
               val eo = mapper.createObjectNode()
-              sel.children.foreach { c =>
+              onType(ms, "__EnumValue", sel.children).foreach { c =>
                 c.iname match {
                   case "__typename" => eo.put(c.alias, "__EnumValue")
                   case "name" => eo.put(c.alias, v)
@@ -4019,7 +4053,7 @@ object GraphQl {
   private def evalMetaField(ms: MetaSchema, f: MetaField,
       sels: Seq[ISel]): JObj = {
     val o = mapper.createObjectNode()
-    sels.foreach { sel =>
+    onType(ms, "__Field", sels).foreach { sel =>
       sel.iname match {
         case "__typename" => o.put(sel.alias, "__Field")
         case "name" => o.put(sel.alias, f.fname)
@@ -4044,7 +4078,7 @@ object GraphQl {
   private def evalInputValue(ms: MetaSchema, f: MetaField,
       sels: Seq[ISel]): JObj = {
     val o = mapper.createObjectNode()
-    sels.foreach { sel =>
+    onType(ms, "__InputValue", sels).foreach { sel =>
       sel.iname match {
         case "__typename" => o.put(sel.alias, "__InputValue")
         case "name" => o.put(sel.alias, f.fname)
@@ -4076,7 +4110,7 @@ object GraphQl {
         case TNamed(_, _) => throw new IllegalStateException("unreachable")
       }
       val o = mapper.createObjectNode()
-      sels.foreach { sel =>
+      onType(ms, "__Type", sels).foreach { sel =>
         sel.iname match {
           case "__typename" => o.put(sel.alias, "__Type")
           case "kind" => o.put(sel.alias, kind)
@@ -4345,6 +4379,37 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q199 failed to parse: $m")
+    }
+
+  /** q206's document — an ABSENT inner object relationship (r17
+    * review pass): the order's own customer filtered to one segment,
+    * so most orders' `cust` is NULL — the rendered key must still be
+    * present (`"cust":null`, Hasura's shape; Spark's default
+    * to_json would DROP the key). `where` on an object relationship
+    * is this engine's documented extension (compileRelBody). */
+  val q206Query: String =
+    """{
+      |  customer(where: {c_custkey: {_lte: 20}},
+      |           order_by: [{c_custkey: asc}]) {
+      |    c_custkey
+      |    orders(order_by: [{o_orderkey: asc}]) {
+      |      k: o_orderkey
+      |      cust: customer(where: {c_mktsegment: {_eq: "BUILDING"}})
+      |        { seg: c_mktsegment }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q206 — the absent-object `"key":null` render under the oracle
+    * gate: DuckDB rebuilds the array with a CASE-null struct member
+    * (its to_json includes null members), so an engine that drops
+    * the key — or substitutes an empty object — hash-fails. */
+  def q206AbsentObjRel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q206Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q206 failed to parse: $m")
     }
 
   /** q200's document — an OBJECT-relationship CHAIN below the root

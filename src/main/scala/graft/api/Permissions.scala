@@ -252,12 +252,18 @@ object Permissions {
       }
       // every sibling secures independently — one denied sub denies
       // the document (fail-closed, as for the single-sub chain)
-      subs2 <- n.subs.foldLeft(
-          Right(Seq.empty[Nested]): Either[String, Seq[Nested]]) {
-        (acc, m) => acc.flatMap(ss =>
-          secureNested(m, role, policy).map(ss :+ _))
-      }
+      subs2 <- secureNestedSeq(n.subs, role, policy)
     } yield n.copy(where = andWith(perm.filter, where2), subs = subs2)
+
+  /** Secure every relationship in order, fail-closed: one denial
+    * denies the whole sequence. Shared by nested siblings and stream
+    * relationship selections — one definition, one drift surface. */
+  private def secureNestedSeq(ns: Seq[Nested], role: String,
+      policy: Policy): Either[String, Seq[Nested]] =
+    ns.foldLeft(Right(Seq.empty[Nested]): Either[String, Seq[Nested]]) {
+      (acc, m) => acc.flatMap(ss =>
+        secureNested(m, role, policy).map(ss :+ _))
+    }
 
   private def secureAggRel(a: AggRel, role: String,
       policy: Policy): Either[String, AggRel] =
@@ -718,10 +724,7 @@ object Permissions {
       // relationship selections secure like a read's (the secureNested
       // contract): every level gains its grant's filter, a denied
       // level denies the subscription
-      nested2 <- sr.nested.foldLeft(Right(Seq.empty[Nested])
-          : Either[String, Seq[Nested]]) { (acc, n) =>
-        acc.flatMap(ns => secureNested(n, role, policy).map(ns :+ _))
-      }
+      nested2 <- secureNestedSeq(sr.nested, role, policy)
     } yield sr.copy(where = andWith(perm.filter, w2), nested = nested2)
 
   /** Secure a STREAMING subscription: the filter ANDs into the cursor

@@ -2120,4 +2120,61 @@ object TextQueries {
       }
     D.search(D.loadStore(s, servingPath), qText, k = 5)
   }
+
+  /** Q207 — HELD-OUT bigram-LM predictability score (r17): train an
+    * add-one bigram model on the 80% train split (doc_id % 5 != 0),
+    * score the held-out docs, surface the 10 LEAST predictable — the
+    * frozen-REFERENCE-model filter shape (CCNet-style: incoming data
+    * scored by a model it did not train), where [[q66LmXent]] is the
+    * SELF-trained in-corpus cross-entropy. The split also makes this
+    * the honest form: q66's self-scoring lets a document lower its
+    * own surprise through its own counts.
+    *
+    * DETERMINISM: the usual per-token `sum(log p)` perplexity is
+    * order-sensitive float addition (engine-dependent at hash
+    * granularity), so the score is the arithmetic-mean surrogate:
+    * each smoothed conditional probability becomes the EXACT integer
+    * `(1e9 * (c_bg + 1)) div (c_prefix + V)` (one long division, the
+    * q188 integer-binning recipe), the per-doc mean divides two exact
+    * integers ONCE, rounded to 9 — order-free on both engines.
+    *
+    * SCALE: bigrams come from `arrays_zip(slice, slice)` — per-row,
+    * no self-join; counts are map-side-combinable groupBys; scoring
+    * is two equi-joins on (w1,w2)/(w1) (broadcastable at dim size,
+    * shuffle-safe beyond); V rides a 1-row cross join (maxRows=1,
+    * sweep-audited), never a collected driver scalar. */
+  def q207LmScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalize, tokens}
+    val base = docs(s, dir)
+      .select(col("doc_id"), tokens(normalize(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = base.select(col("doc_id"),
+      explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))).as("bg"))
+      .select(col("doc_id"),
+        col("bg.a").as("w1"), col("bg.b").as("w2"))
+    val train = bigrams.filter(col("doc_id") % 5 =!= 0)
+    val test = bigrams.filter(col("doc_id") % 5 === 0)
+    val cbg = train.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cbg"))
+    val cpfx = train.groupBy("w1").agg(count(lit(1)).as("cpfx"))
+      .withColumnRenamed("w1", "pw1")
+    val vocab = train.select(col("w1").as("t"))
+      .union(train.select(col("w2").as("t")))
+      .agg(countDistinct(col("t")).as("v"))
+    val terms = test
+      .join(cbg, Seq("w1", "w2"), "left")
+      .join(cpfx, test("w1") === cpfx("pw1"), "left")
+      .crossJoin(vocab)
+      .select(col("doc_id"),
+        expr("(1000000000L * (coalesce(cbg, 0L) + 1)) div " +
+          "(coalesce(cpfx, 0L) + v)").as("term"))
+    terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("term")).cast("double") / count(lit(1))) / 1e9,
+          9).as("score"))
+      .orderBy(col("score"), col("doc_id"))
+      .limit(10)
+  }
 }

@@ -1884,6 +1884,42 @@ class GraphQlSpec extends SparkSpec {
       .fold(m => fail(m), identity)
     assert(sr.nested.size === 1)
   }
+  test("introspection fragment TYPE CONDITIONS check against the " +
+    "static meta type: matching splices, known-other skips, unknown " +
+    "is loud (r17 — the last documented scope cut)") {
+    import scala.jdk.CollectionConverters._
+    // the standard IntrospectionQuery shape: a named fragment on
+    // __Type spread at a __Type site serves normally
+    val ok = introspect("""
+      fragment Brief on __Type { name kind }
+      { __schema { types { ...Brief } } }""")
+    val names = ok.get("data").get("__schema").get("types")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(names.contains("customer") && names.contains("query_root"))
+    // inline form, same site
+    val inl = introspect("{ __schema { types { ... on __Type { name } " +
+      "kind } } }")
+    val first = inl.get("data").get("__schema").get("types")
+      .elements().asScala.next()
+    assert(first.has("name") && first.has("kind"))
+    // a KNOWN but non-applicable condition contributes nothing (the
+    // spec's non-applicable fragment): __Field can never be a __Type
+    val skip = introspect("{ __schema { types { kind " +
+      "... on __Field { name } } } }")
+    val t0 = skip.get("data").get("__schema").get("types")
+      .elements().asScala.next()
+    assert(t0.has("kind") && !t0.has("name"))
+    // an UNKNOWN condition is loud, both spread forms
+    assert(GraphQl.serveIntrospection(spark, sf("sf0.001"),
+      "{ __schema { types { ... on __Bogus { name } } } }")
+      .fold(identity, r => fail(s"served $r"))
+      .contains("unknown type"))
+    assert(GraphQl.serveIntrospection(spark, sf("sf0.001"),
+      """fragment F on nope { name }
+        { __schema { types { ...F } } }""")
+      .fold(identity, r => fail(s"served $r"))
+      .contains("unknown type"))
+  }
   test("'batch_idx' is a reserved stream response key: a scalar, " +
     "alias, or relationship under it refuses at PARSE time") {
     def streamErr(body: String): String =

@@ -837,6 +837,7 @@ class PlanQualitySpec extends SparkSpec {
     // bounded sides); the ceiling itself must be presentation-sized.
     // 100k rows is far above any real result page yet far below any
     // "accidentally the whole corpus" shape.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
     val cap = 100000L
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
@@ -852,10 +853,28 @@ class PlanQualitySpec extends SparkSpec {
             if (!bound.exists(_ <= cap))
               offenders += s"$name: unpartitioned window over " +
                 s"maxRows=$bound\n${w.treeString.take(2000)}"
+          // same blanket rule for CONDITION-FREE joins: a cross join
+          // is O(|L|×|R|) rows at 100 TB unless one side is provably
+          // tiny (a broadcast constants/threshold table) or the
+          // author EXPLICITLY broadcast-hinted a side (the documented
+          // request-sized probe of the brute-force kNN baselines —
+          // Catalyst cannot bound a filter's selectivity statically,
+          // the hint is the in-plan assertion that a human did)
+          case j: Join if j.condition.isEmpty =>
+            val tiny = Seq(j.left, j.right)
+              .exists(_.maxRows.exists(_ <= 1000L))
+            val hinted = j.hint.leftHint.exists(_.strategy.isDefined) ||
+              j.hint.rightHint.exists(_.strategy.isDefined)
+            if (!tiny && !hinted)
+              offenders += s"$name: condition-free join with no " +
+                s"provably-tiny or broadcast-hinted side " +
+                s"(maxRows L=${j.left.maxRows} " +
+                s"R=${j.right.maxRows})\n${j.treeString.take(2000)}"
           case _ => ()
         }
     }
     assert(offenders.isEmpty,
-      s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
+      s"unbounded single-partition windows / unbounded cross joins:\n${
+        offenders.mkString("\n")}")
   }
 }
