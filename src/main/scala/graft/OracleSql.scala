@@ -1486,6 +1486,32 @@ object OracleSql {
         |       round((sum(term)::DOUBLE / count(*)) / 1e9, 9) AS score
         |FROM terms GROUP BY doc_id
         |ORDER BY score, doc_id LIMIT 10""".stripMargin,
+    // q208: multi-root batching — each root replays independently,
+    // the union is keyed by the response alias
+    "q208_multi_root" ->
+      """WITH topc AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  ORDER BY c_custkey LIMIT 5),
+        |bigo AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_totalprice >= 200000 ORDER BY o_orderkey LIMIT 5),
+        |one AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey = 7)
+        |SELECT * FROM (
+        |  SELECT 'topc' AS root,
+        |    to_json({'c_custkey': c_custkey,
+        |             'c_mktsegment': c_mktsegment}) AS row_json
+        |  FROM topc
+        |  UNION ALL
+        |  SELECT 'bigo', to_json({'o_orderkey': o_orderkey,
+        |                          'o_orderstatus': o_orderstatus})
+        |  FROM bigo
+        |  UNION ALL
+        |  SELECT 'one', to_json({'c_custkey': c_custkey,
+        |                         'c_name': c_name})
+        |  FROM one)
+        |ORDER BY root, row_json""".stripMargin,
     "q206_absent_objrel" ->
       """SELECT c.c_custkey,
         |       to_json(list_sort(list({'k': o.o_orderkey,

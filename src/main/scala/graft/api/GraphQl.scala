@@ -1252,7 +1252,126 @@ object GraphQl {
             bad(s"variables.$k bound but not declared by the operation"))
       }
       p.expect('{')
-      val rootName = p.name("root table")
+      val (rootKey, rootKept, req) = parseRootField(p, schema)
+      if (!p.isPunct('}'))
+        bad("this document selects MULTIPLE root fields — serve it " +
+          "through parseRoots (one DataFrame per root)")
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped filter returns wrong rows silently"))
+      checkFragmentsUsed(p, allToks, nOps)
+      // the Request API answers ONE DataFrame: a document whose only
+      // root is directive-excluded has nothing to answer with —
+      // parseRoots serves the spec's empty-selection case
+      if (!rootKept)
+        bad(s"$rootKey: the only root field is excluded by its " +
+          "directives — nothing to serve (parseRoots drops excluded " +
+          "roots)")
+      Right(req)
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
+    }
+
+
+  /** Parse a MULTI-ROOT read document — Hasura serves any number of
+    * root fields per query operation (`{ a: customer {...} orders
+    * {...} }`, the client-side batching every dashboard emits) — into
+    * the kept roots as (responseKey, Request) pairs, document order.
+    * Spec rules carried over from [[parse]]: variables/fragments check
+    * across ALL roots, identical duplicate roots collapse (5.3.2), a
+    * response key bound to two DIFFERENT roots refuses, and a
+    * fully-@skip-ed document (every root excluded) is loud — there is
+    * nothing to serve. [[parse]] remains the one-root fast path and
+    * names this entry point when handed a multi-root document. */
+  def parseRoots(query: String, schema: Schema = fixtureSchema,
+      variables: String = "{}",
+      operationName: Option[String] = None)
+      : Either[String, Seq[(String, Request)]] =
+    try {
+      val vars = jsonVars(variables)
+      val (allToks, frags) = extractFragments(tokenize(query))
+      val (opToks, nOps) = chooseOperation(allToks, operationName)
+      val p = new P(opToks)
+      p.fragments = frags
+      p.peek match {
+        case Name("mutation", pos) =>
+          bad(s"the operation at $pos is a mutation — serve it " +
+            "through parseMutationFields, not the read path")
+        case Name("query" | "subscription", _) =>
+          p.next()
+          p.peek match { case Name(_, _) => p.next(); case _ => () }
+          parseOpVariables(p, vars, multiOp = nOps > 1)
+        case _ =>
+          vars.keySet.toSeq.sorted.headOption.foreach(k =>
+            bad(s"variables.$k bound but not declared by the operation"))
+      }
+      p.expect('{')
+      val roots = Seq.newBuilder[(String, Boolean, Request)]
+      while (!p.isPunct('}')) roots += parseRootField(p, schema)
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped filter returns wrong rows silently"))
+      checkFragmentsUsed(p, allToks, nOps)
+      // 5.3.2 on roots: identical repeats collapse; distinct requests
+      // under one response key refuse; excluded roots contribute
+      // nothing (they already fully compiled)
+      val kept = roots.result().filter(_._2).map(t => (t._1, t._3))
+        .distinct
+      val dupKeys = kept.map(_._1).diff(kept.map(_._1).distinct).distinct
+      if (dupKeys.nonEmpty)
+        bad(s"duplicate root response key(s): ${dupKeys.mkString(", ")}" +
+          " — alias the colliding roots")
+      if (kept.isEmpty)
+        bad("every root field is excluded by its directives — " +
+          "nothing to serve")
+      Right(kept)
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
+    }
+
+  /** Evaluate parsed roots in document order — one DataFrame per root,
+    * each through the same [[QueryBuilder.run]] the one-root path
+    * serves (pushdown/broadcast/pre-projection-sort all carry over;
+    * roots are independent plans, so Spark schedules them as separate
+    * jobs — at cluster scale they pipeline, nothing is serialized by
+    * this list). */
+  def runRoots(s: org.apache.spark.sql.SparkSession, dir: String,
+      roots: Seq[(String, Request)])
+      : Seq[(String, org.apache.spark.sql.DataFrame)] =
+    roots.map { case (k, r) => k -> QueryBuilder.run(s, dir, r) }
+
+  /** Parse ONE root field — `alias: table(args) @dirs { body }` — into
+    * (responseKey, kept, Request). ROOT ALIASES (r17) let one document
+    * select the same table twice under distinct keys; root
+    * @include/@skip gate the field's contribution while it still fully
+    * compiles (the conditionalKeep contract). `<table>_by_pk` roots
+    * serve here too. Shared by [[parse]] (exactly one root) and
+    * [[parseRoots]] (Hasura's multi-root batching). */
+  private def parseRootField(p: P, schema: Schema)
+      : (String, Boolean, Request) = {
+    val rfirst = p.name("root table")
+    val (ralias, rootName) =
+      if (p.isPunct(':')) {
+        p.expect(':'); (Some(rfirst), p.name("root table"))
+      } else (None, rfirst)
       // Hasura's `<table>_by_pk(<pkcol>: v)` single-object field: one
       // argument named after the TRACKED key column, compiling to an
       // equality filter (a true key yields at most one row, so no
@@ -1260,6 +1379,12 @@ object GraphQl {
       val isByPk = rootName.endsWith("_by_pk")
       val table = if (isByPk) rootName.stripSuffix("_by_pk") else rootName
       val args = parseArgs(p)
+      // root directives (r17): @include/@skip gate the WHOLE root
+      // field; it still fully compiles (the conditionalKeep contract)
+      val (rootKeep, rootDirs) = conditionalKeep(parseDirectives(p),
+        rootName)
+      rootDirs.keySet.foreach(d =>
+        bad(s"$rootName: unknown directive @$d"))
       val byPkWhere: Option[BoolExp] =
         if (isByPk) {
           val pk = schema.keys.getOrElse(table,
@@ -1420,19 +1545,10 @@ object GraphQl {
         }
       }
       p.expect('}')
-      p.expect('}')
-      p.peek match {
-        case Eof(_) => ()
-        case t => bad(s"trailing content at ${t.pos}")
-      }
-      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
-        bad(s"variable $$$k declared and bound but never used — " +
-          "a dropped filter returns wrong rows silently"))
-      checkFragmentsUsed(p, allToks, nOps)
       val (rootOrders, rootOrderAggs) = args.get("order_by")
         .map(compileOrdersRoot(_, "order_by", schema, table))
         .getOrElse((Nil, Nil))
-      Right(Request(
+      (ralias.getOrElse(rootName), rootKeep, Request(
         table = table,
         fields = scalars.fields,
         where = byPkWhere.orElse(args.get("where")
@@ -1447,13 +1563,7 @@ object GraphQl {
         distinctOn = distinctOn,
         orderAggs = rootOrderAggs,
         fieldAs = scalars.fieldAs))
-    } catch {
-      case Bad(m) => Left(m)
-      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
-      case e: IllegalArgumentException => Left(e.getMessage)
-      case e: com.fasterxml.jackson.core.JacksonException =>
-        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
-    }
+  }
 
   // ---- root aggregates -----------------------------------------------
 
@@ -4411,6 +4521,43 @@ object GraphQl {
       case Left(m) => throw new IllegalStateException(
         s"canned q206 failed to parse: $m")
     }
+
+  /** q208's document — MULTI-ROOT batching (r17): three roots in one
+    * query operation — an aliased filtered read, a second table, and
+    * a `_by_pk` point lookup — sharing one variable. The shape every
+    * dashboard emits to halve its round-trips; Hasura answers all
+    * roots in one response object. */
+  val q208Query: String =
+    """query Batch($seg: String) {
+      |  topc: customer(where: {c_mktsegment: {_eq: $seg}},
+      |                 order_by: [{c_custkey: asc}], limit: 5) {
+      |    c_custkey c_mktsegment
+      |  }
+      |  bigo: orders(where: {o_totalprice: {_gte: 200000}},
+      |               order_by: [{o_orderkey: asc}], limit: 5) {
+      |    o_orderkey o_orderstatus
+      |  }
+      |  one: customer_by_pk(c_custkey: 7) { c_custkey c_name }
+      |}""".stripMargin
+
+  /** q208 — the multi-root response flattened for the oracle gate:
+    * one row per (root response key, wire-rendered row). Each root
+    * evaluates through the unchanged QueryBuilder.run; DuckDB replays
+    * all three and unions — a dropped root, cross-root row leak, or
+    * mis-keyed alias hash-fails. */
+  def q208MultiRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val roots = parseRoots(q208Query,
+        variables = """{"seg": "BUILDING"}""")
+      .fold(m => throw new IllegalStateException(
+        s"canned q208 failed to parse: $m"), identity)
+    runRoots(s, dir, roots).map { case (k, df) =>
+      df.select(lit(k).as("root"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+          QueryBuilder.jsonOpts).as("row_json"))
+    }.reduce(_.unionAll(_)).orderBy("root", "row_json")
+  }
 
   /** q200's document — an OBJECT-relationship CHAIN below the root
     * (r16 verdict #4): `orders { customer { nation { region }}}`,

@@ -1920,6 +1920,57 @@ class GraphQlSpec extends SparkSpec {
       .fold(identity, r => fail(s"served $r"))
       .contains("unknown type"))
   }
+  test("MULTI-ROOT documents (r17): aliases key the roots, identical " +
+    "repeats collapse, re-bound keys and all-excluded documents are " +
+    "loud, variables span roots, parse() names the right entry point") {
+    // same table twice under distinct aliases + a second table
+    val roots = GraphQl.parseRoots("""
+      query ($cap: bigint) {
+        a: customer(where: {c_custkey: {_lte: $cap}}) { c_custkey }
+        b: customer(where: {c_custkey: {_gt: $cap}}, limit: 3) { c_name }
+        orders(limit: 2) { o_orderkey }
+      }""", variables = """{"cap": 10}""")
+      .fold(m => fail(m), identity)
+    assert(roots.map(_._1) === Seq("a", "b", "orders"))
+    assert(roots(0)._2.table === "customer" &&
+      roots(2)._2.table === "orders")
+    // the variable bound only through roots still passes the
+    // declared-and-used check (usage is document-wide)
+    assert(roots(1)._2.limit === Some(3))
+    // identical duplicate roots collapse (5.3.2 on roots)
+    val dup = GraphQl.parseRoots(
+      "{ customer(limit: 1) { c_custkey } " +
+        "customer(limit: 1) { c_custkey } }")
+      .fold(m => fail(m), identity)
+    assert(dup.size === 1)
+    // one key, two DIFFERENT roots: loud
+    assert(GraphQl.parseRoots(
+      "{ customer(limit: 1) { c_custkey } customer { c_name } }")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("duplicate root response key"))
+    // root directives gate whole roots; all-excluded is loud
+    val gated = GraphQl.parseRoots(
+      "{ a: customer(limit: 1) @include(if: false) { c_custkey } " +
+        "b: orders(limit: 1) { o_orderkey } }")
+      .fold(m => fail(m), identity)
+    assert(gated.map(_._1) === Seq("b"))
+    assert(GraphQl.parseRoots(
+      "{ a: customer(limit: 1) @skip(if: true) { c_custkey } }")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("every root field is excluded"))
+    // the one-root API refuses multi-root docs BY NAME
+    assert(GraphQl.parse(
+      "{ customer { c_custkey } orders { o_orderkey } }")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("parseRoots"))
+    // a by_pk root batches like any other (q208's shape); the multi
+    // and single paths compile the same Request
+    val pk = GraphQl.parseRoots(
+      "{ one: customer_by_pk(c_custkey: 7) { c_name } }")
+      .fold(m => fail(m), identity)
+    assert(pk.head._1 === "one" &&
+      pk.head._2 === parsed("{ customer_by_pk(c_custkey: 7) { c_name } }"))
+  }
   test("'batch_idx' is a reserved stream response key: a scalar, " +
     "alias, or relationship under it refuses at PARSE time") {
     def streamErr(body: String): String =
