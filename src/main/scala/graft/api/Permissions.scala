@@ -483,6 +483,27 @@ object Permissions {
       sec <- secure(req, role, policy)
     } yield QueryBuilder.run(s, dir, sec)
 
+  /** [[serveAs]] for MULTI-ROOT documents (r17): every root secures
+    * independently through the same [[secure]]; ONE denied root
+    * denies the whole document (Hasura answers batched queries
+    * all-or-nothing — a partial answer would silently hide the denied
+    * root from a client that asked for it). */
+  def serveRootsAs(s: org.apache.spark.sql.SparkSession, dir: String,
+      role: String, policy: Policy, query: String,
+      schema: GraphQl.Schema = GraphQl.fixtureSchema,
+      variables: String = "{}",
+      operationName: Option[String] = None)
+      : Either[String, Seq[(String, org.apache.spark.sql.DataFrame)]] =
+    for {
+      roots <- GraphQl.parseRoots(query, schema, variables,
+        operationName)
+      secured <- roots.foldLeft(Right(Seq.empty[(String, Request)])
+          : Either[String, Seq[(String, Request)]]) {
+        case (acc, (k, r)) => acc.flatMap(ss =>
+          secure(r, role, policy).map(sr => ss :+ (k -> sr)))
+      }
+    } yield GraphQl.runRoots(s, dir, secured)
+
   /** [[serveAs]] for STREAMING subscription documents: parse the
     * `<table>_stream` text, secure it for the role, and serve the
     * BATCH-replay pages over `base` — the live path takes the same

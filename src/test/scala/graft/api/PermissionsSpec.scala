@@ -591,6 +591,35 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("serveRootsAs: every root secures independently, ONE denied " +
+    "root denies the whole batched document (all-or-nothing)") {
+    val dir = sf("sf0.001")
+    // both roots granted: each root carries its OWN role filter
+    val served = Permissions.serveRootsAs(spark, dir, "analyst", policy,
+      """{ c: customer(order_by: {c_custkey: asc}, limit: 5)
+        |    { c_custkey }
+        |  o: orders(order_by: {o_orderkey: asc}, limit: 5)
+        |    { o_orderkey o_orderstatus } }""".stripMargin)
+      .fold(m => fail(m), identity)
+    assert(served.map(_._1) === Seq("c", "o"))
+    val building = graft.Tables.load(spark, dir, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") ===
+        "BUILDING")
+      .orderBy("c_custkey").limit(5)
+      .collect().map(_.getAs[Long]("c_custkey")).toSeq
+    assert(served(0)._2.collect().map(_.getLong(0)).toSeq === building)
+    // the orders root got the analyst's O-status row filter
+    assert(served(1)._2.collect().forall(_.getString(1) == "O"))
+    // one ungranted root (part) denies the WHOLE document — the
+    // granted customer root must not leak through a partial answer
+    Permissions.serveRootsAs(spark, dir, "analyst", policy,
+      "{ customer(limit: 1) { c_custkey } part(limit: 1) { p_partkey } }"
+    ) match {
+      case Left(m) => assert(m.contains("part"))
+      case Right(r) => fail(s"partial answer served: ${r.map(_._1)}")
+    }
+  }
+
   test("a secured request drives a live-query subscription: the role " +
     "filter holds at every trigger") {
     implicit val sqlCtx = spark.sqlContext
