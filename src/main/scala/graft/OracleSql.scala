@@ -1497,8 +1497,13 @@ object OracleSql {
         |  SELECT o_orderkey, o_orderstatus FROM orders
         |  WHERE o_totalprice >= 200000 ORDER BY o_orderkey LIMIT 5),
         |one AS (
-        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey = 7)
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey = 7),
+        |agg AS (
+        |  SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F')
         |SELECT * FROM (
+        |  SELECT 'agg' AS root, to_json({'count': n}) AS row_json
+        |  FROM agg
+        |  UNION ALL
         |  SELECT 'topc' AS root,
         |    to_json({'c_custkey': c_custkey,
         |             'c_mktsegment': c_mktsegment}) AS row_json

@@ -1252,7 +1252,7 @@ object GraphQl {
             bad(s"variables.$k bound but not declared by the operation"))
       }
       p.expect('{')
-      val (rootKey, rootKept, req) = parseRootField(p, schema)
+      val (rootKey, rootKept, rootOp) = parseRootField(p, schema)
       if (!p.isPunct('}'))
         bad("this document selects MULTIPLE root fields — serve it " +
           "through parseRoots (one DataFrame per root)")
@@ -1272,7 +1272,12 @@ object GraphQl {
         bad(s"$rootKey: the only root field is excluded by its " +
           "directives — nothing to serve (parseRoots drops excluded " +
           "roots)")
-      Right(req)
+      rootOp match {
+        case ReadRoot(req) => Right(req)
+        case AggRoot(_) => bad(s"$rootKey: aggregate roots serve " +
+          "through parseRootAggregate (one root) or parseRoots " +
+          "(batched with reads)")
+      }
     } catch {
       case Bad(m) => Left(m)
       case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
@@ -1295,7 +1300,7 @@ object GraphQl {
   def parseRoots(query: String, schema: Schema = fixtureSchema,
       variables: String = "{}",
       operationName: Option[String] = None)
-      : Either[String, Seq[(String, Request)]] =
+      : Either[String, Seq[(String, RootOp)]] =
     try {
       val vars = jsonVars(variables)
       val (allToks, frags) = extractFragments(tokenize(query))
@@ -1315,7 +1320,7 @@ object GraphQl {
             bad(s"variables.$k bound but not declared by the operation"))
       }
       p.expect('{')
-      val roots = Seq.newBuilder[(String, Boolean, Request)]
+      val roots = Seq.newBuilder[(String, Boolean, RootOp)]
       while (!p.isPunct('}')) roots += parseRootField(p, schema)
       p.expect('}')
       p.peek match {
@@ -1354,24 +1359,40 @@ object GraphQl {
     * jobs — at cluster scale they pipeline, nothing is serialized by
     * this list). */
   def runRoots(s: org.apache.spark.sql.SparkSession, dir: String,
-      roots: Seq[(String, Request)])
+      roots: Seq[(String, RootOp)])
       : Seq[(String, org.apache.spark.sql.DataFrame)] =
-    roots.map { case (k, r) => k -> QueryBuilder.run(s, dir, r) }
+    roots.map {
+      case (k, ReadRoot(r)) => k -> QueryBuilder.run(s, dir, r)
+      case (k, AggRoot(r)) => k -> QueryBuilder.runAggregate(s, dir, r)
+    }
+
+  /** One parsed root of a (possibly multi-root) read document: a
+    * table read / `_by_pk` lookup, or a whole-table aggregate —
+    * Hasura batches both kinds freely in one operation. */
+  sealed trait RootOp
+  final case class ReadRoot(req: Request) extends RootOp
+  final case class AggRoot(req: QueryBuilder.AggRequest) extends RootOp
 
   /** Parse ONE root field — `alias: table(args) @dirs { body }` — into
-    * (responseKey, kept, Request). ROOT ALIASES (r17) let one document
+    * (responseKey, kept, RootOp). ROOT ALIASES (r17) let one document
     * select the same table twice under distinct keys; root
     * @include/@skip gate the field's contribution while it still fully
-    * compiles (the conditionalKeep contract). `<table>_by_pk` roots
-    * serve here too. Shared by [[parse]] (exactly one root) and
-    * [[parseRoots]] (Hasura's multi-root batching). */
+    * compiles (the conditionalKeep contract). `<table>_by_pk` and
+    * `<table>_aggregate` roots serve here too. Shared by [[parse]]
+    * (exactly one root) and [[parseRoots]] (Hasura's multi-root
+    * batching). */
   private def parseRootField(p: P, schema: Schema)
-      : (String, Boolean, Request) = {
+      : (String, Boolean, RootOp) = {
     val rfirst = p.name("root table")
     val (ralias, rootName) =
       if (p.isPunct(':')) {
         p.expect(':'); (Some(rfirst), p.name("root table"))
       } else (None, rfirst)
+    if (rootName.endsWith("_aggregate")) {
+      val (kept, agg) = parseAggRootField(p, rootName,
+        rootName.stripSuffix("_aggregate"))
+      return (ralias.getOrElse(rootName), kept, AggRoot(agg))
+    }
       // Hasura's `<table>_by_pk(<pkcol>: v)` single-object field: one
       // argument named after the TRACKED key column, compiling to an
       // equality filter (a true key yields at most one row, so no
@@ -1548,7 +1569,7 @@ object GraphQl {
       val (rootOrders, rootOrderAggs) = args.get("order_by")
         .map(compileOrdersRoot(_, "order_by", schema, table))
         .getOrElse((Nil, Nil))
-      (ralias.getOrElse(rootName), rootKeep, Request(
+      (ralias.getOrElse(rootName), rootKeep, ReadRoot(Request(
         table = table,
         fields = scalars.fields,
         where = byPkWhere.orElse(args.get("where")
@@ -1562,7 +1583,7 @@ object GraphQl {
         aggRels = aggRels.result().distinct,
         distinctOn = distinctOn,
         orderAggs = rootOrderAggs,
-        fieldAs = scalars.fieldAs))
+        fieldAs = scalars.fieldAs)))
   }
 
   // ---- root aggregates -----------------------------------------------
@@ -1606,8 +1627,45 @@ object GraphQl {
         bad(s"$root: expected <table>_aggregate " +
           "(plain reads go through parse)")
       val table = root.stripSuffix("_aggregate")
+      val (rootKept, req) = parseAggRootField(p, root, table)
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped filter returns wrong rows silently"))
+      checkFragmentsUsed(p, opToks, nOps = 1)
+      if (!rootKept)
+        bad(s"$root: the only root field is excluded by its " +
+          "directives — nothing to serve (parseRoots drops excluded " +
+          "roots)")
+      Right(req)
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
+    }
+
+
+  /** Parse ONE `<table>_aggregate` ROOT field's arguments + body into
+    * (kept, AggRequest) — shared by [[parseRootAggregate]] (exactly
+    * one root) and [[parseRootField]] (aggregate roots batched next
+    * to reads in a multi-root document). Root @include/@skip gate the
+    * field; it still fully compiles. */
+  private def parseAggRootField(p: P, root: String, table: String)
+      : (Boolean, QueryBuilder.AggRequest) = {
       val args = parseArgs(p)
       checkArgs(args, Set("where", "order_by", "limit", "offset"), root)
+      // root directives (r17): @include/@skip gate the whole
+      // aggregate root; it still fully compiles
+      val (rootKeep, rootDirs) = conditionalKeep(parseDirectives(p),
+        root)
+      rootDirs.keySet.foreach(d =>
+        bad(s"$root: unknown directive @$d"))
       val where = args.get("where").map(compileBool(_, s"$root.where"))
       // Hasura aggregates the SLICED set: order_by/limit/offset bound
       // the rows the aggregates (and nodes) see, so
@@ -1680,24 +1738,9 @@ object GraphQl {
         }
       }
       p.expect('}')
-      p.expect('}')
-      p.peek match {
-        case Eof(_) => ()
-        case t => bad(s"trailing content at ${t.pos}")
-      }
-      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
-        bad(s"variable $$$k declared and bound but never used — " +
-          "a dropped filter returns wrong rows silently"))
-      checkFragmentsUsed(p, opToks, nOps = 1)
-      Right(QueryBuilder.AggRequest(table, where, aggs, nodes,
+      (rootKeep, QueryBuilder.AggRequest(table, where, aggs, nodes,
         orderBy = slice, limit = limit, offset = offset))
-    } catch {
-      case Bad(m) => Left(m)
-      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
-      case e: IllegalArgumentException => Left(e.getMessage)
-      case e: com.fasterxml.jackson.core.JacksonException =>
-        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
-    }
+  }
 
   // ---- streaming subscriptions (`<table>_stream`) --------------------
 
@@ -4524,7 +4567,8 @@ object GraphQl {
 
   /** q208's document — MULTI-ROOT batching (r17): three roots in one
     * query operation — an aliased filtered read, a second table, and
-    * a `_by_pk` point lookup — sharing one variable. The shape every
+    * a `_by_pk` point lookup, and an AGGREGATE root — sharing one
+    * variable. The shape every
     * dashboard emits to halve its round-trips; Hasura answers all
     * roots in one response object. */
   val q208Query: String =
@@ -4538,6 +4582,9 @@ object GraphQl {
       |    o_orderkey o_orderstatus
       |  }
       |  one: customer_by_pk(c_custkey: 7) { c_custkey c_name }
+      |  agg: orders_aggregate(where: {o_orderstatus: {_eq: "F"}}) {
+      |    aggregate { count }
+      |  }
       |}""".stripMargin
 
   /** q208 — the multi-root response flattened for the oracle gate:

@@ -497,10 +497,15 @@ object Permissions {
     for {
       roots <- GraphQl.parseRoots(query, schema, variables,
         operationName)
-      secured <- roots.foldLeft(Right(Seq.empty[(String, Request)])
-          : Either[String, Seq[(String, Request)]]) {
-        case (acc, (k, r)) => acc.flatMap(ss =>
-          secure(r, role, policy).map(sr => ss :+ (k -> sr)))
+      secured <- roots.foldLeft(
+          Right(Seq.empty[(String, GraphQl.RootOp)])
+          : Either[String, Seq[(String, GraphQl.RootOp)]]) {
+        case (acc, (k, GraphQl.ReadRoot(r))) => acc.flatMap(ss =>
+          secure(r, role, policy)
+            .map(sr => ss :+ (k -> GraphQl.ReadRoot(sr))))
+        case (acc, (k, GraphQl.AggRoot(r))) => acc.flatMap(ss =>
+          secureAggregate(r, role, policy)
+            .map(sr => ss :+ (k -> GraphQl.AggRoot(sr))))
       }
     } yield GraphQl.runRoots(s, dir, secured)
 

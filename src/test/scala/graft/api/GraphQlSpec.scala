@@ -1932,11 +1932,15 @@ class GraphQlSpec extends SparkSpec {
       }""", variables = """{"cap": 10}""")
       .fold(m => fail(m), identity)
     assert(roots.map(_._1) === Seq("a", "b", "orders"))
-    assert(roots(0)._2.table === "customer" &&
-      roots(2)._2.table === "orders")
+    def read(op: GraphQl.RootOp): Request = op match {
+      case GraphQl.ReadRoot(r) => r
+      case other => fail(s"expected a read root, got $other")
+    }
+    assert(read(roots(0)._2).table === "customer" &&
+      read(roots(2)._2).table === "orders")
     // the variable bound only through roots still passes the
     // declared-and-used check (usage is document-wide)
-    assert(roots(1)._2.limit === Some(3))
+    assert(read(roots(1)._2).limit === Some(3))
     // identical duplicate roots collapse (5.3.2 on roots)
     val dup = GraphQl.parseRoots(
       "{ customer(limit: 1) { c_custkey } " +
@@ -1968,8 +1972,24 @@ class GraphQlSpec extends SparkSpec {
     val pk = GraphQl.parseRoots(
       "{ one: customer_by_pk(c_custkey: 7) { c_name } }")
       .fold(m => fail(m), identity)
-    assert(pk.head._1 === "one" &&
-      pk.head._2 === parsed("{ customer_by_pk(c_custkey: 7) { c_name } }"))
+    assert(pk.head._1 === "one" && read(pk.head._2) ===
+      parsed("{ customer_by_pk(c_custkey: 7) { c_name } }"))
+    // an AGGREGATE root batches next to reads (the read+count
+    // dashboard shape); parse() names the right entry points
+    val withAgg = GraphQl.parseRoots(
+      "{ customer(limit: 1) { c_custkey } " +
+        "n: orders_aggregate(where: {o_orderstatus: {_eq: \"O\"}}) " +
+        "{ aggregate { count } } }")
+      .fold(m => fail(m), identity)
+    assert(withAgg.map(_._1) === Seq("customer", "n"))
+    withAgg(1)._2 match {
+      case GraphQl.AggRoot(a) =>
+        assert(a.table === "orders" && a.aggs.map(_.as) === Seq("count"))
+      case other => fail(s"expected an aggregate root, got $other")
+    }
+    assert(GraphQl.parse("{ orders_aggregate { aggregate { count } } }")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("parseRootAggregate"))
   }
   test("'batch_idx' is a reserved stream response key: a scalar, " +
     "alias, or relationship under it refuses at PARSE time") {

@@ -610,6 +610,15 @@ class PermissionsSpec extends SparkSpec {
     assert(served(0)._2.collect().map(_.getLong(0)).toSeq === building)
     // the orders root got the analyst's O-status row filter
     assert(served(1)._2.collect().forall(_.getString(1) == "O"))
+    // an AGGREGATE root secures through secureAggregate: the role's
+    // row filter bounds the count
+    val withAgg = Permissions.serveRootsAs(spark, dir, "analyst",
+      policy, "{ n: orders_aggregate { aggregate { count } } }")
+      .fold(m => fail(m), identity)
+    val openOrders = graft.Tables.load(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") ===
+        "O").count()
+    assert(withAgg.head._2.collect().head.getLong(0) === openOrders)
     // one ungranted root (part) denies the WHOLE document — the
     // granted customer root must not leak through a partial answer
     Permissions.serveRootsAs(spark, dir, "analyst", policy,
