@@ -1753,9 +1753,10 @@ object GraphQl {
     * loudly (the engine, like Hasura, streams on one cursor column).
     * `initial_value: null` streams from the beginning; `ordering`
     * defaults ASC. The surface is subscription-only (Hasura serves
-    * `_stream` on no other operation type), scalar selections only —
-    * a relationship under a cursor scan would re-rank, which is the
-    * live-query mode's job. Operation variables work as in [[parse]]
+    * `_stream` on no other operation type). Scalar selections ride
+    * the cursor scan directly; RELATIONSHIP selections (r17) compile
+    * like a read's and attach per delivered page through
+    * QueryBuilder.runOn. Operation variables work as in [[parse]]
     * ($v at any value position). Never throws. */
   def parseStream(query: String, schema: Schema = fixtureSchema,
       variables: String = "{}",
@@ -2558,6 +2559,7 @@ object GraphQl {
         var sawAffected = false
         var returning: Option[Seq[String]] = None
         val retAs = scala.collection.mutable.Map.empty[String, String]
+        val retNested = Seq.newBuilder[QueryBuilder.Nested]
         var single = byPk
         // fragments spread in mutation response selections with
         // Hasura's type names: by_pk / insert_one row shapes are the
@@ -2576,8 +2578,32 @@ object GraphQl {
           val (a, c) =
             if (p.isPunct(':')) { p.expect(':'); (Some(first), p.name("column")) }
             else (None, first)
-          into += a.getOrElse(c)
-          a.filter(_ != c).foreach(x => retAs += x -> c)
+          val fargs = parseArgs(p)
+          val (keepF, fdirs) = conditionalKeep(parseDirectives(p),
+            a.getOrElse(c))
+          if (p.isPunct('{')) {
+            // RELATIONSHIP selections on the returned rows (r17):
+            // Hasura serves them on mutation responses; here the
+            // engine returns the full rows and renderReturning
+            // attaches each relationship through QueryBuilder.runOn
+            // (the _stream deliver posture)
+            val (rel, single2) = schema.rels.get((m.table, c))
+              .map((_, false))
+              .orElse(schema.objRels.get((m.table, c)).map((_, true)))
+              .getOrElse(bad(
+                s"$c: no tracked relationship on '${m.table}'"))
+            val n = compileRelBody(p, schema, m.table, fargs, fdirs,
+              a, c, rel, single = single2)
+            if (keepF) retNested += n
+          } else {
+            if (fargs.nonEmpty)
+              bad(s"$c: returning scalar fields take no arguments")
+            fdirs.keySet.foreach(d => bad(s"$c: unknown directive @$d"))
+            if (keepF) {
+              into += a.getOrElse(c)
+              a.filter(_ != c).foreach(x => retAs += x -> c)
+            }
+          }
         }
         def rowCols(into: scala.collection.mutable.Builder[String, Seq[String]],
             at: String): Unit =
@@ -2591,7 +2617,8 @@ object GraphQl {
           val cols = Seq.newBuilder[String]
           rowCols(cols, fname)
           val cs = cols.result()
-          if (cs.isEmpty) bad(s"$fname: empty selection set")
+          if (cs.isEmpty && retNested.result().isEmpty)
+            bad(s"$fname: empty selection set")
           returning = Some(cs)
         } else {
           while (!p.isPunct('}')) {
@@ -2620,7 +2647,7 @@ object GraphQl {
                 rowCols(cols, s"$fname.returning")
                 p.expect('}')
                 val cs = cols.result()
-                if (cs.isEmpty)
+                if (cs.isEmpty && retNested.result().isEmpty)
                   bad(s"$fname.returning: empty selection set")
                 returning = Some(cs)
               case other if isOne && !sawAffected && returning.isEmpty =>
@@ -2640,7 +2667,7 @@ object GraphQl {
         }
         p.expect('}')
         if (keep) out += Mutations.Field(m, returning, single,
-          retAs.toMap)
+          retAs.toMap, retNested = retNested.result().distinct)
       }
       p.expect('}')
       p.peek match {
@@ -3694,6 +3721,66 @@ object GraphQl {
   def q123ByPkMutations(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     mutationRoundTrip(s, dir, "q123", q123Mutation, "{}")
+
+  /** Attach a mutation field's RELATIONSHIP selections to its
+    * returned rows (r17): scalar-only returning is already shaped by
+    * the engine; with `retNested` set, the engine kept the FULL rows
+    * and this serve step evaluates them through the read path's
+    * QueryBuilder.runOn — per relationship one pre-aggregated join
+    * back, the exact posture `_stream` delivery uses. */
+  def renderReturning(s: org.apache.spark.sql.SparkSession,
+      dir: String, f: Mutations.Field,
+      fr: Mutations.FieldResult)
+      : Option[org.apache.spark.sql.DataFrame] =
+    if (f.retNested.isEmpty) fr.returning
+    else fr.returning.map(rows => QueryBuilder.runOn(s, dir, rows,
+      Request(f.m.table, fields = f.returning.getOrElse(Nil),
+        fieldAs = f.returningAs, nested = f.retNested)))
+
+  /** q209's document — RELATIONSHIP selections on mutation
+    * `returning` (r17): the updated customers come back with their
+    * open orders attached (sliced per relationship), Hasura's
+    * mutation-response read surface. */
+  val q209Query: String =
+    """mutation {
+      |  update_customer(where: {c_custkey: {_lte: 20}},
+      |                  _inc: {c_acctbal: 100}) {
+      |    affected_rows
+      |    returning {
+      |      c_custkey
+      |      bal: c_acctbal
+      |      orders(where: {o_orderstatus: {_eq: "O"}},
+      |             order_by: [{o_orderkey: asc}], limit: 3)
+      |        @join(type: "left") { k: o_orderkey }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q209 — mutation returning WITH relationships under the oracle
+    * gate: the store mutates once per process (FixtureCache), the
+    * returned rows render through [[renderReturning]] (runOn attach),
+    * and DuckDB replays the post-increment balances plus the
+    * per-customer top-3 open-order arrays — a dropped/extra order,
+    * a pre-increment balance, or a missing empty-array render
+    * hash-fails. */
+  def q209ReturningRels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fields = parsedFields("q209", q209Query, "{}")
+    val rendered = graft.FixtureCache.once(s, s"q209|$dir") {
+      val path = freshStore(s, dir, "q209")
+      val rs = Mutations.applyFieldsToStore(s, path, "customer",
+        "c_custkey", fields)
+      renderReturning(s, dir, fields.head, rs.head)
+        .getOrElse(throw new IllegalStateException(
+          "q209: the update declared returning"))
+        .localCheckpoint(true)
+    }
+    rendered
+      .select(col("c_custkey"), round(col("bal"), 2).as("bal"),
+        col("orders"))
+      .orderBy("c_custkey")
+  }
 
   /** q124's document — `returning` with MID-DOCUMENT visibility: the
     * update's returning must include the row the SAME document just

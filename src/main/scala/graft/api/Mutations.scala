@@ -117,11 +117,20 @@ object Mutations {
     * the rows are the same, the flag preserves the wire shape. */
   final case class Field(m: Mutation,
       returning: Option[Seq[String]] = None, single: Boolean = false,
-      returningAs: Map[String, String] = Map.empty) {
+      returningAs: Map[String, String] = Map.empty,
+      retNested: Seq[QueryBuilder.Nested] = Nil) {
     // `returning` entries are RESPONSE keys (GraphQL aliases
     // included); `returningAs` maps an aliased key back to its source
-    // column — the read surface's Request.fieldAs contract
-    require(returning.forall(cs => cs.distinct.size == cs.size),
+    // column — the read surface's Request.fieldAs contract.
+    // `retNested` are RELATIONSHIP selections on the returned rows
+    // (Hasura serves them on mutation responses) — the engine returns
+    // the FULL affected rows and the serve layer attaches the
+    // relationships through QueryBuilder.runOn (the _stream deliver
+    // posture), so the store machinery stays relationship-free
+    require(retNested.isEmpty || returning.isDefined,
+      s"${m.table}: relationship selections need a returning arm")
+    private val retKeys = returning.getOrElse(Nil) ++ retNested.map(_.as)
+    require(retKeys.distinct.size == retKeys.size,
       s"${m.table}: duplicate response key(s) in returning")
     require(returningAs.keySet.subsetOf(
       returning.getOrElse(Nil).toSet),
@@ -371,7 +380,11 @@ object Mutations {
             val missing = srcs.filterNot(have)
             require(missing.isEmpty, s"returning: unknown column(s) " +
               missing.mkString(", "))
-            rows.select(cols.map { c =>
+            // relationship selections attach at the SERVE layer
+            // (GraphQl.renderReturning) — keep the FULL rows so the
+            // join keys survive; the final projection happens there
+            if (f.retNested.nonEmpty) rows.localCheckpoint(true)
+            else rows.select(cols.map { c =>
               val src = f.returningAs.getOrElse(c, c)
               if (src == c) col(c) else col(src).as(c)
             }: _*).localCheckpoint(true)

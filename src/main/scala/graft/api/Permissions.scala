@@ -942,8 +942,11 @@ object Permissions {
               perm, role, f.m.table, "returning")
           case None => Right(())
         }
+        // relationship selections on the returned rows secure exactly
+        // like a read's (per-level grants + row filters, fail-closed)
+        nested2 <- secureNestedSeq(f.retNested, role, policy)
         m2 <- secureMutation(f.m)
-      } yield f.copy(m = m2)
+      } yield f.copy(m = m2, retNested = nested2)
     })
   }
 }

@@ -1991,6 +1991,41 @@ class GraphQlSpec extends SparkSpec {
       .fold(identity, r => fail(s"accepted as $r"))
       .contains("parseRootAggregate"))
   }
+  test("mutation returning takes RELATIONSHIP selections (r17): " +
+    "arrays with per-rel args, object rels, relationship-only " +
+    "returning; duplicate keys across scalars and rels refuse") {
+    val fs = GraphQl.parseMutationFields("""
+      mutation {
+        update_customer(where: {c_custkey: {_lte: 5}},
+                        _set: {c_mktsegment: "X"}) {
+          affected_rows
+          returning {
+            c_custkey
+            o: orders(limit: 2, order_by: [{o_orderkey: asc}]) {
+              k: o_orderkey }
+            nation { n_name }
+          }
+        }
+      }""").fold(m => fail(m), identity)
+    assert(fs.head.retNested.map(_.as) === Seq("o", "nation"))
+    assert(fs.head.retNested.map(_.single) === Seq(false, true))
+    assert(fs.head.retNested.head.limit === Some(2))
+    assert(fs.head.returning === Some(Seq("c_custkey")))
+    // relationship-only returning is valid (Hasura serves it)
+    val relOnly = GraphQl.parseMutationFields("""
+      mutation { delete_customer(where: {c_custkey: {_eq: 1}}) {
+        returning { orders { o_orderkey } } } }""")
+      .fold(m => fail(m), identity)
+    assert(relOnly.head.returning === Some(Nil) &&
+      relOnly.head.retNested.map(_.as) === Seq("orders"))
+    // a scalar alias colliding with a relationship key is loud
+    assert(GraphQl.parseMutationFields("""
+      mutation { update_customer(where: {c_custkey: {_eq: 1}},
+          _set: {c_mktsegment: "X"}) {
+        returning { orders: c_custkey orders { o_orderkey } } } }""")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("duplicate response key"))
+  }
   test("'batch_idx' is a reserved stream response key: a scalar, " +
     "alias, or relationship under it refuses at PARSE time") {
     def streamErr(body: String): String =

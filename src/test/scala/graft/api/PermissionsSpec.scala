@@ -629,6 +629,30 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("returning relationships secure like a read's: an ungranted " +
+    "child table in the mutation response is denied fail-closed") {
+    val fs = GraphQl.parseMutationFields("""
+      mutation { update_customer(where: {c_custkey: {_eq: 1}},
+          _set: {c_mktsegment: "BUILDING"}) {
+        returning { c_custkey nation { n_name } } } }""")
+      .fold(m => fail(m), identity)
+    // analyst has customer+orders grants but NOT nation
+    Permissions.secureFields(fs, "analyst", policy) match {
+      case Left(m) => assert(m.contains("nation"))
+      case Right(r) => fail(s"ungranted returning rel served: $r")
+    }
+    // the granted relationship secures and gains the role's child
+    // row filter (orders: o_orderstatus = O)
+    val ok = GraphQl.parseMutationFields("""
+      mutation { update_customer(where: {c_custkey: {_eq: 1}},
+          _set: {c_mktsegment: "BUILDING"}) {
+        returning { c_custkey orders { o_orderkey } } } }""")
+      .fold(m => fail(m), identity)
+    val sec = Permissions.secureFields(ok, "analyst", policy)
+      .fold(m => fail(m), identity)
+    assert(sec.head.retNested.head.where.isDefined)
+  }
+
   test("a secured request drives a live-query subscription: the role " +
     "filter holds at every trigger") {
     implicit val sqlCtx = spark.sqlContext
