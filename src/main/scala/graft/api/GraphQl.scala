@@ -1334,7 +1334,11 @@ object GraphQl {
       // 5.3.2 on roots: identical repeats collapse; distinct requests
       // under one response key refuse; excluded roots contribute
       // nothing (they already fully compiled)
-      val kept = roots.result().filter(_._2).map(t => (t._1, t._3))
+      val allRoots = roots.result()
+      // `{ }` is a GraphQL syntax error, not a directive exclusion —
+      // diagnose it as the empty selection it is
+      if (allRoots.isEmpty) bad("empty selection set at the document root")
+      val kept = allRoots.filter(_._2).map(t => (t._1, t._3))
         .distinct
       val dupKeys = kept.map(_._1).diff(kept.map(_._1).distinct).distinct
       if (dupKeys.nonEmpty)
@@ -2634,7 +2638,8 @@ object GraphQl {
                 val cols = Seq.newBuilder[String]
                 rowCols(cols, fname)
                 val cs = cols.result()
-                if (cs.isEmpty) bad(s"$fname: empty selection set")
+                if (cs.isEmpty && retNested.result().isEmpty)
+                  bad(s"$fname: empty selection set")
                 returning = Some(cs); single = true
               }
             } else
@@ -2716,7 +2721,8 @@ object GraphQl {
     * `insert_<t>_one` with the row-shaped selection. Tables whose
     * names would COLLIDE with a verb suffix (`_one`, `_by_pk`) reject
     * instead of parsing back as a different verb. */
-  def renderMutationFields(fs: Seq[Mutations.Field]): String = {
+  def renderMutationFields(fs: Seq[Mutations.Field],
+      schema: Schema = fixtureSchema): String = {
     require(fs.nonEmpty, "render: empty mutation document")
     // every bare identifier in the rendered text must BE a GraphQL
     // name, or the output parses differently (an 'a b' column reads
@@ -2763,13 +2769,28 @@ object GraphQl {
       f.returning.getOrElse(throw new IllegalArgumentException(
         "render: a by_pk/single field needs returning columns " +
           "(its response IS the row)")).map(retCol(f))
-    def selection(f: Mutations.Field): String = f.returning match {
-      case Some(cols) if f.single =>
-        cols.map(retCol(f)).mkString(" { ", " ", " }\n")
-      case Some(cols) =>
-        " { affected_rows returning { " +
-          cols.map(retCol(f)).mkString(" ") + " } }\n"
-      case None => " { affected_rows }\n"
+    def selection(f: Mutations.Field): String = {
+      // relationship selections render through the read printer's
+      // renderNested (the identity contract covers retNested too —
+      // dropping them here would silently drift, the one printer sin)
+      def rels: String =
+        if (f.retNested.isEmpty) ""
+        else {
+          val sb2 = new StringBuilder("\n")
+          f.retNested.foreach(n =>
+            renderNested(sb2, schema, f.m.table, n, 6))
+          sb2.dropRight(1).toString
+        }
+      f.returning match {
+        case Some(cols) if f.single =>
+          " { " + (cols.map(retCol(f)) ++ Seq(rels).filter(_.nonEmpty))
+            .mkString(" ") + " }\n"
+        case Some(cols) =>
+          " { affected_rows returning { " +
+            (cols.map(retCol(f)) ++ Seq(rels).filter(_.nonEmpty))
+              .mkString(" ") + " } }\n"
+        case None => " { affected_rows }\n"
+      }
     }
     val sb = new StringBuilder("mutation {\n")
     fs.foreach { field =>

@@ -551,7 +551,7 @@ object Mutations {
           // ITS table's folded state; one affected_rows for the whole
           // tree, returning = the parent rows (Hasura's response)
           val pr = step(Field(parent, f.returning, f.single,
-            f.returningAs))
+            f.returningAs, retNested = f.retNested))
           val crs = children.map(c => step(Field(c)))
           FieldResult(pr.affected + crs.map(_.affected).sum,
             pr.returning)

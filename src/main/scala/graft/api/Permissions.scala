@@ -659,6 +659,20 @@ object Permissions {
       fields <- GraphQl.parseMutationFields(doc, variables, schema,
         operationName)
       sec <- secureFields(fields, role, policy)
+      // relationship returning keeps the FULL affected rows in its
+      // FieldResult (the renderReturning contract) — handing those to
+      // a role-scoped caller would leak ungranted columns, and this
+      // path has no table dir to attach relationships from. Refuse
+      // rather than leak: serve the shape by composing secureFields →
+      // applyFieldsToStore → GraphQl.renderReturning(s, dir, ...).
+      _ <-
+        if (sec.exists(_.retNested.nonEmpty))
+          Left("relationship returning is not served on the " +
+            "store-registry path (full-row frames would leak " +
+            "ungranted columns) — apply secureFields, run the " +
+            "mutation, then GraphQl.renderReturning(s, dir, field, " +
+            "result)")
+        else Right(())
     } yield Mutations.applyFieldsToStores(s, stores, sec)
 
   /** Secure a ROOT-AGGREGATE request: the role's row filter ANDs into

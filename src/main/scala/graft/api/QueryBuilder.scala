@@ -623,7 +623,11 @@ object QueryBuilder {
       distinctOn: Seq[String] = Nil,
       orderAggs: Seq[OrderAgg] = Nil,
       fieldAs: Map[String, String] = Map.empty) {
-    require(fields.nonEmpty, s"request on '$table' selects no fields")
+    // a relationship-only selection is valid (Hasura serves
+    // `{ customer { orders {...} } }` and relationship-only mutation
+    // returning); only a selection with NOTHING at all is malformed
+    require(fields.nonEmpty || nested.nonEmpty || aggRels.nonEmpty,
+      s"request on '$table' selects no fields")
     // `fields` are RESPONSE keys (GraphQL aliases included); `fieldAs`
     // maps an aliased response key back to its source column. Spec
     // rule 5.3.2: response keys are unique — a duplicate would

@@ -2025,6 +2025,42 @@ class GraphQlSpec extends SparkSpec {
         returning { orders: c_custkey orders { o_orderkey } } } }""")
       .fold(identity, r => fail(s"accepted as $r"))
       .contains("duplicate response key"))
+    // printer identity COVERS retNested (dropping them would be the
+    // silent drift the printer contract forbids)
+    assert(GraphQl.parseMutationFields(
+      GraphQl.renderMutationFields(fs)) === Right(fs))
+    assert(GraphQl.parseMutationFields(
+      GraphQl.renderMutationFields(relOnly)) === Right(relOnly))
+    // relationship-only returning SERVES: renderReturning answers the
+    // relationship column over the returned rows
+    val dir = sf("sf0.001")
+    val path = s"/root/repo/target/tmp/retrel_spec_" +
+      spark.sparkContext.applicationId
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment"), path)
+    val rs = Mutations.applyFieldsToStore(spark, path, "customer",
+      "c_custkey", relOnly)
+    val served = GraphQl.renderReturning(spark, dir, relOnly.head,
+      rs.head).getOrElse(fail("returning declared"))
+    assert(served.columns.toSeq === Seq("orders"))
+    assert(served.count() === 1)
+  }
+  test("relationship-only READS are valid requests (Hasura serves " +
+    "{ customer { orders {...} } }); truly empty selections stay loud") {
+    val dir = sf("sf0.001")
+    val df = QueryBuilder.run(spark, dir, parsed("""
+      { customer(where: {c_custkey: {_lte: 5}}) {
+          orders { k: o_orderkey } } }"""))
+    assert(df.columns.toSeq === Seq("orders"))
+    assert(df.count() > 0)
+    assertThrows[IllegalArgumentException](
+      Request("customer", fields = Nil))
+    // `query { }` is an empty-selection parse error, never a
+    // directive-exclusion diagnosis
+    assert(GraphQl.parseRoots("query { }")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("empty selection set"))
   }
   test("'batch_idx' is a reserved stream response key: a scalar, " +
     "alias, or relationship under it refuses at PARSE time") {

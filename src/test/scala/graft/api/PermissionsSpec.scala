@@ -651,6 +651,25 @@ class PermissionsSpec extends SparkSpec {
     val sec = Permissions.secureFields(ok, "analyst", policy)
       .fold(m => fail(m), identity)
     assert(sec.head.retNested.head.where.isDefined)
+    // the store-registry serve path REFUSES relationship returning
+    // (its FieldResults carry full rows — serving them would leak
+    // ungranted columns); the refusal names the correct recipe
+    val dir = sf("sf0.001")
+    val path = s"/root/repo/target/tmp/permrel_spec_" +
+      spark.sparkContext.applicationId
+    graft.sources.SnapshotStore.write(
+      graft.Tables.load(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "c_name"),
+      path)
+    Permissions.serveMutationsAs(spark, "analyst", policy,
+      """mutation { update_customer(where: {c_custkey: {_eq: 1}},
+        |    _set: {c_mktsegment: "BUILDING"}) {
+        |  returning { c_custkey orders { o_orderkey } } } }"""
+        .stripMargin,
+      Map("customer" -> (path, "c_custkey"))) match {
+      case Left(m) => assert(m.contains("renderReturning"))
+      case Right(r) => fail(s"full-row frames served to a role: $r")
+    }
   }
 
   test("a secured request drives a live-query subscription: the role " +
