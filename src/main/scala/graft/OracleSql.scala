@@ -1486,6 +1486,24 @@ object OracleSql {
         |       round((sum(term)::DOUBLE / count(*)) / 1e9, 9) AS score
         |FROM terms GROUP BY doc_id
         |ORDER BY score, doc_id LIMIT 10""".stripMargin,
+    // q210: relationship-only read — one rendered array column; the
+    // row order follows the UNSELECTED root sort column
+    "q210_rel_only_read" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderkey) AS rn
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |ord AS (
+        |  SELECT o_custkey,
+        |         to_json(list({'k': o_orderkey} ORDER BY o_orderkey))
+        |           AS orders
+        |  FROM r WHERE rn <= 2 GROUP BY o_custkey)
+        |SELECT COALESCE(ord.orders, '[]') AS orders
+        |FROM customer c
+        |LEFT JOIN ord ON ord.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= 15
+        |ORDER BY c.c_custkey""".stripMargin,
     // q209: mutation returning with relationships — the oracle
     // replays the post-increment balances and rebuilds each
     // customer's top-3 open-order array independently

@@ -247,6 +247,8 @@ object SparkEntry {
       (graft.api.GraphQl.q205IntrospectInputs(_, _)),
     "q207_lm_score" ->
       (graft.queries.TextQueries.q207LmScore(_, _)),
+    "q210_rel_only_read" ->
+      (graft.api.GraphQl.q210RelOnlyRead(_, _)),
     "q209_returning_rels" ->
       (graft.api.GraphQl.q209ReturningRels(_, _)),
     "q208_multi_root" ->

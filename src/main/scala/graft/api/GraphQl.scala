@@ -1058,7 +1058,9 @@ object GraphQl {
 
   private final case class RelParts(nested: Seq[Nested], aggs: Seq[AggRel])
 
-  /** A relationship's selection set: scalars + at most one sub-level. */
+  /** A relationship's selection set: scalars + any number of sibling
+    * sub-relationships per level (array and object rels compose at
+    * depth — r17). */
   private def compileRelBody(p: P, schema: Schema, table: String,
       args: Map[String, V], dirs: Map[String, Map[String, V]],
       alias: Option[String], relName: String, rel: Rel,
@@ -4671,6 +4673,32 @@ object GraphQl {
       case Right(r) => QueryBuilder.run(s, dir, r)
       case Left(m) => throw new IllegalStateException(
         s"canned q206 failed to parse: $m")
+    }
+
+  /** q210's document — a RELATIONSHIP-ONLY read (r17 review pass):
+    * no scalar selected at the root, the response is just the
+    * rendered relationship arrays (Hasura serves the shape; the
+    * engine's Request now accepts selection-less-but-nested roots). */
+  val q210Query: String =
+    """{
+      |  customer(where: {c_custkey: {_lte: 15}},
+      |           order_by: [{c_custkey: asc}]) {
+      |    orders(where: {o_orderstatus: {_eq: "F"}},
+      |           order_by: [{o_orderkey: asc}], limit: 2)
+      |      @join(type: "left") { k: o_orderkey }
+      |  }
+      |}""".stripMargin
+
+  /** q210 — relationship-only read under the oracle gate: one column
+    * of per-customer sliced order arrays, row order pinned by the
+    * root order_by (which references a column NOT selected — the
+    * hidden pre-attach sort keys carry it). */
+  def q210RelOnlyRead(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q210Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q210 failed to parse: $m")
     }
 
   /** q208's document — MULTI-ROOT batching (r17): three roots in one
