@@ -2162,6 +2162,61 @@ object OracleSql {
     // reflection — q167's discipline one level deeper; same CASE
     // (the verbatim inverse of gqlScalar), arrays excluded (no
     // comparison/ordering surface), numerics = the sum arm
+    // q211: the WRITE-side argument surface — insert/set/inc input
+    // objects + update_column enums per KEYED table vs DuckDB's
+    // independent reflection joined to the tracked key map (q205's
+    // discipline applied to mutations); arrays excluded (no CASE arm),
+    // relationship data arms model-only
+    "q211_introspect_mut_inputs" -> {
+      val keyed = graft.Tables.names
+        .filter(graft.api.GraphQl.fixtureSchema.keys.contains)
+      val tables = keyed.map(t => s"'$t'").mkString(", ")
+      val keyRows = keyed.map(t =>
+        s"('$t', '${graft.api.GraphQl.fixtureSchema.keys(t)}')")
+        .mkString(", ")
+      s"""WITH cols AS (
+         |  SELECT table_name AS t, column_name AS c,
+         |    ordinal_position AS i,
+         |    CASE data_type
+         |      WHEN 'BIGINT' THEN 'bigint'
+         |      WHEN 'INTEGER' THEN 'Int'
+         |      WHEN 'VARCHAR' THEN 'String'
+         |      WHEN 'DOUBLE' THEN 'float8'
+         |      WHEN 'FLOAT' THEN 'Float'
+         |      WHEN 'BOOLEAN' THEN 'Boolean'
+         |      WHEN 'TIMESTAMP' THEN 'timestamp'
+         |      WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+         |      WHEN 'DATE' THEN 'date'
+         |      WHEN 'BLOB' THEN 'bytea'
+         |    END AS sc,
+         |    data_type IN ('BIGINT', 'INTEGER', 'DOUBLE', 'FLOAT')
+         |      AS num
+         |  FROM information_schema.columns
+         |  WHERE table_name IN ($tables)),
+         |ks AS (SELECT * FROM (VALUES $keyRows) AS v(t, k))
+         |SELECT * FROM (
+         |  SELECT t || '_insert_input' AS type_name,
+         |    'INPUT_OBJECT' AS kind,
+         |    '[' || string_agg('{"name":"' || c || '","type":"' ||
+         |      sc || '"}', ',' ORDER BY i) || ']' AS fields
+         |  FROM cols WHERE sc IS NOT NULL GROUP BY t
+         |  UNION ALL
+         |  SELECT t || '_set_input', 'INPUT_OBJECT',
+         |    '[' || string_agg('{"name":"' || c || '","type":"' ||
+         |      sc || '"}', ',' ORDER BY i) || ']'
+         |  FROM cols WHERE sc IS NOT NULL GROUP BY t
+         |  UNION ALL
+         |  SELECT t || '_inc_input', 'INPUT_OBJECT',
+         |    '[' || string_agg('{"name":"' || c || '","type":"' ||
+         |      sc || '"}', ',' ORDER BY i) || ']'
+         |  FROM cols WHERE num GROUP BY t
+         |  UNION ALL
+         |  SELECT cols.t || '_update_column', 'ENUM',
+         |    '[' || string_agg('"' || c || '"', ',' ORDER BY i) || ']'
+         |  FROM cols JOIN ks ON ks.t = cols.t
+         |  WHERE sc IS NOT NULL AND c <> ks.k GROUP BY cols.t)
+         |ORDER BY type_name""".stripMargin
+    },
     "q205_introspect_inputs" -> {
       val tables = graft.Tables.names
         .map(t => s"'$t'").mkString(", ")

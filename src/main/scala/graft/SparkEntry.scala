@@ -247,6 +247,8 @@ object SparkEntry {
       (graft.api.GraphQl.q205IntrospectInputs(_, _)),
     "q207_lm_score" ->
       (graft.queries.TextQueries.q207LmScore(_, _)),
+    "q211_introspect_mut_inputs" ->
+      (graft.api.GraphQl.q211IntrospectMutInputs(_, _)),
     "q210_rel_only_read" ->
       (graft.api.GraphQl.q210RelOnlyRead(_, _)),
     "q209_returning_rels" ->

@@ -4058,9 +4058,95 @@ object GraphQl {
       s"${t}_mutation_response", Seq(
         MetaField("affected_rows", TNonNull(TNamed("SCALAR", "Int"))),
         MetaField("returning", listOf(t)))))
-    val mutFields = keyed.flatMap(t => Seq("insert", "update", "delete")
-      .map(v => MetaField(s"${v}_$t",
-        TNamed("OBJECT", s"${t}_mutation_response"))))
+    // ---- WRITE-side argument input types (r17, q211): the verbs the
+    // engine serves (all seven spellings) with the input objects a
+    // client autocompletes writes from. Generated from the SAME
+    // narrowed tableCols as the read surface, so role narrowing
+    // composes: an ungranted column vanishes from insert/set inputs,
+    // an ungranted KEY drops the *_by_pk/pk_columns spellings ----
+    val mutInputTypes = keyed.flatMap { t =>
+      val cs = scalarCols(t)
+      val nums = cs.filter(f => numericScalars(gqlScalar(f.dataType)))
+      val k = schema.keys(t)
+      val ownScalarIn = (fs: Seq[org.apache.spark.sql.types.StructField]) =>
+        fs.map(f => MetaField(f.name,
+          TNamed("SCALAR", gqlScalar(f.dataType))))
+      // nested-insert data arms ride tracked array relationships to
+      // KEYED children (the InsertTree shapes the engine serves)
+      val relData = schema.rels.collect {
+        case ((pt, fname), r) if pt == t && schema.keys.contains(
+            r.childTable) =>
+          MetaField(fname, inObj(s"${r.childTable}_arr_rel_insert_input"))
+      }.toSeq.sortBy(_.fname)
+      val incArm =
+        if (nums.isEmpty) Nil
+        else Seq(MetaType("INPUT_OBJECT", s"${t}_inc_input",
+          ownScalarIn(nums)))
+      Seq(
+        MetaType("INPUT_OBJECT", s"${t}_insert_input",
+          ownScalarIn(cs) ++ relData),
+        MetaType("INPUT_OBJECT", s"${t}_arr_rel_insert_input", Seq(
+          MetaField("data", TNonNull(TList(TNonNull(
+            inObj(s"${t}_insert_input"))))),
+          MetaField("on_conflict", inObj(s"${t}_on_conflict")))),
+        MetaType("INPUT_OBJECT", s"${t}_set_input", ownScalarIn(cs)),
+        MetaType("INPUT_OBJECT", s"${t}_on_conflict", Seq(
+          MetaField("constraint",
+            TNonNull(TNamed("ENUM", s"${t}_constraint"))),
+          MetaField("update_columns", TNonNull(TList(TNonNull(
+            TNamed("ENUM", s"${t}_update_column"))))))),
+        // the one tracked constraint is the primary key; the key
+        // column cannot be an update_column (the engine rejects it)
+        MetaType("ENUM", s"${t}_constraint", Nil,
+          enumVals = Seq(s"${t}_pkey")),
+        MetaType("ENUM", s"${t}_update_column", Nil,
+          enumVals = cs.map(_.name).filterNot(_ == k)),
+        MetaType("INPUT_OBJECT", s"${t}_updates", Seq(
+          MetaField("where", TNonNull(inObj(s"${t}_bool_exp"))),
+          MetaField("_set", inObj(s"${t}_set_input"))) ++
+          (if (nums.isEmpty) Nil
+           else Seq(MetaField("_inc", inObj(s"${t}_inc_input")))))) ++
+      incArm ++
+      tableCols(t).find(_.name == k).map(kf =>
+        MetaType("INPUT_OBJECT", s"${t}_pk_columns_input", Seq(
+          MetaField(k, TNonNull(TNamed("SCALAR",
+            gqlScalar(kf.dataType)))))))
+    }
+    val mutFields = keyed.flatMap { t =>
+      val k = schema.keys(t)
+      val nums = scalarCols(t)
+        .filter(f => numericScalars(gqlScalar(f.dataType)))
+      val resp = TNamed("OBJECT", s"${t}_mutation_response")
+      val onConflict =
+        MetaField("on_conflict", inObj(s"${t}_on_conflict"))
+      val setInc =
+        MetaField("_set", inObj(s"${t}_set_input")) +:
+        (if (nums.isEmpty) Nil
+         else Seq(MetaField("_inc", inObj(s"${t}_inc_input"))))
+      Seq(
+        MetaField(s"insert_$t", resp, fargs = Seq(
+          MetaField("objects", TNonNull(TList(TNonNull(
+            inObj(s"${t}_insert_input"))))), onConflict)),
+        MetaField(s"insert_${t}_one", TNamed("OBJECT", t), fargs = Seq(
+          MetaField("object", TNonNull(inObj(s"${t}_insert_input"))),
+          onConflict)),
+        MetaField(s"update_$t", resp, fargs =
+          MetaField("where", TNonNull(inObj(s"${t}_bool_exp")))
+            +: setInc),
+        MetaField(s"update_${t}_many",
+          TList(TNamed("OBJECT", s"${t}_mutation_response")),
+          fargs = Seq(MetaField("updates", TNonNull(TList(TNonNull(
+            inObj(s"${t}_updates"))))))),
+        MetaField(s"delete_$t", resp, fargs = Seq(
+          MetaField("where", TNonNull(inObj(s"${t}_bool_exp")))))) ++
+      tableCols(t).find(_.name == k).toSeq.flatMap(kf => Seq(
+        MetaField(s"update_${t}_by_pk", TNamed("OBJECT", t), fargs =
+          MetaField("pk_columns",
+            TNonNull(inObj(s"${t}_pk_columns_input"))) +: setInc),
+        MetaField(s"delete_${t}_by_pk", TNamed("OBJECT", t), fargs =
+          Seq(MetaField(k, TNonNull(TNamed("SCALAR",
+            gqlScalar(kf.dataType))))))))
+    }
     val roots = Seq(
       MetaType("OBJECT", "query_root", queryFields),
       MetaType("OBJECT", "mutation_root", mutFields),
@@ -4072,8 +4158,8 @@ object GraphQl {
       case TNonNull(of) => leafScalars(of)
     }
     val withInputs = roots ++ objTypes ++ mutResponses ++
-      comparisonExps ++ boolExps ++ orderBys ++ aggTypes ++
-      selectColEnums :+ orderByEnum
+      mutInputTypes ++ comparisonExps ++ boolExps ++ orderBys ++
+      aggTypes ++ selectColEnums :+ orderByEnum
     val scalars = withInputs
       .flatMap(t => t.mfields ++ t.mfields.flatMap(_.fargs))
       .flatMap(f => leafScalars(f.tpe))
@@ -4522,6 +4608,71 @@ object GraphQl {
           tableSet(nm.stripSuffix("_sum_fields")))
         fieldsJson(t, "fields", _.nonEmpty, identity)
           .map(fs => (nm, kind, fs))
+      else None
+    }.toSeq.sortBy(_._1)
+    import s.implicits._
+    rows.toDF("type_name", "kind", "fields")
+      .coalesce(1).orderBy("type_name")
+  }
+
+  /** q211's document — the WRITE-side argument surface (r17):
+    * mutation input objects + update-column enums, through the real
+    * text path (q205's read-side discipline applied to writes). */
+  val q211Query: String =
+    """{
+      |  __schema {
+      |    types {
+      |      name kind
+      |      inputFields { name type { kind name ofType { kind name } } }
+      |      enumValues { name }
+      |    }
+      |  }
+      |}""".stripMargin
+
+  /** q211 — the advertised MUTATION argument surface under the oracle
+    * gate: flatten the served `<t>_insert_input` / `<t>_set_input` /
+    * `<t>_inc_input` column arms (relationship data arms are
+    * model-only, spec-pinned) and the `<t>_update_column` enums for
+    * every KEYED table, each rebuilt independently by DuckDB from
+    * information_schema + the tracked key map — the write
+    * autocompletion surface checked against the data's own
+    * reflection. */
+  def q211IntrospectMutInputs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val resp = serveIntrospection(s, dir, q211Query).fold(
+      m => throw new IllegalStateException(s"q211 failed to parse: $m"),
+      identity)
+    val types = mapper.readTree(resp).get("data").get("__schema")
+      .get("types")
+    val keyed = graft.Tables.names
+      .filter(fixtureSchema.keys.contains).toSet
+    import scala.jdk.CollectionConverters._
+    def inputJson(t: com.fasterxml.jackson.databind.JsonNode)
+        : String =
+      t.get("inputFields").elements().asScala.flatMap { f =>
+        var tr = f.get("type")
+        while (tr.get("name").isNull && tr.get("ofType") != null &&
+          !tr.get("ofType").isNull) tr = tr.get("ofType")
+        val n = Option(tr.get("name")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("")
+        // the relationship data arms advertise nested-insert inputs —
+        // model-only here (spec-pinned), the oracle checks columns
+        if (n.endsWith("_arr_rel_insert_input")) None
+        else Some(s"""{"name":"${f.get("name").asText()}",""" +
+          s""""type":"$n"}""")
+      }.mkString("[", ",", "]")
+    def suffixed(nm: String, suffix: String): Boolean =
+      nm.endsWith(suffix) && keyed(nm.stripSuffix(suffix))
+    val rows = types.elements().asScala.flatMap { t =>
+      val nm = t.get("name").asText()
+      val kind = t.get("kind").asText()
+      if (suffixed(nm, "_insert_input") || suffixed(nm, "_set_input")
+          || suffixed(nm, "_inc_input"))
+        Some((nm, kind, inputJson(t)))
+      else if (suffixed(nm, "_update_column"))
+        Some((nm, kind, t.get("enumValues").elements().asScala
+          .map(v => s""""${v.get("name").asText()}"""")
+          .mkString("[", ",", "]")))
       else None
     }.toSeq.sortBy(_._1)
     import s.implicits._

@@ -1842,6 +1842,67 @@ class GraphQlSpec extends SparkSpec {
     assert(cust("orders").get("args").elements().asScala
       .map(_.get("name").asText).toSet.contains("where"))
   }
+  test("introspection advertises the WRITE-side argument surface: all " +
+    "seven verb spellings with their args, insert/set/inc inputs, " +
+    "nested-insert data arms, on_conflict + constraint/update_column " +
+    "enums, pk_columns (r17)") {
+    import scala.jdk.CollectionConverters._
+    val doc = """{ __schema { types { name kind
+      |  fields { name args { name type { kind name ofType { kind name
+      |    ofType { kind name } } } } }
+      |  inputFields { name type { kind name ofType { kind name } } }
+      |  enumValues { name } } } }""".stripMargin
+    val schema = introspect(doc).get("data").get("__schema")
+    val byName = schema.get("types").elements().asScala.toSeq
+      .map(t => t.get("name").asText -> t).toMap
+    val mf = byName("mutation_root").get("fields").elements().asScala
+      .map(f => f.get("name").asText -> f).toMap
+    // all seven spellings for a keyed table
+    assert(Set("insert_customer", "insert_customer_one",
+      "update_customer", "update_customer_by_pk",
+      "update_customer_many", "delete_customer",
+      "delete_customer_by_pk").subsetOf(mf.keySet))
+    def argsOf(f: String) = mf(f).get("args").elements().asScala
+      .map(a => a.get("name").asText -> a).toMap
+    // insert takes [customer_insert_input!]! + on_conflict
+    val ins = argsOf("insert_customer")
+    assert(ins.keySet === Set("objects", "on_conflict"))
+    // update carries where/_set/_inc; by_pk swaps where for pk_columns
+    assert(argsOf("update_customer").keySet ===
+      Set("where", "_set", "_inc"))
+    assert(argsOf("update_customer_by_pk").keySet ===
+      Set("pk_columns", "_set", "_inc"))
+    assert(argsOf("delete_customer_by_pk").keySet === Set("c_custkey"))
+    assert(argsOf("update_customer_many").keySet === Set("updates"))
+    // insert_input: columns at their scalar + nested-insert data arms
+    // for tracked KEYED child relationships
+    val ii = byName("customer_insert_input").get("inputFields")
+      .elements().asScala.map(f => f.get("name").asText ->
+        Option(f.get("type").get("name")).filterNot(_.isNull)
+          .map(_.asText).getOrElse("")).toMap
+    assert(ii("c_custkey") === "bigint")
+    assert(ii("orders") === "orders_arr_rel_insert_input")
+    val arr = byName("orders_arr_rel_insert_input").get("inputFields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(arr === Set("data", "on_conflict"))
+    // on_conflict: constraint enum (the tracked pkey) + update_columns
+    // (never the key — the engine rejects it as an update_column)
+    val oc = byName("customer_on_conflict").get("inputFields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(oc === Set("constraint", "update_columns"))
+    assert(byName("customer_constraint").get("enumValues").elements()
+      .asScala.map(_.get("name").asText).toSeq === Seq("customer_pkey"))
+    val uc = byName("customer_update_column").get("enumValues")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(uc.contains("c_name") && !uc.contains("c_custkey"))
+    // inc input carries numerics only
+    val inc = byName("customer_inc_input").get("inputFields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(inc.contains("c_acctbal") && !inc.contains("c_name"))
+    // unkeyed tables advertise NO write surface
+    assert(!byName.contains("lineitem_insert_input") &&
+      !mf.contains("insert_lineitem"))
+  }
   test("spec 5.3.2 merging on REPEATED arms: duplicate aggregate arms " +
     "merge their fields, identical repeated relationship selections " +
     "collapse, a key reused for a DIFFERENT aggregate refuses loudly") {
