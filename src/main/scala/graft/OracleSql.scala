@@ -2201,15 +2201,17 @@ object OracleSql {
          |      sc || '"}', ',' ORDER BY i) || ']' AS fields
          |  FROM cols WHERE sc IS NOT NULL GROUP BY t
          |  UNION ALL
-         |  SELECT t || '_set_input', 'INPUT_OBJECT',
+         |  SELECT cols.t || '_set_input', 'INPUT_OBJECT',
          |    '[' || string_agg('{"name":"' || c || '","type":"' ||
          |      sc || '"}', ',' ORDER BY i) || ']'
-         |  FROM cols WHERE sc IS NOT NULL GROUP BY t
+         |  FROM cols JOIN ks ON ks.t = cols.t
+         |  WHERE sc IS NOT NULL AND c <> ks.k GROUP BY cols.t
          |  UNION ALL
-         |  SELECT t || '_inc_input', 'INPUT_OBJECT',
+         |  SELECT cols.t || '_inc_input', 'INPUT_OBJECT',
          |    '[' || string_agg('{"name":"' || c || '","type":"' ||
          |      sc || '"}', ',' ORDER BY i) || ']'
-         |  FROM cols WHERE num GROUP BY t
+         |  FROM cols JOIN ks ON ks.t = cols.t
+         |  WHERE num AND c <> ks.k GROUP BY cols.t
          |  UNION ALL
          |  SELECT cols.t || '_update_column', 'ENUM',
          |    '[' || string_agg('"' || c || '"', ',' ORDER BY i) || ']'

@@ -4064,10 +4064,20 @@ object GraphQl {
     // narrowed tableCols as the read surface, so role narrowing
     // composes: an ungranted column vanishes from insert/set inputs,
     // an ungranted KEY drops the *_by_pk/pk_columns spellings ----
+    // update-family surfaces exclude the KEY column — the engine
+    // rejects every _set/_inc/update_column naming it (an advertised
+    // field every use of which fails is exactly the drift this
+    // surface exists to prevent); a table with NO non-key scalar
+    // columns advertises no update family at all (and no on_conflict
+    // — its update_columns enum would be empty, which GraphQL
+    // forbids), mirroring Hasura's omit-when-nothing-updatable
+    def updatable(t: String) =
+      scalarCols(t).filterNot(_.name == schema.keys(t))
     val mutInputTypes = keyed.flatMap { t =>
       val cs = scalarCols(t)
-      val nums = cs.filter(f => numericScalars(gqlScalar(f.dataType)))
       val k = schema.keys(t)
+      val nonKey = updatable(t)
+      val nums = nonKey.filter(f => numericScalars(gqlScalar(f.dataType)))
       val ownScalarIn = (fs: Seq[org.apache.spark.sql.types.StructField]) =>
         fs.map(f => MetaField(f.name,
           TNamed("SCALAR", gqlScalar(f.dataType))))
@@ -4078,35 +4088,39 @@ object GraphQl {
             r.childTable) =>
           MetaField(fname, inObj(s"${r.childTable}_arr_rel_insert_input"))
       }.toSeq.sortBy(_.fname)
-      val incArm =
-        if (nums.isEmpty) Nil
-        else Seq(MetaType("INPUT_OBJECT", s"${t}_inc_input",
-          ownScalarIn(nums)))
+      val updateFamily =
+        if (nonKey.isEmpty) Nil
+        else Seq(
+          MetaType("INPUT_OBJECT", s"${t}_set_input",
+            ownScalarIn(nonKey)),
+          MetaType("INPUT_OBJECT", s"${t}_on_conflict", Seq(
+            MetaField("constraint",
+              TNonNull(TNamed("ENUM", s"${t}_constraint"))),
+            MetaField("update_columns", TNonNull(TList(TNonNull(
+              TNamed("ENUM", s"${t}_update_column"))))))),
+          // the one tracked constraint is the primary key
+          MetaType("ENUM", s"${t}_constraint", Nil,
+            enumVals = Seq(s"${t}_pkey")),
+          MetaType("ENUM", s"${t}_update_column", Nil,
+            enumVals = nonKey.map(_.name)),
+          MetaType("INPUT_OBJECT", s"${t}_updates", Seq(
+            MetaField("where", TNonNull(inObj(s"${t}_bool_exp"))),
+            MetaField("_set", inObj(s"${t}_set_input"))) ++
+            (if (nums.isEmpty) Nil
+             else Seq(MetaField("_inc", inObj(s"${t}_inc_input")))))) ++
+          (if (nums.isEmpty) Nil
+           else Seq(MetaType("INPUT_OBJECT", s"${t}_inc_input",
+             ownScalarIn(nums))))
       Seq(
         MetaType("INPUT_OBJECT", s"${t}_insert_input",
           ownScalarIn(cs) ++ relData),
-        MetaType("INPUT_OBJECT", s"${t}_arr_rel_insert_input", Seq(
+        MetaType("INPUT_OBJECT", s"${t}_arr_rel_insert_input",
           MetaField("data", TNonNull(TList(TNonNull(
-            inObj(s"${t}_insert_input"))))),
-          MetaField("on_conflict", inObj(s"${t}_on_conflict")))),
-        MetaType("INPUT_OBJECT", s"${t}_set_input", ownScalarIn(cs)),
-        MetaType("INPUT_OBJECT", s"${t}_on_conflict", Seq(
-          MetaField("constraint",
-            TNonNull(TNamed("ENUM", s"${t}_constraint"))),
-          MetaField("update_columns", TNonNull(TList(TNonNull(
-            TNamed("ENUM", s"${t}_update_column"))))))),
-        // the one tracked constraint is the primary key; the key
-        // column cannot be an update_column (the engine rejects it)
-        MetaType("ENUM", s"${t}_constraint", Nil,
-          enumVals = Seq(s"${t}_pkey")),
-        MetaType("ENUM", s"${t}_update_column", Nil,
-          enumVals = cs.map(_.name).filterNot(_ == k)),
-        MetaType("INPUT_OBJECT", s"${t}_updates", Seq(
-          MetaField("where", TNonNull(inObj(s"${t}_bool_exp"))),
-          MetaField("_set", inObj(s"${t}_set_input"))) ++
-          (if (nums.isEmpty) Nil
-           else Seq(MetaField("_inc", inObj(s"${t}_inc_input")))))) ++
-      incArm ++
+            inObj(s"${t}_insert_input"))))) +:
+          (if (nonKey.isEmpty) Nil
+           else Seq(MetaField("on_conflict",
+             inObj(s"${t}_on_conflict")))))) ++
+      updateFamily ++
       tableCols(t).find(_.name == k).map(kf =>
         MetaType("INPUT_OBJECT", s"${t}_pk_columns_input", Seq(
           MetaField(k, TNonNull(TNamed("SCALAR",
@@ -4114,38 +4128,44 @@ object GraphQl {
     }
     val mutFields = keyed.flatMap { t =>
       val k = schema.keys(t)
-      val nums = scalarCols(t)
-        .filter(f => numericScalars(gqlScalar(f.dataType)))
+      val nonKey = updatable(t)
+      val nums = nonKey.filter(f => numericScalars(gqlScalar(f.dataType)))
       val resp = TNamed("OBJECT", s"${t}_mutation_response")
       val onConflict =
-        MetaField("on_conflict", inObj(s"${t}_on_conflict"))
+        if (nonKey.isEmpty) Nil
+        else Seq(MetaField("on_conflict", inObj(s"${t}_on_conflict")))
       val setInc =
         MetaField("_set", inObj(s"${t}_set_input")) +:
         (if (nums.isEmpty) Nil
          else Seq(MetaField("_inc", inObj(s"${t}_inc_input"))))
+      val updateVerbs =
+        if (nonKey.isEmpty) Nil
+        else Seq(
+          MetaField(s"update_$t", resp, fargs =
+            MetaField("where", TNonNull(inObj(s"${t}_bool_exp")))
+              +: setInc),
+          MetaField(s"update_${t}_many",
+            TList(TNamed("OBJECT", s"${t}_mutation_response")),
+            fargs = Seq(MetaField("updates", TNonNull(TList(TNonNull(
+              inObj(s"${t}_updates")))))))) ++
+          tableCols(t).find(_.name == k).map(_ =>
+            MetaField(s"update_${t}_by_pk", TNamed("OBJECT", t),
+              fargs = MetaField("pk_columns",
+                TNonNull(inObj(s"${t}_pk_columns_input"))) +: setInc))
       Seq(
-        MetaField(s"insert_$t", resp, fargs = Seq(
+        MetaField(s"insert_$t", resp, fargs =
           MetaField("objects", TNonNull(TList(TNonNull(
-            inObj(s"${t}_insert_input"))))), onConflict)),
-        MetaField(s"insert_${t}_one", TNamed("OBJECT", t), fargs = Seq(
-          MetaField("object", TNonNull(inObj(s"${t}_insert_input"))),
-          onConflict)),
-        MetaField(s"update_$t", resp, fargs =
-          MetaField("where", TNonNull(inObj(s"${t}_bool_exp")))
-            +: setInc),
-        MetaField(s"update_${t}_many",
-          TList(TNamed("OBJECT", s"${t}_mutation_response")),
-          fargs = Seq(MetaField("updates", TNonNull(TList(TNonNull(
-            inObj(s"${t}_updates"))))))),
+            inObj(s"${t}_insert_input"))))) +: onConflict),
+        MetaField(s"insert_${t}_one", TNamed("OBJECT", t), fargs =
+          MetaField("object", TNonNull(inObj(s"${t}_insert_input")))
+            +: onConflict),
         MetaField(s"delete_$t", resp, fargs = Seq(
           MetaField("where", TNonNull(inObj(s"${t}_bool_exp")))))) ++
-      tableCols(t).find(_.name == k).toSeq.flatMap(kf => Seq(
-        MetaField(s"update_${t}_by_pk", TNamed("OBJECT", t), fargs =
-          MetaField("pk_columns",
-            TNonNull(inObj(s"${t}_pk_columns_input"))) +: setInc),
+      updateVerbs ++
+      tableCols(t).find(_.name == k).map(kf =>
         MetaField(s"delete_${t}_by_pk", TNamed("OBJECT", t), fargs =
           Seq(MetaField(k, TNonNull(TNamed("SCALAR",
-            gqlScalar(kf.dataType))))))))
+            gqlScalar(kf.dataType)))))))
     }
     val roots = Seq(
       MetaType("OBJECT", "query_root", queryFields),
@@ -4565,6 +4585,28 @@ object GraphQl {
     * by DuckDB from `information_schema.columns`, so the advertised
     * argument surface is checked against the DATA's own reflection,
     * exactly q167's discipline one level deeper. */
+  /** Flatten one introspected type's `fields`/`inputFields` arm to a
+    * canonical {name, leaf-type} JSON list — the q205/q211 oracle
+    * wire shape; `keep` filters by the UNWRAPPED leaf type name. */
+  private def introFieldsJson(t: com.fasterxml.jackson.databind.JsonNode,
+      arm: String, keep: String => Boolean): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val arr = t.get(arm)
+    if (arr == null || arr.isNull) None
+    else Some(arr.elements().asScala.flatMap { f =>
+      // unwrap NON_NULL/LIST to the named leaf
+      var tr = f.get("type")
+      while (tr.get("name").isNull && tr.get("ofType") != null &&
+        !tr.get("ofType").isNull) tr = tr.get("ofType")
+      val n = Option(tr.get("name")).filterNot(_.isNull)
+        .map(_.asText()).getOrElse("")
+      if (keep(n))
+        Some(s"""{"name":"${f.get("name").asText()}",""" +
+          s""""type":"$n"}""")
+      else None
+    }.mkString("[", ",", "]"))
+  }
+
   def q205IntrospectInputs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val resp = serveIntrospection(s, dir, q205Query).fold(
@@ -4574,39 +4616,20 @@ object GraphQl {
       .get("types")
     val tableSet = graft.Tables.names.toSet
     import scala.jdk.CollectionConverters._
-    def fieldsJson(t: com.fasterxml.jackson.databind.JsonNode,
-        arm: String, keep: String => Boolean,
-        tname: String => String): Option[String] = {
-      val arr = t.get(arm)
-      if (arr == null || arr.isNull) None
-      else Some(arr.elements().asScala.flatMap { f =>
-        // unwrap NON_NULL/LIST to the named leaf
-        var tr = f.get("type")
-        while (tr.get("name").isNull && tr.get("ofType") != null &&
-          !tr.get("ofType").isNull) tr = tr.get("ofType")
-        val n = Option(tr.get("name")).filterNot(_.isNull)
-          .map(_.asText()).getOrElse("")
-        if (keep(n))
-          Some(s"""{"name":"${f.get("name").asText()}",""" +
-            s""""type":"${tname(n)}"}""")
-        else None
-      }.mkString("[", ",", "]"))
-    }
     val rows = types.elements().asScala.flatMap { t =>
       val nm = t.get("name").asText()
       val kind = t.get("kind").asText()
       if (nm.endsWith("_bool_exp") &&
           tableSet(nm.stripSuffix("_bool_exp")))
-        fieldsJson(t, "inputFields",
-          _.endsWith("_comparison_exp"), identity)
+        introFieldsJson(t, "inputFields", _.endsWith("_comparison_exp"))
           .map(fs => (nm, kind, fs))
       else if (nm.endsWith("_order_by") &&
           tableSet(nm.stripSuffix("_order_by")))
-        fieldsJson(t, "inputFields", _ == "order_by", identity)
+        introFieldsJson(t, "inputFields", _ == "order_by")
           .map(fs => (nm, kind, fs))
       else if (nm.endsWith("_sum_fields") &&
           tableSet(nm.stripSuffix("_sum_fields")))
-        fieldsJson(t, "fields", _.nonEmpty, identity)
+        introFieldsJson(t, "fields", _.nonEmpty)
           .map(fs => (nm, kind, fs))
       else None
     }.toSeq.sortBy(_._1)
@@ -4647,20 +4670,11 @@ object GraphQl {
     val keyed = graft.Tables.names
       .filter(fixtureSchema.keys.contains).toSet
     import scala.jdk.CollectionConverters._
-    def inputJson(t: com.fasterxml.jackson.databind.JsonNode)
-        : String =
-      t.get("inputFields").elements().asScala.flatMap { f =>
-        var tr = f.get("type")
-        while (tr.get("name").isNull && tr.get("ofType") != null &&
-          !tr.get("ofType").isNull) tr = tr.get("ofType")
-        val n = Option(tr.get("name")).filterNot(_.isNull)
-          .map(_.asText()).getOrElse("")
-        // the relationship data arms advertise nested-insert inputs —
-        // model-only here (spec-pinned), the oracle checks columns
-        if (n.endsWith("_arr_rel_insert_input")) None
-        else Some(s"""{"name":"${f.get("name").asText()}",""" +
-          s""""type":"$n"}""")
-      }.mkString("[", ",", "]")
+    // the relationship data arms advertise nested-insert inputs —
+    // model-only here (spec-pinned), the oracle checks columns
+    def inputJson(t: com.fasterxml.jackson.databind.JsonNode): String =
+      introFieldsJson(t, "inputFields",
+        n => !n.endsWith("_arr_rel_insert_input")).getOrElse("[]")
     def suffixed(nm: String, suffix: String): Boolean =
       nm.endsWith(suffix) && keyed(nm.stripSuffix(suffix))
     val rows = types.elements().asScala.flatMap { t =>

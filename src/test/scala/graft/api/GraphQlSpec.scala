@@ -1895,13 +1895,44 @@ class GraphQlSpec extends SparkSpec {
     val uc = byName("customer_update_column").get("enumValues")
       .elements().asScala.map(_.get("name").asText).toSet
     assert(uc.contains("c_name") && !uc.contains("c_custkey"))
-    // inc input carries numerics only
+    // set/inc inputs exclude the KEY column — the engine rejects
+    // every _set/_inc naming it, so advertising it would be the
+    // advertised-vs-servable drift this surface exists to prevent
+    val set = byName("customer_set_input").get("inputFields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(!set.contains("c_custkey") && set.contains("c_name"))
     val inc = byName("customer_inc_input").get("inputFields")
       .elements().asScala.map(_.get("name").asText).toSet
-    assert(inc.contains("c_acctbal") && !inc.contains("c_name"))
+    assert(inc.contains("c_acctbal") && !inc.contains("c_name") &&
+      !inc.contains("c_custkey"))
+    // a table whose only NUMERIC column is its key advertises no _inc
+    assert(!byName.contains("region_inc_input"))
+    assert(argsOf("update_region").keySet === Set("where", "_set"))
     // unkeyed tables advertise NO write surface
     assert(!byName.contains("lineitem_insert_input") &&
       !mf.contains("insert_lineitem"))
+    // a role granted ONLY the key column sees no update family at all
+    // (nothing is updatable) and no on_conflict — but keeps insert
+    // and delete
+    val narrowPolicy = Permissions.Policy(Map(
+      ("keyonly", "orders") -> Permissions.TablePerm(
+        columns = Some(Set("o_orderkey")))))
+    val nr = Permissions.serveIntrospectionAs(spark, sf("sf0.001"),
+      "keyonly", narrowPolicy, doc)
+      .fold(m => fail(m), identity)
+    val nTypes = mapper.readTree(nr).get("data").get("__schema")
+      .get("types").elements().asScala.toSeq
+      .map(t => t.get("name").asText -> t).toMap
+    val nMf = nTypes("mutation_root").get("fields").elements().asScala
+      .map(_.get("name").asText).toSet
+    assert(nMf.contains("insert_orders") &&
+      nMf.contains("delete_orders_by_pk"))
+    assert(!nMf.contains("update_orders") &&
+      !nMf.contains("update_orders_by_pk") &&
+      !nMf.contains("update_orders_many"))
+    assert(!nTypes.contains("orders_set_input") &&
+      !nTypes.contains("orders_on_conflict") &&
+      !nTypes.contains("orders_update_column"))
   }
   test("spec 5.3.2 merging on REPEATED arms: duplicate aggregate arms " +
     "merge their fields, identical repeated relationship selections " +
