@@ -4167,10 +4167,33 @@ object GraphQl {
           Seq(MetaField(k, TNonNull(TNamed("SCALAR",
             gqlScalar(kf.dataType)))))))
     }
+    // ---- `_stream` subscription surface (r17): every table streams
+    // on a cursor; the generated input types mirror Hasura's
+    // (<t>_stream_cursor_input / _value_input + cursor_ordering) ----
+    val streamFields = tables.map { t =>
+      MetaField(s"${t}_stream", listOf(t), fargs = Seq(
+        MetaField("cursor", TNonNull(TList(
+          inObj(s"${t}_stream_cursor_input")))),
+        MetaField("batch_size", TNonNull(TNamed("SCALAR", "Int"))),
+        MetaField("where", inObj(s"${t}_bool_exp"))))
+    }
+    val streamInputs = tables.flatMap(t => Seq(
+      MetaType("INPUT_OBJECT", s"${t}_stream_cursor_input", Seq(
+        MetaField("initial_value", TNonNull(
+          inObj(s"${t}_stream_cursor_value_input"))),
+        MetaField("ordering", TNamed("ENUM", "cursor_ordering")))),
+      MetaType("INPUT_OBJECT", s"${t}_stream_cursor_value_input",
+        scalarCols(t).map(f => MetaField(f.name,
+          TNamed("SCALAR", gqlScalar(f.dataType))))))) :+
+      MetaType("ENUM", "cursor_ordering", Nil,
+        enumVals = Seq("ASC", "DESC"))
     val roots = Seq(
       MetaType("OBJECT", "query_root", queryFields),
       MetaType("OBJECT", "mutation_root", mutFields),
-      MetaType("OBJECT", "subscription_root", queryFields))
+      // subscription_root = the read surface (Hasura serves every
+      // query field live) PLUS the `_stream` cursor fields
+      MetaType("OBJECT", "subscription_root",
+        queryFields ++ streamFields))
     def leafScalars(r: TRef): Seq[String] = r match {
       case TNamed("SCALAR", n) => Seq(n)
       case TNamed(_, _) => Nil
@@ -4178,8 +4201,8 @@ object GraphQl {
       case TNonNull(of) => leafScalars(of)
     }
     val withInputs = roots ++ objTypes ++ mutResponses ++
-      mutInputTypes ++ comparisonExps ++ boolExps ++ orderBys ++
-      aggTypes ++ selectColEnums :+ orderByEnum
+      mutInputTypes ++ streamInputs ++ comparisonExps ++ boolExps ++
+      orderBys ++ aggTypes ++ selectColEnums :+ orderByEnum
     val scalars = withInputs
       .flatMap(t => t.mfields ++ t.mfields.flatMap(_.fargs))
       .flatMap(f => leafScalars(f.tpe))

@@ -1911,6 +1911,23 @@ class GraphQlSpec extends SparkSpec {
     // unkeyed tables advertise NO write surface
     assert(!byName.contains("lineitem_insert_input") &&
       !mf.contains("insert_lineitem"))
+    // subscription_root carries the read surface PLUS `_stream`
+    // cursor fields with Hasura's input shapes
+    val sf2 = byName("subscription_root").get("fields").elements()
+      .asScala.map(f => f.get("name").asText -> f).toMap
+    assert(sf2.contains("orders") && sf2.contains("orders_stream"))
+    assert(sf2("orders_stream").get("args").elements().asScala
+      .map(_.get("name").asText).toSet ===
+      Set("cursor", "batch_size", "where"))
+    val scv = byName("orders_stream_cursor_value_input")
+      .get("inputFields").elements().asScala
+      .map(_.get("name").asText).toSet
+    assert(scv.contains("o_orderkey"))
+    val sci = byName("orders_stream_cursor_input").get("inputFields")
+      .elements().asScala.map(_.get("name").asText).toSet
+    assert(sci === Set("initial_value", "ordering"))
+    assert(byName("cursor_ordering").get("enumValues").elements()
+      .asScala.map(_.get("name").asText).toSeq === Seq("ASC", "DESC"))
     // a role granted ONLY the key column sees no update family at all
     // (nothing is updatable) and no on_conflict — but keeps insert
     // and delete
