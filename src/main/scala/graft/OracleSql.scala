@@ -912,7 +912,114 @@ object OracleSql {
        |ORDER BY d, key LIMIT $k""".stripMargin
   }
 
+  /** The q217/q218 shared replay: all four ensemble filters — q27's
+    * rounded ratios, q162's quantile fences, q94's pinned logistic,
+    * q207's held-out bigram LM — composed to per-doc flags; `tail`
+    * continues the WITH chain (or is the final SELECT). */
+  private def ensembleSql(tail: String): String = {
+    val (w, b) = graft.queries.SimilarityQueries.pinnedLogisticWeights()
+    val vals = w.zipWithIndex
+      .map { case (v, i) => s"(${i + 1},$v)" }.mkString(",")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    len(string_split(text, ' '))::DOUBLE AS nt,
+       |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS uq
+       |  FROM documents),
+       |ratios AS (
+       |  SELECT doc_id, lang, nt,
+       |    CASE WHEN ROUND(n_chars::DOUBLE / nt, 4) >= 2.0
+       |          AND ROUND(n_chars::DOUBLE / nt, 4) <= 6.0
+       |          AND ROUND(uq / nt, 4) >= 0.4
+       |         THEN 1 ELSE 0 END AS ratios_ok
+       |  FROM base),
+       |fen AS (
+       |  SELECT lang, quantile_cont(nt, 0.25) AS q1,
+       |         quantile_cont(nt, 0.75) AS q3
+       |  FROM base GROUP BY 1),
+       |fen2 AS (SELECT lang, q1 - 1.5 * (q3 - q1) AS lo,
+       |                q3 + 1.5 * (q3 - q1) AS hi FROM fen),
+       |ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |              generate_subscripts(embedding,1) AS i
+       |       FROM embeddings),
+       |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+       |wts AS (SELECT i, v::DOUBLE AS v FROM (VALUES $vals) t(i, v)),
+       |z AS (SELECT e.vec_id,
+       |        SUM((e.x / NULLIF(nr.nrm, 0)) * wts.v) + $b AS z
+       |      FROM ex e JOIN nr ON nr.vec_id = e.vec_id
+       |                JOIN wts ON wts.i = e.i
+       |      GROUP BY e.vec_id),
+       |clf AS (SELECT vec_id AS doc_id,
+       |          CASE WHEN ROUND(1.0 / (1.0 + EXP(-z)), 4) >= 0.5
+       |               THEN 1 ELSE 0 END AS clf_keep
+       |        FROM z),
+       |t AS (
+       |  SELECT doc_id,
+       |    string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+       |      ' ') AS w
+       |  FROM documents),
+       |bgz AS (SELECT doc_id,
+       |          unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS z
+       |        FROM t WHERE len(w) >= 2),
+       |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+       |train AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+       |test AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+       |cbg AS (SELECT w1, w2, count(*) AS c FROM train GROUP BY 1, 2),
+       |cpfx AS (SELECT w1, count(*) AS c FROM train GROUP BY 1),
+       |v AS (SELECT count(DISTINCT x) AS v FROM
+       |  (SELECT w1 AS x FROM train UNION SELECT w2 FROM train)),
+       |terms AS (
+       |  SELECT test.doc_id,
+       |    (1000000000::BIGINT * (COALESCE(cbg.c, 0) + 1))
+       |      // (COALESCE(cpfx.c, 0) + v.v) AS term
+       |  FROM test
+       |  LEFT JOIN cbg ON cbg.w1 = test.w1 AND cbg.w2 = test.w2
+       |  LEFT JOIN cpfx ON cpfx.w1 = test.w1
+       |  CROSS JOIN v),
+       |lm AS (SELECT doc_id,
+       |         round((sum(term)::DOUBLE / count(*)) / 1e9, 9) AS score
+       |       FROM terms GROUP BY doc_id),
+       |flags AS (
+       |  SELECT r.doc_id, r.ratios_ok,
+       |    CASE WHEN r.nt >= f.lo AND r.nt <= f.hi
+       |         THEN 1 ELSE 0 END AS fences_ok,
+       |    COALESCE(clf.clf_keep, 1) AS clf_ok,
+       |    CASE WHEN r.doc_id % 5 <> 0 THEN 1
+       |         WHEN lm.score IS NULL THEN 1
+       |         WHEN lm.score >= 0.0322 THEN 1 ELSE 0 END AS lm_ok
+       |  FROM ratios r JOIN fen2 f USING (lang)
+       |  LEFT JOIN clf ON clf.doc_id = r.doc_id
+       |  LEFT JOIN lm ON lm.doc_id = r.doc_id)
+       |$tail""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    // q217: the quality-ensemble verdict — DuckDB replays all four
+    // filters and the cascade attribution
+    "q217_ensemble_verdict" -> ensembleSql(
+      """SELECT doc_id, ratios_ok, fences_ok, clf_ok, lm_ok,
+        |  CASE WHEN ratios_ok = 1 AND fences_ok = 1 AND clf_ok = 1
+        |        AND lm_ok = 1 THEN 'keep' ELSE 'drop' END AS verdict,
+        |  CASE WHEN ratios_ok = 0 THEN 'ratios'
+        |       WHEN fences_ok = 0 THEN 'fences'
+        |       WHEN clf_ok = 0 THEN 'classifier'
+        |       WHEN lm_ok = 0 THEN 'lm' END AS first_fail
+        |FROM flags ORDER BY doc_id""".stripMargin),
+    // q218: the cumulative ensemble funnel over the same flags
+    "q218_ensemble_funnel" -> ensembleSql(
+      """, agg AS (SELECT count(*)::BIGINT AS n0,
+        |  sum(ratios_ok)::BIGINT AS n1,
+        |  sum(ratios_ok * fences_ok)::BIGINT AS n2,
+        |  sum(ratios_ok * fences_ok * clf_ok)::BIGINT AS n3,
+        |  sum(ratios_ok * fences_ok * clf_ok * lm_ok)::BIGINT AS n4
+        |  FROM flags)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_id, 'input' AS stage, n0 AS n_kept FROM agg
+        |  UNION ALL SELECT 1, 'ratios', n1 FROM agg
+        |  UNION ALL SELECT 2, 'fences', n2 FROM agg
+        |  UNION ALL SELECT 3, 'classifier', n3 FROM agg
+        |  UNION ALL SELECT 4, 'lm', n4 FROM agg)
+        |ORDER BY stage_id""".stripMargin),
     "q1_event_scan" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id > 100 AND event_type <> 'error'
@@ -1555,6 +1662,128 @@ object OracleSql {
         |                         'c_name': c_name})
         |  FROM one)
         |ORDER BY root, row_json""".stripMargin,
+    // q212: a `_stream` root batched with reads in one subscription —
+    // the stream part is the q145 row_number page replay (first 3
+    // pages of 7 past cursor 3000), rendered to the same row_json
+    // union as q208; the @skip-ed decoy stream contributes nothing
+    "q212_mixed_stream_roots" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type AS et,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events
+        |  WHERE event_id > 3000 AND event_type = 'click'),
+        |topc AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  ORDER BY c_custkey LIMIT 5),
+        |agg AS (
+        |  SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F')
+        |SELECT * FROM (
+        |  SELECT 'ev' AS root,
+        |    to_json({'batch_idx': CAST((rn - 1) // 7 AS BIGINT),
+        |             'event_id': event_id, 'user_id': user_id,
+        |             'et': et}) AS row_json
+        |  FROM ev WHERE rn <= 21
+        |  UNION ALL
+        |  SELECT 'topc', to_json({'c_custkey': c_custkey,
+        |                          'c_name': c_name})
+        |  FROM topc
+        |  UNION ALL
+        |  SELECT 'agg', to_json({'count': n}) FROM agg)
+        |ORDER BY root, row_json""".stripMargin,
+    // q213: recursive nested inserts — the replay unions the literal
+    // rows at their STITCHED keys (c_nationkey 990 from the nation
+    // parent, o_custkey 999201 from the depth-2 customer, o_custkey
+    // 999203 from the object-relationship stitch) into the same
+    // per-customer read-back; a mis-stitched level detaches and the
+    // counts differ
+    "q213_deep_insert" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  UNION ALL SELECT 999201, 990
+        |  UNION ALL SELECT 999202, 990
+        |  UNION ALL SELECT 999203, 990),
+        |ords AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey <= 200000
+        |  UNION ALL SELECT 999301, 999201, 100.0
+        |  UNION ALL SELECT 999302, 999201, 200.0
+        |  UNION ALL SELECT 999303, 999203, 300.0),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM cust) AS n_cust_total,
+        |         (SELECT count(*) FROM ords) AS n_ord_total)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |       count(o.o_orderkey)::BIGINT AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS tot,
+        |       n_cust_total, n_ord_total
+        |FROM cust c LEFT JOIN ords o ON o.o_custkey = c.c_custkey
+        |CROSS JOIN tot
+        |WHERE c.c_custkey >= 999201
+        |GROUP BY 1, 2, 5, 6
+        |ORDER BY 1""".stripMargin,
+    // q214: the jsonb update family — each range's post-state
+    // composed literally around the row's own k (canonical compact
+    // key-sorted text, matching the engine's serializer); rows the
+    // document never matched keep their ORIGINAL fixture text
+    "q214_jsonb_updates" ->
+      """SELECT event_id,
+        |  CASE
+        |    WHEN event_id <= 8 THEN
+        |      '{"k":' || json_extract_string(props, '$.k') ||
+        |      ',"meta":{"x":1},"pre":1,"tags":["a","c"]}'
+        |    WHEN event_id <= 10 THEN
+        |      '{"k":' || json_extract_string(props, '$.k') ||
+        |      ',"meta":{"x":1,"y":2},"pre":1,"tags":["a","c"]}'
+        |    WHEN event_id <= 12 THEN
+        |      '{"k":' || json_extract_string(props, '$.k') ||
+        |      ',"meta":{"x":1,"y":2},"tags":["a","c"]}'
+        |    WHEN event_id <= 15 THEN
+        |      '{"k":' || json_extract_string(props, '$.k') ||
+        |      ',"meta":{"x":1,"y":2},"tags":["a","b","c"]}'
+        |    WHEN event_id <= 20 THEN
+        |      '{"flag":7,"k":' || json_extract_string(props, '$.k') ||
+        |      ',"meta":{"x":1,"y":2},"tags":["a","b","c"]}'
+        |    WHEN event_id BETWEEN 30 AND 35 THEN '["x","y"]'
+        |    WHEN event_id BETWEEN 36 AND 40 THEN '["x","y","z"]'
+        |    ELSE props
+        |  END AS props
+        |FROM events WHERE event_id <= 50
+        |ORDER BY event_id""".stripMargin,
+    // q215: the conditional upsert — key 3 (pinned negative) takes
+    // ONLY the listed column, key 5 (pinned positive) is suppressed,
+    // 99904 inserts whole; totals prove nothing else moved
+    "q215_conditional_upsert" ->
+      """WITH post AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey = 3 THEN 'COND'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey = 3 THEN -50.0
+        |         WHEN c_custkey = 5 THEN 50.0
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer
+        |  UNION ALL SELECT 99904, 'FRESH2', 1.5),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n_total,
+        |         round(sum(bal), 2) AS chk FROM post)
+        |SELECT c_custkey, c_mktsegment, round(bal, 2) AS bal,
+        |       n_total, chk
+        |FROM post CROSS JOIN tot
+        |WHERE c_custkey IN (3, 5, 99904)
+        |ORDER BY c_custkey""".stripMargin,
+    // q216: the advertised directive surface — constants by nature
+    // (engine surface, not data); the gate pins the serve path, the
+    // r18 spread locations, and the @join default
+    "q216_directives" ->
+      """SELECT * FROM (VALUES
+        |  ('cast', 'FIELD', 'to:String!'),
+        |  ('fmt', 'FIELD', 'round:Int;printf:String'),
+        |  ('include', 'FIELD,FRAGMENT_SPREAD,INLINE_FRAGMENT',
+        |   'if:Boolean!'),
+        |  ('join', 'FIELD', 'type:String="left"'),
+        |  ('skip', 'FIELD,FRAGMENT_SPREAD,INLINE_FRAGMENT',
+        |   'if:Boolean!'))
+        |  AS t(dname, locations, args)
+        |ORDER BY dname""".stripMargin,
     "q206_absent_objrel" ->
       """SELECT c.c_custkey,
         |       to_json(list_sort(list({'k': o.o_orderkey,

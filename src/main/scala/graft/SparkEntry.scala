@@ -257,6 +257,20 @@ object SparkEntry {
       (graft.api.GraphQl.q208MultiRoot(_, _)),
     "q206_absent_objrel" ->
       (graft.api.GraphQl.q206AbsentObjRel(_, _)),
+    "q212_mixed_stream_roots" ->
+      (graft.api.GraphQl.q212MixedStreamRoots(_, _)),
+    "q213_deep_insert" ->
+      (graft.api.GraphQl.q213DeepInsert(_, _)),
+    "q214_jsonb_updates" ->
+      (graft.api.GraphQl.q214JsonbUpdates(_, _)),
+    "q215_conditional_upsert" ->
+      (graft.api.GraphQl.q215ConditionalUpsert(_, _)),
+    "q216_directives" ->
+      (graft.api.GraphQl.q216Directives(_, _)),
+    "q217_ensemble_verdict" ->
+      (graft.queries.TextQueries.q217EnsembleVerdict(_, _)),
+    "q218_ensemble_funnel" ->
+      (graft.queries.TextQueries.q218EnsembleFunnel(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

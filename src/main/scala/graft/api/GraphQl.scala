@@ -281,7 +281,15 @@ object GraphQl {
     * `insert_<t>_one` response is either the row type or the
     * mutation-response wrapper) accept a fragment on either; the
     * resolved condition comes back so the caller can branch on the
-    * shape the fragment committed to. */
+    * shape the fragment committed to.
+    *
+    * `@include`/`@skip` apply ON the spread itself (r18 — the spec's
+    * FRAGMENT_SPREAD / INLINE_FRAGMENT locations, Apollo's fragment
+    * toggle): an excluded spread contributes nothing. One documented
+    * deviation from the excluded-fields-still-compile contract: an
+    * excluded spread's BODY is brace-balanced but not semantically
+    * validated until some request includes it (the body never
+    * splices). */
   private def resolveSpreadIn(p: P, conds: Set[String],
       at: String): String = {
     val enclosing = conds.toSeq.sorted.mkString("' / '")
@@ -293,18 +301,26 @@ object GraphQl {
         if (!conds(cond))
           bad(s"$at: inline fragment on '$cond' inside a '$enclosing' " +
             "selection — type condition must match the enclosing table")
+        val (keepI, restI) = conditionalKeep(parseDirectives(p),
+          s"$at: inline fragment")
+        restI.keySet.foreach(d =>
+          bad(s"$at: unknown directive @$d on an inline fragment"))
         val body = p.captureBlock("inline fragment")
-        p.splice(body, pos)
+        if (keepI) p.splice(body, pos)
         cond
       case Name(fname, fpos) =>
         p.next()
+        val (keepS, restS) = conditionalKeep(parseDirectives(p),
+          s"$at: ...$fname")
+        restS.keySet.foreach(d =>
+          bad(s"$at: unknown directive @$d on a fragment spread"))
         val (cond, body) = p.fragments.getOrElse(fname,
           bad(s"$at: spread of undefined fragment '$fname' at $fpos"))
         if (!conds(cond))
           bad(s"$at: fragment '$fname' is on '$cond' but is spread " +
             s"inside a '$enclosing' selection")
         p.usedFrags += fname
-        p.splice(body, pos)
+        if (keepS) p.splice(body, pos)
         cond
       case t => bad(s"$at: expected a fragment name or 'on' after " +
         s"'...' at ${t.pos}")
@@ -1235,7 +1251,9 @@ object GraphQl {
       // optional operation header: `query [Name] [($var: type, ...)]`;
       // `subscription` parses IDENTICALLY — a subscription document is
       // a read query served continuously (graft.api.Subscriptions
-      // routes the parsed Request to the streaming twins)
+      // routes the parsed Request to the streaming twins). The keyword
+      // still matters to `_stream` roots (subscription-only).
+      var isSub = false
       p.peek match {
         // a mutation chosen by operationName (splitOperations accepts
         // mutation headers) must be diagnosed AS a mutation — falling
@@ -1243,7 +1261,8 @@ object GraphQl {
         case Name("mutation", pos) =>
           bad(s"the operation at $pos is a mutation — serve it " +
             "through parseMutationFields, not the read path")
-        case Name("query" | "subscription", _) =>
+        case Name(kw @ ("query" | "subscription"), _) =>
+          isSub = kw == "subscription"
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
           parseOpVariables(p, vars, multiOp = nOps > 1)
@@ -1254,7 +1273,8 @@ object GraphQl {
             bad(s"variables.$k bound but not declared by the operation"))
       }
       p.expect('{')
-      val (rootKey, rootKept, rootOp) = parseRootField(p, schema)
+      val (rootKey, rootKept, rootOp) =
+        parseRootField(p, schema, inSubscription = isSub)
       if (!p.isPunct('}'))
         bad("this document selects MULTIPLE root fields — serve it " +
           "through parseRoots (one DataFrame per root)")
@@ -1276,9 +1296,13 @@ object GraphQl {
           "roots)")
       rootOp match {
         case ReadRoot(req) => Right(req)
+        case ByPkRoot(req) => Right(req)
         case AggRoot(_) => bad(s"$rootKey: aggregate roots serve " +
           "through parseRootAggregate (one root) or parseRoots " +
           "(batched with reads)")
+        case StreamRoot(_) => bad(s"$rootKey: `_stream` roots serve " +
+          "through parseStream (one root) or parseRoots (batched " +
+          "into a subscription document)")
       }
     } catch {
       case Bad(m) => Left(m)
@@ -1309,11 +1333,16 @@ object GraphQl {
       val (opToks, nOps) = chooseOperation(allToks, operationName)
       val p = new P(opToks)
       p.fragments = frags
+      // `_stream` roots are admitted only under an explicit
+      // `subscription` header (Hasura serves them over no other
+      // operation type) — track the keyword for parseRootField
+      var isSub = false
       p.peek match {
         case Name("mutation", pos) =>
           bad(s"the operation at $pos is a mutation — serve it " +
             "through parseMutationFields, not the read path")
-        case Name("query" | "subscription", _) =>
+        case Name(kw @ ("query" | "subscription"), _) =>
+          isSub = kw == "subscription"
           p.next()
           p.peek match { case Name(_, _) => p.next(); case _ => () }
           parseOpVariables(p, vars, multiOp = nOps > 1)
@@ -1323,7 +1352,8 @@ object GraphQl {
       }
       p.expect('{')
       val roots = Seq.newBuilder[(String, Boolean, RootOp)]
-      while (!p.isPunct('}')) roots += parseRootField(p, schema)
+      while (!p.isPunct('}'))
+        roots += parseRootField(p, schema, inSubscription = isSub)
       p.expect('}')
       p.peek match {
         case Eof(_) => ()
@@ -1363,37 +1393,71 @@ object GraphQl {
     * serves (pushdown/broadcast/pre-projection-sort all carry over;
     * roots are independent plans, so Spark schedules them as separate
     * jobs — at cluster scale they pipeline, nothing is serialized by
-    * this list). */
+    * this list). A [[StreamRoot]] serves its first `streamNPages`
+    * pages through [[Subscriptions.streamPages]] (the batch-replay
+    * contract the live fold is pinned to) — page count is a serve
+    * parameter, not document text, exactly as on the one-root
+    * stream path. */
   def runRoots(s: org.apache.spark.sql.SparkSession, dir: String,
-      roots: Seq[(String, RootOp)])
+      roots: Seq[(String, RootOp)], streamNPages: Int = 3)
       : Seq[(String, org.apache.spark.sql.DataFrame)] =
     roots.map {
       case (k, ReadRoot(r)) => k -> QueryBuilder.run(s, dir, r)
+      case (k, ByPkRoot(r)) => k -> QueryBuilder.run(s, dir, r)
       case (k, AggRoot(r)) => k -> QueryBuilder.runAggregate(s, dir, r)
+      case (k, StreamRoot(sr)) => k -> Subscriptions.streamPages(
+        graft.Tables.load(s, dir, sr.table), sr, streamNPages,
+        rel = Some((s, dir)))
     }
 
   /** One parsed root of a (possibly multi-root) read document: a
-    * table read / `_by_pk` lookup, or a whole-table aggregate —
-    * Hasura batches both kinds freely in one operation. */
+    * table read, a `_by_pk` point lookup, a whole-table aggregate, or
+    * — under a SUBSCRIPTION operation — a `_stream` cursor root.
+    * Hasura batches every query_root field kind freely in one
+    * operation; `_stream` lives on subscription_root only, and the
+    * engine relaxes the spec's one-root-per-subscription rule the
+    * same way its multi-root live reads already do (r18). */
   sealed trait RootOp
   final case class ReadRoot(req: Request) extends RootOp
   final case class AggRoot(req: QueryBuilder.AggRequest) extends RootOp
+  /** The `<table>_by_pk` point lookup — semantically a [[ReadRoot]]
+    * whose where is the key equality, kept distinct because Hasura's
+    * response shape is a nullable OBJECT (at most one row), not a
+    * list — renderers and permission rewrites route it as a read. */
+  final case class ByPkRoot(req: Request) extends RootOp
+  /** A `<table>_stream` cursor root batched into a multi-root
+    * subscription document — served by [[Subscriptions.streamPages]]
+    * (batch replay) inside [[runRoots]]' all-or-nothing batch. */
+  final case class StreamRoot(sr: Subscriptions.StreamRequest)
+    extends RootOp
 
   /** Parse ONE root field — `alias: table(args) @dirs { body }` — into
     * (responseKey, kept, RootOp). ROOT ALIASES (r17) let one document
     * select the same table twice under distinct keys; root
     * @include/@skip gate the field's contribution while it still fully
-    * compiles (the conditionalKeep contract). `<table>_by_pk` and
-    * `<table>_aggregate` roots serve here too. Shared by [[parse]]
+    * compiles (the conditionalKeep contract). `<table>_by_pk`,
+    * `<table>_aggregate`, and — under a subscription operation —
+    * `<table>_stream` roots serve here too. Shared by [[parse]]
     * (exactly one root) and [[parseRoots]] (Hasura's multi-root
     * batching). */
-  private def parseRootField(p: P, schema: Schema)
-      : (String, Boolean, RootOp) = {
+  private def parseRootField(p: P, schema: Schema,
+      inSubscription: Boolean = false): (String, Boolean, RootOp) = {
     val rfirst = p.name("root table")
     val (ralias, rootName) =
       if (p.isPunct(':')) {
         p.expect(':'); (Some(rfirst), p.name("root table"))
       } else (None, rfirst)
+    if (rootName.endsWith("_stream")) {
+      // a `_stream` cursor root batched next to reads/aggregates
+      // (r18): subscription-only, like the one-root surface — a
+      // query-operation document refuses the FIELD (the operation
+      // kind is the problem, not the batching)
+      if (!inSubscription)
+        bad(s"$rootName: <table>_stream is a subscription-only " +
+          "surface (Hasura serves it over no other operation type)")
+      val (kept, sr) = compileStreamField(p, schema, rootName)
+      return (ralias.getOrElse(rootName), kept, StreamRoot(sr))
+    }
     if (rootName.endsWith("_aggregate")) {
       val (kept, agg) = parseAggRootField(p, rootName,
         rootName.stripSuffix("_aggregate"))
@@ -1575,7 +1639,7 @@ object GraphQl {
       val (rootOrders, rootOrderAggs) = args.get("order_by")
         .map(compileOrdersRoot(_, "order_by", schema, table))
         .getOrElse((Nil, Nil))
-      (ralias.getOrElse(rootName), rootKeep, ReadRoot(Request(
+      val req = Request(
         table = table,
         fields = scalars.fields,
         where = byPkWhere.orElse(args.get("where")
@@ -1589,7 +1653,12 @@ object GraphQl {
         aggRels = aggRels.result().distinct,
         distinctOn = distinctOn,
         orderAggs = rootOrderAggs,
-        fieldAs = scalars.fieldAs)))
+        fieldAs = scalars.fieldAs)
+      // by_pk keeps its own RootOp: Hasura's response there is a
+      // nullable single OBJECT, not a list — the run path is the
+      // same pushed-down point lookup either way
+      (ralias.getOrElse(rootName), rootKeep,
+        if (isByPk) ByPkRoot(req) else ReadRoot(req))
   }
 
   // ---- root aggregates -----------------------------------------------
@@ -1793,8 +1862,50 @@ object GraphQl {
       if (!root.endsWith("_stream"))
         bad(s"$root: expected <table>_stream (plain reads go " +
           "through parse)")
+      val (kept, sr) = compileStreamField(p, schema, root)
+      p.expect('}')
+      p.peek match {
+        case Eof(_) => ()
+        case t => bad(s"trailing content at ${t.pos}")
+      }
+      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
+        bad(s"variable $$$k declared and bound but never used — " +
+          "a dropped filter returns wrong rows silently"))
+      checkFragmentsUsed(p, allToks, nOps)
+      // the one-root stream API answers ONE page stream: a document
+      // whose only root is directive-excluded has nothing to serve
+      // (parseRoots drops excluded roots in a batch)
+      if (!kept)
+        bad(s"$root: the only root field is excluded by its " +
+          "directives — nothing to serve")
+      Right(sr)
+    } catch {
+      case Bad(m) => Left(m)
+      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
+      case e: IllegalArgumentException => Left(e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
+    }
+
+  /** Compile ONE `<table>_stream` field — arguments (cursor /
+    * batch_size / where), root directives, and the selection body —
+    * with the parser positioned just past the field name. Shared by
+    * [[parseStream]] (the one-root subscription document) and
+    * [[parseRootField]] (a `_stream` root batched into a multi-root
+    * subscription, r18). Returns (kept, request): an
+    * `@include`/`@skip`-excluded field still fully COMPILES (the
+    * conditionalKeep contract — malformed cursors surface at parse,
+    * not when the flag flips in production). */
+  private def compileStreamField(p: P, schema: Schema, root: String)
+      : (Boolean, Subscriptions.StreamRequest) = {
       val table = root.stripSuffix("_stream")
       val args = parseArgs(p)
+      // root directives gate the field's contribution in a batch;
+      // on the one-root surface an excluded root is a loud no-serve
+      val (rootKeep, rootDirs) = conditionalKeep(parseDirectives(p),
+        root)
+      rootDirs.keySet.foreach(d =>
+        bad(s"$root: unknown directive @$d"))
       checkArgs(args, Set("cursor", "batch_size", "where"), root)
       val cursorObj = args.getOrElse("cursor",
         bad(s"$root: cursor is required")) match {
@@ -1901,26 +2012,11 @@ object GraphQl {
       // is the spec's fully-skipped selection — valid, pages still cut
       // (rows deliver with no selected columns), never an error
       if (parsedFields == 0) bad(s"$root: empty selection set")
-      p.expect('}')
-      p.peek match {
-        case Eof(_) => ()
-        case t => bad(s"trailing content at ${t.pos}")
-      }
-      (p.variables.keySet -- p.used).toSeq.sorted.headOption.foreach(k =>
-        bad(s"variable $$$k declared and bound but never used — " +
-          "a dropped filter returns wrong rows silently"))
-      checkFragmentsUsed(p, allToks, nOps)
-      Right(Subscriptions.StreamRequest(table, cursorField, initial,
+      (rootKeep, Subscriptions.StreamRequest(table, cursorField, initial,
         ascending = ascending, batchSize = batchSize, where = where,
         fields = fs, fieldAs = scalars.fieldAs,
         nested = nested.result().distinct))
-    } catch {
-      case Bad(m) => Left(m)
-      case e: NumberFormatException => Left(s"bad number: ${e.getMessage}")
-      case e: IllegalArgumentException => Left(e.getMessage)
-      case e: com.fasterxml.jackson.core.JacksonException =>
-        Left(s"variables: not valid JSON: ${e.getOriginalMessage}")
-    }
+  }
 
   /** Print a [[Subscriptions.StreamRequest]] back to subscription
     * text — `parseStream(renderStream(sr)) == Right(sr)`, the house
@@ -2271,13 +2367,95 @@ object GraphQl {
     case _ => bad(s"$at: expected an object")
   }
 
-  /** Hasura's `on_conflict: {constraint: ..., update_columns: [...]}`.
-    * The constraint NAMES a Postgres unique constraint there; this
-    * engine's store has exactly one key, so the name is accepted and
-    * unused — `update_columns` is what selects the conflict policy
-    * (listed columns update; `[]` is DO NOTHING). */
+  /** Render a parsed GraphQL literal to JSON text — the operand form
+    * [[graft.functions.JsonbOps]] consumes for `_append`/`_prepend`
+    * (strings escape through Jackson, so the text is always valid
+    * JSON). Enums and non-JSON literals are loud. */
+  private def vToJson(v: V, at: String): String = v match {
+    case VNull => "null"
+    case VLit(s: String) => mapper.writeValueAsString(s)
+    case VLit(b: Boolean) => b.toString
+    case VLit(l: Long) => l.toString
+    case VLit(d: Double) =>
+      if (d.isNaN || d.isInfinite)
+        bad(s"$at: $d is not JSON-representable")
+      d.toString
+    case VLit(other) => bad(s"$at: ${other.getClass.getSimpleName} " +
+      "is not a JSON value")
+    case VEnum(n) => bad(s"$at: enum $n is not a JSON value")
+    case VList(vs) => vs.zipWithIndex
+      .map { case (x, i) => vToJson(x, s"$at[$i]") }
+      .mkString("[", ",", "]")
+    case VObj(fs) =>
+      val dups = fs.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+      if (dups.nonEmpty)
+        bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
+      fs.map { case (k, x) =>
+        mapper.writeValueAsString(k) + ":" + vToJson(x, s"$at.$k") }
+        .mkString("{", ",", "}")
+  }
+
+  /** The argument names of Hasura's JSONB update operator family. */
+  private val jsonbArgNames = Set("_append", "_prepend", "_delete_key",
+    "_delete_elem", "_delete_at_path")
+
+  /** Parse the JSONB operator arguments of an update — each is
+    * `{<column>: <operand>}` — to the (column, op) pairs
+    * [[Mutations.Update]] carries. Shared by `update_<t>`,
+    * `update_<t>_by_pk`, and `update_<t>_many` steps (Hasura serves
+    * the family on all three). */
+  private def jsonbArgs(m: Map[String, V], at: String)
+      : Seq[(String, graft.functions.JsonbOps.Op)] = {
+    import graft.functions.JsonbOps
+    def cols(arg: String)(mk: (V, String) => JsonbOps.Op)
+        : Seq[(String, JsonbOps.Op)] =
+      m.get(arg).toSeq.flatMap {
+        case VObj(fs) =>
+          if (fs.isEmpty) bad(s"$at.$arg: empty object")
+          val dups = fs.map(_._1).groupBy(identity)
+            .filter(_._2.size > 1).keys
+          if (dups.nonEmpty)
+            bad(s"$at.$arg: duplicate column(s) ${dups.mkString(", ")}")
+          fs.map { case (c, v) => c -> mk(v, s"$at.$arg.$c") }
+        case _ => bad(s"$at.$arg: expected {<column>: <value>}")
+      }
+    cols("_append")((v, p) => JsonbOps.Append(vToJson(v, p))) ++
+      cols("_prepend")((v, p) => JsonbOps.Prepend(vToJson(v, p))) ++
+      cols("_delete_key")((v, p) => v match {
+        case VLit(s: String) => JsonbOps.DeleteKey(s)
+        case _ => bad(s"$p: expected a string key")
+      }) ++
+      cols("_delete_elem")((v, p) => v match {
+        case VLit(l: Long) =>
+          if (!l.isValidInt) bad(s"$p: index $l out of int range")
+          JsonbOps.DeleteElem(l.toInt)
+        case _ => bad(s"$p: expected an integer index")
+      }) ++
+      cols("_delete_at_path")((v, p) => v match {
+        case VList(es) =>
+          if (es.isEmpty) bad(s"$p: empty path")
+          JsonbOps.DeleteAtPath(es.zipWithIndex.map {
+            case (VLit(s: String), _) => s
+            case (VLit(l: Long), _) => l.toString
+            case (_, i) =>
+              bad(s"$p[$i]: path elements are keys or indexes")
+          })
+        case _ => bad(s"$p: expected a path list")
+      })
+  }
+
+  /** Hasura's `on_conflict: {constraint: ..., update_columns: [...],
+    * where: {...}}`. The constraint NAMES a Postgres unique constraint
+    * there; this engine's store has exactly one key, so the name is
+    * accepted and unused — `update_columns` is what selects the
+    * conflict policy (listed columns update; `[]` is DO NOTHING).
+    * `where` (r18) is the CONDITIONAL upsert: the update applies only
+    * where the predicate holds on the EXISTING row — compiled
+    * column-only (it evaluates row-locally on the stored snapshot; a
+    * relationship predicate would have nothing to decorrelate against
+    * at apply time). Returns (update_columns, where). */
   private def onConflictArg(args: Map[String, V],
-      at: String): Option[Seq[String]] =
+      at: String): Option[(Seq[String], Option[QueryBuilder.BoolExp])] =
     args.get("on_conflict").map {
       case VObj(fs) =>
         // duplicate input-object fields are a GraphQL error; toMap's
@@ -2286,10 +2464,13 @@ object GraphQl {
         if (dups.nonEmpty)
           bad(s"$at.on_conflict: duplicate field(s) ${dups.mkString(", ")}")
         val m = fs.toMap
-        (m.keySet -- Set("constraint", "update_columns")).toSeq.sorted
+        (m.keySet -- Set("constraint", "update_columns", "where"))
+          .toSeq.sorted
           .headOption.foreach(k =>
             bad(s"$at.on_conflict: unknown field '$k'"))
-        m.getOrElse("update_columns",
+        val cw = m.get("where")
+          .map(compileBool(_, s"$at.on_conflict.where"))
+        val cols = m.getOrElse("update_columns",
           bad(s"$at.on_conflict: update_columns is required " +
             "([] for do-nothing)")) match {
           case VList(vs) => vs.map {
@@ -2302,37 +2483,52 @@ object GraphQl {
           case _ =>
             bad(s"$at.on_conflict.update_columns: expected column names")
         }
+        if (cw.isDefined && cols.isEmpty)
+          bad(s"$at.on_conflict: where needs update_columns — " +
+            "there is no update to condition otherwise")
+        (cols, cw)
       case _ => bad(s"$at.on_conflict: expected an object")
     }
 
   /** One INSERT object: literal columns plus Hasura's NESTED-insert
-    * entries — a value that is an OBJECT must be a tracked ARRAY
-    * relationship's `{data: [...], on_conflict: ...}` (columns hold
-    * literals only in this engine, so the shapes cannot collide).
-    * Children come back as their own [[Mutations.Insert]]s with the
-    * foreign key STITCHED from the parent object's key — which the
-    * parent must therefore carry literally (no read-back; the whole
-    * tree stays a driver-side request payload). A child object
-    * spelling the FK itself is rejected (a mismatch with the stitched
-    * value would silently detach the child). */
+    * entries, RECURSIVE to arbitrary depth (r18) — a value that is an
+    * OBJECT must be a tracked relationship's `{data: ..., on_conflict:
+    * ...}` (columns hold literals only in this engine, so the shapes
+    * cannot collide). An ARRAY relationship's `data` is a list of
+    * child objects — each parses back through THIS function, so
+    * children nest their own relationships — with the foreign key
+    * STITCHED from the parent object's key (which the parent must
+    * therefore carry literally; no read-back, the whole tree stays a
+    * driver-side request payload). An OBJECT relationship's `data` is
+    * ONE related object inserted BEFORE this row, whose key stitches
+    * INTO this row's FK column. Spelling a stitched column yourself is
+    * rejected on both sides (a mismatch with the stitched value would
+    * silently detach the rows).
+    *
+    * Returns (row, before, children): `before` are the
+    * object-relationship subtrees (insert first), `children` the
+    * array-relationship subtrees (insert after). */
   private def insertObject(table: String, v: V, at: String,
-      schema: Schema): (Seq[(String, Any)], Seq[Mutations.Insert]) =
+      schema: Schema): (Seq[(String, Any)],
+        Seq[Mutations.Mutation], Seq[Mutations.Mutation]) =
     v match {
       case VObj(fs) =>
         val row = Seq.newBuilder[(String, Any)]
-        val relEntries = Seq.newBuilder[(String, Seq[(String, V)])]
+        val arrEntries = Seq.newBuilder[(String, Seq[(String, V)])]
+        val objRelEntries = Seq.newBuilder[(String, Seq[(String, V)])]
         fs.foreach {
           case (k, VObj(ofs)) =>
-            if (!schema.rels.contains((table, k)))
-              bad(s"$at.$k: an object value must be a tracked array " +
-                s"relationship on '$table' (columns take literals)")
-            relEntries += ((k, ofs))
+            if (schema.rels.contains((table, k))) arrEntries += ((k, ofs))
+            else if (schema.objRels.contains((table, k)))
+              objRelEntries += ((k, ofs))
+            else bad(s"$at.$k: an object value must be a tracked " +
+              s"relationship on '$table' (columns take literals)")
           case (k, sub) => row += k -> litValue(sub, s"$at.$k")
         }
-        val rowSeq = row.result()
-        val rowMap = rowSeq.toMap
-        val kids = relEntries.result().map { case (k, ofs) =>
-          val rel = schema.rels((table, k))
+        val rowSeq0 = row.result()
+        // the shared {data, on_conflict} envelope checks
+        def envelope(k: String, ofs: Seq[(String, V)])
+            : Map[String, V] = {
           val dups = ofs.map(_._1).groupBy(identity)
             .filter(_._2.size > 1).keys
           if (dups.nonEmpty)
@@ -2340,14 +2536,67 @@ object GraphQl {
           val m = ofs.toMap
           (m.keySet -- Set("data", "on_conflict")).toSeq.sorted
             .headOption.foreach(x => bad(s"$at.$k: unknown field '$x' " +
-              "(a nested insert is {data: [...], on_conflict: ...})"))
-          val dataRows = m.getOrElse("data",
+              "(a nested insert is {data: ..., on_conflict: ...})"))
+          m
+        }
+        // a subtree node: the plain Insert when the parsed object had
+        // no nested relationships of its own, the recursive tree
+        // otherwise
+        def node(ins: Mutations.Insert, before: Seq[Mutations.Mutation],
+            kids: Seq[Mutations.Mutation]): Mutations.Mutation =
+          if (before.isEmpty && kids.isEmpty) ins
+          else Mutations.InsertTree(ins, kids, before)
+        // OBJECT relationships first: the related row inserts BEFORE
+        // this one, and its key stitches INTO this row's FK column
+        val before = Seq.newBuilder[Mutations.Mutation]
+        val stitched = objRelEntries.result().map { case (k, ofs) =>
+          val rel = schema.objRels((table, k))
+          val m = envelope(k, ofs)
+          val dataObj = m.getOrElse("data",
             bad(s"$at.$k: data is required")) match {
-            case VList(vs) => vs.map(objEntries(_, s"$at.$k.data"))
-            case o @ VObj(_) => Seq(objEntries(o, s"$at.$k.data"))
+            case o @ VObj(_) => o
+            case _ => bad(s"$at.$k.data: expected ONE object (an " +
+              "object relationship inserts a single related row)")
+          }
+          val (rrow, rbefore, rkids) =
+            insertObject(rel.childTable, dataObj, s"$at.$k.data", schema)
+          val keyVal = rrow.toMap.getOrElse(rel.childKey,
+            bad(s"$at.$k.data: the related object must carry " +
+              s"${rel.childKey} literally to stitch this row's " +
+              s"${rel.parentKey}"))
+          if (keyVal == null)
+            bad(s"$at.$k.data: ${rel.childKey} cannot be null on a " +
+              "related object being stitched")
+          if (rowSeq0.exists(_._1 == rel.parentKey))
+            bad(s"$at: do not set ${rel.parentKey} — it is stitched " +
+              s"from $k's ${rel.childKey}")
+          val oc = onConflictArg(m, s"$at.$k")
+          before += node(Mutations.Insert(rel.childTable, Seq(rrow),
+            updateColumns = oc.map(_._1),
+            conflictWhere = oc.flatMap(_._2)), rbefore, rkids)
+          rel.parentKey -> keyVal
+        }
+        // two object relationships stitching the SAME FK column would
+        // write an order-dependent value — refuse
+        val dupFk = stitched.map(_._1).groupBy(identity)
+          .filter(_._2.size > 1).keys
+        if (dupFk.nonEmpty)
+          bad(s"$at: object relationships stitch column(s) " +
+            s"${dupFk.mkString(", ")} more than once")
+        val rowSeq = rowSeq0 ++ stitched
+        val rowMap = rowSeq.toMap
+        // ARRAY relationships: child rows (recursively parsed) insert
+        // AFTER this row, their FK stitched from THIS object's key
+        val kids = arrEntries.result().map { case (k, ofs) =>
+          val rel = schema.rels((table, k))
+          val m = envelope(k, ofs)
+          val dataObjs = m.getOrElse("data",
+            bad(s"$at.$k: data is required")) match {
+            case VList(vs) => vs
+            case o @ VObj(_) => Seq(o)
             case _ => bad(s"$at.$k.data: expected a list of objects")
           }
-          if (dataRows.isEmpty) bad(s"$at.$k.data: empty objects list")
+          if (dataObjs.isEmpty) bad(s"$at.$k.data: empty objects list")
           val fkVal = rowMap.getOrElse(rel.parentKey,
             bad(s"$at.$k: the parent object must carry " +
               s"${rel.parentKey} literally to stitch the child " +
@@ -2355,16 +2604,23 @@ object GraphQl {
           if (fkVal == null)
             bad(s"$at.$k: ${rel.parentKey} cannot be null on a parent " +
               "with nested rows")
-          dataRows.zipWithIndex.foreach { case (r, i) =>
-            if (r.exists(_._1 == rel.childKey))
+          val parsed = dataObjs.zipWithIndex.map { case (o, i) =>
+            val (crow, cbefore, ckids) =
+              insertObject(rel.childTable, o, s"$at.$k.data[$i]", schema)
+            if (crow.exists(_._1 == rel.childKey))
               bad(s"$at.$k.data[$i]: do not set ${rel.childKey} — it " +
                 s"is stitched from the parent's ${rel.parentKey}")
+            (crow :+ (rel.childKey -> fkVal), cbefore, ckids)
           }
-          Mutations.Insert(rel.childTable,
-            dataRows.map(_ :+ (rel.childKey -> fkVal)),
-            updateColumns = onConflictArg(m, s"$at.$k"))
+          // all data rows share ONE Insert (keeps the within-list
+          // duplicate-key check whole); grandchildren hang off it
+          val oc = onConflictArg(m, s"$at.$k")
+          node(Mutations.Insert(rel.childTable, parsed.map(_._1),
+              updateColumns = oc.map(_._1),
+              conflictWhere = oc.flatMap(_._2)),
+            parsed.flatMap(_._2), parsed.flatMap(_._3))
         }
-        (rowSeq, kids)
+        (rowSeq, before.result(), kids)
       case _ => bad(s"$at: expected an object")
     }
 
@@ -2389,24 +2645,30 @@ object GraphQl {
       // Hasura's single-object spelling: insert_<t>_one(object: {...})
       val table = fname.stripPrefix("insert_").stripSuffix("_one")
       checkArgs(args, Set("object", "on_conflict"), fname)
-      val (row, kids) = insertObject(table, args.getOrElse("object",
-        bad(s"$fname: object is required")), s"$fname.object", schema)
+      val (row, before, kids) = insertObject(table,
+        args.getOrElse("object",
+          bad(s"$fname: object is required")), s"$fname.object", schema)
+      val oc = onConflictArg(args, fname)
       val ins = Mutations.Insert(table, Seq(row),
-        updateColumns = onConflictArg(args, fname))
-      (if (kids.isEmpty) ins else Mutations.InsertTree(ins, kids), false)
+        updateColumns = oc.map(_._1), conflictWhere = oc.flatMap(_._2))
+      (if (kids.isEmpty && before.isEmpty) ins
+       else Mutations.InsertTree(ins, kids, before), false)
     } else if (fname.startsWith("update_") && fname.endsWith("_by_pk")) {
       // update_<t>_by_pk(pk_columns: {<pk>: v}, _set/_inc) → one-row
       // update; the response is the post-update row (or null)
       val table = fname.stripPrefix("update_").stripSuffix("_by_pk")
-      checkArgs(args, Set("pk_columns", "_set", "_inc"), fname)
+      checkArgs(args, Set("pk_columns", "_set", "_inc") ++
+        jsonbArgNames, fname)
       val where = byPkWhere(args.getOrElse("pk_columns",
         bad(s"$fname: pk_columns is required")), s"$fname.pk_columns")
       val set = args.get("_set").map(objEntries(_, s"$fname._set"))
         .getOrElse(Nil)
       val inc = args.get("_inc").map(objEntries(_, s"$fname._inc"))
         .getOrElse(Nil)
-      if (set.isEmpty && inc.isEmpty) bad(s"$fname: needs _set and/or _inc")
-      (Mutations.Update(table, where, set, inc), true)
+      val jb = jsonbArgs(args, fname)
+      if (set.isEmpty && inc.isEmpty && jb.isEmpty)
+        bad(s"$fname: needs _set and/or _inc (or a jsonb operator)")
+      (Mutations.Update(table, where, set, inc, jb), true)
     } else if (fname.startsWith("delete_") && fname.endsWith("_by_pk")) {
       // delete_<t>_by_pk(<pk>: v) — the single argument IS the key
       // column (Hasura names it after the PK); response = the deleted
@@ -2437,7 +2699,8 @@ object GraphQl {
           if (dups.nonEmpty)
             bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
           val m = fs.toMap
-          (m.keySet -- Set("where", "_set", "_inc")).toSeq.sorted
+          (m.keySet -- Set("where", "_set", "_inc") -- jsonbArgNames)
+            .toSeq.sorted
             .headOption.foreach(k => bad(s"$at: unknown field '$k'"))
           val where = compileBool(m.getOrElse("where",
             bad(s"$at: where is required — Hasura's own rule")),
@@ -2446,9 +2709,10 @@ object GraphQl {
             .getOrElse(Nil)
           val inc = m.get("_inc").map(objEntries(_, s"$at._inc"))
             .getOrElse(Nil)
-          if (set.isEmpty && inc.isEmpty)
-            bad(s"$at: needs _set and/or _inc")
-          Mutations.Update(table, where, set, inc)
+          val jb = jsonbArgs(m, at)
+          if (set.isEmpty && inc.isEmpty && jb.isEmpty)
+            bad(s"$at: needs _set and/or _inc (or a jsonb operator)")
+          Mutations.Update(table, where, set, inc, jb)
         }
         case _ => bad(s"$fname.updates: expected a list of updates")
       }
@@ -2463,13 +2727,17 @@ object GraphQl {
         case o @ VObj(_) => Seq(o)
         case _ => bad(s"$fname.objects: expected a list of objects")
       }).map(insertObject(table, _, s"$fname.objects", schema))
+      val oc = onConflictArg(args, fname)
       val ins = Mutations.Insert(table, parsed.map(_._1),
-        updateColumns = onConflictArg(args, fname))
-      val kids = parsed.flatMap(_._2)
-      (if (kids.isEmpty) ins else Mutations.InsertTree(ins, kids), false)
+        updateColumns = oc.map(_._1), conflictWhere = oc.flatMap(_._2))
+      val before = parsed.flatMap(_._2)
+      val kids = parsed.flatMap(_._3)
+      (if (kids.isEmpty && before.isEmpty) ins
+       else Mutations.InsertTree(ins, kids, before), false)
     } else if (fname.startsWith("update_")) {
       val table = fname.stripPrefix("update_")
-      checkArgs(args, Set("where", "_set", "_inc"), fname)
+      checkArgs(args, Set("where", "_set", "_inc") ++ jsonbArgNames,
+        fname)
       val where = compileBool(args.getOrElse("where",
         bad(s"$fname: where is required — Hasura's own rule; an " +
           "unfiltered update needs an explicit always-true predicate")),
@@ -2478,9 +2746,10 @@ object GraphQl {
         .getOrElse(Nil)
       val inc = args.get("_inc").map(objEntries(_, s"$fname._inc"))
         .getOrElse(Nil)
-      if (set.isEmpty && inc.isEmpty)
-        bad(s"$fname: needs _set and/or _inc")
-      (Mutations.Update(table, where, set, inc), false)
+      val jb = jsonbArgs(args, fname)
+      if (set.isEmpty && inc.isEmpty && jb.isEmpty)
+        bad(s"$fname: needs _set and/or _inc (or a jsonb operator)")
+      (Mutations.Update(table, where, set, inc, jb), false)
     } else if (fname.startsWith("delete_")) {
       val table = fname.stripPrefix("delete_")
       checkArgs(args, Set("where"), fname)
@@ -2548,16 +2817,29 @@ object GraphQl {
       }
       p.expect('{')
       val out = Seq.newBuilder[Mutations.Field]
+      // spec §5.3.2 on mutation roots: response keys (alias or verb
+      // name) must be unique — identical repeats collapse and execute
+      // ONCE (merged fields are one response entry), distinct fields
+      // under one key refuse; Hasura requires aliases to repeat a verb
+      val seen = scala.collection.mutable.LinkedHashMap
+        .empty[String, Mutations.Field]
       var parsedFields = 0
       while (!p.isPunct('}')) {
         parsedFields += 1
-        val fname = p.name("mutation field")
+        // ROOT-FIELD aliases (r18): `a: update_t(...)` — spec aliases
+        // serve on every operation type; the alias is the response key
+        val ffirst = p.name("mutation field")
+        val (falias, fname) =
+          if (p.isPunct(':')) {
+            p.expect(':'); (Some(ffirst), p.name("mutation field"))
+          } else (None, ffirst)
         val args = parseArgs(p)
         // @include/@skip gate WRITES too (a client toggling an
         // optional update step) — the excluded field still parses
         // and compiles (malformed mutations stay loud), it just
         // never executes
-        val (keep, dirs) = conditionalKeep(parseDirectives(p), fname)
+        val (keep, dirs) = conditionalKeep(parseDirectives(p),
+          falias.getOrElse(fname))
         dirs.keySet.foreach(d => bad(s"$fname: unknown directive @$d"))
         val (m, byPk) = compileMutation(fname, args, schema)
         val isOne = fname.startsWith("insert_") && fname.endsWith("_one")
@@ -2673,8 +2955,19 @@ object GraphQl {
             bad(s"$fname: empty selection set")
         }
         p.expect('}')
-        if (keep) out += Mutations.Field(m, returning, single,
-          retAs.toMap, retNested = retNested.result().distinct)
+        if (keep) {
+          val f = Mutations.Field(m, returning, single,
+            retAs.toMap, retNested = retNested.result().distinct,
+            as = falias)
+          val key = falias.getOrElse(fname)
+          seen.get(key) match {
+            case None => seen += key -> f; out += f
+            case Some(prev) if prev == f => () // identical: collapse
+            case Some(_) =>
+              bad(s"duplicate mutation response key '$key' — alias " +
+                "the colliding fields")
+          }
+        }
       }
       p.expect('}')
       p.peek match {
@@ -2711,8 +3004,24 @@ object GraphQl {
     * on_conflict update_columns is the query language's conflict
     * policy). Object values follow the GraphQL literal grammar; null
     * renders as `null` (legal in objects, unlike `_eq` comparisons). */
-  def renderMutations(ms: Seq[Mutations.Mutation]): String =
-    renderMutationFields(ms.map(Mutations.Field(_)))
+  def renderMutations(ms: Seq[Mutations.Mutation]): String = {
+    // a repeated verb needs an alias to re-parse (the duplicate
+    // response-key rule, r18) — and parseMutations DROPS the Field
+    // wrapper, so a synthetic alias on colliding spellings is free,
+    // exactly what a human author would write
+    def verbOf(m: Mutations.Mutation): String = m match {
+      case _: Mutations.Insert | _: Mutations.InsertTree =>
+        s"insert_${m.table}"
+      case u: Mutations.UpdateMany => s"update_${u.table}_many"
+      case _: Mutations.Update => s"update_${m.table}"
+      case _: Mutations.Delete => s"delete_${m.table}"
+    }
+    val keys = scala.collection.mutable.Set.empty[String]
+    renderMutationFields(ms.zipWithIndex.map { case (m, i) =>
+      Mutations.Field(m,
+        as = if (keys.add(verbOf(m))) None else Some(s"m$i"))
+    })
+  }
 
   /** [[renderMutations]] over the FULL grammar:
     * `parseMutationFields(renderMutationFields(fs)) == Right(fs)` —
@@ -2796,22 +3105,30 @@ object GraphQl {
     }
     val sb = new StringBuilder("mutation {\n")
     fs.foreach { field =>
+      // root-field alias (r18): the response key precedes the verb;
+      // every arm below writes "  <verb>..." so the alias splices
+      // after the indent it shares
+      sb ++= "  "
+      field.as.foreach(a => sb ++= gqlName(a, "alias") ++= ": ")
       field.m match {
-        case Mutations.Insert(table, rows, upsert, updateCols) =>
+        case Mutations.Insert(table, rows, upsert, updateCols0, cw) =>
           if (upsert)
             throw new IllegalArgumentException(
               "render: upsert=true has no GraphQL spelling — use " +
                 "updateColumns (on_conflict) for a renderable policy")
+          // the conditional-upsert where renders inside on_conflict
+          val updateCols = updateCols0.map(cols => (cols,
+            cw.map(w => s", where: ${renderBoolExp(w)}").getOrElse("")))
           val oneShaped = field.single
           if (oneShaped && rows.length != 1)
             throw new IllegalArgumentException(
               "render: a single-shaped insert carries exactly one row")
           if (oneShaped) {
-            sb ++= s"  insert_${noSuffix(table, "insert_<t>_one")}_one" +
+            sb ++= s"insert_${noSuffix(table, "insert_<t>_one")}_one" +
               s"(object: ${obj(rows.head)}"
-            updateCols.foreach(cols => sb ++=
+            updateCols.foreach { case (cols, wtext) => sb ++=
               s", on_conflict: {update_columns: [${cols.map(
-                gqlName(_, "update_column")).mkString(", ")}]}")
+                gqlName(_, "update_column")).mkString(", ")}]$wtext}" }
             sb ++= ")"
             sb ++= retCols(field).mkString(" { ", " ", " }\n")
           } else {
@@ -2821,26 +3138,32 @@ object GraphQl {
                   "insert_<t>_one spelling — the rendered field name " +
                   "would parse as a single-object insert on a " +
                   "different table")
-            sb ++= s"  insert_${gqlName(table, "table")}(objects: ["
+            sb ++= s"insert_${gqlName(table, "table")}(objects: ["
             sb ++= rows.map(obj).mkString(", ")
             sb ++= "]"
-            updateCols.foreach(cols => sb ++=
+            updateCols.foreach { case (cols, wtext) => sb ++=
               s", on_conflict: {update_columns: [${cols.map(
-                gqlName(_, "update_column")).mkString(", ")}]}")
+                gqlName(_, "update_column")).mkString(", ")}]$wtext}" }
             sb ++= ")"
             sb ++= selection(field)
           }
-        case Mutations.Update(table, where, set, inc) =>
+        case Mutations.Update(table, where, set, inc, jsonb) =>
+          // jsonb operands were canonicalized to JSON text at parse —
+          // rendering them back to GraphQL literals would not
+          // round-trip byte for byte (the InsertTree rule)
+          if (jsonb.nonEmpty) throw new IllegalArgumentException(
+            "render: jsonb update operators do not round-trip — " +
+              "keep the original document text")
           if (field.single) {
             val (pk, v) = pkPair(where, "update_<t>_by_pk")
-            sb ++= s"  update_${noSuffix(table, "by_pk")}_by_pk" +
+            sb ++= s"update_${noSuffix(table, "by_pk")}_by_pk" +
               s"(pk_columns: {$pk: $v}"
             if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
             if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
             sb ++= ")"
             sb ++= retCols(field).mkString(" { ", " ", " }\n")
           } else {
-            sb ++= s"  update_${noSuffix(table, "by_pk")}" +
+            sb ++= s"update_${noSuffix(table, "by_pk")}" +
               s"(where: ${renderBoolExp(where)}"
             if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
             if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
@@ -2851,8 +3174,11 @@ object GraphQl {
           if (field.single)
             throw new IllegalArgumentException(
               "render: update_<t>_many has no by_pk spelling")
-          sb ++= s"  update_${noSuffix(table, "_many")}_many(updates: ["
+          sb ++= s"update_${noSuffix(table, "_many")}_many(updates: ["
           sb ++= steps.map { u =>
+            if (u.jsonb.nonEmpty) throw new IllegalArgumentException(
+              "render: jsonb update operators do not round-trip — " +
+                "keep the original document text")
             val parts = Seq(s"where: ${renderBoolExp(u.where)}") ++
               (if (u.set.nonEmpty) Seq(s"_set: ${obj(u.set)}") else Nil) ++
               (if (u.inc.nonEmpty) Seq(s"_inc: ${obj(u.inc)}") else Nil)
@@ -2863,10 +3189,10 @@ object GraphQl {
         case Mutations.Delete(table, where) =>
           if (field.single) {
             val (pk, v) = pkPair(where, "delete_<t>_by_pk")
-            sb ++= s"  delete_${noSuffix(table, "by_pk")}_by_pk($pk: $v)"
+            sb ++= s"delete_${noSuffix(table, "by_pk")}_by_pk($pk: $v)"
             sb ++= retCols(field).mkString(" { ", " ", " }\n")
           } else {
-            sb ++= s"  delete_${noSuffix(table, "by_pk")}" +
+            sb ++= s"delete_${noSuffix(table, "by_pk")}" +
               s"(where: ${renderBoolExp(where)})"
             sb ++= selection(field)
           }
@@ -3844,9 +4170,56 @@ object GraphQl {
   private[api] final case class TNonNull(of: TRef) extends TRef
 
   /** `fargs` are the field's ARGUMENTS (__InputValue rows — the
-    * autocompletion surface clients read); empty for plain columns. */
+    * autocompletion surface clients read); empty for plain columns.
+    * `defaultValue` is the spec's GraphQL-literal string for
+    * defaulted arguments (directive args use it; the generated
+    * table-argument surface keeps Hasura's null posture). */
   private[api] final case class MetaField(fname: String, tpe: TRef,
-      fargs: Seq[MetaField] = Nil)
+      fargs: Seq[MetaField] = Nil,
+      defaultValue: Option[String] = None)
+
+  /** One served DIRECTIVE — `__schema { directives }` rows (r18).
+    * The engine serves exactly these five; advertising anything else
+    * (or answering the empty array, the pre-r18 posture) misleads a
+    * spec-conformant client probing directive support. */
+  private[api] final case class MetaDirective(dname: String,
+      description: String, locations: Seq[String],
+      dargs: Seq[MetaField])
+
+  /** The served directive surface: the spec's conditional pair at
+    * all three executable locations (fields since r13, spreads since
+    * r18), plus the three engine-specific FIELD directives the read
+    * grammar documents (@fmt/@cast presentation, @join attach mode —
+    * what Hasura expresses through column presets and relationship
+    * metadata instead). */
+  private[api] val servedDirectives: Seq[MetaDirective] = Seq(
+    MetaDirective("cast",
+      "Engine-specific: cast the selected column to the named SQL " +
+        "type before delivery",
+      Seq("FIELD"),
+      Seq(MetaField("to", TNonNull(TNamed("SCALAR", "String"))))),
+    MetaDirective("fmt",
+      "Engine-specific: cross-engine presentation — round the " +
+        "selected numeric column and/or printf-format it",
+      Seq("FIELD"),
+      Seq(MetaField("round", TNamed("SCALAR", "Int")),
+        MetaField("printf", TNamed("SCALAR", "String")))),
+    MetaDirective("include",
+      "Directs the executor to include this field or fragment only " +
+        "when the `if` argument is true",
+      Seq("FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT"),
+      Seq(MetaField("if", TNonNull(TNamed("SCALAR", "Boolean"))))),
+    MetaDirective("join",
+      "Engine-specific: relationship attach mode — left keeps " +
+        "parents with no children (Hasura's shape), inner drops them",
+      Seq("FIELD"),
+      Seq(MetaField("type", TNamed("SCALAR", "String"),
+        defaultValue = Some("\"left\"")))),
+    MetaDirective("skip",
+      "Directs the executor to skip this field or fragment when the " +
+        "`if` argument is true",
+      Seq("FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT"),
+      Seq(MetaField("if", TNonNull(TNamed("SCALAR", "Boolean"))))))
   /** `mfields` double as INPUT fields when kind == INPUT_OBJECT (the
     * evaluator serves them under `inputFields`, `fields` answering
     * null per spec); `enumVals` serve ENUM kinds. */
@@ -4081,13 +4454,20 @@ object GraphQl {
       val ownScalarIn = (fs: Seq[org.apache.spark.sql.types.StructField]) =>
         fs.map(f => MetaField(f.name,
           TNamed("SCALAR", gqlScalar(f.dataType))))
-      // nested-insert data arms ride tracked array relationships to
-      // KEYED children (the InsertTree shapes the engine serves)
-      val relData = schema.rels.collect {
+      // nested-insert data arms ride tracked relationships to KEYED
+      // children (the InsertTree shapes the engine serves): array
+      // rels take `{data: [...]}`, object (parent-side) rels take
+      // `{data: {...}}` — both advertised since r18's recursive
+      // inserts serve them
+      val relData = (schema.rels.collect {
         case ((pt, fname), r) if pt == t && schema.keys.contains(
             r.childTable) =>
           MetaField(fname, inObj(s"${r.childTable}_arr_rel_insert_input"))
-      }.toSeq.sortBy(_.fname)
+      }.toSeq ++ schema.objRels.collect {
+        case ((pt, fname), r) if pt == t && schema.keys.contains(
+            r.childTable) =>
+          MetaField(fname, inObj(s"${r.childTable}_obj_rel_insert_input"))
+      }.toSeq).sortBy(_.fname)
       val updateFamily =
         if (nonKey.isEmpty) Nil
         else Seq(
@@ -4097,7 +4477,10 @@ object GraphQl {
             MetaField("constraint",
               TNonNull(TNamed("ENUM", s"${t}_constraint"))),
             MetaField("update_columns", TNonNull(TList(TNonNull(
-              TNamed("ENUM", s"${t}_update_column"))))))),
+              TNamed("ENUM", s"${t}_update_column"))))),
+            // the conditional-upsert predicate (r18): applies the
+            // update only where it holds on the EXISTING row
+            MetaField("where", inObj(s"${t}_bool_exp")))),
           // the one tracked constraint is the primary key
           MetaType("ENUM", s"${t}_constraint", Nil,
             enumVals = Seq(s"${t}_pkey")),
@@ -4117,6 +4500,12 @@ object GraphQl {
         MetaType("INPUT_OBJECT", s"${t}_arr_rel_insert_input",
           MetaField("data", TNonNull(TList(TNonNull(
             inObj(s"${t}_insert_input"))))) +:
+          (if (nonKey.isEmpty) Nil
+           else Seq(MetaField("on_conflict",
+             inObj(s"${t}_on_conflict"))))),
+        // the object-relationship spelling inserts ONE related row
+        MetaType("INPUT_OBJECT", s"${t}_obj_rel_insert_input",
+          MetaField("data", TNonNull(inObj(s"${t}_insert_input"))) +:
           (if (nonKey.isEmpty) Nil
            else Seq(MetaField("on_conflict",
              inObj(s"${t}_on_conflict")))))) ++
@@ -4203,9 +4592,12 @@ object GraphQl {
     val withInputs = roots ++ objTypes ++ mutResponses ++
       mutInputTypes ++ streamInputs ++ comparisonExps ++ boolExps ++
       orderBys ++ aggTypes ++ selectColEnums :+ orderByEnum
-    val scalars = withInputs
+    // directive args ride the scalar sweep too: a role-narrowed
+    // schema with no String column must still resolve @cast(to:)
+    val scalars = (withInputs
       .flatMap(t => t.mfields ++ t.mfields.flatMap(_.fargs))
-      .flatMap(f => leafScalars(f.tpe))
+      .flatMap(f => leafScalars(f.tpe)) ++
+      servedDirectives.flatMap(_.dargs).flatMap(f => leafScalars(f.tpe)))
       .distinct.sorted.map(n => MetaType("SCALAR", n, Nil))
     MetaSchema((withInputs ++ scalars).sortBy(_.tname))
   }
@@ -4373,7 +4765,10 @@ object GraphQl {
           val a = o.putArray(sel.alias)
           ms.types.foreach(t =>
             a.add(evalMetaType(ms, t, sel.children)))
-        case "directives" => o.putArray(sel.alias); ()
+        case "directives" =>
+          val a = o.putArray(sel.alias)
+          servedDirectives.foreach(d =>
+            a.add(evalDirective(ms, d, sel.children)))
         case other => bad(s"__Schema has no field '$other' in this " +
           "introspection subset")
       }
@@ -4465,8 +4860,9 @@ object GraphQl {
   }
 
   /** __InputValue — field arguments and INPUT_OBJECT fields share the
-    * shape; defaults are not modeled (null, Hasura's own posture for
-    * the generated argument surface). */
+    * shape; the generated table-argument surface models no defaults
+    * (null, Hasura's own posture) — DIRECTIVE arguments carry theirs
+    * (r18, the spec's GraphQL-literal string form). */
   private def evalInputValue(ms: MetaSchema, f: MetaField,
       sels: Seq[ISel]): JObj = {
     val o = mapper.createObjectNode()
@@ -4474,10 +4870,40 @@ object GraphQl {
       sel.iname match {
         case "__typename" => o.put(sel.alias, "__InputValue")
         case "name" => o.put(sel.alias, f.fname)
-        case "description" | "defaultValue" => o.putNull(sel.alias)
+        case "description" => o.putNull(sel.alias)
+        case "defaultValue" => f.defaultValue match {
+          case Some(v) => o.put(sel.alias, v); ()
+          case None => o.putNull(sel.alias); ()
+        }
         case "type" => o.set[JObj](sel.alias,
           evalTRef(ms, f.tpe, sel.children))
         case other => bad(s"__InputValue has no field '$other' in " +
+          "this introspection subset")
+      }
+    }
+    o
+  }
+
+  /** One `__Directive` row — the q216 surface: name, locations (enum
+    * values, serialized as strings per the wire format), args as
+    * __InputValue rows with defaults. */
+  private def evalDirective(ms: MetaSchema, d: MetaDirective,
+      sels: Seq[ISel]): JObj = {
+    val o = mapper.createObjectNode()
+    onType(ms, "__Directive", sels).foreach { sel =>
+      sel.iname match {
+        case "__typename" => o.put(sel.alias, "__Directive")
+        case "name" => o.put(sel.alias, d.dname)
+        case "description" => o.put(sel.alias, d.description)
+        case "isRepeatable" => o.put(sel.alias, false)
+        case "locations" =>
+          val a = o.putArray(sel.alias)
+          d.locations.foreach(a.add)
+        case "args" =>
+          val a = o.putArray(sel.alias)
+          d.dargs.foreach(arg =>
+            a.add(evalInputValue(ms, arg, sel.children)))
+        case other => bad(s"__Directive has no field '$other' in " +
           "this introspection subset")
       }
     }
@@ -4697,7 +5123,8 @@ object GraphQl {
     // model-only here (spec-pinned), the oracle checks columns
     def inputJson(t: com.fasterxml.jackson.databind.JsonNode): String =
       introFieldsJson(t, "inputFields",
-        n => !n.endsWith("_arr_rel_insert_input")).getOrElse("[]")
+        n => !n.endsWith("_arr_rel_insert_input") &&
+          !n.endsWith("_obj_rel_insert_input")).getOrElse("[]")
     def suffixed(nm: String, suffix: String): Boolean =
       nm.endsWith(suffix) && keyed(nm.stripSuffix(suffix))
     val rows = types.elements().asScala.flatMap { t =>
@@ -4715,6 +5142,104 @@ object GraphQl {
     import s.implicits._
     rows.toDF("type_name", "kind", "fields")
       .coalesce(1).orderBy("type_name")
+  }
+
+  /** q215's document — Hasura's CONDITIONAL upsert (r18):
+    * `on_conflict.where` applies the update only where the predicate
+    * holds on the EXISTING row. A prep step pins two stored balances
+    * to opposite signs (SF-stable), then one insert clashes on both
+    * keys — the negative-balance row re-segments, the positive one is
+    * SUPPRESSED (not written, not counted), and a fresh key inserts
+    * whole. */
+  val q215Mutation: String =
+    """mutation CondUpsert {
+      |  prep: update_customer_many(updates: [
+      |    {where: {c_custkey: {_eq: 3}}, _set: {c_acctbal: -50.0}},
+      |    {where: {c_custkey: {_eq: 5}}, _set: {c_acctbal: 50.0}}
+      |  ]) { affected_rows }
+      |  up: insert_customer(objects: [
+      |    {c_custkey: 3, c_mktsegment: "COND", c_acctbal: 500.0},
+      |    {c_custkey: 5, c_mktsegment: "COND", c_acctbal: 600.0},
+      |    {c_custkey: 99904, c_mktsegment: "FRESH2", c_acctbal: 1.5}],
+      |    on_conflict: {constraint: customer_pkey,
+      |                  update_columns: [c_mktsegment],
+      |                  where: {c_acctbal: {_lt: 0.0}}}) {
+      |    affected_rows }
+      |}""".stripMargin
+
+  /** q215 — the conditional upsert under the oracle gate: key 3
+    * (stored balance −50) takes ONLY the listed column (its incoming
+    * 500.0 must be ignored — q120's partial-update rule), key 5
+    * (stored +50) is suppressed entirely (affected_rows = 2, not 3),
+    * key 99904 inserts whole. The read-back carries the suppressed
+    * row, the updated row, the fresh row, and whole-store totals —
+    * an engine updating unconditionally, counting suppressed rows,
+    * or evaluating the predicate on the INCOMING row hash-fails. */
+  def q215ConditionalUpsert(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = graft.FixtureCache.once(s, s"q215|$dir") {
+      val p = freshStore(s, dir, "q215")
+      val rs = Mutations.applyFieldsToStore(s, p, "customer",
+        "c_custkey", parsedFields("q215", q215Mutation, "{}"))
+      require(rs.map(_.affected) == Seq(2L, 2L),
+        s"q215: affected_rows should be (2, 2) — the suppressed " +
+          s"clash must not count — got ${rs.map(_.affected)}")
+      p
+    }
+    val c = graft.sources.SnapshotStore.read(s, path)
+    val tot = c.agg(count(lit(1)).as("n_total"),
+      round(sum(col("c_acctbal")), 2).as("chk"))
+    c.filter(col("c_custkey").isin(3L, 5L, 99904L))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .crossJoin(tot)
+      .orderBy("c_custkey")
+  }
+
+  /** q216's document — `__schema { directives }` (r18): the probe a
+    * spec-conformant client (GraphiQL, graphql-js) runs to learn
+    * which directives it may emit; an engine answering the empty
+    * array (the pre-r18 posture) makes such clients wrongly conclude
+    * `@include`/`@skip` are unsupported. */
+  val q216Query: String =
+    """{ __schema { directives {
+      |  name locations
+      |  args { name defaultValue type { kind name ofType { kind name } } }
+      |} } }""".stripMargin
+
+  /** q216 — the advertised directive surface flattened for the
+    * oracle gate: one row per directive with its locations and typed
+    * args (defaults in the spec's literal form). The expected rows
+    * are constants BY NATURE (directives are engine surface, not
+    * data) — the gate pins the serve path, the spread locations r18
+    * added, and the `@join` default. */
+  def q216Directives(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val resp = serveIntrospection(s, dir, q216Query).fold(
+      m => throw new IllegalStateException(s"q216 failed to parse: $m"),
+      identity)
+    import scala.jdk.CollectionConverters._
+    val ds = mapper.readTree(resp).get("data").get("__schema")
+      .get("directives")
+    val rows = ds.elements().asScala.map { d =>
+      val locs = d.get("locations").elements().asScala
+        .map(_.asText()).mkString(",")
+      val args = d.get("args").elements().asScala.map { a =>
+        val t = a.get("type")
+        val ts =
+          if (t.get("kind").asText() == "NON_NULL")
+            t.get("ofType").get("name").asText() + "!"
+          else t.get("name").asText()
+        val dv = Option(a.get("defaultValue")).filterNot(_.isNull)
+          .map("=" + _.asText()).getOrElse("")
+        a.get("name").asText() + ":" + ts + dv
+      }.mkString(";")
+      (d.get("name").asText(), locs, args)
+    }.toSeq
+    import s.implicits._
+    rows.toDF("dname", "locations", "args")
+      .coalesce(1).orderBy("dname")
   }
 
   /** q178's document — the spec's CONDITIONAL directives, the shape
@@ -4928,6 +5453,208 @@ object GraphQl {
         to_json(struct(df.columns.map(col).toIndexedSeq: _*),
           QueryBuilder.jsonOpts).as("row_json"))
     }.reduce(_.unionAll(_)).orderBy("root", "row_json")
+  }
+
+  /** q212's document — a `_stream` root BATCHED with reads (r18): one
+    * subscription operation carrying an aliased cursor stream, a
+    * filtered read, an aggregate, and a `@skip`-ed decoy stream that
+    * must still fully compile but contribute nothing. Hasura scopes
+    * `_stream` to subscription_root; the engine relaxes the spec's
+    * one-root-per-subscription rule the way its multi-root live reads
+    * already do (a dashboard's "stream the tail, snapshot the dims"
+    * shape in one round-trip). */
+  val q212Query: String =
+    """subscription Mixed($skipDecoy: Boolean!) {
+      |  ev: events_stream(
+      |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+      |    batch_size: 7,
+      |    where: {event_type: {_eq: "click"}}) {
+      |    event_id user_id et: event_type
+      |  }
+      |  decoy: events_stream(
+      |    cursor: {initial_value: {event_id: null}},
+      |    batch_size: 5) @skip(if: $skipDecoy) { event_id }
+      |  topc: customer(where: {c_mktsegment: {_eq: "BUILDING"}},
+      |                 order_by: [{c_custkey: asc}], limit: 5) {
+      |    c_custkey c_name
+      |  }
+      |  agg: orders_aggregate(where: {o_orderstatus: {_eq: "F"}}) {
+      |    aggregate { count }
+      |  }
+      |}""".stripMargin
+
+  /** q212 — the mixed stream+read batch flattened for the oracle gate
+    * (the q208 shape): the stream root replays its first 3 pages
+    * through [[Subscriptions.streamPages]] (batch_idx rides each
+    * delivered row), the read and aggregate roots evaluate unchanged,
+    * and DuckDB unions a q145-style row_number page replay with the
+    * flat reads — a dropped root, a served decoy, an unfiltered
+    * stream, or a mis-numbered page hash-fails. */
+  def q212MixedStreamRoots(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val roots = parseRoots(q212Query,
+        variables = """{"skipDecoy": true}""")
+      .fold(m => throw new IllegalStateException(
+        s"canned q212 failed to parse: $m"), identity)
+    runRoots(s, dir, roots, streamNPages = 3).map { case (k, df) =>
+      df.select(lit(k).as("root"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+          QueryBuilder.jsonOpts).as("row_json"))
+    }.reduce(_.unionAll(_)).orderBy("root", "row_json")
+  }
+
+  /** q213's document — RECURSIVE nested inserts (r18): a DEPTH-2
+    * array-relationship tree (nation → customers → orders, the
+    * reference's users→nfts→offers/bids FK chain shape,
+    * x/common/types.go:51-84) whose foreign keys never appear in the
+    * text — each level stitches from its parent's key — and an
+    * OBJECT-relationship insert (the order's parent-side `customer:
+    * {data: {...}}`), whose related row inserts FIRST and stitches
+    * its key INTO the order's FK column. */
+  val q213Mutation: String =
+    """mutation Deep {
+      |  insert_nation(objects: [
+      |    {n_nationkey: 990, n_name: "NARNIA", n_regionkey: 1,
+      |     customers: {data: [
+      |       {c_custkey: 999201, c_name: "deep one",
+      |        c_mktsegment: "DEEP", c_acctbal: 5.0,
+      |        orders: {data: [
+      |          {o_orderkey: 999301, o_orderstatus: "D",
+      |           o_totalprice: 100.0},
+      |          {o_orderkey: 999302, o_orderstatus: "D",
+      |           o_totalprice: 200.0}]}},
+      |       {c_custkey: 999202, c_name: "deep two",
+      |        c_mktsegment: "DEEP", c_acctbal: 6.0}]}}
+      |  ]) { affected_rows returning { n_nationkey n_name } }
+      |  insert_orders_one(object: {
+      |    o_orderkey: 999303, o_orderstatus: "D", o_totalprice: 300.0,
+      |    customer: {data: {c_custkey: 999203, c_name: "deep three",
+      |                      c_mktsegment: "DEEP", c_acctbal: 7.0,
+      |                      c_nationkey: 990}}}) { affected_rows }
+      |}""".stripMargin
+
+  /** q213 — recursive nested inserts under the oracle gate: the
+    * depth-2 tree writes 1 nation + 2 customers + 2 orders in ONE
+    * field (affected_rows = 5, every level counted — checked
+    * engine-side along with the root-rows returning), the object-
+    * relationship field writes the customer BEFORE its order
+    * (affected_rows = 2) with o_custkey stitched from the related
+    * object's key. The read-back joins all three stores on the
+    * stitched keys — a mis-stitched level detaches and its
+    * per-customer counts hash-fail; store totals prove untouched rows
+    * survived every AtomicSwap rewrite. */
+  def q213DeepInsert(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (cPath, oPath) = graft.FixtureCache.once(s, s"q213|$dir") {
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val nP = s"/root/repo/target/tmp/q213n_store_$app"
+      val cP = s"/root/repo/target/tmp/q213c_store_$app"
+      val oP = s"/root/repo/target/tmp/q213o_store_$app"
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "nation"), nP)
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+            "c_acctbal"), cP)
+      // the q131 slice discipline: the orders store is o_orderkey <=
+      // 200000 so the rewrite stays bounded; inserted keys 9993xx are
+      // new at every SF
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 200000L)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice"), oP)
+      val rs = Mutations.applyFieldsToStores(s, Map(
+        "nation" -> ((nP, "n_nationkey")),
+        "customer" -> ((cP, "c_custkey")),
+        "orders" -> ((oP, "o_orderkey"))),
+        parsedFields("q213", q213Mutation, "{}"))
+      require(rs.map(_.affected) == Seq(5L, 2L),
+        s"q213: affected_rows should be (5, 2) — every tree level " +
+          s"counts — got ${rs.map(_.affected)}")
+      // returning serves the ROOT rows of the tree (the one nation)
+      val ret = rs.head.returning.getOrElse(throw new
+          IllegalStateException("q213: field 1 declared returning"))
+        .collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getString(1))).toSeq
+      require(ret == Seq((990L, "NARNIA")),
+        s"q213: returning should serve the root nation row, got $ret")
+      (cP, oP)
+    }
+    val c = graft.sources.SnapshotStore.read(s, cPath)
+    val o = graft.sources.SnapshotStore.read(s, oPath)
+    val totals = c.agg(count(lit(1)).as("n_cust_total"))
+      .crossJoin(o.agg(count(lit(1)).as("n_ord_total")))
+    c.filter(col("c_custkey") >= 999201L)
+      .join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"), c("c_nationkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"),
+        round(sum(o("o_totalprice")), 2).as("tot"))
+      .crossJoin(totals)
+      .orderBy("c_custkey")
+  }
+
+  /** q214's document — Hasura's JSONB update operator family (r18)
+    * over `events.props` (the reference's JSONB columns,
+    * x/common/types.go:140,165), composed SEQUENTIALLY so each field
+    * sees the previous ones' writes: `_append` builds structure into
+    * the `{"k": n}` fixture objects, `_prepend` proves the merge
+    * direction (the COLUMN's `k` must win), `_delete_key` /
+    * `_delete_at_path` carve it back down on narrower row ranges, and
+    * a `_set` + `_delete_elem` pair exercises the top-level-array
+    * semantics on a disjoint range. */
+  val q214Mutation: String =
+    """mutation JsonbOps {
+      |  a: update_events(where: {event_id: {_lte: 20}},
+      |    _append: {props: {tags: ["a", "b", "c"],
+      |                      meta: {x: 1, y: 2}, flag: 7}}) {
+      |    affected_rows }
+      |  b: update_events(where: {event_id: {_lte: 10}},
+      |    _prepend: {props: {k: 999, pre: 1}}) { affected_rows }
+      |  c: update_events(where: {event_id: {_lte: 15}},
+      |    _delete_key: {props: "flag"}) { affected_rows }
+      |  d: update_events(where: {event_id: {_lte: 12}},
+      |    _delete_at_path: {props: ["tags", "1"]}) { affected_rows }
+      |  e: update_events(where: {event_id: {_lte: 8}},
+      |    _delete_at_path: {props: ["meta", "y"]}) { affected_rows }
+      |  f: update_events(where: {_and: [{event_id: {_gte: 30}},
+      |                                  {event_id: {_lte: 40}}]},
+      |    _set: {props: "[\"x\",\"y\",\"z\"]"}) { affected_rows }
+      |  g: update_events(where: {_and: [{event_id: {_gte: 30}},
+      |                                  {event_id: {_lte: 35}}]},
+      |    _delete_elem: {props: -1}) { affected_rows }
+      |}""".stripMargin
+
+  /** q214 — the JSONB operator family under the oracle gate: the
+    * post-document store's props TEXT per event, byte for byte —
+    * canonical (compact, key-sorted) on every rewritten row, the
+    * original fixture text on untouched ones. DuckDB replays each
+    * range's composition as literal post-states around the row's own
+    * `k`; a wrong merge direction, a non-canonical serialization, a
+    * missed range boundary, or a leaked rewrite onto untouched rows
+    * all hash-fail. */
+  def q214JsonbUpdates(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = graft.FixtureCache.once(s, s"q214|$dir") {
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val p = s"/root/repo/target/tmp/q214_store_$app"
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "events")
+          .filter(col("event_id") <= 50L)
+          .select("event_id", "props"), p)
+      val rs = Mutations.applyFieldsToStore(s, p, "events", "event_id",
+        parsedFields("q214", q214Mutation, "{}"))
+      require(rs.map(_.affected) == Seq(21L, 11L, 16L, 13L, 9L, 11L, 6L),
+        s"q214: per-field affected_rows off: ${rs.map(_.affected)}")
+      p
+    }
+    graft.sources.SnapshotStore.read(s, path)
+      .select("event_id", "props").orderBy("event_id")
   }
 
   /** q200's document — an OBJECT-relationship CHAIN below the root

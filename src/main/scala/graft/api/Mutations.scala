@@ -46,47 +46,79 @@ object Mutations {
     *    {update_columns: [...]}` — on conflict, ONLY the listed
     *    columns take the incoming object's values, the rest keep their
     *    stored values; `Some(Nil)` is DO NOTHING (conflicts skipped,
-    *    not counted in affected_rows, per Hasura). */
+    *    not counted in affected_rows, per Hasura).
+    *
+    * `conflictWhere` (r18) is Hasura's CONDITIONAL upsert —
+    * `on_conflict: {..., where: {...}}`: the update applies only
+    * where the predicate holds on the EXISTING (stored) row; a
+    * clashing row failing it is skipped entirely (not written, not
+    * counted — Postgres `ON CONFLICT DO UPDATE ... WHERE`). The
+    * predicate is column-only (it evaluates row-locally on the
+    * snapshot). */
   final case class Insert(table: String, rows: Seq[Seq[(String, Any)]],
       upsert: Boolean = false,
-      updateColumns: Option[Seq[String]] = None) extends Mutation {
+      updateColumns: Option[Seq[String]] = None,
+      conflictWhere: Option[BoolExp] = None) extends Mutation {
     require(rows.nonEmpty, s"insert_$table: objects is empty")
     require(!(upsert && updateColumns.isDefined),
       s"insert_$table: upsert and update_columns are alternative " +
         "conflict policies — pick one")
+    require(conflictWhere.isEmpty || updateColumns.exists(_.nonEmpty),
+      s"insert_$table: on_conflict.where needs update_columns — " +
+        "there is no update to condition otherwise")
   }
 
-  /** Hasura's NESTED insert (`objects: [{..., <rel>: {data: [...]}}]`,
-    * an ARRAY relationship): the parent rows insert first, then each
-    * relationship's child rows with the foreign key already stitched
-    * from their parent object (done at parse time — the parent object
-    * must carry its key literally, so no read-back is needed and the
-    * whole tree stays one request payload). One GraphQL field, one
-    * `affected_rows` counting parents AND children (Hasura's own
-    * accounting); `returning` serves the PARENT rows. Spans tables, so
-    * it executes only through the store REGISTRY
-    * ([[applyFieldsToStores]]) — the single-snapshot path rejects it
-    * loudly. Children keep their own conflict policies (Hasura nests
-    * `on_conflict` per relationship object). */
+  /** Hasura's NESTED insert (`objects: [{..., <rel>: {data: ...}}]`),
+    * RECURSIVE to arbitrary depth (r18): `children` are the ARRAY
+    * relationship subtrees — each an [[Insert]] or a nested
+    * [[InsertTree]] — inserted AFTER the parent rows with the foreign
+    * key already stitched from their parent object's key; `before`
+    * are the OBJECT-relationship (parent-side) subtrees inserted
+    * BEFORE the parent rows, whose keys the parent rows' FK columns
+    * reference (Hasura's own insert order — the row carrying the FK
+    * lands after the row it points at). All stitching happens at
+    * parse time — every referenced key must appear literally, so no
+    * read-back is needed and the whole tree stays one request
+    * payload. One GraphQL field, one `affected_rows` counting EVERY
+    * level (Hasura's own accounting); `returning` serves the ROOT
+    * rows. Spans tables, so it executes only through the store
+    * REGISTRY ([[applyFieldsToStores]]) — the single-snapshot path
+    * rejects it loudly. Every node keeps its own conflict policy
+    * (Hasura nests `on_conflict` per relationship object). */
   final case class InsertTree(parent: Insert,
-      children: Seq[Insert]) extends Mutation {
+      children: Seq[Mutation] = Nil,
+      before: Seq[Mutation] = Nil) extends Mutation {
     def table: String = parent.table
-    require(children.nonEmpty,
-      s"insert_${parent.table}: a nested insert with no child rows " +
+    require(children.nonEmpty || before.nonEmpty,
+      s"insert_${parent.table}: a nested insert with no related rows " +
         "should be a plain Insert")
+    private def insertLike(m: Mutation): Boolean = m match {
+      case _: Insert | _: InsertTree => true
+      case _ => false
+    }
+    require((children ++ before).forall(insertLike),
+      s"insert_${parent.table}: nested-insert nodes must be inserts")
   }
 
-  /** `update_<table>(where: ..., _set: {...}, _inc: {...})`. */
+  /** `update_<table>(where: ..., _set: {...}, _inc: {...})`, plus
+    * Hasura's JSONB operator family over JSON-text columns (r18):
+    * `jsonb` carries `_append`/`_prepend`/`_delete_key`/
+    * `_delete_elem`/`_delete_at_path` entries as (column, op) pairs
+    * — semantics in [[graft.functions.JsonbOps]]. */
   final case class Update(table: String, where: BoolExp,
-      set: Seq[(String, Any)], inc: Seq[(String, Any)] = Nil)
+      set: Seq[(String, Any)], inc: Seq[(String, Any)] = Nil,
+      jsonb: Seq[(String, graft.functions.JsonbOps.Op)] = Nil)
       extends Mutation {
-    require(set.nonEmpty || inc.nonEmpty,
-      s"update_$table: needs _set and/or _inc")
-    // Hasura rejects a column in BOTH operators — a silent
-    // set-then-increment would write an order-dependent value
-    private val both = set.map(_._1).toSet & inc.map(_._1).toSet
-    require(both.isEmpty, s"update_$table: column(s) " +
-      s"${both.mkString(", ")} appear in both _set and _inc")
+    require(set.nonEmpty || inc.nonEmpty || jsonb.nonEmpty,
+      s"update_$table: needs _set and/or _inc (or a jsonb operator)")
+    // Hasura rejects a column in TWO operators — a silent
+    // set-then-rewrite would write an order-dependent value
+    private val groups = Seq(set.map(_._1), inc.map(_._1),
+      jsonb.map(_._1))
+    private val dup = groups.flatMap(_.distinct)
+      .groupBy(identity).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"update_$table: column(s) " +
+      s"${dup.mkString(", ")} appear in more than one update operator")
   }
 
   /** Hasura's `update_<table>_many(updates: [{where, _set, _inc},
@@ -118,7 +150,13 @@ object Mutations {
   final case class Field(m: Mutation,
       returning: Option[Seq[String]] = None, single: Boolean = false,
       returningAs: Map[String, String] = Map.empty,
-      retNested: Seq[QueryBuilder.Nested] = Nil) {
+      retNested: Seq[QueryBuilder.Nested] = Nil,
+      as: Option[String] = None) {
+    // `as` is the ROOT-FIELD alias (r18) — the response key when the
+    // document aliased the verb (`a: update_t(...)`), which Hasura
+    // REQUIRES to repeat one verb in a document (duplicate response
+    // keys refuse). Execution is positional; the alias is
+    // parse/print surface.
     // `returning` entries are RESPONSE keys (GraphQL aliases
     // included); `returningAs` maps an aliased key back to its source
     // column — the read surface's Request.fieldAs contract.
@@ -216,7 +254,7 @@ object Mutations {
     * delete rows' prior values. */
   private def applyMutationFull(snapshot: DataFrame, m: Mutation,
       keyCol: String): (DataFrame, Long, DataFrame) = m match {
-    case Insert(table, rows, upsert, updateCols) =>
+    case Insert(table, rows, upsert, updateCols, conflictWhere) =>
       // every object must carry a non-null key (a null-key row would
       // slide past the equi-join clash check and tie nondeterministic-
       // ally in the merge window), and keys must be unique WITHIN the
@@ -280,27 +318,39 @@ object Mutations {
             // the rest keep their stored ones — built as stored-row ⋈
             // incoming-values so the merge delta carries full rows;
             // unique keys on both sides make every row fresh XOR
-            // updated, so affected = the whole list, no extra action
+            // updated, so affected = the whole list, no extra action.
+            // A conditional upsert (on_conflict.where, r18) gates the
+            // join's stored side on the predicate — a clashing row
+            // whose STORED state fails it writes nothing and does not
+            // count (the one extra action, bounded by the clash set)
+            val base = conflictWhere
+              .map(w => snapshot.filter(w.toColumn)).getOrElse(snapshot)
             val d2 = delta.select(col(keyCol).as("__ck") +:
               cols.map(c => col(c).as(s"__u_$c")): _*)
-            val updated = snapshot
-              .join(d2, snapshot(keyCol) === col("__ck"))
-              .select(snapshot.columns.toSeq.map(c =>
+            val updated = base
+              .join(d2, base(keyCol) === col("__ck"))
+              .select(base.columns.toSeq.map(c =>
                 if (cols.contains(c)) col(s"__u_$c").as(c)
-                else snapshot(c)): _*)
+                else base(c)): _*)
             val written = fresh.unionByName(updated)
-            (mergeDelta(snapshot, written, keyCol), rows.length.toLong,
-              written)
+            val affected = conflictWhere match {
+              case None => rows.length.toLong
+              case Some(_) => nFresh + updated.count()
+            }
+            (mergeDelta(snapshot, written, keyCol), affected, written)
           }
       }
-    case Update(table, where, set, inc) =>
+    case Update(table, where, set, inc, jsonb) =>
       val sch = snapshot.schema
-      def typed(c: String, v: Any, what: String): org.apache.spark.sql.Column = {
+      def checkedCol(c: String, what: String): Unit = {
         require(sch.fieldNames.contains(c),
           s"update_$table.$what: unknown column '$c'")
         require(c != keyCol,
           s"update_$table.$what: the key column cannot be updated " +
             "(delete + insert expresses a re-key)")
+      }
+      def typed(c: String, v: Any, what: String): org.apache.spark.sql.Column = {
+        checkedCol(c, what)
         // the same loud driver-side coercion the insert path uses — a
         // bare cast would turn a type-mismatched literal into NULLs
         // across every matched row with affected_rows reporting success
@@ -309,8 +359,20 @@ object Mutations {
       val changed = snapshot.filter(where.toColumn)
       val withSet = set.foldLeft(changed) { case (df, (c, v)) =>
         df.withColumn(c, typed(c, v, "_set")) }
-      val delta = inc.foldLeft(withSet) { case (df, (c, v)) =>
+      val withInc = inc.foldLeft(withSet) { case (df, (c, v)) =>
         df.withColumn(c, (col(c) + typed(c, v, "_inc")).cast(sch(c).dataType)) }
+      // jsonb operators rewrite JSON-TEXT columns row by row (matched
+      // rows only — the bounded delta the merge pays for anyway)
+      val delta = jsonb.foldLeft(withInc) { case (df, (c, op)) =>
+        val what = graft.functions.JsonbOps.opName(op)
+        checkedCol(c, what)
+        require(sch(c).dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"update_$table.$what: jsonb operators need a JSON-text " +
+            s"(string) column — '$c' is ${sch(c).dataType.simpleString}")
+        df.withColumn(c, graft.functions.JsonbOps.column(op, col(c),
+          s"update_$table.$what.$c"))
+      }
       (mergeDelta(snapshot, delta, keyCol), delta.count(), delta)
     case Delete(table, where) =>
       val victims = deleteVictims(snapshot, where)
@@ -363,7 +425,7 @@ object Mutations {
           case _ => false
         }
         f.m match {
-          case Update(table, w, _, _) if f.single =>
+          case Update(table, w, _, _, _) if f.single =>
             require(namesKey(w),
               s"update_${table}_by_pk: pk_columns must name the key " +
               s"column '$keyCol'")
@@ -521,17 +583,18 @@ object Mutations {
   def applyFieldsToStores(spark: SparkSession,
       stores: Map[String, (String, String)],
       fields: Seq[Field]): Seq[FieldResult] = {
-    def tablesOf(f: Field): Seq[String] = f.m match {
-      case InsertTree(p, cs) => p.table +: cs.map(_.table)
-      case m => Seq(m.table)
+    def tablesOf(m: Mutation): Seq[String] = m match {
+      case InsertTree(p, cs, bs) =>
+        bs.flatMap(tablesOf) ++ (p.table +: cs.flatMap(tablesOf))
+      case other => Seq(other.table)
     }
-    val unknown = fields.flatMap(tablesOf).distinct
+    val unknown = fields.flatMap(f => tablesOf(f.m)).distinct
       .filterNot(stores.contains)
     require(unknown.isEmpty,
       s"no registered store for table(s): ${unknown.mkString(", ")}")
     def fsOf(path: String) = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val touched = fields.flatMap(tablesOf).distinct
+    val touched = fields.flatMap(f => tablesOf(f.m)).distinct
     var snaps: Map[String, DataFrame] = touched.map { t =>
       val (path, _) = stores(t)
       AtomicSwap.recover(fsOf(path), path)
@@ -543,18 +606,27 @@ object Mutations {
       snaps += t -> next
       rs.head
     }
+    // one nested-insert node, recursively: its object-relationship
+    // subtrees first (this node's rows carry FKs referencing their
+    // keys), then the node's own rows, then its array-relationship
+    // subtrees (whose rows carry FKs referencing THIS node's keys) —
+    // Hasura's pointed-at-row-lands-first order at every level
+    def execNode(m: Mutation): Long = m match {
+      case InsertTree(p, cs, bs) =>
+        bs.map(execNode).sum + step(Field(p)).affected +
+          cs.map(execNode).sum
+      case other => step(Field(other)).affected
+    }
     val results = fields.map { f =>
       f.m match {
-        case InsertTree(parent, children) =>
-          // parent first (Hasura's array-relationship order: the FK
-          // lives on the children), then each child insert against
-          // ITS table's folded state; one affected_rows for the whole
-          // tree, returning = the parent rows (Hasura's response)
+        case InsertTree(parent, children, before) =>
+          // one affected_rows for the whole tree (every level,
+          // Hasura's accounting); returning = the ROOT rows
+          val nb = before.map(execNode).sum
           val pr = step(Field(parent, f.returning, f.single,
             f.returningAs, retNested = f.retNested))
-          val crs = children.map(c => step(Field(c)))
-          FieldResult(pr.affected + crs.map(_.affected).sum,
-            pr.returning)
+          val nc = children.map(execNode).sum
+          FieldResult(nb + pr.affected + nc, pr.returning)
         case _ => step(f)
       }
     }

@@ -506,6 +506,19 @@ object Permissions {
         case (acc, (k, GraphQl.AggRoot(r))) => acc.flatMap(ss =>
           secureAggregate(r, role, policy)
             .map(sr => ss :+ (k -> GraphQl.AggRoot(sr))))
+        // by_pk roots are reads with the key-equality where: the
+        // role's row filter ANDs in through the same rewrite (a
+        // point lookup outside the grant answers zero rows, never
+        // leaks)
+        case (acc, (k, GraphQl.ByPkRoot(r))) => acc.flatMap(ss =>
+          secure(r, role, policy)
+            .map(sr => ss :+ (k -> GraphQl.ByPkRoot(sr))))
+        // a batched `_stream` root secures like the one-root stream
+        // surface; a RelPred row grant denies here the same way
+        // (the dedicated serveStreamAs overloads serve those roles)
+        case (acc, (k, GraphQl.StreamRoot(sr0))) => acc.flatMap(ss =>
+          secureStream(sr0, role, policy)
+            .map(sr => ss :+ (k -> GraphQl.StreamRoot(sr))))
       }
     } yield GraphQl.runRoots(s, dir, secured)
 
@@ -882,11 +895,12 @@ object Permissions {
       policy: Policy): Either[String, Seq[Mutations.Field]] = {
     def secureMutation(m: Mutations.Mutation)
         : Either[String, Mutations.Mutation] = m match {
-      case Mutations.Insert(t, rows, up, uc) =>
+      case Mutations.Insert(t, rows, up, uc, cw) =>
         for {
           perm <- policy.get(role, t)
           _ <- checkCols(rows.flatMap(_.map(_._1)).distinct ++
-            uc.getOrElse(Nil), perm, role, t, "insert")
+            uc.getOrElse(Nil) ++ cw.toSeq.flatMap(whereCols),
+            perm, role, t, "insert")
           // Hasura's insert CHECK clause: every inserted row must
           // satisfy the role's row filter — otherwise a role could
           // create rows it can never see (or, worse, that other
@@ -913,15 +927,18 @@ object Permissions {
                 s"row-filtered table '$t' could overwrite rows " +
                 "outside the filter — use update for visible rows")
             else Right(())
-        } yield Mutations.Insert(t, rows, up, uc)
-      case Mutations.Update(t, w, set, inc) =>
+        } yield Mutations.Insert(t, rows, up, uc, cw)
+      case Mutations.Update(t, w, set, inc, jsonb) =>
         for {
           perm <- policy.get(role, t)
-          _ <- checkCols(set.map(_._1) ++ inc.map(_._1) ++ whereCols(w),
+          // jsonb-operator targets are written columns too — an
+          // ungranted column can no more be _append-ed than _set
+          _ <- checkCols(set.map(_._1) ++ inc.map(_._1) ++
+            jsonb.map(_._1) ++ whereCols(w),
             perm, role, t, "update")
           w2 <- secureWhere(w, role, policy, perm, t)
         } yield Mutations.Update(t,
-          andWith(perm.filter, Some(w2)).get, set, inc)
+          andWith(perm.filter, Some(w2)).get, set, inc, jsonb)
       case Mutations.Delete(t, w) =>
         for {
           perm <- policy.get(role, t)
@@ -936,13 +953,16 @@ object Permissions {
         sequence(steps.map(secureMutation)).map(ss =>
           Mutations.UpdateMany(t,
             ss.map(_.asInstanceOf[Mutations.Update])))
-      case Mutations.InsertTree(p, cs) =>
+      case Mutations.InsertTree(p, cs, bs) =>
+        // recursion covers arbitrary depth: every subtree node —
+        // array- AND object-relationship side — re-enters this match
+        // and pays its own (role, table) grant check
         for {
           p2 <- secureMutation(p)
+          bs2 <- sequence(bs.map(secureMutation))
           cs2 <- sequence(cs.map(secureMutation))
         } yield Mutations.InsertTree(
-          p2.asInstanceOf[Mutations.Insert],
-          cs2.map(_.asInstanceOf[Mutations.Insert]))
+          p2.asInstanceOf[Mutations.Insert], cs2, bs2)
     }
     sequence(fields.map { f =>
       for {

@@ -2143,7 +2143,16 @@ object TextQueries {
     * is two equi-joins on (w1,w2)/(w1) (broadcastable at dim size,
     * shuffle-safe beyond); V rides a 1-row cross join (maxRows=1,
     * sweep-audited), never a collected driver scalar. */
-  def q207LmScore(s: SparkSession, dir: String): DataFrame = {
+  def q207LmScore(s: SparkSession, dir: String): DataFrame =
+    lmHeldoutScores(s, dir)
+      .orderBy(col("score"), col("doc_id"))
+      .limit(10)
+
+  /** q207's per-held-out-doc scores WITHOUT the presentation cut —
+    * shared with the q217 ensemble (which needs every held-out doc's
+    * score, not the bottom 10). */
+  private[graft] def lmHeldoutScores(s: SparkSession,
+      dir: String): DataFrame = {
     import graft.functions.TextFunctions.{normalize, tokens}
     val base = docs(s, dir)
       .select(col("doc_id"), tokens(normalize(col("text"))).as("w"))
@@ -2174,7 +2183,128 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         round((sum(col("term")).cast("double") / count(lit(1))) / 1e9,
           9).as("score"))
-      .orderBy(col("score"), col("doc_id"))
-      .limit(10)
   }
+
+  /** The q217/q218 LM-stage threshold: a held-out doc whose mean
+    * smoothed bigram probability falls below it fails the `lm` filter
+    * (the CCNet frozen-reference-model cut — sited at the fixture's
+    * ~p10 so the stage actually discriminates at sf0.01). */
+  val EnsembleLmTau = 0.0322
+
+  /** Per-document flags for the QUALITY-ENSEMBLE verdict (r18
+    * capstone): the engine's four deterministic quality filters
+    * composed into one cascade —
+    *   1. `ratios`     (q27): 2.0 ≤ avg word length ≤ 6.0 AND
+    *      vocabulary-uniqueness ≥ 0.4 (both on the 4-decimal rounded
+    *      ratios, so the comparisons are engine-stable);
+    *   2. `fences`     (q162): token count inside the language's
+    *      Tukey fences (Q1/Q3 ∓ 1.5·IQR, exact quantiles);
+    *   3. `classifier` (q94): the pinned-logistic keep flag over the
+    *      doc's embedding (vec_id = doc_id; a doc with no embedding
+    *      passes — no signal is not a failure);
+    *   4. `lm`         (q207): held-out docs (doc_id % 5 = 0) must
+    *      score ≥ [[EnsembleLmTau]]; training docs pass (the frozen
+    *      model trained ON them — scoring them would be q66's
+    *      self-scoring, the shape q207 exists to avoid).
+    *
+    * Scale posture: one corpus scan feeds ratios+fences (the fence
+    * table is language-cardinality, broadcast back); the classifier
+    * flag rides q94's codegen scan; the LM join is q207's audited
+    * two-equi-join shape; the final composition is three left joins
+    * on doc_id — no new shuffle class at 100 TB. */
+  private[graft] def ensembleFlags(s: SparkSession,
+      dir: String): DataFrame =
+    // pinned once per (session, dir): q217 AND q218 consume the same
+    // flags (doc-count-sized — bounded like every pinned fixture),
+    // and the LM stage embeds q207's model build, the one genuinely
+    // expensive input — the FixtureCache steady-state-serving
+    // contract, documented in SURVEY §6
+    graft.FixtureCache.once(s, s"q217flags|$dir") {
+      val clf = graft.queries.SimilarityQueries
+        .q94ClassifierScore(s, dir)
+        .select(col("vec_id").as("doc_id"), col("keep").as("clf_keep"))
+      val lm = lmHeldoutScores(s, dir)
+        .select(col("doc_id"), col("score"))
+      ratioFenceFlags(docs(s, dir))
+        .join(clf, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .withColumn("clf_ok", coalesce(col("clf_keep"), lit(1)))
+        .withColumn("lm_ok",
+          when(col("doc_id") % 5 =!= 0, lit(1))
+            .otherwise(when(col("score").isNull, lit(1))
+              .otherwise((col("score") >= lit(EnsembleLmTau))
+                .cast("int"))))
+        .localCheckpoint(true)
+    }
+
+  /** Stages 1+2 of the ensemble over any documents-shaped frame
+    * (doc_id, lang, n_chars, text) — factored so the spec can prove
+    * the FENCES stage fires on a length-skewed corpus: the fixture's
+    * uniform synthetic lengths have no Tukey outliers, so q217's
+    * oracle exercises fences only as an always-pass (the honest
+    * answer there, pinned non-vacuously by EnsembleSpec). */
+  private[graft] def ratioFenceFlags(d: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val base = d.select(col("doc_id"), col("lang"),
+      col("n_chars"),
+      size(toks).cast("double").as("nt"),
+      size(array_distinct(toks)).cast("double").as("uq"))
+    val ratios = base
+      .withColumn("awl",
+        round(col("n_chars").cast("double") / col("nt"), 4))
+      .withColumn("ur", round(col("uq") / col("nt"), 4))
+      .withColumn("ratios_ok",
+        (col("awl") >= 2.0 && col("awl") <= 6.0 &&
+          col("ur") >= 0.4).cast("int"))
+    val fences = base.groupBy("lang")
+      .agg(expr("percentile(nt, 0.25)").as("q1"),
+        expr("percentile(nt, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select("lang", "lo", "hi")
+    ratios.join(broadcast(fences), "lang")
+      .withColumn("fences_ok",
+        (col("nt") >= col("lo") && col("nt") <= col("hi")).cast("int"))
+  }
+
+  /** Q217 — the QUALITY-ENSEMBLE VERDICT: one keep/drop per document
+    * with per-filter attribution — the four flags themselves plus the
+    * FIRST failing filter in cascade order (what a corpus pipeline
+    * logs so a rejected document is explainable). Oracle-checked:
+    * DuckDB replays all four filters (quantile fences, pinned
+    * logistic, held-out bigram LM) and the cascade attribution. */
+  def q217EnsembleVerdict(s: SparkSession, dir: String): DataFrame =
+    ensembleFlags(s, dir)
+      .withColumn("verdict",
+        when(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
+          col("clf_ok") === 1 && col("lm_ok") === 1, lit("keep"))
+          .otherwise(lit("drop")))
+      .withColumn("first_fail",
+        when(col("ratios_ok") === 0, lit("ratios"))
+          .when(col("fences_ok") === 0, lit("fences"))
+          .when(col("clf_ok") === 0, lit("classifier"))
+          .when(col("lm_ok") === 0, lit("lm")))
+      .select(col("doc_id"), col("ratios_ok"), col("fences_ok"),
+        col("clf_ok"), col("lm_ok"), col("verdict"), col("first_fail"))
+      .orderBy("doc_id")
+
+  /** Q218 — the ensemble FUNNEL (q69's audit shape over the full
+    * ensemble): survivors after each filter applied cumulatively in
+    * cascade order — the per-stage report that makes a corpus-nuking
+    * filter visible immediately. */
+  def q218EnsembleFunnel(s: SparkSession, dir: String): DataFrame =
+    ensembleFlags(s, dir)
+      .agg(count(lit(1)).as("n0"),
+        sum(col("ratios_ok").cast("long")).as("n1"),
+        sum((col("ratios_ok") * col("fences_ok")).cast("long")).as("n2"),
+        sum((col("ratios_ok") * col("fences_ok") * col("clf_ok"))
+          .cast("long")).as("n3"),
+        sum((col("ratios_ok") * col("fences_ok") * col("clf_ok") *
+          col("lm_ok")).cast("long")).as("n4"))
+      .select(expr(
+        "stack(5, 0, 'input', n0, 1, 'ratios', n1, 2, 'fences', n2, " +
+          "3, 'classifier', n3, 4, 'lm', n4) " +
+          "AS (stage_id, stage, n_kept)"))
+      .orderBy("stage_id")
 }

@@ -1537,9 +1537,23 @@ class GraphQlSpec extends SparkSpec {
       "mutation_root")
     assert(schema.get("subscriptionType").get("name").asText ===
       "subscription_root")
-    assert(schema.get("directives").isArray &&
-      schema.get("directives").size === 0)
+    // the served directive surface (r18): the spec's conditional
+    // pair at all three executable locations plus the three
+    // engine-specific FIELD directives — an empty array here made
+    // conformant clients conclude @include/@skip were unsupported
     import scala.jdk.CollectionConverters._
+    val dirs = schema.get("directives").elements().asScala
+      .map(d => d.get("name").asText -> d).toMap
+    assert(dirs.keySet === Set("include", "skip", "fmt", "cast", "join"))
+    assert(dirs("skip").get("locations").elements().asScala
+      .map(_.asText).toSeq ===
+      Seq("FIELD", "FRAGMENT_SPREAD", "INLINE_FRAGMENT"))
+    val joinArg = dirs("join").get("args").elements().asScala.next()
+    assert(joinArg.get("name").asText === "type" &&
+      joinArg.get("defaultValue").asText === "\"left\"")
+    val ifArg = dirs("include").get("args").elements().asScala.next()
+    assert(ifArg.get("type").get("kind").asText === "NON_NULL" &&
+      ifArg.get("type").get("ofType").get("name").asText === "Boolean")
     val types = schema.get("types").elements().asScala.toSeq
     val byName = types.map(t => t.get("name").asText -> t).toMap
     // every tracked table is an OBJECT type; scalars are SCALARs
@@ -1885,11 +1899,26 @@ class GraphQlSpec extends SparkSpec {
     val arr = byName("orders_arr_rel_insert_input").get("inputFields")
       .elements().asScala.map(_.get("name").asText).toSet
     assert(arr === Set("data", "on_conflict"))
+    // OBJECT-relationship (parent-side) insert arms (r18): the
+    // order's `customer` advertises a single-object data input
+    val oi = byName("orders_insert_input").get("inputFields")
+      .elements().asScala.map(f => f.get("name").asText ->
+        Option(f.get("type").get("name")).filterNot(_.isNull)
+          .map(_.asText).getOrElse("")).toMap
+    assert(oi("customer") === "customer_obj_rel_insert_input")
+    val objArm = byName("customer_obj_rel_insert_input")
+      .get("inputFields").elements().asScala
+      .map(f => f.get("name").asText -> f).toMap
+    assert(objArm.keySet === Set("data", "on_conflict"))
+    // data is NON_NULL of the insert_input OBJECT, never a list
+    val dataT = objArm("data").get("type")
+    assert(dataT.get("kind").asText === "NON_NULL" &&
+      dataT.get("ofType").get("name").asText === "customer_insert_input")
     // on_conflict: constraint enum (the tracked pkey) + update_columns
     // (never the key — the engine rejects it as an update_column)
     val oc = byName("customer_on_conflict").get("inputFields")
       .elements().asScala.map(_.get("name").asText).toSet
-    assert(oc === Set("constraint", "update_columns"))
+    assert(oc === Set("constraint", "update_columns", "where"))
     assert(byName("customer_constraint").get("enumValues").elements()
       .asScala.map(_.get("name").asText).toSeq === Seq("customer_pkey"))
     val uc = byName("customer_update_column").get("enumValues")
@@ -2076,13 +2105,18 @@ class GraphQlSpec extends SparkSpec {
       "{ customer { c_custkey } orders { o_orderkey } }")
       .fold(identity, r => fail(s"accepted as $r"))
       .contains("parseRoots"))
-    // a by_pk root batches like any other (q208's shape); the multi
-    // and single paths compile the same Request
+    // a by_pk root batches like any other (q208's shape) under its
+    // OWN RootOp (r18 — Hasura's by_pk response is a nullable object,
+    // not a list); the multi and single paths compile the same Request
     val pk = GraphQl.parseRoots(
       "{ one: customer_by_pk(c_custkey: 7) { c_name } }")
       .fold(m => fail(m), identity)
-    assert(pk.head._1 === "one" && read(pk.head._2) ===
-      parsed("{ customer_by_pk(c_custkey: 7) { c_name } }"))
+    assert(pk.head._1 === "one")
+    pk.head._2 match {
+      case GraphQl.ByPkRoot(r) =>
+        assert(r === parsed("{ customer_by_pk(c_custkey: 7) { c_name } }"))
+      case other => fail(s"expected a by_pk root, got $other")
+    }
     // an AGGREGATE root batches next to reads (the read+count
     // dashboard shape); parse() names the right entry points
     val withAgg = GraphQl.parseRoots(
@@ -2099,6 +2133,103 @@ class GraphQlSpec extends SparkSpec {
     assert(GraphQl.parse("{ orders_aggregate { aggregate { count } } }")
       .fold(identity, r => fail(s"accepted as $r"))
       .contains("parseRootAggregate"))
+  }
+  test("directives ON spreads (r18): @include/@skip gate named and " +
+    "inline fragment spreads (the spec's FRAGMENT_SPREAD / " +
+    "INLINE_FRAGMENT locations); unknown spread directives are loud") {
+    val doc = """
+      fragment Extra on customer { c_name }
+      query Q($more: Boolean!) {
+        customer(limit: 1) { c_custkey ...Extra @include(if: $more) }
+      }"""
+    def fieldsOf(vars: String): Seq[String] =
+      GraphQl.parse(doc, variables = vars).fold(m => fail(m), _.fields)
+    assert(fieldsOf("""{"more": true}""") === Seq("c_custkey", "c_name"))
+    assert(fieldsOf("""{"more": false}""") === Seq("c_custkey"))
+    // inline fragments gate the same way
+    val inl = GraphQl.parse(
+      "{ customer(limit: 1) { c_custkey " +
+        "... on customer @skip(if: true) { c_name } } }")
+      .fold(m => fail(m), identity)
+    assert(inl.fields === Seq("c_custkey"))
+    // the excluded spread still counts as USE of the fragment (no
+    // false unused-fragment error), and the fragment stays required
+    assert(GraphQl.parse(
+      "{ customer { c_custkey ...Nope @skip(if: true) } }")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("undefined fragment"))
+    // unknown directives on spreads are loud, never dropped
+    assert(GraphQl.parse("""
+      fragment Extra on customer { c_name }
+      { customer { c_custkey ...Extra @nope } }""")
+      .fold(identity, r => fail(s"accepted as $r"))
+      .contains("unknown directive"))
+  }
+
+  test("MULTI-ROOT `_stream` batching (r18): a subscription document " +
+    "mixes cursor streams with reads; query operations refuse the " +
+    "field; root directives gate; parse() names the entry points") {
+    val doc = """
+      subscription {
+        ev: events_stream(
+          cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+          batch_size: 7,
+          where: {event_type: {_eq: "click"}}) { event_id et: event_type }
+        c: customer(limit: 2) { c_custkey }
+      }"""
+    val roots = GraphQl.parseRoots(doc).fold(m => fail(m), identity)
+    assert(roots.map(_._1) === Seq("ev", "c"))
+    roots.head._2 match {
+      case GraphQl.StreamRoot(sr) =>
+        assert(sr.table === "events" && sr.cursorField === "event_id" &&
+          sr.initial === Some(3000L) && sr.batchSize === 7 &&
+          sr.fields === Seq("event_id", "et") &&
+          sr.fieldAs === Map("et" -> "event_type"))
+      case other => fail(s"expected a stream root, got $other")
+    }
+    // a stream root under a QUERY operation refuses the FIELD — the
+    // operation kind is the problem, not the batching; the bare
+    // `{...}` shorthand is a query too
+    for (header <- Seq("query", "")) {
+      assert(GraphQl.parseRoots(
+        s"$header { ev: events_stream(cursor: {initial_value: " +
+          "{event_id: null}}, batch_size: 5) { event_id } " +
+          "c: customer(limit: 1) { c_custkey } }")
+        .fold(identity, r => fail(s"accepted as $r"))
+        .contains("subscription-only"))
+    }
+    // root @skip gates the stream's contribution — the excluded root
+    // still fully compiles (a malformed cursor is loud even when
+    // skipped)
+    val gated = GraphQl.parseRoots("""
+      subscription {
+        ev: events_stream(cursor: {initial_value: {event_id: null}},
+          batch_size: 5) @skip(if: true) { event_id }
+        c: customer(limit: 1) { c_custkey }
+      }""").fold(m => fail(m), identity)
+    assert(gated.map(_._1) === Seq("c"))
+    assert(GraphQl.parseRoots("""
+      subscription {
+        ev: events_stream(cursor: {initial_value: {a: 1, b: 2}},
+          batch_size: 5) @skip(if: true) { event_id }
+        c: customer(limit: 1) { c_custkey }
+      }""").fold(identity, r => fail(s"accepted as $r"))
+      .contains("exactly one cursor column"))
+    // the one-root parse() API routes stream documents BY NAME
+    assert(GraphQl.parse("""
+      subscription {
+        events_stream(cursor: {initial_value: {event_id: null}},
+          batch_size: 5) { event_id }
+      }""").fold(identity, r => fail(s"accepted as $r"))
+      .contains("parseStream"))
+    // parseStream itself: a fully-@skip-ed ONLY root is a loud
+    // no-serve (parity with parse()'s excluded-only-root rule)
+    assert(GraphQl.parseStream("""
+      subscription {
+        events_stream(cursor: {initial_value: {event_id: null}},
+          batch_size: 5) @skip(if: true) { event_id }
+      }""").fold(identity, r => fail(s"accepted as $r"))
+      .contains("excluded by its directives"))
   }
   test("mutation returning takes RELATIONSHIP selections (r17): " +
     "arrays with per-rel args, object rels, relationship-only " +

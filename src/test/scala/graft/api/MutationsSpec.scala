@@ -188,7 +188,7 @@ class MutationsSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       Mutations.Update("t", Eq("k", 1L),
         Seq("bal" -> 1.0), Seq("bal" -> 2.0)))
-    assert(e4.getMessage.contains("both _set and _inc"))
+    assert(e4.getMessage.contains("more than one update operator"))
   }
 
   test("parse serves <table>_by_pk reads as a tracked-key point lookup") {
@@ -435,7 +435,7 @@ class MutationsSpec extends SparkSpec {
         |    affected_rows }
         |  insert_u_one(object: {id: 12, st: "open", amt: 2.0}) {
         |    affected_rows }
-        |  update_t(where: {seg: {_eq: "A"}}, _inc: {bal: 1.0}) {
+        |  again: update_t(where: {seg: {_eq: "A"}}, _inc: {bal: 1.0}) {
         |    affected_rows
         |    returning { k bal } }
         |  delete_u_by_pk(id: 10) { id amt }
@@ -537,7 +537,7 @@ class MutationsSpec extends SparkSpec {
     // an object value that is not a tracked relationship
     err("""mutation { insert_t(objects: [{k: 1, nope: {data: [{id: 1}]}}])
           | { affected_rows } }""".stripMargin,
-      "tracked array relationship")
+      "tracked relationship")
     // the parent must carry its key literally for the stitch
     err("""mutation { insert_t(objects: [{seg: "N", kids:
           | {data: [{id: 1}]}}]) { affected_rows } }""".stripMargin,
@@ -570,6 +570,270 @@ class MutationsSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       GraphQl.renderMutationFields(Seq(Mutations.Field(tree))))
     assert(e2.getMessage.contains("does not round-trip"))
+  }
+
+  private val deepSchema = GraphQl.Schema(
+    Map(("t", "kids") -> GraphQl.Rel("u", "fk", "k"),
+      ("u", "grand") -> GraphQl.Rel("w", "ufk", "id")),
+    keys = Map.empty,
+    objRels = Map(("t", "owner") -> GraphQl.Rel("o", "oid", "own_fk")))
+
+  test("RECURSIVE nested inserts (r18): depth-2 array trees and " +
+    "object-relationship (parent-side) inserts parse, stitch, and " +
+    "execute with every level counted") {
+    val doc =
+      """mutation {
+        |  insert_t(objects: [
+        |    {k: 5, seg: "N", bal: 1.0,
+        |     owner: {data: {oid: 70, nm: "x"}},
+        |     kids: {data: [
+        |       {id: 100, amt: 1.5, grand: {data: [{wid: 900, z: 4.0}]}},
+        |       {id: 101, amt: 2.5}]}}
+        |  ]) { affected_rows returning { k } }
+        |}""".stripMargin
+    val fields = GraphQl.parseMutationFields(doc, schema = deepSchema)
+      .fold(m => fail(m), identity)
+    // the object-rel's key stitches INTO the parent row (own_fk = 70);
+    // the related row rides `before`; the depth-2 grandchild stitches
+    // from ITS parent's key (ufk = 100) and nests under the kids node
+    assert(fields.map(_.m) === Seq(Mutations.InsertTree(
+      Mutations.Insert("t", Seq(
+        Seq("k" -> 5L, "seg" -> "N", "bal" -> 1.0, "own_fk" -> 70L))),
+      children = Seq(Mutations.InsertTree(
+        Mutations.Insert("u", Seq(
+          Seq("id" -> 100L, "amt" -> 1.5, "fk" -> 5L),
+          Seq("id" -> 101L, "amt" -> 2.5, "fk" -> 5L))),
+        children = Seq(Mutations.Insert("w",
+          Seq(Seq("wid" -> 900L, "z" -> 4.0, "ufk" -> 100L)))))),
+      before = Seq(Mutations.Insert("o",
+        Seq(Seq("oid" -> 70L, "nm" -> "x")))))))
+    // execute over a 4-store registry: ONE affected_rows counting
+    // every level (1 owner + 1 parent + 2 kids + 1 grandchild = 5),
+    // returning = the ROOT rows
+    import java.nio.file.Files
+    def fresh(tag: String, df: org.apache.spark.sql.DataFrame) = {
+      val p = Files.createTempDirectory(s"graft_deep_$tag").toString
+      SnapshotStore.write(df, p); p
+    }
+    val tP = fresh("t", Seq((1L, "A", 9.0)).toDF("k", "seg", "bal")
+      .withColumn("own_fk", org.apache.spark.sql.functions
+        .lit(null).cast("long")))
+    val uP = fresh("u", Seq((1L, 0.0, 0L)).toDF("id", "amt", "fk"))
+    val wP = fresh("w", Seq((1L, 0.0, 0L)).toDF("wid", "z", "ufk"))
+    val oP = fresh("o", Seq((1L, "a")).toDF("oid", "nm"))
+    val rs = Mutations.applyFieldsToStores(spark, Map(
+      "t" -> ((tP, "k")), "u" -> ((uP, "id")),
+      "w" -> ((wP, "wid")), "o" -> ((oP, "oid"))), fields)
+    assert(rs.map(_.affected) === Seq(5L))
+    assert(rs.head.returning.get.collect().map(_.getLong(0)).toSeq ===
+      Seq(5L))
+    // every level landed at its stitched key
+    assert(SnapshotStore.read(spark, tP).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getAs[Any]("own_fk"))).toSeq ===
+      Seq((1L, null), (5L, 70L)))
+    assert(SnapshotStore.read(spark, uP).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 0L), (100L, 5L), (101L, 5L)))
+    assert(SnapshotStore.read(spark, wP).orderBy("wid").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 0L), (900L, 100L)))
+    assert(SnapshotStore.read(spark, oP).orderBy("oid").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 70L))
+  }
+
+  test("recursive nested inserts: object-rel silent-detach shapes " +
+    "reject loudly") {
+    def err(doc: String, frag: String): Unit = {
+      val r = GraphQl.parseMutationFields(doc, schema = deepSchema)
+      assert(r.isLeft && r.left.exists(_.contains(frag)),
+        s"wanted '$frag' in: $r")
+    }
+    // the row spelling the FK an object rel stitches
+    err("""mutation { insert_t(objects: [{k: 1, own_fk: 9,
+          | owner: {data: {oid: 70}}}]) { affected_rows } }""".stripMargin,
+      "do not set own_fk")
+    // object-rel data is ONE object, never a list
+    err("""mutation { insert_t(objects: [{k: 1,
+          | owner: {data: [{oid: 70}]}}]) { affected_rows } }"""
+        .stripMargin, "expected ONE object")
+    // the related object must carry its key for the stitch
+    err("""mutation { insert_t(objects: [{k: 1,
+          | owner: {data: {nm: "x"}}}]) { affected_rows } }""".stripMargin,
+      "must carry oid")
+    err("""mutation { insert_t(objects: [{k: 1,
+          | owner: {data: {oid: null}}}]) { affected_rows } }"""
+        .stripMargin, "cannot be null")
+    // a grandchild spelling ITS stitched FK is caught at depth
+    err("""mutation { insert_t(objects: [{k: 1, kids: {data:
+          | [{id: 2, grand: {data: [{wid: 3, ufk: 9}]}}]}}])
+          | { affected_rows } }""".stripMargin,
+      "stitched from the parent")
+    // two object rels stitching one FK column would be order-dependent
+    val twoRels = GraphQl.Schema(Map.empty, keys = Map.empty,
+      objRels = Map(
+        ("t", "owner") -> GraphQl.Rel("o", "oid", "own_fk"),
+        ("t", "boss") -> GraphQl.Rel("o", "oid", "own_fk")))
+    val r = GraphQl.parseMutationFields(
+      """mutation { insert_t(objects: [{k: 1,
+        | owner: {data: {oid: 1}}, boss: {data: {oid: 2}}}])
+        | { affected_rows } }""".stripMargin, schema = twoRels)
+    assert(r.isLeft && r.left.exists(_.contains("more than once")),
+      s"got: $r")
+  }
+
+  test("on_conflict.where (r18): the conditional upsert updates only " +
+    "where the predicate holds on the STORED row; suppressed clashes " +
+    "neither write nor count") {
+    // snap: k=1 bal 10, k=3 bal 30 — predicate bal < 15 passes 1,
+    // fails 3; k=9 is fresh
+    val ins = Mutations.Insert("t", Seq(
+      Seq("k" -> 1L, "seg" -> "HIT", "bal" -> 999.0),
+      Seq("k" -> 3L, "seg" -> "MISS", "bal" -> 888.0),
+      Seq("k" -> 9L, "seg" -> "NEW", "bal" -> 1.0)),
+      updateColumns = Some(Seq("seg")),
+      conflictWhere = Some(Lt("bal", 15.0)))
+    val (next, n) = Mutations.applyMutation(snap, ins, "k")
+    assert(n === 2L) // fresh 9 + updated 1; the clash on 3 suppressed
+    val rows = next.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // key 1: listed column updates, bal keeps STORED 10 (q120's
+    // partial-update rule composes); key 3: untouched entirely
+    assert(rows === Seq((1L, "HIT", 10.0), (2L, "A", 20.0),
+      (3L, "B", 30.0), (4L, "C", 40.0), (9L, "NEW", 1.0)))
+    // where without a real update to condition refuses at construction
+    val e = intercept[IllegalArgumentException](
+      Mutations.Insert("t", Seq(Seq("k" -> 1L)),
+        updateColumns = Some(Nil), conflictWhere = Some(Lt("bal", 1.0))))
+    assert(e.getMessage.contains("needs update_columns"))
+    // the GraphQL spelling parses and round-trips
+    val fs = GraphQl.parseMutationFields(
+      """mutation { insert_t(objects: [{k: 1, seg: "X"}],
+        |  on_conflict: {constraint: t_pkey, update_columns: [seg],
+        |                where: {bal: {_lt: 15.0}}}) { affected_rows }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(fs.head.m === Mutations.Insert("t",
+      Seq(Seq("k" -> 1L, "seg" -> "X")),
+      updateColumns = Some(Seq("seg")),
+      conflictWhere = Some(Lt("bal", 15.0))))
+    assert(GraphQl.parseMutationFields(
+      GraphQl.renderMutationFields(fs)) === Right(fs))
+    // parse-side guard: where over do-nothing is loud
+    val r = GraphQl.parseMutationFields(
+      """mutation { insert_t(objects: [{k: 1}],
+        |  on_conflict: {constraint: t_pkey, update_columns: [],
+        |                where: {bal: {_lt: 15.0}}}) { affected_rows }
+        |}""".stripMargin)
+    assert(r.isLeft && r.left.exists(_.contains("needs update_columns")))
+  }
+
+  test("JSONB update operators (r18): the five Hasura arguments " +
+    "parse on all three update spellings; malformed operands and " +
+    "operator-column collisions are loud") {
+    import graft.functions.JsonbOps
+    val fs = GraphQl.parseMutationFields(
+      """mutation {
+        |  update_t(where: {k: {_eq: 1}},
+        |    _append: {props: {tags: ["a"], n: 2}},
+        |    _delete_key: {other: "x"}) { affected_rows }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(fs.head.m === Mutations.Update("t", Eq("k", 1L), Nil, Nil,
+      jsonb = Seq(
+        "props" -> JsonbOps.Append("""{"tags":["a"],"n":2}"""),
+        "other" -> JsonbOps.DeleteKey("x"))))
+    // by_pk and _many take the family too
+    val pk = GraphQl.parseMutationFields(
+      """mutation { update_t_by_pk(pk_columns: {k: 1},
+        |  _delete_at_path: {props: ["m", 0, "y"]}) { k }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(pk.head.m === Mutations.Update("t", Eq("k", 1L), Nil, Nil,
+      jsonb = Seq("props" ->
+        JsonbOps.DeleteAtPath(Seq("m", "0", "y")))))
+    val many = GraphQl.parseMutationFields(
+      """mutation { update_t_many(updates: [
+        |  {where: {k: {_eq: 1}}, _prepend: {props: {a: 1}}},
+        |  {where: {k: {_eq: 2}}, _delete_elem: {props: -1}}
+        |]) { affected_rows } }""".stripMargin)
+      .fold(m => fail(m), identity)
+    assert(many.head.m === Mutations.UpdateMany("t", Seq(
+      Mutations.Update("t", Eq("k", 1L), Nil, Nil,
+        jsonb = Seq("props" -> JsonbOps.Prepend("""{"a":1}"""))),
+      Mutations.Update("t", Eq("k", 2L), Nil, Nil,
+        jsonb = Seq("props" -> JsonbOps.DeleteElem(-1))))))
+    def err(doc: String, frag: String): Unit = {
+      val r = GraphQl.parseMutationFields(doc)
+      assert(r.isLeft && r.left.exists(_.contains(frag)),
+        s"wanted '$frag' in: $r")
+    }
+    err("mutation { update_t(where: {k: {_eq: 1}}, " +
+      "_delete_key: {props: 5}) { affected_rows } }",
+      "expected a string key")
+    err("mutation { update_t(where: {k: {_eq: 1}}, " +
+      "_delete_elem: {props: \"x\"}) { affected_rows } }",
+      "expected an integer index")
+    err("mutation { update_t(where: {k: {_eq: 1}}, " +
+      "_delete_at_path: {props: []}) { affected_rows } }",
+      "empty path")
+    err("mutation { update_t(where: {k: {_eq: 1}}, " +
+      "_append: {props: UP}) { affected_rows } }",
+      "not a JSON value")
+    // one column in two operators would write an order-dependent value
+    err("mutation { update_t(where: {k: {_eq: 1}}, " +
+      "_set: {props: \"x\"}, _delete_key: {props: \"a\"}) " +
+      "{ affected_rows } }", "more than one update operator")
+    // execution: a jsonb op against a NON-string column is loud
+    val e = intercept[IllegalArgumentException](
+      Mutations.applyFields(snap, Seq(Mutations.Field(
+        Mutations.Update("t", Eq("k", 1L), Nil, Nil,
+          jsonb = Seq("bal" -> JsonbOps.DeleteKey("a"))))), "k"))
+    assert(e.getMessage.contains("JSON-text"))
+    // the printer refuses jsonb ops (operands canonicalized — no
+    // byte-exact round-trip)
+    val e2 = intercept[IllegalArgumentException](
+      GraphQl.renderMutationFields(fs))
+    assert(e2.getMessage.contains("do not round-trip"))
+  }
+
+  test("mutation ROOT-FIELD aliases (r18): the response key is the " +
+    "alias — repeated verbs need them, identical repeats collapse " +
+    "to one execution, aliased fields render back") {
+    val fs = GraphQl.parseMutationFields(
+      """mutation {
+        |  lo: update_t(where: {bal: {_lt: 25.0}}, _set: {seg: "LOW"})
+        |    { affected_rows }
+        |  hi: update_t(where: {bal: {_gte: 25.0}}, _set: {seg: "HI"})
+        |    { affected_rows }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(fs.map(_.as) === Seq(Some("lo"), Some("hi")))
+    // both steps execute (distinct keys)
+    val (next, rs) = Mutations.applyFields(snap, fs, "k")
+    assert(rs.map(_.affected) === Seq(2L, 2L))
+    assert(next.orderBy("k").collect().map(_.getString(1)).toSeq ===
+      Seq("LOW", "LOW", "HI", "HI"))
+    // distinct fields under ONE response key refuse (Hasura's rule)
+    val dup = GraphQl.parseMutationFields(
+      """mutation {
+        |  update_t(where: {k: {_eq: 1}}, _set: {seg: "A"})
+        |    { affected_rows }
+        |  update_t(where: {k: {_eq: 2}}, _set: {seg: "B"})
+        |    { affected_rows }
+        |}""".stripMargin)
+    assert(dup.isLeft &&
+      dup.left.exists(_.contains("duplicate mutation response key")))
+    // IDENTICAL repeats collapse to one execution (spec 5.3.2: merged
+    // fields are one response entry)
+    val same = GraphQl.parseMutationFields(
+      """mutation {
+        |  update_t(where: {k: {_eq: 1}}, _inc: {bal: 5.0})
+        |    { affected_rows }
+        |  update_t(where: {k: {_eq: 1}}, _inc: {bal: 5.0})
+        |    { affected_rows }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(same.size === 1)
+    val (next2, _) = Mutations.applyFields(snap, same, "k")
+    assert(next2.filter($"k" === 1L).collect().head.getDouble(2) === 15.0)
+    // printer round-trip carries the alias
+    assert(GraphQl.parseMutationFields(
+      GraphQl.renderMutationFields(fs)) === Right(fs))
   }
 
   test("update_many: updates apply sequentially (later steps see " +
@@ -787,7 +1051,11 @@ class MutationsSpec extends SparkSpec {
       fs <- Gen.listOfN(n, Gen.oneOf[Gen[Mutations.Field]](
         genByPkUpdate, genByPkDelete, genInsertOne, genPlainRet)
         .flatMap(identity))
-    } yield fs
+      // root-field aliases (r18) keep generated response keys unique
+      // (repeated verbs would refuse, Hasura's rule) AND walk the
+      // alias printer on every sample
+    } yield fs.zipWithIndex.map { case (f, i) =>
+      f.copy(as = Some(s"m$i")) }
     var checked = 0
     (1 to 400).foreach { seed =>
       genDoc.apply(Gen.Parameters.default, rng.Seed(seed.toLong))
@@ -827,7 +1095,7 @@ class MutationsSpec extends SparkSpec {
         |    @skip(if: $dry) { affected_rows }
         |  delete_t(where: {seg: {_eq: "C"}}) @include(if: false) {
         |    affected_rows }
-        |  update_t(where: {k: {_eq: 2}}, _inc: {bal: 1.0}) {
+        |  bump: update_t(where: {k: {_eq: 2}}, _inc: {bal: 1.0}) {
         |    affected_rows }
         |}""".stripMargin
     val dry = GraphQl.parseMutationFields(doc, """{"dry": true}""")

@@ -494,7 +494,7 @@ class PermissionsSpec extends SparkSpec {
       """mutation {
         |  update_t(where: {bal: {_gt: 0.0}}, _inc: {bal: 1.0}) {
         |    affected_rows }
-        |  update_t(where: {k: {_eq: 1}}, _set: {secret: "x"}) {
+        |  leak: update_t(where: {k: {_eq: 1}}, _set: {secret: "x"}) {
         |    affected_rows }
         |}""".stripMargin, Map("t" -> ((p2, "k"))), tSchema)
     assert(denied.isLeft && denied.left.exists(_.contains("secret")))
@@ -627,6 +627,91 @@ class PermissionsSpec extends SparkSpec {
       case Left(m) => assert(m.contains("part"))
       case Right(r) => fail(s"partial answer served: ${r.map(_._1)}")
     }
+  }
+
+  test("serveRootsAs routes by_pk and `_stream` roots (r18): the " +
+    "role filter ANDs into the point lookup and the cursor scan; an " +
+    "out-of-grant key answers zero rows, an ungranted stream denies") {
+    val dir = sf("sf0.001")
+    val cust = graft.Tables.load(spark, dir, "customer")
+    import org.apache.spark.sql.functions.col
+    val inKey = cust.filter(col("c_mktsegment") === "BUILDING")
+      .orderBy("c_custkey").limit(1)
+      .collect().head.getAs[Long]("c_custkey")
+    val outKey = cust.filter(col("c_mktsegment") =!= "BUILDING")
+      .orderBy("c_custkey").limit(1)
+      .collect().head.getAs[Long]("c_custkey")
+    // in-grant key: the point lookup answers the row under the role's
+    // column grant; out-of-grant key: ZERO rows (never a leak, never
+    // an error — Hasura answers null there)
+    val served = Permissions.serveRootsAs(spark, dir, "analyst", policy,
+      s"""{ yes: customer_by_pk(c_custkey: $inKey) { c_custkey }
+         |  no: customer_by_pk(c_custkey: $outKey) { c_custkey } }"""
+        .stripMargin).fold(m => fail(m), identity)
+    assert(served.map(_._1) === Seq("yes", "no"))
+    assert(served(0)._2.collect().map(_.getLong(0)).toSeq === Seq(inKey))
+    assert(served(1)._2.count() === 0L)
+    // a `_stream` root batched with a read: the events grant's row
+    // filter ANDs into the cursor scan (only clicks deliver)
+    val tailPolicy = Policy(Map(
+      ("tail", "events") -> TablePerm(
+        filter = Some(Eq("event_type", "click"))),
+      ("tail", "customer") -> TablePerm()))
+    val mixed = Permissions.serveRootsAs(spark, dir, "tail", tailPolicy,
+      """subscription {
+        |  ev: events_stream(cursor: {initial_value: {event_id: null}},
+        |                    batch_size: 5) { event_id event_type }
+        |  c: customer(order_by: {c_custkey: asc}, limit: 2)
+        |    { c_custkey }
+        |}""".stripMargin).fold(m => fail(m), identity)
+    assert(mixed.map(_._1) === Seq("ev", "c"))
+    val pages = mixed(0)._2.collect()
+    assert(pages.nonEmpty &&
+      pages.forall(_.getAs[String]("event_type") == "click"))
+    assert(mixed(1)._2.count() === 2L)
+    // an UNGRANTED stream root denies the whole document — the
+    // granted read must not leak through a partial answer
+    Permissions.serveRootsAs(spark, dir, "analyst", policy,
+      """subscription {
+        |  ev: events_stream(cursor: {initial_value: {event_id: null}},
+        |                    batch_size: 5) { event_id }
+        |  c: customer(limit: 1) { c_custkey }
+        |}""".stripMargin) match {
+      case Left(m) => assert(m.contains("events"), m)
+      case Right(r) => fail(s"partial answer served: ${r.map(_._1)}")
+    }
+  }
+
+  test("insert-tree grants recurse (r18): a depth-2 subtree and an " +
+    "object-relationship node each pay their own (role, table) check") {
+    // writer is granted on 't' only — the grandchild targeting 'u'
+    // must deny even though it sits two levels down
+    val deep = Mutations.InsertTree(
+      Mutations.Insert("t", Seq(Seq("k" -> 1L, "seg" -> "A"))),
+      children = Seq(Mutations.InsertTree(
+        Mutations.Insert("t", Seq(Seq("k" -> 2L, "seg" -> "A"))),
+        children = Seq(Mutations.Insert("u", Seq(Seq("id" -> 1L)))))))
+    Permissions.secureFields(Seq(Mutations.Field(deep)), "writer",
+      policy) match {
+      case Left(m) => assert(m.contains("u"), m)
+      case Right(r) => fail(s"ungranted grandchild allowed: $r")
+    }
+    // an object-relationship (before) node denies the same way
+    val withBefore = Mutations.InsertTree(
+      Mutations.Insert("t", Seq(Seq("k" -> 1L, "seg" -> "A"))),
+      before = Seq(Mutations.Insert("u", Seq(Seq("id" -> 1L)))))
+    Permissions.secureFields(Seq(Mutations.Field(withBefore)), "writer",
+      policy) match {
+      case Left(m) => assert(m.contains("u"), m)
+      case Right(r) => fail(s"ungranted before-node allowed: $r")
+    }
+    // an all-granted tree secures whole (columns checked per level)
+    val ok = Mutations.InsertTree(
+      Mutations.Insert("t", Seq(Seq("k" -> 1L, "seg" -> "A"))),
+      children = Seq(Mutations.Insert("t",
+        Seq(Seq("k" -> 2L, "seg" -> "A", "bal" -> 1.0)))))
+    assert(Permissions.secureFields(Seq(Mutations.Field(ok)), "writer",
+      policy).isRight)
   }
 
   test("returning relationships secure like a read's: an ungranted " +
