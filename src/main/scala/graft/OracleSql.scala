@@ -1770,6 +1770,53 @@ object OracleSql {
         |FROM post CROSS JOIN tot
         |WHERE c_custkey IN (3, 5, 99904)
         |ORDER BY c_custkey""".stripMargin,
+    // q220: corpus build — the ensemble's keepers through q65's
+    // packing with a placement-ordered id checksum per pack
+    "q220_corpus_build" -> ensembleSql(
+      s""", keep AS (SELECT doc_id FROM flags
+         |    WHERE ratios_ok = 1 AND fences_ok = 1
+         |      AND clf_ok = 1 AND lm_ok = 1),
+         |d AS (
+         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#5'")} AS h
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |sh AS (SELECT doc_id, ntok, h, (h % 8)::INT AS shard FROM d),
+         |c AS (SELECT doc_id, shard, ntok, h,
+         |        SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |          - ntok AS strt
+         |      FROM sh)
+         |SELECT shard, (strt // 2048)::BIGINT AS pack_id,
+         |       COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+         |       md5(string_agg(doc_id::VARCHAR, ','
+         |                      ORDER BY h, doc_id)) AS ids_md5
+         |FROM c GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin),
+    // q219: relationship-predicate mutations — the EXISTS cascade
+    // replayed natively: orders of (original) BUILDING customers
+    // delete, then customers with a REMAINING >=200k order re-segment
+    "q219_relwhere_mutations" ->
+      """WITH o0 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey <= 200000),
+        |o1 AS (
+        |  SELECT * FROM o0
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o0.o_custkey
+        |      AND c.c_mktsegment = 'BUILDING')),
+        |c1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN EXISTS (SELECT 1 FROM o1
+        |           WHERE o1.o_custkey = customer.c_custkey
+        |             AND o1.o_totalprice >= 480000)
+        |         THEN 'BIGORD' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c1.c_mktsegment,
+        |       COUNT(DISTINCT c1.c_custkey)::BIGINT AS n_cust,
+        |       COUNT(o1.o_orderkey)::BIGINT AS n_ord,
+        |       ROUND(SUM(o1.o_totalprice), 2) AS ord_tot
+        |FROM c1 LEFT JOIN o1 ON o1.o_custkey = c1.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q216: the advertised directive surface — constants by nature
     // (engine surface, not data); the gate pins the serve path, the
     // r18 spread locations, and the @join default

@@ -271,6 +271,10 @@ object SparkEntry {
       (graft.queries.TextQueries.q217EnsembleVerdict(_, _)),
     "q218_ensemble_funnel" ->
       (graft.queries.TextQueries.q218EnsembleFunnel(_, _)),
+    "q219_relwhere_mutations" ->
+      (graft.api.GraphQl.q219RelWhereMutations(_, _)),
+    "q220_corpus_build" ->
+      (graft.queries.TextQueries.q220CorpusBuild(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

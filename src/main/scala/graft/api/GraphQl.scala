@@ -276,6 +276,23 @@ object GraphQl {
     resolveSpreadIn(p, Set(table), at); ()
   }
 
+  /** Mark every `$name` inside an UNSPLICED (directive-excluded)
+    * spread body as a used variable: `p.used` otherwise only fills
+    * while tokens parse, so flipping a fragment off would turn a
+    * valid document into a false "declared and bound but never used"
+    * error. A bare token scan over THIS body — a variable living only
+    * inside a fragment spread (not inlined) from an excluded body is
+    * not covered, the same unvalidated-excluded-body deviation the
+    * spread Scaladoc documents. */
+  private def markVarsUsed(p: P, body: Vector[Tok]): Unit =
+    if (body.length >= 2)
+      body.indices.dropRight(1).foreach { i =>
+        (body(i), body(i + 1)) match {
+          case (Punct('$', _), Name(n, _)) => p.used += n
+          case _ => ()
+        }
+      }
+
   /** As [[resolveSpread]] but with SEVERAL legal type conditions —
     * positions whose selection set serves more than one shape (an
     * `insert_<t>_one` response is either the row type or the
@@ -285,13 +302,18 @@ object GraphQl {
     *
     * `@include`/`@skip` apply ON the spread itself (r18 — the spec's
     * FRAGMENT_SPREAD / INLINE_FRAGMENT locations, Apollo's fragment
-    * toggle): an excluded spread contributes nothing. One documented
-    * deviation from the excluded-fields-still-compile contract: an
-    * excluded spread's BODY is brace-balanced but not semantically
-    * validated until some request includes it (the body never
-    * splices). */
+    * toggle): an excluded spread contributes nothing — the returned
+    * flag says whether the body spliced, so shape-committing callers
+    * (insert_one's row-vs-response branch) never commit on an
+    * excluded spread. Variables referenced inside an excluded body
+    * still count as USED (a token scan — toggling the fragment off
+    * must not turn a valid document into an unused-variable error).
+    * One documented deviation from the excluded-fields-still-compile
+    * contract: an excluded spread's BODY is brace-balanced but not
+    * semantically validated until some request includes it (the body
+    * never splices). */
   private def resolveSpreadIn(p: P, conds: Set[String],
-      at: String): String = {
+      at: String): (String, Boolean) = {
     val enclosing = conds.toSeq.sorted.mkString("' / '")
     val pos = p.next().pos // the Spread token
     p.peek match {
@@ -306,8 +328,8 @@ object GraphQl {
         restI.keySet.foreach(d =>
           bad(s"$at: unknown directive @$d on an inline fragment"))
         val body = p.captureBlock("inline fragment")
-        if (keepI) p.splice(body, pos)
-        cond
+        if (keepI) p.splice(body, pos) else markVarsUsed(p, body)
+        (cond, keepI)
       case Name(fname, fpos) =>
         p.next()
         val (keepS, restS) = conditionalKeep(parseDirectives(p),
@@ -320,8 +342,8 @@ object GraphQl {
           bad(s"$at: fragment '$fname' is on '$cond' but is spread " +
             s"inside a '$enclosing' selection")
         p.usedFrags += fname
-        if (keepS) p.splice(body, pos)
-        cond
+        if (keepS) p.splice(body, pos) else markVarsUsed(p, body)
+        (cond, keepS)
       case t => bad(s"$at: expected a fragment name or 'on' after " +
         s"'...' at ${t.pos}")
     }
@@ -2704,7 +2726,7 @@ object GraphQl {
             .headOption.foreach(k => bad(s"$at: unknown field '$k'"))
           val where = compileBool(m.getOrElse("where",
             bad(s"$at: where is required — Hasura's own rule")),
-            s"$at.where")
+            s"$at.where", Some((schema, table)))
           val set = m.get("_set").map(objEntries(_, s"$at._set"))
             .getOrElse(Nil)
           val inc = m.get("_inc").map(objEntries(_, s"$at._inc"))
@@ -2741,7 +2763,7 @@ object GraphQl {
       val where = compileBool(args.getOrElse("where",
         bad(s"$fname: where is required — Hasura's own rule; an " +
           "unfiltered update needs an explicit always-true predicate")),
-        s"$fname.where")
+        s"$fname.where", Some((schema, table)))
       val set = args.get("_set").map(objEntries(_, s"$fname._set"))
         .getOrElse(Nil)
       val inc = args.get("_inc").map(objEntries(_, s"$fname._inc"))
@@ -2755,7 +2777,7 @@ object GraphQl {
       checkArgs(args, Set("where"), fname)
       (Mutations.Delete(table, compileBool(args.getOrElse("where",
         bad(s"$fname: where is required — Hasura's own rule")),
-        s"$fname.where")), false)
+        s"$fname.where", Some((schema, table)))), false)
     } else bad(s"unknown mutation field '$fname' " +
       "(insert_/update_/delete_<table>[_by_pk], insert_<table>_one)")
 
@@ -2918,7 +2940,13 @@ object GraphQl {
                 if (isOne && !sawAffected && returning.isEmpty)
                   Set(respType, m.table)
                 else Set(respType)
-              if (resolveSpreadIn(p, conds, fname) == m.table) {
+              // an EXCLUDED row-shaped spread must not commit the
+              // single-row response shape (its body never spliced —
+              // committing would mis-parse whatever follows as row
+              // columns)
+              val (spreadCond, spreadKept) =
+                resolveSpreadIn(p, conds, fname)
+              if (spreadKept && spreadCond == m.table) {
                 val cols = Seq.newBuilder[String]
                 rowCols(cols, fname)
                 val cs = cols.result()
@@ -5595,6 +5623,64 @@ object GraphQl {
         round(sum(o("o_totalprice")), 2).as("tot"))
       .crossJoin(totals)
       .orderBy("c_custkey")
+  }
+
+  /** q219's document — RELATIONSHIP PREDICATES in mutation where
+    * trees (r18): Hasura compiles `delete_orders(where: {customer:
+    * {...}})` to an EXISTS over the related table; the engine
+    * decorrelates it against the store REGISTRY's current folded
+    * state. The second field's predicate reads the orders store
+    * AFTER the first field's delete — Hasura's in-transaction
+    * visibility, the ordering an engine evaluating predicates
+    * against pre-document state gets wrong. */
+  val q219Mutation: String =
+    """mutation RelWhere {
+      |  nuke: delete_orders(
+      |    where: {customer: {c_mktsegment: {_eq: "BUILDING"}}}) {
+      |    affected_rows }
+      |  flag: update_customer(
+      |    where: {orders: {o_totalprice: {_gte: 480000}}},
+      |    _set: {c_mktsegment: "BIGORD"}) { affected_rows }
+      |}""".stripMargin
+
+  /** q219 — relationship-predicate mutations under the oracle gate:
+    * every BUILDING customer's orders delete (the object-relationship
+    * EXISTS), then customers with a REMAINING ≥200k order re-segment
+    * to BIGORD — a BUILDING customer whose big orders were just
+    * deleted must NOT re-segment (the post-delete store is what the
+    * second predicate sees). The read-back groups customers by final
+    * segment with their remaining-order counts: BUILDING rows carry
+    * n_ord = 0, and DuckDB replays the EXISTS cascade natively. */
+  def q219RelWhereMutations(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (cPath, oPath) = graft.FixtureCache.once(s, s"q219|$dir") {
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val cP = s"/root/repo/target/tmp/q219c_store_$app"
+      val oP = s"/root/repo/target/tmp/q219o_store_$app"
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal"), cP)
+      // the q131 slice discipline keeps the rewrite bounded
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") <= 200000L)
+          .select("o_orderkey", "o_custkey", "o_totalprice"), oP)
+      Mutations.applyFieldsToStores(s, Map(
+        "customer" -> ((cP, "c_custkey")),
+        "orders" -> ((oP, "o_orderkey"))),
+        parsedFields("q219", q219Mutation, "{}"))
+      (cP, oP)
+    }
+    val c = graft.sources.SnapshotStore.read(s, cPath)
+    val o = graft.sources.SnapshotStore.read(s, oPath)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_mktsegment"))
+      .agg(countDistinct(c("c_custkey")).as("n_cust"),
+        count(o("o_orderkey")).as("n_ord"),
+        round(sum(o("o_totalprice")), 2).as("ord_tot"))
+      .orderBy("c_mktsegment")
   }
 
   /** q214's document — Hasura's JSONB update operator family (r18)

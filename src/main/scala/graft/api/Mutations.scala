@@ -112,10 +112,12 @@ object Mutations {
     require(set.nonEmpty || inc.nonEmpty || jsonb.nonEmpty,
       s"update_$table: needs _set and/or _inc (or a jsonb operator)")
     // Hasura rejects a column in TWO operators — a silent
-    // set-then-rewrite would write an order-dependent value
-    private val groups = Seq(set.map(_._1), inc.map(_._1),
-      jsonb.map(_._1))
-    private val dup = groups.flatMap(_.distinct)
+    // set-then-rewrite would write an order-dependent value. Every
+    // jsonb ENTRY is its own operator (two different jsonb ops on one
+    // column are exactly as order-dependent as _set + _append).
+    private val groups = Seq(set.map(_._1).distinct,
+      inc.map(_._1).distinct) ++ jsonb.map(e => Seq(e._1))
+    private val dup = groups.flatten
       .groupBy(identity).filter(_._2.size > 1).keys
     require(dup.isEmpty, s"update_$table: column(s) " +
       s"${dup.mkString(", ")} appear in more than one update operator")
@@ -241,11 +243,27 @@ object Mutations {
     snapshot.sparkSession.createDataFrame(data.asJava, schema)
   }
 
+  /** Filter a snapshot by a mutation's where tree — RELATIONSHIP
+    * predicates (r18, Hasura's `delete_orders(where: {customer:
+    * {...}})`) decorrelate through the store registry's child loader
+    * (the registry's CURRENT folded state — same-document visibility);
+    * the single-snapshot paths have no registry and refuse loudly. */
+  private def filterOn(snapshot: DataFrame, w: BoolExp,
+      childLoad: Option[String => DataFrame], at: String): DataFrame =
+    if (!QueryBuilder.hasRelPred(w)) snapshot.filter(w.toColumn)
+    else childLoad match {
+      case Some(ld) => QueryBuilder.filterWith(ld, snapshot, w)
+      case None => throw new IllegalArgumentException(
+        s"$at: a relationship predicate in a mutation where needs " +
+          "the store registry (applyFieldsToStores) — the " +
+          "single-snapshot path cannot load the child table")
+    }
+
   /** Apply one mutation to the current snapshot → (next snapshot,
     * affected_rows). Eager: the count is the mutation's response. */
   def applyMutation(snapshot: DataFrame, m: Mutation,
       keyCol: String): (DataFrame, Long) = {
-    val (next, n, _) = applyMutationFull(snapshot, m, keyCol)
+    val (next, n, _) = applyMutationFull(snapshot, m, keyCol, None)
     (next, n)
   }
 
@@ -253,7 +271,9 @@ object Mutations {
     * `returning` selection serves: insert/update rows as written,
     * delete rows' prior values. */
   private def applyMutationFull(snapshot: DataFrame, m: Mutation,
-      keyCol: String): (DataFrame, Long, DataFrame) = m match {
+      keyCol: String,
+      childLoad: Option[String => DataFrame])
+      : (DataFrame, Long, DataFrame) = m match {
     case Insert(table, rows, upsert, updateCols, conflictWhere) =>
       // every object must carry a non-null key (a null-key row would
       // slide past the equi-join clash check and tie nondeterministic-
@@ -356,7 +376,8 @@ object Mutations {
         // across every matched row with affected_rows reporting success
         lit(coerce(v, sch(c).dataType, s"update_$table.$what"))
       }
-      val changed = snapshot.filter(where.toColumn)
+      val changed = filterOn(snapshot, where, childLoad,
+        s"update_$table")
       val withSet = set.foldLeft(changed) { case (df, (c, v)) =>
         df.withColumn(c, typed(c, v, "_set")) }
       val withInc = inc.foldLeft(withSet) { case (df, (c, v)) =>
@@ -375,7 +396,8 @@ object Mutations {
       }
       (mergeDelta(snapshot, delta, keyCol), delta.count(), delta)
     case Delete(table, where) =>
-      val victims = deleteVictims(snapshot, where)
+      val victims = deleteVictims(snapshot, where, childLoad,
+        s"delete_$table")
       val doomed = victims.withColumn("deleted", lit(true))
       (mergeDelta(snapshot, doomed, keyCol), doomed.count(), victims)
     case t: InsertTree => throw new IllegalArgumentException(
@@ -406,7 +428,9 @@ object Mutations {
     * Returned rows are bounded by each mutation's affected set, the
     * same cost Hasura's `returning` pays. */
   def applyFields(snapshot: DataFrame, fields: Seq[Field],
-      keyCol: String): (DataFrame, Seq[FieldResult]) =
+      keyCol: String,
+      childLoad: Option[String => DataFrame] = None)
+      : (DataFrame, Seq[FieldResult]) =
     fields.foldLeft((snapshot, Seq.empty[FieldResult])) {
       case ((cur, rs), f) =>
         // a *_by_pk verb must really address the store's key: Hasura
@@ -459,14 +483,16 @@ object Mutations {
             // returning on _many is per update
             var c = cur
             val sub = steps.map { u =>
-              val (n2, n, rows) = applyMutationFull(c, u, keyCol)
+              val (n2, n, rows) = applyMutationFull(c, u, keyCol,
+                childLoad)
               c = n2.localCheckpoint(true)
               FieldResult(n, retOf(rows))
             }
             (c, rs :+ FieldResult(sub.map(_.affected).sum, None,
               Some(sub)))
           case _ =>
-            val (next, n, rows) = applyMutationFull(cur, f.m, keyCol)
+            val (next, n, rows) = applyMutationFull(cur, f.m, keyCol,
+              childLoad)
             (next.localCheckpoint(true), rs :+ FieldResult(n, retOf(rows)))
         }
     }
@@ -503,12 +529,14 @@ object Mutations {
     * ten-million-key set never becomes a driver-resident `isin`
     * literal. Package-private so specs can plan-assert the join. */
   private[api] def deleteVictims(snapshot: DataFrame,
-      where: BoolExp): DataFrame = where match {
+      where: BoolExp,
+      childLoad: Option[String => DataFrame] = None,
+      at: String = "delete"): DataFrame = where match {
     case QueryBuilder.KeySet(field, keys) =>
       val k = keys.toDF("__keyset_key")
       snapshot.join(k, snapshot(field) === k("__keyset_key"),
         "left_semi")
-    case _ => snapshot.filter(where.toColumn)
+    case _ => filterOn(snapshot, where, childLoad, at)
   }
 
   /** Above this many doomed parents, [[cascadeForget]] stops inlining
@@ -600,9 +628,28 @@ object Mutations {
       AtomicSwap.recover(fsOf(path), path)
       t -> SnapshotStore.read(spark, path)
     }.toMap
+    // relationship-predicate children (r18) resolve against the
+    // CURRENT folded state — a table an earlier field wrote is seen
+    // post-write (Hasura's in-transaction visibility); an untouched
+    // registered table reads its store once (cached in `snaps`;
+    // only `touched` tables rewrite at the end, so caching a read
+    // never triggers a spurious swap)
+    def loadChild(t: String): DataFrame =
+      snaps.getOrElse(t, {
+        val (path, _) = stores.getOrElse(t,
+          throw new IllegalArgumentException(
+            s"no registered store for relationship child '$t' — a " +
+              "mutation's relationship predicate reads tables from " +
+              "the registry"))
+        AtomicSwap.recover(fsOf(path), path)
+        val df = SnapshotStore.read(spark, path)
+        snaps += t -> df
+        df
+      })
     def step(f: Field): FieldResult = {
       val t = f.m.table
-      val (next, rs) = applyFields(snaps(t), Seq(f), stores(t)._2)
+      val (next, rs) = applyFields(snaps(t), Seq(f), stores(t)._2,
+        Some(loadChild))
       snaps += t -> next
       rs.head
     }

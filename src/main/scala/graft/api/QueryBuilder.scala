@@ -972,13 +972,24 @@ object QueryBuilder {
     * contract (batch callers keep lazy plans so pushdown composes). */
   private[api] def decorrelateJoins(s: SparkSession, dir: String,
       w: BoolExp, ctr: java.util.concurrent.atomic.AtomicInteger,
+      pin: Boolean = false): (Seq[(DataFrame, String)], BoolExp) =
+    decorrelateJoinsWith(graft.Tables.load(s, dir, _), w, ctr, pin)
+
+  /** [[decorrelateJoins]] with an EXPLICIT child loader — the
+    * mutation path (r18) resolves relationship-predicate children
+    * from its STORE REGISTRY's current folded state (Hasura's
+    * same-transaction visibility), not the fixture directory. */
+  private[api] def decorrelateJoinsWith(
+      loadChild: String => DataFrame, w: BoolExp,
+      ctr: java.util.concurrent.atomic.AtomicInteger,
       pin: Boolean = false): (Seq[(DataFrame, String)], BoolExp) = {
     val joins = Seq.newBuilder[(DataFrame, String)]
     def walk(e: BoolExp): BoolExp = e match {
       case RelPred(table, childKey, parentKey, pred) =>
-        val child0 = graft.Tables.load(s, dir, table)
+        val child0 = loadChild(table)
         val (child, p2) =
-          if (hasRelPred(pred)) decorrelate(s, dir, child0, pred, ctr)
+          if (hasRelPred(pred))
+            decorrelateWith(loadChild, child0, pred, ctr)
           else (child0, pred)
         val flag = s"__rp_${ctr.getAndIncrement()}"
         val keys0 = child.filter(p2.toColumn)
@@ -999,11 +1010,31 @@ object QueryBuilder {
   private[api] def decorrelate(s: SparkSession, dir: String,
       base: DataFrame, w: BoolExp,
       ctr: java.util.concurrent.atomic.AtomicInteger)
+      : (DataFrame, BoolExp) =
+    decorrelateWith(graft.Tables.load(s, dir, _), base, w, ctr)
+
+  private[api] def decorrelateWith(loadChild: String => DataFrame,
+      base: DataFrame, w: BoolExp,
+      ctr: java.util.concurrent.atomic.AtomicInteger)
       : (DataFrame, BoolExp) = {
-    val (joins, w2) = decorrelateJoins(s, dir, w, ctr)
+    val (joins, w2) = decorrelateJoinsWith(loadChild, w, ctr)
     (joins.foldLeft(base) { case (d, (keys, pk)) =>
       d.join(keys, Seq(pk), "left") }, w2)
   }
+
+  /** Filter `df` by `w` with relationship predicates decorrelated
+    * through `loadChild` — the [[run]] root-where machinery exposed
+    * for the MUTATION executor (r18): flag columns drop after the
+    * filter so write deltas stay schema-clean. */
+  private[api] def filterWith(loadChild: String => DataFrame,
+      df: DataFrame, w: BoolExp): DataFrame =
+    if (!hasRelPred(w)) df.filter(w.toColumn)
+    else {
+      val (d2, w2) = decorrelateWith(loadChild, df, w,
+        new java.util.concurrent.atomic.AtomicInteger())
+      val flags = d2.columns.filter(_.startsWith("__rp_")).toSeq
+      d2.filter(w2.toColumn).drop(flags: _*)
+    }
 
   def run(s: SparkSession, dir: String, req0: Request): DataFrame =
     runOn(s, dir, graft.Tables.load(s, dir, req0.table), req0)

@@ -47,7 +47,8 @@ object JsonbOps {
   final case class DeleteElem(idx: Int) extends Op
   /** `col #- path` — removes the object key or array element at the
     * path; a missing path leaves the value unchanged, a non-integer
-    * path element against an array is loud (Postgres errors). */
+    * path element against an array is loud, and a SCALAR top-level
+    * value is loud (Postgres: "cannot delete path in scalar"). */
   final case class DeleteAtPath(path: Seq[String]) extends Op
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -159,7 +160,13 @@ object JsonbOps {
       case Prepend(j) => concat(mapper.readTree(j), n)
       case DeleteKey(k) => delKey(n, k, at)
       case DeleteElem(i) => delElem(n, i, at)
-      case DeleteAtPath(p) => delAtPath(n, p, at)
+      case DeleteAtPath(p) =>
+        // only the TOP level must be a container (PG #-): a scalar
+        // ALONG a missing path deeper down returns unchanged
+        if (!n.isObject && !n.isArray)
+          throw new IllegalArgumentException(
+            s"$at: _delete_at_path cannot delete a path in a scalar")
+        delAtPath(n, p, at)
     }
     mapper.writeValueAsString(canon(r))
   }

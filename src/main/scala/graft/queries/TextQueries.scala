@@ -2289,6 +2289,41 @@ object TextQueries {
         col("clf_ok"), col("lm_ok"), col("verdict"), col("first_fail"))
       .orderBy("doc_id")
 
+  /** Q220 — CORPUS BUILD (the end-to-end shape a training-data
+    * pipeline ships, r18): the q217 ensemble's keepers lay out into
+    * q65's fixed-budget context windows, and each pack reports its
+    * doc/token counts plus a placement-ordered id checksum — the
+    * manifest row a downstream trainer verifies before reading a
+    * shard. Filter → pack → manifest in ONE declarative plan: the
+    * verdict join prunes before the pack shuffle, the only shuffle is
+    * q65's per-shard window sort, and the checksum folds inside the
+    * pack groupBy (packs are ≤budget tokens, so the collect is
+    * bounded by construction). */
+  def q220CorpusBuild(s: SparkSession, dir: String,
+      budget: Long = 2048, shards: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.seededHash
+    val keep = ensembleFlags(s, dir)
+      .filter(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
+        col("clf_ok") === 1 && col("lm_ok") === 1)
+      .select("doc_id")
+    val d = docs(s, dir).join(keep, "doc_id")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntok"),
+        seededHash(col("doc_id").cast("string"), 5).as("h"))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    d.withColumn("strt", sum(col("ntok")).over(w) - col("ntok"))
+      .withColumn("pack_id", floor(col("strt") / budget))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("ids_md5"))
+      .orderBy("shard", "pack_id")
+  }
+
   /** Q218 — the ensemble FUNNEL (q69's audit shape over the full
     * ensemble): survivors after each filter applied cumulatively in
     * cascade order — the per-stage report that makes a corpus-nuking

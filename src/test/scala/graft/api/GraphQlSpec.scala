@@ -2164,6 +2164,38 @@ class GraphQlSpec extends SparkSpec {
       { customer { c_custkey ...Extra @nope } }""")
       .fold(identity, r => fail(s"accepted as $r"))
       .contains("unknown directive"))
+    // a variable referenced ONLY inside an excluded body still counts
+    // as used — toggling the fragment off must not turn a valid
+    // document into an unused-variable error (r18 review catch)
+    val varDoc = """
+      fragment F on customer { c_name }
+      query Q($inc: Boolean!, $cap: bigint!) {
+        customer(where: {c_custkey: {_lte: $cap}}) {
+          c_custkey
+          ... on customer @include(if: $inc) {
+            orders(limit: 1) { o_orderkey }
+          }
+        }
+      }"""
+    // drop the decoy fragment (unused-fragment check) — inline only
+    val varDoc2 = varDoc.linesIterator.filterNot(_.contains("fragment"))
+      .mkString("\n")
+    val off = GraphQl.parse(varDoc2,
+      variables = """{"inc": false, "cap": 10}""")
+      .fold(m => fail(m), identity)
+    assert(off.nested.isEmpty && off.fields === Seq("c_custkey"))
+    // an EXCLUDED row-shaped spread in insert_<t>_one must not commit
+    // the single-row response shape (r18 review catch): the following
+    // affected_rows stays the wrapper selection
+    val one = GraphQl.parseMutationFields("""
+      fragment Row on customer { c_name }
+      mutation {
+        insert_customer_one(object: {c_custkey: 999, c_name: "x"}) {
+          ...Row @skip(if: true)
+          affected_rows
+        }
+      }""").fold(m => fail(m), identity)
+    assert(one.head.returning === None && !one.head.single)
   }
 
   test("MULTI-ROOT `_stream` batching (r18): a subscription document " +

@@ -681,6 +681,51 @@ class MutationsSpec extends SparkSpec {
       s"got: $r")
   }
 
+  test("relationship predicates in mutation wheres (r18): the EXISTS " +
+    "decorrelates against the registry's CURRENT folded state; the " +
+    "single-snapshot path refuses loudly") {
+    import java.nio.file.Files
+    val tP = Files.createTempDirectory("graft_rw_t").toString
+    val uP = Files.createTempDirectory("graft_rw_u").toString
+    SnapshotStore.write(snap, tP) // k 1..4, segs A A B C
+    SnapshotStore.write(Seq((10L, 1L, 5.0), (11L, 1L, 9.0),
+      (12L, 3L, 7.0)).toDF("id", "fk", "amt"), uP)
+    val schema2 = GraphQl.Schema(
+      Map(("t", "kids") -> GraphQl.Rel("u", "fk", "k")),
+      keys = Map.empty,
+      objRels = Map(("u", "parent") -> GraphQl.Rel("t", "k", "fk")))
+    val doc =
+      """mutation {
+        |  nuke: delete_u(where: {parent: {seg: {_eq: "A"}}}) {
+        |    affected_rows }
+        |  flag: update_t(where: {kids: {amt: {_gte: 6.0}}},
+        |                 _set: {seg: "HOT"}) { affected_rows }
+        |}""".stripMargin
+    val fields = GraphQl.parseMutationFields(doc, schema = schema2)
+      .fold(m => fail(m), identity)
+    val rs = Mutations.applyFieldsToStores(spark,
+      Map("t" -> ((tP, "k")), "u" -> ((uP, "id"))), fields)
+    // rows 10,11 belong to seg-A parent 1 — deleted; then the update
+    // sees the POST-delete kids: only k=3 still has an amt >= 6 kid
+    // (k=1's 9.0 kid was just deleted — an engine evaluating against
+    // pre-document state re-segments k=1 too and fails here)
+    assert(rs.map(_.affected) === Seq(2L, 1L))
+    assert(SnapshotStore.read(spark, uP).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(12L))
+    assert(SnapshotStore.read(spark, tP).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "A"), (2L, "A"), (3L, "HOT"), (4L, "C")))
+    // the single-snapshot path cannot load the child table — loud
+    val e = intercept[IllegalArgumentException](
+      Mutations.applyFields(snap, Seq(fields(1)), "k"))
+    assert(e.getMessage.contains("store registry"))
+    // an UNREGISTERED child table is loud, never a silent no-match
+    val e2 = intercept[IllegalArgumentException](
+      Mutations.applyFieldsToStores(spark,
+        Map("t" -> ((tP, "k"))), Seq(fields(1))))
+    assert(e2.getMessage.contains("relationship child"))
+  }
+
   test("on_conflict.where (r18): the conditional upsert updates only " +
     "where the predicate holds on the STORED row; suppressed clashes " +
     "neither write nor count") {
@@ -779,6 +824,12 @@ class MutationsSpec extends SparkSpec {
     // one column in two operators would write an order-dependent value
     err("mutation { update_t(where: {k: {_eq: 1}}, " +
       "_set: {props: \"x\"}, _delete_key: {props: \"a\"}) " +
+      "{ affected_rows } }", "more than one update operator")
+    // ...including two DIFFERENT jsonb operators on one column (the
+    // r18 review catch: a within-family collision is exactly as
+    // order-dependent as the cross-family one)
+    err("mutation { update_t(where: {k: {_eq: 1}}, " +
+      "_append: {props: {tags: [\"x\"]}}, _delete_key: {props: \"tags\"}) " +
       "{ affected_rows } }", "more than one update operator")
     // execution: a jsonb op against a NON-string column is loud
     val e = intercept[IllegalArgumentException](

@@ -682,6 +682,18 @@ class PermissionsSpec extends SparkSpec {
     }
   }
 
+  test("relationship predicates in mutation wheres secure like a " +
+    "read's (r18): the child table needs its own grant") {
+    val m = Mutations.Update("t",
+      RelPred("u", "fk", "k", Eq("amt", 1.0)), Seq("seg" -> "X"))
+    // writer is granted on 't' only — the EXISTS child 'u' denies
+    Permissions.secureFields(Seq(Mutations.Field(m)), "writer",
+      policy) match {
+      case Left(msg) => assert(msg.contains("u"), msg)
+      case Right(r) => fail(s"ungranted EXISTS child allowed: $r")
+    }
+  }
+
   test("insert-tree grants recurse (r18): a depth-2 subtree and an " +
     "object-relationship node each pay their own (role, table) check") {
     // writer is granted on 't' only — the grandchild targeting 'u'

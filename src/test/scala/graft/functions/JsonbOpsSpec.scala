@@ -63,6 +63,11 @@ class JsonbOpsSpec extends AnyFunSuite {
     assert(ap(DeleteAtPath(Seq("zz", "y")), """{"m":1}""") ===
       """{"m":1}""")
     assert(ap(DeleteAtPath(Seq("9", "y")), """[1]""") === """[1]""")
+    // a SCALAR top level is loud (PG: cannot delete path in scalar);
+    // a scalar along a missing deeper path stays unchanged (above)
+    val es = intercept[IllegalArgumentException](
+      ap(DeleteAtPath(Seq("a")), "5"))
+    assert(es.getMessage.contains("scalar"))
     val e = intercept[IllegalArgumentException](
       ap(DeleteAtPath(Seq("nope")), """["a"]"""))
     assert(e.getMessage.contains("not an integer"))
