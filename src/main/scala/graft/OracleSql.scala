@@ -1794,7 +1794,7 @@ object OracleSql {
          |ORDER BY shard, pack_id""".stripMargin),
     // q219: relationship-predicate mutations — the EXISTS cascade
     // replayed natively: orders of (original) BUILDING customers
-    // delete, then customers with a REMAINING >=200k order re-segment
+    // delete, then customers with a REMAINING >=480k order re-segment
     "q219_relwhere_mutations" ->
       """WITH o0 AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -276,19 +276,28 @@ object GraphQl {
     resolveSpreadIn(p, Set(table), at); ()
   }
 
-  /** Mark every `$name` inside an UNSPLICED (directive-excluded)
-    * spread body as a used variable: `p.used` otherwise only fills
-    * while tokens parse, so flipping a fragment off would turn a
-    * valid document into a false "declared and bound but never used"
-    * error. A bare token scan over THIS body — a variable living only
-    * inside a fragment spread (not inlined) from an excluded body is
-    * not covered, the same unvalidated-excluded-body deviation the
-    * spread Scaladoc documents. */
+  /** Mark every `$name` AND every `...Frag` inside an UNSPLICED
+    * (directive-excluded) spread body as used: `p.used`/`p.usedFrags`
+    * otherwise only fill while tokens parse, so flipping a fragment
+    * off would turn a valid document into a false "never used" /
+    * "never spread" error. A bare token scan over THIS body — nested
+    * excluded bodies' own contents resolve when the scan reaches the
+    * NAMED fragment's stored body via the transitive walk below.
+    * (`... on` inline conditions are skipped: "on" is not a legal
+    * fragment name per the spec, so the filter is exact.) */
   private def markVarsUsed(p: P, body: Vector[Tok]): Unit =
     if (body.length >= 2)
       body.indices.dropRight(1).foreach { i =>
         (body(i), body(i + 1)) match {
           case (Punct('$', _), Name(n, _)) => p.used += n
+          case (Spread(_), Name(n, _)) if n != "on" =>
+            if (!p.usedFrags(n)) {
+              p.usedFrags += n
+              // the spread fragment's OWN body may reference further
+              // variables/fragments — walk it too (cycle-safe: the
+              // usedFrags guard above breaks repeats)
+              p.fragments.get(n).foreach(f => markVarsUsed(p, f._2))
+            }
           case _ => ()
         }
       }
@@ -2385,7 +2394,14 @@ object GraphQl {
   }
 
   private def objEntries(v: V, at: String): Seq[(String, Any)] = v match {
-    case VObj(fs) => fs.map { case (k, sub) => k -> litValue(sub, s"$at.$k") }
+    case VObj(fs) =>
+      // spec 5.6.3: input-object keys are unique — last-wins here
+      // would be a silent order-dependent write (`_set: {seg: "A",
+      // seg: "B"}` writing B with affected_rows reporting success)
+      val dups = fs.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+      if (dups.nonEmpty)
+        bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
+      fs.map { case (k, sub) => k -> litValue(sub, s"$at.$k") }
     case _ => bad(s"$at: expected an object")
   }
 
@@ -2538,6 +2554,12 @@ object GraphQl {
         val row = Seq.newBuilder[(String, Any)]
         val arrEntries = Seq.newBuilder[(String, Seq[(String, V)])]
         val objRelEntries = Seq.newBuilder[(String, Seq[(String, V)])]
+        // spec 5.6.3 holds for insert objects too: a duplicated
+        // column would land last-wins through the row's toMap
+        val rowDups = fs.map(_._1).groupBy(identity)
+          .filter(_._2.size > 1).keys
+        if (rowDups.nonEmpty)
+          bad(s"$at: duplicate field(s) ${rowDups.mkString(", ")}")
         fs.foreach {
           case (k, VObj(ofs)) =>
             if (schema.rels.contains((table, k))) arrEntries += ((k, ofs))
@@ -5645,7 +5667,7 @@ object GraphQl {
 
   /** q219 — relationship-predicate mutations under the oracle gate:
     * every BUILDING customer's orders delete (the object-relationship
-    * EXISTS), then customers with a REMAINING ≥200k order re-segment
+    * EXISTS), then customers with a REMAINING ≥480k order re-segment
     * to BIGORD — a BUILDING customer whose big orders were just
     * deleted must NOT re-segment (the post-delete store is what the
     * second predicate sees). The read-back groups customers by final

@@ -482,9 +482,15 @@ object Mutations {
             // eager anyway), and each gets its own response — Hasura's
             // returning on _many is per update
             var c = cur
+            // a later step's relationship predicate on the MUTATED
+            // table itself must see the earlier steps' writes (each
+            // step is its own statement) — serve the step-local fold
+            // for this table, the registry for every other
+            val stepLoad = childLoad.map(ld =>
+              (t2: String) => if (t2 == f.m.table) c else ld(t2))
             val sub = steps.map { u =>
               val (n2, n, rows) = applyMutationFull(c, u, keyCol,
-                childLoad)
+                stepLoad)
               c = n2.localCheckpoint(true)
               FieldResult(n, retOf(rows))
             }

@@ -2164,6 +2164,17 @@ class GraphQlSpec extends SparkSpec {
       { customer { c_custkey ...Extra @nope } }""")
       .fold(identity, r => fail(s"accepted as $r"))
       .contains("unknown directive"))
+    // a FRAGMENT spread only from an excluded body still counts as
+    // spread — including transitively (r18 review catch: the same
+    // toggle-off bug class as the variable case below)
+    val nested = GraphQl.parse("""
+      fragment F on customer { ...G }
+      fragment G on customer { c_name @skip(if: $h) h2: c_name }
+      query Q($inc: Boolean!, $h: Boolean!) {
+        customer(limit: 1) { c_custkey ...F @include(if: $inc) }
+      }""", variables = """{"inc": false, "h": true}""")
+      .fold(m => fail(m), identity)
+    assert(nested.fields === Seq("c_custkey"))
     // a variable referenced ONLY inside an excluded body still counts
     // as used — toggling the fragment off must not turn a valid
     // document into an unused-variable error (r18 review catch)

@@ -559,6 +559,13 @@ class MutationsSpec extends SparkSpec {
     err("""mutation { insert_t(objects: [{k: null, kids:
           | {data: [{id: 1}]}}]) { affected_rows } }""".stripMargin,
       "cannot be null")
+    // spec 5.6.3: duplicate input-object keys refuse (last-wins would
+    // be a silent order-dependent write — r18 review catch)
+    err("""mutation { insert_t(objects: [{k: 1, seg: "A", seg: "B"}])
+          | { affected_rows } }""".stripMargin, "duplicate field")
+    err("""mutation { update_t(where: {k: {_eq: 1}},
+          | _set: {seg: "A", seg: "B"}) { affected_rows } }""".stripMargin,
+      "duplicate field")
     val tree = Mutations.InsertTree(
       Mutations.Insert("t", Seq(Seq("k" -> 1L))),
       Seq(Mutations.Insert("u", Seq(Seq("id" -> 1L, "fk" -> 1L)))))
@@ -715,6 +722,31 @@ class MutationsSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, tP).orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((1L, "A"), (2L, "A"), (3L, "HOT"), (4L, "C")))
+    // update_<t>_many: a LATER step's predicate on the mutated table
+    // itself sees the EARLIER steps' writes (each step is its own
+    // statement — r18 review catch: the registry's folded state only
+    // advances per FIELD)
+    val selfSchema = GraphQl.Schema(
+      Map(("t", "peers") -> GraphQl.Rel("t", "seg", "seg")),
+      keys = Map.empty)
+    val tP2 = Files.createTempDirectory("graft_rw_t2").toString
+    SnapshotStore.write(snap, tP2)
+    val many = GraphQl.parseMutationFields(
+      """mutation { update_t_many(updates: [
+        |  {where: {k: {_eq: 3}}, _set: {seg: "A"}},
+        |  {where: {peers: {bal: {_gte: 25.0}}}, _inc: {bal: 1.0}}
+        |]) { affected_rows } }""".stripMargin, schema = selfSchema)
+      .fold(m => fail(m), identity)
+    val rs2 = Mutations.applyFieldsToStores(spark,
+      Map("t" -> ((tP2, "k"))), many)
+    // step 1 moves k=3 (bal 30) into seg A; step 2 increments every
+    // row whose SEGMENT (post-step-1) contains a bal >= 25 row: seg A
+    // now qualifies THROUGH k=3 — stale-state evaluation would see
+    // seg A maxing at 20 and skip k=1,2,3
+    assert(rs2.head.perStep.get.map(_.affected) === Seq(1L, 4L))
+    assert(SnapshotStore.read(spark, tP2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 11.0), (2L, 21.0), (3L, 31.0), (4L, 41.0)))
     // the single-snapshot path cannot load the child table — loud
     val e = intercept[IllegalArgumentException](
       Mutations.applyFields(snap, Seq(fields(1)), "k"))
