@@ -87,6 +87,139 @@ object CorpusStreams {
       }
   }
 
+  /** FROZEN bigram-LM artifacts for the streaming verdict — the CCNet
+    * serving shape: the reference model trains in BATCH (q207's 80%
+    * split) and ships to the scorer as broadcastable maps. Bounded by
+    * design: a frozen reference model has a fixed vocabulary — at
+    * 100 TB the model is still this object, only the corpus grows. */
+  final case class FrozenLm(cbg: Map[(String, String), Long],
+      cpfx: Map[String, Long], v: Long)
+
+  /** Train-split bigram counts from the batch corpus, collected into
+    * [[FrozenLm]] — exactly the counts q207's joins consume. */
+  def freezeLm(s: org.apache.spark.sql.SparkSession,
+      dir: String): FrozenLm = {
+    import graft.functions.TextFunctions.{normalize, tokens}
+    val base = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(normalize(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = base.select(col("doc_id"),
+      explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))).as("bg"))
+      .select(col("doc_id"),
+        col("bg.a").as("w1"), col("bg.b").as("w2"))
+      .filter(col("doc_id") % 5 =!= 0)
+    val cbg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val cpfx = bigrams.groupBy("w1").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = bigrams.select(col("w1").as("t"))
+      .union(bigrams.select(col("w2").as("t")))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    FrozenLm(cbg, cpfx, v)
+  }
+
+  /** Per-language Tukey fences frozen from the batch corpus (q162's
+    * quartile rule) — language-cardinality small. */
+  def freezeFences(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, (Double, Double)] =
+    graft.Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("double").as("nt"))
+      .groupBy("lang")
+      .agg(expr("percentile(nt, 0.25)").as("q1"),
+        expr("percentile(nt, 0.75)").as("q3"))
+      .collect().map { r =>
+        val (q1, q3) = (r.getDouble(1), r.getDouble(2))
+        r.getString(0) -> (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      }.toMap
+
+  /** Streaming QUALITY-ENSEMBLE verdict — q217's SERVING twin: the
+    * intake scores every ARRIVING document row-locally against frozen
+    * artifacts (fences from [[freezeFences]], the reference LM from
+    * [[freezeLm]], the classifier keep flags as a stream-static join
+    * on the batch-scored embeddings), emitting the per-doc verdict
+    * with first-failing-filter attribution in APPEND mode with ZERO
+    * state — the batch-train / stream-score split every production
+    * quality pipeline runs. Unlike batch q217 (whose LM stage scores
+    * only the held-out split — scoring the training docs would be
+    * self-scoring), the frozen model here scores EVERYTHING: arriving
+    * data is unseen by construction.
+    *
+    * Scale posture: no shuffle at all on the stream side — ratios,
+    * fences, and the LM score are per-row expressions over broadcast
+    * maps; the classifier flag is one stream-static equi-join. An
+    * unknown language or a missing embedding passes its stage (no
+    * signal is not a failure, the batch left-join rule). */
+  def verdictStream(docs: DataFrame,
+      fences: Map[String, (Double, Double)], lm: FrozenLm,
+      clfKeep: DataFrame,
+      tau: Double = graft.queries.TextQueries.EnsembleLmTau)
+      : DataFrame = {
+    val lmB = docs.sparkSession.sparkContext.broadcast(lm)
+    val lmScore = udf((text: String) => {
+      if (text == null) null
+      else {
+        // EXACTLY TextFunctions.normalize + tokens, then q207's
+        // integer-exact mean smoothed probability
+        val w = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+          .replaceAll(" +", " ").trim.split(" ", -1)
+        if (w.length < 2) null
+        else {
+          val m = lmB.value
+          var sum = 0L
+          var i = 0
+          while (i < w.length - 1) {
+            val c = m.cbg.getOrElse((w(i), w(i + 1)), 0L)
+            val cp = m.cpfx.getOrElse(w(i), 0L)
+            sum += (1000000000L * (c + 1)) / (cp + m.v)
+            i += 1
+          }
+          java.lang.Double.valueOf(BigDecimal(
+              (sum.toDouble / (w.length - 1)) / 1e9)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    })
+    val lo = typedLit(fences.view.mapValues(_._1).toMap)
+    val hi = typedLit(fences.view.mapValues(_._2).toMap)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    docs
+      .withColumn("nt", size(toks).cast("double"))
+      .withColumn("awl",
+        round(col("n_chars").cast("double") / col("nt"), 4))
+      .withColumn("ur",
+        round(size(array_distinct(toks)).cast("double") / col("nt"), 4))
+      .withColumn("ratios_ok",
+        (col("awl") >= 2.0 && col("awl") <= 6.0 &&
+          col("ur") >= 0.4).cast("int"))
+      .withColumn("fences_ok", coalesce(
+        (col("nt") >= element_at(lo, col("lang")) &&
+          col("nt") <= element_at(hi, col("lang"))).cast("int"),
+        lit(1)))
+      .join(clfKeep.select(col("doc_id"),
+        col("keep").as("clf_keep")), Seq("doc_id"), "left")
+      .withColumn("clf_ok", coalesce(col("clf_keep"), lit(1)))
+      .withColumn("score", lmScore(col("text")))
+      .withColumn("lm_ok",
+        when(col("score").isNull, lit(1))
+          .otherwise((col("score") >= lit(tau)).cast("int")))
+      .withColumn("verdict",
+        when(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
+          col("clf_ok") === 1 && col("lm_ok") === 1, lit("keep"))
+          .otherwise(lit("drop")))
+      .withColumn("first_fail",
+        when(col("ratios_ok") === 0, lit("ratios"))
+          .when(col("fences_ok") === 0, lit("fences"))
+          .when(col("clf_ok") === 0, lit("classifier"))
+          .when(col("lm_ok") === 0, lit("lm")))
+      .select("doc_id", "ratios_ok", "fences_ok", "clf_ok", "lm_ok",
+        "score", "verdict", "first_fail")
+  }
+
   /** Streaming PER-SOURCE corpus profile — q180's twin (dataset-card
     * numbers maintained live as the intake runs): per trigger, each
     * touched source re-emits its corpus-so-far row (source, n_docs,
