@@ -1946,10 +1946,7 @@ object GraphQl {
         case o: VObj => o
         case _ => bad(s"$root.cursor: expected a cursor input object")
       }
-      val dups = cursorObj.fields.map(_._1).groupBy(identity)
-        .filter(_._2.size > 1).keys
-      if (dups.nonEmpty)
-        bad(s"$root.cursor: duplicate field(s) ${dups.mkString(", ")}")
+      rejectDupKeys(cursorObj.fields, s"$root.cursor")
       val cm = cursorObj.fields.toMap
       (cm.keySet -- Set("initial_value", "ordering")).toSeq.sorted
         .headOption.foreach(k => bad(s"$root.cursor: unknown field '$k'"))
@@ -2387,6 +2384,16 @@ object GraphQl {
 
   // ---- mutations -----------------------------------------------------
 
+  /** Spec §5.6.3: input-object keys are UNIQUE — last-wins (or
+    * And-both) would silently change meaning. Shared rejection with a
+    * deterministic sorted message. */
+  private def rejectDupKeys(fs: Seq[(String, _)], at: String): Unit = {
+    val dups = fs.map(_._1).groupBy(identity).filter(_._2.size > 1)
+      .keys.toSeq.sorted
+    if (dups.nonEmpty)
+      bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
+  }
+
   private def litValue(v: V, at: String): Any = v match {
     case VLit(x) => x
     case VNull => null
@@ -2395,12 +2402,10 @@ object GraphQl {
 
   private def objEntries(v: V, at: String): Seq[(String, Any)] = v match {
     case VObj(fs) =>
-      // spec 5.6.3: input-object keys are unique — last-wins here
-      // would be a silent order-dependent write (`_set: {seg: "A",
-      // seg: "B"}` writing B with affected_rows reporting success)
-      val dups = fs.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
-      if (dups.nonEmpty)
-        bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
+      // last-wins here would be a silent order-dependent write
+      // (`_set: {seg: "A", seg: "B"}` writing B with affected_rows
+      // reporting success)
+      rejectDupKeys(fs, at)
       fs.map { case (k, sub) => k -> litValue(sub, s"$at.$k") }
     case _ => bad(s"$at: expected an object")
   }
@@ -2425,9 +2430,7 @@ object GraphQl {
       .map { case (x, i) => vToJson(x, s"$at[$i]") }
       .mkString("[", ",", "]")
     case VObj(fs) =>
-      val dups = fs.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
-      if (dups.nonEmpty)
-        bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
+      rejectDupKeys(fs, at)
       fs.map { case (k, x) =>
         mapper.writeValueAsString(k) + ":" + vToJson(x, s"$at.$k") }
         .mkString("{", ",", "}")
@@ -2450,10 +2453,7 @@ object GraphQl {
       m.get(arg).toSeq.flatMap {
         case VObj(fs) =>
           if (fs.isEmpty) bad(s"$at.$arg: empty object")
-          val dups = fs.map(_._1).groupBy(identity)
-            .filter(_._2.size > 1).keys
-          if (dups.nonEmpty)
-            bad(s"$at.$arg: duplicate column(s) ${dups.mkString(", ")}")
+          rejectDupKeys(fs, s"$at.$arg")
           fs.map { case (c, v) => c -> mk(v, s"$at.$arg.$c") }
         case _ => bad(s"$at.$arg: expected {<column>: <value>}")
       }
@@ -2496,11 +2496,9 @@ object GraphQl {
       at: String): Option[(Seq[String], Option[QueryBuilder.BoolExp])] =
     args.get("on_conflict").map {
       case VObj(fs) =>
-        // duplicate input-object fields are a GraphQL error; toMap's
-        // last-wins would silently drop an earlier update_columns list
-        val dups = fs.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
-        if (dups.nonEmpty)
-          bad(s"$at.on_conflict: duplicate field(s) ${dups.mkString(", ")}")
+        // toMap's last-wins would silently drop an earlier
+        // update_columns list
+        rejectDupKeys(fs, s"$at.on_conflict")
         val m = fs.toMap
         (m.keySet -- Set("constraint", "update_columns", "where"))
           .toSeq.sorted
@@ -2554,12 +2552,9 @@ object GraphQl {
         val row = Seq.newBuilder[(String, Any)]
         val arrEntries = Seq.newBuilder[(String, Seq[(String, V)])]
         val objRelEntries = Seq.newBuilder[(String, Seq[(String, V)])]
-        // spec 5.6.3 holds for insert objects too: a duplicated
-        // column would land last-wins through the row's toMap
-        val rowDups = fs.map(_._1).groupBy(identity)
-          .filter(_._2.size > 1).keys
-        if (rowDups.nonEmpty)
-          bad(s"$at: duplicate field(s) ${rowDups.mkString(", ")}")
+        // a duplicated column would land last-wins through the
+        // row's toMap
+        rejectDupKeys(fs, at)
         fs.foreach {
           case (k, VObj(ofs)) =>
             if (schema.rels.contains((table, k))) arrEntries += ((k, ofs))
@@ -2573,10 +2568,7 @@ object GraphQl {
         // the shared {data, on_conflict} envelope checks
         def envelope(k: String, ofs: Seq[(String, V)])
             : Map[String, V] = {
-          val dups = ofs.map(_._1).groupBy(identity)
-            .filter(_._2.size > 1).keys
-          if (dups.nonEmpty)
-            bad(s"$at.$k: duplicate field(s) ${dups.mkString(", ")}")
+          rejectDupKeys(ofs, s"$at.$k")
           val m = ofs.toMap
           (m.keySet -- Set("data", "on_conflict")).toSeq.sorted
             .headOption.foreach(x => bad(s"$at.$k: unknown field '$x' " +
@@ -2738,10 +2730,7 @@ object GraphQl {
             case VObj(f) => f
             case _ => bad(s"$at: expected {where, _set, _inc}")
           }
-          val dups = fs.map(_._1).groupBy(identity)
-            .filter(_._2.size > 1).keys
-          if (dups.nonEmpty)
-            bad(s"$at: duplicate field(s) ${dups.mkString(", ")}")
+          rejectDupKeys(fs, at)
           val m = fs.toMap
           (m.keySet -- Set("where", "_set", "_inc") -- jsonbArgNames)
             .toSeq.sorted

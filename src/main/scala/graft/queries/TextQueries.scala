@@ -2151,20 +2151,35 @@ object TextQueries {
   /** q207's per-held-out-doc scores WITHOUT the presentation cut —
     * shared with the q217 ensemble (which needs every held-out doc's
     * score, not the bottom 10). */
-  private[graft] def lmHeldoutScores(s: SparkSession,
+  /** The q207 LM-family's corpus bigrams — (doc_id, w1, w2) over
+    * normalized tokens, docs with <2 tokens dropped. ONE definition
+    * (shared with the frozen-model freeze in CorpusStreams) so the
+    * serving model can never silently diverge from the batch model
+    * it ships. */
+  private[graft] def corpusBigrams(s: SparkSession,
       dir: String): DataFrame = {
     import graft.functions.TextFunctions.{normalize, tokens}
     val base = docs(s, dir)
       .select(col("doc_id"), tokens(normalize(col("text"))).as("w"))
       .filter(size(col("w")) >= 2)
-    val bigrams = base.select(col("doc_id"),
+    base.select(col("doc_id"),
       explode(arrays_zip(
         slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
         slice(col("w"), lit(2), size(col("w")) - 1).as("b"))).as("bg"))
       .select(col("doc_id"),
         col("bg.a").as("w1"), col("bg.b").as("w2"))
-    val train = bigrams.filter(col("doc_id") % 5 =!= 0)
-    val test = bigrams.filter(col("doc_id") % 5 === 0)
+  }
+
+  /** The q207 family's deterministic train-split predicate (the 80%
+    * side) — one constant, never respelled. */
+  private[graft] def lmTrainSplit: org.apache.spark.sql.Column =
+    col("doc_id") % 5 =!= 0
+
+  private[graft] def lmHeldoutScores(s: SparkSession,
+      dir: String): DataFrame = {
+    val bigrams = corpusBigrams(s, dir)
+    val train = bigrams.filter(lmTrainSplit)
+    val test = bigrams.filter(!lmTrainSplit)
     val cbg = train.groupBy("w1", "w2")
       .agg(count(lit(1)).as("cbg"))
     val cpfx = train.groupBy("w1").agg(count(lit(1)).as("cpfx"))

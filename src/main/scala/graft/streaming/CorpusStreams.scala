@@ -96,28 +96,25 @@ object CorpusStreams {
       cpfx: Map[String, Long], v: Long)
 
   /** Train-split bigram counts from the batch corpus, collected into
-    * [[FrozenLm]] — exactly the counts q207's joins consume. */
+    * [[FrozenLm]] — exactly the counts q207's joins consume (the
+    * bigram construction and the split predicate are the SHARED
+    * TextQueries definitions, so the frozen model cannot silently
+    * diverge from the batch one). ONE Spark job: the prefix counts
+    * and the vocabulary both derive from the collected bigram map on
+    * the driver — cpfx(w1) = Σ_w2 cbg(w1,w2), V = |tokens of cbg's
+    * keys| (every train token appears in some bigram by
+    * construction). */
   def freezeLm(s: org.apache.spark.sql.SparkSession,
       dir: String): FrozenLm = {
-    import graft.functions.TextFunctions.{normalize, tokens}
-    val base = graft.Tables.load(s, dir, "documents")
-      .select(col("doc_id"), tokens(normalize(col("text"))).as("w"))
-      .filter(size(col("w")) >= 2)
-    val bigrams = base.select(col("doc_id"),
-      explode(arrays_zip(
-        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
-        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))).as("bg"))
-      .select(col("doc_id"),
-        col("bg.a").as("w1"), col("bg.b").as("w2"))
-      .filter(col("doc_id") % 5 =!= 0)
-    val cbg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cbg = graft.queries.TextQueries.corpusBigrams(s, dir)
+      .filter(graft.queries.TextQueries.lmTrainSplit)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    val cpfx = bigrams.groupBy("w1").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = bigrams.select(col("w1").as("t"))
-      .union(bigrams.select(col("w2").as("t")))
-      .agg(countDistinct(col("t"))).head.getLong(0)
+    val cpfx = cbg.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val v = (cbg.keysIterator.map(_._1) ++ cbg.keysIterator.map(_._2))
+      .toSet.size.toLong
     FrozenLm(cbg, cpfx, v)
   }
 
@@ -160,28 +157,25 @@ object CorpusStreams {
       tau: Double = graft.queries.TextQueries.EnsembleLmTau)
       : DataFrame = {
     val lmB = docs.sparkSession.sparkContext.broadcast(lm)
-    val lmScore = udf((text: String) => {
-      if (text == null) null
+    // tokenization stays on the SPARK side (TextFunctions.normalize/
+    // tokens — locale-independent lower()); a JVM-side toLowerCase
+    // would diverge on tr/az locales (dotless-i) from the frozen
+    // model's own tokenization. The UDF only walks the token array.
+    val lmScore = udf((w: Seq[String]) => {
+      if (w == null || w.length < 2) null
       else {
-        // EXACTLY TextFunctions.normalize + tokens, then q207's
-        // integer-exact mean smoothed probability
-        val w = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
-          .replaceAll(" +", " ").trim.split(" ", -1)
-        if (w.length < 2) null
-        else {
-          val m = lmB.value
-          var sum = 0L
-          var i = 0
-          while (i < w.length - 1) {
-            val c = m.cbg.getOrElse((w(i), w(i + 1)), 0L)
-            val cp = m.cpfx.getOrElse(w(i), 0L)
-            sum += (1000000000L * (c + 1)) / (cp + m.v)
-            i += 1
-          }
-          java.lang.Double.valueOf(BigDecimal(
-              (sum.toDouble / (w.length - 1)) / 1e9)
-            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val m = lmB.value
+        var sum = 0L
+        var i = 0
+        while (i < w.length - 1) {
+          val c = m.cbg.getOrElse((w(i), w(i + 1)), 0L)
+          val cp = m.cpfx.getOrElse(w(i), 0L)
+          sum += (1000000000L * (c + 1)) / (cp + m.v)
+          i += 1
         }
+        java.lang.Double.valueOf(BigDecimal(
+            (sum.toDouble / (w.length - 1)) / 1e9)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     })
     val lo = typedLit(fences.view.mapValues(_._1).toMap)
@@ -193,9 +187,14 @@ object CorpusStreams {
         round(col("n_chars").cast("double") / col("nt"), 4))
       .withColumn("ur",
         round(size(array_distinct(toks)).cast("double") / col("nt"), 4))
-      .withColumn("ratios_ok",
+      // a NULL text is a FAILED document, not a missing signal (the
+      // funnelStream rule): it fails ratios with attribution, while
+      // genuinely auxiliary no-signals (unknown lang, no embedding,
+      // too-short text) pass their stages
+      .withColumn("ratios_ok", coalesce(
         (col("awl") >= 2.0 && col("awl") <= 6.0 &&
-          col("ur") >= 0.4).cast("int"))
+          col("ur") >= 0.4).cast("int"),
+        lit(0)))
       .withColumn("fences_ok", coalesce(
         (col("nt") >= element_at(lo, col("lang")) &&
           col("nt") <= element_at(hi, col("lang"))).cast("int"),
@@ -203,7 +202,8 @@ object CorpusStreams {
       .join(clfKeep.select(col("doc_id"),
         col("keep").as("clf_keep")), Seq("doc_id"), "left")
       .withColumn("clf_ok", coalesce(col("clf_keep"), lit(1)))
-      .withColumn("score", lmScore(col("text")))
+      .withColumn("score", lmScore(graft.functions.TextFunctions
+        .tokens(graft.functions.TextFunctions.normalize(col("text")))))
       .withColumn("lm_ok",
         when(col("score").isNull, lit(1))
           .otherwise((col("score") >= lit(tau)).cast("int")))
