@@ -2269,9 +2269,13 @@ object TextQueries {
       .withColumn("awl",
         round(col("n_chars").cast("double") / col("nt"), 4))
       .withColumn("ur", round(col("uq") / col("nt"), 4))
-      .withColumn("ratios_ok",
+      // null text FAILS ratios with attribution (the verdictStream
+      // rule — a document with no text is not keepable corpus), it
+      // does not propagate a null flag through the verdict
+      .withColumn("ratios_ok", coalesce(
         (col("awl") >= 2.0 && col("awl") <= 6.0 &&
-          col("ur") >= 0.4).cast("int"))
+          col("ur") >= 0.4).cast("int"),
+        lit(0)))
     val fences = base.groupBy("lang")
       .agg(expr("percentile(nt, 0.25)").as("q1"),
         expr("percentile(nt, 0.75)").as("q3"))
