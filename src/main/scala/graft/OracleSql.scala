@@ -1792,6 +1792,30 @@ object OracleSql {
          |                      ORDER BY h, doc_id)) AS ids_md5
          |FROM c GROUP BY shard, pack_id
          |ORDER BY shard, pack_id""".stripMargin),
+    // q221: role-scoped mixed multi-root — both grants inlined: the
+    // stream pages only the role's visible events, the read only its
+    // visible customers
+    "q221_role_mixed_roots" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events
+        |  WHERE event_id > 3000 AND event_type = 'click'),
+        |c AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  ORDER BY c_custkey LIMIT 5)
+        |SELECT * FROM (
+        |  SELECT 'ev' AS root,
+        |    to_json({'batch_idx': CAST((rn - 1) // 7 AS BIGINT),
+        |             'event_id': event_id, 'user_id': user_id})
+        |      AS row_json
+        |  FROM f WHERE rn <= 21
+        |  UNION ALL
+        |  SELECT 'c', to_json({'c_custkey': c_custkey,
+        |                       'c_name': c_name})
+        |  FROM c)
+        |ORDER BY root, row_json""".stripMargin,
     // q219: relationship-predicate mutations — the EXISTS cascade
     // replayed natively: orders of (original) BUILDING customers
     // delete, then customers with a REMAINING >=480k order re-segment

@@ -275,6 +275,8 @@ object SparkEntry {
       (graft.api.GraphQl.q219RelWhereMutations(_, _)),
     "q220_corpus_build" ->
       (graft.queries.TextQueries.q220CorpusBuild(_, _)),
+    "q221_role_mixed_roots" ->
+      (graft.api.Permissions.q221RoleScopedMixedRoots(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -432,6 +432,42 @@ object Permissions {
       identity)
   }
 
+  /** q221 — a ROLE-SCOPED mixed multi-root document under the oracle
+    * gate (r18): one subscription batches a `_stream` root with a
+    * read, served through [[serveRootsAs]] as a role whose grants
+    * carry ROW FILTERS on both tables — the stream delivers only the
+    * role's visible events (the filter ANDs into the cursor scan, the
+    * document itself has no where) and the read only the role's
+    * visible customers. DuckDB inlines both grants: an engine
+    * streaming unfiltered rows, paging before filtering, or leaking
+    * out-of-grant customers hash-fails. */
+  def q221RoleScopedMixedRoots(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pol = Policy(Map(
+      ("tail", "events") -> TablePerm(
+        filter = Some(Eq("event_type", "click"))),
+      ("tail", "customer") -> TablePerm(
+        filter = Some(Eq("c_mktsegment", "BUILDING")),
+        columns = Some(Set("c_custkey", "c_name", "c_mktsegment")))))
+    val doc =
+      """subscription {
+        |  ev: events_stream(
+        |    cursor: {initial_value: {event_id: 3000}, ordering: ASC},
+        |    batch_size: 7) { event_id user_id }
+        |  c: customer(order_by: [{c_custkey: asc}], limit: 5) {
+        |    c_custkey c_name }
+        |}""".stripMargin
+    serveRootsAs(s, dir, "tail", pol, doc).fold(
+        m => throw new IllegalStateException(s"q221 denied: $m"),
+        identity)
+      .map { case (k, df) =>
+        df.select(lit(k).as("root"),
+          to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+            QueryBuilder.jsonOpts).as("row_json"))
+      }.reduce(_.unionAll(_)).orderBy("root", "row_json")
+  }
+
   /** q171 — the role-scoped WRITE round-trip ([[serveMutationsAs]]
     * under the oracle gate, the q124 pattern secured): mutation TEXT
     * asks to boost every NEGATIVE balance; the writer role's row
