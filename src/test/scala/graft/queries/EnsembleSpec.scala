@@ -116,6 +116,36 @@ class EnsembleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("freezeLm is bounded by construction: the cap keeps the top-N " +
+    "bigrams by count, prefix totals stay the TRUE train totals, and " +
+    "an uncapping cap reproduces the full model exactly") {
+    import graft.streaming.CorpusStreams
+    val dir = sf("sf0.001")
+    val full = CorpusStreams.freezeLm(spark, dir)
+    // a cap wider than the vocabulary changes nothing: the frozen
+    // model IS the batch model (the q217-match contract rides on this)
+    val wide = CorpusStreams.freezeLm(spark, dir,
+      maxBigrams = full.cbg.size + 1000)
+    assert(wide === full)
+    // a BINDING cap: artifact size is the cap, retained bigrams are
+    // exactly the top-N by (count desc, w1, w2), and every retained
+    // bigram still scores with its TRUE prefix total
+    val n = 25
+    val capped = CorpusStreams.freezeLm(spark, dir, maxBigrams = n)
+    assert(capped.cbg.size === n)
+    assert(capped.cpfx.size <= n)
+    val expectedKept = full.cbg.toSeq
+      .sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(n).toMap
+    assert(capped.cbg === expectedKept)
+    capped.cpfx.foreach { case (w1, c) =>
+      assert(c === full.cpfx(w1), s"prefix $w1 total") }
+    assert(capped.v === full.v) // V is the true train vocabulary
+    // dropped bigrams back off to the add-one rule: the scorer's
+    // getOrElse(0) path — no entry means (0+1)/(cpfx+V)
+    assert((full.cbg.keySet -- capped.cbg.keySet)
+      .forall(k => !capped.cbg.contains(k)))
+  }
+
   test("fences respect language boundaries: an outlier in one " +
     "language does not widen another language's fences") {
     val en = (0 to 9).map(i =>
