@@ -1792,6 +1792,32 @@ object OracleSql {
          |                      ORDER BY h, doc_id)) AS ids_md5
          |FROM c GROUP BY shard, pack_id
          |ORDER BY shard, pack_id""".stripMargin),
+    // q225: incremental corpus build — the oracle replays the
+    // FROM-SCRATCH q220 build over the FINAL corpus (keepers minus
+    // the forgotten ids); the engine's stored version-2 manifest
+    // must equal it, the q152 incremental-view contract
+    "q225_incremental_build" -> ensembleSql(
+      s""", keep AS (SELECT doc_id FROM flags
+         |    WHERE ratios_ok = 1 AND fences_ok = 1
+         |      AND clf_ok = 1 AND lm_ok = 1
+         |      AND doc_id NOT IN (5, 10)),
+         |d AS (
+         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#5'")} AS h
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |sh AS (SELECT doc_id, ntok, h, (h % 8)::INT AS shard FROM d),
+         |c AS (SELECT doc_id, shard, ntok, h,
+         |        SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |          - ntok AS strt
+         |      FROM sh)
+         |SELECT shard, (strt // 2048)::BIGINT AS pack_id,
+         |       COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+         |       md5(string_agg(doc_id::VARCHAR, ','
+         |                      ORDER BY h, doc_id)) AS ids_md5,
+         |       2::BIGINT AS version
+         |FROM c GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin),
     // q221: role-scoped mixed multi-root — both grants inlined: the
     // stream pages only the role's visible events, the read only its
     // visible customers
@@ -1816,6 +1842,86 @@ object OracleSql {
         |                       'c_name': c_name})
         |  FROM c)
         |ORDER BY root, row_json""".stripMargin,
+    // q224: the deprecation introspection surface — update-column
+    // enums from information_schema (non-key columns, the q167
+    // independent-reflection discipline), query_root fields from the
+    // tracked inventory; all-false flags, null reasons
+    "q224_deprecation_surface" -> {
+      val keyed = graft.Tables.names
+        .filter(graft.api.GraphQl.fixtureSchema.keys.contains)
+      val qfRows = graft.Tables.names.flatMap(t =>
+        Seq(t, s"${t}_aggregate") ++
+          (if (keyed.contains(t)) Seq(s"${t}_by_pk") else Nil))
+        .map(f => s"('$f')").mkString(", ")
+      s"""SELECT * FROM (
+         |  SELECT 'cu' AS src, column_name AS fname,
+         |         false AS is_deprecated,
+         |         CAST(NULL AS VARCHAR) AS deprecation_reason
+         |  FROM information_schema.columns
+         |  WHERE table_name = 'customer' AND column_name <> 'c_custkey'
+         |  UNION ALL
+         |  SELECT 'ou', column_name, false, NULL
+         |  FROM information_schema.columns
+         |  WHERE table_name = 'orders' AND column_name <> 'o_orderkey'
+         |  UNION ALL
+         |  SELECT 'qf', f, false, NULL
+         |  FROM (VALUES $qfRows) AS v(f))
+         |ORDER BY src, fname""".stripMargin
+    },
+    // q223: the _cast operator — TRY_CAST replays each casted
+    // predicate; the _gte leg is LEXICOGRAPHIC on the casted string
+    "q223_cast_filter" ->
+      """SELECT event_id, event_type AS et, props
+        |FROM events
+        |WHERE TRY_CAST(event_id AS VARCHAR) LIKE '%7'
+        |  AND TRY_CAST(event_id AS VARCHAR) >= '29'
+        |  AND TRY_CAST(props AS VARCHAR) LIKE '%4%'
+        |  AND event_id <= 20000
+        |ORDER BY event_id""".stripMargin,
+    // q222: composite primary keys — the (l_orderkey, l_linenumber)
+    // rollup store replayed with per-TUPLE mutations: the by_pk inc
+    // touches exactly (1,7), the delete removes exactly (2,6), the
+    // new line (1,99) lands under the existing order, the upsert
+    // overwrites (2,2)'s quantity only; the read roots are composite
+    // point lookups against the raw table ((1,4) correctly absent)
+    "q222_composite_pk" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ROUND(SUM(l_quantity), 2) AS l_quantity,
+        |         COUNT(*) AS n
+        |  FROM lineitem WHERE l_orderkey <= 200
+        |  GROUP BY 1, 2),
+        |seeded AS (
+        |  SELECT * FROM base
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (1, 901, 11.0, 1), (2, 902, 22.0, 1), (3, 903, 33.0, 1))
+        |    AS s(l_orderkey, l_linenumber, l_quantity, n)),
+        |mut AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey = 1 AND l_linenumber = 901
+        |              THEN ROUND(l_quantity + 100.0, 2)
+        |              WHEN l_orderkey = 3 AND l_linenumber = 903
+        |              THEN 1000.0
+        |              ELSE l_quantity END AS l_quantity,
+        |         n
+        |  FROM seeded
+        |  WHERE NOT (l_orderkey = 2 AND l_linenumber = 902)
+        |  UNION ALL
+        |  SELECT 1, 99, 5.0, 1),
+        |store AS (
+        |  SELECT 'store' AS src, l_orderkey AS k1,
+        |         SUM(l_linenumber)::BIGINT AS k2,
+        |         ROUND(SUM(l_quantity), 2) AS qty,
+        |         COUNT(*)::BIGINT AS n
+        |  FROM mut WHERE l_orderkey <= 10 GROUP BY l_orderkey),
+        |reads AS (
+        |  SELECT 'a' AS src, l_orderkey AS k1,
+        |         l_linenumber::BIGINT AS k2,
+        |         l_quantity AS qty, 1::BIGINT AS n
+        |  FROM lineitem WHERE l_orderkey = 1 AND l_linenumber = 3)
+        |SELECT src, k1, k2, qty, n FROM store
+        |UNION ALL SELECT src, k1, k2, qty, n FROM reads
+        |ORDER BY src, k1""".stripMargin,
     // q219: relationship-predicate mutations — the EXISTS cascade
     // replayed natively: orders of (original) BUILDING customers
     // delete, then customers with a REMAINING >=480k order re-segment
@@ -2472,7 +2578,9 @@ object OracleSql {
         .filter(graft.api.GraphQl.fixtureSchema.keys.contains)
       val tables = keyed.map(t => s"'$t'").mkString(", ")
       val keyRows = keyed.map(t =>
-        s"('$t', '${graft.api.GraphQl.fixtureSchema.keys(t)}')")
+        // the fixture surface is single-key throughout (composite
+        // keys are exercised by q222's own schema)
+        s"('$t', '${graft.api.GraphQl.fixtureSchema.keys(t).head}')")
         .mkString(", ")
       s"""WITH cols AS (
          |  SELECT table_name AS t, column_name AS c,

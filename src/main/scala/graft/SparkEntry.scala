@@ -277,6 +277,14 @@ object SparkEntry {
       (graft.queries.TextQueries.q220CorpusBuild(_, _)),
     "q221_role_mixed_roots" ->
       (graft.api.Permissions.q221RoleScopedMixedRoots(_, _)),
+    "q222_composite_pk" ->
+      (graft.api.GraphQl.q222CompositePk(_, _)),
+    "q223_cast_filter" ->
+      (graft.api.GraphQl.q223CastFilter(_, _)),
+    "q224_deprecation_surface" ->
+      (graft.api.GraphQl.q224DeprecationSurface(_, _)),
+    "q225_incremental_build" ->
+      (graft.queries.TextQueries.q225IncrementalBuild(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -63,12 +63,20 @@ object GraphQl {
 
   /** Tracked relationships, keyed by (parentTable, fieldName), plus the
     * tracked PRIMARY KEY per table — what Hasura reads from Postgres
-    * metadata to generate each table's `<table>_by_pk` field (the
-    * argument is named after the key column). A table absent from
-    * `keys` has no by_pk field, exactly like an untracked PK there. */
+    * metadata to generate each table's `<table>_by_pk` field (one
+    * argument per key column, each named after it). A COMPOSITE key
+    * (r19) lists every component in order — Hasura generates
+    * `<table>_by_pk(pk1:, pk2:)` for multi-column constraints, the
+    * reference's own cursor being the (Height, TxIndex, MsgID) triple
+    * (x/indexer/cursor.go:5-18). A table absent from `keys` has no
+    * by_pk field, exactly like an untracked PK there. */
   final case class Schema(rels: Map[(String, String), Rel],
-      keys: Map[String, String] = Map.empty,
+      keys: Map[String, Seq[String]] = Map.empty,
       objRels: Map[(String, String), Rel] = Map.empty) {
+    require(keys.valuesIterator.forall(_.nonEmpty),
+      "Schema.keys: a tracked key needs at least one column")
+    require(keys.valuesIterator.forall(ks => ks.distinct.size == ks.size),
+      "Schema.keys: duplicate column in a composite key")
     // one field name cannot be both shapes — Hasura's metadata forbids
     // the collision too, and resolution order would silently pick one
     private val both = rels.keySet & objRels.keySet
@@ -88,9 +96,9 @@ object GraphQl {
     ("nation", "customers") -> Rel("customer", "c_nationkey", "n_nationkey"),
     ("supplier", "parts") -> Rel("part", "p_partkey", "s_suppkey")),
     keys = Map(
-      "customer" -> "c_custkey", "orders" -> "o_orderkey",
-      "nation" -> "n_nationkey", "supplier" -> "s_suppkey",
-      "part" -> "p_partkey", "region" -> "r_regionkey"),
+      "customer" -> Seq("c_custkey"), "orders" -> Seq("o_orderkey"),
+      "nation" -> Seq("n_nationkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "region" -> Seq("r_regionkey")),
     objRels = Map(
       ("orders", "customer") -> Rel("customer", "c_custkey", "o_custkey"),
       ("customer", "nation") -> Rel("nation", "n_nationkey", "c_nationkey"),
@@ -609,6 +617,22 @@ object GraphQl {
           if (op == "_contains") JsonContains(field, pairs)
           else JsonContainedIn(field, pairs)
         case _ => bad(s"$field.$op: expected an object literal")
+      }
+      // Hasura `_cast: {<Type>: {...}}` (r19): exactly one target
+      // type whose value is a comparison object evaluated against
+      // the CASTED column
+      case "_cast" => v match {
+        case VObj(Seq((tname, VObj(ops)))) =>
+          if (ops.isEmpty)
+            bad(s"$field._cast.$tname: empty comparison object")
+          rejectDupKeys(ops, s"$field._cast.$tname")
+          val inner = ops.map { case (iop, ov) =>
+            compileCmp(field, iop, ov) }
+          try QueryBuilder.Cast(field, tname,
+            if (inner.length == 1) inner.head else And(inner: _*))
+          catch { case e: IllegalArgumentException => bad(e.getMessage) }
+        case _ => bad(s"$field._cast: expected {<Type>: {<op>: ...}} " +
+          "with exactly one target type")
       }
       case other => bad(s"$field: unknown operator '$other'")
     }
@@ -1509,13 +1533,16 @@ object GraphQl {
         bad(s"$rootName: unknown directive @$d"))
       val byPkWhere: Option[BoolExp] =
         if (isByPk) {
-          val pk = schema.keys.getOrElse(table,
+          // one argument PER key column (Hasura's composite-by_pk
+          // shape) — all required, ANDed into one point predicate
+          val pks = schema.keys.getOrElse(table,
             bad(s"$rootName: no tracked primary key for '$table'"))
-          checkArgs(args, Set(pk), rootName)
-          val v = args.getOrElse(pk,
-            bad(s"$rootName: argument $pk is required"))
-          Some(compileBool(VObj(Seq(pk -> VObj(Seq("_eq" -> v)))),
-            rootName))
+          checkArgs(args, pks.toSet, rootName)
+          Some(compileBool(VObj(pks.map { pk =>
+            val v = args.getOrElse(pk,
+              bad(s"$rootName: argument $pk is required"))
+            pk -> VObj(Seq("_eq" -> v))
+          }), rootName))
         } else {
           checkArgs(args,
             Set("where", "order_by", "limit", "offset", "distinct_on"),
@@ -2660,18 +2687,41 @@ object GraphQl {
       case _ => bad(s"$at: expected an object")
     }
 
-  /** One pk_columns-style equality: the argument object names the key
-    * column explicitly (Hasura's by_pk shape), so no schema is needed
-    * on the write path. */
-  private def byPkWhere(v: V, at: String): QueryBuilder.BoolExp = {
+  /** pk_columns equalities: the argument object names the key
+    * column(s) explicitly (Hasura's by_pk shape, composite keys
+    * included — one entry per component). When the table's key is
+    * TRACKED in the schema, the named set must BE that key — Hasura
+    * rejects a non-PK pk_columns entry, and a typo here would
+    * otherwise narrow the write silently (or surface late as an
+    * unresolved-column AnalysisException); an untracked table defers
+    * the full-key check to the store layer, which knows its key.
+    * Several entries AND into one point predicate. */
+  private def byPkWhere(v: V, at: String, table: String,
+      schema: Schema): QueryBuilder.BoolExp = {
     val pairs = objEntries(v, at)
-    if (pairs.length != 1)
-      bad(s"$at: exactly one key column (this engine's stores are " +
-        "single-key)")
-    val (pkCol, pkVal) = pairs.head
-    if (pkVal == null) bad(s"$at.$pkCol: the key cannot be null")
-    QueryBuilder.Eq(pkCol, pkVal)
+    if (pairs.isEmpty) bad(s"$at: at least one key column")
+    pairs.foreach { case (pkCol, pkVal) =>
+      if (pkVal == null) bad(s"$at.$pkCol: the key cannot be null")
+    }
+    checkPkNames(pairs.map(_._1), at, table, schema)
+    val eqs = pairs.map { case (c, pv) => QueryBuilder.Eq(c, pv) }
+    if (eqs.length == 1) eqs.head else QueryBuilder.And(eqs: _*)
   }
+
+  private def checkPkNames(names: Seq[String], at: String,
+      table: String, schema: Schema): Unit =
+    schema.keys.get(table).foreach { ks =>
+      val extra = names.filterNot(ks.contains)
+      if (extra.nonEmpty)
+        bad(s"$at: '${extra.head}' is not a primary-key column of " +
+          s"'$table' (the tracked key is ${ks.mkString(", ")})")
+      val missing = ks.filterNot(names.contains)
+      if (missing.nonEmpty)
+        bad(s"$at: key column '${missing.head}' of '$table' is " +
+          "required")
+      if (names.distinct.size != names.size)
+        bad(s"$at: duplicate key column")
+    }
 
   /** → (mutation, single): `single` marks the by_pk verbs, whose
     * response is the row object rather than `{ affected_rows }`. */
@@ -2696,7 +2746,8 @@ object GraphQl {
       checkArgs(args, Set("pk_columns", "_set", "_inc") ++
         jsonbArgNames, fname)
       val where = byPkWhere(args.getOrElse("pk_columns",
-        bad(s"$fname: pk_columns is required")), s"$fname.pk_columns")
+        bad(s"$fname: pk_columns is required")), s"$fname.pk_columns",
+        table, schema)
       val set = args.get("_set").map(objEntries(_, s"$fname._set"))
         .getOrElse(Nil)
       val inc = args.get("_inc").map(objEntries(_, s"$fname._inc"))
@@ -2706,17 +2757,21 @@ object GraphQl {
         bad(s"$fname: needs _set and/or _inc (or a jsonb operator)")
       (Mutations.Update(table, where, set, inc, jb), true)
     } else if (fname.startsWith("delete_") && fname.endsWith("_by_pk")) {
-      // delete_<t>_by_pk(<pk>: v) — the single argument IS the key
-      // column (Hasura names it after the PK); response = the deleted
-      // row's prior values (or null)
+      // delete_<t>_by_pk(<pk1>: v1[, <pk2>: v2...]) — the arguments
+      // ARE the key columns (Hasura names one per PK component);
+      // response = the deleted row's prior values (or null)
       val table = fname.stripPrefix("delete_").stripSuffix("_by_pk")
-      args.toSeq match {
-        case Seq((pkCol, v)) =>
-          val pkVal = litValue(v, s"$fname.$pkCol")
-          if (pkVal == null) bad(s"$fname.$pkCol: the key cannot be null")
-          (Mutations.Delete(table, QueryBuilder.Eq(pkCol, pkVal)), true)
-        case _ => bad(s"$fname: exactly one argument — the key column")
+      if (args.isEmpty)
+        bad(s"$fname: the key column argument(s) are required")
+      checkPkNames(args.keys.toSeq, fname, table, schema)
+      val eqs = args.toSeq.map { case (pkCol, v) =>
+        val pkVal = litValue(v, s"$fname.$pkCol")
+        if (pkVal == null) bad(s"$fname.$pkCol: the key cannot be null")
+        QueryBuilder.Eq(pkCol, pkVal)
       }
+      (Mutations.Delete(table,
+        if (eqs.length == 1) eqs.head
+        else QueryBuilder.And(eqs: _*)), true)
     } else if (fname.startsWith("update_") && fname.endsWith("_many")) {
       // Hasura's multi-update verb: updates apply in LIST order, each
       // seeing the previous ones' writes; the response is per update
@@ -3092,13 +3147,37 @@ object GraphQl {
       entries.map { case (k, v) =>
         s"${gqlName(k, "object field")}: ${mutLit(v)}" }
         .mkString("{", ", ", "}")
-    def pkPair(where: QueryBuilder.BoolExp,
-        at: String): (String, String) = where match {
-      case QueryBuilder.Eq(f, v) if v != null =>
-        (gqlName(f, "key column"), mutLit(v))
-      case other => throw new IllegalArgumentException(
-        s"render: $at requires an Eq(pk, literal) where — " +
-          s"$other has no by_pk spelling")
+    // one (pk, literal) per key component: a bare Eq for scalar keys,
+    // an And of Eqs for composite ones (exactly the shapes the by_pk
+    // parse produces — anything else has no by_pk spelling). A
+    // TRACKED table's pairs must name exactly its key — a secured
+    // where (role filter ANDed in by Permissions.secureFields) must
+    // REFUSE to render rather than print the role-filter column
+    // inside pk_columns (a document Hasura rejects)
+    def pkPairs(where: QueryBuilder.BoolExp, table: String,
+        at: String): Seq[(String, String)] = {
+      val pairs = where match {
+        case QueryBuilder.Eq(f, v) if v != null =>
+          Seq((gqlName(f, "key column"), mutLit(v)))
+        case QueryBuilder.And(es @ _*) if es.nonEmpty && es.forall {
+            case QueryBuilder.Eq(_, v) => v != null
+            case _ => false
+          } =>
+          es.map { case QueryBuilder.Eq(f, v) =>
+            (gqlName(f, "key column"), mutLit(v)) }
+        case other => throw new IllegalArgumentException(
+          s"render: $at requires an Eq(pk, literal) where — " +
+            s"$other has no by_pk spelling")
+      }
+      schema.keys.get(table).foreach { ks =>
+        val names = pairs.map(_._1)
+        if (names.sorted != ks.sorted)
+          throw new IllegalArgumentException(
+            s"render: $at names (${names.mkString(", ")}) but " +
+              s"'$table' is keyed on (${ks.mkString(", ")}) — a " +
+              "secured or non-key where has no by_pk spelling")
+      }
+      pairs
     }
     def noSuffix(table: String, what: String): String = {
       if (table.endsWith("_by_pk") || table.endsWith("_one") ||
@@ -3194,9 +3273,10 @@ object GraphQl {
             "render: jsonb update operators do not round-trip — " +
               "keep the original document text")
           if (field.single) {
-            val (pk, v) = pkPair(where, "update_<t>_by_pk")
+            val pks = pkPairs(where, table, "update_<t>_by_pk")
+              .map { case (pk, v) => s"$pk: $v" }.mkString(", ")
             sb ++= s"update_${noSuffix(table, "by_pk")}_by_pk" +
-              s"(pk_columns: {$pk: $v}"
+              s"(pk_columns: {$pks}"
             if (set.nonEmpty) sb ++= s", _set: ${obj(set)}"
             if (inc.nonEmpty) sb ++= s", _inc: ${obj(inc)}"
             sb ++= ")"
@@ -3227,8 +3307,9 @@ object GraphQl {
           sb ++= selection(field)
         case Mutations.Delete(table, where) =>
           if (field.single) {
-            val (pk, v) = pkPair(where, "delete_<t>_by_pk")
-            sb ++= s"delete_${noSuffix(table, "by_pk")}_by_pk($pk: $v)"
+            val pks = pkPairs(where, table, "delete_<t>_by_pk")
+              .map { case (pk, v) => s"$pk: $v" }.mkString(", ")
+            sb ++= s"delete_${noSuffix(table, "by_pk")}_by_pk($pks)"
             sb ++= retCols(field).mkString(" { ", " ", " }\n")
           } else {
             sb ++= s"delete_${noSuffix(table, "by_pk")}" +
@@ -3519,6 +3600,15 @@ object GraphQl {
     case JsonContainedIn(f, ps) =>
       s"{$f: {_contained_in: ${ps.map { case (k, v) =>
         s"$k: ${renderLit(v)}" }.mkString("{", ", ", "}")}}}"
+    case QueryBuilder.Cast(f, to, inner) =>
+      // unwrap the inner rendering's {f: {...}} back to the bare
+      // comparison object under the target type
+      val rendered = renderBoolExp(inner)
+      val open = s"{$f: "
+      require(rendered.startsWith(open) && rendered.endsWith("}"),
+        s"render: _cast on '$f' composes inner operators — compose " +
+          "with _and outside the _cast for a round-tripping spelling")
+      s"{$f: {_cast: {$to: ${rendered.drop(open.length).dropRight(1)}}}}"
     case QueryBuilder.KeySet(f, _) => throw new IllegalArgumentException(
       s"render: KeySet($f) is internal to the mutation fold — it has " +
         "no GraphQL spelling")
@@ -3786,8 +3876,9 @@ object GraphQl {
   }
 
   private def parsedFields(tag: String, doc: String,
-      variables: String): Seq[Mutations.Field] =
-    parseMutationFields(doc, variables) match {
+      variables: String,
+      schema: Schema = fixtureSchema): Seq[Mutations.Field] =
+    parseMutationFields(doc, variables, schema) match {
       case Right(fs) => fs
       case Left(m) => throw new IllegalStateException(
         s"canned $tag mutation failed to parse: $m")
@@ -3939,8 +4030,8 @@ object GraphQl {
           .filter(col("o_orderkey") <= 200000L)
           .select("o_orderkey", "o_orderstatus", "o_totalprice"), oP)
       Mutations.applyFieldsToStores(s, Map(
-        "customer" -> ((cP, "c_custkey")),
-        "orders" -> ((oP, "o_orderkey"))),
+        "customer" -> ((cP, Seq("c_custkey"))),
+        "orders" -> ((oP, Seq("o_orderkey")))),
         parsedFields("q131", q131Mutation, "{}"))
       (cP, oP)
     }
@@ -4001,8 +4092,8 @@ object GraphQl {
           .select("o_orderkey", "o_custkey", "o_orderstatus",
             "o_totalprice"), oP)
       val rs = Mutations.applyFieldsToStores(s, Map(
-        "customer" -> ((cP, "c_custkey")),
-        "orders" -> ((oP, "o_orderkey"))),
+        "customer" -> ((cP, Seq("c_custkey"))),
+        "orders" -> ((oP, Seq("o_orderkey")))),
         parsedFields("q146", q146Mutation, "{}"))
       require(rs.map(_.affected) == Seq(5L),
         s"q146: affected_rows should be 5 (2 parents + 3 children), " +
@@ -4069,8 +4160,8 @@ object GraphQl {
           .filter(col("o_orderkey") <= 50000L)
           .select("o_orderkey", "o_custkey"), oP)
       val res = Mutations.cascadeForget(s, Map(
-        "customer" -> ((cP, "c_custkey")),
-        "orders" -> ((oP, "o_orderkey"))),
+        "customer" -> ((cP, Seq("c_custkey"))),
+        "orders" -> ((oP, Seq("o_orderkey")))),
         "customer",
         QueryBuilder.And(QueryBuilder.Eq("c_mktsegment", "MACHINERY"),
           QueryBuilder.Lte("c_custkey", 30L)),
@@ -4458,11 +4549,16 @@ object GraphQl {
         MetaField(s"${t}_aggregate",
           TNonNull(TNamed("OBJECT", s"${t}_aggregate")),
           fargs = selArgs(t))) ++
-      schema.keys.get(t).toSeq.flatMap { k =>
-        tableCols(t).find(_.name == k).map(kf =>
-          MetaField(s"${t}_by_pk", TNamed("OBJECT", t),
-            fargs = Seq(MetaField(k,
+      schema.keys.get(t).toSeq.flatMap { ks =>
+        // one NonNull argument per key component (Hasura's composite
+        // by_pk shape); the field exists only when EVERY component is
+        // a (role-visible) column — a partial key is no key
+        val kfs = ks.flatMap(k => tableCols(t).find(_.name == k))
+        if (kfs.length == ks.length)
+          Seq(MetaField(s"${t}_by_pk", TNamed("OBJECT", t),
+            fargs = kfs.map(kf => MetaField(kf.name,
               TNonNull(TNamed("SCALAR", gqlScalar(kf.dataType)))))))
+        else Nil
       }
     }
     val keyed = tables.filter(schema.keys.contains)
@@ -4484,10 +4580,10 @@ object GraphQl {
     // — its update_columns enum would be empty, which GraphQL
     // forbids), mirroring Hasura's omit-when-nothing-updatable
     def updatable(t: String) =
-      scalarCols(t).filterNot(_.name == schema.keys(t))
+      scalarCols(t).filterNot(f => schema.keys(t).contains(f.name))
     val mutInputTypes = keyed.flatMap { t =>
       val cs = scalarCols(t)
-      val k = schema.keys(t)
+      val ks = schema.keys(t)
       val nonKey = updatable(t)
       val nums = nonKey.filter(f => numericScalars(gqlScalar(f.dataType)))
       val ownScalarIn = (fs: Seq[org.apache.spark.sql.types.StructField]) =>
@@ -4548,14 +4644,20 @@ object GraphQl {
           (if (nonKey.isEmpty) Nil
            else Seq(MetaField("on_conflict",
              inObj(s"${t}_on_conflict")))))) ++
-      updateFamily ++
-      tableCols(t).find(_.name == k).map(kf =>
-        MetaType("INPUT_OBJECT", s"${t}_pk_columns_input", Seq(
-          MetaField(k, TNonNull(TNamed("SCALAR",
-            gqlScalar(kf.dataType)))))))
+      updateFamily ++ {
+        val kfs = ks.flatMap(k => tableCols(t).find(_.name == k))
+        if (kfs.length == ks.length)
+          Seq(MetaType("INPUT_OBJECT", s"${t}_pk_columns_input",
+            kfs.map(kf => MetaField(kf.name, TNonNull(TNamed("SCALAR",
+              gqlScalar(kf.dataType)))))))
+        else Nil
+      }
     }
     val mutFields = keyed.flatMap { t =>
-      val k = schema.keys(t)
+      val ks = schema.keys(t)
+      val pkVisible =
+        ks.flatMap(k => tableCols(t).find(_.name == k)).length ==
+          ks.length
       val nonKey = updatable(t)
       val nums = nonKey.filter(f => numericScalars(gqlScalar(f.dataType)))
       val resp = TNamed("OBJECT", s"${t}_mutation_response")
@@ -4576,10 +4678,11 @@ object GraphQl {
             TList(TNamed("OBJECT", s"${t}_mutation_response")),
             fargs = Seq(MetaField("updates", TNonNull(TList(TNonNull(
               inObj(s"${t}_updates")))))))) ++
-          tableCols(t).find(_.name == k).map(_ =>
-            MetaField(s"update_${t}_by_pk", TNamed("OBJECT", t),
+          (if (pkVisible)
+            Seq(MetaField(s"update_${t}_by_pk", TNamed("OBJECT", t),
               fargs = MetaField("pk_columns",
                 TNonNull(inObj(s"${t}_pk_columns_input"))) +: setInc))
+          else Nil)
       Seq(
         MetaField(s"insert_$t", resp, fargs =
           MetaField("objects", TNonNull(TList(TNonNull(
@@ -4590,10 +4693,12 @@ object GraphQl {
         MetaField(s"delete_$t", resp, fargs = Seq(
           MetaField("where", TNonNull(inObj(s"${t}_bool_exp")))))) ++
       updateVerbs ++
-      tableCols(t).find(_.name == k).map(kf =>
-        MetaField(s"delete_${t}_by_pk", TNamed("OBJECT", t), fargs =
-          Seq(MetaField(k, TNonNull(TNamed("SCALAR",
-            gqlScalar(kf.dataType)))))))
+      (if (pkVisible)
+        Seq(MetaField(s"delete_${t}_by_pk", TNamed("OBJECT", t),
+          fargs = ks.flatMap(k => tableCols(t).find(_.name == k))
+            .map(kf => MetaField(kf.name, TNonNull(TNamed("SCALAR",
+              gqlScalar(kf.dataType)))))))
+      else Nil)
     }
     // ---- `_stream` subscription surface (r17): every table streams
     // on a cursor; the generated input types mirror Hasura's
@@ -4821,6 +4926,23 @@ object GraphQl {
     * (fields/enumValues/inputFields/possibleTypes on the wrong kind)
     * follow the spec's nullability exactly — GraphiQL's schema
     * builder relies on them. */
+  /** The spec's `includeDeprecated` argument — `fields`, `enumValues`,
+    * `inputFields`, and `args` all take it (default false, per the
+    * 2021 spec). Nothing this engine generates is deprecated (Hasura
+    * deprecates nothing either), so both spellings serve the same
+    * rows — the VALIDATION is the durable part: an unknown argument
+    * or a non-boolean literal is loud, never silently dropped. */
+  private def includeDeprecatedArg(sel: ISel, at: String): Boolean = {
+    (sel.args.keySet - "includeDeprecated").toSeq.sorted.headOption
+      .foreach(k => bad(s"$at: unknown argument '$k'"))
+    sel.args.get("includeDeprecated") match {
+      case None => false
+      case Some(VLit(b: Boolean)) => b
+      case Some(_) =>
+        bad(s"$at.includeDeprecated: expected a boolean literal")
+    }
+  }
+
   private def evalMetaType(ms: MetaSchema, t: MetaType,
       sels: Seq[ISel]): JObj = {
     val o = mapper.createObjectNode()
@@ -4831,6 +4953,7 @@ object GraphQl {
         case "name" => o.put(sel.alias, t.tname)
         case "description" | "specifiedByURL" => o.putNull(sel.alias)
         case "fields" =>
+          includeDeprecatedArg(sel, s"${t.tname}.fields")
           if (t.kind != "OBJECT") o.putNull(sel.alias)
           else {
             val a = o.putArray(sel.alias)
@@ -4841,6 +4964,7 @@ object GraphQl {
           if (t.kind != "OBJECT") o.putNull(sel.alias)
           else { o.putArray(sel.alias); () }
         case "inputFields" =>
+          includeDeprecatedArg(sel, s"${t.tname}.inputFields")
           if (t.kind != "INPUT_OBJECT") o.putNull(sel.alias)
           else {
             val a = o.putArray(sel.alias)
@@ -4848,6 +4972,7 @@ object GraphQl {
               a.add(evalInputValue(ms, f, sel.children)))
           }
         case "enumValues" =>
+          includeDeprecatedArg(sel, s"${t.tname}.enumValues")
           if (t.kind != "ENUM") o.putNull(sel.alias)
           else {
             val a = o.putArray(sel.alias)
@@ -4885,6 +5010,7 @@ object GraphQl {
         case "name" => o.put(sel.alias, f.fname)
         case "description" | "deprecationReason" => o.putNull(sel.alias)
         case "args" =>
+          includeDeprecatedArg(sel, s"${f.fname}.args")
           val a = o.putArray(sel.alias)
           f.fargs.foreach(arg =>
             a.add(evalInputValue(ms, arg, sel.children)))
@@ -5049,6 +5175,55 @@ object GraphQl {
     introspectionTypeRows(s, serveIntrospection(s, dir, q167Query).fold(
       m => throw new IllegalStateException(s"q167 failed to parse: $m"),
       identity))
+
+  /** q224's document — the DEPRECATION introspection surface (r19):
+    * `isDeprecated`/`deprecationReason` on fields and enum values,
+    * with the spec's `includeDeprecated` argument in BOTH spellings
+    * (explicit true, defaulted false). Nothing this engine generates
+    * is deprecated — Hasura deprecates nothing either — so every
+    * flag is false and every reason null; the point is the SPEC
+    * SHAPE a client tool (graphql-codegen's validation pass) walks. */
+  val q224Query: String =
+    """{
+      |  cu: __type(name: "customer_update_column") {
+      |    enumValues(includeDeprecated: true) {
+      |      name isDeprecated deprecationReason
+      |    }
+      |  }
+      |  ou: __type(name: "orders_update_column") {
+      |    enumValues { name isDeprecated deprecationReason }
+      |  }
+      |  qf: __type(name: "query_root") {
+      |    fields(includeDeprecated: true) { name isDeprecated }
+      |  }
+      |}""".stripMargin
+
+  /** q224 — the deprecation surface under the oracle gate: the
+    * update-column enums replay from DuckDB's information_schema
+    * (non-key columns per keyed table — q167's independent-reflection
+    * discipline), the query_root field list from the tracked
+    * table/key inventory, and every row carries the all-false
+    * deprecation flags a spec-complete client expects to find. */
+  def q224DeprecationSurface(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val resp = serveIntrospection(s, dir, q224Query).fold(
+      m => throw new IllegalStateException(s"q224 failed: $m"),
+      identity)
+    val data = mapper.readTree(resp).get("data")
+    import scala.jdk.CollectionConverters._
+    def rows(src: String, listField: String)
+        : Seq[(String, String, Boolean, Option[String])] =
+      data.get(src).get(listField).elements().asScala.map { v =>
+        (src, v.get("name").asText(), v.get("isDeprecated").asBoolean(),
+          Option(v.get("deprecationReason")).filterNot(_.isNull)
+            .map(_.asText()))
+      }.toSeq
+    import s.implicits._
+    (rows("cu", "enumValues") ++ rows("ou", "enumValues") ++
+      rows("qf", "fields"))
+      .toDF("src", "fname", "is_deprecated", "deprecation_reason")
+      .orderBy("src", "fname")
+  }
 
   /** q205's document — the ARGUMENT-surface opener (r16 verdict #8;
     * clients autocomplete from exactly this): input objects next to
@@ -5607,9 +5782,9 @@ object GraphQl {
           .select("o_orderkey", "o_custkey", "o_orderstatus",
             "o_totalprice"), oP)
       val rs = Mutations.applyFieldsToStores(s, Map(
-        "nation" -> ((nP, "n_nationkey")),
-        "customer" -> ((cP, "c_custkey")),
-        "orders" -> ((oP, "o_orderkey"))),
+        "nation" -> ((nP, Seq("n_nationkey"))),
+        "customer" -> ((cP, Seq("c_custkey"))),
+        "orders" -> ((oP, Seq("o_orderkey")))),
         parsedFields("q213", q213Mutation, "{}"))
       require(rs.map(_.affected) == Seq(5L, 2L),
         s"q213: affected_rows should be (5, 2) — every tree level " +
@@ -5679,8 +5854,8 @@ object GraphQl {
           .filter(col("o_orderkey") <= 200000L)
           .select("o_orderkey", "o_custkey", "o_totalprice"), oP)
       Mutations.applyFieldsToStores(s, Map(
-        "customer" -> ((cP, "c_custkey")),
-        "orders" -> ((oP, "o_orderkey"))),
+        "customer" -> ((cP, Seq("c_custkey"))),
+        "orders" -> ((oP, Seq("o_orderkey")))),
         parsedFields("q219", q219Mutation, "{}"))
       (cP, oP)
     }
@@ -5917,4 +6092,166 @@ object GraphQl {
       case Left(m) => throw new IllegalStateException(
         s"canned q202 failed to parse: $m")
     }
+
+  /** q223's document — Hasura's `_cast` comparison operator (r19):
+    * `_cast: {String: {...}}` casts the column and evaluates the
+    * nested comparisons against the casted value — the jsonb::text
+    * idiom over `props`, plus scalar casts proving the SEMANTIC
+    * change: `_gte: "995"` compares LEXICOGRAPHICALLY on the casted
+    * string, so "30" qualifies while "1007" does not — the exact
+    * opposite of what the uncasted numeric comparison would select.
+    * Not advertised in
+    * `<sc>_comparison_exp` introspection: Hasura itself advertises
+    * `_cast` only on special column types (jsonb/geo), and this
+    * engine follows that surface. */
+  val q223Query: String =
+    """{
+      |  events(where: {_and: [
+      |      {event_id: {_cast: {String: {_like: "%7"}}}},
+      |      {event_id: {_cast: {String: {_gte: "29"}}}},
+      |      {props: {_cast: {String: {_like: "%4%"}}}},
+      |      {event_id: {_lte: 20000}}]},
+      |         order_by: [{event_id: asc}]) {
+      |    event_id et: event_type props
+      |  }
+      |}""".stripMargin
+
+  /** q223 — `_cast` under the oracle gate: DuckDB replays the three
+    * casted predicates as TRY_CAST comparisons (LIKE on the casted
+    * text, lexicographic >= on the casted string) — an engine
+    * evaluating the inner operators against the UNCASTED column
+    * (numeric >=) selects a different row set and hash-fails. */
+  def q223CastFilter(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parse(q223Query) match {
+      case Right(r) => QueryBuilder.run(s, dir, r)
+      case Left(m) => throw new IllegalStateException(
+        s"canned q223 failed to parse: $m")
+    }
+
+  /** [[fixtureSchema]] plus `lineitem`'s NATURAL COMPOSITE key
+    * (l_orderkey, l_linenumber) — the multi-column constraint Hasura
+    * generates `<t>_by_pk(pk1:, pk2:)` for; the reference's own
+    * cursor is the composite (Height, TxIndex, MsgID) triple
+    * (x/indexer/cursor.go:5-18). Scoped to q222 so the default
+    * fixture surface (and its introspection oracles) is unchanged. */
+  val compositeSchema: Schema = fixtureSchema.copy(
+    keys = fixtureSchema.keys +
+      ("lineitem" -> Seq("l_orderkey", "l_linenumber")))
+
+  /** q222's READ document — a multi-root batch of composite by_pk
+    * point lookups: at the sf0.01 verify scale root `a` addresses an
+    * existing (order, line) pair while root `b` shares the orderkey
+    * but misses on the SECOND component — an engine filtering on only
+    * one key component would wrongly serve it. (Other scale factors
+    * serve whatever the raw table holds — both engines replay the
+    * same two-component predicate, so the gate holds at any SF.) */
+  val q222ReadQuery: String =
+    """query {
+      |  a: lineitem_by_pk(l_orderkey: 1, l_linenumber: 3) {
+      |    l_orderkey l_linenumber l_quantity
+      |  }
+      |  b: lineitem_by_pk(l_orderkey: 1, l_linenumber: 4) {
+      |    l_orderkey l_linenumber l_quantity
+      |  }
+      |}""".stripMargin
+
+  /** q222's MUTATION document — the by_pk write verbs on the
+    * composite key: pk_columns names BOTH components, delete_by_pk
+    * takes one argument per component, the plain insert's clash
+    * check passes because (1, 99) is new even though orderkey 1
+    * exists (a single-column clash check would reject it), and the
+    * on_conflict upsert matches the stored row on the FULL tuple. */
+  val q222Mutation: String =
+    """mutation CompositePk {
+      |  bump: update_lineitem_by_pk(
+      |    pk_columns: {l_orderkey: 1, l_linenumber: 901},
+      |    _inc: {l_quantity: 100.0}) {
+      |    l_orderkey l_linenumber l_quantity
+      |  }
+      |  drop: delete_lineitem_by_pk(l_orderkey: 2, l_linenumber: 902) {
+      |    l_orderkey l_linenumber
+      |  }
+      |  add: insert_lineitem(objects: [
+      |    {l_orderkey: 1, l_linenumber: 99, l_quantity: 5.0, n: 1}]) {
+      |    affected_rows }
+      |  ups: insert_lineitem(objects: [
+      |    {l_orderkey: 3, l_linenumber: 903, l_quantity: 1000.0,
+      |     n: 9}],
+      |    on_conflict: {constraint: lineitem_pkey,
+      |                  update_columns: [l_quantity]}) {
+      |    affected_rows }
+      |}""".stripMargin
+
+  /** q222 — COMPOSITE PRIMARY KEYS end to end (r19): a store keyed on
+    * lineitem's natural (l_orderkey, l_linenumber) — built as the
+    * per-(order, line) quantity rollup, which IS unique on the tuple —
+    * takes update_by_pk / delete_by_pk / insert / conditional-upsert
+    * writes through the same parse → merge → AtomicSwap chain as every
+    * scalar-keyed store, with the merge window partitioned on the FULL
+    * tuple; the multi-root READ batch serves two composite point
+    * lookups (one present, one missing on the second component only).
+    * DuckDB replays the rollup, the per-tuple CASE/anti-filter
+    * mutations, and the point reads — an engine that collapsed rows
+    * of one order, mass-updated an order's lines, or clash-rejected a
+    * new line under an existing order hash-fails. */
+  def q222CompositePk(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = graft.FixtureCache.once(s, s"q222|$dir") {
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val p = s"/root/repo/target/tmp/q222_store_$app"
+      // the q131 slice discipline: a bounded rollup store, unique on
+      // the composite key by construction (sums of integral-valued
+      // quantities — exact, engine-order-free). Three SEED rows in
+      // the 9xx linenumber space (never natural — natural linenumbers
+      // are single digits) give the mutations SF-INDEPENDENT targets:
+      // which natural (order, line) tuples exist varies by scale
+      // factor, and a pinned natural target would crash the sf0.1
+      // bench run while verifying only at sf0.01
+      import s.implicits._
+      val seeds = Seq((1L, 901, 11.0, 1L), (2L, 902, 22.0, 1L),
+        (3L, 903, 33.0, 1L))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "n")
+      graft.sources.SnapshotStore.write(
+        graft.Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 200L)
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(round(sum(col("l_quantity")), 2).as("l_quantity"),
+            count(lit(1)).as("n"))
+          .unionByName(seeds), p)
+      val rs = Mutations.applyFieldsToStore(s, p, "lineitem",
+        Seq("l_orderkey", "l_linenumber"),
+        parsedFields("q222", q222Mutation, "{}", compositeSchema))
+      require(rs.map(_.affected) == Seq(1L, 1L, 1L, 1L),
+        s"q222: each verb touches exactly one (order, line) row, " +
+          s"got ${rs.map(_.affected)}")
+      // the update's returning is the post-inc row — ONE row, proving
+      // the by_pk verb addressed a single tuple, not all of order 1
+      val bumped = rs.head.returning.getOrElse(throw new
+          IllegalStateException("q222: bump declared returning"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      require(bumped == Seq((1L, 901)),
+        s"q222: bump should return exactly row (1, 901), got $bumped")
+      p
+    }
+    val reads = parseRoots(q222ReadQuery, schema = compositeSchema)
+      .fold(m => throw new IllegalStateException(
+        s"canned q222 read failed to parse: $m"), identity)
+    val readRows = runRoots(s, dir, reads).map { case (k, df) =>
+      df.select(lit(k).as("src"), col("l_orderkey").as("k1"),
+        col("l_linenumber").cast("long").as("k2"),
+        col("l_quantity").as("qty"), lit(1L).as("n"))
+    }.reduce(_.unionAll(_))
+    val store = graft.sources.SnapshotStore.read(s, path)
+      .filter(col("l_orderkey") <= 10L)
+      .groupBy(col("l_orderkey").as("k1"))
+      .agg(sum(col("l_linenumber")).cast("long").as("k2"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        count(lit(1)).as("n"))
+      .select(lit("store").as("src"), col("k1"), col("k2"),
+        col("qty"), col("n"))
+    store.unionByName(readRows).orderBy("src", "k1")
+  }
 }

@@ -194,11 +194,11 @@ object Mutations {
     * seq 1 — the delta wins per key without computing a global max
     * sequence. `deleted` is consumed by the merge (tombstones drop). */
   private def mergeDelta(cur: DataFrame, delta: DataFrame,
-      keyCol: String): DataFrame =
+      keyCols: Seq[String]): DataFrame =
     SnapshotStore.merge(
       cur.withColumn("_mseq", lit(0L)),
       delta.withColumn("_mseq", lit(1L)),
-      keyCol, "_mseq")
+      keyCols, "_mseq")
       .drop("_mseq", "deleted")
 
   /** GraphQL literals (Long/Double/String/Boolean/null) coerced to the
@@ -262,8 +262,16 @@ object Mutations {
   /** Apply one mutation to the current snapshot → (next snapshot,
     * affected_rows). Eager: the count is the mutation's response. */
   def applyMutation(snapshot: DataFrame, m: Mutation,
-      keyCol: String): (DataFrame, Long) = {
-    val (next, n, _) = applyMutationFull(snapshot, m, keyCol, None)
+      keyCol: String): (DataFrame, Long) =
+    applyMutation(snapshot, m, Seq(keyCol))
+
+  /** [[applyMutation]] on a COMPOSITE primary key (r19): every key
+    * component participates in clash checks, conflict joins, and the
+    * merge window — `lineitem`'s natural (l_orderkey, l_linenumber)
+    * shape, the reference's (Height, TxIndex, MsgID) cursor analog. */
+  def applyMutation(snapshot: DataFrame, m: Mutation,
+      keyCols: Seq[String]): (DataFrame, Long) = {
+    val (next, n, _) = applyMutationFull(snapshot, m, keyCols, None)
     (next, n)
   }
 
@@ -271,32 +279,37 @@ object Mutations {
     * `returning` selection serves: insert/update rows as written,
     * delete rows' prior values. */
   private def applyMutationFull(snapshot: DataFrame, m: Mutation,
-      keyCol: String,
+      keyCols: Seq[String],
       childLoad: Option[String => DataFrame])
       : (DataFrame, Long, DataFrame) = m match {
     case Insert(table, rows, upsert, updateCols, conflictWhere) =>
-      // every object must carry a non-null key (a null-key row would
-      // slide past the equi-join clash check and tie nondeterministic-
-      // ally in the merge window), and keys must be unique WITHIN the
-      // list (two rows under one key would collapse to an arbitrary
-      // winner while affected_rows reports both) — Hasura errors on
-      // both; so do we, driver-side, before anything runs
-      val keys = rows.map(_.toMap.get(keyCol))
-      require(keys.forall(_.exists(_ != null)),
-        s"insert_$table: every object must carry a non-null $keyCol")
-      val dupKeys = keys.flatten.groupBy(identity).filter(_._2.size > 1).keys
+      // every object must carry a non-null value for EVERY key
+      // component (a null-key row would slide past the equi-join
+      // clash check and tie nondeterministically in the merge
+      // window), and key TUPLES must be unique WITHIN the list (two
+      // rows under one key would collapse to an arbitrary winner
+      // while affected_rows reports both) — Hasura errors on both;
+      // so do we, driver-side, before anything runs
+      keyCols.foreach { kc =>
+        require(rows.forall(_.toMap.get(kc).exists(_ != null)),
+          s"insert_$table: every object must carry a non-null $kc")
+      }
+      val keys = rows.map(r => keyCols.map(r.toMap))
+      val dupKeys = keys.groupBy(identity).filter(_._2.size > 1).keys
+        .map(_.mkString("(", ", ", ")"))
       require(dupKeys.isEmpty, s"insert_$table: duplicate key(s) in one " +
         s"objects list: ${dupKeys.mkString(", ")}")
       val delta = literalRows(snapshot, rows, table)
+      val snapKeys = snapshot.select(keyCols.map(col): _*)
       updateCols match {
         case None =>
           if (!upsert) {
-            val clash = delta.select(keyCol)
-              .join(snapshot.select(keyCol), Seq(keyCol), "left_semi").count()
+            val clash = delta.select(keyCols.map(col): _*)
+              .join(snapKeys, keyCols, "left_semi").count()
             require(clash == 0, s"insert_$table: $clash key(s) already " +
               "exist (use an upsert insert for on-conflict overwrite)")
           }
-          (mergeDelta(snapshot, delta, keyCol), rows.length.toLong, delta)
+          (mergeDelta(snapshot, delta, keyCols), rows.length.toLong, delta)
         case Some(cols0) =>
           // a duplicated update_column is harmless semantically but
           // would alias two __u_ columns into an ambiguous reference
@@ -305,34 +318,34 @@ object Mutations {
           cols.foreach { c =>
             require(sch.fieldNames.contains(c),
               s"insert_$table.on_conflict: unknown column '$c'")
-            require(c != keyCol, s"insert_$table.on_conflict: the key " +
-              "column cannot be an update_column")
+            require(!keyCols.contains(c), s"insert_$table.on_conflict: " +
+              "the key column cannot be an update_column")
           }
           // which incoming keys clash is knowable cheaply — the objects
           // list is a request payload, so collecting ITS clashing keys
           // is bounded by the document, never the store
-          val clashKeys = delta.select(keyCol)
-            .join(snapshot.select(keyCol), Seq(keyCol), "left_semi")
-            .collect().map(_.get(0)).toSet
+          val clashKeys = delta.select(keyCols.map(col): _*)
+            .join(snapKeys, keyCols, "left_semi")
+            .collect().map(r => keyCols.indices.toList.map(r.get)).toSet
           // only CONFLICTING rows must carry every update column (a
           // fresh row legitimately omits one — it inserts with null,
           // the documented absent-column behavior); for a clashing row
           // an absent update column would silently NULL stored data
           rows.foreach { r =>
             val m = r.toMap
-            val ck = coerce(m(keyCol), sch(keyCol).dataType,
-              s"insert_$table.$keyCol")
+            val ck = keyCols.toList.map(kc => coerce(m(kc),
+              sch(kc).dataType, s"insert_$table.$kc"))
             if (clashKeys.contains(ck))
               cols.foreach(c => require(m.contains(c),
                 s"insert_$table.on_conflict: the object for existing " +
-                  s"key $ck omits update_column '$c'"))
+                  s"key ${ck.mkString("(", ", ", ")")} omits " +
+                  s"update_column '$c'"))
           }
-          val fresh = delta.join(snapshot.select(keyCol), Seq(keyCol),
-            "left_anti")
+          val fresh = delta.join(snapKeys, keyCols, "left_anti")
           val nFresh = (rows.length - clashKeys.size).toLong
           if (cols.isEmpty)
             // DO NOTHING: conflicts skip and do not count (Hasura)
-            (mergeDelta(snapshot, fresh, keyCol), nFresh, fresh)
+            (mergeDelta(snapshot, fresh, keyCols), nFresh, fresh)
           else {
             // on conflict: the listed columns take the incoming values,
             // the rest keep their stored ones — built as stored-row ⋈
@@ -345,10 +358,12 @@ object Mutations {
             // count (the one extra action, bounded by the clash set)
             val base = conflictWhere
               .map(w => snapshot.filter(w.toColumn)).getOrElse(snapshot)
-            val d2 = delta.select(col(keyCol).as("__ck") +:
+            val d2 = delta.select(keyCols.map(kc =>
+              col(kc).as(s"__ck_$kc")) ++
               cols.map(c => col(c).as(s"__u_$c")): _*)
             val updated = base
-              .join(d2, base(keyCol) === col("__ck"))
+              .join(d2, keyCols.map(kc => base(kc) === col(s"__ck_$kc"))
+                .reduce(_ && _))
               .select(base.columns.toSeq.map(c =>
                 if (cols.contains(c)) col(s"__u_$c").as(c)
                 else base(c)): _*)
@@ -357,7 +372,7 @@ object Mutations {
               case None => rows.length.toLong
               case Some(_) => nFresh + updated.count()
             }
-            (mergeDelta(snapshot, written, keyCol), affected, written)
+            (mergeDelta(snapshot, written, keyCols), affected, written)
           }
       }
     case Update(table, where, set, inc, jsonb) =>
@@ -365,7 +380,7 @@ object Mutations {
       def checkedCol(c: String, what: String): Unit = {
         require(sch.fieldNames.contains(c),
           s"update_$table.$what: unknown column '$c'")
-        require(c != keyCol,
+        require(!keyCols.contains(c),
           s"update_$table.$what: the key column cannot be updated " +
             "(delete + insert expresses a re-key)")
       }
@@ -394,12 +409,12 @@ object Mutations {
         df.withColumn(c, graft.functions.JsonbOps.column(op, col(c),
           s"update_$table.$what.$c"))
       }
-      (mergeDelta(snapshot, delta, keyCol), delta.count(), delta)
+      (mergeDelta(snapshot, delta, keyCols), delta.count(), delta)
     case Delete(table, where) =>
       val victims = deleteVictims(snapshot, where, childLoad,
         s"delete_$table")
       val doomed = victims.withColumn("deleted", lit(true))
-      (mergeDelta(snapshot, doomed, keyCol), doomed.count(), victims)
+      (mergeDelta(snapshot, doomed, keyCols), doomed.count(), victims)
     case t: InsertTree => throw new IllegalArgumentException(
       s"insert_${t.table}: a nested insert spans tables — apply it " +
         "through the store registry (applyFieldsToStores)")
@@ -415,8 +430,14 @@ object Mutations {
     * would re-execute all k-1 prior merges — and the final store write
     * the whole chain again (quadratic scans of the base snapshot). */
   def applyAll(snapshot: DataFrame, ms: Seq[Mutation],
-      keyCol: String): (DataFrame, Seq[Long]) = {
-    val (next, rs) = applyFields(snapshot, ms.map(Field(_)), keyCol)
+      keyCol: String): (DataFrame, Seq[Long]) =
+    applyAll(snapshot, ms, Seq(keyCol))
+
+  /** [[applyAll]] on a composite key. */
+  def applyAll(snapshot: DataFrame, ms: Seq[Mutation],
+      keyCols: Seq[String]): (DataFrame, Seq[Long]) = {
+    val (next, rs) = applyFields(snapshot, ms.map(Field(_)), keyCols,
+      None)
     (next, rs.map(_.affected))
   }
 
@@ -431,32 +452,44 @@ object Mutations {
       keyCol: String,
       childLoad: Option[String => DataFrame] = None)
       : (DataFrame, Seq[FieldResult]) =
+    applyFields(snapshot, fields, Seq(keyCol), childLoad)
+
+  /** [[applyFields]] on a COMPOSITE key: by_pk verbs must name EVERY
+    * key component (a partial key would turn a "single-object" verb
+    * into a multi-row write). */
+  def applyFields(snapshot: DataFrame, fields: Seq[Field],
+      keyCols: Seq[String],
+      childLoad: Option[String => DataFrame])
+      : (DataFrame, Seq[FieldResult]) =
     fields.foldLeft((snapshot, Seq.empty[FieldResult])) {
       case ((cur, rs), f) =>
-        // a *_by_pk verb must really address the store's key: Hasura
-        // rejects a non-PK pk_columns, and a typo'd column here would
-        // turn a "single-object" update into a silent mass write (the
-        // parser has no schema; the store knows its key — so the check
-        // lives at the layer that knows)
+        // a *_by_pk verb must really address the store's key — EVERY
+        // component of it: Hasura rejects a non-PK pk_columns, and a
+        // typo'd or missing column here would turn a "single-object"
+        // update into a silent mass write (the parser has no schema;
+        // the store knows its key — so the check lives at the layer
+        // that knows)
         // an ANDed tree still qualifies: Permissions.secureFields
         // wraps the parsed Eq(pk, v) in And(roleFilter, ...) — the
-        // key equality must be PRESENT, not alone (Hasura's by_pk
+        // key equalities must be PRESENT, not alone (Hasura's by_pk
         // under a row filter answers null for filtered-out keys,
         // which is exactly what the extra conjunct produces)
-        def namesKey(w: BoolExp): Boolean = w match {
-          case QueryBuilder.Eq(c, _) => c == keyCol
-          case QueryBuilder.And(es @ _*) => es.exists(namesKey)
+        def namesCol(w: BoolExp, kc: String): Boolean = w match {
+          case QueryBuilder.Eq(c, _) => c == kc
+          case QueryBuilder.And(es @ _*) => es.exists(namesCol(_, kc))
           case _ => false
         }
+        def namesKey(w: BoolExp): Boolean =
+          keyCols.forall(namesCol(w, _))
         f.m match {
           case Update(table, w, _, _, _) if f.single =>
             require(namesKey(w),
               s"update_${table}_by_pk: pk_columns must name the key " +
-              s"column '$keyCol'")
+              s"column(s) '${keyCols.mkString(", ")}'")
           case Delete(table, w) if f.single =>
             require(namesKey(w),
               s"delete_${table}_by_pk: the argument must name the " +
-              s"key column '$keyCol'")
+              s"key column(s) '${keyCols.mkString(", ")}'")
           case _ => ()
         }
         def retOf(rows: DataFrame): Option[DataFrame] =
@@ -489,7 +522,7 @@ object Mutations {
             val stepLoad = childLoad.map(ld =>
               (t2: String) => if (t2 == f.m.table) c else ld(t2))
             val sub = steps.map { u =>
-              val (n2, n, rows) = applyMutationFull(c, u, keyCol,
+              val (n2, n, rows) = applyMutationFull(c, u, keyCols,
                 stepLoad)
               c = n2.localCheckpoint(true)
               FieldResult(n, retOf(rows))
@@ -497,7 +530,7 @@ object Mutations {
             (c, rs :+ FieldResult(sub.map(_.affected).sum, None,
               Some(sub)))
           case _ =>
-            val (next, n, rows) = applyMutationFull(cur, f.m, keyCol,
+            val (next, n, rows) = applyMutationFull(cur, f.m, keyCols,
               childLoad)
             (next.localCheckpoint(true), rs :+ FieldResult(n, retOf(rows)))
         }
@@ -521,11 +554,17 @@ object Mutations {
     * they were computed from. */
   def applyFieldsToStore(spark: SparkSession, path: String,
       table: String, keyCol: String,
+      fields: Seq[Field]): Seq[FieldResult] =
+    applyFieldsToStore(spark, path, table, Seq(keyCol), fields)
+
+  /** [[applyFieldsToStore]] on a composite key. */
+  def applyFieldsToStore(spark: SparkSession, path: String,
+      table: String, keyCols: Seq[String],
       fields: Seq[Field]): Seq[FieldResult] = {
     val stray = fields.map(_.m.table).filterNot(_ == table).distinct
     require(stray.isEmpty, s"store at $path holds '$table' but the " +
       s"document mutates ${stray.mkString(", ")}")
-    applyFieldsToStores(spark, Map(table -> (path, keyCol)), fields)
+    applyFieldsToStores(spark, Map(table -> (path, keyCols)), fields)
   }
 
   /** The rows a [[Delete]] removes. [[QueryBuilder.KeySet]] is the
@@ -567,12 +606,19 @@ object Mutations {
     * swaps and document-order semantics carry over. Returns per-table
     * affected counts, parent first. */
   def cascadeForget(spark: SparkSession,
-      stores: Map[String, (String, String)], parentTable: String,
+      stores: Map[String, (String, Seq[String])], parentTable: String,
       where: BoolExp,
       children: Seq[(String, String)]): Seq[(String, Long)] = {
-    val (pPath, pKey) = stores.getOrElse(parentTable,
+    val (pPath, pKeys) = stores.getOrElse(parentTable,
       throw new IllegalArgumentException(
         s"no registered store for '$parentTable'"))
+    // the cascade matches each child's single FK column against the
+    // parent key — a composite-keyed parent has no single-column FK
+    // for children to reference, so the cascade requires a scalar key
+    require(pKeys.size == 1, s"cascadeForget: parent '$parentTable' " +
+      s"has a composite key (${pKeys.mkString(", ")}) — child FK " +
+      "columns reference single-column keys")
+    val pKey = pKeys.head
     AtomicSwap.recover(org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(pPath), spark.sparkContext.hadoopConfiguration),
       pPath)
@@ -615,7 +661,7 @@ object Mutations {
     * atomicity; cross-table atomicity would need a transaction log
     * the reference's store does not have either). */
   def applyFieldsToStores(spark: SparkSession,
-      stores: Map[String, (String, String)],
+      stores: Map[String, (String, Seq[String])],
       fields: Seq[Field]): Seq[FieldResult] = {
     def tablesOf(m: Mutation): Seq[String] = m match {
       case InsertTree(p, cs, bs) =>

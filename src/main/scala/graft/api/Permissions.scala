@@ -95,6 +95,7 @@ object Permissions {
     case RelPred(_, _, _, _) => Nil // child columns checked by secureRel
     case FlagRef(_) => Nil
     case KeySet(f, _) => Seq(f)
+    case Cast(f, _, _) => Seq(f) // inner tree binds to the same field
   }
 
   /** Apply the role's grants INSIDE a where-tree: every relationship
@@ -371,8 +372,8 @@ object Permissions {
         colOk(pt, r.parentKey) && colOk(r.childTable, r.childKey)
     val schema2 = GraphQl.Schema(
       schema.rels.filter { case ((pt, _), r) => relOk(pt, r) },
-      schema.keys.filter { case (t, k) =>
-        granted.contains(t) && colOk(t, k) },
+      schema.keys.filter { case (t, ks) =>
+        granted.contains(t) && ks.forall(colOk(t, _)) },
       schema.objRels.filter { case ((pt, _), r) => relOk(pt, r) })
     val columns2 = granted.collect {
       case (t, perm) if perm.columns.isDefined => t -> perm.columns.get
@@ -494,7 +495,7 @@ object Permissions {
         |  }
         |}""".stripMargin
     val results = serveMutationsAs(s, "analyst", q140Policy, doc,
-      Map("customer" -> ((path, "c_custkey")))).fold(
+      Map("customer" -> ((path, Seq("c_custkey"))))).fold(
       m => throw new IllegalStateException(s"q171 denied: $m"),
       identity)
     results.head.returning.getOrElse(throw new IllegalStateException(
@@ -699,7 +700,7 @@ object Permissions {
     * request-level atomicity for permission errors). */
   def serveMutationsAs(s: org.apache.spark.sql.SparkSession,
       role: String, policy: Policy, doc: String,
-      stores: Map[String, (String, String)],
+      stores: Map[String, (String, Seq[String])],
       schema: GraphQl.Schema = GraphQl.fixtureSchema,
       variables: String = "{}",
       operationName: Option[String] = None)

@@ -181,6 +181,74 @@ object QueryBuilder {
       if (isNull) col(field).isNull else col(field).isNotNull
   }
 
+  /** Hasura `_cast: {<Type>: {...}}` (r19): the column CASTS to the
+    * named GraphQL/Postgres type and the nested comparison tree
+    * evaluates against the casted value — `props::text ILIKE ...`
+    * over jsonb, `event_id::text LIKE ...` over scalars. The inner
+    * tree is the column-local comparison family on the SAME field
+    * (And/Or/Not compose; relationship predicates and the JSONB
+    * family have no casted spelling — Hasura agrees). SQL TRY_CAST
+    * semantics: an uncastable value answers NULL and the row filters
+    * out either polarity (ANSI Spark would otherwise fail the whole
+    * job on one malformed row — the oracle spells TRY_CAST too). */
+  final case class Cast(field: String, to: String, inner: BoolExp)
+      extends BoolExp {
+    private[api] val sparkType: String = Cast.targets.getOrElse(to,
+      throw new IllegalArgumentException(
+        s"_cast on '$field': unsupported target type '$to' (one of " +
+          s"${Cast.targets.keys.toSeq.sorted.mkString(", ")})"))
+    require(field.matches("[_A-Za-z][_0-9A-Za-z]*"),
+      s"_cast: '$field' is not a column-name-shaped field")
+    private def cc: Column =
+      expr(s"try_cast($field AS $sparkType)")
+    // ONE switch: compiling eagerly at construction makes every
+    // unsupported inner operator and wrong-field binding loud
+    // driver-side (parse time for the front ends), and toColumn just
+    // serves the compiled result
+    private val compiled: Column = on(inner)
+    private[api] def toColumn: Column = compiled
+    private def same(f: String): Column = {
+      require(f == field, s"_cast on '$field' to $to: inner " +
+        s"operator names '$f' — the casted comparisons bind to the " +
+        "cast column")
+      cc
+    }
+    private def on(e: BoolExp): Column = e match {
+      case Eq(f, v) => same(f) === lit(v)
+      case Neq(f, v) => same(f) =!= lit(v)
+      case Gt(f, v) => same(f) > lit(v)
+      case Gte(f, v) => same(f) >= lit(v)
+      case Lt(f, v) => same(f) < lit(v)
+      case Lte(f, v) => same(f) <= lit(v)
+      case In(f, vs) => same(f).isin(vs: _*)
+      case Nin(f, vs) => !same(f).isin(vs: _*)
+      case Like(f, p) => same(f).like(p)
+      case Nlike(f, p) => !same(f).like(p)
+      case Ilike(f, p) => same(f).ilike(p)
+      case Regex(f, p, ci) => same(f).rlike(if (ci) "(?i)" + p else p)
+      case Nregex(f, p, ci) => !same(f).rlike(if (ci) "(?i)" + p else p)
+      case Similar(f, p) => same(f).rlike(similarToRegex(p))
+      case Nsimilar(f, p) => !same(f).rlike(similarToRegex(p))
+      case IsNull(f, want) =>
+        if (want) same(f).isNull else same(f).isNotNull
+      case And(es @ _*) => es.map(on).reduce(_ && _)
+      case Or(es @ _*) => es.map(on).reduce(_ || _)
+      case Not(x) => !on(x)
+      case other => throw new IllegalArgumentException(
+        s"_cast on '$field' to $to: $other has no casted form " +
+          "(column-local comparisons only)")
+    }
+  }
+  object Cast {
+    /** Hasura/Postgres target-type spellings → Spark cast types. */
+    private[api] val targets: Map[String, String] = Map(
+      "String" -> "string", "text" -> "string",
+      "Int" -> "int", "bigint" -> "bigint",
+      "Float" -> "double", "float8" -> "double",
+      "numeric" -> "double", "Boolean" -> "boolean",
+      "date" -> "date", "timestamp" -> "timestamp")
+  }
+
   // ---- JSONB comparison family (Hasura _contains/_has_key/...) -------
   // The engine stores jsonb as JSON TEXT (the C7 surface), so the
   // family compiles to json_object_keys/get_json_object over the

@@ -150,6 +150,21 @@ object RequestCodec {
                   k -> value(oo.get(k), s"$at.$k"))
                 if (op == "_contains") JsonContains(field, pairs)
                 else JsonContainedIn(field, pairs)
+              case "_cast" =>
+                // {"_cast": {"<Type>": {"<op>": ...}}} — the inner
+                // object re-parses as a comparison on the same field
+                val oo = obj(v, at)
+                fieldNames(oo) match {
+                  case Seq(tname) =>
+                    val innerWrap = mapper.createObjectNode()
+                    innerWrap.set[ObjectNode](field, oo.get(tname))
+                    val inner = parseBool(innerWrap, s"$at.$tname")
+                    try Cast(field, tname, inner)
+                    catch {
+                      case e: IllegalArgumentException => bad(e.getMessage)
+                    }
+                  case _ => bad(s"$at: exactly one target type expected")
+                }
               case other => bad(s"$where.$field: unknown operator '$other'")
             }
           case _ => bad(
@@ -418,6 +433,18 @@ object RequestCodec {
       case HasKeysAll(f, ks) => inList(f, "_has_keys_all", ks)
       case JsonContains(f, ps) => jsonObj(f, "_contains", ps)
       case JsonContainedIn(f, ps) => jsonObj(f, "_contained_in", ps)
+      case Cast(f, to, inner) =>
+        // inverse of the parse: unwrap the inner tree's own {field:
+        // {op: v}} rendering back to the bare comparison object
+        val innerObj = renderBool(inner)
+        val cmpObj = Option(innerObj.get(f)) match {
+          case Some(c: ObjectNode) => c
+          case _ => throw new IllegalArgumentException(
+            s"render: _cast on '$f' carries a composed inner tree — " +
+              "only a single casted comparison round-trips the wire " +
+              "form (compose with _and outside the _cast)")
+        }
+        o.putObject(f).putObject("_cast").set[ObjectNode](to, cmpObj); o
       case RelPred(table, ck, pk, pred) =>
         val e = o.putObject("_exists")
         e.put("table", table); e.put("child_key", ck)

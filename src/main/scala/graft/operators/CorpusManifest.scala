@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** VERSIONED, incrementally-maintained corpus-build manifest (r19) —
+  * the persisted form of the q220 pack manifest, maintained across
+  * corpus APPENDS and right-to-be-forgotten FORGETS without a
+  * from-scratch rebuild.
+  *
+  * Invalidation unit = the SHARD: the q65 packing is a per-shard
+  * prefix fold (each doc's pack is the running token sum before it in
+  * (h, doc_id) order), so ANY membership change in a shard shifts
+  * every later pack boundary in that shard — pack-level patching
+  * cannot preserve the from-scratch layout. The store therefore keeps
+  * one dataset per shard and an update recomputes EXACTLY the shards
+  * whose membership changed, leaving the other shard datasets
+  * untouched on disk. The maintained invariant is the q152
+  * incremental-view contract: after any update sequence, the stored
+  * manifest equals the from-scratch build over the current corpus
+  * (spec-pinned, and q225's oracle replays the from-scratch build).
+  *
+  * Crash safety: each shard rewrites through
+  * [[graft.sources.AtomicSwap]] (readers recover interrupted swaps);
+  * the version marker commits LAST via create-temp + rename, so a
+  * crash mid-update leaves a store that a re-run of the same update
+  * repairs idempotently (same inputs → same shard rows).
+  *
+  * 100 TB posture: an update's work is proportional to the TOUCHED
+  * shards' corpus slice, not the corpus; the affected-shard set is
+  * bounded by the shard count (a distinct-collect of ≤ `shards`
+  * ints); no driver state beyond that.
+  */
+object CorpusManifest {
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def shardDir(path: String, k: Int) = s"$path/s$k"
+
+  /** The q220/q65 shard assignment — ONE definition with the batch
+    * query (seed-5 content-stable hash mod shards). */
+  def shardOf(docId: Column, shards: Int): Column =
+    (graft.functions.TextFunctions.seededHash(docId.cast("string"), 5)
+      % shards).cast("int")
+
+  /** The q220 manifest fold over (doc_id, ntok) docs — one row per
+    * (shard, pack): counts plus the placement-ordered id checksum. */
+  private def manifestRows(docs: DataFrame, budget: Long,
+      shards: Int): DataFrame = {
+    import graft.functions.TextFunctions.seededHash
+    val d = docs
+      .withColumn("h", seededHash(col("doc_id").cast("string"), 5))
+      .withColumn("shard", shardOf(col("doc_id"), shards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    d.withColumn("strt", sum(col("ntok")).over(w) - col("ntok"))
+      .withColumn("pack_id", floor(col("strt") / budget))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("h"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("ids_md5"))
+  }
+
+  /** Version marker: a one-line file committed by write-temp +
+    * delete + rename AFTER the shard rewrites — the store's
+    * generation number a serving layer keys caches on. The delete →
+    * rename gap is recoverable, not atomic: a crash inside it leaves
+    * only `_version_tmp`, which [[version]] promotes on its next
+    * read (the AtomicSwap reader-recovers discipline — the tmp file
+    * is complete by construction, it was fully written and closed
+    * before the delete). */
+  private def writeVersion(fs: FileSystem, path: String,
+      v: Long): Unit = {
+    val tmp = new Path(s"$path/_version_tmp")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+    val dst = new Path(s"$path/_version")
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"manifest: cannot commit version $v")
+  }
+
+  def version(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val dst = new Path(s"$path/_version")
+    val tmp = new Path(s"$path/_version_tmp")
+    // crash-window recovery: a writer that died between its delete
+    // and rename left the COMPLETE replacement at tmp — promote it
+    if (!fs.exists(dst) && fs.exists(tmp))
+      fs.rename(tmp, dst)
+    val in = fs.open(dst)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Full build: every shard written, version 1. `docs` is the
+    * CURRENT corpus as (doc_id, ntok) — filtering (the ensemble
+    * verdict) happens upstream. */
+  def init(spark: SparkSession, path: String, docs: DataFrame,
+      budget: Long, shards: Int): Unit = {
+    val rows = manifestRows(docs, budget, shards).localCheckpoint(true)
+    (0 until shards).foreach { k =>
+      rows.filter(col("shard") === k).drop("shard")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(shardDir(path, k))
+    }
+    writeVersion(fsOf(spark, path), path, 1L)
+  }
+
+  /** Incremental maintenance: `docs` is the corpus AFTER the
+    * append/forget, `changed` the doc_ids that were appended OR
+    * forgotten. Recomputes exactly the shards those ids hash into
+    * and bumps the version; untouched shard datasets are not opened,
+    * not rewritten. Returns the affected shard ids (sorted). Re-run
+    * with the same inputs is idempotent — the crash-repair path. */
+  def update(spark: SparkSession, path: String, docs: DataFrame,
+      changed: DataFrame, budget: Long, shards: Int): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val affected = changed
+      .select(shardOf(col("doc_id"), shards).as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return affected
+    val rows = manifestRows(
+      docs.filter(shardOf(col("doc_id"), shards).isin(affected: _*)),
+      budget, shards).localCheckpoint(true)
+    affected.foreach { k =>
+      val dir = shardDir(path, k)
+      graft.sources.AtomicSwap.rewrite(fs, dir)(tmp =>
+        rows.filter(col("shard") === k).drop("shard")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp))
+    }
+    writeVersion(fs, path, version(spark, path) + 1L)
+    affected
+  }
+
+  /** Read the current manifest — recovers any interrupted shard swap
+    * first (the AtomicSwap reader contract), then unions the shard
+    * datasets back with their shard column. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    val dirs = fs.listStatus(new Path(path)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("s\\d+(_precompact|_compacting)?"))
+    val live = dirs.map(_.replaceAll("_(precompact|compacting)$", ""))
+      .distinct.sorted
+    live.map { name =>
+      graft.sources.AtomicSwap.recover(fs, s"$path/$name")
+      spark.read.parquet(s"$path/$name")
+        .withColumn("shard", lit(name.drop(1).toInt))
+    }.reduce(_.unionByName(_))
+      .select("shard", "pack_id", "n_docs", "n_tokens", "ids_md5")
+  }
+}

@@ -91,9 +91,13 @@ object CdcQueries {
     // scrapes. Pin the cell matrix per (session, dir); the full
     // stateful verdict replay prices run 1 (and the Verify gate).
     graft.FixtureCache.once(s, s"q92counters|$dir") {
-      graft.streaming.MsgMetrics.counters(mapToMessages(s, dir))
-        .localCheckpoint(true)
+      q92CountersUncached(s, dir).localCheckpoint(true)
     }.orderBy("status", "msg_type")
+
+  /** The full verdict-replay build behind [[q92MsgCounters]]'s pin —
+    * the frame the PlanQualitySpec shape assertions audit. */
+  def q92CountersUncached(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.MsgMetrics.counters(mapToMessages(s, dir))
 
   /** q35 — fold the mapped log to the nfts snapshot (latest state per token
     * with tombstones; the scale-shaped version of the golden-scenario spec). */

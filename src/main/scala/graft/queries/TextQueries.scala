@@ -2354,6 +2354,53 @@ object TextQueries {
       .orderBy("shard", "pack_id")
   }
 
+  /** Q225 — INCREMENTAL CORPUS BUILD (r19): the q220 manifest as a
+    * VERSIONED persisted store maintained across an append and a
+    * forget instead of rebuilt. The lifecycle under the gate:
+    * version 1 builds from the ensemble keepers MINUS a late batch
+    * (doc_id % 97 == 3), then ONE update appends the late batch and
+    * forgets doc_ids 5 and 10 — recomputing exactly the shards those
+    * ids hash into ([[graft.operators.CorpusManifest]]; the packing
+    * is a per-shard prefix fold, so the shard is the invalidation
+    * unit). The DuckDB oracle replays the FROM-SCRATCH build over the
+    * final corpus — the stored version-2 manifest must equal it (the
+    * q152 incremental-view contract); a stale untouched-shard row, a
+    * leftover forgotten doc, or a missed appended doc hash-fails. */
+  def q225IncrementalBuild(s: SparkSession, dir: String,
+      budget: Long = 2048, shards: Int = 8): DataFrame = {
+    import graft.operators.{CorpusManifest => M}
+    val path = graft.FixtureCache.once(s, s"q225|$dir") {
+      val p = s"/root/repo/target/tmp/q225_manifest_" +
+        s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val keep = ensembleFlags(s, dir)
+        .filter(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
+          col("clf_ok") === 1 && col("lm_ok") === 1)
+        .select("doc_id")
+      val all = docs(s, dir).join(keep, "doc_id")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ntok"))
+        .localCheckpoint(true)
+      val late = col("doc_id") % 97 === 3
+      val forgotten = col("doc_id").isin(5L, 10L)
+      // v1 CONTAINS the to-be-forgotten ids (the forget must remove
+      // real rows) and lacks the late batch
+      M.init(s, p, all.filter(!late), budget, shards)
+      // ONE update carries the append AND the forget; the final
+      // corpus is keepers minus the forgotten ids
+      val affected = M.update(s, p, all.filter(!forgotten),
+        all.filter(late || forgotten).select("doc_id"),
+        budget, shards)
+      require(affected.nonEmpty && M.version(s, p) == 2L,
+        s"q225: expected a version-2 store with affected shards, " +
+          s"got v${M.version(s, p)} affected=$affected")
+      p
+    }
+    M.read(s, path)
+      .withColumn("version", lit(2L))
+      .orderBy("shard", "pack_id")
+  }
+
   /** Q218 — the ensemble FUNNEL (q69's audit shape over the full
     * ensemble): survivors after each filter applied cumulatively in
     * cascade order — the per-stage report that makes a corpus-nuking

@@ -104,12 +104,25 @@ object SnapshotStore {
     * deleted=true act as tombstones. Exactly-once under replay: merging the
     * same delta twice is idempotent (same key+seq wins once). */
   def merge(existing: DataFrame, delta: DataFrame, keyCol: String,
+      seqCol: String): DataFrame =
+    merge(existing, delta, Seq(keyCol), seqCol)
+
+  /** [[merge]] on a COMPOSITE key (r19): the latest-wins window
+    * partitions on the full key tuple — the reference's own cursor is
+    * a composite (Height, TxIndex, MsgID) triple
+    * (x/indexer/cursor.go:5-18), and a store keyed like `lineitem`'s
+    * natural (l_orderkey, l_linenumber) needs every component in the
+    * partition clause or two rows of one order collapse. Same single
+    * shuffle, same tombstone rule. */
+  def merge(existing: DataFrame, delta: DataFrame, keyCols: Seq[String],
       seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "merge: empty key column list")
     val withDel = (df: DataFrame) =>
       if (df.columns.contains("deleted")) df
       else df.withColumn("deleted", lit(false))
     val all = withDel(existing).unionByName(withDel(delta))
-    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
     all.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && !col("deleted"))
       .drop("rn")
@@ -137,30 +150,40 @@ object SnapshotStore {
     * comparison — O(|before| + |after|), no driver state; the output
     * is bounded by the churn, not the store. */
   def diff(before: DataFrame, after: DataFrame,
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame = diff(before, after, Seq(keyCol))
+
+  /** [[diff]] on a COMPOSITE key: full-outer on the key tuple; the
+    * "which side exists" test uses the first key component (all
+    * components are non-null on the side that has the row). */
+  def diff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff: empty key column list")
     require(before.columns.toSeq == after.columns.toSeq,
       s"diff: snapshot schemas differ (${before.columns.mkString(",")}" +
         s" vs ${after.columns.mkString(",")})")
-    val dataCols = before.columns.filterNot(_ == keyCol).toSeq
-    val b = before.select(col(keyCol).as("__bk") +:
+    val dataCols = before.columns.filterNot(keyCols.contains).toSeq
+    val b = before.select(keyCols.map(k => col(k).as(s"__bk_$k")) ++
       dataCols.map(c => col(c).as(s"__b_$c")): _*)
-    val a = after.select(col(keyCol).as("__ak") +:
+    val a = after.select(keyCols.map(k => col(k).as(s"__ak_$k")) ++
       dataCols.map(c => col(c).as(s"__a_$c")): _*)
     val valueChanged =
       if (dataCols.isEmpty) lit(false)
       else !(struct(dataCols.map(c => col(s"__a_$c")): _*) <=>
         struct(dataCols.map(c => col(s"__b_$c")): _*))
-    b.join(a, col("__bk") === col("__ak"), "full_outer")
+    val joinCond = keyCols.map(k => col(s"__bk_$k") === col(s"__ak_$k"))
+      .reduce(_ && _)
+    b.join(a, joinCond, "full_outer")
       .withColumn("op",
-        when(col("__bk").isNull, "insert")
-          .when(col("__ak").isNull, "delete")
+        when(col(s"__bk_${keyCols.head}").isNull, "insert")
+          .when(col(s"__ak_${keyCols.head}").isNull, "delete")
           .when(valueChanged, "update"))
       .filter(col("op").isNotNull)
-      .select(col("op") +: coalesce(col("__ak"), col("__bk")).as(keyCol)
-        +: dataCols.map(c =>
+      .select(col("op") +: (keyCols.map(k =>
+        coalesce(col(s"__ak_$k"), col(s"__bk_$k")).as(k)) ++
+        dataCols.map(c =>
           // delete carries the BEFORE image; insert/update the AFTER
           when(col("op") === "delete", col(s"__b_$c"))
-            .otherwise(col(s"__a_$c")).as(c)): _*)
+            .otherwise(col(s"__a_$c")).as(c))): _*)
   }
 
   /** Apply a [[diff]] feed to a replica — the CONSUMER half of the
@@ -172,12 +195,17 @@ object SnapshotStore {
     * (at-least-once delivery safe — latest-wins merge on equal
     * content). One merge shuffle on the key, O(replica + feed). */
   def applyDiff(replica: DataFrame, feed: DataFrame,
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame =
+    applyDiff(replica, feed, Seq(keyCol))
+
+  /** [[applyDiff]] on a COMPOSITE key. */
+  def applyDiff(replica: DataFrame, feed: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     val delta = feed
       .withColumn("deleted", col("op") === "delete")
       .drop("op")
     merge(replica.withColumn("_dseq", lit(0L)),
-      delta.withColumn("_dseq", lit(1L)), keyCol, "_dseq")
+      delta.withColumn("_dseq", lit(1L)), keyCols, "_dseq")
       .drop("_dseq", "deleted")
   }
 }

@@ -2356,4 +2356,86 @@ class GraphQlSpec extends SparkSpec {
     assert(streamErr("o_orderkey batch_idx: items { l_linenumber }")
       .contains("reserved"))
   }
+
+  test("by_pk verbs on a TRACKED table reject non-key and missing " +
+    "key columns at parse time (r19 composite follow-up): a typo'd " +
+    "pk_columns entry must not become a silent narrowing") {
+    def err(doc: String, schema: GraphQl.Schema): String =
+      GraphQl.parseMutationFields(doc, schema = schema)
+        .fold(identity, r => fail(s"parsed: $r"))
+    // single-key tracked table: an extra non-key entry is loud
+    assert(err("""mutation { update_customer_by_pk(
+        |  pk_columns: {c_custkey: 1, c_mktsegment: "A"},
+        |  _set: {c_acctbal: 0.0}) { c_custkey } }""".stripMargin,
+      GraphQl.fixtureSchema)
+      .contains("not a primary-key column"))
+    assert(err("""mutation { delete_customer_by_pk(
+        |  c_custkey: 1, c_acctbal: 2.0) { c_custkey } }""".stripMargin,
+      GraphQl.fixtureSchema)
+      .contains("not a primary-key column"))
+    // composite tracked table: a MISSING component is loud
+    assert(err("""mutation { update_lineitem_by_pk(
+        |  pk_columns: {l_orderkey: 1},
+        |  _set: {l_quantity: 0.0}) { l_orderkey } }""".stripMargin,
+      GraphQl.compositeSchema)
+      .contains("l_linenumber' of 'lineitem' is required"))
+    // an UNTRACKED table keeps the schema-free path (the store layer
+    // checks key presence) — both spellings parse
+    assert(GraphQl.parseMutationFields(
+      """mutation { delete_t_by_pk(k: 1, k2: 2) { k } }""").isRight)
+  }
+
+  test("_cast (r19): parses to the casted comparison, evaluates " +
+    "against the casted value, and malformed spellings are loud") {
+    import graft.api.QueryBuilder._
+    import spark.implicits._
+    // parse shape: one target type, inner ops AND
+    val r = GraphQl.parse(
+      """{ events(where: {event_id:
+        |    {_cast: {String: {_gte: "29", _like: "%7"}}}}) {
+        |  event_id } }""".stripMargin).fold(m => fail(m), identity)
+    r.where match {
+      case Some(Cast("event_id", "String",
+          And(Gte("event_id", "29"), Like("event_id", "%7")))) => ()
+      case other => fail(s"unexpected where: $other")
+    }
+    // semantics: lexicographic on the CASTED string — 30 in, 1007 out
+    val df = Seq(30L, 996L, 1007L, 20007L).toDF("event_id")
+    val got = df.filter(Cast("event_id", "String",
+        Gte("event_id", "29")).toColumn)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(30L, 996L))
+    // TRY_CAST semantics: an uncastable value filters out quietly
+    val s2 = Seq("5", "x", "12").toDF("v")
+    assert(s2.filter(Cast("v", "bigint", Gte("v", 5L)).toColumn)
+      .collect().map(_.getString(0)).toSeq.sorted === Seq("12", "5"))
+    // loud spellings
+    def err(doc: String): String =
+      GraphQl.parse(doc).fold(identity, r => fail(s"parsed: $r"))
+    assert(err("""{ events(where: {event_id: {_cast:
+        |  {Nope: {_eq: 1}}}}) { event_id } }""".stripMargin)
+      .contains("unsupported target type"))
+    assert(err("""{ events(where: {event_id: {_cast:
+        |  {String: {_eq: 1}, Int: {_eq: 1}}}}) { event_id } }"""
+        .stripMargin)
+      .contains("one target type"))
+    assert(err("""{ events(where: {event_id: {_cast:
+        |  {String: {}}}}) { event_id } }""".stripMargin)
+      .contains("empty comparison"))
+    // construction-time guard: non-column-local inner operators refuse
+    val e = intercept[IllegalArgumentException](
+      Cast("props", "String", HasKey("props", "k")))
+    assert(e.getMessage.contains("no casted form"))
+    val e2 = intercept[IllegalArgumentException](
+      Cast("props", "String", Eq("other_col", 1L)))
+    assert(e2.getMessage.contains("bind to the cast column"))
+    // wire-codec round trip (single casted comparison)
+    val req = Request("events", where = Some(Cast("props", "String",
+      Like("props", "%4%"))), fields = Seq("event_id"))
+    val json = RequestCodec.render(req)
+    assert(RequestCodec.parse(json) === Right(req))
+    // GraphQL render round trip
+    val doc = GraphQl.render(req)
+    assert(GraphQl.parse(doc) === Right(req))
+  }
 }

@@ -110,18 +110,21 @@ class MutationsSpec extends SparkSpec {
         case Left(m) => assert(m.contains(frag), s"got: $m")
         case Right(r) => fail(s"parsed: $r")
       }
-    // two pk columns: this engine's stores are single-key
-    err("""mutation { update_t_by_pk(pk_columns: {k: 1, k2: 2},
-          |  _set: {seg: "X"}) { k } }""".stripMargin,
-      "exactly one key column")
+    // multi-entry pk_columns PARSES since r19 (composite keys) — the
+    // store layer rejects a pk_columns that misses a key component
+    val multi = GraphQl.parseMutationFields(
+      """mutation { update_t_by_pk(pk_columns: {k: 1, k2: 2},
+        |  _set: {seg: "X"}) { k } }""".stripMargin)
+      .fold(m => fail(m), identity)
+    assert(multi.head.m === Mutations.Update("t",
+      And(Eq("k", 1L), Eq("k2", 2L)), Seq("seg" -> "X")))
     // a null key would tie nondeterministically in the merge window
     err("mutation { delete_t_by_pk(k: null) { k } }", "cannot be null")
     err("""mutation { update_t_by_pk(pk_columns: {k: null},
           |  _set: {seg: "X"}) { k } }""".stripMargin, "cannot be null")
-    // delete_by_pk takes exactly the key argument
-    err("mutation { delete_t_by_pk(k: 1, j: 2) { k } }",
-      "exactly one argument")
-    err("mutation { delete_t_by_pk { k } }", "exactly one argument")
+    // delete_by_pk with several arguments parses as a composite key
+    // (r19); with none it is loud
+    err("mutation { delete_t_by_pk { k } }", "required")
     // by_pk updates still need something to write
     err("mutation { update_t_by_pk(pk_columns: {k: 1}) { k } }",
       "_set and/or _inc")
@@ -178,12 +181,12 @@ class MutationsSpec extends SparkSpec {
       Mutations.applyFields(snap, Seq(Mutations.Field(
         Mutations.Update("t", Eq("seg", "A"), Seq("bal" -> 0.0)),
         Some(Seq("k")), single = true)), "k"))
-    assert(e2.getMessage.contains("key column 'k'"))
+    assert(e2.getMessage.contains("key column(s) 'k'"))
     val e3 = intercept[IllegalArgumentException](
       Mutations.applyFields(snap, Seq(Mutations.Field(
         Mutations.Delete("t", Gt("k", 0L)),
         Some(Seq("k")), single = true)), "k"))
-    assert(e3.getMessage.contains("key column 'k'"))
+    assert(e3.getMessage.contains("key column(s) 'k'"))
     // a column in BOTH _set and _inc is Hasura's operator conflict
     val e4 = intercept[IllegalArgumentException](
       Mutations.Update("t", Eq("k", 1L),
@@ -441,7 +444,7 @@ class MutationsSpec extends SparkSpec {
         |  delete_u_by_pk(id: 10) { id amt }
         |}""".stripMargin
     val fields = GraphQl.parseMutationFields(doc).fold(m => fail(m), identity)
-    val reg = Map("t" -> ((tPath, "k")), "u" -> ((uPath, "id")))
+    val reg = Map("t" -> ((tPath, Seq("k"))), "u" -> ((uPath, Seq("id"))))
     val rs = Mutations.applyFieldsToStores(spark, reg, fields)
     assert(rs.map(_.affected) === Seq(2L, 1L, 2L, 1L))
     // the second t-update folded on the first (in-order per table):
@@ -503,7 +506,7 @@ class MutationsSpec extends SparkSpec {
     SnapshotStore.write(Seq((102L, 0L, 9.0)).toDF("id", "fk", "amt"),
       uPath)
     val rs = Mutations.applyFieldsToStores(spark,
-      Map("t" -> ((tPath, "k")), "u" -> ((uPath, "id"))), fields)
+      Map("t" -> ((tPath, Seq("k"))), "u" -> ((uPath, Seq("id")))), fields)
     assert(rs.map(_.affected) === Seq(5L)) // 2 parents + 3 children
     assert(rs.head.returning.get.orderBy("k").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
@@ -629,8 +632,8 @@ class MutationsSpec extends SparkSpec {
     val wP = fresh("w", Seq((1L, 0.0, 0L)).toDF("wid", "z", "ufk"))
     val oP = fresh("o", Seq((1L, "a")).toDF("oid", "nm"))
     val rs = Mutations.applyFieldsToStores(spark, Map(
-      "t" -> ((tP, "k")), "u" -> ((uP, "id")),
-      "w" -> ((wP, "wid")), "o" -> ((oP, "oid"))), fields)
+      "t" -> ((tP, Seq("k"))), "u" -> ((uP, Seq("id"))),
+      "w" -> ((wP, Seq("wid"))), "o" -> ((oP, Seq("oid")))), fields)
     assert(rs.map(_.affected) === Seq(5L))
     assert(rs.head.returning.get.collect().map(_.getLong(0)).toSeq ===
       Seq(5L))
@@ -711,7 +714,7 @@ class MutationsSpec extends SparkSpec {
     val fields = GraphQl.parseMutationFields(doc, schema = schema2)
       .fold(m => fail(m), identity)
     val rs = Mutations.applyFieldsToStores(spark,
-      Map("t" -> ((tP, "k")), "u" -> ((uP, "id"))), fields)
+      Map("t" -> ((tP, Seq("k"))), "u" -> ((uP, Seq("id")))), fields)
     // rows 10,11 belong to seg-A parent 1 — deleted; then the update
     // sees the POST-delete kids: only k=3 still has an amt >= 6 kid
     // (k=1's 9.0 kid was just deleted — an engine evaluating against
@@ -738,7 +741,7 @@ class MutationsSpec extends SparkSpec {
         |]) { affected_rows } }""".stripMargin, schema = selfSchema)
       .fold(m => fail(m), identity)
     val rs2 = Mutations.applyFieldsToStores(spark,
-      Map("t" -> ((tP2, "k"))), many)
+      Map("t" -> ((tP2, Seq("k")))), many)
     // step 1 moves k=3 (bal 30) into seg A; step 2 increments every
     // row whose SEGMENT (post-step-1) contains a bal >= 25 row: seg A
     // now qualifies THROUGH k=3 — stale-state evaluation would see
@@ -754,7 +757,7 @@ class MutationsSpec extends SparkSpec {
     // an UNREGISTERED child table is loud, never a silent no-match
     val e2 = intercept[IllegalArgumentException](
       Mutations.applyFieldsToStores(spark,
-        Map("t" -> ((tP, "k"))), Seq(fields(1))))
+        Map("t" -> ((tP, Seq("k")))), Seq(fields(1))))
     assert(e2.getMessage.contains("relationship child"))
   }
 
@@ -1253,7 +1256,7 @@ class MutationsSpec extends SparkSpec {
     SnapshotStore.write(spark.range(2 * n).select(col("id").as("ck"),
       floor(col("id") / 2).as("fk")), cPath)
     val res = Mutations.cascadeForget(spark,
-      Map("p" -> ((pPath, "k")), "c" -> ((cPath, "ck"))),
+      Map("p" -> ((pPath, Seq("k"))), "c" -> ((cPath, Seq("ck")))),
       "p", Lt("k", 15000L), Seq(("c", "fk")))
     assert(res === Seq(("p", 15000L), ("c", 30000L)))
     assert(SnapshotStore.read(spark, pPath).count() === 5000L)
@@ -1262,12 +1265,12 @@ class MutationsSpec extends SparkSpec {
     assert(c2.agg(min("fk")).head.getLong(0) === 15000L)
     // the person-sized fast path still inlines (and still cascades)
     val res2 = Mutations.cascadeForget(spark,
-      Map("p" -> ((pPath, "k")), "c" -> ((cPath, "ck"))),
+      Map("p" -> ((pPath, Seq("k"))), "c" -> ((cPath, Seq("ck")))),
       "p", Eq("k", 17000L), Seq(("c", "fk")))
     assert(res2 === Seq(("p", 1L), ("c", 2L)))
     // no doomed parents → zero-row rewrites, not errors
     val res3 = Mutations.cascadeForget(spark,
-      Map("p" -> ((pPath, "k")), "c" -> ((cPath, "ck"))),
+      Map("p" -> ((pPath, Seq("k"))), "c" -> ((cPath, Seq("ck")))),
       "p", Eq("k", -1L), Seq(("c", "fk")))
     assert(res3 === Seq(("p", 0L), ("c", 0L)))
   }
@@ -1281,6 +1284,102 @@ class MutationsSpec extends SparkSpec {
     // BUILDING row
     assert(bySeg("MUTATED")._1 === 11L)
     assert(bySeg.values.map(_._1).sum === 151L)
+  }
+
+  test("COMPOSITE primary keys (r19): the merge window partitions on " +
+    "the full tuple, by_pk verbs must name every component, and the " +
+    "clash check admits a new second component under an existing " +
+    "first") {
+    import org.apache.spark.sql.functions.col
+    val snap2 = Seq((1L, 1, "a", 10.0), (1L, 2, "b", 20.0),
+      (2L, 1, "c", 30.0)).toDF("k1", "k2", "seg", "bal")
+    val ks = Seq("k1", "k2")
+    // update_by_pk touches exactly ONE tuple — its sibling under the
+    // same k1 is untouched (a single-component window would collapse
+    // or co-update them)
+    val (n1, a1) = Mutations.applyMutation(snap2,
+      Mutations.Update("t",
+        And(Eq("k1", 1L), Eq("k2", 1L)), Seq("seg" -> "X")), ks)
+    assert(a1 === 1L)
+    assert(n1.orderBy("k1", "k2").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ===
+      Seq((1L, 1, "X"), (1L, 2, "b"), (2L, 1, "c")))
+    // a by_pk verb naming only ONE component is a silent mass write —
+    // the store layer rejects it
+    val e = intercept[IllegalArgumentException](
+      Mutations.applyFields(snap2, Seq(Mutations.Field(
+        Mutations.Update("t", Eq("k1", 1L), Seq("seg" -> "Y")),
+        single = true)), ks, None))
+    assert(e.getMessage.contains("key column(s) 'k1, k2'"))
+    // both components named (in an And) passes
+    val (_, rs) = Mutations.applyFields(snap2, Seq(Mutations.Field(
+      Mutations.Delete("t", And(Eq("k2", 2L), Eq("k1", 1L))),
+      single = true)), ks, None)
+    assert(rs.head.affected === 1L)
+    // plain insert: (1, 3) is NEW even though k1=1 exists — the
+    // composite clash check admits it; (1, 2) clashes and rejects
+    val (n3, a3) = Mutations.applyMutation(snap2,
+      Mutations.Insert("t",
+        Seq(Seq("k1" -> 1L, "k2" -> 3L, "seg" -> "n", "bal" -> 1.0))),
+      ks)
+    assert(a3 === 1L && n3.count() === 4L)
+    val clash = intercept[IllegalArgumentException](
+      Mutations.applyMutation(snap2, Mutations.Insert("t",
+        Seq(Seq("k1" -> 1L, "k2" -> 2L, "seg" -> "n"))), ks))
+    assert(clash.getMessage.contains("already exist"))
+    // on_conflict update_columns matches the stored row on the FULL
+    // tuple: (1,2) updates seg only, (2,9) inserts fresh
+    val (n4, a4) = Mutations.applyMutation(snap2,
+      Mutations.Insert("t",
+        Seq(Seq("k1" -> 1L, "k2" -> 2L, "seg" -> "U"),
+          Seq("k1" -> 2L, "k2" -> 9L, "seg" -> "F", "bal" -> 9.0)),
+        updateColumns = Some(Seq("seg"))), ks)
+    assert(a4 === 2L)
+    val got = n4.orderBy("k1", "k2").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got === Seq((1L, 1, "a", Some(10.0)),
+      (1L, 2, "U", Some(20.0)), // stored bal kept, seg updated
+      (2L, 1, "c", Some(30.0)), (2L, 9, "F", Some(9.0))))
+    // every key component must be present and non-null in inserts
+    val nul = intercept[IllegalArgumentException](
+      Mutations.applyMutation(snap2, Mutations.Insert("t",
+        Seq(Seq("k1" -> 5L, "seg" -> "n"))), ks))
+    assert(nul.getMessage.contains("non-null k2"))
+    // a duplicate TUPLE within one objects list rejects; same k1
+    // under different k2 is fine
+    val dup = intercept[IllegalArgumentException](
+      Mutations.applyMutation(snap2, Mutations.Insert("t",
+        Seq(Seq("k1" -> 7L, "k2" -> 1L), Seq("k1" -> 7L, "k2" -> 1L))),
+        ks))
+    assert(dup.getMessage.contains("duplicate key"))
+    val okDup = Mutations.applyMutation(snap2, Mutations.Insert("t",
+      Seq(Seq("k1" -> 7L, "k2" -> 1L), Seq("k1" -> 7L, "k2" -> 2L))),
+      ks)
+    assert(okDup._2 === 2L)
+  }
+
+  test("composite by_pk GraphQL surface: introspection advertises one " +
+    "NonNull argument per key component and the pk_columns input " +
+    "carries both fields") {
+    val ms = GraphQl.metaSchema(spark, sf("sf0.001"),
+      GraphQl.compositeSchema, Seq("lineitem"), Map.empty)
+    val q = ms.types.find(_.tname == "query_root").get
+    val byPk = q.mfields.find(_.fname == "lineitem_by_pk").get
+    assert(byPk.fargs.map(_.fname) === Seq("l_orderkey", "l_linenumber"))
+    val pkIn = ms.types.find(_.tname == "lineitem_pk_columns_input").get
+    assert(pkIn.mfields.map(_.fname) ===
+      Seq("l_orderkey", "l_linenumber"))
+    val mr = ms.types.find(_.tname == "mutation_root").get
+    val delByPk = mr.mfields.find(_.fname == "delete_lineitem_by_pk").get
+    assert(delByPk.fargs.map(_.fname) ===
+      Seq("l_orderkey", "l_linenumber"))
+    // the by_pk READ parse requires EVERY component
+    val missing = GraphQl.parse(
+      "query { lineitem_by_pk(l_orderkey: 1) { l_orderkey } }",
+      schema = GraphQl.compositeSchema)
+    assert(missing.isLeft &&
+      missing.left.exists(_.contains("l_linenumber is required")))
   }
 
   test("memoized fixture stores are DIR-SCOPED on disk: serving a " +

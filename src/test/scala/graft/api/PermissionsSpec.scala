@@ -453,7 +453,7 @@ class PermissionsSpec extends SparkSpec {
     "apply; the row filter shrinks write scopes (by_pk too), denials " +
     "leave every store untouched") {
     import spark.implicits._
-    val tSchema = GraphQl.Schema(Map.empty, keys = Map("t" -> "k"))
+    val tSchema = GraphQl.Schema(Map.empty, keys = Map("t" -> Seq("k")))
     def freshStore(): String = {
       val p = java.nio.file.Files
         .createTempDirectory("graft_smas_store").toString
@@ -463,7 +463,7 @@ class PermissionsSpec extends SparkSpec {
       p
     }
     val p1 = freshStore()
-    val reg1 = Map("t" -> ((p1, "k")))
+    val reg1 = Map("t" -> ((p1, Seq("k"))))
     // the plain update writes only the role-visible rows: the request
     // matches k∈{1,2,3,4} by bal>0 but seg=B rows are invisible
     val doc =
@@ -496,7 +496,7 @@ class PermissionsSpec extends SparkSpec {
         |    affected_rows }
         |  leak: update_t(where: {k: {_eq: 1}}, _set: {secret: "x"}) {
         |    affected_rows }
-        |}""".stripMargin, Map("t" -> ((p2, "k"))), tSchema)
+        |}""".stripMargin, Map("t" -> ((p2, Seq("k")))), tSchema)
     assert(denied.isLeft && denied.left.exists(_.contains("secret")))
     assert(graft.sources.SnapshotStore.read(spark, p2)
       .agg(org.apache.spark.sql.functions.sum("bal")).head.getDouble(0)
@@ -506,7 +506,7 @@ class PermissionsSpec extends SparkSpec {
       policy,
       """mutation { insert_t(objects: [{k: 9, seg: "B"}]) {
         |  affected_rows } }""".stripMargin,
-      Map("t" -> ((p2, "k"))), tSchema)
+      Map("t" -> ((p2, Seq("k")))), tSchema)
     assert(badInsert.isLeft &&
       badInsert.left.exists(_.contains("check clause")))
   }
@@ -763,7 +763,7 @@ class PermissionsSpec extends SparkSpec {
         |    _set: {c_mktsegment: "BUILDING"}) {
         |  returning { c_custkey orders { o_orderkey } } } }"""
         .stripMargin,
-      Map("customer" -> (path, "c_custkey"))) match {
+      Map("customer" -> ((path, Seq("c_custkey"))))) match {
       case Left(m) => assert(m.contains("renderReturning"))
       case Right(r) => fail(s"full-row frames served to a role: $r")
     }

@@ -201,7 +201,7 @@ class SubscriptionsSpec extends SparkSpec {
       .MemoryStream[(Long, String, Double, Long)]
     val req = GraphQl.parse(
       "subscription { t_by_pk(k: 2) { k seg bal } }",
-      schema = GraphQl.Schema(Map.empty, keys = Map("t" -> "k")))
+      schema = GraphQl.Schema(Map.empty, keys = Map("t" -> Seq("k"))))
       .fold(m => fail(m), identity)
     assert(req.where === Some(Eq("k", 2L)))
     var pushed = Vector.empty[Seq[Seq[Any]]]

@@ -298,7 +298,10 @@ class PlanQualitySpec extends SparkSpec {
   test("q92 counter matrix: the three increment candidates ride ONE " +
     "verdict pass (array-explode), not three scans of it") {
     import graft.queries.{CdcQueries => C}
-    val df = C.q92MsgCounters(spark, dir)
+    // the UNCACHED build: the served q92 pins its matrix per session
+    // (FixtureCache), so the serving plan is a checkpoint scan — the
+    // shape under audit is the build that pin prices once
+    val df = C.q92CountersUncached(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
