@@ -285,6 +285,8 @@ object SparkEntry {
       (graft.api.GraphQl.q224DeprecationSurface(_, _)),
     "q225_incremental_build" ->
       (graft.queries.TextQueries.q225IncrementalBuild(_, _)),
+    "q226_verdict_store" ->
+      (graft.queries.TextQueries.q226VerdictStore(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -22,6 +22,11 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The documents frame for cross-package composition (the frozen
+    * freeze paths take frames, not dirs). */
+  private[graft] def docsFrame(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+
   /** Rounds the last q62 label propagation took (diagnostics/specs). */
   @volatile private[graft] var q62LastRounds: Int = 0
 
@@ -476,10 +481,17 @@ object TextQueries {
         sequence(lit(1), length(w)),
         i => concat(w.substr(lit(1), i - 1),
           w.substr(i + 1, length(w)))))
-    val vocab = docs(s, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0).distinct()
-      .select(col("word"), explode(delKeys(col("word"))).as("k"))
+    // the deletion-key DICTIONARY is index state (a typo-corrector
+    // builds it once per corpus snapshot and serves many requests) —
+    // pinned per (session, dir) like the other serving indexes; each
+    // call pays the request-side join + confirm
+    val vocab = graft.FixtureCache.once(s, s"fuzzy_vocab|$dir") {
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+        .select(col("word"), explode(delKeys(col("word"))).as("k"))
+        .localCheckpoint(true)
+    }
     import s.implicits._
     val q = terms.toDF("term")
       .select(col("term"), explode(delKeys(col("term"))).as("k"))
@@ -2157,9 +2169,15 @@ object TextQueries {
     * serving model can never silently diverge from the batch model
     * it ships. */
   private[graft] def corpusBigrams(s: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = bigramsOf(docs(s, dir))
+
+  /** [[corpusBigrams]] over ANY documents-shaped frame — the r19
+    * incremental-verdict path trains its frozen model on a SUBSET
+    * corpus, so the bigram construction takes the frame, not the
+    * dir. */
+  private[graft] def bigramsOf(d: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{normalize, tokens}
-    val base = docs(s, dir)
+    val base = d
       .select(col("doc_id"), tokens(normalize(col("text"))).as("w"))
       .filter(size(col("w")) >= 2)
     base.select(col("doc_id"),
@@ -2187,8 +2205,11 @@ object TextQueries {
     }
 
   private[graft] def lmHeldoutScoresUncached(s: SparkSession,
-      dir: String): DataFrame = {
-    val bigrams = corpusBigrams(s, dir)
+      dir: String): DataFrame = lmHeldoutScoresOf(docs(s, dir))
+
+  /** [[lmHeldoutScoresUncached]] over ANY documents-shaped frame. */
+  private[graft] def lmHeldoutScoresOf(d: DataFrame): DataFrame = {
+    val bigrams = bigramsOf(d)
     val train = bigrams.filter(lmTrainSplit)
     val test = bigrams.filter(!lmTrainSplit)
     val cbg = train.groupBy("w1", "w2")
@@ -2246,22 +2267,33 @@ object TextQueries {
     // expensive input — the FixtureCache steady-state-serving
     // contract, documented in SURVEY §6
     graft.FixtureCache.once(s, s"q217flags|$dir") {
-      val clf = graft.queries.SimilarityQueries
-        .q94ClassifierScore(s, dir)
-        .select(col("vec_id").as("doc_id"), col("keep").as("clf_keep"))
-      val lm = lmHeldoutScores(s, dir)
-        .select(col("doc_id"), col("score"))
-      ratioFenceFlags(docs(s, dir))
-        .join(clf, Seq("doc_id"), "left")
-        .join(lm, Seq("doc_id"), "left")
-        .withColumn("clf_ok", coalesce(col("clf_keep"), lit(1)))
-        .withColumn("lm_ok",
-          when(col("doc_id") % 5 =!= 0, lit(1))
-            .otherwise(when(col("score").isNull, lit(1))
-              .otherwise((col("score") >= lit(EnsembleLmTau))
-                .cast("int"))))
-        .localCheckpoint(true)
+      composeFlags(s, dir, docs(s, dir),
+        lmHeldoutScores(s, dir)).localCheckpoint(true)
     }
+
+  /** [[ensembleFlags]] over ANY documents-shaped SUBSET corpus —
+    * fences and the held-out LM train on the frame itself (the r19
+    * incremental-verdict INIT epoch); uncached. */
+  private[graft] def ensembleFlagsOf(s: SparkSession, dir: String,
+      d: DataFrame): DataFrame =
+    composeFlags(s, dir, d, lmHeldoutScoresOf(d))
+
+  private def composeFlags(s: SparkSession, dir: String, d: DataFrame,
+      lmScores: DataFrame): DataFrame = {
+    val clf = graft.queries.SimilarityQueries
+      .q94ClassifierScore(s, dir)
+      .select(col("vec_id").as("doc_id"), col("keep").as("clf_keep"))
+    val lm = lmScores.select(col("doc_id"), col("score"))
+    ratioFenceFlags(d)
+      .join(clf, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("clf_ok", coalesce(col("clf_keep"), lit(1)))
+      .withColumn("lm_ok",
+        when(col("doc_id") % 5 =!= 0, lit(1))
+          .otherwise(when(col("score").isNull, lit(1))
+            .otherwise((col("score") >= lit(EnsembleLmTau))
+              .cast("int"))))
+  }
 
   /** Stages 1+2 of the ensemble over any documents-shaped frame
     * (doc_id, lang, n_chars, text) — factored so the spec can prove
@@ -2305,7 +2337,13 @@ object TextQueries {
     * DuckDB replays all four filters (quantile fences, pinned
     * logistic, held-out bigram LM) and the cascade attribution. */
   def q217EnsembleVerdict(s: SparkSession, dir: String): DataFrame =
-    ensembleFlags(s, dir)
+    verdictRows(ensembleFlags(s, dir)).orderBy("doc_id")
+
+  /** The q217 verdict projection over any flags frame — ONE cascade
+    * definition shared by the batch verdict, the incremental store's
+    * init epoch, and (mirrored in) the streaming scorer. */
+  private[graft] def verdictRows(flags: DataFrame): DataFrame =
+    flags
       .withColumn("verdict",
         when(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
           col("clf_ok") === 1 && col("lm_ok") === 1, lit("keep"))
@@ -2317,7 +2355,6 @@ object TextQueries {
           .when(col("lm_ok") === 0, lit("lm")))
       .select(col("doc_id"), col("ratios_ok"), col("fences_ok"),
         col("clf_ok"), col("lm_ok"), col("verdict"), col("first_fail"))
-      .orderBy("doc_id")
 
   /** Q220 — CORPUS BUILD (the end-to-end shape a training-data
     * pipeline ships, r18): the q217 ensemble's keepers lay out into
@@ -2399,6 +2436,53 @@ object TextQueries {
     M.read(s, path)
       .withColumn("version", lit(2L))
       .orderBy("shard", "pack_id")
+  }
+
+  /** Q226 — INCREMENTAL VERDICT STORE (r19): the corpus-serving loop
+    * closed end to end. Epoch 1 (INIT): the batch ensemble runs over
+    * the init corpus (everything but the late batch, doc_id % 11 ==
+    * 7) and seeds [[graft.streaming.VerdictStore]]; its frozen
+    * artifacts (capped LM + fences) PERSIST through
+    * [[graft.streaming.FrozenArtifacts]]. Epoch 2 (SERVE): the late
+    * batch is scored by a RELOADED copy of those artifacts — the
+    * restart-safe path — with [[graft.streaming.CorpusStreams
+    * .verdictStream]]'s row-local scorer (frozen-model rule: arriving
+    * docs are unseen, so ALL of them score, not just a held-out
+    * split), and upserts into the store. The oracle replays BOTH
+    * epochs: batch flags for init docs, frozen-model scoring (fences
+    * and LM trained on the init corpus only) for late ones — an
+    * engine that re-trained on the grown corpus, leaked late docs
+    * into the frozen model, or dropped the held-out-vs-everyone rule
+    * distinction hash-fails. */
+  def q226VerdictStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{CorpusStreams, FrozenArtifacts, VerdictStore}
+    val path = graft.FixtureCache.once(s, s"q226|$dir") {
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val p = s"/root/repo/target/tmp/q226_verdicts_$app"
+      val aP = s"/root/repo/target/tmp/q226_artifacts_$app"
+      val all = docs(s, dir)
+        .select("doc_id", "lang", "n_chars", "text")
+        .localCheckpoint(true)
+      val late = col("doc_id") % 11 === 7
+      val init = all.filter(!late)
+      // epoch 1: batch ensemble over the init corpus → store + frozen
+      VerdictStore.init(s, p, verdictRows(ensembleFlagsOf(s, dir, init)))
+      FrozenArtifacts.write(s, aP, CorpusStreams.freezeLmOf(init),
+        CorpusStreams.freezeFencesOf(init), version = 1L)
+      // epoch 2: reload (the restart path) and score the late batch
+      val (lm, fences, _) = FrozenArtifacts.read(s, aP)
+      val clfKeep = graft.queries.SimilarityQueries
+        .q94ClassifierScore(s, dir)
+        .select(col("vec_id").as("doc_id"), col("keep"))
+        .localCheckpoint(true)
+      val n = VerdictStore.ingest(s, p,
+        CorpusStreams.verdictStream(all.filter(late), fences, lm,
+          clfKeep).drop("score"))
+      require(n > 0, "q226: the late batch must be non-empty")
+      p
+    }
+    VerdictStore.read(s, path).orderBy("doc_id")
   }
 
   /** Q218 — the ensemble FUNNEL (q69's audit shape over the full

@@ -122,9 +122,16 @@ object CorpusStreams {
     * the batch model; when it binds, dropped bigrams score at the
     * add-one floor — the documented backoff. */
   def freezeLm(s: org.apache.spark.sql.SparkSession,
-      dir: String, maxBigrams: Int = DefaultLmMaxBigrams): FrozenLm = {
+      dir: String, maxBigrams: Int = DefaultLmMaxBigrams): FrozenLm =
+    freezeLmOf(graft.queries.TextQueries.docsFrame(s, dir), maxBigrams)
+
+  /** [[freezeLm]] over ANY documents-shaped frame — the incremental
+    * verdict store freezes its model from the INIT epoch's corpus
+    * subset, not the whole dir. */
+  def freezeLmOf(d: DataFrame,
+      maxBigrams: Int = DefaultLmMaxBigrams): FrozenLm = {
     require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
-    val train = graft.queries.TextQueries.corpusBigrams(s, dir)
+    val train = graft.queries.TextQueries.bigramsOf(d)
       .filter(graft.queries.TextQueries.lmTrainSplit)
     val counts = train.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val keptDf = counts
@@ -145,8 +152,11 @@ object CorpusStreams {
     * quartile rule) — language-cardinality small. */
   def freezeFences(s: org.apache.spark.sql.SparkSession,
       dir: String): Map[String, (Double, Double)] =
-    graft.Tables.load(s, dir, "documents")
-      .select(col("lang"),
+    freezeFencesOf(graft.Tables.load(s, dir, "documents"))
+
+  /** [[freezeFences]] over ANY documents-shaped frame. */
+  def freezeFencesOf(d: DataFrame): Map[String, (Double, Double)] =
+    d.select(col("lang"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("double").as("nt"))
       .groupBy("lang")
