@@ -916,7 +916,26 @@ object OracleSql {
     * rounded ratios, q162's quantile fences, q94's pinned logistic,
     * q207's held-out bigram LM — composed to per-doc flags; `tail`
     * continues the WITH chain (or is the final SELECT). */
-  private def ensembleSql(tail: String): String = {
+  /** The shared ensemble replay, parameterized (r19) so the
+    * incremental-verdict oracle and the batch q217-family oracles
+    * stay ONE definition of every scoring rule. Defaults reproduce
+    * the batch ensemble exactly; q226 overrides the training
+    * populations (fences + LM train on the init corpus only), the
+    * scored set (init held-out ∪ every late arrival), and the two
+    * epoch-split flag rules. */
+  private def ensembleSql(tail: String,
+      fenWhere: String = "TRUE",
+      trainWhere: String = "doc_id % 5 <> 0",
+      scoreWhere: String = "doc_id % 5 = 0",
+      fencesJoin: String = "JOIN",
+      fencesCase: String =
+        "CASE WHEN r.nt >= f.lo AND r.nt <= f.hi THEN 1 ELSE 0 END",
+      lmOkCase: String =
+        """CASE WHEN r.doc_id % 5 <> 0 THEN 1
+          |         WHEN lm.score IS NULL THEN 1
+          |         WHEN lm.score >= 0.0322 THEN 1 ELSE 0 END"""
+          .stripMargin,
+      flagsFilter: String = "TRUE"): String = {
     val (w, b) = graft.queries.SimilarityQueries.pinnedLogisticWeights()
     val vals = w.zipWithIndex
       .map { case (v, i) => s"(${i + 1},$v)" }.mkString(",")
@@ -935,7 +954,7 @@ object OracleSql {
        |fen AS (
        |  SELECT lang, quantile_cont(nt, 0.25) AS q1,
        |         quantile_cont(nt, 0.75) AS q3
-       |  FROM base GROUP BY 1),
+       |  FROM base WHERE $fenWhere GROUP BY 1),
        |fen2 AS (SELECT lang, q1 - 1.5 * (q3 - q1) AS lo,
        |                q3 + 1.5 * (q3 - q1) AS hi FROM fen),
        |ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
@@ -962,8 +981,8 @@ object OracleSql {
        |          unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS z
        |        FROM t WHERE len(w) >= 2),
        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
-       |train AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
-       |test AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+       |train AS (SELECT * FROM bg WHERE $trainWhere),
+       |test AS (SELECT * FROM bg WHERE $scoreWhere),
        |cbg AS (SELECT w1, w2, count(*) AS c FROM train GROUP BY 1, 2),
        |cpfx AS (SELECT w1, count(*) AS c FROM train GROUP BY 1),
        |v AS (SELECT count(DISTINCT x) AS v FROM
@@ -981,15 +1000,13 @@ object OracleSql {
        |       FROM terms GROUP BY doc_id),
        |flags AS (
        |  SELECT r.doc_id, r.ratios_ok,
-       |    CASE WHEN r.nt >= f.lo AND r.nt <= f.hi
-       |         THEN 1 ELSE 0 END AS fences_ok,
+       |    $fencesCase AS fences_ok,
        |    COALESCE(clf.clf_keep, 1) AS clf_ok,
-       |    CASE WHEN r.doc_id % 5 <> 0 THEN 1
-       |         WHEN lm.score IS NULL THEN 1
-       |         WHEN lm.score >= 0.0322 THEN 1 ELSE 0 END AS lm_ok
-       |  FROM ratios r JOIN fen2 f USING (lang)
+       |    $lmOkCase AS lm_ok
+       |  FROM ratios r $fencesJoin fen2 f USING (lang)
        |  LEFT JOIN clf ON clf.doc_id = r.doc_id
-       |  LEFT JOIN lm ON lm.doc_id = r.doc_id)
+       |  LEFT JOIN lm ON lm.doc_id = r.doc_id
+       |  WHERE $flagsFilter)
        |$tail""".stripMargin
   }
 
@@ -1818,100 +1835,42 @@ object OracleSql {
          |       2::BIGINT AS version
          |FROM c GROUP BY shard, pack_id
          |ORDER BY shard, pack_id""".stripMargin),
-    // q226: incremental verdict store — BOTH epochs replayed: fences
-    // and the LM train on the INIT corpus only (doc_id % 11 <> 7);
-    // init docs carry batch-rule flags (held-out-only LM), late docs
-    // frozen-rule flags (every doc scored by the init-trained model)
-    "q226_verdict_store" -> {
-      val (w, b) =
-        graft.queries.SimilarityQueries.pinnedLogisticWeights()
-      val vals = w.zipWithIndex
-        .map { case (v, i) => s"(${i + 1},$v)" }.mkString(",")
-      s"""WITH base AS (
-         |  SELECT doc_id, lang, n_chars,
-         |    len(string_split(text, ' '))::DOUBLE AS nt,
-         |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS uq
-         |  FROM documents),
-         |ratios AS (
-         |  SELECT doc_id, lang, nt,
-         |    CASE WHEN ROUND(n_chars::DOUBLE / nt, 4) >= 2.0
-         |          AND ROUND(n_chars::DOUBLE / nt, 4) <= 6.0
-         |          AND ROUND(uq / nt, 4) >= 0.4
-         |         THEN 1 ELSE 0 END AS ratios_ok
-         |  FROM base),
-         |fen AS (
-         |  SELECT lang, quantile_cont(nt, 0.25) AS q1,
-         |         quantile_cont(nt, 0.75) AS q3
-         |  FROM base WHERE doc_id % 11 <> 7 GROUP BY 1),
-         |fen2 AS (SELECT lang, q1 - 1.5 * (q3 - q1) AS lo,
-         |                q3 + 1.5 * (q3 - q1) AS hi FROM fen),
-         |ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-         |              generate_subscripts(embedding,1) AS i
-         |       FROM embeddings),
-         |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm
-         |       FROM ex GROUP BY 1),
-         |wts AS (SELECT i, v::DOUBLE AS v FROM (VALUES $vals) t(i, v)),
-         |z AS (SELECT e.vec_id,
-         |        SUM((e.x / NULLIF(nr.nrm, 0)) * wts.v) + $b AS z
-         |      FROM ex e JOIN nr ON nr.vec_id = e.vec_id
-         |                JOIN wts ON wts.i = e.i
-         |      GROUP BY e.vec_id),
-         |clf AS (SELECT vec_id AS doc_id,
-         |          CASE WHEN ROUND(1.0 / (1.0 + EXP(-z)), 4) >= 0.5
-         |               THEN 1 ELSE 0 END AS clf_keep
-         |        FROM z),
-         |t AS (
-         |  SELECT doc_id,
-         |    string_split(trim(regexp_replace(regexp_replace(
-         |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
-         |      ' ') AS w
-         |  FROM documents),
-         |bgz AS (SELECT doc_id,
-         |          unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS z
-         |        FROM t WHERE len(w) >= 2),
-         |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
-         |train AS (SELECT * FROM bg
-         |          WHERE doc_id % 5 <> 0 AND doc_id % 11 <> 7),
-         |scoreme AS (SELECT * FROM bg
-         |            WHERE (doc_id % 5 = 0 AND doc_id % 11 <> 7)
-         |               OR doc_id % 11 = 7),
-         |cbg AS (SELECT w1, w2, count(*) AS c FROM train GROUP BY 1, 2),
-         |cpfx AS (SELECT w1, count(*) AS c FROM train GROUP BY 1),
-         |v AS (SELECT count(DISTINCT x) AS v FROM
-         |  (SELECT w1 AS x FROM train UNION SELECT w2 FROM train)),
-         |terms AS (
-         |  SELECT scoreme.doc_id,
-         |    (1000000000::BIGINT * (COALESCE(cbg.c, 0) + 1))
-         |      // (COALESCE(cpfx.c, 0) + v.v) AS term
-         |  FROM scoreme
-         |  LEFT JOIN cbg ON cbg.w1 = scoreme.w1 AND cbg.w2 = scoreme.w2
-         |  LEFT JOIN cpfx ON cpfx.w1 = scoreme.w1
-         |  CROSS JOIN v),
-         |lm AS (SELECT doc_id,
-         |         round((sum(term)::DOUBLE / count(*)) / 1e9, 9)
-         |           AS score
-         |       FROM terms GROUP BY doc_id),
-         |flags AS (
-         |  SELECT r.doc_id, r.ratios_ok,
-         |    CASE WHEN f.lang IS NULL THEN 1
-         |         WHEN r.nt >= f.lo AND r.nt <= f.hi
-         |         THEN 1 ELSE 0 END AS fences_ok,
-         |    COALESCE(clf.clf_keep, 1) AS clf_ok,
-         |    CASE WHEN r.doc_id % 11 <> 7 AND r.doc_id % 5 <> 0 THEN 1
-         |         WHEN lm.score IS NULL THEN 1
-         |         WHEN lm.score >= 0.0322 THEN 1 ELSE 0 END AS lm_ok
-         |  FROM ratios r LEFT JOIN fen2 f USING (lang)
-         |  LEFT JOIN clf ON clf.doc_id = r.doc_id
-         |  LEFT JOIN lm ON lm.doc_id = r.doc_id)
-         |SELECT doc_id, ratios_ok, fences_ok, clf_ok, lm_ok,
-         |  CASE WHEN ratios_ok = 1 AND fences_ok = 1 AND clf_ok = 1
-         |        AND lm_ok = 1 THEN 'keep' ELSE 'drop' END AS verdict,
-         |  CASE WHEN ratios_ok = 0 THEN 'ratios'
-         |       WHEN fences_ok = 0 THEN 'fences'
-         |       WHEN clf_ok = 0 THEN 'classifier'
-         |       WHEN lm_ok = 0 THEN 'lm' END AS first_fail
-         |FROM flags ORDER BY doc_id""".stripMargin
-    },
+    // q226: incremental verdict store — the SHARED ensemble replay
+    // parameterized for the two-epoch split: fences and the LM train
+    // on the INIT corpus only (doc_id % 11 <> 7); init docs carry
+    // batch-rule flags (held-out-only LM, inner-join fences — a
+    // null-lang init doc is absent from the store, the batch
+    // contract), late docs frozen-rule flags (every arrival scored,
+    // unknown-fence langs pass); epoch = the stored provenance
+    "q226_verdict_store" -> ensembleSql(
+      """SELECT doc_id, ratios_ok, fences_ok, clf_ok, lm_ok,
+        |  CASE WHEN ratios_ok = 1 AND fences_ok = 1 AND clf_ok = 1
+        |        AND lm_ok = 1 THEN 'keep' ELSE 'drop' END AS verdict,
+        |  CASE WHEN ratios_ok = 0 THEN 'ratios'
+        |       WHEN fences_ok = 0 THEN 'fences'
+        |       WHEN clf_ok = 0 THEN 'classifier'
+        |       WHEN lm_ok = 0 THEN 'lm' END AS first_fail,
+        |  CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END::BIGINT
+        |    AS epoch
+        |FROM flags ORDER BY doc_id""".stripMargin,
+      fenWhere = "doc_id % 11 <> 7",
+      trainWhere = "doc_id % 5 <> 0 AND doc_id % 11 <> 7",
+      scoreWhere =
+        "(doc_id % 5 = 0 AND doc_id % 11 <> 7) OR doc_id % 11 = 7",
+      fencesJoin = "LEFT JOIN",
+      fencesCase =
+        """CASE WHEN f.lang IS NULL THEN 1
+          |         WHEN r.nt >= f.lo AND r.nt <= f.hi
+          |         THEN 1 ELSE 0 END""".stripMargin,
+      lmOkCase =
+        """CASE WHEN r.doc_id % 11 <> 7 AND r.doc_id % 5 <> 0 THEN 1
+          |         WHEN lm.score IS NULL THEN 1
+          |         WHEN lm.score >= 0.0322 THEN 1 ELSE 0 END"""
+          .stripMargin,
+      // the engine's INIT epoch inner-joins fences: a null/unfenced
+      // lang drops the init doc from the store; late docs keep the
+      // serving rule (unknown fence passes)
+      flagsFilter = "NOT (r.doc_id % 11 <> 7 AND f.lang IS NULL)"),
     // q221: role-scoped mixed multi-root — both grants inlined: the
     // stream pages only the role's visible events, the read only its
     // visible customers

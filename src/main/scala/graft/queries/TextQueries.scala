@@ -2208,8 +2208,14 @@ object TextQueries {
       dir: String): DataFrame = lmHeldoutScoresOf(docs(s, dir))
 
   /** [[lmHeldoutScoresUncached]] over ANY documents-shaped frame. */
-  private[graft] def lmHeldoutScoresOf(d: DataFrame): DataFrame = {
-    val bigrams = bigramsOf(d)
+  private[graft] def lmHeldoutScoresOf(d: DataFrame): DataFrame =
+    lmScoresFromBigrams(bigramsOf(d))
+
+  /** The held-out scoring over a PRE-BUILT bigram frame — q226
+    * computes its init corpus's bigrams once and feeds both this and
+    * the frozen-model freeze from the same checkpoint. */
+  private[graft] def lmScoresFromBigrams(bigrams: DataFrame)
+      : DataFrame = {
     val train = bigrams.filter(lmTrainSplit)
     val test = bigrams.filter(!lmTrainSplit)
     val cbg = train.groupBy("w1", "w2")
@@ -2466,11 +2472,23 @@ object TextQueries {
         .localCheckpoint(true)
       val late = col("doc_id") % 11 === 7
       val init = all.filter(!late)
-      // epoch 1: batch ensemble over the init corpus → store + frozen
-      VerdictStore.init(s, p, verdictRows(ensembleFlagsOf(s, dir, init)))
-      FrozenArtifacts.write(s, aP, CorpusStreams.freezeLmOf(init),
+      // epoch 0: batch ensemble over the init corpus → store + frozen
+      // artifacts. ONE bigram pass feeds both the held-out scoring
+      // and the freeze (the shared-lineage rule)
+      val bg = bigramsOf(init).localCheckpoint(true)
+      VerdictStore.init(s, p, verdictRows(
+        composeFlags(s, dir, init, lmScoresFromBigrams(bg))))
+      val frozen = CorpusStreams.freezeLmFromTrain(
+        bg.filter(lmTrainSplit))
+      // the oracle replays an UNCAPPED model: loud if the cap ever
+      // binds at a tested scale (then the cap must be modeled in the
+      // SQL, not silently diverged from)
+      require(frozen.cbg.size < CorpusStreams.DefaultLmMaxBigrams,
+        s"q226: the frozen-LM cap binds (${frozen.cbg.size} bigrams)" +
+          " — model the cap in the oracle before growing the fixture")
+      FrozenArtifacts.write(s, aP, frozen,
         CorpusStreams.freezeFencesOf(init), version = 1L)
-      // epoch 2: reload (the restart path) and score the late batch
+      // epoch 1: reload (the restart path) and score the late batch
       val (lm, fences, _) = FrozenArtifacts.read(s, aP)
       val clfKeep = graft.queries.SimilarityQueries
         .q94ClassifierScore(s, dir)
@@ -2478,7 +2496,7 @@ object TextQueries {
         .localCheckpoint(true)
       val n = VerdictStore.ingest(s, p,
         CorpusStreams.verdictStream(all.filter(late), fences, lm,
-          clfKeep).drop("score"))
+          clfKeep).drop("score"), epoch = 1L)
       require(n > 0, "q226: the late batch must be non-empty")
       p
     }

@@ -129,10 +129,16 @@ object CorpusStreams {
     * verdict store freezes its model from the INIT epoch's corpus
     * subset, not the whole dir. */
   def freezeLmOf(d: DataFrame,
+      maxBigrams: Int = DefaultLmMaxBigrams): FrozenLm =
+    freezeLmFromTrain(graft.queries.TextQueries.bigramsOf(d)
+      .filter(graft.queries.TextQueries.lmTrainSplit), maxBigrams)
+
+  /** The freeze over a PRE-BUILT train-split bigram frame (q226
+    * shares one bigram checkpoint between the held-out scoring and
+    * this freeze). */
+  def freezeLmFromTrain(train: DataFrame,
       maxBigrams: Int = DefaultLmMaxBigrams): FrozenLm = {
     require(maxBigrams > 0, s"maxBigrams must be positive: $maxBigrams")
-    val train = graft.queries.TextQueries.bigramsOf(d)
-      .filter(graft.queries.TextQueries.lmTrainSplit)
     val counts = train.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val keptDf = counts
       .orderBy(col("c").desc, col("w1"), col("w2")).limit(maxBigrams)
