@@ -923,6 +923,31 @@ object OracleSql {
     * populations (fences + LM train on the init corpus only), the
     * scored set (init held-out ∪ every late arrival), and the two
     * epoch-split flag rules. */
+  /** [[ensembleSql]] under the q226 TWO-EPOCH split: fences and the
+    * LM train on the INIT corpus (doc_id % 11 <> 7); init docs carry
+    * batch-rule flags, late arrivals frozen-rule flags. Shared by the
+    * verdict-store replay (q226) and the store-driven build (q228). */
+  private def twoEpochEnsembleSql(tail: String): String = ensembleSql(
+    tail,
+    fenWhere = "doc_id % 11 <> 7",
+    trainWhere = "doc_id % 5 <> 0 AND doc_id % 11 <> 7",
+    scoreWhere =
+      "(doc_id % 5 = 0 AND doc_id % 11 <> 7) OR doc_id % 11 = 7",
+    fencesJoin = "LEFT JOIN",
+    fencesCase =
+      """CASE WHEN f.lang IS NULL THEN 1
+        |         WHEN r.nt >= f.lo AND r.nt <= f.hi
+        |         THEN 1 ELSE 0 END""".stripMargin,
+    lmOkCase =
+      """CASE WHEN r.doc_id % 11 <> 7 AND r.doc_id % 5 <> 0 THEN 1
+        |         WHEN lm.score IS NULL THEN 1
+        |         WHEN lm.score >= 0.0322 THEN 1 ELSE 0 END"""
+        .stripMargin,
+    // the engine's INIT epoch inner-joins fences: a null/unfenced
+    // lang drops the init doc from the store; late docs keep the
+    // serving rule (unknown fence passes)
+    flagsFilter = "NOT (r.doc_id % 11 <> 7 AND f.lang IS NULL)")
+
   private def ensembleSql(tail: String,
       fenWhere: String = "TRUE",
       trainWhere: String = "doc_id % 5 <> 0",
@@ -1842,7 +1867,7 @@ object OracleSql {
     // null-lang init doc is absent from the store, the batch
     // contract), late docs frozen-rule flags (every arrival scored,
     // unknown-fence langs pass); epoch = the stored provenance
-    "q226_verdict_store" -> ensembleSql(
+    "q226_verdict_store" -> twoEpochEnsembleSql(
       """SELECT doc_id, ratios_ok, fences_ok, clf_ok, lm_ok,
         |  CASE WHEN ratios_ok = 1 AND fences_ok = 1 AND clf_ok = 1
         |        AND lm_ok = 1 THEN 'keep' ELSE 'drop' END AS verdict,
@@ -1852,25 +1877,63 @@ object OracleSql {
         |       WHEN lm_ok = 0 THEN 'lm' END AS first_fail,
         |  CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END::BIGINT
         |    AS epoch
-        |FROM flags ORDER BY doc_id""".stripMargin,
-      fenWhere = "doc_id % 11 <> 7",
-      trainWhere = "doc_id % 5 <> 0 AND doc_id % 11 <> 7",
-      scoreWhere =
-        "(doc_id % 5 = 0 AND doc_id % 11 <> 7) OR doc_id % 11 = 7",
-      fencesJoin = "LEFT JOIN",
-      fencesCase =
-        """CASE WHEN f.lang IS NULL THEN 1
-          |         WHEN r.nt >= f.lo AND r.nt <= f.hi
-          |         THEN 1 ELSE 0 END""".stripMargin,
-      lmOkCase =
-        """CASE WHEN r.doc_id % 11 <> 7 AND r.doc_id % 5 <> 0 THEN 1
-          |         WHEN lm.score IS NULL THEN 1
-          |         WHEN lm.score >= 0.0322 THEN 1 ELSE 0 END"""
-          .stripMargin,
-      // the engine's INIT epoch inner-joins fences: a null/unfenced
-      // lang drops the init doc from the store; late docs keep the
-      // serving rule (unknown fence passes)
-      flagsFilter = "NOT (r.doc_id % 11 <> 7 AND f.lang IS NULL)"),
+        |FROM flags ORDER BY doc_id""".stripMargin),
+    // q227: dedup-aware mixing — the q62 recursive components feed
+    // q63's per-lang window admission; only canonicals consume budget
+    "q227_dedup_mix" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         |e AS (SELECT a AS id, b AS nb FROM p
+         |      UNION ALL SELECT b, a FROM p),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM e) n
+         |  UNION
+         |  SELECT e.nb, reach.r FROM reach JOIN e ON e.id = reach.id),
+         |comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id),
+         |cl AS (SELECT d.doc_id,
+         |         COALESCE(c.canonical, d.doc_id) AS canonical
+         |       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |d AS (
+         |  SELECT doc_id, lang,
+         |         len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#1'")} AS h
+         |  FROM documents),
+         |j AS (SELECT d.*, cl.canonical FROM d
+         |      JOIN cl USING (doc_id)),
+         |adm AS (SELECT lang, ntok,
+         |          SUM(ntok) OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |            AS cum
+         |        FROM j WHERE doc_id = canonical),
+         |a AS (SELECT lang, COUNT(*) AS n_docs,
+         |        SUM(ntok)::BIGINT AS n_tokens
+         |      FROM adm WHERE cum <= 3000 GROUP BY lang),
+         |du AS (SELECT lang, COUNT(*)::BIGINT AS n_dups_skipped
+         |       FROM j WHERE doc_id <> canonical GROUP BY lang)
+         |SELECT a.lang, a.n_docs, a.n_tokens,
+         |       COALESCE(du.n_dups_skipped, 0)::BIGINT
+         |         AS n_dups_skipped
+         |FROM a LEFT JOIN du USING (lang) ORDER BY a.lang""".stripMargin,
+    // q228: store-driven corpus build — the q226 two-epoch verdict
+    // replay's keepers through the q220/q225 pack fold
+    "q228_store_build" -> twoEpochEnsembleSql(
+      s""", keep AS (SELECT doc_id FROM flags
+         |    WHERE ratios_ok = 1 AND fences_ok = 1
+         |      AND clf_ok = 1 AND lm_ok = 1),
+         |pd AS (
+         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#5'")} AS h
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |sh AS (SELECT doc_id, ntok, h, (h % 8)::INT AS shard FROM pd),
+         |c AS (SELECT doc_id, shard, ntok, h,
+         |        SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |          - ntok AS strt
+         |      FROM sh)
+         |SELECT shard, (strt // 2048)::BIGINT AS pack_id,
+         |       COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+         |       md5(string_agg(doc_id::VARCHAR, ','
+         |                      ORDER BY h, doc_id)) AS ids_md5
+         |FROM c GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin),
     // q221: role-scoped mixed multi-root — both grants inlined: the
     // stream pages only the role's visible events, the read only its
     // visible customers

@@ -287,6 +287,10 @@ object SparkEntry {
       (graft.queries.TextQueries.q225IncrementalBuild(_, _)),
     "q226_verdict_store" ->
       (graft.queries.TextQueries.q226VerdictStore(_, _)),
+    "q227_dedup_mix" ->
+      (graft.queries.TextQueries.q227DedupMix(_, _)),
+    "q228_store_build" ->
+      (graft.queries.TextQueries.q228StoreDrivenBuild(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -46,8 +46,10 @@ object CorpusManifest {
       % shards).cast("int")
 
   /** The q220 manifest fold over (doc_id, ntok) docs — one row per
-    * (shard, pack): counts plus the placement-ordered id checksum. */
-  private def manifestRows(docs: DataFrame, budget: Long,
+    * (shard, pack): counts plus the placement-ordered id checksum.
+    * Package-visible: q228 packs the verdict store's keepers through
+    * this same definition. */
+  private[graft] def manifestRows(docs: DataFrame, budget: Long,
       shards: Int): DataFrame = {
     import graft.functions.TextFunctions.seededHash
     val d = docs

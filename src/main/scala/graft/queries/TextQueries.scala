@@ -2503,6 +2503,61 @@ object TextQueries {
     VerdictStore.read(s, path).orderBy("doc_id")
   }
 
+  /** Q227 — DEDUP-AWARE corpus mixing (r19): q63's per-language
+    * token-budget admission over cluster CANONICALS only — a
+    * near-duplicate never consumes budget (admitting three copies of
+    * one document under a 3000-token budget crowds out two real
+    * documents), the step multilingual data-mixing pipelines run
+    * between dedup and sampling. Clusters come from the q62 simhash
+    * components (pinned per session — cluster membership is dedup
+    * store state, the IncrementalDedup posture); each lang also
+    * reports how many duplicates the gate skipped. Oracle: the q62
+    * recursive-CTE components feeding q63's window admission. */
+  def q227DedupMix(s: SparkSession, dir: String,
+      budget: Long = 3000): DataFrame = {
+    import graft.functions.TextFunctions.seededHash
+    val clusters = graft.FixtureCache.once(s, s"dedup_canon|$dir") {
+      q62DupClusters(s, dir).select(col("doc_id"), col("canonical"))
+        .localCheckpoint(true)
+    }
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("ntok"),
+        seededHash(col("doc_id").cast("string"), 1).as("h"))
+      .join(clusters, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val admitted = d.filter(col("doc_id") === col("canonical"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val dups = d.filter(col("doc_id") =!= col("canonical"))
+      .groupBy("lang").agg(count(lit(1)).as("n_dups_skipped"))
+    admitted.join(dups, Seq("lang"), "left")
+      .withColumn("n_dups_skipped",
+        coalesce(col("n_dups_skipped"), lit(0L)))
+      .orderBy("lang")
+  }
+
+  /** Q228 — STORE-DRIVEN corpus build (r19, the serving loop's last
+    * arrow): the q220 pack manifest built from the INCREMENTAL
+    * VERDICT STORE's keepers (q226) instead of a from-scratch
+    * ensemble run — what a production pipeline actually ships once
+    * verdicts are maintained state. The oracle replays the two-epoch
+    * verdict rules (init batch / frozen late) AND the packing, so a
+    * store serving stale or mis-epoched verdicts mis-packs and
+    * hash-fails. */
+  def q228StoreDrivenBuild(s: SparkSession, dir: String,
+      budget: Long = 2048, shards: Int = 8): DataFrame = {
+    val keep = q226VerdictStore(s, dir)
+      .filter(col("verdict") === "keep").select("doc_id")
+    val d = docs(s, dir).join(keep, "doc_id")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+    graft.operators.CorpusManifest.manifestRows(d, budget, shards)
+      .orderBy("shard", "pack_id")
+  }
+
   /** Q218 — the ensemble FUNNEL (q69's audit shape over the full
     * ensemble): survivors after each filter applied cumulatively in
     * cascade order — the per-stage report that makes a corpus-nuking
