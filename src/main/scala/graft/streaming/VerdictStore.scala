@@ -45,21 +45,40 @@ object VerdictStore {
     rows.select(Columns.map(col): _*)
   }
 
+  /** Epoch-sequenced latest-wins that KEEPS winning tombstones in the
+    * stored dataset (unlike the snapshot merge, which drops them):
+    * a forget at epoch N must out-sequence a replayed scoring batch
+    * at epoch < N forever, which only a persisted tombstone can do.
+    * At equal epoch the tombstone wins (a same-epoch forget beats a
+    * same-epoch rescore — deterministic, and the conservative answer
+    * for a deletion request). */
+  private def latestWins(cur: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("epoch").desc, col("deleted").desc)
+    cur.unionByName(delta)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Create the store from the init epoch's batch verdict rows
     * (stored as epoch 0). */
   def init(spark: SparkSession, path: String, rows: DataFrame): Unit =
     graft.sources.SnapshotStore.write(
-      checked(rows, "init").withColumn("epoch", lit(0L)), path)
+      checked(rows, "init").withColumn("epoch", lit(0L))
+        .withColumn("deleted", lit(false)), path)
 
   /** Upsert one scored batch under `epoch` (> 0): per doc_id the
     * HIGHEST stored epoch wins, so replaying an older batch is a
-    * no-op for docs a newer epoch already rescored. Rewrites the
-    * store atomically; returns the batch's row count. */
+    * no-op for docs a newer epoch already rescored or forgot.
+    * Rewrites the store atomically; returns the batch's row count. */
   def ingest(spark: SparkSession, path: String,
       scored: DataFrame, epoch: Long): Long = {
     require(epoch > 0, s"ingest epochs start at 1 (init is 0): $epoch")
     val delta = checked(scored, "ingest")
-      .withColumn("epoch", lit(epoch)).localCheckpoint(true)
+      .withColumn("epoch", lit(epoch))
+      .withColumn("deleted", lit(false)).localCheckpoint(true)
     val dup = delta.groupBy("doc_id").count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty, s"ingest: doc_id ${dup.head.get(0)} appears " +
@@ -67,19 +86,71 @@ object VerdictStore {
       "no deterministic winner (dedupe upstream)")
     val fs = fsOf(spark, path)
     graft.sources.AtomicSwap.recover(fs, path)
-    val next = graft.sources.SnapshotStore.merge(
-      graft.sources.SnapshotStore.read(spark, path),
-      delta, "doc_id", "epoch")
-      .drop("deleted")
+    val next = latestWins(
+      graft.sources.SnapshotStore.read(spark, path), delta)
       .localCheckpoint(true) // pinned before the swap replaces inputs
     graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
       graft.sources.SnapshotStore.write(next, tmp))
     delta.count()
   }
 
+  /** The live verdict rows — tombstoned docs filtered (they stay in
+    * the stored dataset as the replay fence until a compaction with
+    * a proven epoch floor would remove them). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsOf(spark, path)
     graft.sources.AtomicSwap.recover(fs, path)
     graft.sources.SnapshotStore.read(spark, path)
+      .filter(!col("deleted")).drop("deleted")
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN: tombstone the given doc_ids under
+    * `epoch`. The tombstone PERSISTS in the stored dataset (read()
+    * filters it), so a crash-recovery replay of an OLDER scoring
+    * batch can never resurrect a forgotten doc — the fence outlives
+    * the forget. Returns how many live rows the forget removed. Keys
+    * are a DataFrame so a person-sized set and a ten-million-row
+    * purge ride the same semi-join, never a driver literal. */
+  def forget(spark: SparkSession, path: String, ids: DataFrame,
+      epoch: Long): Long = {
+    require(epoch > 0, s"forget epochs start at 1 (init is 0): $epoch")
+    require(ids.columns.length == 1, "forget: ids must be one column")
+    val fs = fsOf(spark, path)
+    graft.sources.AtomicSwap.recover(fs, path)
+    val cur = graft.sources.SnapshotStore.read(spark, path)
+    val key = ids.columns.head
+    val doomed = cur.filter(!col("deleted"))
+      .join(ids, cur("doc_id") === ids(key), "left_semi")
+      .localCheckpoint(true)
+    val n = doomed.count()
+    if (n > 0) {
+      val next = latestWins(cur,
+        doomed.withColumn("epoch", lit(epoch))
+          .withColumn("deleted", lit(true))
+          .select(cur.columns.map(col): _*))
+        .localCheckpoint(true)
+      graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
+        graft.sources.SnapshotStore.write(next, tmp))
+    }
+    n
+  }
+
+  /** Attach the store as a STREAMING sink for a scored verdict stream
+    * ([[CorpusStreams.verdictStream]]'s output): each micro-batch
+    * ingests under epoch = batchId + 1 (init is epoch 0), so a
+    * foreachBatch REPLAY after a crash re-ingests under the SAME
+    * epoch with the same content (idempotent by the merge), and a
+    * replayed batch can never regress a later batch's rescore — the
+    * exactly-once-effective contract Spark's batchId + an idempotent
+    * sink are designed to compose. Within-batch duplicate doc_ids
+    * are the caller's bug and stay loud. */
+  def sink(scored: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    scored.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ingest(batch.sparkSession, path,
+          batch.drop("score"), epoch = batchId + 1)
+        ()
+    }
 }

@@ -49,6 +49,74 @@ class VerdictStoreSpec extends SparkSpec {
     assert(canon(p) === after2)
   }
 
+  test("the STREAMING sink: a verdictStream feeds the store per " +
+    "micro-batch with epoch = batchId + 1, and the final store " +
+    "equals the batch-scored answer over everything delivered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val dir = sf("sf0.001")
+    val p = path("stream")
+    val all = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "n_chars", "text").limit(40)
+      .localCheckpoint(true)
+    val lm = CorpusStreams.freezeLm(spark, dir, maxBigrams = 2000)
+    val fences = CorpusStreams.freezeFences(spark, dir)
+    val clfKeep = graft.queries.SimilarityQueries
+      .q94ClassifierScore(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("keep"))
+      .localCheckpoint(true)
+    VerdictStore.init(spark, p,
+      graft.queries.TextQueries.q217EnsembleVerdict(spark, dir)
+        .limit(0)) // empty store: everything arrives via the stream
+    val rows = all.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), r.getLong(2), Option(r.getString(3))))
+      .toSeq
+    val input = MemoryStream[(Long, Option[String], Long, Option[String])]
+    val q = VerdictStore.sink(
+      CorpusStreams.verdictStream(
+        input.toDS().toDF("doc_id", "lang", "n_chars", "text"),
+        fences, lm, clfKeep), p).start()
+    try {
+      val half = rows.size / 2
+      input.addData(rows.take(half)); q.processAllAvailable()
+      input.addData(rows.drop(half)); q.processAllAvailable()
+    } finally q.stop()
+    val got = VerdictStore.read(spark, p).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(5), r.getLong(7))).toSeq
+    val expect = CorpusStreams.verdictStream(all, fences, lm, clfKeep)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(6))).toSeq
+    assert(got.map(t => (t._1, t._2)) === expect)
+    // epochs record WHICH micro-batch delivered each doc
+    assert(got.map(_._3).distinct.sorted === Seq(1L, 2L))
+  }
+
+  test("forget tombstones PERSIST as the replay fence: a forgotten " +
+    "doc stays gone through a crash-recovery replay of the older " +
+    "batch that scored it") {
+    val p = path("forget")
+    VerdictStore.init(spark, p, frame(row(1, "keep"), row(2, "keep")))
+    val batch1 = frame(row(3, "keep"))
+    VerdictStore.ingest(spark, p, batch1, epoch = 1L)
+    assert(VerdictStore.forget(spark, p,
+      Seq(2L, 3L).toDF("doc_id"), epoch = 2L) === 2L)
+    assert(canon(p).map(_.head) === Seq(1L))
+    // the at-least-once replay of batch1 (epoch 1 < the forget's 2)
+    // must NOT resurrect doc 3
+    VerdictStore.ingest(spark, p, batch1, epoch = 1L)
+    assert(canon(p).map(_.head) === Seq(1L))
+    // a GENUINE later rescore (epoch 3) may re-admit the doc — a
+    // forget fences the past, not the future (re-ingestion of a
+    // re-consented document is a new event)
+    VerdictStore.ingest(spark, p, frame(row(3, "drop")), epoch = 3L)
+    assert(canon(p).map(r => (r.head, r(5))) ===
+      Seq((1L, "keep"), (3L, "drop")))
+    // forgetting an absent id is a zero-count no-op, not an error
+    assert(VerdictStore.forget(spark, p,
+      Seq(99L).toDF("doc_id"), epoch = 4L) === 0L)
+  }
+
   test("a batch missing a verdict column, carrying a duplicate " +
     "doc_id, or claiming epoch 0 is loud") {
     val p = path("shape")
