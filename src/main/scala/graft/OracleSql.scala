@@ -1994,6 +1994,29 @@ object OracleSql {
         |  AND TRY_CAST(props AS VARCHAR) LIKE '%4%'
         |  AND event_id <= 20000
         |ORDER BY event_id""".stripMargin,
+    // q229: composite-cursor stream — the lexicographic resume
+    // predicate over the unique rollup tuple, row_number page cut
+    "q229_composite_cursor" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ROUND(SUM(l_quantity), 2) AS l_quantity,
+        |         COUNT(*) AS n
+        |  FROM lineitem WHERE l_orderkey <= 200
+        |  GROUP BY 1, 2),
+        |f AS (
+        |  SELECT * FROM base
+        |  WHERE n >= 2
+        |    AND (l_orderkey > 1
+        |         OR (l_orderkey = 1 AND l_linenumber > 3))),
+        |o AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+        |           AS rn
+        |  FROM f)
+        |SELECT ((rn - 1) // 9)::BIGINT AS batch_idx,
+        |       l_orderkey, l_linenumber, l_quantity
+        |FROM o WHERE rn <= 27
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // q222: composite primary keys — the (l_orderkey, l_linenumber)
     // rollup store replayed with per-TUPLE mutations: the by_pk inc
     // touches exactly (1,7), the delete removes exactly (2,6), the

@@ -291,6 +291,8 @@ object SparkEntry {
       (graft.queries.TextQueries.q227DedupMix(_, _)),
     "q228_store_build" ->
       (graft.queries.TextQueries.q228StoreDrivenBuild(_, _)),
+    "q229_composite_cursor" ->
+      (graft.api.GraphQl.q229CompositeCursorStream(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1977,17 +1977,33 @@ object GraphQl {
       val cm = cursorObj.fields.toMap
       (cm.keySet -- Set("initial_value", "ordering")).toSeq.sorted
         .headOption.foreach(k => bad(s"$root.cursor: unknown field '$k'"))
-      val (cursorField, initial) = cm.getOrElse("initial_value",
+      // COMPOSITE cursors (r19): several entries resume past the
+      // LEXICOGRAPHIC tuple (the reference's (Height, TxIndex, MsgID)
+      // cursor shape, x/indexer/cursor.go:5-18). From-start spells
+      // every component null; a MIXED null/value tuple has no
+      // resume-point semantics and is loud.
+      val entries = cm.getOrElse("initial_value",
         bad(s"$root.cursor: initial_value is required " +
           "(null to stream from the beginning)")) match {
-        case VObj(Seq((c, VNull))) => (c, None)
-        case VObj(Seq((c, VLit(v)))) => (c, Some(v))
-        case VObj(fs) if fs.size != 1 =>
-          bad(s"$root.cursor.initial_value: exactly one cursor " +
-            s"column expected, got ${fs.size}")
+        case VObj(fs) if fs.nonEmpty =>
+          rejectDupKeys(fs, s"$root.cursor.initial_value")
+          fs.map {
+            case (c, VNull) => (c, None)
+            case (c, VLit(v)) => (c, Some(v))
+            case (c, _) => bad(s"$root.cursor.initial_value.$c: " +
+              "expected a literal or null")
+          }
         case _ => bad(s"$root.cursor.initial_value: expected " +
-          "{<column>: <literal|null>}")
+          "{<column>: <literal|null>, ...}")
       }
+      val (cursorField, initial, moreCursor) =
+        if (entries.forall(_._2.isEmpty) ||
+            entries.forall(_._2.isDefined))
+          (entries.head._1, entries.head._2, entries.tail)
+        else bad(s"$root.cursor.initial_value: a composite cursor " +
+          "resumes past a FULL tuple — mix of null and value " +
+          "components has no resume point (spell all null to stream " +
+          "from the beginning)")
       val ascending = cm.get("ordering") match {
         case None => true
         case Some(VEnum("ASC")) | Some(VLit("ASC")) => true
@@ -2070,7 +2086,7 @@ object GraphQl {
       (rootKeep, Subscriptions.StreamRequest(table, cursorField, initial,
         ascending = ascending, batchSize = batchSize, where = where,
         fields = fs, fieldAs = scalars.fieldAs,
-        nested = nested.result().distinct))
+        nested = nested.result().distinct, moreCursor = moreCursor))
   }
 
   /** Print a [[Subscriptions.StreamRequest]] back to subscription
@@ -2084,9 +2100,12 @@ object GraphQl {
     require(sr.fields.nonEmpty || sr.nested.nonEmpty,
       s"${sr.table}_stream: cannot render an empty selection set")
     val sb = new StringBuilder
+    val cursorEntries = ((sr.cursorField, sr.initial) +: sr.moreCursor)
+      .map { case (c, v) =>
+        s"$c: ${v.map(renderLit).getOrElse("null")}" }
+      .mkString(", ")
     sb ++= "subscription {\n  " ++= sr.table ++= "_stream(cursor: " ++=
-      "{initial_value: {" ++= sr.cursorField ++= ": " ++=
-      sr.initial.map(renderLit).getOrElse("null") ++= "}, ordering: " ++=
+      "{initial_value: {" ++= cursorEntries ++= "}, ordering: " ++=
       (if (sr.ascending) "ASC" else "DESC") ++=
       s"}, batch_size: ${sr.batchSize}"
     sr.where.foreach(w =>
@@ -6195,6 +6214,53 @@ object GraphQl {
     * mutations, and the point reads — an engine that collapsed rows
     * of one order, mass-updated an order's lines, or clash-rejected a
     * new line under an existing order hash-fails. */
+  /** The per-(order, line) quantity rollup over the bounded slice —
+    * unique on the composite key by construction (sums of
+    * integral-valued quantities, exact and engine-order-free); the
+    * base of q222's store and q229's composite-cursor stream. */
+  private def lineitemRollup(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200L)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(round(sum(col("l_quantity")), 2).as("l_quantity"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q229's document — a `_stream` on the COMPOSITE cursor
+    * (l_orderkey, l_linenumber): resume strictly past the (1, 3)
+    * tuple in LEXICOGRAPHIC order — the reference's own cursor is
+    * the composite (Height, TxIndex, MsgID) triple
+    * (x/indexer/cursor.go:5-18), and "rows after the checkpoint"
+    * over a multi-part cursor is exactly this predicate. A
+    * single-column resume (l_orderkey > 1) would wrongly skip order
+    * 1's remaining lines; the oracle's replay catches it. */
+  val q229Query: String =
+    """subscription {
+      |  lineitem_stream(
+      |    cursor: {initial_value: {l_orderkey: 1, l_linenumber: 3},
+      |             ordering: ASC},
+      |    batch_size: 9,
+      |    where: {n: {_gte: 2}}) {
+      |    l_orderkey l_linenumber l_quantity
+      |  }
+      |}""".stripMargin
+
+  /** q229 — the composite-cursor stream under the oracle gate: the
+    * first 3 pages over the (unique-by-construction) rollup, DuckDB
+    * replaying the lexicographic resume predicate and the
+    * row_number page cut. */
+  def q229CompositeCursorStream(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    parseStream(q229Query) match {
+      case Right(sr) => Subscriptions
+        .streamPages(lineitemRollup(s, dir), sr, nPages = 3)
+        .orderBy("l_orderkey", "l_linenumber")
+      case Left(m) => throw new IllegalStateException(
+        s"canned q229 failed to parse: $m")
+    }
+
   def q222CompositePk(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -6215,12 +6281,7 @@ object GraphQl {
         (3L, 903, 33.0, 1L))
         .toDF("l_orderkey", "l_linenumber", "l_quantity", "n")
       graft.sources.SnapshotStore.write(
-        graft.Tables.load(s, dir, "lineitem")
-          .filter(col("l_orderkey") <= 200L)
-          .groupBy("l_orderkey", "l_linenumber")
-          .agg(round(sum(col("l_quantity")), 2).as("l_quantity"),
-            count(lit(1)).as("n"))
-          .unionByName(seeds), p)
+        lineitemRollup(s, dir).unionByName(seeds), p)
       val rs = Mutations.applyFieldsToStore(s, p, "lineitem",
         Seq("l_orderkey", "l_linenumber"),
         parsedFields("q222", q222Mutation, "{}", compositeSchema))

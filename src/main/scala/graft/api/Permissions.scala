@@ -802,7 +802,7 @@ object Permissions {
     for {
       perm <- policy.get(role, sr.table)
       _ <- checkCols(sr.fields.map(f => sr.fieldAs.getOrElse(f, f)) ++
-        Seq(sr.cursorField) ++
+        sr.cursorFields ++
         sr.nested.map(_.parentKey) ++
         sr.where.toSeq.flatMap(whereCols),
         perm, role, sr.table, "stream subscription")

@@ -186,8 +186,30 @@ object Subscriptions {
       initial: Option[Any], ascending: Boolean = true, batchSize: Int,
       where: Option[BoolExp] = None, fields: Seq[String],
       fieldAs: Map[String, String] = Map.empty,
-      nested: Seq[QueryBuilder.Nested] = Nil) {
+      nested: Seq[QueryBuilder.Nested] = Nil,
+      moreCursor: Seq[(String, Option[Any])] = Nil) {
     require(batchSize > 0, s"$table: batch_size must be positive")
+    // COMPOSITE cursors (r19): `moreCursor` lists the remaining
+    // (column, initial-value) components after `cursorField` — the
+    // reference's own cursor is the (Height, TxIndex, MsgID) triple
+    // (x/indexer/cursor.go:5-18), and "resume past it" is the
+    // LEXICOGRAPHIC strictly-greater predicate over the tuple. The
+    // UNIQUE-cursor requirement applies to the tuple; ordering always
+    // uses every component. Resume values are all-or-nothing: a
+    // from-start stream (`initial = None`) carries None components
+    // (the columns still order the pages), a resuming one a value
+    // per component.
+    require(moreCursor.forall(_._2.isDefined == initial.isDefined),
+      s"$table: a composite cursor resumes past a FULL tuple — " +
+        "component values are all-or-nothing with initial_value")
+    require(moreCursor.map(_._1).distinct.size == moreCursor.size &&
+      !moreCursor.map(_._1).contains(cursorField),
+      s"$table: duplicate cursor column")
+    /** Every cursor column, leading first. */
+    def cursorFields: Seq[String] = cursorField +: moreCursor.map(_._1)
+    /** The full resume tuple, when resuming. */
+    def initialTuple: Option[Seq[Any]] =
+      initial.map(_ +: moreCursor.map(_._2.get))
     // `fields` are RESPONSE keys; `fieldAs` maps an aliased key back
     // to its source column (the [[Request.fieldAs]] contract).
     // `nested` are RELATIONSHIP selections on the delivered rows
@@ -227,8 +249,9 @@ object Subscriptions {
     * cannot do). Pages then cut by integer division. */
   private def rangePaged(arrived: DataFrame, sr: StreamRequest,
       pagesDone: Long): DataFrame = {
-    val sorted = arrived.repartitionByRange(cursorOrder(sr))
-      .sortWithinPartitions(cursorOrder(sr))
+    val sorted = arrived
+      .repartitionByRange(cursorOrder(sr): _*)
+      .sortWithinPartitions(cursorOrder(sr): _*)
     val schema = sorted.schema
       .add("__idx", org.apache.spark.sql.types.LongType,
         nullable = false)
@@ -268,16 +291,27 @@ object Subscriptions {
       QueryBuilder.runOn(s, dir, cut, Request(
         sr.table, fields = "batch_idx" +: sr.fields,
         fieldAs = sr.fieldAs, nested = sr.nested,
-        orderBy = Seq(QueryBuilder.Order(sr.cursorField,
-          desc = !sr.ascending))))
+        orderBy = sr.cursorFields.map(f =>
+          QueryBuilder.Order(f, desc = !sr.ascending))))
     }
 
-  private def pastCursor(sr: StreamRequest, c: Any) =
-    if (sr.ascending) col(sr.cursorField) > lit(c)
-    else col(sr.cursorField) < lit(c)
+  /** Strictly past the resume tuple, LEXICOGRAPHICALLY: (k1 > v1) OR
+    * (k1 = v1 AND k2 > v2) OR ... — the composite-cursor resume
+    * predicate. Built as a right fold so the scalar case is exactly
+    * the old single-column comparison (pushdown unchanged). */
+  private def pastCursor(sr: StreamRequest, vs: Seq[Any]) = {
+    def gt(f: String, v: Any) =
+      if (sr.ascending) col(f) > lit(v) else col(f) < lit(v)
+    val pairs = sr.cursorFields.zip(vs)
+    pairs.zipWithIndex.map { case ((f, v), i) =>
+      pairs.take(i).map { case (pf, pv) => col(pf) === lit(pv) }
+        .foldLeft(gt(f, v))(_ && _)
+    }.reduce(_ || _)
+  }
 
-  private def cursorOrder(sr: StreamRequest) =
-    if (sr.ascending) col(sr.cursorField).asc else col(sr.cursorField).desc
+  private def cursorOrder(sr: StreamRequest): Seq[Column] =
+    sr.cursorFields.map(f =>
+      if (sr.ascending) col(f).asc else col(f).desc)
 
   /** BATCH REPLAY of the first `nPages` pages — the oracle-checkable
     * contract ([[streamServe]] must deliver exactly these rows in
@@ -292,12 +326,12 @@ object Subscriptions {
       : DataFrame = {
     require(nPages > 0, "nPages must be positive")
     val bounded = Seq(sr.where.map(_.toColumn),
-        sr.initial.map(pastCursor(sr, _)))
+        sr.initialTuple.map(pastCursor(sr, _)))
       .flatten.foldLeft(base)(_.filter(_))
-      .orderBy(cursorOrder(sr)).limit(nPages * sr.batchSize)
+      .orderBy(cursorOrder(sr): _*).limit(nPages * sr.batchSize)
     val cut = bounded
       .withColumn("batch_idx",
-        ((row_number().over(Window.orderBy(cursorOrder(sr))) - 1)
+        ((row_number().over(Window.orderBy(cursorOrder(sr): _*)) - 1)
           / sr.batchSize).cast("long"))
     deliver(cut, sr, rel)
   }
@@ -320,7 +354,7 @@ object Subscriptions {
   def streamServe(stream: DataFrame, sr: StreamRequest,
       rel: Option[(org.apache.spark.sql.SparkSession, String)] = None)
       (push: (Long, DataFrame) => Unit): StreamingQuery = {
-    var cursor: Option[Any] = sr.initial
+    var cursor: Option[Seq[Any]] = sr.initialTuple
     var pagesDone: Long = 0L
     stream.writeStream
       .outputMode("append")
@@ -328,7 +362,7 @@ object Subscriptions {
         val arrived = Seq(sr.where.map(_.toColumn),
             cursor.map(pastCursor(sr, _)))
           .flatten.foldLeft(batch)(_.filter(_))
-          .dropDuplicates(Seq(sr.cursorField))
+          .dropDuplicates(sr.cursorFields)
           .localCheckpoint(true)
         val n = arrived.count()
         if (n > 0) {
@@ -339,18 +373,24 @@ object Subscriptions {
           // threshold the cut goes range-partitioned (see rangePaged)
           val paged = deliver(
             if (n <= RangeCutRows)
-              arrived.orderBy(cursorOrder(sr))
+              arrived.orderBy(cursorOrder(sr): _*)
                 .withColumn("batch_idx", lit(pagesDone) +
-                  ((row_number().over(Window.orderBy(cursorOrder(sr)))
+                  ((row_number().over(
+                    Window.orderBy(cursorOrder(sr): _*))
                     - 1) / sr.batchSize).cast("long"))
             else rangePaged(arrived, sr, pagesDone),
             sr, rel)
-          val last = arrived
-            .agg(if (sr.ascending) max(col(sr.cursorField))
-                 else min(col(sr.cursorField))).head.get(0)
+          // the advanced cursor is the extreme TUPLE in stream order
+          // (struct ordering IS lexicographic)
+          val lastRow = arrived
+            .agg((if (sr.ascending)
+              max(struct(sr.cursorFields.map(col): _*))
+            else min(struct(sr.cursorFields.map(col): _*)))
+              .as("c"))
+            .head.getStruct(0)
           push(pagesDone, paged)
           pagesDone += (n + sr.batchSize - 1) / sr.batchSize
-          cursor = Some(last)
+          cursor = Some(lastRow.toSeq)
         }
         ()
       }

@@ -1035,10 +1035,11 @@ class GraphQlSpec extends SparkSpec {
     assert(left("subscription { events_stream(cursor: [" +
       "{initial_value: {event_id: 1}}, {initial_value: {ts: null}}], " +
       "batch_size: 2) { event_id } }").contains("exactly one cursor"))
-    // two cursor columns in one initial_value
+    // a MIXED null/value composite tuple has no resume point (r19:
+    // multiple cursor columns themselves are now the composite form)
     assert(left("subscription { events_stream(cursor: " +
       "{initial_value: {event_id: 1, ts: null}}, batch_size: 2) " +
-      "{ event_id } }").contains("exactly one cursor column"))
+      "{ event_id } }").contains("FULL tuple"))
     // missing batch_size / non-positive batch_size
     assert(left("subscription { events_stream(cursor: " +
       "{initial_value: {event_id: 1}}) { event_id } }")
@@ -2253,11 +2254,11 @@ class GraphQlSpec extends SparkSpec {
     assert(gated.map(_._1) === Seq("c"))
     assert(GraphQl.parseRoots("""
       subscription {
-        ev: events_stream(cursor: {initial_value: {a: 1, b: 2}},
+        ev: events_stream(cursor: {initial_value: {a: 1, b: null}},
           batch_size: 5) @skip(if: true) { event_id }
         c: customer(limit: 1) { c_custkey }
       }""").fold(identity, r => fail(s"accepted as $r"))
-      .contains("exactly one cursor column"))
+      .contains("FULL tuple"))
     // the one-root parse() API routes stream documents BY NAME
     assert(GraphQl.parse("""
       subscription {
@@ -2383,6 +2384,25 @@ class GraphQlSpec extends SparkSpec {
     // checks key presence) — both spellings parse
     assert(GraphQl.parseMutationFields(
       """mutation { delete_t_by_pk(k: 1, k2: 2) { k } }""").isRight)
+  }
+
+  test("composite stream cursors (r19) round-trip the printer and " +
+    "parse both tuple spellings") {
+    val sr = GraphQl.parseStream(GraphQl.q229Query)
+      .fold(m => fail(m), identity)
+    assert(sr.cursorFields === Seq("l_orderkey", "l_linenumber"))
+    assert(sr.initialTuple === Some(Seq(1L, 3L)))
+    assert(GraphQl.parseStream(GraphQl.renderStream(sr)) === Right(sr))
+    // from-start composite: every component null — the columns still
+    // order the pages
+    val fromStart = GraphQl.parseStream(
+      """subscription { lineitem_stream(cursor: {initial_value:
+        |{l_orderkey: null, l_linenumber: null}}, batch_size: 3) {
+        |l_quantity } }""".stripMargin).fold(m => fail(m), identity)
+    assert(fromStart.cursorFields === Seq("l_orderkey", "l_linenumber")
+      && fromStart.initialTuple === None)
+    assert(GraphQl.parseStream(GraphQl.renderStream(fromStart)) ===
+      Right(fromStart))
   }
 
   test("_cast (r19): parses to the casted comparison, evaluates " +

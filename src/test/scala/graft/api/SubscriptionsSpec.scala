@@ -483,4 +483,51 @@ class SubscriptionsSpec extends SparkSpec {
         sr, nPages = 1))
     assert(e.getMessage.contains("table directory"))
   }
+
+  test("COMPOSITE cursor (r19): the live serve resumes past the " +
+    "lexicographic tuple and its advance equals the batch replay — " +
+    "a single-column resume would skip the leading key's remaining " +
+    "rows") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Double)]
+    val sr = Subscriptions.StreamRequest("t", "k1", Some(1L),
+      batchSize = 2, fields = Seq("k1", "k2", "v"),
+      moreCursor = Seq(("k2", Some(2))))
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.streamServe(
+      input.toDF().toDF("k1", "k2", "v"), sr) { (_, df) =>
+      pushed :+= rows(df.orderBy("batch_idx", "k1", "k2"))
+    }
+    val delivered =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    try {
+      // (1,1) and (1,2) sit AT or BELOW the (1,2) resume tuple and
+      // must not serve; (1,3) — same leading key, later second
+      // component — MUST (the single-column bug this exists to catch)
+      val b1 = Seq((1L, 1, 9.0), (1L, 2, 9.0), (1L, 3, 1.0),
+        (2L, 1, 2.0), (2L, 2, 3.0), (2L, 5, 5.0))
+      input.addData(b1); q.processAllAvailable(); delivered ++= b1
+      assert(pushed.last === Seq(
+        Seq(0L, 1L, 3, 1.0), Seq(0L, 2L, 1, 2.0),
+        Seq(1L, 2L, 2, 3.0), Seq(1L, 2L, 5, 5.0)))
+      // the advanced cursor is the (2,5) TUPLE: a redelivered (2,1)
+      // stays out, (3,1) resumes on the next global page
+      val b2 = Seq((2L, 1, 2.0), (3L, 1, 4.0))
+      input.addData(b2); q.processAllAvailable()
+      // the replay below is over the LOGICAL data — the redelivered
+      // (2,1) is the same row, not a second one
+      delivered += ((3L, 1, 4.0))
+      assert(pushed.last === Seq(Seq(2L, 3L, 1, 4.0)))
+      // batch-replay contract over everything delivered
+      val replay = Subscriptions.streamPages(
+        delivered.toSeq.toDF("k1", "k2", "v"), sr, nPages = 3)
+      assert(pushed.flatten ===
+        rows(replay.orderBy("batch_idx", "k1", "k2")))
+    } finally q.stop()
+    // all-or-nothing resume values are loud
+    val e = intercept[IllegalArgumentException](
+      Subscriptions.StreamRequest("t", "k1", None, batchSize = 1,
+        fields = Seq("k1"), moreCursor = Seq(("k2", Some(1)))))
+    assert(e.getMessage.contains("all-or-nothing"))
+  }
 }
