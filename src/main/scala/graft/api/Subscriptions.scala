@@ -381,8 +381,14 @@ object Subscriptions {
             else rangePaged(arrived, sr, pagesDone),
             sr, rel)
           // the advanced cursor is the extreme TUPLE in stream order
-          // (struct ordering IS lexicographic)
+          // (struct ordering IS lexicographic) over rows whose EVERY
+          // component is non-null — the single-column min/max skipped
+          // nulls, and a null component in the cursor would wedge the
+          // resume predicate (every comparison answers NULL) and
+          // silently deliver nothing forever
           val lastRow = arrived
+            .filter(sr.cursorFields.map(col(_).isNotNull)
+              .reduce(_ && _))
             .agg((if (sr.ascending)
               max(struct(sr.cursorFields.map(col): _*))
             else min(struct(sr.cursorFields.map(col): _*)))
@@ -390,7 +396,7 @@ object Subscriptions {
             .head.getStruct(0)
           push(pagesDone, paged)
           pagesDone += (n + sr.batchSize - 1) / sr.batchSize
-          cursor = Some(lastRow.toSeq)
+          if (lastRow != null) cursor = Some(lastRow.toSeq)
         }
         ()
       }

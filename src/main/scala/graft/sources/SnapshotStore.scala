@@ -128,6 +128,27 @@ object SnapshotStore {
       .drop("rn")
   }
 
+  /** [[merge]] that KEEPS winning tombstones in the output (the
+    * verdict store's replay fence: a deletion at sequence N must
+    * out-sequence replayed writes at < N forever, which only a
+    * persisted tombstone can do — readers filter `deleted`
+    * themselves). Ties on the sequence resolve tombstone-first (the
+    * conservative answer for a same-sequence delete vs write). ONE
+    * latest-wins definition with [[merge]] modulo the two deltas. */
+  def mergeKeepTombstones(existing: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], seqCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "merge: empty key column list")
+    val withDel = (df: DataFrame) =>
+      if (df.columns.contains("deleted")) df
+      else df.withColumn("deleted", lit(false))
+    val all = withDel(existing).unionByName(withDel(delta))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col("deleted").desc)
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Idempotent event-log append (S3/P5 exactly-once resume): drop delta
     * rows whose event id already exists downstream — dedup-on-id, the
     * batch analog of the cursor skip (x/indexer/indexer.go:228-231). */

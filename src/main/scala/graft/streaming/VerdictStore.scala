@@ -46,20 +46,23 @@ object VerdictStore {
   }
 
   /** Epoch-sequenced latest-wins that KEEPS winning tombstones in the
-    * stored dataset (unlike the snapshot merge, which drops them):
-    * a forget at epoch N must out-sequence a replayed scoring batch
-    * at epoch < N forever, which only a persisted tombstone can do.
-    * At equal epoch the tombstone wins (a same-epoch forget beats a
-    * same-epoch rescore — deterministic, and the conservative answer
-    * for a deletion request). */
-  private def latestWins(cur: DataFrame,
-      delta: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("epoch").desc, col("deleted").desc)
-    cur.unionByName(delta)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    * stored dataset — [[graft.sources.SnapshotStore
+    * .mergeKeepTombstones]], which also normalizes a legacy store
+    * missing the `deleted` column (rows default to live). */
+  private def latestWins(cur: DataFrame, delta: DataFrame): DataFrame =
+    graft.sources.SnapshotStore.mergeKeepTombstones(
+      cur, delta, Seq("doc_id"), "epoch")
+
+  /** The highest epoch the store has seen (0 for a fresh init) — the
+    * floor new epochs must exceed so stale high-epoch rows can never
+    * outrank fresh writes after a restart. Bounded: one aggregate. */
+  def maxEpoch(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    graft.sources.AtomicSwap.recover(fs, path)
+    val raw = graft.sources.SnapshotStore.read(spark, path)
+    if (!raw.columns.contains("epoch")) 0L // legacy store: all epoch 0
+    else Option(raw.agg(max(col("epoch"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** Create the store from the init epoch's batch verdict rows
@@ -96,12 +99,15 @@ object VerdictStore {
 
   /** The live verdict rows — tombstoned docs filtered (they stay in
     * the stored dataset as the replay fence until a compaction with
-    * a proven epoch floor would remove them). */
+    * a proven epoch floor would remove them). Tolerates a legacy
+    * store with no `deleted` column (all rows live). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = fsOf(spark, path)
     graft.sources.AtomicSwap.recover(fs, path)
-    graft.sources.SnapshotStore.read(spark, path)
-      .filter(!col("deleted")).drop("deleted")
+    val raw = graft.sources.SnapshotStore.read(spark, path)
+    (if (raw.columns.contains("deleted"))
+      raw.filter(!col("deleted")).drop("deleted")
+    else raw)
   }
 
   /** RIGHT-TO-BE-FORGOTTEN: tombstone the given doc_ids under
@@ -117,13 +123,25 @@ object VerdictStore {
     require(ids.columns.length == 1, "forget: ids must be one column")
     val fs = fsOf(spark, path)
     graft.sources.AtomicSwap.recover(fs, path)
-    val cur = graft.sources.SnapshotStore.read(spark, path)
+    val cur0 = graft.sources.SnapshotStore.read(spark, path)
+    val cur = // legacy stores (no deleted column) are all-live
+      if (cur0.columns.contains("deleted")) cur0
+      else cur0.withColumn("deleted", lit(false))
     val key = ids.columns.head
-    val doomed = cur.filter(!col("deleted"))
+    val doomed = cur.filter(col("deleted") === false)
       .join(ids, cur("doc_id") === ids(key), "left_semi")
       .localCheckpoint(true)
     val n = doomed.count()
     if (n > 0) {
+      // a tombstone at an epoch ≤ a doomed row's own would LOSE the
+      // merge and silently leave the doc live while this method
+      // reports it removed — the one failure mode a deletion API must
+      // never have. Loud, with the floor to use.
+      val doomedMax = doomed.agg(max(col("epoch"))).head.getLong(0)
+      require(epoch > doomedMax, s"forget: epoch $epoch does not " +
+        s"out-sequence the stored rows (max epoch $doomedMax) — the " +
+        "tombstone would lose the merge and the docs would stay " +
+        s"live; use an epoch > $doomedMax")
       val next = latestWins(cur,
         doomed.withColumn("epoch", lit(epoch))
           .withColumn("deleted", lit(true))
@@ -137,20 +155,24 @@ object VerdictStore {
 
   /** Attach the store as a STREAMING sink for a scored verdict stream
     * ([[CorpusStreams.verdictStream]]'s output): each micro-batch
-    * ingests under epoch = batchId + 1 (init is epoch 0), so a
-    * foreachBatch REPLAY after a crash re-ingests under the SAME
-    * epoch with the same content (idempotent by the merge), and a
-    * replayed batch can never regress a later batch's rescore — the
-    * exactly-once-effective contract Spark's batchId + an idempotent
-    * sink are designed to compose. Within-batch duplicate doc_ids
+    * ingests under epoch = FLOOR + batchId + 1, where the floor is
+    * the store's max epoch AT ATTACH time — so a foreachBatch REPLAY
+    * within a run re-ingests under the SAME epoch with the same
+    * content (idempotent by the merge), a replayed batch can never
+    * regress a later batch's rescore, AND a RESTARTED query (fresh
+    * checkpoint → batchId back at 0) still out-sequences everything
+    * the previous run stored (a bare batchId would silently lose to
+    * the old run's higher epochs). Within-batch duplicate doc_ids
     * are the caller's bug and stay loud. */
   def sink(scored: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    val floor = maxEpoch(scored.sparkSession, path)
     scored.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         ingest(batch.sparkSession, path,
-          batch.drop("score"), epoch = batchId + 1)
+          batch.drop("score"), epoch = floor + batchId + 1)
         ()
     }
+  }
 }

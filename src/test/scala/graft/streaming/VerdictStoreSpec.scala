@@ -115,6 +115,38 @@ class VerdictStoreSpec extends SparkSpec {
     // forgetting an absent id is a zero-count no-op, not an error
     assert(VerdictStore.forget(spark, p,
       Seq(99L).toDF("doc_id"), epoch = 4L) === 0L)
+    // a forget whose epoch does NOT out-sequence the stored rows
+    // would lose the merge while reporting success — loud instead
+    // (the one failure a deletion API must never have)
+    val low = intercept[IllegalArgumentException](
+      VerdictStore.forget(spark, p, Seq(3L).toDF("doc_id"),
+        epoch = 2L)) // doc 3 sits at epoch 3
+    assert(low.getMessage.contains("out-sequence"))
+  }
+
+  test("a RESTARTED sink out-sequences the previous run: the epoch " +
+    "floor is the store's max at attach, so batchId restarting at 0 " +
+    "cannot lose fresh verdicts to stale high-epoch rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val p = path("restart")
+    VerdictStore.init(spark, p, frame())
+    def run(rows: Seq[(Long, Int, Int, Int, Int, String, String)])
+        : Unit = {
+      val in = MemoryStream[(Long, Int, Int, Int, Int, String, String)]
+      val q = VerdictStore.sink(in.toDS().toDF("doc_id", "ratios_ok",
+        "fences_ok", "clf_ok", "lm_ok", "verdict", "first_fail"), p)
+        .start()
+      try { in.addData(rows); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(Seq(row(1, "keep")))                 // run 1: doc 1 at epoch 1
+    run(Seq(row(1, "drop"), row(2, "keep"))) // run 2: batchId 0 again
+    val got = canon(p).map(r => (r.head, r(5), r(7)))
+    // run 2's rescore WON (epoch 2 = floor 1 + 0 + 1), not lost to
+    // run 1's row
+    assert(got === Seq((1L, "drop", 2L), (2L, "keep", 2L)))
   }
 
   test("a batch missing a verdict column, carrying a duplicate " +
