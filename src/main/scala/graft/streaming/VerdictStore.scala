@@ -153,6 +153,29 @@ object VerdictStore {
     n
   }
 
+  /** COMPACTION: physically drop tombstones whose epoch is at or
+    * below `epochFloor` — safe exactly when the caller can prove no
+    * batch at an epoch ≤ the floor will ever replay (e.g. the
+    * previous stream run's checkpoints are retired, so every future
+    * write carries a higher [[sink]] floor). Live rows are untouched;
+    * [[read]] answers identically before and after (spec-pinned).
+    * Returns the number of tombstones dropped. */
+  def compact(spark: SparkSession, path: String,
+      epochFloor: Long): Long = {
+    val fs = fsOf(spark, path)
+    graft.sources.AtomicSwap.recover(fs, path)
+    val cur = graft.sources.SnapshotStore.read(spark, path)
+    if (!cur.columns.contains("deleted")) return 0L
+    val doomed = col("deleted") && col("epoch") <= epochFloor
+    val n = cur.filter(doomed).count()
+    if (n > 0) {
+      val next = cur.filter(!doomed).localCheckpoint(true)
+      graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
+        graft.sources.SnapshotStore.write(next, tmp))
+    }
+    n
+  }
+
   /** Attach the store as a STREAMING sink for a scored verdict stream
     * ([[CorpusStreams.verdictStream]]'s output): each micro-batch
     * ingests under epoch = FLOOR + batchId + 1, where the floor is

@@ -124,6 +124,47 @@ class VerdictStoreSpec extends SparkSpec {
     assert(low.getMessage.contains("out-sequence"))
   }
 
+  test("the GDPR chain end to end: forget in the verdict store, " +
+    "rebuild only the affected manifest shards, compaction drops the " +
+    "fence without changing live answers") {
+    import graft.operators.CorpusManifest
+    val p = path("gdpr")
+    val mp = path("gdpr_manifest")
+    // store: 30 keepers, one dropper
+    VerdictStore.init(spark, p,
+      frame((1L to 30L).map(row(_, "keep")) :+ row(31L, "drop"): _*))
+    def keeperDocs() = VerdictStore.read(spark, p)
+      .filter(col("verdict") === "keep").select("doc_id")
+      .withColumn("ntok", lit(10L) + col("doc_id") % 3)
+    CorpusManifest.init(spark, mp, keeperDocs(), budget = 40L,
+      shards = 4)
+    val before = CorpusManifest.read(spark, mp)
+      .orderBy("shard", "pack_id").collect().map(_.toSeq).toSeq
+    // the deletion request: two docs forgotten, manifest updated for
+    // exactly their shards
+    val gone = Seq(5L, 17L)
+    assert(VerdictStore.forget(spark, p, gone.toDF("doc_id"),
+      epoch = 1L) === 2L)
+    val affected = CorpusManifest.update(spark, mp, keeperDocs(),
+      gone.toDF("doc_id"), budget = 40L, shards = 4)
+    assert(affected.nonEmpty && affected.size < 4)
+    // the updated manifest equals a from-scratch build over the
+    // post-forget keepers (the q152 contract across BOTH stores)
+    val scratch = path("gdpr_scratch")
+    CorpusManifest.init(spark, scratch, keeperDocs(), budget = 40L,
+      shards = 4)
+    def canonM(pp: String) = CorpusManifest.read(spark, pp)
+      .orderBy("shard", "pack_id").collect().map(_.toSeq).toSeq
+    assert(canonM(mp) === canonM(scratch))
+    assert(canonM(mp) !== before)
+    // compaction drops the two fences; live answers identical
+    val live = canon(p)
+    assert(VerdictStore.compact(spark, p, epochFloor = 1L) === 2L)
+    assert(canon(p) === live)
+    // a floor BELOW the fences drops nothing
+    assert(VerdictStore.compact(spark, p, epochFloor = 0L) === 0L)
+  }
+
   test("a RESTARTED sink out-sequences the previous run: the epoch " +
     "floor is the store's max at attach, so batchId restarting at 0 " +
     "cannot lose fresh verdicts to stale high-epoch rows") {
