@@ -1994,6 +1994,26 @@ object OracleSql {
         |  AND TRY_CAST(props AS VARCHAR) LIKE '%4%'
         |  AND event_id <= 20000
         |ORDER BY event_id""".stripMargin,
+    // q230: role-scoped composite by_pk — both point lookups with
+    // the role filter inlined; the out-of-grant tuple answers zero
+    "q230_role_composite_by_pk" ->
+      """SELECT * FROM (
+        |  SELECT 'a' AS root,
+        |    to_json({'l_orderkey': l_orderkey,
+        |             'l_linenumber': l_linenumber,
+        |             'sk': l_suppkey}) AS row_json
+        |  FROM lineitem
+        |  WHERE l_orderkey = 1 AND l_linenumber = 3
+        |    AND l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT 'b',
+        |    to_json({'l_orderkey': l_orderkey,
+        |             'l_linenumber': l_linenumber,
+        |             'sk': l_suppkey})
+        |  FROM lineitem
+        |  WHERE l_orderkey = 3 AND l_linenumber = 4
+        |    AND l_returnflag = 'R')
+        |ORDER BY root, row_json""".stripMargin,
     // q229: composite-cursor stream — the lexicographic resume
     // predicate over the unique rollup tuple, row_number page cut
     "q229_composite_cursor" ->

@@ -293,6 +293,8 @@ object SparkEntry {
       (graft.queries.TextQueries.q228StoreDrivenBuild(_, _)),
     "q229_composite_cursor" ->
       (graft.api.GraphQl.q229CompositeCursorStream(_, _)),
+    "q230_role_composite_by_pk" ->
+      (graft.api.Permissions.q230RoleScopedCompositeByPk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -469,6 +469,43 @@ object Permissions {
       }.reduce(_.unionAll(_)).orderBy("root", "row_json")
   }
 
+  /** q230 — role-scoped COMPOSITE by_pk (r19): a multi-root batch of
+    * (l_orderkey, l_linenumber) point lookups under a row-filtered
+    * grant — the role filter ANDs into each composite key equality
+    * through the same secure() rewrite as scalar keys, so an
+    * in-grant tuple serves its row and an out-of-grant tuple answers
+    * ZERO rows (Hasura's by_pk-under-row-filter null, never a
+    * denial). The oracle replays both lookups with the filter
+    * inlined; an engine that dropped the role filter from the by_pk
+    * arm (or filtered on one key component) hash-fails. */
+  def q230RoleScopedCompositeByPk(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pol = Policy(Map(
+      ("picker", "lineitem") -> TablePerm(
+        filter = Some(Eq("l_returnflag", "R")),
+        columns = Some(Set("l_orderkey", "l_linenumber",
+          "l_suppkey", "l_returnflag")))))
+    val doc =
+      """{
+        |  a: lineitem_by_pk(l_orderkey: 1, l_linenumber: 3) {
+        |    l_orderkey l_linenumber sk: l_suppkey
+        |  }
+        |  b: lineitem_by_pk(l_orderkey: 3, l_linenumber: 4) {
+        |    l_orderkey l_linenumber sk: l_suppkey
+        |  }
+        |}""".stripMargin
+    serveRootsAs(s, dir, "picker", pol, doc,
+        schema = GraphQl.compositeSchema).fold(
+        m => throw new IllegalStateException(s"q230 denied: $m"),
+        identity)
+      .map { case (k, df) =>
+        df.select(lit(k).as("root"),
+          to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+            QueryBuilder.jsonOpts).as("row_json"))
+      }.reduce(_.unionAll(_)).orderBy("root", "row_json")
+  }
+
   /** q171 — the role-scoped WRITE round-trip ([[serveMutationsAs]]
     * under the oracle gate, the q124 pattern secured): mutation TEXT
     * asks to boost every NEGATIVE balance; the writer role's row

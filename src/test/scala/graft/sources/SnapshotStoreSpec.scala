@@ -157,4 +157,30 @@ class SnapshotStoreSpec extends SparkSpec {
       ("update", 3L, "A", 130.0),
       ("insert", 9L, "N", 1.5)))
   }
+
+  test("COMPOSITE-key diff/applyDiff (r19): the change feed keys on " +
+    "the full tuple — two lines of one order never collapse — and " +
+    "the diff/apply inverse holds") {
+    val before = Seq((1L, 1, "a", 1.0), (1L, 2, "b", 2.0),
+      (2L, 1, "c", 3.0), (2L, 2, "d", 4.0)).toDF("k1", "k2", "s", "v")
+    val after = Seq((1L, 1, "a", 1.0), (1L, 2, "b", 9.0),
+      (2L, 2, "d", 4.0), (1L, 3, "n", 5.0)).toDF("k1", "k2", "s", "v")
+    val ks = Seq("k1", "k2")
+    val feed = SnapshotStore.diff(before, after, ks)
+    val d = feed.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getInt(2), r.getString(3), r.getDouble(4)))
+      .sortBy(t => (t._2, t._3))
+    assert(d === Array(
+      ("update", 1L, 2, "b", 9.0),  // only (1,2) — (1,1) untouched
+      ("insert", 1L, 3, "n", 5.0),  // new line under an EXISTING order
+      ("delete", 2L, 1, "c", 3.0))) // BEFORE image
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k1", "k2", "s", "v").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getDouble(3))).toSet
+    val replayed = SnapshotStore.applyDiff(before, feed, ks)
+    assert(rows(replayed) === rows(after))
+    assert(rows(SnapshotStore.applyDiff(replayed, feed, ks)) ===
+      rows(after)) // at-least-once no-op
+  }
 }
