@@ -67,35 +67,49 @@ object CorpusManifest {
             x => x.getField("doc_id").cast("string")))).as("ids_md5"))
   }
 
-  /** Version marker: a one-line file committed by write-temp +
-    * delete + rename AFTER the shard rewrites — the store's
-    * generation number a serving layer keys caches on. The delete →
-    * rename gap is recoverable, not atomic: a crash inside it leaves
-    * only `_version_tmp`, which [[version]] promotes on its next
-    * read (the AtomicSwap reader-recovers discipline — the tmp file
-    * is complete by construction, it was fully written and closed
-    * before the delete). */
+  /** Version marker: a one-line `_version_<v>` file committed AFTER
+    * the shard rewrites — the store's generation number a serving
+    * layer keys caches on. MONOTONIC FILENAMES, never delete-then-
+    * rename (r20): the commit is one rename onto a name that does
+    * not exist yet, so there is NO window in which a reader sees no
+    * marker — a reader racing a live writer reads either the old max
+    * or the new max, both complete by construction (the r19 layout's
+    * promote-the-tmp reader could steal a live writer's rename and
+    * abort a healthy update after its shard rewrites). Superseded
+    * markers are garbage-collected best-effort; a crash between
+    * commit and GC leaves both, and [[version]] takes the max. */
   private def writeVersion(fs: FileSystem, path: String,
       v: Long): Unit = {
-    val tmp = new Path(s"$path/_version_tmp")
-    val out = fs.create(tmp, true)
-    out.write(v.toString.getBytes("UTF-8")); out.close()
-    val dst = new Path(s"$path/_version")
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"manifest: cannot commit version $v")
+    val dst = new Path(s"$path/_version_$v")
+    if (!fs.exists(dst)) { // an identical crashed re-run already committed
+      val tmp = new Path(s"$path/_version_$v.tmp")
+      val out = fs.create(tmp, true)
+      out.write(v.toString.getBytes("UTF-8")); out.close()
+      require(fs.rename(tmp, dst) || fs.exists(dst),
+        s"manifest: cannot commit version $v")
+    }
+    versionMarkers(fs, path).filter(_._2 < v)
+      .foreach { case (p, _) => fs.delete(p, false) }
+  }
+
+  private def versionMarkers(fs: FileSystem, path: String)
+      : Seq[(Path, Long)] = {
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap { p =>
+        val m = "_version_(\\d+)".r
+        p.getName match {
+          case m(n) => Some(p -> n.toLong)
+          case _ => None
+        }
+      }
   }
 
   def version(spark: SparkSession, path: String): Long = {
-    val fs = fsOf(spark, path)
-    val dst = new Path(s"$path/_version")
-    val tmp = new Path(s"$path/_version_tmp")
-    // crash-window recovery: a writer that died between its delete
-    // and rename left the COMPLETE replacement at tmp — promote it
-    if (!fs.exists(dst) && fs.exists(tmp))
-      fs.rename(tmp, dst)
-    val in = fs.open(dst)
-    try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-    finally in.close()
+    val vs = versionMarkers(fsOf(spark, path), path)
+    require(vs.nonEmpty, s"manifest at $path: no version marker")
+    vs.map(_._2).max
   }
 
   /** Full build: every shard written, version 1. `docs` is the

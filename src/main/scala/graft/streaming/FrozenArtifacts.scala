@@ -52,14 +52,22 @@ object FrozenArtifacts {
         Row("fence", lang, null, null, lo, hi) }
     val df = s.createDataFrame(
       s.sparkContext.parallelize(rows.toSeq, 1), schema)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-      // recover() throws on a never-existed path — first write goes
-      // direct (the write itself is atomic enough: parquet commits
-      // via _temporary then a success marker)
-      df.write.mode("overwrite").parquet(path)
-    else
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      // recover() throws on a never-existed path, so the first write
+      // cannot ride AtomicSwap — and a DIRECT write would leave a
+      // partial multi-file parquet dir that exists on crash, which
+      // the next write() would preserve as the "original" and read()
+      // would serve. So: stage fully off to the side, commit by ONE
+      // rename (r20). A crash mid-stage leaves only the stage dir
+      // (the store still "never existed"; a re-run overwrites it); a
+      // crash after the rename left a complete store.
+      val stage = new org.apache.hadoop.fs.Path(path + "_initing")
+      df.write.mode("overwrite").parquet(stage.toString)
+      require(fs.rename(stage, live),
+        s"frozen artifacts: cannot commit first write at $path")
+    } else
       graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
         df.write.mode("overwrite").parquet(tmp))
   }

@@ -1,31 +1,48 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted, incrementally-maintained QUALITY-VERDICT store (r19) —
-  * the missing middle of the corpus-serving loop: batch q217 verdicts
-  * initialize it, frozen-artifact-scored arrivals UPSERT into it, and
-  * downstream builds (the corpus manifest) read keepers from the
-  * STORE instead of recomputing the ensemble.
+/** Persisted, incrementally-maintained QUALITY-VERDICT store (r19,
+  * bucket-partitioned r20) — the missing middle of the corpus-serving
+  * loop: batch q217 verdicts initialize it, frozen-artifact-scored
+  * arrivals UPSERT into it, and downstream builds (the corpus
+  * manifest) read keepers from the STORE instead of recomputing the
+  * ensemble.
   *
   * Epoch semantics (the CCNet split): the INIT epoch's verdicts come
   * from the batch ensemble trained on the init corpus (epoch 0);
-  * every LATER arrival is scored against the FROZEN artifacts of that
-  * epoch ([[CorpusStreams.verdictStream]]'s row-local scorer —
-  * arriving data is unseen by construction, so the frozen model
-  * scores all of it) and ingests under its batch's EPOCH NUMBER. The
-  * stored epoch IS the merge sequence: the HIGHEST-epoch verdict per
-  * doc_id wins, so a crash-recovery REPLAY of an older batch can
-  * never regress a newer rescore (the real latest-wins rule — a
-  * constant delta-wins flag would be last-call-wins). A batch
-  * carrying one doc_id twice is rejected loudly: two same-epoch
-  * verdicts for one doc have no deterministic winner.
+  * every LATER arrival is scored against FROZEN artifacts
+  * ([[CorpusStreams.verdictStream]]'s row-local scorer — arriving
+  * data is unseen by construction, so the frozen model scores all of
+  * it) and ingests under its batch's EPOCH NUMBER. The stored epoch
+  * IS the merge sequence: the HIGHEST-epoch verdict per doc_id wins,
+  * so a crash-recovery REPLAY of an older batch can never regress a
+  * newer rescore (the real latest-wins rule — a constant delta-wins
+  * flag would be last-call-wins). A batch carrying one doc_id twice
+  * is rejected loudly: two same-epoch verdicts for one doc have no
+  * deterministic winner.
   *
-  * Scale posture: one merge shuffle on doc_id per ingest batch,
-  * bounded by |store| + |batch|; the duplicate probe is one bounded
-  * aggregate over the batch; the store rewrites through
-  * [[graft.sources.AtomicSwap]] (readers recover); no driver state.
+  * STORAGE (r20): doc_id-HASH BUCKETS — one parquet dataset per
+  * bucket under `path/b<k>`, the bucket rule shared verbatim with
+  * [[graft.operators.CorpusManifest.shardOf]] (seed-5 content-stable
+  * hash), each bucket replaced independently through
+  * [[graft.sources.AtomicSwap]]. An ingest or forget reads, merges,
+  * and rewrites ONLY the buckets its doc_ids hash into — the
+  * [[graft.operators.IncrementalDedup]]/BucketForget O(affected-
+  * buckets) discipline; at a billion-row store a continuous scorer's
+  * per-batch cost is bounded by the touched buckets' slice, never the
+  * store (the r19 layout rewrote the WHOLE store per micro-batch).
+  * A crash between two bucket rewrites leaves each bucket internally
+  * consistent (per-bucket swap) and the replayed batch completes the
+  * rest idempotently — the same cross-shard contract
+  * [[graft.operators.CorpusManifest.update]] documents.
+  *
+  * Scale posture: one merge shuffle on doc_id per affected bucket,
+  * bounded by |bucket| + |batch slice|; the duplicate probe is one
+  * bounded aggregate over the batch; the affected-bucket collect is
+  * ≤ the bucket count; no driver state beyond that.
   */
 object VerdictStore {
 
@@ -34,9 +51,21 @@ object VerdictStore {
   val Columns: Seq[String] = Seq("doc_id", "ratios_ok", "fences_ok",
     "clf_ok", "lm_ok", "verdict", "first_fail")
 
-  private def fsOf(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Default bucket count — sized so a test-scale store stays cheap;
+    * a production store picks buckets ~ |store| / target-bucket-size
+    * at [[init]] (the count is persisted, every later op reads it). */
+  val DefaultBuckets = 8
+
+  /** ONE bucket rule with the corpus manifest (seed-5 content-stable
+    * hash mod buckets) — a doc's verdict bucket and its pack shard
+    * derive from the same function family. */
+  def bucketOf(docId: Column, buckets: Int): Column =
+    graft.operators.CorpusManifest.shardOf(docId, buckets)
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketDir(path: String, k: Int) = s"$path/b$k"
 
   private def checked(rows: DataFrame, at: String): DataFrame = {
     require(rows.columns.toSeq.sorted == Columns.sorted,
@@ -53,144 +82,303 @@ object VerdictStore {
     graft.sources.SnapshotStore.mergeKeepTombstones(
       cur, delta, Seq("doc_id"), "epoch")
 
-  /** The highest epoch the store has seen (0 for a fresh init) — the
-    * floor new epochs must exceed so stale high-epoch rows can never
-    * outrank fresh writes after a restart. Bounded: one aggregate. */
-  def maxEpoch(spark: SparkSession, path: String): Long = {
-    val fs = fsOf(spark, path)
-    graft.sources.AtomicSwap.recover(fs, path)
-    val raw = graft.sources.SnapshotStore.read(spark, path)
-    if (!raw.columns.contains("epoch")) 0L // legacy store: all epoch 0
-    else Option(raw.agg(max(col("epoch"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+  // ---- bucket-count marker (committed LAST by init, so a reader
+  // finding it knows every bucket dir exists) ------------------------
+
+  private def writeMarker(fs: FileSystem, at: Path, text: String)
+      : Unit = {
+    val tmp = new Path(at.getParent, at.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(text.getBytes("UTF-8")); out.close()
+    fs.delete(at, false)
+    require(fs.rename(tmp, at), s"verdict store: cannot commit $at")
   }
 
+  private def readMarker(fs: FileSystem, at: Path): String = {
+    val in = fs.open(at)
+    try scala.io.Source.fromInputStream(in).mkString.trim
+    finally in.close()
+  }
+
+  /** The store's bucket count, persisted by [[init]]. */
+  def numBuckets(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    val at = new Path(s"$path/_buckets")
+    require(fs.exists(at), s"verdict store at $path: no _buckets " +
+      "marker — not an initialized (r20 bucket-partitioned) store")
+    readMarker(fs, at).toInt
+  }
+
+  private def readBucket(spark: SparkSession, path: String, k: Int)
+      : DataFrame = {
+    val dir = bucketDir(path, k)
+    graft.sources.AtomicSwap.recover(fsOf(spark, path), dir)
+    graft.sources.SnapshotStore.read(spark, dir)
+  }
+
+  /** The buckets a key frame's doc_ids hash into — a distinct-collect
+    * bounded by the bucket count, the only driver state any write
+    * pays. */
+  private def affectedBuckets(keys: DataFrame, docCol: String,
+      buckets: Int): Seq[Int] =
+    keys.select(bucketOf(col(docCol), buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
   /** Create the store from the init epoch's batch verdict rows
-    * (stored as epoch 0). */
-  def init(spark: SparkSession, path: String, rows: DataFrame): Unit =
-    graft.sources.SnapshotStore.write(
-      checked(rows, "init").withColumn("epoch", lit(0L))
-        .withColumn("deleted", lit(false)), path)
+    * (stored as epoch 0) across `buckets` doc_id-hash buckets. */
+  def init(spark: SparkSession, path: String, rows: DataFrame,
+      buckets: Int = DefaultBuckets): Unit = {
+    require(buckets > 0, s"init: bucket count must be positive")
+    val fs = fsOf(spark, path)
+    val tagged = checked(rows, "init")
+      .withColumn("epoch", lit(0L))
+      .withColumn("deleted", lit(false))
+      .withColumn("_b", bucketOf(col("doc_id"), buckets))
+      .localCheckpoint(true)
+    (0 until buckets).foreach { k =>
+      graft.sources.SnapshotStore.write(
+        tagged.filter(col("_b") === k).drop("_b"), bucketDir(path, k))
+    }
+    writeMarker(fs, new Path(s"$path/_buckets"), buckets.toString)
+  }
 
   /** Upsert one scored batch under `epoch` (> 0): per doc_id the
     * HIGHEST stored epoch wins, so replaying an older batch is a
     * no-op for docs a newer epoch already rescored or forgot.
-    * Rewrites the store atomically; returns the batch's row count. */
+    * Rewrites ONLY the buckets the batch's doc_ids hash into, each
+    * atomically; returns the batch's row count. */
   def ingest(spark: SparkSession, path: String,
       scored: DataFrame, epoch: Long): Long = {
     require(epoch > 0, s"ingest epochs start at 1 (init is 0): $epoch")
+    val buckets = numBuckets(spark, path)
     val delta = checked(scored, "ingest")
       .withColumn("epoch", lit(epoch))
-      .withColumn("deleted", lit(false)).localCheckpoint(true)
+      .withColumn("deleted", lit(false))
+      .withColumn("_b", bucketOf(col("doc_id"), buckets))
+      .localCheckpoint(true)
     val dup = delta.groupBy("doc_id").count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty, s"ingest: doc_id ${dup.head.get(0)} appears " +
       "more than once in this batch — two same-epoch verdicts have " +
       "no deterministic winner (dedupe upstream)")
     val fs = fsOf(spark, path)
-    graft.sources.AtomicSwap.recover(fs, path)
-    val next = latestWins(
-      graft.sources.SnapshotStore.read(spark, path), delta)
-      .localCheckpoint(true) // pinned before the swap replaces inputs
-    graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
-      graft.sources.SnapshotStore.write(next, tmp))
+    delta.select(col("_b").as("b")).distinct().collect()
+      .map(_.getInt(0)).sorted.foreach { k =>
+        val next = latestWins(readBucket(spark, path, k),
+          delta.filter(col("_b") === k).drop("_b"))
+          .localCheckpoint(true) // pinned before the swap replaces input
+        graft.sources.AtomicSwap.rewrite(fs, bucketDir(path, k))(tmp =>
+          graft.sources.SnapshotStore.write(next, tmp))
+      }
     delta.count()
   }
 
   /** The live verdict rows — tombstoned docs filtered (they stay in
     * the stored dataset as the replay fence until a compaction with
-    * a proven epoch floor would remove them). Tolerates a legacy
-    * store with no `deleted` column (all rows live). */
+    * a proven epoch floor removes them). Unions the bucket datasets;
+    * a legacy bucket missing the `deleted` column reads all-live. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val fs = fsOf(spark, path)
-    graft.sources.AtomicSwap.recover(fs, path)
-    val raw = graft.sources.SnapshotStore.read(spark, path)
+    val raw = readAll(spark, path)
     (if (raw.columns.contains("deleted"))
       raw.filter(!col("deleted")).drop("deleted")
     else raw)
+  }
+
+  /** Every stored row, tombstones included (compaction + floors). */
+  private def readAll(spark: SparkSession, path: String): DataFrame =
+    (0 until numBuckets(spark, path))
+      .map(readBucket(spark, path, _)).reduce(_.unionByName(_))
+
+  /** The highest epoch the store has seen (0 for a fresh init) — the
+    * floor new runs must exceed so stale high-epoch rows can never
+    * outrank fresh writes. Bounded: one aggregate, read once per
+    * run attach, never per batch. */
+  def maxEpoch(spark: SparkSession, path: String): Long = {
+    val raw = readAll(spark, path)
+    if (!raw.columns.contains("epoch")) 0L
+    else Option(raw.agg(max(col("epoch"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** RIGHT-TO-BE-FORGOTTEN: tombstone the given doc_ids under
     * `epoch`. The tombstone PERSISTS in the stored dataset (read()
     * filters it), so a crash-recovery replay of an OLDER scoring
     * batch can never resurrect a forgotten doc — the fence outlives
-    * the forget. Returns how many live rows the forget removed. Keys
-    * are a DataFrame so a person-sized set and a ten-million-row
-    * purge ride the same semi-join, never a driver literal. */
+    * the forget. Touches ONLY the buckets the ids hash into; the
+    * epoch check runs over ALL affected buckets BEFORE any rewrite,
+    * so a rejected forget mutates nothing. Returns how many live
+    * rows the forget removed. Keys are a DataFrame so a person-sized
+    * set and a ten-million-row purge ride the same semi-join, never
+    * a driver literal. */
   def forget(spark: SparkSession, path: String, ids: DataFrame,
       epoch: Long): Long = {
     require(epoch > 0, s"forget epochs start at 1 (init is 0): $epoch")
     require(ids.columns.length == 1, "forget: ids must be one column")
-    val fs = fsOf(spark, path)
-    graft.sources.AtomicSwap.recover(fs, path)
-    val cur0 = graft.sources.SnapshotStore.read(spark, path)
-    val cur = // legacy stores (no deleted column) are all-live
-      if (cur0.columns.contains("deleted")) cur0
-      else cur0.withColumn("deleted", lit(false))
+    val buckets = numBuckets(spark, path)
     val key = ids.columns.head
-    val doomed = cur.filter(col("deleted") === false)
-      .join(ids, cur("doc_id") === ids(key), "left_semi")
-      .localCheckpoint(true)
-    val n = doomed.count()
+    val keys = ids.localCheckpoint(true)
+    val affected = affectedBuckets(keys, key, buckets)
+    if (affected.isEmpty) return 0L
+    val fs = fsOf(spark, path)
+    // phase 1 — across every affected bucket: the doomed rows and
+    // their max epoch, BEFORE any rewrite (a tombstone at an epoch ≤
+    // a doomed row's own would LOSE the merge and silently leave the
+    // doc live while this method reports it removed — the one
+    // failure mode a deletion API must never have; loud, with the
+    // floor to use, and nothing half-written)
+    val perBucket = affected.map { k =>
+      val cur0 = readBucket(spark, path, k)
+      val cur = // legacy buckets (no deleted column) are all-live
+        if (cur0.columns.contains("deleted")) cur0
+        else cur0.withColumn("deleted", lit(false))
+      val doomed = cur.filter(col("deleted") === false)
+        .join(keys, cur("doc_id") === keys(key), "left_semi")
+        .localCheckpoint(true)
+      (k, cur, doomed, doomed.count())
+    }
+    val n = perBucket.map(_._4).sum
     if (n > 0) {
-      // a tombstone at an epoch ≤ a doomed row's own would LOSE the
-      // merge and silently leave the doc live while this method
-      // reports it removed — the one failure mode a deletion API must
-      // never have. Loud, with the floor to use.
-      val doomedMax = doomed.agg(max(col("epoch"))).head.getLong(0)
+      val doomedMax = perBucket.filter(_._4 > 0)
+        .map(_._3.agg(max(col("epoch"))).head.getLong(0)).max
       require(epoch > doomedMax, s"forget: epoch $epoch does not " +
         s"out-sequence the stored rows (max epoch $doomedMax) — the " +
         "tombstone would lose the merge and the docs would stay " +
         s"live; use an epoch > $doomedMax")
-      val next = latestWins(cur,
-        doomed.withColumn("epoch", lit(epoch))
-          .withColumn("deleted", lit(true))
-          .select(cur.columns.map(col): _*))
-        .localCheckpoint(true)
-      graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
-        graft.sources.SnapshotStore.write(next, tmp))
+      // phase 2 — rewrite exactly the buckets holding doomed rows
+      perBucket.filter(_._4 > 0).foreach { case (k, cur, doomed, _) =>
+        val next = latestWins(cur,
+          doomed.withColumn("epoch", lit(epoch))
+            .withColumn("deleted", lit(true))
+            .select(cur.columns.map(col): _*))
+          .localCheckpoint(true)
+        graft.sources.AtomicSwap.rewrite(fs, bucketDir(path, k))(tmp =>
+          graft.sources.SnapshotStore.write(next, tmp))
+      }
     }
     n
   }
 
   /** COMPACTION: physically drop tombstones whose epoch is at or
     * below `epochFloor` — safe exactly when the caller can prove no
-    * batch at an epoch ≤ the floor will ever replay (e.g. the
-    * previous stream run's checkpoints are retired, so every future
-    * write carries a higher [[sink]] floor). Live rows are untouched;
-    * [[read]] answers identically before and after (spec-pinned).
-    * Returns the number of tombstones dropped. */
+    * batch at an epoch ≤ the floor will ever replay (the no-argument
+    * overload DERIVES that proof from the persisted run floors).
+    * Rewrites only the buckets that hold droppable fences. Live rows
+    * are untouched; [[read]] answers identically before and after
+    * (spec-pinned). Returns the number of tombstones dropped. */
   def compact(spark: SparkSession, path: String,
       epochFloor: Long): Long = {
     val fs = fsOf(spark, path)
-    graft.sources.AtomicSwap.recover(fs, path)
-    val cur = graft.sources.SnapshotStore.read(spark, path)
-    if (!cur.columns.contains("deleted")) return 0L
     val doomed = col("deleted") && col("epoch") <= epochFloor
-    val n = cur.filter(doomed).count()
-    if (n > 0) {
-      val next = cur.filter(!doomed).localCheckpoint(true)
-      graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
-        graft.sources.SnapshotStore.write(next, tmp))
+    (0 until numBuckets(spark, path)).map { k =>
+      val cur = readBucket(spark, path, k)
+      if (!cur.columns.contains("deleted")) 0L
+      else {
+        val n = cur.filter(doomed).count()
+        if (n > 0) {
+          val next = cur.filter(!doomed).localCheckpoint(true)
+          graft.sources.AtomicSwap.rewrite(fs, bucketDir(path, k))(
+            tmp => graft.sources.SnapshotStore.write(next, tmp))
+        }
+        n
+      }
+    }.sum
+  }
+
+  /** AUTO-COMPACTION (r20): derive the provable epoch floor from the
+    * persisted run floors instead of trusting the caller. A
+    * still-active run attached at floor F can only (re)write epochs
+    * > F — its batches carry F + batchId + 1 — so a tombstone at
+    * epoch ≤ min(active floors) can never be out-raced by any
+    * replay; with NO active runs, every future write attaches at a
+    * floor ≥ the current max epoch, so every existing fence is
+    * droppable. Returns (floor used, tombstones dropped). */
+  def compact(spark: SparkSession, path: String): (Long, Long) = {
+    val active = runFloors(spark, path).collect {
+      case (_, floor, retired) if !retired => floor
     }
-    n
+    val floor =
+      if (active.nonEmpty) active.min else maxEpoch(spark, path)
+    (floor, compact(spark, path, floor))
+  }
+
+  // ---- persisted run floors (the restart-safe epoch mapping) --------
+
+  private def runMarker(path: String, tag: String): Path = {
+    require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit ||
+      "._-".contains(c)), s"run tag must be [A-Za-z0-9._-]+: '$tag'")
+    new Path(s"$path/_runs/$tag")
+  }
+
+  /** Every persisted run floor: (tag, floor, retired). Bounded by the
+    * number of runs ever attached (compactable via [[retireRun]]). */
+  def runFloors(spark: SparkSession, path: String)
+      : Seq[(String, Long, Boolean)] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(s"$path/_runs")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filterNot(_.getName.endsWith(".tmp"))
+      .map { p =>
+        val retired = p.getName.endsWith(".retired")
+        (p.getName.stripSuffix(".retired"),
+          readMarker(fs, p).toLong, retired)
+      }
+  }
+
+  /** The floor for `tag`: reuse the persisted one when the tag has
+    * attached before (the RESTART path — replayed batchIds map back
+    * to their ORIGINAL epochs, so a forget tombstone written after
+    * the original batch still out-sequences the replay and the
+    * compaction proof stands); persist maxEpoch on first attach. A
+    * retired tag cannot re-attach — retirement IS the proof its
+    * checkpoints are gone. */
+  private def attachFloor(spark: SparkSession, path: String,
+      tag: String): Long = {
+    val fs = fsOf(spark, path)
+    val at = runMarker(path, tag)
+    require(!fs.exists(new Path(at.toString + ".retired")),
+      s"sink: run '$tag' is retired — a retired run's checkpoints " +
+        "are proven gone, so nothing may re-attach under its tag " +
+        "(attach a fresh tag)")
+    if (fs.exists(at)) readMarker(fs, at).toLong
+    else {
+      val floor = maxEpoch(spark, path)
+      writeMarker(fs, at, floor.toString)
+      floor
+    }
+  }
+
+  /** Declare run `tag`'s checkpoints RETIRED: no batch of that run
+    * will ever replay again (the caller deleted the checkpoint dir).
+    * The tag's floor stops constraining [[compact(spark,path)*]]'s
+    * auto floor. Idempotent. */
+  def retireRun(spark: SparkSession, path: String, tag: String)
+      : Unit = {
+    val fs = fsOf(spark, path)
+    val at = runMarker(path, tag)
+    val done = new Path(at.toString + ".retired")
+    if (fs.exists(at) && !fs.exists(done))
+      require(fs.rename(at, done), s"retireRun: cannot retire '$tag'")
   }
 
   /** Attach the store as a STREAMING sink for a scored verdict stream
     * ([[CorpusStreams.verdictStream]]'s output): each micro-batch
-    * ingests under epoch = FLOOR + batchId + 1, where the floor is
-    * the store's max epoch AT ATTACH time — so a foreachBatch REPLAY
-    * within a run re-ingests under the SAME epoch with the same
-    * content (idempotent by the merge), a replayed batch can never
-    * regress a later batch's rescore, AND a RESTARTED query (fresh
-    * checkpoint → batchId back at 0) still out-sequences everything
-    * the previous run stored (a bare batchId would silently lose to
-    * the old run's higher epochs). Within-batch duplicate doc_ids
-    * are the caller's bug and stay loud. */
-  def sink(scored: DataFrame, path: String)
+    * ingests under epoch = FLOOR + batchId + 1. The floor PERSISTS
+    * per run tag at first attach (`path/_runs/<tag>`), and `runTag`
+    * MUST identify the checkpoint lineage (same checkpoint dir ⇒
+    * same tag): a RESTART from the same checkpoint then re-ingests
+    * each replayed batch under its ORIGINAL epoch — idempotent by
+    * the merge, unable to out-sequence a forget tombstone written
+    * after the original batch (recomputing the floor at re-attach
+    * would lift replays ABOVE those fences and resurrect forgotten
+    * docs), and bounded below by the floor for the compaction proof.
+    * A FRESH checkpoint is a fresh tag: it attaches at the store's
+    * current max epoch and out-sequences everything stored. Within-
+    * batch duplicate doc_ids are the caller's bug and stay loud. */
+  def sink(scored: DataFrame, path: String, runTag: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
-    val floor = maxEpoch(scored.sparkSession, path)
+    val floor = attachFloor(scored.sparkSession, path, runTag)
     scored.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         ingest(batch.sparkSession, path,

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** The verdict store's merge semantics the q226 oracle cannot see:
   * at-least-once ingestion is idempotent, a RE-scored doc latest-wins,
-  * and malformed batches are loud. */
+  * malformed batches are loud — and (r20) writes touch ONLY the
+  * buckets their doc_ids hash into, a checkpoint REPLAY maps back to
+  * its original epochs through the persisted run floor, and the
+  * no-argument compaction derives a provable floor. */
 class VerdictStoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -24,6 +27,25 @@ class VerdictStoreSpec extends SparkSpec {
   private def canon(p: String) =
     VerdictStore.read(spark, p).orderBy("doc_id")
       .collect().map(_.toSeq).toSeq
+
+  /** Which bucket a doc_id lands in under the store's shared rule. */
+  private def bucketOf(id: Long, buckets: Int): Int =
+    spark.range(1)
+      .select(VerdictStore.bucketOf(lit(id), buckets).as("b"))
+      .head.getInt(0)
+
+  /** (relative path, length, mtime) of every data file under the
+    * store's bucket dirs — the physical-isolation fingerprint. */
+  private def bucketFiles(p: String): Map[String, Seq[(String, Long, Long)]] = {
+    val root = new java.io.File(p)
+    root.listFiles().toSeq.filter(_.isDirectory)
+      .filter(_.getName.matches("b\\d+"))
+      .map { d =>
+        d.getName -> d.listFiles().toSeq.filter(_.isFile)
+          .map(f => (f.getName, f.length(), f.lastModified()))
+          .sortBy(_._1)
+      }.toMap
+  }
 
   test("re-ingesting the same batch is idempotent; a re-scored doc " +
     "latest-wins on EPOCH — replaying an older batch never " +
@@ -47,6 +69,40 @@ class VerdictStoreSpec extends SparkSpec {
       Seq((1L, "keep", 0L), (2L, "keep", 1L), (3L, "keep", 2L)))
     VerdictStore.ingest(spark, p, batch1, epoch = 1L) // the replay
     assert(canon(p) === after2)
+  }
+
+  test("an ingest rewrites ONLY the buckets its doc_ids hash into — " +
+    "untouched bucket files are physically unmodified (the " +
+    "IncrementalDedup O(affected-buckets) discipline)") {
+    val p = path("buckets")
+    val buckets = 8
+    VerdictStore.init(spark, p,
+      frame((1L to 40L).map(row(_, "keep")): _*), buckets)
+    // one doc → one affected bucket
+    val target = 7L
+    val tb = bucketOf(target, buckets)
+    val before = bucketFiles(p)
+    assert(before.keySet === (0 until buckets).map(k => s"b$k").toSet)
+    VerdictStore.ingest(spark, p, frame(row(target, "drop")),
+      epoch = 1L)
+    val after = bucketFiles(p)
+    // the target bucket changed; every other bucket's files are
+    // byte-for-byte the ones init wrote (same names, sizes, mtimes)
+    assert(after(s"b$tb") !== before(s"b$tb"))
+    (0 until buckets).filter(_ != tb).foreach { k =>
+      assert(after(s"b$k") === before(s"b$k"),
+        s"bucket b$k was touched by an ingest that does not map to it")
+    }
+    // ...and a forget of that one doc touches only its bucket again
+    val mid = bucketFiles(p)
+    assert(VerdictStore.forget(spark, p, Seq(target).toDF("doc_id"),
+      epoch = 2L) === 1L)
+    val post = bucketFiles(p)
+    (0 until buckets).filter(_ != tb).foreach { k =>
+      assert(post(s"b$k") === mid(s"b$k"),
+        s"bucket b$k was touched by a forget that does not map to it")
+    }
+    assert(canon(p).size === 39)
   }
 
   test("the STREAMING sink: a verdictStream feeds the store per " +
@@ -76,7 +132,7 @@ class VerdictStoreSpec extends SparkSpec {
     val q = VerdictStore.sink(
       CorpusStreams.verdictStream(
         input.toDS().toDF("doc_id", "lang", "n_chars", "text"),
-        fences, lm, clfKeep), p).start()
+        fences, lm, clfKeep), p, runTag = "stream-run").start()
     try {
       val half = rows.size / 2
       input.addData(rows.take(half)); q.processAllAvailable()
@@ -124,6 +180,46 @@ class VerdictStoreSpec extends SparkSpec {
     assert(low.getMessage.contains("out-sequence"))
   }
 
+  test("a CHECKPOINT REPLAY under the same run tag re-ingests at its " +
+    "ORIGINAL epoch: a forget issued between crash and restart still " +
+    "out-sequences the replayed batch — forgotten docs stay gone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val p = path("replayfence")
+    VerdictStore.init(spark, p, frame())
+    def run(tag: String,
+        rows: Seq[(Long, Int, Int, Int, Int, String, String)]): Unit = {
+      val in = MemoryStream[(Long, Int, Int, Int, Int, String, String)]
+      val q = VerdictStore.sink(in.toDS().toDF("doc_id", "ratios_ok",
+        "fences_ok", "clf_ok", "lm_ok", "verdict", "first_fail"), p,
+        runTag = tag).start()
+      try { in.addData(rows); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // run "cp1", batch 0: doc 3 scores keep at epoch = floor 0 + 1
+    run("cp1", Seq(row(3, "keep")))
+    assert(canon(p).map(r => (r.head, r(7))) === Seq((3L, 1L)))
+    // the run crashes; a forget lands while it is down (epoch 2
+    // out-sequences the stored row)
+    assert(VerdictStore.forget(spark, p, Seq(3L).toDF("doc_id"),
+      epoch = 2L) === 1L)
+    assert(canon(p) === Nil)
+    // the SAME checkpoint restarts (same tag, batchId 0 again — the
+    // at-least-once replay): the persisted floor maps the batch back
+    // to epoch 1 < 2, so the tombstone keeps winning. Recomputing
+    // the floor at re-attach (the r19 bug) would lift the replay to
+    // epoch 3 and resurrect the forgotten doc.
+    run("cp1", Seq(row(3, "keep")))
+    assert(canon(p) === Nil,
+      "a replayed batch resurrected a forgotten doc")
+    // a FRESH checkpoint is a fresh tag: it attaches ABOVE the
+    // fence and its genuinely-new scoring may re-admit (a new event)
+    run("cp2", Seq(row(3, "drop")))
+    assert(canon(p).map(r => (r.head, r(5), r(7))) ===
+      Seq((3L, "drop", 3L)))
+  }
+
   test("the GDPR chain end to end: forget in the verdict store, " +
     "rebuild only the affected manifest shards, compaction drops the " +
     "fence without changing live answers") {
@@ -165,29 +261,46 @@ class VerdictStoreSpec extends SparkSpec {
     assert(VerdictStore.compact(spark, p, epochFloor = 0L) === 0L)
   }
 
-  test("a RESTARTED sink out-sequences the previous run: the epoch " +
-    "floor is the store's max at attach, so batchId restarting at 0 " +
-    "cannot lose fresh verdicts to stale high-epoch rows") {
+  test("AUTO-COMPACTION derives its floor from the persisted run " +
+    "floors: an active run's fence survives (its replay could still " +
+    "carry an epoch the tombstone must out-sequence), retiring the " +
+    "run releases it, and a retired tag cannot re-attach") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
       spark.sqlContext
-    val p = path("restart")
-    VerdictStore.init(spark, p, frame())
-    def run(rows: Seq[(Long, Int, Int, Int, Int, String, String)])
-        : Unit = {
+    val p = path("autofloor")
+    VerdictStore.init(spark, p, frame(row(1, "keep")))
+    def run(tag: String,
+        rows: Seq[(Long, Int, Int, Int, Int, String, String)]): Unit = {
       val in = MemoryStream[(Long, Int, Int, Int, Int, String, String)]
       val q = VerdictStore.sink(in.toDS().toDF("doc_id", "ratios_ok",
-        "fences_ok", "clf_ok", "lm_ok", "verdict", "first_fail"), p)
-        .start()
+        "fences_ok", "clf_ok", "lm_ok", "verdict", "first_fail"), p,
+        runTag = tag).start()
       try { in.addData(rows); q.processAllAvailable() }
       finally q.stop()
     }
-    run(Seq(row(1, "keep")))                 // run 1: doc 1 at epoch 1
-    run(Seq(row(1, "drop"), row(2, "keep"))) // run 2: batchId 0 again
-    val got = canon(p).map(r => (r.head, r(5), r(7)))
-    // run 2's rescore WON (epoch 2 = floor 1 + 0 + 1), not lost to
-    // run 1's row
-    assert(got === Seq((1L, "drop", 2L), (2L, "keep", 2L)))
+    // run "a" attaches at floor 0 and scores doc 2 (epoch 1)
+    run("a", Seq(row(2, "keep")))
+    // forget doc 2 at epoch 2 — the fence a replay of run "a" 's
+    // batch (epoch 1 ≤ 2) still needs
+    assert(VerdictStore.forget(spark, p, Seq(2L).toDF("doc_id"),
+      epoch = 2L) === 1L)
+    // auto floor = min active floor = 0 → nothing droppable
+    val (f1, n1) = VerdictStore.compact(spark, p)
+    assert((f1, n1) === (0L, 0L))
+    // the operator deletes run "a" 's checkpoints and retires it:
+    // with no active runs the floor rises to the store max and the
+    // fence compacts — live answers identical throughout
+    val live = canon(p)
+    VerdictStore.retireRun(spark, p, "a")
+    val (f2, n2) = VerdictStore.compact(spark, p)
+    assert(n2 === 1L && f2 >= 2L)
+    assert(canon(p) === live)
+    // retirement is the proof the checkpoints are gone — the tag
+    // may never attach again
+    val e = intercept[IllegalArgumentException](
+      VerdictStore.sink(frame(), p, runTag = "a"))
+    assert(e.getMessage.contains("retired"))
   }
 
   test("a batch missing a verdict column, carrying a duplicate " +
