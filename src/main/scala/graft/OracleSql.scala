@@ -948,6 +948,142 @@ object OracleSql {
     // serving rule (unknown fence passes)
     flagsFilter = "NOT (r.doc_id % 11 <> 7 AND f.lang IS NULL)")
 
+  /** The q232 THREE-epoch replay (frozen-model ROTATION): doc
+    * classes init (neither late split), late1 (doc_id % 11 = 7),
+    * late2 (doc_id % 13 = 11 minus the late1 overlap). TWO model
+    * generations replayed side by side — v1 (fences + LM trained on
+    * the init corpus; scores init held-outs AND late-1 arrivals) and
+    * v2 (trained on init + late 1, the grown corpus; scores late-2
+    * arrivals) — with the batch inner-join fence rule for init docs
+    * and the frozen unknown-lang-passes rule for arrivals, exactly
+    * [[twoEpochEnsembleSql]]'s split extended one rotation. */
+  private def rotatedEnsembleSql(tail: String): String = {
+    val (w, b) = graft.queries.SimilarityQueries.pinnedLogisticWeights()
+    val vals = w.zipWithIndex
+      .map { case (v, i) => s"(${i + 1},$v)" }.mkString(",")
+    val isInit = "doc_id % 11 <> 7 AND doc_id % 13 <> 11"
+    val isLate1 = "doc_id % 11 = 7"
+    val isLate2 = "doc_id % 13 = 11 AND doc_id % 11 <> 7"
+    // the flags CTE joins six doc_id-bearing relations — every class
+    // predicate there must qualify EVERY doc_id reference
+    val isInitR = "(r.doc_id % 11 <> 7 AND r.doc_id % 13 <> 11)"
+    val isLate1R = "(r.doc_id % 11 = 7)"
+    val isLate2R = "(r.doc_id % 13 = 11 AND r.doc_id % 11 <> 7)"
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    len(string_split(text, ' '))::DOUBLE AS nt,
+       |    len(list_distinct(string_split(text, ' ')))::DOUBLE AS uq
+       |  FROM documents),
+       |ratios AS (
+       |  SELECT doc_id, lang, nt,
+       |    CASE WHEN ROUND(n_chars::DOUBLE / nt, 4) >= 2.0
+       |          AND ROUND(n_chars::DOUBLE / nt, 4) <= 6.0
+       |          AND ROUND(uq / nt, 4) >= 0.4
+       |         THEN 1 ELSE 0 END AS ratios_ok
+       |  FROM base),
+       |fa1 AS (
+       |  SELECT lang, quantile_cont(nt, 0.25) AS q1,
+       |         quantile_cont(nt, 0.75) AS q3
+       |  FROM base WHERE $isInit GROUP BY 1),
+       |f1 AS (SELECT lang, q1 - 1.5 * (q3 - q1) AS lo,
+       |              q3 + 1.5 * (q3 - q1) AS hi FROM fa1),
+       |fa2 AS (
+       |  SELECT lang, quantile_cont(nt, 0.25) AS q1,
+       |         quantile_cont(nt, 0.75) AS q3
+       |  FROM base WHERE NOT ($isLate2) GROUP BY 1),
+       |f2 AS (SELECT lang, q1 - 1.5 * (q3 - q1) AS lo,
+       |              q3 + 1.5 * (q3 - q1) AS hi FROM fa2),
+       |ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |              generate_subscripts(embedding,1) AS i
+       |       FROM embeddings),
+       |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY 1),
+       |wts AS (SELECT i, v::DOUBLE AS v FROM (VALUES $vals) t(i, v)),
+       |z AS (SELECT e.vec_id,
+       |        SUM((e.x / NULLIF(nr.nrm, 0)) * wts.v) + $b AS z
+       |      FROM ex e JOIN nr ON nr.vec_id = e.vec_id
+       |                JOIN wts ON wts.i = e.i
+       |      GROUP BY e.vec_id),
+       |clf AS (SELECT vec_id AS doc_id,
+       |          CASE WHEN ROUND(1.0 / (1.0 + EXP(-z)), 4) >= 0.5
+       |               THEN 1 ELSE 0 END AS clf_keep
+       |        FROM z),
+       |t AS (
+       |  SELECT doc_id,
+       |    string_split(trim(regexp_replace(regexp_replace(
+       |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
+       |      ' ') AS w
+       |  FROM documents),
+       |bgz AS (SELECT doc_id,
+       |          unnest(list_zip(w[1:len(w) - 1], w[2:len(w)])) AS z
+       |        FROM t WHERE len(w) >= 2),
+       |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bgz),
+       |tr1 AS (SELECT * FROM bg
+       |        WHERE ($isInit) AND doc_id % 5 <> 0),
+       |te1 AS (SELECT * FROM bg
+       |        WHERE (($isInit) AND doc_id % 5 = 0) OR ($isLate1)),
+       |cbg1 AS (SELECT w1, w2, count(*) AS c FROM tr1 GROUP BY 1, 2),
+       |cpx1 AS (SELECT w1, count(*) AS c FROM tr1 GROUP BY 1),
+       |v1c AS (SELECT count(DISTINCT x) AS v FROM
+       |  (SELECT w1 AS x FROM tr1 UNION SELECT w2 FROM tr1)),
+       |tm1 AS (
+       |  SELECT te1.doc_id,
+       |    (1000000000::BIGINT * (COALESCE(cbg1.c, 0) + 1))
+       |      // (COALESCE(cpx1.c, 0) + v1c.v) AS term
+       |  FROM te1
+       |  LEFT JOIN cbg1 ON cbg1.w1 = te1.w1 AND cbg1.w2 = te1.w2
+       |  LEFT JOIN cpx1 ON cpx1.w1 = te1.w1
+       |  CROSS JOIN v1c),
+       |lm1 AS (SELECT doc_id,
+       |          round((sum(term)::DOUBLE / count(*)) / 1e9, 9) AS score
+       |        FROM tm1 GROUP BY doc_id),
+       |tr2 AS (SELECT * FROM bg
+       |        WHERE NOT ($isLate2) AND doc_id % 5 <> 0),
+       |te2 AS (SELECT * FROM bg WHERE $isLate2),
+       |cbg2 AS (SELECT w1, w2, count(*) AS c FROM tr2 GROUP BY 1, 2),
+       |cpx2 AS (SELECT w1, count(*) AS c FROM tr2 GROUP BY 1),
+       |v2c AS (SELECT count(DISTINCT x) AS v FROM
+       |  (SELECT w1 AS x FROM tr2 UNION SELECT w2 FROM tr2)),
+       |tm2 AS (
+       |  SELECT te2.doc_id,
+       |    (1000000000::BIGINT * (COALESCE(cbg2.c, 0) + 1))
+       |      // (COALESCE(cpx2.c, 0) + v2c.v) AS term
+       |  FROM te2
+       |  LEFT JOIN cbg2 ON cbg2.w1 = te2.w1 AND cbg2.w2 = te2.w2
+       |  LEFT JOIN cpx2 ON cpx2.w1 = te2.w1
+       |  CROSS JOIN v2c),
+       |lm2 AS (SELECT doc_id,
+       |          round((sum(term)::DOUBLE / count(*)) / 1e9, 9) AS score
+       |        FROM tm2 GROUP BY doc_id),
+       |flags AS (
+       |  SELECT r.doc_id, r.ratios_ok,
+       |    CASE WHEN $isInitR
+       |         THEN CASE WHEN r.nt >= f1.lo AND r.nt <= f1.hi
+       |                   THEN 1 ELSE 0 END
+       |         WHEN $isLate1R
+       |         THEN CASE WHEN f1.lang IS NULL THEN 1
+       |                   WHEN r.nt >= f1.lo AND r.nt <= f1.hi
+       |                   THEN 1 ELSE 0 END
+       |         ELSE CASE WHEN f2.lang IS NULL THEN 1
+       |                   WHEN r.nt >= f2.lo AND r.nt <= f2.hi
+       |                   THEN 1 ELSE 0 END END AS fences_ok,
+       |    COALESCE(clf.clf_keep, 1) AS clf_ok,
+       |    CASE WHEN $isInitR AND r.doc_id % 5 <> 0 THEN 1
+       |         WHEN $isLate2R
+       |         THEN CASE WHEN lm2.score IS NULL THEN 1
+       |                   WHEN lm2.score >= 0.0322 THEN 1 ELSE 0 END
+       |         ELSE CASE WHEN lm1.score IS NULL THEN 1
+       |                   WHEN lm1.score >= 0.0322 THEN 1 ELSE 0 END
+       |         END AS lm_ok
+       |  FROM ratios r
+       |  LEFT JOIN f1 ON f1.lang = r.lang
+       |  LEFT JOIN f2 ON f2.lang = r.lang
+       |  LEFT JOIN clf ON clf.doc_id = r.doc_id
+       |  LEFT JOIN lm1 ON lm1.doc_id = r.doc_id
+       |  LEFT JOIN lm2 ON lm2.doc_id = r.doc_id
+       |  WHERE NOT ($isInitR AND f1.lang IS NULL))
+       |$tail""".stripMargin
+  }
+
   private def ensembleSql(tail: String,
       fenWhere: String = "TRUE",
       trainWhere: String = "doc_id % 5 <> 0",
@@ -1877,6 +2013,22 @@ object OracleSql {
         |       WHEN lm_ok = 0 THEN 'lm' END AS first_fail,
         |  CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END::BIGINT
         |    AS epoch
+        |FROM flags ORDER BY doc_id""".stripMargin),
+    // q232: frozen-model rotation — the three-epoch replay: batch
+    // rules for init docs, v1-frozen rules for late-1 arrivals,
+    // v2-frozen rules (trained on the GROWN corpus) for late-2;
+    // epoch = the stored provenance the rotation must not disturb
+    "q232_model_rotation" -> rotatedEnsembleSql(
+      """SELECT doc_id, ratios_ok, fences_ok, clf_ok, lm_ok,
+        |  CASE WHEN ratios_ok = 1 AND fences_ok = 1 AND clf_ok = 1
+        |        AND lm_ok = 1 THEN 'keep' ELSE 'drop' END AS verdict,
+        |  CASE WHEN ratios_ok = 0 THEN 'ratios'
+        |       WHEN fences_ok = 0 THEN 'fences'
+        |       WHEN clf_ok = 0 THEN 'classifier'
+        |       WHEN lm_ok = 0 THEN 'lm' END AS first_fail,
+        |  CASE WHEN doc_id % 11 = 7 THEN 1
+        |       WHEN doc_id % 13 = 11 THEN 2
+        |       ELSE 0 END::BIGINT AS epoch
         |FROM flags ORDER BY doc_id""".stripMargin),
     // q227: dedup-aware mixing — the q62 recursive components feed
     // q63's per-lang window admission; only canonicals consume budget

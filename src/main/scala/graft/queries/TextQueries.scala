@@ -2558,6 +2558,89 @@ object TextQueries {
       .orderBy("shard", "pack_id")
   }
 
+  /** Q232 — FROZEN-MODEL ROTATION (r20): the lifecycle q226 stops
+    * short of. A production scorer does not serve epoch-0's frozen
+    * artifacts forever — it periodically RE-FREEZES from the grown
+    * corpus and rescores later arrivals under the new model, while
+    * every verdict already stored STANDS (retroactively rescoring
+    * served corpus would churn downstream builds for no new
+    * information). Three epochs under the gate:
+    *   - epoch 0 (INIT): the batch ensemble over the init corpus
+    *     (neither late split) seeds the store; its LM + fences
+    *     freeze as [[graft.streaming.FrozenArtifacts]] VERSION 1;
+    *   - epoch 1 (SERVE v1): late batch 1 (doc_id % 11 == 7) scores
+    *     against the reloaded v1 artifacts — q226's path;
+    *   - ROTATION: version 2 re-freezes from the GROWN corpus
+    *     (init + late batch 1 — the docs the store has seen, the
+    *     CCNet re-train cycle), REPLACING v1 atomically;
+    *   - epoch 2 (SERVE v2): late batch 2 (doc_id % 13 == 11, minus
+    *     the late-1 overlap) scores against the reloaded v2.
+    * The epoch-sequenced merge makes the rotation safe by
+    * construction: pre-rotation verdicts keep their epochs (a
+    * replayed pre-rotation batch still lands BELOW them), and only
+    * post-rotation arrivals carry epoch 2. The DuckDB oracle replays
+    * all three rule groups — batch flags for init docs, v1-frozen
+    * flags (fences + LM trained on init) for late-1 docs, v2-frozen
+    * flags (trained on init + late 1) for late-2 docs; an engine
+    * that kept scoring under v1, leaked late-2 docs into the v2
+    * training set, or rescored stored epochs hash-fails. */
+  def q232ModelRotation(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{CorpusStreams, FrozenArtifacts, VerdictStore}
+    val path = graft.FixtureCache.once(s, s"q232|$dir") {
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val p = s"/root/repo/target/tmp/q232_verdicts_$app"
+      val aP = s"/root/repo/target/tmp/q232_artifacts_$app"
+      val all = docs(s, dir)
+        .select("doc_id", "lang", "n_chars", "text")
+        .localCheckpoint(true)
+      val late1 = col("doc_id") % 11 === 7
+      val late2 = col("doc_id") % 13 === 11 && col("doc_id") % 11 =!= 7
+      val init = all.filter(!late1 && !late2)
+      val clfKeep = graft.queries.SimilarityQueries
+        .q94ClassifierScore(s, dir)
+        .select(col("vec_id").as("doc_id"), col("keep"))
+        .localCheckpoint(true)
+      // epoch 0: batch ensemble over the init corpus → store; v1
+      // artifacts freeze from the SAME bigram checkpoint
+      val bg = bigramsOf(init).localCheckpoint(true)
+      VerdictStore.init(s, p, verdictRows(
+        composeFlags(s, dir, init, lmScoresFromBigrams(bg))))
+      val v1 = CorpusStreams.freezeLmFromTrain(bg.filter(lmTrainSplit))
+      require(v1.cbg.size < CorpusStreams.DefaultLmMaxBigrams,
+        s"q232: the v1 frozen-LM cap binds (${v1.cbg.size} bigrams)" +
+          " — model the cap in the oracle before growing the fixture")
+      FrozenArtifacts.write(s, aP, v1,
+        CorpusStreams.freezeFencesOf(init), version = 1L)
+      // epoch 1: late batch 1 scores under the RELOADED v1
+      val (lm1, fen1, ver1) = FrozenArtifacts.read(s, aP)
+      require(ver1 == 1L, s"q232: expected artifact v1, got v$ver1")
+      VerdictStore.ingest(s, p,
+        CorpusStreams.verdictStream(all.filter(late1), fen1, lm1,
+          clfKeep).drop("score"), epoch = 1L)
+      // ROTATION: v2 re-freezes from the grown corpus and REPLACES
+      // v1 (one artifact path, atomically swapped — the scorer that
+      // restarts mid-rotation serves one complete version or the
+      // other, never a blend)
+      val grown = all.filter(!late2)
+      val v2 = CorpusStreams.freezeLmOf(grown)
+      require(v2.cbg.size < CorpusStreams.DefaultLmMaxBigrams,
+        s"q232: the v2 frozen-LM cap binds (${v2.cbg.size} bigrams)" +
+          " — model the cap in the oracle before growing the fixture")
+      FrozenArtifacts.write(s, aP, v2,
+        CorpusStreams.freezeFencesOf(grown), version = 2L)
+      // epoch 2: late batch 2 scores under the RELOADED v2;
+      // everything stored before the rotation stands untouched
+      val (lm2, fen2, ver2) = FrozenArtifacts.read(s, aP)
+      require(ver2 == 2L, s"q232: expected artifact v2, got v$ver2")
+      VerdictStore.ingest(s, p,
+        CorpusStreams.verdictStream(all.filter(late2), fen2, lm2,
+          clfKeep).drop("score"), epoch = 2L)
+      p
+    }
+    VerdictStore.read(s, path).orderBy("doc_id")
+  }
+
   /** Q218 — the ensemble FUNNEL (q69's audit shape over the full
     * ensemble): survivors after each filter applied cumulatively in
     * cascade order — the per-stage report that makes a corpus-nuking

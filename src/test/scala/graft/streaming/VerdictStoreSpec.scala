@@ -303,6 +303,28 @@ class VerdictStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("retired"))
   }
 
+  test("MODEL ROTATION rides the epoch merge: a doc rescored under " +
+    "the post-rotation epoch keeps its v2 verdict through a replay " +
+    "of its pre-rotation batch, and pre-rotation verdicts stand") {
+    val p = path("rotate")
+    // epoch 0: init store; epoch 1: doc 5 scores keep under v1
+    VerdictStore.init(spark, p, frame(row(1, "keep")))
+    val preRotation = frame(row(5, "keep"))
+    VerdictStore.ingest(spark, p, preRotation, epoch = 1L)
+    // rotation: v2 rescoring of later arrivals lands at epoch 2 —
+    // doc 5 re-arrives and the new model now DROPS it
+    VerdictStore.ingest(spark, p, frame(row(5, "drop")), epoch = 2L)
+    assert(canon(p).map(r => (r.head, r(5), r(7))) ===
+      Seq((1L, "keep", 0L), (5L, "drop", 2L)))
+    // the crash-recovery replay of the PRE-rotation batch (epoch 1)
+    // cannot clobber the v2 rescore...
+    VerdictStore.ingest(spark, p, preRotation, epoch = 1L)
+    assert(canon(p).map(r => (r.head, r(5), r(7))) ===
+      Seq((1L, "keep", 0L), (5L, "drop", 2L)))
+    // ...and the rotation never touched the init-epoch verdict
+    assert(canon(p).head === Seq(1L, 1, 1, 1, 1, "keep", null, 0L))
+  }
+
   test("a batch missing a verdict column, carrying a duplicate " +
     "doc_id, or claiming epoch 0 is loud") {
     val p = path("shape")
