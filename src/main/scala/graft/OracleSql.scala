@@ -2014,6 +2014,25 @@ object OracleSql {
         |  CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END::BIGINT
         |    AS epoch
         |FROM flags ORDER BY doc_id""".stripMargin),
+    // q231: composite-key live query — the final merged state (base
+    // rollup upserted per (orderkey, linenumber) TUPLE) re-ranked
+    // under the document's order/limit; a single-component fold
+    // collapses an order's lines and fails on row placement
+    "q231_composite_live" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         ROUND(SUM(l_quantity), 2) AS q0, COUNT(*) AS n
+        |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY 1, 2),
+        |st AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey % 7 = 3 THEN q0 + 100.0
+        |              ELSE q0 END AS l_quantity,
+        |         n
+        |  FROM r)
+        |SELECT l_orderkey, l_linenumber, l_quantity, n
+        |FROM st WHERE n >= 2
+        |ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
     // q232: frozen-model rotation — the three-epoch replay: batch
     // rules for init docs, v1-frozen rules for late-1 arrivals,
     // v2-frozen rules (trained on the GROWN corpus) for late-2;

@@ -295,6 +295,8 @@ object SparkEntry {
       (graft.api.GraphQl.q229CompositeCursorStream(_, _)),
     "q230_role_composite_by_pk" ->
       (graft.api.Permissions.q230RoleScopedCompositeByPk(_, _)),
+    "q231_composite_live" ->
+      (graft.api.GraphQl.q231CompositeLiveQuery(_, _)),
     "q232_model_rotation" ->
       (graft.queries.TextQueries.q232ModelRotation(_, _)),
   )

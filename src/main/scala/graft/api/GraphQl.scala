@@ -6261,6 +6261,70 @@ object GraphQl {
         s"canned q229 failed to parse: $m")
     }
 
+  /** q231's document — a LIVE subscription over the composite-keyed
+    * rollup: order_by + limit force the live-query mode (every
+    * trigger can re-rank the full result), spelled exactly like the
+    * scalar-keyed live subscriptions — the KEY the state folds on
+    * comes from the tracked schema, not the document. */
+  val q231Query: String =
+    """subscription {
+      |  lineitem(
+      |    where: {n: {_gte: 2}},
+      |    order_by: [{l_quantity: desc}, {l_orderkey: asc},
+      |               {l_linenumber: asc}],
+      |    limit: 20) {
+      |    l_orderkey l_linenumber l_quantity n
+      |  }
+      |}""".stripMargin
+
+  /** q231 — COMPOSITE-KEY LIVE QUERY (r20): the q222 composite store
+    * served as a LIVE change-feed. The subscription document parses
+    * under the composite schema, [[Subscriptions.liveQuery]] folds
+    * the triggers into latest-wins state partitioned on the FULL
+    * (l_orderkey, l_linenumber) tuple — the [[graft.sources
+    * .SnapshotStore]] composite-merge contract promoted to the serve
+    * path — and each trigger pushes the COMPLETE re-ranked result.
+    * The deterministic two-trigger feed delivers the whole rollup,
+    * then re-delivers every l_orderkey % 7 == 3 tuple with +100
+    * quantity (an UPSERT per tuple — several lines of one order
+    * update together). The DuckDB oracle replays the final merged
+    * state and the order/limit: an engine folding state on the
+    * leading key component alone collapses each order's lines and
+    * hash-fails; one applying upserts without tuple identity
+    * duplicates them and hash-fails on the re-rank. */
+  def q231CompositeLiveQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val req = parse(q231Query, schema = compositeSchema).fold(
+      m => throw new IllegalStateException(
+        s"canned q231 failed to parse: $m"), identity)
+    val keyCols = compositeSchema.keys(req.table)
+    // the bounded q222 slice (~600 tuples at any SF) as a
+    // deterministic replayable feed
+    val feed = lineitemRollup(s, dir).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+    val t1 = feed.map { case (ok, ln, q, n) => (ok, ln, q, n, 1L) }
+    val t2 = feed.filter(_._1 % 7 == 3)
+      .map { case (ok, ln, q, n) => (ok, ln, q + 100.0, n, 2L) }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Double, Long, Long)]
+    val pushed = scala.collection.mutable
+      .ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val query = Subscriptions.liveQuery(
+      input.toDF().toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "n", "seq"),
+      req, keyCols, seqCol = Some("seq")) { (_, df) =>
+      pushed += df.localCheckpoint(true); ()
+    }
+    try {
+      input.addData(t1); query.processAllAvailable()
+      if (t2.nonEmpty) { input.addData(t2); query.processAllAvailable() }
+    } finally query.stop()
+    require(pushed.nonEmpty, "q231: the live serve pushed nothing")
+    pushed.last
+  }
+
   def q222CompositePk(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

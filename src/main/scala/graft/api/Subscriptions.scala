@@ -88,11 +88,22 @@ object Subscriptions {
     * foreachBatch) with a fresh liveQuery over it. */
   def liveQuery(stream: DataFrame, req: Request, keyCol: String,
       seqCol: Option[String] = None)
+      (push: (Long, DataFrame) => Unit): StreamingQuery =
+    liveQuery(stream, req, Seq(keyCol), seqCol)(push)
+
+  /** [[liveQuery]] on a COMPOSITE key (r20): the latest-wins state
+    * partitions on the full tuple — a store keyed like `lineitem`'s
+    * natural (l_orderkey, l_linenumber) must never collapse two
+    * lines of one order between triggers (the [[graft.sources
+    * .SnapshotStore.merge]] composite contract, promoted to the
+    * serve path). Same state posture, same batch-equivalence rule. */
+  def liveQuery(stream: DataFrame, req: Request, keyCols: Seq[String],
+      seqCol: Option[String])
       (push: (Long, DataFrame) => Unit): StreamingQuery = {
     require(req.nested.isEmpty && req.aggRels.isEmpty,
       s"subscription on '${req.table}': relationship selections " +
         "need the table directory (use the (spark, dir) overload)")
-    liveFold(stream, keyCol, seqCol)(
+    liveFold(stream, keyCols, seqCol)(
       latest => QueryBuilder.runRoot(latest, req))(push)
   }
 
@@ -113,7 +124,14 @@ object Subscriptions {
       stream: DataFrame, req: Request, keyCol: String,
       seqCol: Option[String])
       (push: (Long, DataFrame) => Unit): StreamingQuery =
-    liveFold(stream, keyCol, seqCol)(
+    liveQuery(s, dir, stream, req, Seq(keyCol), seqCol)(push)
+
+  /** The directory overload on a COMPOSITE key. */
+  def liveQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+      stream: DataFrame, req: Request, keyCols: Seq[String],
+      seqCol: Option[String])
+      (push: (Long, DataFrame) => Unit): StreamingQuery =
+    liveFold(stream, keyCols, seqCol)(
       latest => QueryBuilder.runOn(s, dir, latest, req))(push)
 
   /** The shared live-subscription STATE FOLD ([[liveQuery]] and
@@ -122,9 +140,10 @@ object Subscriptions {
     * (the S8 snapshot upsert; eager localCheckpoint = the state-store
     * snapshot analog, cutting lineage), and `eval` re-answers over
     * the latest rows. */
-  private def liveFold(stream: DataFrame, keyCol: String,
+  private def liveFold(stream: DataFrame, keyCols: Seq[String],
       seqCol: Option[String])(eval: DataFrame => DataFrame)
       (push: (Long, DataFrame) => Unit): StreamingQuery = {
+    require(keyCols.nonEmpty, "liveQuery: empty key column list")
     var snap: Option[DataFrame] = None
     stream.writeStream
       .outputMode("update")
@@ -136,18 +155,21 @@ object Subscriptions {
             // batch-id sequencing is only sound when the input is
             // update-mode (one row per changed key per trigger) — two
             // same-key rows would TIE in the merge window and an
-            // arbitrary one would win; loud, never a silent wrong row
-            val dup = batch.groupBy(keyCol)
+            // arbitrary one would win; loud, never a silent wrong
+            // row. The probe groups on the FULL key tuple: two rows
+            // differing only in a later component are two KEYS.
+            val dup = batch.groupBy(keyCols.map(col): _*)
               .count().filter(col("count") > 1).limit(1).collect()
             require(dup.isEmpty, "liveQuery(seqCol = None): the " +
-              s"micro-batch carries ${dup.headOption.map(_.get(0))
+              s"micro-batch carries key ${dup.headOption.map(r =>
+                keyCols.indices.map(r.get).mkString("(", ", ", ")"))
                 .getOrElse("?")} more than once — batch-id sequencing " +
               "needs one row per key per trigger (pass a real seqCol " +
               "for append-mode inputs)")
             batch.withColumn(sc, lit(bid))
           }
         val cur = snap.getOrElse(delta.limit(0))
-        val merged = SnapshotStore.merge(cur, delta, keyCol, sc)
+        val merged = SnapshotStore.merge(cur, delta, keyCols, sc)
           .localCheckpoint(true)
         snap = Some(merged)
         push(bid, eval(merged.drop(sc)))
@@ -168,7 +190,14 @@ object Subscriptions {
       req: QueryBuilder.AggRequest, keyCol: String,
       seqCol: Option[String] = None)
       (push: (Long, DataFrame) => Unit): StreamingQuery =
-    liveFold(stream, keyCol, seqCol)(
+    liveAggregate(stream, req, Seq(keyCol), seqCol)(push)
+
+  /** [[liveAggregate]] on a COMPOSITE key. */
+  def liveAggregate(stream: DataFrame,
+      req: QueryBuilder.AggRequest, keyCols: Seq[String],
+      seqCol: Option[String])
+      (push: (Long, DataFrame) => Unit): StreamingQuery =
+    liveFold(stream, keyCols, seqCol)(
       latest => QueryBuilder.runAggregateOn(latest, req))(push)
 
   // ---- Hasura streaming subscriptions (`<table>_stream`) -------------

@@ -103,6 +103,77 @@ class SubscriptionsSpec extends SparkSpec {
     assert(pushed.map(_._1) === Vector(0L, 1L, 2L))
   }
 
+  test("COMPOSITE-key live query: the state folds on the FULL tuple " +
+    "— two lines of one order never collapse, an upsert addresses " +
+    "ONE tuple, and every trigger equals the batch request over the " +
+    "composite-merged latest state") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Double, Long)]
+    val req = Request("t", fields = Seq("ok", "ln", "qty"),
+      orderBy = Seq(Order("qty", desc = true), Order("ok"),
+        Order("ln")), limit = Some(4))
+    var pushed = Vector.empty[(Long, Seq[Seq[Any]])]
+    val q = Subscriptions.liveQuery(
+      input.toDF().toDF("ok", "ln", "qty", "seq"), req,
+      keyCols = Seq("ok", "ln"), seqCol = Some("seq")) { (bid, df) =>
+      pushed :+= ((bid, rows(df)))
+    }
+    val seen = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Int, Double, Long)]
+    def batchReference: Seq[Seq[Any]] = {
+      val all = seen.toSeq.toDF("ok", "ln", "qty", "seq")
+      rows(QueryBuilder.runRoot(
+        SnapshotStore.merge(all.limit(0), all, Seq("ok", "ln"), "seq")
+          .drop("deleted", "seq"), req))
+    }
+    try {
+      // trigger 1: order 1 has TWO lines — a leading-key fold keeps
+      // only one of them and fails the parity check immediately
+      input.addData(Seq((1L, 1, 50.0, 1L), (1L, 2, 40.0, 2L),
+        (2L, 1, 30.0, 3L)))
+      q.processAllAvailable()
+      seen ++= Seq((1L, 1, 50.0, 1L), (1L, 2, 40.0, 2L),
+        (2L, 1, 30.0, 3L))
+      assert(pushed.last._2 === batchReference)
+      assert(pushed.last._2.map(r => (r.head, r(1))) ===
+        Seq((1L, 1), (1L, 2), (2L, 1)))
+      // trigger 2: upsert of tuple (1, 2) re-prices ONE line; its
+      // sibling (1, 1) must keep its stored values, and the re-rank
+      // moves the updated line to the top
+      input.addData(Seq((1L, 2, 60.0, 4L), (2L, 2, 5.0, 5L)))
+      q.processAllAvailable()
+      seen ++= Seq((1L, 2, 60.0, 4L), (2L, 2, 5.0, 5L))
+      assert(pushed.last._2 === batchReference)
+      assert(pushed.last._2.map(r => (r.head, r(1), r(2))) ===
+        Seq((1L, 2, 60.0), (1L, 1, 50.0), (2L, 1, 30.0), (2L, 2, 5.0)))
+    } finally q.stop()
+  }
+
+  test("composite batch-id sequencing: two rows differing in a LATER " +
+    "key component are two keys (no false duplicate), one tuple " +
+    "twice is refused") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int, Double)]
+    val req = Request("t", fields = Seq("ok", "ln"),
+      orderBy = Seq(Order("ok"), Order("ln")), limit = Some(5))
+    val q = Subscriptions.liveQuery(
+      input.toDF().toDF("ok", "ln", "qty"), req,
+      keyCols = Seq("ok", "ln"), seqCol = None) { (_, _) => () }
+    try {
+      // same leading component, different line — NOT a duplicate
+      input.addData(Seq((1L, 1, 1.0), (1L, 2, 2.0)))
+      q.processAllAvailable()
+      // the same tuple twice IS one — loud
+      input.addData(Seq((2L, 1, 1.0), (2L, 1, 2.0)))
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(e.getMessage.contains("more than once") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("more than once")))
+    } finally q.stop()
+  }
+
   test("liveQuery with batch-id sequencing refuses a batch carrying " +
     "one key twice (the tie would pick an arbitrary winner)") {
     val input = org.apache.spark.sql.execution.streaming.runtime
