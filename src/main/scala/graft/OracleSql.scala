@@ -2014,6 +2014,147 @@ object OracleSql {
         |  CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END::BIGINT
         |    AS epoch
         |FROM flags ORDER BY doc_id""".stripMargin),
+    // q233: the multimodal verdict/manifest chain — text ensemble
+    // keepers + the three media keep-best replays (pinned hashes and
+    // quality literals; canonical = min over direct neighbors, exact
+    // because every fixture cluster is a clique) through the q220
+    // pack fold with per-modality counts
+    "q233_multimodal_build" -> {
+      val withHires = graft.queries.PipelineQueries.pinnedDhashes :+
+        ("m01_hires" -> 119908340784499200L)
+      val ivals = hashValuesOf(withHires)
+      val ipxVals = withHires.map { case (k, _) =>
+        s"('$k', ${if (k == "m01_hires") 13824 else 3456})"
+      }.mkString(",\n  ")
+      val avals = hashValuesOf(
+        graft.queries.PipelineQueries.pinnedSegmentAhashes)
+      val vidPinned = graft.queries.PipelineQueries.pinnedVideoDhashes
+      val vidA = vidPinned.filter(_._1.startsWith("vidA#"))
+      val vcorpus = vidA ++
+        vidA.take(5).map { case (k, v) =>
+          (k.replace("vidA#", "vidA_cut#"), v) } ++
+        vidPinned.filter(_._1.startsWith("vidC#"))
+      val vvals = hashValuesOf(vcorpus)
+      ensembleSql(
+        s""", tk AS (SELECT doc_id FROM flags
+           |    WHERE ratios_ok = 1 AND fences_ok = 1
+           |      AND clf_ok = 1 AND lm_ok = 1),
+           |titems AS (
+           |  SELECT 'text:' || doc_id::VARCHAR AS pid,
+           |         'text' AS modality,
+           |         len(string_split(text, ' '))::BIGINT AS ntok
+           |  FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM tk)),
+           |it(key, dhash) AS (VALUES
+           |  $ivals),
+           |ipx(key, px) AS (VALUES
+           |  $ipxVals),
+           |ip AS (SELECT a.key AS a, b.key AS b
+           |       FROM it a JOIN it b ON a.key < b.key
+           |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+           |ie AS (SELECT a AS id, b AS nb FROM ip
+           |       UNION ALL SELECT b, a FROM ip),
+           |imem AS (SELECT t2.key,
+           |           LEAST(t2.key, COALESCE(MIN(ie.nb), t2.key))
+           |             AS canonical
+           |         FROM it t2 LEFT JOIN ie ON ie.id = t2.key
+           |         GROUP BY t2.key),
+           |ikeep AS (SELECT key, px FROM (
+           |    SELECT m.key, q.px,
+           |      ROW_NUMBER() OVER (PARTITION BY m.canonical
+           |                         ORDER BY q.px DESC, m.key) AS rn
+           |    FROM imem m JOIN ipx q ON q.key = m.key) WHERE rn = 1),
+           |iitems AS (SELECT 'image:' || key AS pid,
+           |                  'image' AS modality,
+           |                  (px // 64)::BIGINT AS ntok FROM ikeep),
+           |at2(key, dhash) AS (VALUES
+           |  $avals),
+           |aq(key, n_samples) AS (VALUES
+           |  ('s1', 16000), ('s1_trim', 12000), ('s2', 16000),
+           |  ('s3', 16000)),
+           |asp AS (SELECT a.key AS ka, b.key AS kb
+           |        FROM at2 a JOIN at2 b ON a.key < b.key
+           |        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+           |ase AS (SELECT regexp_extract(ka, '^(.*)#', 1) AS va,
+           |               regexp_extract(kb, '^(.*)#', 1) AS vb
+           |        FROM asp),
+           |av AS (SELECT CASE WHEN va < vb THEN va ELSE vb END AS a,
+           |              CASE WHEN va < vb THEN vb ELSE va END AS b
+           |       FROM ase WHERE va <> vb
+           |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |ae AS (SELECT a AS id, b AS nb FROM av
+           |       UNION ALL SELECT b, a FROM av),
+           |amem AS (SELECT q.key,
+           |           LEAST(q.key, COALESCE(MIN(ae.nb), q.key))
+           |             AS canonical
+           |         FROM aq q LEFT JOIN ae ON ae.id = q.key
+           |         GROUP BY q.key),
+           |akeep AS (SELECT key, n_samples FROM (
+           |    SELECT m.key, q.n_samples,
+           |      ROW_NUMBER() OVER (PARTITION BY m.canonical
+           |                         ORDER BY q.n_samples DESC, m.key)
+           |        AS rn
+           |    FROM amem m JOIN aq q ON q.key = m.key) WHERE rn = 1),
+           |aitems AS (SELECT 'audio:' || key AS pid,
+           |                  'audio' AS modality,
+           |                  (n_samples // 100)::BIGINT AS ntok
+           |           FROM akeep),
+           |vt(key, dhash) AS (VALUES
+           |  $vvals),
+           |vq(key, quality) AS (VALUES
+           |  ('vidA', 20736), ('vidA_cut', 17280), ('vidC', 20736)),
+           |vsp AS (SELECT a.key AS ka, b.key AS kb
+           |        FROM vt a JOIN vt b ON a.key < b.key
+           |        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+           |vse AS (SELECT regexp_extract(ka, '^(.*)#', 1) AS va,
+           |               regexp_extract(kb, '^(.*)#', 1) AS vb
+           |        FROM vsp),
+           |vv AS (SELECT CASE WHEN va < vb THEN va ELSE vb END AS a,
+           |              CASE WHEN va < vb THEN vb ELSE va END AS b
+           |       FROM vse WHERE va <> vb
+           |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |ve AS (SELECT a AS id, b AS nb FROM vv
+           |       UNION ALL SELECT b, a FROM vv),
+           |vmem AS (SELECT q.key,
+           |           LEAST(q.key, COALESCE(MIN(ve.nb), q.key))
+           |             AS canonical
+           |         FROM vq q LEFT JOIN ve ON ve.id = q.key
+           |         GROUP BY q.key),
+           |vkeep AS (SELECT key, quality FROM (
+           |    SELECT m.key, q.quality,
+           |      ROW_NUMBER() OVER (PARTITION BY m.canonical
+           |                         ORDER BY q.quality DESC, m.key)
+           |        AS rn
+           |    FROM vmem m JOIN vq q ON q.key = m.key) WHERE rn = 1),
+           |vitems AS (SELECT 'video:' || key AS pid,
+           |                  'video' AS modality,
+           |                  (quality // 64)::BIGINT AS ntok
+           |           FROM vkeep),
+           |items AS (SELECT * FROM titems
+           |  UNION ALL SELECT * FROM iitems
+           |  UNION ALL SELECT * FROM aitems
+           |  UNION ALL SELECT * FROM vitems),
+           |dd AS (SELECT pid, modality, ntok,
+           |         ${ddbHash("pid || '#5'")} AS h FROM items),
+           |sh2 AS (SELECT *, (h % 8)::INT AS shard FROM dd),
+           |cc AS (SELECT *,
+           |         SUM(ntok) OVER (PARTITION BY shard
+           |                         ORDER BY h, pid) - ntok AS strt
+           |       FROM sh2)
+           |SELECT shard, (strt // 2048)::BIGINT AS pack_id,
+           |  COUNT(*) AS n_items, SUM(ntok)::BIGINT AS n_tokens,
+           |  SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_text,
+           |  SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_image,
+           |  SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_audio,
+           |  SUM(CASE WHEN modality = 'video' THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_video,
+           |  md5(string_agg(pid, ',' ORDER BY h, pid)) AS ids_md5
+           |FROM cc GROUP BY shard, pack_id
+           |ORDER BY shard, pack_id""".stripMargin)
+    },
     // q231: composite-key live query — the final merged state (base
     // rollup upserted per (orderkey, linenumber) TUPLE) re-ranked
     // under the document's order/limit; a single-component fold

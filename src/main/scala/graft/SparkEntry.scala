@@ -299,6 +299,8 @@ object SparkEntry {
       (graft.api.GraphQl.q231CompositeLiveQuery(_, _)),
     "q232_model_rotation" ->
       (graft.queries.TextQueries.q232ModelRotation(_, _)),
+    "q233_multimodal_build" ->
+      (P.q233MultimodalBuild(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1042,4 +1042,126 @@ object PipelineQueries {
     graft.operators.MultimodalOps.dhashNearDupPairs(hashes, maxDist = 3)
       .orderBy("a", "b")
   }
+
+  /** One keep/drop verdict row per MEDIA item — [[graft.operators
+    * .Retention.keepBest]]'s rule reported PER MEMBER: the cluster's
+    * best-scoring member (singletons trivially) keeps, every other
+    * member drops as a duplicate; `cost` is the item's token-
+    * equivalent pack size (score div `costDiv` — pixels, samples,
+    * frame-pixels scaled to the text token budget's magnitude). */
+  private def modalityVerdicts(modality: String, clusters: DataFrame,
+      scored: DataFrame, costDiv: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical")
+      .orderBy(col("score").desc_nulls_last, col("key"))
+    clusters.join(scored, Seq("key"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(lit(modality).as("modality"), col("key").as("item_id"),
+        when(col("rn") === 1, lit("keep")).otherwise(lit("drop"))
+          .as("verdict"),
+        when(col("rn") === 1, lit(null).cast("string"))
+          .otherwise(lit("dup")).as("reason"),
+        expr(s"score div $costDiv").cast("long").as("cost"))
+  }
+
+  /** Q233 — the MULTIMODAL verdict/manifest chain (r20): the four
+    * modality pipelines' keep/drop decisions land in ONE persisted
+    * verdict store, and the corpus build packs a MIXED corpus from
+    * its keepers — the unified "what ships in the next training run"
+    * state a real multimodal pipeline maintains.
+    *
+    *  - text: the q217 ensemble verdict (reason = first failing
+    *    filter), cost = token count;
+    *  - image (q172's corpus): dHash d≤3 clusters, keep the highest
+    *    resolution; cost = pixels div 64;
+    *  - audio (q173's corpus): segment-level repost verdicts →
+    *    clusters, keep the longest recording; cost = samples div 100;
+    *  - video (q181's corpus): frame-hash repost verdicts → clusters,
+    *    keep the longest container; cost = frame-pixels div 64.
+    *
+    * The manifest is the q220 per-shard prefix fold over
+    * `modality:item_id` ids with PER-MODALITY counts per pack. The
+    * DuckDB oracle replays the text ensemble, all three media
+    * keep-best decisions (from the pinned hash/quality literals —
+    * canonical = min over direct neighbors, exact here because every
+    * fixture cluster is a clique), and the pack fold: a stale store,
+    * a wrong keep-best winner, or a modality miscount hash-fails.
+    *
+    * Scale posture: the store is written once (media fixtures are
+    * test-scale; the text side rides the pinned ensemble flags) and
+    * every call packs from the STORE — one window + one groupBy over
+    * keepers, the q220 plan with a modality dimension. */
+  def q233MultimodalBuild(s: SparkSession, dir: String,
+      budget: Long = 2048, shards: Int = 8): DataFrame = {
+    import s.implicits._
+    import graft.operators.{MultimodalOps => M}
+    val path = graft.FixtureCache.once(s, s"q233|$dir") {
+      val p = s"/root/repo/target/tmp/q233_store_" +
+        s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val imedia = retentionFixtureBytes.toDF("key", "bytes")
+        .localCheckpoint(true) // decoded twice: hashes + pixel counts
+      val ihs = M.imageDHashes(imedia).filter(col("dhash").isNotNull)
+      val img = modalityVerdicts("image",
+        hashDupClusters(s, ihs, M.dhashNearDupPairs(ihs, maxDist = 3)),
+        M.imagePixelCounts(imedia)
+          .select(col("key"), col("px").cast("long").as("score")), 64)
+      val amedia = segAudioFixtureBytes.toDF("key", "bytes")
+        .localCheckpoint(true)
+      val averd = M.repostVerdicts(
+        M.audioNearDupPairs(M.audioSegmentDHashes(amedia), maxDist = 3),
+        minMatches = 2)
+      val aud = modalityVerdicts("audio",
+        hashDupClusters(s, segAudioFixtures.map(_._1).toDF("key"),
+          averd.select("a", "b")),
+        M.audioFeatures(amedia)
+          .select(col("key"), col("n_samples").cast("long").as("score")),
+        100)
+      val vmedia = videoRetentionBytes.toDF("key", "bytes")
+        .localCheckpoint(true)
+      val vverd = M.repostVerdicts(
+        M.dhashNearDupPairs(M.videoFrameDHashes(vmedia), maxDist = 3),
+        minMatches = 2)
+      val vid = modalityVerdicts("video",
+        hashDupClusters(s, videoRetentionBytes.map(_._1).toDF("key"),
+          vverd.select("a", "b")),
+        M.videoStats(vmedia).select(col("key"),
+          (col("n_frames") * col("px_per_frame")).cast("long")
+            .as("score")), 64)
+      import graft.functions.TextFunctions.tokens
+      val txt = TextQueries.verdictRows(TextQueries.ensembleFlags(s, dir))
+        .join(graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("cost")),
+          Seq("doc_id"))
+        .select(lit("text").as("modality"),
+          col("doc_id").cast("string").as("item_id"),
+          col("verdict"), col("first_fail").as("reason"), col("cost"))
+      graft.sources.SnapshotStore.write(
+        txt.unionByName(img).unionByName(aud).unionByName(vid), p)
+      p
+    }
+    import graft.functions.TextFunctions.seededHash
+    val keep = graft.sources.SnapshotStore.read(s, path)
+      .filter(col("verdict") === "keep")
+      .select(concat_ws(":", col("modality"), col("item_id")).as("pid"),
+        col("modality"), col("cost").as("ntok"))
+    val d = keep.withColumn("h", seededHash(col("pid"), 5))
+      .withColumn("shard", (col("h") % shards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("pid"))
+    def nOf(m: String) =
+      sum(when(col("modality") === m, 1).otherwise(0)).cast("long")
+    d.withColumn("strt", sum(col("ntok")).over(w) - col("ntok"))
+      .withColumn("pack_id", floor(col("strt") / budget))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_items"), sum(col("ntok")).as("n_tokens"),
+        nOf("text").as("n_text"), nOf("image").as("n_image"),
+        nOf("audio").as("n_audio"), nOf("video").as("n_video"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("h"), col("pid")))),
+            x => x.getField("pid")))).as("ids_md5"))
+      .orderBy("shard", "pack_id")
+  }
 }

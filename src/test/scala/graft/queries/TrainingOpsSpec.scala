@@ -131,4 +131,45 @@ class TrainingOpsSpec extends SparkSpec {
     attributed.foreach(r =>
       assert(r.getString(0) <= r.getString(1), r.toString))
   }
+
+  test("q233's unified store holds one verdict per (modality, item): " +
+    "the keep-best winners (upscale/uncut/long originals) keep, " +
+    "their cluster-mates drop as dups, and the pack covers exactly " +
+    "the keepers") {
+    // force the store build, then read it back directly
+    val manifest = PipelineQueries.q233MultimodalBuild(spark, dir)
+      .collect()
+    val p = graft.FixtureCache.once(spark, s"q233|$dir") {
+      fail("q233 store must already be pinned"); ""
+    }
+    val store = graft.sources.SnapshotStore.read(spark, p)
+    // one row per (modality, item_id)
+    assert(store.groupBy("modality", "item_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    def verdictOf(m: String, id: String): (String, Any) = {
+      val r = store.filter(col("modality") === m &&
+        col("item_id") === id).collect()
+      assert(r.length === 1, s"$m:$id")
+      (r.head.getString(2), r.head.get(3))
+    }
+    // image: the 2x upscale out-resolves its cluster; both lower-res
+    // copies drop as dups
+    assert(verdictOf("image", "m01_hires") === ("keep", null))
+    assert(verdictOf("image", "m01") === ("drop", "dup"))
+    assert(verdictOf("image", "m01_dup") === ("drop", "dup"))
+    assert(verdictOf("image", "m03_far")._1 === "keep") // singleton
+    // audio: the uncut recording beats its trimmed repost
+    assert(verdictOf("audio", "s1") === ("keep", null))
+    assert(verdictOf("audio", "s1_trim") === ("drop", "dup"))
+    // video: the full container beats the one-frame-shorter cut
+    assert(verdictOf("video", "vidA") === ("keep", null))
+    assert(verdictOf("video", "vidA_cut") === ("drop", "dup"))
+    assert(verdictOf("video", "vidC")._1 === "keep")
+    // the manifest packs exactly the store's keepers, every modality
+    // represented
+    val keepers = store.filter(col("verdict") === "keep").count()
+    assert(manifest.map(_.getLong(2)).sum === keepers)
+    Seq(4, 5, 6, 7).foreach(i => // n_text/n_image/n_audio/n_video
+      assert(manifest.map(_.getLong(i)).sum > 0L, s"column $i empty"))
+  }
 }
