@@ -2281,6 +2281,18 @@ object OracleSql {
         Seq(t, s"${t}_aggregate") ++
           (if (keyed.contains(t)) Seq(s"${t}_by_pk") else Nil))
         .map(f => s"('$f')").mkString(", ")
+      // the advertised String comparison surface, spelled out: the
+      // _similar family is the engine's ONE deprecation (r20) — it
+      // appears under includeDeprecated: true with its reason and is
+      // FILTERED from the defaulted list
+      val scOps = Seq("_eq", "_neq", "_gt", "_gte", "_lt", "_lte",
+        "_in", "_nin", "_is_null", "_like", "_nlike", "_ilike",
+        "_nilike", "_similar", "_nsimilar", "_regex", "_iregex",
+        "_nregex")
+      val dep = Set("_similar", "_nsimilar")
+      val reason = graft.api.GraphQl.SimilarDeprecation
+      val scRows = scOps.map(o =>
+        s"('$o', ${dep(o)})").mkString(", ")
       s"""SELECT * FROM (
          |  SELECT 'cu' AS src, column_name AS fname,
          |         false AS is_deprecated,
@@ -2293,7 +2305,14 @@ object OracleSql {
          |  WHERE table_name = 'orders' AND column_name <> 'o_orderkey'
          |  UNION ALL
          |  SELECT 'qf', f, false, NULL
-         |  FROM (VALUES $qfRows) AS v(f))
+         |  FROM (VALUES $qfRows) AS v(f)
+         |  UNION ALL
+         |  SELECT 'sc_all', op, d,
+         |         CASE WHEN d THEN '$reason' END
+         |  FROM (VALUES $scRows) AS s1(op, d)
+         |  UNION ALL
+         |  SELECT 'sc_live', op, false, NULL
+         |  FROM (VALUES $scRows) AS s2(op, d) WHERE NOT d)
          |ORDER BY src, fname""".stripMargin
     },
     // q223: the _cast operator — TRY_CAST replays each casted

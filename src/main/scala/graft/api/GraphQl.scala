@@ -4325,7 +4325,19 @@ object GraphQl {
     * table-argument surface keeps Hasura's null posture). */
   private[api] final case class MetaField(fname: String, tpe: TRef,
       fargs: Seq[MetaField] = Nil,
-      defaultValue: Option[String] = None)
+      defaultValue: Option[String] = None,
+      deprecated: Option[String] = None)
+
+  /** The one deprecation this engine declares (r20): `_similar` /
+    * `_nsimilar` still EXECUTE (removing a spelling breaks stored
+    * documents), but introspection marks them deprecated — SQL's
+    * `SIMILAR TO` is the legacy pattern dialect the engine's own
+    * `_regex` family supersedes, so a client browsing the comparison
+    * surface is steered to the POSIX spellings. Shared verbatim with
+    * q224's DuckDB oracle. */
+  private[graft] val SimilarDeprecation: String =
+    "SIMILAR TO is the legacy SQL pattern dialect; " +
+      "use _regex or _iregex instead"
 
   /** One served DIRECTIVE — `__schema { directives }` rows (r18).
     * The engine serves exactly these five; advertising anything else
@@ -4493,7 +4505,10 @@ object GraphQl {
         if (sc != "String") Nil
         else Seq("_like", "_nlike", "_ilike", "_nilike", "_similar",
           "_nsimilar", "_regex", "_iregex", "_nregex")
-          .map(MetaField(_, scalar))
+          .map(n => MetaField(n, scalar, deprecated =
+            if (n == "_similar" || n == "_nsimilar")
+              Some(SimilarDeprecation)
+            else None))
       MetaType("INPUT_OBJECT", s"${sc}_comparison_exp", base ++ patterns)
     }
     val boolExps = tables.map { t =>
@@ -4947,10 +4962,13 @@ object GraphQl {
     * builder relies on them. */
   /** The spec's `includeDeprecated` argument — `fields`, `enumValues`,
     * `inputFields`, and `args` all take it (default false, per the
-    * 2021 spec). Nothing this engine generates is deprecated (Hasura
-    * deprecates nothing either), so both spellings serve the same
-    * rows — the VALIDATION is the durable part: an unknown argument
-    * or a non-boolean literal is loud, never silently dropped. */
+    * 2021 spec). Since r20 the flag is OBSERVABLE: the `_similar` /
+    * `_nsimilar` comparison input fields are deprecated
+    * ([[SimilarDeprecation]]), so the default hides them and
+    * `includeDeprecated: true` reveals them with their reason;
+    * everything else the engine generates is live. An unknown
+    * argument or a non-boolean literal stays loud, never silently
+    * dropped. */
   private def includeDeprecatedArg(sel: ISel, at: String): Boolean = {
     (sel.args.keySet - "includeDeprecated").toSeq.sorted.headOption
       .foreach(k => bad(s"$at: unknown argument '$k'"))
@@ -4972,23 +4990,27 @@ object GraphQl {
         case "name" => o.put(sel.alias, t.tname)
         case "description" | "specifiedByURL" => o.putNull(sel.alias)
         case "fields" =>
-          includeDeprecatedArg(sel, s"${t.tname}.fields")
+          val incF = includeDeprecatedArg(sel, s"${t.tname}.fields")
           if (t.kind != "OBJECT") o.putNull(sel.alias)
           else {
             val a = o.putArray(sel.alias)
-            t.mfields.foreach(f =>
-              a.add(evalMetaField(ms, f, sel.children)))
+            t.mfields.filter(f => incF || f.deprecated.isEmpty)
+              .foreach(f => a.add(evalMetaField(ms, f, sel.children)))
           }
         case "interfaces" =>
           if (t.kind != "OBJECT") o.putNull(sel.alias)
           else { o.putArray(sel.alias); () }
         case "inputFields" =>
-          includeDeprecatedArg(sel, s"${t.tname}.inputFields")
+          // the spec's default HIDES deprecated entries — with the
+          // _similar family deprecated (r20) the flag now observably
+          // changes this list, exactly the filtering a client's
+          // schema-freshness tooling keys on
+          val incI = includeDeprecatedArg(sel, s"${t.tname}.inputFields")
           if (t.kind != "INPUT_OBJECT") o.putNull(sel.alias)
           else {
             val a = o.putArray(sel.alias)
-            t.mfields.foreach(f =>
-              a.add(evalInputValue(ms, f, sel.children)))
+            t.mfields.filter(f => incI || f.deprecated.isEmpty)
+              .foreach(f => a.add(evalInputValue(ms, f, sel.children)))
           }
         case "enumValues" =>
           includeDeprecatedArg(sel, s"${t.tname}.enumValues")
@@ -5027,15 +5049,19 @@ object GraphQl {
       sel.iname match {
         case "__typename" => o.put(sel.alias, "__Field")
         case "name" => o.put(sel.alias, f.fname)
-        case "description" | "deprecationReason" => o.putNull(sel.alias)
+        case "description" => o.putNull(sel.alias)
+        case "deprecationReason" => f.deprecated match {
+          case Some(r) => o.put(sel.alias, r); ()
+          case None => o.putNull(sel.alias); ()
+        }
         case "args" =>
-          includeDeprecatedArg(sel, s"${f.fname}.args")
+          val incA = includeDeprecatedArg(sel, s"${f.fname}.args")
           val a = o.putArray(sel.alias)
-          f.fargs.foreach(arg =>
-            a.add(evalInputValue(ms, arg, sel.children)))
+          f.fargs.filter(arg => incA || arg.deprecated.isEmpty)
+            .foreach(arg => a.add(evalInputValue(ms, arg, sel.children)))
         case "type" => o.set[JObj](sel.alias,
           evalTRef(ms, f.tpe, sel.children))
-        case "isDeprecated" => o.put(sel.alias, false)
+        case "isDeprecated" => o.put(sel.alias, f.deprecated.isDefined)
         case other => bad(s"__Field has no field '$other' in this " +
           "introspection subset")
       }
@@ -5061,6 +5087,13 @@ object GraphQl {
         }
         case "type" => o.set[JObj](sel.alias,
           evalTRef(ms, f.tpe, sel.children))
+        // __InputValue carries deprecation since the 2021 spec —
+        // the r20 _similar family is served through exactly this arm
+        case "isDeprecated" => o.put(sel.alias, f.deprecated.isDefined)
+        case "deprecationReason" => f.deprecated match {
+          case Some(r) => o.put(sel.alias, r); ()
+          case None => o.putNull(sel.alias); ()
+        }
         case other => bad(s"__InputValue has no field '$other' in " +
           "this introspection subset")
       }
@@ -5215,6 +5248,14 @@ object GraphQl {
       |  qf: __type(name: "query_root") {
       |    fields(includeDeprecated: true) { name isDeprecated }
       |  }
+      |  sc_all: __type(name: "String_comparison_exp") {
+      |    inputFields(includeDeprecated: true) {
+      |      name isDeprecated deprecationReason
+      |    }
+      |  }
+      |  sc_live: __type(name: "String_comparison_exp") {
+      |    inputFields { name isDeprecated deprecationReason }
+      |  }
       |}""".stripMargin
 
   /** q224 — the deprecation surface under the oracle gate: the
@@ -5238,8 +5279,12 @@ object GraphQl {
             .map(_.asText()))
       }.toSeq
     import s.implicits._
+    // sc_all vs sc_live is the OBSERVABLE filtering (r20): the
+    // deprecated _similar family appears only under
+    // includeDeprecated: true, with its reason
     (rows("cu", "enumValues") ++ rows("ou", "enumValues") ++
-      rows("qf", "fields"))
+      rows("qf", "fields") ++ rows("sc_all", "inputFields") ++
+      rows("sc_live", "inputFields"))
       .toDF("src", "fname", "is_deprecated", "deprecation_reason")
       .orderBy("src", "fname")
   }

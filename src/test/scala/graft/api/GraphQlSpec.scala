@@ -1829,11 +1829,14 @@ class GraphQlSpec extends SparkSpec {
     assert(beF("c_custkey") === "bigint_comparison_exp")
     assert(beF("orders") === "orders_bool_exp") // relationship pred
     assert(beF("nation") === "nation_bool_exp") // object-rel pred
-    // String comparisons carry the pattern family
+    // String comparisons carry the pattern family; the deprecated
+    // legacy SIMILAR TO spellings are HIDDEN at the spec default
+    // (r20 — includeDeprecated: true reveals them, q224's gate)
     val strC = byName("String_comparison_exp").get("inputFields")
       .elements().asScala.map(_.get("name").asText).toSet
-    assert(Set("_eq", "_in", "_is_null", "_like", "_ilike", "_similar",
+    assert(Set("_eq", "_in", "_is_null", "_like", "_ilike",
       "_regex", "_iregex", "_nregex").subsetOf(strC))
+    assert(!strC.contains("_similar") && !strC.contains("_nsimilar"))
     val numC = byName("bigint_comparison_exp").get("inputFields")
       .elements().asScala.map(_.get("name").asText).toSet
     assert(!numC.contains("_like") && numC.contains("_gte"))
