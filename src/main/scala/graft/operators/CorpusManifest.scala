@@ -50,21 +50,33 @@ object CorpusManifest {
     * Package-visible: q228 packs the verdict store's keepers through
     * this same definition. */
   private[graft] def manifestRows(docs: DataFrame, budget: Long,
-      shards: Int): DataFrame = {
+      shards: Int): DataFrame = manifestRows(docs, budget, shards, Nil)
+
+  /** [[manifestRows]] with EXTRA per-pack aggregates (r20): q233's
+    * mixed-modality manifest rides this same fold with per-modality
+    * counts — the pack rule (hash, shard, prefix sum, cut, checksum)
+    * stays ONE definition, so it cannot silently diverge between the
+    * single-modality and mixed builds. Extra aggregates land between
+    * `n_tokens` and `ids_md5`. */
+  private[graft] def manifestRows(docs: DataFrame, budget: Long,
+      shards: Int, extraAggs: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
     import graft.functions.TextFunctions.seededHash
     val d = docs
       .withColumn("h", seededHash(col("doc_id").cast("string"), 5))
       .withColumn("shard", shardOf(col("doc_id"), shards))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("ntok")).as("n_tokens")) ++ extraAggs :+
+      md5(concat_ws(",",
+        transform(
+          sort_array(collect_list(struct(col("h"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")))).as("ids_md5")
     d.withColumn("strt", sum(col("ntok")).over(w) - col("ntok"))
       .withColumn("pack_id", floor(col("strt") / budget))
       .groupBy("shard", "pack_id")
-      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
-        md5(concat_ws(",",
-          transform(
-            sort_array(collect_list(struct(col("h"), col("doc_id")))),
-            x => x.getField("doc_id").cast("string")))).as("ids_md5"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Version marker: a one-line `_version_<v>` file committed AFTER
@@ -90,6 +102,12 @@ object CorpusManifest {
     }
     versionMarkers(fs, path).filter(_._2 < v)
       .foreach { case (p, _) => fs.delete(p, false) }
+    // GC orphans the anchored marker regex never matches: crashed
+    // writers' .tmp staging files and the pre-r20 _version layout
+    // (both superseded the moment a monotonic marker committed)
+    Seq(s"_version_$v.tmp", "_version", "_version_tmp")
+      .map(n => new Path(s"$path/$n"))
+      .filter(fs.exists).foreach(fs.delete(_, false))
   }
 
   private def versionMarkers(fs: FileSystem, path: String)
@@ -107,9 +125,23 @@ object CorpusManifest {
   }
 
   def version(spark: SparkSession, path: String): Long = {
-    val vs = versionMarkers(fsOf(spark, path), path)
-    require(vs.nonEmpty, s"manifest at $path: no version marker")
-    vs.map(_._2).max
+    val fs = fsOf(spark, path)
+    val vs = versionMarkers(fs, path)
+    if (vs.nonEmpty) vs.map(_._2).max
+    else {
+      // pre-r20 layout fallback: a single _version file (or, after a
+      // crash inside the old delete→rename window, only the COMPLETE
+      // _version_tmp) — readable here so an existing store survives
+      // the marker-scheme change; the next writeVersion migrates and
+      // GCs it
+      val legacy = Seq("_version", "_version_tmp")
+        .map(n => new Path(s"$path/$n")).find(fs.exists)
+        .getOrElse(throw new IllegalArgumentException(
+          s"manifest at $path: no version marker"))
+      val in = fs.open(legacy)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
   }
 
   /** Full build: every shard written, version 1. `docs` is the
@@ -117,13 +149,20 @@ object CorpusManifest {
     * verdict) happens upstream. */
   def init(spark: SparkSession, path: String, docs: DataFrame,
       budget: Long, shards: Int): Unit = {
+    val fs = fsOf(spark, path)
     val rows = manifestRows(docs, budget, shards).localCheckpoint(true)
     (0 until shards).foreach { k =>
       rows.filter(col("shard") === k).drop("shard")
         .coalesce(1)
         .write.mode("overwrite").parquet(shardDir(path, k))
     }
-    writeVersion(fsOf(spark, path), path, 1L)
+    // a REBUILD over an existing store must bump PAST the old
+    // generation — committing "1" under a surviving higher marker
+    // would leave version() unchanged across a rebuild that rewrote
+    // every shard, and version-keyed caches would serve stale packs
+    val v = versionMarkers(fs, path).map(_._2)
+      .maxOption.getOrElse(0L) + 1L
+    writeVersion(fs, path, v)
   }
 
   /** Incremental maintenance: `docs` is the corpus AFTER the

@@ -1141,27 +1141,21 @@ object PipelineQueries {
         txt.unionByName(img).unionByName(aud).unionByName(vid), p)
       p
     }
-    import graft.functions.TextFunctions.seededHash
+    // the STORE-driven pack: keepers under `modality:item_id` ids
+    // through the ONE shared manifest fold (CorpusManifest
+    // .manifestRows — the pack rule cannot diverge between the
+    // single-modality and mixed builds), plus per-modality counts
     val keep = graft.sources.SnapshotStore.read(s, path)
       .filter(col("verdict") === "keep")
-      .select(concat_ws(":", col("modality"), col("item_id")).as("pid"),
+      .select(concat_ws(":", col("modality"), col("item_id"))
+          .as("doc_id"),
         col("modality"), col("cost").as("ntok"))
-    val d = keep.withColumn("h", seededHash(col("pid"), 5))
-      .withColumn("shard", (col("h") % shards).cast("int"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy(col("h"), col("pid"))
     def nOf(m: String) =
       sum(when(col("modality") === m, 1).otherwise(0)).cast("long")
-    d.withColumn("strt", sum(col("ntok")).over(w) - col("ntok"))
-      .withColumn("pack_id", floor(col("strt") / budget))
-      .groupBy("shard", "pack_id")
-      .agg(count(lit(1)).as("n_items"), sum(col("ntok")).as("n_tokens"),
-        nOf("text").as("n_text"), nOf("image").as("n_image"),
-        nOf("audio").as("n_audio"), nOf("video").as("n_video"),
-        md5(concat_ws(",",
-          transform(
-            sort_array(collect_list(struct(col("h"), col("pid")))),
-            x => x.getField("pid")))).as("ids_md5"))
+    graft.operators.CorpusManifest.manifestRows(keep, budget, shards,
+        Seq(nOf("text").as("n_text"), nOf("image").as("n_image"),
+          nOf("audio").as("n_audio"), nOf("video").as("n_video")))
+      .withColumnRenamed("n_docs", "n_items")
       .orderBy("shard", "pack_id")
   }
 }

@@ -125,11 +125,20 @@ object VerdictStore {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
 
   /** Create the store from the init epoch's batch verdict rows
-    * (stored as epoch 0) across `buckets` doc_id-hash buckets. */
+    * (stored as epoch 0) across `buckets` doc_id-hash buckets.
+    * Refuses an ALREADY-INITIALIZED path: the bucket loop is not
+    * atomic across buckets, so re-initializing a live store could
+    * crash into a silently readable blend of two generations under
+    * the still-valid marker — a rebuild belongs at a fresh path
+    * (or flows through [[ingest]]/[[forget]], which are). */
   def init(spark: SparkSession, path: String, rows: DataFrame,
       buckets: Int = DefaultBuckets): Unit = {
     require(buckets > 0, s"init: bucket count must be positive")
     val fs = fsOf(spark, path)
+    require(!fs.exists(new Path(s"$path/_buckets")),
+      s"init: $path is already an initialized verdict store — " +
+        "re-init of a live store is not crash-safe; write to a " +
+        "fresh path")
     val tagged = checked(rows, "init")
       .withColumn("epoch", lit(0L))
       .withColumn("deleted", lit(false))
@@ -289,11 +298,20 @@ object VerdictStore {
     * still-active run attached at floor F can only (re)write epochs
     * > F — its batches carry F + batchId + 1 — so a tombstone at
     * epoch ≤ min(active floors) can never be out-raced by any
-    * replay; with NO active runs, every future write attaches at a
-    * floor ≥ the current max epoch, so every existing fence is
-    * droppable. Returns (floor used, tombstones dropped). */
+    * replay; with every known run RETIRED, its checkpoints are
+    * proven gone and any future sink attaches at a floor ≥ the
+    * current max epoch, so every existing fence is droppable. A
+    * store with NO persisted floors at all was fed by direct
+    * [[ingest]] calls whose replay story this method cannot see —
+    * there is no proof to derive, so it refuses loudly rather than
+    * guess (the explicit-floor overload is the direct-ingest path).
+    * Returns (floor used, tombstones dropped). */
   def compact(spark: SparkSession, path: String): (Long, Long) = {
-    val active = runFloors(spark, path).collect {
+    val floors = runFloors(spark, path)
+    require(floors.nonEmpty, "compact(): no persisted run floors — " +
+      "this store has never had a sink() attached, so no replay " +
+      "floor can be proven; pass an explicit epochFloor instead")
+    val active = floors.collect {
       case (_, floor, retired) if !retired => floor
     }
     val floor =

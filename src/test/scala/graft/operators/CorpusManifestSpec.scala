@@ -63,6 +63,14 @@ class CorpusManifestSpec extends SparkSpec {
       assert(newest < touchedOldest,
         s"shard s$k looks rewritten (mtime $newest >= $touchedOldest)")
     }
+    // a FULL REBUILD over the existing store bumps PAST the old
+    // generation — a version-keyed cache must see the change (r20:
+    // committing "1" under the surviving "2" marker left version()
+    // frozen across a rebuild)
+    CorpusManifest.init(spark, path, corpus(finalIds), Budget, Shards)
+    assert(CorpusManifest.version(spark, path) === 3L)
+    assert(canon(CorpusManifest.read(spark, path)) ===
+      canon(CorpusManifest.read(spark, scratch)))
   }
 
   test("re-running the same update is idempotent — the crash-repair " +

@@ -341,5 +341,16 @@ class VerdictStoreSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       VerdictStore.ingest(spark, p, frame(row(6, "keep")), epoch = 0L))
     assert(e3.getMessage.contains("start at 1"))
+    // re-init of a live store is refused (the bucket loop is not
+    // atomic across buckets — a crash would blend two generations)
+    val e4 = intercept[IllegalArgumentException](
+      VerdictStore.init(spark, p, frame(row(7, "keep"))))
+    assert(e4.getMessage.contains("already an initialized"))
+    // auto-compaction over a store with NO persisted run floors has
+    // no replay proof to derive — loud, never a guessed floor (a
+    // direct-ingest replay could out-race a dropped fence)
+    val e5 = intercept[IllegalArgumentException](
+      VerdictStore.compact(spark, p))
+    assert(e5.getMessage.contains("no persisted run floors"))
   }
 }
