@@ -301,6 +301,8 @@ object SparkEntry {
       (graft.queries.TextQueries.q232ModelRotation(_, _)),
     "q233_multimodal_build" ->
       (P.q233MultimodalBuild(_, _)),
+    "q234_gdpr_chain" ->
+      (graft.queries.TextQueries.q234GdprChain(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

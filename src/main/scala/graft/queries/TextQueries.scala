@@ -2651,6 +2651,79 @@ object TextQueries {
     }.orderBy("doc_id")
   }
 
+  /** Q234 — the GDPR CHAIN under the oracle gate (r20): the full
+    * right-to-be-forgotten lifecycle the specs pin, now hash-checked
+    * end to end. The late batch arrives through the STREAMING SINK
+    * (run tag `r1`, epoch = persisted floor + batchId + 1 — the
+    * restart-safe path); a deletion request tombstones every stored
+    * doc with doc_id % 101 == 13 at epoch 2; the run RETIRES (its
+    * checkpoints are gone, so nothing at epoch ≤ 2 can ever replay);
+    * and the no-argument AUTO-COMPACTION derives exactly that proof
+    * and physically drops the fences. The served store must equal
+    * the two-epoch ensemble replay MINUS the forgotten ids — an
+    * engine whose forget loses the merge, whose compaction drops a
+    * live row, or whose auto floor under- or over-reaches hash-fails
+    * (the fixture also self-checks: the derived floor must drop ALL
+    * the fences, no more). */
+  def q234GdprChain(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{CorpusStreams, VerdictStore}
+    val path = graft.FixtureCache.once(s, s"q234|$dir") {
+      val app = s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val p = s"/root/repo/target/tmp/q234_verdicts_$app"
+      val all = docs(s, dir)
+        .select("doc_id", "lang", "n_chars", "text")
+        .localCheckpoint(true)
+      val late = col("doc_id") % 11 === 7
+      val init = all.filter(!late)
+      val bg = bigramsOf(init).localCheckpoint(true)
+      VerdictStore.init(s, p, verdictRows(
+        composeFlags(s, dir, init, lmScoresFromBigrams(bg))))
+      val lm = CorpusStreams.freezeLmFromTrain(bg.filter(lmTrainSplit))
+      val fences = CorpusStreams.freezeFencesOf(init)
+      val clfKeep = graft.queries.SimilarityQueries
+        .q94ClassifierScore(s, dir)
+        .select(col("vec_id").as("doc_id"), col("keep"))
+        .localCheckpoint(true)
+      // the late batch arrives through the SINK — the path whose
+      // persisted run floor the compaction proof hangs on
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        s.sqlContext
+      import s.implicits._
+      val rows = all.filter(late).collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getLong(2), Option(r.getString(3))))
+        .toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Option[String], Long, Option[String])]
+      val q = VerdictStore.sink(
+        CorpusStreams.verdictStream(
+          input.toDS().toDF("doc_id", "lang", "n_chars", "text"),
+          fences, lm, clfKeep), p, runTag = "r1").start()
+      try { input.addData(rows); q.processAllAvailable() }
+      finally q.stop()
+      // the deletion request: every stored doc with doc_id % 101 == 13
+      val doomed = VerdictStore.read(s, p)
+        .filter(col("doc_id") % 101 === 13).select("doc_id")
+        .localCheckpoint(true)
+      val nDoomed = doomed.count()
+      require(nDoomed > 0, "q234: the forget set must be non-empty")
+      require(VerdictStore.forget(s, p, doomed, epoch = 2L) == nDoomed,
+        "q234: the forget must remove exactly the requested live rows")
+      // the run's checkpoints are deleted → retire → the auto floor
+      // becomes provable and the fences physically drop
+      VerdictStore.retireRun(s, p, "r1")
+      val (floor, dropped) = VerdictStore.compact(s, p)
+      require(floor >= 2L && dropped == nDoomed,
+        s"q234: auto-compaction should drop all $nDoomed fences " +
+          s"under a floor ≥ 2, got (floor=$floor, dropped=$dropped)")
+      p
+    }
+    // steady-state serve (the q226 pin discipline)
+    graft.FixtureCache.once(s, s"q234read|$dir") {
+      VerdictStore.read(s, path).localCheckpoint(true)
+    }.orderBy("doc_id")
+  }
+
   /** Q218 — the ensemble FUNNEL (q69's audit shape over the full
     * ensemble): survivors after each filter applied cumulatively in
     * cascade order — the per-stage report that makes a corpus-nuking
