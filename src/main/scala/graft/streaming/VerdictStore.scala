@@ -100,13 +100,56 @@ object VerdictStore {
     finally in.close()
   }
 
-  /** The store's bucket count, persisted by [[init]]. */
+  /** The store's bucket count, persisted by [[init]]. Every read
+    * path funnels through here, so this is also where an interrupted
+    * ROOT-level swap ([[rebucket]] moves the whole store directory)
+    * recovers — the AtomicSwap reader contract one level up from the
+    * per-bucket recovery [[readBucket]] already does. */
   def numBuckets(spark: SparkSession, path: String): Int = {
     val fs = fsOf(spark, path)
+    if (!fs.exists(new Path(path)))
+      try graft.sources.AtomicSwap.recover(fs, path)
+      catch { // never-existed path: the marker require answers below
+        case _: java.io.FileNotFoundException => ()
+      }
     val at = new Path(s"$path/_buckets")
     require(fs.exists(at), s"verdict store at $path: no _buckets " +
       "marker — not an initialized (r20 bucket-partitioned) store")
     readMarker(fs, at).toInt
+  }
+
+  /** REBUCKET (r20): rewrite the store under a new bucket count —
+    * the scale lever when a store outgrows its init-time choice
+    * (per-bucket slices should stay executor-memory-sized as the
+    * corpus grows). The WHOLE store root swaps atomically through
+    * [[graft.sources.AtomicSwap]]: every stored row INCLUDING the
+    * tombstone fences re-hashes into the new layout, the persisted
+    * run floors carry over (the compaction proof survives), and a
+    * reader mid-swap recovers one complete generation or the other —
+    * never a blend. Single-writer like every swap: no ingest/forget
+    * may run concurrently. */
+  def rebucket(spark: SparkSession, path: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets > 0,
+      s"rebucket: bucket count must be positive: $newBuckets")
+    val fs = fsOf(spark, path)
+    if (numBuckets(spark, path) == newBuckets) return
+    // pinned BEFORE the swap replaces the inputs
+    val rows = readAll(spark, path)
+      .withColumn("_b", bucketOf(col("doc_id"), newBuckets))
+      .localCheckpoint(true)
+    val floors = runFloors(spark, path)
+    graft.sources.AtomicSwap.rewrite(fs, path) { tmp =>
+      (0 until newBuckets).foreach { k =>
+        graft.sources.SnapshotStore.write(
+          rows.filter(col("_b") === k).drop("_b"), bucketDir(tmp, k))
+      }
+      floors.foreach { case (tag, floor, retired) =>
+        val name = if (retired) s"$tag.retired" else tag
+        writeMarker(fs, new Path(s"$tmp/_runs/$name"), floor.toString)
+      }
+      writeMarker(fs, new Path(s"$tmp/_buckets"), newBuckets.toString)
+    }
   }
 
   private def readBucket(spark: SparkSession, path: String, k: Int)

@@ -303,6 +303,48 @@ class VerdictStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("retired"))
   }
 
+  test("REBUCKET rewrites the store under a new bucket count: live " +
+    "answers identical, tombstone fences still out-sequence replays, " +
+    "run floors carry over, and new writes land in the new layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val p = path("rebucket")
+    VerdictStore.init(spark, p,
+      frame((1L to 30L).map(row(_, "keep")): _*), buckets = 8)
+    // a sink run persists a floor; a forget writes a fence above it
+    val in = MemoryStream[(Long, Int, Int, Int, Int, String, String)]
+    val q = VerdictStore.sink(in.toDS().toDF("doc_id", "ratios_ok",
+      "fences_ok", "clf_ok", "lm_ok", "verdict", "first_fail"), p,
+      runTag = "rb").start()
+    val batch1 = Seq(row(31, "keep"))
+    try { in.addData(batch1); q.processAllAvailable() }
+    finally q.stop()
+    assert(VerdictStore.forget(spark, p, Seq(31L).toDF("doc_id"),
+      epoch = 2L) === 1L)
+    val before = canon(p)
+    VerdictStore.rebucket(spark, p, 4)
+    assert(VerdictStore.numBuckets(spark, p) === 4)
+    assert(bucketFiles(p).keySet === (0 until 4).map(k => s"b$k").toSet)
+    assert(canon(p) === before)
+    // the fence re-hashed with the store: the epoch-1 replay still
+    // cannot resurrect the forgotten doc
+    VerdictStore.ingest(spark, p, frame(row(31, "keep")), epoch = 1L)
+    assert(canon(p) === before)
+    // the run floor carried over: auto-compaction still derives its
+    // proof (active floor 0 → nothing droppable; retired → the
+    // fence drops) and live answers never change
+    assert(VerdictStore.compact(spark, p) === ((0L, 0L)))
+    VerdictStore.retireRun(spark, p, "rb")
+    val (floor, dropped) = VerdictStore.compact(spark, p)
+    assert(dropped === 1L && floor >= 2L)
+    assert(canon(p) === before)
+    // a same-count rebucket is a no-op, not a rewrite
+    val files = bucketFiles(p)
+    VerdictStore.rebucket(spark, p, 4)
+    assert(bucketFiles(p) === files)
+  }
+
   test("MODEL ROTATION rides the epoch merge: a doc rescored under " +
     "the post-rotation epoch keeps its v2 verdict through a replay " +
     "of its pre-rotation batch, and pre-rotation verdicts stand") {
