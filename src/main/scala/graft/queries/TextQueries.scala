@@ -2716,6 +2716,12 @@ object TextQueries {
       require(floor >= 2L && dropped == nDoomed,
         s"q234: auto-compaction should drop all $nDoomed fences " +
           s"under a floor ≥ 2, got (floor=$floor, dropped=$dropped)")
+      // the store then OUTGROWS its init-time bucket count and
+      // rebuckets — the oracle's hash proves the atomic root swap
+      // preserved every served row
+      VerdictStore.rebucket(s, p, newBuckets = 16)
+      require(VerdictStore.numBuckets(s, p) == 16,
+        "q234: rebucket must land on the new bucket count")
       p
     }
     // steady-state serve (the q226 pin discipline)
