@@ -2680,6 +2680,9 @@ object TextQueries {
       VerdictStore.init(s, p, verdictRows(
         composeFlags(s, dir, init, lmScoresFromBigrams(bg))))
       val lm = CorpusStreams.freezeLmFromTrain(bg.filter(lmTrainSplit))
+      require(lm.cbg.size < CorpusStreams.DefaultLmMaxBigrams,
+        s"q234: the frozen-LM cap binds (${lm.cbg.size} bigrams) — " +
+          "model the cap in the oracle before growing the fixture")
       val fences = CorpusStreams.freezeFencesOf(init)
       val clfKeep = graft.queries.SimilarityQueries
         .q94ClassifierScore(s, dir)

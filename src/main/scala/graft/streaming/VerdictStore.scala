@@ -100,18 +100,26 @@ object VerdictStore {
     finally in.close()
   }
 
-  /** The store's bucket count, persisted by [[init]]. Every read
-    * path funnels through here, so this is also where an interrupted
-    * ROOT-level swap ([[rebucket]] moves the whole store directory)
-    * recovers — the AtomicSwap reader contract one level up from the
-    * per-bucket recovery [[readBucket]] already does. */
-  def numBuckets(spark: SparkSession, path: String): Int = {
-    val fs = fsOf(spark, path)
+  /** Recover an interrupted ROOT-level swap ([[rebucket]] moves the
+    * whole store directory) — the AtomicSwap reader contract one
+    * level up from the per-bucket recovery [[readBucket]] does.
+    * EVERY entry point that consults the store's filesystem calls
+    * this FIRST: a crashed rebucket leaves the store at its
+    * `_precompact` name, and an entry point that reads markers (or
+    * their absence) before recovery would act on the missing-root
+    * illusion — a sink re-attach would overwrite its persisted
+    * floor, an init would shadow the orphaned store, a retire would
+    * silently no-op. A never-existed path falls through untouched
+    * (each caller's own guard answers). */
+  private def recoverRoot(fs: FileSystem, path: String): Unit =
     if (!fs.exists(new Path(path)))
       try graft.sources.AtomicSwap.recover(fs, path)
-      catch { // never-existed path: the marker require answers below
-        case _: java.io.FileNotFoundException => ()
-      }
+      catch { case _: java.io.FileNotFoundException => () }
+
+  /** The store's bucket count, persisted by [[init]]. */
+  def numBuckets(spark: SparkSession, path: String): Int = {
+    val fs = fsOf(spark, path)
+    recoverRoot(fs, path)
     val at = new Path(s"$path/_buckets")
     require(fs.exists(at), s"verdict store at $path: no _buckets " +
       "marker — not an initialized (r20 bucket-partitioned) store")
@@ -123,11 +131,21 @@ object VerdictStore {
     * (per-bucket slices should stay executor-memory-sized as the
     * corpus grows). The WHOLE store root swaps atomically through
     * [[graft.sources.AtomicSwap]]: every stored row INCLUDING the
-    * tombstone fences re-hashes into the new layout, the persisted
-    * run floors carry over (the compaction proof survives), and a
-    * reader mid-swap recovers one complete generation or the other —
-    * never a blend. Single-writer like every swap: no ingest/forget
-    * may run concurrently. */
+    * tombstone fences re-hashes into the new layout, and the
+    * persisted run floors carry over (the compaction proof
+    * survives).
+    *
+    * Concurrency contract — STRICTER than the per-bucket swaps: a
+    * rebucket is a quiesced MAINTENANCE operation. No ingest/forget
+    * may run concurrently (the single-writer rule every swap has),
+    * and no read() may be IN FLIGHT across the swap either: a read
+    * is marker-then-N-bucket-loads, and one that read the OLD
+    * bucket count could list the NEW generation's same-named bucket
+    * dirs after the swap lands — a silently partial answer no
+    * single-dataset swap can produce. Readers that START after the
+    * swap (every entry point recovers the root first) are safe, as
+    * is a crash at any point — recovery serves one complete
+    * generation, never a blend. */
   def rebucket(spark: SparkSession, path: String,
       newBuckets: Int): Unit = {
     require(newBuckets > 0,
@@ -178,6 +196,11 @@ object VerdictStore {
       buckets: Int = DefaultBuckets): Unit = {
     require(buckets > 0, s"init: bucket count must be positive")
     val fs = fsOf(spark, path)
+    // a crashed rebucket leaves the WHOLE store at its _precompact
+    // name — recover first, so the guard sees the restored store
+    // instead of writing a fresh one over the orphaned original
+    // (which the next root swap's cleanup would then delete)
+    recoverRoot(fs, path)
     require(!fs.exists(new Path(s"$path/_buckets")),
       s"init: $path is already an initialized verdict store — " +
         "re-init of a live store is not crash-safe; write to a " +
@@ -375,6 +398,7 @@ object VerdictStore {
   def runFloors(spark: SparkSession, path: String)
       : Seq[(String, Long, Boolean)] = {
     val fs = fsOf(spark, path)
+    recoverRoot(fs, path)
     val dir = new Path(s"$path/_runs")
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath)
@@ -396,6 +420,11 @@ object VerdictStore {
   private def attachFloor(spark: SparkSession, path: String,
       tag: String): Long = {
     val fs = fsOf(spark, path)
+    // recover a crashed rebucket BEFORE consulting the marker: a
+    // missing root would masquerade as a first attach and the floor
+    // rewrite below would lift this run's replays above every forget
+    // fence written since the original attach
+    recoverRoot(fs, path)
     val at = runMarker(path, tag)
     require(!fs.exists(new Path(at.toString + ".retired")),
       s"sink: run '$tag' is retired — a retired run's checkpoints " +
@@ -416,6 +445,7 @@ object VerdictStore {
   def retireRun(spark: SparkSession, path: String, tag: String)
       : Unit = {
     val fs = fsOf(spark, path)
+    recoverRoot(fs, path) // a missing root would silently no-op below
     val at = runMarker(path, tag)
     val done = new Path(at.toString + ".retired")
     if (fs.exists(at) && !fs.exists(done))

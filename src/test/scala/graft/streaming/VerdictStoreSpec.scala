@@ -345,6 +345,61 @@ class VerdictStoreSpec extends SparkSpec {
     assert(bucketFiles(p) === files)
   }
 
+  test("a CRASHED rebucket (store stranded at _precompact) recovers " +
+    "on ANY entry point: a same-tag re-attach reuses the ORIGINAL " +
+    "floor (replays stay below the forget fences), retire works, " +
+    "and init refuses to shadow the orphaned store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val p = path("rootcrash")
+    VerdictStore.init(spark, p, frame())
+    def run(tag: String,
+        rows: Seq[(Long, Int, Int, Int, Int, String, String)]): Unit = {
+      val in = MemoryStream[(Long, Int, Int, Int, Int, String, String)]
+      val q = VerdictStore.sink(in.toDS().toDF("doc_id", "ratios_ok",
+        "fences_ok", "clf_ok", "lm_ok", "verdict", "first_fail"), p,
+        runTag = tag).start()
+      try { in.addData(rows); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run("rc", Seq(row(3, "keep"))) // floor 0 persisted, doc 3 @ epoch 1
+    assert(VerdictStore.forget(spark, p, Seq(3L).toDF("doc_id"),
+      epoch = 2L) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def strand(): Unit = { // the mid-rebucket crash window
+      assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+        new org.apache.hadoop.fs.Path(p + "_precompact")))
+    }
+    // 1. the SAME-tag restart through the crash window: attachFloor
+    // must recover the root BEFORE consulting the marker — a missing
+    // root read as "first attach" would rewrite the floor to
+    // maxEpoch (2) and the replayed batch would land ABOVE the
+    // forget fence, resurrecting doc 3
+    strand()
+    run("rc", Seq(row(3, "keep"))) // the checkpoint replay of batch 0
+    assert(canon(p) === Nil,
+      "a replay through the crash window resurrected a forgotten doc")
+    // 2. runFloors/retireRun recover too: the floor is still there
+    // and retirement really lands (a silent no-op would let the tag
+    // re-attach later at a stale floor)
+    strand()
+    assert(VerdictStore.runFloors(spark, p)
+      .map(f => (f._1, f._3)) === Seq(("rc", false)))
+    strand()
+    VerdictStore.retireRun(spark, p, "rc")
+    assert(VerdictStore.runFloors(spark, p)
+      .map(f => (f._1, f._3)) === Seq(("rc", true)))
+    // 3. init through the crash window refuses instead of writing a
+    // fresh store over the orphaned original
+    strand()
+    val e = intercept[IllegalArgumentException](
+      VerdictStore.init(spark, p, frame(row(9, "keep"))))
+    assert(e.getMessage.contains("already an initialized"))
+    assert(canon(p) === Nil) // the recovered original, not a shadow
+  }
+
   test("MODEL ROTATION rides the epoch merge: a doc rescored under " +
     "the post-rotation epoch keeps its v2 verdict through a replay " +
     "of its pre-rotation batch, and pre-rotation verdicts stand") {
