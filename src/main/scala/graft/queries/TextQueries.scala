@@ -2689,20 +2689,18 @@ object TextQueries {
         .select(col("vec_id").as("doc_id"), col("keep"))
         .localCheckpoint(true)
       // the late batch arrives through the SINK — the path whose
-      // persisted run floor the compaction proof hangs on
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
-        s.sqlContext
-      import s.implicits._
-      val rows = all.filter(late).collect().map(r => (r.getLong(0),
-        Option(r.getString(1)), r.getLong(2), Option(r.getString(3))))
-        .toSeq
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Option[String], Long, Option[String])]
+      // persisted run floor the compaction proof hangs on. The feed
+      // is a STAGED FILE STREAM (write the batch, readStream it
+      // back), not a driver-side MemoryStream: the late batch is
+      // corpus-proportional, and a production intake is exactly a
+      // file/queue source — nothing here touches the driver
+      val stage = s"${p}__late_feed"
+      all.filter(late).write.mode("overwrite").parquet(stage)
       val q = VerdictStore.sink(
         CorpusStreams.verdictStream(
-          input.toDS().toDF("doc_id", "lang", "n_chars", "text"),
+          s.readStream.schema(all.schema).parquet(stage),
           fences, lm, clfKeep), p, runTag = "r1").start()
-      try { input.addData(rows); q.processAllAvailable() }
+      try q.processAllAvailable()
       finally q.stop()
       // the deletion request: every stored doc with doc_id % 101 == 13
       val doomed = VerdictStore.read(s, p)
