@@ -259,6 +259,30 @@ object VerdictStore {
     else raw)
   }
 
+  /** BUCKET-PRUNED point lookup (r20): the live verdict rows for the
+    * given doc_ids, reading ONLY the buckets those ids hash into —
+    * the serving-read counterpart of the bucketed writes (a "what is
+    * stored about doc X" audit, the DSAR read, must not scan a
+    * billion-row store). Keys are a DataFrame like [[forget]]'s; the
+    * answer equals `read().join(ids, semi)` by construction
+    * (spec-pinned), at the cost of the affected buckets' slice. */
+  def lookup(spark: SparkSession, path: String, ids: DataFrame)
+      : DataFrame = {
+    require(ids.columns.length == 1, "lookup: ids must be one column")
+    val buckets = numBuckets(spark, path)
+    val key = ids.columns.head
+    val keys = ids.localCheckpoint(true)
+    val affected = affectedBuckets(keys, key, buckets)
+    if (affected.isEmpty) return read(spark, path).limit(0)
+    val raw = affected.map(readBucket(spark, path, _))
+      .reduce(_.unionByName(_))
+    val live =
+      if (raw.columns.contains("deleted"))
+        raw.filter(!col("deleted")).drop("deleted")
+      else raw
+    live.join(keys, live("doc_id") === keys(key), "left_semi")
+  }
+
   /** Every stored row, tombstones included (compaction + floors). */
   private def readAll(spark: SparkSession, path: String): DataFrame =
     (0 until numBuckets(spark, path))

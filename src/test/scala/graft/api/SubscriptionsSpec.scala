@@ -149,6 +149,58 @@ class SubscriptionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DURABLE subscription = persisted snapshot + fresh liveQuery " +
+    "(the documented composition): after a restart, re-seeding the " +
+    "fresh fold from the SnapshotStore serves exactly what an " +
+    "unbroken subscription would have") {
+    val dir = s"/root/repo/target/tmp/sub_durable_" +
+      spark.sparkContext.applicationId
+    val req = Request("t", fields = Seq("k", "bal"),
+      orderBy = Seq(Order("bal", desc = true), Order("k")),
+      limit = Some(3))
+    // ---- run 1: a live subscription whose upstream ALSO persists
+    // the latest-wins snapshot (the durable half)
+    val in1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Long)]
+    var last1: Seq[Seq[Any]] = Nil
+    val q1 = Subscriptions.liveQuery(
+      in1.toDF().toDF("k", "bal", "seq"), req,
+      keyCol = "k", seqCol = Some("seq")) { (_, df) =>
+      last1 = rows(df)
+    }
+    val batch1 = Seq((1L, 50.0, 1L), (2L, 40.0, 2L), (3L, 30.0, 3L))
+    try { in1.addData(batch1); q1.processAllAvailable() }
+    finally q1.stop()
+    SnapshotStore.write(
+      SnapshotStore.merge(batch1.toDF("k", "bal", "seq").limit(0),
+        batch1.toDF("k", "bal", "seq"), "k", "seq"), dir)
+    // ---- the connection dies; a FRESH liveQuery (empty state var)
+    // resumes by re-delivering the persisted snapshot as its first
+    // trigger — seqCols carried, so the merge semantics are exact
+    val stored = SnapshotStore.read(spark, dir)
+      .select("k", "bal", "seq").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Long)]
+    var last2: Seq[Seq[Any]] = Nil
+    val q2 = Subscriptions.liveQuery(
+      in2.toDF().toDF("k", "bal", "seq"), req,
+      keyCol = "k", seqCol = Some("seq")) { (_, df) =>
+      last2 = rows(df)
+    }
+    try {
+      in2.addData(stored); q2.processAllAvailable()
+      // the resumed subscription serves what run 1 last served...
+      assert(last2 === last1)
+      // ...and NEW triggers compose with the pre-restart state: a
+      // LATE event below a stored seq loses, a fresh upsert re-ranks
+      in2.addData(Seq((2L, 5.0, 0L), (4L, 60.0, 4L)))
+      q2.processAllAvailable()
+      assert(last2.map(r => (r.head, r(1))) ===
+        Seq((4L, 60.0), (1L, 50.0), (2L, 40.0)))
+    } finally q2.stop()
+  }
+
   test("composite batch-id sequencing: two rows differing in a LATER " +
     "key component are two keys (no false duplicate), one tuple " +
     "twice is refused") {

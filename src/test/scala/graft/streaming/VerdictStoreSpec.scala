@@ -345,6 +345,36 @@ class VerdictStoreSpec extends SparkSpec {
     assert(bucketFiles(p) === files)
   }
 
+  test("LOOKUP reads only the buckets its ids hash into: answers " +
+    "equal read()+semi-join, forgotten docs stay absent, and a " +
+    "physically missing UNAFFECTED bucket never blocks the lookup") {
+    val p = path("lookup")
+    val buckets = 8
+    VerdictStore.init(spark, p,
+      frame((1L to 40L).map(row(_, "keep")): _*), buckets)
+    VerdictStore.forget(spark, p, Seq(7L).toDF("doc_id"), epoch = 1L)
+    val ids = Seq(5L, 7L, 99L) // live, forgotten, absent
+    val got = VerdictStore.lookup(spark, p, ids.toDF("id"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(5L)) // the fence filters, the absent id skips
+    // the pruning is physical: strand a bucket NO requested id hashes
+    // into — a full-scan read() would crash on it, lookup must not
+    val touched = ids.map(bucketOf(_, buckets)).toSet
+    val spare = (0 until buckets).find(!touched.contains(_)).get
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$p/b$spare")
+    val aside = new org.apache.hadoop.fs.Path(s"$p/b${spare}_gone")
+    assert(fs.rename(dir, aside))
+    try {
+      assert(VerdictStore.lookup(spark, p, ids.toDF("id"))
+        .collect().map(_.getLong(0)).toSeq === Seq(5L))
+    } finally assert(fs.rename(aside, dir))
+    // empty id set → empty answer, zero buckets touched
+    assert(VerdictStore.lookup(spark, p,
+      Seq.empty[Long].toDF("id")).count() === 0L)
+  }
+
   test("a CRASHED rebucket (store stranded at _precompact) recovers " +
     "on ANY entry point: a same-tag re-attach reuses the ORIGINAL " +
     "floor (replays stay below the forget fences), retire works, " +
