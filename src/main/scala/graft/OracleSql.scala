@@ -2190,6 +2190,22 @@ object OracleSql {
         |       WHEN doc_id % 13 = 11 THEN 2
         |       ELSE 0 END::BIGINT AS epoch
         |FROM flags ORDER BY doc_id""".stripMargin),
+    // q235: the DSAR lookup — the two-epoch verdict replay
+    // restricted to the requested subject ids (the bucket-pruned
+    // point read must answer exactly the stored rows, skipping
+    // never-admitted ids)
+    "q235_lookup_audit" -> twoEpochEnsembleSql(
+      """SELECT doc_id, ratios_ok, fences_ok, clf_ok, lm_ok,
+        |  CASE WHEN ratios_ok = 1 AND fences_ok = 1 AND clf_ok = 1
+        |        AND lm_ok = 1 THEN 'keep' ELSE 'drop' END AS verdict,
+        |  CASE WHEN ratios_ok = 0 THEN 'ratios'
+        |       WHEN fences_ok = 0 THEN 'fences'
+        |       WHEN clf_ok = 0 THEN 'classifier'
+        |       WHEN lm_ok = 0 THEN 'lm' END AS first_fail,
+        |  CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END::BIGINT
+        |    AS epoch
+        |FROM flags WHERE doc_id % 17 = 3
+        |ORDER BY doc_id""".stripMargin),
     // q234: the GDPR chain — the two-epoch verdict replay MINUS the
     // forgotten ids (sink-fed epoch 1, forget at 2, retired run,
     // auto-floor compaction; read() must serve exactly the survivors)

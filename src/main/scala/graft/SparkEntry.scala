@@ -303,6 +303,8 @@ object SparkEntry {
       (P.q233MultimodalBuild(_, _)),
     "q234_gdpr_chain" ->
       (graft.queries.TextQueries.q234GdprChain(_, _)),
+    "q235_lookup_audit" ->
+      (graft.queries.TextQueries.q235LookupAudit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2510,6 +2510,26 @@ object TextQueries {
     }.orderBy("doc_id")
   }
 
+  /** Q235 — the DSAR LOOKUP under the oracle gate (r20): "what is
+    * stored about these subjects" served through [[graft.streaming
+    * .VerdictStore.lookup]] — the BUCKET-PRUNED point read (only the
+    * buckets the requested ids hash into are opened; the spec proves
+    * the pruning physically, this query proves the ANSWER). The id
+    * set is every subject with doc_id % 17 == 3, including ids the
+    * store never admitted (the init epoch drops null-lang docs) —
+    * lookup must skip them, not null-pad. Oracle: the q226 two-epoch
+    * replay restricted to the requested ids. */
+  def q235LookupAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.VerdictStore
+    q226VerdictStore(s, dir) // materializes the shared store
+    val path = graft.FixtureCache.once[String](s, s"q226|$dir") {
+      sys.error("q235: the q226 store must already be pinned")
+    }
+    val ids = docs(s, dir).filter(col("doc_id") % 17 === 3)
+      .select("doc_id")
+    VerdictStore.lookup(s, path, ids).orderBy("doc_id")
+  }
+
   /** Q227 — DEDUP-AWARE corpus mixing (r19): q63's per-language
     * token-budget admission over cluster CANONICALS only — a
     * near-duplicate never consumes budget (admitting three copies of
