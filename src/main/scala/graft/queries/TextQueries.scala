@@ -2461,8 +2461,25 @@ object TextQueries {
     * into the frozen model, or dropped the held-out-vs-everyone rule
     * distinction hash-fails. */
   def q226VerdictStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.VerdictStore
+    val path = q226StorePath(s, dir)
+    // steady-state serve: the warm store frame pins once per
+    // (session, dir) — the r20 bucket layout pays |buckets| directory
+    // reads per cold read(), which a serving engine amortizes exactly
+    // like the q207/q92 pins (the documented FixtureCache bench
+    // contract: Verify's run 1 prices the full build + cold read)
+    graft.FixtureCache.once(s, s"q226read|$dir") {
+      VerdictStore.read(s, path).localCheckpoint(true)
+    }.orderBy("doc_id")
+  }
+
+  /** The q226 store's pinned PATH — ONE cache key, one build,
+    * shared by q226's warm read pin, q228's keepers, and q235's
+    * bucket-pruned lookup (which needs the path WITHOUT forcing the
+    * full-store warm pin). */
+  private def q226StorePath(s: SparkSession, dir: String): String = {
     import graft.streaming.{CorpusStreams, FrozenArtifacts, VerdictStore}
-    val path = graft.FixtureCache.once(s, s"q226|$dir") {
+    graft.FixtureCache.once(s, s"q226|$dir") {
       val app = s.sparkContext.applicationId +
         "_" + graft.FixtureCache.dirTag(dir)
       val p = s"/root/repo/target/tmp/q226_verdicts_$app"
@@ -2500,14 +2517,6 @@ object TextQueries {
       require(n > 0, "q226: the late batch must be non-empty")
       p
     }
-    // steady-state serve: the warm store frame pins once per
-    // (session, dir) — the r20 bucket layout pays |buckets| directory
-    // reads per cold read(), which a serving engine amortizes exactly
-    // like the q207/q92 pins (the documented FixtureCache bench
-    // contract: Verify's run 1 prices the full build + cold read)
-    graft.FixtureCache.once(s, s"q226read|$dir") {
-      VerdictStore.read(s, path).localCheckpoint(true)
-    }.orderBy("doc_id")
   }
 
   /** Q235 — the DSAR LOOKUP under the oracle gate (r20): "what is
@@ -2521,10 +2530,7 @@ object TextQueries {
     * replay restricted to the requested ids. */
   def q235LookupAudit(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.VerdictStore
-    q226VerdictStore(s, dir) // materializes the shared store
-    val path = graft.FixtureCache.once[String](s, s"q226|$dir") {
-      sys.error("q235: the q226 store must already be pinned")
-    }
+    val path = q226StorePath(s, dir) // builds once, never the warm pin
     val ids = docs(s, dir).filter(col("doc_id") % 17 === 3)
       .select("doc_id")
     VerdictStore.lookup(s, path, ids).orderBy("doc_id")

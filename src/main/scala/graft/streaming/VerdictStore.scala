@@ -248,38 +248,41 @@ object VerdictStore {
     delta.count()
   }
 
+  /** The ONE tombstone-visibility rule: live rows only, the fence
+    * column dropped; a legacy frame missing `deleted` reads
+    * all-live. [[read]] and [[lookup]] must never disagree on this. */
+  private def liveOf(raw: DataFrame): DataFrame =
+    if (raw.columns.contains("deleted"))
+      raw.filter(!col("deleted")).drop("deleted")
+    else raw
+
   /** The live verdict rows — tombstoned docs filtered (they stay in
     * the stored dataset as the replay fence until a compaction with
     * a proven epoch floor removes them). Unions the bucket datasets;
     * a legacy bucket missing the `deleted` column reads all-live. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = readAll(spark, path)
-    (if (raw.columns.contains("deleted"))
-      raw.filter(!col("deleted")).drop("deleted")
-    else raw)
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    liveOf(readAll(spark, path))
 
   /** BUCKET-PRUNED point lookup (r20): the live verdict rows for the
     * given doc_ids, reading ONLY the buckets those ids hash into —
     * the serving-read counterpart of the bucketed writes (a "what is
     * stored about doc X" audit, the DSAR read, must not scan a
-    * billion-row store). Keys are a DataFrame like [[forget]]'s; the
-    * answer equals `read().join(ids, semi)` by construction
+    * billion-row store). Keys are a DataFrame like [[forget]]'s;
+    * null ids match no stored doc and are skipped (an
+    * externally-assembled subject frame legitimately carries them).
+    * The answer equals `read().join(ids, semi)` by construction
     * (spec-pinned), at the cost of the affected buckets' slice. */
   def lookup(spark: SparkSession, path: String, ids: DataFrame)
       : DataFrame = {
     require(ids.columns.length == 1, "lookup: ids must be one column")
     val buckets = numBuckets(spark, path)
     val key = ids.columns.head
-    val keys = ids.localCheckpoint(true)
+    val keys = ids.filter(col(key).isNotNull).localCheckpoint(true)
     val affected = affectedBuckets(keys, key, buckets)
-    if (affected.isEmpty) return read(spark, path).limit(0)
-    val raw = affected.map(readBucket(spark, path, _))
-      .reduce(_.unionByName(_))
-    val live =
-      if (raw.columns.contains("deleted"))
-        raw.filter(!col("deleted")).drop("deleted")
-      else raw
+    if (affected.isEmpty) // schema-faithful empty at ONE bucket's cost
+      return liveOf(readBucket(spark, path, 0)).limit(0)
+    val live = liveOf(affected.map(readBucket(spark, path, _))
+      .reduce(_.unionByName(_)))
     live.join(keys, live("doc_id") === keys(key), "left_semi")
   }
 
@@ -315,7 +318,9 @@ object VerdictStore {
     require(ids.columns.length == 1, "forget: ids must be one column")
     val buckets = numBuckets(spark, path)
     val key = ids.columns.head
-    val keys = ids.localCheckpoint(true)
+    // a null id matches no stored doc_id — skip it rather than NPE
+    // in the bucket-hash collect (external subject frames carry them)
+    val keys = ids.filter(col(key).isNotNull).localCheckpoint(true)
     val affected = affectedBuckets(keys, key, buckets)
     if (affected.isEmpty) return 0L
     val fs = fsOf(spark, path)

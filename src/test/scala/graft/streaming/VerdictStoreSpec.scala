@@ -370,9 +370,13 @@ class VerdictStoreSpec extends SparkSpec {
       assert(VerdictStore.lookup(spark, p, ids.toDF("id"))
         .collect().map(_.getLong(0)).toSeq === Seq(5L))
     } finally assert(fs.rename(aside, dir))
-    // empty id set → empty answer, zero buckets touched
+    // empty or all-null id sets → empty answer at one bucket's
+    // schema cost, nulls skipped (they can match no stored doc)
     assert(VerdictStore.lookup(spark, p,
       Seq.empty[Long].toDF("id")).count() === 0L)
+    assert(VerdictStore.lookup(spark, p,
+      Seq[Option[Long]](None, Some(5L)).toDF("id"))
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
   }
 
   test("a CRASHED rebucket (store stranded at _precompact) recovers " +
