@@ -2206,6 +2206,109 @@ object OracleSql {
         |    AS epoch
         |FROM flags WHERE doc_id % 17 = 3
         |ORDER BY doc_id""".stripMargin),
+    // q236: right-to-be-forgotten on the persisted IVF index — the
+    // q34 pruned-probe replay (cells/probes ranked over ALL vectors:
+    // the codebook keeps its centroids across a forget; re-clustering
+    // is the offline rebuild) over the SURVIVING vectors, with the
+    // query's self-match kept (the persisted index serves stored
+    // rows as-is) and the same top-10 emitted under both phase tags:
+    // the serve-time fence and the post-compaction physical state
+    // must answer identically
+    "q236_ivf_forget" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+        |         generate_subscripts(embedding,1) AS i
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm
+        |       FROM ex GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS v, b.vec_id AS c, SUM(a.x * b.x) AS d
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id < 16
+        |  GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT v AS vec_id, c AS cell FROM (
+        |    SELECT dt.v, dt.c,
+        |           ROW_NUMBER() OVER (PARTITION BY dt.v
+        |             ORDER BY dt.d / nc.nrm DESC, dt.c ASC) AS rn
+        |    FROM dots dt JOIN nr nc ON nc.vec_id = dt.c) t
+        |  WHERE rn = 1),
+        |pr AS (
+        |  SELECT dt.c AS cell FROM dots dt
+        |  JOIN nr nc ON nc.vec_id = dt.c
+        |  WHERE dt.v = 1
+        |  ORDER BY dt.d / nc.nrm DESC, dt.c ASC LIMIT 4),
+        |hits AS (
+        |  SELECT dt.v AS vec_id,
+        |         ROUND(dt.d / (nv.nrm * nq.nrm), 4) AS sim
+        |  FROM dots dt
+        |  JOIN asg ON asg.vec_id = dt.v
+        |  JOIN pr ON pr.cell = asg.cell
+        |  JOIN nr nv ON nv.vec_id = dt.v
+        |  JOIN nr nq ON nq.vec_id = 1
+        |  WHERE dt.c = 1 AND dt.v % 13 <> 2
+        |  ORDER BY sim DESC, vec_id LIMIT 10)
+        |SELECT ph.phase, h.vec_id, h.sim
+        |FROM hits h
+        |CROSS JOIN (VALUES ('serve_fence'), ('post_compact'))
+        |  ph(phase)
+        |ORDER BY ph.phase, h.sim DESC, h.vec_id""".stripMargin,
+    // q237: the manifest change feed — BOTH from-scratch generations
+    // (v1 = keepers minus the late batch, v2 = keepers minus the
+    // forgotten ids) built over the q225 pack fold, restricted to
+    // the shards the changed ids hash into, then full-outer-diffed
+    // with SnapshotStore.diff's image rule (delete carries the
+    // BEFORE row, insert/update the AFTER)
+    "q237_manifest_feed" -> ensembleSql(
+      s""", keep AS (SELECT doc_id FROM flags
+         |    WHERE ratios_ok = 1 AND fences_ok = 1
+         |      AND clf_ok = 1 AND lm_ok = 1),
+         |d AS (
+         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS ntok,
+         |         ${ddbHash("CAST(doc_id AS VARCHAR) || '#5'")} AS h
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |sh AS (SELECT doc_id, ntok, h, (h % 8)::INT AS shard FROM d),
+         |ch AS (SELECT DISTINCT shard FROM sh
+         |       WHERE doc_id % 97 = 3 OR doc_id IN (5, 10)),
+         |c1 AS (SELECT doc_id, shard, ntok, h,
+         |        SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |          - ntok AS strt
+         |      FROM sh WHERE doc_id % 97 <> 3
+         |        AND shard IN (SELECT shard FROM ch)),
+         |m1 AS (SELECT shard, (strt // 2048)::BIGINT AS pack_id,
+         |        COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+         |        md5(string_agg(doc_id::VARCHAR, ','
+         |                       ORDER BY h, doc_id)) AS ids_md5
+         |      FROM c1 GROUP BY shard, pack_id),
+         |c2 AS (SELECT doc_id, shard, ntok, h,
+         |        SUM(ntok) OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |          - ntok AS strt
+         |      FROM sh WHERE doc_id NOT IN (5, 10)
+         |        AND shard IN (SELECT shard FROM ch)),
+         |m2 AS (SELECT shard, (strt // 2048)::BIGINT AS pack_id,
+         |        COUNT(*) AS n_docs, SUM(ntok)::BIGINT AS n_tokens,
+         |        md5(string_agg(doc_id::VARCHAR, ','
+         |                       ORDER BY h, doc_id)) AS ids_md5
+         |      FROM c2 GROUP BY shard, pack_id)
+         |SELECT * FROM (
+         |  SELECT CASE WHEN m1.shard IS NULL THEN 'insert'
+         |              WHEN m2.shard IS NULL THEN 'delete'
+         |              WHEN m1.n_docs <> m2.n_docs
+         |                OR m1.n_tokens <> m2.n_tokens
+         |                OR m1.ids_md5 <> m2.ids_md5 THEN 'update'
+         |         END AS op,
+         |         COALESCE(m2.shard, m1.shard) AS shard,
+         |         COALESCE(m2.pack_id, m1.pack_id) AS pack_id,
+         |         CASE WHEN m2.shard IS NULL THEN m1.n_docs
+         |              ELSE m2.n_docs END AS n_docs,
+         |         CASE WHEN m2.shard IS NULL THEN m1.n_tokens
+         |              ELSE m2.n_tokens END AS n_tokens,
+         |         CASE WHEN m2.shard IS NULL THEN m1.ids_md5
+         |              ELSE m2.ids_md5 END AS ids_md5
+         |  FROM m1 FULL OUTER JOIN m2
+         |    ON m1.shard = m2.shard AND m1.pack_id = m2.pack_id)
+         |WHERE op IS NOT NULL
+         |ORDER BY shard, pack_id""".stripMargin),
     // q234: the GDPR chain — the two-epoch verdict replay MINUS the
     // forgotten ids (sink-fed epoch 1, forget at 2, retired run,
     // auto-floor compaction; read() must serve exactly the survivors)

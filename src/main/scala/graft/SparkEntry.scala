@@ -305,6 +305,10 @@ object SparkEntry {
       (graft.queries.TextQueries.q234GdprChain(_, _)),
     "q235_lookup_audit" ->
       (graft.queries.TextQueries.q235LookupAudit(_, _)),
+    "q236_ivf_forget" ->
+      (S.q236IvfForget(_, _)),
+    "q237_manifest_feed" ->
+      (graft.queries.TextQueries.q237ManifestFeed(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

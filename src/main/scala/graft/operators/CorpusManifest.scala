@@ -79,6 +79,34 @@ object CorpusManifest {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Commit one shard's rows without ever exposing a partial parquet
+    * dir: an EXISTING shard rewrites through [[graft.sources
+    * .AtomicSwap]] (readers recover interrupted swaps), a FRESH one
+    * stages fully aside and commits by ONE rename — `_staging` never
+    * matches [[read]]'s shard-dir pattern, so a crash mid-stage is
+    * invisible and the re-run's delete-then-restage repairs it. */
+  private def writeShard(spark: SparkSession, fs: FileSystem,
+      path: String, k: Int, shardRows: DataFrame): Unit = {
+    val dir = shardDir(path, k)
+    val write = (at: String) =>
+      shardRows.coalesce(1).write.mode("overwrite").parquet(at)
+    // a crashed swap can leave the live name missing with the data at
+    // its _precompact/_compacting name — recover before the exists
+    // probe, so the shard takes the swap path, not a shadowing stage
+    if (!fs.exists(new Path(dir)))
+      try graft.sources.AtomicSwap.recover(fs, dir)
+      catch { case _: java.io.FileNotFoundException => () }
+    if (fs.exists(new Path(dir)))
+      graft.sources.AtomicSwap.rewrite(fs, dir)(write)
+    else {
+      val stage = new Path(dir + "_staging")
+      fs.delete(stage, true)
+      write(stage.toString)
+      require(fs.rename(stage, new Path(dir)),
+        s"manifest: cannot commit shard $k at $path")
+    }
+  }
+
   /** Version marker: a one-line `_version_<v>` file committed AFTER
     * the shard rewrites — the store's generation number a serving
     * layer keys caches on. MONOTONIC FILENAMES, never delete-then-
@@ -146,15 +174,25 @@ object CorpusManifest {
 
   /** Full build: every shard written, version 1. `docs` is the
     * CURRENT corpus as (doc_id, ntok) — filtering (the ensemble
-    * verdict) happens upstream. */
+    * verdict) happens upstream. Doubles as the REBUILD path over an
+    * existing store (the version bumps past the old generation).
+    * Crash safety (r20): no shard dir is ever written DIRECTLY — a
+    * fresh shard stages fully aside and commits by one rename (a
+    * crash mid-stage leaves only the invisible `_staging` dir, which
+    * the re-run overwrites), an existing shard rides [[graft.sources
+    * .AtomicSwap]] like [[update]]'s — so [[read]] can never serve a
+    * partially-written parquet dir. A crash between two shard
+    * commits leaves a blend of generations, each shard complete; the
+    * blend is exactly [[update]]'s documented mid-update state (shard
+    * content depends only on that shard's docs) and a re-run repairs
+    * it idempotently. */
   def init(spark: SparkSession, path: String, docs: DataFrame,
       budget: Long, shards: Int): Unit = {
     val fs = fsOf(spark, path)
     val rows = manifestRows(docs, budget, shards).localCheckpoint(true)
     (0 until shards).foreach { k =>
-      rows.filter(col("shard") === k).drop("shard")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(shardDir(path, k))
+      writeShard(spark, fs, path, k,
+        rows.filter(col("shard") === k).drop("shard"))
     }
     // a REBUILD over an existing store must bump PAST the old
     // generation — committing "1" under a surviving higher marker
@@ -182,20 +220,68 @@ object CorpusManifest {
       docs.filter(shardOf(col("doc_id"), shards).isin(affected: _*)),
       budget, shards).localCheckpoint(true)
     affected.foreach { k =>
-      val dir = shardDir(path, k)
-      graft.sources.AtomicSwap.rewrite(fs, dir)(tmp =>
-        rows.filter(col("shard") === k).drop("shard")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp))
+      writeShard(spark, fs, path, k,
+        rows.filter(col("shard") === k).drop("shard"))
     }
     writeVersion(fs, path, version(spark, path) + 1L)
     affected
   }
 
+  /** [[update]] that also returns the PACK-LEVEL CHANGE FEED between
+    * the two generations (r20) — the CDC-OUT a serving layer keys
+    * cache invalidation on: one row per (shard, pack_id) whose
+    * manifest row changed, `op` ∈ insert/update/delete with
+    * [[graft.sources.SnapshotStore.diff]]'s image rule (delete
+    * carries the BEFORE row). The version bump alone says "something
+    * changed"; this says WHICH packs to re-fetch — at 100 TB the
+    * difference between re-reading the touched shards' slice and
+    * re-reading nothing but the changed packs.
+    *
+    * Cost ∝ the TOUCHED shards: the before-image reads only the
+    * affected shard datasets (pinned eagerly before any rewrite),
+    * the diff is one full-outer join bounded by their pack rows —
+    * and because untouched shards cannot change (a shard's packs
+    * depend only on its own docs), the affected-shards diff EQUALS
+    * the whole-store diff (spec-pinned). */
+  def updateWithFeed(spark: SparkSession, path: String,
+      docs: DataFrame, changed: DataFrame, budget: Long,
+      shards: Int): DataFrame = {
+    val affected = changed
+      .select(shardOf(col("doc_id"), shards).as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // schema-faithful empty feed at one shard's cost
+    val probe = readShards(spark, path, Seq(0)).limit(0)
+    if (affected.isEmpty)
+      return graft.sources.SnapshotStore.diff(probe, probe,
+        Seq("shard", "pack_id"))
+    val before = readShards(spark, path, affected)
+      .localCheckpoint(true) // pinned before the swaps replace it
+    update(spark, path, docs, changed, budget, shards)
+    graft.sources.SnapshotStore.diff(before,
+      readShards(spark, path, affected), Seq("shard", "pack_id"))
+  }
+
+  /** The stored rows of the given shards only — [[read]]'s recovery
+    * contract at the touched slice's cost. */
+  private def readShards(spark: SparkSession, path: String,
+      ks: Seq[Int]): DataFrame = {
+    val fs = fsOf(spark, path)
+    ks.map { k =>
+      graft.sources.AtomicSwap.recover(fs, shardDir(path, k))
+      spark.read.parquet(shardDir(path, k))
+        .withColumn("shard", lit(k))
+    }.reduce(_.unionByName(_))
+      .select("shard", "pack_id", "n_docs", "n_tokens", "ids_md5")
+  }
+
   /** Read the current manifest — recovers any interrupted shard swap
     * first (the AtomicSwap reader contract), then unions the shard
-    * datasets back with their shard column. */
+    * datasets back with their shard column. Requires a committed
+    * version marker: [[init]] commits it LAST, so its presence proves
+    * every shard dir landed — without the gate, a crash mid-FIRST-
+    * init would serve a silently partial manifest. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    version(spark, path) // loud on a store init never finished
     val fs = fsOf(spark, path)
     val dirs = fs.listStatus(new Path(path)).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)

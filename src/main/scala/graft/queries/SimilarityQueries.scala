@@ -261,6 +261,59 @@ object SimilarityQueries {
     * with zero joins — filter to probed cells, one dot per survivor,
     * TakeOrderedAndProject. Fully deterministic (ties → lowest cent_id), so
     * the DuckDB oracle replays it exactly. */
+  /** Q236 — RIGHT-TO-BE-FORGOTTEN on the PERSISTED ANN index (r20):
+    * the GDPR chain extended to the similarity-serving store. The
+    * lifecycle under the gate: [[graft.similarity.IvfIndex.build]]
+    * over the embeddings (deterministic 16-cell codebook, the q34
+    * contract), `forget(vec_id % 13 == 2)` writes the id-only
+    * tombstone fence (no data file rewritten — an id-keyed delete
+    * cannot prune by `cell`, so eager physical deletion would scan
+    * the index per request), a probe under the FENCE (phase
+    * `serve_fence`: the anti-join applies BEFORE the top-k cut, so
+    * forgotten vectors never surface and the probe still returns k
+    * rows), then `compact` physically drops the rows and clears the
+    * fence atomically with its swap, and the probe re-runs (phase
+    * `post_compact`). Both phases must answer IDENTICALLY — the
+    * logical fence and the physical removal are one contract — and
+    * the DuckDB oracle replays the pruned probe over the surviving
+    * vectors for both phase tags: a forgotten row surfacing in
+    * either phase, or a fence that cut the result short, hash-fails.
+    * The codebook keeps its trained centroids across the forget
+    * (re-clustering is the offline rebuild event, the FAISS
+    * posture), which the oracle mirrors by ranking cells over ALL
+    * vectors. */
+  def q236IvfForget(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfIndex
+    val path = graft.FixtureCache.once(s, s"q236|$dir") {
+      val p = s"/root/repo/target/tmp/q236_ivf_" +
+        s.sparkContext.applicationId + "_" +
+        graft.FixtureCache.dirTag(dir)
+      val e = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "embedding")
+      IvfIndex.build(e, p, nCells = 16)
+      IvfIndex.forget(s, p,
+        e.filter(col("vec_id") % 13 === 2).select("vec_id"))
+      p
+    }
+    val q = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    // pinned BEFORE compact swaps the directory out from under the
+    // lazy plan (the fence answer must come from the fenced index)
+    val fenced = IvfIndex.search(s, path, q, nProbe = 4, k = 10)
+      .withColumn("phase", lit("serve_fence"))
+      .localCheckpoint(true)
+    graft.FixtureCache.once(s, s"q236compact|$dir") {
+      IvfIndex.compact(s, path)
+    }
+    val physical = IvfIndex.search(s, path, q, nProbe = 4, k = 10)
+      .withColumn("phase", lit("post_compact"))
+    fenced.unionByName(physical)
+      .select("phase", "vec_id", "sim")
+      .orderBy(col("phase"), col("sim").desc, col("vec_id"))
+  }
+
   def q34AnnIvf(s: SparkSession, dir: String, queryId: Long = 1,
       nCentroids: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
     val e = embNorm(s, dir, cached = false)

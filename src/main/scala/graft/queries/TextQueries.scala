@@ -2444,6 +2444,48 @@ object TextQueries {
       .orderBy("shard", "pack_id")
   }
 
+  /** Q237 — MANIFEST CHANGE FEED (r20): q225's append+forget update
+    * emitting its PACK-LEVEL delta through [[graft.operators
+    * .CorpusManifest.updateWithFeed]] — the CDC-OUT a corpus-serving
+    * layer keys cache invalidation on (the version bump says
+    * "something changed"; the feed says WHICH packs to re-fetch, the
+    * difference between re-reading the touched shards and re-reading
+    * only the changed packs). One row per changed (shard, pack_id):
+    * `op` ∈ insert/update/delete with [[graft.sources.SnapshotStore
+    * .diff]]'s image rule (delete carries the BEFORE row). The DuckDB
+    * oracle replays BOTH from-scratch generations (v1 = keepers minus
+    * the late batch, v2 = keepers minus the forgotten ids) restricted
+    * to the shards the changed ids hash into and full-outer-diffs
+    * them — a feed row for an unchanged pack, a missed changed pack,
+    * or a wrong before/after image hash-fails. Cost ∝ the touched
+    * shards' slice; the affected-shards feed provably equals the
+    * whole-store diff (spec-pinned: untouched shards cannot change). */
+  def q237ManifestFeed(s: SparkSession, dir: String,
+      budget: Long = 2048, shards: Int = 8): DataFrame = {
+    import graft.operators.{CorpusManifest => M}
+    val feed = graft.FixtureCache.once(s, s"q237|$dir") {
+      val p = s"/root/repo/target/tmp/q237_manifest_" +
+        s.sparkContext.applicationId +
+        "_" + graft.FixtureCache.dirTag(dir)
+      val keep = ensembleFlags(s, dir)
+        .filter(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
+          col("clf_ok") === 1 && col("lm_ok") === 1)
+        .select("doc_id")
+      val all = docs(s, dir).join(keep, "doc_id")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("ntok"))
+        .localCheckpoint(true)
+      val late = col("doc_id") % 97 === 3
+      val forgotten = col("doc_id").isin(5L, 10L)
+      M.init(s, p, all.filter(!late), budget, shards)
+      M.updateWithFeed(s, p, all.filter(!forgotten),
+        all.filter(late || forgotten).select("doc_id"),
+        budget, shards)
+        .localCheckpoint(true) // the feed IS the fixture — serve warm
+    }
+    feed.orderBy("shard", "pack_id")
+  }
+
   /** Q226 — INCREMENTAL VERDICT STORE (r19): the corpus-serving loop
     * closed end to end. Epoch 1 (INIT): the batch ensemble runs over
     * the init corpus (everything but the late batch, doc_id % 11 ==

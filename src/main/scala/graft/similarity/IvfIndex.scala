@@ -264,6 +264,17 @@ object IvfIndex {
     val n = emb.select(col("vec_id") +:
       normalized(col("embedding").cast("array<double>")).as("nemb") +:
       extras.map(col): _*)
+    // a tombstoned id is FENCED until the next compact clears it — a
+    // re-append now would be hidden at serve and then physically
+    // dropped by the compaction's anti-join, a silent data loss no
+    // ingest path may have; loud, with the recipe
+    tombstones(spark, path).foreach { t =>
+      val clash = n.join(t, Seq("vec_id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty, s"append: vec_id ${clash.head.get(0)} " +
+        "is tombstoned (forgotten, not yet compacted) — compact the " +
+        "index first, then re-append under the same id")
+    }
     if (pq) {
       // encode the batch against the EXISTING codebooks (coarse + PQ) —
       // append never retrains, mirroring the float/SQ8 contract
@@ -282,6 +293,53 @@ object IvfIndex {
         .partitionBy("cell").parquet(path)
   }
 
+  // ---- right-to-be-forgotten (r20) ----------------------------------
+
+  /** RIGHT-TO-BE-FORGOTTEN for the ANN index: LOGICAL delete,
+    * immediately effective at serve time, physically removed at the
+    * next [[compact]] — the production vector-store deletion model
+    * (an id-keyed delete cannot prune by `cell`, the only partition
+    * key, so an eager physical delete would scan the whole index per
+    * request; a fence costs one id-append now and rides the
+    * compaction rewrite the index already schedules for small-file
+    * collapse). The ids land in an `_tombstones` sidecar (underscore
+    * = invisible to the data scan); [[search]] anti-joins it BEFORE
+    * the top-k cut, so a forgotten vector never surfaces AND the
+    * probe still returns k rows — and the set stays
+    * broadcast-small by the same argument that bounds it: it only
+    * holds deletes since the last compaction. Keys are a DataFrame
+    * so a person-sized request and a ten-million-row purge ride the
+    * same path; null ids are skipped. Returns the number of distinct
+    * ids recorded (recording an id that was never indexed is a
+    * harmless no-op at serve). Single writer, like every sidecar
+    * mutation here. */
+  def forget(spark: SparkSession, path: String,
+      ids: DataFrame): Long = {
+    recoverIndex(spark, path)
+    require(ids.columns.length == 1, "forget: ids must be one column")
+    val key = ids.columns.head
+    val fresh = ids.filter(col(key).isNotNull)
+      .select(col(key).cast("long").as("vec_id")).distinct()
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0)
+      fresh.coalesce(1).write.mode("append")
+        .parquet(s"$path/_tombstones")
+    n
+  }
+
+  /** The pending-delete fence, if any — ids forgotten since the last
+    * compaction. Deduplicated on read: [[forget]] appends, so a
+    * twice-forgotten id is stored twice but fences once. */
+  private def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t))
+      Some(spark.read.parquet(t.toString).select("vec_id").distinct())
+    else None
+  }
+
   private def readPqSidecar(spark: SparkSession,
       path: String): (Array[Double], Int, Int) = {
     val r = spark.read.parquet(s"$path/_pq").head
@@ -294,7 +352,9 @@ object IvfIndex {
     * accumulated small files dominate probe latency (file-listing and
     * open costs, not bytes). Rewrites each cell into task-bounded files
     * behind [[graft.sources.AtomicSwap]] (crash-recovering two-rename
-    * swap; single-writer — see its concurrency contract). The cell
+    * swap; single-writer — see its concurrency contract). Also the
+    * PHYSICAL half of [[forget]]: pending tombstones drop from the
+    * rewrite and the fence clears atomically with the swap. The cell
     * count comes from the driver-small `_centroids` sidecar, never a
     * distinct-scan of the index. Returns (files before, after). */
   /** Complete any interrupted compaction swap before reading — the
@@ -314,16 +374,29 @@ object IvfIndex {
       val it = fs.listFiles(p, true)
       var n = 0L
       while (it.hasNext) {
-        val f = it.next().getPath.toString
-        if (f.endsWith(".parquet") && !f.contains("_centroids")) n += 1
+        val f = it.next().getPath
+        // data files only — sidecars (_centroids/_pq/_tombstones) are
+        // not the small-file population compaction manages
+        if (f.getName.endsWith(".parquet") &&
+          !f.getParent.getName.startsWith("_")) n += 1
       }
       n
     }
     val before = dataFiles(hPath)
     val nCells =
       math.max(spark.read.parquet(s"$path/_centroids").count().toInt, 1)
+    val tomb = tombstones(spark, path)
     graft.sources.AtomicSwap.rewrite(fs, path) { tmp =>
-      spark.read.parquet(path).repartition(nCells, col("cell"))
+      // compaction is also the PHYSICAL half of [[forget]]: pending
+      // tombstones anti-join out of the rewrite, and the new
+      // generation simply omits the `_tombstones` sidecar — the fence
+      // clears ATOMICALLY with the swap that makes the filtered data
+      // live (a crash serves either old data + fence or new data +
+      // no fence, never forgotten rows without their fence)
+      val data0 = spark.read.parquet(path)
+      val data = tomb.fold(data0)(t =>
+        data0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      data.repartition(nCells, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       spark.read.parquet(s"$path/_centroids").coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/_centroids")
@@ -357,10 +430,16 @@ object IvfIndex {
     // the parquet reader next to the cell pruning, so a filtered probe
     // reads only matching row groups — filtering after top-k would
     // return fewer than k rows (the classic filtered-ANN bug)
-    val idx = filter.foldLeft(
+    val idx0 = filter.foldLeft(
       spark.read.parquet(path)
         .filter(col("cell").isin(probes: _*)))( // partition-pruned scan
       (df, f) => df.filter(f))
+    // the forget fence applies BEFORE the top-k cut (after would
+    // return fewer than k rows — the filtered-ANN bug, again): a
+    // broadcast anti-join on vec_id, bounded by deletes-since-last-
+    // compaction, riding the same pruned scan
+    val idx = tombstones(spark, path).fold(idx0)(t =>
+      idx0.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val score =
       if (idx.columns.contains("codes")) { // PQ: asymmetric-distance scan
         val (cb, m, ksub) = readPqSidecar(spark, path)

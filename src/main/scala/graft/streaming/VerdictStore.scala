@@ -90,7 +90,15 @@ object VerdictStore {
     val tmp = new Path(at.getParent, at.getName + ".tmp")
     val out = fs.create(tmp, true)
     out.write(text.getBytes("UTF-8")); out.close()
-    fs.delete(at, false)
+    // every marker here is WRITE-ONCE (init's _buckets behind its
+    // guard, a run floor only at first attach, rebucket's staged
+    // tree): the commit is one rename onto a name that does not
+    // exist, so readers never see a marker vanish mid-rewrite — an
+    // existing destination is a caller bug and a delete-then-rename
+    // would reopen exactly that no-marker window
+    require(!fs.exists(at),
+      s"verdict store: marker $at already exists (markers are " +
+        "write-once; this is a caller bug)")
     require(fs.rename(tmp, at), s"verdict store: cannot commit $at")
   }
 

@@ -104,4 +104,76 @@ class CorpusManifestSpec extends SparkSpec {
     assert(canon(CorpusManifest.read(spark, path)) === before)
     assert(fs.exists(s0)) // recovery restored the live name
   }
+
+  test("updateWithFeed: the pack-level change feed equals the whole-" +
+    "store diff of the two generations (untouched shards cannot " +
+    "change), and an empty change set feeds nothing") {
+    import spark.implicits._
+    val path = freshPath("feed")
+    CorpusManifest.init(spark, path, corpus(0L until 200L),
+      Budget, Shards)
+    val beforeAll = CorpusManifest.read(spark, path)
+      .localCheckpoint(true)
+    val appended = Seq(2000L, 2001L)
+    val finalIds = (0L until 200L).filterNot(_ == 7L) ++ appended
+    val feedDf = CorpusManifest.updateWithFeed(spark, path,
+      corpus(finalIds), (appended :+ 7L).toDF("doc_id"),
+      Budget, Shards).localCheckpoint(true)
+    val feed = feedDf.orderBy("shard", "pack_id").collect()
+    val whole = graft.sources.SnapshotStore.diff(beforeAll,
+      CorpusManifest.read(spark, path), Seq("shard", "pack_id"))
+      .orderBy("shard", "pack_id").collect()
+    assert(feed.map(_.toSeq).toSeq === whole.map(_.toSeq).toSeq)
+    assert(feed.nonEmpty)
+    // every fed pack sits in a shard a changed id hashes into
+    val affected = (appended :+ 7L).toDF("doc_id")
+      .select(CorpusManifest.shardOf(col("doc_id"), Shards))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(feed.map(_.getAs[Int]("shard")).toSet.subsetOf(affected))
+    assert(CorpusManifest.version(spark, path) === 2L)
+    // the CONSUMER half of the loop: a replica of generation 1 that
+    // applies the feed serves generation 2 (diff/apply inverses, the
+    // q156 algebra on the manifest rows)
+    val replayed = graft.sources.SnapshotStore.applyDiff(beforeAll,
+      feedDf, Seq("shard", "pack_id"))
+    assert(canon(replayed) ===
+      canon(CorpusManifest.read(spark, path)))
+    // no-op change set: nothing rewritten, nothing fed, version holds
+    val empty = CorpusManifest.updateWithFeed(spark, path,
+      corpus(finalIds), Seq.empty[Long].toDF("doc_id"),
+      Budget, Shards)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("op", "shard", "pack_id", "n_docs", "n_tokens", "ids_md5"))
+    assert(CorpusManifest.version(spark, path) === 2L)
+  }
+
+  test("a crashed FIRST init is loud, never silently partial: read() " +
+    "refuses until the re-run commits the marker, and a _staging " +
+    "leftover is invisible to the shard listing") {
+    val path = freshPath("halfinit")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the crash: some shard dirs landed (complete — init
+    // commits each by one rename), one died mid-stage, no marker yet
+    val docs = corpus(0L until 150L)
+    val scratch = freshPath("halfinit_scratch")
+    CorpusManifest.init(spark, scratch, docs, Budget, Shards)
+    (0 until 3).foreach { k =>
+      fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/s$k"),
+        new org.apache.hadoop.fs.Path(s"$path/s$k"))
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/s3_staging"))
+    intercept[IllegalArgumentException] { // no version marker → loud
+      CorpusManifest.read(spark, path)
+    }
+    // the re-run (same inputs) repairs: every shard commits, marker
+    // lands last, and the served manifest IS the from-scratch build
+    CorpusManifest.init(spark, path, docs, Budget, Shards)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/s3_staging")))
+    val scratch2 = freshPath("halfinit_scratch2")
+    CorpusManifest.init(spark, scratch2, docs, Budget, Shards)
+    assert(canon(CorpusManifest.read(spark, path)) ===
+      canon(CorpusManifest.read(spark, scratch2)))
+  }
 }

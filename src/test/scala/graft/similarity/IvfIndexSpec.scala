@@ -325,4 +325,95 @@ class IvfIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hits(path) === hits(full))
   }
+
+  test("forget fences at serve time without touching data files; " +
+    "compact removes the rows physically and clears the fence " +
+    "atomically; a tombstoned id cannot re-append until then") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rtbf")
+      .toString
+    IvfIndex.build(emb, path, nCells = 16)
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def ids(k: Int) = IvfIndex.search(spark, path, query, 4, k)
+      .collect().map(_.getLong(0)).toSeq
+    val before = ids(5)
+    // forget the 2nd..3rd hits (real neighbors, so the fence is doing
+    // work) — the probe must exclude them AND still return k rows
+    val doomed = before.slice(1, 3)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataMTimes: Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+          !f.getPath.getParent.getName.startsWith("_"))
+          m(f.getPath.toString) = f.getModificationTime
+      }
+      m.toMap
+    }
+    val filesBefore = dataMTimes
+    assert(IvfIndex.forget(spark, path,
+      (doomed ++ Seq(doomed.head)).toDF("vec_id")) === 2L) // dedup'd
+    val fenced = ids(5)
+    assert(fenced.length === 5, "the fence must apply before the cut")
+    assert(doomed.forall(!fenced.contains(_)))
+    assert(fenced.head === before.head)
+    assert(dataMTimes === filesBefore,
+      "forget must not rewrite any data file")
+    // a fenced id cannot silently re-enter
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.append(
+        emb.filter(col("vec_id") === doomed.head), path)
+    }
+    assert(err.getMessage.contains("tombstoned"))
+    // compact: physical removal + fence cleared, answers unchanged
+    IvfIndex.compact(spark, path)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+    assert(ids(5) === fenced)
+    val resident = spark.read.parquet(path)
+      .filter(col("vec_id").isin(doomed: _*)).count()
+    assert(resident === 0L, "compact must drop tombstoned rows")
+    // after the fence clears, the id may re-enter (re-admission) —
+    // it reclaims its old rank; the still-forgotten id stays gone
+    IvfIndex.append(emb.filter(col("vec_id") === doomed.head), path)
+    val readmitted = ids(5)
+    assert(readmitted.contains(doomed.head))
+    assert(!readmitted.contains(doomed(1)))
+    assert(readmitted.take(2) === before.take(2))
+  }
+
+  test("crash inside the compact swap: recovery serves either the old " +
+    "generation WITH its fence or the new one without it — forgotten " +
+    "rows never surface") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cw")
+      .toString
+    IvfIndex.build(emb, path, nCells = 16)
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def ids = IvfIndex.search(spark, path, query, 4, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val doomed = ids(1)
+    IvfIndex.forget(spark, path, Seq(doomed).toDF("vec_id"))
+    val fenced = ids
+    // simulate the crash window: the live dir (data + _tombstones)
+    // was moved aside and the writer died before promoting
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_precompact")))
+    // the next probe recovers the OLD generation — its fence rode
+    // along inside the directory, so the forgotten id stays hidden
+    assert(ids === fenced)
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+  }
 }
