@@ -80,32 +80,15 @@ object CorpusManifest {
   }
 
   /** Commit one shard's rows without ever exposing a partial parquet
-    * dir: an EXISTING shard rewrites through [[graft.sources
-    * .AtomicSwap]] (readers recover interrupted swaps), a FRESH one
-    * stages fully aside and commits by ONE rename — `_staging` never
-    * matches [[read]]'s shard-dir pattern, so a crash mid-stage is
-    * invisible and the re-run's delete-then-restage repairs it. */
+    * dir — [[graft.sources.AtomicSwap.initOrRewrite]]: an EXISTING
+    * shard rides the two-rename swap (readers recover interruptions),
+    * a FRESH one stages aside and commits by ONE rename (`_staging`
+    * never matches [[read]]'s shard-dir pattern, so a crash mid-stage
+    * is invisible and the re-run repairs it). */
   private def writeShard(spark: SparkSession, fs: FileSystem,
-      path: String, k: Int, shardRows: DataFrame): Unit = {
-    val dir = shardDir(path, k)
-    val write = (at: String) =>
-      shardRows.coalesce(1).write.mode("overwrite").parquet(at)
-    // a crashed swap can leave the live name missing with the data at
-    // its _precompact/_compacting name — recover before the exists
-    // probe, so the shard takes the swap path, not a shadowing stage
-    if (!fs.exists(new Path(dir)))
-      try graft.sources.AtomicSwap.recover(fs, dir)
-      catch { case _: java.io.FileNotFoundException => () }
-    if (fs.exists(new Path(dir)))
-      graft.sources.AtomicSwap.rewrite(fs, dir)(write)
-    else {
-      val stage = new Path(dir + "_staging")
-      fs.delete(stage, true)
-      write(stage.toString)
-      require(fs.rename(stage, new Path(dir)),
-        s"manifest: cannot commit shard $k at $path")
-    }
-  }
+      path: String, k: Int, shardRows: DataFrame): Unit =
+    graft.sources.AtomicSwap.initOrRewrite(fs, shardDir(path, k))(at =>
+      shardRows.coalesce(1).write.mode("overwrite").parquet(at))
 
   /** Version marker: a one-line `_version_<v>` file committed AFTER
     * the shard rewrites — the store's generation number a serving
@@ -194,12 +177,28 @@ object CorpusManifest {
       writeShard(spark, fs, path, k,
         rows.filter(col("shard") === k).drop("shard"))
     }
+    // a rebuild under a SMALLER shard count must clear the old
+    // generation's now-out-of-range shard dirs (and any swap/stage
+    // leftovers) — read()'s listing would otherwise union both
+    // generations into a manifest where a doc appears twice; each
+    // surviving state is still per-shard complete, and a crash
+    // mid-delete is repaired by the re-run like any other blend
+    fs.listStatus(new Path(path)).toSeq.map(_.getPath)
+      .filter { p =>
+        val m = "s(\\d+)(_precompact|_compacting|_staging)?".r
+        p.getName match {
+          case m(n, _) => n.toInt >= shards
+          case _ => false
+        }
+      }.foreach(fs.delete(_, true))
     // a REBUILD over an existing store must bump PAST the old
     // generation — committing "1" under a surviving higher marker
-    // would leave version() unchanged across a rebuild that rewrote
-    // every shard, and version-keyed caches would serve stale packs
-    val v = versionMarkers(fs, path).map(_._2)
-      .maxOption.getOrElse(0L) + 1L
+    // (or a surviving pre-r20 legacy `_version`, which version()
+    // still reads) would leave version() unchanged or REGRESSED
+    // across a rebuild that rewrote every shard, and version-keyed
+    // caches would serve stale packs
+    val v = 1L + (try version(spark, path)
+      catch { case _: IllegalArgumentException => 0L })
     writeVersion(fs, path, v)
   }
 
@@ -246,19 +245,28 @@ object CorpusManifest {
   def updateWithFeed(spark: SparkSession, path: String,
       docs: DataFrame, changed: DataFrame, budget: Long,
       shards: Int): DataFrame = {
-    val affected = changed
+    // pinned: update() re-derives the affected set from this frame,
+    // and a non-deterministic `changed` could otherwise diverge
+    // between the before-image read here and the rewrite there —
+    // a feed that misses changed shards
+    val ch = changed.localCheckpoint(true)
+    val affected = ch
       .select(shardOf(col("doc_id"), shards).as("shard"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    // schema-faithful empty feed at one shard's cost
-    val probe = readShards(spark, path, Seq(0)).limit(0)
-    if (affected.isEmpty)
+    if (affected.isEmpty) { // schema-faithful empty feed, one shard's cost
+      val probe = readShards(spark, path, Seq(0)).limit(0)
       return graft.sources.SnapshotStore.diff(probe, probe,
         Seq("shard", "pack_id"))
+    }
     val before = readShards(spark, path, affected)
       .localCheckpoint(true) // pinned before the swaps replace it
-    update(spark, path, docs, changed, budget, shards)
+    update(spark, path, docs, ch, budget, shards)
+    // the feed pins too: a LATER update's swap deletes the files the
+    // after-side plan captured — a lazily-held feed would throw (or
+    // silently shrink) when finally collected
     graft.sources.SnapshotStore.diff(before,
       readShards(spark, path, affected), Seq("shard", "pack_id"))
+      .localCheckpoint(true)
   }
 
   /** The stored rows of the given shards only — [[read]]'s recovery

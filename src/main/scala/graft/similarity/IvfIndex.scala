@@ -305,9 +305,11 @@ object IvfIndex {
     * collapse). The ids land in an `_tombstones` sidecar (underscore
     * = invisible to the data scan); [[search]] anti-joins it BEFORE
     * the top-k cut, so a forgotten vector never surfaces AND the
-    * probe still returns k rows — and the set stays
-    * broadcast-small by the same argument that bounds it: it only
-    * holds deletes since the last compaction. Keys are a DataFrame
+    * probe still returns k rows — usually broadcast (the set only
+    * holds deletes since the last compaction; Catalyst picks the
+    * strategy from its stats, so a bulk purge degrades to a shuffled
+    * anti-join rather than a forced-broadcast OOM). Keys are a
+    * DataFrame
     * so a person-sized request and a ten-million-row purge ride the
     * same path; null ids are skipped. Returns the number of distinct
     * ids recorded (recording an id that was never indexed is a
@@ -318,6 +320,17 @@ object IvfIndex {
     recoverIndex(spark, path)
     require(ids.columns.length == 1, "forget: ids must be one column")
     val key = ids.columns.head
+    // a deletion API must never mis-target: a string/double id column
+    // would cast to null (recorded but fencing nothing — "success"
+    // with zero effect) or TRUNCATE to a different id (the wrong
+    // vector physically dropped at the next compact) — loud instead
+    val dt = ids.schema.fields.head.dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType).contains(dt),
+      s"forget: id column '$key' must be an integral type " +
+        s"(vec_id is long), got $dt")
     val fresh = ids.filter(col(key).isNotNull)
       .select(col(key).cast("long").as("vec_id")).distinct()
       .localCheckpoint(true)
@@ -330,13 +343,19 @@ object IvfIndex {
 
   /** The pending-delete fence, if any — ids forgotten since the last
     * compaction. Deduplicated on read: [[forget]] appends, so a
-    * twice-forgotten id is stored twice but fences once. */
+    * twice-forgotten id is stored twice but fences once. The schema
+    * is DECLARED, never inferred: a forget() crashed before its
+    * single part file committed leaves a data-less `_tombstones` dir,
+    * which must read as an EMPTY fence (a harmless no-op the re-run
+    * completes) — schema inference would throw on every subsequent
+    * probe, wedging the index behind an un-compactable error. */
   private def tombstones(spark: SparkSession,
       path: String): Option[DataFrame] = {
     val t = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(t))
-      Some(spark.read.parquet(t.toString).select("vec_id").distinct())
+      Some(spark.read.schema("vec_id LONG").parquet(t.toString)
+        .distinct())
     else None
   }
 
@@ -395,7 +414,7 @@ object IvfIndex {
       // no fence, never forgotten rows without their fence)
       val data0 = spark.read.parquet(path)
       val data = tomb.fold(data0)(t =>
-        data0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        data0.join(t, Seq("vec_id"), "left_anti"))
       data.repartition(nCells, col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       spark.read.parquet(s"$path/_centroids").coalesce(1)
@@ -435,11 +454,14 @@ object IvfIndex {
         .filter(col("cell").isin(probes: _*)))( // partition-pruned scan
       (df, f) => df.filter(f))
     // the forget fence applies BEFORE the top-k cut (after would
-    // return fewer than k rows — the filtered-ANN bug, again): a
-    // broadcast anti-join on vec_id, bounded by deletes-since-last-
-    // compaction, riding the same pruned scan
+    // return fewer than k rows — the filtered-ANN bug, again): an
+    // anti-join on vec_id riding the same pruned scan. UNHINTED:
+    // Catalyst broadcasts the usual small fence from its file stats
+    // (plan-asserted in the spec), and a bulk purge past the
+    // broadcast threshold correctly falls back to a shuffled
+    // anti-join instead of OOMing the driver on a forced hint
     val idx = tombstones(spark, path).fold(idx0)(t =>
-      idx0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      idx0.join(t, Seq("vec_id"), "left_anti"))
     val score =
       if (idx.columns.contains("codes")) { // PQ: asymmetric-distance scan
         val (cb, m, ksub) = readPqSidecar(spark, path)

@@ -110,6 +110,32 @@ object AtomicSwap {
     }
   }
 
+  /** [[rewrite]] that also handles the FIRST commit (r20, hoisted from
+    * the manifest/frozen-artifact stores so the protocol has ONE
+    * definition): an EXISTING dataset rides the two-rename swap; a
+    * dataset that never existed stages fully aside (`path_staging`)
+    * and commits by ONE rename — a crash mid-stage leaves only the
+    * stage dir (the dataset still "never existed", and the re-run's
+    * delete-then-restage repairs it), so readers can never see a
+    * partially-written first build. Recovers a crashed swap BEFORE
+    * the exists probe, so a mid-swap dataset takes the swap path
+    * instead of a shadowing stage. */
+  def initOrRewrite(fs: FileSystem, path: String)
+      (write: String => Unit): Unit = {
+    val live = new Path(path)
+    if (!fs.exists(live))
+      try recover(fs, path)
+      catch { case _: java.io.FileNotFoundException => () }
+    if (fs.exists(live)) rewrite(fs, path)(write)
+    else {
+      val stage = new Path(path + "_staging")
+      fs.delete(stage, true)
+      write(stage.toString)
+      require(fs.rename(stage, live),
+        s"swap: cannot commit first write at $path")
+    }
+  }
+
   /** Rewrite `path` by having `write` produce the replacement at the tmp
     * location, then swap it live. `write` reads the live path freely —
     * nothing moves until it returns. */

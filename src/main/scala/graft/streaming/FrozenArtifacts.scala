@@ -54,22 +54,12 @@ object FrozenArtifacts {
       s.sparkContext.parallelize(rows.toSeq, 1), schema)
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) {
-      // recover() throws on a never-existed path, so the first write
-      // cannot ride AtomicSwap — and a DIRECT write would leave a
-      // partial multi-file parquet dir that exists on crash, which
-      // the next write() would preserve as the "original" and read()
-      // would serve. So: stage fully off to the side, commit by ONE
-      // rename (r20). A crash mid-stage leaves only the stage dir
-      // (the store still "never existed"; a re-run overwrites it); a
-      // crash after the rename left a complete store.
-      val stage = new org.apache.hadoop.fs.Path(path + "_initing")
-      df.write.mode("overwrite").parquet(stage.toString)
-      require(fs.rename(stage, live),
-        s"frozen artifacts: cannot commit first write at $path")
-    } else
-      graft.sources.AtomicSwap.rewrite(fs, path)(tmp =>
-        df.write.mode("overwrite").parquet(tmp))
+    // ONE commit protocol with the manifest shards (r20): first write
+    // stages aside and commits by one rename (a crash mid-stage
+    // leaves only the stage dir — the store still "never existed"),
+    // later writes ride the two-rename swap
+    graft.sources.AtomicSwap.initOrRewrite(fs, path)(at =>
+      df.write.mode("overwrite").parquet(at))
   }
 
   /** Reload the frozen artifacts persisted at `path`. Returns

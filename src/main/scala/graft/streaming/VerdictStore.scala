@@ -427,6 +427,14 @@ object VerdictStore {
   private def runMarker(path: String, tag: String): Path = {
     require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit ||
       "._-".contains(c)), s"run tag must be [A-Za-z0-9._-]+: '$tag'")
+    // the marker PROTOCOL owns these suffixes: a tag ending '.tmp'
+    // would be invisible to runFloors (its filterNot) — the run's
+    // floor silently dropped from rebucket carry-over and the auto
+    // compaction proof, re-attaching above the forget fences — and a
+    // tag ending '.retired' would alias another tag's retirement
+    require(!tag.endsWith(".tmp") && !tag.endsWith(".retired"),
+      s"run tag must not end in '.tmp' or '.retired' (reserved by " +
+        s"the marker protocol): '$tag'")
     new Path(s"$path/_runs/$tag")
   }
 

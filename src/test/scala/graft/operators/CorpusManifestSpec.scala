@@ -148,6 +148,28 @@ class CorpusManifestSpec extends SparkSpec {
     assert(CorpusManifest.version(spark, path) === 2L)
   }
 
+  test("a rebuild under a SMALLER shard count clears the old " +
+    "generation's out-of-range shard dirs — read() serves exactly " +
+    "the new-count from-scratch build, never a two-generation blend") {
+    val path = freshPath("shrink")
+    CorpusManifest.init(spark, path, corpus(0L until 180L),
+      Budget, Shards)
+    CorpusManifest.init(spark, path, corpus(0L until 180L),
+      Budget, Shards / 2)
+    assert(CorpusManifest.version(spark, path) === 2L)
+    val scratch = freshPath("shrink_scratch")
+    CorpusManifest.init(spark, scratch, corpus(0L until 180L),
+      Budget, Shards / 2)
+    assert(canon(CorpusManifest.read(spark, path)) ===
+      canon(CorpusManifest.read(spark, scratch)))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stale = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName)
+      .filter(_.matches(s"s([${Shards / 2}-9]|\\d\\d+).*"))
+    assert(stale.isEmpty, s"stale shard dirs survived: ${stale.toSeq}")
+  }
+
   test("a crashed FIRST init is loud, never silently partial: read() " +
     "refuses until the re-run commits the marker, and a _staging " +
     "leftover is invisible to the shard listing") {

@@ -363,6 +363,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(fenced.length === 5, "the fence must apply before the cut")
     assert(doomed.forall(!fenced.contains(_)))
     assert(fenced.head === before.head)
+    // the fence rides the pruned scan as a BROADCAST anti-join (the
+    // tombstone set is bounded by deletes-since-last-compaction) —
+    // a shuffled anti-join would re-exchange the whole probed slice
+    val fencedPlan = IvfIndex.search(spark, path, query, 4, 5)
+    fencedPlan.collect()
+    val plan = fencedPlan.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"tombstone fence is not a broadcast anti-join:\n$plan")
     assert(dataMTimes === filesBefore,
       "forget must not rewrite any data file")
     // a fenced id cannot silently re-enter
@@ -386,6 +395,44 @@ class IvfIndexSpec extends SparkSpec {
     assert(readmitted.contains(doomed.head))
     assert(!readmitted.contains(doomed(1)))
     assert(readmitted.take(2) === before.take(2))
+  }
+
+  test("a data-less _tombstones dir (forget crashed before its part " +
+    "file committed) reads as an EMPTY fence, never a wedged index; " +
+    "a non-integral id column is loud, not a mis-targeted delete") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, sf("sf0.001"), "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_tw")
+      .toString
+    IvfIndex.build(emb.filter(col("vec_id") < 200), path, nCells = 16)
+    val query = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val before = IvfIndex.search(spark, path, query, 4, 5).collect()
+      .map(_.getLong(0)).toSeq
+    // simulate the crash window: the dir exists, no data file in it
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_tombstones"))
+    assert(IvfIndex.search(spark, path, query, 4, 5).collect()
+      .map(_.getLong(0)).toSeq === before)
+    IvfIndex.append(emb.filter(col("vec_id") === 300), path) // not wedged
+    assert(IvfIndex.compact(spark, path)._2 > 0L) // nor compaction
+    // and the forget re-run completes the interrupted delete normally
+    assert(IvfIndex.forget(spark, path,
+      Seq(before(1)).toDF("vec_id")) === 1L)
+    assert(!IvfIndex.search(spark, path, query, 4, 5).collect()
+      .map(_.getLong(0)).contains(before(1)))
+    // wrong-typed ids: a string column would cast to null (a no-op
+    // delete reported as success) and a double would TRUNCATE onto a
+    // different vector — both refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.forget(spark, path, Seq("7").toDF("vec_id"))
+    }
+    assert(err.getMessage.contains("integral"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.forget(spark, path, Seq(5.7).toDF("vec_id"))
+    }
   }
 
   test("crash inside the compact swap: recovery serves either the old " +

@@ -483,5 +483,18 @@ class VerdictStoreSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException](
       VerdictStore.compact(spark, p))
     assert(e5.getMessage.contains("no persisted run floors"))
+    // run tags ending in the marker protocol's own suffixes refuse:
+    // a '<tag>.tmp' floor marker would be invisible to runFloors —
+    // dropped from rebucket carry-over and the auto-compaction
+    // proof, and a same-tag re-attach would recompute its floor
+    // ABOVE the forget fences (the exact resurrection the persisted
+    // floor exists to prevent); '.retired' would alias another
+    // tag's retirement marker
+    Seq("job.tmp", "job.retired").foreach { tag =>
+      val e6 = intercept[IllegalArgumentException](
+        VerdictStore.sink(
+          frame(row(9, "keep")), p, runTag = tag))
+      assert(e6.getMessage.contains("reserved"), s"tag $tag")
+    }
   }
 }
