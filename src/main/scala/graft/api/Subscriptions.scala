@@ -172,7 +172,12 @@ object Subscriptions {
         val merged = SnapshotStore.merge(cur, delta, keyCols, sc)
           .localCheckpoint(true)
         snap = Some(merged)
-        push(bid, eval(merged.drop(sc)))
+        // only the SYNTHETIC batch-id sequence is hidden from eval —
+        // a caller-supplied seqCol is a real table column a request
+        // may legitimately select or order by (dropping it made any
+        // such subscription die on resolution at the first trigger)
+        push(bid, eval(if (seqCol.isDefined) merged
+          else merged.drop(sc)))
         ()
       }
       .start()
@@ -342,6 +347,16 @@ object Subscriptions {
     sr.cursorFields.map(f =>
       if (sr.ascending) col(f).asc else col(f).desc)
 
+  /** A cursor scan cannot page a NULL key: the resume predicate
+    * evaluates NULL for it (dropped), so a null-cursor row could only
+    * ever be delivered ONCE — on the very first trigger before any
+    * advance — and then silently lost behind the cursor forever. The
+    * consistent rule (the Postgres/Hasura non-null cursor-column
+    * requirement): rows with a null cursor component never stream, on
+    * the batch-replay and live paths alike. */
+  private def nonNullCursor(sr: StreamRequest): Column =
+    sr.cursorFields.map(col(_).isNotNull).reduce(_ && _)
+
   /** BATCH REPLAY of the first `nPages` pages — the oracle-checkable
     * contract ([[streamServe]] must deliver exactly these rows in
     * exactly these pages when the data is all present). One
@@ -354,7 +369,8 @@ object Subscriptions {
       rel: Option[(org.apache.spark.sql.SparkSession, String)] = None)
       : DataFrame = {
     require(nPages > 0, "nPages must be positive")
-    val bounded = Seq(sr.where.map(_.toColumn),
+    val bounded = Seq(Some(nonNullCursor(sr)),
+        sr.where.map(_.toColumn),
         sr.initialTuple.map(pastCursor(sr, _)))
       .flatten.foldLeft(base)(_.filter(_))
       .orderBy(cursorOrder(sr): _*).limit(nPages * sr.batchSize)
@@ -383,12 +399,20 @@ object Subscriptions {
   def streamServe(stream: DataFrame, sr: StreamRequest,
       rel: Option[(org.apache.spark.sql.SparkSession, String)] = None)
       (push: (Long, DataFrame) => Unit): StreamingQuery = {
+    // a nested selection without the directory context would only
+    // surface when the first NON-EMPTY trigger reaches deliver() —
+    // an async StreamingQueryException minutes in; loud at attach
+    // instead, like the sibling serve paths
+    require(sr.nested.isEmpty || rel.isDefined,
+      s"${sr.table}_stream: relationship selections need the table " +
+        "directory — serve through the (s, dir) overloads")
     var cursor: Option[Seq[Any]] = sr.initialTuple
     var pagesDone: Long = 0L
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val arrived = Seq(sr.where.map(_.toColumn),
+        val arrived = Seq(Some(nonNullCursor(sr)),
+            sr.where.map(_.toColumn),
             cursor.map(pastCursor(sr, _)))
           .flatten.foldLeft(batch)(_.filter(_))
           .dropDuplicates(sr.cursorFields)

@@ -2409,6 +2409,27 @@ object TextQueries {
     * final corpus — the stored version-2 manifest must equal it (the
     * q152 incremental-view contract); a stale untouched-shard row, a
     * leftover forgotten doc, or a missed appended doc hash-fails. */
+  /** ONE fixture corpus for the q225/q237 manifest lifecycle: the
+    * ensemble keepers as (doc_id, ntok), with the late-batch and
+    * forgotten predicates — shared so the two stores (and their
+    * oracles, which both replay this exact split) cannot silently
+    * desynchronize. Returns (keepers, late, forgotten); v1 CONTAINS
+    * the to-be-forgotten ids (the forget must remove real rows) and
+    * lacks the late batch. */
+  private def manifestFixtureCorpus(s: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) = {
+    val keep = ensembleFlags(s, dir)
+      .filter(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
+        col("clf_ok") === 1 && col("lm_ok") === 1)
+      .select("doc_id")
+    val all = docs(s, dir).join(keep, "doc_id")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .localCheckpoint(true)
+    (all, col("doc_id") % 97 === 3, col("doc_id").isin(5L, 10L))
+  }
+
   def q225IncrementalBuild(s: SparkSession, dir: String,
       budget: Long = 2048, shards: Int = 8): DataFrame = {
     import graft.operators.{CorpusManifest => M}
@@ -2416,18 +2437,7 @@ object TextQueries {
       val p = s"/root/repo/target/tmp/q225_manifest_" +
         s.sparkContext.applicationId +
         "_" + graft.FixtureCache.dirTag(dir)
-      val keep = ensembleFlags(s, dir)
-        .filter(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
-          col("clf_ok") === 1 && col("lm_ok") === 1)
-        .select("doc_id")
-      val all = docs(s, dir).join(keep, "doc_id")
-        .select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("ntok"))
-        .localCheckpoint(true)
-      val late = col("doc_id") % 97 === 3
-      val forgotten = col("doc_id").isin(5L, 10L)
-      // v1 CONTAINS the to-be-forgotten ids (the forget must remove
-      // real rows) and lacks the late batch
+      val (all, late, forgotten) = manifestFixtureCorpus(s, dir)
       M.init(s, p, all.filter(!late), budget, shards)
       // ONE update carries the append AND the forget; the final
       // corpus is keepers minus the forgotten ids
@@ -2467,21 +2477,11 @@ object TextQueries {
       val p = s"/root/repo/target/tmp/q237_manifest_" +
         s.sparkContext.applicationId +
         "_" + graft.FixtureCache.dirTag(dir)
-      val keep = ensembleFlags(s, dir)
-        .filter(col("ratios_ok") === 1 && col("fences_ok") === 1 &&
-          col("clf_ok") === 1 && col("lm_ok") === 1)
-        .select("doc_id")
-      val all = docs(s, dir).join(keep, "doc_id")
-        .select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("ntok"))
-        .localCheckpoint(true)
-      val late = col("doc_id") % 97 === 3
-      val forgotten = col("doc_id").isin(5L, 10L)
+      val (all, late, forgotten) = manifestFixtureCorpus(s, dir)
       M.init(s, p, all.filter(!late), budget, shards)
       M.updateWithFeed(s, p, all.filter(!forgotten),
         all.filter(late || forgotten).select("doc_id"),
-        budget, shards)
-        .localCheckpoint(true) // the feed IS the fixture — serve warm
+        budget, shards) // pinned by updateWithFeed — serves warm
     }
     feed.orderBy("shard", "pack_id")
   }

@@ -34,7 +34,11 @@ object CorpusStreams {
     * survivors stays a batch job (q78): it needs a second pass over
     * history, which a stream by definition cannot replay. */
   def heavyHitterStream(docs: DataFrame, capacity: Int = 256): DataFrame =
-    docs.select(explode(split(col("text"), " ")).as("w"))
+    // ONE tokenization definition with the batch q78 twin — an
+    // inlined split() here would silently diverge the streaming
+    // summary the moment tokens() changes
+    docs.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("w"))
       .agg(graft.functions.FrequencyFunctions
         .misraGries(col("w"), capacity).as("mg"))
 
@@ -130,8 +134,14 @@ object CorpusStreams {
     * subset, not the whole dir. */
   def freezeLmOf(d: DataFrame,
       maxBigrams: Int = DefaultLmMaxBigrams): FrozenLm =
+    // pinned: the freeze consumes the train bigrams FOUR times
+    // (bigram counts, prefix totals, both vocab legs) — unpinned,
+    // each re-tokenizes and re-explodes the whole corpus (the q66/
+    // q68 one-pin-per-multi-consumer discipline; q226 passes its own
+    // shared checkpoint through freezeLmFromTrain directly)
     freezeLmFromTrain(graft.queries.TextQueries.bigramsOf(d)
-      .filter(graft.queries.TextQueries.lmTrainSplit), maxBigrams)
+      .filter(graft.queries.TextQueries.lmTrainSplit)
+      .localCheckpoint(true), maxBigrams)
 
   /** The freeze over a PRE-BUILT train-split bigram frame (q226
     * shares one bigram checkpoint between the held-out scoring and
@@ -188,8 +198,13 @@ object CorpusStreams {
     * Scale posture: no shuffle at all on the stream side — ratios,
     * fences, and the LM score are per-row expressions over broadcast
     * maps; the classifier flag is one stream-static equi-join. An
-    * unknown language or a missing embedding passes its stage (no
-    * signal is not a failure, the batch left-join rule). */
+    * unknown language or a missing embedding passes its stage — no
+    * signal is not a failure on the SERVING side, where every arrival
+    * must receive a verdict. (This is deliberately NOT the batch
+    * ensemble's fence rule: q217's fences inner-join on lang, so a
+    * null-lang doc gets no batch verdict row at all — the q226 oracle
+    * replays exactly this two-rule split, batch rule for init docs,
+    * frozen rule for late arrivals.) */
   def verdictStream(docs: DataFrame,
       fences: Map[String, (Double, Double)], lm: FrozenLm,
       clfKeep: DataFrame,
@@ -201,9 +216,13 @@ object CorpusStreams {
     // would diverge on tr/az locales (dotless-i) from the frozen
     // model's own tokenization. The UDF only walks the token array.
     val lmScore = udf((w: Seq[String]) => {
-      if (w == null || w.length < 2) null
+      val m = lmB.value
+      // an EMPTY frozen model (v = 0 ⟺ the train split kept nothing
+      // ⟺ no prefixes either) must answer null like the batch twin's
+      // div-by-zero — not ArithmeticException the first time a 2+
+      // token doc arrives, killing the stream where batch passes it
+      if (w == null || w.length < 2 || m.v == 0L) null
       else {
-        val m = lmB.value
         var sum = 0L
         var i = 0
         while (i < w.length - 1) {

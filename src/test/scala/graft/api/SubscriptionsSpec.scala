@@ -653,4 +653,81 @@ class SubscriptionsSpec extends SparkSpec {
         fields = Seq("k1"), moreCursor = Seq(("k2", Some(1)))))
     assert(e.getMessage.contains("all-or-nothing"))
   }
+
+  test("a live query may SELECT and ORDER BY its real sequence " +
+    "column — only the synthetic batch-id sequence hides from " +
+    "evaluation (dropping a real seqCol killed the subscription at " +
+    "the first trigger)") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, Long)]
+    // "most recently updated rows first" — the audit-feed shape that
+    // legitimately selects AND orders by the upsert sequence itself
+    val req = Request("t", fields = Seq("k", "bal", "seq"),
+      orderBy = Seq(Order("seq", desc = true)), limit = Some(2))
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.liveQuery(
+      input.toDF().toDF("k", "seg", "bal", "seq"), req,
+      keyCol = "k", seqCol = Some("seq")) { (_, df) =>
+      pushed :+= rows(df)
+    }
+    try {
+      input.addData(Seq((1L, "A", 50.0, 1L), (2L, "B", 40.0, 2L)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(2L, 40.0, 2L), Seq(1L, 50.0, 1L)))
+      // the upsert's new sequence re-ranks it to the top
+      input.addData(Seq((1L, "A", 55.0, 3L)))
+      q.processAllAvailable()
+      assert(pushed.last === Seq(Seq(1L, 55.0, 3L), Seq(2L, 40.0, 2L)))
+    } finally q.stop()
+  }
+
+  test("rows with a NULL cursor component never stream — excluded " +
+    "consistently on the FIRST trigger and after the cursor " +
+    "advances, live equal to the batch replay (delivering them once " +
+    "then losing them behind the cursor would be silent loss)") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Option[Long], String, Double)]
+    val sr = Subscriptions.StreamRequest("t", "id", None,
+      batchSize = 2, fields = Seq("id", "v"))
+    var pushed = Vector.empty[Seq[Seq[Any]]]
+    val q = Subscriptions.streamServe(
+      input.toDF().toDF("id", "typ", "v"), sr) { (_, df) =>
+      pushed :+= rows(df.orderBy("batch_idx", "id"))
+    }
+    val delivered = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[Long], String, Double)]
+    try {
+      // first trigger: the null-cursor row is excluded even though no
+      // cursor has advanced yet (the pre-fix deliver-once hole)
+      val b1 = Seq((Some(1L), "x", 1.0), (None, "x", 9.0),
+        (Some(2L), "x", 2.0))
+      input.addData(b1); q.processAllAvailable(); delivered ++= b1
+      assert(pushed.last === Seq(Seq(0L, 1L, 1.0), Seq(0L, 2L, 2.0)))
+      // later triggers: still excluded (was: NULL predicate drop)
+      val b2 = Seq((Some(3L), "x", 3.0), (None, "x", 8.0))
+      input.addData(b2); q.processAllAvailable(); delivered ++= b2
+      assert(pushed.last === Seq(Seq(1L, 3L, 3.0)))
+      // the batch replay agrees — one consistent rule on both paths
+      val replay = Subscriptions.streamPages(
+        delivered.toSeq.toDF("id", "typ", "v"), sr, nPages = 2)
+      assert(pushed.flatten ===
+        rows(replay.orderBy("batch_idx", "id")))
+    } finally q.stop()
+  }
+
+  test("streamServe with nested selections but no table directory is " +
+    "loud AT ATTACH — not an async StreamingQueryException at the " +
+    "first non-empty trigger") {
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val sr = Subscriptions.StreamRequest("t", "id", None,
+      batchSize = 2, fields = Seq("id"),
+      nested = Seq(QueryBuilder.Nested("c", "c", "pid", "id",
+        fields = Seq(QueryBuilder.NestedField("ck", "ck")))))
+    val e = intercept[IllegalArgumentException] {
+      Subscriptions.streamServe(
+        input.toDF().toDF("id", "typ", "v"), sr) { (_, _) => () }
+    }
+    assert(e.getMessage.contains("need the table directory"))
+  }
 }

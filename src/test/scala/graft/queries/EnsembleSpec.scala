@@ -158,4 +158,32 @@ class EnsembleSpec extends SparkSpec {
     assert(f.filter(col("fences_ok") === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(20L))
   }
+
+  test("an EMPTY frozen model (the train split kept nothing) scores " +
+    "null like the batch twin's div-by-zero — arriving docs pass the " +
+    "lm stage instead of an ArithmeticException killing the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Option[String], Long, Option[String])]
+    val q = graft.streaming.CorpusStreams.verdictStream(
+        input.toDS().toDF("doc_id", "lang", "n_chars", "text"),
+        fences = Map("en" -> (1.0, 100.0)),
+        lm = graft.streaming.CorpusStreams.FrozenLm(
+          Map.empty, Map.empty, 0L),
+        clfKeep = Seq((1L, 1)).toDF("doc_id", "keep"))
+      .writeStream.format("memory").queryName("verdict_empty_lm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // >= 2 tokens, so the scorer walks a bigram (the crash path)
+      input.addData(Seq(
+        (1L, Some("en"), 20L, Some("alpha beta gamma delta"))))
+      q.processAllAvailable()
+      val r = spark.table("verdict_empty_lm")
+        .select("doc_id", "lm_ok", "score").head
+      assert(r.getLong(0) === 1L)
+      assert(r.getInt(1) === 1, "null score must pass the lm stage")
+      assert(r.isNullAt(2))
+    } finally q.stop()
+  }
 }
