@@ -135,16 +135,31 @@ object Permissions {
     * predicates) reject loudly rather than guess. */
   private[api] def evalLiteral(e: BoolExp,
       row: Map[String, Any]): Either[String, Boolean] = {
+    // ANY integral/floating pairing compares numerically — the row
+    // value arrives as whatever the caller's literal was (a scala Int
+    // in a programmatic Insert, a Double against an Int filter
+    // literal); an unmatched pairing here is a WRONG denial of a row
+    // that genuinely satisfies the filter, not a safe default
+    def num(x: Any): Option[Double] = x match {
+      case n: Long => Some(n.toDouble)
+      case n: Int => Some(n.toDouble)
+      case n: Short => Some(n.toDouble)
+      case n: Byte => Some(n.toDouble)
+      case n: Double => Some(n)
+      case n: Float => Some(n.toDouble)
+      case n: java.math.BigDecimal => Some(n.doubleValue)
+      case _ => None
+    }
     def cmp(f: String, v: Any, op: Int => Boolean): Boolean =
       (row.get(f).flatMap(Option(_)), v) match {
-        case (Some(a: Long), b: Long) => op(a.compareTo(b))
-        case (Some(a: Long), b: Int) => op(a.compareTo(b.toLong))
-        case (Some(a: Double), b: Double) => op(a.compareTo(b))
-        case (Some(a: Long), b: Double) => op(a.toDouble.compareTo(b))
-        case (Some(a: Double), b: Long) => op(a.compareTo(b.toDouble))
         case (Some(a: String), b: String) => op(a.compareTo(b))
         case (Some(a: Boolean), b: Boolean) => op(a.compareTo(b))
-        case _ => false // null/absent/mistyped: unknown → false
+        case (Some(a), b) =>
+          (num(a), num(b)) match {
+            case (Some(x), Some(y)) => op(x.compareTo(y))
+            case _ => false // mistyped: unknown → false
+          }
+        case _ => false // null/absent: unknown → false
       }
     e match {
       case Eq(f, v) => Right(cmp(f, v, _ == 0))
@@ -208,14 +223,27 @@ object Permissions {
       aggRels2 <- sequence(req.aggRels.map(secureAggRel(_, role, policy)))
       orderAggs2 <- sequence(req.orderAggs.map { oa =>
         policy.get(role, oa.table).flatMap { p =>
-          checkCols(aggCols(oa.agg), p, role, oa.table,
-            "ordering aggregate").map { _ =>
-            // the ordering value must aggregate only VISIBLE child
-            // rows — a row-filtered grant threads into the hidden
-            // aggregate's child filter (Hasura computes the ordering
-            // aggregate over the rows the role can see), the q174/
-            // q184 decorrelation discipline riding OrderAgg.where
-            oa.copy(where = andWith(p.filter, oa.where))
+          // the CHILD-side surface grant-checks like secureNested's:
+          // the aggregated column, the join key, AND the caller's
+          // where columns — ungranted, any of them turns row ORDER
+          // into an oracle over denied data; the where tree also
+          // secures recursively (RelPreds inside it grant-check
+          // their tables), never rides through unchecked
+          checkCols(aggCols(oa.agg) ++
+              oa.where.toSeq.flatMap(whereCols) :+ oa.childKey,
+            p, role, oa.table, "ordering aggregate").flatMap { _ =>
+            (oa.where match {
+              case Some(w) =>
+                secureWhere(w, role, policy, p, oa.table).map(Some(_))
+              case None => Right(None)
+            }).map { w2 =>
+              // the ordering value must aggregate only VISIBLE child
+              // rows — a row-filtered grant threads into the hidden
+              // aggregate's child filter (Hasura computes the
+              // ordering aggregate over the rows the role can see),
+              // the q174/q184 decorrelation discipline
+              oa.copy(where = andWith(p.filter, w2))
+            }
           }
         }
       })

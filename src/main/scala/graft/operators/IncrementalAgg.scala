@@ -83,19 +83,21 @@ object IncrementalAgg {
   def initStore(spark: SparkSession, root: String, base: DataFrame,
       spec: Spec): Unit = {
     val fs = fsOf(spark, root)
-    // a fresh build owns the root wholesale: wipe any previous view
-    // INCLUDING mid-swap leftovers (recover would throw on a root
-    // that never existed — init is the one caller that must not care)
-    Seq(root, root + "_precompact", root + "_compacting",
-        root + "_swapping")
-      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    partial(base, spec).write.mode("overwrite").parquet(s"$root/view")
-    spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("batch_id",
-          org.apache.spark.sql.types.StringType))))
-      .write.mode("overwrite").parquet(s"$root/applied")
+    // the stage-or-swap first-commit protocol (r20): a FRESH build
+    // stages view + applied fully aside and lands by one rename; a
+    // REBUILD over an existing root swaps the whole root atomically —
+    // the old wipe-then-write-direct left (a) a window where old AND
+    // new were both gone, (b) a root whose `view` landed but
+    // `applied` did not, serving reads while refresh threw forever
+    graft.sources.AtomicSwap.initOrRewrite(fs, root) { at =>
+      partial(base, spec).write.mode("overwrite").parquet(s"$at/view")
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.StringType))))
+        .write.mode("overwrite").parquet(s"$at/applied")
+    }
   }
 
   /** The current view (recovering any interrupted swap first). */

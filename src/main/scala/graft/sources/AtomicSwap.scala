@@ -131,8 +131,28 @@ object AtomicSwap {
       val stage = new Path(path + "_staging")
       fs.delete(stage, true)
       write(stage.toString)
-      require(fs.rename(stage, live),
-        s"swap: cannot commit first write at $path")
+      // a racing second initializer can land its rename first — then
+      // THIS rename moves the stage INSIDE the now-existing live dir
+      // (Hadoop rename-into-existing-dir) and still returns true,
+      // silently blending a `<name>_staging` subdir into the dataset.
+      // Same defense as recover()/rewrite(): re-check, audit, un-nest.
+      if (fs.exists(live) || !fs.rename(stage, live)) {
+        val nested = new Path(live, stage.getName)
+        if (fs.exists(nested)) fs.rename(nested, stage)
+        if (!fs.exists(live))
+          throw new java.io.IOException(
+            s"swap: cannot commit first write at $path")
+        throw new java.io.IOException(
+          s"swap: lost the first-commit race at $path — another " +
+            s"writer's dataset is live; this one's is at $stage")
+      }
+      val nested = new Path(live, stage.getName)
+      if (fs.exists(nested)) {
+        fs.rename(nested, stage)
+        throw new java.io.IOException(
+          s"swap: lost the first-commit race at $path (nested commit " +
+            s"repaired); the loser's dataset is at $stage")
+      }
     }
   }
 

@@ -51,8 +51,10 @@ object SnapshotStore {
       numFiles: Int, buckets: Int = 4096): Unit = {
     import graft.functions.ZOrderFunctions.{bucketize, morton}
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val b1 = df.stat.approxQuantile(d1, probes, 0.001)
-    val b2 = df.stat.approxQuantile(d2, probes, 0.001)
+    // ONE multi-column sketch pass — two single-column calls would
+    // each full-scan the input just for the boundary arrays
+    val Array(b1, b2) =
+      df.stat.approxQuantile(Array(d1, d2), probes, 0.001)
     df.withColumn("_z",
       morton(bucketize(col(d1).cast("double"), b1).cast("long"),
         bucketize(col(d2).cast("double"), b2).cast("long")))
@@ -115,38 +117,42 @@ object SnapshotStore {
     * partition clause or two rows of one order collapse. Same single
     * shuffle, same tombstone rule. */
   def merge(existing: DataFrame, delta: DataFrame, keyCols: Seq[String],
-      seqCol: String): DataFrame = {
-    require(keyCols.nonEmpty, "merge: empty key column list")
-    val withDel = (df: DataFrame) =>
-      if (df.columns.contains("deleted")) df
-      else df.withColumn("deleted", lit(false))
-    val all = withDel(existing).unionByName(withDel(delta))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc)
-    all.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && !col("deleted"))
-      .drop("rn")
-  }
+      seqCol: String): DataFrame =
+    latestWins(existing, delta, keyCols, seqCol,
+      keepTombstones = false)
 
   /** [[merge]] that KEEPS winning tombstones in the output (the
     * verdict store's replay fence: a deletion at sequence N must
     * out-sequence replayed writes at < N forever, which only a
     * persisted tombstone can do — readers filter `deleted`
-    * themselves). Ties on the sequence resolve tombstone-first (the
-    * conservative answer for a same-sequence delete vs write). ONE
-    * latest-wins definition with [[merge]] modulo the two deltas. */
+    * themselves). ONE latest-wins definition with [[merge]]. */
   def mergeKeepTombstones(existing: DataFrame, delta: DataFrame,
-      keyCols: Seq[String], seqCol: String): DataFrame = {
+      keyCols: Seq[String], seqCol: String): DataFrame =
+    latestWins(existing, delta, keyCols, seqCol,
+      keepTombstones = true)
+
+  /** THE latest-wins rule, once: per key tuple the highest sequence
+    * wins; a tie between a live row and a tombstone at the SAME
+    * (key, seq) resolves TOMBSTONE-FIRST — the conservative answer,
+    * and a deterministic one (an unordered tiebreak made two replays
+    * of the identical merge disagree). A NULL `deleted` reads as
+    * live (a store where only tombstones set the flag is a legal
+    * shape; `!null` would silently drop every such winning row). */
+  private def latestWins(existing: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], seqCol: String,
+      keepTombstones: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "merge: empty key column list")
     val withDel = (df: DataFrame) =>
-      if (df.columns.contains("deleted")) df
+      if (df.columns.contains("deleted"))
+        df.withColumn("deleted", coalesce(col("deleted"), lit(false)))
       else df.withColumn("deleted", lit(false))
     val all = withDel(existing).unionByName(withDel(delta))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc, col("deleted").desc)
-    all.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val top = all.withColumn("rn", row_number().over(w))
+      .filter(if (keepTombstones) col("rn") === 1
+        else col("rn") === 1 && !col("deleted"))
+    top.drop("rn")
   }
 
   /** Idempotent event-log append (S3/P5 exactly-once resume): drop delta
@@ -155,7 +161,11 @@ object SnapshotStore {
   def appendLog(existing: DataFrame, delta: DataFrame,
       idCol: String): DataFrame =
     existing.unionByName(
-      delta.join(existing.select(idCol), Seq(idCol), "left_anti"))
+      // dedup WITHIN the delta too: an at-least-once source delivers
+      // the same event twice inside one poll window as routinely as
+      // across windows — the anti-join alone would append both copies
+      delta.dropDuplicates(Seq(idCol))
+        .join(existing.select(idCol), Seq(idCol), "left_anti"))
 
   /** CHANGE FEED between two snapshot states — the CDC-OUT direction
     * (the reference emits deltas to downstream consumers over the

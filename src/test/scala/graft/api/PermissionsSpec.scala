@@ -153,6 +153,45 @@ class PermissionsSpec extends SparkSpec {
     assert(e.getMessage.contains("FILTERED ordering aggregate"))
   }
 
+  test("an ordering aggregate grant-checks the CHILD surface like a " +
+    "relationship — ungranted aggregated column, join key, where " +
+    "column, or an ungranted RelPred table inside the where all " +
+    "deny (row ORDER must not become an oracle over denied data)") {
+    val tight = Policy(Map(
+      ("tight", "customer") -> TablePerm(
+        columns = Some(Set("c_custkey"))),
+      ("tight", "orders") -> TablePerm(
+        columns = Some(Set("o_orderkey")))))
+    def req(oa: OrderAgg) = Request("customer", Seq("c_custkey"),
+      orderBy = Seq(Order("__oa_0", desc = true), Order("c_custkey")),
+      orderAggs = Seq(oa))
+    def denied(oa: OrderAgg): String =
+      secure(req(oa), "tight", tight)
+        .fold(identity, r => fail(s"served: $r"))
+    // the JOIN KEY is a child column read (o_custkey not granted)
+    assert(denied(OrderAgg("__oa_0", "orders", "o_custkey",
+      "c_custkey", CountAll("__oa_0_v"))).contains("o_custkey"))
+    // the AGGREGATED column
+    assert(denied(OrderAgg("__oa_0", "orders", "o_orderkey",
+      "c_custkey", CountOf("o_totalprice", "__oa_0_v")))
+      .contains("o_totalprice"))
+    // a caller-supplied WHERE column
+    assert(denied(OrderAgg("__oa_0", "orders", "o_orderkey",
+      "c_custkey", CountAll("__oa_0_v"),
+      where = Some(Gt("o_totalprice", 1000.0))))
+      .contains("o_totalprice"))
+    // a RelPred inside the where grant-checks ITS table — no
+    // lineitem grant at all, so it denies fail-closed
+    assert(denied(OrderAgg("__oa_0", "orders", "o_orderkey",
+      "c_custkey", CountAll("__oa_0_v"),
+      where = Some(RelPred("lineitem", "l_orderkey", "o_orderkey",
+        Eq("l_linenumber", 1))))).contains("lineitem"))
+    // the granted shape still serves (allowlisted key + agg column)
+    assert(secure(req(OrderAgg("__oa_0", "orders", "o_orderkey",
+      "c_custkey", CountOf("o_orderkey", "__oa_0_v"))),
+      "tight", tight).isRight)
+  }
+
   test("secureFields: update/delete scopes shrink to visible rows " +
     "(affected_rows counts only them); inserts are column-checked") {
     val snap = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))

@@ -201,4 +201,35 @@ class AtomicSwapSpec extends SparkSpec {
     rewriteDouble(p)
     assert(spark.read.parquet(p).collect().map(_.getInt(0)).sum === 110)
   }
+
+  test("initOrRewrite: first commit stages and lands by one rename; " +
+    "rebuild rides the swap; a LOST first-commit race is loud with " +
+    "the winner's data intact — never a staging dir nested inside " +
+    "the live dataset") {
+    val p = java.nio.file.Files.createTempDirectory("graft_ior")
+      .toString + "/store"
+    AtomicSwap.initOrRewrite(fs, p)(at => mkData(at, 5))
+    assert(rows(p) === 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + "_staging")))
+    AtomicSwap.initOrRewrite(fs, p)(at => mkData(at, 7)) // rebuild=swap
+    assert(rows(p) === 7)
+    // the race: a concurrent initializer's rename lands while this
+    // writer is still staging (simulated by the write callback itself
+    // committing the winner) — Hadoop's rename-into-existing-dir
+    // would silently nest the loser's stage inside the live dataset
+    val r = java.nio.file.Files.createTempDirectory("graft_ior2")
+      .toString + "/store"
+    val e = intercept[java.io.IOException] {
+      AtomicSwap.initOrRewrite(fs, r) { at =>
+        mkData(at, 3) // the loser's stage
+        mkData(r, 9) // the winner lands mid-window
+      }
+    }
+    assert(e.getMessage.contains("first-commit race"))
+    assert(rows(r) === 9, "the winner's dataset must stay live")
+    val nested = fs.listStatus(new org.apache.hadoop.fs.Path(r))
+      .map(_.getPath.getName).filter(_.contains("_staging"))
+    assert(nested.isEmpty, s"staging nested into live: ${nested.toSeq}")
+    assert(rows(r + "_staging") === 3, "the loser's data is preserved")
+  }
 }

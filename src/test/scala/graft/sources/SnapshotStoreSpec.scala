@@ -29,6 +29,36 @@ class SnapshotStoreSpec extends SparkSpec {
     val appended = SnapshotStore.appendLog(log, delta, "id")
     assert(appended.count() === 3)
     assert(SnapshotStore.appendLog(appended, delta, "id").count() === 3)
+    // WITHIN-delta duplicates (the same event delivered twice inside
+    // one poll window — the routine at-least-once failure mode) also
+    // append once, not twice
+    val dup = Seq((7L, "w"), (7L, "w"), (8L, "u")).toDF("id", "p")
+    assert(SnapshotStore.appendLog(log, dup, "id").count() === 4)
+  }
+
+  test("merge edge rules: a NULL deleted flag reads as live (never " +
+    "silently dropped), and a live-vs-tombstone tie at the SAME " +
+    "(key, seq) resolves tombstone-first — deterministically") {
+    // null-deleted: the store-where-only-tombstones-set-the-flag shape
+    val existing = Seq(("k1", 1L, "a", Some(false)),
+      ("k2", 1L, "b", None), ("k3", 1L, "c", Some(true)))
+      .toDF("key", "seq", "v", "deleted")
+    val delta = Seq(("k4", 2L, "d", Option.empty[Boolean]))
+      .toDF("key", "seq", "v", "deleted")
+    val got = SnapshotStore.merge(existing, delta, "key", "seq")
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(got === Set("k1", "k2", "k4"),
+      "null deleted must read as live; true still tombstones")
+    // same-(key, seq) tie: the tombstone wins, every time (an
+    // unordered tiebreak made two replays of one merge disagree)
+    val live = Seq(("k", 5L, "x", false)).toDF("key", "seq", "v", "deleted")
+    val tomb = Seq(("k", 5L, "x", true)).toDF("key", "seq", "v", "deleted")
+    (1 to 5).foreach { _ =>
+      assert(SnapshotStore.merge(live, tomb, "key", "seq").count() === 0L)
+      assert(SnapshotStore.mergeKeepTombstones(live, tomb,
+          Seq("key"), "seq")
+        .filter(col("deleted")).count() === 1L)
+    }
   }
 
   test("bucketed tables join without a shuffle exchange") {
