@@ -217,6 +217,14 @@ object Mutations {
     case (d: Double, FloatType) => d.toFloat
     case (s: String, StringType) => s
     case (b: Boolean, BooleanType) => b
+    // the natural Scala literals of the PROGRAMMATIC API (an Int key,
+    // a Float amount) widen to the GraphQL shapes above — refusing
+    // `id -> 1` against an int column was a spurious loud failure
+    case (i: Int, _) => coerce(i.toLong, dt, at)
+    case (s: Short, _) => coerce(s.toLong, dt, at)
+    case (b: Byte, _) => coerce(b.toLong, dt, at)
+    case (f: Float, FloatType) => f
+    case (f: Float, DoubleType) => f.toDouble
     case (other, t) => throw new IllegalArgumentException(
       s"$at: cannot coerce ${other.getClass.getSimpleName} to $t")
   }
@@ -396,6 +404,18 @@ object Mutations {
       val withSet = set.foldLeft(changed) { case (df, (c, v)) =>
         df.withColumn(c, typed(c, v, "_set")) }
       val withInc = inc.foldLeft(withSet) { case (df, (c, v)) =>
+        // _inc is ARITHMETIC: on a non-numeric column the add casts
+        // to null across every matched row while affected_rows
+        // reports success (ANSI off), or fails mid-job (ANSI on) —
+        // and a null increment nulls the column the same way; both
+        // are the silent-wrong-write shape this file rejects loudly
+        require(sch(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"update_$table._inc: '$c' is " +
+            s"${sch(c).dataType.simpleString} — _inc needs a " +
+            "numeric column (use _set to replace non-numeric values)")
+        require(v != null, s"update_$table._inc: null increment " +
+          s"for '$c' would null the column across every matched row")
         df.withColumn(c, (col(c) + typed(c, v, "_inc")).cast(sch(c).dataType)) }
       // jsonb operators rewrite JSON-TEXT columns row by row (matched
       // rows only — the bounded delta the merge pays for anyway)
@@ -698,11 +718,17 @@ object Mutations {
         snaps += t -> df
         df
       })
+    var changed = Set.empty[String]
     def step(f: Field): FieldResult = {
       val t = f.m.table
       val (next, rs) = applyFields(snaps(t), Seq(f), stores(t)._2,
         Some(loadChild))
       snaps += t -> next
+      // affected == 0 means the fold returned the current rows (an
+      // update/delete matching nothing, a do-nothing upsert whose
+      // every row clashed) — tracked so the rewrite loop can skip
+      // the full read+swap that would reproduce byte-identical data
+      if (rs.head.affected > 0) changed += t
       rs.head
     }
     // one nested-insert node, recursively: its object-relationship
@@ -729,7 +755,10 @@ object Mutations {
         case _ => step(f)
       }
     }
-    touched.foreach { t =>
+    // only stores a field actually CHANGED rewrite — a cascade or
+    // update matching zero rows must not pay a full store read +
+    // two-rename swap per table to land byte-identical content
+    touched.filter(changed).foreach { t =>
       val (path, _) = stores(t)
       AtomicSwap.rewrite(fsOf(path), path)(tmp =>
         SnapshotStore.write(snaps(t), tmp))

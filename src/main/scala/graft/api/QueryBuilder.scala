@@ -163,9 +163,16 @@ object QueryBuilder {
         case c if inBracket =>
           sb += c; if (c == ']') inBracket = false
         case '[' => sb += '['; inBracket = true
-        case '%' => sb ++= ".*"
-        case '_' => sb += '.'
+        // [\s\S] not '.': SIMILAR TO wildcards span NEWLINES (a
+        // stored text with \n must still match '%b'), which Java's
+        // dot excludes outside DOTALL
+        case '%' => sb ++= "[\\s\\S]*"
+        case '_' => sb ++= "[\\s\\S]"
+        // Java metacharacters that SIMILAR TO treats as LITERALS —
+        // an unescaped '$' made 'a$b' match nothing at all
         case '.' => sb ++= "\\."
+        case '^' => sb ++= "\\^"
+        case '$' => sb ++= "\\$"
         case c => sb += c
       }
       i += 1
@@ -640,6 +647,12 @@ object QueryBuilder {
     require(offset == 0 || orderBy.nonEmpty,
       "aggregate relationship: offset needs orderBy for a deterministic skip")
     require(offset >= 0, "aggregate relationship: offset must be >= 0")
+    // same rule as Nested: a right/full join would surface aggregate
+    // rows for parents the request filtered out (null parent fields),
+    // silently — loud at construction instead
+    require(joinType == "inner" || joinType == "left",
+      s"aggregate relationship: joinType must be inner|left, " +
+        s"got '$joinType'")
     require(distinctOn.isEmpty ||
       (orderBy.length > distinctOn.length &&
         orderBy.take(distinctOn.length).map(_.field) == distinctOn),
@@ -804,14 +817,19 @@ object QueryBuilder {
       else {
         // first row per (parent, group) by the order tail — DISTINCT ON
         // applies BEFORE offset/limit, as in Postgres
+        // order fields resolve through `resolve` like the partition
+        // columns — a sub-relationship's array column can SHADOW an
+        // order field's name (bare col() was ambiguous there)
         val w = W.partitionBy(key +: distinctOn.map(resolve): _*)
-          .orderBy(order.drop(distinctOn.length).map(_.toColumn): _*)
+          .orderBy(order.drop(distinctOn.length)
+            .map(o => o.toColumnOn(resolve(o.field))): _*)
         child.withColumn("__don", row_number().over(w))
           .filter(col("__don") === 1).drop("__don")
       }
     if (offset == 0 && limit.isEmpty) distincted
     else {
-      val w = W.partitionBy(key).orderBy(order.map(_.toColumn): _*)
+      val w = W.partitionBy(key)
+        .orderBy(order.map(o => o.toColumnOn(resolve(o.field))): _*)
       val hi = limit.map(k => offset.toLong + k)
       distincted.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > offset &&
@@ -831,13 +849,8 @@ object QueryBuilder {
     * unpolluted. */
   private def filterRel(spk: SparkSession, dir: String, df: DataFrame,
       w: BoolExp): DataFrame =
-    if (!hasRelPred(w)) df.filter(w.toColumn)
-    else {
-      val (d2, w2) = decorrelate(spk, dir, df, w,
-        new java.util.concurrent.atomic.AtomicInteger())
-      val flags = d2.columns.filter(_.startsWith("__rp_")).toSeq
-      d2.filter(w2.toColumn).drop(flags: _*)
-    }
+    // ONE decorrelate-filter-drop definition with [[filterWith]]
+    filterWith(graft.Tables.load(spk, dir, _), df, w)
 
   private def compileNested(s: SparkSession, dir: String,
       n: Nested): DataFrame = {
@@ -849,8 +862,14 @@ object QueryBuilder {
     // joins back — SIBLINGS under one level compose exactly like the
     // root's fold (never a flat multi-child join, so two siblings'
     // fan-outs cannot cross-multiply)
+    // each sub's array column is referenced by ATTRIBUTE, not name: a
+    // sub-relationship alias may legally SHADOW a child column name
+    // (response keys and table columns are different namespaces), and
+    // a bare col(alias) would be ambiguous after the join
+    var subCols = Map.empty[String, Column]
     val joined = n.subs.foldLeft(child0) { (acc, m) =>
       val subAgg = compileNested(s, dir, m)
+      subCols += m.as -> subAgg(m.as)
       acc.join(subAgg,
         child0(m.parentKey) === subAgg(s"__key_${m.as}"), m.joinType)
     }
@@ -870,9 +889,10 @@ object QueryBuilder {
       // void-typed empty literal coerces to the array's struct type.
       // An inner OBJECT relationship is the single struct itself
       // (null when the referenced row is absent, Hasura's shape)
-      if (m.single) element_at(col(m.as), 1).as(m.as)
-      else if (m.joinType == "left") coalesce(col(m.as), array()).as(m.as)
-      else col(m.as)
+      if (m.single) element_at(subCols(m.as), 1).as(m.as)
+      else if (m.joinType == "left")
+        coalesce(subCols(m.as), array()).as(m.as)
+      else subCols(m.as).as(m.as)
     }
     val grouped = child.groupBy(child0(n.childKey).as(keyAlias))
     if (n.orderBy.isEmpty)
@@ -1127,6 +1147,22 @@ object QueryBuilder {
     // a hidden post-repaired column; the final select drops it (Spark
     // re-attaches missing sort references), so the order rides one
     // pre-aggregated key join per entry — the AggRel shape
+    // the hidden names land via withColumn, which silently REPLACES a
+    // same-named column: colliding with a real table column would
+    // serve the child aggregate under the table column's name, and
+    // two orderAggs sharing a name would last-wins the sort — loud
+    // (the GraphQL parser generates collision-free __oa_N names; this
+    // guards the programmatic API)
+    locally {
+      val names = reqDec.orderAggs.map(_.as)
+      require(names.distinct.size == names.size,
+        s"orderAggs: duplicate hidden name(s) " +
+          names.diff(names.distinct).distinct.mkString(", "))
+      val clash = names.filter(baseDec.columns.contains)
+      require(clash.isEmpty, s"orderAgg hidden name(s) " +
+        s"${clash.mkString(", ")} collide with ${reqDec.table} " +
+        "column(s) — withColumn would shadow the table data")
+    }
     val base0 = reqDec.orderAggs
       .groupBy(oa => (oa.table, oa.childKey, oa.parentKey, oa.where))
       .toSeq

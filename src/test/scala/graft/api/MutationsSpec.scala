@@ -286,7 +286,9 @@ class MutationsSpec extends SparkSpec {
         Mutations.Update("t", Eq("seg", "A"), Nil,
           Seq("seg" -> (1L: Any))), "k")
     }
-    assert(incErr.getMessage.contains("cannot coerce"))
+    // the r20 column-type guard fires first: _inc on a string column
+    // is wrong regardless of the literal's type
+    assert(incErr.getMessage.contains("needs a numeric column"))
   }
 
   test("on_conflict update_columns: listed columns take incoming " +
@@ -466,6 +468,52 @@ class MutationsSpec extends SparkSpec {
       Mutations.applyFieldsToStores(spark, reg,
         Seq(Mutations.Field(Mutations.Delete("nope", Eq("k", 1L))))))
     assert(e.getMessage.contains("no registered store"))
+    // a field matching ZERO rows must not rewrite the store — the
+    // read+swap would land byte-identical content (files unmodified)
+    val fs = new org.apache.hadoop.fs.Path(tPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtimes(p: String): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val f = it.next(); m(f.getPath.toString) = f.getModificationTime
+      }
+      m.toMap
+    }
+    val before = mtimes(tPath)
+    val noop = Mutations.applyFieldsToStores(spark, reg,
+      Seq(Mutations.Field(Mutations.Delete("t", Eq("seg", "NOPE")))))
+    assert(noop.head.affected === 0L)
+    assert(mtimes(tPath) === before,
+      "a zero-affected field rewrote its store")
+  }
+
+  test("_inc guards: a non-numeric column or a null increment is loud " +
+    "(a bare add would null the column across every matched row " +
+    "while affected_rows reported success); the programmatic API's " +
+    "natural Int literals coerce") {
+    val e1 = intercept[IllegalArgumentException](
+      Mutations.applyMutation(snap,
+        Mutations.Update("t", Eq("k", 1L), Nil,
+          inc = Seq("seg" -> "x")), "k"))
+    assert(e1.getMessage.contains("needs a numeric column"))
+    val e2 = intercept[IllegalArgumentException](
+      Mutations.applyMutation(snap,
+        Mutations.Update("t", Eq("k", 1L), Nil,
+          inc = Seq("bal" -> null)), "k"))
+    assert(e2.getMessage.contains("null increment"))
+    // a scala Int where the column is long/double — the natural
+    // programmatic literal, previously a spurious coercion failure
+    val (next, n) = Mutations.applyMutation(snap,
+      Mutations.Update("t", Eq("k", 1L), Seq("bal" -> 99), Nil), "k")
+    assert(n === 1L)
+    assert(next.filter(col("k") === 1L).head.getAs[Double]("bal")
+      === 99.0)
+    val (next2, n2) = Mutations.applyMutation(snap,
+      Mutations.Insert("t", Seq(Seq("k" -> 9, "bal" -> 5))), "k")
+    assert(n2 === 1L)
+    assert(next2.filter(col("k") === 9L).head.getAs[Double]("bal")
+      === 5.0)
   }
 
   private val nestedSchema = GraphQl.Schema(

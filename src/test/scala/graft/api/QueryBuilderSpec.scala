@@ -77,6 +77,59 @@ class QueryBuilderSpec extends SparkSpec {
     assert(m("[a_]", "_") && m("[a_]", "a") && !m("[a_]", "."))
     assert(m("[%]", "%") && !m("[%]", "x"))
     assert(m("a[.]b", "a.b") && !m("a[.]b", "axb"))
+    // '^' and '$' are LITERALS in SIMILAR TO — unescaped they were
+    // Java anchors, making 'a$b' match NOTHING at all
+    assert(m("a$b", "a$b") && !m("a$b", "ab"))
+    assert(m("a^b", "a^b") && !m("a^b", "ab"))
+    // wildcards span NEWLINES (Java's '.' excludes \n; SIMILAR TO's
+    // % and _ do not)
+    assert(m("%b", "a\nb"))
+    assert(m("a_b", "a\nb"))
+  }
+
+  test("programmatic-API guards: AggRel joinType is inner|left " +
+    "(a right/full join surfaces rows for filtered-out parents); " +
+    "orderAgg hidden names must not duplicate or shadow table " +
+    "columns (withColumn silently replaces on collision)") {
+    import spark.implicits._
+    val e1 = intercept[IllegalArgumentException](
+      AggRel("orders", "o_custkey", "c_custkey",
+        Seq(CountAll("count")), joinType = "right"))
+    assert(e1.getMessage.contains("inner|left"))
+    val dir = sf("sf0.001")
+    def req(oas: Seq[OrderAgg]) = Request("customer", Seq("c_custkey"),
+      orderBy = Seq(Order(oas.head.as), Order("c_custkey")),
+      orderAggs = oas)
+    val e2 = intercept[IllegalArgumentException](
+      QueryBuilder.run(spark, dir, req(Seq(
+        OrderAgg("__oa_0", "orders", "o_custkey", "c_custkey",
+          CountAll("__oa_0_v")),
+        OrderAgg("__oa_0", "orders", "o_custkey", "c_custkey",
+          MaxOf("o_totalprice", "__oa_0_w"))))))
+    assert(e2.getMessage.contains("duplicate hidden name"))
+    val e3 = intercept[IllegalArgumentException](
+      QueryBuilder.run(spark, dir, req(Seq(
+        OrderAgg("c_acctbal", "orders", "o_custkey", "c_custkey",
+          CountAll("__oa_0_v"))))))
+    assert(e3.getMessage.contains("collide"))
+  }
+
+  test("a sub-relationship alias that SHADOWS a child order field no " +
+    "longer breaks the per-parent slice window — order columns " +
+    "resolve against the PRE-JOIN child like the partition columns") {
+    val dir = sf("sf0.001")
+    val req = Request("customer", Seq("c_custkey"),
+      where = Some(Eq("c_custkey", 1L)),
+      nested = Seq(Nested("orders", "orders", "o_custkey",
+        "c_custkey",
+        fields = Seq(NestedField("o_orderkey", "o_orderkey")),
+        orderBy = Seq(Order("o_orderstatus"), Order("o_orderkey")),
+        limit = Some(2),
+        subs = Seq(Nested("o_orderstatus", "lineitem", "l_orderkey",
+          "o_orderkey",
+          fields = Seq(NestedField("l_linenumber", "l_linenumber")))))))
+    val got = QueryBuilder.run(spark, dir, req).collect()
+    assert(got.length === 1)
   }
 
   test("regex/similar filters run through the three-front-end compile " +
