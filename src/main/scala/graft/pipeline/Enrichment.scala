@@ -44,7 +44,11 @@ object Enrichment {
           Right(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(u.getPath)))
         case "data" => // data:,percent-encoded-body (tests)
-          val ssp = u.getSchemeSpecificPart
+          // RAW part, ONE decode: getSchemeSpecificPart already
+          // percent-decodes, so a second URLDecoder pass corrupted
+          // any body whose encoded form contains '+' or '%' (c++ →
+          // "c  "; "100%" → IllegalArgumentException)
+          val ssp = u.getRawSchemeSpecificPart
           Right(java.net.URLDecoder.decode(ssp.dropWhile(_ != ',').drop(1),
             "UTF-8").getBytes("UTF-8"))
         case "http" | "https" =>
@@ -67,10 +71,27 @@ object Enrichment {
         case "http" | "https" =>
           val req = java.net.http.HttpRequest.newBuilder(u)
             .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
-          val resp = client.send(req,
+          // the request timeout bounds time-to-HEADERS only; a server
+          // that streams a trickling body would pin the Spark task
+          // forever — the async get bounds the WHOLE exchange, the
+          // reference's 15 s contract
+          val fut = client.sendAsync(req,
             java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-          if (resp.statusCode() / 100 == 2) Right(resp.body())
-          else Left(s"http ${resp.statusCode()}")
+          val got =
+            try Right(fut.get(timeoutMs,
+              java.util.concurrent.TimeUnit.MILLISECONDS))
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                fut.cancel(true)
+                Left(s"fetch exceeded $timeoutMs ms (body stall)")
+              case e: java.util.concurrent.ExecutionException =>
+                val c = if (e.getCause != null) e.getCause else e
+                Left(s"${c.getClass.getSimpleName}: ${c.getMessage}")
+            }
+          got.flatMap { resp =>
+            if (resp.statusCode() / 100 == 2) Right(resp.body())
+            else Left(s"http ${resp.statusCode()}")
+          }
         case _ => fetchBytes(url, timeoutMs)
       }
     } catch {
@@ -143,7 +164,8 @@ object Enrichment {
           .orderBy(col("priority").desc, col("url"))))
       .filter(col("rn") === 1)
       .select(col("token_id"), col("owner").as("in_owner"),
-        col("url").as("in_url"), col("metadata").as("new_metadata"))
+        col("url").as("in_url"), col("metadata").as("new_metadata"),
+        lit(true).as("in_probed"))
     ex.join(inc, Seq("token_id"), "full_outer")
       .select(
         col("token_id"),
@@ -155,7 +177,12 @@ object Enrichment {
           (col("ex_metadata").isNull ||
             col("new_metadata") =!= col("ex_metadata")), now)
           .otherwise(col("ex_last_updated")).as("last_updated"),
-        when(col("new_metadata").isNotNull, now)
+        // EVERY probed row advances last_checked — including a probe
+        // whose fetch failed (null metadata). Stamping only successes
+        // left permanently-failing URLs eternally "stalest", so the
+        // freshness daemon's fixed budget starved healthy-but-aging
+        // rows behind dead ones
+        when(col("in_probed").isNotNull, now)
           .otherwise(col("ex_last_checked")).as("last_checked"))
   }
 
@@ -186,8 +213,12 @@ object Enrichment {
       .withColumn("name", format_string("%s_%s_%d_%d", col("owner"),
         col("token_id"), col("r.w"), col("r.h")))
       .withColumn("content_key", B.contentKey(col("name"), col("resized")))
+      // fetch_error rides through: a 404'd URL and an undecodable
+      // image both surface as null payload, and without the error
+      // column downstream retry/alerting cannot tell a transient
+      // network failure from corrupt bytes
       .select("owner", "token_id", "name", "format", "r.w", "r.h",
-        "payload", "content_key")
+        "payload", "content_key", "fetch_error")
   }
 
   /** Content-addressed dedup before the sink (S9/J6): drop rows whose
@@ -235,7 +266,11 @@ object Enrichment {
   /** Stalest-`percent`% of the snapshot, re-enqueued as Regular-priority
     * tasks (W1 shape: global staleness sort + computed limit). */
   def stalestTasks(snapshot: DataFrame, percent: Int = 20): DataFrame = {
-    val k = (snapshot.count() * percent / 100).toInt
+    val n = snapshot.count()
+    // a small (or freshly bootstrapped) snapshot must still refresh:
+    // integer percent math truncates to ZERO below 100/percent rows,
+    // which silently disabled the daemon forever on small stores
+    val k = math.max(if (n == 0) 0L else 1L, n * percent / 100).toInt
     snapshot.orderBy(col("last_checked").asc, col("token_id"))
       .limit(k)
       .select(col("owner"), col("token_id"), col("url"),

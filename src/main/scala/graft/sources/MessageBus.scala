@@ -60,12 +60,24 @@ object MessageBus {
     * bus metadata + typed payload columns, via from_json on the value
     * bytes. Malformed payloads decode to null columns (never exceptions) —
     * the receiver's nack path is a filter, not a crash. */
-  def decode(bus: DataFrame, payload: StructType): DataFrame =
+  def decode(bus: DataFrame, payload: StructType): DataFrame = {
+    // a payload field named like a bus metadata column would decode
+    // to a frame with DUPLICATE column names — every later
+    // col("offset") is AMBIGUOUS_REFERENCE at some arbitrary
+    // downstream point; loud here with the rename recipe instead
+    val clash = payload.fieldNames
+      .filter(Seq("topic", "partition", "offset", "bus_ts").contains)
+    require(clash.isEmpty, s"decode: payload field(s) " +
+      s"${clash.mkString(", ")} collide with the bus metadata " +
+      "columns — select them under different names in the payload " +
+      "schema (the envelope serialized every producer column, so the " +
+      "data is still in the JSON value)")
     bus.select(col("topic"), col("partition"), col("offset"),
       col("timestamp").as("bus_ts"),
       from_json(col("value").cast("string"), payload).as("_m"))
       .select(Seq(col("topic"), col("partition"), col("offset"),
         col("bus_ts")) ++ payload.fieldNames.map(f => col(s"_m.$f")): _*)
+  }
 
   /** Streaming read of the bus in the wire schema (see object doc for the
     * format seam). For "files", `options("path")` is the queue directory;
@@ -97,4 +109,34 @@ object MessageBus {
     * `df.write.format("kafka")` instead — same envelope upstream). */
   def send(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** RETENTION pass for the file queue (r20) — the broker's
+    * ack-delete, deferred: drop every message at or below
+    * `consumedThrough` (the consumer's durable cursor) and collapse
+    * the remaining rows into task-bounded files. Without it a drain
+    * loop's per-cycle cost grows with the queue's TOTAL history —
+    * every cycle lists and filters months of acked messages to admit
+    * a few fresh ones; Kafka's retention and RabbitMQ's ack-delete
+    * both bound this, so the file queue needs its own. Rides
+    * [[AtomicSwap]] (crash-recovering swap, single WRITER — run it
+    * between drain cycles, never concurrent with a send). A
+    * STREAMING consumer over the same dir sees the compacted files
+    * as new (its processed-file log keys on names) and re-reads the
+    * survivors — safe by construction: survivors are above the
+    * cursor, i.e. not yet processed, and the cursor filter already
+    * makes delivery at-least-once. Returns (rows before, after). */
+  def compactConsumed(spark: SparkSession, path: String,
+      consumedThrough: Long): (Long, Long) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var nBefore = 0L
+    AtomicSwap.rewrite(fs, path) { tmp =>
+      val cur = spark.read.schema(wireSchema).parquet(path)
+      nBefore = cur.count()
+      cur.filter(col("offset") > consumedThrough)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    (nBefore,
+      spark.read.schema(wireSchema).parquet(path).count())
+  }
 }

@@ -38,9 +38,21 @@ object EventStreams {
   /** P1 within-batch priority ordering (q16's twin): the RabbitMQ
     * x-max-priority approximation — each micro-batch processes its rows
     * highest-priority-first; cross-batch priority is impossible in
-    * Structured Streaming and documented as a divergence (SURVEY §2.9). */
-  def prioritized(tasks: DataFrame): DataFrame =
-    tasks.sortWithinPartitions(col("priority").desc)
+    * Structured Streaming (use [[PriorityConsumer]] for the real
+    * cross-batch drain) and documented as a divergence (SURVEY §2.9).
+    * This is a FOREACHBATCH helper: Spark rejects ANY Sort on an
+    * unbounded frame, so calling it on a streaming DataFrame is loud
+    * here rather than an AnalysisException at query start — inside
+    * foreachBatch each micro-batch is a bounded frame and the global
+    * sort really is highest-priority-first (the previous
+    * sortWithinPartitions only ordered within partitions). */
+  def prioritized(tasks: DataFrame): DataFrame = {
+    require(!tasks.isStreaming, "prioritized: Structured Streaming " +
+      "rejects Sort on unbounded frames — apply inside foreachBatch " +
+      "(each micro-batch is bounded), or use PriorityConsumer for " +
+      "cross-batch priority")
+    tasks.orderBy(col("priority").desc)
+  }
 
   /** P5 streaming exact-dedup: drop events whose id was already seen,
     * bounding state with the watermark (dedup state for ids older than the

@@ -18,10 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * events by seq (the cursor order).
   *
   * Scale: state is hash-partitioned by tokenId across executors; memory per
-  * key is one TokenState (bounded: a token's open offers/bids), and
-  * tombstoned tokens (burns with no recreate) stay as None until dropped by
-  * an optional TTL — same posture as RocksDB-backed state stores in
-  * production.
+  * key is one TokenState (bounded: a token's open offers/bids), and a
+  * BURNED token's empty state is REMOVED from the store the moment it
+  * folds empty (r20) — state size tracks LIVE tokens, never every
+  * token the log has ever seen (a mint/burn-heavy log would otherwise
+  * grow one dead entry per burn forever).
   */
 object MarketplaceStream {
 
@@ -36,7 +37,14 @@ object MarketplaceStream {
     else {
       val st0 = state.getOption.getOrElse(TokenState.empty)
       val st1 = sorted.foldLeft(st0)(MarketplaceFold.step)
-      state.update(st1)
+      // a BURNED token folds to the empty state — REMOVE it from the
+      // state store instead of keeping a tombstone entry per
+      // ever-seen token forever (unbounded state on a mint/burn-heavy
+      // log; a later re-mint starts from empty either way, so the
+      // emitted snapshots are identical)
+      if (st1.nft.isEmpty && st1.offers.isEmpty && st1.bids.isEmpty)
+        state.remove()
+      else state.update(st1)
       Iterator.single(TokenSnapshot(tokenId, st1.nft,
         st1.offers.values.toSeq.sortBy(_.offerId), st1.bids.reverse))
     }
@@ -49,7 +57,10 @@ object MarketplaceStream {
       : Dataset[TokenSnapshot] = {
     import events.sparkSession.implicits._
     events
-      .filter(_.tokenId.nonEmpty)
+      // null-SAFE like the batch twin's `col =!= ""` (which drops
+      // nulls): a decoded event missing token_id must not NPE the
+      // stream where the batch fold proceeds
+      .filter(e => e.tokenId != null && e.tokenId.nonEmpty)
       .groupByKey(_.tokenId)
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(updateToken)

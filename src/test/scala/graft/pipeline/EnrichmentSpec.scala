@@ -34,14 +34,20 @@ class EnrichmentSpec extends SparkSpec {
       ("tok2", "o2", "u2", """{"name":"same"}""", t0, t0))
       .toDF("token_id", "owner", "url", "metadata", "last_updated",
         "last_checked")
+    val existing2 = Seq(
+      ("tok4", "o4", "u4", """{"name":"old4"}""", t0, t0))
+      .toDF("token_id", "owner", "url", "metadata", "last_updated",
+        "last_checked")
     val incoming = Seq(
       ("tok1", "o1", "u1", """{"name":"new"}""", 1),   // changed
       ("tok1", "o1", "u1b", """{"name":"newer"}""", 4), // higher priority wins
       ("tok2", "o2", "u2", """{"name":"same"}""", 1),  // unchanged
-      ("tok3", "o3", "u3", """{"name":"brand"}""", 2)) // insert
+      ("tok3", "o3", "u3", """{"name":"brand"}""", 2), // insert
+      ("tok4", "o4", "u4", null, 1)) // probed, fetch FAILED
       .toDF("token_id", "owner", "url", "metadata", "priority")
     val now = lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
-    val merged = Enrichment.mergeMetadata(existing, incoming, now)
+    val merged = Enrichment.mergeMetadata(
+      existing.unionByName(existing2), incoming, now)
       .collect().map(r => r.getAs[String]("token_id") ->
         (r.getAs[String]("metadata"), r.getAs[java.sql.Timestamp]("last_updated"),
           r.getAs[java.sql.Timestamp]("last_checked"))).toMap
@@ -52,6 +58,38 @@ class EnrichmentSpec extends SparkSpec {
     assert(merged("tok2")._2 === t0)  // unchanged → stamp preserved
     assert(merged("tok2")._3 === feb) // but it WAS checked
     assert(merged("tok3")._1 === """{"name":"brand"}""")
+    // a probed row whose FETCH FAILED (null metadata) keeps its stored
+    // metadata but still advances last_checked — stamping successes
+    // only left permanently-failing URLs eternally "stalest" and
+    // starved the freshness daemon's budget on dead URLs
+    assert(merged("tok4")._1 === """{"name":"old4"}""")
+    assert(merged("tok4")._2 === t0)  // no change → last_updated kept
+    assert(merged("tok4")._3 === feb) // but it WAS checked
+  }
+
+  test("fetchBytes data URIs decode ONCE: bodies containing '+' or " +
+    "'%' survive the round-trip (the double decode corrupted them)") {
+    def roundTrip(body: String): String = {
+      val url = "data:," + java.net.URLEncoder.encode(body, "UTF-8")
+      new String(Enrichment.fetchBytes(url)
+        .fold(e => fail(s"fetch failed: $e"), identity), "UTF-8")
+    }
+    assert(roundTrip("""{"p":"c++"}""") === """{"p":"c++"}""")
+    assert(roundTrip("100%") === "100%")
+    assert(roundTrip("a b+c%20d") === "a b+c%20d")
+  }
+
+  test("stalestTasks on a SMALL snapshot still refreshes: the percent " +
+    "math must never truncate a non-empty snapshot's budget to zero") {
+    val rows = (1 to 4).map(i =>
+      (s"tok$i", s"o$i", s"u$i",
+        java.sql.Timestamp.valueOf(f"2026-01-0$i 00:00:00")))
+    val snap = rows.toDF("token_id", "owner", "url", "last_checked")
+    val picked = Enrichment.stalestTasks(snap, 20)
+      .select("token_id").collect().map(_.getString(0)).toSeq
+    assert(picked === Seq("tok1"), "4 rows * 20% floors to 0 — the " +
+      "daemon must still re-check the single stalest row")
+    assert(Enrichment.stalestTasks(snap.limit(0), 20).count() === 0L)
   }
 
   test("image stage resizes to both reference resolutions and dedups") {

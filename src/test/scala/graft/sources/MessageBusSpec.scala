@@ -107,4 +107,42 @@ class MessageBusSpec extends SparkSpec {
     assert(valid.toSeq === Seq("t1", "t1", "t3")) // t2 invalid (no descr.)
     assert(res.filter(col("has_image")).count() === 3)
   }
+
+  test("decode refuses a payload schema shadowing the bus metadata " +
+    "columns (the frame would carry duplicate names — every later " +
+    "col(\"offset\") ambiguous at some arbitrary downstream point)") {
+    val clashing = StructType(Seq(
+      StructField("token_id", StringType),
+      StructField("offset", LongType)))
+    val wire = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      MessageBus.wireSchema)
+    val e = intercept[IllegalArgumentException](
+      MessageBus.decode(wire, clashing))
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("compactConsumed drops acked history so drain cost tracks the " +
+    "BACKLOG, not the queue's total past; survivors still deliver") {
+    val queue = java.nio.file.Files
+      .createTempDirectory("graft_bus_rt").toString
+    def batch(ids: Seq[String], off0: Long) = MessageBus.envelope(
+      ids.zipWithIndex.map { case (id, i) => (id, off0 + i) }
+        .toDF("token_id", "seq"),
+      keyCol = "token_id", offsetCol = "seq",
+      ts = current_timestamp(), topic = "tasks")
+    MessageBus.send(batch(Seq("a", "b", "c"), 0L), queue)
+    MessageBus.send(batch(Seq("d", "e"), 3L), queue)
+    // the consumer's durable cursor says offsets <= 2 are processed
+    val (before, after) =
+      MessageBus.compactConsumed(spark, queue, consumedThrough = 2L)
+    assert(before === 5L && after === 2L)
+    val schema = StructType(Seq(StructField("token_id", StringType),
+      StructField("seq", LongType)))
+    val left = MessageBus.decode(
+      MessageBus.read(spark, "files", Map("path" -> queue)), schema)
+      .select("token_id", "offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(left.toSeq === Seq(("d", 3L), ("e", 4L)))
+  }
 }

@@ -56,6 +56,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a null tokenId event is dropped null-safely like the batch " +
+    "twin — the stream must not NPE where the batch fold proceeds; " +
+    "prioritized() is loud on an unbounded frame and globally " +
+    "sorted on a bounded one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MarketplaceEvent]
+    val q = MarketplaceStream.snapshotStream(input.toDS())
+      .writeStream.format("memory").queryName("snap_nulltok")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(scenario.take(2) :+ scenario.head.copy(tokenId = null))
+      q.processAllAvailable() // would NPE in the filter pre-fix
+      assert(spark.table("snap_nulltok")
+        .filter(col("tokenId").isNull).count() === 0L)
+    } finally q.stop()
+    // prioritized: the foreachBatch helper — loud on a stream (Spark
+    // rejects Sort on unbounded frames at START, minutes-later), and
+    // a GLOBAL highest-first order on the bounded micro-batch
+    val e = intercept[IllegalArgumentException](
+      EventStreams.prioritized(input.toDF()))
+    assert(e.getMessage.contains("foreachBatch"))
+    val batch = Seq(("a", 1), ("b", 4), ("c", 2))
+      .toDF("task", "priority")
+    assert(EventStreams.prioritized(batch)
+      .select("task").collect().map(_.getString(0)).toSeq ===
+      Seq("b", "c", "a"))
+  }
+
   test("checkpoint resume continues the fold exactly-once") {
     import spark.implicits._
     // File source (replayable — MemoryStream rejects checkpoint recovery):
