@@ -48,7 +48,8 @@ object Demo {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val metaSnapshot = (1 to 100).map(i => (s"tok$i", s"o$i",
       "data:," + java.net.URLEncoder.encode(
-        s"""{"name":"n$i","description":"d","image":"i$i"}""", "UTF-8"),
+        s"""{"name":"n$i","description":"d","image":"i$i"}""", "UTF-8")
+        .replace("+", "%20"),
       s"""{"name":"old$i"}""", t0, t0))
       .toDF("token_id", "owner", "url", "metadata", "last_updated",
         "last_checked")

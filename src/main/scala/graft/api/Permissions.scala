@@ -150,15 +150,47 @@ object Permissions {
       case n: java.math.BigDecimal => Some(n.doubleValue)
       case _ => None
     }
+    // exact comparison paths: a Double round-trip is lossy above 2^53,
+    // so 64-bit ids (snowflake-style) filtered by Eq/Gt could wrongly
+    // pass/fail the insert CHECK clause. Integral×integral compares as
+    // Long; any pairing involving BigDecimal or a FINITE float widens
+    // both sides to BigDecimal (new BigDecimal(double) is the exact
+    // binary value). Non-finite floats (NaN/±Inf) have no BigDecimal
+    // form and keep the Double path's IEEE compare semantics.
+    def intOf(x: Any): Option[Long] = x match {
+      case n: Long => Some(n)
+      case n: Int => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Byte => Some(n.toLong)
+      case _ => None
+    }
+    def decOf(x: Any): Option[java.math.BigDecimal] = x match {
+      case n: java.math.BigDecimal => Some(n)
+      case n: Long => Some(java.math.BigDecimal.valueOf(n))
+      case n: Int => Some(java.math.BigDecimal.valueOf(n.toLong))
+      case n: Short => Some(java.math.BigDecimal.valueOf(n.toLong))
+      case n: Byte => Some(java.math.BigDecimal.valueOf(n.toLong))
+      case n: Double if !n.isNaN && !n.isInfinite =>
+        Some(new java.math.BigDecimal(n))
+      case n: Float if !n.isNaN && !n.isInfinite =>
+        Some(new java.math.BigDecimal(n.toDouble))
+      case _ => None
+    }
     def cmp(f: String, v: Any, op: Int => Boolean): Boolean =
       (row.get(f).flatMap(Option(_)), v) match {
         case (Some(a: String), b: String) => op(a.compareTo(b))
         case (Some(a: Boolean), b: Boolean) => op(a.compareTo(b))
         case (Some(a), b) =>
-          (num(a), num(b)) match {
+          ((intOf(a), intOf(b)) match {
+            case (Some(x), Some(y)) => Some(op(x.compareTo(y)))
+            case _ => (decOf(a), decOf(b)) match {
+              case (Some(x), Some(y)) => Some(op(x.compareTo(y)))
+              case _ => None
+            }
+          }).getOrElse((num(a), num(b)) match {
             case (Some(x), Some(y)) => op(x.compareTo(y))
             case _ => false // mistyped: unknown → false
-          }
+          })
         case _ => false // null/absent: unknown → false
       }
     e match {

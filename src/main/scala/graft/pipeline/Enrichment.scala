@@ -49,8 +49,12 @@ object Enrichment {
           // any body whose encoded form contains '+' or '%' (c++ →
           // "c  "; "100%" → IllegalArgumentException)
           val ssp = u.getRawSchemeSpecificPart
-          Right(java.net.URLDecoder.decode(ssp.dropWhile(_ != ',').drop(1),
-            "UTF-8").getBytes("UTF-8"))
+          // strict RFC-2397 percent decode: URLDecoder implements
+          // x-www-form-urlencoded, where a LITERAL '+' becomes a space
+          // ('data:,c+b' → "c b"); escape '+' first so only %XX escapes
+          // decode
+          val body = ssp.dropWhile(_ != ',').drop(1).replace("+", "%2B")
+          Right(java.net.URLDecoder.decode(body, "UTF-8").getBytes("UTF-8"))
         case "http" | "https" =>
           val conn = u.toURL.openConnection()
           conn.setConnectTimeout(timeoutMs)

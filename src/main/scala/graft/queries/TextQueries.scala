@@ -1064,7 +1064,11 @@ object TextQueries {
     val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("_score").desc, col("w"))
-    tf.join(dfc, "w")
+    // broadcast the VOCABULARY-sized df table explicitly: AQE's
+    // stats-based pick broadcast the (corpus-sized, merely
+    // locally-small) cached tf side instead — a per-run 500k-row
+    // driver collect + hash build here, an OOM at corpus scale
+    tf.join(broadcast(dfc), "w")
       .withColumn("_score",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
       .withColumn("rk", row_number().over(win).cast("long"))

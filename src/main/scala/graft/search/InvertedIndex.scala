@@ -109,7 +109,13 @@ object InvertedIndex {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.sources.AtomicSwap.recover(fs, path)
     graft.sources.AtomicSwap.recover(fs, s"$path/_stats")
-    spark.read.parquet(s"$path/_stats").head
+    // one-row sidecar behind the fingerprint-validated driver memo: a
+    // probe must not pay a Spark job to re-read unchanged index
+    // metadata (writers rewrite `_stats`, changing the fingerprint,
+    // so the memo can never serve a stale row)
+    graft.sources.SidecarCache.cached(spark, s"$path/_stats") {
+      spark.read.parquet(s"$path/_stats").head
+    }
   }
 
   private def lastBatchOf(st: org.apache.spark.sql.Row): Long =
@@ -259,7 +265,15 @@ object InvertedIndex {
   def build(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     val postings = graft.operators.Materialize.pin(postingsOf(docs, nBuckets))
     try {
-      postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      // cluster by bucket BEFORE the partitioned write (the "hash
+      // distribution mode" of guide §6): an unclustered partitionBy
+      // write lands (writer tasks × buckets) small files — ~11 per
+      // bucket at sf0.1, so a 3-term probe opened ~33 files per scan
+      // and paid per-file open cost twice (df + scoring passes).
+      // One shuffle at build time buys file-per-bucket probes forever;
+      // at scale nBuckets grows with the corpus, keeping files sized.
+      postings.repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
       val (n, nt, tot) = statsOf(docs, postings)
       writeStats(docs.sparkSession, path, n, nt, tot, nBuckets, -1L, "")
     } finally postings.unpersist()
@@ -305,7 +319,10 @@ object InvertedIndex {
     val postings = graft.operators.Materialize.pin(
       if (formatOf(st) >= 2) raw else raw.drop("pos"))
     try {
-      postings.write.mode("overwrite").partitionBy("bucket").parquet(stageDir)
+      // same bucket-clustered write as build: batch appends otherwise
+      // accrete (writer tasks × buckets) files per batch
+      postings.repartition(nBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(stageDir)
       val (n, nt, tot) = statsOf(docs, postings)
       val d = StageDelta(stage, batchId, n, nt, tot)
       writeDelta(spark, stageDir, d)
@@ -360,11 +377,17 @@ object InvertedIndex {
       else nDocs // pre-n_tok_docs index: no null-text docs existed
     val avgdl = st.getAs[Double]("total_tokens") / nTokDocs
     val nBuckets = st.getAs[Int]("n_buckets")
-    import spark.implicits._
     val uniq = terms.distinct
-    val buckets = uniq.toDF("w")
-      .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).as("b"))
-      .collect().map(_.getLong(0)).distinct.toSeq
+    // the engine's own hash, evaluated driver-side: XxHash64 is the
+    // exact expression class the xxhash64() SQL function plans to, so
+    // build-side and probe-side can never drift — and hashing a
+    // handful of literals must not cost a one-row Spark job per probe
+    val buckets = uniq.map { w =>
+      val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(w)))
+        .eval(null).asInstanceOf[Long] // aux ctor = the SQL fn's seed 42
+      ((h % nBuckets) + nBuckets) % nBuckets // pmod
+    }.distinct
     val postings = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*)) // partition-pruned listing
       .filter(col("w").isin(uniq: _*)) // pushed into the parquet scan

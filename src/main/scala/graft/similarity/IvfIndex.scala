@@ -335,9 +335,15 @@ object IvfIndex {
       .select(col(key).cast("long").as("vec_id")).distinct()
       .localCheckpoint(true)
     val n = fresh.count()
-    if (n > 0)
-      fresh.coalesce(1).write.mode("append")
-        .parquet(s"$path/_tombstones")
+    // DSAR-sized requests collapse to one tidy file; a bulk purge
+    // (ten-million-row right-to-be-forgotten) stays task-parallel —
+    // coalesce(1) there funnels the whole set through one straggler
+    // task. The `_tombstones` read distinct()s across files, so the
+    // file count never changes semantics.
+    if (n > 0) {
+      val out = if (n <= 100000L) fresh.coalesce(1) else fresh
+      out.write.mode("append").parquet(s"$path/_tombstones")
+    }
     n
   }
 
@@ -360,11 +366,14 @@ object IvfIndex {
   }
 
   private def readPqSidecar(spark: SparkSession,
-      path: String): (Array[Double], Int, Int) = {
-    val r = spark.read.parquet(s"$path/_pq").head
-    (r.getAs[scala.collection.Seq[Double]]("cb").toArray,
-      r.getAs[Int]("m"), r.getAs[Int]("ksub"))
-  }
+      path: String): (Array[Double], Int, Int) =
+    // driver-small codebook behind the fingerprint-validated memo —
+    // rebuilds rewrite the sidecar and naturally invalidate it
+    graft.sources.SidecarCache.cached(spark, s"$path/_pq") {
+      val r = spark.read.parquet(s"$path/_pq").head
+      (r.getAs[scala.collection.Seq[Double]]("cb").toArray,
+        r.getAs[Int]("m"), r.getAs[Int]("ksub"))
+    }
 
   /** Compact the cell partitions after many [[append]] batches — every
     * append adds task-count files per landed cell, and at 100 TB the
@@ -433,7 +442,14 @@ object IvfIndex {
       nProbe: Int, k: Int,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     recoverIndex(spark, path)
-    val cents = spark.read.parquet(s"$path/_centroids").collect()
+    // nCells-row codebook behind the fingerprint-validated memo: a
+    // probe's driver-side cell scoring must not pay a Spark job to
+    // re-collect an unchanged sidecar (build/compact rewrite it and
+    // invalidate the memo)
+    val cents = graft.sources.SidecarCache.cached(
+      spark, s"$path/_centroids") {
+      spark.read.parquet(s"$path/_centroids").collect()
+    }
     def dotLocal(a: Seq[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
     val qn = {

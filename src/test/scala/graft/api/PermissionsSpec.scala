@@ -581,6 +581,30 @@ class PermissionsSpec extends SparkSpec {
       }
   }
 
+  test("evalLiteral compares integrals exactly above 2^53: a 64-bit " +
+    "id one off a filter literal must not pass through a lossy Double") {
+    import graft.api.Permissions.evalLiteral
+    val big = 9007199254740993L // 2^53 + 1; == 2^53 after a Double trip
+    assert(evalLiteral(Eq("tenant_id", big - 1L),
+      Map[String, Any]("tenant_id" -> big)) === Right(false))
+    assert(evalLiteral(Gt("tenant_id", big - 1L),
+      Map[String, Any]("tenant_id" -> big)) === Right(true))
+    assert(evalLiteral(Eq("tenant_id", big),
+      Map[String, Any]("tenant_id" -> big)) === Right(true))
+    // BigDecimal row values compare via compareTo, not doubleValue
+    assert(evalLiteral(Eq("v", big),
+      Map[String, Any]("v" -> new java.math.BigDecimal(big - 1L)))
+      === Right(false))
+    // genuine integral/floating mixes still compare numerically
+    assert(evalLiteral(Eq("v", 2.0),
+      Map[String, Any]("v" -> 2L)) === Right(true))
+    assert(evalLiteral(Lt("v", 2.5),
+      Map[String, Any]("v" -> 2L)) === Right(true))
+    // NaN keeps IEEE compare semantics (Double path): never equal
+    assert(evalLiteral(Eq("v", Double.NaN),
+      Map[String, Any]("v" -> 1L)) === Right(false))
+  }
+
   test("parent-side join keys are grant-checked: an _exists predicate " +
     "cannot probe a denied column through parent_key") {
     // c_nationkey is outside the analyst's customer allowlist; the

@@ -10,7 +10,7 @@ class EnrichmentSpec extends SparkSpec {
   import spark.implicits._
 
   private def dataUrl(body: String): String =
-    "data:," + java.net.URLEncoder.encode(body, "UTF-8")
+    "data:," + java.net.URLEncoder.encode(body, "UTF-8").replace("+", "%20")
 
   test("metadata stage: fetch, validate, has_image") {
     val tasks = Seq(
@@ -70,13 +70,17 @@ class EnrichmentSpec extends SparkSpec {
   test("fetchBytes data URIs decode ONCE: bodies containing '+' or " +
     "'%' survive the round-trip (the double decode corrupted them)") {
     def roundTrip(body: String): String = {
-      val url = "data:," + java.net.URLEncoder.encode(body, "UTF-8")
+      val url = "data:," + java.net.URLEncoder.encode(body, "UTF-8").replace("+", "%20")
       new String(Enrichment.fetchBytes(url)
         .fold(e => fail(s"fetch failed: $e"), identity), "UTF-8")
     }
     assert(roundTrip("""{"p":"c++"}""") === """{"p":"c++"}""")
     assert(roundTrip("100%") === "100%")
     assert(roundTrip("a b+c%20d") === "a b+c%20d")
+    // strict RFC-2397 decoding: a LITERAL '+' in the raw URI is a plus,
+    // not an x-www-form-urlencoded space
+    assert(new String(Enrichment.fetchBytes("data:,c+b")
+      .fold(e => fail(s"fetch failed: $e"), identity), "UTF-8") === "c+b")
   }
 
   test("stalestTasks on a SMALL snapshot still refreshes: the percent " +

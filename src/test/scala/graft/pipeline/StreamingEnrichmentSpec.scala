@@ -14,7 +14,7 @@ class StreamingEnrichmentSpec extends SparkSpec {
   import spark.implicits._
 
   private def dataUrl(body: String): String =
-    "data:," + java.net.URLEncoder.encode(body, "UTF-8")
+    "data:," + java.net.URLEncoder.encode(body, "UTF-8").replace("+", "%20")
 
   test("streamed uri tasks fold into the metadata snapshot incrementally") {
     implicit val sqlCtx = spark.sqlContext

@@ -433,6 +433,18 @@ class IvfIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IvfIndex.forget(spark, path, Seq(5.7).toDF("vec_id"))
     }
+    // a BULK purge writes task-bounded files (no coalesce(1) straggler
+    // funnel above the DSAR-size threshold) and still fences at serve;
+    // ids never indexed are harmless no-ops by contract
+    val bulk = spark.range(1000000L, 1200000L).toDF("vec_id")
+    assert(IvfIndex.forget(spark, path, bulk) === 200000L)
+    val parts = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_tombstones"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parts > 1, s"bulk purge landed in $parts file(s) — " +
+      "expected a task-parallel write")
+    assert(!IvfIndex.search(spark, path, query, 4, 5).collect()
+      .map(_.getLong(0)).contains(before(1)))
   }
 
   test("crash inside the compact swap: recovery serves either the old " +

@@ -18,7 +18,7 @@ class MessageBusSpec extends SparkSpec {
     StructField("url", StringType), StructField("priority", IntegerType)))
 
   private def dataUrl(body: String): String =
-    "data:," + java.net.URLEncoder.encode(body, "UTF-8")
+    "data:," + java.net.URLEncoder.encode(body, "UTF-8").replace("+", "%20")
 
   private def tasks(rows: Seq[(String, String, String, Int)], offset0: Long) =
     MessageBus.envelope(
