@@ -60,12 +60,40 @@ object Tables {
         }
       })
 
+  /** Shuffle/spill scratch directory (spark.local.dir). Overridable via
+    * SPARK_GRAFT_LOCAL_DIR; defaults to a RAM-backed dir when the host
+    * has one. Rationale (optimization guide §2.1/§6): at this engine's
+    * local shuffle sizes the dominant cost is FILE CREATION — the
+    * whole-sweep profile attributed ~4 s/run to
+    * DiskBlockObjectWriter.initialize + createTempShuffleBlock on the
+    * default /tmp (a VM disk). Shuffle scratch is ephemeral by contract
+    * (lost blocks recompute), so tmpfs is semantically safe; production
+    * deployments point spark.local.dir at fast local NVMe the same way. */
+  private def localDir: String =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "graft-spark-local")
+        d.mkdirs()
+        d.getAbsolutePath
+      } else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    }
+
   /** Session configuration every entry point (Verify/Bench/tests) applies. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.local.dir", localDir)
+      // single-tenant engine process: per-session artifact/classloader
+      // isolation (a Spark Connect multi-tenancy feature) costs a
+      // classloader + artifact sync on every cloned session — streaming
+      // serves clone one per query — for zero benefit here (~0.3 s per
+      // live-serve call, measured on q193)
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "200"))
 
   /** Register every table as a temp view so `spark.sql` surfaces work too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

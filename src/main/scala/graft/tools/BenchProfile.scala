@@ -29,6 +29,42 @@ object BenchProfile {
     try graft.queries.BucketedQueries.ensureTables(spark, sfDir)
     catch { case _: Throwable => () }
 
+    // in-JVM sampler: histogram the top engine frame per RUNNABLE thread
+    // over the TIMED runs, so the whole-sweep driver overhead is
+    // attributable (enable with SPARK_GRAFT_PROFILE_SAMPLE=1)
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    if (sys.env.get("SPARK_GRAFT_PROFILE_SAMPLE").contains("1")) {
+      val sampler = new Thread(() => {
+        while (true) {
+          if (sampling) {
+            Thread.getAllStackTraces.forEach { (t, st) =>
+              if (t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+                  t.getName != "sampler") {
+                val top = st.take(48).find { f =>
+                  val c = f.getClassName
+                  c.startsWith("org.apache.spark") ||
+                    c.startsWith("org.codehaus") ||
+                    c.startsWith("java.util.zip") ||
+                    c.startsWith("graft")
+                }.map { f =>
+                  val c = f.getClassName
+                  val tag =
+                    if (c.startsWith("org.apache.spark.sql.catalyst"))
+                      c.split("\\.").take(6).mkString(".")
+                    else c
+                  tag + "." + f.getMethodName
+                }.getOrElse("(" + t.getName.replaceAll("\\d+", "N") + ")")
+                hist.merge(top, 1, (a: Integer, b: Integer) => a + b)
+              }
+            }
+          }
+          Thread.sleep(3)
+        }
+      }, "sampler")
+      sampler.setDaemon(true); sampler.start()
+    }
+
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
@@ -54,7 +90,9 @@ object BenchProfile {
         Thread.sleep(5)
         jobs = 0; stages = 0; tasks = 0; taskMs = 0L
         val t0 = System.nanoTime()
+        sampling = true
         fn(spark, sfDir).count()
+        sampling = false
         val wall = (System.nanoTime() - t0) / 1e9
         // listener bus is async; give it a beat to drain
         Thread.sleep(30)
@@ -71,6 +109,13 @@ object BenchProfile {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/target/profile.json"),
       out.toString)
+    if (sys.env.get("SPARK_GRAFT_PROFILE_SAMPLE").contains("1")) {
+      import scala.jdk.CollectionConverters._
+      println("== sweep sample histogram (3ms ticks, timed runs only) ==")
+      hist.asScala.toSeq.sortBy(-_._2).take(60).foreach { case (k, v) =>
+        println(f"$v%7d  $k")
+      }
+    }
     spark.stop()
   }
 }
