@@ -72,11 +72,18 @@ object Tables {
   private def localDir: String =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm, "graft-spark-local")
-        d.mkdirs()
-        d.getAbsolutePath
-      } else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      val disk = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      // tmpfs holds shuffle SPILL files too, and spill happens exactly
+      // when memory is tight — so the RAM-backed default is gated on
+      // generous headroom (local shuffle scratch here is well under a
+      // GiB; 8 GiB usable keeps crash-orphaned blockmgr dirs plus a
+      // full spill from pushing the host toward OOM) and falls back to
+      // the disk default when the gate — or mkdirs itself — fails.
+      val d = new java.io.File(shm, "graft-spark-local")
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= 8L * 1024 * 1024 * 1024 &&
+          (d.isDirectory || d.mkdirs())) d.getAbsolutePath
+      else disk
     }
 
   /** Session configuration every entry point (Verify/Bench/tests) applies. */

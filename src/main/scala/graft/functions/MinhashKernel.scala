@@ -247,4 +247,36 @@ object MinhashKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** DISTINCT word-n-gram shingle strings — [[stringShingles]] with the
+    * per-document dedup fused into the kernel. For consumers that count
+    * DOCUMENTS per gram (the q95/q96 df side, IncrementalSpans deltas),
+    * within-document duplicates are pure aggregate input that a
+    * downstream distinct would immediately discard; deduping here turns
+    * the two-phase (gram, doc) distinct aggregate into a plain partial
+    * count — one exchange instead of two, and only distinct grams ever
+    * leave the row. Insertion order preserved (first occurrence). */
+  def distinctStringShingles(text: UTF8String, n: Int): ArrayData = {
+    val (starts, m) = tokenStarts(text)
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val nSh = m - n + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](nSh * 2)
+    var i = 0
+    while (i < nSh) {
+      val s0 = starts(i)
+      val len = (starts(i + n) - 1) - s0
+      val bytes = new Array[Byte](len)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + s0, bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      seen.add(UTF8String.fromBytes(bytes))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
 }

@@ -173,6 +173,33 @@ object TextKernelExpressions {
   def wordShinglesFast(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
 
+  /** distinct_word_shingles(text, n): [[WordShingles]] with per-row
+    * dedup fused into the kernel — for consumers that count DOCUMENTS
+    * per gram, where within-doc duplicates are aggregate input a
+    * downstream distinct would discard anyway. */
+  case class DistinctWordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "distinct_word_shingles"
+
+    override protected def nullSafeEval(t: Any): Any =
+      MinhashKernel.distinctStringShingles(t.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t =>
+        s"${ev.value} = graft.functions.MinhashKernel.distinctStringShingles($t, $n);")
+
+    override protected def withNewChildInternal(
+        newChild: Expression): DistinctWordShingles =
+      copy(child = newChild)
+  }
+
+  def distinctWordShinglesFast(text: Column, n: Int): Column =
+    Bridge.column(DistinctWordShingles(Bridge.expression(text), n))
+
   /** bpe_encode(text, merges): tokenize with a TRAINED BPE vocabulary —
     * the apply side of [[graft.operators.BpeTrainer]] (q72/BpeTrainer
     * mine and learn the merges; this kernel runs them over the corpus).

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *    idempotent by construction (no watermark bookkeeping needed).
   *  - [[dfTable]] is the read-side additive merge: sum(df) per gram
   *    over every delta partition. Two-phase aggregate; the only
-  *    shuffle is on the md5 gram key (uniform, bounded width).
+  *    shuffle is on the gram key (raw gram string — uniform content
+  *    hash distribution, bounded by l tokens).
   *  - [[compact]] folds the accumulated deltas into a single base
   *    partition through [[graft.sources.AtomicSwap]] (crash-safe
   *    two-rename swap), bounding file count; appends continue after.
@@ -34,17 +35,22 @@ import org.apache.spark.sql.functions._
   * (gh, doc_id) dedup + one (gh) sum over the batch only. The df table
   * read merges deltas without touching document text; its size is the
   * DISTINCT gram vocabulary, not the corpus. Probing spans for a doc
-  * set joins that set's anchors (md5-keyed, uniform) against the
+  * set joins that set's anchors (raw-gram-keyed, uniform) against the
   * df-filtered gram keys — the q95 flag-back shape.
   */
 object IncrementalSpans {
 
   val DefaultL = 5
 
-  /** One batch's additive contribution: (gh, df) over the batch docs. */
+  /** One batch's additive contribution: (gh, df) over the batch docs.
+    * The per-doc gram dedup is fused into the shingle kernel (q95's r22
+    * df-side shape): each document emits each gram once, so the count
+    * IS the distinct-document count and the aggregate needs only one
+    * exchange. */
   def gramDfDelta(docs: DataFrame, l: Int = DefaultL): DataFrame =
-    TextQueries.gramPositions(docs, l)
-      .select("gh", "doc_id").distinct()
+    docs.filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextKernelExpressions
+        .distinctWordShinglesFast(col("text"), l)).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("df"))
 
   /** Append one batch of NEW documents (ids must be globally unique —

@@ -1016,11 +1016,13 @@ object PipelineQueries {
     val labels = TextQueries.componentLabels(s, pa)
     val withLabel = ids.join(labels, Seq("id"), "left")
       .select(col("key"), coalesce(col("label"), col("id")).as("label"))
-    val canon = withLabel.groupBy("label")
-      .agg(min(col("key")).as("canonical"),
-        count(lit(1)).as("cluster_size"))
-    withLabel.join(canon, "label")
-      .select(col("key"), col("canonical"), col("cluster_size"))
+    // canonical + size as windows over ONE label partitioning instead
+    // of a groupBy + join-back (r22, guide §2.4: two exchanges → one;
+    // same shape clusterOutput already uses)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    withLabel
+      .select(col("key"), min(col("key")).over(w).as("canonical"),
+        count(lit(1)).over(w).as("cluster_size"))
       .orderBy("key")
   }
 

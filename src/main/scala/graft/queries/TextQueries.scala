@@ -693,8 +693,12 @@ object TextQueries {
       smallGraphLimit: Long = 5000000L): DataFrame = {
     import s.implicits._
     val ab = pairs.toDF("a", "b")
+    // LAZY checkpoint + count in one action (r22, guide §1.5): the
+    // eager form ran one job to materialize the edge blocks and a
+    // second to count them; count() on the lazy checkpoint does both
+    // in a single job. Every dup-clusters key pays this path.
     val edges = ab.union(ab.select(col("b"), col("a")))
-      .toDF("id", "nb").localCheckpoint()
+      .toDF("id", "nb").localCheckpoint(eager = false)
     if (edges.count() <= smallGraphLimit) {
       val labels = edges.repartition(1).as[(Long, Long)]
         .mapPartitions { it =>
@@ -751,7 +755,10 @@ object TextQueries {
           col("label") === col("_lid"), "left")
         .select(col("id"), col("_old"),
           coalesce(col("_ll"), col("label")).as("label"))
-        .localCheckpoint()
+        // lazy: the convergence count below materializes the checkpoint
+        // in the SAME action (guide §1.5 — one job per round, not two);
+        // next round's joins then read the materialized blocks
+        .localCheckpoint(eager = false)
       changed = next.filter(col("label") < col("_old")).count()
       labels = next.drop("_old")
       rounds += 1
@@ -1733,15 +1740,20 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** (doc_id, pos, gh) — every length-`l` gram anchor, md5-keyed. ONE
-    * definition shared by the batch report/filter and the incremental
-    * store ([[graft.operators.IncrementalSpans]]). */
+  /** (doc_id, pos, gh) — every length-`l` gram anchor. ONE definition
+    * shared by the batch report/filter and the incremental store
+    * ([[graft.operators.IncrementalSpans]]). `gh` is the RAW gram
+    * string (r22): md5 keying cost a full corpus×l hash pass per
+    * consumer while proxying exactly the equality the raw bytes give
+    * directly — and an md5-hex key (32 chars) is no narrower than a
+    * 5-token gram. Raw grams also make flagging exact rather than
+    * hash-collision-probabilistic; the oracle's md5 grouping partitions
+    * grams identically, so results are unchanged. */
   private[graft] def gramPositions(d: DataFrame, l: Int): DataFrame =
     d.filter(col("text").isNotNull)
       .select(col("doc_id"), posexplode(graft.functions
         .TextKernelExpressions.wordShinglesFast(col("text"), l))
-        .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), md5(col("g")).as("gh"))
+        .as(Seq("pos", "gh")))
 
   /** Token positions whose length-`l` gram (shingle starting there)
     * appears in at least `minDf` DISTINCT documents — the flagged-anchor
@@ -1749,29 +1761,32 @@ object TextQueries {
     * definition so the report and the filter can never disagree about
     * what counts as repeated.
     *
-    * Scale posture: grams are keyed by md5 (bounded key width, uniform
-    * shuffle distribution regardless of token skew). The df side is a
-    * TWO-PHASE distinct — map-side (gh, doc_id) dedup before its
-    * exchange — so a hot boilerplate gram never concentrates: its
-    * distinct pairs spread across reducers by doc_id, and the per-gh
-    * count arrives as one partial row per partition. The flag-back is
-    * an equi-join on gh whose build side is the df-FILTERED key set
-    * (tiny relative to the corpus — AQE broadcasts it when it fits,
-    * falls back to a skew-splittable SMJ otherwise). The corpus is
-    * scanned once per consumer (aggregate + probe) — deliberately
-    * recomputed rather than pinned, because the exploded gram set is
-    * ~l× the corpus, far larger than the rescan it saves.
-    * (PlanQualitySpec audits this shape; an earlier claim that
-    * ReuseExchange merges the two paths was wrong — their exchanges
-    * carry different partial-aggregate schemas and cannot unify.) */
+    * Scale posture (r22 shape): the df side explodes the PER-DOCUMENT
+    * DISTINCT gram set straight from the kernel
+    * ([[graft.functions.MinhashKernel.distinctStringShingles]]) — the
+    * (gram, doc) dedup the old two-phase distinct paid a second
+    * exchange for happens inside the row for free, so the aggregate is
+    * a plain partial count: ONE exchange, one row per (gram, partition)
+    * crossing it, and a hot boilerplate gram still never concentrates
+    * (its partial counts merge map-side). Grams shuffle as raw strings
+    * (uniform hash distribution like any content key; bounded by l
+    * tokens). The flag-back is an equi-join on gh whose build side is
+    * the df-FILTERED key set (tiny relative to the corpus — AQE
+    * broadcasts it when it fits, falls back to a skew-splittable SMJ
+    * otherwise). The corpus is scanned once per consumer (aggregate +
+    * probe) — deliberately recomputed rather than pinned, because the
+    * exploded gram set is ~l× the corpus, far larger than the rescan
+    * it saves. (PlanQualitySpec audits this shape.) */
   private[graft] def dupGramPositions(s: SparkSession, dir: String,
       l: Int, minDf: Int): DataFrame = {
-    val grams = gramPositions(docs(s, dir), l)
-    val dup = grams.groupBy("gh")
-      .agg(count_distinct(col("doc_id")).as("df"))
+    val d = docs(s, dir)
+    val dup = d.filter(col("text").isNotNull)
+      .select(explode(graft.functions.TextKernelExpressions
+        .distinctWordShinglesFast(col("text"), l)).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select("gh")
-    grams.join(dup, Seq("gh")).select("doc_id", "pos")
+    gramPositions(d, l).join(dup, Seq("gh")).select("doc_id", "pos")
   }
 
   /** Gaps-and-islands merge of flagged anchors [p, p+l-1] into maximal

@@ -28,16 +28,22 @@ object SidecarCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
 
-  /** Fingerprint of the directory's file inventory ("" if absent). */
+  /** Fingerprint of the directory's file inventory ("" if absent).
+    * Entries are keyed by the path RELATIVE to the sidecar root (not the
+    * basename): two same-named, same-length, same-mtime files in
+    * different subdirectories must produce different fingerprints. */
   private def fingerprint(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return ""
+    val root = fs.makeQualified(p).toString.stripSuffix("/") + "/"
     val sb = new StringBuilder
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
-      sb.append(f.getPath.getName).append(':')
+      val full = f.getPath.toString
+      val rel = if (full.startsWith(root)) full.substring(root.length) else full
+      sb.append(rel).append(':')
         .append(f.getLen).append(':')
         .append(f.getModificationTime).append(';')
     }

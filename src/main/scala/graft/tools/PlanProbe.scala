@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.PlanProbe <queryName> [sfDir] [runs] */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val runs = args.lift(2).map(_.toInt).getOrElse(2)
+    // flags (--sample/--plan) and k=v conf pairs may appear anywhere;
+    // positionals are what remains (a bare "--sample" used to be eaten
+    // as the data dir, and a conf pair threw in runs' toInt)
+    val pos = args.filterNot(a => a.contains("=") || a.startsWith("--"))
+    val name = pos(0)
+    val dir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
+    val runs = pos.lift(2).map(_.toInt).getOrElse(2)
     var b = Tables.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -57,6 +57,18 @@ class MinhashKernelSpec extends SparkSpec {
     }
   }
 
+  test("kernel distinct word shingles == array_distinct of the " +
+      "full shingle stream") {
+    Seq(2, 3, 5).foreach { n =>
+      val df = texts.toDF("t").select(
+        distinctWordShinglesFast(col("t"), n).as("fast"),
+        array_distinct(shingles(col("t"), n)).as("slow"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n: $r")
+      }
+    }
+  }
+
   test("kernel langId == declarative langId on real docs + edges") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
       .select(col("text"))

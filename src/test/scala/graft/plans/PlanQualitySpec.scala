@@ -519,9 +519,9 @@ class PlanQualitySpec extends SparkSpec {
     assert(rp.contains("BroadcastHashJoin"), s"re-count not broadcast:\n$rp")
   }
 
-  test("q95 anchor flagging: two-phase distinct dedups (gh, doc_id) " +
-    "map-side, the flag-back joins hash-wise on gh, the corpus is " +
-    "scanned once per consumer") {
+  test("q95 anchor flagging: the df count is a one-exchange partial " +
+    "aggregate over kernel-distinct grams, the flag-back joins " +
+    "hash-wise on gh, the corpus is scanned once per consumer") {
     import graft.queries.{TextQueries => T}
     val df = T.q95RepeatedSpans(spark, dir)
     df.collect()
@@ -532,15 +532,22 @@ class PlanQualitySpec extends SparkSpec {
     // purpose (the exploded gram set is ~l x the corpus)
     assert(lines.count(_.contains("FileScan parquet")) === 2,
       s"gram flagging re-scans the corpus:\n$p")
-    // the df distinct is TWO-PHASE: a map-side (gh, doc_id) dedup runs
-    // BELOW its exchange, so a hot boilerplate gram's pairs spread
-    // across reducers by doc_id instead of concentrating
-    val mapDedup = lines.lastIndexWhere(l =>
-      l.contains("HashAggregate(keys=[gh") && l.contains("doc_id"))
-    val dedupExchange = lines.indexWhere(l =>
-      l.contains("Exchange hashpartitioning(gh") && l.contains("doc_id"))
-    assert(mapDedup >= 0 && dedupExchange >= 0 && dedupExchange < mapDedup,
-      s"(gh, doc_id) dedup is not map-side partial:\n$p")
+    // the per-doc gram dedup is fused into the kernel
+    // (distinct_word_shingles), so the df count is a plain TWO-PHASE
+    // count: a partial_count below ONE gh exchange — no (gh, doc_id)
+    // pair ever crosses the network, and a hot boilerplate gram's
+    // partial counts merge map-side instead of concentrating
+    val mapCount = lines.lastIndexWhere(l =>
+      l.contains("HashAggregate(keys=[gh") && l.contains("partial_count"))
+    val countExchange = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(gh"))
+    assert(mapCount >= 0 && countExchange >= 0 && countExchange < mapCount,
+      s"gram df count is not a map-side partial count:\n$p")
+    // and no (gh, doc_id) pair-dedup aggregate survives anywhere — the
+    // old two-exchange distinct shape must not creep back
+    assert(!lines.exists(l =>
+      l.contains("Exchange hashpartitioning(gh") && l.contains("doc_id")),
+      s"(gh, doc_id) pairs are crossing an exchange again:\n$p")
     // the flag-back is a hash equi-join on gh — broadcast of the
     // df-filtered key set at this scale, never a nested loop
     assert(lines.exists(l => l.contains("Join [gh")
