@@ -852,11 +852,35 @@ object QueryBuilder {
     // ONE decorrelate-filter-drop definition with [[filterWith]]
     filterWith(graft.Tables.load(spk, dir, _), df, w)
 
+  /** Restrict a child arm to rows whose key can reach a surviving
+    * parent — sideways information passing (guide §3.2). Without it a
+    * relationship arm aggregates/windows over the WHOLE child table and
+    * only the attach join discards the unreachable groups, however
+    * selective the parent's where is (q201: two lineitem-wide arms for
+    * 40 customers). A left-semi join against the parent's filtered,
+    * pre-slice key projection is result-identical — child groups
+    * without a parent key never appear in the response (inner attach
+    * drops them; left attach preserves PARENTS, not children) — but
+    * prunes the child scan to the selected keys before the expensive
+    * per-key work. Only applied when the parent is actually restricted
+    * (gated by the caller): an unrestricted parent's key set is the
+    * whole table and the semi-join would be pure overhead. AQE
+    * broadcasts the key set when it is small; when it is not, the
+    * semi-join degrades to the shuffle the aggregate pays anyway. */
+  private def restrictToParent(child: DataFrame, childKey: Column,
+      parentKeys: Option[DataFrame]): DataFrame =
+    parentKeys match {
+      case Some(pk) =>
+        child.join(pk, childKey === pk("__parent_keys"), "left_semi")
+      case None => child
+    }
+
   private def compileNested(s: SparkSession, dir: String,
-      n: Nested): DataFrame = {
+      n: Nested, parentKeys: Option[DataFrame] = None): DataFrame = {
     val loaded = graft.Tables.load(s, dir, n.table)
     // the child's own where: applied at the leaf so it reaches the scan
-    val child0 = n.where.map(filterRel(s, dir, loaded, _)).getOrElse(loaded)
+    val own = n.where.map(filterRel(s, dir, loaded, _)).getOrElse(loaded)
+    val child0 = restrictToParent(own, own(n.childKey), parentKeys)
     val keyAlias = s"__key_${n.as}"
     // each sub-relationship pre-aggregates to one row per key and
     // joins back — SIBLINGS under one level compose exactly like the
@@ -867,8 +891,15 @@ object QueryBuilder {
     // (response keys and table columns are different namespaces), and
     // a bare col(alias) would be ambiguous after the join
     var subCols = Map.empty[String, Column]
+    // grandchild arms inherit the restriction: once THIS level is
+    // pruned (own where or parent keys), its key projection restricts
+    // each sub the same way
+    val restricted = parentKeys.nonEmpty || n.where.nonEmpty
     val joined = n.subs.foldLeft(child0) { (acc, m) =>
-      val subAgg = compileNested(s, dir, m)
+      val subAgg = compileNested(s, dir, m,
+        if (restricted)
+          Some(child0.select(child0(m.parentKey).as("__parent_keys")))
+        else None)
       subCols += m.as -> subAgg(m.as)
       acc.join(subAgg,
         child0(m.parentKey) === subAgg(s"__key_${m.as}"), m.joinType)
@@ -1200,11 +1231,20 @@ object QueryBuilder {
     val sortKeyed = req.orderBy.zipWithIndex.foldLeft(base) {
       case (d, (o, i)) => d.withColumn(s"__sort_$i", col(o.field))
     }
+    // sideways parent-key pushdown (guide §3.2): when the root carries
+    // a where, every child arm prunes to the surviving parents' keys
+    // instead of aggregating its whole table (see restrictToParent).
+    // Keys re-derive from base0 + the root where (pre-slice superset of
+    // the attached parents) — a narrow filtered key scan, far cheaper
+    // than the corpus-wide child work it prevents
+    def rootKeys(parentKey: String): Option[DataFrame] =
+      req.where.map(w => base0.filter(w.toColumn)
+        .select(col(parentKey).as("__parent_keys")))
     // every relationship pre-aggregates to one row per parent key and
     // joins back on it — never a flat multi-child join
     val withNested = req.nested.zipWithIndex.foldLeft(sortKeyed) {
       case (acc, (n, i)) =>
-        val rel = compileNested(s, dir, n)
+        val rel = compileNested(s, dir, n, rootKeys(n.parentKey))
         // the TOP level renders to_json (cross-engine-stable wire
         // shape); inner levels stay structured inside their parent;
         // a left attach renders childless parents as "[]", not null —
@@ -1231,8 +1271,12 @@ object QueryBuilder {
     val withAggs = req.aggRels.zipWithIndex.foldLeft(withNested) {
       case (acc, (a, i)) =>
         val loaded = graft.Tables.load(s, dir, a.table)
-        val filtered =
+        val filtered0 =
           a.where.map(filterRel(s, dir, loaded, _)).getOrElse(loaded)
+        // aggregate relationships prune to the parents' keys the same
+        // way as array relationships (restrictToParent)
+        val filtered = restrictToParent(filtered0,
+          filtered0(a.childKey), rootKeys(a.parentKey))
         val child = childSlice(filtered, loaded(a.childKey), a.orderBy,
           loaded(_), a.distinctOn, a.offset, a.limit)
         val keyAlias = s"__aggkey_$i"
